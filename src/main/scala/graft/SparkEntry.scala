@@ -1,13 +1,414 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.functions.{aqiCategory, occurrences, tokens, vec_dot}
+import graft.operators.{Dedup, Events, Merge, MergeSpec, Similarity, TextAnalysis}
+
+/** Driver contract: one `queries` entry per implemented operator from
+  * SURVEY.md §2 (IDs in the names) plus the training-data-pipeline
+  * extensions; `oracleSql` holds the DuckDB-equivalent SQL for every
+  * SQL-expressible query. Column names/types are aligned pairwise —
+  * the driver sorts columns by name and hash-compares values.
+  *
+  * Float discipline: outputs are either raw pass-through doubles
+  * (bit-identical in both engines), integer-exact counts, or sums
+  * rounded at the grid where the true value is an exact multiple
+  * (prices: 2dp, price×discount: 4dp) so rounding can never straddle a
+  * representable boundary.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def rd(s: SparkSession, dir: String, t: String): DataFrame =
+    graft.sources.Tables.table(s, dir, t)
+
+  private val ts0 = "2020-01-01 00:00:00"
+  private val tsNow = "2024-06-01 00:00:00"
+  private def tlit(v: String): Column = to_timestamp(lit(v))
+
+  /** Flagship query on sf=0.001: revenue by market segment (3-table
+    * join + aggregation). Driver smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q3_seg_revenue")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // —— SURVEY §2.1 scans ——
+    "s4_scan_prune" -> ((s, d) =>
+      rd(s, d, "lineitem")
+        .filter(col("l_extendedprice") > 45000)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")),
+    "s5_point_lookup" -> ((s, d) =>
+      rd(s, d, "orders")
+        .filter(col("o_orderkey") === 42)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")),
+
+    // —— SURVEY §2.2 projections / filters / scalar fns ——
+    "p1_rename_project" -> ((s, d) =>
+      rd(s, d, "lineitem").select(
+        col("l_orderkey").as("order_key"),
+        col("l_linenumber").as("line_number"),
+        col("l_quantity").as("qty"),
+        col("l_returnflag").as("return_flag"))),
+    "p3_date_cast" -> ((s, d) =>
+      rd(s, d, "orders").select(
+        col("o_orderkey"),
+        to_date(col("o_orderdate")).as("order_date"))),
+    "p5_window_filter" -> ((s, d) =>
+      rd(s, d, "lineitem")
+        .filter(col("l_shipdate").between(
+          tlit("1997-01-01 00:00:00"), tlit("1997-12-31 23:59:59")))
+        .select("l_orderkey", "l_linenumber", "l_shipdate")),
+    "p6_aqi_banding" -> ((s, d) => {
+      val aqi = (floor(col("l_extendedprice")).cast("long") % 400 - 20).cast("int")
+      rd(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        aqi.as("aqi_value"), aqiCategory(aqi).as("aqi_category"))
+    }),
+    "p7_trim" -> ((s, d) =>
+      rd(s, d, "customer").select(
+        col("c_custkey"),
+        trim(concat(lit("  "), col("c_name"), lit("  "))).as("c_name_trim"))),
+    "p10_literal_filter" -> ((s, d) =>
+      rd(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey", "c_name", "c_mktsegment")),
+
+    // —— SURVEY §2.3 joins ——
+    "j1_full_outer" -> ((s, d) => {
+      val c = rd(s, d, "customer")
+        .groupBy(col("c_nationkey").as("nationkey")).agg(count(lit(1)).as("n_cust"))
+      val su = rd(s, d, "supplier")
+        .groupBy(col("s_nationkey").as("nationkey")).agg(count(lit(1)).as("n_supp"))
+      c.join(su, Seq("nationkey"), "full_outer")
+    }),
+    "j2_dim_join" -> ((s, d) =>
+      rd(s, d, "nation")
+        .join(broadcast(rd(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name").as("region_name"))),
+    "j4_composite_join" -> ((s, d) => {
+      val li = rd(s, d, "lineitem")
+      val ps = li.groupBy("l_partkey", "l_suppkey")
+        .agg(count(lit(1)).as("n_lines"), sum("l_quantity").as("sum_qty"))
+      li.join(ps, Seq("l_partkey", "l_suppkey"))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "n_lines", "sum_qty")
+    }),
+    "j6_not_in" -> ((s, d) => {
+      // via spark.sql so Catalyst plans the null-aware anti join that
+      // preserves SQL NOT IN semantics (SURVEY §2.3 J6)
+      rd(s, d, "orders").createOrReplaceTempView("orders")
+      rd(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)")
+    }),
+    "j7_not_exists" -> ((s, d) =>
+      rd(s, d, "customer")
+        .join(
+          rd(s, d, "orders").filter(col("o_orderdate") >= tlit("1999-06-01 00:00:00")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")),
+
+    // —— SURVEY §2.4 distinct / dedup ——
+    "a1_distinct" -> ((s, d) =>
+      rd(s, d, "lineitem").select("l_returnflag", "l_linestatus").distinct()),
+    "a4_distinct_wide" -> ((s, d) =>
+      rd(s, d, "events").select("user_id", "event_type").distinct()),
+    "a6_dedup_keepfirst" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      rd(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    }),
+
+    // —— SURVEY §2.5 SCD-1 merges (join-based rewrite of U1–U3) ——
+    "u1_merge_scd1" -> ((s, d) => {
+      val cust = rd(s, d, "customer")
+      val tgt = cust.filter(col("c_custkey") % 3 === 0).select(
+        col("c_custkey").as("key"), col("c_name").as("name"),
+        col("c_acctbal").as("acctbal"),
+        tlit(ts0).as("created_date"), tlit(ts0).as("last_updated"))
+      val src = cust.filter(col("c_custkey") % 2 === 0).select(
+        col("c_custkey").as("key"), upper(col("c_name")).as("name"),
+        (col("c_acctbal") + 100).as("acctbal"))
+      Merge.scd1(tgt, src,
+        MergeSpec(Seq("key"), Seq("name"),
+          createdCol = Some("created_date"), updatedCol = Some("last_updated"),
+          statusCol = Some("row_status")),
+        tlit(tsNow))
+    }),
+    "u2_merge_nullsafe" -> ((s, d) => {
+      val cust = rd(s, d, "customer")
+      val nullAt = (at: Int) =>
+        when(col("c_custkey") === at, lit(null).cast("long")).otherwise(col("c_custkey"))
+      val tgt = cust.filter(col("c_custkey") < 100)
+        .select(nullAt(50).as("key"), col("c_name").as("name"))
+      val src = cust.filter(col("c_custkey").between(80, 120))
+        .select(nullAt(110).as("key"), upper(col("c_name")).as("name"))
+      Merge.scd1(tgt, src,
+        MergeSpec(Seq("key"), Seq("name"), nullSafeKeys = true,
+          statusCol = Some("row_status")),
+        tlit(tsNow))
+    }),
+    "u3_merge_multikey" -> ((s, d) => {
+      val base = rd(s, d, "lineitem")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(sum("l_quantity").as("qty"), count(lit(1)).as("n_rows"))
+      val tgt = base.filter(col("l_orderkey") < 5000)
+      val src = base.filter(col("l_orderkey").between(2500, 7500))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("qty") * 2).as("qty"), col("n_rows"))
+      Merge.scd1(tgt, src,
+        MergeSpec(Seq("l_orderkey", "l_linenumber"), Seq("qty"),
+          statusCol = Some("row_status")),
+        tlit(tsNow))
+    }),
+
+    // —— aggregation / window headline queries ——
+    "q1_agg" -> ((s, d) =>
+      rd(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            .as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))),
+    "q3_seg_revenue" -> ((s, d) => {
+      val c = rd(s, d, "customer")
+      val o = rd(s, d, "orders")
+      val l = rd(s, d, "lineitem")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            .as("revenue"))
+    }),
+    "w1_topn_per_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      rd(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    }),
+    "w2_running_sum" -> ((s, d) => Events.runningSum(rd(s, d, "events"))),
+
+    // —— windowed event aggregations (batch analog of streaming) ——
+    "e1_tumbling" -> ((s, d) => Events.tumblingHourly(rd(s, d, "events"))),
+    "e2_sliding" -> ((s, d) => Events.slidingHourly(rd(s, d, "events"))),
+    "e3_session" -> ((s, d) => Events.sessionize(rd(s, d, "events"))),
+
+    // —— training-data pipeline: dedup ——
+    "dedup_exact" -> ((s, d) => Dedup.exact(rd(s, d, "documents"))),
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(rd(s, d, "documents"), 1, 20)),
+    "dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.minHashLsh(rd(s, d, "documents"), 16, 16, 1, 50)),
+    "dedup_simhash" -> ((s, d) => {
+      // signatures (deterministic); pair extraction exercised in tests
+      val docs = rd(s, d, "documents")
+      Dedup.simHashSignatures(docs)
+    }),
+    "dedup_embed_cosine" -> ((s, d) =>
+      Dedup.embeddingNearDup(rd(s, d, "embeddings"), 0.4)),
+
+    // —— training-data pipeline: similarity search ——
+    "ann_brute_topk" -> ((s, d) =>
+      Similarity.bruteForceTopK(rd(s, d, "embeddings"),
+        col("vec_id") < 10, col("vec_id") >= 10, 5)),
+    "ann_lsh_topk" -> ((s, d) =>
+      Similarity.lshTopK(rd(s, d, "embeddings"),
+        col("vec_id") < 10, col("vec_id") >= 10, 5)),
+
+    // —— training-data pipeline: text analysis ——
+    "text_lang_id" -> ((s, d) => TextAnalysis.langId(rd(s, d, "documents"))),
+    "text_quality" -> ((s, d) => TextAnalysis.qualitySignals(rd(s, d, "documents"))),
+    "text_tokens" -> ((s, d) => TextAnalysis.tokenStats(rd(s, d, "documents"))),
+    "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(rd(s, d, "documents")))
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  /** Occurrence count of a literal pattern — same integer arithmetic as
+    * [[graft.functions.occurrences]].
+    */
+  private def occSql(expr: String, pat: String): String = {
+    val esc = pat.replace("'", "''")
+    s"CAST((length($expr) - length(replace($expr, '$esc', ''))) / ${pat.length} AS INT)"
+  }
+
+  private def langIdSql: String = {
+    val scores = TextAnalysis.langOrder.map { l =>
+      val words = TextAnalysis.stopwords(l)
+      words.map(w => occSql("p", s" $w ")).mkString("(", " + ", s") AS score_$l")
+    }.mkString(", ")
+    val greatestExpr =
+      TextAnalysis.langOrder.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+    val cases = TextAnalysis.langOrder.init
+      .map(l => s"WHEN score_$l = $greatestExpr THEN '$l'")
+      .mkString(" ")
+    s"WITH pad AS (SELECT doc_id, lang, ' ' || lower(trim(text)) || ' ' AS p FROM documents), " +
+      s"sc AS (SELECT doc_id, lang, $scores FROM pad) " +
+      s"SELECT doc_id, lang, CASE $cases ELSE '${TextAnalysis.langOrder.last}' END AS pred_lang FROM sc"
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "s4_scan_prune" ->
+      "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem WHERE l_extendedprice > 45000",
+    "s5_point_lookup" ->
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey = 42",
+    "p1_rename_project" ->
+      "SELECT l_orderkey AS order_key, l_linenumber AS line_number, l_quantity AS qty, l_returnflag AS return_flag FROM lineitem",
+    "p3_date_cast" ->
+      "SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date FROM orders",
+    "p5_window_filter" ->
+      "SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00' AND TIMESTAMP '1997-12-31 23:59:59'",
+    "p6_aqi_banding" ->
+      ("SELECT l_orderkey, l_linenumber, CAST(CAST(floor(l_extendedprice) AS BIGINT) % 400 - 20 AS INT) AS aqi_value, " +
+        "CASE WHEN CAST(floor(l_extendedprice) AS BIGINT) % 400 - 20 BETWEEN 0 AND 50 THEN 'Good' " +
+        "WHEN CAST(floor(l_extendedprice) AS BIGINT) % 400 - 20 BETWEEN 51 AND 100 THEN 'Moderate' " +
+        "WHEN CAST(floor(l_extendedprice) AS BIGINT) % 400 - 20 BETWEEN 101 AND 150 THEN 'Unhealthy for Sensitive Groups' " +
+        "WHEN CAST(floor(l_extendedprice) AS BIGINT) % 400 - 20 BETWEEN 151 AND 200 THEN 'Unhealthy' " +
+        "WHEN CAST(floor(l_extendedprice) AS BIGINT) % 400 - 20 BETWEEN 201 AND 300 THEN 'Very Unhealthy' " +
+        "WHEN CAST(floor(l_extendedprice) AS BIGINT) % 400 - 20 > 300 THEN 'Hazardous' " +
+        "ELSE 'Unknown' END AS aqi_category FROM lineitem"),
+    "p7_trim" ->
+      "SELECT c_custkey, trim('  ' || c_name || '  ') AS c_name_trim FROM customer",
+    "p10_literal_filter" ->
+      "SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'",
+    "j1_full_outer" ->
+      ("SELECT COALESCE(c.nationkey, su.nationkey) AS nationkey, c.n_cust, su.n_supp FROM " +
+        "(SELECT c_nationkey AS nationkey, count(*) AS n_cust FROM customer GROUP BY 1) c " +
+        "FULL OUTER JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_supp FROM supplier GROUP BY 1) su " +
+        "ON c.nationkey = su.nationkey"),
+    "j2_dim_join" ->
+      "SELECT n_nationkey, n_name, r_name AS region_name FROM nation JOIN region ON n_regionkey = r_regionkey",
+    "j4_composite_join" ->
+      ("SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey, ps.n_lines, ps.sum_qty FROM lineitem l JOIN " +
+        "(SELECT l_partkey, l_suppkey, count(*) AS n_lines, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY 1, 2) ps " +
+        "ON l.l_partkey = ps.l_partkey AND l.l_suppkey = ps.l_suppkey"),
+    "j6_not_in" ->
+      "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)",
+    "j7_not_exists" ->
+      ("SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '1999-06-01 00:00:00')"),
+    "a1_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "a4_distinct_wide" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+    "a6_dedup_keepfirst" ->
+      ("SELECT o_custkey, o_orderkey, o_orderdate FROM (SELECT o_custkey, o_orderkey, o_orderdate, " +
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn FROM orders) t WHERE rn = 1"),
+    "u1_merge_scd1" ->
+      (s"WITH tgt AS (SELECT c_custkey AS key, c_name AS name, c_acctbal AS acctbal, " +
+        s"TIMESTAMP '$ts0' AS created_date, TIMESTAMP '$ts0' AS last_updated, 1 AS tf " +
+        "FROM customer WHERE c_custkey % 3 = 0), " +
+        "src AS (SELECT c_custkey AS key, upper(c_name) AS name, c_acctbal + 100 AS acctbal, 1 AS sf " +
+        "FROM customer WHERE c_custkey % 2 = 0) " +
+        "SELECT COALESCE(t.key, s.key) AS key, " +
+        "CASE WHEN s.sf IS NOT NULL THEN s.name ELSE t.name END AS name, " +
+        "CASE WHEN t.tf IS NOT NULL THEN t.acctbal ELSE s.acctbal END AS acctbal, " +
+        s"CASE WHEN t.tf IS NOT NULL THEN t.created_date ELSE TIMESTAMP '$tsNow' END AS created_date, " +
+        s"CASE WHEN s.sf IS NOT NULL THEN TIMESTAMP '$tsNow' ELSE t.last_updated END AS last_updated, " +
+        "CASE WHEN t.tf IS NOT NULL AND s.sf IS NOT NULL THEN 'updated' WHEN s.sf IS NOT NULL THEN 'inserted' ELSE 'kept' END AS row_status " +
+        "FROM tgt t FULL OUTER JOIN src s ON t.key = s.key"),
+    "u2_merge_nullsafe" ->
+      ("WITH tgt AS (SELECT CASE WHEN c_custkey = 50 THEN NULL ELSE c_custkey END AS key, c_name AS name, 1 AS tf " +
+        "FROM customer WHERE c_custkey < 100), " +
+        "src AS (SELECT CASE WHEN c_custkey = 110 THEN NULL ELSE c_custkey END AS key, upper(c_name) AS name, 1 AS sf " +
+        "FROM customer WHERE c_custkey BETWEEN 80 AND 120) " +
+        "SELECT COALESCE(t.key, s.key) AS key, " +
+        "CASE WHEN s.sf IS NOT NULL THEN s.name ELSE t.name END AS name, " +
+        "CASE WHEN t.tf IS NOT NULL AND s.sf IS NOT NULL THEN 'updated' WHEN s.sf IS NOT NULL THEN 'inserted' ELSE 'kept' END AS row_status " +
+        "FROM tgt t FULL OUTER JOIN src s ON t.key IS NOT DISTINCT FROM s.key"),
+    "u3_merge_multikey" ->
+      ("WITH base AS (SELECT l_orderkey, l_linenumber, sum(l_quantity) AS qty, count(*) AS n_rows FROM lineitem GROUP BY 1, 2), " +
+        "tgt AS (SELECT *, 1 AS tf FROM base WHERE l_orderkey < 5000), " +
+        "src AS (SELECT l_orderkey, l_linenumber, qty * 2 AS qty, n_rows, 1 AS sf FROM base WHERE l_orderkey BETWEEN 2500 AND 7500) " +
+        "SELECT COALESCE(t.l_orderkey, s.l_orderkey) AS l_orderkey, " +
+        "COALESCE(t.l_linenumber, s.l_linenumber) AS l_linenumber, " +
+        "CASE WHEN s.sf IS NOT NULL THEN s.qty ELSE t.qty END AS qty, " +
+        "CASE WHEN t.tf IS NOT NULL THEN t.n_rows ELSE s.n_rows END AS n_rows, " +
+        "CASE WHEN t.tf IS NOT NULL AND s.sf IS NOT NULL THEN 'updated' WHEN s.sf IS NOT NULL THEN 'inserted' ELSE 'kept' END AS row_status " +
+        "FROM tgt t FULL OUTER JOIN src s ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber"),
+    "q1_agg" ->
+      ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
+        "round(sum(l_extendedprice), 2) AS sum_base_price, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price, " +
+        "round(avg(l_quantity), 4) AS avg_qty, count(*) AS count_order " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+    "q3_seg_revenue" ->
+      ("SELECT c_mktsegment, count(DISTINCT o.o_orderkey) AS n_orders, " +
+        "round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue " +
+        "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey " +
+        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey GROUP BY c_mktsegment"),
+    "w1_topn_per_group" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice FROM (SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t WHERE rn = 1"),
+    "w2_running_sum" ->
+      ("SELECT user_id, event_id, ts, round(sum(value) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 2) AS running_value FROM events"),
+    "e1_tumbling" ->
+      ("SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n_events, " +
+        "round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2"),
+    "e2_sliding" ->
+      ("SELECT w_start, count(*) AS n_events, round(sum(value), 2) AS sum_value FROM (" +
+        "SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000) AS w_start, value FROM events " +
+        "UNION ALL " +
+        "SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000 - 1800000000) AS w_start, value FROM events) u " +
+        "GROUP BY w_start"),
+    "e3_session" ->
+      ("WITH o AS (SELECT user_id, event_id, ts, value, CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000 THEN 1 ELSE 0 END AS brk FROM events), " +
+        "s AS (SELECT user_id, ts, value, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM o) " +
+        "SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end, " +
+        "count(*) AS n_events, round(sum(value), 2) AS sum_value FROM s GROUP BY user_id, session_id"),
+    "dedup_exact" ->
+      "SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY md5(text)",
+    "dedup_ngram_jaccard" ->
+      ("WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents), " +
+        "tri AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] " +
+        "FOR i IN generate_series(1, len(ws) - 2)]) AS g FROM w) u), " +
+        "sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id), " +
+        "ov AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter FROM tri a JOIN tri b " +
+        "ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT ov.id_a, ov.id_b, ov.inter, sa.n + sb.n - ov.inter AS union_size " +
+        "FROM ov JOIN sz sa ON sa.doc_id = ov.id_a JOIN sz sb ON sb.doc_id = ov.id_b " +
+        "WHERE ov.inter * 20 >= (sa.n + sb.n - ov.inter) * 1"),
+    "dedup_embed_cosine" ->
+      ("SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a JOIN embeddings b " +
+        "ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"),
+    "ann_brute_topk" ->
+      ("SELECT query_id, neighbor_id, rnk FROM (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, " +
+        "CAST(row_number() OVER (PARTITION BY a.vec_id ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS INT) AS rnk " +
+        "FROM embeddings a JOIN embeddings b ON b.vec_id >= 10 WHERE a.vec_id < 10) t WHERE rnk <= 5"),
+    "text_lang_id" -> langIdSql,
+    "text_quality" ->
+      ("SELECT doc_id, CAST(length(text) AS INT) AS n_chars_measured, " +
+        "CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS INT) AS n_tokens, " +
+        s"${occSql("text", ".")} + ${occSql("text", ",")} AS punct_hits, " +
+        s"${occSql("' ' || lower(trim(text)) || ' '", " the ")} + ${occSql("' ' || lower(trim(text)) || ' '", " a ")} AS stopword_hits " +
+        "FROM documents"),
+    "text_tokens" ->
+      ("SELECT doc_id, CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS INT) AS n_tokens, " +
+        "CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS INT) AS n_distinct_tokens " +
+        "FROM documents"),
+    "text_fingerprint" ->
+      "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint FROM documents"
+    // no oracle (rows-only check): dedup_minhash_lsh, dedup_simhash,
+    // ann_lsh_topk — hash-seeded / approximate operators not expressible
+    // in portable SQL
+  )
 }

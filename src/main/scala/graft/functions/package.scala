@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+
+import graft.plans.FloatVecDot
+
+/** Column-level functions of the engine.
+  *
+  * Everything here is either a composition of built-in (codegen'd)
+  * `org.apache.spark.sql.functions` or a native Catalyst expression from
+  * `graft.plans` — no Scala UDFs, so every function stays inside
+  * whole-stage codegen or at worst a JVM-native higher-order function.
+  */
+package object functions {
+
+  /** EPA AQI banding, replicating the reference's closed integer
+    * intervals exactly (`/root/reference/dags/etl/source_to_stage.py:110-125`):
+    * 0–50 Good, 51–100 Moderate, 101–150 Unhealthy for Sensitive Groups,
+    * 151–200 Unhealthy, 201–300 Very Unhealthy, >300 Hazardous, and an
+    * `Unknown` fall-through that catches negatives (and any fractional
+    * value between the integer band edges).
+    */
+  def aqiCategory(aqi: Column): Column =
+    when(aqi.between(0, 50), "Good")
+      .when(aqi.between(51, 100), "Moderate")
+      .when(aqi.between(101, 150), "Unhealthy for Sensitive Groups")
+      .when(aqi.between(151, 200), "Unhealthy")
+      .when(aqi.between(201, 300), "Very Unhealthy")
+      .when(aqi > 300, "Hazardous")
+      .otherwise("Unknown")
+
+  /** Whitespace tokenization after lowercase + trim. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Word n-grams joined by a single space; empty array when the doc has
+    * fewer than n tokens.
+    */
+  def wordNGrams(words: Column, n: Int): Column =
+    when(
+      size(words) >= n,
+      transform(
+        sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*))
+    ).otherwise(array().cast("array<string>"))
+
+  /** Count of non-overlapping occurrences of literal `pat` (exact
+    * integer arithmetic — no regex, no floats).
+    */
+  def occurrences(text: Column, pat: String): Column =
+    ((length(text) - length(replace(text, lit(pat), lit("")))) / pat.length)
+      .cast("int")
+
+  /** Native codegen'd dot product over two array<float> columns
+    * (graft.plans.FloatVecDot).
+    */
+  def vec_dot(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      FloatVecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** L2 norm of an array<float> column. */
+  def vec_norm(a: Column): Column = sqrt(vec_dot(a, a))
+
+  /** Cosine similarity between two array<float> columns, computed in
+    * double precision.
+    */
+  def cosineSim(a: Column, b: Column): Column =
+    vec_dot(a, b) / sqrt(vec_dot(a, a) * vec_dot(b, b))
+}

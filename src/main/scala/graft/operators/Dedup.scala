@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{cosineSim, tokens, vec_dot, wordNGrams}
+
+/** Document deduplication operators for large-scale training-data
+  * pipelines: exact, n-gram Jaccard, MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup.
+  *
+  * Every operator is a keyed-shuffle DataFrame plan (group-by or
+  * equi-join on content-derived keys) — no driver-side loops, no cross
+  * joins except where an oracle-exact pairwise scan is explicitly
+  * requested — so each scales to a multi-executor cluster by adding
+  * partitions. Similarity thresholds are expressed as exact integer
+  * cross-multiplications (`inter * den >= union * num`) so results are
+  * reproducible bit-for-bit across engines (no float rounding at the
+  * decision boundary).
+  */
+object Dedup {
+
+  /** Exact content dedup: hash-groupBy on md5(text), keep the smallest id
+    * as the canonical survivor (deterministic).
+    */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** Distinct word-trigram set per document: (idCol, gram). */
+  def trigramSets(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol), explode(wordNGrams(tokens(col(textCol)), 3)).as("gram"))
+      .distinct()
+
+  /** All-pairs n-gram Jaccard via an inverted-index join on the gram:
+    * docs sharing at least one trigram become candidate pairs; Jaccard =
+    * |A∩B| / (|A|+|B|-|A∩B|). The gram join shuffles on the gram key —
+    * the classic scalable shape (no cross join). Output is integer-exact:
+    * (id_a, id_b, inter, union_size) where inter/union ≥ num/den.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      threshNum: Int = 1,
+      threshDen: Int = 20,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val tri = trigramSets(docs, textCol, idCol)
+    val sizes = tri.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
+    val a = tri.toDF("id_a", "gram")
+    val b = tri.toDF("id_b", "gram")
+    val inter = a
+      .join(b, "gram")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("id_a", "n_a"), "id_a")
+      .join(sizes.toDF("id_b", "n_b"), "id_b")
+      .withColumn("union_size", col("n_a") + col("n_b") - col("inter"))
+      .where(col("inter") * threshDen >= col("union_size") * threshNum)
+      .select("id_a", "id_b", "inter", "union_size")
+  }
+
+  /** MinHash + LSH near-dup: k independent min-hashes of the trigram set
+    * (seeded xxhash64), banded into `numBands` bands; docs sharing any
+    * band bucket become candidates (shuffle on the bucket key — at 100 TB
+    * this is the only join, and its fan-in per bucket is bounded by the
+    * collision rate, not the corpus size); candidates are then verified
+    * with the exact integer Jaccard.
+    */
+  def minHashLsh(
+      docs: DataFrame,
+      numHashes: Int = 16,
+      numBands: Int = 4,
+      threshNum: Int = 1,
+      threshDen: Int = 20,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(numHashes % numBands == 0, "numHashes must divide into numBands")
+    val rowsPerBand = numHashes / numBands
+    val tri = trigramSets(docs, textCol, idCol)
+
+    val sigCols = (0 until numHashes).map(i =>
+      min(xxhash64(concat(lit(s"seed$i:"), col("gram")))).as(s"mh$i"))
+    val sigs = tri.groupBy(idCol).agg(sigCols.head, sigCols.tail: _*)
+
+    val bandStructs = (0 until numBands).map { b =>
+      val bandCols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), hash(bandCols: _*).as("bucket"))
+    }
+    val buckets = sigs
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+    val cand = buckets
+      .toDF("id_a", "band", "bucket")
+      .join(buckets.toDF("id_b", "band", "bucket"), Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+
+    // exact verification on candidates only
+    val sizes = tri.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
+    val inter = cand
+      .join(tri.toDF("id_a", "gram"), "id_a")
+      .join(tri.toDF("id_b", "gram"), Seq("id_b", "gram"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("id_a", "n_a"), "id_a")
+      .join(sizes.toDF("id_b", "n_b"), "id_b")
+      .withColumn("union_size", col("n_a") + col("n_b") - col("inter"))
+      .where(col("inter") * threshDen >= col("union_size") * threshNum)
+      .select("id_a", "id_b", "inter", "union_size")
+  }
+
+  /** 64-bit SimHash near-dup. Each token votes ±1 on each bit of its
+    * xxhash64; the signature takes the sign of each bit's sum. Candidate
+    * generation splits the 64-bit signature into 4 16-bit chunks — by
+    * pigeonhole, any pair within Hamming distance 3 shares at least one
+    * chunk — so candidates come from an equi-join on (chunk_idx, chunk),
+    * never a cross join. Output: (id_a, id_b, hamming ≤ maxHamming).
+    */
+  /** 64-bit SimHash signature per document: each token occurrence votes
+    * ±1 on each bit of its xxhash64; the signature takes the sign of each
+    * bit's sum. One shuffle (groupBy doc) with map-side partial
+    * aggregation of the 64 bit-sums.
+    */
+  def simHashSignatures(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val h = xxhash64(col("tok"))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"bit$i"))
+    toks
+      .groupBy(idCol)
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(
+        col(idCol),
+        (0 until 64)
+          .map(i => when(col(s"bit$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b))
+          .as("simhash"))
+  }
+
+  def simHash(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val sig = simHashSignatures(docs, textCol, idCol)
+
+    val chunks = sig.select(
+      col(idCol),
+      col("simhash"),
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("chunk_idx"),
+          shiftright(col("simhash"), j * 16).bitwiseAND(lit(0xffffL)).as("chunk"))): _*))
+        .as("cc"))
+      .select(col(idCol), col("simhash"), col("cc.chunk_idx").as("chunk_idx"), col("cc.chunk").as("chunk"))
+
+    chunks
+      .toDF("id_a", "sim_a", "chunk_idx", "chunk")
+      .join(chunks.toDF("id_b", "sim_b", "chunk_idx", "chunk"), Seq("chunk_idx", "chunk"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup, exact pairwise. Norms are precomputed
+    * once per row so the O(n²/2) pair scan only evaluates the codegen'd
+    * FloatVecDot. This variant is oracle-exact; at 100 TB-scale use the
+    * LSH-bucketed variant in [[Similarity]] for candidate generation.
+    * Output: (id_a, id_b) with cosine ≥ threshold.
+    */
+  def embeddingNearDup(
+      emb: DataFrame,
+      threshold: Double,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val withNorm = emb.select(
+      col(idCol),
+      col(vecCol),
+      sqrt(vec_dot(col(vecCol), col(vecCol))).as("norm"))
+    val a = withNorm.toDF("id_a", "vec_a", "norm_a")
+    val b = withNorm.toDF("id_b", "vec_b", "norm_b")
+    a.crossJoin(b)
+      .where(col("id_a") < col("id_b"))
+      .where(vec_dot(col("vec_a"), col("vec_b")) >= lit(threshold) * col("norm_a") * col("norm_b"))
+      .select("id_a", "id_b")
+  }
+}

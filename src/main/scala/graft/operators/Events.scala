@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-windowed aggregation operators over the events table — the batch
+  * analogs of the streaming windows in [[graft.streaming]].
+  *
+  * Tumbling/sliding use Spark's native `window()` (epoch-aligned, exact
+  * bucket arithmetic); sessionization is the gaps-and-islands pattern
+  * (lag + cumulative sum), a single shuffle on the session key. Gap
+  * comparison uses exact microsecond integers (`unix_micros`) — never
+  * second-truncated timestamps — so boundary events land identically in
+  * every engine.
+  */
+object Events {
+
+  /** Tumbling 1-hour windows per event type. */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Sliding 1-hour windows advancing every 30 minutes. */
+  def slidingHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("n_events"), col("sum_value"))
+
+  /** Sessionization with an inactivity gap, per user. Deterministic
+    * ordering on (ts, event_id); session ids are 0-based per user.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapMicros = gapMinutes.toLong * 60L * 1000000L
+    val isBreak = when(
+      unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser)) > gapMicros, 1
+    ).otherwise(0)
+    events
+      .withColumn("session_id",
+        sum(isBreak).over(byUser.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+  }
+
+  /** Per-user running sum over time — window-function shape (no shuffle
+    * beyond the partition key).
+    */
+  def runningSum(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    events.select(
+      col("user_id"), col("event_id"), col("ts"),
+      round(sum(col("value")).over(w), 2).as("running_value"))
+  }
+}

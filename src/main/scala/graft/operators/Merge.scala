@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Specification of an SCD-1 keyed merge.
+  *
+  * @param keys         merge key columns (the business key)
+  * @param updateCols   target columns refreshed from the source on match;
+  *                     all other target data columns keep the target value
+  *                     (the reference's merges refresh only a subset — e.g.
+  *                     `/root/reference/dags/etl/stage_to_nds.py:9-32` updates
+  *                     only `state_name` + `last_updated_nds` on match)
+  * @param nullSafeKeys when true, NULL keys match NULL keys (`<=>`),
+  *                     replicating the reference's NULL-fips collision in the
+  *                     county upsert (`stage_to_nds.py:50-81`, where
+  *                     `filter_by(county_fips=None)` emits `IS NULL`)
+  * @param createdCol   audit column stamped `now` on insert, preserved on match
+  * @param updatedCol   audit column stamped `now` whenever the source touches
+  *                     the row (match or insert), preserved otherwise
+  * @param statusCol    optional diagnostic column: updated / inserted / kept
+  */
+final case class MergeSpec(
+    keys: Seq[String],
+    updateCols: Seq[String],
+    nullSafeKeys: Boolean = false,
+    createdCol: Option[String] = None,
+    updatedCol: Option[String] = None,
+    statusCol: Option[String] = None)
+
+/** Join-based SCD-1 merge — the engine's replacement for the reference's
+  * row-at-a-time upserts (`/root/reference/dags/etl/stage_to_nds.py:9-32,
+  * 50-81,141-176`, one or two Postgres round trips per row).
+  *
+  * Expressed as one full-outer join + per-column `when` resolution, so
+  * Catalyst plans it as a single shuffle (or broadcast when one side is a
+  * small dim) and the whole merge is set-oriented: at 100 TB the cost is
+  * one co-partitioned join on the merge key instead of N round trips.
+  * Presence on either side is tracked with marker columns rather than
+  * key-null checks so null-safe key merges stay correct.
+  */
+object Merge {
+
+  private val TMarker = "__merge_t_present"
+  private val SMarker = "__merge_s_present"
+
+  /** Pure transform returning the post-merge state of the target. */
+  def scd1(target: DataFrame, source: DataFrame, spec: MergeSpec, now: Column): DataFrame = {
+    val t = target.withColumn(TMarker, lit(1)).alias("__mt")
+    val s = source.withColumn(SMarker, lit(1)).alias("__ms")
+    def tc(c: String): Column = col(s"__mt.$c")
+    def sc(c: String): Column = col(s"__ms.$c")
+
+    val cond = spec.keys
+      .map(k => if (spec.nullSafeKeys) tc(k) <=> sc(k) else tc(k) === sc(k))
+      .reduce(_ && _)
+    val joined = t.join(s, cond, "full_outer")
+
+    val tP = col(s"__mt.$TMarker").isNotNull
+    val sP = col(s"__ms.$SMarker").isNotNull
+    val srcCols = source.columns.toSet
+    val auditCols = (spec.createdCol.toSeq ++ spec.updatedCol.toSeq).toSet
+    val dataCols = target.columns.filterNot(c =>
+      spec.keys.contains(c) || auditCols.contains(c) || c == TMarker)
+
+    val out: Seq[Column] =
+      spec.keys.map(k => coalesce(tc(k), sc(k)).as(k)) ++
+        dataCols.map { c =>
+          if (spec.updateCols.contains(c) && srcCols(c))
+            when(sP, sc(c)).otherwise(tc(c)).as(c)
+          else if (srcCols(c)) when(tP, tc(c)).otherwise(sc(c)).as(c)
+          else tc(c).as(c) // column the source does not provide: NULL on insert
+        } ++
+        spec.createdCol.map(c => when(tP, tc(c)).otherwise(now).as(c)).toSeq ++
+        spec.updatedCol.map(c => when(sP, now).otherwise(tc(c)).as(c)).toSeq ++
+        spec.statusCol
+          .map(c =>
+            when(tP && sP, lit("updated"))
+              .when(sP, lit("inserted"))
+              .otherwise(lit("kept"))
+              .as(c))
+          .toSeq
+
+    joined.select(out: _*)
+  }
+
+  /** Insert-only merge: append source rows whose key is absent from the
+    * target (the reference's anti-join INSERT…SELECTs,
+    * `stage_to_nds.py:113-123,125-138`).
+    */
+  def insertMissing(target: DataFrame, source: DataFrame, keys: Seq[String]): DataFrame =
+    target.unionByName(
+      source.join(target.select(keys.map(col): _*).distinct(), keys, "left_anti"),
+      allowMissingColumns = true)
+
+  /** Dense, deterministic surrogate-key assignment for new dimension rows:
+    * existing max + row_number over a total order on the business key.
+    *
+    * Replaces the reference's Postgres sequences (`state_id_sk` etc.).
+    * NOTE: the global window is a single-partition sort — acceptable for
+    * dimension tables (≤ millions of rows); fact tables should key on the
+    * natural/business key instead.
+    */
+  def withSurrogate(newRows: DataFrame, skCol: String, maxExisting: Long, orderBy: Seq[String]): DataFrame =
+    newRows.withColumn(
+      skCol,
+      row_number().over(Window.orderBy(orderBy.map(col): _*)) + lit(maxExisting))
+}

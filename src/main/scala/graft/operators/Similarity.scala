@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.functions.vec_dot
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Two tiers:
+  *   - [[bruteForceTopK]] — exact baseline: query×candidate scan with the
+  *     codegen'd FloatVecDot in the inner loop, ranked per query. Right
+  *     answer, O(|Q|·|C|); use when |Q| is small or as the verification
+  *     oracle.
+  *   - [[lshTopK]] — scale path: random-hyperplane LSH buckets both
+  *     sides, so the join is an equi-join on (bucket) instead of a cross
+  *     join; recall < 1.0 but the shuffle volume drops from |Q|·|C| to
+  *     the bucket collision volume. Hyperplanes are generated from a
+  *     fixed seed, so results are deterministic.
+  */
+object Similarity {
+
+  private def withNorm(emb: DataFrame, vecCol: String, idCol: String): DataFrame =
+    emb.select(col(idCol), col(vecCol),
+      sqrt(vec_dot(col(vecCol), col(vecCol))).as("norm"))
+
+  /** Exact top-k cosine neighbors for each query row.
+    *
+    * @param queryPred   rows satisfying this predicate are queries
+    * @param candPred    rows satisfying this predicate are candidates
+    * Ties and near-ties break deterministically on (cosine desc, id).
+    */
+  def bruteForceTopK(
+      emb: DataFrame,
+      queryPred: Column,
+      candPred: Column,
+      k: Int,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val n = withNorm(emb, vecCol, idCol)
+    val q = n.where(queryPred).toDF("query_id", "q_vec", "q_norm")
+    val c = n.where(candPred).toDF("neighbor_id", "c_vec", "c_norm")
+    val cos = vec_dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))
+    val w = Window.partitionBy(col("query_id")).orderBy(cos.desc, col("neighbor_id"))
+    q.crossJoin(c)
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk")
+  }
+
+  /** Deterministic random hyperplanes: `numPlanes` × `dim` doubles from a
+    * seeded generator.
+    */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPlanes, dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-random-projection bucket id for a vector column: bit i = sign
+    * of dot(v, plane_i). Expressed with built-in higher-order functions
+    * over a literal plane matrix — evaluated once per row, not per pair.
+    */
+  def lshBucket(vecCol: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      val dot = aggregate(
+        zip_with(vecCol, planeLit, (x, y) => x.cast("double") * y),
+        lit(0.0),
+        (acc, x) => acc + x)
+      when(dot >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed approximate top-k: queries and candidates are hashed
+    * into sign-random-projection buckets; ranking happens within each
+    * bucket only. Multi-probe (`probeBits` > 0) ORs in neighbor buckets
+    * within Hamming distance 1 on the lowest bits to improve recall.
+    */
+  def lshTopK(
+      emb: DataFrame,
+      queryPred: Column,
+      candPred: Column,
+      k: Int,
+      numPlanes: Int = 8,
+      dim: Int = 64,
+      seed: Long = 42L,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val n = withNorm(emb, vecCol, idCol)
+      .withColumn("bucket", lshBucket(col(vecCol), planes))
+    // multi-probe on the query side: original bucket + 1-bit flips
+    val probes = explode(array(
+      (col("bucket") +: (0 until numPlanes).map(i =>
+        col("bucket").bitwiseXOR(shiftleft(lit(1L), i)))): _*))
+    val q = n.where(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        col("norm").as("q_norm"), probes.as("bucket"))
+    val c = n.where(candPred)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+        col("norm").as("c_norm"), col("bucket"))
+    val cos = vec_dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))
+    val w = Window.partitionBy(col("query_id")).orderBy(cos.desc, col("neighbor_id"))
+    q.join(c, "bucket")
+      .select(col("query_id"), col("neighbor_id"),
+        cos.as("cosine"))
+      .distinct() // a pair can collide in several probe buckets
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))))
+      .where(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk")
+  }
+}

@@ -1,0 +1,174 @@
+package graft.aqi
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.operators.{Merge, MergeSpec}
+
+/** stage→NDS merges (`stage_to_nds.py`), rewritten set-oriented.
+  *
+  * Each reference merge probes the target row-at-a-time (1–2 Postgres
+  * round trips per row); here each becomes ONE full-outer join on the
+  * merge key + column resolution (graft.operators.Merge), so the whole
+  * NDS refresh is three shuffle stages. The dims (`state_nds` ≤ 51 rows,
+  * `county_nds` ~3.2k) broadcast automatically under AQE.
+  *
+  * Determinism policy (SURVEY §7 "what's hard"): the reference's
+  * `first()` probes and keep-first dedup inherit pandas row order; this
+  * engine pins explicit tie-breakers, documented per operator.
+  */
+object Nds {
+
+  /** Surrogate-key assignment for rows the merge inserted (sk IS NULL):
+    * dense keys continuing from the current max, ordered by the business
+    * key (replaces the reference's Postgres sequences — deterministic
+    * across runs, unlike `monotonically_increasing_id`).
+    */
+  private def fillSurrogate(df: DataFrame, skCol: String, orderBy: Seq[String]): DataFrame = {
+    val existing = df.filter(col(skCol).isNotNull)
+    val inserted = df.filter(col(skCol).isNull)
+    val mx = existing.agg(coalesce(max(col(skCol)), lit(0L))).collect()(0).getLong(0)
+    existing.unionByName(
+      inserted.withColumn(skCol,
+        row_number().over(Window.orderBy(orderBy.map(col): _*)) + lit(mx)))
+  }
+
+  /** U1 (`stage_to_nds.py:9-47`): full-outer union of the state universes
+    * of both stage tables (J1) merged into state_nds keyed on state_name.
+    * Matched rows refresh only `last_updated_nds` (state_code/state_id
+    * are NOT refreshed — observable reference behavior).
+    */
+  def mergeStates(
+      stateNds: DataFrame,
+      countiesStage: DataFrame,
+      aqiStage: DataFrame,
+      now: Column): DataFrame = {
+    val aqiStates = aqiStage.select("state_name", "state_code").distinct()
+    val countyStates = countiesStage.select("state_name", "state_id").distinct()
+    val source = countyStates
+      .join(aqiStates, Seq("state_name"), "full_outer")
+      .withColumn("source_id", lit(1))
+    val merged = Merge.scd1(stateNds, source,
+      MergeSpec(Seq("state_name"), Seq.empty,
+        createdCol = Some("created_date_nds"),
+        updatedCol = Some("last_updated_nds")),
+      now)
+    fillSurrogate(merged, "state_id_sk", Seq("state_name"))
+      .select(Schemas.stateNds.fieldNames.map(col): _*)
+  }
+
+  /** U2 + the two anti-join inserts (`stage_to_nds.py:50-138`):
+    *  1. counties dim × state_nds (J2, broadcast) merged on county_fips
+    *     with NULL-safe key equality (the reference's `filter_by(None)`
+    *     emits IS NULL, so NULL matches NULL); matched rows refresh only
+    *     county_name + last_updated_nds.
+    *  2. J6: INSERT of AQI counties whose name is absent from county_nds
+    *     — executed through the SQL parser as NOT IN so Catalyst plans
+    *     the null-aware anti join with exact SQL NOT IN semantics
+    *     (global across states — the very bug the Windham patch fixes).
+    *  3. J7: the Windham patch — NOT EXISTS on (state_name, county_name)
+    *     against the counties stage, inserted after (and thus aware of)
+    *     step 2's rows. Order is behavior: replicated sequentially.
+    */
+  def mergeCounties(
+      spark: SparkSession,
+      countyNds: DataFrame,
+      stateNds: DataFrame,
+      countiesStage: DataFrame,
+      aqiStage: DataFrame,
+      now: Column): DataFrame = {
+    val source = countiesStage
+      .select("county_name", "county_fips", "state_name", "county_fullname",
+        "latitude", "longitude", "county_population")
+      .distinct()
+      .join(broadcast(stateNds.select("state_id_sk", "state_name").distinct()),
+        Seq("state_name"), "inner")
+      .withColumn("source_id", lit(1))
+      .drop("state_name")
+    val merged0 = Merge.scd1(countyNds, source,
+      MergeSpec(Seq("county_fips"), Seq("county_name"), nullSafeKeys = true,
+        createdCol = Some("created_date_nds"),
+        updatedCol = Some("last_updated_nds")),
+      now)
+    val merged = fillSurrogate(merged0, "county_id_sk", Seq("county_name", "county_fips"))
+
+    // J6: NOT IN insert (null-aware anti join via the SQL parser)
+    aqiStage.createOrReplaceTempView("state_aqi_stage")
+    stateNds.createOrReplaceTempView("state_nds")
+    merged.createOrReplaceTempView("county_nds")
+    countiesStage.createOrReplaceTempView("us_counties_stage")
+    val insert1 = spark.sql(
+      """SELECT DISTINCT s1.county_name, s2.state_id_sk
+        |FROM state_aqi_stage s1
+        |JOIN state_nds s2 ON s1.state_name = s2.state_name
+        |WHERE s1.county_name NOT IN (SELECT county_name FROM county_nds)""".stripMargin)
+      .withColumn("created_date_nds", now)
+      .withColumn("last_updated_nds", now)
+      .withColumn("source_id", lit(1))
+    val afterInsert1 = fillSurrogate(
+      merged.unionByName(insert1, allowMissingColumns = true),
+      "county_id_sk", Seq("county_name", "state_id_sk"))
+
+    // J7: Windham patch — NOT EXISTS on the 2-col natural key
+    afterInsert1.createOrReplaceTempView("county_nds")
+    val insert2 = spark.sql(
+      """SELECT DISTINCT s1.county_name, s2.state_id_sk
+        |FROM state_aqi_stage s1
+        |JOIN state_nds s2 ON s1.state_name = s2.state_name
+        |WHERE s1.county_name = 'Windham' AND NOT EXISTS (
+        |  SELECT 1 FROM us_counties_stage ucs
+        |  WHERE ucs.state_name = s1.state_name AND ucs.county_name = s1.county_name
+        |)""".stripMargin)
+      .withColumn("created_date_nds", now)
+      .withColumn("last_updated_nds", now)
+      .withColumn("source_id", lit(1))
+    fillSurrogate(
+      afterInsert1.unionByName(insert2, allowMissingColumns = true),
+      "county_id_sk", Seq("county_name", "state_id_sk"))
+      .select(Schemas.countyNds.fieldNames.map(col): _*)
+  }
+
+  /** U3 (`stage_to_nds.py:141-218`): dims flatten (J3) → measurements ⋈
+    * dims on the composite natural key (J4) → keep-first dedup on the
+    * business key (A6; deterministic survivor = smallest (created,
+    * last_updated, county_id_sk, aqi_value)) → SCD-1 merge on
+    * (measured_date, defining_site, defining_parameter). Matched rows
+    * refresh aqi_value/aqi_category and stamp BOTH last_updated_nds and
+    * last_updated with `now` (reference quirk, `:149-153`).
+    */
+  def mergeMeasurements(
+      measurementNds: DataFrame,
+      stateNds: DataFrame,
+      countyNds: DataFrame,
+      aqiStage: DataFrame,
+      now: Column): DataFrame = {
+    val dims = stateNds.select("state_id_sk", "state_name").distinct()
+      .join(countyNds.select("county_id_sk", "state_id_sk", "county_name").distinct(),
+        Seq("state_id_sk"), "inner")
+    val stage = aqiStage.select(
+      "county_name", "state_name", "measured_date", "aqi_value", "aqi_category",
+      "defining_parameter", "defining_site", "num_of_sites_reporting",
+      "created", "last_updated").distinct()
+    val joined = stage.join(broadcast(dims), Seq("state_name", "county_name"), "inner")
+    val keys = Seq("measured_date", "defining_parameter", "defining_site")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("created"), col("last_updated"), col("county_id_sk"), col("aqi_value"))
+    val deduped = joined
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn", "state_name", "county_name", "state_id_sk")
+      .withColumn("source_id", lit(1))
+    val merged = Merge.scd1(measurementNds, deduped,
+      MergeSpec(
+        Seq("measured_date", "defining_site", "defining_parameter"),
+        Seq("aqi_value", "aqi_category"),
+        createdCol = Some("created_date_nds"),
+        updatedCol = Some("last_updated_nds"),
+        touchCols = Seq("last_updated")),
+      now)
+    fillSurrogate(merged, "measurement_id_sk",
+      Seq("measured_date", "defining_parameter", "defining_site"))
+      .select(Schemas.measurementNds.fieldNames.map(col): _*)
+  }
+}

@@ -20,6 +20,11 @@ import org.apache.spark.sql.{Column, DataFrame}
   * @param updatedCol   audit column stamped `now` whenever the source touches
   *                     the row (match or insert), preserved otherwise
   * @param statusCol    optional diagnostic column: updated / inserted / kept
+  * @param touchCols    data columns stamped `now` on match but taking the
+  *                     source value on insert — the reference's measurement
+  *                     merge stamps `last_updated = utcnow()` on match while
+  *                     inserts carry the staged value
+  *                     (`stage_to_nds.py:152-153` vs `:164`)
   */
 final case class MergeSpec(
     keys: Seq[String],
@@ -27,7 +32,8 @@ final case class MergeSpec(
     nullSafeKeys: Boolean = false,
     createdCol: Option[String] = None,
     updatedCol: Option[String] = None,
-    statusCol: Option[String] = None)
+    statusCol: Option[String] = None,
+    touchCols: Seq[String] = Seq.empty)
 
 /** Join-based SCD-1 merge — the engine's replacement for the reference's
   * row-at-a-time upserts (`/root/reference/dags/etl/stage_to_nds.py:9-32,
@@ -67,7 +73,9 @@ object Merge {
     val out: Seq[Column] =
       spec.keys.map(k => coalesce(tc(k), sc(k)).as(k)) ++
         dataCols.map { c =>
-          if (spec.updateCols.contains(c) && srcCols(c))
+          if (spec.touchCols.contains(c))
+            when(tP && sP, now).when(sP, sc(c)).otherwise(tc(c)).as(c)
+          else if (spec.updateCols.contains(c) && srcCols(c))
             when(sP, sc(c)).otherwise(tc(c)).as(c)
           else if (srcCols(c)) when(tP, tc(c)).otherwise(sc(c)).as(c)
           else tc(c).as(c) // column the source does not provide: NULL on insert

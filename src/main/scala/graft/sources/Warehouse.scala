@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** Parquet warehouse with atomic overwrite — the engine's replacement
+  * for the reference's Postgres tables (no JDBC driver ships with the
+  * image; see SURVEY §1 "Spark mapping").
+  *
+  * Overwrite = write to `<table>.tmp`, then swap directories via
+  * FileSystem renames. The write job fully materializes into the tmp dir
+  * before the swap, so a merge can read the current table and overwrite
+  * it in one pipeline, and a crash mid-write leaves the current table
+  * intact (crash-safety the reference gets from Postgres transactions;
+  * idempotency matters because the watermark protocol is at-least-once —
+  * SURVEY §2.6 O3).
+  */
+object Warehouse {
+
+  private def path(dir: String, table: String) = s"$dir/$table"
+
+  def exists(spark: SparkSession, dir: String, table: String): Boolean = {
+    val p = new Path(path(dir, table))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  def read(spark: SparkSession, dir: String, table: String): DataFrame =
+    spark.read.parquet(path(dir, table))
+
+  /** Read the table, or an empty DataFrame with the given schema when the
+    * table does not exist yet (first pipeline run).
+    */
+  def readOrEmpty(spark: SparkSession, dir: String, table: String, schema: StructType): DataFrame =
+    if (exists(spark, dir, table)) spark.read.parquet(path(dir, table))
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+
+  /** Atomically replace the table with `df`. */
+  def overwrite(df: DataFrame, dir: String, table: String): Unit = {
+    val spark = df.sparkSession
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(path(dir, table))
+    val tmp = new Path(path(dir, table) + ".tmp")
+    val old = new Path(path(dir, table) + ".old")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(live)) {
+      if (!fs.rename(live, old))
+        throw new java.io.IOException(s"warehouse swap failed: $live -> $old")
+    }
+    if (!fs.rename(tmp, live))
+      throw new java.io.IOException(s"warehouse swap failed: $tmp -> $live")
+    fs.delete(old, true)
+  }
+}

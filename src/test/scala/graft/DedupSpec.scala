@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite with SparkTest {
+
+  private def docs = {
+    val s = spark; import s.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near-dup of 0
+      (2L, "completely different content about spark query engines and shuffles"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 0
+      (4L, "unrelated words nothing shared here at all zebra xylophone quasar")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical content, keeps smallest id") {
+    val out = Dedup.exact(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 4) // 5 docs, one exact pair
+    val dupGroup = out.filter(_._3 == 2L)
+    assert(dupGroup.length == 1 && dupGroup.head._2 == 0L)
+  }
+
+  test("ngramJaccardPairs finds the near-dup pair with exact integer counts") {
+    val pairs = Dedup.ngramJaccardPairs(docs, 1, 2) // jaccard >= 0.5
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 0-1 near dup, 0-3 identical, 1-3 near dup
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1L), (0L, 3L), (1L, 3L)))
+    val exact = pairs.find(p => p._1 == 0L && p._2 == 3L).get
+    assert(exact._3 == exact._4) // identical docs: inter == union
+  }
+
+  test("minHashLsh surfaces the exact-dup pair (jaccard 1 collides in every band)") {
+    val pairs = Dedup.minHashLsh(docs, 16, 4, 9, 10) // verify at jaccard >= 0.9
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 3L)))
+  }
+
+  test("simHash: identical docs have identical signatures; near-dups are close") {
+    val sig = Dedup.simHashSignatures(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(0L) == sig(3L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sig(0L), sig(1L)) < hamming(sig(0L), sig(4L)))
+    val pairs = Dedup.simHash(docs, maxHamming = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 3L)))
+  }
+
+  test("embeddingNearDup finds parallel vectors only") {
+    val s = spark; import s.implicits._
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(2f, 0f, 0f, 0f)), // parallel to 0 -> cosine 1
+      (2L, Array(0f, 1f, 0f, 0f)), // orthogonal
+      (3L, Array(0.9f, 0.1f, 0f, 0f)) // cosine ~0.994 with 0
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(emb, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L), (0L, 3L), (1L, 3L)))
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Events
+
+class EventsSpec extends AnyFunSuite with SparkTest {
+
+  test("sessionize splits on gaps strictly greater than the threshold") {
+    val s = spark; import s.implicits._
+    val events = Seq(
+      (1L, 100L, "2024-01-01 10:00:00", 1.0),
+      (2L, 100L, "2024-01-01 10:29:00", 1.0), // gap 29min -> same session
+      (3L, 100L, "2024-01-01 10:59:00", 1.0), // gap exactly 30min -> same (strict >)
+      (4L, 100L, "2024-01-01 11:29:01", 1.0), // gap 30min 1s -> NEW session
+      (5L, 200L, "2024-01-01 00:00:00", 2.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+      .withColumn("ts", to_timestamp($"ts"))
+    val out = Events.sessionize(events, 30).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(4))).toMap
+    assert(out == Map((100L, 0L) -> 3L, (100L, 1L) -> 1L, (200L, 0L) -> 1L))
+  }
+
+  test("tumblingHourly buckets on the hour") {
+    val s = spark; import s.implicits._
+    val events = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "a", 1.5),
+      (2L, 1L, "2024-01-01 10:59:59", "a", 2.5),
+      (3L, 1L, "2024-01-01 11:00:00", "a", 4.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+      .withColumn("ts", to_timestamp($"ts"))
+    val out = Events.tumblingHourly(events).collect()
+      .map(r => r.getTimestamp(0).toString -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out("2024-01-01 10:00:00.0") == ((2L, 4.0)))
+    assert(out("2024-01-01 11:00:00.0") == ((1L, 4.0)))
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions._
+
+class FunctionsSpec extends AnyFunSuite with SparkTest {
+
+  test("aqiCategory replicates the reference band edges exactly") {
+    val s = spark; import s.implicits._
+    val cases = Seq(
+      -1 -> "Unknown", 0 -> "Good", 50 -> "Good", 51 -> "Moderate",
+      100 -> "Moderate", 101 -> "Unhealthy for Sensitive Groups",
+      150 -> "Unhealthy for Sensitive Groups", 151 -> "Unhealthy",
+      200 -> "Unhealthy", 201 -> "Very Unhealthy", 300 -> "Very Unhealthy",
+      301 -> "Hazardous", 9999 -> "Hazardous", -500 -> "Unknown")
+    val got = cases.map(_._1).toDF("aqi")
+      .select($"aqi", aqiCategory($"aqi").as("cat"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    cases.foreach { case (aqi, want) => assert(got(aqi) == want, s"aqi=$aqi") }
+  }
+
+  test("occurrences counts non-overlapping literal matches") {
+    val s = spark; import s.implicits._
+    val got = Seq(" the cat the dog the ").toDF("t")
+      .select(occurrences($"t", " the ").as("n")).head().getInt(0)
+    // " the cat the dog the " -> matches at 0 and 8 (non-overlapping scan)
+    assert(got == 3)
+  }
+
+  test("vec_dot matches the built-in higher-order-function dot product") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(50)((Array.fill(16)(rnd.nextFloat()), Array.fill(16)(rnd.nextFloat())))
+    val df = rows.toDF("a", "b")
+    val hof = aggregate(
+      zip_with($"a", $"b", (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val diffs = df.select(abs(vec_dot($"a", $"b") - hof).as("d"))
+      .agg(max($"d")).head().getDouble(0)
+    assert(diffs < 1e-12)
+  }
+
+  test("wordNGrams yields empty for docs shorter than n") {
+    val s = spark; import s.implicits._
+    val got = Seq("one two", "a b c d").toDF("t")
+      .select(size(wordNGrams(tokens($"t"), 3)).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(0, 2))
+  }
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+
+/** Multimodal columns for training-data pipelines: image/audio/video as
+  * opaque `binary` columns with typed metadata, plus decode /
+  * feature-extract / resize / frame-sample operators.
+  *
+  * Spark-side design (the part that must be right at 100 TB):
+  *   - media rows are (id, kind, bytes, meta) with an explicit schema —
+  *     no inference on binary payloads;
+  *   - per-item work runs as `mapPartitions` over typed rows, the JVM
+  *     analog of batched `mapInPandas`: one decoder instance per
+  *     partition (decoders are expensive to construct), streaming
+  *     iterator in/out (never materializes a partition), and partition
+  *     sizing controlled by the caller via `repartition` on byte budget;
+  *   - actual codec work is behind [[MediaDecoder]]. The container ships
+  *     no image/audio libraries, so the default is a clearly-marked
+  *     deterministic stub; swap in a real decoder without touching the
+  *     Spark plumbing.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("bytes", BinaryType),
+    StructField("meta", MapType(StringType, StringType))))
+
+  final case class Media(media_id: Long, kind: String, bytes: Array[Byte],
+      meta: Map[String, String])
+  final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+      width: Int, height: Int, feature: Array[Float])
+  final case class Frame(media_id: Long, frame_idx: Int, bytes: Array[Byte])
+
+  /** Codec boundary. Implementations must be thread-compatible (one
+    * instance per partition, invoked sequentially).
+    */
+  trait MediaDecoder extends Serializable {
+    def decodeDims(m: Media): (Int, Int)
+    def features(m: Media, dim: Int): Array[Float]
+    def resize(m: Media, w: Int, h: Int): Array[Byte]
+    def sampleFrames(m: Media, everyN: Int): Iterator[Frame]
+  }
+
+  /** STUB decoder — deterministic fake standing in for libjpeg/ffmpeg,
+    * which are not in this container. Dims come from metadata (or a
+    * hash-derived fake); "features" are a byte histogram (real
+    * computation over the payload, so the plumbing moves real data);
+    * resize/frame-sample slice the payload deterministically.
+    */
+  object StubDecoder extends MediaDecoder {
+    def decodeDims(m: Media): (Int, Int) = {
+      def metaInt(k: String) = m.meta.get(k).flatMap(_.toIntOption)
+      (metaInt("width").getOrElse(1 + math.abs(m.media_id % 1024).toInt),
+        metaInt("height").getOrElse(1 + math.abs(m.media_id % 768).toInt))
+    }
+    def features(m: Media, dim: Int): Array[Float] = {
+      val hist = new Array[Float](dim)
+      var i = 0
+      val bytes = if (m.bytes == null) Array.empty[Byte] else m.bytes
+      while (i < bytes.length) { hist((bytes(i) & 0xff) % dim) += 1f; i += 1 }
+      val n = math.max(1, bytes.length)
+      hist.map(_ / n)
+    }
+    def resize(m: Media, w: Int, h: Int): Array[Byte] =
+      if (m.bytes == null) Array.empty
+      else m.bytes.take(math.min(m.bytes.length, w * h))
+    def sampleFrames(m: Media, everyN: Int): Iterator[Frame] = {
+      val bytes = if (m.bytes == null) Array.empty[Byte] else m.bytes
+      val frameSize = math.max(1, bytes.length / 16) // fake 16-frame container
+      bytes.grouped(frameSize).zipWithIndex
+        .filter { case (_, i) => i % everyN == 0 }
+        .map { case (b, i) => Frame(m.media_id, i, b) }
+    }
+  }
+
+  /** Decode + feature-extract, batched per partition. */
+  def extractFeatures(
+      media: Dataset[Media],
+      dim: Int = 32,
+      decoder: MediaDecoder = StubDecoder): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val d = decoder // one decoder per partition
+      it.map { m =>
+        val (w, h) = d.decodeDims(m)
+        val nb = if (m.bytes == null) 0L else m.bytes.length.toLong
+        MediaFeatures(m.media_id, m.kind, nb, w, h, d.features(m, dim))
+      }
+    }
+  }
+
+  /** Frame sampling for video rows: one row in, ~16/everyN rows out —
+    * a flatMap, so output partitioning follows input and no shuffle.
+    */
+  def sampleFrames(
+      media: Dataset[Media],
+      everyN: Int = 4,
+      decoder: MediaDecoder = StubDecoder): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap(m => decoder.sampleFrames(m, everyN))
+  }
+
+  /** Pure-SQL byte statistics — no decoder needed, stays in codegen. */
+  def byteStats(mediaDf: DataFrame): DataFrame =
+    mediaDf.select(
+      col("media_id"), col("kind"),
+      length(col("bytes")).cast("long").as("n_bytes"),
+      md5(col("bytes")).as("content_hash"))
+
+  /** Wrap any table with a text column into media rows (text bytes as
+    * payload) — used by tests and as the documented ingestion example.
+    */
+  def fromText(df: DataFrame, idCol: String, textCol: String, kind: String): Dataset[Media] = {
+    import df.sparkSession.implicits._
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      lit(kind).as("kind"),
+      col(textCol).cast("binary").as("bytes"),
+      map(lit("origin"), lit("text")).as("meta"))
+      .as[Media]
+  }
+}

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Structured Streaming operators — the streaming analogs of
+  * [[graft.operators.Events]] and the watermark-windowed shape the
+  * reference's CET/LSET batch protocol approximates (SURVEY §2.7).
+  *
+  * All operators take an unbounded DataFrame (`readStream` source) and
+  * return a streaming DataFrame; sinks/triggers are the caller's choice.
+  * Event-time watermarks bound state: at 100 TB/day the state store only
+  * holds open windows/sessions, not history.
+  */
+object Streams {
+
+  /** Tumbling 1-hour counts per event type with a late-data watermark. */
+  def tumblingHourly(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Sliding 1-hour/30-minute windows. */
+  def slidingHourly(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("w_start"), col("n_events"))
+
+  /** Streaming exact dedup on a key with bounded state: duplicates
+    * arriving within the watermark horizon are dropped (the streaming
+    * form of [[graft.operators.Dedup.exact]]).
+    */
+  def dedupByKey(events: DataFrame, keyCols: Seq[String], watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates(keyCols :+ "ts")
+
+  /** Native session windows (gap-based), the streaming analog of
+    * [[graft.operators.Events.sessionize]].
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  // ---- custom state: running per-user aggregates via mapGroupsWithState
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class UserRunning(user_id: Long, n_events: Long, sum_value: Double,
+      last_seen: Timestamp)
+
+  /** Per-user running totals maintained in the state store — the custom
+    * stateful-processing shape (`mapGroupsWithState`) for aggregations
+    * the built-in windows can't express.
+    *
+    * `expireAfter` (processing-time timeout) bounds state for unbounded
+    * key spaces; note that a timeout makes the engine trigger continuous
+    * empty microbatches to fire timers — leave it None for
+    * deterministic, data-driven batches.
+    */
+  def runningTotals(
+      events: Dataset[Event],
+      expireAfter: Option[String] = None): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    val timeoutConf = if (expireAfter.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](timeoutConf) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserRunning]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val evs = batch.toSeq
+            val prev = state.getOption.getOrElse(
+              UserRunning(userId, 0L, 0.0, new Timestamp(0L)))
+            val next = UserRunning(
+              userId,
+              prev.n_events + evs.size,
+              prev.sum_value + evs.map(_.value).sum,
+              evs.map(_.ts).maxByOption(_.getTime).getOrElse(prev.last_seen))
+            state.update(next)
+            expireAfter.foreach(state.setTimeoutDuration)
+            next
+          }
+      }
+  }
+}

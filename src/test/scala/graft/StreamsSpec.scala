@@ -1,0 +1,96 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streams
+
+class StreamsSpec extends AnyFunSuite with SparkTest {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming tumbling window aggregates with watermark (complete mode)") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams.tumblingHourly(events)
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:05:00"), 1L, "click", 1.0),
+        (2L, ts("2024-01-01 10:55:00"), 1L, "click", 2.0),
+        (3L, ts("2024-01-01 11:05:00"), 1L, "view", 4.0))
+      q.processAllAvailable()
+      val out = s.table("tumbling_out").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(out == Set(
+        ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
+        ("2024-01-01 11:00:00.0", "view", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops duplicate keys within the watermark horizon") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "value")
+    val q = Streams.dedupByKey(events, Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts("2024-01-01 10:00:00"), 1.0))
+      q.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 10:00:00"), 1.0), // exact dup -> dropped
+        (2L, ts("2024-01-01 10:01:00"), 2.0))
+      q.processAllAvailable()
+      assert(s.table("dedup_out").count() == 2)
+    } finally q.stop()
+  }
+
+  test("session windows close on gap and merge overlapping events") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams.sessionWindows(events, gap = "30 minutes")
+      .writeStream.format("memory").queryName("session_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "a", 1.0),
+        (2L, ts("2024-01-01 10:20:00"), 1L, "a", 1.0), // same session
+        (3L, ts("2024-01-01 12:00:00"), 1L, "a", 1.0)) // new session
+      q.processAllAvailable()
+      val out = s.table("session_out")
+        .select("user_id", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(out == Seq((1L, 1L), (1L, 2L)))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState maintains running per-user totals across batches") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[Streams.Event]
+    val q = Streams.runningTotals(input.toDS())
+      .writeStream.format("memory").queryName("running_out")
+      .outputMode("update").start()
+    try {
+      input.addData(Streams.Event(1L, ts("2024-01-01 10:00:00"), 7L, "a", 1.5))
+      q.processAllAvailable()
+      input.addData(Streams.Event(2L, ts("2024-01-01 10:05:00"), 7L, "a", 2.5))
+      q.processAllAvailable()
+      val last = s.table("running_out").filter(col("user_id") === 7L)
+        .orderBy(col("n_events").desc).head()
+      assert(last.getAs[Long]("n_events") == 2L)
+      assert(last.getAs[Double]("sum_value") == 4.0)
+    } finally q.stop()
+  }
+}

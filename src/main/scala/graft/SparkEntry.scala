@@ -235,7 +235,9 @@ object SparkEntry {
     "text_lang_id" -> ((s, d) => TextAnalysis.langId(rd(s, d, "documents"))),
     "text_quality" -> ((s, d) => TextAnalysis.qualitySignals(rd(s, d, "documents"))),
     "text_tokens" -> ((s, d) => TextAnalysis.tokenStats(rd(s, d, "documents"))),
-    "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(rd(s, d, "documents")))
+    "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(rd(s, d, "documents"))),
+    "text_rolling_fp" -> ((s, d) => TextAnalysis.rollingFingerprint(rd(s, d, "documents"))),
+    "text_bpe_tokens" -> ((s, d) => TextAnalysis.bpeTokenCount(rd(s, d, "documents")))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -406,9 +408,12 @@ object SparkEntry {
         "CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS INT) AS n_distinct_tokens " +
         "FROM documents"),
     "text_fingerprint" ->
-      "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint FROM documents"
+      "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint FROM documents",
+    "text_bpe_tokens" ->
+      ("SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INT) " +
+        "AS n_bpeish_tokens FROM documents")
     // no oracle (rows-only check): dedup_minhash_lsh, dedup_simhash,
-    // ann_lsh_topk — hash-seeded / approximate operators not expressible
-    // in portable SQL
+    // ann_lsh_topk (hash-seeded / approximate), text_rolling_fp (custom
+    // 64-bit polynomial hash not expressible in portable SQL)
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.plans.FloatVecDot
+import graft.plans.{FloatVecDot, RollingHash}
 
 /** Column-level functions of the engine.
   *
@@ -67,4 +67,10 @@ package object functions {
     */
   def cosineSim(a: Column, b: Column): Column =
     vec_dot(a, b) / sqrt(vec_dot(a, a) * vec_dot(b, b))
+
+  /** 64-bit polynomial rolling hash of a string (graft.plans.RollingHash):
+    * the cheap, composable fingerprint primitive for document dedup.
+    */
+  def rolling_hash(c: Column): Column =
+    ColumnBridge.column(RollingHash(ColumnBridge.expression(c)))
 }

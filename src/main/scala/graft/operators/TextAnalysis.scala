@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
-import graft.functions.{occurrences, tokens}
+import graft.functions.{occurrences, rolling_hash, tokens}
 
 /** Text-analysis operators for training-data pipelines: language ID,
   * quality scoring, token statistics, and content fingerprinting.
@@ -74,4 +74,26 @@ object TextAnalysis {
     docs.select(
       col(idCol),
       md5(regexp_replace(lower(trim(col(textCol))), "\\s+", " ")).as("fingerprint"))
+
+  /** Rolling-hash fingerprint (codegen'd 64-bit polynomial hash over the
+    * normalized text) — cheaper than md5 per byte, and the primitive a
+    * shingling pipeline composes chunk-wise.
+    */
+  def rollingFingerprint(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(
+      col(idCol),
+      rolling_hash(regexp_replace(lower(trim(col(textCol))), "\\s+", " "))
+        .as("rolling_fp"))
+
+  /** BPE-ish token count: letter runs, single digits, or single
+    * punctuation marks — the pre-tokenizer shape GPT-style BPE vocabularies
+    * assume, as a portable ASCII regex.
+    */
+  val bpeishPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  def bpeTokenCount(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(
+      col(idCol),
+      size(regexp_extract_all(col(textCol), lit(bpeishPattern), lit(0)))
+        .as("n_bpeish_tokens"))
 }

@@ -66,3 +66,54 @@ case class FloatVecDot(left: Expression, right: Expression)
       newLeft: Expression,
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
+
+/** 64-bit polynomial rolling hash over a string's UTF-8 bytes:
+  * h = Σ base^(n-1-i) · byte(i)  (mod 2^64).
+  *
+  * The content-fingerprinting primitive for dedup pipelines — unlike
+  * md5 it is cheap (one multiply-add per byte, no allocation) and
+  * composable (the polynomial form supports chunk-wise combination for
+  * document shingling). Codegen'd; interpreted fallback mirrors the
+  * same arithmetic exactly.
+  */
+case class RollingHash(child: Expression, base: Long = 1315423911L)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"rolling_hash requires a string argument, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) { h = h * base + (bytes(i) & 0xff); i += 1 }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val bytes = ctx.freshName("bytes")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      s"""
+         |byte[] $bytes = $s.getBytes();
+         |long $h = 0L;
+         |for (int $i = 0; $i < $bytes.length; $i++) {
+         |  $h = $h * ${base}L + ($bytes[$i] & 0xff);
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

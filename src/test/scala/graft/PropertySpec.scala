@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions._
+import graft.operators.{Dedup, Merge, MergeSpec}
+
+/** Property-based checks (SURVEY §5.4): merge idempotency, single
+  * survivor per dedup key, banding totality, rolling-hash consistency.
+  * Uses ScalaCheck generators with fixed seeds (no scalatestplus bridge
+  * in the offline resolver).
+  */
+class PropertySpec extends AnyFunSuite with SparkTest {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("property: aqiCategory is total and matches the reference python bands") {
+    def referenceBand(aqi: Int): String =
+      if (0 <= aqi && aqi <= 50) "Good"
+      else if (51 <= aqi && aqi <= 100) "Moderate"
+      else if (101 <= aqi && aqi <= 150) "Unhealthy for Sensitive Groups"
+      else if (151 <= aqi && aqi <= 200) "Unhealthy"
+      else if (201 <= aqi && aqi <= 300) "Very Unhealthy"
+      else if (aqi > 300) "Hazardous"
+      else "Unknown"
+    val s = spark; import s.implicits._
+    val values = samples(Gen.chooseNum(-1000, 1000), 300)
+    val got = values.toDF("aqi").select($"aqi", aqiCategory($"aqi")).collect()
+      .map(r => r.getInt(0) -> r.getString(1))
+    got.foreach { case (aqi, cat) => assert(cat == referenceBand(aqi), s"aqi=$aqi") }
+  }
+
+  test("property: merge of random source into random target is idempotent") {
+    val s = spark; import s.implicits._
+    for (round <- 0 until 5) {
+      val pairs = samples(Gen.zip(Gen.chooseNum(0L, 20L), Gen.alphaStr.map(_.take(5))), 30)
+      val src = pairs.distinctBy(_._1).toDF("k", "v")
+      val spec = MergeSpec(Seq("k"), Seq("v"))
+      val now = to_timestamp(lit("2024-06-01 00:00:00"))
+      val tgt = src.limit(0)
+      val once = Merge.scd1(tgt, src, spec, now)
+      val twice = Merge.scd1(once, src, spec, now)
+      val a = once.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val b = twice.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(a == b, s"round=$round")
+    }
+  }
+
+  test("property: exact dedup keeps exactly one survivor per distinct text") {
+    val s = spark; import s.implicits._
+    for (round <- 0 until 5) {
+      val texts = samples(Gen.oneOf("aa", "bb", "cc", "dd", "ee"), 40 + round)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val out = Dedup.exact(docs).collect()
+      assert(out.length == texts.distinct.length)
+      assert(out.map(_.getLong(2)).sum == texts.length) // copies partition the corpus
+      out.foreach { r =>
+        val minId = docs.filter(md5(col("text")) === r.getString(0))
+          .agg(min("doc_id")).head().getLong(0)
+        assert(r.getLong(1) == minId) // survivor is smallest id of its group
+      }
+    }
+  }
+
+  test("rolling_hash matches a reference implementation and is deterministic") {
+    val s = spark; import s.implicits._
+    def ref(str: String, base: Long = 1315423911L): Long =
+      str.getBytes("UTF-8").foldLeft(0L)((h, b) => h * base + (b & 0xff))
+    val samplesIn = Seq("", "a", "hello world", "the same the same", "ünïcödé ok")
+    val got = samplesIn.toDF("t").select(rolling_hash($"t")).collect().map(_.getLong(0))
+    assert(got.toSeq == samplesIn.map(ref(_)))
+  }
+}

@@ -19,6 +19,8 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft-spark-warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

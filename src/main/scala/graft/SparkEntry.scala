@@ -214,7 +214,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(rd(s, d, "documents"), 1, 20)),
     "dedup_minhash_lsh" -> ((s, d) =>
-      Dedup.minHashLsh(rd(s, d, "documents"), 16, 16, 1, 50)),
+      Dedup.minHashLsh(rd(s, d, "documents"), 16, 8, 1, 50)),
     "dedup_simhash" -> ((s, d) => {
       // signatures (deterministic); pair extraction exercised in tests
       val docs = rd(s, d, "documents")

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Skew
+import graft.sources.Layout
+
+/** Scale-path behaviors: salted joins equal plain joins; co-bucketed
+  * joins plan without a shuffle.
+  */
+class ScaleSpec extends AnyFunSuite with SparkTest {
+
+  test("saltedJoin returns exactly the plain join result on skewed data") {
+    val s = spark; import s.implicits._
+    // heavy skew: 90% of rows share key 7
+    val large = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong % 50 else 7L, i)).toDF("k", "v")
+    val small = (0L to 49L).map(k => (k, s"dim-$k")).toDF("k", "name")
+    val plain = large.join(small, Seq("k"), "inner")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+    val salted = Skew.saltedJoin(large, small, Seq("k"), 8)
+      .select("k", "v", "name")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+    assert(salted == plain)
+  }
+
+  test("co-bucketed tables join without any Exchange (shuffle paid at write)") {
+    val s = spark; import s.implicits._
+    Seq("bucketed_a", "bucketed_b").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      org.apache.commons.io.FileUtils.deleteQuietly(loc)
+    }
+    val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = (500 to 1500).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+    Layout.writeBucketed(a, "bucketed_a", 8, Seq("k"))
+    Layout.writeBucketed(b, "bucketed_b", 8, Seq("k"))
+    val joined = Layout.table(s, "bucketed_a")
+      .join(Layout.table(s, "bucketed_b"), Seq("k"))
+    assert(joined.count() == 501)
+    val exec = joined.queryExecution.executedPlan
+    val exchanges = exec.collectWithSubqueries { case e: Exchange => e }
+    assert(exchanges.isEmpty, s"expected shuffle-free bucketed join, got:\n$exec")
+  }
+}

@@ -113,6 +113,24 @@ object SparkEntry {
           rd(s, d, "orders").filter(col("o_orderdate") >= tlit("1999-06-01 00:00:00")),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")),
+    "j8_semi_join" -> ((s, d) =>
+      rd(s, d, "customer")
+        .join(
+          rd(s, d, "orders").filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")),
+
+    // —— set operations ——
+    "set_union" -> ((s, d) =>
+      rd(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .union(rd(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+        .distinct()),
+    "set_intersect" -> ((s, d) =>
+      rd(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(rd(s, d, "supplier").select(col("s_nationkey").as("nationkey")))),
+    "set_except" -> ((s, d) =>
+      rd(s, d, "orders").select(col("o_orderkey").as("k"))
+        .except(rd(s, d, "lineitem").select(col("l_orderkey").as("k")))),
 
     // —— SURVEY §2.4 distinct / dedup ——
     "a1_distinct" -> ((s, d) =>
@@ -202,6 +220,22 @@ object SparkEntry {
         .where(col("rn") === 1)
         .select("o_custkey", "o_orderkey", "o_totalprice")
     }),
+    "q_rollup" -> ((s, d) =>
+      rd(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))),
+    "q_order_limit" -> ((s, d) =>
+      rd(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")),
+    "q_cond_agg" -> ((s, d) =>
+      rd(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+          count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
+          count(when(col("o_orderstatus") === "P", 1)).as("n_p"))),
     "w2_running_sum" -> ((s, d) => Events.runningSum(rd(s, d, "events"))),
 
     // —— windowed event aggregations (batch analog of streaming) ——
@@ -226,6 +260,9 @@ object SparkEntry {
     // —— training-data pipeline: similarity search ——
     "ann_brute_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(rd(s, d, "embeddings"),
+        col("vec_id") < 10, col("vec_id") >= 10, 5)),
+    "ann_topk_agg" -> ((s, d) =>
+      Similarity.bruteForceTopKAgg(rd(s, d, "embeddings"),
         col("vec_id") < 10, col("vec_id") >= 10, 5)),
     "ann_lsh_topk" -> ((s, d) =>
       Similarity.lshTopK(rd(s, d, "embeddings"),
@@ -305,6 +342,24 @@ object SparkEntry {
     "j7_not_exists" ->
       ("SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS " +
         "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '1999-06-01 00:00:00')"),
+    "j8_semi_join" ->
+      ("SELECT c_custkey, c_name FROM customer c WHERE EXISTS " +
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)"),
+    "set_union" ->
+      "SELECT c_nationkey AS nationkey FROM customer UNION SELECT s_nationkey AS nationkey FROM supplier",
+    "set_intersect" ->
+      "SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey AS nationkey FROM supplier",
+    "set_except" ->
+      "SELECT o_orderkey AS k FROM orders EXCEPT SELECT l_orderkey AS k FROM lineitem",
+    "q_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n " +
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"),
+    "q_order_limit" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100",
+    "q_cond_agg" ->
+      ("SELECT o_orderpriority, count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f, " +
+        "count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o, " +
+        "count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p FROM orders GROUP BY o_orderpriority"),
     "a1_distinct" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
     "a4_distinct_wide" ->
@@ -393,6 +448,10 @@ object SparkEntry {
       ("SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a JOIN embeddings b " +
         "ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"),
     "ann_brute_topk" ->
+      ("SELECT query_id, neighbor_id, rnk FROM (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, " +
+        "CAST(row_number() OVER (PARTITION BY a.vec_id ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS INT) AS rnk " +
+        "FROM embeddings a JOIN embeddings b ON b.vec_id >= 10 WHERE a.vec_id < 10) t WHERE rnk <= 5"),
+    "ann_topk_agg" ->
       ("SELECT query_id, neighbor_id, rnk FROM (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, " +
         "CAST(row_number() OVER (PARTITION BY a.vec_id ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS INT) AS rnk " +
         "FROM embeddings a JOIN embeddings b ON b.vec_id >= 10 WHERE a.vec_id < 10) t WHERE rnk <= 5"),

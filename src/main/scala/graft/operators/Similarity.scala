@@ -50,6 +50,33 @@ object Similarity {
       .select("query_id", "neighbor_id", "rnk")
   }
 
+  /** Exact top-k via the single-pass bounded [[graft.functions.TopKAgg]]
+    * aggregator instead of a window sort: partial top-k combines
+    * map-side, so only k rows per group per map task cross the shuffle
+    * (the window variant shuffles and sorts the entire pair stream).
+    * Identical output and tie-breaks to [[bruteForceTopK]].
+    */
+  def bruteForceTopKAgg(
+      emb: DataFrame,
+      queryPred: Column,
+      candPred: Column,
+      k: Int,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val n = withNorm(emb, vecCol, idCol)
+    val q = n.where(queryPred).toDF("query_id", "q_vec", "q_norm")
+    val c = n.where(candPred).toDF("neighbor_id", "c_vec", "c_norm")
+    val cos = vec_dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))
+    val topk = udaf(new graft.functions.TopKAgg(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[graft.functions.Scored]())
+    q.crossJoin(c)
+      .groupBy(col("query_id"))
+      .agg(topk(cos, col("neighbor_id")).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "s")))
+      .select(col("query_id"), col("s.id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
+
   /** Deterministic random hyperplanes: `numPlanes` × `dim` doubles from a
     * seeded generator.
     */

@@ -25,10 +25,15 @@ object Nds {
     * key (replaces the reference's Postgres sequences — deterministic
     * across runs, unlike `monotonically_increasing_id`).
     */
-  private def fillSurrogate(df: DataFrame, skCol: String, orderBy: Seq[String]): DataFrame = {
+  private def fillSurrogate(
+      df: DataFrame,
+      skCol: String,
+      orderBy: Seq[String],
+      maxOverride: Option[Long] = None): DataFrame = {
     val existing = df.filter(col(skCol).isNotNull)
     val inserted = df.filter(col(skCol).isNull)
-    val mx = existing.agg(coalesce(max(col(skCol)), lit(0L))).collect()(0).getLong(0)
+    val mx = maxOverride.getOrElse(
+      existing.agg(coalesce(max(col(skCol)), lit(0L))).collect()(0).getLong(0))
     existing.unionByName(
       inserted.withColumn(skCol,
         row_number().over(Window.orderBy(orderBy.map(col): _*)) + lit(mx)))
@@ -137,12 +142,14 @@ object Nds {
     * refresh aqi_value/aqi_category and stamp BOTH last_updated_nds and
     * last_updated with `now` (reference quirk, `:149-153`).
     */
-  def mergeMeasurements(
-      measurementNds: DataFrame,
+  /** The measurement merge source: dims flatten (J3) → measurements ⋈
+    * dims on the composite natural key (J4) → keep-first dedup on the
+    * business key (A6; deterministic survivor).
+    */
+  private def measurementSource(
       stateNds: DataFrame,
       countyNds: DataFrame,
-      aqiStage: DataFrame,
-      now: Column): DataFrame = {
+      aqiStage: DataFrame): DataFrame = {
     val dims = stateNds.select("state_id_sk", "state_name").distinct()
       .join(countyNds.select("county_id_sk", "state_id_sk", "county_name").distinct(),
         Seq("state_id_sk"), "inner")
@@ -154,21 +161,67 @@ object Nds {
     val keys = Seq("measured_date", "defining_parameter", "defining_site")
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("created"), col("last_updated"), col("county_id_sk"), col("aqi_value"))
-    val deduped = joined
+    joined
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
       .drop("__rn", "state_name", "county_name", "state_id_sk")
       .withColumn("source_id", lit(1))
-    val merged = Merge.scd1(measurementNds, deduped,
-      MergeSpec(
-        Seq("measured_date", "defining_site", "defining_parameter"),
-        Seq("aqi_value", "aqi_category"),
-        createdCol = Some("created_date_nds"),
-        updatedCol = Some("last_updated_nds"),
-        touchCols = Seq("last_updated")),
-      now)
+  }
+
+  private val measurementSpec = MergeSpec(
+    Seq("measured_date", "defining_site", "defining_parameter"),
+    Seq("aqi_value", "aqi_category"),
+    createdCol = Some("created_date_nds"),
+    updatedCol = Some("last_updated_nds"),
+    touchCols = Seq("last_updated"))
+
+  def mergeMeasurements(
+      measurementNds: DataFrame,
+      stateNds: DataFrame,
+      countyNds: DataFrame,
+      aqiStage: DataFrame,
+      now: Column): DataFrame = {
+    val merged = Merge.scd1(measurementNds,
+      measurementSource(stateNds, countyNds, aqiStage), measurementSpec, now)
     fillSurrogate(merged, "measurement_id_sk",
       Seq("measured_date", "defining_parameter", "defining_site"))
       .select(Schemas.measurementNds.fieldNames.map(col): _*)
+  }
+
+  /** Partition-scoped measurement merge — the fact-table shape that
+    * holds at 100 TB. The business key contains the partition column
+    * (`measured_date`), so a key can never move partitions; the merge
+    * therefore:
+    *   1. restricts the target to the partitions present in the source
+    *      (left-semi on the partition key — served by partition pruning
+    *      / dynamic partition pruning, so untouched partitions are
+    *      never read);
+    *   2. runs the same SCD-1 merge on that slice;
+    *   3. dynamic-partition-overwrites ONLY the touched partitions.
+    * A daily load thus reads+rewrites one day's partitions, not the
+    * table. Surrogate continuation uses the global max key.
+    */
+  def mergeMeasurementsPartitioned(
+      spark: org.apache.spark.sql.SparkSession,
+      warehouseDir: String,
+      stateNds: DataFrame,
+      countyNds: DataFrame,
+      aqiStage: DataFrame,
+      now: Column,
+      table: String = "measurement_nds"): Unit = {
+    import graft.sources.Warehouse
+    val source = measurementSource(stateNds, countyNds, aqiStage)
+    val target = Warehouse.readOrEmpty(spark, warehouseDir, table, Schemas.measurementNds)
+    val affectedDates = source.select("measured_date").distinct()
+    val targetSlice = target.join(broadcast(affectedDates), Seq("measured_date"), "left_semi")
+    val globalMax = target.agg(coalesce(max(col("measurement_id_sk")), lit(0L)))
+      .collect()(0).getLong(0)
+    val merged = fillSurrogate(
+      Merge.scd1(targetSlice, source, measurementSpec, now),
+      "measurement_id_sk",
+      Seq("measured_date", "defining_parameter", "defining_site"),
+      maxOverride = Some(globalMax))
+      .select(Schemas.measurementNds.fieldNames.map(col): _*)
+    Warehouse.overwritePartitions(merged, warehouseDir, table, "measured_date")
   }
 }

@@ -30,11 +30,17 @@ object Pipeline {
   val CountyNdsT = "county_nds"
   val MeasurementNdsT = "measurement_nds"
 
+  /** @param partitionedFacts when true, measurement_nds is stored
+    *   date-partitioned and merged partition-scoped
+    *   ([[Nds.mergeMeasurementsPartitioned]]) — the 100 TB fact path.
+    *   Default keeps the flat layout (reference-scale).
+    */
   def run(
       spark: SparkSession,
       sourceDir: String,
       warehouseDir: String,
-      now: Instant = Instant.now()): Unit = {
+      now: Instant = Instant.now(),
+      partitionedFacts: Boolean = false): Unit = {
     val ts = Timestamp.from(now)
     val nowCol = lit(ts)
 
@@ -63,11 +69,17 @@ object Pipeline {
       stateNds, countiesStage, aqiStage, nowCol)
     Warehouse.overwrite(counties, warehouseDir, CountyNdsT)
 
-    val measurements = Nds.mergeMeasurements(
-      Warehouse.readOrEmpty(spark, warehouseDir, MeasurementNdsT, Schemas.measurementNds),
-      stateNds,
-      Warehouse.read(spark, warehouseDir, CountyNdsT),
-      aqiStage, nowCol)
-    Warehouse.overwrite(measurements, warehouseDir, MeasurementNdsT)
+    if (partitionedFacts) {
+      Nds.mergeMeasurementsPartitioned(spark, warehouseDir, stateNds,
+        Warehouse.read(spark, warehouseDir, CountyNdsT), aqiStage, nowCol,
+        MeasurementNdsT)
+    } else {
+      val measurements = Nds.mergeMeasurements(
+        Warehouse.readOrEmpty(spark, warehouseDir, MeasurementNdsT, Schemas.measurementNds),
+        stateNds,
+        Warehouse.read(spark, warehouseDir, CountyNdsT),
+        aqiStage, nowCol)
+      Warehouse.overwrite(measurements, warehouseDir, MeasurementNdsT)
+    }
   }
 }

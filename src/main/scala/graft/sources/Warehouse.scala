@@ -35,6 +35,22 @@ object Warehouse {
     if (exists(spark, dir, table)) spark.read.parquet(path(dir, table))
     else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
 
+  /** Dynamic-partition overwrite: replaces ONLY the partitions present
+    * in `df`, leaving all other partitions' files untouched. This is the
+    * fact-table write path at scale — a daily merge rewrites the handful
+    * of date partitions it touched, not the 100 TB table.
+    */
+  def overwritePartitions(df: DataFrame, dir: String, table: String, partitionCol: String): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try df.write.mode("overwrite").partitionBy(partitionCol).parquet(path(dir, table))
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** Atomically replace the table with `df`. */
   def overwrite(df: DataFrame, dir: String, table: String): Unit = {
     val spark = df.sparkSession

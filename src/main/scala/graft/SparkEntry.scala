@@ -190,6 +190,12 @@ object SparkEntry {
     }),
 
     // —— aggregation / window headline queries ——
+    "q6_filter_agg" -> ((s, d) =>
+      rd(s, d, "lineitem")
+        .filter(col("l_shipdate").between(
+          tlit("1997-01-01 00:00:00"), tlit("1998-12-31 23:59:59")))
+        .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"))),
     "q1_agg" -> ((s, d) =>
       rd(s, d, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
@@ -256,6 +262,8 @@ object SparkEntry {
     }),
     "dedup_embed_cosine" -> ((s, d) =>
       Dedup.embeddingNearDup(rd(s, d, "embeddings"), 0.4)),
+    "dedup_clusters" -> ((s, d) =>
+      Dedup.dedupClusters(Dedup.ngramJaccardPairs(rd(s, d, "documents"), 1, 20))),
 
     // —— training-data pipeline: similarity search ——
     "ann_brute_topk" -> ((s, d) =>
@@ -286,6 +294,20 @@ object SparkEntry {
     val esc = pat.replace("'", "''")
     s"CAST((length($expr) - length(replace($expr, '$esc', ''))) / ${pat.length} AS INT)"
   }
+
+  /** Shared CTE chain: word trigram sets → pair overlaps → thresholded
+    * pairs (integer cross-multiplication, bit-exact in both engines).
+    */
+  private def ngramCtes: String =
+    "wrd AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents), " +
+      "tri AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] " +
+      "FOR i IN generate_series(1, len(ws) - 2)]) AS g FROM wrd) u), " +
+      "sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id), " +
+      "ov AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter FROM tri a JOIN tri b " +
+      "ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "pairs AS (SELECT ov.id_a, ov.id_b, ov.inter, sa.n + sb.n - ov.inter AS union_size " +
+      "FROM ov JOIN sz sa ON sa.doc_id = ov.id_a JOIN sz sb ON sb.doc_id = ov.id_b " +
+      "WHERE ov.inter * 20 >= (sa.n + sb.n - ov.inter) * 1)"
 
   private def langIdSql: String = {
     val scores = TextAnalysis.langOrder.map { l =>
@@ -405,6 +427,10 @@ object SparkEntry {
         "round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price, " +
         "round(avg(l_quantity), 4) AS avg_qty, count(*) AS count_order " +
         "FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+    "q6_filter_agg" ->
+      ("SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue FROM lineitem " +
+        "WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00' AND TIMESTAMP '1998-12-31 23:59:59' " +
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"),
     "q3_seg_revenue" ->
       ("SELECT c_mktsegment, count(DISTINCT o.o_orderkey) AS n_orders, " +
         "round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue " +
@@ -435,15 +461,13 @@ object SparkEntry {
     "dedup_exact" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY md5(text)",
     "dedup_ngram_jaccard" ->
-      ("WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents), " +
-        "tri AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] " +
-        "FOR i IN generate_series(1, len(ws) - 2)]) AS g FROM w) u), " +
-        "sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id), " +
-        "ov AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter FROM tri a JOIN tri b " +
-        "ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
-        "SELECT ov.id_a, ov.id_b, ov.inter, sa.n + sb.n - ov.inter AS union_size " +
-        "FROM ov JOIN sz sa ON sa.doc_id = ov.id_a JOIN sz sb ON sb.doc_id = ov.id_b " +
-        "WHERE ov.inter * 20 >= (sa.n + sb.n - ov.inter) * 1"),
+      s"WITH $ngramCtes SELECT id_a, id_b, inter, union_size FROM pairs",
+    "dedup_clusters" ->
+      (s"WITH RECURSIVE $ngramCtes, " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
+        "wlk(node, root) AS (SELECT DISTINCT src, src FROM edges " +
+        "UNION SELECT e.dst, k.root FROM wlk k JOIN edges e ON e.src = k.node) " +
+        "SELECT node AS doc_id, min(root) AS cluster_id FROM wlk GROUP BY node"),
     "dedup_embed_cosine" ->
       ("SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a JOIN embeddings b " +
         "ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"),

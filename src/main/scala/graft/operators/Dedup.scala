@@ -194,6 +194,54 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over a near-dup pair list: assigns every doc
+    * the smallest doc id reachable through pair edges (the canonical
+    * survivor of its duplicate cluster). This is the step that turns
+    * pairwise similarity into deduplication decisions.
+    *
+    * Iterative min-label propagation: each round joins labels across
+    * edges and keeps the minimum; rounds needed = graph diameter
+    * (near-dup clusters are small and dense, so a handful). Each round
+    * is one shuffle on doc id; intermediate results are localCheckpointed
+    * to cut the growing lineage — the standard Spark pattern for
+    * iterative graph algorithms without GraphX.
+    *
+    * @return (doc_id, cluster_id) for every doc appearing in `pairs`;
+    *         docs with no edges are their own cluster and are omitted.
+    */
+  def dedupClusters(pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("doc_id"))
+      .union(edges.select(col("dst").as("doc_id")))
+      .distinct()
+      .withColumn("cluster_id", col("doc_id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      // candidate label for each node: min over neighbors' labels and own
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+      val next = labels.join(viaEdges, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint(true)
+      val changed = next.alias("n")
+        .join(labels.alias("o"), Seq("doc_id"))
+        .where(col("n.cluster_id") =!= col("o.cluster_id"))
+        .limit(1).count() > 0
+      labels = next
+      converged = !changed
+      i += 1
+    }
+    labels
+  }
+
   /** Embedding-cosine near-dup, exact pairwise. Norms are precomputed
     * once per row so the O(n²/2) pair scan only evaluates the codegen'd
     * FloatVecDot. This variant is oracle-exact; at 100 TB-scale use the

@@ -34,6 +34,14 @@ object Streams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("w_start"), col("n_events"))
 
+  /** Stream-static enrichment: join the unbounded stream against a
+    * static dimension (broadcast — no stream state, no shuffle of the
+    * stream side). The standard shape for decorating events with slowly
+    * changing reference data at any scale.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), keys, "left")
+
   /** Streaming exact dedup on a key with bounded state: duplicates
     * arriving within the watermark horizon are dropped (the streaming
     * form of [[graft.operators.Dedup.exact]]).

@@ -51,6 +51,17 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(pairs.contains((0L, 3L)))
   }
 
+  test("dedupClusters: min-label connected components over pair edges") {
+    val s = spark; import s.implicits._
+    // components: {1,2,3,9} (chain incl. transitive), {5,6}; 7-8 edge too
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 6L), (7L, 8L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.dedupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
+  }
+
   test("embeddingNearDup finds parallel vectors only") {
     val s = spark; import s.implicits._
     val emb = Seq(

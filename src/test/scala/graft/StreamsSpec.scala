@@ -75,6 +75,25 @@ class StreamsSpec extends AnyFunSuite with SparkTest {
     } finally q.stop()
   }
 
+  test("stream-static enrich joins the dim without stream state") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long)]
+    val events = input.toDF().toDF("event_id", "ts", "user_id")
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = Streams.enrich(events, dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts("2024-01-01 10:00:00"), 1L),
+        (2L, ts("2024-01-01 10:01:00"), 3L)) // 3 has no dim row -> null tier
+      q.processAllAvailable()
+      val out = s.table("enrich_out").collect()
+        .map(r => r.getAs[Long]("event_id") -> r.getAs[String]("tier")).toMap
+      assert(out == Map(1L -> "gold", 2L -> null))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState maintains running per-user totals across batches") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext

@@ -210,14 +210,22 @@ object Dedup {
     *         docs with no edges are their own cluster and are omitted.
     */
   def dedupClusters(pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
-    // undirected edge list, both directions
+    // undirected edge list, both directions — materialized ONCE: the
+    // upstream pair pipeline (gram joins etc.) must not re-execute per
+    // iteration or per convergence check
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("doc_id"))
       .union(edges.select(col("dst").as("doc_id")))
       .distinct()
       .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint(true)
+    // labels only ever decrease, so the label sum is a strictly
+    // decreasing convergence measure: one aggregate action per round
+    // (materializing the checkpoint) detects the fixpoint for free.
+    var prevSum = labels.agg(sum(col("cluster_id"))).collect()(0).getLong(0)
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
@@ -231,12 +239,10 @@ object Dedup {
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
         .localCheckpoint(true)
-      val changed = next.alias("n")
-        .join(labels.alias("o"), Seq("doc_id"))
-        .where(col("n.cluster_id") =!= col("o.cluster_id"))
-        .limit(1).count() > 0
+      val nextSum = next.agg(sum(col("cluster_id"))).collect()(0).getLong(0)
       labels = next
-      converged = !changed
+      converged = nextSum == prevSum
+      prevSum = nextSum
       i += 1
     }
     labels

@@ -86,17 +86,16 @@ object Similarity {
   }
 
   /** Sign-random-projection bucket id for a vector column: bit i = sign
-    * of dot(v, plane_i). Expressed with built-in higher-order functions
-    * over a literal plane matrix — evaluated once per row, not per pair.
+    * of dot(v, plane_i). Planes are embedded as float array literals and
+    * the dot runs through the codegen'd FloatVecDot — per-row cost is
+    * numPlanes tight loops, no interpreted higher-order functions
+    * (see graft-spark41 HOF note: interpreted HOFs re-evaluate argument
+    * expressions per element).
     */
   def lshBucket(vecCol: Column, planes: Array[Array[Double]]): Column = {
     val bits = planes.zipWithIndex.map { case (p, i) =>
-      val planeLit = array(p.map(lit): _*)
-      val dot = aggregate(
-        zip_with(vecCol, planeLit, (x, y) => x.cast("double") * y),
-        lit(0.0),
-        (acc, x) => acc + x)
-      when(dot >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      val planeLit = lit(p.map(_.toFloat))
+      when(vec_dot(vecCol, planeLit) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }

@@ -209,7 +209,7 @@ object Dedup {
     * @return (doc_id, cluster_id) for every doc appearing in `pairs`;
     *         docs with no edges are their own cluster and are omitted.
     */
-  def dedupClusters(pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
+  def dedupClusters(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
     // undirected edge list, both directions — materialized ONCE: the
     // upstream pair pipeline (gram joins etc.) must not re-execute per
     // iteration or per convergence check
@@ -225,7 +225,9 @@ object Dedup {
     // labels only ever decrease, so the label sum is a strictly
     // decreasing convergence measure: one aggregate action per round
     // (materializing the checkpoint) detects the fixpoint for free.
-    var prevSum = labels.agg(sum(col("cluster_id"))).collect()(0).getLong(0)
+    val firstSum = labels.agg(sum(col("cluster_id"))).collect()(0)
+    if (firstSum.isNullAt(0)) return labels // no pairs -> no clusters
+    var prevSum = firstSum.getLong(0)
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
@@ -234,9 +236,16 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "src"), "src")
         .groupBy(col("dst").as("doc_id"))
         .agg(min(col("cluster_id")).as("nbr_min"))
-      val next = labels.join(viaEdges, Seq("doc_id"), "left")
+      val propagated = labels.join(viaEdges, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"))
+      // pointer jumping: also take my label's label (path halving), so a
+      // chain of length n converges in O(log n) rounds, not O(n)
+      val mapping = propagated.select(col("doc_id").as("m_id"), col("cluster_id").as("m_cl"))
+      val next = propagated.join(mapping, col("cluster_id") === col("m_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("m_cl"), col("cluster_id")))
             .as("cluster_id"))
         .localCheckpoint(true)
       val nextSum = next.agg(sum(col("cluster_id"))).collect()(0).getLong(0)
@@ -245,6 +254,10 @@ object Dedup {
       prevSum = nextSum
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedupClusters did not converge in $maxIterations rounds — " +
+          "raise maxIterations (component diameter exceeds 2^rounds)")
     labels
   }
 

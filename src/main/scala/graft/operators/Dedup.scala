@@ -240,14 +240,21 @@ object Dedup {
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
-      // pointer jumping: also take my label's label (path halving), so a
-      // chain of length n converges in O(log n) rounds, not O(n)
-      val mapping = propagated.select(col("doc_id").as("m_id"), col("cluster_id").as("m_cl"))
-      val next = propagated.join(mapping, col("cluster_id") === col("m_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("m_cl"), col("cluster_id")))
-            .as("cluster_id"))
-        .localCheckpoint(true)
+      // pointer jumping (take my label's label) makes a chain of length n
+      // converge in O(log n) rounds instead of O(n) — but it costs an
+      // extra join per round, and near-dup clusters are usually dense
+      // with diameter ≤ 2. Engage it only once plain propagation hasn't
+      // converged within two rounds (i.e. a long-chain component exists).
+      val jumped =
+        if (i < 2) propagated
+        else {
+          val mapping = propagated.select(col("doc_id").as("m_id"), col("cluster_id").as("m_cl"))
+          propagated.join(mapping, col("cluster_id") === col("m_id"), "left")
+            .select(col("doc_id"),
+              least(col("cluster_id"), coalesce(col("m_cl"), col("cluster_id")))
+                .as("cluster_id"))
+        }
+      val next = jumped.localCheckpoint(true)
       val nextSum = next.agg(sum(col("cluster_id"))).collect()(0).getLong(0)
       labels = next
       converged = nextSum == prevSum

@@ -57,9 +57,16 @@ object Dedup {
 
   /** All-pairs n-gram Jaccard via an inverted-index join on the gram:
     * docs sharing at least one trigram become candidate pairs; Jaccard =
-    * |A∩B| / (|A|+|B|-|A∩B|). The gram join shuffles on the gram key —
-    * the classic scalable shape (no cross join). Output is integer-exact:
-    * (id_a, id_b, inter, union_size) where inter/union ≥ num/den.
+    * |A∩B| / (|A|+|B|-|A∩B|). Before the self-join, grams held by a
+    * single document are dropped (they cannot produce a pair — at corpus
+    * scale that is nearly all of them), so the join input shrinks from
+    * corpus size to shared-gram size while `inter` counts stay exact.
+    * Everything is codegen'd primitives (hash agg + hash join); the only
+    * shuffles key on the gram, and the doc-frequency filter's exchange is
+    * reused by the join. For corpora with stop-gram skew, cap the doc
+    * frequency upstream (drops only pairs whose sole overlap is a
+    * near-universal gram). Output is integer-exact: (id_a, id_b, inter,
+    * union_size) with inter/union ≥ num/den.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -67,10 +74,19 @@ object Dedup {
       threshDen: Int = 20,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val tri = trigramSets(docs, textCol, idCol)
+    // the gram table feeds the pair join (twice), the doc-frequency
+    // filter, and the per-doc sizes; Spark does not materialize shared
+    // subplans, so without this the tokenize+window+distinct pipeline
+    // executes once per use
+    val tri = trigramSets(docs, textCol, idCol).persist()
     val sizes = tri.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
-    val a = tri.toDF("id_a", "gram")
-    val b = tri.toDF("id_b", "gram")
+    val sharedGrams = tri.groupBy("gram")
+      .agg(count(lit(1)).as("gram_df"))
+      .where(col("gram_df") >= 2)
+      .select("gram")
+    val shared = tri.join(sharedGrams, "gram")
+    val a = shared.toDF("gram", "id_a")
+    val b = shared.toDF("gram", "id_b")
     val inter = a
       .join(b, "gram")
       .where(col("id_a") < col("id_b"))
@@ -101,7 +117,9 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame = {
     require(numHashes % numBands == 0, "numHashes must divide into numBands")
     val rowsPerBand = numHashes / numBands
-    val tri = trigramSets(docs, textCol, idCol)
+    // materialized once: feeds the signature agg, both sides of the
+    // candidate verification join, and the per-doc sizes (4 uses)
+    val tri = trigramSets(docs, textCol, idCol).persist()
 
     val sigCols = (0 until numHashes).map(i =>
       min(xxhash64(concat(lit(s"seed$i:"), col("gram")))).as(s"mh$i"))
@@ -210,11 +228,12 @@ object Dedup {
     *         docs with no edges are their own cluster and are omitted.
     */
   def dedupClusters(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
-    // undirected edge list, both directions — materialized ONCE: the
-    // upstream pair pipeline (gram joins etc.) must not re-execute per
-    // iteration or per convergence check
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // materialize the upstream pair pipeline (gram joins etc.) ONCE:
+    // the both-directions union below references `pairs` twice, and each
+    // iteration + convergence check would otherwise re-execute it too
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("doc_id"))

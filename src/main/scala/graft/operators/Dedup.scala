@@ -187,7 +187,9 @@ object Dedup {
       maxHamming: Int = 3,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val sig = simHashSignatures(docs, textCol, idCol)
+    // both sides of the chunk join derive from the signature table; the
+    // 64-bit-sum aggregation would otherwise execute twice
+    val sig = simHashSignatures(docs, textCol, idCol).persist()
 
     val chunks = sig.select(
       col(idCol),

@@ -5,10 +5,11 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line with per-query seconds.
   *
-  * One untimed warmup pass precedes the timed pass so the numbers
-  * measure steady-state engine throughput (whole-stage codegen
-  * compilation and JIT are one-time costs a resident engine amortizes,
-  * not per-query costs).
+  * One untimed warmup pass precedes two timed passes; each query reports
+  * its faster pass. Warmup amortizes one-time costs a resident engine
+  * never pays per query (whole-stage codegen compilation, JIT, parquet
+  * footer caches); the min-of-two damps GC/scheduler jitter, which at
+  * this data scale is of the same order as the shortest queries.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -35,11 +36,14 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
 
-    val results = selected.map { case (name, fn) =>
+    def timedPass(): Map[String, Double] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val p1 = timedPass()
+    val p2 = timedPass()
+    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

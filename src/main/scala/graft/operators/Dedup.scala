@@ -67,18 +67,38 @@ object Dedup {
     * near-universal gram. Output is integer-exact: (id_a, id_b, inter,
     * union_size) with inter/union ≥ num/den.
     */
+  /** @param maxGramDf stop-gram cap: grams held by more than this many
+    *   docs are excluded from pair generation (and from `inter`), which
+    *   bounds the quadratic expansion of hot grams to maxGramDf²/2 rows
+    *   per gram. The default (`Int.MaxValue`) is exact. With a cap, a
+    *   pair is missed only if its entire overlap is near-universal
+    *   grams; `union_size` still counts every gram, so reported Jaccard
+    *   is a lower bound.
+    */
   def ngramJaccardPairs(
       docs: DataFrame,
       threshNum: Int = 1,
       threshDen: Int = 20,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      maxGramDf: Int = Int.MaxValue): DataFrame = {
     // the gram table feeds both the pair expansion AND the per-doc
     // sizes; Spark does not materialize shared subplans, so without
     // persisting, the tokenize+gram pipeline would execute once per use
     val tri = trigramSets(docs, textCol, idCol).persist()
     val sizes = tri.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
-    val byGram = tri
+    // a capped run must drop hot grams BEFORE collecting doc lists (a
+    // near-universal gram would blow up the collecting task otherwise);
+    // the df-filter join keys on gram, so the following groupBy reuses
+    // its partitioning without another exchange
+    val eligible =
+      if (maxGramDf == Int.MaxValue) tri
+      else {
+        val ok = tri.groupBy("gram").agg(count(lit(1)).as("gram_df"))
+          .where(col("gram_df").between(2, maxGramDf)).select("gram")
+        tri.join(ok, "gram")
+      }
+    val byGram = eligible
       .groupBy("gram")
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .where(size(col("ids")) >= 2)

@@ -34,6 +34,33 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(exact._3 == exact._4) // identical docs: inter == union
   }
 
+  test("ngramJaccardPairs maxGramDf drops hot grams from pair generation only") {
+    // docs 0,1,3 share their full overlap; with a cap of 2, grams held
+    // by all three of them (df=3) stop generating pairs, so only pairs
+    // whose overlap includes a df<=2 gram survive. Doc 0 and 3 are
+    // identical (every shared gram has df=3 via doc 1 or df=2... their
+    // unique-together grams have df>=2), so assert the capped result is
+    // a subset of the exact result and the exact pair count is unchanged
+    // at cap = corpus size.
+    val exact = Dedup.ngramJaccardPairs(docs, 1, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cappedSame = Dedup.ngramJaccardPairs(docs, 1, 2, maxGramDf = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedSame == exact)
+    // reported jaccard is a lower bound under a cap (inter loses the
+    // capped grams, union keeps all), so compare at a loose threshold
+    val capped = Dedup.ngramJaccardPairs(docs, 1, 25, maxGramDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactLoose = Dedup.ngramJaccardPairs(docs, 1, 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(exactLoose))
+    // a gram shared by exactly two docs still pairs them: 0-3 share
+    // "and again today" (absent from 1's "tonight" text), df=2
+    assert(capped.contains((0L, 3L)))
+    // pairs whose entire overlap is df=3 grams are the ones dropped
+    assert(!capped.contains((0L, 1L)))
+  }
+
   test("minHashLsh surfaces the exact-dup pair (jaccard 1 collides in every band)") {
     val pairs = Dedup.minHashLsh(docs, 16, 4, 9, 10) // verify at jaccard >= 0.9
       .collect().map(r => (r.getLong(0), r.getLong(1)))

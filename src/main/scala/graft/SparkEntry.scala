@@ -275,6 +275,9 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s, d) =>
       Similarity.lshTopK(rd(s, d, "embeddings"),
         col("vec_id") < 10, col("vec_id") >= 10, 5)),
+    "ann_ivf_topk" -> ((s, d) =>
+      Similarity.ivfTopK(rd(s, d, "embeddings"),
+        col("vec_id") < 10, col("vec_id") >= 10, 5, numCentroids = 16, nProbe = 4)),
 
     // —— training-data pipeline: text analysis ——
     "text_lang_id" -> ((s, d) => TextAnalysis.langId(rd(s, d, "documents"))),

@@ -139,4 +139,83 @@ object Similarity {
       .where(col("rnk") <= k)
       .select("query_id", "neighbor_id", "rnk")
   }
+
+  /** IVF-Flat approximate top-k: the inverted-file architecture every
+    * production vector store uses. Candidates are assigned to their
+    * nearest coarse centroid (the "cell"); each query probes its
+    * `nProbe` nearest cells and ranks exactly (codegen dot) within the
+    * candidates of those cells only. Shuffle volume is one equi-join on
+    * the cell id — ~nProbe/numCentroids of the corpus per query versus
+    * the brute-force |Q|·|C|.
+    *
+    * Centroids are `numCentroids` candidate vectors picked by seeded
+    * hash order and unit-normalized — deterministic, one O(numCentroids
+    * · dim) driver collect (a production pipeline would refine them with
+    * an offline k-means; cell assignment and probing are unchanged).
+    * Cell assignment is an all-builtin argmax: array of codegen'd dots →
+    * `array_max` → `array_position`.
+    */
+  def ivfTopK(
+      emb: DataFrame,
+      queryPred: Column,
+      candPred: Column,
+      k: Int,
+      numCentroids: Int = 16,
+      nProbe: Int = 4,
+      seed: Long = 42L,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(nProbe >= 1 && nProbe <= numCentroids)
+    val n = withNorm(emb, vecCol, idCol)
+    val c0 = n.where(candPred)
+
+    // deterministic coarse centroids: seeded-hash-ordered candidate
+    // vectors, unit-normalized on the driver (tiny, O(numCentroids·dim))
+    val centroids: Array[Array[Float]] = c0
+      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+      .limit(numCentroids)
+      .select(col(vecCol), col("norm"))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Float](0).toArray
+        val nrm = r.getDouble(1)
+        if (nrm == 0.0) v else v.map(x => (x / nrm).toFloat)
+      }
+    require(centroids.nonEmpty, "ivfTopK: no candidate rows to index")
+
+    // cosine of a row vector against every centroid (centroids are unit
+    // vectors, so dot/norm is the cosine)
+    def cellDots(vec: Column, norm: Column): Column =
+      array(centroids.map(ct => vec_dot(vec, lit(ct)) / norm): _*)
+
+    val cand = c0.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      col("norm").as("c_norm"),
+      // argmax cell: 1-based position of the max dot (ties -> first)
+      array_position(cellDots(col(vecCol), col("norm")),
+        array_max(cellDots(col(vecCol), col("norm")))).as("cell"))
+
+    // query side probes its nProbe nearest cells: sort (−dot, cell idx)
+    // structs ascending, slice nProbe, explode
+    val q0 = n.where(queryPred)
+    val probeCells = slice(
+      array_sort(array(centroids.indices.map(i =>
+        struct((vec_dot(col(vecCol), lit(centroids(i))) / col("norm")).unary_-.as("neg"),
+          lit(i + 1L).as("cell"))): _*)),
+      1, nProbe)
+    val q = q0.select(
+      col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      col("norm").as("q_norm"),
+      explode(probeCells).as("probe"))
+      .select(col("query_id"), col("q_vec"), col("q_norm"),
+        col("probe.cell").as("cell"))
+
+    val cos = vec_dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))
+    q.join(cand, "cell")
+      .select(col("query_id"), col("neighbor_id"), cos.as("cosine"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))))
+      .where(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk")
+  }
 }

@@ -40,4 +40,28 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     val recall = (brute & lsh).size.toDouble / brute.size
     assert(recall >= 0.5, s"recall=$recall")
   }
+
+  test("ivfTopK achieves high recall vs brute force on clustered data") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(3)
+    val dim = 16
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val rows = (0 until 200).map { i =>
+      val c = centers(i % 8)
+      (i.toLong + 100L, c.map(v => v + 0.1f * rnd.nextGaussian().toFloat))
+    } ++ (0 until 8).map(i => (i.toLong, centers(i).map(v => v + 0.05f * rnd.nextGaussian().toFloat)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(emb, col("vec_id") < 8, col("vec_id") >= 8, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, col("vec_id") < 8, col("vec_id") >= 8, 5,
+      numCentroids = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.6, s"recall=$recall")
+    // nProbe = numCentroids probes every cell -> exact
+    val full = Similarity.ivfTopK(emb, col("vec_id") < 8, col("vec_id") >= 8, 5,
+      numCentroids = 16, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == brute)
+  }
 }

@@ -1,0 +1,126 @@
+package graft.aqi
+
+import java.io.{BufferedWriter, FileWriter}
+import java.nio.file.{Files, Paths}
+import java.time.Instant
+
+import org.apache.spark.sql.SparkSession
+
+/** Reference-scale throughput benchmark for the AQI pipeline.
+  *
+  * The reference's implied operational volume is ~10⁶ measurement rows
+  * per daily run (3 annual EPA files, SURVEY §6) processed row-at-a-time
+  * (1–2 Postgres round trips per upserted row, `stage_to_nds.py:141-176`)
+  * on a 4 GB / 2-CPU floor. This main synthesizes that corpus shape
+  * (3 CSV files, ~3,000-county dimension, 51 states), runs one full
+  * initial load, then an incremental run over a 10% delta (half updates
+  * to existing business keys, half new rows), and prints one JSON line
+  * with rows/second for both phases.
+  *
+  *   sbt "runMain graft.aqi.AqiBench [rows] [workDir]"
+  *
+  * Generation is seeded and single-pass on the driver (~100 MB of CSV —
+  * source files are external inputs, not engine work).
+  */
+object AqiBench {
+
+  private val Params = Array("Ozone", "PM2.5", "PM10", "CO", "NO2")
+
+  def main(args: Array[String]): Unit = {
+    val totalRows = (args.headOption.map(_.toInt).getOrElse(1000000) / 3) * 3
+    val work = args.lift(1).getOrElse(
+      Files.createTempDirectory("aqi-bench").toString)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val srcA = s"$work/srcA"; val srcB = s"$work/srcB"; val wh = s"$work/wh"
+    Files.createDirectories(Paths.get(srcA)); Files.createDirectories(Paths.get(srcB))
+
+    // state_code and state_id are FUNCTIONS of state_name (as in the EPA
+    // data) — breaking that dependency makes the state dim multi-row per
+    // state and cascades multiplicatively through the dim merges
+    val rnd = new scala.util.Random(42)
+    val states = (1 to 51).map(i => f"State$i%02d")
+    val counties = (0 until 3000).map { i =>
+      val stateIdx = i % states.length
+      (f"County$i%04d", states(stateIdx), f"${10000 + i}%05d", stateIdx)
+    }
+    writeCounties(s"$srcA/uscounties.csv", counties)
+    writeCounties(s"$srcB/uscounties.csv", counties)
+
+    // —— initial corpus: totalRows rows across 3 files, ts ≈ t0 ——
+    val t0 = "2026-01-01"
+    var key = 0
+    for (f <- 0 until 3) {
+      val w = csv(s"$srcA/10_state_aqi_202$f.csv")
+      for (_ <- 0 until totalRows / 3) {
+        w.write(row(counties, rnd, key, t0, t0)); key += 1
+      }
+      w.close()
+    }
+
+    // —— delta corpus: 10% volume, last_updated ≈ t1 (inside run 2's
+    // CET/LSET window); updates keep created = t0 so measured_date —
+    // which derives from created — matches the existing business key ——
+    val t1 = "2026-01-03"
+    val deltaRows = totalRows / 10
+    val initialKeys = key // updates must target run-A keys (same created day)
+    val wB = csv(s"$srcB/10_state_aqi_2024.csv")
+    for (i <- 0 until deltaRows) {
+      if (i % 2 == 0) wB.write(row(counties, rnd, rnd.nextInt(initialKeys), t0, t1)) // update
+      else { wB.write(row(counties, rnd, key, t1, t1)); key += 1 } // new
+    }
+    wB.close()
+
+    val run1 = timed { Pipeline.run(spark, srcA, wh, Instant.parse("2026-01-02T00:00:00Z")) }
+    val run2 = timed { Pipeline.run(spark, srcB, wh, Instant.parse("2026-01-04T00:00:00Z")) }
+
+    val nds = graft.sources.Warehouse.read(spark, wh, Pipeline.MeasurementNdsT).count()
+    println(s"""{"metric":"aqi_pipeline","initial_rows":$totalRows,"initial_sec":$run1,""" +
+      s""""initial_rows_per_sec":${(totalRows / run1).toLong},"delta_rows":$deltaRows,""" +
+      s""""delta_sec":$run2,"delta_rows_per_sec":${(deltaRows / run2).toLong},""" +
+      s""""measurement_nds_rows":$nds}""")
+    spark.stop()
+  }
+
+  private def timed(f: => Unit): Double = {
+    val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+  }
+
+  private def csv(path: String): BufferedWriter = {
+    val w = new BufferedWriter(new FileWriter(path), 1 << 20)
+    w.write("State Name,county Name,State Code,County Code,Date,AQI,Category," +
+      "Defining Parameter,Defining Site,Number of Sites Reporting,Created,Last Updated\n")
+    w
+  }
+
+  /** One measurement row; the business key (measured_date [from
+    * Created], defining_parameter, defining_site) is a bijection of
+    * `key`, so update rows hit exactly their prior version.
+    */
+  private def row(counties: IndexedSeq[(String, String, String, Int)],
+      rnd: scala.util.Random, key: Int, createdDay: String, updatedDay: String): String = {
+    val (county, state, _, stateIdx) = counties(key % counties.length)
+    val site = s"site-${key / Params.length}"
+    val param = Params(key % Params.length)
+    val aqi = rnd.nextInt(350)
+    s"$state,$county,${stateIdx + 1},${key % 200},1999-01-01,$aqi,Bogus,$param,$site,5," +
+      s"$createdDay 10:00:00,$updatedDay 12:00:00\n"
+  }
+
+  private def writeCounties(path: String, cs: Seq[(String, String, String, Int)]): Unit = {
+    val w = new BufferedWriter(new FileWriter(path), 1 << 20)
+    w.write("county,county_ascii,county_full,county_fips,state_id,state_name,lat,lng,population\n")
+    cs.foreach { case (county, state, fips, stateIdx) =>
+      w.write(s"$county,$county,$county County,$fips,S$stateIdx,$state,40.0,-100.0,50000\n")
+    }
+    w.close()
+  }
+}

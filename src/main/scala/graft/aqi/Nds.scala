@@ -30,8 +30,16 @@ object Nds {
       skCol: String,
       orderBy: Seq[String],
       maxOverride: Option[Long] = None): DataFrame = {
-    val existing = df.filter(col(skCol).isNotNull)
-    val inserted = df.filter(col(skCol).isNull)
+    // materialize the merge output once: it is referenced three times
+    // below (max-key action, existing branch, inserted branch) and, in
+    // mergeCounties, again by the anti-join subqueries of the next
+    // insert step — without the barrier each action re-executes the
+    // whole upstream merge plan and Catalyst re-optimizes an ever-deeper
+    // nest (measured 4× slowdown on the county chain). The checkpoint is
+    // at most the merged table slice the caller is about to write anyway.
+    val mat = df.localCheckpoint(true)
+    val existing = mat.filter(col(skCol).isNotNull)
+    val inserted = mat.filter(col(skCol).isNull)
     val mx = maxOverride.getOrElse(
       existing.agg(coalesce(max(col(skCol)), lit(0L))).collect()(0).getLong(0))
     existing.unionByName(

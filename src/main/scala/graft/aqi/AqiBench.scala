@@ -55,40 +55,80 @@ object AqiBench {
     writeCounties(s"$srcA/uscounties.csv", counties)
     writeCounties(s"$srcB/uscounties.csv", counties)
 
-    // —— initial corpus: totalRows rows across 3 files, ts ≈ t0 ——
-    val t0 = "2026-01-01"
+    // —— initial corpus: totalRows rows across 3 files. `created` (and
+    // therefore measured_date, which the pipeline derives from it)
+    // spreads over ~NumDays days as a function of the key, so the
+    // date-partitioned fact layout has realistic cardinality ——
     var key = 0
+    val rowsPerDay = math.max(1, totalRows / NumDays)
+    def createdDay(k: Int): String = dayString(k / rowsPerDay)
     for (f <- 0 until 3) {
       val w = csv(s"$srcA/10_state_aqi_202$f.csv")
       for (_ <- 0 until totalRows / 3) {
-        w.write(row(counties, rnd, key, t0, t0)); key += 1
+        w.write(row(counties, rnd, key, createdDay(key), "2026-01-01")); key += 1
       }
       w.close()
     }
 
     // —— delta corpus: 10% volume, last_updated ≈ t1 (inside run 2's
-    // CET/LSET window); updates keep created = t0 so measured_date —
-    // which derives from created — matches the existing business key ——
+    // CET/LSET window). Updates keep their key's original created day —
+    // measured_date derives from created, so the business key matches —
+    // and cluster in the most recent 30 days (the EPA restates recent
+    // data), so a partition-scoped merge touches ~30 of ~NumDays
+    // partitions. New rows land on fresh days ——
     val t1 = "2026-01-03"
     val deltaRows = totalRows / 10
-    val initialKeys = key // updates must target run-A keys (same created day)
+    val initialKeys = key
+    val recentStart = math.max(0, initialKeys - 30 * rowsPerDay)
     val wB = csv(s"$srcB/10_state_aqi_2024.csv")
     for (i <- 0 until deltaRows) {
-      if (i % 2 == 0) wB.write(row(counties, rnd, rnd.nextInt(initialKeys), t0, t1)) // update
-      else { wB.write(row(counties, rnd, key, t1, t1)); key += 1 } // new
+      if (i % 2 == 0) {
+        val k = recentStart + rnd.nextInt(initialKeys - recentStart)
+        wB.write(row(counties, rnd, k, createdDay(k), t1)) // update, recent day
+      } else { wB.write(row(counties, rnd, key, t1, t1)); key += 1 } // new
     }
     wB.close()
 
+    // —— flat layout (reference scale): full merge + full overwrite ——
     val run1 = timed { Pipeline.run(spark, srcA, wh, Instant.parse("2026-01-02T00:00:00Z")) }
     val run2 = timed { Pipeline.run(spark, srcB, wh, Instant.parse("2026-01-04T00:00:00Z")) }
-
     val nds = graft.sources.Warehouse.read(spark, wh, Pipeline.MeasurementNdsT).count()
+
+    // —— date-partitioned layout (100 TB path): the delta merge reads
+    // and rewrites only the ~31 touched date partitions ——
+    val whP = s"$work/whP"
+    val p1 = timed { Pipeline.run(spark, srcA, whP,
+      Instant.parse("2026-01-02T00:00:00Z"), partitionedFacts = true) }
+    val p2 = timed { Pipeline.run(spark, srcB, whP,
+      Instant.parse("2026-01-04T00:00:00Z"), partitionedFacts = true) }
+    val ndsP = graft.sources.Warehouse.read(spark, whP, Pipeline.MeasurementNdsT).count()
+    require(ndsP == nds, s"layouts disagree: flat=$nds partitioned=$ndsP")
+
+    // I/O locality of the partitioned delta: rows living in the date
+    // partitions the delta touched = what the scoped merge read+rewrote
+    // (the flat layout reads+rewrites the whole table). The wall-clock
+    // win tracks this ratio once partitions outgrow file-op overhead.
+    val deltaDates = graft.sources.Warehouse.read(spark, whP, Pipeline.StateAqiStage)
+      .select("measured_date").distinct()
+    val rewritten = graft.sources.Warehouse.read(spark, whP, Pipeline.MeasurementNdsT)
+      .join(deltaDates, Seq("measured_date"), "left_semi").count()
+
     println(s"""{"metric":"aqi_pipeline","initial_rows":$totalRows,"initial_sec":$run1,""" +
       s""""initial_rows_per_sec":${(totalRows / run1).toLong},"delta_rows":$deltaRows,""" +
       s""""delta_sec":$run2,"delta_rows_per_sec":${(deltaRows / run2).toLong},""" +
+      s""""partitioned_initial_sec":$p1,"partitioned_delta_sec":$p2,""" +
+      s""""partitioned_delta_rows_rewritten":$rewritten,""" +
       s""""measurement_nds_rows":$nds}""")
     spark.stop()
   }
+
+  /** ~3 years of distinct measured dates, like the reference's 3 annual
+    * extracts.
+    */
+  private val NumDays = 1000
+
+  private def dayString(d: Int): String =
+    java.time.LocalDate.of(2021, 1, 1).plusDays(d % NumDays).toString
 
   private def timed(f: => Unit): Double = {
     val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9

@@ -20,10 +20,27 @@ import graft.operators.{Merge, MergeSpec}
   */
 object Nds {
 
+  /** Inserted-row count above which surrogate assignment switches from
+    * the single-partition global window to the range-partitioned
+    * zipWithIndex path.
+    */
+  private val SurrogateWindowMax = 100000L
+
   /** Surrogate-key assignment for rows the merge inserted (sk IS NULL):
     * dense keys continuing from the current max, ordered by the business
     * key (replaces the reference's Postgres sequences — deterministic
     * across runs, unlike `monotonically_increasing_id`).
+    *
+    * Small inserts (dims, daily deltas) rank with one global window.
+    * Large inserts (fact backfills) would funnel through a single
+    * partition that way, so they instead range-repartition on the order
+    * key, sort within partitions, and `zipWithIndex` — the same dense
+    * sequence in the same order, with no single-partition stage. The
+    * index is deterministic as long as `orderBy` is a unique key (range
+    * boundaries may vary between runs, but concatenating internally
+    * sorted, ordered ranges reproduces the one global order) — true for
+    * every caller: dims rank on their natural key, measurements on the
+    * deduped business key.
     */
   private def fillSurrogate(
       df: DataFrame,
@@ -42,9 +59,25 @@ object Nds {
     val inserted = mat.filter(col(skCol).isNull)
     val mx = maxOverride.getOrElse(
       existing.agg(coalesce(max(col(skCol)), lit(0L))).collect()(0).getLong(0))
-    existing.unionByName(
-      inserted.withColumn(skCol,
-        row_number().over(Window.orderBy(orderBy.map(col): _*)) + lit(mx)))
+    val insertedCnt = inserted.count() // cheap: `mat` is materialized
+    val keyed =
+      if (insertedCnt <= SurrogateWindowMax)
+        inserted.withColumn(skCol,
+          row_number().over(Window.orderBy(orderBy.map(col): _*)) + lit(mx))
+      else {
+        val spark = df.sparkSession
+        val ordered = inserted
+          .repartitionByRange(orderBy.map(col): _*)
+          .sortWithinPartitions(orderBy.map(col): _*)
+        val schema = ordered.schema
+        val skIdx = schema.fieldIndex(skCol)
+        val indexed = ordered.rdd.zipWithIndex().map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(
+            r.toSeq.updated(skIdx, mx + i + 1L))
+        }
+        spark.createDataFrame(indexed, schema)
+      }
+    existing.unionByName(keyed)
   }
 
   /** U1 (`stage_to_nds.py:9-47`): full-outer union of the state universes

@@ -24,7 +24,7 @@ object Nds {
     * the single-partition global window to the range-partitioned
     * zipWithIndex path.
     */
-  private val SurrogateWindowMax = 100000L
+  private[aqi] val SurrogateWindowMax = 100000L
 
   /** Surrogate-key assignment for rows the merge inserted (sk IS NULL):
     * dense keys continuing from the current max, ordered by the business
@@ -42,7 +42,7 @@ object Nds {
     * every caller: dims rank on their natural key, measurements on the
     * deduped business key.
     */
-  private def fillSurrogate(
+  private[aqi] def fillSurrogate(
       df: DataFrame,
       skCol: String,
       orderBy: Seq[String],

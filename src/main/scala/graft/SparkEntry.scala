@@ -218,6 +218,17 @@ object SparkEntry {
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
             .as("revenue"))
     }),
+    "q_part_brand" -> ((s, d) => {
+      val p = rd(s, d, "part")
+      val l = rd(s, d, "lineitem")
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum("l_quantity").as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            .as("revenue"))
+    }),
     "w1_topn_per_group" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -439,6 +450,10 @@ object SparkEntry {
         "round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue " +
         "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey " +
         "JOIN lineitem l ON l.l_orderkey = o.o_orderkey GROUP BY c_mktsegment"),
+    "q_part_brand" ->
+      ("SELECT p_brand, count(*) AS n_lines, sum(l_quantity) AS sum_qty, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand"),
     "w1_topn_per_group" ->
       ("SELECT o_custkey, o_orderkey, o_totalprice FROM (SELECT o_custkey, o_orderkey, o_totalprice, " +
         "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t WHERE rn = 1"),

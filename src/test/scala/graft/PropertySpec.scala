@@ -66,6 +66,52 @@ class PropertySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("property: nGramSets matches a reference implementation on random docs") {
+    val s = spark; import s.implicits._
+    val word = Gen.oneOf("the", "fox", "ran", "over", "a", "dog", "and", "cat")
+    val docGen = Gen.chooseNum(0, 7).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    for (n <- Seq(1, 2, 3)) {
+      val texts = samples(docGen, 60)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      def refGrams(t: String): Set[String] = {
+        val toks = t.trim.toLowerCase.split("\\s+").toSeq
+        if (toks.length < n) Set.empty else toks.sliding(n).map(_.mkString(" ")).toSet
+      }
+      val got = Dedup.nGramSets(docs, n).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val expected = refGrams(t)
+        assert(got.getOrElse(i.toLong, Set.empty) == expected, s"n=$n doc=$i text='$t'")
+      }
+    }
+  }
+
+  test("property: ngramJaccardPairs is ordered, symmetric-free, and threshold-exact") {
+    val s = spark; import s.implicits._
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val docGen = Gen.chooseNum(3, 8).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val texts = samples(docGen, 25)
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(docs, 1, 10).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    got.keys.foreach { case (a, b) => assert(a < b) }
+    // brute-force reference over all pairs
+    def grams(t: String): Set[String] = {
+      val toks = t.trim.toLowerCase.split("\\s+").toSeq
+      if (toks.length < 3) Set.empty else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val gsets = texts.map(grams)
+    for (a <- texts.indices; b <- texts.indices if a < b) {
+      val inter = (gsets(a) & gsets(b)).size
+      val union = (gsets(a) | gsets(b)).size
+      val expectPair = inter > 0 && inter * 10 >= union * 1
+      val gotPair = got.get((a.toLong, b.toLong))
+      assert(gotPair.isDefined == expectPair, s"pair ($a,$b) inter=$inter union=$union")
+      gotPair.foreach { case (i2, u2) => assert(i2 == inter && u2 == union) }
+    }
+  }
+
   test("rolling_hash matches a reference implementation and is deterministic") {
     val s = spark; import s.implicits._
     def ref(str: String, base: Long = 1315423911L): Long =

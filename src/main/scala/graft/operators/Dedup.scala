@@ -254,20 +254,26 @@ object Dedup {
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .localCheckpoint(true)
+    // labels only ever decrease, so the label sum is a strictly
+    // decreasing convergence measure. It rides each checkpoint's
+    // materialization job as an observed metric — zero extra actions
+    // per round.
+    def checkpointWithSum(df: DataFrame): (DataFrame, Option[Long]) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = df.observe(obs, sum(col("cluster_id")).as("s")).localCheckpoint(true)
+      (ck, Option(obs.get("s")).map(_.asInstanceOf[Long]))
+    }
     // seed each node with the min over itself and its direct neighbors —
     // one aggregation over the edge list, equivalent to a free first
     // propagation round (edges are bidirectional, so min(src) per dst
     // covers the whole neighborhood)
-    var labels = edges
-      .groupBy(col("dst").as("doc_id"))
-      .agg(least(min(col("src")), col("dst")).as("cluster_id"))
-      .localCheckpoint(true)
-    // labels only ever decrease, so the label sum is a strictly
-    // decreasing convergence measure: one aggregate action per round
-    // (materializing the checkpoint) detects the fixpoint for free.
-    val firstSum = labels.agg(sum(col("cluster_id"))).collect()(0)
-    if (firstSum.isNullAt(0)) return labels // no pairs -> no clusters
-    var prevSum = firstSum.getLong(0)
+    val (labels0, firstSum) = checkpointWithSum(
+      edges
+        .groupBy(col("dst").as("doc_id"))
+        .agg(least(min(col("src")), col("dst")).as("cluster_id")))
+    var labels = labels0
+    if (firstSum.isEmpty) return labels // no pairs -> no clusters
+    var prevSum = firstSum.get
     var converged = false
     var i = 0
     // one min-label propagation step: each node takes the min over its
@@ -283,9 +289,9 @@ object Dedup {
             .as("cluster_id"))
     }
     while (!converged && i < maxIterations) {
-      // two propagation steps per materialization: the checkpoint + agg
-      // actions dominate round cost at the small end, and a deeper lazy
-      // plan between checkpoints is free
+      // two propagation steps per materialization: the checkpoint action
+      // dominates round cost at the small end, and a deeper lazy plan
+      // between checkpoints is free
       val propagated = propagate(propagate(labels))
       // pointer jumping (take my label's label) makes a chain of length n
       // converge in O(log n) rounds instead of O(n) — but it costs an
@@ -302,8 +308,8 @@ object Dedup {
               least(col("cluster_id"), coalesce(col("m_cl"), col("cluster_id")))
                 .as("cluster_id"))
         }
-      val next = jumped.localCheckpoint(true)
-      val nextSum = next.agg(sum(col("cluster_id"))).collect()(0).getLong(0)
+      val (next, sumOpt) = checkpointWithSum(jumped)
+      val nextSum = sumOpt.get
       labels = next
       converged = nextSum == prevSum
       prevSum = nextSum

@@ -64,6 +64,42 @@ object Streams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  /** Streaming SCD-1 upsert sink: every micro-batch merges into a
+    * warehouse table through the same join-based [[graft.operators
+    * .Merge.scd1]] the batch pipeline uses, then atomically swaps the
+    * table — the `foreachBatch` upsert pattern for engines without a
+    * transactional MERGE sink. Idempotent per batch (re-running an
+    * unchanged batch only moves the audit columns), so exactly-once
+    * table state follows from the source's replay tracking plus the
+    * atomic overwrite.
+    *
+    * Returns the started query; caller picks the trigger via
+    * `.writeStream` options upstream if needed (default AvailableNow).
+    */
+  def upsertStream(
+      stream: DataFrame,
+      warehouseDir: String,
+      table: String,
+      spec: graft.operators.MergeSpec,
+      checkpointPath: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.sources.Warehouse
+    val schema = stream.schema
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val target = Warehouse.readOrEmpty(spark, warehouseDir, table, schema)
+        val merged = graft.operators.Merge.scd1(
+          target, batch, spec, current_timestamp())
+        Warehouse.overwrite(merged, warehouseDir, table)
+      }
+      .start()
+  }
+
   // ---- custom state: running per-user aggregates via mapGroupsWithState
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,

@@ -112,4 +112,29 @@ class StreamsSpec extends AnyFunSuite with SparkTest {
       assert(last.getAs[Double]("sum_value") == 4.0)
     } finally q.stop()
   }
+
+  test("upsertStream merges each micro-batch into the warehouse table") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory("stream-upsert-wh").toString
+    val cp = java.nio.file.Files.createTempDirectory("stream-upsert-cp").toString
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("k", "v")
+    val q = Streams.upsertStream(stream, wh, "t",
+      graft.operators.MergeSpec(Seq("k"), Seq("v")), cp,
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      val first = graft.sources.Warehouse.read(s, wh, "t").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(first == Map(1L -> "a", 2L -> "b"))
+
+      input.addData((2L, "B"), (3L, "c")) // update + insert
+      q.processAllAvailable()
+      val second = graft.sources.Warehouse.read(s, wh, "t").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(second == Map(1L -> "a", 2L -> "B", 3L -> "c"))
+    } finally q.stop()
+  }
 }

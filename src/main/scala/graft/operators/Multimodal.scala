@@ -104,6 +104,24 @@ object Multimodal {
     media.filter(_.kind == "video").flatMap(m => decoder.sampleFrames(m, everyN))
   }
 
+  /** Resize every media row's payload, batched per partition (one
+    * decoder per partition, streaming iterator — same shape as
+    * [[extractFeatures]]). Metadata records the target dims.
+    */
+  def resizeAll(
+      media: Dataset[Media],
+      w: Int,
+      h: Int,
+      decoder: MediaDecoder = StubDecoder): Dataset[Media] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val d = decoder
+      it.map(m => m.copy(
+        bytes = d.resize(m, w, h),
+        meta = m.meta + ("width" -> w.toString) + ("height" -> h.toString)))
+    }
+  }
+
   /** Pure-SQL byte statistics — no decoder needed, stays in codegen. */
   def byteStats(mediaDf: DataFrame): DataFrame =
     mediaDf.select(

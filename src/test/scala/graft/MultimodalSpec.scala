@@ -52,4 +52,14 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
     val reassembled = frames.sortBy(_.frame_idx)
     assert(reassembled.head.bytes.nonEmpty)
   }
+
+  test("resizeAll bounds payloads and records target dims in metadata") {
+    val ds = Multimodal.fromText(media, "doc_id", "text", "image")
+    val resized = Multimodal.resizeAll(ds, 4, 3).collect()
+    assert(resized.length == 3)
+    resized.foreach { m =>
+      assert(m.bytes.length <= 4 * 3)
+      assert(m.meta("width") == "4" && m.meta("height") == "3")
+    }
+  }
 }

@@ -44,4 +44,23 @@ class ScaleSpec extends AnyFunSuite with SparkTest {
     val exchanges = exec.collectWithSubqueries { case e: Exchange => e }
     assert(exchanges.isEmpty, s"expected shuffle-free bucketed join, got:\n$exec")
   }
+
+  test("partitioned layout prunes partitions at the scan") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("layout-part").toString + "/t"
+    val df = (1 to 1000).map(i => (i.toLong, s"d${i % 10}")).toDF("v", "day")
+    Layout.writePartitioned(df, dir, Seq("day"))
+    val q = s.read.parquet(dir).where($"day" === "d3")
+    assert(q.count() == 100)
+    val scans = q.queryExecution.executedPlan.collectWithSubqueries {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }
+    assert(scans.nonEmpty)
+    val scan = scans.head
+    // the scan's file listing must be restricted to the one matching
+    // partition directory — pruning happened at planning, not as a filter
+    assert(scan.partitionFilters.nonEmpty, "no partition filters on the scan")
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"expected exactly one pruned partition, got ${scan.selectedPartitions.partitionCount}")
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
-import graft.functions.{aqiCategory, occurrences, tokens, vec_dot}
+import graft.functions.aqiCategory
 import graft.operators.{Dedup, Events, Merge, MergeSpec, Similarity, TextAnalysis}
 
 /** Driver contract: one `queries` entry per implemented operator from

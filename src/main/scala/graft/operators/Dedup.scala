@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.{cosineSim, tokens, vec_dot, wordNGrams}
+import graft.functions.{tokens, vec_dot, wordNGrams}
 
 /** Document deduplication operators for large-scale training-data
   * pipelines: exact, n-gram Jaccard, MinHash+LSH, SimHash, and
@@ -62,12 +62,12 @@ object Dedup {
     * measured 1.6× faster than the textbook inverted-index self-join,
     * which shuffles two branches and filters half its output away. A hot
     * gram held by k docs expands k²/2 pairs in one task — for corpora
-    * with stop-gram skew, cap the doc frequency (`where size(ids) <=
-    * cap`) upstream; that drops only pairs whose sole overlap is a
-    * near-universal gram. Output is integer-exact: (id_a, id_b, inter,
+    * with stop-gram skew, set `maxGramDf`; that drops only pairs whose
+    * sole overlap is a near-universal gram.
+    * Output is integer-exact: (id_a, id_b, inter,
     * union_size) with inter/union ≥ num/den.
-    */
-  /** @param maxGramDf stop-gram cap: grams held by more than this many
+    *
+    * @param maxGramDf stop-gram cap: grams held by more than this many
     *   docs are excluded from pair generation (and from `inter`), which
     *   bounds the quadratic expansion of hot grams to maxGramDf²/2 rows
     *   per gram. The default (`Int.MaxValue`) is exact. With a cap, a

@@ -188,12 +188,15 @@ object Similarity {
     def cellDots(vec: Column, norm: Column): Column =
       array(centroids.map(ct => vec_dot(vec, lit(ct)) / norm): _*)
 
+    // materialize the dot array in its own projection so the argmax
+    // reads a column instead of evaluating numCentroids dots twice
     val cand = c0.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
       col("norm").as("c_norm"),
-      // argmax cell: 1-based position of the max dot (ties -> first)
-      array_position(cellDots(col(vecCol), col("norm")),
-        array_max(cellDots(col(vecCol), col("norm")))).as("cell"))
+      cellDots(col(vecCol), col("norm")).as("__dots"))
+      .select(col("neighbor_id"), col("c_vec"), col("c_norm"),
+        // argmax cell: 1-based position of the max dot (ties -> first)
+        array_position(col("__dots"), array_max(col("__dots"))).as("cell"))
 
     // query side probes its nProbe nearest cells: sort (−dot, cell idx)
     // structs ascending, slice nProbe, explode

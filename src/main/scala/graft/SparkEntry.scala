@@ -259,6 +259,15 @@ object SparkEntry {
     "e1_tumbling" -> ((s, d) => Events.tumblingHourly(rd(s, d, "events"))),
     "e2_sliding" -> ((s, d) => Events.slidingHourly(rd(s, d, "events"))),
     "e3_session" -> ((s, d) => Events.sessionize(rd(s, d, "events"))),
+    "e4_json_props" -> ((s, d) =>
+      // semi-structured handling: extract an int field from the JSON
+      // props payload and profile it per event type
+      rd(s, d, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))),
 
     // —— training-data pipeline: dedup ——
     "dedup_exact" -> ((s, d) => Dedup.exact(rd(s, d, "documents"))),
@@ -286,6 +295,21 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s, d) =>
       Similarity.lshTopK(rd(s, d, "embeddings"),
         col("vec_id") < 10, col("vec_id") >= 10, 5)),
+    "knn_label_vote" -> ((s, d) => {
+      // auto-labeling: each query vector takes the majority label of its
+      // 5 nearest candidates (ties: most votes, then smallest label)
+      val emb = rd(s, d, "embeddings")
+      val topk = Similarity.bruteForceTopK(emb, col("vec_id") < 10, col("vec_id") >= 10, 5)
+      val labels = emb.select(col("vec_id").as("neighbor_id"), col("label"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("votes").desc, col("label"))
+      topk.join(labels, "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("vr", row_number().over(w))
+        .where(col("vr") === 1)
+        .select(col("query_id"), col("label").as("pred_label"))
+    }),
     "ann_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(rd(s, d, "embeddings"),
         col("vec_id") < 10, col("vec_id") >= 10, 5, numCentroids = 16, nProbe = 4)),
@@ -493,6 +517,19 @@ object SparkEntry {
       ("SELECT query_id, neighbor_id, rnk FROM (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, " +
         "CAST(row_number() OVER (PARTITION BY a.vec_id ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS INT) AS rnk " +
         "FROM embeddings a JOIN embeddings b ON b.vec_id >= 10 WHERE a.vec_id < 10) t WHERE rnk <= 5"),
+    "knn_label_vote" ->
+      ("WITH topk AS (SELECT query_id, neighbor_id FROM (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, " +
+        "row_number() OVER (PARTITION BY a.vec_id ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS rnk " +
+        "FROM embeddings a JOIN embeddings b ON b.vec_id >= 10 WHERE a.vec_id < 10) t WHERE rnk <= 5), " +
+        "votes AS (SELECT k.query_id, e.label, count(*) AS votes FROM topk k JOIN embeddings e ON e.vec_id = k.neighbor_id GROUP BY 1, 2) " +
+        "SELECT query_id, label AS pred_label FROM (SELECT query_id, label, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS vr FROM votes) v WHERE vr = 1"),
+    "e4_json_props" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k, " +
+        "min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k, " +
+        "max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k " +
+        "FROM events GROUP BY event_type"),
     "ann_topk_agg" ->
       ("SELECT query_id, neighbor_id, rnk FROM (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, " +
         "CAST(row_number() OVER (PARTITION BY a.vec_id ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS INT) AS rnk " +

@@ -270,6 +270,17 @@ object SparkEntry {
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))),
 
     // —— training-data pipeline: dedup ——
+    "text_source_profile" -> ((s, d) =>
+      // corpus profile per ingestion source: doc counts, declared-size
+      // stats, and how many docs' declared n_chars disagrees with the
+      // actual text length (a data-quality signal)
+      rd(s, d, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          count(when(col("n_chars") =!= length(col("text")), 1)).as("n_mismatched"))),
     "dedup_exact" -> ((s, d) => Dedup.exact(rd(s, d, "documents"))),
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(rd(s, d, "documents"), 1, 20)),
@@ -524,6 +535,11 @@ object SparkEntry {
         "votes AS (SELECT k.query_id, e.label, count(*) AS votes FROM topk k JOIN embeddings e ON e.vec_id = k.neighbor_id GROUP BY 1, 2) " +
         "SELECT query_id, label AS pred_label FROM (SELECT query_id, label, " +
         "row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS vr FROM votes) v WHERE vr = 1"),
+    "text_source_profile" ->
+      ("SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "min(n_chars) AS min_chars, max(n_chars) AS max_chars, " +
+        "count(CASE WHEN n_chars <> length(text) THEN 1 END) AS n_mismatched " +
+        "FROM documents GROUP BY source"),
     "e4_json_props" ->
       ("SELECT event_type, count(*) AS n, " +
         "CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k, " +

@@ -246,12 +246,15 @@ object Dedup {
     *         docs with no edges are their own cluster and are omitted.
     */
   def dedupClusters(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
-    // materialize the upstream pair pipeline (gram joins etc.) ONCE:
-    // the both-directions union below references `pairs` twice, and each
-    // iteration + convergence check would otherwise re-execute it too
-    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
-    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // bidirectional edge list in ONE pass over the pair pipeline: each
+    // pair row explodes into both directions (a union of two selects
+    // would execute the upstream gram joins twice), materialized once so
+    // iterations and convergence checks never re-run it
+    val edges = pairs
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .localCheckpoint(true)
     // labels only ever decrease, so the label sum is a strictly

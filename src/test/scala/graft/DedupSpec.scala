@@ -78,6 +78,18 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(pairs.contains((0L, 3L)))
   }
 
+  test("dedupClusters converges in O(log n) rounds on a 1000-node chain") {
+    val s = spark; import s.implicits._
+    // worst case for plain propagation: a single path graph — the min
+    // label must travel 999 hops; pointer jumping must cover it well
+    // inside maxIterations (each round = 2 propagations + a jump)
+    val chain = (0L until 999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.dedupClusters(chain, maxIterations = 20).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 1000)
+    assert(got.forall(_._2 == 0L), "every node must reach the chain head's label")
+  }
+
   test("dedupClusters: min-label connected components over pair edges") {
     val s = spark; import s.implicits._
     // components: {1,2,3,9} (chain incl. transitive), {5,6}; 7-8 edge too

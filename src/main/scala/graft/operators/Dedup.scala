@@ -238,32 +238,41 @@ object Dedup {
     * Iterative min-label propagation: each round joins labels across
     * edges and keeps the minimum; rounds needed = graph diameter
     * (near-dup clusters are small and dense, so a handful). Each round
-    * is one shuffle on doc id; intermediate results are localCheckpointed
-    * to cut the growing lineage — the standard Spark pattern for
-    * iterative graph algorithms without GraphX.
+    * is one shuffle on doc id; intermediate results are checkpointed to
+    * cut the growing lineage — the standard Spark pattern for iterative
+    * graph algorithms without GraphX.
     *
+    * @param reliableCheckpoints when true, iterations use reliable
+    *   `checkpoint()` (requires `spark.sparkContext.setCheckpointDir`) so
+    *   an executor loss mid-run recovers from the checkpoint store; the
+    *   default uses executor-local checkpoints — faster, but a lost
+    *   executor fails the job (fine locally and for jobs cheap to rerun).
     * @return (doc_id, cluster_id) for every doc appearing in `pairs`;
     *         docs with no edges are their own cluster and are omitted.
     */
-  def dedupClusters(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
+  def dedupClusters(
+      pairs: DataFrame,
+      maxIterations: Int = 50,
+      reliableCheckpoints: Boolean = false): DataFrame = {
+    def materialize(df: DataFrame): DataFrame =
+      if (reliableCheckpoints) df.checkpoint(true) else df.localCheckpoint(true)
     // bidirectional edge list in ONE pass over the pair pipeline: each
     // pair row explodes into both directions (a union of two selects
     // would execute the upstream gram joins twice), materialized once so
     // iterations and convergence checks never re-run it
-    val edges = pairs
+    val edges = materialize(pairs
       .select(explode(array(
         struct(col("id_a").as("src"), col("id_b").as("dst")),
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     // labels only ever decrease, so the label sum is a strictly
     // decreasing convergence measure. It rides each checkpoint's
     // materialization job as an observed metric — zero extra actions
     // per round.
     def checkpointWithSum(df: DataFrame): (DataFrame, Option[Long]) = {
       val obs = org.apache.spark.sql.Observation()
-      val ck = df.observe(obs, sum(col("cluster_id")).as("s")).localCheckpoint(true)
+      val ck = materialize(df.observe(obs, sum(col("cluster_id")).as("s")))
       (ck, Option(obs.get("s")).map(_.asInstanceOf[Long]))
     }
     // seed each node with the min over itself and its direct neighbors —

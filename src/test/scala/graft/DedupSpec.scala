@@ -90,6 +90,18 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(got.forall(_._2 == 0L), "every node must reach the chain head's label")
   }
 
+  test("dedupClusters with reliable checkpoints produces identical clusters") {
+    val s = spark; import s.implicits._
+    s.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("cc-ckpt").toString)
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val local = Dedup.dedupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reliable = Dedup.dedupClusters(pairs, reliableCheckpoints = true).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == local)
+  }
+
   test("dedupClusters: min-label connected components over pair edges") {
     val s = spark; import s.implicits._
     // components: {1,2,3,9} (chain incl. transitive), {5,6}; 7-8 edge too

@@ -218,6 +218,29 @@ object SparkEntry {
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
             .as("revenue"))
     }),
+    "q_supplier_part" -> ((s, d) => {
+      // 3-way fact x dim x dim join with tax-inclusive charge computed in
+      // exact integer cents (price, discount, and tax are 2-decimal
+      // values; their product lives on a 1e-6 grid that exceeds double
+      // precision once summed over a large fact — integers never drift)
+      val l = rd(s, d, "lineitem")
+      val su = rd(s, d, "supplier")
+      val p = rd(s, d, "part")
+      val cents = (c: Column) => round(c * 100).cast("long")
+      l.join(su, col("l_suppkey") === col("s_suppkey"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .where(col("p_size") >= 10)
+        .groupBy("p_type")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          countDistinct(col("p_name")).as("n_part_names"),
+          countDistinct(col("s_name")).as("n_suppliers"),
+          sum(cents(col("l_extendedprice")) *
+            (lit(100L) - cents(col("l_discount"))) *
+            (lit(100L) + cents(col("l_tax")))).as("charged_e6"),
+          min(col("s_acctbal")).as("min_acctbal"),
+          max(col("p_retailprice")).as("max_retail"))
+    }),
     "q_part_brand" -> ((s, d) => {
       val p = rd(s, d, "part")
       val l = rd(s, d, "lineitem")
@@ -485,6 +508,15 @@ object SparkEntry {
         "round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue " +
         "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey " +
         "JOIN lineitem l ON l.l_orderkey = o.o_orderkey GROUP BY c_mktsegment"),
+    "q_supplier_part" ->
+      ("SELECT p_type, count(*) AS n_lines, count(DISTINCT p_name) AS n_part_names, " +
+        "count(DISTINCT s_name) AS n_suppliers, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+        "(100 - CAST(round(l_discount * 100) AS BIGINT)) * " +
+        "(100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) AS charged_e6, " +
+        "min(s_acctbal) AS min_acctbal, max(p_retailprice) AS max_retail " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN part ON l_partkey = p_partkey WHERE p_size >= 10 GROUP BY p_type"),
     "q_part_brand" ->
       ("SELECT p_brand, count(*) AS n_lines, sum(l_quantity) AS sum_qty, " +
         "round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue " +

@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{struct, sum, xxhash64}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line with per-query seconds.
@@ -10,6 +11,17 @@ import org.apache.spark.sql.SparkSession
   * never pays per query (whole-stage codegen compilation, JIT, parquet
   * footer caches); the min-of-two damps GC/scheduler jitter, which at
   * this data scale is of the same order as the shortest queries.
+  *
+  * Each timed pass evaluates a checksum over EVERY output column
+  * (sum of xxhash64 over the row struct), not a bare count — a count
+  * would let Catalyst prune unevaluated projections, so projection-only
+  * queries would time a scan instead of their expression work.
+  *
+  * A query that throws is recorded in the `failures` JSON field with its
+  * elapsed-time slot set to -1 — a regression can only lower the score,
+  * never masquerade as a fast success. The JSON line also lands in
+  * `SPARK_GRAFT_BENCH_OUT` (default `BENCH_LAST.json`) so the driver
+  * needn't parse it out of sbt's log prefixes.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -31,23 +43,49 @@ object Bench {
       case None        => SparkEntry.queries
     }
 
-    // warmup: JIT, codegen caches, parquet footers, broadcast paths
-    selected.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    // Forces evaluation of every output column. xxhash64 covers all the
+    // types our queries emit (primitives, strings, arrays, timestamps).
+    def force(df: DataFrame): Unit = {
+      df.select(sum(xxhash64(struct(df.columns.map(df.col): _*))).as("__ck")).collect()
+      ()
     }
 
-    def timedPass(): Map[String, Double] = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // warmup: JIT, codegen caches, parquet footers, broadcast paths
+    selected.foreach { case (_, fn) =>
+      try force(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
-    val p1 = timedPass()
-    val p2 = timedPass()
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+
+    def timedPass(): (Map[String, Double], Set[String]) = {
+      val failed = scala.collection.mutable.Set[String]()
+      val times = selected.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { force(fn(spark, sfDir)); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          failed += name
+          false
+        }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      (times, failed.toSet)
+    }
+    val (p1, f1) = timedPass()
+    val (p2, f2) = timedPass()
+    val failures = f1 ++ f2
+    val results = p1.map { case (k, v) =>
+      k -> (if (failures(k)) -1.0 else math.min(v, p2(k)))
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fj = failures.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.values.filter(_ >= 0).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fj,"sf":"$sfDir"}"""
+    println(line)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $outPath: ${e.getMessage}") }
     spark.stop()
+    if (failures.nonEmpty) sys.exit(1)
   }
 }

@@ -101,11 +101,16 @@ object SparkEntry {
     }),
     "j6_not_in" -> ((s, d) => {
       // via spark.sql so Catalyst plans the null-aware anti join that
-      // preserves SQL NOT IN semantics (SURVEY §2.3 J6)
-      rd(s, d, "orders").createOrReplaceTempView("orders")
-      rd(s, d, "lineitem").createOrReplaceTempView("lineitem")
-      s.sql("SELECT o_orderkey, o_totalprice FROM orders " +
-        "WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)")
+      // preserves SQL NOT IN semantics (SURVEY §2.3 J6); views are
+      // uniquely named and dropped post-analysis (no session-global state)
+      val (vo, vl) = (Views.unique("orders"), Views.unique("lineitem"))
+      rd(s, d, "orders").createOrReplaceTempView(vo)
+      rd(s, d, "lineitem").createOrReplaceTempView(vl)
+      val out = s.sql(s"SELECT o_orderkey, o_totalprice FROM $vo " +
+        s"WHERE o_orderkey NOT IN (SELECT l_orderkey FROM $vl)")
+      s.catalog.dropTempView(vo)
+      s.catalog.dropTempView(vl)
+      out
     }),
     "j7_not_exists" -> ((s, d) =>
       rd(s, d, "customer")
@@ -235,9 +240,12 @@ object SparkEntry {
           count(lit(1)).as("n_lines"),
           countDistinct(col("p_name")).as("n_part_names"),
           countDistinct(col("s_name")).as("n_suppliers"),
-          sum(cents(col("l_extendedprice")) *
+          // per-row product fits a long (~1e11); the SUM is carried in
+          // decimal(38,0) so it cannot wrap at any scale factor (a long
+          // sum would silently overflow around 1e8 rows of this grid)
+          sum((cents(col("l_extendedprice")) *
             (lit(100L) - cents(col("l_discount"))) *
-            (lit(100L) + cents(col("l_tax")))).as("charged_e6"),
+            (lit(100L) + cents(col("l_tax")))).cast("decimal(38,0)")).as("charged_e6"),
           min(col("s_acctbal")).as("min_acctbal"),
           max(col("p_retailprice")).as("max_retail"))
     }),
@@ -513,7 +521,7 @@ object SparkEntry {
         "count(DISTINCT s_name) AS n_suppliers, " +
         "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * " +
         "(100 - CAST(round(l_discount * 100) AS BIGINT)) * " +
-        "(100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) AS charged_e6, " +
+        "(100 + CAST(round(l_tax * 100) AS BIGINT))) AS DECIMAL(38,0)) AS charged_e6, " +
         "min(s_acctbal) AS min_acctbal, max(p_retailprice) AS max_retail " +
         "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
         "JOIN part ON l_partkey = p_partkey WHERE p_size >= 10 GROUP BY p_type"),

@@ -139,16 +139,22 @@ object Nds {
       now)
     val merged = fillSurrogate(merged0, "county_id_sk", Seq("county_name", "county_fips"))
 
-    // J6: NOT IN insert (null-aware anti join via the SQL parser)
-    aqiStage.createOrReplaceTempView("state_aqi_stage")
-    stateNds.createOrReplaceTempView("state_nds")
-    merged.createOrReplaceTempView("county_nds")
-    countiesStage.createOrReplaceTempView("us_counties_stage")
+    // J6: NOT IN insert (null-aware anti join via the SQL parser).
+    // Views are uniquely named and dropped after analysis so two
+    // pipelines on one session never collide on catalog state.
+    val vAqi = graft.Views.unique("state_aqi_stage")
+    val vState = graft.Views.unique("state_nds")
+    val vCounty = graft.Views.unique("county_nds")
+    val vCountiesStage = graft.Views.unique("us_counties_stage")
+    aqiStage.createOrReplaceTempView(vAqi)
+    stateNds.createOrReplaceTempView(vState)
+    merged.createOrReplaceTempView(vCounty)
+    countiesStage.createOrReplaceTempView(vCountiesStage)
     val insert1 = spark.sql(
-      """SELECT DISTINCT s1.county_name, s2.state_id_sk
-        |FROM state_aqi_stage s1
-        |JOIN state_nds s2 ON s1.state_name = s2.state_name
-        |WHERE s1.county_name NOT IN (SELECT county_name FROM county_nds)""".stripMargin)
+      s"""SELECT DISTINCT s1.county_name, s2.state_id_sk
+         |FROM $vAqi s1
+         |JOIN $vState s2 ON s1.state_name = s2.state_name
+         |WHERE s1.county_name NOT IN (SELECT county_name FROM $vCounty)""".stripMargin)
       .withColumn("created_date_nds", now)
       .withColumn("last_updated_nds", now)
       .withColumn("source_id", lit(1))
@@ -156,19 +162,21 @@ object Nds {
       merged.unionByName(insert1, allowMissingColumns = true),
       "county_id_sk", Seq("county_name", "state_id_sk"))
 
-    // J7: Windham patch — NOT EXISTS on the 2-col natural key
-    afterInsert1.createOrReplaceTempView("county_nds")
+    // J7: Windham patch — NOT EXISTS on the 2-col natural key, aware of
+    // step 2's rows via the refreshed county view
+    afterInsert1.createOrReplaceTempView(vCounty)
     val insert2 = spark.sql(
-      """SELECT DISTINCT s1.county_name, s2.state_id_sk
-        |FROM state_aqi_stage s1
-        |JOIN state_nds s2 ON s1.state_name = s2.state_name
-        |WHERE s1.county_name = 'Windham' AND NOT EXISTS (
-        |  SELECT 1 FROM us_counties_stage ucs
-        |  WHERE ucs.state_name = s1.state_name AND ucs.county_name = s1.county_name
-        |)""".stripMargin)
+      s"""SELECT DISTINCT s1.county_name, s2.state_id_sk
+         |FROM $vAqi s1
+         |JOIN $vState s2 ON s1.state_name = s2.state_name
+         |WHERE s1.county_name = 'Windham' AND NOT EXISTS (
+         |  SELECT 1 FROM $vCountiesStage ucs
+         |  WHERE ucs.state_name = s1.state_name AND ucs.county_name = s1.county_name
+         |)""".stripMargin)
       .withColumn("created_date_nds", now)
       .withColumn("last_updated_nds", now)
       .withColumn("source_id", lit(1))
+    Seq(vAqi, vState, vCounty, vCountiesStage).foreach(spark.catalog.dropTempView)
     fillSurrogate(
       afterInsert1.unionByName(insert2, allowMissingColumns = true),
       "county_id_sk", Seq("county_name", "state_id_sk"))

@@ -51,7 +51,18 @@ object Warehouse {
     }
   }
 
-  /** Atomically replace the table with `df`. */
+  /** Replace the table with `df` via a two-rename directory swap.
+    *
+    * Crash-safety scope: a crash during the WRITE (the long, dangerous
+    * phase) leaves the live table untouched. The swap itself is two
+    * renames, not one atomic commit — a crash between rename(live→old)
+    * and rename(tmp→live) leaves the data only under `<table>.old`
+    * (recover by renaming it back), and a reader racing the swap can
+    * observe a missing path. Single-writer, retry-on-read semantics —
+    * the reference's nightly-batch contract. For always-consistent
+    * readers, front the directory with a pointer/manifest commit (the
+    * Iceberg/Delta pattern) — out of scope here.
+    */
   def overwrite(df: DataFrame, dir: String, table: String): Unit = {
     val spark = df.sparkSession
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -42,14 +42,16 @@ object Streams {
   def enrich(events: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(dim), keys, "left")
 
-  /** Streaming exact dedup on a key with bounded state: duplicates
-    * arriving within the watermark horizon are dropped (the streaming
-    * form of [[graft.operators.Dedup.exact]]).
+  /** Streaming exact dedup on a key with bounded state: any later event
+    * with an already-seen key arriving within the watermark horizon is
+    * dropped — even a redelivery carrying a different event-time (the
+    * streaming form of [[graft.operators.Dedup.exact]]). State for a key
+    * expires one watermark horizon after its first occurrence.
     */
   def dedupByKey(events: DataFrame, keyCols: Seq[String], watermark: String = "1 hour"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .dropDuplicates(keyCols :+ "ts")
+      .dropDuplicatesWithinWatermark(keyCols)
 
   /** Native session windows (gap-based), the streaming analog of
     * [[graft.operators.Events.sessionize]].

@@ -48,6 +48,7 @@ class StreamsSpec extends AnyFunSuite with SparkTest {
       input.addData((1L, ts("2024-01-01 10:00:00"), 1.0))
       q.processAllAvailable()
       input.addData((1L, ts("2024-01-01 10:00:00"), 1.0), // exact dup -> dropped
+        (1L, ts("2024-01-01 10:02:00"), 1.0), // redelivery, new ts -> dropped too
         (2L, ts("2024-01-01 10:01:00"), 2.0))
       q.processAllAvailable()
       assert(s.table("dedup_out").count() == 2)

@@ -45,10 +45,11 @@ object Bench {
 
     // Forces evaluation of every output column. xxhash64 covers all the
     // types our queries emit (primitives, strings, arrays, timestamps).
-    def force(df: DataFrame): Unit = {
-      df.select(sum(xxhash64(struct(df.columns.map(df.col): _*))).as("__ck")).collect()
-      ()
-    }
+    def force(df: DataFrame): Unit =
+      try {
+        df.select(sum(xxhash64(struct(df.columns.map(df.col): _*))).as("__ck")).collect()
+        ()
+      } finally graft.operators.Caches.release() // free operator-persisted subplans
 
     // warmup: JIT, codegen caches, parquet footers, broadcast paths
     selected.foreach { case (_, fn) =>

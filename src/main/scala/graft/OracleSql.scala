@@ -1,0 +1,254 @@
+package graft
+
+import graft.functions.PortableMinHash
+import graft.operators.Similarity
+
+/** DuckDB SQL generators for oracle entries whose Spark queries use
+  * hash-seeded or floating-point-sensitive operators.
+  *
+  * Strategy: rather than weakening those checks to rows-only, the SQL
+  * replays the ENTIRE algorithm bit-for-bit in DuckDB:
+  *
+  *   - `graft.plans.RollingHash` is replayed as a HUGEINT fold over the
+  *     hex dump of the string's UTF-8 bytes, reduced mod 2^64 each step
+  *     — exactly Java's wrapping long arithmetic;
+  *   - every double-precision dot product is expanded to an explicit
+  *     per-dimension left-associated sum of CAST(float)·CAST(float)
+  *     products — the same IEEE operations in the same order as
+  *     `FloatVecDot`'s codegen loop — with seeded plane constants
+  *     embedded as shortest-round-trip double literals, so even sign
+  *     decisions at LSH bucket boundaries agree across engines;
+  *   - seeded constants (hyperplanes, MinHash affine parameters, the
+  *     IVF pick order) come from the same Scala objects the operators
+  *     use, so query and oracle cannot drift apart.
+  *
+  * The result: the approximate operators (MinHash-LSH, SimHash, LSH and
+  * IVF ANN) carry full row/schema/hash oracles that verify the
+  * implementation; recall-vs-exact is asserted separately in specs
+  * against the exact tiers.
+  */
+object OracleSql {
+
+  // ------------------------------------------------------------ n-grams
+
+  /** Shared CTE chain: word trigram sets per doc (`tri(doc_id, g)`) and
+    * per-doc set sizes (`sz(doc_id, n)`).
+    */
+  val wordTriCtes: String =
+    "wrd AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents), " +
+      "tri AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] " +
+      "FOR i IN generate_series(1, len(ws) - 2)]) AS g FROM wrd) u), " +
+      "sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id)"
+
+  /** tri/sz plus all-pairs overlaps and integer-thresholded pairs
+    * (`pairs(id_a, id_b, inter, union_size)`).
+    */
+  def ngramPairCtes(threshNum: Int, threshDen: Int): String =
+    s"$wordTriCtes, " +
+      "ov AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter FROM tri a JOIN tri b " +
+      "ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "pairs AS (SELECT ov.id_a, ov.id_b, ov.inter, sa.n + sb.n - ov.inter AS union_size " +
+      "FROM ov JOIN sz sa ON sa.doc_id = ov.id_a JOIN sz sb ON sb.doc_id = ov.id_b " +
+      s"WHERE ov.inter * $threshDen >= (sa.n + sb.n - ov.inter) * $threshNum)"
+
+  /** Capped variant of the pair scan: grams held by more than
+    * `maxGramDf` docs (or exactly one) are excluded from pair
+    * generation AND overlap counts, while `union_size` still counts
+    * every gram — `Dedup.ngramJaccardPairs(maxGramDf = …)` semantics.
+    */
+  def dedupNgramCapped(threshNum: Int, threshDen: Int, maxGramDf: Int): String =
+    s"WITH $wordTriCtes, " +
+      s"elig AS (SELECT g FROM tri GROUP BY g HAVING count(*) BETWEEN 2 AND $maxGramDf), " +
+      "ov AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter " +
+      "FROM tri a JOIN elig e ON a.g = e.g JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+      "SELECT ov.id_a, ov.id_b, ov.inter, sa.n + sb.n - ov.inter AS union_size " +
+      "FROM ov JOIN sz sa ON sa.doc_id = ov.id_a JOIN sz sb ON sb.doc_id = ov.id_b " +
+      s"WHERE ov.inter * $threshDen >= (sa.n + sb.n - ov.inter) * $threshNum"
+
+  // ------------------------------------------------- rolling-hash replay
+
+  /** Unsigned 64-bit replay of `graft.plans.RollingHash` (HUGEINT in
+    * [0, 2^64)): polynomial fold over the byte list parsed out of
+    * `hex(encode(<string>))`, mod 2^64 each step. `hx` names a column
+    * holding that hex dump.
+    */
+  private def rollFold(hx: String): String =
+    s"(CASE WHEN length($hx) = 0 THEN 0::HUGEINT ELSE list_reduce(" +
+      s"[((position(substr($hx, 2*i-1, 1) IN '0123456789ABCDEF') - 1) * 16 + " +
+      s"position(substr($hx, 2*i, 1) IN '0123456789ABCDEF') - 1)::HUGEINT " +
+      s"FOR i IN generate_series(1, length($hx) // 2)], " +
+      s"(a, x) -> (a * 1315423911 + x) % 18446744073709551616) END)"
+
+  /** Two's-complement reinterpretation of an unsigned 64-bit HUGEINT as
+    * the signed BIGINT Spark's LongType holds.
+    */
+  private def toSigned(e: String): String =
+    s"(CAST(CASE WHEN $e >= 9223372036854775808 THEN $e - 18446744073709551616 ELSE $e END AS BIGINT))"
+
+  /** Oracle for `text_rolling_fp`: rolling hash of the
+    * whitespace-collapsed lowercased text, as a signed 64-bit value.
+    */
+  def textRollingFp: String =
+    "WITH nrm AS (SELECT doc_id, hex(encode(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS hx FROM documents), " +
+      s"h AS (SELECT doc_id, ${rollFold("hx")} AS hu FROM nrm) " +
+      s"SELECT doc_id, ${toSigned("hu")} AS rolling_fp FROM h"
+
+  /** Oracle for `dedup_simhash` (portable signatures): per-token rolling
+    * hash, ±1 votes per bit, sign-of-sum signature. Bit i of the
+    * unsigned HUGEINT token hash equals bit i of Spark's signed long —
+    * `(h >> i) & 1` masks away the representation difference.
+    */
+  def dedupSimhash: String = {
+    val bitSums = (0 until 64)
+      .map(i => s"sum(CASE WHEN (hu >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(", ")
+    val sig = (0 until 64).map { i =>
+      if (i < 63) s"(CASE WHEN b$i > 0 THEN ${1L << i}::BIGINT ELSE 0 END)"
+      else s"(CASE WHEN b63 > 0 THEN (-9223372036854775807 - 1)::BIGINT ELSE 0 END)"
+    }.mkString(" + ")
+    "WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM documents), " +
+      "thx AS (SELECT doc_id, hex(encode(tok)) AS hx FROM tk), " +
+      s"th AS (SELECT doc_id, ${rollFold("hx")} AS hu FROM thx), " +
+      s"bits AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id) " +
+      s"SELECT doc_id, $sig AS simhash FROM bits"
+  }
+
+  /** Oracle for `dedup_minhash_lsh` (portable family): affine min-hashes
+    * over the low 40 bits of the per-gram rolling hash, banded,
+    * candidates from band-bucket equality, exact integer-Jaccard verify.
+    * Affine constants come from [[graft.functions.PortableMinHash]] —
+    * the same objects the Spark operator reads.
+    */
+  def dedupMinhashLsh(numHashes: Int, numBands: Int, threshNum: Int, threshDen: Int): String = {
+    require(numHashes % numBands == 0)
+    val r = numHashes / numBands
+    val affineVals = (0 until numHashes)
+      .map(i => s"($i, ${PortableMinHash.a(i)}, ${PortableMinHash.b(i)})")
+      .mkString(", ")
+    val bandVals = (0 until r)
+      .map(j => s"min(CASE WHEN i % $r = $j THEN mh END) AS v$j")
+      .mkString(", ")
+    val joinCond = (0 until r).map(j => s"a.v$j = b.v$j").mkString(" AND ")
+    s"WITH $wordTriCtes, " +
+      "ghx AS (SELECT doc_id, hex(encode(g)) AS hx FROM tri), " +
+      s"gh AS (SELECT doc_id, CAST(${rollFold("hx")} % ${PortableMinHash.Mod} AS BIGINT) AS h40 FROM ghx), " +
+      s"mh AS (SELECT doc_id, t.i AS i, min((h40 * t.a + t.b) % ${PortableMinHash.Mod}) AS mh " +
+      s"FROM gh CROSS JOIN (VALUES $affineVals) t(i, a, b) GROUP BY doc_id, t.i), " +
+      s"bands AS (SELECT doc_id, i // $r AS band, $bandVals FROM mh GROUP BY doc_id, i // $r), " +
+      s"cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a JOIN bands b " +
+      s"ON a.band = b.band AND $joinCond AND a.doc_id < b.doc_id), " +
+      "ov AS (SELECT c.id_a, c.id_b, count(*) AS inter FROM cand c " +
+      "JOIN tri ta ON ta.doc_id = c.id_a JOIN tri tb ON tb.doc_id = c.id_b AND tb.g = ta.g " +
+      "GROUP BY c.id_a, c.id_b) " +
+      "SELECT ov.id_a, ov.id_b, ov.inter, sa.n + sb.n - ov.inter AS union_size FROM ov " +
+      "JOIN sz sa ON sa.doc_id = ov.id_a JOIN sz sb ON sb.doc_id = ov.id_b " +
+      s"WHERE ov.inter * $threshDen >= (sa.n + sb.n - ov.inter) * $threshNum"
+  }
+
+  // -------------------------------------------------- vector replication
+
+  /** Left-associated per-dimension double dot of two vector columns —
+    * the exact operation order of FloatVecDot's codegen loop.
+    */
+  private def pairDot(va: String, vb: String, dim: Int): String =
+    (1 to dim)
+      .map(j => s"CAST($va[$j] AS DOUBLE) * CAST($vb[$j] AS DOUBLE)")
+      .mkString("(", " + ", ")")
+
+  private def selfDot(vec: String, dim: Int): String = pairDot(vec, vec, dim)
+
+  /** Dot of a vector column against an embedded constant vector. The
+    * constants are the float-cast plane values re-widened to double and
+    * printed via Java's shortest-round-trip `Double.toString`, so
+    * DuckDB's literal parser reconstructs bit-identical doubles.
+    */
+  private def dotLit(vec: String, xs: Array[Double]): String =
+    xs.zipWithIndex
+      .map { case (x, j) => s"CAST($vec[${j + 1}] AS DOUBLE) * $x" }
+      .mkString("(", " + ", ")")
+
+  /** Sign-random-projection bucket id — replays `Similarity.lshBucket`
+    * (planes float-cast exactly as the Spark side does).
+    */
+  private def bucketExpr(vec: String, planes: Array[Array[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${dotLit(vec, p.map(_.toFloat.toDouble))} >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private def probeList(numPlanes: Int): String =
+    ("bucket" +: (0 until numPlanes).map(i => s"xor(bucket, ${1L << i})"))
+      .mkString("[", ", ", "]")
+
+  /** Oracle for `ann_lsh_topk`: full replay of `Similarity.lshTopK`
+    * (queries vec_id < 10, candidates >= 10, multi-probe 1-bit flips).
+    */
+  def annLshTopK(k: Int, numPlanes: Int = 8, dim: Int = 64, seed: Long = 42L): String = {
+    val planes = Similarity.hyperplanes(numPlanes, dim, seed)
+    s"WITH nb AS (SELECT vec_id, embedding, sqrt(${selfDot("embedding", dim)}) AS nrm, " +
+      s"${bucketExpr("embedding", planes)} AS bucket FROM embeddings), " +
+      s"q AS (SELECT vec_id AS query_id, unnest(${probeList(numPlanes)}) AS bucket FROM nb WHERE vec_id < 10), " +
+      "c AS (SELECT vec_id AS neighbor_id, bucket FROM nb WHERE vec_id >= 10), " +
+      "prs AS (SELECT DISTINCT query_id, neighbor_id FROM q JOIN c USING (bucket)), " +
+      s"scored AS (SELECT p.query_id, p.neighbor_id, ${pairDot("a.embedding", "b.embedding", dim)} / (a.nrm * b.nrm) AS cosine " +
+      "FROM prs p JOIN nb a ON a.vec_id = p.query_id JOIN nb b ON b.vec_id = p.neighbor_id) " +
+      "SELECT query_id, neighbor_id, rnk FROM (SELECT query_id, neighbor_id, " +
+      "CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rnk " +
+      s"FROM scored) t WHERE rnk <= $k"
+  }
+
+  /** Oracle for `dedup_embed_lsh`: full replay of
+    * `Dedup.embeddingNearDupLsh` — bucket candidates (Hamming ≤ 1 via
+    * 1-bit probes), exact double-cosine verification at `threshold`.
+    */
+  def dedupEmbedLsh(threshold: Double, numPlanes: Int = 8, dim: Int = 64, seed: Long = 42L): String = {
+    val planes = Similarity.hyperplanes(numPlanes, dim, seed)
+    s"WITH nb AS (SELECT vec_id, embedding, sqrt(${selfDot("embedding", dim)}) AS nrm, " +
+      s"${bucketExpr("embedding", planes)} AS bucket FROM embeddings), " +
+      s"pa AS (SELECT vec_id, unnest(${probeList(numPlanes)}) AS bucket FROM nb), " +
+      "cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM pa a " +
+      "JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) " +
+      "SELECT c.id_a, c.id_b FROM cand c JOIN nb a ON a.vec_id = c.id_a JOIN nb b ON b.vec_id = c.id_b " +
+      s"WHERE ${pairDot("a.embedding", "b.embedding", dim)} >= $threshold * a.nrm * b.nrm"
+  }
+
+  /** Oracle for `ann_ivf_topk`: full replay of `Similarity.ivfTopK`
+    * with the portable (rolling-hash-ordered) centroid pick —
+    * normalization float-rounding, cell argmax tie-breaks, probe
+    * ordering and final ranking all bit-identical.
+    */
+  def annIvfTopK(k: Int, numCentroids: Int, nProbe: Int, dim: Int = 64, seed: Long = 42L): String = {
+    s"WITH base AS (SELECT vec_id, embedding, sqrt(${selfDot("embedding", dim)}) AS nrm FROM embeddings), " +
+      "cnd AS (SELECT * FROM base WHERE vec_id >= 10), " +
+      "qry AS (SELECT * FROM base WHERE vec_id < 10), " +
+      s"ch AS (SELECT vec_id, embedding, nrm, hex(encode('ivf$seed:' || CAST(vec_id AS VARCHAR))) AS hx FROM cnd), " +
+      s"ck AS (SELECT vec_id, embedding, nrm, ${toSigned(rollFold("hx"))} AS h FROM ch), " +
+      s"cpick AS (SELECT embedding, nrm, CAST(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) AS cidx " +
+      s"FROM ck ORDER BY h, vec_id LIMIT $numCentroids), " +
+      "cent AS (SELECT cidx, CASE WHEN nrm = 0 THEN embedding ELSE " +
+      s"[CAST(CAST(embedding[j] AS DOUBLE) / nrm AS FLOAT) FOR j IN generate_series(1, $dim)] END AS cvec FROM cpick), " +
+      s"cd AS (SELECT c.vec_id, c.embedding, c.nrm, ct.cidx, ${pairDot("c.embedding", "ct.cvec", dim)} / c.nrm AS dot " +
+      "FROM cnd c CROSS JOIN cent ct), " +
+      "cellasg AS (SELECT vec_id AS neighbor_id, embedding AS c_vec, nrm AS c_norm, cidx AS cell FROM " +
+      "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cidx) AS rn FROM cd) t WHERE rn = 1), " +
+      s"qd AS (SELECT q.vec_id, q.embedding, q.nrm, ct.cidx, ${pairDot("q.embedding", "ct.cvec", dim)} / q.nrm AS dot " +
+      "FROM qry q CROSS JOIN cent ct), " +
+      "probe AS (SELECT vec_id AS query_id, embedding AS q_vec, nrm AS q_norm, cidx AS cell FROM " +
+      s"(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cidx) AS rn FROM qd) t WHERE rn <= $nProbe), " +
+      s"scored AS (SELECT p.query_id, ca.neighbor_id, ${pairDot("p.q_vec", "ca.c_vec", dim)} / (p.q_norm * ca.c_norm) AS cosine " +
+      "FROM probe p JOIN cellasg ca USING (cell)) " +
+      "SELECT query_id, neighbor_id, rnk FROM (SELECT query_id, neighbor_id, " +
+      "CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rnk " +
+      s"FROM scored) t WHERE rnk <= $k"
+  }
+
+  // ----------------------------------------------------------- multimodal
+
+  /** Oracle for `media_byte_stats`: byte length + md5 of the text
+    * payload — DuckDB's md5(VARCHAR) hashes the UTF-8 bytes, identical
+    * to Spark's md5 over the text cast to binary.
+    */
+  def mediaByteStats: String =
+    "SELECT CAST(doc_id AS BIGINT) AS media_id, 'text' AS kind, " +
+      "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS content_hash " +
+      "FROM documents"
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.functions.aqiCategory
-import graft.operators.{Dedup, Events, Merge, MergeSpec, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Events, Merge, MergeSpec, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract: one `queries` entry per implemented operator from
   * SURVEY.md §2 (IDs in the names) plus the training-data-pipeline
@@ -315,15 +315,23 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exact(rd(s, d, "documents"))),
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(rd(s, d, "documents"), 1, 20)),
+    "dedup_ngram_capped" -> ((s, d) =>
+      // the scale configuration (stop-gram cap bounds hot-gram pair
+      // expansion) under the same oracle gate as the exact run
+      Dedup.ngramJaccardPairs(rd(s, d, "documents"), 1, 20, maxGramDf = 5)),
     "dedup_minhash_lsh" -> ((s, d) =>
-      Dedup.minHashLsh(rd(s, d, "documents"), 16, 8, 1, 50)),
+      // portable hash family -> the oracle replays the full LSH pipeline
+      Dedup.minHashLsh(rd(s, d, "documents"), 16, 8, 1, 50, portable = true)),
     "dedup_simhash" -> ((s, d) => {
-      // signatures (deterministic); pair extraction exercised in tests
+      // portable signatures (oracle-replayed); pair extraction in tests
       val docs = rd(s, d, "documents")
-      Dedup.simHashSignatures(docs)
+      Dedup.simHashSignatures(docs, portable = true)
     }),
     "dedup_embed_cosine" -> ((s, d) =>
       Dedup.embeddingNearDup(rd(s, d, "embeddings"), 0.4)),
+    "dedup_embed_lsh" -> ((s, d) =>
+      // bucketed scale tier of embedding near-dup (no cross join)
+      Dedup.embeddingNearDupLsh(rd(s, d, "embeddings"), 0.4)),
     "dedup_clusters" -> ((s, d) =>
       Dedup.dedupClusters(Dedup.ngramJaccardPairs(rd(s, d, "documents"), 1, 20))),
 
@@ -362,7 +370,14 @@ object SparkEntry {
     "text_tokens" -> ((s, d) => TextAnalysis.tokenStats(rd(s, d, "documents"))),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(rd(s, d, "documents"))),
     "text_rolling_fp" -> ((s, d) => TextAnalysis.rollingFingerprint(rd(s, d, "documents"))),
-    "text_bpe_tokens" -> ((s, d) => TextAnalysis.bpeTokenCount(rd(s, d, "documents")))
+    "text_bpe_tokens" -> ((s, d) => TextAnalysis.bpeTokenCount(rd(s, d, "documents"))),
+
+    // —— training-data pipeline: multimodal ——
+    "media_byte_stats" -> ((s, d) =>
+      // binary-column stats over media rows (text payloads as the
+      // deterministic stand-in for image/audio bytes)
+      Multimodal.byteStats(
+        Multimodal.fromText(rd(s, d, "documents"), "doc_id", "text", "text").toDF()))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -377,17 +392,10 @@ object SparkEntry {
 
   /** Shared CTE chain: word trigram sets → pair overlaps → thresholded
     * pairs (integer cross-multiplication, bit-exact in both engines).
+    * Hash-seeded operators get full algorithm-replay oracles from
+    * [[OracleSql]].
     */
-  private def ngramCtes: String =
-    "wrd AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws FROM documents), " +
-      "tri AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] " +
-      "FOR i IN generate_series(1, len(ws) - 2)]) AS g FROM wrd) u), " +
-      "sz AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id), " +
-      "ov AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter FROM tri a JOIN tri b " +
-      "ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
-      "pairs AS (SELECT ov.id_a, ov.id_b, ov.inter, sa.n + sb.n - ov.inter AS union_size " +
-      "FROM ov JOIN sz sa ON sa.doc_id = ov.id_a JOIN sz sb ON sb.doc_id = ov.id_b " +
-      "WHERE ov.inter * 20 >= (sa.n + sb.n - ov.inter) * 1)"
+  private def ngramCtes: String = OracleSql.ngramPairCtes(1, 20)
 
   private def langIdSql: String = {
     val scores = TextAnalysis.langOrder.map { l =>
@@ -555,6 +563,14 @@ object SparkEntry {
       "SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY md5(text)",
     "dedup_ngram_jaccard" ->
       s"WITH $ngramCtes SELECT id_a, id_b, inter, union_size FROM pairs",
+    "dedup_ngram_capped" -> OracleSql.dedupNgramCapped(1, 20, 5),
+    "dedup_minhash_lsh" -> OracleSql.dedupMinhashLsh(16, 8, 1, 50),
+    "dedup_simhash" -> OracleSql.dedupSimhash,
+    "dedup_embed_lsh" -> OracleSql.dedupEmbedLsh(0.4),
+    "ann_lsh_topk" -> OracleSql.annLshTopK(5),
+    "ann_ivf_topk" -> OracleSql.annIvfTopK(5, numCentroids = 16, nProbe = 4),
+    "text_rolling_fp" -> OracleSql.textRollingFp,
+    "media_byte_stats" -> OracleSql.mediaByteStats,
     "dedup_clusters" ->
       (s"WITH RECURSIVE $ngramCtes, " +
         "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
@@ -606,8 +622,8 @@ object SparkEntry {
     "text_bpe_tokens" ->
       ("SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INT) " +
         "AS n_bpeish_tokens FROM documents")
-    // no oracle (rows-only check): dedup_minhash_lsh, dedup_simhash,
-    // ann_lsh_topk (hash-seeded / approximate), text_rolling_fp (custom
-    // 64-bit polynomial hash not expressible in portable SQL)
+    // every queries entry has an oracle: the hash-seeded operators use
+    // full algorithm-replay SQL from OracleSql (portable hash family +
+    // bit-exact double replication)
   )
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.{tokens, vec_dot, wordNGrams}
+import graft.functions.{rolling_hash, tokens, vec_dot, wordNGrams, PortableMinHash}
 
 /** Document deduplication operators for large-scale training-data
   * pipelines: exact, n-gram Jaccard, MinHash+LSH, SimHash, and
@@ -85,7 +85,8 @@ object Dedup {
     // the gram table feeds both the pair expansion AND the per-doc
     // sizes; Spark does not materialize shared subplans, so without
     // persisting, the tokenize+gram pipeline would execute once per use
-    val tri = trigramSets(docs, textCol, idCol).persist()
+    // (registered in Caches — callers release between runs)
+    val tri = Caches.persisted(trigramSets(docs, textCol, idCol))
     val sizes = tri.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
     // a capped run must drop hot grams BEFORE collecting doc lists (a
     // near-universal gram would blow up the collecting task otherwise);
@@ -116,12 +117,20 @@ object Dedup {
       .select("id_a", "id_b", "inter", "union_size")
   }
 
-  /** MinHash + LSH near-dup: k independent min-hashes of the trigram set
-    * (seeded xxhash64), banded into `numBands` bands; docs sharing any
-    * band bucket become candidates (shuffle on the bucket key — at 100 TB
-    * this is the only join, and its fan-in per bucket is bounded by the
-    * collision rate, not the corpus size); candidates are then verified
-    * with the exact integer Jaccard.
+  /** MinHash + LSH near-dup: k independent min-hashes of the trigram set,
+    * banded into `numBands` bands; docs sharing any band bucket become
+    * candidates (shuffle on the bucket key — at 100 TB this is the only
+    * join, and its fan-in per bucket is bounded by the collision rate,
+    * not the corpus size); candidates are then verified with the exact
+    * integer Jaccard.
+    *
+    * @param portable when false (default), min-hashes are seeded
+    *   `xxhash64` and band buckets Murmur3 — the fast production path.
+    *   When true, the [[graft.functions.PortableMinHash]] affine family
+    *   over [[graft.functions.rolling_hash]] is used and band buckets
+    *   are the raw signature values, so the whole pipeline is
+    *   bit-replicable in another engine (the DuckDB oracle replays it —
+    *   `graft.OracleSql.dedupMinhashLsh`).
     */
   def minHashLsh(
       docs: DataFrame,
@@ -130,20 +139,33 @@ object Dedup {
       threshNum: Int = 1,
       threshDen: Int = 20,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      portable: Boolean = false): DataFrame = {
     require(numHashes % numBands == 0, "numHashes must divide into numBands")
     val rowsPerBand = numHashes / numBands
     // materialized once: feeds the signature agg, both sides of the
     // candidate verification join, and the per-doc sizes (4 uses)
-    val tri = trigramSets(docs, textCol, idCol).persist()
+    val tri = Caches.persisted(trigramSets(docs, textCol, idCol))
 
-    val sigCols = (0 until numHashes).map(i =>
-      min(xxhash64(concat(lit(s"seed$i:"), col("gram")))).as(s"mh$i"))
+    val sigCols =
+      if (portable) {
+        val h40 = rolling_hash(col("gram")).bitwiseAND(lit(PortableMinHash.Mask))
+        (0 until numHashes).map(i =>
+          min((h40 * lit(PortableMinHash.a(i)) + lit(PortableMinHash.b(i)))
+            % lit(PortableMinHash.Mod)).as(s"mh$i"))
+      } else
+        (0 until numHashes).map(i =>
+          min(xxhash64(concat(lit(s"seed$i:"), col("gram")))).as(s"mh$i"))
     val sigs = tri.groupBy(idCol).agg(sigCols.head, sigCols.tail: _*)
 
     val bandStructs = (0 until numBands).map { b =>
       val bandCols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), hash(bandCols: _*).as("bucket"))
+      // portable: the band's raw values ARE the bucket (equality join on
+      // array<long>); default: Murmur3-condensed for a narrower shuffle
+      val bucket =
+        if (portable) array(bandCols: _*)
+        else array(hash(bandCols: _*).cast("long"))
+      struct(lit(b).as("band"), bucket.as("bucket"))
     }
     val buckets = sigs
       .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
@@ -179,16 +201,24 @@ object Dedup {
     * never a cross join. Output: (id_a, id_b, hamming ≤ maxHamming).
     */
   /** 64-bit SimHash signature per document: each token occurrence votes
-    * ±1 on each bit of its xxhash64; the signature takes the sign of each
-    * bit's sum. One shuffle (groupBy doc) with map-side partial
+    * ±1 on each bit of its token hash; the signature takes the sign of
+    * each bit's sum. One shuffle (groupBy doc) with map-side partial
     * aggregation of the 64 bit-sums.
+    *
+    * @param portable when false (default) the token hash is `xxhash64`;
+    *   when true it is [[graft.functions.rolling_hash]], whose fold any
+    *   engine can replay byte-for-byte, putting the signatures under a
+    *   cross-engine oracle (`graft.OracleSql.dedupSimhash`). The
+    *   polynomial mixes short tokens less thoroughly than xxhash64 —
+    *   keep the default for production quality.
     */
   def simHashSignatures(
       docs: DataFrame,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      portable: Boolean = false): DataFrame = {
     val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-    val h = xxhash64(col("tok"))
+    val h = if (portable) rolling_hash(col("tok")) else xxhash64(col("tok"))
     val bitSums = (0 until 64).map(i =>
       sum(when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"bit$i"))
     toks
@@ -206,10 +236,11 @@ object Dedup {
       docs: DataFrame,
       maxHamming: Int = 3,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      portable: Boolean = false): DataFrame = {
     // both sides of the chunk join derive from the signature table; the
     // 64-bit-sum aggregation would otherwise execute twice
-    val sig = simHashSignatures(docs, textCol, idCol).persist()
+    val sig = Caches.persisted(simHashSignatures(docs, textCol, idCol, portable))
 
     val chunks = sig.select(
       col(idCol),
@@ -353,6 +384,52 @@ object Dedup {
     val b = withNorm.toDF("id_b", "vec_b", "norm_b")
     a.crossJoin(b)
       .where(col("id_a") < col("id_b"))
+      .where(vec_dot(col("vec_a"), col("vec_b")) >= lit(threshold) * col("norm_a") * col("norm_b"))
+      .select("id_a", "id_b")
+  }
+
+  /** Embedding near-dup at scale: sign-random-projection LSH buckets
+    * replace the O(n²) cross join of [[embeddingNearDup]]. Candidates
+    * are pairs whose bucket ids differ in at most one bit (multi-probe:
+    * side a explodes into its bucket plus every 1-bit flip), generated
+    * by an equi-join on the bucket key; each candidate is then verified
+    * with the exact double-precision cosine, so every emitted pair
+    * truly clears `threshold` — recall is approximate, precision exact.
+    *
+    * Shuffle volume is the bucket collision volume, not n²/2: at 100 TB
+    * this is the production tier, with [[embeddingNearDup]] as its
+    * verification oracle on samples. Planes are seeded constants, so
+    * the whole pipeline (bucketing included) is deterministic and
+    * replayed bit-for-bit by the DuckDB oracle
+    * (`graft.OracleSql.dedupEmbedLsh`).
+    */
+  def embeddingNearDupLsh(
+      emb: DataFrame,
+      threshold: Double,
+      numPlanes: Int = 8,
+      dim: Int = 64,
+      seed: Long = 42L,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val planes = Similarity.hyperplanes(numPlanes, dim, seed)
+    // feeds the probe side, the bucket side, and both verify joins
+    val n = Caches.persisted(emb.select(
+      col(idCol),
+      col(vecCol),
+      sqrt(vec_dot(col(vecCol), col(vecCol))).as("norm"),
+      Similarity.lshBucket(col(vecCol), planes).as("bucket")))
+    val probes = explode(array(
+      (col("bucket") +: (0 until numPlanes).map(i =>
+        col("bucket").bitwiseXOR(shiftleft(lit(1L), i)))): _*))
+    val a = n.select(col(idCol).as("id_a"), probes.as("bucket"))
+    val b = n.select(col(idCol).as("id_b"), col("bucket"))
+    val cand = a.join(b, "bucket")
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct() // a pair can collide in several probe buckets
+    val va = n.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"), col("norm").as("norm_a"))
+    val vb = n.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"), col("norm").as("norm_b"))
+    cand.join(va, "id_a").join(vb, "id_b")
       .where(vec_dot(col("vec_a"), col("vec_b")) >= lit(threshold) * col("norm_a") * col("norm_b"))
       .select("id_a", "id_b")
   }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
-import graft.functions.vec_dot
+import graft.functions.{rolling_hash, vec_dot}
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`).
@@ -149,11 +149,16 @@ object Similarity {
     * the brute-force |Q|·|C|.
     *
     * Centroids are `numCentroids` candidate vectors picked by seeded
-    * hash order and unit-normalized — deterministic, one O(numCentroids
-    * · dim) driver collect (a production pipeline would refine them with
-    * an offline k-means; cell assignment and probing are unchanged).
-    * Cell assignment is an all-builtin argmax: array of codegen'd dots →
-    * `array_max` → `array_position`.
+    * [[graft.functions.rolling_hash]] order and unit-normalized —
+    * deterministic AND engine-portable (the DuckDB oracle replays the
+    * pick and every downstream double operation bit-for-bit:
+    * `graft.OracleSql.annIvfTopK`), one O(numCentroids·dim) driver
+    * collect. `refineIters` > 0 runs that many deterministic Lloyd
+    * iterations ([[kmeansCentroids]]) over the candidates to move the
+    * seeded picks to real cluster centers (better cell occupancy →
+    * better recall at the same nProbe). Cell assignment is an
+    * all-builtin argmax: array of codegen'd dots → `array_max` →
+    * `array_position`.
     */
   def ivfTopK(
       emb: DataFrame,
@@ -164,15 +169,16 @@ object Similarity {
       nProbe: Int = 4,
       seed: Long = 42L,
       vecCol: String = "embedding",
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id",
+      refineIters: Int = 0): DataFrame = {
     require(nProbe >= 1 && nProbe <= numCentroids)
     val n = withNorm(emb, vecCol, idCol)
     val c0 = n.where(candPred)
 
-    // deterministic coarse centroids: seeded-hash-ordered candidate
-    // vectors, unit-normalized on the driver (tiny, O(numCentroids·dim))
-    val centroids: Array[Array[Float]] = c0
-      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+    // deterministic coarse centroids: hash-ordered candidate vectors,
+    // unit-normalized on the driver (tiny, O(numCentroids·dim))
+    val seeded: Array[Array[Float]] = c0
+      .orderBy(rolling_hash(concat(lit(s"ivf$seed:"), col(idCol).cast("string"))), col(idCol))
       .limit(numCentroids)
       .select(col(vecCol), col("norm"))
       .collect()
@@ -181,7 +187,10 @@ object Similarity {
         val nrm = r.getDouble(1)
         if (nrm == 0.0) v else v.map(x => (x / nrm).toFloat)
       }
-    require(centroids.nonEmpty, "ivfTopK: no candidate rows to index")
+    require(seeded.nonEmpty, "ivfTopK: no candidate rows to index")
+    val centroids =
+      if (refineIters <= 0) seeded
+      else kmeansCentroids(emb.where(candPred), seeded, refineIters, vecCol)
 
     // cosine of a row vector against every centroid (centroids are unit
     // vectors, so dot/norm is the cosine)
@@ -220,5 +229,56 @@ object Similarity {
         Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))))
       .where(col("rnk") <= k)
       .select("query_id", "neighbor_id", "rnk")
+  }
+
+  /** Deterministic distributed spherical k-means (Lloyd) refinement for
+    * IVF coarse centroids.
+    *
+    * Each iteration assigns every candidate to its max-cosine centroid
+    * (the same argmax plan as [[ivfTopK]] cell assignment) and
+    * recomputes each cell's mean, re-unit-normalized. Per-dimension
+    * sums are carried in fixed-point longs (×2^24 — exact integer
+    * addition), so centroids do NOT depend on partition/combine order;
+    * a plain double sum would make IVF results flap across runs. Cost
+    * per iteration: one scan plus a (numCentroids × dim)-row shuffle;
+    * the collect is O(numCentroids · dim). At 100 TB, pass a sample
+    * (`cand.sample(...)`) — assignment quality needs cluster geometry,
+    * not every row. Cells that attract no rows keep their previous
+    * centroid.
+    */
+  def kmeansCentroids(
+      cand: DataFrame,
+      init: Array[Array[Float]],
+      iters: Int,
+      vecCol: String = "embedding"): Array[Array[Float]] = {
+    val Q = (1L << 24).toDouble
+    def unit(v: Array[Double]): Array[Float] = {
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      if (nrm == 0.0) v.map(_.toFloat) else v.map(x => (x / nrm).toFloat)
+    }
+    var cents = init
+    val base = cand.select(col(vecCol).as("v"),
+      sqrt(vec_dot(col(vecCol), col(vecCol))).as("nrm"))
+    for (_ <- 0 until iters) {
+      // dot array in its own projection so the argmax reads a column
+      val dots = array(cents.map(ct => vec_dot(col("v"), lit(ct)) / col("nrm")): _*)
+      val sums = base
+        .select(col("v"), dots.as("__dots"))
+        .select(col("v"),
+          array_position(col("__dots"), array_max(col("__dots"))).as("cell"))
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg(sum(round(col("x") * Q).cast("long")).as("qsum"),
+          count(lit(1)).as("cnt"))
+        .collect()
+      val next: Array[Array[Float]] = cents.clone()
+      sums.groupBy(_.getLong(0)).foreach { case (cell, rows) =>
+        val d = new Array[Double](init.head.length)
+        rows.foreach(r => d(r.getInt(1)) = r.getLong(2).toDouble / r.getLong(3) / Q)
+        next((cell - 1).toInt) = unit(d)
+      }
+      cents = next
+    }
+    cents
   }
 }

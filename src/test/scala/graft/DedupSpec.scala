@@ -125,4 +125,48 @@ class DedupSpec extends AnyFunSuite with SparkTest {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 1L), (0L, 3L), (1L, 3L)))
   }
+
+  test("portable minHashLsh: exact-verified pairs, still catches the exact dup") {
+    // portable hashes are a different permutation family, so CANDIDATES
+    // can differ from the xxhash64 path — but both verify with exact
+    // Jaccard, so emitted pairs are always a subset of the exact tier
+    val exact = Dedup.ngramJaccardPairs(docs, 9, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val port = Dedup.minHashLsh(docs, 16, 4, 9, 10, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(port.subsetOf(exact))
+    // jaccard-1 pair has identical signatures in every band under ANY
+    // hash family -> guaranteed candidate, survives verification
+    assert(port.contains((0L, 3L)))
+  }
+
+  test("portable simHash signatures are deterministic and group exact dups") {
+    def sigs() = Dedup.simHashSignatures(docs, portable = true).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sig = sigs()
+    assert(sig(0L) == sig(3L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sig(0L), sig(1L)) < hamming(sig(0L), sig(4L)))
+    assert(sigs() == sig)
+  }
+
+  test("embeddingNearDupLsh: precision is exact, parallel vectors always collide") {
+    val s = spark; import s.implicits._
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(2f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0.9f, 0.1f, 0f, 0f)),
+      (4L, Array(-1f, 0f, 0f, 0f)) // antipodal: cosine -1 with 0
+    ).toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDup(emb, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDupLsh(emb, 0.99, numPlanes = 4, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every emitted pair passed the exact double-cosine verify
+    assert(lsh.subsetOf(exact))
+    // same-direction vectors share every plane sign -> same bucket ->
+    // guaranteed candidate -> guaranteed emitted
+    assert(lsh.contains((0L, 1L)))
+  }
 }

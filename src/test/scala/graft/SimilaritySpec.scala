@@ -64,4 +64,74 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(full == brute)
   }
+
+  test("k-means refinement improves IVF recall on clustered data and stays deterministic") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    // 8 tight clusters; seeded centroid picks land wherever the hash
+    // says, k-means should move them onto the actual cluster centers
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val rows = (0 until 400).map { i =>
+      val c = centers(i % 8)
+      (i.toLong + 100L, c.map(v => v + 0.1f * rnd.nextGaussian().toFloat))
+    } ++ (0 until 8).map(i => (i.toLong, centers(i).map(v => v + 0.05f * rnd.nextGaussian().toFloat)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(emb, col("vec_id") < 8, col("vec_id") >= 8, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run(iters: Int): Set[(Long, Long)] =
+      Similarity.ivfTopK(emb, col("vec_id") < 8, col("vec_id") >= 8, 5,
+        numCentroids = 8, nProbe = 1, refineIters = iters)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val seeded = run(0)
+    val refined = run(3)
+    val recallSeeded = (brute & seeded).size.toDouble / brute.size
+    val recallRefined = (brute & refined).size.toDouble / brute.size
+    assert(recallRefined >= recallSeeded,
+      s"refined=$recallRefined < seeded=$recallSeeded")
+    assert(recallRefined >= 0.8, s"refined recall=$recallRefined")
+    // fixed-point sums make Lloyd independent of partition order
+    assert(run(3) == refined)
+  }
+
+  test("kmeansCentroids improves quantization quality over the init") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 8
+    val centers = Array.fill(4)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val rows = (0 until 400).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(v => v + 0.05f * rnd.nextGaussian().toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    // spread but wrong init: random directions (the regime a seeded pick
+    // can land in). Lloyd is not guaranteed to recover every planted
+    // center (an empty cell keeps its centroid), so assert the property
+    // it DOES guarantee: the k-means objective — mean cosine between a
+    // vector and its assigned (max-cosine) centroid — goes up.
+    val initRnd = new scala.util.Random(23)
+    val init = Array.fill(4)(Array.fill(dim)(initRnd.nextGaussian().toFloat))
+    val refined = Similarity.kmeansCentroids(emb, init, iters = 5)
+    def quality(cents: Array[Array[Float]]): Double = {
+      def unit(v: Array[Float]): Array[Double] = {
+        val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+        if (n == 0) v.map(_.toDouble) else v.map(_ / n)
+      }
+      val cu = cents.map(unit)
+      val data = rows.map(_._2)
+      data.map { v =>
+        val vu = unit(v)
+        cu.map(c => c.zip(vu).map { case (a, b) => a * b }.sum).max
+      }.sum / data.length
+    }
+    val qInit = quality(init)
+    val qRefined = quality(refined)
+    assert(qRefined > qInit + 0.05, s"init=$qInit refined=$qRefined")
+    // merged cells cap the ceiling below a perfect 4-for-4 recovery;
+    // anything ≥0.85 means centroids moved onto real data directions
+    assert(qRefined > 0.85, s"refined quantization quality=$qRefined")
+    // fixed-point accumulation: same inputs -> bit-identical centroids
+    assert(Similarity.kmeansCentroids(emb, init, iters = 5)
+      .map(_.toSeq).toSeq == refined.map(_.toSeq).toSeq)
+  }
 }

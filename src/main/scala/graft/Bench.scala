@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.functions.{struct, sum, xxhash64}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{call_function, struct, xxhash64}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
@@ -13,9 +14,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * this data scale is of the same order as the shortest queries.
   *
   * Each timed pass evaluates a checksum over EVERY output column
-  * (sum of xxhash64 over the row struct), not a bare count — a count
+  * (bit_xor of xxhash64 over the row struct), not a bare count — a count
   * would let Catalyst prune unevaluated projections, so projection-only
-  * queries would time a scan instead of their expression work.
+  * queries would time a scan instead of their expression work. bit_xor
+  * (not sum) because a sum of uniform 64-bit hashes overflows LongType
+  * under ANSI mode at benchmark row counts.
   *
   * A query that throws is recorded in the `failures` JSON field with its
   * elapsed-time slot set to -1 — a regression can only lower the score,
@@ -47,7 +50,8 @@ object Bench {
     // types our queries emit (primitives, strings, arrays, timestamps).
     def force(df: DataFrame): Unit =
       try {
-        df.select(sum(xxhash64(struct(df.columns.map(df.col): _*))).as("__ck")).collect()
+        val ck: Column = call_function("bit_xor", xxhash64(struct(df.columns.map(df.col): _*)))
+        df.select(ck.as("__ck")).collect()
         ()
       } finally graft.operators.Caches.release() // free operator-persisted subplans
 

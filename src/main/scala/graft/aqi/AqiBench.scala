@@ -24,7 +24,7 @@ import org.apache.spark.sql.SparkSession
   */
 object AqiBench {
 
-  private val Params = Array("Ozone", "PM2.5", "PM10", "CO", "NO2")
+  private[aqi] val Params = Array("Ozone", "PM2.5", "PM10", "CO", "NO2")
 
   def main(args: Array[String]): Unit = {
     val totalRows = (args.headOption.map(_.toInt).getOrElse(1000000) / 3) * 3
@@ -125,16 +125,16 @@ object AqiBench {
   /** ~3 years of distinct measured dates, like the reference's 3 annual
     * extracts.
     */
-  private val NumDays = 1000
+  private[aqi] val NumDays = 1000
 
-  private def dayString(d: Int): String =
+  private[aqi] def dayString(d: Int): String =
     java.time.LocalDate.of(2021, 1, 1).plusDays(d % NumDays).toString
 
   private def timed(f: => Unit): Double = {
     val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
   }
 
-  private def csv(path: String): BufferedWriter = {
+  private[aqi] def csv(path: String): BufferedWriter = {
     val w = new BufferedWriter(new FileWriter(path), 1 << 20)
     w.write("State Name,county Name,State Code,County Code,Date,AQI,Category," +
       "Defining Parameter,Defining Site,Number of Sites Reporting,Created,Last Updated\n")
@@ -145,7 +145,7 @@ object AqiBench {
     * Created], defining_parameter, defining_site) is a bijection of
     * `key`, so update rows hit exactly their prior version.
     */
-  private def row(counties: IndexedSeq[(String, String, String, Int)],
+  private[aqi] def row(counties: IndexedSeq[(String, String, String, Int)],
       rnd: scala.util.Random, key: Int, createdDay: String, updatedDay: String): String = {
     val (county, state, _, stateIdx) = counties(key % counties.length)
     val site = s"site-${key / Params.length}"
@@ -155,7 +155,7 @@ object AqiBench {
       s"$createdDay 10:00:00,$updatedDay 12:00:00\n"
   }
 
-  private def writeCounties(path: String, cs: Seq[(String, String, String, Int)]): Unit = {
+  private[aqi] def writeCounties(path: String, cs: Seq[(String, String, String, Int)]): Unit = {
     val w = new BufferedWriter(new FileWriter(path), 1 << 20)
     w.write("county,county_ascii,county_full,county_fips,state_id,state_name,lat,lng,population\n")
     cs.foreach { case (county, state, fips, stateIdx) =>

@@ -53,7 +53,14 @@ object Merge {
 
   /** Pure transform returning the post-merge state of the target. */
   def scd1(target: DataFrame, source: DataFrame, spec: MergeSpec, now: Column): DataFrame = {
-    val t = target.withColumn(TMarker, lit(1)).alias("__mt")
+    // an audit column the target does not yet carry (first load into an
+    // empty table created from the source schema) starts as NULL — every
+    // row then takes the insert branch and stamps `now`
+    val target1 = (spec.createdCol.toSeq ++ spec.updatedCol.toSeq)
+      .foldLeft(target)((df, c) =>
+        if (df.columns.contains(c)) df
+        else df.withColumn(c, lit(null).cast("timestamp")))
+    val t = target1.withColumn(TMarker, lit(1)).alias("__mt")
     val s = source.withColumn(SMarker, lit(1)).alias("__ms")
     def tc(c: String): Column = col(s"__mt.$c")
     def sc(c: String): Column = col(s"__ms.$c")

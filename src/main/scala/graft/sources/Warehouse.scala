@@ -20,13 +20,33 @@ object Warehouse {
 
   private def path(dir: String, table: String) = s"$dir/$table"
 
+  /** Self-healing for the swap's crash window: a crash between
+    * rename(live→old) and rename(tmp→live) leaves the table only under
+    * `<table>.old`; every entry point heals that state by renaming it
+    * back before proceeding, so the data is never more than one access
+    * away from live. (`.tmp` is never recovered — it may be a partial
+    * write.)
+    */
+  private def heal(spark: SparkSession, dir: String, table: String): Unit = {
+    val live = new Path(path(dir, table))
+    val old = new Path(path(dir, table) + ".old")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live) && fs.exists(old)) {
+      if (!fs.rename(old, live))
+        throw new java.io.IOException(s"warehouse heal failed: $old -> $live")
+    }
+  }
+
   def exists(spark: SparkSession, dir: String, table: String): Boolean = {
+    heal(spark, dir, table)
     val p = new Path(path(dir, table))
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  def read(spark: SparkSession, dir: String, table: String): DataFrame =
+  def read(spark: SparkSession, dir: String, table: String): DataFrame = {
+    heal(spark, dir, table)
     spark.read.parquet(path(dir, table))
+  }
 
   /** Read the table, or an empty DataFrame with the given schema when the
     * table does not exist yet (first pipeline run).
@@ -56,15 +76,18 @@ object Warehouse {
     * Crash-safety scope: a crash during the WRITE (the long, dangerous
     * phase) leaves the live table untouched. The swap itself is two
     * renames, not one atomic commit — a crash between rename(live→old)
-    * and rename(tmp→live) leaves the data only under `<table>.old`
-    * (recover by renaming it back), and a reader racing the swap can
-    * observe a missing path. Single-writer, retry-on-read semantics —
-    * the reference's nightly-batch contract. For always-consistent
-    * readers, front the directory with a pointer/manifest commit (the
+    * and rename(tmp→live) leaves the data only under `<table>.old`,
+    * which every entry point self-heals (renames back) on next access,
+    * so no manual recovery is ever needed. A reader racing the swap can
+    * still observe a missing path for the instant between the renames:
+    * single-writer, retry-on-read semantics — the reference's
+    * nightly-batch contract. For always-consistent concurrent readers,
+    * front the directory with a pointer/manifest commit (the
     * Iceberg/Delta pattern) — out of scope here.
     */
   def overwrite(df: DataFrame, dir: String, table: String): Unit = {
     val spark = df.sparkSession
+    heal(spark, dir, table)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = new Path(path(dir, table))
     val tmp = new Path(path(dir, table) + ".tmp")

@@ -65,4 +65,25 @@ class AqiStreamSpec extends AnyFunSuite with SparkTest {
     val live = Warehouse.read(s, wh, "t").collect()
     assert(live.length == 1 && live.head.getString(1) == "v1")
   }
+
+  test("a crash between the two swap renames self-heals on next access") {
+    val s = spark; import s.implicits._
+    val wh = Files.createTempDirectory("aqi-wh-swap").toString
+    Warehouse.overwrite(Seq((1L, "v1")).toDF("id", "v"), wh, "t")
+    // simulate the crash window: live has been renamed to .old, the new
+    // tmp never made it to live (and may be partial — it must NOT win)
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$wh/t"),
+      new org.apache.hadoop.fs.Path(s"$wh/t.old")))
+    Files.createDirectory(java.nio.file.Path.of(wh, "t.tmp"))
+    Files.writeString(java.nio.file.Path.of(wh, "t.tmp", "part-00000"), "partial")
+
+    val healed = Warehouse.read(s, wh, "t").collect()
+    assert(healed.length == 1 && healed.head.getString(1) == "v1")
+    // a subsequent overwrite proceeds normally from the healed state
+    Warehouse.overwrite(Seq((2L, "v2")).toDF("id", "v"), wh, "t")
+    val next = Warehouse.read(s, wh, "t").collect()
+    assert(next.length == 1 && next.head.getString(1) == "v2")
+  }
 }

@@ -63,4 +63,25 @@ class ScaleSpec extends AnyFunSuite with SparkTest {
     assert(scan.selectedPartitions.partitionCount == 1,
       s"expected exactly one pruned partition, got ${scan.selectedPartitions.partitionCount}")
   }
+
+  test("embeddingNearDupLsh plans equi-joins only — no cartesian product") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(3)
+    val emb = (0 until 200).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    def nonEqui(df: org.apache.spark.sql.DataFrame): Boolean = {
+      df.count() // run so AQE finalizes the plan
+      val plan = df.queryExecution.executedPlan.toString
+      plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin")
+    }
+    // the exact tier IS the documented cross join…
+    val exact = graft.operators.Dedup.embeddingNearDup(emb, 0.9)
+    assert(nonEqui(exact), "exact tier should be the cross-join oracle")
+    // …the LSH tier must never be: candidates come from a bucket
+    // equi-join, verification from key equi-joins
+    val lsh = graft.operators.Dedup.embeddingNearDupLsh(emb, 0.9, numPlanes = 6, dim = 8)
+    assert(!nonEqui(lsh),
+      s"LSH tier planned a non-equi join:\n${lsh.queryExecution.executedPlan}")
+    graft.operators.Caches.release()
+  }
 }

@@ -211,27 +211,32 @@ object OracleSql {
       s"WHERE ${pairDot("a.embedding", "b.embedding", dim)} >= $threshold * a.nrm * b.nrm"
   }
 
-  /** Oracle for `ann_ivf_topk`: full replay of `Similarity.ivfTopK`
-    * with the portable (rolling-hash-ordered) centroid pick —
-    * normalization float-rounding, cell argmax tie-breaks, probe
-    * ordering and final ranking all bit-identical.
+  /** Shared IVF prologue: `cnd`/`qry` split, the portable
+    * (rolling-hash-ordered) centroid pick, and `cent0` — the seeded,
+    * unit-normalized coarse centroids.
     */
-  def annIvfTopK(k: Int, numCentroids: Int, nProbe: Int, dim: Int = 64, seed: Long = 42L): String = {
-    s"WITH base AS (SELECT vec_id, embedding, sqrt(${selfDot("embedding", dim)}) AS nrm FROM embeddings), " +
+  private def ivfPrologue(numCentroids: Int, dim: Int, seed: Long): String =
+    s"base AS (SELECT vec_id, embedding, sqrt(${selfDot("embedding", dim)}) AS nrm FROM embeddings), " +
       "cnd AS (SELECT * FROM base WHERE vec_id >= 10), " +
       "qry AS (SELECT * FROM base WHERE vec_id < 10), " +
       s"ch AS (SELECT vec_id, embedding, nrm, hex(encode('ivf$seed:' || CAST(vec_id AS VARCHAR))) AS hx FROM cnd), " +
       s"ck AS (SELECT vec_id, embedding, nrm, ${toSigned(rollFold("hx"))} AS h FROM ch), " +
       s"cpick AS (SELECT embedding, nrm, CAST(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) AS cidx " +
       s"FROM ck ORDER BY h, vec_id LIMIT $numCentroids), " +
-      "cent AS (SELECT cidx, CASE WHEN nrm = 0 THEN embedding ELSE " +
-      s"[CAST(CAST(embedding[j] AS DOUBLE) / nrm AS FLOAT) FOR j IN generate_series(1, $dim)] END AS cvec FROM cpick), " +
-      s"cd AS (SELECT c.vec_id, c.embedding, c.nrm, ct.cidx, ${pairDot("c.embedding", "ct.cvec", dim)} / c.nrm AS dot " +
-      "FROM cnd c CROSS JOIN cent ct), " +
+      "cent0 AS (SELECT cidx, CASE WHEN nrm = 0 THEN embedding ELSE " +
+      s"[CAST(CAST(embedding[j] AS DOUBLE) / nrm AS FLOAT) FOR j IN generate_series(1, $dim)] END AS cvec FROM cpick)"
+
+  /** Shared IVF tail reading centroids from CTE `centName`: cell
+    * assignment (argmax cosine, first-max tie-break), query probes,
+    * candidate scoring, final per-query ranking.
+    */
+  private def ivfTail(centName: String, k: Int, nProbe: Int, dim: Int): String =
+    s"cd AS (SELECT c.vec_id, c.embedding, c.nrm, ct.cidx, ${pairDot("c.embedding", "ct.cvec", dim)} / c.nrm AS dot " +
+      s"FROM cnd c CROSS JOIN $centName ct), " +
       "cellasg AS (SELECT vec_id AS neighbor_id, embedding AS c_vec, nrm AS c_norm, cidx AS cell FROM " +
       "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cidx) AS rn FROM cd) t WHERE rn = 1), " +
       s"qd AS (SELECT q.vec_id, q.embedding, q.nrm, ct.cidx, ${pairDot("q.embedding", "ct.cvec", dim)} / q.nrm AS dot " +
-      "FROM qry q CROSS JOIN cent ct), " +
+      s"FROM qry q CROSS JOIN $centName ct), " +
       "probe AS (SELECT vec_id AS query_id, embedding AS q_vec, nrm AS q_norm, cidx AS cell FROM " +
       s"(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cidx) AS rn FROM qd) t WHERE rn <= $nProbe), " +
       s"scored AS (SELECT p.query_id, ca.neighbor_id, ${pairDot("p.q_vec", "ca.c_vec", dim)} / (p.q_norm * ca.c_norm) AS cosine " +
@@ -239,6 +244,53 @@ object OracleSql {
       "SELECT query_id, neighbor_id, rnk FROM (SELECT query_id, neighbor_id, " +
       "CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rnk " +
       s"FROM scored) t WHERE rnk <= $k"
+
+  /** Oracle for `ann_ivf_topk`: full replay of `Similarity.ivfTopK`
+    * with the portable (rolling-hash-ordered) centroid pick —
+    * normalization float-rounding, cell argmax tie-breaks, probe
+    * ordering and final ranking all bit-identical.
+    */
+  def annIvfTopK(k: Int, numCentroids: Int, nProbe: Int, dim: Int = 64, seed: Long = 42L): String =
+    s"WITH ${ivfPrologue(numCentroids, dim, seed)}, " +
+      "cent AS (SELECT * FROM cent0), " +
+      ivfTail("cent", k, nProbe, dim)
+
+  /** Oracle for `ann_ivf_refined_topk`: the seeded pick plus `iters`
+    * replayed Lloyd iterations of `Similarity.kmeansCentroids`. Each
+    * iteration reproduces the Scala driver's arithmetic exactly:
+    * argmax assignment divides the dot by the row norm (same tie
+    * behavior as the operator); per-dimension sums go through the same
+    * ×2^24 fixed-point longs (HALF_UP rounding both engines); the mean
+    * is the same left-associated `qsum/cnt/Q` double chain; the
+    * re-unit-normalization uses the same 0.0-seeded left fold and
+    * float cast. Cells that attract no rows keep the previous centroid
+    * (left join + coalesce). Result: the refined centroids — and
+    * therefore every downstream cell, probe and rank — are
+    * bit-identical across engines.
+    */
+  def annIvfRefinedTopK(k: Int, numCentroids: Int, nProbe: Int, iters: Int,
+      dim: Int = 64, seed: Long = 42L): String = {
+    val Q = (1L << 24).toString
+    def lloydStep(prev: String, t: Int): String = {
+      // d2 = qsum::double / cnt / Q, left-associated like the Scala fold
+      val mean = s"((CAST(qsum AS DOUBLE) / CAST(cnt AS DOUBLE)) / $Q.0)"
+      // 0.0-seeded left-assoc sum of squares, matching Array[Double].sum
+      val nrm2 = (1 to dim).map(j => s"d[$j] * d[$j]").mkString("(0.0 + ", " + ", ")")
+      s"asg$t AS (SELECT vec_id, embedding, cell FROM (SELECT c.vec_id, c.embedding, ct.cidx AS cell, " +
+        s"row_number() OVER (PARTITION BY c.vec_id ORDER BY ${pairDot("c.embedding", "ct.cvec", dim)} / c.nrm DESC, ct.cidx) AS rn " +
+        s"FROM cnd c CROSS JOIN $prev ct) x WHERE rn = 1), " +
+        s"sums$t AS (SELECT cell, j, sum(CAST(round(CAST(embedding[j] AS DOUBLE) * $Q.0) AS BIGINT)) AS qsum, " +
+        s"count(*) AS cnt FROM asg$t CROSS JOIN (SELECT unnest(generate_series(1, $dim)) AS j) dims GROUP BY cell, j), " +
+        s"dvec$t AS (SELECT cell, list(($mean) ORDER BY j) AS d FROM sums$t GROUP BY cell), " +
+        s"norm$t AS (SELECT cell, d, sqrt($nrm2) AS nrm FROM dvec$t), " +
+        s"cnew$t AS (SELECT cell AS cidx, CASE WHEN nrm = 0 THEN [CAST(d[j] AS FLOAT) FOR j IN generate_series(1, $dim)] " +
+        s"ELSE [CAST(d[j] / nrm AS FLOAT) FOR j IN generate_series(1, $dim)] END AS cvec FROM norm$t), " +
+        s"cent$t AS (SELECT p.cidx, coalesce(n.cvec, p.cvec) AS cvec FROM $prev p LEFT JOIN cnew$t n USING (cidx))"
+    }
+    val steps = (1 to iters).map(t => lloydStep(if (t == 1) "cent0" else s"cent${t - 1}", t))
+    s"WITH ${ivfPrologue(numCentroids, dim, seed)}, " +
+      steps.mkString(", ") + ", " +
+      ivfTail(s"cent$iters", k, nProbe, dim)
   }
 
   // ----------------------------------------------------------- multimodal

@@ -363,6 +363,12 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(rd(s, d, "embeddings"),
         col("vec_id") < 10, col("vec_id") >= 10, 5, numCentroids = 16, nProbe = 4)),
+    "ann_ivf_refined_topk" -> ((s, d) =>
+      // same index with 2 fixed-point Lloyd iterations moving the seeded
+      // picks onto real cluster centers; the oracle replays the k-means
+      Similarity.ivfTopK(rd(s, d, "embeddings"),
+        col("vec_id") < 10, col("vec_id") >= 10, 5, numCentroids = 16, nProbe = 4,
+        refineIters = 2)),
 
     // —— training-data pipeline: text analysis ——
     "text_lang_id" -> ((s, d) => TextAnalysis.langId(rd(s, d, "documents"))),
@@ -569,6 +575,8 @@ object SparkEntry {
     "dedup_embed_lsh" -> OracleSql.dedupEmbedLsh(0.4),
     "ann_lsh_topk" -> OracleSql.annLshTopK(5),
     "ann_ivf_topk" -> OracleSql.annIvfTopK(5, numCentroids = 16, nProbe = 4),
+    "ann_ivf_refined_topk" ->
+      OracleSql.annIvfRefinedTopK(5, numCentroids = 16, nProbe = 4, iters = 2),
     "text_rolling_fp" -> OracleSql.textRollingFp,
     "media_byte_stats" -> OracleSql.mediaByteStats,
     "dedup_clusters" ->

@@ -257,8 +257,11 @@ object Similarity {
       if (nrm == 0.0) v.map(_.toFloat) else v.map(x => (x / nrm).toFloat)
     }
     var cents = init
-    val base = cand.select(col(vecCol).as("v"),
-      sqrt(vec_dot(col(vecCol), col(vecCol))).as("nrm"))
+    // scanned once per iteration by the assignment job — persist so
+    // iterations 2..n skip the source scan and norm recompute
+    val base = graft.operators.Caches.persisted(
+      cand.select(col(vecCol).as("v"),
+        sqrt(vec_dot(col(vecCol), col(vecCol))).as("nrm")))
     for (_ <- 0 until iters) {
       // dot array in its own projection so the argmax reads a column
       val dots = array(cents.map(ct => vec_dot(col("v"), lit(ct)) / col("nrm")): _*)

@@ -303,4 +303,51 @@ object OracleSql {
     "SELECT CAST(doc_id AS BIGINT) AS media_id, 'text' AS kind, " +
       "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS content_hash " +
       "FROM documents"
+
+  // ------------------------------------------------- sampling / sketches
+
+  /** CASE expression replaying [[graft.operators.Sampling.splitCol]]:
+    * same md5 input string, same 4-hex-char prefix, same threshold
+    * literals (generated by the same `Sampling.thresholds` call the
+    * operator uses, so query and oracle cannot drift).
+    */
+  def hashSplitCase(
+      keyExpr: String, salt: String, fractions: Seq[(String, Double)]): String = {
+    val h = s"substr(md5('$salt' || ':' || $keyExpr), 1, 4)"
+    val whens = graft.operators.Sampling.thresholds(fractions)
+      .map { case (name, hex) => s"WHEN $h < '$hex' THEN '$name'" }
+      .mkString(" ")
+    s"CASE $whens ELSE '${fractions.last._1}' END"
+  }
+
+  /** Oracle for `sketch_kmv_distinct`: replay of the KMV sketch
+    * ([[graft.functions.KmvAgg]]) over distinct users per event type.
+    * The 32-bit hash replays [[graft.plans.MixHash32]]: the wrapping
+    * multiply by C = 0x9E3779B97F4A7C15 is decomposed into 32-bit limbs
+    * (`fold = a·2^32 + b`; `fold·C mod 2^64 = ((a·C_lo + b·C_hi)·2^32
+    * + b·C_lo) mod 2^64`) so every intermediate fits HUGEINT; the k-th
+    * smallest distinct hash and the floor-division estimate are pure
+    * integer arithmetic in both engines.
+    */
+  def kmvDistinct(k: Int): String = {
+    val cap = (k - 1).toLong * 4294967296L
+    val cHi = 2654435769L // 0x9E3779B9
+    val cLo = 2135587861L // 0x7F4A7C15
+    val mix = "(((a * " + cLo + " + b * " + cHi + ") * 4294967296 + b * " + cLo +
+      ") % 18446744073709551616)"
+    s"WITH d AS (SELECT DISTINCT event_type, user_id FROM events), " +
+      "dx AS (SELECT event_type, user_id, hex(encode('kmv:' || CAST(user_id AS VARCHAR))) AS hx FROM d), " +
+      s"fl AS (SELECT event_type, user_id, ${rollFold("hx")} AS fold FROM dx), " +
+      "lm AS (SELECT event_type, user_id, fold // 4294967296 AS a, fold % 4294967296 AS b FROM fl), " +
+      s"h AS (SELECT event_type, user_id, CAST($mix // 4294967296 AS BIGINT) AS h32 FROM lm), " +
+      "hd AS (SELECT DISTINCT event_type, h32 FROM h), " +
+      "g AS (SELECT event_type, count(*) AS n_h FROM hd GROUP BY event_type), " +
+      "r AS (SELECT event_type, h32, row_number() OVER (PARTITION BY event_type ORDER BY h32) AS rn FROM hd), " +
+      s"kth AS (SELECT r.event_type, r.h32 AS kth_min FROM r JOIN g ON g.event_type = r.event_type " +
+      s"WHERE r.rn = LEAST(g.n_h, $k)), " +
+      "ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY event_type) " +
+      s"SELECT ex.event_type, ex.n_exact, CAST(LEAST(g.n_h, $k) AS INT) AS n_kept, kth.kth_min, " +
+      s"CAST(CASE WHEN g.n_h < $k THEN g.n_h ELSE $cap // kth.kth_min END AS BIGINT) AS est_distinct " +
+      "FROM ex JOIN g ON g.event_type = ex.event_type JOIN kth ON kth.event_type = ex.event_type"
+  }
 }

@@ -4,8 +4,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
-import graft.functions.aqiCategory
-import graft.operators.{Dedup, Events, Merge, MergeSpec, Multimodal, Similarity, TextAnalysis}
+import graft.functions.{aqiCategory, mixed_hash32, KmvAgg}
+import graft.operators.{AsOf, Dedup, Events, Merge, MergeSpec, Multimodal, RangeJoin, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract: one `queries` entry per implemented operator from
   * SURVEY.md §2 (IDs in the names) plus the training-data-pipeline
@@ -383,8 +383,102 @@ object SparkEntry {
       // binary-column stats over media rows (text payloads as the
       // deterministic stand-in for image/audio bytes)
       Multimodal.byteStats(
-        Multimodal.fromText(rd(s, d, "documents"), "doc_id", "text", "text").toDF()))
+        Multimodal.fromText(rd(s, d, "documents"), "doc_id", "text", "text").toDF())),
+
+    // —— non-equi joins: as-of and interval (operators Spark lacks) ——
+    "asof_join" -> ((s, d) => {
+      // each purchase picks up the user's most recent view at-or-before
+      // it (union + one keyed shuffle — no pair expansion)
+      val ev = rd(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_event_id"), col("value").as("view_value"))
+      AsOf.asofJoin(purchases, views, Seq("user_id"), "ts",
+        tieCol = "view_event_id", payloadCols = Seq("view_event_id", "view_value"))
+    }),
+    "asof_join_tol" -> ((s, d) => {
+      // same join with a 6-hour freshness bound: stale matches null out
+      val ev = rd(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_event_id"), col("value").as("view_value"))
+      AsOf.asofJoin(purchases, views, Seq("user_id"), "ts",
+        tieCol = "view_event_id", payloadCols = Seq("view_event_id", "view_value"),
+        toleranceMicros = Some(6L * 3600L * 1000000L))
+    }),
+    "r_range_join" -> ((s, d) => {
+      // general interval form: broadcast band dim, non-equi predicate
+      val bands = priceBands(s)
+      RangeJoin.bandJoin(rd(s, d, "orders"), "o_totalprice", bands)
+        .filter(col("band").isNotNull)
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+    }),
+    "r_band_equi" -> ((s, d) => {
+      // uniform-width rewrite of the same join: equi-join on
+      // floor(value/width), broadcast HASH join (ScaleSpec-asserted)
+      val bands = priceBands(s)
+      RangeJoin.uniformBandJoin(rd(s, d, "orders"), "o_totalprice", bands, 100000.0)
+        .filter(col("band").isNotNull)
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+    }),
+
+    // —— sampling / sketches ——
+    "sample_hash_split" -> ((s, d) =>
+      // deterministic 80/10/10 train/val/test split, stable across runs
+      // and engines (md5-grid thresholds; oracle replays the CASE)
+      Sampling.hashSplit(rd(s, d, "documents"), "doc_id", "exp1", splitFractions)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))),
+    "sketch_kmv_distinct" -> ((s, d) => {
+      // KMV distinct-user sketch per event type next to the exact count;
+      // portable hash -> the estimate itself is oracle-checked
+      val k = 32
+      val kmv = udaf(new KmvAgg(k),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
+      val h32 = mixed_hash32(
+        concat_ws(":", lit("kmv"), col("user_id").cast("string")))
+      rd(s, d, "events")
+        .select(col("event_type"), col("user_id"), h32.as("h"))
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"), kmv(col("h")).as("mins"))
+        .select(col("event_type"), col("n_exact"),
+          size(col("mins")).as("n_kept"),
+          element_at(col("mins"), -1).as("kth_min"),
+          when(size(col("mins")) < k, size(col("mins")).cast("bigint"))
+            .otherwise(expr(s"CAST(${(k - 1).toLong * 4294967296L}L DIV element_at(mins, -1) AS BIGINT)"))
+            .as("est_distinct"))
+    })
   )
+
+  /** Uniform $100k price bands covering the orders totalprice domain —
+    * the dimension side of the range-join queries.
+    */
+  private def priceBands(s: SparkSession): DataFrame = {
+    val rows = (0 to 4).map(i => (s"b$i", i * 100000.0, (i + 1) * 100000.0))
+    s.createDataFrame(rows).toDF("band", "lo", "hi")
+  }
+
+  /** Shared by the `sample_hash_split` query and its oracle CASE. */
+  private val splitFractions: Seq[(String, Double)] =
+    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  /** One oracle for both range-join paths — the generic band join and
+    * its equi rewrite must agree with the same declarative SQL.
+    */
+  private val bandJoinOracle: String =
+    "SELECT b.band, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS sum_price " +
+      "FROM orders o JOIN (VALUES ('b0', 0.0, 100000.0), ('b1', 100000.0, 200000.0), " +
+      "('b2', 200000.0, 300000.0), ('b3', 300000.0, 400000.0), ('b4', 400000.0, 500000.0)) " +
+      "b(band, lo, hi) ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi GROUP BY b.band"
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -629,7 +723,31 @@ object SparkEntry {
       "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint FROM documents",
     "text_bpe_tokens" ->
       ("SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INT) " +
-        "AS n_bpeish_tokens FROM documents")
+        "AS n_bpeish_tokens FROM documents"),
+    // independent naive formulation of the as-of join (range join +
+    // per-left row_number) — deliberately NOT the union+window shape the
+    // operator uses, so implementation and oracle share no structure
+    "asof_join" ->
+      ("SELECT l.event_id, l.user_id, l.ts, l.value, r.event_id AS view_event_id, " +
+        "r.value AS view_value, r.ts AS matched_ts " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') l " +
+        "LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r " +
+        "ON r.user_id = l.user_id AND r.ts <= l.ts " +
+        "QUALIFY row_number() OVER (PARTITION BY l.event_id ORDER BY r.ts DESC, r.event_id DESC) = 1"),
+    "asof_join_tol" ->
+      ("SELECT l.event_id, l.user_id, l.ts, l.value, r.event_id AS view_event_id, " +
+        "r.value AS view_value, r.ts AS matched_ts " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') l " +
+        "LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r " +
+        "ON r.user_id = l.user_id AND r.ts <= l.ts AND epoch_us(l.ts) - epoch_us(r.ts) <= 21600000000 " +
+        "QUALIFY row_number() OVER (PARTITION BY l.event_id ORDER BY r.ts DESC, r.event_id DESC) = 1"),
+    "r_range_join" -> bandJoinOracle,
+    "r_band_equi" -> bandJoinOracle,
+    "sample_hash_split" ->
+      (s"WITH s AS (SELECT doc_id, n_chars, ${OracleSql.hashSplitCase("CAST(doc_id AS VARCHAR)", "exp1", splitFractions)} AS split FROM documents) " +
+        "SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "min(doc_id) AS min_id, max(doc_id) AS max_id FROM s GROUP BY split"),
+    "sketch_kmv_distinct" -> OracleSql.kmvDistinct(32)
     // every queries entry has an oracle: the hash-seeded operators use
     // full algorithm-replay SQL from OracleSql (portable hash family +
     // bit-exact double replication)

@@ -73,4 +73,12 @@ package object functions {
     */
   def rolling_hash(c: Column): Column =
     ColumnBridge.column(RollingHash(ColumnBridge.expression(c)))
+
+  /** Uniform 32-bit hash of a string: [[rolling_hash]] pushed through
+    * the [[graft.plans.MixHash32]] avalanche finalizer. Use this (not a
+    * bit-slice of the raw fold) wherever uniformity matters — KMV
+    * order statistics, bucket assignment.
+    */
+  def mixed_hash32(c: Column): Column =
+    ColumnBridge.column(graft.plans.MixHash32(ColumnBridge.expression(rolling_hash(c))))
 }

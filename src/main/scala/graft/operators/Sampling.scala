@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deterministic, engine-portable dataset splitting — the
+  * train/val/test primitive for training-data pipelines.
+  *
+  * `df.randomSplit` re-draws on every run and every recomputation (a
+  * lost executor re-rolls its partition), which leaks validation rows
+  * into training across runs. This split is a PURE FUNCTION of the row
+  * key: `split(row) = f(md5(salt || key))`, so it is
+  *
+  *   - stable across runs, re-runs, partitionings and engines — the
+  *     same key lands in the same split forever;
+  *   - leak-proof under dataset growth: adding rows never moves an
+  *     existing key between splits;
+  *   - zero-shuffle: a narrow projection that fuses into the scan's
+  *     codegen stage.
+  *
+  * Mechanics: the first 4 hex chars of `md5(salt || ':' || key)` are a
+  * uniform draw on a 65,536-cell grid; cumulative fraction thresholds
+  * on that grid pick the split. Comparison is LEXICOGRAPHIC on the
+  * fixed-width lowercase hex — identical to numeric comparison, and
+  * expressible verbatim in any engine with `md5` (the DuckDB oracle
+  * replays it as a CASE over the same hex literals, see
+  * `OracleSql.hashSplitCase`).
+  *
+  * The salt namespaces the assignment: different salts give
+  * independent splits of the same keys (e.g. a fresh holdout per
+  * experiment) — without it, every 80/10/10 split of any dataset would
+  * correlate.
+  */
+object Sampling {
+
+  /** Cumulative upper-bound hex thresholds (exclusive) for all but the
+    * last split; the last takes the remainder. Fractions must be
+    * positive and sum to ~1 (grid rounding absorbs < 1/65536).
+    */
+  private[graft] def thresholds(fractions: Seq[(String, Double)]): Seq[(String, String)] = {
+    require(fractions.sizeIs >= 2, "need at least two splits")
+    require(fractions.forall(_._2 > 0), "fractions must be positive")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
+    var cum = 0.0
+    fractions.init.map { case (name, f) =>
+      cum += f
+      name -> f"${math.round(cum * 65536).toInt}%04x"
+    }
+  }
+
+  /** The split-label column for `key` under `salt`/`fractions`. */
+  private[graft] def splitCol(
+      key: Column, salt: String, fractions: Seq[(String, Double)]): Column = {
+    val h = md5(concat_ws(":", lit(salt), key.cast("string")).cast("binary")).substr(1, 4)
+    val last = lit(fractions.last._1)
+    thresholds(fractions).foldRight(last: Column) { case ((name, hex), rest) =>
+      when(h < lit(hex), lit(name)).otherwise(rest)
+    }
+  }
+
+  /** Adds `splitColName` to `df`. Keys must be stable identifiers (a
+    * content hash also works and then splits by content identity).
+    */
+  def hashSplit(
+      df: DataFrame,
+      keyCol: String,
+      salt: String,
+      fractions: Seq[(String, Double)],
+      splitColName: String = "split"): DataFrame =
+    df.withColumn(splitColName, splitCol(col(keyCol), salt, fractions))
+}

@@ -117,3 +117,49 @@ case class RollingHash(child: Expression, base: Long = 1315423911L)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Avalanche finalizer for [[RollingHash]]: the top 32 bits of
+  * `h · 0x9E3779B97F4A7C15 (mod 2^64)`.
+  *
+  * A polynomial fold is distinct-preserving but NOT uniform in its high
+  * bits — strings differing only in trailing bytes produce folds that
+  * differ by a small delta, so `fold >>> 32` collapses them onto one
+  * value. One wrapping multiply by the odd golden-ratio constant
+  * propagates low-bit deltas across the whole word (δ → δ·C mod 2^64),
+  * making the top half usable as a uniform 32-bit draw — what
+  * order-statistic sketches (KMV) require.
+  *
+  * Raw Java long arithmetic (wrapping, ANSI-exempt) in both codegen and
+  * the interpreted fallback; the DuckDB replay decomposes the multiply
+  * into 32-bit limbs to stay inside HUGEINT (`OracleSql.kmvDistinct`).
+  */
+case class MixHash32(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"mix_hash32 requires a bigint argument, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    (v.asInstanceOf[Long] * MixHash32.C) >>> 32
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, h =>
+      s"${ev.value} = ($h * ${MixHash32.C}L) >>> 32;")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MixHash32 {
+  /** 0x9E3779B97F4A7C15 (2^64/φ, odd) as a signed long. */
+  val C: Long = -7046029254386353131L
+}

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AsOf, RangeJoin}
+
+class NonEquiSpec extends AnyFunSuite with SparkTest {
+
+  // ------------------------------------------------------------ as-of join
+
+  private def mkEvents(rows: Seq[(Long, Long, String, Double)]): DataFrame = {
+    val s = spark; import s.implicits._
+    rows.toDF("event_id", "user_id", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+  }
+
+  private def asof(left: DataFrame, right: DataFrame, tolMicros: Option[Long] = None) =
+    AsOf.asofJoin(
+      left, right.select(col("user_id"), col("ts"),
+        col("event_id").as("r_id"), col("value").as("r_value")),
+      Seq("user_id"), "ts", tieCol = "r_id", payloadCols = Seq("r_id", "r_value"),
+      toleranceMicros = tolMicros)
+
+  test("asofJoin picks the latest right at-or-before each left row") {
+    val right = mkEvents(Seq(
+      (100L, 1L, "2024-01-01 10:00:00", 1.0),
+      (101L, 1L, "2024-01-01 11:00:00", 2.0),
+      (102L, 1L, "2024-01-01 13:00:00", 3.0),
+      (103L, 2L, "2024-01-01 10:30:00", 9.0)))
+    val left = mkEvents(Seq(
+      (1L, 1L, "2024-01-01 09:00:00", 0.0), // before all rights -> null
+      (2L, 1L, "2024-01-01 11:00:00", 0.0), // equal ts -> inclusive match 101
+      (3L, 1L, "2024-01-01 12:59:59", 0.0), // latest at-or-before -> 101
+      (4L, 1L, "2024-01-01 23:00:00", 0.0), // -> 102
+      (5L, 2L, "2024-01-01 10:31:00", 0.0), // other key -> 103
+      (6L, 3L, "2024-01-01 10:31:00", 0.0))) // key with no rights -> null
+    val out = asof(left, right).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(out == Map(1L -> -1L, 2L -> 101L, 3L -> 101L, 4L -> 102L, 5L -> 103L, 6L -> -1L))
+  }
+
+  test("asofJoin resolves equal-timestamp right rows to the highest tiebreak") {
+    val right = mkEvents(Seq(
+      (200L, 1L, "2024-01-01 10:00:00", 1.0),
+      (205L, 1L, "2024-01-01 10:00:00", 2.0), // same ts, higher id wins
+      (201L, 1L, "2024-01-01 10:00:00", 3.0)))
+    val left = mkEvents(Seq((1L, 1L, "2024-01-01 10:00:01", 0.0)))
+    val row = asof(left, right).collect().head
+    assert(row.getLong(4) == 205L && row.getDouble(5) == 2.0)
+  }
+
+  test("asofJoin tolerance nulls out stale matches but keeps fresh ones") {
+    val right = mkEvents(Seq((300L, 1L, "2024-01-01 10:00:00", 1.0)))
+    val left = mkEvents(Seq(
+      (1L, 1L, "2024-01-01 10:30:00", 0.0), // 30 min old -> fresh
+      (2L, 1L, "2024-01-01 12:00:01", 0.0))) // > 2h -> stale
+    val out = asof(left, right, tolMicros = Some(2L * 3600L * 1000000L)).collect()
+      .map(r => r.getLong(0) -> r.isNullAt(4)).toMap
+    assert(out == Map(1L -> false, 2L -> true))
+  }
+
+  test("asofJoin matched payload fields all come from the same right row") {
+    val s = spark; import s.implicits._
+    // the latest right row carries a NULL payload value; per-column
+    // last(ignoreNulls) would backfill it from the older row — the
+    // struct carry must not
+    val right = Seq(
+      (400L, 1L, "2024-01-01 10:00:00", Some(7.0)),
+      (401L, 1L, "2024-01-01 11:00:00", None: Option[Double]))
+      .toDF("event_id", "user_id", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val left = mkEvents(Seq((1L, 1L, "2024-01-01 12:00:00", 0.0)))
+    val row = asof(left, right).collect().head
+    assert(row.getLong(4) == 401L && row.isNullAt(5))
+  }
+
+  test("asofJoin plans one shuffle and no pair expansion") {
+    val right = mkEvents((0 until 50).map(i =>
+      (i.toLong, (i % 5).toLong, f"2024-01-01 ${i % 24}%02d:00:00", 1.0)))
+    val left = mkEvents((0 until 50).map(i =>
+      (100L + i, (i % 5).toLong, f"2024-01-01 ${i % 24}%02d:30:00", 0.0)))
+    val df = asof(left, right)
+    df.collect()
+    // AQE wraps shuffles in ShuffleQueryStage leaves, so count textually
+    // on the final plan section only (the string repeats the initial plan)
+    val ps = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Exchange ".r.findAllIn(ps).size == 1, s"expected exactly one shuffle:\n$ps")
+    assert(!ps.contains("CartesianProduct") && !ps.contains("BroadcastNestedLoopJoin"),
+      s"as-of join expanded pairs:\n$ps")
+  }
+
+  // ------------------------------------------------------------ range join
+
+  private def bands: DataFrame = {
+    val s = spark
+    s.createDataFrame(Seq(("low", 0.0, 10.0), ("mid", 10.0, 20.0), ("high", 20.0, 30.0)))
+      .toDF("band", "lo", "hi")
+  }
+
+  private def fact: DataFrame = {
+    val s = spark; import s.implicits._
+    Seq((1L, 0.0), (2L, 9.999), (3L, 10.0), (4L, 19.5), (5L, 29.999), (6L, 30.0), (7L, -0.1))
+      .toDF("id", "v")
+  }
+
+  test("bandJoin is left-closed right-open and keeps uncovered rows with null band") {
+    val out = RangeJoin.bandJoin(fact, "v", bands).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) "none" else r.getString(2))).toMap
+    assert(out == Map(1L -> "low", 2L -> "low", 3L -> "mid", 4L -> "mid",
+      5L -> "high", 6L -> "none", 7L -> "none"))
+  }
+
+  test("uniformBandJoin matches bandJoin row-for-row on aligned bands") {
+    val generic = RangeJoin.bandJoin(fact, "v", bands)
+      .select("id", "v", "band").collect().map(_.toSeq).toSet
+    val rewrite = RangeJoin.uniformBandJoin(fact, "v", bands, 10.0)
+      .select("id", "v", "band").collect().map(_.toSeq).toSet
+    assert(generic == rewrite)
+  }
+
+  test("uniformBandJoin rejects bands misaligned to the width") {
+    val bad = spark.createDataFrame(Seq(("x", 5.0, 15.0))).toDF("band", "lo", "hi")
+    intercept[IllegalArgumentException] {
+      RangeJoin.uniformBandJoin(fact, "v", bad, 10.0)
+    }
+  }
+
+  test("uniformBandJoin plans a broadcast hash join, not a nested loop") {
+    val df = RangeJoin.uniformBandJoin(fact, "v", bands, 10.0)
+    df.collect()
+    val ps = df.queryExecution.executedPlan.toString
+    assert(ps.contains("BroadcastHashJoin"), s"no hash join in:\n$ps")
+    assert(!ps.contains("BroadcastNestedLoopJoin"), s"rewrite fell back to nested loop:\n$ps")
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.KmvAgg
+import graft.operators.Sampling
+
+class SamplingSketchSpec extends AnyFunSuite with SparkTest {
+
+  private val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  private def keys(n: Int) = {
+    val s = spark; import s.implicits._
+    (0 until n).map(_.toLong).toDF("id")
+  }
+
+  // ------------------------------------------------------------- hash split
+
+  test("thresholds land on the documented 65536-grid hex cuts") {
+    assert(Sampling.thresholds(fr) == Seq("train" -> "cccd", "val" -> "e666"))
+  }
+
+  test("hashSplit labels every row with exactly one known split") {
+    val out = Sampling.hashSplit(keys(1000), "id", "s1", fr)
+    assert(out.filter(!col("split").isin("train", "val", "test")).isEmpty)
+    assert(out.count() == 1000)
+  }
+
+  test("hashSplit fractions are near the requested ones") {
+    val counts = Sampling.hashSplit(keys(2000), "id", "s1", fr)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("train") - 1600L) < 100,
+      s"train=${counts("train")} expected ~1600")
+    assert(math.abs(counts.getOrElse("val", 0L) - 200L) < 60)
+    assert(math.abs(counts.getOrElse("test", 0L) - 200L) < 60)
+  }
+
+  test("hashSplit is stable across runs and partitionings") {
+    def labels(parts: Int) =
+      Sampling.hashSplit(keys(500).repartition(parts), "id", "s1", fr)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(labels(1) == labels(7))
+  }
+
+  test("different salts give decorrelated splits of the same keys") {
+    val a = Sampling.hashSplit(keys(500), "id", "expA", fr)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sampling.hashSplit(keys(500), "id", "expB", fr)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val moved = (0 until 500).count(i => a(i.toLong) != b(i.toLong))
+    assert(moved > 100, s"only $moved keys moved between salts")
+  }
+
+  test("hashSplit rejects fractions that do not sum to 1") {
+    intercept[IllegalArgumentException] {
+      Sampling.thresholds(Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
+  // ------------------------------------------------------------- KMV sketch
+
+  test("KmvAgg buffer is a sorted distinct set capped at k") {
+    val agg = new KmvAgg(4)
+    val buf = Seq(9L, 3L, 7L, 3L, 1L, 8L, 2L, 2L).foldLeft(agg.zero)(agg.reduce)
+    assert(buf == List(1L, 2L, 3L, 7L))
+    val merged = agg.merge(buf, List(0L, 7L, 100L))
+    assert(merged == List(0L, 1L, 2L, 3L))
+  }
+
+  test("KMV estimate is exact below capacity") {
+    assert(KmvAgg.estimate(8, List(5L, 10L, 900L)) == 3L)
+    assert(KmvAgg.estimate(8, Nil) == 0L)
+  }
+
+  test("KMV estimate at capacity is the floor-division order-statistic formula") {
+    // k=4, h_k = 2^30: est = 3 * 2^32 / 2^30 = 12
+    assert(KmvAgg.estimate(4, List(1L, 2L, 3L, 1073741824L)) == 12L)
+  }
+
+  test("KMV estimates distinct counts within the sketch error band") {
+    val s = spark; import s.implicits._
+    val k = 64
+    val n = 1000
+    val rows = (0 until 5000).map(i => s"user-${i % n}").toDF("u")
+    val h32 = graft.functions.mixed_hash32(col("u"))
+    val kmv = udaf(new KmvAgg(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
+    val buf = rows.repartition(8).select(h32.as("h"))
+      .agg(kmv(col("h")).as("mins"))
+      .collect().head.getSeq[Long](0).toList
+    assert(buf.size == k)
+    val est = KmvAgg.estimate(k, buf)
+    // relative error concentrates near 1/sqrt(k-2) ~ 13%; allow 3 sigma
+    assert(est > n * 0.6 && est < n * 1.4, s"estimate $est for true $n")
+  }
+
+  test("KMV sketch is insensitive to duplication and partitioning") {
+    val s = spark; import s.implicits._
+    val kmv = udaf(new KmvAgg(16),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
+    def sketch(dup: Int, parts: Int): List[Long] = {
+      val rows = (0 until 100).flatMap(i => Seq.fill(dup)(s"k$i")).toDF("u")
+      rows.repartition(parts)
+        .select(graft.functions.mixed_hash32(col("u")).as("h"))
+        .agg(kmv(col("h")).as("mins"))
+        .collect().head.getSeq[Long](0).toList
+    }
+    assert(sketch(1, 1) == sketch(3, 11))
+  }
+}

@@ -320,6 +320,24 @@ object OracleSql {
     s"CASE $whens ELSE '${fractions.last._1}' END"
   }
 
+  /** WHERE condition replaying [[graft.operators.Sampling.stratifiedKeep]]
+    * (thresholds from the same `Sampling.rateHex`).
+    */
+  def stratifiedKeepWhere(
+      keyExpr: String,
+      strataExpr: String,
+      salt: String,
+      rates: Seq[(String, Double)],
+      defaultRate: Double): String = {
+    val h = s"substr(md5('$salt' || ':' || $keyExpr), 1, 4)"
+    def keep(rate: Double): String =
+      graft.operators.Sampling.rateHex(rate).map(hex => s"$h < '$hex'").getOrElse("TRUE")
+    val whens = rates
+      .map { case (stratum, rate) => s"WHEN $strataExpr = '$stratum' THEN ${keep(rate)}" }
+      .mkString(" ")
+    s"CASE $whens ELSE ${keep(defaultRate)} END"
+  }
+
   /** Oracle for `sketch_kmv_distinct`: replay of the KMV sketch
     * ([[graft.functions.KmvAgg]]) over distinct users per event type.
     * The 32-bit hash replays [[graft.plans.MixHash32]]: the wrapping

@@ -438,6 +438,27 @@ object SparkEntry {
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))),
+    "sample_stratified" -> ((s, d) =>
+      // corpus mixing: per-source keep-rates (keep all of src0, half of
+      // src1, a tenth of src2, a quarter of the rest), deterministic
+      // and nested under one salt
+      Sampling.stratifiedKeep(rd(s, d, "documents"), "doc_id", "source", "mix1",
+        Seq("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.1), defaultRate = 0.25)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))),
+    "q_quantiles" -> ((s, d) => {
+      // exact discrete quantiles per group: percentile_disc picks an
+      // actual data value (no interpolation arithmetic), so the double
+      // passes through bit-identically in both engines
+      val v = Views.unique("events")
+      rd(s, d, "events").createOrReplaceTempView(v)
+      val out = s.sql(
+        "SELECT event_type, percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50, " +
+          "percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90, " +
+          s"min(value) AS min_v, max(value) AS max_v FROM $v GROUP BY event_type")
+      s.catalog.dropTempView(v)
+      out
+    }),
     "sketch_kmv_distinct" -> ((s, d) => {
       // KMV distinct-user sketch per event type next to the exact count;
       // portable hash -> the estimate itself is oracle-checked
@@ -747,6 +768,16 @@ object SparkEntry {
       (s"WITH s AS (SELECT doc_id, n_chars, ${OracleSql.hashSplitCase("CAST(doc_id AS VARCHAR)", "exp1", splitFractions)} AS split FROM documents) " +
         "SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
         "min(doc_id) AS min_id, max(doc_id) AS max_id FROM s GROUP BY split"),
+    "sample_stratified" ->
+      (s"WITH kept AS (SELECT source, n_chars FROM documents WHERE ${OracleSql.stratifiedKeepWhere(
+        "CAST(doc_id AS VARCHAR)", "source", "mix1",
+        Seq("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.1), 0.25)}) " +
+        "SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
+        "FROM kept GROUP BY source"),
+    "q_quantiles" ->
+      ("SELECT event_type, percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50, " +
+        "percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90, " +
+        "min(value) AS min_v, max(value) AS max_v FROM events GROUP BY event_type"),
     "sketch_kmv_distinct" -> OracleSql.kmvDistinct(32)
     // every queries entry has an oracle: the hash-seeded operators use
     // full algorithm-replay SQL from OracleSql (portable hash family +

@@ -68,4 +68,42 @@ object Sampling {
       fractions: Seq[(String, Double)],
       splitColName: String = "split"): DataFrame =
     df.withColumn(splitColName, splitCol(col(keyCol), salt, fractions))
+
+  /** Exclusive upper-bound hex threshold for a single keep-rate on the
+    * 65,536 grid (4 lowercase hex chars). Rates ≥ 1 have no threshold
+    * (keep everything).
+    */
+  private[graft] def rateHex(rate: Double): Option[String] = {
+    require(rate >= 0, "rate must be non-negative")
+    if (rate >= 1.0) None else Some(f"${math.round(rate * 65536).toInt}%04x")
+  }
+
+  /** Deterministic per-stratum downsampling — the corpus-mixing
+    * primitive: "keep 100% of wikipedia, 10% of commoncrawl". Same
+    * stability contract as [[hashSplit]] (pure function of salt+key:
+    * re-runs, engine changes, and corpus growth never re-draw a kept
+    * row), and the same zero-shuffle narrow-projection shape.
+    *
+    * `rates` maps stratum values to keep-rates; strata not listed get
+    * `defaultRate`. Keeping is NOT independent across salts of the
+    * nested-subset property: lowering a rate under the SAME salt keeps
+    * a strict subset of the rows (thresholds nest), which lets a mix be
+    * tuned without churning the retained set.
+    */
+  def stratifiedKeep(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      salt: String,
+      rates: Seq[(String, Double)],
+      defaultRate: Double): DataFrame = {
+    val h = md5(concat_ws(":", lit(salt), col(keyCol).cast("string")).cast("binary"))
+      .substr(1, 4)
+    def keep(rate: Double): Column =
+      rateHex(rate).map(h < lit(_)).getOrElse(lit(true))
+    val cond = rates.foldRight(keep(defaultRate)) { case ((stratum, rate), rest) =>
+      when(col(strataCol) === stratum, keep(rate)).otherwise(rest)
+    }
+    df.filter(cond)
+  }
 }

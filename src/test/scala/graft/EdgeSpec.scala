@@ -36,4 +36,35 @@ class EdgeSpec extends AnyFunSuite with SparkTest {
     assert(TextAnalysis.rollingFingerprint(emptyDocs).count() == 0)
     assert(TextAnalysis.bpeTokenCount(emptyDocs).count() == 0)
   }
+
+  test("non-equi joins and sampling behave on empty inputs") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    def ev(rows: Seq[(Long, Long, String)]) =
+      rows.toDF("event_id", "user_id", "ts_s")
+        .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val some = ev(Seq((1L, 1L, "2024-01-01 10:00:00")))
+    val none = ev(Seq.empty)
+    val right = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("user_id"), col("ts"), col("event_id").as("r_id"))
+
+    // empty left -> empty output; empty right -> all-null payload
+    assert(graft.operators.AsOf.asofJoin(none, right(some),
+      Seq("user_id"), "ts", "r_id", Seq("r_id")).count() == 0)
+    val unmatched = graft.operators.AsOf.asofJoin(some, right(none),
+      Seq("user_id"), "ts", "r_id", Seq("r_id")).collect()
+    assert(unmatched.length == 1 && unmatched.head.isNullAt(3))
+
+    val bands = s.createDataFrame(Seq(("b", 0.0, 10.0))).toDF("band", "lo", "hi")
+    val noFact = Seq.empty[(Long, Double)].toDF("id", "v")
+    assert(graft.operators.RangeJoin.bandJoin(noFact, "v", bands).count() == 0)
+    assert(graft.operators.RangeJoin.uniformBandJoin(noFact, "v", bands, 10.0).count() == 0)
+
+    val noKeys = Seq.empty[Long].toDF("id")
+    assert(graft.operators.Sampling.hashSplit(noKeys, "id", "s",
+      Seq("a" -> 0.5, "b" -> 0.5)).count() == 0)
+    assert(graft.operators.Sampling.stratifiedKeep(noKeys.withColumn("src",
+      org.apache.spark.sql.functions.lit("x")), "id", "src", "s",
+      Seq("x" -> 0.5), 0.1).count() == 0)
+  }
 }

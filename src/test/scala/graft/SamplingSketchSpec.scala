@@ -59,6 +59,32 @@ class SamplingSketchSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  // ------------------------------------------------------------- stratified
+
+  test("stratifiedKeep applies per-stratum rates, rate>=1 keeps everything") {
+    val s = spark; import s.implicits._
+    val df = (0 until 900).map(i => (i.toLong, s"src${i % 3}")).toDF("id", "src")
+    val kept = Sampling.stratifiedKeep(df, "id", "src", "m1",
+      Seq("src0" -> 1.0, "src1" -> 0.1), defaultRate = 0.5)
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("src0") == 300L) // rate 1.0: every row
+    assert(kept("src1") < 90L, s"src1=${kept("src1")} expected ~30")
+    assert(math.abs(kept("src2") - 150L) < 50, s"src2=${kept("src2")} expected ~150")
+  }
+
+  test("stratifiedKeep rate changes nest under one salt (lower rate => subset)") {
+    val s = spark; import s.implicits._
+    val df = (0 until 500).map(i => (i.toLong, "x")).toDF("id", "src")
+    def ids(rate: Double) =
+      Sampling.stratifiedKeep(df, "id", "src", "m1", Seq("x" -> rate), 0.0)
+        .collect().map(_.getLong(0)).toSet
+    val wide = ids(0.6)
+    val narrow = ids(0.2)
+    assert(narrow.subsetOf(wide), "lowering the rate must keep a subset")
+    assert(narrow.nonEmpty && wide.size > narrow.size)
+  }
+
   // ------------------------------------------------------------- KMV sketch
 
   test("KmvAgg buffer is a sorted distinct set capped at k") {

@@ -446,6 +446,11 @@ object SparkEntry {
         Seq("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.1), defaultRate = 0.25)
         .groupBy("source")
         .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))),
+    "sample_cap_group" -> ((s, d) =>
+      // class balancing: at most 10 docs per source, retained set a
+      // stable pseudo-random pick (pure function of salt+doc_id)
+      Sampling.capPerGroup(rd(s, d, "documents"), "doc_id", "source", "cap1", 10)
+        .select("source", "doc_id", "n_chars")),
     "q_quantiles" -> ((s, d) => {
       // exact discrete quantiles per group: percentile_disc picks an
       // actual data value (no interpolation arithmetic), so the double
@@ -774,6 +779,10 @@ object SparkEntry {
         Seq("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.1), 0.25)}) " +
         "SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
         "FROM kept GROUP BY source"),
+    "sample_cap_group" ->
+      ("SELECT source, doc_id, n_chars FROM (SELECT source, doc_id, n_chars, " +
+        "row_number() OVER (PARTITION BY source ORDER BY md5('cap1:' || CAST(doc_id AS VARCHAR)) NULLS FIRST, doc_id NULLS FIRST) AS rk " +
+        "FROM documents) t WHERE rk <= 10"),
     "q_quantiles" ->
       ("SELECT event_type, percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50, " +
         "percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90, " +

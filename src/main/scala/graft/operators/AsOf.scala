@@ -65,7 +65,12 @@ object AsOf {
 
     val payloadStruct = struct(
       (payloadCols.map(col) :+ col(tsCol).as("__mts")): _*)
-    val r = right.select(
+    // equi-join semantics: a NULL key never matches. The window would
+    // otherwise co-partition null-key rows (Spark groups nulls), so
+    // null-key right rows are dropped here — null-key left rows then
+    // sit in a partition with no rights and keep a null payload.
+    val rightKeyed = keyCols.map(c => right.col(c).isNotNull).reduce(_ && _)
+    val r = right.filter(rightKeyed).select(
       keyCols.map(col) ++ Seq(
         col(tsCol).as("__ts"),
         col(tieCol).as("__tie"),

@@ -48,10 +48,16 @@ object Sampling {
     }
   }
 
-  /** The split-label column for `key` under `salt`/`fractions`. */
+  /** The split-label column for `key` under `salt`/`fractions`.
+    *
+    * `concat` (not `concat_ws`) so a NULL key nulls the hash: the
+    * when-chain then falls through to the last split in BOTH engines
+    * (`concat_ws` would silently hash the bare salt on the Spark side
+    * while the oracle's `||` yields NULL — an engine divergence).
+    */
   private[graft] def splitCol(
       key: Column, salt: String, fractions: Seq[(String, Double)]): Column = {
-    val h = md5(concat_ws(":", lit(salt), key.cast("string")).cast("binary")).substr(1, 4)
+    val h = md5(concat(lit(salt + ":"), key.cast("string")).cast("binary")).substr(1, 4)
     val last = lit(fractions.last._1)
     thresholds(fractions).foldRight(last: Column) { case ((name, hex), rest) =>
       when(h < lit(hex), lit(name)).otherwise(rest)
@@ -97,7 +103,9 @@ object Sampling {
       salt: String,
       rates: Seq[(String, Double)],
       defaultRate: Double): DataFrame = {
-    val h = md5(concat_ws(":", lit(salt), col(keyCol).cast("string")).cast("binary"))
+    // concat (null-propagating) for the same cross-engine null-key
+    // contract as splitCol: a NULL key is dropped in both engines
+    val h = md5(concat(lit(salt + ":"), col(keyCol).cast("string")).cast("binary"))
       .substr(1, 4)
     def keep(rate: Double): Column =
       rateHex(rate).map(h < lit(_)).getOrElse(lit(true))
@@ -105,5 +113,37 @@ object Sampling {
       when(col(strataCol) === stratum, keep(rate)).otherwise(rest)
     }
     df.filter(cond)
+  }
+
+  /** Deterministic per-group row cap — "at most `cap` examples per
+    * class/source", the balance primitive for long-tailed corpora.
+    *
+    * Rows in each group are ranked by `(md5(salt || ':' || key), key)`
+    * — a stable pseudo-random order — and rows ranked past `cap` are
+    * dropped. Because the order is a pure function of salt+key, the
+    * retained set is reproducible, and growing a group only ever
+    * REPLACES retained rows with better-ranked newcomers (never
+    * re-rolls the whole group).
+    *
+    * One shuffle on the group key; the per-group sort is the window
+    * sort. Groups are the parallelism unit — a single giant group
+    * ranks in one task, the same bound as any top-N-per-group.
+    */
+  def capPerGroup(
+      df: DataFrame,
+      keyCol: String,
+      groupCol: String,
+      salt: String,
+      cap: Int): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val h = md5(concat(lit(salt + ":"), col(keyCol).cast("string")).cast("binary"))
+    // nulls-first pinned explicitly (Spark's default, DuckDB's is
+    // NULLS LAST — the oracle states it too)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(h.asc_nulls_first, col(keyCol).asc_nulls_first)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= cap)
+      .drop("__rk")
   }
 }

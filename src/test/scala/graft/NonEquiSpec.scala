@@ -91,6 +91,18 @@ class NonEquiSpec extends AnyFunSuite with SparkTest {
       s"as-of join expanded pairs:\n$ps")
   }
 
+  test("asofJoin null keys never match (equi-join semantics)") {
+    val s = spark; import s.implicits._
+    def withNullKey(rows: Seq[(Long, Option[Long], String)]) =
+      rows.toDF("event_id", "user_id", "ts_s")
+        .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+        .withColumn("value", lit(1.0))
+    val right = withNullKey(Seq((500L, None, "2024-01-01 09:00:00")))
+    val left = withNullKey(Seq((1L, None, "2024-01-01 10:00:00")))
+    val row = asof(left, right).collect().head
+    assert(row.isNullAt(4), "null-key rows must not as-of match each other")
+  }
+
   // ------------------------------------------------------------ range join
 
   private def bands: DataFrame = {

@@ -59,6 +59,18 @@ class SamplingSketchSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("null keys land deterministically: last split kept, stratified row dropped") {
+    val s = spark; import s.implicits._
+    val df = Seq(Some(1L), None).toDF("id")
+    val splits = Sampling.hashSplit(df, "id", "s1", fr)
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getString(1)).toMap
+    assert(splits(-1L) == "test") // null hash -> when-chain falls to last split
+    val kept = Sampling.stratifiedKeep(df.withColumn("src", lit("x")),
+      "id", "src", "s1", Seq.empty, defaultRate = 0.999)
+      .collect().map(r => r.isNullAt(0))
+    assert(!kept.contains(true)) // null hash -> filter drops in both engines
+  }
+
   // ------------------------------------------------------------- stratified
 
   test("stratifiedKeep applies per-stratum rates, rate>=1 keeps everything") {
@@ -83,6 +95,30 @@ class SamplingSketchSpec extends AnyFunSuite with SparkTest {
     val narrow = ids(0.2)
     assert(narrow.subsetOf(wide), "lowering the rate must keep a subset")
     assert(narrow.nonEmpty && wide.size > narrow.size)
+  }
+
+  test("capPerGroup keeps at most cap rows per group, all of smaller groups") {
+    val s = spark; import s.implicits._
+    val df = ((0 until 100).map(i => (i.toLong, "big")) ++
+      (100 until 103).map(i => (i.toLong, "small"))).toDF("id", "g")
+    val kept = Sampling.capPerGroup(df, "id", "g", "c1", 10)
+      .groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept == Map("big" -> 10L, "small" -> 3L))
+  }
+
+  test("capPerGroup retained set is stable and grows monotonically") {
+    val s = spark; import s.implicits._
+    def ids(df: org.apache.spark.sql.DataFrame, parts: Int) =
+      Sampling.capPerGroup(df.repartition(parts), "id", "g", "c1", 10)
+        .collect().map(_.getLong(0)).toSet
+    val old = (0 until 50).map(i => (i.toLong, "g")).toDF("id", "g")
+    val grown = (0 until 100).map(i => (i.toLong, "g")).toDF("id", "g")
+    assert(ids(old, 1) == ids(old, 7)) // partitioning-independent
+    val keptOld = ids(old, 1)
+    val keptGrown = ids(grown, 1)
+    // an old row kept after growth must have been kept before growth —
+    // newcomers can displace, never resurrect
+    assert((keptGrown & (0L until 50L).toSet).subsetOf(keptOld))
   }
 
   // ------------------------------------------------------------- KMV sketch

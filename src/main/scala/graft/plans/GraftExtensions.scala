@@ -37,6 +37,13 @@ object GraftFunctions {
         case args                      =>
           throw new IllegalArgumentException(
             s"rolling_hash takes (string[, literal base]), got ${args.length} arguments")
+      }),
+    (FunctionIdentifier("mixed_hash32"),
+      info(classOf[MixHash32], "mixed_hash32",
+        "mixed_hash32(s) - uniform 32-bit hash: rolling_hash pushed through a multiplicative avalanche finalizer"),
+      { args =>
+        require(args.length == 1, s"mixed_hash32 takes 1 argument, got ${args.length}")
+        MixHash32(RollingHash(args(0)))
       })
   )
 

@@ -40,4 +40,17 @@ class ExtensionsSpec extends AnyFunSuite with SparkTest {
     // h = 'a'*31 + 'b' over UTF-8 bytes
     assert(r.getLong(0) == 97L * 31 + 98)
   }
+
+  test("mixed_hash32 from SQL matches the Column API and stays in [0, 2^32)") {
+    val s = spark
+    GraftFunctions.register(s)
+    import s.implicits._
+    val df = Seq("alpha", "beta", "").toDF("s")
+    df.createOrReplaceTempView("mh")
+    val viaSql = s.sql("SELECT mixed_hash32(s) AS h FROM mh").collect().map(_.getLong(0)).toSeq
+    val viaCol = df.select(graft.functions.mixed_hash32($"s").as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaSql == viaCol)
+    assert(viaSql.forall(h => h >= 0 && h < (1L << 32)))
+  }
 }

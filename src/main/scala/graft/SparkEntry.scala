@@ -285,6 +285,47 @@ object SparkEntry {
           count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
           count(when(col("o_orderstatus") === "P", 1)).as("n_p"))),
     "w2_running_sum" -> ((s, d) => Events.runningSum(rd(s, d, "events"))),
+    "w3_range_frame" -> ((s, d) => {
+      // event-time RANGE frame (not ROWS): trailing 2-hour window per
+      // user on the microsecond axis; count/min/max are order-free so
+      // the frame contents hash identically in both engines
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-7200000000L, Window.currentRow)
+      rd(s, d, "events").select(
+        col("user_id"), col("event_id"), col("ts"),
+        count(lit(1)).over(w).as("n_2h"),
+        min(col("value")).over(w).as("min_2h"),
+        max(col("value")).over(w).as("max_2h"))
+    }),
+    "w4_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      rd(s, d, "events").select(
+        col("user_id"), col("event_id"), col("ts"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        first(col("value")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .as("first_value"))
+    }),
+    "q_pivot" -> ((s, d) =>
+      // real relational pivot (groupBy().pivot()) — status columns out
+      // of rows; explicit value list so the plan is a single pass
+      rd(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"), coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"), coalesce(col("P"), lit(0L)).as("n_p"))),
+    "text_top_tokens" -> ((s, d) =>
+      // explode/lateral-view shape: corpus-wide token frequencies,
+      // deterministic top-25 (count desc, token asc)
+      rd(s, d, "documents")
+        .select(explode(graft.functions.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(25)),
 
     // —— windowed event aggregations (batch analog of streaming) ——
     "e1_tumbling" -> ((s, d) => Events.tumblingHourly(rd(s, d, "events"))),
@@ -464,6 +505,11 @@ object SparkEntry {
       s.catalog.dropTempView(v)
       out
     }),
+    "q_grid_quantiles" -> ((s, d) =>
+      // the combinable scale tier beside q_quantiles' exact full-sort:
+      // two histogram passes, error bounded by one cell width
+      graft.operators.Quantiles.gridQuantiles(
+        rd(s, d, "events"), "value", "event_type", Seq(0.5, 0.9), 256)),
     "sketch_kmv_distinct" -> ((s, d) => {
       // KMV distinct-user sketch per event type next to the exact count;
       // portable hash -> the estimate itself is oracle-checked
@@ -779,6 +825,25 @@ object SparkEntry {
         Seq("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.1), 0.25)}) " +
         "SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
         "FROM kept GROUP BY source"),
+    "w3_range_frame" ->
+      ("SELECT user_id, event_id, ts, count(*) OVER w AS n_2h, " +
+        "min(value) OVER w AS min_2h, max(value) OVER w AS max_2h FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) " +
+        "RANGE BETWEEN 7200000000 PRECEDING AND CURRENT ROW)"),
+    "w4_lag_lead" ->
+      ("SELECT user_id, event_id, ts, " +
+        "lag(value, 1) OVER w AS prev_value, lead(value, 1) OVER w AS next_value, " +
+        "first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS UNBOUNDED PRECEDING) AS first_value FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"),
+    "q_pivot" ->
+      ("SELECT o_orderpriority, count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f, " +
+        "count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o, " +
+        "count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p FROM orders GROUP BY o_orderpriority"),
+    "text_top_tokens" ->
+      ("SELECT token, n FROM (SELECT token, count(*) AS n FROM " +
+        "(SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token FROM documents) t " +
+        "WHERE token <> '' GROUP BY token) g ORDER BY n DESC, token LIMIT 25"),
     "sample_cap_group" ->
       ("SELECT source, doc_id, n_chars FROM (SELECT source, doc_id, n_chars, " +
         "row_number() OVER (PARTITION BY source ORDER BY md5('cap1:' || CAST(doc_id AS VARCHAR)) NULLS FIRST, doc_id NULLS FIRST) AS rk " +
@@ -787,6 +852,20 @@ object SparkEntry {
       ("SELECT event_type, percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50, " +
         "percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90, " +
         "min(value) AS min_v, max(value) AS max_v FROM events GROUP BY event_type"),
+    // bit-exact replay of Quantiles.gridQuantiles: identical IEEE
+    // expression shapes ((v-lo)/(hi-lo)*cells; lo+(qb+1)*(hi-lo)/cells)
+    "q_grid_quantiles" ->
+      ("WITH b AS (SELECT event_type, min(value) AS lo, max(value) AS hi, count(*) AS n FROM events GROUP BY event_type), " +
+        "bk AS (SELECT e.event_type, b.n, b.lo, b.hi, CASE WHEN b.hi = b.lo THEN 0 " +
+        "ELSE CAST(LEAST(GREATEST(floor((e.value - b.lo) / (b.hi - b.lo) * 256), 0), 255) AS BIGINT) END AS bkt " +
+        "FROM events e JOIN b ON b.event_type = e.event_type), " +
+        "h AS (SELECT event_type, n, lo, hi, bkt, count(*) AS c FROM bk GROUP BY 1, 2, 3, 4, 5), " +
+        "cm AS (SELECT event_type, n, lo, hi, bkt, sum(c) OVER (PARTITION BY event_type ORDER BY bkt) AS cum FROM h), " +
+        "pr AS (SELECT * FROM (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE))) pv(p)), " +
+        "q AS (SELECT cm.event_type, pr.p, cm.n, cm.lo, cm.hi, min(cm.bkt) AS qb FROM cm JOIN pr " +
+        "ON cm.cum >= CAST(ceil(pr.p * cm.n) AS BIGINT) GROUP BY 1, 2, 3, 4, 5) " +
+        "SELECT event_type, p, n, CASE WHEN hi = lo THEN lo " +
+        "ELSE lo + CAST(qb + 1 AS DOUBLE) * (hi - lo) / 256 END AS est FROM q"),
     "sketch_kmv_distinct" -> OracleSql.kmvDistinct(32)
     // every queries entry has an oracle: the hash-seeded operators use
     // full algorithm-replay SQL from OracleSql (portable hash family +

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fixed-grid histogram quantiles — the scale tier beside exact
+  * `percentile_disc` (the `q_quantiles` query).
+  *
+  * Exact per-group quantiles sort every group (`percentile_disc` is a
+  * full sort behind one reducer per group at cluster scale). This
+  * operator instead makes two combinable aggregate passes:
+  *
+  *   1. per-group bounds `(lo, hi, n)` — min/max/count, map-side
+  *      combinable;
+  *   2. per-group histogram over `cells` uniform buckets between the
+  *      bounds — a `(group, bucket)` count, also combinable; the
+  *      shuffle carries at most `cells` rows per group per map task.
+  *
+  * The p-quantile is then read off the cumulative histogram (tiny:
+  * groups × cells rows) as the upper edge of the first bucket whose
+  * cumulative count reaches `ceil(p·n)`. Error is bounded by one cell
+  * width `(hi−lo)/cells` — a knob, not a distributional gamble (unlike
+  * sampling-based sketches), and the whole computation is deterministic
+  * IEEE arithmetic, so the DuckDB oracle replays it bit-for-bit.
+  *
+  * Degenerate groups (`hi == lo`) short-circuit to `lo` (the bucket
+  * expression would otherwise divide by zero).
+  */
+object Quantiles {
+
+  /** @return one row per (group, prob): `(groupCol, p, n, est)` */
+  def gridQuantiles(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      probs: Seq[Double],
+      cells: Int): DataFrame = {
+    require(cells >= 2, "need at least 2 cells")
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1), "probs must be in (0, 1]")
+    val spark = df.sparkSession
+
+    val bounds = df.groupBy(col(groupCol)).agg(
+      min(col(valueCol)).as("__lo"), max(col(valueCol)).as("__hi"),
+      count(lit(1)).as("__n"))
+    val width = col("__hi") - col("__lo")
+    val rawBucket = floor((col(valueCol) - col("__lo")) / width * cells)
+    val bucket = when(col("__hi") === col("__lo"), lit(0L))
+      .otherwise(least(greatest(rawBucket, lit(0L)), lit((cells - 1).toLong)))
+
+    val hist = df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn("__bkt", bucket)
+      .groupBy(col(groupCol), col("__n"), col("__lo"), col("__hi"), col("__bkt"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = hist.withColumn("__cum",
+      sum(col("__c")).over(Window.partitionBy(col(groupCol)).orderBy(col("__bkt"))))
+
+    val pTable = spark.createDataFrame(probs.map(Tuple1(_))).toDF("p")
+    val picked = cum
+      .join(broadcast(pTable), col("__cum") >= ceil(col("p") * col("__n")))
+      .groupBy(col(groupCol), col("p"), col("__n"), col("__lo"), col("__hi"))
+      .agg(min(col("__bkt")).as("__qb"))
+
+    picked.select(
+      col(groupCol), col("p"), col("__n").as("n"),
+      when(col("__hi") === col("__lo"), col("__lo"))
+        .otherwise(
+          col("__lo") + (col("__qb") + 1).cast("double") * (col("__hi") - col("__lo")) / cells)
+        .as("est"))
+  }
+}

@@ -53,6 +53,34 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Windowed KMV distinct-count sketch: approximate distinct users per
+    * tumbling window and event type — the streaming analog of the
+    * `sketch_kmv_distinct` batch query. The k-bounded
+    * [[graft.functions.KmvAgg]] buffer is exactly the state a streaming
+    * aggregation wants: fixed-size per key, lossless to merge across
+    * micro-batches, identical estimates to the batch sketch on the same
+    * rows (proven in StreamsSpec).
+    */
+  def kmvDistinctUsers(
+      events: DataFrame,
+      k: Int = 32,
+      watermark: String = "2 hours"): DataFrame = {
+    val kmv = udaf(new graft.functions.KmvAgg(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
+    val h = graft.functions.mixed_hash32(
+      concat_ws(":", lit("kmv"), col("user_id").cast("string")))
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("event_type"), h.as("__h"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(kmv(col("__h")).as("mins"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        size(col("mins")).as("n_kept"),
+        when(size(col("mins")) < k, size(col("mins")).cast("bigint"))
+          .otherwise(expr(s"CAST(${(k - 1).toLong * 4294967296L}L DIV element_at(mins, -1) AS BIGINT)"))
+          .as("est_distinct"))
+  }
+
   /** Native session windows (gap-based), the streaming analog of
     * [[graft.operators.Events.sessionize]].
     */

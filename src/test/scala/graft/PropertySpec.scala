@@ -18,6 +18,39 @@ class PropertySpec extends AnyFunSuite with SparkTest {
   private def samples[A](g: Gen[A], n: Int): Seq[A] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
 
+  test("property: asofJoin matches a brute-force reference on random timelines") {
+    val s = spark; import s.implicits._
+    for (round <- 0 until 4) {
+      // small key/time domains force heavy collisions: equal timestamps
+      // across and within sides, empty keys, multi-match timelines
+      val gen = Gen.zip(Gen.chooseNum(0L, 4L), Gen.chooseNum(0L, 20L))
+      val rightRows = samples(gen, 40).zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }
+      val leftRows = samples(gen, 30).zipWithIndex
+        .map { case ((k, t), i) => (1000L + i, k, t) }
+
+      // reference: latest right with same key, ts <= left ts; ties on
+      // ts resolved to the highest right id
+      def expected(k: Long, t: Long): Option[Long] = {
+        val c = rightRows.filter(r => r._2 == k && r._3 <= t)
+        if (c.isEmpty) None else Some(c.maxBy(r => (r._3, r._1))._1)
+      }
+
+      val left = leftRows.toDF("event_id", "user_id", "t")
+        .withColumn("ts", timestamp_seconds(col("t") + 1700000000L)).drop("t")
+      val right = rightRows.toDF("r_id", "user_id", "t")
+        .withColumn("ts", timestamp_seconds(col("t") + 1700000000L)).drop("t")
+
+      val got = graft.operators.AsOf.asofJoin(
+        left, right, Seq("user_id"), "ts", "r_id", Seq("r_id"))
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        .toMap
+      for ((id, k, t) <- leftRows)
+        assert(got(id) == expected(k, t), s"round=$round left=$id key=$k t=$t")
+    }
+  }
+
   test("property: aqiCategory is total and matches the reference python bands") {
     def referenceBand(aqi: Int): String =
       if (0 <= aqi && aqi <= 50) "Good"

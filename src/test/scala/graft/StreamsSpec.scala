@@ -114,6 +114,63 @@ class StreamsSpec extends AnyFunSuite with SparkTest {
     } finally q.stop()
   }
 
+  test("streaming KMV sketch matches the batch sketch on the same rows") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams.kmvDistinctUsers(events, k = 8)
+      .writeStream.format("memory").queryName("kmv_out")
+      .outputMode("complete").start()
+    try {
+      // 20 users across two micro-batches in one window: the sketch
+      // state must merge across batches losslessly
+      input.addData((0 until 10).map(i =>
+        (i.toLong, ts("2024-01-01 10:05:00"), i.toLong, "click", 1.0)): _*)
+      q.processAllAvailable()
+      input.addData((10 until 20).map(i =>
+        (i.toLong, ts("2024-01-01 10:35:00"), i.toLong, "click", 1.0)): _*)
+      q.processAllAvailable()
+      val got = s.table("kmv_out")
+        .select("event_type", "n_kept", "est_distinct").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      assert(got.length == 1)
+
+      // batch reference over the identical rows
+      val batch = (0 until 20).map(i => (i.toLong, "click")).toDF("user_id", "event_type")
+      val kmv = udaf(new graft.functions.KmvAgg(8),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
+      val h = graft.functions.mixed_hash32(
+        concat_ws(":", lit("kmv"), col("user_id").cast("string")))
+      val ref = batch.select(col("event_type"), h.as("h"))
+        .groupBy("event_type").agg(kmv(col("h")).as("mins"))
+        .select(col("event_type"), size(col("mins")),
+          expr("CAST(7L * 4294967296L DIV element_at(mins, -1) AS BIGINT)"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      assert(got.toSet == ref.toSet)
+    } finally q.stop()
+  }
+
+  test("hashSplit is stateless and applies to a stream unchanged") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[Long]
+    val q = graft.operators.Sampling.hashSplit(
+      input.toDF().toDF("id"), "id", "exp", Seq("train" -> 0.8, "val" -> 0.2))
+      .writeStream.format("memory").queryName("split_out")
+      .outputMode("append").start()
+    try {
+      input.addData(0L until 50L: _*)
+      q.processAllAvailable()
+      val stream = s.table("split_out").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val batch = graft.operators.Sampling.hashSplit(
+        (0L until 50L).toDF("id"), "id", "exp", Seq("train" -> 0.8, "val" -> 0.2))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(stream == batch) // same key -> same split, stream or batch
+    } finally q.stop()
+  }
+
   test("upsertStream merges each micro-batch into the warehouse table") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext

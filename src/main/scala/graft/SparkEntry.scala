@@ -375,6 +375,14 @@ object SparkEntry {
       Dedup.embeddingNearDupLsh(rd(s, d, "embeddings"), 0.4)),
     "dedup_clusters" -> ((s, d) =>
       Dedup.dedupClusters(Dedup.ngramJaccardPairs(rd(s, d, "documents"), 1, 20))),
+    "decontaminate" -> ((s, d) => {
+      // benchmark decontamination: docs 0-19 act as the eval suite; any
+      // corpus row with the same normalized content is dropped (here the
+      // eval docs themselves — the self-contamination case)
+      val docs = rd(s, d, "documents")
+      Dedup.removeContaminated(docs, docs.filter(col("doc_id") < 20))
+        .select("doc_id", "source", "n_chars")
+    }),
 
     // —— training-data pipeline: similarity search ——
     "ann_brute_topk" -> ((s, d) =>
@@ -735,6 +743,10 @@ object SparkEntry {
       "SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY md5(text)",
     "dedup_ngram_jaccard" ->
       s"WITH $ngramCtes SELECT id_a, id_b, inter, union_size FROM pairs",
+    "decontaminate" ->
+      ("SELECT doc_id, source, n_chars FROM documents WHERE " +
+        "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) NOT IN " +
+        "(SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) FROM documents WHERE doc_id < 20)"),
     "dedup_ngram_capped" -> OracleSql.dedupNgramCapped(1, 20, 5),
     "dedup_minhash_lsh" -> OracleSql.dedupMinhashLsh(16, 8, 1, 50),
     "dedup_simhash" -> OracleSql.dedupSimhash,

@@ -28,6 +28,31 @@ object Dedup {
       .groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
+  /** Benchmark decontamination: drop corpus rows whose NORMALIZED
+    * content (lowercased, whitespace-collapsed — the
+    * [[graft.operators.TextAnalysis.fingerprint]] normalization) also
+    * appears in the eval set. The standard pre-training hygiene step:
+    * an eval document leaked into the training corpus, byte-identical
+    * or differing only in case/whitespace, must not be trained on.
+    *
+    * A LEFT ANTI join on the md5 of the normalized text: the eval side
+    * is fingerprints only (one string per eval doc — broadcastable for
+    * any real eval suite), so at 100 TB this is one broadcast probe per
+    * corpus row, zero shuffles on the corpus.
+    */
+  def removeContaminated(
+      corpus: DataFrame,
+      eval: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    def fp(c: org.apache.spark.sql.Column) =
+      md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+    val evalFps = eval.select(fp(col(textCol)).as("__fp")).distinct()
+    corpus
+      .withColumn("__fp", fp(col(textCol)))
+      .join(broadcast(evalFps), Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   /** Distinct word-trigram set per document: (idCol, gram). */
   def trigramSets(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     nGramSets(docs, 3, textCol, idCol)

@@ -17,6 +17,21 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     ).toDF("doc_id", "text")
   }
 
+  test("removeContaminated drops normalized matches, keeps everything else") {
+    val s = spark; import s.implicits._
+    val corpus = Seq(
+      (1L, "The Quick   Brown Fox"), // eval match modulo case/whitespace
+      (2L, "an innocent training document"),
+      (3L, "another   clean\tdoc")
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "the quick brown fox")).toDF("doc_id", "text")
+    val kept = Dedup.removeContaminated(corpus, eval).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+    // no eval overlap -> corpus unchanged
+    val none = Seq((100L, "zzz")).toDF("doc_id", "text")
+    assert(Dedup.removeContaminated(corpus, none).count() == 3)
+  }
+
   test("exact dedup groups identical content, keeps smallest id") {
     val out = Dedup.exact(docs).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

@@ -360,6 +360,14 @@ object SparkEntry {
       // the scale configuration (stop-gram cap bounds hot-gram pair
       // expansion) under the same oracle gate as the exact run
       Dedup.ngramJaccardPairs(rd(s, d, "documents"), 1, 20, maxGramDf = 5)),
+    "decontaminate_ngram" -> ((s, d) => {
+      // overlap form: >= 2 shared trigrams with the eval slice (docs
+      // 0-19) drops the row — catches partial quotes, not just copies
+      val docs = rd(s, d, "documents")
+      Dedup.removeContaminatedNgram(docs, docs.filter(col("doc_id") < 20),
+        n = 3, minShared = 2)
+        .select("doc_id", "source", "n_chars")
+    }),
     "dedup_minhash_lsh" -> ((s, d) =>
       // portable hash family -> the oracle replays the full LSH pipeline
       Dedup.minHashLsh(rd(s, d, "documents"), 16, 8, 1, 50, portable = true)),
@@ -748,6 +756,13 @@ object SparkEntry {
         "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) NOT IN " +
         "(SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) FROM documents WHERE doc_id < 20)"),
     "dedup_ngram_capped" -> OracleSql.dedupNgramCapped(1, 20, 5),
+    "decontaminate_ngram" ->
+      (s"WITH ${OracleSql.wordTriCtes}, " +
+        "eg AS (SELECT DISTINCT g FROM tri WHERE doc_id < 20), " +
+        "cont AS (SELECT t.doc_id FROM tri t JOIN eg ON t.g = eg.g " +
+        "GROUP BY t.doc_id HAVING count(*) >= 2) " +
+        "SELECT doc_id, source, n_chars FROM documents " +
+        "WHERE doc_id NOT IN (SELECT doc_id FROM cont)"),
     "dedup_minhash_lsh" -> OracleSql.dedupMinhashLsh(16, 8, 1, 50),
     "dedup_simhash" -> OracleSql.dedupSimhash,
     "dedup_embed_lsh" -> OracleSql.dedupEmbedLsh(0.4),

@@ -53,6 +53,37 @@ object Dedup {
       .drop("__fp")
   }
 
+  /** N-gram-overlap decontamination — the stronger form of
+    * [[removeContaminated]]: a corpus row is dropped when it shares at
+    * least `minShared` distinct word n-grams with the eval set, so
+    * paraphrased or partially-quoted eval content is caught, not just
+    * normalized-exact copies.
+    *
+    * Shape at 100 TB: the eval gram set is distinct (small — eval
+    * suites are thousands of docs) and broadcast; corpus grams are
+    * generated map-side (zero shuffles, see [[nGramSets]]) and probe
+    * the broadcast. Only MATCHED (doc, gram) rows — a trickle — reach
+    * the count shuffle; the contaminated-id set is then broadcast back
+    * for the anti join. The full corpus is never shuffled.
+    */
+  def removeContaminatedNgram(
+      corpus: DataFrame,
+      eval: DataFrame,
+      n: Int = 13,
+      minShared: Int = 1,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    val evalGrams = nGramSets(eval, n, textCol, idCol).select(col("gram")).distinct()
+    val contaminated = nGramSets(corpus, n, textCol, idCol)
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__shared")) // grams are distinct per doc
+      .filter(col("__shared") >= minShared)
+      .select(col(idCol))
+    corpus.join(broadcast(contaminated), Seq(idCol), "left_anti")
+  }
+
   /** Distinct word-trigram set per document: (idCol, gram). */
   def trigramSets(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     nGramSets(docs, 3, textCol, idCol)

@@ -32,6 +32,22 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(Dedup.removeContaminated(corpus, none).count() == 3)
   }
 
+  test("removeContaminatedNgram drops partial-overlap docs at the threshold") {
+    val s = spark; import s.implicits._
+    val eval = Seq((100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "witness the quick brown fox escaping"), // 2 shared trigrams
+      (2L, "the quick brown cookbook for spark"),   // 1 shared trigram
+      (3L, "nothing in common at all here")
+    ).toDF("doc_id", "text")
+    val kept2 = Dedup.removeContaminatedNgram(corpus, eval, n = 3, minShared = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(2L, 3L))
+    val kept1 = Dedup.removeContaminatedNgram(corpus, eval, n = 3, minShared = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept1 == Set(3L))
+  }
+
   test("exact dedup groups identical content, keeps smallest id") {
     val out = Dedup.exact(docs).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

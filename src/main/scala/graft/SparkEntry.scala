@@ -526,6 +526,32 @@ object SparkEntry {
       // two histogram passes, error bounded by one cell width
       graft.operators.Quantiles.gridQuantiles(
         rd(s, d, "events"), "value", "event_type", Seq(0.5, 0.9), 256)),
+    "quality_outliers" -> ((s, d) => {
+      // Tukey-fence outlier counts per group: fences built from
+      // percentile_disc values (data points), fence arithmetic is the
+      // same IEEE expression in both engines
+      val v = Views.unique("events")
+      rd(s, d, "events").createOrReplaceTempView(v)
+      val out = s.sql(outlierSql(v))
+      s.catalog.dropTempView(v)
+      out
+    }),
+    "funnel_conversion" -> ((s, d) => {
+      // sequence analytics: first view -> first subsequent purchase per
+      // user, converted within 24h flag (exact µs arithmetic)
+      val ev = rd(s, d, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("first_view"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .join(views, "user_id")
+        .filter(col("ts") > col("first_view"))
+        .groupBy("user_id").agg(min(col("ts")).as("first_purchase"))
+      views.join(purchases, Seq("user_id"), "left")
+        .select(col("user_id"), col("first_view"), col("first_purchase"),
+          when(col("first_purchase").isNotNull &&
+            (unix_micros(col("first_purchase")) - unix_micros(col("first_view")) <=
+              86400000000L), 1).otherwise(0).as("converted_24h"))
+    }),
     "sketch_kmv_distinct" -> ((s, d) => {
       // KMV distinct-user sketch per event type next to the exact count;
       // portable hash -> the estimate itself is oracle-checked
@@ -558,6 +584,19 @@ object SparkEntry {
   /** Shared by the `sample_hash_split` query and its oracle CASE. */
   private val splitFractions: Seq[(String, Double)] =
     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  /** Tukey-fence outlier profile; one SQL text for both engines (only
+    * the table name differs), so query and oracle cannot drift.
+    */
+  private def outlierSql(table: String): String =
+    s"WITH q AS (SELECT event_type, " +
+      "percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS p25, " +
+      s"percentile_disc(0.75) WITHIN GROUP (ORDER BY value) AS p75 FROM $table GROUP BY event_type) " +
+      s"SELECT e.event_type, count(*) AS n, " +
+      "count(CASE WHEN e.value < q.p25 - CAST(1.5 AS DOUBLE) * (q.p75 - q.p25) " +
+      "OR e.value > q.p75 + CAST(1.5 AS DOUBLE) * (q.p75 - q.p25) THEN 1 END) AS n_outliers, " +
+      "min(q.p25) AS p25, min(q.p75) AS p75 " +
+      s"FROM $table e JOIN q ON q.event_type = e.event_type GROUP BY e.event_type"
 
   /** One oracle for both range-join paths — the generic band join and
     * its equi rewrite must agree with the same declarative SQL.
@@ -893,6 +932,14 @@ object SparkEntry {
         "ON cm.cum >= CAST(ceil(pr.p * cm.n) AS BIGINT) GROUP BY 1, 2, 3, 4, 5) " +
         "SELECT event_type, p, n, CASE WHEN hi = lo THEN lo " +
         "ELSE lo + CAST(qb + 1 AS DOUBLE) * (hi - lo) / 256 END AS est FROM q"),
+    "quality_outliers" -> outlierSql("events"),
+    "funnel_conversion" ->
+      ("WITH v AS (SELECT user_id, min(ts) AS first_view FROM events WHERE event_type = 'view' GROUP BY user_id), " +
+        "p AS (SELECT e.user_id, min(e.ts) AS first_purchase FROM events e JOIN v ON v.user_id = e.user_id " +
+        "WHERE e.event_type = 'purchase' AND e.ts > v.first_view GROUP BY e.user_id) " +
+        "SELECT v.user_id, v.first_view, p.first_purchase, " +
+        "CASE WHEN p.first_purchase IS NOT NULL AND epoch_us(p.first_purchase) - epoch_us(v.first_view) <= 86400000000 " +
+        "THEN 1 ELSE 0 END AS converted_24h FROM v LEFT JOIN p ON p.user_id = v.user_id"),
     "sketch_kmv_distinct" -> OracleSql.kmvDistinct(32)
     // every queries entry has an oracle: the hash-seeded operators use
     // full algorithm-replay SQL from OracleSql (portable hash family +

@@ -272,6 +272,10 @@ object SparkEntry {
       rd(s, d, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))),
+    "q_cube" -> ((s, d) =>
+      rd(s, d, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))),
     "q_order_limit" -> ((s, d) =>
       rd(s, d, "orders")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -691,6 +695,9 @@ object SparkEntry {
     "q_rollup" ->
       ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n " +
         "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"),
+    "q_cube" ->
+      ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n " +
+        "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"),
     "q_order_limit" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100",
     "q_cond_agg" ->

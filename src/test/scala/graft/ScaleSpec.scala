@@ -84,4 +84,44 @@ class ScaleSpec extends AnyFunSuite with SparkTest {
       s"LSH tier planned a non-equi join:\n${lsh.queryExecution.executedPlan}")
     graft.operators.Caches.release()
   }
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("hashSplit is a pure projection — zero exchanges, fused into the scan") {
+    val s = spark; import s.implicits._
+    val docs = (0 until 200).map(i => (i.toLong, s"t$i")).toDF("doc_id", "text")
+    val ps = finalPlan(graft.operators.Sampling.hashSplit(
+      docs, "doc_id", "s", Seq("a" -> 0.5, "b" -> 0.5)))
+    assert(!ps.contains("Exchange "), s"hashSplit shuffled:\n$ps")
+  }
+
+  test("decontamination never shuffles the corpus — broadcast anti join") {
+    val s = spark; import s.implicits._
+    val docs = (0 until 300).map(i => (i.toLong, s"document body $i")).toDF("doc_id", "text")
+    val eval = docs.filter($"doc_id" < 10)
+    val ps = finalPlan(graft.operators.Dedup.removeContaminated(docs, eval))
+    assert(ps.contains("BroadcastHashJoin") && ps.contains("LeftAnti"),
+      s"expected broadcast anti join:\n$ps")
+    assert(!ps.contains("SortMergeJoin"), s"corpus was shuffled for the anti join:\n$ps")
+  }
+
+  test("KMV aggregation is partial (map-side) with a single exchange") {
+    val s = spark; import s.implicits._
+    val kmv = udaf(new graft.functions.KmvAgg(8),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
+    val rows = (0 until 500).map(i => (s"g${i % 3}", s"u$i")).toDF("g", "u")
+    val df = rows.repartition(4)
+      .select($"g", graft.functions.mixed_hash32($"u").as("h"))
+      .groupBy("g").agg(kmv($"h").as("mins"))
+    val ps = finalPlan(df)
+    // two ObjectHashAggregate stages (partial + merge) around ONE exchange:
+    // k values per group per map task cross the shuffle, not every row
+    assert("ObjectHashAggregate".r.findAllIn(ps).size >= 2,
+      s"no partial aggregation:\n$ps")
+    assert("Exchange hashpartitioning".r.findAllIn(ps).size == 1,
+      s"expected exactly one shuffle:\n$ps")
+  }
 }

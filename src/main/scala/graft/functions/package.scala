@@ -45,6 +45,14 @@ package object functions {
         i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*))
     ).otherwise(array().cast("array<string>"))
 
+  /** Distinct word n-grams of a token array via the codegen'd
+    * [[graft.plans.WordNGrams]] — the fused fast path for
+    * `array_distinct(wordNGrams(...))` (HOFs run outside codegen and
+    * interpret their lambda per element).
+    */
+  def word_ngrams_distinct(tokens: Column, n: Int): Column =
+    ColumnBridge.column(graft.plans.WordNGrams(ColumnBridge.expression(tokens), n))
+
   /** Count of non-overlapping occurrences of literal `pat` (exact
     * integer arithmetic — no regex, no floats).
     */

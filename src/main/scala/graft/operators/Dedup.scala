@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.{rolling_hash, tokens, vec_dot, wordNGrams, PortableMinHash}
+import graft.functions.{rolling_hash, tokens, vec_dot, PortableMinHash}
 
 /** Document deduplication operators for large-scale training-data
   * pipelines: exact, n-gram Jaccard, MinHash+LSH, SimHash, and
@@ -91,13 +91,12 @@ object Dedup {
   /** Distinct word n-gram set per document: (idCol, gram).
     *
     * Entirely map-side — zero shuffles: tokenize into a materialized
-    * array column, build the n-gram array with a `transform` over it,
-    * dedup per document with `array_distinct`, then explode. The
-    * tokenizer lives in its own projection so the optimizer does not
-    * inline it into the lambda (CollapseProject keeps non-cheap
-    * expressions referenced more than once un-duplicated; an inlined
-    * tokenizer would re-split the text per element access — measured
-    * 20× slower). Per-doc dedup via `array_distinct` replaces a global
+    * array column, then generate-and-dedup the grams in one codegen'd
+    * pass ([[graft.plans.WordNGrams]] — fuses what was
+    * `array_distinct(transform(...))`, whose lambda executed
+    * interpreted outside whole-stage codegen), then explode. The
+    * tokenizer stays in its own projection so it is evaluated once per
+    * row. Per-doc dedup inside the expression replaces a global
     * `distinct`, which would shuffle the full gram table.
     */
   def nGramSets(docs: DataFrame, n: Int, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -105,7 +104,7 @@ object Dedup {
     docs
       .select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol),
-        explode(array_distinct(wordNGrams(col("__toks"), n))).as("gram"))
+        explode(graft.functions.word_ngrams_distinct(col("__toks"), n)).as("gram"))
   }
 
   /** All-pairs n-gram Jaccard via an inverted index on the gram: docs

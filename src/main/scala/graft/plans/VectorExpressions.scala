@@ -163,3 +163,87 @@ object MixHash32 {
   /** 0x9E3779B97F4A7C15 (2^64/φ, odd) as a signed long. */
   val C: Long = -7046029254386353131L
 }
+
+/** Distinct word n-grams of a token array, fused and codegen'd.
+  *
+  * Replaces the declarative
+  * `array_distinct(transform(sequence(0, size-n), i => concat_ws(...)))`
+  * pipeline in the dedup operators: higher-order functions execute
+  * OUTSIDE whole-stage codegen and interpret their lambda per element
+  * (per round-1 profiling, the dominant cost of n-gram generation), and
+  * `array_distinct` then makes a second pass. This expression builds
+  * the distinct gram set in one tight loop — n-gram generation is the
+  * shared front of the top bench hotspots (`dedup_ngram_*`,
+  * `dedup_clusters`, `dedup_minhash_lsh`, `decontaminate_ngram`).
+  *
+  * Output order is first-occurrence (same as `array_distinct`); every
+  * consumer explodes into joins/aggregations, so order never reaches a
+  * result. Tokens shorter than `n` produce an empty array, matching
+  * the `when(size >= n, ...)` guard it replaces.
+  */
+case class WordNGrams(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(n >= 1, "n must be >= 1")
+
+  private val elemType = org.apache.spark.sql.types.StringType
+
+  override def dataType: DataType = ArrayType(elemType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(t, _) if t == elemType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"word_ngrams requires array<string>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val sz = arr.numElements()
+    val set = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    if (sz >= n) {
+      val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+      var i = 0
+      while (i <= sz - n) {
+        val parts = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+        var j = 0
+        while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+        set.add(org.apache.spark.unsafe.types.UTF8String.concatWs(sep, parts: _*))
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      set.toArray(new Array[AnyRef](set.size())))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val utf8 = "org.apache.spark.unsafe.types.UTF8String"
+      val sep = ctx.addReferenceObj("sep",
+        org.apache.spark.unsafe.types.UTF8String.fromString(" "), utf8)
+      val sz = ctx.freshName("sz")
+      val set = ctx.freshName("set")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val parts = ctx.freshName("parts")
+      s"""
+         |int $sz = $arr.numElements();
+         |java.util.LinkedHashSet $set = new java.util.LinkedHashSet();
+         |if ($sz >= $n) {
+         |  for (int $i = 0; $i <= $sz - $n; $i++) {
+         |    $utf8[] $parts = new $utf8[$n];
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      $parts[$j] = $arr.getUTF8String($i + $j);
+         |    }
+         |    $set.add($utf8.concatWs($sep, $parts));
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($set.toArray());
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -49,4 +49,24 @@ class FunctionsSpec extends AnyFunSuite with SparkTest {
       .collect().map(_.getInt(0)).toSeq
     assert(got == Seq(0, 2))
   }
+
+  test("word_ngrams_distinct equals array_distinct over the HOF reference") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a a a a a a",                 // heavy duplication
+      "one two",                     // shorter than n
+      "",                            // empty text
+      "x y z x y z x y z"            // repeated grams
+    ).toDF("t")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val rows = docs.select(
+        word_ngrams_distinct(tokens($"t"), n).as("fused"),
+        array_distinct(wordNGrams(tokens($"t"), n)).as("ref"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1), s"n=$n")
+      }
+    }
+  }
 }

@@ -175,8 +175,74 @@ object Similarity {
     val n = withNorm(emb, vecCol, idCol)
     val c0 = n.where(candPred)
 
-    // deterministic coarse centroids: hash-ordered candidate vectors,
-    // unit-normalized on the driver (tiny, O(numCentroids·dim))
+    val seeded = seedCentroids(c0, numCentroids, seed, vecCol, idCol)
+    val centroids =
+      if (refineIters <= 0) seeded
+      else kmeansCentroids(emb.where(candPred), seeded, refineIters, vecCol)
+
+    probeIvf(n.where(queryPred), assignCells(c0, centroids, vecCol, idCol),
+      centroids, k, nProbe, vecCol, idCol)
+  }
+
+  /** Build and persist an IVF index for an immutable corpus snapshot:
+    * cell assignments as a warehouse table (`<table>_cells`) and the
+    * unit centroids as a second tiny table (`<table>_centroids`). At
+    * 100 TB the index build (centroid pick/refine + one assignment
+    * pass) is paid once per corpus version; every subsequent query
+    * batch probes the stored cells — [[ivfTopKIndexed]] — instead of
+    * re-scanning and re-assigning the corpus.
+    */
+  def buildIvfIndex(
+      emb: DataFrame,
+      candPred: Column,
+      dir: String,
+      table: String,
+      numCentroids: Int = 16,
+      seed: Long = 42L,
+      refineIters: Int = 0,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): Unit = {
+    val spark = emb.sparkSession
+    val n = withNorm(emb, vecCol, idCol)
+    val c0 = n.where(candPred)
+    val seeded = seedCentroids(c0, numCentroids, seed, vecCol, idCol)
+    val centroids =
+      if (refineIters <= 0) seeded
+      else kmeansCentroids(emb.where(candPred), seeded, refineIters, vecCol)
+    val centDf = spark.createDataFrame(
+      centroids.toSeq.zipWithIndex.map { case (v, i) => (i + 1L, v.toSeq) })
+      .toDF("cell", "centroid")
+    graft.sources.Warehouse.overwrite(centDf, dir, s"${table}_centroids")
+    graft.sources.Warehouse.overwrite(
+      assignCells(c0, centroids, vecCol, idCol), dir, s"${table}_cells")
+  }
+
+  /** Probe a persisted IVF index ([[buildIvfIndex]]) — reads centroids
+    * (tiny) onto the driver and joins queries against the stored cell
+    * table; the corpus itself is never touched.
+    */
+  def ivfTopKIndexed(
+      queries: DataFrame,
+      dir: String,
+      table: String,
+      k: Int,
+      nProbe: Int,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = graft.sources.Warehouse.read(spark, dir, s"${table}_centroids")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Float](1).toArray)
+    val cells = graft.sources.Warehouse.read(spark, dir, s"${table}_cells")
+    probeIvf(withNorm(queries, vecCol, idCol), cells, centroids, k, nProbe,
+      vecCol, idCol)
+  }
+
+  /** Deterministic coarse centroids: hash-ordered candidate vectors,
+    * unit-normalized on the driver (tiny, O(numCentroids·dim)).
+    */
+  private def seedCentroids(c0: DataFrame, numCentroids: Int, seed: Long,
+      vecCol: String, idCol: String): Array[Array[Float]] = {
     val seeded: Array[Array[Float]] = c0
       .orderBy(rolling_hash(concat(lit(s"ivf$seed:"), col(idCol).cast("string"))), col(idCol))
       .limit(numCentroids)
@@ -187,29 +253,36 @@ object Similarity {
         val nrm = r.getDouble(1)
         if (nrm == 0.0) v else v.map(x => (x / nrm).toFloat)
       }
-    require(seeded.nonEmpty, "ivfTopK: no candidate rows to index")
-    val centroids =
-      if (refineIters <= 0) seeded
-      else kmeansCentroids(emb.where(candPred), seeded, refineIters, vecCol)
+    require(seeded.nonEmpty, "IVF: no candidate rows to index")
+    seeded
+  }
 
-    // cosine of a row vector against every centroid (centroids are unit
-    // vectors, so dot/norm is the cosine)
-    def cellDots(vec: Column, norm: Column): Column =
-      array(centroids.map(ct => vec_dot(vec, lit(ct)) / norm): _*)
-
+  /** Assign each candidate row to its nearest-centroid cell:
+    * `(neighbor_id, c_vec, c_norm, cell)`.
+    */
+  private def assignCells(c0: DataFrame, centroids: Array[Array[Float]],
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     // materialize the dot array in its own projection so the argmax
     // reads a column instead of evaluating numCentroids dots twice
-    val cand = c0.select(
+    // (centroids are unit vectors, so dot/norm is the cosine)
+    c0.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
       col("norm").as("c_norm"),
-      cellDots(col(vecCol), col("norm")).as("__dots"))
+      array(centroids.map(ct => vec_dot(col(vecCol), lit(ct)) / col("norm")): _*)
+        .as("__dots"))
       .select(col("neighbor_id"), col("c_vec"), col("c_norm"),
         // argmax cell: 1-based position of the max dot (ties -> first)
         array_position(col("__dots"), array_max(col("__dots"))).as("cell"))
+  }
 
+  /** Probe pre-assigned cells with each query's nProbe nearest
+    * centroids and rank candidates exactly.
+    */
+  private def probeIvf(q0: DataFrame, cells: DataFrame,
+      centroids: Array[Array[Float]], k: Int, nProbe: Int,
+      vecCol: String, idCol: String): DataFrame = {
     // query side probes its nProbe nearest cells: sort (−dot, cell idx)
     // structs ascending, slice nProbe, explode
-    val q0 = n.where(queryPred)
     val probeCells = slice(
       array_sort(array(centroids.indices.map(i =>
         struct((vec_dot(col(vecCol), lit(centroids(i))) / col("norm")).unary_-.as("neg"),
@@ -223,7 +296,7 @@ object Similarity {
         col("probe.cell").as("cell"))
 
     val cos = vec_dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))
-    q.join(cand, "cell")
+    q.join(cells, "cell")
       .select(col("query_id"), col("neighbor_id"), cos.as("cosine"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))))

@@ -44,6 +44,16 @@ object GraftFunctions {
       { args =>
         require(args.length == 1, s"mixed_hash32 takes 1 argument, got ${args.length}")
         MixHash32(RollingHash(args(0)))
+      }),
+    (FunctionIdentifier("word_ngrams"),
+      info(classOf[WordNGrams], "word_ngrams",
+        "word_ngrams(tokens, n) - distinct word n-grams of an array<string>, fused generate+dedup in codegen"),
+      {
+        case Seq(c, n) if n.foldable =>
+          WordNGrams(c, n.eval().asInstanceOf[Number].intValue())
+        case args =>
+          throw new IllegalArgumentException(
+            s"word_ngrams takes (array<string>, literal n), got ${args.length} arguments")
       })
   )
 

@@ -65,6 +65,28 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(full == brute)
   }
 
+  test("persisted IVF index probes identically to the live index") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 12
+    val rows = (0 until 150).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivf-index").toString
+    for (refine <- Seq(0, 2)) {
+      val t = s"idx_r$refine"
+      Similarity.buildIvfIndex(emb, col("vec_id") >= 10, dir, t,
+        numCentroids = 8, refineIters = refine)
+      val fromIndex = Similarity.ivfTopKIndexed(
+        emb.filter(col("vec_id") < 10), dir, t, k = 5, nProbe = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val live = Similarity.ivfTopK(emb, col("vec_id") < 10, col("vec_id") >= 10, 5,
+        numCentroids = 8, nProbe = 3, refineIters = refine)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(fromIndex == live, s"refineIters=$refine")
+    }
+  }
+
   test("k-means refinement improves IVF recall on clustered data and stays deterministic") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(7)

@@ -335,6 +335,7 @@ object SparkEntry {
     "e1_tumbling" -> ((s, d) => Events.tumblingHourly(rd(s, d, "events"))),
     "e2_sliding" -> ((s, d) => Events.slidingHourly(rd(s, d, "events"))),
     "e3_session" -> ((s, d) => Events.sessionize(rd(s, d, "events"))),
+    "e5_gap_fill" -> ((s, d) => Events.gapFillHourly(rd(s, d, "events"))),
     "e4_json_props" -> ((s, d) =>
       // semi-structured handling: extract an int field from the JSON
       // props payload and profile it per event type
@@ -793,6 +794,12 @@ object SparkEntry {
         "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM o) " +
         "SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end, " +
         "count(*) AS n_events, round(sum(value), 2) AS sum_value FROM s GROUP BY user_id, session_id"),
+    "e5_gap_fill" ->
+      ("WITH b AS (SELECT user_id, date_trunc('hour', min(ts)) AS t0, max(ts) AS t1 FROM events GROUP BY user_id), " +
+        "g AS (SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts FROM b) " +
+        "SELECT g.user_id, g.ts, r.event_id AS src_event_id, r.value AS carried_value, r.ts AS matched_ts " +
+        "FROM g LEFT JOIN events r ON r.user_id = g.user_id AND r.ts <= g.ts " +
+        "QUALIFY row_number() OVER (PARTITION BY g.user_id, g.ts ORDER BY r.ts DESC, r.event_id DESC) = 1"),
     "dedup_exact" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY md5(text)",
     "dedup_ngram_jaccard" ->

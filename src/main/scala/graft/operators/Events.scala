@@ -51,6 +51,32 @@ object Events {
         round(sum(col("value")), 2).as("sum_value"))
   }
 
+  /** Hourly gap-fill (resample + fill-forward): one row per user per
+    * hour between their first and last event, carrying the latest
+    * reading at-or-before each grid point — the time-series
+    * regularization step before windowed features or charting.
+    *
+    * Composition of existing scale shapes: the per-user hour grid is
+    * generated map-side from the bounds aggregate (`sequence` +
+    * `explode` — no shuffle beyond the bounds groupBy), then ONE
+    * [[AsOf.asofJoin]] attaches the carried reading (single keyed
+    * shuffle, no pair expansion). Grid points before a user's first
+    * event carry nulls.
+    */
+  def gapFillHourly(events: DataFrame): DataFrame = {
+    val bounds = events.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("__t0"), max(col("ts")).as("__t1"))
+    val grid = bounds.select(col("user_id"),
+      explode(sequence(date_trunc("hour", col("__t0")), col("__t1"),
+        expr("INTERVAL 1 HOUR"))).as("ts"))
+    AsOf.asofJoin(
+      grid,
+      events.select(col("user_id"), col("ts"),
+        col("event_id").as("src_event_id"), col("value").as("carried_value")),
+      Seq("user_id"), "ts",
+      tieCol = "src_event_id", payloadCols = Seq("src_event_id", "carried_value"))
+  }
+
   /** Per-user running sum over time — window-function shape (no shuffle
     * beyond the partition key).
     */

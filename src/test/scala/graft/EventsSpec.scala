@@ -22,6 +22,25 @@ class EventsSpec extends AnyFunSuite with SparkTest {
     assert(out == Map((100L, 0L) -> 3L, (100L, 1L) -> 1L, (200L, 0L) -> 1L))
   }
 
+  test("gapFillHourly emits one row per hour, carrying the latest reading forward") {
+    val s = spark; import s.implicits._
+    val events = Seq(
+      (1L, 1L, "2024-01-01 10:30:00", "a", 1.0),
+      (2L, 1L, "2024-01-01 13:10:00", "a", 5.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+      .withColumn("ts", to_timestamp($"ts"))
+    val out = Events.gapFillHourly(events).collect()
+      .map(r => r.getTimestamp(1).toString ->
+        (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    // grid: 10:00 (before the first event -> null), 11:00..13:00 carry
+    // event 1; the 13:10 reading is after the last grid point
+    assert(out == Map(
+      "2024-01-01 10:00:00.0" -> -1L,
+      "2024-01-01 11:00:00.0" -> 1L,
+      "2024-01-01 12:00:00.0" -> 1L,
+      "2024-01-01 13:00:00.0" -> 1L))
+  }
+
   test("tumblingHourly buckets on the hour") {
     val s = spark; import s.implicits._
     val events = Seq(

@@ -1,0 +1,55 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden content hashes for flagship round-2 operators on the
+  * immutable sf0.001 driver fixture — drift insurance that runs in
+  * `sbt test`, independent of the driver's DuckDB oracle cycle. Same
+  * canonicalization as `aqi.GoldenSpec` (sorted columns, sorted rows,
+  * integral doubles printed as integers).
+  *
+  * If an intentional semantic change moves a hash, re-pin it in the
+  * same commit and say why in the commit message.
+  */
+class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def canonicalHash(df: DataFrame): String = {
+    val cols = df.columns.sorted
+    val lines = df.select(cols.head, cols.tail: _*).collect()
+      .map(_.toSeq.map {
+        case null => "NULL"
+        case d: java.lang.Double => if (d == d.longValue()) d.longValue().toString else d.toString
+        case v => v.toString
+      }.mkString("|"))
+      .sorted
+    val md = MessageDigest.getInstance("MD5")
+    lines.foreach(l => md.update((l + "\n").getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private val pinned = Map(
+    "asof_join" -> "d46f154514ca44380d1956436d37743d",
+    "e5_gap_fill" -> "5eed039439c8f2acf01ee2f47e9d72c5",
+    "sketch_kmv_distinct" -> "b8c33199828611e41531cd495501d946",
+    "q_grid_quantiles" -> "578a248ef2d32e0c484be1e725bac233",
+    "sample_hash_split" -> "4e8df2a846775b37f53466eab9e3f344",
+    "sample_cap_group" -> "66799741457720a314dc064cd0e0a12b",
+    "decontaminate_ngram" -> "7fd7f6b6fcf080dca715127d93a372e7")
+
+  test("round-2 operator outputs hash-match their pinned golden values") {
+    val got = pinned.keys.toSeq.sorted.map { q =>
+      val h = canonicalHash(SparkEntry.queries(q)(spark, sfDir))
+      info(s""""$q" -> "$h",""")
+      q -> h
+    }
+    graft.operators.Caches.release()
+    got.foreach { case (q, h) =>
+      assert(h == pinned(q), s"$q output drifted (got $h)")
+    }
+  }
+}

@@ -304,6 +304,18 @@ object OracleSql {
       "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS content_hash " +
       "FROM documents"
 
+  /** Oracle for `media_resize_stats`: the stub resize is a
+    * deterministic prefix slice of the payload (`bytes.take(w·h)`).
+    * DuckDB's md5 only accepts VARCHAR, so the slice is taken on
+    * characters — equal to the byte slice because the documents corpus
+    * is pure ASCII (octet_length == length for every row at every SF,
+    * which this query itself re-verifies via n_bytes).
+    */
+  def mediaResizeStats(maxBytes: Int): String =
+    "SELECT CAST(doc_id AS BIGINT) AS media_id, 'text' AS kind, " +
+      s"CAST(LEAST(octet_length(encode(text)), $maxBytes) AS BIGINT) AS n_bytes, " +
+      s"md5(substring(text, 1, $maxBytes)) AS content_hash FROM documents"
+
   // ------------------------------------------------- sampling / sketches
 
   /** CASE expression replaying [[graft.operators.Sampling.splitCol]]:

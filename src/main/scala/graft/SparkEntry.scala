@@ -118,6 +118,14 @@ object SparkEntry {
           rd(s, d, "orders").filter(col("o_orderdate") >= tlit("1999-06-01 00:00:00")),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")),
+    "j9_salted_join" -> ((s, d) =>
+      // the skew-mitigation path under the oracle gate: salted join
+      // must equal the plain join bit-for-bit (oracle IS the plain SQL)
+      graft.operators.Skew.saltedJoin(
+        rd(s, d, "orders"),
+        rd(s, d, "customer").select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        Seq("o_custkey"), saltFactor = 8)
+        .select("o_orderkey", "o_custkey", "c_mktsegment", "o_totalprice")),
     "j8_semi_join" -> ((s, d) =>
       rd(s, d, "customer")
         .join(
@@ -446,6 +454,13 @@ object SparkEntry {
       // deterministic stand-in for image/audio bytes)
       Multimodal.byteStats(
         Multimodal.fromText(rd(s, d, "documents"), "doc_id", "text", "text").toDF())),
+    "media_resize_stats" -> ((s, d) =>
+      // the typed mapPartitions decode path under the gate: stub resize
+      // is a deterministic prefix slice, so the oracle replays it with
+      // BLOB substring
+      Multimodal.byteStats(Multimodal.resizeAll(
+        Multimodal.fromText(rd(s, d, "documents"), "doc_id", "text", "text"),
+        16, 16).toDF())),
 
     // —— non-equi joins: as-of and interval (operators Spark lacks) ——
     "asof_join" -> ((s, d) => {
@@ -687,6 +702,9 @@ object SparkEntry {
     "j8_semi_join" ->
       ("SELECT c_custkey, c_name FROM customer c WHERE EXISTS " +
         "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)"),
+    "j9_salted_join" ->
+      ("SELECT o_orderkey, o_custkey, c_mktsegment, o_totalprice " +
+        "FROM orders JOIN customer ON c_custkey = o_custkey"),
     "set_union" ->
       "SELECT c_nationkey AS nationkey FROM customer UNION SELECT s_nationkey AS nationkey FROM supplier",
     "set_intersect" ->
@@ -825,6 +843,7 @@ object SparkEntry {
       OracleSql.annIvfRefinedTopK(5, numCentroids = 16, nProbe = 4, iters = 2),
     "text_rolling_fp" -> OracleSql.textRollingFp,
     "media_byte_stats" -> OracleSql.mediaByteStats,
+    "media_resize_stats" -> OracleSql.mediaResizeStats(256),
     "dedup_clusters" ->
       (s"WITH RECURSIVE $ngramCtes, " +
         "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs), " +

@@ -80,13 +80,21 @@ object Bench {
     val results = p1.map { case (k, v) =>
       k -> (if (failures(k)) -1.0 else math.min(v, p2(k)))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // millisecond precision keeps the line ~2 KB for 80+ queries — the
+    // driver captures a bounded output tail, and the round-2 line (9
+    // significant digits per query, ~4 KB) was truncated mid-line there
+    def ms(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val fj = failures.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fj,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failures":$fj,"sf":"$sfDir"}"""
     println(line)
+    // compact fallback: if the full line still gets cut, this short one
+    // (printed closest to the end of output) parses on its own
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"n_failures":${failures.size},"sf":"$sfDir"}""")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath: ${e.getMessage}") }

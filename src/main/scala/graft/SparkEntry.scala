@@ -251,9 +251,13 @@ object SparkEntry {
           // per-row product fits a long (~1e11); the SUM is carried in
           // decimal(38,0) so it cannot wrap at any scale factor (a long
           // sum would silently overflow around 1e8 rows of this grid)
+          // emitted as a STRING of digits: decimal carries the exact sum,
+          // but decimal surfaces differently across parquet readers
+          // (python Decimal vs float64) and breaks the driver's hash
           sum((cents(col("l_extendedprice")) *
             (lit(100L) - cents(col("l_discount"))) *
-            (lit(100L) + cents(col("l_tax")))).cast("decimal(38,0)")).as("charged_e6"),
+            (lit(100L) + cents(col("l_tax")))).cast("decimal(38,0)"))
+            .cast("string").as("charged_e6"),
           min(col("s_acctbal")).as("min_acctbal"),
           max(col("p_retailprice")).as("max_retail"))
     }),
@@ -780,9 +784,9 @@ object SparkEntry {
     "q_supplier_part" ->
       ("SELECT p_type, count(*) AS n_lines, count(DISTINCT p_name) AS n_part_names, " +
         "count(DISTINCT s_name) AS n_suppliers, " +
-        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+        "CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * " +
         "(100 - CAST(round(l_discount * 100) AS BIGINT)) * " +
-        "(100 + CAST(round(l_tax * 100) AS BIGINT))) AS DECIMAL(38,0)) AS charged_e6, " +
+        "(100 + CAST(round(l_tax * 100) AS BIGINT))) AS DECIMAL(38,0)) AS VARCHAR) AS charged_e6, " +
         "min(s_acctbal) AS min_acctbal, max(p_retailprice) AS max_retail " +
         "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
         "JOIN part ON l_partkey = p_partkey WHERE p_size >= 10 GROUP BY p_type"),

@@ -69,7 +69,12 @@ object AsOf {
     // otherwise co-partition null-key rows (Spark groups nulls), so
     // null-key right rows are dropped here — null-key left rows then
     // sit in a partition with no rights and keep a null payload.
-    val rightKeyed = keyCols.map(c => right.col(c).isNotNull).reduce(_ && _)
+    // A NULL right timestamp is likewise dropped: `r.ts <= l.ts` is
+    // NULL (never true) in range-join semantics, but nulls-first
+    // ordering would sort such a row before every left row and carry
+    // its payload to the earliest lefts.
+    val rightKeyed = (keyCols.map(c => right.col(c).isNotNull) :+
+      right.col(tsCol).isNotNull).reduce(_ && _)
     val r = right.filter(rightKeyed).select(
       keyCols.map(col) ++ Seq(
         col(tsCol).as("__ts"),

@@ -1,7 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 
 /** Interval (band) joins: match fact rows to dimension rows by a range
   * predicate `lo <= value < hi` — value binning, rate tables, SLA
@@ -58,10 +59,28 @@ object RangeJoin {
       bandCol: String = "band",
       loCol: String = "lo",
       hiCol: String = "hi"): DataFrame = {
-    val misaligned = bands.filter(
-      col(loCol) =!= floor(col(loCol) / width) * width || col(hiCol) =!= col(loCol) + width)
-    require(misaligned.isEmpty, s"uniformBandJoin: bands are not aligned to width=$width")
-    val dim = bands.select(floor(col(loCol) / width).cast("long").as("__bucket"), col(bandCol))
+    // The band table is broadcast-small by contract, so validate it
+    // driver-side from ONE collect (the previous exact-equality filter
+    // false-rejected widths like 0.1 whose edges aren't representable,
+    // and cost a Spark action per invocation on top of the join's read).
+    // Tolerance is relative to the width; band edges are expected to be
+    // near-integer multiples, so round (not floor) recovers the bucket.
+    val rows = bands.select(col(bandCol), col(loCol).cast("double"), col(hiCol).cast("double"))
+      .collect()
+    val eps = 1e-9 * width
+    val buckets = rows.map { r =>
+      require(!r.isNullAt(1) && !r.isNullAt(2),
+        s"uniformBandJoin: band ${r.get(0)} has a null edge")
+      val (lo, hi) = (r.getDouble(1), r.getDouble(2))
+      val bucket = math.rint(lo / width).toLong
+      require(math.abs(lo - bucket * width) <= eps && math.abs(hi - (lo + width)) <= eps,
+        s"uniformBandJoin: band ${r.get(0)} [$lo, $hi) is not aligned to width=$width")
+      Row(bucket, r.get(0))
+    }
+    val dimSchema = StructType(
+      StructField("__bucket", LongType, nullable = false) +: Seq(bands.schema(bandCol)))
+    val dim = fact.sparkSession.createDataFrame(
+      java.util.Arrays.asList(buckets: _*), dimSchema)
     fact
       .withColumn("__bucket", floor(col(valueCol) / width).cast("long"))
       .join(broadcast(dim), Seq("__bucket"), "left")

@@ -44,7 +44,11 @@ object Sampling {
     var cum = 0.0
     fractions.init.map { case (name, f) =>
       cum += f
-      name -> f"${math.round(cum * 65536).toInt}%04x"
+      // clamp to the grid max: a cumulative fraction that rounds to
+      // 65536 would print 5 hex chars ("10000") and the fixed-width
+      // lexicographic compare would misorder it below 4-char hashes,
+      // silently collapsing a near-1.0 non-final split
+      name -> f"${math.min(math.round(cum * 65536), 65535L).toInt}%04x"
     }
   }
 
@@ -81,7 +85,8 @@ object Sampling {
     */
   private[graft] def rateHex(rate: Double): Option[String] = {
     require(rate >= 0, "rate must be non-negative")
-    if (rate >= 1.0) None else Some(f"${math.round(rate * 65536).toInt}%04x")
+    if (rate >= 1.0) None
+    else Some(f"${math.min(math.round(rate * 65536), 65535L).toInt}%04x")
   }
 
   /** Deterministic per-stratum downsampling — the corpus-mixing

@@ -32,7 +32,10 @@ object Warehouse {
     val old = new Path(path(dir, table) + ".old")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(live) && fs.exists(old)) {
-      if (!fs.rename(old, live))
+      // check-then-rename race: a concurrent reader may heal between our
+      // exists() and rename(); the loser's rename returns false but the
+      // table IS live — only a still-missing live path is a real failure
+      if (!fs.rename(old, live) && !fs.exists(live))
         throw new java.io.IOException(s"warehouse heal failed: $old -> $live")
     }
   }

@@ -132,6 +132,35 @@ class NonEquiSpec extends AnyFunSuite with SparkTest {
     assert(generic == rewrite)
   }
 
+  test("asofJoin ignores right rows with a null timestamp") {
+    val s = spark; import s.implicits._
+    // in range-join semantics r.ts <= l.ts is NULL (never true) for a
+    // null right ts; nulls-first ordering must not carry its payload
+    val right = Seq(
+      (600L, 1L, None: Option[String], 5.0),
+      (601L, 1L, Some("2024-01-01 10:00:00"), 1.0))
+      .toDF("event_id", "user_id", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val left = mkEvents(Seq(
+      (1L, 1L, "2024-01-01 09:00:00", 0.0), // before the only real right -> null
+      (2L, 1L, "2024-01-01 11:00:00", 0.0))) // -> 601, never 600
+    val out = asof(left, right).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(out == Map(1L -> -1L, 2L -> 601L))
+  }
+
+  test("uniformBandJoin accepts widths whose band edges are not exactly representable") {
+    val s = spark; import s.implicits._
+    // 0.2 + 0.1 != 0.3 in doubles — exact-equality validation would
+    // false-reject this perfectly aligned band table
+    val tenths = spark.createDataFrame(
+      Seq(("a", 0.0, 0.1), ("b", 0.1, 0.2), ("c", 0.2, 0.3))).toDF("band", "lo", "hi")
+    val f = Seq((1L, 0.05), (2L, 0.15), (3L, 0.25)).toDF("id", "v")
+    val out = RangeJoin.uniformBandJoin(f, "v", tenths, 0.1).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+  }
+
   test("uniformBandJoin rejects bands misaligned to the width") {
     val bad = spark.createDataFrame(Seq(("x", 5.0, 15.0))).toDF("band", "lo", "hi")
     intercept[IllegalArgumentException] {

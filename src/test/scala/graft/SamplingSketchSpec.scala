@@ -21,6 +21,14 @@ class SamplingSketchSpec extends AnyFunSuite with SparkTest {
     assert(Sampling.thresholds(fr) == Seq("train" -> "cccd", "val" -> "e666"))
   }
 
+  test("thresholds clamp a near-1.0 cumulative cut to the 4-char grid max") {
+    // 0.999999 * 65536 rounds to 65536 -> "10000" would break the
+    // fixed-width lexicographic compare and collapse the train split
+    val cuts = Sampling.thresholds(Seq("train" -> 0.999999, "test" -> 0.000001))
+    assert(cuts == Seq("train" -> "ffff"))
+    assert(Sampling.rateHex(0.999999).contains("ffff"))
+  }
+
   test("hashSplit labels every row with exactly one known split") {
     val out = Sampling.hashSplit(keys(1000), "id", "s1", fr)
     assert(out.filter(!col("split").isin("train", "val", "test")).isEmpty)

@@ -451,6 +451,19 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(rd(s, d, "documents"))),
     "text_rolling_fp" -> ((s, d) => TextAnalysis.rollingFingerprint(rd(s, d, "documents"))),
     "text_bpe_tokens" -> ((s, d) => TextAnalysis.bpeTokenCount(rd(s, d, "documents"))),
+    "text_repetition" -> ((s, d) => TextAnalysis.repetitionSignals(rd(s, d, "documents"))),
+    "pii_redact" -> ((s, d) => {
+      // the synthetic corpus is clean word soup, so deterministic PII
+      // derived from doc_id is appended first — the scrub patterns then
+      // actually fire, and the oracle replays the same injection
+      val injected = rd(s, d, "documents").withColumn("text", concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com from 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0.1 call 555-867-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" acct 9"), lpad((col("doc_id") % 100000000).cast("string"), 8, "0")))
+      TextAnalysis.redactPii(injected)
+        .withColumn("redacted_md5", md5(col("redacted"))).drop("redacted")
+    }),
 
     // —— training-data pipeline: multimodal ——
     "media_byte_stats" -> ((s, d) =>
@@ -899,6 +912,37 @@ object SparkEntry {
     "text_bpe_tokens" ->
       ("SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INT) " +
         "AS n_bpeish_tokens FROM documents"),
+    "text_repetition" ->
+      ("WITH arr AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS a FROM documents), " +
+        "tok AS (SELECT doc_id, unnest(a) AS tok FROM arr), " +
+        "tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2), " +
+        "ta AS (SELECT doc_id, CAST(sum(c) AS INT) AS n_tokens, CAST(count(*) AS INT) AS n_distinct_tokens, " +
+        "CAST(max(c) AS INT) AS top_token_count FROM tc GROUP BY 1), " +
+        "g AS (SELECT doc_id, unnest([a[i] || ' ' || a[i+1] FOR i IN generate_series(1, len(a)-1)]) AS gm FROM arr), " +
+        "gc AS (SELECT doc_id, gm, count(*) AS c FROM g GROUP BY 1, 2), " +
+        "ga AS (SELECT doc_id, CAST(max(c) AS INT) AS top_bigram_count FROM gc GROUP BY 1) " +
+        "SELECT ta.doc_id, n_tokens, n_distinct_tokens, top_token_count, " +
+        "coalesce(top_bigram_count, 0) AS top_bigram_count " +
+        "FROM ta LEFT JOIN ga ON ta.doc_id = ga.doc_id"),
+    "pii_redact" -> {
+      // shares the literal pattern strings with the Spark operator —
+      // both engines run the identical regex source
+      val e = graft.operators.TextAnalysis.emailPattern
+      val ip = graft.operators.TextAnalysis.ipv4Pattern
+      val ph = graft.operators.TextAnalysis.phonePattern
+      val num = graft.operators.TextAnalysis.longNumPattern
+      ("WITH injected AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+        "'@example.com from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 call 555-867-' || " +
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' acct 9' || " +
+        "lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0') AS t FROM documents) " +
+        s"SELECT doc_id, CAST(len(regexp_extract_all(t, '$e')) AS INT) AS n_emails, " +
+        s"CAST(len(regexp_extract_all(t, '$ip')) AS INT) AS n_ipv4, " +
+        s"CAST(len(regexp_extract_all(t, '$ph')) AS INT) AS n_phones, " +
+        s"CAST(len(regexp_extract_all(t, '$num')) AS INT) AS n_longnums, " +
+        s"md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t, " +
+        s"'$e', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$ph', '<PHONE>', 'g'), " +
+        s"'$num', '<NUM>', 'g')) AS redacted_md5 FROM injected")
+    },
     // independent naive formulation of the as-of join (range join +
     // per-left row_number) — deliberately NOT the union+window shape the
     // operator uses, so implementation and oracle share no structure

@@ -85,6 +85,78 @@ object TextAnalysis {
       rolling_hash(regexp_replace(lower(trim(col(textCol))), "\\s+", " "))
         .as("rolling_fp"))
 
+  /** PII patterns, written in the common subset of Java regex (Spark)
+    * and RE2 (DuckDB, Go, C++ engines): character classes, bounded
+    * repetition, ASCII `\b` — no lookaround, no backreferences — so the
+    * exact same pattern string runs on every engine a pipeline spans.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val phonePattern = "\\b[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\\b"
+  val longNumPattern = "\\b[0-9]{9,}\\b"
+
+  /** PII redaction — the scrub pass a training corpus gets before
+    * anything else sees it. Emails, IPv4 addresses, phone numbers, and
+    * long digit runs (IDs, account numbers) are replaced by typed
+    * placeholder tags; per-category match counts ride along so the
+    * yield of the scrub is observable per document.
+    *
+    * Counts are taken on the ORIGINAL text (the categories cannot
+    * overlap: `\b` never splits adjacent word characters, so a digit
+    * run inside an email local-part is not a separate long-number hit).
+    * Replacement order matters only for nested shapes — email first so
+    * its digits are gone before the looser numeric patterns run.
+    *
+    * Shuffle-free narrow projection; regexes are fixed literals so the
+    * whole operator compiles into one codegen stage.
+    */
+  def redactPii(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def n(pat: String) = size(regexp_extract_all(col(textCol), lit(pat), lit(0)))
+    val redacted = Seq(
+      emailPattern -> "<EMAIL>",
+      ipv4Pattern -> "<IP>",
+      phonePattern -> "<PHONE>",
+      longNumPattern -> "<NUM>"
+    ).foldLeft(col(textCol)) { case (c, (pat, tag)) => regexp_replace(c, lit(pat), lit(tag)) }
+    docs.select(
+      col(idCol),
+      n(emailPattern).as("n_emails"),
+      n(ipv4Pattern).as("n_ipv4"),
+      n(phonePattern).as("n_phones"),
+      n(longNumPattern).as("n_longnums"),
+      redacted.as("redacted"))
+  }
+
+  /** Per-document repetition signals — the Gopher-style quality filter
+    * inputs: total/distinct token counts, the count of the most frequent
+    * token, and the count of the most frequent bigram. High
+    * top-token/top-bigram mass flags boilerplate and degenerate
+    * repetition that perplexity filters miss.
+    *
+    * Shape at scale: explode + count by `(doc, term)` is
+    * partial-aggregatable (map-side combine collapses each document's
+    * repeats before the shuffle), the per-doc rollup and the final join
+    * all hash on `doc_id`, so one logical key partitioning serves the
+    * whole plan. Bigrams are built array-side from the MATERIALIZED
+    * token array (two selects — a HOF lambda re-evaluates its argument
+    * per element, so inlining `tokens()` would re-split per bigram).
+    */
+  def repetitionSignals(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"), graft.functions.wordNGrams(col("__toks"), 2).as("__grams"))
+    val tokAgg = base.select(col(idCol), explode(col("__toks")).as("__tok"))
+      .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol)).agg(
+        sum("__c").cast("int").as("n_tokens"),
+        count(lit(1)).cast("int").as("n_distinct_tokens"),
+        max("__c").cast("int").as("top_token_count"))
+    val gramAgg = base.select(col(idCol), explode(col("__grams")).as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol)).agg(max("__c").cast("int").as("top_bigram_count"))
+    tokAgg.join(gramAgg, Seq(idCol), "left")
+      .na.fill(0, Seq("top_bigram_count")) // a <2-token doc has no bigrams
+  }
+
   /** BPE-ish token count: letter runs, single digits, or single
     * punctuation marks — the pre-tokenizer shape GPT-style BPE vocabularies
     * assume, as a portable ASCII regex.

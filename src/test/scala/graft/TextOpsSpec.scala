@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextAnalysis
+
+class TextOpsSpec extends AnyFunSuite with SparkTest {
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark; import s.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  // ------------------------------------------------------------- redactPii
+
+  test("redactPii replaces each PII category with its tag and counts hits") {
+    val d = docs(
+      (1L, "mail a.smith+x@corp.example.org or b@x.io from 192.168.1.254 now"),
+      (2L, "call 555-867-5309 or 555.123.4567 acct 123456789 ref 98765432100"),
+      (3L, "clean text with no pii at all"))
+    val out = TextAnalysis.redactPii(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    assert(out(1L).getInt(1) == 2 && out(1L).getInt(2) == 1)
+    assert(out(1L).getString(5) ==
+      "mail <EMAIL> or <EMAIL> from <IP> now")
+
+    assert(out(2L).getInt(3) == 2 && out(2L).getInt(4) == 2)
+    assert(out(2L).getString(5) == "call <PHONE> or <PHONE> acct <NUM> ref <NUM>")
+
+    assert(out(3L).getInt(1) == 0 && out(3L).getInt(2) == 0 &&
+      out(3L).getInt(3) == 0 && out(3L).getInt(4) == 0)
+    assert(out(3L).getString(5) == "clean text with no pii at all")
+  }
+
+  test("redactPii does not double-count digits inside an email") {
+    // 123456789 has 9+ digits but sits inside the email local part —
+    // \b never splits adjacent word chars, so no long-number hit
+    val out = TextAnalysis.redactPii(docs((1L, "x123456789@example.com"))).collect().head
+    assert(out.getInt(1) == 1, "email must match")
+    assert(out.getInt(4) == 0, "no long-number hit inside the email")
+    assert(out.getString(5) == "<EMAIL>")
+  }
+
+  // ---------------------------------------------------- repetitionSignals
+
+  test("repetitionSignals computes token and bigram repetition exactly") {
+    val d = docs(
+      (1L, "buy now buy now buy later"), // 'buy'×3; 'buy now'×2
+      (2L, "all words here differ"),
+      (3L, "one")) // single token: no bigrams
+    val out = TextAnalysis.repetitionSignals(d).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(out(1L) == ((6, 3, 3, 2)))
+    assert(out(2L) == ((4, 4, 1, 1)))
+    assert(out(3L) == ((1, 1, 1, 0)))
+  }
+
+  test("repetitionSignals flags degenerate repetition") {
+    val boiler = Seq.fill(50)("lorem ipsum").mkString(" ")
+    val out = TextAnalysis.repetitionSignals(docs((1L, boiler))).collect().head
+    // 100 tokens, 2 distinct, top token 50, top bigram ('ipsum lorem'
+    // 49 + 'lorem ipsum' 50) = 50
+    assert(out.getInt(1) == 100 && out.getInt(2) == 2 &&
+      out.getInt(3) == 50 && out.getInt(4) == 50)
+  }
+}

@@ -350,6 +350,17 @@ object OracleSql {
     s"CASE $whens ELSE ${keep(defaultRate)} END"
   }
 
+  /** WHERE condition replaying [[graft.operators.Sampling.weightedKeep]]:
+    * same md5 draw, same integer-division grid threshold (`//` is
+    * DuckDB integer division; `hex`/`lpad`/`lower` render the identical
+    * fixed-width threshold string).
+    */
+  def weightedKeepWhere(
+      keyExpr: String, weightExpr: String, salt: String, wMax: Long): String =
+    s"($weightExpr >= $wMax OR ($weightExpr > 0 AND " +
+      s"substr(md5('$salt' || ':' || $keyExpr), 1, 4) < " +
+      s"lpad(lower(hex(($weightExpr * 65536) // $wMax)), 4, '0')))"
+
   /** Oracle for `sketch_kmv_distinct`: replay of the KMV sketch
     * ([[graft.functions.KmvAgg]]) over distinct users per event type.
     * The 32-bit hash replays [[graft.plans.MixHash32]]: the wrapping

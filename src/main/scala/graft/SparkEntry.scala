@@ -545,6 +545,12 @@ object SparkEntry {
       // stable pseudo-random pick (pure function of salt+doc_id)
       Sampling.capPerGroup(rd(s, d, "documents"), "doc_id", "source", "cap1", 10)
         .select("source", "doc_id", "n_chars")),
+    "sample_weighted" -> ((s, d) =>
+      // length-proportional sampling: longer docs survive more often
+      // (p = n_chars/600), decision a pure function of salt+doc_id
+      Sampling.weightedKeep(rd(s, d, "documents"), "doc_id", "n_chars", "wk1", 600L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))),
     "q_quantiles" -> ((s, d) => {
       // exact discrete quantiles per group: percentile_disc picks an
       // actual data value (no interpolation arithmetic), so the double
@@ -995,6 +1001,11 @@ object SparkEntry {
       ("SELECT source, doc_id, n_chars FROM (SELECT source, doc_id, n_chars, " +
         "row_number() OVER (PARTITION BY source ORDER BY md5('cap1:' || CAST(doc_id AS VARCHAR)) NULLS FIRST, doc_id NULLS FIRST) AS rk " +
         "FROM documents) t WHERE rk <= 10"),
+    "sample_weighted" ->
+      (s"WITH kept AS (SELECT source, n_chars FROM documents WHERE ${OracleSql.weightedKeepWhere(
+        "CAST(doc_id AS VARCHAR)", "n_chars", "wk1", 600L)}) " +
+        "SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
+        "FROM kept GROUP BY source"),
     "q_quantiles" ->
       ("SELECT event_type, percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50, " +
         "percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90, " +

@@ -120,6 +120,36 @@ object Sampling {
     df.filter(cond)
   }
 
+  /** Deterministic weighted Bernoulli keep — "sample proportional to
+    * quality/length": each row survives with probability
+    * `weight / wMax`, decided by a pure function of salt+key, so
+    * re-runs, engine changes, and corpus growth never re-draw a
+    * decision (same stability contract as [[hashSplit]]).
+    *
+    * All-integer thresholding: the rate is quantized on the 65,536
+    * grid by integer division `(w·65536)/wMax` and rendered as a
+    * fixed-width 4-hex threshold compared lexicographically against
+    * the md5 draw — no float at the boundary, replayable verbatim in
+    * any engine with md5/hex. Rows with `w ≥ wMax` always keep;
+    * `w ≤ 0` always drops. Zero-shuffle narrow projection.
+    *
+    * `weightCol` must be integral with `w·65536` inside Long range
+    * (w < ~1.4e14 — any count/length weight qualifies).
+    */
+  def weightedKeep(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      salt: String,
+      wMax: Long): DataFrame = {
+    require(wMax > 0, "wMax must be positive")
+    val h = md5(concat(lit(salt + ":"), col(keyCol).cast("string")).cast("binary"))
+      .substr(1, 4)
+    val w = col(weightCol).cast("long")
+    val t = lpad(lower(hex((w * 65536L) / wMax)), 4, "0")
+    df.filter(w >= wMax || (w > 0L && h < t))
+  }
+
   /** Deterministic per-group row cap — "at most `cap` examples per
     * class/source", the balance primitive for long-tailed corpora.
     *

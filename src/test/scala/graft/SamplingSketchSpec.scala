@@ -61,6 +61,33 @@ class SamplingSketchSpec extends AnyFunSuite with SparkTest {
     assert(moved > 100, s"only $moved keys moved between salts")
   }
 
+  test("weightedKeep keeps w>=wMax always, drops w<=0, and tracks w/wMax in between") {
+    val s = spark; import s.implicits._
+    val df = (0 until 2000).map(i => (i.toLong, (i % 5) match {
+      case 0 => 0L      // always dropped
+      case 1 => 1000L   // >= wMax: always kept
+      case _ => 300L    // p = 0.5
+    })).toDF("id", "w")
+    val kept = Sampling.weightedKeep(df, "id", "w", "wk", 600L)
+      .groupBy("w").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!kept.contains(0L))
+    assert(kept(1000L) == 400L)
+    assert(math.abs(kept(300L) - 600L) < 80, s"p=0.5 of 1200 rows, got ${kept(300L)}")
+  }
+
+  test("weightedKeep nests: raising a weight only ever adds rows (same salt)") {
+    val s = spark; import s.implicits._
+    def keptIds(w: Long): Set[Long] = {
+      val df = (0 until 500).map(i => (i.toLong, w)).toDF("id", "w")
+      Sampling.weightedKeep(df, "id", "w", "wk", 600L)
+        .collect().map(_.getLong(0)).toSet
+    }
+    val lo = keptIds(150L)
+    val hi = keptIds(450L)
+    assert(lo.subsetOf(hi), "the grid threshold is monotone in the weight")
+    assert(hi.size > lo.size)
+  }
+
   test("hashSplit rejects fractions that do not sum to 1") {
     intercept[IllegalArgumentException] {
       Sampling.thresholds(Seq("a" -> 0.5, "b" -> 0.4))

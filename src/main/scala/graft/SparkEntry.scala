@@ -545,6 +545,22 @@ object SparkEntry {
       // stable pseudo-random pick (pure function of salt+doc_id)
       Sampling.capPerGroup(rd(s, d, "documents"), "doc_id", "source", "cap1", 10)
         .select("source", "doc_id", "n_chars")),
+    "r_overlap_join" -> ((s, d) => {
+      // view/purchase attention-window overlap per user: each event
+      // spans [ts, ts + 4min..8h] (deterministic id-derived length);
+      // the grid width (4 h) is near the typical interval length so
+      // the blow-up factor stays ~2-3 cells per interval
+      val ev = rd(s, d, "events")
+      def iv(t: String) = ev.filter(col("event_type") === t).select(
+        col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("lo"),
+        (unix_micros(col("ts")) +
+          (lit(1L) + col("event_id") % 120L) * 240000000L).as("hi"))
+      RangeJoin.overlapJoin(iv("view"), iv("purchase"), "lo", "hi",
+        width = 14400000000L, keyCols = Seq("user_id"))
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("event_id_r").as("purchase_id"))
+    }),
     "sample_weighted" -> ((s, d) =>
       // length-proportional sampling: longer docs survive more often
       // (p = n_chars/600), decision a pure function of salt+doc_id
@@ -1001,6 +1017,17 @@ object SparkEntry {
       ("SELECT source, doc_id, n_chars FROM (SELECT source, doc_id, n_chars, " +
         "row_number() OVER (PARTITION BY source ORDER BY md5('cap1:' || CAST(doc_id AS VARCHAR)) NULLS FIRST, doc_id NULLS FIRST) AS rk " +
         "FROM documents) t WHERE rk <= 10"),
+    // independent naive formulation (plain inequality join) — shares no
+    // structure with the operator's grid-cell decomposition
+    "r_overlap_join" ->
+      ("WITH v AS (SELECT user_id, event_id, epoch_us(ts) AS lo, " +
+        "epoch_us(ts) + (1 + event_id % 120) * 240000000 AS hi " +
+        "FROM events WHERE event_type = 'view'), " +
+        "p AS (SELECT user_id, event_id, epoch_us(ts) AS lo, " +
+        "epoch_us(ts) + (1 + event_id % 120) * 240000000 AS hi " +
+        "FROM events WHERE event_type = 'purchase') " +
+        "SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id " +
+        "FROM v JOIN p ON v.user_id = p.user_id AND v.lo < p.hi AND p.lo < v.hi"),
     "sample_weighted" ->
       (s"WITH kept AS (SELECT source, n_chars FROM documents WHERE ${OracleSql.weightedKeepWhere(
         "CAST(doc_id AS VARCHAR)", "n_chars", "wk1", 600L)}) " +

@@ -86,4 +86,61 @@ object RangeJoin {
       .join(broadcast(dim), Seq("__bucket"), "left")
       .drop("__bucket")
   }
+
+  /** Interval OVERLAP join: all (left, right) pairs whose half-open
+    * `[lo, hi)` intervals intersect, optionally restricted to equal
+    * `keyCols` — meeting/session overlap, time-range co-occurrence.
+    *
+    * Spark plans the naive `l.lo < r.hi AND r.lo < l.hi` as a nested
+    * loop (per-key cartesian) — quadratic and broadcast-bound. This is
+    * the uniform-grid form that scales: each interval explodes into
+    * the grid cells it touches, the join is an EQUI-join on
+    * `(keys, cell)`, the exact overlap predicate filters within the
+    * cell, and each pair is attributed to its FIRST shared cell
+    * (`cell == floorDiv(max(l.lo, r.lo), width)`) so no distinct pass
+    * is needed to dedupe multi-cell overlaps.
+    *
+    * Cost at scale: blow-up factor is `length/width + 1` cells per
+    * interval — pick `width` near the typical interval length. The
+    * shuffle hashes on `(keys, cell)`, so long intervals spread over
+    * MANY cells (parallelism), and a hot key is subdivided by time —
+    * the grid is a built-in skew splitter.
+    *
+    * Bounds must be integral (e.g. epoch micros); `floorDiv` arithmetic
+    * is exact for negative values too. Empty or inverted intervals
+    * (`hi <= lo`) are dropped — an empty interval overlaps nothing.
+    * NULL keys or bounds never match (equi semantics). Right columns
+    * are suffixed `rightSuffix` in the output.
+    */
+  def overlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      loCol: String,
+      hiCol: String,
+      width: Long,
+      keyCols: Seq[String] = Nil,
+      rightSuffix: String = "_r"): DataFrame = {
+    require(width > 0, "width must be positive")
+    // floorDiv: the numerator is an exact multiple of width, so the
+    // double division is exact for |value| < 2^53 (epoch micros are
+    // ~2^50; Spark's `/` on longs always goes through double)
+    def fd(c: Column): Column = ((c - pmod(c, lit(width))) / width).cast("long")
+    def cells(df: DataFrame, lo: String, hi: String, cell: String): DataFrame =
+      df.filter(col(hi) > col(lo))
+        .withColumn(cell, explode(sequence(fd(col(lo)), fd(col(hi) - 1))))
+    val l = cells(left, loCol, hiCol, "__cell")
+    val r = cells(
+      right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, c + rightSuffix)),
+      loCol + rightSuffix, hiCol + rightSuffix, "__cell" + rightSuffix)
+    val equi = keyCols.foldLeft(col("__cell") === col("__cell" + rightSuffix)) {
+      (acc, k) => acc && col(k) === col(k + rightSuffix)
+    }
+    val overlap = col(loCol) < col(hiCol + rightSuffix) &&
+      col(loCol + rightSuffix) < col(hiCol)
+    val firstSharedCell =
+      col("__cell") === fd(greatest(col(loCol), col(loCol + rightSuffix)))
+    l.join(r, equi && overlap && firstSharedCell)
+      .drop("__cell", "__cell" + rightSuffix)
+      .drop(keyCols.map(_ + rightSuffix): _*)
+  }
 }

@@ -168,6 +168,57 @@ class NonEquiSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  // ------------------------------------------------------- overlap join
+
+  private def intervals(rows: Seq[(Long, Long, Long, Long)]) = {
+    val s = spark; import s.implicits._
+    rows.toDF("key", "id", "lo", "hi")
+  }
+
+  test("overlapJoin matches the naive inequality join, one row per pair") {
+    // deterministic pseudo-random intervals, lengths 1..40 across a
+    // width-16 grid so many pairs share several cells (dedupe must hold)
+    def mk(idBase: Long) = intervals((0 until 120).map { i =>
+      val lo = (i * 37L) % 200
+      ((i % 4).toLong, idBase + i, lo, lo + 1 + (i * 13L) % 40)
+    })
+    val l = mk(0)
+    val r = mk(1000)
+    val got = RangeJoin.overlapJoin(l, r, "lo", "hi", width = 16L, keyCols = Seq("key"))
+      .select("id", "id_r").collect().map(x => (x.getLong(0), x.getLong(1)))
+    val expected = l.as("l").join(r.toDF("key2", "id2", "lo2", "hi2"),
+      col("key") === col("key2") && col("lo") < col("hi2") && col("lo2") < col("hi"))
+      .select("id", "id2").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(got.length == got.distinct.length, "multi-cell pairs must appear once")
+    assert(got.toSet == expected.toSet)
+    assert(got.nonEmpty)
+  }
+
+  test("overlapJoin drops empty intervals and null keys or bounds") {
+    val s = spark; import s.implicits._
+    val l = Seq(
+      (Some(1L), 1L, Some(10L), Some(10L)), // empty: overlaps nothing
+      (Some(1L), 2L, Some(10L), Some(20L)),
+      (None, 3L, Some(10L), Some(20L)), // null key: never matches
+      (Some(1L), 4L, None: Option[Long], Some(20L))) // null bound: dropped
+      .toDF("key", "id", "lo", "hi")
+    val r = Seq((Some(1L), 9L, Some(5L), Some(15L)), (None, 8L, Some(5L), Some(15L)))
+      .toDF("key", "id", "lo", "hi")
+    val got = RangeJoin.overlapJoin(l, r, "lo", "hi", 16L, Seq("key"))
+      .select("id", "id_r").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == Set((2L, 9L)))
+  }
+
+  test("overlapJoin plans an equi join, not a nested loop or cartesian") {
+    val l = intervals(Seq((1L, 1L, 0L, 10L)))
+    val r = intervals(Seq((1L, 2L, 5L, 15L)))
+    val df = RangeJoin.overlapJoin(l, r, "lo", "hi", 16L, Seq("key"))
+    df.collect()
+    val ps = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!ps.contains("BroadcastNestedLoopJoin") && !ps.contains("CartesianProduct"),
+      s"overlap join expanded pairs:\n$ps")
+  }
+
   test("uniformBandJoin plans a broadcast hash join, not a nested loop") {
     val df = RangeJoin.uniformBandJoin(fact, "v", bands, 10.0)
     df.collect()

@@ -545,6 +545,34 @@ object SparkEntry {
       // stable pseudo-random pick (pure function of salt+doc_id)
       Sampling.capPerGroup(rd(s, d, "documents"), "doc_id", "source", "cap1", 10)
         .select("source", "doc_id", "n_chars")),
+    "u4_scd2_history" -> ((s, d) => {
+      // SCD-2 dimension maintenance on customer: a seeded history (an
+      // already-closed 2023 version for every 7th key), then one apply
+      // with changed balances (every 3rd key), no-op rows (3k+1 keys),
+      // and brand-new keys (+1e6). Deterministic literals throughout so
+      // the oracle replays the full before/after history.
+      val c = rd(s, d, "customer")
+      val t0 = to_timestamp(lit("2023-01-01 00:00:00"))
+      val t1 = to_timestamp(lit("2024-01-01 00:00:00"))
+      val now = to_timestamp(lit("2024-06-01 00:00:00"))
+      val curRows = c.select(col("c_custkey").as("k"), col("c_acctbal").as("bal"),
+        col("c_nationkey").as("nk"), t1.as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"))
+      val closedRows = c.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey").as("k"), (col("c_acctbal") - lit(50)).as("bal"),
+          col("c_nationkey").as("nk"), t0.as("valid_from"), t1.as("valid_to"))
+      val history = curRows.unionByName(closedRows)
+      val updates = c.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("k"), (col("c_acctbal") + lit(100)).as("bal"),
+          col("c_nationkey").as("nk"))
+        .unionByName(c.filter(col("c_custkey") % 3 === 1)
+          .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"),
+            col("c_nationkey").as("nk")))
+        .unionByName(c.filter(col("c_custkey") % 10 === 0)
+          .select((col("c_custkey") + 1000000L).as("k"), lit(0.0).as("bal"),
+            lit(7L).as("nk")))
+      Merge.scd2(history, updates, Seq("k"), Seq("bal", "nk"), now)
+    }),
     "r_overlap_join" -> ((s, d) => {
       // view/purchase attention-window overlap per user: each event
       // spans [ts, ts + 4min..8h] (deterministic id-derived length);
@@ -1017,6 +1045,23 @@ object SparkEntry {
       ("SELECT source, doc_id, n_chars FROM (SELECT source, doc_id, n_chars, " +
         "row_number() OVER (PARTITION BY source ORDER BY md5('cap1:' || CAST(doc_id AS VARCHAR)) NULLS FIRST, doc_id NULLS FIRST) AS rk " +
         "FROM documents) t WHERE rk <= 10"),
+    "u4_scd2_history" ->
+      ("WITH cur AS (SELECT c_custkey AS k, c_acctbal AS bal, c_nationkey AS nk, " +
+        "TIMESTAMP '2024-01-01' AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to FROM customer), " +
+        "closed AS (SELECT c_custkey AS k, c_acctbal - 50 AS bal, c_nationkey AS nk, " +
+        "TIMESTAMP '2023-01-01' AS valid_from, TIMESTAMP '2024-01-01' AS valid_to FROM customer WHERE c_custkey % 7 = 0), " +
+        "upd AS (SELECT c_custkey AS k, c_acctbal + 100 AS bal, c_nationkey AS nk FROM customer WHERE c_custkey % 3 = 0 " +
+        "UNION ALL SELECT c_custkey, c_acctbal, c_nationkey FROM customer WHERE c_custkey % 3 = 1 " +
+        "UNION ALL SELECT c_custkey + 1000000, 0.0, 7 FROM customer WHERE c_custkey % 10 = 0), " +
+        "j AS (SELECT cur.k AS tk, cur.bal AS tbal, cur.nk AS tnk, cur.valid_from AS tvf, " +
+        "upd.k AS sk, upd.bal AS sbal, upd.nk AS snk, " +
+        "(cur.k IS NOT NULL AND upd.k IS NOT NULL AND " +
+        "(cur.bal IS DISTINCT FROM upd.bal OR cur.nk IS DISTINCT FROM upd.nk)) AS changed " +
+        "FROM cur FULL JOIN upd ON cur.k = upd.k) " +
+        "SELECT tk AS k, tbal AS bal, tnk AS nk, tvf AS valid_from, TIMESTAMP '2024-06-01' AS valid_to FROM j WHERE changed " +
+        "UNION ALL SELECT sk, sbal, snk, TIMESTAMP '2024-06-01', CAST(NULL AS TIMESTAMP) FROM j WHERE sk IS NOT NULL AND (tk IS NULL OR changed) " +
+        "UNION ALL SELECT tk, tbal, tnk, tvf, CAST(NULL AS TIMESTAMP) FROM j WHERE tk IS NOT NULL AND NOT changed " +
+        "UNION ALL SELECT k, bal, nk, valid_from, valid_to FROM closed"),
     // independent naive formulation (plain inequality join) — shares no
     // structure with the operator's grid-cell decomposition
     "r_overlap_join" ->

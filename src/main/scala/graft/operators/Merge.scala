@@ -121,4 +121,66 @@ object Merge {
     newRows.withColumn(
       skCol,
       row_number().over(Window.orderBy(orderBy.map(col): _*)) + lit(maxExisting))
+
+  /** SCD-2 (full-history) merge: `history` holds every version of each
+    * business key with `[validFromCol, validToCol)` validity (NULL
+    * `validToCol` = current); `updates` carries one candidate row per
+    * key. Where the update's payload differs from the current version
+    * (null-safe comparison) the current row CLOSES (`validToCol = now`)
+    * and a new version OPENS at `now`; identical payloads are no-ops;
+    * keys with no current version insert. Closed history rows pass
+    * through byte-untouched — history is immutable.
+    *
+    * Shape at scale: ONE full-outer join on the key between the CURRENT
+    * slice and the updates (the same single-shuffle shape as [[scd1]]);
+    * the closed slice is a filter + union that never shuffles. Pair with
+    * a current-flag or validity-date partition layout so the physical
+    * rewrite touches only the current partition, not the whole history.
+    *
+    * The up-to-two output versions per matched key are built as an
+    * array of structs and exploded — no second join pass over the
+    * change detection.
+    *
+    * `updates` must be key-unique (dedupe upstream with
+    * [[graft.operators.Dedup]] / keep-first); multiple updates for one
+    * key in a single apply would need an intra-batch ordering this
+    * set-oriented form does not define.
+    */
+  def scd2(
+      history: DataFrame,
+      updates: DataFrame,
+      keys: Seq[String],
+      payloadCols: Seq[String],
+      now: Column,
+      validFromCol: String = "valid_from",
+      validToCol: String = "valid_to"): DataFrame = {
+    val vtType = history.schema(validToCol).dataType
+    val closedHist = history.filter(col(validToCol).isNotNull)
+    val cur = history.filter(col(validToCol).isNull)
+    val t = cur.withColumn(TMarker, lit(1)).alias("__mt")
+    val s = updates.withColumn(SMarker, lit(1)).alias("__ms")
+    def tc(c: String): Column = col(s"__mt.$c")
+    def sc(c: String): Column = col(s"__ms.$c")
+    val joined = t.join(s, keys.map(k => tc(k) === sc(k)).reduce(_ && _), "full_outer")
+
+    val tP = col(s"__mt.$TMarker").isNotNull
+    val sP = col(s"__ms.$SMarker").isNotNull
+    val changed = tP && sP &&
+      payloadCols.map(c => !(tc(c) <=> sc(c))).reduce(_ || _)
+
+    val outCols = keys ++ payloadCols :+ validFromCol :+ validToCol
+    def ver(src: String => Column, vf: Column, vt: Column): Column =
+      struct(keys.map(k => src(k).as(k)) ++ payloadCols.map(c => src(c).as(c)) :+
+        vf.as(validFromCol) :+ vt.as(validToCol): _*)
+    val curVer = ver(tc, tc(validFromCol), lit(null).cast(vtType))
+    val closedVer = ver(tc, tc(validFromCol), now.cast(vtType))
+    val newVer = ver(sc, now.cast(vtType), lit(null).cast(vtType))
+
+    val versions = when(changed, array(closedVer, newVer))
+      .when(tP, array(curVer)) // unchanged match, or no update for the key
+      .otherwise(array(newVer)) // brand-new key
+    joined.select(explode(versions).as("__v"))
+      .select(outCols.map(c => col(s"__v.$c").as(c)): _*)
+      .unionByName(closedHist.select(outCols.map(col): _*))
+  }
 }

@@ -73,6 +73,47 @@ class MergeSuite extends AnyFunSuite with SparkTest {
       (2L, "b", 2.0, "2024-06-01 00:00:00.0")))
   }
 
+  test("scd2: closes changed versions, opens new ones, leaves history immutable") {
+    val s = spark; import s.implicits._
+    def ts(v: String) = to_timestamp(lit(v))
+    val history = Seq(
+      (1L, 10.0, "2024-01-01 00:00:00", None: Option[String]), // will change
+      (2L, 20.0, "2024-01-01 00:00:00", None), // identical update: no-op
+      (3L, 30.0, "2024-01-01 00:00:00", None), // no update row: untouched
+      (1L, 5.0, "2023-01-01 00:00:00", Some("2024-01-01 00:00:00"))) // closed: immutable
+      .toDF("k", "bal", "vf", "vt")
+      .select($"k", $"bal", to_timestamp($"vf").as("valid_from"),
+        to_timestamp($"vt").as("valid_to"))
+    val updates = Seq((1L, 11.0), (2L, 20.0), (9L, 90.0)).toDF("k", "bal")
+    val out = Merge.scd2(history, updates, Seq("k"), Seq("bal"), ts("2024-06-01 00:00:00"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getTimestamp(2).toString,
+        if (r.isNullAt(3)) "open" else r.getTimestamp(3).toString)).toSet
+    assert(out == Set(
+      (1L, 10.0, "2024-01-01 00:00:00.0", "2024-06-01 00:00:00.0"), // closed at now
+      (1L, 11.0, "2024-06-01 00:00:00.0", "open"), // new current version
+      (2L, 20.0, "2024-01-01 00:00:00.0", "open"), // no-op: still the same row
+      (3L, 30.0, "2024-01-01 00:00:00.0", "open"), // untouched
+      (1L, 5.0, "2023-01-01 00:00:00.0", "2024-01-01 00:00:00.0"), // history kept
+      (9L, 90.0, "2024-06-01 00:00:00.0", "open"))) // brand-new key
+  }
+
+  test("scd2 change detection is null-safe on payload columns") {
+    val s = spark; import s.implicits._
+    val history = Seq((1L, None: Option[Double]), (2L, Some(2.0)))
+      .toDF("k", "bal")
+      .withColumn("valid_from", to_timestamp(lit("2024-01-01 00:00:00")))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+    val updates = Seq((1L, None: Option[Double]), (2L, None: Option[Double]))
+      .toDF("k", "bal")
+    val out = Merge.scd2(history, updates, Seq("k"), Seq("bal"),
+      to_timestamp(lit("2024-06-01 00:00:00")))
+    // k=1: NULL == NULL -> no-op (1 row); k=2: 2.0 -> NULL is a change (2 rows)
+    assert(out.count() == 3)
+    assert(out.filter($"k" === 1L).count() == 1)
+    assert(out.filter($"k" === 2L && $"valid_to".isNull && $"bal".isNull).count() == 1)
+  }
+
   test("insertMissing appends only absent keys") {
     val s = spark; import s.implicits._
     val tgt = Seq((1L, "a")).toDF("k", "v")

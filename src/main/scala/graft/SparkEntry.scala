@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
-import graft.functions.{aqiCategory, mixed_hash32, KmvAgg}
+import graft.functions.{aqiCategory, mixed_hash32, HeavyHittersAgg, KmvAgg}
 import graft.operators.{AsOf, Dedup, Events, Merge, MergeSpec, Multimodal, RangeJoin, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract: one `queries` entry per implemented operator from
@@ -657,6 +657,23 @@ object SparkEntry {
           when(size(col("mins")) < k, size(col("mins")).cast("bigint"))
             .otherwise(expr(s"CAST(${(k - 1).toLong * 4294967296L}L DIV element_at(mins, -1) AS BIGINT)"))
             .as("est_distinct"))
+    }),
+    "sketch_heavy_hitters" -> ((s, d) => {
+      // Misra-Gries top tokens per source. Capacity 4096 far exceeds
+      // the corpus vocabulary, so counts are exact and the summary
+      // matches a plain GROUP BY — the oracle tier; the same operator
+      // with small capacity is the bounded-memory scale tier
+      // (guarantee-only, spec-tested)
+      val hh = udaf(new HeavyHittersAgg(4096),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[String]())
+      rd(s, d, "documents")
+        .select(col("source"), explode(graft.functions.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("source").agg(hh(col("token")).as("hist"))
+        .select(col("source"), explode(col("hist")).as(Seq("token", "n")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source").orderBy(col("n").desc, col("token"))))
+        .filter(col("rk") <= 5).drop("rk")
     })
   )
 
@@ -1104,7 +1121,12 @@ object SparkEntry {
         "SELECT v.user_id, v.first_view, p.first_purchase, " +
         "CASE WHEN p.first_purchase IS NOT NULL AND epoch_us(p.first_purchase) - epoch_us(v.first_view) <= 86400000000 " +
         "THEN 1 ELSE 0 END AS converted_24h FROM v LEFT JOIN p ON p.user_id = v.user_id"),
-    "sketch_kmv_distinct" -> OracleSql.kmvDistinct(32)
+    "sketch_kmv_distinct" -> OracleSql.kmvDistinct(32),
+    "sketch_heavy_hitters" ->
+      ("WITH t AS (SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token FROM documents), " +
+        "c AS (SELECT source, token, count(*) AS n FROM t WHERE token <> '' GROUP BY 1, 2) " +
+        "SELECT source, token, n FROM (SELECT source, token, n, " +
+        "row_number() OVER (PARTITION BY source ORDER BY n DESC, token) AS rk FROM c) q WHERE rk <= 5")
     // every queries entry has an oracle: the hash-seeded operators use
     // full algorithm-replay SQL from OracleSql (portable hash family +
     // bit-exact double replication)

@@ -88,6 +88,46 @@ class SamplingSketchSpec extends AnyFunSuite with SparkTest {
     assert(hi.size > lo.size)
   }
 
+  test("heavy hitters: exact counts when capacity exceeds the distinct count") {
+    val s = spark; import s.implicits._
+    val words = (0 until 300).map(i => s"w${i % 7}") // 7 distinct terms
+    val hh = udaf(new graft.functions.HeavyHittersAgg(64),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[String]())
+    val out = words.toDF("w").repartition(8) // force partial merges
+      .agg(hh(col("w")).as("hist"))
+      .select(explode(col("hist"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(out == exact)
+  }
+
+  test("heavy hitters: MG bound holds under eviction and heavy term survives") {
+    val agg = new graft.functions.HeavyHittersAgg(4)
+    // 600 of 'hot' + 40 distinct noise terms x 10 = n = 1000
+    val stream = new scala.util.Random(42).shuffle(
+      (Seq.fill(600)("hot") ++ (0 until 40).flatMap(i => Seq.fill(10)(s"n$i")))
+        .toList)
+    val summary = stream.foldLeft(agg.zero)(agg.reduce)
+    assert(summary.size <= 4)
+    // true 600 > n/(cap+1) = 200 -> guaranteed tracked, count within bound
+    assert(summary.contains("hot"))
+    assert(summary("hot") <= 600L && summary("hot") >= 600L - 200L)
+    assert(summary.values.forall(_ > 0))
+  }
+
+  test("heavy hitters: merging summaries preserves the bound") {
+    val agg = new graft.functions.HeavyHittersAgg(4)
+    val a = (Seq.fill(300)("hot") ++ (0 until 20).flatMap(i => Seq.fill(10)(s"a$i")))
+      .foldLeft(agg.zero)(agg.reduce)
+    val b = (Seq.fill(300)("hot") ++ (0 until 20).flatMap(i => Seq.fill(10)(s"b$i")))
+      .foldLeft(agg.zero)(agg.reduce)
+    val m = agg.merge(a, b)
+    assert(m.size <= 4)
+    // n = 1000 total, true(hot) = 600 > n/5 -> survives the merge cut
+    assert(m.contains("hot"))
+    assert(m("hot") <= 600L && m("hot") >= 600L - 200L)
+  }
+
   test("hashSplit rejects fractions that do not sum to 1") {
     intercept[IllegalArgumentException] {
       Sampling.thresholds(Seq("a" -> 0.5, "b" -> 0.4))

@@ -408,6 +408,15 @@ object SparkEntry {
       Dedup.removeContaminated(docs, docs.filter(col("doc_id") < 20))
         .select("doc_id", "source", "n_chars")
     }),
+    "decontaminate_bloom" -> ((s, d) => {
+      // the bloom-prefiltered scale tier: EXACT same output (blooms
+      // have no false negatives; survivors are re-verified), so it
+      // shares the decontaminate oracle SQL verbatim
+      val docs = rd(s, d, "documents")
+      Dedup.removeContaminatedBloom(docs, docs.filter(col("doc_id") < 20),
+        expectedItems = 1000L)
+        .select("doc_id", "source", "n_chars")
+    }),
 
     // —— training-data pipeline: similarity search ——
     "ann_brute_topk" -> ((s, d) =>
@@ -907,6 +916,11 @@ object SparkEntry {
     "dedup_ngram_jaccard" ->
       s"WITH $ngramCtes SELECT id_a, id_b, inter, union_size FROM pairs",
     "decontaminate" ->
+      ("SELECT doc_id, source, n_chars FROM documents WHERE " +
+        "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) NOT IN " +
+        "(SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) FROM documents WHERE doc_id < 20)"),
+    "decontaminate_bloom" ->
+      // same oracle as `decontaminate` — the bloom tier is exact
       ("SELECT doc_id, source, n_chars FROM documents WHERE " +
         "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) NOT IN " +
         "(SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) FROM documents WHERE doc_id < 20)"),

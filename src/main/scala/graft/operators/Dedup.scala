@@ -53,6 +53,53 @@ object Dedup {
       .drop("__fp")
   }
 
+  /** Bloom-prefiltered decontamination — [[removeContaminated]] for the
+    * scale where the eval fingerprint set is too large to broadcast as
+    * a join hash relation. The eval set is compressed into a Bloom
+    * filter (a bit array — MBs where the hash relation would be GBs)
+    * that ships to every task as a codegen'd literal; the corpus probes
+    * it with no shuffle and no join, and only might-contain survivors
+    * (true hits + ~fpp false positives) pay the exact anti-join.
+    *
+    * A Bloom filter has NO false negatives, so every row the probe
+    * clears is definitely clean — the output is EXACT, identical to
+    * [[removeContaminated]], and sits under the same oracle SQL. The
+    * probe uses Spark's own `BloomFilterMightContain` expression (the
+    * machinery behind runtime row-level filtering), not a UDF.
+    */
+  def removeContaminatedBloom(
+      corpus: DataFrame,
+      eval: DataFrame,
+      textCol: String = "text",
+      expectedItems: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    def fp(c: org.apache.spark.sql.Column) =
+      md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+    val evalFps = eval.select(fp(col(textCol)).as("__fp")).distinct()
+    // sentinel hash so the bloom is never built from zero rows (Spark's
+    // stat.bloomFilter NPEs on an empty input); a sentinel can only ADD
+    // a false positive, and every positive is exactly re-verified below
+    val bloom = evalFps.select(xxhash64(col("__fp")).as("__h"))
+      .unionByName(eval.sparkSession.range(1).select(lit(0L).as("__h")))
+      .stat.bloomFilter("__h", expectedItems + 1, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val might = ColumnBridge.column(BloomFilterMightContain(
+      Literal(bytes, BinaryType),
+      ColumnBridge.expression(xxhash64(col("__fp")))))
+    val tagged = corpus.withColumn("__fp", fp(col(textCol)))
+    val clean = tagged.filter(!might)
+    val candidates = tagged.filter(might)
+      .join(broadcast(evalFps), Seq("__fp"), "left_anti")
+    clean.unionByName(candidates).drop("__fp")
+  }
+
   /** N-gram-overlap decontamination — the stronger form of
     * [[removeContaminated]]: a corpus row is dropped when it shares at
     * least `minShared` distinct word n-grams with the eval set, so

@@ -133,24 +133,30 @@ object TextAnalysis {
     * top-token/top-bigram mass flags boilerplate and degenerate
     * repetition that perplexity filters miss.
     *
-    * Shape at scale: explode + count by `(doc, term)` is
-    * partial-aggregatable (map-side combine collapses each document's
-    * repeats before the shuffle), the per-doc rollup and the final join
-    * all hash on `doc_id`, so one logical key partitioning serves the
-    * whole plan. Bigrams are built array-side from the MATERIALIZED
-    * token array (two selects — a HOF lambda re-evaluates its argument
-    * per element, so inlining `tokens()` would re-split per bigram).
+    * Shape at scale: ONE posexplode pass feeds both aggregations;
+    * bigrams come from a `lead` window over (doc, pos) — codegen'd,
+    * no higher-order functions (an array-side `transform` runs its
+    * lambda interpreted and was 20× slower here). Count by
+    * `(doc, term)` is partial-aggregatable (map-side combine collapses
+    * each document's repeats before the shuffle); the window, both
+    * rollups, and the final join all hash on `doc_id`, so one logical
+    * key partitioning serves the whole plan.
     */
   def repetitionSignals(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val base = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), col("__toks"), graft.functions.wordNGrams(col("__toks"), 2).as("__grams"))
-    val tokAgg = base.select(col(idCol), explode(col("__toks")).as("__tok"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__pos"))
+    val toks = docs
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
+      .withColumn("__nxt", lead(col("__tok"), 1).over(w))
+    val tokAgg = toks
       .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__c"))
       .groupBy(col(idCol)).agg(
         sum("__c").cast("int").as("n_tokens"),
         count(lit(1)).cast("int").as("n_distinct_tokens"),
         max("__c").cast("int").as("top_token_count"))
-    val gramAgg = base.select(col(idCol), explode(col("__grams")).as("__g"))
+    val gramAgg = toks
+      .filter(col("__nxt").isNotNull)
+      .select(col(idCol), concat_ws(" ", col("__tok"), col("__nxt")).as("__g"))
       .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
       .groupBy(col(idCol)).agg(max("__c").cast("int").as("top_bigram_count"))
     tokAgg.join(gramAgg, Seq(idCol), "left")

@@ -32,6 +32,27 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(Dedup.removeContaminated(corpus, none).count() == 3)
   }
 
+  test("removeContaminatedBloom is exactly removeContaminated (no false negatives)") {
+    val s = spark; import s.implicits._
+    // 200 corpus docs, every 5th contaminated; tiny bloom (high fpp)
+    // to force false positives through the verify join
+    val corpus = (0 until 200).map(i => (i.toLong, s"document number $i content"))
+      .toDF("doc_id", "text")
+    val eval = (0 until 200 by 5)
+      .map(i => (1000L + i, s"Document   NUMBER $i CONTENT")) // normalized match
+      .toDF("doc_id", "text")
+    val exact = Dedup.removeContaminated(corpus, eval)
+      .collect().map(_.getLong(0)).toSet
+    val bloomed = Dedup.removeContaminatedBloom(corpus, eval,
+      expectedItems = 8L, fpp = 0.1) // undersized on purpose
+      .collect().map(_.getLong(0)).toSet
+    assert(bloomed == exact)
+    assert(exact.size == 160)
+    // empty eval set: everything is clean, no join needed to say so
+    val none = Dedup.removeContaminatedBloom(corpus, corpus.limit(0))
+    assert(none.count() == 200)
+  }
+
   test("removeContaminatedNgram drops partial-overlap docs at the threshold") {
     val s = spark; import s.implicits._
     val eval = Seq((100L, "the quick brown fox jumps high")).toDF("doc_id", "text")

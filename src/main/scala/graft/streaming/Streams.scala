@@ -175,4 +175,34 @@ object Streams {
           }
       }
   }
+
+  /** Stream-stream inner join: views joined to purchases by the same
+    * user within `[view.ts, view.ts + joinWindow]` — the online form of
+    * the funnel/attribution join.
+    *
+    * Both sides carry watermarks and the join condition bounds event
+    * time on BOTH ends, so the state store holds only rows inside the
+    * watermark+window horizon and evicts everything older — without the
+    * time bound a stream-stream join would buffer both streams forever.
+    * State is partitioned by the equi key (user), exactly like the
+    * batch shuffle, so it scales out with executors.
+    */
+  def viewPurchaseJoin(
+      views: DataFrame,
+      purchases: DataFrame,
+      joinWindow: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val v = views.withWatermark("ts", watermark)
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"), col("value").as("purchase_value"))
+    v.join(p,
+      col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr(s"INTERVAL $joinWindow"))
+      .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"),
+        col("v_ts"), col("p_ts"), col("purchase_value"))
+  }
 }

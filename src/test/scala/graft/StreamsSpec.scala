@@ -36,6 +36,36 @@ class StreamsSpec extends AnyFunSuite with SparkTest {
     } finally q.stop()
   }
 
+  test("stream-stream view/purchase join matches the batch join and respects the window") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def row(id: Long, t: String, u: Long, typ: String, v: Double) =
+      (id, ts(t), u, typ, v)
+    val data = Seq(
+      row(1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      row(2L, "2024-01-01 10:30:00", 1L, "purchase", 9.0), // within 1h of view 1
+      row(3L, "2024-01-01 12:30:00", 1L, "purchase", 7.0), // > 1h after view 1
+      row(4L, "2024-01-01 10:10:00", 2L, "view", 0.0), // other user, no purchase
+      row(5L, "2024-01-01 09:59:00", 3L, "purchase", 5.0), // before the view
+      row(6L, "2024-01-01 10:01:00", 3L, "view", 0.0))
+    val vIn = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val pIn = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    def named(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams.viewPurchaseJoin(named(vIn.toDF()), named(pIn.toDF()))
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      vIn.addData(data.filter(_._4 == "view"))
+      pIn.addData(data.filter(_._4 == "purchase"))
+      q.processAllAvailable()
+      val out = s.table("ssj_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // only user 1's view->purchase within the hour survives
+      assert(out == Set((1L, 1L, 2L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate keys within the watermark horizon") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext

@@ -52,4 +52,25 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
       assert(h == pinned(q), s"$q output drifted (got $h)")
     }
   }
+
+  private val pinnedR3 = Map(
+    "pii_redact" -> "c7efcf321e859347675f8802fd8afe6b",
+    "text_repetition" -> "0a32dbc9d3411716088fd5794dcbbed9",
+    "sample_weighted" -> "df2e0875862e057aa0a65709eb687d84",
+    "r_overlap_join" -> "a346833647e82657865cbdf5cd15f106",
+    "u4_scd2_history" -> "53b56780b5663cd18d04c923c12009b1",
+    "sketch_heavy_hitters" -> "79f52b4ca0741c6e3e47ea46f2d2db11",
+    "decontaminate_bloom" -> "a53337a1bc6a3289fdf40ddea8109fc1")
+
+  test("round-3 operator outputs hash-match their pinned golden values") {
+    val got = pinnedR3.keys.toSeq.sorted.map { q =>
+      val h = canonicalHash(SparkEntry.queries(q)(spark, sfDir))
+      info(s""""$q" -> "$h",""")
+      q -> h
+    }
+    graft.operators.Caches.release()
+    got.foreach { case (q, h) =>
+      assert(h == pinnedR3(q), s"$q output drifted (got $h)")
+    }
+  }
 }

@@ -667,6 +667,11 @@ object SparkEntry {
             .otherwise(expr(s"CAST(${(k - 1).toLong * 4294967296L}L DIV element_at(mins, -1) AS BIGINT)"))
             .as("est_distinct"))
     }),
+    "emb_label_profile" -> ((s, d) =>
+      // per-label centroid profile in exact fixed point: the sums are
+      // integers, so the result is partition-order-independent and
+      // engine-portable (a raw float mean would drift per run)
+      Similarity.groupedVectorSums(rd(s, d, "embeddings"))),
     "sketch_heavy_hitters" -> ((s, d) => {
       // Misra-Gries top tokens per source. Capacity 4096 far exceeds
       // the corpus vocabulary, so counts are exact and the summary
@@ -1136,6 +1141,12 @@ object SparkEntry {
         "CASE WHEN p.first_purchase IS NOT NULL AND epoch_us(p.first_purchase) - epoch_us(v.first_view) <= 86400000000 " +
         "THEN 1 ELSE 0 END AS converted_24h FROM v LEFT JOIN p ON p.user_id = v.user_id"),
     "sketch_kmv_distinct" -> OracleSql.kmvDistinct(32),
+    "emb_label_profile" ->
+      ("WITH x AS (SELECT label, CAST(unnest(generate_series(1, len(embedding))) - 1 AS INT) AS dim, " +
+        "unnest(embedding) AS v FROM embeddings) " +
+        "SELECT label, dim, count(*) AS n_vecs, " +
+        "CAST(sum(CAST(round(CAST(v AS DOUBLE) * 16777216.0) AS BIGINT)) AS BIGINT) AS sum_fp " +
+        "FROM x GROUP BY 1, 2"),
     "sketch_heavy_hitters" ->
       ("WITH t AS (SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token FROM documents), " +
         "c AS (SELECT source, token, count(*) AS n FROM t WHERE token <> '' GROUP BY 1, 2) " +

@@ -357,4 +357,34 @@ object Similarity {
     }
     cents
   }
+
+  /** Per-group element-wise vector sums in deterministic fixed point —
+    * the distributed primitive behind label centroids, class
+    * prototypes, and embedding-drift monitoring.
+    *
+    * A float sum is partition-order-dependent (addition doesn't
+    * associate in IEEE); quantizing each component to `2^scaleBits`
+    * fixed point FIRST makes the per-dimension sum an exact integer —
+    * identical on any partitioning, any engine (the same trick
+    * [[kmeansCentroids]] uses internally). Quantization is exact for
+    * floats when scaleBits ≥ the float mantissa (24): ×2²⁴ is a
+    * power-of-two scale. The consumer divides by `n·2^scaleBits` for
+    * the mean.
+    *
+    * Shape at scale: posexplode to (group, dim, x) then ONE
+    * partial-aggregatable groupBy — map-side combine collapses each
+    * task to groups×dims rows before the shuffle.
+    */
+  def groupedVectorSums(
+      emb: DataFrame,
+      labelCol: String = "label",
+      vecCol: String = "embedding",
+      scaleBits: Int = 24): DataFrame = {
+    val q = math.pow(2, scaleBits)
+    emb.select(col(labelCol), posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .groupBy(col(labelCol), col("dim"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(round(col("__x").cast("double") * q).cast("long")).as("sum_fp"))
+  }
 }

@@ -156,4 +156,21 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(Similarity.kmeansCentroids(emb, init, iters = 5)
       .map(_.toSeq).toSeq == refined.map(_.toSeq).toSeq)
   }
+
+  test("groupedVectorSums: exact fixed-point sums, invariant under partitioning") {
+    val s = spark; import s.implicits._
+    val emb = Seq(
+      (0, Array(0.5f, -1.25f)),
+      (0, Array(0.25f, 0.75f)),
+      (1, Array(1.0f, 2.0f))).toDF("label", "embedding")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.groupedVectorSums(df).collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val out = run(emb)
+    // (0.5 + 0.25) * 2^24 — exact: these floats are dyadic rationals
+    assert(out((0, 0)) == ((2L, 12582912L)))
+    assert(out((0, 1)) == ((2L, -8388608L))) // (-1.25 + 0.75) * 2^24
+    assert(out((1, 1)) == ((1L, 2L * 16777216L)))
+    assert(run(emb.repartition(7)) == out, "sums must not depend on partitioning")
+  }
 }

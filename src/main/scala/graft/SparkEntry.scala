@@ -667,6 +667,12 @@ object SparkEntry {
             .otherwise(expr(s"CAST(${(k - 1).toLong * 4294967296L}L DIV element_at(mins, -1) AS BIGINT)"))
             .as("est_distinct"))
     }),
+    "doc_chunks" -> ((s, d) =>
+      // 50-token training windows per doc; md5 of the reassembled text
+      // keeps the gated output compact while pinning exact order
+      TextAnalysis.chunkDocuments(rd(s, d, "documents"), chunkTokens = 50)
+        .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))),
     "emb_label_profile" -> ((s, d) =>
       // per-label centroid profile in exact fixed point: the sums are
       // integers, so the result is partition-order-independent and
@@ -1141,6 +1147,11 @@ object SparkEntry {
         "CASE WHEN p.first_purchase IS NOT NULL AND epoch_us(p.first_purchase) - epoch_us(v.first_view) <= 86400000000 " +
         "THEN 1 ELSE 0 END AS converted_24h FROM v LEFT JOIN p ON p.user_id = v.user_id"),
     "sketch_kmv_distinct" -> OracleSql.kmvDistinct(32),
+    "doc_chunks" ->
+      ("WITH t AS (SELECT doc_id, CAST(unnest(generate_series(1, len(a))) - 1 AS INT) AS pos, unnest(a) AS tok " +
+        "FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS a FROM documents)) " +
+        "SELECT doc_id, CAST(pos // 50 AS INT) AS chunk_idx, CAST(count(*) AS INT) AS n_chunk_tokens, " +
+        "md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5 FROM t GROUP BY 1, 2"),
     "emb_label_profile" ->
       ("WITH x AS (SELECT label, CAST(unnest(generate_series(1, len(embedding))) - 1 AS INT) AS dim, " +
         "unnest(embedding) AS v FROM embeddings) " +

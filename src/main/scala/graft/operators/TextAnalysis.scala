@@ -163,6 +163,35 @@ object TextAnalysis {
       .na.fill(0, Seq("top_bigram_count")) // a <2-token doc has no bigrams
   }
 
+  /** Fixed-window document chunking — the sequence-prep step that cuts
+    * each document into consecutive `chunkTokens`-token windows for
+    * training (last chunk ragged). Emits
+    * `(id, chunk_idx, n_chunk_tokens, chunk_text)`.
+    *
+    * Chunk membership is `pos / chunkTokens` — a pure function of the
+    * token position, so chunk boundaries are deterministic on any
+    * partitioning/engine. Reassembly uses `listagg ... WITHIN GROUP
+    * (ORDER BY pos)` (Spark 4 / DuckDB `string_agg ... ORDER BY`):
+    * an ORDERED aggregate, because `collect_list` order is
+    * partition-dependent. One shuffle on `(doc, chunk)`; per-group
+    * state is bounded by `chunkTokens`, so no group can outgrow a task
+    * regardless of document length — long docs SPREAD over chunks
+    * instead of hitting one reducer.
+    */
+  def chunkDocuments(
+      docs: DataFrame,
+      chunkTokens: Int = 512,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    docs.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
+      .withColumn("chunk_idx", floor(col("__pos") / chunkTokens).cast("int"))
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(
+        count(lit(1)).cast("int").as("n_chunk_tokens"),
+        expr("listagg(__tok, ' ') WITHIN GROUP (ORDER BY __pos)").as("chunk_text"))
+  }
+
   /** BPE-ish token count: letter runs, single digits, or single
     * punctuation marks — the pre-tokenizer shape GPT-style BPE vocabularies
     * assume, as a portable ASCII regex.

@@ -57,6 +57,26 @@ class TextOpsSpec extends AnyFunSuite with SparkTest {
     assert(out(3L) == ((1, 1, 1, 0)))
   }
 
+  test("chunkDocuments cuts fixed windows in order with a ragged tail") {
+    val d = docs((1L, (1 to 7).map(i => s"t$i").mkString(" ")), (2L, "solo"))
+    val out = TextAnalysis.chunkDocuments(d, chunkTokens = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getInt(2), r.getString(3))).toMap
+    assert(out((1L, 0)) == ((3, "t1 t2 t3")))
+    assert(out((1L, 1)) == ((3, "t4 t5 t6")))
+    assert(out((1L, 2)) == ((1, "t7"))) // ragged tail
+    assert(out((2L, 0)) == ((1, "solo")))
+    assert(out.size == 4)
+  }
+
+  test("chunkDocuments order survives repartitioning (ordered aggregate)") {
+    val text = (1 to 200).map(i => s"w$i").mkString(" ")
+    val d = docs((1L, text)).repartition(8)
+    val chunks = TextAnalysis.chunkDocuments(d, chunkTokens = 64).collect()
+      .map(r => r.getInt(1) -> r.getString(3)).toMap
+    assert(chunks(0).startsWith("w1 w2 w3") && chunks(0).endsWith("w64"))
+    assert(chunks(3) == (193 to 200).map(i => s"w$i").mkString(" "))
+  }
+
   test("repetitionSignals flags degenerate repetition") {
     val boiler = Seq.fill(50)("lorem ipsum").mkString(" ")
     val out = TextAnalysis.repetitionSignals(docs((1L, boiler))).collect().head

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.functions.{aqiCategory, mixed_hash32, HeavyHittersAgg, KmvAgg}
-import graft.operators.{AsOf, Dedup, Events, Merge, MergeSpec, Multimodal, RangeJoin, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Dedup, Events, Incremental, Merge, MergeSpec, Multimodal, RangeJoin, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract: one `queries` entry per implemented operator from
   * SURVEY.md §2 (IDs in the names) plus the training-data-pipeline
@@ -667,6 +667,22 @@ object SparkEntry {
             .otherwise(expr(s"CAST(${(k - 1).toLong * 4294967296L}L DIV element_at(mins, -1) AS BIGINT)"))
             .as("est_distinct"))
     }),
+    "incr_agg_maintain" -> ((s, d) => {
+      // incremental view maintenance: per-user counts/sums materialized
+      // over history (ts < Jan 28), then the last days folded in as a
+      // delta — the oracle recomputes over ALL events from scratch, so
+      // a green row proves incremental == full recompute exactly
+      val ev = rd(s, d, "events")
+      val cutoff = to_timestamp(lit("2024-01-28 00:00:00"))
+      val cents = round(col("value") * 100).cast("long")
+      val prev = ev.filter(col("ts") < cutoff)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum(cents).as("sum_units"))
+      Incremental.updateCounts(prev, ev.filter(col("ts") >= cutoff),
+        Seq("user_id"), cents)
+    }),
+    "text_tfidf_terms" -> ((s, d) =>
+      TextAnalysis.topDistinctiveTerms(rd(s, d, "documents"), k = 3)),
     "doc_chunks" -> ((s, d) =>
       // 50-token training windows per doc; md5 of the reassembled text
       // keeps the gated output compact while pinning exact order
@@ -1147,6 +1163,20 @@ object SparkEntry {
         "CASE WHEN p.first_purchase IS NOT NULL AND epoch_us(p.first_purchase) - epoch_us(v.first_view) <= 86400000000 " +
         "THEN 1 ELSE 0 END AS converted_24h FROM v LEFT JOIN p ON p.user_id = v.user_id"),
     "sketch_kmv_distinct" -> OracleSql.kmvDistinct(32),
+    // recompute-from-scratch formulation: proves the incremental fold
+    // equals a full re-aggregation
+    "incr_agg_maintain" ->
+      ("SELECT user_id, count(*) AS n_events, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_units " +
+        "FROM events GROUP BY user_id"),
+    "text_tfidf_terms" ->
+      ("WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token FROM documents), " +
+        "tf AS (SELECT doc_id, token, count(*) AS tf FROM toks WHERE token <> '' GROUP BY 1, 2), " +
+        "df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1) " +
+        "SELECT doc_id, token, CAST(tf AS INT) AS tf, CAST(df AS INT) AS df, rank FROM (" +
+        "SELECT tf.doc_id, tf.token, tf.tf, df.df, CAST(row_number() OVER " +
+        "(PARTITION BY tf.doc_id ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, df.df, tf.token) AS INT) AS rank " +
+        "FROM tf JOIN df ON tf.token = df.token) q WHERE rank <= 3"),
     "doc_chunks" ->
       ("WITH t AS (SELECT doc_id, CAST(unnest(generate_series(1, len(a))) - 1 AS INT) AS pos, unnest(a) AS tok " +
         "FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS a FROM documents)) " +

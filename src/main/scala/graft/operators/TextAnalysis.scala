@@ -163,6 +163,38 @@ object TextAnalysis {
       .na.fill(0, Seq("top_bigram_count")) // a <2-token doc has no bigrams
   }
 
+  /** Top distinctive terms per document — the TF-IDF shape with an
+    * exact ordering: terms rank by `tf/df` (term frequency over corpus
+    * document frequency), which orders identically to tf·idf for any
+    * monotone idf and, being a ratio of small exact integers, computes
+    * to the SAME double on every IEEE engine — no log in the sort key,
+    * so the ranking is reproducible bit-for-bit. Ties break on
+    * `(df, token)` for full determinism.
+    *
+    * Two aggregations, both partial-aggregatable: `(doc, term) → tf`
+    * and `term → df`; df joins back by term (the term dictionary is
+    * the small side at corpus scale — broadcast), then one window per
+    * doc picks the top `k`.
+    */
+  def topDistinctiveTerms(
+      docs: DataFrame,
+      k: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")) // tf rows are distinct (doc, term)
+      .agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+      .orderBy((col("tf").cast("double") / col("df")).desc, col("df"), col("token"))
+    tf.join(broadcast(df), Seq("token"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col(idCol), col("token"), col("tf").cast("int").as("tf"),
+        col("df").cast("int").as("df"), col("__rk").as("rank"))
+  }
+
   /** Fixed-window document chunking — the sequence-prep step that cuts
     * each document into consecutive `chunkTokens`-token windows for
     * training (last chunk ragged). Emits

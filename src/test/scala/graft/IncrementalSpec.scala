@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Incremental
+
+class IncrementalSpec extends AnyFunSuite with SparkTest {
+
+  private def rows(r: (Long, Long)*) = {
+    val s = spark; import s.implicits._
+    r.toSeq.toDF("user_id", "units")
+  }
+
+  private def aggOf(df: org.apache.spark.sql.DataFrame) =
+    df.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum(col("units")).as("sum_units"))
+
+  private def toMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("folding a delta equals re-aggregating from scratch") {
+    val history = rows((1L, 10L), (1L, 5L), (2L, 7L))
+    val delta = rows((1L, 1L), (3L, 9L)) // existing key + brand-new key
+    val incremental = Incremental.updateCounts(
+      aggOf(history), delta, Seq("user_id"), col("units"))
+    assert(toMap(incremental) == toMap(aggOf(history.unionAll(delta))))
+    assert(toMap(incremental)(3L) == ((1L, 9L)))
+  }
+
+  test("chained deltas equal one-shot aggregation (associativity)") {
+    val batches = Seq(
+      rows((1L, 1L), (2L, 2L)),
+      rows((2L, 3L), (3L, 4L)),
+      rows((1L, 5L), (3L, 6L), (4L, 7L)))
+    val chained = batches.tail.foldLeft(aggOf(batches.head)) { (agg, b) =>
+      Incremental.updateCounts(agg, b, Seq("user_id"), col("units"))
+    }
+    val oneShot = aggOf(batches.reduce(_ unionAll _))
+    assert(toMap(chained) == toMap(oneShot))
+  }
+
+  test("empty delta is a no-op") {
+    val history = rows((1L, 10L))
+    val out = Incremental.updateCounts(
+      aggOf(history), history.limit(0), Seq("user_id"), col("units"))
+    assert(toMap(out) == toMap(aggOf(history)))
+  }
+}

@@ -60,7 +60,11 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "r_overlap_join" -> "a346833647e82657865cbdf5cd15f106",
     "u4_scd2_history" -> "53b56780b5663cd18d04c923c12009b1",
     "sketch_heavy_hitters" -> "79f52b4ca0741c6e3e47ea46f2d2db11",
-    "decontaminate_bloom" -> "a53337a1bc6a3289fdf40ddea8109fc1")
+    "decontaminate_bloom" -> "a53337a1bc6a3289fdf40ddea8109fc1",
+    "emb_label_profile" -> "140db6ff83575462df9a64412953b0d4",
+    "doc_chunks" -> "9798c1c9037fff82cadee62b6ec242d4",
+    "text_tfidf_terms" -> "b25078117ecabcd939c0d121f8ecba47",
+    "incr_agg_maintain" -> "205511508ca1db5f684c1754850a7cb7")
 
   test("round-3 operator outputs hash-match their pinned golden values") {
     val got = pinnedR3.keys.toSeq.sorted.map { q =>

@@ -316,6 +316,20 @@ object OracleSql {
       s"CAST(LEAST(octet_length(encode(text)), $maxBytes) AS BIGINT) AS n_bytes, " +
       s"md5(substring(text, 1, $maxBytes)) AS content_hash FROM documents"
 
+  /** Oracle for `media_frame_stats`: the stub container cuts the
+    * payload into `ceil(n / max(1, n/16))` slices of `max(1, n/16)`
+    * bytes (Scala `grouped` semantics — ragged last slice) and keeps
+    * every `everyN`-th. Pure offset arithmetic, replayed with
+    * substrings; character slicing equals byte slicing on the
+    * all-ASCII corpus (same argument as [[mediaResizeStats]]).
+    */
+  def mediaFrameStats(nFrames: Int, everyN: Int): String =
+    "WITH m AS (SELECT CAST(doc_id AS BIGINT) AS media_id, text, length(text) AS n FROM documents), " +
+      s"p AS (SELECT media_id, text, n, greatest(n // $nFrames, 1) AS fs FROM m), " +
+      "f AS (SELECT media_id, text, fs, CAST(unnest(generate_series(0, CAST((n + fs - 1) // fs AS INT) - 1)) AS INT) AS frame_idx FROM p) " +
+      "SELECT media_id, frame_idx, CAST(length(substring(text, frame_idx * fs + 1, fs)) AS INT) AS n_bytes, " +
+      s"md5(substring(text, frame_idx * fs + 1, fs)) AS frame_md5 FROM f WHERE frame_idx % $everyN = 0"
+
   // ------------------------------------------------- sampling / sketches
 
   /** CASE expression replaying [[graft.operators.Sampling.splitCol]]:

@@ -480,6 +480,17 @@ object SparkEntry {
       // deterministic stand-in for image/audio bytes)
       Multimodal.byteStats(
         Multimodal.fromText(rd(s, d, "documents"), "doc_id", "text", "text").toDF())),
+    "media_frame_stats" -> ((s, d) =>
+      // frame sampling through the typed decoder path: the stub cuts a
+      // fake 16-frame container into byte slices and keeps every 4th —
+      // all offsets are pure arithmetic, so DuckDB replays them with
+      // blob substrings
+      Multimodal.sampleFrames(
+        Multimodal.fromText(rd(s, d, "documents"), "doc_id", "text", "video"),
+        everyN = 4)
+        .toDF()
+        .select(col("media_id"), col("frame_idx"),
+          length(col("bytes")).as("n_bytes"), md5(col("bytes")).as("frame_md5"))),
     "media_resize_stats" -> ((s, d) =>
       // the typed mapPartitions decode path under the gate: stub resize
       // is a deterministic prefix slice, so the oracle replays it with
@@ -969,6 +980,7 @@ object SparkEntry {
     "text_rolling_fp" -> OracleSql.textRollingFp,
     "media_byte_stats" -> OracleSql.mediaByteStats,
     "media_resize_stats" -> OracleSql.mediaResizeStats(256),
+    "media_frame_stats" -> OracleSql.mediaFrameStats(16, 4),
     "dedup_clusters" ->
       (s"WITH RECURSIVE $ngramCtes, " +
         "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs), " +

@@ -678,6 +678,31 @@ object SparkEntry {
             .otherwise(expr(s"CAST(${(k - 1).toLong * 4294967296L}L DIV element_at(mins, -1) AS BIGINT)"))
             .as("est_distinct"))
     }),
+    "dedup_edit_distance" -> ((s, d) => {
+      // edit-distance verify tier: exact Levenshtein ONLY on candidate
+      // pairs from the n-gram inverted index — never all-pairs. The
+      // verify cost is candidates × O(len²) and candidates are the
+      // bounded set; both engines implement classic Levenshtein
+      val docs = rd(s, d, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, 1, 20)
+      val a = docs.select(col("doc_id").as("id_a"), col("text").as("__ta"))
+      val b = docs.select(col("doc_id").as("id_b"), col("text").as("__tb"))
+      pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("__ta"), col("__tb")).as("edit_dist"))
+    }),
+    "w5_ntile_prank" -> ((s, d) => {
+      // rank-family windows: ntile quartiles + percent_rank/cume_dist.
+      // percent_rank = (rank-1)/(n-1): a ratio of small exact ints —
+      // the same double on every IEEE engine
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      rd(s, d, "orders").select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"))
+    }),
     "incr_agg_maintain" -> ((s, d) => {
       // incremental view maintenance: per-user counts/sums materialized
       // over history (ts < Jan 28), then the last days folded in as a
@@ -953,6 +978,14 @@ object SparkEntry {
       "SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY md5(text)",
     "dedup_ngram_jaccard" ->
       s"WITH $ngramCtes SELECT id_a, id_b, inter, union_size FROM pairs",
+    "dedup_edit_distance" ->
+      (s"WITH $ngramCtes SELECT p.id_a, p.id_b, " +
+        "CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist FROM pairs p " +
+        "JOIN documents a ON a.doc_id = p.id_a JOIN documents b ON b.doc_id = p.id_b"),
+    "w5_ntile_prank" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice, CAST(ntile(4) OVER w AS INT) AS quartile, " +
+        "percent_rank() OVER w AS prank, cume_dist() OVER w AS cdist FROM orders " +
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)"),
     "decontaminate" ->
       ("SELECT doc_id, source, n_chars FROM documents WHERE " +
         "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) NOT IN " +

@@ -176,6 +176,67 @@ object Streams {
       }
   }
 
+  /** One micro-batch fold for [[incrementalCountsStream]]: reads the
+    * materialized aggregate, folds `batch` via
+    * [[graft.operators.Incremental.updateCounts]], and atomically swaps
+    * the table with `batchId` stamped on every row. The stamp makes the
+    * fold idempotent under Spark's batch replay: the batch id and the
+    * folded data commit in ONE atomic swap, so a replayed batch (same
+    * id) is recognized and skipped — no double counting, no marker/data
+    * crash window (a separate marker file would create one).
+    */
+  private[graft] def foldCountsBatch(
+      batch: DataFrame,
+      batchId: Long,
+      warehouseDir: String,
+      table: String,
+      keys: Seq[String],
+      valueUnits: org.apache.spark.sql.Column): Unit = {
+    import graft.sources.Warehouse
+    val spark = batch.sparkSession
+    val emptyAgg = batch.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_events"), sum(valueUnits).as("sum_units"))
+      .withColumn("last_batch_id", lit(-1L))
+      .limit(0)
+    val prev =
+      if (Warehouse.exists(spark, warehouseDir, table))
+        Warehouse.read(spark, warehouseDir, table)
+      else emptyAgg
+    val lastId = prev.select(max(col("last_batch_id"))).collect()
+      .headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+      .getOrElse(-1L)
+    if (batchId > lastId) {
+      val updated = graft.operators.Incremental.updateCounts(
+        prev.drop("last_batch_id"), batch, keys, valueUnits)
+        .withColumn("last_batch_id", lit(batchId))
+      Warehouse.overwrite(updated, warehouseDir, table)
+    }
+  }
+
+  /** Streaming incremental-aggregate maintenance: every micro-batch
+    * folds into a materialized per-key count/sum table — the streaming
+    * form of O(delta)-per-refresh view maintenance
+    * ([[graft.operators.Incremental]]), with replayed batches skipped
+    * via the batch-id stamp that commits atomically with the data.
+    */
+  def incrementalCountsStream(
+      stream: DataFrame,
+      warehouseDir: String,
+      table: String,
+      keys: Seq[String],
+      valueUnits: org.apache.spark.sql.Column,
+      checkpointPath: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        foldCountsBatch(batch, id, warehouseDir, table, keys, valueUnits)
+      }
+      .start()
+
   /** Stream-stream inner join: views joined to purchases by the same
     * user within `[view.ts, view.ts + joinWindow]` — the online form of
     * the funnel/attribution join.

@@ -66,6 +66,41 @@ class StreamsSpec extends AnyFunSuite with SparkTest {
     } finally q.stop()
   }
 
+  test("streaming incremental counts fold micro-batches; replayed batch ids are no-ops") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("incr_stream").toString
+    val input = MemoryStream[(Long, Long)]
+    val q = graft.streaming.Streams.incrementalCountsStream(
+      input.toDF().toDF("user_id", "units"), dir, "user_counts",
+      Seq("user_id"), col("units"), s"$dir/ckpt",
+      // ProcessingTime keeps the query live for multi-batch MemoryStream
+      // driving (AvailableNow snapshots offsets at start and stops)
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      input.addData((1L, 10L), (1L, 5L), (2L, 7L))
+      q.processAllAvailable()
+      input.addData((1L, 1L), (3L, 9L))
+      q.processAllAvailable()
+      val out = graft.sources.Warehouse.read(s, dir, "user_counts")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(out == Map(1L -> ((3L, 16L)), 2L -> ((1L, 7L)), 3L -> ((1L, 9L))))
+      // replay the LAST batch id (crash-replay shape): must be a no-op
+      val replay = Seq((1L, 100L)).toDF("user_id", "units")
+      graft.streaming.Streams.foldCountsBatch(
+        replay, batchId = 1L, dir, "user_counts", Seq("user_id"), col("units"))
+      val after = graft.sources.Warehouse.read(s, dir, "user_counts")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(after == out, "replayed batch id must not double-count")
+      // a NEW batch id folds normally
+      graft.streaming.Streams.foldCountsBatch(
+        replay, batchId = 2L, dir, "user_counts", Seq("user_id"), col("units"))
+      val next = graft.sources.Warehouse.read(s, dir, "user_counts")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(next(1L) == ((4L, 116L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate keys within the watermark horizon") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext

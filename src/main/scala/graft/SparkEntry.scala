@@ -615,6 +615,22 @@ object SparkEntry {
       Sampling.weightedKeep(rd(s, d, "documents"), "doc_id", "n_chars", "wk1", 600L)
         .groupBy("source")
         .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))),
+    "q_corr_subquery" -> ((s, d) => {
+      // correlated scalar subqueries (Catalyst decorrelates them into
+      // joins): orders above their customer's average price. The
+      // comparison is integer cross-multiplication — cents · count >
+      // sum-of-cents — so no float average sits on the decision boundary
+      val v = Views.unique("orders")
+      rd(s, d, "orders").createOrReplaceTempView(v)
+      val out = s.sql(
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM " + v + " o " +
+          "WHERE CAST(round(o_totalprice * 100) AS BIGINT) * " +
+          s"(SELECT count(*) FROM $v i WHERE i.o_custkey = o.o_custkey) > " +
+          s"(SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) " +
+          s"FROM $v i WHERE i.o_custkey = o.o_custkey)")
+      s.catalog.dropTempView(v)
+      out
+    }),
     "q_quantiles" -> ((s, d) => {
       // exact discrete quantiles per group: percentile_disc picks an
       // actual data value (no interpolation arithmetic), so the double
@@ -1181,6 +1197,12 @@ object SparkEntry {
         "CAST(doc_id AS VARCHAR)", "n_chars", "wk1", 600L)}) " +
         "SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
         "FROM kept GROUP BY source"),
+    "q_corr_subquery" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders o " +
+        "WHERE CAST(round(o_totalprice * 100) AS BIGINT) * " +
+        "(SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey) > " +
+        "(SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) " +
+        "FROM orders i WHERE i.o_custkey = o.o_custkey)"),
     "q_quantiles" ->
       ("SELECT event_type, percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50, " +
         "percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90, " +

@@ -209,6 +209,27 @@ class NonEquiSpec extends AnyFunSuite with SparkTest {
     assert(got == Set((2L, 9L)))
   }
 
+  test("overlapJoin equals the naive join on randomized intervals, any width, negative bounds") {
+    val s = spark; import s.implicits._
+    for (seed <- Seq(7, 42); width <- Seq(3L, 16L, 100L)) {
+      val rnd = new scala.util.Random(seed)
+      def mk(idBase: Long) = (0 until 80).map { i =>
+        val lo = rnd.nextLong(300) - 100 // negative los exercise floorDiv
+        (rnd.nextLong(4), idBase + i, lo, lo + rnd.nextLong(50)) // includes empty
+      }.toDF("key", "id", "lo", "hi")
+      val l = mk(0)
+      val r = mk(1000)
+      val got = RangeJoin.overlapJoin(l, r, "lo", "hi", width, Seq("key"))
+        .select("id", "id_r").collect().map(x => (x.getLong(0), x.getLong(1)))
+      val expected = l.as("l").join(r.toDF("key2", "id2", "lo2", "hi2"),
+        col("key") === col("key2") && col("lo") < col("hi2") && col("lo2") < col("hi") &&
+          col("hi") > col("lo") && col("hi2") > col("lo2"))
+        .select("id", "id2").collect().map(x => (x.getLong(0), x.getLong(1)))
+      assert(got.length == got.distinct.length, s"dupes at seed=$seed width=$width")
+      assert(got.toSet == expected.toSet, s"mismatch at seed=$seed width=$width")
+    }
+  }
+
   test("overlapJoin plans an equi join, not a nested loop or cartesian") {
     val l = intervals(Seq((1L, 1L, 0L, 10L)))
     val r = intervals(Seq((1L, 2L, 5L, 15L)))

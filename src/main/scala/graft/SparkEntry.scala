@@ -735,6 +735,29 @@ object SparkEntry {
     }),
     "text_tfidf_terms" -> ((s, d) =>
       TextAnalysis.topDistinctiveTerms(rd(s, d, "documents"), k = 3)),
+    "pipeline_training_mix" -> ((s, d) => {
+      // the whole curation pipeline as ONE declarative plan: repetition
+      // quality gate -> PII scrub -> exact dedup on the scrubbed
+      // fingerprint (keep-first) -> deterministic split -> mix counts.
+      // Catalyst sees every stage at once, so pruning/pushdown cross
+      // stage boundaries — the composition argument for operators as
+      // DataFrame => DataFrame
+      val docs = rd(s, d, "documents")
+      val rep = TextAnalysis.repetitionSignals(docs)
+        .select("doc_id", "n_tokens", "top_token_count")
+      val kept = docs.join(rep, "doc_id")
+        .filter(col("top_token_count") * 5 <= col("n_tokens") &&
+          col("n_tokens") >= 30)
+      val red = TextAnalysis.redactPii(kept)
+        .select(col("doc_id"), md5(col("redacted")).as("__fp"))
+        .join(kept.select("doc_id", "source", "n_tokens"), "doc_id")
+      val ded = red.withColumn("__rk", row_number().over(
+        Window.partitionBy("__fp").orderBy("doc_id")))
+        .filter(col("__rk") === 1)
+      Sampling.hashSplit(ded, "doc_id", "mix3", splitFractions)
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+    }),
     "doc_chunks" -> ((s, d) =>
       // 50-token training windows per doc; md5 of the reassembled text
       // keeps the gated output compact while pinning exact order
@@ -1236,6 +1259,22 @@ object SparkEntry {
       ("SELECT user_id, count(*) AS n_events, " +
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_units " +
         "FROM events GROUP BY user_id"),
+    "pipeline_training_mix" -> {
+      val e = graft.operators.TextAnalysis.emailPattern
+      val ip = graft.operators.TextAnalysis.ipv4Pattern
+      val ph = graft.operators.TextAnalysis.phonePattern
+      val num = graft.operators.TextAnalysis.longNumPattern
+      ("WITH rep AS (SELECT doc_id, CAST(sum(c) AS INT) AS n_tokens, CAST(max(c) AS INT) AS top_token_count " +
+        "FROM (SELECT doc_id, tok, count(*) AS c FROM (SELECT doc_id, " +
+        "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM documents) t GROUP BY 1, 2) g GROUP BY 1), " +
+        "kept AS (SELECT d.doc_id, d.source, d.text, rep.n_tokens FROM documents d " +
+        "JOIN rep ON d.doc_id = rep.doc_id WHERE rep.top_token_count * 5 <= rep.n_tokens AND rep.n_tokens >= 30), " +
+        s"red AS (SELECT doc_id, source, n_tokens, md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+        s"text, '$e', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$ph', '<PHONE>', 'g'), '$num', '<NUM>', 'g')) AS fp FROM kept), " +
+        "ded AS (SELECT doc_id, source, n_tokens FROM (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk FROM red) q WHERE rk = 1), " +
+        s"spl AS (SELECT source, n_tokens, ${OracleSql.hashSplitCase("CAST(doc_id AS VARCHAR)", "mix3", splitFractions)} AS split FROM ded) " +
+        "SELECT split, source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens FROM spl GROUP BY 1, 2")
+    },
     "text_tfidf_terms" ->
       ("WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token FROM documents), " +
         "tf AS (SELECT doc_id, token, count(*) AS tf FROM toks WHERE token <> '' GROUP BY 1, 2), " +

@@ -64,7 +64,12 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "emb_label_profile" -> "140db6ff83575462df9a64412953b0d4",
     "doc_chunks" -> "9798c1c9037fff82cadee62b6ec242d4",
     "text_tfidf_terms" -> "b25078117ecabcd939c0d121f8ecba47",
-    "incr_agg_maintain" -> "205511508ca1db5f684c1754850a7cb7")
+    "incr_agg_maintain" -> "205511508ca1db5f684c1754850a7cb7",
+    "q_corr_subquery" -> "e4a3eb87198b4cae1bc2230b7738fbd2",
+    "dedup_edit_distance" -> "d41255928c2669e9e882dc2e499aea11",
+    "w5_ntile_prank" -> "4a4669d3286e4b0d59bcf8dc74644efa",
+    "media_frame_stats" -> "7441e8849fad4087c98238aeb3237040",
+    "pipeline_training_mix" -> "6a4e4c61db0659c4fe79e3b48a665375")
 
   test("round-3 operator outputs hash-match their pinned golden values") {
     val got = pinnedR3.keys.toSeq.sorted.map { q =>

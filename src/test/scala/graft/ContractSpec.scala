@@ -15,6 +15,14 @@ class ContractSpec extends AnyFunSuite with SparkTest {
     assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
   }
 
+  test("every query has an oracle — no rows-only entries") {
+    // since round 2 every operator, including the hash-seeded ones, has
+    // a full DuckDB replay; a new query without one would silently
+    // downgrade the driver's check to rows-only
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled.isEmpty, s"queries without oracle SQL: $unoracled")
+  }
+
   test("entry returns rows at smoke scale") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -35,6 +35,25 @@ class EdgeSpec extends AnyFunSuite with SparkTest {
     assert(TextAnalysis.fingerprint(emptyDocs).count() == 0)
     assert(TextAnalysis.rollingFingerprint(emptyDocs).count() == 0)
     assert(TextAnalysis.bpeTokenCount(emptyDocs).count() == 0)
+    assert(TextAnalysis.redactPii(emptyDocs).count() == 0)
+    assert(TextAnalysis.repetitionSignals(emptyDocs).count() == 0)
+    assert(TextAnalysis.chunkDocuments(emptyDocs).count() == 0)
+    assert(TextAnalysis.topDistinctiveTerms(emptyDocs).count() == 0)
+  }
+
+  test("round-3 text operators on null text: nulls propagate, rows never invent tokens") {
+    val s = spark; import s.implicits._
+    val d = Seq((1L, None: Option[String]), (2L, Some("real text here")))
+      .toDF("doc_id", "text")
+    val red = TextAnalysis.redactPii(d).collect()
+      .map(r => r.getLong(0) -> r.isNullAt(5)).toMap
+    assert(red == Map(1L -> true, 2L -> false), "null text -> null redacted, never a crash")
+    // split(null) yields no token rows: the null doc disappears from
+    // token-derived outputs instead of contributing phantom tokens
+    val rep = TextAnalysis.repetitionSignals(d).collect().map(_.getLong(0)).toSet
+    assert(rep == Set(2L))
+    val chunks = TextAnalysis.chunkDocuments(d, 2).collect().map(_.getLong(0)).toSet
+    assert(chunks == Set(2L))
   }
 
   test("non-equi joins and sampling behave on empty inputs") {

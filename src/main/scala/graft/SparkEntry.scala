@@ -609,6 +609,12 @@ object SparkEntry {
         .select(col("user_id"), col("event_id").as("view_id"),
           col("event_id_r").as("purchase_id"))
     }),
+    "pack_token_budget" -> ((s, d) =>
+      // shard assembly: pack each source's docs into ~5000-char bins
+      // (prefix-sum binning — overflow bounded by one doc)
+      Sampling.packByBudget(rd(s, d, "documents")
+        .select("doc_id", "source", "n_chars"),
+        "source", "doc_id", "n_chars", budget = 5000L)),
     "sample_weighted" -> ((s, d) =>
       // length-proportional sampling: longer docs survive more often
       // (p = n_chars/600), decision a pure function of salt+doc_id
@@ -1215,6 +1221,10 @@ object SparkEntry {
         "FROM events WHERE event_type = 'purchase') " +
         "SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id " +
         "FROM v JOIN p ON v.user_id = p.user_id AND v.lo < p.hi AND p.lo < v.hi"),
+    "pack_token_budget" ->
+      ("SELECT doc_id, source, n_chars, CAST(floor(coalesce(sum(n_chars) OVER " +
+        "(PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 5000) AS INT) AS bin " +
+        "FROM documents"),
     "sample_weighted" ->
       (s"WITH kept AS (SELECT source, n_chars FROM documents WHERE ${OracleSql.weightedKeepWhere(
         "CAST(doc_id AS VARCHAR)", "n_chars", "wk1", 600L)}) " +

@@ -150,6 +150,38 @@ object Sampling {
     df.filter(w >= wMax || (w > 0L && h < t))
   }
 
+  /** Prefix-sum packing: assign each row (document) of a group to a
+    * fixed-budget bin — the corpus-assembly step that batches documents
+    * into training shards / sequence-packing buckets of roughly
+    * `budget` units (tokens, chars, bytes).
+    *
+    * Rows are ordered deterministically within the group (by `idCol`)
+    * and binned by `floor(prefix_sum_before / budget)`: each row lands
+    * wholly in the bin where it starts, so bins overflow by AT MOST one
+    * row's weight. That bounded overflow is the price of a distributed
+    * formulation — exact greedy packing is inherently sequential, while
+    * this is one window per group, and the assignment is a pure
+    * function of the (group, order, weights) so re-runs agree.
+    *
+    * Groups are the parallelism unit (one task per group's window, as
+    * with any per-group sequential semantics); shard-count per group =
+    * group weight / budget.
+    */
+  def packByBudget(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      weightCol: String,
+      budget: Long,
+      binCol: String = "bin"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn(binCol,
+      floor(coalesce(sum(col(weightCol)).over(w), lit(0L)) / budget).cast("int"))
+  }
+
   /** Deterministic per-group row cap — "at most `cap` examples per
     * class/source", the balance primitive for long-tailed corpora.
     *

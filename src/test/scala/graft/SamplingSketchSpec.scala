@@ -128,6 +128,31 @@ class SamplingSketchSpec extends AnyFunSuite with SparkTest {
     assert(m("hot") <= 600L && m("hot") >= 600L - 200L)
   }
 
+  test("packByBudget: bounded overflow, deterministic bins, per-group sequences") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      ("a", 1L, 3000L), ("a", 2L, 3000L), ("a", 3L, 3000L), ("a", 4L, 500L),
+      ("b", 1L, 9000L), ("b", 2L, 100L)).toDF("src", "id", "w")
+    val out = Sampling.packByBudget(df, "src", "id", "w", budget = 5000L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(3)).toMap
+    // prefix sums (a): 0, 3000, 6000, 9000 -> bins 0, 0, 1, 1
+    assert(out == Map(
+      ("a", 1L) -> 0, ("a", 2L) -> 0, ("a", 3L) -> 1, ("a", 4L) -> 1,
+      ("b", 1L) -> 0, ("b", 2L) -> 1))
+    // invariance under partitioning
+    val out8 = Sampling.packByBudget(df.repartition(8), "src", "id", "w", 5000L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(3)).toMap
+    assert(out8 == out)
+    // bin loads never exceed budget + one row's weight
+    val loads = Sampling.packByBudget(df, "src", "id", "w", 5000L)
+      .groupBy("src", "bin").agg(sum("w").as("load")).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    val maxW = Map("a" -> 3000L, "b" -> 9000L)
+    loads.foreach { case (src, load) =>
+      assert(load <= 5000L + maxW(src), s"overflow beyond one row at $src: $load")
+    }
+  }
+
   test("hashSplit rejects fractions that do not sum to 1") {
     intercept[IllegalArgumentException] {
       Sampling.thresholds(Seq("a" -> 0.5, "b" -> 0.4))

@@ -69,7 +69,8 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "dedup_edit_distance" -> "d41255928c2669e9e882dc2e499aea11",
     "w5_ntile_prank" -> "4a4669d3286e4b0d59bcf8dc74644efa",
     "media_frame_stats" -> "7441e8849fad4087c98238aeb3237040",
-    "pipeline_training_mix" -> "6a4e4c61db0659c4fe79e3b48a665375")
+    "pipeline_training_mix" -> "6a4e4c61db0659c4fe79e3b48a665375",
+    "pack_token_budget" -> "4f7d9da0a35eca24ac0a3644f7cd3d99")
 
   test("round-3 operator outputs hash-match their pinned golden values") {
     val got = pinnedR3.keys.toSeq.sorted.map { q =>

@@ -749,7 +749,7 @@ object SparkEntry {
       // stage boundaries — the composition argument for operators as
       // DataFrame => DataFrame
       val docs = rd(s, d, "documents")
-      val rep = TextAnalysis.repetitionSignals(docs)
+      val rep = TextAnalysis.repetitionSignals(docs, includeBigrams = false)
         .select("doc_id", "n_tokens", "top_token_count")
       val kept = docs.join(rep, "doc_id")
         .filter(col("top_token_count") * 5 <= col("n_tokens") &&

@@ -142,19 +142,27 @@ object TextAnalysis {
     * rollups, and the final join all hash on `doc_id`, so one logical
     * key partitioning serves the whole plan.
     */
-  def repetitionSignals(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("__pos"))
-    val toks = docs
-      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
-      .withColumn("__nxt", lead(col("__tok"), 1).over(w))
-    val tokAgg = toks
+  def repetitionSignals(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      includeBigrams: Boolean = true): DataFrame = {
+    val exploded =
+      docs.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
+    val tokAgg = exploded
       .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__c"))
       .groupBy(col(idCol)).agg(
         sum("__c").cast("int").as("n_tokens"),
         count(lit(1)).cast("int").as("n_distinct_tokens"),
         max("__c").cast("int").as("top_token_count"))
-    val gramAgg = toks
+    // a consumer that only gates on token stats skips the bigram
+    // window+aggs entirely — Catalyst cannot prune them itself (a join
+    // may change multiplicity, so the unused branch would still run)
+    if (!includeBigrams) return tokAgg
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__pos"))
+    val gramAgg = exploded
+      .withColumn("__nxt", lead(col("__tok"), 1).over(w))
       .filter(col("__nxt").isNotNull)
       .select(col(idCol), concat_ws(" ", col("__tok"), col("__nxt")).as("__g"))
       .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))

@@ -95,8 +95,12 @@ object Dedup {
       ColumnBridge.expression(xxhash64(col("__fp")))))
     val tagged = corpus.withColumn("__fp", fp(col(textCol)))
     val clean = tagged.filter(!might)
+    // no broadcast hint on the verify join: this tier exists for eval
+    // sets too large to broadcast — AQE broadcasts when small and
+    // falls back to a shuffle anti-join (of only the candidate
+    // trickle) when not; a hint would force an OOM instead
     val candidates = tagged.filter(might)
-      .join(broadcast(evalFps), Seq("__fp"), "left_anti")
+      .join(evalFps, Seq("__fp"), "left_anti")
     clean.unionByName(candidates).drop("__fp")
   }
 

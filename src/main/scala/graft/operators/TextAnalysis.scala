@@ -180,9 +180,13 @@ object TextAnalysis {
     * `(df, token)` for full determinism.
     *
     * Two aggregations, both partial-aggregatable: `(doc, term) → tf`
-    * and `term → df`; df joins back by term (the term dictionary is
-    * the small side at corpus scale — broadcast), then one window per
-    * doc picks the top `k`.
+    * and `term → df`; df joins back by term, then one window per doc
+    * picks the top `k`. The term-dictionary side is deliberately NOT
+    * broadcast-hinted: a clean corpus has a small vocabulary, but at
+    * web scale unique tokens (typos, ids) can reach billions — AQE
+    * broadcasts when the built side is actually small and falls back
+    * to a shuffle join when it isn't, whereas a hint would force an
+    * OOM instead of a fallback.
     */
   def topDistinctiveTerms(
       docs: DataFrame,
@@ -196,7 +200,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
       .orderBy((col("tf").cast("double") / col("df")).desc, col("df"), col("token"))
-    tf.join(broadcast(df), Seq("token"))
+    tf.join(df, Seq("token"))
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
       .select(col(idCol), col("token"), col("tf").cast("int").as("tf"),

@@ -165,7 +165,9 @@ object Sampling {
     *
     * Groups are the parallelism unit (one task per group's window, as
     * with any per-group sequential semantics); shard-count per group =
-    * group weight / budget.
+    * group weight / budget. `idCol` must be unique within a group — a
+    * duplicate id makes the prefix-sum order, and therefore the bin
+    * assignment, engine-dependent.
     */
   def packByBudget(
       df: DataFrame,

@@ -81,6 +81,27 @@ object Streams {
           .as("est_distinct"))
   }
 
+  /** Windowed heavy hitters on a stream: the Misra-Gries summary
+    * ([[graft.functions.HeavyHittersAgg]]) as the windowed aggregation
+    * state — bounded at `capacity` counters per (window, group) across
+    * micro-batches, merged with the same mergeable-summaries rule as
+    * the batch partial aggregation. Watermark-expired windows evict,
+    * so state is `open-windows × groups × capacity`, never the stream.
+    */
+  def heavyHittersHourly(
+      events: DataFrame,
+      termCol: String,
+      capacity: Int = 64,
+      watermark: String = "2 hours"): DataFrame = {
+    val hh = udaf(new graft.functions.HeavyHittersAgg(capacity),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[String]())
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(hh(col(termCol)).as("hist"))
+      .select(col("window.start").as("w_start"), explode(col("hist")).as(Seq("term", "n")))
+  }
+
   /** Native session windows (gap-based), the streaming analog of
     * [[graft.operators.Events.sessionize]].
     */

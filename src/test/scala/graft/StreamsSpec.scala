@@ -66,6 +66,31 @@ class StreamsSpec extends AnyFunSuite with SparkTest {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters match the batch aggregation (exact below capacity)") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val q = graft.streaming.Streams.heavyHittersHourly(
+      input.toDF().toDF("ts", "term"), "term", capacity = 64)
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode("complete").start()
+    try {
+      val terms =
+        (1 to 5).map(i => (ts("2024-01-01 10:01:00"), "hot")) ++
+          Seq((ts("2024-01-01 10:30:00"), "cold"), (ts("2024-01-01 11:05:00"), "hot"))
+      input.addData(terms.take(4))
+      q.processAllAvailable()
+      input.addData(terms.drop(4)) // spans micro-batches -> exercises merge
+      q.processAllAvailable()
+      val out = s.table("hh_out").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+      assert(out == Map(
+        ("2024-01-01 10:00:00.0", "hot") -> 5L,
+        ("2024-01-01 10:00:00.0", "cold") -> 1L,
+        ("2024-01-01 11:00:00.0", "hot") -> 1L))
+    } finally q.stop()
+  }
+
   test("streaming incremental counts fold micro-batches; replayed batch ids are no-ops") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext

@@ -621,6 +621,22 @@ object SparkEntry {
       Sampling.weightedKeep(rd(s, d, "documents"), "doc_id", "n_chars", "wk1", 600L)
         .groupBy("source")
         .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))),
+    "q_lateral_topn" -> ((s, d) => {
+      // correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+      // other spelling of top-n-per-group (w1 is the window form);
+      // Catalyst decorrelates it into a ranked join
+      val vo = Views.unique("orders")
+      val vc = Views.unique("customer")
+      rd(s, d, "orders").createOrReplaceTempView(vo)
+      rd(s, d, "customer").createOrReplaceTempView(vc)
+      val out = s.sql(
+        s"SELECT c.c_custkey, t.o_orderkey, t.o_totalprice FROM $vc c, " +
+          s"LATERAL (SELECT o_orderkey, o_totalprice FROM $vo o WHERE o.o_custkey = c.c_custkey " +
+          "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t")
+      s.catalog.dropTempView(vo)
+      s.catalog.dropTempView(vc)
+      out
+    }),
     "q_corr_subquery" -> ((s, d) => {
       // correlated scalar subqueries (Catalyst decorrelates them into
       // joins): orders above their customer's average price. The
@@ -1230,6 +1246,10 @@ object SparkEntry {
         "CAST(doc_id AS VARCHAR)", "n_chars", "wk1", 600L)}) " +
         "SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
         "FROM kept GROUP BY source"),
+    "q_lateral_topn" ->
+      ("SELECT c.c_custkey, t.o_orderkey, t.o_totalprice FROM customer c, " +
+        "LATERAL (SELECT o_orderkey, o_totalprice FROM orders o WHERE o.o_custkey = c.c_custkey " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t"),
     "q_corr_subquery" ->
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders o " +
         "WHERE CAST(round(o_totalprice * 100) AS BIGINT) * " +

@@ -621,6 +621,21 @@ object SparkEntry {
       Sampling.weightedKeep(rd(s, d, "documents"), "doc_id", "n_chars", "wk1", 600L)
         .groupBy("source")
         .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))),
+    "q_grouping_sets" -> ((s, d) => {
+      // explicit GROUPING SETS (rollup/cube are the sugared forms —
+      // q_rollup/q_cube): chosen aggregation levels only, with the
+      // grouping-bit marker distinguishing NULL-as-total from NULL data
+      val v = Views.unique("orders")
+      rd(s, d, "orders").createOrReplaceTempView(v)
+      val out = s.sql(
+        "SELECT o_orderstatus, o_orderpriority, " +
+          "CAST(grouping(o_orderstatus) AS INT) AS g_status, " +
+          "CAST(grouping(o_orderpriority) AS INT) AS g_prio, " +
+          "count(*) AS n, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents " +
+          s"FROM $v GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())")
+      s.catalog.dropTempView(v)
+      out
+    }),
     "q_lateral_topn" -> ((s, d) => {
       // correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
       // other spelling of top-n-per-group (w1 is the window form);
@@ -1246,6 +1261,12 @@ object SparkEntry {
         "CAST(doc_id AS VARCHAR)", "n_chars", "wk1", 600L)}) " +
         "SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
         "FROM kept GROUP BY source"),
+    "q_grouping_sets" ->
+      ("SELECT o_orderstatus, o_orderpriority, " +
+        "CAST(grouping(o_orderstatus) AS INT) AS g_status, " +
+        "CAST(grouping(o_orderpriority) AS INT) AS g_prio, " +
+        "count(*) AS n, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents " +
+        "FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())"),
     "q_lateral_topn" ->
       ("SELECT c.c_custkey, t.o_orderkey, t.o_totalprice FROM customer c, " +
         "LATERAL (SELECT o_orderkey, o_totalprice FROM orders o WHERE o.o_custkey = c.c_custkey " +

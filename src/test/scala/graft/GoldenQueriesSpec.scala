@@ -70,7 +70,9 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "w5_ntile_prank" -> "4a4669d3286e4b0d59bcf8dc74644efa",
     "media_frame_stats" -> "7441e8849fad4087c98238aeb3237040",
     "pipeline_training_mix" -> "6a4e4c61db0659c4fe79e3b48a665375",
-    "pack_token_budget" -> "4f7d9da0a35eca24ac0a3644f7cd3d99")
+    "pack_token_budget" -> "4f7d9da0a35eca24ac0a3644f7cd3d99",
+    "q_lateral_topn" -> "453cd5e7a710f17082efe93586b3e476",
+    "q_grouping_sets" -> "98a4933d9c1495870521e961360b108a")
 
   test("round-3 operator outputs hash-match their pinned golden values") {
     val got = pinnedR3.keys.toSeq.sorted.map { q =>

@@ -12,6 +12,33 @@ import graft.sources.Layout
   */
 class ScaleSpec extends AnyFunSuite with SparkTest {
 
+  test("z-ordered files cover narrow ranges of BOTH filter columns") {
+    val s = spark; import s.implicits._
+    import graft.sources.Layout
+    // deterministic pseudo-uniform 2D points, x and y independent
+    val pts = (0 until 20000).map { i =>
+      ((i * 2654435761L) % 100000, (i * 40503L + 7919L) % 100000)
+    }.toDF("x", "y")
+    def fileRanges(dir: String, c: String): Seq[Double] =
+      s.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg(((max(col(c)) - min(col(c))) / 100000.0).as("r"))
+        .collect().map(_.getDouble(1)).toSeq
+    val zDir = java.nio.file.Files.createTempDirectory("zorder").toString + "/t"
+    Layout.writeZOrdered(pts, "x", "y", zDir, numFiles = 16)
+    val zx = fileRanges(zDir, "x"); val zy = fileRanges(zDir, "y")
+    // a z-interval of 1/16 of the curve bounds both dims near sqrt(1/16)
+    assert(zx.sum / zx.size < 0.6, s"x ranges too wide: ${zx.sum / zx.size}")
+    assert(zy.sum / zy.size < 0.6, s"y ranges too wide: ${zy.sum / zy.size}")
+    // contrast: linear sort narrows ONLY the sort column
+    val linDir = java.nio.file.Files.createTempDirectory("linorder").toString + "/t"
+    pts.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.parquet(linDir)
+    val lx = fileRanges(linDir, "x"); val ly = fileRanges(linDir, "y")
+    assert(lx.sum / lx.size < 0.2, "sort column should be narrow")
+    assert(ly.sum / ly.size > 0.9, "non-sort column spans the domain — the gap z-order closes")
+  }
+
   test("saltedJoin returns exactly the plain join result on skewed data") {
     val s = spark; import s.implicits._
     // heavy skew: 90% of rows share key 7

@@ -34,6 +34,25 @@ object Layout {
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 
+  /** Compact a parquet directory to ~`rowsPerFile` rows per file via
+    * the atomic warehouse swap — the small-files remedy for streaming
+    * and incremental ingest (micro-batches and per-partition appends
+    * accumulate KB-sized files whose open/footer overhead eventually
+    * dominates 100 TB scans; metadata pressure grows per file).
+    *
+    * One count (combinable) sizes the target; `repartition` rebalances
+    * evenly (round-robin — no key assumption, unlike coalesce which
+    * only narrows and can leave skew). Readers racing the swap get the
+    * warehouse's single-writer retry contract; content is unchanged.
+    */
+  def compact(spark: SparkSession, dir: String, table: String, rowsPerFile: Long): Unit = {
+    require(rowsPerFile > 0, "rowsPerFile must be positive")
+    val df = Warehouse.read(spark, dir, table)
+    val n = df.count()
+    val files = math.max(1L, (n + rowsPerFile - 1) / rowsPerFile).toInt
+    Warehouse.overwrite(df.repartition(files), dir, table)
+  }
+
   /** Morton (Z-order) value over two numeric columns, each linearly
     * quantized to 16 bits between the given bounds and bit-interleaved.
     * Pure column arithmetic — codegen'd, no UDF.

@@ -39,6 +39,23 @@ class ScaleSpec extends AnyFunSuite with SparkTest {
     assert(ly.sum / ly.size > 0.9, "non-sort column spans the domain — the gap z-order closes")
   }
 
+  test("compact merges small files without changing content") {
+    val s = spark; import s.implicits._
+    import graft.sources.{Layout, Warehouse}
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    // simulate micro-batch dribble: 64 tiny files
+    val data = (0 until 6400).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    Warehouse.overwrite(data.repartition(64), dir, "t")
+    def files() = Warehouse.read(s, dir, "t").inputFiles.length
+    val before = files()
+    assert(before >= 32, s"expected many small files, got $before")
+    Layout.compact(s, dir, "t", rowsPerFile = 2000L)
+    assert(files() <= 4, s"expected ~4 files after compaction, got ${files()}")
+    val got = Warehouse.read(s, dir, "t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 6400 && got(17L) == "v17", "content must be byte-for-byte preserved")
+  }
+
   test("saltedJoin returns exactly the plain join result on skewed data") {
     val s = spark; import s.implicits._
     // heavy skew: 90% of rows share key 7

@@ -565,6 +565,23 @@ object SparkEntry {
       // stable pseudo-random pick (pure function of salt+doc_id)
       Sampling.capPerGroup(rd(s, d, "documents"), "doc_id", "source", "cap1", 10)
         .select("source", "doc_id", "n_chars")),
+    "u5_table_diff" -> ((s, d) => {
+      // CDC between two deterministic snapshots of customer: balances
+      // shifted for every 4th key (changed), every 11th key dropped
+      // (deleted), and synthetic keys added (inserted)
+      val c = rd(s, d, "customer")
+      val prev = c.select(col("c_custkey").as("k"), col("c_acctbal").as("bal"),
+        col("c_mktsegment").as("seg"))
+      val next = c.filter(col("c_custkey") % 11 =!= 0)
+        .select(col("c_custkey").as("k"),
+          when(col("c_custkey") % 4 === 0, col("c_acctbal") + lit(25))
+            .otherwise(col("c_acctbal")).as("bal"),
+          col("c_mktsegment").as("seg"))
+        .unionByName(c.filter(col("c_custkey") % 10 === 3)
+          .select((col("c_custkey") + 2000000L).as("k"), lit(1.0).as("bal"),
+            lit("NEW").as("seg")))
+      Merge.diff(prev, next, Seq("k"), Seq("bal", "seg"))
+    }),
     "u4_scd2_history" -> ((s, d) => {
       // SCD-2 dimension maintenance on customer: a seeded history (an
       // already-closed 2023 version for every 7th key), then one apply
@@ -1224,6 +1241,18 @@ object SparkEntry {
       ("SELECT source, doc_id, n_chars FROM (SELECT source, doc_id, n_chars, " +
         "row_number() OVER (PARTITION BY source ORDER BY md5('cap1:' || CAST(doc_id AS VARCHAR)) NULLS FIRST, doc_id NULLS FIRST) AS rk " +
         "FROM documents) t WHERE rk <= 10"),
+    "u5_table_diff" ->
+      ("WITH prev AS (SELECT c_custkey AS k, c_acctbal AS bal, c_mktsegment AS seg FROM customer), " +
+        "nxt AS (SELECT c_custkey AS k, CASE WHEN c_custkey % 4 = 0 THEN c_acctbal + 25 ELSE c_acctbal END AS bal, " +
+        "c_mktsegment AS seg FROM customer WHERE c_custkey % 11 <> 0 " +
+        "UNION ALL SELECT c_custkey + 2000000, 1.0, 'NEW' FROM customer WHERE c_custkey % 10 = 3), " +
+        "j AS (SELECT p.k AS pk, p.bal AS pbal, p.seg AS pseg, n.k AS nk, n.bal AS nbal, n.seg AS nseg " +
+        "FROM prev p FULL JOIN nxt n ON p.k = n.k), " +
+        "d AS (SELECT coalesce(pk, nk) AS k, pbal AS prev_bal, pseg AS prev_seg, nbal AS next_bal, nseg AS next_seg, " +
+        "CASE WHEN pk IS NOT NULL AND nk IS NOT NULL AND (pbal IS DISTINCT FROM nbal OR pseg IS DISTINCT FROM nseg) THEN 'changed' " +
+        "WHEN pk IS NOT NULL AND nk IS NULL THEN 'deleted' " +
+        "WHEN pk IS NULL AND nk IS NOT NULL THEN 'inserted' END AS change_type FROM j) " +
+        "SELECT * FROM d WHERE change_type IS NOT NULL"),
     "u4_scd2_history" ->
       ("WITH cur AS (SELECT c_custkey AS k, c_acctbal AS bal, c_nationkey AS nk, " +
         "TIMESTAMP '2024-01-01' AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to FROM customer), " +

@@ -122,6 +122,43 @@ object Merge {
       skCol,
       row_number().over(Window.orderBy(orderBy.map(col): _*)) + lit(maxExisting))
 
+  /** Keyed table diff — change data capture between two snapshots:
+    * emits one row per differing key with `change_type` of `inserted`
+    * (key only in `next`), `deleted` (key only in `prev`), or
+    * `changed` (present in both, any compared column differing
+    * null-safely). Unchanged keys emit nothing, so the output is
+    * delta-sized — the input to incremental downstream refreshes,
+    * replication, and audit.
+    *
+    * One full-outer join on the key (single co-partitioned shuffle);
+    * the column comparison is a codegen'd predicate, not a row hash,
+    * so adding columns never changes existing diff results.
+    */
+  def diff(
+      prev: DataFrame,
+      next: DataFrame,
+      keys: Seq[String],
+      compareCols: Seq[String],
+      changeCol: String = "change_type"): DataFrame = {
+    val t = prev.withColumn(TMarker, lit(1)).alias("__mt")
+    val s = next.withColumn(SMarker, lit(1)).alias("__ms")
+    def tc(c: String): Column = col(s"__mt.$c")
+    def sc(c: String): Column = col(s"__ms.$c")
+    val joined = t.join(s, keys.map(k => tc(k) === sc(k)).reduce(_ && _), "full_outer")
+    val tP = col(s"__mt.$TMarker").isNotNull
+    val sP = col(s"__ms.$SMarker").isNotNull
+    val changed = compareCols.map(c => !(tc(c) <=> sc(c))).reduce(_ || _)
+    joined
+      .withColumn(changeCol,
+        when(tP && sP && changed, lit("changed"))
+          .when(tP && !sP, lit("deleted"))
+          .when(!tP && sP, lit("inserted")))
+      .filter(col(changeCol).isNotNull)
+      .select(keys.map(k => coalesce(tc(k), sc(k)).as(k)) ++
+        compareCols.map(c => tc(c).as(s"prev_$c")) ++
+        compareCols.map(c => sc(c).as(s"next_$c")) :+ col(changeCol): _*)
+  }
+
   /** SCD-2 (full-history) merge: `history` holds every version of each
     * business key with `[validFromCol, validToCol)` validity (NULL
     * `validToCol` = current); `updates` carries one candidate row per

@@ -114,6 +114,18 @@ class MergeSuite extends AnyFunSuite with SparkTest {
     assert(out.filter($"k" === 2L && $"valid_to".isNull && $"bal".isNull).count() == 1)
   }
 
+  test("diff emits inserted/deleted/changed rows only, null-safely") {
+    val s = spark; import s.implicits._
+    val prev = Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, None: Option[Double]), (4L, Some(40.0)))
+      .toDF("k", "bal")
+    val next = Seq((1L, Some(10.0)), (2L, Some(21.0)), (3L, None: Option[Double]), (5L, Some(50.0)))
+      .toDF("k", "bal")
+    val out = Merge.diff(prev, next, Seq("k"), Seq("bal")).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    // k=1 identical, k=3 NULL<=>NULL -> neither appears
+    assert(out == Map(2L -> "changed", 4L -> "deleted", 5L -> "inserted"))
+  }
+
   test("insertMissing appends only absent keys") {
     val s = spark; import s.implicits._
     val tgt = Seq((1L, "a")).toDF("k", "v")

@@ -565,6 +565,14 @@ object SparkEntry {
       // stable pseudo-random pick (pure function of salt+doc_id)
       Sampling.capPerGroup(rd(s, d, "documents"), "doc_id", "source", "cap1", 10)
         .select("source", "doc_id", "n_chars")),
+    "dq_constraints" -> ((s, d) =>
+      // admission-gate checks in one scan; the negated-status check is
+      // deliberately violated so non-zero counts are exercised too
+      graft.operators.Quality.constraintViolations(rd(s, d, "orders"), Seq(
+        "key_not_null" -> col("o_orderkey").isNotNull,
+        "price_non_negative" -> (col("o_totalprice") >= 0),
+        "status_in_domain" -> col("o_orderstatus").isin("F", "O", "P"),
+        "status_is_f" -> (col("o_orderstatus") === "F")))),
     "u5_table_diff" -> ((s, d) => {
       // CDC between two deterministic snapshots of customer: balances
       // shifted for every 4th key (changed), every 11th key dropped
@@ -1241,6 +1249,12 @@ object SparkEntry {
       ("SELECT source, doc_id, n_chars FROM (SELECT source, doc_id, n_chars, " +
         "row_number() OVER (PARTITION BY source ORDER BY md5('cap1:' || CAST(doc_id AS VARCHAR)) NULLS FIRST, doc_id NULLS FIRST) AS rk " +
         "FROM documents) t WHERE rk <= 10"),
+    "dq_constraints" ->
+      ("WITH n AS (SELECT count(*) AS n_rows FROM orders) " +
+        "SELECT 'key_not_null' AS check_name, (SELECT count(*) FROM orders WHERE NOT coalesce(o_orderkey IS NOT NULL, FALSE)) AS n_violations, n_rows FROM n " +
+        "UNION ALL SELECT 'price_non_negative', (SELECT count(*) FROM orders WHERE NOT coalesce(o_totalprice >= 0, FALSE)), n_rows FROM n " +
+        "UNION ALL SELECT 'status_in_domain', (SELECT count(*) FROM orders WHERE NOT coalesce(o_orderstatus IN ('F','O','P'), FALSE)), n_rows FROM n " +
+        "UNION ALL SELECT 'status_is_f', (SELECT count(*) FROM orders WHERE NOT coalesce(o_orderstatus = 'F', FALSE)), n_rows FROM n"),
     "u5_table_diff" ->
       ("WITH prev AS (SELECT c_custkey AS k, c_acctbal AS bal, c_mktsegment AS seg FROM customer), " +
         "nxt AS (SELECT c_custkey AS k, CASE WHEN c_custkey % 4 = 0 THEN c_acctbal + 25 ELSE c_acctbal END AS bal, " +

@@ -126,6 +126,23 @@ class MergeSuite extends AnyFunSuite with SparkTest {
     assert(out == Map(2L -> "changed", 4L -> "deleted", 5L -> "inserted"))
   }
 
+  test("constraint checker counts violations in one pass; null predicate = violation") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, Some(5.0)), (2L, Some(-1.0)), (3L, None: Option[Double]))
+      .toDF("k", "price")
+    val out = graft.operators.Quality.constraintViolations(df, Seq(
+      "price_positive" -> (col("price") > 0),
+      "key_small" -> (col("k") < 10)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // null price cannot prove price > 0 -> violation
+    assert(out == Map("price_positive" -> ((2L, 3L)), "key_small" -> ((0L, 3L))))
+    intercept[IllegalArgumentException] {
+      graft.operators.Quality.requireConstraints(df, Seq("p" -> (col("price") > 0)))
+    }
+    assert(graft.operators.Quality.requireConstraints(df, Seq("k" -> (col("k") < 10)))
+      .count() == 3) // passes through unchanged
+  }
+
   test("insertMissing appends only absent keys") {
     val s = spark; import s.implicits._
     val tgt = Seq((1L, "a")).toDF("k", "v")

@@ -72,7 +72,9 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "pipeline_training_mix" -> "6a4e4c61db0659c4fe79e3b48a665375",
     "pack_token_budget" -> "4f7d9da0a35eca24ac0a3644f7cd3d99",
     "q_lateral_topn" -> "453cd5e7a710f17082efe93586b3e476",
-    "q_grouping_sets" -> "98a4933d9c1495870521e961360b108a")
+    "q_grouping_sets" -> "98a4933d9c1495870521e961360b108a",
+    "u5_table_diff" -> "d92c06c7d435a001bcfb2a40970fd6bf",
+    "dq_constraints" -> "8e51da8526727a47c80ceacdb246dee0")
 
   test("round-3 operator outputs hash-match their pinned golden values") {
     val got = pinnedR3.keys.toSeq.sorted.map { q =>

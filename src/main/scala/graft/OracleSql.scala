@@ -293,6 +293,56 @@ object OracleSql {
       ivfTail(s"cent$iters", k, nProbe, dim)
   }
 
+  /** Oracle for `ann_pq_topk`: full replay of [[graft.operators.Similarity.pqTopK]]
+    * — portable rolling-hash codebook pick (raw vectors), per-subspace
+    * argmax-dot encoding with first-max tie-break, per-query LUTs, the
+    * fixed-subspace-order ADC sum (left-associated, so the double is
+    * bit-identical), the refine cut, and the exact cosine re-rank.
+    */
+  def annPqTopK(k: Int, m: Int = 4, codebookSize: Int = 16, refine: Int = 50,
+      dim: Int = 64, seed: Long = 42L): String = {
+    require(dim % m == 0)
+    val subDim = dim / m
+    def subDot(va: String, vb: String, s: Int): String =
+      (1 to subDim)
+        .map(j => s"CAST($va[${s * subDim + j}] AS DOUBLE) * CAST($vb[${s * subDim + j}] AS DOUBLE)")
+        .mkString("(", " + ", ")")
+    val prologue =
+      s"base AS (SELECT vec_id, embedding, sqrt(${selfDot("embedding", dim)}) AS nrm FROM embeddings), " +
+        "cnd AS (SELECT * FROM base WHERE vec_id >= 10), " +
+        "qry AS (SELECT * FROM base WHERE vec_id < 10), " +
+        s"ch AS (SELECT vec_id, embedding, hex(encode('pq$seed:' || CAST(vec_id AS VARCHAR))) AS hx FROM cnd), " +
+        s"ck AS (SELECT vec_id, embedding, ${toSigned(rollFold("hx"))} AS h FROM ch), " +
+        "pick AS (SELECT embedding, CAST(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) AS cidx " +
+        s"FROM ck ORDER BY h, vec_id LIMIT $codebookSize)"
+    val perSub = (0 until m).map { s =>
+      s"cd$s AS (SELECT c.vec_id, p.cidx, ${subDot("c.embedding", "p.embedding", s)} AS d " +
+        "FROM cnd c CROSS JOIN pick p), " +
+        s"code$s AS (SELECT vec_id, cidx AS code FROM (SELECT vec_id, cidx, " +
+        s"row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cidx) AS rn FROM cd$s) t WHERE rn = 1), " +
+        s"ql$s AS (SELECT q.vec_id, p.cidx, ${subDot("q.embedding", "p.embedding", s)} AS d " +
+        "FROM qry q CROSS JOIN pick p)"
+    }.mkString(", ")
+    val codeJoin = (1 until m).map(s => s"JOIN code$s c$s USING (vec_id)").mkString(" ")
+    val codeCols = (0 until m).map(s => s"c$s.code AS k$s").mkString(", ")
+    val lutJoins = (0 until m).map { s =>
+      val qEq = if (s == 0) "" else s" AND l$s.vec_id = l0.vec_id"
+      s"JOIN ql$s l$s ON l$s.cidx = cs.k$s$qEq"
+    }.mkString(" ")
+    // left-associated like the Scala reduce: ((d0 + d1) + d2) + d3
+    val adcSum = (1 until m).foldLeft("l0.d")((acc, s) => s"($acc + l$s.d)")
+    s"WITH $prologue, $perSub, " +
+      s"codes AS (SELECT c0.vec_id, $codeCols FROM code0 c0 $codeJoin), " +
+      s"adc AS (SELECT l0.vec_id AS query_id, cs.vec_id AS neighbor_id, $adcSum AS adc " +
+      s"FROM codes cs $lutJoins), " +
+      "ref AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, " +
+      s"row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rn FROM adc) t WHERE rn <= $refine) " +
+      "SELECT query_id, neighbor_id, rnk FROM (SELECT r.query_id, r.neighbor_id, " +
+      s"CAST(row_number() OVER (PARTITION BY r.query_id ORDER BY ${pairDot("q.embedding", "c.embedding", dim)} / (q.nrm * c.nrm) DESC, r.neighbor_id) AS INT) AS rnk " +
+      "FROM ref r JOIN qry q ON q.vec_id = r.query_id JOIN cnd c ON c.vec_id = r.neighbor_id) t " +
+      s"WHERE rnk <= $k"
+  }
+
   // ----------------------------------------------------------- multimodal
 
   /** Oracle for `media_byte_stats`: byte length + md5 of the text

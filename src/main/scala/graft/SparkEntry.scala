@@ -446,6 +446,13 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(rd(s, d, "embeddings"),
         col("vec_id") < 10, col("vec_id") >= 10, 5, numCentroids = 16, nProbe = 4)),
+    "ann_pq_topk" -> ((s, d) =>
+      // product-quantization tier: m byte-codes per vector + per-query
+      // LUTs (asymmetric distance), exact re-rank of the short list —
+      // the 32x memory-compression scale path; oracle replays the
+      // whole pipeline including the fixed-order ADC sum
+      Similarity.pqTopK(rd(s, d, "embeddings"),
+        col("vec_id") < 10, col("vec_id") >= 10, 5)),
     "ann_ivf_refined_topk" -> ((s, d) =>
       // same index with 2 fixed-point Lloyd iterations moving the seeded
       // picks onto real cluster centers; the oracle replays the k-means
@@ -1109,6 +1116,7 @@ object SparkEntry {
     "dedup_embed_lsh" -> OracleSql.dedupEmbedLsh(0.4),
     "ann_lsh_topk" -> OracleSql.annLshTopK(5),
     "ann_ivf_topk" -> OracleSql.annIvfTopK(5, numCentroids = 16, nProbe = 4),
+    "ann_pq_topk" -> OracleSql.annPqTopK(5),
     "ann_ivf_refined_topk" ->
       OracleSql.annIvfRefinedTopK(5, numCentroids = 16, nProbe = 4, iters = 2),
     "text_rolling_fp" -> OracleSql.textRollingFp,

@@ -358,6 +358,94 @@ object Similarity {
     cents
   }
 
+  /** Product-quantization (PQ) top-k — the memory-compression ANN tier:
+    * the corpus is stored as `m` small codes per vector (one byte each
+    * at `codebookSize` ≤ 256) instead of `dim` floats, and queries rank
+    * candidates from per-query lookup tables over those codes
+    * (asymmetric distance computation), touching full vectors only to
+    * re-rank the short candidate list exactly.
+    *
+    *   1. codebook: `codebookSize` corpus vectors picked in the
+    *      portable rolling-hash order (same mechanism as the IVF seed
+    *      pick; per-subspace k-means is the quality upgrade, the
+    *      seeded pick is the oracle-replayable tier);
+    *   2. encode: per subspace `s`, each candidate's code is the
+    *      argmax-dot codebook entry of its slice (first-max tie-break)
+    *      — one pass, m·codebookSize codegen'd sub-dots per row;
+    *   3. ADC: each query precomputes `m` LUT arrays (its slice dotted
+    *      with every codebook slice — `m·codebookSize` sub-dots on the
+    *      QUERY side only); scoring a candidate is then `m` array
+    *      lookups + adds, summed in fixed subspace order so the double
+    *      is engine-identical;
+    *   4. exact re-rank of the top `refine` per query by true cosine.
+    *
+    * At 100 TB the scan reads `m` bytes per vector instead of
+    * `4·dim` — a 32× IO/memory cut at the defaults — and the exact
+    * tier touches only `|Q|·refine` full vectors.
+    */
+  def pqTopK(
+      emb: DataFrame,
+      queryPred: Column,
+      candPred: Column,
+      k: Int,
+      m: Int = 4,
+      codebookSize: Int = 16,
+      refine: Int = 50,
+      seed: Long = 42L,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val n = withNorm(emb, vecCol, idCol)
+    val c0 = n.where(candPred)
+    // raw (unnormalized) codebook picks — slices of real corpus vectors
+    val picks: Array[Array[Float]] = c0
+      .orderBy(rolling_hash(concat(lit(s"pq$seed:"), col(idCol).cast("string"))), col(idCol))
+      .limit(codebookSize)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
+    require(picks.nonEmpty, "PQ: no candidate rows to index")
+    val dim = picks.head.length
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+    def sl(c: Column, s: Int): Column = slice(c, s * subDim + 1, subDim)
+    def cbSlice(s: Int, cI: Int): Array[Float] =
+      picks(cI).slice(s * subDim, (s + 1) * subDim)
+    def subDots(v: Column, s: Int): Column =
+      array(picks.indices.map(cI => vec_dot(sl(v, s), lit(cbSlice(s, cI)))): _*)
+
+    // encode: dot arrays materialized in their own projection so the
+    // argmax reads a column (assignCells pattern)
+    val withDots = c0.select(
+      col(idCol).as("neighbor_id") +: col(vecCol).as("c_vec") +: col("norm").as("c_norm") +:
+        (0 until m).map(s => subDots(col(vecCol), s).as(s"__d$s")): _*)
+    val codes = withDots.select(
+      col("neighbor_id") +: col("c_vec") +: col("c_norm") +:
+        (0 until m).map(s =>
+          array_position(col(s"__d$s"), array_max(col(s"__d$s"))).as(s"code_$s")): _*)
+
+    val q0 = n.where(queryPred).select(
+      col(idCol).as("query_id") +: col(vecCol).as("q_vec") +: col("norm").as("q_norm") +:
+        (0 until m).map(s => subDots(col(vecCol), s).as(s"__lut$s")): _*)
+
+    // fixed subspace order: left-associated + over doubles
+    val adc = (0 until m)
+      .map(s => element_at(col(s"__lut$s"), col(s"code_$s").cast("int")))
+      .reduce(_ + _)
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("__adc").desc, col("neighbor_id"))
+    val refined = codes.crossJoin(broadcast(q0))
+      .withColumn("__adc", adc)
+      .withColumn("__rn", row_number().over(wAdc))
+      .filter(col("__rn") <= refine)
+
+    val wExact = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("__cos").desc, col("neighbor_id"))
+    refined
+      .withColumn("__cos",
+        vec_dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rnk", row_number().over(wExact).cast("int"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk")
+  }
+
   /** Per-group element-wise vector sums in deterministic fixed point —
     * the distributed primitive behind label centroids, class
     * prototypes, and embedding-drift monitoring.

@@ -157,6 +157,28 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
       .map(_.toSeq).toSeq == refined.map(_.toSeq).toSeq)
   }
 
+  test("pqTopK: useful recall vs brute force, deterministic, refine==corpus is exact") {
+    val s = spark
+    val emb = graft.sources.Tables.table(s, "/root/testdata/sf0.01", "embeddings")
+    val q = col("vec_id") < 10
+    val c = col("vec_id") >= 10
+    val brute = Similarity.bruteForceTopK(emb, q, c, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(emb, q, c, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect pq).size
+    assert(recall >= 20, s"PQ recall collapsed: $recall/50")
+    // same inputs -> bit-identical ranking (fixed-order ADC sum)
+    val again = Similarity.pqTopK(emb, q, c, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == pq)
+    // with the refine window covering the whole corpus, the exact
+    // re-rank sees everything: PQ degrades to brute force exactly
+    val full = Similarity.pqTopK(emb, q, c, 5, refine = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == brute)
+  }
+
   test("groupedVectorSums: exact fixed-point sums, invariant under partitioning") {
     val s = spark; import s.implicits._
     val emb = Seq(

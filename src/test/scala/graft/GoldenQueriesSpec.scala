@@ -74,7 +74,8 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "q_lateral_topn" -> "453cd5e7a710f17082efe93586b3e476",
     "q_grouping_sets" -> "98a4933d9c1495870521e961360b108a",
     "u5_table_diff" -> "d92c06c7d435a001bcfb2a40970fd6bf",
-    "dq_constraints" -> "8e51da8526727a47c80ceacdb246dee0")
+    "dq_constraints" -> "8e51da8526727a47c80ceacdb246dee0",
+    "ann_pq_topk" -> "f55daa4d0c80d9e0731608aba7201fe4")
 
   test("round-3 operator outputs hash-match their pinned golden values") {
     val got = pinnedR3.keys.toSeq.sorted.map { q =>

@@ -455,4 +455,26 @@ object OracleSql {
       s"CAST(CASE WHEN g.n_h < $k THEN g.n_h ELSE $cap // kth.kth_min END AS BIGINT) AS est_distinct " +
       "FROM ex JOIN g ON g.event_type = ex.event_type JOIN kth ON kth.event_type = ex.event_type"
   }
+
+  // ------------------------------------------------- repeated-span excision
+
+  /** Full replay of `Dedup.exciseRepeatedSpans` (raw-text span keys):
+    * stride-1 `w`-token spans, global first-occurrence survivors by the
+    * same `doc_id·2³² + pos` ordinal, covered-position union, ordered
+    * reassembly. Positions are 0-based on both engines.
+    */
+  def exciseSpans(w: Int): String =
+    "WITH arr AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS a FROM documents), " +
+      "tok AS (SELECT doc_id, CAST(unnest(generate_series(1, len(a))) - 1 AS INT) AS pos, unnest(a) AS tok FROM arr), " +
+      s"sp AS (SELECT doc_id, pos, array_to_string(list_slice(a, pos + 1, pos + $w), ' ') AS span FROM " +
+      s"(SELECT doc_id, a, CAST(unnest(generate_series(1, greatest(len(a) - ${w - 1}, 0))) - 1 AS INT) AS pos FROM arr)), " +
+      "rep AS (SELECT span, min(doc_id * 4294967296 + pos) AS first_ord FROM sp GROUP BY span HAVING count(*) >= 2), " +
+      "marked AS (SELECT s.doc_id, s.pos FROM sp s JOIN rep r ON s.span = r.span " +
+      "WHERE s.doc_id * 4294967296 + s.pos <> r.first_ord), " +
+      s"cov AS (SELECT DISTINCT doc_id, CAST(unnest(generate_series(pos, pos + ${w - 1})) AS INT) AS pos FROM marked), " +
+      "kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t WHERE NOT EXISTS " +
+      "(SELECT 1 FROM cov c WHERE c.doc_id = t.doc_id AND c.pos = t.pos)), " +
+      "cl AS (SELECT doc_id, CAST(count(*) AS INT) AS n_kept, string_agg(tok, ' ' ORDER BY pos) AS ct FROM kept GROUP BY doc_id) " +
+      "SELECT arr.doc_id, CAST(len(a) AS INT) AS n_tokens, COALESCE(cl.n_kept, 0) AS n_kept, " +
+      "md5(COALESCE(cl.ct, '')) AS clean_md5 FROM arr LEFT JOIN cl USING (doc_id)"
 }

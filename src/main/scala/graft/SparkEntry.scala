@@ -393,6 +393,10 @@ object SparkEntry {
       val docs = rd(s, d, "documents")
       Dedup.simHashSignatures(docs, portable = true)
     }),
+    "dedup_span_excise" -> ((s, d) =>
+      // substring-level dedup: every 10-token span seen >=2x globally is
+      // cut from all but its first occurrence; docs reassembled
+      Dedup.exciseRepeatedSpans(rd(s, d, "documents"), window = 10)),
     "dedup_embed_cosine" -> ((s, d) =>
       Dedup.embeddingNearDup(rd(s, d, "embeddings"), 0.4)),
     "dedup_embed_lsh" -> ((s, d) =>
@@ -1104,6 +1108,7 @@ object SparkEntry {
         "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) NOT IN " +
         "(SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) FROM documents WHERE doc_id < 20)"),
     "dedup_ngram_capped" -> OracleSql.dedupNgramCapped(1, 20, 5),
+    "dedup_span_excise" -> OracleSql.exciseSpans(10),
     "decontaminate_ngram" ->
       (s"WITH ${OracleSql.wordTriCtes}, " +
         "eg AS (SELECT DISTINCT g FROM tri WHERE doc_id < 20), " +

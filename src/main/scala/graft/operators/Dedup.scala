@@ -471,6 +471,94 @@ object Dedup {
     labels
   }
 
+  /** Exact repeated-span excision — substring-level deduplication.
+    * Doc-level dedup (all the operators above) drops whole documents;
+    * this operator cuts the REPEATED PART out of otherwise-distinct
+    * documents: every `window`-token span whose exact text occurs more
+    * than once in the corpus (boilerplate headers, license blocks,
+    * quoted passages) is removed from every occurrence except the
+    * globally first one, and each document is reassembled from its
+    * surviving tokens. Token-granularity form of the exact substring
+    * deduplication used by large-corpus curation pipelines
+    * (suffix-array ES dedup), re-expressed as keyed shuffles.
+    *
+    * Algorithm — all DataFrame ops, no driver loops:
+    *   1. stride-1 spans: `(doc, pos, span_text)`, generated map-side
+    *      from the materialized token array (slice + array_join are
+    *      codegen'd, not lambda HOFs);
+    *   2. group by span key → spans seen ≥2× keep their first
+    *      occurrence ordinal (`min(doc·2³² + pos)`, one integer — no
+    *      struct shuffle);
+    *   3. every non-first occurrence explodes into its `window`
+    *      covered positions (a trickle — only repeated spans survive
+    *      step 2's filter);
+    *   4. anti-join the token table on `(doc, pos)`, then ordered
+    *      reassembly (`listagg WITHIN GROUP` — `collect_list` order is
+    *      partition-dependent) against the full document spine, so
+    *      fully-excised docs emit with `n_kept = 0` rather than
+    *      vanishing.
+    *
+    * Overlapping repeated spans union their covered positions, so a
+    * shared run of L ≥ window tokens is excised exactly (its L−window+1
+    * spans cover positions 0..L−1 of the run).
+    *
+    * At 100 TB the span-key shuffle dominates; `hashSpans = true` keys
+    * step 2 by the 64-bit [[graft.functions.rolling_hash]] of the span
+    * instead of its text (8-byte shuffle keys). The gated query runs
+    * the raw-text keys — exact by construction and replayed verbatim by
+    * the DuckDB oracle; DedupSpec pins hashed == raw on the fixture.
+    *
+    * @return (doc_id, n_tokens, n_kept, clean_md5): original and
+    *         surviving token counts plus the md5 of the reassembled
+    *         text ('' when everything was excised).
+    */
+  def exciseRepeatedSpans(
+      docs: DataFrame,
+      window: Int = 10,
+      hashSpans: Boolean = false,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val toks = Caches.persisted(
+      docs.select(col(idCol), tokens(col(textCol)).as("__toks")))
+    // positions 0..n-window: posexplode a prefix slice of the token
+    // array (the exploded token itself is discarded — only `pos` and
+    // the array survive to the span projection)
+    val spans = toks
+      .select(col(idCol), col("__toks"),
+        posexplode(slice(col("__toks"), lit(1),
+          greatest(size(col("__toks")) - (window - 1), lit(0)))).as(Seq("pos", "__t0")))
+      .select(col(idCol), col("pos"),
+        array_join(slice(col("__toks"), col("pos") + 1, lit(window)), " ").as("span"))
+    val keyed = spans.select(col(idCol), col("pos"),
+      (if (hashSpans) rolling_hash(col("span")) else col("span")).as("__k"))
+    val ord = col(idCol) * lit(4294967296L) + col("pos")
+    val repeated = keyed
+      .groupBy("__k")
+      .agg(min(ord).as("first_ord"), count(lit(1)).as("__n"))
+      .where(col("__n") >= 2)
+      .select("__k", "first_ord")
+    val marked = keyed
+      .join(repeated, "__k")
+      .where(ord =!= col("first_ord"))
+      .select(col(idCol), col("pos"))
+    val covered = marked
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (window - 1))).as("pos"))
+      .distinct()
+    val kept = toks
+      .select(col(idCol), posexplode(col("__toks")).as(Seq("pos", "tok")))
+      .join(covered, Seq(idCol, "pos"), "left_anti")
+    val clean = kept
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("int").as("n_kept"),
+        expr("listagg(tok, ' ') WITHIN GROUP (ORDER BY pos)").as("__ct"))
+    toks.select(col(idCol), size(col("__toks")).as("n_tokens"))
+      .join(clean, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        md5(coalesce(col("__ct"), lit(""))).as("clean_md5"))
+  }
+
   /** Embedding-cosine near-dup, exact pairwise. Norms are precomputed
     * once per row so the O(n²/2) pair scan only evaluates the codegen'd
     * FloatVecDot. This variant is oracle-exact; at 100 TB-scale use the

@@ -221,4 +221,55 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     // guaranteed candidate -> guaranteed emitted
     assert(lsh.contains((0L, 1L)))
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("exciseRepeatedSpans cuts a shared run from the later doc only") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "one two alpha beta gamma delta epsilon zeta three"),
+      (2L, "totally unrelated content here now")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exciseRepeatedSpans(docs, window = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    // doc 0 holds the first occurrence of every repeated span: intact
+    assert(out(0L) == ((6, 6, md5hex("alpha beta gamma delta epsilon zeta"))))
+    // doc 1 loses exactly the 6-token shared run (positions 2..7)
+    assert(out(1L) == ((9, 3, md5hex("one two three"))))
+    // doc 2 shares nothing: intact
+    assert(out(2L) == ((5, 5, md5hex("totally unrelated content here now"))))
+  }
+
+  test("exciseRepeatedSpans: exact duplicate doc is fully excised, short docs untouched") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (0L, "p q r s t u v w"),
+      (1L, "p q r s t u v w"), // exact dup, longer than the window
+      (2L, "tiny doc") // shorter than the window: no spans, untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.exciseRepeatedSpans(docs, window = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(0L) == ((8, 8, md5hex("p q r s t u v w"))))
+    assert(out(1L) == ((8, 0, md5hex("")))) // emitted, not dropped
+    assert(out(2L) == ((2, 2, md5hex("tiny doc"))))
+  }
+
+  test("exciseRepeatedSpans handles repetition WITHIN one doc; hashed keys match raw") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (0L, "x y z w x y z w"), // internal repeat of the 4-token span
+      (1L, "a b c d e f g h")
+    ).toDF("doc_id", "text")
+    val raw = Dedup.exciseRepeatedSpans(docs, window = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    // second occurrence (positions 4..7) excised, first kept
+    assert(raw(0L) == ((8, 4, md5hex("x y z w"))))
+    assert(raw(1L) == ((8, 8, md5hex("a b c d e f g h"))))
+    val hashed = Dedup.exciseRepeatedSpans(docs, window = 4, hashSpans = true).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(hashed == raw)
+  }
 }

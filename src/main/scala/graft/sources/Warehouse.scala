@@ -106,4 +106,83 @@ object Warehouse {
       throw new java.io.IOException(s"warehouse swap failed: $tmp -> $live")
     fs.delete(old, true)
   }
+
+  // ------------------------------------------------------- versioned tables
+
+  private def versionsDir(dir: String, table: String) = new Path(s"$dir/$table.v")
+
+  /** [[overwrite]] plus snapshot retention: after the swap succeeds, the
+    * displaced table directory is archived as `<table>.v/<n>` instead of
+    * deleted, and only the newest `keepVersions` archives are retained.
+    * The swap/crash protocol is IDENTICAL to [[overwrite]] (write tmp →
+    * live→old → tmp→live, `.old` self-healed), archiving happens strictly
+    * after the new table is live, and archiving is a rename — no data is
+    * copied or rewritten.
+    *
+    * Versions are monotonically numbered; [[readVersion]] time-travels,
+    * [[rollback]] restores. Directory-level snapshots fit state and
+    * dimension tables (the SCD-1/SCD-2 merge targets); a 100 TB fact
+    * table versions at the partition/manifest level instead
+    * ([[overwritePartitions]] + an external table format).
+    */
+  def overwriteVersioned(df: DataFrame, dir: String, table: String, keepVersions: Int = 3): Unit = {
+    require(keepVersions >= 1, "keepVersions must be >= 1")
+    val spark = df.sparkSession
+    heal(spark, dir, table)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(path(dir, table))
+    val tmp = new Path(path(dir, table) + ".tmp")
+    val old = new Path(path(dir, table) + ".old")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(live)) {
+      if (!fs.rename(live, old))
+        throw new java.io.IOException(s"warehouse swap failed: $live -> $old")
+    }
+    if (!fs.rename(tmp, live))
+      throw new java.io.IOException(s"warehouse swap failed: $tmp -> $live")
+    if (fs.exists(old)) {
+      val vdir = versionsDir(dir, table)
+      if (!fs.exists(vdir)) fs.mkdirs(vdir)
+      val next = versions(spark, dir, table).lastOption.getOrElse(0L) + 1
+      if (!fs.rename(old, new Path(vdir, next.toString)))
+        throw new java.io.IOException(s"warehouse archive failed: $old -> $vdir/$next")
+      versions(spark, dir, table).dropRight(keepVersions)
+        .foreach(v => fs.delete(new Path(vdir, v.toString), true))
+    }
+  }
+
+  /** Archived snapshot ids for a versioned table, oldest first (empty
+    * when the table has never been overwritten or is not versioned).
+    */
+  def versions(spark: SparkSession, dir: String, table: String): Seq[Long] = {
+    val vdir = versionsDir(dir, table)
+    val fs = vdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(vdir)) Seq.empty
+    else fs.listStatus(vdir).toSeq
+      .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
+      .sorted
+  }
+
+  /** Time-travel read of an archived snapshot. */
+  def readVersion(spark: SparkSession, dir: String, table: String, version: Long): DataFrame = {
+    val vdir = versionsDir(dir, table)
+    val p = new Path(vdir, version.toString)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      throw new java.io.IOException(
+        s"no archived version $version of $table (have: ${versions(spark, dir, table).mkString(",")})")
+    spark.read.parquet(p.toString)
+  }
+
+  /** Restore an archived snapshot as the new live table. Runs through
+    * [[overwriteVersioned]] — the current live table is archived first,
+    * so a rollback is itself undoable and the version history stays
+    * monotone. The restored data is re-materialized (written before any
+    * directory is mutated), so a crash mid-rollback cannot lose either
+    * the live table or the archive being restored.
+    */
+  def rollback(spark: SparkSession, dir: String, table: String, version: Long, keepVersions: Int = 3): Unit =
+    overwriteVersioned(readVersion(spark, dir, table, version), dir, table, keepVersions)
 }

@@ -273,7 +273,8 @@ object Streams {
       views: DataFrame,
       purchases: DataFrame,
       joinWindow: String = "1 hour",
-      watermark: String = "2 hours"): DataFrame = {
+      watermark: String = "2 hours",
+      joinType: String = "inner"): DataFrame = {
     val v = views.withWatermark("ts", watermark)
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
         col("ts").as("v_ts"))
@@ -283,8 +284,31 @@ object Streams {
     v.join(p,
       col("v_user") === col("p_user") &&
         col("p_ts") >= col("v_ts") &&
-        col("p_ts") <= col("v_ts") + expr(s"INTERVAL $joinWindow"))
+        col("p_ts") <= col("v_ts") + expr(s"INTERVAL $joinWindow"),
+      joinType)
       .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"),
         col("v_ts"), col("p_ts"), col("purchase_value"))
   }
+
+  /** LEFT OUTER form of [[viewPurchaseJoin]]: every view eventually
+    * emits — matched views as soon as the purchase arrives, unmatched
+    * views with NULL purchase columns once the watermark passes
+    * `view.ts + joinWindow` and the engine can PROVE no match can still
+    * arrive. The abandoned-funnel feed: downstream sees conversions and
+    * non-conversions as one stream.
+    *
+    * Same state bounds as the inner join (both sides watermarked, event
+    * time bounded on both ends); the only extra cost is that unmatched
+    * view rows are held until watermark expiry instead of being dropped
+    * at it — identical horizon, so state is still bounded. Null-padded
+    * results arrive with watermark delay by construction; consumers
+    * needing earlier signals lower the watermark, trading late-data
+    * tolerance.
+    */
+  def viewPurchaseJoinOuter(
+      views: DataFrame,
+      purchases: DataFrame,
+      joinWindow: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    viewPurchaseJoin(views, purchases, joinWindow, watermark, "left_outer")
 }

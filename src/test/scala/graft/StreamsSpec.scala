@@ -66,6 +66,44 @@ class StreamsSpec extends AnyFunSuite with SparkTest {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits unmatched views with NULLs after watermark expiry") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    def row(id: Long, t: String, u: Long, typ: String, v: Double) =
+      (id, ts(t), u, typ, v)
+    val vIn = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val pIn = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    def named(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams.viewPurchaseJoinOuter(named(vIn.toDF()), named(pIn.toDF()))
+      .writeStream.format("memory").queryName("ssj_outer_out")
+      .outputMode("append").start()
+    try {
+      // user 1 converts inside the hour; user 9's view never converts
+      vIn.addData(Seq(
+        row(1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+        row(3L, "2024-01-01 10:05:00", 9L, "view", 0.0)))
+      pIn.addData(Seq(row(2L, "2024-01-01 10:30:00", 1L, "purchase", 9.0)))
+      q.processAllAvailable()
+      // push the watermark (min over BOTH streams) far past
+      // view.ts + window + delay so the engine can prove no-match;
+      // two advancing batches because outer-null rows flush in the
+      // batch AFTER the watermark update lands
+      for (t <- Seq("2024-01-02 10:00:00", "2024-01-02 11:00:00")) {
+        vIn.addData(Seq(row(90L, t, 7L, "view", 0.0)))
+        pIn.addData(Seq(row(91L, t, 8L, "purchase", 1.0)))
+        q.processAllAvailable()
+      }
+      val out = s.table("ssj_outer_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(out.contains((1L, 1L, 2L)), s"matched view must join: $out")
+      assert(out.contains((9L, 3L, -1L)), s"expired unmatched view must emit with NULLs: $out")
+      // the advance rows' own watermark has not passed: not emitted yet
+      assert(!out.exists(_._2 == 90L), s"late advance view must still be buffered: $out")
+    } finally q.stop()
+  }
+
   test("streaming heavy hitters match the batch aggregation (exact below capacity)") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext

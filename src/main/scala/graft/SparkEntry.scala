@@ -535,6 +535,29 @@ object SparkEntry {
         tieCol = "view_event_id", payloadCols = Seq("view_event_id", "view_value"),
         toleranceMicros = Some(6L * 3600L * 1000000L))
     }),
+    "asof_join_fwd" -> ((s, d) => {
+      // forward direction: each purchase picks up the user's EARLIEST
+      // view at-or-after it (mirrored carry over the same union shape)
+      val ev = rd(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_event_id"), col("value").as("view_value"))
+      AsOf.asofJoinForward(purchases, views, Seq("user_id"), "ts",
+        tieCol = "view_event_id", payloadCols = Seq("view_event_id", "view_value"))
+    }),
+    "asof_join_nearest" -> ((s, d) => {
+      // nearest direction (ties prefer backward) — pandas merge_asof parity
+      val ev = rd(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_event_id"), col("value").as("view_value"))
+      AsOf.asofJoinNearest(purchases, views, Seq("user_id"), "ts",
+        tieCol = "view_event_id", payloadCols = Seq("view_event_id", "view_value"))
+    }),
     "r_range_join" -> ((s, d) => {
       // general interval form: broadcast band dim, non-equi predicate
       val bands = priceBands(s)
@@ -1227,6 +1250,24 @@ object SparkEntry {
         "LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r " +
         "ON r.user_id = l.user_id AND r.ts <= l.ts AND epoch_us(l.ts) - epoch_us(r.ts) <= 21600000000 " +
         "QUALIFY row_number() OVER (PARTITION BY l.event_id ORDER BY r.ts DESC, r.event_id DESC) = 1"),
+    "asof_join_fwd" ->
+      ("SELECT l.event_id, l.user_id, l.ts, l.value, r.event_id AS view_event_id, " +
+        "r.value AS view_value, r.ts AS matched_ts " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') l " +
+        "LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r " +
+        "ON r.user_id = l.user_id AND r.ts >= l.ts " +
+        "QUALIFY row_number() OVER (PARTITION BY l.event_id ORDER BY r.ts ASC, r.event_id DESC) = 1"),
+    "asof_join_nearest" ->
+      // independent naive formulation: every same-user view ranked by
+      // |time distance|, backward preferred on ties, then highest id
+      ("SELECT l.event_id, l.user_id, l.ts, l.value, r.event_id AS view_event_id, " +
+        "r.value AS view_value, r.ts AS matched_ts " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') l " +
+        "LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r " +
+        "ON r.user_id = l.user_id " +
+        "QUALIFY row_number() OVER (PARTITION BY l.event_id ORDER BY " +
+        "abs(epoch_us(r.ts) - epoch_us(l.ts)), " +
+        "CASE WHEN r.ts <= l.ts THEN 0 ELSE 1 END, r.event_id DESC) = 1"),
     "r_range_join" -> bandJoinOracle,
     "r_band_equi" -> bandJoinOracle,
     "sample_hash_split" ->

@@ -117,6 +117,73 @@ class NonEquiSpec extends AnyFunSuite with SparkTest {
       .toDF("id", "v")
   }
 
+  private def asofFwd(left: DataFrame, right: DataFrame, tolMicros: Option[Long] = None) =
+    AsOf.asofJoinForward(
+      left, right.select(col("user_id"), col("ts"),
+        col("event_id").as("r_id"), col("value").as("r_value")),
+      Seq("user_id"), "ts", tieCol = "r_id", payloadCols = Seq("r_id", "r_value"),
+      toleranceMicros = tolMicros)
+
+  private def asofNear(left: DataFrame, right: DataFrame, tolMicros: Option[Long] = None) =
+    AsOf.asofJoinNearest(
+      left, right.select(col("user_id"), col("ts"),
+        col("event_id").as("r_id"), col("value").as("r_value")),
+      Seq("user_id"), "ts", tieCol = "r_id", payloadCols = Seq("r_id", "r_value"),
+      toleranceMicros = tolMicros)
+
+  test("asofJoinForward picks the earliest right at-or-after; ties to highest id; tolerance bounds") {
+    val right = mkEvents(Seq(
+      (100L, 1L, "2024-01-01 10:00:00", 1.0),
+      (105L, 1L, "2024-01-01 10:00:00", 1.5), // same ts, higher id wins
+      (101L, 1L, "2024-01-01 11:00:00", 2.0),
+      (103L, 2L, "2024-01-01 10:30:00", 9.0)))
+    val left = mkEvents(Seq(
+      (1L, 1L, "2024-01-01 09:00:00", 0.0), // earliest at-or-after -> 105 (tie)
+      (2L, 1L, "2024-01-01 10:00:00", 0.0), // equal ts -> inclusive -> 105
+      (3L, 1L, "2024-01-01 10:00:01", 0.0), // -> 101
+      (4L, 1L, "2024-01-01 12:00:00", 0.0), // after all rights -> null
+      (5L, 3L, "2024-01-01 10:00:00", 0.0))) // no rights -> null
+    val out = asofFwd(left, right).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(out == Map(1L -> 105L, 2L -> 105L, 3L -> 101L, 4L -> -1L, 5L -> -1L))
+    // 30-minute freshness: the 1-hour-away match nulls out
+    val tol = asofFwd(left, right, tolMicros = Some(30L * 60L * 1000000L)).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(tol(1L) == -1L && tol(2L) == 105L)
+  }
+
+  test("asofJoinNearest picks the closer side, preferring backward on exact ties") {
+    val right = mkEvents(Seq(
+      (100L, 1L, "2024-01-01 10:00:00", 1.0),
+      (101L, 1L, "2024-01-01 12:00:00", 2.0)))
+    val left = mkEvents(Seq(
+      (1L, 1L, "2024-01-01 10:30:00", 0.0), // 30m back vs 90m fwd -> 100
+      (2L, 1L, "2024-01-01 11:30:00", 0.0), // 90m back vs 30m fwd -> 101
+      (3L, 1L, "2024-01-01 11:00:00", 0.0), // exact tie -> backward 100
+      (4L, 1L, "2024-01-01 09:00:00", 0.0), // only forward exists -> 100
+      (5L, 1L, "2024-01-01 13:00:00", 0.0), // only backward exists -> 101
+      (6L, 2L, "2024-01-01 13:00:00", 0.0))) // no rights -> null
+    val out = asofNear(left, right).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(out == Map(1L -> 100L, 2L -> 101L, 3L -> 100L, 4L -> 100L, 5L -> 101L, 6L -> -1L))
+    // tolerance bounds BOTH directions: 45 min keeps only sub-45m matches
+    val tol = asofNear(left, right, tolMicros = Some(45L * 60L * 1000000L)).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    assert(tol == Map(1L -> 100L, 2L -> 101L, 3L -> -1L, 4L -> -1L, 5L -> -1L, 6L -> -1L))
+  }
+
+  test("asofJoinNearest plans one exchange over the union (no pair expansion)") {
+    val right = mkEvents((0 until 200).map(i =>
+      (1000L + i, (i % 5).toLong, f"2024-01-01 ${10 + i % 12}%02d:00:00", i.toDouble)))
+    val left = mkEvents((0 until 200).map(i =>
+      (i.toLong, (i % 5).toLong, f"2024-01-01 ${10 + (i + 3) % 12}%02d:30:00", 0.0)))
+    val plan = asofNear(left, right).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"nearest as-of must not expand pairs:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"expected at most 2 exchanges (two inputs -> one union shuffle), got $exchanges:\n$plan")
+  }
+
   test("bandJoin is left-closed right-open and keeps uncovered rows with null band") {
     val out = RangeJoin.bandJoin(fact, "v", bands).collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(2)) "none" else r.getString(2))).toMap

@@ -88,4 +88,21 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
       assert(h == pinnedR3(q), s"$q output drifted (got $h)")
     }
   }
+
+  private val pinnedR3b = Map(
+    "dedup_span_excise" -> "b8747f66af5e87149986da3a00bf100a",
+    "asof_join_fwd" -> "f2795cb7dcab4a12878dbaec9f4f1249",
+    "asof_join_nearest" -> "1d1d137f8c73ba033923b7b3a089485e")
+
+  test("round-3b operator outputs hash-match their pinned golden values") {
+    val got = pinnedR3b.keys.toSeq.sorted.map { q =>
+      val h = canonicalHash(SparkEntry.queries(q)(spark, sfDir))
+      info(s""""$q" -> "$h",""")
+      q -> h
+    }
+    graft.operators.Caches.release()
+    got.foreach { case (q, h) =>
+      assert(h == pinnedR3b(q), s"$q output drifted (got $h)")
+    }
+  }
 }

@@ -215,9 +215,10 @@ object OracleSql {
     * (rolling-hash-ordered) centroid pick, and `cent0` — the seeded,
     * unit-normalized coarse centroids.
     */
-  private def ivfPrologue(numCentroids: Int, dim: Int, seed: Long): String =
+  private def ivfPrologue(numCentroids: Int, dim: Int, seed: Long,
+      candWhere: String = "vec_id >= 10"): String =
     s"base AS (SELECT vec_id, embedding, sqrt(${selfDot("embedding", dim)}) AS nrm FROM embeddings), " +
-      "cnd AS (SELECT * FROM base WHERE vec_id >= 10), " +
+      s"cnd AS (SELECT * FROM base WHERE $candWhere), " +
       "qry AS (SELECT * FROM base WHERE vec_id < 10), " +
       s"ch AS (SELECT vec_id, embedding, nrm, hex(encode('ivf$seed:' || CAST(vec_id AS VARCHAR))) AS hx FROM cnd), " +
       s"ck AS (SELECT vec_id, embedding, nrm, ${toSigned(rollFold("hx"))} AS h FROM ch), " +
@@ -269,7 +270,17 @@ object OracleSql {
     * bit-identical across engines.
     */
   def annIvfRefinedTopK(k: Int, numCentroids: Int, nProbe: Int, iters: Int,
-      dim: Int = 64, seed: Long = 42L): String = {
+      dim: Int = 64, seed: Long = 42L): String =
+    s"WITH ${ivfPrologue(numCentroids, dim, seed)}, " +
+      lloydChain(iters, dim) + ", " +
+      ivfTail(s"cent$iters", k, nProbe, dim)
+
+  /** `iters` replayed Lloyd steps over CTEs `cnd` (corpus with norms)
+    * and `cent0` (initial centroids); final centroids land in CTE
+    * `cent<iters>`. Shared by the refined-IVF and clustered-dedup
+    * oracles.
+    */
+  private def lloydChain(iters: Int, dim: Int): String = {
     val Q = (1L << 24).toString
     def lloydStep(prev: String, t: Int): String = {
       // d2 = qsum::double / cnt / Q, left-associated like the Scala fold
@@ -287,11 +298,27 @@ object OracleSql {
         s"ELSE [CAST(d[j] / nrm AS FLOAT) FOR j IN generate_series(1, $dim)] END AS cvec FROM norm$t), " +
         s"cent$t AS (SELECT p.cidx, coalesce(n.cvec, p.cvec) AS cvec FROM $prev p LEFT JOIN cnew$t n USING (cidx))"
     }
-    val steps = (1 to iters).map(t => lloydStep(if (t == 1) "cent0" else s"cent${t - 1}", t))
-    s"WITH ${ivfPrologue(numCentroids, dim, seed)}, " +
-      steps.mkString(", ") + ", " +
-      ivfTail(s"cent$iters", k, nProbe, dim)
+    (1 to iters).map(t => lloydStep(if (t == 1) "cent0" else s"cent${t - 1}", t)).mkString(", ")
   }
+
+  /** Oracle for `dedup_embed_cluster`: full replay of
+    * `Dedup.embeddingNearDupClustered` — seeded centroid pick over the
+    * WHOLE embeddings table, `iters` Lloyd steps ([[lloydChain]]),
+    * first-max cell assignment, then within-cell pairs verified with
+    * the exact left-associated double cosine threshold (same operand
+    * order as the Spark predicate `dot >= t * norm_a * norm_b`).
+    */
+  def dedupEmbedClustered(threshold: String, numCentroids: Int, iters: Int,
+      dim: Int = 64, seed: Long = 42L): String =
+    s"WITH ${ivfPrologue(numCentroids, dim, seed, candWhere = "TRUE")}, " +
+      lloydChain(iters, dim) + ", " +
+      s"cdX AS (SELECT c.vec_id, c.embedding, c.nrm, ct.cidx, ${pairDot("c.embedding", "ct.cvec", dim)} / c.nrm AS dot " +
+      s"FROM cnd c CROSS JOIN cent$iters ct), " +
+      "cellX AS (SELECT vec_id, embedding, nrm, cidx AS cell FROM " +
+      "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cidx) AS rn FROM cdX) t WHERE rn = 1) " +
+      "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM cellX a JOIN cellX b " +
+      "ON a.cell = b.cell AND a.vec_id < b.vec_id " +
+      s"WHERE ${pairDot("a.embedding", "b.embedding", dim)} >= $threshold * a.nrm * b.nrm"
 
   /** Oracle for `ann_pq_topk`: full replay of [[graft.operators.Similarity.pqTopK]]
     * — portable rolling-hash codebook pick (raw vectors), per-subspace

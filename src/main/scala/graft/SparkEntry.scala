@@ -402,6 +402,11 @@ object SparkEntry {
     "dedup_embed_lsh" -> ((s, d) =>
       // bucketed scale tier of embedding near-dup (no cross join)
       Dedup.embeddingNearDupLsh(rd(s, d, "embeddings"), 0.4)),
+    "dedup_embed_cluster" -> ((s, d) =>
+      // SemDeDup shape: k-means cells as candidate buckets, exact
+      // cosine verify within cells only
+      Dedup.embeddingNearDupClustered(rd(s, d, "embeddings"), 0.4,
+        numCentroids = 8, refineIters = 2)),
     "dedup_clusters" -> ((s, d) =>
       Dedup.dedupClusters(Dedup.ngramJaccardPairs(rd(s, d, "documents"), 1, 20))),
     "decontaminate" -> ((s, d) => {
@@ -1132,6 +1137,7 @@ object SparkEntry {
         "(SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) FROM documents WHERE doc_id < 20)"),
     "dedup_ngram_capped" -> OracleSql.dedupNgramCapped(1, 20, 5),
     "dedup_span_excise" -> OracleSql.exciseSpans(10),
+    "dedup_embed_cluster" -> OracleSql.dedupEmbedClustered("0.4", 8, 2),
     "decontaminate_ngram" ->
       (s"WITH ${OracleSql.wordTriCtes}, " +
         "eg AS (SELECT DISTINCT g FROM tri WHERE doc_id < 20), " +

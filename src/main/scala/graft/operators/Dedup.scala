@@ -627,4 +627,46 @@ object Dedup {
       .where(vec_dot(col("vec_a"), col("vec_b")) >= lit(threshold) * col("norm_a") * col("norm_b"))
       .select("id_a", "id_b")
   }
+
+  /** Embedding near-dup, cluster-bucketed (the SemDeDup shape): corpus
+    * vectors are k-means-clustered ([[Similarity.kmeansCentroids]] —
+    * deterministic distributed Lloyd over seeded picks) and ONLY
+    * within-cell pairs are scored with the exact double-precision
+    * cosine. The third tier of the embedding-dedup family:
+    *
+    *   - [[embeddingNearDup]] — exact O(n²), the oracle;
+    *   - [[embeddingNearDupLsh]] — hyperplane buckets, data-oblivious;
+    *   - this — data-ADAPTIVE buckets: cells follow the corpus
+    *     geometry, so near-dups co-locate with far fewer buckets than
+    *     sign projections need on clustered corpora.
+    *
+    * Pair volume is Σ|cell|²/2, not n²/2 — with balanced cells an
+    * n/numCentroids-fold reduction; hot cells split by raising
+    * `numCentroids` (√n rule of thumb) or re-clustering within a cell.
+    * Precision is exact (every emitted pair clears `threshold`); recall
+    * misses only cross-cell pairs, the quantity SemDeDup trades. All
+    * constants are seeded/fixed-point, so the DuckDB oracle replays the
+    * whole pipeline bit-for-bit (`graft.OracleSql.dedupEmbedClustered`).
+    */
+  def embeddingNearDupClustered(
+      emb: DataFrame,
+      threshold: Double,
+      numCentroids: Int = 8,
+      refineIters: Int = 2,
+      seed: Long = 42L,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val n = Caches.persisted(Similarity.withNorm(emb, vecCol, idCol))
+    val seeded = Similarity.seedCentroids(n, numCentroids, seed, vecCol, idCol)
+    val cents =
+      if (refineIters <= 0) seeded
+      else Similarity.kmeansCentroids(emb, seeded, refineIters, vecCol)
+    val cells = Similarity.assignCells(n, cents, vecCol, idCol)
+    val a = cells.toDF("id_a", "vec_a", "norm_a", "cell")
+    val b = cells.toDF("id_b", "vec_b", "norm_b", "cell")
+    a.join(b, "cell")
+      .where(col("id_a") < col("id_b"))
+      .where(vec_dot(col("vec_a"), col("vec_b")) >= lit(threshold) * col("norm_a") * col("norm_b"))
+      .select("id_a", "id_b")
+  }
 }

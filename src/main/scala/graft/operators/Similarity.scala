@@ -22,7 +22,7 @@ import graft.functions.{rolling_hash, vec_dot}
   */
 object Similarity {
 
-  private def withNorm(emb: DataFrame, vecCol: String, idCol: String): DataFrame =
+  private[operators] def withNorm(emb: DataFrame, vecCol: String, idCol: String): DataFrame =
     emb.select(col(idCol), col(vecCol),
       sqrt(vec_dot(col(vecCol), col(vecCol))).as("norm"))
 
@@ -241,7 +241,7 @@ object Similarity {
   /** Deterministic coarse centroids: hash-ordered candidate vectors,
     * unit-normalized on the driver (tiny, O(numCentroids·dim)).
     */
-  private def seedCentroids(c0: DataFrame, numCentroids: Int, seed: Long,
+  private[operators] def seedCentroids(c0: DataFrame, numCentroids: Int, seed: Long,
       vecCol: String, idCol: String): Array[Array[Float]] = {
     val seeded: Array[Array[Float]] = c0
       .orderBy(rolling_hash(concat(lit(s"ivf$seed:"), col(idCol).cast("string"))), col(idCol))
@@ -260,7 +260,7 @@ object Similarity {
   /** Assign each candidate row to its nearest-centroid cell:
     * `(neighbor_id, c_vec, c_norm, cell)`.
     */
-  private def assignCells(c0: DataFrame, centroids: Array[Array[Float]],
+  private[operators] def assignCells(c0: DataFrame, centroids: Array[Array[Float]],
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     // materialize the dot array in its own projection so the argmax
     // reads a column instead of evaluating numCentroids dots twice

@@ -222,6 +222,31 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(lsh.contains((0L, 1L)))
   }
 
+  test("embeddingNearDupClustered: precision exact, same-direction vectors co-cluster") {
+    val s = spark; import s.implicits._
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(2f, 0f, 0f, 0f)), // parallel to 0 -> same cell, cos 1
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0f, 0.9f, 0.1f, 0f)), // near 2
+      (4L, Array(-1f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDup(emb, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val clustered = Dedup.embeddingNearDupClustered(emb, 0.9,
+      numCentroids = 3, refineIters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every emitted pair passed the exact cosine verify
+    assert(clustered.subsetOf(exact), s"clustered $clustered must be subset of exact $exact")
+    // identical-direction vectors share the argmax cell by construction
+    assert(clustered.contains((0L, 1L)))
+    // determinism: same seed, same output
+    val again = Dedup.embeddingNearDupClustered(emb, 0.9,
+      numCentroids = 3, refineIters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == clustered)
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

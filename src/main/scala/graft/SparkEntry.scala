@@ -685,6 +685,25 @@ object SparkEntry {
       Sampling.weightedKeep(rd(s, d, "documents"), "doc_id", "n_chars", "wk1", 600L)
         .groupBy("source")
         .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))),
+    "relevance_sample" -> ((s, d) =>
+      // DSIR-flavored data selection: relevance = target-lexicon token
+      // occurrences (exact integer), then importance-resample with
+      // p = n_relevant/30 — broadcast lexicon probe + deterministic keep
+      Sampling.weightedKeep(
+        TextAnalysis.lexiconRelevance(rd(s, d, "documents"),
+          Seq("join", "hash", "scan", "filter", "merge")),
+        "doc_id", "n_relevant", "dsir1", 30L)),
+    "quality_adaptive_gate" -> ((s, d) => {
+      // adaptive per-source quality floor: drop each source's worst
+      // quartile by stopword density (cutoff learned per group via
+      // percentile_disc — a data value, bit-exact across engines)
+      val docs = rd(s, d, "documents")
+      val q = TextAnalysis.qualitySignals(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "stopword_hits")
+      graft.operators.Quality.adaptivePercentileGate(q, "stopword_hits", "source", 0.25)
+        .select("doc_id", "source", "stopword_hits", "stopword_hits_cut")
+    }),
     "q_grouping_sets" -> ((s, d) => {
       // explicit GROUPING SETS (rollup/cube are the sugared forms —
       // q_rollup/q_cube): chosen aggregation levels only, with the
@@ -1364,6 +1383,20 @@ object SparkEntry {
         "CAST(doc_id AS VARCHAR)", "n_chars", "wk1", 600L)}) " +
         "SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
         "FROM kept GROUP BY source"),
+    "relevance_sample" ->
+      ("WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM documents), " +
+        "r0 AS (SELECT doc_id, count(*) AS n_rel FROM tk WHERE tok IN ('join','hash','scan','filter','merge') GROUP BY doc_id), " +
+        "rel AS (SELECT d.doc_id, CAST(len(regexp_split_to_array(lower(trim(d.text)), '\\s+')) AS INT) AS n_tokens, " +
+        "COALESCE(r0.n_rel, 0) AS n_relevant FROM documents d LEFT JOIN r0 USING (doc_id)) " +
+        s"SELECT doc_id, n_tokens, n_relevant FROM rel WHERE ${OracleSql.weightedKeepWhere(
+          "CAST(doc_id AS VARCHAR)", "n_relevant", "dsir1", 30L)}"),
+    "quality_adaptive_gate" ->
+      (s"WITH q AS (SELECT doc_id, source, ${occSql("' ' || lower(trim(text)) || ' '", " the ")} + " +
+        s"${occSql("' ' || lower(trim(text)) || ' '", " a ")} AS stopword_hits FROM documents), " +
+        "c AS (SELECT source, percentile_disc(0.25) WITHIN GROUP (ORDER BY stopword_hits) AS stopword_hits_cut " +
+        "FROM q GROUP BY source) " +
+        "SELECT q.doc_id, q.source, q.stopword_hits, c.stopword_hits_cut FROM q JOIN c USING (source) " +
+        "WHERE q.stopword_hits >= c.stopword_hits_cut"),
     "q_grouping_sets" ->
       ("SELECT o_orderstatus, o_orderpriority, " +
         "CAST(grouping(o_orderstatus) AS INT) AS g_status, " +

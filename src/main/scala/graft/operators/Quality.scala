@@ -45,4 +45,45 @@ object Quality {
         bad.map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", "))
     df
   }
+
+  /** Adaptive per-group quality gate: keep rows whose `metricCol` is
+    * at-or-above their group's `fraction` discrete percentile — "drop
+    * the worst quartile of every source" with the cutoff LEARNED per
+    * group rather than hard-coded, so heterogeneous sources (a wiki
+    * dump vs a web crawl) are each trimmed against their own
+    * distribution. The standard adaptive form of corpus quality
+    * filtering.
+    *
+    * `percentile_disc` picks an actual data value (no interpolation
+    * arithmetic), so the cutoff — and therefore the kept set — is
+    * bit-reproducible on any engine. Cutoffs are one tiny aggregate
+    * (|groups| rows) broadcast back onto the table: one shuffle for
+    * the percentile sort, a broadcast probe for the gate; the big
+    * table is never re-shuffled.
+    *
+    * @return the kept rows with the group's cutoff appended
+    *         (`<metricCol>_cut`).
+    */
+  def adaptivePercentileGate(
+      df: DataFrame,
+      metricCol: String,
+      groupCol: String,
+      fraction: Double): DataFrame = {
+    require(fraction > 0.0 && fraction < 1.0, "fraction must be in (0,1)")
+    val spark = df.sparkSession
+    val v = graft.Views.unique("apg")
+    df.createOrReplaceTempView(v)
+    val cuts =
+      try spark.sql(
+        s"SELECT $groupCol, percentile_disc($fraction) WITHIN GROUP (ORDER BY $metricCol) " +
+          s"AS ${metricCol}_cut FROM $v GROUP BY $groupCol")
+        // percentile_disc picks a data value but Spark types it DOUBLE;
+        // the cast back to the metric's type is lossless and keeps the
+        // cutoff column dtype-aligned with the metric on every engine
+        .withColumn(s"${metricCol}_cut",
+          col(s"${metricCol}_cut").cast(df.schema(metricCol).dataType))
+      finally spark.catalog.dropTempView(v)
+    df.join(broadcast(cuts), Seq(groupCol))
+      .filter(col(metricCol) >= col(s"${metricCol}_cut"))
+  }
 }

@@ -236,6 +236,41 @@ object TextAnalysis {
         expr("listagg(__tok, ' ') WITHIN GROUP (ORDER BY __pos)").as("chunk_text"))
   }
 
+  /** Domain-relevance scoring against a target lexicon — the signal
+    * behind importance-resampled data selection (DSIR-style): documents
+    * whose token mass overlaps a target-domain vocabulary are
+    * up-weighted when assembling a training mix. Emits
+    * `(id, n_tokens, n_relevant)` with `n_relevant` = occurrences of
+    * lexicon tokens (with multiplicity) — an exact integer, so a
+    * downstream [[Sampling.weightedKeep]] with `weightCol =
+    * "n_relevant"` is deterministic and engine-replayable end to end.
+    *
+    * Shape at scale: tokens explode map-side and probe the BROADCAST
+    * lexicon (any real lexicon is KBs–MBs); only matches — a trickle —
+    * reach the per-doc count shuffle, and the doc spine joins the
+    * counts back so zero-relevance docs survive with 0 rather than
+    * vanishing.
+    */
+  def lexiconRelevance(
+      docs: DataFrame,
+      lexicon: Seq[String],
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(lexicon.nonEmpty, "lexicon must not be empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lex = broadcast(lexicon.distinct.toDF("tok"))
+    val rel = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .join(lex, "tok")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_relevant"))
+    docs.select(col(idCol), size(tokens(col(textCol))).as("n_tokens"))
+      .join(rel, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_relevant"), lit(0L)).as("n_relevant"))
+  }
+
   /** BPE-ish token count: letter runs, single digits, or single
     * punctuation marks — the pre-tokenizer shape GPT-style BPE vocabularies
     * assume, as a portable ASCII regex.

@@ -143,6 +143,21 @@ class MergeSuite extends AnyFunSuite with SparkTest {
       .count() == 3) // passes through unchanged
   }
 
+  test("adaptivePercentileGate trims each group against its own distribution") {
+    val s = spark; import s.implicits._
+    // group a: metrics 1..8 (p25 -> 2); group b: 101..104 (p25 -> 101)
+    val df = ((1 to 8).map(i => ("a", i.toLong)) ++
+      (101 to 104).map(i => ("b", i.toLong))).toDF("grp", "m")
+    val out = graft.operators.Quality.adaptivePercentileGate(df, "m", "grp", 0.25)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byGrp = out.groupBy(_._1)
+    // a keeps 2..8 against cutoff 2; b keeps all four against 101
+    assert(byGrp("a").map(_._2).sorted.toSeq == (2L to 8L) &&
+      byGrp("a").forall(_._3 == 2L))
+    assert(byGrp("b").map(_._2).sorted.toSeq == (101L to 104L) &&
+      byGrp("b").forall(_._3 == 101L))
+  }
+
   test("insertMissing appends only absent keys") {
     val s = spark; import s.implicits._
     val tgt = Seq((1L, "a")).toDF("k", "v")

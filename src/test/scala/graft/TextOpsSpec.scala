@@ -85,4 +85,14 @@ class TextOpsSpec extends AnyFunSuite with SparkTest {
     assert(out.getInt(1) == 100 && out.getInt(2) == 2 &&
       out.getInt(3) == 50 && out.getInt(4) == 50)
   }
+
+  test("lexiconRelevance counts lexicon tokens with multiplicity, zero-docs survive") {
+    val d = docs(
+      (1L, "spark join hash join scan"), // join x2, hash, scan -> 4 of 5 tokens
+      (2L, "nothing relevant here"),
+      (3L, "JOIN Join"))// tokenizer lowercases -> 2 hits
+    val out = TextAnalysis.lexiconRelevance(d, Seq("join", "hash", "scan"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(out == Map(1L -> ((5, 4L)), 2L -> ((3, 0L)), 3L -> ((2, 2L))))
+  }
 }

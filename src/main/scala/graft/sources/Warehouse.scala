@@ -185,4 +185,95 @@ object Warehouse {
     */
   def rollback(spark: SparkSession, dir: String, table: String, version: Long, keepVersions: Int = 3): Unit =
     overwriteVersioned(readVersion(spark, dir, table, version), dir, table, keepVersions)
+
+  // ------------------------------------------------------ pointer commits
+
+  /** Pointer-committed tables — the always-consistent-readers upgrade
+    * of [[overwrite]]'s directory swap (the minimal form of the
+    * Iceberg/Delta manifest pattern). Data generations live under
+    * immutable `<table>.data/<gen>` directories; a one-line pointer
+    * file `<table>.ptr` names the current generation and is replaced
+    * by write-tmp-then-rename — a single atomic commit, so a reader
+    * NEVER observes a missing or half-written table: it resolves the
+    * pointer it saw, and that generation's directory is immutable.
+    * There is no crash window and nothing to heal: a crash before the
+    * pointer rename leaves an orphan generation that the next
+    * successful commit's pruning removes.
+    *
+    * Single-writer (like the swap protocol); multi-writer coordination
+    * needs a lock/CAS service, which a filesystem cannot provide.
+    * `keepGenerations` old generations are retained for in-flight
+    * readers that resolved the pointer just before a commit — at 100 TB
+    * retention is a storage knob, not a copy (generations are never
+    * rewritten).
+    */
+  object Pointer {
+
+    private def ptrPath(dir: String, table: String) = new Path(s"$dir/$table.ptr")
+    private def dataDir(dir: String, table: String) = new Path(s"$dir/$table.data")
+
+    private def fsOf(spark: SparkSession, dir: String) =
+      new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    /** Current generation id, or None before the first commit. */
+    def currentGeneration(spark: SparkSession, dir: String, table: String): Option[Long] = {
+      val fs = fsOf(spark, dir)
+      val p = ptrPath(dir, table)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
+        finally in.close()
+      }
+    }
+
+    def exists(spark: SparkSession, dir: String, table: String): Boolean =
+      currentGeneration(spark, dir, table).isDefined
+
+    def read(spark: SparkSession, dir: String, table: String): DataFrame = {
+      val gen = currentGeneration(spark, dir, table).getOrElse(
+        throw new java.io.IOException(s"pointer table $table has no committed generation"))
+      spark.read.parquet(new Path(dataDir(dir, table), gen.toString).toString)
+    }
+
+    /** Write `df` as a new immutable generation, then atomically commit
+      * the pointer to it. Unreferenced generations older than the
+      * newest `keepGenerations` are pruned AFTER the commit.
+      */
+    def overwrite(df: DataFrame, dir: String, table: String, keepGenerations: Int = 2): Unit = {
+      require(keepGenerations >= 1, "keepGenerations must be >= 1")
+      val spark = df.sparkSession
+      val fs = fsOf(spark, dir)
+      val dd = dataDir(dir, table)
+      if (!fs.exists(dd)) fs.mkdirs(dd)
+      val gens = fs.listStatus(dd).toSeq
+        .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption).sorted
+      val prev = currentGeneration(spark, dir, table)
+      // generations newer than the committed pointer are crashed
+      // writes (single-writer): never referenced, possibly partial —
+      // not history, pruned below regardless of retention
+      val orphans = gens.filter(g => prev.forall(_ < g))
+      val next = gens.lastOption.getOrElse(0L) + 1
+      df.write.mode("overwrite").parquet(new Path(dd, next.toString).toString)
+      // the commit: tmp pointer file + rename over the live pointer
+      // (rename-replace of a FILE is atomic on posix and HDFS)
+      val ptr = ptrPath(dir, table)
+      val tmp = new Path(ptr.toString + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write(s"$next\n".getBytes("UTF-8")) finally out.close()
+      // atomic REPLACE (posix rename / HDFS overwrite-rename): at every
+      // instant the pointer file exists and is complete — readers see
+      // either the old or the new generation, never an absent table
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        ptr.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      // prune: crashed-writer orphans always; committed history beyond
+      // the newest keepGenerations (covers in-flight readers that
+      // resolved the pointer just before this commit)
+      val chain = gens.filterNot(orphans.contains) :+ next
+      val retained = chain.takeRight(keepGenerations)
+      (orphans ++ chain.filterNot(retained.contains)).distinct
+        .foreach(g => fs.delete(new Path(dd, g.toString), true))
+    }
+  }
 }

@@ -59,6 +59,50 @@ class WarehouseVersionSpec extends AnyFunSuite with SparkTest {
     assert(liveVals(dir) == Set(30))
   }
 
+  test("pointer commits: readers always see a complete generation; retention prunes") {
+    val s = spark; import s.implicits._
+    val dir = newDir()
+    def w(vals: Seq[Int]) = Warehouse.Pointer.overwrite(vals.toDF("x"), dir, "t", keepGenerations = 2)
+    assert(!Warehouse.Pointer.exists(spark, dir, "t"))
+    intercept[java.io.IOException](Warehouse.Pointer.read(spark, dir, "t"))
+    w(Seq(1))
+    assert(Warehouse.Pointer.currentGeneration(spark, dir, "t").contains(1L))
+    // a reader that resolved gen 1 BEFORE the next commit still reads
+    // its immutable directory afterwards (retention covers in-flight)
+    val inFlight = s.read.parquet(s"$dir/t.data/1")
+    w(Seq(2))
+    assert(Warehouse.Pointer.read(spark, dir, "t").collect().map(_.getInt(0)).toSet == Set(2))
+    assert(inFlight.collect().map(_.getInt(0)).toSet == Set(1))
+    w(Seq(3)) // gen 3; keep=2 prunes gen 1
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val gens = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/t.data"))
+      .map(_.getPath.getName.toLong).sorted.toSeq
+    assert(gens == Seq(2L, 3L))
+    assert(Warehouse.Pointer.read(spark, dir, "t").collect().map(_.getInt(0)).toSet == Set(3))
+  }
+
+  test("pointer commits: a crashed write before the commit is invisible and cleaned later") {
+    val s = spark; import s.implicits._
+    val dir = newDir()
+    Warehouse.Pointer.overwrite(Seq(1).toDF("x"), dir, "t")
+    // simulate a writer crash AFTER materializing a generation but
+    // BEFORE the pointer commit: an orphan directory appears
+    Seq(99).toDF("x").write.parquet(s"$dir/t.data/7")
+    assert(Warehouse.Pointer.currentGeneration(spark, dir, "t").contains(1L))
+    assert(Warehouse.Pointer.read(spark, dir, "t").collect().map(_.getInt(0)).toSet == Set(1))
+    // next successful commit numbers PAST the orphan, prunes the orphan
+    // (it was never committed — not history), and retains gen 1
+    Warehouse.Pointer.overwrite(Seq(2).toDF("x"), dir, "t", keepGenerations = 2)
+    assert(Warehouse.Pointer.currentGeneration(spark, dir, "t").contains(8L))
+    assert(Warehouse.Pointer.read(spark, dir, "t").collect().map(_.getInt(0)).toSet == Set(2))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val gens = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/t.data"))
+      .map(_.getPath.getName.toLong).sorted.toSeq
+    assert(gens == Seq(1L, 8L), s"orphan pruned, history retained: $gens")
+  }
+
   test("crash window between the swap renames still self-heals") {
     val dir = newDir()
     write(dir, Seq(1))

@@ -92,7 +92,10 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
   private val pinnedR3b = Map(
     "dedup_span_excise" -> "b8747f66af5e87149986da3a00bf100a",
     "asof_join_fwd" -> "f2795cb7dcab4a12878dbaec9f4f1249",
-    "asof_join_nearest" -> "1d1d137f8c73ba033923b7b3a089485e")
+    "asof_join_nearest" -> "1d1d137f8c73ba033923b7b3a089485e",
+    "dedup_embed_cluster" -> "a3e417bd6f864200fb9081c5ba00cb26",
+    "relevance_sample" -> "5f65dcbb8023f1996c5e9c4b6c9f9628",
+    "quality_adaptive_gate" -> "c93439fd45e6624c369f348c077a870c")
 
   test("round-3b operator outputs hash-match their pinned golden values") {
     val got = pinnedR3b.keys.toSeq.sorted.map { q =>

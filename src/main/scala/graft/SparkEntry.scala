@@ -795,6 +795,63 @@ object SparkEntry {
             (unix_micros(col("first_purchase")) - unix_micros(col("first_view")) <=
               86400000000L), 1).otherwise(0).as("converted_24h"))
     }),
+    "funnel_3step" -> ((s, d) => {
+      // three-step funnel by chained forward as-of joins: first signup
+      // -> earliest view at-or-after it -> earliest purchase at-or-after
+      // that view; users stalled mid-funnel carry nulls forward
+      val ev = rd(s, d, "events")
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val s0 = ev.filter(col("event_type") === "signup")
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("user_id"), col("ts"), col("ts").as("signup_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      val step1 = AsOf.asofJoinForward(s0, views, Seq("user_id"), "ts",
+        tieCol = "view_id", payloadCols = Seq("view_id"), matchedTsCol = "view_ts")
+      val reached = AsOf.asofJoinForward(
+        step1.filter(col("view_ts").isNotNull).drop("ts")
+          .withColumn("ts", col("view_ts")),
+        purchases, Seq("user_id"), "ts",
+        tieCol = "purchase_id", payloadCols = Seq("purchase_id"),
+        matchedTsCol = "purchase_ts").drop("ts")
+      val stalled = step1.filter(col("view_ts").isNull).drop("ts")
+        .withColumn("purchase_id", lit(null).cast("long"))
+        .withColumn("purchase_ts", lit(null).cast("timestamp"))
+      reached.unionByName(stalled)
+        .select("user_id", "signup_ts", "view_id", "view_ts",
+          "purchase_id", "purchase_ts")
+    }),
+    "cohort_retention" -> ((s, d) => {
+      // weekly cohort retention matrix: cohort = week of a user's first
+      // event; n_active = distinct cohort users seen in week cohort+k
+      val ev = rd(s, d, "events")
+      val cohort = ev.groupBy("user_id")
+        .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+      val active = ev.select(col("user_id"),
+        date_trunc("week", col("ts")).cast("date").as("active_week")).distinct()
+      active.join(cohort, "user_id")
+        .withColumn("week_offset",
+          (datediff(col("active_week"), col("cohort_week")) / 7).cast("int"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("n_active"))
+    }),
+    "q_gaps_islands" -> ((s, d) => {
+      // gaps-and-islands: longest consecutive-day activity streak per
+      // user (island id = day minus dense row number; tie -> earliest)
+      val days = rd(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val rn = Window.partitionBy("user_id").orderBy("d")
+      val islands = days
+        .withColumn("grp", date_sub(col("d"), row_number().over(rn)))
+        .groupBy("user_id", "grp")
+        .agg(count(lit(1)).cast("int").as("streak_days"), min(col("d")).as("streak_start"))
+      val best = Window.partitionBy("user_id")
+        .orderBy(col("streak_days").desc, col("streak_start"))
+      islands.withColumn("__rk", row_number().over(best)).filter(col("__rk") === 1)
+        .select("user_id", "streak_days", "streak_start")
+    }),
     "sketch_kmv_distinct" -> ((s, d) => {
       // KMV distinct-user sketch per event type next to the exact count;
       // portable hash -> the estimate itself is oracle-checked
@@ -1432,6 +1489,38 @@ object SparkEntry {
         "SELECT event_type, p, n, CASE WHEN hi = lo THEN lo " +
         "ELSE lo + CAST(qb + 1 AS DOUBLE) * (hi - lo) / 256 END AS est FROM q"),
     "quality_outliers" -> outlierSql("events"),
+    "funnel_3step" ->
+      ("WITH s AS (SELECT user_id, ts AS signup_ts FROM (SELECT user_id, ts, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn " +
+        "FROM events WHERE event_type = 'signup') t WHERE rn = 1), " +
+        // earliest view at-or-after signup; same tie rule as the
+        // operator (equal ts -> highest event id)
+        "v AS (SELECT user_id, signup_ts, view_id, view_ts FROM (" +
+        "SELECT s.user_id, s.signup_ts, r.event_id AS view_id, r.ts AS view_ts, " +
+        "row_number() OVER (PARTITION BY s.user_id ORDER BY r.ts, r.event_id DESC) AS rn " +
+        "FROM s LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r " +
+        "ON r.user_id = s.user_id AND r.ts >= s.signup_ts) t WHERE rn = 1), " +
+        "p AS (SELECT user_id, purchase_id, purchase_ts FROM (" +
+        "SELECT v.user_id, r.event_id AS purchase_id, r.ts AS purchase_ts, " +
+        "row_number() OVER (PARTITION BY v.user_id ORDER BY r.ts, r.event_id DESC) AS rn " +
+        "FROM v LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r " +
+        "ON r.user_id = v.user_id AND r.ts >= v.view_ts WHERE v.view_ts IS NOT NULL) t WHERE rn = 1) " +
+        "SELECT v.user_id, v.signup_ts, v.view_id, v.view_ts, p.purchase_id, p.purchase_ts " +
+        "FROM v LEFT JOIN p USING (user_id)"),
+    "cohort_retention" ->
+      ("WITH c AS (SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week " +
+        "FROM events GROUP BY user_id), " +
+        "a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week FROM events) " +
+        "SELECT c.cohort_week, CAST((a.active_week - c.cohort_week) // 7 AS INT) AS week_offset, " +
+        "count(*) AS n_active FROM a JOIN c USING (user_id) GROUP BY 1, 2"),
+    "q_gaps_islands" ->
+      ("WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events), " +
+        "i AS (SELECT user_id, d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INT) AS grp, d FROM d), " +
+        "st AS (SELECT user_id, CAST(count(*) AS INT) AS streak_days, min(d) AS streak_start " +
+        "FROM i GROUP BY user_id, grp) " +
+        "SELECT user_id, streak_days, streak_start FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY streak_days DESC, streak_start) AS rk " +
+        "FROM st) t WHERE rk = 1"),
     "funnel_conversion" ->
       ("WITH v AS (SELECT user_id, min(ts) AS first_view FROM events WHERE event_type = 'view' GROUP BY user_id), " +
         "p AS (SELECT e.user_id, min(e.ts) AS first_purchase FROM events e JOIN v ON v.user_id = e.user_id " +

@@ -95,7 +95,10 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "asof_join_nearest" -> "1d1d137f8c73ba033923b7b3a089485e",
     "dedup_embed_cluster" -> "a3e417bd6f864200fb9081c5ba00cb26",
     "relevance_sample" -> "5f65dcbb8023f1996c5e9c4b6c9f9628",
-    "quality_adaptive_gate" -> "c93439fd45e6624c369f348c077a870c")
+    "quality_adaptive_gate" -> "c93439fd45e6624c369f348c077a870c",
+    "funnel_3step" -> "7cd3377612e0e7ea9e5473c7872d4999",
+    "cohort_retention" -> "939716135802521353682fe905fc1024",
+    "q_gaps_islands" -> "14a8d41f5b70fa836711377a1189f546")
 
   test("round-3b operator outputs hash-match their pinned golden values") {
     val got = pinnedR3b.keys.toSeq.sorted.map { q =>

@@ -151,6 +151,46 @@ object Streams {
       .start()
   }
 
+  /** [[upsertStream]] over a pointer-committed table
+    * ([[graft.sources.Warehouse.Pointer]]): each micro-batch merges the
+    * CURRENT generation with the batch and commits a new generation via
+    * the atomic pointer replace. Dashboards and downstream jobs reading
+    * the table concurrently with the stream always resolve a complete
+    * generation — the swap protocol's between-renames blip is gone,
+    * which matters exactly when a continuously-updating table is also
+    * continuously read. A crash between the generation write and the
+    * pointer commit leaves an invisible orphan; the checkpoint replays
+    * the batch and the merge is idempotent, so the recommitted state is
+    * identical.
+    */
+  def upsertStreamPointer(
+      stream: DataFrame,
+      warehouseDir: String,
+      table: String,
+      spec: graft.operators.MergeSpec,
+      checkpointPath: String,
+      keepGenerations: Int = 2,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.sources.Warehouse
+    val schema = stream.schema
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val target =
+          if (Warehouse.Pointer.exists(spark, warehouseDir, table))
+            Warehouse.Pointer.read(spark, warehouseDir, table)
+          else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        val merged = graft.operators.Merge.scd1(
+          target, batch, spec, current_timestamp())
+        Warehouse.Pointer.overwrite(merged, warehouseDir, table, keepGenerations)
+      }
+      .start()
+  }
+
   // ---- custom state: running per-user aggregates via mapGroupsWithState
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,

@@ -323,4 +323,33 @@ class StreamsSpec extends AnyFunSuite with SparkTest {
       assert(second == Map(1L -> "a", 2L -> "B", 3L -> "c"))
     } finally q.stop()
   }
+
+  test("upsertStreamPointer commits generations; concurrent readers stay consistent") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory("stream-ptr-wh").toString
+    val cp = java.nio.file.Files.createTempDirectory("stream-ptr-cp").toString
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.upsertStreamPointer(input.toDF().toDF("k", "v"), wh, "t",
+      graft.operators.MergeSpec(Seq("k"), Seq("v")), cp,
+      keepGenerations = 2,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      val gen1 = graft.sources.Warehouse.Pointer.currentGeneration(s, wh, "t").get
+      // reader resolves the current generation BEFORE more batches land
+      val inFlight = graft.sources.Warehouse.Pointer.read(s, wh, "t")
+      input.addData((2L, "B"), (3L, "c"))
+      q.processAllAvailable()
+      // stream state advanced...
+      val now = graft.sources.Warehouse.Pointer.read(s, wh, "t").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(now == Map(1L -> "a", 2L -> "B", 3L -> "c"))
+      assert(graft.sources.Warehouse.Pointer.currentGeneration(s, wh, "t").get > gen1)
+      // ...but the in-flight reader still sees its complete generation
+      val old = inFlight.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(old == Map(1L -> "a", 2L -> "b"))
+    } finally q.stop()
+  }
 }

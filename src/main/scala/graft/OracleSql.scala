@@ -491,7 +491,17 @@ object OracleSql {
     * reassembly. Positions are 0-based on both engines.
     */
   def exciseSpans(w: Int): String =
-    "WITH arr AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS a FROM documents), " +
+    s"WITH ${exciseSpansCtes(w)} " +
+      "SELECT arr.doc_id, CAST(len(a) AS INT) AS n_tokens, COALESCE(cl.n_kept, 0) AS n_kept, " +
+      "md5(COALESCE(cl.ct, '')) AS clean_md5 FROM arr LEFT JOIN cl USING (doc_id)"
+
+  /** The excision CTE chain alone (`arr`, `tok`, `sp`, `rep`, `marked`,
+    * `cov`, `kept`, `cl`) — `kept(doc_id, pos, tok)` is the cleaned
+    * token table and `cl(doc_id, n_kept, ct)` the reassembled docs, for
+    * oracles that keep processing the cleaned corpus.
+    */
+  def exciseSpansCtes(w: Int): String =
+    "arr AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS a FROM documents), " +
       "tok AS (SELECT doc_id, CAST(unnest(generate_series(1, len(a))) - 1 AS INT) AS pos, unnest(a) AS tok FROM arr), " +
       s"sp AS (SELECT doc_id, pos, array_to_string(list_slice(a, pos + 1, pos + $w), ' ') AS span FROM " +
       s"(SELECT doc_id, a, CAST(unnest(generate_series(1, greatest(len(a) - ${w - 1}, 0))) - 1 AS INT) AS pos FROM arr)), " +
@@ -501,7 +511,5 @@ object OracleSql {
       s"cov AS (SELECT DISTINCT doc_id, CAST(unnest(generate_series(pos, pos + ${w - 1})) AS INT) AS pos FROM marked), " +
       "kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t WHERE NOT EXISTS " +
       "(SELECT 1 FROM cov c WHERE c.doc_id = t.doc_id AND c.pos = t.pos)), " +
-      "cl AS (SELECT doc_id, CAST(count(*) AS INT) AS n_kept, string_agg(tok, ' ' ORDER BY pos) AS ct FROM kept GROUP BY doc_id) " +
-      "SELECT arr.doc_id, CAST(len(a) AS INT) AS n_tokens, COALESCE(cl.n_kept, 0) AS n_kept, " +
-      "md5(COALESCE(cl.ct, '')) AS clean_md5 FROM arr LEFT JOIN cl USING (doc_id)"
+      "cl AS (SELECT doc_id, CAST(count(*) AS INT) AS n_kept, string_agg(tok, ' ' ORDER BY pos) AS ct FROM kept GROUP BY doc_id)"
 }

@@ -935,6 +935,26 @@ object SparkEntry {
         .groupBy("split", "source")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
     }),
+    "pipeline_curation_v2" -> ((s, d) => {
+      // round-3 curation flagship, composing THIS round's operators as
+      // one declarative plan: substring-level dedup (repeated spans
+      // excised, docs reassembled) -> length floor on the CLEANED text
+      // -> lexicon-relevance importance sampling -> fixed-budget shard
+      // packing -> shard stats
+      val docs = rd(s, d, "documents")
+      val cleaned = Dedup.exciseRepeatedSpans(docs, window = 10, emitText = true)
+        .filter(col("n_kept") >= 30)
+        .join(docs.select("doc_id", "source"), "doc_id")
+      val rel = TextAnalysis.lexiconRelevance(
+        cleaned.select(col("doc_id"), col("clean_text").as("text")),
+        Seq("join", "hash", "scan", "filter", "merge"))
+      val scored = cleaned.select("doc_id", "source", "n_kept")
+        .join(rel.select("doc_id", "n_relevant"), "doc_id")
+      val sampled = Sampling.weightedKeep(scored, "doc_id", "n_relevant", "cur2", 30L)
+      Sampling.packByBudget(sampled, "source", "doc_id", "n_kept", budget = 2000L)
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_kept")).as("sum_tokens"))
+    }),
     "doc_chunks" -> ((s, d) =>
       // 50-token training windows per doc; md5 of the reassembled text
       // keeps the gated output compact while pinning exact order
@@ -1551,6 +1571,20 @@ object SparkEntry {
         s"spl AS (SELECT source, n_tokens, ${OracleSql.hashSplitCase("CAST(doc_id AS VARCHAR)", "mix3", splitFractions)} AS split FROM ded) " +
         "SELECT split, source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens FROM spl GROUP BY 1, 2")
     },
+    "pipeline_curation_v2" ->
+      (s"WITH ${OracleSql.exciseSpansCtes(10)}, " +
+        "cbase AS (SELECT d.doc_id, d.source, cl.n_kept FROM documents d JOIN cl USING (doc_id) WHERE cl.n_kept >= 30), " +
+        // relevance over the CLEANED tokens: `kept` IS the cleaned corpus
+        "crel AS (SELECT doc_id, count(*) AS n_rel FROM kept " +
+        "WHERE tok IN ('join','hash','scan','filter','merge') GROUP BY doc_id), " +
+        "cscored AS (SELECT b.doc_id, b.source, b.n_kept, COALESCE(r.n_rel, 0) AS n_relevant " +
+        "FROM cbase b LEFT JOIN crel r USING (doc_id)), " +
+        s"csamp AS (SELECT * FROM cscored WHERE ${OracleSql.weightedKeepWhere(
+          "CAST(doc_id AS VARCHAR)", "n_relevant", "cur2", 30L)}), " +
+        "cpack AS (SELECT source, n_kept, CAST(floor(coalesce(sum(n_kept) OVER " +
+        "(PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000) AS INT) AS bin " +
+        "FROM csamp) " +
+        "SELECT source, bin, count(*) AS n_docs, CAST(sum(n_kept) AS BIGINT) AS sum_tokens FROM cpack GROUP BY 1, 2"),
     "text_tfidf_terms" ->
       ("WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token FROM documents), " +
         "tf AS (SELECT doc_id, token, count(*) AS tf FROM toks WHERE token <> '' GROUP BY 1, 2), " +

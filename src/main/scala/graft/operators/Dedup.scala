@@ -517,7 +517,8 @@ object Dedup {
       window: Int = 10,
       hashSpans: Boolean = false,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      emitText: Boolean = false): DataFrame = {
     require(window >= 1, "window must be >= 1")
     val toks = Caches.persisted(
       docs.select(col(idCol), tokens(col(textCol)).as("__toks")))
@@ -552,11 +553,16 @@ object Dedup {
       .groupBy(idCol)
       .agg(count(lit(1)).cast("int").as("n_kept"),
         expr("listagg(tok, ' ') WITHIN GROUP (ORDER BY pos)").as("__ct"))
-    toks.select(col(idCol), size(col("__toks")).as("n_tokens"))
+    val out = toks.select(col(idCol), size(col("__toks")).as("n_tokens"))
       .join(clean, Seq(idCol), "left")
-      .select(col(idCol), col("n_tokens"),
-        coalesce(col("n_kept"), lit(0)).as("n_kept"),
-        md5(coalesce(col("__ct"), lit(""))).as("clean_md5"))
+    val base = Seq(col(idCol), col("n_tokens"),
+      coalesce(col("n_kept"), lit(0)).as("n_kept"),
+      md5(coalesce(col("__ct"), lit(""))).as("clean_md5"))
+    // emitText: the reassembled document itself, for pipelines that
+    // keep processing the cleaned corpus (the md5 stays for the gate)
+    out.select(
+      (if (emitText) base :+ coalesce(col("__ct"), lit("")).as("clean_text")
+       else base): _*)
   }
 
   /** Embedding-cosine near-dup, exact pairwise. Norms are precomputed

@@ -266,6 +266,11 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(out(1L) == ((9, 3, md5hex("one two three"))))
     // doc 2 shares nothing: intact
     assert(out(2L) == ((5, 5, md5hex("totally unrelated content here now"))))
+    // emitText returns the reassembled document alongside the md5
+    val withText = Dedup.exciseRepeatedSpans(docs, window = 4, emitText = true)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(withText(1L) == "one two three")
+    assert(withText(0L) == "alpha beta gamma delta epsilon zeta")
   }
 
   test("exciseRepeatedSpans: exact duplicate doc is fully excised, short docs untouched") {

@@ -98,7 +98,8 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "quality_adaptive_gate" -> "c93439fd45e6624c369f348c077a870c",
     "funnel_3step" -> "7cd3377612e0e7ea9e5473c7872d4999",
     "cohort_retention" -> "939716135802521353682fe905fc1024",
-    "q_gaps_islands" -> "14a8d41f5b70fa836711377a1189f546")
+    "q_gaps_islands" -> "14a8d41f5b70fa836711377a1189f546",
+    "pipeline_curation_v2" -> "deada623ca5095448e8e57252e78e391")
 
   test("round-3b operator outputs hash-match their pinned golden values") {
     val got = pinnedR3b.keys.toSeq.sorted.map { q =>

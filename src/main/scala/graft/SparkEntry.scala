@@ -476,6 +476,22 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(rd(s, d, "documents"))),
     "text_rolling_fp" -> ((s, d) => TextAnalysis.rollingFingerprint(rd(s, d, "documents"))),
     "text_bpe_tokens" -> ((s, d) => TextAnalysis.bpeTokenCount(rd(s, d, "documents"))),
+    "bpe_pair_stats" -> ((s, d) =>
+      // tokenizer training's inner loop: corpus-wide character-pair
+      // frequencies (the next BPE merge = the top row)
+      TextAnalysis.bpePairStats(rd(s, d, "documents"), topK = 25)),
+    "skew_key_profile" -> ((s, d) =>
+      // the salting-decision diagnostic: hottest event users with
+      // exact integer ppm shares and table-wide context
+      graft.operators.Skew.keyProfile(rd(s, d, "events"), Seq("user_id"), topK = 10)),
+    "decontaminate_embed" -> ((s, d) => {
+      // semantic decontamination: vectors 0-9 act as the eval suite;
+      // any corpus vector cosine-similar to one of them is dropped
+      val emb = rd(s, d, "embeddings")
+      Dedup.decontaminateEmbed(
+        emb.filter(col("vec_id") >= 10), emb.filter(col("vec_id") < 10), 0.35)
+        .select("vec_id", "label")
+    }),
     "text_repetition" -> ((s, d) => TextAnalysis.repetitionSignals(rd(s, d, "documents"))),
     "pii_redact" -> ((s, d) => {
       // the synthetic corpus is clean word soup, so deterministic PII
@@ -1304,6 +1320,21 @@ object SparkEntry {
     "text_bpe_tokens" ->
       ("SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INT) " +
         "AS n_bpeish_tokens FROM documents"),
+    "bpe_pair_stats" ->
+      ("WITH wrd AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w FROM documents), " +
+        "pr AS (SELECT unnest([substr(w, i, 2) FOR i IN generate_series(1, greatest(length(w), 1))]) AS pair FROM wrd) " +
+        "SELECT pair, count(*) AS n FROM pr WHERE length(pair) = 2 " +
+        "GROUP BY pair ORDER BY n DESC, pair LIMIT 25"),
+    "skew_key_profile" ->
+      ("WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id), " +
+        "t AS (SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS total_rows FROM c), " +
+        "h AS (SELECT user_id, n, CAST(row_number() OVER (ORDER BY n DESC, user_id) AS INT) AS rank FROM c) " +
+        "SELECT h.user_id, h.n, h.rank, h.n * 1000000 // t.total_rows AS share_ppm, " +
+        "t.n_keys, t.total_rows FROM h, t WHERE h.rank <= 10"),
+    "decontaminate_embed" ->
+      ("SELECT a.vec_id, a.label FROM embeddings a WHERE a.vec_id >= 10 AND NOT EXISTS " +
+        "(SELECT 1 FROM embeddings q WHERE q.vec_id < 10 AND " +
+        "list_cosine_similarity(a.embedding, q.embedding) >= 0.35)"),
     "text_repetition" ->
       ("WITH arr AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS a FROM documents), " +
         "tok AS (SELECT doc_id, unnest(a) AS tok FROM arr), " +

@@ -135,6 +135,43 @@ object Dedup {
     corpus.join(broadcast(contaminated), Seq(idCol), "left_anti")
   }
 
+  /** Embedding-space decontamination — the SEMANTIC form of
+    * [[removeContaminated]]: a corpus row is dropped when its embedding
+    * is cosine-similar (≥ `threshold`) to ANY eval-set embedding, so
+    * reworded or translated eval leakage that shares no n-grams is
+    * still caught.
+    *
+    * Shape at 100 TB: the eval side (vectors + precomputed norms) is
+    * broadcast — eval suites are thousands of vectors, MBs — and the
+    * corpus is scanned once with a broadcast nested-loop anti join
+    * whose predicate is the codegen'd [[graft.functions.vec_dot]]; no
+    * corpus shuffle, no cross-join materialization (the anti join
+    * short-circuits on the first hit per row). Exactness: every drop
+    * decision is the full double-precision cosine — unlike an
+    * LSH-prefiltered variant, recall of contamination is 1.0, which is
+    * the property that matters for eval hygiene (a missed contaminated
+    * row silently inflates benchmark scores).
+    */
+  def decontaminateEmbed(
+      corpus: DataFrame,
+      eval: DataFrame,
+      threshold: Double,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val evalVecs = eval.select(
+      col(vecCol).as("__eval_vec"),
+      sqrt(vec_dot(col(vecCol), col(vecCol))).as("__eval_norm"))
+    val withNorm = corpus.withColumn(
+      "__norm", sqrt(vec_dot(col(vecCol), col(vecCol))))
+    withNorm
+      .join(
+        broadcast(evalVecs),
+        vec_dot(col(vecCol), col("__eval_vec")) >=
+          lit(threshold) * col("__norm") * col("__eval_norm"),
+        "left_anti")
+      .drop("__norm")
+  }
+
   /** Distinct word-trigram set per document: (idCol, gram). */
   def trigramSets(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     nGramSets(docs, 3, textCol, idCol)

@@ -38,4 +38,44 @@ object Skew {
       .join(smallSalted, keys :+ SaltCol, "inner")
       .drop(SaltCol)
   }
+
+  /** Key-distribution profile: the diagnostic that DECIDES when
+    * [[saltedJoin]] (or AQE skew splitting, or a different partition
+    * key) is needed. Emits the `topK` hottest keys with, per key:
+    *
+    *   - `n` — row count;
+    *   - `rank` — 1 = hottest (ties broken by key value, deterministic);
+    *   - `share_ppm` — integer parts-per-million of the table
+    *     (`n * 1_000_000 / total`, integer division — exact, no float);
+    *   - `n_keys`, `total_rows` — table-wide context on every row, so
+    *     one output row is a self-contained skew verdict (a key with
+    *     `share_ppm ≫ 1_000_000 / n_keys` is hot).
+    *
+    * Shape at 100 TB: one combinable count shuffle (map-side partial
+    * aggregation), then the hot-key pick is a global top-K over the
+    * key-count table — Spark plans `orderBy.limit` as
+    * TakeOrderedAndProject (per-partition top-K, K rows per partition
+    * to the driver), never a full sort. The two table-wide scalars ride
+    * a second pass over the SAME shuffled key counts (reused exchange),
+    * joined back by broadcast.
+    */
+  def keyProfile(df: DataFrame, keyCols: Seq[String], topK: Int = 10): DataFrame = {
+    require(keyCols.nonEmpty && topK >= 1)
+    val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("n")).as("total_rows"))
+    val ord = col("n").desc +: keyCols.map(col)
+    val hot = counts.orderBy(ord: _*).limit(topK)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(ord: _*)
+    hot
+      .withColumn("rank", row_number().over(w)) // topK rows: window is tiny
+      .crossJoin(broadcast(totals))
+      // `div` = exact integer division on longs (the `/` operator would
+      // detour through doubles and lose exactness past 2^53 rows)
+      .withColumn("share_ppm", expr("n * 1000000L div total_rows"))
+      .select((keyCols.map(col) ++ Seq(col("n"), col("rank"),
+        col("share_ppm"), col("n_keys"), col("total_rows"))): _*)
+  }
 }

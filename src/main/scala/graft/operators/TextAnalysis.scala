@@ -282,4 +282,41 @@ object TextAnalysis {
       col(idCol),
       size(regexp_extract_all(col(textCol), lit(bpeishPattern), lit(0)))
         .as("n_bpeish_tokens"))
+
+  /** BPE merge-candidate statistics: corpus-wide adjacent-CHARACTER-pair
+    * frequencies inside whitespace words — the counting step of byte-pair
+    * -encoding tokenizer training (each top pair is the next merge the
+    * trainer would pick; rerunning after applying a merge yields the
+    * next, so this operator IS the per-iteration inner loop).
+    *
+    * Shape at 100 TB: pair generation is entirely map-side (tokenize,
+    * then slide a 2-char window per word in one codegen'd
+    * higher-order-function chain — no per-word shuffle); the only
+    * shuffle is the final pair-count aggregation, which partial-
+    * aggregates map-side into at most |alphabet|² ≈ thousands of
+    * groups, so reduce-side volume is tiny and independent of corpus
+    * size. Output: the `topK` most frequent pairs, deterministically
+    * ordered (count desc, then pair) — ties cannot reorder across runs.
+    */
+  def bpePairStats(
+      docs: DataFrame,
+      topK: Int = 25,
+      textCol: String = "text"): DataFrame = {
+    require(topK >= 1)
+    // slide over 1..length: the final window yields a 1-char remnant
+    // (filtered by length) instead of risking sequence(1, 0), which
+    // Spark would "helpfully" generate as a DESCENDING [1, 0]
+    val pairsPerWord = (w: Column) =>
+      filter(
+        transform(sequence(lit(1), greatest(length(w), lit(1))),
+          i => w.substr(i, lit(2))),
+        p => length(p) === 2)
+    docs
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+      .select(explode(pairsPerWord(col("w"))).as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topK)
+  }
 }

@@ -178,6 +178,28 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(pairs == Set((0L, 1L), (0L, 3L), (1L, 3L)))
   }
 
+  test("decontaminateEmbed drops cosine-similar rows, keeps the rest") {
+    val s = spark; import s.implicits._
+    val corpus = Seq(
+      (10L, Array(1f, 0f, 0f, 0f), 0),   // parallel to eval vec -> dropped
+      (11L, Array(0f, 1f, 0f, 0f), 1),   // orthogonal -> kept
+      (12L, Array(0.9f, 0.1f, 0f, 0f), 0), // cosine ~0.994 -> dropped
+      (13L, Array(-1f, 0f, 0f, 0f), 1)   // anti-parallel -> kept
+    ).toDF("vec_id", "embedding", "label")
+    val eval = Seq((0L, Array(2f, 0f, 0f, 0f), 9)).toDF("vec_id", "embedding", "label")
+    val kept = Dedup.decontaminateEmbed(corpus, eval, 0.99)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 13L))
+    // empty eval set -> nothing is contaminated
+    val keptAll = Dedup.decontaminateEmbed(corpus, eval.filter($"vec_id" < 0), 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptAll == Set(10L, 11L, 12L, 13L))
+    // survivors carry their full original row (payload columns intact)
+    val labels = Dedup.decontaminateEmbed(corpus, eval, 0.99)
+      .select("vec_id", "label").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(labels == Map(11L -> 1, 13L -> 1))
+  }
+
   test("portable minHashLsh: exact-verified pairs, still catches the exact dup") {
     // portable hashes are a different permutation family, so CANDIDATES
     // can differ from the xxhash64 path — but both verify with exact

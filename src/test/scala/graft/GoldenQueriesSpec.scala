@@ -99,7 +99,10 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "funnel_3step" -> "7cd3377612e0e7ea9e5473c7872d4999",
     "cohort_retention" -> "939716135802521353682fe905fc1024",
     "q_gaps_islands" -> "14a8d41f5b70fa836711377a1189f546",
-    "pipeline_curation_v2" -> "deada623ca5095448e8e57252e78e391")
+    "pipeline_curation_v2" -> "deada623ca5095448e8e57252e78e391",
+    "bpe_pair_stats" -> "60ddb665e6be6d4f51de129bb6b5462e",
+    "skew_key_profile" -> "d4467758b7b65c36969637c883b86052",
+    "decontaminate_embed" -> "4906e9bf64025d1e538d9d3fe6e22029")
 
   test("round-3b operator outputs hash-match their pinned golden values") {
     val got = pinnedR3b.keys.toSeq.sorted.map { q =>

@@ -69,6 +69,23 @@ class ScaleSpec extends AnyFunSuite with SparkTest {
     assert(salted == plain)
   }
 
+  test("keyProfile ranks hot keys with exact integer ppm shares") {
+    val s = spark; import s.implicits._
+    // 100 rows: key 7 holds 60, key 3 holds 25, keys 0-14 one each
+    val rows = Seq.fill(60)(7L) ++ Seq.fill(25)(3L) ++ (0L to 14L)
+    val df = rows.map(k => (k, "x")).toDF("k", "pad")
+    val prof = Skew.keyProfile(df, Seq("k"), topK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // 61 rows of key 7 (60 + the 7 from the range), 26 of key 3
+    assert(prof.toList == List(
+      (7L, 61L, 1, 610000L, 15L, 100L),
+      (3L, 26L, 2, 260000L, 15L, 100L)))
+    // partition layout must not change the profile
+    val prof2 = Skew.keyProfile(df.repartition(7), Seq("k"), topK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(prof2.toList == prof.toList)
+  }
+
   test("co-bucketed tables join without any Exchange (shuffle paid at write)") {
     val s = spark; import s.implicits._
     Seq("bucketed_a", "bucketed_b").foreach { t =>

@@ -95,4 +95,16 @@ class TextOpsSpec extends AnyFunSuite with SparkTest {
       .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
     assert(out == Map(1L -> ((5, 4L)), 2L -> ((3, 0L)), 3L -> ((2, 2L))))
   }
+
+  test("bpePairStats counts adjacent char pairs inside words, corpus-wide") {
+    // "ab ab" -> pairs ab, ab; "abc" -> ab, bc; "a" and "" contribute none
+    val d = docs((1L, "ab  Ab"), (2L, "abc"), (3L, "a"), (4L, ""))
+    val out = TextAnalysis.bpePairStats(d, topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toList
+    assert(out == List("ab" -> 3L, "bc" -> 1L)) // count desc, pair asc
+    // topK truncates after the deterministic (count desc, pair) order
+    val top1 = TextAnalysis.bpePairStats(d, topK = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toList
+    assert(top1 == List("ab" -> 3L))
+  }
 }

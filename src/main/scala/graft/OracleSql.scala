@@ -512,4 +512,34 @@ object OracleSql {
       "kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t WHERE NOT EXISTS " +
       "(SELECT 1 FROM cov c WHERE c.doc_id = t.doc_id AND c.pos = t.pos)), " +
       "cl AS (SELECT doc_id, CAST(count(*) AS INT) AS n_kept, string_agg(tok, ' ' ORDER BY pos) AS ct FROM kept GROUP BY doc_id)"
+
+  // ------------------------------------------------- fixed-point PageRank
+
+  /** Bit-exact replay of `Graph.pageRankFixed` on the undirected
+    * supplier↔part graph (part node ids offset to avoid key collision):
+    * the power iteration is UNROLLED into one CTE pair (contributions,
+    * new ranks) per round, every step in BIGINT with `//` floor
+    * division — the same scaled-integer arithmetic the Spark side runs,
+    * so ranks match to the last unit.
+    */
+  def pageRankTopK(iters: Int, topK: Int,
+      dampNum: Long = 85, dampDen: Long = 100,
+      massScale: Long = 1000000000000L): String = {
+    val base = s"($massScale // cnt)"
+    val chain = (1 to iters).map { i =>
+      s"c$i AS (SELECT e.dst AS node, CAST(sum(r.rank // d.outdeg) AS BIGINT) AS contrib " +
+        s"FROM e JOIN r${i - 1} r ON r.node = e.src JOIN deg d ON d.node = e.src GROUP BY e.dst), " +
+        s"r$i AS (SELECT nd.node, $base * ${dampDen - dampNum} // $dampDen + " +
+        s"$dampNum * coalesce(c$i.contrib, 0) // $dampDen AS rank " +
+        s"FROM nodes nd CROSS JOIN n LEFT JOIN c$i ON c$i.node = nd.node)"
+    }.mkString(", ")
+    "WITH raw AS (SELECT DISTINCT l_suppkey AS s, l_partkey + 1000000 AS p FROM lineitem), " +
+      "e AS (SELECT s AS src, p AS dst FROM raw UNION SELECT p, s FROM raw), " +
+      "nodes AS (SELECT DISTINCT src AS node FROM e), " +
+      "deg AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY src), " +
+      "n AS (SELECT count(*) AS cnt FROM nodes), " +
+      s"r0 AS (SELECT node, $massScale // cnt AS rank FROM nodes CROSS JOIN n), " +
+      s"$chain " +
+      s"SELECT node, rank FROM r$iters ORDER BY rank DESC, node LIMIT $topK"
+  }
 }

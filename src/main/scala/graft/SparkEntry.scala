@@ -409,6 +409,18 @@ object SparkEntry {
         numCentroids = 8, refineIters = 2)),
     "dedup_clusters" -> ((s, d) =>
       Dedup.dedupClusters(Dedup.ngramJaccardPairs(rd(s, d, "documents"), 1, 20))),
+    "graph_pagerank" -> ((s, d) => {
+      // influence ranking on the undirected supplier<->part co-purchase
+      // graph; fixed-point integer arithmetic so the power iteration
+      // replays bit-for-bit in the oracle (part ids offset past the
+      // supplier key range)
+      val raw = rd(s, d, "lineitem")
+        .select(col("l_suppkey").as("s"), (col("l_partkey") + 1000000L).as("p"))
+      val e = raw.select(col("s").as("src"), col("p").as("dst"))
+        .unionByName(raw.select(col("p").as("src"), col("s").as("dst")))
+      graft.operators.Graph.pageRankFixed(e, iters = 3)
+        .orderBy(col("rank").desc, col("node")).limit(20)
+    }),
     "decontaminate" -> ((s, d) => {
       // benchmark decontamination: docs 0-19 act as the eval suite; any
       // corpus row with the same normalized content is dropped (here the
@@ -1335,6 +1347,7 @@ object SparkEntry {
       ("SELECT a.vec_id, a.label FROM embeddings a WHERE a.vec_id >= 10 AND NOT EXISTS " +
         "(SELECT 1 FROM embeddings q WHERE q.vec_id < 10 AND " +
         "list_cosine_similarity(a.embedding, q.embedding) >= 0.35)"),
+    "graph_pagerank" -> OracleSql.pageRankTopK(iters = 3, topK = 20),
     "text_repetition" ->
       ("WITH arr AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS a FROM documents), " +
         "tok AS (SELECT doc_id, unnest(a) AS tok FROM arr), " +

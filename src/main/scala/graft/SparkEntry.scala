@@ -409,6 +409,14 @@ object SparkEntry {
         numCentroids = 8, refineIters = 2)),
     "dedup_clusters" -> ((s, d) =>
       Dedup.dedupClusters(Dedup.ngramJaccardPairs(rd(s, d, "documents"), 1, 20))),
+    "link_best_match" -> ((s, d) => {
+      // fuzzy record linkage: docs 0-49 each link to their most
+      // trigram-similar doc in the 50+ corpus (scaled-integer Jaccard,
+      // deterministic tie-break)
+      val docs = rd(s, d, "documents")
+      Dedup.bestJaccardMatch(
+        docs.filter(col("doc_id") < 50), docs.filter(col("doc_id") >= 50))
+    }),
     "graph_pagerank" -> ((s, d) => {
       // influence ranking on the undirected supplier<->part co-purchase
       // graph; fixed-point integer arithmetic so the power iteration
@@ -1348,6 +1356,16 @@ object SparkEntry {
         "(SELECT 1 FROM embeddings q WHERE q.vec_id < 10 AND " +
         "list_cosine_similarity(a.embedding, q.embedding) >= 0.35)"),
     "graph_pagerank" -> OracleSql.pageRankTopK(iters = 3, topK = 20),
+    "link_best_match" ->
+      (s"WITH ${OracleSql.wordTriCtes}, " +
+        "ov AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS inter FROM tri a JOIN tri b " +
+        "ON a.g = b.g WHERE a.doc_id < 50 AND b.doc_id >= 50 GROUP BY 1, 2), " +
+        "sc AS (SELECT ov.id_l, ov.id_r, ov.inter, sa.n + sb.n - ov.inter AS union_size, " +
+        "ov.inter * 1000000000 // (sa.n + sb.n - ov.inter) AS score " +
+        "FROM ov JOIN sz sa ON sa.doc_id = ov.id_l JOIN sz sb ON sb.doc_id = ov.id_r) " +
+        "SELECT id_l AS doc_id, id_r AS match_id, inter, union_size, score FROM " +
+        "(SELECT sc.*, row_number() OVER (PARTITION BY id_l ORDER BY score DESC, id_r) AS rn FROM sc) " +
+        "WHERE rn = 1"),
     "text_repetition" ->
       ("WITH arr AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS a FROM documents), " +
         "tok AS (SELECT doc_id, unnest(a) AS tok FROM arr), " +

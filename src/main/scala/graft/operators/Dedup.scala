@@ -260,6 +260,65 @@ object Dedup {
       .select("id_a", "id_b", "inter", "union_size")
   }
 
+  /** Fuzzy record linkage: for every left document, the single
+    * best-matching right document by word-trigram Jaccard — the
+    * similarity JOIN (argmax per left row) as opposed to the pair
+    * LISTING of [[ngramJaccardPairs]]. The shape behind "link each new
+    * record to its canonical entry" and "attribute each near-dup to its
+    * source document".
+    *
+    * The score is the Jaccard ratio as a scaled integer
+    * (`inter * scoreScale div union`), so ranking and ties are
+    * bit-identical across engines; ties break on the smaller right id.
+    * Left docs sharing no gram with any right doc have no match and are
+    * omitted (the caller left-joins the output back if absence matters).
+    *
+    * Shape at 100 TB: an inverted-index equi-join on the gram — the
+    * fan-in per gram is its document frequency, not the corpus size —
+    * then one (left,right)-keyed count shuffle and a per-left-key
+    * window over each left doc's candidates only. `maxGramDf` drops
+    * grams more frequent than the cap (on the COMBINED corpus) from
+    * candidate generation, bounding the worst gram's expansion;
+    * union sizes still count every gram, mirroring
+    * [[ngramJaccardPairs]]'s capped semantics.
+    */
+  def bestJaccardMatch(
+      left: DataFrame,
+      right: DataFrame,
+      scoreScale: Long = 1000000000L,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxGramDf: Int = Int.MaxValue): DataFrame = {
+    val lg = Caches.persisted(trigramSets(left, textCol, idCol)
+      .select(col(idCol).as("id_l"), col("gram")))
+    val rg = Caches.persisted(trigramSets(right, textCol, idCol)
+      .select(col(idCol).as("id_r"), col("gram")))
+    val lsz = lg.groupBy("id_l").agg(count(lit(1)).as("n_l"))
+    val rsz = rg.groupBy("id_r").agg(count(lit(1)).as("n_r"))
+    val (lj, rj) =
+      if (maxGramDf == Int.MaxValue) (lg, rg)
+      else {
+        val ok = lg.select("gram").unionAll(rg.select("gram"))
+          .groupBy("gram").agg(count(lit(1)).as("gram_df"))
+          .where(col("gram_df") <= maxGramDf).select("gram")
+        (lg.join(ok, "gram"), rg.join(ok, "gram"))
+      }
+    val inter = lj.join(rj, "gram")
+      .groupBy("id_l", "id_r")
+      .agg(count(lit(1)).as("inter"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_l").orderBy(col("score").desc, col("id_r"))
+    inter
+      .join(lsz, "id_l")
+      .join(rsz, "id_r")
+      .withColumn("union_size", col("n_l") + col("n_r") - col("inter"))
+      .withColumn("score", expr(s"inter * ${scoreScale}L div union_size"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("id_l").as(idCol), col("id_r").as("match_id"),
+        col("inter"), col("union_size"), col("score"))
+  }
+
   /** MinHash + LSH near-dup: k independent min-hashes of the trigram set,
     * banded into `numBands` bands; docs sharing any band bucket become
     * candidates (shuffle on the bucket key — at 100 TB this is the only

@@ -200,6 +200,28 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(labels == Map(11L -> 1, 13L -> 1))
   }
 
+  test("bestJaccardMatch links each left doc to its top right doc, ties to smaller id") {
+    val s = spark; import s.implicits._
+    val left = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "completely unrelated payload zebra xylophone quasar")
+    ).toDF("doc_id", "text")
+    val right = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"), // best for 0
+      (11L, "the quick brown fox sat still"),
+      (12L, "nothing in common with anything here at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.bestJaccardMatch(left, right)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 10L)) // doc 1 shares no trigram -> omitted
+    // exact duplicate on both sides: score = scale (jaccard 1), id tie broken low
+    val l2 = Seq((0L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val r2 = Seq((21L, "alpha beta gamma delta"), (20L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val row = Dedup.bestJaccardMatch(l2, r2).collect().head
+    assert(row.getLong(1) == 20L && row.getLong(4) == 1000000000L)
+  }
+
   test("portable minHashLsh: exact-verified pairs, still catches the exact dup") {
     // portable hashes are a different permutation family, so CANDIDATES
     // can differ from the xxhash64 path — but both verify with exact

@@ -104,4 +104,51 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Per-file min/max manifest over `cols`: one row per data file with
+    * `<col>_min` / `<col>_max` bounds — the manifest-table pattern
+    * (what table formats keep in metadata). Built with ONE distributed
+    * scan grouped by `input_file_name()`; build it once right after a
+    * layout write (z-order, bucketing, compaction) and persist it as a
+    * table, so reads pay metadata-sized pruning instead of 100 TB
+    * footer walks. On a sorted/z-ordered layout the bounds are narrow —
+    * that is precisely what makes [[readPruned]] effective.
+    */
+  def fileManifest(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty)
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).as(s"${c}_min"),
+      max(col(c)).as(s"${c}_max")))
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Range scan through the manifest: keep only data files whose
+    * [min, max] interval INTERSECTS every requested `[lo, hi]` range,
+    * then read just those files and apply the exact predicate. The
+    * result equals the plain filtered scan row-for-row; what changes is
+    * I/O — non-overlapping files are never opened. The manifest filter
+    * and file-list collect are metadata-sized (rows = files, not
+    * records); this is the explicit form of the skipping that parquet
+    * footer stats give implicitly, made table-driven so it survives
+    * catalogs, object stores with slow LIST, and 10⁶-file tables.
+    */
+  def readPruned(
+      spark: SparkSession,
+      path: String,
+      manifest: DataFrame,
+      ranges: Seq[(String, Double, Double)]): DataFrame = {
+    require(ranges.nonEmpty)
+    val overlap = ranges.map { case (c, lo, hi) =>
+      col(s"${c}_max") >= lo && col(s"${c}_min") <= hi
+    }.reduce(_ && _)
+    val files = manifest.where(overlap).select("file")
+      .collect().map(_.getString(0)) // metadata-sized: one row per file
+    val residual = ranges.map { case (c, lo, hi) =>
+      col(c) >= lo && col(c) <= hi
+    }.reduce(_ && _)
+    if (files.isEmpty) spark.read.parquet(path).where(lit(false))
+    else spark.read.parquet(files: _*).where(residual)
+  }
 }

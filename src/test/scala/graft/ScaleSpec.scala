@@ -39,6 +39,32 @@ class ScaleSpec extends AnyFunSuite with SparkTest {
     assert(ly.sum / ly.size > 0.9, "non-sort column spans the domain — the gap z-order closes")
   }
 
+  test("manifest pruning reads only overlapping files, result equals full filter") {
+    val s = spark; import s.implicits._
+    import graft.sources.Layout
+    val pts = (0 until 20000).map { i =>
+      ((i * 2654435761L) % 100000, (i * 40503L + 7919L) % 100000)
+    }.toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("manifest").toString + "/t"
+    Layout.writeZOrdered(pts, "x", "y", dir, numFiles = 16)
+    val manifest = Layout.fileManifest(s, dir, Seq("x", "y"))
+    val nFiles = manifest.count()
+    assert(nFiles == 16)
+    // narrow 2D box: z-order keeps most files fully outside it
+    val ranges = Seq(("x", 10000.0, 20000.0), ("y", 30000.0, 40000.0))
+    val pruned = Layout.readPruned(s, dir, manifest, ranges)
+    val expected = s.read.parquet(dir)
+      .where($"x".between(10000, 20000) && $"y".between(30000, 40000))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val got = pruned.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == expected && got.nonEmpty)
+    assert(pruned.inputFiles.length < nFiles,
+      s"pruning skipped nothing: ${pruned.inputFiles.length} of $nFiles files read")
+    // a box outside the domain reads zero files and returns zero rows
+    val none = Layout.readPruned(s, dir, manifest, Seq(("x", 200000.0, 300000.0)))
+    assert(none.count() == 0)
+  }
+
   test("compact merges small files without changing content") {
     val s = spark; import s.implicits._
     import graft.sources.{Layout, Warehouse}

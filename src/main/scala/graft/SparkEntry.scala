@@ -348,6 +348,18 @@ object SparkEntry {
     "e2_sliding" -> ((s, d) => Events.slidingHourly(rd(s, d, "events"))),
     "e3_session" -> ((s, d) => Events.sessionize(rd(s, d, "events"))),
     "e5_gap_fill" -> ((s, d) => Events.gapFillHourly(rd(s, d, "events"))),
+    "seq_transitions" -> ((s, d) =>
+      // first-order Markov transition matrix with exact-integer
+      // conditional frequencies
+      Events.transitionCounts(rd(s, d, "events"))),
+    "dq_categorical_drift" -> ((s, d) => {
+      // distribution-shift report: event-type mix before vs after the
+      // cutoff, exact integer ppm shares
+      val e = rd(s, d, "events")
+      val cut = tlit("2024-01-08 00:00:00")
+      graft.operators.Quality.categoricalDrift(
+        e.filter(col("ts") < cut), e.filter(col("ts") >= cut), "event_type")
+    }),
     "e4_json_props" -> ((s, d) =>
       // semi-structured handling: extract an int field from the JSON
       // props payload and profile it per event type
@@ -1356,6 +1368,28 @@ object SparkEntry {
         "(SELECT 1 FROM embeddings q WHERE q.vec_id < 10 AND " +
         "list_cosine_similarity(a.embedding, q.embedding) >= 0.35)"),
     "graph_pagerank" -> OracleSql.pageRankTopK(iters = 3, topK = 20),
+    "seq_transitions" ->
+      ("WITH seq AS (SELECT event_type, lag(event_type) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events), " +
+        "c AS (SELECT prev_type, event_type AS next_type, count(*) AS n FROM seq " +
+        "WHERE prev_type IS NOT NULL GROUP BY 1, 2) " +
+        "SELECT prev_type, next_type, n, " +
+        "CAST(n * 1000000 // sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS prob_ppm FROM c"),
+    "dq_categorical_drift" ->
+      ("WITH b AS (SELECT event_type, count(*) AS n_before FROM events " +
+        "WHERE ts < TIMESTAMP '2024-01-08 00:00:00' GROUP BY 1), " +
+        "a AS (SELECT event_type, count(*) AS n_after FROM events " +
+        "WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' GROUP BY 1), " +
+        "j AS (SELECT coalesce(b.event_type, a.event_type) AS event_type, " +
+        "coalesce(n_before, 0) AS n_before, coalesce(n_after, 0) AS n_after " +
+        "FROM b FULL OUTER JOIN a ON a.event_type = b.event_type), " +
+        "t AS (SELECT CAST(sum(n_before) AS BIGINT) AS tb, CAST(sum(n_after) AS BIGINT) AS ta FROM j) " +
+        "SELECT event_type, n_before, n_after, " +
+        "CAST(coalesce(n_before * 1000000 // nullif(tb, 0), 0) AS BIGINT) AS ppm_before, " +
+        "CAST(coalesce(n_after * 1000000 // nullif(ta, 0), 0) AS BIGINT) AS ppm_after, " +
+        "CAST(coalesce(n_after * 1000000 // nullif(ta, 0), 0) - " +
+        "coalesce(n_before * 1000000 // nullif(tb, 0), 0) AS BIGINT) AS delta_ppm " +
+        "FROM j, t"),
     "link_best_match" ->
       (s"WITH ${OracleSql.wordTriCtes}, " +
         "ov AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS inter FROM tri a JOIN tri b " +

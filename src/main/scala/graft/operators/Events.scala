@@ -87,4 +87,30 @@ object Events {
       col("user_id"), col("event_id"), col("ts"),
       round(sum(col("value")).over(w), 2).as("running_value"))
   }
+
+  /** First-order Markov transition counts: how often each event type is
+    * immediately followed by each other type within a user's timeline —
+    * the sequential-pattern statistic behind next-action prediction,
+    * funnel discovery, and bot detection (self-loop-heavy users).
+    * `prob_ppm` is the conditional transition frequency
+    * P(next | prev) in exact integer parts-per-million.
+    *
+    * Shape at 100 TB: one shuffle on the user key (the lag window —
+    * per-user timelines are the parallelism unit, as for
+    * sessionization), then a count shuffle into at most |types|²
+    * groups with map-side partials; the row-count denominator rides a
+    * window over those tiny groups. Deterministic ordering on
+    * (ts, event_id) so simultaneous events transition identically in
+    * every engine.
+    */
+  def transitionCounts(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val counts = events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    counts.withColumn(
+      "prob_ppm", expr("n * 1000000L div sum(n) OVER (PARTITION BY prev_type)"))
+  }
 }

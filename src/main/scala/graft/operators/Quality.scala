@@ -86,4 +86,45 @@ object Quality {
     df.join(broadcast(cuts), Seq(groupCol))
       .filter(col(metricCol) >= col(s"${metricCol}_cut"))
   }
+
+  /** Categorical drift report between two snapshots of the same feed:
+    * per category, the row count and exact integer ppm share in each
+    * snapshot plus the signed share delta. The distribution-shift
+    * monitor for ingest pipelines ("did the event-type / source / lang
+    * mix move?") — delta thresholds drive alerts, and because every
+    * number is an exact integer the report is bit-reproducible (no
+    * float divergence between the engine and whatever recomputes it).
+    *
+    * Categories absent from one side report zero there (full-outer
+    * semantics) — a vanished or brand-new category is exactly the
+    * drift worth alerting on.
+    *
+    * Shape at 100 TB: one combinable count per side, a full-outer join
+    * on |categories| rows, totals broadcast back. The snapshots are
+    * scanned once each and never shuffled (counts partial-aggregate
+    * map-side).
+    */
+  def categoricalDrift(
+      before: DataFrame,
+      after: DataFrame,
+      catCol: String): DataFrame = {
+    def counted(df: DataFrame, n: String) =
+      df.groupBy(col(catCol)).agg(count(lit(1)).as(n))
+    val joined = counted(before, "n_before")
+      .join(counted(after, "n_after"), Seq(catCol), "full_outer")
+      .select(col(catCol),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+    val totals = joined.agg(
+      sum(col("n_before")).as("__t_before"),
+      sum(col("n_after")).as("__t_after"))
+    // nullif guards the all-empty snapshot (ANSI div by zero throws);
+    // an absent side then reports share 0 rather than failing the report
+    val ppmB = expr("coalesce(n_before * 1000000L div nullif(__t_before, 0L), 0L)")
+    val ppmA = expr("coalesce(n_after * 1000000L div nullif(__t_after, 0L), 0L)")
+    joined.crossJoin(broadcast(totals))
+      .select(col(catCol), col("n_before"), col("n_after"),
+        ppmB.as("ppm_before"), ppmA.as("ppm_after"),
+        (ppmA - ppmB).as("delta_ppm"))
+  }
 }

@@ -22,6 +22,26 @@ class EventsSpec extends AnyFunSuite with SparkTest {
     assert(out == Map((100L, 0L) -> 3L, (100L, 1L) -> 1L, (200L, 0L) -> 1L))
   }
 
+  test("transitionCounts builds the per-user Markov matrix with exact ppm") {
+    val s = spark; import s.implicits._
+    // user 100: a->b, b->a, a->b ; user 200: a->b  => a->b x3, b->a x1
+    val events = Seq(
+      (1L, 100L, "2024-01-01 10:00:00", "a"),
+      (2L, 100L, "2024-01-01 10:01:00", "b"),
+      (3L, 100L, "2024-01-01 10:02:00", "a"),
+      (4L, 100L, "2024-01-01 10:03:00", "b"),
+      (5L, 200L, "2024-01-01 10:00:00", "a"),
+      (6L, 200L, "2024-01-01 10:05:00", "b")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+      .withColumn("ts", to_timestamp($"ts"))
+    val got = Events.transitionCounts(events).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // transitions never cross users; ppm is conditional on the prev type
+    assert(got == Map(
+      ("a", "b") -> ((3L, 1000000L)),
+      ("b", "a") -> ((1L, 1000000L))))
+  }
+
   test("gapFillHourly emits one row per hour, carrying the latest reading forward") {
     val s = spark; import s.implicits._
     val events = Seq(

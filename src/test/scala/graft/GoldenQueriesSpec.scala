@@ -104,7 +104,9 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "skew_key_profile" -> "d4467758b7b65c36969637c883b86052",
     "decontaminate_embed" -> "4906e9bf64025d1e538d9d3fe6e22029",
     "graph_pagerank" -> "cb4293a53604a8952e6d697ce89c5f2a",
-    "link_best_match" -> "5f8c9b0b5a7224d543ad50313473465c")
+    "link_best_match" -> "5f8c9b0b5a7224d543ad50313473465c",
+    "seq_transitions" -> "484d57f55e534627426fceeb350e43c1",
+    "dq_categorical_drift" -> "1af869748a90edc011cee7bde9e21d4d")
 
   test("round-3b operator outputs hash-match their pinned golden values") {
     val got = pinnedR3b.keys.toSeq.sorted.map { q =>

@@ -158,6 +158,25 @@ class MergeSuite extends AnyFunSuite with SparkTest {
       byGrp("b").forall(_._3 == 101L))
   }
 
+  test("categoricalDrift reports exact ppm shares, zeros for absent sides") {
+    val s = spark; import s.implicits._
+    val before = Seq("x", "x", "x", "y").toDF("cat")          // x 75%, y 25%
+    val after = Seq("x", "y", "y", "z").toDF("cat")           // x 25%, y 50%, z new
+    val got = graft.operators.Quality.categoricalDrift(before, after, "cat")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got == Map(
+      "x" -> ((3L, 1L, 750000L, 250000L, -500000L)),
+      "y" -> ((1L, 2L, 250000L, 500000L, 250000L)),
+      "z" -> ((0L, 1L, 0L, 250000L, 250000L))))
+    // an empty side reports zero shares instead of dividing by zero
+    val emptyB = graft.operators.Quality.categoricalDrift(
+      before.filter(lit(false)), after, "cat")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(emptyB.values.forall(_ == 0L) && emptyB.keySet == Set("x", "y", "z"))
+  }
+
   test("insertMissing appends only absent keys") {
     val s = spark; import s.implicits._
     val tgt = Seq((1L, "a")).toDF("k", "v")

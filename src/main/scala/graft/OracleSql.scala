@@ -542,4 +542,28 @@ object OracleSql {
       s"$chain " +
       s"SELECT node, rank FROM r$iters ORDER BY rank DESC, node LIMIT $topK"
   }
+
+  /** Bit-exact replay of `Graph.labelPropagation` on the same
+    * supplier↔part graph, seeded with each supplier's nation key:
+    * rounds unroll into (neighbor-label counts, per-node argmax,
+    * clamped relabel) CTE triples; the argmax order (count desc, label
+    * asc) is total, so every round is deterministic in both engines.
+    */
+  def labelPropagation(iters: Int): String = {
+    val chain = (1 to iters).map { i =>
+      s"c$i AS (SELECT e.dst AS node, l.label, count(*) AS n " +
+        s"FROM e JOIN l${i - 1} l ON l.node = e.src WHERE l.label IS NOT NULL GROUP BY 1, 2), " +
+        s"a$i AS (SELECT node, label FROM (SELECT node, label, " +
+        s"row_number() OVER (PARTITION BY node ORDER BY n DESC, label) AS rn FROM c$i) WHERE rn = 1), " +
+        s"l$i AS (SELECT nd.node, coalesce(sd.label, a$i.label) AS label FROM nodes nd " +
+        s"LEFT JOIN sd ON sd.node = nd.node LEFT JOIN a$i ON a$i.node = nd.node)"
+    }.mkString(", ")
+    "WITH raw AS (SELECT DISTINCT l_suppkey AS s, l_partkey + 1000000 AS p FROM lineitem), " +
+      "e AS (SELECT s AS src, p AS dst FROM raw UNION SELECT p, s FROM raw), " +
+      "nodes AS (SELECT DISTINCT src AS node FROM e), " +
+      "sd AS (SELECT s_suppkey AS node, s_nationkey AS label FROM supplier), " +
+      "l0 AS (SELECT nd.node, sd.label FROM nodes nd LEFT JOIN sd ON sd.node = nd.node), " +
+      s"$chain " +
+      s"SELECT node, label FROM l$iters WHERE label IS NOT NULL"
+  }
 }

@@ -429,6 +429,18 @@ object SparkEntry {
       Dedup.bestJaccardMatch(
         docs.filter(col("doc_id") < 50), docs.filter(col("doc_id") >= 50))
     }),
+    "graph_label_prop" -> ((s, d) => {
+      // semi-supervised auto-labeling: suppliers are seeded with their
+      // nation key; parts (and any relabeled suppliers' neighbors)
+      // adopt the majority label through the co-purchase graph
+      val raw = rd(s, d, "lineitem")
+        .select(col("l_suppkey").as("s"), (col("l_partkey") + 1000000L).as("p"))
+      val e = raw.select(col("s").as("src"), col("p").as("dst"))
+        .unionByName(raw.select(col("p").as("src"), col("s").as("dst")))
+      val seeds = rd(s, d, "supplier")
+        .select(col("s_suppkey").as("node"), col("s_nationkey").as("label"))
+      graft.operators.Graph.labelPropagation(e, seeds, iters = 2)
+    }),
     "graph_pagerank" -> ((s, d) => {
       // influence ranking on the undirected supplier<->part co-purchase
       // graph; fixed-point integer arithmetic so the power iteration
@@ -1368,6 +1380,7 @@ object SparkEntry {
         "(SELECT 1 FROM embeddings q WHERE q.vec_id < 10 AND " +
         "list_cosine_similarity(a.embedding, q.embedding) >= 0.35)"),
     "graph_pagerank" -> OracleSql.pageRankTopK(iters = 3, topK = 20),
+    "graph_label_prop" -> OracleSql.labelPropagation(iters = 2),
     "seq_transitions" ->
       ("WITH seq AS (SELECT event_type, lag(event_type) OVER " +
         "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events), " +

@@ -72,4 +72,59 @@ object Graph {
     }
     ranks
   }
+
+  /** Clamped label propagation: semi-supervised node classification —
+    * seed nodes keep their label forever; every other node adopts, each
+    * synchronous round, the MOST FREQUENT label among its in-neighbors
+    * (ties to the smallest label; no labeled neighbor yet → stays
+    * unlabeled). The auto-labeling workhorse: classify millions of
+    * items from thousands of seeds through a similarity/co-occurrence
+    * graph (the graph analog of [[graft.SparkEntry]]'s kNN label vote).
+    *
+    * Deterministic by construction — counts are integers and the
+    * argmax order is total — so a fixed `iters` run replays
+    * bit-for-bit in the oracle, like [[pageRankFixed]].
+    *
+    * Shape at 100 TB: per round, one vertex-keyed join of the label
+    * vector to the edge list and one (node,label) count shuffle with
+    * map-side partials; the argmax window partitions by node over each
+    * node's ≤ degree candidate labels. Label vector is |V| rows,
+    * localCheckpointed per round to keep lineage flat.
+    *
+    * @param seeds (node, label) — the clamped supervision set
+    * @return (node, label) for every node labeled after `iters` rounds
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      seeds: DataFrame,
+      iters: Int,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(iters >= 0)
+    val e = Caches.persisted(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+    val nodes = e.select(col("src").as("node")).distinct()
+    val seed = seeds.toDF("node", "__seed")
+    var labels = nodes.join(seed, Seq("node"), "left")
+      .select(col("node"), col("__seed").as("label"))
+      .localCheckpoint(true)
+    val byNode = org.apache.spark.sql.expressions.Window
+      .partitionBy("node").orderBy(col("n").desc, col("label"))
+    for (_ <- 0 until iters) {
+      val majority = e
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .where(col("label").isNotNull)
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("__rn", row_number().over(byNode))
+        .where(col("__rn") === 1)
+        .select(col("node"), col("label").as("__maj"))
+      labels = nodes
+        .join(seed, Seq("node"), "left")
+        .join(majority, Seq("node"), "left")
+        .select(col("node"), coalesce(col("__seed"), col("__maj")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels.where(col("label").isNotNull)
+  }
 }

@@ -44,4 +44,42 @@ class GraphSpec extends AnyFunSuite with SparkTest {
     val got = ranks(Seq((1L, 2L), (2L, 1L)), 0)
     assert(got == Map(1L -> 500000000000L, 2L -> 500000000000L))
   }
+
+  private def propagate(edges: Seq[(Long, Long)], seeds: Seq[(Long, Long)], iters: Int) = {
+    val s = spark; import s.implicits._
+    Graph.labelPropagation(edges.toDF("src", "dst"), seeds.toDF("node", "label"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("labelPropagation spreads one hop per round along the chain") {
+    // undirected chain 1-2-3, seed at 1
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+    assert(propagate(e, Seq(1L -> 7L), 1) == Map(1L -> 7L, 2L -> 7L))
+    assert(propagate(e, Seq(1L -> 7L), 2) == Map(1L -> 7L, 2L -> 7L, 3L -> 7L))
+  }
+
+  test("labelPropagation: majority wins, ties to the smaller label, seeds clamp") {
+    // node 4 hears label 9 from two neighbors and 5 from one -> 9;
+    // node 5 hears 5 and 9 once each -> tie -> smaller label 5;
+    // seed 1 keeps its label even though its neighbors say otherwise
+    val e = Seq(
+      (1L, 4L), (2L, 4L), (3L, 4L),
+      (2L, 5L), (1L, 5L),
+      (2L, 1L), (3L, 1L),
+      // reverse edges so every node is a source (undirected convention)
+      (4L, 1L), (4L, 2L), (4L, 3L), (5L, 2L), (5L, 1L), (1L, 2L), (1L, 3L))
+    val seeds = Seq(1L -> 5L, 2L -> 9L, 3L -> 9L)
+    val got = propagate(e, seeds, 1)
+    assert(got(4L) == 9L && got(5L) == 5L && got(1L) == 5L && got(2L) == 9L)
+  }
+
+  test("labelPropagation is bit-identical across partitionings") {
+    val s = spark; import s.implicits._
+    val e = ((1L to 30L).map(i => (i, i % 5 + 31L)) ++ (1L to 30L).map(i => (i % 5 + 31L, i))).toDF("src", "dst")
+    val seeds = Seq(31L -> 1L, 32L -> 2L, 33L -> 1L).toDF("node", "label")
+    val a = Graph.labelPropagation(e, seeds, 3).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = Graph.labelPropagation(e.repartition(11), seeds, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }

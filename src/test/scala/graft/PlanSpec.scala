@@ -44,6 +44,41 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(bhj.nonEmpty, s"expected BroadcastHashJoin, got:\n$plan")
   }
 
+  private def unwrapped(df: org.apache.spark.sql.DataFrame) =
+    executed(df) match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+
+  test("decontaminateEmbed anti-joins via broadcast nested loop — no corpus shuffle") {
+    val emb = Tables.table(spark, sf, "embeddings")
+    val out = Dedup.decontaminateEmbed(
+      emb.filter(col("vec_id") >= 10), emb.filter(col("vec_id") < 10), 0.35)
+    val plan = unwrapped(out)
+    val exchanges = plan.collectWithSubqueries {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty, s"expected shuffle-free anti join, got:\n$plan")
+    val bnlj = plan.collectWithSubqueries {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnlj.nonEmpty && bnlj.head.joinType.sql == "LEFT ANTI",
+      s"expected broadcast nested-loop LEFT ANTI, got:\n$plan")
+  }
+
+  test("keyProfile top-K plans as TakeOrderedAndProject, never a full sort") {
+    val events = Tables.table(spark, sf, "events")
+    val plan = unwrapped(graft.operators.Skew.keyProfile(events, Seq("user_id"), 10))
+    val topk = plan.collectWithSubqueries {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    assert(topk.nonEmpty, s"expected TakeOrderedAndProject for the hot-key pick, got:\n$plan")
+    val sorts = plan.collectWithSubqueries {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }
+    assert(sorts.isEmpty, s"expected no global sort, got:\n$plan")
+  }
+
   test("filter + projection reach the parquet scan (pushdown, pruning)") {
     val li = Tables.table(spark, sf, "lineitem")
       .filter(col("l_extendedprice") > 45000)

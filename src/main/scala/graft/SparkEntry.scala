@@ -352,6 +352,13 @@ object SparkEntry {
       // first-order Markov transition matrix with exact-integer
       // conditional frequencies
       Events.transitionCounts(rd(s, d, "events"))),
+    "sample_temporal_split" -> ((s, d) =>
+      // leak-proof time-based split: last ~9 days test, 2-day embargo
+      // buffer before the cutoff
+      Sampling.temporalSplit(rd(s, d, "events"), "ts",
+        java.time.Instant.parse("2024-01-22T00:00:00Z"),
+        java.time.Duration.ofDays(2))
+        .select("event_id", "split")),
     "dq_categorical_drift" -> ((s, d) => {
       // distribution-shift report: event-type mix before vs after the
       // cutoff, exact integer ppm shares
@@ -1381,6 +1388,11 @@ object SparkEntry {
         "list_cosine_similarity(a.embedding, q.embedding) >= 0.35)"),
     "graph_pagerank" -> OracleSql.pageRankTopK(iters = 3, topK = 20),
     "graph_label_prop" -> OracleSql.labelPropagation(iters = 2),
+    "sample_temporal_split" ->
+      // cutoff 2024-01-22T00:00:00Z = 1705881600000000 us; embargo 2 days
+      ("SELECT event_id, CASE WHEN epoch_us(ts) < 1705708800000000 THEN 'train' " +
+        "WHEN epoch_us(ts) < 1705881600000000 THEN 'embargo' ELSE 'test' END AS split " +
+        "FROM events"),
     "seq_transitions" ->
       ("WITH seq AS (SELECT event_type, lag(event_type) OVER " +
         "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events), " +

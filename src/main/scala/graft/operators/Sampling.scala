@@ -215,4 +215,37 @@ object Sampling {
       .filter(col("__rk") <= cap)
       .drop("__rk")
   }
+
+  /** Temporal train/test split with an embargo gap — the time-series
+    * counterpart of [[hashSplit]]: evaluation rows must come strictly
+    * AFTER training rows, with a buffer zone between them wide enough
+    * that lagged features (rolling windows, as-of joins) computed on
+    * the train side cannot see into the test period. Rows inside the
+    * buffer are labeled `embargo` rather than silently dropped, so the
+    * caller decides (and can audit) what the gap cost.
+    *
+    *   - `train`:   ts <  cutoff − embargo
+    *   - `embargo`: cutoff − embargo ≤ ts < cutoff
+    *   - `test`:    ts ≥ cutoff
+    *
+    * Boundaries are exact microsecond integer comparisons (never
+    * second-truncated), so a row lands in the same split in every
+    * engine. Zero-shuffle: a narrow projection fused into the scan,
+    * like every split in this module.
+    */
+  def temporalSplit(
+      df: DataFrame,
+      tsCol: String,
+      cutoff: java.time.Instant, // Instant, not Timestamp: timezone-proof
+      embargo: java.time.Duration,
+      splitColName: String = "split"): DataFrame = {
+    require(!embargo.isNegative, "embargo must be non-negative")
+    val cutMicros = cutoff.getEpochSecond * 1000000L + cutoff.getNano / 1000L
+    val embargoMicros = embargo.toNanos / 1000L
+    val t = unix_micros(col(tsCol))
+    df.withColumn(splitColName,
+      when(t < cutMicros - embargoMicros, "train")
+        .when(t < cutMicros, "embargo")
+        .otherwise("test"))
+  }
 }

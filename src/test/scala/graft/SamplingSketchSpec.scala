@@ -45,6 +45,26 @@ class SamplingSketchSpec extends AnyFunSuite with SparkTest {
     assert(math.abs(counts.getOrElse("test", 0L) - 200L) < 60)
   }
 
+  test("temporalSplit labels train/embargo/test with exact microsecond boundaries") {
+    val s = spark; import s.implicits._
+    val cutoff = java.time.Instant.parse("2024-01-22T00:00:00Z")
+    val rows = Seq(
+      (1L, "2024-01-19 23:59:59.999999"), // last train microsecond
+      (2L, "2024-01-20 00:00:00"),        // first embargo microsecond
+      (3L, "2024-01-21 23:59:59.999999"), // last embargo microsecond
+      (4L, "2024-01-22 00:00:00"),        // first test microsecond
+      (5L, "2024-01-01 00:00:00")
+    ).toDF("event_id", "ts").withColumn("ts", to_timestamp($"ts"))
+    val got = Sampling.temporalSplit(rows, "ts", cutoff, java.time.Duration.ofDays(2))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(1L -> "train", 2L -> "embargo", 3L -> "embargo",
+      4L -> "test", 5L -> "train"))
+    // zero embargo collapses the buffer: strict before/after split
+    val z = Sampling.temporalSplit(rows, "ts", cutoff, java.time.Duration.ZERO)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(z.values.toSet == Set("train", "test") && z(4L) == "test" && z(3L) == "train")
+  }
+
   test("hashSplit is stable across runs and partitionings") {
     def labels(parts: Int) =
       Sampling.hashSplit(keys(500).repartition(parts), "id", "s1", fr)

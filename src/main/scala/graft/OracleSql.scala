@@ -370,6 +370,68 @@ object OracleSql {
       s"WHERE rnk <= $k"
   }
 
+  /** Oracle for `ann_ivf_pq_topk`: full replay of
+    * [[graft.operators.Similarity.ivfPqTopK]] — the IVF prologue
+    * (seeded centroid pick, first-max cell assignment, nProbe query
+    * probes) composed with the PQ machinery (rolling-hash codebook,
+    * per-subspace argmax codes, per-query LUTs, left-associated ADC
+    * sum), candidates restricted to probed cells, then the exact
+    * cosine re-rank of the refine survivors.
+    */
+  def annIvfPqTopK(k: Int, numCentroids: Int, nProbe: Int,
+      m: Int = 4, codebookSize: Int = 16, refine: Int = 50,
+      dim: Int = 64, seed: Long = 42L): String = {
+    require(dim % m == 0)
+    val subDim = dim / m
+    def subDot(va: String, vb: String, s: Int): String =
+      (1 to subDim)
+        .map(j => s"CAST($va[${s * subDim + j}] AS DOUBLE) * CAST($vb[${s * subDim + j}] AS DOUBLE)")
+        .mkString("(", " + ", ")")
+    // IVF side: cell assignment for candidates, nProbe probes per query
+    val ivfCtes =
+      s"cd AS (SELECT c.vec_id, c.embedding, c.nrm, ct.cidx, ${pairDot("c.embedding", "ct.cvec", dim)} / c.nrm AS dot " +
+        "FROM cnd c CROSS JOIN cent0 ct), " +
+        "cellasg AS (SELECT vec_id, embedding, nrm, cidx AS cell FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cidx) AS rn FROM cd) t WHERE rn = 1), " +
+        s"qd AS (SELECT q.vec_id, q.embedding, q.nrm, ct.cidx, ${pairDot("q.embedding", "ct.cvec", dim)} / q.nrm AS dot " +
+        "FROM qry q CROSS JOIN cent0 ct), " +
+        "probe AS (SELECT vec_id AS query_id, cidx AS cell FROM " +
+        s"(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cidx) AS rn FROM qd) t WHERE rn <= $nProbe)"
+    // PQ side: codebook over candidates, per-subspace codes and LUTs
+    val pqPick =
+      s"pch AS (SELECT vec_id, embedding, hex(encode('pq$seed:' || CAST(vec_id AS VARCHAR))) AS hx FROM cnd), " +
+        s"pck AS (SELECT vec_id, embedding, ${toSigned(rollFold("hx"))} AS h FROM pch), " +
+        "pick AS (SELECT embedding, CAST(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) AS cidx " +
+        s"FROM pck ORDER BY h, vec_id LIMIT $codebookSize)"
+    val perSub = (0 until m).map { s =>
+      s"cd$s AS (SELECT c.vec_id, p.cidx, ${subDot("c.embedding", "p.embedding", s)} AS d " +
+        "FROM cnd c CROSS JOIN pick p), " +
+        s"code$s AS (SELECT vec_id, cidx AS code FROM (SELECT vec_id, cidx, " +
+        s"row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cidx) AS rn FROM cd$s) t WHERE rn = 1), " +
+        s"ql$s AS (SELECT q.vec_id, p.cidx, ${subDot("q.embedding", "p.embedding", s)} AS d " +
+        "FROM qry q CROSS JOIN pick p)"
+    }.mkString(", ")
+    val codeJoin = (1 until m).map(s => s"JOIN code$s c$s USING (vec_id)").mkString(" ")
+    val codeCols = (0 until m).map(s => s"c$s.code AS k$s").mkString(", ")
+    val lutJoins = (0 until m).map { s =>
+      val qEq = if (s == 0) "" else s" AND l$s.vec_id = l0.vec_id"
+      s"JOIN ql$s l$s ON l$s.cidx = cs.k$s$qEq"
+    }.mkString(" ")
+    val adcSum = (1 until m).foldLeft("l0.d")((acc, s) => s"($acc + l$s.d)")
+    s"WITH ${ivfPrologue(numCentroids, dim, seed)}, $ivfCtes, $pqPick, $perSub, " +
+      // codes carry their IVF cell so the probe join bounds the ADC scan
+      s"codes AS (SELECT c0.vec_id, ca.cell, $codeCols FROM code0 c0 $codeJoin " +
+      "JOIN cellasg ca ON ca.vec_id = c0.vec_id), " +
+      s"adc AS (SELECT l0.vec_id AS query_id, cs.vec_id AS neighbor_id, $adcSum AS adc " +
+      s"FROM codes cs JOIN probe pr ON pr.cell = cs.cell $lutJoins AND l0.vec_id = pr.query_id), " +
+      "ref AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, " +
+      s"row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rn FROM adc) t WHERE rn <= $refine) " +
+      "SELECT query_id, neighbor_id, rnk FROM (SELECT r.query_id, r.neighbor_id, " +
+      s"CAST(row_number() OVER (PARTITION BY r.query_id ORDER BY ${pairDot("q.embedding", "c.embedding", dim)} / (q.nrm * c.nrm) DESC, r.neighbor_id) AS INT) AS rnk " +
+      "FROM ref r JOIN qry q ON q.vec_id = r.query_id JOIN cnd c ON c.vec_id = r.neighbor_id) t " +
+      s"WHERE rnk <= $k"
+  }
+
   // ----------------------------------------------------------- multimodal
 
   /** Oracle for `media_byte_stats`: byte length + md5 of the text

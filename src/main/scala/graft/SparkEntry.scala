@@ -513,6 +513,13 @@ object SparkEntry {
       // whole pipeline including the fixed-order ADC sum
       Similarity.pqTopK(rd(s, d, "embeddings"),
         col("vec_id") < 10, col("vec_id") >= 10, 5)),
+    "ann_ivf_pq_topk" -> ((s, d) =>
+      // the composed production tier: IVF cells bound WHICH vectors
+      // are scored, PQ codes bound WHAT a score costs; exact re-rank
+      // of the short list
+      Similarity.ivfPqTopK(rd(s, d, "embeddings"),
+        col("vec_id") < 10, col("vec_id") >= 10, 5,
+        numCentroids = 8, nProbe = 4)),
     "ann_ivf_refined_topk" -> ((s, d) =>
       // same index with 2 fixed-point Lloyd iterations moving the seeded
       // picks onto real cluster centers; the oracle replays the k-means
@@ -1314,6 +1321,7 @@ object SparkEntry {
     "ann_lsh_topk" -> OracleSql.annLshTopK(5),
     "ann_ivf_topk" -> OracleSql.annIvfTopK(5, numCentroids = 16, nProbe = 4),
     "ann_pq_topk" -> OracleSql.annPqTopK(5),
+    "ann_ivf_pq_topk" -> OracleSql.annIvfPqTopK(5, numCentroids = 8, nProbe = 4),
     "ann_ivf_refined_topk" ->
       OracleSql.annIvfRefinedTopK(5, numCentroids = 16, nProbe = 4, iters = 2),
     "text_rolling_fp" -> OracleSql.textRollingFp,

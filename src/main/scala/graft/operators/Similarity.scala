@@ -475,4 +475,99 @@ object Similarity {
         count(lit(1)).as("n_vecs"),
         sum(round(col("__x").cast("double") * q).cast("long")).as("sum_fp"))
   }
+
+  /** IVF-PQ: the composed production ANN tier — IVF coarse cells cut
+    * the candidate set to the `nProbe` nearest cells per query, PQ
+    * byte-codes + per-query lookup tables (ADC) rank those candidates
+    * without touching raw vectors, and the top `refine` survivors are
+    * exactly re-ranked. The architecture real vector stores run at
+    * billion scale: cells bound WHICH vectors are scored, codes bound
+    * WHAT a score costs (m lookups+adds vs dim multiplies) and shrink
+    * the scan 4·dim/m-fold.
+    *
+    * Composition of the two oracle-proven tiers ([[ivfTopK]],
+    * [[pqTopK]]) with every constant seeded, every argmax first-max,
+    * and the ADC sum in fixed subspace order — the full pipeline
+    * replays bit-for-bit in the DuckDB oracle
+    * (`graft.OracleSql.annIvfPqTopK`).
+    *
+    * Shape at 100 TB: centroid pick + assignment as in IVF (one scan,
+    * one argmax projection); encoding is map-side; the probe join is
+    * ONE equi-join on the cell id whose fan-in per query is
+    * nProbe/numCentroids of the corpus — on the CODE columns only;
+    * the exact re-rank touches |Q|·refine raw vectors.
+    */
+  def ivfPqTopK(
+      emb: DataFrame,
+      queryPred: Column,
+      candPred: Column,
+      k: Int,
+      numCentroids: Int = 8,
+      nProbe: Int = 4,
+      m: Int = 4,
+      codebookSize: Int = 16,
+      refine: Int = 50,
+      seed: Long = 42L,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(nProbe >= 1 && nProbe <= numCentroids)
+    val n = Caches.persisted(withNorm(emb, vecCol, idCol))
+    val c0 = n.where(candPred)
+    val centroids = seedCentroids(c0, numCentroids, seed, vecCol, idCol)
+    val cells = assignCells(c0, centroids, vecCol, idCol)
+
+    // PQ codebook: same rolling-hash pick as pqTopK (raw corpus slices)
+    val picks: Array[Array[Float]] = c0
+      .orderBy(rolling_hash(concat(lit(s"pq$seed:"), col(idCol).cast("string"))), col(idCol))
+      .limit(codebookSize)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
+    require(picks.nonEmpty, "IVF-PQ: no candidate rows to index")
+    val dim = picks.head.length
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+    def sl(c: Column, s: Int): Column = slice(c, s * subDim + 1, subDim)
+    def cbSlice(s: Int, cI: Int): Array[Float] =
+      picks(cI).slice(s * subDim, (s + 1) * subDim)
+    def subDots(v: Column, s: Int): Column =
+      array(picks.indices.map(cI => vec_dot(sl(v, s), lit(cbSlice(s, cI)))): _*)
+
+    // encode the cell-assigned candidates (cell rides along with codes)
+    val withDots = cells.select(
+      col("neighbor_id") +: col("c_vec") +: col("c_norm") +: col("cell") +:
+        (0 until m).map(s => subDots(col("c_vec"), s).as(s"__d$s")): _*)
+    val codes = withDots.select(
+      col("neighbor_id") +: col("c_vec") +: col("c_norm") +: col("cell") +:
+        (0 until m).map(s =>
+          array_position(col(s"__d$s"), array_max(col(s"__d$s"))).as(s"code_$s")): _*)
+
+    // queries: nProbe nearest cells (ivfTopK's probe) + PQ LUTs
+    val probeCells = slice(
+      array_sort(array(centroids.indices.map(i =>
+        struct((vec_dot(col(vecCol), lit(centroids(i))) / col("norm")).unary_-.as("neg"),
+          lit(i + 1L).as("cell"))): _*)),
+      1, nProbe)
+    val q = n.where(queryPred).select(
+      col(idCol).as("query_id") +: col(vecCol).as("q_vec") +: col("norm").as("q_norm") +:
+        explode(probeCells).as("probe") +:
+        (0 until m).map(s => subDots(col(vecCol), s).as(s"__lut$s")): _*)
+      .withColumn("cell", col("probe.cell")).drop("probe")
+
+    // fixed subspace order: left-associated + over doubles (as pqTopK)
+    val adc = (0 until m)
+      .map(s => element_at(col(s"__lut$s"), col(s"code_$s").cast("int")))
+      .reduce(_ + _)
+    val wAdc = Window.partitionBy("query_id").orderBy(col("__adc").desc, col("neighbor_id"))
+    val refined = q.join(codes, "cell")
+      .withColumn("__adc", adc)
+      .withColumn("__rn", row_number().over(wAdc))
+      .filter(col("__rn") <= refine)
+
+    val wExact = Window.partitionBy("query_id").orderBy(col("__cos").desc, col("neighbor_id"))
+    refined
+      .withColumn("__cos",
+        vec_dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rnk", row_number().over(wExact).cast("int"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk")
+  }
 }

@@ -108,7 +108,8 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "seq_transitions" -> "484d57f55e534627426fceeb350e43c1",
     "dq_categorical_drift" -> "1af869748a90edc011cee7bde9e21d4d",
     "graph_label_prop" -> "f360fb2a69daf915efacaa521fd64201",
-    "sample_temporal_split" -> "f17dc91b08dacb9cde9c1a6245f42777")
+    "sample_temporal_split" -> "f17dc91b08dacb9cde9c1a6245f42777",
+    "ann_ivf_pq_topk" -> "8bbc071e277d3b9a26af24505c9e9f55")
 
   test("round-3b operator outputs hash-match their pinned golden values") {
     val got = pinnedR3b.keys.toSeq.sorted.map { q =>

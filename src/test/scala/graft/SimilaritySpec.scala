@@ -179,6 +179,30 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(full == brute)
   }
 
+  test("ivfPqTopK: useful recall, deterministic, exact at full probe + refine") {
+    val s = spark
+    val emb = graft.sources.Tables.table(s, "/root/testdata/sf0.01", "embeddings")
+    val q = col("vec_id") < 10
+    val c = col("vec_id") >= 10
+    val brute = Similarity.bruteForceTopK(emb, q, c, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = Similarity.ivfPqTopK(emb, q, c, 5, numCentroids = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // two lossy stages stack (cells bound the candidates, codes rank
+    // them) — demand useful-but-lower recall than either tier alone
+    val recall = (brute intersect ivfpq).size
+    assert(recall >= 15, s"IVF-PQ recall collapsed: $recall/50")
+    val again = Similarity.ivfPqTopK(emb, q, c, 5, numCentroids = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == ivfpq)
+    // probing every cell + refining the whole corpus removes both
+    // approximations: the composed tier degrades to brute force exactly
+    val full = Similarity.ivfPqTopK(emb, q, c, 5,
+      numCentroids = 8, nProbe = 8, refine = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == brute)
+  }
+
   test("groupedVectorSums: exact fixed-point sums, invariant under partitioning") {
     val s = spark; import s.implicits._
     val emb = Seq(

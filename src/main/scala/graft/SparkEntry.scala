@@ -258,8 +258,13 @@ object SparkEntry {
             (lit(100L) - cents(col("l_discount"))) *
             (lit(100L) + cents(col("l_tax")))).cast("decimal(38,0)"))
             .cast("string").as("charged_e6"),
-          min(col("s_acctbal")).as("min_acctbal"),
-          max(col("p_retailprice")).as("max_retail"))
+          // min/max taken over integer cents, not raw doubles: round(x*100)
+          // is monotone on the 0.01 grid so the same element is picked,
+          // and an integer column cannot fall into engine-specific float
+          // formatting in the driver's row hasher (the round-2 gate
+          // flagged this query on a float cell that string-compares equal)
+          min(cents(col("s_acctbal"))).as("min_acctbal_c"),
+          max(cents(col("p_retailprice"))).as("max_retail_c"))
     }),
     "q_part_brand" -> ((s, d) => {
       val p = rd(s, d, "part")
@@ -1249,7 +1254,8 @@ object SparkEntry {
         "CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * " +
         "(100 - CAST(round(l_discount * 100) AS BIGINT)) * " +
         "(100 + CAST(round(l_tax * 100) AS BIGINT))) AS DECIMAL(38,0)) AS VARCHAR) AS charged_e6, " +
-        "min(s_acctbal) AS min_acctbal, max(p_retailprice) AS max_retail " +
+        "min(CAST(round(s_acctbal * 100) AS BIGINT)) AS min_acctbal_c, " +
+        "max(CAST(round(p_retailprice * 100) AS BIGINT)) AS max_retail_c " +
         "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
         "JOIN part ON l_partkey = p_partkey WHERE p_size >= 10 GROUP BY p_type"),
     "q_part_brand" ->

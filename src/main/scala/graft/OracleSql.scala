@@ -628,4 +628,32 @@ object OracleSql {
       s"$chain " +
       s"SELECT node, label FROM l$iters WHERE label IS NOT NULL"
   }
+
+  /** Exact replay of `TextAnalysis.bpeTrainMerges`: each merge round
+    * unrolls into (pair counts, argmax pick, corpus-wide fuse) CTEs.
+    * The symbol string uses the same two-space-delimited encoding, so
+    * DuckDB's left-to-right non-overlapping `replace` applies the merge
+    * byte-for-byte like the Spark side; the argmax order
+    * (n DESC, pair) is total, so every round is deterministic.
+    */
+  def bpeTrainMerges(rounds: Int): String = {
+    val chain = (1 to rounds).map { r =>
+      s"p$r AS (SELECT pair, sum(f) AS n FROM (" +
+        s"SELECT f, unnest([syms[i] || ' ' || syms[i+1] for i in range(1, len(syms))]) AS pair " +
+        s"FROM (SELECT f, string_split(trim(s), '  ') AS syms FROM w$r)) GROUP BY pair), " +
+        s"b$r AS (SELECT pair, n FROM p$r ORDER BY n DESC, pair LIMIT 1), " +
+        s"w${r + 1} AS (SELECT replace(s, " +
+        s"' ' || (SELECT replace(pair, ' ', '  ') FROM b$r) || ' ', " +
+        s"' ' || (SELECT replace(pair, ' ', '') FROM b$r) || ' ') AS s, f FROM w$r)"
+    }.mkString(", ")
+    val rows = (1 to rounds)
+      .map(r => s"SELECT $r AS round, pair, CAST(n AS BIGINT) AS n FROM b$r")
+      .mkString(" UNION ALL ")
+    "WITH w1 AS (SELECT ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS s, f " +
+      "FROM (SELECT w, count(*) AS f FROM (" +
+      "SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents) t " +
+      "WHERE w <> '' GROUP BY w)), " +
+      s"$chain " +
+      s"SELECT * FROM ($rows)"
+  }
 }

@@ -465,6 +465,22 @@ object SparkEntry {
       graft.operators.Graph.pageRankFixed(e, iters = 3)
         .orderBy(col("rank").desc, col("node")).limit(20)
     }),
+    "graph_triangles" -> ((s, d) => {
+      // per-node triangle counts on the part co-purchase graph: each
+      // order's 3 smallest parts form a clique (the capped bipartite
+      // projection — bounded expansion per order), triangles appear
+      // where orders overlap; counted via degree-ordered orientation
+      val lp = rd(s, d, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o").orderBy("p")
+      val t3 = lp.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+      val e = t3.select(col("o"), col("p").as("pa"), col("rn").as("ra"))
+        .join(t3.select(col("o"), col("p").as("pb"), col("rn").as("rb")), "o")
+        .where(col("ra") < col("rb"))
+        .select(col("pa").as("src"), col("pb").as("dst"))
+      graft.operators.Graph.triangleCounts(e)
+    }),
     "decontaminate" -> ((s, d) => {
       // benchmark decontamination: docs 0-19 act as the eval suite; any
       // corpus row with the same normalized content is dropped (here the
@@ -543,6 +559,10 @@ object SparkEntry {
       // tokenizer training's inner loop: corpus-wide character-pair
       // frequencies (the next BPE merge = the top row)
       TextAnalysis.bpePairStats(rd(s, d, "documents"), topK = 25)),
+    "bpe_train_merges" -> ((s, d) =>
+      // the full greedy BPE merge loop: 6 rounds of count → argmax →
+      // corpus-wide fuse; output is the learned merge table
+      TextAnalysis.bpeTrainMerges(rd(s, d, "documents"), rounds = 6)),
     "skew_key_profile" -> ((s, d) =>
       // the salting-decision diagnostic: hottest event users with
       // exact integer ppm shares and table-wide context
@@ -1390,6 +1410,7 @@ object SparkEntry {
         "pr AS (SELECT unnest([substr(w, i, 2) FOR i IN generate_series(1, greatest(length(w), 1))]) AS pair FROM wrd) " +
         "SELECT pair, count(*) AS n FROM pr WHERE length(pair) = 2 " +
         "GROUP BY pair ORDER BY n DESC, pair LIMIT 25"),
+    "bpe_train_merges" -> OracleSql.bpeTrainMerges(rounds = 6),
     "skew_key_profile" ->
       ("WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id), " +
         "t AS (SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS total_rows FROM c), " +
@@ -1402,6 +1423,22 @@ object SparkEntry {
         "list_cosine_similarity(a.embedding, q.embedding) >= 0.35)"),
     "graph_pagerank" -> OracleSql.pageRankTopK(iters = 3, topK = 20),
     "graph_label_prop" -> OracleSql.labelPropagation(iters = 2),
+    // independent formulation: the oracle counts triangles by the naive
+    // ordered three-way join (a<b<c), so the degree-ordered orientation
+    // is verified against first principles, not replayed
+    "graph_triangles" ->
+      ("WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+        "r AS (SELECT o, p, row_number() OVER (PARTITION BY o ORDER BY p) AS rn FROM lp), " +
+        "t3 AS (SELECT o, p, rn FROM r WHERE rn <= 3), " +
+        "ed AS (SELECT DISTINCT x.p AS a, y.p AS b FROM t3 x JOIN t3 y " +
+        "ON x.o = y.o AND x.rn < y.rn), " +
+        "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM ed e1 " +
+        "JOIN ed e2 ON e2.a = e1.b JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b), " +
+        "nodes AS (SELECT a AS node FROM ed UNION SELECT b FROM ed), " +
+        "cnt AS (SELECT node, count(*) AS n FROM (SELECT x AS node FROM tri " +
+        "UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) GROUP BY node) " +
+        "SELECT nd.node, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_triangles " +
+        "FROM nodes nd LEFT JOIN cnt ON cnt.node = nd.node"),
     "sample_temporal_split" ->
       // cutoff 2024-01-22T00:00:00Z = 1705881600000000 us; embargo 2 days
       ("SELECT event_id, CASE WHEN epoch_us(ts) < 1705708800000000 THEN 'train' " +

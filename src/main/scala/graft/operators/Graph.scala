@@ -127,4 +127,66 @@ object Graph {
     }
     labels.where(col("label").isNotNull)
   }
+
+  /** Per-node triangle counts — the clustering-coefficient numerator
+    * and the standard cohesion signal for community/spam detection.
+    *
+    * Algorithm: degree-ordered orientation (Latapy). Each undirected
+    * edge is directed from its (degree, id)-smaller endpoint to the
+    * larger; every triangle then has exactly ONE wedge whose two edges
+    * leave its minimum vertex, so counting = one self-join of the
+    * oriented adjacency on the wedge apex plus one equi-join closing
+    * the third edge. No triangle is seen twice, and out-degrees are
+    * bounded by O(√|E|) REGARDLESS of raw degree skew — a celebrity
+    * node with 10⁸ neighbors contributes wedges only through its
+    * (few) higher-ordered neighbors, so the wedge expansion stays
+    * ~|E|^1.5 total instead of deg² on the hot vertex. That bound is
+    * why this shape survives 100 TB where the naive three-way join
+    * dies on the first power-law vertex.
+    *
+    * The (degree, id) order is encoded as one long `deg·2³² + id`
+    * (ids must fit in 32 bits) so the orientation is a single integer
+    * compare; ties on degree break by id, making the orientation — and
+    * the count — deterministic on any partitioning.
+    *
+    * @return (node, n_triangles) for every vertex of the graph,
+    *         including zero rows
+    */
+  def triangleCounts(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val canon = Caches.persisted(
+      edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+        .where(col("a") =!= col("b") && col("a").isNotNull)
+        .distinct())
+    val deg = canon.select(col("a").as("node"))
+      .unionAll(canon.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val key = (shiftleft(col("deg"), 32) + col("node")).as("k")
+    val keyed = Caches.persisted(deg.select(col("node"), key))
+    // orient each edge toward the (deg, id)-larger endpoint
+    val oe = Caches.persisted(
+      canon
+        .join(keyed.select(col("node").as("a"), col("k").as("ka")), "a")
+        .join(keyed.select(col("node").as("b"), col("k").as("kb")), "b")
+        .select(
+          when(col("ka") < col("kb"), col("a")).otherwise(col("b")).as("u"),
+          when(col("ka") < col("kb"), col("b")).otherwise(col("a")).as("v"),
+          greatest(col("ka"), col("kb")).as("kv")))
+    // wedges at the minimum vertex, closed by the third oriented edge
+    val tri = oe.select(col("u"), col("v").as("v1"), col("kv").as("kv1"))
+      .join(oe.select(col("u"), col("v").as("v2"), col("kv").as("kv2")), "u")
+      .where(col("kv1") < col("kv2"))
+      .join(oe.select(col("v").as("v2"), col("u").as("v1")), Seq("v1", "v2"))
+      .select(col("u"), col("v1"), col("v2"))
+    val counts = tri
+      .select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    keyed.select(col("node"))
+      .join(counts, Seq("node"), "left")
+      .select(col("node"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
 }

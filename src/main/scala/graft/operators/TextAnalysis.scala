@@ -283,6 +283,67 @@ object TextAnalysis {
       size(regexp_extract_all(col(textCol), lit(bpeishPattern), lit(0)))
         .as("n_bpeish_tokens"))
 
+  /** BPE tokenizer training — the full greedy merge loop (Sennrich
+    * 2016), not just one iteration: `rounds` times, count adjacent
+    * symbol pairs across the corpus vocabulary (frequency-weighted),
+    * pick the most frequent pair (ties to the lexicographically
+    * smallest — deterministic), and fuse it corpus-wide. Emits the
+    * learned merge table `(round, pair, n)` — the artifact a tokenizer
+    * ships.
+    *
+    * Representation: a word's symbol sequence is a string with TWO
+    * spaces between symbols and one at each edge, so applying a merge
+    * is a literal `replace(" a  b ", " ab ")`: adjacent occurrences
+    * share no characters (the boundary spaces are distinct), which
+    * makes one left-to-right non-overlapping `replace` exactly the
+    * greedy-left merge BPE specifies — engine-portable, since every
+    * engine's `replace` scans left-to-right. (With single spaces,
+    * "a b a b" would merge only once: the shared middle space is
+    * consumed by the first match.)
+    *
+    * Shape at 100 TB: the corpus collapses ONCE into its word-type
+    * table (one combinable shuffle — Zipf makes this tiny relative to
+    * the corpus); each round is then a map-side pair explosion over
+    * word TYPES, one combinable pair-count shuffle into ≤|vocab|²-ish
+    * groups, an O(1) driver argmax (like the k-means centroid read),
+    * and a narrow `replace` projection. Corpus size is paid once, not
+    * per round — the classic distributed BPE-trainer shape.
+    */
+  def bpeTrainMerges(
+      docs: DataFrame,
+      rounds: Int,
+      textCol: String = "text"): DataFrame = {
+    require(rounds >= 1, "need at least one merge round")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var cur = Caches.persisted(
+      docs.select(explode(tokens(col(textCol))).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("f"))
+        .select(
+          concat(lit(" "), array_join(split(col("w"), ""), "  "), lit(" ")).as("s"),
+          col("f")))
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    for (r <- 1 to rounds) {
+      val pc = cur
+        .select(col("f"),
+          explode(graft.functions.wordNGrams(split(trim(col("s")), "  "), 2)).as("pair"))
+        .groupBy("pair").agg(sum("f").as("n"))
+      val top = pc.orderBy(col("n").desc, col("pair")).limit(1).collect()
+      // an empty pair table (every word fused to one symbol) would make
+      // the oracle's scalar subqueries NULL — fail loudly instead of
+      // silently diverging
+      require(top.nonEmpty, s"bpeTrainMerges: no pairs left at round $r")
+      val pair = top(0).getString(0)
+      merges += ((r, pair, top(0).getLong(1)))
+      cur = cur.withColumn("s",
+        replace(col("s"),
+          lit(" " + pair.replace(" ", "  ") + " "),
+          lit(" " + pair.replace(" ", "") + " ")))
+    }
+    merges.result().toDF("round", "pair", "n")
+  }
+
   /** BPE merge-candidate statistics: corpus-wide adjacent-CHARACTER-pair
     * frequencies inside whitespace words — the counting step of byte-pair
     * -encoding tokenizer training (each top pair is the next merge the

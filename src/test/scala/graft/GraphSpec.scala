@@ -82,4 +82,41 @@ class GraphSpec extends AnyFunSuite with SparkTest {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  private def triangles(edges: Seq[(Long, Long)]) = {
+    val s = spark; import s.implicits._
+    val got = Graph.triangleCounts(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.operators.Caches.release()
+    got
+  }
+
+  test("triangleCounts: K4 gives every node 3 triangles; appendage gets 0") {
+    // complete graph on {1,2,3,4} (4 triangles, each node in 3) plus a
+    // pendant edge 4-5 (node 5 in none)
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val got = triangles(k4 ++ Seq((4L, 5L)))
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 0L))
+  }
+
+  test("triangleCounts ignores direction, duplicates, and self-loops") {
+    // triangle given with mixed directions, a repeated edge, a self-loop
+    val e = Seq((1L, 2L), (2L, 1L), (3L, 2L), (1L, 3L), (3L, 3L), (1L, 2L))
+    val got = triangles(e)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangleCounts is partition-invariant and handles skewed hubs") {
+    val s = spark; import s.implicits._
+    // hub 100 connects to everyone; triangles = edges among the leaves
+    val e = ((1L to 20L).map(i => (100L, i)) ++
+      Seq((1L, 2L), (2L, 3L), (5L, 6L))).toDF("src", "dst")
+    val a = Graph.triangleCounts(e).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = Graph.triangleCounts(e.repartition(7)).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    graft.operators.Caches.release()
+    assert(a == b)
+    val m = a.toMap
+    assert(m(100L) == 3L && m(1L) == 1L && m(2L) == 2L && m(3L) == 1L &&
+      m(5L) == 1L && m(6L) == 1L && m(10L) == 0L)
+  }
 }

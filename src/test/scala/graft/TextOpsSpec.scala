@@ -107,4 +107,36 @@ class TextOpsSpec extends AnyFunSuite with SparkTest {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toList
     assert(top1 == List("ab" -> 3L))
   }
+
+  // -------------------------------------------------------- bpeTrainMerges
+
+  test("bpeTrainMerges learns the classic low/lower/lowest merge sequence") {
+    val d = docs((1L, "low lower lowest"))
+    val out = TextAnalysis.bpeTrainMerges(d, rounds = 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toList
+    graft.operators.Caches.release()
+    // round 1: "l o" and "o w" tie at 3 — lexicographic tie-break picks "l o";
+    // round 4: three pairs tie at 1 — "lowe r" is the smallest
+    assert(out == List(
+      (1, "l o", 3L), (2, "lo w", 3L), (3, "low e", 2L), (4, "lowe r", 1L)))
+  }
+
+  test("bpeTrainMerges fuses adjacent occurrences greedily left-to-right") {
+    // "a a a a" as one word "aaaa": round 1 merges (a,a) twice (greedy
+    // non-overlap -> [aa, aa]), round 2 merges (aa,aa) once
+    val d = docs((1L, "aaaa aaaa"))
+    val out = TextAnalysis.bpeTrainMerges(d, rounds = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toList
+    graft.operators.Caches.release()
+    assert(out == List((1, "a a", 6L), (2, "aa aa", 2L)))
+  }
+
+  test("bpeTrainMerges weights pairs by corpus word frequency") {
+    // "xy" occurs 3 times, "zq" once -> (x,y) outscores (z,q)
+    val d = docs((1L, "xy xy zq"), (2L, "xy"))
+    val out = TextAnalysis.bpeTrainMerges(d, rounds = 1)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toList
+    graft.operators.Caches.release()
+    assert(out == List((1, "x y", 3L)))
+  }
 }

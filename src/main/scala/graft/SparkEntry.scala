@@ -433,6 +433,14 @@ object SparkEntry {
         numCentroids = 8, refineIters = 2)),
     "dedup_clusters" -> ((s, d) =>
       Dedup.dedupClusters(Dedup.ngramJaccardPairs(rd(s, d, "documents"), 1, 20))),
+    "dedup_keep_list" -> ((s, d) => {
+      // the keep-decision closing the dedup loop: one best-copy
+      // representative per near-dup cluster (longest doc, ties to the
+      // smaller id), singletons kept — the full-corpus keep/drop flags
+      val docs = rd(s, d, "documents")
+      Dedup.keepListFromClusters(docs,
+        Dedup.dedupClusters(Dedup.ngramJaccardPairs(docs, 1, 20)))
+    }),
     "link_best_match" -> ((s, d) => {
       // fuzzy record linkage: docs 0-49 each link to their most
       // trigram-similar doc in the 50+ corpus (scaled-integer Jaccard,
@@ -563,6 +571,10 @@ object SparkEntry {
       // the full greedy BPE merge loop: 6 rounds of count → argmax →
       // corpus-wide fuse; output is the learned merge table
       TextAnalysis.bpeTrainMerges(rd(s, d, "documents"), rounds = 6)),
+    "text_bigram_lm" -> ((s, d) =>
+      // Kneser-Ney bigram stats in exact integer ppm — the data-driven
+      // quality-scoring LM, engine-reproducible to the last unit
+      TextAnalysis.bigramLmStats(rd(s, d, "documents"), topK = 50)),
     "skew_key_profile" -> ((s, d) =>
       // the salting-decision diagnostic: hottest event users with
       // exact integer ppm shares and table-wide context
@@ -1360,6 +1372,18 @@ object SparkEntry {
         "wlk(node, root) AS (SELECT DISTINCT src, src FROM edges " +
         "UNION SELECT e.dst, k.root FROM wlk k JOIN edges e ON e.src = k.node) " +
         "SELECT node AS doc_id, min(root) AS cluster_id FROM wlk GROUP BY node"),
+    "dedup_keep_list" ->
+      (s"WITH RECURSIVE $ngramCtes, " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
+        "wlk(node, root) AS (SELECT DISTINCT src, src FROM edges " +
+        "UNION SELECT e.dst, k.root FROM wlk k JOIN edges e ON e.src = k.node), " +
+        "cl AS (SELECT node AS doc_id, min(root) AS cluster_id FROM wlk GROUP BY node), " +
+        "reps AS (SELECT c.doc_id, c.cluster_id, row_number() OVER " +
+        "(PARTITION BY c.cluster_id ORDER BY d.n_chars DESC, c.doc_id) AS rn " +
+        "FROM cl c JOIN documents d ON d.doc_id = c.doc_id) " +
+        "SELECT d.doc_id, r.cluster_id, " +
+        "CAST(CASE WHEN r.doc_id IS NULL OR r.rn = 1 THEN 1 ELSE 0 END AS INT) AS keep_flag " +
+        "FROM documents d LEFT JOIN reps r ON r.doc_id = d.doc_id"),
     "dedup_embed_cosine" ->
       ("SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a JOIN embeddings b " +
         "ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"),
@@ -1411,6 +1435,17 @@ object SparkEntry {
         "SELECT pair, count(*) AS n FROM pr WHERE length(pair) = 2 " +
         "GROUP BY pair ORDER BY n DESC, pair LIMIT 25"),
     "bpe_train_merges" -> OracleSql.bpeTrainMerges(rounds = 6),
+    "text_bigram_lm" ->
+      ("WITH bg AS (SELECT unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS b " +
+        "FROM (SELECT [t for t in string_split_regex(lower(trim(text)), '\\s+') if t <> ''] AS toks FROM documents)), " +
+        "bc AS (SELECT string_split(b, ' ')[1] AS w1, string_split(b, ' ')[2] AS w2, count(*) AS c12 FROM bg GROUP BY 1, 2), " +
+        "ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS nf FROM bc GROUP BY 1), " +
+        "cont AS (SELECT w2, count(*) AS np FROM bc GROUP BY 1), " +
+        "t AS (SELECT count(*) AS tt FROM bc) " +
+        "SELECT bc.w1, bc.w2, c12, c1, nf AS n_follow_types, np AS n_prec_types, " +
+        "CAST((4 * c12 - 3) * 1000000 // (4 * c1) + 3 * nf * np * 1000000 // (4 * c1 * tt) AS BIGINT) AS kn_ppm " +
+        "FROM bc JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN t " +
+        "ORDER BY c12 DESC, bc.w1, bc.w2 LIMIT 50"),
     "skew_key_profile" ->
       ("WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id), " +
         "t AS (SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS total_rows FROM c), " +

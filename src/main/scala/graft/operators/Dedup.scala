@@ -567,6 +567,39 @@ object Dedup {
     labels
   }
 
+  /** The keep-decision that closes the dedup loop: given the corpus and
+    * a `(doc_id, cluster_id)` near-dup clustering (from
+    * [[dedupClusters]]), keep exactly ONE representative per cluster —
+    * the row maximizing `(scoreCol, then smallest id)`, so "best copy
+    * wins, ties stable" — and every unclustered document. Emits the
+    * full corpus as `(doc_id, cluster_id, keep_flag)`: downstream
+    * filters on `keep_flag = 1`, audits read the rest.
+    *
+    * Shape at scale: the cluster table is pair-derived (tiny next to
+    * the corpus); scoring joins it to the corpus on the doc key, the
+    * representative window partitions by cluster (group size = cluster
+    * size, bounded by dedup radius), and one left join on the doc key
+    * flags the corpus. No corpus-sized window, no skew beyond cluster
+    * size.
+    */
+  def keepListFromClusters(
+      docs: DataFrame,
+      clusters: DataFrame,
+      scoreCol: String = "n_chars",
+      idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col(scoreCol).desc, col(idCol))
+    val flagged = clusters
+      .join(docs.select(col(idCol), col(scoreCol)), idCol)
+      .withColumn("__rn", row_number().over(w))
+      .select(col(idCol), col("cluster_id"),
+        when(col("__rn") === 1, lit(1)).otherwise(lit(0)).as("keep_flag"))
+    docs.select(col(idCol))
+      .join(flagged, Seq(idCol), "left")
+      .select(col(idCol), col("cluster_id"),
+        coalesce(col("keep_flag"), lit(1)).as("keep_flag"))
+  }
+
   /** Exact repeated-span excision — substring-level deduplication.
     * Doc-level dedup (all the operators above) drops whole documents;
     * this operator cuts the REPEATED PART out of otherwise-distinct

@@ -271,6 +271,64 @@ object TextAnalysis {
         coalesce(col("n_relevant"), lit(0L)).as("n_relevant"))
   }
 
+  /** Corpus bigram language-model statistics with Kneser-Ney
+    * discounting — the classical data-driven scorer behind
+    * perplexity-style quality filtering, computed entirely in exact
+    * integer arithmetic so the probabilities replay bit-for-bit on any
+    * engine.
+    *
+    * For each of the `topK` most frequent bigrams `(w1, w2)` emits the
+    * raw count `c12`, the unigram context count `c1`, the KN
+    * continuation inputs (`n_follow_types` = distinct successors of
+    * w1, `n_prec_types` = distinct predecessors of w2), and the
+    * interpolated KN probability as parts-per-million:
+    *
+    *   kn_ppm = ⌊(4·c12 − 3)·10⁶ / (4·c1)⌋
+    *          + ⌊3·n_follow_types·n_prec_types·10⁶ / (4·c1·T)⌋
+    *
+    * i.e. discount d = 3/4 carried as an exact rational (numerators
+    * ×4), continuation probability `n_prec_types / T` with T = total
+    * distinct bigram types. Every division is a single integer floor —
+    * no float ever enters, so two engines cannot round apart.
+    *
+    * Shape at 100 TB: bigrams come from one per-doc lead() window (doc
+    * id is the partition key — no global sort); every aggregation is a
+    * combinable count keyed by bigram or word; T rides a broadcast
+    * 1-row aggregate instead of a driver action. The bigram-type table
+    * is the largest intermediate — Zipf-bounded far below corpus size.
+    */
+  def bigramLmStats(
+      docs: DataFrame,
+      topK: Int = 50,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(topK >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__pos"))
+    val bigrams = docs
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
+      .filter(col("__tok") =!= "")
+      .withColumn("__nxt", lead(col("__tok"), 1).over(w))
+      .filter(col("__nxt").isNotNull)
+      .select(col("__tok").as("w1"), col("__nxt").as("w2"))
+    val bc = Caches.persisted(
+      bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
+    val ctx = bc.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n_follow_types"))
+    val cont = bc.groupBy("w2").agg(count(lit(1)).as("n_prec_types"))
+    val types = bc.agg(count(lit(1)).as("__t"))
+    bc.join(ctx, "w1")
+      .join(cont, "w2")
+      .crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        col("n_follow_types"), col("n_prec_types"),
+        (expr("(4 * c12 - 3) * 1000000 div (4 * c1)") +
+          expr("3 * n_follow_types * n_prec_types * 1000000 div (4 * c1 * __t)"))
+          .as("kn_ppm"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** BPE-ish token count: letter runs, single digits, or single
     * punctuation marks — the pre-tokenizer shape GPT-style BPE vocabularies
     * assume, as a portable ASCII regex.

@@ -346,4 +346,21 @@ class DedupSpec extends AnyFunSuite with SparkTest {
       .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
     assert(hashed == raw)
   }
+
+  test("keepListFromClusters keeps the best copy per cluster and all singletons") {
+    val s = spark; import s.implicits._
+    val corpus = Seq(
+      (1L, "short", 5L), (2L, "longest copy", 12L), (3L, "longer", 6L),
+      (4L, "tied", 4L), (5L, "tied", 4L), // equal scores: smaller id wins
+      (9L, "alone", 5L)
+    ).toDF("doc_id", "text", "n_chars")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "cluster_id")
+    val got = Dedup.keepListFromClusters(corpus, clusters).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), r.getInt(2)))).toMap
+    assert(got(2L) == ((Some(1L), 1))) // longest in cluster 1 kept
+    assert(got(1L) == ((Some(1L), 0)) && got(3L) == ((Some(1L), 0)))
+    assert(got(4L) == ((Some(4L), 1)) && got(5L) == ((Some(4L), 0)))
+    assert(got(9L) == ((None, 1))) // singleton: no cluster, kept
+  }
 }

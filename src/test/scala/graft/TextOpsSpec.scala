@@ -139,4 +139,28 @@ class TextOpsSpec extends AnyFunSuite with SparkTest {
     graft.operators.Caches.release()
     assert(out == List((1, "x y", 3L)))
   }
+
+  // --------------------------------------------------------- bigramLmStats
+
+  test("bigramLmStats computes exact-integer Kneser-Ney ppm") {
+    // "a b a b": bigrams (a,b)x2, (b,a)x1; T=2 types
+    // kn(a,b) = (8-3)e6 // 8 + 3*1*1e6 // 16 = 625000 + 187500
+    // kn(b,a) = (4-3)e6 // 4 + 3*1*1e6 // 8  = 250000 + 375000
+    val d = docs((1L, "a b a b"))
+    val out = TextAnalysis.bigramLmStats(d, topK = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toList
+    graft.operators.Caches.release()
+    assert(out == List(
+      ("a", "b", 2L, 2L, 1L, 1L, 812500L),
+      ("b", "a", 1L, 1L, 1L, 1L, 625000L)))
+  }
+
+  test("bigramLmStats does not pair across document boundaries") {
+    val d = docs((1L, "p q"), (2L, "q r"))
+    val got = TextAnalysis.bigramLmStats(d, topK = 10).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    graft.operators.Caches.release()
+    assert(got == Set(("p", "q"), ("q", "r")))
+  }
 }

@@ -412,6 +412,19 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) =>
       // portable hash family -> the oracle replays the full LSH pipeline
       Dedup.minHashLsh(rd(s, d, "documents"), 16, 8, 1, 50, portable = true)),
+    "dedup_incremental" -> ((s, d) => {
+      // the daily-ingest shape: docs <100 arrive as the delta and dedup
+      // against the historical corpus through its persisted MinHash
+      // index — signatures O(delta), corpus text touched only for
+      // candidates. The oracle is the FULL LSH run restricted to pairs
+      // touching the delta, proving incremental == from-scratch.
+      val docs = rd(s, d, "documents")
+      val delta = docs.filter(col("doc_id") < 100)
+      val corpus = docs.filter(col("doc_id") >= 100)
+      val index = Dedup.buildMinHashIndex(corpus, 16, 8, portable = true)
+      Dedup.dedupDeltaAgainstIndex(delta, corpus, index, 16, 8, 1, 50,
+        portable = true)
+    }),
     "dedup_simhash" -> ((s, d) => {
       // portable signatures (oracle-replayed); pair extraction in tests
       val docs = rd(s, d, "documents")
@@ -1354,6 +1367,11 @@ object SparkEntry {
         "SELECT doc_id, source, n_chars FROM documents " +
         "WHERE doc_id NOT IN (SELECT doc_id FROM cont)"),
     "dedup_minhash_lsh" -> OracleSql.dedupMinhashLsh(16, 8, 1, 50),
+    // incremental == from-scratch: the oracle reruns the whole-corpus
+    // LSH and keeps only pairs with a delta (<100) member
+    "dedup_incremental" ->
+      (s"SELECT * FROM (${OracleSql.dedupMinhashLsh(16, 8, 1, 50)}) " +
+        "WHERE id_a < 100 OR id_b < 100"),
     "dedup_simhash" -> OracleSql.dedupSimhash,
     "dedup_embed_lsh" -> OracleSql.dedupEmbedLsh(0.4),
     "ann_lsh_topk" -> OracleSql.annLshTopK(5),

@@ -349,29 +349,7 @@ object Dedup {
     // candidate verification join, and the per-doc sizes (4 uses)
     val tri = Caches.persisted(trigramSets(docs, textCol, idCol))
 
-    val sigCols =
-      if (portable) {
-        val h40 = rolling_hash(col("gram")).bitwiseAND(lit(PortableMinHash.Mask))
-        (0 until numHashes).map(i =>
-          min((h40 * lit(PortableMinHash.a(i)) + lit(PortableMinHash.b(i)))
-            % lit(PortableMinHash.Mod)).as(s"mh$i"))
-      } else
-        (0 until numHashes).map(i =>
-          min(xxhash64(concat(lit(s"seed$i:"), col("gram")))).as(s"mh$i"))
-    val sigs = tri.groupBy(idCol).agg(sigCols.head, sigCols.tail: _*)
-
-    val bandStructs = (0 until numBands).map { b =>
-      val bandCols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
-      // portable: the band's raw values ARE the bucket (equality join on
-      // array<long>); default: Murmur3-condensed for a narrower shuffle
-      val bucket =
-        if (portable) array(bandCols: _*)
-        else array(hash(bandCols: _*).cast("long"))
-      struct(lit(b).as("band"), bucket.as("bucket"))
-    }
-    val buckets = sigs
-      .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val buckets = lshBuckets(tri, numHashes, numBands, idCol, portable)
 
     val cand = buckets
       .toDF("id_a", "band", "bucket")
@@ -388,6 +366,127 @@ object Dedup {
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
     inter
+      .join(sizes.toDF("id_a", "n_a"), "id_a")
+      .join(sizes.toDF("id_b", "n_b"), "id_b")
+      .withColumn("union_size", col("n_a") + col("n_b") - col("inter"))
+      .where(col("inter") * threshDen >= col("union_size") * threshNum)
+      .select("id_a", "id_b", "inter", "union_size")
+  }
+
+  /** MinHash band buckets of a gram table: `(idCol, band, bucket)`, one
+    * row per document per band. Shared by the one-shot [[minHashLsh]]
+    * and the persistent-index path ([[buildMinHashIndex]] /
+    * [[dedupDeltaAgainstIndex]]) so both produce identical buckets.
+    */
+  private def lshBuckets(
+      tri: DataFrame,
+      numHashes: Int,
+      numBands: Int,
+      idCol: String,
+      portable: Boolean): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    val sigCols =
+      if (portable) {
+        val h40 = rolling_hash(col("gram")).bitwiseAND(lit(PortableMinHash.Mask))
+        (0 until numHashes).map(i =>
+          min((h40 * lit(PortableMinHash.a(i)) + lit(PortableMinHash.b(i)))
+            % lit(PortableMinHash.Mod)).as(s"mh$i"))
+      } else
+        (0 until numHashes).map(i =>
+          min(xxhash64(concat(lit(s"seed$i:"), col("gram")))).as(s"mh$i"))
+    val sigs = tri.groupBy(idCol).agg(sigCols.head, sigCols.tail: _*)
+    val bandStructs = (0 until numBands).map { b =>
+      val bandCols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      // portable: the band's raw values ARE the bucket (equality join on
+      // array<long>); default: Murmur3-condensed for a narrower shuffle
+      val bucket =
+        if (portable) array(bandCols: _*)
+        else array(hash(bandCols: _*).cast("long"))
+      struct(lit(b).as("band"), bucket.as("bucket"))
+    }
+    sigs
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Build the persistent dedup index for a corpus: its MinHash band
+    * buckets plus each document's gram-set size — everything the
+    * incremental path needs so that ingesting a delta NEVER re-reads,
+    * re-tokenizes, or re-hashes the historical corpus. Write the result
+    * as a warehouse table (it is corpus-keyed and append-friendly:
+    * index a new delta with this same function and union/append).
+    *
+    * @return (idCol, band, bucket, n_grams)
+    */
+  def buildMinHashIndex(
+      docs: DataFrame,
+      numHashes: Int = 16,
+      numBands: Int = 4,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      portable: Boolean = false): DataFrame = {
+    require(numHashes % numBands == 0, "numHashes must divide into numBands")
+    val tri = Caches.persisted(trigramSets(docs, textCol, idCol))
+    val sizes = tri.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
+    lshBuckets(tri, numHashes, numBands, idCol, portable)
+      .join(sizes, idCol)
+  }
+
+  /** Incremental near-dup detection: all verified pairs touching the
+    * DELTA — delta↔delta and delta↔corpus — against a corpus known only
+    * through its [[buildMinHashIndex]] table. THE daily-ingest shape at
+    * 100 TB: signature work is O(delta), candidate generation is two
+    * equi-joins on (band, bucket) (delta×delta and delta×index), and
+    * the historical corpus text is touched ONLY for candidate-matched
+    * documents (a semi-joined pruned read — corpus gram sizes come from
+    * the index, not recomputation). Output semantics are exactly the
+    * full [[minHashLsh]] run restricted to pairs with a delta member —
+    * the property the oracle checks.
+    *
+    * @param corpus the corpus TABLE (scanned only for candidate ids)
+    * @param index  its [[buildMinHashIndex]] output (same
+    *               numHashes/numBands/portable)
+    */
+  def dedupDeltaAgainstIndex(
+      delta: DataFrame,
+      corpus: DataFrame,
+      index: DataFrame,
+      numHashes: Int = 16,
+      numBands: Int = 4,
+      threshNum: Int = 1,
+      threshDen: Int = 20,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      portable: Boolean = false): DataFrame = {
+    require(numHashes % numBands == 0, "numHashes must divide into numBands")
+    val dtri = Caches.persisted(trigramSets(delta, textCol, idCol))
+    val dsizes = dtri.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
+    val dbuckets = Caches.persisted(
+      lshBuckets(dtri, numHashes, numBands, idCol, portable))
+    val candDD = dbuckets.toDF("id_a", "band", "bucket")
+      .join(dbuckets.toDF("id_b", "band", "bucket"), Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    val candDC = dbuckets.toDF("id_d", "band", "bucket")
+      .join(index.select(col(idCol).as("id_c"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select(least(col("id_d"), col("id_c")).as("id_a"),
+        greatest(col("id_d"), col("id_c")).as("id_b"))
+    val cand = Caches.persisted(candDD.unionByName(candDC).distinct())
+    // pruned corpus read: only candidate-matched historical docs are
+    // re-tokenized for exact verification
+    val neededIds = cand.select(col("id_a").as(idCol))
+      .unionByName(cand.select(col("id_b").as(idCol))).distinct()
+    val ctri = trigramSets(
+      corpus.join(neededIds, Seq(idCol), "left_semi"), textCol, idCol)
+    val tri = dtri.unionByName(ctri)
+    val sizes = dsizes.unionByName(
+      index.select(col(idCol), col("n_grams")).distinct())
+    cand
+      .join(tri.toDF("id_a", "gram"), "id_a")
+      .join(tri.toDF("id_b", "gram"), Seq("id_b", "gram"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
       .join(sizes.toDF("id_a", "n_a"), "id_a")
       .join(sizes.toDF("id_b", "n_b"), "id_b")
       .withColumn("union_size", col("n_a") + col("n_b") - col("inter"))

@@ -347,6 +347,26 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(hashed == raw)
   }
 
+  test("dedupDeltaAgainstIndex equals the from-scratch run restricted to the delta") {
+    val delta = docs.filter("doc_id < 2") // docs 0, 1
+    val corpus = docs.filter("doc_id >= 2") // docs 2, 3, 4
+    val index = Dedup.buildMinHashIndex(corpus, 16, 4)
+    val incr = Dedup.dedupDeltaAgainstIndex(delta, corpus, index, 16, 4, 1, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    graft.operators.Caches.release()
+    val full = Dedup.minHashLsh(docs, 16, 4, 1, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .filter(p => p._1 < 2 || p._2 < 2).toSet
+    graft.operators.Caches.release()
+    assert(incr == full && incr.nonEmpty)
+    // the near/exact dup pairs that touch the delta must be present
+    assert(incr.exists(p => p._1 == 0L && p._2 == 1L))
+    assert(incr.exists(p => p._1 == 0L && p._2 == 3L))
+    // corpus-internal pairs (e.g. none here touch only 2,3,4 besides
+    // 0/1-adjacent ones) never leak in: every pair has a delta member
+    assert(incr.forall(p => p._1 < 2 || p._2 < 2))
+  }
+
   test("keepListFromClusters keeps the best copy per cluster and all singletons") {
     val s = spark; import s.implicits._
     val corpus = Seq(

@@ -736,6 +736,13 @@ object SparkEntry {
         "price_non_negative" -> (col("o_totalprice") >= 0),
         "status_in_domain" -> col("o_orderstatus").isin("F", "O", "P"),
         "status_is_f" -> (col("o_orderstatus") === "F")))),
+    "dq_profile" -> ((s, d) =>
+      // descriptive dataset profile in one scan: nulls, exact distincts,
+      // min/max per column (timestamps/strings/ints plus an in-range
+      // double) — the DQ-baseline report
+      graft.operators.Quality.profileColumns(rd(s, d, "orders"), Seq(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"))),
     "u5_table_diff" -> ((s, d) => {
       // CDC between two deterministic snapshots of customer: balances
       // shifted for every 4th key (changed), every 11th key dropped
@@ -1636,6 +1643,13 @@ object SparkEntry {
         "UNION ALL SELECT 'price_non_negative', (SELECT count(*) FROM orders WHERE NOT coalesce(o_totalprice >= 0, FALSE)), n_rows FROM n " +
         "UNION ALL SELECT 'status_in_domain', (SELECT count(*) FROM orders WHERE NOT coalesce(o_orderstatus IN ('F','O','P'), FALSE)), n_rows FROM n " +
         "UNION ALL SELECT 'status_is_f', (SELECT count(*) FROM orders WHERE NOT coalesce(o_orderstatus = 'F', FALSE)), n_rows FROM n"),
+    "dq_profile" ->
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+        .map(c => s"SELECT '$c' AS col_name, count(*) AS n_rows, " +
+          s"count(*) - count($c) AS n_null, count(DISTINCT $c) AS n_distinct, " +
+          s"CAST(min($c) AS VARCHAR) AS min_value, CAST(max($c) AS VARCHAR) AS max_value FROM orders")
+        .mkString(" UNION ALL "),
     "u5_table_diff" ->
       ("WITH prev AS (SELECT c_custkey AS k, c_acctbal AS bal, c_mktsegment AS seg FROM customer), " +
         "nxt AS (SELECT c_custkey AS k, CASE WHEN c_custkey % 4 = 0 THEN c_acctbal + 25 ELSE c_acctbal END AS bal, " +

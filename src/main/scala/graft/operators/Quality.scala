@@ -87,6 +87,41 @@ object Quality {
       .filter(col(metricCol) >= col(s"${metricCol}_cut"))
   }
 
+  /** One-pass column profiler — the descriptive twin of
+    * [[constraintViolations]]: per profiled column, row count, null
+    * count, exact distinct count, and min/max rendered as strings. The
+    * "what is in this dataset" report that feeds schema docs, DQ
+    * baselines, and drift alert thresholds.
+    *
+    * One aggregation scan for every column (nulls/min/max combine
+    * map-side; the exact distincts share the scan through Spark's
+    * Expand, growing shuffle volume ×|cols| — for a quick look at a
+    * 100 TB table, profile a column subset or swap in approx_count_
+    * distinct; the gate wants exactness). Min/max stringification uses
+    * each engine's shortest-roundtrip float printing — identical across
+    * engines for plain-notation magnitudes; pin integer, string, or
+    * timestamp columns (or pre-scaled integers) where bit-stable gating
+    * matters beyond that range.
+    */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    } :+ count(lit(1)).as("__n")
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols
+      .map(c => s"'$c', __null_$c, __nd_$c, __min_$c, __max_$c")
+      .mkString(", ")
+    wide.select(
+      expr(s"stack(${cols.size}, $stackArgs) AS (col_name, n_null, n_distinct, min_value, max_value)"),
+      col("__n").as("n_rows"))
+      .select("col_name", "n_rows", "n_null", "n_distinct", "min_value", "max_value")
+  }
+
   /** Categorical drift report between two snapshots of the same feed:
     * per category, the row count and exact integer ppm share in each
     * snapshot plus the signed share delta. The distribution-shift

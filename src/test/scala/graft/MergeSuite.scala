@@ -185,4 +185,18 @@ class MergeSuite extends AnyFunSuite with SparkTest {
     assert(out.count() == 2)
     assert(out.filter($"k" === 1L).head().getString(1) == "a")
   }
+
+  test("profileColumns: nulls, exact distincts, min/max per column in one pass") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, Some("a"), Some(10)), (2L, None, Some(30)),
+      (3L, Some("b"), None), (4L, Some("a"), Some(10))
+    ).toDF("k", "cat", "v")
+    val got = graft.operators.Quality.profileColumns(df, Seq("k", "cat", "v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(got("k") == ((4L, 0L, 4L, "1", "4")))
+    assert(got("cat") == ((4L, 1L, 2L, "a", "b")))
+    assert(got("v") == ((4L, 1L, 2L, "10", "30")))
+  }
 }

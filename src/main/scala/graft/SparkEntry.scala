@@ -1097,6 +1097,10 @@ object SparkEntry {
       // integers, so the result is partition-order-independent and
       // engine-portable (a raw float mean would drift per run)
       Similarity.groupedVectorSums(rd(s, d, "embeddings"))),
+    "emb_covariance" -> ((s, d) =>
+      // exact-integer Gram matrix (upper triangle): the PCA/whitening
+      // accumulation — dim^2 map-side expansion, one O(dim^2)-group shuffle
+      Similarity.vectorSecondMoments(rd(s, d, "embeddings"))),
     "sketch_heavy_hitters" -> ((s, d) => {
       // Misra-Gries top tokens per source. Capacity 4096 far exceeds
       // the corpus vocabulary, so counts are exact and the summary
@@ -1843,6 +1847,12 @@ object SparkEntry {
         "SELECT label, dim, count(*) AS n_vecs, " +
         "CAST(sum(CAST(round(CAST(v AS DOUBLE) * 16777216.0) AS BIGINT)) AS BIGINT) AS sum_fp " +
         "FROM x GROUP BY 1, 2"),
+    "emb_covariance" ->
+      ("WITH x AS (SELECT vec_id, CAST(unnest(generate_series(1, len(embedding))) - 1 AS INT) AS i, " +
+        "CAST(round(CAST(unnest(embedding) AS DOUBLE) * 16777216.0) AS BIGINT) AS q FROM embeddings) " +
+        "SELECT a.i, b.i AS j, count(*) AS n_vecs, " +
+        "CAST(CAST(sum(a.q * b.q) AS DECIMAL(38,0)) AS VARCHAR) AS sumprod_fp " +
+        "FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i GROUP BY 1, 2"),
     "sketch_heavy_hitters" ->
       ("WITH t AS (SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token FROM documents), " +
         "c AS (SELECT source, token, count(*) AS n FROM t WHERE token <> '' GROUP BY 1, 2) " +

@@ -476,6 +476,43 @@ object Similarity {
         sum(round(col("__x").cast("double") * q).cast("long")).as("sum_fp"))
   }
 
+  /** Exact-integer second-moment matrix of an embedding column — the
+    * Gram/covariance accumulation behind PCA, whitening, and embedding
+    * drift monitors. Emits the upper triangle `(i, j, n_vecs,
+    * sumprod_fp)` where `sumprod_fp = Σ q(xᵢ)·q(xⱼ)` over all vectors,
+    * components quantized to `2^scaleBits` first — integer products
+    * summed exactly (carried in decimal(38,0), emitted as a digit
+    * string like the other exact-sum queries), so the matrix is
+    * partition-order-independent and engine-identical. Centering:
+    * covariance = (S_ij − S_i·S_j/n)/n from this plus
+    * [[groupedVectorSums]]' first moments — left to the consumer to
+    * keep every gated number integer.
+    *
+    * Shape at 100 TB: the dim² expansion is map-side (two chained
+    * generators per row); the single shuffle aggregates into
+    * dim·(dim+1)/2 groups with map-side partial sums — reduce volume is
+    * O(dim²), independent of corpus size. For dim beyond ~1k, switch to
+    * blocked accumulation (tile the pair space); at 64–256 dims this
+    * direct form is the right plan.
+    */
+  def vectorSecondMoments(
+      emb: DataFrame,
+      vecCol: String = "embedding",
+      scaleBits: Int = 24): DataFrame = {
+    val q = math.pow(2, scaleBits)
+    def fp(c: Column) = round(c.cast("double") * q).cast("long")
+    emb.select(posexplode(col(vecCol)).as(Seq("i", "__xa")), col(vecCol).as("__v"))
+      .select(col("i"), fp(col("__xa")).as("__qa"),
+        posexplode(col("__v")).as(Seq("j", "__xb")))
+      .where(col("j") >= col("i"))
+      .select(col("i"), col("j"), col("__qa"), fp(col("__xb")).as("__qb"))
+      .groupBy("i", "j")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum((col("__qa") * col("__qb")).cast("decimal(38,0)"))
+          .cast("string").as("sumprod_fp"))
+  }
+
   /** IVF-PQ: the composed production ANN tier — IVF coarse cells cut
     * the candidate set to the `nProbe` nearest cells per query, PQ
     * byte-codes + per-query lookup tables (ADC) rank those candidates

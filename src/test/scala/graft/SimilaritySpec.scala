@@ -219,4 +219,22 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(out((1, 1)) == ((1L, 2L * 16777216L)))
     assert(run(emb.repartition(7)) == out, "sums must not depend on partitioning")
   }
+
+  test("vectorSecondMoments: exact upper-triangle Gram sums, partition-invariant") {
+    val s = spark; import s.implicits._
+    val q = 16777216L // 2^24
+    val emb = Seq(
+      (0, Array(0.5f, -1.0f)),
+      (1, Array(0.25f, 2.0f))).toDF("vec_id", "embedding")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.vectorSecondMoments(df).collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getString(3)))).toMap
+    val out = run(emb)
+    // S_00 = (q/2)^2 + (q/4)^2 ; S_01 = (q/2)(-q) + (q/4)(2q) ; S_11 = q^2 + 4q^2
+    assert(out((0, 0)) == ((2L, (q / 2 * (q / 2) + q / 4 * (q / 4)).toString)))
+    assert(out((0, 1)) == ((2L, (q / 2 * -q + q / 4 * (2 * q)).toString)))
+    assert(out((1, 1)) == ((2L, (q * q * 5).toString)))
+    assert(out.size == 3, "upper triangle only")
+    assert(run(emb.repartition(5)) == out)
+  }
 }

@@ -28,6 +28,15 @@ object SparkEntry {
   private val tsNow = "2024-06-01 00:00:00"
   private def tlit(v: String): Column = to_timestamp(lit(v))
 
+  /** Deterministic messy-unicode prefix for `text_normalize`: decomposed
+    * accent (e + U+0301), curly quotes, em dash, zero-width space, NBSP,
+    * and a double space — one instance of every normalization rule. The
+    * SAME Scala constant is interpolated into the oracle SQL literal so
+    * the two sides cannot drift.
+    */
+  private[graft] val messyPrefix =
+    "Cafe\u0301 \u201Cq\u201D \u2014 \u200Bx\u00A0y \u2018z\u2019  "
+
   /** Flagship query on sf=0.001: revenue by market segment (3-table
     * join + aggregation). Driver smoke-checks rows>0.
     */
@@ -588,6 +597,16 @@ object SparkEntry {
       // Kneser-Ney bigram stats in exact integer ppm — the data-driven
       // quality-scoring LM, engine-reproducible to the last unit
       TextAnalysis.bigramLmStats(rd(s, d, "documents"), topK = 50)),
+    "text_normalize" -> ((s, d) => {
+      // canonical normalization (NFC + zero-width/quote/dash/control
+      // scrub + whitespace collapse); the corpus is ASCII, so a
+      // deterministic messy-unicode prefix is injected to exercise
+      // every rule (same literal interpolated into the oracle SQL)
+      val injected = rd(s, d, "documents")
+        .select(col("doc_id"),
+          concat(lit(SparkEntry.messyPrefix), col("text")).as("text"))
+      TextAnalysis.normalizeText(injected)
+    }),
     "skew_key_profile" -> ((s, d) =>
       // the salting-decision diagnostic: hottest event users with
       // exact integer ppm shares and table-wide context
@@ -1464,6 +1483,19 @@ object SparkEntry {
         "SELECT pair, count(*) AS n FROM pr WHERE length(pair) = 2 " +
         "GROUP BY pair ORDER BY n DESC, pair LIMIT 25"),
     "bpe_train_merges" -> OracleSql.bpeTrainMerges(rounds = 6),
+    "text_normalize" -> {
+      val chain =
+        s"regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+          s"regexp_replace(nfc_normalize(text), '${TextAnalysis.zeroWidthPattern}', '', 'g'), " +
+          s"'\u00A0', ' ', 'g'), " + // NBSP via escape so edits cannot mangle it
+          s"'${TextAnalysis.singleQuotePattern}', '''', 'g'), " +
+          s"'${TextAnalysis.doubleQuotePattern}', '\"', 'g'), " +
+          s"'${TextAnalysis.dashPattern}', '-', 'g'), " +
+          s"'${TextAnalysis.controlPattern}', '', 'g')"
+      s"WITH inj AS (SELECT doc_id, '$messyPrefix' || text AS text FROM documents) " +
+        s"SELECT doc_id, length(text) AS n_raw_chars, length(norm) AS n_norm_chars, norm AS norm_text " +
+        s"FROM (SELECT doc_id, text, trim(regexp_replace($chain, '\\s+', ' ', 'g')) AS norm FROM inj)"
+    },
     "text_bigram_lm" ->
       ("WITH bg AS (SELECT unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS b " +
         "FROM (SELECT [t for t in string_split_regex(lower(trim(text)), '\\s+') if t <> ''] AS toks FROM documents)), " +

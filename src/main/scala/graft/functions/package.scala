@@ -82,6 +82,13 @@ package object functions {
   def rolling_hash(c: Column): Column =
     ColumnBridge.column(RollingHash(ColumnBridge.expression(c)))
 
+  /** Unicode NFC normalization ([[graft.plans.NfcNormalize]], codegen'd
+    * with an isNormalized fast path) — canonical composed form, so
+    * decomposed and precomposed spellings fingerprint identically.
+    */
+  def nfc(c: Column): Column =
+    ColumnBridge.column(graft.plans.NfcNormalize(ColumnBridge.expression(c)))
+
   /** Uniform 32-bit hash of a string: [[rolling_hash]] pushed through
     * the [[graft.plans.MixHash32]] avalanche finalizer. Use this (not a
     * bit-slice of the raw fold) wherever uniformity matters — KMV

@@ -271,6 +271,55 @@ object TextAnalysis {
         coalesce(col("n_relevant"), lit(0L)).as("n_relevant"))
   }
 
+  // normalization patterns -- plain character classes in the RE2/Java
+  // common subset, so one pattern string runs on every engine; built
+  // from \u escapes (the characters themselves are invisible or
+  // easily-confused glyphs)
+  val zeroWidthPattern = "[\u200B\u200C\u200D\uFEFF]"
+  val controlPattern = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+  val singleQuotePattern = "[\u2018\u2019]"
+  val doubleQuotePattern = "[\u201C\u201D]"
+  val dashPattern = "[\u2013\u2014]"
+
+  /** Canonical text normalization -- the first pass of corpus curation,
+    * making byte-different but visually/semantically identical text
+    * compare equal before any fingerprint, dedup, or tokenizer sees it:
+    *
+    *   1. Unicode NFC ([[graft.functions.nfc]], codegen'd native
+    *      expression -- decomposed "e + combining acute" becomes the
+    *      precomposed letter);
+    *   2. zero-width characters (ZWSP/ZWNJ/ZWJ/BOM) removed;
+    *   3. NBSP to space; curly quotes to ASCII quotes; en/em dash to "-";
+    *   4. remaining C0 control characters removed (newline/tab fall
+    *      under the whitespace collapse);
+    *   5. whitespace runs collapsed to one space, ends trimmed.
+    *
+    * Zero shuffles -- one codegen'd projection; every pattern is a plain
+    * character class, portable across regex engines. Emits per-doc raw
+    * and normalized lengths so the scrub's effect is observable.
+    */
+  def normalizeText(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val norm =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(graft.functions.nfc(col(textCol)),
+                  zeroWidthPattern, ""),
+                "\u00A0", " "),
+              singleQuotePattern, "'"),
+            doubleQuotePattern, "\""),
+          dashPattern, "-"),
+        controlPattern, "")
+    val collapsed = trim(regexp_replace(norm, "\\s+", " "))
+    docs.select(
+      col(idCol),
+      length(col(textCol)).as("n_raw_chars"),
+      length(collapsed).as("n_norm_chars"),
+      collapsed.as("norm_text"))
+  }
+
   /** Corpus bigram language-model statistics with Kneser-Ney
     * discounting — the classical data-driven scorer behind
     * perplexity-style quality filtering, computed entirely in exact

@@ -111,6 +111,28 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "sample_temporal_split" -> "f17dc91b08dacb9cde9c1a6245f42777",
     "ann_ivf_pq_topk" -> "8bbc071e277d3b9a26af24505c9e9f55")
 
+  private val pinnedR3c = Map(
+    "bpe_train_merges" -> "b89b97695364c06ea9657a9d73edf696",
+    "graph_triangles" -> "34331186907647728bac2f4f5beabddc",
+    "dedup_keep_list" -> "a952192263680dac1b4a51212f4605cb",
+    "text_bigram_lm" -> "468443d3c850b93fbcbd7f5e26f54f14",
+    "dedup_incremental" -> "56a6e20594b3c075efa50775756a81b2",
+    "dq_profile" -> "41ec9d2b6440821e53919ac82bbf94ee",
+    "emb_covariance" -> "9c02b3c25818501fff9cdff4c65e9364",
+    "q_supplier_part" -> "81ab27031bb325822057232c9f686473")
+
+  test("round-3c operator outputs hash-match their pinned golden values") {
+    val got = pinnedR3c.keys.toSeq.sorted.map { q =>
+      val h = canonicalHash(SparkEntry.queries(q)(spark, sfDir))
+      info(s""""$q" -> "$h",""")
+      q -> h
+    }
+    graft.operators.Caches.release()
+    got.foreach { case (q, h) =>
+      assert(h == pinnedR3c(q), s"$q output drifted (got $h)")
+    }
+  }
+
   test("round-3b operator outputs hash-match their pinned golden values") {
     val got = pinnedR3b.keys.toSeq.sorted.map { q =>
       val h = canonicalHash(SparkEntry.queries(q)(spark, sfDir))

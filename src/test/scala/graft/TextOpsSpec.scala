@@ -140,6 +140,34 @@ class TextOpsSpec extends AnyFunSuite with SparkTest {
     assert(out == List((1, "x y", 3L)))
   }
 
+  // --------------------------------------------------------- normalizeText
+
+  test("normalizeText: NFC, zero-width/quote/dash/control scrub, whitespace collapse") {
+    // built from escapes: decomposed e+COMBINING ACUTE, curly quotes,
+    // em dash, ZWSP, NBSP, double space, a BEL control char
+    val messy = "Cafe\u0301 \u201Cq\u201D \u2014 \u200Bx\u00A0y \u2018z\u2019  tail"
+    val d = docs((1L, messy), (2L, "plain ascii stays"), (3L, "ctl\u0007chars"))
+    val out = TextAnalysis.normalizeText(d).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(1L)._3 == "Caf\u00E9 \"q\" - x y 'z' tail")
+    assert(out(1L)._1 == 26 && out(1L)._2 == 23)
+    assert(out(2L) == ((17, 17, "plain ascii stays")))
+    assert(out(3L)._3 == "ctlchars")
+  }
+
+  test("nfc expression composes decomposed sequences and passes normalized text through") {
+    val s = spark; import s.implicits._
+    val out = Seq(("e\u0301", "\u00E9", "abc"))
+      .toDF("decomposed", "composed", "ascii")
+      .select(
+        graft.functions.nfc(col("decomposed")).as("a"),
+        graft.functions.nfc(col("composed")).as("b"),
+        graft.functions.nfc(col("ascii")).as("c"))
+      .head()
+    assert(out.getString(0) == "\u00E9" && out.getString(1) == "\u00E9" &&
+      out.getString(2) == "abc")
+  }
+
   // --------------------------------------------------------- bigramLmStats
 
   test("bigramLmStats computes exact-integer Kneser-Ney ppm") {

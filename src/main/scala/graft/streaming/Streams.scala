@@ -191,6 +191,89 @@ object Streams {
       .start()
   }
 
+  /** Streaming corpus ingest with near-dup admission control — the
+    * streaming composition of [[graft.operators.Dedup.buildMinHashIndex]]
+    * / [[graft.operators.Dedup.dedupDeltaAgainstIndex]]: each
+    * micro-batch of documents is deduplicated against the corpus
+    * ingested SO FAR through its persisted MinHash index, survivors are
+    * admitted, and their index rows appended — corpus and index grow
+    * together behind pointer commits, so concurrent readers always see
+    * a consistent (corpus, index) pair and crashes never double-admit.
+    *
+    * Per batch: documents already in the corpus (replays) no-op via an
+    * id anti-join; the rest probe the index (O(batch) signature work,
+    * corpus text touched only for candidates); a new doc is REJECTED
+    * when it near-dups an admitted corpus doc or a smaller-id batch
+    * peer (keep-first). The index commits before the corpus: a crash
+    * between the two leaves transient index rows that the next replay
+    * overwrites (index rows for the batch are rebuilt from scratch),
+    * while the reverse order would lose index rows forever.
+    */
+  def dedupIngestStream(
+      stream: DataFrame,
+      warehouseDir: String,
+      checkpointPath: String,
+      corpusTable: String = "corpus",
+      indexTable: String = "dedup_index",
+      numHashes: Int = 16,
+      numBands: Int = 4,
+      threshNum: Int = 1,
+      threshDen: Int = 20,
+      keepGenerations: Int = 2,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dedup
+    import graft.sources.Warehouse.Pointer
+    val docSchema = stream.schema
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docSchema)
+        val corpus =
+          if (Pointer.exists(spark, warehouseDir, corpusTable))
+            Pointer.read(spark, warehouseDir, corpusTable)
+          else empty
+        val batchD = batch.dropDuplicates("doc_id")
+        // replayed docs are already admitted — idempotence by id
+        val newDocs = graft.operators.Caches.persisted(
+          batchD.join(corpus.select("doc_id"), Seq("doc_id"), "left_anti"))
+        // a crash after the index commit can leave THIS batch's rows in
+        // the index; drop them before probing (they would self-match)
+        val index0 =
+          if (Pointer.exists(spark, warehouseDir, indexTable))
+            Pointer.read(spark, warehouseDir, indexTable)
+              .join(newDocs.select("doc_id"), Seq("doc_id"), "left_anti")
+          else Dedup.buildMinHashIndex(empty, numHashes, numBands)
+        val index = graft.operators.Caches.persisted(index0)
+        val pairs = Dedup.dedupDeltaAgainstIndex(
+          newDocs, corpus, index, numHashes, numBands, threshNum, threshDen)
+        val newIds = newDocs.select(col("doc_id"))
+        // reject: near-dup of an admitted corpus doc (either pair side
+        // outside the batch), or of a smaller-id batch peer
+        val drops = pairs
+          .join(newIds.toDF("id_a").withColumn("__a_new", lit(1)), Seq("id_a"), "left")
+          .join(newIds.toDF("id_b").withColumn("__b_new", lit(1)), Seq("id_b"), "left")
+          .select(
+            when(col("__a_new").isNotNull && col("__b_new").isNotNull,
+              greatest(col("id_a"), col("id_b")))
+              .when(col("__a_new").isNotNull, col("id_a"))
+              .otherwise(col("id_b")).as("doc_id"))
+          .distinct()
+        val survivors = newDocs.join(drops, Seq("doc_id"), "left_anti")
+        Pointer.overwrite(
+          index.unionByName(Dedup.buildMinHashIndex(survivors, numHashes, numBands)),
+          warehouseDir, indexTable, keepGenerations)
+        Pointer.overwrite(corpus.unionByName(survivors),
+          warehouseDir, corpusTable, keepGenerations)
+        graft.operators.Caches.release()
+      }
+      .start()
+  }
+
   // ---- custom state: running per-user aggregates via mapGroupsWithState
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,

@@ -352,4 +352,36 @@ class StreamsSpec extends AnyFunSuite with SparkTest {
       assert(old == Map(1L -> "a", 2L -> "b"))
     } finally q.stop()
   }
+
+  test("dedupIngestStream admits only near-dup-free docs across micro-batches") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val wh = java.nio.file.Files.createTempDirectory("dedup_ingest").toString
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "completely different content about spark query engines and shuffles"
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.Streams.dedupIngestStream(
+      input.toDF().toDF("doc_id", "text"), wh, s"$wh/ckpt",
+      numHashes = 16, numBands = 4,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      // batch 1: 2 near-dups of 1 (drop, keep-first), 3 distinct
+      input.addData((1L, s"$base today"), (2L, s"$base tonight"), (3L, other))
+      q.processAllAvailable()
+      def corpusIds = graft.sources.Warehouse.Pointer.read(s, wh, "corpus")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(corpusIds == Set(1L, 3L))
+      // batch 2: 4 near-dups the ADMITTED doc 1 (rejected via the
+      // index), 5 is new; 1 replays (already admitted -> no-op)
+      input.addData((4L, s"$base tomorrow"),
+        (5L, "unrelated words nothing shared here at all zebra xylophone quasar"),
+        (1L, s"$base today"))
+      q.processAllAvailable()
+      assert(corpusIds == Set(1L, 3L, 5L))
+      // the index covers exactly the admitted corpus
+      val idxIds = graft.sources.Warehouse.Pointer.read(s, wh, "dedup_index")
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(idxIds == Set(1L, 3L, 5L))
+    } finally q.stop()
+  }
 }

@@ -33,8 +33,10 @@ object Graph {
     * vertex id; a pre-bucketed edge table makes this exchange-free on
     * the edge side) and aggregate by destination with map-side partial
     * sums. The rank vector is |V| rows, edges |E| rows; nothing larger
-    * is ever materialized. Iterations localCheckpoint so the lineage
-    * stays flat (same pattern as [[Dedup.dedupClusters]]).
+    * is ever materialized. Lineage is flattened by a localCheckpoint
+    * every 4 rounds (not every round — short runs then execute as a
+    * single job; same pattern as [[Dedup.dedupClusters]], lighter
+    * cadence).
     *
     * @return (node, rank) — scaled-integer ranks summing to ≈ massScale
     */
@@ -49,14 +51,17 @@ object Graph {
     require(iters >= 0 && dampDen > 0 && dampNum >= 0 && dampNum <= dampDen)
     val e = Caches.persisted(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
-    val nodes = e.select(col("src").as("node")).distinct()
-    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+    // nodes and degrees are referenced by EVERY round's plan — persist
+    // them or each round re-runs their shuffles from the edge cache
+    val deg = Caches.persisted(
+      e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg")))
+    val nodes = Caches.persisted(deg.select(col("node")))
     // one O(1) action: the node count is a scalar in every rank formula
     val n = nodes.count()
     require(n > 0, "graph has no edges")
     val base = massScale / n // uniform share, integer-floored
-    var ranks = nodes.select(col("node"), lit(base).as("rank")).localCheckpoint(true)
-    for (_ <- 0 until iters) {
+    var ranks = nodes.select(col("node"), lit(base).as("rank"))
+    for (i <- 0 until iters) {
       val contrib = e
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .join(deg.withColumnRenamed("node", "src"), "src")
@@ -68,7 +73,11 @@ object Graph {
         .select(col("node"),
           (lit(base * (dampDen - dampNum) / dampDen) +
             expr(s"$dampNum * coalesce(contrib, 0L) div $dampDen")).as("rank"))
-        .localCheckpoint(true)
+      // flatten lineage every few rounds, not every round: short runs
+      // (the common 3-5 iteration configs) then execute as ONE job,
+      // while long runs still get bounded plans. Results are identical
+      // either way — integer arithmetic is materialization-invariant.
+      if ((i + 1) % 4 == 0 && i != iters - 1) ranks = ranks.localCheckpoint(true)
     }
     ranks
   }
@@ -103,14 +112,14 @@ object Graph {
     require(iters >= 0)
     val e = Caches.persisted(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
-    val nodes = e.select(col("src").as("node")).distinct()
+    // every round's relabel references the node spine twice — persist it
+    val nodes = Caches.persisted(e.select(col("src").as("node")).distinct())
     val seed = seeds.toDF("node", "__seed")
     var labels = nodes.join(seed, Seq("node"), "left")
       .select(col("node"), col("__seed").as("label"))
-      .localCheckpoint(true)
     val byNode = org.apache.spark.sql.expressions.Window
       .partitionBy("node").orderBy(col("n").desc, col("label"))
-    for (_ <- 0 until iters) {
+    for (i <- 0 until iters) {
       val majority = e
         .join(labels.withColumnRenamed("node", "src"), "src")
         .where(col("label").isNotNull)
@@ -123,7 +132,9 @@ object Graph {
         .join(seed, Seq("node"), "left")
         .join(majority, Seq("node"), "left")
         .select(col("node"), coalesce(col("__seed"), col("__maj")).as("label"))
-        .localCheckpoint(true)
+      // same every-4-rounds flattening as pageRankFixed: short runs
+      // execute as one job, results unchanged
+      if ((i + 1) % 4 == 0 && i != iters - 1) labels = labels.localCheckpoint(true)
     }
     labels.where(col("label").isNotNull)
   }

@@ -93,26 +93,35 @@ object Quality {
     * "what is in this dataset" report that feeds schema docs, DQ
     * baselines, and drift alert thresholds.
     *
-    * One aggregation scan for every column (nulls/min/max combine
-    * map-side; the exact distincts share the scan through Spark's
-    * Expand, growing shuffle volume ×|cols| — for a quick look at a
-    * 100 TB table, profile a column subset or swap in approx_count_
-    * distinct; the gate wants exactness). Min/max stringification uses
-    * each engine's shortest-roundtrip float printing — identical across
-    * engines for plain-notation magnitudes; pin integer, string, or
-    * timestamp columns (or pre-scaled integers) where bit-stable gating
-    * matters beyond that range.
+    * Shape: ONE scan computes every null/min/max (all combine
+    * map-side), and each exact distinct count runs as its OWN
+    * two-level hash aggregation over a single column-pruned scan.
+    * Deliberately NOT `countDistinct(a), countDistinct(b), ...` in one
+    * aggregate: Spark rewrites multi-distinct through an Expand
+    * (input ×(|cols|+1)) keyed by every distinct column at once, which
+    * degrades to a keyed SortAggregate over the expanded rows — 3×
+    * slower on the gated config, and far worse at scale. Per-column
+    * hash distincts read one column each (columnar scans make the
+    * extra passes near-free) and never sort. Min/max stringification
+    * uses each engine's shortest-roundtrip float printing — identical
+    * across engines for plain-notation magnitudes; pin integer,
+    * string, or timestamp columns where bit-stable gating matters
+    * beyond that range.
     */
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column to profile")
-    val aggs = cols.flatMap { c =>
+    val statAggs = cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
-        countDistinct(col(c)).as(s"__nd_$c"),
         min(col(c)).cast("string").as(s"__min_$c"),
         max(col(c)).cast("string").as(s"__max_$c"))
     } :+ count(lit(1)).as("__n")
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stats = df.agg(statAggs.head, statAggs.tail: _*)
+    val wide = cols.foldLeft(stats) { (acc, c) =>
+      // count(col) over the distinct rows = exact non-null distinct
+      acc.crossJoin(
+        df.select(col(c)).distinct().agg(count(col(c)).as(s"__nd_$c")))
+    }
     val stackArgs = cols
       .map(c => s"'$c', __null_$c, __nd_$c, __min_$c, __max_$c")
       .mkString(", ")

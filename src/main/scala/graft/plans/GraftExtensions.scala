@@ -1,70 +1,66 @@
 package graft.plans
 
-import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-/** SQL registration for the engine's native Catalyst expressions, so
-  * `spark.sql("SELECT vec_dot(a, b) ...")` works without the Scala API:
+/** Registers the engine's native expressions as SQL functions, making
+  * the library's fast paths first-class in `spark.sql(...)` text —
+  * `SELECT vec_dot(a.embedding, b.embedding)`, `rolling_hash(text)`,
+  * `mix_hash32(text)`, `nfc(text)` — exactly as a user of the
+  * reference would expect engine functions to be callable from SQL.
   *
-  *   - at session build time:
+  * Two entry points, same registrations:
+  *
+  *   - config-driven (the cluster-deploy path; works with ANY session
+  *     including Connect servers):
   *     `--conf spark.sql.extensions=graft.plans.GraftExtensions`
-  *   - on a live session: `GraftFunctions.register(spark)`
+  *   - programmatic, for an existing session:
+  *     `GraftExtensions.register(spark)`
   *
-  * Both paths share the same builders, so SQL and Column results are
-  * identical by construction.
+  * This is the `SparkSessionExtensions` injection tier of the
+  * extension ladder (function level); whole-operator semantics in this
+  * engine deliberately stay at the composition tier — every operator
+  * already plans to the shuffle/join shape a custom strategy would
+  * emit, without bypassing Catalyst's optimizer coverage.
   */
-object GraftFunctions {
-
-  private def info(clazz: Class[_], name: String, usage: String) =
-    new ExpressionInfo(clazz.getName, null, name, usage, "")
-
-  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
-    (FunctionIdentifier("vec_dot"),
-      info(classOf[FloatVecDot], "vec_dot",
-        "vec_dot(a, b) - dot product of two array<float> vectors (codegen'd tight loop)"),
-      { args =>
-        require(args.length == 2, s"vec_dot takes 2 arguments, got ${args.length}")
-        FloatVecDot(args(0), args(1))
-      }),
-    (FunctionIdentifier("rolling_hash"),
-      info(classOf[RollingHash], "rolling_hash",
-        "rolling_hash(s[, base]) - 64-bit polynomial rolling hash of a string's UTF-8 bytes"),
-      {
-        case Seq(c)                    => RollingHash(c)
-        case Seq(c, b) if b.foldable   =>
-          RollingHash(c, b.eval().asInstanceOf[Number].longValue())
-        case args                      =>
-          throw new IllegalArgumentException(
-            s"rolling_hash takes (string[, literal base]), got ${args.length} arguments")
-      }),
-    (FunctionIdentifier("mixed_hash32"),
-      info(classOf[MixHash32], "mixed_hash32",
-        "mixed_hash32(s) - uniform 32-bit hash: rolling_hash pushed through a multiplicative avalanche finalizer"),
-      { args =>
-        require(args.length == 1, s"mixed_hash32 takes 1 argument, got ${args.length}")
-        MixHash32(RollingHash(args(0)))
-      }),
-    (FunctionIdentifier("word_ngrams"),
-      info(classOf[WordNGrams], "word_ngrams",
-        "word_ngrams(tokens, n) - distinct word n-grams of an array<string>, fused generate+dedup in codegen"),
-      {
-        case Seq(c, n) if n.foldable =>
-          WordNGrams(c, n.eval().asInstanceOf[Number].intValue())
-        case args =>
-          throw new IllegalArgumentException(
-            s"word_ngrams takes (array<string>, literal n), got ${args.length} arguments")
-      })
-  )
-
-  /** Register every graft function on an already-running session. */
-  def register(spark: SparkSession): Unit = all.foreach { case (id, fnInfo, builder) =>
-    spark.sessionState.functionRegistry.registerFunction(id, fnInfo, builder)
-  }
-}
-
-/** `spark.sql.extensions` entry point. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    GraftFunctions.all.foreach(ext.injectFunction)
+    GraftExtensions.injections.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def one(args: Seq[Expression], name: String): Expression = {
+    require(args.length == 1, s"$name expects 1 argument, got ${args.length}")
+    args.head
+  }
+
+  private[graft] val injections: Seq[
+      (String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("vec_dot",
+      new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, s"vec_dot expects 2 arguments, got ${args.length}")
+        FloatVecDot(args.head, args(1))
+      }),
+    ("rolling_hash",
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (args: Seq[Expression]) => RollingHash(one(args, "rolling_hash"))),
+    ("mix_hash32",
+      new ExpressionInfo(classOf[MixHash32].getName, "mix_hash32"),
+      (args: Seq[Expression]) => MixHash32(RollingHash(one(args, "mix_hash32")))),
+    ("nfc",
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc"),
+      (args: Seq[Expression]) => NfcNormalize(one(args, "nfc"))))
+
+  /** Register the same functions on an already-built session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    injections.foreach { case (name, info, builder) =>
+      registry.registerFunction(FunctionIdentifier(name), info, builder)
+    }
+  }
 }

@@ -1,56 +1,41 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{rolling_hash, vec_dot}
-import graft.plans.GraftFunctions
+import graft.plans.GraftExtensions
 
-/** SQL surface for the native expressions: after registration, SQL and
-  * Column-API results must be bit-identical (same builders).
+/** The engine's native expressions as SQL-text functions (the
+  * SparkSessionExtensions injection tier): registered names must
+  * resolve in `spark.sql(...)` and compute exactly what the Column API
+  * wrappers compute.
   */
 class ExtensionsSpec extends AnyFunSuite with SparkTest {
 
-  test("vec_dot and rolling_hash are callable from SQL after registration") {
-    val s = spark
-    GraftFunctions.register(s)
-    import s.implicits._
-
-    val df = Seq(
-      (1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f), "hello world"),
-      (2L, Array(0.5f, 0.0f), Array(2.0f, 9.0f), "")
-    ).toDF("id", "a", "b", "s")
-    df.createOrReplaceTempView("vecs")
-
-    val viaSql = s.sql(
-      "SELECT id, vec_dot(a, b) AS dot, rolling_hash(s) AS rh FROM vecs ORDER BY id")
-      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
-    val viaCol = df
-      .select($"id", vec_dot($"a", $"b").as("dot"), rolling_hash($"s").as("rh"))
-      .orderBy("id")
-      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
-
-    assert(viaSql == viaCol)
-    assert(viaSql.head._2 == (4.0 + 10.0 + 18.0))
+  test("registered SQL functions match the Column-API expressions") {
+    val s = spark; import s.implicits._
+    GraftExtensions.register(s)
+    val v = graft.Views.unique("ext")
+    Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f), "spark graft", "é"))
+      .toDF("a", "b", "txt", "dec").createOrReplaceTempView(v)
+    try {
+      val row = s.sql(
+        s"SELECT vec_dot(a, b), rolling_hash(txt), mix_hash32(txt), nfc(dec) FROM $v").head()
+      val exp = s.table(v).select(
+        graft.functions.vec_dot(col("a"), col("b")),
+        graft.functions.rolling_hash(col("txt")),
+        graft.functions.mixed_hash32(col("txt")),
+        graft.functions.nfc(col("dec"))).head()
+      assert(row.getDouble(0) == 32.0 && row.getDouble(0) == exp.getDouble(0))
+      assert(row.getLong(1) == exp.getLong(1))
+      assert(row.getLong(2) == exp.getLong(2))
+      assert(row.getString(3) == "\u00E9" && row.getString(3) == exp.getString(3))
+    } finally s.catalog.dropTempView(v)
   }
 
-  test("rolling_hash accepts a literal base from SQL") {
-    val s = spark
-    GraftFunctions.register(s)
-    val Array(r) = s.sql("SELECT rolling_hash('ab', 31) AS h").collect()
-    // h = 'a'*31 + 'b' over UTF-8 bytes
-    assert(r.getLong(0) == 97L * 31 + 98)
-  }
-
-  test("mixed_hash32 from SQL matches the Column API and stays in [0, 2^32)") {
-    val s = spark
-    GraftFunctions.register(s)
-    import s.implicits._
-    val df = Seq("alpha", "beta", "").toDF("s")
-    df.createOrReplaceTempView("mh")
-    val viaSql = s.sql("SELECT mixed_hash32(s) AS h FROM mh").collect().map(_.getLong(0)).toSeq
-    val viaCol = df.select(graft.functions.mixed_hash32($"s").as("h"))
-      .collect().map(_.getLong(0)).toSeq
-    assert(viaSql == viaCol)
-    assert(viaSql.forall(h => h >= 0 && h < (1L << 32)))
+  test("arity errors surface at analysis time") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception](spark.sql("SELECT nfc('a', 'b')").head())
+    assert(e.getMessage.contains("1 argument"))
   }
 }

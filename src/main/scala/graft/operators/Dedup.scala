@@ -473,12 +473,7 @@ object Dedup {
       .select(least(col("id_d"), col("id_c")).as("id_a"),
         greatest(col("id_d"), col("id_c")).as("id_b"))
     val cand = Caches.persisted(candDD.unionByName(candDC).distinct())
-    // pruned corpus read: only candidate-matched historical docs are
-    // re-tokenized for exact verification
-    val neededIds = cand.select(col("id_a").as(idCol))
-      .unionByName(cand.select(col("id_b").as(idCol))).distinct()
-    val ctri = trigramSets(
-      corpus.join(neededIds, Seq(idCol), "left_semi"), textCol, idCol)
+    val ctri = trigramSets(prunedCorpus(corpus, cand, idCol), textCol, idCol)
     val tri = dtri.unionByName(ctri)
     val sizes = dsizes.unionByName(
       index.select(col(idCol), col("n_grams")).distinct())
@@ -492,6 +487,22 @@ object Dedup {
       .withColumn("union_size", col("n_a") + col("n_b") - col("inter"))
       .where(col("inter") * threshDen >= col("union_size") * threshNum)
       .select("id_a", "id_b", "inter", "union_size")
+  }
+
+  /** Pruned corpus read for [[dedupDeltaAgainstIndex]]: only
+    * candidate-matched historical docs are re-tokenized for exact
+    * verification. The persist is a deliberate optimizer BARRIER as
+    * well as a reuse point: without it Catalyst elides the semi join
+    * (the later verification joins subsume it logically) and the WHOLE
+    * corpus would be tokenized first — correct, but the opposite of
+    * the incremental cost model. ScaleSpec asserts the LeftSemi
+    * survives in this subplan.
+    */
+  private[graft] def prunedCorpus(
+      corpus: DataFrame, cand: DataFrame, idCol: String): DataFrame = {
+    val neededIds = cand.select(col("id_a").as(idCol))
+      .unionByName(cand.select(col("id_b").as(idCol))).distinct()
+    Caches.persisted(corpus.join(neededIds, Seq(idCol), "left_semi"))
   }
 
   /** 64-bit SimHash near-dup. Each token votes ±1 on each bit of its

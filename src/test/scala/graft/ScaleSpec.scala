@@ -211,4 +211,43 @@ class ScaleSpec extends AnyFunSuite with SparkTest {
     assert("Exchange hashpartitioning".r.findAllIn(ps).size == 1,
       s"expected exactly one shuffle:\n$ps")
   }
+
+  test("triangleCounts plans equi-joins only, even on a skewed hub") {
+    val s = spark; import s.implicits._
+    val e = ((1L to 50L).map(i => (100L, i)) ++ (1L to 20L).map(i => (i, i + 1)))
+      .toDF("src", "dst")
+    val df = graft.operators.Graph.triangleCounts(e)
+    val ps = finalPlan(df)
+    graft.operators.Caches.release()
+    assert(!ps.contains("CartesianProduct") && !ps.contains("BroadcastNestedLoopJoin"),
+      s"triangle counting planned a non-equi join:\n$ps")
+  }
+
+  test("normalizeText is a pure projection — zero exchanges") {
+    val s = spark; import s.implicits._
+    val docs = (0 until 100).map(i => (i.toLong, s"text body $i")).toDF("doc_id", "text")
+    val ps = finalPlan(graft.operators.TextAnalysis.normalizeText(docs))
+    assert(!ps.contains("Exchange "), s"normalizeText shuffled:\n$ps")
+  }
+
+  test("incremental dedup touches corpus text only via a semi-joined pruned read") {
+    val s = spark; import s.implicits._
+    val mk = (r: Range) => r.map(i => (i.toLong, s"document body number $i with words " +
+      (1 to 10).map(j => s"w${(i + j) % 7}").mkString(" "))).toDF("doc_id", "text")
+    val delta = mk(0 until 20)
+    val corpus = mk(100 until 200)
+    val index = graft.operators.Dedup.buildMinHashIndex(corpus, 16, 4)
+    val pairs = graft.operators.Dedup.dedupDeltaAgainstIndex(delta, corpus, index, 16, 4)
+    val ps = finalPlan(pairs)
+    assert(!ps.contains("CartesianProduct"), s"non-equi join in the index probe:\n$ps")
+    // the pruned corpus read is a persist barrier, so the semi join
+    // lives inside the cached subplan (invisible in the outer string) —
+    // assert on the subplan the operator actually builds
+    val cand = pairs.select("id_a", "id_b")
+    val pruned = graft.operators.Dedup.prunedCorpus(corpus, cand, "doc_id")
+    val prunedPlan = pruned.queryExecution.optimizedPlan.toString
+    graft.operators.Caches.release()
+    assert(prunedPlan.contains("LeftSemi"),
+      s"no semi-join pruning of the corpus read:\n$prunedPlan")
+  }
 }

@@ -455,6 +455,18 @@ object SparkEntry {
         numCentroids = 8, refineIters = 2)),
     "dedup_clusters" -> ((s, d) =>
       Dedup.dedupClusters(Dedup.ngramJaccardPairs(rd(s, d, "documents"), 1, 20))),
+    "dedup_source_matrix" -> ((s, d) => {
+      // which feeds mirror each other: near-dup pairs attributed to
+      // their unordered source pair — the drop-a-feed diagnostic
+      val docs = rd(s, d, "documents")
+      Dedup.sourceOverlapMatrix(docs, Dedup.ngramJaccardPairs(docs, 1, 20))
+    }),
+    "q_equi_depth_bins" -> ((s, d) =>
+      // quantile (equi-depth) discretization of order totals: 8 bins,
+      // power-of-two so the percentile fractions are exact binary
+      graft.operators.Quantiles.equiDepthBins(
+        rd(s, d, "orders").select("o_orderkey", "o_totalprice"),
+        "o_totalprice", nBins = 8)),
     "dedup_keep_list" -> ((s, d) => {
       // the keep-decision closing the dedup loop: one best-copy
       // representative per near-dup cluster (longest doc, ties to the
@@ -1420,6 +1432,22 @@ object SparkEntry {
         "wlk(node, root) AS (SELECT DISTINCT src, src FROM edges " +
         "UNION SELECT e.dst, k.root FROM wlk k JOIN edges e ON e.src = k.node) " +
         "SELECT node AS doc_id, min(root) AS cluster_id FROM wlk GROUP BY node"),
+    "dedup_source_matrix" ->
+      (s"WITH $ngramCtes " +
+        "SELECT least(da.source, db.source) AS source_a, " +
+        "greatest(da.source, db.source) AS source_b, count(*) AS n_pairs " +
+        "FROM pairs p JOIN documents da ON da.doc_id = p.id_a " +
+        "JOIN documents db ON db.doc_id = p.id_b GROUP BY 1, 2"),
+    "q_equi_depth_bins" -> {
+      val cuts = (1 until 8)
+        .map(i => s"percentile_disc(${i.toDouble / 8}) WITHIN GROUP (ORDER BY o_totalprice) AS c$i")
+        .mkString(", ")
+      val bin = (1 until 8)
+        .map(i => s"(CASE WHEN o_totalprice > c$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"WITH c AS (SELECT $cuts FROM orders) " +
+        s"SELECT o_orderkey, o_totalprice, CAST($bin AS INT) AS bin FROM orders CROSS JOIN c"
+    },
     "dedup_keep_list" ->
       (s"WITH RECURSIVE $ngramCtes, " +
         "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs), " +

@@ -489,6 +489,31 @@ object Dedup {
       .select("id_a", "id_b", "inter", "union_size")
   }
 
+  /** Cross-source duplication matrix — the curation diagnostic that
+    * answers "which sources overlap": near-dup pairs (from any pair
+    * operator) attributed to their unordered source pair with exact
+    * counts. High off-diagonal mass means two feeds mirror each other
+    * (crawl vs re-crawl, aggregator vs origin) and one should be
+    * dropped or down-weighted BEFORE doc-level dedup burns compute on
+    * it. Pair-table-sized work: two id joins against the (id, source)
+    * projection and one ≤|sources|² count shuffle.
+    */
+  def sourceOverlapMatrix(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      srcCol: String = "source"): DataFrame = {
+    val ids = docs.select(col(idCol), col(srcCol))
+    pairs
+      .join(ids.toDF("id_a", "__sa"), "id_a")
+      .join(ids.toDF("id_b", "__sb"), "id_b")
+      .select(
+        least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Pruned corpus read for [[dedupDeltaAgainstIndex]]: only
     * candidate-matched historical docs are re-tokenized for exact
     * verification. The persist is a deliberate optimizer BARRIER as

@@ -68,4 +68,45 @@ object Quantiles {
           col("__lo") + (col("__qb") + 1).cast("double") * (col("__hi") - col("__lo")) / cells)
         .as("est"))
   }
+
+  /** Equi-depth (quantile) binning — the standard feature
+    * discretization: assign each row the index of its quantile bucket,
+    * so every bin holds ~1/nBins of the data regardless of the value
+    * distribution (uniform-width bins collapse under skew).
+    *
+    * Cutoffs come from `percentile_disc` — ACTUAL data values, no
+    * interpolation — and the bin id is the exact count of cutoffs
+    * strictly below the value, so the assignment is reproducible on
+    * any engine given the same cutoffs. For cross-engine gates use a
+    * power-of-two `nBins`: the fractions i/nBins are then exact binary
+    * doubles and both engines compute identical rank positions (a
+    * fraction like 0.1 can straddle a rounding boundary in p·n).
+    *
+    * Shape at scale: one percentile aggregate (the only sort) produces
+    * nBins−1 cutoffs; the assignment is a broadcast of that 1-row
+    * table plus a codegen'd when-chain — the big table is scanned
+    * once, never shuffled.
+    */
+  def equiDepthBins(
+      df: DataFrame,
+      valueCol: String,
+      nBins: Int,
+      binCol: String = "bin"): DataFrame = {
+    require(nBins >= 2, "need at least 2 bins")
+    val spark = df.sparkSession
+    val v = graft.Views.unique("edb")
+    df.createOrReplaceTempView(v)
+    val cutExprs = (1 until nBins)
+      .map(i => s"percentile_disc(${i.toDouble / nBins}) WITHIN GROUP (ORDER BY $valueCol) AS __c$i")
+      .mkString(", ")
+    val cuts =
+      try spark.sql(s"SELECT $cutExprs FROM $v")
+      finally spark.catalog.dropTempView(v)
+    val bin = (1 until nBins)
+      .map(i => when(col(valueCol) > col(s"__c$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    df.crossJoin(broadcast(cuts))
+      .withColumn(binCol, bin)
+      .drop((1 until nBins).map(i => s"__c$i"): _*)
+  }
 }

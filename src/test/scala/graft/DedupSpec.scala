@@ -367,6 +367,17 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(incr.forall(p => p._1 < 2 || p._2 < 2))
   }
 
+  test("sourceOverlapMatrix attributes pairs to unordered source pairs") {
+    val s = spark; import s.implicits._
+    val d = Seq((1L, "A"), (2L, "B"), (3L, "A"), (4L, "C"))
+      .toDF("doc_id", "source")
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.sourceOverlapMatrix(d, pairs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // (1,2): A-B; (2,3): B-A -> least/greatest folds to A-B; (1,3): A-A
+    assert(got == Map(("A", "B") -> 2L, ("A", "A") -> 1L))
+  }
+
   test("keepListFromClusters keeps the best copy per cluster and all singletons") {
     val s = spark; import s.implicits._
     val corpus = Seq(

@@ -49,4 +49,29 @@ class QuantilesSpec extends AnyFunSuite with SparkTest {
         .sortBy(t => (t._1, t._2)).toSeq
     assert(run(1) == run(13))
   }
+
+  test("equiDepthBins: ~equal occupancy, bin id = cutoffs strictly below") {
+    val s = spark; import s.implicits._
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val out = Quantiles.equiDepthBins(df, "v", nBins = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // quartile cutoffs are the data values 25/50/75; bins: 1..25 -> 0,
+    // 26..50 -> 1, 51..75 -> 2, 76..100 -> 3 (cutoff values stay low)
+    assert(out(1L) == 0 && out(25L) == 0)
+    assert(out(26L) == 1 && out(50L) == 1)
+    assert(out(51L) == 2 && out(75L) == 2)
+    assert(out(76L) == 3 && out(100L) == 3)
+    val occupancy = out.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(occupancy == Map(0 -> 25, 1 -> 25, 2 -> 25, 3 -> 25))
+  }
+
+  test("equiDepthBins holds equal depth under heavy skew (uniform bins would not)") {
+    val s = spark; import s.implicits._
+    // 90% of mass at tiny values, a long tail
+    val vals = (1 to 90).map(_.toDouble / 1000) ++ (1 to 10).map(_ * 1000.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val occ = Quantiles.equiDepthBins(df, "v", nBins = 2)
+      .groupBy("bin").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(occ == Map(0 -> 50L, 1 -> 50L))
+  }
 }

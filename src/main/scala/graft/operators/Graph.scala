@@ -117,17 +117,19 @@ object Graph {
     val seed = seeds.toDF("node", "__seed")
     var labels = nodes.join(seed, Seq("node"), "left")
       .select(col("node"), col("__seed").as("label"))
-    val byNode = org.apache.spark.sql.expressions.Window
-      .partitionBy("node").orderBy(col("n").desc, col("label"))
     for (i <- 0 until iters) {
+      // argmax as an aggregation, not a window: min_by over the total
+      // order (-n, label) picks highest count, ties to the smallest
+      // label — identical semantics to the row_number formulation but
+      // hash-aggregated (no per-round sort of the candidate table)
       val majority = e
         .join(labels.withColumnRenamed("node", "src"), "src")
         .where(col("label").isNotNull)
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("n"))
-        .withColumn("__rn", row_number().over(byNode))
-        .where(col("__rn") === 1)
-        .select(col("node"), col("label").as("__maj"))
+        .groupBy("node")
+        .agg(min_by(col("label"),
+          struct((-col("n")).as("a"), col("label").as("b"))).as("__maj"))
       labels = nodes
         .join(seed, Seq("node"), "left")
         .join(majority, Seq("node"), "left")

@@ -120,7 +120,9 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "dq_profile" -> "41ec9d2b6440821e53919ac82bbf94ee",
     "emb_covariance" -> "9c02b3c25818501fff9cdff4c65e9364",
     "q_supplier_part" -> "81ab27031bb325822057232c9f686473",
-    "text_normalize" -> "31b0264b4ef76bd2a3549a53f4c93a46")
+    "text_normalize" -> "31b0264b4ef76bd2a3549a53f4c93a46",
+    "dedup_source_matrix" -> "f96bbb8685baa51dfc9d46173373be0b",
+    "q_equi_depth_bins" -> "82badea05171dae2358f96315e8ad842")
 
   test("round-3c operator outputs hash-match their pinned golden values") {
     val got = pinnedR3c.keys.toSeq.sorted.map { q =>

@@ -56,15 +56,18 @@ object Graph {
     val deg = Caches.persisted(
       e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg")))
     val nodes = Caches.persisted(deg.select(col("node")))
+    // out-degree rides ON the edge row (one join at setup, not one per
+    // round) — each round is then exactly one join + one aggregation
+    val eDeg = Caches.persisted(
+      e.join(deg.withColumnRenamed("node", "src"), "src"))
     // one O(1) action: the node count is a scalar in every rank formula
     val n = nodes.count()
     require(n > 0, "graph has no edges")
     val base = massScale / n // uniform share, integer-floored
     var ranks = nodes.select(col("node"), lit(base).as("rank"))
     for (i <- 0 until iters) {
-      val contrib = e
+      val contrib = eDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(deg.withColumnRenamed("node", "src"), "src")
         .withColumn("share", expr("rank div outdeg"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("share")).as("contrib"))

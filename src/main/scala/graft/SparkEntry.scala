@@ -767,6 +767,18 @@ object SparkEntry {
         "price_non_negative" -> (col("o_totalprice") >= 0),
         "status_in_domain" -> col("o_orderstatus").isin("F", "O", "P"),
         "status_is_f" -> (col("o_orderstatus") === "F")))),
+    "dq_numeric_ks" -> ((s, d) => {
+      // exact-integer two-sample KS: do BUILDING and AUTOMOBILE
+      // customers draw balances from the same distribution? Gap is
+      // cross-multiplied (never a float CDF); argmax value in cents
+      val c = rd(s, d, "customer")
+      graft.operators.Quality.numericDriftKs(
+        c.filter(col("c_mktsegment") === "BUILDING"),
+        c.filter(col("c_mktsegment") === "AUTOMOBILE"),
+        "c_acctbal")
+        .select(col("n_a"), col("n_b"), col("ks_num"),
+          round(col("at_value") * 100).cast("long").as("at_value_c"))
+    }),
     "dq_profile" -> ((s, d) =>
       // descriptive dataset profile in one scan: nulls, exact distincts,
       // min/max per column (timestamps/strings/ints plus an in-range
@@ -1707,6 +1719,19 @@ object SparkEntry {
         "UNION ALL SELECT 'price_non_negative', (SELECT count(*) FROM orders WHERE NOT coalesce(o_totalprice >= 0, FALSE)), n_rows FROM n " +
         "UNION ALL SELECT 'status_in_domain', (SELECT count(*) FROM orders WHERE NOT coalesce(o_orderstatus IN ('F','O','P'), FALSE)), n_rows FROM n " +
         "UNION ALL SELECT 'status_is_f', (SELECT count(*) FROM orders WHERE NOT coalesce(o_orderstatus = 'F', FALSE)), n_rows FROM n"),
+    "dq_numeric_ks" ->
+      ("WITH a AS (SELECT c_acctbal AS v, count(*) AS ca FROM customer " +
+        "WHERE c_mktsegment = 'BUILDING' AND c_acctbal IS NOT NULL GROUP BY 1), " +
+        "b AS (SELECT c_acctbal AS v, count(*) AS cb FROM customer " +
+        "WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal IS NOT NULL GROUP BY 1), " +
+        "m AS (SELECT coalesce(a.v, b.v) AS v, coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb " +
+        "FROM a FULL JOIN b ON a.v = b.v), " +
+        "c AS (SELECT v, CAST(sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuma, " +
+        "CAST(sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumb FROM m), " +
+        "t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM m) " +
+        "SELECT na AS n_a, nb AS n_b, CAST(abs(cuma * nb - cumb * na) AS BIGINT) AS ks_num, " +
+        "CAST(round(v * 100) AS BIGINT) AS at_value_c " +
+        "FROM c CROSS JOIN t ORDER BY abs(cuma * nb - cumb * na) DESC, v LIMIT 1"),
     "dq_profile" ->
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority")

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -129,6 +130,59 @@ object Quality {
       expr(s"stack(${cols.size}, $stackArgs) AS (col_name, n_null, n_distinct, min_value, max_value)"),
       col("__n").as("n_rows"))
       .select("col_name", "n_rows", "n_null", "n_distinct", "min_value", "max_value")
+  }
+
+  /** Two-sample Kolmogorov-Smirnov drift statistic in EXACT integer
+    * arithmetic — the numeric twin of [[categoricalDrift]]: how far
+    * apart are two snapshots' value distributions, as the maximum
+    * empirical-CDF gap. Instead of comparing float CDFs, the gap is
+    * cross-multiplied: at each observed value v,
+    *
+    *   gap(v) = |cumA(v)·nB − cumB(v)·nA|
+    *
+    * an exact integer (KS statistic = max gap / (nA·nB), left to the
+    * consumer). Emits `(n_a, n_b, ks_num, at_value)` with the argmax
+    * value (smallest on ties) — deterministic and engine-replayable to
+    * the last unit, where a float CDF compare could flip the argmax
+    * between engines.
+    *
+    * Shape at scale: per-side counts are combinable; the merge is a
+    * full-outer join on |distinct values| rows; the running sums are a
+    * window over that DISTINCT-VALUE table (not the corpus). For
+    * genuinely unbounded value cardinality, histogram first
+    * ([[Quantiles.gridQuantiles]]'s bucketing) and run the same gap on
+    * bucket counts. NULLs are excluded (no order position).
+    */
+  def numericDriftKs(
+      before: DataFrame,
+      after: DataFrame,
+      valueCol: String): DataFrame = {
+    def counted(df: DataFrame, n: String) =
+      df.filter(col(valueCol).isNotNull)
+        .groupBy(col(valueCol).as("__v")).agg(count(lit(1)).as(n))
+    val merged = counted(before, "__ca")
+      .join(counted(after, "__cb"), Seq("__v"), "full_outer")
+      .select(col("__v"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = merged.agg(
+      sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
+    merged
+      .withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+      .crossJoin(broadcast(totals))
+      .select(col("__na"), col("__nb"),
+        abs(col("__cuma") * col("__nb") - col("__cumb") * col("__na")).as("__gap"),
+        col("__v"))
+      .groupBy("__na", "__nb")
+      .agg(
+        max(col("__gap")).as("ks_num"),
+        min_by(col("__v"), struct((-col("__gap")).as("a"), col("__v").as("b")))
+          .as("at_value"))
+      .select(col("__na").as("n_a"), col("__nb").as("n_b"),
+        col("ks_num"), col("at_value"))
   }
 
   /** Categorical drift report between two snapshots of the same feed:

@@ -186,6 +186,21 @@ class MergeSuite extends AnyFunSuite with SparkTest {
     assert(out.filter($"k" === 1L).head().getString(1) == "a")
   }
 
+  test("numericDriftKs: exact cross-multiplied CDF gap with deterministic argmax") {
+    val s = spark; import s.implicits._
+    // A = {1,2,3,4}, B = {3,4,5,6}: at v=2 gap = |2*4 - 0*4| = 8 (max);
+    // v=1 gives 4, v=3 gives |3*4-1*4|=8 too -> tie, smaller value wins
+    val a = Seq(1, 2, 3, 4).map(_.toDouble).toDF("v")
+    val b = Seq(3, 4, 5, 6).map(_.toDouble).toDF("v")
+    val r = graft.operators.Quality.numericDriftKs(a, b, "v").head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L)
+    assert(r.getLong(2) == 8L)
+    assert(r.getDouble(3) == 2.0, "argmax tie must resolve to the smaller value")
+    // identical distributions -> gap 0 only at... (cum equal everywhere)
+    val same = graft.operators.Quality.numericDriftKs(a, a, "v").head()
+    assert(same.getLong(2) == 0L)
+  }
+
   test("profileColumns: nulls, exact distincts, min/max per column in one pass") {
     val s = spark; import s.implicits._
     val df = Seq(

@@ -1084,6 +1084,9 @@ object SparkEntry {
       Incremental.updateCounts(prev, ev.filter(col("ts") >= cutoff),
         Seq("user_id"), cents)
     }),
+    "text_source_terms" -> ((s, d) =>
+      // c-TF-IDF shape: what characterizes each source vs the corpus
+      TextAnalysis.sourceDistinctiveTerms(rd(s, d, "documents"), k = 5)),
     "text_tfidf_terms" -> ((s, d) =>
       TextAnalysis.topDistinctiveTerms(rd(s, d, "documents"), k = 3)),
     "pipeline_training_mix" -> ((s, d) => {
@@ -1921,6 +1924,14 @@ object SparkEntry {
         "SELECT tf.doc_id, tf.token, tf.tf, df.df, CAST(row_number() OVER " +
         "(PARTITION BY tf.doc_id ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, df.df, tf.token) AS INT) AS rank " +
         "FROM tf JOIN df ON tf.token = df.token) q WHERE rank <= 3"),
+    "text_source_terms" ->
+      ("WITH toks AS (SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token FROM documents), " +
+        "tf AS (SELECT source, token, count(*) AS tf FROM toks WHERE token <> '' GROUP BY 1, 2), " +
+        "sdf AS (SELECT token, count(*) AS n_sources FROM tf GROUP BY 1) " +
+        "SELECT source, token, CAST(tf AS INT) AS tf, CAST(n_sources AS INT) AS n_sources, rank FROM (" +
+        "SELECT tf.source, tf.token, tf.tf, sdf.n_sources, CAST(row_number() OVER " +
+        "(PARTITION BY tf.source ORDER BY CAST(tf.tf AS DOUBLE) / sdf.n_sources DESC, sdf.n_sources, tf.token) AS INT) AS rank " +
+        "FROM tf JOIN sdf ON tf.token = sdf.token) q WHERE rank <= 5"),
     "doc_chunks" ->
       ("WITH t AS (SELECT doc_id, CAST(unnest(generate_series(1, len(a))) - 1 AS INT) AS pos, unnest(a) AS tok " +
         "FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS a FROM documents)) " +

@@ -207,6 +207,40 @@ object TextAnalysis {
         col("df").cast("int").as("df"), col("__rk").as("rank"))
   }
 
+  /** Per-SOURCE distinctive terms — the corpus-characterization shape
+    * (c-TF-IDF / BERTopic-style): aggregate each source's token mass
+    * and rank terms by `tf_source / n_sources_containing`, so a term
+    * scores high when one source uses it heavily and few others use it
+    * at all. The "what is each feed about" report behind mixture
+    * design and source-level quality review.
+    *
+    * Same exact-ordering discipline as [[topDistinctiveTerms]]: the
+    * sort key is a ratio of small exact integers (identical double on
+    * every IEEE engine), ties break on `(n_sources, token)` — fully
+    * deterministic. Shape: two combinable counts ((source, token) and
+    * per-token source-df over the distinct pairs), one join, one
+    * window per source over that source's vocabulary only.
+    */
+  def sourceDistinctiveTerms(
+      docs: DataFrame,
+      k: Int = 5,
+      textCol: String = "text",
+      srcCol: String = "source"): DataFrame = {
+    require(k >= 1)
+    val toks = docs.select(col(srcCol), explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    val tf = toks.groupBy(col(srcCol), col("token")).agg(count(lit(1)).as("tf"))
+    val sdf = tf.groupBy(col("token")).agg(count(lit(1)).as("n_sources"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(srcCol))
+      .orderBy((col("tf").cast("double") / col("n_sources")).desc,
+        col("n_sources"), col("token"))
+    tf.join(sdf, Seq("token"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col(srcCol), col("token"), col("tf").cast("int").as("tf"),
+        col("n_sources").cast("int").as("n_sources"), col("__rk").as("rank"))
+  }
+
   /** Fixed-window document chunking — the sequence-prep step that cuts
     * each document into consecutive `chunkTokens`-token windows for
     * training (last chunk ragged). Emits

@@ -140,6 +140,19 @@ class TextOpsSpec extends AnyFunSuite with SparkTest {
     assert(out == List((1, "x y", 3L)))
   }
 
+  // ------------------------------------------------- sourceDistinctiveTerms
+
+  test("sourceDistinctiveTerms ranks by tf/source-df with deterministic ties") {
+    val s = spark; import s.implicits._
+    val d = Seq(
+      (1L, "A", "alpha alpha beta"),
+      (2L, "B", "beta gamma")).toDF("doc_id", "source", "text")
+    val out = graft.operators.TextAnalysis.sourceDistinctiveTerms(d, k = 1)
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    // A: alpha 2/1 beats beta 1/2; B: gamma 1/1 beats beta 1/2
+    assert(out == Map("A" -> (("alpha", 2, 1)), "B" -> (("gamma", 1, 1))))
+  }
+
   // --------------------------------------------------------- normalizeText
 
   test("normalizeText: NFC, zero-width/quote/dash/control scrub, whitespace collapse") {

@@ -217,6 +217,36 @@ object Similarity {
       assignCells(c0, centroids, vecCol, idCol), dir, s"${table}_cells")
   }
 
+  /** Incremental IVF index maintenance: assign a DELTA of new vectors
+    * to the EXISTING centroids and append their cell rows — the ANN
+    * twin of the incremental dedup index. Ingesting a daily batch
+    * costs O(delta·numCentroids) assignment work; the historical
+    * corpus and its cell table are never rescanned, and existing cell
+    * ids stay stable so cached probe plans remain valid. Centroids
+    * drift from optimal as the distribution moves — monitor recall vs
+    * the brute tier and rebuild (re-Lloyd) when it degrades; that
+    * rebuild is the only corpus-sized operation in the lifecycle.
+    */
+  def appendToIvfIndex(
+      delta: DataFrame,
+      dir: String,
+      table: String,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): Unit = {
+    val spark = delta.sparkSession
+    val centroids = graft.sources.Warehouse.read(spark, dir, s"${table}_centroids")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Float](1).toArray)
+    val existing = graft.sources.Warehouse.read(spark, dir, s"${table}_cells")
+    // replay-safe: a delta id already indexed no-ops (id anti-join on
+    // the cell table's neighbor_id key)
+    val fresh = withNorm(delta, vecCol, idCol)
+      .join(existing.select(col("neighbor_id").as(idCol)), Seq(idCol), "left_anti")
+    graft.sources.Warehouse.overwrite(
+      existing.unionByName(assignCells(fresh, centroids, vecCol, idCol)),
+      dir, s"${table}_cells")
+  }
+
   /** Probe a persisted IVF index ([[buildIvfIndex]]) — reads centroids
     * (tiny) onto the driver and joins queries against the stored cell
     * table; the corpus itself is never touched.

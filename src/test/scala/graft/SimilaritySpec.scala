@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Similarity
@@ -85,6 +85,37 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
       assert(fromIndex == live, s"refineIters=$refine")
     }
+  }
+
+  test("appendToIvfIndex: replay-safe delta ingest, exact at full probe") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 12
+    val rows = (0 until 200).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val corpus = emb.filter(col("vec_id").between(10, 149))
+    val delta = emb.filter(col("vec_id") >= 150)
+    val queries = emb.filter(col("vec_id") < 10)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-append").toString
+    Similarity.buildIvfIndex(corpus, lit(true), dir, "idx", numCentroids = 8)
+    Similarity.appendToIvfIndex(delta, dir, "idx")
+    val cells1 = graft.sources.Warehouse.read(s, dir, "idx_cells")
+      .collect().map(_.toSeq).toSet
+    // replayed delta must be a no-op (id anti-join)
+    Similarity.appendToIvfIndex(delta, dir, "idx")
+    val cells2 = graft.sources.Warehouse.read(s, dir, "idx_cells")
+      .collect().map(_.toSeq).toSet
+    assert(cells1 == cells2, "replayed delta changed the cell table")
+    assert(cells1.size == 190, "every corpus+delta vector indexed exactly once")
+    // at nProbe = numCentroids the probe scans every cell, so the index
+    // must return the EXACT top-k over corpus+delta — proves appended
+    // vectors are fully search-visible
+    val fromIndex = Similarity.ivfTopKIndexed(queries, dir, "idx", k = 5, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 10, col("vec_id") >= 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(fromIndex == exact)
   }
 
   test("k-means refinement improves IVF recall on clustered data and stays deterministic") {

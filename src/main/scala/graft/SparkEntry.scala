@@ -514,13 +514,19 @@ object SparkEntry {
       // where orders overlap; counted via degree-ordered orientation
       val lp = rd(s, d, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("o").orderBy("p")
-      val t3 = lp.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
-      val e = t3.select(col("o"), col("p").as("pa"), col("rn").as("ra"))
-        .join(t3.select(col("o"), col("p").as("pb"), col("rn").as("rb")), "o")
-        .where(col("ra") < col("rb"))
-        .select(col("pa").as("src"), col("pb").as("dst"))
+      // 3 smallest parts per order as ONE combinable aggregation (the
+      // row_number window + self-join form shuffles and sorts twice);
+      // get() is null past the array end, so short orders just emit
+      // fewer pairs
+      val t3 = lp.groupBy("o")
+        .agg(slice(sort_array(collect_list(col("p"))), 1, 3).as("ps"))
+      val pairs = array(
+        struct(get(col("ps"), lit(0)).as("src"), get(col("ps"), lit(1)).as("dst")),
+        struct(get(col("ps"), lit(0)).as("src"), get(col("ps"), lit(2)).as("dst")),
+        struct(get(col("ps"), lit(1)).as("src"), get(col("ps"), lit(2)).as("dst")))
+      val e = t3.select(explode(pairs).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .where(col("dst").isNotNull)
       graft.operators.Graph.triangleCounts(e)
     }),
     "decontaminate" -> ((s, d) => {

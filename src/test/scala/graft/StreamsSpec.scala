@@ -353,6 +353,33 @@ class StreamsSpec extends AnyFunSuite with SparkTest {
     } finally q.stop()
   }
 
+  test("stateless text ops (normalize, redact) run unchanged on streams, parity with batch") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = Seq(
+      (1L, "Café mail a@b.co “quoted”  text"),
+      (2L, "plain row 192.168.0.1 here"))
+    val input = MemoryStream[(Long, String)]
+    val streamed = graft.operators.TextAnalysis.redactPii(
+      graft.operators.TextAnalysis.normalizeText(input.toDF().toDF("doc_id", "text"))
+        .select(col("doc_id"), col("norm_text").as("text")))
+    val q = streamed.writeStream.format("memory").queryName("norm_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val got = s.table("norm_stream").collect()
+        .map(r => r.getLong(0) -> r.getString(5)).toMap
+      val batch = graft.operators.TextAnalysis.redactPii(
+        graft.operators.TextAnalysis.normalizeText(rows.toDF("doc_id", "text"))
+          .select(col("doc_id"), col("norm_text").as("text")))
+        .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+      assert(got == batch)
+      assert(got(1L).contains("<EMAIL>") && got(1L).contains("\"quoted\" text"))
+      assert(got(2L).contains("<IP>"))
+    } finally q.stop()
+  }
+
   test("dedupIngestStream admits only near-dup-free docs across micro-batches") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext

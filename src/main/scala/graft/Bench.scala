@@ -53,7 +53,15 @@ object Bench {
         val ck: Column = call_function("bit_xor", xxhash64(struct(df.columns.map(df.col): _*)))
         df.select(ck.as("__ck")).collect()
         ()
-      } finally graft.operators.Caches.release() // free operator-persisted subplans
+      } finally {
+        graft.operators.Caches.release() // free operator-persisted subplans
+        // localCheckpoint blocks (iterative operators' returned tables)
+        // are RDD-level and invisible to the SQL cache registry; left
+        // alone they accumulate across a 136-query suite and the
+        // eviction churn slows later queries ~20%. Between queries
+        // nothing may survive, so drop every persistent RDD.
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
 
     // warmup: JIT, codegen caches, parquet footers, broadcast paths
     selected.foreach { case (_, fn) =>

@@ -636,24 +636,39 @@ object OracleSql {
     * byte-for-byte like the Spark side; the argmax order
     * (n DESC, pair) is total, so every round is deterministic.
     */
-  def bpeTrainMerges(rounds: Int): String = {
+  private def bpeChain(rounds: Int): String = {
     val chain = (1 to rounds).map { r =>
       s"p$r AS (SELECT pair, sum(f) AS n FROM (" +
         s"SELECT f, unnest([syms[i] || ' ' || syms[i+1] for i in range(1, len(syms))]) AS pair " +
         s"FROM (SELECT f, string_split(trim(s), '  ') AS syms FROM w$r)) GROUP BY pair), " +
         s"b$r AS (SELECT pair, n FROM p$r ORDER BY n DESC, pair LIMIT 1), " +
-        s"w${r + 1} AS (SELECT replace(s, " +
+        s"w${r + 1} AS (SELECT w, replace(s, " +
         s"' ' || (SELECT replace(pair, ' ', '  ') FROM b$r) || ' ', " +
         s"' ' || (SELECT replace(pair, ' ', '') FROM b$r) || ' ') AS s, f FROM w$r)"
     }.mkString(", ")
-    val rows = (1 to rounds)
-      .map(r => s"SELECT $r AS round, pair, CAST(n AS BIGINT) AS n FROM b$r")
-      .mkString(" UNION ALL ")
-    "WITH w1 AS (SELECT ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS s, f " +
+    "WITH w1 AS (SELECT w, ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS s, f " +
       "FROM (SELECT w, count(*) AS f FROM (" +
       "SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents) t " +
       "WHERE w <> '' GROUP BY w)), " +
-      s"$chain " +
-      s"SELECT * FROM ($rows)"
+      s"$chain"
   }
+
+  def bpeTrainMerges(rounds: Int): String = {
+    val rows = (1 to rounds)
+      .map(r => s"SELECT $r AS round, pair, CAST(n AS BIGINT) AS n FROM b$r")
+      .mkString(" UNION ALL ")
+    s"${bpeChain(rounds)} SELECT * FROM ($rows)"
+  }
+
+  /** Replay of `TextAnalysis.bpeEncodedCounts`: the same merge chain,
+    * then each document's words join the final word table and the
+    * encoded length is the sum of per-word symbol counts.
+    */
+  def bpeEncodedCounts(rounds: Int): String =
+    s"${bpeChain(rounds)} " +
+      s"SELECT d.doc_id, count(*) AS n_words, " +
+      s"CAST(sum(len(string_split(trim(ws.s), '  '))) AS BIGINT) AS n_bpe_tokens " +
+      s"FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w " +
+      s"FROM documents) d JOIN w${rounds + 1} ws ON ws.w = d.w " +
+      s"WHERE d.w <> '' GROUP BY d.doc_id"
 }

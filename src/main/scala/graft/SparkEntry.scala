@@ -615,6 +615,10 @@ object SparkEntry {
       // Kneser-Ney bigram stats in exact integer ppm — the data-driven
       // quality-scoring LM, engine-reproducible to the last unit
       TextAnalysis.bigramLmStats(rd(s, d, "documents"), topK = 50)),
+    "bpe_encode_counts" -> ((s, d) =>
+      // tokenizer inference: per-doc sequence length under the 6
+      // learned merges — the count a packing stage actually budgets
+      TextAnalysis.bpeEncodedCounts(rd(s, d, "documents"), rounds = 6)),
     "text_normalize" -> ((s, d) => {
       // canonical normalization (NFC + zero-width/quote/dash/control
       // scrub + whitespace collapse); the corpus is ASCII, so a
@@ -1532,6 +1536,7 @@ object SparkEntry {
         "SELECT pair, count(*) AS n FROM pr WHERE length(pair) = 2 " +
         "GROUP BY pair ORDER BY n DESC, pair LIMIT 25"),
     "bpe_train_merges" -> OracleSql.bpeTrainMerges(rounds = 6),
+    "bpe_encode_counts" -> OracleSql.bpeEncodedCounts(rounds = 6),
     "text_normalize" -> {
       val chain =
         s"regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +

@@ -672,6 +672,7 @@ object Dedup {
       // two propagation steps per materialization: the checkpoint action
       // dominates round cost at the small end, and a deeper lazy plan
       // between checkpoints is free
+      val prev = labels
       val propagated = propagate(propagate(labels))
       // pointer jumping (take my label's label) makes a chain of length n
       // converge in O(log n) rounds instead of O(n) — but it costs an
@@ -691,6 +692,12 @@ object Dedup {
       val (next, sumOpt) = checkpointWithSum(jumped)
       val nextSum = sumOpt.get
       labels = next
+      // the new checkpoint's lineage is cut, so the previous round's
+      // materialized blocks are unreferenced — free them NOW instead of
+      // letting every round's blocks pile up in the block manager for
+      // the life of the session (a long suite run measurably slows as
+      // leaked checkpoint blocks force eviction churn)
+      prev.unpersist(false)
       converged = nextSum == prevSum
       prevSum = nextSum
       i += 1

@@ -65,6 +65,7 @@ object Graph {
     require(n > 0, "graph has no edges")
     val base = massScale / n // uniform share, integer-floored
     var ranks = nodes.select(col("node"), lit(base).as("rank"))
+    var lastCkpt: Option[DataFrame] = None
     for (i <- 0 until iters) {
       val contrib = eDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -80,7 +81,14 @@ object Graph {
       // (the common 3-5 iteration configs) then execute as ONE job,
       // while long runs still get bounded plans. Results are identical
       // either way — integer arithmetic is materialization-invariant.
-      if ((i + 1) % 4 == 0 && i != iters - 1) ranks = ranks.localCheckpoint(true)
+      // Once a newer checkpoint materializes, the older one's blocks
+      // are unreferenced — free them (long runs would otherwise leak a
+      // rank vector per checkpoint for the session's lifetime).
+      if ((i + 1) % 4 == 0 && i != iters - 1) {
+        ranks = ranks.localCheckpoint(true)
+        lastCkpt.foreach(_.unpersist(false))
+        lastCkpt = Some(ranks)
+      }
     }
     ranks
   }
@@ -120,6 +128,7 @@ object Graph {
     val seed = seeds.toDF("node", "__seed")
     var labels = nodes.join(seed, Seq("node"), "left")
       .select(col("node"), col("__seed").as("label"))
+    var lastCkpt: Option[DataFrame] = None
     for (i <- 0 until iters) {
       // argmax as an aggregation, not a window: min_by over the total
       // order (-n, label) picks highest count, ties to the smallest
@@ -137,9 +146,13 @@ object Graph {
         .join(seed, Seq("node"), "left")
         .join(majority, Seq("node"), "left")
         .select(col("node"), coalesce(col("__seed"), col("__maj")).as("label"))
-      // same every-4-rounds flattening as pageRankFixed: short runs
-      // execute as one job, results unchanged
-      if ((i + 1) % 4 == 0 && i != iters - 1) labels = labels.localCheckpoint(true)
+      // same every-4-rounds flattening (and old-block freeing) as
+      // pageRankFixed: short runs execute as one job, results unchanged
+      if ((i + 1) % 4 == 0 && i != iters - 1) {
+        labels = labels.localCheckpoint(true)
+        lastCkpt.foreach(_.unpersist(false))
+        lastCkpt = Some(labels)
+      }
     }
     labels.where(col("label").isNotNull)
   }

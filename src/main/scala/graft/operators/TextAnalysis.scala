@@ -454,14 +454,27 @@ object TextAnalysis {
       docs: DataFrame,
       rounds: Int,
       textCol: String = "text"): DataFrame = {
-    require(rounds >= 1, "need at least one merge round")
     val spark = docs.sparkSession
     import spark.implicits._
+    bpeTrain(docs, rounds, textCol)._2.toDF("round", "pair", "n")
+  }
+
+  /** The shared trainer loop: returns the final word table
+    * `(w, s, f)` — word, its merged symbol string, corpus frequency —
+    * plus the learned merges. [[bpeTrainMerges]] emits the merge
+    * table; [[bpeEncodedCounts]] applies the word table back to the
+    * corpus.
+    */
+  private def bpeTrain(
+      docs: DataFrame,
+      rounds: Int,
+      textCol: String): (DataFrame, Seq[(Int, String, Long)]) = {
+    require(rounds >= 1, "need at least one merge round")
     var cur = Caches.persisted(
       docs.select(explode(tokens(col(textCol))).as("w"))
         .filter(col("w") =!= "")
         .groupBy("w").agg(count(lit(1)).as("f"))
-        .select(
+        .select(col("w"),
           concat(lit(" "), array_join(split(col("w"), ""), "  "), lit(" ")).as("s"),
           col("f")))
     val merges = Seq.newBuilder[(Int, String, Long)]
@@ -482,7 +495,34 @@ object TextAnalysis {
           lit(" " + pair.replace(" ", "  ") + " "),
           lit(" " + pair.replace(" ", "") + " ")))
     }
-    merges.result().toDF("round", "pair", "n")
+    (cur, merges.result())
+  }
+
+  /** Tokenizer INFERENCE over the corpus — closes the loop opened by
+    * [[bpeTrainMerges]]: train `rounds` merges, apply them to every
+    * word, and emit per-document encoded-sequence lengths
+    * `(id, n_words, n_bpe_tokens)` — the number a packing/budgeting
+    * stage actually consumes (token counts under the LEARNED
+    * vocabulary, not whitespace counts).
+    *
+    * Application is a broadcast-friendly join of the corpus's words
+    * against the trained word-type table (vocabulary-sized, Zipf-small)
+    * — encoding never re-runs the merge loop per document.
+    */
+  def bpeEncodedCounts(
+      docs: DataFrame,
+      rounds: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val (words, _) = bpeTrain(docs, rounds, textCol)
+    val syms = words.select(col("w"),
+      size(split(trim(col("s")), "  ")).as("__n_syms"))
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .join(syms, "w")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__n_syms")).as("n_bpe_tokens"))
   }
 
   /** BPE merge-candidate statistics: corpus-wide adjacent-CHARACTER-pair

@@ -140,6 +140,19 @@ class TextOpsSpec extends AnyFunSuite with SparkTest {
     assert(out == List((1, "x y", 3L)))
   }
 
+  // ------------------------------------------------------ bpeEncodedCounts
+
+  test("bpeEncodedCounts applies learned merges: per-doc encoded lengths") {
+    // after 4 merges (l o, lo w, low e, lowe r): low -> [low],
+    // lower -> [lower] (round 4 fuses it whole), lowest -> [lowe, s, t]
+    // => 1 + 1 + 3 symbols
+    val d = docs((1L, "low lower lowest"), (2L, "low low"))
+    val out = TextAnalysis.bpeEncodedCounts(d, rounds = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    graft.operators.Caches.release()
+    assert(out == Map(1L -> ((3L, 5L)), 2L -> ((2L, 2L))))
+  }
+
   // ------------------------------------------------- sourceDistinctiveTerms
 
   test("sourceDistinctiveTerms ranks by tf/source-df with deterministic ties") {

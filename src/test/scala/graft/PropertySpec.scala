@@ -153,4 +153,90 @@ class PropertySpec extends AnyFunSuite with SparkTest {
     val got = samplesIn.toDF("t").select(rolling_hash($"t")).collect().map(_.getLong(0))
     assert(got.toSeq == samplesIn.map(ref(_)))
   }
+
+  test("property: triangleCounts matches brute-force triple enumeration on random graphs") {
+    val s = spark; import s.implicits._
+    for (round <- 0 until 4) {
+      val gen = Gen.zip(Gen.chooseNum(1L, 12L), Gen.chooseNum(1L, 12L))
+      val raw = samples(gen, 60 + round * 10)
+      val canon = raw.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.toSet
+      val nodes = canon.flatMap(e => Seq(e._1, e._2))
+      // reference: count triples with all three canonical edges present
+      val expect = nodes.map { v =>
+        val sorted = nodes.toSeq.sorted
+        v -> (for {
+          a <- sorted; b <- sorted if a < b
+          if canon((math.min(a, v), math.max(a, v))) && a != v && b != v
+          if canon((math.min(b, v), math.max(b, v)))
+          if canon((a, b))
+        } yield 1).size.toLong
+      }.toMap
+      val got = graft.operators.Graph
+        .triangleCounts(raw.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      graft.operators.Caches.release()
+      assert(got == expect, s"round $round: $canon")
+    }
+  }
+
+  test("property: bpeTrainMerges matches an independent Sennrich reference") {
+    val s = spark; import s.implicits._
+    // reference implementation: classic list-based greedy BPE over a
+    // word-frequency map — no string-replace trickery, so it checks the
+    // engine's two-space replace encoding from first principles
+    def refBpe(words: Map[String, Long], rounds: Int): Seq[(Int, String, Long)] = {
+      var tbl: Map[List[String], Long] =
+        words.map { case (w, f) => w.toList.map(_.toString) -> f }
+      (1 to rounds).map { r =>
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        tbl.foreach { case (syms, f) =>
+          syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + f)
+        }
+        val ((a, b), n) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+        def fuse(in: List[String]): List[String] = in match {
+          case `a` :: `b` :: rest => (a + b) :: fuse(rest)
+          case h :: rest => h :: fuse(rest)
+          case Nil => Nil
+        }
+        tbl = tbl.groupBy { case (syms, _) => fuse(syms) }
+          .map { case (k, vs) => k -> vs.values.sum }
+        (r, s"$a $b", n)
+      }
+    }
+    for (round <- 0 until 3) {
+      // tiny alphabet + short words force repeated/overlapping pairs
+      val wordGen = Gen.stringOfN(4 + round, Gen.oneOf('a', 'b', 'c'))
+      val ws = samples(wordGen, 25)
+      val corpus = ws.mkString(" ")
+      val wordFreq = ws.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+      val expect = refBpe(wordFreq, 3)
+      val got = graft.operators.TextAnalysis
+        .bpeTrainMerges(Seq((1L, corpus)).toDF("doc_id", "text"), rounds = 3)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+      graft.operators.Caches.release()
+      assert(got == expect, s"round $round corpus=$corpus")
+    }
+  }
+
+  test("property: numericDriftKs matches a direct KS computation on random samples") {
+    val s = spark; import s.implicits._
+    for (round <- 0 until 4) {
+      val g = Gen.chooseNum(0, 12)
+      val xs = samples(g, 30 + round * 7).map(_.toDouble)
+      val ys = samples(Gen.chooseNum(round, 14), 25).map(_.toDouble)
+      val vals = (xs ++ ys).distinct.sorted
+      val gaps = vals.map { v =>
+        val ca = xs.count(_ <= v).toLong; val cb = ys.count(_ <= v).toLong
+        (math.abs(ca * ys.size - cb * xs.size), v)
+      }
+      val expectGap = gaps.map(_._1).max
+      val expectAt = gaps.filter(_._1 == expectGap).map(_._2).min
+      val r = graft.operators.Quality
+        .numericDriftKs(xs.toDF("v"), ys.toDF("v"), "v").head()
+      assert(r.getLong(0) == xs.size.toLong && r.getLong(1) == ys.size.toLong)
+      assert(r.getLong(2) == expectGap && r.getDouble(3) == expectAt,
+        s"round $round")
+    }
+  }
 }

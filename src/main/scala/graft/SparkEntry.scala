@@ -598,6 +598,11 @@ object SparkEntry {
 
     // —— training-data pipeline: text analysis ——
     "text_lang_id" -> ((s, d) => TextAnalysis.langId(rd(s, d, "documents"))),
+    "text_lang_confusion" -> ((s, d) =>
+      // how good is the heuristic classifier per language — the
+      // labeled-vs-predicted confusion matrix
+      TextAnalysis.langId(rd(s, d, "documents"))
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))),
     "text_quality" -> ((s, d) => TextAnalysis.qualitySignals(rd(s, d, "documents"))),
     "text_tokens" -> ((s, d) => TextAnalysis.tokenStats(rd(s, d, "documents"))),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(rd(s, d, "documents"))),
@@ -1515,6 +1520,10 @@ object SparkEntry {
         "CAST(row_number() OVER (PARTITION BY a.vec_id ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS INT) AS rnk " +
         "FROM embeddings a JOIN embeddings b ON b.vec_id >= 10 WHERE a.vec_id < 10) t WHERE rnk <= 5"),
     "text_lang_id" -> langIdSql,
+    // classifier evaluation: confusion matrix of labeled vs predicted
+    // language — reuses the langId replay as a subquery
+    "text_lang_confusion" ->
+      (s"SELECT lang, pred_lang, count(*) AS n FROM ($langIdSql) GROUP BY 1, 2"),
     "text_quality" ->
       ("SELECT doc_id, CAST(length(text) AS INT) AS n_chars_measured, " +
         "CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS INT) AS n_tokens, " +

@@ -88,7 +88,38 @@ object Warehouse {
     * front the directory with a pointer/manifest commit (the
     * Iceberg/Delta pattern) — out of scope here.
     */
-  def overwrite(df: DataFrame, dir: String, table: String): Unit = {
+  def overwrite(df: DataFrame, dir: String, table: String): Unit =
+    swapWrite(df, dir, table)(tmp => df.write.mode("overwrite").parquet(tmp))
+
+  /** Interchange export: the table as line-delimited JSON (and a CSV
+    * twin) behind the SAME atomic tmp-and-swap as [[overwrite]] —
+    * downstream consumers (labeling UIs, Python loaders, other
+    * engines) never observe a half-written export. Spark's JSON writer
+    * shards per partition, so the export parallelizes like any other
+    * write; timestamps serialize as ISO-8601 UTC under the session
+    * timezone.
+    */
+  def exportJsonl(df: DataFrame, dir: String, table: String): Unit =
+    swapWrite(df, dir, table)(tmp => df.write.mode("overwrite").json(tmp))
+
+  /** CSV export with a header row; same swap protocol. Nested/array
+    * columns must be projected or serialized by the caller first (CSV
+    * is flat by definition — the writer rejects them otherwise).
+    */
+  def exportCsv(df: DataFrame, dir: String, table: String): Unit =
+    swapWrite(df, dir, table)(tmp =>
+      df.write.mode("overwrite").option("header", "true").csv(tmp))
+
+  /** Read a JSONL export back with an explicit schema (inference costs
+    * a full extra pass and can widen types — never on by default).
+    */
+  def readJsonl(spark: SparkSession, dir: String, table: String, schema: StructType): DataFrame = {
+    heal(spark, dir, table)
+    spark.read.schema(schema).json(path(dir, table))
+  }
+
+  private def swapWrite(df: DataFrame, dir: String, table: String)(
+      write: String => Unit): Unit = {
     val spark = df.sparkSession
     heal(spark, dir, table)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -96,7 +127,7 @@ object Warehouse {
     val tmp = new Path(path(dir, table) + ".tmp")
     val old = new Path(path(dir, table) + ".old")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    df.write.mode("overwrite").parquet(tmp.toString)
+    write(tmp.toString)
     if (fs.exists(old)) fs.delete(old, true)
     if (fs.exists(live)) {
       if (!fs.rename(live, old))

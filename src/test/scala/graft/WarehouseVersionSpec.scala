@@ -116,4 +116,23 @@ class WarehouseVersionSpec extends AnyFunSuite with SparkTest {
     assert(liveVals(dir) == Set(2)) // read() heals old -> live
     assert(Warehouse.versions(spark, dir, "t") == Seq(1L)) // archive untouched
   }
+
+  test("JSONL and CSV exports round-trip behind the atomic swap") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wh-export").toString
+    val df = Seq((1L, "alpha", 1.5), (2L, "beta", -2.25), (3L, null, 0.0))
+      .toDF("k", "name", "score")
+    Warehouse.exportJsonl(df, dir, "docs_jsonl")
+    val back = Warehouse.readJsonl(s, dir, "docs_jsonl", df.schema)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2))).toSet
+    assert(back == Set((1L, Some("alpha"), 1.5), (2L, Some("beta"), -2.25), (3L, None, 0.0)))
+    // re-export swaps atomically over the previous export
+    Warehouse.exportJsonl(df.filter($"k" =!= 2L), dir, "docs_jsonl")
+    assert(Warehouse.readJsonl(s, dir, "docs_jsonl", df.schema).count() == 2)
+    Warehouse.exportCsv(df, dir, "docs_csv")
+    val csv = s.read.option("header", "true").schema(df.schema)
+      .csv(s"$dir/docs_csv")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2))).toSet
+    assert(csv == back)
+  }
 }

@@ -125,7 +125,8 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "q_equi_depth_bins" -> "82badea05171dae2358f96315e8ad842",
     "bpe_encode_counts" -> "c4fcdf9b35b3a4cc8d973d739f0494d7",
     "dq_numeric_ks" -> "9ac6b3f6e5e1a3b58d230018a745d348",
-    "text_source_terms" -> "075e0a75b49e8085dcd77b4b535f3dc1")
+    "text_source_terms" -> "075e0a75b49e8085dcd77b4b535f3dc1",
+    "text_lang_confusion" -> "efba5e1ac55f6dd0404f443a3a8ecb82")
 
   test("round-3c operator outputs hash-match their pinned golden values") {
     val got = pinnedR3c.keys.toSeq.sorted.map { q =>

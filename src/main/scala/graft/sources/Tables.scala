@@ -24,4 +24,42 @@ object Tables {
       else df
     }
   }
+
+  /** Schema-evolved read: present a parquet directory whose FILES were
+    * written under different schema versions as one table with the
+    * CURRENT `target` schema. The long-lived-pipeline reality: a 100 TB
+    * table's oldest files predate every column added since, and
+    * rewriting history per schema change is exactly what a warehouse
+    * must never do.
+    *
+    *   - columns missing from old files surface as typed NULLs;
+    *   - columns dropped from `target` disappear (pruned at the scan);
+    *   - physical types may differ per era only along SAFE widenings
+    *     (`Cast.canUpCast`: int→long, float→double, …) — a narrowing
+    *     (long→int) throws instead of silently truncating history.
+    *
+    * Reads with `mergeSchema` so every era's footer contributes its
+    * columns, then projects to `target` column-by-column.
+    */
+  def readEvolved(
+      spark: SparkSession,
+      path: String,
+      target: org.apache.spark.sql.types.StructType): DataFrame = {
+    val raw = spark.read.option("mergeSchema", "true").parquet(path)
+    val have = raw.schema.fields.map(f => f.name -> f.dataType).toMap
+    val cols = target.fields.map { f =>
+      have.get(f.name) match {
+        case None => lit(null).cast(f.dataType).as(f.name)
+        case Some(dt) if dt == f.dataType => col(f.name)
+        case Some(dt)
+            if org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(dt, f.dataType) =>
+          col(f.name).cast(f.dataType).as(f.name)
+        case Some(dt) =>
+          throw new IllegalArgumentException(
+            s"readEvolved: column ${f.name} cannot safely widen from " +
+              s"${dt.catalogString} to ${f.dataType.catalogString}")
+      }
+    }
+    raw.select(cols.toSeq: _*)
+  }
 }

@@ -117,6 +117,32 @@ class WarehouseVersionSpec extends AnyFunSuite with SparkTest {
     assert(Warehouse.versions(spark, dir, "t") == Seq(1L)) // archive untouched
   }
 
+  test("readEvolved presents mixed-era parquet files under the current schema") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("evolved").toString
+    // era 1: (k int, name); era 2 adds score; the CURRENT schema widens
+    // k to long and adds a lang column no era has yet
+    Seq((1, "a"), (2, "b")).toDF("k", "name")
+      .write.mode("append").parquet(dir)
+    Seq((3, "c", 1.5)).toDF("k", "name", "score")
+      .write.mode("append").parquet(dir)
+    val target = StructType(Seq(
+      StructField("k", LongType), StructField("name", StringType),
+      StructField("score", DoubleType), StructField("lang", StringType)))
+    val got = graft.sources.Tables.readEvolved(s, dir, target)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)), Option(r.get(3)))).toSet
+    assert(got == Set(
+      (1L, "a", None, None), (2L, "b", None, None),
+      (3L, "c", Some(1.5), None)))
+    // narrowing is refused, never silently truncated
+    val bad = StructType(Seq(StructField("k", ShortType)))
+    val e = intercept[IllegalArgumentException](
+      graft.sources.Tables.readEvolved(s, dir, bad))
+    assert(e.getMessage.contains("cannot safely widen"))
+  }
+
   test("JSONL and CSV exports round-trip behind the atomic swap") {
     val s = spark; import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("wh-export").toString

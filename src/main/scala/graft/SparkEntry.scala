@@ -1162,6 +1162,31 @@ object SparkEntry {
       // exact-integer Gram matrix (upper triangle): the PCA/whitening
       // accumulation — dim^2 map-side expansion, one O(dim^2)-group shuffle
       Similarity.vectorSecondMoments(rd(s, d, "embeddings"))),
+    "sketch_count_min" -> ((s, d) => {
+      // Count-Min point-frequency estimates for each source's top-5
+      // tokens. Width 65536 vs ~600 distinct (source, token) keys =>
+      // collision-free, so every estimate is EXACT and the plain
+      // GROUP BY oracle gates the whole sketch pipeline; narrow widths
+      // are the bounded-memory scale tier (never-undercount bound,
+      // spec-tested)
+      val depth = 3; val width = 65536
+      val cm = udaf(new graft.functions.CountMinAgg(depth, width),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Int]]())
+      val toks = rd(s, d, "documents")
+        .select(col("source"), explode(graft.functions.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+      val key = concat_ws("\u0001", col("source"), col("token"))
+      val sketch = toks
+        .select(graft.functions.CountMinAgg.positions(key, depth, width).as("pos"))
+        .agg(cm(col("pos")).as("sk"))
+      toks.groupBy("source", "token").agg(count(lit(1)).as("n_true"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source").orderBy(col("n_true").desc, col("token"))))
+        .filter(col("rk") <= 5)
+        .crossJoin(broadcast(sketch))
+        .select(col("source"), col("token"),
+          graft.functions.CountMinAgg.estimate(col("sk"), key, depth, width).as("n"))
+    }),
     "sketch_heavy_hitters" -> ((s, d) => {
       // Misra-Gries top tokens per source. Capacity 4096 far exceeds
       // the corpus vocabulary, so counts are exact and the summary
@@ -1970,6 +1995,13 @@ object SparkEntry {
         "CAST(CAST(sum(a.q * b.q) AS DECIMAL(38,0)) AS VARCHAR) AS sumprod_fp " +
         "FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i GROUP BY 1, 2"),
     "sketch_heavy_hitters" ->
+      ("WITH t AS (SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token FROM documents), " +
+        "c AS (SELECT source, token, count(*) AS n FROM t WHERE token <> '' GROUP BY 1, 2) " +
+        "SELECT source, token, n FROM (SELECT source, token, n, " +
+        "row_number() OVER (PARTITION BY source ORDER BY n DESC, token) AS rk FROM c) q WHERE rk <= 5"),
+    // collision-free width => CM estimates ARE the exact counts, so the
+    // plain GROUP BY gates the whole sketch pipeline
+    "sketch_count_min" ->
       ("WITH t AS (SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token FROM documents), " +
         "c AS (SELECT source, token, count(*) AS n FROM t WHERE token <> '' GROUP BY 1, 2) " +
         "SELECT source, token, n FROM (SELECT source, token, n, " +

@@ -291,4 +291,33 @@ class SamplingSketchSpec extends AnyFunSuite with SparkTest {
     }
     assert(sketch(1, 1) == sketch(3, 11))
   }
+
+  test("CountMin: never undercounts, exact when collision-free, partition-invariant") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = (Seq.fill(40)("a") ++ Seq.fill(15)("b") ++ Seq.fill(3)("c") ++
+      Seq("d", "e", "f", "g", "h")).map(Tuple1(_))
+    val trueCounts = rows.groupBy(_._1).map { case (k, g) => k -> g.size.toLong }
+    def estimates(depth: Int, width: Int, parts: Int): Map[String, Long] = {
+      val cm = udaf(new graft.functions.CountMinAgg(depth, width),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Int]]())
+      val df = rows.toDF("k").repartition(parts)
+      val sk = df.select(
+        graft.functions.CountMinAgg.positions(col("k"), depth, width).as("p"))
+        .agg(cm(col("p")).as("sk"))
+      df.distinct().crossJoin(sk)
+        .select(col("k"),
+          graft.functions.CountMinAgg.estimate(col("sk"), col("k"), depth, width))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    // tight width forces collisions: estimates may inflate, never deflate
+    val tight = estimates(2, 4, 1)
+    trueCounts.foreach { case (k, n) =>
+      assert(tight(k) >= n, s"undercount for $k: ${tight(k)} < $n")
+    }
+    // generous width: exact, and identical under any partitioning
+    val wide = estimates(3, 1024, 1)
+    assert(wide == trueCounts)
+    assert(estimates(3, 1024, 7) == wide)
+  }
 }

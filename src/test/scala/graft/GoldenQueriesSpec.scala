@@ -126,7 +126,8 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "bpe_encode_counts" -> "c4fcdf9b35b3a4cc8d973d739f0494d7",
     "dq_numeric_ks" -> "9ac6b3f6e5e1a3b58d230018a745d348",
     "text_source_terms" -> "075e0a75b49e8085dcd77b4b535f3dc1",
-    "text_lang_confusion" -> "efba5e1ac55f6dd0404f443a3a8ecb82")
+    "text_lang_confusion" -> "efba5e1ac55f6dd0404f443a3a8ecb82",
+    "sketch_count_min" -> "79f52b4ca0741c6e3e47ea46f2d2db11")
 
   test("round-3c operator outputs hash-match their pinned golden values") {
     val got = pinnedR3c.keys.toSeq.sorted.map { q =>

@@ -410,6 +410,10 @@ object SparkEntry {
       // the scale configuration (stop-gram cap bounds hot-gram pair
       // expansion) under the same oracle gate as the exact run
       Dedup.ngramJaccardPairs(rd(s, d, "documents"), 1, 20, maxGramDf = 5)),
+    "dedup_ngram_prefix" -> ((s, d) =>
+      // prefix-filtered candidates, exact verification — provably the
+      // SAME output as dedup_ngram_jaccard (shares its oracle SQL)
+      Dedup.ngramJaccardPairsPrefix(rd(s, d, "documents"), 1, 20)),
     "decontaminate_ngram" -> ((s, d) => {
       // overlap form: >= 2 shared trigrams with the eval slice (docs
       // 0-19) drops the row — catches partial quotes, not just copies
@@ -761,6 +765,15 @@ object SparkEntry {
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))),
+    "sample_cluster_split" -> ((s, d) => {
+      // leakage-safe split: near-dup clusters (trigram jaccard >= 0.05)
+      // assigned to one split as a unit, keyed by the cluster's min doc
+      // id; unpaired docs split by their own id (== plain hashSplit)
+      val docs = rd(s, d, "documents")
+      Sampling.clusterSafeSplit(
+        docs, Dedup.ngramJaccardPairs(docs, 1, 20), "doc_id", "exp1", splitFractions)
+        .select("doc_id", "source", "split")
+    }),
     "sample_stratified" -> ((s, d) =>
       // corpus mixing: per-source keep-rates (keep all of src0, half of
       // src1, a tenth of src2, a quarter of the rest), deterministic
@@ -1436,6 +1449,10 @@ object SparkEntry {
       "SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY md5(text)",
     "dedup_ngram_jaccard" ->
       s"WITH $ngramCtes SELECT id_a, id_b, inter, union_size FROM pairs",
+    // the prefix-filter join is output-identical to the all-grams join
+    // by the prefix-filtering lemma — one oracle text gates both
+    "dedup_ngram_prefix" ->
+      s"WITH $ngramCtes SELECT id_a, id_b, inter, union_size FROM pairs",
     "dedup_edit_distance" ->
       (s"WITH $ngramCtes SELECT p.id_a, p.id_b, " +
         "CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist FROM pairs p " +
@@ -1732,6 +1749,16 @@ object SparkEntry {
       (s"WITH s AS (SELECT doc_id, n_chars, ${OracleSql.hashSplitCase("CAST(doc_id AS VARCHAR)", "exp1", splitFractions)} AS split FROM documents) " +
         "SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
         "min(doc_id) AS min_id, max(doc_id) AS max_id FROM s GROUP BY split"),
+    "sample_cluster_split" ->
+      (s"WITH RECURSIVE $ngramCtes, " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
+        "wlk(node, root) AS (SELECT DISTINCT src, src FROM edges " +
+        "UNION SELECT e.dst, k.root FROM wlk k JOIN edges e ON e.src = k.node), " +
+        "cl AS (SELECT node AS doc_id, min(root) AS cluster_id FROM wlk GROUP BY node) " +
+        "SELECT d.doc_id, d.source, " +
+        OracleSql.hashSplitCase(
+          "CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)", "exp1", splitFractions) +
+        " AS split FROM documents d LEFT JOIN cl c ON c.doc_id = d.doc_id"),
     "sample_stratified" ->
       (s"WITH kept AS (SELECT source, n_chars FROM documents WHERE ${OracleSql.stratifiedKeepWhere(
         "CAST(doc_id AS VARCHAR)", "source", "mix1",

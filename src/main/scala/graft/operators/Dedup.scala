@@ -260,6 +260,84 @@ object Dedup {
       .select("id_a", "id_b", "inter", "union_size")
   }
 
+  /** Prefix-filtered n-gram Jaccard — EXACTLY the same output as
+    * [[ngramJaccardPairs]] (same pairs, same integer counts), reached
+    * through an order-of-magnitude smaller candidate set. This is the
+    * prefix-filtering principle of SSJoin/PPJoin: order every doc's
+    * grams by global rarity (document frequency ascending, gram as the
+    * tiebreak — any TOTAL order works, rarest-first minimizes fan-in);
+    * a pair with Jaccard ≥ t = num/den must share ≥ ⌈t·|A|⌉ grams, and
+    * at most ⌈t·|A|⌉−1 of A's grams fit in A's suffix of that length —
+    * so the ORDER-SMALLEST shared gram lands inside BOTH docs' prefixes
+    * of length |x| − ⌈t·|x|⌉ + 1. Candidate generation therefore only
+    * expands pairs from prefix grams, and prefix grams are by
+    * construction the rarest ones: the hot grams that dominate
+    * [[ngramJaccardPairs]]'s k²/2 expansions sit in suffixes and
+    * generate NOTHING. Verification then computes the exact
+    * intersection for candidates only.
+    *
+    * Shape at 100 TB: candidate fan-in per gram is its PREFIX document
+    * frequency (≪ raw df for common grams); verification is one
+    * equi-join of candidate pairs against the gram table on
+    * (doc, gram) — O(Σ_pairs |A|) rows, never all-pairs. The per-doc
+    * rarity rank is a window partitioned by doc (state = one doc's
+    * grams). Unlike `maxGramDf` capping this is EXACT at any skew:
+    * correctness never depends on dropping data, so the same code is
+    * the oracle tier AND the scale tier.
+    *
+    * Requires threshNum ≥ 1 (a zero threshold has empty prefixes —
+    * use [[ngramJaccardPairs]] for the degenerate list-everything case).
+    */
+  def ngramJaccardPairsPrefix(
+      docs: DataFrame,
+      threshNum: Int = 1,
+      threshDen: Int = 20,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(threshNum >= 1 && threshDen >= threshNum,
+      "prefix filtering needs 0 < threshold <= 1")
+    import org.apache.spark.sql.expressions.Window
+    val tri = Caches.persisted(trigramSets(docs, textCol, idCol))
+    val sizes = Caches.persisted(
+      tri.groupBy(idCol).agg(count(lit(1)).as("n_grams")))
+    val gramDf = tri.groupBy("gram").agg(count(lit(1)).as("gram_df"))
+    // rarity rank within each doc; prefix keeps the first
+    // n − ⌈t·n⌉ + 1 grams (⌈t·n⌉ in exact integer arithmetic)
+    val ranked = tri
+      .join(gramDf, "gram")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("gram_df"), col("gram"))))
+      .join(sizes, idCol)
+    val prefix = ranked.where(
+      col("rk") <= col("n_grams") + 1 -
+        expr(s"(n_grams * $threshNum + ${threshDen - 1}) div $threshDen"))
+    // candidate pairs from prefix grams only — same sorted-list
+    // expansion as the all-grams variant, distinct because a pair may
+    // share several prefix grams
+    val cands = prefix
+      .groupBy("gram")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .where(size(col("ids")) >= 2)
+      .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("id_b"))
+      .distinct()
+    // exact verification: count shared grams per candidate pair
+    val g = tri.toDF("vid", "vgram")
+    val inter = cands
+      .join(g.withColumnsRenamed(Map("vid" -> "id_a", "vgram" -> "gram")), "id_a")
+      .join(g.withColumnsRenamed(Map("vid" -> "id_b", "vgram" -> "gram")),
+        Seq("id_b", "gram"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("id_a", "n_a"), "id_a")
+      .join(sizes.toDF("id_b", "n_b"), "id_b")
+      .withColumn("union_size", col("n_a") + col("n_b") - col("inter"))
+      .where(col("inter") * threshDen >= col("union_size") * threshNum)
+      .select("id_a", "id_b", "inter", "union_size")
+  }
+
   /** Fuzzy record linkage: for every left document, the single
     * best-matching right document by word-trigram Jaccard — the
     * similarity JOIN (argmax per left row) as opposed to the pair

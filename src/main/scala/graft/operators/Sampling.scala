@@ -79,6 +79,43 @@ object Sampling {
       splitColName: String = "split"): DataFrame =
     df.withColumn(splitColName, splitCol(col(keyCol), salt, fractions))
 
+  /** Leakage-safe split: near-duplicate documents NEVER straddle a
+    * split boundary. [[hashSplit]] keyed on the doc id still leaks —
+    * two near-identical crawls of one page land in train and test
+    * independently, and the model is then evaluated on (a paraphrase
+    * of) its own training data. Here the split key is the near-dup
+    * CLUSTER id ([[Dedup.dedupClusters]] over the caller's pair list:
+    * the smallest doc id reachable through near-dup edges), so a whole
+    * duplicate cluster moves as one unit; docs in no pair fall back to
+    * their own id — for them this IS `hashSplit`, same salt, same
+    * assignment.
+    *
+    * Same determinism contract as [[hashSplit]] (pure function of
+    * salt+cluster key), with one caveat: adding a NEW near-dup edge can
+    * merge clusters and move the merged cluster's rows together —
+    * that's the feature (the merged pair must not straddle), not a
+    * stability bug; rows in unchanged clusters never move.
+    *
+    * Shape at 100 TB: the pair list is the expensive input (see the
+    * dedup family for its scale tiers); given pairs, clustering is
+    * O(log diameter) keyed shuffles and the split itself is one
+    * broadcast-or-shuffle left join + a narrow projection.
+    */
+  def clusterSafeSplit(
+      df: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      salt: String,
+      fractions: Seq[(String, Double)],
+      splitColName: String = "split"): DataFrame = {
+    val clusters = Dedup.dedupClusters(pairs)
+      .withColumnsRenamed(Map("doc_id" -> idCol, "cluster_id" -> "__cluster"))
+    df.join(clusters, Seq(idCol), "left")
+      .withColumn(splitColName,
+        splitCol(coalesce(col("__cluster"), col(idCol)), salt, fractions))
+      .drop("__cluster")
+  }
+
   /** Exclusive upper-bound hex threshold for a single keep-rate on the
     * 65,536 grid (4 lowercase hex chars). Rates ≥ 1 have no threshold
     * (keep everything).

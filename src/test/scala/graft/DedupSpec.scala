@@ -113,6 +113,45 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(!capped.contains((0L, 1L)))
   }
 
+  test("ngramJaccardPairsPrefix equals the all-grams join, at several thresholds") {
+    for ((num, den) <- Seq((1, 2), (1, 20), (9, 10), (1, 1))) {
+      val full = Dedup.ngramJaccardPairs(docs, num, den)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val pref = Dedup.ngramJaccardPairsPrefix(docs, num, den)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(pref == full, s"threshold $num/$den")
+    }
+  }
+
+  test("ngramJaccardPairsPrefix: prefix expansion is much smaller than all-grams") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val tri = Dedup.trigramSets(docs)
+    def expansions(grams: org.apache.spark.sql.DataFrame): Long =
+      grams.groupBy("gram").agg(count(lit(1)).as("k")).where(col("k") >= 2)
+        .agg(coalesce(sum(col("k") * (col("k") - 1) / 2), lit(0L)))
+        .collect()(0).get(0).toString.toDouble.toLong
+    // rebuild the prefix slice exactly as the operator does (t = 9/10)
+    val sizes = tri.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val gramDf = tri.groupBy("gram").agg(count(lit(1)).as("gram_df"))
+    val prefix = tri.join(gramDf, "gram")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("gram_df"), col("gram"))))
+      .join(sizes, "doc_id")
+      .where(col("rk") <= col("n_grams") + 1 -
+        expr("(n_grams * 9 + 9) div 10"))
+    val allExp = expansions(tri)
+    val prefExp = expansions(prefix.select("doc_id", "gram"))
+    // the trio (0,1,3) shares ~all grams: all-grams expands every one,
+    // prefixes expand only each doc's rarest ~10%
+    assert(allExp > 3 * prefExp,
+      s"prefix candidates $prefExp not << all-grams $allExp")
+    // and a zero threshold (empty prefixes) is refused
+    intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairsPrefix(docs, 0, 20)
+    }
+  }
+
   test("minHashLsh surfaces the exact-dup pair (jaccard 1 collides in every band)") {
     val pairs = Dedup.minHashLsh(docs, 16, 4, 9, 10) // verify at jaccard >= 0.9
       .collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -81,6 +81,24 @@ class SamplingSketchSpec extends AnyFunSuite with SparkTest {
     assert(moved > 100, s"only $moved keys moved between salts")
   }
 
+  test("clusterSafeSplit: clusters move as one unit, singletons match hashSplit") {
+    val s = spark; import s.implicits._
+    val df = (0 until 60).map(_.toLong).toDF("doc_id")
+    // clusters {0,1,2} (chained) and {10,11}; everything else unpaired
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    val split = Sampling.clusterSafeSplit(df, pairs, "doc_id", "exp1", fr)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(split.size == 60)
+    assert(split(0L) == split(1L) && split(1L) == split(2L))
+    assert(split(10L) == split(11L))
+    val plain = Sampling.hashSplit(df, "doc_id", "exp1", fr)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val singletons = (0L until 60L).filterNot(Set(0L, 1L, 2L, 10L, 11L))
+    assert(singletons.forall(k => split(k) == plain(k)))
+    // the cluster's assignment is its min-id's hashSplit draw
+    assert(split(1L) == plain(0L) && split(11L) == plain(10L))
+  }
+
   test("weightedKeep keeps w>=wMax always, drops w<=0, and tracks w/wMax in between") {
     val s = spark; import s.implicits._
     val df = (0 until 2000).map(i => (i.toLong, (i % 5) match {

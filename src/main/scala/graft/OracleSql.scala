@@ -476,6 +476,30 @@ object OracleSql {
     * literals (generated by the same `Sampling.thresholds` call the
     * operator uses, so query and oracle cannot drift).
     */
+  /** Replays [[graft.operators.TextAnalysis.collocations]]: one list
+    * comprehension per window offset generates the position pairs from
+    * the raw split array (positions INCLUDE edge empties, matching the
+    * Spark side, which pairs on the raw array and filters '' pairs).
+    */
+  def collocations(window: Int, minPairCount: Long, topK: Int): String = {
+    val offsets = (1 to window).map { o =>
+      val hi = if (o == 1) "len(toks)" else s"len(toks)-${o - 1}"
+      s"[{'a': toks[i], 'b': toks[i+$o]} for i in range(1, $hi)]"
+    }.mkString(" || ")
+    s"WITH d AS (SELECT string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents), " +
+      s"p AS (SELECT least(x.a, x.b) AS token_a, greatest(x.a, x.b) AS token_b " +
+      s"FROM (SELECT unnest($offsets) AS x FROM d) u " +
+      s"WHERE x.a <> '' AND x.b <> '' AND x.a <> x.b), " +
+      s"pc AS (SELECT token_a, token_b, count(*) AS n_pair FROM p GROUP BY 1, 2 " +
+      s"HAVING count(*) >= $minPairCount), " +
+      s"m AS (SELECT t AS token, count(*) AS n FROM " +
+      s"(SELECT unnest(toks) AS t FROM d) WHERE t <> '' GROUP BY 1) " +
+      s"SELECT pc.token_a, pc.token_b, pc.n_pair, ma.n AS n_a, mb.n AS n_b, " +
+      s"CAST(2000000 * pc.n_pair // (ma.n + mb.n) AS BIGINT) AS dice_ppm " +
+      s"FROM pc JOIN m ma ON ma.token = pc.token_a JOIN m mb ON mb.token = pc.token_b " +
+      s"ORDER BY dice_ppm DESC, pc.token_a, pc.token_b LIMIT $topK"
+  }
+
   def hashSplitCase(
       keyExpr: String, salt: String, fractions: Seq[(String, Double)]): String = {
     val h = s"substr(md5('$salt' || ':' || $keyExpr), 1, 4)"

@@ -620,6 +620,11 @@ object SparkEntry {
       // the full greedy BPE merge loop: 6 rounds of count → argmax →
       // corpus-wide fuse; output is the learned merge table
       TextAnalysis.bpeTrainMerges(rd(s, d, "documents"), rounds = 6)),
+    "text_collocations" -> ((s, d) =>
+      // phrase mining: window-2 co-occurrence pairs scored by exact
+      // integer Dice ppm; map-side pair expansion from the token array
+      TextAnalysis.collocations(rd(s, d, "documents"), window = 2,
+        minPairCount = 2, topK = 50)),
     "text_bigram_lm" -> ((s, d) =>
       // Kneser-Ney bigram stats in exact integer ppm — the data-driven
       // quality-scoring LM, engine-reproducible to the last unit
@@ -1601,6 +1606,7 @@ object SparkEntry {
         s"SELECT doc_id, length(text) AS n_raw_chars, length(norm) AS n_norm_chars, norm AS norm_text " +
         s"FROM (SELECT doc_id, text, trim(regexp_replace($chain, '\\s+', ' ', 'g')) AS norm FROM inj)"
     },
+    "text_collocations" -> OracleSql.collocations(2, 2, 50),
     "text_bigram_lm" ->
       ("WITH bg AS (SELECT unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS b " +
         "FROM (SELECT [t for t in string_split_regex(lower(trim(text)), '\\s+') if t <> ''] AS toks FROM documents)), " +

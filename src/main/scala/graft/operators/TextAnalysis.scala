@@ -171,6 +171,61 @@ object TextAnalysis {
       .na.fill(0, Seq("top_bigram_count")) // a <2-token doc has no bigrams
   }
 
+  /** Corpus collocations: unordered token pairs co-occurring within
+    * `window` positions, scored by the Dice coefficient — the phrase /
+    * multi-word-expression miner (word2vec's co-occurrence table,
+    * `New York`-style phrase detection, topic fingerprints). The score
+    * is the exact integer `2·10⁶·n_pair div (n_a + n_b)` (ppm), so
+    * ranking and ties are bit-identical across engines; ties break on
+    * (token_a, token_b).
+    *
+    * Pair generation is entirely MAP-SIDE — a nested `transform` over
+    * the token array pairs each position with the next `window`
+    * positions in one codegen'd projection, so the only shuffles are
+    * the two combinable counts (pairs, marginals). The naive
+    * formulation — positions table self-joined on doc id with a band
+    * predicate — shuffles the full position table twice and rediscovers
+    * per-doc locality the array already has. Pair keys are canonical
+    * (least, greatest); same-token pairs are excluded (repetition is
+    * [[repetitionSignals]]' business).
+    *
+    * Shape at 100 TB: output of the pair expansion is ≤ window·tokens
+    * rows feeding a partial-aggregated groupBy on (token_a, token_b) —
+    * Zipf-bounded group count, no join until the ≤vocab² aggregate is
+    * reduced. `minPairCount` prunes the long tail before the marginal
+    * joins.
+    */
+  def collocations(
+      docs: DataFrame,
+      window: Int = 2,
+      minPairCount: Long = 2,
+      topK: Int = 50,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(window >= 1 && topK >= 1)
+    val toks = docs.select(tokens(col(textCol)).as("__toks"))
+    val pairs = toks
+      .select(explode(flatten(transform(col("__toks"), (t, i) =>
+        transform(slice(col("__toks"), i + lit(2), lit(window)), u =>
+          struct(least(t, u).as("a"), greatest(t, u).as("b")))))).as("p"))
+      .where(col("p.a") =!= col("p.b") && col("p.a") =!= "" && col("p.b") =!= "")
+    val pairCounts = pairs
+      .groupBy(col("p.a").as("token_a"), col("p.b").as("token_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= minPairCount)
+    val marginals = toks
+      .select(explode(col("__toks")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    pairCounts
+      .join(marginals.toDF("token_a", "n_a"), "token_a")
+      .join(marginals.toDF("token_b", "n_b"), "token_b")
+      .withColumn("dice_ppm", expr("(2000000 * n_pair) div (n_a + n_b)"))
+      .select("token_a", "token_b", "n_pair", "n_a", "n_b", "dice_ppm")
+      .orderBy(col("dice_ppm").desc, col("token_a"), col("token_b"))
+      .limit(topK)
+  }
+
   /** Top distinctive terms per document — the TF-IDF shape with an
     * exact ordering: terms rank by `tf/df` (term frequency over corpus
     * document frequency), which orders identically to tf·idf for any

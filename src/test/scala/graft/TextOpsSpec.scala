@@ -12,6 +12,46 @@ class TextOpsSpec extends AnyFunSuite with SparkTest {
     rows.toSeq.toDF("doc_id", "text")
   }
 
+  // ---------------------------------------------------------- collocations
+
+  test("collocations: hand-computed window-2 pairs, Dice ppm, exclusions") {
+    val d = docs(
+      (0L, "new york new york"),
+      (1L, "big apple pie"))
+    val rows = TextAnalysis.collocations(d, window = 2, minPairCount = 1, topK = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // doc 0 offsets: (1,2)(2,3)(3,4) all {new,york}; offset-2 pairs are
+    // same-token and excluded => n_pair(new,york)=3, marginals 2 and 2,
+    // dice = 2e6*3 div 4 = 1,500,000 (window pairs may exceed 1e6 — a
+    // score, not a probability)
+    assert(rows.head == ("new", "york", 3L, 2L, 2L, 1500000L))
+    // doc 1: three distinct pairs, one occurrence each, dice 2e6/2 = 1e6
+    val d1 = rows.filter(_._3 == 1L).toSet
+    assert(d1 == Set(
+      ("apple", "big", 1L, 1L, 1L, 1000000L),
+      ("apple", "pie", 1L, 1L, 1L, 1000000L),
+      ("big", "pie", 1L, 1L, 1L, 1000000L)))
+    // minPairCount prunes singles; ordering is (dice desc, a, b)
+    val pruned = TextAnalysis.collocations(d, window = 2, minPairCount = 2, topK = 10)
+      .collect()
+    assert(pruned.length == 1)
+    assert(rows.map(r => (r._6, r._1, r._2)).sortBy(t => (-t._1, t._2, t._3)).toSeq
+      == rows.map(r => (r._6, r._1, r._2)).toSeq)
+  }
+
+  test("collocations: window reach and cross-doc isolation") {
+    val d = docs(
+      (0L, "a b c d"),  // window 3: a pairs with b,c,d
+      (1L, "x y"))
+    val rows = TextAnalysis.collocations(d, window = 3, minPairCount = 1, topK = 20)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+      ("b", "d"), ("c", "d"), ("x", "y")))
+    // no (a,x)-style cross-document pair can exist by construction
+  }
+
   // ------------------------------------------------------------- redactPii
 
   test("redactPii replaces each PII category with its tag and counts hits") {

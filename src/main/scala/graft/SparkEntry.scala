@@ -620,6 +620,10 @@ object SparkEntry {
       // the full greedy BPE merge loop: 6 rounds of count → argmax →
       // corpus-wide fuse; output is the learned merge table
       TextAnalysis.bpeTrainMerges(rd(s, d, "documents"), rounds = 6)),
+    "text_doc_lm_score" -> ((s, d) =>
+      // CCNet-shape quality scoring: mean corpus-LM bigram probability
+      // per doc, exact integer ppm (docs with <2 tokens omitted)
+      TextAnalysis.docLmScore(rd(s, d, "documents"))),
     "text_collocations" -> ((s, d) =>
       // phrase mining: window-2 co-occurrence pairs scored by exact
       // integer Dice ppm; map-side pair expansion from the token array
@@ -1607,6 +1611,20 @@ object SparkEntry {
         s"FROM (SELECT doc_id, text, trim(regexp_replace($chain, '\\s+', ' ', 'g')) AS norm FROM inj)"
     },
     "text_collocations" -> OracleSql.collocations(2, 2, 50),
+    "text_doc_lm_score" ->
+      ("WITH bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM " +
+        "(SELECT doc_id, unnest([{'w1': toks[i], 'w2': toks[i+1]} for i in range(1, len(toks))]) AS b " +
+        "FROM (SELECT doc_id, [t for t in string_split_regex(lower(trim(text)), '\\s+') if t <> ''] AS toks FROM documents))), " +
+        "bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2), " +
+        "ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS nf FROM bc GROUP BY 1), " +
+        "cont AS (SELECT w2, count(*) AS np FROM bc GROUP BY 1), " +
+        "t AS (SELECT count(*) AS tt FROM bc), " +
+        "lm AS (SELECT bc.w1, bc.w2, CAST((4 * c12 - 3) * 1000000 // (4 * c1) " +
+        "+ 3 * nf * np * 1000000 // (4 * c1 * tt) AS BIGINT) AS kn_ppm " +
+        "FROM bc JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN t) " +
+        "SELECT bg.doc_id, count(*) AS n_bigrams, CAST(sum(kn_ppm) AS BIGINT) AS sum_kn_ppm, " +
+        "CAST(sum(kn_ppm) // count(*) AS BIGINT) AS avg_kn_ppm " +
+        "FROM bg JOIN lm ON lm.w1 = bg.w1 AND lm.w2 = bg.w2 GROUP BY 1"),
     "text_bigram_lm" ->
       ("WITH bg AS (SELECT unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS b " +
         "FROM (SELECT [t for t in string_split_regex(lower(trim(text)), '\\s+') if t <> ''] AS toks FROM documents)), " +

@@ -441,14 +441,28 @@ object TextAnalysis {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(topK >= 1)
+    bigramLm(docBigrams(docs, textCol, idCol))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  /** Per-doc adjacent token pairs: (idCol, w1, w2). */
+  private def docBigrams(
+      docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("__pos"))
-    val bigrams = docs
+    docs
       .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
       .filter(col("__tok") =!= "")
       .withColumn("__nxt", lead(col("__tok"), 1).over(w))
       .filter(col("__nxt").isNotNull)
-      .select(col("__tok").as("w1"), col("__nxt").as("w2"))
+      .select(col(idCol), col("__tok").as("w1"), col("__nxt").as("w2"))
+  }
+
+  /** The full (un-truncated) KN bigram LM table over a bigram stream —
+    * see [[bigramLmStats]] for the arithmetic.
+    */
+  private def bigramLm(bigrams: DataFrame): DataFrame = {
     val bc = Caches.persisted(
       bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
     val ctx = bc.groupBy("w1")
@@ -463,8 +477,36 @@ object TextAnalysis {
         (expr("(4 * c12 - 3) * 1000000 div (4 * c1)") +
           expr("3 * n_follow_types * n_prec_types * 1000000 div (4 * c1 * __t)"))
           .as("kn_ppm"))
-      .orderBy(col("c12").desc, col("w1"), col("w2"))
-      .limit(topK)
+  }
+
+  /** Per-document LM quality score: the occurrence-weighted mean KN
+    * bigram probability (in ppm) of the doc's bigrams under the LM
+    * trained on the WHOLE corpus — the CCNet/perplexity-filter shape
+    * ("how typical is this document of the corpus"): gibberish, boiler-
+    * plate-free spam, and wrong-language docs score low; fluent
+    * in-distribution text scores high. The arithmetic mean of exact
+    * integer ppm probabilities ranks the same direction as perplexity's
+    * geometric mean while staying in integer arithmetic end-to-end —
+    * bit-portable, no log, replayable in the oracle.
+    *
+    * Docs with fewer than two tokens have no bigrams and are omitted
+    * (no evidence either way — gate them on length instead).
+    *
+    * Shape at 100 TB: the bigram stream is computed ONCE (persisted)
+    * and feeds both the LM counts and the per-doc join; the LM table is
+    * Zipf-bounded (bigram TYPES, not occurrences) and joins back by
+    * (w1, w2); the final aggregate is a combinable per-doc sum/count.
+    */
+  def docLmScore(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val bg = Caches.persisted(docBigrams(docs, textCol, idCol))
+    bg.join(bigramLm(bg.select("w1", "w2")).select("w1", "w2", "kn_ppm"),
+        Seq("w1", "w2"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum("kn_ppm").as("sum_kn_ppm"))
+      .withColumn("avg_kn_ppm", expr("sum_kn_ppm div n_bigrams"))
   }
 
   /** BPE-ish token count: letter runs, single digits, or single

@@ -12,6 +12,31 @@ class TextOpsSpec extends AnyFunSuite with SparkTest {
     rows.toSeq.toDF("doc_id", "text")
   }
 
+  // ----------------------------------------------------------- docLmScore
+
+  test("docLmScore: typical docs outscore rare-bigram docs; counts exact") {
+    val d = docs(
+      (0L, "the cat sat"),        // bigrams shared with docs 1-3
+      (1L, "the cat sat"),
+      (2L, "the cat sat"),
+      (3L, "the cat sat here"),
+      (4L, "zq xv qqn mmo"),      // three singleton bigrams
+      (5L, "one"),                // no bigram -> omitted
+      (6L, ""))
+    val rows = TextAnalysis.docLmScore(d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(!rows.contains(5L) && !rows.contains(6L))
+    assert(rows(0L)._1 == 2 && rows(3L)._1 == 3 && rows(4L)._1 == 3)
+    // identical docs, identical scores
+    assert(rows(0L) == rows(1L) && rows(1L) == rows(2L))
+    // "the cat"/"cat sat" occur 4x each; doc 4's bigrams once each —
+    // the common-phrase doc must outscore the gibberish doc
+    assert(rows(0L)._3 > rows(4L)._3,
+      s"typical ${rows(0L)._3} !> rare ${rows(4L)._3}")
+    // avg is the exact integer floor of sum/count
+    rows.values.foreach { case (n, sum, avg) => assert(avg == sum / n) }
+  }
+
   // ---------------------------------------------------------- collocations
 
   test("collocations: hand-computed window-2 pairs, Dice ppm, exclusions") {

@@ -499,6 +499,17 @@ object SparkEntry {
         .select(col("s_suppkey").as("node"), col("s_nationkey").as("label"))
       graft.operators.Graph.labelPropagation(e, seeds, iters = 2)
     }),
+    "graph_bfs_dist" -> ((s, d) => {
+      // reachability radius: hop distance from nation-0 suppliers
+      // through the undirected co-purchase graph, capped at 3 hops
+      val raw = rd(s, d, "lineitem")
+        .select(col("l_suppkey").as("s"), (col("l_partkey") + 1000000L).as("p"))
+      val e = raw.select(col("s").as("src"), col("p").as("dst"))
+        .unionByName(raw.select(col("p").as("src"), col("s").as("dst")))
+      val seeds = rd(s, d, "supplier")
+        .where(col("s_nationkey") === 0).select(col("s_suppkey").as("node"))
+      graft.operators.Graph.bfsDistances(e, seeds, maxHops = 3)
+    }),
     "graph_pagerank" -> ((s, d) => {
       // influence ranking on the undirected supplier<->part co-purchase
       // graph; fixed-point integer arithmetic so the power iteration
@@ -1646,6 +1657,16 @@ object SparkEntry {
       ("SELECT a.vec_id, a.label FROM embeddings a WHERE a.vec_id >= 10 AND NOT EXISTS " +
         "(SELECT 1 FROM embeddings q WHERE q.vec_id < 10 AND " +
         "list_cosine_similarity(a.embedding, q.embedding) >= 0.35)"),
+    // independent formulation: a recursive CTE walks ALL paths up to
+    // the hop cap and takes min(dist) — first principles, not a replay
+    // of the frontier iteration
+    "graph_bfs_dist" ->
+      ("WITH RECURSIVE raw AS (SELECT DISTINCT l_suppkey AS s, l_partkey + 1000000 AS p FROM lineitem), " +
+        "e AS (SELECT s AS src, p AS dst FROM raw UNION SELECT p, s FROM raw), " +
+        "seeds AS (SELECT DISTINCT s_suppkey AS node FROM supplier WHERE s_nationkey = 0), " +
+        "wlk(node, dist) AS (SELECT node, 0 FROM seeds " +
+        "UNION SELECT e.dst, wlk.dist + 1 FROM wlk JOIN e ON e.src = wlk.node WHERE wlk.dist < 3) " +
+        "SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM wlk GROUP BY node"),
     "graph_pagerank" -> OracleSql.pageRankTopK(iters = 3, topK = 20),
     "graph_label_prop" -> OracleSql.labelPropagation(iters = 2),
     // independent formulation: the oracle counts triangles by the naive

@@ -157,6 +157,63 @@ object Graph {
     labels.where(col("label").isNotNull)
   }
 
+  /** Multi-source BFS: the minimum hop distance from any seed node,
+    * up to `maxHops` — reachability radius, influence horizon,
+    * contamination spread ("every doc within 2 similarity hops of a
+    * flagged doc"), and the distance feature behind graph-proximity
+    * labels. Unreached nodes are absent from the output.
+    *
+    * Frontier iteration: round h joins ONLY the previous frontier
+    * (nodes first reached at h−1) to the edge list and anti-joins the
+    * visited set — work per round is frontier-sized, not graph-sized,
+    * and the whole run touches each edge at most twice (once per
+    * endpoint's first reach). Distances are exact small integers;
+    * rounds = min(diameter, maxHops). Each frontier is
+    * localCheckpointed: lineage stays flat and `isEmpty` (the
+    * early-exit probe) reads a materialized block instead of re-running
+    * the round.
+    *
+    * Shape at 100 TB: per round one equi-join keyed by vertex id
+    * (broadcast when the frontier is small — AQE decides) plus one
+    * anti-join against the visited set (≤ |V| rows); the visited set
+    * doubles as the result. Same keyed-shuffle scaling as
+    * [[pageRankFixed]], but with frontier-bounded instead of
+    * graph-bounded rounds.
+    *
+    * @param seeds one-column DataFrame of seed node ids (dist 0)
+    * @return (node, dist) for every node within `maxHops` of a seed
+    */
+  def bfsDistances(
+      edges: DataFrame,
+      seeds: DataFrame,
+      maxHops: Int,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(maxHops >= 0)
+    val e = Caches.persisted(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+    var dist = seeds.select(col(seeds.columns.head).as("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    var frontier = dist
+    var h = 1
+    var continue = maxHops >= 1
+    while (continue) {
+      val next = frontier.select(col("node").as("src"))
+        .join(e, "src").select(col("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("dist", lit(h.toLong))
+        .localCheckpoint(true)
+      if (next.isEmpty) continue = false
+      else {
+        dist = dist.unionAll(next)
+        frontier = next
+        if (h == maxHops) continue = false
+        h += 1
+      }
+    }
+    dist
+  }
+
   /** Per-node triangle counts — the clustering-coefficient numerator
     * and the standard cohesion signal for community/spam detection.
     *

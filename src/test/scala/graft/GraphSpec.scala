@@ -45,6 +45,40 @@ class GraphSpec extends AnyFunSuite with SparkTest {
     assert(got == Map(1L -> 500000000000L, 2L -> 500000000000L))
   }
 
+  private def bfs(edges: Seq[(Long, Long)], seeds: Seq[Long], maxHops: Int) = {
+    val s = spark; import s.implicits._
+    Graph.bfsDistances(edges.toDF("src", "dst"), seeds.toDF("node"), maxHops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("bfsDistances: exact hop counts on a chain, cap respected, unreachable absent") {
+    // directed chain 1->2->3->4->5, plus an island 9
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (9L, 9L))
+    assert(bfs(e, Seq(1L), 3) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    assert(bfs(e, Seq(1L), 10) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    assert(bfs(e, Seq(1L), 0) == Map(1L -> 0L))
+  }
+
+  test("bfsDistances: multi-seed takes the minimum; seeds stay at 0") {
+    val e = Seq((1L, 2L), (2L, 3L), (5L, 4L), (4L, 3L), (1L, 5L))
+    // node 3: 2 hops from seed 1, 2 via 5->4 from... seed 5 reaches 3 in 2;
+    // with both seeds, 4 is 1 hop (from 5) not 3 (from 1)
+    val got = bfs(e, Seq(1L, 5L), 5)
+    assert(got(1L) == 0L && got(5L) == 0L)
+    assert(got(4L) == 1L && got(2L) == 1L && got(3L) == 2L)
+  }
+
+  test("bfsDistances is identical across partitionings") {
+    val s = spark; import s.implicits._
+    val e = (1L to 40L).map(i => (i, i % 7 + 100L)) ++ (100L to 106L).map(i => (i, 1L))
+    val a = Graph.bfsDistances(e.toDF("src", "dst").repartition(1), Seq(1L).toDF("n"), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Graph.bfsDistances(e.toDF("src", "dst").repartition(13), Seq(1L).toDF("n"), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   private def propagate(edges: Seq[(Long, Long)], seeds: Seq[(Long, Long)], iters: Int) = {
     val s = spark; import s.implicits._
     Graph.labelPropagation(edges.toDF("src", "dst"), seeds.toDF("node", "label"), iters)

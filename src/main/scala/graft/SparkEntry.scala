@@ -414,6 +414,14 @@ object SparkEntry {
       // prefix-filtered candidates, exact verification — provably the
       // SAME output as dedup_ngram_jaccard (shares its oracle SQL)
       Dedup.ngramJaccardPairsPrefix(rd(s, d, "documents"), 1, 20)),
+    "dedup_ngram_containment" -> ((s, d) =>
+      // asymmetric overlap: smaller doc >= 50% contained in the other —
+      // the quote/subset detector Jaccard's union denominator misses
+      Dedup.ngramContainmentPairs(rd(s, d, "documents"), 1, 2)),
+    "text_novelty" -> ((s, d) =>
+      // per-doc contribution of first-seen trigrams (min-doc-id
+      // attribution): dup docs score 0, fresh content scores high
+      Dedup.noveltyScores(rd(s, d, "documents"))),
     "decontaminate_ngram" -> ((s, d) => {
       // overlap form: >= 2 shared trigrams with the eval slice (docs
       // 0-19) drops the row — catches partial quotes, not just copies
@@ -1473,6 +1481,21 @@ object SparkEntry {
     // by the prefix-filtering lemma — one oracle text gates both
     "dedup_ngram_prefix" ->
       s"WITH $ngramCtes SELECT id_a, id_b, inter, union_size FROM pairs",
+    "dedup_ngram_containment" ->
+      (s"WITH ${OracleSql.wordTriCtes}, " +
+        "ov AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter FROM tri a JOIN tri b " +
+        "ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT ov.id_a, ov.id_b, ov.inter, sa.n AS n_a, sb.n AS n_b, " +
+        "CAST(ov.inter * 1000000 // least(sa.n, sb.n) AS BIGINT) AS containment_ppm " +
+        "FROM ov JOIN sz sa ON sa.doc_id = ov.id_a JOIN sz sb ON sb.doc_id = ov.id_b " +
+        "WHERE ov.inter * 2 >= least(sa.n, sb.n) * 1"),
+    "text_novelty" ->
+      (s"WITH ${OracleSql.wordTriCtes}, " +
+        "fs AS (SELECT g, min(doc_id) AS first_id FROM tri GROUP BY g), " +
+        "nv AS (SELECT first_id AS doc_id, count(*) AS n_novel FROM fs GROUP BY 1) " +
+        "SELECT sz.doc_id, sz.n AS n_grams, CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel, " +
+        "CAST(coalesce(nv.n_novel, 0) * 1000000 // sz.n AS BIGINT) AS novelty_ppm " +
+        "FROM sz LEFT JOIN nv ON nv.doc_id = sz.doc_id"),
     "dedup_edit_distance" ->
       (s"WITH $ngramCtes SELECT p.id_a, p.id_b, " +
         "CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist FROM pairs p " +

@@ -231,6 +231,20 @@ object Dedup {
     // (registered in Caches — callers release between runs)
     val tri = Caches.persisted(trigramSets(docs, textCol, idCol))
     val sizes = tri.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
+    gramOverlaps(tri, idCol, maxGramDf)
+      .join(sizes.toDF("id_a", "n_a"), "id_a")
+      .join(sizes.toDF("id_b", "n_b"), "id_b")
+      .withColumn("union_size", col("n_a") + col("n_b") - col("inter"))
+      .where(col("inter") * threshDen >= col("union_size") * threshNum)
+      .select("id_a", "id_b", "inter", "union_size")
+  }
+
+  /** Shared-gram counts per ordered doc pair (id_a < id_b): the
+    * inverted-index expansion both Jaccard and containment pair scans
+    * are built on. See [[ngramJaccardPairs]] for the shape discussion.
+    */
+  private def gramOverlaps(
+      tri: DataFrame, idCol: String, maxGramDf: Int): DataFrame = {
     // a capped run must drop hot grams BEFORE collecting doc lists (a
     // near-universal gram would blow up the collecting task otherwise);
     // the df-filter join keys on gram, so the following groupBy reuses
@@ -242,22 +256,47 @@ object Dedup {
           .where(col("gram_df").between(2, maxGramDf)).select("gram")
         tri.join(ok, "gram")
       }
-    val byGram = eligible
+    eligible
       .groupBy("gram")
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .where(size(col("ids")) >= 2)
-    val inter = byGram
       .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
       .select(col("id_a"),
         explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
-    inter
+  }
+
+  /** Asymmetric near-dup detection: pairs where the SMALLER doc's gram
+    * set is mostly contained in the other's — `containment(A,B) =
+    * |A∩B| / min(|A|,|B|) ≥ num/den`. Jaccard misses exactly these: a
+    * paragraph quoted inside a long article has tiny union-relative
+    * overlap but near-total containment. This is the quote / subset /
+    * expanded-revision detector that complements [[ngramJaccardPairs]]
+    * (and the span-level [[exciseRepeatedSpans]]).
+    *
+    * Output is integer-exact: (id_a, id_b, inter, n_a, n_b,
+    * containment_ppm) with containment_ppm = ⌊10⁶·inter/min(n_a,n_b)⌋.
+    *
+    * Same inverted-index single-shuffle shape (and `maxGramDf` skew
+    * cap) as the Jaccard scan — only the final threshold differs.
+    */
+  def ngramContainmentPairs(
+      docs: DataFrame,
+      threshNum: Int = 1,
+      threshDen: Int = 2,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxGramDf: Int = Int.MaxValue): DataFrame = {
+    val tri = Caches.persisted(trigramSets(docs, textCol, idCol))
+    val sizes = tri.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
+    gramOverlaps(tri, idCol, maxGramDf)
       .join(sizes.toDF("id_a", "n_a"), "id_a")
       .join(sizes.toDF("id_b", "n_b"), "id_b")
-      .withColumn("union_size", col("n_a") + col("n_b") - col("inter"))
-      .where(col("inter") * threshDen >= col("union_size") * threshNum)
-      .select("id_a", "id_b", "inter", "union_size")
+      .where(col("inter") * threshDen >= least(col("n_a"), col("n_b")) * threshNum)
+      .withColumn("containment_ppm",
+        expr("inter * 1000000 div least(n_a, n_b)"))
+      .select("id_a", "id_b", "inter", "n_a", "n_b", "containment_ppm")
   }
 
   /** Prefix-filtered n-gram Jaccard — EXACTLY the same output as
@@ -336,6 +375,35 @@ object Dedup {
       .withColumn("union_size", col("n_a") + col("n_b") - col("inter"))
       .where(col("inter") * threshDen >= col("union_size") * threshNum)
       .select("id_a", "id_b", "inter", "union_size")
+  }
+
+  /** Per-document novelty: how much content each doc ADDS to the
+    * corpus, given every doc with a smaller id — `n_novel` = the doc's
+    * distinct trigrams whose corpus-wide first occurrence (minimum doc
+    * id) is this doc, `novelty_ppm` = ⌊10⁶·n_novel/n_grams⌋. The
+    * curation signal behind "keep documents that contribute diversity":
+    * exact duplicates score 0, boilerplate-heavy variants score low,
+    * genuinely new text scores high — a graded, attribution-aware
+    * complement to binary dedup decisions.
+    *
+    * Two combinable aggregations, no joins on the big side: min doc id
+    * per gram (each gram attributed to exactly ONE doc — deterministic,
+    * order-free), then a count per attributed doc; the per-doc gram
+    * sizes join in at |docs| scale. Docs with no trigram (< 3 tokens)
+    * are omitted.
+    */
+  def noveltyScores(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val tri = Caches.persisted(trigramSets(docs, textCol, idCol))
+    val sizes = tri.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
+    val novelCounts = tri.groupBy("gram").agg(min(col(idCol)).as(idCol))
+      .groupBy(idCol).agg(count(lit(1)).as("n_novel"))
+    sizes.join(novelCounts, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_ppm", expr("n_novel * 1000000 div n_grams"))
   }
 
   /** Fuzzy record linkage: for every left document, the single

@@ -152,6 +152,45 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("ngramContainmentPairs: quoted paragraph detected where jaccard misses it") {
+    val s = spark; import s.implicits._
+    val quote = "the five boxing wizards jump quickly over it"
+    val d = Seq(
+      (0L, quote), // 6 trigrams
+      (1L, s"a very long article with lots of framing text begins here $quote " +
+        "and then continues with much more unrelated content for many words " +
+        "so the union is large relative to the quoted span overlap"),
+      (2L, "completely unrelated text about something else entirely here")
+    ).toDF("doc_id", "text")
+    // jaccard at 1/2 misses the pair (overlap small vs union)...
+    val jac = Dedup.ngramJaccardPairs(d, 1, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((0L, 1L)))
+    // ...containment at 9/10 catches it: all 6 of doc 0's grams appear in doc 1
+    val cont = Dedup.ngramContainmentPairs(d, 9, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val hit = cont.find(p => p._1 == 0L && p._2 == 1L).get
+    assert(hit._3 == hit._4)            // inter == n_a: full containment
+    assert(hit._6 == 1000000L)          // ppm of a fully-contained doc
+    assert(!cont.exists(p => p._2 == 2L || p._1 == 2L))
+  }
+
+  test("noveltyScores: dups score zero, first doc claims shared grams") {
+    val s = spark; import s.implicits._
+    val d = Seq(
+      (0L, "alpha beta gamma delta epsilon"),   // 3 trigrams, all novel
+      (1L, "alpha beta gamma delta epsilon"),   // exact dup -> 0 novel
+      (2L, "alpha beta gamma zeta eta theta")   // shares 1 trigram with 0
+    ).toDF("doc_id", "text")
+    val got = Dedup.noveltyScores(d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(0L) == ((3L, 3L, 1000000L)))
+    assert(got(1L) == ((3L, 0L, 0L)))
+    // doc 2: 4 trigrams, "alpha beta gamma" first seen in doc 0
+    assert(got(2L) == ((4L, 3L, 750000L)))
+  }
+
   test("minHashLsh surfaces the exact-dup pair (jaccard 1 collides in every band)") {
     val pairs = Dedup.minHashLsh(docs, 16, 4, 9, 10) // verify at jaccard >= 0.9
       .collect().map(r => (r.getLong(0), r.getLong(1)))

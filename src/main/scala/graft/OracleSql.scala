@@ -569,6 +569,37 @@ object OracleSql {
       "FROM ex JOIN g ON g.event_type = ex.event_type JOIN kth ON kth.event_type = ex.event_type"
   }
 
+  /** Integer bit-length of a non-negative expression known to fit in
+    * `bits` bits, as a comparison sum — `(e >= 1) + (e >= 2) + … +
+    * (e >= 2^(bits-1))` — valid SQL on BOTH engines (one text, no
+    * engine-specific bit intrinsics, no floats).
+    */
+  def bitLenSum(e: String, bits: Int): String =
+    (0 until bits).map(j => s"CAST($e >= ${1L << j} AS INT)").mkString("(", " + ", ")")
+
+  /** Replays the `sketch_hll_registers` query: same rolling-hash +
+    * MixHash32 pipeline as [[kmvDistinct]] under an 'hll:' namespace,
+    * then register = h32 % m, rho = (32 − log2 m) − bitlen(h32 // m) + 1,
+    * max per register. The register table IS the HLL sketch.
+    */
+  def hllRegisters(m: Int): String = {
+    require(m > 0 && (m & (m - 1)) == 0, "m must be a power of two")
+    val restBits = 32 - Integer.numberOfTrailingZeros(m)
+    val cHi = 2654435769L
+    val cLo = 2135587861L
+    val mix = "(((a * " + cLo + " + b * " + cHi + ") * 4294967296 + b * " + cLo +
+      ") % 18446744073709551616)"
+    s"WITH d AS (SELECT DISTINCT event_type, user_id FROM events), " +
+      "dx AS (SELECT event_type, user_id, hex(encode('hll:' || CAST(user_id AS VARCHAR))) AS hx FROM d), " +
+      s"fl AS (SELECT event_type, user_id, ${rollFold("hx")} AS fold FROM dx), " +
+      "lm AS (SELECT event_type, user_id, fold // 4294967296 AS a, fold % 4294967296 AS b FROM fl), " +
+      s"h AS (SELECT event_type, CAST($mix // 4294967296 AS BIGINT) AS h32 FROM lm), " +
+      s"rr AS (SELECT event_type, h32 % $m AS reg, " +
+      s"${restBits + 1} - ${bitLenSum(s"(h32 // $m)", restBits)} AS rho FROM h) " +
+      "SELECT event_type, reg, CAST(max(rho) AS INT) AS max_rho " +
+      "FROM rr GROUP BY event_type, reg"
+  }
+
   // ------------------------------------------------- repeated-span excision
 
   /** Full replay of `Dedup.exciseRepeatedSpans` (raw-text span keys):

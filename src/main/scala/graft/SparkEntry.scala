@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.functions.{aqiCategory, mixed_hash32, HeavyHittersAgg, KmvAgg}
-import graft.operators.{AsOf, Dedup, Events, Incremental, Merge, MergeSpec, Multimodal, RangeJoin, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Dedup, Events, Incremental, Merge, MergeSpec, Multimodal, RangeJoin, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** Driver contract: one `queries` entry per implemented operator from
   * SURVEY.md §2 (IDs in the names) plus the training-data-pipeline
@@ -1101,6 +1101,10 @@ object SparkEntry {
             .otherwise(expr(s"CAST(${(k - 1).toLong * 4294967296L}L DIV element_at(mins, -1) AS BIGINT)"))
             .as("est_distinct"))
     }),
+    "sketch_hll_registers" -> ((s, d) =>
+      // HyperLogLog register table per event type — the m-bounded,
+      // max-mergeable distinct sketch (see Sketches.hllRegisters)
+      Sketches.hllRegisters(rd(s, d, "events"), "event_type", "user_id", 64)),
     "dedup_edit_distance" -> ((s, d) => {
       // edit-distance verify tier: exact Levenshtein ONLY on candidate
       // pairs from the n-gram inverted index — never all-pairs. The
@@ -2020,6 +2024,7 @@ object SparkEntry {
         "CASE WHEN p.first_purchase IS NOT NULL AND epoch_us(p.first_purchase) - epoch_us(v.first_view) <= 86400000000 " +
         "THEN 1 ELSE 0 END AS converted_24h FROM v LEFT JOIN p ON p.user_id = v.user_id"),
     "sketch_kmv_distinct" -> OracleSql.kmvDistinct(32),
+    "sketch_hll_registers" -> OracleSql.hllRegisters(64),
     // recompute-from-scratch formulation: proves the incremental fold
     // equals a full re-aggregation
     "incr_agg_maintain" ->

@@ -126,6 +126,41 @@ class SamplingSketchSpec extends AnyFunSuite with SparkTest {
     assert(hi.size > lo.size)
   }
 
+  test("hllRegisters: bounded rows, valid ranges, duplicate-insensitive") {
+    val s = spark; import s.implicits._
+    val df = (0 until 5000).map(i => ("g", i.toLong % 1000)).toDF("grp", "k")
+    val regs = graft.operators.Sketches.hllRegisters(df, "grp", "k", 64)
+      .collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(regs.length <= 64)
+    assert(regs.forall { case (reg, rho) => reg >= 0 && reg < 64 && rho >= 1 && rho <= 27 })
+    // 5x-duplicated keys give the SAME sketch as the distinct keys
+    val uniq = graft.operators.Sketches.hllRegisters(
+      (0 until 1000).map(i => ("g", i.toLong)).toDF("grp", "k"), "grp", "k", 64)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSet
+    assert(regs.toSet == uniq)
+  }
+
+  test("hllRegisters: union-merge by elementwise max equals rebuild; estimate in band") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    val a = (0 until 3000).map(i => ("g", i.toLong)).toDF("grp", "k")
+    val b = (2000 until 6000).map(i => ("g", i.toLong)).toDF("grp", "k") // overlap 2000-2999
+    val merged = graft.operators.Sketches.hllRegisters(a, "grp", "k")
+      .unionAll(graft.operators.Sketches.hllRegisters(b, "grp", "k"))
+      .groupBy("grp", "reg").agg(max("max_rho").as("max_rho"))
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSet
+    val rebuilt = graft.operators.Sketches.hllRegisters(a.unionAll(b), "grp", "k")
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSet
+    assert(merged == rebuilt)
+    // driver-side harmonic-mean estimate on the union (6000 true
+    // distinct): alpha_64 * m^2 / sum(2^-rho), empty registers rho=0
+    val byReg = rebuilt.toMap
+    val m = 64
+    val z = (0 until m).map(r => math.pow(2.0, -byReg.getOrElse(r.toLong, 0).toDouble)).sum
+    val est = 0.709 * m * m / z
+    assert(est > 6000 * 0.6 && est < 6000 * 1.4, s"estimate $est vs 6000")
+  }
+
   test("heavy hitters: exact counts when capacity exceeds the distinct count") {
     val s = spark; import s.implicits._
     val words = (0 until 300).map(i => s"w${i % 7}") // 7 distinct terms

@@ -412,8 +412,12 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(rd(s, d, "documents"), 1, 20, maxGramDf = 5)),
     "dedup_ngram_prefix" -> ((s, d) =>
       // prefix-filtered candidates, exact verification — provably the
-      // SAME output as dedup_ngram_jaccard (shares its oracle SQL)
-      Dedup.ngramJaccardPairsPrefix(rd(s, d, "documents"), 1, 20)),
+      // same output as an all-grams join at the same threshold. Run at
+      // 0.9: prefix filtering is the HIGH-threshold tool (prefix ≈
+      // (1−t)·|doc| grams, so t=0.9 expands ~10% of the gram table,
+      // all rare grams); at low thresholds the plain inverted index
+      // is the right shape and this one degenerates
+      Dedup.ngramJaccardPairsPrefix(rd(s, d, "documents"), 9, 10)),
     "dedup_ngram_containment" -> ((s, d) =>
       // asymmetric overlap: smaller doc >= 50% contained in the other —
       // the quote/subset detector Jaccard's union denominator misses
@@ -1481,10 +1485,11 @@ object SparkEntry {
       "SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY md5(text)",
     "dedup_ngram_jaccard" ->
       s"WITH $ngramCtes SELECT id_a, id_b, inter, union_size FROM pairs",
-    // the prefix-filter join is output-identical to the all-grams join
-    // by the prefix-filtering lemma — one oracle text gates both
+    // the prefix-filter join is output-identical to an all-grams join
+    // at the same threshold (prefix-filtering lemma) — the oracle is
+    // the plain pair scan at 9/10
     "dedup_ngram_prefix" ->
-      s"WITH $ngramCtes SELECT id_a, id_b, inter, union_size FROM pairs",
+      s"WITH ${OracleSql.ngramPairCtes(9, 10)} SELECT id_a, id_b, inter, union_size FROM pairs",
     "dedup_ngram_containment" ->
       (s"WITH ${OracleSql.wordTriCtes}, " +
         "ov AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter FROM tri a JOIN tri b " +

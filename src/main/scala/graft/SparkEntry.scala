@@ -863,6 +863,27 @@ object SparkEntry {
             lit("NEW").as("seg")))
       Merge.diff(prev, next, Seq("k"), Seq("bal", "seg"))
     }),
+    "u6_point_in_time" -> ((s, d) => {
+      // temporal join: each order reads the customer balance version
+      // valid AT ITS ORDER DATE — the leak-proof feature join over
+      // SCD-2 history. Seeded history: a closed 1995-07→1998-01 version
+      // (bal-50) for every key; a current version from 1998-01 except
+      // every 11th key (deleted → orders after 1998 carry NULLs); orders
+      // before 1995-07 predate all versions → NULLs
+      val c = rd(s, d, "customer")
+      val t0 = to_timestamp(lit("1995-07-01 00:00:00"))
+      val t1 = to_timestamp(lit("1998-01-01 00:00:00"))
+      val closed = c.select(col("c_custkey").as("cust"),
+        (col("c_acctbal") - lit(50)).as("bal"),
+        t0.as("valid_from"), t1.as("valid_to"))
+      val cur = c.filter(col("c_custkey") % 11 =!= 0)
+        .select(col("c_custkey").as("cust"), col("c_acctbal").as("bal"),
+          t1.as("valid_from"), lit(null).cast("timestamp").as("valid_to"))
+      val facts = rd(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey").as("cust"), col("o_orderdate").as("ts"),
+        col("o_totalprice"))
+      Merge.pointInTime(facts, closed.unionByName(cur), Seq("cust"), "ts", Seq("bal"))
+    }),
     "u4_scd2_history" -> ((s, d) => {
       // SCD-2 dimension maintenance on customer: a seeded history (an
       // already-closed 2023 version for every 7th key), then one apply
@@ -1903,6 +1924,16 @@ object SparkEntry {
         "WHEN pk IS NOT NULL AND nk IS NULL THEN 'deleted' " +
         "WHEN pk IS NULL AND nk IS NOT NULL THEN 'inserted' END AS change_type FROM j) " +
         "SELECT * FROM d WHERE change_type IS NOT NULL"),
+    // independent formulation: the oracle is the naive validity-range
+    // LEFT JOIN (at most one version matches by the SCD-2 invariant),
+    // not a replay of the as-of carry
+    "u6_point_in_time" ->
+      ("WITH hist AS (SELECT c_custkey AS cust, c_acctbal - 50 AS bal, " +
+        "TIMESTAMP '1995-07-01' AS valid_from, TIMESTAMP '1998-01-01' AS valid_to FROM customer " +
+        "UNION ALL SELECT c_custkey, c_acctbal, TIMESTAMP '1998-01-01', NULL FROM customer WHERE c_custkey % 11 <> 0) " +
+        "SELECT o.o_orderkey, o.o_custkey AS cust, o.o_orderdate AS ts, o.o_totalprice, " +
+        "h.bal, h.valid_from FROM orders o LEFT JOIN hist h ON h.cust = o.o_custkey " +
+        "AND h.valid_from <= o.o_orderdate AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)"),
     "u4_scd2_history" ->
       ("WITH cur AS (SELECT c_custkey AS k, c_acctbal AS bal, c_nationkey AS nk, " +
         "TIMESTAMP '2024-01-01' AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to FROM customer), " +

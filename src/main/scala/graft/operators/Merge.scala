@@ -220,4 +220,47 @@ object Merge {
       .select(outCols.map(c => col(s"__v.$c").as(c)): _*)
       .unionByName(closedHist.select(outCols.map(col): _*))
   }
+
+  /** Point-in-time (temporal) join: each fact row picks up the
+    * dimension VERSION that was valid at the fact's timestamp — the
+    * read side of [[scd2]], and the join that makes training features
+    * leak-proof ("the customer's balance AS OF the order date", never
+    * the current one). Facts with no valid version at their timestamp
+    * (before the key's first version, or after its last version closed
+    * — a deleted key) carry NULL dimension columns.
+    *
+    * Implementation is the as-of machinery, not a range join: versions
+    * are keyed rows timestamped by `validFromCol`, so the latest
+    * version at-or-before the fact is ONE keyed-shuffle backward as-of
+    * join ([[AsOf.asofJoin]] — union + running `last()`, no pair
+    * expansion); `validToCol` then decides liveness (NULL = current;
+    * a fact at-or-after a closed version's end gets NULLs). Assumes
+    * SCD-2 invariants: versions of a key are non-overlapping and
+    * `(keys, validFromCol)` is unique — what [[scd2]] maintains.
+    *
+    * Output: every fact column, then `payloadCols` and `validFromCol`
+    * (the matched version's start, as the version stamp), nulled where
+    * no live version covers the fact.
+    */
+  def pointInTime(
+      facts: DataFrame,
+      history: DataFrame,
+      keys: Seq[String],
+      factTsCol: String,
+      payloadCols: Seq[String],
+      validFromCol: String = "valid_from",
+      validToCol: String = "valid_to"): DataFrame = {
+    require(payloadCols.nonEmpty, "pointInTime needs at least one payload column")
+    val right = history.select(
+      keys.map(col) ++ Seq(col(validFromCol).as(factTsCol), col(validToCol)) ++
+        payloadCols.map(col): _*)
+    val joined = AsOf.asofJoin(facts, right, keys, factTsCol,
+      tieCol = validToCol, payloadCols = payloadCols :+ validToCol,
+      matchedTsCol = validFromCol)
+    val live = col(validToCol).isNull || col(factTsCol) < col(validToCol)
+    joined.select(
+      facts.columns.toSeq.map(col) ++
+        payloadCols.map(c => when(live, col(c)).as(c)) :+
+        when(live, col(validFromCol)).as(validFromCol): _*)
+  }
 }

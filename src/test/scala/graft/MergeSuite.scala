@@ -98,6 +98,39 @@ class MergeSuite extends AnyFunSuite with SparkTest {
       (9L, 90.0, "2024-06-01 00:00:00.0", "open"))) // brand-new key
   }
 
+  test("pointInTime: facts read the version valid at their timestamp") {
+    val s = spark; import s.implicits._
+    val history = Seq(
+      (1L, 5.0, "2023-01-01 00:00:00", Some("2024-01-01 00:00:00")),
+      (1L, 10.0, "2024-01-01 00:00:00", None: Option[String]), // current
+      (2L, 20.0, "2023-06-01 00:00:00", Some("2023-09-01 00:00:00"))) // deleted key
+      .toDF("k", "bal", "vf", "vt")
+      .select($"k", $"bal", to_timestamp($"vf").as("valid_from"),
+        to_timestamp($"vt").as("valid_to"))
+    val facts = Seq(
+      (100L, 1L, "2022-06-01 00:00:00"), // before any version -> nulls
+      (101L, 1L, "2023-06-01 00:00:00"), // old version: 5.0
+      (102L, 1L, "2024-01-01 00:00:00"), // boundary: new version opens AT ts
+      (103L, 1L, "2025-01-01 00:00:00"), // current: 10.0
+      (104L, 2L, "2023-07-01 00:00:00"), // inside the closed window: 20.0
+      (105L, 2L, "2023-09-01 00:00:00"), // at deletion boundary -> nulls
+      (106L, 3L, "2023-07-01 00:00:00")) // unknown key -> nulls
+      .toDF("fid", "k", "fts")
+      .select($"fid", $"k", to_timestamp($"fts").as("ts"))
+    val out = Merge.pointInTime(facts, history, Seq("k"), "ts", Seq("bal"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getTimestamp(4).toString))).toMap
+    assert(out(100L) == ((None, None)))
+    assert(out(101L) == ((Some(5.0), Some("2023-01-01 00:00:00.0"))))
+    assert(out(102L) == ((Some(10.0), Some("2024-01-01 00:00:00.0"))))
+    assert(out(103L) == ((Some(10.0), Some("2024-01-01 00:00:00.0"))))
+    assert(out(104L) == ((Some(20.0), Some("2023-06-01 00:00:00.0"))))
+    assert(out(105L) == ((None, None)))
+    assert(out(106L) == ((None, None)))
+    assert(out.size == 7) // row count preserved: it's a lookup, not a fan-out
+  }
+
   test("scd2 change detection is null-safe on payload columns") {
     val s = spark; import s.implicits._
     val history = Seq((1L, None: Option[Double]), (2L, Some(2.0)))

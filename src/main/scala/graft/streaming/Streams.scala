@@ -81,6 +81,36 @@ object Streams {
           .as("est_distinct"))
   }
 
+  /** Windowed HLL register table on a stream: the streaming analog of
+    * [[graft.operators.Sketches.hllRegisters]]. `max` is a plain
+    * streaming aggregation, so the register maxes ARE the streaming
+    * state — exactly `open-windows × groups × m` integer rows,
+    * independent of traffic volume, merged across micro-batches by the
+    * same elementwise max that merges batch sketches (StreamsSpec
+    * proves stream == batch on identical rows). Watermark-expired
+    * windows evict their registers.
+    */
+  def hllRegistersHourly(
+      events: DataFrame,
+      m: Int = 64,
+      watermark: String = "2 hours"): DataFrame = {
+    require(m > 0 && (m & (m - 1)) == 0, "m must be a power of two")
+    val restBits = 32 - Integer.numberOfTrailingZeros(m)
+    val h = graft.functions.mixed_hash32(
+      concat_ws(":", lit("hll"), col("user_id").cast("string")))
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("event_type"), h.as("__h"))
+      .withColumn("__reg", expr(s"__h % $m"))
+      .withColumn("__rest", expr(s"__h div $m"))
+      .withColumn("__rho",
+        expr(s"${restBits + 1} - ${graft.OracleSql.bitLenSum("__rest", restBits)}"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"), col("__reg"))
+      .agg(max(col("__rho")).cast("int").as("max_rho"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("__reg").as("reg"), col("max_rho"))
+  }
+
   /** Windowed heavy hitters on a stream: the Misra-Gries summary
     * ([[graft.functions.HeavyHittersAgg]]) as the windowed aggregation
     * state — bounded at `capacity` counters per (window, group) across

@@ -223,6 +223,55 @@ class ScaleSpec extends AnyFunSuite with SparkTest {
       s"triangle counting planned a non-equi join:\n$ps")
   }
 
+  test("collocations generates pairs map-side — no join before the pair count") {
+    val s = spark; import s.implicits._
+    val docs = (0 until 50).map(i => (i.toLong, "alpha beta gamma delta " + i))
+      .toDF("doc_id", "text")
+    val plan = finalPlan(graft.operators.TextAnalysis.collocations(docs, 2, 1, 10))
+    // pair generation must be a Generate (explode of the map-side
+    // nested transform), never a positions self-join; the only joins
+    // are the vocabulary-sized marginal attachments
+    assert(plan.contains("Generate explode"), plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("prefix-filter join plans equi-joins only — no cartesian") {
+    val s = spark; import s.implicits._
+    val docs = (0 until 60).map(i =>
+      (i.toLong, if (i % 3 == 0) "the quick brown fox jumps over the lazy dog"
+      else s"doc $i with its own words ${i * 7} ${i * 13} here")).toDF("doc_id", "text")
+    val df = graft.operators.Dedup.ngramJaccardPairsPrefix(docs, 9, 10)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    graft.operators.Caches.release()
+  }
+
+  test("pointInTime is the one-shuffle as-of shape — no range-join expansion") {
+    val s = spark; import s.implicits._
+    val hist = Seq((1L, 10.0)).toDF("k", "bal")
+      .withColumn("valid_from", to_timestamp(lit("2024-01-01 00:00:00")))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+    val facts = (0 until 100).map(i => (i.toLong, 1L)).toDF("fid", "k")
+      .withColumn("ts", to_timestamp(lit("2024-06-01 00:00:00")))
+    val df = graft.operators.Merge.pointInTime(facts, hist, Seq("k"), "ts", Seq("bal"))
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    // the naive formulation is a non-equi join (the ORACLE shape);
+    // the operator must plan as union + window, no join at all
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("hllRegisters is one partial-aggregated exchange — sketches through the wire") {
+    val s = spark; import s.implicits._
+    val df = (0 until 500).map(i => ("g" + i % 3, i.toLong)).toDF("grp", "k")
+    val regs = graft.operators.Sketches.hllRegisters(df, "grp", "k")
+    val plan = finalPlan(regs)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("partial_max"), plan)
+  }
+
   test("normalizeText is a pure projection — zero exchanges") {
     val s = spark; import s.implicits._
     val docs = (0 until 100).map(i => (i.toLong, s"text body $i")).toDF("doc_id", "text")

@@ -279,6 +279,32 @@ class StreamsSpec extends AnyFunSuite with SparkTest {
     } finally q.stop()
   }
 
+  test("streaming HLL registers match the batch sketch on the same rows") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams.hllRegistersHourly(events, m = 16)
+      .writeStream.format("memory").queryName("hll_out")
+      .outputMode("complete").start()
+    try {
+      // two micro-batches into ONE window: register maxes must merge
+      input.addData((0 until 15).map(i =>
+        (i.toLong, ts("2024-01-01 10:05:00"), i.toLong, "click", 1.0)): _*)
+      q.processAllAvailable()
+      input.addData((15 until 30).map(i =>
+        (i.toLong, ts("2024-01-01 10:35:00"), i.toLong, "click", 1.0)): _*)
+      q.processAllAvailable()
+      val got = s.table("hll_out").select("reg", "max_rho").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      val batch = (0 until 30).map(i => ("click", i.toLong)).toDF("event_type", "user_id")
+      val ref = graft.operators.Sketches.hllRegisters(batch, "event_type", "user_id", 16)
+        .select("reg", "max_rho").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got == ref && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("hashSplit is stateless and applies to a stream unchanged") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext

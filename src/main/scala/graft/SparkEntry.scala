@@ -1217,6 +1217,23 @@ object SparkEntry {
         .groupBy("source", "bin")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_kept")).as("sum_tokens"))
     }),
+    "pipeline_curation_v3" -> ((s, d) => {
+      // curation flagship composing THIS session's operators as one
+      // declarative plan: novelty gate (first-seen-content share) ->
+      // corpus-LM quality gate -> cluster-safe leakage-proof split ->
+      // per-(split, source) corpus stats. Catalyst sees the whole
+      // chain; the gram pipeline feeds novelty AND the cluster pairs
+      val docs = rd(s, d, "documents")
+      val keep = docs.select("doc_id", "source")
+        .join(Dedup.noveltyScores(docs)
+          .where(col("novelty_ppm") >= 500000).select("doc_id", "n_novel"), "doc_id")
+        .join(TextAnalysis.docLmScore(docs)
+          .where(col("avg_kn_ppm") >= 34000).select("doc_id"), "doc_id")
+      val pairs = Dedup.ngramJaccardPairs(docs, 1, 20)
+      Sampling.clusterSafeSplit(keep, pairs, "doc_id", "cur3", splitFractions)
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_novel")).as("sum_novel"))
+    }),
     "doc_chunks" -> ((s, d) =>
       // 50-token training windows per doc; md5 of the reassembled text
       // keeps the gated output compact while pinning exact order
@@ -1326,6 +1343,21 @@ object SparkEntry {
     * [[OracleSql]].
     */
   private def ngramCtes: String = OracleSql.ngramPairCtes(1, 20)
+
+  /** KN bigram-LM CTE chain (bg/bc/ctx/cont/t/lm) shared by the doc-LM
+    * score oracle and the curation-v3 composition oracle.
+    */
+  private def knLmCtes: String =
+    "bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM " +
+      "(SELECT doc_id, unnest([{'w1': toks[i], 'w2': toks[i+1]} for i in range(1, len(toks))]) AS b " +
+      "FROM (SELECT doc_id, [t for t in string_split_regex(lower(trim(text)), '\\s+') if t <> ''] AS toks FROM documents))), " +
+      "bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2), " +
+      "ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS nf FROM bc GROUP BY 1), " +
+      "cont AS (SELECT w2, count(*) AS np FROM bc GROUP BY 1), " +
+      "t AS (SELECT count(*) AS tt FROM bc), " +
+      "lm AS (SELECT bc.w1, bc.w2, CAST((4 * c12 - 3) * 1000000 // (4 * c1) " +
+      "+ 3 * nf * np * 1000000 // (4 * c1 * tt) AS BIGINT) AS kn_ppm " +
+      "FROM bc JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN t)"
 
   private def langIdSql: String = {
     val scores = TextAnalysis.langOrder.map { l =>
@@ -1676,16 +1708,7 @@ object SparkEntry {
     },
     "text_collocations" -> OracleSql.collocations(2, 2, 50),
     "text_doc_lm_score" ->
-      ("WITH bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM " +
-        "(SELECT doc_id, unnest([{'w1': toks[i], 'w2': toks[i+1]} for i in range(1, len(toks))]) AS b " +
-        "FROM (SELECT doc_id, [t for t in string_split_regex(lower(trim(text)), '\\s+') if t <> ''] AS toks FROM documents))), " +
-        "bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2), " +
-        "ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS nf FROM bc GROUP BY 1), " +
-        "cont AS (SELECT w2, count(*) AS np FROM bc GROUP BY 1), " +
-        "t AS (SELECT count(*) AS tt FROM bc), " +
-        "lm AS (SELECT bc.w1, bc.w2, CAST((4 * c12 - 3) * 1000000 // (4 * c1) " +
-        "+ 3 * nf * np * 1000000 // (4 * c1 * tt) AS BIGINT) AS kn_ppm " +
-        "FROM bc JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN t) " +
+      (s"WITH $knLmCtes " +
         "SELECT bg.doc_id, count(*) AS n_bigrams, CAST(sum(kn_ppm) AS BIGINT) AS sum_kn_ppm, " +
         "CAST(sum(kn_ppm) // count(*) AS BIGINT) AS avg_kn_ppm " +
         "FROM bg JOIN lm ON lm.w1 = bg.w1 AND lm.w2 = bg.w2 GROUP BY 1"),
@@ -2083,6 +2106,27 @@ object SparkEntry {
         s"spl AS (SELECT source, n_tokens, ${OracleSql.hashSplitCase("CAST(doc_id AS VARCHAR)", "mix3", splitFractions)} AS split FROM ded) " +
         "SELECT split, source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens FROM spl GROUP BY 1, 2")
     },
+    "pipeline_curation_v3" ->
+      (s"WITH RECURSIVE $ngramCtes, " +
+        "fs AS (SELECT g, min(doc_id) AS first_id FROM tri GROUP BY g), " +
+        "nv AS (SELECT first_id AS doc_id, count(*) AS n_novel FROM fs GROUP BY 1), " +
+        s"$knLmCtes, " +
+        "score AS (SELECT bg.doc_id, CAST(sum(kn_ppm) // count(*) AS BIGINT) AS avg_kn_ppm " +
+        "FROM bg JOIN lm ON lm.w1 = bg.w1 AND lm.w2 = bg.w2 GROUP BY 1), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
+        "wlk(node, root) AS (SELECT DISTINCT src, src FROM edges " +
+        "UNION SELECT e.dst, k.root FROM wlk k JOIN edges e ON e.src = k.node), " +
+        "cl AS (SELECT node AS doc_id, min(root) AS cluster_id FROM wlk GROUP BY node), " +
+        "keep AS (SELECT d.doc_id, d.source, nv.n_novel FROM documents d " +
+        "JOIN sz ON sz.doc_id = d.doc_id " +
+        "JOIN nv ON nv.doc_id = d.doc_id AND nv.n_novel * 1000000 // sz.n >= 500000 " +
+        "JOIN score sc ON sc.doc_id = d.doc_id AND sc.avg_kn_ppm >= 34000), " +
+        "sp AS (SELECT k.doc_id, k.source, k.n_novel, " +
+        OracleSql.hashSplitCase(
+          "CAST(coalesce(c.cluster_id, k.doc_id) AS VARCHAR)", "cur3", splitFractions) +
+        " AS split FROM keep k LEFT JOIN cl c ON c.doc_id = k.doc_id) " +
+        "SELECT split, source, count(*) AS n_docs, CAST(sum(n_novel) AS BIGINT) AS sum_novel " +
+        "FROM sp GROUP BY 1, 2"),
     "pipeline_curation_v2" ->
       (s"WITH ${OracleSql.exciseSpansCtes(10)}, " +
         "cbase AS (SELECT d.doc_id, d.source, cl.n_kept FROM documents d JOIN cl USING (doc_id) WHERE cl.n_kept >= 30), " +

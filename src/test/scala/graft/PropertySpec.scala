@@ -15,8 +15,8 @@ import graft.operators.{Dedup, Merge, MergeSpec}
   */
 class PropertySpec extends AnyFunSuite with SparkTest {
 
-  private def samples[A](g: Gen[A], n: Int): Seq[A] =
-    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+  private def samples[A](g: Gen[A], n: Int, seed: Long = 42L): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
 
   test("property: asofJoin matches a brute-force reference on random timelines") {
     val s = spark; import s.implicits._
@@ -142,6 +142,72 @@ class PropertySpec extends AnyFunSuite with SparkTest {
       val gotPair = got.get((a.toLong, b.toLong))
       assert(gotPair.isDefined == expectPair, s"pair ($a,$b) inter=$inter union=$union")
       gotPair.foreach { case (i2, u2) => assert(i2 == inter && u2 == union) }
+    }
+  }
+
+  test("property: prefix-filter join equals the all-grams join on random corpora") {
+    val s = spark; import s.implicits._
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val docGen = Gen.chooseNum(3, 9).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    // several corpora × several thresholds: the lemma must hold everywhere
+    for (round <- 0 until 3; (num, den) <- Seq((1, 10), (1, 2), (4, 5))) {
+      val texts = samples(docGen, 30, seed = 100 + round)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val full = Dedup.ngramJaccardPairs(docs, num, den).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val pref = Dedup.ngramJaccardPairsPrefix(docs, num, den).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(pref == full, s"round=$round threshold=$num/$den")
+      graft.operators.Caches.release()
+    }
+  }
+
+  test("property: containment pairs match a brute-force reference on random corpora") {
+    val s = spark; import s.implicits._
+    val word = Gen.oneOf("one", "two", "three", "four", "five", "six", "seven")
+    val docGen = Gen.chooseNum(3, 9).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val texts = samples(docGen, 30)
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Dedup.ngramContainmentPairs(docs, 1, 2).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(5)))).toMap
+    def grams(t: String): Set[String] = {
+      val toks = t.trim.toLowerCase.split("\\s+").toSeq
+      if (toks.length < 3) Set.empty else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val gsets = texts.map(grams)
+    for (a <- texts.indices; b <- texts.indices if a < b) {
+      val inter = (gsets(a) & gsets(b)).size
+      val minSz = math.min(gsets(a).size, gsets(b).size)
+      val expectPair = inter > 0 && inter * 2 >= minSz
+      val gotPair = got.get((a.toLong, b.toLong))
+      assert(gotPair.isDefined == expectPair, s"pair ($a,$b) inter=$inter min=$minSz")
+      gotPair.foreach { case (i2, ppm) =>
+        assert(i2 == inter && ppm == inter * 1000000L / minSz)
+      }
+    }
+  }
+
+  test("property: novelty totals — novel grams per doc sum to the corpus vocabulary") {
+    val s = spark; import s.implicits._
+    val word = Gen.oneOf("red", "green", "blue", "cyan", "teal", "pink")
+    val docGen = Gen.chooseNum(3, 9).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val texts = samples(docGen, 40)
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val rows = Dedup.noveltyScores(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def grams(t: String): Set[String] = {
+      val toks = t.trim.toLowerCase.split("\\s+").toSeq
+      if (toks.length < 3) Set.empty else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val vocab = texts.flatMap(grams).toSet
+    // every gram attributed exactly once => novel counts sum to |vocab|
+    assert(rows.map(_._3).sum == vocab.size)
+    // and per doc: novel = grams not present in ANY earlier doc
+    val gsets = texts.map(grams)
+    rows.foreach { case (id, nGrams, nNovel) =>
+      val i = id.toInt
+      val earlier = gsets.take(i).foldLeft(Set.empty[String])(_ ++ _)
+      assert(nGrams == gsets(i).size && nNovel == (gsets(i) -- earlier).size, s"doc $i")
     }
   }
 

@@ -512,14 +512,15 @@ object SparkEntry {
       graft.operators.Graph.labelPropagation(e, seeds, iters = 2)
     }),
     "graph_bfs_dist" -> ((s, d) => {
-      // reachability radius: hop distance from nation-0 suppliers
+      // reachability radius: hop distance from every 5th supplier
       // through the undirected co-purchase graph, capped at 3 hops
+      // (modulo seeds stay non-empty at every fixture scale)
       val raw = rd(s, d, "lineitem")
         .select(col("l_suppkey").as("s"), (col("l_partkey") + 1000000L).as("p"))
       val e = raw.select(col("s").as("src"), col("p").as("dst"))
         .unionByName(raw.select(col("p").as("src"), col("s").as("dst")))
       val seeds = rd(s, d, "supplier")
-        .where(col("s_nationkey") === 0).select(col("s_suppkey").as("node"))
+        .where(col("s_suppkey") % 5 === 0).select(col("s_suppkey").as("node"))
       graft.operators.Graph.bfsDistances(e, seeds, maxHops = 3)
     }),
     "graph_pagerank" -> ((s, d) => {
@@ -1739,7 +1740,7 @@ object SparkEntry {
     "graph_bfs_dist" ->
       ("WITH RECURSIVE raw AS (SELECT DISTINCT l_suppkey AS s, l_partkey + 1000000 AS p FROM lineitem), " +
         "e AS (SELECT s AS src, p AS dst FROM raw UNION SELECT p, s FROM raw), " +
-        "seeds AS (SELECT DISTINCT s_suppkey AS node FROM supplier WHERE s_nationkey = 0), " +
+        "seeds AS (SELECT DISTINCT s_suppkey AS node FROM supplier WHERE s_suppkey % 5 = 0), " +
         "wlk(node, dist) AS (SELECT node, 0 FROM seeds " +
         "UNION SELECT e.dst, wlk.dist + 1 FROM wlk JOIN e ON e.src = wlk.node WHERE wlk.dist < 3) " +
         "SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM wlk GROUP BY node"),

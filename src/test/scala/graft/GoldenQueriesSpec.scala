@@ -152,4 +152,28 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
       assert(h == pinnedR3b(q), s"$q output drifted (got $h)")
     }
   }
+
+  private val pinnedR3d = Map(
+    "dedup_ngram_prefix" -> "ea40ab7ad6347e463e38bc42cb47fdf6",
+    "dedup_ngram_containment" -> "49e7eda0041bb5614df60f9114390492",
+    "text_novelty" -> "8fea8df055dc03770832673c680ead91",
+    "sample_cluster_split" -> "664a70227dce372281bab9e315cc2315",
+    "text_collocations" -> "64d1679e67805b6516f2ffcbd2aad13e",
+    "text_doc_lm_score" -> "8d4afb6fe5a4aff0fa3796c989da0d8b",
+    "graph_bfs_dist" -> "e7ec621f265ce3a0457c6ddf2d26c1c5",
+    "sketch_hll_registers" -> "436df92b12f235899334b91327295a1d",
+    "u6_point_in_time" -> "b487baadc2a7d830208641241e05a534",
+    "pipeline_curation_v3" -> "182b01de8998a53c336557bef78dd90e")
+
+  test("round-3d operator outputs hash-match their pinned golden values") {
+    val got = pinnedR3d.keys.toSeq.sorted.map { q =>
+      val h = canonicalHash(SparkEntry.queries(q)(spark, sfDir))
+      info(s""""$q" -> "$h",""")
+      q -> h
+    }
+    graft.operators.Caches.release()
+    got.foreach { case (q, h) =>
+      assert(h == pinnedR3d(q), s"$q output drifted (got $h)")
+    }
+  }
 }

@@ -600,6 +600,24 @@ object OracleSql {
       "FROM rr GROUP BY event_type, reg"
   }
 
+  /** Replays `graph_kcore`: peel rounds unrolled as CTE pairs
+    * (degrees → survivors). Peeling is idempotent at the fixpoint, so
+    * `rounds` only needs to be ≥ the convergence depth — extra rounds
+    * remove nothing.
+    */
+  def kCore(k: Int, rounds: Int): String = {
+    val chain = (0 until rounds).map { i =>
+      s"b$i AS (SELECT src FROM (SELECT src, count(*) AS n FROM e$i GROUP BY src) WHERE n < $k), " +
+        s"e${i + 1} AS (SELECT x.src, x.dst FROM e$i x WHERE " +
+        s"NOT EXISTS (SELECT 1 FROM b$i WHERE b$i.src = x.src) AND " +
+        s"NOT EXISTS (SELECT 1 FROM b$i WHERE b$i.src = x.dst))"
+    }.mkString(", ")
+    "WITH raw AS (SELECT DISTINCT l_suppkey AS s, l_partkey + 1000000 AS p FROM lineitem), " +
+      "e0 AS (SELECT s AS src, p AS dst FROM raw UNION SELECT p, s FROM raw), " +
+      s"$chain " +
+      s"SELECT src AS node, count(*) AS core_degree FROM e$rounds GROUP BY src"
+  }
+
   // ------------------------------------------------- repeated-span excision
 
   /** Full replay of `Dedup.exciseRepeatedSpans` (raw-text span keys):

@@ -511,6 +511,15 @@ object SparkEntry {
         .select(col("s_suppkey").as("node"), col("s_nationkey").as("label"))
       graft.operators.Graph.labelPropagation(e, seeds, iters = 2)
     }),
+    "graph_kcore" -> ((s, d) => {
+      // density filter: the 32-core of the co-purchase graph (nodes
+      // that keep >= 32 in-core neighbors after iterative peeling)
+      val raw = rd(s, d, "lineitem")
+        .select(col("l_suppkey").as("s"), (col("l_partkey") + 1000000L).as("p"))
+      val e = raw.select(col("s").as("src"), col("p").as("dst"))
+        .unionByName(raw.select(col("p").as("src"), col("s").as("dst")))
+      graft.operators.Graph.kCore(e, k = 32)
+    }),
     "graph_bfs_dist" -> ((s, d) => {
       // reachability radius: hop distance from every 5th supplier
       // through the undirected co-purchase graph, capped at 3 hops
@@ -1745,6 +1754,7 @@ object SparkEntry {
         "UNION SELECT e.dst, wlk.dist + 1 FROM wlk JOIN e ON e.src = wlk.node WHERE wlk.dist < 3) " +
         "SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM wlk GROUP BY node"),
     "graph_pagerank" -> OracleSql.pageRankTopK(iters = 3, topK = 20),
+    "graph_kcore" -> OracleSql.kCore(k = 32, rounds = 6),
     "graph_label_prop" -> OracleSql.labelPropagation(iters = 2),
     // independent formulation: the oracle counts triangles by the naive
     // ordered three-way join (a<b<c), so the degree-ordered orientation

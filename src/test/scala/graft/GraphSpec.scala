@@ -79,6 +79,37 @@ class GraphSpec extends AnyFunSuite with SparkTest {
     assert(a == b && a.nonEmpty)
   }
 
+  private def core(edges: Seq[(Long, Long)], k: Int) = {
+    val s = spark; import s.implicits._
+    // bidirectional convention, as for pageRankFixed
+    val bi = edges ++ edges.map(e => (e._2, e._1))
+    Graph.kCore(bi.toDF("src", "dst"), k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("kCore: peeling cascades — a tail chain dissolves, the clique survives") {
+    // K4 on {1,2,3,4} plus a pendant chain 4-5-6: at k=2 the chain
+    // peels in cascade (6 first, then 5), K4 survives with degree 3
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val got = core(k4 ++ Seq((4L, 5L), (5L, 6L)), 2)
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // at k=4 even K4 dissolves (max degree 3)
+    assert(core(k4, 4).isEmpty)
+    // at k=3 K4 survives intact
+    assert(core(k4, 3).values.forall(_ == 3L))
+  }
+
+  test("kCore is identical across partitionings") {
+    val s = spark; import s.implicits._
+    val edges = ((1L to 30L).map(i => (i, i % 7 + 31L)) ++
+      Seq((31L, 32L), (32L, 33L), (33L, 31L))).flatMap(e => Seq(e, (e._2, e._1)))
+    val a = Graph.kCore(edges.toDF("src", "dst").repartition(1), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Graph.kCore(edges.toDF("src", "dst").repartition(11), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
   private def propagate(edges: Seq[(Long, Long)], seeds: Seq[(Long, Long)], iters: Int) = {
     val s = spark; import s.implicits._
     Graph.labelPropagation(edges.toDF("src", "dst"), seeds.toDF("node", "label"), iters)

@@ -358,6 +358,10 @@ object SparkEntry {
         .limit(25)),
 
     // —— windowed event aggregations (batch analog of streaming) ——
+    "dq_rate_spikes" -> ((s, d) =>
+      // feed-monitoring alarm: hourly counts vs the trailing-24h mean,
+      // spike = count > 1.5x mean, cross-multiplied exact integers
+      Events.rateSpikes(rd(s, d, "events"))),
     "e1_tumbling" -> ((s, d) => Events.tumblingHourly(rd(s, d, "events"))),
     "e2_sliding" -> ((s, d) => Events.slidingHourly(rd(s, d, "events"))),
     "e3_session" -> ((s, d) => Events.sessionize(rd(s, d, "events"))),
@@ -1755,6 +1759,16 @@ object SparkEntry {
         "SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM wlk GROUP BY node"),
     "graph_pagerank" -> OracleSql.pageRankTopK(iters = 3, topK = 20),
     "graph_kcore" -> OracleSql.kCore(k = 32, rounds = 6),
+    "dq_rate_spikes" ->
+      ("WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS epoch_hour, count(*) AS n " +
+        "FROM events GROUP BY 1, 2), " +
+        "w AS (SELECT event_type, epoch_hour, n, " +
+        "CAST(coalesce(sum(n) OVER tw, 0) AS BIGINT) AS trail_sum, " +
+        "count(n) OVER tw AS trail_cnt FROM h " +
+        "WINDOW tw AS (PARTITION BY event_type ORDER BY epoch_hour " +
+        "RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)) " +
+        "SELECT event_type, epoch_hour, n, trail_sum, trail_cnt, " +
+        "CAST(trail_cnt > 0 AND n * trail_cnt * 2 > trail_sum * 3 AS INT) AS is_spike FROM w"),
     "graph_label_prop" -> OracleSql.labelPropagation(iters = 2),
     // independent formulation: the oracle counts triangles by the naive
     // ordered three-way join (a<b<c), so the degree-ordered orientation

@@ -113,4 +113,41 @@ object Events {
     counts.withColumn(
       "prob_ppm", expr("n * 1000000L div sum(n) OVER (PARTITION BY prev_type)"))
   }
+
+  /** Rate-spike detection: hourly event counts per type, compared to
+    * the TRAILING `lookbackHours`-hour mean — the pipeline-monitoring
+    * alarm ("this feed just tripled") and the DQ twin of
+    * [[graft.operators.Quality.categoricalDrift]] on the time axis.
+    * A bucket spikes when `n · cnt · spikeDen > sum · spikeNum` (i.e.
+    * n > (num/den)·trailing-mean, cross-multiplied — exact integers,
+    * no float ratio). Buckets with NO trailing history (the stream's
+    * first hours) are flagged 0: no baseline, no alarm.
+    *
+    * Shape at 100 TB: one combinable (type, hour) count — reduce
+    * volume = types × hours, corpus-independent — then a RANGE-frame
+    * window over each type's hour series (tiny). The raw stream is
+    * touched once.
+    */
+  def rateSpikes(
+      events: DataFrame,
+      lookbackHours: Int = 24,
+      spikeNum: Long = 3,
+      spikeDen: Long = 2): DataFrame = {
+    require(lookbackHours >= 1 && spikeNum > 0 && spikeDen > 0)
+    val hourly = events
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("epoch_hour"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("epoch_hour"))
+      .rangeBetween(-lookbackHours.toLong, -1L)
+    hourly.select(
+      col("event_type"), col("epoch_hour"), col("n"),
+      coalesce(sum(col("n")).over(w), lit(0L)).as("trail_sum"),
+      count(col("n")).over(w).as("trail_cnt"))
+      .withColumn("is_spike",
+        (col("trail_cnt") > 0 &&
+          col("n") * col("trail_cnt") * spikeDen > col("trail_sum") * spikeNum)
+          .cast("int"))
+  }
 }

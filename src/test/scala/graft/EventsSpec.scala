@@ -22,6 +22,26 @@ class EventsSpec extends AnyFunSuite with SparkTest {
     assert(out == Map((100L, 0L) -> 3L, (100L, 1L) -> 1L, (200L, 0L) -> 1L))
   }
 
+  test("rateSpikes: flags only rates above the trailing-mean multiple; no-baseline hours never alarm") {
+    val s = spark; import s.implicits._
+    // clicks: 2/hour for 3 hours, then 4 in hour 4 (4 > 1.5*2 -> spike);
+    // then 3 in hour 5 (3 > 1.5*avg(2,2,2,4)=3.75? no -> calm)
+    def rows(hour: Int, n: Int) = (0 until n).map(i =>
+      (hour * 100L + i, 1L, f"2024-01-01 $hour%02d:15:00", 1.0))
+    val events = (rows(1, 2) ++ rows(2, 2) ++ rows(3, 2) ++ rows(4, 4) ++ rows(5, 3))
+      .toDF("event_id", "user_id", "ts", "value")
+      .withColumn("ts", to_timestamp($"ts"))
+      .withColumn("event_type", lit("click"))
+    val out = Events.rateSpikes(events).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5)))
+      .toMap.map { case (h, v) => (h % 24) -> v } // epoch hour -> hour of day (UTC)
+    assert(out(1) == ((2L, 0L, 0L, 0)))  // first hour: no baseline, no alarm
+    assert(out(2) == ((2L, 2L, 1L, 0)))
+    assert(out(3) == ((2L, 4L, 2L, 0)))
+    assert(out(4) == ((4L, 6L, 3L, 1)))  // 4*3*2=24 > 6*3=18 -> spike
+    assert(out(5) == ((3L, 10L, 4L, 0))) // 3*4*2=24 > 10*3=30? no
+  }
+
   test("transitionCounts builds the per-user Markov matrix with exact ppm") {
     val s = spark; import s.implicits._
     // user 100: a->b, b->a, a->b ; user 200: a->b  => a->b x3, b->a x1

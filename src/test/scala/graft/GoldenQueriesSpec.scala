@@ -163,7 +163,12 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "graph_bfs_dist" -> "e7ec621f265ce3a0457c6ddf2d26c1c5",
     "sketch_hll_registers" -> "436df92b12f235899334b91327295a1d",
     "u6_point_in_time" -> "b487baadc2a7d830208641241e05a534",
-    "pipeline_curation_v3" -> "182b01de8998a53c336557bef78dd90e")
+    "pipeline_curation_v3" -> "182b01de8998a53c336557bef78dd90e",
+    // at sf0.001 the 32-core is empty (part degrees cap at 10 there;
+    // the sf0.01 gate run has a 290-node core) — the pin asserts that
+    // emptiness is deterministic, not an accident of ordering
+    "graph_kcore" -> "d41d8cd98f00b204e9800998ecf8427e",
+    "dq_rate_spikes" -> "09d84e0b4873cc46361f4169a2939687")
 
   test("round-3d operator outputs hash-match their pinned golden values") {
     val got = pinnedR3d.keys.toSeq.sorted.map { q =>

@@ -422,6 +422,10 @@ object SparkEntry {
       // all rare grams); at low thresholds the plain inverted index
       // is the right shape and this one degenerates
       Dedup.ngramJaccardPairsPrefix(rd(s, d, "documents"), 9, 10)),
+    "dedup_sorted_neighborhood" -> ((s, d) =>
+      // blocking by sorted normalized-prefix neighborhoods: candidates
+      // bounded at 2*window per doc regardless of gram skew
+      Dedup.sortedNeighborhoodPairs(rd(s, d, "documents"), windowSize = 5)),
     "dedup_ngram_containment" -> ((s, d) =>
       // asymmetric overlap: smaller doc >= 50% contained in the other —
       // the quote/subset detector Jaccard's union denominator misses
@@ -1557,6 +1561,17 @@ object SparkEntry {
     // the plain pair scan at 9/10
     "dedup_ngram_prefix" ->
       s"WITH ${OracleSql.ngramPairCtes(9, 10)} SELECT id_a, id_b, inter, union_size FROM pairs",
+    "dedup_sorted_neighborhood" ->
+      (s"WITH ${OracleSql.wordTriCtes}, " +
+        "nrm AS (SELECT doc_id, substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, 12) AS bk FROM documents), " +
+        "rk AS (SELECT doc_id, row_number() OVER (ORDER BY bk, doc_id) AS r FROM nrm), " +
+        "cand AS (SELECT DISTINCT least(x.doc_id, y.doc_id) AS id_a, greatest(x.doc_id, y.doc_id) AS id_b " +
+        "FROM rk x JOIN rk y ON y.r > x.r AND y.r - x.r <= 5), " +
+        "ov AS (SELECT c.id_a, c.id_b, count(*) AS inter FROM cand c " +
+        "JOIN tri a ON a.doc_id = c.id_a JOIN tri b ON b.doc_id = c.id_b AND b.g = a.g GROUP BY 1, 2) " +
+        "SELECT ov.id_a, ov.id_b, ov.inter, sa.n + sb.n - ov.inter AS union_size " +
+        "FROM ov JOIN sz sa ON sa.doc_id = ov.id_a JOIN sz sb ON sb.doc_id = ov.id_b " +
+        "WHERE ov.inter * 20 >= (sa.n + sb.n - ov.inter) * 1"),
     "dedup_ngram_containment" ->
       (s"WITH ${OracleSql.wordTriCtes}, " +
         "ov AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter FROM tri a JOIN tri b " +

@@ -377,6 +377,81 @@ object Dedup {
       .select("id_a", "id_b", "inter", "union_size")
   }
 
+  /** Sorted-neighborhood blocking (the classic merge/purge method):
+    * sort the corpus by a blocking key — here the first `keyChars`
+    * chars of the whitespace-normalized text — and verify exact
+    * Jaccard ONLY for pairs within `windowSize` positions of each
+    * other. The third member of the blocking family: the inverted
+    * index recalls pairs sharing any RARE feature, LSH pairs that
+    * COLLIDE, sorted-neighborhood pairs that sort NEAR — strongest
+    * exactly where near-dups share their opening (templated docs,
+    * prefixed boilerplate, same-title revisions), and immune to
+    * hot-gram skew by construction (candidates per doc ≤ 2·window,
+    * ALWAYS). Recall is blocking-limited like any blocking method:
+    * a near-dup pair whose first `keyChars` differ is missed — run
+    * beside the gram/LSH tiers, not instead of them.
+    *
+    * The global rank is computed by range-partition + sort-within +
+    * `zipWithIndex` — the same no-single-partition dense sequence as
+    * `Nds.fillSurrogate`'s large path, deterministic because
+    * (key, id) is unique. Candidates come from ONE equi-join on the
+    * rank cell (`rank div windowSize`; a pair within `windowSize`
+    * ranks spans at most adjacent cells, so each left row probes two
+    * cells) — never a rank-band theta join.
+    *
+    * Output matches the pair-scan family: (id_a, id_b, inter,
+    * union_size), id_a < id_b, Jaccard ≥ num/den exact.
+    */
+  def sortedNeighborhoodPairs(
+      docs: DataFrame,
+      windowSize: Int = 5,
+      threshNum: Int = 1,
+      threshDen: Int = 20,
+      keyChars: Int = 12,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(windowSize >= 1 && keyChars >= 1)
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    val keyed = docs.select(col(idCol), substring(norm, 1, keyChars).as("__bk"))
+    val ordered = keyed
+      .repartitionByRange(col("__bk"), col(idCol))
+      .sortWithinPartitions(col("__bk"), col(idCol))
+      .select(col(idCol))
+    val spark = docs.sparkSession
+    val ranked = Caches.persisted(spark.createDataFrame(
+      ordered.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row(r.get(0), i + 1L)
+      },
+      org.apache.spark.sql.types.StructType(
+        ordered.schema.fields :+
+          org.apache.spark.sql.types.StructField(
+            "__rk", org.apache.spark.sql.types.LongType, nullable = false))))
+    val w = windowSize.toLong
+    val left = ranked.select(col(idCol).as("__ia"), col("__rk").as("__ra"),
+      expr(s"__rk div $w").as("__cell"))
+    val probe = left.unionAll(left.withColumn("__cell", col("__cell") + 1))
+    val right = ranked.select(col(idCol).as("__ib"), col("__rk").as("__rb"),
+      expr(s"__rk div $w").as("__cell"))
+    val cands = probe.join(right, "__cell")
+      .where(col("__rb") > col("__ra") && col("__rb") - col("__ra") <= w)
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"))
+    val tri = Caches.persisted(trigramSets(docs, textCol, idCol))
+    val sizes = tri.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
+    val g = tri.toDF("vid", "vgram")
+    cands
+      .join(g.withColumnsRenamed(Map("vid" -> "id_a", "vgram" -> "gram")), "id_a")
+      .join(g.withColumnsRenamed(Map("vid" -> "id_b", "vgram" -> "gram")),
+        Seq("id_b", "gram"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.toDF("id_a", "n_a"), "id_a")
+      .join(sizes.toDF("id_b", "n_b"), "id_b")
+      .withColumn("union_size", col("n_a") + col("n_b") - col("inter"))
+      .where(col("inter") * threshDen >= col("union_size") * threshNum)
+      .select("id_a", "id_b", "inter", "union_size")
+  }
+
   /** Per-document novelty: how much content each doc ADDS to the
     * corpus, given every doc with a smaller id — `n_novel` = the doc's
     * distinct trigrams whose corpus-wide first occurrence (minimum doc

@@ -176,6 +176,45 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(!cont.exists(p => p._2 == 2L || p._1 == 2L))
   }
 
+  test("sortedNeighborhoodPairs: prefix-sorted near-dups found, subset of all-pairs, stable") {
+    // the fixture's near-dups (0,1,3) share their opening, so they sort
+    // adjacently under the normalized-prefix key
+    val sn = Dedup.sortedNeighborhoodPairs(docs, windowSize = 2, threshNum = 1, threshDen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(sn.map(p => (p._1, p._2)) == Set((0L, 1L), (0L, 3L), (1L, 3L)))
+    // blocking output is a SUBSET of the all-pairs scan with identical counts
+    val full = Dedup.ngramJaccardPairs(docs, 1, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(sn.subsetOf(full))
+    // rank is partition-invariant (zipWithIndex over range partitions)
+    val repart = Dedup.sortedNeighborhoodPairs(docs.repartition(7), windowSize = 2,
+      threshNum = 1, threshDen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(repart == sn)
+  }
+
+  test("sortedNeighborhoodPairs: candidates beyond the window are not verified") {
+    val s = spark; import s.implicits._
+    // doc 5 is a near-dup of doc 0 but sorts far away (different prefix)
+    val d = Seq(
+      (0L, "aaa shared body text one two three four"),
+      (1L, "bbb unrelated text entirely different here"),
+      (2L, "ccc another unrelated doc goes right here"),
+      (3L, "ddd more filler separating the neighborhood"),
+      (4L, "eee still more filler separating them now"),
+      (5L, "zzz shared body text one two three four")
+    ).toDF("doc_id", "text")
+    val sn = Dedup.sortedNeighborhoodPairs(d, windowSize = 2, threshNum = 1, threshDen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (0,5) share most grams but are 5 ranks apart with window 2 — missed
+    // BY DESIGN (blocking recall); nothing else clears the threshold
+    assert(!sn.contains((0L, 5L)))
+    // widening the window past the gap recovers the pair
+    val wide = Dedup.sortedNeighborhoodPairs(d, windowSize = 5, threshNum = 1, threshDen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide.contains((0L, 5L)))
+  }
+
   test("noveltyScores: dups score zero, first doc claims shared grams") {
     val s = spark; import s.implicits._
     val d = Seq(

@@ -168,7 +168,8 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     // the sf0.01 gate run has a 290-node core) — the pin asserts that
     // emptiness is deterministic, not an accident of ordering
     "graph_kcore" -> "d41d8cd98f00b204e9800998ecf8427e",
-    "dq_rate_spikes" -> "09d84e0b4873cc46361f4169a2939687")
+    "dq_rate_spikes" -> "09d84e0b4873cc46361f4169a2939687",
+    "dedup_sorted_neighborhood" -> "0790d996b5066b975a3a1a00ad2692ea")
 
   test("round-3d operator outputs hash-match their pinned golden values") {
     val got = pinnedR3d.keys.toSeq.sorted.map { q =>

@@ -272,6 +272,19 @@ class ScaleSpec extends AnyFunSuite with SparkTest {
     assert(plan.contains("partial_max"), plan)
   }
 
+  test("sortedNeighborhoodPairs candidates come from an equi-join — no theta join") {
+    val s = spark; import s.implicits._
+    val docs = (0 until 80).map(i => (i.toLong, s"prefix shared words here tail $i"))
+      .toDF("doc_id", "text")
+    val df = graft.operators.Dedup.sortedNeighborhoodPairs(docs, windowSize = 3)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    // the rank-band predicate must ride an equi-join on the rank cell,
+    // never a nested-loop/cartesian rank comparison
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    graft.operators.Caches.release()
+  }
+
   test("normalizeText is a pure projection — zero exchanges") {
     val s = spark; import s.implicits._
     val docs = (0 until 100).map(i => (i.toLong, s"text body $i")).toDF("doc_id", "text")

@@ -110,6 +110,21 @@ object Warehouse {
     swapWrite(df, dir, table)(tmp =>
       df.write.mode("overwrite").option("header", "true").csv(tmp))
 
+  /** ORC export — the columnar interchange format for Hive/Presto-era
+    * consumers that don't read parquet; same swap protocol, full type
+    * fidelity (nested/array columns round-trip, unlike CSV).
+    */
+  def exportOrc(df: DataFrame, dir: String, table: String): Unit =
+    swapWrite(df, dir, table)(tmp => df.write.mode("overwrite").orc(tmp))
+
+  /** Read an ORC export back (ORC files carry their schema — no
+    * inference pass, unlike JSONL).
+    */
+  def readOrc(spark: SparkSession, dir: String, table: String): DataFrame = {
+    heal(spark, dir, table)
+    spark.read.orc(path(dir, table))
+  }
+
   /** Read a JSONL export back with an explicit schema (inference costs
     * a full extra pass and can widen types — never on by default).
     */

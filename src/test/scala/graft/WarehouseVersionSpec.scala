@@ -161,4 +161,27 @@ class WarehouseVersionSpec extends AnyFunSuite with SparkTest {
       .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2))).toSet
     assert(csv == back)
   }
+
+  test("ORC export round-trips nested columns CSV cannot carry") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wh-orc").toString
+    val df = Seq(
+      (1L, Seq(1.0f, 2.5f), Map("a" -> 1)),
+      (2L, Seq.empty[Float], Map.empty[String, Int]))
+      .toDF("k", "vec", "tags")
+    Warehouse.exportOrc(df, dir, "docs_orc")
+    val back = Warehouse.readOrc(s, dir, "docs_orc")
+    // ORC carries its own schema (names+types; nullability flags relax
+    // to nullable on read, as for any file source)
+    assert(back.schema.map(f => (f.name, f.dataType.sql))
+      == df.schema.map(f => (f.name, f.dataType.sql)))
+    val rows = back.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1), r.getMap[String, Int](2).toMap)).toSet
+    assert(rows == Set(
+      (1L, Seq(1.0f, 2.5f), Map("a" -> 1)),
+      (2L, Seq.empty[Float], Map.empty[String, Int])))
+    // re-export swaps atomically, like the other formats
+    Warehouse.exportOrc(df.filter($"k" === 1L), dir, "docs_orc")
+    assert(Warehouse.readOrc(s, dir, "docs_orc").count() == 1)
+  }
 }

@@ -744,4 +744,24 @@ object OracleSql {
       s"FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w " +
       s"FROM documents) d JOIN w${rounds + 1} ws ON ws.w = d.w " +
       s"WHERE d.w <> '' GROUP BY d.doc_id"
+
+  // ------------------------------------- temperature mixture allocation
+
+  /** Replay of `Sampling.temperatureAllocation` at alpha = 0.5 over
+    * documents-by-source: isqrt weights via the same
+    * floor(sqrt(double)) + two integer corrections, largest-remainder
+    * seats in exact integer arithmetic, final cap at the group size.
+    * Ends with CTE `talloc(source, n, w, alloc)`.
+    */
+  def temperatureAllocCtes(budget: Long): String =
+    "WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source), " +
+      "s0 AS (SELECT source, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS r FROM g), " +
+      "wt AS (SELECT source, n, CASE WHEN (r+1)*(r+1) <= n THEN r+1 WHEN r*r > n THEN r-1 ELSE r END AS w FROM s0), " +
+      "tt AS (SELECT source, n, w, CAST(sum(w) OVER () AS BIGINT) AS wtot FROM wt), " +
+      s"tb AS (SELECT source, n, w, wtot, CAST((w*$budget) // wtot AS BIGINT) AS base, " +
+      s"CAST(w*$budget - ((w*$budget) // wtot)*wtot AS BIGINT) AS rem FROM tt), " +
+      s"tr AS (SELECT source, n, w, base, rem, CAST($budget - sum(base) OVER () AS BIGINT) AS seats, " +
+      "row_number() OVER (ORDER BY rem DESC, source ASC) AS rrk FROM tb), " +
+      "talloc AS (SELECT source, n, w, " +
+      "least(base + CASE WHEN rrk <= seats THEN 1 ELSE 0 END, n) AS alloc FROM tr)"
 }

@@ -837,6 +837,17 @@ object SparkEntry {
       // stable pseudo-random pick (pure function of salt+doc_id)
       Sampling.capPerGroup(rd(s, d, "documents"), "doc_id", "source", "cap1", 10)
         .select("source", "doc_id", "n_chars")),
+    "sample_temperature_alloc" -> ((s, d) =>
+      // temperature-0.5 mixture: sqrt-smoothed per-source seats from a
+      // fixed 200-doc budget, largest-remainder apportionment in exact
+      // long arithmetic
+      Sampling.temperatureAllocation(rd(s, d, "documents"), "source", 200L, 0.5)
+        .select(col("source"), col("n").as("n_docs"), col("w"), col("alloc"))),
+    "sample_temperature_docs" -> ((s, d) =>
+      // the realized temperature sample: exactly alloc_g docs per
+      // source, stable md5-ranked picks
+      Sampling.temperatureSample(rd(s, d, "documents"), "doc_id", "source", "temp1", 200L, 0.5)
+        .select("source", "doc_id")),
     "dq_constraints" -> ((s, d) =>
       // admission-gate checks in one scan; the negated-status check is
       // deliberately violated so non-zero counts are exercised too
@@ -1949,6 +1960,16 @@ object SparkEntry {
       ("SELECT source, doc_id, n_chars FROM (SELECT source, doc_id, n_chars, " +
         "row_number() OVER (PARTITION BY source ORDER BY md5('cap1:' || CAST(doc_id AS VARCHAR)) NULLS FIRST, doc_id NULLS FIRST) AS rk " +
         "FROM documents) t WHERE rk <= 10"),
+    "sample_temperature_alloc" ->
+      (OracleSql.temperatureAllocCtes(200) +
+        " SELECT source, n AS n_docs, w, alloc FROM talloc"),
+    "sample_temperature_docs" ->
+      (OracleSql.temperatureAllocCtes(200) +
+        ", rk AS (SELECT source, doc_id, row_number() OVER (PARTITION BY source " +
+        "ORDER BY md5('temp1:' || CAST(doc_id AS VARCHAR)) NULLS FIRST, doc_id NULLS FIRST) AS rk " +
+        "FROM documents) " +
+        "SELECT rk.source, rk.doc_id FROM rk JOIN talloc ON rk.source = talloc.source " +
+        "WHERE rk.rk <= talloc.alloc"),
     "dq_constraints" ->
       ("WITH n AS (SELECT count(*) AS n_rows FROM orders) " +
         "SELECT 'key_not_null' AS check_name, (SELECT count(*) FROM orders WHERE NOT coalesce(o_orderkey IS NOT NULL, FALSE)) AS n_violations, n_rows FROM n " +

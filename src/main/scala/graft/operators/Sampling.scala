@@ -285,4 +285,115 @@ object Sampling {
         .when(t < cutMicros, "embargo")
         .otherwise("test"))
   }
+
+  /** Exact integer square root: the unique s with s² ≤ n < (s+1)².
+    *
+    * `floor(sqrt(double))` alone is off by one when the double rounding
+    * of √n crosses an integer (possible once n exceeds 2^52); the two
+    * integer-compare corrections make the result exact for every
+    * non-negative long, and both correct in the same way on any engine,
+    * so the oracle can replay the same three-step expression.
+    */
+  private[graft] def isqrt(n: Column): Column = {
+    val s0 = floor(sqrt(n.cast("double"))).cast("long")
+    // s0 <= isqrt(Long.MaxValue) = 3037000499 always (sqrt of the
+    // double-rounded n cannot reach 3037000500), so s0*s0 fits; the
+    // +1 probe is guarded so (s0+1)^2 cannot overflow either — above
+    // the guard an undershoot is impossible
+    when(s0 < 3037000499L && (s0 + 1) * (s0 + 1) <= n, s0 + 1)
+      .when(s0 * s0 > n, s0 - 1)
+      .otherwise(s0)
+  }
+
+  /** Temperature-scaled mixture allocation — how many examples each
+    * source contributes to a fixed training budget, with the
+    * head/tail balance set by the temperature exponent:
+    * weight w_g ∝ n_g^alpha.
+    *
+    *   - alpha = 1: proportional (the raw mixture, heads dominate)
+    *   - alpha = 0.5: sqrt-smoothed (the standard multilingual /
+    *     multi-source rebalancing point — tails upweighted, order kept)
+    *   - alpha = 0: uniform (every source equal, sizes ignored)
+    *
+    * Only these three points are supported because each has an EXACT
+    * integer weight (n, isqrt(n), 1) — no float `pow` whose rounding
+    * could flip an allocation between engines.
+    *
+    * Seats are apportioned by the largest-remainder (Hamilton) method,
+    * entirely in long arithmetic: base_g = (budget·w_g) div W, and the
+    * `budget − Σbase` leftover seats go to the largest remainders
+    * (ties to the smaller group key). Allocations are finally capped at
+    * n_g — a group cannot contribute more rows than it has; the output
+    * keeps (n, w) alongside so a binding cap is visible to the caller.
+    *
+    * Shape at scale: one combinable count per group; everything after
+    * runs on the groups table (sources/languages/domains — orders of
+    * magnitude smaller than the corpus), with totals broadcast and the
+    * remainder ranking a single-partition window over that tiny table.
+    * Requires budget·max(w) to fit a long (budget < 2^63 / max group
+    * weight — any real corpus qualifies).
+    *
+    * @return one row per group: `(groupCol, n, w, alloc)`
+    */
+  def temperatureAllocation(
+      df: DataFrame,
+      groupCol: String,
+      budget: Long,
+      alpha: Double = 0.5): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(alpha == 0.0 || alpha == 0.5 || alpha == 1.0,
+      "alpha must be 0, 0.5 or 1 (the exact-integer temperature points)")
+    val g = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    val weighted = g.withColumn("w", alpha match {
+      case 0.0 => lit(1L)
+      case 0.5 => isqrt(col("n"))
+      case _   => col("n")
+    })
+    val tot = weighted.agg(sum(col("w")).as("__wt"))
+    val based = weighted.crossJoin(broadcast(tot))
+      .withColumn("__bw", col("w") * budget)
+      .withColumn("__base", expr("__bw div __wt"))
+      .withColumn("__rem", col("__bw") - col("__base") * col("__wt"))
+    val seats = based.agg((lit(budget) - sum(col("__base"))).as("__seats"))
+    // constant partition key: same single-task ranking a global window
+    // would do (the table is groups-sized), without the planner warning
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0))
+      .orderBy(col("__rem").desc, col(groupCol).asc_nulls_first)
+    based.crossJoin(broadcast(seats))
+      .withColumn("__rrk", row_number().over(rankW))
+      .select(col(groupCol), col("n"), col("w"),
+        least(col("__base") +
+          when(col("__rrk") <= col("__seats"), 1L).otherwise(0L),
+          col("n")).as("alloc"))
+  }
+
+  /** Realize a [[temperatureAllocation]]: keep exactly `alloc_g` rows
+    * of each group, picked by the same stable pseudo-random
+    * `(md5(salt || ':' || key), key)` ranking as [[capPerGroup]] — so
+    * the sampled set is a pure function of (data, salt, budget, alpha):
+    * reproducible across runs, engines and partitionings, and a budget
+    * increase only ever ADDS rows per group, never re-rolls.
+    *
+    * One shuffle on the group key for the ranking window; the
+    * allocation table rides along as a broadcast.
+    */
+  def temperatureSample(
+      df: DataFrame,
+      keyCol: String,
+      groupCol: String,
+      salt: String,
+      budget: Long,
+      alpha: Double = 0.5): DataFrame = {
+    val alloc = temperatureAllocation(df, groupCol, budget, alpha)
+      .select(col(groupCol), col("alloc").as("__alloc"))
+    val h = md5(concat(lit(salt + ":"), col(keyCol).cast("string")).cast("binary"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(h.asc_nulls_first, col(keyCol).asc_nulls_first)
+    df.join(broadcast(alloc), Seq(groupCol))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= col("__alloc"))
+      .drop("__rk", "__alloc")
+  }
 }

@@ -270,6 +270,84 @@ class SamplingSketchSpec extends AnyFunSuite with SparkTest {
     assert(narrow.nonEmpty && wide.size > narrow.size)
   }
 
+  // ----------------------------------------------------- temperature mix
+
+  test("isqrt is exact on squares, near-squares and past-2^52 longs") {
+    val s = spark; import s.implicits._
+    val ns = Seq(0L, 1L, 2L, 3L, 4L, 15L, 16L, 17L, 999999L, 1000000L,
+      (1L << 52) - 1, 1L << 52, (1L << 52) + 1,
+      3037000499L * 3037000499L, // largest long square
+      3037000499L * 3037000499L - 1, Long.MaxValue)
+    val got = ns.toDF("n").select(col("n"), Sampling.isqrt(col("n")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    got.foreach { case (n, sq) =>
+      assert(sq * sq <= n, s"isqrt($n)=$sq overshoots")
+      // (s+1)^2 may overflow for the top of the range; compare via division
+      assert(sq + 1 > n / (sq + 1), s"isqrt($n)=$sq undershoots")
+    }
+  }
+
+  test("temperatureAllocation: alpha=1 proportional, alpha=0 uniform, sum==budget") {
+    val s = spark; import s.implicits._
+    val df = ((0 until 800).map(i => (i.toLong, "web")) ++
+      (800 until 950).map(i => (i.toLong, "books")) ++
+      (950 until 1000).map(i => (i.toLong, "code"))).toDF("id", "src")
+    def alloc(alpha: Double, budget: Long) =
+      Sampling.temperatureAllocation(df, "src", budget, alpha)
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val prop = alloc(1.0, 100)
+    assert(prop.values.sum == 100L)
+    assert(prop == Map("web" -> 80L, "books" -> 15L, "code" -> 5L))
+    val unif = alloc(0.0, 99)
+    assert(unif.values.sum == 99L)
+    assert(unif.values.forall(v => v == 33L))
+  }
+
+  test("temperatureAllocation alpha=0.5 sits between uniform and proportional") {
+    val s = spark; import s.implicits._
+    val df = ((0 until 900).map(i => (i.toLong, "head")) ++
+      (900 until 1000).map(i => (i.toLong, "tail"))).toDF("id", "src")
+    val sq = Sampling.temperatureAllocation(df, "src", 100, 0.5)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(sq.values.sum == 100L)
+    // proportional would give tail 10; uniform 50; sqrt lands between
+    // (w = isqrt(900)=30 vs isqrt(100)=10 -> 75/25)
+    assert(sq("tail") == 25L && sq("head") == 75L)
+  }
+
+  test("temperatureAllocation caps at group size and reports the shortfall") {
+    val s = spark; import s.implicits._
+    val df = ((0 until 4).map(i => (i.toLong, "tiny")) ++
+      (4 until 1000).map(i => (i.toLong, "big"))).toDF("id", "src")
+    val rows = Sampling.temperatureAllocation(df, "src", 500, 0.0)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    // uniform wants 250 each; tiny only has 4 rows
+    assert(rows("tiny") == ((4L, 4L)))
+    assert(rows("big")._2 == 250L) // cap is visible, not silently rebalanced
+  }
+
+  test("temperatureSample realizes the allocation exactly and deterministically") {
+    val s = spark; import s.implicits._
+    val df = ((0 until 800).map(i => (i.toLong, "web")) ++
+      (800 until 950).map(i => (i.toLong, "books")) ++
+      (950 until 1000).map(i => (i.toLong, "code"))).toDF("id", "src")
+    val alloc = Sampling.temperatureAllocation(df, "src", 100, 0.5)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    def sample(parts: Int) =
+      Sampling.temperatureSample(df.repartition(parts), "id", "src", "t1", 100, 0.5)
+        .select("id", "src")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val a = sample(1)
+    assert(a == sample(13)) // partitioning-independent
+    val perGroup = a.groupBy(_._2).map { case (g, rows) => g -> rows.size.toLong }
+    assert(perGroup == alloc.filter(_._2 > 0))
+    // a larger budget only adds rows per group, never re-rolls
+    val bigger = Sampling.temperatureSample(df, "id", "src", "t1", 200, 0.5)
+      .select("id", "src")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a.subsetOf(bigger))
+  }
+
   test("capPerGroup keeps at most cap rows per group, all of smaller groups") {
     val s = spark; import s.implicits._
     val df = ((0 until 100).map(i => (i.toLong, "big")) ++

@@ -285,6 +285,16 @@ class ScaleSpec extends AnyFunSuite with SparkTest {
     graft.operators.Caches.release()
   }
 
+  test("temperatureSample joins the allocation by broadcast — corpus shuffles once for the rank") {
+    val s = spark; import s.implicits._
+    val docs = (0 until 400).map(i => (i.toLong, s"src${i % 5}")).toDF("doc_id", "src")
+    val ps = finalPlan(graft.operators.Sampling.temperatureSample(
+      docs, "doc_id", "src", "t", 50, 0.5))
+    assert(ps.contains("BroadcastHashJoin"), s"allocation join not broadcast:\n$ps")
+    assert(!ps.contains("SortMergeJoin"),
+      s"corpus shuffled to meet the groups-sized allocation table:\n$ps")
+  }
+
   test("normalizeText is a pure projection — zero exchanges") {
     val s = spark; import s.implicits._
     val docs = (0 until 100).map(i => (i.toLong, s"text body $i")).toDF("doc_id", "text")

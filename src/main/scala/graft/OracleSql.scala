@@ -754,7 +754,13 @@ object OracleSql {
     * Ends with CTE `talloc(source, n, w, alloc)`.
     */
   def temperatureAllocCtes(budget: Long): String =
-    "WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source), " +
+    "WITH " + temperatureAllocCtesFrom(budget, "documents")
+
+  /** The same chain without the WITH prefix, over any relation exposing
+    * a `source` column — composable into larger CTE pipelines.
+    */
+  def temperatureAllocCtesFrom(budget: Long, rel: String): String =
+    s"g AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM $rel GROUP BY source), " +
       "s0 AS (SELECT source, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS r FROM g), " +
       "wt AS (SELECT source, n, CASE WHEN (r+1)*(r+1) <= n THEN r+1 WHEN r*r > n THEN r-1 ELSE r END AS w FROM s0), " +
       "tt AS (SELECT source, n, w, CAST(sum(w) OVER () AS BIGINT) AS wtot FROM wt), " +

@@ -1263,6 +1263,25 @@ object SparkEntry {
         .groupBy("split", "source")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_novel")).as("sum_novel"))
     }),
+    "pipeline_curation_v4" -> ((s, d) => {
+      // corpus-assembly flagship: near-dup keep-list (one best copy per
+      // cluster) -> temperature-0.5 source mixture from a fixed 300-doc
+      // budget over the SURVIVORS -> per-source shard packing to a
+      // 20k-char budget -> per-(source, shard) manifest stats. The
+      // budgeted-mixture step is what turns a cleaned corpus into a
+      // training mix
+      val docs = rd(s, d, "documents")
+      val keep = Dedup.keepListFromClusters(docs,
+        Dedup.dedupClusters(Dedup.ngramJaccardPairs(docs, 1, 20)))
+      val survivors = docs.select("doc_id", "source", "n_chars")
+        .join(keep.filter(col("keep_flag") === 1).select("doc_id"), "doc_id")
+      val picked = Sampling.temperatureSample(
+        survivors, "doc_id", "source", "mix4", 300L, 0.5)
+      Sampling.packByBudget(picked, "source", "doc_id", "n_chars", 20000L, "shard")
+        .groupBy("source", "shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+    }),
     "doc_chunks" -> ((s, d) =>
       // 50-token training windows per doc; md5 of the reassembled text
       // keeps the gated output compact while pinning exact order
@@ -2188,6 +2207,27 @@ object SparkEntry {
         " AS split FROM keep k LEFT JOIN cl c ON c.doc_id = k.doc_id) " +
         "SELECT split, source, count(*) AS n_docs, CAST(sum(n_novel) AS BIGINT) AS sum_novel " +
         "FROM sp GROUP BY 1, 2"),
+    "pipeline_curation_v4" ->
+      (s"WITH RECURSIVE $ngramCtes, " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
+        "wlk(node, root) AS (SELECT DISTINCT src, src FROM edges " +
+        "UNION SELECT e.dst, k.root FROM wlk k JOIN edges e ON e.src = k.node), " +
+        "cl AS (SELECT node AS doc_id, min(root) AS cluster_id FROM wlk GROUP BY node), " +
+        "reps AS (SELECT c.doc_id, row_number() OVER " +
+        "(PARTITION BY c.cluster_id ORDER BY d.n_chars DESC, c.doc_id) AS rn " +
+        "FROM cl c JOIN documents d ON d.doc_id = c.doc_id), " +
+        "surv AS (SELECT d.doc_id, d.source, d.n_chars FROM documents d " +
+        "LEFT JOIN reps r ON r.doc_id = d.doc_id WHERE r.doc_id IS NULL OR r.rn = 1), " +
+        OracleSql.temperatureAllocCtesFrom(300, "surv") + ", " +
+        "rk AS (SELECT v.source, v.doc_id, v.n_chars, row_number() OVER (PARTITION BY v.source " +
+        "ORDER BY md5('mix4:' || CAST(v.doc_id AS VARCHAR)) NULLS FIRST, v.doc_id NULLS FIRST) AS rk FROM surv v), " +
+        "samp AS (SELECT rk.source, rk.doc_id, rk.n_chars FROM rk " +
+        "JOIN talloc ON rk.source = talloc.source WHERE rk.rk <= talloc.alloc), " +
+        "pk AS (SELECT source, doc_id, n_chars, CAST(floor(coalesce(sum(n_chars) OVER " +
+        "(PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 20000) AS INT) AS shard " +
+        "FROM samp) " +
+        "SELECT source, shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "min(doc_id) AS first_doc, max(doc_id) AS last_doc FROM pk GROUP BY source, shard"),
     "pipeline_curation_v2" ->
       (s"WITH ${OracleSql.exciseSpansCtes(10)}, " +
         "cbase AS (SELECT d.doc_id, d.source, cl.n_kept FROM documents d JOIN cl USING (doc_id) WHERE cl.n_kept >= 30), " +

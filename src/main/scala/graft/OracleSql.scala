@@ -770,4 +770,33 @@ object OracleSql {
       "row_number() OVER (ORDER BY rem DESC, source ASC) AS rrk FROM tb), " +
       "talloc AS (SELECT source, n, w, " +
       "least(base + CASE WHEN rrk <= seats THEN 1 ELSE 0 END, n) AS alloc FROM tr)"
+
+  // ------------------------------------------------- DSIR importance
+
+  /** CTE chain replaying
+    * [[graft.operators.TextAnalysis.importanceScores]]: tokens hashed
+    * into `buckets` via the rolling-hash → MixHash32 limb pipeline
+    * (same decomposition as [[kmvDistinct]]), add-1-smoothed
+    * target/raw bucket ratio in HUGEINT ppm, floor-divided per-doc
+    * mean. Ends with CTE `dsc(doc_id, n_tokens, score_ppm)`.
+    */
+  def dsirCtes(targetWhere: String, buckets: Int, salt: String): String = {
+    val cHi = 2654435769L // 0x9E3779B9
+    val cLo = 2135587861L // 0x7F4A7C15
+    val mix = s"(((a * $cLo + b * $cHi) * 4294967296 + b * $cLo)" +
+      " % 18446744073709551616)"
+    s"dtk AS (SELECT doc_id, CAST(($targetWhere) AS INT) AS is_t, " +
+      "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM documents), " +
+      "dtf AS (SELECT * FROM dtk WHERE tok <> ''), " +
+      s"ddx AS (SELECT doc_id, is_t, hex(encode('$salt:' || tok)) AS hx FROM dtf), " +
+      s"dfl AS (SELECT doc_id, is_t, ${rollFold("hx")} AS fold FROM ddx), " +
+      "dlm AS (SELECT doc_id, is_t, fold // 4294967296 AS a, fold % 4294967296 AS b FROM dfl), " +
+      s"dhh AS (SELECT doc_id, is_t, CAST($mix // 4294967296 AS BIGINT) % $buckets AS bucket FROM dlm), " +
+      "dct AS (SELECT bucket, count(*) AS n_raw, sum(is_t) AS n_tgt FROM dhh GROUP BY bucket), " +
+      "dtt AS (SELECT sum(n_raw) AS tot_raw, sum(n_tgt) AS tot_tgt FROM dct), " +
+      s"dwt AS (SELECT bucket, ((n_tgt + 1)::HUGEINT * (tot_raw + $buckets) * 1000000) // " +
+      s"((n_raw + 1)::HUGEINT * (tot_tgt + $buckets)) AS w_ppm FROM dct, dtt), " +
+      "dsc AS (SELECT dhh.doc_id, count(*) AS n_tokens, " +
+      "sum(dwt.w_ppm) // count(*) AS score_ppm FROM dhh JOIN dwt USING (bucket) GROUP BY dhh.doc_id)"
+  }
 }

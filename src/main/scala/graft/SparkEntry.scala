@@ -665,6 +665,21 @@ object SparkEntry {
       // CCNet-shape quality scoring: mean corpus-LM bigram probability
       // per doc, exact integer ppm (docs with <2 tokens omitted)
       TextAnalysis.docLmScore(rd(s, d, "documents"))),
+    "text_importance" -> ((s, d) =>
+      // DSIR data selection: hashed-bucket target/raw ratio weights
+      // (target = English slice), per-doc mean in exact integer ppm
+      TextAnalysis.importanceScores(rd(s, d, "documents"), col("lang") === "en")),
+    "sample_importance" -> ((s, d) => {
+      // the resampling half of DSIR: top-100 off-target docs by
+      // importance score — the docs that most resemble the target
+      val docs = rd(s, d, "documents")
+      TextAnalysis.importanceScores(docs, col("lang") === "en")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .filter(col("lang") =!= "en")
+        .orderBy(col("score_ppm").desc, col("doc_id"))
+        .limit(100)
+        .select("doc_id", "lang", "score_ppm")
+    }),
     "text_collocations" -> ((s, d) =>
       // phrase mining: window-2 co-occurrence pairs scored by exact
       // integer Dice ppm; map-side pair expansion from the token array
@@ -1766,6 +1781,15 @@ object SparkEntry {
         s"FROM (SELECT doc_id, text, trim(regexp_replace($chain, '\\s+', ' ', 'g')) AS norm FROM inj)"
     },
     "text_collocations" -> OracleSql.collocations(2, 2, 50),
+    "text_importance" ->
+      (s"WITH ${OracleSql.dsirCtes("lang = 'en'", 1024, "dsir")} " +
+        "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, " +
+        "CAST(score_ppm AS BIGINT) AS score_ppm FROM dsc"),
+    "sample_importance" ->
+      (s"WITH ${OracleSql.dsirCtes("lang = 'en'", 1024, "dsir")} " +
+        "SELECT d.doc_id, d.lang, CAST(dsc.score_ppm AS BIGINT) AS score_ppm " +
+        "FROM dsc JOIN documents d USING (doc_id) WHERE d.lang <> 'en' " +
+        "ORDER BY CAST(dsc.score_ppm AS BIGINT) DESC, d.doc_id LIMIT 100"),
     "text_doc_lm_score" ->
       (s"WITH $knLmCtes " +
         "SELECT bg.doc_id, count(*) AS n_bigrams, CAST(sum(kn_ppm) AS BIGINT) AS sum_kn_ppm, " +

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
-import graft.functions.{occurrences, rolling_hash, tokens}
+import graft.functions.{mixed_hash32, occurrences, rolling_hash, tokens}
 
 /** Text-analysis operators for training-data pipelines: language ID,
   * quality scoring, token statistics, and content fingerprinting.
@@ -657,5 +657,69 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair"))
       .limit(topK)
+  }
+
+  /** DSIR-style importance scores (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): hash every token
+    * into one of `buckets` feature buckets, estimate the bucket
+    * distribution of a TARGET slice (`targetCond`) and of the raw
+    * corpus, and score each document by the mean importance weight of
+    * its tokens — `w(b) = p_target(b) / p_raw(b)` with add-1 smoothing,
+    * in exact integer ppm. Documents that look like the target
+    * distribution score above 1e6; off-target docs score below. The
+    * standard data-selection move: pick high-scoring raw docs to enrich
+    * a pretraining mix toward a target domain.
+    *
+    * All arithmetic is integer end-to-end: counts, decimal(38,0)
+    * cross-multiplication (`(n_tgt+1)·(tot_raw+B)·10⁶ //
+    * (n_raw+1)·(tot_tgt+B)`), and a floor-divided per-doc mean — two
+    * engines cannot round apart, so the whole chain sits under the
+    * oracle gate. The bucket hash is the portable rolling-hash →
+    * MixHash32 pipeline ([[graft.OracleSql.dsirCtes]] replays it).
+    *
+    * Output: (idCol, n_tokens, score_ppm), one row per doc with ≥ 1
+    * token.
+    *
+    * Shape at 100 TB: the token stream is computed once (persisted) and
+    * feeds both the bucket counts and the per-doc join; the weight
+    * table is exactly `buckets` rows — a broadcast — so scoring is a
+    * zero-shuffle map-side join plus one combinable per-doc sum. The
+    * totals ride a broadcast 1-row aggregate, never a driver action.
+    * Hashed buckets (not raw vocabulary) are the DSIR trick that keeps
+    * the feature table bounded when the corpus has billions of n-gram
+    * types.
+    */
+  def importanceScores(
+      docs: DataFrame,
+      targetCond: Column,
+      buckets: Int = 1024,
+      salt: String = "dsir",
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(buckets >= 2)
+    val toks = Caches.persisted(
+      docs
+        .select(col(idCol), targetCond.cast("int").as("__is_tgt"),
+          explode(tokens(col(textCol))).as("__tok"))
+        .filter(col("__tok") =!= "")
+        .select(col(idCol), col("__is_tgt"),
+          (mixed_hash32(concat_ws(":", lit(salt), col("__tok"))) % buckets)
+            .as("bucket")))
+    val counts = toks.groupBy("bucket")
+      .agg(count(lit(1)).as("n_raw"), sum("__is_tgt").as("n_tgt"))
+    val tots = counts.agg(
+      sum("n_raw").as("__tot_raw"), sum("n_tgt").as("__tot_tgt"))
+    val weights = counts
+      .crossJoin(broadcast(tots))
+      .select(col("bucket"),
+        expr(s"CAST((CAST(n_tgt + 1 AS DECIMAL(38,0)) * (__tot_raw + $buckets) * 1000000)" +
+          s" div (CAST(n_raw + 1 AS DECIMAL(38,0)) * (__tot_tgt + $buckets)) AS BIGINT)")
+          .as("w_ppm"))
+    toks
+      .join(broadcast(weights), "bucket")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), sum("w_ppm").as("__sw"))
+      .select(col(idCol), col("n_tokens"),
+        expr("__sw div n_tokens").as("score_ppm"))
   }
 }

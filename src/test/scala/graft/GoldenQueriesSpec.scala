@@ -172,7 +172,9 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "dedup_sorted_neighborhood" -> "0790d996b5066b975a3a1a00ad2692ea",
     "sample_temperature_alloc" -> "877a62f7ca84acd8bb06e23cf53cee43",
     "sample_temperature_docs" -> "cfdbe636b8341ba1ca1da777c0a4eae6",
-    "pipeline_curation_v4" -> "230ebecd3bcd3460bb382b80485f565f")
+    "pipeline_curation_v4" -> "230ebecd3bcd3460bb382b80485f565f",
+    "text_importance" -> "fb0c6b8d765ea4135558c73791bb21f0",
+    "sample_importance" -> "4c0bc0470323420fd77247e3a4bfcc07")
 
   test("round-3d operator outputs hash-match their pinned golden values") {
     val got = pinnedR3d.keys.toSeq.sorted.map { q =>

@@ -282,4 +282,34 @@ class TextOpsSpec extends AnyFunSuite with SparkTest {
     graft.operators.Caches.release()
     assert(got == Set(("p", "q"), ("q", "r")))
   }
+
+  // ------------------------------------------------------ importanceScores
+
+  test("importanceScores: target-like docs outscore off-target; invariant") {
+    val s = spark; import s.implicits._
+    val d = Seq(
+      (0L, "alpha beta gamma alpha beta", "en"),
+      (1L, "alpha beta gamma", "en"),
+      (2L, "alpha beta gamma beta", "fr"), // target-vocabulary doc
+      (3L, "zuzu qort mlep zuzu qort", "fr"), // shares nothing with target
+      (4L, "", "fr")) // tokenless -> omitted
+      .toDF("doc_id", "text", "lang")
+    val scores = TextAnalysis.importanceScores(d, col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    graft.operators.Caches.release()
+    assert(!scores.contains(4L))
+    assert(scores(0L)._1 == 5 && scores(2L)._1 == 4 && scores(3L)._1 == 5)
+    // docs over the target vocabulary must outscore the disjoint doc —
+    // both for a target member (0) and an off-target lookalike (2),
+    // which is the doc DSIR selection exists to find
+    assert(scores(2L)._2 > scores(3L)._2,
+      s"lookalike ${scores(2L)._2} !> disjoint ${scores(3L)._2}")
+    assert(scores(0L)._2 > scores(3L)._2)
+    // partitioning cannot move a single ppm
+    val rep = TextAnalysis.importanceScores(
+      d.repartition(7), col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    graft.operators.Caches.release()
+    assert(rep == scores)
+  }
 }

@@ -582,22 +582,33 @@ object OracleSql {
     * then register = h32 % m, rho = (32 − log2 m) − bitlen(h32 // m) + 1,
     * max per register. The register table IS the HLL sketch.
     */
-  def hllRegisters(m: Int): String = {
+  def hllRegisters(m: Int): String =
+    hllRegistersOver(m, "events", "event_type", "user_id")
+
+  /** The same replay over any relation: group expression `groupExpr`
+    * (emitted under its own name), key expression `keyExpr`. Proves
+    * sketch identities cross-engine wherever the engine-side sketch is
+    * built at a different grain (e.g. `sketch_hll_rollup`: DuckDB
+    * rebuilds directly at region level, Spark merges nation sketches —
+    * max-associativity makes them bit-identical).
+    */
+  def hllRegistersOver(
+      m: Int, fromSql: String, groupExpr: String, keyExpr: String): String = {
     require(m > 0 && (m & (m - 1)) == 0, "m must be a power of two")
     val restBits = 32 - Integer.numberOfTrailingZeros(m)
     val cHi = 2654435769L
     val cLo = 2135587861L
     val mix = "(((a * " + cLo + " + b * " + cHi + ") * 4294967296 + b * " + cLo +
       ") % 18446744073709551616)"
-    s"WITH d AS (SELECT DISTINCT event_type, user_id FROM events), " +
-      "dx AS (SELECT event_type, user_id, hex(encode('hll:' || CAST(user_id AS VARCHAR))) AS hx FROM d), " +
-      s"fl AS (SELECT event_type, user_id, ${rollFold("hx")} AS fold FROM dx), " +
-      "lm AS (SELECT event_type, user_id, fold // 4294967296 AS a, fold % 4294967296 AS b FROM fl), " +
-      s"h AS (SELECT event_type, CAST($mix // 4294967296 AS BIGINT) AS h32 FROM lm), " +
-      s"rr AS (SELECT event_type, h32 % $m AS reg, " +
+    s"WITH d AS (SELECT DISTINCT $groupExpr AS grp, $keyExpr AS key FROM $fromSql), " +
+      "dx AS (SELECT grp, key, hex(encode('hll:' || CAST(key AS VARCHAR))) AS hx FROM d), " +
+      s"fl AS (SELECT grp, key, ${rollFold("hx")} AS fold FROM dx), " +
+      "lm AS (SELECT grp, key, fold // 4294967296 AS a, fold % 4294967296 AS b FROM fl), " +
+      s"h AS (SELECT grp, CAST($mix // 4294967296 AS BIGINT) AS h32 FROM lm), " +
+      s"rr AS (SELECT grp, h32 % $m AS reg, " +
       s"${restBits + 1} - ${bitLenSum(s"(h32 // $m)", restBits)} AS rho FROM h) " +
-      "SELECT event_type, reg, CAST(max(rho) AS INT) AS max_rho " +
-      "FROM rr GROUP BY event_type, reg"
+      s"SELECT grp AS $groupExpr, reg, CAST(max(rho) AS INT) AS max_rho " +
+      "FROM rr GROUP BY grp, reg"
   }
 
   /** Replays `graph_kcore`: peel rounds unrolled as CTE pairs

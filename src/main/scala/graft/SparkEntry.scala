@@ -1174,6 +1174,28 @@ object SparkEntry {
       // HyperLogLog register table per event type — the m-bounded,
       // max-mergeable distinct sketch (see Sketches.hllRegisters)
       Sketches.hllRegisters(rd(s, d, "events"), "event_type", "user_id", 64)),
+    "sketch_hll_rollup" -> ((s, d) => {
+      // sketch ONCE at nation grain, serve region by register max —
+      // the oracle rebuilds directly at region level and must match
+      // bit-for-bit (max associativity)
+      val nat = rd(s, d, "nation").select("n_nationkey", "n_regionkey")
+      val cust = rd(s, d, "customer")
+        .select(col("c_nationkey").as("n_nationkey"), col("c_custkey"))
+      Sketches.hllMergeRegisters(
+        Sketches.hllRegisters(cust, "n_nationkey", "c_custkey", 64),
+        nat, "n_nationkey", "n_regionkey")
+    }),
+    "text_oov_rate" -> ((s, d) =>
+      // tokenizer-coverage audit: per-doc OOV ppm against the corpus's
+      // own top-100 vocabulary (rank ties break lexicographically)
+      TextAnalysis.oovRate(rd(s, d, "documents"), vocabSize = 100)),
+    "sample_negatives" -> ((s, d) => {
+      // contrastive negative mining: 5 cross-source negatives per
+      // anchor, per-anchor independent md5 permutation
+      val docs = rd(s, d, "documents")
+      Sampling.negativeSample(
+        docs, docs.filter(col("doc_id") < 10), k = 5, salt = "neg")
+    }),
     "dedup_edit_distance" -> ((s, d) => {
       // edit-distance verify tier: exact Levenshtein ONLY on candidate
       // pairs from the n-gram inverted index — never all-pairs. The
@@ -2188,6 +2210,24 @@ object SparkEntry {
         "THEN 1 ELSE 0 END AS converted_24h FROM v LEFT JOIN p ON p.user_id = v.user_id"),
     "sketch_kmv_distinct" -> OracleSql.kmvDistinct(32),
     "sketch_hll_registers" -> OracleSql.hllRegisters(64),
+    "sketch_hll_rollup" -> OracleSql.hllRegistersOver(64,
+      "customer JOIN nation ON n_nationkey = c_nationkey",
+      "n_regionkey", "c_custkey"),
+    "text_oov_rate" ->
+      ("WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM documents), " +
+        "tf AS (SELECT * FROM tk WHERE tok <> ''), " +
+        "vc AS (SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS rn FROM tf GROUP BY tok), " +
+        "vv AS (SELECT tok FROM vc WHERE rn <= 100), " +
+        "j AS (SELECT tf.doc_id, CAST(vv.tok IS NULL AS INT) AS oov FROM tf LEFT JOIN vv ON vv.tok = tf.tok) " +
+        "SELECT doc_id, count(*) AS n_tokens, CAST(sum(oov) AS BIGINT) AS n_oov, " +
+        "CAST((sum(oov) * 1000000) // count(*) AS BIGINT) AS oov_ppm FROM j GROUP BY doc_id"),
+    "sample_negatives" ->
+      ("WITH a AS (SELECT doc_id AS anchor_id, source AS ag FROM documents WHERE doc_id < 10), " +
+        "c AS (SELECT doc_id AS neg_id, source AS cg FROM documents), " +
+        "p AS (SELECT anchor_id, neg_id, row_number() OVER (PARTITION BY anchor_id " +
+        "ORDER BY md5('neg:' || CAST(anchor_id AS VARCHAR) || ':' || CAST(neg_id AS VARCHAR)) NULLS FIRST, " +
+        "neg_id NULLS FIRST) AS rk FROM a JOIN c ON cg <> ag) " +
+        "SELECT anchor_id, neg_id, CAST(rk AS INT) AS rk FROM p WHERE rk <= 5"),
     // recompute-from-scratch formulation: proves the incremental fold
     // equals a full re-aggregation
     "incr_agg_maintain" ->

@@ -396,4 +396,48 @@ object Sampling {
       .filter(col("__rk") <= col("__alloc"))
       .drop("__rk", "__alloc")
   }
+
+  /** Contrastive negative mining: for each anchor, the `k` candidates
+    * with the smallest salted md5 draw among candidates from a
+    * DIFFERENT group (`groupCol` — source, cluster, label…), the
+    * training-pair generator for contrastive/embedding objectives.
+    * The draw hashes (salt, anchor, candidate) TOGETHER, so each
+    * anchor gets its own independent permutation of the candidate pool
+    * — hashing the candidate alone would hand every anchor the same
+    * negatives. Deterministic: ties (impossible for md5 in practice)
+    * break by candidate id, and the output is a pure function of
+    * (data, salt, k).
+    *
+    * Output: (anchor_id, neg_id, rk) with rk in 1..k.
+    *
+    * Shape at 100 TB: the anchor table broadcasts (anchors are a
+    * bounded working set by construction — a query batch, a hard-
+    * example frontier); candidates stream through ONE window shuffle
+    * keyed by anchor. For unbounded anchor sets, swap the window for
+    * [[graft.functions.TopKAgg]] keyed on the draw — k rows per anchor
+    * per map task through the shuffle.
+    */
+  def negativeSample(
+      cands: DataFrame,
+      anchors: DataFrame,
+      k: Int,
+      salt: String,
+      idCol: String = "doc_id",
+      groupCol: String = "source"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val a = anchors.select(
+      col(idCol).as("anchor_id"), col(groupCol).as("__ag"))
+    val c = cands.select(col(idCol).as("neg_id"), col(groupCol).as("__cg"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor_id"))
+      .orderBy(col("__draw").asc_nulls_first, col("neg_id").asc_nulls_first)
+    c.crossJoin(broadcast(a))
+      .filter(col("__cg") =!= col("__ag"))
+      .withColumn("__draw", md5(concat_ws(":", lit(salt),
+        col("anchor_id").cast("string"), col("neg_id").cast("string"))
+        .cast("binary")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("anchor_id"), col("neg_id"), col("rk"))
+  }
 }

@@ -48,4 +48,27 @@ object Sketches {
       .groupBy(col(groupCol), col("reg"))
       .agg(max(col("rho")).cast("int").as("max_rho"))
   }
+
+  /** Roll an HLL register table up a dimension hierarchy: re-key each
+    * group through `mapping` (`fromCol` → `toCol`, e.g. nation →
+    * region) and take the elementwise register max. Because HLL union
+    * IS the register max and max is associative, the rolled-up table
+    * is BIT-IDENTICAL to a sketch built directly at the coarse level —
+    * the property that lets a 100 TB job sketch at the finest grain
+    * once and serve every coarser rollup from sketch-sized inputs
+    * (the `sketch_hll_rollup` oracle proves the identity cross-engine:
+    * DuckDB rebuilds at region level, Spark merges nation sketches).
+    *
+    * `mapping` must be unique on `fromCol` (a hierarchy, not a graph);
+    * it broadcasts — dimension-sized by construction.
+    */
+  def hllMergeRegisters(
+      registers: DataFrame,
+      mapping: DataFrame,
+      fromCol: String,
+      toCol: String): DataFrame =
+    registers
+      .join(broadcast(mapping.select(col(fromCol), col(toCol))), fromCol)
+      .groupBy(col(toCol), col("reg"))
+      .agg(max(col("max_rho")).cast("int").as("max_rho"))
 }

@@ -689,6 +689,39 @@ object TextAnalysis {
     * the feature table bounded when the corpus has billions of n-gram
     * types.
     */
+  /** Per-document out-of-vocabulary rate against the corpus's own
+    * top-`vocabSize` token vocabulary — the tokenizer-coverage audit:
+    * docs full of tokens the vocabulary doesn't cover fragment into
+    * long byte-level encodings and waste training compute. Vocabulary
+    * rank ties break lexicographically (deterministic truncation).
+    * Output: (idCol, n_tokens, n_oov, oov_ppm) per doc with ≥ 1 token.
+    *
+    * Shape at 100 TB: the token stream is computed once (persisted) and
+    * feeds the vocabulary count AND the coverage join; the vocabulary
+    * is exactly `vocabSize` rows — a broadcast — so coverage is a
+    * zero-shuffle map-side join plus one combinable per-doc count.
+    */
+  def oovRate(
+      docs: DataFrame,
+      vocabSize: Int = 100,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(vocabSize >= 1)
+    val toks = Caches.persisted(
+      docs.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+        .filter(col("__tok") =!= ""))
+    val vocab = toks.groupBy("__tok").agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("__tok")).limit(vocabSize)
+      .select(col("__tok"), lit(1).as("__in_vocab"))
+    toks
+      .join(broadcast(vocab), Seq("__tok"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        expr("n_oov * 1000000 div n_tokens").as("oov_ppm"))
+  }
+
   def importanceScores(
       docs: DataFrame,
       targetCond: Column,

@@ -174,7 +174,10 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "sample_temperature_docs" -> "cfdbe636b8341ba1ca1da777c0a4eae6",
     "pipeline_curation_v4" -> "230ebecd3bcd3460bb382b80485f565f",
     "text_importance" -> "fb0c6b8d765ea4135558c73791bb21f0",
-    "sample_importance" -> "4c0bc0470323420fd77247e3a4bfcc07")
+    "sample_importance" -> "4c0bc0470323420fd77247e3a4bfcc07",
+    "sketch_hll_rollup" -> "d2ead2648490d65387a0f8de760215af",
+    "text_oov_rate" -> "0e6dd20dc9e878a84c7c238bcfa530a9",
+    "sample_negatives" -> "efd7a79f29619c2b782f4b1dd6ffeff9")
 
   test("round-3d operator outputs hash-match their pinned golden values") {
     val got = pinnedR3d.keys.toSeq.sorted.map { q =>

@@ -451,4 +451,52 @@ class SamplingSketchSpec extends AnyFunSuite with SparkTest {
     assert(wide == trueCounts)
     assert(estimates(3, 1024, 7) == wide)
   }
+
+  test("hllMergeRegisters: hierarchy rollup equals direct coarse-grain build") {
+    val s = spark; import s.implicits._
+    // fine groups g0..g3 map to coarse G0 (g0,g1) and G1 (g2,g3);
+    // keys overlap across fine groups so the max actually merges
+    val df = (0 until 4000)
+      .map(i => (s"g${i % 4}", (i % 1500).toLong)).toDF("fine", "k")
+    val mapping = Seq(("g0", "G0"), ("g1", "G0"), ("g2", "G1"), ("g3", "G1"))
+      .toDF("fine", "coarse")
+    val rolled = graft.operators.Sketches.hllMergeRegisters(
+      graft.operators.Sketches.hllRegisters(df, "fine", "k", 64),
+      mapping, "fine", "coarse")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val direct = graft.operators.Sketches.hllRegisters(
+      df.join(mapping, "fine").select("coarse", "k"), "coarse", "k", 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rolled == direct)
+  }
+
+  test("negativeSample: k cross-group picks per anchor, anchor-independent draws") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (0L, "s0"), (1L, "s0"), (2L, "s0"),
+      (3L, "s1"), (4L, "s1"), (5L, "s1"),
+      (6L, "s2")).toDF("doc_id", "source")
+    val anchors = docs.filter(col("doc_id").isin(0L, 3L))
+    val out = Sampling.negativeSample(docs, anchors, k = 2, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val byAnchor = out.groupBy(_._1)
+    // exactly k rows per anchor, ranks 1..k, negatives never share the
+    // anchor's group
+    assert(byAnchor.keySet == Set(0L, 3L))
+    byAnchor.foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == Seq(1, 2))
+    }
+    assert(byAnchor(0L).map(_._2).forall(n => n >= 3L))
+    assert(byAnchor(3L).map(_._2).forall(n => n <= 2L || n == 6L))
+    // k above the pool size: every eligible candidate, no more
+    val all = Sampling.negativeSample(docs, anchors, k = 10, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(all.count(_._1 == 0L) == 4) // 3,4,5,6
+    assert(all.count(_._1 == 3L) == 4) // 0,1,2,6
+    // partitioning cannot change a single pick
+    val rep = Sampling.negativeSample(
+      docs.repartition(5), anchors, k = 2, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rep == out.toSet)
+  }
 }

@@ -283,6 +283,21 @@ class TextOpsSpec extends AnyFunSuite with SparkTest {
     assert(got == Set(("p", "q"), ("q", "r")))
   }
 
+  // --------------------------------------------------------------- oovRate
+
+  test("oovRate: hand-computed coverage against the top-2 vocabulary") {
+    // counts: a=3, b=1, c=1 -> top-2 by (count desc, token) = {a, b}
+    val d = docs((0L, "a a b"), (1L, "a c"), (2L, ""))
+    val rows = TextAnalysis.oovRate(d, vocabSize = 2)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    graft.operators.Caches.release()
+    assert(!rows.contains(2L)) // tokenless doc omitted
+    assert(rows(0L) == ((3L, 0L, 0L)))
+    assert(rows(1L) == ((2L, 1L, 500000L))) // "c" is OOV
+  }
+
   // ------------------------------------------------------ importanceScores
 
   test("importanceScores: target-like docs outscore off-target; invariant") {

@@ -1196,6 +1196,16 @@ object SparkEntry {
       Sampling.negativeSample(
         docs, docs.filter(col("doc_id") < 10), k = 5, salt = "neg")
     }),
+    "pack_length_buckets" -> ((s, d) => {
+      // dynamic-padding accounting: next-pow2 length buckets per
+      // source, padding waste in exact integer ppm
+      val docs = rd(s, d, "documents")
+      Sampling.lengthBucketStats(
+        docs.select(col("source"),
+          size(filter(split(lower(trim(col("text"))), "\\s+"),
+            t => t =!= "")).as("n_tokens")),
+        "source", "n_tokens", maxBits = 20)
+    }),
     "dedup_edit_distance" -> ((s, d) => {
       // edit-distance verify tier: exact Levenshtein ONLY on candidate
       // pairs from the n-gram inverted index — never all-pairs. The
@@ -2228,6 +2238,14 @@ object SparkEntry {
         "ORDER BY md5('neg:' || CAST(anchor_id AS VARCHAR) || ':' || CAST(neg_id AS VARCHAR)) NULLS FIRST, " +
         "neg_id NULLS FIRST) AS rk FROM a JOIN c ON cg <> ag) " +
         "SELECT anchor_id, neg_id, CAST(rk AS INT) AS rk FROM p WHERE rk <= 5"),
+    "pack_length_buckets" ->
+      ("WITH L AS (SELECT source, len([t for t in regexp_split_to_array(lower(trim(text)), '\\s+') if t <> '']) AS n FROM documents), " +
+        "f AS (SELECT * FROM L WHERE n >= 1), " +
+        s"b AS (SELECT source, n, (CAST(1 AS BIGINT) << ${OracleSql.bitLenSum("(n - 1)", 20)}) AS bucket FROM f) " +
+        "SELECT source, bucket, count(*) AS n_rows, CAST(sum(n) AS BIGINT) AS sum_len, " +
+        "CAST(sum(bucket - n) AS BIGINT) AS sum_pad, " +
+        "CAST((sum(bucket - n) * 1000000) // (sum(n) + sum(bucket - n)) AS BIGINT) AS waste_ppm " +
+        "FROM b GROUP BY source, bucket"),
     // recompute-from-scratch formulation: proves the incremental fold
     // equals a full re-aggregation
     "incr_agg_maintain" ->

@@ -221,6 +221,39 @@ object Sampling {
       floor(coalesce(sum(col(weightCol)).over(w), lit(0L)) / budget).cast("int"))
   }
 
+  /** Length-bucket padding accounting: assign each row the next
+    * power-of-two at or above its length (`2^ceil(log2 len)`, len ≥ 1)
+    * — the bucketing dynamic-padding batch schedulers use — and report
+    * per-(group, bucket) document count, payload, padding, and waste
+    * ppm (`padding·10⁶ / (payload+padding)`). The report says what
+    * fraction of a training batch's compute would be spent on pad
+    * tokens under each bucket — the signal for choosing bucket
+    * boundaries or sequence-packing instead.
+    *
+    * The bucket is computed in pure integer arithmetic
+    * (`shiftleft(1, bitlen(len−1))` with bitlen as a comparison sum,
+    * exact to `maxBits`) — no float log2, whose rounding at exact
+    * powers of two is engine lottery. One combinable aggregation;
+    * zero joins.
+    */
+  def lengthBucketStats(
+      df: DataFrame,
+      groupCol: String,
+      lenCol: String,
+      maxBits: Int = 30): DataFrame = {
+    require(maxBits >= 1 && maxBits <= 62)
+    val bitlen = (0 until maxBits)
+      .map(j => s"CAST($lenCol - 1 >= ${1L << j} AS INT)").mkString(" + ")
+    df.filter(col(lenCol) >= 1)
+      .withColumn("bucket", expr(s"shiftleft(CAST(1 AS BIGINT), $bitlen)"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col(lenCol)).as("sum_len"),
+        sum(col("bucket") - col(lenCol)).as("sum_pad"))
+      .withColumn("waste_ppm",
+        expr("sum_pad * 1000000 div (sum_len + sum_pad)"))
+  }
+
   /** Deterministic per-group row cap — "at most `cap` examples per
     * class/source", the balance primitive for long-tailed corpora.
     *

@@ -470,6 +470,23 @@ class SamplingSketchSpec extends AnyFunSuite with SparkTest {
     assert(rolled == direct)
   }
 
+  test("lengthBucketStats: hand-computed pow2 buckets and waste ppm") {
+    val s = spark; import s.implicits._
+    val d = Seq(("g", 1), ("g", 2), ("g", 3), ("g", 4), ("g", 5), ("g", 8),
+      ("g", 9), ("g", 0)) // len-0 row dropped
+      .toDF("src", "len")
+    val out = Sampling.lengthBucketStats(d, "src", "len", maxBits = 8)
+      .collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(out == Map(
+      1L -> ((1L, 1L, 0L, 0L)),
+      2L -> ((1L, 2L, 0L, 0L)),
+      4L -> ((2L, 7L, 1L, 125000L)),   // 3+4 pad 1 of 8
+      8L -> ((2L, 13L, 3L, 187500L)),  // 5+8 pad 3 of 16
+      16L -> ((1L, 9L, 7L, 437500L)))) // 9 pad 7 of 16
+  }
+
   test("negativeSample: k cross-group picks per anchor, anchor-independent draws") {
     val s = spark; import s.implicits._
     val docs = Seq(

@@ -1196,6 +1196,24 @@ object SparkEntry {
       Sampling.negativeSample(
         docs, docs.filter(col("doc_id") < 10), k = 5, salt = "neg")
     }),
+    "shard_ring_move" -> ((s, d) => {
+      // resharding audit: consistent-ring assignment at 8 vs 12 shards
+      // over the SAME salt (the 8-shard ring is a subset of the
+      // 12-shard ring, so only keys whose successor point is new move
+      // — and they move TO the new shards); per-source moved fraction
+      // in exact ppm. mod-hash resharding would move ~2/3 of all keys
+      val docs = rd(s, d, "documents")
+      val a = graft.sources.Layout.consistentShard(
+        docs, "doc_id", nShards = 8, vnodes = 16, salt = "ring", outCol = "shard8")
+      val b = graft.sources.Layout.consistentShard(
+        a, "doc_id", nShards = 12, vnodes = 16, salt = "ring", outCol = "shard12")
+      b.groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("shard8") =!= col("shard12"), 1L).otherwise(0L))
+            .as("n_moved"))
+        .withColumn("moved_ppm", expr("n_moved * 1000000 div n_docs"))
+    }),
     "pack_length_buckets" -> ((s, d) => {
       // dynamic-padding accounting: next-pow2 length buckets per
       // source, padding waste in exact integer ppm
@@ -2238,6 +2256,25 @@ object SparkEntry {
         "ORDER BY md5('neg:' || CAST(anchor_id AS VARCHAR) || ':' || CAST(neg_id AS VARCHAR)) NULLS FIRST, " +
         "neg_id NULLS FIRST) AS rk FROM a JOIN c ON cg <> ag) " +
         "SELECT anchor_id, neg_id, CAST(rk AS INT) AS rk FROM p WHERE rk <= 5"),
+    "shard_ring_move" ->
+      ("WITH r8 AS (SELECT CAST(s.range AS INT) AS shard, " +
+        "md5('ring:' || CAST(s.range AS VARCHAR) || ':' || CAST(v.range AS VARCHAR)) AS pt " +
+        "FROM range(8) s, range(16) v), " +
+        "r12 AS (SELECT CAST(s.range AS INT) AS shard, " +
+        "md5('ring:' || CAST(s.range AS VARCHAR) || ':' || CAST(v.range AS VARCHAR)) AS pt " +
+        "FROM range(12) s, range(16) v), " +
+        "k AS (SELECT doc_id, source, md5('ring:key:' || CAST(doc_id AS VARCHAR)) AS h FROM documents), " +
+        "a8 AS (SELECT k.doc_id, k.source, " +
+        "coalesce(arg_min(r.shard, r.pt), (SELECT arg_min(shard, pt) FROM r8)) AS sh8 " +
+        "FROM k LEFT JOIN r8 r ON r.pt >= k.h GROUP BY k.doc_id, k.source), " +
+        "a12 AS (SELECT k.doc_id, " +
+        "coalesce(arg_min(r.shard, r.pt), (SELECT arg_min(shard, pt) FROM r12)) AS sh12 " +
+        "FROM k LEFT JOIN r12 r ON r.pt >= k.h GROUP BY k.doc_id), " +
+        "j AS (SELECT a8.source, a8.sh8, a12.sh12 FROM a8 JOIN a12 ON a8.doc_id = a12.doc_id) " +
+        "SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN sh8 <> sh12 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved, " +
+        "CAST((sum(CASE WHEN sh8 <> sh12 THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS moved_ppm " +
+        "FROM j GROUP BY source"),
     "pack_length_buckets" ->
       ("WITH L AS (SELECT source, len([t for t in regexp_split_to_array(lower(trim(text)), '\\s+') if t <> '']) AS n FROM documents), " +
         "f AS (SELECT * FROM L WHERE n >= 1), " +

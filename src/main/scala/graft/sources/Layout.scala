@@ -151,4 +151,58 @@ object Layout {
     if (files.isEmpty) spark.read.parquet(path).where(lit(false))
     else spark.read.parquet(files: _*).where(residual)
   }
+
+  /** The consistent-hash ring: `vnodes` points per shard at
+    * `md5(salt:shard:vnode)`, sorted by point. A pure function of the
+    * parameters — no data touched — so both engines (and any future
+    * re-run) derive the identical ring from the formula alone.
+    */
+  private[graft] def ringPoints(
+      nShards: Int, vnodes: Int, salt: String): Seq[(String, Int)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (for { s <- 0 until nShards; v <- 0 until vnodes } yield {
+      val pt = md.digest(s"$salt:$s:$v".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      md.reset()
+      (pt, s)
+    }).sortBy(_._1)
+  }
+
+  /** Consistent-hash shard assignment: each key goes to the shard
+    * owning the first ring point at or after `md5(salt:key:<key>)`
+    * (wrapping to the ring's first point). Unlike `hash(key) % n` —
+    * where changing `n` remaps almost EVERY key — growing the ring
+    * from n to n+1 shards moves only ~1/(n+1) of the keys, and every
+    * moved key lands on the NEW shard. That is the resharding
+    * primitive for a live 100 TB corpus: adding capacity re-copies
+    * one shard's worth of data, not the whole table.
+    *
+    * The ring (nShards·vnodes entries, e.g. 128) rides inside the
+    * projection as a sorted array literal; assignment is a narrow
+    * per-row scan of that array — zero shuffle, zero join, nothing
+    * broadcast. Lexicographic compare on fixed-width lowercase hex
+    * equals numeric compare, so the DuckDB oracle replays the exact
+    * assignment from the same md5 formula.
+    */
+  def consistentShard(
+      df: DataFrame,
+      keyCol: String,
+      nShards: Int,
+      vnodes: Int = 16,
+      salt: String = "ring",
+      outCol: String = "shard"): DataFrame = {
+    require(nShards >= 1 && vnodes >= 1)
+    val ring = ringPoints(nShards, vnodes, salt)
+    val ringArr = array(ring.map { case (pt, sh) =>
+      struct(lit(pt).as("pt"), lit(sh).as("shard"))
+    }: _*)
+    val h = md5(concat(lit(s"$salt:key:"), col(keyCol).cast("string")))
+    // ring is sorted ascending, filter preserves order: element 1 of
+    // the survivors IS the successor point; empty -> NULL under
+    // try_element_at (ANSI element_at throws) -> wrap to ring head
+    val successor = coalesce(
+      try_element_at(filter(ringArr, x => x("pt") >= h), lit(1)),
+      try_element_at(ringArr, lit(1)))
+    df.withColumn(outCol, successor("shard"))
+  }
 }

@@ -322,4 +322,47 @@ class ScaleSpec extends AnyFunSuite with SparkTest {
     assert(prunedPlan.contains("LeftSemi"),
       s"no semi-join pruning of the corpus read:\n$prunedPlan")
   }
+
+  test("consistentShard matches a local ring replay and is partition-invariant") {
+    val s = spark; import s.implicits._
+    val keys = (0L until 500L).toDF("k")
+    val got = Layout.consistentShard(keys, "k", nShards = 8, vnodes = 16, salt = "t")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // independent local replay of the same formula
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(x: String) = { val d = md.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString; md.reset(); d }
+    val ring = Layout.ringPoints(8, 16, "t")
+    val expected = (0L until 500L).map { k =>
+      val kh = h(s"t:key:$k")
+      k -> ring.find(_._1 >= kh).getOrElse(ring.head)._2
+    }.toMap
+    assert(got == expected)
+    val reparted = Layout.consistentShard(
+      keys.repartition(7), "k", nShards = 8, vnodes = 16, salt = "t")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(reparted == got)
+  }
+
+  test("consistentShard: growing the ring moves few keys, all onto the new shard") {
+    val s = spark; import s.implicits._
+    val keys = (0L until 2000L).toDF("k")
+    val both = Layout.consistentShard(
+      Layout.consistentShard(keys, "k", 8, 16, "t", "s8"), "k", 9, 16, "t", "s9")
+      .collect().map(r => (r.getInt(1), r.getInt(2)))
+    val moved = both.count { case (a, b) => a != b }
+    // expectation 1/9 of 2000 ≈ 222; generous band, but far below the
+    // ~8/9 (≈1778) a mod-hash reshard would move
+    assert(moved > 50 && moved < 600, s"moved $moved of 2000")
+    // the 8-shard ring is a PREFIX of the 9-shard ring: a key moves
+    // only when a new shard-8 point became its successor
+    assert(both.forall { case (a, b) => a == b || b == 8 },
+      "a moved key landed on a pre-existing shard")
+  }
+
+  test("consistentShard is a zero-exchange projection") {
+    val s = spark; import s.implicits._
+    val out = Layout.consistentShard((0L until 100L).toDF("k"), "k", 8, 16, "t")
+    val exchanges = out.queryExecution.executedPlan.collect { case e: Exchange => e }
+    assert(exchanges.isEmpty, "shard assignment must not shuffle")
+  }
 }

@@ -1196,6 +1196,13 @@ object SparkEntry {
       Sampling.negativeSample(
         docs, docs.filter(col("doc_id") < 10), k = 5, salt = "neg")
     }),
+    "sample_interleave" -> ((s, d) => {
+      // reproducible global training order: salted per-source md5 rank
+      // striped across sources — batches draw from every source
+      val docs = rd(s, d, "documents")
+      Sampling.interleaveOrder(docs, "source", "doc_id", salt = "ilv")
+        .select("doc_id", "source", "order_key")
+    }),
     "shard_ring_move" -> ((s, d) => {
       // resharding audit: consistent-ring assignment at 8 vs 12 shards
       // over the SAME salt (the 8-shard ring is a subset of the
@@ -2256,6 +2263,14 @@ object SparkEntry {
         "ORDER BY md5('neg:' || CAST(anchor_id AS VARCHAR) || ':' || CAST(neg_id AS VARCHAR)) NULLS FIRST, " +
         "neg_id NULLS FIRST) AS rk FROM a JOIN c ON cg <> ag) " +
         "SELECT anchor_id, neg_id, CAST(rk AS INT) AS rk FROM p WHERE rk <= 5"),
+    "sample_interleave" ->
+      ("WITH si AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS sidx " +
+        "FROM (SELECT DISTINCT source FROM documents)), " +
+        "n AS (SELECT count(*) AS nsrc FROM si), " +
+        "r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source " +
+        "ORDER BY md5('ilv:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS rk FROM documents) " +
+        "SELECT r.doc_id, r.source, CAST(rk * nsrc + sidx AS BIGINT) AS order_key " +
+        "FROM r JOIN si USING (source) CROSS JOIN n"),
     "shard_ring_move" ->
       ("WITH r8 AS (SELECT CAST(s.range AS INT) AS shard, " +
         "md5('ring:' || CAST(s.range AS VARCHAR) || ':' || CAST(v.range AS VARCHAR)) AS pt " +

@@ -254,6 +254,44 @@ object Sampling {
         expr("sum_pad * 1000000 div (sum_len + sum_pad)"))
   }
 
+  /** Deterministic source-interleaved training order — the
+    * reproducible "global shuffle" for a training corpus. Each row
+    * gets `order_key = rk·nSources + sourceIndex`, where `rk` is the
+    * row's salted-md5 rank WITHIN its source and `sourceIndex` is the
+    * source's lexicographic index: reading in `order_key` order visits
+    * row r of every source before row r+1 of any source, so
+    * consecutive batches draw from all sources instead of clumping
+    * (equal-sized sources give exact round-robin). The key is a pure
+    * function of (data, salt): re-runs, recomputations, engines, and
+    * partitionings produce the identical order, and the salt
+    * namespaces independent epoch orders.
+    *
+    * No global window: the per-source rank is one shuffle keyed by
+    * source, the source index and count ride back as broadcasts. The
+    * key is injective (sourceIndex < nSources), strictly ordering the
+    * corpus without ever materializing a single-partition rank.
+    */
+  def interleaveOrder(
+      df: DataFrame,
+      sourceCol: String,
+      keyCol: String,
+      salt: String = "ilv"): DataFrame = {
+    val rkW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(md5(concat(lit(s"$salt:"), col(keyCol).cast("string"))),
+        col(keyCol))
+    val srcIdx = df.select(col(sourceCol)).distinct()
+      .withColumn("__sidx", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col(sourceCol)))
+        .cast("long") - 1L)
+    val nSrc = srcIdx.agg(count(lit(1)).as("__nsrc"))
+    df.withColumn("__rk", row_number().over(rkW).cast("long") - 1L)
+      .join(broadcast(srcIdx), sourceCol)
+      .crossJoin(broadcast(nSrc))
+      .withColumn("order_key", col("__rk") * col("__nsrc") + col("__sidx"))
+      .drop("__rk", "__sidx", "__nsrc")
+  }
+
   /** Deterministic per-group row cap — "at most `cap` examples per
     * class/source", the balance primitive for long-tailed corpora.
     *

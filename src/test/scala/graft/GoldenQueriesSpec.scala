@@ -179,7 +179,8 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "text_oov_rate" -> "0e6dd20dc9e878a84c7c238bcfa530a9",
     "sample_negatives" -> "efd7a79f29619c2b782f4b1dd6ffeff9",
     "pack_length_buckets" -> "81ab464f78004685d6297f3904c65507",
-    "shard_ring_move" -> "84d72e027158f12b9cc7b77faab44a6b")
+    "shard_ring_move" -> "84d72e027158f12b9cc7b77faab44a6b",
+    "sample_interleave" -> "b2329402f646ec8a98c7081b021d8dc3")
 
   test("round-3d operator outputs hash-match their pinned golden values") {
     val got = pinnedR3d.keys.toSeq.sorted.map { q =>

@@ -487,6 +487,27 @@ class SamplingSketchSpec extends AnyFunSuite with SparkTest {
       16L -> ((1L, 9L, 7L, 437500L)))) // 9 pad 7 of 16
   }
 
+  test("interleaveOrder: equal-size sources round-robin; key injective; partition-invariant") {
+    val s = spark; import s.implicits._
+    val docs = (for { src <- Seq("a", "b", "c"); i <- 0 until 4 }
+      yield (s"$src$i", src)).toDF("id", "src")
+    val out = Sampling.interleaveOrder(docs, "src", "id")
+      .orderBy("order_key").collect()
+      .map(r => (r.getAs[String]("src"), r.getAs[Long]("order_key")))
+    // keys are injective and, with equal sizes, sources cycle a,b,c,...
+    assert(out.map(_._2).distinct.length == 12)
+    assert(out.map(_._1).toSeq == Seq.fill(4)(Seq("a", "b", "c")).flatten)
+    val reparted = Sampling.interleaveOrder(docs.repartition(5), "src", "id")
+      .orderBy("order_key").collect().map(_.getAs[String]("id")).toSeq
+    val base = Sampling.interleaveOrder(docs, "src", "id")
+      .orderBy("order_key").collect().map(_.getAs[String]("id")).toSeq
+    assert(reparted == base)
+    // a different salt produces a different within-source order
+    val other = Sampling.interleaveOrder(docs, "src", "id", salt = "epoch2")
+      .orderBy("order_key").collect().map(_.getAs[String]("id")).toSeq
+    assert(other != base && other.sorted == base.sorted)
+  }
+
   test("negativeSample: k cross-group picks per anchor, anchor-independent draws") {
     val s = spark; import s.implicits._
     val docs = Seq(

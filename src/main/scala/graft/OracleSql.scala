@@ -810,4 +810,101 @@ object OracleSql {
       "dsc AS (SELECT dhh.doc_id, count(*) AS n_tokens, " +
       "sum(dwt.w_ppm) // count(*) AS score_ppm FROM dhh JOIN dwt USING (bucket) GROUP BY dhh.doc_id)"
   }
+
+  // ------------------------------------------------------- winnowing
+
+  /** CTE chain replaying `graft.operators.Dedup.winnowFingerprints`
+    * bit-for-bit, ending in `wfp(doc_id, pos, fp)`: per-gram rolling
+    * hash → MixHash32 (the limb-decomposed 64-bit multiply from the
+    * DSIR replay) → rightmost-min window selection, positions 0-based.
+    */
+  def winnowCtes(k: Int, w: Int): String = {
+    val cHi = 2654435769L // 0x9E3779B9
+    val cLo = 2135587861L // 0x7F4A7C15
+    val mix = s"(((a * $cLo + b * $cHi) * 4294967296 + b * $cLo)" +
+      " % 18446744073709551616)"
+    // window slice of gs at 0-based offset j, width we (DuckDB 1-based
+    // inclusive slicing) — inlined twice below, no let-bindings in
+    // DuckDB list comprehensions
+    def win = s"gs[j + 1 : j + we]"
+    s"wtk AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
+      "x -> x <> '') AS toks FROM documents), " +
+      s"wgr AS (SELECT doc_id, i, hex(encode(array_to_string(toks[i : i + $k - 1], ' '))) AS hx " +
+      s"FROM wtk, LATERAL unnest(generate_series(1, len(toks) - $k + 1)) AS t(i)), " +
+      s"wfl AS (SELECT doc_id, i, ${rollFold("hx")} AS fold FROM wgr), " +
+      "wlm AS (SELECT doc_id, i, fold // 4294967296 AS a, fold % 4294967296 AS b FROM wfl), " +
+      s"wh3 AS (SELECT doc_id, i, CAST($mix // 4294967296 AS BIGINT) AS h32 FROM wlm), " +
+      "wgs AS (SELECT doc_id, list(h32 ORDER BY i) AS gs, " +
+      s"least($w, count(*)) AS we FROM wh3 GROUP BY doc_id), " +
+      "wse AS (SELECT doc_id, unnest([struct_pack(" +
+      s"pos := j + we - list_position(list_reverse($win), list_min($win)), " +
+      s"fp := list_min($win)) " +
+      "FOR j IN generate_series(0, len(gs) - we)]) AS s FROM wgs), " +
+      // row-level DISTINCT stands in for Spark's array_distinct (DuckDB
+      // cannot list_distinct struct elements)
+      "wfp AS (SELECT DISTINCT doc_id, CAST(s.pos AS BIGINT) AS pos, CAST(s.fp AS BIGINT) AS fp FROM wse)"
+  }
+
+  /** Oracle for `text_winnow_fp`: the selected fingerprints themselves. */
+  def textWinnowFp(k: Int, w: Int): String =
+    s"WITH ${winnowCtes(k, w)} SELECT doc_id, pos, fp FROM wfp"
+
+  /** Oracle for `dedup_winnow_pairs`: docs sharing ≥ `minShared`
+    * distinct selected fingerprints.
+    */
+  def dedupWinnowPairs(k: Int, w: Int, minShared: Int): String =
+    s"WITH ${winnowCtes(k, w)}, " +
+      "wdd AS (SELECT DISTINCT doc_id, fp FROM wfp) " +
+      "SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared " +
+      "FROM wdd a JOIN wdd b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
+      s"GROUP BY a.doc_id, b.doc_id HAVING count(*) >= $minShared"
+
+  // ------------------------------------------------- lexical retrieval
+
+  /** INDEPENDENT phrase-search check (not an index replay): per doc,
+    * anchors = 1-based token positions where the whole phrase lines up,
+    * found by a direct list-comprehension scan of the token array.
+    * `graft.operators.Search.phraseSearch` reaches the same rows
+    * through a positional inverted index — the two computations share
+    * nothing past tokenization.
+    */
+  def phraseSearch(phrase: Seq[String]): String = {
+    val n = phrase.size
+    val conds = phrase.zipWithIndex
+      .map { case (w, i) => s"toks[p + $i] = '${w.toLowerCase}'" }
+      .mkString(" AND ")
+    "WITH pht AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
+      "x -> x <> '') AS toks FROM documents), " +
+      s"pha AS (SELECT doc_id, list_filter(range(1, len(toks) - ${n - 1}), p -> $conds) AS anchors FROM pht) " +
+      "SELECT doc_id, CAST(len(anchors) AS BIGINT) AS n_occ, " +
+      "CAST(anchors[1] - 1 AS BIGINT) AS first_pos FROM pha WHERE len(anchors) > 0"
+  }
+
+  /** Integer-exact BM25 replay (`graft.operators.Search.bm25TopK`):
+    * identical floor-divided rational arithmetic, HUGEINT standing in
+    * for Spark's decimal(38,0).
+    */
+  def bm25TopK(queries: Seq[(Int, Seq[String])], k: Int): String = {
+    val qvals = queries
+      .flatMap { case (qid, ts) => ts.map(_.toLowerCase).distinct.map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    val qvocab = queries.flatMap(_._2.map(_.toLowerCase)).distinct
+      .map(t => s"'$t'").mkString(", ")
+    "WITH btk AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
+      "x -> x <> '')) AS token FROM documents), " +
+      "bdl AS (SELECT doc_id, count(*) AS dl FROM btk GROUP BY doc_id), " +
+      "bst AS (SELECT count(*) AS n_docs, sum(dl) AS t_tokens FROM bdl), " +
+      s"bq(query_id, token) AS (VALUES $qvals), " +
+      s"btf AS (SELECT token, doc_id, count(*) AS tf FROM btk WHERE token IN ($qvocab) GROUP BY token, doc_id), " +
+      "bdf AS (SELECT token, count(*) AS df FROM btf GROUP BY token), " +
+      "bsc AS (SELECT bq.query_id, btf.doc_id, CAST(sum(CAST(" +
+      "(22::HUGEINT * tf * t_tokens * (2 * (n_docs - df) + 1) * 1000000) // " +
+      "((10::HUGEINT * tf * t_tokens + 3 * t_tokens + 9 * dl * n_docs) * (2 * df + 1)) " +
+      "AS BIGINT)) AS BIGINT) AS score_ppm " +
+      "FROM btf JOIN bq USING (token) JOIN bdf USING (token) JOIN bdl USING (doc_id), bst " +
+      "GROUP BY bq.query_id, btf.doc_id) " +
+      "SELECT query_id, rk, doc_id, score_ppm FROM (SELECT query_id, doc_id, score_ppm, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY score_ppm DESC, doc_id) AS rk FROM bsc) r " +
+      s"WHERE rk <= $k"
+  }
 }

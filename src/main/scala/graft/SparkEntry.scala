@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.functions.{aqiCategory, mixed_hash32, HeavyHittersAgg, KmvAgg}
-import graft.operators.{AsOf, Dedup, Events, Incremental, Merge, MergeSpec, Multimodal, RangeJoin, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.operators.{AsOf, Dedup, Events, Incremental, Merge, MergeSpec, Multimodal, RangeJoin, Sampling, Search, Similarity, Sketches, TextAnalysis}
 
 /** Driver contract: one `queries` entry per implemented operator from
   * SURVEY.md §2 (IDs in the names) plus the training-data-pipeline
@@ -36,6 +36,17 @@ object SparkEntry {
     */
   private[graft] val messyPrefix =
     "Cafe\u0301 \u201Cq\u201D \u2014 \u200Bx\u00A0y \u2018z\u2019  "
+
+  /** Lexical-retrieval gate config, shared by query and oracle so the
+    * two sides cannot drift: the phrase exists at every driver SF, and
+    * the BM25 batch mixes the corpus's one rare token (`dup`) with
+    * common terms so the df weighting is exercised.
+    */
+  private[graft] val searchPhrase = Seq("fast", "table")
+  private[graft] val bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("dup", "table"),
+    2 -> Seq("vector", "stream", "merge"),
+    3 -> Seq("dup", "scan", "key"))
 
   /** Flagship query on sf=0.001: revenue by market segment (3-table
     * join + aggregation). Driver smoke-checks rows>0.
@@ -356,6 +367,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))
         .limit(25)),
+    "search_phrase" -> ((s, d) =>
+      // exact phrase search via the positional inverted index; the
+      // oracle re-finds the phrase by a direct token-array scan, so the
+      // green row is an independent check of the index path
+      Search.phraseSearchDocs(rd(s, d, "documents"), searchPhrase)),
+    "search_bm25_topk" -> ((s, d) =>
+      // BM25 ranked retrieval, integer-exact (RSJ odds term weight);
+      // the 'dup' query term is the corpus's one rare token, so the
+      // df weighting visibly reorders against raw tf
+      Search.bm25TopK(rd(s, d, "documents"), bm25Queries, k = 10)),
+    "text_winnow_fp" -> ((s, d) =>
+      // MOSS winnowing: rightmost-min fingerprint selection over k=4
+      // token grams, window w=4 — the full selected set is gated
+      Dedup.winnowFingerprints(rd(s, d, "documents"), k = 4, w = 4)
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("fp"))),
+    "dedup_winnow_pairs" -> ((s, d) =>
+      Dedup.winnowPairs(rd(s, d, "documents"), k = 4, w = 4, minShared = 2)),
 
     // —— windowed event aggregations (batch analog of streaming) ——
     "dq_rate_spikes" -> ((s, d) =>
@@ -2056,6 +2084,10 @@ object SparkEntry {
       ("SELECT token, n FROM (SELECT token, count(*) AS n FROM " +
         "(SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token FROM documents) t " +
         "WHERE token <> '' GROUP BY token) g ORDER BY n DESC, token LIMIT 25"),
+    "search_phrase" -> OracleSql.phraseSearch(searchPhrase),
+    "search_bm25_topk" -> OracleSql.bm25TopK(bm25Queries, k = 10),
+    "text_winnow_fp" -> OracleSql.textWinnowFp(k = 4, w = 4),
+    "dedup_winnow_pairs" -> OracleSql.dedupWinnowPairs(k = 4, w = 4, minShared = 2),
     "sample_cap_group" ->
       ("SELECT source, doc_id, n_chars FROM (SELECT source, doc_id, n_chars, " +
         "row_number() OVER (PARTITION BY source ORDER BY md5('cap1:' || CAST(doc_id AS VARCHAR)) NULLS FIRST, doc_id NULLS FIRST) AS rk " +

@@ -1167,4 +1167,82 @@ object Dedup {
       .where(vec_dot(col("vec_a"), col("vec_b")) >= lit(threshold) * col("norm_a") * col("norm_b"))
       .select("id_a", "id_b")
   }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003
+    * — the MOSS document-fingerprinting algorithm): hash every k-token
+    * gram, slide a window of `w` consecutive gram hashes, and select
+    * each window's minimum (rightmost on ties). The selection
+    * guarantee: any match of at least w+k−1 consecutive tokens between
+    * two documents shares at least one selected fingerprint, while the
+    * stored density is ~2/(w+1) of all grams — position-aware local
+    * match detection (where MinHash sketches whole-doc similarity and
+    * loses locality).
+    *
+    * Hashes are the portable rolling-hash → MixHash32 pipeline, so the
+    * whole selection — including tie-direction — replays bit-for-bit
+    * in the DuckDB oracle ([[graft.OracleSql.winnowCtes]]).
+    *
+    * Output: (idCol, pos, fp) — distinct selected fingerprints with the
+    * 0-based gram position; docs shorter than k tokens emit nothing,
+    * docs with fewer than w grams winnow over one all-grams window.
+    *
+    * Shape at 100 TB: gram hashing AND window selection are per-doc
+    * array transforms inside one codegen projection — ZERO shuffles
+    * until the output itself is aggregated; reduce volume is the
+    * selected-fingerprint stream (~2/(w+1) of token volume).
+    */
+  def winnowFingerprints(
+      docs: DataFrame,
+      k: Int = 4,
+      w: Int = 4,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1 && w >= 1)
+    // drop empty tokens (empty-text degenerate) so gram positions match
+    // the filtered token stream every other text operator sees
+    val toks = filter(tokens(col(textCol)), t => t =!= "")
+    // gram hashes: mixed 32-bit of the space-rejoined k-token slice
+    val grams = transform(
+      sequence(lit(0), size(toks) - k),
+      i => graft.functions.mixed_hash32(concat_ws(" ", slice(toks, i + 1, lit(k)))))
+    // rightmost-min selection per window of we = min(w, |grams|)
+    val sel = (g: org.apache.spark.sql.Column) => {
+      val we = least(lit(w), size(g))
+      transform(sequence(lit(0), size(g) - we),
+        j => {
+          val win = slice(g, j + 1, we)
+          val m = array_min(win)
+          // rightmost occurrence: first position in the reversed window
+          struct((j + we - array_position(reverse(win), m)).cast("int").as("pos"),
+            m.as("fp"))
+        })
+    }
+    docs
+      .filter(size(toks) >= k)
+      .select(col(idCol), explode(array_distinct(sel(grams))).as("s"))
+      .select(col(idCol), col("s.pos").as("pos"), col("s.fp").as("fp"))
+  }
+
+  /** Near-dup candidate pairs from shared winnowing fingerprints:
+    * docs sharing ≥ `minShared` selected fingerprints, with the shared
+    * count. Same single-shuffle inverted-index shape as the gram
+    * scans; `maxFpDf` drops boilerplate fingerprints shared by more
+    * than that many docs before the doc-list expansion (the skew cap —
+    * default exact).
+    */
+  def winnowPairs(
+      docs: DataFrame,
+      k: Int = 4,
+      w: Int = 4,
+      minShared: Int = 2,
+      maxFpDf: Int = Int.MaxValue,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val fps = winnowFingerprints(docs, k, w, textCol, idCol)
+      .select(col(idCol), col("fp")).distinct()
+      .withColumnRenamed("fp", "gram")
+    gramOverlaps(fps, idCol, maxFpDf)
+      .where(col("inter") >= minShared)
+      .withColumnRenamed("inter", "n_shared")
+  }
 }

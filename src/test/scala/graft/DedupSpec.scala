@@ -511,4 +511,71 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(got(4L) == ((Some(4L), 1)) && got(5L) == ((Some(4L), 0)))
     assert(got(9L) == ((None, 1))) // singleton: no cluster, kept
   }
+
+  // ------------------------------------------------------------ winnowing
+
+  test("winnowFingerprints: selected fps are real gram hashes at their positions") {
+    val s = spark; import s.implicits._
+    val d = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val k = 3; val w = 3
+    val sel = Dedup.winnowFingerprints(d, k, w).collect()
+      .map(r => r.getInt(1) -> r.getLong(2)).toMap
+    // independent recompute of every gram hash
+    val words = "a b c d e f g h i j".split(" ")
+    val gramHash = words.sliding(k).map(_.mkString(" ")).toArray
+      .map(g => Seq(g).toDF("g")
+        .select(graft.functions.mixed_hash32(org.apache.spark.sql.functions.col("g")))
+        .head().getLong(0))
+    assert(sel.nonEmpty)
+    sel.foreach { case (pos, fp) => assert(gramHash(pos) == fp, s"pos $pos") }
+    // every window of w grams contains a selected position (coverage)
+    val poss = sel.keys.toSet
+    (0 to gramHash.length - w).foreach { j =>
+      assert((j until j + w).exists(poss), s"window at $j uncovered")
+    }
+  }
+
+  test("winnowFingerprints guarantee: a shared run >= w+k-1 tokens shares a fingerprint") {
+    val s = spark; import s.implicits._
+    val shared = "q r s t u v" // 6 tokens = w+k-1 with k=3,w=4
+    val d = Seq(
+      (1L, s"x1 y1 $shared z1"),
+      (2L, s"m2 $shared n2 o2"),
+      (3L, "p p p p p p p p")).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(d, k = 3, w = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val f1 = fps.filter(_._1 == 1L).map(_._2).toSet
+    val f2 = fps.filter(_._1 == 2L).map(_._2).toSet
+    val f3 = fps.filter(_._1 == 3L).map(_._2).toSet
+    assert((f1 & f2).nonEmpty) // the winnowing guarantee
+    assert((f1 & f3).isEmpty && (f2 & f3).isEmpty)
+  }
+
+  test("winnowFingerprints edge cases: short docs and partition invariance") {
+    val s = spark; import s.implicits._
+    val d = Seq(
+      (1L, "a b"), // shorter than k -> nothing
+      (2L, "a b c d"), // 2 grams < w -> one all-grams window, 1 fp
+      (3L, "a b c d e f g h")).toDF("doc_id", "text")
+    val got = Dedup.winnowFingerprints(d, k = 3, w = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(!got.exists(_._1 == 1L))
+    assert(got.count(_._1 == 2L) == 1)
+    val re = Dedup.winnowFingerprints(d.repartition(5), k = 3, w = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSet == re.toSet)
+  }
+
+  test("winnowPairs finds the planted near-dup pair only") {
+    val s = spark; import s.implicits._
+    val base = "the five boxing wizards jump quickly over the lazy brown dog tonight"
+    val d = Seq(
+      (1L, base),
+      (2L, base + " extra tail words here"), // near-dup of 1
+      (3L, "completely different content with no shared runs at all today friends")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(d, k = 3, w = 4, minShared = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
 }

@@ -193,4 +193,22 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
       assert(h == pinnedR3d(q), s"$q output drifted (got $h)")
     }
   }
+
+  private val pinnedR4 = Map(
+    "search_phrase" -> "df34db3501bedf4d01f40ee849a29da2",
+    "search_bm25_topk" -> "aa2a3f9e3e842fdd61300e2a93d0b695",
+    "text_winnow_fp" -> "01243ea798806e2b3bd93c61450d91d8",
+    "dedup_winnow_pairs" -> "191ff5d7bd9d551b1fe5d4f01a540219")
+
+  test("round-4 operator outputs hash-match their pinned golden values") {
+    val got = pinnedR4.keys.toSeq.sorted.map { q =>
+      val h = canonicalHash(SparkEntry.queries(q)(spark, sfDir))
+      info(s""""$q" -> "$h",""")
+      q -> h
+    }
+    graft.operators.Caches.release()
+    got.foreach { case (q, h) =>
+      assert(h == pinnedR4(q), s"$q output drifted (got $h)")
+    }
+  }
 }

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Search
+
+class SearchSpec extends AnyFunSuite with SparkTest {
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    val s = spark; import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // --------------------------------------------------------- phrase search
+
+  test("phraseSearch finds consecutive-token matches with positions") {
+    val d = docs(
+      1L -> "the quick brown fox",
+      2L -> "quick brown shoes and quick brown fox",
+      3L -> "brown quick fox", // terms present, wrong order -> no match
+      4L -> "quick fox") // adjacency broken -> no match
+    val out = Search.phraseSearchDocs(d, Seq("quick", "brown"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 1L, 1L), (2L, 2L, 0L)))
+  }
+
+  test("phraseSearch handles repeated terms and overlapping anchors") {
+    val d = docs(1L -> "a a a b", 2L -> "a b a", 3L -> "b b a")
+    // phrase "a a": doc 1 anchors at 0 and 1 (overlap allowed)
+    val out = Search.phraseSearchDocs(d, Seq("a", "a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 2L, 0L)))
+    // single-word phrase degrades to term lookup with occurrence counts
+    val one = Search.phraseSearchDocs(d, Seq("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(one == Set((1L, 1L, 3L), (2L, 1L, 1L), (3L, 2L, 0L)))
+  }
+
+  test("phraseSearch over a persisted index equals the inline path") {
+    val d = docs(
+      1L -> "x y z x y",
+      2L -> "y x y",
+      3L -> "z z z")
+    val dir = java.nio.file.Files.createTempDirectory("searchidx").toString
+    Search.invertedIndex(d).write.mode("overwrite").parquet(dir)
+    val idx = spark.read.parquet(dir)
+    val live = Search.phraseSearchDocs(d, Seq("x", "y")).collect().toSet
+    val persisted = Search.phraseSearch(idx, Seq("x", "y")).collect().toSet
+    assert(live == persisted && live.nonEmpty)
+  }
+
+  test("invertedIndex postings carry sorted positions and tf") {
+    val d = docs(1L -> "b a b  a b")
+    val rows = Search.invertedIndex(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Int](2), r.getLong(3)))
+      .toSet
+    assert(rows == Set(("a", 1L, Seq(1, 3), 2L), ("b", 1L, Seq(0, 2, 4), 3L)))
+  }
+
+  // ------------------------------------------------------------------ BM25
+
+  test("bm25TopK hand-computed score on a two-doc corpus") {
+    // corpus: doc 1 = "w w x", doc 2 = "x y z". N=2, T=6.
+    // query "w": tf=2, dl=3, df=1 ->
+    //   num = 22*2*6 * (2*(2-1)+1) * 1e6 = 264 * 3 * 1e6
+    //   den = (10*2*6 + 3*6 + 9*3*2) * (2*1+1) = (120+18+54)*3 = 576
+    //   score = 792_000_000 div 576 = 1_375_000
+    val d = docs(1L -> "w w x", 2L -> "x y z")
+    val out = Search.bm25TopK(d, Seq(1 -> Seq("w")), k = 5)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1, 1, 1L, 1375000L)))
+  }
+
+  test("bm25TopK rare terms outweigh common terms (df weighting)") {
+    // 'rare' appears in 1 of 6 docs; 'common' in all. A doc matching
+    // the rare term must outrank docs with only the common term.
+    val d = docs(
+      1L -> "common rare pad pad",
+      2L -> "common common common pad",
+      3L -> "common pad pad pad",
+      4L -> "common pad pad pad",
+      5L -> "common pad pad pad",
+      6L -> "common pad pad pad")
+    val top = Search.bm25TopK(d, Seq(1 -> Seq("rare", "common")), k = 6)
+      .orderBy("rk").collect().map(_.getLong(2))
+    assert(top.head == 1L)
+    // doc 2 (tf=3 on the common term) beats the tf=1 docs but not doc 1
+    assert(top(1) == 2L)
+  }
+
+  test("bm25TopK is deterministic under repartitioning and ties break by doc id") {
+    val d = docs(
+      1L -> "t u", 2L -> "t u", 3L -> "t u", // identical docs -> tied scores
+      4L -> "u v")
+    val q = Seq(1 -> Seq("t"), 2 -> Seq("t", "v"))
+    val a = Search.bm25TopK(d, q, k = 3).collect().toSeq
+    val b = Search.bm25TopK(d.repartition(7), q, k = 3).collect().toSeq
+    assert(a.toSet == b.toSet)
+    val tied = a.filter(_.getInt(0) == 1).sortBy(_.getInt(1)).map(_.getLong(2))
+    assert(tied == Seq(1L, 2L, 3L)) // score ties -> ascending doc id
+    graft.operators.Caches.release()
+  }
+}

@@ -295,6 +295,27 @@ class ScaleSpec extends AnyFunSuite with SparkTest {
       s"corpus shuffled to meet the groups-sized allocation table:\n$ps")
   }
 
+  test("bm25TopK broadcasts queries, dfs, and stats — no corpus-side sort-merge join") {
+    val s = spark; import s.implicits._
+    val docs = (0 until 300).map(i =>
+      (i.toLong, s"alpha beta w${i % 9} gamma w${(i + 3) % 9} delta")).toDF("doc_id", "text")
+    val df = graft.operators.Search.bm25TopK(docs, Seq(1 -> Seq("alpha", "w1")), k = 5)
+    val ps = finalPlan(df)
+    graft.operators.Caches.release()
+    assert(ps.contains("BroadcastHashJoin"), s"query-side joins not broadcast:\n$ps")
+    // the only sort allowed is the per-query top-k window, never a
+    // corpus-keyed sort-merge join
+    assert(!ps.contains("SortMergeJoin"), s"corpus shuffled through a sort-merge join:\n$ps")
+  }
+
+  test("winnowFingerprints selects map-side — zero exchanges before the output") {
+    val s = spark; import s.implicits._
+    val docs = (0 until 100).map(i =>
+      (i.toLong, (0 to 12).map(j => s"w${(i + j) % 11}").mkString(" "))).toDF("doc_id", "text")
+    val ps = finalPlan(graft.operators.Dedup.winnowFingerprints(docs, 3, 4))
+    assert(!ps.contains("Exchange "), s"winnowing shuffled:\n$ps")
+  }
+
   test("normalizeText is a pure projection — zero exchanges") {
     val s = spark; import s.implicits._
     val docs = (0 until 100).map(i => (i.toLong, s"text body $i")).toDF("doc_id", "text")

@@ -880,17 +880,17 @@ object OracleSql {
       "CAST(anchors[1] - 1 AS BIGINT) AS first_pos FROM pha WHERE len(anchors) > 0"
   }
 
-  /** Integer-exact BM25 replay (`graft.operators.Search.bm25TopK`):
-    * identical floor-divided rational arithmetic, HUGEINT standing in
-    * for Spark's decimal(38,0).
+  /** CTE chain replaying `graft.operators.Search.bm25TopK` — identical
+    * floor-divided rational arithmetic, HUGEINT standing in for Spark's
+    * decimal(38,0) — ending in `brk(query_id, rk, doc_id, score_ppm)`.
     */
-  def bm25TopK(queries: Seq[(Int, Seq[String])], k: Int): String = {
+  def bm25Ctes(queries: Seq[(Int, Seq[String])], k: Int): String = {
     val qvals = queries
       .flatMap { case (qid, ts) => ts.map(_.toLowerCase).distinct.map(t => s"($qid, '$t')") }
       .mkString(", ")
     val qvocab = queries.flatMap(_._2.map(_.toLowerCase)).distinct
       .map(t => s"'$t'").mkString(", ")
-    "WITH btk AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
+    "btk AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
       "x -> x <> '')) AS token FROM documents), " +
       "bdl AS (SELECT doc_id, count(*) AS dl FROM btk GROUP BY doc_id), " +
       "bst AS (SELECT count(*) AS n_docs, sum(dl) AS t_tokens FROM bdl), " +
@@ -902,9 +902,31 @@ object OracleSql {
       "((10::HUGEINT * tf * t_tokens + 3 * t_tokens + 9 * dl * n_docs) * (2 * df + 1)) " +
       "AS BIGINT)) AS BIGINT) AS score_ppm " +
       "FROM btf JOIN bq USING (token) JOIN bdf USING (token) JOIN bdl USING (doc_id), bst " +
-      "GROUP BY bq.query_id, btf.doc_id) " +
-      "SELECT query_id, rk, doc_id, score_ppm FROM (SELECT query_id, doc_id, score_ppm, " +
+      "GROUP BY bq.query_id, btf.doc_id), " +
+      "brk AS (SELECT query_id, rk, doc_id, score_ppm FROM (SELECT query_id, doc_id, score_ppm, " +
       "row_number() OVER (PARTITION BY query_id ORDER BY score_ppm DESC, doc_id) AS rk FROM bsc) r " +
-      s"WHERE rk <= $k"
+      s"WHERE rk <= $k)"
   }
+
+  /** Oracle for `search_bm25_topk`. */
+  def bm25TopK(queries: Seq[(Int, Seq[String])], k: Int): String =
+    s"WITH ${bm25Ctes(queries, k)} SELECT query_id, rk, doc_id, score_ppm FROM brk"
+
+  /** Oracle for `search_hybrid_rrf`: BM25 ranking fused with the
+    * static length-prior ranking by reciprocal-rank fusion — identical
+    * `10⁹ // (kRrf + rank)` integer arithmetic.
+    */
+  def searchHybridRrf(queries: Seq[(Int, Seq[String])], kIn: Int,
+      k: Int, kRrf: Int): String =
+    s"WITH ${bm25Ctes(queries, kIn)}, " +
+      "hpr AS (SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rk " +
+      s"FROM documents QUALIFY rk <= $kIn), " +
+      "hqi AS (SELECT DISTINCT query_id FROM bq), " +
+      s"hfa AS (SELECT query_id, doc_id, 1000000000 // ($kRrf + rk) AS ra FROM brk), " +
+      s"hfb AS (SELECT query_id, doc_id, 1000000000 // ($kRrf + rk) AS rb FROM hqi, hpr), " +
+      "hfu AS (SELECT query_id, doc_id, coalesce(ra, 0) + coalesce(rb, 0) AS rrf_score " +
+      "FROM hfa FULL OUTER JOIN hfb USING (query_id, doc_id)) " +
+      "SELECT query_id, rk, doc_id, rrf_score FROM (SELECT query_id, doc_id, rrf_score, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rk FROM hfu) r " +
+      s"WHERE rk <= $k"
 }

@@ -377,6 +377,21 @@ object SparkEntry {
       // the 'dup' query term is the corpus's one rare token, so the
       // df weighting visibly reorders against raw tf
       Search.bm25TopK(rd(s, d, "documents"), bm25Queries, k = 10)),
+    "search_hybrid_rrf" -> ((s, d) => {
+      // hybrid retrieval: BM25 relevance fused with a static quality
+      // prior (doc length) by reciprocal-rank fusion — rank-based, so
+      // the two score scales never meet
+      import s.implicits._
+      val docs = rd(s, d, "documents")
+      val bm = Search.bm25TopK(docs, bm25Queries, k = 20)
+      val pr20 = docs.orderBy(col("n_chars").desc, col("doc_id")).limit(20)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+        .select("doc_id", "rk")
+      val prior = bm25Queries.map(_._1).toDF("query_id").crossJoin(pr20)
+      Search.rrfFuse(bm, prior, k = 10)
+    }),
     "text_winnow_fp" -> ((s, d) =>
       // MOSS winnowing: rightmost-min fingerprint selection over k=4
       // token grams, window w=4 — the full selected set is gated
@@ -2086,6 +2101,7 @@ object SparkEntry {
         "WHERE token <> '' GROUP BY token) g ORDER BY n DESC, token LIMIT 25"),
     "search_phrase" -> OracleSql.phraseSearch(searchPhrase),
     "search_bm25_topk" -> OracleSql.bm25TopK(bm25Queries, k = 10),
+    "search_hybrid_rrf" -> OracleSql.searchHybridRrf(bm25Queries, kIn = 20, k = 10, kRrf = 60),
     "text_winnow_fp" -> OracleSql.textWinnowFp(k = 4, w = 4),
     "dedup_winnow_pairs" -> OracleSql.dedupWinnowPairs(k = 4, w = 4, minShared = 2),
     "sample_cap_group" ->

@@ -174,4 +174,42 @@ object Search {
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col(idCol), col("score_ppm"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttner, SIGIR 2009):
+    * merge two ranked lists into one by `score = Σ 1/(kRrf + rank)`,
+    * the standard hybrid-retrieval combiner (lexical + vector, or
+    * relevance + static prior) — rank-based, so the two systems'
+    * incomparable score scales never meet. Kept integer-exact as
+    * `10⁹ div (kRrf + rank)` per side (a doc absent from one list
+    * contributes 0), so the fused order replays bit-for-bit.
+    *
+    * Inputs are (query_id, idCol, rk) rankings — [[bm25TopK]] output
+    * shape. Output: (query_id, rk, idCol, rrf_score) re-ranked top-`k`,
+    * ties (score desc, id asc).
+    *
+    * Shape at 100 TB: both inputs are already k-deep per query —
+    * fusion joins two query-batch-sized tables, never the corpus; one
+    * full-outer join on (query, doc) + one k-deep top-k window.
+    */
+  def rrfFuse(
+      a: DataFrame,
+      b: DataFrame,
+      k: Int,
+      kRrf: Int = 60,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1 && kRrf >= 0)
+    def side(df: DataFrame, nm: String) =
+      df.select(col("query_id"), col(idCol),
+        expr(s"1000000000 div (${kRrf} + rk)").as(nm))
+    side(a, "__ra")
+      .join(side(b, "__rb"), Seq("query_id", idCol), "full_outer")
+      .select(col("query_id"), col(idCol),
+        (coalesce(col("__ra"), lit(0L)) + coalesce(col("__rb"), lit(0L)))
+          .as("rrf_score"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("rrf_score").desc, col(idCol))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col(idCol), col("rrf_score"))
+  }
 }

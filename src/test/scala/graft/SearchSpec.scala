@@ -89,6 +89,39 @@ class SearchSpec extends AnyFunSuite with SparkTest {
     assert(top(1) == 2L)
   }
 
+  test("rrfFuse hand-computed: overlap beats either single list") {
+    val s = spark; import s.implicits._
+    // system A ranks docs 1,2,3; system B ranks 2,3,4. kRrf=60.
+    val a = Seq((1, 1, 1L), (1, 2, 2L), (1, 3, 3L)).toDF("query_id", "rk", "doc_id")
+      .select($"query_id", $"doc_id", $"rk")
+    val b = Seq((1, 1, 2L), (1, 2, 3L), (1, 3, 4L)).toDF("query_id", "rk", "doc_id")
+      .select($"query_id", $"doc_id", $"rk")
+    val got = graft.operators.Search.rrfFuse(a, b, k = 4)
+      .orderBy("rk").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    def rr(rk: Long) = 1000000000L / (60 + rk)
+    // doc2: rank1 in A? no — A: doc1@1, doc2@2, doc3@3; B: doc2@1, doc3@2, doc4@3
+    val expected = Seq(
+      (2L, rr(2) + rr(1)), // doc 2: strongest (both lists, high ranks)
+      (3L, rr(3) + rr(2)),
+      (1L, rr(1)), // doc 1: only in A at rank 1
+      (4L, rr(3)))
+    assert(got.map(g => (g._2, g._3)).toSeq == expected)
+    assert(got.map(_._1).toSeq == Seq(1, 2, 3, 4))
+  }
+
+  test("rrfFuse breaks score ties by doc id and respects k") {
+    val s = spark; import s.implicits._
+    val a = Seq((7, 1, 10L), (7, 2, 11L)).toDF("query_id", "rk", "doc_id")
+      .select($"query_id", $"doc_id", $"rk")
+    val b = Seq((7, 1, 11L), (7, 2, 10L)).toDF("query_id", "rk", "doc_id")
+      .select($"query_id", $"doc_id", $"rk")
+    // both docs score rr(1)+rr(2) -> tie -> doc 10 first; k=1 truncates
+    val got = graft.operators.Search.rrfFuse(a, b, k = 1).collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1, 10L)))
+  }
+
   test("bm25TopK is deterministic under repartitioning and ties break by doc id") {
     val d = docs(
       1L -> "t u", 2L -> "t u", 3L -> "t u", // identical docs -> tied scores

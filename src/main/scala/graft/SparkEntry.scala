@@ -377,6 +377,12 @@ object SparkEntry {
       // the 'dup' query term is the corpus's one rare token, so the
       // df weighting visibly reorders against raw tf
       Search.bm25TopK(rd(s, d, "documents"), bm25Queries, k = 10)),
+    "search_bm25_indexed" -> ((s, d) =>
+      // the serving path: BM25 off the positional inverted index — same
+      // oracle SQL as search_bm25_topk because the output is identical
+      // by construction (the green row proves index == corpus)
+      Search.bm25TopKFromIndex(
+        Search.invertedIndex(rd(s, d, "documents")), bm25Queries, k = 10)),
     "search_hybrid_rrf" -> ((s, d) => {
       // hybrid retrieval: BM25 relevance fused with a static quality
       // prior (doc length) by reciprocal-rank fusion — rank-based, so
@@ -2101,6 +2107,7 @@ object SparkEntry {
         "WHERE token <> '' GROUP BY token) g ORDER BY n DESC, token LIMIT 25"),
     "search_phrase" -> OracleSql.phraseSearch(searchPhrase),
     "search_bm25_topk" -> OracleSql.bm25TopK(bm25Queries, k = 10),
+    "search_bm25_indexed" -> OracleSql.bm25TopK(bm25Queries, k = 10),
     "search_hybrid_rrf" -> OracleSql.searchHybridRrf(bm25Queries, kIn = 20, k = 10, kRrf = 60),
     "text_winnow_fp" -> OracleSql.textWinnowFp(k = 4, w = 4),
     "dedup_winnow_pairs" -> OracleSql.dedupWinnowPairs(k = 4, w = 4, minShared = 2),

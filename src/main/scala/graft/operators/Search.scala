@@ -132,30 +132,55 @@ object Search {
       k: Int,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    require(k >= 1)
-    require(queries.nonEmpty, "empty query batch")
-    val spark = docs.sparkSession
-    import spark.implicits._
-
+    val qvocab = queries.flatMap(_._2.map(_.toLowerCase)).distinct
     val toks = Caches.persisted(
       docs
         .select(col(idCol), explode(tokens(col(textCol))).as("token"))
         .filter(col("token") =!= ""))
     val dl = toks.groupBy(idCol).agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("__n_docs"), sum("dl").as("__t_tokens"))
+    val tf = toks.filter(col("token").isin(qvocab: _*))
+      .groupBy("token", idCol)
+      .agg(count(lit(1)).as("tf"))
+    bm25Score(tf, dl, queries, k, idCol)
+  }
 
+  /** [[bm25TopK]] served from a persisted [[invertedIndex]] instead of
+    * re-tokenizing the corpus — the 100 TB serving path: doc lengths
+    * and corpus totals come from the index's tf column, and the query
+    * terms' postings are the only rows whose tf is read. Output is
+    * identical to [[bm25TopK]] on the same corpus by construction
+    * (spec-proven).
+    */
+  def bm25TopKFromIndex(
+      index: DataFrame,
+      queries: Seq[(Int, Seq[String])],
+      k: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val qvocab = queries.flatMap(_._2.map(_.toLowerCase)).distinct
+    val dl = index.groupBy(idCol).agg(sum("tf").as("dl"))
+    val tf = index.filter(col("token").isin(qvocab: _*))
+      .select(col("token"), col(idCol), col("tf"))
+    bm25Score(tf, dl, queries, k, idCol)
+  }
+
+  // shared scorer: tf = (token, idCol, tf) restricted to the query
+  // vocabulary; dl = (idCol, dl) over ALL docs with >= 1 token
+  private def bm25Score(
+      tf0: DataFrame,
+      dl: DataFrame,
+      queries: Seq[(Int, Seq[String])],
+      k: Int,
+      idCol: String): DataFrame = {
+    require(k >= 1)
+    require(queries.nonEmpty, "empty query batch")
+    val spark = tf0.sparkSession
+    import spark.implicits._
+    val stats = dl.agg(count(lit(1)).as("__n_docs"), sum("dl").as("__t_tokens"))
     val qterms = queries
       .flatMap { case (qid, ts) => ts.map(_.toLowerCase).distinct.map(qid -> _) }
       .toDF("query_id", "token")
-    // tf restricted to the query vocabulary (broadcast filter — the
-    // postings of a handful of terms, not the corpus)
-    val qvocab = queries.flatMap(_._2.map(_.toLowerCase)).distinct
-    val tf = Caches.persisted(
-      toks.filter(col("token").isin(qvocab: _*))
-        .groupBy("token", idCol)
-        .agg(count(lit(1)).as("tf")))
+    val tf = Caches.persisted(tf0)
     val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
-
     val scored = tf
       .join(broadcast(qterms), "token")
       .join(broadcast(df_), "token")
@@ -173,6 +198,23 @@ object Search {
           .orderBy(col("score_ppm").desc, col(idCol))))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col(idCol), col("score_ppm"))
+  }
+
+  /** O(delta) maintenance of a persisted [[invertedIndex]]: postings
+    * for `delta` docs are computed alone and appended; docs already
+    * present are skipped wholesale (anti-join on the doc id), so a
+    * crash-replayed batch is a no-op — the same replay-safe append
+    * discipline as the MinHash and IVF index maintainers.
+    */
+  def appendToInvertedIndex(
+      index: DataFrame,
+      delta: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val existing = index.select(idCol).distinct()
+    val fresh = invertedIndex(delta, textCol, idCol)
+      .join(existing, Seq(idCol), "left_anti")
+    index.unionByName(fresh)
   }
 
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttner, SIGIR 2009):

@@ -199,7 +199,9 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "search_bm25_topk" -> "aa2a3f9e3e842fdd61300e2a93d0b695",
     "text_winnow_fp" -> "01243ea798806e2b3bd93c61450d91d8",
     "dedup_winnow_pairs" -> "191ff5d7bd9d551b1fe5d4f01a540219",
-    "search_hybrid_rrf" -> "73b4f62069b6a854d5d277307c3eb893")
+    "search_hybrid_rrf" -> "73b4f62069b6a854d5d277307c3eb893",
+    // identical to search_bm25_topk by construction (served off the index)
+    "search_bm25_indexed" -> "aa2a3f9e3e842fdd61300e2a93d0b695")
 
   test("round-4 operator outputs hash-match their pinned golden values") {
     val got = pinnedR4.keys.toSeq.sorted.map { q =>

@@ -89,6 +89,28 @@ class SearchSpec extends AnyFunSuite with SparkTest {
     assert(top(1) == 2L)
   }
 
+  test("bm25TopKFromIndex equals bm25TopK; appendToInvertedIndex is O(delta) and replay-safe") {
+    val d = docs(
+      1L -> "alpha beta gamma alpha",
+      2L -> "beta beta delta",
+      3L -> "gamma alpha epsilon",
+      4L -> "zeta eta theta")
+    val q = Seq(1 -> Seq("alpha", "beta"), 2 -> Seq("gamma"))
+    val idx = Search.invertedIndex(d)
+    val live = Search.bm25TopK(d, q, k = 4).collect().toSet
+    val served = Search.bm25TopKFromIndex(idx, q, k = 4).collect().toSet
+    assert(live == served && live.nonEmpty)
+    // incremental: index built from a prefix + appended delta == rebuild
+    val prefix = d.filter("doc_id <= 2")
+    val delta = d.filter("doc_id >= 2") // doc 2 overlaps: replay-safe skip
+    val appended = Search.appendToInvertedIndex(Search.invertedIndex(prefix), delta)
+    assert(appended.collect().toSet == idx.collect().toSet)
+    // replaying the same delta changes nothing
+    val replayed = Search.appendToInvertedIndex(appended, delta)
+    assert(replayed.collect().toSet == idx.collect().toSet)
+    graft.operators.Caches.release()
+  }
+
   test("rrfFuse hand-computed: overlap beats either single list") {
     val s = spark; import s.implicits._
     // system A ranks docs 1,2,3; system B ranks 2,3,4. kRrf=60.

@@ -6,12 +6,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Parquet table loaders for the testdata star schema.
   *
-  * `events.parquet` stores `ts` as Parquet TIMESTAMP(NANOS), which the
-  * vectorized reader rejects; we read nanos as long
-  * (`spark.sql.legacy.parquet.nanosAsLong`) and convert with exact
-  * integer division (`div 1000`) — floor semantics, matching how
-  * nanosecond timestamps truncate to microseconds elsewhere. A
-  * double-division cast would lose precision above 2^53 ns.
+  * Timestamp physical types vary by testdata generation era and must
+  * all surface as session-zoned TIMESTAMP (the engine's contract —
+  * all timestamps are UTC, `Sessions.local` pins the session zone):
+  *
+  *   - TIMESTAMP(NANOS) is rejected by the vectorized reader; read
+  *     nanos as long (`spark.sql.legacy.parquet.nanosAsLong`) and
+  *     convert by exact integer division (`div 1000` — floor, the
+  *     same truncation nanosecond timestamps get elsewhere; a double
+  *     cast would lose precision above 2^53 ns);
+  *   - TIMESTAMP(MICROS) without `isAdjustedToUTC` reads as
+  *     TIMESTAMP_NTZ; cast to TIMESTAMP, which under the UTC session
+  *     zone maps the naive value to the same instant the tz-aware
+  *     eras carry. Without the cast, half the temporal surface
+  *     (`unix_micros`, interval arithmetic, tumbling windows) fails
+  *     to resolve, and rendered timestamps format differently.
   */
 object Tables {
 
@@ -19,9 +28,13 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     raw.schema.fields.foldLeft(raw) { (df, f) =>
-      if (f.dataType == LongType && f.name == "ts")
-        df.withColumn(f.name, timestamp_micros(expr(s"${f.name} div 1000")))
-      else df
+      f.dataType match {
+        case LongType if f.name == "ts" =>
+          df.withColumn(f.name, timestamp_micros(expr(s"${f.name} div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn(f.name, col(f.name).cast("timestamp"))
+        case _ => df
+      }
     }
   }
 

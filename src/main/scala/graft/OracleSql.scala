@@ -929,4 +929,90 @@ object OracleSql {
       "SELECT query_id, rk, doc_id, rrf_score FROM (SELECT query_id, doc_id, rrf_score, " +
       "row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rk FROM hfu) r " +
       s"WHERE rk <= $k"
+
+  // ------------------------------------------------- k-center coreset
+
+  /** Oracle for `sample_kcenter`: full replay of
+    * `Sampling.kCenterSelect` — seed at the smallest id, then k−1
+    * greedy rounds each folding the newest center into the per-row
+    * best-similarity column (same left-associated double dot products
+    * as the ANN oracles) and taking the `(best ASC, vec_id ASC)`
+    * argmin.
+    */
+  def sampleKCenter(k: Int, dim: Int = 64): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH base AS (SELECT vec_id, embedding, sqrt(${selfDot("embedding", dim)}) AS nrm FROM embeddings), "
+    sb ++= "c0 AS (SELECT vec_id, embedding, nrm FROM base ORDER BY vec_id LIMIT 1), "
+    sb ++= s"b0 AS (SELECT e.vec_id, e.embedding, e.nrm, ${pairDot("e.embedding", "c.embedding", dim)} / (e.nrm * c.nrm) AS best " +
+      "FROM base e CROSS JOIN c0 c)"
+    for (i <- 1 until k) {
+      val selUnion = ("SELECT vec_id FROM c0" +:
+        (1 until i).map(j => s"SELECT vec_id FROM p$j")).mkString(" UNION ALL ")
+      sb ++= s", p$i AS (SELECT vec_id, embedding, nrm, best FROM b${i - 1} " +
+        s"WHERE vec_id NOT IN ($selUnion) ORDER BY best ASC, vec_id ASC LIMIT 1)"
+      if (i < k - 1)
+        sb ++= s", b$i AS (SELECT b.vec_id, b.embedding, b.nrm, " +
+          s"greatest(b.best, ${pairDot("b.embedding", "p.embedding", dim)} / (b.nrm * p.nrm)) AS best " +
+          s"FROM b${i - 1} b CROSS JOIN p$i p)"
+    }
+    val rounds = "SELECT CAST(0 AS INT) AS sel_round, vec_id FROM c0" +:
+      (1 until k).map(i => s"SELECT CAST($i AS INT), vec_id FROM p$i")
+    sb ++= " " + rounds.mkString(" UNION ALL ")
+    sb.toString
+  }
+
+  // ------------------------------------------------- blocklist scan
+
+  /** Oracle for `text_blocklist`: per-pattern ALL-occurrence counts by
+    * explicit position scan — every i with text[i, i+|p|) = p counts,
+    * so overlapping and nested matches agree with the Aho–Corasick
+    * semantics (`graft.plans.MultiPatternCount`). ASCII corpus ⇒ char
+    * positions and byte positions coincide.
+    */
+  def textBlocklist(patterns: Seq[String]): String = {
+    val vals = patterns.map(p => s"('$p')").mkString(", ")
+    "SELECT doc_id, pattern, n_hits FROM (" +
+      "SELECT doc_id, p.pattern, CAST(len(list_filter(" +
+      "range(1, length(text) - length(p.pattern) + 2), " +
+      "i -> substr(text, CAST(i AS INT), length(p.pattern)) = p.pattern)) AS BIGINT) AS n_hits " +
+      s"FROM documents, (VALUES $vals) p(pattern)) t WHERE n_hits > 0"
+  }
+
+  // ------------------------------------------------- perceptual aHash
+
+  /** The 64-bit average-hash replayed in exact integer SQL over a byte
+    * VALUE LIST column `vals` — span-mean-vs-global-mean by
+    * cross-multiplication, bit 63 as the two's-complement constant
+    * (DuckDB refuses `1 << 63`; a sum of disjoint bit values in BIGINT
+    * is the bitwise OR).
+    */
+  private def ahashOfVals: String = {
+    val bitVal = "CASE WHEN b = 63 THEN -9223372036854775808 ELSE (1::BIGINT << CAST(b AS INT)) END"
+    val lo = "(b * n) // 64"
+    val hi = "((b + 1) * n) // 64"
+    val spanSum = s"list_sum(list_slice(vals, CAST($lo AS INT) + 1, CAST($hi AS INT)))"
+    s"CAST(list_sum(list_transform(range(0, 64), b -> " +
+      s"CASE WHEN $hi > $lo AND $spanSum * n >= total * ($hi - $lo) THEN $bitVal ELSE 0 END)) AS BIGINT)"
+  }
+
+  /** Oracle for `media_ahash_pairs`: full replay — byte values via
+    * `ord` (the corpus is ASCII at every SF; `graft.plans.AHash64`
+    * folds UTF-8 bytes, identical here), the brightness variants as
+    * `+delta` on the value lists, hashes from the shared
+    * [[ahashOfVals]] arithmetic, then the exact Hamming ball over all
+    * pairs — the banded candidate join on the Spark side is
+    * recall-lossless (pigeonhole), so the outputs coincide.
+    */
+  def mediaAhashPairs(maxHamming: Int, delta: Int, idOffset: Long): String =
+    "WITH v0 AS (SELECT doc_id AS media_id, " +
+      "list_transform(range(1, length(text) + 1), i -> ord(substr(text, CAST(i AS INT), 1))) AS vals " +
+      "FROM documents), " +
+      s"vv AS (SELECT media_id, vals FROM v0 UNION ALL " +
+      s"SELECT media_id + $idOffset, list_transform(vals, x -> least(255, x + $delta)) FROM v0), " +
+      "tl AS (SELECT media_id, vals, len(vals) AS n, list_sum(vals) AS total FROM vv), " +
+      s"h AS (SELECT media_id, $ahashOfVals AS ahash FROM tl) " +
+      "SELECT a.media_id AS id_a, b.media_id AS id_b, " +
+      "CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming " +
+      "FROM h a JOIN h b ON a.media_id < b.media_id " +
+      s"WHERE bit_count(xor(a.ahash, b.ahash)) <= $maxHamming"
 }

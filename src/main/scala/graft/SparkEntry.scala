@@ -42,6 +42,15 @@ object SparkEntry {
     * the BM25 batch mixes the corpus's one rare token (`dup`) with
     * common terms so the df weighting is exercised.
     */
+  /** Blocklist for `text_blocklist`, shared by query and oracle. The
+    * list deliberately nests one pattern inside another ("scan" inside
+    * "table scan") and self-overlaps one ("batch batch" in a "batch
+    * batch batch" run matches twice) — pinning the all-occurrences
+    * semantics an Aho–Corasick pass produces, which per-pattern
+    * `replace`-counting would get wrong.
+    */
+  private[graft] val blocklist = Seq("table scan", "scan", "batch batch", "slow key")
+
   private[graft] val searchPhrase = Seq("fast", "table")
   private[graft] val bm25Queries: Seq[(Int, Seq[String])] = Seq(
     1 -> Seq("dup", "table"),
@@ -556,6 +565,13 @@ object SparkEntry {
       Dedup.bestJaccardMatch(
         docs.filter(col("doc_id") < 50), docs.filter(col("doc_id") >= 50))
     }),
+    "link_golden_record" -> ((s, d) =>
+      // survivorship after linkage: exact-content clusters collapse to
+      // one canonical row; lang/source survive by per-attribute
+      // majority (ties: highest count, then smallest value)
+      Dedup.goldenRecords(
+        rd(s, d, "documents").withColumn("cluster", md5(col("text"))),
+        "cluster", "doc_id", Seq("lang", "source"))),
     "graph_label_prop" -> ((s, d) => {
       // semi-supervised auto-labeling: suppliers are seeded with their
       // nation key; parts (and any relabeled suppliers' neighbors)
@@ -784,6 +800,17 @@ object SparkEntry {
       // deterministic stand-in for image/audio bytes)
       Multimodal.byteStats(
         Multimodal.fromText(rd(s, d, "documents"), "doc_id", "text", "text").toDF())),
+    "media_ahash_pairs" -> ((s, d) => {
+      // perceptual near-dup: 64-bit integer aHash per payload, banded
+      // chunk join (pigeonhole, never a cross join), exact Hamming <= 3.
+      // The corpus is augmented with a brightness-shifted variant of
+      // every asset (+8 per byte, unclamped on ASCII payloads) — the
+      // transform aHash is built to see through; each (asset, variant)
+      // pair must surface at Hamming 0
+      val media = Multimodal.fromText(rd(s, d, "documents"), "doc_id", "text", "text")
+      val variants = Multimodal.brightnessVariant(media, delta = 8, idOffset = 1000000L)
+      Multimodal.ahashPairs(media.unionByName(variants).toDF(), maxHamming = 3)
+    }),
     "media_frame_stats" -> ((s, d) =>
       // frame sampling through the typed decoder path: the stub cuts a
       // fake 16-frame container into byte slices and keeps every 4th —
@@ -939,6 +966,13 @@ object SparkEntry {
       graft.operators.Quality.profileColumns(rd(s, d, "orders"), Seq(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority"))),
+    "dq_k_anonymity" -> ((s, d) =>
+      // privacy-release gate: only rows whose (segment, nation)
+      // quasi-identifier combination is shared by >= 10 customers leave
+      // the warehouse, each carrying its crowd size
+      graft.operators.Quality.kAnonymize(
+        rd(s, d, "customer").select("c_custkey", "c_mktsegment", "c_nationkey"),
+        Seq("c_mktsegment", "c_nationkey"), k = 10)),
     "u5_table_diff" -> ((s, d) => {
       // CDC between two deterministic snapshots of customer: balances
       // shifted for every 4th key (changed), every 11th key dropped
@@ -1033,6 +1067,10 @@ object SparkEntry {
       Sampling.weightedKeep(rd(s, d, "documents"), "doc_id", "n_chars", "wk1", 600L)
         .groupBy("source")
         .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))),
+    "sample_kcenter" -> ((s, d) =>
+      // diversity selection: 6 greedy k-center picks over the embedding
+      // space (Gonzalez farthest-point, deterministic seed + tie-break)
+      Sampling.kCenterSelect(rd(s, d, "embeddings"), k = 6)),
     "relevance_sample" -> ((s, d) =>
       // DSIR-flavored data selection: relevance = target-lexicon token
       // occurrences (exact integer), then importance-resample with
@@ -1324,6 +1362,18 @@ object SparkEntry {
       TextAnalysis.sourceDistinctiveTerms(rd(s, d, "documents"), k = 5)),
     "text_tfidf_terms" -> ((s, d) =>
       TextAnalysis.topDistinctiveTerms(rd(s, d, "documents"), k = 3)),
+    "text_blocklist" -> ((s, d) => {
+      // policy-term scanning: per-doc counts of every blocklist pattern
+      // from ONE Aho-Corasick pass (all occurrences, overlapping
+      // included); only matched (doc, pattern) rows survive
+      val docs = rd(s, d, "documents")
+      docs.select(col("doc_id"),
+        explode(map_from_arrays(
+          array(blocklist.map(lit): _*),
+          graft.functions.multi_count(col("text"), blocklist)))
+          .as(Seq("pattern", "n_hits")))
+        .where(col("n_hits") > 0)
+    }),
     "pipeline_training_mix" -> ((s, d) => {
       // the whole curation pipeline as ONE declarative plan: repetition
       // quality gate -> PII scrub -> exact dedup on the scrubbed
@@ -1781,6 +1831,7 @@ object SparkEntry {
       OracleSql.annIvfRefinedTopK(5, numCentroids = 16, nProbe = 4, iters = 2),
     "text_rolling_fp" -> OracleSql.textRollingFp,
     "media_byte_stats" -> OracleSql.mediaByteStats,
+    "media_ahash_pairs" -> OracleSql.mediaAhashPairs(3, 8, 1000000L),
     "media_resize_stats" -> OracleSql.mediaResizeStats(256),
     "media_frame_stats" -> OracleSql.mediaFrameStats(16, 4),
     "dedup_clusters" ->
@@ -1988,6 +2039,18 @@ object SparkEntry {
         "CAST(coalesce(n_after * 1000000 // nullif(ta, 0), 0) - " +
         "coalesce(n_before * 1000000 // nullif(tb, 0), 0) AS BIGINT) AS delta_ppm " +
         "FROM j, t"),
+    "link_golden_record" ->
+      ("WITH cl AS (SELECT md5(text) AS cluster, doc_id, lang, source FROM documents), " +
+        "lng AS (SELECT cluster, 'lang' AS attr, lang AS value FROM cl WHERE lang IS NOT NULL " +
+        "UNION ALL SELECT cluster, 'source', source FROM cl WHERE source IS NOT NULL), " +
+        "cnt AS (SELECT cluster, attr, value, count(*) AS n FROM lng GROUP BY 1, 2, 3), " +
+        "win AS (SELECT cluster, attr, value, row_number() OVER " +
+        "(PARTITION BY cluster, attr ORDER BY n DESC, value) AS rn FROM cnt), " +
+        "maj AS (SELECT cluster, max(CASE WHEN attr = 'lang' THEN value END) AS lang, " +
+        "max(CASE WHEN attr = 'source' THEN value END) AS source FROM win WHERE rn = 1 GROUP BY cluster), " +
+        "canon AS (SELECT cluster, min(doc_id) AS canonical_id, count(*) AS n_members FROM cl GROUP BY cluster) " +
+        "SELECT c.cluster, c.canonical_id, c.n_members, m.lang, m.source " +
+        "FROM canon c LEFT JOIN maj m USING (cluster)"),
     "link_best_match" ->
       (s"WITH ${OracleSql.wordTriCtes}, " +
         "ov AS (SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS inter FROM tri a JOIN tri b " +
@@ -2151,6 +2214,11 @@ object SparkEntry {
           s"count(*) - count($c) AS n_null, count(DISTINCT $c) AS n_distinct, " +
           s"CAST(min($c) AS VARCHAR) AS min_value, CAST(max($c) AS VARCHAR) AS max_value FROM orders")
         .mkString(" UNION ALL "),
+    "dq_k_anonymity" ->
+      ("SELECT c_custkey, c_mktsegment, c_nationkey, qi_group_n FROM (" +
+        "SELECT c_custkey, c_mktsegment, c_nationkey, " +
+        "count(*) OVER (PARTITION BY c_mktsegment, c_nationkey) AS qi_group_n " +
+        "FROM customer) t WHERE qi_group_n >= 10"),
     "u5_table_diff" ->
       ("WITH prev AS (SELECT c_custkey AS k, c_acctbal AS bal, c_mktsegment AS seg FROM customer), " +
         "nxt AS (SELECT c_custkey AS k, CASE WHEN c_custkey % 4 = 0 THEN c_acctbal + 25 ELSE c_acctbal END AS bal, " +
@@ -2210,6 +2278,7 @@ object SparkEntry {
         "CAST(doc_id AS VARCHAR)", "n_chars", "wk1", 600L)}) " +
         "SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
         "FROM kept GROUP BY source"),
+    "sample_kcenter" -> OracleSql.sampleKCenter(6),
     "relevance_sample" ->
       ("WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM documents), " +
         "r0 AS (SELECT doc_id, count(*) AS n_rel FROM tk WHERE tok IN ('join','hash','scan','filter','merge') GROUP BY doc_id), " +
@@ -2431,6 +2500,7 @@ object SparkEntry {
         "(PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000) AS INT) AS bin " +
         "FROM csamp) " +
         "SELECT source, bin, count(*) AS n_docs, CAST(sum(n_kept) AS BIGINT) AS sum_tokens FROM cpack GROUP BY 1, 2"),
+    "text_blocklist" -> OracleSql.textBlocklist(blocklist),
     "text_tfidf_terms" ->
       ("WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token FROM documents), " +
         "tf AS (SELECT doc_id, token, count(*) AS tf FROM toks WHERE token <> '' GROUP BY 1, 2), " +

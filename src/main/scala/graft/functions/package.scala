@@ -96,4 +96,19 @@ package object functions {
     */
   def mixed_hash32(c: Column): Column =
     ColumnBridge.column(graft.plans.MixHash32(ColumnBridge.expression(rolling_hash(c))))
+
+  /** Per-pattern all-occurrence counts from ONE Aho–Corasick pass
+    * ([[graft.plans.MultiPatternCount]]): array<long> aligned with
+    * `patterns`. The blocklist/policy-term scanning primitive.
+    */
+  def multi_count(text: Column, patterns: Seq[String]): Column =
+    ColumnBridge.column(
+      graft.plans.MultiPatternCount(ColumnBridge.expression(text), patterns))
+
+  /** 64-bit average-hash of a binary payload
+    * ([[graft.plans.AHash64]]) — the multimodal perceptual
+    * fingerprint; exact integer arithmetic, engine-replayable.
+    */
+  def ahash64(c: Column): Column =
+    ColumnBridge.column(graft.plans.AHash64(ColumnBridge.expression(c)))
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{rolling_hash, tokens, vec_dot, PortableMinHash}
@@ -1244,5 +1245,54 @@ object Dedup {
     gramOverlaps(fps, idCol, maxFpDf)
       .where(col("inter") >= minShared)
       .withColumnRenamed("inter", "n_shared")
+  }
+
+  /** Golden-record consensus — the step AFTER linkage: every cluster of
+    * matched records (from [[dedupClusters]], [[exact]] groups, or any
+    * blocking+verify pass) is collapsed to ONE canonical row whose
+    * attributes are the per-attribute MAJORITY among the cluster's
+    * non-null values. Survivorship is deterministic: highest count
+    * wins, count ties break to the lexicographically smallest value
+    * (as strings — the comparison every engine orders identically),
+    * and an attribute null in every member stays null. `canonical_id`
+    * is the cluster's smallest member id, the same survivor rule the
+    * dedup operators use.
+    *
+    * Shape at scale: the rows are unpivoted to (cluster, attr, value)
+    * — ×|attrs|, but attrs is a fixed small list — then ONE combinable
+    * count shuffle keyed by (cluster, attr, value); the majority pick
+    * is a window over the COUNT table (|distinct values per attr per
+    * cluster| rows, not corpus rows); the pivot back emits |clusters|
+    * rows. The corpus is scanned once and never re-shuffled at full
+    * width.
+    */
+  def goldenRecords(
+      clustered: DataFrame,
+      clusterCol: String,
+      idCol: String,
+      attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "need at least one attribute to survive")
+    val stackArgs = attrCols
+      .map(c => s"'$c', CAST($c AS STRING)")
+      .mkString(", ")
+    val long = clustered.select(
+      col(clusterCol),
+      expr(s"stack(${attrCols.size}, $stackArgs) AS (__attr, __value)"))
+      .filter(col("__value").isNotNull)
+    val wins = Window.partitionBy(col(clusterCol), col("__attr"))
+      .orderBy(col("__n").desc, col("__value"))
+    val majorities = long
+      .groupBy(col(clusterCol), col("__attr"), col("__value"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__rn", row_number().over(wins))
+      .filter(col("__rn") === 1)
+      .groupBy(col(clusterCol))
+      .pivot("__attr", attrCols)
+      .agg(first(col("__value")))
+    val canon = clustered.groupBy(col(clusterCol))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_members"))
+    canon.join(majorities, Seq(clusterCol), "left")
+      .select(col(clusterCol) +: col("canonical_id") +: col("n_members") +:
+        attrCols.map(col): _*)
   }
 }

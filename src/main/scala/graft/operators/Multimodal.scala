@@ -141,4 +141,77 @@ object Multimodal {
       map(lit("origin"), lit("text")).as("meta"))
       .as[Media]
   }
+
+  /** Brightness-adjusted copies of the media rows (each byte shifted by
+    * `delta`, clamped to [0, 255]), re-keyed by `idOffset` — the
+    * deterministic stand-in for a re-encoded/brightened variant of the
+    * same asset. Runs through the per-partition codec path like every
+    * byte transform. aHash is provably invariant under an unclamped
+    * uniform shift (span mean and global mean move together), which is
+    * the perceptual-robustness property [[ahashPairs]] exploits.
+    */
+  def brightnessVariant(
+      media: Dataset[Media],
+      delta: Int,
+      idOffset: Long): Dataset[Media] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val shifted =
+        if (m.bytes == null) null
+        else m.bytes.map(b => math.min(255, math.max(0, (b & 0xff) + delta)).toByte)
+      m.copy(media_id = m.media_id + idOffset, bytes = shifted)
+    })
+  }
+
+  /** Perceptual fingerprints: `(media_id, ahash)` via the codegen'd
+    * integer [[graft.plans.AHash64]] — one narrow projection, no
+    * decoder round trip needed for payloads already in byte-plane
+    * form.
+    */
+  def aHashes(mediaDf: DataFrame): DataFrame =
+    mediaDf.select(col("media_id"),
+      graft.functions.ahash64(col("bytes")).as("ahash"))
+
+  /** Perceptual near-duplicate pairs: media whose aHashes differ in at
+    * most `maxHamming` of 64 bits.
+    *
+    * Candidate generation is the SimHash chunk-pigeonhole argument
+    * applied to the perceptual hash: the 64-bit hash splits into
+    * `maxHamming + 1` chunks, and two hashes within the Hamming ball
+    * must agree EXACTLY on at least one chunk — so candidates come
+    * from `maxHamming + 1` equi-joins on (chunk_idx, chunk_bits),
+    * never a cross join. Each candidate pair is then verified with the
+    * exact popcount of the XOR, and duplicate discoveries from
+    * multiple agreeing chunks collapse through one DISTINCT.
+    *
+    * At 100 TB: fingerprints are 8 bytes/row; the joins shuffle
+    * (chunk, bits) keys with near-uniform distribution (aHash bits mix
+    * content), and verification is integer ops on the joined row — the
+    * same bucketed-not-all-pairs shape as the text near-dup family.
+    */
+  def ahashPairs(mediaDf: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
+    val nChunks = maxHamming + 1
+    val chunkBits = 64 / nChunks
+    val hashes = aHashes(mediaDf)
+    val chunked = hashes.select(col("media_id"), col("ahash"),
+      explode(array((0 until nChunks).map { i =>
+        // last chunk takes the remainder bits; mask via unsigned shift
+        val width = if (i == nChunks - 1) 64 - i * chunkBits else chunkBits
+        val mask = if (width == 64) -1L else (1L << width) - 1L
+        struct(lit(i).as("chunk_idx"),
+          (shiftright(col("ahash"), i * chunkBits).bitwiseAND(lit(mask)))
+            .as("chunk"))
+      }: _*)).as("c"))
+      .select(col("media_id"), col("ahash"),
+        col("c.chunk_idx").as("chunk_idx"), col("c.chunk").as("chunk"))
+    val a = chunked.toDF("id_a", "hash_a", "chunk_idx", "chunk")
+    val b = chunked.toDF("id_b", "hash_b", "chunk_idx", "chunk")
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("hash_a").bitwiseXOR(col("hash_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

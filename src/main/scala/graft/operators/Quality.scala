@@ -225,4 +225,41 @@ object Quality {
         ppmB.as("ppm_before"), ppmA.as("ppm_after"),
         (ppmA - ppmB).as("delta_ppm"))
   }
+
+  /** k-anonymity suppression gate — the privacy-release counterpart of
+    * the admission checks above: a row may leave the warehouse only if
+    * at least `k` rows share its full quasi-identifier combination
+    * (Sweeney's k-anonymity). Rows in smaller groups are SUPPRESSED
+    * (dropped), so no released row can be narrowed below a crowd of k
+    * by joining the quasi-identifiers against outside data. NULL is
+    * treated as a value of its own (null-safe grouping): a null QI
+    * still identifies a cohort and must clear the same bar.
+    *
+    * Returns the released rows with `qi_group_n` (the crowd size)
+    * appended — the per-row proof of the property the gate enforces.
+    *
+    * Shape at scale: group sizes are a combinable count keyed by the
+    * QI columns (map-side partials — the 100 TB table contributes
+    * |distinct QI| rows to the shuffle, not its row count), then one
+    * equi-join back onto the table; AQE broadcasts the count table
+    * when the QI space is dim-sized. The alternative single-shuffle
+    * window (`count over partition by QI`) moves every full-width row
+    * through one shuffle — strictly worse when rows are wide, which
+    * warehouse releases are.
+    */
+  def kAnonymize(df: DataFrame, qiCols: Seq[String], k: Long): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 1, "k must be >= 1")
+    // count-table QI columns are renamed before the join-back: the
+    // count plan derives from `df` itself, and unrenamed columns trip
+    // Spark's ambiguous-self-join detection. `<=>` (not `=`) so a null
+    // QI cohort that cleared the bar is released like any other.
+    val sizes = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("qi_group_n"))
+      .filter(col("qi_group_n") >= k)
+      .select(qiCols.map(c => col(c).as(s"__qi_$c")) :+ col("qi_group_n"): _*)
+    val on = qiCols.map(c => col(c) <=> col(s"__qi_$c")).reduce(_ && _)
+    df.join(sizes, on)
+      .select(df.columns.map(col) :+ col("qi_group_n"): _*)
+  }
 }

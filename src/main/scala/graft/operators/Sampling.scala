@@ -511,4 +511,83 @@ object Sampling {
       .filter(col("rk") <= k)
       .select(col("anchor_id"), col("neg_id"), col("rk"))
   }
+
+  /** Greedy k-center coreset selection (farthest-point traversal) over
+    * an embedding column — diversity sampling: pick `k` rows that
+    * spread across the embedding space, the 2-approximation of the
+    * k-center cover (Gonzalez). Where [[weightedKeep]] samples by
+    * per-row importance, this selects by COVERAGE — every unselected
+    * row is within the selection's covering radius, which is what a
+    * "representative subset" of a 100 TB corpus means geometrically.
+    *
+    * Deterministic end to end: the seed is the smallest id (not a
+    * random draw), distance is cosine (via the same codegen dot
+    * product as the ANN family), and the per-round pick breaks
+    * distance ties to the smallest id.
+    *
+    * Shape at scale: the selection state per row is ONE double (best
+    * similarity to the nearest selected center). Each of the k rounds
+    * folds exactly one new center — shipped to executors as a literal,
+    * nothing broadcast-joined — into that column and takes the global
+    * argmin via `orderBy().limit(1)` (a TakeOrdered: per-partition
+    * top-1 then a k-way driver merge, no shuffle of the corpus at
+    * any point). Total cost O(k·n) dot products and k single-row
+    * collects; lineage stays flat through a per-round localCheckpoint,
+    * the same pattern as the iterative graph operators.
+    *
+    * @return `(sel_round, vec_id)` — selection order, k rows
+    */
+  def kCenterSelect(
+      emb: DataFrame,
+      k: Int,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = emb.sparkSession
+
+    // identical accumulation order to FloatVecDot so the driver-side
+    // center norm is the same double an executor would compute
+    def dotD(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def cosTo(center: Array[Float]): Column = {
+      val cNorm = math.sqrt(dotD(center, center))
+      graft.functions.vec_dot(col("__vec"), typedLit(center)) /
+        (col("__norm") * lit(cNorm))
+    }
+
+    val base = emb.select(
+      col(idCol).cast("long").as("__id"),
+      col(vecCol).as("__vec"),
+      sqrt(graft.functions.vec_dot(col(vecCol), col(vecCol))).as("__norm"))
+    val seed = base.orderBy(col("__id")).limit(1)
+      .select(col("__id"), col("__vec")).collect()(0)
+    var picks = Vector[(Int, Long)]((0, seed.getLong(0)))
+    var centerVec = seed.getSeq[Float](1).toArray
+
+    var best = base.withColumn("__best", cosTo(centerVec))
+    var lastCkpt: Option[DataFrame] = None
+    var round = 1
+    while (round < k) {
+      val ck = best.localCheckpoint(true)
+      lastCkpt.foreach(_.unpersist(false))
+      lastCkpt = Some(ck)
+      val selIds = picks.map(_._2)
+      val pick = ck
+        .filter(!col("__id").isInCollection(selIds))
+        .orderBy(col("__best").asc, col("__id").asc)
+        .limit(1)
+        .select(col("__id"), col("__vec")).collect()(0)
+      picks :+= ((round, pick.getLong(0)))
+      centerVec = pick.getSeq[Float](1).toArray
+      best = ck.withColumn("__best", greatest(col("__best"), cosTo(centerVec)))
+      round += 1
+    }
+    lastCkpt.foreach(_.unpersist(false))
+    import spark.implicits._
+    picks.toDF("sel_round", "vec_id")
+  }
 }

@@ -54,7 +54,23 @@ object GraftExtensions {
       (args: Seq[Expression]) => MixHash32(RollingHash(one(args, "mix_hash32")))),
     ("nfc",
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc"),
-      (args: Seq[Expression]) => NfcNormalize(one(args, "nfc"))))
+      (args: Seq[Expression]) => NfcNormalize(one(args, "nfc"))),
+    ("ahash64",
+      new ExpressionInfo(classOf[AHash64].getName, "ahash64"),
+      (args: Seq[Expression]) => AHash64(one(args, "ahash64"))),
+    ("multi_count",
+      new ExpressionInfo(classOf[MultiPatternCount].getName, "multi_count"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 2,
+          s"multi_count expects (text, pattern...), got ${args.length} arguments")
+        val pats = args.tail.map {
+          case org.apache.spark.sql.catalyst.expressions.Literal(
+              s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+          case other => throw new IllegalArgumentException(
+            s"multi_count patterns must be string literals, got $other")
+        }
+        MultiPatternCount(args.head, pats)
+      }))
 
   /** Register the same functions on an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -578,4 +578,27 @@ class DedupSpec extends AnyFunSuite with SparkTest {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("goldenRecords: majority survives, ties break to smallest value, nulls stay null") {
+    val s = spark; import s.implicits._
+    val clustered = Seq(
+      // cluster A: majority en (2 of 3), source tie web/wiki -> "web"
+      ("A", 5L, "en", "web"),
+      ("A", 3L, "en", "wiki"),
+      ("A", 9L, "de", null),
+      // cluster B: lang null in every member
+      ("B", 7L, null, "crawl"),
+      ("B", 8L, null, "crawl")
+    ).toDF("cluster", "doc_id", "lang", "source")
+    val out = Dedup.goldenRecords(clustered, "cluster", "doc_id", Seq("lang", "source"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))).toMap
+    assert(out("A") == ((3L, 3L, "en", "web"))) // canonical = min id; 1-1 source tie -> "web"
+    assert(out("B") == ((7L, 2L, null, "crawl"))) // all-null attr survives as null
+    // deterministic under repartitioning
+    val rep = Dedup.goldenRecords(clustered.repartition(5), "cluster", "doc_id",
+      Seq("lang", "source")).collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))).toMap
+    assert(rep == out)
+  }
 }

@@ -38,4 +38,24 @@ class ExtensionsSpec extends AnyFunSuite with SparkTest {
     val e = intercept[Exception](spark.sql("SELECT nfc('a', 'b')").head())
     assert(e.getMessage.contains("1 argument"))
   }
+
+  test("ahash64 and multi_count resolve from SQL text and match the wrappers") {
+    val s = spark; import s.implicits._
+    GraftExtensions.register(s)
+    val v = graft.Views.unique("ext2")
+    Seq(("table scan then scan", "payload bytes here"))
+      .toDF("txt", "pay").createOrReplaceTempView(v)
+    try {
+      val row = s.sql(
+        s"SELECT ahash64(CAST(pay AS BINARY)), multi_count(txt, 'table scan', 'scan') FROM $v").head()
+      val exp = s.table(v).select(
+        graft.functions.ahash64(col("pay").cast("binary")),
+        graft.functions.multi_count(col("txt"), Seq("table scan", "scan"))).head()
+      assert(row.getLong(0) == exp.getLong(0))
+      assert(row.getSeq[Long](1) == Seq(1L, 2L) && row.getSeq[Long](1) == exp.getSeq[Long](1))
+      // patterns must be literals — a column reference is rejected
+      val e = intercept[Exception](s.sql(s"SELECT multi_count(txt, pay) FROM $v").head())
+      assert(e.getMessage.contains("literal"))
+    } finally s.catalog.dropTempView(v)
+  }
 }

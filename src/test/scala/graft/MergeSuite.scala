@@ -191,6 +191,18 @@ class MergeSuite extends AnyFunSuite with SparkTest {
       byGrp("b").forall(_._3 == 101L))
   }
 
+  test("kAnonymize releases only crowds of k, counts null QI cohorts, keeps widths") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "a", "x"), (2L, "a", "x"), (3L, "a", "x"), // crowd of 3
+      (4L, "b", "y"), (5L, "b", "y"), // crowd of 2 -> suppressed at k=3
+      (6L, null, "z"), (7L, null, "z"), (8L, null, "z") // null QI crowd of 3
+    ).toDF("id", "qi1", "qi2")
+    val out = graft.operators.Quality.kAnonymize(df, Seq("qi1", "qi2"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 6L -> 3L, 7L -> 3L, 8L -> 3L))
+  }
+
   test("categoricalDrift reports exact ppm shares, zeros for absent sides") {
     val s = spark; import s.implicits._
     val before = Seq("x", "x", "x", "y").toDF("cat")          // x 75%, y 25%

@@ -62,4 +62,58 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
       assert(m.meta("width") == "4" && m.meta("height") == "3")
     }
   }
+
+  test("AHash64 matches a direct reimplementation and handles the empty payload") {
+    def ref(bytes: Array[Byte]): Long = {
+      val n = bytes.length.toLong
+      if (n == 0) return 0L
+      val total = bytes.map(b => (b & 0xff).toLong).sum
+      (0 until 64).foldLeft(0L) { (h, b) =>
+        val lo = (b * n / 64).toInt; val hi = ((b + 1) * n / 64).toInt
+        val s = bytes.slice(lo, hi).map(x => (x & 0xff).toLong).sum
+        if (hi > lo && s * n >= total * (hi - lo)) h | (1L << b) else h
+      }
+    }
+    val payloads = Seq("", "x", "hello world payload with enough bytes to fill many spans",
+      ("ab" * 200))
+    payloads.foreach { p =>
+      assert(graft.plans.AHash64.hash(p.getBytes("UTF-8")) == ref(p.getBytes("UTF-8")))
+    }
+    // via the Column API (codegen path)
+    val s = spark; import s.implicits._
+    val got = payloads.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("media_id", "text")
+      .select($"media_id", graft.functions.ahash64($"text".cast("binary")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    payloads.zipWithIndex.foreach { case (p, i) =>
+      assert(got(i.toLong) == ref(p.getBytes("UTF-8")))
+    }
+  }
+
+  test("aHash is invariant under an unclamped brightness shift") {
+    val ds = Multimodal.fromText(media, "doc_id", "text", "image")
+    val orig = Multimodal.aHashes(ds.toDF()).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val shifted = Multimodal.aHashes(
+      Multimodal.brightnessVariant(ds, delta = 8, idOffset = 100L).toDF())
+      .collect().map(r => r.getLong(0) - 100L -> r.getLong(1)).toMap
+    assert(orig == shifted)
+  }
+
+  test("ahashPairs finds planted brightness variants and agrees with brute force") {
+    val ds = Multimodal.fromText(media, "doc_id", "text", "image")
+    val all = ds.unionByName(Multimodal.brightnessVariant(ds, 8, 100L))
+    val pairs = Multimodal.ahashPairs(all.toDF(), maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // every (asset, variant) pair surfaces at Hamming 0
+    Seq(1L, 2L, 3L).foreach(id => assert(pairs.contains((id, id + 100L, 0))))
+    // banded candidates lose nothing vs the brute-force Hamming ball
+    val hs = Multimodal.aHashes(all.toDF()).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(pairs == brute)
+  }
 }

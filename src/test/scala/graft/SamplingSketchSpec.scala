@@ -537,4 +537,25 @@ class SamplingSketchSpec extends AnyFunSuite with SparkTest {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(rep == out.toSet)
   }
+
+  test("kCenterSelect walks the farthest-point order with deterministic ties") {
+    val s = spark; import s.implicits._
+    // seed = min id (1, pointing +x); farthest by cosine is 5 (-x),
+    // then 3 (+y, equidistant from both picks at cos 0)
+    val emb = Seq(
+      (1L, Array(1f, 0f)),
+      (2L, Array(0.99f, 0.1f)),
+      (3L, Array(0f, 1f)),
+      (4L, Array(0.7f, 0.7f)),
+      (5L, Array(-1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Sampling.kCenterSelect(emb, k = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(out == Seq((0, 1L), (1, 5L), (2, 3L)))
+    // no re-picks, determinism under partitioning
+    val rep = Sampling.kCenterSelect(emb.repartition(4), k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(rep.map(_._2).distinct.length == 5)
+    assert(rep.take(3) == out)
+  }
 }

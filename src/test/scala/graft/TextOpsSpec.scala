@@ -327,4 +327,23 @@ class TextOpsSpec extends AnyFunSuite with SparkTest {
     graft.operators.Caches.release()
     assert(rep == scores)
   }
+
+  test("multi_count: Aho-Corasick counts all occurrences, nested and overlapping") {
+    val s = spark; import s.implicits._
+    val pats = Seq("table scan", "scan", "aa", "missing")
+    val d = Seq(
+      (1L, "table scan then another scan"), // "table scan" 1, "scan" 2
+      (2L, "aaa"), // "aa" overlaps itself: positions 0 and 1
+      (3L, "nothing here")
+    ).toDF("doc_id", "text")
+    val got = d.select($"doc_id",
+      graft.functions.multi_count($"text", pats).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got(1L) == Seq(1L, 2L, 0L, 0L))
+    assert(got(2L) == Seq(0L, 0L, 2L, 0L))
+    assert(got(3L) == Seq(0L, 0L, 0L, 0L))
+    // direct automaton check incl. a pattern that is a suffix of another
+    val ac = new graft.plans.AhoCorasick(Seq("he", "she", "his", "hers"))
+    assert(ac.counts("ushers".getBytes("UTF-8")).toSeq == Seq(1L, 1L, 0L, 1L))
+  }
 }

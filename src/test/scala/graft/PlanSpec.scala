@@ -94,4 +94,42 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     assert(readCols == Set("l_orderkey", "l_linenumber", "l_extendedprice"),
       s"scan reads more columns than the projection needs: $readCols")
   }
+
+  test("blocklist scan is shuffle-free: the automaton rides the scan's codegen stage") {
+    val docs = Tables.table(spark, sf, "documents")
+    val counted = docs.select(col("doc_id"),
+      graft.functions.multi_count(col("text"), Seq("table scan", "batch")).as("c"))
+    val plan = unwrapped(counted)
+    val exchanges = plan.collectWithSubqueries { case e: Exchange => e }
+    assert(exchanges.isEmpty, s"expected zero-shuffle blocklist scan, got:\n$plan")
+    val wscg = plan.collectWithSubqueries {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(wscg.nonEmpty, s"multi_count fell out of codegen:\n$plan")
+  }
+
+  test("ahashPairs plans as an equi-join on chunks — no cartesian product, no BNLJ") {
+    val docs = Tables.table(spark, sf, "documents")
+    val media = graft.operators.Multimodal
+      .fromText(docs, "doc_id", "text", "text").toDF()
+    val plan = unwrapped(graft.operators.Multimodal.ahashPairs(media, maxHamming = 3))
+    val s = plan.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"banded hamming join degenerated to a pairwise scan:\n$s")
+  }
+
+  test("kCenterSelect never shuffles the corpus: argmin is a TakeOrdered") {
+    val emb = Tables.table(spark, sf, "embeddings")
+    // one greedy round's argmin plan (what every round executes)
+    val base = emb.select(col("vec_id"), col("embedding"),
+      graft.functions.vec_norm(col("embedding")).as("__norm"))
+    val picked = base
+      .orderBy(col("__norm").asc, col("vec_id").asc).limit(1)
+    val plan = unwrapped(picked)
+    val s = plan.toString
+    assert(s.contains("TakeOrderedAndProject"),
+      s"expected per-partition top-1 + driver merge, got:\n$s")
+    val exchanges = plan.collectWithSubqueries { case e: Exchange => e }
+    assert(exchanges.isEmpty, s"argmin shuffled the corpus:\n$s")
+  }
 }

@@ -961,6 +961,48 @@ object OracleSql {
     sb.toString
   }
 
+  // ------------------------------------------------- silence segmentation
+
+  /** Oracle for `media_silence_segments`: full replay of
+    * `Multimodal.silenceSegments` — block energies as exact integer
+    * `Σ (byte − center)²` over `ord` values, voiced filter, the
+    * `block_idx − row_number()` island id, and per-island aggregation.
+    */
+  def mediaSilenceSegments(blockSize: Int, center: Int, minEnergy: Long): String = {
+    val dev = s"(ord(substr(text, CAST(i AS INT), 1)) - $center)"
+    s"WITH m AS (SELECT doc_id AS media_id, text, length(text) AS n FROM documents), " +
+      s"bl AS (SELECT media_id, text, n, CAST(unnest(generate_series(0, " +
+      s"CAST((n + ${blockSize - 1}) // $blockSize AS INT) - 1)) AS INT) AS block_idx FROM m), " +
+      s"e AS (SELECT media_id, block_idx, CAST(list_sum(list_transform(" +
+      s"range(block_idx * $blockSize + 1, least((block_idx + 1) * $blockSize, n) + 1), " +
+      s"i -> $dev * $dev)) AS BIGINT) AS energy FROM bl), " +
+      s"v AS (SELECT media_id, block_idx, energy, block_idx - row_number() OVER " +
+      s"(PARTITION BY media_id ORDER BY block_idx) AS island FROM e WHERE energy > $minEnergy), " +
+      "g AS (SELECT media_id, island, min(block_idx) AS start_block, max(block_idx) AS end_block, " +
+      "CAST(count(*) AS BIGINT) AS n_blocks, CAST(sum(energy) AS BIGINT) AS sum_energy " +
+      "FROM v GROUP BY 1, 2) " +
+      "SELECT media_id, CAST(row_number() OVER (PARTITION BY media_id ORDER BY start_block) AS INT) AS seg_idx, " +
+      "start_block, end_block, n_blocks, sum_energy FROM g"
+  }
+
+  // ------------------------------------------------- novelty curve
+
+  /** Oracle for `text_novelty_curve`: global first-occurrence trigram
+    * attribution (the dedup family's keep-first rule), per-source
+    * crawl-order rank, decile by exact integer division.
+    */
+  def textNoveltyCurve: String =
+    s"WITH $wordTriCtes, " +
+      "fo AS (SELECT g, min(doc_id) AS doc_id FROM tri GROUP BY g), " +
+      "nv AS (SELECT doc_id, count(*) AS n_novel FROM fo GROUP BY doc_id), " +
+      "rk AS (SELECT d.doc_id, d.source, coalesce(nv.n_novel, 0) AS n_novel, " +
+      "row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id) AS rk " +
+      "FROM documents d LEFT JOIN nv USING (doc_id)), " +
+      "sc AS (SELECT source, count(*) AS nsrc FROM documents GROUP BY source) " +
+      "SELECT r.source, CAST((r.rk - 1) * 10 // s.nsrc AS INT) AS decile, " +
+      "count(*) AS n_docs, CAST(sum(r.n_novel) AS BIGINT) AS sum_novel " +
+      "FROM rk r JOIN sc s USING (source) GROUP BY 1, 2"
+
   // ------------------------------------------------- blocklist scan
 
   /** Oracle for `text_blocklist`: per-pattern ALL-occurrence counts by

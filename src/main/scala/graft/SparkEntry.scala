@@ -811,6 +811,13 @@ object SparkEntry {
       val variants = Multimodal.brightnessVariant(media, delta = 8, idOffset = 1000000L)
       Multimodal.ahashPairs(media.unionByName(variants).toDF(), maxHamming = 3)
     }),
+    "media_silence_segments" -> ((s, d) =>
+      // audio-style segmentation: per-block integer PCM energy (one
+      // codegen pass), voiced runs found by gaps-and-islands — per-key
+      // window state is one asset's block list
+      Multimodal.silenceSegments(
+        Multimodal.fromText(rd(s, d, "documents"), "doc_id", "text", "audio").toDF(),
+        blockSize = 16, center = 97, minEnergy = 5000L)),
     "media_frame_stats" -> ((s, d) =>
       // frame sampling through the typed decoder path: the stub cuts a
       // fake 16-frame container into byte slices and keeps every 4th —
@@ -1362,6 +1369,26 @@ object SparkEntry {
       TextAnalysis.sourceDistinctiveTerms(rd(s, d, "documents"), k = 5)),
     "text_tfidf_terms" -> ((s, d) =>
       TextAnalysis.topDistinctiveTerms(rd(s, d, "documents"), k = 3)),
+    "text_novelty_curve" -> ((s, d) => {
+      // corpus-saturation audit: novel-trigram yield per source by
+      // crawl-order decile — the "is this source mined out?" signal.
+      // First-occurrence attribution is global (the same keep-first
+      // rule as the dedup family); deciles come from the per-source
+      // rank so sources of different sizes compare on one axis
+      val docs = rd(s, d, "documents")
+      val nov = Dedup.noveltyScores(docs).select("doc_id", "n_novel")
+      val srcCounts = docs.groupBy("source").agg(count(lit(1)).as("__nsrc"))
+      val rkW = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      docs.select("doc_id", "source")
+        .join(nov, Seq("doc_id"), "left")
+        .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
+        .withColumn("__rk", row_number().over(rkW))
+        .join(broadcast(srcCounts), "source")
+        .withColumn("decile",
+          expr("CAST((__rk - 1) * 10 div __nsrc AS INT)"))
+        .groupBy("source", "decile")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_novel")).as("sum_novel"))
+    }),
     "text_blocklist" -> ((s, d) => {
       // policy-term scanning: per-doc counts of every blocklist pattern
       // from ONE Aho-Corasick pass (all occurrences, overlapping
@@ -1832,6 +1859,7 @@ object SparkEntry {
     "text_rolling_fp" -> OracleSql.textRollingFp,
     "media_byte_stats" -> OracleSql.mediaByteStats,
     "media_ahash_pairs" -> OracleSql.mediaAhashPairs(3, 8, 1000000L),
+    "media_silence_segments" -> OracleSql.mediaSilenceSegments(16, 97, 5000L),
     "media_resize_stats" -> OracleSql.mediaResizeStats(256),
     "media_frame_stats" -> OracleSql.mediaFrameStats(16, 4),
     "dedup_clusters" ->
@@ -2501,6 +2529,7 @@ object SparkEntry {
         "FROM csamp) " +
         "SELECT source, bin, count(*) AS n_docs, CAST(sum(n_kept) AS BIGINT) AS sum_tokens FROM cpack GROUP BY 1, 2"),
     "text_blocklist" -> OracleSql.textBlocklist(blocklist),
+    "text_novelty_curve" -> OracleSql.textNoveltyCurve,
     "text_tfidf_terms" ->
       ("WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token FROM documents), " +
         "tf AS (SELECT doc_id, token, count(*) AS tf FROM toks WHERE token <> '' GROUP BY 1, 2), " +

@@ -111,4 +111,12 @@ package object functions {
     */
   def ahash64(c: Column): Column =
     ColumnBridge.column(graft.plans.AHash64(ColumnBridge.expression(c)))
+
+  /** Per-block integer PCM energy of a binary payload
+    * ([[graft.plans.ByteBlockEnergy]]): array<long>, one entry per
+    * `blockSize`-byte block — the silence-detection primitive.
+    */
+  def byte_block_energy(c: Column, blockSize: Int, center: Int): Column =
+    ColumnBridge.column(
+      graft.plans.ByteBlockEnergy(ColumnBridge.expression(c), blockSize, center))
 }

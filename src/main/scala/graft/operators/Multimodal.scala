@@ -163,6 +163,46 @@ object Multimodal {
     })
   }
 
+  /** Silence/voice segmentation over an audio-style byte payload — the
+    * gaps-and-islands operator of the modality: per-block PCM energy
+    * (`Σ (byte − center)²`, exact integer, one codegen pass via
+    * [[graft.plans.ByteBlockEnergy]]), blocks above `minEnergy` are
+    * "voiced", and maximal voiced runs become segments
+    * `(media_id, seg_idx, start_block, end_block, n_blocks,
+    * sum_energy)`.
+    *
+    * The island id is the classic `block_idx − row_number()` trick:
+    * consecutive voiced blocks share it, any silent gap shifts it.
+    * Both windows partition by `media_id`, so state per key is one
+    * asset's block list — the same per-key bound as sessionization;
+    * the corpus shuffles once on the media key. With a real decoder
+    * the input is the PCM plane; the stub's text bytes stand in, with
+    * the same arithmetic end to end.
+    */
+  def silenceSegments(
+      mediaDf: DataFrame,
+      blockSize: Int = 16,
+      center: Int = 97,
+      minEnergy: Long = 5000L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("block_idx"))
+    val voiced = mediaDf.select(col("media_id"),
+      posexplode(graft.functions.byte_block_energy(col("bytes"), blockSize, center))
+        .as(Seq("block_idx", "energy")))
+      .where(col("energy") > minEnergy)
+      .withColumn("__island", col("block_idx") - row_number().over(w))
+    val segW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("start_block"))
+    voiced.groupBy(col("media_id"), col("__island"))
+      .agg(min(col("block_idx")).as("start_block"),
+        max(col("block_idx")).as("end_block"),
+        count(lit(1)).as("n_blocks"),
+        sum(col("energy")).as("sum_energy"))
+      .select(col("media_id"),
+        row_number().over(segW).as("seg_idx"),
+        col("start_block"), col("end_block"), col("n_blocks"), col("sum_energy"))
+  }
+
   /** Perceptual fingerprints: `(media_id, ahash)` via the codegen'd
     * integer [[graft.plans.AHash64]] — one narrow projection, no
     * decoder round trip needed for payloads already in byte-plane

@@ -55,6 +55,75 @@ case class AHash64(child: org.apache.spark.sql.catalyst.expressions.Expression)
       : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = newChild)
 }
 
+/** Per-block energy of a binary payload: the payload is cut into
+  * fixed-size `blockSize`-byte blocks (last block ragged) and each
+  * block reports `Σ (byte − center)²` — the squared deviation from the
+  * DC offset, i.e. the PCM energy measure that drives silence/voice
+  * detection, in exact integer arithmetic (engine-replayable). One
+  * codegen pass; the array output feeds a relational gaps-and-islands
+  * segmentation downstream ([[graft.operators.Multimodal.silenceSegments]]).
+  *
+  * Exact-integer bound: per-byte deviation² ≤ 255², so a block sum
+  * stays below 2^63 for any blockSize under ~1.4·10¹⁴ bytes.
+  */
+case class ByteBlockEnergy(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    blockSize: Int,
+    center: Int)
+    extends UnaryExpression {
+  require(blockSize >= 1, "blockSize must be >= 1")
+  require(center >= 0 && center <= 255, "center must be a byte value")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType,
+      containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"byte_block_energy requires a binary argument, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    ByteBlockEnergy.energies(v.asInstanceOf[Array[Byte]], blockSize, center)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"${ev.value} = graft.plans.ByteBlockEnergy.energies($b, $blockSize, $center);")
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = newChild)
+}
+
+object ByteBlockEnergy {
+  /** Static JVM implementation shared by interpreted eval and codegen. */
+  def energies(bytes: Array[Byte], blockSize: Int, center: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = bytes.length
+    val nBlocks = (n + blockSize - 1) / blockSize
+    val out = new Array[Long](nBlocks)
+    var b = 0
+    while (b < nBlocks) {
+      val hi = math.min((b + 1) * blockSize, n)
+      var s = 0L
+      var i = b * blockSize
+      while (i < hi) {
+        val d = (bytes(i) & 0xff) - center
+        s += d.toLong * d
+        i += 1
+      }
+      out(b) = s
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object AHash64 {
   /** Static JVM implementation shared by interpreted eval and codegen. */
   def hash(bytes: Array[Byte]): Long = {

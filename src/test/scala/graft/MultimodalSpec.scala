@@ -100,6 +100,29 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
     assert(orig == shifted)
   }
 
+  test("silenceSegments: hand-traced islands, ragged tail, all-silent asset") {
+    val s = spark; import s.implicits._
+    // blockSize 4, center 100 ('d'): "dddd" is dead silence (energy 0),
+    // "!!!!" is loud (4·67² = 17956), "zzzz" is quiet-but-voiced (4·22²
+    // = 1936); the 2-byte ragged tail "!!" is loud (2·67² = 8978)
+    val m = Seq(
+      (1L, "dddd!!!!ddddzzzz!!"),
+      (2L, "dddddddd") // all silent -> no segments
+    ).toDF("doc_id", "text")
+    val media = Multimodal.fromText(m, "doc_id", "text", "audio").toDF()
+    val segs = Multimodal.silenceSegments(media,
+      blockSize = 4, center = 100, minEnergy = 1000L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(segs == Set(
+      (1L, 1, 1, 1, 1L, 17956L), // "!!!!"
+      (1L, 2, 3, 4, 2L, 1936L + 8978L))) // "zzzz" + ragged "!!" merge into one run
+    // direct expression check incl. the ragged block
+    val e = graft.plans.ByteBlockEnergy.energies(
+      "dddd!!!!ddddzzzz!!".getBytes("UTF-8"), 4, 100)
+    assert(e.toLongArray().toSeq == Seq(0L, 17956L, 0L, 1936L, 8978L))
+  }
+
   test("ahashPairs finds planted brightness variants and agrees with brute force") {
     val ds = Multimodal.fromText(media, "doc_id", "text", "image")
     val all = ds.unionByName(Multimodal.brightnessVariant(ds, 8, 100L))

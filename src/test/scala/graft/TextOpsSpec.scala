@@ -328,6 +328,29 @@ class TextOpsSpec extends AnyFunSuite with SparkTest {
     assert(rep == scores)
   }
 
+  test("novelty-curve composition: deciles partition each source, novelty conserved") {
+    val s = spark; import s.implicits._
+    // 2 sources, 5 docs each; doc texts share one trigram run so later
+    // docs yield fewer novel grams
+    val base = "alpha beta gamma delta epsilon zeta"
+    val docs = (0 until 10).map { i =>
+      (i.toLong, if (i % 2 == 0) "web" else "wiki", s"$base token$i extra$i")
+    }.toDF("doc_id", "source", "text")
+    val nov = graft.operators.Dedup.noveltyScores(docs).select("doc_id", "n_novel")
+    val curve = docs.join(nov, Seq("doc_id"), "left")
+      .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
+    graft.operators.Caches.release()
+    // every gram's first occurrence is attributed exactly once
+    val totalNovel = curve.agg(sum("n_novel")).head().getLong(0)
+    val distinctGrams = graft.operators.Dedup.trigramSets(docs)
+      .select("gram").distinct().count()
+    assert(totalNovel == distinctGrams)
+    // the first doc of the global order holds the shared run's grams
+    val first = curve.filter(col("doc_id") === 0L).head().getAs[Long]("n_novel")
+    val later = curve.filter(col("doc_id") === 9L).head().getAs[Long]("n_novel")
+    assert(first > later)
+  }
+
   test("multi_count: Aho-Corasick counts all occurrences, nested and overlapping") {
     val s = spark; import s.implicits._
     val pats = Seq("table scan", "scan", "aa", "missing")

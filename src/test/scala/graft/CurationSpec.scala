@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Curation
+
+/** Resumable materialized curation: content-addressed stage tables,
+  * skip-if-built, recompute-exactly-the-invalidated-cone.
+  */
+class CurationSpec extends AnyFunSuite with SparkTest {
+
+  private def newDir() = java.nio.file.Files.createTempDirectory("cur").toString
+
+  // small corpus with one planted near-dup pair (docs 1/2 share most
+  // trigrams) so pairs/clusters/keep all have real work
+  private def docs = {
+    val s = spark; import s.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Seq(
+      (1L, base + " lambda", "web"),
+      (2L, base + " mu", "web"),
+      (3L, "totally different words with no shared trigram runs at all", "wiki"),
+      (4L, "another unrelated document of its own content entirely here", "wiki")
+    ).toDF("doc_id", "text", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  private def mixRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+
+  test("fresh run builds every stage; rerun reuses every stage with equal output") {
+    val dir = newDir()
+    val (mix1, runs1) = Curation.runResumable(docs, dir, corpusVersion = "v1")
+    assert(runs1.map(_.stage) == Seq("pairs", "clusters", "keep", "split", "mix"))
+    assert(runs1.forall(!_.reused))
+    val out1 = mixRows(mix1)
+    assert(out1.nonEmpty)
+    val (mix2, runs2) = Curation.runResumable(docs, dir, corpusVersion = "v1")
+    assert(runs2.forall(_.reused))
+    assert(mixRows(mix2) == out1)
+  }
+
+  test("a deleted intermediate rebuilds alone; downstream stays reused") {
+    val dir = newDir()
+    val (_, runs1) = Curation.runResumable(docs, dir, corpusVersion = "v1")
+    val keepTable = runs1.find(_.stage == "keep").get.table
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$keepTable"), true)
+    val (_, runs2) = Curation.runResumable(docs, dir, corpusVersion = "v1")
+    assert(runs2.map(r => r.stage -> r.reused).toMap ==
+      Map("pairs" -> true, "clusters" -> true, "keep" -> false,
+        "split" -> true, "mix" -> true))
+  }
+
+  test("a config change recomputes exactly its downstream cone") {
+    val dir = newDir()
+    Curation.runResumable(docs, dir, corpusVersion = "v1")
+    val (_, runs) = Curation.runResumable(docs, dir, corpusVersion = "v1", salt = "other")
+    assert(runs.map(r => r.stage -> r.reused).toMap ==
+      Map("pairs" -> true, "clusters" -> true, "keep" -> true,
+        "split" -> false, "mix" -> false))
+    // a new corpus version invalidates everything
+    val (_, runsV2) = Curation.runResumable(docs, dir, corpusVersion = "v2")
+    assert(runsV2.forall(!_.reused))
+    // force recomputes even with every table present
+    val (_, runsF) = Curation.runResumable(docs, dir, corpusVersion = "v2", force = true)
+    assert(runsF.forall(!_.reused))
+  }
+
+  test("near-dup clusters never straddle the split; losers are dropped") {
+    val dir = newDir()
+    val (_, runs) = Curation.runResumable(docs, dir, corpusVersion = "v1")
+    val splitTable = runs.find(_.stage == "split").get.table
+    val split = graft.sources.Warehouse.read(spark, dir, splitTable).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    // docs 1 and 2 are near-dups: only the keeper (longer doc wins,
+    // tie to smaller id -> doc 1 at equal length? lengths differ by
+    // suffix) survives, so at most one of them is present
+    assert(!(split.contains(1L) && split.contains(2L)))
+    assert(split.contains(3L) && split.contains(4L))
+  }
+}

@@ -1486,6 +1486,23 @@ object SparkEntry {
       TextAnalysis.chunkDocuments(rd(s, d, "documents"), chunkTokens = 50)
         .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
           md5(col("chunk_text")).as("chunk_md5"))),
+    "doc_windows" -> ((s, d) =>
+      // overlapping training windows (8 tokens, stride 4): consecutive
+      // windows share half their context — the standard LM layout that
+      // keeps context across chunk boundaries; ragged last window kept
+      TextAnalysis.slidingWindows(rd(s, d, "documents"),
+        windowTokens = 8, stride = 4)
+        .select(col("doc_id"), col("window_idx"), col("n_window_tokens"),
+          md5(col("window_text")).as("window_md5"))),
+    "sample_kfold" -> ((s, d) =>
+      // 5-fold CV assignment from the hash grid; per-fold corpus stats
+      Sampling.kFold(rd(s, d, "documents"), "doc_id", "cv1", k = 5)
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))),
+    "text_vocab_curve" -> ((s, d) =>
+      // tokenizer-sizing audit: OOV occurrence ppm at candidate vocab
+      // sizes, all served from the vocabulary-sized count table
+      TextAnalysis.vocabCoverageCurve(rd(s, d, "documents"), Seq(10, 25, 50, 100))),
     "emb_label_profile" -> ((s, d) =>
       // per-label centroid profile in exact fixed point: the sums are
       // integers, so the result is partition-order-independent and
@@ -2551,6 +2568,30 @@ object SparkEntry {
         "FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS a FROM documents)) " +
         "SELECT doc_id, CAST(pos // 50 AS INT) AS chunk_idx, CAST(count(*) AS INT) AS n_chunk_tokens, " +
         "md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5 FROM t GROUP BY 1, 2"),
+    "doc_windows" ->
+      ("WITH t AS (SELECT doc_id, len(a) AS n, CAST(unnest(generate_series(1, len(a))) - 1 AS INT) AS pos, unnest(a) AS tok " +
+        "FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS a FROM documents)), " +
+        "w AS (SELECT doc_id, n, pos, tok, CAST(unnest(generate_series(" +
+        "CAST((greatest(0, pos - 7) + 3) // 4 AS INT), CAST(pos // 4 AS INT))) AS INT) AS window_idx FROM t), " +
+        "f AS (SELECT * FROM w WHERE window_idx <= (greatest(0, n - 8) + 3) // 4) " +
+        "SELECT doc_id, window_idx, CAST(count(*) AS INT) AS n_window_tokens, " +
+        "md5(string_agg(tok, ' ' ORDER BY pos)) AS window_md5 FROM f GROUP BY 1, 2"),
+    "sample_kfold" ->
+      (s"WITH s AS (SELECT doc_id, n_chars, ${OracleSql.hashSplitCase(
+        "CAST(doc_id AS VARCHAR)", "cv1",
+        (0 until 5).map(i => s"f$i" -> 0.2))} AS fold FROM documents) " +
+        "SELECT fold, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
+        "FROM s GROUP BY fold"),
+    "text_vocab_curve" ->
+      ("WITH tf AS (SELECT tok FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok " +
+        "FROM documents) WHERE tok <> ''), " +
+        "c AS (SELECT tok, count(*) AS n FROM tf GROUP BY tok), " +
+        "r AS (SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS rk FROM c), " +
+        "t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c), " +
+        "v(vocab_size) AS (VALUES (10), (25), (50), (100)) " +
+        "SELECT v.vocab_size, CAST(coalesce(sum(CASE WHEN r.rk > v.vocab_size THEN 1 END), 0) AS BIGINT) AS n_oov_types, " +
+        "CAST(coalesce(sum(CASE WHEN r.rk > v.vocab_size THEN r.n END), 0) * 1000000 // (SELECT total FROM t) AS BIGINT) AS oov_ppm " +
+        "FROM r, v GROUP BY v.vocab_size"),
     "emb_label_profile" ->
       ("WITH x AS (SELECT label, CAST(unnest(generate_series(1, len(embedding))) - 1 AS INT) AS dim, " +
         "unnest(embedding) AS v FROM embeddings) " +

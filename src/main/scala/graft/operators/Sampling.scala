@@ -79,6 +79,24 @@ object Sampling {
       splitColName: String = "split"): DataFrame =
     df.withColumn(splitColName, splitCol(col(keyCol), salt, fractions))
 
+  /** k-fold cross-validation assignment: fold `f0..f{k−1}` as an equal
+    * split of the hash grid — [[hashSplit]] with k equal fractions, so
+    * every fold inherits the full stability contract (pure function of
+    * salt+key, engine-portable, zero-shuffle) and the oracle replays it
+    * with the same threshold literals. Train/test for fold i is
+    * `fold != s"f$i"` / `fold == s"f$i"` — no per-fold re-draw.
+    */
+  def kFold(
+      df: DataFrame,
+      keyCol: String,
+      salt: String,
+      k: Int,
+      foldColName: String = "fold"): DataFrame = {
+    require(k >= 2, "need at least two folds")
+    hashSplit(df, keyCol, salt,
+      (0 until k).map(i => s"f$i" -> 1.0 / k), foldColName)
+  }
+
   /** Leakage-safe split: near-duplicate documents NEVER straddle a
     * split boundary. [[hashSplit]] keyed on the doc id still leaks —
     * two near-identical crawls of one page land in train and test

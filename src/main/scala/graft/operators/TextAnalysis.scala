@@ -325,6 +325,96 @@ object TextAnalysis {
         expr("listagg(__tok, ' ') WITHIN GROUP (ORDER BY __pos)").as("chunk_text"))
   }
 
+  /** Vocabulary coverage curve: for each candidate vocab size V (the
+    * top-V tokens by corpus frequency, ties lexicographic), the
+    * out-of-vocabulary token-occurrence share in exact integer ppm and
+    * the count of OOV types — "how big must the tokenizer vocab be?"
+    * answered as one table. The multi-size generalization of
+    * [[oovRate]].
+    *
+    * Shape at scale: everything after the (token → count) aggregation
+    * runs on the VOCABULARY table (|distinct tokens| rows — Zipf keeps
+    * this millions, not corpus-sized); the global rank window over it
+    * is the same deliberate vocabulary-sized single partition as
+    * [[oovRate]]'s.
+    */
+  def vocabCoverageCurve(
+      docs: DataFrame,
+      sizes: Seq[Int],
+      textCol: String = "text"): DataFrame = {
+    require(sizes.nonEmpty, "need at least one vocab size")
+    val counts = docs
+      .select(explode(tokens(col(textCol))).as("__tok"))
+      .where(col("__tok") =!= "")
+      .groupBy("__tok").agg(count(lit(1)).as("__n"))
+    val ranked = counts.withColumn("__rk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("__n").desc, col("__tok"))))
+    val total = counts.agg(sum(col("__n")).as("__total"))
+    ranked
+      .crossJoin(broadcast(total))
+      .withColumn("vocab_size", explode(typedLit(sizes)))
+      .groupBy("vocab_size")
+      .agg(
+        sum(when(col("__rk") > col("vocab_size"), 1L).otherwise(0L))
+          .as("n_oov_types"),
+        sum(when(col("__rk") > col("vocab_size"), col("__n")).otherwise(0L))
+          .as("__oov_occ"),
+        first(col("__total")).as("__tot"))
+      .select(col("vocab_size"), col("n_oov_types"),
+        // exact integer ppm — floor division, engine-replayable
+        expr("__oov_occ * 1000000 div __tot").as("oov_ppm"))
+  }
+
+  /** Sliding training windows: `windowTokens`-token chunks starting
+    * every `stride` tokens — the overlapping-context form of
+    * [[chunkDocuments]] (stride < window ⇒ consecutive windows share
+    * `window − stride` tokens, the standard LM-pretraining layout that
+    * keeps context across chunk boundaries). Only FULL windows are
+    * emitted except the document's last window, which is kept ragged
+    * so no trailing token is ever dropped (`stride ≥ 1`; stride =
+    * window degenerates to non-overlapping chunking minus the
+    * empty-tail case).
+    *
+    * Each token lands in at most `⌈window/stride⌉` windows — the
+    * explode factor is a constant of the configuration, not of corpus
+    * size; grouping state per (doc, window) is one window's tokens,
+    * the same bound as [[chunkDocuments]].
+    */
+  def slidingWindows(
+      docs: DataFrame,
+      windowTokens: Int,
+      stride: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    require(stride >= 1 && stride <= windowTokens,
+      "stride must be in [1, windowTokens]")
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol), size(col("__t")).as("__n"),
+        posexplode(col("__t")).as(Seq("__pos", "__tok")))
+    // window w covers positions [w·stride, w·stride + window); token at
+    // __pos belongs to windows max(0, ceil((pos−window+1)/stride)) ..
+    // floor(pos/stride) — enumerate that constant-size range per token.
+    // A window is emitted when it is full OR it is the doc's last
+    // window start (covers the tail).
+    // exact integer ceil: clamp the numerator to >= 0 first (the clamp
+    // commutes with ceil-div for non-positive numerators), then
+    // (x + stride − 1) div stride — no float division anywhere
+    val wLo = expr(
+      s"CAST((GREATEST(0, __pos - ${windowTokens - 1}) + ${stride - 1}) DIV $stride AS INT)")
+    val wHi = expr(s"CAST(__pos DIV $stride AS INT)")
+    val lastStart = expr(
+      s"CAST((GREATEST(0, __n - $windowTokens) + ${stride - 1}) DIV $stride AS INT)")
+    toks
+      .withColumn("window_idx", explode(sequence(wLo, wHi)))
+      .where(col("window_idx") <= lastStart)
+      .groupBy(col(idCol), col("window_idx"))
+      .agg(
+        count(lit(1)).cast("int").as("n_window_tokens"),
+        expr("listagg(__tok, ' ') WITHIN GROUP (ORDER BY __pos)").as("window_text"))
+  }
+
   /** Domain-relevance scoring against a target lexicon — the signal
     * behind importance-resampled data selection (DSIR-style): documents
     * whose token mass overlaps a target-domain vocabulary are

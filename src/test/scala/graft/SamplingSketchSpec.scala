@@ -538,6 +538,21 @@ class SamplingSketchSpec extends AnyFunSuite with SparkTest {
     assert(rep == out.toSet)
   }
 
+  test("kFold: every row gets exactly one fold, stable across runs, near-even sizes") {
+    val s = spark; import s.implicits._
+    val df = (1L to 1000L).toDF("id")
+    val folds = Sampling.kFold(df, "id", "cv", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(folds.length == 1000)
+    assert(folds.map(_._2).toSet == (0 until 5).map(i => s"f$i").toSet)
+    val sizes = folds.groupBy(_._2).view.mapValues(_.length)
+    sizes.values.foreach(n => assert(n > 130 && n < 270, s"lopsided folds: $sizes"))
+    // pure function of (salt, key): identical on re-run and repartition
+    val again = Sampling.kFold(df.repartition(7), "id", "cv", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(folds.toMap == again)
+  }
+
   test("kCenterSelect walks the farthest-point order with deterministic ties") {
     val s = spark; import s.implicits._
     // seed = min id (1, pointing +x); farthest by cosine is 5 (-x),

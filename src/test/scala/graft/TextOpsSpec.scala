@@ -328,6 +328,43 @@ class TextOpsSpec extends AnyFunSuite with SparkTest {
     assert(rep == scores)
   }
 
+  test("slidingWindows: overlap, ragged tail, and the stride=window degenerate case") {
+    val s = spark; import s.implicits._
+    // 10 tokens, window 4, stride 2 -> starts 0,2,4,6 (6 covers 6..9);
+    // window 6 is the last start ((10-4+1)/2 rounded up = 3 -> idx 3)
+    val d = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
+    val w = TextAnalysis.slidingWindows(d, windowTokens = 4, stride = 2)
+      .collect().map(r => r.getInt(1) -> (r.getInt(2), r.getString(3))).toMap
+    assert(w == Map(
+      0 -> (4, "t0 t1 t2 t3"),
+      1 -> (4, "t2 t3 t4 t5"),
+      2 -> (4, "t4 t5 t6 t7"),
+      3 -> (4, "t6 t7 t8 t9")))
+    // 9 tokens, window 4, stride 3 -> starts 0, 3; last start ceil(5/3)=2 covers tail
+    val d2 = Seq((1L, "a b c d e f g h i")).toDF("doc_id", "text")
+    val w2 = TextAnalysis.slidingWindows(d2, windowTokens = 4, stride = 3)
+      .collect().map(r => r.getInt(1) -> r.getString(3)).toMap
+    assert(w2 == Map(0 -> "a b c d", 1 -> "d e f g", 2 -> "g h i"))
+    // stride == window reproduces chunkDocuments except the tail rule
+    val short = Seq((1L, "x y z")).toDF("doc_id", "text")
+    val w3 = TextAnalysis.slidingWindows(short, windowTokens = 8, stride = 8)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(w3.toSeq == Seq((0, 3, "x y z")))
+  }
+
+  test("vocabCoverageCurve: hand-computed OOV ppm at each vocab size") {
+    val s = spark; import s.implicits._
+    // frequencies: a×4, b×2, c×1, d×1 (ties c<d lexicographic)
+    val d = Seq((1L, "a a b c"), (2L, "a a b d")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabCoverageCurve(d, Seq(1, 2, 3, 4))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // total 8 occurrences; ranks: a=1, b=2, c=3, d=4
+    assert(out(1) == ((3L, 500000L))) // b,c,d OOV: 4/8
+    assert(out(2) == ((2L, 250000L))) // c,d: 2/8
+    assert(out(3) == ((1L, 125000L))) // d: 1/8
+    assert(out(4) == ((0L, 0L)))
+  }
+
   test("novelty-curve composition: deciles partition each source, novelty conserved") {
     val s = spark; import s.implicits._
     // 2 sources, 5 docs each; doc texts share one trigram run so later

@@ -714,6 +714,11 @@ object SparkEntry {
       TextAnalysis.langId(rd(s, d, "documents"))
         .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))),
     "text_quality" -> ((s, d) => TextAnalysis.qualitySignals(rd(s, d, "documents"))),
+    "quality_composite" -> ((s, d) =>
+      // the one calibrated number mixers sort by: min-max-normalized
+      // length / diversity / stopword signals fused by integer mean —
+      // zero-shuffle signals + one broadcast bounds aggregate
+      TextAnalysis.compositeQuality(rd(s, d, "documents"))),
     "text_tokens" -> ((s, d) => TextAnalysis.tokenStats(rd(s, d, "documents"))),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(rd(s, d, "documents"))),
     "text_rolling_fp" -> ((s, d) => TextAnalysis.rollingFingerprint(rd(s, d, "documents"))),
@@ -1947,6 +1952,21 @@ object SparkEntry {
     // language — reuses the langId replay as a subquery
     "text_lang_confusion" ->
       (s"SELECT lang, pred_lang, count(*) AS n FROM ($langIdSql) GROUP BY 1, 2"),
+    "quality_composite" ->
+      ("WITH b AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tok, " +
+        "' ' || lower(trim(text)) || ' ' AS pad FROM documents), " +
+        "s AS (SELECT doc_id, CAST(len(tok) AS BIGINT) AS l, " +
+        "CAST(len(list_distinct(tok)) AS BIGINT) * 1000000 // len(tok) AS dv, " +
+        s"CAST(${occSql("pad", " the ")} + ${occSql("pad", " a ")} AS BIGINT) * 1000000 // len(tok) AS st FROM b), " +
+        "m AS (SELECT min(l) AS ln, max(l) AS lx, min(dv) AS dn, max(dv) AS dx, " +
+        "min(st) AS sn, max(st) AS sx FROM s), " +
+        "n AS (SELECT doc_id, " +
+        "CASE WHEN lx = ln THEN 0 ELSE (l - ln) * 1000000 // (lx - ln) END AS len_norm_ppm, " +
+        "CASE WHEN dx = dn THEN 0 ELSE (dv - dn) * 1000000 // (dx - dn) END AS div_norm_ppm, " +
+        "CASE WHEN sx = sn THEN 0 ELSE (st - sn) * 1000000 // (sx - sn) END AS stop_norm_ppm " +
+        "FROM s, m) " +
+        "SELECT doc_id, len_norm_ppm, div_norm_ppm, stop_norm_ppm, " +
+        "(len_norm_ppm + div_norm_ppm + stop_norm_ppm) // 3 AS composite_ppm FROM n"),
     "text_quality" ->
       ("SELECT doc_id, CAST(length(text) AS INT) AS n_chars_measured, " +
         "CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS INT) AS n_tokens, " +

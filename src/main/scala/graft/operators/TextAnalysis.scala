@@ -59,6 +59,92 @@ object TextAnalysis {
       (occurrences(padded(col(textCol)), " the ") + occurrences(padded(col(textCol)), " a "))
         .as("stopword_hits"))
 
+  /** Composite quality score — the single calibrated number downstream
+    * mixers sort by, fused from three cheap monotone signals: token
+    * count (substance), distinct-token share (lexical diversity — the
+    * inverse of degenerate repetition), and stopword share (natural
+    * prose rather than keyword lists, the C4 heuristic). Each signal
+    * is min-max normalized over the corpus to exact integer ppm
+    * (`(x − min)·10⁶ div (max − min)`, constant-signal guard → 0) and
+    * the composite is their floor-divided mean — deterministic,
+    * engine-replayable, no floats.
+    *
+    * Shape at scale: signals are a zero-shuffle codegen projection;
+    * the normalization constants are ONE tiny min/max aggregate
+    * broadcast back; the corpus is scanned once and never shuffled.
+    * (Rank-based fusion would need corpus-wide windows — this
+    * formulation deliberately avoids them.)
+    */
+  def compositeQuality(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val sig = docs.select(
+        col(idCol),
+        size(tokens(col(textCol))).cast("long").as("__len"),
+        size(array_distinct(tokens(col(textCol)))).cast("long").as("__dis"),
+        (occurrences(padded(col(textCol)), " the ") +
+          occurrences(padded(col(textCol)), " a ")).cast("long").as("__hits"))
+      .select(col(idCol), col("__len"),
+        expr("__dis * 1000000 div __len").as("__div"),
+        expr("__hits * 1000000 div __len").as("__stop"))
+    val bounds = sig.agg(
+      min(col("__len")).as("__len_min"), max(col("__len")).as("__len_max"),
+      min(col("__div")).as("__div_min"), max(col("__div")).as("__div_max"),
+      min(col("__stop")).as("__stop_min"), max(col("__stop")).as("__stop_max"))
+    def norm(c: String): org.apache.spark.sql.Column =
+      when(col(s"${c}_max") === col(s"${c}_min"), lit(0L))
+        .otherwise(expr(s"($c - ${c}_min) * 1000000 div (${c}_max - ${c}_min)"))
+    sig.crossJoin(broadcast(bounds))
+      .select(col(idCol),
+        norm("__len").as("len_norm_ppm"),
+        norm("__div").as("div_norm_ppm"),
+        norm("__stop").as("stop_norm_ppm"))
+      .withColumn("composite_ppm",
+        expr("(len_norm_ppm + div_norm_ppm + stop_norm_ppm) div 3"))
+  }
+
+  /** Deflate compression ratio per document — the Gopher-family
+    * quality signal the ratio-of-counts heuristics approximate:
+    * heavily repetitive or templated text compresses far below prose.
+    * Emits `(id, n_bytes, n_deflated, ratio_ppm)` with `ratio_ppm =
+    * n_deflated·10⁶ div n_bytes` (small = redundant).
+    *
+    * Runs at the codec boundary like the multimodal decoders: ONE
+    * `Deflater` per partition, reset between documents, streaming
+    * iterator — zlib is a native-buffer machine you construct once,
+    * not per row. Deflate output length is deterministic for a fixed
+    * level and input, but it is a JVM-library artifact, not portable
+    * SQL — so this signal is spec-gated (like the decoders), not
+    * DuckDB-oracled; the ordering it induces is what downstream
+    * filters consume.
+    */
+  def compressionSignals(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      level: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val out = docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(level)
+        val buf = new Array[Byte](64 * 1024)
+        it.map { case (id, text) =>
+          val in = if (text == null) Array.empty[Byte] else text.getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(in)
+          deflater.finish()
+          var n = 0L
+          while (!deflater.finished()) n += deflater.deflate(buf)
+          (id, in.length.toLong, n)
+        }
+      }
+    out.toDF(idCol, "n_bytes", "n_deflated")
+      .withColumn("ratio_ppm",
+        expr("CASE WHEN n_bytes = 0 THEN 0 ELSE n_deflated * 1000000 div n_bytes END"))
+  }
+
   /** Token statistics: total and distinct token counts per document. */
   def tokenStats(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs.select(

@@ -328,6 +328,39 @@ class TextOpsSpec extends AnyFunSuite with SparkTest {
     assert(rep == scores)
   }
 
+  test("compositeQuality: hand-computed normalization and integer fusion") {
+    val s = spark; import s.implicits._
+    val d = Seq(
+      (1L, "the cat sat on a mat"), // 6 tokens, 6 distinct, 2 stopword hits
+      (2L, "dup dup dup dup"), // 4 tokens, 1 distinct, 0 hits
+      (3L, "one two three four five six seven eight") // 8 tokens, 8 distinct, 0 hits
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.compositeQuality(d)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // len: min 4 max 8 -> doc1 (6-4)*1e6/4 = 500000; div: doc2 floor(1e6/4)=250000
+    // is min, doc1/doc3 1e6 is max; stop: doc1 2*1e6/6=333333 max, others 0 min
+    assert(out(1L) == ((500000L, 1000000L, 1000000L, 833333L)))
+    assert(out(2L) == ((0L, 0L, 0L, 0L)))
+    assert(out(3L) == ((1000000L, 1000000L, 0L, 666666L)))
+  }
+
+  test("compressionSignals: repetition compresses below prose; deterministic") {
+    val s = spark; import s.implicits._
+    val d = Seq(
+      (1L, "abc " * 200), // highly redundant
+      (2L, (1 to 200).map(i => s"w${i * 7919 % 997}x$i").mkString(" ")) // high-entropy-ish
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.compressionSignals(d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L)._3 < out(2L)._3, s"repetitive doc should compress harder: $out")
+    assert(out(1L)._2 > 0 && out(1L)._3 > 0)
+    // deterministic across runs and partitionings
+    val again = TextAnalysis.compressionSignals(d.repartition(3))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(again == out)
+  }
+
   test("slidingWindows: overlap, ragged tail, and the stride=window degenerate case") {
     val s = spark; import s.implicits._
     // 10 tokens, window 4, stride 2 -> starts 0,2,4,6 (6 covers 6..9);

@@ -1200,27 +1200,37 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame = {
     require(k >= 1 && w >= 1)
     // drop empty tokens (empty-text degenerate) so gram positions match
-    // the filtered token stream every other text operator sees
+    // the filtered token stream every other text operator sees.
+    //
+    // The token and gram arrays are BOUND AS COLUMNS, not inlined into
+    // the downstream lambdas: higher-order functions evaluate
+    // interpreted, so an inline `grams` subtree referenced from inside
+    // the per-window lambda would be RE-EVALUATED once per window —
+    // O(n²·k) per document (measured: one sf0.1 bench task spun for
+    // 20+ minutes). As multi-referenced non-trivial aliases they
+    // survive CollapseProject, so each array is computed once per row
+    // and every window reads the attribute in O(1).
     val toks = filter(tokens(col(textCol)), t => t =!= "")
-    // gram hashes: mixed 32-bit of the space-rejoined k-token slice
-    val grams = transform(
-      sequence(lit(0), size(toks) - k),
-      i => graft.functions.mixed_hash32(concat_ws(" ", slice(toks, i + 1, lit(k)))))
+    val bound = docs
+      .withColumn("__toks", toks)
+      .filter(size(col("__toks")) >= k)
+      .withColumn("__grams", transform(
+        sequence(lit(0), size(col("__toks")) - k),
+        i => graft.functions.mixed_hash32(
+          concat_ws(" ", slice(col("__toks"), i + 1, lit(k))))))
     // rightmost-min selection per window of we = min(w, |grams|)
-    val sel = (g: org.apache.spark.sql.Column) => {
-      val we = least(lit(w), size(g))
-      transform(sequence(lit(0), size(g) - we),
-        j => {
-          val win = slice(g, j + 1, we)
-          val m = array_min(win)
-          // rightmost occurrence: first position in the reversed window
-          struct((j + we - array_position(reverse(win), m)).cast("int").as("pos"),
-            m.as("fp"))
-        })
-    }
-    docs
-      .filter(size(toks) >= k)
-      .select(col(idCol), explode(array_distinct(sel(grams))).as("s"))
+    val g = col("__grams")
+    val we = least(lit(w), size(g))
+    val sel = transform(sequence(lit(0), size(g) - we),
+      j => {
+        val win = slice(g, j + 1, we)
+        val m = array_min(win)
+        // rightmost occurrence: first position in the reversed window
+        struct((j + we - array_position(reverse(win), m)).cast("int").as("pos"),
+          m.as("fp"))
+      })
+    bound
+      .select(col(idCol), explode(array_distinct(sel)).as("s"))
       .select(col(idCol), col("s.pos").as("pos"), col("s.fp").as("fp"))
   }
 

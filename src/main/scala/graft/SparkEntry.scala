@@ -1167,6 +1167,12 @@ object SparkEntry {
       // two histogram passes, error bounded by one cell width
       graft.operators.Quantiles.gridQuantiles(
         rd(s, d, "events"), "value", "event_type", Seq(0.5, 0.9), 256)),
+    "q_weighted_median" -> ((s, d) =>
+      // token-mass median doc length per source: the length where half
+      // the corpus's character MASS sits in shorter docs — exact
+      // integer 2·cum >= total rule over the collapsed value table
+      graft.operators.Quantiles.weightedMedian(
+        rd(s, d, "documents"), "source", "n_chars", "n_chars")),
     "quality_outliers" -> ((s, d) => {
       // Tukey-fence outlier counts per group: fences built from
       // percentile_disc values (data points), fence arithmetic is the
@@ -2378,6 +2384,12 @@ object SparkEntry {
       ("SELECT event_type, percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50, " +
         "percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90, " +
         "min(value) AS min_v, max(value) AS max_v FROM events GROUP BY event_type"),
+    "q_weighted_median" ->
+      ("WITH bv AS (SELECT source, n_chars, CAST(sum(n_chars) AS BIGINT) AS w FROM documents " +
+        "GROUP BY source, n_chars), " +
+        "c AS (SELECT source, n_chars, sum(w) OVER (PARTITION BY source ORDER BY n_chars " +
+        "ROWS UNBOUNDED PRECEDING) AS cum, sum(w) OVER (PARTITION BY source) AS tot FROM bv) " +
+        "SELECT source, min(n_chars) AS w_median FROM c WHERE cum * 2 >= tot GROUP BY source"),
     // bit-exact replay of Quantiles.gridQuantiles: identical IEEE
     // expression shapes ((v-lo)/(hi-lo)*cells; lo+(qb+1)*(hi-lo)/cells)
     "q_grid_quantiles" ->

@@ -109,4 +109,39 @@ object Quantiles {
       .withColumn(binCol, bin)
       .drop((1 until nBins).map(i => s"__c$i"): _*)
   }
+
+  /** Per-group WEIGHTED median: the smallest value whose cumulative
+    * weight reaches half the group's total (`2·cum ≥ total`, exact
+    * integer cross-multiplication — no float halving). With weight =
+    * token count and value = document length this answers the curation
+    * question "at what length does half the corpus's token MASS sit in
+    * shorter documents?" — which the unweighted median misstates
+    * whenever long docs dominate the mass.
+    *
+    * Shape at scale: weights collapse onto DISTINCT (group, value)
+    * rows first (combinable sum — the corpus contributes its value
+    * cardinality, not its row count); the running sum windows over
+    * that collapsed table per group; one final min per group.
+    */
+  def weightedMedian(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      weightCol: String): DataFrame = {
+    val byValue = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(sum(col(weightCol)).as("__w"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    byValue
+      .withColumn("__cum", sum(col("__w")).over(w))
+      .withColumn("__tot", sum(col("__w")).over(tot))
+      .where(col("__cum") * 2 >= col("__tot"))
+      .groupBy(col(groupCol))
+      .agg(min(col(valueCol)).as("w_median"))
+  }
 }

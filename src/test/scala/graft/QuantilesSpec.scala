@@ -74,4 +74,20 @@ class QuantilesSpec extends AnyFunSuite with SparkTest {
       .groupBy("bin").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(occ == Map(0 -> 50L, 1 -> 50L))
   }
+
+  test("weightedMedian: mass median diverges from count median under long docs") {
+    val s = spark; import s.implicits._
+    // group g: lengths 1,1,1,1,10 — count-median is 1, but the single
+    // 10 carries 10/14 of the mass, so the mass median is 10
+    val df = Seq((1L, "g", 1L), (2L, "g", 1L), (3L, "g", 1L), (4L, "g", 1L),
+      (5L, "g", 10L), (6L, "h", 2L), (7L, "h", 4L)).toDF("id", "grp", "len")
+    val out = Quantiles.weightedMedian(df, "grp", "len", "len")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("g" -> 10L, "h" -> 4L))
+    // h: weights 2,4 -> cum at 2 is 2, 2*2<6; at 4 cum 6, 12>=6 -> 4
+    // determinism under repartitioning
+    val rep = Quantiles.weightedMedian(df.repartition(4), "grp", "len", "len")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep == out)
+  }
 }

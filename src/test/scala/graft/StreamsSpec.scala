@@ -437,4 +437,36 @@ class StreamsSpec extends AnyFunSuite with SparkTest {
       assert(idxIds == Set(1L, 3L, 5L))
     } finally q.stop()
   }
+
+  test("custom expressions run inside streaming plans: blocklist filter + aHash fingerprints") {
+    // the policy-admission shape: a streaming corpus is scanned by the
+    // Aho-Corasick blocklist and fingerprinted perceptually, all in the
+    // stateless projection of a micro-batch — custom codegen
+    // expressions are engine citizens in streaming exactly as in batch
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val pats = Seq("spam offer", "offer")
+    val out = input.toDF().toDF("doc_id", "text")
+      .withColumn("hits", graft.functions.multi_count(col("text"), pats))
+      .withColumn("ahash", graft.functions.ahash64(col("text").cast("binary")))
+      .where(element_at(col("hits"), 1) + element_at(col("hits"), 2) === 0)
+    val q = out.writeStream.format("memory").queryName("blocklist_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "a perfectly clean document"),
+        (2L, "limited spam offer inside"), // blocked (both patterns hit)
+        (3L, "another clean one"))
+      q.processAllAvailable()
+      val rows = s.table("blocklist_out").collect()
+        .map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(rows.keySet == Set(1L, 3L))
+      // fingerprints match the batch expression bit-for-bit
+      rows.foreach { case (id, h) =>
+        val txt = if (id == 1L) "a perfectly clean document" else "another clean one"
+        assert(h == graft.plans.AHash64.hash(txt.getBytes("UTF-8")))
+      }
+    } finally q.stop()
+  }
 }

@@ -1003,6 +1003,33 @@ object OracleSql {
       "count(*) AS n_docs, CAST(sum(r.n_novel) AS BIGINT) AS sum_novel " +
       "FROM rk r JOIN sc s USING (source) GROUP BY 1, 2"
 
+  // ------------------------------------------------- frame-level aHash
+
+  /** Oracle for `media_frame_pairs`: the frame slicing of
+    * `Multimodal.sampleFrames` (stub 16-frame container, ragged last
+    * frame, every `everyN`-th kept) replayed per doc AND per
+    * brightness variant, frames hashed with the shared
+    * [[ahashOfVals]] arithmetic, then the exact Hamming ball.
+    */
+  def mediaFramePairs(nFrames: Int, everyN: Int, maxHamming: Int,
+      delta: Int, idOffset: Long): String =
+    s"WITH m AS (SELECT doc_id, text, length(text) AS tn, " +
+      s"greatest(length(text) // $nFrames, 1) AS fs FROM documents), " +
+      "fr AS (SELECT doc_id, fs, tn, text, CAST(unnest(generate_series(0, " +
+      "CAST((tn + fs - 1) // fs AS INT) - 1)) AS INT) AS f FROM m), " +
+      "fe AS (SELECT doc_id, f, list_transform(range(CAST(f * fs + 1 AS INT), " +
+      "CAST(least((f + 1) * fs, tn) AS INT) + 1), " +
+      s"i -> ord(substr(text, CAST(i AS INT), 1))) AS vals FROM fr WHERE f % $everyN = 0), " +
+      s"vv AS (SELECT doc_id * 32 + f AS media_id, vals FROM fe " +
+      s"UNION ALL SELECT (doc_id + $idOffset) * 32 + f, " +
+      s"list_transform(vals, x -> least(255, x + $delta)) FROM fe), " +
+      "tl AS (SELECT media_id, vals, len(vals) AS n, list_sum(vals) AS total FROM vv), " +
+      s"h AS (SELECT media_id, $ahashOfVals AS ahash FROM tl) " +
+      "SELECT a.media_id AS id_a, b.media_id AS id_b, " +
+      "CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming " +
+      "FROM h a JOIN h b ON a.media_id < b.media_id " +
+      s"WHERE bit_count(xor(a.ahash, b.ahash)) <= $maxHamming"
+
   // ------------------------------------------------- blocklist scan
 
   /** Oracle for `text_blocklist`: per-pattern ALL-occurrence counts by

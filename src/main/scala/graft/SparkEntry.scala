@@ -816,6 +816,21 @@ object SparkEntry {
       val variants = Multimodal.brightnessVariant(media, delta = 8, idOffset = 1000000L)
       Multimodal.ahashPairs(media.unionByName(variants).toDF(), maxHamming = 3)
     }),
+    "media_frame_pairs" -> ((s, d) => {
+      // frame-level perceptual dedup — the repeated-intro/outro shape:
+      // every 4th frame of each container (and of its brightness
+      // variant) is aHashed and identical-hash frames pair (Hamming 0:
+      // stub frames are ~n/16 bytes, too small for a meaningful wider
+      // ball — the radius is the whole-asset query's job). Frame
+      // identity rides as media_id·32 + frame_idx (≤ 17 frames)
+      val media = Multimodal.fromText(rd(s, d, "documents"), "doc_id", "text", "video")
+      val all = media.unionByName(
+        Multimodal.brightnessVariant(media, delta = 8, idOffset = 1000000L))
+      val frames = Multimodal.sampleFrames(all, everyN = 4).toDF()
+        .select((col("media_id") * 32 + col("frame_idx")).as("media_id"),
+          col("bytes"))
+      Multimodal.ahashPairs(frames, maxHamming = 0)
+    }),
     "media_silence_segments" -> ((s, d) =>
       // audio-style segmentation: per-block integer PCM energy (one
       // codegen pass), voiced runs found by gaps-and-islands — per-key
@@ -1888,6 +1903,7 @@ object SparkEntry {
     "media_byte_stats" -> OracleSql.mediaByteStats,
     "media_ahash_pairs" -> OracleSql.mediaAhashPairs(3, 8, 1000000L),
     "media_silence_segments" -> OracleSql.mediaSilenceSegments(16, 97, 5000L),
+    "media_frame_pairs" -> OracleSql.mediaFramePairs(16, 4, 0, 8, 1000000L),
     "media_resize_stats" -> OracleSql.mediaResizeStats(256),
     "media_frame_stats" -> OracleSql.mediaFrameStats(16, 4),
     "dedup_clusters" ->

@@ -205,4 +205,31 @@ object Layout {
       try_element_at(ringArr, lit(1)))
     df.withColumn(outCol, successor("shard"))
   }
+
+  /** Ordered shard export — the corpus-assembly last mile: write the
+    * training set as `nShards` parquet shards that together hold the
+    * rows in GLOBAL `orderCol` order (shard 0's keys all precede shard
+    * 1's, and each shard is internally sorted), so a trainer streaming
+    * shard 0, 1, 2, … replays exactly the curriculum an
+    * [[graft.operators.Sampling.interleaveOrder]]-style key encodes.
+    *
+    * `repartitionByRange` + `sortWithinPartitions` is the scale shape:
+    * one range shuffle (boundaries from Spark's reservoir sample of
+    * the key column) and a per-shard sort — never a single-partition
+    * global sort. Written through the warehouse's atomic tmp-and-swap,
+    * with the shard index recoverable from the row order: files are
+    * committed as part-<shard> in partition order.
+    */
+  def writeOrderedShards(
+      df: DataFrame,
+      dir: String,
+      table: String,
+      orderCol: String,
+      nShards: Int): Unit = {
+    require(nShards >= 1, "need at least one shard")
+    Warehouse.overwrite(
+      df.repartitionByRange(nShards, org.apache.spark.sql.functions.col(orderCol))
+        .sortWithinPartitions(orderCol),
+      dir, table)
+  }
 }

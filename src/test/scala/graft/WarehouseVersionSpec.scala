@@ -20,6 +20,29 @@ class WarehouseVersionSpec extends AnyFunSuite with SparkTest {
   private def liveVals(dir: String): Set[Int] =
     Warehouse.read(spark, dir, "t").collect().map(_.getInt(0)).toSet
 
+  test("writeOrderedShards: files hold disjoint ascending key ranges, each sorted") {
+    val s = spark; import s.implicits._
+    val dir = newDir()
+    // scrambled input; order_key 0..999
+    val df = scala.util.Random.shuffle((0L until 1000L).toList).toDF("order_key")
+    graft.sources.Layout.writeOrderedShards(df, dir, "shards", "order_key", 4)
+    val files = new java.io.File(s"$dir/shards").listFiles()
+      .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+    assert(files.length == 4)
+    val ranges = files.map { f =>
+      val ks = s.read.parquet(f.getAbsolutePath)
+        .collect().map(_.getLong(0)).toSeq
+      assert(ks == ks.sorted, s"${f.getName} not internally sorted")
+      (ks.min, ks.max)
+    }
+    // disjoint and ascending across the file-name order
+    ranges.sliding(2).foreach { case Array((_, hi), (lo2, _)) =>
+      assert(hi < lo2, s"shard ranges overlap or misorder: ${ranges.toSeq}")
+    }
+    // nothing lost
+    assert(graft.sources.Warehouse.read(s, dir, "shards").count() == 1000L)
+  }
+
   test("overwriteVersioned archives the displaced table; readVersion time-travels") {
     val dir = newDir()
     write(dir, Seq(1)) // first write: nothing displaced, no archive

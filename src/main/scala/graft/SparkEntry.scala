@@ -557,6 +557,25 @@ object SparkEntry {
       Dedup.keepListFromClusters(docs,
         Dedup.dedupClusters(Dedup.ngramJaccardPairs(docs, 1, 20)))
     }),
+    "dedup_rate_report" -> ((s, d) => {
+      // the dedup effectiveness dashboard: per source, docs/chars in vs
+      // kept, drop rate in exact integer ppm — what a curation run
+      // reports to justify its budget. Composes the keep-list with one
+      // combinable aggregation
+      val docs = rd(s, d, "documents")
+      val keep = Dedup.keepListFromClusters(docs,
+        Dedup.dedupClusters(Dedup.ngramJaccardPairs(docs, 1, 20)))
+      docs.join(keep.select("doc_id", "keep_flag"), "doc_id")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("keep_flag").cast("long")).as("n_kept"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(when(col("keep_flag") === 1, col("n_chars")).otherwise(0L))
+            .as("kept_chars"))
+        .withColumn("drop_ppm",
+          expr("(n_docs - n_kept) * 1000000 div n_docs"))
+    }),
     "link_best_match" -> ((s, d) => {
       // fuzzy record linkage: docs 0-49 each link to their most
       // trigram-similar doc in the 50+ corpus (scaled-integer Jaccard,
@@ -1940,6 +1959,23 @@ object SparkEntry {
         "SELECT d.doc_id, r.cluster_id, " +
         "CAST(CASE WHEN r.doc_id IS NULL OR r.rn = 1 THEN 1 ELSE 0 END AS INT) AS keep_flag " +
         "FROM documents d LEFT JOIN reps r ON r.doc_id = d.doc_id"),
+    "dedup_rate_report" ->
+      (s"WITH RECURSIVE $ngramCtes, " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
+        "wlk(node, root) AS (SELECT DISTINCT src, src FROM edges " +
+        "UNION SELECT e.dst, k.root FROM wlk k JOIN edges e ON e.src = k.node), " +
+        "cl AS (SELECT node AS doc_id, min(root) AS cluster_id FROM wlk GROUP BY node), " +
+        "reps AS (SELECT c.doc_id, c.cluster_id, row_number() OVER " +
+        "(PARTITION BY c.cluster_id ORDER BY d.n_chars DESC, c.doc_id) AS rn " +
+        "FROM cl c JOIN documents d ON d.doc_id = c.doc_id), " +
+        "kl AS (SELECT d.doc_id, d.source, d.n_chars, " +
+        "CASE WHEN r.doc_id IS NULL OR r.rn = 1 THEN 1 ELSE 0 END AS keep_flag " +
+        "FROM documents d LEFT JOIN reps r ON r.doc_id = d.doc_id) " +
+        "SELECT source, count(*) AS n_docs, CAST(sum(keep_flag) AS BIGINT) AS n_kept, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "CAST(sum(CASE WHEN keep_flag = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars, " +
+        "CAST((count(*) - sum(keep_flag)) * 1000000 // count(*) AS BIGINT) AS drop_ppm " +
+        "FROM kl GROUP BY source"),
     "dedup_embed_cosine" ->
       ("SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a JOIN embeddings b " +
         "ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"),

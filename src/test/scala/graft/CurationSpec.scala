@@ -69,6 +69,25 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     assert(runsF.forall(!_.reused))
   }
 
+  test("materialized runner equals the direct in-plan composition") {
+    val dir = newDir()
+    val (mix, _) = Curation.runResumable(docs, dir, corpusVersion = "v1")
+    // the same stages composed directly, no materialization
+    val pairs = graft.operators.Dedup.ngramJaccardPairs(docs, 1, 20)
+      .select("id_a", "id_b")
+    val clusters = graft.operators.Dedup.dedupClusters(pairs)
+    val keep = graft.operators.Dedup.keepListFromClusters(docs, clusters)
+    val kept = docs.join(keep.where(col("keep_flag") === 1).select("doc_id"), "doc_id")
+    val direct = kept.join(clusters, Seq("doc_id"), "left")
+      .withColumn("split", graft.operators.Sampling.splitCol(
+        coalesce(col("cluster_id"), col("doc_id")), "cur",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    graft.operators.Caches.release()
+    assert(mixRows(mix) == mixRows(direct))
+  }
+
   test("near-dup clusters never straddle the split; losers are dropped") {
     val dir = newDir()
     val (_, runs) = Curation.runResumable(docs, dir, corpusVersion = "v1")

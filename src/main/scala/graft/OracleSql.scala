@@ -569,6 +569,43 @@ object OracleSql {
       "FROM ex JOIN g ON g.event_type = ex.event_type JOIN kth ON kth.event_type = ex.event_type"
   }
 
+  /** Oracle for `sketch_kmv_set_ops`: the KMV set-operation estimates
+    * replayed side by side — same rolling-hash → mix pipeline as
+    * [[kmvDistinct]] per side, k-min sketches, sketch union, shared
+    * count among the union sketch, `cap // kth` estimators and the
+    * `shared·est(∪) // k` intersection form.
+    */
+  def kmvSetOps(k: Int, whereA: String, whereB: String): String = {
+    val cap = (k - 1).toLong * 4294967296L
+    val cHi = 2654435769L
+    val cLo = 2135587861L
+    val mix = "(((a * " + cLo + " + b * " + cHi + ") * 4294967296 + b * " + cLo +
+      ") % 18446744073709551616)"
+    def side(t: String, where: String): String =
+      s"d$t AS (SELECT DISTINCT user_id FROM events WHERE $where), " +
+        s"dx$t AS (SELECT user_id, hex(encode('kmv:' || CAST(user_id AS VARCHAR))) AS hx FROM d$t), " +
+        s"fl$t AS (SELECT user_id, ${rollFold("hx")} AS fold FROM dx$t), " +
+        s"lm$t AS (SELECT fold // 4294967296 AS a, fold % 4294967296 AS b FROM fl$t), " +
+        s"h$t AS (SELECT DISTINCT CAST($mix // 4294967296 AS BIGINT) AS h32 FROM lm$t), " +
+        s"r$t AS (SELECT h32, row_number() OVER (ORDER BY h32) AS rn FROM h$t), " +
+        s"sk$t AS (SELECT h32 FROM r$t WHERE rn <= $k), " +
+        s"n$t AS (SELECT count(*) AS n, max(h32) AS kth FROM sk$t)"
+    s"WITH ${side("a", whereA)}, ${side("b", whereB)}, " +
+      "u0 AS (SELECT h32 FROM ska UNION SELECT h32 FROM skb), " +
+      "ru AS (SELECT h32, row_number() OVER (ORDER BY h32) AS rn FROM u0), " +
+      s"sku AS (SELECT h32 FROM ru WHERE rn <= $k), " +
+      "nu AS (SELECT count(*) AS n, max(h32) AS kth FROM sku), " +
+      "sh AS (SELECT count(*) AS n_sh FROM sku JOIN ska USING (h32) JOIN skb USING (h32)) " +
+      s"SELECT CAST($k AS INT) AS k, " +
+      s"CAST(CASE WHEN na.n < $k THEN na.n ELSE $cap // na.kth END AS BIGINT) AS est_a, " +
+      s"CAST(CASE WHEN nb.n < $k THEN nb.n ELSE $cap // nb.kth END AS BIGINT) AS est_b, " +
+      s"CAST(CASE WHEN nu.n < $k THEN nu.n ELSE $cap // nu.kth END AS BIGINT) AS est_union, " +
+      "CAST(sh.n_sh AS BIGINT) AS n_shared_topk, " +
+      s"CAST(CASE WHEN nu.n < $k THEN sh.n_sh " +
+      s"ELSE sh.n_sh * (CASE WHEN nu.n < $k THEN nu.n ELSE $cap // nu.kth END) // $k END AS BIGINT) AS est_intersect " +
+      "FROM na, nb, nu, sh"
+  }
+
   /** Integer bit-length of a non-negative expression known to fit in
     * `bits` bits, as a comparison sum — `(e >= 1) + (e >= 2) + … +
     * (e >= 2^(bits-1))` — valid SQL on BOTH engines (one text, no

@@ -1290,6 +1290,16 @@ object SparkEntry {
       islands.withColumn("__rk", row_number().over(best)).filter(col("__rk") === 1)
         .select("user_id", "streak_days", "streak_start")
     }),
+    "sketch_kmv_set_ops" -> ((s, d) => {
+      // cross-dataset overlap from two KMV sketches: viewer vs
+      // purchaser user sets — |A|, |B|, union and intersection
+      // estimates, all from 32 hashes per side
+      val ev = rd(s, d, "events")
+      graft.operators.Sketches.kmvSetEstimates(
+        ev.filter(col("event_type") === "view").select("user_id"),
+        ev.filter(col("event_type") === "purchase").select("user_id"),
+        "user_id", k = 32)
+    }),
     "sketch_kmv_distinct" -> ((s, d) => {
       // KMV distinct-user sketch per event type next to the exact count;
       // portable hash -> the estimate itself is oracle-checked
@@ -2497,6 +2507,8 @@ object SparkEntry {
         "CASE WHEN p.first_purchase IS NOT NULL AND epoch_us(p.first_purchase) - epoch_us(v.first_view) <= 86400000000 " +
         "THEN 1 ELSE 0 END AS converted_24h FROM v LEFT JOIN p ON p.user_id = v.user_id"),
     "sketch_kmv_distinct" -> OracleSql.kmvDistinct(32),
+    "sketch_kmv_set_ops" -> OracleSql.kmvSetOps(32,
+      "event_type = 'view'", "event_type = 'purchase'"),
     "sketch_hll_registers" -> OracleSql.hllRegisters(64),
     "sketch_hll_rollup" -> OracleSql.hllRegistersOver(64,
       "customer JOIN nation ON n_nationkey = c_nationkey",

@@ -71,4 +71,58 @@ object Sketches {
       .join(broadcast(mapping.select(col(fromCol), col(toCol))), fromCol)
       .groupBy(col(toCol), col("reg"))
       .agg(max(col("max_rho")).cast("int").as("max_rho"))
+
+  /** KMV set-operation estimates: |A|, |B|, |A∪B|, |A∩B| from two
+    * k-minimum-value sketches — the cross-dataset overlap estimator at
+    * sketch size. KMV union is exact on sketches (the k smallest of
+    * A∪B are among the k smallest of each side), and the intersection
+    * estimate is the classic Jaccard-via-union-sketch form
+    * `shared·est(∪) div k` where `shared` counts union-sketch hashes
+    * present in BOTH sketches (Beyer et al., SIGMOD 2007). Degenerate
+    * exactness: a union sketch smaller than k IS the whole union, so
+    * the intersection estimate collapses to the exact shared count.
+    * Same portable hash and `cap div kth` estimator as
+    * `sketch_kmv_distinct`, so everything replays in integer SQL.
+    *
+    * Shape at 100 TB: each side reduces to k hashes via a
+    * TakeOrdered over the distinct-hash stream (map-side partial
+    * top-k); every join afterward touches k-row tables only. The
+    * sketches are the ONLY thing the two datasets exchange — the
+    * overlap of two 100 TB corpora costs two scans and kilobytes of
+    * traffic.
+    */
+  def kmvSetEstimates(
+      a: DataFrame,
+      b: DataFrame,
+      keyCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val cap = (k - 1).toLong * 4294967296L
+    def sketch(df: DataFrame): DataFrame = graft.operators.Caches.persisted(
+      df.select(mixed_hash32(
+          concat_ws(":", lit("kmv"), col(keyCol).cast("string"))).as("h32"))
+        .distinct().orderBy(col("h32")).limit(k))
+    val ska = sketch(a)
+    val skb = sketch(b)
+    val sku = graft.operators.Caches.persisted(
+      ska.union(skb).distinct().orderBy(col("h32")).limit(k))
+    def stats(s: DataFrame, tag: String): DataFrame =
+      s.agg(count(lit(1)).as(s"__n_$tag"), max(col("h32")).as(s"__kth_$tag"))
+    val shared = sku.join(ska, "h32").join(skb, "h32")
+      .agg(count(lit(1)).as("n_shared_topk"))
+    def est(tag: String) =
+      expr(s"CASE WHEN __n_$tag < $k THEN __n_$tag ELSE $cap div __kth_$tag END")
+    stats(ska, "a").crossJoin(stats(skb, "b")).crossJoin(stats(sku, "u"))
+      .crossJoin(shared)
+      .select(
+        lit(k).as("k"),
+        est("a").as("est_a"),
+        est("b").as("est_b"),
+        est("u").as("est_union"),
+        col("n_shared_topk"),
+        when(col("__n_u") < k, col("n_shared_topk"))
+          .otherwise(expr(s"n_shared_topk * (CASE WHEN __n_u < $k THEN __n_u " +
+            s"ELSE $cap div __kth_u END) div $k"))
+          .as("est_intersect"))
+  }
 }

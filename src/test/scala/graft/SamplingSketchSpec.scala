@@ -538,6 +538,31 @@ class SamplingSketchSpec extends AnyFunSuite with SparkTest {
     assert(rep == out.toSet)
   }
 
+  test("kmvSetEstimates: exact below k, sane and deterministic above") {
+    val s = spark; import s.implicits._
+    // below k: sketches hold the whole sets -> every estimate exact
+    val a = (1L to 10L).toDF("user_id")
+    val b = (6L to 15L).toDF("user_id")
+    val r = graft.operators.Sketches.kmvSetEstimates(a, b, "user_id", k = 32).head()
+    graft.operators.Caches.release()
+    assert(r.getAs[Long]("est_a") == 10L && r.getAs[Long]("est_b") == 10L)
+    assert(r.getAs[Long]("est_union") == 15L)
+    assert(r.getAs[Long]("est_intersect") == 5L) // 6..10
+    // above k: estimates within a loose band, intersect <= union,
+    // deterministic under repartitioning
+    val bigA = (1L to 500L).toDF("user_id")
+    val bigB = (251L to 750L).toDF("user_id")
+    val e1 = graft.operators.Sketches.kmvSetEstimates(bigA, bigB, "user_id", k = 32).head()
+    graft.operators.Caches.release()
+    val e2 = graft.operators.Sketches.kmvSetEstimates(
+      bigA.repartition(5), bigB.repartition(3), "user_id", k = 32).head()
+    graft.operators.Caches.release()
+    assert(e1.toSeq == e2.toSeq)
+    val (estU, estI) = (e1.getAs[Long]("est_union"), e1.getAs[Long]("est_intersect"))
+    assert(estU > 300L && estU < 2000L, s"union estimate wild: $estU") // true 750
+    assert(estI <= estU && estI >= 0L)
+  }
+
   test("kFold: every row gets exactly one fold, stable across runs, near-even sizes") {
     val s = spark; import s.implicits._
     val df = (1L to 1000L).toDF("id")

@@ -284,30 +284,67 @@ object Sampling {
     * partitionings produce the identical order, and the salt
     * namespaces independent epoch orders.
     *
-    * No global window: the per-source rank is one shuffle keyed by
-    * source, the source index and count ride back as broadcasts. The
-    * key is injective (sourceIndex < nSources), strictly ordering the
-    * corpus without ever materializing a single-partition rank.
+    * No window ANYWHERE — not even per source. A per-source
+    * `row_number` window funnels each source through one reducer, and
+    * a real training mix is dominated by one source (Common Crawl is
+    * routinely 90% of the corpus), so that "parallel" rank is a
+    * single-task sort of 90% of 100 TB. Instead the corpus is
+    * range-partitioned on `(source, hash, key)`, sorted within
+    * partitions, and `zipWithIndex`ed — the fillSurrogate >100k shape
+    * ([[graft.aqi.Nds]]): rows of one source land contiguously in the
+    * GLOBAL order but spread across many range partitions, and the
+    * per-source rank is recovered as `globalIdx − offset(source)`
+    * where the exclusive prefix offsets come from a one-row-per-source
+    * count (collected at the driver — sources are a mix spec, not
+    * data-scale; hard-capped below). Range boundaries vary run to run,
+    * but concatenating internally-sorted ranges of a unique sort key
+    * reproduces the one global order, so the rank — and the key — stay
+    * a pure function of (data, salt).
     */
   def interleaveOrder(
       df: DataFrame,
       sourceCol: String,
       keyCol: String,
       salt: String = "ilv"): DataFrame = {
-    val rkW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(sourceCol))
-      .orderBy(md5(concat(lit(s"$salt:"), col(keyCol).cast("string"))),
-        col(keyCol))
-    val srcIdx = df.select(col(sourceCol)).distinct()
-      .withColumn("__sidx", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col(sourceCol)))
-        .cast("long") - 1L)
-    val nSrc = srcIdx.agg(count(lit(1)).as("__nsrc"))
-    df.withColumn("__rk", row_number().over(rkW).cast("long") - 1L)
-      .join(broadcast(srcIdx), sourceCol)
-      .crossJoin(broadcast(nSrc))
-      .withColumn("order_key", col("__rk") * col("__nsrc") + col("__sidx"))
-      .drop("__rk", "__sidx", "__nsrc")
+    val spark = df.sparkSession
+    val stats = df.groupBy(col(sourceCol).as("__src"))
+      .agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__src"))
+      .collect()
+    require(stats.length <= 65536,
+      s"interleaveOrder: ${stats.length} distinct sources — the source " +
+        "column must be an enumerable mix spec (<= 65536 values), not a " +
+        "data-scale key")
+    val nSrc = stats.length.toLong
+    var off = 0L
+    val metaRows = stats.zipWithIndex.map { case (r, i) =>
+      val m = org.apache.spark.sql.Row(r.get(0), i.toLong, off)
+      off += r.getLong(1); m
+    }.toSeq
+    val metaSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "__src", df.schema(sourceCol).dataType),
+      org.apache.spark.sql.types.StructField(
+        "__sidx", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(
+        "__off", org.apache.spark.sql.types.LongType, nullable = false)))
+    val meta = spark.createDataFrame(
+      spark.sparkContext.parallelize(metaRows, 1), metaSchema)
+    val ordered = df
+      .withColumn("__h",
+        md5(concat(lit(s"$salt:"), col(keyCol).cast("string"))))
+      .repartitionByRange(col(sourceCol), col("__h"), col(keyCol))
+      .sortWithinPartitions(col(sourceCol), col("__h"), col(keyCol))
+    val gSchema = ordered.schema.add(org.apache.spark.sql.types.StructField(
+      "__gidx", org.apache.spark.sql.types.LongType, nullable = false))
+    val indexed = ordered.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(indexed, gSchema)
+      .join(broadcast(meta), col(sourceCol) === col("__src"))
+      .withColumn("order_key",
+        (col("__gidx") - col("__off")) * lit(nSrc) + col("__sidx"))
+      .drop("__h", "__gidx", "__src", "__sidx", "__off")
   }
 
   /** Deterministic per-group row cap — "at most `cap` examples per

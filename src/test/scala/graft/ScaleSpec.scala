@@ -95,6 +95,69 @@ class ScaleSpec extends AnyFunSuite with SparkTest {
     assert(salted == plain)
   }
 
+  test("interleaveOrder: dominant source spreads across partitions, no window in the plan") {
+    val s = spark; import s.implicits._
+    // the Common Crawl shape: one source holds 90% of the corpus.
+    // AQE rightly coalesces a 5000-row shuffle to one partition; turn
+    // that off so the partition evidence shows the PLAN's spread.
+    val savedCoalesce = s.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    def srcOf(i: Int): String = if (i % 10 == 0) s"minor${i % 3}" else "cc"
+    val docs = (0 until 5000).map(i => (i.toLong, srcOf(i))).toDF("id", "src")
+    val out =
+      try graft.operators.Sampling.interleaveOrder(docs, "src", "id", salt = "sk")
+      finally s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", savedCoalesce)
+    // independent oracle: local md5 replay of the striped-rank formula
+    def hex(t: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = (0 until 5000).map(i => (i.toLong, srcOf(i)))
+    val srcs = rows.map(_._2).distinct.sorted
+    val sidx = srcs.zipWithIndex.toMap
+    val expected = rows.groupBy(_._2).flatMap { case (srcName, rs) =>
+      rs.map(r => (r._1, hex(s"sk:${r._1}")))
+        .sortBy { case (id, h) => (h, id) }
+        .zipWithIndex
+        .map { case ((id, _), rk) =>
+          id -> (rk.toLong * srcs.size + sidx(srcName)) }
+    }.toMap
+    val got = out.select("id", "order_key").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // plan: no window rank, no single-partition funnel anywhere
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"per-source window rank is the 100 TB killer:\n$plan")
+    assert(!plan.contains("SinglePartition"), plan)
+    // the dominant source's rows physically span many range partitions
+    val ccParts = out.filter($"src" === "cc")
+      .select(spark_partition_id().as("pid")).distinct().count()
+    assert(ccParts > 4, s"dominant source landed on only $ccParts partition(s)")
+  }
+
+  test("saltedJoin spreads the hot key across reducers where the plain join funnels it") {
+    val s = spark; import s.implicits._
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.coalescePartitions.enabled").map(k => k -> s.conf.get(k))
+    try {
+      // force a real shuffled join and keep reducer ids honest
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val large = (1 to 20000)
+        .map(i => (if (i % 10 == 0) i.toLong % 50 else 7L, i)).toDF("k", "v")
+      val small = (0L to 49L).map(k => (k, s"dim-$k")).toDF("k", "name")
+      def hotParts(df: org.apache.spark.sql.DataFrame): Long =
+        df.filter($"k" === 7L)
+          .select(spark_partition_id().as("pid")).distinct().count()
+      val plainHot = hotParts(large.join(small, Seq("k"), "inner"))
+      val saltedHot = hotParts(Skew.saltedJoin(large, small, Seq("k"), 8))
+      assert(plainHot == 1L,
+        s"plain join should funnel key 7 through one reducer, got $plainHot")
+      assert(saltedHot >= 4L,
+        s"salt spread failed: key 7 met the join on only $saltedHot reducer(s)")
+    } finally saved.foreach { case (k, v) => s.conf.set(k, v) }
+  }
+
   test("keyProfile ranks hot keys with exact integer ppm shares") {
     val s = spark; import s.implicits._
     // 100 rows: key 7 holds 60, key 3 holds 25, keys 0-14 one each

@@ -38,7 +38,8 @@ object Curation {
     * previous run, and the output row count (from the materialized
     * table, so reporting never recomputes the plan).
     */
-  final case class StageRun(stage: String, table: String, reused: Boolean)
+  final case class StageRun(
+      stage: String, table: String, reused: Boolean, rows: Long)
 
   private def stageKey(corpusVersion: String, stage: String, config: String,
       upstream: Seq[String]): String = {
@@ -71,7 +72,10 @@ object Curation {
       val (_, scope) = Caches.scoped(Warehouse.overwrite(build, dir, table))
       scope.release()
     }
-    (Warehouse.read(spark, dir, table), StageRun(stage, table, reused))
+    val out = Warehouse.read(spark, dir, table)
+    // row count from the parquet footers of the materialized table —
+    // metadata-only, never recomputes the stage plan
+    (out, StageRun(stage, table, reused, out.count()))
   }
 
   /** The keep → split → mix pipeline, resumable.
@@ -96,31 +100,38 @@ object Curation {
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
       force: Boolean = false): (DataFrame, Seq[StageRun]) = {
     val spark = docs.sparkSession
+    // every stage key is computable before any work runs — compute all
+    // five upfront so `force` can target exactly this run's tables
+    val kPairs = stageKey(corpusVersion, "pairs", s"$threshNum/$threshDen", Nil)
+    val kClusters = stageKey(corpusVersion, "clusters", "", Seq(kPairs))
+    val kKeep = stageKey(corpusVersion, "keep", "n_chars", Seq(kClusters))
+    val fracCfg = fractions.map { case (n, f) => s"$n=$f" }.mkString(",")
+    val kSplit = stageKey(corpusVersion, "split", s"$salt|$fracCfg", Seq(kKeep, kClusters))
+    val kMix = stageKey(corpusVersion, "mix", "", Seq(kSplit))
+
     if (force) {
-      // drop this corpus version's stage tables; unrelated keys survive
+      // "clean build": drop exactly THIS run's five stage tables.
+      // Other corpus versions' tables — and a concurrent pipeline's —
+      // share the directory under different keys and must survive.
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val base = new org.apache.hadoop.fs.Path(dir)
-      if (fs.exists(base)) fs.listStatus(base)
-        .filter(_.getPath.getName.startsWith("cur_"))
-        .foreach(s => fs.delete(s.getPath, true))
+      Seq("pairs" -> kPairs, "clusters" -> kClusters, "keep" -> kKeep,
+        "split" -> kSplit, "mix" -> kMix).foreach { case (st, k) =>
+        val p = new org.apache.hadoop.fs.Path(s"$dir/cur_${st}_$k")
+        if (fs.exists(p)) fs.delete(p, true)
+      }
     }
 
-    val kPairs = stageKey(corpusVersion, "pairs", s"$threshNum/$threshDen", Nil)
     val (pairs, rPairs) = stage(spark, dir, "pairs", kPairs,
       Dedup.ngramJaccardPairs(docs, threshNum, threshDen)
         .select("id_a", "id_b"))
 
-    val kClusters = stageKey(corpusVersion, "clusters", "", Seq(kPairs))
     val (clusters, rClusters) = stage(spark, dir, "clusters", kClusters,
       Dedup.dedupClusters(pairs))
 
-    val kKeep = stageKey(corpusVersion, "keep", "n_chars", Seq(kClusters))
     val (keep, rKeep) = stage(spark, dir, "keep", kKeep,
       Dedup.keepListFromClusters(docs, clusters))
 
-    val fracCfg = fractions.map { case (n, f) => s"$n=$f" }.mkString(",")
-    val kSplit = stageKey(corpusVersion, "split", s"$salt|$fracCfg", Seq(kKeep, kClusters))
     val (split, rSplit) = stage(spark, dir, "split", kSplit, {
       val kept = docs.join(
         keep.where(col("keep_flag") === 1).select("doc_id"), "doc_id")
@@ -133,7 +144,6 @@ object Curation {
         .select("doc_id", "source", "n_chars", "split")
     })
 
-    val kMix = stageKey(corpusVersion, "mix", "", Seq(kSplit))
     val (mix, rMix) = stage(spark, dir, "mix", kMix,
       split.groupBy("split", "source")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars")))

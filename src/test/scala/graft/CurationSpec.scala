@@ -69,6 +69,61 @@ class CurationSpec extends AnyFunSuite with SparkTest {
     assert(runsF.forall(!_.reused))
   }
 
+  test("kill mid-stage: resume skips completed stages, recomputes exactly the downstream cone") {
+    val s = spark; import s.implicits._
+    val dir = newDir()
+    // uninterrupted reference run in its own dir
+    val (refMix, refRuns) = Curation.runResumable(docs, newDir(), corpusVersion = "v1")
+    val expected = mixRows(refMix)
+    // poison: evaluating n_chars throws as soon as the clusters stage
+    // table is on disk. Stage 1 (pairs) prunes n_chars and the guard is
+    // false while it runs; stage 3 (keep) is the first n_chars consumer
+    // after clusters materializes — the run dies inside stage 3's real
+    // Spark write job, exactly a mid-DAG kill.
+    val poison = udf { (n: Long) =>
+      val base = new java.io.File(dir)
+      if (base.exists && base.listFiles.exists(_.getName.startsWith("cur_clusters_")))
+        throw new RuntimeException("injected fault: killed during stage 'keep'")
+      n
+    }
+    val poisoned = docs.withColumn("n_chars", poison(col("n_chars")))
+    intercept[Exception] {
+      Curation.runResumable(poisoned, dir, corpusVersion = "v1")
+    }
+    graft.operators.Caches.release()
+    // stages 1-2 are live; the killed stage left no LIVE table (at most
+    // a .tmp partial, which the atomic swap protocol never reads)
+    def live(prefix: String): Boolean = {
+      val fs = new java.io.File(dir)
+      fs.listFiles.exists(f => f.getName.startsWith(prefix) &&
+        !f.getName.endsWith(".tmp") && !f.getName.endsWith(".old"))
+    }
+    assert(live("cur_pairs_") && live("cur_clusters_"))
+    assert(!live("cur_keep_") && !live("cur_split_") && !live("cur_mix_"))
+    // resume with the healthy input: completed stages skip, the cone
+    // from the kill point recomputes, output matches the reference
+    val (mix, runs) = Curation.runResumable(docs, dir, corpusVersion = "v1")
+    assert(runs.map(r => r.stage -> r.reused).toMap ==
+      Map("pairs" -> true, "clusters" -> true, "keep" -> false,
+        "split" -> false, "mix" -> false))
+    assert(mixRows(mix) == expected)
+    // StageRun.rows reports the materialized counts, reused or rebuilt
+    assert(runs.map(r => r.stage -> r.rows) == refRuns.map(r => r.stage -> r.rows))
+    assert(runs.find(_.stage == "keep").exists(_.rows > 0))
+  }
+
+  test("force is scoped to the requested run: other corpus versions' stages survive") {
+    val dir = newDir()
+    Curation.runResumable(docs, dir, corpusVersion = "v1")
+    Curation.runResumable(docs, dir, corpusVersion = "v2")
+    // clean-build v2 only
+    val (_, runsF) = Curation.runResumable(docs, dir, corpusVersion = "v2", force = true)
+    assert(runsF.forall(!_.reused))
+    // v1's content-addressed tables were never touched
+    val (_, runsV1) = Curation.runResumable(docs, dir, corpusVersion = "v1")
+    assert(runsV1.forall(_.reused))
+  }
+
   test("materialized runner equals the direct in-plan composition") {
     val dir = newDir()
     val (mix, _) = Curation.runResumable(docs, dir, corpusVersion = "v1")

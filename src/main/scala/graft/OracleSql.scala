@@ -601,8 +601,10 @@ object OracleSql {
       s"CAST(CASE WHEN nb.n < $k THEN nb.n ELSE $cap // nb.kth END AS BIGINT) AS est_b, " +
       s"CAST(CASE WHEN nu.n < $k THEN nu.n ELSE $cap // nu.kth END AS BIGINT) AS est_union, " +
       "CAST(sh.n_sh AS BIGINT) AS n_shared_topk, " +
+      // nu.n >= k holds in the ELSE arm: the union estimate there is
+      // always the cap/kth form (mirrors Sketches.kmvSetEstimates)
       s"CAST(CASE WHEN nu.n < $k THEN sh.n_sh " +
-      s"ELSE sh.n_sh * (CASE WHEN nu.n < $k THEN nu.n ELSE $cap // nu.kth END) // $k END AS BIGINT) AS est_intersect " +
+      s"ELSE sh.n_sh * ($cap // nu.kth) // $k END AS BIGINT) AS est_intersect " +
       "FROM na, nb, nu, sh"
   }
 

@@ -1263,10 +1263,15 @@ object Dedup {
     * attributes are the per-attribute MAJORITY among the cluster's
     * non-null values. Survivorship is deterministic: highest count
     * wins, count ties break to the lexicographically smallest value
-    * (as strings — the comparison every engine orders identically),
-    * and an attribute null in every member stays null. `canonical_id`
-    * is the cluster's smallest member id, the same survivor rule the
-    * dedup operators use.
+    * (compared as the values' STRING rendering — the one ordering
+    * every engine agrees on), and an attribute null in every member
+    * stays null. `canonical_id` is the cluster's smallest member id,
+    * the same survivor rule the dedup operators use.
+    *
+    * Attributes must be atomic types (string/numeric/date/timestamp/
+    * boolean — enforced); the consensus is computed over their string
+    * rendering and CAST BACK, so surviving values come home under
+    * their original names AND original types.
     *
     * Shape at scale: the rows are unpivoted to (cluster, attr, value)
     * — ×|attrs|, but attrs is a fixed small list — then ONE combinable
@@ -1282,8 +1287,23 @@ object Dedup {
       idCol: String,
       attrCols: Seq[String]): DataFrame = {
     require(attrCols.nonEmpty, "need at least one attribute to survive")
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    attrCols.foreach { c =>
+      clustered.schema(c).dataType match {
+        case _: ArrayType | _: MapType | _: StructType =>
+          throw new IllegalArgumentException(
+            s"goldenRecords: attribute '$c' is a nested type — string " +
+              "consensus cannot round-trip it; project a scalar first")
+        case _ => ()
+      }
+    }
+    // names are interpolated into SQL: quote the identifier (backticks,
+    // doubled inside) and escape the label literal, so an attr named
+    // with quotes/backticks cannot break or inject the expression
+    def ident(c: String) = "`" + c.replace("`", "``") + "`"
+    def label(c: String) = "'" + c.replace("'", "''") + "'"
     val stackArgs = attrCols
-      .map(c => s"'$c', CAST($c AS STRING)")
+      .map(c => s"${label(c)}, CAST(${ident(c)} AS STRING)")
       .mkString(", ")
     val long = clustered.select(
       col(clusterCol),
@@ -1303,6 +1323,8 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_members"))
     canon.join(majorities, Seq(clusterCol), "left")
       .select(col(clusterCol) +: col("canonical_id") +: col("n_members") +:
-        attrCols.map(col): _*)
+        // the pivot emitted strings; restore each attr's input type
+        attrCols.map(c =>
+          col(c).cast(clustered.schema(c).dataType).as(c)): _*)
   }
 }

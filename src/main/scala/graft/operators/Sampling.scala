@@ -590,7 +590,12 @@ object Sampling {
     * collects; lineage stays flat through a per-round localCheckpoint,
     * the same pattern as the iterative graph operators.
     *
-    * @return `(sel_round, vec_id)` — selection order, k rows
+    * The k single-row driver round trips bound the operator to
+    * sample-scale k (enforced: k ≤ 256). If the input holds fewer than
+    * k distinct rows, selection stops early and returns every row as a
+    * center.
+    *
+    * @return `(sel_round, vec_id)` — selection order, min(k, rows) rows
     */
   def kCenterSelect(
       emb: DataFrame,
@@ -598,6 +603,13 @@ object Sampling {
       vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    // each selected center costs one 1-row driver round trip (k Spark
+    // jobs total): this is a sample-scale selector by construction —
+    // cap k so a miscalled job fails fast instead of queueing thousands
+    // of driver round trips
+    require(k <= 256,
+      s"kCenterSelect runs one driver job per center; k=$k exceeds the " +
+        "256 sample-scale bound (use clustered/LSH selection for more)")
     val spark = emb.sparkSession
 
     // identical accumulation order to FloatVecDot so the driver-side
@@ -618,30 +630,40 @@ object Sampling {
       col(idCol).cast("long").as("__id"),
       col(vecCol).as("__vec"),
       sqrt(graft.functions.vec_dot(col(vecCol), col(vecCol))).as("__norm"))
-    val seed = base.orderBy(col("__id")).limit(1)
-      .select(col("__id"), col("__vec")).collect()(0)
-    var picks = Vector[(Int, Long)]((0, seed.getLong(0)))
-    var centerVec = seed.getSeq[Float](1).toArray
-
-    var best = base.withColumn("__best", cosTo(centerVec))
-    var lastCkpt: Option[DataFrame] = None
-    var round = 1
-    while (round < k) {
-      val ck = best.localCheckpoint(true)
+    val seedRows = base.orderBy(col("__id")).limit(1)
+      .select(col("__id"), col("__vec")).collect()
+    var picks = Vector.empty[(Int, Long)]
+    if (seedRows.nonEmpty) {
+      picks :+= ((0, seedRows(0).getLong(0)))
+      var centerVec = seedRows(0).getSeq[Float](1).toArray
+      var best = base.withColumn("__best", cosTo(centerVec))
+      var lastCkpt: Option[DataFrame] = None
+      var round = 1
+      var exhausted = false
+      while (round < k && !exhausted) {
+        val ck = best.localCheckpoint(true)
+        lastCkpt.foreach(_.unpersist(false))
+        lastCkpt = Some(ck)
+        val selIds = picks.map(_._2)
+        val pickRows = ck
+          .filter(!col("__id").isInCollection(selIds))
+          .orderBy(col("__best").asc, col("__id").asc)
+          .limit(1)
+          .select(col("__id"), col("__vec")).collect()
+        if (pickRows.isEmpty) {
+          // fewer distinct rows than k: every row is already a center —
+          // stop early and return what was selected
+          exhausted = true
+        } else {
+          picks :+= ((round, pickRows(0).getLong(0)))
+          centerVec = pickRows(0).getSeq[Float](1).toArray
+          best = ck.withColumn("__best",
+            greatest(col("__best"), cosTo(centerVec)))
+          round += 1
+        }
+      }
       lastCkpt.foreach(_.unpersist(false))
-      lastCkpt = Some(ck)
-      val selIds = picks.map(_._2)
-      val pick = ck
-        .filter(!col("__id").isInCollection(selIds))
-        .orderBy(col("__best").asc, col("__id").asc)
-        .limit(1)
-        .select(col("__id"), col("__vec")).collect()(0)
-      picks :+= ((round, pick.getLong(0)))
-      centerVec = pick.getSeq[Float](1).toArray
-      best = ck.withColumn("__best", greatest(col("__best"), cosTo(centerVec)))
-      round += 1
     }
-    lastCkpt.foreach(_.unpersist(false))
     import spark.implicits._
     picks.toDF("sel_round", "vec_id")
   }

@@ -120,9 +120,10 @@ object Sketches {
         est("b").as("est_b"),
         est("u").as("est_union"),
         col("n_shared_topk"),
+        // __n_u >= k is guaranteed in the otherwise() branch, so the
+        // union estimate there is always the cap/kth form
         when(col("__n_u") < k, col("n_shared_topk"))
-          .otherwise(expr(s"n_shared_topk * (CASE WHEN __n_u < $k THEN __n_u " +
-            s"ELSE $cap div __kth_u END) div $k"))
+          .otherwise(expr(s"n_shared_topk * ($cap div __kth_u) div $k"))
           .as("est_intersect"))
   }
 }

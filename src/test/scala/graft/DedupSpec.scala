@@ -601,4 +601,27 @@ class DedupSpec extends AnyFunSuite with SparkTest {
         (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))).toMap
     assert(rep == out)
   }
+
+  test("goldenRecords: attrs keep their input types; quoted names don't break the expr") {
+    val s = spark; import s.implicits._
+    val clustered = Seq(
+      ("A", 1L, 10L, java.sql.Date.valueOf("2024-01-02")),
+      ("A", 2L, 10L, java.sql.Date.valueOf("2024-01-02")),
+      ("A", 3L, 7L, java.sql.Date.valueOf("2024-01-01"))
+    ).toDF("cluster", "doc_id", "n'chars", "day")
+    val out = Dedup.goldenRecords(clustered, "cluster", "doc_id", Seq("n'chars", "day"))
+    // surviving values come home under their ORIGINAL types
+    assert(out.schema("n'chars").dataType == org.apache.spark.sql.types.LongType)
+    assert(out.schema("day").dataType == org.apache.spark.sql.types.DateType)
+    val r = out.collect()(0)
+    assert(r.getLong(3) == 10L)
+    assert(r.getDate(4) == java.sql.Date.valueOf("2024-01-02"))
+    // nested attrs are rejected up front, not silently stringified
+    val nested = clustered.withColumn("arr",
+      org.apache.spark.sql.functions.array(org.apache.spark.sql.functions.col("doc_id")))
+    val err = intercept[IllegalArgumentException] {
+      Dedup.goldenRecords(nested, "cluster", "doc_id", Seq("arr"))
+    }
+    assert(err.getMessage.contains("nested"))
+  }
 }

@@ -256,6 +256,28 @@ object OracleSql {
       "cent AS (SELECT * FROM cent0), " +
       ivfTail("cent", k, nProbe, dim)
 
+  /** Oracle for `ann_ivf_cell_stats`: replay of
+    * `Similarity.ivfCellStats` — the seeded centroid pick, the argmax
+    * cell assignment keeping the winning cosine, then the per-cell
+    * occupancy/imbalance/quality report in integer ppm (floor-ppm per
+    * member, integer mean; empty cells via a generated cell list).
+    */
+  def annIvfCellStats(numCentroids: Int, dim: Int = 64, seed: Long = 42L): String =
+    s"WITH ${ivfPrologue(numCentroids, dim, seed)}, " +
+      s"cd AS (SELECT c.vec_id, ct.cidx, ${pairDot("c.embedding", "ct.cvec", dim)} / c.nrm AS dot " +
+      "FROM cnd c CROSS JOIN cent0 ct), " +
+      "asg AS (SELECT vec_id, cidx, dot FROM (SELECT *, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cidx) AS rn FROM cd) t WHERE rn = 1), " +
+      "agg AS (SELECT cidx AS cell, count(*) AS n, " +
+      "sum(CAST(floor(dot * 1000000.0) AS BIGINT)) AS sum_cos FROM asg GROUP BY cidx), " +
+      "tot AS (SELECT count(*) AS total FROM asg), " +
+      s"cl AS (SELECT CAST(g AS BIGINT) AS cell FROM generate_series(1, $numCentroids) t(g)) " +
+      "SELECT cl.cell, CAST(coalesce(agg.n, 0) AS BIGINT) AS n_vectors, " +
+      "CAST(coalesce(agg.n, 0) * 1000000 // tot.total AS BIGINT) AS share_ppm, " +
+      s"CAST(coalesce(agg.n, 0) * $numCentroids * 1000000 // tot.total AS BIGINT) AS imbalance_ppm, " +
+      "CAST(agg.sum_cos // agg.n AS BIGINT) AS avg_cos_ppm " +
+      "FROM cl LEFT JOIN agg ON agg.cell = cl.cell, tot"
+
   /** Oracle for `ann_ivf_refined_topk`: the seeded pick plus `iters`
     * replayed Lloyd iterations of `Similarity.kmeansCentroids`. Each
     * iteration reproduces the Scala driver's arithmetic exactly:
@@ -923,14 +945,15 @@ object OracleSql {
     * floor-divided rational arithmetic, HUGEINT standing in for Spark's
     * decimal(38,0) — ending in `brk(query_id, rk, doc_id, score_ppm)`.
     */
-  def bm25Ctes(queries: Seq[(Int, Seq[String])], k: Int): String = {
+  def bm25Ctes(queries: Seq[(Int, Seq[String])], k: Int,
+      docWhere: String = "TRUE"): String = {
     val qvals = queries
       .flatMap { case (qid, ts) => ts.map(_.toLowerCase).distinct.map(t => s"($qid, '$t')") }
       .mkString(", ")
     val qvocab = queries.flatMap(_._2.map(_.toLowerCase)).distinct
       .map(t => s"'$t'").mkString(", ")
     "btk AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), " +
-      "x -> x <> '')) AS token FROM documents), " +
+      s"x -> x <> '')) AS token FROM documents WHERE $docWhere), " +
       "bdl AS (SELECT doc_id, count(*) AS dl FROM btk GROUP BY doc_id), " +
       "bst AS (SELECT count(*) AS n_docs, sum(dl) AS t_tokens FROM bdl), " +
       s"bq(query_id, token) AS (VALUES $qvals), " +
@@ -947,9 +970,14 @@ object OracleSql {
       s"WHERE rk <= $k)"
   }
 
-  /** Oracle for `search_bm25_topk`. */
-  def bm25TopK(queries: Seq[(Int, Seq[String])], k: Int): String =
-    s"WITH ${bm25Ctes(queries, k)} SELECT query_id, rk, doc_id, score_ppm FROM brk"
+  /** Oracle for `search_bm25_topk` (and, with `docWhere`, for the
+    * post-deletion serving path `search_bm25_deleted` — the oracle
+    * simply never tokenizes the revoked docs, which is exactly what a
+    * fresh index of the surviving corpus would see).
+    */
+  def bm25TopK(queries: Seq[(Int, Seq[String])], k: Int,
+      docWhere: String = "TRUE"): String =
+    s"WITH ${bm25Ctes(queries, k, docWhere)} SELECT query_id, rk, doc_id, score_ppm FROM brk"
 
   /** Oracle for `search_hybrid_rrf`: BM25 ranking fused with the
     * static length-prior ranking by reciprocal-rank fusion — identical

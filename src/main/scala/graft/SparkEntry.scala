@@ -392,6 +392,17 @@ object SparkEntry {
       // by construction (the green row proves index == corpus)
       Search.bm25TopKFromIndex(
         Search.invertedIndex(rd(s, d, "documents")), bm25Queries, k = 10)),
+    "search_bm25_deleted" -> ((s, d) => {
+      // the revocation path: every 7th doc is taken down by a broadcast
+      // anti-join over the index (no re-tokenization); serving from the
+      // pruned index matches a fresh index of the surviving corpus —
+      // the oracle tokenizes only docs with doc_id % 7 <> 0
+      val docs = rd(s, d, "documents")
+      val revoked = docs.filter(col("doc_id") % 7 === 0).select("doc_id")
+      Search.bm25TopKFromIndex(
+        Search.deleteFromInvertedIndex(
+          Search.invertedIndex(docs), revoked), bm25Queries, k = 10)
+    }),
     "search_hybrid_rrf" -> ((s, d) => {
       // hybrid retrieval: BM25 relevance fused with a static quality
       // prior (doc length) by reciprocal-rank fusion — rank-based, so
@@ -724,6 +735,12 @@ object SparkEntry {
       Similarity.ivfTopK(rd(s, d, "embeddings"),
         col("vec_id") < 10, col("vec_id") >= 10, 5, numCentroids = 16, nProbe = 4,
         refineIters = 2)),
+    "ann_ivf_cell_stats" -> ((s, d) =>
+      // the staleness trigger for the incremental IVF lifecycle:
+      // per-cell occupancy, imbalance, and the centroid-cosine recall
+      // proxy — the report that decides when to re-Lloyd the index
+      Similarity.ivfCellStats(rd(s, d, "embeddings"),
+        col("vec_id") >= 10, numCentroids = 16)),
 
     // —— training-data pipeline: text analysis ——
     "text_lang_id" -> ((s, d) => TextAnalysis.langId(rd(s, d, "documents"))),
@@ -1928,6 +1945,7 @@ object SparkEntry {
     "ann_ivf_pq_topk" -> OracleSql.annIvfPqTopK(5, numCentroids = 8, nProbe = 4),
     "ann_ivf_refined_topk" ->
       OracleSql.annIvfRefinedTopK(5, numCentroids = 16, nProbe = 4, iters = 2),
+    "ann_ivf_cell_stats" -> OracleSql.annIvfCellStats(numCentroids = 16),
     "text_rolling_fp" -> OracleSql.textRollingFp,
     "media_byte_stats" -> OracleSql.mediaByteStats,
     "media_ahash_pairs" -> OracleSql.mediaAhashPairs(3, 8, 1000000L),
@@ -2304,6 +2322,8 @@ object SparkEntry {
     "search_phrase" -> OracleSql.phraseSearch(searchPhrase),
     "search_bm25_topk" -> OracleSql.bm25TopK(bm25Queries, k = 10),
     "search_bm25_indexed" -> OracleSql.bm25TopK(bm25Queries, k = 10),
+    "search_bm25_deleted" ->
+      OracleSql.bm25TopK(bm25Queries, k = 10, docWhere = "doc_id % 7 <> 0"),
     "search_hybrid_rrf" -> OracleSql.searchHybridRrf(bm25Queries, kIn = 20, k = 10, kRrf = 60),
     "text_winnow_fp" -> OracleSql.textWinnowFp(k = 4, w = 4),
     "dedup_winnow_pairs" -> OracleSql.dedupWinnowPairs(k = 4, w = 4, minShared = 2),

@@ -217,6 +217,32 @@ object Search {
     index.unionByName(fresh)
   }
 
+  /** Deletion maintenance for a persisted [[invertedIndex]] — the
+    * revocation path (takedowns, opt-outs, contamination discoveries).
+    * Every posting of the revoked ids is dropped in ONE broadcast
+    * anti-join over the index: no re-tokenization, no corpus read, no
+    * shuffle (the revocation list is takedown-sized and rides the
+    * broadcast). Because [[bm25TopKFromIndex]] derives doc lengths,
+    * dfs, and corpus totals FROM the index rows, a served query after
+    * the delete scores exactly as a fresh index of the surviving
+    * corpus — df shifts from the removed docs included (spec- and
+    * oracle-gated).
+    *
+    * Replay-safe both ways: deleting an absent id is a no-op, and a
+    * revoked doc can be legitimately re-ingested later through
+    * [[appendToInvertedIndex]] (its postings are gone, so the append's
+    * anti-join re-admits it).
+    */
+  def deleteFromInvertedIndex(
+      index: DataFrame,
+      deleteIds: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    index.join(broadcast(deleteIds.select(idCol).distinct()),
+      Seq(idCol), "left_anti")
+      // the using-column join fronts idCol; hand back the index schema
+      // unchanged so delete/append round-trips are column-identical
+      .select(index.columns.map(col): _*)
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttner, SIGIR 2009):
     * merge two ranked lists into one by `score = Σ 1/(kRrf + rank)`,
     * the standard hybrid-retrieval combiner (lexical + vector, or

@@ -247,6 +247,101 @@ object Similarity {
       dir, s"${table}_cells")
   }
 
+  /** IVF health report — the STALENESS TRIGGER for the incremental
+    * index lifecycle. [[appendToIvfIndex]] assigns deltas to frozen
+    * centroids; as the corpus distribution drifts away from them,
+    * occupancy skews and members sit further from their assigned
+    * centroid — and recall at fixed nProbe decays with exactly those
+    * two symptoms. One row per cell (empty cells included — a dead
+    * cell is a drift symptom, not a missing row):
+    *
+    *   - `n_vectors` — cell occupancy;
+    *   - `share_ppm` — occupancy as integer ppm of the corpus;
+    *   - `imbalance_ppm` — `n·numCentroids·10⁶ div total`; 10⁶ means
+    *     perfectly balanced, ≫10⁶ flags a hot cell (probing cost and
+    *     in-cell dilution), 0 a dead one;
+    *   - `avg_cos_ppm` — mean member→assigned-centroid cosine
+    *     (floor-ppm per member, integer mean; NULL for empty cells):
+    *     the quantization-quality recall proxy. Falling avg_cos_ppm =
+    *     centroids no longer represent their members = rebuild
+    *     (re-Lloyd) time.
+    *
+    * Everything after the O(numCentroids·dim) centroid pick is one
+    * combinable aggregation over one corpus scan; integer outputs
+    * replay exactly under the DuckDB oracle.
+    */
+  def ivfCellStats(
+      emb: DataFrame,
+      candPred: Column,
+      numCentroids: Int = 16,
+      seed: Long = 42L,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      refineIters: Int = 0): DataFrame = {
+    val spark = emb.sparkSession
+    val n = withNorm(emb, vecCol, idCol)
+    val c0 = n.where(candPred)
+    val seeded = seedCentroids(c0, numCentroids, seed, vecCol, idCol)
+    val centroids =
+      if (refineIters <= 0) seeded
+      else kmeansCentroids(emb.where(candPred), seeded, refineIters, vecCol)
+    val dots = array(centroids.map(ct =>
+      vec_dot(col(vecCol), lit(ct)) / col("norm")): _*)
+    val assigned = c0
+      .select(col(idCol), dots.as("__dots"))
+      .select(col(idCol),
+        array_position(col("__dots"), array_max(col("__dots"))).as("cell"),
+        floor(array_max(col("__dots")) * lit(1000000.0)).as("cos_ppm"))
+    val perCell = assigned.groupBy("cell")
+      .agg(count(lit(1)).as("__n"), sum(col("cos_ppm")).as("__sum_cos"))
+    val totals = perCell.agg(sum(col("__n")).as("__total"))
+    spark.range(1, numCentroids + 1L).toDF("cell")
+      .join(perCell, Seq("cell"), "left")
+      .crossJoin(broadcast(totals))
+      .select(
+        col("cell"),
+        coalesce(col("__n"), lit(0L)).as("n_vectors"),
+        expr("coalesce(__n, 0L) * 1000000L div __total").as("share_ppm"),
+        expr(s"coalesce(__n, 0L) * ${numCentroids}L * 1000000L div __total")
+          .as("imbalance_ppm"),
+        expr("__sum_cos div __n").as("avg_cos_ppm"))
+  }
+
+  /** [[ivfCellStats]] over a PERSISTED index ([[buildIvfIndex]] +
+    * [[appendToIvfIndex]]): the same health report computed from the
+    * stored cell and centroid tables alone — the corpus is never
+    * touched, so the staleness check costs one index scan and can run
+    * after every append. Spec-proven equal in shape and semantics to
+    * the in-plan report ([[ivfCellStats]]); the drift test shows its
+    * numbers move exactly when recall does.
+    */
+  def ivfIndexStats(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      table: String): DataFrame = {
+    val cents = graft.sources.Warehouse.read(spark, dir, s"${table}_centroids")
+    val cells = graft.sources.Warehouse.read(spark, dir, s"${table}_cells")
+    val nCellsDf = cents.agg(count(lit(1)).as("__ncells"))
+    val perCell = cells.join(broadcast(cents), "cell")
+      .select(col("cell"),
+        floor(vec_dot(col("c_vec"), col("centroid")) / col("c_norm")
+          * lit(1000000.0)).as("cos_ppm"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("__n"), sum(col("cos_ppm")).as("__sum_cos"))
+    val totals = perCell.agg(sum(col("__n")).as("__total"))
+    cents.select(col("cell"))
+      .join(perCell, Seq("cell"), "left")
+      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(nCellsDf))
+      .select(
+        col("cell"),
+        coalesce(col("__n"), lit(0L)).as("n_vectors"),
+        expr("coalesce(__n, 0L) * 1000000L div __total").as("share_ppm"),
+        expr("coalesce(__n, 0L) * __ncells * 1000000L div __total")
+          .as("imbalance_ppm"),
+        expr("__sum_cos div __n").as("avg_cos_ppm"))
+  }
+
   /** Probe a persisted IVF index ([[buildIvfIndex]]) — reads centroids
     * (tiny) onto the driver and joins queries against the stored cell
     * table; the corpus itself is never touched.

@@ -111,6 +111,34 @@ class SearchSpec extends AnyFunSuite with SparkTest {
     graft.operators.Caches.release()
   }
 
+  test("deleteFromInvertedIndex: served scores match a fresh index of the survivors") {
+    val s = spark; import s.implicits._
+    val d = docs(
+      1L -> "alpha beta gamma alpha",
+      2L -> "beta beta delta",
+      3L -> "gamma alpha epsilon",
+      4L -> "zeta eta theta alpha")
+    val q = Seq(1 -> Seq("alpha", "beta"), 2 -> Seq("gamma"))
+    val idx = Search.invertedIndex(d)
+    val revoked = Seq(3L).toDF("doc_id")
+    val pruned = Search.deleteFromInvertedIndex(idx, revoked)
+    // revoked postings are gone wholesale
+    assert(pruned.filter("doc_id = 3").count() == 0)
+    // serving from the pruned index == fresh index of the surviving
+    // corpus: dl, df, N, T all shift because stats derive from the index
+    val served = Search.bm25TopKFromIndex(pruned, q, k = 4).collect().toSet
+    val fresh = Search.bm25TopKFromIndex(
+      Search.invertedIndex(d.filter("doc_id <> 3")), q, k = 4).collect().toSet
+    assert(served == fresh && served.nonEmpty)
+    // deleting an absent id is a no-op (replay-safe)
+    val again = Search.deleteFromInvertedIndex(pruned, Seq(3L, 99L).toDF("doc_id"))
+    assert(again.collect().toSet == pruned.collect().toSet)
+    // a revoked doc can be re-ingested later: delete + append round-trips
+    val restored = Search.appendToInvertedIndex(pruned, d.filter("doc_id = 3"))
+    assert(restored.collect().toSet == idx.collect().toSet)
+    graft.operators.Caches.release()
+  }
+
   test("rrfFuse hand-computed: overlap beats either single list") {
     val s = spark; import s.implicits._
     // system A ranks docs 1,2,3; system B ranks 2,3,4. kRrf=60.

@@ -118,6 +118,73 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(fromIndex == exact)
   }
 
+  test("ivf staleness: drifted deltas degrade recall, the stats flag it, retraining restores both") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(13)
+    val dim = 16
+    // initial corpus: 4 tight clusters; the index is built (and
+    // Lloyd-refined) on THIS distribution only
+    val oldCenters = Array.fill(4)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val oldRows = (0 until 120).map { i =>
+      val c = oldCenters(i % 4)
+      (i.toLong + 100L, c.map(v => v + 0.15f * rnd.nextGaussian().toFloat))
+    }
+    // drift: 4 NEW, WIDE clusters the centroids have never seen —
+    // appended via the incremental path. Member dots to the stale
+    // centroids are weak (inter-cluster cosines), so the within-cluster
+    // spread dominates the argmax and one semantic cluster scatters
+    // across many cells — the canonical drift failure mode
+    val newCenters = Array.fill(4)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val newRows = (0 until 120).map { i =>
+      val c = newCenters(i % 4)
+      (i.toLong + 1000L, c.map(v => v + 0.6f * rnd.nextGaussian().toFloat))
+    }
+    // queries live in the DRIFTED region
+    val qRows = (0 until 8).map { i =>
+      (i.toLong, newCenters(i % 4).map(v => v + 0.1f * rnd.nextGaussian().toFloat))
+    }
+    val all = (oldRows ++ newRows ++ qRows).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivf-drift").toString
+    Similarity.buildIvfIndex(all.filter(col("vec_id").between(100, 999)),
+      lit(true), dir, "idx", numCentroids = 8, refineIters = 2)
+    Similarity.appendToIvfIndex(all.filter(col("vec_id") >= 1000), dir, "idx")
+    val brute = Similarity.bruteForceTopK(all, col("vec_id") < 8, col("vec_id") >= 100, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(table: String): Double = {
+      val got = Similarity.ivfTopKIndexed(
+        all.filter(col("vec_id") < 8), dir, table, k = 5, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & brute).size.toDouble / brute.size
+    }
+    def report(table: String): (Long, Long) = {
+      val rows = Similarity.ivfIndexStats(s, dir, table).collect()
+      val total = rows.map(_.getAs[Long]("n_vectors")).sum
+      // occupancy-weighted mean member->centroid cosine (ppm) and the
+      // hottest cell's imbalance
+      val wCos = rows.filter(!_.isNullAt(4))
+        .map(r => r.getAs[Long]("n_vectors") * r.getAs[Long]("avg_cos_ppm")).sum / total
+      (wCos, rows.map(_.getAs[Long]("imbalance_ppm")).max)
+    }
+    val staleRecall = recallOf("idx")
+    val (staleCos, staleImb) = report("idx")
+    // retrain: rebuild on the full drifted corpus (the one corpus-sized
+    // operation in the lifecycle)
+    Similarity.buildIvfIndex(all.filter(col("vec_id") >= 100),
+      lit(true), dir, "idx2", numCentroids = 8, refineIters = 2)
+    val freshRecall = recallOf("idx2")
+    val (freshCos, freshImb) = report("idx2")
+    info(s"stale: recall=$staleRecall cos_ppm=$staleCos imb_ppm=$staleImb")
+    info(s"fresh: recall=$freshRecall cos_ppm=$freshCos imb_ppm=$freshImb")
+    // recall: drift hurts, retraining restores
+    assert(staleRecall < freshRecall,
+      s"stale=$staleRecall fresh=$freshRecall")
+    assert(freshRecall >= 0.8, s"fresh recall $freshRecall")
+    // and the index-only report flags it WITHOUT any query workload:
+    // members sit visibly further from stale centroids
+    assert(staleCos + 100000 < freshCos,
+      s"staleness not visible: stale=$staleCos fresh=$freshCos")
+  }
+
   test("k-means refinement improves IVF recall on clustered data and stays deterministic") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(7)

@@ -88,6 +88,19 @@ object Bench {
     val results = p1.map { case (k, v) =>
       k -> (if (failures(k)) -1.0 else math.min(v, p2(k)))
     }
+    // Solo re-timing of the five slowest queries: each runs again in a
+    // quiet JVM (no 180-query suite immediately behind it), separating
+    // host drift / suite-context effects (GC pressure, codegen-cache
+    // churn) from real per-query regressions. Published as "solo" next
+    // to the suite numbers.
+    val slowest = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(5).map(_._1)
+    val solo = slowest.map { name =>
+      System.gc()
+      val t0 = System.nanoTime()
+      val ok = try { force(selected(name)(spark, sfDir)); true }
+      catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }.toMap
     // millisecond precision keeps the line ~2 KB for 80+ queries — the
     // driver captures a bounded output tail, and the round-2 line (9
     // significant digits per query, ~4 KB) was truncated mid-line there
@@ -96,9 +109,12 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val fj = failures.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val sj = solo.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failures":$fj,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"solo":$sj,"failures":$fj,"sf":"$sfDir"}"""
     println(line)
     // compact fallback: if the full line still gets cut, this short one
     // (printed closest to the end of output) parses on its own

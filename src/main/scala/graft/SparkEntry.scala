@@ -230,6 +230,44 @@ object SparkEntry {
           statusCol = Some("row_status")),
         tlit(tsNow))
     }),
+    "merge_partitioned_delta" -> ((s, d) => {
+      // the 100 TB fact-merge path, end to end: orders laid out
+      // date-partitioned by month (~80 partitions); the delta restates
+      // the last 3 months (price ×2) and inserts one new row per
+      // restated order (negated key, same month). The partition-scoped
+      // merge reads and rewrites ONLY those ~3 partitions — I/O is
+      // delta-footprint-sized, not table-sized. The base layout is
+      // cached under target/ keyed by source row count, so repeated
+      // bench passes time the delta merge (the regression-sensitive
+      // path), not the initial load; re-merging the same delta is
+      // idempotent (updates restate to the same values, inserts become
+      // same-value matches), keeping every pass bit-identical.
+      val orders = rd(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      val withMonth = orders
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      val tbl = "orders_fact"
+      val dir = new java.io.File(
+        "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      val marker = java.nio.file.Paths.get(dir, "base_rows")
+      val n = orders.count()
+      val fresh = java.nio.file.Files.exists(marker) &&
+        java.nio.file.Files.readString(marker).trim == n.toString &&
+        graft.sources.Warehouse.exists(s, dir, tbl)
+      if (!fresh) {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        graft.sources.Layout.writePartitioned(withMonth, s"$dir/$tbl", Seq("o_month"))
+        java.nio.file.Files.writeString(marker, n.toString)
+      }
+      val upd = withMonth
+        .filter(col("o_orderdate") >= tlit("2001-06-01 00:00:00"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val delta = upd.unionByName(upd.withColumn("o_orderkey", -col("o_orderkey")))
+      Merge.scd1PartitionScoped(s, dir, tbl, "o_month", delta,
+        MergeSpec(Seq("o_orderkey"), Seq("o_totalprice")), tlit(tsNow))
+      graft.sources.Warehouse.read(s, dir, tbl)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    }),
 
     // —— aggregation / window headline queries ——
     "q6_filter_agg" -> ((s, d) =>
@@ -1812,6 +1850,12 @@ object SparkEntry {
         "CASE WHEN t.tf IS NOT NULL THEN t.n_rows ELSE s.n_rows END AS n_rows, " +
         "CASE WHEN t.tf IS NOT NULL AND s.sf IS NOT NULL THEN 'updated' WHEN s.sf IS NOT NULL THEN 'inserted' ELSE 'kept' END AS row_status " +
         "FROM tgt t FULL OUTER JOIN src s ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber"),
+    "merge_partitioned_delta" ->
+      ("WITH upd AS (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '2001-06-01 00:00:00') " +
+        "SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders " +
+        "WHERE o_orderdate < TIMESTAMP '2001-06-01 00:00:00' " +
+        "UNION ALL SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice, o_orderdate FROM upd " +
+        "UNION ALL SELECT -o_orderkey AS o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice, o_orderdate FROM upd"),
     "q1_agg" ->
       ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
         "round(sum(l_extendedprice), 2) AS sum_base_price, " +

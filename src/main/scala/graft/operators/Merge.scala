@@ -100,6 +100,49 @@ object Merge {
     joined.select(out: _*)
   }
 
+  /** Partition-scoped SCD-1 merge against a directory-partitioned
+    * warehouse table — the 100 TB fact-merge path. Instead of reading
+    * and rewriting the whole table, the merge:
+    *
+    *   1. collects the source's distinct `partitionCol` values (a daily
+    *      delta touches a handful of partitions — broadcast-small);
+    *   2. left-semi joins the target on `partitionCol` so the scan
+    *      prunes to exactly the touched partitions (partition pruning
+    *      via dynamic filter — untouched partitions are never read);
+    *   3. runs the ordinary [[scd1]] join on the slice;
+    *   4. commits with dynamic-partition overwrite
+    *      ([[graft.sources.Warehouse.overwritePartitions]]), which
+    *      replaces ONLY the partitions present in the merged output.
+    *
+    * Requires the merge key to determine its partition (an update may
+    * not move a row across partitions — the stale copy in the old
+    * partition would survive). That holds for the canonical layout
+    * where `partitionCol` derives from an immutable column of the key,
+    * e.g. date-partitioned facts keyed on (date, entity).
+    *
+    * At 100 TB this turns a full-table read+rewrite (hours) into I/O
+    * proportional to the delta's partition footprint (the AQI bench
+    * measures the same shape end-to-end: ~31 of ~1000 date partitions).
+    */
+  def scd1PartitionScoped(
+      spark: org.apache.spark.sql.SparkSession,
+      warehouseDir: String,
+      table: String,
+      partitionCol: String,
+      source: DataFrame,
+      spec: MergeSpec,
+      now: Column): Unit = {
+    import graft.sources.Warehouse
+    val target = Warehouse.read(spark, warehouseDir, table)
+    val affected = source.select(partitionCol).distinct()
+    val slice = target.join(broadcast(affected), Seq(partitionCol), "left_semi")
+    // scd1 emits columns in target-column order with keys first; restore
+    // the table's physical column order for the partitioned write
+    val merged = scd1(slice, source, spec, now)
+      .select(target.columns.map(col).toIndexedSeq: _*)
+    Warehouse.overwritePartitions(merged, warehouseDir, table, partitionCol)
+  }
+
   /** Insert-only merge: append source rows whose key is absent from the
     * target (the reference's anti-join INSERT…SELECTs,
     * `stage_to_nds.py:113-123,125-138`).

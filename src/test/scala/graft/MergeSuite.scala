@@ -259,4 +259,46 @@ class MergeSuite extends AnyFunSuite with SparkTest {
     assert(got("cat") == ((4L, 1L, 2L, "a", "b")))
     assert(got("v") == ((4L, 1L, 2L, "10", "30")))
   }
+
+  test("scd1PartitionScoped: equals the flat merge, untouched partitions not rewritten") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pmerge").toString
+    val base = (1 to 1000).map(i => (i.toLong, f"2024-${i % 10 + 1}%02d", i * 1.0))
+      .toDF("k", "month", "v")
+    graft.sources.Layout.writePartitioned(base, s"$dir/fact", Seq("month"))
+
+    // partition-month "2024-05" is untouched by the delta: snapshot its
+    // physical files so we can prove the scoped merge never rewrote them
+    def fileState(sub: String): Map[String, Long] = {
+      val d = new java.io.File(s"$dir/fact/month=$sub")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before = fileState("2024-05")
+
+    val upd = base.filter($"month" === "2024-03").withColumn("v", $"v" * 2)
+    val delta = upd.unionByName(upd.withColumn("k", -$"k"))
+    val spec = MergeSpec(Seq("k"), Seq("v"))
+    Merge.scd1PartitionScoped(s, dir, "fact", "month", delta, spec, nowCol)
+
+    val got = s.read.parquet(s"$dir/fact")
+      .select($"k", $"month".cast("string").as("month"), $"v")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val expected = Merge.scd1(base, delta, spec, nowCol)
+      .select($"k", $"month", $"v")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == expected)
+    assert(got.exists(_._1 == -2L), "inserted rows present")
+    assert(got.count(_._2 == "2024-03") == 2 * base.filter($"month" === "2024-03").count())
+
+    assert(fileState("2024-05") == before,
+      "untouched partition files must not be rewritten by the scoped merge")
+
+    // idempotency: re-applying the same delta is a bit-identical no-op
+    Merge.scd1PartitionScoped(s, dir, "fact", "month", delta, spec, nowCol)
+    val again = s.read.parquet(s"$dir/fact")
+      .select($"k", $"month".cast("string").as("month"), $"v")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(again == expected)
+  }
 }

@@ -1162,6 +1162,16 @@ object SparkEntry {
       Sampling.packByBudget(rd(s, d, "documents")
         .select("doc_id", "source", "n_chars"),
         "source", "doc_id", "n_chars", budget = 5000L)),
+    "pack_context_seqs" -> ((s, d) =>
+      // GPT-style packing manifest: the corpus token stream in doc_id
+      // order cut into 32-token context windows, docs crossing window
+      // boundaries; one row per (doc, window) span. The global token
+      // offset is a two-level range prefix sum — no global window
+      Sampling.packContextStream(
+        rd(s, d, "documents").select(col("doc_id"),
+          size(filter(graft.functions.tokens(col("text")), t => t =!= ""))
+            .cast("long").as("n_toks")),
+        "doc_id", "n_toks", capacity = 32)),
     "sample_weighted" -> ((s, d) =>
       // length-proportional sampling: longer docs survive more often
       // (p = n_chars/600), decision a pure function of salt+doc_id
@@ -2470,6 +2480,13 @@ object SparkEntry {
       ("SELECT doc_id, source, n_chars, CAST(floor(coalesce(sum(n_chars) OVER " +
         "(PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 5000) AS INT) AS bin " +
         "FROM documents"),
+    "pack_context_seqs" ->
+      ("WITH toks AS (SELECT doc_id, CAST(len([t for t in regexp_split_to_array(lower(trim(text)), '\\s+') if t <> '']) AS BIGINT) AS n FROM documents), " +
+        "f AS (SELECT * FROM toks WHERE n > 0), " +
+        "offs AS (SELECT doc_id, n, CAST(coalesce(sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s FROM f), " +
+        "expl AS (SELECT doc_id, s, s + n AS e, unnest(generate_series(s // 32, (s + n - 1) // 32)) AS seq_id FROM offs) " +
+        "SELECT doc_id, seq_id, greatest(s, seq_id * 32) - seq_id * 32 AS begin_in_seq, " +
+        "least(e, (seq_id + 1) * 32) - greatest(s, seq_id * 32) AS n_in_seq FROM expl"),
     "sample_weighted" ->
       (s"WITH kept AS (SELECT source, n_chars FROM documents WHERE ${OracleSql.weightedKeepWhere(
         "CAST(doc_id AS VARCHAR)", "n_chars", "wk1", 600L)}) " +

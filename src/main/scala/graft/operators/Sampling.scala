@@ -239,6 +239,82 @@ object Sampling {
       floor(coalesce(sum(col(weightCol)).over(w), lit(0L)) / budget).cast("int"))
   }
 
+  /** GPT-style sequence packing: concatenate the corpus's token stream
+    * in `idCol` order and cut it into fixed `capacity`-token context
+    * windows, letting documents CROSS window boundaries (the standard
+    * pretraining layout — no padding, 100% fill except the final
+    * window). Emits one row per (document, window) span:
+    * `(idCol, seqCol, begin_in_seq, n_in_seq)` — the manifest a loader
+    * needs to materialize window `seq` by slicing each listed doc's
+    * tokens. Rows with `weightCol <= 0` (empty docs) are dropped.
+    *
+    * The global token offset is an exclusive prefix sum over the doc
+    * order — computed WITHOUT a global window (a single-reducer sort
+    * of the whole corpus at scale). Two-level shape instead:
+    * range-partition by `idCol`, per-partition running sums via a
+    * window PARTITIONED BY the range id (parallel — each range sorts
+    * independently), plus per-range totals (one row per range,
+    * collected and prefix-summed at the driver, broadcast back).
+    * Range boundaries vary run to run, but a prefix sum over
+    * internally-sorted ranges of a unique key equals the one global
+    * prefix sum, so the output is a pure function of (data, order).
+    *
+    * Window membership is then pure integer arithmetic: a doc spanning
+    * global tokens `[start, end)` appears in windows
+    * `start div capacity .. (end-1) div capacity`, emitted via an
+    * in-plan `sequence`/`explode` — a doc's span count is
+    * `O(doc_len/capacity)`, so the expansion is corpus-sized, never
+    * quadratic.
+    */
+  def packContextStream(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      capacity: Long,
+      seqCol: String = "seq_id"): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val spark = df.sparkSession
+    val ranged = Caches.persisted(
+      df.filter(col(weightCol) > 0)
+        .select(col(idCol), col(weightCol).cast("long").as("__w"))
+        .repartitionByRange(col(idCol))
+        .sortWithinPartitions(col(idCol))
+        .withColumn("__pid", spark_partition_id()))
+    // exclusive prefix offsets of the ranges: one row per range
+    val totals = ranged.groupBy("__pid").agg(sum(col("__w")).as("__t"))
+      .orderBy("__pid").collect()
+    var off = 0L
+    val offRows = totals.map { r =>
+      val m = org.apache.spark.sql.Row(r.getInt(0), off)
+      off += r.getLong(1); m
+    }.toSeq
+    val offSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "__pid", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField(
+        "__off", org.apache.spark.sql.types.LongType, nullable = false)))
+    val offs = spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows, 1), offSchema)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cap = lit(capacity)
+    ranged
+      .withColumn("__within", coalesce(sum(col("__w")).over(w), lit(0L)))
+      .join(broadcast(offs), Seq("__pid"))
+      .withColumn("__start", col("__off") + col("__within"))
+      .withColumn("__end", col("__start") + col("__w"))
+      .withColumn(seqCol,
+        explode(sequence(
+          expr(s"__start div $capacity"), expr(s"(__end - 1) div $capacity"))))
+      .withColumn("begin_in_seq",
+        greatest(col("__start"), col(seqCol) * cap) - col(seqCol) * cap)
+      .withColumn("n_in_seq",
+        least(col("__end"), (col(seqCol) + 1) * cap) -
+          greatest(col("__start"), col(seqCol) * cap))
+      .select(col(idCol), col(seqCol), col("begin_in_seq"), col("n_in_seq"))
+  }
+
   /** Length-bucket padding accounting: assign each row the next
     * power-of-two at or above its length (`2^ceil(log2 len)`, len ≥ 1)
     * — the bucketing dynamic-padding batch schedulers use — and report

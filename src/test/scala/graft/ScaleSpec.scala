@@ -135,6 +135,46 @@ class ScaleSpec extends AnyFunSuite with SparkTest {
     assert(ccParts > 4, s"dominant source landed on only $ccParts partition(s)")
   }
 
+  test("packContextStream: range prefix sum equals sequential replay; full windows; no single-partition funnel") {
+    val s = spark; import s.implicits._
+    val savedCoalesce = s.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val docs = (1 to 3000).map(i => (i.toLong, (i % 7).toLong)).toDF("id", "w")
+    val out =
+      try graft.operators.Sampling.packContextStream(docs, "id", "w", capacity = 32)
+      finally s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", savedCoalesce)
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    // sequential replay: one pass, one cursor — the semantics the
+    // distributed two-level prefix sum must reproduce exactly
+    var off = 0L
+    val expected = scala.collection.mutable.Set[(Long, Long, Long, Long)]()
+    (1 to 3000).foreach { i =>
+      val w = (i % 7).toLong
+      if (w > 0) {
+        val start = off; val end = off + w; off = end
+        var q = start / 32
+        while (q <= (end - 1) / 32) {
+          val b = math.max(start, q * 32); val e2 = math.min(end, (q + 1) * 32)
+          expected += ((i.toLong, q, b - q * 32, e2 - b)); q += 1
+        }
+      }
+    }
+    assert(got == expected)
+
+    // packing invariant: every window except the final one is
+    // completely filled — the zero-padding layout the op promises
+    val fills = got.groupBy(_._2).view.mapValues(_.toSeq.map(_._4).sum).toMap
+    val lastSeq = fills.keys.max
+    assert(fills.forall { case (q, f) => q == lastSeq || f == 32L }, fills.toString)
+
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"global-window prefix sum is the 100 TB killer:\n$plan")
+    graft.operators.Caches.release()
+  }
+
   test("saltedJoin spreads the hot key across reducers where the plain join funnels it") {
     val s = spark; import s.implicits._
     val saved = Seq("spark.sql.autoBroadcastJoinThreshold",

@@ -843,6 +843,38 @@ object OracleSql {
       "talloc AS (SELECT source, n, w, " +
       "least(base + CASE WHEN rrk <= seats THEN 1 ELSE 0 END, n) AS alloc FROM tr)"
 
+  /** Replay of [[graft.operators.Sampling.epochAllocation]] over
+    * documents-by-source with `weight = n_chars`: isqrt temperature
+    * weights, `maxEpochs` repetition caps, exact water-filling with
+    * HUGEINT cross-multiplied capped-prefix tests and
+    * largest-remainder seats — the same total order (IEEE `cap/w`
+    * double division, tie-broken by source) as the Spark side.
+    */
+  def epochAlloc(budget: Long, maxEpochs: Int): String =
+    "WITH g AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_toks FROM documents GROUP BY source HAVING sum(n_chars) > 0), " +
+      "s0 AS (SELECT source, n_toks, CAST(floor(sqrt(CAST(n_toks AS DOUBLE))) AS BIGINT) AS r FROM g), " +
+      "wt AS (SELECT source, n_toks, CASE WHEN (r+1)*(r+1) <= n_toks THEN r+1 WHEN r*r > n_toks THEN r-1 ELSE r END AS w FROM s0), " +
+      s"b AS (SELECT source, n_toks, w, CAST(n_toks * $maxEpochs AS BIGINT) AS cap FROM wt), " +
+      "o AS (SELECT *, row_number() OVER (ORDER BY CAST(cap AS DOUBLE)/w, source) AS rnk, " +
+      "CAST(sum(cap) OVER (ORDER BY CAST(cap AS DOUBLE)/w, source ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumcap, " +
+      "CAST(sum(w) OVER (ORDER BY CAST(cap AS DOUBLE)/w, source ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw, " +
+      "CAST(sum(w) OVER () AS BIGINT) AS wtot FROM b), " +
+      s"p AS (SELECT *, CAST(cap AS HUGEINT)*(wtot-cumw) <= CAST($budget - cumcap AS HUGEINT)*w AS cp FROM o), " +
+      "kk AS (SELECT coalesce(max(CASE WHEN cp THEN rnk END), 0) AS k FROM p), " +
+      "m AS (SELECT p.*, p.rnk <= kk.k AS capped FROM p CROSS JOIN kk), " +
+      s"rr AS (SELECT CAST($budget - coalesce(sum(CASE WHEN capped THEN cap END), 0) AS BIGINT) AS r2, " +
+      "CAST(coalesce(sum(CASE WHEN NOT capped THEN w END), 0) AS BIGINT) AS wu FROM m), " +
+      "bs AS (SELECT m.*, rr.r2, rr.wu, " +
+      "CASE WHEN capped THEN cap ELSE CAST((CAST(r2 AS HUGEINT) * w) // wu AS BIGINT) END AS base, " +
+      "CASE WHEN capped THEN CAST(0 AS HUGEINT) ELSE CAST(r2 AS HUGEINT)*w - ((CAST(r2 AS HUGEINT)*w) // wu)*wu END AS rem " +
+      "FROM m CROSS JOIN rr), " +
+      s"st AS (SELECT *, CAST($budget - sum(base) OVER () AS BIGINT) AS seats, " +
+      "row_number() OVER (ORDER BY capped ASC, rem DESC, source ASC) AS srk FROM bs), " +
+      "fin AS (SELECT source, n_toks, w, cap, " +
+      "CASE WHEN capped THEN cap ELSE base + CASE WHEN srk <= seats THEN 1 ELSE 0 END END AS alloc FROM st) " +
+      "SELECT source, n_toks, w, cap, alloc, " +
+      "CAST((CAST(alloc AS HUGEINT) * 1000000) // n_toks AS BIGINT) AS epochs_ppm FROM fin"
+
   // ------------------------------------------------- DSIR importance
 
   /** CTE chain replaying

@@ -1035,6 +1035,14 @@ object SparkEntry {
       // long arithmetic
       Sampling.temperatureAllocation(rd(s, d, "documents"), "source", 200L, 0.5)
         .select(col("source"), col("n").as("n_docs"), col("w"), col("alloc"))),
+    "mix_epoch_alloc" -> ((s, d) =>
+      // data-constrained mixture: temperature-0.5 desired mix, 2-epoch
+      // repetition caps per source, and exact integer water-filling of
+      // a fixed 290k-char token budget — capped sources grant their
+      // full cap, the residual redistributes by weight (the
+      // data-constrained-scaling allocation, in epochs-ppm per source)
+      Sampling.epochAllocation(rd(s, d, "documents").select("source", "n_chars"),
+        "source", "n_chars", budget = 290000L, maxEpochs = 2)),
     "sample_temperature_docs" -> ((s, d) =>
       // the realized temperature sample: exactly alloc_g docs per
       // source, stable md5-ranked picks
@@ -2414,6 +2422,7 @@ object SparkEntry {
     "sample_temperature_alloc" ->
       (OracleSql.temperatureAllocCtes(200) +
         " SELECT source, n AS n_docs, w, alloc FROM talloc"),
+    "mix_epoch_alloc" -> OracleSql.epochAlloc(290000L, 2),
     "sample_temperature_docs" ->
       (OracleSql.temperatureAllocCtes(200) +
         ", rk AS (SELECT source, doc_id, row_number() OVER (PARTITION BY source " +

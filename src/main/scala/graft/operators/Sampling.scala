@@ -570,6 +570,106 @@ object Sampling {
           col("n")).as("alloc"))
   }
 
+  /** Data-constrained mixture allocation with repetition — how many
+    * TOKENS each source contributes to a fixed training budget when
+    * sources may be repeated up to `maxEpochs` times (the
+    * data-constrained-scaling regime: the desired mix wants more of a
+    * small source than it holds even after every allowed epoch).
+    *
+    * Semantics: temperature weights `w_g ∝ n_g^alpha` (same exact
+    * integer points as [[temperatureAllocation]]) set the DESIRED mix;
+    * each source is capped at `cap_g = maxEpochs · n_g` tokens; the
+    * budget is water-filled exactly — a level `t` such that
+    * `Σ min(cap_g, t·w_g) = budget`, every capped source granted its
+    * full cap and the residual split across uncapped sources
+    * proportionally to `w_g` with largest-remainder rounding, so
+    * `Σ alloc = budget` exactly whenever `budget ≤ Σ cap` (above that
+    * the corpus is exhausted: every source returns its cap).
+    *
+    * All comparisons are exact: sources sort by `cap_g/w_g` (IEEE
+    * double division — bit-identical on any engine — tie-broken by
+    * group), and the capped-prefix test cross-multiplies in
+    * DECIMAL(38,0), so no threshold decision ever rides float
+    * rounding. The group table is mixture-spec-sized (sources, not
+    * rows), making the single-task windows deliberate — the same
+    * groups-scale shape as [[temperatureAllocation]].
+    *
+    * @return one row per group:
+    *   `(groupCol, n_toks, w, cap, alloc, epochs_ppm)` with
+    *   `epochs_ppm = alloc·10⁶ div n_toks` (1e6 = exactly one epoch).
+    */
+  def epochAllocation(
+      df: DataFrame,
+      groupCol: String,
+      weightCol: String,
+      budget: Long,
+      maxEpochs: Int,
+      alpha: Double = 0.5): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(maxEpochs >= 1, "maxEpochs must be >= 1")
+    require(alpha == 0.0 || alpha == 0.5 || alpha == 1.0,
+      "alpha must be 0, 0.5 or 1 (the exact-integer temperature points)")
+    val g = df.groupBy(col(groupCol))
+      .agg(sum(col(weightCol)).cast("long").as("n_toks"))
+      .filter(col("n_toks") > 0)
+    val wExpr = alpha match {
+      case 0.0 => lit(1L)
+      case 0.5 => isqrt(col("n_toks"))
+      case _   => col("n_toks")
+    }
+    val base0 = g.withColumn("w", wExpr)
+      .withColumn("cap", col("n_toks") * maxEpochs)
+    val W = org.apache.spark.sql.expressions.Window
+    val ord = W.partitionBy(lit(0))
+      .orderBy((col("cap").cast("double") / col("w")).asc,
+        col(groupCol).asc_nulls_first)
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val pre = base0
+      .withColumn("__rnk", row_number().over(ord))
+      .withColumn("__cumcap",
+        sum(col("cap")).over(ord.rowsBetween(W.unboundedPreceding, 0)))
+      .withColumn("__cumw",
+        sum(col("w")).over(ord.rowsBetween(W.unboundedPreceding, 0)))
+      .withColumn("__wtot",
+        sum(col("w")).over(W.partitionBy(lit(0))))
+      // water-level test for "the first __rnk sources are all capped":
+      // cap/w <= (budget - cumcap)/wafter, cross-multiplied exactly
+      .withColumn("__cappedP",
+        dec(col("cap")) * dec(col("__wtot") - col("__cumw")) <=
+          dec(lit(budget) - col("__cumcap")) * dec(col("w")))
+    val k = pre.agg(
+      coalesce(max(when(col("__cappedP"), col("__rnk"))), lit(0)).as("__k"))
+    val marked = pre.crossJoin(broadcast(k))
+      .withColumn("__capped", col("__rnk") <= col("__k"))
+    val resid = marked.agg(
+      (lit(budget) - coalesce(sum(when(col("__capped"), col("cap"))), lit(0L)))
+        .as("__r"),
+      coalesce(sum(when(!col("__capped"), col("w"))), lit(0L)).as("__wu"))
+    val based = marked.crossJoin(broadcast(resid))
+      .withColumn("__base",
+        when(col("__capped"), col("cap"))
+          .otherwise(expr(
+            "CAST(CAST(__r AS DECIMAL(38,0)) * w AS DECIMAL(38,0)) div __wu")))
+      .withColumn("__rem",
+        when(col("__capped"), lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"))
+          .otherwise(dec(col("__r")) * dec(col("w")) -
+            dec(col("__base")) * dec(col("__wu"))))
+    val seats = based.agg(
+      (lit(budget) - sum(col("__base"))).as("__seats"))
+    val seatW = W.partitionBy(lit(0))
+      .orderBy(col("__capped").asc, col("__rem").desc, col(groupCol).asc_nulls_first)
+    based.crossJoin(broadcast(seats))
+      .withColumn("__srk", row_number().over(seatW))
+      .withColumn("alloc",
+        when(col("__capped"), col("cap"))
+          .otherwise(col("__base") +
+            when(col("__srk") <= col("__seats"), 1L).otherwise(0L)))
+      .withColumn("epochs_ppm",
+        expr("CAST(CAST(alloc AS DECIMAL(38,0)) * 1000000 AS DECIMAL(38,0)) div n_toks"))
+      .select(col(groupCol), col("n_toks"), col("w"), col("cap"),
+        col("alloc"), col("epochs_ppm"))
+  }
+
   /** Realize a [[temperatureAllocation]]: keep exactly `alloc_g` rows
     * of each group, picked by the same stable pseudo-random
     * `(md5(salt || ':' || key), key)` ranking as [[capPerGroup]] — so

@@ -598,4 +598,37 @@ class SamplingSketchSpec extends AnyFunSuite with SparkTest {
     assert(rep.map(_._2).distinct.length == 5)
     assert(rep.take(3) == out)
   }
+
+  test("epochAllocation: exact water-filling — caps granted, residual largest-remainder, sum==budget") {
+    val s = spark; import s.implicits._
+    // alpha=0.5 weights: a n=100→w=10, b n=400→w=20, c n=10000→w=100;
+    // maxEpochs=2 caps: 200/800/20000; cap/w ratios 20/40/200.
+    // B=10000: a and b cap out (water level t=90 > 20,40; < 200),
+    // residual 9000 goes entirely to c (0.9 epochs).
+    val df = Seq(("a", 100L), ("b", 400L), ("c", 10000L)).toDF("src", "n")
+    val out = Sampling.epochAllocation(df, "src", "n", budget = 10000L, maxEpochs = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out("a") == ((100L, 10L, 200L, 200L, 2000000L)))
+    assert(out("b") == ((400L, 20L, 800L, 800L, 2000000L)))
+    assert(out("c") == ((10000L, 100L, 20000L, 9000L, 900000L)))
+
+    // budget above the exhausted corpus: every source returns its cap
+    val all = Sampling.epochAllocation(df, "src", "n", budget = 50000L, maxEpochs = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(all == Map("a" -> 200L, "b" -> 800L, "c" -> 20000L))
+
+    // nothing capped: allocation proportional to w with seats, sum==budget
+    val small = Sampling.epochAllocation(df, "src", "n", budget = 130L, maxEpochs = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(small.values.sum == 130L)
+    assert(small("a") == 10L && small("b") == 20L && small("c") == 100L)
+
+    // seats: budget 131 -> one largest-remainder seat, deterministic
+    val seat = Sampling.epochAllocation(df, "src", "n", budget = 131L, maxEpochs = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(seat.values.sum == 131L)
+    // rem_g = 131*w_g mod 130 -> a:10, b:20, c:100 — c wins the seat
+    assert(seat("c") == 101L)
+  }
 }

@@ -1183,4 +1183,41 @@ object OracleSql {
       "CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming " +
       "FROM h a JOIN h b ON a.media_id < b.media_id " +
       s"WHERE bit_count(xor(a.ahash, b.ahash)) <= $maxHamming"
+
+  // ------------------------------------- nearest-class-centroid
+
+  /** Shared CTE chain replaying
+    * `graft.operators.Similarity.classifyByCentroid` bit-for-bit:
+    * exact-integer class prototypes from the seed slice, exact-integer
+    * dot/norm per (vector, class), one double conversion at the end,
+    * argmax with smaller-label tie-break. Ends in
+    * `pred(vec_id, label, pred_label)`.
+    */
+  def classifyCentroidCtes(seedWhere: String, scaleBits: Int = 20,
+      dim: Int = 64): String = {
+    val q = math.pow(2, scaleBits)
+    s"sd AS (SELECT label, j, CAST(round(CAST(embedding[j] AS DOUBLE) * $q) AS BIGINT) AS qv " +
+      s"FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, $dim)) AS j) dims WHERE $seedWhere), " +
+      "cent AS (SELECT label AS cl, j, sum(qv) AS s FROM sd GROUP BY 1, 2), " +
+      "nrm AS (SELECT cl, sum(s * s) AS n2 FROM cent GROUP BY 1), " +
+      s"cd AS (SELECT vec_id, label, j, CAST(round(CAST(embedding[j] AS DOUBLE) * $q) AS BIGINT) AS qv " +
+      s"FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, $dim)) AS j) dims WHERE NOT ($seedWhere)), " +
+      "dts AS (SELECT c.vec_id, c.label, ct.cl, sum(c.qv * ct.s) AS d FROM cd c JOIN cent ct USING (j) GROUP BY 1, 2, 3), " +
+      "scr AS (SELECT t.vec_id, t.label, t.cl, CAST(t.d AS DOUBLE) / sqrt(CAST(n.n2 AS DOUBLE)) AS score " +
+      "FROM dts t JOIN nrm n USING (cl)), " +
+      "pred AS (SELECT vec_id, label, CAST(cl AS INT) AS pred_label FROM " +
+      "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cl) AS rn FROM scr) r WHERE rn = 1)"
+  }
+
+  /** Oracle for `class_centroid_assign`. */
+  def classifyByCentroid(seedWhere: String, scaleBits: Int = 20,
+      dim: Int = 64): String =
+    s"WITH ${classifyCentroidCtes(seedWhere, scaleBits, dim)} " +
+      "SELECT vec_id, label, pred_label FROM pred"
+
+  /** Oracle for `class_centroid_confusion`. */
+  def centroidConfusion(seedWhere: String, scaleBits: Int = 20,
+      dim: Int = 64): String =
+    s"WITH ${classifyCentroidCtes(seedWhere, scaleBits, dim)} " +
+      "SELECT label, pred_label, count(*) AS n FROM pred GROUP BY 1, 2"
 }

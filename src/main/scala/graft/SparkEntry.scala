@@ -750,6 +750,17 @@ object SparkEntry {
         .where(col("vr") === 1)
         .select(col("query_id"), col("label").as("pred_label"))
     }),
+    "class_centroid_assign" -> ((s, d) =>
+      // nearest-class-centroid auto-labeling: exact-integer prototypes
+      // from the seed slice (vec_id % 5 == 0), broadcast to a map-side
+      // explode + one combinable (vector, class) sum — no collect
+      Similarity.classifyByCentroid(rd(s, d, "embeddings"),
+        col("vec_id") % 5 === 0)),
+    "class_centroid_confusion" -> ((s, d) =>
+      // the promotion-gate report: confusion matrix of the centroid
+      // classifier on the held-out 4/5 of the corpus
+      Similarity.centroidConfusion(rd(s, d, "embeddings"),
+        col("vec_id") % 5 === 0)),
     "ann_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(rd(s, d, "embeddings"),
         col("vec_id") < 10, col("vec_id") >= 10, 5, numCentroids = 16, nProbe = 4)),
@@ -2106,6 +2117,10 @@ object SparkEntry {
         "votes AS (SELECT k.query_id, e.label, count(*) AS votes FROM topk k JOIN embeddings e ON e.vec_id = k.neighbor_id GROUP BY 1, 2) " +
         "SELECT query_id, label AS pred_label FROM (SELECT query_id, label, " +
         "row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS vr FROM votes) v WHERE vr = 1"),
+    "class_centroid_assign" ->
+      OracleSql.classifyByCentroid("vec_id % 5 = 0"),
+    "class_centroid_confusion" ->
+      OracleSql.centroidConfusion("vec_id % 5 = 0"),
     "text_source_profile" ->
       ("SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
         "min(n_chars) AS min_chars, max(n_chars) AS max_chars, " +

@@ -732,4 +732,84 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select("query_id", "neighbor_id", "rnk")
   }
+
+  /** Nearest-class-centroid classification — the standard cheap
+    * auto-labeling / taxonomy-routing move: average the embeddings of a
+    * labeled seed slice into one prototype per class, then assign every
+    * unlabeled vector to the class whose prototype it is most
+    * cosine-similar to.
+    *
+    * Deterministic end-to-end: prototypes are [[groupedVectorSums]]'
+    * exact-integer component sums (quantized to `2^scaleBits`), the
+    * class score is `dot(q(v), S_label) / ‖S_label‖` — an exact-integer
+    * dot and an exact-integer squared norm, each converted to double
+    * once at the end — and the argmax breaks ties on the smaller label.
+    * The candidate's own norm is constant across classes, so it cannot
+    * change the argmax and is omitted. Both integer reductions are
+    * order-independent, so the result is partition-count-invariant and
+    * replays bit-for-bit in the DuckDB oracle
+    * ([[graft.OracleSql.classifyByCentroid]]).
+    *
+    * Overflow headroom at scaleBits=20, unit-scale components: a class
+    * needs ≳ 10⁴ seed vectors per dimension before the squared-norm sum
+    * approaches Long range; above that, lift `__n2`/`__d` to
+    * decimal(38,0) (the [[vectorSecondMoments]] pattern).
+    *
+    * Shape at 100 TB: prototypes are `labels × dim` rows — a broadcast
+    * — so classification is a map-side explode + broadcast join + ONE
+    * combinable per-(vector, class) sum; the only shuffle is keyed by
+    * (id, class), and the final argmax is a `labels`-row window per
+    * vector. No collect anywhere; the seed aggregation itself is one
+    * map-side-combined groupBy.
+    *
+    * @param seedPred rows satisfying this are the labeled seed set;
+    *                 all other rows are classified.
+    * @return (idCol, labelCol, pred_label) for every non-seed row —
+    *         the true label rides along for accuracy reporting.
+    */
+  def classifyByCentroid(
+      emb: DataFrame,
+      seedPred: Column,
+      scaleBits: Int = 20,
+      labelCol: String = "label",
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val q = math.pow(2, scaleBits)
+    val cent = groupedVectorSums(emb.where(seedPred), labelCol, vecCol, scaleBits)
+      .select(col(labelCol).as("__cl"), col("dim"), col("sum_fp"))
+    val norms = cent.groupBy("__cl")
+      .agg(sum(col("sum_fp") * col("sum_fp")).as("__n2"))
+    val comps = emb.where(!seedPred)
+      .select(col(idCol), col(labelCol),
+        posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .select(col(idCol), col(labelCol), col("dim"),
+        round(col("__x").cast("double") * q).cast("long").as("__q"))
+    val dots = comps
+      .join(broadcast(cent), Seq("dim"))
+      .groupBy(col(idCol), col(labelCol), col("__cl"))
+      .agg(sum(col("__q") * col("sum_fp")).as("__d"))
+    val w = Window.partitionBy(idCol).orderBy(col("__score").desc, col("__cl"))
+    dots
+      .join(broadcast(norms), "__cl")
+      .withColumn("__score", col("__d").cast("double") / sqrt(col("__n2").cast("double")))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col(idCol), col(labelCol), col("__cl").cast("int").as("pred_label"))
+  }
+
+  /** Confusion matrix of [[classifyByCentroid]] on the held-out rows:
+    * (label, pred_label, n) — the accuracy/aliasing report a labeling
+    * pipeline gates promotion on. Same scale shape as the classifier
+    * plus one `labels²`-group aggregation.
+    */
+  def centroidConfusion(
+      emb: DataFrame,
+      seedPred: Column,
+      scaleBits: Int = 20,
+      labelCol: String = "label",
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame =
+    classifyByCentroid(emb, seedPred, scaleBits, labelCol, vecCol, idCol)
+      .groupBy(col(labelCol), col("pred_label"))
+      .agg(count(lit(1)).as("n"))
 }

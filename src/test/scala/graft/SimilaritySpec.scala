@@ -335,4 +335,29 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(out.size == 3, "upper triangle only")
     assert(run(emb.repartition(5)) == out)
   }
+
+  test("classifyByCentroid assigns held-out vectors to the nearest class prototype") {
+    val s = spark; import s.implicits._
+    // two well-separated classes on the axes; seeds are ids 0-3,
+    // held-out ids 10-13 lie near one axis each
+    val emb = Seq(
+      (0L, Array(1.0f, 0.1f), 0), (1L, Array(0.9f, -0.1f), 0),
+      (2L, Array(0.1f, 1.0f), 1), (3L, Array(-0.1f, 0.9f), 1),
+      (10L, Array(0.8f, 0.2f), 0), (11L, Array(1.0f, 0.0f), 0),
+      (12L, Array(0.0f, 1.0f), 1), (13L, Array(0.2f, 0.7f), 0) // mislabeled on purpose
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.classifyByCentroid(emb, col("vec_id") < 10)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(got == Map(
+      10L -> ((0, 0)), 11L -> ((0, 0)), 12L -> ((1, 1)),
+      13L -> ((0, 1)) // true label 0, predicted 1 — the confusion case
+    ))
+    // partition-count invariance: exact-integer prototypes and scores
+    val re = Similarity.classifyByCentroid(emb.repartition(7), col("vec_id") < 10)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(re == got)
+    val conf = Similarity.centroidConfusion(emb, col("vec_id") < 10)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(conf == Map((0, 0) -> 2L, (1, 1) -> 1L, (0, 1) -> 1L))
+  }
 }

@@ -1209,6 +1209,41 @@ object OracleSql {
       "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cl) AS rn FROM scr) r WHERE rn = 1)"
   }
 
+  /** Oracle for `search_mmr_rerank`: full replay of
+    * `graft.operators.Similarity.mmrRerank` — pool by exact cosine
+    * top-poolK, pairwise pool sims, then the k greedy rounds unrolled
+    * as CTEs with λ / 1−λ embedded as the identical doubles and every
+    * argmax tie-broken on the smaller candidate id.
+    */
+  def mmrRerank(k: Int, poolK: Int, lambda: Double, dim: Int = 64): String = {
+    val oneMinus = (1 - lambda).toString // exact Scala double, round-trips
+    val lam = lambda.toString
+    val rounds = (2 to k).map { r =>
+      s"msr$r AS (SELECT s.query_id, s.id_a AS cand_id, max(s.sim) AS maxsim " +
+        s"FROM sims s JOIN selu${r - 1} u ON u.query_id = s.query_id AND u.sel_id = s.id_b GROUP BY 1, 2), " +
+        s"cnd$r AS (SELECT p.query_id, p.cand_id, $lam * p.rel - $oneMinus * m.maxsim AS mmr " +
+        s"FROM pool p JOIN msr$r m ON m.query_id = p.query_id AND m.cand_id = p.cand_id " +
+        s"WHERE NOT EXISTS (SELECT 1 FROM selu${r - 1} u WHERE u.query_id = p.query_id AND u.sel_id = p.cand_id)), " +
+        s"sel$r AS (SELECT query_id, $r AS pick, cand_id AS sel_id, mmr FROM " +
+        s"(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY mmr DESC, cand_id) AS rn FROM cnd$r) t WHERE rn = 1), " +
+        s"selu$r AS (SELECT * FROM selu${r - 1} UNION ALL SELECT * FROM sel$r)"
+    }.mkString(", ")
+    s"WITH nb AS (SELECT vec_id, embedding, sqrt(${selfDot("embedding", dim)}) AS nrm FROM embeddings), " +
+      s"scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, " +
+      s"${pairDot("q.embedding", "c.embedding", dim)} / (q.nrm * c.nrm) AS rel " +
+      "FROM nb q CROSS JOIN nb c WHERE q.vec_id < 10 AND c.vec_id >= 10), " +
+      "pool AS (SELECT query_id, cand_id, rel, rnk FROM (SELECT *, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cand_id) AS rnk FROM scored) t " +
+      s"WHERE rnk <= $poolK), " +
+      "sims AS (SELECT p1.query_id, p1.cand_id AS id_a, p2.cand_id AS id_b, " +
+      s"${pairDot("a.embedding", "b.embedding", dim)} / (a.nrm * b.nrm) AS sim " +
+      "FROM pool p1 JOIN pool p2 ON p1.query_id = p2.query_id AND p1.cand_id <> p2.cand_id " +
+      "JOIN nb a ON a.vec_id = p1.cand_id JOIN nb b ON b.vec_id = p2.cand_id), " +
+      s"sel1 AS (SELECT query_id, 1 AS pick, cand_id AS sel_id, $lam * rel AS mmr FROM pool WHERE rnk = 1), " +
+      "selu1 AS (SELECT * FROM sel1), " + rounds +
+      s" SELECT query_id, pick, sel_id, mmr FROM selu$k"
+  }
+
   /** Oracle for `class_centroid_assign`. */
   def classifyByCentroid(seedWhere: String, scaleBits: Int = 20,
       dim: Int = 64): String =

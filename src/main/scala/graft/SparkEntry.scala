@@ -750,6 +750,11 @@ object SparkEntry {
         .where(col("vr") === 1)
         .select(col("query_id"), col("label").as("pred_label"))
     }),
+    "search_mmr_rerank" -> ((s, d) =>
+      // diversity re-rank: top-12 cosine pool per query, 4 greedy MMR
+      // picks (lambda=0.7) — keyed poolK^2 self-join, never corpus-wide
+      Similarity.mmrRerank(rd(s, d, "embeddings"),
+        col("vec_id") < 10, col("vec_id") >= 10, k = 4, poolK = 12)),
     "class_centroid_assign" -> ((s, d) =>
       // nearest-class-centroid auto-labeling: exact-integer prototypes
       // from the seed slice (vec_id % 5 == 0), broadcast to a map-side
@@ -2117,6 +2122,8 @@ object SparkEntry {
         "votes AS (SELECT k.query_id, e.label, count(*) AS votes FROM topk k JOIN embeddings e ON e.vec_id = k.neighbor_id GROUP BY 1, 2) " +
         "SELECT query_id, label AS pred_label FROM (SELECT query_id, label, " +
         "row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS vr FROM votes) v WHERE vr = 1"),
+    "search_mmr_rerank" ->
+      OracleSql.mmrRerank(k = 4, poolK = 12, lambda = 0.7),
     "class_centroid_assign" ->
       OracleSql.classifyByCentroid("vec_id % 5 = 0"),
     "class_centroid_confusion" ->

@@ -797,6 +797,82 @@ object Similarity {
       .select(col(idCol), col(labelCol), col("__cl").cast("int").as("pred_label"))
   }
 
+  /** Maximal-marginal-relevance re-ranking — the diversity pass a
+    * retrieval/RAG pipeline runs after ANN: from each query's `poolK`
+    * most-cosine-similar candidates, greedily select `k` picks where
+    * each pick maximizes `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)`
+    * — relevance traded against redundancy with what is already
+    * selected. The first pick reduces to `λ·rel` (max over the empty
+    * selection is 0), so one formula covers every round.
+    *
+    * Deterministic: rel/sim are the codegen'd FloatVecDot double
+    * cosines (fixed accumulation order), λ and 1−λ are embedded as the
+    * exact same doubles on both engines, `max` over the selected set is
+    * order-independent, and every argmax breaks ties on the smaller
+    * candidate id — the DuckDB oracle ([[graft.OracleSql.mmrRerank]])
+    * replays all `k` rounds bit-for-bit.
+    *
+    * Shape at 100 TB: the pool is `poolK` rows per query (produced by
+    * whatever ANN tier, here the brute oracle tier for exactness), so
+    * the pairwise-sim table is `|Q|·poolK²` rows keyed by query — a
+    * keyed self-join, never a corpus cross join — and each greedy round
+    * is one keyed join + one `poolK`-row window per query. Driver holds
+    * no state; the loop just composes `k` plan stages.
+    *
+    * @return (query_id, pick, sel_id, mmr): pick = 1..k in selection
+    *         order with the winning MMR score.
+    */
+  def mmrRerank(
+      emb: DataFrame,
+      queryPred: Column,
+      candPred: Column,
+      k: Int,
+      poolK: Int = 12,
+      lambda: Double = 0.7,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1 && poolK >= k, s"need 1 <= k <= poolK, got k=$k poolK=$poolK")
+    val n = withNorm(emb, vecCol, idCol)
+    val q = n.where(queryPred).toDF("query_id", "q_vec", "q_norm")
+    val c = n.where(candPred).toDF("cand_id", "c_vec", "c_norm")
+    val relCol = vec_dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))
+    val wRel = Window.partitionBy("query_id").orderBy(col("rel").desc, col("cand_id"))
+    val pool = Caches.persisted(q.crossJoin(c)
+      .withColumn("rel", relCol)
+      .withColumn("__rnk", row_number().over(wRel))
+      .where(col("__rnk") <= poolK)
+      .select("query_id", "cand_id", "rel", "c_vec", "c_norm"))
+    val a = pool.select(col("query_id"), col("cand_id").as("id_a"),
+      col("c_vec").as("__va"), col("c_norm").as("__na"))
+    val b = pool.select(col("query_id"), col("cand_id").as("id_b"),
+      col("c_vec").as("__vb"), col("c_norm").as("__nb"))
+    val sims = Caches.persisted(a.join(b, Seq("query_id"))
+      .where(col("id_a") =!= col("id_b"))
+      .select(col("query_id"), col("id_a"), col("id_b"),
+        (vec_dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))).as("sim")))
+    var sel = pool.where(col("__rnk") === 1)
+      .select(col("query_id"), lit(1).as("pick"), col("cand_id").as("sel_id"),
+        (lit(lambda) * col("rel")).as("mmr"))
+    for (r <- 2 to k) {
+      val maxsim = sims
+        .join(sel.select(col("query_id"), col("sel_id").as("id_b")), Seq("query_id", "id_b"))
+        .groupBy("query_id", "id_a").agg(max("sim").as("__maxsim"))
+        .withColumnRenamed("id_a", "cand_id")
+      val wM = Window.partitionBy("query_id").orderBy(col("__mmr").desc, col("cand_id"))
+      val next = pool
+        .join(sel.select(col("query_id"), col("sel_id").as("cand_id")),
+          Seq("query_id", "cand_id"), "left_anti")
+        .join(maxsim, Seq("query_id", "cand_id"))
+        .withColumn("__mmr", lit(lambda) * col("rel") - lit(1 - lambda) * col("__maxsim"))
+        .withColumn("__rn", row_number().over(wM))
+        .where(col("__rn") === 1)
+        .select(col("query_id"), lit(r).as("pick"), col("cand_id").as("sel_id"),
+          col("__mmr").as("mmr"))
+      sel = sel.unionByName(next)
+    }
+    sel
+  }
+
   /** Confusion matrix of [[classifyByCentroid]] on the held-out rows:
     * (label, pred_label, n) — the accuracy/aliasing report a labeling
     * pipeline gates promotion on. Same scale shape as the classifier

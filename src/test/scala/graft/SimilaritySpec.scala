@@ -336,6 +336,33 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(run(emb.repartition(5)) == out)
   }
 
+  test("mmrRerank trades relevance for diversity against the plain top-k") {
+    val s = spark; import s.implicits._
+    // query along x; candidates 10/11 nearly duplicate each other and
+    // are most relevant; 12 is less relevant but diverse. Plain top-2 =
+    // (10, 11); MMR with lambda=0.7 must pick 12 second.
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (10L, Array(0.98f, 0.1f, 0f)),
+      (11L, Array(0.97f, 0.12f, 0f)),
+      (12L, Array(0.6f, 0f, 0.8f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(emb, col("vec_id") < 10, col("vec_id") >= 10,
+      k = 3, poolK = 3, lambda = 0.5)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toMap
+    assert(got(1) == 10L, "first pick is pure relevance")
+    assert(got(2) == 12L, "second pick is the diverse candidate, not the near-dup")
+    assert(got(3) == 11L)
+    val brute = Similarity.bruteForceTopK(emb, col("vec_id") < 10, col("vec_id") >= 10, 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(brute == Set(10L, 11L), "plain top-2 keeps the near-dup pair")
+    // deterministic under repartitioning
+    val re = Similarity.mmrRerank(emb.repartition(5), col("vec_id") < 10,
+      col("vec_id") >= 10, k = 3, poolK = 3, lambda = 0.5)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toMap
+    assert(re == got)
+  }
+
   test("classifyByCentroid assigns held-out vectors to the nearest class prototype") {
     val s = spark; import s.implicits._
     // two well-separated classes on the axes; seeds are ids 0-3,

@@ -1209,6 +1209,94 @@ object OracleSql {
       "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cl) AS rn FROM scr) r WHERE rn = 1)"
   }
 
+  // ----------------------------------------- linear probe (GD)
+
+  /** CTE chain replaying the linear-probe trainer
+    * (`graft.operators.TextAnalysis.fitProbe`) bit-for-bit: hashed
+    * bag-of-words features via the shared DSIR bucket pipeline, then
+    * `iters` unrolled batch-GD rounds where each doc's gradient
+    * contribution is rounded to BIGINT before the (order-independent)
+    * sum and the weight update is the identical fixed-order IEEE double
+    * expression. Ends in `w$iters(w0..w$buckets)` (one row; last column
+    * is the bias) and `feat(doc_id, y, c0..c{buckets-1})`.
+    */
+  def probeCtes(targetWhere: String, buckets: Int, iters: Int,
+      lr: Double, scaleBits: Int, salt: String): String = {
+    val qs = math.pow(2, scaleBits)
+    val cHi = 2654435769L
+    val cLo = 2135587861L
+    val mix = s"(((a * $cLo + b * $cHi) * 4294967296 + b * $cLo)" +
+      " % 18446744073709551616)"
+    val featCols = (0 until buckets)
+      .map(b => s"coalesce(sum(CASE WHEN bucket = $b THEN 1 END), 0) AS c$b")
+      .mkString(", ")
+    def marginOver(wCte: String): String =
+      (0 until buckets).map(b => s"c$b * $wCte.w$b").mkString(" + ") +
+        s" + $wCte.w$buckets"
+    val w0 = (0 to buckets).map(b => s"CAST(0 AS DOUBLE) AS w$b").mkString(", ")
+    val rounds = (1 to iters).map { t =>
+      val m = marginOver(s"w${t - 1}")
+      val gcols = (0 until buckets)
+        .map(b => s"sum(CAST(round(((($m) - y) * c$b) * $qs) AS BIGINT)) AS g$b")
+        .mkString(", ")
+      val upd = (0 to buckets)
+        .map(b => s"w${t - 1}.w$b - ((CAST(g$b AS DOUBLE) / n) / $qs) * $lr AS w$b")
+        .mkString(", ")
+      s"g$t AS (SELECT count(*) AS n, $gcols, " +
+        s"sum(CAST(round((($m) - y) * $qs) AS BIGINT)) AS g$buckets " +
+        s"FROM feat CROSS JOIN w${t - 1}), " +
+        s"w$t AS (SELECT $upd FROM g$t CROSS JOIN w${t - 1})"
+    }.mkString(", ")
+    s"ptk AS (SELECT doc_id, CAST(($targetWhere) AS INT) AS y, " +
+      "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM documents), " +
+      "ptf AS (SELECT * FROM ptk WHERE tok <> ''), " +
+      s"pdx AS (SELECT doc_id, y, hex(encode('$salt:' || tok)) AS hx FROM ptf), " +
+      s"pfl AS (SELECT doc_id, y, ${rollFold("hx")} AS fold FROM pdx), " +
+      "plm AS (SELECT doc_id, y, fold // 4294967296 AS a, fold % 4294967296 AS b FROM pfl), " +
+      s"phh AS (SELECT doc_id, y, CAST($mix // 4294967296 AS BIGINT) % $buckets AS bucket FROM plm), " +
+      s"feat AS (SELECT doc_id, y, $featCols FROM phh GROUP BY doc_id, y), " +
+      s"w0 AS (SELECT $w0), " + rounds
+  }
+
+  /** Oracle for `text_probe_weights`: the final `(bucket, weight)`
+    * table, bias in the last row.
+    */
+  def probeWeights(targetWhere: String, buckets: Int, iters: Int,
+      lr: Double, scaleBits: Int, salt: String): String = {
+    val unpivot = (0 to buckets)
+      .map(b => s"SELECT $b AS bucket, w$b AS weight FROM w$iters")
+      .mkString(" UNION ALL ")
+    s"WITH ${probeCtes(targetWhere, buckets, iters, lr, scaleBits, salt)} $unpivot"
+  }
+
+  /** Oracle for `text_probe_scores`: per-doc floor-ppm margin under the
+    * final weights.
+    */
+  def probeScores(targetWhere: String, buckets: Int, iters: Int,
+      lr: Double, scaleBits: Int, salt: String): String = {
+    val m = (0 until buckets).map(b => s"c$b * w$iters.w$b").mkString(" + ") +
+      s" + w$iters.w$buckets"
+    s"WITH ${probeCtes(targetWhere, buckets, iters, lr, scaleBits, salt)} " +
+      s"SELECT doc_id, y, CAST(floor(($m) * 1000000.0) AS BIGINT) AS score_ppm " +
+      s"FROM feat CROSS JOIN w$iters"
+  }
+
+  /** Oracle for `text_probe_calibration`: fixed-width score bins
+    * between the observed min/max, per-bin positive rate in ppm.
+    */
+  def probeCalibration(targetWhere: String, bins: Int, buckets: Int,
+      iters: Int, lr: Double, scaleBits: Int, salt: String): String = {
+    val m = (0 until buckets).map(b => s"c$b * w$iters.w$b").mkString(" + ") +
+      s" + w$iters.w$buckets"
+    s"WITH ${probeCtes(targetWhere, buckets, iters, lr, scaleBits, salt)}, " +
+      s"sc AS (SELECT doc_id, y, CAST(floor(($m) * 1000000.0) AS BIGINT) AS score_ppm " +
+      s"FROM feat CROSS JOIN w$iters), " +
+      "bd AS (SELECT min(score_ppm) AS mn, max(score_ppm) AS mx FROM sc), " +
+      s"bn AS (SELECT y, CAST((score_ppm - mn) * $bins // (mx - mn + 1) AS INT) AS bin FROM sc, bd) " +
+      "SELECT bin, count(*) AS n_docs, sum(y) AS n_pos, " +
+      "sum(y) * 1000000 // count(*) AS pos_ppm FROM bn GROUP BY bin"
+  }
+
   /** Oracle for `search_mmr_rerank`: full replay of
     * `graft.operators.Similarity.mmrRerank` — pool by exact cosine
     * top-poolK, pairwise pool sims, then the k greedy rounds unrolled

@@ -750,6 +750,20 @@ object SparkEntry {
         .where(col("vr") === 1)
         .select(col("query_id"), col("label").as("pred_label"))
     }),
+    "text_probe_weights" -> ((s, d) =>
+      // learned data filter: batch-GD linear probe on hashed BoW
+      // features; gradients rounded to ints BEFORE the reduction, so
+      // training is partition-invariant and oracle-replayable
+      TextAnalysis.trainLinearProbe(rd(s, d, "documents"),
+        length(col("source")) === 4)),
+    "text_probe_scores" -> ((s, d) =>
+      TextAnalysis.probeScores(rd(s, d, "documents"),
+        length(col("source")) === 4)),
+    "text_probe_calibration" -> ((s, d) =>
+      // reliability diagram: fixed-width score bins, integer pos-rate —
+      // min/max ride a broadcast 1-row agg, no global sort
+      TextAnalysis.probeCalibration(rd(s, d, "documents"),
+        length(col("source")) === 4)),
     "search_mmr_rerank" -> ((s, d) =>
       // diversity re-rank: top-12 cosine pool per query, 4 greedy MMR
       // picks (lambda=0.7) — keyed poolK^2 self-join, never corpus-wide
@@ -2122,6 +2136,15 @@ object SparkEntry {
         "votes AS (SELECT k.query_id, e.label, count(*) AS votes FROM topk k JOIN embeddings e ON e.vec_id = k.neighbor_id GROUP BY 1, 2) " +
         "SELECT query_id, label AS pred_label FROM (SELECT query_id, label, " +
         "row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS vr FROM votes) v WHERE vr = 1"),
+    "text_probe_weights" ->
+      OracleSql.probeWeights("length(source) = 4", buckets = 16, iters = 3,
+        lr = 1.0 / 1024, scaleBits = 20, salt = "probe"),
+    "text_probe_scores" ->
+      OracleSql.probeScores("length(source) = 4", buckets = 16, iters = 3,
+        lr = 1.0 / 1024, scaleBits = 20, salt = "probe"),
+    "text_probe_calibration" ->
+      OracleSql.probeCalibration("length(source) = 4", bins = 10, buckets = 16,
+        iters = 3, lr = 1.0 / 1024, scaleBits = 20, salt = "probe"),
     "search_mmr_rerank" ->
       OracleSql.mmrRerank(k = 4, poolK = 12, lambda = 0.7),
     "class_centroid_assign" ->

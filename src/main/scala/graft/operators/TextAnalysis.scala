@@ -931,4 +931,171 @@ object TextAnalysis {
       .select(col(idCol), col("n_tokens"),
         expr("__sw div n_tokens").as("score_ppm"))
   }
+
+  // ----------------------------- trainable linear probe classifier
+
+  /** Per-doc dense hashed-bag-of-words features: `(idCol, y,
+    * c0..c{buckets-1})` with integer token counts per hash bucket (the
+    * fastText-style feature map every learned quality/domain filter
+    * starts from) and the binary label from `labelCond`. Docs with zero
+    * tokens carry no feature row. One map-side-combinable aggregation;
+    * the bucket hash is the portable rolling-hash → MixHash32 pipeline
+    * shared with [[importanceScores]].
+    */
+  def probeFeatures(
+      docs: DataFrame,
+      labelCond: Column,
+      buckets: Int = 16,
+      salt: String = "probe",
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(buckets >= 2 && buckets <= 64, "buckets out of sane range")
+    val toks = docs
+      .select(col(idCol), labelCond.cast("int").as("y"),
+        explode(tokens(col(textCol))).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .select(col(idCol), col("y"),
+        (mixed_hash32(concat_ws(":", lit(salt), col("__tok"))) % buckets)
+          .as("__b"))
+    val ccols = (0 until buckets).map(b =>
+      sum(when(col("__b") === b, 1L).otherwise(0L)).as(s"c$b"))
+    toks.groupBy(col(idCol), col("y"))
+      .agg(ccols.head, ccols.tail: _*)
+  }
+
+  /** Batch-gradient-descent fit of a linear probe `margin(d) = Σ_b
+    * w_b·c_db + w_bias` against the squared loss to the binary label —
+    * the trainable scoring stage of a learned data filter, run entirely
+    * as Spark aggregations with a bounded driver loop (`iters` rounds,
+    * one `buckets+2`-value collect each).
+    *
+    * The distributed sum that usually makes learned filters
+    * non-reproducible is made exact: each doc's gradient contribution
+    * `((margin − y)·c_b)·2^scaleBits` is rounded to a Long FIRST, so
+    * the cross-partition reduction is integer — identical on any
+    * partitioning and replayed bit-for-bit by the DuckDB oracle
+    * ([[graft.OracleSql.probeWeights]]), including the weight-update
+    * float arithmetic, which is a fixed-order IEEE expression on both
+    * engines. No transcendental appears anywhere (squared loss, not
+    * log-loss), so there is no libm divergence to tolerate.
+    *
+    * Shape at 100 TB: each round is ONE whole-stage-codegen aggregation
+    * over the persisted feature table (buckets+2 partial sums,
+    * combiner-friendly); driver state is `buckets+1` doubles. Feature
+    * extraction is a single keyed groupBy. Everything else is map-side.
+    *
+    * @return per-round weights are internal; the result is the final
+    *         `(bucket, weight)` table with `bucket = buckets` holding
+    *         the bias row.
+    */
+  def trainLinearProbe(
+      docs: DataFrame,
+      labelCond: Column,
+      buckets: Int = 16,
+      iters: Int = 3,
+      lr: Double = 1.0 / 1024,
+      scaleBits: Int = 20,
+      salt: String = "probe",
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val (w, _) = fitProbe(docs, labelCond, buckets, iters, lr, scaleBits,
+      salt, textCol, idCol)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    w.zipWithIndex.map { case (wt, b) => (b, wt) }.toSeq
+      .toDF("bucket", "weight")
+  }
+
+  private[operators] def fitProbe(
+      docs: DataFrame,
+      labelCond: Column,
+      buckets: Int,
+      iters: Int,
+      lr: Double,
+      scaleBits: Int,
+      salt: String,
+      textCol: String,
+      idCol: String): (Array[Double], DataFrame) = {
+    require(iters >= 1 && iters <= 16, "iters out of sane range")
+    val qs = math.pow(2, scaleBits)
+    val feat = Caches.persisted(
+      probeFeatures(docs, labelCond, buckets, salt, textCol, idCol))
+    val w = Array.fill(buckets + 1)(0.0)
+    for (_ <- 1 to iters) {
+      // margin in fixed bucket order: ((c0·w0 + c1·w1) + …) + bias —
+      // the identical left-associated IEEE expression the oracle uses
+      val margin = (0 until buckets)
+        .map(b => col(s"c$b") * lit(w(b)))
+        .reduce(_ + _) + lit(w(buckets))
+      val resid = margin - col("y")
+      val grads = feat.agg(
+        count(lit(1)).as("n"),
+        (0 until buckets).map(b =>
+          sum(round((resid * col(s"c$b")) * lit(qs)).cast("long")).as(s"g$b")) :+
+          sum(round(resid * lit(qs)).cast("long")).as("gb"): _*)
+        .head()
+      val n = grads.getLong(0).toDouble
+      for (b <- 0 to buckets) {
+        val g = grads.getLong(1 + b)
+        w(b) = w(b) - ((g.toDouble / n) / qs) * lr
+      }
+    }
+    (w, feat)
+  }
+
+  /** Per-doc margin of the trained probe in exact integer ppm:
+    * `(idCol, y, score_ppm)` with `score_ppm = floor(margin·10⁶)`.
+    * The margin is the same fixed-order double expression the trainer
+    * used, so the floor is engine-identical. One broadcast-free
+    * map-side projection over the persisted feature table.
+    */
+  def probeScores(
+      docs: DataFrame,
+      labelCond: Column,
+      buckets: Int = 16,
+      iters: Int = 3,
+      lr: Double = 1.0 / 1024,
+      scaleBits: Int = 20,
+      salt: String = "probe",
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val (w, feat) = fitProbe(docs, labelCond, buckets, iters, lr, scaleBits,
+      salt, textCol, idCol)
+    val margin = (0 until buckets)
+      .map(b => col(s"c$b") * lit(w(b)))
+      .reduce(_ + _) + lit(w(buckets))
+    feat.select(col(idCol), col("y"),
+      floor(margin * lit(1e6)).cast("long").as("score_ppm"))
+  }
+
+  /** Reliability diagram of the probe: scores bucketed into `bins`
+    * fixed-width ranges between the observed min and max score, with
+    * per-bin doc count, positive count, and positive rate in ppm — the
+    * calibration report a learned filter is promoted on. All integer
+    * arithmetic; the min/max ride a broadcast 1-row aggregate (no
+    * global sort, no single-partition window).
+    */
+  def probeCalibration(
+      docs: DataFrame,
+      labelCond: Column,
+      bins: Int = 10,
+      buckets: Int = 16,
+      iters: Int = 3,
+      lr: Double = 1.0 / 1024,
+      scaleBits: Int = 20,
+      salt: String = "probe",
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(bins >= 2)
+    val scores = probeScores(docs, labelCond, buckets, iters, lr, scaleBits,
+      salt, textCol, idCol)
+    val bounds = scores.agg(min("score_ppm").as("__mn"), max("score_ppm").as("__mx"))
+    scores.crossJoin(broadcast(bounds))
+      .select(col("y"),
+        expr(s"CAST((score_ppm - __mn) * $bins div (__mx - __mn + 1) AS INT)").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("y").as("n_pos"))
+      .select(col("bin"), col("n_docs"), col("n_pos"),
+        expr("n_pos * 1000000 div n_docs").as("pos_ppm"))
+  }
 }

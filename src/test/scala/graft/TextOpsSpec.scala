@@ -439,4 +439,53 @@ class TextOpsSpec extends AnyFunSuite with SparkTest {
     val ac = new graft.plans.AhoCorasick(Seq("he", "she", "his", "hers"))
     assert(ac.counts("ushers".getBytes("UTF-8")).toSeq == Seq(1L, 1L, 0L, 1L))
   }
+
+  // ------------------------------------------------- linear probe
+
+  test("linear probe separates a token-disjoint fixture and is partition-invariant") {
+    val s = spark; import s.implicits._
+    // class 1 docs speak only "spam"-side tokens, class 0 only "ham":
+    // three GD rounds on disjoint vocabularies must separate margins
+    val docs = (0 until 20).map { i =>
+      val y1 = i % 2 == 1
+      val txt = if (y1) "win free prize now win free" else "meeting notes agenda review notes"
+      (i.toLong, txt, if (y1) "pos" else "neg")
+    }.toDF("doc_id", "text", "source")
+    val cond = col("source") === "pos"
+    val scores = TextAnalysis.probeScores(docs, cond, buckets = 8, iters = 3, lr = 1.0 / 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val pos = scores.filter(_._2 == 1).map(_._3)
+    val neg = scores.filter(_._2 == 0).map(_._3)
+    assert(pos.min > neg.max,
+      s"probe failed to separate: pos=${pos.toSeq} neg=${neg.toSeq}")
+    // exact-integer gradients: weights identical under repartitioning
+    val w1 = TextAnalysis.trainLinearProbe(docs, cond, buckets = 8, iters = 3, lr = 1.0 / 64)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val w2 = TextAnalysis.trainLinearProbe(docs.repartition(7), cond,
+      buckets = 8, iters = 3, lr = 1.0 / 64)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(w1 == w2, "training drifted under repartitioning")
+    // squared loss decreases over rounds (GD actually descends)
+    def sse(it: Int): Double = {
+      val sc = TextAnalysis.probeScores(docs, cond, buckets = 8, iters = it, lr = 1.0 / 64)
+        .collect().map(r => (r.getInt(1), r.getLong(2)))
+      sc.map { case (y, ppm) => val m = ppm / 1e6; (m - y) * (m - y) }.sum
+    }
+    assert(sse(3) < sse(1), "loss did not decrease from round 1 to round 3")
+  }
+
+  test("probeCalibration bins cover all docs with integer positive rates") {
+    val s = spark; import s.implicits._
+    val docs = (0 until 30).map { i =>
+      val y1 = i % 3 == 0
+      (i.toLong, if (y1) "alpha beta gamma" else "delta epsilon zeta eta",
+        if (y1) "pos" else "neg")
+    }.toDF("doc_id", "text", "source")
+    val cal = TextAnalysis.probeCalibration(docs, col("source") === "pos",
+      bins = 5, buckets = 8, iters = 2, lr = 1.0 / 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(cal.map(_._2).sum == 30, "bins must cover every doc")
+    assert(cal.forall { case (b, n, p, ppm) =>
+      b >= 0 && b < 5 && p <= n && ppm == p * 1000000L / n })
+  }
 }

@@ -350,6 +350,76 @@ object Streams {
       }
   }
 
+  case class SessionClosed(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, sum_value: Double)
+  case class SessionAcc(start: Long, end: Long, n: Long, total: Double)
+
+  /** Closed-session emission via `flatMapGroupsWithState` with an
+    * EVENT-TIME timeout — the custom-state shape `session_window` can't
+    * express: a session is emitted exactly once, only when the
+    * watermark proves no more events can extend it, carrying a custom
+    * per-session payload (count + value sum here; any fold in general).
+    *
+    * Mechanics: per user the state holds the open session; each batch's
+    * events fold in event-time order, closing (and emitting) any
+    * session whose gap to the next event exceeds `gapMs` — so multiple
+    * sessions can close in one batch — and the timer re-arms at
+    * `open.end + gapMs`. When the watermark crosses the timer,
+    * `hasTimedOut` fires and the final session flushes. State is one
+    * record per ACTIVE user — the 100 TB/day story: bounded by open
+    * sessions, not history; keys partition across executors and the
+    * state store checkpoints incrementally.
+    *
+    * Late events older than the armed timer are folded if they arrive
+    * before the timeout fires (watermark semantics make that window
+    * `watermark` wide); the output stream is append-only, so downstream
+    * sinks get exactly-once closed sessions under replay.
+    */
+  def closedSessions(
+      events: Dataset[Event],
+      gapMs: Long = 30L * 60 * 1000,
+      watermark: String = "1 hour"): Dataset[SessionClosed] = {
+    import events.sparkSession.implicits._
+    def close(uid: Long, s: SessionAcc) = SessionClosed(
+      uid, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, SessionClosed](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            Iterator.single(close(userId, last))
+          } else {
+            val evs = batch.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = Seq.newBuilder[SessionClosed]
+            var cur = state.getOption
+            for (ev <- evs) {
+              val t = ev.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(SessionAcc(s.start, math.max(s.end, t),
+                    s.n + 1, s.total + ev.value))
+                case Some(s) =>
+                  closed += close(userId, s)
+                  cur = Some(SessionAcc(t, t, 1L, ev.value))
+                case None =>
+                  cur = Some(SessionAcc(t, t, 1L, ev.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // the timer must sit strictly past the current watermark
+              state.setTimeoutTimestamp(
+                math.max(s.end + gapMs, state.getCurrentWatermarkMs + 1))
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** One micro-batch fold for [[incrementalCountsStream]]: reads the
     * materialized aggregate, folds `batch` via
     * [[graft.operators.Incremental.updateCounts]], and atomically swaps

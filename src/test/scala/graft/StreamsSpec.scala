@@ -104,6 +104,49 @@ class StreamsSpec extends AnyFunSuite with SparkTest {
     } finally q.stop()
   }
 
+  test("closedSessions emits a session only when the watermark closes it") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .as[Streams.Event]
+    val q = Streams.closedSessions(events,
+      gapMs = 30L * 60 * 1000, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session); user 2: one event
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+        (2L, ts("2024-01-01 10:10:00"), 1L, "click", 2.0),
+        (3L, ts("2024-01-01 10:05:00"), 2L, "view", 5.0))
+      q.processAllAvailable()
+      assert(s.table("sess_out").count() == 0,
+        "no session may close before the watermark passes its gap")
+      // user 1 reappears long after the gap: old session must close and
+      // a new one open; the late-moving watermark also closes user 2
+      input.addData((4L, ts("2024-01-01 12:00:00"), 1L, "click", 4.0))
+      q.processAllAvailable()
+      // advance so user 2's timer fires, but keep the watermark
+      // (12:20 - 10m = 12:10) short of user 1's new timer (12:30)
+      input.addData((5L, ts("2024-01-01 12:20:00"), 9L, "click", 0.0))
+      q.processAllAvailable()
+      val out = s.table("sess_out").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3), r.getDouble(4))).toSet
+      assert(out.contains(
+        (1L, "2024-01-01 10:00:00.0", "2024-01-01 10:10:00.0", 2L, 3.0)),
+        s"user 1's first session must close with both events: $out")
+      assert(out.contains(
+        (2L, "2024-01-01 10:05:00.0", "2024-01-01 10:05:00.0", 1L, 5.0)),
+        s"user 2's singleton session must close on timeout: $out")
+      // user 1's second session (12:00) is still open: not emitted
+      assert(!out.exists(t => t._1 == 1L && t._2.startsWith("2024-01-01 12")),
+        s"open session must not be emitted: $out")
+    } finally q.stop()
+  }
+
   test("streaming heavy hitters match the batch aggregation (exact below capacity)") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext

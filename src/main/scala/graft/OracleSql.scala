@@ -1281,21 +1281,61 @@ object OracleSql {
       s"FROM feat CROSS JOIN w$iters"
   }
 
+  /** Probe chain extended through binning: ends in `cal(bin, n_docs,
+    * n_pos)` — the shared base of the calibration, PR-curve, and
+    * threshold oracles.
+    */
+  private def probeBinCtes(targetWhere: String, bins: Int, buckets: Int,
+      iters: Int, lr: Double, scaleBits: Int, salt: String): String = {
+    val m = (0 until buckets).map(b => s"c$b * w$iters.w$b").mkString(" + ") +
+      s" + w$iters.w$buckets"
+    s"${probeCtes(targetWhere, buckets, iters, lr, scaleBits, salt)}, " +
+      s"sc AS (SELECT doc_id, y, CAST(floor(($m) * 1000000.0) AS BIGINT) AS score_ppm " +
+      s"FROM feat CROSS JOIN w$iters), " +
+      "bd AS (SELECT min(score_ppm) AS mn, max(score_ppm) AS mx FROM sc), " +
+      s"bn AS (SELECT y, CAST((score_ppm - mn) * $bins // (mx - mn + 1) AS INT) AS bin FROM sc, bd), " +
+      "cal AS (SELECT bin, count(*) AS n_docs, sum(y) AS n_pos FROM bn GROUP BY bin)"
+  }
+
   /** Oracle for `text_probe_calibration`: fixed-width score bins
     * between the observed min/max, per-bin positive rate in ppm.
     */
   def probeCalibration(targetWhere: String, bins: Int, buckets: Int,
-      iters: Int, lr: Double, scaleBits: Int, salt: String): String = {
-    val m = (0 until buckets).map(b => s"c$b * w$iters.w$b").mkString(" + ") +
-      s" + w$iters.w$buckets"
-    s"WITH ${probeCtes(targetWhere, buckets, iters, lr, scaleBits, salt)}, " +
-      s"sc AS (SELECT doc_id, y, CAST(floor(($m) * 1000000.0) AS BIGINT) AS score_ppm " +
-      s"FROM feat CROSS JOIN w$iters), " +
-      "bd AS (SELECT min(score_ppm) AS mn, max(score_ppm) AS mx FROM sc), " +
-      s"bn AS (SELECT y, CAST((score_ppm - mn) * $bins // (mx - mn + 1) AS INT) AS bin FROM sc, bd) " +
-      "SELECT bin, count(*) AS n_docs, sum(y) AS n_pos, " +
-      "sum(y) * 1000000 // count(*) AS pos_ppm FROM bn GROUP BY bin"
-  }
+      iters: Int, lr: Double, scaleBits: Int, salt: String): String =
+    s"WITH ${probeBinCtes(targetWhere, bins, buckets, iters, lr, scaleBits, salt)} " +
+      "SELECT bin, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_pos AS BIGINT) AS n_pos, " +
+      "CAST(n_pos * 1000000 // n_docs AS BIGINT) AS pos_ppm FROM cal"
+
+  /** Probe chain through the PR curve: ends in `pr(bin, n_kept,
+    * n_pos_kept, precision_ppm, recall_ppm)`.
+    */
+  private def probePrCtes(targetWhere: String, bins: Int, buckets: Int,
+      iters: Int, lr: Double, scaleBits: Int, salt: String): String =
+    s"${probeBinCtes(targetWhere, bins, buckets, iters, lr, scaleBits, salt)}, " +
+      "cum AS (SELECT c.bin, sum(h.n_docs) AS n_kept, sum(h.n_pos) AS n_pos_kept " +
+      "FROM cal c JOIN cal h ON h.bin >= c.bin GROUP BY c.bin), " +
+      "tot AS (SELECT sum(n_pos) AS tot_pos FROM cal), " +
+      "pr AS (SELECT bin, CAST(n_kept AS BIGINT) AS n_kept, " +
+      "CAST(n_pos_kept AS BIGINT) AS n_pos_kept, " +
+      "CAST(n_pos_kept * 1000000 // n_kept AS BIGINT) AS precision_ppm, " +
+      "CAST(n_pos_kept * 1000000 // tot_pos AS BIGINT) AS recall_ppm FROM cum, tot)"
+
+  /** Oracle for `text_probe_pr_curve`. */
+  def probePrCurve(targetWhere: String, bins: Int, buckets: Int,
+      iters: Int, lr: Double, scaleBits: Int, salt: String): String =
+    s"WITH ${probePrCtes(targetWhere, bins, buckets, iters, lr, scaleBits, salt)} " +
+      "SELECT bin, n_kept, n_pos_kept, precision_ppm, recall_ppm FROM pr"
+
+  /** Oracle for `text_probe_threshold`: the loosest bin meeting the
+    * target precision.
+    */
+  def probeThreshold(targetWhere: String, targetPrecisionPpm: Long,
+      bins: Int, buckets: Int, iters: Int, lr: Double, scaleBits: Int,
+      salt: String): String =
+    s"WITH ${probePrCtes(targetWhere, bins, buckets, iters, lr, scaleBits, salt)}, " +
+      s"sel AS (SELECT min(bin) AS bin FROM pr WHERE precision_ppm >= $targetPrecisionPpm) " +
+      "SELECT pr.bin, n_kept, n_pos_kept, precision_ppm, recall_ppm " +
+      "FROM pr JOIN sel ON pr.bin = sel.bin"
 
   /** Oracle for `search_mmr_rerank`: full replay of
     * `graft.operators.Similarity.mmrRerank` — pool by exact cosine

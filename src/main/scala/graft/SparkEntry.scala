@@ -764,6 +764,15 @@ object SparkEntry {
       // min/max ride a broadcast 1-row agg, no global sort
       TextAnalysis.probeCalibration(rd(s, d, "documents"),
         length(col("source")) === 4)),
+    "text_probe_pr_curve" -> ((s, d) =>
+      // precision/recall curve over bin thresholds: cumulation runs on
+      // the bins-row table (self-join), never over the corpus
+      TextAnalysis.probePrCurve(rd(s, d, "documents"),
+        length(col("source")) === 4)),
+    "text_probe_threshold" -> ((s, d) =>
+      // deployment pick: loosest threshold with precision >= 52%
+      TextAnalysis.probeThreshold(rd(s, d, "documents"),
+        length(col("source")) === 4, targetPrecisionPpm = 520000L)),
     "search_mmr_rerank" -> ((s, d) =>
       // diversity re-rank: top-12 cosine pool per query, 4 greedy MMR
       // picks (lambda=0.7) — keyed poolK^2 self-join, never corpus-wide
@@ -2145,6 +2154,13 @@ object SparkEntry {
     "text_probe_calibration" ->
       OracleSql.probeCalibration("length(source) = 4", bins = 10, buckets = 16,
         iters = 3, lr = 1.0 / 1024, scaleBits = 20, salt = "probe"),
+    "text_probe_pr_curve" ->
+      OracleSql.probePrCurve("length(source) = 4", bins = 10, buckets = 16,
+        iters = 3, lr = 1.0 / 1024, scaleBits = 20, salt = "probe"),
+    "text_probe_threshold" ->
+      OracleSql.probeThreshold("length(source) = 4", targetPrecisionPpm = 520000L,
+        bins = 10, buckets = 16, iters = 3, lr = 1.0 / 1024, scaleBits = 20,
+        salt = "probe"),
     "search_mmr_rerank" ->
       OracleSql.mmrRerank(k = 4, poolK = 12, lambda = 0.7),
     "class_centroid_assign" ->

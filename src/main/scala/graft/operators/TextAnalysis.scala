@@ -1098,4 +1098,62 @@ object TextAnalysis {
       .select(col("bin"), col("n_docs"), col("n_pos"),
         expr("n_pos * 1000000 div n_docs").as("pos_ppm"))
   }
+
+  /** Precision/recall curve of the probe as a filter: for each score
+    * bin b, the operating point "keep every doc scoring in bin >= b" —
+    * kept count, kept positives, precision and recall in exact integer
+    * ppm. The cumulation runs over the `bins`-row bin table (a
+    * self-join on bin2 >= bin), never over the corpus, so the curve is
+    * one corpus aggregation + one bins²-row join at any scale.
+    */
+  def probePrCurve(
+      docs: DataFrame,
+      labelCond: Column,
+      bins: Int = 10,
+      buckets: Int = 16,
+      iters: Int = 3,
+      lr: Double = 1.0 / 1024,
+      scaleBits: Int = 20,
+      salt: String = "probe",
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val cal = probeCalibration(docs, labelCond, bins, buckets, iters, lr,
+      scaleBits, salt, textCol, idCol)
+      .select(col("bin"), col("n_docs"), col("n_pos"))
+    val tot = cal.agg(sum("n_pos").as("__tot_pos"))
+    val hi = cal.select(col("bin").as("__b2"), col("n_docs").as("__nd"),
+      col("n_pos").as("__np"))
+    cal.select("bin").join(hi, col("__b2") >= col("bin"))
+      .groupBy("bin")
+      .agg(sum("__nd").as("n_kept"), sum("__np").as("n_pos_kept"))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_kept"), col("n_pos_kept"),
+        expr("n_pos_kept * 1000000 div n_kept").as("precision_ppm"),
+        expr("n_pos_kept * 1000000 div __tot_pos").as("recall_ppm"))
+  }
+
+  /** Operating-point selection: the loosest bin threshold (smallest
+    * bin, most docs kept) whose precision meets `targetPrecisionPpm` —
+    * how a learned filter is actually deployed: train, draw the curve,
+    * pick the point, keep everything above it. Integer comparison, so
+    * the pick is engine-exact; empty result when no bin qualifies.
+    */
+  def probeThreshold(
+      docs: DataFrame,
+      labelCond: Column,
+      targetPrecisionPpm: Long,
+      bins: Int = 10,
+      buckets: Int = 16,
+      iters: Int = 3,
+      lr: Double = 1.0 / 1024,
+      scaleBits: Int = 20,
+      salt: String = "probe",
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val curve = probePrCurve(docs, labelCond, bins, buckets, iters, lr,
+      scaleBits, salt, textCol, idCol)
+    val best = curve.where(col("precision_ppm") >= targetPrecisionPpm)
+      .agg(min("bin").as("bin"))
+    curve.join(broadcast(best), "bin")
+  }
 }

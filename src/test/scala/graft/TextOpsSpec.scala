@@ -474,6 +474,36 @@ class TextOpsSpec extends AnyFunSuite with SparkTest {
     assert(sse(3) < sse(1), "loss did not decrease from round 1 to round 3")
   }
 
+  test("probePrCurve is monotone in kept count and probeThreshold picks the loosest qualifying bin") {
+    val s = spark; import s.implicits._
+    val docs = (0 until 40).map { i =>
+      val y1 = i % 2 == 0
+      // separable vocab => high bins are pure positive
+      (i.toLong, if (y1) "win free prize now" else "meeting agenda notes review",
+        if (y1) "pos" else "neg")
+    }.toDF("doc_id", "text", "source")
+    val cond = col("source") === "pos"
+    val curve = TextAnalysis.probePrCurve(docs, cond, bins = 4, buckets = 8,
+      iters = 3, lr = 1.0 / 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    // keeping-from-bin-0 keeps everything; kept counts shrink as the bin rises
+    assert(curve.head._2 == 40 && curve.head._5 == 1000000L)
+    assert(curve.map(_._2).reverse.sorted.sameElements(curve.map(_._2).reverse),
+      "n_kept must be non-increasing in bin")
+    // separable fixture: the top bin is pure positive
+    assert(curve.last._4 == 1000000L, s"top bin must be pure: ${curve.toSeq}")
+    val pick = TextAnalysis.probeThreshold(docs, cond, targetPrecisionPpm = 900000L,
+      bins = 4, buckets = 8, iters = 3, lr = 1.0 / 64)
+      .collect().map(r => (r.getInt(0), r.getLong(3)))
+    assert(pick.length == 1 && pick.head._2 >= 900000L)
+    val qualifying = curve.filter(_._4 >= 900000L).map(_._1)
+    assert(pick.head._1 == qualifying.min, "must pick the loosest qualifying bin")
+    // unreachable target -> empty, not an error
+    assert(TextAnalysis.probeThreshold(docs, cond, targetPrecisionPpm = 2000000L,
+      bins = 4, buckets = 8, iters = 3, lr = 1.0 / 64).count() == 0)
+  }
+
   test("probeCalibration bins cover all docs with integer positive rates") {
     val s = spark; import s.implicits._
     val docs = (0 until 30).map { i =>

@@ -904,6 +904,34 @@ object OracleSql {
       "sum(dwt.w_ppm) // count(*) AS score_ppm FROM dhh JOIN dwt USING (bucket) GROUP BY dhh.doc_id)"
   }
 
+  /** Oracle for `eval_ann_metrics`: recall@k / reciprocal-rank of the
+    * LSH and IVF tiers against the exact brute top-k. The three tier
+    * queries are the already-gated oracles composed as subqueries; the
+    * metrics are integer counts and floor divisions on top.
+    */
+  def annEvalMetrics(k: Int, numPlanes: Int = 8, numCentroids: Int = 16,
+      nProbe: Int = 4, dim: Int = 64, seed: Long = 42L): String = {
+    val bruteSql = "SELECT query_id, neighbor_id, rnk FROM (SELECT a.vec_id AS query_id, " +
+      "b.vec_id AS neighbor_id, CAST(row_number() OVER (PARTITION BY a.vec_id " +
+      "ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS INT) AS rnk " +
+      s"FROM embeddings a JOIN embeddings b ON b.vec_id >= 10 WHERE a.vec_id < 10) t WHERE rnk <= $k"
+    def tierSel(tag: String, tbl: String): String =
+      s"SELECT '$tag' AS tier, q.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits, " +
+        s"CAST(coalesce(h.n_hits, 0) * 1000000 // $k AS BIGINT) AS recall_ppm, " +
+        "CAST(coalesce(r.rr, 0) AS BIGINT) AS rr_ppm FROM qs q " +
+        s"LEFT JOIN (SELECT t.query_id, count(*) AS n_hits FROM $tbl t " +
+        "JOIN brute b ON b.query_id = t.query_id AND b.neighbor_id = t.neighbor_id " +
+        "GROUP BY 1) h ON h.query_id = q.query_id " +
+        s"LEFT JOIN (SELECT b.query_id, 1000000 // t.rnk AS rr FROM brute b " +
+        s"JOIN $tbl t ON t.query_id = b.query_id AND t.neighbor_id = b.neighbor_id " +
+        "WHERE b.rnk = 1) r ON r.query_id = q.query_id"
+    s"WITH brute AS (SELECT * FROM ($bruteSql) tb), " +
+      s"lsht AS (SELECT * FROM (${annLshTopK(k, numPlanes, dim, seed)}) tl), " +
+      s"ivft AS (SELECT * FROM (${annIvfTopK(k, numCentroids, nProbe, dim, seed)}) ti), " +
+      "qs AS (SELECT DISTINCT query_id FROM brute) " +
+      tierSel("lsh", "lsht") + " UNION ALL " + tierSel("ivf", "ivft")
+  }
+
   // ------------------------------------------------------- winnowing
 
   /** CTE chain replaying `graft.operators.Dedup.winnowFingerprints`

@@ -773,6 +773,11 @@ object SparkEntry {
       // deployment pick: loosest threshold with precision >= 52%
       TextAnalysis.probeThreshold(rd(s, d, "documents"),
         length(col("source")) === 4, targetPrecisionPpm = 520000L)),
+    "eval_ann_metrics" -> ((s, d) =>
+      // ANN recall-drift watchdog: per-query recall@5 and RR of the
+      // LSH/IVF tiers vs the exact top-5, all integer ppm
+      Similarity.annEvalMetrics(rd(s, d, "embeddings"),
+        col("vec_id") < 10, col("vec_id") >= 10, k = 5)),
     "search_mmr_rerank" -> ((s, d) =>
       // diversity re-rank: top-12 cosine pool per query, 4 greedy MMR
       // picks (lambda=0.7) — keyed poolK^2 self-join, never corpus-wide
@@ -2161,6 +2166,8 @@ object SparkEntry {
       OracleSql.probeThreshold("length(source) = 4", targetPrecisionPpm = 520000L,
         bins = 10, buckets = 16, iters = 3, lr = 1.0 / 1024, scaleBits = 20,
         salt = "probe"),
+    "eval_ann_metrics" ->
+      OracleSql.annEvalMetrics(k = 5),
     "search_mmr_rerank" ->
       OracleSql.mmrRerank(k = 4, poolK = 12, lambda = 0.7),
     "class_centroid_assign" ->

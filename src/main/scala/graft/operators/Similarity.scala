@@ -894,6 +894,58 @@ object Similarity {
     }.toDF("query_id", "pick", "sel_id", "mmr")
   }
 
+  /** Retrieval-eval harness: per-query recall@k and reciprocal rank of
+    * the approximate ANN tiers (LSH, IVF) against the exact brute-force
+    * top-k — the continuous-evaluation query an ANN deployment watches
+    * to catch recall drift (the per-tier macro numbers are one
+    * aggregation away; per-query rows localize WHICH queries degrade).
+    *
+    * Integer-exact metrics: `n_hits = |tier ∩ brute|`, `recall_ppm =
+    * n_hits·10⁶ div k`, `rr_ppm = 10⁶ div rank_of_brute's-#1_in_tier`
+    * (0 when the true nearest neighbor is missed entirely) — no float
+    * averaging, so the gate hashes exactly.
+    *
+    * Shape at 100 TB: three gated-green tiers composed in-plan; the
+    * metric joins are keyed on (query_id, neighbor_id) over k-row-per-
+    * query tables — negligible next to the tiers themselves.
+    */
+  def annEvalMetrics(
+      emb: DataFrame,
+      queryPred: Column,
+      candPred: Column,
+      k: Int,
+      numPlanes: Int = 8,
+      numCentroids: Int = 16,
+      nProbe: Int = 4,
+      dim: Int = 64,
+      seed: Long = 42L,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val brute = Caches.persisted(
+      bruteForceTopK(emb, queryPred, candPred, k, vecCol, idCol))
+    val tiers = Seq(
+      "lsh" -> lshTopK(emb, queryPred, candPred, k, numPlanes, dim, seed, vecCol, idCol),
+      "ivf" -> ivfTopK(emb, queryPred, candPred, k, numCentroids, nProbe, seed, vecCol, idCol))
+    val queries = brute.select("query_id").distinct()
+    tiers.map { case (tag, res) =>
+      val hits = res.join(brute.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      val top1InTier = brute.where(col("rnk") === 1)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(res.withColumnRenamed("rnk", "__trnk"), Seq("query_id", "neighbor_id"), "left")
+        .select(col("query_id"),
+          coalesce(expr("1000000 div __trnk"), lit(0L)).as("rr_ppm"))
+      queries
+        .join(hits, Seq("query_id"), "left")
+        .join(top1InTier, Seq("query_id"), "left")
+        .select(lit(tag).as("tier"), col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          expr(s"coalesce(n_hits, 0) * 1000000 div $k").as("recall_ppm"),
+          coalesce(col("rr_ppm"), lit(0L)).as("rr_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Confusion matrix of [[classifyByCentroid]] on the held-out rows:
     * (label, pred_label, n) — the accuracy/aliasing report a labeling
     * pipeline gates promotion on. Same scale shape as the classifier

@@ -336,6 +336,24 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(run(emb.repartition(5)) == out)
   }
 
+  test("annEvalMetrics reports per-query recall@k and RR in integer ppm") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(5)
+    val dim = 64
+    val rows = (0 until 120).map(i =>
+      (i.toLong + 10L, Array.fill(dim)(rnd.nextGaussian().toFloat))) ++
+      (0 until 4).map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val m = Similarity.annEvalMetrics(emb, col("vec_id") < 10, col("vec_id") >= 10, k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(m.length == 8, "two tiers x four queries")
+    assert(m.forall { case (_, _, h, rec, rr) =>
+      h >= 0 && h <= 5 && rec == h * 200000L && rr >= 0 && rr <= 1000000L })
+    // rr is 10^6/rank: only exact unit fractions can appear
+    val legalRr = Set(0L, 200000L, 250000L, 333333L, 500000L, 1000000L)
+    assert(m.forall(t => legalRr.contains(t._5)), s"illegal rr: ${m.toSeq}")
+  }
+
   test("mmrRerank trades relevance for diversity against the plain top-k") {
     val s = spark; import s.implicits._
     // query along x; candidates 10/11 nearly duplicate each other and

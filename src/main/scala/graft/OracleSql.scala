@@ -1313,7 +1313,7 @@ object OracleSql {
     * n_pos)` — the shared base of the calibration, PR-curve, and
     * threshold oracles.
     */
-  private def probeBinCtes(targetWhere: String, bins: Int, buckets: Int,
+  def probeBinCtes(targetWhere: String, bins: Int, buckets: Int,
       iters: Int, lr: Double, scaleBits: Int, salt: String): String = {
     val m = (0 until buckets).map(b => s"c$b * w$iters.w$b").mkString(" + ") +
       s" + w$iters.w$buckets"
@@ -1337,7 +1337,7 @@ object OracleSql {
   /** Probe chain through the PR curve: ends in `pr(bin, n_kept,
     * n_pos_kept, precision_ppm, recall_ppm)`.
     */
-  private def probePrCtes(targetWhere: String, bins: Int, buckets: Int,
+  def probePrCtes(targetWhere: String, bins: Int, buckets: Int,
       iters: Int, lr: Double, scaleBits: Int, salt: String): String =
     s"${probeBinCtes(targetWhere, bins, buckets, iters, lr, scaleBits, salt)}, " +
       "cum AS (SELECT c.bin, sum(h.n_docs) AS n_kept, sum(h.n_pos) AS n_pos_kept " +

@@ -1678,6 +1678,32 @@ object SparkEntry {
           min(col("order_key")).as("first_key"),
           max(col("order_key")).as("last_key"))
     }),
+    "pipeline_curation_v6" -> ((s, d) => {
+      // learned-filter curation flagship: near-dup keep-list INTERSECT
+      // the trained probe's keep set (docs at/above the precision-target
+      // score bin) -> interleaved order -> 64-token context packing.
+      // Pipeline order is dedup-then-filter: cluster survivors are
+      // chosen on the full corpus, the probe then prunes survivors
+      val docs = rd(s, d, "documents")
+      val keep = Dedup.keepListFromClusters(docs,
+        Dedup.dedupClusters(Dedup.ngramJaccardPairs(docs, 1, 20)))
+      val probeKeep = TextAnalysis.probeKeepDocs(docs,
+        length(col("source")) === 4, targetPrecisionPpm = 520000L)
+      val survivors = docs
+        .select(col("doc_id"), col("source"),
+          size(filter(graft.functions.tokens(col("text")), t => t =!= ""))
+            .cast("long").as("n_toks"))
+        .join(keep.filter(col("keep_flag") === 1).select("doc_id"), "doc_id")
+        .join(probeKeep, "doc_id")
+      val ordered = Sampling
+        .interleaveOrder(survivors, "source", "doc_id", salt = "ilv6")
+        .select(col("order_key"), col("n_toks"))
+      Sampling.packContextStream(ordered, "order_key", "n_toks", capacity = 64)
+        .groupBy("seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_in_seq")).as("n_toks"),
+          min(col("order_key")).as("first_key"),
+          max(col("order_key")).as("last_key"))
+    }),
     "doc_chunks" -> ((s, d) =>
       // 50-token training windows per doc; md5 of the reassembled text
       // keeps the gated output compact while pinning exact order
@@ -2827,6 +2853,36 @@ object SparkEntry {
         "nn AS (SELECT count(*) AS nsrc FROM si), " +
         "rkd AS (SELECT doc_id, source, text, row_number() OVER (PARTITION BY source " +
         "ORDER BY md5('ilv5:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS rk FROM surv), " +
+        "ord AS (SELECT CAST(rk * nsrc + sidx AS BIGINT) AS order_key, " +
+        "CAST(len([t for t in regexp_split_to_array(lower(trim(text)), '\\s+') if t <> '']) AS BIGINT) AS n " +
+        "FROM rkd JOIN si USING (source) CROSS JOIN nn), " +
+        "fo AS (SELECT * FROM ord WHERE n > 0), " +
+        "offs AS (SELECT order_key, n, CAST(coalesce(sum(n) OVER (ORDER BY order_key ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s FROM fo), " +
+        "expl AS (SELECT order_key, s, s + n AS e, unnest(generate_series(s // 64, (s + n - 1) // 64)) AS seq_id FROM offs), " +
+        "spans AS (SELECT order_key, seq_id, least(e, (seq_id + 1) * 64) - greatest(s, seq_id * 64) AS n_in_seq FROM expl) " +
+        "SELECT seq_id, count(*) AS n_docs, CAST(sum(n_in_seq) AS BIGINT) AS n_toks, " +
+        "min(order_key) AS first_key, max(order_key) AS last_key FROM spans GROUP BY seq_id"),
+    "pipeline_curation_v6" ->
+      (s"WITH RECURSIVE ${OracleSql.probePrCtes("length(source) = 4", 10, 16, 3, 1.0 / 1024, 20, "probe")}, " +
+        "psel AS (SELECT min(bin) AS bin FROM pr WHERE precision_ppm >= 520000), " +
+        "pbn AS (SELECT doc_id, CAST((score_ppm - mn) * 10 // (mx - mn + 1) AS INT) AS bin FROM sc, bd), " +
+        "pk AS (SELECT doc_id FROM pbn, psel WHERE pbn.bin >= psel.bin), " +
+        s"$ngramCtes, " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
+        "wlk(node, root) AS (SELECT DISTINCT src, src FROM edges " +
+        "UNION SELECT e.dst, k.root FROM wlk k JOIN edges e ON e.src = k.node), " +
+        "cl AS (SELECT node AS doc_id, min(root) AS cluster_id FROM wlk GROUP BY node), " +
+        "reps AS (SELECT c.doc_id, row_number() OVER " +
+        "(PARTITION BY c.cluster_id ORDER BY d.n_chars DESC, c.doc_id) AS rn " +
+        "FROM cl c JOIN documents d ON d.doc_id = c.doc_id), " +
+        "surv AS (SELECT d.doc_id, d.source, d.text FROM documents d " +
+        "LEFT JOIN reps r ON r.doc_id = d.doc_id " +
+        "WHERE (r.doc_id IS NULL OR r.rn = 1) AND d.doc_id IN (SELECT doc_id FROM pk)), " +
+        "si AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS sidx " +
+        "FROM (SELECT DISTINCT source FROM surv)), " +
+        "nn AS (SELECT count(*) AS nsrc FROM si), " +
+        "rkd AS (SELECT doc_id, source, text, row_number() OVER (PARTITION BY source " +
+        "ORDER BY md5('ilv6:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS rk FROM surv), " +
         "ord AS (SELECT CAST(rk * nsrc + sidx AS BIGINT) AS order_key, " +
         "CAST(len([t for t in regexp_split_to_array(lower(trim(text)), '\\s+') if t <> '']) AS BIGINT) AS n " +
         "FROM rkd JOIN si USING (source) CROSS JOIN nn), " +

@@ -1156,4 +1156,44 @@ object TextAnalysis {
       .agg(min("bin").as("bin"))
     curve.join(broadcast(best), "bin")
   }
+
+  /** The deployed filter: ids of the docs whose score bin is at or
+    * above the [[probeThreshold]] pick — the keep set a learned-filter
+    * curation stage feeds downstream. Empty when no bin meets the
+    * target (fail-closed). One corpus projection + two broadcast joins.
+    */
+  def probeKeepDocs(
+      docs: DataFrame,
+      labelCond: Column,
+      targetPrecisionPpm: Long,
+      bins: Int = 10,
+      buckets: Int = 16,
+      iters: Int = 3,
+      lr: Double = 1.0 / 1024,
+      scaleBits: Int = 20,
+      salt: String = "probe",
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    // train ONCE and derive binning, curve, and threshold from the same
+    // persisted score table — calling probeThreshold here would refit
+    // the (identical, deterministic) weights a second time
+    val scores = Caches.persisted(probeScores(docs, labelCond, buckets,
+      iters, lr, scaleBits, salt, textCol, idCol))
+    val bounds = scores.agg(min("score_ppm").as("__mn"), max("score_ppm").as("__mx"))
+    val binned = scores.crossJoin(broadcast(bounds))
+      .select(col(idCol), col("y"),
+        expr(s"CAST((score_ppm - __mn) * $bins div (__mx - __mn + 1) AS INT)").as("__bin"))
+    val cal = binned.groupBy("__bin")
+      .agg(count(lit(1)).as("__nd"), sum("y").as("__np"))
+    val hi = cal.select(col("__bin").as("__b2"), col("__nd"), col("__np"))
+    val curve = cal.select("__bin").join(hi, col("__b2") >= col("__bin"))
+      .groupBy("__bin")
+      .agg(sum("__nd").as("__nk"), sum("__np").as("__npk"))
+    val best = curve
+      .where(expr("__npk * 1000000 div __nk") >= targetPrecisionPpm)
+      .agg(min("__bin").as("__thr"))
+    binned.crossJoin(broadcast(best))
+      .where(col("__bin") >= col("__thr"))
+      .select(idCol)
+  }
 }

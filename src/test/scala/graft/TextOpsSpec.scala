@@ -504,6 +504,35 @@ class TextOpsSpec extends AnyFunSuite with SparkTest {
       bins = 4, buckets = 8, iters = 3, lr = 1.0 / 64).count() == 0)
   }
 
+  test("probeKeepDocs equals the threshold pick applied to the score bins") {
+    val s = spark; import s.implicits._
+    val docs = (0 until 40).map { i =>
+      val y1 = i % 2 == 0
+      (i.toLong, if (y1) "win free prize now" else "meeting agenda notes review",
+        if (y1) "pos" else "neg")
+    }.toDF("doc_id", "text", "source")
+    val cond = col("source") === "pos"
+    val keep = TextAnalysis.probeKeepDocs(docs, cond, targetPrecisionPpm = 900000L,
+      bins = 4, buckets = 8, iters = 3, lr = 1.0 / 64)
+      .collect().map(_.getLong(0)).toSet
+    // independent derivation: bin each score, keep bins >= the pick
+    val pickBin = TextAnalysis.probeThreshold(docs, cond, 900000L,
+      bins = 4, buckets = 8, iters = 3, lr = 1.0 / 64)
+      .collect().head.getInt(0)
+    val sc = TextAnalysis.probeScores(docs, cond, buckets = 8, iters = 3, lr = 1.0 / 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(2))
+    val (mn, mx) = (sc.map(_._2).min, sc.map(_._2).max)
+    val expect = sc.filter { case (_, p) =>
+      ((p - mn) * 4 / (mx - mn + 1)).toInt >= pickBin }.map(_._1).toSet
+    assert(keep == expect)
+    // separable fixture at 90% precision: keeps positives only
+    val ys = docs.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(keep.forall(ys(_) == "pos"), "kept docs must be the positive class")
+    // unreachable target -> empty keep set (fail-closed)
+    assert(TextAnalysis.probeKeepDocs(docs, cond, targetPrecisionPpm = 2000000L,
+      bins = 4, buckets = 8, iters = 3, lr = 1.0 / 64).count() == 0)
+  }
+
   test("probeCalibration bins cover all docs with integer positive rates") {
     val s = spark; import s.implicits._
     val docs = (0 until 30).map { i =>

@@ -1411,4 +1411,26 @@ object OracleSql {
       dim: Int = 64): String =
     s"WITH ${classifyCentroidCtes(seedWhere, scaleBits, dim)} " +
       "SELECT label, pred_label, count(*) AS n FROM pred GROUP BY 1, 2"
+
+  // ------------------------------------------------------------- z-order
+
+  /** DuckDB replay of `Layout.zValue`: the same 16-bit linear
+    * quantization (identical IEEE expression: `(c − lo) / span ·
+    * 65535.0`, floored, clamped) and the same bit interleave, term by
+    * term. Bounds arrive as exact decimal literals shared with the
+    * Spark side, so quantization cells agree bit-for-bit.
+    */
+  def zValueSql(
+      aExpr: String, aLo: Double, aHi: Double,
+      bExpr: String, bLo: Double, bHi: Double): String = {
+    def bucket(e: String, lo: Double, hi: Double): String = {
+      val span = if (hi > lo) hi - lo else 1.0
+      s"CAST(LEAST(GREATEST(floor(($e - $lo) / $span * 65535.0), 0.0), 65535.0) AS BIGINT)"
+    }
+    val qa = bucket(aExpr, aLo, aHi)
+    val qb = bucket(bExpr, bLo, bHi)
+    (0 until 16).map { i =>
+      s"((($qa >> $i) & 1) * ${1L << (2 * i)} + (($qb >> $i) & 1) * ${1L << (2 * i + 1)})"
+    }.mkString("(", " + ", ")")
+  }
 }

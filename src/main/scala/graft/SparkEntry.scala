@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.functions.{aqiCategory, mixed_hash32, HeavyHittersAgg, KmvAgg}
-import graft.operators.{AsOf, Dedup, Events, Incremental, Merge, MergeSpec, Multimodal, RangeJoin, Sampling, Search, Similarity, Sketches, TextAnalysis}
+import graft.operators.{AsOf, Dedup, Events, Incremental, Merge, MergeSpec, Multimodal, RangeJoin, Sampling, Search, Similarity, Sketches, Stats, TextAnalysis}
 
 /** Driver contract: one `queries` entry per implemented operator from
   * SURVEY.md §2 (IDs in the names) plus the training-data-pipeline
@@ -1334,6 +1334,18 @@ object SparkEntry {
       s.catalog.dropTempView(v)
       out
     }),
+    "dq_robust_mad" -> ((s, d) => {
+      // robust outliers via median/MAD (modified z-score > 3.5): the
+      // median is immune to the very outliers a mean/stddev fence gets
+      // dragged by — the robust sibling of quality_outliers' Tukey
+      // fences. Same SQL text runs in both engines (percentile_disc
+      // picks data points, so no interpolation arithmetic to align).
+      val v = Views.unique("events")
+      rd(s, d, "events").createOrReplaceTempView(v)
+      val out = s.sql(robustMadSql(v))
+      s.catalog.dropTempView(v)
+      out
+    }),
     "funnel_conversion" -> ((s, d) => {
       // sequence analytics: first view -> first subsequent purchase per
       // user, converted within 24h flag (exact µs arithmetic)
@@ -1535,6 +1547,75 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), sum(cents).as("sum_units"))
       Incremental.updateCounts(prev, ev.filter(col("ts") >= cutoff),
         Seq("user_id"), cents)
+    }),
+    "incr_agg_retract" -> ((s, d) => {
+      // CDC / right-to-be-forgotten repair: the materialized per-user
+      // aggregate is patched with signed delta rows — inserts for the
+      // new window, retractions for a revoked cohort's history — in
+      // O(delta), never by rescanning history. The oracle recomputes
+      // from scratch over (history ∖ revoked) ∪ new-window, so a green
+      // row proves the fold reverses exactly the revoked rows and
+      // drops fully-retracted keys.
+      val ev = rd(s, d, "events")
+      val cutoff = to_timestamp(lit("2024-01-28 00:00:00"))
+      val cents = round(col("value") * 100).cast("long")
+      val hist = ev.filter(col("ts") < cutoff)
+      val prev = hist.groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum(cents).as("sum_units"))
+      val inserts = ev.filter(col("ts") >= cutoff).withColumn("__op", lit(1))
+      val retracts = hist.filter(col("user_id") % 97 === 0)
+        .withColumn("__op", lit(-1))
+      Incremental.updateWithRetractions(prev, inserts.unionByName(retracts),
+        Seq("user_id"), cents, col("__op"))
+    }),
+    "stat_group_ols" -> ((s, d) =>
+      // per-flag least squares of revenue-cents on quantity from exact
+      // long moment sums — one combinable scan, closed-form fit
+      Stats.groupOls(rd(s, d, "lineitem"), Seq("l_returnflag"),
+        col("l_quantity").cast("long"),
+        round(col("l_extendedprice") * 100).cast("long"))),
+    "stat_corr_matrix" -> ((s, d) =>
+      // pairwise Pearson over four integer-unit measures in ONE scan
+      // (all k(k+3)/2 moments in a single agg, never k² passes)
+      Stats.corrMatrix(rd(s, d, "lineitem"), Seq(
+        "qty" -> col("l_quantity").cast("long"),
+        "price_usd" -> round(col("l_extendedprice")).cast("long"),
+        "disc_bp" -> round(col("l_discount") * 10000).cast("long"),
+        "tax_bp" -> round(col("l_tax") * 10000).cast("long")))),
+    "layout_zvalue" -> ((s, d) =>
+      // the Morton key itself, gated: fixed literal bounds shared with
+      // the oracle so quantization cells agree bit-for-bit
+      rd(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        graft.sources.Layout.zValue(
+          col("l_quantity"), 1.0, 50.0,
+          col("l_extendedprice"), 900.0, 105000.0).as("zval"))),
+    "layout_zone_prune" -> ((s, d) => {
+      // zone-map skipping, simulated end-to-end in-plan: bucket rows
+      // into 16 "files" along the z-curve (zval >> 28), build per-file
+      // min/max, and count how many files a 2-D rectangle predicate
+      // must open vs the exact matching rows — the I/O story of
+      // writeZOrdered + fileManifest + readPruned as ONE verifiable
+      // number (ScaleSpec proves it on real parquet files)
+      val z = rd(s, d, "lineitem").select(
+        col("l_quantity").as("qty"), col("l_extendedprice").as("price"),
+        graft.sources.Layout.zValue(
+          col("l_quantity"), 1.0, 50.0,
+          col("l_extendedprice"), 900.0, 105000.0).as("zval"))
+      val files = z.groupBy(shiftright(col("zval"), 28).as("file_id"))
+        .agg(min(col("qty")).as("qmin"), max(col("qty")).as("qmax"),
+          min(col("price")).as("pmin"), max(col("price")).as("pmax"),
+          count(lit(1)).as("n_rows"))
+      val hit = col("qmax") >= 10.0 && col("qmin") <= 20.0 &&
+        col("pmax") >= 10000.0 && col("pmin") <= 20000.0
+      val stats = files.agg(
+        count(lit(1)).as("n_files_total"),
+        count(when(hit, lit(1))).as("n_files_kept"),
+        coalesce(sum(when(hit, col("n_rows"))), lit(0L)).as("n_rows_scanned"))
+      val exact = z.filter(col("qty") >= 10.0 && col("qty") <= 20.0 &&
+          col("price") >= 10000.0 && col("price") <= 20000.0)
+        .agg(count(lit(1)).as("n_rows_match"))
+      stats.crossJoin(exact)
     }),
     "text_source_terms" -> ((s, d) =>
       // c-TF-IDF shape: what characterizes each source vs the corpus
@@ -1804,6 +1885,25 @@ object SparkEntry {
       "OR e.value > q.p75 + CAST(1.5 AS DOUBLE) * (q.p75 - q.p25) THEN 1 END) AS n_outliers, " +
       "min(q.p25) AS p25, min(q.p75) AS p75 " +
       s"FROM $table e JOIN q ON q.event_type = e.event_type GROUP BY e.event_type"
+
+  /** Median/MAD robust outlier SQL — one text, both engines. Two
+    * percentile passes (median, then median absolute deviation) and a
+    * final count of |x − med| beyond 3.5/0.6745 MADs; every double op
+    * is the same fixed expression tree on both sides.
+    */
+  private def robustMadSql(table: String): String =
+    s"WITH med AS (SELECT event_type, " +
+      "percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS med " +
+      s"FROM $table GROUP BY event_type), " +
+      "dev AS (SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS ad " +
+      s"FROM $table e JOIN med m ON m.event_type = e.event_type), " +
+      "mad AS (SELECT event_type, " +
+      "percentile_disc(0.5) WITHIN GROUP (ORDER BY ad) AS mad " +
+      "FROM dev GROUP BY event_type) " +
+      "SELECT d.event_type, count(*) AS n, min(d.med) AS med, min(a.mad) AS mad, " +
+      "count(CASE WHEN a.mad > CAST(0 AS DOUBLE) AND " +
+      "CAST(0.6745 AS DOUBLE) * d.ad / a.mad > CAST(3.5 AS DOUBLE) THEN 1 END) AS n_outliers " +
+      "FROM dev d JOIN mad a ON a.event_type = d.event_type GROUP BY d.event_type"
 
   /** One oracle for both range-join paths — the generic band join and
     * its equi rewrite must agree with the same declarative SQL.
@@ -2779,6 +2879,35 @@ object SparkEntry {
       ("SELECT user_id, count(*) AS n_events, " +
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_units " +
         "FROM events GROUP BY user_id"),
+    "incr_agg_retract" ->
+      ("SELECT user_id, count(*) AS n_events, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_units " +
+        "FROM events WHERE NOT (user_id % 97 = 0 AND ts < TIMESTAMP '2024-01-28 00:00:00') " +
+        "GROUP BY user_id"),
+    "stat_group_ols" -> Stats.groupOlsSql("lineitem", Seq("l_returnflag"),
+      "CAST(l_quantity AS BIGINT)",
+      "CAST(round(l_extendedprice * 100) AS BIGINT)"),
+    "stat_corr_matrix" -> Stats.corrMatrixSql("lineitem", Seq(
+      "qty" -> "CAST(l_quantity AS BIGINT)",
+      "price_usd" -> "CAST(round(l_extendedprice) AS BIGINT)",
+      "disc_bp" -> "CAST(round(l_discount * 10000) AS BIGINT)",
+      "tax_bp" -> "CAST(round(l_tax * 10000) AS BIGINT)")),
+    "layout_zvalue" ->
+      (s"SELECT l_orderkey, l_linenumber, ${OracleSql.zValueSql(
+        "l_quantity", 1.0, 50.0, "l_extendedprice", 900.0, 105000.0)} AS zval " +
+        "FROM lineitem"),
+    "layout_zone_prune" ->
+      (s"WITH z AS (SELECT l_quantity AS qty, l_extendedprice AS price, ${OracleSql.zValueSql(
+        "l_quantity", 1.0, 50.0, "l_extendedprice", 900.0, 105000.0)} AS zval FROM lineitem), " +
+        "f AS (SELECT zval >> 28 AS file_id, min(qty) AS qmin, max(qty) AS qmax, " +
+        "min(price) AS pmin, max(price) AS pmax, count(*) AS n_rows FROM z GROUP BY 1), " +
+        "s AS (SELECT count(*) AS n_files_total, " +
+        "count(CASE WHEN qmax >= 10.0 AND qmin <= 20.0 AND pmax >= 10000.0 AND pmin <= 20000.0 THEN 1 END) AS n_files_kept, " +
+        "CAST(coalesce(sum(CASE WHEN qmax >= 10.0 AND qmin <= 20.0 AND pmax >= 10000.0 AND pmin <= 20000.0 THEN n_rows END), 0) AS BIGINT) AS n_rows_scanned FROM f), " +
+        "m AS (SELECT count(*) AS n_rows_match FROM z " +
+        "WHERE qty >= 10.0 AND qty <= 20.0 AND price >= 10000.0 AND price <= 20000.0) " +
+        "SELECT s.n_files_total, s.n_files_kept, s.n_rows_scanned, m.n_rows_match FROM s, m"),
+    "dq_robust_mad" -> robustMadSql("events"),
     "pipeline_training_mix" -> {
       val e = graft.operators.TextAnalysis.emailPattern
       val ip = graft.operators.TextAnalysis.ipv4Pattern

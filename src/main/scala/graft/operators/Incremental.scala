@@ -40,4 +40,41 @@ object Incremental {
         (coalesce(col(nCol), lit(0L)) + coalesce(col(s"__d_$nCol"), lit(0L))).as(nCol),
         (coalesce(col(sumCol), lit(0L)) + coalesce(col(s"__d_$sumCol"), lit(0L))).as(sumCol)): _*)
   }
+
+  /** Retraction-aware fold: the CDC / right-to-be-forgotten path.
+    *
+    * `delta` rows carry `opExpr` ∈ {+1 insert, −1 retract}; counts and
+    * sums fold with the sign, so a deletion reverses exactly the rows
+    * it names — the aggregate is repaired in O(delta), never by
+    * rescanning 100 TB of history. Keys whose count reaches zero are
+    * DROPPED from the output (a fully-retracted key disappears, same
+    * as a from-scratch recompute that never saw it).
+    *
+    * Contract (the caller's, as in any retraction stream): every
+    * retraction names a row previously inserted. Over-retraction would
+    * drive a count negative; that is surfaced, not masked — callers
+    * can assert `n >= 0` downstream. Only algebraic aggregates fold
+    * this way: min/max are NOT retractable in O(delta) (deleting the
+    * minimum needs the runner-up); for those, recompute just the
+    * affected keys via a semi-join on the retraction key set —
+    * O(affected partitions), the standard hybrid.
+    */
+  def updateWithRetractions(
+      prev: DataFrame,
+      delta: DataFrame,
+      keys: Seq[String],
+      valueExpr: org.apache.spark.sql.Column,
+      opExpr: org.apache.spark.sql.Column,
+      nCol: String = "n_events",
+      sumCol: String = "sum_units"): DataFrame = {
+    val d = delta.groupBy(keys.map(col): _*)
+      .agg(
+        sum(opExpr.cast("long")).as(s"__d_$nCol"),
+        sum(opExpr.cast("long") * valueExpr).as(s"__d_$sumCol"))
+    prev.join(d, keys, "full_outer")
+      .select(keys.map(col) ++ Seq(
+        (coalesce(col(nCol), lit(0L)) + coalesce(col(s"__d_$nCol"), lit(0L))).as(nCol),
+        (coalesce(col(sumCol), lit(0L)) + coalesce(col(s"__d_$sumCol"), lit(0L))).as(sumCol)): _*)
+      .where(col(nCol) =!= 0L)
+  }
 }

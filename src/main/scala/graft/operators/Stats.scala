@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Distributed descriptive statistics with deterministic, engine-
+  * portable numerics: per-group ordinary least squares and pairwise
+  * Pearson correlation, built from EXACT integer moment sums.
+  *
+  * Why not `regr_slope`/`corr`: those accumulate doubles in partition
+  * order, so the result differs run-to-run and engine-to-engine in the
+  * last bits — unverifiable against an oracle and non-reproducible in
+  * a pipeline contract. Here the five moments (n, Σx, Σy, Σxy, Σx²,
+  * Σy²) are LONG sums of caller-supplied integer units (cents, basis
+  * points, whole counts) — order-independent and exact — and only the
+  * final closed-form combination runs in double precision, as ONE
+  * fixed expression tree evaluated on identical inputs everywhere.
+  * Any engine (Spark, DuckDB, a hand calculator) computing the same
+  * IEEE expression on the same longs produces the same bits.
+  *
+  * Scale shape: one combinable `groupBy().agg()` — map-side partial
+  * sums, a key-space-sized shuffle, no second pass over the data. The
+  * moment-sum trick is what makes regression a one-scan streaming
+  * aggregate instead of a fit loop.
+  *
+  * Numeric caveat (documented, deliberate): the closed forms
+  * n·Σxy − Σx·Σy cancel catastrophically when x has tiny relative
+  * variance. With unit-scaled inputs (≤ ~2^26 per row) and group sizes
+  * ≤ ~2^26 the double mantissa holds the products; determinism is
+  * never affected, only absolute accuracy at extreme scales — callers
+  * there should pre-center units per group (same API, shifted exprs).
+  */
+object Stats {
+
+  /** Per-group simple linear regression y = slope·x + intercept.
+    *
+    * `xUnits` / `yUnits` must be integer-valued LONG expressions
+    * (e.g. `round(price * 100).cast("long")`). Output per group:
+    * n, slope, intercept, r2, pearson_r — doubles derived from the
+    * exact moments via one fixed IEEE expression tree. Groups with
+    * zero x-variance are emitted with NULL slope/intercept/r2/r
+    * (vertical line: undefined fit, not a crash).
+    */
+  def groupOls(
+      df: DataFrame,
+      groupCols: Seq[String],
+      xUnits: Column,
+      yUnits: Column): DataFrame = {
+    val mom = df
+      .select(groupCols.map(col) ++ Seq(
+        xUnits.as("__x"), yUnits.as("__y")): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"),
+        sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__y") * col("__y")).as("__syy"))
+    // the whole combination in double, from exact longs: both the
+    // oracle and this plan evaluate the identical expression tree
+    val nD = col("n").cast("double")
+    val sx = col("__sx").cast("double"); val sy = col("__sy").cast("double")
+    val sxx = col("__sxx").cast("double"); val sxy = col("__sxy").cast("double")
+    val syy = col("__syy").cast("double")
+    val num = nD * sxy - sx * sy
+    val den = nD * sxx - sx * sx
+    val deny = nD * syy - sy * sy
+    val slope = when(den =!= 0.0, num / den)
+    mom.select(
+      groupCols.map(col) :+ col("n") :+
+        slope.as("slope") :+
+        when(den =!= 0.0, (sy - (num / den) * sx) / nD).as("intercept") :+
+        when(den =!= 0.0 && deny =!= 0.0, (num * num) / (den * deny)).as("r2") :+
+        when(den =!= 0.0 && deny =!= 0.0, num / sqrt(den * deny)).as("pearson_r"): _*)
+  }
+
+  /** DuckDB replay of [[groupOls]] — the same moment CTE and the same
+    * double expression tree, so the two sides cannot drift.
+    */
+  def groupOlsSql(
+      table: String,
+      groupCols: Seq[String],
+      xUnitsSql: String,
+      yUnitsSql: String): String = {
+    val g = groupCols.mkString(", ")
+    s"WITH m AS (SELECT $g, count(*) AS n, " +
+      s"CAST(sum(__x) AS BIGINT) AS sx, CAST(sum(__y) AS BIGINT) AS sy, " +
+      s"CAST(sum(__x * __x) AS BIGINT) AS sxx, CAST(sum(__x * __y) AS BIGINT) AS sxy, " +
+      s"CAST(sum(__y * __y) AS BIGINT) AS syy " +
+      s"FROM (SELECT $g, $xUnitsSql AS __x, $yUnitsSql AS __y FROM $table) AS src GROUP BY $g), " +
+      "d AS (SELECT *, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd, " +
+      "CAST(sxx AS DOUBLE) AS sxxd, CAST(sxy AS DOUBLE) AS sxyd, CAST(syy AS DOUBLE) AS syyd FROM m), " +
+      "e AS (SELECT *, nd * sxyd - sxd * syd AS num, nd * sxxd - sxd * sxd AS den, " +
+      "nd * syyd - syd * syd AS deny FROM d) " +
+      s"SELECT $g, n, " +
+      "CASE WHEN den <> 0 THEN num / den END AS slope, " +
+      "CASE WHEN den <> 0 THEN (syd - (num / den) * sxd) / nd END AS intercept, " +
+      "CASE WHEN den <> 0 AND deny <> 0 THEN (num * num) / (den * deny) END AS r2, " +
+      "CASE WHEN den <> 0 AND deny <> 0 THEN num / sqrt(den * deny) END AS pearson_r " +
+      "FROM e"
+  }
+
+  /** Pairwise Pearson correlation matrix over integer-unit columns,
+    * long form: one row per unordered column pair (name_a < name_b).
+    *
+    * ONE scan computes every Σcᵢ, Σcᵢ², Σcᵢcⱼ moment (k(k+3)/2 long
+    * sums, all map-side combinable); the k×k matrix then falls out of
+    * a tiny driver-free select over the single aggregated row. This is
+    * the profile-a-feature-table-in-one-pass shape — never k² scans.
+    */
+  def corrMatrix(df: DataFrame, unitCols: Seq[(String, Column)]): DataFrame = {
+    require(unitCols.size >= 2, "need at least two columns")
+    val named = df.select(unitCols.map { case (n, c) => c.as(s"__$n") }: _*)
+    val pairs = for {
+      i <- unitCols.indices; j <- (i + 1) until unitCols.size
+    } yield (unitCols(i)._1, unitCols(j)._1)
+    val aggs =
+      Seq(count(lit(1)).as("n")) ++
+        unitCols.flatMap { case (n, _) => Seq(
+          sum(col(s"__$n")).as(s"s_$n"),
+          sum(col(s"__$n") * col(s"__$n")).as(s"ss_$n")) } ++
+        pairs.map { case (a, b) =>
+          sum(col(s"__$a") * col(s"__$b")).as(s"sp_${a}_$b") }
+    val mom = named.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (a, b) =>
+      val nD = col("n").cast("double")
+      val sa = col(s"s_$a").cast("double"); val sb = col(s"s_$b").cast("double")
+      val ssa = col(s"ss_$a").cast("double"); val ssb = col(s"ss_$b").cast("double")
+      val sp = col(s"sp_${a}_$b").cast("double")
+      val num = nD * sp - sa * sb
+      val da = nD * ssa - sa * sa
+      val db = nD * ssb - sb * sb
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        when(da =!= 0.0 && db =!= 0.0, num / sqrt(da * db)).as("pearson_r"))
+    }
+    mom.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
+  /** DuckDB replay of [[corrMatrix]]: same single-scan moments, same
+    * expression tree, UNION ALL of the pair rows.
+    */
+  def corrMatrixSql(table: String, unitCols: Seq[(String, String)]): String = {
+    val sel = unitCols.map { case (n, e) => s"$e AS __$n" }.mkString(", ")
+    val pairs = for {
+      i <- unitCols.indices; j <- (i + 1) until unitCols.size
+    } yield (unitCols(i)._1, unitCols(j)._1)
+    val moments =
+      Seq("count(*) AS n") ++
+        unitCols.flatMap { case (n, _) => Seq(
+          s"CAST(sum(__$n) AS BIGINT) AS s_$n",
+          s"CAST(sum(__$n * __$n) AS BIGINT) AS ss_$n") } ++
+        pairs.map { case (a, b) => s"CAST(sum(__$a * __$b) AS BIGINT) AS sp_${a}_$b" }
+    val arms = pairs.map { case (a, b) =>
+      s"SELECT '$a' AS col_a, '$b' AS col_b, " +
+        s"CASE WHEN (nd * CAST(ss_$a AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE)) <> 0 " +
+        s"AND (nd * CAST(ss_$b AS DOUBLE) - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)) <> 0 " +
+        s"THEN (nd * CAST(sp_${a}_$b AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE)) / " +
+        s"sqrt((nd * CAST(ss_$a AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE)) * " +
+        s"(nd * CAST(ss_$b AS DOUBLE) - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))) END AS pearson_r FROM m"
+    }
+    s"WITH m0 AS (SELECT ${moments.mkString(", ")} FROM (SELECT $sel FROM $table) AS src), " +
+      "m AS (SELECT *, CAST(n AS DOUBLE) AS nd FROM m0) " +
+      arms.mkString(" UNION ALL ")
+  }
+}

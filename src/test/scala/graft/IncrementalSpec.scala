@@ -28,6 +28,27 @@ class IncrementalSpec extends AnyFunSuite with SparkTest {
     assert(toMap(incremental)(3L) == ((1L, 9L)))
   }
 
+  test("retractions reverse exactly the named rows; fully-retracted keys drop") {
+    val history = rows((1L, 10L), (1L, 5L), (2L, 7L), (3L, 4L), (3L, 2L))
+    // user 3 fully revoked; user 1 loses one row; user 4 is a new insert
+    val delta = rows((3L, 4L), (3L, 2L), (1L, 5L), (4L, 8L))
+      .withColumn("op", when(col("user_id") === 4L, 1).otherwise(-1))
+    val patched = Incremental.updateWithRetractions(
+      aggOf(history), delta, Seq("user_id"), col("units"), col("op"))
+    val survivors = rows((1L, 10L), (2L, 7L), (4L, 8L))
+    assert(toMap(patched) == toMap(aggOf(survivors)))
+    assert(!toMap(patched).contains(3L), "fully-retracted key must disappear")
+  }
+
+  test("insert+retract of the same row in one delta is a no-op") {
+    val s = spark; import s.implicits._
+    val history = rows((1L, 10L))
+    val delta = Seq((2L, 6L, 1), (2L, 6L, -1)).toDF("user_id", "units", "op")
+    val patched = Incremental.updateWithRetractions(
+      aggOf(history), delta, Seq("user_id"), col("units"), col("op"))
+    assert(toMap(patched) == toMap(aggOf(history)))
+  }
+
   test("chained deltas equal one-shot aggregation (associativity)") {
     val batches = Seq(
       rows((1L, 1L), (2L, 2L)),

@@ -1412,6 +1412,67 @@ object OracleSql {
     s"WITH ${classifyCentroidCtes(seedWhere, scaleBits, dim)} " +
       "SELECT label, pred_label, count(*) AS n FROM pred GROUP BY 1, 2"
 
+  /** Oracle for `search_ndcg`: term-overlap relevance grades over the
+    * bm25 CTE chain, per-term ppm-scaled integer DCG contributions
+    * (same round-then-sum-longs discipline as the Spark side, so sum
+    * order can never wiggle the result), ideal ranking by
+    * (rel desc, doc_id).
+    */
+  def ndcgAtK(queries: Seq[(Int, Seq[String])], k: Int): String =
+    s"WITH ${bm25Ctes(queries, k)}, " +
+      "nrel AS (SELECT bq.query_id, btf.doc_id, count(*) AS rel " +
+      "FROM btf JOIN bq USING (token) GROUP BY 1, 2), " +
+      "ndc AS (SELECT b.query_id, CAST(sum(CAST(round(" +
+      "CAST(r.rel AS DOUBLE) * 1000000.0 / log2(b.rk + 1)) AS BIGINT)) AS BIGINT) AS dcg_ppm " +
+      "FROM brk b JOIN nrel r ON r.query_id = b.query_id AND r.doc_id = b.doc_id GROUP BY 1), " +
+      "nid AS (SELECT query_id, CAST(sum(CAST(round(" +
+      "CAST(rel AS DOUBLE) * 1000000.0 / log2(irk + 1)) AS BIGINT)) AS BIGINT) AS idcg_ppm " +
+      "FROM (SELECT query_id, rel, doc_id, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id) AS irk FROM nrel) t " +
+      s"WHERE irk <= $k GROUP BY 1) " +
+      "SELECT d.query_id, d.dcg_ppm, i.idcg_ppm, " +
+      "CAST(d.dcg_ppm AS DOUBLE) / CAST(i.idcg_ppm AS DOUBLE) AS ndcg " +
+      "FROM ndc d JOIN nid i USING (query_id)"
+
+  /** Oracle for `media_scene_cuts`: every frame of the stub container
+    * (the `mediaFrameStats` slicing with everyN = 1), hashed with the
+    * shared [[ahashOfVals]] arithmetic, consecutive frames joined on
+    * `f + 1` and kept where the Hamming distance jumps.
+    */
+  def mediaSceneCuts(nFrames: Int, minHamming: Int): String =
+    s"WITH m AS (SELECT doc_id, text, length(text) AS tn, " +
+      s"greatest(length(text) // $nFrames, 1) AS fs FROM documents), " +
+      "fr AS (SELECT doc_id, fs, tn, text, CAST(unnest(generate_series(0, " +
+      "CAST((tn + fs - 1) // fs AS INT) - 1)) AS INT) AS f FROM m), " +
+      "fe AS (SELECT doc_id, f, list_transform(range(CAST(f * fs + 1 AS INT), " +
+      "CAST(least((f + 1) * fs, tn) AS INT) + 1), " +
+      "i -> ord(substr(text, CAST(i AS INT), 1))) AS vals FROM fr), " +
+      "tl AS (SELECT doc_id, f, vals, len(vals) AS n, list_sum(vals) AS total FROM fe), " +
+      s"h AS (SELECT doc_id, f, $ahashOfVals AS ahash FROM tl) " +
+      "SELECT a.doc_id AS media_id, b.f AS frame_idx, " +
+      "CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming " +
+      "FROM h a JOIN h b ON a.doc_id = b.doc_id AND b.f = a.f + 1 " +
+      s"WHERE bit_count(xor(a.ahash, b.ahash)) >= $minHamming"
+
+  /** Oracle for `text_readability`: exact long counts per source
+    * (words / sentence-break runs floored at 1 / vowel-group syllable
+    * proxy), Flesch formula once per source row as the identical
+    * double expression tree.
+    */
+  def readabilityBySource: String =
+    "SELECT source, count(*) AS n_docs, " +
+      "CAST(sum(w) AS BIGINT) AS sum_words, " +
+      "CAST(sum(s) AS BIGINT) AS sum_sentences, " +
+      "CAST(sum(sy) AS BIGINT) AS sum_syllables, " +
+      "CAST(206.835 AS DOUBLE) - CAST(1.015 AS DOUBLE) * " +
+      "(CAST(sum(w) AS DOUBLE) / CAST(sum(s) AS DOUBLE)) - CAST(84.6 AS DOUBLE) * " +
+      "(CAST(sum(sy) AS DOUBLE) / CAST(sum(w) AS DOUBLE)) AS flesch " +
+      "FROM (SELECT source, " +
+      "len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')) AS w, " +
+      "greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s, " +
+      "len(regexp_extract_all(lower(text), '[aeiou]+')) AS sy FROM documents) t " +
+      "GROUP BY source"
+
   // ------------------------------------------------------------- z-order
 
   /** DuckDB replay of `Layout.zValue`: the same 16-bit linear

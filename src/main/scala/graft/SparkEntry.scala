@@ -430,6 +430,11 @@ object SparkEntry {
       // by construction (the green row proves index == corpus)
       Search.bm25TopKFromIndex(
         Search.invertedIndex(rd(s, d, "documents")), bm25Queries, k = 10)),
+    "search_ndcg" -> ((s, d) =>
+      // ranking-quality eval for the lexical path: NDCG@10 of the BM25
+      // order against term-overlap relevance grades, with ppm-integer
+      // DCG terms so the result replays bit-for-bit
+      Search.ndcgAtK(rd(s, d, "documents"), bm25Queries, k = 10)),
     "search_bm25_deleted" -> ((s, d) => {
       // the revocation path: every 7th doc is taken down by a broadcast
       // anti-join over the index (no re-tokenization); serving from the
@@ -949,6 +954,14 @@ object SparkEntry {
           col("bytes"))
       Multimodal.ahashPairs(frames, maxHamming = 0)
     }),
+    "media_scene_cuts" -> ((s, d) =>
+      // scene-boundary detection: perceptual distance between
+      // CONSECUTIVE frames (lag window per asset), cut where the aHash
+      // jumps ≥ 12 bits — the temporal sibling of media_frame_pairs'
+      // cross-asset Hamming ball
+      Multimodal.sceneCuts(
+        Multimodal.fromText(rd(s, d, "documents"), "doc_id", "text", "video"),
+        everyN = 1, minHamming = 12)),
     "media_silence_segments" -> ((s, d) =>
       // audio-style segmentation: per-block integer PCM energy (one
       // codegen pass), voiced runs found by gaps-and-islands — per-key
@@ -1126,6 +1139,14 @@ object SparkEntry {
       graft.operators.Quality.kAnonymize(
         rd(s, d, "customer").select("c_custkey", "c_mktsegment", "c_nationkey"),
         Seq("c_mktsegment", "c_nationkey"), k = 10)),
+    "dq_l_diversity" -> ((s, d) =>
+      // the homogeneity-attack audit beside dq_k_anonymity: cohort
+      // size AND sensitive-value diversity (balance band of c_acctbal)
+      // per quasi-identifier cohort, with the l >= 5 release flag
+      graft.operators.Quality.lDiversityReport(
+        rd(s, d, "customer"),
+        Seq("c_mktsegment", "c_nationkey"),
+        floor(col("c_acctbal") / 2000.0).cast("long"), l = 5)),
     "u5_table_diff" -> ((s, d) => {
       // CDC between two deterministic snapshots of customer: balances
       // shifted for every 4th key (changed), every 11th key dropped
@@ -1622,6 +1643,10 @@ object SparkEntry {
       TextAnalysis.sourceDistinctiveTerms(rd(s, d, "documents"), k = 5)),
     "text_tfidf_terms" -> ((s, d) =>
       TextAnalysis.topDistinctiveTerms(rd(s, d, "documents"), k = 3)),
+    "text_readability" -> ((s, d) =>
+      // corpus-level Flesch reading ease per source from exact long
+      // counts (words / sentence runs / vowel-group syllable proxy)
+      TextAnalysis.readabilityBySource(rd(s, d, "documents"))),
     "text_novelty_curve" -> ((s, d) => {
       // corpus-saturation audit: novel-trigram yield per source by
       // crawl-order decile — the "is this source mined out?" signal.
@@ -2908,6 +2933,14 @@ object SparkEntry {
         "WHERE qty >= 10.0 AND qty <= 20.0 AND price >= 10000.0 AND price <= 20000.0) " +
         "SELECT s.n_files_total, s.n_files_kept, s.n_rows_scanned, m.n_rows_match FROM s, m"),
     "dq_robust_mad" -> robustMadSql("events"),
+    "dq_l_diversity" ->
+      ("SELECT c_mktsegment, c_nationkey, count(*) AS n_rows, " +
+        "count(DISTINCT CAST(floor(c_acctbal / 2000.0) AS BIGINT)) AS n_sensitive, " +
+        "count(DISTINCT CAST(floor(c_acctbal / 2000.0) AS BIGINT)) >= 5 AS meets_l " +
+        "FROM customer GROUP BY 1, 2"),
+    "search_ndcg" -> OracleSql.ndcgAtK(bm25Queries, k = 10),
+    "media_scene_cuts" -> OracleSql.mediaSceneCuts(16, 12),
+    "text_readability" -> OracleSql.readabilityBySource,
     "pipeline_training_mix" -> {
       val e = graft.operators.TextAnalysis.emailPattern
       val ip = graft.operators.TextAnalysis.ipv4Pattern

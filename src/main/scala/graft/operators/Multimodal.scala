@@ -229,6 +229,36 @@ object Multimodal {
     * content), and verification is integer ops on the joined row — the
     * same bucketed-not-all-pairs shape as the text near-dup family.
     */
+  /** Scene-cut detection: consecutive sampled frames of each video are
+    * aHashed and a cut is declared wherever the perceptual distance
+    * jumps — `popcount(ahash_i XOR ahash_{i−1}) >= minHamming`. Output
+    * `(media_id, frame_idx, hamming)` with `frame_idx` the first frame
+    * of the new scene.
+    *
+    * Scale shape: the lag window partitions by `media_id`, so per-key
+    * state is ONE asset's frame list (bounded by container length) —
+    * the corpus shuffles once on the media key, same bound as
+    * sessionization. Hashing is the codegen'd integer
+    * [[graft.plans.AHash64]]; no decoder round trip beyond the frame
+    * slicing itself.
+    */
+  def sceneCuts(
+      media: Dataset[Media],
+      everyN: Int = 1,
+      minHamming: Int = 8,
+      decoder: MediaDecoder = StubDecoder): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    sampleFrames(media, everyN, decoder).toDF()
+      .select(col("media_id"), col("frame_idx"),
+        graft.functions.ahash64(col("bytes")).as("ahash"))
+      .withColumn("__prev", lag(col("ahash"), 1).over(w))
+      .where(col("__prev").isNotNull)
+      .select(col("media_id"), col("frame_idx"),
+        bit_count(col("ahash").bitwiseXOR(col("__prev"))).as("hamming"))
+      .where(col("hamming") >= minHamming)
+  }
+
   def ahashPairs(mediaDf: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
     val nChunks = maxHamming + 1

@@ -262,4 +262,31 @@ object Quality {
     df.join(sizes, on)
       .select(df.columns.map(col) :+ col("qi_group_n"): _*)
   }
+
+  /** l-diversity audit: k-anonymity's necessary companion. A cohort
+    * can be large (k-anonymous) yet leak the sensitive attribute
+    * anyway if everyone in it shares one value — the homogeneity
+    * attack. This reports, per quasi-identifier cohort, its size and
+    * the number of DISTINCT sensitive values, with the release flag
+    * `n_sensitive >= l`.
+    *
+    * One aggregation with a count-distinct — Spark runs it as the
+    * standard two-phase expand (partial distinct per partition, then
+    * the merge), still a single keyed shuffle on the QI space. The
+    * report is cohort-sized, not row-sized; join it back with
+    * [[kAnonymize]]'s count-table pattern to gate an actual release.
+    */
+  def lDiversityReport(
+      df: DataFrame,
+      qiCols: Seq[String],
+      sensitive: Column,
+      l: Long): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 1, "l must be >= 1")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(sensitive).as("n_sensitive"))
+      .withColumn("meets_l", col("n_sensitive") >= l)
+  }
 }

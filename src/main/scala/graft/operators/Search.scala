@@ -280,4 +280,57 @@ object Search {
       .filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col(idCol), col("rrf_score"))
   }
+
+  /** NDCG@k of the BM25 ranking against a term-overlap relevance
+    * grade: rel(q, d) = number of distinct query terms present in d.
+    * The ranking-quality eval for the lexical path, beside the ANN
+    * eval harness's recall@k.
+    *
+    * Kept order-independent and engine-portable the same way the BM25
+    * scores are: each DCG term `rel / log2(rank+1)` is computed in
+    * double (one fixed expression), scaled to ppm and ROUNDED TO AN
+    * INTEGER, then summed as longs — so the sum order Spark picks
+    * cannot wiggle the result. `ndcg` is the one final double division.
+    *
+    * Shape at 100 TB: relevance grades live only on docs containing
+    * ≥ 1 query term (the btf-sized slice, not the corpus); the ideal
+    * ranking is a per-query top-k window over that slice — the same
+    * bound as the BM25 ranking itself.
+    *
+    * Output: (query_id, dcg_ppm, idcg_ppm, ndcg).
+    */
+  def ndcgAtK(
+      docs: DataFrame,
+      queries: Seq[(Int, Seq[String])],
+      k: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranking = bm25TopK(docs, queries, k, textCol, idCol)
+    val qvocab = queries.flatMap(_._2.map(_.toLowerCase)).distinct
+    val qterms = queries
+      .flatMap { case (q, ts) => ts.map(_.toLowerCase).distinct.map(t => (q, t)) }
+      .toDF("query_id", "token")
+    val docTerms = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .filter(col("token").isin(qvocab: _*))
+      .distinct()
+    val rel = docTerms.join(broadcast(qterms), "token")
+      .groupBy(col("query_id"), col(idCol))
+      .agg(count(lit(1)).as("rel"))
+    def term(rkCol: Column): Column =
+      round(col("rel").cast("double") * 1000000.0 / log2(rkCol + lit(1)))
+        .cast("long")
+    val dcg = ranking.join(rel, Seq("query_id", idCol))
+      .groupBy("query_id").agg(sum(term(col("rk"))).as("dcg_ppm"))
+    val idcg = rel
+      .withColumn("__irk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("rel").desc, col(idCol))))
+      .filter(col("__irk") <= k)
+      .groupBy("query_id").agg(sum(term(col("__irk"))).as("idcg_ppm"))
+    dcg.join(idcg, "query_id")
+      .select(col("query_id"), col("dcg_ppm"), col("idcg_ppm"),
+        (col("dcg_ppm").cast("double") / col("idcg_ppm").cast("double")).as("ndcg"))
+  }
 }

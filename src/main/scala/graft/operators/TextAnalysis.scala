@@ -1196,4 +1196,35 @@ object TextAnalysis {
       .where(col("__bin") >= col("__thr"))
       .select(idCol)
   }
+
+  /** Source-level Flesch reading-ease profile from exact integer
+    * counts: words (non-empty whitespace tokens), sentences (runs of
+    * `[.!?]`, floored at one per doc), and a syllable proxy (runs of
+    * `[aeiou]` in the lowercased text — the standard cheap stand-in;
+    * hyphenation-exact syllables need a dictionary).
+    *
+    * All three counts aggregate per source as LONG sums — one
+    * combinable scan — and the Flesch formula
+    * `206.835 − 1.015·(W/S) − 84.6·(Sy/W)` runs ONCE per source row on
+    * the exact sums, as a fixed double expression both engines
+    * evaluate identically. Averaging per-doc double scores instead
+    * would reintroduce sum-order noise and weight short docs equally
+    * with long ones; the sum-first form is the corpus-level score.
+    */
+  def readabilityBySource(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val words = size(filter(tokens(col(textCol)), t => t =!= ""))
+    val sentences = greatest(
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))), lit(1))
+    val syllables = size(regexp_extract_all(lower(col(textCol)), lit("[aeiou]+"), lit(0)))
+    val agg = docs.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(words.cast("long")).as("sum_words"),
+        sum(sentences.cast("long")).as("sum_sentences"),
+        sum(syllables.cast("long")).as("sum_syllables"))
+    agg.withColumn("flesch",
+      lit(206.835)
+        - lit(1.015) * (col("sum_words").cast("double") / col("sum_sentences").cast("double"))
+        - lit(84.6) * (col("sum_syllables").cast("double") / col("sum_words").cast("double")))
+  }
 }

@@ -203,6 +203,20 @@ class MergeSuite extends AnyFunSuite with SparkTest {
     assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 6L -> 3L, 7L -> 3L, 8L -> 3L))
   }
 
+  test("lDiversityReport flags homogeneous cohorts a size check would pass") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      // big cohort, single sensitive value: k-anonymous yet homogeneous
+      (1L, "a", 7L), (2L, "a", 7L), (3L, "a", 7L), (4L, "a", 7L),
+      // small but diverse cohort
+      (5L, "b", 1L), (6L, "b", 2L)
+    ).toDF("id", "qi", "sensitive")
+    val got = graft.operators.Quality.lDiversityReport(df, Seq("qi"), col("sensitive"), l = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got == Map("a" -> ((4L, 1L, false)), "b" -> ((2L, 2L, true))))
+  }
+
   test("categoricalDrift reports exact ppm shares, zeros for absent sides") {
     val s = spark; import s.implicits._
     val before = Seq("x", "x", "x", "y").toDF("cat")          // x 75%, y 25%

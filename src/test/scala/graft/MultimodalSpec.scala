@@ -123,6 +123,26 @@ class MultimodalSpec extends AnyFunSuite with SparkTest {
     assert(e.toLongArray().toSeq == Seq(0L, 17956L, 0L, 1936L, 8978L))
   }
 
+
+  test("sceneCuts: uniform video has no cuts; an abrupt change cuts exactly once") {
+    val s = spark; import s.implicits._
+    // 64 bytes -> stub fs = 4, 16 frames. Doc 1 is uniform (every frame
+    // identical -> Hamming 0 everywhere). Doc 2 flips halfway from 'a's
+    // to 'z!' alternation: within each half frames repeat, so the only
+    // perceptual jump is at the half boundary.
+    val uniform = "ab" * 32
+    val shift = ("aaaa" * 8) + ("z!z!" * 8)
+    val m = Seq((1L, uniform, "video"), (2L, shift, "video"))
+      .toDF("doc_id", "text", "kind")
+    val cuts = Multimodal.sceneCuts(
+        Multimodal.fromText(m, "doc_id", "text", "video"),
+        everyN = 1, minHamming = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toList
+    assert(!cuts.exists(_._1 == 1L), "uniform video must have zero cuts")
+    assert(cuts.filter(_._1 == 2L).map(_._2) == List(8),
+      "the only cut is the first frame of the changed half")
+  }
+
   test("ahashPairs finds planted brightness variants and agrees with brute force") {
     val ds = Multimodal.fromText(media, "doc_id", "text", "image")
     val all = ds.unionByName(Multimodal.brightnessVariant(ds, 8, 100L))

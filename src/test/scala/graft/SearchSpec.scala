@@ -139,6 +139,37 @@ class SearchSpec extends AnyFunSuite with SparkTest {
     graft.operators.Caches.release()
   }
 
+
+  test("ndcgAtK: inclusion-ordered corpus ranks ideally (ndcg exactly 1)") {
+    val s = spark; import s.implicits._
+    // equal doc lengths => per-term BM25 scores are identical across
+    // docs, so the score is monotone in the matched-term SET and the
+    // BM25 order equals the relevance order => DCG == IDCG term-wise.
+    val docs = Seq(
+      (1L, "x y z"), (2L, "x y q"), (3L, "x q q"), (4L, "q q q")
+    ).toDF("doc_id", "text")
+    val out = Search.ndcgAtK(docs, Seq(1 -> Seq("x", "y", "z")), k = 3)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == r.getLong(2), "dcg_ppm must equal idcg_ppm")
+    assert(r.getDouble(3) == 1.0)
+  }
+
+  test("ndcgAtK penalizes an inverted ranking below 1") {
+    val s = spark; import s.implicits._
+    // one rare high-rel doc vs a doc stuffed with the common term:
+    // tf weighting ranks the stuffed doc first, but relevance grades
+    // disagree -> ndcg < 1 while staying positive
+    val docs = Seq(
+      (1L, "x x x x x x q q"), (2L, "x y z q q q q q")
+    ).toDF("doc_id", "text")
+    val out = Search.ndcgAtK(docs, Seq(7 -> Seq("x", "y", "z")), k = 2)
+      .collect().head
+    assert(out.getLong(1) > 0L && out.getLong(1) <= out.getLong(2))
+    assert(out.getDouble(3) > 0.0 && out.getDouble(3) <= 1.0)
+  }
+
   test("rrfFuse hand-computed: overlap beats either single list") {
     val s = spark; import s.implicits._
     // system A ranks docs 1,2,3; system B ranks 2,3,4. kRrf=60.

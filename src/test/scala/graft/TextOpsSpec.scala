@@ -421,6 +421,23 @@ class TextOpsSpec extends AnyFunSuite with SparkTest {
     assert(first > later)
   }
 
+
+  test("readabilityBySource: hand-computed Flesch on exact counts") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "Hello world. Nice day!", "w"),
+      (2L, "no terminator here", "w") // sentence count floors at 1
+    ).toDF("doc_id", "text", "source")
+    val r = graft.operators.TextAnalysis.readabilityBySource(docs).collect().head
+    assert(r.getLong(1) == 2L)
+    assert(r.getLong(2) == 4L + 3L, "words")
+    assert(r.getLong(3) == 2L + 1L, "sentence runs, floored")
+    // hello(e,o) world(o) nice(i,e) day(a) = 6; no(o) terminator(e,i,a,o) here(e,e) = 7
+    assert(r.getLong(4) == 6L + 7L, "vowel-group syllable proxy")
+    val expected = 206.835 - 1.015 * (7.0 / 3.0) - 84.6 * (13.0 / 7.0)
+    assert(math.abs(r.getDouble(5) - expected) < 1e-12)
+  }
+
   test("multi_count: Aho-Corasick counts all occurrences, nested and overlapping") {
     val s = spark; import s.implicits._
     val pats = Seq("table scan", "scan", "aa", "missing")

@@ -1473,6 +1473,24 @@ object OracleSql {
       "len(regexp_extract_all(lower(text), '[aeiou]+')) AS sy FROM documents) t " +
       "GROUP BY source"
 
+  /** Oracle for `seq_ewma`: the identical W-lag dyadic chain over the
+    * same (user, ts, event_id) window — exact long numerator and
+    * present-weight denominator, one double division.
+    */
+  def ewmaTrailing(window: Int): String = {
+    val terms = (0 until window)
+      .map(d => s"coalesce(lag(u, $d) OVER w, 0) * ${1L << (window - 1 - d)}")
+      .mkString(" + ")
+    val dterms = (0 until window)
+      .map(d => s"CASE WHEN lag(u, $d) OVER w IS NOT NULL THEN ${1L << (window - 1 - d)} ELSE 0 END")
+      .mkString(" + ")
+    "WITH e AS (SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS u FROM events), " +
+      s"s AS (SELECT user_id, ts, event_id, ($terms) AS num, ($dterms) AS den " +
+      "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) " +
+      "SELECT user_id, ts, event_id, CAST(num AS BIGINT) AS ewma_num, " +
+      "CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS ewma FROM s"
+  }
+
   // ------------------------------------------------------------- z-order
 
   /** DuckDB replay of `Layout.zValue`: the same 16-bit linear

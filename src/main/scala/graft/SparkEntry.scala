@@ -630,6 +630,29 @@ object SparkEntry {
         .withColumn("drop_ppm",
           expr("(n_docs - n_kept) * 1000000 div n_docs"))
     }),
+    "pipeline_data_card" -> ((s, d) => {
+      // the release artifact: one row per source summarizing what ships
+      // — volume (docs/chars/words), near-dup drop rate, and corpus
+      // readability — composed from the SAME operators the pipeline
+      // runs (keep-list dedup + readability counts), so the card can
+      // never disagree with the pipeline it describes
+      val docs = rd(s, d, "documents")
+      val keep = Dedup.keepListFromClusters(docs,
+        Dedup.dedupClusters(Dedup.ngramJaccardPairs(docs, 1, 20)))
+      val rate = docs.join(keep.select("doc_id", "keep_flag"), "doc_id")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("keep_flag").cast("long")).as("n_kept"),
+          sum(col("n_chars")).as("sum_chars"))
+        .withColumn("drop_ppm",
+          expr("(n_docs - n_kept) * 1000000 div n_docs"))
+      val rdbl = TextAnalysis.readabilityBySource(docs)
+        .select(col("source"), col("sum_words"), col("flesch"))
+      rate.join(rdbl, "source")
+        .select("source", "n_docs", "n_kept", "drop_ppm", "sum_chars",
+          "sum_words", "flesch")
+    }),
     "link_best_match" -> ((s, d) => {
       // fuzzy record linkage: docs 0-49 each link to their most
       // trigram-similar doc in the 50+ corpus (scaled-integer Jaccard,
@@ -1569,6 +1592,12 @@ object SparkEntry {
       Incremental.updateCounts(prev, ev.filter(col("ts") >= cutoff),
         Seq("user_id"), cents)
     }),
+    "seq_ewma" -> ((s, d) =>
+      // exact dyadic EWMA: trailing 20-event exponential smoothing per
+      // user with power-of-two weights in long arithmetic — the
+      // time-series smoother, bit-reproducible
+      Events.ewmaTrailing(rd(s, d, "events"), "user_id", Seq("ts", "event_id"),
+        round(col("value") * 100).cast("long"), window = 20)),
     "incr_agg_retract" -> ((s, d) => {
       // CDC / right-to-be-forgotten repair: the materialized per-user
       // aggregate is patched with signed delta rows — inserts for the
@@ -2287,6 +2316,25 @@ object SparkEntry {
         "CAST(sum(CASE WHEN keep_flag = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars, " +
         "CAST((count(*) - sum(keep_flag)) * 1000000 // count(*) AS BIGINT) AS drop_ppm " +
         "FROM kl GROUP BY source"),
+    "pipeline_data_card" ->
+      (s"WITH RECURSIVE $ngramCtes, " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
+        "wlk(node, root) AS (SELECT DISTINCT src, src FROM edges " +
+        "UNION SELECT e.dst, k.root FROM wlk k JOIN edges e ON e.src = k.node), " +
+        "cl AS (SELECT node AS doc_id, min(root) AS cluster_id FROM wlk GROUP BY node), " +
+        "reps AS (SELECT c.doc_id, c.cluster_id, row_number() OVER " +
+        "(PARTITION BY c.cluster_id ORDER BY d.n_chars DESC, c.doc_id) AS rn " +
+        "FROM cl c JOIN documents d ON d.doc_id = c.doc_id), " +
+        "kl AS (SELECT d.doc_id, d.source, d.n_chars, " +
+        "CASE WHEN r.doc_id IS NULL OR r.rn = 1 THEN 1 ELSE 0 END AS keep_flag " +
+        "FROM documents d LEFT JOIN reps r ON r.doc_id = d.doc_id), " +
+        "rate AS (SELECT source, count(*) AS n_docs, CAST(sum(keep_flag) AS BIGINT) AS n_kept, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "CAST((count(*) - sum(keep_flag)) * 1000000 // count(*) AS BIGINT) AS drop_ppm " +
+        "FROM kl GROUP BY source), " +
+        s"rdbl AS (${OracleSql.readabilityBySource}) " +
+        "SELECT r.source, r.n_docs, r.n_kept, r.drop_ppm, r.sum_chars, " +
+        "t.sum_words, t.flesch FROM rate r JOIN rdbl t ON t.source = r.source"),
     "dedup_embed_cosine" ->
       ("SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a JOIN embeddings b " +
         "ON a.vec_id < b.vec_id WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"),
@@ -2904,6 +2952,7 @@ object SparkEntry {
       ("SELECT user_id, count(*) AS n_events, " +
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_units " +
         "FROM events GROUP BY user_id"),
+    "seq_ewma" -> OracleSql.ewmaTrailing(20),
     "incr_agg_retract" ->
       ("SELECT user_id, count(*) AS n_events, " +
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_units " +

@@ -51,6 +51,49 @@ object Events {
         round(sum(col("value")), 2).as("sum_value"))
   }
 
+  /** Exponentially-weighted trailing average per key, EXACT: the
+    * classic EWMA recursion `s_i = (x_i + s_{i-1}) / 2` truncated to a
+    * `window`-event tail, computed as the dyadic sum
+    * `Σ_{d=0..W-1} lag(x, d) · 2^(W-1-d)` in LONG arithmetic — every
+    * weight is a power of two, so the smoothed value is an exact
+    * integer numerator over the constant denominator `2^(W-1)` and
+    * replays bit-for-bit in any engine. (An untruncated recursion
+    * cannot be windowed; the dropped tail's weight is ≤ 2^-W — below
+    * one unit for W ≥ 20 at cent scale.)
+    *
+    * The W lag columns share ONE window definition, so Catalyst
+    * evaluates a single per-key ordered pass — same shuffle bound as
+    * sessionization (one keyed sort, per-key state = W rows).
+    * Overflow bound: `units · 2^W · W` must fit a long — with cent
+    * units (< 2^21) and W = 20 that is < 2^46.
+    *
+    * Output: input keys + ordering columns + `ewma_num` (exact LONG
+    * numerator), `ewma` (the one double division).
+    */
+  def ewmaTrailing(
+      events: DataFrame,
+      keyCol: String,
+      orderCols: Seq[String],
+      unitsExpr: org.apache.spark.sql.Column,
+      window: Int = 20): DataFrame = {
+    require(window >= 1 && window <= 40, "window must be in [1, 40]")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col): _*)
+    val num = (0 until window).map { d =>
+      coalesce(lag(unitsExpr, d).over(w), lit(0L)) * lit(1L << (window - 1 - d))
+    }.reduce(_ + _)
+    // the weights actually present (ramp-up rows have fewer than W
+    // predecessors): a power-of-two partial sum, exact
+    val denom = (0 until window).map { d =>
+      when(lag(unitsExpr, d).over(w).isNotNull, lit(1L << (window - 1 - d)))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    events.select(
+      (keyCol +: orderCols).map(col) :+
+        num.as("ewma_num") :+
+        (num.cast("double") / denom.cast("double")).as("ewma"): _*)
+  }
+
   /** Hourly gap-fill (resample + fill-forward): one row per user per
     * hour between their first and last event, carrying the latest
     * reading at-or-before each grid point — the time-series

@@ -481,6 +481,52 @@ object Streams {
       }
       .start()
 
+  /** CDC-stream maintenance: like [[incrementalCountsStream]] but the
+    * stream rows carry a signed `opCol` (+1 insert / −1 retract), so a
+    * deletion event repairs the materialized aggregate in the same
+    * O(micro-batch) fold — the streaming right-to-be-forgotten path
+    * ([[graft.operators.Incremental.updateWithRetractions]]). Replayed
+    * batches are skipped via the same atomically-committed batch-id
+    * stamp; fully-retracted keys drop from the table at the fold that
+    * zeroes them.
+    */
+  def retractionCountsStream(
+      stream: DataFrame,
+      warehouseDir: String,
+      table: String,
+      keys: Seq[String],
+      valueUnits: org.apache.spark.sql.Column,
+      opCol: org.apache.spark.sql.Column,
+      checkpointPath: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        import graft.sources.Warehouse
+        val spark = batch.sparkSession
+        val emptyAgg = batch.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("n_events"), sum(valueUnits).as("sum_units"))
+          .withColumn("last_batch_id", lit(-1L))
+          .limit(0)
+        val prev =
+          if (Warehouse.exists(spark, warehouseDir, table))
+            Warehouse.read(spark, warehouseDir, table)
+          else emptyAgg
+        val lastId = prev.select(max(col("last_batch_id"))).collect()
+          .headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+          .getOrElse(-1L)
+        if (id > lastId) {
+          val updated = graft.operators.Incremental.updateWithRetractions(
+            prev.drop("last_batch_id"), batch, keys, valueUnits, opCol)
+            .withColumn("last_batch_id", lit(id))
+          Warehouse.overwrite(updated, warehouseDir, table)
+        }
+      }
+      .start()
+
   /** Stream-stream inner join: views joined to purchases by the same
     * user within `[view.ts, view.ts + joinWindow]` — the online form of
     * the funnel/attribution join.

@@ -81,6 +81,21 @@ class EventsSpec extends AnyFunSuite with SparkTest {
       "2024-01-01 13:00:00.0" -> 1L))
   }
 
+  test("ewmaTrailing: exact dyadic weights, ramp-up normalization, per-key isolation") {
+    val s = spark; import s.implicits._
+    val ev = Seq(
+      (1L, 100L, 4L), (1L, 200L, 8L), (1L, 300L, 2L),
+      (2L, 100L, 6L) // second key: its own ramp-up, untouched by key 1
+    ).toDF("user_id", "seq", "units")
+    val out = Events.ewmaTrailing(ev, "user_id", Seq("seq"), col("units"), window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // W=2: weights (current, previous) = (2, 1)
+    assert(out((1L, 100L)) == ((8L, 4.0)), "first row: 4*2, denom 2")
+    assert(out((1L, 200L)) == ((20L, 20.0 / 3.0)), "8*2 + 4*1 over 3")
+    assert(out((1L, 300L)) == ((12L, 4.0)), "2*2 + 8*1 over 3")
+    assert(out((2L, 100L)) == ((12L, 6.0)), "other key ramps up independently")
+  }
+
   test("tumblingHourly buckets on the hour") {
     val s = spark; import s.implicits._
     val events = Seq(

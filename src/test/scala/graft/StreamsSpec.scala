@@ -207,6 +207,29 @@ class StreamsSpec extends AnyFunSuite with SparkTest {
     } finally q.stop()
   }
 
+  test("streaming retraction fold repairs the aggregate and drops zeroed keys") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("retr_stream").toString
+    val input = MemoryStream[(Long, Long, Int)]
+    val q = graft.streaming.Streams.retractionCountsStream(
+      input.toDF().toDF("user_id", "units", "op"), dir, "user_counts",
+      Seq("user_id"), col("units"), col("op"), s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      input.addData((1L, 10L, 1), (1L, 5L, 1), (2L, 7L, 1))
+      q.processAllAvailable()
+      // batch 2: retract one of user 1's rows, fully revoke user 2,
+      // insert user 3
+      input.addData((1L, 5L, -1), (2L, 7L, -1), (3L, 9L, 1))
+      q.processAllAvailable()
+      val out = graft.sources.Warehouse.read(s, dir, "user_counts")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(out == Map(1L -> ((1L, 10L)), 3L -> ((1L, 9L))),
+        "user 2 fully retracted must vanish; user 1 keeps the surviving row")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate keys within the watermark horizon") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext

@@ -1618,6 +1618,20 @@ object SparkEntry {
       Incremental.updateWithRetractions(prev, inserts.unionByName(retracts),
         Seq("user_id"), cents, col("__op"))
     }),
+    "feat_standardize" -> ((s, d) =>
+      // per-type z-score + min-max ppm feature scaling from one
+      // broadcast moment table — ML preprocessing, bit-reproducible
+      Stats.standardize(rd(s, d, "events"), Seq("event_type"),
+        Seq("event_id"), round(col("value") * 100).cast("long"))),
+    "split_leakage_audit" -> ((s, d) => {
+      // does the split leak near-duplicates across the train/eval
+      // boundary? naive per-doc hashing vs the cluster-safe split over
+      // the SAME pair set; the safe count doubles as a proof-of-zero
+      val docs = rd(s, d, "documents")
+      Sampling.splitLeakageAudit(docs,
+        Dedup.ngramJaccardPairs(docs, 1, 20).select("id_a", "id_b"),
+        "doc_id", "exp1", splitFractions)
+    }),
     "stat_group_ols" -> ((s, d) =>
       // per-flag least squares of revenue-cents on quantity from exact
       // long moment sums — one combinable scan, closed-form fit
@@ -2958,6 +2972,24 @@ object SparkEntry {
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_units " +
         "FROM events WHERE NOT (user_id % 97 = 0 AND ts < TIMESTAMP '2024-01-28 00:00:00') " +
         "GROUP BY user_id"),
+    "feat_standardize" -> Stats.standardizeSql("events", Seq("event_type"),
+      Seq("event_id"), "CAST(round(value * 100) AS BIGINT)"),
+    "split_leakage_audit" ->
+      (s"WITH RECURSIVE $ngramCtes, " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
+        "wlk(node, root) AS (SELECT DISTINCT src, src FROM edges " +
+        "UNION SELECT e.dst, k.root FROM wlk k JOIN edges e ON e.src = k.node), " +
+        "cl AS (SELECT node AS doc_id, min(root) AS cluster_id FROM wlk GROUP BY node), " +
+        "spl AS (SELECT d.doc_id, " +
+        s"${OracleSql.hashSplitCase("CAST(d.doc_id AS VARCHAR)", "exp1", splitFractions)} AS split_naive, " +
+        s"${OracleSql.hashSplitCase("CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)", "exp1", splitFractions)} AS split_safe " +
+        "FROM documents d LEFT JOIN cl c ON c.doc_id = d.doc_id), " +
+        "agg AS (SELECT CAST(coalesce(sum(CASE WHEN a.split_naive <> b.split_naive THEN 1 ELSE 0 END), 0) AS BIGINT) AS naive_x, " +
+        "CAST(coalesce(sum(CASE WHEN a.split_safe <> b.split_safe THEN 1 ELSE 0 END), 0) AS BIGINT) AS safe_x, " +
+        "count(*) AS n_pairs FROM pairs p " +
+        "JOIN spl a ON a.doc_id = p.id_a JOIN spl b ON b.doc_id = p.id_b) " +
+        "SELECT 'hash_by_doc' AS method, naive_x AS n_cross_pairs, n_pairs FROM agg " +
+        "UNION ALL SELECT 'cluster_safe', safe_x, n_pairs FROM agg"),
     "stat_group_ols" -> Stats.groupOlsSql("lineitem", Seq("l_returnflag"),
       "CAST(l_quantity AS BIGINT)",
       "CAST(round(l_extendedprice * 100) AS BIGINT)"),

@@ -134,6 +134,56 @@ object Sampling {
       .drop("__cluster")
   }
 
+  /** Train/eval leakage audit: for the SAME near-dup pair set, count
+    * how many pairs straddle a split boundary under (a) the naive
+    * per-doc hash split and (b) the cluster-safe split — each
+    * straddling pair is an eval example whose near-duplicate sits in
+    * training. The cluster-safe count is zero BY CONSTRUCTION (both
+    * ends of a pair share a component, hence a split key); emitting it
+    * beside the naive count makes the audit self-verifying rather than
+    * vacuous, and the naive count quantifies the leakage the
+    * cluster-safe split bought you.
+    *
+    * Shape at scale: the split table is built once (one CC run + two
+    * split expressions), pairs join it twice on the doc key — all
+    * pair-table-sized, never corpus².
+    *
+    * Output: (method, n_cross_pairs, n_pairs).
+    */
+  def splitLeakageAudit(
+      docs: DataFrame,
+      pairs0: DataFrame,
+      idCol: String,
+      salt: String,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    // the pair set feeds BOTH the component build and the cross-split
+    // count — persist it once so an expensive candidate pipeline
+    // (inverted-index n-gram join) never runs twice
+    val pairs = Caches.persisted(pairs0.select("id_a", "id_b"))
+    val clusters = Dedup.dedupClusters(pairs)
+      .withColumnsRenamed(Map("doc_id" -> idCol, "cluster_id" -> "__cluster"))
+    val spl = docs.select(col(idCol)).join(clusters, Seq(idCol), "left")
+      .select(col(idCol),
+        splitCol(col(idCol), salt, fractions).as("__naive"),
+        splitCol(coalesce(col("__cluster"), col(idCol)), salt, fractions)
+          .as("__safe"))
+    val a = spl.select(col(idCol).as("id_a"),
+      col("__naive").as("__na"), col("__safe").as("__sa"))
+    val b = spl.select(col(idCol).as("id_b"),
+      col("__naive").as("__nb"), col("__safe").as("__sb"))
+    pairs.join(a, "id_a").join(b, "id_b")
+      .agg(
+        coalesce(sum(when(col("__na") =!= col("__nb"), 1L).otherwise(0L)), lit(0L))
+          .as("__naive_x"),
+        coalesce(sum(when(col("__sa") =!= col("__sb"), 1L).otherwise(0L)), lit(0L))
+          .as("__safe_x"),
+        count(lit(1)).as("n_pairs"))
+      .select(
+        expr("stack(2, 'hash_by_doc', __naive_x, 'cluster_safe', __safe_x) " +
+          "AS (method, n_cross_pairs)"),
+        col("n_pairs"))
+  }
+
   /** Exclusive upper-bound hex threshold for a single keep-rate on the
     * 65,536 grid (4 lowercase hex chars). Rates ≥ 1 have no threshold
     * (keep everything).

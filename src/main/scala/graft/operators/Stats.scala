@@ -137,6 +137,72 @@ object Stats {
     mom.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
 
+  /** Per-group feature scaling — the ML-preprocessing twin of
+    * [[groupOls]]: z-score and min-max-ppm per row, from one pass of
+    * exact per-group moments (n, Σx, Σx², min, max) broadcast back
+    * onto the rows.
+    *
+    * The z-score is computed as `(n·x − Σx) / √(n·Σx² − (Σx)²)` — the
+    * population z scaled by the constant √n, algebraically equivalent
+    * for any downstream use (thresholding, ranking, model input) and,
+    * critically, a SINGLE fixed double expression over exact longs, so
+    * it replays bit-for-bit. Min-max lands on an exact integer ppm
+    * grid. Degenerate groups (zero variance / zero range) emit NULL
+    * rather than NaN or a division error.
+    *
+    * Scale shape: the moment table is group-cardinality-sized and
+    * broadcast; the corpus is touched by one combinable aggregate and
+    * one map-side join — no window over the data, no second shuffle.
+    */
+  def standardize(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCols: Seq[String],
+      xUnits: Column): DataFrame = {
+    val rows = df.select(
+      (groupCols ++ idCols).map(col) :+ xUnits.as("units"): _*)
+    val m = rows.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("__n"), sum(col("units")).as("__s"),
+        sum(col("units") * col("units")).as("__ss"),
+        min(col("units")).as("__mn"), max(col("units")).as("__mx"))
+      .select(groupCols.map(c => col(c).as(s"__g_$c")) ++
+        Seq(col("__n"), col("__s"), col("__ss"), col("__mn"), col("__mx")): _*)
+    val on = groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _)
+    val nD = col("__n").cast("double")
+    val sD = col("__s").cast("double"); val ssD = col("__ss").cast("double")
+    val den = nD * ssD - sD * sD
+    rows.join(broadcast(m), on)
+      .select(
+        (groupCols ++ idCols).map(col) :+ col("units") :+
+          when(den > 0.0, (nD * col("units").cast("double") - sD) / sqrt(den))
+            .as("z_scaled") :+
+          when(col("__mx") > col("__mn"),
+            expr("(units - __mn) * 1000000 div (__mx - __mn)"))
+            .as("minmax_ppm"): _*)
+  }
+
+  /** DuckDB replay of [[standardize]]. */
+  def standardizeSql(
+      table: String,
+      groupCols: Seq[String],
+      idCols: Seq[String],
+      xUnitsSql: String): String = {
+    val g = groupCols.mkString(", ")
+    val ids = idCols.mkString(", ")
+    val outCols = (groupCols ++ idCols).map(c => s"r.$c").mkString(", ")
+    s"WITH r AS (SELECT $g, $ids, $xUnitsSql AS units FROM $table), " +
+      s"m AS (SELECT $g, count(*) AS n, CAST(sum(units) AS BIGINT) AS s, " +
+      "CAST(sum(units * units) AS BIGINT) AS ss, min(units) AS mn, max(units) AS mx " +
+      s"FROM r GROUP BY $g) " +
+      s"SELECT $outCols, r.units, " +
+      "CASE WHEN (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) > 0 " +
+      "THEN (CAST(n AS DOUBLE) * CAST(r.units AS DOUBLE) - CAST(s AS DOUBLE)) / " +
+      "sqrt(CAST(n AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) END AS z_scaled, " +
+      "CASE WHEN mx > mn THEN (r.units - mn) * 1000000 // (mx - mn) END AS minmax_ppm " +
+      s"FROM r JOIN m USING ($g)"
+  }
+
   /** DuckDB replay of [[corrMatrix]]: same single-scan moments, same
     * expression tree, UNION ALL of the pair rows.
     */

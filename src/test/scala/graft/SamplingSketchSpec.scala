@@ -81,6 +81,20 @@ class SamplingSketchSpec extends AnyFunSuite with SparkTest {
     assert(moved > 100, s"only $moved keys moved between salts")
   }
 
+
+  test("splitLeakageAudit: cluster-safe leaks zero pairs, naive split leaks some") {
+    val s = spark; import s.implicits._
+    val docs = (1L to 2000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = (1L to 100L).map(i => (i, i + 1000L)).toDF("id_a", "id_b")
+    val out = graft.operators.Sampling.splitLeakageAudit(
+        docs, pairs, "doc_id", "lk", Seq("train" -> 0.8, "val" -> 0.2))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("cluster_safe") == ((0L, 100L)),
+      "both ends of a pair share a component, so zero cross pairs by construction")
+    assert(out("hash_by_doc")._1 >= 1L && out("hash_by_doc")._2 == 100L,
+      "independent per-doc hashing must strand some pairs across the boundary")
+  }
+
   test("clusterSafeSplit: clusters move as one unit, singletons match hashSplit") {
     val s = spark; import s.implicits._
     val df = (0 until 60).map(_.toLong).toDF("doc_id")

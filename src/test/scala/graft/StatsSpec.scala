@@ -49,6 +49,24 @@ class StatsSpec extends AnyFunSuite with SparkTest {
     assert(scans <= 1, s"expected a single input scan, plan:\n$plan")
   }
 
+
+  test("standardize: hand-computed z and minmax grid; degenerate group -> NULLs") {
+    val s = spark; import s.implicits._
+    val df = Seq(("a", 1L, 2L), ("a", 2L, 4L), ("a", 3L, 6L),
+      ("b", 4L, 5L), ("b", 5L, 5L)).toDF("g", "id", "x")
+    val out = Stats.standardize(df, Seq("g"), Seq("id"), col("x"))
+      .collect().map(r => r.getLong(1) ->
+        ((if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    // group a: n=3, S=12, SS=56 -> den=24
+    val d = math.sqrt(24.0)
+    assert(out(1L) == ((Some((3.0 * 2.0 - 12.0) / d), Some(0L))))
+    assert(out(2L) == ((Some((3.0 * 4.0 - 12.0) / d), Some(500000L))))
+    assert(out(3L) == ((Some((3.0 * 6.0 - 12.0) / d), Some(1000000L))))
+    assert(out(4L) == ((None, None)), "zero variance and zero range -> NULLs")
+    assert(out(5L) == ((None, None)))
+  }
+
   test("groupOls matches its own SQL replay on random-ish integer data") {
     val s = spark; import s.implicits._
     // deterministic pseudo-data: the point is Spark-vs-Spark SQL replay

@@ -1378,6 +1378,40 @@ object SparkEntry {
       s.catalog.dropTempView(v)
       out
     }),
+    "dq_benford" -> ((s, d) => {
+      // first-digit distribution vs Benford's law — the classic
+      // fabricated-or-truncated-data audit for financial columns.
+      // Digits read off the exact integer cents' decimal string (no
+      // log10 floats); shares and deviations on the integer ppm grid
+      val units = round(col("l_extendedprice") * 100).cast("long")
+      val digits = rd(s, d, "lineitem")
+        .select(substring(units.cast("string"), 1, 1).as("digit"))
+      val counts = digits.groupBy("digit").agg(count(lit(1)).as("n"))
+      val total = digits.agg(count(lit(1)).as("__t"))
+      val expected = benfordPpm.tail.foldLeft(
+          when(col("digit") === benfordPpm.head._1, lit(benfordPpm.head._2))) {
+        case (acc, (dg, ppm)) => acc.when(col("digit") === dg, lit(ppm))
+      }
+      counts.crossJoin(broadcast(total))
+        .withColumn("share_ppm", expr("n * 1000000 div __t"))
+        .withColumn("benford_ppm", expected)
+        .select(col("digit"), col("n"), col("share_ppm"), col("benford_ppm"),
+          abs(col("share_ppm") - col("benford_ppm")).as("dev_ppm"))
+    }),
+    "q_dod_growth" -> ((s, d) => {
+      // period-over-period: daily revenue per type with lag-window
+      // growth on the exact ppm grid (positive-operand division only,
+      // so floor-vs-trunc semantics can never diverge across engines)
+      val cents = round(col("value") * 100).cast("long")
+      val m = rd(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(sum(cents).as("units"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      m.withColumn("prev_units", lag(col("units"), 1).over(w))
+        .withColumn("growth_ppm",
+          when(col("prev_units") > 0,
+            expr("(units * 1000000 div prev_units) - 1000000")))
+    }),
     "dq_robust_mad" -> ((s, d) => {
       // robust outliers via median/MAD (modified z-score > 3.5): the
       // median is immune to the very outliers a mean/stddev fence gets
@@ -1938,6 +1972,15 @@ object SparkEntry {
   }
 
   /** Shared by the `sample_hash_split` query and its oracle CASE. */
+  /** Benford first-digit expectation on the ppm grid —
+    * round(log10(1 + 1/d)·10⁶), precomputed so neither engine touches
+    * a transcendental at query time; the SAME Seq generates the Spark
+    * when-chain and the oracle CASE.
+    */
+  private val benfordPpm: Seq[(String, Int)] = Seq(
+    "1" -> 301030, "2" -> 176091, "3" -> 124939, "4" -> 96910,
+    "5" -> 79181, "6" -> 66947, "7" -> 57992, "8" -> 51153, "9" -> 45757)
+
   private val splitFractions: Seq[(String, Double)] =
     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
@@ -3014,6 +3057,25 @@ object SparkEntry {
         "WHERE qty >= 10.0 AND qty <= 20.0 AND price >= 10000.0 AND price <= 20000.0) " +
         "SELECT s.n_files_total, s.n_files_kept, s.n_rows_scanned, m.n_rows_match FROM s, m"),
     "dq_robust_mad" -> robustMadSql("events"),
+    "dq_benford" -> {
+      val caseExpr = "CASE digit " + benfordPpm
+        .map { case (dg, ppm) => s"WHEN '$dg' THEN $ppm" }.mkString(" ") + " END"
+      "WITH d AS (SELECT substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS digit FROM lineitem), " +
+        "c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1), " +
+        "t AS (SELECT count(*) AS tt FROM d) " +
+        "SELECT digit, n, CAST(n * 1000000 // tt AS BIGINT) AS share_ppm, " +
+        s"$caseExpr AS benford_ppm, " +
+        s"abs(CAST(n * 1000000 // tt AS BIGINT) - $caseExpr) AS dev_ppm " +
+        "FROM c, t"
+    },
+    "q_dod_growth" ->
+      ("WITH m AS (SELECT date_trunc('day', ts) AS day, event_type, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS units " +
+        "FROM events GROUP BY 1, 2) " +
+        "SELECT day, event_type, units, lag(units, 1) OVER w AS prev_units, " +
+        "CASE WHEN lag(units, 1) OVER w > 0 THEN " +
+        "(units * 1000000 // lag(units, 1) OVER w) - 1000000 END AS growth_ppm " +
+        "FROM m WINDOW w AS (PARTITION BY event_type ORDER BY day)"),
     "dq_l_diversity" ->
       ("SELECT c_mktsegment, c_nationkey, count(*) AS n_rows, " +
         "count(DISTINCT CAST(floor(c_acctbal / 2000.0) AS BIGINT)) AS n_sensitive, " +

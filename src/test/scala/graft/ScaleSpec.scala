@@ -175,6 +175,26 @@ class ScaleSpec extends AnyFunSuite with SparkTest {
     graft.operators.Caches.release()
   }
 
+
+  test("ewmaTrailing plans ONE window pass; standardize broadcasts the moment table") {
+    val s = spark; import s.implicits._
+    val ev = (1 to 1000).map(i => (i.toLong % 7, i.toLong, (i % 50).toLong))
+      .toDF("user_id", "seq", "units")
+    val ewmaPlan = graft.operators.Events
+      .ewmaTrailing(ev, "user_id", Seq("seq"), col("units"), window = 20)
+      .queryExecution.executedPlan.toString
+    // all W lag terms share one window definition -> exactly one Window
+    // operator (a second one would mean a second per-key sorted pass)
+    val nWindows = "\\bWindow\\b".r.findAllIn(ewmaPlan).size
+    assert(nWindows == 1, s"expected one Window op, got $nWindows:\n$ewmaPlan")
+
+    val stdPlan = graft.operators.Stats
+      .standardize(ev, Seq("user_id"), Seq("seq"), col("units"))
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(stdPlan.contains("BroadcastHashJoin"),
+      s"moment table must ride a broadcast, not a shuffle:\n$stdPlan")
+  }
+
   test("saltedJoin spreads the hot key across reducers where the plain join funnels it") {
     val s = spark; import s.implicits._
     val saved = Seq("spark.sql.autoBroadcastJoinThreshold",

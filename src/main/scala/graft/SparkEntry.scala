@@ -1398,6 +1398,23 @@ object SparkEntry {
         .select(col("digit"), col("n"), col("share_ppm"), col("benford_ppm"),
           abs(col("share_ppm") - col("benford_ppm")).as("dev_ppm"))
     }),
+    "q_cumulative_users" -> ((s, d) => {
+      // growth accounting: per-day new users (first-seen) and the
+      // cumulative user count — distinct-so-far WITHOUT an expanding
+      // distinct window: each user collapses to one first-seen day
+      // (combinable min), then a day-grain running sum over a table of
+      // at most #days rows
+      val firstSeen = rd(s, d, "events")
+        .groupBy("user_id")
+        .agg(min(date_trunc("day", col("ts"))).as("day"))
+      val daily = firstSeen.groupBy("day").agg(count(lit(1)).as("new_users"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // the running-sum window is over day-cardinality rows (30 at this
+      // fixture, ~10^4 for decades) — a bounded single partition by
+      // construction, not a data-scale sort
+      daily.withColumn("cum_users", sum(col("new_users")).over(w))
+    }),
     "q_dod_growth" -> ((s, d) => {
       // period-over-period: daily revenue per type with lag-window
       // growth on the exact ppm grid (positive-operand division only,
@@ -3068,6 +3085,11 @@ object SparkEntry {
         s"abs(CAST(n * 1000000 // tt AS BIGINT) - $caseExpr) AS dev_ppm " +
         "FROM c, t"
     },
+    "q_cumulative_users" ->
+      ("WITH fs AS (SELECT user_id, min(date_trunc('day', ts)) AS day FROM events GROUP BY 1), " +
+        "d AS (SELECT day, count(*) AS new_users FROM fs GROUP BY 1) " +
+        "SELECT day, new_users, CAST(sum(new_users) OVER " +
+        "(ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users FROM d"),
     "q_dod_growth" ->
       ("WITH m AS (SELECT date_trunc('day', ts) AS day, event_type, " +
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS units " +

@@ -218,4 +218,35 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
       assert(h == pinnedR4(q), s"$q output drifted (got $h)")
     }
   }
+
+  private val pinnedR4b = Map(
+    "incr_agg_retract" -> "2cb707548b31e27c5760b9efbd3fac9e",
+    "stat_group_ols" -> "95b9cf51bb7891e5f7146794de93144e",
+    "stat_corr_matrix" -> "106dce20509fd37bece8cf0488b4493d",
+    "layout_zvalue" -> "860f9e03124e13b820f7a9b1ef43e8c1",
+    "layout_zone_prune" -> "67a654ca99d7cc17c7e61bf8549017ca",
+    "dq_robust_mad" -> "adfa95789965b8c38edaa9c196087f94",
+    "search_ndcg" -> "513040c239b79033594cb2d4dfeae10a",
+    "media_scene_cuts" -> "4ef4c4fb37c1a60ec1bf543ed74b61b2",
+    "dq_l_diversity" -> "e2d9c991033bc281b0a0ddad1fdcd280",
+    "text_readability" -> "177d2c7362d0a7f001c6773ececb247e",
+    "seq_ewma" -> "e79c3ec7c063123a57c02bc5c74d9a78",
+    "pipeline_data_card" -> "139331d42fbab87fcd05a2323759f1d0",
+    "feat_standardize" -> "fa529518bebc36b916785ccebb7c1538",
+    "split_leakage_audit" -> "20121de54119c13f40ba931d722ed590",
+    "dq_benford" -> "75bcd77fd449a331ac77a57733c26bd7",
+    "q_dod_growth" -> "846758ee68e601137e33677e4f47d96e",
+    "q_cumulative_users" -> "6e349bb2ce0c8fe263f634b727018e92")
+
+  test("round-4 second-session operator outputs hash-match their pinned golden values") {
+    val got = pinnedR4b.keys.toSeq.sorted.map { q =>
+      val h = canonicalHash(SparkEntry.queries(q)(spark, sfDir))
+      info(s""""$q" -> "$h",""")
+      q -> h
+    }
+    graft.operators.Caches.release()
+    got.foreach { case (q, h) =>
+      assert(h == pinnedR4b(q), s"$q output drifted (got $h)")
+    }
+  }
 }

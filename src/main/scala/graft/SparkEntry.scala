@@ -1378,6 +1378,57 @@ object SparkEntry {
       s.catalog.dropTempView(v)
       out
     }),
+    "quality_winsorized" -> ((s, d) => {
+      // robust location: clamp to the [p05, p95] data points (integer
+      // cents, so the clamped sum is an exact long and the mean is ONE
+      // double division — never a float sum). Same SQL text both
+      // engines, like the MAD and Tukey siblings
+      val v = Views.unique("events")
+      rd(s, d, "events").createOrReplaceTempView(v)
+      val out = s.sql(winsorizedSql(v))
+      s.catalog.dropTempView(v)
+      out
+    }),
+    "eval_cohens_kappa" -> ((s, d) => {
+      // chance-corrected agreement of the centroid classifier vs the
+      // true labels — the scalar the confusion matrix report rolls up
+      // to; all marginals exact longs, kappa = (n·Σdiag − Σr·c)/(n² −
+      // Σr·c) as one double expression
+      val pred = Similarity.classifyByCentroid(rd(s, d, "embeddings"),
+        col("vec_id") % 5 === 0)
+      val cells = pred.groupBy("label", "pred_label")
+        .agg(count(lit(1)).as("c"))
+      val t = cells.agg(sum(col("c")).as("n"),
+        sum(when(col("label") === col("pred_label"), col("c")).otherwise(0L))
+          .as("n_agree"))
+      val r = cells.groupBy("label").agg(sum(col("c")).as("r"))
+      val k = cells.groupBy("pred_label").agg(sum(col("c")).as("k"))
+      val rc = r.join(k, col("label") === col("pred_label"))
+        .agg(coalesce(sum(col("r") * col("k")), lit(0L)).as("rc"))
+      val nD = col("n").cast("double")
+      t.crossJoin(rc).select(col("n"), col("n_agree"),
+        ((nD * col("n_agree").cast("double") - col("rc").cast("double")) /
+          (nD * nD - col("rc").cast("double"))).as("kappa"))
+    }),
+    "text_token_gini" -> ((s, d) => {
+      // token-frequency concentration per source (Gini on the exact
+      // ppm grid): 0 = every token equally common, →1 = mass piled on
+      // few tokens — the lexical-diversity audit beside the OOV and
+      // vocab curves. The rank window is vocabulary-sized per source
+      // (the novelty-curve bound; range-partition + zipWithIndex swaps
+      // in for corpus-scale vocabularies)
+      val toks = rd(s, d, "documents")
+        .select(col("source"), explode(graft.functions.tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+      val f = toks.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("source").orderBy(col("c"), col("tok"))
+      f.withColumn("rk", row_number().over(w))
+        .groupBy("source")
+        .agg(count(lit(1)).as("v"), sum(col("c")).as("tf"),
+          sum(col("rk") * col("c")).as("rf"))
+        .select(col("source"), col("v"), col("tf"),
+          expr("(2 * rf - (v + 1) * tf) * 1000000 div (v * tf)").as("gini_ppm"))
+    }),
     "dq_benford" -> ((s, d) => {
       // first-digit distribution vs Benford's law — the classic
       // fabricated-or-truncated-data audit for financial columns.
@@ -2032,6 +2083,22 @@ object SparkEntry {
       "count(CASE WHEN a.mad > CAST(0 AS DOUBLE) AND " +
       "CAST(0.6745 AS DOUBLE) * d.ad / a.mad > CAST(3.5 AS DOUBLE) THEN 1 END) AS n_outliers " +
       "FROM dev d JOIN mad a ON a.event_type = d.event_type GROUP BY d.event_type"
+
+  /** Winsorized-mean SQL — one text, both engines. Clamping happens on
+    * integer cents so the clamped sum is exact; the mean is the single
+    * double division at the end.
+    */
+  private def winsorizedSql(table: String): String =
+    s"WITH u AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS units FROM $table), " +
+      "b AS (SELECT event_type, percentile_disc(0.05) WITHIN GROUP (ORDER BY units) AS p05, " +
+      "percentile_disc(0.95) WITHIN GROUP (ORDER BY units) AS p95 FROM u GROUP BY event_type), " +
+      "w AS (SELECT u.event_type, b.p05, b.p95, " +
+      "CASE WHEN u.units < b.p05 THEN b.p05 WHEN u.units > b.p95 THEN b.p95 ELSE u.units END AS wu " +
+      "FROM u JOIN b ON b.event_type = u.event_type) " +
+      "SELECT event_type, count(*) AS n, CAST(min(p05) AS BIGINT) AS p05, " +
+      "CAST(min(p95) AS BIGINT) AS p95, CAST(sum(wu) AS BIGINT) AS sum_winsorized, " +
+      "CAST(sum(wu) AS DOUBLE) / count(*) AS winsorized_mean " +
+      "FROM w GROUP BY event_type"
 
   /** One oracle for both range-join paths — the generic band join and
     * its equi rewrite must agree with the same declarative SQL.
@@ -3074,6 +3141,27 @@ object SparkEntry {
         "WHERE qty >= 10.0 AND qty <= 20.0 AND price >= 10000.0 AND price <= 20000.0) " +
         "SELECT s.n_files_total, s.n_files_kept, s.n_rows_scanned, m.n_rows_match FROM s, m"),
     "dq_robust_mad" -> robustMadSql("events"),
+    "quality_winsorized" -> winsorizedSql("events"),
+    "eval_cohens_kappa" -> {
+      val ctes = OracleSql.classifyCentroidCtes("vec_id % 5 = 0")
+      s"WITH $ctes, " +
+        "cells AS (SELECT label, pred_label, count(*) AS c FROM pred GROUP BY 1, 2), " +
+        "t AS (SELECT CAST(sum(c) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN label = pred_label THEN c ELSE 0 END) AS BIGINT) AS n_agree FROM cells), " +
+        "r AS (SELECT label, CAST(sum(c) AS BIGINT) AS r FROM cells GROUP BY 1), " +
+        "k AS (SELECT pred_label, CAST(sum(c) AS BIGINT) AS k FROM cells GROUP BY 1), " +
+        "rc AS (SELECT CAST(coalesce(sum(r.r * k.k), 0) AS BIGINT) AS rc FROM r JOIN k ON k.pred_label = r.label) " +
+        "SELECT n, n_agree, " +
+        "(CAST(n AS DOUBLE) * CAST(n_agree AS DOUBLE) - CAST(rc AS DOUBLE)) / " +
+        "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(rc AS DOUBLE)) AS kappa FROM t, rc"
+    },
+    "text_token_gini" ->
+      ("WITH tk AS (SELECT source, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')) AS tok FROM documents), " +
+        "fq AS (SELECT source, tok, count(*) AS c FROM tk GROUP BY 1, 2), " +
+        "r AS (SELECT source, c, row_number() OVER (PARTITION BY source ORDER BY c, tok) AS rk FROM fq), " +
+        "a AS (SELECT source, count(*) AS v, CAST(sum(c) AS BIGINT) AS tf, " +
+        "CAST(sum(rk * c) AS BIGINT) AS rf FROM r GROUP BY 1) " +
+        "SELECT source, v, tf, CAST((2 * rf - (v + 1) * tf) * 1000000 // (v * tf) AS BIGINT) AS gini_ppm FROM a"),
     "dq_benford" -> {
       val caseExpr = "CASE digit " + benfordPpm
         .map { case (dg, ppm) => s"WHEN '$dg' THEN $ppm" }.mkString(" ") + " END"

@@ -236,7 +236,10 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "split_leakage_audit" -> "20121de54119c13f40ba931d722ed590",
     "dq_benford" -> "75bcd77fd449a331ac77a57733c26bd7",
     "q_dod_growth" -> "846758ee68e601137e33677e4f47d96e",
-    "q_cumulative_users" -> "6e349bb2ce0c8fe263f634b727018e92")
+    "q_cumulative_users" -> "6e349bb2ce0c8fe263f634b727018e92",
+    "quality_winsorized" -> "c627fb69141ef8da36ffde4935bde435",
+    "eval_cohens_kappa" -> "5a83701c3445af15ab300a49c68eeff6",
+    "text_token_gini" -> "dc6a40449c95e7a17ab123ba191844b7")
 
   test("round-4 second-session operator outputs hash-match their pinned golden values") {
     val got = pinnedR4b.keys.toSeq.sorted.map { q =>

@@ -1024,6 +1024,20 @@ object SparkEntry {
       AsOf.asofJoin(purchases, views, Seq("user_id"), "ts",
         tieCol = "view_event_id", payloadCols = Seq("view_event_id", "view_value"))
     }),
+    "asof_join_bcast" -> ((s, d) => {
+      // the STRATEGY-tier as-of: same semantics as asof_join (same
+      // oracle row), but planned as BroadcastAsOfJoinExec — right side
+      // broadcast, per-key binary search, zero exchange on the fact
+      // side (AsOfExecSpec pins the plan shape)
+      val ev = rd(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_event_id"), col("value").as("view_value"))
+      AsOf.asofJoinBroadcast(purchases, views, Seq("user_id"), "ts",
+        tieCol = "view_event_id", payloadCols = Seq("view_event_id", "view_value"))
+    }),
     "asof_join_tol" -> ((s, d) => {
       // same join with a 6-hour freshness bound: stale matches null out
       val ev = rd(s, d, "events")
@@ -2742,6 +2756,15 @@ object SparkEntry {
     // independent naive formulation of the as-of join (range join +
     // per-left row_number) — deliberately NOT the union+window shape the
     // operator uses, so implementation and oracle share no structure
+    "asof_join_bcast" ->
+      // the SAME oracle text as asof_join: the strategy-tier exec must
+      // reproduce the window form's semantics exactly
+      ("SELECT l.event_id, l.user_id, l.ts, l.value, r.event_id AS view_event_id, " +
+        "r.value AS view_value, r.ts AS matched_ts " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') l " +
+        "LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r " +
+        "ON r.user_id = l.user_id AND r.ts <= l.ts " +
+        "QUALIFY row_number() OVER (PARTITION BY l.event_id ORDER BY r.ts DESC, r.event_id DESC) = 1"),
     "asof_join" ->
       ("SELECT l.event_id, l.user_id, l.ts, l.value, r.event_id AS view_event_id, " +
         "r.value AS view_value, r.ts AS matched_ts " +

@@ -213,4 +213,62 @@ object AsOf {
       .otherwise(col("__mf"))
     selectOut(bounded, leftCols, payloadCols, matchedTsCol, m)
   }
+
+  /** Backward as-of join through the STRATEGY tier
+    * ([[graft.plans.BroadcastAsOfJoinExec]]) for the dim-history case:
+    * the right side is broadcast once and the fact side probes a
+    * per-key time-sorted index with a binary search — no exchange on
+    * the fact side at all, where [[asofJoin]]'s window form must
+    * shuffle it. Same semantics and tie rules as [[asofJoin]] (proven
+    * row-for-row in AsOfExecSpec and by the shared oracle row).
+    *
+    * Use when |right| is broadcast-sized (dimension versions,
+    * calibration histories, per-instrument quote books); keep
+    * [[asofJoin]] for big-big.
+    */
+  def asofJoinBroadcast(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      tieCol: String,
+      payloadCols: Seq[String],
+      matchedTsCol: String = "matched_ts"): DataFrame = {
+    require(payloadCols.nonEmpty, "asofJoinBroadcast needs at least one payload column")
+    val spark = left.sparkSession
+    // idempotently make the strategy available on this session — the
+    // config-driven path is GraftExtensions; this covers ad-hoc sessions
+    if (!spark.experimental.extraStrategies.contains(graft.plans.GraftStrategies)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.GraftStrategies
+    }
+    val lPlan = left.queryExecution.analyzed
+    // both sides may derive from the SAME source (self-as-of): re-alias
+    // every right column to fresh exprIds so the node's left/right key
+    // references can never collide under DeduplicateRelations
+    val rPlan = {
+      val analyzed = right.queryExecution.analyzed
+      org.apache.spark.sql.catalyst.plans.logical.Project(
+        analyzed.output.map(a =>
+          org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()),
+        analyzed)
+    }
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found"))
+    val payloadAttrs = payloadCols.map(attr(rPlan, _))
+    val payloadOut = payloadAttrs.map(a =>
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        a.name, a.dataType, nullable = true)())
+    val rTs = attr(rPlan, tsCol)
+    val matchedTs = org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      matchedTsCol, rTs.dataType, nullable = true)()
+    val node = graft.plans.BroadcastAsOfJoinPlan(
+      lPlan, rPlan,
+      keyCols.map(attr(lPlan, _)), keyCols.map(attr(rPlan, _)),
+      attr(lPlan, tsCol), rTs, attr(rPlan, tieCol),
+      payloadAttrs, payloadOut, matchedTs)
+    org.apache.spark.sql.GraftDataset.ofRows(spark, node)
+  }
 }

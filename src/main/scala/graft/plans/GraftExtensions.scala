@@ -19,16 +19,23 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *     `GraftExtensions.register(spark)`
   *
   * This is the `SparkSessionExtensions` injection tier of the
-  * extension ladder (function level); whole-operator semantics in this
-  * engine deliberately stay at the composition tier — every operator
-  * already plans to the shuffle/join shape a custom strategy would
-  * emit, without bypassing Catalyst's optimizer coverage.
+  * extension ladder. Whole-operator semantics stay at the composition
+  * tier wherever composition already plans to the shape a custom
+  * strategy would emit; the ONE exception is the broadcast as-of join
+  * ([[BroadcastAsOfJoinPlan]] → [[GraftStrategies]] →
+  * [[BroadcastAsOfJoinExec]]), where no composition can avoid
+  * shuffling the fact side — see BroadcastAsOf.scala for the
+  * argument.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.injections.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // the one strategy-tier operator (see BroadcastAsOf.scala for why
+    // exactly this operator leaves the composition tier)
+    ext.injectPlannerStrategy(_ => GraftStrategies)
+  }
 }
 
 object GraftExtensions {

@@ -237,6 +237,9 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "dq_benford" -> "75bcd77fd449a331ac77a57733c26bd7",
     "q_dod_growth" -> "846758ee68e601137e33677e4f47d96e",
     "q_cumulative_users" -> "6e349bb2ce0c8fe263f634b727018e92",
+    // identical to round-2's asof_join pin — the strategy-tier exec
+    // reproduces the window form bit-for-bit
+    "asof_join_bcast" -> "d46f154514ca44380d1956436d37743d",
     "quality_winsorized" -> "c627fb69141ef8da36ffde4935bde435",
     "eval_cohens_kappa" -> "5a83701c3445af15ab300a49c68eeff6",
     "text_token_gini" -> "dc6a40449c95e7a17ab123ba191844b7")

@@ -1038,6 +1038,19 @@ object SparkEntry {
       AsOf.asofJoinBroadcast(purchases, views, Seq("user_id"), "ts",
         tieCol = "view_event_id", payloadCols = Seq("view_event_id", "view_value"))
     }),
+    "asof_join_bcast_fwd" -> ((s, d) => {
+      // forward direction through the same strategy-tier exec (same
+      // oracle row as asof_join_fwd)
+      val ev = rd(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_event_id"), col("value").as("view_value"))
+      AsOf.asofJoinBroadcast(purchases, views, Seq("user_id"), "ts",
+        tieCol = "view_event_id", payloadCols = Seq("view_event_id", "view_value"),
+        forward = true)
+    }),
     "asof_join_tol" -> ((s, d) => {
       // same join with a 6-hour freshness bound: stale matches null out
       val ev = rd(s, d, "events")
@@ -2780,6 +2793,15 @@ object SparkEntry {
         "ON r.user_id = l.user_id AND r.ts <= l.ts AND epoch_us(l.ts) - epoch_us(r.ts) <= 21600000000 " +
         "QUALIFY row_number() OVER (PARTITION BY l.event_id ORDER BY r.ts DESC, r.event_id DESC) = 1"),
     "asof_join_fwd" ->
+      ("SELECT l.event_id, l.user_id, l.ts, l.value, r.event_id AS view_event_id, " +
+        "r.value AS view_value, r.ts AS matched_ts " +
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') l " +
+        "LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r " +
+        "ON r.user_id = l.user_id AND r.ts >= l.ts " +
+        "QUALIFY row_number() OVER (PARTITION BY l.event_id ORDER BY r.ts ASC, r.event_id DESC) = 1"),
+    "asof_join_bcast_fwd" ->
+      // SAME oracle text as asof_join_fwd — the strategy-tier exec's
+      // forward direction must reproduce the window form exactly
       ("SELECT l.event_id, l.user_id, l.ts, l.value, r.event_id AS view_event_id, " +
         "r.value AS view_value, r.ts AS matched_ts " +
         "FROM (SELECT * FROM events WHERE event_type = 'purchase') l " +

@@ -233,7 +233,8 @@ object AsOf {
       tsCol: String,
       tieCol: String,
       payloadCols: Seq[String],
-      matchedTsCol: String = "matched_ts"): DataFrame = {
+      matchedTsCol: String = "matched_ts",
+      forward: Boolean = false): DataFrame = {
     require(payloadCols.nonEmpty, "asofJoinBroadcast needs at least one payload column")
     val spark = left.sparkSession
     // idempotently make the strategy available on this session — the
@@ -268,7 +269,7 @@ object AsOf {
       lPlan, rPlan,
       keyCols.map(attr(lPlan, _)), keyCols.map(attr(rPlan, _)),
       attr(lPlan, tsCol), rTs, attr(rPlan, tieCol),
-      payloadAttrs, payloadOut, matchedTs)
+      payloadAttrs, payloadOut, matchedTs, forward)
     org.apache.spark.sql.GraftDataset.ofRows(spark, node)
   }
 }

@@ -45,7 +45,8 @@ case class BroadcastAsOfJoinPlan(
     tie: Attribute,
     payload: Seq[Attribute],
     payloadOut: Seq[AttributeReference],
-    matchedTs: AttributeReference) extends BinaryNode {
+    matchedTs: AttributeReference,
+    forward: Boolean = false) extends BinaryNode {
 
   override def output: Seq[Attribute] = left.output ++ payloadOut :+ matchedTs
 
@@ -65,7 +66,7 @@ object GraftStrategies extends SparkStrategy {
         planLater(p.left),
         planLater(p.right),
         p.leftKeys, p.rightKeys, p.leftTs, p.rightTs, p.tie,
-        p.payload, p.payloadOut, p.matchedTs) :: Nil
+        p.payload, p.payloadOut, p.matchedTs, p.forward) :: Nil
     case _ => Nil
   }
 }
@@ -87,7 +88,8 @@ case class BroadcastAsOfJoinExec(
     tie: Attribute,
     payload: Seq[Attribute],
     payloadOut: Seq[AttributeReference],
-    matchedTs: AttributeReference) extends BinaryExecNode {
+    matchedTs: AttributeReference,
+    forward: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ payloadOut :+ matchedTs
 
@@ -152,19 +154,36 @@ case class BroadcastAsOfJoinExec(
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(nPayloadOut)
 
+      val fwd = forward
       iter.map { lrow =>
         var matched: InternalRow = null
         if (lKeyOrds.forall(o => !lrow.isNullAt(o)) && !lrow.isNullAt(lTsOrd)) {
           index.get(lKeyProj(lrow)).foreach { case (tss, rows) =>
             val lts = lrow.getLong(lTsOrd)
-            // last index with ts <= lts (rows with equal ts are tie-
-            // ascending, so "last" is the highest tie)
-            var lo = 0; var hi = tss.length - 1; var ans = -1
-            while (lo <= hi) {
-              val mid = (lo + hi) >>> 1
-              if (tss(mid) <= lts) { ans = mid; lo = mid + 1 } else hi = mid - 1
+            if (!fwd) {
+              // backward: last index with ts <= lts (rows with equal ts
+              // are tie-ascending, so "last" is the highest tie)
+              var lo = 0; var hi = tss.length - 1; var ans = -1
+              while (lo <= hi) {
+                val mid = (lo + hi) >>> 1
+                if (tss(mid) <= lts) { ans = mid; lo = mid + 1 } else hi = mid - 1
+              }
+              if (ans >= 0) matched = rows(ans)
+            } else {
+              // forward: first index with ts >= lts, then walk to the
+              // LAST row of that timestamp — equal-ts rights resolve to
+              // the highest tie, matching asofJoinForward
+              var lo = 0; var hi = tss.length - 1; var ans = -1
+              while (lo <= hi) {
+                val mid = (lo + hi) >>> 1
+                if (tss(mid) >= lts) { ans = mid; hi = mid - 1 } else lo = mid + 1
+              }
+              if (ans >= 0) {
+                var j = ans
+                while (j + 1 < tss.length && tss(j + 1) == tss(ans)) j += 1
+                matched = rows(j)
+              }
             }
-            if (ans >= 0) matched = rows(ans)
           }
         }
         val rightPart: InternalRow =

@@ -83,6 +83,22 @@ class AsOfExecSpec extends AnyFunSuite with SparkTest {
       s"the whole point is zero fact-side exchange:\n$plan")
   }
 
+
+  test("forward exec equals asofJoinForward on matches, equal-ts ties, and no-match rows") {
+    val l = mkEvents(fixtureLeft)
+    val r = right(fixtureRight)
+    val viaExec = AsOf.asofJoinBroadcast(l, r, Seq("user_id"), "ts",
+      tieCol = "r_id", payloadCols = Seq("r_id", "r_value"), forward = true)
+    val viaWindow = AsOf.asofJoinForward(l, r, Seq("user_id"), "ts",
+      tieCol = "r_id", payloadCols = Seq("r_id", "r_value"))
+    assert(canon(viaExec) == canon(viaWindow))
+    val m = viaExec.collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(4)) -1L else x.getLong(4))).toMap
+    // left 2 at 11:00 matches the equal-ts pair {101, 104} -> highest tie 104;
+    // left 4 is after every right -> null
+    assert(m(2L) == 104L && m(4L) == -1L)
+  }
+
   test("exec agrees with the window form on a 5k-row pseudo-random corpus") {
     val s = spark; import s.implicits._
     def ts(i: Int) = f"2024-01-01 ${(i % 24)}%02d:${(i % 60)}%02d:${(i * 7) % 60}%02d"
@@ -95,5 +111,10 @@ class AsOfExecSpec extends AnyFunSuite with SparkTest {
     val b = AsOf.asofJoin(l, r, Seq("user_id"), "ts",
       tieCol = "r_id", payloadCols = Seq("r_id", "r_value"))
     assert(canon(a) == canon(b))
+    val af = AsOf.asofJoinBroadcast(l, r, Seq("user_id"), "ts",
+      tieCol = "r_id", payloadCols = Seq("r_id", "r_value"), forward = true)
+    val bf = AsOf.asofJoinForward(l, r, Seq("user_id"), "ts",
+      tieCol = "r_id", payloadCols = Seq("r_id", "r_value"))
+    assert(canon(af) == canon(bf))
   }
 }

@@ -240,6 +240,8 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     // identical to round-2's asof_join pin — the strategy-tier exec
     // reproduces the window form bit-for-bit
     "asof_join_bcast" -> "d46f154514ca44380d1956436d37743d",
+    // identical to round-3's asof_join_fwd pin — forward direction too
+    "asof_join_bcast_fwd" -> "f2795cb7dcab4a12878dbaec9f4f1249",
     "quality_winsorized" -> "c627fb69141ef8da36ffde4935bde435",
     "eval_cohens_kappa" -> "5a83701c3445af15ab300a49c68eeff6",
     "text_token_gini" -> "dc6a40449c95e7a17ab123ba191844b7")

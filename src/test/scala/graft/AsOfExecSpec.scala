@@ -116,5 +116,10 @@ class AsOfExecSpec extends AnyFunSuite with SparkTest {
     val bf = AsOf.asofJoinForward(l, r, Seq("user_id"), "ts",
       tieCol = "r_id", payloadCols = Seq("r_id", "r_value"))
     assert(canon(af) == canon(bf))
+    // partition invariance: the per-partition index build must not
+    // depend on how the fact side is partitioned
+    val ap = AsOf.asofJoinBroadcast(l.repartition(7), r, Seq("user_id"), "ts",
+      tieCol = "r_id", payloadCols = Seq("r_id", "r_value"))
+    assert(canon(ap) == canon(b))
   }
 }

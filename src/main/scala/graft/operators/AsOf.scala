@@ -224,7 +224,19 @@ object AsOf {
     *
     * Use when |right| is broadcast-sized (dimension versions,
     * calibration histories, per-instrument quote books); keep
-    * [[asofJoin]] for big-big.
+    * [[asofJoin]] for big-big. `broadcastRowLimit` enforces that
+    * contract mechanically: the right side is counted (one
+    * dim-table-sized action, stopping at limit+1 rows) and anything
+    * larger falls back to the window form — same semantics, shuffle
+    * cost instead of an executor-memory blowup. Pass `Long.MaxValue`
+    * to skip the count when the caller already knows the size.
+    *
+    * Type contract (checked eagerly — the exec reads timestamps via
+    * `InternalRow.getLong` and matches keys by binary row equality, so
+    * a mismatch would misread silently instead of failing): `tsCol`
+    * must be long-backed (TIMESTAMP / TIMESTAMP_NTZ / LONG) and
+    * identical on both sides, and each key column's type must match
+    * across sides exactly.
     */
   def asofJoinBroadcast(
       left: DataFrame,
@@ -234,14 +246,50 @@ object AsOf {
       tieCol: String,
       payloadCols: Seq[String],
       matchedTsCol: String = "matched_ts",
-      forward: Boolean = false): DataFrame = {
+      forward: Boolean = false,
+      broadcastRowLimit: Long = 4000000L): DataFrame = {
     require(payloadCols.nonEmpty, "asofJoinBroadcast needs at least one payload column")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    def colType(df: DataFrame, name: String) =
+      df.schema.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found")).dataType
+    val lTsType = colType(left, tsCol)
+    val rTsType = colType(right, tsCol)
+    require(lTsType == rTsType,
+      s"asofJoinBroadcast: $tsCol type mismatch: left=$lTsType right=$rTsType")
+    require(Seq(TimestampType, TimestampNTZType, LongType).contains(lTsType),
+      s"asofJoinBroadcast: $tsCol must be TIMESTAMP/TIMESTAMP_NTZ/LONG " +
+        s"(long-backed — the exec binary-searches raw longs), got $lTsType; " +
+        "cast DATE/INT timestamps explicitly or use asofJoin")
+    keyCols.foreach { k =>
+      val (lt, rt) = (colType(left, k), colType(right, k))
+      require(lt == rt,
+        s"asofJoinBroadcast: key $k type mismatch: left=$lt right=$rt " +
+          "(keys match by binary row equality — cast both sides to one type)")
+    }
+    require(org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(colType(right, tieCol)),
+      s"asofJoinBroadcast: tie column $tieCol type ${colType(right, tieCol)} is not orderable")
+    if (broadcastRowLimit < Long.MaxValue &&
+        right.limit(math.min(broadcastRowLimit + 1, Int.MaxValue.toLong).toInt)
+          .count() > broadcastRowLimit) {
+      // documented fallback: same semantics through the window form —
+      // pays the fact-side shuffle instead of broadcasting a
+      // non-dim-sized right side to every executor
+      return if (forward)
+        asofJoinForward(left, right, keyCols, tsCol, tieCol, payloadCols, matchedTsCol)
+      else asofJoin(left, right, keyCols, tsCol, tieCol, payloadCols, matchedTsCol)
+    }
     val spark = left.sparkSession
     // idempotently make the strategy available on this session — the
-    // config-driven path is GraftExtensions; this covers ad-hoc sessions
-    if (!spark.experimental.extraStrategies.contains(graft.plans.GraftStrategies)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ graft.plans.GraftStrategies
+    // config-driven path is GraftExtensions; this covers ad-hoc
+    // sessions. Synchronized: extraStrategies is session-global state
+    // and a concurrent check-then-append would race
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraStrategies.contains(graft.plans.GraftStrategies)) {
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ graft.plans.GraftStrategies
+      }
     }
     val lPlan = left.queryExecution.analyzed
     // both sides may derive from the SAME source (self-as-of): re-alias

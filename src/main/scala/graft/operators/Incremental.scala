@@ -46,14 +46,17 @@ object Incremental {
     * `delta` rows carry `opExpr` ∈ {+1 insert, −1 retract}; counts and
     * sums fold with the sign, so a deletion reverses exactly the rows
     * it names — the aggregate is repaired in O(delta), never by
-    * rescanning 100 TB of history. Keys whose count reaches zero are
-    * DROPPED from the output (a fully-retracted key disappears, same
-    * as a from-scratch recompute that never saw it).
+    * rescanning 100 TB of history. Keys whose count AND sum both reach
+    * zero are DROPPED from the output (a fully-retracted key
+    * disappears, same as a from-scratch recompute that never saw it).
     *
     * Contract (the caller's, as in any retraction stream): every
     * retraction names a row previously inserted. Over-retraction would
-    * drive a count negative; that is surfaced, not masked — callers
-    * can assert `n >= 0` downstream. Only algebraic aggregates fold
+    * drive a count negative, and a retraction carrying a wrong value
+    * zeroes the count while leaving a nonzero residual sum; both are
+    * surfaced, not masked — the mis-paired key stays in the output
+    * (count 0, residual sum) so callers can assert `n >= 0 AND (n > 0
+    * OR sum = 0)` downstream. Only algebraic aggregates fold
     * this way: min/max are NOT retractable in O(delta) (deleting the
     * minimum needs the runner-up); for those, recompute just the
     * affected keys via a semi-join on the retraction key set —
@@ -75,6 +78,6 @@ object Incremental {
       .select(keys.map(col) ++ Seq(
         (coalesce(col(nCol), lit(0L)) + coalesce(col(s"__d_$nCol"), lit(0L))).as(nCol),
         (coalesce(col(sumCol), lit(0L)) + coalesce(col(s"__d_$sumCol"), lit(0L))).as(sumCol)): _*)
-      .where(col(nCol) =!= 0L)
+      .where(col(nCol) =!= 0L || col(sumCol) =!= 0L)
   }
 }

@@ -71,11 +71,36 @@ object GraftStrategies extends SparkStrategy {
   }
 }
 
+object BroadcastAsOfJoinExec {
+  /** Per-executor memo of the built per-key sorted index. Keyed WEAKLY
+    * by the broadcast value array (identity — the executor's
+    * BlockManager caches one deserialized instance per broadcast, and
+    * the entry dies with it) and strongly by the structural build
+    * descriptor, so two execs consuming one reused exchange with
+    * different key/ts columns build separate indexes.
+    */
+  private val indexCache =
+    new java.util.WeakHashMap[AnyRef, java.util.concurrent.ConcurrentHashMap[String, AnyRef]]()
+
+  private[plans] def cachedIndex[A <: AnyRef](rows: AnyRef, desc: String)(build: => A): A = {
+    val per = indexCache.synchronized {
+      var m = indexCache.get(rows)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+        indexCache.put(rows, m)
+      }
+      m
+    }
+    per.computeIfAbsent(desc, _ => build).asInstanceOf[A]
+  }
+}
+
 /** Broadcast backward as-of join. The right child arrives as an
   * `IdentityBroadcastMode` array (EnsureRequirements inserts the
-  * BroadcastExchange from `requiredChildDistribution`); each partition
-  * builds the per-key time-sorted index once, then streams the left
-  * side with a binary search per row. The left child's partitioning
+  * BroadcastExchange from `requiredChildDistribution`); each EXECUTOR
+  * builds the per-key time-sorted index once (memoized against the
+  * broadcast value), then every partition streams the left side with a
+  * binary search per row. The left child's partitioning
   * and ordering pass through untouched — the whole point.
   */
 case class BroadcastAsOfJoinExec(
@@ -123,28 +148,37 @@ case class BroadcastAsOfJoinExec(
     val matchedTsAttr = matchedTs
     val nPayloadOut = payload.length + 1
 
+    // structural build descriptor: ordinals + types fully determine the
+    // index built from a given broadcast array, so tasks of this (or an
+    // exchange-reusing sibling) exec can share one per-executor build
+    val rKeyOrds = rKeyAttrs.map(a => rOut.indexWhere(_.exprId == a.exprId))
+    val tieOrd = rOut.indexWhere(_.exprId == tieAttr.exprId)
+    val indexDesc = s"${rKeyOrds.mkString(",")}|$rTsOrd|$tieOrd|" +
+      rOut.map(_.dataType.catalogString).mkString(",")
+
     left.execute().mapPartitions({ iter =>
-      // per-partition build from the broadcast value: key -> rows
-      // sorted by (ts, tie) ascending, timestamps pre-extracted
-      val rKeyProj = UnsafeProjection.create(rKeyAttrs, rOut)
-      val rKeyNullable = rKeyAttrs.map(a => rOut.indexWhere(_.exprId == a.exprId))
-      val tieOrdIdx = rOut.indexWhere(_.exprId == tieAttr.exprId)
-      val rowOrd = new InterpretedOrdering(Seq(
-        SortOrder(BoundReference(rTsOrd, rightTsAttr.dataType, nullable = true), Ascending),
-        SortOrder(BoundReference(tieOrdIdx, tieAttr.dataType, nullable = true), Ascending)))
-      val byKey = new scala.collection.mutable.HashMap[UnsafeRow, scala.collection.mutable.ArrayBuffer[InternalRow]]
-      bc.value.foreach { r =>
-        val keyOk = rKeyNullable.forall(o => !r.isNullAt(o)) && !r.isNullAt(rTsOrd)
-        if (keyOk) {
-          byKey.getOrElseUpdate(rKeyProj(r).copy(),
-            new scala.collection.mutable.ArrayBuffer[InternalRow]) += r.copy()
+      // built ONCE per executor per broadcast (memoized, weak on the
+      // broadcast value): key -> rows sorted by (ts, tie) ascending,
+      // timestamps pre-extracted. Rebuilding per partition would cost
+      // O(tasks × |R| log |R|) redundant work on a wide fact side
+      val index = BroadcastAsOfJoinExec.cachedIndex(bc.value, indexDesc) {
+        val rKeyProj = UnsafeProjection.create(rKeyAttrs, rOut)
+        val rowOrd = new InterpretedOrdering(Seq(
+          SortOrder(BoundReference(rTsOrd, rightTsAttr.dataType, nullable = true), Ascending),
+          SortOrder(BoundReference(tieOrd, tieAttr.dataType, nullable = true), Ascending)))
+        val byKey = new scala.collection.mutable.HashMap[UnsafeRow, scala.collection.mutable.ArrayBuffer[InternalRow]]
+        bc.value.foreach { r =>
+          val keyOk = rKeyOrds.forall(o => !r.isNullAt(o)) && !r.isNullAt(rTsOrd)
+          if (keyOk) {
+            byKey.getOrElseUpdate(rKeyProj(r).copy(),
+              new scala.collection.mutable.ArrayBuffer[InternalRow]) += r.copy()
+          }
         }
-      }
-      val index: scala.collection.Map[UnsafeRow, (Array[Long], Array[InternalRow])] =
         byKey.map { case (k, rows) =>
           val sorted = rows.sorted(rowOrd).toArray
           k -> (sorted.map(_.getLong(rTsOrd)), sorted)
-        }
+        }: scala.collection.Map[UnsafeRow, (Array[Long], Array[InternalRow])]
+      }
 
       val lKeyProj = UnsafeProjection.create(lKeyAttrs, lOut)
       val lKeyOrds = lKeyAttrs.map(a => lOut.indexWhere(_.exprId == a.exprId))

@@ -400,7 +400,10 @@ object Streams {
               val t = ev.ts.getTime
               cur match {
                 case Some(s) if t - s.end <= gapMs =>
-                  cur = Some(SessionAcc(s.start, math.max(s.end, t),
+                  // a late cross-batch event may precede the open
+                  // session's start (watermark admits it); it must
+                  // lower session_start, not just fold into the sums
+                  cur = Some(SessionAcc(math.min(s.start, t), math.max(s.end, t),
                     s.n + 1, s.total + ev.value))
                 case Some(s) =>
                   closed += close(userId, s)

@@ -79,7 +79,12 @@ class AsOfExecSpec extends AnyFunSuite with SparkTest {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastAsOfJoin"), s"missing exec node:\n$plan")
     assert(plan.contains("BroadcastExchange"), s"right side must broadcast:\n$plan")
-    assert(!plan.contains("ShuffleExchange"),
+    // walk the physical tree — ShuffleExchangeExec renders as bare
+    // "Exchange" in Spark 4.x, so a string match would vacuously pass
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(shuffles.isEmpty,
       s"the whole point is zero fact-side exchange:\n$plan")
   }
 
@@ -97,6 +102,53 @@ class AsOfExecSpec extends AnyFunSuite with SparkTest {
     // left 2 at 11:00 matches the equal-ts pair {101, 104} -> highest tie 104;
     // left 4 is after every right -> null
     assert(m(2L) == 104L && m(4L) == -1L)
+  }
+
+  test("rejects non-long-backed and mismatched column types eagerly") {
+    val l = mkEvents(fixtureLeft)
+    val r = right(fixtureRight)
+    // DATE is int-backed: the exec's getLong would misread it — must
+    // fail fast at the wrapper, not corrupt at runtime
+    val lDate = l.withColumn("ts", to_date(col("ts")))
+    val rDate = r.withColumn("ts", to_date(col("ts")))
+    val e1 = intercept[IllegalArgumentException] {
+      AsOf.asofJoinBroadcast(lDate, rDate, Seq("user_id"), "ts",
+        tieCol = "r_id", payloadCols = Seq("r_id"))
+    }
+    assert(e1.getMessage.contains("long-backed"))
+    // ts type mismatch across sides
+    val e2 = intercept[IllegalArgumentException] {
+      AsOf.asofJoinBroadcast(l, rDate, Seq("user_id"), "ts",
+        tieCol = "r_id", payloadCols = Seq("r_id"))
+    }
+    assert(e2.getMessage.contains("type mismatch"))
+    // key type mismatch (int vs long) would silently match nothing
+    // under binary row equality — must also fail fast
+    val e3 = intercept[IllegalArgumentException] {
+      AsOf.asofJoinBroadcast(l.withColumn("user_id", col("user_id").cast("int")),
+        r, Seq("user_id"), "ts", tieCol = "r_id", payloadCols = Seq("r_id"))
+    }
+    assert(e3.getMessage.contains("key user_id type mismatch"))
+  }
+
+  test("right side above broadcastRowLimit falls back to the window form") {
+    val l = mkEvents(fixtureLeft)
+    val r = right(fixtureRight)
+    val df = AsOf.asofJoinBroadcast(l, r, Seq("user_id"), "ts",
+      tieCol = "r_id", payloadCols = Seq("r_id", "r_value"),
+      broadcastRowLimit = 2L) // fixtureRight has 5 rows
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastAsOfJoin"),
+      s"over-limit right side must not broadcast:\n$plan")
+    // identical results through the fallback
+    assert(canon(df) == canon(AsOf.asofJoin(l, r, Seq("user_id"), "ts",
+      tieCol = "r_id", payloadCols = Seq("r_id", "r_value"))))
+    // forward fallback too
+    val dff = AsOf.asofJoinBroadcast(l, r, Seq("user_id"), "ts",
+      tieCol = "r_id", payloadCols = Seq("r_id", "r_value"),
+      forward = true, broadcastRowLimit = 2L)
+    assert(canon(dff) == canon(AsOf.asofJoinForward(l, r, Seq("user_id"), "ts",
+      tieCol = "r_id", payloadCols = Seq("r_id", "r_value"))))
   }
 
   test("exec agrees with the window form on a 5k-row pseudo-random corpus") {

@@ -1371,7 +1371,23 @@ object OracleSql {
     * as CTEs with λ / 1−λ embedded as the identical doubles and every
     * argmax tie-broken on the smaller candidate id.
     */
-  def mmrRerank(k: Int, poolK: Int, lambda: Double, dim: Int = 64): String = {
+  def mmrRerank(k: Int, poolK: Int, lambda: Double, dim: Int = 64): String =
+    s"WITH nb AS (SELECT vec_id, embedding, sqrt(${selfDot("embedding", dim)}) AS nrm FROM embeddings), " +
+      s"scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, " +
+      s"${pairDot("q.embedding", "c.embedding", dim)} / (q.nrm * c.nrm) AS rel " +
+      "FROM nb q CROSS JOIN nb c WHERE q.vec_id < 10 AND c.vec_id >= 10), " +
+      "pool AS (SELECT query_id, cand_id, rel, rnk FROM (SELECT *, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cand_id) AS rnk FROM scored) t " +
+      s"WHERE rnk <= $poolK), " +
+      mmrGreedyTail(k, lambda, dim)
+
+  /** The shared greedy tail: expects CTEs `nb(vec_id, embedding, nrm)`
+    * and `pool(query_id, cand_id, rel, rnk)` (rnk ordered rel DESC,
+    * cand_id — pick 1 is its head), and unrolls the `k` MMR rounds
+    * with λ / 1−λ embedded as the identical doubles and every argmax
+    * tie-broken on the smaller candidate id.
+    */
+  private def mmrGreedyTail(k: Int, lambda: Double, dim: Int): String = {
     val oneMinus = (1 - lambda).toString // exact Scala double, round-trips
     val lam = lambda.toString
     val rounds = (2 to k).map { r =>
@@ -1384,14 +1400,7 @@ object OracleSql {
         s"(SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY mmr DESC, cand_id) AS rn FROM cnd$r) t WHERE rn = 1), " +
         s"selu$r AS (SELECT * FROM selu${r - 1} UNION ALL SELECT * FROM sel$r)"
     }.mkString(", ")
-    s"WITH nb AS (SELECT vec_id, embedding, sqrt(${selfDot("embedding", dim)}) AS nrm FROM embeddings), " +
-      s"scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, " +
-      s"${pairDot("q.embedding", "c.embedding", dim)} / (q.nrm * c.nrm) AS rel " +
-      "FROM nb q CROSS JOIN nb c WHERE q.vec_id < 10 AND c.vec_id >= 10), " +
-      "pool AS (SELECT query_id, cand_id, rel, rnk FROM (SELECT *, " +
-      "row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cand_id) AS rnk FROM scored) t " +
-      s"WHERE rnk <= $poolK), " +
-      "sims AS (SELECT p1.query_id, p1.cand_id AS id_a, p2.cand_id AS id_b, " +
+    "sims AS (SELECT p1.query_id, p1.cand_id AS id_a, p2.cand_id AS id_b, " +
       s"${pairDot("a.embedding", "b.embedding", dim)} / (a.nrm * b.nrm) AS sim " +
       "FROM pool p1 JOIN pool p2 ON p1.query_id = p2.query_id AND p1.cand_id <> p2.cand_id " +
       "JOIN nb a ON a.vec_id = p1.cand_id JOIN nb b ON b.vec_id = p2.cand_id), " +
@@ -1399,6 +1408,23 @@ object OracleSql {
       "selu1 AS (SELECT * FROM sel1), " + rounds +
       s" SELECT query_id, pick, sel_id, mmr FROM selu$k"
   }
+
+  /** Oracle for `search_mmr_rerank` (the PRODUCTION composition):
+    * replay of `Similarity.mmrRerankFromPool` over `Similarity.ivfTopK`
+    * candidates — the IVF tier's full deterministic replay
+    * ([[annIvfTopK]]) produces the (query_id, cand_id) pool, relevance
+    * is recomputed from the id pairs with the same fixed-order cosine,
+    * and the greedy rounds are the shared tail.
+    */
+  def mmrRerankIvf(k: Int, poolK: Int, lambda: Double, numCentroids: Int,
+      nProbe: Int, dim: Int = 64, seed: Long = 42L): String =
+    s"WITH nb AS (SELECT vec_id, embedding, sqrt(${selfDot("embedding", dim)}) AS nrm FROM embeddings), " +
+      s"ivft AS (SELECT * FROM (${annIvfTopK(poolK, numCentroids, nProbe, dim, seed)}) ti), " +
+      "pool AS (SELECT i.query_id, i.neighbor_id AS cand_id, " +
+      s"${pairDot("q.embedding", "c.embedding", dim)} / (q.nrm * c.nrm) AS rel, " +
+      "CAST(i.rnk AS BIGINT) AS rnk FROM ivft i " +
+      "JOIN nb q ON q.vec_id = i.query_id JOIN nb c ON c.vec_id = i.neighbor_id), " +
+      mmrGreedyTail(k, lambda, dim)
 
   /** Oracle for `class_centroid_assign`. */
   def classifyByCentroid(seedWhere: String, scaleBits: Int = 20,

@@ -806,9 +806,22 @@ object SparkEntry {
       // LSH/IVF tiers vs the exact top-5, all integer ppm
       Similarity.annEvalMetrics(rd(s, d, "embeddings"),
         col("vec_id") < 10, col("vec_id") >= 10, k = 5)),
-    "search_mmr_rerank" -> ((s, d) =>
-      // diversity re-rank: top-12 cosine pool per query, 4 greedy MMR
-      // picks (lambda=0.7) — keyed poolK^2 self-join, never corpus-wide
+    "search_mmr_rerank" -> ((s, d) => {
+      // PRODUCTION diversity re-rank: IVF-tier candidates (top-12 per
+      // query from the probed cells) -> greedy MMR (4 picks,
+      // lambda=0.7). Cartesian-free end to end: pool generation is the
+      // IVF equi-join, relevance is two keyed joins over |Q|*poolK
+      // pairs, rounds are the keyed poolK^2 cogroup
+      val emb = rd(s, d, "embeddings")
+      val pool = Similarity.ivfTopK(emb, col("vec_id") < 10,
+        col("vec_id") >= 10, k = 12, numCentroids = 16, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id").as("cand_id"))
+      Similarity.mmrRerankFromPool(emb, pool, k = 4)
+    }),
+    "search_mmr_exact_pool" -> ((s, d) =>
+      // the labeled oracle tier: same greedy rerank over the EXACT
+      // top-12 cosine pool (|Q|x|C| cross join — sample-scale only;
+      // production is search_mmr_rerank's ANN composition)
       Similarity.mmrRerank(rd(s, d, "embeddings"),
         col("vec_id") < 10, col("vec_id") >= 10, k = 4, poolK = 12)),
     "class_centroid_assign" -> ((s, d) =>
@@ -2536,6 +2549,9 @@ object SparkEntry {
     "eval_ann_metrics" ->
       OracleSql.annEvalMetrics(k = 5),
     "search_mmr_rerank" ->
+      OracleSql.mmrRerankIvf(k = 4, poolK = 12, lambda = 0.7,
+        numCentroids = 16, nProbe = 4),
+    "search_mmr_exact_pool" ->
       OracleSql.mmrRerank(k = 4, poolK = 12, lambda = 0.7),
     "class_centroid_assign" ->
       OracleSql.classifyByCentroid("vec_id % 5 = 0"),

@@ -812,12 +812,16 @@ object Similarity {
     * candidate id — the DuckDB oracle ([[graft.OracleSql.mmrRerank]])
     * replays all `k` rounds bit-for-bit.
     *
-    * Shape at 100 TB: the pool is `poolK` rows per query (produced by
-    * whatever ANN tier, here the brute oracle tier for exactness), so
-    * the pairwise-sim table is `|Q|·poolK²` rows keyed by query — a
-    * keyed self-join, never a corpus cross join — and each greedy round
-    * is one keyed join + one `poolK`-row window per query. Driver holds
-    * no state; the loop just composes `k` plan stages.
+    * This overload generates its pool by EXACT cosine over a
+    * |Q|×|C| cross join — the labeled oracle tier, gated at sample
+    * scale. The production path is [[mmrRerankFromPool]] composed over
+    * an ANN tier's candidates: same greedy stage, cartesian-free end
+    * to end.
+    *
+    * Shape of the greedy stage at 100 TB: the pool is `poolK` rows per
+    * query, so the pairwise-sim table is `|Q|·poolK²` rows keyed by
+    * query — a keyed self-join, never a corpus cross join — and the
+    * rounds run in one per-query cogroup. Driver holds no state.
     *
     * @return (query_id, pick, sel_id, mmr): pick = 1..k in selection
     *         order with the winning MMR score.
@@ -837,11 +841,61 @@ object Similarity {
     val c = n.where(candPred).toDF("cand_id", "c_vec", "c_norm")
     val relCol = vec_dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))
     val wRel = Window.partitionBy("query_id").orderBy(col("rel").desc, col("cand_id"))
-    val pool = Caches.persisted(q.crossJoin(c)
+    val pool = q.crossJoin(c)
       .withColumn("rel", relCol)
       .withColumn("__rnk", row_number().over(wRel))
       .where(col("__rnk") <= poolK)
-      .select("query_id", "cand_id", "rel", "c_vec", "c_norm"))
+      .select("query_id", "cand_id", "rel", "c_vec", "c_norm")
+    mmrGreedy(pool, k, lambda)
+  }
+
+  /** Production MMR: the same greedy diversity selection, but over a
+    * PRE-COMPUTED candidate pool — the output of whatever ANN tier the
+    * deployment runs ([[ivfTopK]], [[lshTopK]], a served
+    * [[ivfTopKIndexed]]). [[mmrRerank]]'s pool generation is a
+    * |Q|×|C| cross join (exact, the labeled oracle tier); composing
+    * over the ANN tier makes the end-to-end rerank cartesian-free:
+    * pool generation is the tier's bucketed shape, relevance is
+    * recomputed on exactly |Q|·poolK pairs via two keyed joins, and
+    * the greedy rounds are the same per-query poolK² cogroup.
+    *
+    * Determinism: `rel` is the identical codegen'd cosine the tiers
+    * rank by, recomputed from the id pairs — so the result depends
+    * only on the pool's (query_id, cand_id) SET, not on float values
+    * that rode along; any tier whose ids the oracle can replay (IVF's
+    * seeded centroids, LSH's seeded planes) yields a bit-replayable
+    * rerank ([[graft.OracleSql.mmrRerankIvf]]).
+    *
+    * @param pool (query_id, cand_id) pairs; extra columns are ignored.
+    *             Ids resolve against `emb`'s `idCol`.
+    */
+  def mmrRerankFromPool(
+      emb: DataFrame,
+      pool: DataFrame,
+      k: Int,
+      lambda: Double = 0.7,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1, s"need k >= 1, got k=$k")
+    val n = withNorm(emb, vecCol, idCol)
+    val q = n.toDF("query_id", "q_vec", "q_norm")
+    val c = n.toDF("cand_id", "c_vec", "c_norm")
+    val relCol = vec_dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))
+    val scored = pool.select("query_id", "cand_id")
+      .join(q, "query_id")
+      .join(c, "cand_id")
+      .withColumn("rel", relCol)
+      .select("query_id", "cand_id", "rel", "c_vec", "c_norm")
+    mmrGreedy(scored, k, lambda)
+  }
+
+  /** The shared greedy-selection stage: per query, `k` MMR rounds over
+    * its pool of `(cand_id, rel, vector)` rows — one keyed self-join
+    * for the ≤ poolK² pairwise sims, one cogroup for the rounds.
+    * `pool` columns: query_id, cand_id, rel, c_vec, c_norm.
+    */
+  private def mmrGreedy(pool0: DataFrame, k: Int, lambda: Double): DataFrame = {
+    val pool = Caches.persisted(pool0)
     val a = pool.select(col("query_id"), col("cand_id").as("id_a"),
       col("c_vec").as("__va"), col("c_norm").as("__na"))
     val b = pool.select(col("query_id"), col("cand_id").as("id_b"),
@@ -858,7 +912,7 @@ object Similarity {
     // IEEE expression the oracle unrolls: lam*rel for the first pick,
     // lam*rel - (1-lam)*maxsim after, argmax tie-breaking on the
     // smaller candidate id; maxsim is an order-independent double max.
-    val spark = emb.sparkSession
+    val spark = pool.sparkSession
     import spark.implicits._
     val poolDs = pool.select(col("query_id"), col("cand_id"), col("rel"))
       .as[(Long, Long, Double)]

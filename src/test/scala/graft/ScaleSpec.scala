@@ -509,4 +509,55 @@ class ScaleSpec extends AnyFunSuite with SparkTest {
     val exchanges = out.queryExecution.executedPlan.collect { case e: Exchange => e }
     assert(exchanges.isEmpty, "shard assignment must not shuffle")
   }
+
+  test("production MMR (ANN pool) plans NO cartesian relevance pass") {
+    val s = spark; import s.implicits._
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(7)
+    val emb = (0L until 60L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat()), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val pool = Similarity.ivfTopK(emb, col("vec_id") < 5, col("vec_id") >= 5,
+      k = 8, numCentroids = 4, nProbe = 2)
+      .select(col("query_id"), col("neighbor_id").as("cand_id"))
+    // force, then unwrap AQE AND recurse into persisted subplans — the
+    // pool rides an InMemoryTableScan whose cached build plan is where
+    // a cartesian would hide
+    def strip(p: org.apache.spark.sql.execution.SparkPlan) = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    def cartesiansIn(
+        plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+      strip(plan).collectWithSubqueries {
+        case e: org.apache.spark.sql.execution.joins.CartesianProductExec =>
+          Seq(e.nodeName)
+        case e: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+          Seq(e.nodeName)
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          cartesiansIn(s.relation.cachedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          // AQE stages are leaf wrappers — their real subtree is .plan
+          cartesiansIn(q.plan)
+      }.flatten
+    def cartesians(df: org.apache.spark.sql.DataFrame) = {
+      df.count()
+      cartesiansIn(df.queryExecution.executedPlan)
+    }
+    val out = Similarity.mmrRerankFromPool(emb, pool, k = 3)
+    assert(out.count() > 0)
+    // the whole point of composing over the ANN tier: no |Q|x|C|
+    // expansion anywhere — neither a CartesianProduct nor a
+    // BroadcastNestedLoopJoin may appear in the physical plan
+    assert(cartesians(out).isEmpty,
+      s"cartesian pass in production MMR:\n${out.queryExecution.executedPlan}")
+    // the oracle tier (exact pool) is EXPECTED to carry one — the
+    // contrast pins that the two tiers really take different paths
+    val oracleTier = Similarity.mmrRerank(
+      emb, col("vec_id") < 5, col("vec_id") >= 5, k = 3, poolK = 8)
+    assert(cartesians(oracleTier).nonEmpty,
+      "oracle tier should be the labeled cross join")
+    graft.operators.Caches.release()
+  }
 }

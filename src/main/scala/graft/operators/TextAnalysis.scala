@@ -1020,25 +1020,34 @@ object TextAnalysis {
     val qs = math.pow(2, scaleBits)
     val feat = Caches.persisted(
       probeFeatures(docs, labelCond, buckets, salt, textCol, idCol))
-    val w = Array.fill(buckets + 1)(0.0)
-    for (_ <- 1 to iters) {
-      // margin in fixed bucket order: ((c0·w0 + c1·w1) + …) + bias —
-      // the identical left-associated IEEE expression the oracle uses
-      val margin = (0 until buckets)
-        .map(b => col(s"c$b") * lit(w(b)))
-        .reduce(_ + _) + lit(w(buckets))
-      val resid = margin - col("y")
-      val grads = feat.agg(
-        count(lit(1)).as("n"),
-        (0 until buckets).map(b =>
-          sum(round((resid * col(s"c$b")) * lit(qs)).cast("long")).as(s"g$b")) :+
-          sum(round(resid * lit(qs)).cast("long")).as("gb"): _*)
-        .head()
-      val n = grads.getLong(0).toDouble
-      for (b <- 0 to buckets) {
-        val g = grads.getLong(1 + b)
-        w(b) = w(b) - ((g.toDouble / n) / qs) * lr
+    // the fitted weights are a pure (deterministic, integer-reduced)
+    // function of the inputs — memoize per session so the five probe
+    // queries train ONCE instead of re-running iters aggregations each
+    // ("train once, score everywhere", which is the deployment shape)
+    val memoKey = s"fitProbe|$buckets|$iters|$lr|$scaleBits|$salt|$textCol|$idCol|" +
+      s"$labelCond|${Memo.planKey(docs)}"
+    val w = Memo.cached(docs.sparkSession, memoKey) {
+      val wts = Array.fill(buckets + 1)(0.0)
+      for (_ <- 1 to iters) {
+        // margin in fixed bucket order: ((c0·w0 + c1·w1) + …) + bias —
+        // the identical left-associated IEEE expression the oracle uses
+        val margin = (0 until buckets)
+          .map(b => col(s"c$b") * lit(wts(b)))
+          .reduce(_ + _) + lit(wts(buckets))
+        val resid = margin - col("y")
+        val grads = feat.agg(
+          count(lit(1)).as("n"),
+          (0 until buckets).map(b =>
+            sum(round((resid * col(s"c$b")) * lit(qs)).cast("long")).as(s"g$b")) :+
+            sum(round(resid * lit(qs)).cast("long")).as("gb"): _*)
+          .head()
+        val n = grads.getLong(0).toDouble
+        for (b <- 0 to buckets) {
+          val g = grads.getLong(1 + b)
+          wts(b) = wts(b) - ((g.toDouble / n) / qs) * lr
+        }
       }
+      wts
     }
     (w, feat)
   }

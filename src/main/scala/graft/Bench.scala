@@ -88,12 +88,16 @@ object Bench {
     val results = p1.map { case (k, v) =>
       k -> (if (failures(k)) -1.0 else math.min(v, p2(k)))
     }
-    // Solo re-timing of the five slowest queries: each runs again in a
-    // quiet JVM (no 180-query suite immediately behind it), separating
-    // host drift / suite-context effects (GC pressure, codegen-cache
-    // churn) from real per-query regressions. Published as "solo" next
-    // to the suite numbers.
-    val slowest = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(5).map(_._1)
+    // Solo re-timing: the five slowest queries PLUS the ANN family
+    // (whose suite numbers drifted 1.4-1.75x across rounds with
+    // insertion-only diffs — suite/JVM pressure, which solo timing
+    // separates from real regressions). Each runs again in a quiet JVM
+    // with no suite immediately behind it. Published as "solo" next to
+    // the suite numbers.
+    val annFamily = Seq("ann_ivf_topk", "ann_pq_topk", "ann_ivf_pq_topk",
+      "ann_ivf_refined_topk").filter(results.contains)
+    val slowest = (results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(5).map(_._1) ++
+      annFamily).distinct
     val solo = slowest.map { name =>
       System.gc()
       val t0 = System.nanoTime()
@@ -112,9 +116,20 @@ object Bench {
     val sj = solo.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
+    // the 5M flat-vs-partitioned merge crossover (BASELINE.md's layout
+    // claim), regression-tracked: full-suite runs only, timed once
+    val merge5m =
+      if (only.nonEmpty) ""
+      else try {
+        val (flatSec, partSec, rewritten) = MergeCrossoverBench.run(spark)
+        s""","merge5m":{"flat_delta_sec":${ms(flatSec)},"partitioned_delta_sec":${ms(partSec)},"rows_rewritten":$rewritten}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] merge5m FAILED: ${e.getMessage}")
+        ""","merge5m":{"flat_delta_sec":-1,"partitioned_delta_sec":-1}"""
+      }
     val total = results.values.filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"solo":$sj,"failures":$fj,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"solo":$sj,"failures":$fj$merge5m,"sf":"$sfDir"}"""
     println(line)
     // compact fallback: if the full line still gets cut, this short one
     // (printed closest to the end of output) parses on its own

@@ -508,27 +508,46 @@ object Streams {
       .option("checkpointLocation", checkpointPath)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        import graft.sources.Warehouse
-        val spark = batch.sparkSession
-        val emptyAgg = batch.groupBy(keys.map(col): _*)
-          .agg(count(lit(1)).as("n_events"), sum(valueUnits).as("sum_units"))
-          .withColumn("last_batch_id", lit(-1L))
-          .limit(0)
-        val prev =
-          if (Warehouse.exists(spark, warehouseDir, table))
-            Warehouse.read(spark, warehouseDir, table)
-          else emptyAgg
-        val lastId = prev.select(max(col("last_batch_id"))).collect()
-          .headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
-          .getOrElse(-1L)
-        if (id > lastId) {
-          val updated = graft.operators.Incremental.updateWithRetractions(
-            prev.drop("last_batch_id"), batch, keys, valueUnits, opCol)
-            .withColumn("last_batch_id", lit(id))
-          Warehouse.overwrite(updated, warehouseDir, table)
-        }
+        foldRetractionsBatch(batch, id, warehouseDir, table, keys,
+          valueUnits, opCol)
       }
       .start()
+
+  /** One micro-batch of the signed fold behind
+    * [[retractionCountsStream]] — same idempotence contract as
+    * [[foldCountsBatch]]: the batch id commits in the SAME atomic swap
+    * as the folded data, so the crash window between the sink write
+    * and the streaming commit log is safe — the replayed batch (same
+    * id) is recognized and skipped, never double-retracted.
+    */
+  private[graft] def foldRetractionsBatch(
+      batch: DataFrame,
+      batchId: Long,
+      warehouseDir: String,
+      table: String,
+      keys: Seq[String],
+      valueUnits: org.apache.spark.sql.Column,
+      opCol: org.apache.spark.sql.Column): Unit = {
+    import graft.sources.Warehouse
+    val spark = batch.sparkSession
+    val emptyAgg = batch.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_events"), sum(valueUnits).as("sum_units"))
+      .withColumn("last_batch_id", lit(-1L))
+      .limit(0)
+    val prev =
+      if (Warehouse.exists(spark, warehouseDir, table))
+        Warehouse.read(spark, warehouseDir, table)
+      else emptyAgg
+    val lastId = prev.select(max(col("last_batch_id"))).collect()
+      .headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+      .getOrElse(-1L)
+    if (batchId > lastId) {
+      val updated = graft.operators.Incremental.updateWithRetractions(
+        prev.drop("last_batch_id"), batch, keys, valueUnits, opCol)
+        .withColumn("last_batch_id", lit(batchId))
+      Warehouse.overwrite(updated, warehouseDir, table)
+    }
+  }
 
   /** Stream-stream inner join: views joined to purchases by the same
     * user within `[view.ts, view.ts + joinWindow]` — the online form of

@@ -230,6 +230,55 @@ class StreamsSpec extends AnyFunSuite with SparkTest {
     } finally q.stop()
   }
 
+  test("retraction sink: crash between sink write and stream commit replays exactly-once") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("retr_crash").toString
+    val input = MemoryStream[(Long, Long, Int)]
+    def startQ() = graft.streaming.Streams.retractionCountsStream(
+      input.toDF().toDF("user_id", "units", "op"), dir, "user_counts",
+      Seq("user_id"), col("units"), col("op"), s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    val q1 = startQ()
+    try {
+      input.addData((1L, 10L, 1), (2L, 7L, 1))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // batch 1 (a retraction — the right-to-be-forgotten delta) arrives;
+    // the process dies AFTER the sink's atomic swap but BEFORE the
+    // streaming commit log records batch 1 — the worst crash window for
+    // a signed fold, because a naive replay would retract TWICE.
+    // Simulate: run the fold by hand with the id the restarted query
+    // will re-assign the same rows.
+    input.addData((2L, 7L, -1), (3L, 9L, 1))
+    graft.streaming.Streams.foldRetractionsBatch(
+      Seq((2L, 7L, -1), (3L, 9L, 1)).toDF("user_id", "units", "op"),
+      batchId = 1L, dir, "user_counts", Seq("user_id"), col("units"), col("op"))
+    val afterCrash = graft.sources.Warehouse.read(s, dir, "user_counts")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(afterCrash == Map(1L -> ((1L, 10L)), 3L -> ((1L, 9L))),
+      "the crashed run's fold applied once: user 2 revoked, user 3 in")
+
+    // restart from the checkpoint: the engine replays batch 1 (it was
+    // never committed); the stamp makes the second fold a no-op —
+    // user 2 must NOT go negative, user 3 must not double
+    val q2 = startQ()
+    try {
+      q2.processAllAvailable()
+      val resumed = graft.sources.Warehouse.read(s, dir, "user_counts")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(resumed == afterCrash, "replayed batch must be exactly-once")
+      // and the resumed query still folds NEW batches normally
+      input.addData((3L, 9L, -1), (4L, 2L, 1))
+      q2.processAllAvailable()
+      val next = graft.sources.Warehouse.read(s, dir, "user_counts")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(next == Map(1L -> ((1L, 10L)), 4L -> ((1L, 2L))),
+        "post-resume batch folds once: user 3 revoked, user 4 in")
+    } finally q2.stop()
+  }
+
   test("streaming dedup drops duplicate keys within the watermark horizon") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 
-import graft.plans.{FloatVecDot, RollingHash}
+import graft.plans.{FloatVecDot, FloatVecMatDots, RollingHash}
 
 /** Column-level functions of the engine.
   *
@@ -69,6 +69,18 @@ package object functions {
 
   /** L2 norm of an array<float> column. */
   def vec_norm(a: Column): Column = sqrt(vec_dot(a, a))
+
+  /** Dot products of a vector column against a constant matrix, each
+    * divided by `div` (graft.plans.FloatVecMatDots): the centroid /
+    * codebook scoring primitive — one tiny JIT-able loop instead of k
+    * unrolled vec_dot's that push the fused codegen method past the
+    * JVM's 8 KB JIT ceiling.
+    */
+  def vec_mat_dots(v: Column, mat: Array[Array[Float]], div: Column): Column =
+    ColumnBridge.column(FloatVecMatDots(
+      ColumnBridge.expression(v),
+      mat.map(_.toIndexedSeq).toIndexedSeq,
+      ColumnBridge.expression(div)))
 
   /** Cosine similarity between two array<float> columns, computed in
     * double precision.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
-import graft.functions.{rolling_hash, vec_dot}
+import graft.functions.{rolling_hash, vec_dot, vec_mat_dots}
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`).
@@ -285,8 +285,7 @@ object Similarity {
     val centroids =
       if (refineIters <= 0) seeded
       else kmeansCentroids(emb.where(candPred), seeded, refineIters, vecCol)
-    val dots = array(centroids.map(ct =>
-      vec_dot(col(vecCol), lit(ct)) / col("norm")): _*)
+    val dots = vec_mat_dots(col(vecCol), centroids, col("norm"))
     val assigned = c0
       .select(col(idCol), dots.as("__dots"))
       .select(col(idCol),
@@ -393,11 +392,17 @@ object Similarity {
     c0.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
       col("norm").as("c_norm"),
-      array(centroids.map(ct => vec_dot(col(vecCol), lit(ct)) / col("norm")): _*)
-        .as("__dots"))
+      vec_mat_dots(col(vecCol), centroids, col("norm")).as("__dots"))
       .select(col("neighbor_id"), col("c_vec"), col("c_norm"),
-        // argmax cell: 1-based position of the max dot (ties -> first)
-        array_position(col("__dots"), array_max(col("__dots"))).as("cell"))
+        // argmax cell: 1-based position of the max dot (ties -> first).
+        // The coalesce can never fire (__dots is non-empty) — it is
+        // here to make `cell` NON-NULLABLE: a nullable join key makes
+        // the probe join infer isnotnull(cell), which pushes the whole
+        // numCentroids-dot expression into a scan-side filter and
+        // re-evaluates it per row (measured 0.86s of ann_ivf_topk's
+        // 1.4s at sf0.1 before this)
+        coalesce(array_position(col("__dots"), array_max(col("__dots"))), lit(0L))
+          .as("cell"))
   }
 
   /** Probe pre-assigned cells with each query's nProbe nearest
@@ -408,10 +413,11 @@ object Similarity {
       vecCol: String, idCol: String): DataFrame = {
     // query side probes its nProbe nearest cells: sort (−dot, cell idx)
     // structs ascending, slice nProbe, explode
+    val cellIds = lit(centroids.indices.map(i => (i + 1).toLong).toArray)
     val probeCells = slice(
-      array_sort(array(centroids.indices.map(i =>
-        struct((vec_dot(col(vecCol), lit(centroids(i))) / col("norm")).unary_-.as("neg"),
-          lit(i + 1L).as("cell"))): _*)),
+      array_sort(zip_with(
+        vec_mat_dots(col(vecCol), centroids, col("norm")), cellIds,
+        (d, c) => struct(d.unary_-.as("neg"), c.as("cell")))),
       1, nProbe)
     val q = q0.select(
       col(idCol).as("query_id"), col(vecCol).as("q_vec"),
@@ -462,7 +468,7 @@ object Similarity {
         sqrt(vec_dot(col(vecCol), col(vecCol))).as("nrm")))
     for (_ <- 0 until iters) {
       // dot array in its own projection so the argmax reads a column
-      val dots = array(cents.map(ct => vec_dot(col("v"), lit(ct)) / col("nrm")): _*)
+      val dots = vec_mat_dots(col("v"), cents, col("nrm"))
       val sums = base
         .select(col("v"), dots.as("__dots"))
         .select(col("v"),
@@ -534,7 +540,7 @@ object Similarity {
     def cbSlice(s: Int, cI: Int): Array[Float] =
       picks(cI).slice(s * subDim, (s + 1) * subDim)
     def subDots(v: Column, s: Int): Column =
-      array(picks.indices.map(cI => vec_dot(sl(v, s), lit(cbSlice(s, cI)))): _*)
+      vec_mat_dots(sl(v, s), picks.indices.map(cI => cbSlice(s, cI)).toArray, lit(1.0))
 
     // encode: dot arrays materialized in their own projection so the
     // argmax reads a column (assignCells pattern)
@@ -691,7 +697,7 @@ object Similarity {
     def cbSlice(s: Int, cI: Int): Array[Float] =
       picks(cI).slice(s * subDim, (s + 1) * subDim)
     def subDots(v: Column, s: Int): Column =
-      array(picks.indices.map(cI => vec_dot(sl(v, s), lit(cbSlice(s, cI)))): _*)
+      vec_mat_dots(sl(v, s), picks.indices.map(cI => cbSlice(s, cI)).toArray, lit(1.0))
 
     // encode the cell-assigned candidates (cell rides along with codes)
     val withDots = cells.select(
@@ -703,10 +709,11 @@ object Similarity {
           array_position(col(s"__d$s"), array_max(col(s"__d$s"))).as(s"code_$s")): _*)
 
     // queries: nProbe nearest cells (ivfTopK's probe) + PQ LUTs
+    val cellIds = lit(centroids.indices.map(i => (i + 1).toLong).toArray)
     val probeCells = slice(
-      array_sort(array(centroids.indices.map(i =>
-        struct((vec_dot(col(vecCol), lit(centroids(i))) / col("norm")).unary_-.as("neg"),
-          lit(i + 1L).as("cell"))): _*)),
+      array_sort(zip_with(
+        vec_mat_dots(col(vecCol), centroids, col("norm")), cellIds,
+        (d, c) => struct(d.unary_-.as("neg"), c.as("cell")))),
       1, nProbe)
     val q = n.where(queryPred).select(
       col(idCol).as("query_id") +: col(vecCol).as("q_vec") +: col("norm").as("q_norm") +:

@@ -69,4 +69,27 @@ class FunctionsSpec extends AnyFunSuite with SparkTest {
       }
     }
   }
+
+  test("vec_mat_dots is bit-identical to the composed per-row vec_dot array") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val mat = Array.fill(16)(Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    val df = (0 until 200).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+      .toDF("id", "v")
+      .withColumn("nrm", sqrt(vec_dot(col("v"), col("v"))))
+    val composed = array(mat.map(row => vec_dot(col("v"), lit(row)) / col("nrm")).toIndexedSeq: _*)
+    val rows = df.select(
+      vec_mat_dots(col("v"), mat, col("nrm")).as("fused"),
+      composed.as("unrolled")).collect()
+    rows.foreach { r =>
+      // exact double equality — same accumulation order, same division
+      assert(r.getSeq[Double](0) == r.getSeq[Double](1))
+    }
+    // null vector and null divisor both yield null
+    val nulls = df.select(
+      vec_mat_dots(lit(null).cast("array<float>"), mat, col("nrm")),
+      vec_mat_dots(col("v"), mat, lit(null).cast("double"))).collect()
+    nulls.foreach { r => assert(r.isNullAt(0) && r.isNullAt(1)) }
+  }
 }

@@ -256,6 +256,63 @@ object OracleSql {
       "cent AS (SELECT * FROM cent0), " +
       ivfTail("cent", k, nProbe, dim)
 
+  /** Shared SQ8 codec CTEs over the candidate slice (`cnd` from
+    * [[ivfPrologue]]): `grid(j, mn, mx)` (per-dimension float min/max
+    * widened to double) and `dec(vec_id, dvec)` — the decoded float
+    * vector `x̂_j = mn + code_j·(mx − mn)/255` in dim order, with the
+    * affine rounding exactly as Spark's fixed-order double expression.
+    */
+  private def sqCtes(dim: Int): String = {
+    val code = "(CASE WHEN g.mx = g.mn THEN 0 ELSE " +
+      "CAST(round(((CAST(c.embedding[g.j] AS DOUBLE) - g.mn) * 255.0) / (g.mx - g.mn)) AS BIGINT) END)"
+    s"grid AS (SELECT j, CAST(min(embedding[j]) AS DOUBLE) AS mn, CAST(max(embedding[j]) AS DOUBLE) AS mx " +
+      s"FROM cnd CROSS JOIN (SELECT unnest(generate_series(1, $dim)) AS j) dims GROUP BY j), " +
+      "dec AS (SELECT c.vec_id, list(CAST(g.mn + CAST(" + code +
+      " AS DOUBLE) * ((g.mx - g.mn) / 255.0) AS FLOAT) ORDER BY g.j) AS dvec " +
+      "FROM cnd c CROSS JOIN grid g GROUP BY c.vec_id)"
+  }
+
+  /** Oracle for `emb_sq8_codes`: the quantizer itself, exploded —
+    * replay of `Similarity.sqCodes` (grid + affine half-up rounding;
+    * operands are non-negative so DuckDB's half-away rounding agrees
+    * with Spark's HALF_UP).
+    */
+  def embSqCodes(candWhere: String, dim: Int = 64): String =
+    s"WITH cnd AS (SELECT vec_id, embedding FROM embeddings WHERE $candWhere), " +
+      sqCtes(dim) + ", " +
+      "codes AS (SELECT c.vec_id, CAST(g.j - 1 AS INT) AS dim, " +
+      "(CASE WHEN g.mx = g.mn THEN 0 ELSE " +
+      "CAST(round(((CAST(c.embedding[g.j] AS DOUBLE) - g.mn) * 255.0) / (g.mx - g.mn)) AS BIGINT) END) AS code " +
+      "FROM cnd c CROSS JOIN grid g) " +
+      "SELECT vec_id, dim, code FROM codes"
+
+  /** Oracle for `ann_sq8_ivf_topk`: full replay of
+    * `Similarity.sqIvfTopK` — IVF prologue (seeded unit centroids),
+    * raw-vector cell assignment and query probes as in [[annIvfTopK]],
+    * but candidates scored through the SQ8 decode: cosine of the raw
+    * query against the decoded candidate and its decoded norm.
+    */
+  def annSqIvfTopK(k: Int, numCentroids: Int, nProbe: Int, dim: Int = 64,
+      seed: Long = 42L): String =
+    s"WITH ${ivfPrologue(numCentroids, dim, seed)}, " +
+      "cent AS (SELECT * FROM cent0), " +
+      sqCtes(dim) + ", " +
+      s"cd AS (SELECT c.vec_id, c.nrm, ct.cidx, ${pairDot("c.embedding", "ct.cvec", dim)} / c.nrm AS dot " +
+      "FROM cnd c CROSS JOIN cent ct), " +
+      "cellasg AS (SELECT vec_id AS neighbor_id, cidx AS cell FROM " +
+      "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cidx) AS rn FROM cd) t WHERE rn = 1), " +
+      s"cdec AS (SELECT ca.neighbor_id, ca.cell, d.dvec, sqrt(${selfDot("d.dvec", dim)}) AS dnrm " +
+      "FROM cellasg ca JOIN dec d ON d.vec_id = ca.neighbor_id), " +
+      s"qd AS (SELECT q.vec_id, q.embedding, q.nrm, ct.cidx, ${pairDot("q.embedding", "ct.cvec", dim)} / q.nrm AS dot " +
+      "FROM qry q CROSS JOIN cent ct), " +
+      "probe AS (SELECT vec_id AS query_id, embedding AS q_vec, nrm AS q_norm, cidx AS cell FROM " +
+      s"(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cidx) AS rn FROM qd) t WHERE rn <= $nProbe), " +
+      s"scored AS (SELECT p.query_id, c.neighbor_id, ${pairDot("p.q_vec", "c.dvec", dim)} / (p.q_norm * c.dnrm) AS cosine " +
+      "FROM probe p JOIN cdec c USING (cell)) " +
+      "SELECT query_id, neighbor_id, rnk FROM (SELECT query_id, neighbor_id, " +
+      "CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rnk " +
+      s"FROM scored) t WHERE rnk <= $k"
+
   /** Oracle for `ann_ivf_cell_stats`: replay of
     * `Similarity.ivfCellStats` — the seeded centroid pick, the argmax
     * cell assignment keeping the winning cosine, then the per-cell

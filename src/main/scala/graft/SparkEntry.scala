@@ -905,6 +905,18 @@ object SparkEntry {
       // proxy — the report that decides when to re-Lloyd the index
       Similarity.ivfCellStats(rd(s, d, "embeddings"),
         col("vec_id") >= 10, numCentroids = 16)),
+    "emb_sq8_codes" -> ((s, d) =>
+      // the SQ8 scalar quantizer itself, exploded (vec_id, dim, code):
+      // per-dimension min/max grid + fixed-order affine rounding —
+      // the int8 codec a memory-tiered vector store trains per corpus
+      Similarity.sqCodes(rd(s, d, "embeddings"), col("vec_id") >= 10)),
+    "ann_sq8_ivf_topk" -> ((s, d) =>
+      // the memory-tier ANN composition: IVF cells bound the probe,
+      // candidates stored as int8 codes (4x smaller), scoring is
+      // asymmetric (raw query vs decoded candidate, Faiss SQ style)
+      Similarity.sqIvfTopK(rd(s, d, "embeddings"),
+        col("vec_id") < 10, col("vec_id") >= 10, k = 5,
+        numCentroids = 16, nProbe = 4)),
 
     // —— training-data pipeline: text analysis ——
     "text_lang_id" -> ((s, d) => TextAnalysis.langId(rd(s, d, "documents"))),
@@ -2477,6 +2489,9 @@ object SparkEntry {
     "ann_ivf_refined_topk" ->
       OracleSql.annIvfRefinedTopK(5, numCentroids = 16, nProbe = 4, iters = 2),
     "ann_ivf_cell_stats" -> OracleSql.annIvfCellStats(numCentroids = 16),
+    "emb_sq8_codes" -> OracleSql.embSqCodes("vec_id >= 10"),
+    "ann_sq8_ivf_topk" ->
+      OracleSql.annSqIvfTopK(k = 5, numCentroids = 16, nProbe = 4),
     "text_rolling_fp" -> OracleSql.textRollingFp,
     "media_byte_stats" -> OracleSql.mediaByteStats,
     "media_ahash_pairs" -> OracleSql.mediaAhashPairs(3, 8, 1000000L),

@@ -577,6 +577,127 @@ object Similarity {
       .select("query_id", "neighbor_id", "rnk")
   }
 
+  /** Per-dimension affine int8 quantization grid over the candidate
+    * corpus: `(dim, mn, mx)` — the scalar-quantization (SQ8) codec a
+    * memory-tiered vector store trains once per corpus version. One
+    * combinable min/max aggregation; the grid is dim-sized.
+    */
+  def sqGrid(
+      emb: DataFrame,
+      candPred: Column,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame =
+    emb.where(candPred)
+      .select(posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .groupBy("dim")
+      .agg(min(col("__x")).as("mn"), max(col("__x")).as("mx"))
+
+  /** The SQ8 code for one vector element: `round((x − mn)·255 / (mx −
+    * mn))` in fixed double order (0 when the dimension is constant).
+    * Candidate values lie inside the observed [mn, mx] by
+    * construction, so codes are already in [0, 255] — no clamp.
+    */
+  private def sqCode(x: Column, mn: Column, mx: Column): Column =
+    when(mx === mn, lit(0L)).otherwise(
+      round(((x.cast("double") - mn) * lit(255.0)) / (mx - mn)).cast("long"))
+
+  /** Exploded SQ8 codes of the candidate corpus: `(idCol, dim, code)`.
+    * Gates the quantizer bit-for-bit (the DuckDB oracle replays the
+    * grid and the affine rounding); [[sqIvfTopK]] consumes the same
+    * codec inline.
+    */
+  def sqCodes(
+      emb: DataFrame,
+      candPred: Column,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val grid = sqGrid(emb, candPred, vecCol, idCol)
+    emb.where(candPred)
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("dim", "__x")))
+      .join(broadcast(grid), "dim")
+      .select(col(idCol), col("dim"),
+        sqCode(col("__x"), col("mn").cast("double"), col("mx").cast("double"))
+          .as("code"))
+  }
+
+  /** SQ8-compressed IVF top-k — the memory-tier composition: candidates
+    * are stored as int8 codes (4× smaller than float32; at 100 TB of
+    * embeddings that is the difference between RAM-resident and not),
+    * cells bound the probe volume exactly as [[ivfTopK]], and scoring
+    * is ASYMMETRIC (Faiss SQ convention): the raw query against the
+    * DECODED candidate `x̂ᵢ = mn_i + code_i·(mx_i − mn_i)/255` — the
+    * query side loses no precision, so the only recall cost is the
+    * candidate rounding.
+    *
+    * Deterministic end-to-end: the grid is an exact float min/max, the
+    * encode/decode are fixed-order double affine maps, and the final
+    * cosine is the codegen [[graft.functions.vec_dot]] over the decoded
+    * float vector — every step replays bit-for-bit in DuckDB
+    * ([[graft.OracleSql.annSqIvfTopK]]).
+    *
+    * Shape at 100 TB: identical to [[ivfTopK]] (cell equi-join, probe
+    * list per query, one window) with the candidate payload 4× smaller;
+    * the grid is a dim-row broadcast. Recall is monitored the same way
+    * as every approximate tier (SimilaritySpec measures it against the
+    * brute oracle at sample scale).
+    */
+  def sqIvfTopK(
+      emb: DataFrame,
+      queryPred: Column,
+      candPred: Column,
+      k: Int,
+      numCentroids: Int = 16,
+      nProbe: Int = 4,
+      seed: Long = 42L,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(nProbe >= 1 && nProbe <= numCentroids)
+    val n = withNorm(emb, vecCol, idCol)
+    val c0 = n.where(candPred)
+    val centroids = seedCentroids(c0, numCentroids, seed, vecCol, idCol)
+
+    // the codec grid: dim-sized, collected once (same documented
+    // bounded-collect tier as the centroid pick)
+    val g = sqGrid(emb, candPred, vecCol, idCol).orderBy("dim").collect()
+    val mns = g.map(r => r.getFloat(1).toDouble)
+    val mxs = g.map(r => r.getFloat(2).toDouble)
+    val mnLit = lit(mns)
+    val mxLit = lit(mxs)
+
+    // decoded candidate vector (what the store would reconstruct from
+    // its int8 codes): encode then decode, per element, fixed order
+    def decoded(v: Column) = transform(v, (x, i) => {
+      val mn = element_at(mnLit, i + 1)
+      val mx = element_at(mxLit, i + 1)
+      val code = sqCode(x, mn, mx)
+      (mn + code.cast("double") * ((mx - mn) / lit(255.0))).cast("float")
+    })
+    val cells = assignCells(c0, centroids, vecCol, idCol)
+      .withColumn("c_dec", decoded(col("c_vec")))
+      .withColumn("c_dec_norm", sqrt(vec_dot(col("c_dec"), col("c_dec"))))
+      .select("neighbor_id", "c_dec", "c_dec_norm", "cell")
+
+    // probe exactly like ivfTopK, score against the decoded candidate
+    val cellIds = lit(centroids.indices.map(i => (i + 1).toLong).toArray)
+    val probeCells = slice(
+      array_sort(zip_with(
+        vec_mat_dots(col(vecCol), centroids, col("norm")), cellIds,
+        (d, c) => struct(d.unary_-.as("neg"), c.as("cell")))),
+      1, nProbe)
+    val q = n.where(queryPred).select(
+      col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      col("norm").as("q_norm"), explode(probeCells).as("probe"))
+      .select(col("query_id"), col("q_vec"), col("q_norm"),
+        col("probe.cell").as("cell"))
+    val cos = vec_dot(col("q_vec"), col("c_dec")) / (col("q_norm") * col("c_dec_norm"))
+    q.join(cells, "cell")
+      .select(col("query_id"), col("neighbor_id"), cos.as("cosine"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))))
+      .where(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk")
+  }
+
   /** Per-group element-wise vector sums in deterministic fixed point —
     * the distributed primitive behind label centroids, class
     * prototypes, and embedding-drift monitoring.

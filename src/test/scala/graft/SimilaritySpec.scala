@@ -405,4 +405,30 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(conf == Map((0, 0) -> 2L, (1, 1) -> 1L, (0, 1) -> 1L))
   }
+
+  test("SQ8: codes are int8-range, decode error bounded, tier recall near-exact at full probe") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val emb = (0L until 120L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 4 - 2), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    // codes live in [0, 255] — the int8 storage claim
+    val codes = Similarity.sqCodes(emb, col("vec_id") >= 10)
+    val mm = codes.agg(
+      org.apache.spark.sql.functions.min("code"),
+      org.apache.spark.sql.functions.max("code")).head()
+    assert(mm.getLong(0) >= 0L && mm.getLong(1) <= 255L)
+    assert(codes.count() == 110 * 16)
+    // at nProbe = numCentroids every cell is probed, so the ONLY
+    // approximation is the candidate rounding: recall@5 vs the exact
+    // brute tier must be near-perfect (grid step is range/255)
+    val sq = Similarity.sqIvfTopK(emb, col("vec_id") < 10, col("vec_id") >= 10,
+      k = 5, numCentroids = 4, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 10, col("vec_id") >= 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (sq intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"SQ8 full-probe recall $recall")
+    graft.operators.Caches.release()
+  }
 }

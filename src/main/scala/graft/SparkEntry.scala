@@ -917,6 +917,12 @@ object SparkEntry {
       Similarity.sqIvfTopK(rd(s, d, "embeddings"),
         col("vec_id") < 10, col("vec_id") >= 10, k = 5,
         numCentroids = 16, nProbe = 4)),
+    "emb_drift_report" -> ((s, d) =>
+      // encoder/corpus drift monitor: per-dimension exact fixed-point
+      // mean shift between two corpus slices — which dims moved, by
+      // how much, all partition-order-independent integers
+      Similarity.embDriftReport(rd(s, d, "embeddings"),
+        col("vec_id") % 2 === 0, col("vec_id") % 2 === 1)),
 
     // —— training-data pipeline: text analysis ——
     "text_lang_id" -> ((s, d) => TextAnalysis.langId(rd(s, d, "documents"))),
@@ -2064,6 +2070,11 @@ object SparkEntry {
       Sampling.kFold(rd(s, d, "documents"), "doc_id", "cv1", k = 5)
         .groupBy("fold")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))),
+    "text_token_fertility" -> ((s, d) =>
+      // tokenizer-sizing signal: BPE-ish tokens per whitespace word
+      // per source, exact integer ppm — high fertility flags the
+      // slices the tokenizer fragments
+      TextAnalysis.tokenFertility(rd(s, d, "documents"))),
     "text_vocab_curve" -> ((s, d) =>
       // tokenizer-sizing audit: OOV occurrence ppm at candidate vocab
       // sizes, all served from the vocabulary-sized count table
@@ -2492,6 +2503,22 @@ object SparkEntry {
     "emb_sq8_codes" -> OracleSql.embSqCodes("vec_id >= 10"),
     "ann_sq8_ivf_topk" ->
       OracleSql.annSqIvfTopK(k = 5, numCentroids = 16, nProbe = 4),
+    "emb_drift_report" ->
+      ("WITH x AS (SELECT vec_id, CAST(unnest(generate_series(1, len(embedding))) - 1 AS INT) AS dim, " +
+        "unnest(embedding) AS v FROM embeddings), " +
+        "q AS (SELECT vec_id, dim, CAST(round(CAST(v AS DOUBLE) * 16777216.0) AS BIGINT) AS fp FROM x), " +
+        "a AS (SELECT dim, count(*) AS n_base, CAST(sum(fp) AS BIGINT) AS sum_fp_base FROM q WHERE vec_id % 2 = 0 GROUP BY dim), " +
+        "b AS (SELECT dim, count(*) AS n_new, CAST(sum(fp) AS BIGINT) AS sum_fp_new FROM q WHERE vec_id % 2 = 1 GROUP BY dim) " +
+        "SELECT a.dim, n_base, n_new, sum_fp_base, sum_fp_new, " +
+        "CAST(sum_fp_base * n_new - sum_fp_new * n_base AS BIGINT) AS shift_num " +
+        "FROM a JOIN b ON a.dim = b.dim"),
+    "text_token_fertility" ->
+      ("SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS BIGINT) AS sum_bpe_tokens, " +
+        "CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS BIGINT) AS sum_words, " +
+        "CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) * 1000000 // " +
+        "sum(len(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS BIGINT) AS fertility_ppm " +
+        "FROM documents GROUP BY source"),
     "text_rolling_fp" -> OracleSql.textRollingFp,
     "media_byte_stats" -> OracleSql.mediaByteStats,
     "media_ahash_pairs" -> OracleSql.mediaAhashPairs(3, 8, 1000000L),

@@ -728,6 +728,43 @@ object Similarity {
         sum(round(col("__x").cast("double") * q).cast("long")).as("sum_fp"))
   }
 
+  /** Per-dimension embedding drift between two corpus slices — the
+    * monitoring report an embedding pipeline runs when a new encoder
+    * version / new corpus batch lands: which dimensions moved, and by
+    * how much. Everything is exact integers: per-slice counts and
+    * fixed-point component sums (the [[groupedVectorSums]] quantizer),
+    * and `shift_num = sum_base·n_new − sum_new·n_base` — the mean
+    * difference scaled by `q·n_base·n_new`, so sign and magnitude
+    * ranking are partition-order-independent and engine-identical.
+    *
+    * Overflow headroom: |sum_fp| ≤ q·max|x|·n, so shift_num needs
+    * `q·max|x|·n_base·n_new < 2⁶³` — at q=2²⁴ and unit-scale
+    * components that is ~5·10⁵ vectors per slice; monitor drift on a
+    * sampled slice beyond that (drift is a distributional signal, it
+    * does not need every row), or lift the sums to decimal(38,0) (the
+    * [[vectorSecondMoments]] pattern).
+    *
+    * Shape at 100 TB: two combinable (slice, dim)-keyed aggregations
+    * joined on a dim-sized table. No collect.
+    */
+  def embDriftReport(
+      emb: DataFrame,
+      basePred: Column,
+      newPred: Column,
+      scaleBits: Int = 24,
+      vecCol: String = "embedding"): DataFrame = {
+    def slice(pred: Column, nName: String, sName: String) =
+      groupedVectorSums(
+        emb.where(pred).withColumn("__g", lit(0)), "__g", vecCol, scaleBits)
+        .select(col("dim"), col("n_vecs").as(nName), col("sum_fp").as(sName))
+    slice(basePred, "n_base", "sum_fp_base")
+      .join(slice(newPred, "n_new", "sum_fp_new"), "dim")
+      .select(col("dim"), col("n_base"), col("n_new"),
+        col("sum_fp_base"), col("sum_fp_new"),
+        (col("sum_fp_base") * col("n_new") - col("sum_fp_new") * col("n_base"))
+          .as("shift_num"))
+  }
+
   /** Exact-integer second-moment matrix of an embedding column — the
     * Gram/covariance accumulation behind PCA, whitening, and embedding
     * drift monitors. Emits the upper triangle `(i, j, n_vecs,

@@ -697,6 +697,29 @@ object TextAnalysis {
       size(regexp_extract_all(col(textCol), lit(bpeishPattern), lit(0)))
         .as("n_bpeish_tokens"))
 
+  /** Tokenizer fertility per source: BPE-ish tokens per whitespace
+    * word, in exact integer ppm — the tokenizer-sizing signal a
+    * multilingual pipeline watches (fertility ≫ 1e6 means the
+    * tokenizer fragments that source's text; the standard argument for
+    * growing the vocabulary or retraining merges on that slice). One
+    * combinable aggregation; integer division of non-negative sums, so
+    * the ratio hashes identically cross-engine.
+    */
+  def tokenFertility(
+      docs: DataFrame,
+      textCol: String = "text",
+      srcCol: String = "source"): DataFrame =
+    docs.select(col(srcCol),
+        size(regexp_extract_all(col(textCol), lit(bpeishPattern), lit(0)))
+          .cast("long").as("__bpe"),
+        size(tokens(col(textCol))).cast("long").as("__w"))
+      .groupBy(srcCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__bpe")).as("sum_bpe_tokens"),
+        sum(col("__w")).as("sum_words"))
+      .withColumn("fertility_ppm",
+        expr("sum_bpe_tokens * 1000000 div sum_words"))
+
   /** BPE tokenizer training — the full greedy merge loop (Sennrich
     * 2016), not just one iteration: `rounds` times, count adjacent
     * symbol pairs across the corpus vocabulary (frequency-weighted),

@@ -431,4 +431,26 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(recall >= 0.9, s"SQ8 full-probe recall $recall")
     graft.operators.Caches.release()
   }
+
+  test("embDriftReport: a planted per-dimension shift dominates shift_num; partition-invariant") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(31)
+    // base slice (even ids) and new slice (odd ids) identical in
+    // distribution except dim 3, shifted by +0.5 in the new slice
+    val rows = (0L until 400L).map { i =>
+      val v = Array.fill(8)(rnd.nextFloat())
+      if (i % 2 == 1) v(3) = v(3) + 0.5f
+      (i, v, 0)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val rep = Similarity.embDriftReport(emb, col("vec_id") % 2 === 0, col("vec_id") % 2 === 1)
+      .collect().map(r => r.getInt(0) -> r.getLong(5)).toMap
+    val topDim = rep.minBy(_._2)._1 // new mean larger => shift_num most negative
+    assert(topDim == 3, s"planted drift dim not ranked first: $rep")
+    // exact integers => identical on any partitioning
+    val re = Similarity.embDriftReport(emb.repartition(7),
+      col("vec_id") % 2 === 0, col("vec_id") % 2 === 1)
+      .collect().map(r => r.getInt(0) -> r.getLong(5)).toMap
+    assert(re == rep)
+  }
 }

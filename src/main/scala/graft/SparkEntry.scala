@@ -1793,6 +1793,35 @@ object SparkEntry {
       Incremental.updateCounts(prev, ev.filter(col("ts") >= cutoff),
         Seq("user_id"), cents)
     }),
+    "incr_agg_read_rewrite" -> ((s, d) => {
+      // the READ half of incremental view maintenance: the maintained
+      // per-(user, type) aggregate is registered as a materialized
+      // view, and the RAW aggregate query below is transparently
+      // rewritten by the injected optimizer rule
+      // (plans.MaterializedAggRewrite) to scan the maintained table
+      // instead of the event history. ExtensionsSpec pins the plan
+      // swap; the oracle recomputes from raw events, so a green row
+      // ALSO proves the maintained content is exact
+      import graft.sources.Warehouse
+      val ev = rd(s, d, "events")
+      val cents = round(col("value") * 100).cast("long")
+      def aggQuery = ev.groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n_events"), sum(cents).as("sum_units"))
+      val dir = new java.io.File(
+        "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      val tbl = s"mv_user_type_counts_${ev.count()}"
+      graft.operators.Memo.cached(s, s"mvstage|$dir|$tbl") {
+        if (!Warehouse.exists(s, dir, tbl)) {
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+          Warehouse.overwrite(aggQuery, dir, tbl)
+        }
+        java.lang.Boolean.TRUE
+      }
+      graft.plans.MaterializedAggRewrite.register(s, aggQuery,
+        () => Warehouse.read(s, dir, tbl))
+      graft.plans.MaterializedAggRewrite.ensureInjected(s)
+      aggQuery
+    }),
     "seq_ewma" -> ((s, d) =>
       // exact dyadic EWMA: trailing 20-event exponential smoothing per
       // user with power-of-two weights in long arithmetic — the
@@ -3234,6 +3263,10 @@ object SparkEntry {
       ("SELECT user_id, count(*) AS n_events, " +
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_units " +
         "FROM events GROUP BY user_id"),
+    "incr_agg_read_rewrite" ->
+      ("SELECT user_id, event_type, count(*) AS n_events, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_units " +
+        "FROM events GROUP BY user_id, event_type"),
     "seq_ewma" -> OracleSql.ewmaTrailing(20),
     "incr_agg_retract" ->
       ("SELECT user_id, count(*) AS n_events, " +

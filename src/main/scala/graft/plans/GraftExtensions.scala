@@ -35,6 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the one strategy-tier operator (see BroadcastAsOf.scala for why
     // exactly this operator leaves the composition tier)
     ext.injectPlannerStrategy(_ => GraftStrategies)
+    // the one optimizer-rule-tier rewrite: registered maintained
+    // aggregates transparently serve plan-identical queries
+    // (MaterializedAggRewrite — the read half of Incremental)
+    ext.injectOptimizerRule(_ => MaterializedAggRewrite)
   }
 }
 

@@ -58,4 +58,59 @@ class ExtensionsSpec extends AnyFunSuite with SparkTest {
       assert(e.getMessage.contains("literal"))
     } finally s.catalog.dropTempView(v)
   }
+
+  test("MaterializedAggRewrite: plan-identical aggregate reads the MV table, others untouched") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    import graft.plans.MaterializedAggRewrite
+    val dir = java.nio.file.Files.createTempDirectory("mv_rw").toString
+    val ev = (1L to 300L).map(i => (i % 7, s"t${i % 3}", i.toDouble))
+      .toDF("user_id", "event_type", "value")
+      .localCheckpoint() // freeze the plan so canonical forms compare across uses
+    val cents = round(col("value") * 100).cast("long")
+    def aggQuery = ev.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n_events"), sum(cents).as("sum_units"))
+    graft.sources.Warehouse.overwrite(aggQuery, dir, "mv")
+    MaterializedAggRewrite.register(s, aggQuery,
+      () => graft.sources.Warehouse.read(s, dir, "mv"))
+    MaterializedAggRewrite.ensureInjected(s)
+    try {
+      // the raw aggregate is rewritten: no Aggregate in the optimized
+      // plan, and the scan reads the MV path
+      def scanPaths(df: org.apache.spark.sql.DataFrame): String =
+        df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            r.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location.rootPaths.mkString(",")
+              case _ => ""
+            }
+        }.mkString(";")
+      val q = aggQuery
+      val opt = q.queryExecution.optimizedPlan
+      val aggs = opt.collect { case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }
+      assert(aggs.isEmpty, s"aggregate not rewritten:\n$opt")
+      assert(scanPaths(q).contains("/mv"), s"MV scan missing:\n$opt")
+      // results identical to the unrewritten computation
+      val viaMv = q.collect().map(_.toSeq).toSet
+      MaterializedAggRewrite.clear(s)
+      val raw = aggQuery.collect().map(_.toSeq).toSet
+      assert(viaMv == raw)
+      // a DIFFERENT aggregate over the same source is untouched
+      MaterializedAggRewrite.register(s, aggQuery,
+        () => graft.sources.Warehouse.read(s, dir, "mv"))
+      val other = ev.groupBy("user_id").agg(sum(cents).as("sum_units"))
+      val otherAggs = other.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      assert(otherAggs.nonEmpty, "non-registered aggregate must not be rewritten")
+      // re-registering replaces the reader (staleness pattern): point
+      // at a second table and the rewrite follows
+      graft.sources.Warehouse.overwrite(aggQuery, dir, "mv2")
+      MaterializedAggRewrite.register(s, aggQuery,
+        () => graft.sources.Warehouse.read(s, dir, "mv2"))
+      assert(scanPaths(aggQuery).contains("mv2"))
+    } finally MaterializedAggRewrite.clear(s)
+  }
 }

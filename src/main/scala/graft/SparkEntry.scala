@@ -525,6 +525,26 @@ object SparkEntry {
       // first-order Markov transition matrix with exact-integer
       // conditional frequencies
       Events.transitionCounts(rd(s, d, "events"))),
+    "events_funnel" -> ((s, d) =>
+      // ordered conversion funnel: earliest view -> first click AFTER
+      // it -> first purchase after that, per user; stage tables shrink
+      // monotonically, no window over raw events
+      Events.funnel(rd(s, d, "events"), Seq("view", "click", "purchase"))),
+    "events_retention" -> ((s, d) =>
+      // weekly retention matrix: cohort = ISO week of first event,
+      // distinct active users per week offset — exact integer matrix
+      Events.retentionCohorts(rd(s, d, "events"))),
+    "events_props_sum" -> ((s, d) =>
+      // semi-structured ingestion: the JSON props column parsed in
+      // place (get_json_object), aggregated per event type — schema
+      // stays dynamic, parsing is a codegen projection, no UDF
+      rd(s, d, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("__k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("__k")).as("sum_k"),
+          count(col("__k")).as("n_with_k"))),
     "sample_temporal_split" -> ((s, d) =>
       // leak-proof time-based split: last ~9 days test, 2-day embargo
       // buffer before the cutoff
@@ -2816,6 +2836,28 @@ object SparkEntry {
       ("SELECT event_id, CASE WHEN epoch_us(ts) < 1705708800000000 THEN 'train' " +
         "WHEN epoch_us(ts) < 1705881600000000 THEN 'embargo' ELSE 'test' END AS split " +
         "FROM events"),
+    "events_funnel" ->
+      ("WITH s1 AS (SELECT user_id, min(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY user_id), " +
+        "s2 AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t_view " +
+        "WHERE e.event_type = 'click' GROUP BY e.user_id), " +
+        "s3 AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t_click " +
+        "WHERE e.event_type = 'purchase' GROUP BY e.user_id) " +
+        "SELECT s1.user_id, t_view, t_click, t_purchase FROM s1 " +
+        "LEFT JOIN s2 ON s1.user_id = s2.user_id LEFT JOIN s3 ON s1.user_id = s3.user_id"),
+    "events_retention" ->
+      ("WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id), " +
+        "c AS (SELECT user_id, CAST(date_trunc('week', first_ts) AS DATE) AS cohort_week, " +
+        "CAST(first_ts AS DATE) AS first_d FROM f), " +
+        "a AS (SELECT DISTINCT e.user_id, c.cohort_week, " +
+        "CAST((CAST(e.ts AS DATE) - c.first_d) // 7 AS BIGINT) AS week_offset " +
+        "FROM events e JOIN c ON e.user_id = c.user_id) " +
+        "SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT) AS n_users " +
+        "FROM a GROUP BY 1, 2"),
+    "events_props_sum" ->
+      ("SELECT event_type, count(*) AS n_events, " +
+        "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +
+        "CAST(count(json_extract_string(props, '$.k')) AS BIGINT) AS n_with_k " +
+        "FROM events GROUP BY event_type"),
     "seq_transitions" ->
       ("WITH seq AS (SELECT event_type, lag(event_type) OVER " +
         "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events), " +

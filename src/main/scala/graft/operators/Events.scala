@@ -193,4 +193,68 @@ object Events {
           col("n") * col("trail_cnt") * spikeDen > col("trail_sum") * spikeNum)
           .cast("int"))
   }
+
+  /** Ordered funnel: per user, the earliest completion time of each
+    * stage, where stage i+1 must occur STRICTLY AFTER the user's
+    * earliest stage-i completion — the conversion analysis every event
+    * pipeline runs (view → click → purchase), with the ordering
+    * constraint that distinguishes a funnel from three independent
+    * mins. Unreached stages are null; timestamps pass through
+    * untouched, so the result hashes identically cross-engine.
+    *
+    * Shape at 100 TB: one keyed min-aggregation per stage, each
+    * joined on the user key against the (users-sized, not
+    * events-sized) previous stage — `stages` keyed shuffles of
+    * monotonically shrinking tables, no window over raw events.
+    */
+  def funnel(
+      events: DataFrame,
+      stages: Seq[String],
+      typeCol: String = "event_type",
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    require(stages.size >= 2, "a funnel needs at least 2 stages")
+    val first = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol))
+      .agg(min(col(tsCol)).as(s"t_${stages.head}"))
+    val reached = stages.zipWithIndex.tail.foldLeft(first) {
+      case (prev, (stage, i)) =>
+        val prevTs = col(s"t_${stages(i - 1)}")
+        val nxt = events.filter(col(typeCol) === stage)
+          .select(col(userCol), col(tsCol).as("__t"))
+          .join(prev.select(col(userCol), prevTs), Seq(userCol))
+          .where(col("__t") > prevTs)
+          .groupBy(col(userCol))
+          .agg(min(col("__t")).as(s"t_$stage"))
+        prev.join(nxt.select(col(userCol), col(s"t_$stage")), Seq(userCol), "left")
+    }
+    reached
+  }
+
+  /** Weekly retention cohorts: users grouped by the ISO week of their
+    * FIRST event, counted distinctly in each subsequent week offset
+    * (`floor(days since first / 7)`) they were active — the retention
+    * matrix growth teams read. All integer arithmetic on non-negative
+    * day differences, so the matrix hashes identically cross-engine.
+    *
+    * Shape at 100 TB: one keyed min per user, one distinct over
+    * (user, offset) rows (combinable), one final count — the raw
+    * stream is scanned twice, everything after is user-sized.
+    */
+  def retentionCohorts(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val first = events.groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("__first"))
+      .select(col(userCol), col("__first"),
+        to_date(date_trunc("week", col("__first"))).as("cohort_week"))
+    events.select(col(userCol), to_date(col(tsCol)).as("__d"))
+      .join(first, Seq(userCol))
+      .select(col(userCol), col("cohort_week"),
+        expr("datediff(__d, to_date(__first)) div 7").as("week_offset"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

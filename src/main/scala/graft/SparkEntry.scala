@@ -2178,6 +2178,78 @@ object SparkEntry {
         .withColumn("rk", row_number().over(
           Window.partitionBy("source").orderBy(col("n").desc, col("token"))))
         .filter(col("rk") <= 5).drop("rk")
+    }),
+
+    // —— round-5 batch: classic OLAP shapes + affinity + stats + layout ——
+    "q5_region_revenue" -> ((s, d) => {
+      // TPC-H Q5 shape: snowflake join with the locality predicate
+      // (customer and supplier share a nation); the two pure
+      // dimensions broadcast, the c=s nationkey equality rides the
+      // supplier join so no extra shuffle is introduced
+      val c = rd(s, d, "customer"); val o = rd(s, d, "orders")
+      val l = rd(s, d, "lineitem"); val su = rd(s, d, "supplier")
+      val n = rd(s, d, "nation"); val r = rd(s, d, "region")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .where(col("o_orderdate") >= tlit("1996-01-01 00:00:00") &&
+          col("o_orderdate") < tlit("1998-01-01 00:00:00"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            .as("revenue"))
+    }),
+    "q9_profit_nation_year" -> ((s, d) => {
+      // TPC-H Q9 shape: profit = revenue minus supply cost, per
+      // nation and ship year, carried e4-exact through integer grids
+      // (price cents x discount basis points minus retail cents x
+      // integral quantity x 100) and summed in decimal(38,0) — the
+      // q_supplier_part overflow discipline
+      val l = rd(s, d, "lineitem"); val p = rd(s, d, "part")
+      val su = rd(s, d, "supplier"); val n = rd(s, d, "nation")
+      val cents = (c: Column) => round(c * 100).cast("long")
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .where(col("p_size").between(5, 40))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), year(col("l_shipdate")).as("o_year"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum((cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))) -
+            cents(col("p_retailprice")) * col("l_quantity").cast("long") * lit(100L))
+            .cast("decimal(38,0)")).cast("string").as("amount_e4"))
+    }),
+    "basket_pair_lift" -> ((s, d) =>
+      // market-basket mining: co-occurring part pairs with ppm lift;
+      // pair expansion is bounded per order, min-support runs before
+      // the marginal joins
+      graft.operators.Affinity.pairLift(rd(s, d, "lineitem"), minSupport = 2)),
+    "stat_chi2_cells" -> ((s, d) =>
+      // chi-squared independence, per-cell contributions (no
+      // cross-row double sum), priority x status contingency
+      Stats.chi2Cells(rd(s, d, "orders"), "o_orderpriority", "o_orderstatus")),
+    "events_attribution" -> ((s, d) =>
+      // last-touch revenue attribution: as-of pattern as one per-user
+      // ordered window, cents-exact revenue per channel
+      Events.lastTouchAttribution(rd(s, d, "events"),
+        touches = Seq("view", "click"), conversion = "purchase")),
+    "seq_rolling_spikes" -> ((s, d) =>
+      // trailing-week spike flags on the day-grain revenue series —
+      // cross-multiplied integer z-test, zero floats end to end
+      Stats.rollingIntegerZSpikes(rd(s, d, "orders"))),
+    "layout_compaction_plan" -> ((s, d) => {
+      // lakehouse OPTIMIZE planning: month x flag x status partition
+      // inventory (metadata-scale) packed into ~50 KB bins by
+      // running-sum segmentation
+      val files = rd(s, d, "lineitem")
+        .groupBy(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+          date_format(col("l_shipdate"), "yyyy-MM").as("mon"))
+        .agg((count(lit(1)) * 100).as("est_bytes"))
+      graft.sources.Layout.compactionPlan(files, Seq("rf", "ls", "mon"),
+        "est_bytes", targetSize = 50000L)
+        .select("rf", "ls", "mon", "est_bytes", "cum_before", "bin")
     })
   )
 
@@ -3607,7 +3679,56 @@ object SparkEntry {
       ("WITH t AS (SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token FROM documents), " +
         "c AS (SELECT source, token, count(*) AS n FROM t WHERE token <> '' GROUP BY 1, 2) " +
         "SELECT source, token, n FROM (SELECT source, token, n, " +
-        "row_number() OVER (PARTITION BY source ORDER BY n DESC, token) AS rk FROM c) q WHERE rk <= 5")
+        "row_number() OVER (PARTITION BY source ORDER BY n DESC, token) AS rk FROM c) q WHERE rk <= 5"),
+    "q5_region_revenue" ->
+      ("SELECT r_name, n_name, count(*) AS n_lines, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue " +
+        "FROM customer c JOIN orders o ON c_custkey = o_custkey " +
+        "JOIN lineitem l ON l_orderkey = o_orderkey " +
+        "JOIN supplier s ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+        "JOIN nation n ON s_nationkey = n_nationkey " +
+        "JOIN region r ON n_regionkey = r_regionkey " +
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1, 2"),
+    "q9_profit_nation_year" ->
+      ("SELECT n_name, CAST(year(l_shipdate) AS INT) AS o_year, count(*) AS n_lines, " +
+        "CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+        "(100 - CAST(round(l_discount * 100) AS BIGINT)) - " +
+        "CAST(round(p_retailprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT) * 100) " +
+        "AS DECIMAL(38,0)) AS VARCHAR) AS amount_e4 " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "WHERE p_size BETWEEN 5 AND 40 GROUP BY 1, 2"),
+    "basket_pair_lift" ->
+      ("WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+        "ic AS (SELECT pk, count(*) AS n_item FROM li GROUP BY 1), " +
+        "nb AS (SELECT count(DISTINCT ok) AS n_baskets FROM li), " +
+        "pr AS (SELECT a.pk AS pk_a, b.pk AS pk_b, count(*) AS n_co FROM li a " +
+        "JOIN li b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2 HAVING count(*) >= 2) " +
+        "SELECT pk_a, pk_b, n_co, ia.n_item AS n_a, ib.n_item AS n_b, nb.n_baskets, " +
+        "1000000 * n_co * nb.n_baskets // (ia.n_item * ib.n_item) AS lift_ppm " +
+        "FROM pr JOIN ic ia ON ia.pk = pr.pk_a JOIN ic ib ON ib.pk = pr.pk_b CROSS JOIN nb"),
+    "stat_chi2_cells" ->
+      Stats.chi2CellsSql("orders", "o_orderpriority", "o_orderstatus"),
+    "events_attribution" ->
+      ("WITH u AS (SELECT user_id, ts, event_id, event_type, value, " +
+        "CASE WHEN event_type IN ('view', 'click') THEN event_type END AS touch " +
+        "FROM events WHERE event_type IN ('view', 'click', 'purchase')), " +
+        "w AS (SELECT event_type, value, last_value(touch IGNORE NULLS) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS channel FROM u) " +
+        "SELECT coalesce(channel, 'direct') AS channel, count(*) AS n_conversions, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS revenue_c " +
+        "FROM w WHERE event_type = 'purchase' GROUP BY 1"),
+    "seq_rolling_spikes" -> Stats.rollingIntegerZSpikesSql("orders"),
+    "layout_compaction_plan" ->
+      ("WITH files AS (SELECT l_returnflag AS rf, l_linestatus AS ls, " +
+        "strftime(l_shipdate, '%Y-%m') AS mon, count(*) * 100 AS est_bytes " +
+        "FROM lineitem GROUP BY 1, 2, 3), " +
+        "w AS (SELECT rf, ls, mon, CAST(est_bytes AS BIGINT) AS est_bytes, " +
+        "CAST(coalesce(sum(est_bytes) OVER (ORDER BY rf, ls, mon " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM files) " +
+        "SELECT rf, ls, mon, est_bytes, cum_before, cum_before // 50000 AS bin FROM w")
     // every queries entry has an oracle: the hash-seeded operators use
     // full algorithm-replay SQL from OracleSql (portable hash family +
     // bit-exact double replication)

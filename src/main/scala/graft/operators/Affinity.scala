@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Market-basket affinity mining: co-occurrence counts and lift over
+  * (basket, item) pairs.
+  *
+  * Scale shape: the pair-generation self-join keys on the basket id,
+  * so the expansion per basket is C(k,2) where k is the basket's
+  * distinct-item count — bounded by the largest order (single digits
+  * in an order-lines fact), never by table size. The join shuffles
+  * both sides on the basket id once; pair aggregation shuffles on the
+  * (item_a, item_b) key with map-side partial counts. Item marginals
+  * join on the item key (the item dimension at 100 TB is far past
+  * broadcast size, so this stays a shuffle join on pk); the
+  * basket-count scalar is a single-row broadcast. The min-support
+  * filter runs BEFORE the marginal joins, so the expensive joins see
+  * only surviving pairs.
+  *
+  * Lift is emitted on the ppm grid via integer floor division —
+  * `1e6 * n_co * n_baskets div (n_a * n_b)` — exact in any engine
+  * (all operands non-negative, so floor division is unambiguous).
+  */
+object Affinity {
+
+  def pairLift(lineitem: DataFrame, minSupport: Long): DataFrame = {
+    require(minSupport >= 1, "minSupport must be >= 1")
+    val li = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val pairs = li.toDF("ok", "pk_a")
+      .join(li.toDF("ok2", "pk_b"),
+        col("ok") === col("ok2") && col("pk_a") < col("pk_b"))
+      .groupBy("pk_a", "pk_b")
+      .agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= minSupport)
+    val items = li.groupBy("pk").agg(count(lit(1)).as("n_item"))
+    val baskets = li.agg(count_distinct(col("ok")).as("n_baskets"))
+    pairs
+      .join(items.select(col("pk").as("pk_a"), col("n_item").as("n_a")), "pk_a")
+      .join(items.select(col("pk").as("pk_b"), col("n_item").as("n_b")), "pk_b")
+      .crossJoin(broadcast(baskets))
+      .select(col("pk_a"), col("pk_b"), col("n_co"), col("n_a"), col("n_b"),
+        col("n_baskets"),
+        expr("1000000 * n_co * n_baskets div (n_a * n_b)").as("lift_ppm"))
+  }
+}

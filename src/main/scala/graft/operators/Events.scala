@@ -257,4 +257,37 @@ object Events {
       .groupBy("cohort_week", "week_offset")
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Last-touch revenue attribution: each conversion is credited to
+    * the user's most recent preceding touch event (ties on the exact
+    * timestamp break by event_id, the same total order both engines
+    * sort by); conversions with no prior touch credit `direct`.
+    *
+    * This is the as-of-join pattern expressed as a single per-user
+    * ordered window — union the two event classes, carry the last
+    * non-null touch forward (`last(..., ignoreNulls)`), keep the
+    * conversion rows. One shuffle on user_id, window state is one
+    * value per user; revenue folds in exact cents. At 100 TB the
+    * per-user partition is a user's event history — thousands of
+    * rows, never table-scale.
+    */
+  def lastTouchAttribution(
+      events: DataFrame,
+      touches: Seq[String],
+      conversion: String): DataFrame = {
+    val u = events
+      .filter(col("event_type").isin(touches :+ conversion: _*))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"),
+        when(col("event_type").isin(touches: _*), col("event_type")).as("__touch"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    u.withColumn("channel", last(col("__touch"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === conversion)
+      .groupBy(coalesce(col("channel"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(round(col("value") * 100).cast("long")).as("revenue_c"))
+  }
 }

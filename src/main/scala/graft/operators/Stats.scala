@@ -229,4 +229,99 @@ object Stats {
       "m AS (SELECT *, CAST(n AS DOUBLE) AS nd FROM m0) " +
       arms.mkString(" UNION ALL ")
   }
+
+  /** Chi-squared independence test between two categorical columns,
+    * emitted PER CELL rather than as a single statistic: summing the
+    * double-typed contributions would reintroduce a cross-engine
+    * accumulation order, while per-cell values are each ONE fixed
+    * expression tree over exact integer counts — `(O·n − Rt·Ct)² /
+    * (Rt·Ct·n)` — deterministic in any IEEE engine. The expected count
+    * is surfaced on the ppm grid by integer floor division (all
+    * operands positive).
+    *
+    * Scale shape: ONE full scan (the cell contingency table); both
+    * marginals and the grand total fold from the cell table itself,
+    * which has |rows|·|cols| rows — category-cardinality scale, so the
+    * marginal joins broadcast.
+    */
+  def chi2Cells(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val cells = df.select(col(rowCol).as("r"), col(colCol).as("c"))
+      .groupBy("r", "c").agg(count(lit(1)).as("n_obs"))
+    val rt = cells.groupBy("r").agg(sum("n_obs").as("n_row"))
+    val ct = cells.groupBy("c").agg(sum("n_obs").as("n_col"))
+    val tot = cells.agg(sum("n_obs").as("n_tot"))
+    val num = col("n_obs") * col("n_tot") - col("n_row") * col("n_col")
+    cells
+      .join(broadcast(rt), "r").join(broadcast(ct), "c")
+      .crossJoin(broadcast(tot))
+      .select(col("r").as(rowCol), col("c").as(colCol),
+        col("n_obs"), col("n_row"), col("n_col"), col("n_tot"),
+        expr("1000000 * n_row * n_col div n_tot").as("exp_ppm"),
+        (num.cast("double") * num.cast("double") /
+          (col("n_row") * col("n_col") * col("n_tot")).cast("double"))
+          .as("contrib"))
+  }
+
+  /** DuckDB replay of [[chi2Cells]] — same cell/marginal CTEs, same
+    * fixed expression tree.
+    */
+  def chi2CellsSql(table: String, rowCol: String, colCol: String): String =
+    s"WITH cells AS (SELECT $rowCol AS r, $colCol AS c, count(*) AS n_obs FROM $table GROUP BY 1, 2), " +
+      "rt AS (SELECT r, CAST(sum(n_obs) AS BIGINT) AS n_row FROM cells GROUP BY 1), " +
+      "ct AS (SELECT c, CAST(sum(n_obs) AS BIGINT) AS n_col FROM cells GROUP BY 1), " +
+      "tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_tot FROM cells) " +
+      s"SELECT cells.r AS $rowCol, cells.c AS $colCol, n_obs, n_row, n_col, n_tot, " +
+      "1000000 * n_row * n_col // n_tot AS exp_ppm, " +
+      "CAST(n_obs * n_tot - n_row * n_col AS DOUBLE) * CAST(n_obs * n_tot - n_row * n_col AS DOUBLE) / " +
+      "CAST(n_row * n_col * n_tot AS DOUBLE) AS contrib " +
+      "FROM cells JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN tot"
+
+  /** Rolling spike detector over a day-grain series, entirely in
+    * integer arithmetic: flag day x when `(x − μ)² > 4σ²` against the
+    * trailing-week window, cross-multiplied to `(n·x − S)² >
+    * 4·(n·Sxx − S²)` so NO division, sqrt, or float ever runs —
+    * bit-exact in any engine, immune to the x̄/σ cancellation that
+    * makes naive float z-scores unstable.
+    *
+    * Scale shape: the day-grain aggregate is |distinct days| rows
+    * (bounded by the calendar, NOT by table size — ~3.7k rows for a
+    * decade of data at ANY scale factor), so the subsequent
+    * unpartitioned ordered window is metadata-scale by construction;
+    * the only full-data pass is the combinable daily groupBy. Daily
+    * totals fold in exact cents, then floor to whole dollars so the
+    * squared terms stay far inside int64 at any realistic daily
+    * volume (daily dollars < ~3e9 keeps `(n·x)²` < 6e20 — above
+    * int64; in practice daily dollars ~1e7 at sf0.1 gives ~5e15).
+    */
+  def rollingIntegerZSpikes(orders: DataFrame, window: Int = 7, minWindow: Int = 3): DataFrame = {
+    val daily = orders
+      .select(to_date(col("o_orderdate")).as("d"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("d").agg(sum("cents").as("day_cents"))
+      .withColumn("x", expr("day_cents div 100"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("d").rowsBetween(-window, -1)
+    daily
+      .withColumn("n_w", count(lit(1)).over(w))
+      .withColumn("s_w", sum("x").over(w))
+      .withColumn("sxx_w", sum(col("x") * col("x")).over(w))
+      .filter(col("n_w") >= minWindow)
+      .withColumn("is_spike",
+        (col("n_w") * col("x") - col("s_w")) * (col("n_w") * col("x") - col("s_w")) >
+          lit(4) * (col("n_w") * col("sxx_w") - col("s_w") * col("s_w")))
+      .select("d", "x", "n_w", "s_w", "sxx_w", "is_spike")
+  }
+
+  /** DuckDB replay of [[rollingIntegerZSpikes]]. */
+  def rollingIntegerZSpikesSql(table: String, window: Int = 7, minWindow: Int = 3): String =
+    s"WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, " +
+      s"CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS day_cents FROM $table GROUP BY 1), " +
+      "w AS (SELECT d, day_cents // 100 AS x, " +
+      "CAST(count(*) OVER win AS BIGINT) AS n_w, " +
+      "CAST(sum(day_cents // 100) OVER win AS BIGINT) AS s_w, " +
+      "CAST(sum((day_cents // 100) * (day_cents // 100)) OVER win AS BIGINT) AS sxx_w " +
+      s"FROM daily WINDOW win AS (ORDER BY d ROWS BETWEEN $window PRECEDING AND 1 PRECEDING)) " +
+      "SELECT d, x, n_w, s_w, sxx_w, " +
+      "(n_w * x - s_w) * (n_w * x - s_w) > 4 * (n_w * sxx_w - s_w * s_w) AS is_spike " +
+      s"FROM w WHERE n_w >= $minWindow"
 }

@@ -232,4 +232,36 @@ object Layout {
         .sortWithinPartitions(orderCol),
       dir, table)
   }
+
+  /** Compaction PLAN over a file/partition inventory: assign each
+    * input unit (identified by `orderCols`, sized by `sizeCol`) to an
+    * output bin by running-sum segmentation — bin = ⌊exclusive-prefix
+    * -sum ÷ target⌋ in the key order, the sorted-greedy packing a
+    * lakehouse OPTIMIZE planner emits (adjacent units coalesce, so
+    * clustering on `orderCols` survives compaction and each output
+    * file lands within one unit-size of `targetSize`).
+    *
+    * The input here is METADATA — one row per file or partition, not
+    * per data row — so the unpartitioned ordered window is bounded by
+    * the file count (thousands at 100 TB after directory
+    * partitioning), exactly like the driver-side planning loop of
+    * Delta/Iceberg OPTIMIZE, but expressed as a plan any engine can
+    * run. All arithmetic is integer; floor division on non-negative
+    * sizes is engine-agnostic.
+    */
+  def compactionPlan(
+      files: DataFrame,
+      orderCols: Seq[String],
+      sizeCol: String,
+      targetSize: Long): DataFrame = {
+    require(targetSize > 0, "targetSize must be positive")
+    import org.apache.spark.sql.functions.{coalesce, col, lit, sum}
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    files
+      .withColumn("cum_before", coalesce(sum(col(sizeCol)).over(w), lit(0L)))
+      .withColumn("bin",
+        org.apache.spark.sql.functions.expr(s"cum_before div $targetSize"))
+  }
 }

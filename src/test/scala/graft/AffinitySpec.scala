@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Affinity, Events, Stats}
+
+/** Round-5 batch: market-basket lift, chi-squared cells, integer
+  * rolling spikes, last-touch attribution, compaction planning.
+  */
+class AffinitySpec extends AnyFunSuite with SparkTest {
+
+  test("pairLift: counts, support cut, ppm lift, line-dedup") {
+    val s = spark; import s.implicits._
+    // o1 carries a DUPLICATE (o1, p1) line: basket membership must
+    // dedup before pair expansion or (1,2) would double-count
+    val li = Seq(
+      (1L, 1L), (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 2L),
+      (4L, 3L)
+    ).toDF("l_orderkey", "l_partkey")
+    val out = Affinity.pairLift(li, minSupport = 2).collect()
+    assert(out.length == 1, "only (1,2) reaches support 2; (1,3)/(2,3) are cut")
+    val r = out.head
+    assert(r.getLong(r.fieldIndex("pk_a")) == 1L && r.getLong(r.fieldIndex("pk_b")) == 2L)
+    assert(r.getLong(r.fieldIndex("n_co")) == 3L)
+    assert(r.getLong(r.fieldIndex("n_a")) == 3L && r.getLong(r.fieldIndex("n_b")) == 3L)
+    assert(r.getLong(r.fieldIndex("n_baskets")) == 4L)
+    // 1e6 * 3 * 4 / (3 * 3) = 1333333.33 -> floor 1333333
+    assert(r.getLong(r.fieldIndex("lift_ppm")) == 1333333L)
+  }
+
+  test("chi2Cells: 2x2 with known exact contributions") {
+    val s = spark; import s.implicits._
+    val rows =
+      Seq.fill(20)(("r1", "c1")) ++ Seq.fill(10)(("r1", "c2")) ++
+        Seq.fill(10)(("r2", "c1")) ++ Seq.fill(20)(("r2", "c2"))
+    val df = rows.toDF("o_orderpriority", "o_orderstatus")
+    val out = Stats.chi2Cells(df, "o_orderpriority", "o_orderstatus")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.size == 4)
+    val c11 = out(("r1", "c1"))
+    assert(c11.getLong(c11.fieldIndex("n_obs")) == 20L)
+    assert(c11.getLong(c11.fieldIndex("n_row")) == 30L)
+    assert(c11.getLong(c11.fieldIndex("n_col")) == 30L)
+    assert(c11.getLong(c11.fieldIndex("n_tot")) == 60L)
+    // expected = 30*30/60 = 15 -> 15e6 ppm exactly
+    assert(c11.getLong(c11.fieldIndex("exp_ppm")) == 15000000L)
+    // (O*n - Rt*Ct)^2 / (Rt*Ct*n) = 300^2 / 54000, the exact double
+    assert(c11.getDouble(c11.fieldIndex("contrib")) == 90000.0 / 54000.0)
+    // independence never holds here: every cell contributes equally
+    assert(out.values.forall(r =>
+      r.getDouble(r.fieldIndex("contrib")) == 90000.0 / 54000.0))
+  }
+
+  test("rollingIntegerZSpikes: flat series never spikes, planted jump does") {
+    val s = spark; import s.implicits._
+    val flat = (1 to 10).map(i => (f"2024-01-$i%02d 00:00:00", 100.56))
+    val spike = Seq(("2024-01-11 00:00:00", 1000.0))
+    val orders = (flat ++ spike).toDF("ds", "o_totalprice")
+      .select(to_timestamp(col("ds")).as("o_orderdate"), col("o_totalprice"))
+    val out = Stats.rollingIntegerZSpikes(orders)
+      .collect().map(r => r.getDate(0).toString -> r).toMap
+    // warm-up: days 1-3 have n_w < 3 and are dropped
+    assert(!out.contains("2024-01-01") && !out.contains("2024-01-03"))
+    assert(out.contains("2024-01-04"))
+    // dollars floor: 100.56 -> 10056 cents -> 100 dollars
+    assert(out("2024-01-04").getLong(1) == 100L)
+    // zero-variance window, x == mean: strict > keeps it quiet
+    assert((4 to 10).forall(i => !out(f"2024-01-$i%02d").getBoolean(5)))
+    assert(out("2024-01-11").getBoolean(5), "10x jump flags against a flat week")
+  }
+
+  test("lastTouchAttribution: channel credit, direct fallback, same-ts tie") {
+    val s = spark; import s.implicits._
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      // user 1: view, click, then two purchases -> both credit click
+      (1L, ts(1), 1L, "view", 0.0), (1L, ts(2), 2L, "click", 0.0),
+      (1L, ts(3), 3L, "purchase", 10.50), (1L, ts(4), 4L, "purchase", 2.25),
+      // user 2: purchase with no prior touch -> direct
+      (2L, ts(1), 5L, "purchase", 5.00),
+      // user 3: view and purchase at the SAME ts; event_id orders the
+      // view first so it gets credit
+      (3L, ts(5), 6L, "view", 0.0), (3L, ts(5), 7L, "purchase", 1.00),
+      // noise type is excluded entirely
+      (1L, ts(1), 8L, "error", 99.0)
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = Events.lastTouchAttribution(ev, Seq("view", "click"), "purchase")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(
+      "click" -> ((2L, 1275L)), // 10.50 + 2.25 in cents
+      "direct" -> ((1L, 500L)),
+      "view" -> ((1L, 100L))))
+  }
+
+  test("compactionPlan: exclusive prefix-sum binning in key order") {
+    val s = spark; import s.implicits._
+    val files = Seq(("a", 100L), ("b", 200L), ("c", 300L), ("d", 400L))
+      .toDF("f", "bytes")
+    val out = graft.sources.Layout.compactionPlan(files, Seq("f"), "bytes", 300L)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(
+      "a" -> ((0L, 0L)), "b" -> ((100L, 0L)),
+      "c" -> ((300L, 1L)), "d" -> ((600L, 2L))))
+  }
+}

@@ -257,4 +257,34 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
       assert(h == pinnedR4b(q), s"$q output drifted (got $h)")
     }
   }
+
+  private val pinnedR5 = Map(
+    "ann_sq8_ivf_topk" -> "f2d3ad535479b90b463743da6dad78cd",
+    "basket_pair_lift" -> "27ca3aee721b78e8e52c230da8b16e05",
+    "emb_drift_report" -> "ce392268bf99bcf0122e7ebb269b1b37",
+    "emb_sq8_codes" -> "221022213b152f734461b0475506f195",
+    "events_attribution" -> "4795c250a1885e1a005da01c79dee98e",
+    "events_funnel" -> "c282cabbd645331efba4a55f0df4f265",
+    "events_props_sum" -> "29202a85084c4aabf77bde9e3ea9ff3a",
+    "events_retention" -> "939716135802521353682fe905fc1024",
+    "incr_agg_read_rewrite" -> "620e5a04660d9a42d91c36dc40d05ea3",
+    "layout_compaction_plan" -> "9302ec44f1ce87650c69cf038f94382b",
+    "q5_region_revenue" -> "bd2dfd647306117f60a70f2b32701d85",
+    "q9_profit_nation_year" -> "f9f8b0c3c060b8d2e6f3855ce8b1eb9f",
+    "search_mmr_exact_pool" -> "0356f7d680500c53e2befd6e397132e8",
+    "seq_rolling_spikes" -> "0c2bf145de43ef67ac9805037395c635",
+    "stat_chi2_cells" -> "3670ec2c86d82a27c1824f5b66f76daa",
+    "text_token_fertility" -> "31ebdedbbd376f7251bdd069274d8952")
+
+  test("round-5 operator outputs hash-match their pinned golden values") {
+    val got = pinnedR5.keys.toSeq.sorted.map { q =>
+      val h = canonicalHash(SparkEntry.queries(q)(spark, sfDir))
+      info(s""""$q" -> "$h",""")
+      q -> h
+    }
+    graft.operators.Caches.release()
+    got.foreach { case (q, h) =>
+      assert(h == pinnedR5(q), s"$q output drifted (got $h)")
+    }
+  }
 }

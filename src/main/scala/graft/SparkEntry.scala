@@ -2239,6 +2239,40 @@ object SparkEntry {
       // trailing-week spike flags on the day-grain revenue series —
       // cross-multiplied integer z-test, zero floats end to end
       Stats.rollingIntegerZSpikes(rd(s, d, "orders"))),
+    "events_wau" -> ((s, d) =>
+      // rolling 7-day distinct actives per day, exact + combinable
+      Events.rollingActiveUsers(rd(s, d, "events"), windowDays = 7)),
+    "seq_ohlc" -> ((s, d) =>
+      // day-grain OHLC bars via order-carrying struct min/max — one
+      // combinable aggregate, no window, no sort
+      Events.ohlcBars(rd(s, d, "events"), priceType = "purchase")),
+    "seq_twap" -> ((s, d) =>
+      // per-user time-weighted average value: integer second weights,
+      // exact numerator/denominator, one terminal floor division
+      Events.timeWeightedAverage(rd(s, d, "events"))),
+    "dq_scd2_intervals" -> ((s, d) => {
+      // SCD-2 validity audit over a seeded history with injected
+      // defects: %11 keys an overlapping version, %13 keys a coverage
+      // gap, %17 keys a second version after an open-ended one
+      val c = rd(s, d, "customer")
+      val t0 = tlit("2023-01-01 00:00:00"); val t1 = tlit("2024-01-01 00:00:00")
+      val now = tlit("2024-06-01 00:00:00")
+      def rows(f: Column, from: Column, to: Column) =
+        c.filter(f).select(col("c_custkey").as("k"),
+          from.as("valid_from"), to.as("valid_to"))
+      val hist = rows(lit(true), t1, now)
+        .unionByName(rows(col("c_custkey") % 7 === 0, t0, t1))
+        .unionByName(rows(col("c_custkey") % 11 === 0,
+          tlit("2023-06-01 00:00:00"), tlit("2024-03-01 00:00:00")))
+        .unionByName(rows(col("c_custkey") % 13 === 0,
+          tlit("2024-08-01 00:00:00"), tlit("2024-12-01 00:00:00")))
+        .unionByName(rows(col("c_custkey") % 17 === 0, now,
+          lit(null).cast("timestamp")))
+        .unionByName(rows(col("c_custkey") % 17 === 0,
+          tlit("2024-09-01 00:00:00"), tlit("2024-12-31 00:00:00")))
+      graft.operators.Quality.scd2IntervalAudit(
+        hist, Seq("k"), "valid_from", "valid_to")
+    }),
     "layout_compaction_plan" -> ((s, d) => {
       // lakehouse OPTIMIZE planning: month x flag x status partition
       // inventory (metadata-scale) packed into ~50 KB bins by
@@ -3721,6 +3755,44 @@ object SparkEntry {
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS revenue_c " +
         "FROM w WHERE event_type = 'purchase' GROUP BY 1"),
     "seq_rolling_spikes" -> Stats.rollingIntegerZSpikesSql("orders"),
+    "events_wau" ->
+      ("WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events), " +
+        "ex AS (SELECT DISTINCT user_id, CAST(unnest(generate_series(CAST(d AS TIMESTAMP), " +
+        "CAST(d AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS w_day FROM ud) " +
+        "SELECT w_day, count(*) AS wau FROM ex GROUP BY 1"),
+    "seq_ohlc" ->
+      ("WITH p AS (SELECT CAST(ts AS DATE) AS d, ts, event_id, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events WHERE event_type = 'purchase'), " +
+        "o AS (SELECT d, cents, row_number() OVER (PARTITION BY d ORDER BY ts, event_id) AS rn_a, " +
+        "row_number() OVER (PARTITION BY d ORDER BY ts DESC, event_id DESC) AS rn_d FROM p) " +
+        "SELECT d, min(CASE WHEN rn_a = 1 THEN cents END) AS open_c, " +
+        "min(CASE WHEN rn_d = 1 THEN cents END) AS close_c, " +
+        "max(cents) AS high_c, min(cents) AS low_c, count(*) AS n_trades, " +
+        "CAST(sum(cents) AS BIGINT) AS volume_c FROM o GROUP BY d"),
+    "seq_twap" ->
+      ("WITH e AS (SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS cents, " +
+        "epoch_us(ts) AS us FROM events), " +
+        "l AS (SELECT user_id, cents, us, lead(us) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS next_us FROM e), " +
+        "s AS (SELECT user_id, cents, (next_us - us) // 1000000 AS dur_s FROM l WHERE next_us IS NOT NULL) " +
+        "SELECT user_id, count(*) AS n_spans, CAST(sum(dur_s) AS BIGINT) AS total_s, " +
+        "CAST(sum(cents * dur_s) AS BIGINT) AS wsum_cs, " +
+        "CASE WHEN CAST(sum(dur_s) AS BIGINT) > 0 THEN " +
+        "CAST(sum(cents * dur_s) AS BIGINT) // CAST(sum(dur_s) AS BIGINT) END AS twap_c " +
+        "FROM s GROUP BY user_id"),
+    "dq_scd2_intervals" ->
+      ("WITH hist AS (" +
+        "SELECT c_custkey AS k, TIMESTAMP '2024-01-01 00:00:00' AS valid_from, TIMESTAMP '2024-06-01 00:00:00' AS valid_to FROM customer " +
+        "UNION ALL SELECT c_custkey, TIMESTAMP '2023-01-01 00:00:00', TIMESTAMP '2024-01-01 00:00:00' FROM customer WHERE c_custkey % 7 = 0 " +
+        "UNION ALL SELECT c_custkey, TIMESTAMP '2023-06-01 00:00:00', TIMESTAMP '2024-03-01 00:00:00' FROM customer WHERE c_custkey % 11 = 0 " +
+        "UNION ALL SELECT c_custkey, TIMESTAMP '2024-08-01 00:00:00', TIMESTAMP '2024-12-01 00:00:00' FROM customer WHERE c_custkey % 13 = 0 " +
+        "UNION ALL SELECT c_custkey, TIMESTAMP '2024-06-01 00:00:00', CAST(NULL AS TIMESTAMP) FROM customer WHERE c_custkey % 17 = 0 " +
+        "UNION ALL SELECT c_custkey, TIMESTAMP '2024-09-01 00:00:00', TIMESTAMP '2024-12-31 00:00:00' FROM customer WHERE c_custkey % 17 = 0), " +
+        "a AS (SELECT k, valid_from, lag(valid_to) OVER win AS prev_to, lag(1) OVER win AS has_prev FROM hist " +
+        "WINDOW win AS (PARTITION BY k ORDER BY valid_from ASC, valid_to ASC NULLS LAST)) " +
+        "SELECT k, valid_from, prev_to, CASE WHEN prev_to IS NULL THEN 'after_open' " +
+        "WHEN prev_to > valid_from THEN 'overlap' ELSE 'gap' END AS status " +
+        "FROM a WHERE has_prev IS NOT NULL AND (prev_to IS NULL OR prev_to <> valid_from)"),
     "layout_compaction_plan" ->
       ("WITH files AS (SELECT l_returnflag AS rf, l_linestatus AS ls, " +
         "strftime(l_shipdate, '%Y-%m') AS mon, count(*) * 100 AS est_bytes " +

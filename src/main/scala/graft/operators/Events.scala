@@ -271,6 +271,71 @@ object Events {
     * per-user partition is a user's event history — thousands of
     * rows, never table-scale.
     */
+  /** Rolling 7-day distinct active users (WAU) per calendar day,
+    * EXACT and combinable: reduce to distinct (user, day) first, then
+    * explode each user-day into the 7 window-end days it supports and
+    * count distinct again. No sliding `count_distinct` window (which
+    * can't partial-aggregate) and no day-by-day self-join — the
+    * expansion factor is the fixed window length, applied AFTER the
+    * user-day dedup, so the exploded set is 7·|user-days| regardless
+    * of raw event volume. Both distincts are shuffle-partial-able;
+    * this is how rolling MAU/WAU stays linear at 100 TB.
+    */
+  def rollingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame =
+    events.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .select(col("user_id"),
+        explode(expr(s"sequence(d, date_add(d, ${windowDays - 1}))")).as("w_day"))
+      .distinct()
+      .groupBy("w_day").agg(count(lit(1)).as("wau"))
+
+  /** Day-grain OHLC bars in exact cents WITHOUT a window or sort:
+    * open/close ride order-carrying struct min/max — `min(struct(ts,
+    * event_id, cents))` picks the lexicographically-first (earliest)
+    * event and carries its price along — so the whole bar is ONE
+    * combinable aggregate pass, the shape that survives any scale
+    * (a per-key ordered window would work but pays a per-partition
+    * sort; struct min/max folds map-side like any min).
+    */
+  def ohlcBars(events: DataFrame, priceType: String = "purchase"): DataFrame =
+    events.filter(col("event_type") === priceType)
+      .select(to_date(col("ts")).as("d"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("d")
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("cents")))
+          .getField("cents").as("open_c"),
+        max(struct(col("ts"), col("event_id"), col("cents")))
+          .getField("cents").as("close_c"),
+        max("cents").as("high_c"), min("cents").as("low_c"),
+        count(lit(1)).as("n_trades"), sum("cents").as("volume_c"))
+
+  /** Time-weighted average value per user, entirely in integers: each
+    * event's value holds until the user's next event (lead), weights
+    * are whole seconds (floor), and the TWAP is one terminal integer
+    * floor division of exact sums — numerator/denominator are
+    * surfaced so downstream can re-weight without re-scanning. The
+    * last event per user has no successor and drops out (standard
+    * left-Riemann TWAP over the observed span). One shuffle on
+    * user_id; per-user partitions are history-sized.
+    */
+  def timeWeightedAverage(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("next_us", lead(col("us"), 1).over(w))
+      .filter(col("next_us").isNotNull)
+      .withColumn("dur_s", expr("(next_us - us) div 1000000"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum("dur_s").as("total_s"),
+        sum(col("cents") * col("dur_s")).as("wsum_cs"))
+      .withColumn("twap_c",
+        when(col("total_s") > 0, expr("wsum_cs div total_s")))
+  }
+
   def lastTouchAttribution(
       events: DataFrame,
       touches: Seq[String],

@@ -289,4 +289,42 @@ object Quality {
         countDistinct(sensitive).as("n_sensitive"))
       .withColumn("meets_l", col("n_sensitive") >= l)
   }
+
+  /** SCD-2 interval audit: flag rows whose validity interval conflicts
+    * with the key's previous version in `(valid_from, valid_to NULLS
+    * LAST)` order — `overlap` (previous version still open past this
+    * row's start), `gap` (coverage hole), `after_open` (any row
+    * following an open-ended one: two concurrent "current" versions).
+    * Adjacent intervals (`prev.to == from`) and each key's first row
+    * are clean and filtered out, so the audit's output size is the
+    * DEFECT count, not the history size.
+    *
+    * A first-row/NULL-to ambiguity hides here: `lag(to)` is NULL both
+    * when there is no previous row and when the previous row is open —
+    * a lagged literal disambiguates. One shuffle on the key; per-key
+    * partitions are version-chain-sized. NULLS LAST is written
+    * explicitly on both engines (Spark windows default nulls FIRST,
+    * DuckDB defaults nulls LAST — the one-character drift that flips
+    * survivors).
+    */
+  def scd2IntervalAudit(
+      history: DataFrame,
+      keyCols: Seq[String],
+      fromCol: String,
+      toCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(fromCol).asc, col(toCol).asc_nulls_last)
+    history
+      .withColumn("__prev_to", lag(col(toCol), 1).over(w))
+      .withColumn("__has_prev", lag(lit(1), 1).over(w))
+      .withColumn("status",
+        when(col("__has_prev").isNull, lit("ok"))
+          .when(col("__prev_to").isNull, lit("after_open"))
+          .when(col("__prev_to") > col(fromCol), lit("overlap"))
+          .when(col("__prev_to") < col(fromCol), lit("gap"))
+          .otherwise(lit("ok")))
+      .filter(col("status") =!= "ok")
+      .select(keyCols.map(col) ++
+        Seq(col(fromCol), col("__prev_to").as("prev_to"), col("status")): _*)
+  }
 }

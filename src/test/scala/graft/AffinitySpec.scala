@@ -95,6 +95,82 @@ class AffinitySpec extends AnyFunSuite with SparkTest {
       "view" -> ((1L, 100L))))
   }
 
+  test("rollingActiveUsers: exact sliding distinct from user-days") {
+    val s = spark; import s.implicits._
+    val ts = (d: Int, h: Int) => java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    val ev = Seq(
+      (1L, ts(1, 1)), (1L, ts(1, 9)), // same user-day twice: dedups
+      (1L, ts(2, 1)), (2L, ts(1, 1))
+    ).toDF("user_id", "ts")
+    val out = Events.rollingActiveUsers(ev, windowDays = 2)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // day1: u1+u2 active on day1 -> 2; day2: u1(day1,day2)+u2(day1) -> 2
+    // day3: only u1's day2 activity still in window -> 1
+    assert(out == Map("2024-01-01" -> 2L, "2024-01-02" -> 2L, "2024-01-03" -> 1L))
+  }
+
+  test("ohlcBars: open/close ride struct order, same-ts tie by event_id") {
+    val s = spark; import s.implicits._
+    val t = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      (t(5), 1L, "purchase", 3.00), // opens (earliest ts)
+      (t(9), 2L, "purchase", 9.00), // high
+      (t(9), 3L, "purchase", 1.00), // low; same ts as id2, larger id -> closes
+      (t(7), 4L, "view", 99.0) // wrong type: excluded
+    ).toDF("ts", "event_id", "event_type", "value")
+      .withColumn("d", to_date(col("ts")))
+    val r = Events.ohlcBars(ev).collect().head
+    assert(r.getLong(r.fieldIndex("open_c")) == 300L)
+    assert(r.getLong(r.fieldIndex("close_c")) == 100L)
+    assert(r.getLong(r.fieldIndex("high_c")) == 900L)
+    assert(r.getLong(r.fieldIndex("low_c")) == 100L)
+    assert(r.getLong(r.fieldIndex("n_trades")) == 3L)
+    assert(r.getLong(r.fieldIndex("volume_c")) == 1300L)
+  }
+
+  test("timeWeightedAverage: integer second weights, floor division") {
+    val s = spark; import s.implicits._
+    val ev = Seq(
+      (1L, java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z")), 1L, "view", 100.0),
+      (1L, java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:10Z")), 2L, "view", 200.0),
+      (1L, java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:30Z")), 3L, "view", 0.0),
+      (2L, java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z")), 4L, "view", 5.0)
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = Events.timeWeightedAverage(ev)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val u1 = out(1L)
+    assert(u1.getLong(u1.fieldIndex("n_spans")) == 2L)
+    assert(u1.getLong(u1.fieldIndex("total_s")) == 30L)
+    // 10000c*10s + 20000c*20s = 500000; 500000/30 floors to 16666
+    assert(u1.getLong(u1.fieldIndex("wsum_cs")) == 500000L)
+    assert(u1.getLong(u1.fieldIndex("twap_c")) == 16666L)
+    assert(!out.contains(2L), "single-event user has no span")
+  }
+
+  test("scd2IntervalAudit: overlap, gap, after_open; adjacency is clean") {
+    val s = spark; import s.implicits._
+    val t = (d: String) => java.sql.Timestamp.valueOf(s"$d 00:00:00")
+    val hist = Seq(
+      // key 1: clean adjacent chain, then open row LAST -> no defect
+      (1L, t("2023-01-01"), Option(t("2023-06-01"))),
+      (1L, t("2023-06-01"), Option(t("2024-01-01"))),
+      (1L, t("2024-01-01"), None),
+      // key 2: overlap (second starts before first ends)
+      (2L, t("2023-01-01"), Option(t("2023-09-01"))),
+      (2L, t("2023-06-01"), Option(t("2024-01-01"))),
+      // key 3: gap
+      (3L, t("2023-01-01"), Option(t("2023-03-01"))),
+      (3L, t("2023-06-01"), Option(t("2024-01-01"))),
+      // key 4: version AFTER an open-ended one
+      (4L, t("2023-01-01"), None),
+      (4L, t("2023-06-01"), Option(t("2024-01-01")))
+    ).toDF("k", "valid_from", "valid_to")
+    val out = graft.operators.Quality
+      .scd2IntervalAudit(hist, Seq("k"), "valid_from", "valid_to")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out == Map(2L -> "overlap", 3L -> "gap", 4L -> "after_open"))
+  }
+
   test("compactionPlan: exclusive prefix-sum binning in key order") {
     val s = spark; import s.implicits._
     val files = Seq(("a", 100L), ("b", 200L), ("c", 300L), ("d", 400L))

@@ -274,7 +274,11 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "search_mmr_exact_pool" -> "0356f7d680500c53e2befd6e397132e8",
     "seq_rolling_spikes" -> "0c2bf145de43ef67ac9805037395c635",
     "stat_chi2_cells" -> "3670ec2c86d82a27c1824f5b66f76daa",
-    "text_token_fertility" -> "31ebdedbbd376f7251bdd069274d8952")
+    "text_token_fertility" -> "31ebdedbbd376f7251bdd069274d8952",
+    "events_wau" -> "3eca7f1a732138876017dcce70fb4880",
+    "seq_ohlc" -> "4bc13e1558531ad0db4e6ea35f3a7e2f",
+    "seq_twap" -> "8b9cc1b903280ef207edf8e324fd37a1",
+    "dq_scd2_intervals" -> "23dd95afae5574953ce989343b4d3d03")
 
   test("round-5 operator outputs hash-match their pinned golden values") {
     val got = pinnedR5.keys.toSeq.sorted.map { q =>

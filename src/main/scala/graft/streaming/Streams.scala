@@ -423,6 +423,72 @@ object Streams {
       }
   }
 
+  case class TouchState(tsMs: Long, eventId: Long, channel: String)
+  case class Attributed(user_id: Long, event_id: Long, ts: Timestamp,
+      channel: String, cents: Long)
+
+  /** Streaming twin of
+    * [[graft.operators.Events.lastTouchAttribution]]: per-user state
+    * holds only the MOST RECENT touch (channel + its event-time
+    * position), conversions emit immediately with the current credit.
+    * Within a micro-batch, events sort by `(ts, event_id)` — the same
+    * total order the batch window uses; across batches a late-arriving
+    * touch OLDER than the stored one must NOT regress the state (the
+    * guard is the monotonicity check, not arrival order). A
+    * conversion whose preceding touch arrives in a LATER batch is
+    * attributed `direct` — the streaming-vs-batch divergence inherent
+    * to append-mode emission; bound it with the watermark.
+    *
+    * State is one small record per user, evicted by event-time
+    * timeout once the watermark passes `ttlMs` beyond the user's last
+    * touch — idle users leave the store (their next conversion is
+    * `direct`, the attribution-window semantics marketers expect),
+    * which is what keeps unbounded-cardinality user spaces viable.
+    */
+  def lastTouchStream(
+      events: Dataset[Event],
+      touches: Set[String],
+      conversion: String,
+      watermark: String = "1 hour",
+      ttlMs: Long = 24L * 3600 * 1000): Dataset[Attributed] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => touches.contains(e.event_type) || e.event_type == conversion)
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, Attributed](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[TouchState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val evs = batch.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+            val out = Seq.newBuilder[Attributed]
+            var cur = state.getOption
+            for (ev <- evs) {
+              if (touches.contains(ev.event_type)) {
+                val newer = cur.forall(s =>
+                  ev.ts.getTime > s.tsMs ||
+                    (ev.ts.getTime == s.tsMs && ev.event_id > s.eventId))
+                if (newer)
+                  cur = Some(TouchState(ev.ts.getTime, ev.event_id, ev.event_type))
+              } else {
+                out += Attributed(uid, ev.event_id, ev.ts,
+                  cur.map(_.channel).getOrElse("direct"),
+                  math.round(ev.value * 100))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(
+                math.max(s.tsMs + ttlMs, state.getCurrentWatermarkMs + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** One micro-batch fold for [[incrementalCountsStream]]: reads the
     * materialized aggregate, folds `batch` via
     * [[graft.operators.Incremental.updateCounts]], and atomically swaps

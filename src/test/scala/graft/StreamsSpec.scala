@@ -104,6 +104,62 @@ class StreamsSpec extends AnyFunSuite with SparkTest {
     } finally q.stop()
   }
 
+  test("lastTouchStream attributes across batches and ignores regressive late touches") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .as[Streams.Event]
+    val q = Streams.lastTouchStream(events,
+      touches = Set("view", "click"), conversion = "purchase",
+      watermark = "10 minutes")
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 views then clicks; user 2 converts cold
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0),
+        (2L, ts("2024-01-01 10:05:00"), 1L, "click", 0.0),
+        (3L, ts("2024-01-01 10:02:00"), 2L, "purchase", 5.00))
+      q.processAllAvailable()
+      // batch 2: user 1 converts (credit crosses the batch boundary to
+      // the click), then a LATE view predating the click arrives — it
+      // must not regress the state
+      input.addData(
+        (4L, ts("2024-01-01 10:20:00"), 1L, "purchase", 10.50),
+        (5L, ts("2024-01-01 10:01:00"), 1L, "view", 0.0))
+      q.processAllAvailable()
+      // batch 3: user 1 converts again; credit must still be the click
+      input.addData((6L, ts("2024-01-01 10:30:00"), 1L, "purchase", 2.25))
+      q.processAllAvailable()
+      val out = s.table("attr_out").collect()
+        .map(r => (r.getLong(1), r.getString(3), r.getLong(4))).toSet
+      assert(out == Set(
+        (3L, "direct", 500L),
+        (4L, "click", 1050L),
+        (6L, "click", 225L)), s"got $out")
+      // aggregate agrees with the batch operator over the same events
+      val batchDf = Seq(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0),
+        (2L, ts("2024-01-01 10:05:00"), 1L, "click", 0.0),
+        (3L, ts("2024-01-01 10:02:00"), 2L, "purchase", 5.00),
+        (4L, ts("2024-01-01 10:20:00"), 1L, "purchase", 10.50),
+        (5L, ts("2024-01-01 10:01:00"), 1L, "view", 0.0),
+        (6L, ts("2024-01-01 10:30:00"), 1L, "purchase", 2.25)
+      ).toDF("event_id", "ts", "user_id", "event_type", "value")
+      val batchAgg = graft.operators.Events
+        .lastTouchAttribution(batchDf, Seq("view", "click"), "purchase")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val streamAgg = s.table("attr_out")
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n"), sum("cents").as("c"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamAgg == batchAgg,
+        s"stream $streamAgg must match batch $batchAgg")
+    } finally q.stop()
+  }
+
   test("closedSessions emits a session only when the watermark closes it") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext

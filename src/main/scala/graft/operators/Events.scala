@@ -288,13 +288,15 @@ object Events {
       .distinct()
       .groupBy("w_day").agg(count(lit(1)).as("wau"))
 
-  /** Day-grain OHLC bars in exact cents WITHOUT a window or sort:
-    * open/close ride order-carrying struct min/max — `min(struct(ts,
-    * event_id, cents))` picks the lexicographically-first (earliest)
-    * event and carries its price along — so the whole bar is ONE
-    * combinable aggregate pass, the shape that survives any scale
-    * (a per-key ordered window would work but pays a per-partition
-    * sort; struct min/max folds map-side like any min).
+  /** Day-grain OHLC bars in exact cents WITHOUT a window: open/close
+    * ride order-carrying struct min/max — `min(struct(ts, event_id,
+    * cents))` picks the lexicographically-first (earliest) event and
+    * carries its price along — so the whole bar is ONE combinable
+    * aggregate pass with map-side partials (struct min/max is not
+    * hash-aggregable, so Spark plans SortAggregate, but partial
+    * aggregation before the exchange — the property that matters at
+    * scale — is preserved; a per-key ordered window would instead
+    * move every raw event through the shuffle).
     */
   def ohlcBars(events: DataFrame, priceType: String = "purchase"): DataFrame =
     events.filter(col("event_type") === priceType)

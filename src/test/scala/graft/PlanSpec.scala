@@ -118,6 +118,50 @@ class PlanSpec extends AnyFunSuite with SparkTest {
       s"banded hamming join degenerated to a pairwise scan:\n$s")
   }
 
+  test("q5 snowflake: nation and region join as broadcasts, never shuffled") {
+    val plan = unwrapped(SparkEntry.queries("q5_region_revenue")(spark, sf))
+    val bhj = plan.collectWithSubqueries { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size >= 2,
+      s"nation and region must ride broadcast hash joins, got ${bhj.size}:\n$plan")
+  }
+
+  test("ohlcBars is one combinable aggregate: map-side partials, no window") {
+    val ev = Tables.table(spark, sf, "events")
+    val plan = unwrapped(graft.operators.Events.ohlcBars(ev))
+    val wins = plan.collectWithSubqueries {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.isEmpty, s"struct min/max must not plan a window:\n$plan")
+    // struct min/max is not hash-aggregable, so Spark plans
+    // SortAggregate — the property that matters at scale is the
+    // partial (map-side) aggregation before the exchange
+    assert(plan.toString.contains("partial_min(struct"),
+      s"expected map-side partial struct min:\n$plan")
+  }
+
+  test("rollingActiveUsers: no window, no cartesian — dedup then bounded explode") {
+    val ev = Tables.table(spark, sf, "events")
+    val plan = unwrapped(graft.operators.Events.rollingActiveUsers(ev))
+    val s = plan.toString
+    assert(!s.contains("WindowExec") && !s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      s"sliding distinct must stay explode-shaped:\n$s")
+    assert(s.contains("Generate"), s"expected the explode Generate node:\n$s")
+  }
+
+  test("basket pairLift: no cartesian product; the only BNLJ is the 1-row scalar") {
+    val li = Tables.table(spark, sf, "lineitem")
+    val plan = unwrapped(graft.operators.Affinity.pairLift(li, 2))
+    val s = plan.toString
+    assert(!s.contains("CartesianProduct"),
+      s"pair expansion must key on the basket id:\n$s")
+    val bnlj = plan.collectWithSubqueries {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnlj.size <= 1,
+      s"only the broadcast basket-count scalar may nested-loop:\n$s")
+  }
+
   test("kCenterSelect never shuffles the corpus: argmin is a TakeOrdered") {
     val emb = Tables.table(spark, sf, "embeddings")
     // one greedy round's argmin plan (what every round executes)

@@ -2242,6 +2242,63 @@ object SparkEntry {
     "events_wau" -> ((s, d) =>
       // rolling 7-day distinct actives per day, exact + combinable
       Events.rollingActiveUsers(rd(s, d, "events"), windowDays = 7)),
+    "ab_conversion_report" -> ((s, d) =>
+      // hash-assigned experiment arms, per-arm distinct converters,
+      // rate on the ppm grid — assignment is a pure salt+user function
+      abCounts(s, d)
+        .withColumn("conv_ppm", expr("1000000 * n_conv div n_users"))),
+    "ab_ztest" -> ((s, d) => {
+      // two-proportion pooled z: integer counts pivot to one row, the
+      // statistic is ONE fixed double expression tree (identical text
+      // in the oracle) — sqrt/div are IEEE-exact on both engines
+      val c = abCounts(s, d)
+      val one = c.agg(
+        sum(when(col("arm") === "a", col("n_users"))).as("na"),
+        sum(when(col("arm") === "a", col("n_conv"))).as("ca"),
+        sum(when(col("arm") === "b", col("n_users"))).as("nb"),
+        sum(when(col("arm") === "b", col("n_conv"))).as("cb"))
+      val pa = col("ca").cast("double") / col("na").cast("double")
+      val pb = col("cb").cast("double") / col("nb").cast("double")
+      val pp = (col("ca") + col("cb")).cast("double") /
+        (col("na") + col("nb")).cast("double")
+      one.select(col("na"), col("ca"), col("nb"), col("cb"),
+        // degenerate experiments (nobody or everybody converted) have
+        // zero pooled variance: NULL, guarded identically in the oracle
+        when(col("ca") + col("cb") > 0 &&
+          col("ca") + col("cb") < col("na") + col("nb"),
+          (pa - pb) / sqrt(pp * (lit(1.0) - pp) *
+            (lit(1.0) / col("na").cast("double") +
+              lit(1.0) / col("nb").cast("double")))).as("z"))
+    }),
+    "funnel_latency" -> ((s, d) => {
+      // conversion-lag distribution for completed view->click->purchase
+      // funnels: integer seconds, exact discrete percentiles
+      val f = Events.funnel(rd(s, d, "events"), Seq("view", "click", "purchase"))
+        .filter(col("t_purchase").isNotNull)
+        .select(expr("(unix_micros(t_purchase) - unix_micros(t_view)) div 1000000")
+          .as("lag_s"))
+      val v = Views.unique("funnel_lat")
+      f.createOrReplaceTempView(v)
+      val out = s.sql(
+        "SELECT count(*) AS n_converted, min(lag_s) AS min_s, max(lag_s) AS max_s, " +
+          "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY lag_s) AS BIGINT) AS p50_s, " +
+          s"CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY lag_s) AS BIGINT) AS p90_s FROM $v")
+      s.catalog.dropTempView(v)
+      out
+    }),
+    "events_top_paths" -> ((s, d) =>
+      // journey mining: each user's first five events as an ordered
+      // path string, counted; the path assembles deterministically via
+      // array_sort over (rn, type) structs — no order-dependent
+      // collect_list
+      rd(s, d, "events")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))))
+        .filter(col("rn") <= 5)
+        .groupBy("user_id")
+        .agg(expr("concat_ws('>', transform(array_sort(" +
+          "collect_list(struct(rn, event_type))), x -> x.event_type))").as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_users"))),
     "seq_ohlc" -> ((s, d) =>
       // day-grain OHLC bars via order-carrying struct min/max — one
       // combinable aggregate, no window, no sort
@@ -2307,6 +2364,29 @@ object SparkEntry {
 
   private val splitFractions: Seq[(String, Double)] =
     Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  /** A/B experiment arms — the hashSplit stability contract applied to
+    * assignment: pure function of salt+user, engine-portable, no
+    * assignment table to join or keep consistent.
+    */
+  private val abArms: Seq[(String, Double)] = Seq("a" -> 0.5, "b" -> 0.5)
+
+  /** Per-arm users/conversions, shared by the report query and the
+    * z-test so the two cannot drift.
+    */
+  private def abCounts(s: SparkSession, d: String): DataFrame = {
+    val ev = rd(s, d, "events")
+    val arms = Sampling.hashSplit(
+      ev.select(col("user_id")).distinct(), "user_id", "ab1", abArms, "arm")
+    // conversion = any HIGH-VALUE purchase (>= $90): every user in this
+    // corpus makes some purchase, so plain purchase would be a
+    // degenerate p = 1 experiment (pooled variance 0, z undefined)
+    val conv = ev.filter(col("event_type") === "purchase" && col("value") >= 90)
+      .select(col("user_id")).distinct().withColumn("__c", lit(1L))
+    arms.join(conv, Seq("user_id"), "left")
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n_users"), count(col("__c")).as("n_conv"))
+  }
 
   /** Tukey-fence outlier profile; one SQL text for both engines (only
     * the table name differs), so query and oracle cannot drift.
@@ -3755,6 +3835,44 @@ object SparkEntry {
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS revenue_c " +
         "FROM w WHERE event_type = 'purchase' GROUP BY 1"),
     "seq_rolling_spikes" -> Stats.rollingIntegerZSpikesSql("orders"),
+    "ab_conversion_report" ->
+      (s"WITH u AS (SELECT DISTINCT user_id FROM events), " +
+        s"arms AS (SELECT user_id, ${OracleSql.hashSplitCase("CAST(user_id AS VARCHAR)", "ab1", abArms)} AS arm FROM u), " +
+        "c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value >= 90) " +
+        "SELECT arm, count(*) AS n_users, count(c.user_id) AS n_conv, " +
+        "1000000 * count(c.user_id) // count(*) AS conv_ppm " +
+        "FROM arms a LEFT JOIN c ON a.user_id = c.user_id GROUP BY arm"),
+    "ab_ztest" ->
+      (s"WITH u AS (SELECT DISTINCT user_id FROM events), " +
+        s"arms AS (SELECT user_id, ${OracleSql.hashSplitCase("CAST(user_id AS VARCHAR)", "ab1", abArms)} AS arm FROM u), " +
+        "c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value >= 90), " +
+        "g AS (SELECT arm, count(*) AS n_users, count(c.user_id) AS n_conv " +
+        "FROM arms a LEFT JOIN c ON a.user_id = c.user_id GROUP BY arm), " +
+        "p AS (SELECT CAST(sum(CASE WHEN arm = 'a' THEN n_users END) AS BIGINT) AS na, " +
+        "CAST(sum(CASE WHEN arm = 'a' THEN n_conv END) AS BIGINT) AS ca, " +
+        "CAST(sum(CASE WHEN arm = 'b' THEN n_users END) AS BIGINT) AS nb, " +
+        "CAST(sum(CASE WHEN arm = 'b' THEN n_conv END) AS BIGINT) AS cb FROM g) " +
+        "SELECT na, ca, nb, cb, " +
+        "CASE WHEN ca + cb > 0 AND ca + cb < na + nb THEN " +
+        "(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) / " +
+        "sqrt(CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE) * " +
+        "(1.0 - CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE)) * " +
+        "(1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))) END AS z FROM p"),
+    "funnel_latency" ->
+      ("WITH v AS (SELECT user_id, min(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY 1), " +
+        "c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t_view " +
+        "WHERE e.event_type = 'click' GROUP BY 1), " +
+        "p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t_click " +
+        "WHERE e.event_type = 'purchase' GROUP BY 1), " +
+        "l AS (SELECT (epoch_us(p.t_purchase) - epoch_us(v.t_view)) // 1000000 AS lag_s FROM p JOIN v ON v.user_id = p.user_id) " +
+        "SELECT count(*) AS n_converted, min(lag_s) AS min_s, max(lag_s) AS max_s, " +
+        "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY lag_s) AS BIGINT) AS p50_s, " +
+        "CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY lag_s) AS BIGINT) AS p90_s FROM l"),
+    "events_top_paths" ->
+      ("WITH o AS (SELECT user_id, event_type, row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events), " +
+        "p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path FROM o WHERE rn <= 5 GROUP BY user_id) " +
+        "SELECT path, count(*) AS n_users FROM p GROUP BY path"),
     "events_wau" ->
       ("WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events), " +
         "ex AS (SELECT DISTINCT user_id, CAST(unnest(generate_series(CAST(d AS TIMESTAMP), " +

@@ -278,7 +278,11 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "events_wau" -> "3eca7f1a732138876017dcce70fb4880",
     "seq_ohlc" -> "4bc13e1558531ad0db4e6ea35f3a7e2f",
     "seq_twap" -> "8b9cc1b903280ef207edf8e324fd37a1",
-    "dq_scd2_intervals" -> "23dd95afae5574953ce989343b4d3d03")
+    "dq_scd2_intervals" -> "23dd95afae5574953ce989343b4d3d03",
+    "ab_conversion_report" -> "af4279f35e919ad17ddc42a32ea0cb6f",
+    "ab_ztest" -> "bce8294af85b674ba31932eeb272ab73",
+    "funnel_latency" -> "ea6633ec75eb8a25cc739ee21c8b99a9",
+    "events_top_paths" -> "55e3a1f76113d8f04d6834276e9f881f")
 
   test("round-5 operator outputs hash-match their pinned golden values") {
     val got = pinnedR5.keys.toSeq.sorted.map { q =>

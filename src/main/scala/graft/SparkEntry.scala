@@ -2242,6 +2242,48 @@ object SparkEntry {
     "events_wau" -> ((s, d) =>
       // rolling 7-day distinct actives per day, exact + combinable
       Events.rollingActiveUsers(rd(s, d, "events"), windowDays = 7)),
+    "pareto_abc" -> ((s, d) => {
+      // Pareto/ABC part classification: cumulative revenue share over
+      // the revenue-desc total order, prefix-summed via range
+      // partitions + partition offsets (never one global window);
+      // class cuts compare in cross-multiplied integers
+      val rev = rd(s, d, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_c"))
+      val pre = Stats.rangePrefixSum(rev,
+        Seq(col("rev_c").desc, col("l_partkey").asc), "rev_c", "cum_c")
+      val tot = rev.agg(sum("rev_c").as("tot_c"))
+      pre.crossJoin(broadcast(tot))
+        .select(col("l_partkey"), col("rev_c"), col("cum_c"),
+          when(col("cum_c") * 100 <= col("tot_c") * 80, "A")
+            .when(col("cum_c") * 100 <= col("tot_c") * 95, "B")
+            .otherwise("C").as("abc_class"))
+    }),
+    "seg_rfm" -> ((s, d) =>
+      // RFM customer segmentation: combinable per-customer aggregate,
+      // exact quintile thresholds broadcast back, projection scoring
+      graft.operators.Segmentation.rfmScores(
+        rd(s, d, "orders"), tlit("2002-01-01 00:00:00"))),
+    "dq_freshness" -> ((s, d) =>
+      // per-feed freshness SLA: staleness of the newest event against
+      // a reference clock, integer seconds, boolean gate
+      rd(s, d, "events")
+        .groupBy("event_type")
+        .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("n_events"))
+        .withColumn("staleness_s",
+          expr("(unix_micros(timestamp '2024-02-01 00:00:00') - unix_micros(last_ts)) div 1000000"))
+        .withColumn("sla_ok", col("staleness_s") <= 172800)),
+    "events_stickiness" -> ((s, d) => {
+      // DAU/WAU stickiness per day — the rolling-actives machinery at
+      // two window lengths, ratio on the ppm grid
+      val ev = rd(s, d, "events")
+      val dau = Events.rollingActiveUsers(ev, windowDays = 1)
+        .withColumnRenamed("wau", "dau")
+      val wau = Events.rollingActiveUsers(ev, windowDays = 7)
+      dau.join(wau, Seq("w_day"))
+        .select(col("w_day"), col("dau"), col("wau"),
+          expr("1000000 * dau div wau").as("stickiness_ppm"))
+    }),
     "ab_conversion_report" -> ((s, d) =>
       // hash-assigned experiment arms, per-arm distinct converters,
       // rate on the ppm grid — assignment is a pure salt+user function
@@ -3835,6 +3877,29 @@ object SparkEntry {
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS revenue_c " +
         "FROM w WHERE event_type = 'purchase' GROUP BY 1"),
     "seq_rolling_spikes" -> Stats.rollingIntegerZSpikesSql("orders"),
+    "pareto_abc" ->
+      ("WITH rev AS (SELECT l_partkey, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_c " +
+        "FROM lineitem GROUP BY 1), " +
+        "c AS (SELECT l_partkey, rev_c, CAST(sum(rev_c) OVER " +
+        "(ORDER BY rev_c DESC, l_partkey ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c FROM rev), " +
+        "t AS (SELECT CAST(sum(rev_c) AS BIGINT) AS tot_c FROM rev) " +
+        "SELECT l_partkey, rev_c, cum_c, CASE WHEN cum_c * 100 <= tot_c * 80 THEN 'A' " +
+        "WHEN cum_c * 100 <= tot_c * 95 THEN 'B' ELSE 'C' END AS abc_class FROM c CROSS JOIN t"),
+    "seg_rfm" ->
+      graft.operators.Segmentation.rfmScoresSql("orders", "2002-01-01"),
+    "dq_freshness" ->
+      ("WITH g AS (SELECT event_type, max(ts) AS last_ts, count(*) AS n_events FROM events GROUP BY 1) " +
+        "SELECT event_type, last_ts, n_events, " +
+        "(epoch_us(TIMESTAMP '2024-02-01 00:00:00') - epoch_us(last_ts)) // 1000000 AS staleness_s, " +
+        "(epoch_us(TIMESTAMP '2024-02-01 00:00:00') - epoch_us(last_ts)) // 1000000 <= 172800 AS sla_ok FROM g"),
+    "events_stickiness" ->
+      ("WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events), " +
+        "dau AS (SELECT d AS w_day, count(*) AS dau FROM ud GROUP BY 1), " +
+        "ex AS (SELECT DISTINCT user_id, CAST(unnest(generate_series(CAST(d AS TIMESTAMP), " +
+        "CAST(d AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS w_day FROM ud), " +
+        "wau AS (SELECT w_day, count(*) AS wau FROM ex GROUP BY 1) " +
+        "SELECT d.w_day, d.dau, w.wau, 1000000 * d.dau // w.wau AS stickiness_ppm " +
+        "FROM dau d JOIN wau w ON w.w_day = d.w_day"),
     "ab_conversion_report" ->
       (s"WITH u AS (SELECT DISTINCT user_id FROM events), " +
         s"arms AS (SELECT user_id, ${OracleSql.hashSplitCase("CAST(user_id AS VARCHAR)", "ab1", abArms)} AS arm FROM u), " +

@@ -312,6 +312,52 @@ object Stats {
       .select("d", "x", "n_w", "s_w", "sxx_w", "is_spike")
   }
 
+  /** Scalable global prefix sum: range-partition on the order key,
+    * running-sum each partition independently, then shift every
+    * partition by the exclusive sum of the partitions before it
+    * (driver-side fold over ONE row per partition). The
+    * [[Sampling.interleaveOrder]] discipline applied to sums instead
+    * of ranks: an `ORDER BY` window with no PARTITION BY funnels the
+    * whole table through one reducer — this shape never does. Range
+    * boundaries vary run to run, but concatenating internally-sorted
+    * ranges of a total order reproduces the one global order, so the
+    * inclusive prefix is a pure function of the data.
+    *
+    * `orderCols` must be a TOTAL order (include a tiebreaker key) and
+    * `valueCol` must already sit in the row (pre-aggregate first).
+    */
+  def rangePrefixSum(
+      df: DataFrame,
+      orderCols: Seq[Column],
+      valueCol: String,
+      outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val ordered = Caches.persisted(
+      df.repartitionByRange(orderCols: _*).sortWithinPartitions(orderCols: _*))
+    val valIdx = ordered.schema.fieldIndex(valueCol)
+    val perPart = ordered.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L
+        it.foreach(r => s += r.getLong(valIdx))
+        Iterator.single(pid -> s)
+      }.collect().sortBy(_._1)
+    val offsets = new Array[Long](perPart.length + 1)
+    perPart.foreach { case (pid, s) => offsets(pid + 1) = s }
+    for (i <- 1 until offsets.length) offsets(i) += offsets(i - 1)
+    val bOff = spark.sparkContext.broadcast(offsets)
+    val outSchema = ordered.schema.add(
+      org.apache.spark.sql.types.StructField(
+        outCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val rows = ordered.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var run = bOff.value(pid)
+      it.map { r =>
+        run += r.getLong(valIdx)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ run)
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
   /** DuckDB replay of [[rollingIntegerZSpikes]]. */
   def rollingIntegerZSpikesSql(table: String, window: Int = 7, minWindow: Int = 3): String =
     s"WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, " +

@@ -282,7 +282,11 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "ab_conversion_report" -> "af4279f35e919ad17ddc42a32ea0cb6f",
     "ab_ztest" -> "bce8294af85b674ba31932eeb272ab73",
     "funnel_latency" -> "ea6633ec75eb8a25cc739ee21c8b99a9",
-    "events_top_paths" -> "55e3a1f76113d8f04d6834276e9f881f")
+    "events_top_paths" -> "55e3a1f76113d8f04d6834276e9f881f",
+    "pareto_abc" -> "9d108efb0fddcdff9173165aca1de033",
+    "seg_rfm" -> "341a40fdd0d0a7314a11b5c4a6c3d065",
+    "dq_freshness" -> "6f8f2e96ad0d47370145270610cc6977",
+    "events_stickiness" -> "900f9eff867740214f02d32ba941bae5")
 
   test("round-5 operator outputs hash-match their pinned golden values") {
     val got = pinnedR5.keys.toSeq.sorted.map { q =>

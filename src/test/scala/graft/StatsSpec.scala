@@ -85,4 +85,47 @@ class StatsSpec extends AnyFunSuite with SparkTest {
     assert(viaSql == viaOp, "operator and SQL replay must agree bit-for-bit")
     s.catalog.dropTempView("stats_spec_t")
   }
+
+  test("rangePrefixSum matches the single-window prefix across many partitions") {
+    val s = spark; import s.implicits._
+    // 1000 keys, deliberately unsorted input; values vary so partition
+    // offsets actually matter
+    val df = (1 to 1000).map(i => ((i * 7919) % 1009, ((i * 104729) % 97 + 1).toLong))
+      .toDF("k", "v")
+    val got = Stats.rangePrefixSum(df, Seq(col("v").desc, col("k").asc), "v", "cum")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expRows = df.collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy { case (k, v) => (-v, k) }
+    var run = 0L
+    expRows.foreach { case (k, v) =>
+      run += v
+      assert(got((k, v)) == run, s"prefix diverges at ($k,$v)")
+    }
+    graft.operators.Caches.release()
+  }
+
+  test("rfmScores: quintile thresholds score a known ladder") {
+    val s = spark; import s.implicits._
+    // 10 customers, strictly increasing recency/frequency/monetary:
+    // customer i places i orders on day i of Jan 2024, each $i
+    val orders = (1 to 10).flatMap { i =>
+      (1 to i).map(j => (i.toLong,
+        java.sql.Timestamp.valueOf(f"2024-01-$i%02d 00:00:00"), i * 1.0))
+    }.toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val out = graft.operators.Segmentation
+      .rfmScores(orders, to_timestamp(lit("2024-02-01 00:00:00")))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val c10 = out(10L)
+    assert(c10.getInt(c10.fieldIndex("r_days")) == 22)
+    assert(c10.getLong(c10.fieldIndex("f_orders")) == 10L)
+    assert(c10.getLong(c10.fieldIndex("m_cents")) == 10000L)
+    // most recent + most frequent + highest spend = 555
+    assert(c10.getString(c10.fieldIndex("segment")) == "555")
+    // oldest single $1 order = 111
+    assert(out(1L).getString(out(1L).fieldIndex("segment")) == "111")
+    // scores are monotone along the ladder in every dimension
+    val segs = (1 to 10).map(i => out(i.toLong))
+    assert(segs.map(r => r.getInt(r.fieldIndex("f_score"))).sliding(2)
+      .forall(p => p.head <= p.last), "frequency scores must be monotone")
+  }
 }

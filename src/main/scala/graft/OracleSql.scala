@@ -217,7 +217,7 @@ object OracleSql {
     */
   private def ivfPrologue(numCentroids: Int, dim: Int, seed: Long,
       candWhere: String = "vec_id >= 10"): String =
-    s"base AS (SELECT vec_id, embedding, sqrt(${selfDot("embedding", dim)}) AS nrm FROM embeddings), " +
+    s"base AS (SELECT vec_id, label, embedding, sqrt(${selfDot("embedding", dim)}) AS nrm FROM embeddings), " +
       s"cnd AS (SELECT * FROM base WHERE $candWhere), " +
       "qry AS (SELECT * FROM base WHERE vec_id < 10), " +
       s"ch AS (SELECT vec_id, embedding, nrm, hex(encode('ivf$seed:' || CAST(vec_id AS VARCHAR))) AS hx FROM cnd), " +
@@ -251,8 +251,9 @@ object OracleSql {
     * normalization float-rounding, cell argmax tie-breaks, probe
     * ordering and final ranking all bit-identical.
     */
-  def annIvfTopK(k: Int, numCentroids: Int, nProbe: Int, dim: Int = 64, seed: Long = 42L): String =
-    s"WITH ${ivfPrologue(numCentroids, dim, seed)}, " +
+  def annIvfTopK(k: Int, numCentroids: Int, nProbe: Int, dim: Int = 64, seed: Long = 42L,
+      candWhere: String = "vec_id >= 10"): String =
+    s"WITH ${ivfPrologue(numCentroids, dim, seed, candWhere)}, " +
       "cent AS (SELECT * FROM cent0), " +
       ivfTail("cent", k, nProbe, dim)
 

@@ -818,6 +818,22 @@ object SparkEntry {
     "ann_brute_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(rd(s, d, "embeddings"),
         col("vec_id") < 10, col("vec_id") >= 10, 5)),
+    "ann_filtered_brute" -> ((s, d) =>
+      // filtered vector search, oracle tier: the metadata predicate
+      // restricts candidates BEFORE scoring — exact filtered top-k
+      Similarity.bruteForceTopK(rd(s, d, "embeddings"),
+        col("vec_id") < 10, col("vec_id") >= 10 && col("label") === 3, 5)),
+    "ann_filtered_ivf" -> ((s, d) =>
+      // filtered vector search, scale tier: PRE-filter IVF — cells are
+      // built over the filtered slice, so every probed candidate
+      // already satisfies the predicate. The post-filter alternative
+      // (probe unfiltered cells, discard mismatches) starves on
+      // selective predicates: at 10% selectivity an unfiltered probe
+      // must over-fetch ~10x to keep k survivors (candidate-starvation
+      // spec pins this failure mode in SimilaritySpec)
+      Similarity.ivfTopK(rd(s, d, "embeddings"),
+        col("vec_id") < 10, col("vec_id") >= 10 && col("label") === 3, 5,
+        numCentroids = 16, nProbe = 4)),
     "ann_topk_agg" -> ((s, d) =>
       Similarity.bruteForceTopKAgg(rd(s, d, "embeddings"),
         col("vec_id") < 10, col("vec_id") >= 10, 5)),
@@ -2772,6 +2788,12 @@ object SparkEntry {
     "dedup_embed_lsh" -> OracleSql.dedupEmbedLsh(0.4),
     "ann_lsh_topk" -> OracleSql.annLshTopK(5),
     "ann_ivf_topk" -> OracleSql.annIvfTopK(5, numCentroids = 16, nProbe = 4),
+    "ann_filtered_brute" ->
+      ("SELECT query_id, neighbor_id, rnk FROM (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, " +
+        "CAST(row_number() OVER (PARTITION BY a.vec_id ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS INT) AS rnk " +
+        "FROM embeddings a JOIN embeddings b ON b.vec_id >= 10 AND b.label = 3 WHERE a.vec_id < 10) t WHERE rnk <= 5"),
+    "ann_filtered_ivf" -> OracleSql.annIvfTopK(5, numCentroids = 16, nProbe = 4,
+      candWhere = "vec_id >= 10 AND label = 3"),
     "ann_pq_topk" -> OracleSql.annPqTopK(5),
     "ann_ivf_pq_topk" -> OracleSql.annIvfPqTopK(5, numCentroids = 8, nProbe = 4),
     "ann_ivf_refined_topk" ->

@@ -286,7 +286,9 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "pareto_abc" -> "9d108efb0fddcdff9173165aca1de033",
     "seg_rfm" -> "341a40fdd0d0a7314a11b5c4a6c3d065",
     "dq_freshness" -> "6f8f2e96ad0d47370145270610cc6977",
-    "events_stickiness" -> "900f9eff867740214f02d32ba941bae5")
+    "events_stickiness" -> "900f9eff867740214f02d32ba941bae5",
+    "ann_filtered_brute" -> "5fd733bb06af2d63c96685fbc58e2529",
+    "ann_filtered_ivf" -> "813687e0ca6e453dadee1f89fdc41627")
 
   test("round-5 operator outputs hash-match their pinned golden values") {
     val got = pinnedR5.keys.toSeq.sorted.map { q =>

@@ -21,6 +21,33 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(got == Map(10L -> 1, 11L -> 2, 12L -> 3))
   }
 
+  test("filtered ANN: pre-filter IVF fills k; post-filtering starves at 10% selectivity") {
+    val emb = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val qPred = col("vec_id") < 10
+    val filter = col("label") === 3
+    // pre-filter: cells over the filtered slice — every query gets k
+    val pre = Similarity.ivfTopK(emb, qPred,
+      col("vec_id") >= 10 && filter, 5, numCentroids = 16, nProbe = 4)
+      .collect()
+    assert(pre.length == 50, s"pre-filter IVF must fill k=5 for all 10 queries, got ${pre.length}")
+    // the same probe budget WITHOUT the predicate, filtered afterwards:
+    // ~10% of the top-5 survive — the candidate-starvation failure mode
+    // that makes post-filtering the wrong plan for selective predicates
+    val labels = emb.select(col("vec_id").as("neighbor_id"), col("label"))
+    val post = Similarity.ivfTopK(emb, qPred,
+      col("vec_id") >= 10, 5, numCentroids = 16, nProbe = 4)
+      .join(labels, "neighbor_id").where(filter)
+      .collect()
+    assert(post.length < pre.length / 2,
+      s"post-filter at 10% selectivity must starve (got ${post.length} of ${pre.length})")
+    // pre-filter respects the predicate exactly
+    val preLabels = spark.createDataFrame(
+      spark.sparkContext.parallelize(pre.toSeq), pre.head.schema.asInstanceOf[org.apache.spark.sql.types.StructType])
+    val bad = preLabels.join(labels, "neighbor_id")
+      .where(col("label") =!= 3).count()
+    assert(bad == 0, "every pre-filtered neighbor must satisfy the predicate")
+  }
+
   test("lshTopK achieves high recall vs brute force on clustered data") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(3)

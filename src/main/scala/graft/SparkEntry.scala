@@ -2258,6 +2258,69 @@ object SparkEntry {
     "events_wau" -> ((s, d) =>
       // rolling 7-day distinct actives per day, exact + combinable
       Events.rollingActiveUsers(rd(s, d, "events"), windowDays = 7)),
+    "q_yoy_growth" -> ((s, d) => {
+      // year-over-year monthly revenue ratio: month-grain aggregate
+      // (calendar-bounded), self-joined to month-minus-12; the ratio
+      // stays a NON-NEGATIVE floor division (growth = ratio - 1e6
+      // derives downstream; a signed div would floor differently
+      // across engines)
+      val cents = sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c")
+      val m = rd(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+        .agg(cents)
+      val prev = m.select(col("yr").as("p_yr"), col("mo").as("p_mo"),
+        col("rev_c").as("prev_rev_c"))
+      m.join(prev, col("yr") === col("p_yr") + 1 && col("mo") === col("p_mo"), "left")
+        .select(col("yr"), col("mo"), col("rev_c"), col("prev_rev_c"),
+          when(col("prev_rev_c") > 0,
+            expr("1000000 * rev_c div prev_rev_c")).as("yoy_ratio_ppm"))
+    }),
+    "events_error_rate" -> ((s, d) =>
+      // hourly error-budget gate: exact integer rate plus the Wilson
+      // lower bound (the small-n-honest alert threshold) as ONE fixed
+      // double expression tree over integer counts, z = 1.96
+      rd(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errs"))
+        .withColumn("rate_ppm", expr("1000000 * errs div n"))
+        .withColumn("wilson_lb", expr(
+          "(CAST(errs AS DOUBLE) / CAST(n AS DOUBLE) + 3.8416 / (2.0 * CAST(n AS DOUBLE)) - " +
+            "1.96 * sqrt(CAST(errs AS DOUBLE) / CAST(n AS DOUBLE) * " +
+            "(1.0 - CAST(errs AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) + " +
+            "3.8416 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) / " +
+            "(1.0 + 3.8416 / CAST(n AS DOUBLE))"))),
+    "orders_cohort_ltv" -> ((s, d) => {
+      // LTV curves: cohort = first-order year, revenue by year offset
+      // with the cumulative track — the cohort matrix is years x years
+      // (calendar-bounded), so the running-sum window is metadata-scale
+      val o = rd(s, d, "orders")
+        .select(col("o_custkey"), year(col("o_orderdate")).as("yr"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val first = o.groupBy("o_custkey").agg(min("yr").as("cohort_yr"))
+      val cells = o.join(first, "o_custkey")
+        .groupBy(col("cohort_yr"), (col("yr") - col("cohort_yr")).as("yr_offset"))
+        .agg(count_distinct(col("o_custkey")).as("n_customers"),
+          sum("cents").as("rev_c"))
+      cells.withColumn("cum_rev_c",
+        sum("rev_c").over(Window.partitionBy("cohort_yr").orderBy("yr_offset")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    }),
+    "q_market_share" -> ((s, d) => {
+      // TPC-H Q8 shape: each nation's ppm share of its region's yearly
+      // demand-side revenue; the region total rides a window over the
+      // nation x year aggregate (dimension-scale, not fact-scale)
+      val c = rd(s, d, "customer"); val o = rd(s, d, "orders")
+      val n = rd(s, d, "nation"); val r = rd(s, d, "region")
+      val base = c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"), year(col("o_orderdate")).as("yr"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
+      base.withColumn("region_rev_c",
+        sum("rev_c").over(Window.partitionBy("r_name", "yr")))
+        .withColumn("share_ppm", expr("1000000 * rev_c div region_rev_c"))
+    }),
     "pareto_abc" -> ((s, d) => {
       // Pareto/ABC part classification: cumulative revenue share over
       // the revenue-desc total order, prefix-summed via range
@@ -3899,6 +3962,39 @@ object SparkEntry {
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS revenue_c " +
         "FROM w WHERE event_type = 'purchase' GROUP BY 1"),
     "seq_rolling_spikes" -> Stats.rollingIntegerZSpikesSql("orders"),
+    "q_yoy_growth" ->
+      ("WITH m AS (SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c FROM orders GROUP BY 1, 2) " +
+        "SELECT a.yr, a.mo, a.rev_c, b.rev_c AS prev_rev_c, " +
+        "CASE WHEN b.rev_c > 0 THEN 1000000 * a.rev_c // b.rev_c END AS yoy_ratio_ppm " +
+        "FROM m a LEFT JOIN m b ON a.yr = b.yr + 1 AND a.mo = b.mo"),
+    "events_error_rate" ->
+      ("WITH g AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n, " +
+        "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errs FROM events GROUP BY 1) " +
+        "SELECT h, n, errs, 1000000 * errs // n AS rate_ppm, " +
+        "(CAST(errs AS DOUBLE) / CAST(n AS DOUBLE) + 3.8416 / (2.0 * CAST(n AS DOUBLE)) - " +
+        "1.96 * sqrt(CAST(errs AS DOUBLE) / CAST(n AS DOUBLE) * " +
+        "(1.0 - CAST(errs AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) + " +
+        "3.8416 / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))) / " +
+        "(1.0 + 3.8416 / CAST(n AS DOUBLE)) AS wilson_lb FROM g"),
+    "orders_cohort_ltv" ->
+      ("WITH o AS (SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS yr, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "f AS (SELECT o_custkey, min(yr) AS cohort_yr FROM o GROUP BY 1), " +
+        "cells AS (SELECT f.cohort_yr, o.yr - f.cohort_yr AS yr_offset, " +
+        "count(DISTINCT o.o_custkey) AS n_customers, CAST(sum(o.cents) AS BIGINT) AS rev_c " +
+        "FROM o JOIN f ON f.o_custkey = o.o_custkey GROUP BY 1, 2) " +
+        "SELECT cohort_yr, yr_offset, n_customers, rev_c, " +
+        "CAST(sum(rev_c) OVER (PARTITION BY cohort_yr ORDER BY yr_offset ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_c FROM cells"),
+    "q_market_share" ->
+      ("WITH base AS (SELECT r_name, n_name, CAST(year(o_orderdate) AS INT) AS yr, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c " +
+        "FROM customer c JOIN orders o ON c_custkey = o_custkey " +
+        "JOIN nation n ON c_nationkey = n_nationkey JOIN region r ON n_regionkey = r_regionkey " +
+        "GROUP BY 1, 2, 3) " +
+        "SELECT r_name, n_name, yr, rev_c, " +
+        "CAST(sum(rev_c) OVER (PARTITION BY r_name, yr) AS BIGINT) AS region_rev_c, " +
+        "1000000 * rev_c // CAST(sum(rev_c) OVER (PARTITION BY r_name, yr) AS BIGINT) AS share_ppm FROM base"),
     "pareto_abc" ->
       ("WITH rev AS (SELECT l_partkey, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_c " +
         "FROM lineitem GROUP BY 1), " +

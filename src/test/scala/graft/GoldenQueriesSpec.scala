@@ -288,7 +288,11 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "dq_freshness" -> "6f8f2e96ad0d47370145270610cc6977",
     "events_stickiness" -> "900f9eff867740214f02d32ba941bae5",
     "ann_filtered_brute" -> "5fd733bb06af2d63c96685fbc58e2529",
-    "ann_filtered_ivf" -> "813687e0ca6e453dadee1f89fdc41627")
+    "ann_filtered_ivf" -> "813687e0ca6e453dadee1f89fdc41627",
+    "q_yoy_growth" -> "791b2382748981721939ff8f324585eb",
+    "events_error_rate" -> "a5923c44efd66e546bff4eb80472f1cd",
+    "orders_cohort_ltv" -> "ffb3cb7cf270a4d83cbdaa6d6437706e",
+    "q_market_share" -> "1de308bbb23ab6c8db354c3ce86a42f6")
 
   test("round-5 operator outputs hash-match their pinned golden values") {
     val got = pinnedR5.keys.toSeq.sorted.map { q =>

@@ -2258,6 +2258,47 @@ object SparkEntry {
     "events_wau" -> ((s, d) =>
       // rolling 7-day distinct actives per day, exact + combinable
       Events.rollingActiveUsers(rd(s, d, "events"), windowDays = 7)),
+    "dq_quarantine" -> ((s, d) => {
+      // row routing: orders with injected defects (%13 negated price,
+      // %17 out-of-domain status) flow through the constraint set;
+      // failing rows emit with their comma-joined reasons, clean rows
+      // never appear — zero-shuffle projection + filter
+      val o = rd(s, d, "orders")
+      val mixed = o
+        .unionByName(o.filter(col("o_orderkey") % 13 === 0)
+          .withColumn("o_totalprice", -col("o_totalprice")))
+        .unionByName(o.filter(col("o_orderkey") % 17 === 0)
+          .withColumn("o_orderstatus", lit("X")))
+      graft.operators.Quality.quarantine(mixed, Seq(
+        "price_non_negative" -> (col("o_totalprice") >= 0),
+        "status_in_domain" -> col("o_orderstatus").isin("O", "F", "P")))
+        .select("o_orderkey", "o_totalprice", "o_orderstatus", "fail_reasons")
+    }),
+    "dp_randomized_response" -> ((s, d) => {
+      // privacy tier: classic 1/2-truth randomized response over "did
+      // the user make a high-value purchase", with BOTH coins drawn
+      // from the portable salt+user hash grid — deterministic,
+      // engine-replayable, and the debiased estimate (4·noisy − n, in
+      // halves) stays exact integer arithmetic
+      val ev = rd(s, d, "events")
+      val users = ev.select(col("user_id")).distinct()
+      val truth = ev.filter(col("event_type") === "purchase" && col("value") >= 90)
+        .select(col("user_id")).distinct().withColumn("__t", lit(true))
+      val coins = Sampling.hashSplit(
+        Sampling.hashSplit(
+          Sampling.hashSplit(users, "user_id", "ab1", abArms, "arm"),
+          "user_id", "rr1", abArms, "coin1"),
+        "user_id", "rr2", abArms, "coin2")
+      coins.join(truth, Seq("user_id"), "left")
+        .withColumn("report_yes",
+          when(col("coin1") === "a", coalesce(col("__t"), lit(false)))
+            .otherwise(col("coin2") === "a"))
+        .groupBy("arm")
+        .agg(count(lit(1)).as("n"),
+          sum(col("report_yes").cast("long")).as("noisy_yes"),
+          sum(coalesce(col("__t"), lit(false)).cast("long")).as("true_yes"))
+        .withColumn("est_x2", lit(4) * col("noisy_yes") - col("n"))
+    }),
     "q_yoy_growth" -> ((s, d) => {
       // year-over-year monthly revenue ratio: month-grain aggregate
       // (calendar-bounded), self-joined to month-minus-12; the ratio
@@ -3962,6 +4003,28 @@ object SparkEntry {
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS revenue_c " +
         "FROM w WHERE event_type = 'purchase' GROUP BY 1"),
     "seq_rolling_spikes" -> Stats.rollingIntegerZSpikesSql("orders"),
+    "dq_quarantine" ->
+      ("WITH mixed AS (SELECT * FROM orders " +
+        "UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, -o_totalprice, o_orderdate, o_orderpriority " +
+        "FROM orders WHERE o_orderkey % 13 = 0 " +
+        "UNION ALL SELECT o_orderkey, o_custkey, 'X', o_totalprice, o_orderdate, o_orderpriority " +
+        "FROM orders WHERE o_orderkey % 17 = 0), " +
+        "q AS (SELECT o_orderkey, o_totalprice, o_orderstatus, " +
+        "concat_ws(',', CASE WHEN NOT coalesce(o_totalprice >= 0, FALSE) THEN 'price_non_negative' END, " +
+        "CASE WHEN NOT coalesce(o_orderstatus IN ('O', 'F', 'P'), FALSE) THEN 'status_in_domain' END) AS fail_reasons " +
+        "FROM mixed) SELECT * FROM q WHERE fail_reasons <> ''"),
+    "dp_randomized_response" ->
+      (s"WITH u AS (SELECT DISTINCT user_id FROM events), " +
+        "t AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value >= 90), " +
+        s"c AS (SELECT u.user_id, ${OracleSql.hashSplitCase("CAST(u.user_id AS VARCHAR)", "ab1", abArms)} AS arm, " +
+        s"${OracleSql.hashSplitCase("CAST(u.user_id AS VARCHAR)", "rr1", abArms)} AS coin1, " +
+        s"${OracleSql.hashSplitCase("CAST(u.user_id AS VARCHAR)", "rr2", abArms)} AS coin2, " +
+        "(t.user_id IS NOT NULL) AS tr FROM u LEFT JOIN t ON t.user_id = u.user_id), " +
+        "r AS (SELECT arm, CASE WHEN coin1 = 'a' THEN tr ELSE coin2 = 'a' END AS report_yes, tr FROM c) " +
+        "SELECT arm, count(*) AS n, CAST(sum(CASE WHEN report_yes THEN 1 ELSE 0 END) AS BIGINT) AS noisy_yes, " +
+        "CAST(sum(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS true_yes, " +
+        "4 * CAST(sum(CASE WHEN report_yes THEN 1 ELSE 0 END) AS BIGINT) - count(*) AS est_x2 " +
+        "FROM r GROUP BY arm"),
     "q_yoy_growth" ->
       ("WITH m AS (SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo, " +
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c FROM orders GROUP BY 1, 2) " +

@@ -290,6 +290,24 @@ object Quality {
       .withColumn("meets_l", col("n_sensitive") >= l)
   }
 
+  /** Row-level quarantine routing — the other half of
+    * [[constraintViolations]]: instead of counting failures, emit the
+    * FAILING rows with a comma-joined reason list so a pipeline can
+    * route them to a quarantine table and admit the rest. One codegen
+    * projection per row (`concat_ws` drops the NULLs of passing
+    * checks — the same null-skipping contract in any engine), one
+    * filter; no shuffle at all. NULL predicate results fail the check,
+    * matching the admission-gate semantics of the counting form.
+    */
+  def quarantine(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "need at least one constraint")
+    val reasons = checks.map { case (name, pred) =>
+      when(!coalesce(pred, lit(false)), lit(name))
+    }
+    df.withColumn("fail_reasons", concat_ws(",", reasons: _*))
+      .filter(col("fail_reasons") =!= "")
+  }
+
   /** SCD-2 interval audit: flag rows whose validity interval conflicts
     * with the key's previous version in `(valid_from, valid_to NULLS
     * LAST)` order — `overlap` (previous version still open past this

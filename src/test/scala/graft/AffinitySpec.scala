@@ -171,6 +171,47 @@ class AffinitySpec extends AnyFunSuite with SparkTest {
     assert(out == Map(2L -> "overlap", 3L -> "gap", 4L -> "after_open"))
   }
 
+  test("quarantine: failing rows route with joined reasons, clean rows never appear") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, Option(10.0), "O"), // clean
+      (2L, Option(-5.0), "F"), // price fails
+      (3L, Option(7.0), "X"), // status fails
+      (4L, Option(-1.0), "X"), // both fail -> two reasons joined
+      (5L, None: Option[Double], "O"), // NULL cannot prove >= 0 -> fails
+      (6L, Option(Double.NaN), "O") // Spark orders NaN ABOVE all numbers:
+      // NaN >= 0 is TRUE, so it passes — guard with isnan() if NaN must fail
+    ).toDF("k", "price", "status")
+    val out = graft.operators.Quality.quarantine(df, Seq(
+      "price_ok" -> (col("price") >= 0),
+      "status_ok" -> col("status").isin("O", "F", "P")))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out == Map(
+      2L -> "price_ok",
+      3L -> "status_ok",
+      4L -> "price_ok,status_ok",
+      5L -> "price_ok"))
+  }
+
+  test("randomized response: debiased estimate formula and determinism") {
+    val q = SparkEntry.queries("dp_randomized_response")(spark, "/root/testdata/sf0.001")
+    val rows = q.collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("a", "b"))
+    rows.values.foreach { r =>
+      val n = r.getLong(r.fieldIndex("n"))
+      val noisy = r.getLong(r.fieldIndex("noisy_yes"))
+      val est = r.getLong(r.fieldIndex("est_x2"))
+      assert(noisy >= 0 && noisy <= n)
+      assert(est == 4 * noisy - n, "debias identity must hold exactly")
+    }
+    // coins are a pure hash function: a second run is bit-identical
+    val again = SparkEntry.queries("dp_randomized_response")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getLong(r.fieldIndex("noisy_yes"))).toMap
+    rows.foreach { case (arm, r) =>
+      assert(again(arm) == r.getLong(r.fieldIndex("noisy_yes")))
+    }
+  }
+
   test("compactionPlan: exclusive prefix-sum binning in key order") {
     val s = spark; import s.implicits._
     val files = Seq(("a", 100L), ("b", 200L), ("c", 300L), ("d", 400L))

@@ -292,7 +292,9 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "q_yoy_growth" -> "791b2382748981721939ff8f324585eb",
     "events_error_rate" -> "a5923c44efd66e546bff4eb80472f1cd",
     "orders_cohort_ltv" -> "ffb3cb7cf270a4d83cbdaa6d6437706e",
-    "q_market_share" -> "1de308bbb23ab6c8db354c3ce86a42f6")
+    "q_market_share" -> "1de308bbb23ab6c8db354c3ce86a42f6",
+    "dq_quarantine" -> "547dbc849742dd66f47d19b740ebb322",
+    "dp_randomized_response" -> "2701889ee20e4ad11bd8159721d0a23f")
 
   test("round-5 operator outputs hash-match their pinned golden values") {
     val got = pinnedR5.keys.toSeq.sorted.map { q =>

@@ -2258,6 +2258,21 @@ object SparkEntry {
     "events_wau" -> ((s, d) =>
       // rolling 7-day distinct actives per day, exact + combinable
       Events.rollingActiveUsers(rd(s, d, "events"), windowDays = 7)),
+    "q_skyline_2d" -> ((s, d) => {
+      // 2-D skyline (cheapest-price / largest-size Pareto front) via
+      // the generalized range-partitioned prefix fold: exclusive
+      // running MAX of size over the (price, key) total order — a part
+      // survives iff its size strictly exceeds every lexicographically
+      // earlier (i.e. no-more-expensive) part's. Same distribution
+      // story as pareto_abc: no unpartitioned window, ever
+      val p = rd(s, d, "part").select(col("p_partkey"),
+        col("p_retailprice"), col("p_size").cast("long").as("sz"))
+      Stats.rangePrefixFold(p,
+        Seq(col("p_retailprice").asc, col("p_partkey").asc),
+        "sz", "max_before", Long.MinValue, math.max, exclusive = true)
+        .filter(col("sz") > col("max_before"))
+        .select(col("p_partkey"), col("p_retailprice"), col("sz").as("p_size"))
+    }),
     "dq_quarantine" -> ((s, d) => {
       // row routing: orders with injected defects (%13 negated price,
       // %17 out-of-domain status) flow through the constraint set;
@@ -4003,6 +4018,11 @@ object SparkEntry {
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS revenue_c " +
         "FROM w WHERE event_type = 'purchase' GROUP BY 1"),
     "seq_rolling_spikes" -> Stats.rollingIntegerZSpikesSql("orders"),
+    "q_skyline_2d" ->
+      ("WITH o AS (SELECT p_partkey, p_retailprice, CAST(p_size AS BIGINT) AS sz, " +
+        "coalesce(max(CAST(p_size AS BIGINT)) OVER (ORDER BY p_retailprice, p_partkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -9223372036854775808) AS mb FROM part) " +
+        "SELECT p_partkey, p_retailprice, sz AS p_size FROM o WHERE sz > mb"),
     "dq_quarantine" ->
       ("WITH mixed AS (SELECT * FROM orders " +
         "UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, -o_totalprice, o_orderdate, o_orderpriority " +

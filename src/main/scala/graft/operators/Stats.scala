@@ -330,20 +330,39 @@ object Stats {
       df: DataFrame,
       orderCols: Seq[Column],
       valueCol: String,
-      outCol: String): DataFrame = {
+      outCol: String): DataFrame =
+    rangePrefixFold(df, orderCols, valueCol, outCol, 0L, _ + _, exclusive = false)
+
+  /** The general monoid form of [[rangePrefixSum]]: any associative
+    * `op` with identity `zero` (sum, max, min, gcd, …) folds the same
+    * way — per-partition folds are shifted by the fold of all prior
+    * partitions' totals, which is exactly the associativity the range
+    * partitioning exploits. `exclusive = true` emits the fold of
+    * strictly-preceding rows (what dominance tests like skylines
+    * need); `false` includes the current row.
+    */
+  def rangePrefixFold(
+      df: DataFrame,
+      orderCols: Seq[Column],
+      valueCol: String,
+      outCol: String,
+      zero: Long,
+      op: (Long, Long) => Long,
+      exclusive: Boolean): DataFrame = {
     val spark = df.sparkSession
     val ordered = Caches.persisted(
       df.repartitionByRange(orderCols: _*).sortWithinPartitions(orderCols: _*))
     val valIdx = ordered.schema.fieldIndex(valueCol)
     val perPart = ordered.rdd
       .mapPartitionsWithIndex { (pid, it) =>
-        var s = 0L
-        it.foreach(r => s += r.getLong(valIdx))
+        var s = zero
+        it.foreach(r => s = op(s, r.getLong(valIdx)))
         Iterator.single(pid -> s)
       }.collect().sortBy(_._1)
     val offsets = new Array[Long](perPart.length + 1)
+    offsets(0) = zero
     perPart.foreach { case (pid, s) => offsets(pid + 1) = s }
-    for (i <- 1 until offsets.length) offsets(i) += offsets(i - 1)
+    for (i <- 1 until offsets.length) offsets(i) = op(offsets(i - 1), offsets(i))
     val bOff = spark.sparkContext.broadcast(offsets)
     val outSchema = ordered.schema.add(
       org.apache.spark.sql.types.StructField(
@@ -351,8 +370,10 @@ object Stats {
     val rows = ordered.rdd.mapPartitionsWithIndex { (pid, it) =>
       var run = bOff.value(pid)
       it.map { r =>
-        run += r.getLong(valIdx)
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ run)
+        val before = run
+        run = op(run, r.getLong(valIdx))
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq :+ (if (exclusive) before else run))
       }
     }
     spark.createDataFrame(rows, outSchema)

@@ -294,7 +294,8 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "orders_cohort_ltv" -> "ffb3cb7cf270a4d83cbdaa6d6437706e",
     "q_market_share" -> "1de308bbb23ab6c8db354c3ce86a42f6",
     "dq_quarantine" -> "547dbc849742dd66f47d19b740ebb322",
-    "dp_randomized_response" -> "2701889ee20e4ad11bd8159721d0a23f")
+    "dp_randomized_response" -> "2701889ee20e4ad11bd8159721d0a23f",
+    "q_skyline_2d" -> "8898b6f23a803fc37796a9b08e0e92e9")
 
   test("round-5 operator outputs hash-match their pinned golden values") {
     val got = pinnedR5.keys.toSeq.sorted.map { q =>

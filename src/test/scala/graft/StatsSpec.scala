@@ -104,6 +104,21 @@ class StatsSpec extends AnyFunSuite with SparkTest {
     graft.operators.Caches.release()
   }
 
+  test("rangePrefixFold: exclusive max monoid matches a sequential fold") {
+    val s = spark; import s.implicits._
+    val df = (1 to 500).map(i => ((i * 7919) % 503, ((i * 104729) % 89).toLong))
+      .toDF("k", "v")
+    val got = Stats.rangePrefixFold(df, Seq(col("k").asc, col("v").asc), "v",
+      "mb", Long.MinValue, math.max, exclusive = true)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    var run = Long.MinValue
+    df.collect().map(r => (r.getInt(0), r.getLong(1))).sorted.foreach { case (k, v) =>
+      assert(got((k, v)) == run, s"exclusive max diverges at ($k,$v)")
+      run = math.max(run, v)
+    }
+    graft.operators.Caches.release()
+  }
+
   test("rfmScores: quintile thresholds score a known ladder") {
     val s = spark; import s.implicits._
     // 10 customers, strictly increasing recency/frequency/monetary:

@@ -2258,6 +2258,33 @@ object SparkEntry {
     "events_wau" -> ((s, d) =>
       // rolling 7-day distinct actives per day, exact + combinable
       Events.rollingActiveUsers(rd(s, d, "events"), windowDays = 7)),
+    "events_bounce_rate" -> ((s, d) =>
+      // single-event-session share per day — the product bounce
+      // metric, composed from the SAME sessionizer e3 gates
+      Events.sessionize(rd(s, d, "events"))
+        .groupBy(to_date(col("session_start")).as("d"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"))
+        .withColumn("bounce_ppm", expr("1000000 * n_bounce div n_sessions"))),
+    "orders_reorder_gap" -> ((s, d) => {
+      // reorder-latency distribution: per-customer day gaps between
+      // consecutive orders (lead over the customer history), exact
+      // discrete percentiles over the gap table
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val gaps = rd(s, d, "orders")
+        .withColumn("__next", lead(col("o_orderdate"), 1).over(w))
+        .filter(col("__next").isNotNull)
+        .select(datediff(to_date(col("__next")), to_date(col("o_orderdate")))
+          .cast("long").as("gap_days"))
+      val v = Views.unique("reorder_gaps")
+      gaps.createOrReplaceTempView(v)
+      val out = s.sql(
+        "SELECT count(*) AS n_gaps, min(gap_days) AS min_d, max(gap_days) AS max_d, " +
+          "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_days) AS BIGINT) AS p50_d, " +
+          s"CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY gap_days) AS BIGINT) AS p90_d FROM $v")
+      s.catalog.dropTempView(v)
+      out
+    }),
     "q_skyline_2d" -> ((s, d) => {
       // 2-D skyline (cheapest-price / largest-size Pareto front) via
       // the generalized range-partitioned prefix fold: exclusive
@@ -4018,6 +4045,24 @@ object SparkEntry {
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS revenue_c " +
         "FROM w WHERE event_type = 'purchase' GROUP BY 1"),
     "seq_rolling_spikes" -> Stats.rollingIntegerZSpikesSql("orders"),
+    "events_bounce_rate" ->
+      ("WITH o AS (SELECT user_id, event_id, ts, CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000 THEN 1 ELSE 0 END AS brk FROM events), " +
+        "s AS (SELECT user_id, ts, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM o), " +
+        "sess AS (SELECT user_id, session_id, min(ts) AS session_start, count(*) AS n_events " +
+        "FROM s GROUP BY 1, 2) " +
+        "SELECT CAST(session_start AS DATE) AS d, count(*) AS n_sessions, " +
+        "CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce, " +
+        "1000000 * CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) // count(*) AS bounce_ppm " +
+        "FROM sess GROUP BY 1"),
+    "orders_reorder_gap" ->
+      ("WITH g AS (SELECT date_diff('day', CAST(o_orderdate AS DATE), CAST(lead(o_orderdate) OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE)) AS gap_days FROM orders), " +
+        "f AS (SELECT CAST(gap_days AS BIGINT) AS gap_days FROM g WHERE gap_days IS NOT NULL) " +
+        "SELECT count(*) AS n_gaps, min(gap_days) AS min_d, max(gap_days) AS max_d, " +
+        "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_days) AS BIGINT) AS p50_d, " +
+        "CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY gap_days) AS BIGINT) AS p90_d FROM f"),
     "q_skyline_2d" ->
       ("WITH o AS (SELECT p_partkey, p_retailprice, CAST(p_size AS BIGINT) AS sz, " +
         "coalesce(max(CAST(p_size AS BIGINT)) OVER (ORDER BY p_retailprice, p_partkey " +

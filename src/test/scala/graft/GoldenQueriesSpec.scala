@@ -295,7 +295,9 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "q_market_share" -> "1de308bbb23ab6c8db354c3ce86a42f6",
     "dq_quarantine" -> "547dbc849742dd66f47d19b740ebb322",
     "dp_randomized_response" -> "2701889ee20e4ad11bd8159721d0a23f",
-    "q_skyline_2d" -> "8898b6f23a803fc37796a9b08e0e92e9")
+    "q_skyline_2d" -> "8898b6f23a803fc37796a9b08e0e92e9",
+    "events_bounce_rate" -> "195b53726f0f93faa4f758d4555d0cb6",
+    "orders_reorder_gap" -> "353a42b5d6b8cab415197d47f7b2b0cf")
 
   test("round-5 operator outputs hash-match their pinned golden values") {
     val got = pinnedR5.keys.toSeq.sorted.map { q =>

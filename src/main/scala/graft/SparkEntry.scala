@@ -2258,6 +2258,60 @@ object SparkEntry {
     "events_wau" -> ((s, d) =>
       // rolling 7-day distinct actives per day, exact + combinable
       Events.rollingActiveUsers(rd(s, d, "events"), windowDays = 7)),
+    "ab_cuped" -> ((s, d) => {
+      // CUPED variance-reduced A/B readout: pre-period spend is the
+      // covariate, theta = cov(x,y)/var(x) from EXACT integer moments,
+      // and the adjusted arm mean is computed from ARM-LEVEL exact
+      // sums (mean_y - theta*(mean_x - global mean_x)) — never a sum
+      // of per-user adjusted doubles, which would re-introduce
+      // accumulation order
+      val ev = rd(s, d, "events")
+      val cut = tlit("2024-01-16 00:00:00")
+      val spend = (p: Column) => sum(when(p, round(col("value") * 100).cast("long"))
+        .otherwise(0L))
+      val perUser = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(spend(col("ts") < cut).as("x"), spend(col("ts") >= cut).as("y"))
+      val users = Sampling.hashSplit(
+        ev.select(col("user_id")).distinct(), "user_id", "ab1", abArms, "arm")
+        .join(perUser, Seq("user_id"), "left")
+        .select(col("arm"), coalesce(col("x"), lit(0L)).as("x"),
+          coalesce(col("y"), lit(0L)).as("y"))
+      val g = users.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      val arms = users.groupBy("arm")
+        .agg(count(lit(1)).as("n_a"), sum("x").as("sx_a"), sum("y").as("sy_a"))
+      val theta = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      arms.crossJoin(broadcast(g))
+        .select(col("arm"), col("n_a"), col("sx_a"), col("sy_a"),
+          theta.as("theta"),
+          (col("sy_a").cast("double") / col("n_a").cast("double")).as("mean_raw"),
+          (col("sy_a").cast("double") / col("n_a").cast("double") -
+            theta * (col("sx_a").cast("double") / col("n_a").cast("double") -
+              col("sx").cast("double") / col("n").cast("double"))).as("mean_adj"))
+    }),
+    "seq_seasonal_naive" -> ((s, d) => {
+      // forecast backtest: same-weekday-last-week naive on the daily
+      // revenue series, MAE/MAPE entirely in integer arithmetic (the
+      // per-day APE divides non-negatives); the series is
+      // calendar-bounded so the lag window is metadata-scale
+      val daily = rd(s, d, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("dt"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .withColumn("x", expr("cents div 100"))
+      val w = Window.orderBy("dt")
+      daily.withColumn("f", lag(col("x"), 7).over(w))
+        .filter(col("f").isNotNull && col("x") > 0)
+        .withColumn("abs_err", abs(col("x") - col("f")))
+        .agg(count(lit(1)).as("n_days"),
+          sum("abs_err").as("sum_abs_err"),
+          sum(expr("1000000 * abs_err div x")).as("sum_ape_ppm"))
+        .select(col("n_days"),
+          col("sum_abs_err"),
+          expr("sum_abs_err div n_days").as("mae_dollars"),
+          expr("sum_ape_ppm div n_days").as("mape_ppm"))
+    }),
     "events_bounce_rate" -> ((s, d) =>
       // single-event-session share per day — the product bounce
       // metric, composed from the SAME sessionizer e3 gates
@@ -4045,6 +4099,32 @@ object SparkEntry {
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS revenue_c " +
         "FROM w WHERE event_type = 'purchase' GROUP BY 1"),
     "seq_rolling_spikes" -> Stats.rollingIntegerZSpikesSql("orders"),
+    "ab_cuped" ->
+      (s"WITH pu AS (SELECT user_id, " +
+        "CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x, " +
+        "CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1), " +
+        s"u AS (SELECT du.user_id, ${OracleSql.hashSplitCase("CAST(du.user_id AS VARCHAR)", "ab1", abArms)} AS arm, " +
+        "coalesce(pu.x, 0) AS x, coalesce(pu.y, 0) AS y " +
+        "FROM (SELECT DISTINCT user_id FROM events) du LEFT JOIN pu ON pu.user_id = du.user_id), " +
+        "g AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, " +
+        "CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy FROM u), " +
+        "a AS (SELECT arm, count(*) AS n_a, CAST(sum(x) AS BIGINT) AS sx_a, CAST(sum(y) AS BIGINT) AS sy_a FROM u GROUP BY 1) " +
+        "SELECT arm, n_a, sx_a, sy_a, " +
+        "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS theta, " +
+        "CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_raw, " +
+        "CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) - " +
+        "CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) * " +
+        "(CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS mean_adj " +
+        "FROM a CROSS JOIN g"),
+    "seq_seasonal_naive" ->
+      ("WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS dt, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents FROM orders GROUP BY 1), " +
+        "l AS (SELECT dt, cents // 100 AS x, lag(cents // 100, 7) OVER (ORDER BY dt) AS f FROM daily), " +
+        "e AS (SELECT x, f, abs(x - f) AS abs_err FROM l WHERE f IS NOT NULL AND x > 0) " +
+        "SELECT count(*) AS n_days, CAST(sum(abs_err) AS BIGINT) AS sum_abs_err, " +
+        "CAST(sum(abs_err) AS BIGINT) // count(*) AS mae_dollars, " +
+        "CAST(sum(1000000 * abs_err // x) AS BIGINT) // count(*) AS mape_ppm FROM e"),
     "events_bounce_rate" ->
       ("WITH o AS (SELECT user_id, event_id, ts, CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER " +
         "(PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000 THEN 1 ELSE 0 END AS brk FROM events), " +

@@ -212,6 +212,26 @@ class AffinitySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("ab_cuped: adjusted means satisfy the CUPED identity; theta shared") {
+    val rows = SparkEntry.queries("ab_cuped")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("a", "b"))
+    val n = rows.values.map(r => r.getLong(r.fieldIndex("n_a"))).sum
+    val sx = rows.values.map(r => r.getLong(r.fieldIndex("sx_a"))).sum
+    val thetaA = rows("a").getDouble(rows("a").fieldIndex("theta"))
+    assert(thetaA == rows("b").getDouble(rows("b").fieldIndex("theta")),
+      "theta is a global estimate, identical on both arm rows")
+    rows.values.foreach { r =>
+      val na = r.getLong(r.fieldIndex("n_a")).toDouble
+      val meanRaw = r.getDouble(r.fieldIndex("mean_raw"))
+      val meanAdj = r.getDouble(r.fieldIndex("mean_adj"))
+      val expect = meanRaw - thetaA *
+        (r.getLong(r.fieldIndex("sx_a")) / na - sx.toDouble / n)
+      assert(math.abs(meanAdj - expect) < 1e-9,
+        s"CUPED identity violated: $meanAdj vs $expect")
+    }
+  }
+
   test("compactionPlan: exclusive prefix-sum binning in key order") {
     val s = spark; import s.implicits._
     val files = Seq(("a", 100L), ("b", 200L), ("c", 300L), ("d", 400L))

@@ -297,7 +297,9 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "dp_randomized_response" -> "2701889ee20e4ad11bd8159721d0a23f",
     "q_skyline_2d" -> "8898b6f23a803fc37796a9b08e0e92e9",
     "events_bounce_rate" -> "195b53726f0f93faa4f758d4555d0cb6",
-    "orders_reorder_gap" -> "353a42b5d6b8cab415197d47f7b2b0cf")
+    "orders_reorder_gap" -> "353a42b5d6b8cab415197d47f7b2b0cf",
+    "ab_cuped" -> "c239babe4d6e88b790987165927f84b2",
+    "seq_seasonal_naive" -> "96b905019ecc6dacc5574d235c19aa3f")
 
   test("round-5 operator outputs hash-match their pinned golden values") {
     val got = pinnedR5.keys.toSeq.sorted.map { q =>

@@ -2246,6 +2246,10 @@ object SparkEntry {
       // chi-squared independence, per-cell contributions (no
       // cross-row double sum), priority x status contingency
       Stats.chi2Cells(rd(s, d, "orders"), "o_orderpriority", "o_orderstatus")),
+    "events_attribution_linear" -> ((s, d) =>
+      // multi-touch credit: equal ppm split across all prior touches
+      Events.linearAttribution(rd(s, d, "events"),
+        touches = Seq("view", "click"), conversion = "purchase")),
     "events_attribution" -> ((s, d) =>
       // last-touch revenue attribution: as-of pattern as one per-user
       // ordered window, cents-exact revenue per channel
@@ -4089,6 +4093,17 @@ object SparkEntry {
         "FROM pr JOIN ic ia ON ia.pk = pr.pk_a JOIN ic ib ON ib.pk = pr.pk_b CROSS JOIN nb"),
     "stat_chi2_cells" ->
       Stats.chi2CellsSql("orders", "o_orderpriority", "o_orderstatus"),
+    "events_attribution_linear" ->
+      ("WITH u AS (SELECT user_id, ts, event_id, event_type FROM events " +
+        "WHERE event_type IN ('view', 'click', 'purchase')), " +
+        "w AS (SELECT *, CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER win AS BIGINT) AS nv, " +
+        "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER win AS BIGINT) AS nc " +
+        "FROM u WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), " +
+        "p AS (SELECT coalesce(nv, 0) AS nv, coalesce(nc, 0) AS nc, coalesce(nv, 0) + coalesce(nc, 0) AS tot FROM w " +
+        "WHERE event_type = 'purchase') " +
+        "SELECT 'view' AS channel, CAST(sum(CASE WHEN tot > 0 THEN 1000000 * nv // tot ELSE 0 END) AS BIGINT) AS credit_ppm FROM p " +
+        "UNION ALL SELECT 'click', CAST(sum(CASE WHEN tot > 0 THEN 1000000 * nc // tot ELSE 0 END) AS BIGINT) FROM p " +
+        "UNION ALL SELECT 'direct', CAST(sum(CASE WHEN tot = 0 THEN 1000000 ELSE 0 END) AS BIGINT) FROM p"),
     "events_attribution" ->
       ("WITH u AS (SELECT user_id, ts, event_id, event_type, value, " +
         "CASE WHEN event_type IN ('view', 'click') THEN event_type END AS touch " +

@@ -338,6 +338,47 @@ object Events {
         when(col("total_s") > 0, expr("wsum_cs div total_s")))
   }
 
+  /** Linear (multi-touch) attribution: each conversion's credit
+    * splits equally across ALL of the user's strictly-preceding
+    * touches, on the ppm grid — `1e6·n_channel div n_total` per
+    * conversion, floor division on non-negatives so every engine
+    * agrees (the ≤(channels−1) ppm rounding remainder per conversion
+    * is documented, not hidden). Touch counts ride per-channel
+    * running-sum windows over the same (ts, event_id) total order the
+    * last-touch form uses; conversions with no prior touch credit
+    * `direct` in full. One shuffle on user_id.
+    */
+  def linearAttribution(
+      events: DataFrame,
+      touches: Seq[String],
+      conversion: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val base = events
+      .filter(col("event_type").isin(touches :+ conversion: _*))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val counted = touches.foldLeft(base) { (df, t) =>
+      // an empty preceding frame sums to NULL, not 0 — a user's very
+      // first event would otherwise drop out of every credit branch
+      df.withColumn(s"__n_$t",
+        coalesce(sum(when(col("event_type") === t, 1L).otherwise(0L)).over(w),
+          lit(0L)))
+    }
+    val tot = touches.map(t => col(s"__n_$t")).reduce(_ + _)
+    val conv = counted.filter(col("event_type") === conversion)
+      .withColumn("__tot", tot)
+    val credits = touches.map { t =>
+      sum(when(col("__tot") > 0,
+        expr(s"1000000 * __n_$t div __tot")).otherwise(0L)).as(s"__c_$t")
+    } :+ sum(when(col("__tot") === 0, 1000000L).otherwise(0L)).as("__c_direct")
+    val one = conv.agg(credits.head, credits.tail: _*)
+    val stackArgs = (touches.map(t => s"'$t', __c_$t") :+ "'direct', __c_direct")
+      .mkString(", ")
+    one.select(expr(
+      s"stack(${touches.size + 1}, $stackArgs) AS (channel, credit_ppm)"))
+  }
+
   def lastTouchAttribution(
       events: DataFrame,
       touches: Seq[String],

@@ -212,6 +212,29 @@ class AffinitySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("linearAttribution: equal ppm split, direct on cold conversions, floor remainder") {
+    val s = spark; import s.implicits._
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      // user 1: view, view, click then purchase -> 2/3 view, 1/3 click
+      (1L, ts(1), 1L, "view", 0.0), (1L, ts(2), 2L, "view", 0.0),
+      (1L, ts(3), 3L, "click", 0.0), (1L, ts(4), 4L, "purchase", 1.0),
+      // user 2: cold purchase as the user's FIRST event (empty frame)
+      (2L, ts(1), 5L, "purchase", 1.0),
+      // user 3: a purchase then another purchase — preceding rows
+      // exist but none are touches: still direct
+      (3L, ts(1), 6L, "purchase", 1.0), (3L, ts(2), 7L, "purchase", 1.0)
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = Events.linearAttribution(ev, Seq("view", "click"), "purchase")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 1e6*2 div 3 = 666666 (floor), 1e6*1 div 3 = 333333: the 1 ppm
+    // remainder is the documented floor loss
+    assert(out == Map(
+      "view" -> 666666L,
+      "click" -> 333333L,
+      "direct" -> 3000000L))
+  }
+
   test("ab_cuped: adjusted means satisfy the CUPED identity; theta shared") {
     val rows = SparkEntry.queries("ab_cuped")(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getString(0) -> r).toMap

@@ -299,7 +299,8 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "events_bounce_rate" -> "195b53726f0f93faa4f758d4555d0cb6",
     "orders_reorder_gap" -> "353a42b5d6b8cab415197d47f7b2b0cf",
     "ab_cuped" -> "c239babe4d6e88b790987165927f84b2",
-    "seq_seasonal_naive" -> "96b905019ecc6dacc5574d235c19aa3f")
+    "seq_seasonal_naive" -> "96b905019ecc6dacc5574d235c19aa3f",
+    "events_attribution_linear" -> "5bcd4def2c2b319544b29da4cdb907e5")
 
   test("round-5 operator outputs hash-match their pinned golden values") {
     val got = pinnedR5.keys.toSeq.sorted.map { q =>

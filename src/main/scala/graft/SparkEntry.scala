@@ -2399,6 +2399,45 @@ object SparkEntry {
           sum(coalesce(col("__t"), lit(false)).cast("long")).as("true_yes"))
         .withColumn("est_x2", lit(4) * col("noisy_yes") - col("n"))
     }),
+    "q7_nation_trade" -> ((s, d) => {
+      // TPC-H Q7 shape: trade-flow matrix between customer and
+      // supplier nations by year; BOTH nation dims broadcast under
+      // distinct aliases, revenue in the round(sum,4) discipline
+      val l = rd(s, d, "lineitem"); val o = rd(s, d, "orders")
+      val c = rd(s, d, "customer"); val su = rd(s, d, "supplier")
+      val n = rd(s, d, "nation")
+      val nc = n.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      val ns = n.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nc), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(ns), col("s_nationkey") === col("s_nk"))
+        .where(col("cust_nation") =!= col("supp_nation"))
+        .groupBy(col("cust_nation"), col("supp_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            .as("revenue"))
+    }),
+    "q_supplier_hhi" -> ((s, d) => {
+      // market-concentration audit: Herfindahl index of supplier
+      // revenue shares within each part type — shares on the ppm grid,
+      // HHI = sum(share_ppm^2) div 1e6, all integer arithmetic; the
+      // supplier-level table the window runs over is dimension-scale
+      val l = rd(s, d, "lineitem")
+      val su = rd(s, d, "supplier"); val p = rd(s, d, "part")
+      val rev = l.join(p, col("l_partkey") === col("p_partkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("p_type"), col("s_suppkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_c"))
+      rev.withColumn("tot_c", sum("rev_c").over(Window.partitionBy("p_type")))
+        .withColumn("share_ppm", expr("1000000 * rev_c div tot_c"))
+        .groupBy("p_type")
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(expr("share_ppm * share_ppm")).as("sum_sq"))
+        .withColumn("hhi_ppm", expr("sum_sq div 1000000"))
+    }),
     "q_yoy_growth" -> ((s, d) => {
       // year-over-year monthly revenue ratio: month-grain aggregate
       // (calendar-bounded), self-joined to month-minus-12; the ratio
@@ -4185,6 +4224,26 @@ object SparkEntry {
         "CAST(sum(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS true_yes, " +
         "4 * CAST(sum(CASE WHEN report_yes THEN 1 ELSE 0 END) AS BIGINT) - count(*) AS est_x2 " +
         "FROM r GROUP BY arm"),
+    "q7_nation_trade" ->
+      ("SELECT nc.n_name AS cust_nation, ns.n_name AS supp_nation, " +
+        "CAST(year(l_shipdate) AS INT) AS l_year, count(*) AS n_lines, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue " +
+        "FROM lineitem l JOIN orders o ON l_orderkey = o_orderkey " +
+        "JOIN customer c ON o_custkey = c_custkey " +
+        "JOIN supplier s ON l_suppkey = s_suppkey " +
+        "JOIN nation nc ON c.c_nationkey = nc.n_nationkey " +
+        "JOIN nation ns ON s.s_nationkey = ns.n_nationkey " +
+        "WHERE nc.n_name <> ns.n_name GROUP BY 1, 2, 3"),
+    "q_supplier_hhi" ->
+      ("WITH rev AS (SELECT p_type, s_suppkey, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_c " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1, 2), " +
+        "sh AS (SELECT p_type, rev_c, CAST(sum(rev_c) OVER (PARTITION BY p_type) AS BIGINT) AS tot_c FROM rev), " +
+        "sp AS (SELECT p_type, 1000000 * rev_c // tot_c AS share_ppm FROM sh) " +
+        "SELECT p_type, count(*) AS n_suppliers, " +
+        "CAST(sum(share_ppm * share_ppm) AS BIGINT) AS sum_sq, " +
+        "CAST(sum(share_ppm * share_ppm) AS BIGINT) // 1000000 AS hhi_ppm FROM sp GROUP BY p_type"),
     "q_yoy_growth" ->
       ("WITH m AS (SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo, " +
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c FROM orders GROUP BY 1, 2) " +

@@ -300,7 +300,9 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "orders_reorder_gap" -> "353a42b5d6b8cab415197d47f7b2b0cf",
     "ab_cuped" -> "c239babe4d6e88b790987165927f84b2",
     "seq_seasonal_naive" -> "96b905019ecc6dacc5574d235c19aa3f",
-    "events_attribution_linear" -> "5bcd4def2c2b319544b29da4cdb907e5")
+    "events_attribution_linear" -> "5bcd4def2c2b319544b29da4cdb907e5",
+    "q7_nation_trade" -> "7434dc48b2dc5650c6e0ec4cfd33327e",
+    "q_supplier_hhi" -> "0e07eb037a92f80dac6dbeb5e6d0dcbe")
 
   test("round-5 operator outputs hash-match their pinned golden values") {
     val got = pinnedR5.keys.toSeq.sorted.map { q =>

@@ -2316,6 +2316,44 @@ object SparkEntry {
           expr("sum_abs_err div n_days").as("mae_dollars"),
           expr("sum_ape_ppm div n_days").as("mape_ppm"))
     }),
+    "events_session_duration" -> ((s, d) => {
+      // dwell-time distribution over the sessionizer's output: integer
+      // second durations, exact discrete percentiles over the
+      // session-grain table (sessions ≪ events)
+      val sess = Events.sessionize(rd(s, d, "events"))
+        .select(expr("(unix_micros(session_end) - unix_micros(session_start)) div 1000000")
+          .as("dur_s"))
+      val v = Views.unique("sess_dur")
+      sess.createOrReplaceTempView(v)
+      val out = s.sql(
+        "SELECT count(*) AS n_sessions, max(dur_s) AS max_s, " +
+          "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY dur_s) AS BIGINT) AS p50_s, " +
+          s"CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY dur_s) AS BIGINT) AS p90_s FROM $v")
+      s.catalog.dropTempView(v)
+      out
+    }),
+    "events_path_conversion" -> ((s, d) => {
+      // conversion by opening journey: users grouped by their first-3
+      // path; converted = any purchase strictly after the third event
+      // (rn > 3 in the same total order); rates on the ppm grid
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val ranked = rd(s, d, "events")
+        .withColumn("rn", row_number().over(w))
+      val paths = ranked.filter(col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("__np"),
+          expr("concat_ws('>', transform(array_sort(" +
+            "collect_list(struct(rn, event_type))), x -> x.event_type))").as("path"))
+        .filter(col("__np") === 3)
+      val conv = ranked
+        .groupBy("user_id")
+        .agg(max(when(col("rn") > 3 && col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("converted"))
+      paths.join(conv, "user_id")
+        .groupBy("path")
+        .agg(count(lit(1)).as("n_users"), sum("converted").as("n_conv"))
+        .withColumn("conv_ppm", expr("1000000 * n_conv div n_users"))
+    }),
     "events_bounce_rate" -> ((s, d) =>
       // single-event-session share per day — the product bounce
       // metric, composed from the SAME sessionizer e3 gates
@@ -4179,6 +4217,26 @@ object SparkEntry {
         "SELECT count(*) AS n_days, CAST(sum(abs_err) AS BIGINT) AS sum_abs_err, " +
         "CAST(sum(abs_err) AS BIGINT) // count(*) AS mae_dollars, " +
         "CAST(sum(1000000 * abs_err // x) AS BIGINT) // count(*) AS mape_ppm FROM e"),
+    "events_session_duration" ->
+      ("WITH o AS (SELECT user_id, event_id, ts, CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000 THEN 1 ELSE 0 END AS brk FROM events), " +
+        "s AS (SELECT user_id, ts, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM o), " +
+        "sess AS (SELECT (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS dur_s " +
+        "FROM s GROUP BY user_id, session_id) " +
+        "SELECT count(*) AS n_sessions, max(dur_s) AS max_s, " +
+        "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY dur_s) AS BIGINT) AS p50_s, " +
+        "CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY dur_s) AS BIGINT) AS p90_s FROM sess"),
+    "events_path_conversion" ->
+      ("WITH r AS (SELECT user_id, event_type, row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events), " +
+        "p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path, count(*) AS np " +
+        "FROM r WHERE rn <= 3 GROUP BY user_id), " +
+        "c AS (SELECT user_id, CAST(max(CASE WHEN rn > 3 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS converted " +
+        "FROM r GROUP BY user_id) " +
+        "SELECT path, count(*) AS n_users, CAST(sum(converted) AS BIGINT) AS n_conv, " +
+        "1000000 * CAST(sum(converted) AS BIGINT) // count(*) AS conv_ppm " +
+        "FROM p JOIN c ON c.user_id = p.user_id WHERE np = 3 GROUP BY path"),
     "events_bounce_rate" ->
       ("WITH o AS (SELECT user_id, event_id, ts, CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER " +
         "(PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000 THEN 1 ELSE 0 END AS brk FROM events), " +

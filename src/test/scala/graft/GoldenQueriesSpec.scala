@@ -302,7 +302,9 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "seq_seasonal_naive" -> "96b905019ecc6dacc5574d235c19aa3f",
     "events_attribution_linear" -> "5bcd4def2c2b319544b29da4cdb907e5",
     "q7_nation_trade" -> "7434dc48b2dc5650c6e0ec4cfd33327e",
-    "q_supplier_hhi" -> "0e07eb037a92f80dac6dbeb5e6d0dcbe")
+    "q_supplier_hhi" -> "0e07eb037a92f80dac6dbeb5e6d0dcbe",
+    "events_session_duration" -> "2cde6dbcd84bed85f66b2d7d8fe3a250",
+    "events_path_conversion" -> "f1752280e6625cda68c022619645cdda")
 
   test("round-5 operator outputs hash-match their pinned golden values") {
     val got = pinnedR5.keys.toSeq.sorted.map { q =>

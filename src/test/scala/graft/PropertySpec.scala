@@ -305,4 +305,46 @@ class PropertySpec extends AnyFunSuite with SparkTest {
         s"round $round")
     }
   }
+
+  test("property: linearAttribution credit mass is conserved up to floor remainders") {
+    val s = spark; import s.implicits._
+    for (round <- 0 until 3) {
+      val gen = Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(0L, 500L),
+        Gen.oneOf("view", "click", "purchase", "error"))
+      val rows = samples(gen, 120, seed = 100L + round).zipWithIndex.map {
+        case ((u, t, ty), i) =>
+          (u, new java.sql.Timestamp(1700000000000L + t * 1000), i.toLong, ty, 0.0)
+      }
+      val ev = rows.toDF("user_id", "ts", "event_id", "event_type", "value")
+      val nConv = rows.count(_._4 == "purchase").toLong
+      val credits = graft.operators.Events
+        .linearAttribution(ev, Seq("view", "click"), "purchase")
+        .collect().map(r => r.getLong(1))
+      val total = credits.sum
+      // every conversion distributes exactly 1e6 ppm, minus at most
+      // (channels - 1) ppm of floor loss when split across touches
+      assert(total <= 1000000L * nConv, s"round $round: overcredit $total")
+      assert(total >= 1000000L * nConv - 1L * nConv,
+        s"round $round: lost more than the floor remainder ($total of ${1000000L * nConv})")
+    }
+  }
+
+  test("property: rangePrefixSum equals the sequential prefix on random multisets") {
+    val s = spark; import s.implicits._
+    for (round <- 0 until 3) {
+      val gen = Gen.zip(Gen.chooseNum(0L, 50L), Gen.chooseNum(0L, 99L))
+      val rows = samples(gen, 200, seed = 7L * (round + 1)).zipWithIndex
+        .map { case ((k, v), i) => (k, i.toLong, v) }
+      val df = rows.toDF("k", "uniq", "v")
+      val got = graft.operators.Stats.rangePrefixSum(
+        df, Seq(col("k").asc, col("uniq").asc), "v", "cum")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+      var run = 0L
+      rows.sortBy(t => (t._1, t._2)).foreach { case (k, u, v) =>
+        run += v
+        assert(got((k, u)) == run, s"round $round diverges at ($k,$u)")
+      }
+      graft.operators.Caches.release()
+    }
+  }
 }

@@ -2437,6 +2437,55 @@ object SparkEntry {
           sum(coalesce(col("__t"), lit(false)).cast("long")).as("true_yes"))
         .withColumn("est_x2", lit(4) * col("noisy_yes") - col("n"))
     }),
+    "q13_custdist" -> ((s, d) => {
+      // TPC-H Q13 shape: customer distribution by order count, zero
+      // bucket included via the left join; both aggregations combinable
+      val c = rd(s, d, "customer"); val o = rd(s, d, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+    "q14_promo_share" -> ((s, d) => {
+      // TPC-H Q14 shape: promo revenue share per month on the ppm
+      // grid — monthly e4-exact sums, one integer division at the end
+      val l = rd(s, d, "lineitem"); val p = rd(s, d, "part")
+      val cents = (c: Column) => round(c * 100).cast("long")
+      val e4 = cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("mon"))
+        .agg(sum(when(col("p_type") === "PROMO", e4).otherwise(0L)).as("promo_e4"),
+          sum(e4).as("total_e4"))
+        .withColumn("promo_ppm", expr("1000000 * promo_e4 div total_e4"))
+    }),
+    "q15_top_supplier" -> ((s, d) => {
+      // TPC-H Q15 shape: the max-revenue supplier(s) — revenue in
+      // exact e4 integers so the max and its equality join cannot
+      // float-drift; ties all surface (the spec's semantics)
+      val l = rd(s, d, "lineitem"); val su = rd(s, d, "supplier")
+      val cents = (c: Column) => round(c * 100).cast("long")
+      val rev = l.groupBy(col("l_suppkey"))
+        .agg(sum(cents(col("l_extendedprice")) *
+          (lit(100L) - cents(col("l_discount")))).as("rev_e4"))
+      val top = rev.agg(max("rev_e4").as("max_e4"))
+      rev.join(broadcast(top), col("rev_e4") === col("max_e4"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("rev_e4"))
+    }),
+    "q17_small_qty" -> ((s, d) => {
+      // TPC-H Q17 shape: revenue locked in small-quantity orders —
+      // qty < 0.2 x the part's average, tested as 5*qty*n < sum_qty in
+      // exact integers (no float average, no correlated re-scan: the
+      // per-part aggregate joins back once)
+      val l = rd(s, d, "lineitem")
+      val stats = l.groupBy(col("l_partkey").as("pk"))
+        .agg(count(lit(1)).as("n_l"), sum(col("l_quantity").cast("long")).as("sum_q"))
+      l.join(stats, col("l_partkey") === col("pk"))
+        .where(col("l_quantity").cast("long") * 5 * col("n_l") < col("sum_q"))
+        .agg(count(lit(1)).as("n_small"),
+          round(sum(col("l_extendedprice")), 2).as("small_revenue"))
+    }),
     "q7_nation_trade" -> ((s, d) => {
       // TPC-H Q7 shape: trade-flow matrix between customer and
       // supplier nations by year; BOTH nation dims broadcast under
@@ -4282,6 +4331,30 @@ object SparkEntry {
         "CAST(sum(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS true_yes, " +
         "4 * CAST(sum(CASE WHEN report_yes THEN 1 ELSE 0 END) AS BIGINT) - count(*) AS est_x2 " +
         "FROM r GROUP BY arm"),
+    "q13_custdist" ->
+      ("WITH cc AS (SELECT c_custkey, count(o_orderkey) AS c_count FROM customer " +
+        "LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1) " +
+        "SELECT c_count, count(*) AS custdist FROM cc GROUP BY 1"),
+    "q14_promo_share" ->
+      ("WITH m AS (SELECT strftime(l_shipdate, '%Y-%m') AS mon, " +
+        "CAST(sum(CASE WHEN p_type = 'PROMO' THEN CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+        "(100 - CAST(round(l_discount * 100) AS BIGINT)) ELSE 0 END) AS BIGINT) AS promo_e4, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+        "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS total_e4 " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1) " +
+        "SELECT mon, promo_e4, total_e4, 1000000 * promo_e4 // total_e4 AS promo_ppm FROM m"),
+    "q15_top_supplier" ->
+      ("WITH rev AS (SELECT l_suppkey, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+        "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS rev_e4 FROM lineitem GROUP BY 1), " +
+        "t AS (SELECT max(rev_e4) AS max_e4 FROM rev) " +
+        "SELECT s_suppkey, s_name, rev_e4 FROM rev JOIN t ON rev_e4 = max_e4 " +
+        "JOIN supplier ON l_suppkey = s_suppkey"),
+    "q17_small_qty" ->
+      ("WITH st AS (SELECT l_partkey AS pk, count(*) AS n_l, " +
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q FROM lineitem GROUP BY 1) " +
+        "SELECT count(*) AS n_small, round(sum(l_extendedprice), 2) AS small_revenue " +
+        "FROM lineitem JOIN st ON l_partkey = pk " +
+        "WHERE CAST(l_quantity AS BIGINT) * 5 * n_l < sum_q"),
     "q7_nation_trade" ->
       ("SELECT nc.n_name AS cust_nation, ns.n_name AS supp_nation, " +
         "CAST(year(l_shipdate) AS INT) AS l_year, count(*) AS n_lines, " +

@@ -304,7 +304,11 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "q7_nation_trade" -> "7434dc48b2dc5650c6e0ec4cfd33327e",
     "q_supplier_hhi" -> "0e07eb037a92f80dac6dbeb5e6d0dcbe",
     "events_session_duration" -> "2cde6dbcd84bed85f66b2d7d8fe3a250",
-    "events_path_conversion" -> "f1752280e6625cda68c022619645cdda")
+    "events_path_conversion" -> "f1752280e6625cda68c022619645cdda",
+    "q13_custdist" -> "bfdb074cd77d5dae340c56020411ae2b",
+    "q14_promo_share" -> "27a35ecdefc564fcae183221e3e5dde9",
+    "q15_top_supplier" -> "ad3afae04a8cfa5c2bccb7974562f772",
+    "q17_small_qty" -> "4bcf35dd7ac6a9537772f9df4693bb3b")
 
   test("round-5 operator outputs hash-match their pinned golden values") {
     val got = pinnedR5.keys.toSeq.sorted.map { q =>

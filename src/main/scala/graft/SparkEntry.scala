@@ -2437,6 +2437,61 @@ object SparkEntry {
           sum(coalesce(col("__t"), lit(false)).cast("long")).as("true_yes"))
         .withColumn("est_x2", lit(4) * col("noisy_yes") - col("n"))
     }),
+    "q16_supplier_cnt" -> ((s, d) =>
+      // TPC-H Q16 shape (partsupp dissolved through the fact):
+      // distinct supplier counts per part descriptor
+      rd(s, d, "lineitem")
+        .join(rd(s, d, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))),
+    "q18_large_orders" -> ((s, d) => {
+      // TPC-H Q18 shape: volume orders (total quantity > 250, the
+      // ~99th percentile here) joined back to their customers; the
+      // HAVING runs on the combinable per-order aggregate
+      val l = rd(s, d, "lineitem"); val o = rd(s, d, "orders")
+      val c = rd(s, d, "customer")
+      val big = l.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+      big.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("sum_qty"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+    }),
+    "q19_disjunctive" -> ((s, d) => {
+      // TPC-H Q19 shape: OR-of-ANDs brand/size/quantity predicate —
+      // the disjunction must still reach the scans as a pushed filter
+      // band, not a post-join residual-only plan
+      val l = rd(s, d, "lineitem"); val p = rd(s, d, "part")
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .where(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 20)) ||
+            (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+              col("l_quantity").between(10, 35)))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            .as("revenue"))
+    }),
+    "q22_idle_rich" -> ((s, d) => {
+      // TPC-H Q22 shape: above-average-balance customers with no
+      // RECENT orders — the average comparison cross-multiplies exact
+      // cents (bc*n > sum), the recency test is a broadcast-able anti
+      // join on the distinct recent-customer set
+      val c = rd(s, d, "customer"); val o = rd(s, d, "orders")
+      val pos = c.filter(col("c_acctbal") > 0)
+        .select(col("c_custkey"), col("c_nationkey"),
+          round(col("c_acctbal") * 100).cast("long").as("bc"))
+      val g = pos.agg(count(lit(1)).as("n_pos"), sum("bc").as("sum_pos"))
+      val recent = o.filter(col("o_orderdate") >= tlit("2001-01-01 00:00:00"))
+        .select(col("o_custkey")).distinct()
+      pos.crossJoin(broadcast(g))
+        .where(col("bc") * col("n_pos") > col("sum_pos"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers"), sum("bc").as("sum_bal_c"))
+    }),
     "q13_custdist" -> ((s, d) => {
       // TPC-H Q13 shape: customer distribution by order count, zero
       // bucket included via the left join; both aggregations combinable
@@ -4331,6 +4386,29 @@ object SparkEntry {
         "CAST(sum(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS true_yes, " +
         "4 * CAST(sum(CASE WHEN report_yes THEN 1 ELSE 0 END) AS BIGINT) - count(*) AS est_x2 " +
         "FROM r GROUP BY arm"),
+    "q16_supplier_cnt" ->
+      ("SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2, 3"),
+    "q18_large_orders" ->
+      ("WITH big AS (SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty " +
+        "FROM lineitem GROUP BY 1 HAVING CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) > 250) " +
+        "SELECT c_custkey, c_name, o_orderkey, o_orderdate, sum_qty, " +
+        "round(o_totalprice, 2) AS o_totalprice " +
+        "FROM big JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey"),
+    "q19_disjunctive" ->
+      ("SELECT count(*) AS n_lines, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20) " +
+        "OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)"),
+    "q22_idle_rich" ->
+      ("WITH pos AS (SELECT c_custkey, c_nationkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bc " +
+        "FROM customer WHERE c_acctbal > 0), " +
+        "g AS (SELECT count(*) AS n_pos, CAST(sum(bc) AS BIGINT) AS sum_pos FROM pos), " +
+        "rec AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00') " +
+        "SELECT c_nationkey, count(*) AS n_customers, CAST(sum(bc) AS BIGINT) AS sum_bal_c " +
+        "FROM pos CROSS JOIN g WHERE bc * n_pos > sum_pos " +
+        "AND c_custkey NOT IN (SELECT o_custkey FROM rec) GROUP BY 1"),
     "q13_custdist" ->
       ("WITH cc AS (SELECT c_custkey, count(o_orderkey) AS c_count FROM customer " +
         "LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1) " +

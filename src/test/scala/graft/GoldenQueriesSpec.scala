@@ -308,7 +308,11 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "q13_custdist" -> "bfdb074cd77d5dae340c56020411ae2b",
     "q14_promo_share" -> "27a35ecdefc564fcae183221e3e5dde9",
     "q15_top_supplier" -> "ad3afae04a8cfa5c2bccb7974562f772",
-    "q17_small_qty" -> "4bcf35dd7ac6a9537772f9df4693bb3b")
+    "q17_small_qty" -> "4bcf35dd7ac6a9537772f9df4693bb3b",
+    "q16_supplier_cnt" -> "18937df96536446289f157bed4a7d14f",
+    "q18_large_orders" -> "7ddaad964b7fd4891337fc01b4b03cf7",
+    "q19_disjunctive" -> "af08a6de1c7961d4635127f87f6fffc2",
+    "q22_idle_rich" -> "e6ab248bdc5b76b6c7ebe2788c46fef6")
 
   test("round-5 operator outputs hash-match their pinned golden values") {
     val got = pinnedR5.keys.toSeq.sorted.map { q =>

@@ -162,6 +162,14 @@ class PlanSpec extends AnyFunSuite with SparkTest {
       s"only the broadcast basket-count scalar may nested-loop:\n$s")
   }
 
+  test("q19 disjunction: Catalyst extracts per-table OR branches into BOTH scans") {
+    val plan = unwrapped(SparkEntry.queries("q19_disjunctive")(spark, sf))
+    val scans = plan.collectWithSubqueries { case f: FileSourceScanExec => f }
+    val pushedOr = scans.count(_.metadata.getOrElse("PushedFilters", "").contains("Or("))
+    assert(pushedOr >= 2,
+      s"the OR-of-ANDs must reach both the lineitem and part scans as pushed filters:\n$plan")
+  }
+
   test("kCenterSelect never shuffles the corpus: argmin is a TakeOrdered") {
     val emb = Tables.table(spark, sf, "embeddings")
     // one greedy round's argmin plan (what every round executes)

@@ -2316,6 +2316,31 @@ object SparkEntry {
           expr("sum_abs_err div n_days").as("mae_dollars"),
           expr("sum_ape_ppm div n_days").as("mape_ppm"))
     }),
+    "pipeline_kpi_daily" -> ((s, d) => {
+      // composition flagship: the daily KPI mart — volume, actives
+      // (DAU/WAU/stickiness), session counts + bounce share, purchase
+      // revenue — assembled from the SAME operators their standalone
+      // gates run, joined on the day grain (calendar-bounded), so the
+      // mart cannot disagree with the metrics it summarizes
+      val ev = rd(s, d, "events")
+      val vol = ev.groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+          sum(when(col("event_type") === "purchase",
+            round(col("value") * 100).cast("long")).otherwise(0L)).as("revenue_c"))
+      val dau = Events.rollingActiveUsers(ev, 1).withColumnRenamed("wau", "dau")
+      val wau = Events.rollingActiveUsers(ev, 7)
+      val sess = Events.sessionize(ev)
+        .groupBy(to_date(col("session_start")).as("d"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"))
+      vol
+        .join(dau.withColumnRenamed("w_day", "d"), Seq("d"))
+        .join(wau.withColumnRenamed("w_day", "d"), Seq("d"))
+        .join(sess, Seq("d"))
+        .withColumn("stickiness_ppm", expr("1000000 * dau div wau"))
+        .withColumn("bounce_ppm", expr("1000000 * n_bounce div n_sessions"))
+    }),
     "events_session_duration" -> ((s, d) => {
       // dwell-time distribution over the sessionizer's output: integer
       // second durations, exact discrete percentiles over the
@@ -4321,6 +4346,27 @@ object SparkEntry {
         "SELECT count(*) AS n_days, CAST(sum(abs_err) AS BIGINT) AS sum_abs_err, " +
         "CAST(sum(abs_err) AS BIGINT) // count(*) AS mae_dollars, " +
         "CAST(sum(1000000 * abs_err // x) AS BIGINT) // count(*) AS mape_ppm FROM e"),
+    "pipeline_kpi_daily" ->
+      ("WITH vol AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n_events, " +
+        "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases, " +
+        "CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS revenue_c " +
+        "FROM events GROUP BY 1), " +
+        "ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events), " +
+        "dau AS (SELECT d, count(*) AS dau FROM ud GROUP BY 1), " +
+        "ex AS (SELECT DISTINCT user_id, CAST(unnest(generate_series(CAST(d AS TIMESTAMP), " +
+        "CAST(d AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS w_day FROM ud), " +
+        "wau AS (SELECT w_day AS d, count(*) AS wau FROM ex GROUP BY 1), " +
+        "oo AS (SELECT user_id, event_id, ts, CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000 THEN 1 ELSE 0 END AS brk FROM events), " +
+        "ss AS (SELECT user_id, ts, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM oo), " +
+        "sg AS (SELECT user_id, session_id, min(ts) AS session_start, count(*) AS n_ev FROM ss GROUP BY 1, 2), " +
+        "sess AS (SELECT CAST(session_start AS DATE) AS d, count(*) AS n_sessions, " +
+        "CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce FROM sg GROUP BY 1) " +
+        "SELECT v.d, v.n_events, v.n_purchases, v.revenue_c, a.dau, w.wau, " +
+        "s.n_sessions, s.n_bounce, 1000000 * a.dau // w.wau AS stickiness_ppm, " +
+        "1000000 * s.n_bounce // s.n_sessions AS bounce_ppm " +
+        "FROM vol v JOIN dau a ON a.d = v.d JOIN wau w ON w.d = v.d JOIN sess s ON s.d = v.d"),
     "events_session_duration" ->
       ("WITH o AS (SELECT user_id, event_id, ts, CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER " +
         "(PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000 THEN 1 ELSE 0 END AS brk FROM events), " +

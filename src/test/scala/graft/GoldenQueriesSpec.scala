@@ -312,7 +312,8 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "q16_supplier_cnt" -> "18937df96536446289f157bed4a7d14f",
     "q18_large_orders" -> "7ddaad964b7fd4891337fc01b4b03cf7",
     "q19_disjunctive" -> "af08a6de1c7961d4635127f87f6fffc2",
-    "q22_idle_rich" -> "e6ab248bdc5b76b6c7ebe2788c46fef6")
+    "q22_idle_rich" -> "e6ab248bdc5b76b6c7ebe2788c46fef6",
+    "pipeline_kpi_daily" -> "82c6847a1fee21f1b375ad72088e2837")
 
   test("round-5 operator outputs hash-match their pinned golden values") {
     val got = pinnedR5.keys.toSeq.sorted.map { q =>

@@ -2316,6 +2316,27 @@ object SparkEntry {
           expr("sum_abs_err div n_days").as("mae_dollars"),
           expr("sum_ape_ppm div n_days").as("mape_ppm"))
     }),
+    "graph_components" -> ((s, d) =>
+      // explicit connected components over the co-purchase graph
+      // (parts sharing >= 2 baskets) — the min-label pointer-jumping
+      // machinery the dedup clusterer runs, surfaced as the graph op
+      graft.operators.Dedup.dedupClusters(
+        graft.operators.Affinity.pairLift(rd(s, d, "lineitem"), 2)
+          .select(col("pk_a").as("id_a"), col("pk_b").as("id_b")))
+        .select(col("doc_id").as("part_id"), col("cluster_id").as("component_id"))),
+    "incr_wau_maintain" -> ((s, d) => {
+      // O(delta) WAU maintenance: the user-day set is append-only, so
+      // the delta batch anti-joins against the seed and unions in —
+      // the aggregate then matches a full recompute bit-for-bit (the
+      // events_wau oracle IS this query's oracle)
+      val ev = rd(s, d, "events")
+      val cut = tlit("2024-01-20 00:00:00")
+      val ud = (p: Column) => ev.filter(p)
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val seed = ud(col("ts") < cut)
+      val delta = ud(col("ts") >= cut).join(seed, Seq("user_id", "d"), "left_anti")
+      Events.rollingActiveFromUserDays(seed.unionByName(delta), windowDays = 7)
+    }),
     "pipeline_kpi_daily" -> ((s, d) => {
       // composition flagship: the daily KPI mart — volume, actives
       // (DAU/WAU/stickiness), session counts + bounce share, purchase
@@ -4346,6 +4367,19 @@ object SparkEntry {
         "SELECT count(*) AS n_days, CAST(sum(abs_err) AS BIGINT) AS sum_abs_err, " +
         "CAST(sum(abs_err) AS BIGINT) // count(*) AS mae_dollars, " +
         "CAST(sum(1000000 * abs_err // x) AS BIGINT) // count(*) AS mape_ppm FROM e"),
+    "graph_components" ->
+      ("WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+        "pr AS (SELECT a.pk AS id_a, b.pk AS id_b FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pr UNION SELECT id_b, id_a FROM pr), " +
+        "wlk(node, root) AS (SELECT DISTINCT src, src FROM edges " +
+        "UNION SELECT e.dst, k.root FROM wlk k JOIN edges e ON e.src = k.node) " +
+        "SELECT node AS part_id, min(root) AS component_id FROM wlk GROUP BY node"),
+    "incr_wau_maintain" ->
+      ("WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events), " +
+        "ex AS (SELECT DISTINCT user_id, CAST(unnest(generate_series(CAST(d AS TIMESTAMP), " +
+        "CAST(d AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE) AS w_day FROM ud) " +
+        "SELECT w_day, count(*) AS wau FROM ex GROUP BY 1"),
     "pipeline_kpi_daily" ->
       ("WITH vol AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n_events, " +
         "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases, " +

@@ -282,7 +282,19 @@ object Events {
     * this is how rolling MAU/WAU stays linear at 100 TB.
     */
   def rollingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame =
-    events.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    rollingActiveFromUserDays(
+      events.select(col("user_id"), to_date(col("ts")).as("d")).distinct(),
+      windowDays)
+
+  /** [[rollingActiveUsers]] from an already-deduped `(user_id, d)`
+    * table — the INCREMENTALLY-MAINTAINABLE form: the user-day set
+    * grows append-only (a new event's user-day either exists or
+    * anti-joins in), so a maintained warehouse table of user-days
+    * turns WAU refresh into O(delta) ingest + this aggregate, never a
+    * raw-history rescan.
+    */
+  def rollingActiveFromUserDays(userDays: DataFrame, windowDays: Int): DataFrame =
+    userDays
       .select(col("user_id"),
         explode(expr(s"sequence(d, date_add(d, ${windowDays - 1}))")).as("w_day"))
       .distinct()

@@ -235,6 +235,29 @@ class AffinitySpec extends AnyFunSuite with SparkTest {
       "direct" -> 3000000L))
   }
 
+  test("incr_wau_maintain: seed+delta fold is bit-identical to the full recompute") {
+    val sf = "/root/testdata/sf0.001"
+    val folded = SparkEntry.queries("incr_wau_maintain")(spark, sf)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val full = SparkEntry.queries("events_wau")(spark, sf)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(folded == full, "the incremental fold must reproduce the recompute exactly")
+  }
+
+  test("graph_components: both endpoints of every edge share a component") {
+    val sf = "/root/testdata/sf0.001"
+    val s = spark
+    val li = graft.sources.Tables.table(s, sf, "lineitem")
+    val pairs = graft.operators.Affinity.pairLift(li, 2)
+      .select(col("pk_a"), col("pk_b"))
+    val labels = SparkEntry.queries("graph_components")(s, sf)
+    val la = labels.select(col("part_id").as("pk_a"), col("component_id").as("ca"))
+    val lb = labels.select(col("part_id").as("pk_b"), col("component_id").as("cb"))
+    val bad = pairs.join(la, "pk_a").join(lb, "pk_b")
+      .where(col("ca") =!= col("cb")).count()
+    assert(bad == 0, s"$bad edges straddle components")
+  }
+
   test("ab_cuped: adjusted means satisfy the CUPED identity; theta shared") {
     val rows = SparkEntry.queries("ab_cuped")(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getString(0) -> r).toMap

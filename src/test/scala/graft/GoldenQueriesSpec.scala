@@ -313,7 +313,11 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "q18_large_orders" -> "7ddaad964b7fd4891337fc01b4b03cf7",
     "q19_disjunctive" -> "af08a6de1c7961d4635127f87f6fffc2",
     "q22_idle_rich" -> "e6ab248bdc5b76b6c7ebe2788c46fef6",
-    "pipeline_kpi_daily" -> "82c6847a1fee21f1b375ad72088e2837")
+    "pipeline_kpi_daily" -> "82c6847a1fee21f1b375ad72088e2837",
+    "graph_components" -> "bd837d169d499d73c47384190569f70d",
+    // identical to events_wau's pin BY DESIGN: the seed+delta fold
+    // reproduces the full recompute bit-for-bit
+    "incr_wau_maintain" -> "3eca7f1a732138876017dcce70fb4880")
 
   test("round-5 operator outputs hash-match their pinned golden values") {
     val got = pinnedR5.keys.toSeq.sorted.map { q =>

@@ -2538,6 +2538,19 @@ object SparkEntry {
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n_customers"), sum("bc").as("sum_bal_c"))
     }),
+    "q4_priority_late" -> ((s, d) => {
+      // TPC-H Q4 shape: order counts per priority where ANY line
+      // shipped more than 60 days after the order date — the EXISTS
+      // is a left-semi join with the cross-table predicate riding the
+      // join condition (one pass, no distinct-then-join)
+      val o = rd(s, d, "orders"); val l = rd(s, d, "lineitem")
+      o.join(l,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > to_timestamp(date_add(to_date(col("o_orderdate")), 60)),
+        "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    }),
     "q13_custdist" -> ((s, d) => {
       // TPC-H Q13 shape: customer distribution by order count, zero
       // bucket included via the left join; both aggregations combinable
@@ -4489,6 +4502,11 @@ object SparkEntry {
         "SELECT c_nationkey, count(*) AS n_customers, CAST(sum(bc) AS BIGINT) AS sum_bal_c " +
         "FROM pos CROSS JOIN g WHERE bc * n_pos > sum_pos " +
         "AND c_custkey NOT IN (SELECT o_custkey FROM rec) GROUP BY 1"),
+    "q4_priority_late" ->
+      ("SELECT o_orderpriority, count(*) AS order_count FROM orders o " +
+        "WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey " +
+        "AND l.l_shipdate > CAST(CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY AS TIMESTAMP)) " +
+        "GROUP BY 1"),
     "q13_custdist" ->
       ("WITH cc AS (SELECT c_custkey, count(o_orderkey) AS c_count FROM customer " +
         "LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1) " +

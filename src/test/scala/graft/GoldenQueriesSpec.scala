@@ -317,7 +317,8 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "graph_components" -> "bd837d169d499d73c47384190569f70d",
     // identical to events_wau's pin BY DESIGN: the seed+delta fold
     // reproduces the full recompute bit-for-bit
-    "incr_wau_maintain" -> "3eca7f1a732138876017dcce70fb4880")
+    "incr_wau_maintain" -> "3eca7f1a732138876017dcce70fb4880",
+    "q4_priority_late" -> "34ecda476100daabd2bf7bf8bbd47422")
 
   test("round-5 operator outputs hash-match their pinned golden values") {
     val got = pinnedR5.keys.toSeq.sorted.map { q =>

@@ -2538,6 +2538,30 @@ object SparkEntry {
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n_customers"), sum("bc").as("sum_bal_c"))
     }),
+    "q21_sole_blame" -> ((s, d) => {
+      // TPC-H Q21 shape: suppliers solely responsible for a late
+      // order — the EXISTS dissolves into the distinct late set, the
+      // NOT EXISTS into a self anti-join on (same order, OTHER
+      // supplier); counts fold per supplier
+      val o = rd(s, d, "orders"); val l = rd(s, d, "lineitem")
+      val late = l.join(o,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > to_timestamp(date_add(to_date(col("o_orderdate")), 90)))
+        .select(col("o_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
+      late.join(late.toDF("ok2", "sk2"),
+        col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_anti")
+        .groupBy(col("sk").as("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+    }),
+    "funnel_bounded" -> ((s, d) =>
+      // time-bounded funnel: each stage must land within 24h of the
+      // previous stage's first hit — the attribution-window semantics
+      // real product funnels carry
+      Events.funnel(rd(s, d, "events"), Seq("view", "click", "purchase"),
+        maxGapHours = Some(24))
+        .agg(count(lit(1)).as("n_entered"),
+          count(col("t_click")).as("n_clicked"),
+          count(col("t_purchase")).as("n_purchased"))),
     "q4_priority_late" -> ((s, d) => {
       // TPC-H Q4 shape: order counts per priority where ANY line
       // shipped more than 60 days after the order date — the EXISTS
@@ -4502,6 +4526,20 @@ object SparkEntry {
         "SELECT c_nationkey, count(*) AS n_customers, CAST(sum(bc) AS BIGINT) AS sum_bal_c " +
         "FROM pos CROSS JOIN g WHERE bc * n_pos > sum_pos " +
         "AND c_custkey NOT IN (SELECT o_custkey FROM rec) GROUP BY 1"),
+    "q21_sole_blame" ->
+      ("WITH late AS (SELECT DISTINCT o_orderkey AS ok, l_suppkey AS sk FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE l_shipdate > CAST(CAST(o_orderdate AS DATE) + INTERVAL 90 DAY AS TIMESTAMP)) " +
+        "SELECT sk AS l_suppkey, count(*) AS numwait FROM late a " +
+        "WHERE NOT EXISTS (SELECT 1 FROM late b WHERE b.ok = a.ok AND b.sk <> a.sk) GROUP BY 1"),
+    "funnel_bounded" ->
+      ("WITH v AS (SELECT user_id, min(ts) AS tv FROM events WHERE event_type = 'view' GROUP BY 1), " +
+        "c AS (SELECT e.user_id, min(e.ts) AS tc FROM events e JOIN v ON v.user_id = e.user_id " +
+        "AND e.ts > v.tv AND e.ts <= v.tv + INTERVAL 24 HOUR WHERE e.event_type = 'click' GROUP BY 1), " +
+        "p AS (SELECT e.user_id, min(e.ts) AS tp FROM events e JOIN c ON c.user_id = e.user_id " +
+        "AND e.ts > c.tc AND e.ts <= c.tc + INTERVAL 24 HOUR WHERE e.event_type = 'purchase' GROUP BY 1) " +
+        "SELECT count(*) AS n_entered, (SELECT count(*) FROM c) AS n_clicked, " +
+        "(SELECT count(*) FROM p) AS n_purchased FROM v"),
     "q4_priority_late" ->
       ("SELECT o_orderpriority, count(*) AS order_count FROM orders o " +
         "WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey " +

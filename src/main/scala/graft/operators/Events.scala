@@ -212,18 +212,26 @@ object Events {
       stages: Seq[String],
       typeCol: String = "event_type",
       userCol: String = "user_id",
-      tsCol: String = "ts"): DataFrame = {
+      tsCol: String = "ts",
+      maxGapHours: Option[Int] = None): DataFrame = {
     require(stages.size >= 2, "a funnel needs at least 2 stages")
+    require(maxGapHours.forall(_ > 0), "maxGapHours must be positive")
     val first = events.filter(col(typeCol) === stages.head)
       .groupBy(col(userCol))
       .agg(min(col(tsCol)).as(s"t_${stages.head}"))
     val reached = stages.zipWithIndex.tail.foldLeft(first) {
       case (prev, (stage, i)) =>
         val prevTs = col(s"t_${stages(i - 1)}")
+        // optional attribution window: the next stage must land within
+        // maxGapHours of the previous stage's first hit — the bounded
+        // form product funnels use ("converted within 24h")
+        val within = maxGapHours
+          .map(h => col("__t") <= prevTs + expr(s"INTERVAL $h HOURS"))
+          .getOrElse(lit(true))
         val nxt = events.filter(col(typeCol) === stage)
           .select(col(userCol), col(tsCol).as("__t"))
           .join(prev.select(col(userCol), prevTs), Seq(userCol))
-          .where(col("__t") > prevTs)
+          .where(col("__t") > prevTs && within)
           .groupBy(col(userCol))
           .agg(min(col("__t")).as(s"t_$stage"))
         prev.join(nxt.select(col(userCol), col(s"t_$stage")), Seq(userCol), "left")

@@ -318,7 +318,9 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     // identical to events_wau's pin BY DESIGN: the seed+delta fold
     // reproduces the full recompute bit-for-bit
     "incr_wau_maintain" -> "3eca7f1a732138876017dcce70fb4880",
-    "q4_priority_late" -> "34ecda476100daabd2bf7bf8bbd47422")
+    "q4_priority_late" -> "34ecda476100daabd2bf7bf8bbd47422",
+    "q21_sole_blame" -> "d3de5c86fe742aa31979ad0efb2a734a",
+    "funnel_bounded" -> "cbab26af1eb06d182e7eb88ba0c55123")
 
   test("round-5 operator outputs hash-match their pinned golden values") {
     val got = pinnedR5.keys.toSeq.sorted.map { q =>

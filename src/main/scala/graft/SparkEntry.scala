@@ -2538,6 +2538,58 @@ object SparkEntry {
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n_customers"), sum("bc").as("sum_bal_c"))
     }),
+    "q10_returned" -> ((s, d) => {
+      // TPC-H Q10 shape: revenue lost to returns per customer and
+      // nation — returned lines only, nation broadcast, revenue in
+      // the round(sum,4) discipline; full deterministic set (no
+      // LIMIT, so no order-dependence in the gate)
+      val l = rd(s, d, "lineitem"); val o = rd(s, d, "orders")
+      val c = rd(s, d, "customer"); val n = rd(s, d, "nation")
+      l.filter(col("l_returnflag") === "R")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            .as("revenue"))
+    }),
+    "events_heatmap" -> ((s, d) =>
+      // activity heatmap: day-of-week x hour-of-day counts — Spark's
+      // dayofweek is 1=Sunday, DuckDB's dow is 0=Sunday; both sides
+      // emit the 0-based convention explicitly
+      rd(s, d, "events")
+        .groupBy((dayofweek(col("ts")) - 1).as("dow"),
+          hour(col("ts")).as("hod"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("value_c"))),
+    "orders_seasonality" -> ((s, d) => {
+      // month-of-year revenue profile with ppm share of the annual
+      // total — 12 rows whatever the data size
+      val m = rd(s, d, "orders")
+        .groupBy(month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
+      m.crossJoin(broadcast(m.agg(sum("rev_c").as("tot_c"))))
+        .withColumn("share_ppm", expr("1000000 * rev_c div tot_c"))
+        .drop("tot_c")
+    }),
+    "user_ltv_percentiles" -> ((s, d) => {
+      // lifetime-value distribution: exact discrete percentiles over
+      // the per-user purchase-cents table (user-dimension-sized)
+      val ltv = rd(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(sum(round(col("value") * 100).cast("long")).as("ltv_c"))
+      val v = Views.unique("ltv")
+      ltv.createOrReplaceTempView(v)
+      val out = s.sql(
+        "SELECT count(*) AS n_users, min(ltv_c) AS min_c, max(ltv_c) AS max_c, " +
+          "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY ltv_c) AS BIGINT) AS p50_c, " +
+          s"CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY ltv_c) AS BIGINT) AS p90_c FROM $v")
+      s.catalog.dropTempView(v)
+      out
+    }),
     "q21_sole_blame" -> ((s, d) => {
       // TPC-H Q21 shape: suppliers solely responsible for a late
       // order — the EXISTS dissolves into the distinct late set, the
@@ -4526,6 +4578,28 @@ object SparkEntry {
         "SELECT c_nationkey, count(*) AS n_customers, CAST(sum(bc) AS BIGINT) AS sum_bal_c " +
         "FROM pos CROSS JOIN g WHERE bc * n_pos > sum_pos " +
         "AND c_custkey NOT IN (SELECT o_custkey FROM rec) GROUP BY 1"),
+    "q10_returned" ->
+      ("SELECT c_custkey, c_name, n_name, count(*) AS n_lines, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE l_returnflag = 'R' GROUP BY 1, 2, 3"),
+    "events_heatmap" ->
+      ("SELECT CAST(date_part('dow', ts) AS INT) AS dow, CAST(date_part('hour', ts) AS INT) AS hod, " +
+        "count(*) AS n_events, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c " +
+        "FROM events GROUP BY 1, 2"),
+    "orders_seasonality" ->
+      ("WITH m AS (SELECT CAST(month(o_orderdate) AS INT) AS mo, count(*) AS n_orders, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c FROM orders GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(rev_c) AS BIGINT) AS tot_c FROM m) " +
+        "SELECT mo, n_orders, rev_c, 1000000 * rev_c // tot_c AS share_ppm FROM m CROSS JOIN t"),
+    "user_ltv_percentiles" ->
+      ("WITH ltv AS (SELECT user_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS ltv_c " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1) " +
+        "SELECT count(*) AS n_users, min(ltv_c) AS min_c, max(ltv_c) AS max_c, " +
+        "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY ltv_c) AS BIGINT) AS p50_c, " +
+        "CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY ltv_c) AS BIGINT) AS p90_c FROM ltv"),
     "q21_sole_blame" ->
       ("WITH late AS (SELECT DISTINCT o_orderkey AS ok, l_suppkey AS sk FROM lineitem " +
         "JOIN orders ON l_orderkey = o_orderkey " +

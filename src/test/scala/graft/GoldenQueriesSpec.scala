@@ -320,7 +320,11 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "incr_wau_maintain" -> "3eca7f1a732138876017dcce70fb4880",
     "q4_priority_late" -> "34ecda476100daabd2bf7bf8bbd47422",
     "q21_sole_blame" -> "d3de5c86fe742aa31979ad0efb2a734a",
-    "funnel_bounded" -> "cbab26af1eb06d182e7eb88ba0c55123")
+    "funnel_bounded" -> "cbab26af1eb06d182e7eb88ba0c55123",
+    "q10_returned" -> "31be5f653802e957cbc279c26d4268e2",
+    "events_heatmap" -> "378f6a926489f0f0e58a363fa15d8704",
+    "orders_seasonality" -> "42669b9360e4ad411adc0dfbd0549c03",
+    "user_ltv_percentiles" -> "aa6ea91eed87ae3c2cca63c0f19274f2")
 
   test("round-5 operator outputs hash-match their pinned golden values") {
     val got = pinnedR5.keys.toSeq.sorted.map { q =>

@@ -2554,6 +2554,19 @@ object SparkEntry {
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
             .as("revenue"))
     }),
+    "events_new_vs_returning" -> ((s, d) => {
+      // daily active split into new (first-ever day) vs returning —
+      // one keyed min per user, one distinct user-day set, the split
+      // is an equality against the broadcast-joinable first-day table
+      val ev = rd(s, d, "events")
+      val firstD = ev.groupBy("user_id").agg(min(to_date(col("ts"))).as("first_d"))
+      ev.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+        .join(firstD, "user_id")
+        .groupBy("d")
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("d") === col("first_d"), 1L).otherwise(0L)).as("n_new"))
+        .withColumn("n_returning", col("n_active") - col("n_new"))
+    }),
     "events_heatmap" -> ((s, d) =>
       // activity heatmap: day-of-week x hour-of-day counts — Spark's
       // dayofweek is 1=Sunday, DuckDB's dow is 0=Sunday; both sides
@@ -4585,6 +4598,13 @@ object SparkEntry {
         "JOIN customer ON o_custkey = c_custkey " +
         "JOIN nation ON c_nationkey = n_nationkey " +
         "WHERE l_returnflag = 'R' GROUP BY 1, 2, 3"),
+    "events_new_vs_returning" ->
+      ("WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_d FROM events GROUP BY 1), " +
+        "ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events) " +
+        "SELECT d, count(*) AS n_active, " +
+        "CAST(sum(CASE WHEN d = first_d THEN 1 ELSE 0 END) AS BIGINT) AS n_new, " +
+        "count(*) - CAST(sum(CASE WHEN d = first_d THEN 1 ELSE 0 END) AS BIGINT) AS n_returning " +
+        "FROM ud JOIN f ON f.user_id = ud.user_id GROUP BY d"),
     "events_heatmap" ->
       ("SELECT CAST(date_part('dow', ts) AS INT) AS dow, CAST(date_part('hour', ts) AS INT) AS hod, " +
         "count(*) AS n_events, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c " +

@@ -324,7 +324,8 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "q10_returned" -> "31be5f653802e957cbc279c26d4268e2",
     "events_heatmap" -> "378f6a926489f0f0e58a363fa15d8704",
     "orders_seasonality" -> "42669b9360e4ad411adc0dfbd0549c03",
-    "user_ltv_percentiles" -> "aa6ea91eed87ae3c2cca63c0f19274f2")
+    "user_ltv_percentiles" -> "aa6ea91eed87ae3c2cca63c0f19274f2",
+    "events_new_vs_returning" -> "5c9e05158765bb872d0a2ec59f05ee06")
 
   test("round-5 operator outputs hash-match their pinned golden values") {
     val got = pinnedR5.keys.toSeq.sorted.map { q =>

@@ -125,7 +125,9 @@ object Bench {
         s""","merge5m":{"flat_delta_sec":${ms(flatSec)},"partitioned_delta_sec":${ms(partSec)},"rows_rewritten":$rewritten}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] merge5m FAILED: ${e.getMessage}")
-        ""","merge5m":{"flat_delta_sec":-1,"partitioned_delta_sec":-1}"""
+        // keep the object shape identical to the success path so
+        // consumers of the published schema never hit a missing key
+        ""","merge5m":{"flat_delta_sec":-1,"partitioned_delta_sec":-1,"rows_rewritten":-1}"""
       }
     val total = results.values.filter(_ >= 0).sum
     val line =

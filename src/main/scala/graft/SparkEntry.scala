@@ -33,17 +33,35 @@ object SparkEntry {
     * (rate report, data card, curation flagships, leakage audit) read
     * the materialized stage, exactly as a production pipeline reads
     * its upstream stage's table instead of re-running dedup per
-    * report. Staleness key: the documents row count (regenerated
-    * testdata restates it); writes go through the warehouse atomic
-    * swap; JVM-level per-key serialization via the memo.
+    * report. Staleness key: a content address of the source —
+    * row count PLUS a commutative xxhash64 fold of the key column
+    * (regenerated testdata with the same cardinality but different
+    * content restates it, which count alone would miss); writes go
+    * through the warehouse atomic swap; JVM-level per-key
+    * serialization via the memo.
     */
+  /** Cheap content address of a source table for staleness keys:
+    * `count_xorOfXxhash64(key)`. One aggregate scan over the key
+    * column only; bit_xor is commutative and overflow-free, so the
+    * fingerprint is deterministic under any partitioning and safe
+    * under ANSI. Count alone is NOT a content address — regenerated
+    * test data with identical cardinality would serve a stale stage.
+    */
+  private def contentEpoch(df: DataFrame, keyCol: String): String = {
+    val r = df.agg(
+      count(lit(1)).as("n"),
+      bit_xor(xxhash64(col(keyCol))).as("fp")).head()
+    val fp = if (r.isNullAt(1)) 0L else r.getLong(1)
+    s"${r.getLong(0)}_${java.lang.Long.toHexString(fp)}"
+  }
+
   private def sharedStage(s: SparkSession, d: String, stage: String)(
       build: DataFrame => DataFrame): DataFrame = {
     import graft.sources.Warehouse
     val dir = new java.io.File(
       "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
     val docs = rd(s, d, "documents")
-    val tbl = s"stage_${stage}_${docs.count()}"
+    val tbl = s"stage_${stage}_${contentEpoch(docs, "doc_id")}"
     graft.operators.Memo.cached(s, s"sharedStage|$dir|$tbl") {
       if (!Warehouse.exists(s, dir, tbl)) {
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
@@ -1845,7 +1863,7 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"), sum(cents).as("sum_units"))
       val dir = new java.io.File(
         "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
-      val tbl = s"mv_user_type_counts_${ev.count()}"
+      val tbl = s"mv_user_type_counts_${contentEpoch(ev, "event_id")}"
       graft.operators.Memo.cached(s, s"mvstage|$dir|$tbl") {
         if (!Warehouse.exists(s, dir, tbl)) {
           java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
@@ -4418,7 +4436,8 @@ object SparkEntry {
         "pr AS (SELECT a.pk AS pk_a, b.pk AS pk_b, count(*) AS n_co FROM li a " +
         "JOIN li b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2 HAVING count(*) >= 2) " +
         "SELECT pk_a, pk_b, n_co, ia.n_item AS n_a, ib.n_item AS n_b, nb.n_baskets, " +
-        "1000000 * n_co * nb.n_baskets // (ia.n_item * ib.n_item) AS lift_ppm " +
+        "CAST(CAST(1000000 AS HUGEINT) * n_co * nb.n_baskets // " +
+        "(CAST(ia.n_item AS HUGEINT) * ib.n_item) AS BIGINT) AS lift_ppm " +
         "FROM pr JOIN ic ia ON ia.pk = pr.pk_a JOIN ic ib ON ib.pk = pr.pk_b CROSS JOIN nb"),
     "stat_chi2_cells" ->
       Stats.chi2CellsSql("orders", "o_orderpriority", "o_orderstatus"),

@@ -21,6 +21,12 @@ import org.apache.spark.sql.functions._
   * Lift is emitted on the ppm grid via integer floor division —
   * `1e6 * n_co * n_baskets div (n_a * n_b)` — exact in any engine
   * (all operands non-negative, so floor division is unambiguous).
+  * The numerator is accumulated in decimal(38,0): at sf1000
+  * (~1.5e9 baskets) `1e6 * n_co * n_baskets` wraps int64 for any
+  * n_co > 6 — Spark would wrap silently while DuckDB raises, so the
+  * int64 grid is not safe at the target scale. The quotient itself is
+  * a ppm lift value (bounded by 1e6 · n_baskets / max(n_a,n_b) and in
+  * practice small), so it casts back to BIGINT losslessly.
   */
 object Affinity {
 
@@ -43,6 +49,7 @@ object Affinity {
       .crossJoin(broadcast(baskets))
       .select(col("pk_a"), col("pk_b"), col("n_co"), col("n_a"), col("n_b"),
         col("n_baskets"),
-        expr("1000000 * n_co * n_baskets div (n_a * n_b)").as("lift_ppm"))
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * n_co * n_baskets div " +
+          "(CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)").as("lift_ppm"))
   }
 }

@@ -250,15 +250,22 @@ object Stats {
     val rt = cells.groupBy("r").agg(sum("n_obs").as("n_row"))
     val ct = cells.groupBy("c").agg(sum("n_obs").as("n_col"))
     val tot = cells.agg(sum("n_obs").as("n_tot"))
-    val num = col("n_obs") * col("n_tot") - col("n_row") * col("n_col")
+    // int64 is NOT enough headroom here: with n_tot ~1.5e11 events at
+    // sf1000, n_obs*n_tot reaches ~2e22 and n_row*n_col*n_tot ~1e33 —
+    // Spark would wrap silently while DuckDB raises. All products run
+    // in decimal(38,0) (HUGEINT in the replay); only the final fixed
+    // expression casts to double.
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val num = dec(col("n_obs")) * col("n_tot") - dec(col("n_row")) * col("n_col")
     cells
       .join(broadcast(rt), "r").join(broadcast(ct), "c")
       .crossJoin(broadcast(tot))
       .select(col("r").as(rowCol), col("c").as(colCol),
         col("n_obs"), col("n_row"), col("n_col"), col("n_tot"),
-        expr("1000000 * n_row * n_col div n_tot").as("exp_ppm"),
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * n_row * n_col div n_tot AS BIGINT)")
+          .as("exp_ppm"),
         (num.cast("double") * num.cast("double") /
-          (col("n_row") * col("n_col") * col("n_tot")).cast("double"))
+          (dec(col("n_row")) * col("n_col") * col("n_tot")).cast("double"))
           .as("contrib"))
   }
 
@@ -271,9 +278,10 @@ object Stats {
       "ct AS (SELECT c, CAST(sum(n_obs) AS BIGINT) AS n_col FROM cells GROUP BY 1), " +
       "tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_tot FROM cells) " +
       s"SELECT cells.r AS $rowCol, cells.c AS $colCol, n_obs, n_row, n_col, n_tot, " +
-      "1000000 * n_row * n_col // n_tot AS exp_ppm, " +
-      "CAST(n_obs * n_tot - n_row * n_col AS DOUBLE) * CAST(n_obs * n_tot - n_row * n_col AS DOUBLE) / " +
-      "CAST(n_row * n_col * n_tot AS DOUBLE) AS contrib " +
+      "CAST(CAST(1000000 AS HUGEINT) * n_row * n_col // n_tot AS BIGINT) AS exp_ppm, " +
+      "CAST(CAST(n_obs AS HUGEINT) * n_tot - CAST(n_row AS HUGEINT) * n_col AS DOUBLE) * " +
+      "CAST(CAST(n_obs AS HUGEINT) * n_tot - CAST(n_row AS HUGEINT) * n_col AS DOUBLE) / " +
+      "CAST(CAST(n_row AS HUGEINT) * n_col * n_tot AS DOUBLE) AS contrib " +
       "FROM cells JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN tot"
 
   /** Rolling spike detector over a day-grain series, entirely in

@@ -78,20 +78,43 @@ object BroadcastAsOfJoinExec {
     * the entry dies with it) and strongly by the structural build
     * descriptor, so two execs consuming one reused exchange with
     * different key/ts columns build separate indexes.
+    *
+    * Values are held through [[java.lang.ref.SoftReference]]: the index
+    * is a second full copy of the broadcast rows (UnsafeRow key+row
+    * copies), and holding it strongly for as long as the BlockManager
+    * keeps the broadcast value alive roughly doubles broadcast memory
+    * across many long-lived as-of joins. A soft reference lets memory
+    * pressure evict the index (it is a pure cache — the next task
+    * rebuilds it from the still-live broadcast rows) instead of only
+    * broadcast GC.
     */
   private val indexCache =
-    new java.util.WeakHashMap[AnyRef, java.util.concurrent.ConcurrentHashMap[String, AnyRef]]()
+    new java.util.WeakHashMap[AnyRef, java.util.concurrent.ConcurrentHashMap[String, java.lang.ref.SoftReference[AnyRef]]]()
 
   private[plans] def cachedIndex[A <: AnyRef](rows: AnyRef, desc: String)(build: => A): A = {
     val per = indexCache.synchronized {
       var m = indexCache.get(rows)
       if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+        m = new java.util.concurrent.ConcurrentHashMap[String, java.lang.ref.SoftReference[AnyRef]]()
         indexCache.put(rows, m)
       }
       m
     }
-    per.computeIfAbsent(desc, _ => build).asInstanceOf[A]
+    // compute() (not computeIfAbsent) so a cleared SoftReference is
+    // replaced atomically; build runs under the map's per-key lock,
+    // which is the same single-build-per-executor guarantee as before.
+    // The ref can in principle clear between compute() returning and
+    // get(), so grab the strong value INSIDE the compute closure.
+    var result: AnyRef = null
+    per.compute(desc, (_, ref) => {
+      result = if (ref == null) null else ref.get()
+      if (result != null) ref
+      else {
+        result = build
+        new java.lang.ref.SoftReference[AnyRef](result)
+      }
+    })
+    result.asInstanceOf[A]
   }
 }
 

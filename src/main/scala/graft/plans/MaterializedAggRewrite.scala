@@ -67,9 +67,27 @@ object MaterializedAggRewrite extends Rule[LogicalPlan] {
     val analyzed = aggQuery.queryExecution.analyzed
     require(analyzed.isInstanceOf[Aggregate],
       s"MaterializedAggRewrite.register expects an aggregate query, got:\n$analyzed")
-    val missing = analyzed.output.map(_.name).filterNot(read().columns.contains)
+    val readOut = read().queryExecution.analyzed.output
+    val missing = analyzed.output.map(_.name).filterNot(n => readOut.exists(_.name == n))
     require(missing.isEmpty,
       s"maintained table lacks columns ${missing.mkString(", ")} of the registered query")
+    // The rewrite swaps the reader's attribute under the query's exprId
+    // (apply() below): parents still bind by the ORIGINAL type, so a type
+    // mismatch would silently corrupt UnsafeRow reads instead of failing.
+    // Enforce the eager type contract here (the asofJoinBroadcast pattern):
+    // same dataType, and the reader may not be nullable where the query
+    // promised non-null.
+    analyzed.output.foreach { out =>
+      val src = readOut.find(_.name == out.name).get
+      require(src.dataType == out.dataType,
+        s"maintained table column ${out.name} has type ${src.dataType}, " +
+          s"registered query produces ${out.dataType} — refusing a silent type swap")
+      // nullable-widening is deliberately ACCEPTED: a parquet read-back
+      // declares every column nullable even though the maintained
+      // content derives from this very query and so contains no
+      // unexpected nulls (the registrant's freshness contract covers
+      // content). Only the physical-layout hazard (dataType) is fatal.
+    }
     val m = sessionRegs(spark)
     val aKey = analyzed.canonicalized.toString
     // drop any previous registration of this query FIRST: computing
@@ -114,6 +132,12 @@ object MaterializedAggRewrite extends Rule[LogicalPlan] {
             val src = rel.output.find(_.name == out.name).getOrElse(
               throw new IllegalStateException(
                 s"maintained table lost column ${out.name}"))
+            // re-check the type contract at rewrite time: the reader is a
+            // thunk and its table may have been rewritten since register()
+            if (src.dataType != out.dataType)
+              throw new IllegalStateException(
+                s"maintained table column ${out.name} drifted to ${src.dataType} " +
+                  s"(registered as ${out.dataType}) — refusing the rewrite")
             Alias(src, out.name)(exprId = out.exprId)
           }, rel)
         }

@@ -55,6 +55,25 @@ object SparkEntry {
     s"${r.getLong(0)}_${java.lang.Long.toHexString(fp)}"
   }
 
+  /** Deterministic partsupp stand-in derived from lineitem — the
+    * testdata ships no partsupp table, so the TPC-H Q2/Q11/Q20 shapes
+    * derive one: supply cost = cheapest observed line price (exact
+    * cents), availqty = total shipped quantity. One groupBy on the
+    * composite key; both engines replay it identically
+    * ([[OracleSql]]'s `psCte` is the same text). */
+  private def derivedPartSupp(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(
+        col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .agg(min(round(col("l_extendedprice") * 100).cast("long")).as("ps_supplycost_c"),
+        sum(col("l_quantity").cast("long")).as("ps_availqty"))
+
+  /** DuckDB replay of [[derivedPartSupp]], as a WITH-clause body. */
+  private val psCte =
+    "ps AS (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey, " +
+      "CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS ps_supplycost_c, " +
+      "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ps_availqty " +
+      "FROM lineitem GROUP BY 1, 2)"
+
   private def sharedStage(s: SparkSession, d: String, stage: String)(
       build: DataFrame => DataFrame): DataFrame = {
     import graft.sources.Warehouse
@@ -2680,6 +2699,79 @@ object SparkEntry {
           sum(e4).as("total_e4"))
         .withColumn("promo_ppm", expr("1000000 * promo_e4 div total_e4"))
     }),
+    "q2_min_cost_supp" -> ((s, d) => {
+      // TPC-H Q2 shape: per-part argmin against a correlated min-cost
+      // subquery, decorrelated to ONE aggregate join-back — the
+      // regional partsupp subtree is aggregated to per-part min cost
+      // and joined back on (part, cost), never re-scanned per part.
+      // partsupp is derived deterministically from lineitem (the
+      // testdata ships no partsupp): min line price as supply cost,
+      // total shipped quantity as availqty — both exact integers.
+      val su = rd(s, d, "supplier"); val p = rd(s, d, "part")
+      val n = rd(s, d, "nation"); val r = rd(s, d, "region")
+      val rps = derivedPartSupp(rd(s, d, "lineitem"))
+        .join(su, col("ps_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r.filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("ps_partkey"), col("ps_suppkey"), col("ps_supplycost_c"),
+          col("s_name"), col("s_acctbal"), col("n_name"))
+      val mc = rps.groupBy(col("ps_partkey").as("mk"))
+        .agg(min("ps_supplycost_c").as("min_cost_c"))
+      rps.join(mc, col("ps_partkey") === col("mk") &&
+          col("ps_supplycost_c") === col("min_cost_c"))
+        .join(p.filter(col("p_size") === 15),
+          col("ps_partkey") === col("p_partkey"))
+        .select(col("ps_partkey"), col("p_name"), col("ps_suppkey"),
+          col("s_name"), col("n_name"), col("s_acctbal"), col("min_cost_c"))
+    }),
+    "q11_important_stock" -> ((s, d) => {
+      // TPC-H Q11 shape: GROUP BY ... HAVING against a GLOBAL scalar
+      // subquery — per-part inventory value over three nations'
+      // suppliers, kept only when 2000·value > total value (the
+      // integer-exact form of value > total/2000). The scalar total is
+      // a one-row broadcast; value accumulates in decimal(38,0)
+      // (cost_c·qty sums past int64 at the 100 TB scale) and is
+      // emitted as VARCHAR, the q9 discipline.
+      val su = rd(s, d, "supplier"); val n = rd(s, d, "nation")
+      val v = derivedPartSupp(rd(s, d, "lineitem"))
+        .join(su, col("ps_suppkey") === col("s_suppkey"))
+        .join(broadcast(n.filter(col("n_name").isin(
+          "NATION_3", "NATION_7", "NATION_11"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("ps_partkey"))
+        .agg(sum((col("ps_supplycost_c") * col("ps_availqty"))
+          .cast("decimal(38,0)")).as("value_dec"))
+      val tot = v.agg(sum(col("value_dec")).as("tot_dec"))
+      v.crossJoin(broadcast(tot))
+        .where(lit(2000) * col("value_dec") > col("tot_dec"))
+        .select(col("ps_partkey"), col("value_dec").cast("string").as("value_c"))
+    }),
+    "q20_excess_stock" -> ((s, d) => {
+      // TPC-H Q20 shape: a semi-join whose right side is itself an
+      // aggregated correlated subquery — suppliers holding excess
+      // stock of bolt parts, where excess means availqty exceeds 8×
+      // the 1997 shipped quantity for that (part, supplier). The 1997
+      // aggregate joins back on the composite key once (decorrelated);
+      // suppliers survive via left-semi, so each prints at most once.
+      val l = rd(s, d, "lineitem"); val su = rd(s, d, "supplier")
+      val n = rd(s, d, "nation"); val p = rd(s, d, "part")
+      val yr = l.filter(col("l_shipdate").between(
+          tlit("1997-01-01 00:00:00"), tlit("1997-12-31 23:59:59")))
+        .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .agg(sum(col("l_quantity").cast("long")).as("qty97"))
+      val ex = derivedPartSupp(l)
+        .join(yr, col("ps_partkey") === col("pk") && col("ps_suppkey") === col("sk"))
+        .join(p.filter(col("p_name").like("%bolt%")),
+          col("ps_partkey") === col("p_partkey"))
+        .where(col("ps_availqty") > lit(8L) * col("qty97"))
+        .select(col("ps_suppkey"))
+      su.join(broadcast(n.filter(col("n_name").isin(
+          (0 to 7).map(i => s"NATION_$i"): _*))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(ex, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+    }),
     "q15_top_supplier" -> ((s, d) => {
       // TPC-H Q15 shape: the max-revenue supplier(s) — revenue in
       // exact e4 integers so the max and its equality join cannot
@@ -4670,6 +4762,39 @@ object SparkEntry {
         "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS total_e4 " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1) " +
         "SELECT mon, promo_e4, total_e4, 1000000 * promo_e4 // total_e4 AS promo_ppm FROM m"),
+    "q2_min_cost_supp" ->
+      (s"WITH $psCte, " +
+        "rps AS (SELECT ps.*, s_name, s_acctbal, n_name FROM ps " +
+        "JOIN supplier ON ps_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'), " +
+        "mc AS (SELECT ps_partkey AS mk, min(ps_supplycost_c) AS min_cost_c FROM rps GROUP BY 1) " +
+        "SELECT ps_partkey, p_name, ps_suppkey, s_name, n_name, s_acctbal, min_cost_c " +
+        "FROM rps JOIN mc ON ps_partkey = mk AND ps_supplycost_c = min_cost_c " +
+        "JOIN part ON ps_partkey = p_partkey WHERE p_size = 15"),
+    "q11_important_stock" ->
+      (s"WITH $psCte, " +
+        "v AS (SELECT ps_partkey, CAST(sum(CAST(ps_supplycost_c AS HUGEINT) * ps_availqty) AS HUGEINT) AS value_dec " +
+        "FROM ps JOIN supplier ON ps_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11') GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(value_dec) AS HUGEINT) AS tot_dec FROM v) " +
+        "SELECT ps_partkey, CAST(value_dec AS VARCHAR) AS value_c " +
+        "FROM v CROSS JOIN t WHERE 2000 * value_dec > tot_dec"),
+    "q20_excess_stock" ->
+      (s"WITH $psCte, " +
+        "yr AS (SELECT l_partkey AS pk, l_suppkey AS sk, " +
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty97 FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' " +
+        "AND l_shipdate <= TIMESTAMP '1997-12-31 23:59:59' GROUP BY 1, 2), " +
+        "ex AS (SELECT ps_suppkey FROM ps " +
+        "JOIN yr ON ps_partkey = pk AND ps_suppkey = sk " +
+        "JOIN part ON ps_partkey = p_partkey " +
+        "WHERE p_name LIKE '%bolt%' AND ps_availqty > 8 * qty97) " +
+        "SELECT s_suppkey, s_name, s_acctbal FROM supplier " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        s"WHERE n_name IN (${(0 to 7).map(i => s"'NATION_$i'").mkString(", ")}) " +
+        "AND s_suppkey IN (SELECT ps_suppkey FROM ex)"),
     "q15_top_supplier" ->
       ("WITH rev AS (SELECT l_suppkey, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * " +
         "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS rev_e4 FROM lineitem GROUP BY 1), " +

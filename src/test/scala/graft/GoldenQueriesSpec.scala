@@ -307,6 +307,9 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "events_path_conversion" -> "f1752280e6625cda68c022619645cdda",
     "q13_custdist" -> "bfdb074cd77d5dae340c56020411ae2b",
     "q14_promo_share" -> "27a35ecdefc564fcae183221e3e5dde9",
+    "q2_min_cost_supp" -> "e3f3b6a594eaf793c69e0573deb3f490",
+    "q11_important_stock" -> "5da27b5464d0249e406bafcf918c7b35",
+    "q20_excess_stock" -> "02772784ba0de6f966c21aa51f5cebae",
     "q15_top_supplier" -> "ad3afae04a8cfa5c2bccb7974562f772",
     "q17_small_qty" -> "4bcf35dd7ac6a9537772f9df4693bb3b",
     "q16_supplier_cnt" -> "18937df96536446289f157bed4a7d14f",

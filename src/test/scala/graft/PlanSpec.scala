@@ -170,6 +170,28 @@ class PlanSpec extends AnyFunSuite with SparkTest {
       s"the OR-of-ANDs must reach both the lineitem and part scans as pushed filters:\n$plan")
   }
 
+  test("q2 argmin plans as ONE aggregate join-back — no correlated rescan") {
+    // the correlated min-cost subquery must decorrelate to a single
+    // per-part min aggregate joined back once: exactly TWO lineitem
+    // scans (detail + min side), one min(ps_supplycost_c) aggregate
+    // subtree, and no nested-loop/cartesian anywhere — a correlated
+    // rescan would show up as a scan count proportional to parts or a
+    // BNLJ probe
+    val df = SparkEntry.queries("q2_min_cost_supp")(spark, sf)
+    val plan = unwrapped(df)
+    val liScans = plan.collectWithSubqueries {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("lineitem")) => s
+    }
+    assert(liScans.size == 2,
+      s"expected exactly 2 lineitem scans (detail + min join-back), got ${liScans.size}:\n$plan")
+    val bnlj = plan.collectWithSubqueries {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(bnlj.isEmpty, s"q2 must stay equi-join only:\n$plan")
+  }
+
   test("kCenterSelect never shuffles the corpus: argmin is a TakeOrdered") {
     val emb = Tables.table(spark, sf, "embeddings")
     // one greedy round's argmin plan (what every round executes)

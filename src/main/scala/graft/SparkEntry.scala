@@ -2355,12 +2355,14 @@ object SparkEntry {
     }),
     "graph_components" -> ((s, d) =>
       // explicit connected components over the co-purchase graph
-      // (parts sharing >= 2 baskets) — the min-label pointer-jumping
-      // machinery the dedup clusterer runs, surfaced as the graph op
-      graft.operators.Dedup.dedupClusters(
+      // (parts sharing >= 2 baskets) — large-star/small-star
+      // contraction (O(log n) rounds on any topology; dedupClusters'
+      // min-label propagation stays on the dedup path where diameter
+      // is ≤ 2)
+      graft.operators.Graph.connectedComponents(
         graft.operators.Affinity.pairLift(rd(s, d, "lineitem"), 2)
-          .select(col("pk_a").as("id_a"), col("pk_b").as("id_b")))
-        .select(col("doc_id").as("part_id"), col("cluster_id").as("component_id"))),
+          .select(col("pk_a").as("src"), col("pk_b").as("dst")))
+        .select(col("node").as("part_id"), col("component_id"))),
     "incr_wau_maintain" -> ((s, d) => {
       // O(delta) WAU maintenance: the user-day set is append-only, so
       // the delta batch anti-joins against the seed and unions in —

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Graph
@@ -169,6 +170,37 @@ class GraphSpec extends AnyFunSuite with SparkTest {
     val e = Seq((1L, 2L), (2L, 1L), (3L, 2L), (1L, 3L), (3L, 3L), (1L, 2L))
     val got = triangles(e)
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("connectedComponents: chain graph converges in O(log n) rounds, not O(n)") {
+    val s = spark; import s.implicits._
+    // a 256-node path is the worst case for min-label propagation
+    // (255 rounds); star contraction must close it in ≤ 2·log₂(256)
+    // alternation cycles
+    val n = 256
+    val chain = (1L until n.toLong).map(i => (i, i + 1)).toDF("src", "dst")
+    val (labels, rounds) = Graph.connectedComponentsWithRounds(chain)
+    val out = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == n && out.forall(_._2 == 1L),
+      s"all $n chain nodes must land in component 1, got ${out.take(5).toSeq}...")
+    val bound = 2 * (math.log(n.toDouble) / math.log(2.0)).ceil.toInt
+    assert(rounds <= bound, s"chain of $n took $rounds rounds (bound $bound)")
+  }
+
+  test("connectedComponents matches dedupClusters on mixed components and is partition-invariant") {
+    val s = spark; import s.implicits._
+    // two cliques bridged to one component + an isolated pair + a chain
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 7L), (7L, 8L), (8L, 9L),
+      (7L, 9L), (20L, 21L), (30L, 31L), (31L, 32L), (32L, 33L)).toDF("src", "dst")
+    val a = Graph.connectedComponents(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = Graph.connectedComponents(e.repartition(5)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a == b, "component labels must be partition-invariant")
+    val viaDedup = graft.operators.Dedup.dedupClusters(
+      e.select(col("src").as("id_a"), col("dst").as("id_b"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a == viaDedup, "star contraction and min-label propagation must agree")
   }
 
   test("triangleCounts is partition-invariant and handles skewed hubs") {

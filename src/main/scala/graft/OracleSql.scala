@@ -451,45 +451,88 @@ object OracleSql {
   }
 
   /** Oracle for `ann_ivf_pq_topk`: full replay of
-    * [[graft.operators.Similarity.ivfPqTopK]] — the IVF prologue
-    * (seeded centroid pick, first-max cell assignment, nProbe query
-    * probes) composed with the PQ machinery (rolling-hash codebook,
-    * per-subspace argmax codes, per-query LUTs, left-associated ADC
-    * sum), candidates restricted to probed cells, then the exact
-    * cosine re-rank of the refine survivors.
+    * [[graft.operators.Similarity.ivfPqTopK]] — the IVF prologue plus
+    * `refineIters` Lloyd steps ([[lloydChain]]) for the coarse
+    * centroids, RESIDUAL encoding (every candidate coded as its UNIT
+    * vector minus its unit cell centroid — normalize-then-subtract in
+    * the exact float32 steps of the operator), `trainIters` replayed
+    * per-subspace k-means rounds over the residual slices (min-L2
+    * assignment = argmax of dot − ‖pick‖²/2, fixed-point ×2^24 integer
+    * sums, qsum/cnt/Q double means, float cast, empty clusters keep
+    * their entry), min-L2 codes, per-query LUTs, ADC = coarse
+    * dot(q, centroid) + the left-associated subspace sum, candidates
+    * restricted to probed cells, then the exact cosine re-rank of the
+    * refine survivors.
     */
   def annIvfPqTopK(k: Int, numCentroids: Int, nProbe: Int,
       m: Int = 4, codebookSize: Int = 16, refine: Int = 50,
-      dim: Int = 64, seed: Long = 42L): String = {
+      dim: Int = 64, seed: Long = 42L,
+      trainIters: Int = 2, refineIters: Int = 1): String = {
     require(dim % m == 0)
     val subDim = dim / m
-    def subDot(va: String, vb: String, s: Int): String =
+    val Q = (1L << 24).toString
+    val centName = if (refineIters == 0) "cent0" else s"cent$refineIters"
+    // dot of a full-dim vector's subspace-s slice against a subDim pick
+    def subDotOff(va: String, vb: String, s: Int): String =
       (1 to subDim)
-        .map(j => s"CAST($va[${s * subDim + j}] AS DOUBLE) * CAST($vb[${s * subDim + j}] AS DOUBLE)")
+        .map(j => s"CAST($va[${s * subDim + j}] AS DOUBLE) * CAST($vb[$j] AS DOUBLE)")
         .mkString("(", " + ", ")")
+    // ‖pick‖²/2 — 0.0-seeded left-associated, the Scala halfNormOf loop
+    def halfNormSql(p: String): String =
+      "((0.0 + " + (1 to subDim)
+        .map(j => s"CAST($p[$j] AS DOUBLE) * CAST($p[$j] AS DOUBLE)")
+        .mkString(" + ") + ") / 2.0)"
     // IVF side: cell assignment for candidates, nProbe probes per query
+    // (probes also carry the RAW coarse dot — the ADC's cross-cell term)
     val ivfCtes =
-      s"cd AS (SELECT c.vec_id, c.embedding, c.nrm, ct.cidx, ${pairDot("c.embedding", "ct.cvec", dim)} / c.nrm AS dot " +
-        "FROM cnd c CROSS JOIN cent0 ct), " +
-        "cellasg AS (SELECT vec_id, embedding, nrm, cidx AS cell FROM " +
-        "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cidx) AS rn FROM cd) t WHERE rn = 1), " +
-        s"qd AS (SELECT q.vec_id, q.embedding, q.nrm, ct.cidx, ${pairDot("q.embedding", "ct.cvec", dim)} / q.nrm AS dot " +
-        "FROM qry q CROSS JOIN cent0 ct), " +
-        "probe AS (SELECT vec_id AS query_id, cidx AS cell FROM " +
+      s"cdA AS (SELECT c.vec_id, c.embedding, c.nrm, ct.cidx, ${pairDot("c.embedding", "ct.cvec", dim)} / c.nrm AS dot " +
+        s"FROM cnd c CROSS JOIN $centName ct), " +
+        "cellasg AS MATERIALIZED (SELECT vec_id, embedding, nrm, cidx AS cell FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cidx) AS rn FROM cdA) t WHERE rn = 1), " +
+        // residuals of the UNIT vector: float32 divide-then-subtract
+        s"cres AS MATERIALIZED (SELECT ca.vec_id, ca.cell, " +
+        s"[CAST(CAST(ca.embedding[j] AS DOUBLE) / ca.nrm AS FLOAT) - ct.cvec[j] FOR j IN generate_series(1, $dim)] AS rvec " +
+        s"FROM cellasg ca JOIN $centName ct ON ct.cidx = ca.cell), " +
+        s"qd AS (SELECT q.vec_id, q.embedding, q.nrm, ct.cidx, ${pairDot("q.embedding", "ct.cvec", dim)} / q.nrm AS dot, " +
+        s"${pairDot("q.embedding", "ct.cvec", dim)} AS rawdot " +
+        s"FROM qry q CROSS JOIN $centName ct), " +
+        "probe AS (SELECT vec_id AS query_id, cidx AS cell, rawdot AS coarse FROM " +
         s"(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cidx) AS rn FROM qd) t WHERE rn <= $nProbe)"
-    // PQ side: codebook over candidates, per-subspace codes and LUTs
+    // PQ seed: rolling-hash pick (same rows as ever), stored as the
+    // picked rows' residuals, sliced per subspace
     val pqPick =
-      s"pch AS (SELECT vec_id, embedding, hex(encode('pq$seed:' || CAST(vec_id AS VARCHAR))) AS hx FROM cnd), " +
-        s"pck AS (SELECT vec_id, embedding, ${toSigned(rollFold("hx"))} AS h FROM pch), " +
-        "pick AS (SELECT embedding, CAST(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) AS cidx " +
-        s"FROM pck ORDER BY h, vec_id LIMIT $codebookSize)"
+      s"pch AS (SELECT vec_id, hex(encode('pq$seed:' || CAST(vec_id AS VARCHAR))) AS hx FROM cnd), " +
+        s"pck AS (SELECT vec_id, ${toSigned(rollFold("hx"))} AS h FROM pch), " +
+        "pickseed AS MATERIALIZED (SELECT cr.rvec, CAST(row_number() OVER (ORDER BY k.h, k.vec_id) AS BIGINT) AS cidx " +
+        s"FROM pck k JOIN cres cr ON cr.vec_id = k.vec_id ORDER BY k.h, k.vec_id LIMIT $codebookSize), " +
+        (0 until m).map { s =>
+          s"pick${s}_0 AS (SELECT cidx, [rvec[j] FOR j IN generate_series(${s * subDim + 1}, ${(s + 1) * subDim})] AS pvec FROM pickseed)"
+        }.mkString(", ")
+    // trainIters per-subspace Lloyd rounds: min-L2 assignment against
+    // pick{s}_{t-1}, exact fixed-point sums, double mean, float cast;
+    // clusters that attract no rows keep their previous entry
+    val trainChain = (1 to trainIters).flatMap { t =>
+      (0 until m).map { s =>
+        val prev = s"pick${s}_${t - 1}"
+        val mean = s"((CAST(qsum AS DOUBLE) / CAST(cnt AS DOUBLE)) / $Q.0)"
+        s"tasg${s}_$t AS (SELECT vec_id, rvec, cidx AS code FROM (SELECT c.vec_id, c.rvec, p.cidx, " +
+          s"row_number() OVER (PARTITION BY c.vec_id ORDER BY (${subDotOff("c.rvec", "p.pvec", s)} - ${halfNormSql("p.pvec")}) DESC, p.cidx) AS rn " +
+          s"FROM cres c CROSS JOIN $prev p) x WHERE rn = 1), " +
+          s"tsum${s}_$t AS (SELECT code, j, sum(CAST(round(CAST(rvec[${s * subDim} + j] AS DOUBLE) * $Q.0) AS BIGINT)) AS qsum, " +
+          s"count(*) AS cnt FROM tasg${s}_$t CROSS JOIN (SELECT unnest(generate_series(1, $subDim)) AS j) dims GROUP BY code, j), " +
+          s"tnew${s}_$t AS (SELECT code AS cidx, list(CAST($mean AS FLOAT) ORDER BY j) AS pvec FROM tsum${s}_$t GROUP BY code), " +
+          s"pick${s}_$t AS MATERIALIZED (SELECT p.cidx, coalesce(n.pvec, p.pvec) AS pvec FROM $prev p LEFT JOIN tnew${s}_$t n USING (cidx))"
+      }
+    }.mkString(", ")
     val perSub = (0 until m).map { s =>
-      s"cd$s AS (SELECT c.vec_id, p.cidx, ${subDot("c.embedding", "p.embedding", s)} AS d " +
-        "FROM cnd c CROSS JOIN pick p), " +
+      val pk = s"pick${s}_$trainIters"
+      // codes are min-L2 (the d − ‖pick‖²/2 argmax); LUTs are plain dots
+      s"cd$s AS (SELECT c.vec_id, p.cidx, (${subDotOff("c.rvec", "p.pvec", s)} - ${halfNormSql("p.pvec")}) AS d " +
+        s"FROM cres c CROSS JOIN $pk p), " +
         s"code$s AS (SELECT vec_id, cidx AS code FROM (SELECT vec_id, cidx, " +
         s"row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cidx) AS rn FROM cd$s) t WHERE rn = 1), " +
-        s"ql$s AS (SELECT q.vec_id, p.cidx, ${subDot("q.embedding", "p.embedding", s)} AS d " +
-        "FROM qry q CROSS JOIN pick p)"
+        s"ql$s AS (SELECT q.vec_id, p.cidx, ${subDotOff("q.embedding", "p.pvec", s)} AS d " +
+        s"FROM qry q CROSS JOIN $pk p)"
     }.mkString(", ")
     val codeJoin = (1 until m).map(s => s"JOIN code$s c$s USING (vec_id)").mkString(" ")
     val codeCols = (0 until m).map(s => s"c$s.code AS k$s").mkString(", ")
@@ -497,8 +540,12 @@ object OracleSql {
       val qEq = if (s == 0) "" else s" AND l$s.vec_id = l0.vec_id"
       s"JOIN ql$s l$s ON l$s.cidx = cs.k$s$qEq"
     }.mkString(" ")
-    val adcSum = (1 until m).foldLeft("l0.d")((acc, s) => s"($acc + l$s.d)")
-    s"WITH ${ivfPrologue(numCentroids, dim, seed)}, $ivfCtes, $pqPick, $perSub, " +
+    // coarse-first, then left-associated subspaces — exactly the Scala
+    // foldLeft(col("__coarse"))(_ + _)
+    val adcSum = (1 until m).foldLeft("(pr.coarse + l0.d)")((acc, s) => s"($acc + l$s.d)")
+    val lloyd = if (refineIters == 0) "" else s"${lloydChain(refineIters, dim)}, "
+    s"WITH ${ivfPrologue(numCentroids, dim, seed)}, $lloyd$ivfCtes, $pqPick, " +
+      (if (trainIters > 0) s"$trainChain, " else "") + s"$perSub, " +
       // codes carry their IVF cell so the probe join bounds the ADC scan
       s"codes AS (SELECT c0.vec_id, ca.cell, $codeCols FROM code0 c0 $codeJoin " +
       "JOIN cellasg ca ON ca.vec_id = c0.vec_id), " +

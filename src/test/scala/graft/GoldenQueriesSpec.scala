@@ -109,7 +109,7 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "dq_categorical_drift" -> "1af869748a90edc011cee7bde9e21d4d",
     "graph_label_prop" -> "f360fb2a69daf915efacaa521fd64201",
     "sample_temporal_split" -> "f17dc91b08dacb9cde9c1a6245f42777",
-    "ann_ivf_pq_topk" -> "8bbc071e277d3b9a26af24505c9e9f55")
+    "ann_ivf_pq_topk" -> "cfcc623da30082f846bf00e1ada0bfd9")
 
   private val pinnedR3c = Map(
     "bpe_train_merges" -> "b89b97695364c06ea9657a9d73edf696",

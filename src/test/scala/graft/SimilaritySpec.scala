@@ -314,9 +314,12 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     val ivfpq = Similarity.ivfPqTopK(emb, q, c, 5, numCentroids = 8, nProbe = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // two lossy stages stack (cells bound the candidates, codes rank
-    // them) — demand useful-but-lower recall than either tier alone
+    // them) — demand useful-but-lower recall than either tier alone.
+    // Residual encoding + Lloyd-refined cells + trained subspace
+    // codebooks lifted the measured recall from 20 to 22 at identical
+    // m/codebookSize; the floor sits above the raw-encoding era's 15.
     val recall = (brute intersect ivfpq).size
-    assert(recall >= 15, s"IVF-PQ recall collapsed: $recall/50")
+    assert(recall >= 18, s"IVF-PQ recall collapsed: $recall/50")
     val again = Similarity.ivfPqTopK(emb, q, c, 5, numCentroids = 8, nProbe = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(again == ivfpq)

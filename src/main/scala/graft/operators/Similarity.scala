@@ -365,21 +365,39 @@ object Similarity {
   /** Deterministic coarse centroids: hash-ordered candidate vectors,
     * unit-normalized on the driver (tiny, O(numCentroids·dim)).
     */
-  private[operators] def seedCentroids(c0: DataFrame, numCentroids: Int, seed: Long,
-      vecCol: String, idCol: String): Array[Array[Float]] = {
-    val seeded: Array[Array[Float]] = c0
-      .orderBy(rolling_hash(concat(lit(s"ivf$seed:"), col(idCol).cast("string"))), col(idCol))
-      .limit(numCentroids)
-      .select(col(vecCol), col("norm"))
-      .collect()
-      .map { r =>
-        val v = r.getSeq[Float](0).toArray
-        val nrm = r.getDouble(1)
-        if (nrm == 0.0) v else v.map(x => (x / nrm).toFloat)
-      }
-    require(seeded.nonEmpty, "IVF: no candidate rows to index")
-    seeded
+  /** MD5 fingerprint of a centroid/codebook array — the memo-key
+    * fragment for values derived FROM other collected arrays. */
+  private def matKey(mat: Array[Array[Float]]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(4)
+    mat.foreach { row =>
+      row.foreach { f => buf.clear(); buf.putFloat(f); md.update(buf.array()) }
+      md.update('|'.toByte)
+    }
+    md.digest().map("%02x".format(_)).mkString
   }
+
+  private[operators] def seedCentroids(c0: DataFrame, numCentroids: Int, seed: Long,
+      vecCol: String, idCol: String): Array[Array[Float]] =
+    // memoized per (plan, params): every ANN query over the same
+    // candidate slice re-derives the identical pick — one corpus scan
+    // + collect per SUITE instead of per query (the probe-weights
+    // pattern). The value is numCentroids·dim floats of driver memory.
+    Memo.cached(c0.sparkSession,
+      s"ivfseed|$numCentroids|$seed|$vecCol|$idCol|${Memo.planKey(c0)}") {
+      val seeded: Array[Array[Float]] = c0
+        .orderBy(rolling_hash(concat(lit(s"ivf$seed:"), col(idCol).cast("string"))), col(idCol))
+        .limit(numCentroids)
+        .select(col(vecCol), col("norm"))
+        .collect()
+        .map { r =>
+          val v = r.getSeq[Float](0).toArray
+          val nrm = r.getDouble(1)
+          if (nrm == 0.0) v else v.map(x => (x / nrm).toFloat)
+        }
+      require(seeded.nonEmpty, "IVF: no candidate rows to index")
+      seeded
+    }
 
   /** Assign each candidate row to its nearest-centroid cell:
     * `(neighbor_id, c_vec, c_norm, cell)`.
@@ -454,7 +472,20 @@ object Similarity {
       cand: DataFrame,
       init: Array[Array[Float]],
       iters: Int,
-      vecCol: String = "embedding"): Array[Array[Float]] = {
+      vecCol: String = "embedding"): Array[Array[Float]] =
+    // memoized per (plan, init, iters): the Lloyd loop is `iters`
+    // corpus scans + collects, and the ANN suite re-runs it with
+    // identical inputs from several queries
+    Memo.cached(cand.sparkSession,
+      s"kmeans|$iters|$vecCol|${matKey(init)}|${Memo.planKey(cand)}") {
+      kmeansCentroidsUncached(cand, init, iters, vecCol)
+    }
+
+  private def kmeansCentroidsUncached(
+      cand: DataFrame,
+      init: Array[Array[Float]],
+      iters: Int,
+      vecCol: String): Array[Array[Float]] = {
     val Q = (1L << 24).toDouble
     def unit(v: Array[Double]): Array[Float] = {
       val nrm = math.sqrt(v.map(x => x * x).sum)
@@ -873,27 +904,6 @@ object Similarity {
     def unitOf(vec: Column, nrm: Column): Column =
       transform(vec, x => (x.cast("double") / nrm).cast("float"))
 
-    // codebook seed: the same rolling-hash pick, but each picked row
-    // is stored as its unit-vector RESIDUAL (cells carries the pick's
-    // cell; normalization and subtraction happen at collect time,
-    // driver-side, in the exact float32 steps both engines replay)
-    val seedPicks: Array[Array[Float]] = cells
-      .orderBy(rolling_hash(concat(lit(s"pq$seed:"), col("neighbor_id").cast("string"))),
-        col("neighbor_id"))
-      .limit(codebookSize)
-      .select(col("c_vec"), col("cell"), col("c_norm")).collect()
-      .map { r =>
-        val v = r.getSeq[Float](0).toArray
-        val c = centroids(r.getLong(1).toInt - 1)
-        val nrm = r.getDouble(2)
-        Array.tabulate(v.length)(j => (v(j).toDouble / nrm).toFloat - c(j))
-      }
-    require(seedPicks.nonEmpty, "IVF-PQ: no candidate rows to index")
-    val dim = seedPicks.head.length
-    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
-    val subDim = dim / m
-    def sl(c: Column, s: Int): Column = slice(c, s * subDim + 1, subDim)
-
     // the residual table — every training pass and the encoder read it
     val withRes = Caches.persisted(cells.withColumn("__res",
       zip_with(unitOf(col("c_vec"), col("c_norm")), cvecOf(col("cell")),
@@ -908,51 +918,85 @@ object Similarity {
       acc / 2.0
     }
 
+    // trained codebooks, memoized per (candidate plan, centroids,
+    // params): the seed collect + trainIters training collects run
+    // once per suite, not once per query (task-level cost: the whole
+    // value is m·codebookSize·subDim floats)
+    val cb: Array[Array[Array[Float]]] = Memo.cached(emb.sparkSession,
+      s"pqcb|$m|$codebookSize|$seed|$trainIters|${matKey(centroids)}|${Memo.planKey(c0)}") {
+      // codebook seed: the same rolling-hash pick, but each picked row
+      // is stored as its unit-vector RESIDUAL (cells carries the
+      // pick's cell; normalization and subtraction happen at collect
+      // time, driver-side, in the exact float32 steps both engines
+      // replay)
+      val seedPicks: Array[Array[Float]] = cells
+        .orderBy(rolling_hash(concat(lit(s"pq$seed:"), col("neighbor_id").cast("string"))),
+          col("neighbor_id"))
+        .limit(codebookSize)
+        .select(col("c_vec"), col("cell"), col("c_norm")).collect()
+        .map { r =>
+          val v = r.getSeq[Float](0).toArray
+          val c = centroids(r.getLong(1).toInt - 1)
+          val nrm = r.getDouble(2)
+          Array.tabulate(v.length)(j => (v(j).toDouble / nrm).toFloat - c(j))
+        }
+      require(seedPicks.nonEmpty, "IVF-PQ: no candidate rows to index")
+      val dim0 = seedPicks.head.length
+      require(dim0 % m == 0, s"dim=$dim0 not divisible by m=$m subspaces")
+      val subDim0 = dim0 / m
+      def sl0(c: Column, s: Int): Column = slice(c, s * subDim0 + 1, subDim0)
+      def adj(mat: Array[Array[Array[Float]]], s: Int): Column =
+        zip_with(
+          vec_mat_dots(sl0(col("__res"), s), mat(s), lit(1.0)),
+          lit(mat(s).map(halfNormOf)),
+          (d, h) => d - h)
+      // per-subspace Lloyd training of the residual codebooks — random
+      // residual slices are noise-like and rank candidates poorly; a
+      // few k-means rounds concentrate each subspace's entries on that
+      // subspace's actual variance. Deterministic via the
+      // kmeansCentroids discipline: exact ×2^24 fixed-point integer
+      // sums, the same left-associated qsum/cnt/Q mean, float cast,
+      // and empty clusters keeping their previous entry — each
+      // iteration is ONE job over the residual table (all m subspaces
+      // in one explode) collecting m·codebookSize·subDim rows.
+      val Q = (1L << 24).toDouble
+      var mat: Array[Array[Array[Float]]] =
+        Array.tabulate(m, codebookSize)((s, cI) =>
+          seedPicks(cI).slice(s * subDim0, (s + 1) * subDim0))
+      for (_ <- 0 until trainIters) {
+        val coded = withRes.select(
+          col("__res") +: (0 until m).map(s =>
+            array_position(adj(mat, s), array_max(adj(mat, s))).as(s"__c$s")): _*)
+        val sums = coded
+          .select(explode(array((0 until m).map(s =>
+            struct(lit(s).as("s"), col(s"__c$s").as("code"),
+              sl0(col("__res"), s).as("slice"))): _*)).as("e"))
+          .select(col("e.s").as("s"), col("e.code").as("code"),
+            posexplode(col("e.slice")).as(Seq("d", "x")))
+          .groupBy("s", "code", "d")
+          .agg(sum(round(col("x").cast("double") * Q).cast("long")).as("qsum"),
+            count(lit(1)).as("cnt"))
+          .collect()
+        val next = mat.map(_.map(_.clone()))
+        sums.foreach { r =>
+          next(r.getInt(0))(r.getLong(1).toInt - 1)(r.getInt(2)) =
+            ((r.getLong(3).toDouble / r.getLong(4).toDouble) / Q).toFloat
+        }
+        mat = next
+      }
+      mat
+    }
+    val subDim = cb(0)(0).length
+    def sl(c: Column, s: Int): Column = slice(c, s * subDim + 1, subDim)
+
     // code assignment is MIN-L2 (argmin ‖r − pick‖² = argmax of
     // dot(r, pick) − ‖pick‖²/2): residuals are zero-centered, so a
     // raw-dot argmax ignores magnitude and quantizes them badly
-    def l2Adjusted(cb: Array[Array[Array[Float]]], v: Column, s: Int): Column =
+    def l2Adjusted(mat: Array[Array[Array[Float]]], v: Column, s: Int): Column =
       zip_with(
-        vec_mat_dots(sl(v, s), cb(s), lit(1.0)),
-        lit(cb(s).map(halfNormOf)),
+        vec_mat_dots(sl(v, s), mat(s), lit(1.0)),
+        lit(mat(s).map(halfNormOf)),
         (d, h) => d - h)
-
-    // per-subspace Lloyd training of the residual codebooks — random
-    // residual slices are noise-like and rank candidates poorly; a few
-    // k-means rounds concentrate each subspace's entries on that
-    // subspace's actual variance. Deterministic via the
-    // kmeansCentroids discipline: exact ×2^24 fixed-point integer
-    // sums, the same left-associated qsum/cnt/Q mean, float cast, and
-    // empty clusters keeping their previous entry — each iteration is
-    // ONE job over the residual table (all m subspaces in one explode)
-    // collecting m·codebookSize·subDim fixed-size rows.
-    val Q = (1L << 24).toDouble
-    var cb: Array[Array[Array[Float]]] =
-      Array.tabulate(m, codebookSize)((s, cI) =>
-        seedPicks(cI).slice(s * subDim, (s + 1) * subDim))
-    for (_ <- 0 until trainIters) {
-      val coded = withRes.select(
-        col("__res") +: (0 until m).map(s =>
-          array_position(
-            l2Adjusted(cb, col("__res"), s),
-            array_max(l2Adjusted(cb, col("__res"), s))).as(s"__c$s")): _*)
-      val sums = coded
-        .select(explode(array((0 until m).map(s =>
-          struct(lit(s).as("s"), col(s"__c$s").as("code"),
-            sl(col("__res"), s).as("slice"))): _*)).as("e"))
-        .select(col("e.s").as("s"), col("e.code").as("code"),
-          posexplode(col("e.slice")).as(Seq("d", "x")))
-        .groupBy("s", "code", "d")
-        .agg(sum(round(col("x").cast("double") * Q).cast("long")).as("qsum"),
-          count(lit(1)).as("cnt"))
-        .collect()
-      val next = cb.map(_.map(_.clone()))
-      sums.foreach { r =>
-        next(r.getInt(0))(r.getLong(1).toInt - 1)(r.getInt(2)) =
-          ((r.getLong(3).toDouble / r.getLong(4).toDouble) / Q).toFloat
-      }
-      cb = next
-    }
 
     def subDots(v: Column, s: Int): Column =
       vec_mat_dots(sl(v, s), cb(s), lit(1.0))

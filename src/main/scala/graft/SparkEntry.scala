@@ -1068,6 +1068,21 @@ object SparkEntry {
       // the salting-decision diagnostic: hottest event users with
       // exact integer ppm shares and table-wide context
       graft.operators.Skew.keyProfile(rd(s, d, "events"), Seq("user_id"), topK = 10)),
+    "skew_salted_join" -> ((s, d) => {
+      // the remedy that ACTS on the profile: the 3 hottest supplier
+      // keys are salted across 8 reducers (dim rows replicated per
+      // salt for hot keys only), cold keys join unsalted — the
+      // aggregate must equal the plain join's exactly, which is what
+      // the oracle computes (salting is invisible in the output)
+      val l = rd(s, d, "lineitem"); val su = rd(s, d, "supplier")
+      val hot = graft.operators.Skew
+        .keyProfile(l.select(col("l_suppkey")), Seq("l_suppkey"), topK = 3)
+        .select("l_suppkey").collect().map(_.get(0)).toSeq
+      graft.operators.Skew.saltedJoinHot(l, su, "l_suppkey", "s_suppkey", hot, 8)
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_c"))
+    }),
     "decontaminate_embed" -> ((s, d) => {
       // semantic decontamination: vectors 0-9 act as the eval suite;
       // any corpus vector cosine-similar to one of them is dropped
@@ -3683,6 +3698,10 @@ object SparkEntry {
         "h AS (SELECT user_id, n, CAST(row_number() OVER (ORDER BY n DESC, user_id) AS INT) AS rank FROM c) " +
         "SELECT h.user_id, h.n, h.rank, h.n * 1000000 // t.total_rows AS share_ppm, " +
         "t.n_keys, t.total_rows FROM h, t WHERE h.rank <= 10"),
+    "skew_salted_join" ->
+      ("SELECT s_suppkey, s_name, count(*) AS n_lines, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_c " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1, 2"),
     "decontaminate_embed" ->
       ("SELECT a.vec_id, a.label FROM embeddings a WHERE a.vec_id >= 10 AND NOT EXISTS " +
         "(SELECT 1 FROM embeddings q WHERE q.vec_id < 10 AND " +

@@ -39,6 +39,57 @@ object Skew {
       .drop(SaltCol)
   }
 
+  /** Inner equi-join salted ONLY on profiled hot keys — the remedy
+    * that ACTS on [[keyProfile]]'s verdict. [[saltedJoin]] replicates
+    * the whole dim side `saltFactor`×; when the profile says a handful
+    * of keys carry the skew, that replication (and the extra shuffle
+    * width on every cold key) is waste. Here:
+    *
+    *   - fact rows on a HOT key take a deterministic row-content salt
+    *     in [0, saltFactor); every cold row takes salt 0;
+    *   - dim rows on a hot key replicate once per salt value; cold dim
+    *     rows stay single (salt 0) — dim grows by |hot| · saltFactor
+    *     rows TOTAL, not by a full copy per salt;
+    *   - the join keys become (key, salt), so the one reducer that
+    *     previously received every row of the hot key becomes
+    *     `saltFactor` reducers, while cold keys hash exactly as an
+    *     unsalted join would.
+    *
+    * Output equals the plain inner join exactly (per hot fact row,
+    * exactly one of the replicated dim rows matches its salt). This is
+    * the standard remedy when AQE's skew split can't help —
+    * aggregation-dense plans where the skewed exchange feeds a
+    * sort-merge or hash aggregate directly.
+    *
+    * @param hotKeys the profiled hot key VALUES (metadata-sized — the
+    *                topK of [[keyProfile]]), compared against both
+    *                sides' key columns
+    */
+  def saltedJoinHot(
+      fact: DataFrame,
+      dim: DataFrame,
+      factKey: String,
+      dimKey: String,
+      hotKeys: Seq[Any],
+      saltFactor: Int): DataFrame = {
+    require(saltFactor >= 1)
+    if (hotKeys.isEmpty)
+      return fact.join(dim, col(factKey) === col(dimKey), "inner")
+    val factSalted = fact.withColumn(SaltCol,
+      when(col(factKey).isin(hotKeys: _*),
+        pmod(xxhash64(fact.columns.map(col): _*), lit(saltFactor)).cast("int"))
+        .otherwise(lit(0)))
+    val dimSaltCol = SaltCol + "_d"
+    val dimSalted = dim.withColumn(dimSaltCol,
+      explode(sequence(lit(0),
+        when(col(dimKey).isin(hotKeys: _*), lit(saltFactor - 1)).otherwise(lit(0)))))
+    factSalted
+      .join(dimSalted,
+        col(factKey) === col(dimKey) && col(SaltCol) === col(dimSaltCol),
+        "inner")
+      .drop(SaltCol, dimSaltCol)
+  }
+
   /** Key-distribution profile: the diagnostic that DECIDES when
     * [[saltedJoin]] (or AQE skew splitting, or a different partition
     * key) is needed. Emits the `topK` hottest keys with, per key:

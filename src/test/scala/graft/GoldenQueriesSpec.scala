@@ -102,6 +102,7 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "pipeline_curation_v2" -> "deada623ca5095448e8e57252e78e391",
     "bpe_pair_stats" -> "60ddb665e6be6d4f51de129bb6b5462e",
     "skew_key_profile" -> "d4467758b7b65c36969637c883b86052",
+    "skew_salted_join" -> "66fac0034898329c1a1ff64073eca7b7",
     "decontaminate_embed" -> "4906e9bf64025d1e538d9d3fe6e22029",
     "graph_pagerank" -> "cb4293a53604a8952e6d697ce89c5f2a",
     "link_best_match" -> "5f8c9b0b5a7224d543ad50313473465c",

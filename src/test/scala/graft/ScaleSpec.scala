@@ -218,6 +218,37 @@ class ScaleSpec extends AnyFunSuite with SparkTest {
     } finally saved.foreach { case (k, v) => s.conf.set(k, v) }
   }
 
+  test("saltedJoinHot: profiled hot key fans out, cold keys stay single-reducer, result exact") {
+    val s = spark; import s.implicits._
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.coalescePartitions.enabled").map(k => k -> s.conf.get(k))
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val fact = (1 to 20000)
+        .map(i => (if (i % 10 == 0) i.toLong % 50 else 7L, i)).toDF("k", "v")
+      val dim = (0L to 49L).map(k => (k, s"dim-$k")).toDF("dk", "name")
+      // act on the profile: key 7 is the one hot key
+      val hot = Skew.keyProfile(fact.select($"k"), Seq("k"), topK = 1)
+        .select("k").collect().map(_.get(0)).toSeq
+      assert(hot == Seq(7L), s"profile should surface key 7, got $hot")
+      val salted = Skew.saltedJoinHot(fact, dim, "k", "dk", hot, 8)
+      // exactness vs the plain join
+      val plain = fact.join(dim, $"k" === $"dk", "inner")
+        .select("k", "v", "name")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+      val got = salted.select("k", "v", "name")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted.toSeq
+      assert(got == plain)
+      // the hot key meets the join on many reducers; a cold key on one
+      def parts(df: org.apache.spark.sql.DataFrame, key: Long): Long =
+        df.filter($"k" === key)
+          .select(spark_partition_id().as("pid")).distinct().count()
+      assert(parts(salted, 7L) >= 4L, "hot key failed to fan out across salts")
+      assert(parts(salted, 10L) == 1L, "cold key should stay on one reducer")
+    } finally saved.foreach { case (k, v) => s.conf.set(k, v) }
+  }
+
   test("keyProfile ranks hot keys with exact integer ppm shares") {
     val s = spark; import s.implicits._
     // 100 rows: key 7 holds 60, key 3 holds 25, keys 0-14 one each

@@ -1916,6 +1916,28 @@ object SparkEntry {
       // time-series smoother, bit-reproducible
       Events.ewmaTrailing(rd(s, d, "events"), "user_id", Seq("ts", "event_id"),
         round(col("value") * 100).cast("long"), window = 20)),
+    "incr_minmax_retract" -> ((s, d) => {
+      // min/max under retraction — the case count/sum folding cannot
+      // handle: one cohort retracts exactly its stored MAXIMUM rows
+      // (forcing the affected-keys rescan), another disappears
+      // entirely, the new window folds algebraically. The oracle
+      // recomputes extrema from scratch over the surviving multiset.
+      val ev = rd(s, d, "events")
+      val cutoff = to_timestamp(lit("2024-01-28 00:00:00"))
+      val cents = round(col("value") * 100).cast("long")
+      val hist = ev.filter(col("ts") < cutoff)
+      val prev = hist.groupBy("user_id")
+        .agg(min(cents).as("min_v"), max(cents).as("max_v"))
+      val inserts = ev.filter(col("ts") >= cutoff).withColumn("__op", lit(1))
+      val mx = hist.filter(col("user_id") % 89 === 0 && col("user_id") % 97 =!= 0)
+        .groupBy("user_id").agg(max(cents).as("__mx"))
+      val retractMax = hist.join(mx, "user_id")
+        .where(cents === col("__mx")).drop("__mx").withColumn("__op", lit(-1))
+      val retractAll = hist.filter(col("user_id") % 97 === 0).withColumn("__op", lit(-1))
+      Incremental.updateMinMax(prev, hist,
+        inserts.unionByName(retractMax).unionByName(retractAll),
+        Seq("user_id"), cents, col("__op"))
+    }),
     "incr_agg_retract" -> ((s, d) => {
       // CDC / right-to-be-forgotten repair: the materialized per-user
       // aggregate is patched with signed delta rows — inserts for the
@@ -4224,6 +4246,14 @@ object SparkEntry {
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_units " +
         "FROM events GROUP BY user_id, event_type"),
     "seq_ewma" -> OracleSql.ewmaTrailing(20),
+    "incr_minmax_retract" ->
+      ("WITH cv AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v, ts FROM events), " +
+        "hist AS (SELECT user_id, v FROM cv WHERE ts < TIMESTAMP '2024-01-28 00:00:00'), " +
+        "mx AS (SELECT user_id, max(v) AS mxv FROM hist WHERE user_id % 89 = 0 AND user_id % 97 <> 0 GROUP BY 1), " +
+        "surv AS (SELECT h.user_id, h.v FROM hist h LEFT JOIN mx ON h.user_id = mx.user_id " +
+        "WHERE h.user_id % 97 <> 0 AND (mx.user_id IS NULL OR h.v <> mx.mxv) " +
+        "UNION ALL SELECT user_id, v FROM cv WHERE ts >= TIMESTAMP '2024-01-28 00:00:00') " +
+        "SELECT user_id, min(v) AS min_v, max(v) AS max_v FROM surv GROUP BY 1"),
     "incr_agg_retract" ->
       ("SELECT user_id, count(*) AS n_events, " +
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_units " +

@@ -58,10 +58,77 @@ object Incremental {
     * (count 0, residual sum) so callers can assert `n >= 0 AND (n > 0
     * OR sum = 0)` downstream. Only algebraic aggregates fold
     * this way: min/max are NOT retractable in O(delta) (deleting the
-    * minimum needs the runner-up); for those, recompute just the
-    * affected keys via a semi-join on the retraction key set —
-    * O(affected partitions), the standard hybrid.
+    * minimum needs the runner-up) — [[updateMinMax]] implements the
+    * affected-keys-only rescan hybrid for those.
     */
+  /** Retraction-aware min/max maintenance — the aggregate
+    * [[updateWithRetractions]] deliberately excludes: deleting the
+    * current extremum needs the runner-up, which no algebraic fold
+    * carries. This is the standard hybrid:
+    *
+    *   - inserts fold algebraically (least/greatest against the stored
+    *     extrema) — O(delta);
+    *   - a retraction that stays strictly INSIDE (prev_min, prev_max)
+    *     cannot move either extremum — still O(delta);
+    *   - only keys where a retraction reaches a stored extremum (or
+    *     names a key the state doesn't know — a contract breach,
+    *     handled conservatively) are re-derived from surviving history:
+    *     a semi-join on the affected key set bounds the rescan to
+    *     O(delta × touched-key history), never the full table.
+    *
+    * The rescan is MULTISET-exact: per (key, value) counts from history
+    * fold with signed delta counts, values whose count stays positive
+    * survive (retracting one copy of a duplicated extremum keeps the
+    * extremum), and keys with no survivors disappear — identical to a
+    * from-scratch recompute, which is what the `incr_minmax_retract`
+    * oracle checks.
+    *
+    * @param prev    materialized per-key extrema: `keys ++ (minCol, maxCol)`
+    * @param history the raw rows `prev` was computed from (touched ONLY
+    *                through the affected-keys semi-join)
+    * @param delta   raw rows with `opExpr` ∈ {+1 insert, −1 retract}
+    */
+  def updateMinMax(
+      prev: DataFrame,
+      history: DataFrame,
+      delta: DataFrame,
+      keys: Seq[String],
+      valueExpr: org.apache.spark.sql.Column,
+      opExpr: org.apache.spark.sql.Column,
+      minCol: String = "min_v",
+      maxCol: String = "max_v"): DataFrame = {
+    val d = delta.select(
+      keys.map(col) :+ valueExpr.as("__v") :+ opExpr.cast("long").as("__op"): _*)
+    val dAgg = d.groupBy(keys.map(col): _*).agg(
+      min(when(col("__op") === 1L, col("__v"))).as("__ins_min"),
+      max(when(col("__op") === 1L, col("__v"))).as("__ins_max"),
+      min(when(col("__op") === -1L, col("__v"))).as("__ret_min"),
+      max(when(col("__op") === -1L, col("__v"))).as("__ret_max"))
+    val joined = prev.join(dAgg, keys, "full_outer")
+    // rescan iff a retraction reaches a stored extremum; <=/>= instead
+    // of equality so an out-of-contract retraction (value beyond the
+    // stored range) degrades to a rescan, never a silent wrong extremum
+    val needsRescan = col("__ret_min").isNotNull &&
+      (col(minCol).isNull ||
+        col("__ret_min") <= col(minCol) || col("__ret_max") >= col(maxCol))
+    val fast = joined.where(!coalesce(needsRescan, lit(false)))
+      .select(keys.map(col) ++ Seq(
+        least(col(minCol), col("__ins_min")).as(minCol),
+        greatest(col(maxCol), col("__ins_max")).as(maxCol)): _*)
+    val affected = joined.where(coalesce(needsRescan, lit(false)))
+      .select(keys.map(col): _*)
+    val histCnt = history.select(keys.map(col) :+ valueExpr.as("__v"): _*)
+      .join(affected, keys, "left_semi")
+      .groupBy((keys :+ "__v").map(col): _*).agg(count(lit(1)).as("__hn"))
+    val deltaCnt = d.join(affected, keys, "left_semi")
+      .groupBy((keys :+ "__v").map(col): _*).agg(sum(col("__op")).as("__dn"))
+    val rescanned = histCnt.join(deltaCnt, keys :+ "__v", "full_outer")
+      .where(coalesce(col("__hn"), lit(0L)) + coalesce(col("__dn"), lit(0L)) > 0L)
+      .groupBy(keys.map(col): _*)
+      .agg(min(col("__v")).as(minCol), max(col("__v")).as(maxCol))
+    fast.unionByName(rescanned)
+  }
+
   def updateWithRetractions(
       prev: DataFrame,
       delta: DataFrame,

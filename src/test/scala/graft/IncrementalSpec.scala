@@ -61,6 +61,37 @@ class IncrementalSpec extends AnyFunSuite with SparkTest {
     assert(toMap(chained) == toMap(oneShot))
   }
 
+  test("updateMinMax: extremum retraction rescans, duplicates survive, interior stays fast") {
+    val s = spark; import s.implicits._
+    // key 1: max 30 retracted (runner-up 20 must surface), min 10 duplicated
+    // key 2: interior 15 retracted (extrema unchanged — fast path)
+    // key 3: fully retracted (key disappears)
+    // key 4: untouched; key 5: new, insert-only
+    val hist = rows(1L -> 10L, 1L -> 10L, 1L -> 20L, 1L -> 30L,
+      2L -> 10L, 2L -> 15L, 2L -> 20L, 3L -> 7L, 4L -> 99L)
+    val prev = hist.groupBy("user_id")
+      .agg(min(col("units")).as("min_v"), max(col("units")).as("max_v"))
+    val delta = Seq(
+      (1L, 30L, -1), (1L, 10L, -1), // retract the max AND one copy of the dup min
+      (2L, 15L, -1),
+      (3L, 7L, -1),
+      (5L, 42L, 1)).toDF("user_id", "units", "__op")
+    val got = Incremental.updateMinMax(prev, hist, delta,
+      Seq("user_id"), col("units"), col("__op"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      1L -> (10L, 20L), // dup min survives one retraction; max falls to 20
+      2L -> (10L, 20L),
+      4L -> (99L, 99L),
+      5L -> (42L, 42L)))
+    // equals a from-scratch recompute over the surviving multiset
+    val surv = rows(1L -> 10L, 1L -> 20L, 2L -> 10L, 2L -> 20L, 4L -> 99L, 5L -> 42L)
+    val scratch = surv.groupBy("user_id")
+      .agg(min(col("units")).as("min_v"), max(col("units")).as("max_v"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == scratch)
+  }
+
   test("empty delta is a no-op") {
     val history = rows((1L, 10L))
     val out = Incremental.updateCounts(

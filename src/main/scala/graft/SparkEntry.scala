@@ -1916,6 +1916,43 @@ object SparkEntry {
       // time-series smoother, bit-reproducible
       Events.ewmaTrailing(rd(s, d, "events"), "user_id", Seq("ts", "event_id"),
         round(col("value") * 100).cast("long"), window = 20)),
+    "stream_counts_replay" -> ((s, d) => {
+      // the micro-batch fold behind incrementalCountsStream, replayed
+      // deterministically under the DuckDB oracle: four week-batches
+      // fold in order, batch 2 is REPLAYED with the same id (the crash
+      // -recovery path), and the final materialized table must equal
+      // ONE batch aggregate over all events — proving both the
+      // O(delta) fold and the atomic batch-id idempotence stamp. The
+      // table name carries the source content epoch, so regenerated
+      // testdata gets a fresh table; re-running the query folds onto
+      // the finished table and every batch id is skipped (idempotent).
+      import graft.streaming.Streams
+      import graft.sources.Warehouse
+      val ev = rd(s, d, "events")
+      val cents = round(col("value") * 100).cast("long")
+      val dir = new java.io.File(
+        "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val tbl = s"stream_counts_${contentEpoch(ev, "event_id")}"
+      val cuts = Seq("2024-01-08", "2024-01-15", "2024-01-22")
+        .map(c => to_timestamp(lit(s"$c 00:00:00")))
+      val batches = Seq(
+        ev.filter(col("ts") < cuts(0)),
+        ev.filter(col("ts") >= cuts(0) && col("ts") < cuts(1)),
+        ev.filter(col("ts") >= cuts(1) && col("ts") < cuts(2)),
+        ev.filter(col("ts") >= cuts(2)))
+      val keys = Seq("user_id", "event_type")
+      graft.operators.Memo.cached(s, s"streamreplay|$dir|$tbl") {
+        Streams.foldCountsBatch(batches(0), 0L, dir, tbl, keys, cents)
+        Streams.foldCountsBatch(batches(1), 1L, dir, tbl, keys, cents)
+        Streams.foldCountsBatch(batches(2), 2L, dir, tbl, keys, cents)
+        // crash replay: the same batch arrives again — must be skipped
+        Streams.foldCountsBatch(batches(2), 2L, dir, tbl, keys, cents)
+        Streams.foldCountsBatch(batches(3), 3L, dir, tbl, keys, cents)
+        java.lang.Boolean.TRUE
+      }
+      Warehouse.read(s, dir, tbl).drop("last_batch_id")
+    }),
     "incr_minmax_retract" -> ((s, d) => {
       // min/max under retraction — the case count/sum folding cannot
       // handle: one cohort retracts exactly its stored MAXIMUM rows
@@ -4246,6 +4283,10 @@ object SparkEntry {
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_units " +
         "FROM events GROUP BY user_id, event_type"),
     "seq_ewma" -> OracleSql.ewmaTrailing(20),
+    "stream_counts_replay" ->
+      ("SELECT user_id, event_type, count(*) AS n_events, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_units " +
+        "FROM events GROUP BY 1, 2"),
     "incr_minmax_retract" ->
       ("WITH cv AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v, ts FROM events), " +
         "hist AS (SELECT user_id, v FROM cv WHERE ts < TIMESTAMP '2024-01-28 00:00:00'), " +

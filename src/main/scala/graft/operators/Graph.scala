@@ -226,10 +226,15 @@ object Graph {
     *
     * Shape at 100 TB: per round one combinable degree count + two
     * anti-joins keyed by vertex (the dropped-node set, usually small
-    * after round 1, broadcasts — AQE decides); edges are
-    * localCheckpointed per round (flat lineage, cheap `isEmpty` on the
-    * dropped set). Rounds = peel depth, bounded by the degeneracy
-    * ordering length — single digits on real power-law graphs.
+    * after round 1, broadcasts — AQE decides). Peel rounds are BATCHED:
+    * `batch` rounds build as one lazy plan per materialization (the
+    * identical degree subtrees inside a batch reuse one exchange), so
+    * the driver round-trips are ceil(depth / batch) instead of one per
+    * peel level — peeling is idempotent at the fixpoint, so overshooting
+    * inside a batch removes nothing. Stability rides the checkpoint job
+    * as an observed edge count (peeling only ever removes edges, so an
+    * unchanged count across a whole batch IS the fixpoint) — zero extra
+    * actions.
     *
     * @return (node, core_degree) for every surviving node, with its
     *         degree inside the k-core (≥ k)
@@ -238,27 +243,36 @@ object Graph {
       edges: DataFrame,
       k: Int,
       maxRounds: Int = 50,
+      batch: Int = 4,
       srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {
-    require(k >= 1 && maxRounds >= 1)
-    var e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .where(col("src") =!= col("dst"))
-      .distinct().localCheckpoint(true)
+    require(k >= 1 && maxRounds >= 1 && batch >= 1)
+    def checkpointWithCount(ed: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = ed.observe(obs, count(lit(1)).as("n")).localCheckpoint(true)
+      (ck, obs.get("n").asInstanceOf[Long])
+    }
+    def peel(ed: DataFrame): DataFrame = {
+      val drop = ed.groupBy("src").agg(count(lit(1)).as("__n"))
+        .where(col("__n") < k).select(col("src").as("__bad"))
+      ed.join(drop.withColumnRenamed("__bad", "src"), Seq("src"), "left_anti")
+        .join(drop.withColumnRenamed("__bad", "dst"), Seq("dst"), "left_anti")
+    }
+    var (e, n) = checkpointWithCount(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct())
     var rounds = 0
-    var stable = false
+    var stable = n == 0L
     while (!stable && rounds < maxRounds) {
-      val deg = e.groupBy("src").agg(count(lit(1)).as("__n"))
-      val drop = deg.where(col("__n") < k).select(col("src").as("__bad"))
-        .localCheckpoint(true)
-      if (drop.isEmpty) stable = true
-      else {
-        val prev = e
-        e = e.join(drop.withColumnRenamed("__bad", "src"), Seq("src"), "left_anti")
-          .join(drop.withColumnRenamed("__bad", "dst"), Seq("dst"), "left_anti")
-          .localCheckpoint(true)
-        prev.unpersist(false)
-      }
-      rounds += 1
+      val steps = math.min(batch, maxRounds - rounds)
+      val (next, nNext) = checkpointWithCount(
+        (0 until steps).foldLeft(e)((cur, _) => peel(cur)))
+      e.unpersist(false)
+      stable = nNext == n
+      e = next
+      n = nNext
+      rounds += steps
     }
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_degree"))
   }

@@ -243,7 +243,7 @@ object Graph {
       edges: DataFrame,
       k: Int,
       maxRounds: Int = 50,
-      batch: Int = 4,
+      batch: Int = 2,
       srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {
     require(k >= 1 && maxRounds >= 1 && batch >= 1)

@@ -1953,6 +1953,39 @@ object SparkEntry {
       }
       Warehouse.read(s, dir, tbl).drop("last_batch_id")
     }),
+    "stream_retract_replay" -> ((s, d) => {
+      // the signed (CDC) micro-batch fold, gated the same way as
+      // stream_counts_replay: two insert batches, then a batch mixing
+      // a revoked cohort's retractions with the newest inserts —
+      // delivered TWICE under the same id (the crash-replay path must
+      // not double-retract). The oracle recomputes from the surviving
+      // rows; fully-retracted users must be absent.
+      import graft.streaming.Streams
+      import graft.sources.Warehouse
+      val ev = rd(s, d, "events")
+      val cents = round(col("value") * 100).cast("long")
+      val dir = new java.io.File(
+        "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val tbl = s"stream_retract_${contentEpoch(ev, "event_id")}"
+      val c15 = to_timestamp(lit("2024-01-15 00:00:00"))
+      val c22 = to_timestamp(lit("2024-01-22 00:00:00"))
+      val b0 = ev.filter(col("ts") < c15).withColumn("__op", lit(1))
+      val b1 = ev.filter(col("ts") >= c15 && col("ts") < c22).withColumn("__op", lit(1))
+      val b2 = ev.filter(col("ts") < c15 && col("user_id") % 101 === 0)
+        .withColumn("__op", lit(-1))
+        .unionByName(ev.filter(col("ts") >= c22).withColumn("__op", lit(1)))
+      val keys = Seq("user_id")
+      graft.operators.Memo.cached(s, s"streamretract|$dir|$tbl") {
+        Streams.foldRetractionsBatch(b0, 0L, dir, tbl, keys, cents, col("__op"))
+        Streams.foldRetractionsBatch(b1, 1L, dir, tbl, keys, cents, col("__op"))
+        Streams.foldRetractionsBatch(b2, 2L, dir, tbl, keys, cents, col("__op"))
+        // crash replay of the retraction batch — must be skipped
+        Streams.foldRetractionsBatch(b2, 2L, dir, tbl, keys, cents, col("__op"))
+        java.lang.Boolean.TRUE
+      }
+      Warehouse.read(s, dir, tbl).drop("last_batch_id")
+    }),
     "incr_minmax_retract" -> ((s, d) => {
       // min/max under retraction — the case count/sum folding cannot
       // handle: one cohort retracts exactly its stored MAXIMUM rows
@@ -2774,6 +2807,22 @@ object SparkEntry {
         .agg(sum(when(col("p_type") === "PROMO", e4).otherwise(0L)).as("promo_e4"),
           sum(e4).as("total_e4"))
         .withColumn("promo_ppm", expr("1000000 * promo_e4 div total_e4"))
+    }),
+    "q12_late_lines" -> ((s, d) => {
+      // TPC-H Q12 shape (adapted: no shipmode/commitdate in this
+      // schema): lines shipped late (> 30 days after order) in 1997,
+      // grouped by line status with conditional priority counts — the
+      // join + CASE-conditional aggregation plan, date arithmetic
+      // crossing the two tables
+      val l = rd(s, d, "lineitem"); val o = rd(s, d, "orders")
+      val hiPri = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .where(col("l_shipdate") > to_timestamp(date_add(to_date(col("o_orderdate")), 30)) &&
+          col("l_shipdate").between(
+            tlit("1997-01-01 00:00:00"), tlit("1997-12-31 23:59:59")))
+        .groupBy(col("l_linestatus"))
+        .agg(sum(when(hiPri, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(hiPri, 0L).otherwise(1L)).as("low_line_count"))
     }),
     "q2_min_cost_supp" -> ((s, d) => {
       // TPC-H Q2 shape: per-part argmin against a correlated min-cost
@@ -4287,6 +4336,11 @@ object SparkEntry {
       ("SELECT user_id, event_type, count(*) AS n_events, " +
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_units " +
         "FROM events GROUP BY 1, 2"),
+    "stream_retract_replay" ->
+      ("SELECT user_id, count(*) AS n_events, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_units " +
+        "FROM events WHERE NOT (user_id % 101 = 0 AND ts < TIMESTAMP '2024-01-15 00:00:00') " +
+        "GROUP BY 1"),
     "incr_minmax_retract" ->
       ("WITH cv AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v, ts FROM events), " +
         "hist AS (SELECT user_id, v FROM cv WHERE ts < TIMESTAMP '2024-01-28 00:00:00'), " +
@@ -4854,6 +4908,14 @@ object SparkEntry {
         "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS total_e4 " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1) " +
         "SELECT mon, promo_e4, total_e4, 1000000 * promo_e4 // total_e4 AS promo_ppm FROM m"),
+    "q12_late_lines" ->
+      ("SELECT l_linestatus, " +
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE l_shipdate > CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS TIMESTAMP) " +
+        "AND l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00' AND TIMESTAMP '1997-12-31 23:59:59' " +
+        "GROUP BY 1"),
     "q2_min_cost_supp" ->
       (s"WITH $psCte, " +
         "rps AS (SELECT ps.*, s_name, s_acctbal, n_name FROM ps " +

@@ -39,7 +39,27 @@ object Memo {
   /** Canonical cache-key fragment for a DataFrame input: the analyzed
     * plan's canonicalized form — stable across exprId renumbering,
     * different for different sources, filters, or scale-factor dirs.
+    *
+    * The canonicalized toString alone is NOT a content address: a
+    * `LogicalRelation` prints as `Relation [cols] parquet` with no
+    * path, so two scale-factor dirs with the same schema collide (a
+    * suite mixing sf0.001 and sf0.01 would serve one dir's memoized
+    * centroids to the other), and a `LocalRelation` prints without its
+    * data. Leaf identities — file-source root paths, local-relation
+    * data hashes — are appended explicitly.
     */
-  def planKey(df: org.apache.spark.sql.DataFrame): String =
-    df.queryExecution.analyzed.canonicalized.toString
+  def planKey(df: org.apache.spark.sql.DataFrame): String = {
+    val plan = df.queryExecution.analyzed
+    val leaves = plan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.mkString(",")
+          case other => other.toString
+        }
+      case loc: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        s"local:${loc.data.hashCode}"
+    }
+    plan.canonicalized.toString + "|leaves=" + leaves.mkString(";")
+  }
 }

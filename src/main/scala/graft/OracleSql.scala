@@ -795,6 +795,31 @@ object OracleSql {
       s"SELECT src AS node, count(*) AS core_degree FROM e$rounds GROUP BY src"
   }
 
+  /** Oracle for `sketch_heavy_hitters`: full replay of
+    * [[graft.operators.Sketches.heavyHitters]] — the same seeded
+    * rolling hash (`'cm<r>:' || item`, [[rollFold]]) folds every row
+    * into depth×width Count-Min registers; the true top-K (ties by
+    * item string) probes its depth buckets and takes the min.
+    */
+  def sketchHeavyHitters(table: String, itemSql: String,
+      topK: Int = 20, depth: Int = 4, width: Int = 256): String = {
+    def bucket(itemRef: String): String = {
+      val hx = s"hex(encode('cm' || CAST(r AS VARCHAR) || ':' || $itemRef))"
+      val signed = toSigned(rollFold(hx))
+      s"((($signed % $width) + $width) % $width)"
+    }
+    s"WITH items AS (SELECT CAST($itemSql AS VARCHAR) AS item FROM $table), " +
+      s"rs AS (SELECT unnest(generate_series(0, ${depth - 1})) AS r), " +
+      s"regs AS MATERIALIZED (SELECT r, ${bucket("item")} AS bucket, count(*) AS cnt " +
+      "FROM items CROSS JOIN rs GROUP BY 1, 2), " +
+      "truth AS (SELECT item, count(*) AS true_n FROM items GROUP BY 1), " +
+      "top AS (SELECT item, true_n FROM (SELECT item, true_n, " +
+      s"row_number() OVER (ORDER BY true_n DESC, item) AS rk FROM truth) t WHERE rk <= $topK), " +
+      s"probes AS (SELECT item, true_n, r, ${bucket("item")} AS bucket FROM top CROSS JOIN rs) " +
+      "SELECT p.item, p.true_n, CAST(min(g.cnt) AS BIGINT) AS est_n " +
+      "FROM probes p JOIN regs g USING (r, bucket) GROUP BY 1, 2"
+  }
+
   // ------------------------------------------------- repeated-span excision
 
   /** Full replay of `Dedup.exciseRepeatedSpans` (raw-text span keys):

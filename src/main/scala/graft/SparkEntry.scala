@@ -1762,6 +1762,16 @@ object SparkEntry {
         ev.filter(col("event_type") === "purchase").select("user_id"),
         "user_id", k = 32)
     }),
+    "sketch_cm_collisions" -> ((s, d) =>
+      // Count-Min in the LOSSY regime (width 256 vs 2000 parts —
+      // collisions guaranteed), complementing sketch_count_min's
+      // collision-free exact gate: depth×width fixed-size mergeable
+      // registers (one combinable groupBy — constant-size state
+      // regardless of input), estimates always >= truth, and the
+      // collision error itself replays byte-for-byte in the oracle
+      // via the seeded rolling hash
+      graft.operators.Sketches.heavyHitters(
+        rd(s, d, "lineitem"), col("l_partkey"), topK = 20)),
     "sketch_kmv_distinct" -> ((s, d) => {
       // KMV distinct-user sketch per event type next to the exact count;
       // portable hash -> the estimate itself is oracle-checked
@@ -4264,6 +4274,8 @@ object SparkEntry {
         "SELECT v.user_id, v.first_view, p.first_purchase, " +
         "CASE WHEN p.first_purchase IS NOT NULL AND epoch_us(p.first_purchase) - epoch_us(v.first_view) <= 86400000000 " +
         "THEN 1 ELSE 0 END AS converted_24h FROM v LEFT JOIN p ON p.user_id = v.user_id"),
+    "sketch_cm_collisions" ->
+      OracleSql.sketchHeavyHitters("lineitem", "l_partkey"),
     "sketch_kmv_distinct" -> OracleSql.kmvDistinct(32),
     "sketch_kmv_set_ops" -> OracleSql.kmvSetOps(32,
       "event_type = 'view'", "event_type = 'purchase'"),

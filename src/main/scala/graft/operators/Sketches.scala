@@ -126,4 +126,64 @@ object Sketches {
           .otherwise(expr(s"n_shared_topk * ($cap div __kth_u) div $k"))
           .as("est_intersect"))
   }
+
+  /** Count-Min sketch registers: `depth × width` integer counters,
+    * each row hashed into one bucket per depth row by the seeded
+    * rolling hash (`'cm<r>:' || item`). Point-frequency estimates read
+    * `min` over the depth buckets — always ≥ the true count, within
+    * `ε·N` of it with probability 1 − δ at width = e/ε, depth = ln(1/δ).
+    *
+    * Shape at 100 TB: the registers are ONE combinable groupBy into at
+    * most depth·width groups — fixed-size state regardless of input
+    * size, map-side partials absorbing everything, mergeable across
+    * days/streams by adding counters (same property [[hllRegisters]]
+    * exploits). The explode is map-side; nothing item-cardinality-sized
+    * is ever shuffled. Deterministic: the hash is the seeded rolling
+    * hash both engines replay byte-for-byte.
+    */
+  def countMinRegisters(
+      df: DataFrame,
+      itemExpr: org.apache.spark.sql.Column,
+      depth: Int = 4,
+      width: Int = 256): DataFrame = {
+    require(depth >= 1 && width >= 1)
+    df.select(itemExpr.cast("string").as("__item"))
+      .select(col("__item"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("r"),
+        pmod(graft.functions.rolling_hash(
+          concat(lit("cm"), col("r").cast("string"), lit(":"), col("__item"))),
+          lit(width.toLong)).as("bucket"))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Heavy hitters through the Count-Min sketch: the true top-`topK`
+    * items (the demonstration truth side) alongside their sketch
+    * estimates — `est_n = min` over each item's depth buckets, read
+    * from [[countMinRegisters]]. `est_n ≥ true_n` always; the gap IS
+    * the collision error the width bounds. The register build is the
+    * scale path (fixed-size state); the truth side exists to gate the
+    * estimate against the oracle.
+    */
+  def heavyHitters(
+      df: DataFrame,
+      itemExpr: org.apache.spark.sql.Column,
+      topK: Int = 20,
+      depth: Int = 4,
+      width: Int = 256): DataFrame = {
+    val items = df.select(itemExpr.cast("string").as("item"))
+    val regs = countMinRegisters(df, itemExpr, depth, width)
+    val truth = items.groupBy("item").agg(count(lit(1)).as("true_n"))
+    val top = truth
+      .orderBy(col("true_n").desc, col("item"))
+      .limit(topK)
+    val probes = top
+      .select(col("item"), col("true_n"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("item"), col("true_n"), col("r"),
+        pmod(graft.functions.rolling_hash(
+          concat(lit("cm"), col("r").cast("string"), lit(":"), col("item"))),
+          lit(width.toLong)).as("bucket"))
+    probes.join(broadcast(regs), Seq("r", "bucket"))
+      .groupBy("item", "true_n")
+      .agg(min(col("cnt")).as("est_n"))
+  }
 }

@@ -257,6 +257,25 @@ object OracleSql {
       "cent AS (SELECT * FROM cent0), " +
       ivfTail("cent", k, nProbe, dim)
 
+  /** Oracle for `ann_range_search`: replay of
+    * `Similarity.ivfRangeSearch` — the IVF prologue, first-max cell
+    * assignment and nProbe probes exactly as [[annIvfTopK]], but the
+    * scored pairs keep every cosine ≥ threshold instead of ranking.
+    */
+  def annRangeSearch(threshold: String, numCentroids: Int, nProbe: Int,
+      dim: Int = 64, seed: Long = 42L): String =
+    s"WITH ${ivfPrologue(numCentroids, dim, seed)}, " +
+      s"cd AS (SELECT c.vec_id, c.embedding, c.nrm, ct.cidx, ${pairDot("c.embedding", "ct.cvec", dim)} / c.nrm AS dot " +
+      "FROM cnd c CROSS JOIN cent0 ct), " +
+      "cellasg AS (SELECT vec_id AS neighbor_id, embedding AS c_vec, nrm AS c_norm, cidx AS cell FROM " +
+      "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cidx) AS rn FROM cd) t WHERE rn = 1), " +
+      s"qd AS (SELECT q.vec_id, q.embedding, q.nrm, ct.cidx, ${pairDot("q.embedding", "ct.cvec", dim)} / q.nrm AS dot " +
+      "FROM qry q CROSS JOIN cent0 ct), " +
+      "probe AS (SELECT vec_id AS query_id, embedding AS q_vec, nrm AS q_norm, cidx AS cell FROM " +
+      s"(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cidx) AS rn FROM qd) t WHERE rn <= $nProbe) " +
+      "SELECT p.query_id, ca.neighbor_id FROM probe p JOIN cellasg ca USING (cell) " +
+      s"WHERE ${pairDot("p.q_vec", "ca.c_vec", dim)} / (p.q_norm * ca.c_norm) >= $threshold"
+
   /** Shared SQ8 codec CTEs over the candidate slice (`cnd` from
     * [[ivfPrologue]]): `grid(j, mn, mx)` (per-dimension float min/max
     * widened to double) and `dec(vec_id, dvec)` — the decoded float
@@ -876,6 +895,36 @@ object OracleSql {
       "deg AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY src), " +
       "n AS (SELECT count(*) AS cnt FROM nodes), " +
       s"r0 AS (SELECT node, $massScale // cnt AS rank FROM nodes CROSS JOIN n), " +
+      s"$chain " +
+      s"SELECT node, rank FROM r$iters ORDER BY rank DESC, node LIMIT $topK"
+  }
+
+  /** Bit-exact replay of `Graph.pageRankPersonalized` on the same
+    * supplier↔part graph, teleport restricted to every 5th supplier:
+    * identical unrolled chain as [[pageRankTopK]] with the per-round
+    * teleport `sdd · ((massScale // nSeeds) · (den−num) // den)` — all
+    * BIGINT floor arithmetic.
+    */
+  def pageRankPersonalizedTopK(iters: Int, topK: Int,
+      dampNum: Long = 85, dampDen: Long = 100,
+      massScale: Long = 1000000000000L): String = {
+    val base = s"($massScale // cnt)"
+    val chain = (1 to iters).map { i =>
+      s"c$i AS (SELECT e.dst AS node, CAST(sum(r.rank // d.outdeg) AS BIGINT) AS contrib " +
+        s"FROM e JOIN r${i - 1} r ON r.node = e.src JOIN deg d ON d.node = e.src GROUP BY e.dst), " +
+        s"r$i AS (SELECT nd.node, nd.sdd * ($base * ${dampDen - dampNum} // $dampDen) + " +
+        s"$dampNum * coalesce(c$i.contrib, 0) // $dampDen AS rank " +
+        s"FROM nodesT nd CROSS JOIN n LEFT JOIN c$i ON c$i.node = nd.node)"
+    }.mkString(", ")
+    "WITH raw AS (SELECT DISTINCT l_suppkey AS s, l_partkey + 1000000 AS p FROM lineitem), " +
+      "e AS (SELECT s AS src, p AS dst FROM raw UNION SELECT p, s FROM raw), " +
+      "nodes AS (SELECT DISTINCT src AS node FROM e), " +
+      "deg AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY src), " +
+      "sd AS (SELECT DISTINCT s_suppkey AS node FROM supplier WHERE s_suppkey % 5 = 0), " +
+      "nodesT AS (SELECT nd.node, CASE WHEN sd.node IS NULL THEN 0 ELSE 1 END AS sdd " +
+      "FROM nodes nd LEFT JOIN sd ON sd.node = nd.node), " +
+      "n AS (SELECT CAST(sum(sdd) AS BIGINT) AS cnt FROM nodesT), " +
+      s"r0 AS (SELECT node, sdd * $base AS rank FROM nodesT CROSS JOIN n), " +
       s"$chain " +
       s"SELECT node, rank FROM r$iters ORDER BY rank DESC, node LIMIT $topK"
   }

@@ -799,6 +799,34 @@ object SparkEntry {
         .where(col("s_suppkey") % 5 === 0).select(col("s_suppkey").as("node"))
       graft.operators.Graph.bfsDistances(e, seeds, maxHops = 3)
     }),
+    "graph_ppr" -> ((s, d) => {
+      // personalized PageRank: teleport mass restricted to every 5th
+      // supplier — influence as seen FROM the seed set; same
+      // fixed-point integer discipline, same unrolled oracle replay
+      val raw = rd(s, d, "lineitem")
+        .select(col("l_suppkey").as("s"), (col("l_partkey") + 1000000L).as("p"))
+      val e = raw.select(col("s").as("src"), col("p").as("dst"))
+        .unionByName(raw.select(col("p").as("src"), col("s").as("dst")))
+      val seeds = rd(s, d, "supplier")
+        .where(col("s_suppkey") % 5 === 0).select(col("s_suppkey").as("node"))
+      graft.operators.Graph.pageRankPersonalized(e, seeds, iters = 3)
+        .orderBy(col("rank").desc, col("node")).limit(20)
+    }),
+    "link_fuzzy_names" -> ((s, d) => {
+      // blocked edit-distance record linkage: part names block on
+      // their noun (last token), candidate pairs within a block keep
+      // levenshtein <= 3 — the classic fuzzy-match shape where the
+      // block key bounds the pair expansion (never all-pairs) and the
+      // native levenshtein runs in both engines identically
+      val p = rd(s, d, "part").select(col("p_name")).distinct()
+        .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+      p.select(col("p_name").as("name_a"), col("blk"))
+        .join(p.select(col("p_name").as("name_b"), col("blk").as("blk2")),
+          col("blk") === col("blk2") && col("name_a") < col("name_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .where(col("dist") <= 3)
+        .select("name_a", "name_b", "dist")
+    }),
     "graph_pagerank" -> ((s, d) => {
       // influence ranking on the undirected supplier<->part co-purchase
       // graph; fixed-point integer arithmetic so the power iteration
@@ -952,6 +980,13 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(rd(s, d, "embeddings"),
         col("vec_id") < 10, col("vec_id") >= 10, 5, numCentroids = 16, nProbe = 4)),
+    "ann_range_search" -> ((s, d) =>
+      // radius form of the IVF tier: every probed pair with cosine
+      // >= 0.3 — bounds result QUALITY where top-k bounds COUNT; the
+      // cell equi-join keeps it off the |Q|x|C| brute path
+      Similarity.ivfRangeSearch(rd(s, d, "embeddings"),
+        col("vec_id") < 10, col("vec_id") >= 10, 0.3,
+        numCentroids = 8, nProbe = 4)),
     "ann_pq_topk" -> ((s, d) =>
       // product-quantization tier: m byte-codes per vector + per-query
       // LUTs (asymmetric distance), exact re-rank of the short list —
@@ -3566,6 +3601,7 @@ object SparkEntry {
     "dedup_embed_lsh" -> OracleSql.dedupEmbedLsh(0.4),
     "ann_lsh_topk" -> OracleSql.annLshTopK(5),
     "ann_ivf_topk" -> OracleSql.annIvfTopK(5, numCentroids = 16, nProbe = 4),
+    "ann_range_search" -> OracleSql.annRangeSearch("0.3", numCentroids = 8, nProbe = 4),
     "ann_filtered_brute" ->
       ("SELECT query_id, neighbor_id, rnk FROM (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, " +
         "CAST(row_number() OVER (PARTITION BY a.vec_id ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id) AS INT) AS rnk " +
@@ -3835,6 +3871,14 @@ object SparkEntry {
         "UNION SELECT e.dst, wlk.dist + 1 FROM wlk JOIN e ON e.src = wlk.node WHERE wlk.dist < 3) " +
         "SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM wlk GROUP BY node"),
     "graph_pagerank" -> OracleSql.pageRankTopK(iters = 3, topK = 20),
+    "graph_ppr" -> OracleSql.pageRankPersonalizedTopK(iters = 3, topK = 20),
+    "link_fuzzy_names" ->
+      ("WITH n AS (SELECT DISTINCT p_name FROM part), " +
+        "b AS (SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM n) " +
+        "SELECT a.p_name AS name_a, c.p_name AS name_b, " +
+        "CAST(levenshtein(a.p_name, c.p_name) AS INT) AS dist " +
+        "FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name " +
+        "WHERE levenshtein(a.p_name, c.p_name) <= 3"),
     "graph_kcore" -> OracleSql.kCore(k = 32, rounds = 6),
     "dq_rate_spikes" ->
       ("WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS epoch_hour, count(*) AS n " +

@@ -93,6 +93,68 @@ object Graph {
     ranks
   }
 
+  /** Personalized PageRank: [[pageRankFixed]] with the teleport mass
+    * restricted to a SEED set — "influence as seen from these nodes"
+    * (trust propagation from verified accounts, related-item scores
+    * from a query set, contamination influence from flagged docs).
+    * Identical scaled-integer discipline: the uniform teleport
+    * `massScale/|seeds∩graph|` flows only to in-graph seed nodes, every
+    * division is a floor on non-negative longs, so the iteration
+    * replays bit-for-bit in the oracle. Seeds outside the graph are
+    * ignored (they can neither receive nor emit mass).
+    *
+    * Shape at 100 TB: identical to [[pageRankFixed]] — one keyed
+    * join + one combinable aggregation per round; the seed flag rides
+    * the node spine (one extra join at setup, not per round).
+    */
+  def pageRankPersonalized(
+      edges: DataFrame,
+      seeds: DataFrame,
+      iters: Int,
+      dampNum: Long = 85,
+      dampDen: Long = 100,
+      massScale: Long = 1000000000000L,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(iters >= 0 && dampDen > 0 && dampNum >= 0 && dampNum <= dampDen)
+    val e = Caches.persisted(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+    val deg = Caches.persisted(
+      e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg")))
+    val sd = seeds.select(col(seeds.columns.head).as("node")).distinct()
+    // seed flag on the node spine: 1 for in-graph seeds, else 0
+    val nodes = Caches.persisted(
+      deg.select(col("node"))
+        .join(sd.withColumn("__is", lit(1L)), Seq("node"), "left")
+        .select(col("node"), coalesce(col("__is"), lit(0L)).as("__seed")))
+    val eDeg = Caches.persisted(
+      e.join(deg.withColumnRenamed("node", "src"), "src"))
+    val nSeeds = nodes.agg(sum(col("__seed"))).head().getLong(0)
+    require(nSeeds > 0, "no seed node appears in the graph")
+    val base = massScale / nSeeds
+    val teleport = base * (dampDen - dampNum) / dampDen
+    var ranks = nodes.select(col("node"), (col("__seed") * base).as("rank"))
+    var lastCkpt: Option[DataFrame] = None
+    for (i <- 0 until iters) {
+      val contrib = eDeg
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .withColumn("share", expr("rank div outdeg"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("share")).as("contrib"))
+      ranks = nodes
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (col("__seed") * teleport +
+            expr(s"$dampNum * coalesce(contrib, 0L) div $dampDen")).as("rank"))
+      if ((i + 1) % 4 == 0 && i != iters - 1) {
+        ranks = ranks.localCheckpoint(true)
+        lastCkpt.foreach(_.unpersist(false))
+        lastCkpt = Some(ranks)
+      }
+    }
+    ranks
+  }
+
   /** Clamped label propagation: semi-supervised node classification —
     * seed nodes keep their label forever; every other node adopts, each
     * synchronous round, the MOST FREQUENT label among its in-neighbors

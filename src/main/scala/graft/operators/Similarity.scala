@@ -184,6 +184,50 @@ object Similarity {
       centroids, k, nProbe, vecCol, idCol)
   }
 
+  /** IVF range search: every (query, candidate) pair with cosine ≥
+    * `threshold` among the query's `nProbe` nearest cells — the radius
+    * form of [[ivfTopK]] (contamination spread, duplicate-radius
+    * audits, "everything within 0.35 of the eval set"). The top-k form
+    * bounds result COUNT; this bounds result QUALITY, and the output
+    * size is data-dependent — which is why it stays cell-bounded: at
+    * 100 TB a brute radius join is |Q|×|C|, while here each query
+    * scores nProbe/numCentroids of the corpus through ONE equi-join on
+    * the cell id. Same seeded determinism as every IVF tier; the
+    * threshold compare replays as the identical fixed expression
+    * (`dot/(qn·cn) ≥ t`) in the oracle.
+    */
+  def ivfRangeSearch(
+      emb: DataFrame,
+      queryPred: Column,
+      candPred: Column,
+      threshold: Double,
+      numCentroids: Int = 8,
+      nProbe: Int = 4,
+      seed: Long = 42L,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(nProbe >= 1 && nProbe <= numCentroids)
+    val n = Caches.persisted(withNorm(emb, vecCol, idCol))
+    val c0 = n.where(candPred)
+    val centroids = seedCentroids(c0, numCentroids, seed, vecCol, idCol)
+    val cells = assignCells(c0, centroids, vecCol, idCol)
+    val cellIds = lit(centroids.indices.map(i => (i + 1).toLong).toArray)
+    val probeCells = slice(
+      array_sort(zip_with(
+        vec_mat_dots(col(vecCol), centroids, col("norm")), cellIds,
+        (d, c) => struct(d.unary_-.as("neg"), c.as("cell")))),
+      1, nProbe)
+    val q = n.where(queryPred).select(
+      col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      col("norm").as("q_norm"), explode(probeCells).as("probe"))
+      .select(col("query_id"), col("q_vec"), col("q_norm"),
+        col("probe.cell").as("cell"))
+    q.join(cells, "cell")
+      .where(vec_dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm"))
+        >= lit(threshold))
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
   /** Build and persist an IVF index for an immutable corpus snapshot:
     * cell assignments as a warehouse table (`<table>_cells`) and the
     * unit centroids as a second tiny table (`<table>_centroids`). At

@@ -227,6 +227,9 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "stream_retract_replay" -> "1aa9fe28db3ddbc7811ff877ef307b2a",
     "q12_late_lines" -> "f9ff2b4958077b850d02d4c86fc3cbe0",
     "sketch_cm_collisions" -> "7d5d6fa6a1c556e7023907f3822ffbd3",
+    "ann_range_search" -> "ea60c68c270298fc90146707253ac983",
+    "graph_ppr" -> "6c6a83753773205bcfd0e8c7953ca1fe",
+    "link_fuzzy_names" -> "552b8069e5e1f665bb115748ad4c02e8",
     "stat_group_ols" -> "95b9cf51bb7891e5f7146794de93144e",
     "stat_corr_matrix" -> "106dce20509fd37bece8cf0488b4493d",
     "layout_zvalue" -> "860f9e03124e13b820f7a9b1ef43e8c1",

@@ -16,6 +16,11 @@ object Sessions {
       .master(s"local[$cores]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", "32")
+      // the full extension ladder (native SQL functions, the broadcast
+      // as-of strategy, the MV-rewrite and levenshtein-prefilter
+      // optimizer rules) rides the config-driven path — exactly how a
+      // cluster deploy would enable it
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

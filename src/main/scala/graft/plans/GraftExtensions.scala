@@ -35,10 +35,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the one strategy-tier operator (see BroadcastAsOf.scala for why
     // exactly this operator leaves the composition tier)
     ext.injectPlannerStrategy(_ => GraftStrategies)
-    // the one optimizer-rule-tier rewrite: registered maintained
-    // aggregates transparently serve plan-identical queries
-    // (MaterializedAggRewrite — the read half of Incremental)
+    // optimizer-rule tier: registered maintained aggregates
+    // transparently serve plan-identical queries (MaterializedAggRewrite
+    // — the read half of Incremental), and edit-distance filters gain
+    // the length-difference short-circuit (LevenshteinPrefilter)
     ext.injectOptimizerRule(_ => MaterializedAggRewrite)
+    ext.injectOptimizerRule(_ => LevenshteinPrefilter)
   }
 }
 

@@ -170,6 +170,29 @@ class PlanSpec extends AnyFunSuite with SparkTest {
       s"the OR-of-ANDs must reach both the lineitem and part scans as pushed filters:\n$plan")
   }
 
+  test("levenshtein filters gain the length-difference short-circuit") {
+    graft.plans.LevenshteinPrefilter.ensureInjected(spark)
+    val p = Tables.table(spark, sf, "part").select(col("p_name")).distinct()
+    val joined = p.select(col("p_name").as("a"))
+      .crossJoin(p.select(col("p_name").as("b")))
+      .where(levenshtein(col("a"), col("b")) <= 3)
+    val opt = joined.queryExecution.optimizedPlan.toString
+    assert(opt.contains("abs(") && opt.contains("length(a"),
+      s"expected the abs(length-length) guard in the optimized plan:\n$opt")
+    // the guard must not change results: every surviving pair still
+    // satisfies the distance predicate, and no pair is lost (length
+    // difference is a lower bound on edit distance)
+    val n = joined.count()
+    val plain = p.select(col("p_name").as("a"))
+      .crossJoin(p.select(col("p_name").as("b")))
+      .collect().count(r => {
+        val (a, b) = (r.getString(0), r.getString(1))
+        org.apache.commons.text.similarity.LevenshteinDistance.getDefaultInstance
+          .apply(a, b) <= 3
+      })
+    assert(n == plain, s"guard changed the result: $n vs $plain")
+  }
+
   test("q2 argmin plans as ONE aggregate join-back — no correlated rescan") {
     // the correlated min-cost subquery must decorrelate to a single
     // per-part min aggregate joined back once: exactly TWO lineitem

@@ -1099,6 +1099,45 @@ object SparkEntry {
           concat(lit(SparkEntry.messyPrefix), col("text")).as("text"))
       TextAnalysis.normalizeText(injected)
     }),
+    "feat_loo_target_enc" -> ((s, d) => {
+      // leave-one-out target encoding — the ML feature that leaks
+      // without the leave-one-out: each order's category encoding is
+      // the mean target of its category EXCLUDING itself, in exact
+      // integer arithmetic ((sum − own) div (n − 1)); singleton
+      // categories yield NULL rather than a self-leak
+      val o = rd(s, d, "orders")
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val agg = o.groupBy("o_orderpriority")
+        .agg(sum(cents).as("sum_c"), count(lit(1)).as("n_c"))
+      o.select(col("o_orderkey"), col("o_orderpriority"), cents.as("own_c"))
+        .join(broadcast(agg), "o_orderpriority")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          when(col("n_c") > 1, expr("(sum_c - own_c) div (n_c - 1)"))
+            .as("loo_enc_c"))
+    }),
+    "q_mad_outliers" -> ((s, d) => {
+      // robust outlier counts per return flag: median and median
+      // absolute deviation via percentile_disc (exact order statistics
+      // in BOTH engines — no float quantile sketch), outlier =
+      // |x − med| > 3·MAD. The two-pass shape: grouped medians
+      // broadcast back, deviations re-aggregate
+      val l = rd(s, d, "lineitem")
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      val med = l.groupBy("l_returnflag")
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT))")
+          .cast("long").as("med_c"))
+      val dev = l.select(col("l_returnflag"), cents.as("x"))
+        .join(broadcast(med), "l_returnflag")
+        .select(col("l_returnflag"), col("med_c"), abs(col("x") - col("med_c")).as("ad"))
+      val mad = dev.groupBy("l_returnflag", "med_c")
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY ad)")
+          .cast("long").as("mad_c"))
+      dev.select(col("l_returnflag"), col("ad"))
+        .join(broadcast(mad), "l_returnflag")
+        .groupBy(col("l_returnflag"), col("med_c"), col("mad_c"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("ad") > lit(3L) * col("mad_c"), 1L).otherwise(0L)).as("n_outliers"))
+    }),
     "skew_key_profile" -> ((s, d) =>
       // the salting-decision diagnostic: hottest event users with
       // exact integer ppm shares and table-wide context
@@ -3852,6 +3891,25 @@ object SparkEntry {
         "h AS (SELECT user_id, n, CAST(row_number() OVER (ORDER BY n DESC, user_id) AS INT) AS rank FROM c) " +
         "SELECT h.user_id, h.n, h.rank, h.n * 1000000 // t.total_rows AS share_ppm, " +
         "t.n_keys, t.total_rows FROM h, t WHERE h.rank <= 10"),
+    "feat_loo_target_enc" ->
+      ("WITH t AS (SELECT o_orderkey, o_orderpriority, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS own_c FROM orders), " +
+        "a AS (SELECT o_orderpriority, CAST(sum(own_c) AS BIGINT) AS sum_c, count(*) AS n_c " +
+        "FROM t GROUP BY 1) " +
+        "SELECT o_orderkey, t.o_orderpriority, " +
+        "CASE WHEN n_c > 1 THEN (sum_c - own_c) // (n_c - 1) END AS loo_enc_c " +
+        "FROM t JOIN a ON t.o_orderpriority = a.o_orderpriority"),
+    "q_mad_outliers" ->
+      ("WITH x AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS x FROM lineitem), " +
+        "m AS (SELECT l_returnflag, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY x) AS BIGINT) AS med_c " +
+        "FROM x GROUP BY 1), " +
+        "d AS (SELECT x.l_returnflag, m.med_c, abs(x.x - m.med_c) AS ad " +
+        "FROM x JOIN m ON x.l_returnflag = m.l_returnflag), " +
+        "md AS (SELECT l_returnflag, med_c, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY ad) AS BIGINT) AS mad_c " +
+        "FROM d GROUP BY 1, 2) " +
+        "SELECT d.l_returnflag, md.med_c, md.mad_c, count(*) AS n_rows, " +
+        "CAST(sum(CASE WHEN d.ad > 3 * md.mad_c THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers " +
+        "FROM d JOIN md ON d.l_returnflag = md.l_returnflag GROUP BY 1, 2, 3"),
     "skew_salted_join" ->
       ("SELECT s_suppkey, s_name, count(*) AS n_lines, " +
         "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_c " +

@@ -230,6 +230,8 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "ann_range_search" -> "ea60c68c270298fc90146707253ac983",
     "graph_ppr" -> "6c6a83753773205bcfd0e8c7953ca1fe",
     "link_fuzzy_names" -> "552b8069e5e1f665bb115748ad4c02e8",
+    "feat_loo_target_enc" -> "689034dd320f8523adc3597b88b6cdcb",
+    "q_mad_outliers" -> "42079813bedf3069be7d1ac1d84e94b6",
     "stat_group_ols" -> "95b9cf51bb7891e5f7146794de93144e",
     "stat_corr_matrix" -> "106dce20509fd37bece8cf0488b4493d",
     "layout_zvalue" -> "860f9e03124e13b820f7a9b1ef43e8c1",

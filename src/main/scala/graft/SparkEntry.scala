@@ -475,6 +475,36 @@ object SparkEntry {
         first(col("value")).over(w.rowsBetween(Window.unboundedPreceding, 0))
           .as("first_value"))
     }),
+    "q_unpivot" -> ((s, d) => {
+      // real relational unpivot (melt) — q_pivot's inverse: per-flag
+      // exact integer sums of three measures widen to rows
+      // (metric, value_c); the Dataset unpivot operator, not a
+      // hand-rolled union
+      val l = rd(s, d, "lineitem")
+      val cents = (c: Column) => round(c * 100).cast("long")
+      l.groupBy("l_returnflag")
+        .agg(sum(col("l_quantity").cast("long") * 100).as("qty_c"),
+          sum(cents(col("l_extendedprice"))).as("price_c"),
+          sum(cents(col("l_tax")) * 100).as("tax_c"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("qty_c"), col("price_c"), col("tax_c")),
+          "metric", "value_c")
+    }),
+    "dq_benford_digits" -> ((s, d) => {
+      // Benford first-digit audit — the classic fabricated-data
+      // screen, as a DQ gate: leading digit of the exact cent amount
+      // (integer, so the digit extraction is engine-identical), counts
+      // and exact ppm shares
+      val o = rd(s, d, "orders")
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val digit = substring(cents.cast("string"), 1, 1).cast("int")
+      val counts = o.where(cents > 0).select(digit.as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum("n").as("n_tot"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          expr("1000000 * n div n_tot").as("share_ppm"))
+    }),
     "q_pivot" -> ((s, d) =>
       // real relational pivot (groupBy().pivot()) — status columns out
       // of rows; explicit value list so the plan is a single pass
@@ -4153,6 +4183,21 @@ object SparkEntry {
         "first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
         "ROWS UNBOUNDED PRECEDING) AS first_value FROM events " +
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"),
+    "q_unpivot" ->
+      ("WITH a AS (SELECT l_returnflag, " +
+        "CAST(sum(CAST(l_quantity AS BIGINT) * 100) AS BIGINT) AS qty_c, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_c, " +
+        "CAST(sum(CAST(round(l_tax * 100) AS BIGINT) * 100) AS BIGINT) AS tax_c " +
+        "FROM lineitem GROUP BY 1) " +
+        "SELECT l_returnflag, 'qty_c' AS metric, qty_c AS value_c FROM a " +
+        "UNION ALL SELECT l_returnflag, 'price_c', price_c FROM a " +
+        "UNION ALL SELECT l_returnflag, 'tax_c', tax_c FROM a"),
+    "dq_benford_digits" ->
+      ("WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders), " +
+        "d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit FROM c WHERE v > 0), " +
+        "g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM g) " +
+        "SELECT digit, n, 1000000 * n // n_tot AS share_ppm FROM g CROSS JOIN t"),
     "q_pivot" ->
       ("SELECT o_orderpriority, count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f, " +
         "count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o, " +

@@ -588,6 +588,19 @@ object SparkEntry {
     "e2_sliding" -> ((s, d) => Events.slidingHourly(rd(s, d, "events"))),
     "e3_session" -> ((s, d) => Events.sessionize(rd(s, d, "events"))),
     "e5_gap_fill" -> ((s, d) => Events.gapFillHourly(rd(s, d, "events"))),
+    "seq_interpolate" -> ((s, d) => {
+      // linear interpolation onto the dense calendar: daily purchase
+      // revenue observed only every third day-of-month (forced gaps),
+      // missing days filled by exact integer interpolation with the
+      // sign-split division (Spark div truncates, DuckDB // floors —
+      // they agree only on non-negatives)
+      val ev = rd(s, d, "events")
+      val sparse = ev.where(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("rev_c"))
+        .where(dayofmonth(col("day")) % 3 === 0)
+      Events.interpolateDaily(sparse, "day", "rev_c")
+    }),
     "seq_transitions" -> ((s, d) =>
       // first-order Markov transition matrix with exact-integer
       // conditional frequencies
@@ -3598,6 +3611,22 @@ object SparkEntry {
         "SELECT g.user_id, g.ts, r.event_id AS src_event_id, r.value AS carried_value, r.ts AS matched_ts " +
         "FROM g LEFT JOIN events r ON r.user_id = g.user_id AND r.ts <= g.ts " +
         "QUALIFY row_number() OVER (PARTITION BY g.user_id, g.ts ORDER BY r.ts DESC, r.event_id DESC) = 1"),
+    "seq_interpolate" ->
+      ("WITH sparse AS (SELECT CAST(ts AS DATE) AS day, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev_c " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1 " +
+        "HAVING dayofmonth(CAST(ts AS DATE)) % 3 = 0), " +
+        "nx AS (SELECT day AS d0, rev_c AS v0, " +
+        "lead(day) OVER (ORDER BY day) AS d1, lead(rev_c) OVER (ORDER BY day) AS v1 FROM sparse), " +
+        "seg AS (SELECT d0, v0, d1, v1, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), " +
+        "CAST(d1 AS TIMESTAMP) - INTERVAL 1 DAY, INTERVAL 1 DAY)) AS DATE) AS day " +
+        "FROM nx WHERE d1 IS NOT NULL), " +
+        "it AS (SELECT day, v0 + (CASE WHEN (v1 - v0) * (day - d0) >= 0 " +
+        "THEN ((v1 - v0) * (day - d0)) // (d1 - d0) " +
+        "ELSE -((-((v1 - v0) * (day - d0))) // (d1 - d0)) END) AS rev_c, " +
+        "CASE WHEN day = d0 THEN 1 ELSE 0 END AS observed FROM seg " +
+        "UNION ALL SELECT d0, v0, 1 FROM nx WHERE d1 IS NULL) " +
+        "SELECT day, rev_c, CAST(observed AS INT) AS observed FROM it"),
     "dedup_exact" ->
       "SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY md5(text)",
     "dedup_ngram_jaccard" ->

@@ -418,4 +418,44 @@ object Events {
       .agg(count(lit(1)).as("n_conversions"),
         sum(round(col("value") * 100).cast("long")).as("revenue_c"))
   }
+
+  /** Linear interpolation of a sparse day-grain series onto the dense
+    * daily calendar between its first and last observation — the
+    * standard time-series regularization before any fixed-step model
+    * (seasonal naive, EWMA, rolling windows all assume a dense grid).
+    *
+    * Exact integer arithmetic: the interpolated value is
+    * `v0 + (v1 − v0)·offset ÷ gap` with the division SIGN-SPLIT
+    * (`sign · (|numerator| div gap)`) because Spark's `div` truncates
+    * toward zero while DuckDB's `//` floors — on negative slopes the
+    * two disagree by one unit unless the operand is made non-negative
+    * first. Observed days pass through untouched (`observed = 1`).
+    *
+    * Scale shape: the input is a DAY-GRAIN aggregate — calendar-bounded
+    * (a decade is ~3.7k rows at any scale factor), so the unpartitioned
+    * lead() window and the per-segment explode are metadata-scale by
+    * construction, same argument as the seasonal-naive series ops.
+    */
+  def interpolateDaily(series: DataFrame, dayCol: String, valCol: String): DataFrame = {
+    val w = Window.orderBy(col("d0"))
+    val withNext = series.select(col(dayCol).as("d0"), col(valCol).as("v0"))
+      .withColumn("d1", lead(col("d0"), 1).over(w))
+      .withColumn("v1", lead(col("v0"), 1).over(w))
+    val seg = withNext.where(col("d1").isNotNull)
+      .select(col("d0"), col("v0"), col("d1"), col("v1"),
+        explode(sequence(col("d0"), date_sub(col("d1"), 1))).as("day"))
+    val gap = datediff(col("d1"), col("d0")).cast("long")
+    val off = datediff(col("day"), col("d0")).cast("long")
+    val num = (col("v1") - col("v0")) * off
+    val quot = when(num >= 0, expr("__num div __gap"))
+      .otherwise(-expr("(-__num) div __gap"))
+    val interpolated = seg
+      .withColumn("__num", num).withColumn("__gap", gap)
+      .select(col("day"),
+        (col("v0") + quot).as(valCol),
+        when(col("day") === col("d0"), 1).otherwise(0).as("observed"))
+    val last = withNext.where(col("d1").isNull)
+      .select(col("d0").as("day"), col("v0").as(valCol), lit(1).as("observed"))
+    interpolated.unionByName(last)
+  }
 }

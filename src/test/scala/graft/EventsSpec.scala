@@ -109,4 +109,22 @@ class EventsSpec extends AnyFunSuite with SparkTest {
     assert(out("2024-01-01 10:00:00.0") == ((2L, 4.0)))
     assert(out("2024-01-01 11:00:00.0") == ((1L, 4.0)))
   }
+
+  test("interpolateDaily: dense calendar, exact integer slopes both directions, endpoints observed") {
+    val s = spark; import s.implicits._
+    val sparse = Seq(
+      ("2024-01-01", 100L), // +3/day to Jan 4
+      ("2024-01-04", 109L), // -5 over 2 days: truncation-toward-zero split
+      ("2024-01-06", 99L)).toDF("day0", "v")
+      .select(to_date($"day0").as("day"), $"v")
+    val out = graft.operators.Events.interpolateDaily(sparse, "day", "v")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(out == Seq(
+      ("2024-01-01", 100L, 1),
+      ("2024-01-02", 103L, 0),
+      ("2024-01-03", 106L, 0),
+      ("2024-01-04", 109L, 1),
+      ("2024-01-05", 104L, 0), // 109 + sign-split((99-109)*1 div 2) = 109 - 5
+      ("2024-01-06", 99L, 1)))
+  }
 }

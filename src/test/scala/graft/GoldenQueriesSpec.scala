@@ -234,6 +234,7 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "q_mad_outliers" -> "42079813bedf3069be7d1ac1d84e94b6",
     "q_unpivot" -> "c7b4938a312b5208efd033014d2b6181",
     "dq_benford_digits" -> "575d0d81ab45a9bd2f1bb52f6cd75daa",
+    "seq_interpolate" -> "47b1bf5bb314795c7a66e0e188055656",
     "stat_group_ols" -> "95b9cf51bb7891e5f7146794de93144e",
     "stat_corr_matrix" -> "106dce20509fd37bece8cf0488b4493d",
     "layout_zvalue" -> "860f9e03124e13b820f7a9b1ef43e8c1",

@@ -588,23 +588,6 @@ object SparkEntry {
     "e2_sliding" -> ((s, d) => Events.slidingHourly(rd(s, d, "events"))),
     "e3_session" -> ((s, d) => Events.sessionize(rd(s, d, "events"))),
     "e5_gap_fill" -> ((s, d) => Events.gapFillHourly(rd(s, d, "events"))),
-    "events_streaks" -> ((s, d) => {
-      // gaps-and-islands: longest consecutive-active-day streak per
-      // user via the day − row_number anchor (consecutive days share
-      // an anchor), argmax by (len desc, start asc) as a min_by over
-      // the total order — no second window pass
-      val ud = rd(s, d, "events")
-        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-      val w = Window.partitionBy("user_id").orderBy("day")
-      ud.withColumn("rn", row_number().over(w))
-        .withColumn("anchor", expr("date_sub(day, rn)"))
-        .groupBy("user_id", "anchor")
-        .agg(count(lit(1)).as("len"), min(col("day")).as("streak_start"))
-        .groupBy("user_id")
-        .agg(max(col("len")).as("max_streak"),
-          min_by(col("streak_start"),
-            struct((-col("len")).as("a"), col("streak_start").as("b"))).as("start_day"))
-    }),
     "seq_interpolate" -> ((s, d) => {
       // linear interpolation onto the dense calendar: daily purchase
       // revenue observed only every third day-of-month (forced gaps),
@@ -3628,14 +3611,6 @@ object SparkEntry {
         "SELECT g.user_id, g.ts, r.event_id AS src_event_id, r.value AS carried_value, r.ts AS matched_ts " +
         "FROM g LEFT JOIN events r ON r.user_id = g.user_id AND r.ts <= g.ts " +
         "QUALIFY row_number() OVER (PARTITION BY g.user_id, g.ts ORDER BY r.ts DESC, r.event_id DESC) = 1"),
-    "events_streaks" ->
-      ("WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
-        "r AS (SELECT user_id, day, row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM ud), " +
-        "g AS (SELECT user_id, day - CAST(rn AS INT) AS anchor, count(*) AS len, min(day) AS streak_start " +
-        "FROM r GROUP BY user_id, day - CAST(rn AS INT)), " +
-        "rk AS (SELECT user_id, len, streak_start, " +
-        "row_number() OVER (PARTITION BY user_id ORDER BY len DESC, streak_start) AS rnk FROM g) " +
-        "SELECT user_id, len AS max_streak, streak_start AS start_day FROM rk WHERE rnk = 1"),
     "seq_interpolate" ->
       ("WITH sparse AS (SELECT CAST(ts AS DATE) AS day, " +
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev_c " +

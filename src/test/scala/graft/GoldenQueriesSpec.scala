@@ -235,7 +235,6 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "q_unpivot" -> "c7b4938a312b5208efd033014d2b6181",
     "dq_benford_digits" -> "575d0d81ab45a9bd2f1bb52f6cd75daa",
     "seq_interpolate" -> "47b1bf5bb314795c7a66e0e188055656",
-    "events_streaks" -> "14a8d41f5b70fa836711377a1189f546",
     "stat_group_ols" -> "95b9cf51bb7891e5f7146794de93144e",
     "stat_corr_matrix" -> "106dce20509fd37bece8cf0488b4493d",
     "layout_zvalue" -> "860f9e03124e13b820f7a9b1ef43e8c1",

@@ -490,21 +490,6 @@ object SparkEntry {
           Array(col("qty_c"), col("price_c"), col("tax_c")),
           "metric", "value_c")
     }),
-    "dq_benford_digits" -> ((s, d) => {
-      // Benford first-digit audit — the classic fabricated-data
-      // screen, as a DQ gate: leading digit of the exact cent amount
-      // (integer, so the digit extraction is engine-identical), counts
-      // and exact ppm shares
-      val o = rd(s, d, "orders")
-      val cents = round(col("o_totalprice") * 100).cast("long")
-      val digit = substring(cents.cast("string"), 1, 1).cast("int")
-      val counts = o.where(cents > 0).select(digit.as("digit"))
-        .groupBy("digit").agg(count(lit(1)).as("n"))
-      val tot = counts.agg(sum("n").as("n_tot"))
-      counts.crossJoin(broadcast(tot))
-        .select(col("digit"), col("n"),
-          expr("1000000 * n div n_tot").as("share_ppm"))
-    }),
     "q_pivot" -> ((s, d) =>
       // real relational pivot (groupBy().pivot()) — status columns out
       // of rows; explicit value list so the plan is a single pass
@@ -1157,29 +1142,6 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_orderpriority"),
           when(col("n_c") > 1, expr("(sum_c - own_c) div (n_c - 1)"))
             .as("loo_enc_c"))
-    }),
-    "q_mad_outliers" -> ((s, d) => {
-      // robust outlier counts per return flag: median and median
-      // absolute deviation via percentile_disc (exact order statistics
-      // in BOTH engines — no float quantile sketch), outlier =
-      // |x − med| > 3·MAD. The two-pass shape: grouped medians
-      // broadcast back, deviations re-aggregate
-      val l = rd(s, d, "lineitem")
-      val cents = round(col("l_extendedprice") * 100).cast("long")
-      val med = l.groupBy("l_returnflag")
-        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT))")
-          .cast("long").as("med_c"))
-      val dev = l.select(col("l_returnflag"), cents.as("x"))
-        .join(broadcast(med), "l_returnflag")
-        .select(col("l_returnflag"), col("med_c"), abs(col("x") - col("med_c")).as("ad"))
-      val mad = dev.groupBy("l_returnflag", "med_c")
-        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY ad)")
-          .cast("long").as("mad_c"))
-      dev.select(col("l_returnflag"), col("ad"))
-        .join(broadcast(mad), "l_returnflag")
-        .groupBy(col("l_returnflag"), col("med_c"), col("mad_c"))
-        .agg(count(lit(1)).as("n_rows"),
-          sum(when(col("ad") > lit(3L) * col("mad_c"), 1L).otherwise(0L)).as("n_outliers"))
     }),
     "skew_key_profile" -> ((s, d) =>
       // the salting-decision diagnostic: hottest event users with
@@ -3958,17 +3920,6 @@ object SparkEntry {
         "SELECT o_orderkey, t.o_orderpriority, " +
         "CASE WHEN n_c > 1 THEN (sum_c - own_c) // (n_c - 1) END AS loo_enc_c " +
         "FROM t JOIN a ON t.o_orderpriority = a.o_orderpriority"),
-    "q_mad_outliers" ->
-      ("WITH x AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS x FROM lineitem), " +
-        "m AS (SELECT l_returnflag, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY x) AS BIGINT) AS med_c " +
-        "FROM x GROUP BY 1), " +
-        "d AS (SELECT x.l_returnflag, m.med_c, abs(x.x - m.med_c) AS ad " +
-        "FROM x JOIN m ON x.l_returnflag = m.l_returnflag), " +
-        "md AS (SELECT l_returnflag, med_c, CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY ad) AS BIGINT) AS mad_c " +
-        "FROM d GROUP BY 1, 2) " +
-        "SELECT d.l_returnflag, md.med_c, md.mad_c, count(*) AS n_rows, " +
-        "CAST(sum(CASE WHEN d.ad > 3 * md.mad_c THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers " +
-        "FROM d JOIN md ON d.l_returnflag = md.l_returnflag GROUP BY 1, 2, 3"),
     "skew_salted_join" ->
       ("SELECT s_suppkey, s_name, count(*) AS n_lines, " +
         "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_c " +
@@ -4221,12 +4172,6 @@ object SparkEntry {
         "SELECT l_returnflag, 'qty_c' AS metric, qty_c AS value_c FROM a " +
         "UNION ALL SELECT l_returnflag, 'price_c', price_c FROM a " +
         "UNION ALL SELECT l_returnflag, 'tax_c', tax_c FROM a"),
-    "dq_benford_digits" ->
-      ("WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders), " +
-        "d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit FROM c WHERE v > 0), " +
-        "g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1), " +
-        "t AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM g) " +
-        "SELECT digit, n, 1000000 * n // n_tot AS share_ppm FROM g CROSS JOIN t"),
     "q_pivot" ->
       ("SELECT o_orderpriority, count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f, " +
         "count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o, " +

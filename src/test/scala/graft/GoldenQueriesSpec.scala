@@ -231,9 +231,7 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "graph_ppr" -> "6c6a83753773205bcfd0e8c7953ca1fe",
     "link_fuzzy_names" -> "552b8069e5e1f665bb115748ad4c02e8",
     "feat_loo_target_enc" -> "689034dd320f8523adc3597b88b6cdcb",
-    "q_mad_outliers" -> "42079813bedf3069be7d1ac1d84e94b6",
     "q_unpivot" -> "c7b4938a312b5208efd033014d2b6181",
-    "dq_benford_digits" -> "575d0d81ab45a9bd2f1bb52f6cd75daa",
     "seq_interpolate" -> "47b1bf5bb314795c7a66e0e188055656",
     "stat_group_ols" -> "95b9cf51bb7891e5f7146794de93144e",
     "stat_corr_matrix" -> "106dce20509fd37bece8cf0488b4493d",

@@ -2075,6 +2075,75 @@ object SparkEntry {
       }
       Warehouse.read(s, dir, tbl).drop("last_batch_id")
     }),
+    "stream_sessions_replay" -> ((s, d) => {
+      // the sessionization state machine behind closedSessions,
+      // replayed as four time-ordered micro-batch folds over a
+      // warehouse-persisted (open, closed) table pair — batch 2
+      // delivered TWICE under the same id (crash replay). The final
+      // closed ∪ flushed-open set must equal ONE from-scratch
+      // gaps-and-islands sessionization in DuckDB, proving both the
+      // O(delta) session merge and the two-table idempotence stamps.
+      import graft.streaming.Streams
+      import graft.sources.Warehouse
+      val ev = rd(s, d, "events")
+      val cents = round(col("value") * 100).cast("long")
+      val dir = new java.io.File(
+        "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val epoch = contentEpoch(ev, "event_id")
+      val (openT, closedT) = (s"stream_sess_open_$epoch", s"stream_sess_closed_$epoch")
+      val cuts = Seq("2024-01-08", "2024-01-15", "2024-01-22")
+        .map(c => to_timestamp(lit(s"$c 00:00:00")))
+      val batches = Seq(
+        ev.filter(col("ts") < cuts(0)),
+        ev.filter(col("ts") >= cuts(0) && col("ts") < cuts(1)),
+        ev.filter(col("ts") >= cuts(1) && col("ts") < cuts(2)),
+        ev.filter(col("ts") >= cuts(2)))
+      val gapMs = 45L * 60 * 1000
+      graft.operators.Memo.cached(s, s"streamsess|$dir|$closedT") {
+        batches.zipWithIndex.foreach { case (b, i) =>
+          Streams.foldSessionsBatch(b, i.toLong, dir, openT, closedT, gapMs, cents)
+          if (i == 2) // crash replay: same batch id again — must be skipped
+            Streams.foldSessionsBatch(b, i.toLong, dir, openT, closedT, gapMs, cents)
+        }
+        java.lang.Boolean.TRUE
+      }
+      Warehouse.read(s, dir, closedT).drop("batch_id")
+        .unionByName(Warehouse.read(s, dir, openT).drop("last_batch_id"))
+    }),
+    "stream_join_replay" -> ((s, d) => {
+      // the bounded-state stream-stream join behind viewPurchaseJoin,
+      // replayed as four time-ordered micro-batch folds: the view
+      // buffer evicts at the event-time horizon each fold, batch 2 is
+      // crash-replayed, and the accumulated matches must equal the
+      // from-scratch interval join — state bound AND completeness in
+      // one gate.
+      import graft.streaming.Streams
+      import graft.sources.Warehouse
+      val ev = rd(s, d, "events")
+      val dir = new java.io.File(
+        "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val epoch = contentEpoch(ev, "event_id")
+      val (bufT, outT) = (s"stream_join_buf_$epoch", s"stream_join_out_$epoch")
+      val cuts = Seq("2024-01-08", "2024-01-15", "2024-01-22")
+        .map(c => to_timestamp(lit(s"$c 00:00:00")))
+      val batches = Seq(
+        ev.filter(col("ts") < cuts(0)),
+        ev.filter(col("ts") >= cuts(0) && col("ts") < cuts(1)),
+        ev.filter(col("ts") >= cuts(1) && col("ts") < cuts(2)),
+        ev.filter(col("ts") >= cuts(2)))
+      val windowMs = 3600L * 1000
+      graft.operators.Memo.cached(s, s"streamjoin|$dir|$outT") {
+        batches.zipWithIndex.foreach { case (b, i) =>
+          Streams.foldStreamJoinBatch(b, i.toLong, dir, bufT, outT, windowMs)
+          if (i == 2) // crash replay: same batch id again — must be skipped
+            Streams.foldStreamJoinBatch(b, i.toLong, dir, bufT, outT, windowMs)
+        }
+        java.lang.Boolean.TRUE
+      }
+      Warehouse.read(s, dir, outT).drop("batch_id")
+    }),
     "incr_minmax_retract" -> ((s, d) => {
       // min/max under retraction — the case count/sum folding cannot
       // handle: one cohort retracts exactly its stored MAXIMUM rows
@@ -4469,6 +4538,21 @@ object SparkEntry {
       ("SELECT user_id, event_type, count(*) AS n_events, " +
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_units " +
         "FROM events GROUP BY 1, 2"),
+    "stream_sessions_replay" ->
+      ("WITH o AS (SELECT user_id, ts, event_id, CAST(round(value * 100) AS BIGINT) AS units, " +
+        "CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id)) > 2700000000 THEN 1 ELSE 0 END AS brk FROM events), " +
+        "s AS (SELECT user_id, ts, units, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM o) " +
+        "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, " +
+        "count(*) AS n_events, CAST(sum(units) AS BIGINT) AS total_units " +
+        "FROM s GROUP BY user_id, sid"),
+    "stream_join_replay" ->
+      ("SELECT v.user_id AS user_id, v.event_id AS view_id, p.event_id AS purchase_id, " +
+        "v.ts AS v_ts, p.ts AS p_ts, CAST(round(p.value * 100) AS BIGINT) AS purchase_cents " +
+        "FROM events v JOIN events p ON v.user_id = p.user_id " +
+        "AND p.ts >= v.ts AND epoch_us(p.ts) - epoch_us(v.ts) <= 3600000000 " +
+        "WHERE v.event_type = 'view' AND p.event_type = 'purchase'"),
     "stream_retract_replay" ->
       ("SELECT user_id, count(*) AS n_events, " +
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_units " +

@@ -615,6 +615,195 @@ object Streams {
     }
   }
 
+  /** One micro-batch fold of the SESSIONIZATION state machine behind
+    * [[closedSessions]], expressed as set-oriented DataFrame ops over a
+    * warehouse-persisted state table — the deterministic batch replay
+    * that lets the DuckDB oracle gate the streaming semantics.
+    *
+    * Two tables: `openTable` holds one open session per active user
+    * (the state store), `closedTable` accumulates emitted sessions (the
+    * append sink). A batch folds in three moves: (1) sessionize the
+    * batch alone with the gaps-and-islands window, (2) merge each
+    * user's FIRST batch session into the stored open session when the
+    * gap allows, closing the stored session otherwise, (3) keep each
+    * user's LAST batch session open, close the rest. Batches must be
+    * event-time-ordered splits (the arrival order a watermark
+    * guarantees within its bound).
+    *
+    * Crash safety mirrors [[foldCountsBatch]]'s one-atomic-commit
+    * discipline, extended to two tables: closed rows are stamped with
+    * their `batch_id` and the closed fold FILTERS OUT any rows already
+    * stamped with the current id before appending, so it is idempotent
+    * on its own; the open-table swap (carrying `last_batch_id`) commits
+    * the batch and is written LAST. A crash between the two swaps
+    * replays the batch against the old open state and rewrites the
+    * identical closed rows — no duplicates, no loss.
+    *
+    * Scale shape: per fold, one window over the DELTA (never history),
+    * one broadcast-sized join against open state keyed by user, and a
+    * closed-table rewrite. At 100 TB the closed sink would be an
+    * append-only partitioned table (the rewrite here is the
+    * small-warehouse stand-in; the idempotence stamp carries over
+    * unchanged).
+    */
+  private[graft] def foldSessionsBatch(
+      batch: DataFrame,
+      batchId: Long,
+      warehouseDir: String,
+      openTable: String,
+      closedTable: String,
+      gapMs: Long,
+      valueUnits: org.apache.spark.sql.Column): Unit = {
+    import graft.sources.Warehouse
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    val sessCols = Seq("user_id", "session_start", "session_end", "n_events", "total_units")
+    val emptyOpen = batch
+      .select(col("user_id"), col("ts").as("session_start"), col("ts").as("session_end"),
+        lit(0L).as("n_events"), lit(0L).as("total_units"), lit(-1L).as("last_batch_id"))
+      .limit(0)
+    val prevOpen =
+      if (Warehouse.exists(spark, warehouseDir, openTable))
+        Warehouse.read(spark, warehouseDir, openTable)
+      else emptyOpen
+    val lastId = prevOpen.select(max(col("last_batch_id"))).collect()
+      .headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+      .getOrElse(-1L)
+    if (batchId <= lastId) return
+
+    val b = batch.select(col("user_id"), col("ts"), col("event_id"),
+      valueUnits.cast("long").as("__units"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val marked = b.withColumn("__brk",
+      when(lag(col("ts"), 1).over(w).isNull ||
+        unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(w)) > gapMs, 1L)
+        .otherwise(0L))
+    val sess = marked.withColumn("__sid",
+      sum(col("__brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val agg = sess.groupBy(col("user_id"), col("__sid")).agg(
+      min("ts").as("session_start"), max("ts").as("session_end"),
+      count(lit(1)).as("n_events"), sum("__units").as("total_units"))
+    val bounds = agg.groupBy("user_id")
+      .agg(min("__sid").as("__minsid"), max("__sid").as("__maxsid"))
+    val withB = agg.join(bounds, "user_id")
+
+    val st = prevOpen.select(col("user_id"),
+      col("session_start").as("__o_start"), col("session_end").as("__o_end"),
+      col("n_events").as("__o_n"), col("total_units").as("__o_total"))
+    // the stored open session can only extend the FIRST batch session:
+    // batches are time-ordered splits, so __o_end precedes every batch ts
+    val first = withB.filter(col("__sid") === col("__minsid"))
+      .join(st, Seq("user_id"), "left")
+      .withColumn("__merge", col("__o_end").isNotNull &&
+        unix_millis(col("session_start")) - unix_millis(col("__o_end")) <= gapMs)
+    val firstAdj = first.select(col("user_id"), col("__sid"), col("__maxsid"),
+      when(col("__merge"), least(col("__o_start"), col("session_start")))
+        .otherwise(col("session_start")).as("session_start"),
+      when(col("__merge"), greatest(col("__o_end"), col("session_end")))
+        .otherwise(col("session_end")).as("session_end"),
+      when(col("__merge"), col("__o_n") + col("n_events"))
+        .otherwise(col("n_events")).as("n_events"),
+      when(col("__merge"), col("__o_total") + col("total_units"))
+        .otherwise(col("total_units")).as("total_units"))
+    val rest = withB.filter(col("__sid") =!= col("__minsid"))
+      .select(col("user_id"), col("__sid"), col("__maxsid"),
+        col("session_start"), col("session_end"), col("n_events"), col("total_units"))
+    val allSess = firstAdj.unionByName(rest)
+
+    val closedFromState = first
+      .filter(col("__o_end").isNotNull && !col("__merge"))
+      .select(col("user_id"), col("__o_start").as("session_start"),
+        col("__o_end").as("session_end"), col("__o_n").as("n_events"),
+        col("__o_total").as("total_units"))
+    val closedFromBatch = allSess.filter(col("__sid") < col("__maxsid"))
+      .select(sessCols.map(col): _*)
+    val openFromBatch = allSess.filter(col("__sid") === col("__maxsid"))
+      .select(sessCols.map(col): _*)
+    val openCarried = prevOpen.join(bounds, Seq("user_id"), "left_anti")
+      .select(sessCols.map(col): _*)
+
+    val emptyClosed = emptyOpen.withColumnRenamed("last_batch_id", "batch_id")
+    val prevClosed =
+      if (Warehouse.exists(spark, warehouseDir, closedTable))
+        Warehouse.read(spark, warehouseDir, closedTable)
+      else emptyClosed
+    val newClosed = prevClosed.filter(col("batch_id") =!= batchId).unionByName(
+      closedFromState.unionByName(closedFromBatch).withColumn("batch_id", lit(batchId)))
+    val newOpen = openFromBatch.unionByName(openCarried)
+      .withColumn("last_batch_id", lit(batchId))
+    // closed first (idempotent via the stamp filter), open LAST — the
+    // open swap's last_batch_id is the batch's commit point
+    Warehouse.overwrite(newClosed, warehouseDir, closedTable)
+    Warehouse.overwrite(newOpen, warehouseDir, openTable)
+  }
+
+  /** One micro-batch fold of the bounded-state STREAM-STREAM JOIN
+    * behind [[viewPurchaseJoin]]: the view-side state buffer lives in
+    * `bufTable`, matches accumulate in `outTable`, and the event-time
+    * horizon (max batch ts − joinWindow) evicts views that can no
+    * longer match — exactly the state bound the watermark + two-sided
+    * time condition gives the streaming form.
+    *
+    * Completeness under time-ordered batch splits: a purchase in batch
+    * k only matches views with `v_ts ∈ [p_ts − window, p_ts]`, all of
+    * which arrived in batches ≤ k; a view evicted at batch j < k had
+    * `v_ts + window < maxTs_j < p_ts`, so it could not have matched.
+    * Same two-swap idempotence as [[foldSessionsBatch]]: matches are
+    * batch-stamped and re-filtered, the buffer swap commits.
+    *
+    * Scale shape: per fold the join probes `delta ⋈ (buffer ∪ delta)`
+    * on the user key — state never exceeds one join-window of views per
+    * key, and the single driver-side value is the 1-row max-ts
+    * watermark read.
+    */
+  private[graft] def foldStreamJoinBatch(
+      batch: DataFrame,
+      batchId: Long,
+      warehouseDir: String,
+      bufTable: String,
+      outTable: String,
+      windowMs: Long): Unit = {
+    import graft.sources.Warehouse
+    val spark = batch.sparkSession
+    val views = batch.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("v_ts"))
+    val purchases = batch.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"),
+        round(col("value") * 100).cast("long").as("purchase_cents"))
+    val emptyBuf = views.withColumn("last_batch_id", lit(-1L)).limit(0)
+    val prevBuf =
+      if (Warehouse.exists(spark, warehouseDir, bufTable))
+        Warehouse.read(spark, warehouseDir, bufTable)
+      else emptyBuf
+    val lastId = prevBuf.select(max(col("last_batch_id"))).collect()
+      .headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+      .getOrElse(-1L)
+    if (batchId <= lastId) return
+
+    val allViews = prevBuf.drop("last_batch_id").unionByName(views)
+    val matches = allViews.join(purchases, Seq("user_id"))
+      .where(col("p_ts") >= col("v_ts") &&
+        unix_millis(col("p_ts")) - unix_millis(col("v_ts")) <= windowMs)
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("v_ts"), col("p_ts"), col("purchase_cents"))
+    val emptyOut = matches.withColumn("batch_id", lit(-1L)).limit(0)
+    val prevOut =
+      if (Warehouse.exists(spark, warehouseDir, outTable))
+        Warehouse.read(spark, warehouseDir, outTable)
+      else emptyOut
+    val newOut = prevOut.filter(col("batch_id") =!= batchId)
+      .unionByName(matches.withColumn("batch_id", lit(batchId)))
+
+    // event-time horizon: the 1-row watermark read (empty batch → keep all)
+    val maxTsMs = batch.agg(max(unix_millis(col("ts")))).collect()
+      .headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    val newBuf = maxTsMs.fold(allViews)(m =>
+        allViews.filter(unix_millis(col("v_ts")) + windowMs >= m))
+      .withColumn("last_batch_id", lit(batchId))
+    Warehouse.overwrite(newOut, warehouseDir, outTable)
+    Warehouse.overwrite(newBuf, warehouseDir, bufTable)
+  }
+
   /** Stream-stream inner join: views joined to purchases by the same
     * user within `[view.ts, view.ts + joinWindow]` — the online form of
     * the funnel/attribution join.

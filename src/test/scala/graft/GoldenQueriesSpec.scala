@@ -225,6 +225,8 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "incr_minmax_retract" -> "85cf6e9f4a0488786b5afce9a5928459",
     "stream_counts_replay" -> "620e5a04660d9a42d91c36dc40d05ea3",
     "stream_retract_replay" -> "1aa9fe28db3ddbc7811ff877ef307b2a",
+    "stream_sessions_replay" -> "689c59a236a51701281dc2d566e500f6",
+    "stream_join_replay" -> "3c99a2e2718f30608f5bd211813c46c2",
     "q12_late_lines" -> "f9ff2b4958077b850d02d4c86fc3cbe0",
     "sketch_cm_collisions" -> "7d5d6fa6a1c556e7023907f3822ffbd3",
     "ann_range_search" -> "ea60c68c270298fc90146707253ac983",

@@ -640,4 +640,82 @@ class StreamsSpec extends AnyFunSuite with SparkTest {
       }
     } finally q.stop()
   }
+
+  test("foldSessionsBatch merges across batches, closes on gap, replays exactly-once") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sess_fold").toString
+    val gapMs = 30L * 60 * 1000
+    def mk(rows: Seq[(Long, String, Long, Long)]) =
+      rows.toDF("user_id", "tss", "event_id", "units")
+        .select(col("user_id"), to_timestamp(col("tss")).as("ts"),
+          col("event_id"), col("units"))
+    // batch 0: u1 two events 10 min apart, u2 one, u4 one
+    val b0 = mk(Seq(
+      (1L, "2024-03-01 10:00:00", 1L, 10L), (1L, "2024-03-01 10:10:00", 2L, 5L),
+      (2L, "2024-03-01 11:00:00", 5L, 7L), (4L, "2024-03-01 09:00:00", 7L, 4L)))
+    // batch 1: u1 merges (10 min gap) then opens a new session at 13:00;
+    // u3 appears fresh; u4's 60-min gap CLOSES the stored session; u2 absent
+    val b1 = mk(Seq(
+      (1L, "2024-03-01 10:20:00", 3L, 1L), (1L, "2024-03-01 13:00:00", 4L, 2L),
+      (3L, "2024-03-01 12:00:00", 6L, 3L), (4L, "2024-03-01 10:00:00", 8L, 6L)))
+    def fold(b: org.apache.spark.sql.DataFrame, id: Long) =
+      Streams.foldSessionsBatch(b, id, dir, "open", "closed", gapMs, col("units"))
+    fold(b0, 0L); fold(b1, 1L)
+    def flush() = graft.sources.Warehouse.read(s, dir, "closed").drop("batch_id")
+      .unionByName(graft.sources.Warehouse.read(s, dir, "open").drop("last_batch_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString,
+        r.getLong(3), r.getLong(4))).toSet
+    val expected = Set(
+      (1L, "2024-03-01 10:00:00.0", "2024-03-01 10:20:00.0", 3L, 16L),
+      (1L, "2024-03-01 13:00:00.0", "2024-03-01 13:00:00.0", 1L, 2L),
+      (2L, "2024-03-01 11:00:00.0", "2024-03-01 11:00:00.0", 1L, 7L),
+      (3L, "2024-03-01 12:00:00.0", "2024-03-01 12:00:00.0", 1L, 3L),
+      (4L, "2024-03-01 09:00:00.0", "2024-03-01 09:00:00.0", 1L, 4L),
+      (4L, "2024-03-01 10:00:00.0", "2024-03-01 10:00:00.0", 1L, 6L))
+    assert(flush() == expected)
+    // crash replay: batch 1 again under the same id — both tables unchanged
+    fold(b1, 1L)
+    assert(flush() == expected, "replayed batch id must be a no-op")
+  }
+
+  test("foldStreamJoinBatch matches across batches, evicts at the horizon, replays once") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("join_fold").toString
+    def mk(rows: Seq[(Long, String, Long, String, Double)]) =
+      rows.toDF("event_id", "tss", "user_id", "event_type", "value")
+        .select(col("event_id"), to_timestamp(col("tss")).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+    val windowMs = 3600L * 1000
+    // batch 0: v1/v2 views, p1 matches v1 in-batch
+    val b0 = mk(Seq(
+      (1L, "2024-03-01 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-03-01 10:30:00", 1L, "view", 0.0),
+      (3L, "2024-03-01 10:15:00", 1L, "purchase", 9.5)))
+    // batch 1: p2 matches the BUFFERED v2 (40 min) but not v1 (70 min);
+    // u2's v3+p3 match in-batch; maxTs 11:45 evicts v1 AND v2 after fold
+    val b1 = mk(Seq(
+      (4L, "2024-03-01 11:10:00", 1L, "purchase", 20.0),
+      (5L, "2024-03-01 11:30:00", 2L, "view", 0.0),
+      (6L, "2024-03-01 11:45:00", 2L, "purchase", 3.25)))
+    // batch 2: p4 still matches the retained v3 (45 min)
+    val b2 = mk(Seq((7L, "2024-03-01 12:15:00", 2L, "purchase", 1.0)))
+    def fold(b: org.apache.spark.sql.DataFrame, id: Long) =
+      Streams.foldStreamJoinBatch(b, id, dir, "buf", "out", windowMs)
+    fold(b0, 0L); fold(b1, 1L)
+    val bufAfter1 = graft.sources.Warehouse.read(s, dir, "buf")
+      .collect().map(_.getLong(1)).toSet
+    assert(bufAfter1 == Set(5L), "horizon must evict v1 and v2, keep only v3")
+    val out1 = graft.sources.Warehouse.read(s, dir, "out").drop("batch_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(5))).toSet
+    assert(out1 == Set((1L, 3L, 950L), (2L, 4L, 2000L), (5L, 6L, 325L)))
+    fold(b1, 1L) // crash replay — must not duplicate matches
+    val replayed = graft.sources.Warehouse.read(s, dir, "out").drop("batch_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(5))).toSet
+    assert(replayed == out1, "replayed batch id must be a no-op")
+    fold(b2, 2L)
+    val out2 = graft.sources.Warehouse.read(s, dir, "out").drop("batch_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(5))).toSet
+    assert(out2 == out1 + ((5L, 7L, 100L)))
+  }
 }

@@ -2144,6 +2144,40 @@ object SparkEntry {
       }
       Warehouse.read(s, dir, outT).drop("batch_id")
     }),
+    "stream_attrib_replay" -> ((s, d) => {
+      // the last-touch attribution state machine behind lastTouchStream,
+      // replayed as four time-ordered micro-batch folds over a one-row-
+      // per-user touch-state table — batch 2 crash-replayed. The
+      // accumulated per-conversion attributions must equal the
+      // from-scratch batch attribution (the events_attribution window),
+      // proving the single-touch state summarizes all prior batches.
+      import graft.streaming.Streams
+      import graft.sources.Warehouse
+      val ev = rd(s, d, "events")
+      val dir = new java.io.File(
+        "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val epoch = contentEpoch(ev, "event_id")
+      val (stT, outT) = (s"stream_attrib_state_$epoch", s"stream_attrib_out_$epoch")
+      val cuts = Seq("2024-01-08", "2024-01-15", "2024-01-22")
+        .map(c => to_timestamp(lit(s"$c 00:00:00")))
+      val batches = Seq(
+        ev.filter(col("ts") < cuts(0)),
+        ev.filter(col("ts") >= cuts(0) && col("ts") < cuts(1)),
+        ev.filter(col("ts") >= cuts(1) && col("ts") < cuts(2)),
+        ev.filter(col("ts") >= cuts(2)))
+      graft.operators.Memo.cached(s, s"streamattrib|$dir|$outT") {
+        batches.zipWithIndex.foreach { case (b, i) =>
+          Streams.foldLastTouchBatch(b, i.toLong, dir, stT, outT,
+            Set("view", "click"), "purchase")
+          if (i == 2) // crash replay: same batch id again — must be skipped
+            Streams.foldLastTouchBatch(b, i.toLong, dir, stT, outT,
+              Set("view", "click"), "purchase")
+        }
+        java.lang.Boolean.TRUE
+      }
+      Warehouse.read(s, dir, outT).drop("batch_id")
+    }),
     "incr_minmax_retract" -> ((s, d) => {
       // min/max under retraction — the case count/sum folding cannot
       // handle: one cohort retracts exactly its stored MAXIMUM rows
@@ -4553,6 +4587,16 @@ object SparkEntry {
         "FROM events v JOIN events p ON v.user_id = p.user_id " +
         "AND p.ts >= v.ts AND epoch_us(p.ts) - epoch_us(v.ts) <= 3600000000 " +
         "WHERE v.event_type = 'view' AND p.event_type = 'purchase'"),
+    "stream_attrib_replay" ->
+      ("WITH u AS (SELECT user_id, ts, event_id, event_type, value, " +
+        "CASE WHEN event_type IN ('view', 'click') THEN event_type END AS touch " +
+        "FROM events WHERE event_type IN ('view', 'click', 'purchase')), " +
+        "w AS (SELECT user_id, event_id, ts, event_type, value, " +
+        "last_value(touch IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS channel FROM u) " +
+        "SELECT user_id, event_id, ts, coalesce(channel, 'direct') AS channel, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents " +
+        "FROM w WHERE event_type = 'purchase'"),
     "stream_retract_replay" ->
       ("SELECT user_id, count(*) AS n_events, " +
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_units " +

@@ -804,6 +804,80 @@ object Streams {
     Warehouse.overwrite(newBuf, warehouseDir, bufTable)
   }
 
+  /** One micro-batch fold of the LAST-TOUCH ATTRIBUTION state machine
+    * behind [[lastTouchStream]]: per-user state is the single most
+    * recent touch, conversions attribute against `state ∪ batch
+    * touches` restricted to touches at-or-before the conversion in the
+    * `(ts, event_id)` total order, and the state swap commits the
+    * batch. Under event-time-ordered batch splits the fold is EXACT —
+    * every preceding touch is either in this batch or summarized by the
+    * stored state — so the accumulated output equals the from-scratch
+    * batch attribution, which is what the DuckDB oracle checks.
+    *
+    * Same two-swap idempotence as [[foldSessionsBatch]]; state is one
+    * row per user with a touch (the bound that keeps unbounded user
+    * spaces viable), and the per-fold work is `delta ⋈ state` on the
+    * user key plus one delta-sized window.
+    */
+  private[graft] def foldLastTouchBatch(
+      batch: DataFrame,
+      batchId: Long,
+      warehouseDir: String,
+      stateTable: String,
+      outTable: String,
+      touches: Set[String],
+      conversion: String): Unit = {
+    import graft.sources.Warehouse
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    val bt = batch.filter(col("event_type").isin(touches.toSeq.map(lit): _*))
+      .select(col("user_id"), col("ts").as("t_ts"),
+        col("event_id").as("t_event_id"), col("event_type").as("channel"))
+    val emptyState = bt.withColumn("last_batch_id", lit(-1L)).limit(0)
+    val prevState =
+      if (Warehouse.exists(spark, warehouseDir, stateTable))
+        Warehouse.read(spark, warehouseDir, stateTable)
+      else emptyState
+    val lastId = prevState.select(max(col("last_batch_id"))).collect()
+      .headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+      .getOrElse(-1L)
+    if (batchId <= lastId) return
+
+    val allTouches = prevState.drop("last_batch_id").unionByName(bt)
+    val bc = batch.filter(col("event_type") === conversion)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+    // rank preceding touches first, newest first: row 1 is the winning
+    // touch when one exists, any non-preceding row otherwise → 'direct'
+    val byConv = Window.partitionBy("event_id").orderBy(
+      col("__before").desc, col("t_ts").desc_nulls_last,
+      col("t_event_id").desc_nulls_last)
+    val out = bc.join(allTouches, Seq("user_id"), "left")
+      .withColumn("__before", col("t_ts").isNotNull &&
+        (col("t_ts") < col("ts") ||
+          (col("t_ts") === col("ts") && col("t_event_id") < col("event_id"))))
+      .withColumn("__rk", row_number().over(byConv))
+      .filter(col("__rk") === 1)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        when(col("__before"), col("channel")).otherwise(lit("direct")).as("channel"),
+        col("cents"))
+
+    val emptyOut = out.withColumn("batch_id", lit(-1L)).limit(0)
+    val prevOut =
+      if (Warehouse.exists(spark, warehouseDir, outTable))
+        Warehouse.read(spark, warehouseDir, outTable)
+      else emptyOut
+    val newOut = prevOut.filter(col("batch_id") =!= batchId)
+      .unionByName(out.withColumn("batch_id", lit(batchId)))
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("t_ts").desc, col("t_event_id").desc)
+    val newState = allTouches.withColumn("__rk", row_number().over(byUser))
+      .filter(col("__rk") === 1).drop("__rk")
+      .withColumn("last_batch_id", lit(batchId))
+    Warehouse.overwrite(newOut, warehouseDir, outTable)
+    Warehouse.overwrite(newState, warehouseDir, stateTable)
+  }
+
   /** Stream-stream inner join: views joined to purchases by the same
     * user within `[view.ts, view.ts + joinWindow]` — the online form of
     * the funnel/attribution join.

@@ -227,6 +227,7 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "stream_retract_replay" -> "1aa9fe28db3ddbc7811ff877ef307b2a",
     "stream_sessions_replay" -> "689c59a236a51701281dc2d566e500f6",
     "stream_join_replay" -> "3c99a2e2718f30608f5bd211813c46c2",
+    "stream_attrib_replay" -> "9c496904730fd2aa9478579c6581c174",
     "q12_late_lines" -> "f9ff2b4958077b850d02d4c86fc3cbe0",
     "sketch_cm_collisions" -> "7d5d6fa6a1c556e7023907f3822ffbd3",
     "ann_range_search" -> "ea60c68c270298fc90146707253ac983",

@@ -718,4 +718,39 @@ class StreamsSpec extends AnyFunSuite with SparkTest {
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(5))).toSet
     assert(out2 == out1 + ((5L, 7L, 100L)))
   }
+
+  test("foldLastTouchBatch attributes via one-row state across batches, replays once") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("attrib_fold").toString
+    def mk(rows: Seq[(Long, String, Long, String, Double)]) =
+      rows.toDF("event_id", "tss", "user_id", "event_type", "value")
+        .select(col("event_id"), to_timestamp(col("tss")).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+    // batch 0: u1 converts BEFORE any touch (direct), then clicks;
+    // u2 views
+    val b0 = mk(Seq(
+      (1L, "2024-03-01 09:00:00", 1L, "purchase", 1.0),
+      (2L, "2024-03-01 09:30:00", 1L, "click", 0.0),
+      (3L, "2024-03-01 09:45:00", 2L, "view", 0.0)))
+    // batch 1: u1 converts (click from batch 0 via STATE), u2 clicks
+    // then converts in-batch (click wins over the older stored view)
+    val b1 = mk(Seq(
+      (4L, "2024-03-01 10:00:00", 1L, "purchase", 2.0),
+      (5L, "2024-03-01 10:10:00", 2L, "click", 0.0),
+      (6L, "2024-03-01 10:20:00", 2L, "purchase", 3.0)))
+    def fold(b: org.apache.spark.sql.DataFrame, id: Long) =
+      Streams.foldLastTouchBatch(b, id, dir, "state", "out",
+        Set("view", "click"), "purchase")
+    fold(b0, 0L); fold(b1, 1L)
+    def read() = graft.sources.Warehouse.read(s, dir, "out").drop("batch_id")
+      .collect().map(r => (r.getLong(1), r.getString(3), r.getLong(4))).toSet
+    val expected = Set((1L, "direct", 100L), (4L, "click", 200L), (6L, "click", 300L))
+    assert(read() == expected)
+    fold(b1, 1L) // crash replay — must not duplicate attributions
+    assert(read() == expected, "replayed batch id must be a no-op")
+    // state holds exactly one newest touch per user
+    val st = graft.sources.Warehouse.read(s, dir, "state")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(st == Map(1L -> 2L, 2L -> 5L))
+  }
 }

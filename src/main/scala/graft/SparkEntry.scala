@@ -2178,6 +2178,31 @@ object SparkEntry {
       }
       Warehouse.read(s, dir, outT).drop("batch_id")
     }),
+    "stat_bootstrap_ci" -> ((s, d) =>
+      // Poisson-bootstrap 95% CI for mean event value per type: per-row
+      // md5-drawn replication counts (no materialized resamples),
+      // exact integer sums, order-statistic percentile pick — over a
+      // documented 10% hash-sample population (bootstrap cost IS ×B;
+      // never run it on the raw corpus)
+      Stats.bootstrapMeanCI(
+        rd(s, d, "events").where(col("event_id") % 10 === 0),
+        "event_type", round(col("value") * 100).cast("long"), "event_id",
+        reps = 200, salt = "boot")),
+    "seq_cusum_shift" -> ((s, d) =>
+      // change-point detection: integer-exact CUSUM over daily order
+      // revenue, top-10 |S_t| days = the strongest mean-shift
+      // candidates; ties broken by date so the LIMIT is deterministic
+      Stats.cusumShift(rd(s, d, "orders"), "o_orderdate",
+          round(col("o_totalprice") * 100).cast("long"))
+        .orderBy(abs(col("cusum")).desc, col("d")).limit(10)),
+    "q_max_concurrent" -> ((s, d) =>
+      // peak-load sweep line: 45-min sessions become ±1 boundary
+      // points, the range-partitioned prefix sum (NO unpartitioned
+      // window) counts live sessions, top-20 boundary instants by
+      // concurrency; (ts, cur, delta) is a total key, so the LIMIT
+      // cut is deterministic
+      Events.concurrencySweep(rd(s, d, "events"), gapMinutes = 45)
+        .orderBy(col("cur").desc, col("ts"), col("delta")).limit(20)),
     "incr_minmax_retract" -> ((s, d) => {
       // min/max under retraction — the case count/sum folding cannot
       // handle: one cohort retracts exactly its stored MAXIMUM rows
@@ -4597,6 +4622,27 @@ object SparkEntry {
         "SELECT user_id, event_id, ts, coalesce(channel, 'direct') AS channel, " +
         "CAST(round(value * 100) AS BIGINT) AS cents " +
         "FROM w WHERE event_type = 'purchase'"),
+    "stat_bootstrap_ci" ->
+      Stats.bootstrapMeanCISql("WHERE event_id % 10 = 0", reps = 200, salt = "boot"),
+    "seq_cusum_shift" ->
+      ("WITH daily AS (SELECT o_orderdate AS d, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x FROM orders GROUP BY 1), " +
+        "tot AS (SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(x) AS HUGEINT) AS tot FROM daily), " +
+        "run AS (SELECT d, row_number() OVER (ORDER BY d) AS t, " +
+        "CAST(sum(x) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS pfx FROM daily) " +
+        "SELECT d, CAST(n * pfx - t * tot AS BIGINT) AS cusum FROM run, tot " +
+        "ORDER BY abs(n * pfx - t * tot) DESC, d LIMIT 10"),
+    "q_max_concurrent" ->
+      ("WITH o AS (SELECT user_id, ts, event_id, CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id)) > 2700000000 THEN 1 ELSE 0 END AS brk FROM events), " +
+        "s0 AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM o), " +
+        "sess AS (SELECT user_id, sid, min(ts) AS s, max(ts) AS e FROM s0 GROUP BY 1, 2), " +
+        "pts AS (SELECT s AS ts, CAST(1 AS BIGINT) AS delta FROM sess " +
+        "UNION ALL SELECT e, CAST(-1 AS BIGINT) FROM sess), " +
+        "run AS (SELECT ts, delta, CAST(sum(delta) OVER (ORDER BY ts, delta DESC " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cur FROM pts) " +
+        "SELECT ts, delta, cur FROM run ORDER BY cur DESC, ts, delta LIMIT 20"),
     "stream_retract_replay" ->
       ("SELECT user_id, count(*) AS n_events, " +
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_units " +

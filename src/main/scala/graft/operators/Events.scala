@@ -51,6 +51,34 @@ object Events {
         round(sum(col("value")), 2).as("sum_value"))
   }
 
+  /** Sweep-line concurrency: sessionized intervals become ±1 boundary
+    * points and the inclusive running sum over the `(ts, delta DESC,
+    * user, session)` total order is the number of LIVE sessions at
+    * each boundary — the classic interval-overlap shape (peak load,
+    * max concurrent users). Closed intervals: a session starting the
+    * instant another ends overlaps it, which is exactly the `+1
+    * sorts before −1 at equal ts` tiebreak.
+    *
+    * The running sum routes through [[Stats.rangePrefixSum]] —
+    * range-partitioned with per-partition offsets — NOT an
+    * unpartitioned `ORDER BY` window, so the sweep stays fully
+    * parallel at any scale (boundary table = 2 rows/session).
+    * Returns `(ts, delta, cur)`; ties inside one instant yield a
+    * deterministic multiset (+1 rows take `c+1..c+p`, −1 rows walk
+    * back down), so order-insensitive consumers replay exactly.
+    */
+  def concurrencySweep(events: DataFrame, gapMinutes: Int = 45): DataFrame = {
+    val sess = sessionize(events, gapMinutes)
+    val pts = sess.select(col("user_id"), col("session_id"),
+        col("session_start").as("ts"), lit(1L).as("delta"))
+      .unionByName(sess.select(col("user_id"), col("session_id"),
+        col("session_end").as("ts"), lit(-1L).as("delta")))
+    Stats.rangePrefixSum(pts,
+        Seq(col("ts"), col("delta").desc, col("user_id"), col("session_id")),
+        "delta", "cur")
+      .select(col("ts"), col("delta"), col("cur"))
+  }
+
   /** Exponentially-weighted trailing average per key, EXACT: the
     * classic EWMA recursion `s_i = (x_i + s_{i-1}) / 2` truncated to a
     * `window`-event tail, computed as the dyadic sum

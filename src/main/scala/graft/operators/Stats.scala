@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -318,6 +319,119 @@ object Stats {
         (col("n_w") * col("x") - col("s_w")) * (col("n_w") * col("x") - col("s_w")) >
           lit(4) * (col("n_w") * col("sxx_w") - col("s_w") * col("s_w")))
       .select("d", "x", "n_w", "s_w", "sxx_w", "is_spike")
+  }
+
+  /** CUSUM change-point scores over a daily series, EXACT: the classic
+    * cumulative deviation from the global mean, cleared of division by
+    * multiplying through by `n` — `S_t = n·prefix_t − t·total` — so the
+    * score is integer-exact and replays bit-for-bit (the argmax over
+    * `|S_t|` is the maximum-likelihood single shift point for a mean
+    * change). Products run in decimal(38,0) (HUGEINT in the oracle):
+    * at 100 TB `n·prefix` passes int64, the ppm/q9 discipline applies.
+    *
+    * The ordered window runs on the DAILY table — calendar-bounded
+    * (one row per day), the documented unpartitioned-window class; the
+    * raw scan aggregates map-side first.
+    */
+  def cusumShift(
+      rows: DataFrame,
+      dateCol: String,
+      valueUnits: Column): DataFrame = {
+    val daily = rows.groupBy(col(dateCol).as("d"))
+      .agg(sum(valueUnits.cast("long")).as("x"))
+    val w = Window.orderBy(col("d"))
+    val tot = daily.agg(count(lit(1)).as("n"), sum("x").as("tot"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    daily
+      .withColumn("t", row_number().over(w))
+      .withColumn("pfx",
+        sum("x").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .withColumn("cusum",
+        (dec(col("n")) * dec(col("pfx")) - dec(col("t")) * dec(col("tot"))).cast("long"))
+      .select(col("d"), col("cusum"))
+  }
+
+  /** Poisson(1) bootstrap CDF cut points on the 16^4 md5 grid —
+    * `floor(F(k)·65536)` as 4-hex-char literals, hardcoded so BOTH
+    * engines compare the identical strings (no runtime exp/factorial
+    * drift). Draw < cut(k) ⟺ resample count ≤ k−1… i.e. the when-chain
+    * below assigns count k at the first failing cut, count 6 past the
+    * last (P ≈ 5.9e-4 tail collapsed onto 6).
+    */
+  private val poissonCuts = Seq("5e2d", "bc5a", "eb71", "fb23", "ff10", "ffd9")
+
+  /** Poisson bootstrap confidence interval for the per-group mean —
+    * the resampling shape a training pipeline uses to error-bar any
+    * per-slice metric. Instead of materializing B resampled tables,
+    * each row draws an independent Poisson(1) REPLICATION COUNT per
+    * replicate b from `md5(salt·b:id)` (Rubin's Poisson bootstrap —
+    * the form that needs no global n and distributes embarrassingly):
+    * resample mean_b = Σc·x / Σc over exact integer sums, ONE double
+    * division per (group, b), then the CI is an ORDER-STATISTIC pick
+    * (ceil(α·B), ceil((1−α)·B); integer ceil, no interpolation) — every
+    * step replays verbatim in the oracle.
+    *
+    * Scale shape: the explode is a map-side ×B expansion feeding a
+    * combinable (group, b) aggregation — reduce volume is groups×B
+    * regardless of corpus size; the rank window runs on B rows per
+    * group. Bootstrap cost IS ×B — run it on a documented hash-sample
+    * of the population (the caller's filter), not the raw 100 TB.
+    */
+  def bootstrapMeanCI(
+      rows: DataFrame,
+      groupCol: String,
+      valueUnits: Column,
+      idCol: String,
+      reps: Int = 200,
+      salt: String = "boot"): DataFrame = {
+    val base = rows.select(col(groupCol).as("g"),
+      valueUnits.cast("long").as("x"), col(idCol).cast("string").as("id"))
+    val bs = base.withColumn("b", explode(array((0 until reps).map(lit): _*)))
+    val h = md5(concat(lit(salt), col("b").cast("string"), lit(":"), col("id"))
+      .cast("binary")).substr(1, 4)
+    val cnt = poissonCuts.zipWithIndex
+      .foldLeft(when(h < poissonCuts.head, 0L)) { case (acc, (cut, k)) =>
+        if (k == 0) acc else acc.when(h < cut, k.toLong)
+      }.otherwise(6L)
+    val means = bs.withColumn("c", cnt)
+      .groupBy(col("g"), col("b"))
+      .agg(sum(col("c") * col("x")).as("num"), sum(col("c")).as("den"))
+      .where(col("den") > 0)
+      .withColumn("mean_b", col("num").cast("double") / col("den").cast("double"))
+    val byMean = Window.partitionBy("g").orderBy(col("mean_b"), col("b"))
+    means
+      .withColumn("rk", row_number().over(byMean))
+      .withColumn("nb", count(lit(1)).over(Window.partitionBy("g")))
+      .withColumn("lo_rk", expr("(nb * 25 + 999) div 1000"))
+      .withColumn("hi_rk", expr("(nb * 975 + 999) div 1000"))
+      .filter(col("rk") === col("lo_rk") || col("rk") === col("hi_rk"))
+      .groupBy(col("g").as(groupCol))
+      .agg(min("mean_b").as("ci_lo"), max("mean_b").as("ci_hi"),
+        max("nb").as("n_reps"))
+  }
+
+  /** DuckDB replay of [[bootstrapMeanCI]] over the events table. */
+  def bootstrapMeanCISql(
+      whereClause: String, reps: Int, salt: String): String = {
+    val cuts = poissonCuts
+    val cntCase = ("CASE WHEN h < '" + cuts.head + "' THEN 0 " +
+      cuts.zipWithIndex.drop(1)
+        .map { case (c, k) => s"WHEN h < '$c' THEN $k" }.mkString(" ") +
+      " ELSE 6 END")
+    s"WITH base AS (SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS x, " +
+      s"CAST(event_id AS VARCHAR) AS id FROM events $whereClause), " +
+      s"bs AS (SELECT g, x, id, b FROM base, generate_series(0, ${reps - 1}) t(b)), " +
+      s"cc AS (SELECT g, b, x, $cntCase AS c FROM (SELECT g, x, b, " +
+      s"substr(md5('$salt' || CAST(b AS VARCHAR) || ':' || id), 1, 4) AS h FROM bs)), " +
+      "m AS (SELECT g, b, CAST(sum(c * x) AS BIGINT) AS num, CAST(sum(c) AS BIGINT) AS den " +
+      "FROM cc GROUP BY 1, 2), " +
+      "mb AS (SELECT g, b, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS mean_b FROM m WHERE den > 0), " +
+      "r AS (SELECT g, b, mean_b, row_number() OVER (PARTITION BY g ORDER BY mean_b, b) AS rk, " +
+      "count(*) OVER (PARTITION BY g) AS nb FROM mb) " +
+      "SELECT g AS event_type, min(mean_b) AS ci_lo, max(mean_b) AS ci_hi, " +
+      "CAST(max(nb) AS BIGINT) AS n_reps FROM r " +
+      "WHERE rk = (nb * 25 + 999) // 1000 OR rk = (nb * 975 + 999) // 1000 GROUP BY 1"
   }
 
   /** Scalable global prefix sum: range-partition on the order key,

@@ -127,4 +127,22 @@ class EventsSpec extends AnyFunSuite with SparkTest {
       ("2024-01-05", 104L, 0), // 109 + sign-split((99-109)*1 div 2) = 109 - 5
       ("2024-01-06", 99L, 1)))
   }
+  test("concurrencySweep counts live sessions; closed intervals overlap at the boundary") {
+    val s = spark; import s.implicits._
+    // sessions (gap 45m): u1 [10:00,10:30], u2 [10:15,10:15], u3 [10:30,11:00]
+    // u1 ends exactly when u3 starts: +1 sorts first, so both are live
+    val events = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", 0.0), (2L, 1L, "2024-01-01 10:30:00", 0.0),
+      (3L, 2L, "2024-01-01 10:15:00", 0.0),
+      (4L, 3L, "2024-01-01 10:30:00", 0.0), (5L, 3L, "2024-01-01 11:00:00", 0.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+      .withColumn("ts", to_timestamp($"ts"))
+    val got = Events.concurrencySweep(events, gapMinutes = 45).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("2024-01-01 10:00:00.0", 1L, 1L),
+      ("2024-01-01 10:15:00.0", 1L, 2L), ("2024-01-01 10:15:00.0", -1L, 1L),
+      ("2024-01-01 10:30:00.0", 1L, 2L), ("2024-01-01 10:30:00.0", -1L, 1L),
+      ("2024-01-01 11:00:00.0", -1L, 0L)))
+  }
 }

@@ -143,4 +143,40 @@ class StatsSpec extends AnyFunSuite with SparkTest {
     assert(segs.map(r => r.getInt(r.fieldIndex("f_score"))).sliding(2)
       .forall(p => p.head <= p.last), "frequency scores must be monotone")
   }
+  test("cusumShift scores the mean-shift point exactly (n*prefix - t*total)") {
+    val s = spark; import s.implicits._
+    // 10,10,10 then 20,20 — shift after day 3; day 1 split into two rows
+    val rows = Seq(
+      ("2024-01-01", 4L), ("2024-01-01", 6L), ("2024-01-02", 10L),
+      ("2024-01-03", 10L), ("2024-01-04", 20L), ("2024-01-05", 20L)
+    ).toDF("d0", "v").withColumn("d0", to_date($"d0"))
+    val got = graft.operators.Stats.cusumShift(rows, "d0", $"v").collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // n=5, total=70: S_t = 5*prefix_t - 70*t
+    assert(got == Map(
+      "2024-01-01" -> -20L, "2024-01-02" -> -40L, "2024-01-03" -> -60L,
+      "2024-01-04" -> -30L, "2024-01-05" -> 0L))
+    assert(got.minBy(kv => (-math.abs(kv._2), kv._1))._1 == "2024-01-03",
+      "argmax |S| is the day BEFORE the level change")
+  }
+
+  test("bootstrapMeanCI: constant group degenerates to a point; CI bounded by data range") {
+    val s = spark; import s.implicits._
+    val rows = (1 to 120).map(i =>
+      ("const", 42L, i.toLong)) ++ (1 to 120).map(i =>
+      ("mixed", if (i % 3 == 0) 100L else 10L, (1000 + i).toLong))
+    val df = rows.toDF("grp", "x", "id")
+    val out = graft.operators.Stats.bootstrapMeanCI(
+      df, "grp", $"x", "id", reps = 64, salt = "t").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    val (cLo, cHi, cN) = out("const")
+    assert(cLo == 42.0 && cHi == 42.0, "resampling constants is still constant")
+    assert(cN == 64L)
+    val (mLo, mHi, _) = out("mixed")
+    assert(mLo <= mHi && mLo >= 10.0 && mHi <= 100.0,
+      "CI must sit inside the data range")
+    val trueMean = rows.filter(_._1 == "mixed").map(_._2).sum.toDouble / 120
+    assert(mLo < trueMean && trueMean < mHi,
+      "95% CI from 120 rows should bracket the true mean")
+  }
 }

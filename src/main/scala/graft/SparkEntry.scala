@@ -2178,6 +2178,10 @@ object SparkEntry {
       }
       Warehouse.read(s, dir, outT).drop("batch_id")
     }),
+    "dq_fd_violations" -> ((s, d) =>
+      // conformance audit: the claimed FD source → lang, with the
+      // majority lang as repair candidate and the violating row count
+      graft.operators.Quality.fdViolations(rd(s, d, "documents"), "source", "lang")),
     "stat_bootstrap_ci" -> ((s, d) =>
       // Poisson-bootstrap 95% CI for mean event value per type: per-row
       // md5-drawn replication counts (no materialized resamples),
@@ -4622,6 +4626,14 @@ object SparkEntry {
         "SELECT user_id, event_id, ts, coalesce(channel, 'direct') AS channel, " +
         "CAST(round(value * 100) AS BIGINT) AS cents " +
         "FROM w WHERE event_type = 'purchase'"),
+    "dq_fd_violations" ->
+      ("WITH c AS (SELECT source, lang, count(*) AS n FROM documents " +
+        "WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2), " +
+        "w AS (SELECT source, lang, n, count(*) OVER (PARTITION BY source) AS n_vals, " +
+        "CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS total_rows, " +
+        "row_number() OVER (PARTITION BY source ORDER BY n DESC, lang) AS rk FROM c) " +
+        "SELECT source, n_vals, total_rows, lang AS majority_val, n AS majority_n, " +
+        "total_rows - n AS n_violating FROM w WHERE n_vals > 1 AND rk = 1"),
     "stat_bootstrap_ci" ->
       Stats.bootstrapMeanCISql("WHERE event_id % 10 = 0", reps = 200, salt = "boot"),
     "seq_cusum_shift" ->

@@ -345,4 +345,31 @@ object Quality {
       .select(keyCols.map(col) ++
         Seq(col(fromCol), col("__prev_to").as("prev_to"), col("status")): _*)
   }
+  /** Functional-dependency audit: for a claimed FD `lhs → rhs`, report
+    * every LHS value carrying more than one distinct RHS — with the
+    * majority RHS (the repair candidate) and the violating row count.
+    * The conformance-checking DQ class (schema-on-read reality check:
+    * "source determines lang", "zip determines state") that row-level
+    * predicate checks cannot express.
+    *
+    * Shape: one combinable (lhs, rhs) count, then a KEYED window over
+    * the distinct-value table (rows = |lhs×rhs| observed, corpus-size
+    * independent). Majority tiebreak: highest count, then smallest RHS
+    * — deterministic in both engines.
+    */
+  def fdViolations(df: DataFrame, lhsCol: String, rhsCol: String): DataFrame = {
+    val counts = df.filter(col(lhsCol).isNotNull && col(rhsCol).isNotNull)
+      .groupBy(col(lhsCol), col(rhsCol)).agg(count(lit(1)).as("n"))
+    val byLhs = Window.partitionBy(col(lhsCol))
+    val rk = Window.partitionBy(col(lhsCol))
+      .orderBy(col("n").desc, col(rhsCol).asc)
+    counts
+      .withColumn("n_vals", count(lit(1)).over(byLhs))
+      .withColumn("total_rows", sum(col("n")).over(byLhs))
+      .withColumn("__rk", row_number().over(rk))
+      .filter(col("n_vals") > 1 && col("__rk") === 1)
+      .select(col(lhsCol), col("n_vals"), col("total_rows"),
+        col(rhsCol).as("majority_val"), col("n").as("majority_n"),
+        (col("total_rows") - col("n")).as("n_violating"))
+  }
 }

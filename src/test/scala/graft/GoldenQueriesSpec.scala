@@ -231,6 +231,7 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "q_max_concurrent" -> "ac92e6c40c85599ff88016ad0902176d",
     "seq_cusum_shift" -> "f00e6db445f46deeeb887a80404b70ed",
     "stat_bootstrap_ci" -> "bc1a38018f7c540124a3bffb82257ecd",
+    "dq_fd_violations" -> "f172db51f9d24119ed3e573dcb4d4fc4",
     "q12_late_lines" -> "f9ff2b4958077b850d02d4c86fc3cbe0",
     "sketch_cm_collisions" -> "7d5d6fa6a1c556e7023907f3822ffbd3",
     "ann_range_search" -> "ea60c68c270298fc90146707253ac983",

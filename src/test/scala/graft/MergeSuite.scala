@@ -315,4 +315,19 @@ class MergeSuite extends AnyFunSuite with SparkTest {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
     assert(again == expected)
   }
+  test("fdViolations reports only violated LHS values with deterministic majority") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      ("a", "x"), ("a", "x"), ("a", "y"),          // violated: majority x
+      ("b", "x"), ("b", "x"), ("b", "y"), ("b", "y"), // tie: smallest rhs wins
+      ("c", "z"), ("c", "z"),                      // clean
+      ("d", null), (null, "q")                     // nulls don't participate
+    ).toDF("lhs", "rhs")
+    val out = graft.operators.Quality.fdViolations(df, "lhs", "rhs").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out == Map(
+      "a" -> ((2L, 3L, "x", 2L, 1L)),
+      "b" -> ((2L, 4L, "x", 2L, 2L))))
+  }
 }

@@ -2269,6 +2269,29 @@ object SparkEntry {
       Stats.groupOls(rd(s, d, "lineitem"), Seq("l_returnflag"),
         col("l_quantity").cast("long"),
         round(col("l_extendedprice") * 100).cast("long"))),
+    "stat_spearman" -> ((s, d) =>
+      // monotone association per return flag: Spearman's rho with
+      // average-rank ties — ranks come from distinct-value prefix
+      // tables (value-domain-sized windows, never a corpus sort),
+      // moments on the exact decimal grid
+      Stats.spearman(rd(s, d, "lineitem"), Seq("l_returnflag"),
+        col("l_quantity"),
+        round(col("l_extendedprice") * 100).cast("long"))),
+    "stat_mann_whitney" -> ((s, d) =>
+      // nonparametric two-sample test: does fulfilled-order spend
+      // stochastically dominate open-order spend? Tie-corrected
+      // rank-sum U and z from exact decimal moments
+      Stats.mannWhitneyU(
+        rd(s, d, "orders").filter(col("o_orderstatus").isin("F", "O")),
+        round(col("o_totalprice") * 100).cast("long"),
+        col("o_orderstatus") === "F")),
+    "stat_acf" -> ((s, d) =>
+      // seasonality detector: autocorrelation of daily revenue at lags
+      // 1..14 (the weekly spike shows at lag 7); pair alignment is an
+      // equi-join on shifted dates over the calendar-bounded daily
+      // table, Pearson per lag from exact decimal moments
+      Stats.acf(rd(s, d, "orders"), "o_orderdate",
+        round(col("o_totalprice") * 100).cast("long"), maxLag = 14)),
     "stat_corr_matrix" -> ((s, d) =>
       // pairwise Pearson over four integer-unit measures in ONE scan
       // (all k(k+3)/2 moments in a single agg, never k² passes)
@@ -4694,6 +4717,15 @@ object SparkEntry {
     "stat_group_ols" -> Stats.groupOlsSql("lineitem", Seq("l_returnflag"),
       "CAST(l_quantity AS BIGINT)",
       "CAST(round(l_extendedprice * 100) AS BIGINT)"),
+    "stat_spearman" -> Stats.spearmanSql("lineitem", Seq("l_returnflag"),
+      "CAST(l_quantity AS BIGINT)",
+      "CAST(round(l_extendedprice * 100) AS BIGINT)"),
+    "stat_mann_whitney" -> Stats.mannWhitneyUSql("orders",
+      "CAST(round(o_totalprice * 100) AS BIGINT)",
+      "o_orderstatus = 'F'",
+      "WHERE o_orderstatus IN ('F', 'O')"),
+    "stat_acf" -> Stats.acfSql("orders",
+      "CAST(round(o_totalprice * 100) AS BIGINT)", maxLag = 14),
     "stat_corr_matrix" -> Stats.corrMatrixSql("lineitem", Seq(
       "qty" -> "CAST(l_quantity AS BIGINT)",
       "price_usd" -> "CAST(round(l_extendedprice) AS BIGINT)",

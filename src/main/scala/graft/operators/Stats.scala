@@ -501,6 +501,277 @@ object Stats {
     spark.createDataFrame(rows, outSchema)
   }
 
+  /** Per-group cumulative count over a distinct-value table — the
+    * prefix under every rank: adds `__cum` = Σ `__n` over values ≤ this
+    * row's value within its group. TWO-LEVEL, never a single-reducer
+    * window: values bucket by position in the global [lo, hi] span
+    * (4096 buckets; bucketing affects only parallelism — the prefix
+    * algebra is exact for ANY monotone bucketing, so the output is
+    * bucketing-independent), in-bucket prefixes run as parallel
+    * (group, bucket)-partitioned windows, and bucket offsets ride a
+    * ≤4096-rows-per-group window. A near-unique value domain (price
+    * cents over a 100 TB corpus) ranks at full cluster width.
+    */
+  private def cumCounts(
+      cnt: DataFrame,
+      groupCols: Seq[String],
+      valCol: String): DataFrame = {
+    val bounds = cnt.agg(min(col(valCol)).as("__lo"), max(col(valCol)).as("__hi"))
+    // floor((v-lo)·4096/span) is monotone in v (IEEE × and ÷ by a
+    // positive constant preserve order), so equal values share a bucket
+    val span = (col("__hi") - col("__lo") + lit(1L)).cast("double")
+    val bucketed = cnt.crossJoin(broadcast(bounds))
+      .withColumn("__bkt",
+        when(col("__hi") === col("__lo"), 0L)
+          .otherwise(floor((col(valCol) - col("__lo")).cast("double") *
+            lit(4096.0) / span).cast("long")))
+      .drop("__lo", "__hi")
+    val inBucket = Window
+      .partitionBy((groupCols :+ "__bkt").map(col): _*).orderBy(col(valCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offW = (if (groupCols.isEmpty) Window.orderBy(col("__bkt"))
+                else Window.partitionBy(groupCols.map(col): _*).orderBy(col("__bkt")))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bTot = bucketed.groupBy((groupCols :+ "__bkt").map(col): _*)
+      .agg(sum("__n").as("__bt"))
+      .withColumn("__off", coalesce(sum("__bt").over(offW), lit(0L)))
+      .drop("__bt")
+    bucketed
+      .withColumn("__cumb", sum("__n").over(inBucket))
+      .join(bTot, groupCols :+ "__bkt")
+      .withColumn("__cum", col("__off") + col("__cumb"))
+      .drop("__bkt", "__cumb", "__off")
+  }
+
+  /** Doubled average ranks (2·rank, always an integer) for a value
+    * column, per group — the shared machinery under [[spearman]] and
+    * [[mannWhitneyU]]. Tied values get the tie group's AVERAGE rank;
+    * doubling keeps it on the integer grid (2r = 2·cum − n + 1).
+    * Scale shape: map-side combinable counts + the [[cumCounts]]
+    * two-level prefix; ranks join back by (group, value).
+    */
+  private def rank2Table(
+      rows: DataFrame,
+      groupCols: Seq[String],
+      valCol: String,
+      outCol: String): DataFrame = {
+    val cnt = rows.groupBy((groupCols :+ valCol).map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    cumCounts(cnt, groupCols, valCol)
+      .select((groupCols :+ valCol).map(col) :+
+        (lit(2L) * col("__cum") - col("__n") + lit(1L)).as(outCol): _*)
+  }
+
+  /** Spearman rank correlation per group — the monotone-association
+    * readout quality pipelines want when Pearson's linearity
+    * assumption doesn't hold (heavy-tailed spend, score-vs-length).
+    * Ties take average ranks (the standard ρ with ties); the doubled
+    * ranks stay integers, so ρ is Pearson's closed form over EXACT
+    * decimal(38,0) rank moments — the [[groupOls]] cross-engine
+    * discipline, immune to int64 overflow at any corpus size (rank
+    * products reach 4n² per row).
+    *
+    * Scale shape: two distinct-value rank tables (map-side combinable
+    * counts + a two-level bucketed prefix each), two equi-joins back,
+    * one combinable moment aggregation. No single-reducer window
+    * anywhere — near-unique value domains rank in parallel.
+    */
+  def spearman(
+      df: DataFrame,
+      groupCols: Seq[String],
+      xUnits: Column,
+      yUnits: Column): DataFrame = {
+    val rows = df.select(groupCols.map(col) ++ Seq(
+      xUnits.cast("long").as("__x"), yUnits.cast("long").as("__y")): _*)
+    val rx = rank2Table(rows, groupCols, "__x", "__rx")
+    val ry = rank2Table(rows, groupCols, "__y", "__ry")
+    val ranked = rows
+      .join(rx, groupCols :+ "__x")
+      .join(ry, groupCols :+ "__y")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val m = ranked.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("__rx"))).as("__sx"),
+        sum(dec(col("__ry"))).as("__sy"),
+        sum(dec(col("__rx")) * dec(col("__rx"))).as("__sxx"),
+        sum(dec(col("__rx")) * dec(col("__ry"))).as("__sxy"),
+        sum(dec(col("__ry")) * dec(col("__ry"))).as("__syy"))
+    val nD = col("n").cast("double")
+    val sx = col("__sx").cast("double"); val sy = col("__sy").cast("double")
+    val sxx = col("__sxx").cast("double"); val sxy = col("__sxy").cast("double")
+    val syy = col("__syy").cast("double")
+    val num = nD * sxy - sx * sy
+    val den = nD * sxx - sx * sx
+    val deny = nD * syy - sy * sy
+    m.select(groupCols.map(col) :+ col("n") :+
+      when(den =!= 0.0 && deny =!= 0.0, num / sqrt(den * deny)).as("rho"): _*)
+  }
+
+  /** DuckDB replay of [[spearman]] — same distinct-value rank CTEs,
+    * same HUGEINT moments, same double expression tree.
+    */
+  def spearmanSql(
+      table: String,
+      groupCols: Seq[String],
+      xUnitsSql: String,
+      yUnitsSql: String): String = {
+    val g = groupCols.mkString(", ")
+    val gc = if (groupCols.isEmpty) "" else s"$g, "
+    val part = if (groupCols.isEmpty) "" else s"PARTITION BY $g "
+    def rankCte(v: String, out: String) =
+      s"(SELECT $gc$v, 2 * sum(n) OVER (${part}ORDER BY $v ROWS UNBOUNDED PRECEDING) - n + 1 AS $out " +
+        s"FROM (SELECT $gc$v, count(*) AS n FROM r GROUP BY ALL) c)"
+    val joinKeys = (groupCols :+ "__x").mkString(", ")
+    val joinKeysY = (groupCols :+ "__y").mkString(", ")
+    s"WITH r AS (SELECT $gc$xUnitsSql AS __x, $yUnitsSql AS __y FROM $table), " +
+      s"rx AS ${rankCte("__x", "rx2")}, ry AS ${rankCte("__y", "ry2")}, " +
+      s"j AS (SELECT ${if (groupCols.isEmpty) "" else groupCols.map(c => s"r.$c").mkString(", ") + ", "}rx.rx2, ry.ry2 " +
+      s"FROM r JOIN rx USING ($joinKeys) JOIN ry USING ($joinKeysY)), " +
+      s"m AS (SELECT ${gc}count(*) AS n, " +
+      "CAST(sum(CAST(rx2 AS HUGEINT)) AS HUGEINT) AS sx, CAST(sum(CAST(ry2 AS HUGEINT)) AS HUGEINT) AS sy, " +
+      "CAST(sum(CAST(rx2 AS HUGEINT) * CAST(rx2 AS HUGEINT)) AS HUGEINT) AS sxx, " +
+      "CAST(sum(CAST(rx2 AS HUGEINT) * CAST(ry2 AS HUGEINT)) AS HUGEINT) AS sxy, " +
+      "CAST(sum(CAST(ry2 AS HUGEINT) * CAST(ry2 AS HUGEINT)) AS HUGEINT) AS syy " +
+      s"FROM j GROUP BY ALL), " +
+      "e AS (SELECT *, CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd, " +
+      "CAST(sxx AS DOUBLE) AS sxxd, CAST(sxy AS DOUBLE) AS sxyd, CAST(syy AS DOUBLE) AS syyd FROM m) " +
+      s"SELECT ${gc}n, CASE WHEN nd * sxxd - sxd * sxd <> 0 AND nd * syyd - syd * syd <> 0 " +
+      "THEN (nd * sxyd - sxd * syd) / sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)) END AS rho " +
+      "FROM e"
+  }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) — the nonparametric two-sample
+    * test an experimentation stack reaches for when spend/latency is
+    * too heavy-tailed for the z-test: does sample A stochastically
+    * dominate sample B? Average ranks over the COMBINED sample (ties
+    * handled), the tie-corrected normal approximation for z. U and the
+    * tie term stay on the exact decimal grid (n1·(n1+1) and Σ(t³−t)
+    * overflow int64 at corpus scale); z is one fixed double expression
+    * over those exact sums, identical in both engines.
+    *
+    * Scale shape: one combinable (value → n, n_a) count table, a
+    * two-level bucketed prefix for the combined ranks, one global fold.
+    * Output: one row (n1, n2, u — sample A's U statistic — and z).
+    */
+  def mannWhitneyU(
+      df: DataFrame,
+      valueUnits: Column,
+      isA: Column): DataFrame = {
+    val rows = df.select(valueUnits.cast("long").as("__v"),
+      when(isA, 1L).otherwise(0L).as("__a"))
+    val cnt = rows.groupBy("__v")
+      .agg(count(lit(1)).as("__n"), sum("__a").as("__na"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    // cumulative count over distinct values via the two-level bucketed
+    // prefix (same reasoning as rank2Table: the value domain can be
+    // corpus-sized, so no single-reducer ORDER BY window)
+    val ranked = cumCounts(cnt, Nil, "__v")
+      .withColumn("__r2", lit(2L) * col("__cum") - col("__n") + lit(1L))
+    val m = ranked.agg(
+      sum("__n").as("n"),
+      sum("__na").as("n1"),
+      sum(dec(col("__na")) * dec(col("__r2"))).as("__r2a"),
+      sum(dec(col("__n")) * dec(col("__n")) * dec(col("__n")) - dec(col("__n")))
+        .as("__tie"))
+    // 2·U1 = Σ(2r over A) − n1·(n1+1); σ²(U1) tie-corrected:
+    // n1·n2/12 · ((n+1) − T/(n·(n−1))); z = (2U1 − n1·n2) / (2σ)
+    val n1d = col("n1").cast("double")
+    val n2d = (col("n") - col("n1")).cast("double")
+    val nd = col("n").cast("double")
+    val u2 = col("__r2a").cast("double") - n1d * (n1d + 1.0)
+    val tie = col("__tie").cast("double")
+    val sig2 = n1d * n2d / 12.0 * ((nd + 1.0) - tie / (nd * (nd - 1.0)))
+    m.select(col("n1"), (col("n") - col("n1")).as("n2"),
+      (u2 / 2.0).as("u"),
+      when(col("n1") > 0 && col("n") > col("n1") && col("n") > 1 && sig2 > 0.0,
+        (u2 - n1d * n2d) / (lit(2.0) * sqrt(sig2))).as("z"))
+  }
+
+  /** DuckDB replay of [[mannWhitneyU]]. */
+  def mannWhitneyUSql(
+      table: String,
+      valueUnitsSql: String,
+      isASql: String,
+      whereClause: String = ""): String =
+    s"WITH r AS (SELECT $valueUnitsSql AS v, CASE WHEN $isASql THEN 1 ELSE 0 END AS a " +
+      s"FROM $table $whereClause), " +
+      "c AS (SELECT v, count(*) AS n, CAST(sum(a) AS BIGINT) AS na FROM r GROUP BY 1), " +
+      "w AS (SELECT v, n, na, 2 * sum(n) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - n + 1 AS r2 FROM c), " +
+      "m AS (SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(na) AS BIGINT) AS n1, " +
+      "CAST(sum(CAST(na AS HUGEINT) * CAST(r2 AS HUGEINT)) AS HUGEINT) AS r2a, " +
+      "CAST(sum(CAST(n AS HUGEINT) * CAST(n AS HUGEINT) * CAST(n AS HUGEINT) - CAST(n AS HUGEINT)) AS HUGEINT) AS tie FROM w), " +
+      "e AS (SELECT n, n1, n - n1 AS n2, CAST(n AS DOUBLE) AS nd, CAST(n1 AS DOUBLE) AS n1d, " +
+      "CAST(n - n1 AS DOUBLE) AS n2d, CAST(r2a AS DOUBLE) AS r2ad, CAST(tie AS DOUBLE) AS tied FROM m), " +
+      "f AS (SELECT *, r2ad - n1d * (n1d + 1.0) AS u2, " +
+      "n1d * n2d / 12.0 * ((nd + 1.0) - tied / (nd * (nd - 1.0))) AS sig2 FROM e) " +
+      "SELECT n1, n2, u2 / 2.0 AS u, " +
+      "CASE WHEN n1 > 0 AND n > n1 AND n > 1 AND sig2 > 0.0 " +
+      "THEN (u2 - n1d * n2d) / (2.0 * sqrt(sig2)) END AS z FROM f"
+
+  /** Autocorrelation function of a daily integer series at lags
+    * 1..maxLag — the seasonality detector behind "is this metric
+    * weekly-periodic?" (a spike at lag 7 is the canonical signature).
+    * Per lag, Pearson's r over the aligned pairs (x_t, x_{t+lag}) via
+    * the exact-decimal moment discipline; alignment is an EQUI-join on
+    * shifted dates (d + lag = d'), never a self-cross.
+    *
+    * Scale shape: the raw scan folds to the calendar-bounded daily
+    * table map-side; the lag explode is ×maxLag on that bounded table;
+    * moments aggregate combinably per lag. Nothing here grows with
+    * corpus size.
+    */
+  def acf(
+      rows: DataFrame,
+      dateCol: String,
+      valueUnits: Column,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1)
+    val daily = rows.groupBy(to_date(col(dateCol)).as("d"))
+      .agg(sum(valueUnits.cast("long")).as("x"))
+    val a = daily
+      .withColumn("lag_d", explode(array((1 to maxLag).map(i => lit(i)): _*)))
+      .select(col("lag_d"), col("d"), col("x").as("__xa"))
+    val b = daily.select(col("d").as("__d2"), col("x").as("__xb"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val pairs = a.join(b, expr("__d2 = date_add(d, lag_d)"))
+    val m = pairs.groupBy("lag_d")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(dec(col("__xa"))).as("__sx"),
+        sum(dec(col("__xb"))).as("__sy"),
+        sum(dec(col("__xa")) * dec(col("__xa"))).as("__sxx"),
+        sum(dec(col("__xa")) * dec(col("__xb"))).as("__sxy"),
+        sum(dec(col("__xb")) * dec(col("__xb"))).as("__syy"))
+    val nD = col("n_pairs").cast("double")
+    val sx = col("__sx").cast("double"); val sy = col("__sy").cast("double")
+    val sxx = col("__sxx").cast("double"); val sxy = col("__sxy").cast("double")
+    val syy = col("__syy").cast("double")
+    val num = nD * sxy - sx * sy
+    val den = nD * sxx - sx * sx
+    val deny = nD * syy - sy * sy
+    m.select(col("lag_d"), col("n_pairs"),
+      when(den =!= 0.0 && deny =!= 0.0, num / sqrt(den * deny)).as("r"))
+  }
+
+  /** DuckDB replay of [[acf]] over the orders table. */
+  def acfSql(table: String, valueUnitsSql: String, maxLag: Int): String =
+    s"WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, " +
+      s"CAST(sum($valueUnitsSql) AS BIGINT) AS x FROM $table GROUP BY 1), " +
+      s"lags AS (SELECT CAST(unnest(generate_series(1, $maxLag)) AS INT) AS lag_d), " +
+      "p AS (SELECT l.lag_d, a.x AS xa, b.x AS xb FROM lags l " +
+      "CROSS JOIN daily a JOIN daily b ON b.d = a.d + l.lag_d), " +
+      "m AS (SELECT lag_d, count(*) AS n_pairs, " +
+      "CAST(sum(CAST(xa AS HUGEINT)) AS HUGEINT) AS sx, CAST(sum(CAST(xb AS HUGEINT)) AS HUGEINT) AS sy, " +
+      "CAST(sum(CAST(xa AS HUGEINT) * CAST(xa AS HUGEINT)) AS HUGEINT) AS sxx, " +
+      "CAST(sum(CAST(xa AS HUGEINT) * CAST(xb AS HUGEINT)) AS HUGEINT) AS sxy, " +
+      "CAST(sum(CAST(xb AS HUGEINT) * CAST(xb AS HUGEINT)) AS HUGEINT) AS syy " +
+      "FROM p GROUP BY 1), " +
+      "e AS (SELECT lag_d, n_pairs, CAST(n_pairs AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd, " +
+      "CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd, CAST(sxy AS DOUBLE) AS sxyd, " +
+      "CAST(syy AS DOUBLE) AS syyd FROM m) " +
+      "SELECT lag_d, n_pairs, CASE WHEN nd * sxxd - sxd * sxd <> 0 AND nd * syyd - syd * syd <> 0 " +
+      "THEN (nd * sxyd - sxd * syd) / sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)) END AS r " +
+      "FROM e"
+
   /** DuckDB replay of [[rollingIntegerZSpikes]]. */
   def rollingIntegerZSpikesSql(table: String, window: Int = 7, minWindow: Int = 3): String =
     s"WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, " +

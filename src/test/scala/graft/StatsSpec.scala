@@ -179,4 +179,56 @@ class StatsSpec extends AnyFunSuite with SparkTest {
     assert(mLo < trueMean && trueMean < mHi,
       "95% CI from 120 rows should bracket the true mean")
   }
+
+  test("spearman: monotone nonlinear = 1, reversal = -1, ties use average ranks") {
+    val s = spark; import s.implicits._
+    // y = x^3 is perfectly monotone (rho 1) but not linear (pearson < 1)
+    val mono = Seq(("m", 1L, 1L), ("m", 2L, 8L), ("m", 3L, 27L), ("m", 10L, 1000L),
+      ("r", 1L, 9L), ("r", 2L, 7L), ("r", 3L, 5L), ("r", 4L, 1L))
+      .toDF("g", "x", "y")
+    val out = Stats.spearman(mono, Seq("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out("m") == 1.0, "monotone: rank sequences identical")
+    assert(out("r") == -1.0, "reversal: rank sequences opposite")
+    // tied block: x=(1,2,2,3) y=(10,20,20,40) — tied middle gets avg
+    // rank on both sides, still a perfect rank match
+    val tied = Seq(("t", 1L, 10L), ("t", 2L, 20L), ("t", 2L, 20L), ("t", 3L, 40L))
+      .toDF("g", "x", "y")
+    val rho = Stats.spearman(tied, Seq("g"), col("x"), col("y"))
+      .collect().head.getDouble(2)
+    assert(rho == 1.0, s"average-rank ties preserve the perfect match, got $rho")
+    // constant x: zero rank variance -> NULL, not a crash
+    val const = Seq(("c", 5L, 1L), ("c", 5L, 2L)).toDF("g", "x", "y")
+    assert(Stats.spearman(const, Seq("g"), col("x"), col("y"))
+      .collect().head.isNullAt(2))
+  }
+
+  test("mannWhitneyU: hand-computed U with and without ties") {
+    val s = spark; import s.implicits._
+    // complete separation: A = {1,2,3} all below B = {4,5,6} -> U = 0
+    val sep = Seq((1L, true), (2L, true), (3L, true),
+      (4L, false), (5L, false), (6L, false)).toDF("v", "a")
+    val r1 = Stats.mannWhitneyU(sep, col("v"), col("a")).collect().head
+    assert(r1.getLong(0) == 3L && r1.getLong(1) == 3L)
+    assert(r1.getDouble(2) == 0.0, "no A beats any B: U = 0")
+    assert(r1.getDouble(3) < -1.9, "z strongly negative under separation")
+    // tie across the groups: A={1,2}, B={2,3} -> R1 = 1 + 2.5, U = 0.5
+    val tied = Seq((1L, true), (2L, true), (2L, false), (3L, false)).toDF("v", "a")
+    val r2 = Stats.mannWhitneyU(tied, col("v"), col("a")).collect().head
+    assert(r2.getDouble(2) == 0.5, s"tied rank averages: U = 0.5, got ${r2.getDouble(2)}")
+  }
+
+  test("acf: period-2 alternating series has r(2) = 1 and r(1) = -1") {
+    val s = spark; import s.implicits._
+    val base = java.time.LocalDate.parse("2024-03-01")
+    val days = (0 until 20).map(i =>
+      (java.sql.Date.valueOf(base.plusDays(i.toLong)),
+        if (i % 2 == 0) 1L else 5L))
+    val df = days.toDF("d", "x")
+    val out = Stats.acf(df, "d", col("x"), maxLag = 3)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1)._2 == -1.0, "lag 1 flips the phase: exact -1")
+    assert(out(2)._2 == 1.0, "lag 2 realigns: exact +1")
+    assert(out(1)._1 == 19L && out(2)._1 == 18L, "pair counts shrink by lag")
+  }
 }

@@ -867,6 +867,37 @@ object SparkEntry {
       graft.operators.Graph.pageRankFixed(e, iters = 3)
         .orderBy(col("rank").desc, col("node")).limit(20)
     }),
+    "graph_sssp" -> ((s, d) => {
+      // cheapest-route radius: weighted shortest paths (≤ 3 edges)
+      // from every 5th supplier through the co-purchase graph —
+      // frontier Bellman-Ford, deterministic integer weights
+      // 1 + (src+dst) % 7 shared with the oracle's bounded walk
+      val raw = rd(s, d, "lineitem")
+        .select(col("l_suppkey").as("s"), (col("l_partkey") + 1000000L).as("p"))
+      val e = raw.select(col("s").as("src"), col("p").as("dst"))
+        .unionByName(raw.select(col("p").as("src"), col("s").as("dst")))
+        .withColumn("w", lit(1L) + (col("src") + col("dst")) % 7)
+      val seeds = rd(s, d, "supplier")
+        .where(col("s_suppkey") % 5 === 0).select(col("s_suppkey").as("node"))
+      graft.operators.Graph.ssspBounded(e, seeds, maxHops = 3)
+    }),
+    "graph_clustering" -> ((s, d) => {
+      // neighborhood density: local clustering coefficient on the same
+      // capped 3-clique projection graph_triangles counts — cc_ppm =
+      // 2e6·T div deg·(deg−1), NULL below deg 2
+      val lp = rd(s, d, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val t3 = lp.groupBy("o")
+        .agg(slice(sort_array(collect_list(col("p"))), 1, 3).as("ps"))
+      val pairs = array(
+        struct(get(col("ps"), lit(0)).as("src"), get(col("ps"), lit(1)).as("dst")),
+        struct(get(col("ps"), lit(0)).as("src"), get(col("ps"), lit(2)).as("dst")),
+        struct(get(col("ps"), lit(1)).as("src"), get(col("ps"), lit(2)).as("dst")))
+      val e = t3.select(explode(pairs).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .where(col("dst").isNotNull)
+      graft.operators.Graph.clusteringCoefficient(e)
+    }),
     "graph_triangles" -> ((s, d) => {
       // per-node triangle counts on the part co-purchase graph: each
       // order's 3 smallest parts form a clique (the capped bipartite
@@ -4117,6 +4148,35 @@ object SparkEntry {
     // independent formulation: the oracle counts triangles by the naive
     // ordered three-way join (a<b<c), so the degree-ordered orientation
     // is verified against first principles, not replayed
+    // independent formulation: bounded recursive walk over ALL ≤3-edge
+    // paths with a terminal min-fold — first principles, not a replay
+    // of the frontier relaxation
+    "graph_sssp" ->
+      ("WITH RECURSIVE raw AS (SELECT DISTINCT l_suppkey AS s, l_partkey + 1000000 AS p FROM lineitem), " +
+        "e AS (SELECT s AS src, p AS dst, 1 + (s + p) % 7 AS w FROM raw " +
+        "UNION SELECT p, s, 1 + (s + p) % 7 FROM raw), " +
+        "seeds AS (SELECT DISTINCT s_suppkey AS node FROM supplier WHERE s_suppkey % 5 = 0), " +
+        "wlk(node, dist, hops) AS (SELECT node, 0, 0 FROM seeds " +
+        "UNION SELECT e.dst, wlk.dist + e.w, wlk.hops + 1 FROM wlk JOIN e ON e.src = wlk.node " +
+        "WHERE wlk.hops < 3) " +
+        "SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM wlk GROUP BY node"),
+    "graph_clustering" ->
+      ("WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+        "r AS (SELECT o, p, row_number() OVER (PARTITION BY o ORDER BY p) AS rn FROM lp), " +
+        "t3 AS (SELECT o, p, rn FROM r WHERE rn <= 3), " +
+        "ed AS (SELECT DISTINCT x.p AS a, y.p AS b FROM t3 x JOIN t3 y " +
+        "ON x.o = y.o AND x.rn < y.rn), " +
+        "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM ed e1 " +
+        "JOIN ed e2 ON e2.a = e1.b JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b), " +
+        "cnt AS (SELECT node, count(*) AS n FROM (SELECT x AS node FROM tri " +
+        "UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) GROUP BY node), " +
+        "deg AS (SELECT node, count(*) AS deg FROM (SELECT a AS node FROM ed " +
+        "UNION ALL SELECT b FROM ed) GROUP BY node) " +
+        "SELECT deg.node, CAST(deg.deg AS BIGINT) AS deg, " +
+        "CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_triangles, " +
+        "CASE WHEN deg.deg >= 2 THEN CAST(2000000 * coalesce(cnt.n, 0) " +
+        "// (deg.deg * (deg.deg - 1)) AS BIGINT) END AS cc_ppm " +
+        "FROM deg LEFT JOIN cnt ON cnt.node = deg.node"),
     "graph_triangles" ->
       ("WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
         "r AS (SELECT o, p, row_number() OVER (PARTITION BY o ORDER BY p) AS rn FROM lp), " +

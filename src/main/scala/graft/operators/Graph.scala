@@ -489,10 +489,117 @@ object Graph {
     * @return (node, n_triangles) for every vertex of the graph,
     *         including zero rows
     */
+  /** Hop-bounded weighted single-source shortest paths — frontier
+    * Bellman-Ford: after round h, `dist(v)` is EXACTLY the cheapest
+    * path using ≤ h edges (the textbook invariant), so a fixed
+    * `maxHops` gives well-defined, engine-portable semantics — the
+    * oracle can replay it as a bounded recursive walk with min-fold,
+    * no convergence race. Integer weights keep every distance exact.
+    *
+    * Scale shape: per round, ONE equi-join of the frontier against the
+    * edge list (keyed shuffle), a vertex-keyed min, and an improvement
+    * anti-check against the settled table; only IMPROVED vertices form
+    * the next frontier, so rounds shrink toward the unsettled rim
+    * rather than rescanning all vertices. Rounds end early when a
+    * frontier settles nothing ([[bfsDistances]]' discipline). Driver
+    * sync is one isEmpty per round on the (small) improvement set.
+    *
+    * @param seeds one-column DataFrame of source node ids (dist 0)
+    * @param weightCol non-negative integer edge weight column
+    * @return (node, dist): min path cost over ≤ maxHops edges
+    */
+  def ssspBounded(
+      edges: DataFrame,
+      seeds: DataFrame,
+      maxHops: Int,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      weightCol: String = "w"): DataFrame = {
+    require(maxHops >= 0)
+    val e = Caches.persisted(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("long").as("w")).distinct())
+    val seed0 = seeds.select(col(seeds.columns.head).as("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    // the settled table stays a LAZY union of per-round improvement
+    // sets (each checkpointed — flat lineage); min-folding it inside
+    // the improvement job costs one aggregation, but avoids a second
+    // full-table materialization per round (improvements only ever
+    // shrink a node's dist, so the terminal min-fold is exact)
+    var parts = Vector(seed0)
+    def best = parts.reduce(_ unionAll _)
+      .groupBy("node").agg(min("dist").as("dist"))
+    var frontier = seed0
+    var h = 1
+    var continue = maxHops >= 1
+    while (continue) {
+      val cand = frontier.select(col("node").as("src"), col("dist"))
+        .join(e, "src")
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("dist") + col("w")).as("dist"))
+      if (h == maxHops) {
+        // last hop: no next frontier to prune for — the candidates
+        // fold into the terminal min as-is (overestimates lose the
+        // min), skipping the improvement join and its checkpoint
+        parts :+= cand
+        continue = false
+      } else {
+        val improved = cand
+          .join(best.withColumnRenamed("dist", "__old"), Seq("node"), "left")
+          .where(col("__old").isNull || col("dist") < col("__old"))
+          .select(col("node"), col("dist"))
+          .localCheckpoint(true)
+        if (improved.isEmpty) continue = false
+        else {
+          parts :+= improved
+          frontier = improved
+          h += 1
+        }
+      }
+    }
+    best
+  }
+
+  /** Local clustering coefficient — how clique-like each vertex's
+    * neighborhood is: cc = 2·T / (deg·(deg−1)), the fraction of a
+    * node's neighbor pairs that are themselves connected. The
+    * community-vs-hub discriminator (spam rings score ~1, organic
+    * hubs ~0) that rides directly on [[triangleCounts]]' oriented
+    * wedge counting — the O(√E) per-vertex work bound carries over and
+    * the degree reads back out of the orientation key for free.
+    *
+    * Emitted on the exact ppm grid (`2·10⁶·T div deg·(deg−1)`, floor
+    * division on non-negatives — both engines agree); deg < 2 emits
+    * NULL (no neighbor pairs to close). Int64 headroom: 2·10⁶·T wraps
+    * only past T ≈ 4.6·10¹² triangles on ONE vertex — a >3M-clique,
+    * beyond any real corpus; documented rather than paid for in
+    * decimal width (the [[Affinity]] discipline).
+    */
+  def clusteringCoefficient(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame =
+    triangleCountsWithDeg(edges, srcCol, dstCol)
+      .select(col("node"), col("deg"), col("n_triangles"),
+        when(col("deg") >= 2,
+          expr("2000000 * n_triangles div (deg * (deg - 1))")).as("cc_ppm"))
+
   def triangleCounts(
       edges: DataFrame,
       srcCol: String = "src",
-      dstCol: String = "dst"): DataFrame = {
+      dstCol: String = "dst"): DataFrame =
+    triangleCountsWithDeg(edges, srcCol, dstCol)
+      .select(col("node"), col("n_triangles"))
+
+  /** Shared body of [[triangleCounts]] / [[clusteringCoefficient]]:
+    * the degree needed for the orientation rides along in the keyed
+    * table (k = deg·2³² + id), so the coefficient costs ZERO extra
+    * passes over the orientation's — deg is just k >> 32 read back.
+    */
+  private def triangleCountsWithDeg(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
     val canon = Caches.persisted(
       edges.select(
         least(col(srcCol), col(dstCol)).cast("long").as("a"),
@@ -522,8 +629,9 @@ object Graph {
     val counts = tri
       .select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
-    keyed.select(col("node"))
+    keyed.select(col("node"), shiftright(col("k"), 32).as("deg"))
       .join(counts, Seq("node"), "left")
-      .select(col("node"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .select(col("node"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
   }
 }

@@ -216,4 +216,40 @@ class GraphSpec extends AnyFunSuite with SparkTest {
     assert(m(100L) == 3L && m(1L) == 1L && m(2L) == 2L && m(3L) == 1L &&
       m(5L) == 1L && m(6L) == 1L && m(10L) == 0L)
   }
+
+  test("ssspBounded: hop cap trades the cheap long route for the direct edge") {
+    val s = spark; import s.implicits._
+    // 1 -(1)- 2 -(1)- 3 and a direct 1 -(10)- 3: two hops cost 2,
+    // one hop costs 10
+    val e = Seq((1L, 2L, 1L), (2L, 1L, 1L), (2L, 3L, 1L), (3L, 2L, 1L),
+      (1L, 3L, 10L), (3L, 1L, 10L)).toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("node")
+    def run(h: Int) = Graph.ssspBounded(e, seeds, maxHops = h)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val one = run(1)
+    assert(one(1L) == 0L && one(2L) == 1L && one(3L) == 10L,
+      "one hop: only the direct (expensive) edge reaches 3")
+    val two = run(2)
+    assert(two(3L) == 2L, "two hops: the relay route wins")
+    graft.operators.Caches.release()
+    // early stop: extra hop budget beyond the fixpoint changes nothing
+    val ten = run(10)
+    graft.operators.Caches.release()
+    assert(ten == two)
+  }
+
+  test("clusteringCoefficient: triangle nodes close, pendant is NULL") {
+    val s = spark; import s.implicits._
+    // triangle {1,2,3} plus pendant edge 1-4
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val got = Graph.clusteringCoefficient(e).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    graft.operators.Caches.release()
+    assert(got(1L) == ((3L, 1L, 333333L)), "deg-3 node: 1 of 3 pairs closed")
+    assert(got(2L) == ((2L, 1L, 1000000L)) && got(3L) == ((2L, 1L, 1000000L)),
+      "deg-2 triangle corners are fully closed")
+    assert(got(4L) == ((1L, 0L, -1L)), "pendant: no neighbor pairs, NULL")
+  }
 }

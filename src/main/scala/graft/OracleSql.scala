@@ -1378,18 +1378,35 @@ object OracleSql {
     * pairs — the banded candidate join on the Spark side is
     * recall-lossless (pigeonhole), so the outputs coincide.
     */
-  def mediaAhashPairs(maxHamming: Int, delta: Int, idOffset: Long): String =
-    "WITH v0 AS (SELECT doc_id AS media_id, " +
+  private def ahashCtes(delta: Int, idOffset: Long): String =
+    "v0 AS (SELECT doc_id AS media_id, " +
       "list_transform(range(1, length(text) + 1), i -> ord(substr(text, CAST(i AS INT), 1))) AS vals " +
       "FROM documents), " +
       s"vv AS (SELECT media_id, vals FROM v0 UNION ALL " +
       s"SELECT media_id + $idOffset, list_transform(vals, x -> least(255, x + $delta)) FROM v0), " +
       "tl AS (SELECT media_id, vals, len(vals) AS n, list_sum(vals) AS total FROM vv), " +
-      s"h AS (SELECT media_id, $ahashOfVals AS ahash FROM tl) " +
+      s"h AS (SELECT media_id, $ahashOfVals AS ahash FROM tl)"
+
+  def mediaAhashPairs(maxHamming: Int, delta: Int, idOffset: Long): String =
+    s"WITH ${ahashCtes(delta, idOffset)} " +
       "SELECT a.media_id AS id_a, b.media_id AS id_b, " +
       "CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming " +
       "FROM h a JOIN h b ON a.media_id < b.media_id " +
       s"WHERE bit_count(xor(a.ahash, b.ahash)) <= $maxHamming"
+
+  /** Oracle for `media_dup_clusters`: the [[mediaAhashPairs]] hash
+    * chain feeding a recursive min-label walk — components from first
+    * principles, not a replay of the star contraction.
+    */
+  def mediaDupClusters(maxHamming: Int, delta: Int, idOffset: Long): String =
+    s"WITH RECURSIVE ${ahashCtes(delta, idOffset)}, " +
+      "pr AS (SELECT a.media_id AS id_a, b.media_id AS id_b " +
+      "FROM h a JOIN h b ON a.media_id < b.media_id " +
+      s"WHERE bit_count(xor(a.ahash, b.ahash)) <= $maxHamming), " +
+      "edges AS (SELECT id_a AS src, id_b AS dst FROM pr UNION SELECT id_b, id_a FROM pr), " +
+      "wlk(node, root) AS (SELECT DISTINCT src, src FROM edges " +
+      "UNION SELECT e.dst, k.root FROM wlk k JOIN edges e ON e.src = k.node) " +
+      "SELECT node AS media_id, min(root) AS cluster_id FROM wlk GROUP BY node"
 
   // ------------------------------------- nearest-class-centroid
 

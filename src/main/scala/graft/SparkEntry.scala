@@ -1232,6 +1232,20 @@ object SparkEntry {
       val variants = Multimodal.brightnessVariant(media, delta = 8, idOffset = 1000000L)
       Multimodal.ahashPairs(media.unionByName(variants).toDF(), maxHamming = 3)
     }),
+    "media_dup_clusters" -> ((s, d) => {
+      // asset-level duplicate GROUPS: the ahash Hamming pairs close
+      // into clusters via large-star/small-star contraction, so every
+      // asset lands in exactly one dedup group (the keep-one-per-
+      // cluster decision needs groups, not pairs); each brightness
+      // variant must co-cluster with its original
+      val media = Multimodal.fromText(rd(s, d, "documents"), "doc_id", "text", "text")
+      val variants = Multimodal.brightnessVariant(media, delta = 8, idOffset = 1000000L)
+      val pairs = Multimodal.ahashPairs(
+        media.unionByName(variants).toDF(), maxHamming = 3)
+      graft.operators.Graph.connectedComponents(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+        .select(col("node").as("media_id"), col("component_id").as("cluster_id"))
+    }),
     "media_frame_pairs" -> ((s, d) => {
       // frame-level perceptual dedup — the repeated-intro/outro shape:
       // every 4th frame of each container (and of its brightness
@@ -1986,6 +2000,27 @@ object SparkEntry {
         ntile(4).over(w).as("quartile"),
         percent_rank().over(w).as("prank"),
         cume_dist().over(w).as("cdist"))
+    }),
+    "incr_join_maintain" -> ((s, d) => {
+      // incremental JOIN maintenance: a stored orders⋈customer join
+      // refreshed with insert-only deltas on BOTH sides (new orders by
+      // date, new customers by key slice) via
+      // J ∪ ΔA⋈(B∪ΔB) ∪ A⋈broadcast(ΔB) — old never re-joins old. The
+      // oracle joins the full tables from scratch, so a green row
+      // proves the three-increment refresh loses and duplicates
+      // nothing
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val o = rd(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey").as("custkey"), col("o_orderdate"), cents.as("cents"))
+      val c = rd(s, d, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_nationkey"))
+      val cut = to_date(lit("1997-01-01"))
+      val aOld = o.filter(col("o_orderdate") < cut).drop("o_orderdate")
+      val aDelta = o.filter(col("o_orderdate") >= cut).drop("o_orderdate")
+      val bOld = c.filter(col("custkey") % 11 =!= 0)
+      val bDelta = c.filter(col("custkey") % 11 === 0)
+      Incremental.maintainJoin(aOld.join(bOld, "custkey"),
+        aOld, aDelta, bOld, bDelta, Seq("custkey"))
     }),
     "incr_agg_maintain" -> ((s, d) => {
       // incremental view maintenance: per-user counts/sums materialized
@@ -3881,6 +3916,7 @@ object SparkEntry {
     "text_rolling_fp" -> OracleSql.textRollingFp,
     "media_byte_stats" -> OracleSql.mediaByteStats,
     "media_ahash_pairs" -> OracleSql.mediaAhashPairs(3, 8, 1000000L),
+    "media_dup_clusters" -> OracleSql.mediaDupClusters(3, 8, 1000000L),
     "media_silence_segments" -> OracleSql.mediaSilenceSegments(16, 97, 5000L),
     "media_frame_pairs" -> OracleSql.mediaFramePairs(16, 4, 0, 8, 1000000L),
     "media_resize_stats" -> OracleSql.mediaResizeStats(256),
@@ -4669,6 +4705,12 @@ object SparkEntry {
         "CAST(sum(bucket - n) AS BIGINT) AS sum_pad, " +
         "CAST((sum(bucket - n) * 1000000) // (sum(n) + sum(bucket - n)) AS BIGINT) AS waste_ppm " +
         "FROM b GROUP BY source, bucket"),
+    // recompute-from-scratch formulation: proves the three-increment
+    // join refresh equals a full re-join
+    "incr_join_maintain" ->
+      ("SELECT o_custkey AS custkey, o_orderkey, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents, c_nationkey " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey"),
     // recompute-from-scratch formulation: proves the incremental fold
     // equals a full re-aggregation
     "incr_agg_maintain" ->

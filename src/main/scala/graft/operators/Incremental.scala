@@ -129,6 +129,36 @@ object Incremental {
     fast.unionByName(rescanned)
   }
 
+  /** Incremental JOIN maintenance for insert-only deltas — the
+    * materialized-JOIN analog of [[updateCounts]]. With ΔA and ΔB
+    * arriving on top of a stored J = A⋈B, the refreshed join is
+    * exactly
+    *
+    *   (A∪ΔA) ⋈ (B∪ΔB)  =  J  ∪  ΔA⋈(B∪ΔB)  ∪  A⋈ΔB
+    *
+    * so a refresh cycle never re-joins old-against-old: the stored
+    * rows pass through untouched, ΔA shuffles ONLY the delta against
+    * the (usually dim-sized) B side, and ΔB — a trickle of new dim
+    * rows — BROADCASTS against old A, turning the one old-side scan
+    * into a map-side join with no shuffle of A at all. At 100 TB this
+    * is the difference between an O(delta) nightly refresh and
+    * re-shuffling the fact table.
+    *
+    * All five inputs must share the join-key columns; `oldJoin`'s
+    * schema must equal the join's output schema (`unionByName` fails
+    * fast on drift rather than mis-aligning columns).
+    */
+  def maintainJoin(
+      oldJoin: DataFrame,
+      aOld: DataFrame,
+      aDelta: DataFrame,
+      bOld: DataFrame,
+      bDelta: DataFrame,
+      keys: Seq[String]): DataFrame =
+    oldJoin
+      .unionByName(aDelta.join(bOld.unionByName(bDelta), keys))
+      .unionByName(aOld.join(broadcast(bDelta), keys))
+
   def updateWithRetractions(
       prev: DataFrame,
       delta: DataFrame,

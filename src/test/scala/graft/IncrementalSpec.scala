@@ -98,4 +98,25 @@ class IncrementalSpec extends AnyFunSuite with SparkTest {
       aggOf(history), history.limit(0), Seq("user_id"), col("units"))
     assert(toMap(out) == toMap(aggOf(history)))
   }
+
+  test("maintainJoin: three-increment refresh equals the full re-join, dB broadcasts") {
+    val s = spark; import s.implicits._
+    // facts (k, f) and dims (k, g); deltas on both sides, including a
+    // new fact whose key only exists in the NEW dim slice (the
+    // dA joins-B-full case) and a new dim matching OLD facts
+    val aOld = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "f")
+    val aDelta = Seq((1L, 11L), (9L, 90L)).toDF("k", "f")
+    val bOld = Seq((1L, 100L), (2L, 200L)).toDF("k", "g")
+    val bDelta = Seq((3L, 300L), (9L, 900L)).toDF("k", "g")
+    val maintained = Incremental.maintainJoin(
+      aOld.join(bOld, Seq("k")), aOld, aDelta, bOld, bDelta, Seq("k"))
+    val full = aOld.unionByName(aDelta).join(bOld.unionByName(bDelta), Seq("k"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(canon(maintained) == canon(full),
+      "refresh must neither lose nor duplicate any join row")
+    val exec = maintained.queryExecution.executedPlan.toString
+    assert(exec.contains("BroadcastHashJoin"),
+      s"the dim delta must broadcast against old facts:\n$exec")
+  }
 }

@@ -2709,6 +2709,13 @@ object SparkEntry {
       // ordered window, cents-exact revenue per channel
       Events.lastTouchAttribution(rd(s, d, "events"),
         touches = Seq("view", "click"), conversion = "purchase")),
+    "events_attribution_decay" -> ((s, d) =>
+      // half-life credit: day-grain 2^(H-1-dd) decay weights keep the
+      // ledger integer-exact; touch counts fold before the ×H horizon
+      // explode, so raw events are scanned once
+      Events.decayAttribution(rd(s, d, "events"),
+        touches = Seq("view", "click"), conversion = "purchase",
+        horizonDays = 14)),
     "seq_rolling_spikes" -> ((s, d) =>
       // trailing-week spike flags on the day-grain revenue series —
       // cross-multiplied integer z-test, zero floats end to end
@@ -5143,6 +5150,31 @@ object SparkEntry {
         "SELECT 'view' AS channel, CAST(sum(CASE WHEN tot > 0 THEN 1000000 * nv // tot ELSE 0 END) AS BIGINT) AS credit_ppm FROM p " +
         "UNION ALL SELECT 'click', CAST(sum(CASE WHEN tot > 0 THEN 1000000 * nc // tot ELSE 0 END) AS BIGINT) FROM p " +
         "UNION ALL SELECT 'direct', CAST(sum(CASE WHEN tot = 0 THEN 1000000 ELSE 0 END) AS BIGINT) FROM p"),
+    // independent formulation: per-(conversion, touch) PAIR join over
+    // the 14-day horizon with per-pair weights — first principles, not
+    // a replay of the pre-aggregated horizon explode
+    "events_attribution_decay" ->
+      ("WITH t AS (SELECT user_id, CAST(ts AS DATE) AS td, event_type AS ch " +
+        "FROM events WHERE event_type IN ('view', 'click')), " +
+        "conv AS (SELECT user_id, CAST(ts AS DATE) AS cd, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), " +
+        "pw AS (SELECT c.user_id, c.cd, t.ch, " +
+        "CAST(1 AS BIGINT) << CAST(13 - (c.cd - t.td) AS INT) AS w " +
+        "FROM conv c JOIN t ON t.user_id = c.user_id " +
+        "AND t.td <= c.cd AND t.td > c.cd - 14), " +
+        "ws AS (SELECT user_id, cd, " +
+        "CAST(sum(CASE WHEN ch = 'view' THEN w ELSE 0 END) AS BIGINT) AS wv, " +
+        "CAST(sum(CASE WHEN ch = 'click' THEN w ELSE 0 END) AS BIGINT) AS wc " +
+        "FROM pw GROUP BY 1, 2), " +
+        "j AS (SELECT c.cents, coalesce(ws.wv, 0) AS wv, coalesce(ws.wc, 0) AS wc " +
+        "FROM conv c LEFT JOIN ws ON c.user_id = ws.user_id AND c.cd = ws.cd) " +
+        "SELECT 'view' AS channel, CAST(sum(CASE WHEN wv + wc > 0 " +
+        "THEN cents * wv // (wv + wc) ELSE 0 END) AS BIGINT) AS credit_cents FROM j " +
+        "UNION ALL SELECT 'click', CAST(sum(CASE WHEN wv + wc > 0 " +
+        "THEN cents * wc // (wv + wc) ELSE 0 END) AS BIGINT) FROM j " +
+        "UNION ALL SELECT 'direct', CAST(sum(CASE WHEN wv + wc = 0 " +
+        "THEN cents ELSE 0 END) AS BIGINT) FROM j"),
     "events_attribution" ->
       ("WITH u AS (SELECT user_id, ts, event_id, event_type, value, " +
         "CASE WHEN event_type IN ('view', 'click') THEN event_type END AS touch " +

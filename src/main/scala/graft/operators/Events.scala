@@ -427,6 +427,64 @@ object Events {
       s"stack(${touches.size + 1}, $stackArgs) AS (channel, credit_ppm)"))
   }
 
+  /** Time-decay (half-life) attribution on the DAY grain, exactly:
+    * a touch `dd` days before a conversion earns weight 2^(H−1−dd)
+    * (half-life = 1 day, horizon H days) — power-of-two weights keep
+    * the whole credit ledger on the integer grid, where exp(−λΔt)
+    * would drift between engines. Each conversion-day's revenue splits
+    * across channels proportionally to their decayed touch weight
+    * (floor division; the ≤(channels−1)-cent remainder per conversion
+    * is documented, not hidden); conversions with no in-horizon touch
+    * credit `direct`. Day grain means same-day touches count
+    * regardless of intra-day order — the standard daily marketing
+    * model.
+    *
+    * Scale shape: touches fold to (user, day, channel) counts map-side
+    * FIRST; the horizon explode (×H) runs on that bounded aggregate,
+    * never on raw events — Σ n·2^(H−1−dd) per (user, conv-day,
+    * channel) is then one combinable aggregation, and conversions join
+    * by (user, day) equi-keys. No windows, no per-pair expansion of
+    * raw history. Int64 headroom: cents·w wraps only past ~2^63/2^H
+    * cents on one user-day — documented, not paid for in decimal.
+    */
+  def decayAttribution(
+      events: DataFrame,
+      touches: Seq[String],
+      conversion: String,
+      horizonDays: Int = 14): DataFrame = {
+    require(horizonDays >= 1 && horizonDays <= 62)
+    val t = events.filter(col("event_type").isin(touches: _*))
+      .groupBy(col("user_id"), to_date(col("ts")).as("td"),
+        col("event_type").as("ch"))
+      .agg(count(lit(1)).as("n"))
+    val ex = t
+      .select(col("user_id"), col("td"), col("ch"), col("n"),
+        explode(sequence(lit(0), lit(horizonDays - 1))).as("i"))
+      .select(col("user_id"), expr("date_add(td, i)").as("cd"), col("ch"),
+        expr(s"n * shiftleft(CAST(1 AS BIGINT), ${horizonDays - 1} - i)").as("w"))
+    val wAgg = ex.groupBy("user_id", "cd")
+      .agg(touches.map(c =>
+        sum(when(col("ch") === c, col("w")).otherwise(0L)).as(s"__w_$c")).head,
+        touches.tail.map(c =>
+          sum(when(col("ch") === c, col("w")).otherwise(0L)).as(s"__w_$c")): _*)
+    val conv = events.filter(col("event_type") === conversion)
+      .groupBy(col("user_id"), to_date(col("ts")).as("cd"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("__cents"))
+    val wtot = touches.map(c => coalesce(col(s"__w_$c"), lit(0L))).reduce(_ + _)
+    val j = conv.join(wAgg, Seq("user_id", "cd"), "left")
+      .withColumn("__wtot", wtot)
+    val credits = touches.map { c =>
+      sum(when(col("__wtot") > 0,
+        expr(s"__cents * coalesce(__w_$c, 0) div __wtot")).otherwise(0L))
+        .as(s"__c_$c")
+    } :+ sum(when(col("__wtot") === 0, col("__cents")).otherwise(0L)).as("__c_direct")
+    val one = j.agg(credits.head, credits.tail: _*)
+    val stackArgs = (touches.map(c => s"'$c', __c_$c") :+ "'direct', __c_direct")
+      .mkString(", ")
+    one.select(expr(
+      s"stack(${touches.size + 1}, $stackArgs) AS (channel, credit_cents)"))
+  }
+
   def lastTouchAttribution(
       events: DataFrame,
       touches: Seq[String],

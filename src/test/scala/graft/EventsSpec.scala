@@ -145,4 +145,28 @@ class EventsSpec extends AnyFunSuite with SparkTest {
       ("2024-01-01 10:30:00.0", 1L, 2L), ("2024-01-01 10:30:00.0", -1L, 1L),
       ("2024-01-01 11:00:00.0", -1L, 0L)))
   }
+
+  test("decayAttribution: hand-computed power-of-two credit ledger") {
+    val s = spark; import s.implicits._
+    val ev = Seq(
+      // user 1: view 1 day before purchase -> full credit to view
+      (100L, "2024-01-01 09:00:00", "view", 0.0),
+      (100L, "2024-01-02 09:00:00", "purchase", 10.0),
+      // user 2: view (dd=1, w=2^12) + click (dd=0, w=2^13) -> 1:2 split
+      (200L, "2024-01-01 09:00:00", "view", 0.0),
+      (200L, "2024-01-02 08:00:00", "click", 0.0),
+      (200L, "2024-01-02 09:00:00", "purchase", 10.0),
+      // user 3: no touches -> direct
+      (300L, "2024-01-02 09:00:00", "purchase", 10.0),
+      // user 4: only touch is outside the 14-day horizon -> direct
+      (400L, "2023-12-01 09:00:00", "view", 0.0),
+      (400L, "2024-01-02 09:00:00", "purchase", 10.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+      .withColumn("ts", to_timestamp($"ts"))
+    val out = Events.decayAttribution(ev, Seq("view", "click"), "purchase")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // user 2 splits 1000c as 4096:8192 -> 333 + 666 (1c remainder floors)
+    assert(out == Map("view" -> 1333L, "click" -> 666L, "direct" -> 2000L),
+      s"got $out")
+  }
 }

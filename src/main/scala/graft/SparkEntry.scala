@@ -2358,6 +2358,43 @@ object SparkEntry {
       // table, Pearson per lag from exact decimal moments
       Stats.acf(rd(s, d, "orders"), "o_orderdate",
         round(col("o_totalprice") * 100).cast("long"), maxLag = 14)),
+    "stat_welch_t" -> ((s, d) =>
+      // parametric sibling of the rank-sum test on the same split:
+      // Welch's t and Satterthwaite df from one conditional-sum scan
+      Stats.welchT(
+        rd(s, d, "orders").filter(col("o_orderstatus").isin("F", "O")),
+        round(col("o_totalprice") * 100).cast("long"),
+        col("o_orderstatus") === "F")),
+    "dq_orphans" -> ((s, d) =>
+      // referential-integrity gate: FK orphan counts + ppm for the
+      // star schema's load contract, plus the events->customer
+      // relationship that genuinely dangles in this corpus
+      graft.operators.Quality.referentialAudit(Seq(
+        ("lineitem.l_orderkey->orders", rd(s, d, "lineitem"), "l_orderkey",
+          rd(s, d, "orders"), "o_orderkey"),
+        ("orders.o_custkey->customer", rd(s, d, "orders"), "o_custkey",
+          rd(s, d, "customer"), "c_custkey"),
+        ("events.user_id->customer", rd(s, d, "events"), "user_id",
+          rd(s, d, "customer"), "c_custkey")))),
+    "graph_link_predict" -> ((s, d) => {
+      // "bought together elsewhere" candidates: top-100 NON-adjacent
+      // part pairs by common-neighbor evidence through degree-<=32
+      // centers (the cap is the operator's documented contract — hub
+      // evidence carries no signal and costs deg^2)
+      val lp = rd(s, d, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val t3 = lp.groupBy("o")
+        .agg(slice(sort_array(collect_list(col("p"))), 1, 3).as("ps"))
+      val prs = array(
+        struct(get(col("ps"), lit(0)).as("src"), get(col("ps"), lit(1)).as("dst")),
+        struct(get(col("ps"), lit(0)).as("src"), get(col("ps"), lit(2)).as("dst")),
+        struct(get(col("ps"), lit(1)).as("src"), get(col("ps"), lit(2)).as("dst")))
+      val e = t3.select(explode(prs).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .where(col("dst").isNotNull)
+      graft.operators.Graph.commonNeighborCandidates(
+        e, maxCenterDegree = 32, topK = 100)
+    }),
     "stat_corr_matrix" -> ((s, d) =>
       // pairwise Pearson over four integer-unit measures in ONE scan
       // (all k(k+3)/2 moments in a single agg, never k² passes)
@@ -4835,6 +4872,43 @@ object SparkEntry {
       "WHERE o_orderstatus IN ('F', 'O')"),
     "stat_acf" -> Stats.acfSql("orders",
       "CAST(round(o_totalprice * 100) AS BIGINT)", maxLag = 14),
+    "stat_welch_t" -> Stats.welchTSql("orders",
+      "CAST(round(o_totalprice * 100) AS BIGINT)",
+      "o_orderstatus = 'F'",
+      "WHERE o_orderstatus IN ('F', 'O')"),
+    "dq_orphans" ->
+      ("WITH li AS (SELECT count(*) AS n_rows, " +
+        "CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans " +
+        "FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o " +
+        "ON l_orderkey = o_orderkey), " +
+        "oc AS (SELECT count(*) AS n_rows, " +
+        "CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans " +
+        "FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c " +
+        "ON o_custkey = c_custkey), " +
+        "ec AS (SELECT count(*) AS n_rows, " +
+        "CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans " +
+        "FROM events LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c " +
+        "ON user_id = c_custkey) " +
+        "SELECT 'lineitem.l_orderkey->orders' AS fk, n_rows, n_orphans, " +
+        "1000000 * n_orphans // n_rows AS orphan_ppm FROM li " +
+        "UNION ALL SELECT 'orders.o_custkey->customer', n_rows, n_orphans, " +
+        "1000000 * n_orphans // n_rows FROM oc " +
+        "UNION ALL SELECT 'events.user_id->customer', n_rows, n_orphans, " +
+        "1000000 * n_orphans // n_rows FROM ec"),
+    "graph_link_predict" ->
+      ("WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+        "r AS (SELECT o, p, row_number() OVER (PARTITION BY o ORDER BY p) AS rn FROM lp), " +
+        "t3 AS (SELECT o, p, rn FROM r WHERE rn <= 3), " +
+        "ed AS (SELECT DISTINCT x.p AS a, y.p AS b FROM t3 x JOIN t3 y " +
+        "ON x.o = y.o AND x.rn < y.rn), " +
+        "bid AS (SELECT a AS u, b AS v FROM ed UNION ALL SELECT b, a FROM ed), " +
+        "low AS (SELECT u AS node FROM bid GROUP BY u HAVING count(*) <= 32), " +
+        "lb AS (SELECT u, v FROM bid JOIN low ON low.node = bid.u), " +
+        "w AS (SELECT x.v AS v1, y.v AS v2 FROM lb x JOIN lb y ON x.u = y.u AND x.v < y.v), " +
+        "cn AS (SELECT v1, v2, count(*) AS n_common FROM w GROUP BY 1, 2) " +
+        "SELECT cn.v1, cn.v2, CAST(cn.n_common AS BIGINT) AS n_common FROM cn " +
+        "LEFT JOIN ed ON ed.a = cn.v1 AND ed.b = cn.v2 WHERE ed.a IS NULL " +
+        "ORDER BY cn.n_common DESC, cn.v1, cn.v2 LIMIT 100"),
     "stat_corr_matrix" -> Stats.corrMatrixSql("lineitem", Seq(
       "qty" -> "CAST(l_quantity AS BIGINT)",
       "price_usd" -> "CAST(round(l_extendedprice) AS BIGINT)",

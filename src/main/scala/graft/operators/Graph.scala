@@ -591,6 +591,49 @@ object Graph {
     triangleCountsWithDeg(edges, srcCol, dstCol)
       .select(col("node"), col("n_triangles"))
 
+  /** Common-neighbor link prediction: for NON-adjacent node pairs,
+    * count shared neighbors — the classic "people you may know" /
+    * "parts bought together elsewhere" candidate scorer. Top-k by
+    * evidence count, ties broken by the pair ids so the cut is
+    * deterministic.
+    *
+    * Scale honesty: exact all-pairs common-neighbor counting costs
+    * Σ deg(u)² — quadratic at every hub, unsalvageable at 100 TB. This
+    * operator therefore counts evidence THROUGH CENTERS OF DEGREE ≤
+    * `maxCenterDegree` only (wedge work capped at cap·|E|), which is
+    * also statistically standard: a mega-hub neighbor is shared by
+    * everyone and carries no signal (the same reasoning that has
+    * Adamic–Adar down-weight high-degree commons to ~0). The cap is
+    * part of the operator's CONTRACT, replayed verbatim in the oracle
+    * — not a silent approximation.
+    */
+  def commonNeighborCandidates(
+      edges: DataFrame,
+      maxCenterDegree: Int = 64,
+      topK: Int = 100,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val canon = Caches.persisted(
+      edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+        .where(col("a") =!= col("b") && col("a").isNotNull)
+        .distinct())
+    val bidir = canon.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(canon.select(col("b").as("u"), col("a").as("v")))
+    val low = bidir.groupBy("u").agg(count(lit(1)).as("__dg"))
+      .where(col("__dg") <= maxCenterDegree).select(col("u"))
+    val lb = Caches.persisted(bidir.join(low, "u"))
+    val cn = lb.select(col("u"), col("v").as("v1"))
+      .join(lb.select(col("u"), col("v").as("v2")), "u")
+      .where(col("v1") < col("v2"))
+      .groupBy("v1", "v2").agg(count(lit(1)).as("n_common"))
+    cn.join(canon.select(col("a").as("v1"), col("b").as("v2")),
+        Seq("v1", "v2"), "left_anti")
+      .orderBy(col("n_common").desc, col("v1"), col("v2"))
+      .limit(topK)
+  }
+
   /** Shared body of [[triangleCounts]] / [[clusteringCoefficient]]:
     * the degree needed for the orientation rides along in the keyed
     * table (k = deg·2³² + id), so the coefficient costs ZERO extra

@@ -372,4 +372,32 @@ object Quality {
         col(rhsCol).as("majority_val"), col("n").as("majority_n"),
         (col("total_rows") - col("n")).as("n_violating"))
   }
+
+  /** Referential-integrity audit: for each declared FK relationship,
+    * how many child rows point at a parent that does not exist — the
+    * orphan check every warehouse load gate runs before exposing a
+    * partition. One row per relationship: total child rows, orphan
+    * count, and orphan ppm on the exact integer grid.
+    *
+    * Shape per relationship: one combinable child count + one
+    * LEFT ANTI join against the parent's DISTINCT key set (dim-sized;
+    * AQE broadcasts it when it fits) — the child table is never
+    * shuffled twice and never collected. Null FKs count as orphans
+    * (a null pointer dangles just as hard as a wrong one).
+    */
+  def referentialAudit(
+      rels: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(rels.nonEmpty)
+    val reports = rels.map { case (label, child, childKey, parent, parentKey) =>
+      val keys = parent.select(col(parentKey).as(childKey)).distinct()
+      val orphans = child.select(col(childKey))
+        .join(keys, Seq(childKey), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      val total = child.agg(count(lit(1)).as("n_rows"))
+      total.crossJoin(orphans)
+        .select(lit(label).as("fk"), col("n_rows"), col("n_orphans"),
+          expr("1000000 * n_orphans div n_rows").as("orphan_ppm"))
+    }
+    reports.reduce(_ unionByName _)
+  }
 }

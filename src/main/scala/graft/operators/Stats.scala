@@ -708,6 +708,70 @@ object Stats {
       "CASE WHEN n1 > 0 AND n > n1 AND n > 1 AND sig2 > 0.0 " +
       "THEN (u2 - n1d * n2d) / (2.0 * sqrt(sig2)) END AS z FROM f"
 
+  /** Welch's unequal-variance t-test — the parametric sibling of
+    * [[mannWhitneyU]] (same two-sample question, assumes means are
+    * meaningful): t and the Welch–Satterthwaite degrees of freedom
+    * from per-arm exact moments (n, Σx, Σx²) on the decimal(38,0)
+    * grid, combined in ONE fixed double expression tree replayed by
+    * the oracle. One combinable scan — conditional sums split the
+    * arms, no second pass, no per-arm shuffle.
+    */
+  def welchT(
+      df: DataFrame,
+      valueUnits: Column,
+      isA: Column): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val rows = df.select(valueUnits.cast("long").as("__x"),
+      when(isA, 1L).otherwise(0L).as("__a"))
+    val m = rows.agg(
+      sum("__a").as("n1"),
+      sum(lit(1L) - col("__a")).as("n2"),
+      sum(dec(col("__a") * col("__x"))).as("__s1"),
+      sum(dec((lit(1L) - col("__a")) * col("__x"))).as("__s2"),
+      sum(dec(col("__a")) * dec(col("__x")) * dec(col("__x"))).as("__ss1"),
+      sum(dec(lit(1L) - col("__a")) * dec(col("__x")) * dec(col("__x"))).as("__ss2"))
+    val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+    val s1 = col("__s1").cast("double"); val s2 = col("__s2").cast("double")
+    val ss1 = col("__ss1").cast("double"); val ss2 = col("__ss2").cast("double")
+    val m1 = s1 / n1; val m2 = s2 / n2
+    val v1 = (ss1 - s1 * s1 / n1) / (n1 - 1.0)
+    val v2 = (ss2 - s2 * s2 / n2) / (n2 - 1.0)
+    val se2 = v1 / n1 + v2 / n2
+    val dfW = se2 * se2 /
+      ((v1 / n1) * (v1 / n1) / (n1 - 1.0) + (v2 / n2) * (v2 / n2) / (n2 - 1.0))
+    val ok = col("n1") > 1 && col("n2") > 1
+    m.select(col("n1"), col("n2"),
+      when(ok, (m1 - m2)).as("mean_diff"),
+      when(ok && se2 > 0.0, (m1 - m2) / sqrt(se2)).as("t"),
+      when(ok && se2 > 0.0, dfW).as("df_welch"))
+  }
+
+  /** DuckDB replay of [[welchT]]. */
+  def welchTSql(
+      table: String,
+      valueUnitsSql: String,
+      isASql: String,
+      whereClause: String = ""): String =
+    s"WITH r AS (SELECT $valueUnitsSql AS x, CASE WHEN $isASql THEN 1 ELSE 0 END AS a " +
+      s"FROM $table $whereClause), " +
+      "m AS (SELECT CAST(sum(a) AS BIGINT) AS n1, CAST(sum(1 - a) AS BIGINT) AS n2, " +
+      "CAST(sum(CAST(a * x AS HUGEINT)) AS HUGEINT) AS s1, " +
+      "CAST(sum(CAST((1 - a) * x AS HUGEINT)) AS HUGEINT) AS s2, " +
+      "CAST(sum(CAST(a AS HUGEINT) * CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT) AS ss1, " +
+      "CAST(sum(CAST(1 - a AS HUGEINT) * CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT) AS ss2 FROM r), " +
+      "e AS (SELECT n1, n2, CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d, " +
+      "CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d, " +
+      "CAST(ss1 AS DOUBLE) AS ss1d, CAST(ss2 AS DOUBLE) AS ss2d FROM m), " +
+      "f AS (SELECT *, s1d / n1d AS m1, s2d / n2d AS m2, " +
+      "(ss1d - s1d * s1d / n1d) / (n1d - 1.0) AS v1, " +
+      "(ss2d - s2d * s2d / n2d) / (n2d - 1.0) AS v2 FROM e), " +
+      "g AS (SELECT *, v1 / n1d + v2 / n2d AS se2 FROM f) " +
+      "SELECT n1, n2, CASE WHEN n1 > 1 AND n2 > 1 THEN m1 - m2 END AS mean_diff, " +
+      "CASE WHEN n1 > 1 AND n2 > 1 AND se2 > 0.0 THEN (m1 - m2) / sqrt(se2) END AS t, " +
+      "CASE WHEN n1 > 1 AND n2 > 1 AND se2 > 0.0 THEN se2 * se2 / " +
+      "((v1 / n1d) * (v1 / n1d) / (n1d - 1.0) + (v2 / n2d) * (v2 / n2d) / (n2d - 1.0)) END AS df_welch " +
+      "FROM g"
+
   /** Autocorrelation function of a daily integer series at lags
     * 1..maxLag — the seasonality detector behind "is this metric
     * weekly-periodic?" (a spike at lag 7 is the canonical signature).

@@ -238,6 +238,22 @@ class GraphSpec extends AnyFunSuite with SparkTest {
     assert(ten == two)
   }
 
+  test("commonNeighborCandidates: scores non-adjacent pairs, cap silences hubs") {
+    val s = spark; import s.implicits._
+    // 4-cycle 1-3-2-4-1: (1,2) and (3,4) are non-adjacent with two
+    // common neighbors each; adjacent pairs must not appear
+    val e = Seq((1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L)).toDF("src", "dst")
+    val got = Graph.commonNeighborCandidates(e, maxCenterDegree = 64, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    graft.operators.Caches.release()
+    assert(got == Map((1L, 2L) -> 2L, (3L, 4L) -> 2L))
+    // cap below every degree: no wedge centers, no candidates
+    val none = Graph.commonNeighborCandidates(e, maxCenterDegree = 1, topK = 10)
+      .collect()
+    graft.operators.Caches.release()
+    assert(none.isEmpty)
+  }
+
   test("clusteringCoefficient: triangle nodes close, pendant is NULL") {
     val s = spark; import s.implicits._
     // triangle {1,2,3} plus pendant edge 1-4

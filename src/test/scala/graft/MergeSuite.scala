@@ -330,4 +330,19 @@ class MergeSuite extends AnyFunSuite with SparkTest {
       "a" -> ((2L, 3L, "x", 2L, 1L)),
       "b" -> ((2L, 4L, "x", 2L, 2L))))
   }
+
+  test("referentialAudit: counts dangling and null FKs, exact ppm") {
+    val s = spark; import s.implicits._
+    val child = Seq(Some(1L), Some(2L), Some(3L), None).toDF("fk_id")
+    val parent = Seq(1L, 2L).toDF("id")
+    val clean = Seq(Some(1L), Some(2L)).toDF("fk_id")
+    val out = graft.operators.Quality.referentialAudit(Seq(
+      ("child->parent", child, "fk_id", parent, "id"),
+      ("clean->parent", clean, "fk_id", parent, "id")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("child->parent") == ((4L, 2L, 500000L)),
+      "key 3 dangles and the null FK dangles: 2 of 4 = 500000 ppm")
+    assert(out("clean->parent") == ((2L, 0L, 0L)))
+  }
 }

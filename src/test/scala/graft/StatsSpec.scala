@@ -218,6 +218,23 @@ class StatsSpec extends AnyFunSuite with SparkTest {
     assert(r2.getDouble(2) == 0.5, s"tied rank averages: U = 0.5, got ${r2.getDouble(2)}")
   }
 
+  test("welchT: hand-computed t and Satterthwaite df") {
+    val s = spark; import s.implicits._
+    // A = {1,2,3}: mean 2, var 1; B = {4,6}: mean 5, var 2
+    // se2 = 1/3 + 1 = 4/3; t = -3/sqrt(4/3); df = (4/3)^2/(1/18 + 1)
+    val df = Seq((1L, true), (2L, true), (3L, true), (4L, false), (6L, false))
+      .toDF("v", "a")
+    val r = Stats.welchT(df, col("v"), col("a")).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == -3.0, "mean diff exact")
+    assert(math.abs(r.getDouble(3) - (-3.0 / math.sqrt(4.0 / 3.0))) < 1e-12)
+    assert(math.abs(r.getDouble(4) - (16.0 / 9.0) / (1.0 / 18.0 + 1.0)) < 1e-12)
+    // degenerate arm (n=1): NULLs, not NaN
+    val degen = Seq((1L, true), (4L, false), (6L, false)).toDF("v", "a")
+    val r2 = Stats.welchT(degen, col("v"), col("a")).collect().head
+    assert(r2.isNullAt(3) && r2.isNullAt(4))
+  }
+
   test("acf: period-2 alternating series has r(2) = 1 and r(1) = -1") {
     val s = spark; import s.implicits._
     val base = java.time.LocalDate.parse("2024-03-01")

@@ -3479,6 +3479,41 @@ object SparkEntry {
         .agg(expr("concat_ws('>', transform(array_sort(" +
           "collect_list(struct(rn, event_type))), x -> x.event_type))").as("path"))
         .groupBy("path").agg(count(lit(1)).as("n_users"))),
+    "seg_rfm_transition" -> ((s, d) => {
+      // segment migration: each customer's monetary quintile in the
+      // early period vs the late period (0 = absent), counted into the
+      // tier-transition matrix CRM teams read churn/upsell from. Two
+      // runs of the threshold-scored RFM (quintile cuts broadcast, no
+      // global ntile) meet in one full-outer join on the customer key
+      val ord = rd(s, d, "orders")
+      val split = to_date(lit("1996-01-01"))
+      def tier(o: org.apache.spark.sql.DataFrame, ref: String) =
+        graft.operators.Segmentation.rfmScores(o, to_date(lit(ref)))
+          .select(col("o_custkey"), col("m_score"))
+      val p1 = tier(ord.filter(col("o_orderdate") < split), "1996-01-01")
+        .withColumnRenamed("m_score", "__t1")
+      val p2 = tier(ord.filter(col("o_orderdate") >= split), "1998-12-31")
+        .withColumnRenamed("m_score", "__t2")
+      p1.join(p2, Seq("o_custkey"), "full_outer")
+        .groupBy(coalesce(col("__t1"), lit(0)).as("tier_from"),
+          coalesce(col("__t2"), lit(0)).as("tier_to"))
+        .agg(count(lit(1)).as("n_customers"))
+    }),
+    "orders_backlog" -> ((s, d) => {
+      // open-order inventory over time: +1 at placement, −1 the day
+      // after the LAST line ships (cross-table interval sweep); the
+      // running sum sits on the calendar-bounded daily net table — the
+      // documented unpartitioned-window class, never on raw rows
+      val st = rd(s, d, "orders")
+        .select(to_date(col("o_orderdate")).as("d"), lit(1L).as("delta"))
+      val en = rd(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(max(to_date(col("l_shipdate"))).as("__ship"))
+        .select(date_add(col("__ship"), 1).as("d"), lit(-1L).as("delta"))
+      val daily = st.unionByName(en).groupBy("d").agg(sum("delta").as("net"))
+      daily.withColumn("backlog", sum("net").over(Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    }),
     "seq_ohlc" -> ((s, d) =>
       // day-grain OHLC bars via order-carrying struct min/max — one
       // combinable aggregate, no window, no sort
@@ -5583,6 +5618,24 @@ object SparkEntry {
         "WHEN cum_c * 100 <= tot_c * 95 THEN 'B' ELSE 'C' END AS abc_class FROM c CROSS JOIN t"),
     "seg_rfm" ->
       graft.operators.Segmentation.rfmScoresSql("orders", "2002-01-01"),
+    "seg_rfm_transition" ->
+      (s"WITH p1 AS (${graft.operators.Segmentation.rfmScoresSql(
+        "(SELECT * FROM orders WHERE o_orderdate < DATE '1996-01-01') AS t",
+        "1996-01-01")}), " +
+        s"p2 AS (${graft.operators.Segmentation.rfmScoresSql(
+          "(SELECT * FROM orders WHERE o_orderdate >= DATE '1996-01-01') AS t",
+          "1998-12-31")}) " +
+        "SELECT coalesce(p1.m_score, 0) AS tier_from, coalesce(p2.m_score, 0) AS tier_to, " +
+        "count(*) AS n_customers FROM p1 FULL JOIN p2 ON p1.o_custkey = p2.o_custkey " +
+        "GROUP BY 1, 2"),
+    "orders_backlog" ->
+      ("WITH st AS (SELECT CAST(o_orderdate AS DATE) AS d, CAST(1 AS BIGINT) AS delta FROM orders), " +
+        "en AS (SELECT CAST(max(l_shipdate) AS DATE) + 1 AS d, CAST(-1 AS BIGINT) AS delta " +
+        "FROM lineitem GROUP BY l_orderkey), " +
+        "daily AS (SELECT d, CAST(sum(delta) AS BIGINT) AS net " +
+        "FROM (SELECT * FROM st UNION ALL SELECT * FROM en) u GROUP BY 1) " +
+        "SELECT d, net, CAST(sum(net) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS backlog " +
+        "FROM daily"),
     "dq_freshness" ->
       ("WITH g AS (SELECT event_type, max(ts) AS last_ts, count(*) AS n_events FROM events GROUP BY 1) " +
         "SELECT event_type, last_ts, n_events, " +

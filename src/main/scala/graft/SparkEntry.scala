@@ -2108,6 +2108,45 @@ object SparkEntry {
       }
       Warehouse.read(s, dir, tbl).drop("last_batch_id")
     }),
+    "stream_late_drop_replay" -> ((s, d) => {
+      // the WATERMARK contract gated under the oracle: batch 0 covers
+      // the first two weeks minus a straggler cohort, so its max event
+      // time sets the watermark near Jan 12 (3-day delay on a corpus
+      // with events every day through Jan 14) — when the stragglers
+      // (ts < Jan 8) finally arrive in batch 1 they sit BELOW the
+      // watermark and must drop; batch 2 is crash-replayed under the
+      // same id (watermark and fold both skip). The oracle aggregates
+      // every event EXCEPT the straggler cohort — green proves the
+      // drop rule, the watermark advance, and replay idempotence
+      import graft.streaming.Streams
+      import graft.sources.Warehouse
+      val ev = rd(s, d, "events")
+      val cents = round(col("value") * 100).cast("long")
+      val dir = new java.io.File(
+        "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val tbl = s"stream_late_${contentEpoch(ev, "event_id")}"
+      val (c8, c15, c22) = (tlit("2024-01-08 00:00:00"),
+        tlit("2024-01-15 00:00:00"), tlit("2024-01-22 00:00:00"))
+      val straggler = col("user_id") % 13 === 0 && col("ts") < c8
+      val batches = Seq(
+        ev.filter(col("ts") < c15 && !straggler),
+        ev.filter((col("ts") >= c15 && col("ts") < c22) || straggler),
+        ev.filter(col("ts") >= c22))
+      val keys = Seq("user_id", "event_type")
+      val threeDaysUs = 3L * 24 * 3600 * 1000000
+      graft.operators.Memo.cached(s, s"streamlate|$dir|$tbl") {
+        batches.zipWithIndex.foreach { case (b, i) =>
+          Streams.foldCountsWatermarkBatch(
+            b, i.toLong, dir, tbl, keys, cents, "ts", threeDaysUs)
+          if (i == 2) // crash replay: same id again — must be skipped
+            Streams.foldCountsWatermarkBatch(
+              b, i.toLong, dir, tbl, keys, cents, "ts", threeDaysUs)
+        }
+        java.lang.Boolean.TRUE
+      }
+      Warehouse.read(s, dir, tbl).drop("last_batch_id", "wm_us")
+    }),
     "stream_retract_replay" -> ((s, d) => {
       // the signed (CDC) micro-batch fold, gated the same way as
       // stream_counts_replay: two insert batches, then a batch mixing
@@ -4859,6 +4898,11 @@ object SparkEntry {
         "run AS (SELECT ts, delta, CAST(sum(delta) OVER (ORDER BY ts, delta DESC " +
         "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cur FROM pts) " +
         "SELECT ts, delta, cur FROM run ORDER BY cur DESC, ts, delta LIMIT 20"),
+    "stream_late_drop_replay" ->
+      ("SELECT user_id, event_type, count(*) AS n_events, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_units " +
+        "FROM events WHERE NOT (user_id % 13 = 0 AND ts < TIMESTAMP '2024-01-08 00:00:00') " +
+        "GROUP BY 1, 2"),
     "stream_retract_replay" ->
       ("SELECT user_id, count(*) AS n_events, " +
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_units " +

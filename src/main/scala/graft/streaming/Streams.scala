@@ -526,6 +526,60 @@ object Streams {
     }
   }
 
+  /** Watermark-aware variant of [[foldCountsBatch]] — the LATE-DATA
+    * contract of Structured Streaming replayed deterministically: the
+    * watermark is (max event time seen in PRIOR batches − `delayUs`),
+    * rows with `ts` strictly BELOW it are dropped before folding
+    * (ts == watermark survives, Spark's own boundary rule), and the
+    * new watermark — advanced by THIS batch's full max, dropped rows
+    * included, exactly as Spark's EventTimeWatermark observes pre-
+    * filter data — commits in the SAME atomic swap as the folded
+    * aggregate and the batch-id stamp. Crash replay therefore
+    * reproduces both the skip AND the identical watermark sequence —
+    * no marker/data window where a replay could re-admit late rows.
+    */
+  private[graft] def foldCountsWatermarkBatch(
+      batch: DataFrame,
+      batchId: Long,
+      warehouseDir: String,
+      table: String,
+      keys: Seq[String],
+      valueUnits: org.apache.spark.sql.Column,
+      tsCol: String,
+      delayUs: Long): Unit = {
+    import graft.sources.Warehouse
+    val spark = batch.sparkSession
+    val emptyAgg = batch.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_events"), sum(valueUnits).as("sum_units"))
+      .withColumn("last_batch_id", lit(-1L))
+      .withColumn("wm_us", lit(Long.MinValue))
+      .limit(0)
+    val prev =
+      if (Warehouse.exists(spark, warehouseDir, table))
+        Warehouse.read(spark, warehouseDir, table)
+      else emptyAgg
+    val head = prev.agg(max(col("last_batch_id")), max(col("wm_us")))
+      .collect().headOption
+    val lastId = head.flatMap(r =>
+      if (r.isNullAt(0)) None else Some(r.getLong(0))).getOrElse(-1L)
+    val wmPrev = head.flatMap(r =>
+      if (r.isNullAt(1)) None else Some(r.getLong(1))).getOrElse(Long.MinValue)
+    if (batchId > lastId) {
+      val kept =
+        if (wmPrev == Long.MinValue) batch
+        else batch.filter(unix_micros(col(tsCol)) >= wmPrev)
+      val mx = batch.agg(max(unix_micros(col(tsCol)))).collect().head
+      val newWm =
+        if (mx.isNullAt(0)) wmPrev
+        else math.max(wmPrev, mx.getLong(0) - delayUs)
+      val updated = graft.operators.Incremental.updateCounts(
+        prev.drop("last_batch_id", "wm_us"), kept, keys, valueUnits)
+        .withColumn("last_batch_id", lit(batchId))
+        .withColumn("wm_us", lit(newWm))
+      Warehouse.overwrite(updated, warehouseDir, table)
+    }
+  }
+
   /** Streaming incremental-aggregate maintenance: every micro-batch
     * folds into a materialized per-key count/sum table — the streaming
     * form of O(delta)-per-refresh view maintenance

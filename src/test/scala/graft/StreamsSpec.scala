@@ -263,6 +263,36 @@ class StreamsSpec extends AnyFunSuite with SparkTest {
     } finally q.stop()
   }
 
+  test("watermark fold: late rows drop, boundary survives, replay skips watermark too") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wm_stream").toString
+    def ev(rows: (Long, String, Long)*) =
+      rows.toSeq.toDF("user_id", "ts", "units")
+        .withColumn("ts", to_timestamp($"ts"))
+    def fold(b: org.apache.spark.sql.DataFrame, id: Long) =
+      graft.streaming.Streams.foldCountsWatermarkBatch(
+        b, id, dir, "wm_counts", Seq("user_id"), col("units"), "ts",
+        delayUs = 3600L * 1000000) // 1h delay
+    def read() = graft.sources.Warehouse.read(s, dir, "wm_counts")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // batch 0: max event time 12:00 -> watermark becomes 11:00
+    fold(ev((1L, "2024-03-01 10:00:00", 5L), (1L, "2024-03-01 12:00:00", 7L)), 0L)
+    assert(read() == Map(1L -> ((2L, 12L))))
+    // batch 1: 10:30 is BELOW the 11:00 watermark (drop), 11:00 is ON
+    // it (keep — Spark's boundary rule), 13:00 keeps and advances
+    fold(ev((1L, "2024-03-01 10:30:00", 100L), (1L, "2024-03-01 11:00:00", 3L),
+      (2L, "2024-03-01 13:00:00", 9L)), 1L)
+    val afterB1 = read()
+    assert(afterB1 == Map(1L -> ((3L, 15L)), 2L -> ((1L, 9L))),
+      s"late 10:30 row must drop, got $afterB1")
+    // crash replay of batch 1: fold AND watermark advance must skip
+    fold(ev((1L, "2024-03-01 11:30:00", 999L)), 1L)
+    assert(read() == afterB1, "replayed id must not fold or move the watermark")
+    // batch 2: 11:30 is below the advanced 12:00 watermark -> drops
+    fold(ev((2L, "2024-03-01 11:30:00", 50L), (2L, "2024-03-01 14:00:00", 1L)), 2L)
+    assert(read() == Map(1L -> ((3L, 15L)), 2L -> ((2L, 10L))))
+  }
+
   test("streaming retraction fold repairs the aggregate and drops zeroed keys") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext

@@ -1007,6 +1007,14 @@ object SparkEntry {
       // LSH/IVF tiers vs the exact top-5, all integer ppm
       Similarity.annEvalMetrics(rd(s, d, "embeddings"),
         col("vec_id") < 10, col("vec_id") >= 10, k = 5)),
+    "eval_probe_auc" -> ((s, d) =>
+      // the probe's promotion metric: exact ties-aware ROC AUC =
+      // U+/(n+ n-), riding the same bucketed rank prefix as the
+      // rank-sum test — no threshold sweep, no curve materialization
+      Stats.aucFromScores(
+        TextAnalysis.probeScores(rd(s, d, "documents"),
+          length(col("source")) === 4),
+        col("score_ppm"), col("y") === 1)),
     "search_mmr_rerank" -> ((s, d) => {
       // PRODUCTION diversity re-rank: IVF-tier candidates (top-12 per
       // query from the probed cells) -> greedy MMR (4 picks,
@@ -4129,6 +4137,11 @@ object SparkEntry {
     "text_probe_scores" ->
       OracleSql.probeScores("length(source) = 4", buckets = 16, iters = 3,
         lr = 1.0 / 1024, scaleBits = 20, salt = "probe"),
+    "eval_probe_auc" ->
+      (s"WITH scores AS (${OracleSql.probeScores("length(source) = 4",
+        buckets = 16, iters = 3, lr = 1.0 / 1024, scaleBits = 20,
+        salt = "probe")}) " +
+        Stats.aucFromScoresSql("scores", "score_ppm", "y = 1")),
     "text_probe_calibration" ->
       OracleSql.probeCalibration("length(source) = 4", bins = 10, buckets = 16,
         iters = 3, lr = 1.0 / 1024, scaleBits = 20, salt = "probe"),

@@ -708,6 +708,35 @@ object Stats {
       "CASE WHEN n1 > 0 AND n > n1 AND n > 1 AND sig2 > 0.0 " +
       "THEN (u2 - n1d * n2d) / (2.0 * sqrt(sig2)) END AS z FROM f"
 
+  /** Exact ROC AUC from integer scores — the probability a random
+    * positive outscores a random negative, ties at half credit: AUC =
+    * U⁺/(n⁺·n⁻), i.e. [[mannWhitneyU]] renormalized (the textbook
+    * identity), so the average-rank tie handling and the two-level
+    * bucketed rank prefix carry over unchanged. One exact-integer
+    * pipeline ending in ONE double division — no threshold sweep, no
+    * trapezoid sum, no curve materialization.
+    */
+  def aucFromScores(
+      df: DataFrame,
+      scoreUnits: Column,
+      isPos: Column): DataFrame =
+    mannWhitneyU(df, scoreUnits, isPos)
+      .select(col("n1").as("n_pos"), col("n2").as("n_neg"),
+        when(col("n1") > 0 && col("n2") > 0,
+          col("u") / (col("n1").cast("double") * col("n2").cast("double")))
+          .as("auc"))
+
+  /** DuckDB replay of [[aucFromScores]] over a `scores` relation the
+    * caller provides as a CTE (columns per `scoreSql` / `isPosSql`).
+    */
+  def aucFromScoresSql(
+      scoresTable: String,
+      scoreSql: String,
+      isPosSql: String): String =
+    s"SELECT n1 AS n_pos, n2 AS n_neg, " +
+      "CASE WHEN n1 > 0 AND n2 > 0 THEN u / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) END AS auc " +
+      s"FROM (${mannWhitneyUSql(scoresTable, scoreSql, isPosSql)}) mw"
+
   /** Welch's unequal-variance t-test — the parametric sibling of
     * [[mannWhitneyU]] (same two-sample question, assumes means are
     * meaningful): t and the Welch–Satterthwaite degrees of freedom

@@ -218,6 +218,22 @@ class StatsSpec extends AnyFunSuite with SparkTest {
     assert(r2.getDouble(2) == 0.5, s"tied rank averages: U = 0.5, got ${r2.getDouble(2)}")
   }
 
+  test("aucFromScores: separation = 1, tie takes half credit") {
+    val s = spark; import s.implicits._
+    val perfect = Seq((10L, true), (9L, true), (2L, false), (1L, false))
+      .toDF("score", "pos")
+    val p = Stats.aucFromScores(perfect, col("score"), col("pos"))
+      .collect().head
+    assert(p.getLong(0) == 2L && p.getLong(1) == 2L && p.getDouble(2) == 1.0)
+    // pos {3,2}, neg {2,1}: pairs (3>2)=1, (3>1)=1, (2=2)=0.5, (2>1)=1
+    // -> 3.5/4
+    val tied = Seq((3L, true), (2L, true), (2L, false), (1L, false))
+      .toDF("score", "pos")
+    val t = Stats.aucFromScores(tied, col("score"), col("pos"))
+      .collect().head
+    assert(t.getDouble(2) == 0.875, s"tie at half credit: got ${t.getDouble(2)}")
+  }
+
   test("welchT: hand-computed t and Satterthwaite df") {
     val s = spark; import s.implicits._
     // A = {1,2,3}: mean 2, var 1; B = {4,6}: mean 5, var 2

@@ -347,4 +347,54 @@ class PropertySpec extends AnyFunSuite with SparkTest {
       graft.operators.Caches.release()
     }
   }
+
+  test("property: spearman/U are partition-invariant and match a brute-force rank reference") {
+    val s = spark; import s.implicits._
+    val gen = for {
+      n <- Gen.choose(5, 60)
+      xs <- Gen.listOfN(n, Gen.choose(-20L, 20L))
+      ys <- Gen.listOfN(n, Gen.choose(-20L, 20L))
+    } yield xs.zip(ys)
+    for (seed <- 1 to 5) {
+      val data = gen(Gen.Parameters.default, Seed(seed.toLong)).get
+      val df = data.toDF("x", "y")
+      def rho(d: org.apache.spark.sql.DataFrame) =
+        graft.operators.Stats.spearman(
+          d.withColumn("g", lit("all")), Seq("g"), col("x"), col("y"))
+          .collect().head match {
+            case r if r.isNullAt(2) => None
+            case r => Some(r.getDouble(2))
+          }
+      assert(rho(df) == rho(df.repartition(7)),
+        s"seed $seed: bucketed rank prefix must be partition-invariant")
+      // brute-force average ranks on the driver
+      def ranks(v: Seq[Long]): Seq[Double] = {
+        val byVal = v.zipWithIndex.sortBy(_._1)
+        val out = new Array[Double](v.size)
+        var i = 0
+        while (i < byVal.size) {
+          var j = i
+          while (j < byVal.size && byVal(j)._1 == byVal(i)._1) j += 1
+          val avg = (i + 1 + j).toDouble / 2 // mean of ranks i+1..j
+          for (k <- i until j) out(byVal(k)._2) = avg
+          i = j
+        }
+        out.toSeq
+      }
+      val rx = ranks(data.map(_._1)); val ry = ranks(data.map(_._2))
+      val n = data.size.toDouble
+      val (sx, sy) = (rx.sum, ry.sum)
+      val sxx = rx.map(a => a * a).sum; val syy = ry.map(a => a * a).sum
+      val sxy = rx.zip(ry).map { case (a, b) => a * b }.sum
+      val den = n * sxx - sx * sx; val deny = n * syy - sy * sy
+      val expect =
+        if (den == 0 || deny == 0) None
+        else Some((n * sxy - sx * sy) / math.sqrt(den * deny))
+      (rho(df), expect) match {
+        case (Some(a), Some(b)) =>
+          assert(math.abs(a - b) < 1e-9, s"seed $seed: $a vs brute $b")
+        case (a, b) => assert(a.isDefined == b.isDefined, s"seed $seed: $a vs $b")
+      }
+    }
+  }
 }

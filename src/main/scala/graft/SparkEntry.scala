@@ -2009,6 +2009,36 @@ object SparkEntry {
         percent_rank().over(w).as("prank"),
         cume_dist().over(w).as("cdist"))
     }),
+    "w6_first_last_nth" -> ((s, d) => {
+      // the value-picking window family: first/last/nth event value
+      // per user over the full per-user frame (total order by ts,
+      // event_id makes every pick deterministic); rn=1 collapses the
+      // per-row window output to one row per user
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val full = ord.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val cents = round(col("value") * 100).cast("long")
+      rd(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          first(cents).over(full).as("first_cents"),
+          last(cents).over(full).as("last_cents"),
+          nth_value(cents, 2).over(full).as("second_cents"),
+          row_number().over(ord).as("__rn"))
+        .where(col("__rn") === 1)
+        .select("user_id", "first_cents", "last_cents", "second_cents")
+    }),
+    "q_string_agg" -> ((s, d) =>
+      // ordered string aggregation: brands per size as one ascending
+      // CSV — array_sort(collect_list) + concat_ws, the order-free
+      // form of string_agg (collect order varies with partitioning;
+      // the sort pins it in both engines)
+      rd(s, d, "part")
+        .select(col("p_size"), col("p_brand")).distinct()
+        .groupBy("p_size")
+        .agg(expr("concat_ws(',', array_sort(collect_list(p_brand)))")
+          .as("brands"),
+          count(lit(1)).as("n_brands"))),
     "incr_join_maintain" -> ((s, d) => {
       // incremental JOIN maintenance: a stored orders⋈customer join
       // refreshed with insert-only deltas on BOTH sides (new orders by
@@ -3979,6 +4009,19 @@ object SparkEntry {
       ("SELECT o_custkey, o_orderkey, o_totalprice, CAST(ntile(4) OVER w AS INT) AS quartile, " +
         "percent_rank() OVER w AS prank, cume_dist() OVER w AS cdist FROM orders " +
         "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)"),
+    "w6_first_last_nth" ->
+      ("WITH w AS (SELECT user_id, " +
+        "first_value(CAST(round(value * 100) AS BIGINT)) OVER win AS first_cents, " +
+        "last_value(CAST(round(value * 100) AS BIGINT)) OVER win AS last_cents, " +
+        "nth_value(CAST(round(value * 100) AS BIGINT), 2) OVER win AS second_cents, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events " +
+        "WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) " +
+        "SELECT user_id, first_cents, last_cents, second_cents FROM w WHERE rn = 1"),
+    "q_string_agg" ->
+      ("WITH d AS (SELECT DISTINCT p_size, p_brand FROM part) " +
+        "SELECT p_size, string_agg(p_brand, ',' ORDER BY p_brand) AS brands, " +
+        "count(*) AS n_brands FROM d GROUP BY p_size"),
     "decontaminate" ->
       ("SELECT doc_id, source, n_chars FROM documents WHERE " +
         "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) NOT IN " +

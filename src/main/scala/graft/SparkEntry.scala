@@ -253,6 +253,20 @@ object SparkEntry {
     "set_except" -> ((s, d) =>
       rd(s, d, "orders").select(col("o_orderkey").as("k"))
         .except(rd(s, d, "lineitem").select(col("l_orderkey").as("k")))),
+    "set_except_all" -> ((s, d) =>
+      // BAG semantics: multiplicities subtract instead of collapsing —
+      // a priority appearing 3x among fulfilled and 1x among open
+      // orders survives twice (per-custkey slice keeps it data-bearing)
+      rd(s, d, "orders").where(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k"), col("o_orderpriority").as("prio"))
+        .exceptAll(rd(s, d, "orders").where(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("k"), col("o_orderpriority").as("prio")))),
+    "set_intersect_all" -> ((s, d) =>
+      // BAG intersection: min of the two multiplicities per row value
+      rd(s, d, "orders").where(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k"), col("o_orderpriority").as("prio"))
+        .intersectAll(rd(s, d, "orders").where(col("o_orderstatus") === "O")
+          .select(col("o_custkey").as("k"), col("o_orderpriority").as("prio")))),
 
     // —— SURVEY §2.4 distinct / dedup ——
     "a1_distinct" -> ((s, d) =>
@@ -3836,6 +3850,12 @@ object SparkEntry {
       "SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey AS nationkey FROM supplier",
     "set_except" ->
       "SELECT o_orderkey AS k FROM orders EXCEPT SELECT l_orderkey AS k FROM lineitem",
+    "set_except_all" ->
+      ("SELECT o_custkey AS k, o_orderpriority AS prio FROM orders WHERE o_orderstatus = 'F' " +
+        "EXCEPT ALL SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'O'"),
+    "set_intersect_all" ->
+      ("SELECT o_custkey AS k, o_orderpriority AS prio FROM orders WHERE o_orderstatus = 'F' " +
+        "INTERSECT ALL SELECT o_custkey, o_orderpriority FROM orders WHERE o_orderstatus = 'O'"),
     "q_rollup" ->
       ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n " +
         "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"),

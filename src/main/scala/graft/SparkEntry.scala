@@ -2449,6 +2449,28 @@ object SparkEntry {
       // table, Pearson per lag from exact decimal moments
       Stats.acf(rd(s, d, "orders"), "o_orderdate",
         round(col("o_totalprice") * 100).cast("long"), maxLag = 14)),
+    "seq_rolling_corr" -> ((s, d) => {
+      // metric-coupling monitor: 28-day rolling Pearson between daily
+      // purchase and click value — decoupling is the incident signal;
+      // one shared window over the calendar-bounded joined daily table
+      val ev = rd(s, d, "events")
+      val cents = round(col("value") * 100).cast("long")
+      Stats.rollingCorrDaily(
+        ev.filter(col("event_type") === "purchase"), "ts", cents,
+        ev.filter(col("event_type") === "click"), "ts", cents,
+        windowDays = 28)
+    }),
+    "seq_xcorr" -> ((s, d) => {
+      // lead/lag detector: cross-correlation of daily view value vs
+      // purchase value at lags -7..7 — a peak at positive lag reads
+      // "views lead purchases by that many days"
+      val ev = rd(s, d, "events")
+      val cents = round(col("value") * 100).cast("long")
+      Stats.xcorrDaily(
+        ev.filter(col("event_type") === "view"), "ts", cents,
+        ev.filter(col("event_type") === "purchase"), "ts", cents,
+        maxLag = 7)
+    }),
     "stat_welch_t" -> ((s, d) =>
       // parametric sibling of the rank-sum test on the same split:
       // Welch's t and Satterthwaite df from one conditional-sum scan
@@ -5027,6 +5049,8 @@ object SparkEntry {
       "WHERE o_orderstatus IN ('F', 'O')"),
     "stat_acf" -> Stats.acfSql("orders",
       "CAST(round(o_totalprice * 100) AS BIGINT)", maxLag = 14),
+    "seq_rolling_corr" -> Stats.rollingCorrDailySql("purchase", "click", 28),
+    "seq_xcorr" -> Stats.xcorrDailySql("view", "purchase", 7),
     "stat_welch_t" -> Stats.welchTSql("orders",
       "CAST(round(o_totalprice * 100) AS BIGINT)",
       "o_orderstatus = 'F'",

@@ -865,6 +865,136 @@ object Stats {
       "THEN (nd * sxyd - sxd * syd) / sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)) END AS r " +
       "FROM e"
 
+  /** Rolling Pearson correlation between two integer daily series over
+    * a trailing window — "are these metrics moving together RIGHT NOW"
+    * (revenue vs traffic decoupling is an incident signal). The five
+    * joint moments ride ONE shared window over the calendar-bounded
+    * joined daily table (the documented unpartitioned-window class);
+    * r per day is the fixed double tree over exact window sums.
+    * Days present in only one series are dropped (inner join) — a gap
+    * is a data-quality event, not a zero.
+    */
+  def rollingCorrDaily(
+      rowsA: DataFrame,
+      dateA: String,
+      unitsA: Column,
+      rowsB: DataFrame,
+      dateB: String,
+      unitsB: Column,
+      windowDays: Int = 28): DataFrame = {
+    require(windowDays >= 2)
+    val a = rowsA.groupBy(to_date(col(dateA)).as("d"))
+      .agg(sum(unitsA.cast("long")).as("xa"))
+    val b = rowsB.groupBy(to_date(col(dateB)).as("d"))
+      .agg(sum(unitsB.cast("long")).as("xb"))
+    val j = a.join(b, "d")
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(-(windowDays - 1), Window.currentRow)
+    val m = j.select(col("d"),
+      count(lit(1)).over(w).as("n_w"),
+      sum("xa").over(w).as("sa"), sum("xb").over(w).as("sb"),
+      sum(col("xa") * col("xa")).over(w).as("saa"),
+      sum(col("xa") * col("xb")).over(w).as("sab"),
+      sum(col("xb") * col("xb")).over(w).as("sbb"))
+    val nD = col("n_w").cast("double")
+    val sa = col("sa").cast("double"); val sb = col("sb").cast("double")
+    val saa = col("saa").cast("double"); val sab = col("sab").cast("double")
+    val sbb = col("sbb").cast("double")
+    val num = nD * sab - sa * sb
+    val da = nD * saa - sa * sa
+    val db = nD * sbb - sb * sb
+    m.select(col("d"), col("n_w"),
+      when(col("n_w") >= 2 && da =!= 0.0 && db =!= 0.0,
+        num / sqrt(da * db)).as("r"))
+  }
+
+  /** DuckDB replay of [[rollingCorrDaily]] over two event-type slices
+    * of the events table.
+    */
+  def rollingCorrDailySql(
+      typeA: String, typeB: String, windowDays: Int): String =
+    s"WITH a AS (SELECT CAST(ts AS DATE) AS d, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS xa " +
+      s"FROM events WHERE event_type = '$typeA' GROUP BY 1), " +
+      s"b AS (SELECT CAST(ts AS DATE) AS d, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS xb " +
+      s"FROM events WHERE event_type = '$typeB' GROUP BY 1), " +
+      "j AS (SELECT a.d, a.xa, b.xb FROM a JOIN b ON a.d = b.d), " +
+      "m AS (SELECT d, CAST(count(*) OVER w AS BIGINT) AS n_w, " +
+      "CAST(sum(xa) OVER w AS BIGINT) AS sa, CAST(sum(xb) OVER w AS BIGINT) AS sb, " +
+      "CAST(sum(xa * xa) OVER w AS BIGINT) AS saa, CAST(sum(xa * xb) OVER w AS BIGINT) AS sab, " +
+      "CAST(sum(xb * xb) OVER w AS BIGINT) AS sbb FROM j " +
+      s"WINDOW w AS (ORDER BY d ROWS BETWEEN ${windowDays - 1} PRECEDING AND CURRENT ROW)), " +
+      "e AS (SELECT d, n_w, CAST(n_w AS DOUBLE) AS nd, CAST(sa AS DOUBLE) AS sad, " +
+      "CAST(sb AS DOUBLE) AS sbd, CAST(saa AS DOUBLE) AS saad, CAST(sab AS DOUBLE) AS sabd, " +
+      "CAST(sbb AS DOUBLE) AS sbbd FROM m) " +
+      "SELECT d, n_w, CASE WHEN n_w >= 2 AND nd * saad - sad * sad <> 0 AND nd * sbbd - sbd * sbd <> 0 " +
+      "THEN (nd * sabd - sad * sbd) / sqrt((nd * saad - sad * sad) * (nd * sbbd - sbd * sbd)) END AS r " +
+      "FROM e"
+
+  /** Cross-correlation between two daily series at signed lags
+    * −maxLag..maxLag: r(ℓ) correlates A(t) with B(t+ℓ), so a peak at
+    * POSITIVE ℓ reads "A leads B by ℓ days" — the lead/lag detector
+    * behind "views today predict purchases in N days". Same exact-
+    * decimal moment discipline and shifted-date equi-join as [[acf]]
+    * (which is the special case A = B, ℓ ≥ 1).
+    */
+  def xcorrDaily(
+      rowsA: DataFrame,
+      dateA: String,
+      unitsA: Column,
+      rowsB: DataFrame,
+      dateB: String,
+      unitsB: Column,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 0)
+    val a = rowsA.groupBy(to_date(col(dateA)).as("d"))
+      .agg(sum(unitsA.cast("long")).as("xa"))
+    val b = rowsB.groupBy(to_date(col(dateB)).as("d"))
+      .agg(sum(unitsB.cast("long")).as("xb"))
+    val lagged = a
+      .withColumn("lag_d", explode(array((-maxLag to maxLag).map(i => lit(i)): _*)))
+      .select(col("lag_d"), col("d"), col("xa"))
+    val bb = b.select(col("d").as("__d2"), col("xb"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val pairs = lagged.join(bb, expr("__d2 = date_add(d, lag_d)"))
+    val m = pairs.groupBy("lag_d")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(dec(col("xa"))).as("__sx"), sum(dec(col("xb"))).as("__sy"),
+        sum(dec(col("xa")) * dec(col("xa"))).as("__sxx"),
+        sum(dec(col("xa")) * dec(col("xb"))).as("__sxy"),
+        sum(dec(col("xb")) * dec(col("xb"))).as("__syy"))
+    val nD = col("n_pairs").cast("double")
+    val sx = col("__sx").cast("double"); val sy = col("__sy").cast("double")
+    val sxx = col("__sxx").cast("double"); val sxy = col("__sxy").cast("double")
+    val syy = col("__syy").cast("double")
+    val num = nD * sxy - sx * sy
+    val den = nD * sxx - sx * sx
+    val deny = nD * syy - sy * sy
+    m.select(col("lag_d"), col("n_pairs"),
+      when(den =!= 0.0 && deny =!= 0.0, num / sqrt(den * deny)).as("r"))
+  }
+
+  /** DuckDB replay of [[xcorrDaily]] over two event-type slices. */
+  def xcorrDailySql(typeA: String, typeB: String, maxLag: Int): String =
+    s"WITH a AS (SELECT CAST(ts AS DATE) AS d, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS xa " +
+      s"FROM events WHERE event_type = '$typeA' GROUP BY 1), " +
+      s"b AS (SELECT CAST(ts AS DATE) AS d, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS xb " +
+      s"FROM events WHERE event_type = '$typeB' GROUP BY 1), " +
+      s"lags AS (SELECT CAST(unnest(generate_series(-$maxLag, $maxLag)) AS INT) AS lag_d), " +
+      "p AS (SELECT l.lag_d, a.xa, b.xb FROM lags l " +
+      "CROSS JOIN a JOIN b ON b.d = a.d + l.lag_d), " +
+      "m AS (SELECT lag_d, count(*) AS n_pairs, " +
+      "CAST(sum(CAST(xa AS HUGEINT)) AS HUGEINT) AS sx, CAST(sum(CAST(xb AS HUGEINT)) AS HUGEINT) AS sy, " +
+      "CAST(sum(CAST(xa AS HUGEINT) * CAST(xa AS HUGEINT)) AS HUGEINT) AS sxx, " +
+      "CAST(sum(CAST(xa AS HUGEINT) * CAST(xb AS HUGEINT)) AS HUGEINT) AS sxy, " +
+      "CAST(sum(CAST(xb AS HUGEINT) * CAST(xb AS HUGEINT)) AS HUGEINT) AS syy " +
+      "FROM p GROUP BY 1), " +
+      "e AS (SELECT lag_d, n_pairs, CAST(n_pairs AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd, " +
+      "CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd, CAST(sxy AS DOUBLE) AS sxyd, " +
+      "CAST(syy AS DOUBLE) AS syyd FROM m) " +
+      "SELECT lag_d, n_pairs, CASE WHEN nd * sxxd - sxd * sxd <> 0 AND nd * syyd - syd * syd <> 0 " +
+      "THEN (nd * sxyd - sxd * syd) / sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)) END AS r " +
+      "FROM e"
+
   /** DuckDB replay of [[rollingIntegerZSpikes]]. */
   def rollingIntegerZSpikesSql(table: String, window: Int = 7, minWindow: Int = 3): String =
     s"WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, " +

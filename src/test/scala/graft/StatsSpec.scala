@@ -251,6 +251,41 @@ class StatsSpec extends AnyFunSuite with SparkTest {
     assert(r2.isNullAt(3) && r2.isNullAt(4))
   }
 
+  test("rollingCorrDaily: proportional series pins r=1, inverted pins -1") {
+    val s = spark; import s.implicits._
+    val base = java.time.LocalDate.parse("2024-04-01")
+    def series(f: Int => Long) = (0 until 12).map(i =>
+      (java.sql.Date.valueOf(base.plusDays(i.toLong)), f(i)))
+    val a = series(i => (i % 5 + 1).toLong).toDF("d", "x")
+    val bUp = series(i => 2L * (i % 5 + 1)).toDF("d", "x")
+    val bDn = series(i => 100L - (i % 5 + 1)).toDF("d", "x")
+    def run(b: org.apache.spark.sql.DataFrame) =
+      Stats.rollingCorrDaily(a, "d", col("x"), b, "d", col("x"), windowDays = 4)
+        .collect().map(r => (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(run(bUp).drop(1).forall(_.contains(1.0)),
+      "b = 2a: every window from n_w=2 on is exactly +1")
+    assert(run(bDn).drop(1).forall(_.contains(-1.0)))
+    // first day: single-point window -> zero variance -> NULL
+    assert(run(bUp).head.isEmpty)
+  }
+
+  test("xcorrDaily: a one-day shift peaks at lag +1") {
+    val s = spark; import s.implicits._
+    val base = java.time.LocalDate.parse("2024-04-01")
+    // A alternates 1,5; B is A delayed by one day: B(t) = A(t-1),
+    // so A(t) = B(t+1) -> perfect r at lag +1, inverted at lag 0
+    val a = (0 until 20).map(i =>
+      (java.sql.Date.valueOf(base.plusDays(i.toLong)),
+        if (i % 2 == 0) 1L else 5L)).toDF("d", "x")
+    val b = (0 until 20).map(i =>
+      (java.sql.Date.valueOf(base.plusDays(i.toLong)),
+        if ((i + 1) % 2 == 0) 1L else 5L)).toDF("d", "x")
+    val out = Stats.xcorrDaily(a, "d", col("x"), b, "d", col("x"), maxLag = 2)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(out(1) == 1.0, "B lags A by one day: perfect correlation at +1")
+    assert(out(0) == -1.0 && out(-1) == 1.0 && out(2) == -1.0)
+  }
+
   test("acf: period-2 alternating series has r(2) = 1 and r(1) = -1") {
     val s = spark; import s.implicits._
     val base = java.time.LocalDate.parse("2024-03-01")

@@ -74,6 +74,23 @@ object SparkEntry {
       "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ps_availqty " +
       "FROM lineitem GROUP BY 1, 2)"
 
+  /** Deterministic integer plane: (id, x, y) with x/y from modular
+    * multiplicative hashing of the key — pure BIGINT arithmetic both
+    * engines replay identically ([[geoPtsCte]] is the same text).
+    * Coordinates land in [0, 100003) so the [[graft.operators.Geo]]
+    * non-negative contract holds at every SF.
+    */
+  private def geoPoints(df: DataFrame, keyCol: String, mx: Long, my: Long): DataFrame =
+    df.select(col(keyCol).cast("long").as("id"),
+      (col(keyCol) * mx % 100003L).as("x"),
+      (col(keyCol) * my % 100003L).as("y"))
+
+  /** DuckDB replay of [[geoPoints]], as a WITH-clause body. */
+  private def geoPtsCte(alias: String, table: String, keyCol: String,
+      mx: Long, my: Long, where: String = ""): String =
+    s"$alias AS (SELECT $keyCol AS id, ($keyCol * $mx) % 100003 AS x, " +
+      s"($keyCol * $my) % 100003 AS y FROM $table$where)"
+
   private def sharedStage(s: SparkSession, d: String, stage: String)(
       build: DataFrame => DataFrame): DataFrame = {
     import graft.sources.Warehouse
@@ -3669,6 +3686,63 @@ object SparkEntry {
       graft.sources.Layout.compactionPlan(files, Seq("rf", "ls", "mon"),
         "est_bytes", targetSize = 50000L)
         .select("rf", "ls", "mon", "est_bytes", "cum_before", "bin")
+    }),
+
+    // —— spatial grid family: geometry as candidate generation ——
+    "geo_grid_pairs" -> ((s, d) =>
+      // all customer pairs within Euclidean distance 2000 on the
+      // derived integer plane, found via the 3x3-neighbor-cell
+      // equi-join; the oracle is the brute cross join, so the gate
+      // proves the grid path finds EXACTLY the all-pairs answer
+      graft.operators.Geo.gridPairs(
+        geoPoints(rd(s, d, "customer"), "c_custkey", 48271L, 69621L), 2000L)),
+    "geo_knn_radius" -> ((s, d) =>
+      // radius-bounded 5-NN: sparse query set (every 50th customer)
+      // probed against the supplier plane — the asymmetric
+      // index-lookup shape; (dist2, id) tie-break pins the ranking
+      graft.operators.Geo.knnRadius(
+        geoPoints(rd(s, d, "customer"), "c_custkey", 48271L, 69621L)
+          .filter(col("id") % 50 === 0),
+        geoPoints(rd(s, d, "supplier"), "s_suppkey", 16807L, 65539L),
+        r = 15000L, k = 5)),
+    "geo_cell_smooth" -> ((s, d) =>
+      // 3x3 box-filtered cell density raster: scatter runs on the
+      // aggregated cell table (9x cells, never 9x points)
+      graft.operators.Geo.cellSmooth(
+        geoPoints(rd(s, d, "customer"), "c_custkey", 48271L, 69621L), 5000L)),
+
+    "feat_best_split" -> ((s, d) =>
+      // decision-stump sweep: every l_quantity threshold's exact
+      // class counts and integer Gini purity for returnflag='R' —
+      // one combinable scan + a cardinality-bounded prefix window
+      graft.operators.Stats.bestSplits(rd(s, d, "lineitem"),
+        col("l_quantity"), col("l_returnflag") === "R")),
+
+    "q_interval_merge" -> ((s, d) => {
+      // merge overlapping variable-length intervals per user (stay =
+      // [ts, ts + (event_id%120+1) min]): running-max-end island
+      // detection — unlike fixed-gap sessionization, a long interval
+      // can swallow many short ones that follow it
+      val iv = rd(s, d, "events").select(col("user_id"), col("event_id"),
+        col("ts").as("ivl_start"),
+        (col("ts") + expr("make_interval(0, 0, 0, 0, 0, CAST(event_id % 120 + 1 AS INT), 0)"))
+          .as("ivl_end"))
+      val wPrev = Window.partitionBy("user_id")
+        .orderBy(col("ivl_start"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy("user_id")
+        .orderBy(col("ivl_start"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      iv.withColumn("__new",
+          when(col("ivl_start") > max(col("ivl_end")).over(wPrev), 1L)
+            .otherwise(when(max(col("ivl_end")).over(wPrev).isNull, 1L)
+              .otherwise(0L)))
+        .withColumn("island", sum("__new").over(wRun))
+        .groupBy("user_id", "island")
+        .agg(min("ivl_start").as("merged_start"),
+          max("ivl_end").as("merged_end"),
+          count(lit(1)).as("n_events"))
+        .select("user_id", "island", "merged_start", "merged_end", "n_events")
     })
   )
 
@@ -5876,7 +5950,48 @@ object SparkEntry {
         "w AS (SELECT rf, ls, mon, CAST(est_bytes AS BIGINT) AS est_bytes, " +
         "CAST(coalesce(sum(est_bytes) OVER (ORDER BY rf, ls, mon " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM files) " +
-        "SELECT rf, ls, mon, est_bytes, cum_before, cum_before // 50000 AS bin FROM w")
+        "SELECT rf, ls, mon, est_bytes, cum_before, cum_before // 50000 AS bin FROM w"),
+
+    // brute cross join: the exactness oracle for the grid path
+    "geo_grid_pairs" ->
+      (s"WITH ${geoPtsCte("pts", "customer", "c_custkey", 48271L, 69621L)} " +
+        "SELECT a.id AS id_a, b.id AS id_b, " +
+        "(a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS dist2 " +
+        "FROM pts a JOIN pts b ON a.id < b.id " +
+        "AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 4000000"),
+    "geo_knn_radius" ->
+      (s"WITH ${geoPtsCte("q", "customer", "c_custkey", 48271L, 69621L, " WHERE c_custkey % 50 = 0")}, " +
+        s"${geoPtsCte("c", "supplier", "s_suppkey", 16807L, 65539L)}, " +
+        "j AS (SELECT q.id AS q_id, c.id AS c_id, " +
+        "(q.x-c.x)*(q.x-c.x) + (q.y-c.y)*(q.y-c.y) AS dist2 FROM q JOIN c " +
+        "ON (q.x-c.x)*(q.x-c.x) + (q.y-c.y)*(q.y-c.y) <= 225000000), " +
+        "r AS (SELECT q_id, c_id, dist2, CAST(row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY dist2, c_id) AS INT) AS rank FROM j) " +
+        "SELECT q_id, rank, c_id, dist2 FROM r WHERE rank <= 5"),
+    "geo_cell_smooth" ->
+      (s"WITH ${geoPtsCte("pts", "customer", "c_custkey", 48271L, 69621L)}, " +
+        "cnt AS (SELECT x // 5000 AS cx0, y // 5000 AS cy0, count(*) AS n FROM pts GROUP BY 1, 2), " +
+        "off AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) t(dx, dy)) " +
+        "SELECT cnt.cx0 + off.dx AS cx, cnt.cy0 + off.dy AS cy, " +
+        "CAST(sum(n) AS BIGINT) AS smoothed FROM cnt CROSS JOIN off GROUP BY 1, 2"),
+
+    "feat_best_split" -> graft.operators.Stats.bestSplitsSql(
+      "lineitem", "l_quantity", "l_returnflag = 'R'"),
+
+    "q_interval_merge" ->
+      ("WITH iv AS (SELECT user_id, event_id, ts AS ivl_start, " +
+        "ts + (event_id % 120 + 1) * INTERVAL 1 MINUTE AS ivl_end FROM events), " +
+        "flag AS (SELECT user_id, event_id, ivl_start, ivl_end, " +
+        "CASE WHEN max(ivl_end) OVER (PARTITION BY user_id ORDER BY ivl_start, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL THEN 1 " +
+        "WHEN ivl_start > max(ivl_end) OVER (PARTITION BY user_id ORDER BY ivl_start, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) THEN 1 ELSE 0 END AS newi FROM iv), " +
+        "isl AS (SELECT user_id, ivl_start, ivl_end, " +
+        "CAST(sum(newi) OVER (PARTITION BY user_id ORDER BY ivl_start, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island FROM flag) " +
+        "SELECT user_id, island, min(ivl_start) AS merged_start, " +
+        "max(ivl_end) AS merged_end, count(*) AS n_events " +
+        "FROM isl GROUP BY 1, 2")
     // every queries entry has an oracle: the hash-seeded operators use
     // full algorithm-replay SQL from OracleSql (portable hash family +
     // bit-exact double replication)

@@ -995,6 +995,67 @@ object Stats {
       "THEN (nd * sxyd - sxd * syd) / sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)) END AS r " +
       "FROM e"
 
+  /** Decision-stump split finding: for every candidate threshold `t`
+    * over an integer feature, the exact class counts of the induced
+    * partition (feature ≤ t vs > t) and an integer Gini-purity score —
+    * the inner loop of decision-tree training and of "which feature
+    * value separates good from bad documents" data-curation triage.
+    *
+    * Scale shape: ONE combinable groupBy collapses the corpus to one
+    * row per distinct feature value (the only data-sized pass), then
+    * prefix sums over that value table give every threshold's left
+    * counts in a single ordered window. The window is unpartitioned
+    * but runs on the VALUE table — bounded by feature cardinality
+    * (≤ a few thousand for binned features), never by row count; at
+    * 100 TB the heavy lifting stays in the map-side-combined first
+    * aggregation. Totals ride in via one broadcast scalar row.
+    *
+    * Purity is Σ_side ⌊10⁶·(pos² + neg²) / n⌋ (maximize ⇔ minimize
+    * weighted Gini impurity up to the pinned floor-division grid) —
+    * numerators in DECIMAL(38,0) per the ppm discipline (int64 wraps
+    * once n > ~3·10⁶), quotient ≤ 2·10⁶ so the BIGINT cast is
+    * lossless. Splits with an empty side (the max value) are excluded.
+    * Output: split_v, n_left, pos_left, n_right, pos_right,
+    * purity_ppm — all BIGINT, hash-exact cross-engine.
+    */
+  def bestSplits(df: DataFrame, featureUnits: Column, positive: Column): DataFrame = {
+    val byV = df
+      .select(featureUnits.cast("long").as("split_v"),
+        when(positive, 1L).otherwise(0L).as("__pos"))
+      .groupBy("split_v")
+      .agg(count(lit(1)).as("__n_v"), sum(col("__pos")).as("__pos_v"))
+    val w = Window.orderBy("split_v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = byV.agg(sum("__n_v").as("__n_tot"), sum("__pos_v").as("__pos_tot"))
+    byV
+      .withColumn("n_left", sum("__n_v").over(w))
+      .withColumn("pos_left", sum("__pos_v").over(w))
+      .crossJoin(broadcast(totals))
+      .withColumn("n_right", col("__n_tot") - col("n_left"))
+      .withColumn("pos_right", col("__pos_tot") - col("pos_left"))
+      .filter(col("n_right") > 0)
+      .withColumn("purity_ppm", expr(
+        "CAST(CAST(1000000 AS DECIMAL(38,0)) * (CAST(pos_left AS DECIMAL(38,0))*pos_left + CAST(n_left-pos_left AS DECIMAL(38,0))*(n_left-pos_left)) div n_left " +
+          "+ CAST(1000000 AS DECIMAL(38,0)) * (CAST(pos_right AS DECIMAL(38,0))*pos_right + CAST(n_right-pos_right AS DECIMAL(38,0))*(n_right-pos_right)) div n_right AS BIGINT)"))
+      .select("split_v", "n_left", "pos_left", "n_right", "pos_right", "purity_ppm")
+  }
+
+  /** DuckDB replay of [[bestSplits]]. `featureSql`/`positiveSql` must
+    * mirror the Spark expressions textually. */
+  def bestSplitsSql(table: String, featureSql: String, positiveSql: String): String =
+    s"WITH byv AS (SELECT CAST($featureSql AS BIGINT) AS split_v, " +
+      s"count(*) AS n_v, CAST(sum(CASE WHEN $positiveSql THEN 1 ELSE 0 END) AS BIGINT) AS pos_v " +
+      s"FROM $table GROUP BY 1), " +
+      "pre AS (SELECT split_v, " +
+      "CAST(sum(n_v) OVER (ORDER BY split_v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_left, " +
+      "CAST(sum(pos_v) OVER (ORDER BY split_v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pos_left, " +
+      "CAST((SELECT sum(n_v) FROM byv) AS BIGINT) AS n_tot, " +
+      "CAST((SELECT sum(pos_v) FROM byv) AS BIGINT) AS pos_tot FROM byv) " +
+      "SELECT split_v, n_left, pos_left, n_tot - n_left AS n_right, pos_tot - pos_left AS pos_right, " +
+      "CAST(1000000::HUGEINT * (pos_left::HUGEINT*pos_left + (n_left-pos_left)::HUGEINT*(n_left-pos_left)) // n_left " +
+      "+ 1000000::HUGEINT * ((pos_tot-pos_left)::HUGEINT*(pos_tot-pos_left) + ((n_tot-n_left)-(pos_tot-pos_left))::HUGEINT*((n_tot-n_left)-(pos_tot-pos_left))) // (n_tot - n_left) AS BIGINT) AS purity_ppm " +
+      "FROM pre WHERE n_tot - n_left > 0"
+
   /** DuckDB replay of [[rollingIntegerZSpikes]]. */
   def rollingIntegerZSpikesSql(table: String, window: Int = 7, minWindow: Int = 3): String =
     s"WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, " +

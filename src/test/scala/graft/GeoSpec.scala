@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Geo
+
+class GeoSpec extends AnyFunSuite with SparkTest {
+
+  /** Deterministic pseudo-random points on [0, span)². */
+  private def points(n: Int, span: Long, mulX: Long, mulY: Long) = {
+    val s = spark; import s.implicits._
+    (1 to n).map { i =>
+      (i.toLong, (i.toLong * mulX) % span, (i.toLong * mulY) % span)
+    }.toDF("id", "x", "y")
+  }
+
+  test("gridPairs equals the brute-force all-pairs radius search") {
+    val s = spark
+    val pts = points(300, 10000L, 48271L, 69621L)
+    val r = 900L
+    val got = Geo.gridPairs(pts, r)
+      .collect().map(rw => (rw.getLong(0), rw.getLong(1), rw.getLong(2))).toSet
+    // brute force: every unordered pair, exact integer distance
+    val raw = pts.collect().map(rw => (rw.getLong(0), rw.getLong(1), rw.getLong(2)))
+    val want = (for {
+      a <- raw; b <- raw if a._1 < b._1
+      d2 = (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
+      if d2 <= r * r
+    } yield (a._1, b._1, d2)).toSet
+    assert(want.nonEmpty, "test must exercise non-empty result")
+    assert(got == want)
+  }
+
+  test("gridPairs produces each pair exactly once (no neighbor-cell dups)") {
+    val pts = points(300, 10000L, 48271L, 69621L)
+    val out = Geo.gridPairs(pts, 900L)
+      .groupBy("id_a", "id_b").count().filter(col("count") > 1)
+    assert(out.isEmpty, "a pair must match via the home cell only once")
+  }
+
+  test("knnRadius matches brute-force radius-bounded kNN with (dist2, id) ties") {
+    val s = spark
+    val qs = points(20, 10000L, 16807L, 65539L)
+    val cs = points(500, 10000L, 48271L, 69621L)
+    val r = 1500L; val k = 3
+    val got = Geo.knnRadius(qs, cs, r, k)
+      .collect().map(rw => (rw.getLong(0), rw.getInt(1), rw.getLong(2), rw.getLong(3))).toSet
+    val qRaw = qs.collect().map(rw => (rw.getLong(0), rw.getLong(1), rw.getLong(2)))
+    val cRaw = cs.collect().map(rw => (rw.getLong(0), rw.getLong(1), rw.getLong(2)))
+    val want = (for (q <- qRaw) yield {
+      val cands = cRaw.map { c =>
+        (c._1, (q._2 - c._2) * (q._2 - c._2) + (q._3 - c._3) * (q._3 - c._3))
+      }.filter(_._2 <= r * r).sortBy(c => (c._2, c._1)).take(k)
+      cands.zipWithIndex.map { case ((cid, d2), i) => (q._1, i + 1, cid, d2) }
+    }).flatten.toSet
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
+  test("cellSmooth is the exact 3x3 box filter of the cell histogram") {
+    val s = spark; import s.implicits._
+    // two occupied cells: (0,0) with 2 points, (2,0) with 1 point —
+    // the cell between them receives mass from both
+    val pts = Seq((1L, 1L, 1L), (2L, 3L, 2L), (3L, 21L, 4L)).toDF("id", "x", "y")
+    val out = Geo.cellSmooth(pts, 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((0L, 0L)) == 2L, "own cell count")
+    assert(out((1L, 0L)) == 3L, "between the two occupied cells: 2 + 1")
+    assert(out((2L, 0L)) == 1L)
+    assert(out((3L, 0L)) == 1L, "right neighbor of (2,0)")
+    assert(out((-1L, -1L)) == 2L, "corner neighbor of (0,0)")
+    // total mass = 9 x point count (every point lands in 9 cells)
+    assert(out.values.sum == 9L * 3L)
+  }
+
+  test("grid path plans equi-joins only — no cartesian, no BNLJ") {
+    val pts = points(300, 10000L, 48271L, 69621L)
+    val joined = Geo.gridPairs(pts, 900L)
+    joined.count() // let AQE finalize
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"grid radius search must be an equi-join:\n$plan")
+  }
+}

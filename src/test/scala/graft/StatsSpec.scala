@@ -26,6 +26,22 @@ class StatsSpec extends AnyFunSuite with SparkTest {
       "vertical line: fit undefined, emitted as NULLs")
   }
 
+  test("bestSplits: exact stump sweep, perfect separator wins") {
+    val s = spark; import s.implicits._
+    // v=1: 3 pos; v=2: 2 neg; v=3: 1 pos 1 neg — t=1 separates best
+    val df = Seq((1L, true), (1L, true), (1L, true), (2L, false), (2L, false),
+      (3L, true), (3L, false)).toDF("v", "y")
+    val out = Stats.bestSplits(df, col("v"), col("y"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out.keySet == Set(1L, 2L), "max value has an empty right side: excluded")
+    assert(out(1L) == ((3L, 3L, 4L, 1L, 5500000L)),
+      "left pure: 1e6*9/3; right (1,3): 1e6*(1+9)/4")
+    assert(out(2L) == ((5L, 3L, 2L, 1L, 3600000L)),
+      "1e6*13 div 5 + 1e6*2 div 2")
+    assert(out.maxBy(_._2._5)._1 == 1L, "the perfect separator scores highest")
+  }
+
   test("corrMatrix: perfect, inverse, and self-consistent correlations") {
     val s = spark; import s.implicits._
     val df = Seq((1L, 2L, -1L), (2L, 4L, -2L), (3L, 6L, -3L), (5L, 10L, -5L))

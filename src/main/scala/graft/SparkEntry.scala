@@ -3717,6 +3717,32 @@ object SparkEntry {
       // one combinable scan + a cardinality-bounded prefix window
       graft.operators.Stats.bestSplits(rd(s, d, "lineitem"),
         col("l_quantity"), col("l_returnflag") === "R")),
+    "feat_split_rank" -> ((s, d) =>
+      // feature selection: four candidate columns stump-swept at once
+      // (one explode, one data-sized aggregation, partitioned
+      // windows), each reduced to its best threshold
+      graft.operators.Stats.bestSplitRank(rd(s, d, "lineitem"), Seq(
+        "qty" -> col("l_quantity"),
+        "disc_bp" -> round(col("l_discount") * 100),
+        "tax_bp" -> round(col("l_tax") * 100),
+        "linenum" -> col("l_linenumber")),
+        col("l_returnflag") === "R")),
+    "geo_core_points" -> ((s, d) =>
+      // DBSCAN core points over the customer plane: >= 4 neighbors
+      // within 2000 — grid-join neighbor counts, isolated points
+      // report 0 via the left join back
+      graft.operators.Geo.corePoints(
+        geoPoints(rd(s, d, "customer"), "c_custkey", 48271L, 69621L),
+        r = 2000L, minPts = 4)),
+    "stat_theil_sen" -> ((s, d) =>
+      // robust trend of 1998's daily revenue: exact median-of-slopes
+      // over the calendar²-bounded pair table; the corpus collapses
+      // to <=365 rows before any quadratic work
+      graft.operators.Stats.theilSen(rd(s, d, "orders")
+        .filter(year(col("o_orderdate")) === 1998)
+        .groupBy(datediff(to_date(col("o_orderdate")),
+          to_date(lit("1998-01-01"))).as("x"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y")))),
 
     "q_interval_merge" -> ((s, d) => {
       // merge overlapping variable-length intervals per user (stay =
@@ -5977,6 +6003,23 @@ object SparkEntry {
 
     "feat_best_split" -> graft.operators.Stats.bestSplitsSql(
       "lineitem", "l_quantity", "l_returnflag = 'R'"),
+    "feat_split_rank" -> graft.operators.Stats.bestSplitRankSql(
+      "lineitem", Seq(
+        "qty" -> "l_quantity",
+        "disc_bp" -> "round(l_discount * 100)",
+        "tax_bp" -> "round(l_tax * 100)",
+        "linenum" -> "l_linenumber"),
+      "l_returnflag = 'R'"),
+    "geo_core_points" ->
+      (s"WITH ${geoPtsCte("pts", "customer", "c_custkey", 48271L, 69621L)}, " +
+        "nb AS (SELECT a.id, count(*) AS n_neighbors FROM pts a JOIN pts b " +
+        "ON a.id <> b.id AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 4000000 GROUP BY 1) " +
+        "SELECT p.id, CAST(coalesce(nb.n_neighbors, 0) AS BIGINT) AS n_neighbors, " +
+        "coalesce(nb.n_neighbors, 0) >= 4 AS is_core FROM pts p LEFT JOIN nb ON p.id = nb.id"),
+    "stat_theil_sen" -> graft.operators.Stats.theilSenSql(
+      "series AS (SELECT date_diff('day', DATE '1998-01-01', CAST(o_orderdate AS DATE)) AS x, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y " +
+        "FROM orders WHERE year(o_orderdate) = 1998 GROUP BY 1)"),
 
     "q_interval_merge" ->
       ("WITH iv AS (SELECT user_id, event_id, ts AS ivl_start, " +

@@ -121,6 +121,29 @@ object Geo {
       .select("q_id", "rank", "c_id", "dist2")
   }
 
+  /** DBSCAN core-point identification: a point is `core` when at
+    * least `minPts` OTHER points lie within distance `r`. Composed
+    * from [[gridPairs]] (each unordered pair symmetrized into two
+    * directed neighbor rows) + one count + one left join back to the
+    * point set, so isolated points report 0 — the density-clustering
+    * primitive, at grid-join cost. Cluster expansion from the cores
+    * is [[Dedup.dedupClusters]]/`Graph.connectedComponents` over the
+    * core-core pair edges — the same candidate-then-cluster split the
+    * dedup family uses.
+    */
+  def corePoints(points: DataFrame, r: Long, minPts: Int): DataFrame = {
+    require(minPts >= 1, "minPts must be >= 1")
+    val pairs = gridPairs(points, r)
+    val directed = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id")))
+    val counts = directed.groupBy("id").agg(count(lit(1)).as("n_neighbors"))
+    points.select(col("id").cast("long").as("id"))
+      .join(counts, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+        (coalesce(col("n_neighbors"), lit(0L)) >= minPts).as("is_core"))
+  }
+
   /** 3×3 neighborhood-smoothed cell density: per-cell point counts,
     * then each cell's count scattered to its nine neighbors and
     * re-summed — the raster box-filter as two keyed aggregations.

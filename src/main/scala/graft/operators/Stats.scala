@@ -1056,6 +1056,131 @@ object Stats {
       "+ 1000000::HUGEINT * ((pos_tot-pos_left)::HUGEINT*(pos_tot-pos_left) + ((n_tot-n_left)-(pos_tot-pos_left))::HUGEINT*((n_tot-n_left)-(pos_tot-pos_left))) // (n_tot - n_left) AS BIGINT) AS purity_ppm " +
       "FROM pre WHERE n_tot - n_left > 0"
 
+  /** Feature selection by stump sweep: [[bestSplits]] generalized to
+    * many candidate features at once, returning each feature's single
+    * best threshold — "which column separates the classes best", the
+    * ranking that drives both tree building and curation-feature
+    * triage. Features are stacked with one `explode` over a literal
+    * struct array (rows × features, map-side, no join), collapsed to
+    * one row per (feature, value) by the only data-sized aggregation,
+    * then swept with PARTITIONED prefix windows — per-feature
+    * cardinality bounds every sort. Ties on purity resolve to the
+    * smallest threshold.
+    */
+  def bestSplitRank(
+      df: DataFrame,
+      features: Seq[(String, Column)],
+      positive: Column): DataFrame = {
+    require(features.nonEmpty, "need at least one feature")
+    val stacked = df
+      .select(explode(array(features.map { case (n, c) =>
+          struct(lit(n).as("feature"), c.cast("long").as("v")) }: _*)).as("fv"),
+        when(positive, 1L).otherwise(0L).as("__pos"))
+      .select(col("fv.feature").as("feature"), col("fv.v").as("split_v"),
+        col("__pos"))
+    val byV = stacked.groupBy("feature", "split_v")
+      .agg(count(lit(1)).as("__n_v"), sum("__pos").as("__pos_v"))
+    val w = Window.partitionBy("feature").orderBy("split_v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = byV.groupBy("feature")
+      .agg(sum("__n_v").as("__n_tot"), sum("__pos_v").as("__pos_tot"))
+    val wBest = Window.partitionBy("feature")
+      .orderBy(col("purity_ppm").desc, col("split_v"))
+    byV
+      .withColumn("n_left", sum("__n_v").over(w))
+      .withColumn("pos_left", sum("__pos_v").over(w))
+      .join(broadcast(totals), "feature")
+      .withColumn("n_right", col("__n_tot") - col("n_left"))
+      .withColumn("pos_right", col("__pos_tot") - col("pos_left"))
+      .filter(col("n_right") > 0)
+      .withColumn("purity_ppm", expr(
+        "CAST(CAST(1000000 AS DECIMAL(38,0)) * (CAST(pos_left AS DECIMAL(38,0))*pos_left + CAST(n_left-pos_left AS DECIMAL(38,0))*(n_left-pos_left)) div n_left " +
+          "+ CAST(1000000 AS DECIMAL(38,0)) * (CAST(pos_right AS DECIMAL(38,0))*pos_right + CAST(n_right-pos_right AS DECIMAL(38,0))*(n_right-pos_right)) div n_right AS BIGINT)"))
+      .withColumn("__rk", row_number().over(wBest))
+      .filter(col("__rk") === 1)
+      .select(col("feature"), col("split_v").as("best_split_v"),
+        col("n_left"), col("pos_left"), col("n_right"), col("pos_right"),
+        col("purity_ppm"))
+  }
+
+  /** DuckDB replay of [[bestSplitRank]]: the stack is a UNION ALL over
+    * the feature expressions. */
+  def bestSplitRankSql(
+      table: String,
+      features: Seq[(String, String)],
+      positiveSql: String): String = {
+    val stack = features.map { case (n, f) =>
+      s"SELECT '$n' AS feature, CAST($f AS BIGINT) AS split_v, " +
+        s"CASE WHEN $positiveSql THEN 1 ELSE 0 END AS pos FROM $table"
+    }.mkString(" UNION ALL ")
+    s"WITH stacked AS ($stack), " +
+      "byv AS (SELECT feature, split_v, count(*) AS n_v, CAST(sum(pos) AS BIGINT) AS pos_v " +
+      "FROM stacked GROUP BY 1, 2), " +
+      "pre AS (SELECT feature, split_v, " +
+      "CAST(sum(n_v) OVER (PARTITION BY feature ORDER BY split_v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_left, " +
+      "CAST(sum(pos_v) OVER (PARTITION BY feature ORDER BY split_v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pos_left FROM byv), " +
+      "tot AS (SELECT feature, CAST(sum(n_v) AS BIGINT) AS n_tot, CAST(sum(pos_v) AS BIGINT) AS pos_tot FROM byv GROUP BY 1), " +
+      "sc AS (SELECT pre.feature, split_v, n_left, pos_left, " +
+      "n_tot - n_left AS n_right, pos_tot - pos_left AS pos_right, " +
+      "CAST(1000000::HUGEINT * (pos_left::HUGEINT*pos_left + (n_left-pos_left)::HUGEINT*(n_left-pos_left)) // n_left " +
+      "+ 1000000::HUGEINT * ((pos_tot-pos_left)::HUGEINT*(pos_tot-pos_left) + ((n_tot-n_left)-(pos_tot-pos_left))::HUGEINT*((n_tot-n_left)-(pos_tot-pos_left))) // (n_tot - n_left) AS BIGINT) AS purity_ppm " +
+      "FROM pre JOIN tot ON pre.feature = tot.feature WHERE n_tot - n_left > 0) " +
+      "SELECT feature, split_v AS best_split_v, n_left, pos_left, n_right, pos_right, purity_ppm " +
+      "FROM (SELECT *, row_number() OVER (PARTITION BY feature ORDER BY purity_ppm DESC, split_v) AS rk FROM sc) " +
+      "WHERE rk = 1"
+  }
+
+  /** Theil–Sen robust trend: the median of all pairwise slopes of an
+    * integer series (x strictly increasing, y in integer units) —
+    * the estimator that shrugs off the outliers least-squares chases.
+    *
+    * Scale judgment: the pair table is |series|², so this runs on a
+    * series the corpus has ALREADY been collapsed to (a daily
+    * aggregate: 365 days → 66k pairs regardless of whether the day
+    * tables held 10⁶ or 10¹² rows) — the unpartitioned sort is
+    * calendar²-bounded, the documented discipline for
+    * `seq_seasonal_naive`-class operators. At unbounded series
+    * lengths, production Theil–Sen samples pairs; same frame, one
+    * extra hash filter.
+    *
+    * Determinism: pairs order by the IEEE double dy/dx (one fixed
+    * operation on exact longs — identical bits in any engine), ties
+    * by (dy, dx); the LOWER median (row (n+1) div 2) is the pinned
+    * selection. The reported slope is exact: the median pair's
+    * (med_dy, med_dx) plus sign(dy)·(10⁶·|dy| div dx) — the sign
+    * split keeps floor-vs-truncate engine divergence out of negative
+    * slopes.
+    */
+  def theilSen(series: DataFrame): DataFrame = {
+    val a = series.select(col("x").cast("long").as("xi"), col("y").cast("long").as("yi"))
+    val b = series.select(col("x").cast("long").as("xj"), col("y").cast("long").as("yj"))
+    val pairs = a.crossJoin(b).filter(col("xi") < col("xj"))
+      .select((col("yj") - col("yi")).as("dy"), (col("xj") - col("xi")).as("dx"))
+      .withColumn("slope", col("dy").cast("double") / col("dx").cast("double"))
+    val w = Window.orderBy(col("slope"), col("dy"), col("dx"))
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_pairs", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+      .select(col("n_pairs"), col("dy").as("med_dy"), col("dx").as("med_dx"),
+        expr("CAST(sign(dy) AS BIGINT) * (1000000 * abs(dy) div dx)").as("slope_ppm"))
+  }
+
+  /** DuckDB replay of [[theilSen]] over a series CTE named `series`
+    * with columns (x, y). */
+  def theilSenSql(seriesCte: String): String =
+    s"WITH $seriesCte, " +
+      "p AS (SELECT b.y - a.y AS dy, b.x - a.x AS dx, " +
+      "CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS slope " +
+      "FROM series a JOIN series b ON a.x < b.x), " +
+      "r AS (SELECT dy, dx, " +
+      "CAST(row_number() OVER (ORDER BY slope, dy, dx) AS BIGINT) AS rn, " +
+      "CAST(count(*) OVER () AS BIGINT) AS n_pairs FROM p) " +
+      "SELECT n_pairs, dy AS med_dy, dx AS med_dx, " +
+      "CAST(CASE WHEN dy < 0 THEN -1 WHEN dy > 0 THEN 1 ELSE 0 END * ((1000000 * abs(dy)) // dx) AS BIGINT) AS slope_ppm " +
+      "FROM r WHERE rn = (n_pairs + 1) // 2"
+
   /** DuckDB replay of [[rollingIntegerZSpikes]]. */
   def rollingIntegerZSpikesSql(table: String, window: Int = 7, minWindow: Int = 3): String =
     s"WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, " +

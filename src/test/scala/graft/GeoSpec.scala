@@ -74,6 +74,24 @@ class GeoSpec extends AnyFunSuite with SparkTest {
     assert(out.values.sum == 9L * 3L)
   }
 
+  test("corePoints matches brute-force neighbor counts; isolated points report 0") {
+    val pts = points(300, 10000L, 48271L, 69621L)
+    val r = 400L; val minPts = 3
+    val got = Geo.corePoints(pts, r, minPts)
+      .collect().map(rw => rw.getLong(0) -> ((rw.getLong(1), rw.getBoolean(2)))).toMap
+    val raw = pts.collect().map(rw => (rw.getLong(0), rw.getLong(1), rw.getLong(2)))
+    raw.foreach { a =>
+      val n = raw.count { b =>
+        b._1 != a._1 &&
+          (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3) <= r * r
+      }
+      assert(got(a._1) == ((n.toLong, n >= minPts)), s"point ${a._1}")
+    }
+    assert(got.values.exists(_._2) && got.values.exists(!_._2),
+      "test must exercise both core and non-core points")
+    assert(got.values.exists(_._1 == 0L), "an isolated point must report 0")
+  }
+
   test("grid path plans equi-joins only — no cartesian, no BNLJ") {
     val pts = points(300, 10000L, 48271L, 69621L)
     val joined = Geo.gridPairs(pts, 900L)

@@ -12,6 +12,39 @@ import graft.sources.Layout
   */
 class ScaleSpec extends AnyFunSuite with SparkTest {
 
+  test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
+    val s = spark; import s.implicits._
+    // fact partitioned by day (20 partitions); the filter lives on the
+    // DIM side only, so static pruning can't help — the scan must pick
+    // up a DPP subquery fed by the broadcast side and read only the
+    // days the filtered dim actually contains
+    val base = java.nio.file.Files.createTempDirectory("dpp").toString
+    val dir = base + "/fact"
+    val fact = (1 to 10000).map(i => (i.toLong, s"d${i % 20}")).toDF("v", "day")
+    Layout.writePartitioned(fact, dir, Seq("day"))
+    // the dim must be a real file scan: DPP's planning rule only
+    // builds the pruning subquery from a scannable filter side
+    (0 until 20).map(i => (s"d$i", i % 10)).toDF("day", "grp")
+      .write.parquet(base + "/dim")
+    val q = s.read.parquet(dir)
+      .join(broadcast(s.read.parquet(base + "/dim").filter($"grp" === 3)), "day")
+      .agg(sum("v").as("sv"))
+    assert(q.collect().head.getLong(0) > 0)
+    val helper = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+    val scans = helper.collectWithSubqueries(q.queryExecution.executedPlan) {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }
+    val factScan = scans.find(_.metadata.get("Location").exists(_.contains("fact")))
+      .getOrElse(scans.head)
+    assert(factScan.partitionFilters.exists(
+      _.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression])),
+      s"fact scan carries no DPP filter:\n${q.queryExecution.executedPlan}")
+    // the runtime metric proves pruning HAPPENED: 2 of 20 day
+    // partitions read (d3 and d13 are the grp=3 days)
+    val read = factScan.metrics("numPartitions").value
+    assert(read == 2, s"expected 2 partitions read after DPP, got $read")
+  }
+
   test("z-ordered files cover narrow ranges of BOTH filter columns") {
     val s = spark; import s.implicits._
     import graft.sources.Layout

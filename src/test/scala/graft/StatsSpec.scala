@@ -42,6 +42,33 @@ class StatsSpec extends AnyFunSuite with SparkTest {
     assert(out.maxBy(_._2._5)._1 == 1L, "the perfect separator scores highest")
   }
 
+  test("bestSplitRank: the separating feature wins; noise feature ranked by its true best") {
+    val s = spark; import s.implicits._
+    // f1 separates perfectly at 1; f2 is constant (no valid split at all)
+    val df = Seq((1L, 9L, true), (1L, 9L, true), (2L, 9L, false), (2L, 9L, false))
+      .toDF("f1", "f2", "y")
+    val out = Stats.bestSplitRank(df,
+        Seq("f1" -> col("f1"), "f2" -> col("f2")), col("y"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(6)))).toMap
+    assert(out("f1") == ((1L, 4000000L)), "perfect split: 1e6*4/2 + 1e6*4/2")
+    assert(!out.contains("f2"), "single-valued feature has no two-sided split")
+  }
+
+  test("theilSen: outlier-immune median slope, exact rational output") {
+    val s = spark; import s.implicits._
+    // y = 2x with one wild outlier — OLS would chase it, the median won't
+    val ser = Seq((0L, 0L), (1L, 2L), (2L, 4L), (3L, 6L), (4L, 100L)).toDF("x", "y")
+    val r = Stats.theilSen(ser).collect().head
+    assert(r.getLong(0) == 10L, "C(5,2) pairs")
+    assert(r.getLong(1) == 4L && r.getLong(2) == 2L,
+      "lower median among the slope-2 ties, (dy,dx) tie-break")
+    assert(r.getLong(3) == 2000000L)
+    // negative slope: the sign split must avoid floor-vs-truncate drift
+    val neg = Seq((0L, 0L), (1L, -3L), (2L, -6L)).toDF("x", "y")
+    val rn = Stats.theilSen(neg).collect().head
+    assert(rn.getLong(3) == -3000000L)
+  }
+
   test("corrMatrix: perfect, inverse, and self-consistent correlations") {
     val s = spark; import s.implicits._
     val df = Seq((1L, 2L, -1L), (2L, 4L, -2L), (3L, 6L, -3L), (5L, 10L, -5L))

@@ -3734,6 +3734,20 @@ object SparkEntry {
       graft.operators.Geo.corePoints(
         geoPoints(rd(s, d, "customer"), "c_custkey", 48271L, 69621L),
         r = 2000L, minPts = 4)),
+    "geo_dbscan_clusters" -> ((s, d) =>
+      // the full DBSCAN labeling: components of the core-core graph
+      // via star contraction, borders adopt the min core neighbor's
+      // cluster, noise stays NULL — grid join + O(log n) rounds
+      graft.operators.Geo.dbscanClusters(
+        geoPoints(rd(s, d, "customer"), "c_custkey", 48271L, 69621L),
+        r = 2000L, minPts = 4)),
+    "seq_pattern_regex" -> ((s, d) =>
+      // sequence pattern mining over per-user initial-encoded event
+      // strings: strict view->purchase adjacency vs "<=2 click/error
+      // detours allowed" — the MATCH_RECOGNIZE-shaped question
+      Events.eventPatternCounts(rd(s, d, "events"), Seq(
+        "n_strict" -> "vp",
+        "n_funnel" -> "v[ce]{0,2}p"))),
     "stat_theil_sen" -> ((s, d) =>
       // robust trend of 1998's daily revenue: exact median-of-slopes
       // over the calendar²-bounded pair table; the corpus collapses
@@ -6016,6 +6030,30 @@ object SparkEntry {
         "ON a.id <> b.id AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 4000000 GROUP BY 1) " +
         "SELECT p.id, CAST(coalesce(nb.n_neighbors, 0) AS BIGINT) AS n_neighbors, " +
         "coalesce(nb.n_neighbors, 0) >= 4 AS is_core FROM pts p LEFT JOIN nb ON p.id = nb.id"),
+    "geo_dbscan_clusters" ->
+      (s"WITH RECURSIVE ${geoPtsCte("pts", "customer", "c_custkey", 48271L, 69621L)}, " +
+        "nb AS (SELECT a.id AS id, b.id AS nb FROM pts a JOIN pts b " +
+        "ON a.id <> b.id AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 4000000), " +
+        "cores AS (SELECT id FROM nb GROUP BY id HAVING count(*) >= 4), " +
+        "ce AS (SELECT n.id AS src, n.nb AS dst FROM nb n " +
+        "JOIN cores c1 ON c1.id = n.id JOIN cores c2 ON c2.id = n.nb), " +
+        "wlk(node, root) AS (SELECT id, id FROM cores " +
+        "UNION SELECT ce.dst, wlk.root FROM wlk JOIN ce ON ce.src = wlk.node), " +
+        "comp AS (SELECT node AS id, min(root) AS cluster_id FROM wlk GROUP BY 1), " +
+        "border AS (SELECT n.id, min(comp.cluster_id) AS bcl FROM nb n " +
+        "JOIN comp ON comp.id = n.nb GROUP BY 1) " +
+        "SELECT p.id, coalesce(comp.cluster_id, border.bcl) AS cluster_id, " +
+        "CASE WHEN comp.id IS NOT NULL THEN 'core' " +
+        "WHEN border.id IS NOT NULL THEN 'border' ELSE 'noise' END AS kind " +
+        "FROM pts p LEFT JOIN comp ON comp.id = p.id LEFT JOIN border ON border.id = p.id"),
+    "seq_pattern_regex" ->
+      ("WITH seqs AS (SELECT user_id, count(*) AS n_events, " +
+        "string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq " +
+        "FROM events GROUP BY 1) " +
+        "SELECT user_id, n_events, " +
+        "CAST(len(regexp_extract_all(seq, 'vp')) AS INT) AS n_strict, " +
+        "CAST(len(regexp_extract_all(seq, 'v[ce]{0,2}p')) AS INT) AS n_funnel " +
+        "FROM seqs"),
     "stat_theil_sen" -> graft.operators.Stats.theilSenSql(
       "series AS (SELECT date_diff('day', DATE '1998-01-01', CAST(o_orderdate AS DATE)) AS x, " +
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y " +

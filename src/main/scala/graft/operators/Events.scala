@@ -544,4 +544,39 @@ object Events {
       .select(col("d0").as("day"), col("v0").as(valCol), lit(1).as("observed"))
     interpolated.unionByName(last)
   }
+
+  /** MATCH_RECOGNIZE-lite: per-user event-sequence pattern counting by
+    * encoding each user's (ts, event_id)-ordered event-type INITIALS
+    * as one string and counting non-overlapping regex matches — the
+    * "view, at most two detours, then purchase" class of funnel
+    * questions that adjacency transitions and time-bounded funnels
+    * both miss.
+    *
+    * Scale shape: one groupBy — the per-user string is bounded by that
+    * user's OWN activity (the sessionize contract; a 100 TB corpus is
+    * wide in users, not deep per user), and the regex runs codegen'd
+    * per group row, not per event. Patterns must stay in the
+    * portable-regex subset (literals, char classes, bounded
+    * quantifiers) where Java's and RE2's leftmost-greedy scan agree;
+    * both engines advance past each match, so overlap semantics pin
+    * identically.
+    */
+  def eventPatternCounts(
+      events: DataFrame,
+      patterns: Seq[(String, String)]): DataFrame = {
+    require(patterns.nonEmpty, "need at least one pattern")
+    val seqd = events
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("ch")))),
+          x => x("ch")), "").as("seq"))
+    val withCounts = patterns.foldLeft(seqd) { case (df, (name, pat)) =>
+      df.withColumn(name, regexp_count(col("seq"), lit(pat)))
+    }
+    withCounts.select(col("user_id") +: col("n_events") +:
+      patterns.map(p => col(p._1)): _*)
+  }
 }

@@ -444,6 +444,10 @@ object Graph {
       rewired.unionAll(center).distinct()
     }
 
+    // one materialization per HALF-round is deliberate: both star ops
+    // read their input twice (neighbor-min aggregate + join back), so
+    // an unmaterialized upstream would re-execute inside the join —
+    // composing the halves into one lazy job was measured SLOWER
     var fp = (-1L, 0L)
     var rounds = 0
     var converged = false

@@ -22,6 +22,25 @@ class EventsSpec extends AnyFunSuite with SparkTest {
     assert(out == Map((100L, 0L) -> 3L, (100L, 1L) -> 1L, (200L, 0L) -> 1L))
   }
 
+  test("eventPatternCounts: non-overlapping matches, detour class, order by (ts, event_id)") {
+    val s = spark; import s.implicits._
+    // user 1 sequence (ts order): v p v c e p v s p  ->
+    //   strict 'vp': 1 (pos 0 only; later v..p are never adjacent)
+    //   funnel 'v[ce]{0,2}p': v p | v c e p match; v s p does not (s not a detour)
+    val types1 = Seq("view", "purchase", "view", "click", "error", "purchase",
+      "view", "signup", "purchase")
+    val ev = types1.zipWithIndex.map { case (t, i) =>
+      (i.toLong, 1L, f"2024-01-01 10:00:$i%02d", t)
+    } ++ Seq((100L, 2L, "2024-01-01 10:00:00", "purchase")) // lone p: zero matches
+    val df = ev.toDF("event_id", "user_id", "ts", "event_type")
+      .withColumn("ts", to_timestamp($"ts"))
+    val out = Events.eventPatternCounts(df,
+        Seq("n_strict" -> "vp", "n_funnel" -> "v[ce]{0,2}p"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L) == ((9L, 1, 2)))
+    assert(out(2L) == ((1L, 0, 0)))
+  }
+
   test("rateSpikes: flags only rates above the trailing-mean multiple; no-baseline hours never alarm") {
     val s = spark; import s.implicits._
     // clicks: 2/hour for 3 hours, then 4 in hour 4 (4 > 1.5*2 -> spike);

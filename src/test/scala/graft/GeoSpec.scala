@@ -92,6 +92,41 @@ class GeoSpec extends AnyFunSuite with SparkTest {
     assert(got.values.exists(_._1 == 0L), "an isolated point must report 0")
   }
 
+  test("dbscanClusters equals a sequential DBSCAN with min-id clusters") {
+    val pts = points(300, 10000L, 48271L, 69621L)
+    val r = 400L; val minPts = 3
+    val got = Geo.dbscanClusters(pts, r, minPts)
+      .collect().map { rw =>
+        rw.getLong(0) -> ((if (rw.isNullAt(1)) -1L else rw.getLong(1), rw.getString(2)))
+      }.toMap
+    // reference: brute neighbors, union-find over core-core edges
+    val raw = pts.collect().map(rw => (rw.getLong(0), rw.getLong(1), rw.getLong(2)))
+    def near(a: (Long, Long, Long), b: (Long, Long, Long)) =
+      (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3) <= r * r
+    val neighbors = raw.map(a => a._1 -> raw.filter(b => b._1 != a._1 && near(a, b)).map(_._1).toSet).toMap
+    val cores = raw.map(_._1).filter(id => neighbors(id).size >= minPts).toSet
+    val parent = scala.collection.mutable.Map(cores.toSeq.map(c => c -> c): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val rt = find(parent(x)); parent(x) = rt; rt }
+    for (a <- cores; b <- neighbors(a) if cores(b)) {
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val clusterOf = cores.map { c =>
+      val members = cores.filter(x => find(x) == find(c))
+      c -> members.min
+    }.toMap
+    raw.map(_._1).foreach { id =>
+      val want =
+        if (cores(id)) (clusterOf(id), "core")
+        else {
+          val coreNbs = neighbors(id).filter(cores)
+          if (coreNbs.nonEmpty) (coreNbs.map(clusterOf).min, "border") else (-1L, "noise")
+        }
+      assert(got(id) == want, s"point $id")
+    }
+    assert(got.values.map(_._2).toSet == Set("core", "border", "noise"),
+      "test must exercise all three kinds")
+  }
+
   test("grid path plans equi-joins only — no cartesian, no BNLJ") {
     val pts = points(300, 10000L, 48271L, 69621L)
     val joined = Geo.gridPairs(pts, 900L)

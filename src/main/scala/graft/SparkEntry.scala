@@ -1958,6 +1958,12 @@ object SparkEntry {
       // HyperLogLog register table per event type — the m-bounded,
       // max-mergeable distinct sketch (see Sketches.hllRegisters)
       Sketches.hllRegisters(rd(s, d, "events"), "event_type", "user_id", 64)),
+    "sketch_hll_rolling" -> ((s, d) =>
+      // rolling 7-day distinct users per day from mergeable daily HLL
+      // sketches: register max over a RANGE window, integer state and
+      // a pinned ppk estimator — the unbounded-key WAU analog
+      Sketches.hllRollingDistinct(rd(s, d, "events"),
+        to_date(col("ts")), "user_id", m = 64, windowDays = 7)),
     "sketch_hll_rollup" -> ((s, d) => {
       // sketch ONCE at nation grain, serve region by register max —
       // the oracle rebuilds directly at region level and must match
@@ -4982,6 +4988,22 @@ object SparkEntry {
     "sketch_kmv_set_ops" -> OracleSql.kmvSetOps(32,
       "event_type = 'view'", "event_type = 'purchase'"),
     "sketch_hll_registers" -> OracleSql.hllRegisters(64),
+    "sketch_hll_rolling" ->
+      ("WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events), " +
+        "regs AS (SELECT CAST(unnest(generate_series(0, 63)) AS BIGINT) AS reg), " +
+        "grid AS (SELECT d, reg FROM days CROSS JOIN regs), " +
+        "rj AS (SELECT * FROM (" + OracleSql.hllRegistersOver(64,
+          "(SELECT CAST(ts AS DATE) AS d, user_id FROM events)", "d", "user_id") + ")), " +
+        "j AS (SELECT g.d, g.reg, rj.max_rho, " +
+        "date_diff('day', DATE '1970-01-01', g.d) AS x " +
+        "FROM grid g LEFT JOIN rj ON rj.d = g.d AND rj.reg = g.reg), " +
+        "wnd AS (SELECT d, reg, max(max_rho) OVER " +
+        "(PARTITION BY reg ORDER BY x RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS rho7 FROM j), " +
+        "agg AS (SELECT d, CAST(count(rho7) AS BIGINT) AS regs_hit, " +
+        "CAST(sum(1::BIGINT << (27 - coalesce(rho7, 0))) AS BIGINT) AS s_sum FROM wnd GROUP BY 1) " +
+        "SELECT d, regs_hit, s_sum, " +
+        "CAST((709 * 64::BIGINT * 64 * (1::BIGINT << 27)) // (1000 * s_sum) AS BIGINT) AS est_window " +
+        "FROM agg"),
     "sketch_hll_rollup" -> OracleSql.hllRegistersOver(64,
       "customer JOIN nation ON n_nationkey = c_nationkey",
       "n_regionkey", "c_custkey"),

@@ -175,6 +175,32 @@ class SamplingSketchSpec extends AnyFunSuite with SparkTest {
     assert(est > 6000 * 0.6 && est < 6000 * 1.4, s"estimate $est vs 6000")
   }
 
+  test("hllRollingDistinct: window state equals a sketch rebuilt on the trailing slice") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    // 10 days, churn: day d sees keys [100*d, 100*d + 300)
+    val ev = (0 until 10).flatMap { day =>
+      (0 until 300).map(i => (f"2024-02-${day + 1}%02d", (100 * day + i).toLong))
+    }.toDF("ds", "k").withColumn("d", to_date($"ds"))
+    val out = graft.operators.Sketches
+      .hllRollingDistinct(ev, $"d", "k", m = 64, windowDays = 3)
+      .collect().map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.size == 10)
+    // day 8 (index 7): window = days 6..8 -> keys [500, 1000): rebuild
+    // the sketch directly on that slice; S must match bit-for-bit
+    val slice = ev.where($"d" >= to_date(lit("2024-02-06")) && $"d" <= to_date(lit("2024-02-08")))
+    val regs = graft.operators.Sketches.hllRegisters(
+        slice.withColumn("g", lit("g")), "g", "k", 64)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toMap
+    val sWant = (0 until 64).map(r => 1L << (27 - regs.getOrElse(r.toLong, 0))).sum
+    assert(out("2024-02-08")._2 == sWant, "rolling merge == rebuild on the slice")
+    assert(out("2024-02-08")._1 == regs.size.toLong)
+    // estimates within the m=64 error band of the true windowed counts
+    val est8 = out("2024-02-08")._3
+    assert(est8 > 500 * 0.6 && est8 < 500 * 1.4, s"estimate $est8 vs 500")
+  }
+
   test("heavy hitters: exact counts when capacity exceeds the distinct count") {
     val s = spark; import s.implicits._
     val words = (0 until 300).map(i => s"w${i % 7}") // 7 distinct terms

@@ -3747,6 +3747,25 @@ object SparkEntry {
       graft.operators.Geo.dbscanClusters(
         geoPoints(rd(s, d, "customer"), "c_custkey", 48271L, 69621L),
         r = 2000L, minPts = 4)),
+    "events_markov_stationary" -> ((s, d) =>
+      // steady state of the session chain: all data work is the
+      // transition aggregate; the k x k matrix (k = 5 event types) is
+      // a metadata-sized collect, 20 power iterations on the driver
+      // with the pinned alphabetical left-to-right summation
+      Events.markovStationary(rd(s, d, "events"), iters = 20)),
+    "incr_hll_maintain" -> ((s, d) => {
+      // O(delta) sketch maintenance: history registers merged with the
+      // delta's registers by elementwise max — the oracle rebuilds
+      // from ALL events, so a green row proves merge == full rebuild
+      val ev = rd(s, d, "events")
+      val cutoff = to_timestamp(lit("2024-01-28 00:00:00"))
+      val hist = Sketches.hllRegisters(
+        ev.filter(col("ts") < cutoff), "event_type", "user_id", 64)
+      val delta = Sketches.hllRegisters(
+        ev.filter(col("ts") >= cutoff), "event_type", "user_id", 64)
+      hist.unionByName(delta).groupBy("event_type", "reg")
+        .agg(max("max_rho").cast("int").as("max_rho"))
+    }),
     "seq_pattern_regex" -> ((s, d) =>
       // sequence pattern mining over per-user initial-encoded event
       // strings: strict view->purchase adjacency vs "<=2 click/error
@@ -6068,6 +6087,9 @@ object SparkEntry {
         "CASE WHEN comp.id IS NOT NULL THEN 'core' " +
         "WHEN border.id IS NOT NULL THEN 'border' ELSE 'noise' END AS kind " +
         "FROM pts p LEFT JOIN comp ON comp.id = p.id LEFT JOIN border ON border.id = p.id"),
+    "events_markov_stationary" -> OracleSql.markovStationary(
+      Seq("click", "error", "purchase", "signup", "view"), iters = 20),
+    "incr_hll_maintain" -> OracleSql.hllRegisters(64),
     "seq_pattern_regex" ->
       ("WITH seqs AS (SELECT user_id, count(*) AS n_events, " +
         "string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq " +

@@ -545,6 +545,47 @@ object Events {
     interpolated.unionByName(last)
   }
 
+  /** Stationary distribution of the first-order event-type Markov
+    * chain — "where does a user's session settle" — by `iters` power
+    * iterations v ← v·P from the uniform start.
+    *
+    * Scale shape: ALL data work is [[transitionCounts]]' one keyed
+    * window + combinable aggregate; what reaches the driver is the
+    * k×k count matrix (k = event-type cardinality — single digits; a
+    * metadata-sized collect by construction, same adjudication as PQ
+    * codebooks). The iteration itself is k²-flop driver arithmetic.
+    *
+    * Cross-engine float discipline: P entries are the ONE operation
+    * `n_double / rowtotal`, the start vector is `1.0/k`, and each
+    * iteration's component is a LEFT-TO-RIGHT sum over states in
+    * ALPHABETICAL order — the exact expression tree
+    * [[graft.OracleSql.markovStationary]] unrolls per iteration, so
+    * 20 iterations of doubles are bit-identical in both engines.
+    */
+  def markovStationary(events: DataFrame, iters: Int = 20): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    val counts = transitionCounts(events)
+      .select("prev_type", "next_type", "n")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val states = counts.keys.flatMap { case (a, b) => Seq(a, b) }
+      .toSeq.distinct.sorted
+    require(states.nonEmpty, "no transitions observed")
+    val rowTot = states.map(s =>
+      s -> states.map(t => counts.getOrElse((s, t), 0L)).sum).toMap
+    def p(s: String, t: String): Double =
+      if (rowTot(s) == 0L) 0.0
+      else counts.getOrElse((s, t), 0L).toDouble / rowTot(s).toDouble
+    var v = states.map(_ => 1.0 / states.size)
+    for (_ <- 0 until iters) {
+      v = states.map(t =>
+        states.zip(v).map { case (s, vs) => vs * p(s, t) }
+          .foldLeft(0.0)(_ + _)) // left-to-right, alphabetical: pinned
+    }
+    val spark = events.sparkSession
+    import spark.implicits._
+    states.zip(v).toDF("state", "prob")
+  }
+
   /** MATCH_RECOGNIZE-lite: per-user event-sequence pattern counting by
     * encoding each user's (ts, event_id)-ordered event-type INITIALS
     * as one string and counting non-overlapping regex matches — the

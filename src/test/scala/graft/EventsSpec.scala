@@ -22,6 +22,25 @@ class EventsSpec extends AnyFunSuite with SparkTest {
     assert(out == Map((100L, 0L) -> 3L, (100L, 1L) -> 1L, (200L, 0L) -> 1L))
   }
 
+  test("markovStationary converges to the analytic steady state") {
+    val s = spark; import s.implicits._
+    // chain from the sequence a a b a: P(a->a)=P(a->b)=1/2, P(b->a)=1
+    // analytic stationary: pi = (2/3, 1/3); |eig2| = 1/2 so 20
+    // iterations land within 2^-20 of it
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "a"),
+      (2L, 1L, "2024-01-01 10:00:01", "a"),
+      (3L, 1L, "2024-01-01 10:00:02", "b"),
+      (4L, 1L, "2024-01-01 10:00:03", "a")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+      .withColumn("ts", to_timestamp($"ts"))
+    val out = Events.markovStationary(ev, iters = 20)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out("a") - 2.0 / 3) < 1e-4, s"pi(a) = ${out("a")}")
+    assert(math.abs(out("b") - 1.0 / 3) < 1e-4)
+    assert(math.abs(out.values.sum - 1.0) < 1e-9, "probability mass preserved")
+  }
+
   test("eventPatternCounts: non-overlapping matches, detour class, order by (ts, event_id)") {
     val s = spark; import s.implicits._
     // user 1 sequence (ts order): v p v c e p v s p  ->

@@ -2183,6 +2183,38 @@ object SparkEntry {
       }
       Warehouse.read(s, dir, tbl).drop("last_batch_id")
     }),
+    "stream_hll_replay" -> ((s, d) => {
+      // sketch state under the crash-replay harness: four week-batches
+      // max-merge into the register table, batch 2 replays under the
+      // same id, and the final table must equal a sketch built over
+      // ALL events in one pass (the oracle) — register-max
+      // associativity makes the fold order-free, and idempotent even
+      // without the batch stamp
+      import graft.streaming.Streams
+      import graft.sources.Warehouse
+      val ev = rd(s, d, "events")
+      val dir = new java.io.File(
+        "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val tbl = s"stream_hll_${contentEpoch(ev, "event_id")}"
+      val cuts = Seq("2024-01-08", "2024-01-15", "2024-01-22")
+        .map(c => to_timestamp(lit(s"$c 00:00:00")))
+      val batches = Seq(
+        ev.filter(col("ts") < cuts(0)),
+        ev.filter(col("ts") >= cuts(0) && col("ts") < cuts(1)),
+        ev.filter(col("ts") >= cuts(1) && col("ts") < cuts(2)),
+        ev.filter(col("ts") >= cuts(2)))
+      graft.operators.Memo.cached(s, s"streamhll|$dir|$tbl") {
+        Streams.foldHllBatch(batches(0), 0L, dir, tbl, "event_type", "user_id", 64)
+        Streams.foldHllBatch(batches(1), 1L, dir, tbl, "event_type", "user_id", 64)
+        Streams.foldHllBatch(batches(2), 2L, dir, tbl, "event_type", "user_id", 64)
+        // crash replay: the same batch arrives again — must be a no-op
+        Streams.foldHllBatch(batches(2), 2L, dir, tbl, "event_type", "user_id", 64)
+        Streams.foldHllBatch(batches(3), 3L, dir, tbl, "event_type", "user_id", 64)
+        java.lang.Boolean.TRUE
+      }
+      Warehouse.read(s, dir, tbl).drop("last_batch_id")
+    }),
     "stream_late_drop_replay" -> ((s, d) => {
       // the WATERMARK contract gated under the oracle: batch 0 covers
       // the first two weeks minus a straggler cohort, so its max event
@@ -6090,6 +6122,7 @@ object SparkEntry {
     "events_markov_stationary" -> OracleSql.markovStationary(
       Seq("click", "error", "purchase", "signup", "view"), iters = 20),
     "incr_hll_maintain" -> OracleSql.hllRegisters(64),
+    "stream_hll_replay" -> OracleSql.hllRegisters(64),
     "seq_pattern_regex" ->
       ("WITH seqs AS (SELECT user_id, count(*) AS n_events, " +
         "string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq " +

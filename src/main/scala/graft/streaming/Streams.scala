@@ -498,6 +498,44 @@ object Streams {
     * id) is recognized and skipped — no double counting, no marker/data
     * crash window (a separate marker file would create one).
     */
+  /** Micro-batch fold for an HLL register table: merge the batch's
+    * sketch into the materialized one by elementwise register max,
+    * stamped with the batch id and committed in one atomic swap —
+    * [[foldCountsBatch]]'s contract applied to SKETCH state.
+    *
+    * Sketches are the most forgiving streaming state there is: the
+    * max-merge is idempotent BY ALGEBRA (re-merging the same batch
+    * cannot raise any register), so the batch-id stamp guards only
+    * cost, not correctness — a property count/sum folds do not have
+    * and exactly why sketch state scales to at-least-once transports.
+    */
+  private[graft] def foldHllBatch(
+      batch: DataFrame,
+      batchId: Long,
+      warehouseDir: String,
+      table: String,
+      groupCol: String,
+      keyCol: String,
+      m: Int): Unit = {
+    import graft.sources.Warehouse
+    val spark = batch.sparkSession
+    val regs = graft.operators.Sketches.hllRegisters(batch, groupCol, keyCol, m)
+    val prev =
+      if (Warehouse.exists(spark, warehouseDir, table))
+        Warehouse.read(spark, warehouseDir, table)
+      else regs.withColumn("last_batch_id", lit(-1L)).limit(0)
+    val lastId = prev.select(max(col("last_batch_id"))).collect()
+      .headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+      .getOrElse(-1L)
+    if (batchId > lastId) {
+      val updated = prev.drop("last_batch_id").unionByName(regs)
+        .groupBy(col(groupCol), col("reg"))
+        .agg(max(col("max_rho")).cast("int").as("max_rho"))
+        .withColumn("last_batch_id", lit(batchId))
+      Warehouse.overwrite(updated, warehouseDir, table)
+    }
+  }
+
   private[graft] def foldCountsBatch(
       batch: DataFrame,
       batchId: Long,

@@ -18,6 +18,31 @@ class PropertySpec extends AnyFunSuite with SparkTest {
   private def samples[A](g: Gen[A], n: Int, seed: Long = 42L): Seq[A] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
 
+  test("property: gridPairs is radius-monotone and translation-invariant") {
+    val s = spark; import s.implicits._
+    for (round <- 0 until 3) {
+      val gen = Gen.zip(Gen.chooseNum(0L, 5000L), Gen.chooseNum(0L, 5000L))
+      val pts = samples(gen, 150, seed = 7L + round).zipWithIndex
+        .map { case ((x, y), i) => (i.toLong, x, y) }
+      val df = pts.toDF("id", "x", "y")
+      def pairSet(d: org.apache.spark.sql.DataFrame, r: Long) =
+        graft.operators.Geo.gridPairs(d, r)
+          .collect().map(w => (w.getLong(0), w.getLong(1), w.getLong(2))).toSet
+      val small = pairSet(df, 400L)
+      val big = pairSet(df, 800L)
+      // radius-monotone: everything within 400 is within 800, with the
+      // SAME exact distance
+      assert(small.subsetOf(big), s"round=$round: pairs(400) ⊄ pairs(800)")
+      assert(big.exists(p => p._3 > 400L * 400L),
+        "the bigger radius must actually admit farther pairs")
+      // translation-invariant: shifting all points moves cell
+      // boundaries but must not change a single match or distance
+      val shifted = pts.map { case (i, x, y) => (i, x + 137L, y + 291L) }
+        .toDF("id", "x", "y")
+      assert(pairSet(shifted, 400L) == small, s"round=$round: shift changed pairs")
+    }
+  }
+
   test("property: asofJoin matches a brute-force reference on random timelines") {
     val s = spark; import s.implicits._
     for (round <- 0 until 4) {

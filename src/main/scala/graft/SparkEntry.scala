@@ -3726,6 +3726,55 @@ object SparkEntry {
         .select("rf", "ls", "mon", "est_bytes", "cum_before", "bin")
     }),
 
+    // —— format interop: fidelity through the OTHER formats a lake
+    //    holds (ORC columnar, JSON-lines interchange) ——
+    "s_orc_roundtrip" -> ((s, d) => {
+      // orders written to ORC once (content-epoch path: regenerated
+      // testdata re-materializes), read back, aggregated — the oracle
+      // aggregates the ORIGINAL parquet, so green proves ORC write/
+      // read fidelity for longs, doubles, strings, and timestamps
+      val o = rd(s, d, "orders")
+      val dir = new java.io.File(
+        "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      val path = s"$dir/fmt_orc_orders_${contentEpoch(o, "o_orderkey")}"
+      graft.operators.Memo.cached(s, s"fmtorc|$path") {
+        if (!new java.io.File(path).exists()) {
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+          o.write.mode("overwrite").orc(path)
+        }
+        java.lang.Boolean.TRUE
+      }
+      s.read.orc(path)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("cents"),
+          min(col("o_orderdate")).as("first_ts"),
+          max(col("o_orderdate")).as("last_ts"))
+    }),
+    "s_jsonl_roundtrip" -> ((s, d) => {
+      // documents through JSON lines with the EXPLICIT original schema
+      // (never inferred — the S2 discipline applied to ingest's
+      // interchange format); length sums catch any text mangling
+      val docs = rd(s, d, "documents")
+      val dir = new java.io.File(
+        "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      val path = s"$dir/fmt_jsonl_docs_${contentEpoch(docs, "doc_id")}"
+      graft.operators.Memo.cached(s, s"fmtjsonl|$path") {
+        if (!new java.io.File(path).exists()) {
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+          docs.write.mode("overwrite").json(path)
+        }
+        java.lang.Boolean.TRUE
+      }
+      s.read.schema(docs.schema).json(path)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("sum_len"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("first_id"),
+          max(col("doc_id")).as("last_id"))
+    }),
+
     // —— spatial grid family: geometry as candidate generation ——
     "geo_grid_pairs" -> ((s, d) =>
       // all customer pairs within Euclidean distance 2000 on the
@@ -6064,6 +6113,19 @@ object SparkEntry {
         "CAST(coalesce(sum(est_bytes) OVER (ORDER BY rf, ls, mon " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM files) " +
         "SELECT rf, ls, mon, est_bytes, cum_before, cum_before // 50000 AS bin FROM w"),
+
+    // format roundtrips: the oracle reads the ORIGINAL parquet
+    "s_orc_roundtrip" ->
+      ("SELECT o_orderstatus, count(*) AS n, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents, " +
+        "min(o_orderdate) AS first_ts, max(o_orderdate) AS last_ts " +
+        "FROM orders GROUP BY 1"),
+    "s_jsonl_roundtrip" ->
+      ("SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(length(text)) AS BIGINT) AS sum_len, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+        "min(doc_id) AS first_id, max(doc_id) AS last_id " +
+        "FROM documents GROUP BY 1"),
 
     // brute cross join: the exactness oracle for the grid path
     "geo_grid_pairs" ->

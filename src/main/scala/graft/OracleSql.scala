@@ -1735,6 +1735,29 @@ object OracleSql {
     }.mkString("(", " + ", ")")
   }
 
+  /** Replays [[graft.operators.Similarity.prefixDimRecall]]: the IVF
+    * top-poolK pool (nested [[annIvfTopK]] replay), full- and
+    * prefix-dimension cosines as fixed left-to-right sums, both
+    * rankings on one row, overlap@k per query. */
+  def prefixRecallIvf(
+      poolK: Int, k: Int, prefixDim: Int,
+      numCentroids: Int, nProbe: Int,
+      dim: Int = 64, seed: Long = 42L): String =
+    s"WITH pool AS (SELECT query_id, neighbor_id FROM (${annIvfTopK(poolK, numCentroids, nProbe, dim, seed)})), " +
+      s"nb AS (SELECT vec_id, embedding, sqrt(${selfDot("embedding", dim)}) AS nrm, " +
+      s"sqrt(${selfDot("embedding", prefixDim)}) AS pnrm FROM embeddings), " +
+      "sc AS (SELECT p.query_id, p.neighbor_id, " +
+      s"CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN -2 ELSE ${pairDot("a.embedding", "b.embedding", dim)} / (a.nrm * b.nrm) END AS cos_full, " +
+      s"CASE WHEN a.pnrm = 0 OR b.pnrm = 0 THEN -2 ELSE ${pairDot("a.embedding", "b.embedding", prefixDim)} / (a.pnrm * b.pnrm) END AS cos_pref " +
+      "FROM pool p JOIN nb a ON a.vec_id = p.query_id JOIN nb b ON b.vec_id = p.neighbor_id), " +
+      "rk AS (SELECT query_id, neighbor_id, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY cos_full DESC, neighbor_id) AS rf, " +
+      "row_number() OVER (PARTITION BY query_id ORDER BY cos_pref DESC, neighbor_id) AS rp FROM sc), " +
+      s"hits AS (SELECT query_id, count(*) AS n_hits FROM rk WHERE rf <= $k AND rp <= $k GROUP BY 1) " +
+      "SELECT q.query_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits, " +
+      s"CAST(coalesce(n_hits, 0) * 1000000 // $k AS BIGINT) AS recall_ppm " +
+      "FROM (SELECT DISTINCT query_id FROM pool) q LEFT JOIN hits ON q.query_id = hits.query_id"
+
   /** Replays [[graft.operators.Events.markovStationary]]: the
     * transition matrix pivots into ONE row of k² double columns, then
     * each power iteration unrolls as a CTE whose components are the

@@ -1038,6 +1038,13 @@ object SparkEntry {
       // LSH/IVF tiers vs the exact top-5, all integer ppm
       Similarity.annEvalMetrics(rd(s, d, "embeddings"),
         col("vec_id") < 10, col("vec_id") >= 10, k = 5)),
+    "emb_prefix_recall" -> ((s, d) =>
+      // matryoshka truncation eval: rank the SAME IVF pool by full
+      // 64-dim and first-16-dim cosine, overlap@5 per query — the
+      // "can we serve quarter-width vectors" gate, cartesian-free
+      Similarity.prefixDimRecall(rd(s, d, "embeddings"),
+        col("vec_id") < 10, col("vec_id") >= 10,
+        poolK = 12, k = 5, prefixDim = 16)),
     "eval_probe_auc" -> ((s, d) =>
       // the probe's promotion metric: exact ties-aware ROC AUC =
       // U+/(n+ n-), riding the same bucketed rank prefix as the
@@ -4459,6 +4466,8 @@ object SparkEntry {
         salt = "probe"),
     "eval_ann_metrics" ->
       OracleSql.annEvalMetrics(k = 5),
+    "emb_prefix_recall" -> OracleSql.prefixRecallIvf(
+      poolK = 12, k = 5, prefixDim = 16, numCentroids = 16, nProbe = 4),
     "search_mmr_rerank" ->
       OracleSql.mmrRerankIvf(k = 4, poolK = 12, lambda = 0.7,
         numCentroids = 16, nProbe = 4),

@@ -1360,6 +1360,65 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** Matryoshka-style truncation eval: over ONE shared IVF candidate
+    * pool, rank by full-dimension cosine and by the FIRST-`prefixDim`
+    * -dimension cosine, and report per-query overlap@k — "how much
+    * ranking quality do we keep if we store only the first p dims",
+    * the question behind embedding truncation at serving time (¼ of
+    * the bytes ⇒ ¼ of the index, if recall holds).
+    *
+    * Cartesian-free: the pool is the IVF equi-join, scoring is two
+    * keyed joins over |Q|·poolK pairs, both rankings ride the same
+    * per-query window pass (two rank columns on one row — no
+    * self-join). Zero norms score the -2 sentinel (below any cosine)
+    * rather than dividing by zero, pinned identically in the oracle.
+    */
+  def prefixDimRecall(
+      emb: DataFrame,
+      queryPred: Column,
+      candPred: Column,
+      poolK: Int,
+      k: Int,
+      prefixDim: Int,
+      numCentroids: Int = 16,
+      nProbe: Int = 4,
+      seed: Long = 42L,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1 && k <= poolK && prefixDim >= 1)
+    val pool = ivfTopK(emb, queryPred, candPred, poolK, numCentroids,
+      nProbe, seed, vecCol, idCol).select("query_id", "neighbor_id")
+    val nb = Caches.persisted(emb
+      .select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .withColumn("nrm", sqrt(graft.functions.vec_dot(col("v"), col("v"))))
+      .withColumn("pv", slice(col("v"), 1, prefixDim))
+      .withColumn("pnrm", sqrt(graft.functions.vec_dot(col("pv"), col("pv")))))
+    def side(prefix: String, keyed: String) = nb.select(
+      col("vid").as(keyed), col("v").as(s"${prefix}v"), col("nrm").as(s"${prefix}n"),
+      col("pv").as(s"${prefix}pv"), col("pnrm").as(s"${prefix}pn"))
+    val sc = pool
+      .join(side("q", "query_id"), "query_id")
+      .join(side("c", "neighbor_id"), "neighbor_id")
+      .withColumn("cos_full",
+        when(col("qn") === 0.0 || col("cn") === 0.0, lit(-2.0))
+          .otherwise(graft.functions.vec_dot(col("qv"), col("cv")) / (col("qn") * col("cn"))))
+      .withColumn("cos_pref",
+        when(col("qpn") === 0.0 || col("cpn") === 0.0, lit(-2.0))
+          .otherwise(graft.functions.vec_dot(col("qpv"), col("cpv")) / (col("qpn") * col("cpn"))))
+    val wf = Window.partitionBy("query_id").orderBy(col("cos_full").desc, col("neighbor_id"))
+    val wp = Window.partitionBy("query_id").orderBy(col("cos_pref").desc, col("neighbor_id"))
+    val hits = sc
+      .withColumn("rf", row_number().over(wf))
+      .withColumn("rp", row_number().over(wp))
+      .filter(col("rf") <= k && col("rp") <= k)
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    pool.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr(s"coalesce(n_hits, 0) * 1000000 div $k").as("recall_ppm"))
+  }
+
   /** Confusion matrix of [[classifyByCentroid]] on the held-out rows:
     * (label, pred_label, n) — the accuracy/aliasing report a labeling
     * pipeline gates promotion on. Same scale shape as the classifier

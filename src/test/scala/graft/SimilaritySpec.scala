@@ -7,6 +7,30 @@ import graft.operators.Similarity
 
 class SimilaritySpec extends AnyFunSuite with SparkTest {
 
+  test("prefixDimRecall: full-width prefix is a perfect 1e6; blind prefix misses") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(11)
+    // dim 0 identical everywhere; the signal lives in the tail —
+    // a 1-dim prefix is blind (all prefix cosines tie), full width
+    // recovers the true ranking
+    def vec(tail: Array[Float]) = Array(1f) ++ tail
+    val emb = (
+      Seq((1L, vec(Array(10f, 10f, 10f)))) ++ // query: tail points at "hot" cands
+        (10 to 14).map(i => (i.toLong, vec(Array.fill(3)(rnd.nextGaussian().toFloat * 0.01f)))) ++
+        (25 to 29).map(i => (i.toLong, vec(Array(10f, 10f, 10f))))
+    ).toDF("vec_id", "embedding")
+    def recall(prefixDim: Int): Long =
+      Similarity.prefixDimRecall(emb, col("vec_id") < 10, col("vec_id") >= 10,
+          poolK = 10, k = 5, prefixDim = prefixDim, numCentroids = 2, nProbe = 2)
+        .collect().map(r => r.getLong(2)).head
+    // prefix = full width: the two rankings are the same ranking
+    assert(recall(4) == 1000000L)
+    // 1-dim prefix: prefix cosine ties at 1.0 for every candidate, so
+    // the prefix top-5 is the 5 LOWEST ids (10..14) while the full
+    // ranking puts the tail-aligned 25..29 first -> zero overlap
+    assert(recall(1) == 0L)
+  }
+
   test("bruteForceTopK ranks by cosine with deterministic tie-break") {
     val s = spark; import s.implicits._
     val emb = Seq(

@@ -3782,6 +3782,60 @@ object SparkEntry {
           max(col("doc_id")).as("last_id"))
     }),
 
+    "s_schema_evolution" -> ((s, d) => {
+      // schema evolution across file epochs: epoch 1 lacks the
+      // priority column, epoch 2 carries it; mergeSchema unifies and
+      // old files read NULL — the gate pins exactly the widening
+      // semantics a lake table must give appended columns
+      val o = rd(s, d, "orders")
+      val dir = new java.io.File(
+        "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      val path = s"$dir/fmt_evo_orders_${contentEpoch(o, "o_orderkey")}"
+      graft.operators.Memo.cached(s, s"fmtevo|$path") {
+        if (!new java.io.File(path).exists()) {
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+          val cents = round(col("o_totalprice") * 100).cast("long").as("cents")
+          o.filter(col("o_orderkey") % 2 === 0)
+            .select(col("o_orderkey"), cents)
+            .write.mode("overwrite").parquet(s"$path/epoch=1")
+          o.filter(col("o_orderkey") % 2 =!= 0)
+            .select(col("o_orderkey"), cents, col("o_orderpriority"))
+            .write.mode("overwrite").parquet(s"$path/epoch=2")
+        }
+        java.lang.Boolean.TRUE
+      }
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy(coalesce(col("o_orderpriority"), lit("<pre-evolution>"))
+          .as("priority"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+    }),
+    "s_partitioned_scan" -> ((s, d) => {
+      // directory-partitioned write/read fidelity: events land under
+      // day=YYYY-MM-DD directories; the partition column comes back
+      // from the PATH, not the file bytes — counts and sums per day
+      // must still match the flat original
+      val ev = rd(s, d, "events")
+      val dir = new java.io.File(
+        "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      val path = s"$dir/fmt_part_events_${contentEpoch(ev, "event_id")}"
+      graft.operators.Memo.cached(s, s"fmtpart|$path") {
+        if (!new java.io.File(path).exists()) {
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+          graft.sources.Layout.writePartitioned(
+            ev.withColumn("day", date_format(col("ts"), "yyyy-MM-dd")),
+            path, Seq("day"))
+        }
+        java.lang.Boolean.TRUE
+      }
+      // partition-type inference reads day=2024-01-01 as DATE; pin the
+      // gate's type to the written string form
+      s.read.parquet(path)
+        .groupBy(col("day").cast("string").as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"),
+          count_distinct(col("user_id")).as("n_users"))
+    }),
+
     // —— spatial grid family: geometry as candidate generation ——
     "geo_grid_pairs" -> ((s, d) =>
       // all customer pairs within Euclidean distance 2000 on the
@@ -6122,6 +6176,17 @@ object SparkEntry {
         "CAST(coalesce(sum(est_bytes) OVER (ORDER BY rf, ls, mon " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM files) " +
         "SELECT rf, ls, mon, est_bytes, cum_before, cum_before // 50000 AS bin FROM w"),
+
+    "s_schema_evolution" ->
+      ("SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-evolution>' " +
+        "ELSE o_orderpriority END AS priority, count(*) AS n, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents " +
+        "FROM orders GROUP BY 1"),
+    "s_partitioned_scan" ->
+      ("SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n, " +
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents, " +
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users " +
+        "FROM events GROUP BY 1"),
 
     // format roundtrips: the oracle reads the ORIGINAL parquet
     "s_orc_roundtrip" ->

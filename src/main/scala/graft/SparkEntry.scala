@@ -3882,6 +3882,12 @@ object SparkEntry {
       graft.operators.Geo.corePoints(
         geoPoints(rd(s, d, "customer"), "c_custkey", 48271L, 69621L),
         r = 2000L, minPts = 4)),
+    "geo_knn_graph" -> ((s, d) =>
+      // the kNN graph: each customer's 3 nearest other customers
+      // within 2000 — one grid pass symmetrized + one rank window
+      graft.operators.Geo.knnGraph(
+        geoPoints(rd(s, d, "customer"), "c_custkey", 48271L, 69621L),
+        r = 2000L, k = 3)),
     "geo_dbscan_clusters" -> ((s, d) =>
       // the full DBSCAN labeling: components of the core-core graph
       // via star contraction, borders adopt the min core neighbor's
@@ -6239,6 +6245,14 @@ object SparkEntry {
         "ON a.id <> b.id AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 4000000 GROUP BY 1) " +
         "SELECT p.id, CAST(coalesce(nb.n_neighbors, 0) AS BIGINT) AS n_neighbors, " +
         "coalesce(nb.n_neighbors, 0) >= 4 AS is_core FROM pts p LEFT JOIN nb ON p.id = nb.id"),
+    "geo_knn_graph" ->
+      (s"WITH ${geoPtsCte("pts", "customer", "c_custkey", 48271L, 69621L)}, " +
+        "j AS (SELECT a.id AS id, b.id AS nb, " +
+        "(a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS dist2 FROM pts a JOIN pts b " +
+        "ON a.id <> b.id AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 4000000) " +
+        "SELECT id, rank, nb, dist2 FROM (SELECT id, nb, dist2, " +
+        "CAST(row_number() OVER (PARTITION BY id ORDER BY dist2, nb) AS INT) AS rank FROM j) t " +
+        "WHERE rank <= 3"),
     "geo_dbscan_clusters" ->
       (s"WITH RECURSIVE ${geoPtsCte("pts", "customer", "c_custkey", 48271L, 69621L)}, " +
         "nb AS (SELECT a.id AS id, b.id AS nb FROM pts a JOIN pts b " +

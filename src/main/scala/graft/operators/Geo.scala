@@ -121,6 +121,27 @@ object Geo {
       .select("q_id", "rank", "c_id", "dist2")
   }
 
+  /** Radius-bounded kNN GRAPH: for every point, its `k` nearest other
+    * points within distance `r` — the self-join form of [[knnRadius]]
+    * and the construction step of mutual-kNN clustering and
+    * graph-based ANN indexes. One [[gridPairs]] pass symmetrized into
+    * directed neighbor rows, one partitioned rank window; (dist2, id)
+    * ties pinned. Points with no neighbor within `r` emit nothing
+    * (the graph simply has no edges there).
+    */
+  def knnGraph(points: DataFrame, r: Long, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val pairs = gridPairs(points, r)
+    val directed = pairs
+      .select(col("id_a").as("id"), col("id_b").as("nb"), col("dist2"))
+      .unionByName(pairs.select(col("id_b").as("id"), col("id_a").as("nb"), col("dist2")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("dist2"), col("nb"))
+    directed.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("id", "rank", "nb", "dist2")
+  }
+
   /** DBSCAN core-point identification: a point is `core` when at
     * least `minPts` OTHER points lie within distance `r`. Composed
     * from [[gridPairs]] (each unordered pair symmetrized into two

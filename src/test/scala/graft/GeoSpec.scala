@@ -92,6 +92,22 @@ class GeoSpec extends AnyFunSuite with SparkTest {
     assert(got.values.exists(_._1 == 0L), "an isolated point must report 0")
   }
 
+  test("knnGraph matches brute-force per-point nearest lists") {
+    val pts = points(300, 10000L, 48271L, 69621L)
+    val r = 900L; val k = 3
+    val got = Geo.knnGraph(pts, r, k)
+      .collect().map(rw => (rw.getLong(0), rw.getInt(1), rw.getLong(2), rw.getLong(3))).toSet
+    val raw = pts.collect().map(rw => (rw.getLong(0), rw.getLong(1), rw.getLong(2)))
+    val want = raw.flatMap { a =>
+      raw.filter(_._1 != a._1).map { b =>
+        (b._1, (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3))
+      }.filter(_._2 <= r * r).sortBy(c => (c._2, c._1)).take(k)
+        .zipWithIndex.map { case ((nb, d2), i) => (a._1, i + 1, nb, d2) }
+    }.toSet
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
   test("dbscanClusters equals a sequential DBSCAN with min-id clusters") {
     val pts = points(300, 10000L, 48271L, 69621L)
     val r = 400L; val minPts = 3

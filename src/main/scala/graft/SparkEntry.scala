@@ -91,6 +91,27 @@ object SparkEntry {
     s"$alias AS (SELECT $keyCol AS id, ($keyCol * $mx) % 100003 AS x, " +
       s"($keyCol * $my) % 100003 AS y FROM $table$where)"
 
+  /** Materialize a format-gate directory ONCE, crash-safely: the
+    * writer fills `<path>.tmp` and an atomic rename publishes it — a
+    * JVM dying mid-write leaves only the tmp dir (overwritten on the
+    * next attempt), never a half-written `path` that a bare exists()
+    * guard would treat as done forever (the Warehouse tmp-and-swap
+    * contract, applied to free-form format writes).
+    */
+  private def materializeOnce(s: SparkSession, path: String)(write: String => Unit): Unit =
+    graft.operators.Memo.cached(s, s"matonce|$path") {
+      val target = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(target)) {
+        java.nio.file.Files.createDirectories(target.getParent)
+        val tmp = path + ".tmp"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+        write(tmp)
+        java.nio.file.Files.move(java.nio.file.Paths.get(tmp), target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      java.lang.Boolean.TRUE
+    }
+
   private def sharedStage(s: SparkSession, d: String, stage: String)(
       build: DataFrame => DataFrame): DataFrame = {
     import graft.sources.Warehouse
@@ -147,6 +168,14 @@ object SparkEntry {
     * `replace`-counting would get wrong.
     */
   private[graft] val blocklist = Seq("table scan", "scan", "batch batch", "slow key")
+
+  /** The pinned event-type state space for the Markov steady-state
+    * gate — ONE constant feeding both the Spark side and the oracle's
+    * static pivot, so the two can never disagree on k or the uniform
+    * start. Sorted (the summation-order contract).
+    */
+  private[graft] val eventStates =
+    Seq("click", "error", "purchase", "signup", "view")
 
   private[graft] val searchPhrase = Seq("fast", "table")
   private[graft] val bm25Queries: Seq[(Int, Seq[String])] = Seq(
@@ -3744,13 +3773,7 @@ object SparkEntry {
       val dir = new java.io.File(
         "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
       val path = s"$dir/fmt_orc_orders_${contentEpoch(o, "o_orderkey")}"
-      graft.operators.Memo.cached(s, s"fmtorc|$path") {
-        if (!new java.io.File(path).exists()) {
-          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-          o.write.mode("overwrite").orc(path)
-        }
-        java.lang.Boolean.TRUE
-      }
+      materializeOnce(s, path)(tmp => o.write.mode("overwrite").orc(tmp))
       s.read.orc(path)
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),
@@ -3766,13 +3789,7 @@ object SparkEntry {
       val dir = new java.io.File(
         "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
       val path = s"$dir/fmt_jsonl_docs_${contentEpoch(docs, "doc_id")}"
-      graft.operators.Memo.cached(s, s"fmtjsonl|$path") {
-        if (!new java.io.File(path).exists()) {
-          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-          docs.write.mode("overwrite").json(path)
-        }
-        java.lang.Boolean.TRUE
-      }
+      materializeOnce(s, path)(tmp => docs.write.mode("overwrite").json(tmp))
       s.read.schema(docs.schema).json(path)
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
@@ -3791,18 +3808,14 @@ object SparkEntry {
       val dir = new java.io.File(
         "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
       val path = s"$dir/fmt_evo_orders_${contentEpoch(o, "o_orderkey")}"
-      graft.operators.Memo.cached(s, s"fmtevo|$path") {
-        if (!new java.io.File(path).exists()) {
-          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-          val cents = round(col("o_totalprice") * 100).cast("long").as("cents")
-          o.filter(col("o_orderkey") % 2 === 0)
-            .select(col("o_orderkey"), cents)
-            .write.mode("overwrite").parquet(s"$path/epoch=1")
-          o.filter(col("o_orderkey") % 2 =!= 0)
-            .select(col("o_orderkey"), cents, col("o_orderpriority"))
-            .write.mode("overwrite").parquet(s"$path/epoch=2")
-        }
-        java.lang.Boolean.TRUE
+      materializeOnce(s, path) { tmp =>
+        val cents = round(col("o_totalprice") * 100).cast("long").as("cents")
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), cents)
+          .write.mode("overwrite").parquet(s"$tmp/epoch=1")
+        o.filter(col("o_orderkey") % 2 =!= 0)
+          .select(col("o_orderkey"), cents, col("o_orderpriority"))
+          .write.mode("overwrite").parquet(s"$tmp/epoch=2")
       }
       s.read.option("mergeSchema", "true").parquet(path)
         .groupBy(coalesce(col("o_orderpriority"), lit("<pre-evolution>"))
@@ -3818,15 +3831,9 @@ object SparkEntry {
       val dir = new java.io.File(
         "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
       val path = s"$dir/fmt_part_events_${contentEpoch(ev, "event_id")}"
-      graft.operators.Memo.cached(s, s"fmtpart|$path") {
-        if (!new java.io.File(path).exists()) {
-          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-          graft.sources.Layout.writePartitioned(
-            ev.withColumn("day", date_format(col("ts"), "yyyy-MM-dd")),
-            path, Seq("day"))
-        }
-        java.lang.Boolean.TRUE
-      }
+      materializeOnce(s, path)(tmp => graft.sources.Layout.writePartitioned(
+        ev.withColumn("day", date_format(col("ts"), "yyyy-MM-dd")),
+        tmp, Seq("day")))
       // partition-type inference reads day=2024-01-01 as DATE; pin the
       // gate's type to the written string form
       s.read.parquet(path)
@@ -3900,7 +3907,7 @@ object SparkEntry {
       // transition aggregate; the k x k matrix (k = 5 event types) is
       // a metadata-sized collect, 20 power iterations on the driver
       // with the pinned alphabetical left-to-right summation
-      Events.markovStationary(rd(s, d, "events"), iters = 20)),
+      Events.markovStationary(rd(s, d, "events"), eventStates, iters = 20)),
     "incr_hll_maintain" -> ((s, d) => {
       // O(delta) sketch maintenance: history registers merged with the
       // delta's registers by elementwise max — the oracle rebuilds
@@ -6270,7 +6277,7 @@ object SparkEntry {
         "WHEN border.id IS NOT NULL THEN 'border' ELSE 'noise' END AS kind " +
         "FROM pts p LEFT JOIN comp ON comp.id = p.id LEFT JOIN border ON border.id = p.id"),
     "events_markov_stationary" -> OracleSql.markovStationary(
-      Seq("click", "error", "purchase", "signup", "view"), iters = 20),
+      eventStates, iters = 20),
     "incr_hll_maintain" -> OracleSql.hllRegisters(64),
     "stream_hll_replay" -> OracleSql.hllRegisters(64),
     "seq_pattern_regex" ->

@@ -556,20 +556,33 @@ object Events {
     * codebooks). The iteration itself is k²-flop driver arithmetic.
     *
     * Cross-engine float discipline: P entries are the ONE operation
-    * `n_double / rowtotal`, the start vector is `1.0/k`, and each
+    * `n_double / rowtotal`, the start vector is `1.0/k` over the
+    * PINNED `states` list (config shared verbatim with the oracle —
+    * never derived from observed transitions, which could shrink k on
+    * a data epoch where a type never transitions), and each
     * iteration's component is a LEFT-TO-RIGHT sum over states in
     * ALPHABETICAL order — the exact expression tree
     * [[graft.OracleSql.markovStationary]] unrolls per iteration, so
     * 20 iterations of doubles are bit-identical in both engines.
     */
-  def markovStationary(events: DataFrame, iters: Int = 20): DataFrame = {
+  def markovStationary(
+      events: DataFrame,
+      states: Seq[String],
+      iters: Int = 20): DataFrame = {
     require(iters >= 1, "need at least one iteration")
+    // the state space is pinned CONFIG shared verbatim with the oracle
+    // (the blocklist discipline), NOT derived from observed
+    // transitions: a type that never appears inside a transition on
+    // some data epoch would otherwise shrink k and shift the uniform
+    // start, diverging from the oracle's fixed pivot
+    require(states.nonEmpty && states == states.sorted && states.distinct == states,
+      "states must be a sorted, duplicate-free pinned list")
+    val stateSet = states.toSet
     val counts = transitionCounts(events)
       .select("prev_type", "next_type", "n")
-      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
-    val states = counts.keys.flatMap { case (a, b) => Seq(a, b) }
-      .toSeq.distinct.sorted
-    require(states.nonEmpty, "no transitions observed")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .filter { case ((a, b), _) => stateSet(a) && stateSet(b) }
+      .toMap
     val rowTot = states.map(s =>
       s -> states.map(t => counts.getOrElse((s, t), 0L)).sum).toMap
     def p(s: String, t: String): Double =

@@ -21,12 +21,12 @@ import org.apache.spark.sql.{Column, DataFrame}
   *
   * Coordinates are LONG and every distance is the exact integer
   * squared Euclidean distance, so results hash-compare bit-for-bit
-  * against a cross-join oracle — no float epsilon anywhere. Floor
-  * division buckets negative coordinates correctly via explicit
-  * floor-div arithmetic (Spark's `div` and DuckDB's `//` truncate
-  * identically for the non-negative coordinates used here; the
-  * operators require non-negative inputs to keep the two engines'
-  * integer-division semantics aligned).
+  * against a cross-join oracle — no float epsilon anywhere. Cell
+  * bucketing uses explicit FLOOR division ([[Geo.floorDiv]]) rather
+  * than Spark's truncate-toward-zero `div`, so NEGATIVE coordinates
+  * bucket correctly too (truncation would widen the cells straddling
+  * zero and, in [[dbscanClusters]], silently merge cores farther than
+  * `r` apart) and the arithmetic matches DuckDB's `//` for every sign.
   */
 object Geo {
 
@@ -45,9 +45,17 @@ object Geo {
       .drop("__o")
   }
 
+  /** Exact integer FLOOR division as a SQL expression — matches
+    * DuckDB's `//` for every sign. Spark's `div` truncates toward
+    * zero, which mis-buckets negative coordinates (cells straddling
+    * zero widen), so every cell computation routes through this.
+    */
+  private[operators] def floorDiv(e: String, d: Long): String =
+    s"(($e - ((($e % $d) + $d) % $d)) div $d)"
+
   private def cellCols(df: DataFrame, r: Long): DataFrame =
-    df.withColumn("__cx", expr(s"x div $r"))
-      .withColumn("__cy", expr(s"y div $r"))
+    df.withColumn("__cx", expr(floorDiv("x", r)))
+      .withColumn("__cy", expr(floorDiv("y", r)))
 
   /** Exact squared Euclidean distance between two long points. */
   private def dist2(xa: Column, ya: Column, xb: Column, yb: Column): Column =
@@ -131,7 +139,9 @@ object Geo {
     */
   def knnGraph(points: DataFrame, r: Long, k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val pairs = gridPairs(points, r)
+    // persisted: the symmetrizing union references the pair table
+    // twice — unpersisted, the grid join would re-execute per branch
+    val pairs = Caches.persisted(gridPairs(points, r))
     val directed = pairs
       .select(col("id_a").as("id"), col("id_b").as("nb"), col("dist2"))
       .unionByName(pairs.select(col("id_b").as("id"), col("id_a").as("nb"), col("dist2")))
@@ -154,7 +164,8 @@ object Geo {
     */
   def corePoints(points: DataFrame, r: Long, minPts: Int): DataFrame = {
     require(minPts >= 1, "minPts must be >= 1")
-    val pairs = gridPairs(points, r)
+    // persisted: both union branches read the pair table
+    val pairs = Caches.persisted(gridPairs(points, r))
     val directed = pairs.select(col("id_a").as("id"))
       .unionByName(pairs.select(col("id_b").as("id")))
     val counts = directed.groupBy("id").agg(count(lit(1)).as("n_neighbors"))
@@ -199,7 +210,8 @@ object Geo {
     // over reps IS the component min over cores.
     val side = math.max(1L, (r.toDouble / math.sqrt(2.0)).toLong)
     val withCell = points.select(col("id").cast("long").as("id"),
-        expr(s"x div $side").as("__gx"), expr(s"y div $side").as("__gy"))
+        expr(floorDiv("x", side)).as("__gx"),
+        expr(floorDiv("y", side)).as("__gy"))
       .join(cores, "id")
     val reps = withCell.groupBy("__gx", "__gy").agg(min("id").as("__rep"))
     val coreRep = Caches.persisted(withCell.join(reps, Seq("__gx", "__gy"))

@@ -1380,12 +1380,17 @@ object Similarity {
       poolK: Int,
       k: Int,
       prefixDim: Int,
+      dim: Int = 64,
       numCentroids: Int = 16,
       nProbe: Int = 4,
       seed: Long = 42L,
       vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
-    require(k >= 1 && k <= poolK && prefixDim >= 1)
+    // prefixDim <= dim is the bound that matters: past it Spark's
+    // slice() silently clamps (prefix == full, a vacuous perfect
+    // recall) while the oracle's unrolled dot indexes past the list
+    // end into NULLs — the one configuration the two engines disagree on
+    require(k >= 1 && k <= poolK && prefixDim >= 1 && prefixDim <= dim)
     val pool = ivfTopK(emb, queryPred, candPred, poolK, numCentroids,
       nProbe, seed, vecCol, idCol).select("query_id", "neighbor_id")
     val nb = Caches.persisted(emb

@@ -201,7 +201,8 @@ object Sketches {
     * frame (window union = register max, the same associativity
     * `sketch_hll_rollup` proves) → per-day integer state
     * S = Σⱼ 2^(P − ρⱼ) and the pinned integer estimator
-    * `est = (alphaPpk·m²·2^P) div (1000·S)` — every step exact, so
+    * `est = (α_ppk·m²·2^P) div (1000·S)` with α_ppk derived from m
+    * (673/697/709/… — Flajolet's bias constants) — every step exact, so
     * the oracle matches bit-for-bit. The float-free estimator is the
     * standard α_m·m²/Σ2^(−ρ) on the ppk grid (α₆₄ ≈ 0.709); small-n
     * linear-counting correction is deliberately omitted — pinned,
@@ -213,18 +214,29 @@ object Sketches {
       keyCol: String,
       m: Int = 64,
       windowDays: Int = 7,
-      alphaPpk: Int = 709): DataFrame = {
+      alphaPpk: Int = 0): DataFrame = {
     require(windowDays >= 1, "windowDays must be >= 1")
-    require(m > 0 && (m & (m - 1)) == 0, "m must be a power of two")
+    require(m >= 16 && (m & (m - 1)) == 0, "m must be a power of two >= 16")
+    // alpha is COUPLED to m (Flajolet et al.'s bias constants); 0 means
+    // derive — passing an explicit value is for oracle-pinning only
+    val alpha =
+      if (alphaPpk > 0) alphaPpk
+      else if (m == 16) 673
+      else if (m == 32) 697
+      else if (m == 64) 709
+      else math.round(721.3 / (1.0 + 1.079 / m)).toInt
     val restBits = 32 - Integer.numberOfTrailingZeros(m)
     val p = restBits + 1
     val base = df.withColumn("__d", dayCol)
-    val days = base.select(col("__d").as("d")).distinct()
     val regs = df.sparkSession.range(m)
       .select(col("id").cast("long").as("reg"))
+    val daily = Caches.persisted(hllRegisters(base, "__d", keyCol, m)
+      .withColumnRenamed("__d", "d"))
+    // day list off the REGISTER table (any day with events has at
+    // least one register row) — metadata-sized, not a second corpus
+    // scan; the daily register build stays the only data-sized step
+    val days = daily.select("d").distinct()
     val grid = days.crossJoin(broadcast(regs)) // calendar × m: bounded
-    val daily = hllRegisters(base, "__d", keyCol, m)
-      .withColumnRenamed("__d", "d")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("reg")
       .orderBy(col("__x")).rangeBetween(-(windowDays - 1).toLong, 0L)
     grid.join(daily, Seq("d", "reg"), "left")
@@ -236,7 +248,7 @@ object Sketches {
         sum(expr(s"shiftleft(CAST(1 AS BIGINT), $p - coalesce(__rho7, 0))"))
           .as("s_sum"))
       .withColumn("est_window", expr(
-        s"($alphaPpk * CAST($m AS BIGINT) * $m * shiftleft(CAST(1 AS BIGINT), $p)) " +
+        s"($alpha * CAST($m AS BIGINT) * $m * shiftleft(CAST(1 AS BIGINT), $p)) " +
           "div (1000 * s_sum)"))
   }
 }

@@ -1013,8 +1013,10 @@ object Stats {
     * Purity is Σ_side ⌊10⁶·(pos² + neg²) / n⌋ (maximize ⇔ minimize
     * weighted Gini impurity up to the pinned floor-division grid) —
     * numerators in DECIMAL(38,0) per the ppm discipline (int64 wraps
-    * once n > ~3·10⁶), quotient ≤ 2·10⁶ so the BIGINT cast is
-    * lossless. Splits with an empty side (the max value) are excluded.
+    * once n > ~3·10⁶). The quotient is bounded by 10⁶·n (a pure side
+    * contributes 10⁶·n_side), so the BIGINT cast stays lossless while
+    * n < ~9·10¹² — do NOT stack another 10⁶ factor on it. Splits with
+    * an empty side (the max value) are excluded.
     * Output: split_v, n_left, pos_left, n_right, pos_right,
     * purity_ppm — all BIGINT, hash-exact cross-engine.
     */

@@ -489,15 +489,6 @@ object Streams {
       }
   }
 
-  /** One micro-batch fold for [[incrementalCountsStream]]: reads the
-    * materialized aggregate, folds `batch` via
-    * [[graft.operators.Incremental.updateCounts]], and atomically swaps
-    * the table with `batchId` stamped on every row. The stamp makes the
-    * fold idempotent under Spark's batch replay: the batch id and the
-    * folded data commit in ONE atomic swap, so a replayed batch (same
-    * id) is recognized and skipped — no double counting, no marker/data
-    * crash window (a separate marker file would create one).
-    */
   /** Micro-batch fold for an HLL register table: merge the batch's
     * sketch into the materialized one by elementwise register max,
     * stamped with the batch id and committed in one atomic swap —
@@ -536,6 +527,15 @@ object Streams {
     }
   }
 
+  /** One micro-batch fold for [[incrementalCountsStream]]: reads the
+    * materialized aggregate, folds `batch` via
+    * [[graft.operators.Incremental.updateCounts]], and atomically swaps
+    * the table with `batchId` stamped on every row. The stamp makes the
+    * fold idempotent under Spark's batch replay: the batch id and the
+    * folded data commit in ONE atomic swap, so a replayed batch (same
+    * id) is recognized and skipped — no double counting, no marker/data
+    * crash window (a separate marker file would create one).
+    */
   private[graft] def foldCountsBatch(
       batch: DataFrame,
       batchId: Long,

@@ -34,7 +34,7 @@ class EventsSpec extends AnyFunSuite with SparkTest {
       (4L, 1L, "2024-01-01 10:00:03", "a")
     ).toDF("event_id", "user_id", "ts", "event_type")
       .withColumn("ts", to_timestamp($"ts"))
-    val out = Events.markovStationary(ev, iters = 20)
+    val out = Events.markovStationary(ev, Seq("a", "b"), iters = 20)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(math.abs(out("a") - 2.0 / 3) < 1e-4, s"pi(a) = ${out("a")}")
     assert(math.abs(out("b") - 1.0 / 3) < 1e-4)

@@ -1758,6 +1758,38 @@ object OracleSql {
       s"CAST(coalesce(n_hits, 0) * 1000000 // $k AS BIGINT) AS recall_ppm " +
       "FROM (SELECT DISTINCT query_id FROM pool) q LEFT JOIN hits ON q.query_id = hits.query_id"
 
+  /** Replays [[graft.operators.Events.markovAbsorption]]: same pivot
+    * and per-iteration unrolled CTEs as [[markovStationary]], but the
+    * absorbing component is pinned at 1.0 in every iteration and the
+    * start vector is the absorbing indicator. */
+  def markovAbsorption(states: Seq[String], absorbing: String, iters: Int): String = {
+    require(states == states.sorted && states.contains(absorbing))
+    def v(s: String) = s"v_$s"
+    val pivot = (for { s <- states; t <- states } yield
+      s"coalesce(max(CASE WHEN prev_type = '$s' AND next_type = '$t' THEN p END), 0.0) AS p_${s}_$t")
+      .mkString(", ")
+    val it0 = states.map(s =>
+      s"CAST(${if (s == absorbing) 1 else 0} AS DOUBLE) AS ${v(s)}").mkString(", ")
+    val step = states.map { s =>
+      if (s == absorbing) s"CAST(1 AS DOUBLE) AS ${v(s)}"
+      else states.map(r => s"p_${s}_$r * ${v(r)}").mkString("(", " + ", s") AS ${v(s)}")
+    }.mkString(", ")
+    val itCtes = (1 to iters).map(i =>
+      s"it$i AS (SELECT $step FROM it${i - 1} CROSS JOIN m)").mkString(", ")
+    val out = states.map(s =>
+      s"SELECT '$s' AS state, ${v(s)} AS p_absorb FROM it$iters").mkString(" UNION ALL ")
+    "WITH seq AS (SELECT event_type, lag(event_type) OVER " +
+      "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events), " +
+      "c AS (SELECT prev_type, event_type AS next_type, count(*) AS n FROM seq " +
+      "WHERE prev_type IS NOT NULL GROUP BY 1, 2), " +
+      "tot AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_tot FROM c GROUP BY 1), " +
+      "p AS (SELECT c.prev_type, c.next_type, CAST(c.n AS DOUBLE) / tot.n_tot AS p " +
+      "FROM c JOIN tot ON c.prev_type = tot.prev_type), " +
+      s"m AS (SELECT $pivot FROM p), " +
+      s"it0 AS (SELECT $it0), " +
+      s"$itCtes $out"
+  }
+
   /** Replays [[graft.operators.Events.markovStationary]]: the
     * transition matrix pivots into ONE row of k² double columns, then
     * each power iteration unrolls as a CTE whose components are the

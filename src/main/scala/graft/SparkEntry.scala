@@ -3908,6 +3908,13 @@ object SparkEntry {
       // a metadata-sized collect, 20 power iterations on the driver
       // with the pinned alphabetical left-to-right summation
       Events.markovStationary(rd(s, d, "events"), eventStates, iters = 20)),
+    "events_markov_absorb" -> ((s, d) =>
+      // conversion probability from each entry state: chance the
+      // session chain reaches 'purchase' within 20 steps — v_purchase
+      // pinned at 1, every other component the unrolled fixed-tree
+      // fold; substochastic rows absorb nothing
+      Events.markovAbsorption(rd(s, d, "events"), eventStates,
+        absorbing = "purchase", iters = 20)),
     "incr_hll_maintain" -> ((s, d) => {
       // O(delta) sketch maintenance: history registers merged with the
       // delta's registers by elementwise max — the oracle rebuilds
@@ -6278,6 +6285,8 @@ object SparkEntry {
         "FROM pts p LEFT JOIN comp ON comp.id = p.id LEFT JOIN border ON border.id = p.id"),
     "events_markov_stationary" -> OracleSql.markovStationary(
       eventStates, iters = 20),
+    "events_markov_absorb" -> OracleSql.markovAbsorption(
+      eventStates, absorbing = "purchase", iters = 20),
     "incr_hll_maintain" -> OracleSql.hllRegisters(64),
     "stream_hll_replay" -> OracleSql.hllRegisters(64),
     "seq_pattern_regex" ->

@@ -599,6 +599,52 @@ object Events {
     states.zip(v).toDF("state", "prob")
   }
 
+  /** Absorption probability of the session chain: for every state, the
+    * probability of REACHING `absorbing` (e.g. purchase) within
+    * `iters` steps — "how likely does a session starting in an error
+    * convert", the funnel question asked of the whole chain rather
+    * than one fixed path.
+    *
+    * Same machinery and float discipline as [[markovStationary]]: the
+    * k×k matrix is the only collect, v_absorbing is pinned at 1.0 and
+    * every other component folds Σ_r P(s,r)·v_r left-to-right in
+    * alphabetical state order — the tree
+    * [[graft.OracleSql.markovAbsorption]] unrolls verbatim. Rows with
+    * no outgoing transitions absorb nothing (substochastic: v = 0).
+    */
+  def markovAbsorption(
+      events: DataFrame,
+      states: Seq[String],
+      absorbing: String,
+      iters: Int = 20): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    require(states.nonEmpty && states == states.sorted && states.distinct == states,
+      "states must be a sorted, duplicate-free pinned list")
+    require(states.contains(absorbing), "absorbing state must be in the list")
+    val stateSet = states.toSet
+    val counts = transitionCounts(events)
+      .select("prev_type", "next_type", "n")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .filter { case ((a, b), _) => stateSet(a) && stateSet(b) }
+      .toMap
+    val rowTot = states.map(s =>
+      s -> states.map(t => counts.getOrElse((s, t), 0L)).sum).toMap
+    def p(s: String, t: String): Double =
+      if (rowTot(s) == 0L) 0.0
+      else counts.getOrElse((s, t), 0L).toDouble / rowTot(s).toDouble
+    var v = states.map(s => if (s == absorbing) 1.0 else 0.0)
+    for (_ <- 0 until iters) {
+      v = states.map { s =>
+        if (s == absorbing) 1.0
+        else states.zip(v).map { case (r, vr) => p(s, r) * vr }
+          .foldLeft(0.0)(_ + _)
+      }
+    }
+    val spark = events.sparkSession
+    import spark.implicits._
+    states.zip(v).toDF("state", "p_absorb")
+  }
+
   /** MATCH_RECOGNIZE-lite: per-user event-sequence pattern counting by
     * encoding each user's (ts, event_id)-ordered event-type INITIALS
     * as one string and counting non-overlapping regex matches — the

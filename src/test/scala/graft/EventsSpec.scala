@@ -41,6 +41,31 @@ class EventsSpec extends AnyFunSuite with SparkTest {
     assert(math.abs(out.values.sum - 1.0) < 1e-9, "probability mass preserved")
   }
 
+  test("markovAbsorption: analytic absorption probabilities, absorbing pinned at 1") {
+    val s = spark; import s.implicits._
+    // sequence a b a b a c (one user): P(a->b)=2/3, P(a->c)=1/3,
+    // P(b->a)=1; c absorbs. Analytic: v_a = 1/3 + 2/3*v_b, v_b = v_a
+    // => v_a = v_b = 1 (c is eventually reached with certainty);
+    // at 20 iterations the power fold is within (2/3)^10 of 1
+    val types = Seq("a", "b", "a", "b", "a", "c")
+    val ev = types.zipWithIndex.map { case (t, i) =>
+      (i.toLong, 1L, f"2024-01-01 10:00:$i%02d", t)
+    }.toDF("event_id", "user_id", "ts", "event_type")
+      .withColumn("ts", to_timestamp($"ts"))
+    val out = Events.markovAbsorption(ev, Seq("a", "b", "c"), "c", iters = 20)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("c") == 1.0, "absorbing state is pinned at exactly 1")
+    assert(out("a") > 0.98 && out("a") <= 1.0, s"v(a) = ${out("a")}")
+    assert(out("b") > 0.98 && out("b") <= 1.0)
+    // c has no outgoing transitions in the data: with c NOT absorbing,
+    // the substochastic row keeps v(c) at 0
+    val out2 = Events.markovAbsorption(ev, Seq("a", "b", "c"), "b", iters = 20)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out2("c") == 0.0, "dead-end state absorbs nothing")
+    assert(out2("a") == 2.0 / 3.0,
+      "a reaches b with exactly P(a->b); the 1/3 path dies in c")
+  }
+
   test("eventPatternCounts: non-overlapping matches, detour class, order by (ts, event_id)") {
     val s = spark; import s.implicits._
     // user 1 sequence (ts order): v p v c e p v s p  ->

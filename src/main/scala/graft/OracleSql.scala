@@ -1790,6 +1790,40 @@ object OracleSql {
       s"$itCtes $out"
   }
 
+  /** Replays [[graft.operators.Events.markovSteps]]: same pivot and
+    * per-iteration unrolled CTEs as [[markovAbsorption]], but the
+    * absorbing component is pinned at 0.0 (an absorbed chain takes no
+    * more steps), the start vector is all-zero, and every other
+    * component is 1 + the substochastic fold. */
+  def markovSteps(states: Seq[String], absorbing: String, iters: Int): String = {
+    require(states == states.sorted && states.contains(absorbing))
+    def v(s: String) = s"v_$s"
+    val pivot = (for { s <- states; t <- states } yield
+      s"coalesce(max(CASE WHEN prev_type = '$s' AND next_type = '$t' THEN p END), 0.0) AS p_${s}_$t")
+      .mkString(", ")
+    val it0 = states.map(s => s"CAST(0 AS DOUBLE) AS ${v(s)}").mkString(", ")
+    val step = states.map { s =>
+      if (s == absorbing) s"CAST(0 AS DOUBLE) AS ${v(s)}"
+      else "(CAST(1 AS DOUBLE) + " +
+        states.map(r => s"p_${s}_$r * ${v(r)}").mkString("(", " + ", ")") +
+        s") AS ${v(s)}"
+    }.mkString(", ")
+    val itCtes = (1 to iters).map(i =>
+      s"it$i AS (SELECT $step FROM it${i - 1} CROSS JOIN m)").mkString(", ")
+    val out = states.map(s =>
+      s"SELECT '$s' AS state, ${v(s)} AS exp_steps FROM it$iters").mkString(" UNION ALL ")
+    "WITH seq AS (SELECT event_type, lag(event_type) OVER " +
+      "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events), " +
+      "c AS (SELECT prev_type, event_type AS next_type, count(*) AS n FROM seq " +
+      "WHERE prev_type IS NOT NULL GROUP BY 1, 2), " +
+      "tot AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_tot FROM c GROUP BY 1), " +
+      "p AS (SELECT c.prev_type, c.next_type, CAST(c.n AS DOUBLE) / tot.n_tot AS p " +
+      "FROM c JOIN tot ON c.prev_type = tot.prev_type), " +
+      s"m AS (SELECT $pivot FROM p), " +
+      s"it0 AS (SELECT $it0), " +
+      s"$itCtes $out"
+  }
+
   /** Replays [[graft.operators.Events.markovStationary]]: the
     * transition matrix pivots into ONE row of k² double columns, then
     * each power iteration unrolls as a CTE whose components are the

@@ -77,13 +77,35 @@ object SparkEntry {
   /** Deterministic integer plane: (id, x, y) with x/y from modular
     * multiplicative hashing of the key — pure BIGINT arithmetic both
     * engines replay identically ([[geoPtsCte]] is the same text).
-    * Coordinates land in [0, 100003) so the [[graft.operators.Geo]]
-    * non-negative contract holds at every SF.
+    * Coordinates land in [0, 100003) at every SF (the [[graft.operators.Geo]]
+    * operators themselves accept either sign — floorDiv cells).
     */
   private def geoPoints(df: DataFrame, keyCol: String, mx: Long, my: Long): DataFrame =
     df.select(col(keyCol).cast("long").as("id"),
       (col(keyCol) * mx % 100003L).as("x"),
       (col(keyCol) * my % 100003L).as("y"))
+
+  /** Blocked fuzzy name linkage over `part` (the `link_fuzzy_names`
+    * body, factored for the ScaleSpec pair-count assertion): composite
+    * blocking on (last token, floor(length/4) with ±1 probe buckets),
+    * exact within the `levenshtein <= 3` contract — an edit changes
+    * length by at most 1, so |len_a − len_b| ≤ 3 < 4 pins the bucket
+    * gap to at most 1.
+    */
+  private[graft] def linkFuzzyNamePairs(part: DataFrame): DataFrame = {
+    val p = part.select(col("p_name")).distinct()
+      .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+      .withColumn("lb", expr("length(p_name) div 4"))
+    val probes = p.select(col("p_name").as("name_a"), col("blk"), col("lb"))
+      .withColumn("lbp", explode(array(col("lb") - 1, col("lb"), col("lb") + 1)))
+    val home = p.select(col("p_name").as("name_b"), col("blk").as("blk2"),
+      col("lb").as("lb2"))
+    probes.join(home, col("blk") === col("blk2") && col("lbp") === col("lb2") &&
+        col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .where(col("dist") <= 3)
+      .select("name_a", "name_b", "dist")
+  }
 
   /** DuckDB replay of [[geoPoints]], as a WITH-clause body. */
   private def geoPtsCte(alias: String, table: String, keyCol: String,
@@ -112,24 +134,49 @@ object SparkEntry {
       java.lang.Boolean.TRUE
     }
 
-  private def sharedStage(s: SparkSession, d: String, stage: String)(
+  private def sharedStageOn(s: SparkSession, d: String, stage: String,
+      srcTable: String, keyCol: String)(
       build: DataFrame => DataFrame): DataFrame = {
     import graft.sources.Warehouse
     val dir = new java.io.File(
       "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
-    val docs = rd(s, d, "documents")
-    val tbl = s"stage_${stage}_${contentEpoch(docs, "doc_id")}"
+    val src = rd(s, d, srcTable)
+    val tbl = s"stage_${stage}_${contentEpoch(src, keyCol)}"
     graft.operators.Memo.cached(s, s"sharedStage|$dir|$tbl") {
       if (!Warehouse.exists(s, dir, tbl)) {
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
         val (_, scope) = graft.operators.Caches.scoped(
-          Warehouse.overwrite(build(docs), dir, tbl))
+          Warehouse.overwrite(build(src), dir, tbl))
         scope.release()
       }
       java.lang.Boolean.TRUE
     }
     Warehouse.read(s, dir, tbl)
   }
+
+  private def sharedStage(s: SparkSession, d: String, stage: String)(
+      build: DataFrame => DataFrame): DataFrame =
+    sharedStageOn(s, d, stage, "documents", "doc_id")(build)
+
+  /** Materialized undirected supplier↔part co-purchase edge list —
+    * the shared upstream of the six `graph_*` gates that previously
+    * each re-derived it from lineitem (six full fact scans per suite
+    * pass). One content-addressed parquet stage (the [[sharedStage]]
+    * discipline on the lineitem epoch) holds the DISTINCT
+    * bidirectional edges; distinct is hash-neutral because every
+    * [[graft.operators.Graph]] operator distincts its input edges
+    * anyway, and it shrinks the stage to the graph's true edge set.
+    * Part ids offset past the supplier key range (the graph family's
+    * shared node-id convention).
+    */
+  private def sharedCoEdges(s: SparkSession, d: String): DataFrame =
+    sharedStageOn(s, d, "coedges", "lineitem", "l_orderkey") { li =>
+      val raw = li.select(col("l_suppkey").as("s"),
+        (col("l_partkey") + 1000000L).as("p"))
+      raw.select(col("s").as("src"), col("p").as("dst"))
+        .unionByName(raw.select(col("p").as("src"), col("s").as("dst")))
+        .distinct()
+    }
 
   /** Materialized `Dedup.ngramJaccardPairs(docs, 1, 20)`. */
   private def sharedPairs(s: SparkSession, d: String): DataFrame =
@@ -858,84 +905,57 @@ object SparkEntry {
       // semi-supervised auto-labeling: suppliers are seeded with their
       // nation key; parts (and any relabeled suppliers' neighbors)
       // adopt the majority label through the co-purchase graph
-      val raw = rd(s, d, "lineitem")
-        .select(col("l_suppkey").as("s"), (col("l_partkey") + 1000000L).as("p"))
-      val e = raw.select(col("s").as("src"), col("p").as("dst"))
-        .unionByName(raw.select(col("p").as("src"), col("s").as("dst")))
       val seeds = rd(s, d, "supplier")
         .select(col("s_suppkey").as("node"), col("s_nationkey").as("label"))
-      graft.operators.Graph.labelPropagation(e, seeds, iters = 2)
+      graft.operators.Graph.labelPropagation(sharedCoEdges(s, d), seeds, iters = 2)
     }),
-    "graph_kcore" -> ((s, d) => {
+    "graph_kcore" -> ((s, d) =>
       // density filter: the 32-core of the co-purchase graph (nodes
       // that keep >= 32 in-core neighbors after iterative peeling)
-      val raw = rd(s, d, "lineitem")
-        .select(col("l_suppkey").as("s"), (col("l_partkey") + 1000000L).as("p"))
-      val e = raw.select(col("s").as("src"), col("p").as("dst"))
-        .unionByName(raw.select(col("p").as("src"), col("s").as("dst")))
-      graft.operators.Graph.kCore(e, k = 32)
-    }),
+      graft.operators.Graph.kCore(sharedCoEdges(s, d), k = 32)),
     "graph_bfs_dist" -> ((s, d) => {
       // reachability radius: hop distance from every 5th supplier
       // through the undirected co-purchase graph, capped at 3 hops
       // (modulo seeds stay non-empty at every fixture scale)
-      val raw = rd(s, d, "lineitem")
-        .select(col("l_suppkey").as("s"), (col("l_partkey") + 1000000L).as("p"))
-      val e = raw.select(col("s").as("src"), col("p").as("dst"))
-        .unionByName(raw.select(col("p").as("src"), col("s").as("dst")))
       val seeds = rd(s, d, "supplier")
         .where(col("s_suppkey") % 5 === 0).select(col("s_suppkey").as("node"))
-      graft.operators.Graph.bfsDistances(e, seeds, maxHops = 3)
+      graft.operators.Graph.bfsDistances(sharedCoEdges(s, d), seeds, maxHops = 3)
     }),
     "graph_ppr" -> ((s, d) => {
       // personalized PageRank: teleport mass restricted to every 5th
       // supplier — influence as seen FROM the seed set; same
       // fixed-point integer discipline, same unrolled oracle replay
-      val raw = rd(s, d, "lineitem")
-        .select(col("l_suppkey").as("s"), (col("l_partkey") + 1000000L).as("p"))
-      val e = raw.select(col("s").as("src"), col("p").as("dst"))
-        .unionByName(raw.select(col("p").as("src"), col("s").as("dst")))
       val seeds = rd(s, d, "supplier")
         .where(col("s_suppkey") % 5 === 0).select(col("s_suppkey").as("node"))
-      graft.operators.Graph.pageRankPersonalized(e, seeds, iters = 3)
+      graft.operators.Graph.pageRankPersonalized(sharedCoEdges(s, d), seeds, iters = 3)
         .orderBy(col("rank").desc, col("node")).limit(20)
     }),
     "link_fuzzy_names" -> ((s, d) => {
       // blocked edit-distance record linkage: part names block on
-      // their noun (last token), candidate pairs within a block keep
-      // levenshtein <= 3 — the classic fuzzy-match shape where the
-      // block key bounds the pair expansion (never all-pairs) and the
-      // native levenshtein runs in both engines identically
-      val p = rd(s, d, "part").select(col("p_name")).distinct()
-        .withColumn("blk", element_at(split(col("p_name"), " "), -1))
-      p.select(col("p_name").as("name_a"), col("blk"))
-        .join(p.select(col("p_name").as("name_b"), col("blk").as("blk2")),
-          col("blk") === col("blk2") && col("name_a") < col("name_b"))
-        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-        .where(col("dist") <= 3)
-        .select("name_a", "name_b", "dist")
+      // their noun (last token) COMPOSED with a length bucket
+      // (floor(len/4), probe side expands ±1 bucket) — recall-exact
+      // under dist <= 3, since |len_a - len_b| <= dist < 4 bounds the
+      // bucket gap at 1, while cutting within-block candidate pairs
+      // ~4x vs the noun block alone (the second blocking dimension
+      // keeps pair counts bounded as the corpus grows; the
+      // LevenshteinPrefilter rule cheapens the DP but not the pair
+      // count). Each pair matches exactly once: the probe buckets are
+      // distinct and the right side's home bucket is unique.
+      linkFuzzyNamePairs(rd(s, d, "part"))
     }),
-    "graph_pagerank" -> ((s, d) => {
+    "graph_pagerank" -> ((s, d) =>
       // influence ranking on the undirected supplier<->part co-purchase
       // graph; fixed-point integer arithmetic so the power iteration
       // replays bit-for-bit in the oracle (part ids offset past the
       // supplier key range)
-      val raw = rd(s, d, "lineitem")
-        .select(col("l_suppkey").as("s"), (col("l_partkey") + 1000000L).as("p"))
-      val e = raw.select(col("s").as("src"), col("p").as("dst"))
-        .unionByName(raw.select(col("p").as("src"), col("s").as("dst")))
-      graft.operators.Graph.pageRankFixed(e, iters = 3)
-        .orderBy(col("rank").desc, col("node")).limit(20)
-    }),
+      graft.operators.Graph.pageRankFixed(sharedCoEdges(s, d), iters = 3)
+        .orderBy(col("rank").desc, col("node")).limit(20)),
     "graph_sssp" -> ((s, d) => {
       // cheapest-route radius: weighted shortest paths (≤ 3 edges)
       // from every 5th supplier through the co-purchase graph —
       // frontier Bellman-Ford, deterministic integer weights
       // 1 + (src+dst) % 7 shared with the oracle's bounded walk
-      val raw = rd(s, d, "lineitem")
-        .select(col("l_suppkey").as("s"), (col("l_partkey") + 1000000L).as("p"))
-      val e = raw.select(col("s").as("src"), col("p").as("dst"))
-        .unionByName(raw.select(col("p").as("src"), col("s").as("dst")))
+      val e = sharedCoEdges(s, d)
         .withColumn("w", lit(1L) + (col("src") + col("dst")) % 7)
       val seeds = rd(s, d, "supplier")
         .where(col("s_suppkey") % 5 === 0).select(col("s_suppkey").as("node"))
@@ -3915,6 +3935,13 @@ object SparkEntry {
       // fold; substochastic rows absorb nothing
       Events.markovAbsorption(rd(s, d, "events"), eventStates,
         absorbing = "purchase", iters = 20)),
+    "events_markov_steps" -> ((s, d) =>
+      // the funnel's other axis: expected steps a session wanders
+      // before converting, truncated at the 20-step horizon —
+      // v_purchase pinned at 0, every other component 1 + the
+      // substochastic fold, unrolled verbatim in the oracle
+      Events.markovSteps(rd(s, d, "events"), eventStates,
+        absorbing = "purchase", iters = 20)),
     "incr_hll_maintain" -> ((s, d) => {
       // O(delta) sketch maintenance: history registers merged with the
       // delta's registers by elementwise max — the oracle rebuilds
@@ -3934,7 +3961,7 @@ object SparkEntry {
       // detours allowed" — the MATCH_RECOGNIZE-shaped question
       Events.eventPatternCounts(rd(s, d, "events"), Seq(
         "n_strict" -> "vp",
-        "n_funnel" -> "v[ce]{0,2}p"))),
+        "n_funnel" -> "v[ce]{0,2}p"), eventStates)),
     "stat_theil_sen" -> ((s, d) =>
       // robust trend of 1998's daily revenue: exact median-of-slopes
       // over the calendar²-bounded pair table; the corpus collapses
@@ -6286,6 +6313,8 @@ object SparkEntry {
     "events_markov_stationary" -> OracleSql.markovStationary(
       eventStates, iters = 20),
     "events_markov_absorb" -> OracleSql.markovAbsorption(
+      eventStates, absorbing = "purchase", iters = 20),
+    "events_markov_steps" -> OracleSql.markovSteps(
       eventStates, absorbing = "purchase", iters = 20),
     "incr_hll_maintain" -> OracleSql.hllRegisters(64),
     "stream_hll_replay" -> OracleSql.hllRegisters(64),

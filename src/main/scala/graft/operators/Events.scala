@@ -16,6 +16,23 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
+  /** Maps an event-type column onto the PINNED state list, erroring the
+    * job (distributed, inside the one data pass — no extra action) on
+    * any observed type outside it. The Markov/pattern operators share
+    * their state space with the oracle's static SQL pivot, so an
+    * unlisted type must fail loudly: silently filtering it would shrink
+    * row totals on the Spark side only (the engines would diverge), and
+    * silently passing it through would unbound the driver collect.
+    */
+  private def pinnedState(c: org.apache.spark.sql.Column,
+      states: Seq[String]): org.apache.spark.sql.Column =
+    states.tail
+      .foldLeft(when(c === states.head, lit(states.head))) {
+        (acc, s) => acc.when(c === s, lit(s))
+      }
+      .otherwise(raise_error(concat(
+        lit("event type outside the pinned state list: "), c)))
+
   /** Tumbling 1-hour windows per event type. */
   def tumblingHourly(events: DataFrame): DataFrame =
     events
@@ -577,11 +594,16 @@ object Events {
     // start, diverging from the oracle's fixed pivot
     require(states.nonEmpty && states == states.sorted && states.distinct == states,
       "states must be a sorted, duplicate-free pinned list")
-    val stateSet = states.toSet
+    // completeness is ENFORCED, not assumed: every transition endpoint
+    // routes through the pinnedState when-chain, whose otherwise-branch
+    // raises — an observed type outside the pinned list fails the job
+    // instead of silently dropping transition mass the oracle's
+    // denominators still count. The collect is thereby bounded by k²
+    // regardless of the data's event-type cardinality.
     val counts = transitionCounts(events)
-      .select("prev_type", "next_type", "n")
+      .select(pinnedState(col("prev_type"), states).as("prev_type"),
+        pinnedState(col("next_type"), states).as("next_type"), col("n"))
       .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
-      .filter { case ((a, b), _) => stateSet(a) && stateSet(b) }
       .toMap
     val rowTot = states.map(s =>
       s -> states.map(t => counts.getOrElse((s, t), 0L)).sum).toMap
@@ -621,11 +643,11 @@ object Events {
     require(states.nonEmpty && states == states.sorted && states.distinct == states,
       "states must be a sorted, duplicate-free pinned list")
     require(states.contains(absorbing), "absorbing state must be in the list")
-    val stateSet = states.toSet
+    // same enforced-completeness collect as [[markovStationary]]
     val counts = transitionCounts(events)
-      .select("prev_type", "next_type", "n")
+      .select(pinnedState(col("prev_type"), states).as("prev_type"),
+        pinnedState(col("next_type"), states).as("next_type"), col("n"))
       .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
-      .filter { case ((a, b), _) => stateSet(a) && stateSet(b) }
       .toMap
     val rowTot = states.map(s =>
       s -> states.map(t => counts.getOrElse((s, t), 0L)).sum).toMap
@@ -645,6 +667,54 @@ object Events {
     states.zip(v).toDF("state", "p_absorb")
   }
 
+  /** Expected number of steps a session takes before reaching
+    * `absorbing`, truncated at an `iters`-step horizon — the funnel
+    * readout that completes [[markovAbsorption]]'s "how likely does it
+    * convert" with "and how long does it wander first".
+    *
+    * Same machinery and float discipline as its siblings: the k×k
+    * matrix is the only collect (completeness enforced by the
+    * pinnedState chain), v_absorbing is pinned at 0.0 (an absorbed
+    * chain takes no more steps) and every other component folds
+    * 1 + Σ_r P(s,r)·v_r left-to-right in alphabetical state order —
+    * the tree [[graft.OracleSql.markovSteps]] unrolls verbatim.
+    * Substochastic convention (as in [[markovAbsorption]]): dead-end
+    * rows (no outgoing transitions) settle at exactly 1.0 — the one
+    * step the recursion charges before their continuation mass
+    * vanishes.
+    */
+  def markovSteps(
+      events: DataFrame,
+      states: Seq[String],
+      absorbing: String,
+      iters: Int = 20): DataFrame = {
+    require(iters >= 1, "need at least one iteration")
+    require(states.nonEmpty && states == states.sorted && states.distinct == states,
+      "states must be a sorted, duplicate-free pinned list")
+    require(states.contains(absorbing), "absorbing state must be in the list")
+    val counts = transitionCounts(events)
+      .select(pinnedState(col("prev_type"), states).as("prev_type"),
+        pinnedState(col("next_type"), states).as("next_type"), col("n"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    val rowTot = states.map(s =>
+      s -> states.map(t => counts.getOrElse((s, t), 0L)).sum).toMap
+    def p(s: String, t: String): Double =
+      if (rowTot(s) == 0L) 0.0
+      else counts.getOrElse((s, t), 0L).toDouble / rowTot(s).toDouble
+    var v = states.map(_ => 0.0)
+    for (_ <- 0 until iters) {
+      v = states.map { s =>
+        if (s == absorbing) 0.0
+        else 1.0 + states.zip(v).map { case (r, vr) => p(s, r) * vr }
+          .foldLeft(0.0)(_ + _)
+      }
+    }
+    val spark = events.sparkSession
+    import spark.implicits._
+    states.zip(v).toDF("state", "exp_steps")
+  }
+
   /** MATCH_RECOGNIZE-lite: per-user event-sequence pattern counting by
     * encoding each user's (ts, event_id)-ordered event-type INITIALS
     * as one string and counting non-overlapping regex matches — the
@@ -660,18 +730,32 @@ object Events {
     * quantifiers) where Java's and RE2's leftmost-greedy scan agree;
     * both engines advance past each match, so overlap semantics pin
     * identically.
+    *
+    * Symbol aliasing is EXCLUDED by contract, not assumed away: the
+    * pinned `states` list must have pairwise-distinct initials (driver
+    * require — two types sharing a first character would silently
+    * alias into one regex symbol), and any observed type outside the
+    * list errors the job inside the data pass (the same pinnedState
+    * chain the Markov family uses).
     */
   def eventPatternCounts(
       events: DataFrame,
-      patterns: Seq[(String, String)]): DataFrame = {
+      patterns: Seq[(String, String)],
+      states: Seq[String]): DataFrame = {
     require(patterns.nonEmpty, "need at least one pattern")
+    require(states.nonEmpty && states.distinct == states,
+      "states must be a duplicate-free pinned list")
+    val initials = states.map(_.take(1))
+    require(initials.distinct == initials,
+      s"pinned event types must have distinct initials (got: ${states.mkString(", ")})" +
+        " — two types sharing a first character would alias into one regex symbol")
     val seqd = events
       .groupBy("user_id")
       .agg(
         count(lit(1)).as("n_events"),
         array_join(transform(
           array_sort(collect_list(struct(col("ts"), col("event_id"),
-            substring(col("event_type"), 1, 1).as("ch")))),
+            substring(pinnedState(col("event_type"), states.sorted), 1, 1).as("ch")))),
           x => x("ch")), "").as("seq"))
     val withCounts = patterns.foldLeft(seqd) { case (df, (name, pat)) =>
       df.withColumn(name, regexp_count(col("seq"), lit(pat)))

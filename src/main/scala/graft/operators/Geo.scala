@@ -62,8 +62,10 @@ object Geo {
     (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
 
   /** All pairs of points within Euclidean distance `r` (inclusive),
-    * as (id_a < id_b, dist2). Input: (id LONG, x LONG, y LONG),
-    * coordinates non-negative.
+    * as (id_a < id_b, dist2). Input: (id LONG, x LONG, y LONG) —
+    * coordinates of either sign ([[floorDiv]] buckets negative
+    * coordinates correctly; Spark's truncate-toward-zero `div` would
+    * widen the cells straddling zero).
     *
     * One side is expanded by its 9 neighbor cells and equi-joined on
     * the other side's single home cell, so each ordered pair is

@@ -1166,7 +1166,13 @@ object Stats {
         Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .filter(col("rn") === expr("(n_pairs + 1) div 2"))
       .select(col("n_pairs"), col("dy").as("med_dy"), col("dx").as("med_dx"),
-        expr("CAST(sign(dy) AS BIGINT) * (1000000 * abs(dy) div dx)").as("slope_ppm"))
+        // ppm numerator in DECIMAL(38,0): 10⁶·|dy| wraps int64 beyond
+        // |dy| ≈ 9.2e12 (plausible for cents-scale daily sums) — the
+        // same moment discipline as bestSplits; oracle mirrors with
+        // HUGEINT
+        expr("CAST(sign(dy) AS BIGINT) * CAST(" +
+          "CAST(1000000 AS DECIMAL(38,0)) * abs(CAST(dy AS DECIMAL(38,0)))" +
+          " div CAST(dx AS DECIMAL(38,0)) AS BIGINT)").as("slope_ppm"))
   }
 
   /** DuckDB replay of [[theilSen]] over a series CTE named `series`
@@ -1180,7 +1186,7 @@ object Stats {
       "CAST(row_number() OVER (ORDER BY slope, dy, dx) AS BIGINT) AS rn, " +
       "CAST(count(*) OVER () AS BIGINT) AS n_pairs FROM p) " +
       "SELECT n_pairs, dy AS med_dy, dx AS med_dx, " +
-      "CAST(CASE WHEN dy < 0 THEN -1 WHEN dy > 0 THEN 1 ELSE 0 END * ((1000000 * abs(dy)) // dx) AS BIGINT) AS slope_ppm " +
+      "CAST(CASE WHEN dy < 0 THEN -1 WHEN dy > 0 THEN 1 ELSE 0 END * ((1000000::HUGEINT * abs(dy::HUGEINT)) // dx) AS BIGINT) AS slope_ppm " +
       "FROM r WHERE rn = (n_pairs + 1) // 2"
 
   /** DuckDB replay of [[rollingIntegerZSpikes]]. */

@@ -66,6 +66,45 @@ class EventsSpec extends AnyFunSuite with SparkTest {
       "a reaches b with exactly P(a->b); the 1/3 path dies in c")
   }
 
+  test("markovSteps: absorbing pinned at 0, dead end settles at 1, analytic chain") {
+    val s = spark; import s.implicits._
+    // a b a b a c: P(a->b)=2/3, P(a->c)=1/3, P(b->a)=1; c absorbs.
+    // Analytic expected steps to c: v_a = 1 + 2/3*v_b, v_b = 1 + v_a
+    // => v_a = 5, v_b = 6 (truncation at 20 leaves it a bit below)
+    val types = Seq("a", "b", "a", "b", "a", "c")
+    val ev = types.zipWithIndex.map { case (t, i) =>
+      (i.toLong, 1L, f"2024-01-01 10:00:$i%02d", t)
+    }.toDF("event_id", "user_id", "ts", "event_type")
+      .withColumn("ts", to_timestamp($"ts"))
+    val out = Events.markovSteps(ev, Seq("a", "b", "c"), "c", iters = 60)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("c") == 0.0, "absorbed chain takes no more steps")
+    assert(math.abs(out("a") - 5.0) < 1e-3, s"v(a) = ${out("a")}")
+    assert(math.abs(out("b") - 6.0) < 1e-3, s"v(b) = ${out("b")}")
+    // with b absorbing, c is a dead end: one charged step, then the
+    // continuation mass vanishes (the substochastic convention)
+    val out2 = Events.markovSteps(ev, Seq("a", "b", "c"), "b", iters = 20)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out2("b") == 0.0)
+    assert(out2("c") == 1.0, "dead-end state settles at exactly 1")
+  }
+
+  test("markov family: an observed type outside the pinned list fails the job") {
+    val s = spark; import s.implicits._
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "a"),
+      (2L, 1L, "2024-01-01 10:00:01", "zz")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+      .withColumn("ts", to_timestamp($"ts"))
+    val e = intercept[Exception] {
+      Events.markovStationary(ev, Seq("a", "b"), iters = 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("outside the pinned state list")),
+      s"expected the pinnedState raise, got: $e")
+  }
+
   test("eventPatternCounts: non-overlapping matches, detour class, order by (ts, event_id)") {
     val s = spark; import s.implicits._
     // user 1 sequence (ts order): v p v c e p v s p  ->
@@ -79,7 +118,8 @@ class EventsSpec extends AnyFunSuite with SparkTest {
     val df = ev.toDF("event_id", "user_id", "ts", "event_type")
       .withColumn("ts", to_timestamp($"ts"))
     val out = Events.eventPatternCounts(df,
-        Seq("n_strict" -> "vp", "n_funnel" -> "v[ce]{0,2}p"))
+        Seq("n_strict" -> "vp", "n_funnel" -> "v[ce]{0,2}p"),
+        Seq("click", "error", "purchase", "signup", "view"))
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getInt(3)))).toMap
     assert(out(1L) == ((9L, 1, 2)))
     assert(out(2L) == ((1L, 0, 0)))

@@ -32,6 +32,29 @@ class GeoSpec extends AnyFunSuite with SparkTest {
     assert(got == want)
   }
 
+  test("gridPairs buckets NEGATIVE coordinates correctly (floorDiv cells)") {
+    val s = spark; import s.implicits._
+    // points straddling zero on both axes: truncate-toward-zero cell
+    // division would widen the cells around the origin and either
+    // duplicate or miss pairs near the seam
+    val pts = (1 to 200).map { i =>
+      (i.toLong, (i.toLong * 48271L) % 4001L - 2000L, (i.toLong * 69621L) % 4001L - 2000L)
+    }.toDF("id", "x", "y")
+    val r = 700L
+    val got = Geo.gridPairs(pts, r)
+      .collect().map(rw => (rw.getLong(0), rw.getLong(1), rw.getLong(2))).toSet
+    val raw = pts.collect().map(rw => (rw.getLong(0), rw.getLong(1), rw.getLong(2)))
+    val want = (for {
+      a <- raw; b <- raw if a._1 < b._1
+      d2 = (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
+      if d2 <= r * r
+    } yield (a._1, b._1, d2)).toSet
+    assert(want.nonEmpty, "test must exercise non-empty result")
+    assert(raw.exists(p => p._2 < 0) && raw.exists(p => p._2 >= 0),
+      "fixture must straddle zero")
+    assert(got == want)
+  }
+
   test("gridPairs produces each pair exactly once (no neighbor-cell dups)") {
     val pts = points(300, 10000L, 48271L, 69621L)
     val out = Geo.gridPairs(pts, 900L)

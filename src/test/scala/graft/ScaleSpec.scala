@@ -487,6 +487,47 @@ class ScaleSpec extends AnyFunSuite with SparkTest {
     graft.operators.Caches.release()
   }
 
+  test("linkFuzzyNamePairs: composite blocking equals noun-only result with bounded candidates") {
+    val s = spark; import s.implicits._
+    // one big noun block, three length cohorts far apart: within a
+    // cohort names differ by <=2 chars (fuzzy matches), across cohorts
+    // lengths differ by >3 (never matches) — the length bucket must
+    // cut the cross-cohort candidates the noun block alone would pair
+    val names =
+      (11 to 40).map(i => s"item $i copper") ++
+        (11 to 40).map(i => s"shiny heavy item $i copper") ++
+        (11 to 40).map(i => s"extraordinarily polished item $i copper")
+    val part = names.toDF("p_name")
+    val got = SparkEntry.linkFuzzyNamePairs(part)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    // oracle: noun-only blocking (single key), then the same dist filter
+    val p = part.select(col("p_name")).distinct()
+      .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+    val nounPairs = p.select(col("p_name").as("name_a"), col("blk"))
+      .join(p.select(col("p_name").as("name_b"), col("blk").as("blk2")),
+        col("blk") === col("blk2") && col("name_a") < col("name_b"))
+    val want = nounPairs
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .where(col("dist") <= 3)
+      .select("name_a", "name_b", "dist")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(want.nonEmpty, "fixture must produce fuzzy matches")
+    assert(got == want, "composite blocking must be recall-exact under dist <= 3")
+    // candidate-count bound: probe pairs before the dist filter
+    val lb = expr("length(p_name) div 4")
+    val probes = p.withColumn("lb", lb)
+      .select(col("p_name").as("name_a"), col("blk"), col("lb"))
+      .withColumn("lbp", explode(array(col("lb") - 1, col("lb"), col("lb") + 1)))
+    val composite = probes.join(
+      p.withColumn("lb2", lb).select(col("p_name").as("name_b"),
+        col("blk").as("blk2"), col("lb2")),
+      col("blk") === col("blk2") && col("lbp") === col("lb2") &&
+        col("name_a") < col("name_b")).count()
+    val nounOnly = nounPairs.count()
+    assert(composite * 2 < nounOnly,
+      s"composite candidates ($composite) must be well under noun-only ($nounOnly)")
+  }
+
   test("pointInTime is the one-shuffle as-of shape — no range-join expansion") {
     val s = spark; import s.implicits._
     val hist = Seq((1L, 10.0)).toDF("k", "bal")

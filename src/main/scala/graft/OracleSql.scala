@@ -145,6 +145,44 @@ object OracleSql {
       s"WHERE ov.inter * $threshDen >= (sa.n + sb.n - ov.inter) * $threshNum"
   }
 
+  /** Oracle for `stream_ingest_replay`: the greedy sequential admission
+    * of [[graft.streaming.Streams.foldIngestBatch]] unrolled over
+    * `nBatches` doc_id-modulo batches. One full-corpus LSH run
+    * ([[dedupMinhashLsh]], the portable family) yields the verified
+    * pair set; each batch CTE then admits a doc unless it pairs with a
+    * smaller-id SAME-BATCH peer (keep-first within the batch,
+    * regardless of that peer's own fate — the raw pair-drop rule) or
+    * with an already-ADMITTED doc from any earlier batch (either pair
+    * side — rejected docs never enter the index, so they never block a
+    * later arrival).
+    */
+  def streamIngestAdmission(
+      numHashes: Int, numBands: Int, threshNum: Int, threshDen: Int,
+      nBatches: Int): String = {
+    require(nBatches >= 1)
+    val batchCtes = (0 until nBatches).map { k =>
+      val peerDrop =
+        s"NOT EXISTS (SELECT 1 FROM pr JOIN bk p ON pr.id_a = p.doc_id " +
+          s"AND p.b = $k WHERE pr.id_b = d.doc_id)"
+      val admittedDrop =
+        if (k == 0) ""
+        else " AND NOT EXISTS (SELECT 1 FROM pr WHERE " +
+          s"(pr.id_b = d.doc_id AND pr.id_a IN (SELECT doc_id FROM adm${k - 1})) OR " +
+          s"(pr.id_a = d.doc_id AND pr.id_b IN (SELECT doc_id FROM adm${k - 1})))"
+      val sk = s"s$k AS (SELECT d.doc_id FROM bk d WHERE d.b = $k AND " +
+        peerDrop + admittedDrop + ")"
+      val admk =
+        if (k == 0) s"adm0 AS (SELECT doc_id FROM s0)"
+        else s"adm$k AS (SELECT doc_id FROM adm${k - 1} UNION ALL SELECT doc_id FROM s$k)"
+      s"$sk, $admk"
+    }.mkString(", ")
+    s"WITH pr AS (SELECT id_a, id_b FROM " +
+      s"(${dedupMinhashLsh(numHashes, numBands, threshNum, threshDen)})), " +
+      s"bk AS (SELECT doc_id, doc_id % $nBatches AS b FROM documents), " +
+      s"$batchCtes " +
+      s"SELECT CAST(doc_id AS BIGINT) AS doc_id FROM adm${nBatches - 1}"
+  }
+
   // -------------------------------------------------- vector replication
 
   /** Left-associated per-dimension double dot of two vector columns —

@@ -2446,6 +2446,36 @@ object SparkEntry {
       }
       Warehouse.read(s, dir, outT).drop("batch_id")
     }),
+    "stream_ingest_replay" -> ((s, d) => {
+      // streaming corpus ingest with near-dup admission control, gated:
+      // four doc_id-modulo batches fold through foldIngestBatch (each
+      // dedups against the corpus SO FAR through its persisted MinHash
+      // index — O(batch) signature work), batch 2 crash-replays under
+      // the same id and must be skipped by the batch stamp, and the
+      // admitted corpus must equal the oracle's greedy sequential
+      // admission unrolled over ONE full-corpus LSH run
+      import graft.streaming.Streams
+      import graft.sources.Warehouse
+      val docs = rd(s, d, "documents")
+      val dir = new java.io.File(
+        "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val epoch = contentEpoch(docs, "doc_id")
+      val (ctbl, itbl) =
+        (s"stream_ingest_corpus_$epoch", s"stream_ingest_index_$epoch")
+      val batches = (0 until 4).map(k => docs.filter(col("doc_id") % 4 === k))
+      graft.operators.Memo.cached(s, s"streamingest|$dir|$ctbl") {
+        batches.zipWithIndex.foreach { case (b, i) =>
+          Streams.foldIngestBatch(b, i.toLong, dir, ctbl, itbl,
+            16, 8, 1, 50, portable = true)
+          if (i == 2) // crash replay: same batch id again — must no-op
+            Streams.foldIngestBatch(b, i.toLong, dir, ctbl, itbl,
+              16, 8, 1, 50, portable = true)
+        }
+        java.lang.Boolean.TRUE
+      }
+      Warehouse.read(s, dir, ctbl).select("doc_id")
+    }),
     "dq_fd_violations" -> ((s, d) =>
       // conformance audit: the claimed FD source → lang, with the
       // majority lang as repair candidate and the violating row count
@@ -5313,6 +5343,8 @@ object SparkEntry {
         "SELECT user_id, event_id, ts, coalesce(channel, 'direct') AS channel, " +
         "CAST(round(value * 100) AS BIGINT) AS cents " +
         "FROM w WHERE event_type = 'purchase'"),
+    "stream_ingest_replay" ->
+      OracleSql.streamIngestAdmission(16, 8, 1, 50, nBatches = 4),
     "dq_fd_violations" ->
       ("WITH c AS (SELECT source, lang, count(*) AS n FROM documents " +
         "WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2), " +

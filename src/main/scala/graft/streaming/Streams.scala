@@ -527,6 +527,85 @@ object Streams {
     }
   }
 
+  /** One micro-batch fold of [[dedupIngestStream]]'s admission control,
+    * replayed deterministically for the oracle gate: the batch
+    * dedups against the corpus ingested SO FAR through its persisted
+    * MinHash index, survivors append to the corpus, and their index
+    * rows append to the index — the same candidate-generate-then-
+    * verify path ([[graft.operators.Dedup.dedupDeltaAgainstIndex]]:
+    * O(batch) signature work, corpus text touched only for
+    * candidates), behind [[foldCountsBatch]]'s batch-id stamp so a
+    * crash-replayed batch id is recognized and skipped.
+    *
+    * Rejection rule (identical to the stream): a new doc drops when it
+    * near-dups an ADMITTED corpus doc (either pair side) or a
+    * smaller-id batch peer (keep-first within the batch, regardless of
+    * that peer's own fate — the pair-drop is computed on the raw pair
+    * set). The index commits before the corpus; a crash between the
+    * two leaves transient index rows for a batch whose corpus stamp
+    * never advanced, which the replay heals by dropping THIS batch's
+    * ids from the index before probing.
+    */
+  private[graft] def foldIngestBatch(
+      batch: DataFrame,
+      batchId: Long,
+      warehouseDir: String,
+      corpusTable: String,
+      indexTable: String,
+      numHashes: Int,
+      numBands: Int,
+      threshNum: Int,
+      threshDen: Int,
+      portable: Boolean = false): Unit = {
+    import graft.operators.Dedup
+    import graft.sources.Warehouse
+    val spark = batch.sparkSession
+    val stamped = batch.withColumn("last_batch_id", lit(-1L)).limit(0)
+    val corpus =
+      if (Warehouse.exists(spark, warehouseDir, corpusTable))
+        Warehouse.read(spark, warehouseDir, corpusTable)
+      else stamped
+    val lastId = corpus.select(max(col("last_batch_id"))).collect()
+      .headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+      .getOrElse(-1L)
+    if (batchId > lastId) {
+      val corpusD = corpus.drop("last_batch_id")
+      val newDocs = graft.operators.Caches.persisted(
+        batch.dropDuplicates("doc_id")
+          .join(corpusD.select("doc_id"), Seq("doc_id"), "left_anti"))
+      // heal the index-committed/corpus-uncommitted crash window
+      val index0 =
+        if (Warehouse.exists(spark, warehouseDir, indexTable))
+          Warehouse.read(spark, warehouseDir, indexTable)
+            .join(newDocs.select("doc_id"), Seq("doc_id"), "left_anti")
+        else Dedup.buildMinHashIndex(
+          corpusD.limit(0), numHashes, numBands, portable = portable)
+      val index = graft.operators.Caches.persisted(index0)
+      val pairs = Dedup.dedupDeltaAgainstIndex(
+        newDocs, corpusD, index, numHashes, numBands, threshNum, threshDen,
+        portable = portable)
+      val newIds = newDocs.select(col("doc_id"))
+      val drops = pairs
+        .join(newIds.toDF("id_a").withColumn("__a_new", lit(1)), Seq("id_a"), "left")
+        .join(newIds.toDF("id_b").withColumn("__b_new", lit(1)), Seq("id_b"), "left")
+        .select(
+          when(col("__a_new").isNotNull && col("__b_new").isNotNull,
+            greatest(col("id_a"), col("id_b")))
+            .when(col("__a_new").isNotNull, col("id_a"))
+            .otherwise(col("id_b")).as("doc_id"))
+        .distinct()
+      val survivors = graft.operators.Caches.persisted(
+        newDocs.join(drops, Seq("doc_id"), "left_anti"))
+      Warehouse.overwrite(
+        index.unionByName(Dedup.buildMinHashIndex(
+          survivors, numHashes, numBands, portable = portable)),
+        warehouseDir, indexTable)
+      Warehouse.overwrite(
+        corpusD.unionByName(survivors).withColumn("last_batch_id", lit(batchId)),
+        warehouseDir, corpusTable)
+    }
+  }
+
   /** One micro-batch fold for [[incrementalCountsStream]]: reads the
     * materialized aggregate, folds `batch` via
     * [[graft.operators.Incremental.updateCounts]], and atomically swaps

@@ -263,6 +263,35 @@ class StreamsSpec extends AnyFunSuite with SparkTest {
     } finally q.stop()
   }
 
+  test("foldIngestBatch: keep-first admission, corpus blocks later dups, replay no-ops") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ingest_fold").toString
+    val txtA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val txtB = "one two three four five six seven eight nine ten eleven"
+    def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    def fold(b: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      graft.streaming.Streams.foldIngestBatch(b, id, dir, "corpus", "index",
+        16, 8, 1, 2, portable = true)
+    def admitted(): Set[Long] =
+      graft.sources.Warehouse.read(s, dir, "corpus")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    // batch 0: 1 and 2 are identical -> keep-first admits 1, drops 2;
+    // 10 is unique -> admitted
+    fold(docs(1L -> txtA, 2L -> txtA, 10L -> txtB), 0L)
+    assert(admitted() == Set(1L, 10L))
+    // batch 1: 3 dups the ADMITTED 1 -> rejected; 20 unique -> admitted
+    fold(docs(3L -> txtA,
+      20L -> "crimson amber violet indigo cobalt teal maroon olive navy plum"), 1L)
+    assert(admitted() == Set(1L, 10L, 20L))
+    // crash replay of batch 1 with different content: stamp skips it
+    fold(docs(99L -> "completely different text that would be admitted"), 1L)
+    assert(admitted() == Set(1L, 10L, 20L), "replayed batch id must no-op")
+    // a NEW batch id folds normally
+    fold(docs(99L -> "completely fresh unique ninety nine document text"), 2L)
+    assert(admitted() == Set(1L, 10L, 20L, 99L))
+    graft.operators.Caches.release()
+  }
+
   test("watermark fold: late rows drop, boundary survives, replay skips watermark too") {
     val s = spark; import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("wm_stream").toString

@@ -85,6 +85,38 @@ object SparkEntry {
       (col(keyCol) * mx % 100003L).as("x"),
       (col(keyCol) * my % 100003L).as("y"))
 
+  /** Pinned grid for the quantile-sketch gates: event-value cents in
+    * $10 cells, 64 cells covering [0, $640) — headroom over the
+    * domain's observed ceiling, per the GridQuantileAgg contract
+    * (clamped edge cells have unbounded value error). ONE constant
+    * feeding the Spark sketch and the oracle's bucket expression.
+    */
+  private[graft] val gridLo = 0L
+  private[graft] val gridWidth = 1000L
+  private[graft] val gridBins = 64
+
+  /** DuckDB replay of the pinned grid's bucketed histogram, as
+    * WITH-clause bodies (`e`, `bk`, `h`): floor-division cells clamped
+    * into [0, gridBins) — the same integers [[gridSketch]] computes.
+    */
+  private def gridBucketCte: String =
+    "e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events), " +
+      s"bk AS (SELECT event_type, LEAST(GREATEST((cents - $gridLo) // $gridWidth, 0), ${gridBins - 1}) AS b FROM e), " +
+      "h AS (SELECT event_type, CAST(b AS BIGINT) AS b, count(*) AS c FROM bk GROUP BY 1, 2)"
+
+  /** Per-event-type [[graft.functions.GridQuantileAgg]] sketch over
+    * value cents: `(event_type, n, counts[gridBins])` — one combinable
+    * aggregate pass, partials merged by elementwise addition.
+    */
+  private def gridSketch(events: DataFrame): DataFrame = {
+    val gq = udaf(new graft.functions.GridQuantileAgg(gridLo, gridWidth, gridBins),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
+    events
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), gq(col("cents")).as("counts"))
+  }
+
   /** Blocked fuzzy name linkage over `part` (the `link_fuzzy_names`
     * body, factored for the ScaleSpec pair-count assertion): composite
     * blocking on (last token, floor(length/4) with ±1 probe buckets),
@@ -3985,6 +4017,43 @@ object SparkEntry {
       hist.unionByName(delta).groupBy("event_type", "reg")
         .agg(max("max_rho").cast("int").as("max_rho"))
     }),
+    "q_sketch_quantiles" -> ((s, d) => {
+      // mergeable fixed-grid quantile sketch (GridQuantileAgg): ONE
+      // combinable aggregate builds the per-type histogram (config-
+      // pinned cells — no data-peek bounds pass, unlike
+      // q_grid_quantiles), then p50/p90 read off the cumulative walk
+      // in exact integers: est = upper edge of the first cell whose
+      // cum·den >= n·num
+      val sk = gridSketch(rd(s, d, "events"))
+      val ex = sk.select(col("event_type"), col("n"),
+        posexplode(col("counts")).as(Seq("b", "c")))
+      val cum = ex.withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("b"))))
+      def pick(num: Int, den: Int, name: String) =
+        cum.filter(col("cum") * den >= col("n") * num)
+          .groupBy("event_type", "n")
+          .agg(min(col("b")).as("qb"))
+          .select(col("event_type"), col("n"),
+            (lit(gridLo) + (col("qb") + 1).cast("long") * gridWidth).as(name))
+      pick(1, 2, "p50_hi").join(pick(9, 10, "p90_hi").drop("n"), Seq("event_type"))
+    }),
+    "incr_gridq_maintain" -> ((s, d) => {
+      // O(delta) quantile-sketch maintenance: yesterday's materialized
+      // grid sketch merges with the delta's by elementwise count
+      // addition (the CRDT property config-pinned cells buy) — the
+      // oracle rebuilds the histogram from ALL events, so a green row
+      // proves merge == full rebuild without touching history rows
+      val ev = rd(s, d, "events")
+      val cutoff = to_timestamp(lit("2024-01-28 00:00:00"))
+      val hist = gridSketch(ev.filter(col("ts") < cutoff))
+      val delta = gridSketch(ev.filter(col("ts") >= cutoff))
+      hist.unionByName(delta)
+        .select(col("event_type"), posexplode(col("counts")).as(Seq("b", "c")))
+        .groupBy("event_type", "b")
+        .agg(sum(col("c")).as("cnt"))
+        .where(col("cnt") > 0)
+        .select(col("event_type"), col("b").cast("long").as("b"), col("cnt"))
+    }),
     "seq_pattern_regex" -> ((s, d) =>
       // sequence pattern mining over per-user initial-encoded event
       // strings: strict view->purchase adjacency vs "<=2 click/error
@@ -6349,6 +6418,22 @@ object SparkEntry {
     "events_markov_steps" -> OracleSql.markovSteps(
       eventStates, absorbing = "purchase", iters = 20),
     "incr_hll_maintain" -> OracleSql.hllRegisters(64),
+    // bit-exact replay of the GridQuantileAgg pipeline: same pinned
+    // grid constants, floor-division bucket, integer rank rule
+    // cum*den >= n*num, upper-edge estimate
+    "q_sketch_quantiles" ->
+      (s"WITH $gridBucketCte, " +
+        "cm AS (SELECT event_type, b, c, " +
+        "sum(c) OVER (PARTITION BY event_type ORDER BY b) AS cum, " +
+        "sum(c) OVER (PARTITION BY event_type) AS n FROM h), " +
+        "p AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n, " +
+        "min(CASE WHEN cum * 2 >= n THEN b END) AS qb50, " +
+        "min(CASE WHEN cum * 10 >= n * 9 THEN b END) AS qb90 FROM cm GROUP BY 1) " +
+        s"SELECT event_type, n, CAST($gridLo + (qb50 + 1) * $gridWidth AS BIGINT) AS p50_hi, " +
+        s"CAST($gridLo + (qb90 + 1) * $gridWidth AS BIGINT) AS p90_hi FROM p"),
+    // full rebuild over ALL events == the Spark side's hist+delta merge
+    "incr_gridq_maintain" ->
+      (s"WITH $gridBucketCte SELECT event_type, b, CAST(c AS BIGINT) AS cnt FROM h"),
     "stream_hll_replay" -> OracleSql.hllRegisters(64),
     "seq_pattern_regex" ->
       ("WITH seqs AS (SELECT user_id, count(*) AS n_events, " +

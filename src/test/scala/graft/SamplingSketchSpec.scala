@@ -671,4 +671,34 @@ class SamplingSketchSpec extends AnyFunSuite with SparkTest {
     // rem_g = 131*w_g mod 130 -> a:10, b:20, c:100 — c wins the seat
     assert(seat("c") == 101L)
   }
+
+  test("GridQuantileAgg: exact histogram, edge clamping, merge == rebuild") {
+    val agg = new graft.functions.GridQuantileAgg(lo = 10L, width = 5L, nBins = 4)
+    // grid cells: [10,15) [15,20) [20,25) [25,30); out-of-range clamps
+    val xs = Seq(9L, 10L, 14L, 15L, 24L, 29L, 100L, -50L)
+    val full = xs.foldLeft(agg.zero)((b, x) => agg.reduce(b, x))
+    assert(full.toSeq == Seq(4L, 1L, 1L, 2L),
+      "9 and -50 clamp to cell 0; 100 clamps to cell 3")
+    // mergeability: disjoint halves merge to the full rebuild
+    val (h1, h2) = xs.splitAt(3)
+    val m = agg.merge(
+      h1.foldLeft(agg.zero)((b, x) => agg.reduce(b, x)),
+      h2.foldLeft(agg.zero)((b, x) => agg.reduce(b, x)))
+    assert(m.toSeq == full.toSeq, "elementwise-sum merge == one-pass rebuild")
+  }
+
+  test("GridQuantileAgg distributes: partial aggregation equals driver fold") {
+    val s = spark; import s.implicits._
+    val gq = org.apache.spark.sql.functions.udaf(
+      new graft.functions.GridQuantileAgg(0L, 10L, 8),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
+    val vals = (0 until 1000).map(i => (i % 3).toString -> (i * 7L % 95L))
+    val got = vals.toDF("g", "v").repartition(7)
+      .groupBy("g").agg(gq(col("v")).as("counts"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    val agg = new graft.functions.GridQuantileAgg(0L, 10L, 8)
+    val want = vals.groupBy(_._1).view.mapValues(
+      _.map(_._2).foldLeft(agg.zero)((b, x) => agg.reduce(b, x)).toSeq).toMap
+    assert(got == want)
+  }
 }

@@ -33,7 +33,8 @@ object MergeCrossoverBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local("merge5m", cpus)
     val (flatSec, partSec, rewritten) = run(spark)
-    println(f"""{"metric":"merge5m","flat_delta_sec":$flatSec%.3f,"partitioned_delta_sec":$partSec%.3f,"rows_rewritten":$rewritten}""")
+    val (morSec, morRows, partCorrSec, partCorrRows) = runCorrection(spark)
+    println(f"""{"metric":"merge5m","flat_delta_sec":$flatSec%.3f,"partitioned_delta_sec":$partSec%.3f,"rows_rewritten":$rewritten,"mor_correction_sec":$morSec%.3f,"mor_rows_written":$morRows,"partitioned_correction_sec":$partCorrSec%.3f,"partitioned_rows_rewritten":$partCorrRows}""")
     spark.stop()
   }
 
@@ -93,5 +94,69 @@ object MergeCrossoverBench {
       .join(delta.select("o_month").distinct(), Seq("o_month"), "left_semi")
       .count()
     (flatSec, partSec, rewritten)
+  }
+
+  /** The late-arriving-correction scenario VERDICT r6 flagged as the
+    * copy-on-write layer's durable gap: a 10-ROW restatement of one
+    * month. Copy-on-write partition-scoped merge reads + rewrites the
+    * whole ~62.5k-row partition; the merge-on-read table appends a
+    * 10-row delta and commits a manifest line. The published
+    * rows-written pair (10 vs ~62.5k) is the O(changed rows) vs
+    * O(partition) write-amplification carrier; the timing pair shows
+    * what that buys in wall-clock.
+    *
+    * Idempotence across rounds: the correction restates ABSOLUTE
+    * values derived from the synthetic base, and the MoR merge takes a
+    * fresh batch id each call (a fixed id would stamp-skip round 2 and
+    * time a no-op). The MoR chain self-compacts past 16 deltas so a
+    * long-lived machine never accumulates an unbounded chain.
+    *
+    * @return (mor_sec, mor_rows_written, part_sec, part_rows_rewritten)
+    */
+  def runCorrection(spark: SparkSession): (Double, Long, Double, Long) = {
+    import graft.operators.{Merge, MergeSpec}
+    import graft.sources.{MergeOnRead, Warehouse}
+    val dir = new java.io.File("target/graft_wh/merge5m").getAbsolutePath
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    // the MoR twin of m5_flat/m5_part, materialized once per machine
+    if (!MergeOnRead.exists(spark, dir, "m5_mor") ||
+        spark.read.parquet(s"$dir/m5_mor.morbase/1").count() != Rows)
+      MergeOnRead.init(baseDf(spark), dir, "m5_mor", Seq("o_orderkey"))
+    // 10-row correction inside one month (month 0): absolute restated
+    // values — re-merging is a same-value match, bit-stable per round
+    val corr = baseDf(spark)
+      .filter(col("o_orderkey") % Months === 0 && col("o_orderkey") < 10L * Months)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000000.0)
+    val spec = MergeSpec(Seq("o_orderkey"), Seq("o_totalprice"))
+    val now = to_timestamp(lit("2024-06-01 00:00:00"))
+    def timed(f: => Unit): Double = {
+      val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+    }
+    val nextBatch = MergeOnRead.manifest(spark, dir, "m5_mor").lastBatch + 1
+    val morSec = timed {
+      MergeOnRead.deltaMerge(spark, dir, "m5_mor", corr, spec, now, nextBatch)
+    }
+    val morRows = MergeOnRead.deltaRowCounts(spark, dir, "m5_mor").last
+    val partSec = timed {
+      Merge.scd1PartitionScoped(spark, dir, "m5_part", "o_month", corr, spec, now)
+    }
+    val partRows = Warehouse.read(spark, dir, "m5_part")
+      .join(corr.select("o_month").distinct(), Seq("o_month"), "left_semi")
+      .count()
+    // layout agreement on the corrected month: both paths must have
+    // produced the same values (cheap: count + exact cents sum)
+    def fp(df: DataFrame): (Long, Long) = {
+      val r = df.filter(col("o_month") === "2018-01")
+        .agg(count(lit(1)), sum(round(col("o_totalprice") * 100).cast("long")))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (nM, sM) = fp(MergeOnRead.readView(spark, dir, "m5_mor"))
+    val (nP, sP) = fp(Warehouse.read(spark, dir, "m5_part"))
+    require(nM == nP && sM == sP,
+      s"MoR and partitioned layouts disagree on the corrected month: ($nM,$sM) vs ($nP,$sP)")
+    if (MergeOnRead.manifest(spark, dir, "m5_mor").deltaSeqs.size > 16)
+      MergeOnRead.compact(spark, dir, "m5_mor")
+    (morSec, morRows, partSec, partRows)
   }
 }

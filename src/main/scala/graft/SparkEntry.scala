@@ -95,6 +95,70 @@ object SparkEntry {
   private[graft] val gridWidth = 1000L
   private[graft] val gridBins = 64
 
+  /** The merge-on-read gate chain ([[graft.sources.MergeOnRead]]) over
+    * a deterministic orders projection: base = keys with k%1000 != 7;
+    * batch 1 updates k%100 == 3, batch 2 inserts the held-out
+    * k%1000 == 7 keys AND updates k%200 == 3 (disjoint within the
+    * batch: 1000m+7 is never 3 mod 200), batch 2 replays (skipped),
+    * batch 3 updates k%400 == 3. All data columns sit in updateCols,
+    * so the eager chain is exactly last-writer-wins per key — the
+    * shape [[OracleSql]] replays as a static stacked-UNION window.
+    * Batch payloads derive from the SOURCE table (cents0 + fixed
+    * offsets), never from current state, so re-running the fold is
+    * bit-stable and the batch-id stamps make it idempotent.
+    */
+  private def morFold(s: SparkSession, d: String,
+      compactAfterBatch2: Boolean): DataFrame = {
+    import graft.sources.MergeOnRead
+    val ord = rd(s, d, "orders")
+    val src = ord.select(col("o_orderkey").as("k"),
+      col("o_orderstatus").as("status0"),
+      round(col("o_totalprice") * 100).cast("long").as("cents0"))
+    val dir = new java.io.File(
+      "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+    val suffix = if (compactAfterBatch2) "c" else "p"
+    val tbl = s"mor_orders_${suffix}_${contentEpoch(ord, "o_orderkey")}"
+    val spec = MergeSpec(Seq("k"), Seq("status", "cents"))
+    def b(pred: Column, status: Column, cents: Column): DataFrame =
+      src.where(pred).select(col("k"), status.as("status"), cents.as("cents"))
+    graft.operators.Memo.cached(s, s"morfold|$dir|$tbl") {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      if (!MergeOnRead.exists(s, dir, tbl))
+        MergeOnRead.init(
+          b(col("k") % 1000 =!= 7, col("status0"), col("cents0")),
+          dir, tbl, Seq("k"))
+      val b2 = b(col("k") % 1000 === 7, lit("N"), col("cents0"))
+        .unionByName(b(col("k") % 200 === 3, lit("U2"), col("cents0") + 22))
+      MergeOnRead.deltaMerge(s, dir, tbl,
+        b(col("k") % 100 === 3, lit("U1"), col("cents0") + 11),
+        spec, tlit(tsNow), batchId = 1L)
+      MergeOnRead.deltaMerge(s, dir, tbl, b2, spec, tlit(tsNow), batchId = 2L)
+      if (compactAfterBatch2) MergeOnRead.compact(s, dir, tbl)
+      // crash replay with a poisoned payload: the stamp must skip it
+      MergeOnRead.deltaMerge(s, dir, tbl,
+        b(col("k") % 200 === 3, lit("POISON"), lit(-1L)),
+        spec, tlit(tsNow), batchId = 2L)
+      MergeOnRead.deltaMerge(s, dir, tbl,
+        b(col("k") % 400 === 3, lit("U3"), col("cents0") + 33),
+        spec, tlit(tsNow), batchId = 3L)
+      java.lang.Boolean.TRUE
+    }
+    MergeOnRead.readView(s, dir, tbl)
+  }
+
+  /** The stacked-UNION last-writer-wins oracle for [[morFold]]. */
+  private def morOracleSql: String =
+    "WITH src AS (SELECT o_orderkey AS k, o_orderstatus AS status0, " +
+      "CAST(round(o_totalprice * 100) AS BIGINT) AS cents0 FROM orders), " +
+      "stacked AS (" +
+      "SELECT k, status0 AS status, cents0 AS cents, 0 AS seq FROM src WHERE k % 1000 <> 7 " +
+      "UNION ALL SELECT k, 'U1', cents0 + 11, 1 FROM src WHERE k % 100 = 3 " +
+      "UNION ALL SELECT k, 'N', cents0, 2 FROM src WHERE k % 1000 = 7 " +
+      "UNION ALL SELECT k, 'U2', cents0 + 22, 2 FROM src WHERE k % 200 = 3 " +
+      "UNION ALL SELECT k, 'U3', cents0 + 33, 3 FROM src WHERE k % 400 = 3) " +
+      "SELECT k, status, cents FROM (SELECT *, row_number() OVER " +
+      "(PARTITION BY k ORDER BY seq DESC) AS rn FROM stacked) WHERE rn = 1"
+
   /** DuckDB replay of the pinned grid's bucketed histogram, as
     * WITH-clause bodies (`e`, `bk`, `h`): floor-division cells clamped
     * into [0, gridBins) — the same integers [[gridSketch]] computes.
@@ -486,6 +550,22 @@ object SparkEntry {
         MergeSpec(Seq("o_orderkey"), Seq("o_totalprice")), tlit(tsNow))
       graft.sources.Warehouse.read(s, dir, tbl)
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    }),
+    "merge_delta_mor" -> ((s, d) => {
+      // merge-on-read: three keyed upsert batches land as COMPACT
+      // delta appends (write I/O = O(touched keys); the base is read,
+      // never rewritten — the fix for "a 10-row correction rewrites
+      // its whole partition"), batch 2 crash-replays under the same id
+      // and is skipped by the manifest stamp, and the reconciled read
+      // view must hash-match the oracle's eager last-writer-wins chain
+      morFold(s, d, compactAfterBatch2 = false)
+    }),
+    "merge_delta_compact" -> ((s, d) => {
+      // the same chain with a compaction folded in after batch 2: the
+      // delta files collapse into base generation 2, batch 3 appends
+      // onto the fresh chain, and the view is IDENTICAL — compaction
+      // is invisible to readers, proven against the same oracle
+      morFold(s, d, compactAfterBatch2 = true)
     }),
 
     // —— aggregation / window headline queries ——
@@ -4362,6 +4442,9 @@ object SparkEntry {
         "WHERE o_orderdate < TIMESTAMP '2001-06-01 00:00:00' " +
         "UNION ALL SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice, o_orderdate FROM upd " +
         "UNION ALL SELECT -o_orderkey AS o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice, o_orderdate FROM upd"),
+    // both MoR gates reconcile to the same eager last-writer-wins chain
+    "merge_delta_mor" -> morOracleSql,
+    "merge_delta_compact" -> morOracleSql,
     "q1_agg" ->
       ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
         "round(sum(l_extendedprice), 2) AS sum_base_price, " +

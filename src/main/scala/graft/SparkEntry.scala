@@ -2558,6 +2558,41 @@ object SparkEntry {
       }
       Warehouse.read(s, dir, outT).drop("batch_id")
     }),
+    "stream_gridq_replay" -> ((s, d) => {
+      // quantile-sketch state under the crash-replay harness: four
+      // week-batches of GridQuantileAgg sketches fold into the
+      // (type, cell, count) table by count addition, batch 2 replays
+      // under the same id (addition is NOT idempotent by algebra — the
+      // stamp is what guards it, unlike the HLL fold), and the final
+      // table must equal the oracle's one-pass histogram rebuild
+      import graft.streaming.Streams
+      import graft.sources.Warehouse
+      val ev = rd(s, d, "events")
+      val dir = new java.io.File(
+        "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val tbl = s"stream_gridq_${contentEpoch(ev, "event_id")}"
+      val cuts = Seq("2024-01-08", "2024-01-15", "2024-01-22")
+        .map(c => to_timestamp(lit(s"$c 00:00:00")))
+      val batches = Seq(
+        ev.filter(col("ts") < cuts(0)),
+        ev.filter(col("ts") >= cuts(0) && col("ts") < cuts(1)),
+        ev.filter(col("ts") >= cuts(1) && col("ts") < cuts(2)),
+        ev.filter(col("ts") >= cuts(2)))
+        .map(_.select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents")))
+      graft.operators.Memo.cached(s, s"streamgridq|$dir|$tbl") {
+        batches.zipWithIndex.foreach { case (b, i) =>
+          Streams.foldGridBatch(b, i.toLong, dir, tbl, "event_type", "cents",
+            gridLo, gridWidth, gridBins)
+          if (i == 2) // crash replay: same id — must be skipped
+            Streams.foldGridBatch(b, i.toLong, dir, tbl, "event_type", "cents",
+              gridLo, gridWidth, gridBins)
+        }
+        java.lang.Boolean.TRUE
+      }
+      Warehouse.read(s, dir, tbl).drop("last_batch_id")
+    }),
     "stream_ingest_replay" -> ((s, d) => {
       // streaming corpus ingest with near-dup admission control, gated:
       // four doc_id-modulo batches fold through foldIngestBatch (each
@@ -3093,6 +3128,47 @@ object SparkEntry {
           sum((cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))) -
             cents(col("p_retailprice")) * col("l_quantity").cast("long") * lit(100L))
             .cast("decimal(38,0)")).cast("string").as("amount_e4"))
+    }),
+    "q8_market_share" -> ((s, d) => {
+      // TPC-H Q8 shape (closing the 22-query set): NATION_3's share of
+      // PROMO-part volume sold into AMERICA customers, per order year.
+      // Volume rides the exact integer grid cents × (10000 − disc_bp)
+      // summed in decimal(38,0) (the q9 overflow discipline); the
+      // share is ONE integer ppm division, never a float ratio of two
+      // float sums. Dims broadcast; the only fact-sized shuffles are
+      // the lineitem->orders and orders->customer key joins.
+      val li = rd(s, d, "lineitem"); val o = rd(s, d, "orders")
+      val c = rd(s, d, "customer"); val su = rd(s, d, "supplier")
+      val p = rd(s, d, "part"); val n = rd(s, d, "nation")
+      val r = rd(s, d, "region")
+      val vol = (round(col("l_extendedprice") * 100).cast("long") *
+        (lit(10000L) - round(col("l_discount") * 10000).cast("long")))
+        .cast("decimal(38,0)")
+      li.join(broadcast(p.filter(col("p_type") === "PROMO").select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .join(o.filter(col("o_orderdate").between(
+            tlit("1996-01-01 00:00:00"), tlit("1997-12-31 23:59:59")))
+          .select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(c.select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n.select(col("n_nationkey").as("cnk"), col("n_regionkey"))),
+          col("c_nationkey") === col("cnk"))
+        .join(broadcast(r.filter(col("r_name") === "AMERICA").select("r_regionkey")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(su.select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n.select(col("n_nationkey").as("snk"),
+          col("n_name").as("supp_nation"))), col("s_nationkey") === col("snk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", vol)
+            .otherwise(lit(0L).cast("decimal(38,0)"))).as("nv"),
+          sum(vol).as("tv"))
+        .select(col("o_year"),
+          col("nv").cast("string").as("nation_vol_e4"),
+          col("tv").cast("string").as("total_vol_e4"),
+          expr("CAST(nv * 1000000 div tv AS BIGINT)").as("share_ppm"))
     }),
     "basket_pair_lift" -> ((s, d) =>
       // market-basket mining: co-occurring part pairs with ppm lift;
@@ -3961,6 +4037,40 @@ object SparkEntry {
           max(col("doc_id")).as("last_id"))
     }),
 
+    "wh_time_travel" -> ((s, d) => {
+      // versioned-table time travel gated end-to-end: generation 1
+      // (nation x region names) is displaced by generation 2 (upper-
+      // cased) through overwriteVersioned's archive-on-swap; the query
+      // reads the ARCHIVED snapshot back, and the oracle computes
+      // generation 1 from the ORIGINAL tables — green proves the
+      // archive holds exactly the displaced bytes' content, the same
+      // independent write/read discipline as the format gates
+      import graft.sources.Warehouse
+      val n = rd(s, d, "nation"); val r = rd(s, d, "region")
+      val d1 = n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      val dir = new java.io.File(
+        "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      val tbl = s"ttravel_${contentEpoch(n, "n_nationkey")}"
+      graft.operators.Memo.cached(s, s"ttravel|$dir|$tbl") {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        if (Warehouse.versions(s, dir, tbl).isEmpty) {
+          // deterministic rebuild from any partial state: clear, then
+          // write the two generations so exactly ONE archive (= gen 1)
+          // exists
+          val fs = new org.apache.hadoop.fs.Path(dir)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$tbl"), true)
+          fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$tbl.v"), true)
+          Warehouse.overwriteVersioned(d1, dir, tbl)
+          Warehouse.overwriteVersioned(
+            d1.withColumn("n_name", upper(col("n_name"))), dir, tbl)
+        }
+        java.lang.Boolean.TRUE
+      }
+      Warehouse.readVersion(s, dir, tbl,
+        Warehouse.versions(s, dir, tbl).head)
+    }),
     "s_schema_evolution" -> ((s, d) => {
       // schema evolution across file epochs: epoch 1 lacks the
       // priority column, epoch 2 carries it; mergeSchema unifies and
@@ -5910,6 +6020,22 @@ object SparkEntry {
         "JOIN supplier ON l_suppkey = s_suppkey " +
         "JOIN nation ON s_nationkey = n_nationkey " +
         "WHERE p_size BETWEEN 5 AND 40 GROUP BY 1, 2"),
+    "q8_market_share" ->
+      ("WITH v AS (SELECT CAST(year(o_orderdate) AS INT) AS o_year, n2.n_name AS supp_nation, " +
+        "CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT) * " +
+        "(10000 - CAST(round(l_discount * 10000) AS BIGINT)) AS vol " +
+        "FROM lineitem JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO' " +
+        "JOIN orders ON o_orderkey = l_orderkey " +
+        "AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 23:59:59' " +
+        "JOIN customer ON c_custkey = o_custkey " +
+        "JOIN nation n1 ON n1.n_nationkey = c_nationkey " +
+        "JOIN region ON r_regionkey = n1.n_regionkey AND r_name = 'AMERICA' " +
+        "JOIN supplier ON s_suppkey = l_suppkey " +
+        "JOIN nation n2 ON n2.n_nationkey = s_nationkey), " +
+        "a AS (SELECT o_year, sum(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0 END) AS nv, " +
+        "sum(vol) AS tv FROM v GROUP BY 1) " +
+        "SELECT o_year, CAST(nv AS VARCHAR) AS nation_vol_e4, CAST(tv AS VARCHAR) AS total_vol_e4, " +
+        "CAST(nv * 1000000 // tv AS BIGINT) AS share_ppm FROM a"),
     "basket_pair_lift" ->
       ("WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
         "ic AS (SELECT pk, count(*) AS n_item FROM li GROUP BY 1), " +
@@ -6431,6 +6557,11 @@ object SparkEntry {
         "CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
         "min(doc_id) AS first_id, max(doc_id) AS last_id " +
         "FROM documents GROUP BY 1"),
+    // generation 1's derivation from the ORIGINAL tables — the Spark
+    // side reads it back out of the version archive
+    "wh_time_travel" ->
+      ("SELECT n_nationkey, n_name, r_name FROM nation " +
+        "JOIN region ON r_regionkey = n_regionkey"),
 
     // brute cross join: the exactness oracle for the grid path
     "geo_grid_pairs" ->
@@ -6516,6 +6647,9 @@ object SparkEntry {
         s"CAST($gridLo + (qb90 + 1) * $gridWidth AS BIGINT) AS p90_hi FROM p"),
     // full rebuild over ALL events == the Spark side's hist+delta merge
     "incr_gridq_maintain" ->
+      (s"WITH $gridBucketCte SELECT event_type, b, CAST(c AS BIGINT) AS cnt FROM h"),
+    // the four-batch replayed fold must land on the same rebuild
+    "stream_gridq_replay" ->
       (s"WITH $gridBucketCte SELECT event_type, b, CAST(c AS BIGINT) AS cnt FROM h"),
     "stream_hll_replay" -> OracleSql.hllRegisters(64),
     "seq_pattern_regex" ->

@@ -527,6 +527,49 @@ object Streams {
     }
   }
 
+  /** One micro-batch fold of grid-quantile-sketch state
+    * ([[graft.functions.GridQuantileAgg]]): the batch's sketch merges
+    * into the materialized (group, cell, count) table by count
+    * ADDITION — the CRDT merge config-pinned cells buy — behind
+    * [[foldCountsBatch]]'s batch-id stamp. Unlike the HLL fold's
+    * register max, count addition is NOT idempotent by algebra, so the
+    * stamp guards correctness here, exactly as for count/sum folds.
+    */
+  private[graft] def foldGridBatch(
+      batch: DataFrame,
+      batchId: Long,
+      warehouseDir: String,
+      table: String,
+      groupCol: String,
+      centsCol: String,
+      lo: Long,
+      width: Long,
+      nBins: Int): Unit = {
+    import graft.sources.Warehouse
+    val spark = batch.sparkSession
+    val gq = udaf(new graft.functions.GridQuantileAgg(lo, width, nBins),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
+    val regs = batch.groupBy(col(groupCol))
+      .agg(gq(col(centsCol)).as("counts"))
+      .select(col(groupCol), posexplode(col("counts")).as(Seq("b", "c")))
+      .where(col("c") > 0)
+      .select(col(groupCol), col("b").cast("long").as("b"), col("c").as("cnt"))
+    val prev =
+      if (Warehouse.exists(spark, warehouseDir, table))
+        Warehouse.read(spark, warehouseDir, table)
+      else regs.withColumn("last_batch_id", lit(-1L)).limit(0)
+    val lastId = prev.select(max(col("last_batch_id"))).collect()
+      .headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+      .getOrElse(-1L)
+    if (batchId > lastId) {
+      val updated = prev.drop("last_batch_id").unionByName(regs)
+        .groupBy(col(groupCol), col("b"))
+        .agg(sum(col("cnt")).as("cnt"))
+        .withColumn("last_batch_id", lit(batchId))
+      Warehouse.overwrite(updated, warehouseDir, table)
+    }
+  }
+
   /** One micro-batch fold of [[dedupIngestStream]]'s admission control,
     * replayed deterministically for the oracle gate: the batch
     * dedups against the corpus ingested SO FAR through its persisted

@@ -146,6 +146,61 @@ object SparkEntry {
     MergeOnRead.readView(s, dir, tbl)
   }
 
+  /** The delete-bearing MoR chain ([[morFold]]'s sibling): batch 1
+    * updates k%100 == 3, batch 2 tombstones k%500 == 3 (replayed —
+    * stamp-skipped), batch 3 re-inserts the k%1000 == 3 subset (every
+    * 1000m+3 key is 3 mod 500, so these keys were all just deleted —
+    * the resurrection path). Last-writer-wins with the delete flag on
+    * the winning row decides visibility.
+    */
+  private def morDeleteFold(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.MergeOnRead
+    val ord = rd(s, d, "orders")
+    val src = ord.select(col("o_orderkey").as("k"),
+      col("o_orderstatus").as("status0"),
+      round(col("o_totalprice") * 100).cast("long").as("cents0"))
+    val dir = new java.io.File(
+      "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+    val tbl = s"mor_orders_d_${contentEpoch(ord, "o_orderkey")}"
+    val spec = MergeSpec(Seq("k"), Seq("status", "cents"))
+    graft.operators.Memo.cached(s, s"mordel|$dir|$tbl") {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      if (!MergeOnRead.exists(s, dir, tbl))
+        MergeOnRead.init(
+          src.where(col("k") % 1000 =!= 7).select(col("k"),
+            col("status0").as("status"), col("cents0").as("cents")),
+          dir, tbl, Seq("k"))
+      MergeOnRead.deltaMerge(s, dir, tbl,
+        src.where(col("k") % 100 === 3).select(col("k"),
+          lit("U1").as("status"), (col("cents0") + 11).as("cents")),
+        spec, tlit(tsNow), batchId = 1L)
+      MergeOnRead.deltaDelete(s, dir, tbl,
+        src.where(col("k") % 500 === 3).select("k"), batchId = 2L)
+      // crash replay of the delete — the stamp must skip it
+      MergeOnRead.deltaDelete(s, dir, tbl,
+        src.where(col("k") % 2 === 0).select("k"), batchId = 2L)
+      MergeOnRead.deltaMerge(s, dir, tbl,
+        src.where(col("k") % 1000 === 3).select(col("k"),
+          lit("R").as("status"), (col("cents0") + 77).as("cents")),
+        spec, tlit(tsNow), batchId = 3L)
+      java.lang.Boolean.TRUE
+    }
+    MergeOnRead.readView(s, dir, tbl)
+  }
+
+  /** Last-writer-wins with tombstones — [[morDeleteFold]]'s oracle. */
+  private def morDeleteOracleSql: String =
+    "WITH src AS (SELECT o_orderkey AS k, o_orderstatus AS status0, " +
+      "CAST(round(o_totalprice * 100) AS BIGINT) AS cents0 FROM orders), " +
+      "stacked AS (" +
+      "SELECT k, status0 AS status, cents0 AS cents, 0 AS seq, 0 AS del FROM src WHERE k % 1000 <> 7 " +
+      "UNION ALL SELECT k, 'U1', cents0 + 11, 1, 0 FROM src WHERE k % 100 = 3 " +
+      "UNION ALL SELECT k, NULL, NULL, 2, 1 FROM src WHERE k % 500 = 3 " +
+      "UNION ALL SELECT k, 'R', cents0 + 77, 3, 0 FROM src WHERE k % 1000 = 3) " +
+      "SELECT k, status, cents FROM (SELECT *, row_number() OVER " +
+      "(PARTITION BY k ORDER BY seq DESC) AS rn FROM stacked) " +
+      "WHERE rn = 1 AND del = 0"
+
   /** The stacked-UNION last-writer-wins oracle for [[morFold]]. */
   private def morOracleSql: String =
     "WITH src AS (SELECT o_orderkey AS k, o_orderstatus AS status0, " +
@@ -566,6 +621,14 @@ object SparkEntry {
       // onto the fresh chain, and the view is IDENTICAL — compaction
       // is invisible to readers, proven against the same oracle
       morFold(s, d, compactAfterBatch2 = true)
+    }),
+    "merge_delta_deletes" -> ((s, d) => {
+      // tombstone deletes in the MoR chain: batch 2 deletes k%500==3
+      // as an O(deleted keys) tombstone delta (replayed — skipped),
+      // batch 3 RE-INSERTS the k%1000==3 subset with fresh values —
+      // the view must show the resurrection, not the tombstone, and
+      // every other deleted key stays gone
+      morDeleteFold(s, d)
     }),
 
     // —— aggregation / window headline queries ——
@@ -4555,6 +4618,7 @@ object SparkEntry {
     // both MoR gates reconcile to the same eager last-writer-wins chain
     "merge_delta_mor" -> morOracleSql,
     "merge_delta_compact" -> morOracleSql,
+    "merge_delta_deletes" -> morDeleteOracleSql,
     "q1_agg" ->
       ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
         "round(sum(l_extendedprice), 2) AS sum_base_price, " +

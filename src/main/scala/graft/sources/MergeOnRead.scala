@@ -47,8 +47,8 @@ import graft.operators.{Merge, MergeSpec}
   * (updateCols subsets, audit stamps, touchCols) reconciles exactly to
   * the eager copy-on-write result under last-writer-wins per key.
   * Deletes are out of scope (a tombstone marker column would slot into
-  * the same reconcile); `nullSafeKeys` is rejected (the broadcast
-  * anti-join below is null-strict).
+  * the same reconcile — see [[deltaDelete]]); `nullSafeKeys` is
+  * rejected (the broadcast anti-join below is null-strict).
   *
   * Scale shape of [[readView]]: the base is scanned once and NEVER
   * shuffled — superseded keys drop via a broadcast anti-join on the
@@ -113,9 +113,16 @@ object MergeOnRead {
     commit(spark, dir, table, Manifest(1L, 1L, 0L, -1L, keys))
   }
 
+  /** Tombstone marker column inside delta files: false on upsert
+    * images, true on delete rows (key columns set, payload NULL).
+    * Older delta files without the column read as false.
+    */
+  private val DelMarker = "__mor_del"
+
   /** Latest post-merge image per key across the live delta chain:
     * higher delta seq wins (each delta holds at most one row per key
-    * by [[deltaMerge]] construction). Empty when the chain is empty.
+    * by [[deltaMerge]]/[[deltaDelete]] construction). Rows carry
+    * [[DelMarker]]; empty when the chain is empty.
     */
   private def latestDelta(spark: SparkSession, dir: String, table: String,
       m: Manifest): Option[DataFrame] = {
@@ -124,20 +131,25 @@ object MergeOnRead {
       val stacked = m.deltaSeqs.map { q =>
         spark.read.parquet(deltaPath(dir, table, q).toString)
           .withColumn("__mor_seq", lit(q))
-      }.reduce(_ unionByName _)
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(m.keys.map(col): _*).orderBy(col("__mor_seq").desc)
-      Some(stacked
+      val marked =
+        if (stacked.columns.contains(DelMarker))
+          stacked.withColumn(DelMarker, coalesce(col(DelMarker), lit(false)))
+        else stacked.withColumn(DelMarker, lit(false))
+      Some(marked
         .withColumn("__mor_rn", row_number().over(w))
         .where(col("__mor_rn") === 1)
         .drop("__mor_seq", "__mor_rn"))
     }
   }
 
-  /** The reconciled table: base minus superseded keys plus latest delta
-    * images. The base scan is shuffle-free — delta keys broadcast into
-    * a null-strict anti-join (compact deltas are the contract that
-    * keeps the broadcast small).
+  /** The reconciled table: base minus superseded-or-deleted keys plus
+    * latest surviving delta images (a key whose newest delta row is a
+    * tombstone vanishes from the view). The base scan is shuffle-free
+    * — delta keys broadcast into a null-strict anti-join (compact
+    * deltas are the contract that keeps the broadcast small).
     */
   def readView(spark: SparkSession, dir: String, table: String): DataFrame = {
     val m = manifest(spark, dir, table)
@@ -147,7 +159,8 @@ object MergeOnRead {
       case Some(latest) =>
         base.join(broadcast(latest.select(m.keys.map(col): _*).distinct()),
             m.keys, "left_anti")
-          .unionByName(latest.select(base.columns.map(col).toIndexedSeq: _*))
+          .unionByName(latest.where(!col(DelMarker))
+            .select(base.columns.map(col).toIndexedSeq: _*))
     }
   }
 
@@ -175,7 +188,35 @@ object MergeOnRead {
       val slice = view.join(broadcast(srcKeys), spec.keys, "left_semi")
       val images = Merge.scd1(slice, source, spec, now)
         .select(view.columns.map(col).toIndexedSeq: _*)
+        .withColumn(DelMarker, lit(false))
       images.write.mode("overwrite")
+        .parquet(deltaPath(dir, table, m.deltaTo + 1).toString)
+      commit(spark, dir, table,
+        m.copy(deltaTo = m.deltaTo + 1, lastBatch = batchId))
+      true
+    }
+  }
+
+  /** Keyed delete as a tombstone delta: the write is O(deleted keys) —
+    * key columns plus a true [[DelMarker]], payload NULL. The view
+    * drops tombstoned keys; [[compact]] physically removes them (the
+    * folded base simply lacks the rows). Same batch-id stamp contract
+    * as [[deltaMerge]].
+    */
+  def deltaDelete(
+      spark: SparkSession, dir: String, table: String,
+      keysDf: DataFrame, batchId: Long): Boolean = {
+    val m = manifest(spark, dir, table)
+    if (batchId <= m.lastBatch) false
+    else {
+      val base = spark.read.parquet(basePath(dir, table, m.baseGen).toString)
+      val tomb = keysDf.select(m.keys.map(col): _*).distinct()
+      val full = base.columns.foldLeft(tomb) { (df, c) =>
+        if (m.keys.contains(c)) df
+        else df.withColumn(c, lit(null).cast(base.schema(c).dataType))
+      }.select(base.columns.map(col).toIndexedSeq: _*)
+        .withColumn(DelMarker, lit(true))
+      full.write.mode("overwrite")
         .parquet(deltaPath(dir, table, m.deltaTo + 1).toString)
       commit(spark, dir, table,
         m.copy(deltaTo = m.deltaTo + 1, lastBatch = batchId))

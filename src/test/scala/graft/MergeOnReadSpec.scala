@@ -108,6 +108,35 @@ class MergeOnReadSpec extends AnyFunSuite with SparkTest {
     assert(!plan.contains("SortMergeJoin"), s"base must not shuffle:\n$plan")
   }
 
+  test("deltaDelete tombstones: keys vanish, re-insert resurrects, compact drops them physically") {
+    val s = spark; import s.implicits._
+    val dir = tmpDir()
+    val spec = MergeSpec(Seq("k"), Seq("v"))
+    MergeOnRead.init((1L to 10L).map(i => (i, i * 10L)).toDF("k", "v"), dir, "t", Seq("k"))
+    // delete 3 keys, including one updated just before (tombstone must
+    // supersede the image) and one absent key (harmless)
+    MergeOnRead.deltaMerge(s, dir, "t", Seq((2L, 99L)).toDF("k", "v"), spec, nowCol, 1L)
+    assert(MergeOnRead.deltaDelete(s, dir, "t",
+      Seq(2L, 5L, 77L).toDF("k"), batchId = 2L))
+    val v1 = MergeOnRead.readView(s, dir, "t")
+    assert(v1.count() == 8L)
+    assert(v1.where(col("k").isin(2L, 5L)).isEmpty)
+    // replayed delete is skipped
+    assert(!MergeOnRead.deltaDelete(s, dir, "t", Seq(1L).toDF("k"), 2L))
+    assert(MergeOnRead.readView(s, dir, "t").count() == 8L)
+    // resurrection: re-insert a deleted key with a fresh value
+    MergeOnRead.deltaMerge(s, dir, "t", Seq((5L, 555L)).toDF("k", "v"), spec, nowCol, 3L)
+    val v2 = MergeOnRead.readView(s, dir, "t")
+    assert(v2.count() == 9L)
+    assert(v2.where(col("k") === 5L).head().getLong(1) == 555L)
+    // compact physically removes the tombstoned key and keeps the view
+    val before = v2.collect().map(_.toString).sorted.toSeq
+    MergeOnRead.compact(s, dir, "t")
+    val after = MergeOnRead.readView(s, dir, "t")
+    assert(after.collect().map(_.toString).sorted.toSeq == before)
+    assert(after.columns.toSeq == Seq("k", "v"), "marker must not leak into the view")
+  }
+
   test("null-safe keyed specs are rejected") {
     val s = spark; import s.implicits._
     val dir = tmpDir()

@@ -57,9 +57,14 @@ object Graph {
       e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg")))
     val nodes = Caches.persisted(deg.select(col("node")))
     // out-degree rides ON the edge row (one join at setup, not one per
-    // round) — each round is then exactly one join + one aggregation
+    // round) — each round is then exactly one join + one aggregation.
+    // The cache is HASH-PARTITIONED on src: every round's rank join
+    // reads the cached partitioning (InMemoryRelation preserves it), so
+    // only the |V|-sized rank vector moves per round — the edge table
+    // is shuffled once at setup, never per iteration.
     val eDeg = Caches.persisted(
-      e.join(deg.withColumnRenamed("node", "src"), "src"))
+      e.join(deg.withColumnRenamed("node", "src"), "src")
+        .repartition(col("src")))
     // one O(1) action: the node count is a scalar in every rank formula
     val n = nodes.count()
     require(n > 0, "graph has no edges")
@@ -127,8 +132,11 @@ object Graph {
       deg.select(col("node"))
         .join(sd.withColumn("__is", lit(1L)), Seq("node"), "left")
         .select(col("node"), coalesce(col("__is"), lit(0L)).as("__seed")))
+    // hash-partitioned on src like pageRankFixed's: per round only the
+    // rank vector moves, the edge table shuffles once at setup
     val eDeg = Caches.persisted(
-      e.join(deg.withColumnRenamed("node", "src"), "src"))
+      e.join(deg.withColumnRenamed("node", "src"), "src")
+        .repartition(col("src")))
     val nSeeds = nodes.agg(sum(col("__seed"))).head().getLong(0)
     require(nSeeds > 0, "no seed node appears in the graph")
     val base = massScale / nSeeds

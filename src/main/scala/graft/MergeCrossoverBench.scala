@@ -118,10 +118,15 @@ object MergeCrossoverBench {
     import graft.sources.{MergeOnRead, Warehouse}
     val dir = new java.io.File("target/graft_wh/merge5m").getAbsolutePath
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    // the MoR twin of m5_flat/m5_part, materialized once per machine
-    if (!MergeOnRead.exists(spark, dir, "m5_mor") ||
-        spark.read.parquet(s"$dir/m5_mor.morbase/1").count() != Rows)
-      MergeOnRead.init(baseDf(spark), dir, "m5_mor", Seq("o_orderkey"))
+    // the MoR twin of m5_flat/m5_part, materialized once per machine;
+    // freshness via the CURRENT base generation (corrections are
+    // updates, so its row count stays Rows across self-compactions —
+    // reading gen 1 by name would break once compaction retires it)
+    val needInit = !MergeOnRead.exists(spark, dir, "m5_mor") || {
+      val gen = MergeOnRead.manifest(spark, dir, "m5_mor").baseGen
+      spark.read.parquet(s"$dir/m5_mor.morbase/$gen").count() != Rows
+    }
+    if (needInit) MergeOnRead.init(baseDf(spark), dir, "m5_mor", Seq("o_orderkey"))
     // 10-row correction inside one month (month 0): absolute restated
     // values — re-merging is a same-value match, bit-stable per round
     val corr = baseDf(spark)

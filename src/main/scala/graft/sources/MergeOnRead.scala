@@ -166,7 +166,11 @@ object MergeOnRead {
 
   /** Keyed SCD-1 merge as a compact delta append: the write is
     * O(touched keys). Returns false when `batchId` is not beyond the
-    * committed one (crash replay — skipped).
+    * committed one (crash replay — skipped). The source must be UNIQUE
+    * on the merge key ([[Merge.scd1]]'s existing contract) — duplicate
+    * source keys would write multiple images of one key into a single
+    * delta, where the latest-image window has no order to break the
+    * tie.
     *
     * The source's keys slice the current view (broadcast semi-join —
     * the base is read, never rewritten), [[Merge.scd1]] resolves the

@@ -181,6 +181,46 @@ object Streams {
       .start()
   }
 
+  /** [[upsertStream]] over a merge-on-read table
+    * ([[graft.sources.MergeOnRead]]): each micro-batch lands as a
+    * COMPACT delta append — write I/O per trigger is O(batch's touched
+    * keys), never a table or partition rewrite, which is what keeps a
+    * continuously-upserting stream sustainable on a large fact table
+    * (the swap/pointer variants rewrite the whole table every
+    * trigger). Exactly-once comes from Spark's monotone batch id
+    * riding the MoR manifest stamp: a replayed batch after a crash is
+    * recognized and skipped, so the delta chain never double-applies.
+    * Readers resolve the manifest atomically and reconcile
+    * base+deltas; the stream compacts the chain behind the
+    * `maxDeltaRatio` guard after each commit, so read amplification
+    * stays bounded without a separate maintenance job.
+    *
+    * The table must exist ([[graft.sources.MergeOnRead.init]]) before
+    * the stream starts — the base load is a batch concern.
+    */
+  def upsertStreamMor(
+      stream: DataFrame,
+      warehouseDir: String,
+      table: String,
+      spec: graft.operators.MergeSpec,
+      checkpointPath: String,
+      maxDeltaRatio: Double = 0.2,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.sources.MergeOnRead
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointPath)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        MergeOnRead.deltaMerge(spark, warehouseDir, table, batch, spec,
+          current_timestamp(), batchId)
+        MergeOnRead.compact(spark, warehouseDir, table, maxDeltaRatio)
+      }
+      .start()
+  }
+
   /** [[upsertStream]] over a pointer-committed table
     * ([[graft.sources.Warehouse.Pointer]]): each micro-batch merges the
     * CURRENT generation with the batch and commits a new generation via

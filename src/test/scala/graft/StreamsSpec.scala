@@ -580,6 +580,38 @@ class StreamsSpec extends AnyFunSuite with SparkTest {
     } finally q.stop()
   }
 
+  test("upsertStreamMor lands micro-batches as O(batch) delta appends on the MoR table") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.sources.MergeOnRead
+    val wh = java.nio.file.Files.createTempDirectory("stream-mor-wh").toString
+    val cp = java.nio.file.Files.createTempDirectory("stream-mor-cp").toString
+    // the base load is a batch concern: 1000 rows up front
+    MergeOnRead.init((1L to 1000L).map(i => (i, s"v$i")).toDF("k", "v"),
+      wh, "t", Seq("k"))
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.upsertStreamMor(input.toDF().toDF("k", "v"), wh, "t",
+      graft.operators.MergeSpec(Seq("k"), Seq("v")), cp,
+      maxDeltaRatio = 0.2,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      input.addData((7L, "A"), (2000L, "new"))
+      q.processAllAvailable()
+      val v1 = MergeOnRead.readView(s, wh, "t")
+      assert(v1.count() == 1001L)
+      assert(v1.where(col("k") === 7L).head().getString(1) == "A")
+      // the batch landed as a 2-row delta, never a base rewrite
+      assert(MergeOnRead.deltaRowCounts(s, wh, "t") == Seq(2L))
+      assert(MergeOnRead.manifest(s, wh, "t").baseGen == 1L,
+        "a 2-row batch on a 1000-row base must not trigger compaction")
+      input.addData((2000L, "NEW"), (8L, "B"))
+      q.processAllAvailable()
+      val v2 = MergeOnRead.readView(s, wh, "t").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(v2(2000L) == "NEW" && v2(8L) == "B" && v2.size == 1001)
+    } finally q.stop()
+  }
+
   test("upsertStreamPointer commits generations; concurrent readers stay consistent") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext

@@ -154,6 +154,15 @@ object SparkEntry {
     * the winning row decides visibility.
     */
   private def morDeleteFold(s: SparkSession, d: String): DataFrame = {
+    val (dir, tbl) = morDeleteTable(s, d)
+    graft.sources.MergeOnRead.readView(s, dir, tbl)
+  }
+
+  /** Builds (once, content-addressed) the delete-bearing MoR chain and
+    * returns its (warehouseDir, table) for the view and change-feed
+    * gates to read.
+    */
+  private def morDeleteTable(s: SparkSession, d: String): (String, String) = {
     import graft.sources.MergeOnRead
     val ord = rd(s, d, "orders")
     val src = ord.select(col("o_orderkey").as("k"),
@@ -161,7 +170,7 @@ object SparkEntry {
       round(col("o_totalprice") * 100).cast("long").as("cents0"))
     val dir = new java.io.File(
       "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
-    val tbl = s"mor_orders_d_${contentEpoch(ord, "o_orderkey")}"
+    val tbl = s"mor_orders_d2_${contentEpoch(ord, "o_orderkey")}"
     val spec = MergeSpec(Seq("k"), Seq("status", "cents"))
     graft.operators.Memo.cached(s, s"mordel|$dir|$tbl") {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
@@ -185,7 +194,7 @@ object SparkEntry {
         spec, tlit(tsNow), batchId = 3L)
       java.lang.Boolean.TRUE
     }
-    MergeOnRead.readView(s, dir, tbl)
+    (dir, tbl)
   }
 
   /** Last-writer-wins with tombstones — [[morDeleteFold]]'s oracle. */
@@ -629,6 +638,15 @@ object SparkEntry {
       // the view must show the resurrection, not the tombstone, and
       // every other deleted key stays gone
       morDeleteFold(s, d)
+    }),
+    "merge_delta_changes" -> ((s, d) => {
+      // the delta chain consumed as a CHANGE FEED: net change per key
+      // produced after batch 1 — deletes surface as tombstone rows, a
+      // delete-then-reinsert surfaces as its final upsert, keys whose
+      // last touch was batch 1 don't appear. Cost is chain-sized; the
+      // base is never read beyond its schema
+      val (dir, tbl) = morDeleteTable(s, d)
+      graft.sources.MergeOnRead.changesSince(s, dir, tbl, sinceBatch = 1L)
     }),
 
     // —— aggregation / window headline queries ——
@@ -3238,6 +3256,13 @@ object SparkEntry {
       // pair expansion is bounded per order, min-support runs before
       // the marginal joins
       graft.operators.Affinity.pairLift(rd(s, d, "lineitem"), minSupport = 2)),
+    "rec_item_cosine" -> ((s, d) =>
+      // "bought X also bought": per-item top-10 by squared co-purchase
+      // cosine on the ppm grid (monotone with cosine, integer-exact —
+      // no sqrt between engines); candidates per item are co-purchase-
+      // degree-bounded, never catalog-bounded
+      graft.operators.Affinity.itemCosineTopK(rd(s, d, "lineitem"),
+        minSupport = 2, k = 10)),
     "stat_chi2_cells" -> ((s, d) =>
       // chi-squared independence, per-cell contributions (no
       // cross-row double sum), priority x status contingency
@@ -4619,6 +4644,19 @@ object SparkEntry {
     "merge_delta_mor" -> morOracleSql,
     "merge_delta_compact" -> morOracleSql,
     "merge_delta_deletes" -> morDeleteOracleSql,
+    // net change per key across batches 2..3 of the delete chain:
+    // rn=1 over seq picks the final state; del rows surface as
+    // tombstones with NULL payload
+    "merge_delta_changes" ->
+      ("WITH src AS (SELECT o_orderkey AS k, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents0 FROM orders), " +
+        "ch AS (" +
+        "SELECT k, CAST(NULL AS VARCHAR) AS status, CAST(NULL AS BIGINT) AS cents, 2 AS seq, 1 AS del " +
+        "FROM src WHERE k % 500 = 3 " +
+        "UNION ALL SELECT k, 'R', cents0 + 77, 3, 0 FROM src WHERE k % 1000 = 3) " +
+        "SELECT k, status, cents, CASE WHEN del = 1 THEN 'delete' ELSE 'upsert' END AS change " +
+        "FROM (SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn FROM ch) " +
+        "WHERE rn = 1"),
     "q1_agg" ->
       ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
         "round(sum(l_extendedprice), 2) AS sum_base_price, " +
@@ -6110,6 +6148,20 @@ object SparkEntry {
         "CAST(CAST(1000000 AS HUGEINT) * n_co * nb.n_baskets // " +
         "(CAST(ia.n_item AS HUGEINT) * ib.n_item) AS BIGINT) AS lift_ppm " +
         "FROM pr JOIN ic ia ON ia.pk = pr.pk_a JOIN ic ib ON ib.pk = pr.pk_b CROSS JOIN nb"),
+    "rec_item_cosine" ->
+      ("WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+        "ic AS (SELECT pk, count(*) AS n_item FROM li GROUP BY 1), " +
+        "pr AS (SELECT a.pk AS pk_a, b.pk AS pk_b, count(*) AS n_co FROM li a " +
+        "JOIN li b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "base AS (SELECT pk_a, pk_b, n_co, ia.n_item AS n_a, ib.n_item AS n_b " +
+        "FROM pr JOIN ic ia ON ia.pk = pr.pk_a JOIN ic ib ON ib.pk = pr.pk_b), " +
+        "dir AS (SELECT pk_a AS item, pk_b AS rec, n_co, n_a AS n_i, n_b AS n_r FROM base " +
+        "UNION ALL SELECT pk_b, pk_a, n_co, n_b, n_a FROM base), " +
+        "sc AS (SELECT item, rec, n_co, " +
+        "CAST(1000000::HUGEINT * n_co * n_co // (n_i::HUGEINT * n_r) AS BIGINT) AS cos2_ppm FROM dir) " +
+        "SELECT item, CAST(rnk AS INT) AS rnk, rec, n_co, cos2_ppm FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY item ORDER BY cos2_ppm DESC, rec) AS rnk FROM sc) " +
+        "WHERE rnk <= 10"),
     "stat_chi2_cells" ->
       Stats.chi2CellsSql("orders", "o_orderpriority", "o_orderstatus"),
     "events_attribution_linear" ->

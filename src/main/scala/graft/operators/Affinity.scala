@@ -52,4 +52,44 @@ object Affinity {
         expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * n_co * n_baskets div " +
           "(CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)").as("lift_ppm"))
   }
+
+  /** Item-item collaborative filtering: per item, the top-`k` most
+    * similar items by basket-co-occurrence cosine — the "customers who
+    * bought X also bought" recommender table, batch-built.
+    *
+    * Similarity is SQUARED cosine on the ppm grid — `1e6 · n_co² div
+    * (n_a · n_b)` — because cos² is a monotone transform of cosine on
+    * non-negative counts, so the ranking is identical while everything
+    * stays integer-exact (a sqrt would put an irrational between the
+    * engines). Numerator in decimal(38,0): n_co² wraps int64 past
+    * n_co ≈ 3e6 (plausible for staple pairs at sf1000).
+    *
+    * Shape at 100 TB: [[pairLift]]'s bounded basket expansion plus one
+    * symmetric explode (each pair feeds both directions) and one
+    * per-item top-k window over each item's surviving candidates
+    * (min-support prunes BEFORE the window; candidates per item are
+    * co-purchase-degree-bounded, not catalog-bounded). Deterministic
+    * tie-break (cos2 desc, neighbor id asc) makes top-k hash-stable.
+    */
+  def itemCosineTopK(lineitem: DataFrame, minSupport: Long, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val base = pairLift(lineitem, minSupport)
+      .select(col("pk_a"), col("pk_b"), col("n_co"), col("n_a"), col("n_b"))
+    val directed = base.select(
+        col("pk_a").as("item"), col("pk_b").as("rec"),
+        col("n_co"), col("n_a").as("n_i"), col("n_b").as("n_r"))
+      .unionByName(base.select(
+        col("pk_b").as("item"), col("pk_a").as("rec"),
+        col("n_co"), col("n_b").as("n_i"), col("n_a").as("n_r")))
+      .withColumn("cos2_ppm",
+        expr("CAST(CAST(1000000 AS DECIMAL(38,0)) * n_co * n_co div " +
+          "(CAST(n_i AS DECIMAL(38,0)) * n_r) AS BIGINT)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item"))
+      .orderBy(col("cos2_ppm").desc, col("rec"))
+    directed
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("item"), col("rnk"), col("rec"), col("n_co"), col("cos2_ppm"))
+  }
 }

@@ -119,6 +119,12 @@ object MergeOnRead {
     */
   private val DelMarker = "__mor_del"
 
+  /** Producing batch id stamped on every delta row — what makes the
+    * chain CONSUMABLE as a change feed ([[changesSince]]), not just
+    * reconcilable. Older delta files without the column read as -1.
+    */
+  private val BatchCol = "__mor_batch"
+
   /** Latest post-merge image per key across the live delta chain:
     * higher delta seq wins (each delta holds at most one row per key
     * by [[deltaMerge]]/[[deltaDelete]] construction). Rows carry
@@ -193,6 +199,7 @@ object MergeOnRead {
       val images = Merge.scd1(slice, source, spec, now)
         .select(view.columns.map(col).toIndexedSeq: _*)
         .withColumn(DelMarker, lit(false))
+        .withColumn(BatchCol, lit(batchId))
       images.write.mode("overwrite")
         .parquet(deltaPath(dir, table, m.deltaTo + 1).toString)
       commit(spark, dir, table,
@@ -220,6 +227,7 @@ object MergeOnRead {
         else df.withColumn(c, lit(null).cast(base.schema(c).dataType))
       }.select(base.columns.map(col).toIndexedSeq: _*)
         .withColumn(DelMarker, lit(true))
+        .withColumn(BatchCol, lit(batchId))
       full.write.mode("overwrite")
         .parquet(deltaPath(dir, table, m.deltaTo + 1).toString)
       commit(spark, dir, table,
@@ -253,6 +261,39 @@ object MergeOnRead {
     val fs = fsOf(spark, dir)
     fs.delete(basePath(dir, table, m.baseGen), true)
     m.deltaSeqs.foreach(q => fs.delete(deltaPath(dir, table, q), true))
+  }
+
+  /** The delta chain as a CHANGE FEED: the latest image per key among
+    * delta rows produced by batches AFTER `sinceBatch`, each tagged
+    * `change` = upsert | delete — what an incremental downstream
+    * consumer (a derived aggregate, a search index, a cache) applies
+    * instead of re-reading the table. Cost is chain-sized, never
+    * base-sized.
+    *
+    * Retention contract (standard CDC): [[compact]] truncates the
+    * chain, so changes older than the live `deltaFrom` are gone — a
+    * consumer must keep up with the compaction cadence or re-bootstrap
+    * from [[readView]]. Delta files written before the batch stamp
+    * existed read as batch -1 (never "after" any requested point).
+    */
+  def changesSince(spark: SparkSession, dir: String, table: String,
+      sinceBatch: Long): DataFrame = {
+    val m = manifest(spark, dir, table)
+    val base = spark.read.parquet(basePath(dir, table, m.baseGen).toString)
+    val dataCols = base.columns.filterNot(_ == DelMarker).toIndexedSeq
+    latestDelta(spark, dir, table, m) match {
+      case None => base.select(dataCols.map(col): _*)
+        .withColumn("change", lit("")).limit(0)
+      case Some(latest) =>
+        val withBatch =
+          if (latest.columns.contains(BatchCol))
+            latest.withColumn(BatchCol, coalesce(col(BatchCol), lit(-1L)))
+          else latest.withColumn(BatchCol, lit(-1L))
+        withBatch.where(col(BatchCol) > sinceBatch)
+          .select(dataCols.map(col) :+
+            when(col(DelMarker), lit("delete")).otherwise(lit("upsert"))
+              .as("change"): _*)
+    }
   }
 
   /** Rows per live delta file, oldest first — the O(changed rows)

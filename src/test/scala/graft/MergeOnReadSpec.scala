@@ -137,6 +137,60 @@ class MergeOnReadSpec extends AnyFunSuite with SparkTest {
     assert(after.columns.toSeq == Seq("k", "v"), "marker must not leak into the view")
   }
 
+  test("changesSince: net per-key change feed with tombstones; compaction truncates it") {
+    val s = spark; import s.implicits._
+    val dir = tmpDir()
+    val spec = MergeSpec(Seq("k"), Seq("v"))
+    MergeOnRead.init((1L to 10L).map(i => (i, i * 10L)).toDF("k", "v"), dir, "t", Seq("k"))
+    MergeOnRead.deltaMerge(s, dir, "t", Seq((2L, 99L), (3L, 33L)).toDF("k", "v"), spec, nowCol, 1L)
+    MergeOnRead.deltaDelete(s, dir, "t", Seq(2L, 5L).toDF("k"), 2L)
+    MergeOnRead.deltaMerge(s, dir, "t", Seq((5L, 555L), (11L, 111L)).toDF("k", "v"), spec, nowCol, 3L)
+    def feed(since: Long): Map[Long, (String, Option[Long])] =
+      MergeOnRead.changesSince(s, dir, "t", since)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(2), if (r.isNullAt(1)) None else Some(r.getLong(1))))).toMap
+    // after batch 1: key 2's NET change is the batch-2 tombstone, key 5
+    // resurrected in batch 3, key 11 inserted; key 3 (batch-1-only) absent
+    assert(feed(1L) == Map(
+      2L -> (("delete", None)),
+      5L -> (("upsert", Some(555L))),
+      11L -> (("upsert", Some(111L)))))
+    // from the beginning, batch 1's surviving touch (key 3) appears too
+    assert(feed(0L) == Map(
+      2L -> (("delete", None)),
+      3L -> (("upsert", Some(33L))),
+      5L -> (("upsert", Some(555L))),
+      11L -> (("upsert", Some(111L)))))
+    // compaction truncates the feed (the documented retention contract)
+    MergeOnRead.compact(s, dir, "t")
+    assert(feed(0L).isEmpty)
+  }
+
+  test("randomized chains: readView equals the eager scd1 fold for any batch sequence") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    val spec = MergeSpec(Seq("k"), Seq("v"), updatedCol = Some("updated"))
+    for (trial <- 0 until 3) {
+      val dir = tmpDir()
+      val base = (1L to 50L).map(i => (i, i * 100L)).toDF("k", "v")
+        .withColumn("updated", to_timestamp(lit("2020-01-01 00:00:00")))
+      MergeOnRead.init(base, dir, "t", Seq("k"))
+      var eager = base
+      for (b <- 1 to 5) {
+        val keys = rnd.shuffle((1L to 70L).toList).take(1 + rnd.nextInt(12)).distinct
+        val src = keys.map(k => (k, rnd.nextLong(100000L))).toDF("k", "v")
+        val ts = to_timestamp(lit(f"2024-01-0$b 00:00:00"))
+        MergeOnRead.deltaMerge(s, dir, "t", src, spec, ts, b.toLong)
+        eager = Merge.scd1(eager, src, spec, ts)
+      }
+      val got = MergeOnRead.readView(s, dir, "t")
+        .collect().map(_.toString).sorted.toSeq
+      val want = eager.select("k", "v", "updated")
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == want, s"trial $trial diverged")
+    }
+  }
+
   test("null-safe keyed specs are rejected") {
     val s = spark; import s.implicits._
     val dir = tmpDir()

@@ -2920,6 +2920,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows_match"))
       stats.crossJoin(exact)
     }),
+    "layout_bloom_prune" -> ((s, d) => {
+      // point-lookup file skipping where min/max is blind: a 16-file
+      // layout hashed on o_custkey (every file spans the full orderkey
+      // domain — zone maps prune nothing), per-file Bloom words built
+      // in one scan, four point probes (three present, one absent)
+      // open only bloom-qualified files and must equal the plain
+      // filter row-for-row; ScaleSpec pins the files-opened count on
+      // real parquet
+      import graft.sources.Layout
+      val o = rd(s, d, "orders")
+      val dir = new java.io.File(
+        "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      val path = s"$dir/bloom_orders_${contentEpoch(o, "o_orderkey")}"
+      materializeOnce(s, path)(tmp =>
+        o.repartition(16, col("o_custkey")).write.mode("overwrite").parquet(tmp))
+      val mf = graft.operators.Caches.persisted(
+        Layout.bloomManifest(s, path, "o_orderkey"))
+      Seq(7L, 632L, 1203L, 999999999L)
+        .map(k => Layout.readBloomPruned(s, path, mf, "o_orderkey", lit(k))
+          .select("o_orderkey", "o_custkey", "o_totalprice"))
+        .reduce(_ unionByName _)
+    }),
     "text_source_terms" -> ((s, d) =>
       // c-TF-IDF shape: what characterizes each source vs the corpus
       TextAnalysis.sourceDistinctiveTerms(rd(s, d, "documents"), k = 5)),
@@ -5850,6 +5872,11 @@ object SparkEntry {
         "m AS (SELECT count(*) AS n_rows_match FROM z " +
         "WHERE qty >= 10.0 AND qty <= 20.0 AND price >= 10000.0 AND price <= 20000.0) " +
         "SELECT s.n_files_total, s.n_files_kept, s.n_rows_scanned, m.n_rows_match FROM s, m"),
+    // the bloom prune is an I/O mechanism — the RESULT is the plain
+    // point-lookup filter (no false negatives by construction)
+    "layout_bloom_prune" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "WHERE o_orderkey IN (7, 632, 1203, 999999999)"),
     "dq_robust_mad" -> robustMadSql("events"),
     "quality_winsorized" -> winsorizedSql("events"),
     "eval_cohens_kappa" -> {

@@ -152,6 +152,67 @@ object Layout {
     else spark.read.parquet(files: _*).where(residual)
   }
 
+  /** Per-file BLOOM manifest over a key column — the point-lookup twin
+    * of [[fileManifest]]'s range bounds. Min/max skipping is blind for
+    * equality probes on a column the layout is NOT sorted by (every
+    * file's [min,max] spans the whole key domain); a per-file Bloom
+    * filter answers "might this file contain key v" with no false
+    * negatives regardless of layout.
+    *
+    * Encoding: `hashes` seeded xxhash64 positions per key into a
+    * `bits`-cell filter, stored RELATIONALLY as (file, word_idx, word)
+    * 64-bit words — ≤ bits/64 rows per file, metadata-sized, built
+    * with one distributed scan (explode k positions, bit_or per word).
+    * A table format keeps the same structure in file footers; the
+    * explicit table survives slow-LIST object stores and 10⁶-file
+    * tables, exactly like [[fileManifest]].
+    *
+    * Sizing: false-positive rate ≈ (1 − e^(−kn/m))^k for n keys/file,
+    * m = bits, k = hashes — size `bits` to ~10 n for ~1% at k = 4.
+    */
+  def bloomManifest(spark: SparkSession, path: String, keyCol: String,
+      bits: Int = 65536, hashes: Int = 4): DataFrame = {
+    require(bits % 64 == 0 && bits > 0, "bits must be a positive multiple of 64")
+    require(hashes >= 1, "need at least one hash")
+    val positions = (0 until hashes).map(i =>
+      pmod(xxhash64(lit(i), col("k")), lit(bits.toLong)))
+    spark.read.parquet(path)
+      .select(input_file_name().as("file"), col(keyCol).as("k"))
+      .select(col("file"), explode(array(positions: _*)).as("p"))
+      .groupBy(col("file"), expr("p div 64").as("word_idx"))
+      .agg(call_function("bit_or",
+        expr("shiftleft(1L, CAST(p % 64 AS INT))")).as("word"))
+  }
+
+  /** Point lookup through the Bloom manifest: open only files whose
+    * filter has ALL `hashes` bits of `value` set, then apply the exact
+    * equality. Result equals the plain filtered scan (no false
+    * negatives by construction); false positives only cost I/O. The
+    * probe's bit positions are computed in one 1-row Spark job (same
+    * hash codepath as the build — never reimplemented driver-side) and
+    * the manifest filter is metadata-sized, like [[readPruned]].
+    */
+  def readBloomPruned(spark: SparkSession, path: String, manifest: DataFrame,
+      keyCol: String, value: Column, bits: Int = 65536, hashes: Int = 4): DataFrame = {
+    val probe = spark.range(1)
+      .select(array((0 until hashes).map(i =>
+        pmod(xxhash64(lit(i), value), lit(bits.toLong))): _*).as("ps"))
+      .head().getSeq[Long](0)
+    // collapse probe bits into per-word masks; a file qualifies when
+    // every probed word carries its full mask
+    val wordMasks = probe.map(p => (p / 64, 1L << (p % 64).toInt))
+      .groupBy(_._1).map { case (wi, ms) => wi -> ms.map(_._2).reduce(_ | _) }
+    val hit = wordMasks.map { case (wi, m) =>
+      col("word_idx") === wi && (col("word").bitwiseAND(lit(m))) === lit(m)
+    }.reduce(_ || _)
+    val files = manifest.where(hit)
+      .groupBy("file").agg(count(lit(1)).as("__n"))
+      .where(col("__n") === wordMasks.size)
+      .select("file").collect().map(_.getString(0)) // metadata-sized
+    if (files.isEmpty) spark.read.parquet(path).where(lit(false))
+    else spark.read.parquet(files.toIndexedSeq: _*).where(col(keyCol) === value)
+  }
+
   /** The consistent-hash ring: `vnodes` points per shard at
     * `md5(salt:shard:vnode)`, sorted by point. A pure function of the
     * parameters — no data touched — so both engines (and any future

@@ -125,6 +125,29 @@ class ScaleSpec extends AnyFunSuite with SparkTest {
     assert(ly.sum / ly.size > 0.9, "non-sort column spans the domain — the gap z-order closes")
   }
 
+  test("bloom pruning opens few files for a point probe; result equals plain filter; absent key opens ~none") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bloom").toString + "/t"
+    // 20k keys hashed into 16 files on an UNRELATED column: every file
+    // spans the whole key domain, so min/max pruning would keep all 16
+    (0L until 20000L).map(i => (i, i % 997L)).toDF("k", "grp")
+      .repartition(16, col("grp")).write.parquet(dir)
+    val mf = Layout.bloomManifest(s, dir, "k", bits = 262144, hashes = 4)
+    mf.cache().count()
+    val hitDf = Layout.readBloomPruned(s, dir, mf, "k", lit(12345L),
+      bits = 262144, hashes = 4)
+    assert(hitDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((12345L, 12345L % 997L)))
+    assert(hitDf.inputFiles.length <= 4,
+      s"bloom must prune most of the 16 files, opened ${hitDf.inputFiles.length}")
+    val missDf = Layout.readBloomPruned(s, dir, mf, "k", lit(999999999L),
+      bits = 262144, hashes = 4)
+    assert(missDf.isEmpty, "absent key returns no rows")
+    assert(missDf.inputFiles.length <= 2,
+      s"absent key should open at most a false-positive file or two, opened ${missDf.inputFiles.length}")
+    mf.unpersist()
+  }
+
   test("manifest pruning reads only overlapping files, result equals full filter") {
     val s = spark; import s.implicits._
     import graft.sources.Layout

@@ -267,6 +267,23 @@ object SparkEntry {
       .select("name_a", "name_b", "dist")
   }
 
+  /** Pinned rectangular zone catalog for `geo_zone_assign` — zones 1/2
+    * overlap (the min-id rule is exercised) and the plane's upper band
+    * is uncovered below y 60000 between x 30000..40000 (NULL rows
+    * exist at every SF). ONE constant feeding both engines.
+    */
+  private[graft] val geoZones = Seq(
+    (1L, 0L, 30000L, 0L, 30000L),
+    (2L, 20000L, 60000L, 10000L, 50000L),
+    (3L, 50000L, 100002L, 0L, 40000L),
+    (4L, 0L, 100002L, 60000L, 100002L),
+    (5L, 40000L, 45000L, 40000L, 45000L))
+
+  /** DuckDB VALUES body for [[geoZones]]. */
+  private def geoZonesValues: String =
+    geoZones.map { case (z, xl, xh, yl, yh) => s"($z, $xl, $xh, $yl, $yh)" }
+      .mkString(", ")
+
   /** DuckDB replay of [[geoPoints]], as a WITH-clause body. */
   private def geoPtsCte(alias: String, table: String, keyCol: String,
       mx: Long, my: Long, where: String = ""): String =
@@ -4284,6 +4301,16 @@ object SparkEntry {
       graft.operators.Geo.dbscanClusters(
         geoPoints(rd(s, d, "customer"), "c_custkey", 48271L, 69621L),
         r = 2000L, minPts = 4)),
+    "geo_zone_assign" -> ((s, d) => {
+      // geofencing: smallest-id containing rectangle per point (zones
+      // overlap by design; min-id pins determinism), NULL outside all
+      // zones — broadcast nested loop over the dim-sized zone catalog,
+      // the fact side streams once
+      val pts = geoPoints(rd(s, d, "customer"), "c_custkey", 48271L, 69621L)
+      import s.implicits._
+      val zones = geoZones.toDF("zone_id", "x_lo", "x_hi", "y_lo", "y_hi")
+      graft.operators.Geo.zoneAssign(pts, zones)
+    }),
     "events_markov_stationary" -> ((s, d) =>
       // steady state of the session chain: all data work is the
       // transition aggregate; the k x k matrix (k = 5 event types) is
@@ -6707,6 +6734,13 @@ object SparkEntry {
         "JOIN region ON r_regionkey = n_regionkey"),
 
     // brute cross join: the exactness oracle for the grid path
+    "geo_zone_assign" ->
+      (s"WITH ${geoPtsCte("pts", "customer", "c_custkey", 48271L, 69621L)}, " +
+        s"z(zone_id, x_lo, x_hi, y_lo, y_hi) AS (VALUES $geoZonesValues) " +
+        "SELECT p.id, p.x, p.y, CAST(min(z.zone_id) AS BIGINT) AS zone_id " +
+        "FROM pts p LEFT JOIN z ON p.x >= z.x_lo AND p.x <= z.x_hi " +
+        "AND p.y >= z.y_lo AND p.y <= z.y_hi " +
+        "GROUP BY 1, 2, 3"),
     "geo_grid_pairs" ->
       (s"WITH ${geoPtsCte("pts", "customer", "c_custkey", 48271L, 69621L)} " +
         "SELECT a.id AS id_a, b.id AS id_b, " +

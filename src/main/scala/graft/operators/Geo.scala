@@ -308,4 +308,32 @@ object Geo {
       .groupBy(col("__jcx").as("cx"), col("__jcy").as("cy"))
       .agg(sum("n").as("smoothed"))
   }
+
+  /** Zone assignment — the geofencing join: each point gets the
+    * SMALLEST-id rectangular zone containing it (zones may overlap;
+    * the min-id rule makes assignment deterministic), NULL when no
+    * zone contains it. Zones: (zone_id, x_lo, x_hi, y_lo, y_hi),
+    * closed intervals.
+    *
+    * Shape at 100 TB: the zone table is dim-sized BY CONTRACT (a
+    * geofence catalog, not data), so the containment join is a
+    * BROADCAST nested loop — the fact side streams once, never
+    * shuffles, and the per-row cost is |zones| comparisons inside
+    * codegen. That is the right plan for small-dim 2D containment;
+    * past broadcast size the move is the grid trick again (bucket
+    * zones AND points by cell, equi-join on cell — [[gridPairs]]'
+    * shape with rectangles expanded to their covered cells).
+    */
+  def zoneAssign(points: DataFrame, zones: DataFrame): DataFrame = {
+    val p = points.select(col("id").cast("long").as("id"),
+      col("x").cast("long").as("x"), col("y").cast("long").as("y"))
+    val z = zones.select(col("zone_id").cast("long").as("zone_id"),
+      col("x_lo").cast("long").as("x_lo"), col("x_hi").cast("long").as("x_hi"),
+      col("y_lo").cast("long").as("y_lo"), col("y_hi").cast("long").as("y_hi"))
+    p.join(broadcast(z),
+        col("x") >= col("x_lo") && col("x") <= col("x_hi") &&
+          col("y") >= col("y_lo") && col("y") <= col("y_hi"), "left")
+      .groupBy(col("id"), col("x"), col("y"))
+      .agg(min(col("zone_id")).as("zone_id"))
+  }
 }

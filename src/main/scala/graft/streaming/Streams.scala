@@ -196,7 +196,12 @@ object Streams {
     * stays bounded without a separate maintenance job.
     *
     * The table must exist ([[graft.sources.MergeOnRead.init]]) before
-    * the stream starts — the base load is a batch concern.
+    * the stream starts — the base load is a batch concern. The
+    * CHECKPOINT AND TABLE ARE COUPLED: batch ids are monotone per
+    * checkpoint, so restarting against a fresh checkpoint (ids restart
+    * at 0) would stamp-skip real batches — point a new checkpoint at a
+    * new table (or re-init), the same coupling every batch-id-stamped
+    * fold in this file carries.
     */
   def upsertStreamMor(
       stream: DataFrame,

@@ -55,6 +55,26 @@ class GeoSpec extends AnyFunSuite with SparkTest {
     assert(got == want)
   }
 
+  test("zoneAssign: containment, overlap resolves to min zone id, outside is NULL") {
+    val s = spark; import s.implicits._
+    val pts = Seq(
+      (1L, 5L, 5L),    // inside zone 1 only
+      (2L, 15L, 15L),  // inside zones 1 AND 2 -> min id 1
+      (3L, 25L, 15L),  // inside zone 2 only
+      (4L, 99L, 99L),  // outside all -> NULL
+      (5L, 10L, 10L),  // on zone 1's corner boundary (closed) -> 1
+      (6L, 30L, 30L)   // on zone 2's hi corner (closed) -> 2
+    ).toDF("id", "x", "y")
+    val zones = Seq(
+      (1L, 0L, 20L, 0L, 20L),
+      (2L, 10L, 30L, 10L, 30L)).toDF("zone_id", "x_lo", "x_hi", "y_lo", "y_hi")
+    val out = graft.operators.Geo.zoneAssign(pts, zones)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(out == Map(1L -> Some(1L), 2L -> Some(1L), 3L -> Some(2L),
+      4L -> None, 5L -> Some(1L), 6L -> Some(2L)))
+  }
+
   test("gridPairs produces each pair exactly once (no neighbor-cell dups)") {
     val pts = points(300, 10000L, 48271L, 69621L)
     val out = Geo.gridPairs(pts, 900L)

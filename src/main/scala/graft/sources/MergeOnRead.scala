@@ -239,9 +239,14 @@ object MergeOnRead {
   /** Fold the delta chain into a new base generation and reset the
     * chain — run when live delta rows exceed `maxDeltaRatio` of the
     * base (checked here so schedulers can call it unconditionally).
-    * Old directories are deleted strictly AFTER the manifest commit;
-    * in-flight readers of the previous manifest finish on the old,
-    * still-immutable files.
+    *
+    * Retention matches [[Warehouse.Pointer]]'s keepGenerations
+    * discipline: the files THIS compaction displaces are retained for
+    * one full cycle (an in-flight reader that resolved the previous
+    * manifest just before the commit still finds every file it
+    * references); what the PREVIOUS compaction displaced is deleted
+    * here, strictly after the new manifest is live. At 100 TB
+    * retention is storage, never a copy — nothing is rewritten.
     */
   def compact(spark: SparkSession, dir: String, table: String,
       maxDeltaRatio: Double = 0.0): Unit = {
@@ -258,9 +263,19 @@ object MergeOnRead {
       .parquet(basePath(dir, table, nextGen).toString)
     commit(spark, dir, table,
       m.copy(baseGen = nextGen, deltaFrom = m.deltaTo + 1, lastBatch = m.lastBatch))
+    // prune the PREVIOUS cycle's superseded files; keep this cycle's
+    // (base gen m.baseGen, deltas m.deltaSeqs) as the reader grace set
     val fs = fsOf(spark, dir)
-    fs.delete(basePath(dir, table, m.baseGen), true)
-    m.deltaSeqs.foreach(q => fs.delete(deltaPath(dir, table, q), true))
+    val baseDir = new Path(s"$dir/$table.morbase")
+    if (fs.exists(baseDir)) fs.listStatus(baseDir).toSeq
+      .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
+      .filter(_ < m.baseGen)
+      .foreach(g => fs.delete(basePath(dir, table, g), true))
+    val deltaDir = new Path(s"$dir/$table.mordelta")
+    if (fs.exists(deltaDir)) fs.listStatus(deltaDir).toSeq
+      .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
+      .filter(_ < m.deltaFrom)
+      .foreach(q => fs.delete(deltaPath(dir, table, q), true))
   }
 
   /** The delta chain as a CHANGE FEED: the latest image per key among

@@ -93,6 +93,15 @@ class MergeOnReadSpec extends AnyFunSuite with SparkTest {
     assert(MergeOnRead.readView(s, dir, "t")
       .where(col("k") === 5L).head().getLong(1) == 52L)
     assert(MergeOnRead.manifest(s, dir, "t").deltaSeqs == Seq(3L))
+    // reader grace: the displaced base gen survives ONE cycle (an
+    // in-flight reader of the old manifest still finds its files) and
+    // the NEXT compaction prunes it
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/t.morbase/1")),
+      "the just-displaced base generation must be retained one cycle")
+    MergeOnRead.compact(s, dir, "t")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/t.morbase/1")),
+      "the previous cycle's superseded base must be pruned")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/t.morbase/2")))
   }
 
   test("readView plans a broadcast anti-join — the base is never shuffled") {

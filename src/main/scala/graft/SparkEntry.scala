@@ -401,6 +401,17 @@ object SparkEntry {
   private[graft] val eventStates =
     Seq("click", "error", "purchase", "signup", "view")
 
+  /** Pinned ordered-subsequence patterns for `seq_subseq_support` —
+    * includes a same-type triple (needs a third occurrence STRICTLY
+    * between the first and last, the documented tie semantics).
+    */
+  private[graft] val seqTriples = Seq(
+    ("view", "click", "purchase"),
+    ("view", "error", "purchase"),
+    ("signup", "view", "purchase"),
+    ("click", "view", "purchase"),
+    ("purchase", "purchase", "purchase"))
+
   private[graft] val searchPhrase = Seq("fast", "table")
   private[graft] val bm25Queries: Seq[(Int, Seq[String])] = Seq(
     1 -> Seq("dup", "table"),
@@ -4388,6 +4399,13 @@ object SparkEntry {
       Events.eventPatternCounts(rd(s, d, "events"), Seq(
         "n_strict" -> "vp",
         "n_funnel" -> "v[ce]{0,2}p"), eventStates)),
+    "seq_subseq_support" -> ((s, d) =>
+      // PrefixSpan-at-fixed-length: per pinned triple, how many users
+      // exhibit a-then-b-then-c as a gap-tolerant SUBSEQUENCE — the
+      // existence test is one EXISTS lambda over the middle type's
+      // sorted timestamps against first(a)/last(c), never a candidate
+      // explosion; unsupported triples emit 0
+      Events.subsequenceSupport(rd(s, d, "events"), seqTriples)),
     "stat_theil_sen" -> ((s, d) =>
       // robust trend of 1998's daily revenue: exact median-of-slopes
       // over the calendar²-bounded pair table; the corpus collapses
@@ -6808,6 +6826,29 @@ object SparkEntry {
       eventStates, absorbing = "purchase", iters = 20),
     "events_markov_steps" -> OracleSql.markovSteps(
       eventStates, absorbing = "purchase", iters = 20),
+    "seq_subseq_support" -> {
+      val types = seqTriples.flatMap(t => Seq(t._1, t._2, t._3)).distinct
+        .map(t => s"'$t'").mkString(", ")
+      val vals = seqTriples.map { case (a, b, c) => s"('$a', '$b', '$c')" }
+        .mkString(", ")
+      "WITH pu AS (SELECT user_id, event_type, " +
+        "min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us, " +
+        "list_sort(list(epoch_us(ts))) AS tsl FROM events " +
+        s"WHERE event_type IN ($types) GROUP BY 1, 2), " +
+        s"tr(a, b, c) AS (VALUES $vals), " +
+        "tot AS (SELECT count(DISTINCT user_id) AS n_users FROM events), " +
+        "sup AS (SELECT tr.a, tr.b, tr.c, count(*) AS n_support FROM tr " +
+        "JOIN pu pa ON pa.event_type = tr.a " +
+        "JOIN pu pb ON pb.user_id = pa.user_id AND pb.event_type = tr.b " +
+        "JOIN pu pc ON pc.user_id = pa.user_id AND pc.event_type = tr.c " +
+        "WHERE len(list_filter(pb.tsl, x -> x > pa.first_us AND x < pc.last_us)) > 0 " +
+        "GROUP BY 1, 2, 3) " +
+        "SELECT tr.a, tr.b, tr.c, CAST(coalesce(n_support, 0) AS BIGINT) AS n_support, " +
+        "CAST(n_users AS BIGINT) AS n_users, " +
+        "CAST(coalesce(n_support, 0) * 1000000 // n_users AS BIGINT) AS support_ppm " +
+        "FROM tr LEFT JOIN sup ON sup.a = tr.a AND sup.b = tr.b AND sup.c = tr.c " +
+        "CROSS JOIN tot"
+    },
     "incr_hll_maintain" -> OracleSql.hllRegisters(64),
     // bit-exact replay of the GridQuantileAgg pipeline: same pinned
     // grid constants, floor-division bucket, integer rank rule

@@ -715,6 +715,71 @@ object Events {
     states.zip(v).toDF("state", "exp_steps")
   }
 
+  /** Ordered-subsequence support mining (the PrefixSpan question at
+    * fixed pattern length): for each pinned (a, b, c) triple, how many
+    * users exhibit a-then-b-then-c as a SUBSEQUENCE of their timeline
+    * (arbitrary gaps allowed — the regex counter
+    * [[eventPatternCounts]] asks about contiguous-window shapes;
+    * this asks about existence across the whole history).
+    *
+    * Existence test without materializing subsequence candidates:
+    * a≺b≺c holds for a user iff some b-timestamp lies strictly
+    * between the user's FIRST a and LAST c — so per (user, type) the
+    * operator needs only (first, last, sorted ts list), and the list
+    * is probed with one codegen'd EXISTS lambda. Per-user work is
+    * |pinned types| entries, never activity²; candidate triples are
+    * CONFIG, so the support aggregation is k-bounded and combinable.
+    *
+    * Shape at 100 TB: one (user, type) aggregate (per-user lists
+    * bounded by that user's own activity — the sessionize contract),
+    * one per-user map assembly, one combinable support count joined
+    * back onto the pinned triple list (triples nobody supports emit 0,
+    * not absence). Timestamps compare as exact microsecond integers.
+    */
+  def subsequenceSupport(
+      events: DataFrame,
+      triples: Seq[(String, String, String)]): DataFrame = {
+    require(triples.nonEmpty, "need at least one pattern triple")
+    val types = triples.flatMap(t => Seq(t._1, t._2, t._3)).distinct
+    val perUserType = events
+      .where(col("event_type").isin(types: _*))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        min(unix_micros(col("ts"))).as("first_us"),
+        max(unix_micros(col("ts"))).as("last_us"),
+        array_sort(collect_list(unix_micros(col("ts")))).as("tsl"))
+    val byUser = perUserType
+      .groupBy("user_id")
+      .agg(map_from_entries(collect_list(struct(
+        col("event_type"),
+        struct(col("first_us"), col("last_us"), col("tsl"))))).as("m"))
+    val tripleLits = array(triples.map { case (a, b, c) =>
+      struct(lit(a).as("a"), lit(b).as("b"), lit(c).as("c"))
+    }: _*)
+    val supported = byUser
+      .select(explode(tripleLits).as("t"), col("m"))
+      .select(col("t.a").as("a"), col("t.b").as("b"), col("t.c").as("c"),
+        element_at(col("m"), col("t.a")).as("ea"),
+        element_at(col("m"), col("t.b")).as("eb"),
+        element_at(col("m"), col("t.c")).as("ec"))
+      .where(col("ea").isNotNull && col("eb").isNotNull && col("ec").isNotNull &&
+        exists(col("eb.tsl"),
+          x => x > col("ea.first_us") && x < col("ec.last_us")))
+      .groupBy("a", "b", "c")
+      .agg(count(lit(1)).as("n_support"))
+    val spark = events.sparkSession
+    import spark.implicits._
+    val allTriples = triples.toDF("a", "b", "c")
+    val nUsers = events.select(countDistinct(col("user_id")).as("n_users"))
+    allTriples
+      .join(supported, Seq("a", "b", "c"), "left")
+      .crossJoin(broadcast(nUsers))
+      .select(col("a"), col("b"), col("c"),
+        coalesce(col("n_support"), lit(0L)).as("n_support"),
+        col("n_users"),
+        expr("coalesce(n_support, 0L) * 1000000L div n_users").as("support_ppm"))
+  }
+
   /** MATCH_RECOGNIZE-lite: per-user event-sequence pattern counting by
     * encoding each user's (ts, event_id)-ordered event-type INITIALS
     * as one string and counting non-overlapping regex matches — the

@@ -89,6 +89,39 @@ class EventsSpec extends AnyFunSuite with SparkTest {
     assert(out2("c") == 1.0, "dead-end state settles at exactly 1")
   }
 
+  test("subsequenceSupport: gap-tolerant order, strict middle, same-type triple, zero rows") {
+    val s = spark; import s.implicits._
+    // user 1: v(0) c(1) e(2) p(3)      -> supports (v,c,p) and (v,e,p)
+    // user 2: c(0) v(1) p(2)           -> supports (c,v,p); NOT (v,c,p)
+    //                                      (no c strictly after first v)
+    // user 3: p(0) p(1) p(2)           -> supports (p,p,p) (middle strict)
+    // user 4: p(0) p(1)                -> two purchases only: no (p,p,p)
+    val rows = Seq(
+      (1L, 1L, 0, "view"), (2L, 1L, 1, "click"), (3L, 1L, 2, "error"), (4L, 1L, 3, "purchase"),
+      (5L, 2L, 0, "click"), (6L, 2L, 1, "view"), (7L, 2L, 2, "purchase"),
+      (8L, 3L, 0, "purchase"), (9L, 3L, 1, "purchase"), (10L, 3L, 2, "purchase"),
+      (11L, 4L, 0, "purchase"), (12L, 4L, 1, "purchase"))
+    val ev = rows.map { case (e, u, sec, t) =>
+      (e, u, f"2024-01-01 10:00:$sec%02d", t)
+    }.toDF("event_id", "user_id", "ts", "event_type")
+      .withColumn("ts", to_timestamp($"ts"))
+    val out = Events.subsequenceSupport(ev, Seq(
+        ("view", "click", "purchase"),
+        ("view", "error", "purchase"),
+        ("click", "view", "purchase"),
+        ("purchase", "purchase", "purchase"),
+        ("error", "signup", "purchase")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out(("view", "click", "purchase")) == ((1L, 4L, 250000L)))
+    assert(out(("view", "error", "purchase")) == ((1L, 4L, 250000L)))
+    assert(out(("click", "view", "purchase")) == ((1L, 4L, 250000L)))
+    assert(out(("purchase", "purchase", "purchase")) == ((1L, 4L, 250000L)),
+      "two purchases must not support the same-type triple")
+    assert(out(("error", "signup", "purchase")) == ((0L, 4L, 0L)),
+      "unsupported triples emit a zero row, not absence")
+  }
+
   test("markov family: an observed type outside the pinned list fails the job") {
     val s = spark; import s.implicits._
     val ev = Seq(

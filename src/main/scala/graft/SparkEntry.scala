@@ -4355,6 +4355,35 @@ object SparkEntry {
       hist.unionByName(delta).groupBy("event_type", "reg")
         .agg(max("max_rho").cast("int").as("max_rho"))
     }),
+    "q_rolling_quantile" -> ((s, d) =>
+      // the p50/p90-over-trailing-7-days dashboard from mergeable
+      // daily grid histograms: one combinable daily (type, day, cell)
+      // count is the only data-sized pass; the rolling merge is a
+      // RANGE-frame sum on the calendar x cells grid and the quantile
+      // reads off each day's cumulative cells by the exact integer
+      // rank rule — GridQuantileAgg's CRDT merge applied on the time
+      // axis, the rolling-HLL discipline for quantiles
+      graft.operators.Quantiles.rollingGridQuantile(
+        rd(s, d, "events"), "event_type", to_date(col("ts")),
+        round(col("value") * 100).cast("long"),
+        gridLo, gridWidth, gridBins, windowDays = 7,
+        probes = Seq((1, 2, "p50_hi"), (9, 10, "p90_hi")))),
+    "incr_topk_maintain" -> ((s, d) => {
+      // O(delta) leaderboard maintenance: per-type top-3 users by MAX
+      // cents — the monotone-boundary shape where topk(state ∪
+      // delta-topk) is exact; the oracle rebuilds from ALL events, so
+      // a green row proves merge == rebuild without history rescans
+      val ev = rd(s, d, "events")
+      val cutoff = to_timestamp(lit("2024-01-28 00:00:00"))
+      val cents = round(col("value") * 100).cast("long")
+      val empty = ev.select(col("event_type"), col("user_id"),
+        cents.as("max_v")).limit(0)
+      val state = Incremental.updateTopK(empty,
+        ev.filter(col("ts") < cutoff), "event_type", "user_id", cents, k = 3)
+      Incremental.updateTopK(
+        state.select("event_type", "user_id", "max_v"),
+        ev.filter(col("ts") >= cutoff), "event_type", "user_id", cents, k = 3)
+    }),
     "q_sketch_quantiles" -> ((s, d) => {
       // mergeable fixed-grid quantile sketch (GridQuantileAgg): ONE
       // combinable aggregate builds the per-type histogram (config-
@@ -6850,6 +6879,13 @@ object SparkEntry {
         "CROSS JOIN tot"
     },
     "incr_hll_maintain" -> OracleSql.hllRegisters(64),
+    // full rebuild over ALL events == the O(delta) topk merge
+    "incr_topk_maintain" ->
+      ("WITH m AS (SELECT event_type, user_id, " +
+        "max(CAST(round(value * 100) AS BIGINT)) AS max_v FROM events GROUP BY 1, 2) " +
+        "SELECT event_type, CAST(rnk AS INT) AS rnk, user_id, max_v FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY max_v DESC, user_id) AS rnk FROM m) " +
+        "WHERE rnk <= 3"),
     // bit-exact replay of the GridQuantileAgg pipeline: same pinned
     // grid constants, floor-division bucket, integer rank rule
     // cum*den >= n*num, upper-edge estimate
@@ -6869,6 +6905,30 @@ object SparkEntry {
     // the four-batch replayed fold must land on the same rebuild
     "stream_gridq_replay" ->
       (s"WITH $gridBucketCte SELECT event_type, b, CAST(c AS BIGINT) AS cnt FROM h"),
+    // same grid, rolled on the time axis: dense calendar x cells grid,
+    // RANGE 6-preceding window, identical rank rule and upper edges
+    "q_rolling_quantile" ->
+      ("WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, " +
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events), " +
+        s"dd AS (SELECT event_type, day, LEAST(GREATEST((cents - $gridLo) // $gridWidth, 0), ${gridBins - 1}) AS b, " +
+        "count(*) AS c FROM e GROUP BY 1, 2, 3), " +
+        "days AS (SELECT DISTINCT event_type, day FROM dd), " +
+        s"bins AS (SELECT unnest(generate_series(0, ${gridBins - 1})) AS b), " +
+        "g AS (SELECT days.event_type, days.day, bins.b FROM days CROSS JOIN bins), " +
+        "w AS (SELECT g.event_type, g.day, g.b, " +
+        "sum(coalesce(dd.c, 0)) OVER (PARTITION BY g.event_type, g.b " +
+        "ORDER BY date_diff('day', DATE '1970-01-01', g.day) " +
+        "RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS wc " +
+        "FROM g LEFT JOIN dd ON dd.event_type = g.event_type AND dd.day = g.day AND dd.b = g.b), " +
+        "cm AS (SELECT event_type, day, b, wc, " +
+        "sum(wc) OVER (PARTITION BY event_type, day ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum, " +
+        "sum(wc) OVER (PARTITION BY event_type, day) AS n FROM w), " +
+        "p AS (SELECT event_type, day, CAST(max(n) AS BIGINT) AS n_window, " +
+        "min(CASE WHEN cum * 2 >= n THEN b END) AS q50, " +
+        "min(CASE WHEN cum * 10 >= n * 9 THEN b END) AS q90 " +
+        "FROM cm WHERE n > 0 GROUP BY 1, 2) " +
+        s"SELECT event_type, day, n_window, CAST($gridLo + (q50 + 1) * $gridWidth AS BIGINT) AS p50_hi, " +
+        s"CAST($gridLo + (q90 + 1) * $gridWidth AS BIGINT) AS p90_hi FROM p"),
     "stream_hll_replay" -> OracleSql.hllRegisters(64),
     "seq_pattern_regex" ->
       ("WITH seqs AS (SELECT user_id, count(*) AS n_events, " +

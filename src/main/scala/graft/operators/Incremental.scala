@@ -41,6 +41,54 @@ object Incremental {
         (coalesce(col(sumCol), lit(0L)) + coalesce(col(s"__d_$sumCol"), lit(0L))).as(sumCol)): _*)
   }
 
+  /** Insert-only top-k maintenance: fold a raw-row delta into a
+    * materialized per-group top-k BY MAX — leaderboards, per-tenant
+    * worst-latency boards, hottest-key tables — in O(delta).
+    *
+    * Why max (not sum): under inserts a key's max only grows, so the
+    * k-th boundary is monotone and the merge `topk(state ∪
+    * delta-topk)` is EXACT: a key that newly enters the true top-k
+    * must owe its rank to its delta max, and any key ahead of it in
+    * the delta order stays ahead after merging (new max ≥ delta max,
+    * ids are fixed) — so it already sits inside the delta's own top-k.
+    * A SUM-ranked board has no such boundary (a hidden key's total can
+    * overtake invisibly) — that shape needs the full per-key aggregate
+    * ([[updateCounts]]) underneath, which is the documented trade.
+    *
+    * Determinism: the order is (max desc, key asc) — a total order, so
+    * boundary ties resolve identically in state, delta, and rebuild.
+    *
+    * @param prev materialized (groupCol, keyCol, maxCol) rows — at
+    *             most k per group (the previous call's output)
+    * @return refreshed (groupCol, rnk, keyCol, maxCol), ≤ k per group —
+    *         equal to rebuilding from all history+delta rows
+    */
+  def updateTopK(
+      prev: DataFrame,
+      delta: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      valueExpr: org.apache.spark.sql.Column,
+      k: Int,
+      maxCol: String = "max_v"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(maxCol).desc, col(keyCol))
+    val dTop = delta
+      .groupBy(col(groupCol), col(keyCol))
+      .agg(max(valueExpr).as(maxCol))
+      .withColumn("__rnk", row_number().over(w))
+      .where(col("__rnk") <= k)
+      .drop("__rnk")
+    prev.select(col(groupCol), col(keyCol), col(maxCol))
+      .unionByName(dTop)
+      .groupBy(col(groupCol), col(keyCol))
+      .agg(max(col(maxCol)).as(maxCol))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col(groupCol), col("rnk"), col(keyCol), col(maxCol))
+  }
+
   /** Retraction-aware fold: the CDC / right-to-be-forgotten path.
     *
     * `delta` rows carry `opExpr` ∈ {+1 insert, −1 retract}; counts and

@@ -69,6 +69,71 @@ object Quantiles {
         .as("est"))
   }
 
+  /** Trailing-window quantiles from mergeable daily grid histograms —
+    * the "p50/p90 over the last 7 days, every day" dashboard, built
+    * the way 100 TB percentile monitoring has to be: the ONLY
+    * data-sized pass is the daily (group, day, cell) count (one
+    * combinable aggregate); the rolling merge is a RANGE-frame SUM
+    * over the calendar × cells × groups grid (corpus-independent —
+    * the CRDT count-addition merge of
+    * [[graft.functions.GridQuantileAgg]] applied on the time axis,
+    * exactly as the rolling-HLL operator merges registers), and the
+    * quantile reads off each day's cumulative cells by the exact
+    * integer rank rule cum·den ≥ n·num (upper cell edge — the same
+    * pinned pick as the sketch gates).
+    *
+    * Cells are CONFIG (`lo`/`width`/`nBins`, out-of-range clamps into
+    * the edge cells); probes are exact fractions (num, den, name).
+    * Days come off the daily count table (any day with data has a
+    * row) — no second corpus scan.
+    */
+  def rollingGridQuantile(
+      df: DataFrame,
+      groupCol: String,
+      dayCol: org.apache.spark.sql.Column,
+      valueCol: org.apache.spark.sql.Column,
+      lo: Long,
+      width: Long,
+      nBins: Int,
+      windowDays: Int,
+      probes: Seq[(Int, Int, String)]): DataFrame = {
+    require(width >= 1 && nBins >= 2 && windowDays >= 1)
+    require(probes.nonEmpty && probes.forall { case (n, d, _) => n > 0 && n <= d })
+    val spark = df.sparkSession
+    val bin = least(greatest(
+      expr(s"CAST((__v - $lo) AS BIGINT) div $width"), lit(0L)),
+      lit((nBins - 1).toLong))
+    val daily = Caches.persisted(df
+      .withColumn("__v", valueCol).withColumn("__day", dayCol)
+      .groupBy(col(groupCol), col("__day"), bin.as("b"))
+      .agg(count(lit(1)).as("c")))
+    val days = daily.select(col(groupCol), col("__day")).distinct()
+    val bins = spark.range(nBins).select(col("id").as("b"))
+    val grid = days.crossJoin(broadcast(bins)) // calendar × cells × groups
+    val wRoll = Window.partitionBy(col(groupCol), col("b"))
+      .orderBy(col("__x")).rangeBetween(-(windowDays - 1).toLong, 0L)
+    val windowed = grid.join(daily, Seq(groupCol, "__day", "b"), "left")
+      .withColumn("__x", datediff(col("__day"), to_date(lit("1970-01-01"))))
+      .withColumn("wc", sum(coalesce(col("c"), lit(0L))).over(wRoll))
+    val wCum = Window.partitionBy(col(groupCol), col("__day"))
+      .orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = windowed
+      .withColumn("cum", sum(col("wc")).over(wCum))
+      .withColumn("n", sum(col("wc")).over(
+        Window.partitionBy(col(groupCol), col("__day"))))
+      .where(col("n") > 0)
+    val picks = probes.map { case (num, den, name) =>
+      min(when(col("cum") * den >= col("n") * num, col("b"))).as(s"__qb_$name")
+    }
+    val agg = cum.groupBy(col(groupCol), col("__day").as("day"), col("n"))
+      .agg(picks.head, picks.tail: _*)
+    probes.foldLeft(agg) { case (d0, (_, _, name)) =>
+      d0.withColumn(name, lit(lo) + (col(s"__qb_$name") + 1) * lit(width))
+        .drop(s"__qb_$name")
+    }.withColumnRenamed("n", "n_window")
+  }
+
   /** Equi-depth (quantile) binning — the standard feature
     * discretization: assign each row the index of its quantile bucket,
     * so every bin holds ~1/nBins of the data regardless of the value

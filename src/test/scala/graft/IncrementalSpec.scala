@@ -119,4 +119,38 @@ class IncrementalSpec extends AnyFunSuite with SparkTest {
     assert(exec.contains("BroadcastHashJoin"),
       s"the dim delta must broadcast against old facts:\n$exec")
   }
+
+  test("updateTopK: hidden key enters via its delta max; boundary ties stable; merge == rebuild") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    // history: g1 keys 1..4 with maxes 40,30,20,10 -> top3 = 1,2,3
+    val hist = Seq(("g1", 1L, 40L), ("g1", 1L, 10L), ("g1", 2L, 30L),
+      ("g1", 3L, 20L), ("g1", 4L, 10L)).toDF("g", "k", "v")
+    val empty = hist.select(col("g"), col("k"), col("v").as("max_v")).limit(0)
+    val st = Incremental.updateTopK(empty, hist, "g", "k", col("v"), k = 3)
+    assert(st.collect().map(r => (r.getInt(1), r.getLong(2))).sorted.toSeq ==
+      Seq((1, 1L), (2, 2L), (3, 3L)))
+    // delta: key 4 (hidden: its old max 10 is NOT in state) jumps to 35
+    // -> must enter at rank 2; key 2's retained 30 holds rank 3 (key
+    // 9's 25 stays out); key 3 falls off the board
+    val delta = Seq(("g1", 4L, 35L), ("g1", 9L, 25L), ("g1", 1L, 5L)).toDF("g", "k", "v")
+    val next = Incremental.updateTopK(
+      st.select("g", "k", "max_v"), delta, "g", "k", col("v"), k = 3)
+    val got = next.collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    // rebuild from all rows
+    val all = hist.unionByName(delta)
+    val rebuilt = Incremental.updateTopK(empty, all, "g", "k", col("v"), k = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    assert(got == rebuilt)
+    assert(got == Seq((1, 1L, 40L), (2, 4L, 35L), (3, 2L, 30L)))
+    // boundary tie: two keys at the same max resolve by key id in both paths
+    val tieHist = Seq(("g", 7L, 50L), ("g", 8L, 50L), ("g", 9L, 50L), ("g", 10L, 50L))
+      .toDF("g", "k", "v")
+    val tSt = Incremental.updateTopK(empty, tieHist, "g", "k", col("v"), k = 3)
+    assert(tSt.collect().map(_.getLong(2)).sorted.toSeq == Seq(7L, 8L, 9L))
+    val tNext = Incremental.updateTopK(tSt.select("g", "k", "max_v"),
+      Seq(("g", 6L, 50L)).toDF("g", "k", "v"), "g", "k", col("v"), k = 3)
+    assert(tNext.collect().map(_.getLong(2)).sorted.toSeq == Seq(6L, 7L, 8L),
+      "a tied smaller id must displace the boundary key")
+  }
 }

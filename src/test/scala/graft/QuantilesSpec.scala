@@ -90,4 +90,26 @@ class QuantilesSpec extends AnyFunSuite with SparkTest {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rep == out)
   }
+
+  test("rollingGridQuantile: trailing window merges daily cells; day gaps respected") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    // group a: day1 -> 5; day2 -> 25, 35; day5 -> 95 (outside day2's
+    // 2-day window). Grid: lo 0, width 10, 8 cells.
+    val df = Seq(
+      ("a", "2024-01-01", 5L),
+      ("a", "2024-01-02", 25L), ("a", "2024-01-02", 35L),
+      ("a", "2024-01-05", 95L)).toDF("g", "day", "v")
+      .withColumn("day", to_date($"day"))
+    val out = Quantiles.rollingGridQuantile(df, "g", col("day"), col("v"),
+        lo = 0L, width = 10L, nBins = 8, windowDays = 2,
+        probes = Seq((1, 2, "p50_hi")))
+      .collect().map(r => r.getDate(1).toString -> ((r.getLong(2), r.getLong(3)))).toMap
+    // day1: {5} -> p50 cell 0, hi edge 10
+    assert(out("2024-01-01") == ((1L, 10L)))
+    // day2 window = day1+day2: {5,25,35}, rank 2 -> cell 2, hi edge 30
+    assert(out("2024-01-02") == ((3L, 30L)))
+    // day5 window = day4+day5: only {95} -> clamped into cell 7, hi 80
+    assert(out("2024-01-05") == ((1L, 80L)))
+  }
 }

@@ -4355,6 +4355,25 @@ object SparkEntry {
       hist.unionByName(delta).groupBy("event_type", "reg")
         .agg(max("max_rho").cast("int").as("max_rho"))
     }),
+    "seq_seasonal_adjust" -> ((s, d) => {
+      // seasonal adjustment, integer-exact: daily revenue vs its
+      // day-of-week mean — residual carried as the cross-multiplied
+      // numerator cents·n_dow − sum_dow (no float division anywhere),
+      // positive = above the weekday's norm. The corpus collapses to
+      // the daily series first; the dow profile is a 7-row broadcast
+      val daily = rd(s, d, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      // Spark dayofweek is 1=Sunday, DuckDB's dow() is 0=Sunday —
+      // both sides emit the 0-based convention (the heatmap alignment)
+      val dowd = daily.withColumn("dow", dayofweek(col("day")) - 1)
+      val prof = dowd.groupBy("dow")
+        .agg(count(lit(1)).as("n_dow"), sum(col("cents")).as("sum_dow"))
+      dowd.join(broadcast(prof), Seq("dow"))
+        .select(col("day"), col("dow").cast("long").as("dow"),
+          col("cents"), col("n_dow"), col("sum_dow"),
+          (col("cents") * col("n_dow") - col("sum_dow")).as("resid_num"))
+    }),
     "q_rolling_quantile" -> ((s, d) =>
       // the p50/p90-over-trailing-7-days dashboard from mergeable
       // daily grid histograms: one combinable daily (type, day, cell)
@@ -6477,6 +6496,14 @@ object SparkEntry {
       ("SELECT CAST(date_part('dow', ts) AS INT) AS dow, CAST(date_part('hour', ts) AS INT) AS hod, " +
         "count(*) AS n_events, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c " +
         "FROM events GROUP BY 1, 2"),
+    "seq_seasonal_adjust" ->
+      ("WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents FROM orders GROUP BY 1), " +
+        "dw AS (SELECT day, CAST(date_part('dow', day) AS BIGINT) AS dow, cents FROM daily), " +
+        "prof AS (SELECT dow, count(*) AS n_dow, CAST(sum(cents) AS BIGINT) AS sum_dow FROM dw GROUP BY 1) " +
+        "SELECT dw.day, dw.dow, dw.cents, prof.n_dow, prof.sum_dow, " +
+        "CAST(dw.cents * prof.n_dow - prof.sum_dow AS BIGINT) AS resid_num " +
+        "FROM dw JOIN prof ON prof.dow = dw.dow"),
     "orders_seasonality" ->
       ("WITH m AS (SELECT CAST(month(o_orderdate) AS INT) AS mo, count(*) AS n_orders, " +
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c FROM orders GROUP BY 1), " +

@@ -182,6 +182,12 @@ object Layout {
       .groupBy(col("file"), expr("p div 64").as("word_idx"))
       .agg(call_function("bit_or",
         expr("shiftleft(1L, CAST(p % 64 AS INT))")).as("word"))
+      // the (bits, hashes) that built this manifest ride IN it: a probe
+      // with different parameters would silently produce FALSE
+      // NEGATIVES (missing rows), so readBloomPruned validates against
+      // these instead of trusting its caller
+      .withColumn("bits", lit(bits))
+      .withColumn("hashes", lit(hashes))
   }
 
   /** Point lookup through the Bloom manifest: open only files whose
@@ -194,6 +200,15 @@ object Layout {
     */
   def readBloomPruned(spark: SparkSession, path: String, manifest: DataFrame,
       keyCol: String, value: Column, bits: Int = 65536, hashes: Int = 4): DataFrame = {
+    // no-false-negatives depends on probing with the manifest's OWN
+    // (bits, hashes); reject a mismatched caller (manifests built
+    // before the meta columns existed are trusted as passed)
+    if (manifest.columns.contains("bits")) {
+      val meta = manifest.select("bits", "hashes").head()
+      require(meta.getInt(0) == bits && meta.getInt(1) == hashes,
+        s"bloom manifest was built with bits=${meta.getInt(0)}, hashes=${meta.getInt(1)}; " +
+          s"probing with ($bits, $hashes) would drop rows")
+    }
     val probe = spark.range(1)
       .select(array((0 until hashes).map(i =>
         pmod(xxhash64(lit(i), value), lit(bits.toLong))): _*).as("ps"))

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.operators.{Merge, MergeSpec}
 
@@ -16,24 +16,59 @@ import graft.operators.{Merge, MergeSpec}
   * still rewrites that partition end to end. Here a merge appends ONLY
   * the post-merge row images of the touched keys (write I/O = O(changed
   * rows), not O(partition)), and the read view reconciles
-  * base − superseded + latest-delta in one broadcast anti-join — the
-  * Hudi MoR / Iceberg merge-on-read shape, built on the same primitives
-  * the rest of the warehouse uses.
+  * base − superseded + latest-delta in one anti-join — the Hudi MoR /
+  * Iceberg merge-on-read shape, built on the same primitives the rest
+  * of the warehouse uses.
   *
   * Layout under `dir`:
   * {{{
-  *   <table>.morbase/<gen>/    immutable base generations (parquet)
-  *   <table>.mordelta/<seq>/   immutable delta files (post-merge images)
-  *   <table>.mor               one-line manifest (atomic rename-replace)
+  *   <table>.morbase/<gen>/        immutable base generations (parquet;
+  *                                 partitioned tables: partCol=... dirs)
+  *   <table>.mordelta/<seq>/       immutable delta files (post-merge images)
+  *   <table>.mordelta/<seq>.claim  create-exclusive writer claims
+  *   <table>.morbloom/<gen>/       optional per-file Bloom manifest
+  *   <table>.mor                   one-line manifest (atomic rename-replace)
   * }}}
   *
-  * The manifest (`base=<gen>;from=<a>;to=<b>;batch=<id>;keys=<k,...>`)
-  * is the single commit point, replaced like [[Warehouse.Pointer]]'s
-  * pointer file: readers resolve base generation + delta range
-  * atomically, and every referenced directory is immutable — no crash
-  * window, nothing to heal. A crash after a delta/base write but
-  * before its manifest commit leaves an unreferenced directory that
-  * the next write at that position overwrites.
+  * The manifest is the single commit point, replaced like
+  * [[Warehouse.Pointer]]'s pointer file: readers resolve base
+  * generation(s) + delta range atomically, and every referenced
+  * directory is immutable — no crash window, nothing to heal. A crash
+  * after a delta/base write but before its manifest commit leaves an
+  * unreferenced directory that the next write at that position
+  * overwrites.
+  *
+  * ==Partition-scoped tables==
+  *
+  * [[initPartitioned]] lays the base out directory-partitioned on a
+  * partition column and records a per-partition map
+  * (value → generation → rows) in the manifest. [[compact]] then folds
+  * ONLY the DIRTY partitions — those the live delta chain touches —
+  * into the next generation; clean partitions are never read, copied,
+  * or rewritten (their manifest entries keep pointing at the older
+  * generation). That closes the scale gap of flat compaction, which is
+  * O(table) regardless of how few keys the chain touched: at 100 TB a
+  * chain touching 3 of 1000 date partitions compacts in I/O
+  * proportional to those 3. Read fan-in (generations referenced by the
+  * map) is bounded by `maxGenerations`: a compaction that would exceed
+  * it folds everything — the rare, amortized full rewrite.
+  *
+  * Partition contract (same as [[Merge.scd1PartitionScoped]]): a key's
+  * partition value never changes — the canonical layout where the
+  * partition derives from an immutable attribute of the key
+  * (date-partitioned facts). Upsert sources SHOULD carry the partition
+  * column (enables partition-pruned merge reads; required for inserts);
+  * delete key-sets MUST carry it (a tombstone is routed by it).
+  *
+  * ==Concurrency==
+  *
+  * Writers are serialized by create-exclusive CLAIM files on the next
+  * delta sequence: a writer that loses the claim race re-reads the
+  * manifest and retries on the fresh state, and a claim held by a
+  * crashed or still-running peer fails the second writer LOUDLY
+  * ([[ConcurrentWriterException]]) instead of silently dropping a
+  * commit (rename-replace alone is last-writer-wins). After a confirmed
+  * writer crash, [[releaseStaleClaims]] reclaims uncommitted claims.
   *
   * Batch-id idempotence rides the manifest: [[deltaMerge]] carries the
   * caller's monotone `batchId`, and a crash-replayed batch (id ≤ the
@@ -46,25 +81,138 @@ import graft.operators.{Merge, MergeSpec}
   * current read view restricted to the source's keys — so ANY MergeSpec
   * (updateCols subsets, audit stamps, touchCols) reconciles exactly to
   * the eager copy-on-write result under last-writer-wins per key.
-  * Deletes are out of scope (a tombstone marker column would slot into
-  * the same reconcile — see [[deltaDelete]]); `nullSafeKeys` is
-  * rejected (the broadcast anti-join below is null-strict).
+  * `nullSafeKeys` is rejected (the reconcile anti-join is null-strict);
+  * the source must be UNIQUE on the merge keys, and [[deltaMerge]]
+  * verifies that with one batch-sized aggregate (duplicate key images
+  * inside one delta would make the latest-image window nondeterministic).
   *
   * Scale shape of [[readView]]: the base is scanned once and NEVER
-  * shuffled — superseded keys drop via a broadcast anti-join on the
-  * live delta keys (deltas are compact by contract; compact when they
-  * are not), and the latest-image resolution windows over delta rows
-  * only. [[compact]] folds the chain back into a new base generation
-  * when the delta fraction crosses the caller's threshold.
+  * shuffled — superseded keys drop via an anti-join on the live delta
+  * keys. The delta side broadcasts while the chain's on-disk bytes stay
+  * under `broadcastDeltaBytesLimit` (a filesystem-metadata check, zero
+  * jobs); past it the anti-join runs as a shuffled join — slower, but a
+  * plan change instead of a driver OOM when compaction falls behind.
   */
 object MergeOnRead {
 
+  /** A second writer raced this one and neither can proceed safely —
+    * the single-writer contract, enforced instead of implicit. Retry
+    * after the peer commits, or [[releaseStaleClaims]] after a
+    * confirmed crash.
+    */
+  final class ConcurrentWriterException(msg: String) extends RuntimeException(msg)
+
+  /** Names that survive the ';'/'='/','-delimited manifest line and
+    * directory encoding without escaping — the same discipline the
+    * warehouse uses for directory names.
+    */
+  private val SafeName = "[A-Za-z0-9._-]+".r
+  private def requireSafe(kind: String, names: Seq[String]): Unit =
+    names.foreach(n => require(SafeName.matches(n),
+      s"$kind '$n' must match [A-Za-z0-9._-]+ (manifest/directory encoding)"))
+
+  private def enc(v: String): String = java.net.URLEncoder.encode(v, "UTF-8")
+  private def dec(v: String): String = java.net.URLDecoder.decode(v, "UTF-8")
+
+  /** Undo Spark's partition-directory escaping (%XX hex pairs only —
+    * unlike URL decoding, a literal '+' is NOT a space here).
+    */
+  private def unescapePartitionDir(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Default reconcile-broadcast bound: live delta chains under this
+    * many on-disk bytes broadcast their key set; larger chains fall
+    * back to a shuffled anti-join (see class doc).
+    */
+  val BroadcastDeltaBytesDefault: Long = 256L << 20
+
+  /** One-line manifest. Core fields are round-1 compatible; the
+    * optional fields below parse as empty/unknown from older manifests
+    * on disk:
+    *
+    *   - `deltaRows`: per-live-delta row counts, trusted only when
+    *     aligned with the live chain — makes [[compact]]'s ratio guard
+    *     and [[deltaRowCounts]] metadata-only (no per-delta count jobs
+    *     on the hot streaming path).
+    *   - `baseRows`: total base rows (−1 = unknown → counted on demand).
+    *   - `partCol`/`partType`/`cols`: partition-scoped layout (column,
+    *     its Spark type for exact round-trip through directory
+    *     encoding, and the data column order, which a partitioned read
+    *     would otherwise lose).
+    *   - `pmap`: (partition value, generation, rows) — which generation
+    *     holds each partition's live copy. Values are URL-encoded so
+    *     ANY string survives the line format.
+    *   - `grace`: (generation, value) partition dirs displaced by the
+    *     LAST compaction, retained one cycle for in-flight readers and
+    *     deleted by the next compaction.
+    *   - `bloomBits`/`bloomHashes`: per-file Bloom manifest parameters
+    *     (0 = no bloom index).
+    */
   final case class Manifest(
       baseGen: Long, deltaFrom: Long, deltaTo: Long,
-      lastBatch: Long, keys: Seq[String]) {
+      lastBatch: Long, keys: Seq[String],
+      deltaRows: Seq[Long] = Nil,
+      baseRows: Long = -1L,
+      partCol: Option[String] = None,
+      partType: String = "string",
+      cols: Seq[String] = Nil,
+      schemaDdl: String = "",
+      pmap: Seq[(String, Long, Long)] = Nil,
+      grace: Seq[(Long, String)] = Nil,
+      bloomBits: Int = 0,
+      bloomHashes: Int = 0) {
     def deltaSeqs: Seq[Long] = deltaFrom to deltaTo
-    def serialize: String =
-      s"base=$baseGen;from=$deltaFrom;to=$deltaTo;batch=$lastBatch;keys=${keys.mkString(",")}"
+    /** Row counts are usable only when they track the live chain. */
+    def rowsAligned: Boolean = deltaRows.size == deltaSeqs.size
+    def serialize: String = {
+      val core = s"base=$baseGen;from=$deltaFrom;to=$deltaTo;batch=$lastBatch;keys=${keys.mkString(",")}"
+      val opt = Seq(
+        if (rowsAligned && deltaRows.nonEmpty) s"rows=${deltaRows.mkString(",")}" else "",
+        if (baseRows >= 0) s"baserows=$baseRows" else "",
+        partCol.map(c => s"part=$c;parttype=$partType;cols=${cols.mkString(",")}" +
+          s";schema=${enc(schemaDdl)}").getOrElse(""),
+        if (pmap.nonEmpty) s"pmap=${pmap.map { case (v, g, n) => s"${enc(v)}:$g:$n" }.mkString(",")}" else "",
+        if (grace.nonEmpty) s"grace=${grace.map { case (g, v) => s"$g:${enc(v)}" }.mkString(",")}" else "",
+        if (bloomBits > 0) s"bloom=$bloomBits:$bloomHashes" else ""
+      ).filter(_.nonEmpty)
+      (core +: opt).mkString(";")
+    }
+  }
+
+  private def parseManifest(line: String): Manifest = {
+    val kv = line.trim.split(";").map { p =>
+      val Array(k, v) = p.split("=", 2); k -> v
+    }.toMap
+    Manifest(
+      baseGen = kv("base").toLong,
+      deltaFrom = kv("from").toLong,
+      deltaTo = kv("to").toLong,
+      lastBatch = kv("batch").toLong,
+      keys = kv("keys").split(",").toSeq,
+      deltaRows = kv.get("rows").map(_.split(",").toSeq.filter(_.nonEmpty).map(_.toLong)).getOrElse(Nil),
+      baseRows = kv.get("baserows").map(_.toLong).getOrElse(-1L),
+      partCol = kv.get("part"),
+      partType = kv.getOrElse("parttype", "string"),
+      cols = kv.get("cols").map(_.split(",").toSeq).getOrElse(Nil),
+      schemaDdl = kv.get("schema").map(dec).getOrElse(""),
+      pmap = kv.get("pmap").map(_.split(",").toSeq.map { e =>
+        val Array(v, g, n) = e.split(":", 3); (dec(v), g.toLong, n.toLong)
+      }).getOrElse(Nil),
+      grace = kv.get("grace").map(_.split(",").toSeq.map { e =>
+        val Array(g, v) = e.split(":", 2); (g.toLong, dec(v))
+      }).getOrElse(Nil),
+      bloomBits = kv.get("bloom").map(_.split(":")(0).toInt).getOrElse(0),
+      bloomHashes = kv.get("bloom").map(_.split(":")(1).toInt).getOrElse(0))
   }
 
   private def manifestPath(dir: String, table: String) = new Path(s"$dir/$table.mor")
@@ -72,6 +220,10 @@ object MergeOnRead {
     new Path(s"$dir/$table.morbase/$gen")
   private def deltaPath(dir: String, table: String, seq: Long) =
     new Path(s"$dir/$table.mordelta/$seq")
+  private def claimPath(dir: String, table: String, seq: Long) =
+    new Path(s"$dir/$table.mordelta/$seq.claim")
+  private def bloomPath(dir: String, table: String, gen: Long) =
+    new Path(s"$dir/$table.morbloom/$gen")
 
   private def fsOf(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -81,18 +233,29 @@ object MergeOnRead {
 
   def manifest(spark: SparkSession, dir: String, table: String): Manifest = {
     val fs = fsOf(spark, dir)
-    val in = fs.open(manifestPath(dir, table))
-    val line = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
-    val kv = line.split(";").map { p =>
-      val Array(k, v) = p.split("=", 2); k -> v
-    }.toMap
-    Manifest(kv("base").toLong, kv("from").toLong, kv("to").toLong,
-      kv("batch").toLong, kv("keys").split(",").toSeq)
+    // readers racing a commit retry briefly: the replace is atomic on
+    // HDFS/posix-rename stores, but some filesystems implement
+    // overwrite-rename as delete+rename with a microscopic absent
+    // window
+    var last: java.io.IOException = null
+    var attempt = 0
+    while (attempt < 5) {
+      try {
+        val in = fs.open(manifestPath(dir, table))
+        val line = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+        return parseManifest(line)
+      } catch {
+        case e: java.io.FileNotFoundException => last = e; attempt += 1; Thread.sleep(10)
+      }
+    }
+    throw last
   }
 
   /** Atomic manifest commit: tmp file + rename-replace (the
     * [[Warehouse.Pointer]] protocol — a reader sees the old or the new
-    * manifest, never an absent or partial one).
+    * manifest, never an absent or partial one). Commit ORDER against
+    * concurrent writers is serialized by the delta-seq claims, not by
+    * this rename.
     */
   private def commit(spark: SparkSession, dir: String, table: String, m: Manifest): Unit = {
     val fs = fsOf(spark, dir)
@@ -100,17 +263,77 @@ object MergeOnRead {
     val tmp = new Path(ptr.toString + ".tmp")
     val out = fs.create(tmp, true)
     try out.write((m.serialize + "\n").getBytes("UTF-8")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      ptr.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    if (fs.getScheme == "file") {
+      // RawLocalFs implements overwrite-rename as delete+rename — a
+      // reader-visible absent window; posix rename(2) replaces
+      // atomically
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(ptr.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        ptr.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
   }
 
-  /** Create the table: base generation 1, empty delta chain. */
-  def init(df: DataFrame, dir: String, table: String, keys: Seq[String]): Unit = {
+  /** Count rows of freshly-written parquet — a footer-statistics job
+    * (no data pages read), how writers record [[Manifest.deltaRows]] /
+    * [[Manifest.baseRows]] at write time so later ratio checks are
+    * metadata-only.
+    */
+  private def countWritten(spark: SparkSession, p: Path): Long =
+    spark.read.parquet(p.toString).count()
+
+  /** Create the table: base generation 1, empty delta chain. Single
+    * writer (bootstrap is a batch concern); re-running replaces the
+    * table. `bloomBits`/`bloomHashes` > 0 additionally build a per-file
+    * Bloom manifest over the (single) key column, which [[deltaMerge]]
+    * uses to open only base files that may contain a touched key.
+    */
+  def init(df: DataFrame, dir: String, table: String, keys: Seq[String],
+      bloomBits: Int = 0, bloomHashes: Int = 4): Unit = {
     require(keys.nonEmpty, "merge-on-read tables are keyed")
+    requireSafe("key column", keys)
+    require(bloomBits == 0 || keys.size == 1,
+      "the Bloom index covers single-key tables (composite keys: partition-scope instead)")
     val spark = df.sparkSession
     df.write.mode("overwrite").parquet(basePath(dir, table, 1L).toString)
-    commit(spark, dir, table, Manifest(1L, 1L, 0L, -1L, keys))
+    val n = countWritten(spark, basePath(dir, table, 1L))
+    if (bloomBits > 0) writeBloom(spark, dir, table, 1L, keys.head, bloomBits, bloomHashes)
+    commit(spark, dir, table, Manifest(1L, 1L, 0L, -1L, keys,
+      baseRows = n, bloomBits = bloomBits, bloomHashes = if (bloomBits > 0) bloomHashes else 0))
+  }
+
+  /** Create a PARTITION-SCOPED table: base generation 1 laid out
+    * `partCol=value` directory-partitioned, with the per-partition map
+    * committed in the manifest. NULL partition values are rejected
+    * (they have no directory identity). See the class doc for the
+    * partition contract.
+    */
+  def initPartitioned(df: DataFrame, dir: String, table: String,
+      keys: Seq[String], partCol: String): Unit = {
+    require(keys.nonEmpty, "merge-on-read tables are keyed")
+    requireSafe("key column", keys)
+    requireSafe("partition column", Seq(partCol))
+    requireSafe("column", df.columns.toSeq)
+    require(df.columns.contains(partCol), s"partition column $partCol not in schema")
+    val spark = df.sparkSession
+    val gen = basePath(dir, table, 1L)
+    df.write.mode("overwrite").partitionBy(partCol).parquet(gen.toString)
+    val written = spark.read.parquet(gen.toString)
+    require(written.where(col(partCol).isNull).isEmpty,
+      s"partition column $partCol carries NULLs — no directory identity")
+    val counts = written.groupBy(col(partCol).cast("string").as("__v"))
+      .agg(count(lit(1)).as("__n")).collect()
+      .map(r => (r.getString(0), 1L, r.getLong(1))).toSeq.sortBy(_._1)
+    val partType = df.schema(partCol).dataType.catalogString
+    commit(spark, dir, table, Manifest(1L, 1L, 0L, -1L, keys,
+      baseRows = counts.map(_._3).sum,
+      partCol = Some(partCol), partType = partType,
+      cols = df.columns.toSeq, schemaDdl = df.schema.toDDL, pmap = counts))
   }
 
   /** Tombstone marker column inside delta files: false on upsert
@@ -124,6 +347,47 @@ object MergeOnRead {
     * reconcilable. Older delta files without the column read as -1.
     */
   private val BatchCol = "__mor_batch"
+
+  /** Data column order of the table (partitioned manifests record it;
+    * flat tables read it off the base files).
+    */
+  private def dataCols(spark: SparkSession, dir: String, table: String, m: Manifest): Seq[String] =
+    if (m.cols.nonEmpty) m.cols
+    else spark.read.parquet(basePath(dir, table, m.baseGen).toString).columns.toSeq
+
+  /** The base as one DataFrame in table column order. Partitioned
+    * tables union the per-generation reads, each filtered to the
+    * partitions whose LIVE copy that generation holds (a predicate on
+    * the partition column only — partition pruning skips every stale
+    * or foreign directory at planning, so I/O is exactly the live
+    * copies). `partValues` narrows further to the given partition
+    * values (merge-time pruning).
+    */
+  private def baseRead(spark: SparkSession, dir: String, table: String,
+      m: Manifest, partValues: Option[Seq[String]] = None): DataFrame =
+    m.partCol match {
+      case None =>
+        spark.read.parquet(basePath(dir, table, m.baseGen).toString)
+      case Some(pc) =>
+        val wanted = partValues.map(_.toSet)
+        val live = m.pmap.filter(e => wanted.forall(_.contains(e._1)))
+        val order = m.cols.map(col)
+        if (live.isEmpty)
+          // no live partitions (empty table or fully-pruned read): an
+          // empty frame in the manifest-recorded schema — no file I/O
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
+            .select(order: _*)
+        else
+          live.groupBy(_._2).toSeq.sortBy(_._1).map { case (gen, entries) =>
+            val vals = entries.map(_._1)
+            spark.read.parquet(basePath(dir, table, gen).toString)
+              .withColumn(pc, col(pc).cast(m.partType))
+              .where(col(pc).cast("string").isin(vals: _*))
+              .select(order: _*)
+          }.reduce(_.unionByName(_))
+    }
 
   /** Latest post-merge image per key across the live delta chain:
     * higher delta seq wins (each delta holds at most one row per key
@@ -151,38 +415,174 @@ object MergeOnRead {
     }
   }
 
+  /** On-disk bytes of the live delta chain — pure filesystem metadata
+    * (no Spark job), which is what lets every read evaluate the
+    * broadcast guard for free.
+    */
+  private def deltaBytes(spark: SparkSession, dir: String, table: String, m: Manifest): Long = {
+    val fs = fsOf(spark, dir)
+    m.deltaSeqs.map { q =>
+      val p = deltaPath(dir, table, q)
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    }.sum
+  }
+
+  /** base − (superseded ∪ deleted keys) + surviving latest images, with
+    * the delta side broadcast only under the byte guard.
+    */
+  private def reconcile(base: DataFrame, latest: DataFrame, keys: Seq[String],
+      broadcastOk: Boolean): DataFrame = {
+    val keyset = latest.select(keys.map(col): _*).distinct()
+    val anti = base.join(if (broadcastOk) broadcast(keyset) else keyset, keys, "left_anti")
+    anti.unionByName(latest.where(!col(DelMarker))
+      .select(base.columns.map(col).toIndexedSeq: _*))
+  }
+
   /** The reconciled table: base minus superseded-or-deleted keys plus
     * latest surviving delta images (a key whose newest delta row is a
     * tombstone vanishes from the view). The base scan is shuffle-free
-    * — delta keys broadcast into a null-strict anti-join (compact
-    * deltas are the contract that keeps the broadcast small).
+    * while the chain is within `broadcastDeltaBytesLimit` (compact
+    * deltas are the contract that keeps it there — the limit turns a
+    * violated contract into a shuffled plan, not a driver OOM).
     */
-  def readView(spark: SparkSession, dir: String, table: String): DataFrame = {
+  def readView(spark: SparkSession, dir: String, table: String,
+      broadcastDeltaBytesLimit: Long = BroadcastDeltaBytesDefault): DataFrame = {
     val m = manifest(spark, dir, table)
-    val base = spark.read.parquet(basePath(dir, table, m.baseGen).toString)
+    val base = baseRead(spark, dir, table, m)
     latestDelta(spark, dir, table, m) match {
       case None => base
       case Some(latest) =>
-        base.join(broadcast(latest.select(m.keys.map(col): _*).distinct()),
-            m.keys, "left_anti")
-          .unionByName(latest.where(!col(DelMarker))
-            .select(base.columns.map(col).toIndexedSeq: _*))
+        reconcile(base, latest, m.keys,
+          broadcastOk = deltaBytes(spark, dir, table, m) <= broadcastDeltaBytesLimit)
     }
+  }
+
+  // ----------------------------------------------------------- claims
+
+  /** Take the create-exclusive claim for delta seq `seq`. On local
+    * filesystems this MUST be O_EXCL through nio —
+    * `FileSystem.createNewFile` is check-then-create there (two racers
+    * can both "win"); on HDFS the namenode serializes the
+    * overwrite=false create.
+    */
+  private def tryClaim(spark: SparkSession, dir: String, table: String, seq: Long): Boolean = {
+    val fs = fsOf(spark, dir)
+    val p = claimPath(dir, table, seq)
+    fs.mkdirs(p.getParent)
+    if (fs.getScheme == "file") {
+      try { java.nio.file.Files.createFile(java.nio.file.Paths.get(p.toUri.getPath)); true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.io.IOException => false
+      }
+    } else {
+      try fs.createNewFile(p)
+      catch { case _: java.io.IOException => false }
+    }
+  }
+
+  private def releaseClaim(spark: SparkSession, dir: String, table: String, seq: Long): Unit =
+    fsOf(spark, dir).delete(claimPath(dir, table, seq), false)
+
+  /** Delete claims for delta seqs beyond the committed chain — only
+    * safe after confirming no writer is live (a claim beyond `deltaTo`
+    * is either a crashed writer's leftover or a peer mid-commit; this
+    * call cannot tell them apart). Returns the number released.
+    */
+  def releaseStaleClaims(spark: SparkSession, dir: String, table: String): Int = {
+    val m = manifest(spark, dir, table)
+    val fs = fsOf(spark, dir)
+    val dd = new Path(s"$dir/$table.mordelta")
+    if (!fs.exists(dd)) 0
+    else fs.listStatus(dd).toSeq
+      .flatMap(st => """^(\d+)\.claim$""".r.findFirstMatchIn(st.getPath.getName)
+        .map(_.group(1).toLong))
+      .filter(_ > m.deltaTo)
+      .count(q => fs.delete(claimPath(dir, table, q), false))
+  }
+
+  /** Serialized delta append: claim the next seq under the freshest
+    * manifest, re-verify the manifest under the claim, build + write
+    * the images, then commit. A benign race (the peer already
+    * committed) retries on fresh state; an in-flight or crashed peer
+    * fails loudly. Returns false on a batch-id replay.
+    */
+  private def appendDelta(spark: SparkSession, dir: String, table: String,
+      batchId: Long)(images: Manifest => DataFrame): Boolean = {
+    val fs = fsOf(spark, dir)
+    var attempts = 0
+    while (true) {
+      val m = manifest(spark, dir, table)
+      if (batchId <= m.lastBatch) return false
+      val seq = m.deltaTo + 1
+      if (!tryClaim(spark, dir, table, seq)) {
+        val m2 = manifest(spark, dir, table)
+        if (m2.deltaTo >= seq) {
+          // peer committed this seq — retry on fresh state
+          attempts += 1
+          if (attempts > 16) throw new ConcurrentWriterException(
+            s"$table: lost $attempts claim races in a row — writer storm; serialize writers")
+        } else throw new ConcurrentWriterException(
+          s"$table: delta seq $seq is claimed but uncommitted — a concurrent writer is " +
+            "mid-commit (retry after it finishes) or crashed (releaseStaleClaims after " +
+            "confirming no writer is live)")
+      } else {
+        val m2 = manifest(spark, dir, table)
+        if (m2.deltaTo != m.deltaTo || m2.lastBatch != m.lastBatch) {
+          // manifest moved between read and claim (stale-claim window
+          // after a compaction prune): release and retry fresh
+          releaseClaim(spark, dir, table, seq)
+          attempts += 1
+          if (attempts > 16) throw new ConcurrentWriterException(
+            s"$table: manifest kept moving under claims; serialize writers")
+        } else {
+          val df = images(m)
+          df.write.mode("overwrite").parquet(deltaPath(dir, table, seq).toString)
+          val n = scala.util.Try(countWritten(spark, deltaPath(dir, table, seq)))
+            .getOrElse(0L)
+          if (n == 0L) {
+            // empty batch: stamp the batch id (idempotence) without
+            // extending the chain — an empty delta file would poison
+            // every later chain read. Commit under the claim, THEN
+            // release it (a racer claiming seq re-verifies the manifest
+            // and sees the batch stamp move).
+            fs.delete(deltaPath(dir, table, seq), true)
+            commit(spark, dir, table, m.copy(lastBatch = batchId))
+            releaseClaim(spark, dir, table, seq)
+          } else {
+            val rows = if (m.rowsAligned) m.deltaRows :+ n else Nil
+            commit(spark, dir, table,
+              m.copy(deltaTo = seq, lastBatch = batchId, deltaRows = rows))
+          }
+          return true
+        }
+      }
+    }
+    false // unreachable
   }
 
   /** Keyed SCD-1 merge as a compact delta append: the write is
     * O(touched keys). Returns false when `batchId` is not beyond the
-    * committed one (crash replay — skipped). The source must be UNIQUE
-    * on the merge key ([[Merge.scd1]]'s existing contract) — duplicate
-    * source keys would write multiple images of one key into a single
-    * delta, where the latest-image window has no order to break the
-    * tie.
+    * committed one (crash replay — skipped). NOTE the stamp is a
+    * SINGLE-LOGICAL-WRITER idempotence protocol (one monotone id
+    * source, e.g. a streaming checkpoint); concurrent writers must
+    * derive ids from [[manifest]].lastBatch at attempt time and treat a
+    * false return as "a peer consumed this id — reassign and retry",
+    * NEVER as "my batch applied". The source must be UNIQUE
+    * on the merge key ([[Merge.scd1]]'s existing contract) — VERIFIED
+    * here with one batch-sized aggregate, because duplicate source keys
+    * would write multiple images of one key into a single delta, where
+    * the latest-image window has no order to break the tie.
     *
     * The source's keys slice the current view (broadcast semi-join —
     * the base is read, never rewritten), [[Merge.scd1]] resolves the
     * post-merge images, and the images land as delta `to+1` followed by
-    * the manifest commit. Read I/O is one pruned view pass; write I/O
-    * is the images themselves.
+    * the manifest commit. Read I/O on the slice is pruned twice over:
+    * partitioned tables read only the source's partitions (when the
+    * source carries the partition column), and Bloom-indexed flat
+    * tables open only base files whose filter may contain a touched key
+    * ([[Layout.bloomManifest]]'s no-false-negatives contract). Write
+    * I/O is the images themselves.
     */
   def deltaMerge(
       spark: SparkSession, dir: String, table: String,
@@ -190,92 +590,290 @@ object MergeOnRead {
       now: org.apache.spark.sql.Column, batchId: Long): Boolean = {
     require(!spec.nullSafeKeys,
       "merge-on-read reconcile is null-strict; null-safe keyed dims belong in copy-on-write tables")
-    val m = manifest(spark, dir, table)
-    if (batchId <= m.lastBatch) false
-    else {
-      val view = readView(spark, dir, table)
-      val srcKeys = source.select(spec.keys.map(col): _*).distinct()
-      val slice = view.join(broadcast(srcKeys), spec.keys, "left_semi")
-      val images = Merge.scd1(slice, source, spec, now)
+    // peek the manifest once for the cheap replay fast-path (appendDelta
+    // re-checks under the claim)
+    val m0 = manifest(spark, dir, table)
+    if (batchId <= m0.lastBatch) return false
+    require(source.groupBy(spec.keys.map(col): _*).agg(count(lit(1)).as("__c"))
+      .where(col("__c") > 1).isEmpty,
+      s"$table: source must be unique on (${spec.keys.mkString(",")}) — " +
+        "dedup to one image per key before deltaMerge (multiple images of a key " +
+        "in one delta have no deterministic winner)")
+    appendDelta(spark, dir, table, batchId) { m =>
+      val view = mergeSlice(spark, dir, table, m, source, spec.keys)
+      Merge.scd1(view, source, spec, now)
         .select(view.columns.map(col).toIndexedSeq: _*)
         .withColumn(DelMarker, lit(false))
         .withColumn(BatchCol, lit(batchId))
-      images.write.mode("overwrite")
-        .parquet(deltaPath(dir, table, m.deltaTo + 1).toString)
-      commit(spark, dir, table,
-        m.copy(deltaTo = m.deltaTo + 1, lastBatch = batchId))
-      true
     }
+  }
+
+  /** The view restricted to the source's keys — the read side of a
+    * merge. Partition-pruned when the table is partitioned and the
+    * source carries the partition column; Bloom-file-pruned on flat
+    * Bloom-indexed tables; the plain full view slice otherwise.
+    */
+  private def mergeSlice(spark: SparkSession, dir: String, table: String,
+      m: Manifest, source: DataFrame, keys: Seq[String]): DataFrame = {
+    val srcKeys = source.select(keys.map(col): _*).distinct()
+    val base = m.partCol match {
+      case Some(pc) if source.columns.contains(pc) =>
+        val vals = source.select(col(pc).cast("string")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        require(!vals.contains(null), s"source carries NULL $pc")
+        baseRead(spark, dir, table, m, Some(vals))
+      case Some(_) => baseRead(spark, dir, table, m)
+      case None if m.bloomBits > 0 =>
+        bloomPrunedBase(spark, dir, table, m, srcKeys)
+      case None => baseRead(spark, dir, table, m)
+    }
+    val view = latestDelta(spark, dir, table, m) match {
+      case None => base
+      case Some(latest) => reconcile(base, latest, m.keys, broadcastOk = true)
+    }
+    view.join(broadcast(srcKeys), keys, "left_semi")
+  }
+
+  // ------------------------------------------------------ Bloom index
+
+  /** Build + persist the per-file Bloom manifest for a base generation
+    * (one distributed scan of that generation; rows = files × words —
+    * metadata-sized). Maintained at [[init]] and [[compact]]; the cost
+    * is one extra pass over data that was just written, the payoff is
+    * O(touched files) merge reads forever after.
+    */
+  private def writeBloom(spark: SparkSession, dir: String, table: String,
+      gen: Long, keyCol: String, bits: Int, hashes: Int): Unit =
+    Layout.bloomManifest(spark, basePath(dir, table, gen).toString, keyCol, bits, hashes)
+      .write.mode("overwrite").parquet(bloomPath(dir, table, gen).toString)
+
+  /** The base scan reduced to files that MAY contain any source key:
+    * a distributed multi-key probe of the Bloom manifest (explode the
+    * k positions per key, bit-check per word, a file qualifies for a
+    * key when every probed word carries its mask). No false negatives
+    * by construction, so the merge slice is exact; false positives
+    * only cost I/O. Falls back to the full scan if the manifest for
+    * the current generation is missing.
+    */
+  private def bloomPrunedBase(spark: SparkSession, dir: String, table: String,
+      m: Manifest, srcKeys: DataFrame): DataFrame = {
+    val fs = fsOf(spark, dir)
+    val bp = bloomPath(dir, table, m.baseGen)
+    val full = basePath(dir, table, m.baseGen).toString
+    if (!fs.exists(bp)) return spark.read.parquet(full)
+    val keyCol = m.keys.head
+    val manifestDf = spark.read.parquet(bp.toString)
+    val files = bloomCandidateFiles(
+      manifestDf, srcKeys, keyCol, m.bloomBits, m.bloomHashes)
+    if (files.isEmpty) spark.read.parquet(full).where(lit(false))
+    else spark.read.parquet(files: _*)
+  }
+
+  /** Files whose Bloom filter passes for AT LEAST ONE probe key —
+    * all-Spark (same xxhash64 codepath as the build, never re-derived
+    * driver-side); the returned list is metadata-sized (≤ file count).
+    */
+  private[graft] def bloomCandidateFiles(manifestDf: DataFrame, keysDf: DataFrame,
+      keyCol: String, bits: Int, hashes: Int): Seq[String] = {
+    val positions = (0 until hashes).map(i =>
+      pmod(xxhash64(lit(i), col(keyCol)), lit(bits.toLong)))
+    val probes = keysDf.select(col(keyCol).as("__k"),
+        explode(array(positions.map(p => p.cast("long")): _*)).as("__p"))
+      .select(col("__k"), expr("__p div 64").as("word_idx"),
+        expr("shiftleft(1L, CAST(__p % 64 AS INT))").as("__m"))
+      .groupBy("__k", "word_idx")
+      .agg(call_function("bit_or", col("__m")).as("__need"))
+    val perKeyWords = probes.groupBy("__k").agg(count(lit(1)).as("__nw"))
+    probes
+      .join(manifestDf.select("file", "word_idx", "word"), Seq("word_idx"))
+      .where((col("word").bitwiseAND(col("__need"))) === col("__need"))
+      .groupBy(col("file"), col("__k"))
+      .agg(count(lit(1)).as("__hit"))
+      .join(broadcast(perKeyWords), Seq("__k"))
+      .where(col("__hit") === col("__nw"))
+      .select("file").distinct()
+      .collect().map(_.getString(0)).toIndexedSeq // metadata-sized
   }
 
   /** Keyed delete as a tombstone delta: the write is O(deleted keys) —
     * key columns plus a true [[DelMarker]], payload NULL. The view
     * drops tombstoned keys; [[compact]] physically removes them (the
-    * folded base simply lacks the rows). Same batch-id stamp contract
-    * as [[deltaMerge]].
+    * folded base simply lacks the rows). Same batch-id stamp and claim
+    * contract as [[deltaMerge]]. Partitioned tables REQUIRE the
+    * partition column in `keysDf` — a tombstone is routed to its dirty
+    * partition by it (the base is never consulted on the write path).
     */
   def deltaDelete(
       spark: SparkSession, dir: String, table: String,
       keysDf: DataFrame, batchId: Long): Boolean = {
-    val m = manifest(spark, dir, table)
-    if (batchId <= m.lastBatch) false
-    else {
-      val base = spark.read.parquet(basePath(dir, table, m.baseGen).toString)
-      val tomb = keysDf.select(m.keys.map(col): _*).distinct()
-      val full = base.columns.foldLeft(tomb) { (df, c) =>
-        if (m.keys.contains(c)) df
-        else df.withColumn(c, lit(null).cast(base.schema(c).dataType))
-      }.select(base.columns.map(col).toIndexedSeq: _*)
+    val m0 = manifest(spark, dir, table)
+    if (batchId <= m0.lastBatch) return false
+    m0.partCol.foreach(pc => require(keysDf.columns.contains(pc),
+      s"$table is partitioned on $pc: deltaDelete keys must carry it for routing"))
+    appendDelta(spark, dir, table, batchId) { m =>
+      val order = dataCols(spark, dir, table, m)
+      val keep = m.keys ++ m.partCol.filterNot(m.keys.contains)
+      val tomb = keysDf.select(keep.map(col): _*).distinct()
+      val types = m.partCol match {
+        case Some(_) =>
+          org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+        case None =>
+          spark.read.parquet(basePath(dir, table, m.baseGen).toString).schema
+      }
+      order.foldLeft(tomb) { (df, c) =>
+          if (keep.contains(c)) df
+          else df.withColumn(c, lit(null).cast(types(c).dataType))
+        }.select(order.map(col): _*)
         .withColumn(DelMarker, lit(true))
         .withColumn(BatchCol, lit(batchId))
-      full.write.mode("overwrite")
-        .parquet(deltaPath(dir, table, m.deltaTo + 1).toString)
-      commit(spark, dir, table,
-        m.copy(deltaTo = m.deltaTo + 1, lastBatch = batchId))
-      true
     }
   }
 
   /** Fold the delta chain into a new base generation and reset the
     * chain — run when live delta rows exceed `maxDeltaRatio` of the
-    * base (checked here so schedulers can call it unconditionally).
+    * base (a MANIFEST-ONLY check: writers record row counts at write
+    * time, so a scheduler — or the streaming upsert sink — can call
+    * this after every batch for free).
+    *
+    * Partition-scoped tables fold ONLY the dirty partitions (see class
+    * doc); flat tables rewrite the base (their documented cost — lay
+    * out big tables partitioned). `maxGenerations` bounds partitioned
+    * read fan-in: when the live map would span more generations, the
+    * fold widens to every partition (the rare amortized full rewrite).
     *
     * Retention matches [[Warehouse.Pointer]]'s keepGenerations
-    * discipline: the files THIS compaction displaces are retained for
-    * one full cycle (an in-flight reader that resolved the previous
-    * manifest just before the commit still finds every file it
-    * references); what the PREVIOUS compaction displaced is deleted
-    * here, strictly after the new manifest is live. At 100 TB
-    * retention is storage, never a copy — nothing is rewritten.
+    * discipline, enforced at ENTRY so it runs even on a quiescent
+    * table: what the PREVIOUS compaction displaced (older generations /
+    * delta seqs below the live window / grace-listed partition dirs) is
+    * pruned first, and what THIS compaction displaces is retained for
+    * one full cycle — an in-flight reader that resolved the previous
+    * manifest still finds every file it references. At 100 TB retention
+    * is storage, never a copy — nothing is rewritten.
+    *
+    * Concurrency: the fold holds the claim on the next delta seq as a
+    * BARRIER, so no merge can append between the fold's manifest read
+    * and its commit (the appended delta would silently vanish from the
+    * committed chain otherwise). The barrier is released after commit.
     */
   def compact(spark: SparkSession, dir: String, table: String,
-      maxDeltaRatio: Double = 0.0): Unit = {
-    val m = manifest(spark, dir, table)
-    if (m.deltaSeqs.isEmpty) return
-    if (maxDeltaRatio > 0) {
-      val deltaRows = m.deltaSeqs.map(q =>
-        spark.read.parquet(deltaPath(dir, table, q).toString).count()).sum
-      val baseRows = spark.read.parquet(basePath(dir, table, m.baseGen).toString).count()
-      if (baseRows > 0 && deltaRows.toDouble / baseRows <= maxDeltaRatio) return
-    }
-    val nextGen = m.baseGen + 1
-    readView(spark, dir, table).write.mode("overwrite")
-      .parquet(basePath(dir, table, nextGen).toString)
-    commit(spark, dir, table,
-      m.copy(baseGen = nextGen, deltaFrom = m.deltaTo + 1, lastBatch = m.lastBatch))
-    // prune the PREVIOUS cycle's superseded files; keep this cycle's
-    // (base gen m.baseGen, deltas m.deltaSeqs) as the reader grace set
+      maxDeltaRatio: Double = 0.0, maxGenerations: Int = 8): Unit = {
     val fs = fsOf(spark, dir)
+    val m = manifest(spark, dir, table)
+
+    // entry pruning: everything the PREVIOUS cycle displaced (runs even
+    // when the chain is empty, so quiescent tables reclaim their grace
+    // set on the next scheduler pass — nothing lingers past one cycle)
     val baseDir = new Path(s"$dir/$table.morbase")
-    if (fs.exists(baseDir)) fs.listStatus(baseDir).toSeq
-      .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
-      .filter(_ < m.baseGen)
-      .foreach(g => fs.delete(basePath(dir, table, g), true))
+    if (m.partCol.isEmpty) {
+      // flat: the live gen is m.baseGen; anything older had its grace
+      // cycle (it was displaced by the previous compaction's commit)
+      if (fs.exists(baseDir)) fs.listStatus(baseDir).toSeq
+        .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
+        .filter(_ < m.baseGen)
+        .foreach { g =>
+          fs.delete(basePath(dir, table, g), true)
+          fs.delete(bloomPath(dir, table, g), true)
+        }
+    } else {
+      // partitioned: the grace list IS the previous cycle's displaced
+      // partition dirs; a gen dir left empty afterwards goes entirely
+      val liveGens = m.pmap.map(_._2).toSet
+      m.grace.foreach { case (g, v) =>
+        val gp = basePath(dir, table, g)
+        if (fs.exists(gp)) fs.listStatus(gp).toSeq
+          .filter(st => st.isDirectory && {
+            val n = st.getPath.getName
+            val i = n.indexOf('=')
+            i > 0 && unescapePartitionDir(n.substring(i + 1)) == v
+          })
+          .foreach(st => fs.delete(st.getPath, true))
+      }
+      m.grace.map(_._1).distinct.filterNot(liveGens.contains).foreach { g =>
+        val gp = basePath(dir, table, g)
+        if (fs.exists(gp) && !fs.listStatus(gp).exists(st =>
+            st.isDirectory && st.getPath.getName.contains("=")))
+          fs.delete(gp, true)
+      }
+    }
     val deltaDir = new Path(s"$dir/$table.mordelta")
     if (fs.exists(deltaDir)) fs.listStatus(deltaDir).toSeq
-      .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
-      .filter(_ < m.deltaFrom)
-      .foreach(q => fs.delete(deltaPath(dir, table, q), true))
+      .flatMap { st =>
+        val n = st.getPath.getName
+        scala.util.Try(n.stripSuffix(".claim").toLong).toOption.map(_ -> st.getPath)
+      }
+      .filter(_._1 < m.deltaFrom)
+      .foreach { case (_, p) => fs.delete(p, true) }
+
+    if (m.deltaSeqs.isEmpty) return
+
+    // manifest-only ratio guard (count jobs only for pre-rows manifests)
+    if (maxDeltaRatio > 0) {
+      val deltaRows =
+        if (m.rowsAligned) m.deltaRows.sum
+        else m.deltaSeqs.map(q => countWritten(spark, deltaPath(dir, table, q))).sum
+      val baseRows =
+        if (m.baseRows >= 0) m.baseRows
+        else countWritten(spark, basePath(dir, table, m.baseGen))
+      if (baseRows > 0 && deltaRows.toDouble / baseRows <= maxDeltaRatio) return
+    }
+
+    // barrier: claim the next delta seq so no merge commits between our
+    // manifest read and our commit
+    val barrier = m.deltaTo + 1
+    if (!tryClaim(spark, dir, table, barrier))
+      throw new ConcurrentWriterException(
+        s"$table: compact lost the barrier claim on delta seq $barrier — a writer is " +
+          "appending; re-run compact after it commits")
+    try {
+      val mv = manifest(spark, dir, table)
+      if (mv.deltaTo != m.deltaTo) // a writer slipped in before our claim
+        throw new ConcurrentWriterException(
+          s"$table: chain advanced while acquiring the compaction barrier; re-run compact")
+
+      val nextGen = m.baseGen + 1
+      m.partCol match {
+        case None =>
+          readView(spark, dir, table).write.mode("overwrite")
+            .parquet(basePath(dir, table, nextGen).toString)
+          val n = countWritten(spark, basePath(dir, table, nextGen))
+          if (m.bloomBits > 0)
+            writeBloom(spark, dir, table, nextGen, m.keys.head, m.bloomBits, m.bloomHashes)
+          commit(spark, dir, table, m.copy(baseGen = nextGen,
+            deltaFrom = m.deltaTo + 1, deltaRows = Nil, baseRows = n))
+        case Some(pc) =>
+          val latest = latestDelta(spark, dir, table, m).get
+          val dirtyVals = latest.select(col(pc).cast("string").as("__v")).distinct()
+            .collect().map(_.getString(0)).toSeq
+          require(!dirtyVals.contains(null),
+            s"delta chain carries NULL $pc — partition routing broken")
+          val cleanEntries = m.pmap.filterNot(e => dirtyVals.contains(e._1))
+          val fullFold = (cleanEntries.map(_._2).toSet + nextGen).size > maxGenerations
+          val foldVals =
+            if (fullFold) (m.pmap.map(_._1) ++ dirtyVals).distinct else dirtyVals
+          val base = baseRead(spark, dir, table, m, Some(foldVals))
+          val folded = reconcile(base, latest, m.keys,
+            broadcastOk = deltaBytes(spark, dir, table, m) <= BroadcastDeltaBytesDefault)
+          folded.write.mode("overwrite").partitionBy(pc)
+            .parquet(basePath(dir, table, nextGen).toString)
+          // a fully-tombstoned fold writes no files — no entries then
+          val counts = scala.util.Try(
+            spark.read.parquet(basePath(dir, table, nextGen).toString)
+              .groupBy(col(pc).cast("string").as("__v"))
+              .agg(count(lit(1)).as("__n")).collect()
+              .map(r => (r.getString(0), nextGen, r.getLong(1))).toSeq.sortBy(_._1))
+            .getOrElse(Seq.empty)
+          val keptClean = if (fullFold) Nil else cleanEntries
+          val newPmap = (keptClean ++ counts).sortBy(_._1)
+          // this cycle's grace: the displaced live copies (folded
+          // partitions' old entries)
+          val displaced = m.pmap.filter(e => foldVals.contains(e._1))
+            .map(e => (e._2, e._1))
+          commit(spark, dir, table, m.copy(baseGen = nextGen,
+            deltaFrom = m.deltaTo + 1, deltaRows = Nil,
+            baseRows = newPmap.map(_._3).sum,
+            pmap = newPmap, grace = displaced))
+      }
+    } finally releaseClaim(spark, dir, table, barrier)
   }
 
   /** The delta chain as a CHANGE FEED: the latest image per key among
@@ -294,10 +892,9 @@ object MergeOnRead {
   def changesSince(spark: SparkSession, dir: String, table: String,
       sinceBatch: Long): DataFrame = {
     val m = manifest(spark, dir, table)
-    val base = spark.read.parquet(basePath(dir, table, m.baseGen).toString)
-    val dataCols = base.columns.filterNot(_ == DelMarker).toIndexedSeq
+    val order = dataCols(spark, dir, table, m).filterNot(_ == DelMarker).toIndexedSeq
     latestDelta(spark, dir, table, m) match {
-      case None => base.select(dataCols.map(col): _*)
+      case None => baseRead(spark, dir, table, m).select(order.map(col): _*)
         .withColumn("change", lit("")).limit(0)
       case Some(latest) =>
         val withBatch =
@@ -305,18 +902,48 @@ object MergeOnRead {
             latest.withColumn(BatchCol, coalesce(col(BatchCol), lit(-1L)))
           else latest.withColumn(BatchCol, lit(-1L))
         withBatch.where(col(BatchCol) > sinceBatch)
-          .select(dataCols.map(col) :+
+          .select(order.map(col) :+
             when(col(DelMarker), lit("delete")).otherwise(lit("upsert"))
               .as("change"): _*)
     }
   }
 
   /** Rows per live delta file, oldest first — the O(changed rows)
-    * write-amplification evidence the bench publishes.
+    * write-amplification evidence the bench publishes. Manifest-only
+    * when the writer recorded counts (every writer since they existed);
+    * falls back to footer counts for older chains.
     */
   def deltaRowCounts(spark: SparkSession, dir: String, table: String): Seq[Long] = {
     val m = manifest(spark, dir, table)
-    m.deltaSeqs.map(q =>
-      spark.read.parquet(deltaPath(dir, table, q).toString).count())
+    if (m.rowsAligned) m.deltaRows
+    else m.deltaSeqs.map(q => countWritten(spark, deltaPath(dir, table, q)))
+  }
+
+  /** (files read if a merge touched these partition values, total live
+    * base files) — the files-opened evidence for the bench: how much of
+    * the base a partition-routed merge actually opens.
+    */
+  def baseFileFootprint(spark: SparkSession, dir: String, table: String,
+      partValues: Seq[String]): (Long, Long) = {
+    val m = manifest(spark, dir, table)
+    require(m.partCol.nonEmpty, "files-opened footprint is defined for partitioned tables")
+    val fs = fsOf(spark, dir)
+    def filesUnder(entries: Seq[(String, Long, Long)]): Long =
+      entries.groupBy(_._2).map { case (gen, es) =>
+        val genPath = basePath(dir, table, gen)
+        val vals = es.map(_._1).toSet
+        // partition dirs are <partCol>=<escaped value>; match on the
+        // decoded value (Spark's own escaping is applied at write)
+        fs.listStatus(genPath).toSeq
+          .filter(st => st.isDirectory && {
+            val n = st.getPath.getName
+            val i = n.indexOf('=')
+            i > 0 && vals.contains(unescapePartitionDir(n.substring(i + 1)))
+          })
+          .map(d => fs.listStatus(d.getPath)
+            .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")).toLong)
+          .sum
+      }.sum
+    (filesUnder(m.pmap.filter(e => partValues.contains(e._1))), filesUnder(m.pmap))
   }
 }

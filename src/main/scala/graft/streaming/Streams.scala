@@ -202,6 +202,16 @@ object Streams {
     * at 0) would stamp-skip real batches — point a new checkpoint at a
     * new table (or re-init), the same coupling every batch-id-stamped
     * fold in this file carries.
+    *
+    * A micro-batch must end up UNIQUE on the merge keys (deltaMerge's
+    * contract — duplicate key images inside one delta have no
+    * deterministic winner). Real upsert streams routinely carry several
+    * updates per key per trigger, so pass `dedupOrderCol` — a column
+    * whose value is strictly increasing per key, e.g. the event time or
+    * a source sequence number — and each batch is reduced to the
+    * last-image-per-key before merging. Without it, a duplicate-keyed
+    * batch fails loudly in deltaMerge rather than committing
+    * nondeterministic state.
     */
   def upsertStreamMor(
       stream: DataFrame,
@@ -210,20 +220,53 @@ object Streams {
       spec: graft.operators.MergeSpec,
       checkpointPath: String,
       maxDeltaRatio: Double = 0.2,
+      dedupOrderCol: Option[String] = None,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
-    import graft.sources.MergeOnRead
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointPath)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        MergeOnRead.deltaMerge(spark, warehouseDir, table, batch, spec,
-          current_timestamp(), batchId)
-        MergeOnRead.compact(spark, warehouseDir, table, maxDeltaRatio)
+        foldUpsertMorBatch(batch, batchId, warehouseDir, table, spec,
+          current_timestamp(), maxDeltaRatio, dedupOrderCol)
       }
       .start()
+
+  /** One [[upsertStreamMor]] micro-batch, exposed for batch-replay
+    * verification (the `stream_mor_replay` gate) and crash-replay
+    * testing: dedup to last-image-per-key (when `dedupOrderCol` is
+    * given), delta-merge under the batch-id stamp, then the
+    * metadata-only compaction check.
+    */
+  def foldUpsertMorBatch(
+      batch: DataFrame,
+      batchId: Long,
+      warehouseDir: String,
+      table: String,
+      spec: graft.operators.MergeSpec,
+      now: org.apache.spark.sql.Column,
+      maxDeltaRatio: Double = 0.2,
+      dedupOrderCol: Option[String] = None): Unit = {
+    import graft.sources.MergeOnRead
+    val spark = batch.sparkSession
+    val deduped = dedupOrderCol match {
+      case None => batch
+      case Some(oc) =>
+        // last image per key; remaining columns break order-column ties
+        // deterministically (identical full rows tie harmlessly), so
+        // the survivor is a function of the batch CONTENT, never of
+        // partitioning or arrival order
+        val tiebreak = batch.columns.toSeq
+          .filterNot(c => c == oc || spec.keys.contains(c)).map(col(_).desc)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(spec.keys.map(col): _*)
+          .orderBy(col(oc).desc +: tiebreak: _*)
+        batch.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1).drop("__rn")
+    }
+    MergeOnRead.deltaMerge(spark, warehouseDir, table, deduped, spec, now, batchId)
+    MergeOnRead.compact(spark, warehouseDir, table, maxDeltaRatio)
   }
 
   /** [[upsertStream]] over a pointer-committed table

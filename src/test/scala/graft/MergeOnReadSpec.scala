@@ -210,4 +210,283 @@ class MergeOnReadSpec extends AnyFunSuite with SparkTest {
     }
     assert(e.getMessage.contains("null-strict"))
   }
+
+  test("duplicate source keys are rejected loudly (no nondeterministic delta winner)") {
+    val s = spark; import s.implicits._
+    val dir = tmpDir()
+    MergeOnRead.init(Seq((1L, 1L)).toDF("k", "v"), dir, "t", Seq("k"))
+    val e = intercept[IllegalArgumentException] {
+      MergeOnRead.deltaMerge(s, dir, "t",
+        Seq((1L, 2L), (1L, 3L)).toDF("k", "v"),
+        MergeSpec(Seq("k"), Seq("v")), nowCol, 1L)
+    }
+    assert(e.getMessage.contains("unique"))
+  }
+
+  test("unsafe key/partition column names are rejected at init") {
+    val s = spark; import s.implicits._
+    assert(intercept[IllegalArgumentException] {
+      MergeOnRead.init(Seq((1L, 1L)).toDF("k;bad", "v"), tmpDir(), "t", Seq("k;bad"))
+    }.getMessage.contains("A-Za-z0-9"))
+    assert(intercept[IllegalArgumentException] {
+      MergeOnRead.initPartitioned(Seq((1L, "a", 1L)).toDF("k", "p=x", "v"),
+        tmpDir(), "t", Seq("k"), "p=x")
+    }.getMessage.contains("A-Za-z0-9"))
+  }
+
+  test("empty micro-batches stamp their batch id without extending the chain") {
+    val s = spark; import s.implicits._
+    val dir = tmpDir()
+    val spec = MergeSpec(Seq("k"), Seq("v"))
+    MergeOnRead.init((1L to 10L).map(i => (i, i)).toDF("k", "v"), dir, "t", Seq("k"))
+    assert(MergeOnRead.deltaMerge(s, dir, "t",
+      Seq.empty[(Long, Long)].toDF("k", "v"), spec, nowCol, 1L))
+    val m = MergeOnRead.manifest(s, dir, "t")
+    assert(m.deltaSeqs.isEmpty && m.lastBatch == 1L)
+    // replay of the empty batch is recognized
+    assert(!MergeOnRead.deltaMerge(s, dir, "t",
+      Seq((1L, 99L)).toDF("k", "v"), spec, nowCol, 1L))
+    assert(MergeOnRead.readView(s, dir, "t").count() == 10L)
+  }
+
+  // ------------------------------------------------------ partitioned
+
+  /** month(k) = k % 4 as a string — an immutable function of the key,
+    * the partition contract.
+    */
+  private def pval(k: Long): String = s"m${k % 4}"
+
+  private def initPart(s: org.apache.spark.sql.SparkSession, dir: String,
+      n: Long = 400L): Unit = {
+    import s.implicits._
+    val base = (1L to n).map(i => (i, pval(i), i * 10L)).toDF("k", "p", "v")
+    MergeOnRead.initPartitioned(base, dir, "t", Seq("k"), "p")
+  }
+
+  test("partitioned: view equals the eager chain; merge reads only touched partitions") {
+    val s = spark; import s.implicits._
+    val dir = tmpDir()
+    initPart(s, dir)
+    val spec = MergeSpec(Seq("k"), Seq("v"))
+    val base = (1L to 400L).map(i => (i, pval(i), i * 10L)).toDF("k", "p", "v")
+    // batch 1 touches partitions m1 and m2 only; batch 2 inserts new
+    // keys into m1 (401 % 4 = 1, 405 % 4 = 1)
+    val b1 = Seq((1L, pval(1L), -1L), (2L, pval(2L), -2L), (5L, pval(5L), -5L))
+      .toDF("k", "p", "v")
+    val b2 = Seq((401L, pval(401L), -401L), (405L, pval(405L), -405L))
+      .toDF("k", "p", "v")
+    assert(MergeOnRead.deltaMerge(s, dir, "t", b1, spec, nowCol, 1L))
+    assert(MergeOnRead.deltaMerge(s, dir, "t", b2, spec, nowCol, 2L))
+    val eager = Merge.scd1(Merge.scd1(base, b1, spec, nowCol), b2, spec, nowCol)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "p", "v").collect().map(_.toString).sorted.toSeq
+    assert(canon(MergeOnRead.readView(s, dir, "t")) == canon(eager))
+    // the merge's base-read footprint: only m1/m2 files
+    val (touched, total) = MergeOnRead.baseFileFootprint(s, dir, "t",
+      Seq("m1", "m2"))
+    assert(touched > 0 && touched < total, s"footprint $touched/$total")
+  }
+
+  test("partitioned compact folds ONLY dirty partitions; clean partitions keep their generation") {
+    val s = spark; import s.implicits._
+    val dir = tmpDir()
+    initPart(s, dir)
+    val spec = MergeSpec(Seq("k"), Seq("v"))
+    // touch only partition m1
+    MergeOnRead.deltaMerge(s, dir, "t",
+      Seq((1L, pval(1L), -1L), (5L, pval(5L), -5L)).toDF("k", "p", "v"),
+      spec, nowCol, 1L)
+    val before = MergeOnRead.readView(s, dir, "t")
+      .collect().map(_.toString).sorted.toSeq
+    MergeOnRead.compact(s, dir, "t")
+    val m = MergeOnRead.manifest(s, dir, "t")
+    assert(m.deltaSeqs.isEmpty)
+    val gens = m.pmap.map(e => e._1 -> e._2).toMap
+    assert(gens("m1") == 2L, "dirty partition must move to the new generation")
+    assert(Seq("m0", "m2", "m3").forall(gens(_) == 1L),
+      "clean partitions must keep generation 1 (never copied)")
+    // compaction rewrote ~one partition's rows, not the table
+    val rewritten = m.pmap.filter(_._2 == 2L).map(_._3).sum
+    assert(rewritten == 100L, s"rewrote $rewritten rows, expected the 100-row dirty partition")
+    assert(m.baseRows == 400L)
+    val after = MergeOnRead.readView(s, dir, "t")
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before, "compaction must not change the view")
+    // displaced m1@gen1 dir survives one cycle (grace), then reclaims
+    assert(m.grace == Seq((1L, "m1")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/t.morbase/1/p=m1")))
+    MergeOnRead.compact(s, dir, "t") // quiescent: chain empty, still prunes grace
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/t.morbase/1/p=m1")),
+      "quiescent compact must reclaim the previous cycle's grace set")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/t.morbase/1/p=m0")),
+      "live partitions of the old generation must survive")
+  }
+
+  test("partitioned deletes route by partition; compact drops them physically; view stable") {
+    val s = spark; import s.implicits._
+    val dir = tmpDir()
+    initPart(s, dir, n = 40L)
+    val spec = MergeSpec(Seq("k"), Seq("v"))
+    // partitioned deletes must carry the partition column
+    assert(intercept[IllegalArgumentException] {
+      MergeOnRead.deltaDelete(s, dir, "t", Seq(2L).toDF("k"), 1L)
+    }.getMessage.contains("routing"))
+    MergeOnRead.deltaDelete(s, dir, "t",
+      Seq((2L, pval(2L)), (6L, pval(6L))).toDF("k", "p"), 1L)
+    // resurrect key 6 with a fresh value
+    MergeOnRead.deltaMerge(s, dir, "t",
+      Seq((6L, pval(6L), 666L)).toDF("k", "p", "v"), spec, nowCol, 2L)
+    val v = MergeOnRead.readView(s, dir, "t")
+    assert(v.count() == 39L)
+    assert(v.where(col("k") === 6L).head().getLong(2) == 666L)
+    val before = v.collect().map(_.toString).sorted.toSeq
+    MergeOnRead.compact(s, dir, "t")
+    val after = MergeOnRead.readView(s, dir, "t")
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before)
+    assert(MergeOnRead.manifest(s, dir, "t").baseRows == 39L)
+  }
+
+  test("partitioned: generation fan-in is bounded — maxGenerations forces the full fold") {
+    val s = spark; import s.implicits._
+    val dir = tmpDir()
+    initPart(s, dir, n = 40L)
+    val spec = MergeSpec(Seq("k"), Seq("v"))
+    // compact after touching a different partition each time with
+    // maxGenerations = 2: the second compaction must fold EVERYTHING
+    // (fan-in would otherwise reach 3 generations)
+    MergeOnRead.deltaMerge(s, dir, "t",
+      Seq((1L, pval(1L), -1L)).toDF("k", "p", "v"), spec, nowCol, 1L)
+    MergeOnRead.compact(s, dir, "t", maxGenerations = 2)
+    assert(MergeOnRead.manifest(s, dir, "t").pmap.map(_._2).distinct.sorted == Seq(1L, 2L))
+    MergeOnRead.deltaMerge(s, dir, "t",
+      Seq((2L, pval(2L), -2L)).toDF("k", "p", "v"), spec, nowCol, 2L)
+    MergeOnRead.compact(s, dir, "t", maxGenerations = 2)
+    val m = MergeOnRead.manifest(s, dir, "t")
+    assert(m.pmap.map(_._2).distinct == Seq(3L),
+      s"full fold expected at the fan-in bound, got pmap gens ${m.pmap.map(_._2).distinct}")
+    assert(MergeOnRead.readView(s, dir, "t").count() == 40L)
+  }
+
+  // ------------------------------------------------------ concurrency
+
+  test("a claimed-but-uncommitted delta seq fails the second writer loudly; releaseStaleClaims recovers") {
+    val s = spark; import s.implicits._
+    val dir = tmpDir()
+    val spec = MergeSpec(Seq("k"), Seq("v"))
+    MergeOnRead.init((1L to 10L).map(i => (i, i)).toDF("k", "v"), dir, "t", Seq("k"))
+    // simulate a crashed (or in-flight) writer holding the next seq
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/t.mordelta"))
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$dir/t.mordelta/1.claim"))
+    val e = intercept[MergeOnRead.ConcurrentWriterException] {
+      MergeOnRead.deltaMerge(s, dir, "t", Seq((1L, 0L)).toDF("k", "v"), spec, nowCol, 1L)
+    }
+    assert(e.getMessage.contains("releaseStaleClaims"))
+    assert(MergeOnRead.releaseStaleClaims(s, dir, "t") == 1)
+    assert(MergeOnRead.deltaMerge(s, dir, "t", Seq((1L, 0L)).toDF("k", "v"), spec, nowCol, 1L))
+    assert(MergeOnRead.readView(s, dir, "t").where(col("k") === 1L).head().getLong(1) == 0L)
+  }
+
+  test("two interleaved writers: claims serialize commits and no committed batch is lost") {
+    val s = spark; import s.implicits._
+    val dir = tmpDir()
+    val spec = MergeSpec(Seq("k"), Seq("v"))
+    MergeOnRead.init((1L to 100L).map(i => (i, 0L)).toDF("k", "v"), dir, "t", Seq("k"))
+    // the documented multi-writer client protocol: derive the batch id
+    // from the manifest at attempt time, retry on the loud conflict AND
+    // on a false return (a peer consumed the id) with a fresh id
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def writer(tag: Long, keys: Seq[Long]): Thread = new Thread(() => {
+      try {
+        val src = keys.map(k => (k, tag)).toDF("k", "v")
+        var done = false
+        var tries = 0
+        while (!done && tries < 200) {
+          tries += 1
+          val id = MergeOnRead.manifest(s, dir, "t").lastBatch + 1
+          try done = MergeOnRead.deltaMerge(s, dir, "t", src, spec, nowCol, id)
+          catch { case _: MergeOnRead.ConcurrentWriterException => Thread.sleep(250) }
+        }
+        if (!done) throw new AssertionError(s"writer $tag never landed")
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    val (w1, w2) = (writer(1L, Seq(1L, 2L)), writer(2L, Seq(3L, 4L)))
+    w1.start(); w2.start(); w1.join(120000); w2.join(120000)
+    assert(errs.isEmpty, s"writer thread failed: ${Option(errs.peek()).map(_.toString)}")
+    val m = MergeOnRead.manifest(s, dir, "t")
+    // ids derive from lastBatch (-1 at init): two commits stamp 0 and 1
+    assert(m.lastBatch == 1L && m.deltaSeqs == Seq(1L, 2L),
+      s"both batches must have committed: $m")
+    val view = MergeOnRead.readView(s, dir, "t")
+      .where(col("k").isin(1L, 2L, 3L, 4L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(view == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L),
+      s"a committed batch was lost: $view")
+    // every committed seq has exactly one delta dir; chain is contiguous
+    assert(MergeOnRead.deltaRowCounts(s, dir, "t") == Seq(2L, 2L))
+  }
+
+  // -------------------------------------------------- broadcast guard
+
+  test("reconcile broadcast degrades to a shuffled anti-join past the delta-bytes guard") {
+    val s = spark; import s.implicits._
+    val dir = tmpDir()
+    val spec = MergeSpec(Seq("k"), Seq("v"))
+    MergeOnRead.init((1L to 1000L).map(i => (i, i)).toDF("k", "v"), dir, "t", Seq("k"))
+    MergeOnRead.deltaMerge(s, dir, "t", Seq((3L, 0L)).toDF("k", "v"), spec, nowCol, 1L)
+    // silence Spark's own size-estimate broadcasts so the plan shape is
+    // decided by OUR guard alone
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = scala.util.Try(
+      s.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")).toOption
+      .filter(_ != null)
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val guarded = MergeOnRead.readView(s, dir, "t", broadcastDeltaBytesLimit = 0L)
+      guarded.count()
+      val plan = guarded.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), s"guard must suppress the broadcast:\n$plan")
+      assert(guarded.collect().map(_.toString).sorted.toSeq ==
+        MergeOnRead.readView(s, dir, "t").collect().map(_.toString).sorted.toSeq)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      prevA match {
+        case Some(v) => s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => s.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
+  // -------------------------------------------------------- Bloom index
+
+  test("Bloom-indexed flat table: merges open only files that may hold touched keys") {
+    val s = spark; import s.implicits._
+    val dir = tmpDir()
+    val spec = MergeSpec(Seq("k"), Seq("v"))
+    // 16 files hashed on k so each key lives in exactly one file
+    val base = s.range(1, 4001).select(col("id").as("k"), (col("id") * 10).as("v"))
+      .repartition(16, col("k"))
+    MergeOnRead.init(base, dir, "t", Seq("k"), bloomBits = 65536, bloomHashes = 4)
+    val m0 = MergeOnRead.manifest(s, dir, "t")
+    assert(m0.bloomBits == 65536 && m0.bloomHashes == 4)
+    // the candidate-file probe is a strict subset for a few keys
+    val bloomDf = s.read.parquet(s"$dir/t.morbloom/1")
+    val cand = MergeOnRead.bloomCandidateFiles(
+      bloomDf, Seq(7L, 999L).toDF("k"), "k", 65536, 4)
+    assert(cand.nonEmpty && cand.size < 16, s"pruned to ${cand.size} of 16 files")
+    // the merge through the pruned scan is exact
+    MergeOnRead.deltaMerge(s, dir, "t",
+      Seq((7L, -7L), (999L, -999L)).toDF("k", "v"), spec, nowCol, 1L)
+    val view = MergeOnRead.readView(s, dir, "t")
+    assert(view.count() == 4000L)
+    assert(view.where(col("k").isin(7L, 999L)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(7L -> -7L, 999L -> -999L))
+    // compaction refreshes the index for the new generation
+    MergeOnRead.compact(s, dir, "t")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/t.morbloom/2")))
+    MergeOnRead.deltaMerge(s, dir, "t", Seq((8L, -8L)).toDF("k", "v"), spec, nowCol, 2L)
+    assert(MergeOnRead.readView(s, dir, "t").where(col("k") === 8L)
+      .head().getLong(1) == -8L)
+  }
 }

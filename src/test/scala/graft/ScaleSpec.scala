@@ -145,7 +145,41 @@ class ScaleSpec extends AnyFunSuite with SparkTest {
     assert(missDf.isEmpty, "absent key returns no rows")
     assert(missDf.inputFiles.length <= 2,
       s"absent key should open at most a false-positive file or two, opened ${missDf.inputFiles.length}")
+    // the manifest carries its own (bits, hashes); a mismatched probe
+    // would silently DROP ROWS (false negatives) — rejected instead
+    val e = intercept[IllegalArgumentException] {
+      Layout.readBloomPruned(s, dir, mf, "k", lit(12345L), bits = 65536, hashes = 4)
+    }
+    assert(e.getMessage.contains("bits=262144"))
     mf.unpersist()
+  }
+
+  test("MoR reconcile: broadcast below the delta-bytes guard, shuffled join past it — same rows") {
+    val s = spark; import s.implicits._
+    import graft.sources.MergeOnRead
+    import graft.operators.{MergeSpec => MSpec}
+    val dir = java.nio.file.Files.createTempDirectory("morguard").toString
+    MergeOnRead.init((1L to 5000L).map(i => (i, i)).toDF("k", "v"), dir, "t", Seq("k"))
+    MergeOnRead.deltaMerge(s, dir, "t", (1L to 50L).map(i => (i, -i)).toDF("k", "v"),
+      MSpec(Seq("k"), Seq("v")), to_timestamp(lit("2024-06-01 00:00:00")), 1L)
+    val below = MergeOnRead.readView(s, dir, "t") // default limit: chain ≪ 256 MB
+    below.count()
+    assert(below.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "compact chains must broadcast (base never shuffles)")
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val above = MergeOnRead.readView(s, dir, "t", broadcastDeltaBytesLimit = 0L)
+      above.count()
+      assert(!above.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "an overgrown chain must fall back to a shuffled anti-join, not a driver-sized broadcast")
+      assert(above.collect().map(_.toString).sorted.toSeq ==
+        below.collect().map(_.toString).sorted.toSeq)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      s.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
   }
 
   test("manifest pruning reads only overlapping files, result equals full filter") {

@@ -210,6 +210,114 @@ object SparkEntry {
       "(PARTITION BY k ORDER BY seq DESC) AS rn FROM stacked) " +
       "WHERE rn = 1 AND del = 0"
 
+  /** PARTITION-SCOPED sibling of [[morFold]]
+    * ([[graft.sources.MergeOnRead.initPartitioned]]): the same
+    * last-writer-wins batch chain over a table partitioned on the
+    * order's month — an immutable function of the key, the partition
+    * contract. Every delta row routes to its month partition, the
+    * manifest's per-partition map tracks which generation holds each
+    * month's live copy, and the compact variant folds through the
+    * partition-scoped path. The reconciled view must match the SAME
+    * eager oracle (with the month column along for the ride) — proving
+    * partition bookkeeping is invisible to readers.
+    */
+  private def morPartFold(s: SparkSession, d: String,
+      compactAfterBatch2: Boolean): DataFrame = {
+    import graft.sources.MergeOnRead
+    val ord = rd(s, d, "orders")
+    val src = ord.select(col("o_orderkey").as("k"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("m"),
+      col("o_orderstatus").as("status0"),
+      round(col("o_totalprice") * 100).cast("long").as("cents0"))
+    val dir = new java.io.File(
+      "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+    val suffix = if (compactAfterBatch2) "pc" else "pp"
+    val tbl = s"mor_orders_part_${suffix}_${contentEpoch(ord, "o_orderkey")}"
+    val spec = MergeSpec(Seq("k"), Seq("status", "cents"))
+    def b(pred: Column, status: Column, cents: Column): DataFrame =
+      src.where(pred).select(col("k"), col("m"), status.as("status"), cents.as("cents"))
+    graft.operators.Memo.cached(s, s"morpartfold|$dir|$tbl") {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      if (!MergeOnRead.exists(s, dir, tbl))
+        MergeOnRead.initPartitioned(
+          b(col("k") % 1000 =!= 7, col("status0"), col("cents0")),
+          dir, tbl, Seq("k"), "m")
+      val b2 = b(col("k") % 1000 === 7, lit("N"), col("cents0"))
+        .unionByName(b(col("k") % 200 === 3, lit("U2"), col("cents0") + 22))
+      MergeOnRead.deltaMerge(s, dir, tbl,
+        b(col("k") % 100 === 3, lit("U1"), col("cents0") + 11),
+        spec, tlit(tsNow), batchId = 1L)
+      MergeOnRead.deltaMerge(s, dir, tbl, b2, spec, tlit(tsNow), batchId = 2L)
+      if (compactAfterBatch2) MergeOnRead.compact(s, dir, tbl)
+      // crash replay with a poisoned payload: the stamp must skip it
+      MergeOnRead.deltaMerge(s, dir, tbl,
+        b(col("k") % 200 === 3, lit("POISON"), lit(-1L)),
+        spec, tlit(tsNow), batchId = 2L)
+      MergeOnRead.deltaMerge(s, dir, tbl,
+        b(col("k") % 400 === 3, lit("U3"), col("cents0") + 33),
+        spec, tlit(tsNow), batchId = 3L)
+      java.lang.Boolean.TRUE
+    }
+    MergeOnRead.readView(s, dir, tbl)
+  }
+
+  /** [[morOracleSql]] with the month partition column along. */
+  private def morPartOracleSql: String =
+    "WITH src AS (SELECT o_orderkey AS k, strftime(o_orderdate, '%Y-%m') AS m, " +
+      "o_orderstatus AS status0, " +
+      "CAST(round(o_totalprice * 100) AS BIGINT) AS cents0 FROM orders), " +
+      "stacked AS (" +
+      "SELECT k, m, status0 AS status, cents0 AS cents, 0 AS seq FROM src WHERE k % 1000 <> 7 " +
+      "UNION ALL SELECT k, m, 'U1', cents0 + 11, 1 FROM src WHERE k % 100 = 3 " +
+      "UNION ALL SELECT k, m, 'N', cents0, 2 FROM src WHERE k % 1000 = 7 " +
+      "UNION ALL SELECT k, m, 'U2', cents0 + 22, 2 FROM src WHERE k % 200 = 3 " +
+      "UNION ALL SELECT k, m, 'U3', cents0 + 33, 3 FROM src WHERE k % 400 = 3) " +
+      "SELECT k, m, status, cents FROM (SELECT *, row_number() OVER " +
+      "(PARTITION BY k ORDER BY seq DESC) AS rn FROM stacked) WHERE rn = 1"
+
+  /** The streaming MoR upsert chain, batch-replayed
+    * ([[graft.streaming.Streams.foldUpsertMorBatch]] — the exact
+    * foreachBatch body of `upsertStreamMor`): four key-modulo
+    * micro-batches, each carrying a STALE and a FINAL image per key
+    * (the order column picks the final one — the last-image-per-key
+    * dedup real upsert streams need), batch 2 crash-replays with a
+    * poisoned payload (stamp-skipped), and the self-compacting chain's
+    * read view must equal the one-pass oracle.
+    */
+  private def morStreamFold(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.MergeOnRead
+    val ord = rd(s, d, "orders")
+    val src = ord.select(col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100).cast("long").as("cents0"))
+    val dir = new java.io.File(
+      "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+    val tbl = s"mor_stream_${contentEpoch(ord, "o_orderkey")}"
+    val spec = MergeSpec(Seq("k"), Seq("cents"))
+    graft.operators.Memo.cached(s, s"morstream|$dir|$tbl") {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      if (!MergeOnRead.exists(s, dir, tbl))
+        MergeOnRead.init(src.select(col("k"), col("cents0").as("cents")),
+          dir, tbl, Seq("k"))
+      def batch(i: Int, poison: Boolean): DataFrame = {
+        val keys = src.where(col("k") % 4 === i)
+        val fin = if (poison) lit(-99L) else col("cents0") + i
+        keys.select(col("k"), lit(-1L).as("cents"), lit(1L).as("seq"))
+          .unionByName(keys.select(col("k"), fin.as("cents"), lit(2L).as("seq")))
+      }
+      (0 until 4).foreach { i =>
+        graft.streaming.Streams.foldUpsertMorBatch(
+          batch(i, poison = false), i.toLong, dir, tbl, spec, tlit(tsNow),
+          maxDeltaRatio = 0.2, dedupOrderCol = Some("seq"))
+        if (i == 2) // crash replay: same batch id, poisoned — must no-op
+          graft.streaming.Streams.foldUpsertMorBatch(
+            batch(i, poison = true), i.toLong, dir, tbl, spec, tlit(tsNow),
+            maxDeltaRatio = 0.2, dedupOrderCol = Some("seq"))
+      }
+      java.lang.Boolean.TRUE
+    }
+    MergeOnRead.readView(s, dir, tbl)
+  }
+
   /** The stacked-UNION last-writer-wins oracle for [[morFold]]. */
   private def morOracleSql: String =
     "WITH src AS (SELECT o_orderkey AS k, o_orderstatus AS status0, " +
@@ -243,6 +351,109 @@ object SparkEntry {
       .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), gq(col("cents")).as("counts"))
+  }
+
+  /** Capacity of the hash-rank (derandomized-KLL) quantile sketch gates
+    * — ONE constant feeding the Spark aggregator and the oracle's
+    * level-selection replay.
+    */
+  private[graft] val kllK = 256
+
+  /** Trailing-zero-nibble level key for the hash-rank sketch: derived
+    * from the UNIQUE event id (hashing the value would bias duplicate
+    * values together — the [[graft.functions.HashRankQuantileAgg]]
+    * contract), md5-based so DuckDB replays the identical draw (the
+    * [[graft.operators.Stats.bootstrapMeanCI]] discipline).
+    */
+  private def kllTz: Column =
+    length(regexp_extract(
+      md5(concat(lit("kll:"), col("event_id").cast("string")).cast("binary")),
+      "(0*)$", 1)).cast("int")
+
+  /** Per-event-type hash-rank quantile sketch over value cents:
+    * `(event_type, sk = {level, n, items[(tz, v)]})` — one combinable
+    * aggregate, state ≤ [[kllK]] pairs regardless of input size, final
+    * content a pure function of the input multiset (merge-order-proof).
+    */
+  private def kllSketch(events: DataFrame): DataFrame = {
+    val agg = udaf(new graft.functions.HashRankQuantileAgg(kllK),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Int, Long)]())
+    events
+      .select(col("event_type"), kllTz.as("tz"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("event_type")
+      .agg(agg(col("tz"), col("cents")).as("sk"))
+  }
+
+  /** Quantile read-out from a hash-rank sketch: survivors are an
+    * equal-weight sample, so p50/p90 are the integer-rank picks
+    * `sorted[⌈p·m⌉]` over the (already value-sorted) survivor array.
+    */
+  private def kllEstimates(sk: DataFrame): DataFrame =
+    sk.select(col("event_type"), col("sk.n").as("n"),
+        col("sk.level").as("level"),
+        expr("transform(sk.items, x -> x._2)").as("__vs"))
+      .withColumn("m_sample", size(col("__vs")).cast("long"))
+      .withColumn("p50_est",
+        expr("element_at(__vs, CAST((m_sample + 1) div 2 AS INT))"))
+      .withColumn("p90_est",
+        expr("element_at(__vs, CAST((m_sample * 9 + 9) div 10 AS INT))"))
+      .drop("__vs")
+
+  /** DuckDB replay of the hash-rank sketch pipeline: same md5
+    * trailing-zero draw, level = min l with ≤ k survivors, survivor
+    * integer-rank picks.
+    */
+  private def kllOracleSql: String =
+    "WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v, " +
+      "length(regexp_extract(md5('kll:' || CAST(event_id AS VARCHAR)), '(0*)$', 1)) AS tz FROM events), " +
+      "tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1), " +
+      "ls AS (SELECT t.event_type, gs.l FROM (SELECT DISTINCT event_type FROM e) t, " +
+      "generate_series(0, 32) gs(l)), " +
+      "pc AS (SELECT ls.event_type, ls.l, count(e2.v) AS c FROM ls LEFT JOIN e e2 " +
+      "ON e2.event_type = ls.event_type AND e2.tz >= ls.l GROUP BY 1, 2), " +
+      s"lv AS (SELECT event_type, CAST(min(l) AS INT) AS level FROM pc WHERE c <= $kllK GROUP BY 1), " +
+      "surv AS (SELECT e.event_type, v FROM e JOIN lv USING (event_type) WHERE tz >= level), " +
+      "r AS (SELECT event_type, v, row_number() OVER (PARTITION BY event_type ORDER BY v) AS pos, " +
+      "count(*) OVER (PARTITION BY event_type) AS m FROM surv) " +
+      "SELECT r.event_type, max(tot.n) AS n, CAST(max(lv.level) AS INT) AS level, " +
+      "CAST(max(m) AS BIGINT) AS m_sample, " +
+      "CAST(min(CASE WHEN pos = (m + 1) // 2 THEN v END) AS BIGINT) AS p50_est, " +
+      "CAST(min(CASE WHEN pos = (m * 9 + 9) // 10 THEN v END) AS BIGINT) AS p90_est " +
+      "FROM r JOIN lv USING (event_type) JOIN tot USING (event_type) GROUP BY 1"
+
+  /** Pinned length-k subsequence patterns for `seq_subseq_k` — two
+    * 4-step funnels and one 5-step with a repeated type (each
+    * occurrence needs its own strictly-later timestamp).
+    */
+  private[graft] val seqPatternsK: Seq[Seq[String]] = Seq(
+    Seq("signup", "view", "click", "purchase"),
+    Seq("view", "error", "click", "purchase"),
+    Seq("view", "click", "view", "click", "purchase"))
+
+  /** Greedy chained-min oracle for [[seqPatternsK]]: tᵢ = min t of
+    * type pᵢ strictly past tᵢ₋₁ per user — exact for strict-time
+    * subsequence existence, unrolled per pattern.
+    */
+  private def seqSubseqKOracleSql: String = {
+    val types = seqPatternsK.flatten.distinct.map(t => s"'$t'").mkString(", ")
+    val chains = seqPatternsK.map { p =>
+      val label = p.mkString(">")
+      val steps = p.zipWithIndex.map { case (ty, i) =>
+        if (i == 0)
+          s"s0 AS (SELECT user_id, min(t) AS t0 FROM e WHERE y = '$ty' GROUP BY 1)"
+        else
+          s"s$i AS (SELECT e.user_id, min(t) AS t$i FROM e JOIN s${i - 1} USING (user_id) " +
+            s"WHERE y = '$ty' AND t > t${i - 1} GROUP BY 1)"
+      }.mkString(", ")
+      s"(SELECT '$label' AS pattern, CAST(count(*) AS BIGINT) AS n_support " +
+        s"FROM (WITH $steps SELECT user_id FROM s${p.size - 1}))"
+    }.mkString(" UNION ALL ")
+    "WITH e AS (SELECT user_id, event_type AS y, epoch_us(ts) AS t FROM events " +
+      s"WHERE event_type IN ($types)), " +
+      "tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events) " +
+      s"SELECT pattern, n_support, n_users, n_support * 1000000 // n_users AS support_ppm " +
+      s"FROM ($chains) CROSS JOIN tot"
   }
 
   /** Blocked fuzzy name linkage over `part` (the `link_fuzzy_names`
@@ -666,6 +877,28 @@ object SparkEntry {
       // the view must show the resurrection, not the tombstone, and
       // every other deleted key stays gone
       morDeleteFold(s, d)
+    }),
+    "merge_delta_mor_part" -> ((s, d) => {
+      // PARTITION-SCOPED merge-on-read: the same upsert chain on a
+      // table partitioned by order month — delta rows route to their
+      // partition, the manifest maps each partition to the generation
+      // holding its live copy, and compaction folds only dirty
+      // partitions (spec/bench carry the scale evidence; this gate
+      // proves the bookkeeping is invisible: same eager oracle)
+      morPartFold(s, d, compactAfterBatch2 = false)
+    }),
+    "merge_delta_compact_part" -> ((s, d) => {
+      // the partitioned chain with a mid-chain compaction folded in:
+      // dirty partitions move to generation 2, clean ones stay in
+      // generation 1, and the reconciled view is IDENTICAL
+      morPartFold(s, d, compactAfterBatch2 = true)
+    }),
+    "stream_mor_replay" -> ((s, d) => {
+      // the streaming MoR upsert path, batch-replayed: foreachBatch
+      // body = dedup-to-last-image + stamped deltaMerge + metadata-only
+      // compaction check; batch 2 crash-replays poisoned and must be
+      // skipped; the view equals the one-pass oracle
+      morStreamFold(s, d)
     }),
     "merge_delta_changes" -> ((s, d) => {
       // the delta chain consumed as a CHANGE FEED: net change per key
@@ -4423,6 +4656,66 @@ object SparkEntry {
             (lit(gridLo) + (col("qb") + 1).cast("long") * gridWidth).as(name))
       pick(1, 2, "p50_hi").join(pick(9, 10, "p90_hi").drop("n"), Seq("event_type"))
     }),
+    "q_kll_quantiles" -> ((s, d) =>
+      // rank-error quantile sketch for UNBOUNDED domains (the grid
+      // sketch needs known bounds): KLL-style geometric level sampling
+      // derandomized by content hash, so the k-bounded state is a pure
+      // function of the input multiset — merge-order-proof, replayed
+      // bit-exact by the oracle from the same md5 draw
+      kllEstimates(kllSketch(rd(s, d, "events")))),
+    "incr_kll_maintain" -> ((s, d) => {
+      // O(delta) maintenance of the hash-rank sketch: yesterday's
+      // materialized states merge with the delta's — union survivors,
+      // re-select the level, re-filter — WITHOUT touching history
+      // rows; the oracle rebuilds from ALL events, so a green row
+      // proves merge == full rebuild exactly
+      val ev = rd(s, d, "events")
+      val cutoff = to_timestamp(lit("2024-01-28 00:00:00"))
+      val parts = kllSketch(ev.filter(col("ts") < cutoff))
+        .unionByName(kllSketch(ev.filter(col("ts") >= cutoff)))
+      val lm = parts.groupBy("event_type").agg(
+        max(col("sk.level")).as("lmax"), sum(col("sk.n")).as("n"))
+      val ex = parts.select(col("event_type"), explode(col("sk.items")).as("it"))
+      // new level: min l >= lmax with <= k survivors (items dropped by
+      // either side had tz < its level <= l — nothing to resurface)
+      val pass = lm.select(col("event_type"), col("lmax"),
+          explode(sequence(col("lmax"), lit(32))).as("l"))
+        .join(ex, Seq("event_type"), "left")
+        .groupBy(col("event_type"), col("l"))
+        .agg(sum(when(col("it._1") >= col("l"), 1L).otherwise(0L)).as("pc"))
+      val newLevel = pass.where(col("pc") <= kllK)
+        .groupBy("event_type").agg(min(col("l")).cast("int").as("level"))
+      val surv = ex.join(newLevel, Seq("event_type"))
+        .where(col("it._1") >= col("level"))
+      surv.groupBy(col("event_type"), col("level"))
+        .agg(sort_array(collect_list(col("it._2"))).as("__vs"))
+        .join(lm.select(col("event_type"), col("n")), Seq("event_type"))
+        .withColumn("m_sample", size(col("__vs")).cast("long"))
+        .withColumn("p50_est",
+          expr("element_at(__vs, CAST((m_sample + 1) div 2 AS INT))"))
+        .withColumn("p90_est",
+          expr("element_at(__vs, CAST((m_sample * 9 + 9) div 10 AS INT))"))
+        .select("event_type", "n", "level", "m_sample", "p50_est", "p90_est")
+    }),
+    "dq_numeric_ks_binned" -> ((s, d) => {
+      // the histogram-first KS remedy numericDriftKs documents for
+      // unbounded value cardinality, gated: both snapshots bucket into
+      // the pinned grid's clamped cells and the exact-integer CDF gap
+      // runs on <= 64 rows regardless of corpus size
+      val ev = rd(s, d, "events")
+        .select(col("ts"), round(col("value") * 100).cast("long").as("cents"))
+      val cutoff = to_timestamp(lit("2024-01-15 00:00:00"))
+      graft.operators.Quality.numericDriftKsBinned(
+        ev.filter(col("ts") < cutoff), ev.filter(col("ts") >= cutoff),
+        "cents", gridLo, gridWidth, gridBins)
+    }),
+    "seq_subseq_k" -> ((s, d) =>
+      // PrefixSpan-at-length-k (the triple trick doesn't extend): one
+      // greedy earliest-completion fold per user timeline decides
+      // existence for each pinned pattern — O(|timeline|·k) per user,
+      // no candidate subsequences, strict-time chaining both engines
+      // replay identically
+      Events.subsequenceSupportK(rd(s, d, "events"), seqPatternsK)),
     "incr_gridq_maintain" -> ((s, d) => {
       // O(delta) quantile-sketch maintenance: yesterday's materialized
       // grid sketch merges with the delta's by elementwise count
@@ -4758,6 +5051,16 @@ object SparkEntry {
     // both MoR gates reconcile to the same eager last-writer-wins chain
     "merge_delta_mor" -> morOracleSql,
     "merge_delta_compact" -> morOracleSql,
+    // the partition-scoped chain reconciles to the same eager result
+    // (month column along); compaction bookkeeping must be invisible
+    "merge_delta_mor_part" -> morPartOracleSql,
+    "merge_delta_compact_part" -> morPartOracleSql,
+    // streaming foreachBatch fold: dedup-to-last-image + stamp + compact
+    // == one-pass last-writer-wins over the batches
+    "stream_mor_replay" ->
+      ("SELECT o_orderkey AS k, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) + o_orderkey % 4 AS cents " +
+        "FROM orders"),
     "merge_delta_deletes" -> morDeleteOracleSql,
     // net change per key across batches 2..3 of the delete chain:
     // rn=1 over seq picks the final state; del rows surface as
@@ -6906,6 +7209,29 @@ object SparkEntry {
         "CROSS JOIN tot"
     },
     "incr_hll_maintain" -> OracleSql.hllRegisters(64),
+    // bit-exact replay of the hash-rank (derandomized-KLL) sketch: same
+    // md5 trailing-zero draw, same min-level selection, same survivor
+    // integer-rank picks
+    "q_kll_quantiles" -> kllOracleSql,
+    // full rebuild over ALL events == the hist+delta sketch-state merge
+    "incr_kll_maintain" -> kllOracleSql,
+    // chained greedy mins per pattern == the per-user timeline fold
+    "seq_subseq_k" -> seqSubseqKOracleSql,
+    // binned two-sample KS: pinned-grid clamped buckets, exact integer
+    // CDF gap, argmax bucket (smallest on ties)
+    "dq_numeric_ks_binned" ->
+      ("WITH e AS (SELECT ts, CAST(round(value * 100) AS BIGINT) AS cents FROM events " +
+        "WHERE value IS NOT NULL), " +
+        s"b AS (SELECT CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 0 ELSE 1 END AS side, " +
+        s"LEAST(GREATEST((cents - $gridLo) // $gridWidth, 0), ${gridBins - 1}) AS bkt FROM e), " +
+        "c AS (SELECT bkt, CAST(count(*) FILTER (WHERE side = 0) AS BIGINT) AS ca, " +
+        "CAST(count(*) FILTER (WHERE side = 1) AS BIGINT) AS cb FROM b GROUP BY 1), " +
+        "m AS (SELECT bkt, CAST(sum(ca) OVER (ORDER BY bkt ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuma, " +
+        "CAST(sum(cb) OVER (ORDER BY bkt ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumb FROM c), " +
+        "t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM c) " +
+        "SELECT na AS n_a, nb AS n_b, CAST(abs(cuma * nb - cumb * na) AS BIGINT) AS ks_num, " +
+        "bkt AS at_bucket FROM m CROSS JOIN t " +
+        "ORDER BY abs(cuma * nb - cumb * na) DESC, bkt LIMIT 1"),
     // full rebuild over ALL events == the O(delta) topk merge
     "incr_topk_maintain" ->
       ("WITH m AS (SELECT event_type, user_id, " +

@@ -780,6 +780,77 @@ object Events {
         expr("coalesce(n_support, 0L) * 1000000L div n_users").as("support_ppm"))
   }
 
+  /** Ordered-subsequence support at ARBITRARY pinned length k — the
+    * generalization of [[subsequenceSupport]] past triples (whose
+    * first/last-EXISTS trick does not extend): for each pinned pattern
+    * (p₁ … p_k), how many users exhibit it as a strictly
+    * time-increasing subsequence of their timeline.
+    *
+    * One greedy left-to-right fold per user decides existence: walking
+    * the (ts, event_id)-sorted timeline, state[i] holds the EARLIEST
+    * timestamp at which the length-i prefix completes; an event of type
+    * p_i with t strictly past state[i−1] sets state[i] on first
+    * opportunity. Greedy-earliest is exact for subsequence existence
+    * (matching a prefix as early as possible only widens the suffix's
+    * choices), so state[k] non-null ⟺ the user supports the pattern —
+    * no candidate subsequences are ever materialized.
+    *
+    * Strict-time semantics: successive pattern positions need strictly
+    * increasing TIMESTAMPS (two events sharing a timestamp cannot chain)
+    * — the rule both engines replay without consulting tie-break ids.
+    *
+    * Shape at 100 TB: one (user) aggregate building a timeline bounded
+    * by that user's own activity (the sessionize contract, same as
+    * [[eventPatternCounts]]), then a per-user O(|timeline|·k) fold —
+    * linear per user, patterns are CONFIG — and one combinable support
+    * count. Unsupported patterns emit 0, not absence.
+    */
+  def subsequenceSupportK(
+      events: DataFrame,
+      patterns: Seq[Seq[String]]): DataFrame = {
+    require(patterns.nonEmpty, "need at least one pattern")
+    require(patterns.forall(_.size >= 2), "patterns are ordered sequences (length >= 2)")
+    val types = patterns.flatten.distinct
+    val timelines = events
+      .where(col("event_type").isin(types: _*))
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(
+        unix_micros(col("ts")).as("t"),
+        col("event_id").as("e"),
+        col("event_type").as("y")))).as("tl"))
+    val withMatch = patterns.zipWithIndex.foldLeft(timelines) { case (df, (p, i)) =>
+      val k = p.size
+      val patArr = array(p.map(lit): _*)
+      val init = array_repeat(lit(null).cast("long"), k)
+      val folded = aggregate(col("tl"), init, (acc, x) =>
+        transform(acc, (v, idx) => {
+          // prefix i−1's completion time; the idx=0 read is a dummy
+          // (valid index 1) that the OR's left side makes irrelevant
+          val prev = element_at(acc, when(idx > lit(0), idx).otherwise(lit(1)))
+          coalesce(v, when(
+            x("y") === element_at(patArr, idx + 1) &&
+              (idx === lit(0) || (prev.isNotNull && x("t") > prev)),
+            x("t")))
+        }))
+      df.withColumn(s"__m$i", element_at(folded, k).isNotNull)
+    }
+    val aggCols = count(lit(1)).as("__nu") +:
+      patterns.indices.map(i => sum(col(s"__m$i").cast("long")).as(s"__s$i"))
+    val agged = withMatch.agg(aggCols.head, aggCols.tail: _*)
+    // total users over the WHOLE table (consistent with
+    // subsequenceSupport's denominator), not just users of pinned types
+    val nUsers = events.select(countDistinct(col("user_id")).as("n_users"))
+    agged.crossJoin(broadcast(nUsers))
+      .select(explode(array(patterns.zipWithIndex.map { case (p, i) =>
+        struct(lit(p.mkString(">")).as("pattern"),
+          coalesce(col(s"__s$i"), lit(0L)).as("n_support"))
+      }: _*)).as("r"), col("n_users"))
+      .select(col("r.pattern").as("pattern"),
+        col("r.n_support").as("n_support"),
+        col("n_users"),
+        expr("r.n_support * 1000000L div n_users").as("support_ppm"))
+  }
+
   /** MATCH_RECOGNIZE-lite: per-user event-sequence pattern counting by
     * encoding each user's (ts, event_id)-ordered event-type INITIALS
     * as one string and counting non-overlapping regex matches — the

@@ -185,6 +185,33 @@ object Quality {
         col("ks_num"), col("at_value"))
   }
 
+  /** [[numericDriftKs]] over FIXED-GRID buckets — the documented remedy
+    * for genuinely unbounded value cardinality, now a first-class
+    * operator instead of a doc comment: both sides bucket into the same
+    * config-pinned integer cells ([[Quantiles.gridQuantiles]]'s
+    * clamped floor-division, [[graft.functions.GridQuantileAgg]]'s
+    * contract), and the exact-integer CDF gap runs on ≤ `bins` rows
+    * regardless of corpus size. The statistic becomes the KS of the
+    * BINNED distributions (gap resolution = one cell) — the standard
+    * trade for a bounded-state drift monitor; `at_bucket` reports the
+    * argmax cell's index.
+    */
+  def numericDriftKsBinned(
+      before: DataFrame,
+      after: DataFrame,
+      valueCol: String,
+      lo: Long,
+      width: Long,
+      bins: Int): DataFrame = {
+    require(width >= 1 && bins >= 2, "need a positive cell width and >= 2 cells")
+    def bucketed(df: DataFrame) = df
+      .filter(col(valueCol).isNotNull)
+      .select(least(greatest(
+        expr(s"($valueCol - $lo) div $width"), lit(0L)), lit(bins - 1L)).as("__b"))
+    numericDriftKs(bucketed(before), bucketed(after), "__b")
+      .withColumnRenamed("at_value", "at_bucket")
+  }
+
   /** Categorical drift report between two snapshots of the same feed:
     * per category, the row count and exact integer ppm share in each
     * snapshot plus the signed share delta. The distribution-shift

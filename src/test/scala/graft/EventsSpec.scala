@@ -305,4 +305,42 @@ class EventsSpec extends AnyFunSuite with SparkTest {
     assert(out == Map("view" -> 1333L, "click" -> 666L, "direct" -> 2000L),
       s"got $out")
   }
+
+  test("subsequenceSupportK: greedy fold equals brute-force subsequence search, strict time") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(8L)
+    val types = Seq("a", "b", "c")
+    // random timelines incl. duplicate timestamps (strict-time: same-ts
+    // events cannot chain) and repeated-type patterns
+    val rows = for {
+      u <- 1L to 40L
+      i <- 0 until (1 + rnd.nextInt(12))
+    } yield (u * 100 + i, u, types(rnd.nextInt(3)),
+      f"2024-01-01 10:${rnd.nextInt(10)}%02d:00", 1.0)
+    val events = rows.toDF("event_id", "user_id", "event_type", "ts", "value")
+      .withColumn("ts", to_timestamp($"ts"))
+    val patterns = Seq(
+      Seq("a", "b", "c", "a"),
+      Seq("b", "b", "b"),
+      Seq("a", "a", "b", "b", "c"),
+      Seq("c", "a"))
+    val got = Events.subsequenceSupportK(events, patterns)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // brute force: DFS over each user's time-sorted multiset
+    def supports(times: Map[String, Seq[Long]], p: Seq[String]): Boolean = {
+      def go(i: Int, after: Long): Boolean =
+        i == p.size || times.getOrElse(p(i), Nil).exists(t =>
+          t > after && go(i + 1, t))
+      go(0, Long.MinValue)
+    }
+    val byUser = rows.groupBy(_._2).view.mapValues(rs =>
+      rs.groupBy(_._3).view.mapValues(_.map(r =>
+        java.sql.Timestamp.valueOf(r._4).getTime).toSeq).toMap).toMap
+    patterns.foreach { p =>
+      val want = byUser.values.count(supports(_, p)).toLong
+      assert(got(p.mkString(">")) == want, s"pattern ${p.mkString(">")}")
+    }
+    // fixture sanity: at least one supported and one unsupported pattern
+    assert(got.values.exists(_ > 0) && patterns.size == got.size)
+  }
 }

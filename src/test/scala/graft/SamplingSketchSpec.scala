@@ -701,4 +701,56 @@ class SamplingSketchSpec extends AnyFunSuite with SparkTest {
       _.map(_._2).foldLeft(agg.zero)((b, x) => agg.reduce(b, x)).toSeq).toMap
     assert(got == want)
   }
+
+  test("HashRankQuantileAgg: state is a pure function of the multiset — any merge tree agrees") {
+    val agg = new graft.functions.HashRankQuantileAgg(16)
+    val rnd = new scala.util.Random(17L)
+    // synthetic (tz, v): geometric tz like a real hash draw
+    val xs = (1 to 400).map { i =>
+      var tz = 0
+      while (tz < 8 && rnd.nextInt(16) == 0) tz += 1
+      (tz, i.toLong)
+    }
+    def fold(items: Seq[(Int, Long)]) =
+      items.foldLeft(agg.zero)((b, x) => agg.reduce(b, x))
+    val onePass = agg.finish(fold(xs))
+    // several adversarial merge trees: shuffled splits, skewed splits,
+    // pairwise cascades — all must land on the identical state
+    for (trial <- 0 until 5) {
+      val shuffled = rnd.shuffle(xs)
+      val parts = shuffled.grouped(1 + rnd.nextInt(150)).map(fold).toSeq
+      val merged = agg.finish(parts.reduce(agg.merge))
+      assert(merged == onePass, s"trial $trial diverged")
+    }
+    // level selection is minimal: |{tz >= L}| <= k < |{tz >= L-1}|
+    val L = onePass.level
+    assert(xs.count(_._1 >= L) <= 16)
+    assert(L == 0 || xs.count(_._1 >= L - 1) > 16)
+    assert(onePass.n == 400L)
+    assert(onePass.items == onePass.items.sortBy(x => (x._2, x._1)), "canonical order")
+  }
+
+  test("HashRankQuantileAgg: real md5 draw gives usable rank error at k=256") {
+    val s = spark; import s.implicits._
+    val n = 20000
+    val df = (1 to n).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+      .withColumn("tz", length(regexp_extract(
+        md5(concat(lit("t:"), col("id").cast("string")).cast("binary")),
+        "(0*)$", 1)).cast("int"))
+    val agg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.HashRankQuantileAgg(256),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Int, Long)]())
+    val sk = df.repartition(13).agg(agg(col("tz"), col("v")).as("sk"))
+      .select(col("sk.level"), col("sk.n"), expr("transform(sk.items, x -> x._2)"))
+      .head()
+    assert(sk.getLong(1) == n.toLong)
+    val vs = sk.getSeq[Long](2)
+    assert(vs.size <= 256 && vs.size >= 8, s"sample size ${vs.size}")
+    // values are uniform 1..n, so the sample median's RANK should land
+    // within a generous 4/sqrt(m) band of n/2 (deterministic: the md5
+    // draw is fixed, this documents the achieved error, not luck)
+    val med = vs(( vs.size + 1) / 2 - 1)
+    val tol = (4.0 / math.sqrt(vs.size.toDouble) * n).toLong
+    assert(math.abs(med - n / 2) <= tol, s"median est $med vs ${n / 2} (tol $tol)")
+  }
 }

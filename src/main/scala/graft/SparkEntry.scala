@@ -385,20 +385,16 @@ object SparkEntry {
       .agg(agg(col("tz"), col("cents")).as("sk"))
   }
 
-  /** Quantile read-out from a hash-rank sketch: survivors are an
-    * equal-weight sample, so p50/p90 are the integer-rank picks
-    * `sorted[⌈p·m⌉]` over the (already value-sorted) survivor array.
+  /** Flatten the sketch struct to the `(group, level, n, items)` state
+    * rows [[graft.operators.Quantiles.hashRankReadout]] and
+    * [[graft.operators.Quantiles.mergeHashRankStates]] consume.
     */
+  private def kllStates(sk: DataFrame): DataFrame =
+    sk.select(col("event_type"), col("sk.level").as("level"),
+      col("sk.n").as("n"), col("sk.items").as("items"))
+
   private def kllEstimates(sk: DataFrame): DataFrame =
-    sk.select(col("event_type"), col("sk.n").as("n"),
-        col("sk.level").as("level"),
-        expr("transform(sk.items, x -> x._2)").as("__vs"))
-      .withColumn("m_sample", size(col("__vs")).cast("long"))
-      .withColumn("p50_est",
-        expr("element_at(__vs, CAST((m_sample + 1) div 2 AS INT))"))
-      .withColumn("p90_est",
-        expr("element_at(__vs, CAST((m_sample * 9 + 9) div 10 AS INT))"))
-      .drop("__vs")
+    graft.operators.Quantiles.hashRankReadout(kllStates(sk), "event_type")
 
   /** DuckDB replay of the hash-rank sketch pipeline: same md5
     * trailing-zero draw, level = min l with ≤ k survivors, survivor
@@ -422,6 +418,38 @@ object SparkEntry {
       "CAST(min(CASE WHEN pos = (m * 9 + 9) // 10 THEN v END) AS BIGINT) AS p90_est " +
       "FROM r JOIN lv USING (event_type) JOIN tot USING (event_type) GROUP BY 1"
 
+  /** Four-batch replayed fold of the hash-rank sketch state
+    * ([[graft.streaming.Streams.foldKllBatch]]): content-addressed
+    * state table under target/, batch 2 replayed with poisoned values
+    * (stamp-skipped), readout off the persisted states.
+    */
+  private def kllStreamFold(s: SparkSession, d: String): DataFrame = {
+    val ev = rd(s, d, "events")
+    val dir = new java.io.File(
+      "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+    val tbl = s"kll_state_${contentEpoch(ev, "event_id")}"
+    def prepped(poison: Boolean): DataFrame =
+      ev.select(col("event_type"), col("event_id"), kllTz.as("tz"),
+        (round(col("value") * 100).cast("long") +
+          (if (poison) lit(999999L) else lit(0L))).as("cents"))
+    graft.operators.Memo.cached(s, s"kllstream|$dir|$tbl") {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      (0 until 4).foreach { i =>
+        graft.streaming.Streams.foldKllBatch(
+          prepped(poison = false).where(col("event_id") % 4 === i),
+          i.toLong, dir, tbl, "event_type", "tz", "cents", kllK)
+        if (i == 2) // crash replay: same id, poisoned values — must no-op
+          graft.streaming.Streams.foldKllBatch(
+            prepped(poison = true).where(col("event_id") % 4 === i),
+            i.toLong, dir, tbl, "event_type", "tz", "cents", kllK)
+      }
+      java.lang.Boolean.TRUE
+    }
+    graft.operators.Quantiles.hashRankReadout(
+      graft.sources.Warehouse.read(s, dir, tbl).drop("last_batch_id"),
+      "event_type")
+  }
+
   /** Pinned length-k subsequence patterns for `seq_subseq_k` — two
     * 4-step funnels and one 5-step with a repeated type (each
     * occurrence needs its own strictly-later timestamp).
@@ -430,6 +458,39 @@ object SparkEntry {
     Seq("signup", "view", "click", "purchase"),
     Seq("view", "error", "click", "purchase"),
     Seq("view", "click", "view", "click", "purchase"))
+
+  /** Patterns + 48 h adjacent-gap bound for `seq_subseq_gap`. */
+  private[graft] val seqPatternsGap: Seq[Seq[String]] = Seq(
+    Seq("view", "click", "purchase"),
+    Seq("signup", "view", "click", "purchase"))
+  private[graft] val seqGapUs: Long = 48L * 3600L * 1000000L
+
+  /** Unrolled DISTINCT-frontier chain oracle for [[seqPatternsGap]]:
+    * Mᵢ = distinct (user, t) of type pᵢ within the gap of Mᵢ₋₁ —
+    * the same set-valued DP the operator runs.
+    */
+  private def seqSubseqGapOracleSql: String = {
+    val types = seqPatternsGap.flatten.distinct.map(t => s"'$t'").mkString(", ")
+    val chains = seqPatternsGap.map { p =>
+      val label = p.mkString(">")
+      val steps = p.zipWithIndex.map { case (ty, i) =>
+        if (i == 0)
+          s"m0 AS (SELECT user_id, t FROM e WHERE y = '$ty')"
+        else
+          s"m$i AS (SELECT DISTINCT e.user_id, e.t FROM e " +
+            s"JOIN m${i - 1} ON e.user_id = m${i - 1}.user_id " +
+            s"AND e.t > m${i - 1}.t AND e.t - m${i - 1}.t <= $seqGapUs " +
+            s"WHERE e.y = '$ty')"
+      }.mkString(", ")
+      s"(SELECT '$label' AS pattern, CAST(count(DISTINCT user_id) AS BIGINT) AS n_support " +
+        s"FROM (WITH $steps SELECT user_id FROM m${p.size - 1}))"
+    }.mkString(" UNION ALL ")
+    "WITH e AS (SELECT user_id, event_type AS y, epoch_us(ts) AS t FROM events " +
+      s"WHERE event_type IN ($types)), " +
+      "tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events) " +
+      s"SELECT pattern, n_support, n_users, n_support * 1000000 // n_users AS support_ppm " +
+      s"FROM ($chains) CROSS JOIN tot"
+  }
 
   /** Greedy chained-min oracle for [[seqPatternsK]]: tᵢ = min t of
     * type pᵢ strictly past tᵢ₋₁ per user — exact for strict-time
@@ -4671,31 +4732,19 @@ object SparkEntry {
       // proves merge == full rebuild exactly
       val ev = rd(s, d, "events")
       val cutoff = to_timestamp(lit("2024-01-28 00:00:00"))
-      val parts = kllSketch(ev.filter(col("ts") < cutoff))
-        .unionByName(kllSketch(ev.filter(col("ts") >= cutoff)))
-      val lm = parts.groupBy("event_type").agg(
-        max(col("sk.level")).as("lmax"), sum(col("sk.n")).as("n"))
-      val ex = parts.select(col("event_type"), explode(col("sk.items")).as("it"))
-      // new level: min l >= lmax with <= k survivors (items dropped by
-      // either side had tz < its level <= l — nothing to resurface)
-      val pass = lm.select(col("event_type"), col("lmax"),
-          explode(sequence(col("lmax"), lit(32))).as("l"))
-        .join(ex, Seq("event_type"), "left")
-        .groupBy(col("event_type"), col("l"))
-        .agg(sum(when(col("it._1") >= col("l"), 1L).otherwise(0L)).as("pc"))
-      val newLevel = pass.where(col("pc") <= kllK)
-        .groupBy("event_type").agg(min(col("l")).cast("int").as("level"))
-      val surv = ex.join(newLevel, Seq("event_type"))
-        .where(col("it._1") >= col("level"))
-      surv.groupBy(col("event_type"), col("level"))
-        .agg(sort_array(collect_list(col("it._2"))).as("__vs"))
-        .join(lm.select(col("event_type"), col("n")), Seq("event_type"))
-        .withColumn("m_sample", size(col("__vs")).cast("long"))
-        .withColumn("p50_est",
-          expr("element_at(__vs, CAST((m_sample + 1) div 2 AS INT))"))
-        .withColumn("p90_est",
-          expr("element_at(__vs, CAST((m_sample * 9 + 9) div 10 AS INT))"))
-        .select("event_type", "n", "level", "m_sample", "p50_est", "p90_est")
+      val parts = kllStates(kllSketch(ev.filter(col("ts") < cutoff)))
+        .unionByName(kllStates(kllSketch(ev.filter(col("ts") >= cutoff))))
+      graft.operators.Quantiles.hashRankReadout(
+        graft.operators.Quantiles.mergeHashRankStates(parts, "event_type", kllK),
+        "event_type")
+    }),
+    "stream_kll_replay" -> ((s, d) => {
+      // the hash-rank sketch state under the crash-replay harness
+      // (Streams.foldKllBatch): four event_id-modulo batches fold into
+      // the persisted per-type state by the EXACT multiset merge,
+      // batch 2 replays with poisoned values and must be stamp-skipped,
+      // and the final readout equals the one-pass rebuild oracle
+      kllStreamFold(s, d)
     }),
     "dq_numeric_ks_binned" -> ((s, d) => {
       // the histogram-first KS remedy numericDriftKs documents for
@@ -4716,6 +4765,23 @@ object SparkEntry {
       // no candidate subsequences, strict-time chaining both engines
       // replay identically
       Events.subsequenceSupportK(rd(s, d, "events"), seqPatternsK)),
+    "seq_subseq_gap" -> ((s, d) =>
+      // the MAX-GAP variant: adjacent steps within 48 h. Greedy is not
+      // exact under a gap bound, so this is the set-valued DP as k-1
+      // deduplicated range joins — frontier size bounded by the pinned
+      // types' row counts, never path multiplicity
+      Events.subsequenceSupportGap(rd(s, d, "events"), seqPatternsGap, seqGapUs)),
+    "dq_t_closeness" -> ((s, d) =>
+      // the third privacy rung after k-anonymity and l-diversity: a
+      // large, diverse cohort can still leak by SKEW — exact-integer
+      // 1-D earth-mover's distance of each cohort's balance-band
+      // distribution vs the global one, thresholded by ppm
+      // cross-multiplication in decimal (no floats anywhere)
+      graft.operators.Quality.tClosenessReport(
+        rd(s, d, "customer"),
+        Seq("c_mktsegment", "c_nationkey"),
+        expr("(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) div 200000"),
+        tPpm = 120000L)),
     "incr_gridq_maintain" -> ((s, d) => {
       // O(delta) quantile-sketch maintenance: yesterday's materialized
       // grid sketch merges with the delta's by elementwise count
@@ -7215,8 +7281,31 @@ object SparkEntry {
     "q_kll_quantiles" -> kllOracleSql,
     // full rebuild over ALL events == the hist+delta sketch-state merge
     "incr_kll_maintain" -> kllOracleSql,
+    // the four-batch replayed fold must land on the same rebuild
+    "stream_kll_replay" -> kllOracleSql,
     // chained greedy mins per pattern == the per-user timeline fold
     "seq_subseq_k" -> seqSubseqKOracleSql,
+    // DISTINCT-frontier DP chain, unrolled per pattern
+    "seq_subseq_gap" -> seqSubseqGapOracleSql,
+    // exact-integer 1-D EMD per cohort vs global, HUGEINT ppm threshold
+    "dq_t_closeness" ->
+      ("WITH base AS (SELECT c_mktsegment AS s, c_nationkey AS nk, " +
+        "(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 200000 AS v " +
+        "FROM customer WHERE c_acctbal IS NOT NULL), " +
+        "cv AS (SELECT s, nk, v, count(*) AS cc FROM base GROUP BY 1, 2, 3), " +
+        "gv AS (SELECT v, count(*) AS gc FROM base GROUP BY 1), " +
+        "co AS (SELECT s, nk, CAST(sum(cc) AS BIGINT) AS n_rows FROM cv GROUP BY 1, 2), " +
+        "t AS (SELECT CAST(sum(gc) AS BIGINT) AS n_total, CAST(count(*) AS BIGINT) AS m FROM gv), " +
+        "g AS (SELECT co.s, co.nk, co.n_rows, gv.v, gv.gc, coalesce(cv.cc, 0) AS cc " +
+        "FROM co CROSS JOIN gv LEFT JOIN cv ON cv.s = co.s AND cv.nk = co.nk AND cv.v = gv.v), " +
+        "w AS (SELECT s, nk, n_rows, v, " +
+        "CAST(sum(cc) OVER (PARTITION BY s, nk ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumc, " +
+        "CAST(sum(gc) OVER (PARTITION BY s, nk ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumg FROM g) " +
+        "SELECT s AS c_mktsegment, nk AS c_nationkey, n_rows, n_total, m AS m_values, " +
+        "CAST(sum(abs(cumc * n_total - cumg * n_rows)) AS BIGINT) AS emd_num, " +
+        "CAST(sum(abs(cumc * n_total - cumg * n_rows)) AS HUGEINT) * 1000000 <= " +
+        "CAST(120000 AS HUGEINT) * n_rows * n_total * (m - 1) AS meets_t " +
+        "FROM w CROSS JOIN t GROUP BY 1, 2, 3, 4, 5"),
     // binned two-sample KS: pinned-grid clamped buckets, exact integer
     // CDF gap, argmax bucket (smallest on ties)
     "dq_numeric_ks_binned" ->

@@ -851,6 +851,53 @@ object Events {
         expr("r.n_support * 1000000L div n_users").as("support_ppm"))
   }
 
+  /** [[subsequenceSupportK]] with a MAX-GAP bound: adjacent pattern
+    * positions must land within `maxGapUs` microseconds. Greedy-earliest
+    * is NOT exact here (a later prefix completion can open a gap window
+    * an earlier one already closed), so this runs the exact set-valued
+    * DP as k−1 candidate-bounded range joins: Mᵢ = distinct (user, t)
+    * of type pᵢ reachable from Mᵢ₋₁ within the gap. Each frontier is
+    * deduplicated, so |Mᵢ| ≤ |events of type pᵢ| — work is bounded by
+    * the pinned types' row counts, never by path multiplicity (the
+    * thing a naive k-way join explodes on).
+    *
+    * Shape at 100 TB: k−1 keyed joins on user_id (range predicate
+    * rides the join filter), each frontier type-filtered at the scan;
+    * patterns are CONFIG. Same strict-time chaining and same output
+    * shape as [[subsequenceSupportK]].
+    */
+  def subsequenceSupportGap(
+      events: DataFrame,
+      patterns: Seq[Seq[String]],
+      maxGapUs: Long): DataFrame = {
+    require(patterns.nonEmpty, "need at least one pattern")
+    require(patterns.forall(_.size >= 2), "patterns are ordered sequences (length >= 2)")
+    require(maxGapUs > 0, "gap bound must be positive")
+    val types = patterns.flatten.distinct
+    val e = events.where(col("event_type").isin(types: _*))
+      .select(col("user_id"), col("event_type").as("y"),
+        unix_micros(col("ts")).as("t"))
+    val spark = events.sparkSession
+    import spark.implicits._
+    val perPattern = patterns.map { p =>
+      val m0 = e.where(col("y") === p.head).select("user_id", "t")
+      val last = p.tail.foldLeft(m0) { (m, ty) =>
+        val probe = m.select(col("user_id").as("__mu"), col("t").as("__mt"))
+        e.where(col("y") === ty)
+          .join(probe, col("user_id") === col("__mu") &&
+            col("t") > col("__mt") && col("t") - col("__mt") <= maxGapUs)
+          .select("user_id", "t").distinct()
+      }
+      last.agg(countDistinct(col("user_id")).as("n_support"))
+        .select(lit(p.mkString(">")).as("pattern"),
+          coalesce(col("n_support"), lit(0L)).as("n_support"))
+    }.reduce(_ unionByName _)
+    val nUsers = events.select(countDistinct(col("user_id")).as("n_users"))
+    perPattern.crossJoin(broadcast(nUsers))
+      .select(col("pattern"), col("n_support"), col("n_users"),
+        expr("n_support * 1000000L div n_users").as("support_ppm"))
+  }
+
   /** MATCH_RECOGNIZE-lite: per-user event-sequence pattern counting by
     * encoding each user's (ts, event_id)-ordered event-type INITIALS
     * as one string and counting non-overlapping regex matches — the

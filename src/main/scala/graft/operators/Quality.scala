@@ -317,6 +317,75 @@ object Quality {
       .withColumn("meets_l", col("n_sensitive") >= l)
   }
 
+  /** t-closeness audit — the third rung of the privacy ladder after
+    * [[kAnonymize]] and [[lDiversityReport]]: a cohort can be large
+    * AND diverse yet still leak by SKEW (90% of one cohort in the top
+    * balance band reveals plenty). Per quasi-identifier cohort this
+    * reports the 1-D earth-mover's distance between the cohort's
+    * ORDERED-sensitive distribution and the global one, in EXACT
+    * integers: over the m global sensitive values in order,
+    *
+    *   emd_num = Σᵢ |cumCohort(i)·N − cumGlobal(i)·n_cohort|
+    *
+    * with the true EMD = emd_num / (n_cohort·N·(m−1)) left rational.
+    * `meets_t` compares against `tPpm` by cross-multiplying in
+    * decimal(38,0) — no division, no floats, bit-identical in any
+    * engine. The sensitive column must be ORDERED (numeric or a band
+    * index — band first for unbounded domains, the
+    * [[numericDriftKsBinned]] discipline).
+    *
+    * Shape at scale: (cohort × value) and (value) counts are
+    * combinable; the dense grid is |cohorts|·m rows (metadata-sized —
+    * m is a banded domain by contract), and the windows run on that
+    * grid, never the corpus.
+    */
+  def tClosenessReport(
+      df: DataFrame,
+      qiCols: Seq[String],
+      sensitive: Column,
+      tPpm: Long): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(tPpm >= 0, "tPpm is a ppm threshold")
+    val base = df.select(qiCols.map(col) :+ sensitive.as("__v"): _*)
+      .filter(col("__v").isNotNull)
+    val cohortVal = base.groupBy(qiCols.map(col) :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__cc"))
+    val globalVal = base.groupBy(col("__v")).agg(count(lit(1)).as("__gc"))
+    val cohorts = cohortVal.groupBy(qiCols.map(col): _*)
+      .agg(sum(col("__cc")).as("n_rows"))
+    val totals = globalVal.agg(
+      sum(col("__gc")).as("__n_total"), count(lit(1)).as("__m"))
+    // dense (cohort × value) grid so cumulative sums see every step;
+    // null-safe QI match (a null QI cohort audits like any other —
+    // the kAnonymize discipline), renamed to dodge self-join ambiguity
+    val cv = cohortVal.select(
+      qiCols.map(c => col(c).as(s"__q_$c")) :+
+        col("__v").as("__v2") :+ col("__cc"): _*)
+    val on = qiCols.map(c => col(c) <=> col(s"__q_$c")).reduce(_ && _) &&
+      col("__v") === col("__v2")
+    val grid = cohorts.crossJoin(globalVal.select(col("__v"), col("__gc")))
+      .join(cv, on, "left")
+      .na.fill(0L, Seq("__cc"))
+    val w = Window.partitionBy(qiCols.map(col): _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("__cumc", sum(col("__cc")).over(w))
+      .withColumn("__cumg", sum(col("__gc")).over(w))
+      .crossJoin(broadcast(totals))
+      .groupBy(qiCols.map(col) :+ col("n_rows") :+
+        col("__n_total") :+ col("__m"): _*)
+      .agg(sum(abs(col("__cumc") * col("__n_total") -
+        col("__cumg") * col("n_rows"))).as("emd_num"))
+      .select(qiCols.map(col) :+
+        col("n_rows") :+
+        col("__n_total").as("n_total") :+
+        col("__m").cast("long").as("m_values") :+
+        col("emd_num") :+
+        (col("emd_num").cast("decimal(38,0)") * lit(1000000L) <=
+          lit(tPpm) * col("n_rows").cast("decimal(38,0)") *
+            col("__n_total") * (col("__m") - 1)).as("meets_t"): _*)
+  }
+
   /** Row-level quarantine routing — the other half of
     * [[constraintViolations]]: instead of counting failures, emit the
     * FAILING rows with a comma-joined reason list so a pipeline can

@@ -209,4 +209,53 @@ object Quantiles {
       .groupBy(col(groupCol))
       .agg(min(col(valueCol)).as("w_median"))
   }
+
+  /** Merge already-materialized [[graft.functions.HashRankQuantileAgg]]
+    * states — the O(delta) maintenance / streaming-fold primitive:
+    * `parts` holds one or more `(group, level, n, items[(tz, v)])` rows
+    * per group (yesterday's state, the delta's, per-batch partials…)
+    * and the result is the state a single pass over the UNION of their
+    * inputs would have produced — exactly, not approximately, because
+    * the sketch's survivors at any level ≥ a part's own level are fully
+    * recoverable from that part (it only dropped items that can never
+    * resurface). New level = min l ≥ max(part levels) with ≤ k
+    * survivors; cost is (groups × ≤33 candidate levels × ≤ parts·k
+    * items) — metadata-sized, history rows never touched.
+    */
+  def mergeHashRankStates(parts: DataFrame, groupCol: String, k: Int): DataFrame = {
+    val lm = parts.groupBy(groupCol)
+      .agg(max(col("level")).as("lmax"), sum(col("n")).as("n"))
+    val ex = parts.select(col(groupCol), explode(col("items")).as("it"))
+    val pass = lm.select(col(groupCol), explode(sequence(col("lmax"), lit(32))).as("l"))
+      .join(ex, Seq(groupCol), "left")
+      .groupBy(col(groupCol), col("l"))
+      .agg(sum(when(col("it._1") >= col("l"), 1L).otherwise(0L)).as("pc"))
+    val newLevel = pass.where(col("pc") <= k)
+      .groupBy(groupCol).agg(min(col("l")).cast("int").as("level"))
+    val surv = ex.join(newLevel, Seq(groupCol))
+      .where(col("it._1") >= col("level"))
+    surv.groupBy(col(groupCol), col("level"))
+      .agg(sort_array(collect_list(col("it"))).as("items"))
+      .join(lm.select(col(groupCol), col("n")), Seq(groupCol))
+      .select(col(groupCol), col("level"), col("n"), col("items"))
+  }
+
+  /** Quantile read-out from hash-rank sketch states
+    * (`(group, level, n, items)` rows): survivors are an equal-weight
+    * sample, so p50/p90 are the integer-rank picks `sorted[⌈p·m⌉]`.
+    * A group whose survivor set squeezed to empty (astronomically
+    * unlikely at real capacities) is omitted — the same drop the
+    * oracle's join performs.
+    */
+  def hashRankReadout(states: DataFrame, groupCol: String): DataFrame =
+    states
+      .select(col(groupCol), col("n"), col("level"),
+        sort_array(expr("transform(items, x -> x._2)")).as("__vs"))
+      .withColumn("m_sample", size(col("__vs")).cast("long"))
+      .where(col("m_sample") > 0)
+      .withColumn("p50_est",
+        expr("element_at(__vs, CAST((m_sample + 1) div 2 AS INT))"))
+      .withColumn("p90_est",
+        expr("element_at(__vs, CAST((m_sample * 9 + 9) div 10 AS INT))"))
+      .drop("__vs")
 }

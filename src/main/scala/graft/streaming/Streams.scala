@@ -658,6 +658,55 @@ object Streams {
     }
   }
 
+  /** One micro-batch fold of a persisted
+    * [[graft.functions.HashRankQuantileAgg]] state table — the
+    * unbounded-domain quantile twin of [[foldGridBatch]]: the batch
+    * aggregates to one k-bounded sketch per group, which merges into
+    * yesterday's states by the EXACT multiset merge
+    * ([[graft.operators.Quantiles.mergeHashRankStates]] — the sketch is
+    * a pure function of the input multiset, so fold == full rebuild,
+    * not an approximation of it). State is (group, level, n, items,
+    * last_batch_id); the batch-id stamp guards replays, which count
+    * addition-style state needs (a replayed batch would double-insert
+    * its survivors).
+    *
+    * `batch` must already carry the group, trailing-zero (`tz`) and
+    * value columns — the tz draw is ordinary SQL over a unique row id
+    * (see the `q_kll_quantiles` gate), kept OUT of this fold so the
+    * draw is pinned once at the pipeline edge.
+    */
+  private[graft] def foldKllBatch(
+      batch: DataFrame,
+      batchId: Long,
+      warehouseDir: String,
+      table: String,
+      groupCol: String,
+      tzCol: String,
+      valueCol: String,
+      k: Int): Unit = {
+    import graft.sources.Warehouse
+    val spark = batch.sparkSession
+    val agg = udaf(new graft.functions.HashRankQuantileAgg(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Int, Long)]())
+    val sk = batch.groupBy(col(groupCol))
+      .agg(agg(col(tzCol), col(valueCol)).as("sk"))
+      .select(col(groupCol), col("sk.level").as("level"),
+        col("sk.n").as("n"), col("sk.items").as("items"))
+    val prev =
+      if (Warehouse.exists(spark, warehouseDir, table))
+        Warehouse.read(spark, warehouseDir, table)
+      else sk.withColumn("last_batch_id", lit(-1L)).limit(0)
+    val lastId = prev.select(max(col("last_batch_id"))).collect()
+      .headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+      .getOrElse(-1L)
+    if (batchId > lastId) {
+      val merged = graft.operators.Quantiles.mergeHashRankStates(
+          prev.drop("last_batch_id").unionByName(sk), groupCol, k)
+        .withColumn("last_batch_id", lit(batchId))
+      Warehouse.overwrite(merged, warehouseDir, table)
+    }
+  }
+
   /** One micro-batch fold of [[dedupIngestStream]]'s admission control,
     * replayed deterministically for the oracle gate: the batch
     * dedups against the corpus ingested SO FAR through its persisted

@@ -343,4 +343,47 @@ class EventsSpec extends AnyFunSuite with SparkTest {
     // fixture sanity: at least one supported and one unsupported pattern
     assert(got.values.exists(_ > 0) && patterns.size == got.size)
   }
+
+  test("subsequenceSupportGap: DP frontier equals brute force; greedy would undercount") {
+    val s = spark; import s.implicits._
+    // the counterexample greedy-earliest misses under a gap bound:
+    // a at t=0 and t=50, b at t=55 — greedy anchors a@0, gap 10 fails;
+    // the DP keeps BOTH a-frontiers and matches via a@50
+    val handRows = Seq(
+      (1L, 1L, "a", 0L), (2L, 1L, "a", 50L), (3L, 1L, "b", 55L),
+      (4L, 2L, "a", 0L), (5L, 2L, "b", 20L)) // gap 20 > 10 -> no support
+    val hand = handRows.map { case (e, u, y, sec) =>
+      (e, u, y, new java.sql.Timestamp(sec * 1000L), 1.0)
+    }.toDF("event_id", "user_id", "event_type", "ts", "value")
+    val gapped = Events.subsequenceSupportGap(hand, Seq(Seq("a", "b")), 10L * 1000000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gapped("a>b") == 1L, "only user 1 (via the LATER a) supports within gap 10s")
+
+    // randomized equivalence against brute-force DFS with the gap rule
+    val rnd = new scala.util.Random(21L)
+    val types = Seq("a", "b", "c")
+    val rows = for {
+      u <- 1L to 30L
+      i <- 0 until (1 + rnd.nextInt(10))
+    } yield (u * 100 + i, u, types(rnd.nextInt(3)), rnd.nextInt(120).toLong)
+    val events = rows.map { case (e, u, y, sec) =>
+      (e, u, y, new java.sql.Timestamp(sec * 1000L), 1.0)
+    }.toDF("event_id", "user_id", "event_type", "ts", "value")
+    val patterns = Seq(Seq("a", "b", "c"), Seq("b", "a"), Seq("c", "c", "c"))
+    val gapUs = 30L * 1000000L
+    val got = Events.subsequenceSupportGap(events, patterns, gapUs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def supports(times: Map[String, Seq[Long]], p: Seq[String]): Boolean = {
+      def go(i: Int, after: Long): Boolean =
+        i == p.size || times.getOrElse(p(i), Nil).exists(t =>
+          t > after && (i == 0 || t - after <= gapUs) && go(i + 1, t))
+      go(0, Long.MinValue / 2)
+    }
+    val byUser = rows.groupBy(_._2).view.mapValues(rs =>
+      rs.groupBy(_._3).view.mapValues(_.map(_._4 * 1000000L).toSeq).toMap).toMap
+    patterns.foreach { p =>
+      val want = byUser.values.count(supports(_, p)).toLong
+      assert(got(p.mkString(">")) == want, s"pattern ${p.mkString(">")}")
+    }
+  }
 }

@@ -217,6 +217,31 @@ class MergeSuite extends AnyFunSuite with SparkTest {
     assert(got == Map("a" -> ((4L, 1L, false)), "b" -> ((2L, 2L, true))))
   }
 
+  test("tClosenessReport: hand-computed integer EMD; skewed cohort fails where diverse passes") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // global over values {1,2}: 4 vs 4 -> cum 4, 8 (N=8, m=2)
+    val df = Seq(
+      // cohort a mirrors the global mix exactly -> EMD 0
+      (1L, "a", 1L), (2L, "a", 1L), (3L, "a", 2L), (4L, "a", 2L),
+      // cohort b is all value-1 -> maximal skew
+      (5L, "b", 1L), (6L, "b", 1L),
+      // cohort c is all value-2
+      (7L, "c", 2L), (8L, "c", 2L)
+    ).toDF("id", "qi", "v")
+    val got = graft.operators.Quality.tClosenessReport(
+      df, Seq("qi"), col("v"), tPpm = 400000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    // emd_num at value 1 (the only i < m step):
+    //   a: |2*8 - 4*4| = 0;  b: |2*8 - 4*2| = 8;  c: |0*8 - 4*2| = 8
+    // (the value-2 step is always 0: cumC*N = n*N = cumG*n)
+    // true EMD = emd_num / (n*N*(m-1)) -> b: 8/16 = 0.5 > 0.4 -> fails
+    assert(got("a") == ((4L, 8L, 2L, 0L, true)))
+    assert(got("b") == ((2L, 8L, 2L, 8L, false)))
+    assert(got("c") == ((2L, 8L, 2L, 8L, false)))
+  }
+
   test("categoricalDrift reports exact ppm shares, zeros for absent sides") {
     val s = spark; import s.implicits._
     val before = Seq("x", "x", "x", "y").toDF("cat")          // x 75%, y 25%

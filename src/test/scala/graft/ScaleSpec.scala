@@ -154,6 +154,34 @@ class ScaleSpec extends AnyFunSuite with SparkTest {
     mf.unpersist()
   }
 
+  test("partitioned MoR read: stale partition copies are PRUNED at the scan, not filtered") {
+    val s = spark; import s.implicits._
+    import graft.sources.MergeOnRead
+    import graft.operators.{MergeSpec => MSpec}
+    val dir = java.nio.file.Files.createTempDirectory("morprune").toString
+    val base = (1L to 4000L).map(i => (i, s"m${i % 8}", i * 10L)).toDF("k", "p", "v")
+    MergeOnRead.initPartitioned(base, dir, "t", Seq("k"), "p")
+    MergeOnRead.deltaMerge(s, dir, "t",
+      Seq((1L, "m1", -1L), (9L, "m1", -9L)).toDF("k", "p", "v"),
+      MSpec(Seq("k"), Seq("v")), to_timestamp(lit("2024-06-01 00:00:00")), 1L)
+    MergeOnRead.compact(s, dir, "t")
+    // gen 1 now holds a STALE m1 copy (grace) beside 7 live partitions;
+    // gen 2 holds the live m1 — the view must prune, not read-and-drop
+    val view = MergeOnRead.readView(s, dir, "t")
+    view.count()
+    // inputFiles reports the PRE-pruning inventory; the pruned truth is
+    // each scan's selected partitions
+    val selected = view.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.toPartitionArray.toSeq.map(_.filePath.toString)
+    }.flatten
+    assert(selected.nonEmpty)
+    assert(!selected.exists(_.contains("morbase/1/p=m1")),
+      "the superseded partition copy must never be opened")
+    assert(selected.exists(_.contains("morbase/2/p=m1")))
+    assert(view.count() == 4000L)
+  }
+
   test("MoR reconcile: broadcast below the delta-bytes guard, shuffled join past it — same rows") {
     val s = spark; import s.implicits._
     import graft.sources.MergeOnRead

@@ -223,6 +223,16 @@ object SparkEntry {
     */
   private def morPartFold(s: SparkSession, d: String,
       compactAfterBatch2: Boolean): DataFrame = {
+    val (dir, tbl) = morPartTable(s, d, compactAfterBatch2)
+    graft.sources.MergeOnRead.readView(s, dir, tbl)
+  }
+
+  /** Builds (once, content-addressed) the partitioned chain and returns
+    * its (warehouseDir, table) — the view, change-feed and
+    * apply-changes gates all read it.
+    */
+  private def morPartTable(s: SparkSession, d: String,
+      compactAfterBatch2: Boolean): (String, String) = {
     import graft.sources.MergeOnRead
     val ord = rd(s, d, "orders")
     val src = ord.select(col("o_orderkey").as("k"),
@@ -258,7 +268,7 @@ object SparkEntry {
         spec, tlit(tsNow), batchId = 3L)
       java.lang.Boolean.TRUE
     }
-    MergeOnRead.readView(s, dir, tbl)
+    (dir, tbl)
   }
 
   /** [[morOracleSql]] with the month partition column along. */
@@ -960,6 +970,33 @@ object SparkEntry {
       // compaction check; batch 2 crash-replays poisoned and must be
       // skipped; the view equals the one-pass oracle
       morStreamFold(s, d)
+    }),
+    "merge_delta_changes_part" -> ((s, d) => {
+      // the PARTITIONED chain consumed as a change feed: net per-key
+      // change after batch 1, month column along — same chain-sized
+      // cost contract as the flat feed
+      val (dir, tbl) = morPartTable(s, d, compactAfterBatch2 = false)
+      graft.sources.MergeOnRead.changesSince(s, dir, tbl, sinceBatch = 1L)
+    }),
+    "merge_delta_apply_changes" -> ((s, d) => {
+      // the CDC-consumer contract end-to-end: a replica bootstrapped at
+      // batch 1 (re-derived eagerly here) + applyChanges(changesSince(1))
+      // must equal the CURRENT read view — deletes drop, resurrections
+      // and inserts land, all at chain-sized cost
+      import graft.sources.MergeOnRead
+      val (dir, tbl) = morDeleteTable(s, d)
+      val src = rd(s, d, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status0"),
+        round(col("o_totalprice") * 100).cast("long").as("cents0"))
+      val base = src.where(col("k") % 1000 =!= 7).select(col("k"),
+        col("status0").as("status"), col("cents0").as("cents"))
+      val b1 = src.where(col("k") % 100 === 3).select(col("k"),
+        lit("U1").as("status"), (col("cents0") + 11).as("cents"))
+      val snapshot = Merge.scd1(base, b1,
+        MergeSpec(Seq("k"), Seq("status", "cents")), tlit(tsNow))
+        .select("k", "status", "cents")
+      MergeOnRead.applyChanges(snapshot,
+        MergeOnRead.changesSince(s, dir, tbl, sinceBatch = 1L), Seq("k"))
     }),
     "merge_delta_changes" -> ((s, d) => {
       // the delta chain consumed as a CHANGE FEED: net change per key
@@ -5121,6 +5158,19 @@ object SparkEntry {
     // (month column along); compaction bookkeeping must be invisible
     "merge_delta_mor_part" -> morPartOracleSql,
     "merge_delta_compact_part" -> morPartOracleSql,
+    // net per-key change after batch 1 of the partitioned chain: the
+    // batch-2 inserts and U2 updates unless batch 3's U3 superseded
+    "merge_delta_changes_part" ->
+      ("WITH src AS (SELECT o_orderkey AS k, strftime(o_orderdate, '%Y-%m') AS m, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents0 FROM orders), " +
+        "stacked AS (" +
+        "SELECT k, m, 'N' AS status, cents0 AS cents, 2 AS seq FROM src WHERE k % 1000 = 7 " +
+        "UNION ALL SELECT k, m, 'U2', cents0 + 22, 2 FROM src WHERE k % 200 = 3 " +
+        "UNION ALL SELECT k, m, 'U3', cents0 + 33, 3 FROM src WHERE k % 400 = 3) " +
+        "SELECT k, m, status, cents, 'upsert' AS change FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY k ORDER BY seq DESC) AS rn FROM stacked) WHERE rn = 1"),
+    // snapshot@batch1 + applyChanges(changesSince(1)) == the current view
+    "merge_delta_apply_changes" -> morDeleteOracleSql,
     // streaming foreachBatch fold: dedup-to-last-image + stamp + compact
     // == one-pass last-writer-wins over the batches
     "stream_mor_replay" ->

@@ -908,6 +908,31 @@ object MergeOnRead {
     }
   }
 
+  /** Apply a [[changesSince]] feed onto a consumer's SNAPSHOT — the
+    * incremental-consumer contract made executable: the feed is the
+    * NET change per key (one row each), so one pass applies it —
+    * tombstoned keys drop, upsert images replace-or-insert whole rows
+    * (they are FULL post-merge images, so replacement needs no column
+    * subset logic). `applyChanges(snapshot@batchN, changesSince(N))`
+    * equals the current [[readView]] — a downstream replica, index, or
+    * derived aggregate refreshes at chain-sized cost instead of
+    * re-reading the table (gated: `merge_delta_apply_changes`).
+    *
+    * Scale shape: one anti-join + one full-outer merge, both keyed on
+    * the merge key and both against a feed that is compact by the same
+    * contract as the delta chain itself.
+    */
+  def applyChanges(snapshot: DataFrame, changes: DataFrame, keys: Seq[String]): DataFrame = {
+    val dels = changes.where(col("change") === "delete")
+      .select(keys.map(col): _*).distinct()
+    val ups = changes.where(col("change") === "upsert").drop("change")
+    val kept = snapshot.join(broadcast(dels), keys, "left_anti")
+    // full-row replace: every non-key column refreshes from the image
+    val spec = MergeSpec(keys, snapshot.columns.filterNot(keys.contains).toSeq)
+    Merge.scd1(kept, ups, spec, lit(null).cast("timestamp"))
+      .select(snapshot.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** Rows per live delta file, oldest first — the O(changed rows)
     * write-amplification evidence the bench publishes. Manifest-only
     * when the writer recorded counts (every writer since they existed);

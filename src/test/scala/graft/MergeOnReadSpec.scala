@@ -170,6 +170,17 @@ class MergeOnReadSpec extends AnyFunSuite with SparkTest {
       3L -> (("upsert", Some(33L))),
       5L -> (("upsert", Some(555L))),
       11L -> (("upsert", Some(111L)))))
+    // the consumer contract: a replica bootstrapped after batch 1
+    // (base + batch-1 images, re-derived eagerly) + the feed equals the
+    // current view — deletes drop, the resurrection and insert land
+    val snapshot = Merge.scd1(
+      (1L to 10L).map(i => (i, i * 10L)).toDF("k", "v"),
+      Seq((2L, 99L), (3L, 33L)).toDF("k", "v"), spec, nowCol)
+    val replica = MergeOnRead.applyChanges(snapshot,
+      MergeOnRead.changesSince(s, dir, "t", 1L), Seq("k"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(replica == MergeOnRead.readView(s, dir, "t")
+      .collect().map(_.toString).sorted.toSeq)
     // compaction truncates the feed (the documented retention contract)
     MergeOnRead.compact(s, dir, "t")
     assert(feed(0L).isEmpty)

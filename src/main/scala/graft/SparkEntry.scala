@@ -3306,6 +3306,11 @@ object SparkEntry {
       TextAnalysis.sourceDistinctiveTerms(rd(s, d, "documents"), k = 5)),
     "text_tfidf_terms" -> ((s, d) =>
       TextAnalysis.topDistinctiveTerms(rd(s, d, "documents"), k = 3)),
+    "text_bigram_novelty" -> ((s, d) =>
+      // leave-one-out containment: the share of each doc's bigram
+      // occurrences appearing in NO other doc — boilerplate/template/
+      // contamination flag that token-level repetition misses
+      TextAnalysis.bigramNovelty(rd(s, d, "documents"))),
     "text_readability" -> ((s, d) =>
       // corpus-level Flesch reading ease per source from exact long
       // counts (words / sentence runs / vowel-group syllable proxy)
@@ -5771,6 +5776,21 @@ object SparkEntry {
         "SELECT id_l AS doc_id, id_r AS match_id, inter, union_size, score FROM " +
         "(SELECT sc.*, row_number() OVER (PARTITION BY id_l ORDER BY score DESC, id_r) AS rn FROM sc) " +
         "WHERE rn = 1"),
+    "text_bigram_novelty" ->
+      ("WITH arr AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS a FROM documents), " +
+        "g AS (SELECT doc_id, unnest([a[i] || ' ' || a[i+1] FOR i IN generate_series(1, len(a)-1)]) AS gm FROM arr), " +
+        "dc AS (SELECT doc_id, gm, count(*) AS c FROM g GROUP BY 1, 2), " +
+        "gc AS (SELECT gm, CAST(sum(c) AS BIGINT) AS gct FROM dc GROUP BY 1), " +
+        "agg AS (SELECT dc.doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, " +
+        "CAST(count(*) AS BIGINT) AS n_distinct_bigrams, " +
+        "CAST(coalesce(sum(c) FILTER (WHERE gct = c), 0) AS BIGINT) AS n_novel " +
+        "FROM dc JOIN gc USING (gm) GROUP BY 1) " +
+        "SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams, " +
+        "coalesce(n_distinct_bigrams, 0) AS n_distinct_bigrams, " +
+        "coalesce(n_novel, 0) AS n_novel, " +
+        "CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0 " +
+        "ELSE n_novel * 1000000 // n_bigrams END AS novelty_ppm " +
+        "FROM documents d LEFT JOIN agg USING (doc_id)"),
     "text_repetition" ->
       ("WITH arr AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS a FROM documents), " +
         "tok AS (SELECT doc_id, unnest(a) AS tok FROM arr), " +

@@ -257,6 +257,49 @@ object TextAnalysis {
       .na.fill(0, Seq("top_bigram_count")) // a <2-token doc has no bigrams
   }
 
+  /** Per-document bigram NOVELTY — the leave-one-out containment
+    * signal: what fraction of a document's bigram occurrences appear in
+    * NO other document. Novelty near zero flags boilerplate, template
+    * spam, near-duplicates and benchmark contamination that token-level
+    * repetition misses (every token can be common while the document is
+    * still one-of-a-kind — and vice versa); a bigram is "novel" when
+    * its corpus count equals its in-document count, i.e. every
+    * occurrence lives here.
+    *
+    * Shape at scale: the same lead-window bigram pass as
+    * [[repetitionSignals]] (codegen'd — no interpreted array lambdas),
+    * then two COMBINABLE counts — (doc, bigram) and (bigram) — and one
+    * join on the bigram key. Common bigrams are heavy as COUNTS, not
+    * rows (map-side combine collapses repeats), so the join skew is the
+    * keyed-count kind AQE splits. Docs with <2 tokens report zeros.
+    */
+  def bigramNovelty(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val exploded =
+      docs.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__pos"))
+    val dc = exploded
+      .withColumn("__nxt", lead(col("__tok"), 1).over(w))
+      .filter(col("__nxt").isNotNull)
+      .select(col(idCol), concat_ws(" ", col("__tok"), col("__nxt")).as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
+    val gc = dc.groupBy(col("__g")).agg(sum(col("__c")).as("__gct"))
+    val agg = dc.join(gc, Seq("__g"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__c")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        sum(when(col("__gct") === col("__c"), col("__c")).otherwise(0L)).as("n_novel"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_bigrams", "n_distinct_bigrams", "n_novel"))
+      .withColumn("novelty_ppm",
+        when(col("n_bigrams") === 0L, 0L)
+          .otherwise(expr("n_novel * 1000000L div n_bigrams")))
+  }
+
   /** Corpus collocations: unordered token pairs co-occurring within
     * `window` positions, scored by the Dice coefficient — the phrase /
     * multi-word-expression miner (word2vec's co-occurrence table,

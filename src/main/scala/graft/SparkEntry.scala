@@ -978,6 +978,37 @@ object SparkEntry {
       val (dir, tbl) = morPartTable(s, d, compactAfterBatch2 = false)
       graft.sources.MergeOnRead.changesSince(s, dir, tbl, sinceBatch = 1L)
     }),
+    "incr_agg_from_feed" -> ((s, d) => {
+      // true IVM over CDC: a derived (status -> n, sum cents) aggregate
+      // maintained from the change feed WITH PRE-IMAGES — retract each
+      // changed key's old contribution, apply the new one — must equal
+      // the rebuild from the current view. Deletes retract-only;
+      // inserts apply-only; updates do both. Cost is feed-sized.
+      import graft.sources.MergeOnRead
+      val (dir, tbl) = morDeleteTable(s, d)
+      val src = rd(s, d, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status0"),
+        round(col("o_totalprice") * 100).cast("long").as("cents0"))
+      val base = src.where(col("k") % 1000 =!= 7).select(col("k"),
+        col("status0").as("status"), col("cents0").as("cents"))
+      val b1 = src.where(col("k") % 100 === 3).select(col("k"),
+        lit("U1").as("status"), (col("cents0") + 11).as("cents"))
+      val snapshot = Merge.scd1(base, b1,
+        MergeSpec(Seq("k"), Seq("status", "cents")), tlit(tsNow))
+      val agg1 = snapshot.groupBy("status")
+        .agg(count(lit(1)).as("dn"), sum("cents").as("dc"))
+        .select(col("status"), col("dn"), col("dc"))
+      val feed = MergeOnRead.changesWithPreImage(s, dir, tbl, sinceBatch = 1L)
+      val retract = feed.where(col("pre_status").isNotNull)
+        .select(col("pre_status").as("status"),
+          lit(-1L).as("dn"), (-col("pre_cents")).as("dc"))
+      val apply = feed.where(col("change") === "upsert")
+        .select(col("status"), lit(1L).as("dn"), col("cents").as("dc"))
+      agg1.unionByName(retract).unionByName(apply)
+        .groupBy("status")
+        .agg(sum("dn").as("n"), sum("dc").as("sum_cents"))
+        .where(col("n") > 0)
+    }),
     "merge_delta_apply_changes" -> ((s, d) => {
       // the CDC-consumer contract end-to-end: a replica bootstrapped at
       // batch 1 (re-derived eagerly here) + applyChanges(changesSince(1))
@@ -5176,6 +5207,11 @@ object SparkEntry {
         "(PARTITION BY k ORDER BY seq DESC) AS rn FROM stacked) WHERE rn = 1"),
     // snapshot@batch1 + applyChanges(changesSince(1)) == the current view
     "merge_delta_apply_changes" -> morDeleteOracleSql,
+    // retract-and-apply from the pre-imaged feed == rebuild from the view
+    "incr_agg_from_feed" ->
+      (s"SELECT status, CAST(count(*) AS BIGINT) AS n, " +
+        s"CAST(sum(cents) AS BIGINT) AS sum_cents " +
+        s"FROM ($morDeleteOracleSql) GROUP BY 1"),
     // streaming foreachBatch fold: dedup-to-last-image + stamp + compact
     // == one-pass last-writer-wins over the batches
     "stream_mor_replay" ->

@@ -394,7 +394,11 @@ object MergeOnRead {
     * by [[deltaMerge]]/[[deltaDelete]] construction). Rows carry
     * [[DelMarker]]; empty when the chain is empty.
     */
-  private def latestDelta(spark: SparkSession, dir: String, table: String,
+  /** The raw live delta chain stacked with `__mor_seq` and normalized
+    * [[DelMarker]]/[[BatchCol]] — the input of every latest-image
+    * resolution (full chain or a batch-prefix of it).
+    */
+  private def stackedDeltas(spark: SparkSession, dir: String, table: String,
       m: Manifest): Option[DataFrame] = {
     if (m.deltaSeqs.isEmpty) None
     else {
@@ -402,18 +406,30 @@ object MergeOnRead {
         spark.read.parquet(deltaPath(dir, table, q).toString)
           .withColumn("__mor_seq", lit(q))
       }.reduce(_.unionByName(_, allowMissingColumns = true))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(m.keys.map(col): _*).orderBy(col("__mor_seq").desc)
       val marked =
         if (stacked.columns.contains(DelMarker))
           stacked.withColumn(DelMarker, coalesce(col(DelMarker), lit(false)))
         else stacked.withColumn(DelMarker, lit(false))
-      Some(marked
-        .withColumn("__mor_rn", row_number().over(w))
-        .where(col("__mor_rn") === 1)
-        .drop("__mor_seq", "__mor_rn"))
+      Some(
+        if (marked.columns.contains(BatchCol))
+          marked.withColumn(BatchCol, coalesce(col(BatchCol), lit(-1L)))
+        else marked.withColumn(BatchCol, lit(-1L)))
     }
   }
+
+  /** Latest image per key over a stacked chain (higher seq wins). */
+  private def resolveLatest(stacked: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("__mor_seq").desc)
+    stacked
+      .withColumn("__mor_rn", row_number().over(w))
+      .where(col("__mor_rn") === 1)
+      .drop("__mor_seq", "__mor_rn")
+  }
+
+  private def latestDelta(spark: SparkSession, dir: String, table: String,
+      m: Manifest): Option[DataFrame] =
+    stackedDeltas(spark, dir, table, m).map(resolveLatest(_, m.keys))
 
   /** On-disk bytes of the live delta chain — pure filesystem metadata
     * (no Spark job), which is what lets every read evaluate the
@@ -906,6 +922,44 @@ object MergeOnRead {
             when(col(DelMarker), lit("delete")).otherwise(lit("upsert"))
               .as("change"): _*)
     }
+  }
+
+  /** [[changesSince]] with PRE-IMAGES — what a derived-AGGREGATE
+    * maintainer needs: replacing a key's contribution in a sum/count
+    * requires the value it contributed BEFORE (retract old, apply new);
+    * the plain feed only carries the after-state. Each net change row
+    * gains `pre_<col>` columns holding the key's image as of
+    * `sinceBatch` (NULL when the key was absent — a pure insert).
+    *
+    * The pre-image is resolved from data already on hand: the live
+    * chain's rows with batch ≤ `sinceBatch` reconcile against the base
+    * exactly like [[readView]], then slice to the CHANGED keys only —
+    * so the extra cost is one changed-key-sized semi-join on the base,
+    * not a second table read, and nothing is retained beyond what the
+    * chain already retains (same compaction-bounded contract as the
+    * feed itself; a consumer must keep up or re-bootstrap).
+    */
+  def changesWithPreImage(spark: SparkSession, dir: String, table: String,
+      sinceBatch: Long): DataFrame = {
+    val m = manifest(spark, dir, table)
+    val changes = changesSince(spark, dir, table, sinceBatch)
+    val order = dataCols(spark, dir, table, m).filterNot(_ == DelMarker)
+    val dataOnly = order.filterNot(m.keys.contains)
+    // view AS OF sinceBatch: resolve latest-per-key over the PREFIX of
+    // the raw chain (batch ≤ N) — a key whose newest image is later
+    // correctly falls back to its older image, which filtering the
+    // already-resolved latest would lose. Pre-stamp files read as -1.
+    val asOf = stackedDeltas(spark, dir, table, m)
+      .map(st => resolveLatest(st.where(col(BatchCol) <= sinceBatch), m.keys)) match {
+      case None => baseRead(spark, dir, table, m)
+      case Some(latestAsOf) =>
+        reconcile(baseRead(spark, dir, table, m), latestAsOf, m.keys,
+          broadcastOk = deltaBytes(spark, dir, table, m) <= BroadcastDeltaBytesDefault)
+    }
+    val changedKeys = changes.select(m.keys.map(col): _*).distinct()
+    val pre = asOf.join(broadcast(changedKeys), m.keys, "left_semi")
+      .select(m.keys.map(col) ++ dataOnly.map(c => col(c).as(s"pre_$c")): _*)
+    changes.join(pre, m.keys, "left")
   }
 
   /** Apply a [[changesSince]] feed onto a consumer's SNAPSHOT — the

@@ -109,6 +109,15 @@ object SparkEntry {
     */
   private def morFold(s: SparkSession, d: String,
       compactAfterBatch2: Boolean): DataFrame = {
+    val (dir, tbl) = morTable(s, d, compactAfterBatch2)
+    graft.sources.MergeOnRead.readView(s, dir, tbl)
+  }
+
+  /** Builds (once, content-addressed) the flat chain and returns its
+    * (warehouseDir, table) — the view and as-of gates read it.
+    */
+  private def morTable(s: SparkSession, d: String,
+      compactAfterBatch2: Boolean): (String, String) = {
     import graft.sources.MergeOnRead
     val ord = rd(s, d, "orders")
     val src = ord.select(col("o_orderkey").as("k"),
@@ -143,7 +152,7 @@ object SparkEntry {
         spec, tlit(tsNow), batchId = 3L)
       java.lang.Boolean.TRUE
     }
-    MergeOnRead.readView(s, dir, tbl)
+    (dir, tbl)
   }
 
   /** The delete-bearing MoR chain ([[morFold]]'s sibling): batch 1
@@ -339,6 +348,21 @@ object SparkEntry {
       "UNION ALL SELECT k, 'U2', cents0 + 22, 2 FROM src WHERE k % 200 = 3 " +
       "UNION ALL SELECT k, 'U3', cents0 + 33, 3 FROM src WHERE k % 400 = 3) " +
       "SELECT k, status, cents FROM (SELECT *, row_number() OVER " +
+      "(PARTITION BY k ORDER BY seq DESC) AS rn FROM stacked) WHERE rn = 1"
+
+  /** [[morPartOracleSql]] truncated at batch 2 — the as-of-batch-2
+    * view of the partitioned chain (the U3 batch not yet applied).
+    */
+  private def morAsOfOracleSql: String =
+    "WITH src AS (SELECT o_orderkey AS k, strftime(o_orderdate, '%Y-%m') AS m, " +
+      "o_orderstatus AS status0, " +
+      "CAST(round(o_totalprice * 100) AS BIGINT) AS cents0 FROM orders), " +
+      "stacked AS (" +
+      "SELECT k, m, status0 AS status, cents0 AS cents, 0 AS seq FROM src WHERE k % 1000 <> 7 " +
+      "UNION ALL SELECT k, m, 'U1', cents0 + 11, 1 FROM src WHERE k % 100 = 3 " +
+      "UNION ALL SELECT k, m, 'N', cents0, 2 FROM src WHERE k % 1000 = 7 " +
+      "UNION ALL SELECT k, m, 'U2', cents0 + 22, 2 FROM src WHERE k % 200 = 3) " +
+      "SELECT k, m, status, cents FROM (SELECT *, row_number() OVER " +
       "(PARTITION BY k ORDER BY seq DESC) AS rn FROM stacked) WHERE rn = 1"
 
   /** DuckDB replay of the pinned grid's bucketed histogram, as
@@ -4886,6 +4910,24 @@ object SparkEntry {
       // sorted timestamps against first(a)/last(c), never a candidate
       // explosion; unsupported triples emit 0
       Events.subsequenceSupport(rd(s, d, "events"), seqTriples)),
+    "stat_kendall_tau" -> ((s, d) =>
+      // monotone-trend test on 1998's daily revenue: exact integer
+      // concordant/discordant/tied pair counts over the calendar²-
+      // bounded pair table (tau-b's division/sqrt left rational)
+      graft.operators.Stats.kendallTau(rd(s, d, "orders")
+        .filter(year(col("o_orderdate")) === 1998)
+        .groupBy(datediff(to_date(col("o_orderdate")),
+          to_date(lit("1998-01-01"))).as("x"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("y")))),
+    "mor_view_asof" -> ((s, d) => {
+      // time travel on the PARTITIONED MoR chain: the view AS OF
+      // batch 2 (U3 not yet applied) resolved from the chain prefix —
+      // cost identical to a current read, partition pruning intact;
+      // retention = the uncompacted window (pre-stamp delta files read
+      // as batch -1, so only stamped chains time-travel)
+      val (dir, tbl) = morPartTable(s, d, compactAfterBatch2 = false)
+      graft.sources.MergeOnRead.readViewAsOf(s, dir, tbl, asOfBatch = 2L)
+    }),
     "stat_theil_sen" -> ((s, d) =>
       // robust trend of 1998's daily revenue: exact median-of-slopes
       // over the calendar²-bounded pair table; the corpus collapses
@@ -7486,6 +7528,19 @@ object SparkEntry {
         "CAST(len(regexp_extract_all(seq, 'vp')) AS INT) AS n_strict, " +
         "CAST(len(regexp_extract_all(seq, 'v[ce]{0,2}p')) AS INT) AS n_funnel " +
         "FROM seqs"),
+    // exact pair counts over the same daily series; tau left rational
+    "stat_kendall_tau" ->
+      ("WITH daily AS (SELECT date_diff('day', DATE '1998-01-01', CAST(o_orderdate AS DATE)) AS x, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y " +
+        "FROM orders WHERE year(o_orderdate) = 1998 GROUP BY 1), " +
+        "p AS (SELECT a.y AS ya, b.y AS yb FROM daily a JOIN daily b ON a.x < b.x) " +
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days, " +
+        "CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "CAST(sum(CASE WHEN ya < yb THEN 1 ELSE 0 END) AS BIGINT) AS concordant, " +
+        "CAST(sum(CASE WHEN ya > yb THEN 1 ELSE 0 END) AS BIGINT) AS discordant, " +
+        "CAST(sum(CASE WHEN ya = yb THEN 1 ELSE 0 END) AS BIGINT) AS ties_y FROM p"),
+    // the chain prefix resolved like the full view — U3 absent
+    "mor_view_asof" -> morAsOfOracleSql,
     "stat_theil_sen" -> graft.operators.Stats.theilSenSql(
       "series AS (SELECT date_diff('day', DATE '1998-01-01', CAST(o_orderdate AS DATE)) AS x, " +
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y " +

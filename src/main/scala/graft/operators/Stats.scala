@@ -1132,6 +1132,35 @@ object Stats {
       "WHERE rk = 1"
   }
 
+  /** Kendall rank correlation INGREDIENTS over an integer series with
+    * strictly-increasing x (a daily aggregate): concordant /
+    * discordant / y-tied pair counts in exact integers, leaving
+    * tau-b = (C − D) / √((n₀−ties)·n₀) rational to the consumer — the
+    * monotone-trend test that, unlike Pearson on values or Spearman on
+    * ranks, needs no division or sqrt inside the engine, so both
+    * engines agree to the last unit. With x strictly increasing a pair
+    * is concordant iff the later day's y is larger.
+    *
+    * Scale judgment: the same calendar²-bounded pair table as
+    * [[theilSen]] — the corpus collapses to the daily series FIRST,
+    * so 365 days cost 66k pairs whether the days held 10⁶ or 10¹²
+    * rows; one combinable aggregate over the pairs.
+    */
+  def kendallTau(series: DataFrame): DataFrame = {
+    val a = series.select(col("x").as("xa"), col("y").as("ya"))
+    val b = series.select(col("x").as("xb"), col("y").as("yb"))
+    val n = series.agg(count(lit(1)).as("n_days"))
+    a.join(b, col("xa") < col("xb"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("ya") < col("yb"), 1L).otherwise(0L)).as("concordant"),
+        sum(when(col("ya") > col("yb"), 1L).otherwise(0L)).as("discordant"),
+        sum(when(col("ya") === col("yb"), 1L).otherwise(0L)).as("ties_y"))
+      .crossJoin(broadcast(n))
+      .select(col("n_days"), col("n_pairs"),
+        col("concordant"), col("discordant"), col("ties_y"))
+  }
+
   /** Theil–Sen robust trend: the median of all pairwise slopes of an
     * integer series (x strictly increasing, y in integer units) —
     * the estimator that shrugs off the outliers least-squares chases.

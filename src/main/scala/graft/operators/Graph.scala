@@ -477,6 +477,51 @@ object Graph {
     (labels, rounds)
   }
 
+  /** O(delta) maintenance of [[connectedComponents]] labels under EDGE
+    * INSERTS — the incremental-view-maintenance shape for graphs: new
+    * edges contract onto the CURRENT labels (each endpoint maps to its
+    * component id; unseen nodes stand for themselves), components run
+    * on that super-graph — whose size is bounded by the DELTA's
+    * touched components, never the corpus — and old labels re-map
+    * through the super-labels in one join.
+    *
+    * Exactness (not approximation): labels are component-MINIMUM node
+    * ids, and min composes — the merged component's final label is the
+    * min over its old labels and new node ids, which is exactly what
+    * the full rebuild computes. Gated (`incr_components_maintain`)
+    * against the full-rebuild recursive-closure oracle.
+    *
+    * Deletes are out of scope by construction (removing an edge can
+    * SPLIT a component, which needs connectivity information the label
+    * table does not retain — the standard IVM asymmetry; re-run the
+    * full contraction on the affected component instead).
+    */
+  def maintainComponents(labels: DataFrame, deltaEdges: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val ls = labels.select(col("node").as("__ns"), col("component_id").as("__ls"))
+    val ld = labels.select(col("node").as("__nd"), col("component_id").as("__ld"))
+    val superEdges = deltaEdges
+      .join(ls, col(srcCol) === col("__ns"), "left")
+      .join(ld, col(dstCol) === col("__nd"), "left")
+      .select(coalesce(col("__ls"), col(srcCol)).as("src"),
+        coalesce(col("__ld"), col(dstCol)).as("dst"))
+    val superLabels = connectedComponents(superEdges)
+      .select(col("node").as("__sn"), col("component_id").as("__sc"))
+    // old nodes re-map through their label's super-label (untouched
+    // components miss the join and keep their id); delta-only nodes
+    // come straight from the super-graph
+    val remapped = labels
+      .join(superLabels, col("component_id") === col("__sn"), "left")
+      .select(col("node"), coalesce(col("__sc"), col("component_id")).as("component_id"))
+    // every old label IS an old node (labels are component-min node
+    // ids), so one anti-join against the node set isolates delta-new
+    val newNodes = superLabels
+      .join(labels.select(col("node").as("__old")),
+        col("__sn") === col("__old"), "left_anti")
+      .select(col("__sn").as("node"), col("__sc").as("component_id"))
+    remapped.unionByName(newNodes)
+  }
+
   /** Per-node triangle counts — the clustering-coefficient numerator
     * and the standard cohesion signal for community/spam detection.
     *

@@ -268,4 +268,37 @@ class GraphSpec extends AnyFunSuite with SparkTest {
       "deg-2 triangle corners are fully closed")
     assert(got(4L) == ((1L, 0L, -1L)), "pendant: no neighbor pairs, NULL")
   }
+
+  test("maintainComponents: delta-edge label repair equals the full rebuild") {
+    val s = spark; import s.implicits._
+    // old graph: {1-2, 2-3} comp 1; {10-11} comp 10; {20-21} comp 20
+    val old = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("src", "dst")
+    val labels = Graph.connectedComponents(old)
+    // delta: bridge comps 1 and 10; attach NEW node 30 to comp 20;
+    // an intra-component edge (no-op); a brand-new pair 40-41; and a
+    // new node 0 that becomes its merged component's NEW minimum
+    val delta = Seq((3L, 10L), (21L, 30L), (1L, 3L), (40L, 41L), (0L, 11L))
+      .toDF("src", "dst")
+    val got = Graph.maintainComponents(labels, delta)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Graph.connectedComponents(old.unionByName(delta))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"repair diverged from rebuild: $got vs $want")
+    // the 0-bridge pulls the whole 1-2-3-10-11 component down to 0
+    assert(got(11L) == 0L && got(1L) == 0L)
+    assert(got(30L) == 20L && got(40L) == 40L)
+    // randomized: any split of a random edge set repairs to the rebuild
+    val rnd = new scala.util.Random(33L)
+    val edges = (0 until 120).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2)
+    for (trial <- 0 until 3) {
+      val (o, dl) = rnd.shuffle(edges).splitAt(edges.size * 2 / 3)
+      val g2 = Graph.maintainComponents(
+        Graph.connectedComponents(o.toDF("src", "dst")), dl.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val w2 = Graph.connectedComponents((o ++ dl).toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(g2 == w2, s"trial $trial diverged")
+    }
+  }
 }

@@ -350,6 +350,80 @@ object SparkEntry {
       "SELECT k, status, cents FROM (SELECT *, row_number() OVER " +
       "(PARTITION BY k ORDER BY seq DESC) AS rn FROM stacked) WHERE rn = 1"
 
+  /** SCHEMA-EVOLUTION chain ([[graft.sources.MergeOnRead.evolve]]):
+    * the flat last-writer-wins chain with two columns ADDED mid-chain —
+    * metadata-only DDL (nothing on disk rewritten). Batch 1 runs on the
+    * original (k, status, cents) schema; `evolve` then adds
+    * (note string, bonus bigint); batches 2–3 merge with the new
+    * columns populated. The view must show NULL note/bonus on every key
+    * whose winning image predates the evolve — base rows and batch-1
+    * images alike — and the populated values elsewhere, per the eager
+    * oracle. Batch 2 crash-replays poisoned (stamp-skipped) as always.
+    */
+  private def morSchemaTable(s: SparkSession, d: String): (String, String) = {
+    import graft.sources.MergeOnRead
+    val ord = rd(s, d, "orders")
+    val src = ord.select(col("o_orderkey").as("k"),
+      col("o_orderstatus").as("status0"),
+      round(col("o_totalprice") * 100).cast("long").as("cents0"))
+    val dir = new java.io.File(
+      "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+    val tbl = s"mor_orders_ev_${contentEpoch(ord, "o_orderkey")}"
+    graft.operators.Memo.cached(s, s"morevolve|$dir|$tbl") {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      if (!MergeOnRead.exists(s, dir, tbl))
+        MergeOnRead.init(
+          src.where(col("k") % 1000 =!= 7).select(col("k"),
+            col("status0").as("status"), col("cents0").as("cents")),
+          dir, tbl, Seq("k"))
+      MergeOnRead.deltaMerge(s, dir, tbl,
+        src.where(col("k") % 100 === 3).select(col("k"),
+          lit("U1").as("status"), (col("cents0") + 11).as("cents")),
+        MergeSpec(Seq("k"), Seq("status", "cents")), tlit(tsNow), batchId = 1L)
+      // idempotent replay guard (the batch stamps guard the merges; the
+      // DDL's own effect — cols in the manifest — guards the DDL)
+      if (!MergeOnRead.manifest(s, dir, tbl).cols.contains("note"))
+        MergeOnRead.evolve(s, dir, tbl, Seq("note" -> "string", "bonus" -> "bigint"))
+      val wide = MergeSpec(Seq("k"), Seq("status", "cents", "note", "bonus"))
+      def img(pred: Column, status: Column, cents: Column,
+          note: Column, bonus: Column): DataFrame =
+        src.where(pred).select(col("k"), status.as("status"), cents.as("cents"),
+          note.as("note"), bonus.as("bonus"))
+      val b2 = img(col("k") % 1000 === 7, lit("N"), col("cents0"),
+          lit("new"), col("cents0") % 97)
+        .unionByName(img(col("k") % 200 === 3, lit("U2"), col("cents0") + 22,
+          lit("upd"), col("k") % 1000))
+      MergeOnRead.deltaMerge(s, dir, tbl, b2, wide, tlit(tsNow), batchId = 2L)
+      // crash replay with a poisoned payload: the stamp must skip it
+      MergeOnRead.deltaMerge(s, dir, tbl,
+        img(col("k") % 200 === 3, lit("POISON"), lit(-1L), lit("x"), lit(-1L)),
+        wide, tlit(tsNow), batchId = 2L)
+      MergeOnRead.deltaMerge(s, dir, tbl,
+        img(col("k") % 400 === 3, lit("U3"), col("cents0") + 33,
+          lit("u3"), lit(3L)),
+        wide, tlit(tsNow), batchId = 3L)
+      java.lang.Boolean.TRUE
+    }
+    (dir, tbl)
+  }
+
+  /** [[morOracleSql]] widened by the evolved columns: images before the
+    * evolve carry NULLs — the add-column backfill semantics.
+    */
+  private def morSchemaOracleSql: String =
+    "WITH src AS (SELECT o_orderkey AS k, o_orderstatus AS status0, " +
+      "CAST(round(o_totalprice * 100) AS BIGINT) AS cents0 FROM orders), " +
+      "stacked AS (" +
+      "SELECT k, status0 AS status, cents0 AS cents, " +
+      "CAST(NULL AS VARCHAR) AS note, CAST(NULL AS BIGINT) AS bonus, 0 AS seq " +
+      "FROM src WHERE k % 1000 <> 7 " +
+      "UNION ALL SELECT k, 'U1', cents0 + 11, NULL, NULL, 1 FROM src WHERE k % 100 = 3 " +
+      "UNION ALL SELECT k, 'N', cents0, 'new', cents0 % 97, 2 FROM src WHERE k % 1000 = 7 " +
+      "UNION ALL SELECT k, 'U2', cents0 + 22, 'upd', k % 1000, 2 FROM src WHERE k % 200 = 3 " +
+      "UNION ALL SELECT k, 'U3', cents0 + 33, 'u3', 3, 3 FROM src WHERE k % 400 = 3) " +
+      "SELECT k, status, cents, note, bonus FROM (SELECT *, row_number() OVER " +
+      "(PARTITION BY k ORDER BY seq DESC) AS rn FROM stacked) WHERE rn = 1"
+
   /** [[morPartOracleSql]] truncated at batch 2 — the as-of-batch-2
     * view of the partitioned chain (the U3 batch not yet applied).
     */
@@ -1001,6 +1075,14 @@ object SparkEntry {
       // cost contract as the flat feed
       val (dir, tbl) = morPartTable(s, d, compactAfterBatch2 = false)
       graft.sources.MergeOnRead.changesSince(s, dir, tbl, sinceBatch = 1L)
+    }),
+    "merge_delta_schema_add" -> ((s, d) => {
+      // SCHEMA EVOLUTION mid-chain: two columns added metadata-only
+      // between batches; old base rows and pre-evolve delta images
+      // read NULL-backfilled, later merges populate the columns —
+      // proven against the eager oracle with NULLs stacked in
+      val (dir, tbl) = morSchemaTable(s, d)
+      graft.sources.MergeOnRead.readView(s, dir, tbl)
     }),
     "incr_agg_from_feed" -> ((s, d) => {
       // true IVM over CDC: a derived (status -> n, sum cents) aggregate
@@ -3356,6 +3438,24 @@ object SparkEntry {
           .select("o_orderkey", "o_custkey", "o_totalprice"))
         .reduce(_ unionByName _)
     }),
+    "layout_encoding_advisor" -> ((s, d) => {
+      // encoding advisor: per-column layout stats (global cardinality +
+      // runs WITHIN each physical unit along its sort) and the
+      // cross-multiplied rle/dict/plain rule. Units are supplier mod 8,
+      // sorted by ship date — so ship_year runs long (rle) while
+      // returnflag's 3 values interleave (dict) and a unique line id
+      // compresses with neither (plain)
+      val li = rd(s, d, "lineitem").select(
+        (col("l_suppkey") % 8).as("unit"),
+        col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        year(col("l_shipdate")).as("ship_year"),
+        col("l_returnflag"), col("l_suppkey"),
+        concat(col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string")).as("line_id"))
+      graft.sources.Layout.encodingAdvisor(li, col("unit"),
+        Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")),
+        Seq("ship_year", "l_returnflag", "l_suppkey", "line_id"))
+    }),
     "text_source_terms" -> ((s, d) =>
       // c-TF-IDF shape: what characterizes each source vs the corpus
       TextAnalysis.sourceDistinctiveTerms(rd(s, d, "documents"), k = 5)),
@@ -4884,6 +4984,21 @@ object SparkEntry {
         ev.filter(col("ts") < cutoff), ev.filter(col("ts") >= cutoff),
         "cents", gridLo, gridWidth, gridBins)
     }),
+    "dq_schema_drift" -> ((s, d) => {
+      // upstream-feed contract check: old vs regenerated snapshot —
+      // a dropped column, an added flag, a type change (custkey now
+      // arrives stringly) and a null-rate shift (status nulled where
+      // it read 'F') all land in one metadata-sized report
+      val o = rd(s, d, "orders")
+      val oldSnap = o.select("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderpriority")
+      val newSnap = o.select(col("o_orderkey"),
+        col("o_custkey").cast("string").as("o_custkey"),
+        nullif(col("o_orderstatus"), lit("F")).as("o_orderstatus"),
+        col("o_totalprice"),
+        (col("o_orderkey") % 2 === 0).as("o_flag"))
+      graft.operators.Quality.schemaDriftReport(oldSnap, newSnap)
+    }),
     "seq_subseq_k" -> ((s, d) =>
       // PrefixSpan-at-length-k (the triple trick doesn't extend): one
       // greedy earliest-completion fold per user timeline decides
@@ -5264,6 +5379,7 @@ object SparkEntry {
     // the partition-scoped chain reconciles to the same eager result
     // (month column along); compaction bookkeeping must be invisible
     "merge_delta_mor_part" -> morPartOracleSql,
+    "merge_delta_schema_add" -> morSchemaOracleSql,
     "merge_delta_compact_part" -> morPartOracleSql,
     // net per-key change after batch 1 of the partitioned chain: the
     // batch-2 inserts and U2 updates unless batch 3's U3 superseded
@@ -6516,6 +6632,28 @@ object SparkEntry {
     "layout_bloom_prune" ->
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
         "WHERE o_orderkey IN (7, 632, 1203, 999999999)"),
+    "layout_encoding_advisor" -> {
+      val cols = Seq("ship_year", "l_returnflag", "l_suppkey", "line_id")
+      val lags = cols.map(c => s"lag($c) OVER w AS lag_$c").mkString(", ")
+      val stats = cols.map(c =>
+        s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_$c, " +
+          s"CAST(count(DISTINCT $c) AS BIGINT) AS nd_$c, " +
+          s"CAST(sum(CASE WHEN rn = 1 OR $c IS DISTINCT FROM lag_$c THEN 1 ELSE 0 END) AS BIGINT) AS runs_$c, " +
+          s"CAST(sum(coalesce(length(CAST($c AS VARCHAR)), 0)) AS BIGINT) AS chars_$c").mkString(", ")
+      val unions = cols.map(c =>
+        s"SELECT '$c' AS col_name, n AS n_rows, nulls_$c AS n_nulls, nd_$c AS n_distinct, " +
+          s"runs_$c AS n_runs, chars_$c AS chars FROM st").mkString(" UNION ALL ")
+      "WITH b AS (SELECT l_suppkey % 8 AS unit, l_shipdate, l_orderkey, l_linenumber, " +
+        "CAST(year(l_shipdate) AS INT) AS ship_year, l_returnflag, l_suppkey, " +
+        "CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS line_id FROM lineitem), " +
+        s"lg AS (SELECT *, row_number() OVER w AS rn, $lags FROM b " +
+        "WINDOW w AS (PARTITION BY unit ORDER BY l_shipdate, l_orderkey, l_linenumber)), " +
+        s"st AS (SELECT CAST(count(*) AS BIGINT) AS n, $stats FROM lg) " +
+        s"SELECT col_name, n_rows, n_nulls, n_distinct, n_runs, chars, " +
+        "CASE WHEN n_runs * 8 <= n_rows THEN 'rle' " +
+        "WHEN n_distinct * 20 <= n_rows THEN 'dict' ELSE 'plain' END AS encoding " +
+        s"FROM ($unions)"
+    },
     "dq_robust_mad" -> robustMadSql("events"),
     "quality_winsorized" -> winsorizedSql("events"),
     "eval_cohens_kappa" -> {
@@ -7492,6 +7630,26 @@ object SparkEntry {
         "CAST(sum(abs(cumc * n_total - cumg * n_rows)) AS HUGEINT) * 1000000 <= " +
         "CAST(120000 AS HUGEINT) * n_rows * n_total * (m - 1) AS meets_t " +
         "FROM w CROSS JOIN t GROUP BY 1, 2, 3, 4, 5"),
+    // schema drift: column presence/type facts are VALUES literals
+    // (the contract the Spark side reads off its schema); the one
+    // data-dependent number — the new snapshot's status null rate —
+    // is computed honestly from the nullif('F') rule
+    "dq_schema_drift" ->
+      ("WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS nf FROM orders), " +
+        "olds(col_name, type_old) AS (VALUES ('o_orderkey','bigint'),('o_custkey','bigint')," +
+        "('o_orderstatus','string'),('o_totalprice','double'),('o_orderpriority','string')), " +
+        "news(col_name, type_new) AS (VALUES ('o_orderkey','bigint'),('o_custkey','string')," +
+        "('o_orderstatus','string'),('o_totalprice','double'),('o_flag','boolean')) " +
+        "SELECT coalesce(o.col_name, w.col_name) AS col_name, " +
+        "CASE WHEN o.col_name IS NULL THEN 'added' WHEN w.col_name IS NULL THEN 'dropped' " +
+        "WHEN o.type_old <> w.type_new THEN 'type_changed' ELSE 'kept' END AS status, " +
+        "o.type_old, w.type_new, " +
+        "CASE WHEN o.col_name IS NULL THEN CAST(NULL AS BIGINT) ELSE CAST(0 AS BIGINT) END AS null_ppm_old, " +
+        "CASE WHEN w.col_name IS NULL THEN CAST(NULL AS BIGINT) " +
+        "WHEN w.col_name = 'o_orderstatus' THEN (SELECT nf * 1000000 // n FROM n) " +
+        "ELSE CAST(0 AS BIGINT) END AS null_ppm_new " +
+        "FROM olds o FULL OUTER JOIN news w ON o.col_name = w.col_name"),
     // binned two-sample KS: pinned-grid clamped buckets, exact integer
     // CDF gap, argmax bucket (smallest on ties)
     "dq_numeric_ks_binned" ->

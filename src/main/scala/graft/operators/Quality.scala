@@ -469,6 +469,44 @@ object Quality {
         (col("total_rows") - col("n")).as("n_violating"))
   }
 
+  /** SCHEMA-DRIFT report between two snapshots of "the same" table —
+    * the contract check a pipeline runs when an upstream feed
+    * regenerates: one row per column in EITHER snapshot, with its
+    * status (`added` / `dropped` / `type_changed` / `kept`), the
+    * declared types, and the exact-integer null rate on the ppm grid
+    * (the silent failure mode type checks miss: the column is still
+    * there, still a string — and suddenly 40% NULL).
+    *
+    * Scale shape: one combinable aggregate pass per snapshot (a sum of
+    * null flags per column, folded map-side), each collapsing to a
+    * SINGLE row unpivoted to column-count rows — so the join of the
+    * two sides is metadata-sized no matter how wide or tall the
+    * snapshots are. Declared types come off the schema (driver
+    * metadata, zero jobs). ppm is floor(nulls·10⁶ / n) in integers.
+    */
+  def schemaDriftReport(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
+    def side(df: DataFrame, sfx: String): DataFrame = {
+      val cols = df.columns.toSeq
+      val aggs = count(lit(1)).as("__n") +:
+        cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"))
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = cols.map(c =>
+        s"'$c', '${df.schema(c).dataType.catalogString}', __nulls_$c").mkString(", ")
+      one.selectExpr("__n",
+          s"stack(${cols.size}, $stackArgs) AS (col_name, type_$sfx, __nulls)")
+        .select(col("col_name"), col(s"type_$sfx"),
+          expr("__nulls * 1000000 div __n").as(s"null_ppm_$sfx"))
+    }
+    side(oldDf, "old").join(side(newDf, "new"), Seq("col_name"), "full_outer")
+      .select(col("col_name"),
+        when(col("type_old").isNull, lit("added"))
+          .when(col("type_new").isNull, lit("dropped"))
+          .when(col("type_old") =!= col("type_new"), lit("type_changed"))
+          .otherwise(lit("kept")).as("status"),
+        col("type_old"), col("type_new"),
+        col("null_ppm_old"), col("null_ppm_new"))
+  }
+
   /** Referential-integrity audit: for each declared FK relationship,
     * how many child rows point at a parent that does not exist — the
     * orphan check every warehouse load gate runs before exposing a

@@ -228,6 +228,61 @@ object Layout {
     else spark.read.parquet(files.toIndexedSeq: _*).where(col(keyCol) === value)
   }
 
+  /** Column-ENCODING advisor: the statistics a layout planner reads
+    * before choosing parquet encodings (and the dictionary-vs-RLE
+    * decision Delta/Iceberg OPTIMIZE makes implicitly), computed in one
+    * distributed pass and emitted one row per analyzed column:
+    *
+    *   - `n_rows` / `n_nulls` / `n_distinct`: global cardinality facts;
+    *   - `n_runs`: value runs counted WITHIN each physical unit
+    *     (`fileCol` — a file, partition, or bucket proxy) along that
+    *     unit's `orderCols` sort — the quantity run-length encoding
+    *     actually compresses, which global cardinality cannot see
+    *     (a 7-value column sorted by date RLEs superbly; shuffled
+    *     randomly it doesn't);
+    *   - `chars`: total stringified length, the plain-encoding byte
+    *     floor.
+    *
+    * The recommendation is a deterministic integer rule, cross-
+    * multiplied so no engine divides: avg run ≥ 8 (`n_runs`·8 ≤ n) →
+    * `rle`; else distinct ratio ≤ 5% (`n_distinct`·20 ≤ n) → `dict`;
+    * else `plain`. RLE is checked first: long runs beat dictionary
+    * even when the dictionary would also fit.
+    *
+    * Scale shape: the lag/row_number windows partition by `fileCol`
+    * (unit-sized, never global), every per-column stat folds in ONE
+    * aggregate to a single metadata row, and the unpivot is a stack
+    * over that row — the whole advisor is one scan + one unit-keyed
+    * shuffle regardless of table size. `orderCols` must be a total
+    * order within each unit (a unique key suffix guarantees it);
+    * otherwise the run count is tie-order-dependent.
+    */
+  def encodingAdvisor(df: DataFrame, fileCol: Column, orderCols: Seq[Column],
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "advise at least one column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(fileCol).orderBy(orderCols: _*)
+    val lagged = df.select(
+      (col("*") +: (row_number().over(w).as("__rn") +:
+        cols.map(c => lag(col(c), 1).over(w).as(s"__lag_$c")))): _*)
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+      count_distinct(col(c)).as(s"__nd_$c"),
+      sum(when(col("__rn") === 1 || !(col(c) <=> col(s"__lag_$c")), 1L)
+        .otherwise(0L)).as(s"__runs_$c"),
+      sum(coalesce(length(col(c).cast("string")).cast("long"), lit(0L)))
+        .as(s"__chars_$c")))
+    val one = lagged.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', __n, __nulls_$c, __nd_$c, __runs_$c, __chars_$c").mkString(", ")
+    one.selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(col_name, n_rows, n_nulls, n_distinct, n_runs, chars)")
+      .withColumn("encoding",
+        when(col("n_runs") * 8 <= col("n_rows"), lit("rle"))
+          .otherwise(when(col("n_distinct") * 20 <= col("n_rows"), lit("dict"))
+            .otherwise(lit("plain"))))
+  }
+
   /** The consistent-hash ring: `vnodes` points per shard at
     * `md5(salt:shard:vnode)`, sorted by point. A pure function of the
     * parameters — no data touched — so both engines (and any future

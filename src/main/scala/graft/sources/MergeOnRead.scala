@@ -179,8 +179,9 @@ object MergeOnRead {
       val opt = Seq(
         if (rowsAligned && deltaRows.nonEmpty) s"rows=${deltaRows.mkString(",")}" else "",
         if (baseRows >= 0) s"baserows=$baseRows" else "",
-        partCol.map(c => s"part=$c;parttype=$partType;cols=${cols.mkString(",")}" +
-          s";schema=${enc(schemaDdl)}").getOrElse(""),
+        partCol.map(c => s"part=$c;parttype=$partType").getOrElse(""),
+        if (cols.nonEmpty) s"cols=${cols.mkString(",")}" else "",
+        if (schemaDdl.nonEmpty) s"schema=${enc(schemaDdl)}" else "",
         if (pmap.nonEmpty) s"pmap=${pmap.map { case (v, g, n) => s"${enc(v)}:$g:$n" }.mkString(",")}" else "",
         if (grace.nonEmpty) s"grace=${grace.map { case (g, v) => s"$g:${enc(v)}" }.mkString(",")}" else "",
         if (bloomBits > 0) s"bloom=$bloomBits:$bloomHashes" else ""
@@ -336,6 +337,53 @@ object MergeOnRead {
       cols = df.columns.toSeq, schemaDdl = df.schema.toDDL, pmap = counts))
   }
 
+  /** SCHEMA EVOLUTION — add columns to a live table, metadata-only.
+    *
+    * Nothing on disk is touched: the evolved schema commits to the
+    * manifest, and every read path NULL-backfills files that predate it
+    * ([[alignTo]]) — base generations, old delta images, change feeds
+    * and time-travel reads all present the added columns as NULL until
+    * a later merge populates them. Later [[compact]]s materialize the
+    * columns physically as partitions/bases fold, so the backfill work
+    * amortizes into writes that were happening anyway — the
+    * add-column discipline every lake format converges on (at 100 TB a
+    * backfilling rewrite is never acceptable as part of DDL).
+    *
+    * Drops and renames are intentionally NOT offered: a rename breaks
+    * every reader contract silently, and a drop under merge-on-read
+    * leaves the column live in old images — both belong in an explicit
+    * copy ([[Warehouse]] rewrite), not a metadata flip.
+    *
+    * `addCols` are (name, Spark DDL type) pairs, e.g.
+    * `("note", "string")`. Serialized against concurrent writers by the
+    * same claim barrier as [[compact]].
+    */
+  def evolve(spark: SparkSession, dir: String, table: String,
+      addCols: Seq[(String, String)]): Unit = {
+    require(addCols.nonEmpty, "evolve adds at least one column")
+    requireSafe("added column", addCols.map(_._1))
+    val added = org.apache.spark.sql.types.StructType.fromDDL(
+      addCols.map { case (n, t) => s"$n $t" }.mkString(", ")) // rejects bad types
+    val m = manifest(spark, dir, table)
+    val cur = tableSchema(spark, dir, table, m)
+    addCols.foreach { case (n, _) =>
+      require(!cur.fieldNames.contains(n), s"$table already has column $n") }
+    val barrier = m.deltaTo + 1
+    if (!tryClaim(spark, dir, table, barrier))
+      throw new ConcurrentWriterException(
+        s"$table: evolve lost the barrier claim on delta seq $barrier — a writer is " +
+          "appending; re-run evolve after it commits")
+    try {
+      val mv = manifest(spark, dir, table)
+      if (mv.deltaTo != m.deltaTo || mv.lastBatch != m.lastBatch)
+        throw new ConcurrentWriterException(
+          s"$table: chain advanced while acquiring the evolve barrier; re-run evolve")
+      val next = org.apache.spark.sql.types.StructType(cur.fields ++ added.fields)
+      commit(spark, dir, table,
+        m.copy(cols = next.fieldNames.toSeq, schemaDdl = next.toDDL))
+    } finally releaseClaim(spark, dir, table, barrier)
+  }
+
   /** Tombstone marker column inside delta files: false on upsert
     * images, true on delete rows (key columns set, payload NULL).
     * Older delta files without the column read as false.
@@ -348,12 +396,37 @@ object MergeOnRead {
     */
   private val BatchCol = "__mor_batch"
 
-  /** Data column order of the table (partitioned manifests record it;
-    * flat tables read it off the base files).
+  /** Data column order of the table (partitioned and evolved manifests
+    * record it; legacy flat tables read it off the base files).
     */
   private def dataCols(spark: SparkSession, dir: String, table: String, m: Manifest): Seq[String] =
     if (m.cols.nonEmpty) m.cols
     else spark.read.parquet(basePath(dir, table, m.baseGen).toString).columns.toSeq
+
+  /** The table's CURRENT logical schema: the manifest's DDL when
+    * recorded (partitioned tables always; flat tables once [[evolve]]d),
+    * the base files otherwise.
+    */
+  private def tableSchema(spark: SparkSession, dir: String, table: String,
+      m: Manifest): org.apache.spark.sql.types.StructType =
+    if (m.schemaDdl.nonEmpty) org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
+    else spark.read.parquet(basePath(dir, table, m.baseGen).toString).schema
+
+  /** NULL-backfill `df` up to `schema` and put the schema's columns
+    * first in its order — how files written BEFORE a schema evolution
+    * read as the evolved schema (a column added by [[evolve]] is NULL
+    * on every row that predates it). Extra columns (`__mor_seq`,
+    * [[DelMarker]], [[BatchCol]]) ride along at the end.
+    */
+  private def alignTo(df: DataFrame,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val filled = schema.fields.foldLeft(df) { (acc, f) =>
+      if (acc.columns.contains(f.name)) acc
+      else acc.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    val extras = filled.columns.filterNot(schema.fieldNames.contains)
+    filled.select((schema.fieldNames ++ extras).map(col).toIndexedSeq: _*)
+  }
 
   /** The base as one DataFrame in table column order. Partitioned
     * tables union the per-generation reads, each filtered to the
@@ -367,25 +440,31 @@ object MergeOnRead {
       m: Manifest, partValues: Option[Seq[String]] = None): DataFrame =
     m.partCol match {
       case None =>
-        spark.read.parquet(basePath(dir, table, m.baseGen).toString)
+        val raw = spark.read.parquet(basePath(dir, table, m.baseGen).toString)
+        // evolved flat tables NULL-backfill columns the base generation
+        // predates; legacy manifests (no schema recorded) read as-is
+        if (m.schemaDdl.nonEmpty) alignTo(raw, tableSchema(spark, dir, table, m))
+        else raw
       case Some(pc) =>
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
         val wanted = partValues.map(_.toSet)
         val live = m.pmap.filter(e => wanted.forall(_.contains(e._1)))
-        val order = m.cols.map(col)
         if (live.isEmpty)
           // no live partitions (empty table or fully-pruned read): an
           // empty frame in the manifest-recorded schema — no file I/O
           spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
-            .select(order: _*)
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+            .select(m.cols.map(col): _*)
         else
           live.groupBy(_._2).toSeq.sortBy(_._1).map { case (gen, entries) =>
             val vals = entries.map(_._1)
-            spark.read.parquet(basePath(dir, table, gen).toString)
-              .withColumn(pc, col(pc).cast(m.partType))
-              .where(col(pc).cast("string").isin(vals: _*))
-              .select(order: _*)
+            // alignTo NULL-backfills columns this generation predates
+            // (written before an evolve) and restores table order
+            alignTo(
+              spark.read.parquet(basePath(dir, table, gen).toString)
+                .withColumn(pc, col(pc).cast(m.partType))
+                .where(col(pc).cast("string").isin(vals: _*)),
+              schema)
           }.reduce(_.unionByName(_))
     }
 
@@ -450,7 +529,10 @@ object MergeOnRead {
       broadcastOk: Boolean): DataFrame = {
     val keyset = latest.select(keys.map(col): _*).distinct()
     val anti = base.join(if (broadcastOk) broadcast(keyset) else keyset, keys, "left_anti")
-    anti.unionByName(latest.where(!col(DelMarker))
+    // align the delta images to the base schema: an image written
+    // BEFORE an evolve lacks the added columns — NULL-backfilled here,
+    // exactly the added-column semantics (its key predates the column)
+    anti.unionByName(alignTo(latest.where(!col(DelMarker)), base.schema)
       .select(base.columns.map(col).toIndexedSeq: _*))
   }
 
@@ -673,16 +755,19 @@ object MergeOnRead {
     */
   private def bloomPrunedBase(spark: SparkSession, dir: String, table: String,
       m: Manifest, srcKeys: DataFrame): DataFrame = {
+    // evolved tables NULL-backfill like baseRead (identity pre-evolve)
+    def conform(df: DataFrame): DataFrame =
+      if (m.schemaDdl.nonEmpty) alignTo(df, tableSchema(spark, dir, table, m)) else df
     val fs = fsOf(spark, dir)
     val bp = bloomPath(dir, table, m.baseGen)
     val full = basePath(dir, table, m.baseGen).toString
-    if (!fs.exists(bp)) return spark.read.parquet(full)
+    if (!fs.exists(bp)) return conform(spark.read.parquet(full))
     val keyCol = m.keys.head
     val manifestDf = spark.read.parquet(bp.toString)
     val files = bloomCandidateFiles(
       manifestDf, srcKeys, keyCol, m.bloomBits, m.bloomHashes)
-    if (files.isEmpty) spark.read.parquet(full).where(lit(false))
-    else spark.read.parquet(files: _*)
+    if (files.isEmpty) conform(spark.read.parquet(full).where(lit(false)))
+    else conform(spark.read.parquet(files: _*))
   }
 
   /** Files whose Bloom filter passes for AT LEAST ONE probe key —
@@ -730,12 +815,7 @@ object MergeOnRead {
       val order = dataCols(spark, dir, table, m)
       val keep = m.keys ++ m.partCol.filterNot(m.keys.contains)
       val tomb = keysDf.select(keep.map(col): _*).distinct()
-      val types = m.partCol match {
-        case Some(_) =>
-          org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl)
-        case None =>
-          spark.read.parquet(basePath(dir, table, m.baseGen).toString).schema
-      }
+      val types = tableSchema(spark, dir, table, m)
       order.foldLeft(tomb) { (df, c) =>
           if (keep.contains(c)) df
           else df.withColumn(c, lit(null).cast(types(c).dataType))
@@ -913,10 +993,11 @@ object MergeOnRead {
       case None => baseRead(spark, dir, table, m).select(order.map(col): _*)
         .withColumn("change", lit("")).limit(0)
       case Some(latest) =>
+        val aligned = alignTo(latest, tableSchema(spark, dir, table, m))
         val withBatch =
-          if (latest.columns.contains(BatchCol))
-            latest.withColumn(BatchCol, coalesce(col(BatchCol), lit(-1L)))
-          else latest.withColumn(BatchCol, lit(-1L))
+          if (aligned.columns.contains(BatchCol))
+            aligned.withColumn(BatchCol, coalesce(col(BatchCol), lit(-1L)))
+          else aligned.withColumn(BatchCol, lit(-1L))
         withBatch.where(col(BatchCol) > sinceBatch)
           .select(order.map(col) :+
             when(col(DelMarker), lit("delete")).otherwise(lit("upsert"))

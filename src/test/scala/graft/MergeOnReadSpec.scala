@@ -500,4 +500,95 @@ class MergeOnReadSpec extends AnyFunSuite with SparkTest {
     assert(MergeOnRead.readView(s, dir, "t").where(col("k") === 8L)
       .head().getLong(1) == -8L)
   }
+
+  // --------------------------------------------------- schema evolution
+
+  test("evolve adds columns metadata-only: NULL backfill, later merges populate, compact materializes") {
+    val s = spark; import s.implicits._
+    val dir = tmpDir()
+    MergeOnRead.init((1L to 100L).map(i => (i, i * 10L)).toDF("k", "v"),
+      dir, "t", Seq("k"))
+    MergeOnRead.deltaMerge(s, dir, "t", Seq((5L, 50L)).toDF("k", "v"),
+      MergeSpec(Seq("k"), Seq("v")), nowCol, 1L)
+
+    // DDL is a manifest flip: no base or delta file changes
+    val baseFiles = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$dir/t.morbase")).count()
+    MergeOnRead.evolve(s, dir, "t", Seq("tag" -> "string"))
+    assert(java.nio.file.Files.walk(
+      java.nio.file.Paths.get(s"$dir/t.morbase")).count() == baseFiles,
+      "evolve must not rewrite anything")
+
+    // everything predates the column: NULL across the board, rows intact
+    val v1 = MergeOnRead.readView(s, dir, "t")
+    assert(v1.columns.toSeq == Seq("k", "v", "tag"))
+    assert(v1.count() == 100L && v1.where(col("tag").isNotNull).isEmpty)
+
+    // a post-evolve merge populates it; pre-evolve images stay NULL
+    MergeOnRead.deltaMerge(s, dir, "t",
+      Seq((7L, 70L, "hot"), (101L, 1010L, "ins")).toDF("k", "v", "tag"),
+      MergeSpec(Seq("k"), Seq("v", "tag")), nowCol, 2L)
+    val v2 = MergeOnRead.readView(s, dir, "t")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(v2(7L).contains("hot") && v2(101L).contains("ins"))
+    assert(v2(5L).isEmpty && v2(1L).isEmpty)
+
+    // the change feed and time travel read the evolved schema too
+    val feed = MergeOnRead.changesSince(s, dir, "t", sinceBatch = 1L)
+    assert(feed.columns.toSeq == Seq("k", "v", "tag", "change"))
+    assert(feed.count() == 2L)
+    assert(MergeOnRead.readViewAsOf(s, dir, "t", asOfBatch = 1L)
+      .where(col("tag").isNotNull).isEmpty,
+      "the as-of-batch-1 view predates every populated tag")
+
+    // compaction materializes the column physically, view unchanged
+    val before = MergeOnRead.readView(s, dir, "t")
+      .collect().map(_.toString).sorted.toSeq
+    MergeOnRead.compact(s, dir, "t")
+    assert(MergeOnRead.readView(s, dir, "t")
+      .collect().map(_.toString).sorted.toSeq == before)
+    assert(s.read.parquet(s"$dir/t.morbase/2").columns.contains("tag"),
+      "the folded base must carry the evolved column physically")
+
+    // guard rails: duplicate and unsafe names are rejected
+    assert(intercept[IllegalArgumentException] {
+      MergeOnRead.evolve(s, dir, "t", Seq("tag" -> "string"))
+    }.getMessage.contains("already has"))
+    intercept[IllegalArgumentException] {
+      MergeOnRead.evolve(s, dir, "t", Seq("bad;name" -> "string"))
+    }
+  }
+
+  test("partitioned evolve: clean partitions backfill at read; dirty-only compact keeps the schema") {
+    val s = spark; import s.implicits._
+    val dir = tmpDir()
+    initPart(s, dir, n = 40L)
+    MergeOnRead.evolve(s, dir, "t", Seq("bonus" -> "bigint"))
+    // populate the column in partition m1 only
+    MergeOnRead.deltaMerge(s, dir, "t",
+      Seq((1L, pval(1L), -1L, 11L)).toDF("k", "p", "v", "bonus"),
+      MergeSpec(Seq("k"), Seq("v", "bonus")), nowCol, 1L)
+    val v = MergeOnRead.readView(s, dir, "t")
+    assert(v.columns.toSeq == Seq("k", "p", "v", "bonus"))
+    assert(v.count() == 40L)
+    assert(v.where(col("k") === 1L).head().getLong(3) == 11L)
+    assert(v.where(col("p") =!= "m1").where(col("bonus").isNotNull).isEmpty,
+      "clean partitions must read the added column as NULL")
+    val before = v.collect().map(_.toString).sorted.toSeq
+    // dirty-only fold: m1 moves to gen 2 WITH the column; clean
+    // partitions stay on gen-1 files that physically lack it
+    MergeOnRead.compact(s, dir, "t")
+    val m = MergeOnRead.manifest(s, dir, "t")
+    assert(m.pmap.map(e => e._1 -> e._2).toMap.apply("m1") == 2L)
+    assert(m.pmap.filter(_._1 != "m1").forall(_._2 == 1L))
+    assert(MergeOnRead.readView(s, dir, "t")
+      .collect().map(_.toString).sorted.toSeq == before)
+    // a held writer claim fails evolve loudly (same barrier as compact)
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$dir/t.mordelta/${m.deltaTo + 1}.claim"))
+    intercept[MergeOnRead.ConcurrentWriterException] {
+      MergeOnRead.evolve(s, dir, "t", Seq("extra" -> "string"))
+    }
+    MergeOnRead.releaseStaleClaims(s, dir, "t")
+  }
 }

@@ -3438,6 +3438,48 @@ object SparkEntry {
           .select("o_orderkey", "o_custkey", "o_totalprice"))
         .reduce(_ unionByName _)
     }),
+    "incr_bloom_maintain" -> ((s, d) => {
+      // O(new files) index maintenance: appending files to a corpus
+      // extends the per-file Bloom manifest by scanning ONLY the new
+      // files (rows are per-file-independent — the old manifest is
+      // reused verbatim), and point lookups through the unioned
+      // manifest stay exact across both file sets
+      import graft.sources.Layout
+      val o = rd(s, d, "orders")
+      val dir = new java.io.File(
+        "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      val epoch = contentEpoch(o, "o_orderkey")
+      val basePath = s"$dir/bloom_orders_$epoch"
+      val newPath = s"$dir/bloom_orders_delta_$epoch"
+      materializeOnce(s, basePath)(tmp =>
+        o.repartition(16, col("o_custkey")).write.mode("overwrite").parquet(tmp))
+      materializeOnce(s, newPath)(tmp =>
+        o.withColumn("o_orderkey", -col("o_orderkey"))
+          .repartition(2, col("o_custkey")).write.mode("overwrite").parquet(tmp))
+      val mf = graft.operators.Caches.persisted(
+        Layout.bloomManifest(s, basePath, "o_orderkey")
+          .unionByName(Layout.bloomManifest(s, newPath, "o_orderkey")))
+      Seq(7L, -7L, 632L, -632L, 999999999L)
+        .map(k => Layout.readBloomPruned(s, basePath, mf, "o_orderkey", lit(k))
+          .select("o_orderkey", "o_custkey", "o_totalprice"))
+        .reduce(_ unionByName _)
+    }),
+    "layout_clustering_depth" -> ((s, d) => {
+      // the OPTIMIZE planner's "needs re-clustering" signal: per-file
+      // interval-overlap counts over a MIXED layout — two hash-routed
+      // units span the whole key domain (deep overlap: min/max skipping
+      // is blind there) while range units stay shallow. Units are
+      // value-derived so both engines replay the identical layout
+      val li = rd(s, d, "lineitem").select(
+        when(col("l_suppkey") % 10 === 0,
+          concat(lit("h"), (col("l_orderkey") % 2).cast("string")))
+          .otherwise(concat(lit("s"),
+            expr("l_orderkey div 50000").cast("string"))).as("file"),
+        col("l_orderkey").as("k"))
+      val manifest = li.groupBy("file")
+        .agg(min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+      graft.sources.Layout.clusteringDepth(manifest, "k")
+    }),
     "layout_encoding_advisor" -> ((s, d) => {
       // encoding advisor: per-column layout stats (global cardinality +
       // runs WITHIN each physical unit along its sort) and the
@@ -6632,6 +6674,21 @@ object SparkEntry {
     "layout_bloom_prune" ->
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
         "WHERE o_orderkey IN (7, 632, 1203, 999999999)"),
+    // the incremental bloom index is an I/O mechanism — the RESULT is
+    // the plain point-lookup filter over both file sets
+    "incr_bloom_maintain" ->
+      ("WITH c AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "UNION ALL SELECT -o_orderkey, o_custkey, o_totalprice FROM orders) " +
+        "SELECT * FROM c WHERE o_orderkey IN (7, -7, 632, -632, 999999999)"),
+    "layout_clustering_depth" ->
+      ("WITH u AS (SELECT CASE WHEN l_suppkey % 10 = 0 " +
+        "THEN 'h' || CAST(l_orderkey % 2 AS VARCHAR) " +
+        "ELSE 's' || CAST(l_orderkey // 50000 AS VARCHAR) END AS file, " +
+        "l_orderkey AS k FROM lineitem), " +
+        "m AS (SELECT file, min(k) AS k_min, max(k) AS k_max FROM u GROUP BY 1) " +
+        "SELECT a.file, a.k_min, a.k_max, CAST(count(b.file) AS BIGINT) AS n_overlaps " +
+        "FROM m a LEFT JOIN m b ON a.file <> b.file " +
+        "AND a.k_max >= b.k_min AND a.k_min <= b.k_max GROUP BY 1, 2, 3"),
     "layout_encoding_advisor" -> {
       val cols = Seq("ship_year", "l_returnflag", "l_suppkey", "line_id")
       val lags = cols.map(c => s"lag($c) OVER w AS lag_$c").mkString(", ")

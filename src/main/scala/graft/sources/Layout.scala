@@ -152,6 +152,34 @@ object Layout {
     else spark.read.parquet(files: _*).where(residual)
   }
 
+  /** CLUSTERING-DEPTH metric over a file manifest — the "does this
+    * table need re-clustering" signal an OPTIMIZE planner reads: for
+    * each file, how many OTHER files' `[min, max]` key intervals
+    * overlap it. A perfectly range-clustered layout scores 0
+    * everywhere (every point lookup or range scan opens the minimal
+    * file set); a hash- or arrival-ordered layout scores ~n_files
+    * (every file spans the domain, min/max skipping prunes nothing —
+    * the situation [[bloomManifest]] exists for). The depth is exactly
+    * the extra I/O multiplier a range predicate pays vs the clustered
+    * ideal.
+    *
+    * Input is the METADATA manifest ([[fileManifest]] — one row per
+    * file), so the self-join is manifest² at worst and interval-sorted
+    * in practice — thousands of rows at 100 TB, never data-sized.
+    * Overlap is closed-interval on exact values; ties count.
+    */
+  def clusteringDepth(manifest: DataFrame, keyCol: String): DataFrame = {
+    val lo = s"${keyCol}_min"
+    val hi = s"${keyCol}_max"
+    val a = manifest.select(col("file"), col(lo).as("__alo"), col(hi).as("__ahi"))
+    val b = manifest.select(col("file").as("__bfile"),
+      col(lo).as("__blo"), col(hi).as("__bhi"))
+    a.join(b, col("file") =!= col("__bfile") &&
+        col("__ahi") >= col("__blo") && col("__alo") <= col("__bhi"), "left")
+      .groupBy(col("file"), col("__alo").as(lo), col("__ahi").as(hi))
+      .agg(count(col("__bfile")).as("n_overlaps"))
+  }
+
   /** Per-file BLOOM manifest over a key column — the point-lookup twin
     * of [[fileManifest]]'s range bounds. Min/max skipping is blind for
     * equality probes on a column the layout is NOT sorted by (every

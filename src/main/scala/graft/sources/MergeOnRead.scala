@@ -852,7 +852,20 @@ object MergeOnRead {
     * committed chain otherwise). The barrier is released after commit.
     */
   def compact(spark: SparkSession, dir: String, table: String,
-      maxDeltaRatio: Double = 0.0, maxGenerations: Int = 8): Unit = {
+      maxDeltaRatio: Double = 0.0, maxGenerations: Int = 8,
+      sortCols: Seq[String] = Nil): Unit = {
+    // CLUSTERED compaction: when `sortCols` is given, the folded base
+    // is range-partitioned and sorted on them, so per-file min/max
+    // intervals come out disjoint (clusteringDepth ~ 0) and every
+    // later merge slice / range scan opens the minimal file set —
+    // clustering maintenance rides the rewrite that was happening
+    // anyway, the only place a 100 TB table can afford it
+    def clustered(df: DataFrame, lead: Seq[String]): DataFrame =
+      if (sortCols.isEmpty) df
+      else {
+        val order = (lead ++ sortCols).map(col)
+        df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+      }
     val fs = fsOf(spark, dir)
     val m = manifest(spark, dir, table)
 
@@ -929,7 +942,7 @@ object MergeOnRead {
       val nextGen = m.baseGen + 1
       m.partCol match {
         case None =>
-          readView(spark, dir, table).write.mode("overwrite")
+          clustered(readView(spark, dir, table), Nil).write.mode("overwrite")
             .parquet(basePath(dir, table, nextGen).toString)
           val n = countWritten(spark, basePath(dir, table, nextGen))
           if (m.bloomBits > 0)
@@ -949,7 +962,7 @@ object MergeOnRead {
           val base = baseRead(spark, dir, table, m, Some(foldVals))
           val folded = reconcile(base, latest, m.keys,
             broadcastOk = deltaBytes(spark, dir, table, m) <= BroadcastDeltaBytesDefault)
-          folded.write.mode("overwrite").partitionBy(pc)
+          clustered(folded, Seq(pc)).write.mode("overwrite").partitionBy(pc)
             .parquet(basePath(dir, table, nextGen).toString)
           // a fully-tombstoned fold writes no files — no entries then
           val counts = scala.util.Try(

@@ -501,6 +501,31 @@ class MergeOnReadSpec extends AnyFunSuite with SparkTest {
       .head().getLong(1) == -8L)
   }
 
+  test("clustered compaction: the folded base's per-file key intervals come out disjoint") {
+    val s = spark; import s.implicits._
+    val dir = tmpDir()
+    val spec = MergeSpec(Seq("k"), Seq("v"))
+    // hash-routed base: every file spans the whole key domain
+    MergeOnRead.init(
+      s.range(1, 4001).select(col("id").as("k"), (col("id") * 10).as("v"))
+        .repartition(16, col("k")),
+      dir, "t", Seq("k"))
+    def depths(gen: Long): Seq[Long] = graft.sources.Layout.clusteringDepth(
+      graft.sources.Layout.fileManifest(s, s"$dir/t.morbase/$gen", Seq("k")), "k")
+      .select("n_overlaps").collect().map(_.getLong(0)).toSeq
+    assert(depths(1L).forall(_ > 0), "hash layout must be deeply overlapped")
+    MergeOnRead.deltaMerge(s, dir, "t", Seq((7L, -7L)).toDF("k", "v"),
+      spec, nowCol, 1L)
+    val before = MergeOnRead.readView(s, dir, "t")
+      .collect().map(_.toString).sorted.toSeq
+    MergeOnRead.compact(s, dir, "t", sortCols = Seq("k"))
+    assert(depths(2L).forall(_ == 0L),
+      "clustered compaction must produce disjoint per-file key ranges")
+    assert(MergeOnRead.readView(s, dir, "t")
+      .collect().map(_.toString).sorted.toSeq == before,
+      "clustering is physical only — the view must not change")
+  }
+
   // --------------------------------------------------- schema evolution
 
   test("evolve adds columns metadata-only: NULL backfill, later merges populate, compact materializes") {

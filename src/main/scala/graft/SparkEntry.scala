@@ -4771,6 +4771,45 @@ object SparkEntry {
       Warehouse.readVersion(s, dir, tbl,
         Warehouse.versions(s, dir, tbl).head)
     }),
+    "wh_txn_snapshot" -> ((s, d) => {
+      // cross-table SNAPSHOT ISOLATION gated end-to-end: facts and
+      // their rollup commit as ONE transaction (one root rename), txn 2
+      // updates both, and the gate reads BOTH tables through a single
+      // resolved snapshot — the recomputed-from-facts aggregate must
+      // equal the committed rollup column-for-column, which two
+      // independent pointer flips cannot guarantee to a racing reader
+      import graft.sources.Warehouse.Txn
+      val src = rd(s, d, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents0"))
+      def facts(bump: Boolean): DataFrame = {
+        val c = if (bump)
+          when(col("k") % 100 === 3, col("cents0") + 11).otherwise(col("cents0"))
+        else col("cents0")
+        src.where(col("k") % 1000 =!= 7)
+          .select(col("k"), col("status"), c.as("cents"))
+      }
+      def rollup(f: DataFrame): DataFrame = f.groupBy("status")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
+      val dir = new java.io.File(
+        "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      val grp = s"txn_orders_${contentEpoch(src, "k")}"
+      graft.operators.Memo.cached(s, s"whtxn|$dir|$grp") {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        val cur = Txn.snapshot(s, dir, grp).map(_.txn).getOrElse(0L)
+        if (cur < 1) Txn.commit(s, dir, grp,
+          Map("facts" -> facts(bump = false), "rollup" -> rollup(facts(bump = false))))
+        if (Txn.snapshot(s, dir, grp).get.txn < 2) Txn.commit(s, dir, grp,
+          Map("facts" -> facts(bump = true), "rollup" -> rollup(facts(bump = true))))
+        java.lang.Boolean.TRUE
+      }
+      val snap = Txn.snapshot(s, dir, grp).get
+      val live = Txn.readAt(s, dir, grp, snap, "facts").groupBy("status")
+        .agg(count(lit(1)).as("n_live"), sum("cents").as("cents_live"))
+      live.join(Txn.readAt(s, dir, grp, snap, "rollup"), Seq("status"))
+        .select(col("status"), col("n_live"), col("cents_live"),
+          col("n").as("n_rollup"), col("cents_sum").as("cents_rollup"))
+    }),
     "s_schema_evolution" -> ((s, d) => {
       // schema evolution across file epochs: epoch 1 lacks the
       // priority column, epoch 2 carries it; mergeSchema unifies and
@@ -7556,6 +7595,17 @@ object SparkEntry {
     "wh_time_travel" ->
       ("SELECT n_nationkey, n_name, r_name FROM nation " +
         "JOIN region ON r_regionkey = n_regionkey"),
+    // one resolved snapshot reads both members of txn 2: the committed
+    // rollup must equal the aggregate recomputed from the facts
+    "wh_txn_snapshot" ->
+      ("WITH f AS (SELECT o_orderstatus AS status, " +
+        "CASE WHEN o_orderkey % 100 = 3 THEN CAST(round(o_totalprice * 100) AS BIGINT) + 11 " +
+        "ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents " +
+        "FROM orders WHERE o_orderkey % 1000 <> 7), " +
+        "a AS (SELECT status, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(cents) AS BIGINT) AS cs FROM f GROUP BY 1) " +
+        "SELECT status, n AS n_live, cs AS cents_live, " +
+        "n AS n_rollup, cs AS cents_rollup FROM a"),
 
     // brute cross join: the exactness oracle for the grid path
     "geo_zone_assign" ->

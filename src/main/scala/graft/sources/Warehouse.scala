@@ -322,4 +322,144 @@ object Warehouse {
         .foreach(g => fs.delete(new Path(dd, g.toString), true))
     }
   }
+
+  // ------------------------------------------------- multi-table txns
+
+  /** MULTI-TABLE atomic commits — cross-table snapshot isolation, the
+    * transaction a warehouse needs when "facts and their rollup" or
+    * "corpus and its index" must never be observed out of step.
+    * [[Pointer]] makes each table individually atomic, but two pointer
+    * flips are two commits: a reader between them joins new facts
+    * against an old rollup. Here ONE root file names every member
+    * table's current generation, and the commit is the root's
+    * tmp-write + atomic rename — a reader resolves the root once and
+    * every directory it references is immutable, so it sees all of a
+    * transaction or none of it.
+    *
+    * Layout under `dir`: `<name>.txnroot` (one line:
+    * `txn=<id>;tables=<t>:<gen>,…`) and per-table immutable
+    * `<name>.txndata/<t>/<gen>/` parquet directories.
+    *
+    * A transaction may update any SUBSET of the member tables —
+    * untouched members carry their generation into the new root
+    * unchanged (nothing is rewritten). A crash after generation writes
+    * but before the root rename leaves orphan directories and an
+    * unchanged root: readers still see the previous transaction in
+    * full, and the next successful commit prunes the orphans. The
+    * PREVIOUS transaction's displaced generations are retained one
+    * commit for in-flight readers (the same grace discipline as the
+    * merge-on-read compactor), then pruned.
+    *
+    * Single-writer like [[Pointer]] (a filesystem cannot CAS); the
+    * monotone `txn` id makes replays detectable the same way the MoR
+    * batch stamp does: `commit(expectedTxn = …)` fails loudly when the
+    * root moved, instead of silently double-applying.
+    */
+  object Txn {
+
+    final case class Snapshot(txn: Long, gens: Map[String, Long])
+
+    private def rootPath(dir: String, name: String) = new Path(s"$dir/$name.txnroot")
+    private def genPath(dir: String, name: String, table: String, gen: Long) =
+      new Path(s"$dir/$name.txndata/$table/$gen")
+
+    private def fsOf(spark: SparkSession, dir: String) =
+      new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    private val SafeName = "[A-Za-z0-9._-]+".r
+
+    /** The committed snapshot, or None before the first commit. */
+    def snapshot(spark: SparkSession, dir: String, name: String): Option[Snapshot] = {
+      val fs = fsOf(spark, dir)
+      val p = rootPath(dir, name)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val line = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+        val kv = line.split(";").map { e => val Array(k, v) = e.split("=", 2); k -> v }.toMap
+        val gens = kv.get("tables").filter(_.nonEmpty).map(_.split(",").toSeq.map { e =>
+          val Array(t, g) = e.split(":", 2); t -> g.toLong
+        }.toMap).getOrElse(Map.empty)
+        Some(Snapshot(kv("txn").toLong, gens))
+      }
+    }
+
+    /** Read one member table AS OF a resolved snapshot — resolve the
+      * snapshot ONCE and read every table through it for cross-table
+      * consistency; the per-call convenience below re-resolves.
+      */
+    def readAt(spark: SparkSession, dir: String, name: String,
+        snap: Snapshot, table: String): DataFrame = {
+      val gen = snap.gens.getOrElse(table,
+        throw new java.io.IOException(s"table $table is not a member of txn group $name"))
+      spark.read.parquet(genPath(dir, name, table, gen).toString)
+    }
+
+    def read(spark: SparkSession, dir: String, name: String, table: String): DataFrame =
+      readAt(spark, dir, name, snapshot(spark, dir, name).getOrElse(
+        throw new java.io.IOException(s"txn group $name has no committed transaction")), table)
+
+    /** Commit `updates` (any subset of members; first commit defines
+      * them) as ONE transaction. `expectedTxn` (when >= 0) must equal
+      * the current txn id — the optimistic-concurrency / replay guard.
+      * Returns the committed txn id.
+      */
+    def commit(spark: SparkSession, dir: String, name: String,
+        updates: Map[String, DataFrame], expectedTxn: Long = -1L): Long = {
+      require(updates.nonEmpty, "a transaction updates at least one table")
+      updates.keys.foreach(t => require(SafeName.matches(t),
+        s"table name '$t' must match [A-Za-z0-9._-]+"))
+      val fs = fsOf(spark, dir)
+      val prev = snapshot(spark, dir, name)
+      if (expectedTxn >= 0 && prev.map(_.txn).getOrElse(-1L) != expectedTxn)
+        throw new java.io.IOException(
+          s"txn group $name is at txn ${prev.map(_.txn).getOrElse(-1L)}, expected $expectedTxn " +
+            "— a concurrent or replayed commit; re-read and retry")
+      val prevGens = prev.map(_.gens).getOrElse(Map.empty)
+      // next generation per updated table: past every directory on disk
+      // (committed or orphaned) so a crashed writer's leftovers never
+      // collide with ours
+      val written = updates.map { case (t, df) =>
+        val tDir = new Path(s"$dir/$name.txndata/$t")
+        val onDisk =
+          if (!fs.exists(tDir)) Seq.empty
+          else fs.listStatus(tDir).toSeq
+            .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
+        val next = (onDisk ++ prevGens.get(t)).maxOption.getOrElse(0L) + 1
+        df.write.mode("overwrite").parquet(genPath(dir, name, t, next).toString)
+        t -> next
+      }
+      val newGens = prevGens ++ written
+      val txnId = prev.map(_.txn).getOrElse(0L) + 1
+      val line = s"txn=$txnId;tables=" +
+        newGens.toSeq.sortBy(_._1).map { case (t, g) => s"$t:$g" }.mkString(",")
+      val ptr = rootPath(dir, name)
+      val tmp = new Path(ptr.toString + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write((line + "\n").getBytes("UTF-8")) finally out.close()
+      if (fs.getScheme == "file")
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp.toUri.getPath),
+          java.nio.file.Paths.get(ptr.toUri.getPath),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      else {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          ptr.toUri, spark.sparkContext.hadoopConfiguration)
+        fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      }
+      // prune: every table directory not referenced by THIS or the
+      // PREVIOUS snapshot (one-commit reader grace) goes — that covers
+      // crashed-writer orphans and history beyond the grace window
+      newGens.keys.foreach { t =>
+        val tDir = new Path(s"$dir/$name.txndata/$t")
+        val keep = Set(newGens.get(t), prevGens.get(t)).flatten
+        if (fs.exists(tDir)) fs.listStatus(tDir).toSeq
+          .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
+          .filterNot(keep.contains)
+          .foreach(g => fs.delete(genPath(dir, name, t, g), true))
+      }
+      txnId
+    }
+  }
 }

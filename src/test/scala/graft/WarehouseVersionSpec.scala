@@ -207,4 +207,60 @@ class WarehouseVersionSpec extends AnyFunSuite with SparkTest {
     Warehouse.exportOrc(df.filter($"k" === 1L), dir, "docs_orc")
     assert(Warehouse.readOrc(s, dir, "docs_orc").count() == 1)
   }
+
+  test("multi-table txn: one commit covers all tables; readers see all of it or none") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wh-txn").toString
+    val facts1 = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+    val rollup1 = Seq(("all", 30L)).toDF("g", "total")
+    val t1 = Warehouse.Txn.commit(s, dir, "grp",
+      Map("facts" -> facts1, "rollup" -> rollup1))
+    assert(t1 == 1L)
+    val snap1 = Warehouse.Txn.snapshot(s, dir, "grp").get
+    assert(Warehouse.Txn.readAt(s, dir, "grp", snap1, "facts").count() == 2L)
+    assert(Warehouse.Txn.readAt(s, dir, "grp", snap1, "rollup")
+      .head().getLong(1) == 30L)
+
+    // a crashed writer: generation dirs written, root NOT flipped —
+    // readers still resolve txn 1 in full
+    Seq((9L, 9L)).toDF("k", "v").write
+      .parquet(s"$dir/grp.txndata/facts/99")
+    assert(Warehouse.Txn.snapshot(s, dir, "grp").get.txn == 1L)
+    assert(Warehouse.Txn.read(s, dir, "grp", "facts").count() == 2L)
+
+    // txn 2 updates BOTH tables atomically; the orphan is pruned
+    val facts2 = facts1.unionByName(Seq((3L, 30L)).toDF("k", "v"))
+    val t2 = Warehouse.Txn.commit(s, dir, "grp",
+      Map("facts" -> facts2, "rollup" -> Seq(("all", 60L)).toDF("g", "total")),
+      expectedTxn = 1L)
+    assert(t2 == 2L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/grp.txndata/facts/99")),
+      "crashed-writer orphans must be pruned by the next commit")
+    val snap2 = Warehouse.Txn.snapshot(s, dir, "grp").get
+    assert(Warehouse.Txn.readAt(s, dir, "grp", snap2, "facts").count() == 3L)
+    assert(Warehouse.Txn.readAt(s, dir, "grp", snap2, "rollup")
+      .head().getLong(1) == 60L)
+    // snapshot isolation: the OLD resolved snapshot still reads the old
+    // generations (one-commit reader grace)
+    assert(Warehouse.Txn.readAt(s, dir, "grp", snap1, "facts").count() == 2L)
+    assert(Warehouse.Txn.readAt(s, dir, "grp", snap1, "rollup")
+      .head().getLong(1) == 30L)
+
+    // partial commit: only the rollup moves; facts carry their gen
+    Warehouse.Txn.commit(s, dir, "grp",
+      Map("rollup" -> Seq(("all", 61L)).toDF("g", "total")))
+    val snap3 = Warehouse.Txn.snapshot(s, dir, "grp").get
+    assert(snap3.txn == 3L)
+    assert(snap3.gens("facts") == snap2.gens("facts"),
+      "untouched members must not be rewritten")
+    assert(Warehouse.Txn.readAt(s, dir, "grp", snap3, "rollup")
+      .head().getLong(1) == 61L)
+
+    // the replay / optimistic-concurrency guard fails loudly
+    assert(intercept[java.io.IOException] {
+      Warehouse.Txn.commit(s, dir, "grp",
+        Map("rollup" -> rollup1), expectedTxn = 1L)
+    }.getMessage.contains("retry"))
+  }
 }

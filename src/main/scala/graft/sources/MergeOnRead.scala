@@ -57,8 +57,10 @@ import graft.operators.{Merge, MergeSpec}
   * partition value never changes — the canonical layout where the
   * partition derives from an immutable attribute of the key
   * (date-partitioned facts). Upsert sources SHOULD carry the partition
-  * column (enables partition-pruned merge reads; required for inserts);
-  * delete key-sets MUST carry it (a tombstone is routed by it).
+  * column (direct partition pruning; REQUIRED for inserts); update-only
+  * sources without it are ROUTED by a column-pruned key probe (the scan
+  * reads only key + partition columns) and then prune identically.
+  * Delete key-sets MUST carry it (a tombstone is routed by it).
   *
   * ==Concurrency==
   *
@@ -634,10 +636,20 @@ object MergeOnRead {
           if (attempts > 16) throw new ConcurrentWriterException(
             s"$table: manifest kept moving under claims; serialize writers")
         } else {
-          val df = images(m)
-          df.write.mode("overwrite").parquet(deltaPath(dir, table, seq).toString)
-          val n = scala.util.Try(countWritten(spark, deltaPath(dir, table, seq)))
-            .getOrElse(0L)
+          // a failed image build or write must not leave the claim
+          // behind (it would lock every later writer into the loud
+          // crashed-peer path for a failure that changed nothing)
+          val n =
+            try {
+              val df = images(m)
+              df.write.mode("overwrite").parquet(deltaPath(dir, table, seq).toString)
+              scala.util.Try(countWritten(spark, deltaPath(dir, table, seq)))
+                .getOrElse(0L)
+            } catch { case t: Throwable =>
+              fs.delete(deltaPath(dir, table, seq), true)
+              releaseClaim(spark, dir, table, seq)
+              throw t
+            }
           if (n == 0L) {
             // empty batch: stamp the batch id (idempotence) without
             // extending the chain — an empty delta file would poison
@@ -720,7 +732,34 @@ object MergeOnRead {
           .collect().map(_.getString(0)).toSeq
         require(!vals.contains(null), s"source carries NULL $pc")
         baseRead(spark, dir, table, m, Some(vals))
-      case Some(_) => baseRead(spark, dir, table, m)
+      case Some(pc) =>
+        // index-free partition ROUTING for sources that do not carry
+        // the partition column: a COLUMN-PRUNED probe (the scan reads
+        // only the key + partition columns — a sliver of a wide table's
+        // bytes) resolves which partitions hold the touched keys, then
+        // the full-width read prunes to exactly those. Update-only by
+        // construction: an insert has no routable partition, so new
+        // keys (absent from both the probed base and the live chain)
+        // are rejected loudly instead of landing with a NULL partition.
+        val probe = baseRead(spark, dir, table, m)
+          .select((keys :+ pc).map(col): _*)
+          .join(broadcast(srcKeys), keys, "left_semi")
+        val vals = probe.select(col(pc).cast("string")).distinct()
+          .collect().map(_.getString(0)).toSeq // ≤ partition count
+        // "known" = keys the VIEW still holds: base-probed keys whose
+        // latest chain image is not a tombstone, plus live chain images
+        // (a tombstoned key would re-insert through scd1 with no
+        // routable partition — same reject as a brand-new key)
+        val latest = latestDelta(spark, dir, table, m)
+        val baseKnown = latest.map(_.where(col(DelMarker)).select(keys.map(col): _*))
+          .foldLeft(probe.select(keys.map(col): _*))(
+            (p, tomb) => p.join(tomb, keys, "left_anti"))
+        val known = latest.map(_.where(!col(DelMarker)).select(keys.map(col): _*))
+          .foldLeft(baseKnown)(_ unionByName _)
+        require(srcKeys.join(known, keys, "left_anti").isEmpty,
+          s"$table: source lacks partition column $pc and carries NEW (or tombstoned) " +
+            "keys — inserts must bring the partition column (pc-less routing is update-only)")
+        baseRead(spark, dir, table, m, Some(vals))
       case None if m.bloomBits > 0 =>
         bloomPrunedBase(spark, dir, table, m, srcKeys)
       case None => baseRead(spark, dir, table, m)

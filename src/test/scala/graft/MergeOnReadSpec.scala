@@ -501,6 +501,45 @@ class MergeOnReadSpec extends AnyFunSuite with SparkTest {
       .head().getLong(1) == -8L)
   }
 
+  test("pc-less sources route by a column-pruned key probe; inserts and tombstoned keys reject") {
+    val s = spark; import s.implicits._
+    val dir = tmpDir()
+    initPart(s, dir, n = 40L)
+    val spec = MergeSpec(Seq("k"), Seq("v"))
+    // update-only source WITHOUT the partition column: keys 1 and 5
+    // both live in partition m1 — the probe must route there
+    assert(MergeOnRead.deltaMerge(s, dir, "t",
+      Seq((1L, -1L), (5L, -5L)).toDF("k", "v"), spec, nowCol, 1L))
+    val v = MergeOnRead.readView(s, dir, "t")
+    assert(v.count() == 40L)
+    assert(v.where(col("k").isin(1L, 5L)).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap == Map(1L -> -1L, 5L -> -5L))
+    // the delta images carried the routed partition value, so the
+    // dirty-only compact works exactly as with a pc-carrying source
+    MergeOnRead.compact(s, dir, "t")
+    val m = MergeOnRead.manifest(s, dir, "t")
+    assert(m.pmap.map(e => e._1 -> e._2).toMap.apply("m1") == 2L)
+    assert(m.pmap.filter(_._1 != "m1").forall(_._2 == 1L),
+      "routing must keep clean partitions out of the fold")
+    // a NEW key has no routable partition: loud reject
+    assert(intercept[IllegalArgumentException] {
+      MergeOnRead.deltaMerge(s, dir, "t",
+        Seq((999L, 0L)).toDF("k", "v"), spec, nowCol, 2L)
+    }.getMessage.contains("update-only"))
+    // a tombstoned key would re-insert partitionless: same reject
+    MergeOnRead.deltaDelete(s, dir, "t",
+      Seq((2L, pval(2L))).toDF("k", "p"), batchId = 2L)
+    intercept[IllegalArgumentException] {
+      MergeOnRead.deltaMerge(s, dir, "t",
+        Seq((2L, 0L)).toDF("k", "v"), spec, nowCol, 3L)
+    }
+    // resurrection WITH the partition column still works
+    assert(MergeOnRead.deltaMerge(s, dir, "t",
+      Seq((2L, pval(2L), 222L)).toDF("k", "p", "v"), spec, nowCol, 3L))
+    assert(MergeOnRead.readView(s, dir, "t")
+      .where(col("k") === 2L).head().getLong(2) == 222L)
+  }
+
   test("clustered compaction: the folded base's per-file key intervals come out disjoint") {
     val s = spark; import s.implicits._
     val dir = tmpDir()

@@ -108,8 +108,8 @@ object SparkEntry {
     * bit-stable and the batch-id stamps make it idempotent.
     */
   private def morFold(s: SparkSession, d: String,
-      compactAfterBatch2: Boolean): DataFrame = {
-    val (dir, tbl) = morTable(s, d, compactAfterBatch2)
+      compactAfterBatch2: Boolean, minor: Boolean = false): DataFrame = {
+    val (dir, tbl) = morTable(s, d, compactAfterBatch2, minor)
     graft.sources.MergeOnRead.readView(s, dir, tbl)
   }
 
@@ -117,7 +117,7 @@ object SparkEntry {
     * (warehouseDir, table) — the view and as-of gates read it.
     */
   private def morTable(s: SparkSession, d: String,
-      compactAfterBatch2: Boolean): (String, String) = {
+      compactAfterBatch2: Boolean, minor: Boolean = false): (String, String) = {
     import graft.sources.MergeOnRead
     val ord = rd(s, d, "orders")
     val src = ord.select(col("o_orderkey").as("k"),
@@ -125,7 +125,7 @@ object SparkEntry {
       round(col("o_totalprice") * 100).cast("long").as("cents0"))
     val dir = new java.io.File(
       "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
-    val suffix = if (compactAfterBatch2) "c" else "p"
+    val suffix = if (minor) "mc" else if (compactAfterBatch2) "c" else "p"
     val tbl = s"mor_orders_${suffix}_${contentEpoch(ord, "o_orderkey")}"
     val spec = MergeSpec(Seq("k"), Seq("status", "cents"))
     def b(pred: Column, status: Column, cents: Column): DataFrame =
@@ -142,7 +142,10 @@ object SparkEntry {
         b(col("k") % 100 === 3, lit("U1"), col("cents0") + 11),
         spec, tlit(tsNow), batchId = 1L)
       MergeOnRead.deltaMerge(s, dir, tbl, b2, spec, tlit(tsNow), batchId = 2L)
-      if (compactAfterBatch2) MergeOnRead.compact(s, dir, tbl)
+      if (compactAfterBatch2) {
+        if (minor) MergeOnRead.compactMinor(s, dir, tbl)
+        else MergeOnRead.compact(s, dir, tbl)
+      }
       // crash replay with a poisoned payload: the stamp must skip it
       MergeOnRead.deltaMerge(s, dir, tbl,
         b(col("k") % 200 === 3, lit("POISON"), lit(-1L)),
@@ -1046,6 +1049,14 @@ object SparkEntry {
       // the view must show the resurrection, not the tombstone, and
       // every other deleted key stays gone
       morDeleteFold(s, d)
+    }),
+    "merge_delta_minor_compact" -> ((s, d) => {
+      // MINOR compaction mid-chain: the two deltas fold into ONE chain
+      // element (latest image per key, stamps preserved) without the
+      // base being read or rewritten — the read fan-in cap a streaming
+      // writer needs; batch 3 appends onto the folded chain and the
+      // view matches the same eager oracle (fold invisible to readers)
+      morFold(s, d, compactAfterBatch2 = true, minor = true)
     }),
     "merge_delta_mor_part" -> ((s, d) => {
       // PARTITION-SCOPED merge-on-read: the same upsert chain on a
@@ -5461,6 +5472,7 @@ object SparkEntry {
     // (month column along); compaction bookkeeping must be invisible
     "merge_delta_mor_part" -> morPartOracleSql,
     "merge_delta_schema_add" -> morSchemaOracleSql,
+    "merge_delta_minor_compact" -> morOracleSql,
     "merge_delta_compact_part" -> morPartOracleSql,
     // net per-key change after batch 1 of the partitioned chain: the
     // batch-2 inserts and U2 updates unless batch 3's U3 superseded

@@ -1024,6 +1024,64 @@ object MergeOnRead {
     } finally releaseClaim(spark, dir, table, barrier)
   }
 
+  /** MINOR compaction — fold the delta CHAIN into one delta file
+    * without touching the base: the latest image per key (tombstones
+    * preserved — base rows still need masking) lands as the single new
+    * chain element. The LSM distinction [[compact]] lacks: a streaming
+    * writer appending a small delta per trigger grows the chain's READ
+    * fan-in (N file opens + an N-way union per read) long before the
+    * ROW ratio justifies folding partitions into a new base
+    * generation; minor compaction caps the fan-in at I/O proportional
+    * to the chain itself — the base, however many TB, is never read or
+    * written.
+    *
+    * Triggered by chain LENGTH (`maxChainLength`, a manifest-only
+    * check — call it after every batch for free); batch stamps ride on
+    * each image, so [[changesSince]] feeds are unchanged. Retention
+    * caveat (same contract as major compaction, sharpened): superseded
+    * per-key history inside the folded window is gone, so
+    * [[readViewAsOf]] at a batch before the fold returns the base
+    * value for keys that were later re-updated — time travel
+    * granularity is bounded by the compaction cadence, minor or major.
+    *
+    * Concurrency: the folded chain element takes the next delta seq,
+    * whose claim doubles as the barrier (exactly [[compact]]'s
+    * protocol); displaced delta files get the standard one-cycle grace
+    * and are pruned by the next compaction's entry sweep.
+    */
+  def compactMinor(spark: SparkSession, dir: String, table: String,
+      maxChainLength: Int = 0): Unit = {
+    val fs = fsOf(spark, dir)
+    val m = manifest(spark, dir, table)
+    // entry sweep (same as compact): delta files below the live window
+    // had their one-cycle grace — reclaim them even on a quiescent call
+    val deltaDir = new Path(s"$dir/$table.mordelta")
+    if (fs.exists(deltaDir)) fs.listStatus(deltaDir).toSeq
+      .flatMap { st =>
+        val n = st.getPath.getName
+        scala.util.Try(n.stripSuffix(".claim").toLong).toOption.map(_ -> st.getPath)
+      }
+      .filter(_._1 < m.deltaFrom)
+      .foreach { case (_, p) => fs.delete(p, true) }
+    if (m.deltaSeqs.size <= math.max(maxChainLength, 1)) return
+    val barrier = m.deltaTo + 1
+    if (!tryClaim(spark, dir, table, barrier))
+      throw new ConcurrentWriterException(
+        s"$table: minor compact lost the barrier claim on delta seq $barrier — a writer " +
+          "is appending; re-run after it commits")
+    try {
+      val mv = manifest(spark, dir, table)
+      if (mv.deltaTo != m.deltaTo)
+        throw new ConcurrentWriterException(
+          s"$table: chain advanced while acquiring the minor-compaction barrier; re-run")
+      val latest = latestDelta(spark, dir, table, m).get // chain non-empty
+      latest.write.mode("overwrite").parquet(deltaPath(dir, table, barrier).toString)
+      val n = countWritten(spark, deltaPath(dir, table, barrier))
+      commit(spark, dir, table, m.copy(
+        deltaFrom = barrier, deltaTo = barrier, deltaRows = Seq(n)))
+    } finally releaseClaim(spark, dir, table, barrier)
+  }
+
   /** The delta chain as a CHANGE FEED: the latest image per key among
     * delta rows produced by batches AFTER `sinceBatch`, each tagged
     * `change` = upsert | delete — what an incremental downstream

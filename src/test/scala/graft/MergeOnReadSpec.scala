@@ -501,6 +501,49 @@ class MergeOnReadSpec extends AnyFunSuite with SparkTest {
       .head().getLong(1) == -8L)
   }
 
+  test("minor compaction folds the chain without touching the base; view, feed and tombstones unchanged") {
+    val s = spark; import s.implicits._
+    val dir = tmpDir()
+    val spec = MergeSpec(Seq("k"), Seq("v"))
+    MergeOnRead.init((1L to 1000L).map(i => (i, i * 10L)).toDF("k", "v"),
+      dir, "t", Seq("k"))
+    MergeOnRead.deltaMerge(s, dir, "t", Seq((5L, -5L), (7L, -7L)).toDF("k", "v"),
+      spec, nowCol, 1L)
+    MergeOnRead.deltaDelete(s, dir, "t", Seq(9L).toDF("k"), 2L)
+    MergeOnRead.deltaMerge(s, dir, "t", Seq((5L, -55L)).toDF("k", "v"),
+      spec, nowCol, 3L)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val viewBefore = canon(MergeOnRead.readView(s, dir, "t"))
+    val feedBefore = canon(MergeOnRead.changesSince(s, dir, "t", sinceBatch = 0L))
+
+    // length guard: a short-enough chain no-ops
+    MergeOnRead.compactMinor(s, dir, "t", maxChainLength = 5)
+    assert(MergeOnRead.manifest(s, dir, "t").deltaSeqs.size == 3)
+
+    MergeOnRead.compactMinor(s, dir, "t")
+    val m = MergeOnRead.manifest(s, dir, "t")
+    assert(m.baseGen == 1L, "minor compaction must never touch the base")
+    assert(m.deltaSeqs == Seq(4L) && m.deltaRows == Seq(3L),
+      s"chain must fold to one element holding the 3 touched keys: $m")
+    assert(canon(MergeOnRead.readView(s, dir, "t")) == viewBefore)
+    assert(canon(MergeOnRead.changesSince(s, dir, "t", sinceBatch = 0L)) == feedBefore,
+      "per-image batch stamps must survive the fold")
+    assert(MergeOnRead.readView(s, dir, "t").where(col("k") === 9L).isEmpty,
+      "tombstones must survive the fold (base rows still need masking)")
+
+    // merges continue on the folded chain; displaced files get one
+    // cycle of grace, reclaimed by the next entry sweep
+    MergeOnRead.deltaMerge(s, dir, "t", Seq((7L, -77L)).toDF("k", "v"),
+      spec, nowCol, 4L)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/t.mordelta/1")))
+    MergeOnRead.compactMinor(s, dir, "t")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/t.mordelta/1")),
+      "the previous fold's displaced deltas must be reclaimed")
+    assert(MergeOnRead.readView(s, dir, "t")
+      .where(col("k") === 7L).head().getLong(1) == -77L)
+  }
+
   test("pc-less sources route by a column-pruned key probe; inserts and tombstoned keys reject") {
     val s = spark; import s.implicits._
     val dir = tmpDir()

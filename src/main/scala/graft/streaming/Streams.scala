@@ -191,8 +191,11 @@ object Streams {
     * riding the MoR manifest stamp: a replayed batch after a crash is
     * recognized and skipped, so the delta chain never double-applies.
     * Readers resolve the manifest atomically and reconcile
-    * base+deltas; the stream compacts the chain behind the
-    * `maxDeltaRatio` guard after each commit, so read amplification
+    * base+deltas; after each commit the stream runs BOTH maintenance
+    * knobs as metadata-only checks — the major fold behind the
+    * `maxDeltaRatio` row guard and the minor chain fold
+    * ([[graft.sources.MergeOnRead.compactMinor]]) behind
+    * `maxChainLength` — so read amplification (rows AND file fan-in)
     * stays bounded without a separate maintenance job.
     *
     * The table must exist ([[graft.sources.MergeOnRead.init]]) before
@@ -221,6 +224,7 @@ object Streams {
       checkpointPath: String,
       maxDeltaRatio: Double = 0.2,
       dedupOrderCol: Option[String] = None,
+      maxChainLength: Int = 8,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
@@ -229,7 +233,7 @@ object Streams {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         foldUpsertMorBatch(batch, batchId, warehouseDir, table, spec,
-          current_timestamp(), maxDeltaRatio, dedupOrderCol)
+          current_timestamp(), maxDeltaRatio, dedupOrderCol, maxChainLength)
       }
       .start()
 
@@ -247,7 +251,8 @@ object Streams {
       spec: graft.operators.MergeSpec,
       now: org.apache.spark.sql.Column,
       maxDeltaRatio: Double = 0.2,
-      dedupOrderCol: Option[String] = None): Unit = {
+      dedupOrderCol: Option[String] = None,
+      maxChainLength: Int = 8): Unit = {
     import graft.sources.MergeOnRead
     val spark = batch.sparkSession
     val deduped = dedupOrderCol match {
@@ -266,7 +271,11 @@ object Streams {
           .where(col("__rn") === 1).drop("__rn")
     }
     MergeOnRead.deltaMerge(spark, warehouseDir, table, deduped, spec, now, batchId)
+    // two maintenance knobs, both metadata-only checks: the MAJOR fold
+    // when the chain's rows outgrow the base ratio, else the MINOR fold
+    // when small per-trigger deltas grow the read fan-in past the cap
     MergeOnRead.compact(spark, warehouseDir, table, maxDeltaRatio)
+    MergeOnRead.compactMinor(spark, warehouseDir, table, maxChainLength)
   }
 
   /** [[upsertStream]] over a pointer-committed table

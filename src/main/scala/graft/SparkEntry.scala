@@ -2293,6 +2293,25 @@ object SparkEntry {
             lit("NEW").as("seg")))
       Merge.diff(prev, next, Seq("k"), Seq("bal", "seg"))
     }),
+    "u7_bucket_diff" -> ((s, d) => {
+      // anti-entropy replica diff at scale: each side folds to 1024
+      // (bucket, count, digest-sum) rows in one combinable pass; only
+      // the buckets that disagree get their rows read for the exact
+      // drill-down — 100 TB replicas differing in a handful of rows
+      // compare at digest cost plus a few buckets of I/O, not two
+      // full-width reads. Digest = k·A + cents·B on the decimal grid
+      val src = rd(s, d, "orders").select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val right = src.where(col("k") % 7000 =!= 1)
+        .select(col("k"), when(col("k") % 9000 === 3, col("cents") + 1)
+          .otherwise(col("cents")).as("cents"))
+      val digest = col("k").cast("decimal(38,0)") * lit(1000003L) +
+        col("cents").cast("decimal(38,0)") * lit(998244353L)
+      val dirty = Merge.dirtyBuckets(src, right, "k", digest, 1024)
+        .select("bucket").collect().map(_.getLong(0)).toSeq // <= 1024 rows
+      val pred = pmod(col("k"), lit(1024L)).isin(dirty: _*)
+      Merge.diff(src.where(pred), right.where(pred), Seq("k"), Seq("cents"))
+    }),
     "u6_point_in_time" -> ((s, d) => {
       // temporal join: each order reads the customer balance version
       // valid AT ITS ORDER DATE — the leak-proof feature join over
@@ -6307,6 +6326,17 @@ object SparkEntry {
         "WHEN pk IS NOT NULL AND nk IS NULL THEN 'deleted' " +
         "WHEN pk IS NULL AND nk IS NOT NULL THEN 'inserted' END AS change_type FROM j) " +
         "SELECT * FROM d WHERE change_type IS NOT NULL"),
+    // the bucket tree is an I/O mechanism — the RESULT is the exact
+    // replica diff, computed naively by the oracle
+    "u7_bucket_diff" ->
+      ("WITH l AS (SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "r AS (SELECT k, CASE WHEN k % 9000 = 3 THEN cents + 1 ELSE cents END AS cents " +
+        "FROM l WHERE k % 7000 <> 1) " +
+        "SELECT coalesce(l.k, r.k) AS k, l.cents AS prev_cents, r.cents AS next_cents, " +
+        "CASE WHEN l.k IS NOT NULL AND r.k IS NOT NULL AND l.cents <> r.cents THEN 'changed' " +
+        "WHEN r.k IS NULL THEN 'deleted' ELSE 'inserted' END AS change_type " +
+        "FROM l FULL OUTER JOIN r ON l.k = r.k " +
+        "WHERE l.k IS NULL OR r.k IS NULL OR l.cents <> r.cents"),
     // independent formulation: the oracle is the naive validity-range
     // LEFT JOIN (at most one version matches by the SCD-2 invariant),
     // not a replay of the as-of carry

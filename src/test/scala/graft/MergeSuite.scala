@@ -356,6 +356,31 @@ class MergeSuite extends AnyFunSuite with SparkTest {
       "b" -> ((2L, 4L, "x", 2L, 2L))))
   }
 
+  test("bucketDiff: equal replicas fold clean; dirty buckets localize the drill to the touched rows") {
+    val s = spark; import s.implicits._
+    val left = (1L to 2000L).map(i => (i, i * 100L)).toDF("k", "v")
+    val digest = col("k").cast("decimal(38,0)") * lit(1000003L) +
+      col("v").cast("decimal(38,0)") * lit(998244353L)
+    // identical replicas: no bucket disagrees
+    assert(Merge.dirtyBuckets(left, left, "k", digest, 64).isEmpty)
+    // one changed value, one deleted key, one inserted key
+    val right = left.where(col("k") =!= 500L)
+      .select(col("k"),
+        when(col("k") === 7L, lit(777L)).otherwise(col("v")).as("v"))
+      .unionByName(Seq((3000L, 1L)).toDF("k", "v"))
+    val dirty = Merge.dirtyBuckets(left, right, "k", digest, 64)
+      .select("bucket").collect().map(_.getLong(0)).toSet
+    assert(dirty == Set(7L % 64, 500L % 64, 3000L % 64),
+      s"exactly the touched keys' buckets must disagree: $dirty")
+    // the drill restricted to dirty buckets equals the full diff
+    val pred = pmod(col("k"), lit(64L)).isin(dirty.toSeq: _*)
+    val drilled = Merge.diff(left.where(pred), right.where(pred), Seq("k"), Seq("v"))
+      .collect().map(_.toString).sorted.toSeq
+    val full = Merge.diff(left, right, Seq("k"), Seq("v"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(drilled == full && full.size == 3)
+  }
+
   test("referentialAudit: counts dangling and null FKs, exact ppm") {
     val s = spark; import s.implicits._
     val child = Seq(Some(1L), Some(2L), Some(3L), None).toDF("fk_id")

@@ -718,6 +718,18 @@ object MergeOnRead {
     }
   }
 
+  /** The key→partition routing probe for pc-less sources: the base
+    * projected to (keys, partition column) — Catalyst prunes the scan
+    * to exactly those columns (ScaleSpec pins the ReadSchema), so the
+    * probe reads a sliver of a wide table's bytes — semi-joined to the
+    * source's keys.
+    */
+  private[graft] def routingProbe(spark: SparkSession, dir: String, table: String,
+      m: Manifest, srcKeys: DataFrame, pc: String, keys: Seq[String]): DataFrame =
+    baseRead(spark, dir, table, m)
+      .select((keys :+ pc).map(col): _*)
+      .join(broadcast(srcKeys), keys, "left_semi")
+
   /** The view restricted to the source's keys — the read side of a
     * merge. Partition-pruned when the table is partitioned and the
     * source carries the partition column; Bloom-file-pruned on flat
@@ -741,9 +753,7 @@ object MergeOnRead {
         // construction: an insert has no routable partition, so new
         // keys (absent from both the probed base and the live chain)
         // are rejected loudly instead of landing with a NULL partition.
-        val probe = baseRead(spark, dir, table, m)
-          .select((keys :+ pc).map(col): _*)
-          .join(broadcast(srcKeys), keys, "left_semi")
+        val probe = routingProbe(spark, dir, table, m, srcKeys, pc, keys)
         val vals = probe.select(col(pc).cast("string")).distinct()
           .collect().map(_.getString(0)).toSeq // ≤ partition count
         // "known" = keys the VIEW still holds: base-probed keys whose

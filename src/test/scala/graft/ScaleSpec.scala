@@ -182,6 +182,37 @@ class ScaleSpec extends AnyFunSuite with SparkTest {
     assert(view.count() == 4000L)
   }
 
+  test("pc-less routing probe is COLUMN-PRUNED: the scan reads keys + partition column only") {
+    val s = spark; import s.implicits._
+    import graft.sources.MergeOnRead
+    val dir = java.nio.file.Files.createTempDirectory("morroute").toString
+    // a deliberately WIDE table: the probe must not pay for the payload
+    val base = (1L to 4000L).map(i =>
+      (i, s"m${i % 8}", i * 10L, s"payload-$i", s"more-$i")).toDF("k", "p", "v", "w1", "w2")
+    MergeOnRead.initPartitioned(base, dir, "t", Seq("k"), "p")
+    val m = MergeOnRead.manifest(s, dir, "t")
+    val probe = MergeOnRead.routingProbe(s, dir, "t", m,
+      Seq(1L, 9L).toDF("k"), "p", Seq("k"))
+    probe.count()
+    val helper = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
+    val scans = helper.collectWithSubqueries(probe.queryExecution.executedPlan) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    // every base scan's ReadSchema carries the key alone (p is a
+    // partition column — zero data bytes); the payload columns are gone
+    val baseScans = scans.filter(_.relation.location.rootPaths
+      .exists(_.toString.contains("morbase")))
+    assert(baseScans.nonEmpty)
+    baseScans.foreach { f =>
+      val read = f.requiredSchema.fieldNames.toSet
+      assert(read == Set("k"),
+        s"probe must read only the key column, got $read")
+    }
+    // and the probe routes correctly: both keys live in m1
+    assert(probe.select(col("p")).distinct().collect().map(_.getString(0)).toSeq == Seq("m1"))
+  }
+
   test("MoR reconcile: broadcast below the delta-bytes guard, shuffled join past it — same rows") {
     val s = spark; import s.implicits._
     import graft.sources.MergeOnRead

@@ -2215,6 +2215,13 @@ object SparkEntry {
       // stable pseudo-random pick (pure function of salt+doc_id)
       Sampling.capPerGroup(rd(s, d, "documents"), "doc_id", "source", "cap1", 10)
         .select("source", "doc_id", "n_chars")),
+    "sample_class_balance" -> ((s, d) =>
+      // exact-k class rebalancing: every event type downsampled to the
+      // minority type's count via the portable md5 rank — the skewed-
+      // label prerequisite for classifier training, survivor set a
+      // pure function of salt + corpus
+      Sampling.classBalance(rd(s, d, "events"), "event_id", "event_type", "bal")
+        .select("event_id", "event_type")),
     "sample_temperature_alloc" -> ((s, d) =>
       // temperature-0.5 mixture: sqrt-smoothed per-source seats from a
       // fixed 200-doc budget, largest-remainder apportionment in exact
@@ -6232,6 +6239,12 @@ object SparkEntry {
         Seq("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.1), 0.25)}) " +
         "SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars " +
         "FROM kept GROUP BY source"),
+    "sample_class_balance" ->
+      ("WITH c AS (SELECT event_type, count(*) AS cn FROM events GROUP BY 1), " +
+        "mn AS (SELECT min(cn) AS m FROM c), " +
+        "r AS (SELECT event_id, event_type, row_number() OVER (PARTITION BY event_type " +
+        "ORDER BY md5('bal:' || CAST(event_id AS VARCHAR)), event_id) AS rk FROM events) " +
+        "SELECT event_id, event_type FROM r, mn WHERE rk <= m"),
     "w3_range_frame" ->
       ("SELECT user_id, event_id, ts, count(*) OVER w AS n_2h, " +
         "min(value) OVER w AS min_2h, max(value) OVER w AS max_2h FROM events " +

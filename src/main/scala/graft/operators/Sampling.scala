@@ -225,6 +225,37 @@ object Sampling {
     df.filter(cond)
   }
 
+  /** Deterministic CLASS REBALANCING — downsample every class to the
+    * minority class's size, the classifier-training prerequisite a
+    * skewed corpus needs (a 99:1 label mix trains a constant
+    * predictor). Exact-k per class, not Bernoulli: each row ranks
+    * within its class by the portable md5 draw (key tiebreak — a total
+    * order, so the survivor set is a pure function of salt + corpus),
+    * and ranks ≤ the minimum class count survive. Re-runs, engine
+    * changes, and partitioning never re-draw a decision.
+    *
+    * Scale shape: one combinable class-count aggregate (class-count
+    * rows, broadcast back), one class-keyed window for the rank —
+    * a single shuffle partitioned by class. A pathologically hot
+    * class makes that window the ordinary skew case (salting or
+    * per-class range partitioning apply unchanged); the draw column
+    * is codegen'd md5, no UDF.
+    */
+  def classBalance(
+      df: DataFrame,
+      keyCol: String,
+      classCol: String,
+      salt: String): DataFrame = {
+    val counts = df.groupBy(col(classCol)).agg(count(lit(1)).as("__cn"))
+    val minCount = counts.agg(min(col("__cn"))).head().getLong(0)
+    val h = md5(concat(lit(salt + ":"), col(keyCol).cast("string")).cast("binary"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(classCol)).orderBy(h, col(keyCol))
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= minCount)
+      .drop("__rk")
+  }
+
   /** Deterministic weighted Bernoulli keep — "sample proportional to
     * quality/length": each row survives with probability
     * `weight / wMax`, decided by a pure function of salt+key, so

@@ -113,6 +113,30 @@ class SamplingSketchSpec extends AnyFunSuite with SparkTest {
     assert(split(1L) == plain(0L) && split(11L) == plain(10L))
   }
 
+  test("classBalance: every class downsampled to the minority count, survivor set partition-invariant") {
+    val s = spark; import s.implicits._
+    val df = ((1L to 100L).map(i => (i, "big")) ++
+      (101L to 110L).map(i => (i, "mid")) ++
+      (111L to 113L).map(i => (i, "rare"))).toDF("id", "cls")
+    val out = Sampling.classBalance(df, "id", "cls", "bal")
+    val perClass = out.groupBy("cls").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perClass == Map("big" -> 3L, "mid" -> 3L, "rare" -> 3L),
+      s"every class must land on the minority count: $perClass")
+    // the rare class survives whole (its own rank fills the quota)
+    assert(out.where(col("cls") === "rare").count() == 3L)
+    // determinism: the survivor set is a pure function of salt+corpus,
+    // not of partitioning
+    val ids = out.select("id").collect().map(_.getLong(0)).toSet
+    val reshuffled = Sampling.classBalance(df.repartition(13), "id", "cls", "bal")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == reshuffled)
+    // a different salt draws a different (same-sized) survivor set
+    val other = Sampling.classBalance(df, "id", "cls", "bal2")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(other.size == ids.size && other != ids)
+  }
+
   test("weightedKeep keeps w>=wMax always, drops w<=0, and tracks w/wMax in between") {
     val s = spark; import s.implicits._
     val df = (0 until 2000).map(i => (i.toLong, (i % 5) match {

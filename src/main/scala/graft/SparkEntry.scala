@@ -667,6 +667,21 @@ object SparkEntry {
     geoZones.map { case (z, xl, xh, yl, yh) => s"($z, $xl, $xh, $yl, $yh)" }
       .mkString(", ")
 
+  /** Pinned CONCAVE polygon for the ray-casting gate (the notch at the
+    * top is what no rectangle catalog expresses) — ONE constant feeding
+    * [[graft.operators.Geo.pointInPolygon]] and the oracle's edge
+    * VALUES.
+    */
+  private val geoPolygon: Seq[(Long, Long)] = Seq(
+    (20000L, 20000L), (80000L, 20000L), (80000L, 80000L),
+    (50000L, 50000L), (20000L, 80000L))
+
+  /** DuckDB VALUES body of [[geoPolygon]]'s closed edge list. */
+  private def geoPolygonEdges: String =
+    geoPolygon.zip(geoPolygon.tail :+ geoPolygon.head)
+      .map { case ((x1, y1), (x2, y2)) => s"($x1, $y1, $x2, $y2)" }
+      .mkString(", ")
+
   /** DuckDB replay of [[geoPoints]], as a WITH-clause body. */
   private def geoPtsCte(alias: String, table: String, keyCol: String,
       mx: Long, my: Long, where: String = ""): String =
@@ -4960,6 +4975,15 @@ object SparkEntry {
       val zones = geoZones.toDF("zone_id", "x_lo", "x_hi", "y_lo", "y_hi")
       graft.operators.Geo.zoneAssign(pts, zones)
     }),
+    "geo_point_in_polygon" -> ((s, d) =>
+      // concave containment: exact integer ray casting — the polygon
+      // compiles into the projection (one when-chain per edge, sign of
+      // each edge's dy decided at plan time so nothing divides), zero
+      // joins, zero shuffles; the notch in the pinned polygon is what
+      // no rectangle catalog can express
+      graft.operators.Geo.pointInPolygon(
+        geoPoints(rd(s, d, "customer"), "c_custkey", 48271L, 69621L),
+        geoPolygon)),
     "events_markov_stationary" -> ((s, d) =>
       // steady state of the session chain: all data work is the
       // transition aggregate; the k x k matrix (k = 5 event types) is
@@ -7670,6 +7694,22 @@ object SparkEntry {
         "FROM pts p LEFT JOIN z ON p.x >= z.x_lo AND p.x <= z.x_hi " +
         "AND p.y >= z.y_lo AND p.y <= z.y_hi " +
         "GROUP BY 1, 2, 3"),
+    // same half-open straddle + cross-multiplied intersection test,
+    // written generically (CASE on dy's sign) over the edge VALUES
+    "geo_point_in_polygon" -> {
+      // VALUES literals parse as INT32 in DuckDB — the x1·dy product
+      // overflows there, so every edge term promotes to BIGINT first
+      val cross = "CASE WHEN ((e.y1 <= p.y AND p.y < e.y2) OR (e.y2 <= p.y AND p.y < e.y1)) " +
+        "AND (CASE WHEN e.y2 > e.y1 " +
+        "THEN p.x * (e.y2 - e.y1) < CAST(e.x1 AS BIGINT) * (e.y2 - e.y1) + CAST(e.x2 - e.x1 AS BIGINT) * (p.y - e.y1) " +
+        "ELSE p.x * (e.y2 - e.y1) > CAST(e.x1 AS BIGINT) * (e.y2 - e.y1) + CAST(e.x2 - e.x1 AS BIGINT) * (p.y - e.y1) END) " +
+        "THEN 1 ELSE 0 END"
+      s"WITH ${geoPtsCte("pts", "customer", "c_custkey", 48271L, 69621L)}, " +
+        s"e(x1, y1, x2, y2) AS (VALUES $geoPolygonEdges) " +
+        s"SELECT p.id, p.x, p.y, CAST(sum($cross) AS BIGINT) AS crossings, " +
+        s"(sum($cross) % 2 = 1) AS inside " +
+        "FROM pts p CROSS JOIN e GROUP BY 1, 2, 3"
+    },
     "geo_grid_pairs" ->
       (s"WITH ${geoPtsCte("pts", "customer", "c_custkey", 48271L, 69621L)} " +
         "SELECT a.id AS id_a, b.id AS id_b, " +

@@ -186,6 +186,30 @@ class GeoSpec extends AnyFunSuite with SparkTest {
       "test must exercise all three kinds")
   }
 
+  test("pointInPolygon: hand-computed ray crossings on the concave pentagon") {
+    val s = spark; import s.implicits._
+    // the gate's pinned polygon: square with a V-notch cut into the top
+    val poly = Seq((20000L, 20000L), (80000L, 20000L), (80000L, 80000L),
+      (50000L, 50000L), (20000L, 80000L))
+    val pts = Seq(
+      (1L, 50000L, 30000L), // bottom center: inside
+      (2L, 50000L, 70000L), // in the notch: outside (2 crossings)
+      (3L, 30000L, 60000L), // left arm interior: inside (3 crossings)
+      (4L, 10000L, 50000L), // left of the square: outside (4 crossings)
+      (5L, 90000L, 90000L)  // above and right: outside (0 crossings)
+    ).toDF("id", "x", "y")
+    val out = graft.operators.Geo.pointInPolygon(pts, poly)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(1L)._2 && out(3L) == ((3L, true)))
+    assert(out(2L) == ((2L, false)), "the notch must read OUTSIDE")
+    assert(out(4L) == ((4L, false)) && out(5L) == ((0L, false)))
+    // zero-shuffle contract: the polygon compiles into the projection
+    val plan = graft.operators.Geo.pointInPolygon(pts, poly)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"containment must be a pure projection:\n$plan")
+  }
+
   test("grid path plans equi-joins only — no cartesian, no BNLJ") {
     val pts = points(300, 10000L, 48271L, 69621L)
     val joined = Geo.gridPairs(pts, 900L)

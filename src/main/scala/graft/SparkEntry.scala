@@ -3898,6 +3898,13 @@ object SparkEntry {
       // degree-bounded, never catalog-bounded
       graft.operators.Affinity.itemCosineTopK(rd(s, d, "lineitem"),
         minSupport = 2, k = 10)),
+    "rec_user_topn" -> ((s, d) =>
+      // the serving rule on top of the item-item table: per customer,
+      // top-5 unbought items by summed cos2-ppm from their purchase
+      // history — candidates basket-bounded (k edges per owned item),
+      // already-bought anti-joined out, integer-exact end to end
+      graft.operators.Affinity.userTopN(rd(s, d, "lineitem"),
+        rd(s, d, "orders"), minSupport = 2, k = 10, n = 5)),
     "stat_chi2_cells" -> ((s, d) =>
       // chi-squared independence, per-cell contributions (no
       // cross-row double sum), priority x status contingency
@@ -7141,6 +7148,29 @@ object SparkEntry {
         "SELECT item, CAST(rnk AS INT) AS rnk, rec, n_co, cos2_ppm FROM " +
         "(SELECT *, row_number() OVER (PARTITION BY item ORDER BY cos2_ppm DESC, rec) AS rnk FROM sc) " +
         "WHERE rnk <= 10"),
+    "rec_user_topn" ->
+      ("WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
+        "ic AS (SELECT pk, count(*) AS n_item FROM li GROUP BY 1), " +
+        "pr AS (SELECT a.pk AS pk_a, b.pk AS pk_b, count(*) AS n_co FROM li a " +
+        "JOIN li b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2 HAVING count(*) >= 2), " +
+        "base AS (SELECT pk_a, pk_b, n_co, ia.n_item AS n_a, ib.n_item AS n_b " +
+        "FROM pr JOIN ic ia ON ia.pk = pr.pk_a JOIN ic ib ON ib.pk = pr.pk_b), " +
+        "dir AS (SELECT pk_a AS item, pk_b AS rec, n_co, n_a AS n_i, n_b AS n_r FROM base " +
+        "UNION ALL SELECT pk_b, pk_a, n_co, n_b, n_a FROM base), " +
+        "sc AS (SELECT item, rec, " +
+        "CAST(1000000::HUGEINT * n_co * n_co // (n_i::HUGEINT * n_r) AS BIGINT) AS cos2_ppm FROM dir), " +
+        "rk AS (SELECT item, rec, cos2_ppm FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY item ORDER BY cos2_ppm DESC, rec) AS rnk FROM sc) " +
+        "WHERE rnk <= 10), " +
+        "bought AS (SELECT DISTINCT o.o_custkey AS cust, li.pk AS item " +
+        "FROM li JOIN orders o ON o.o_orderkey = li.ok), " +
+        "sc2 AS (SELECT b.cust, r.rec, CAST(sum(r.cos2_ppm) AS BIGINT) AS score_ppm, " +
+        "count(*) AS n_sources FROM bought b JOIN rk r ON r.item = b.item GROUP BY 1, 2), " +
+        "fresh AS (SELECT s.* FROM sc2 s LEFT JOIN bought b2 " +
+        "ON b2.cust = s.cust AND b2.item = s.rec WHERE b2.item IS NULL) " +
+        "SELECT cust, CAST(rnk AS INT) AS rnk, rec, score_ppm, n_sources FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY cust ORDER BY score_ppm DESC, rec) AS rnk FROM fresh) " +
+        "WHERE rnk <= 5"),
     "stat_chi2_cells" ->
       Stats.chi2CellsSql("orders", "o_orderpriority", "o_orderstatus"),
     "events_attribution_linear" ->

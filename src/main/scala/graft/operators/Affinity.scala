@@ -92,4 +92,39 @@ object Affinity {
       .where(col("rnk") <= k)
       .select(col("item"), col("rnk"), col("rec"), col("n_co"), col("cos2_ppm"))
   }
+
+  /** USER-level top-`n` recommendations composed from the item-item
+    * table: each candidate item's score is the SUM of cos²-ppm edges
+    * from the user's purchase history into it (the classic
+    * neighborhood-aggregation serving rule), items the user already
+    * bought are anti-joined out, and a per-user window keeps the top
+    * `n` (score desc, item id tiebreak — hash-stable).
+    *
+    * Shape at 100 TB: the user-item table joins the k-bounded item-rec
+    * table on the ITEM key, so per-user candidates are ≤ k · |user's
+    * items| — basket-bounded, never catalog-bounded; scoring is one
+    * combinable (user, rec) aggregate; the already-bought exclusion is
+    * a keyed anti-join; the final window sees only each user's
+    * surviving candidates. Every shuffle is keyed; nothing broadcasts
+    * a catalog. Integer-exact: scores are sums of ppm longs.
+    */
+  def userTopN(lineitem: DataFrame, orders: DataFrame,
+      minSupport: Long, k: Int, n: Int): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val itemRecs = itemCosineTopK(lineitem, minSupport, k)
+      .select(col("item"), col("rec"), col("cos2_ppm"))
+    val bought = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+      .join(orders.select(col("o_orderkey").as("ok"), col("o_custkey").as("cust")), "ok")
+      .select("cust", "item").distinct()
+    val scored = bought.join(itemRecs, "item")
+      .groupBy(col("cust"), col("rec"))
+      .agg(sum("cos2_ppm").as("score_ppm"), count(lit(1)).as("n_sources"))
+    val fresh = scored.join(
+      bought.select(col("cust"), col("item").as("rec")), Seq("cust", "rec"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cust")).orderBy(col("score_ppm").desc, col("rec"))
+    fresh.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= n)
+      .select(col("cust"), col("rnk"), col("rec"), col("score_ppm"), col("n_sources"))
+  }
 }

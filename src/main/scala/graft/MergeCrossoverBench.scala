@@ -34,7 +34,7 @@ object MergeCrossoverBench {
     val spark = Sessions.local("merge5m", cpus)
     val (flatSec, partSec, rewritten) = run(spark)
     val c = runCorrection(spark)
-    println(f"""{"metric":"merge5m","flat_delta_sec":$flatSec%.3f,"partitioned_delta_sec":$partSec%.3f,"rows_rewritten":$rewritten,"mor_correction_sec":${c.morSec}%.3f,"mor_rows_written":${c.morRows},"mor_base_files_read":${c.filesRead},"mor_base_files_total":${c.filesTotal},"mor_compact_sec":${c.compactSec}%.3f,"mor_compact_rows_rewritten":${c.compactRows},"partitioned_correction_sec":${c.partSec}%.3f,"partitioned_rows_rewritten":${c.partRows}}""")
+    println(f"""{"metric":"merge5m","flat_delta_sec":$flatSec%.3f,"partitioned_delta_sec":$partSec%.3f,"rows_rewritten":$rewritten,"mor_correction_sec":${c.morSec}%.3f,"mor_rows_written":${c.morRows},"mor_base_files_read":${c.filesRead},"mor_base_files_total":${c.filesTotal},"mor_minor_sec":${c.minorSec}%.3f,"mor_minor_rows":${c.minorRows},"mor_compact_sec":${c.compactSec}%.3f,"mor_compact_rows_rewritten":${c.compactRows},"partitioned_correction_sec":${c.partSec}%.3f,"partitioned_rows_rewritten":${c.partRows}}""")
     spark.stop()
   }
 
@@ -42,6 +42,7 @@ object MergeCrossoverBench {
   final case class CorrectionMetrics(
       morSec: Double, morRows: Long,
       filesRead: Long, filesTotal: Long,
+      minorSec: Double, minorRows: Long,
       compactSec: Double, compactRows: Long,
       partSec: Double, partRows: Long)
 
@@ -161,8 +162,24 @@ object MergeCrossoverBench {
     // dirty month's live files were candidates for the view slice
     val (filesRead, filesTotal) =
       MergeOnRead.baseFileFootprint(spark, dir, "m5_mor", Seq("2018-01"))
+    // MINOR compaction evidence: a second 10-row correction grows the
+    // chain to two elements; the minor fold collapses them to ONE
+    // without the 5M base being read or written (generation asserted
+    // unchanged) — `mor_minor_rows` ≈ 20 is the fold's entire I/O
+    val corr2 = baseDf(spark)
+      .filter(col("o_orderkey") % Months === 0 &&
+        col("o_orderkey") >= 10L * Months && col("o_orderkey") < 20L * Months)
+      .withColumn("o_totalprice", col("o_totalprice") + 2000000.0)
+    MergeOnRead.deltaMerge(spark, dir, "m5_mor", corr2, spec, now, nextBatch + 1)
+    val genBefore = MergeOnRead.manifest(spark, dir, "m5_mor").baseGen
+    val minorSec = timed { MergeOnRead.compactMinor(spark, dir, "m5_mor") }
+    val mMinor = MergeOnRead.manifest(spark, dir, "m5_mor")
+    require(mMinor.baseGen == genBefore && mMinor.deltaSeqs.size == 1,
+      s"minor compaction must fold the chain without a base fold: $mMinor")
+    val minorRows = MergeOnRead.deltaRowCounts(spark, dir, "m5_mor").last
     val partSec = timed {
-      Merge.scd1PartitionScoped(spark, dir, "m5_part", "o_month", corr, spec, now)
+      Merge.scd1PartitionScoped(spark, dir, "m5_part", "o_month",
+        corr.unionByName(corr2), spec, now)
     }
     val partRows = Warehouse.read(spark, dir, "m5_part")
       .join(corr.select("o_month").distinct(), Seq("o_month"), "left_semi")
@@ -188,6 +205,6 @@ object MergeCrossoverBench {
     require(mAfter.baseRows == Rows,
       s"compaction changed the live row count: ${mAfter.baseRows}")
     CorrectionMetrics(morSec, morRows, filesRead, filesTotal,
-      compactSec, compactRows, partSec, partRows)
+      minorSec, minorRows, compactSec, compactRows, partSec, partRows)
   }
 }

@@ -4830,6 +4830,52 @@ object SparkEntry {
       Warehouse.readVersion(s, dir, tbl,
         Warehouse.versions(s, dir, tbl).head)
     }),
+    "stream_txn_replay" -> ((s, d) => {
+      // the TRANSACTIONAL streaming sink, batch-replayed: each
+      // micro-batch merges facts AND recomputes the rollup in one root
+      // commit (txn id = batchId + 2 — the manifest-stamp discipline on
+      // the root pointer); batch 2 crash-replays poisoned and must
+      // no-op; the gate reads BOTH members through one snapshot, so the
+      // committed rollup must equal the aggregate of the final facts
+      import graft.sources.Warehouse.Txn
+      val src = rd(s, d, "orders").select(col("o_orderkey").as("k"),
+        col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * 100).cast("long").as("cents0"))
+      val facts0 = src.where(col("k") % 1000 =!= 7)
+        .select(col("k"), col("status"), col("cents0").as("cents"))
+      def roll(f: DataFrame): DataFrame = f.groupBy("status")
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
+      val dir = new java.io.File(
+        "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      val grp = s"txn_stream_${contentEpoch(src, "k")}"
+      val spec = MergeSpec(Seq("k"), Seq("cents"))
+      graft.operators.Memo.cached(s, s"txnstream|$dir|$grp") {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        if (Txn.snapshot(s, dir, grp).isEmpty)
+          Txn.commit(s, dir, grp,
+            Map("facts" -> facts0, "rollup" -> roll(facts0)))
+        def batch(i: Int, poison: Boolean): DataFrame = {
+          val c = if (poison) lit(-99L) else col("cents0") + i
+          src.where(col("k") % 1000 =!= 7 && col("k") % 4 === i)
+            .select(col("k"), c.as("cents"))
+        }
+        (0 until 4).foreach { i =>
+          graft.streaming.Streams.foldTxnBatch(
+            batch(i, poison = false), i.toLong, dir, grp, spec, tlit(tsNow), roll)
+          if (i == 2) // crash replay with a poisoned payload: must no-op
+            require(!graft.streaming.Streams.foldTxnBatch(
+              batch(i, poison = true), i.toLong, dir, grp, spec, tlit(tsNow), roll),
+              "a replayed batch must be skipped by the txn-id guard")
+        }
+        java.lang.Boolean.TRUE
+      }
+      val snap = Txn.snapshot(s, dir, grp).get
+      val live = Txn.readAt(s, dir, grp, snap, "facts").groupBy("status")
+        .agg(count(lit(1)).as("n_live"), sum("cents").as("cents_live"))
+      live.join(Txn.readAt(s, dir, grp, snap, "rollup"), Seq("status"))
+        .select(col("status"), col("n_live"), col("cents_live"),
+          col("n").as("n_rollup"), col("cents_sum").as("cents_rollup"))
+    }),
     "wh_txn_snapshot" -> ((s, d) => {
       // cross-table SNAPSHOT ISOLATION gated end-to-end: facts and
       // their rollup commit as ONE transaction (one root rename), txn 2
@@ -7704,6 +7750,17 @@ object SparkEntry {
     "wh_time_travel" ->
       ("SELECT n_nationkey, n_name, r_name FROM nation " +
         "JOIN region ON r_regionkey = n_regionkey"),
+    // each key is updated by exactly ONE batch (the batches partition
+    // the keyspace by k % 4), so the final cents are closed-form; the
+    // committed rollup must equal the facts aggregate
+    "stream_txn_replay" ->
+      ("WITH f AS (SELECT o_orderstatus AS status, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) + (o_orderkey % 4) AS cents " +
+        "FROM orders WHERE o_orderkey % 1000 <> 7), " +
+        "a AS (SELECT status, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(cents) AS BIGINT) AS cs FROM f GROUP BY 1) " +
+        "SELECT status, n AS n_live, cs AS cents_live, " +
+        "n AS n_rollup, cs AS cents_rollup FROM a"),
     // one resolved snapshot reads both members of txn 2: the committed
     // rollup must equal the aggregate recomputed from the facts
     "wh_txn_snapshot" ->

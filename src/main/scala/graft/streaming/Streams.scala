@@ -278,6 +278,53 @@ object Streams {
     MergeOnRead.compactMinor(spark, warehouseDir, table, maxChainLength)
   }
 
+  /** TRANSACTIONAL streaming sink over a [[graft.sources.Warehouse.Txn]]
+    * group: each micro-batch merges into the `facts` member and
+    * recomputes the `rollup` member FROM the merged facts, and both
+    * commit as ONE transaction — a dashboard racing the stream can
+    * never join fresh facts against a stale rollup (the gap two
+    * independent per-table sinks always leave open).
+    *
+    * Exactly-once rides the root's monotone txn id: the group is
+    * bootstrapped with txn 1 (the base facts + rollup — a batch
+    * concern, like the MoR init), and micro-batch `b` commits txn
+    * `b + 2`, so a crash-replayed batch finds its transaction already
+    * committed and no-ops — the manifest-stamp discipline, applied to
+    * the root pointer. The `expectedTxn` guard turns a racing writer
+    * into a loud failure instead of a double-apply.
+    *
+    * Scale contract: Txn generations are FULL member rewrites, so this
+    * sink fits dimension/rollup-sized members (the tables a dashboard
+    * joins), not fact streams — route big facts through
+    * [[upsertStreamMor]] and keep the transactional group for the
+    * derived tables that must move in lockstep.
+    *
+    * Returns false on a replay skip, true on a commit.
+    */
+  def foldTxnBatch(
+      batch: DataFrame,
+      batchId: Long,
+      warehouseDir: String,
+      group: String,
+      spec: graft.operators.MergeSpec,
+      now: org.apache.spark.sql.Column,
+      rollup: DataFrame => DataFrame): Boolean = {
+    import graft.sources.Warehouse.Txn
+    val spark = batch.sparkSession
+    val snap = Txn.snapshot(spark, warehouseDir, group).getOrElse(
+      throw new IllegalStateException(
+        s"txn group $group has no bootstrap commit — commit the base facts+rollup first"))
+    if (snap.txn >= batchId + 2) return false // crash replay: already committed
+    val curFacts = Txn.readAt(spark, warehouseDir, group, snap, "facts")
+    val merged = graft.operators.Caches.persisted(
+      graft.operators.Merge.scd1(curFacts, batch, spec, now)
+        .select(curFacts.columns.map(col).toIndexedSeq: _*))
+    Txn.commit(spark, warehouseDir, group,
+      Map("facts" -> merged, "rollup" -> rollup(merged)),
+      expectedTxn = snap.txn)
+    true
+  }
+
   /** [[upsertStream]] over a pointer-committed table
     * ([[graft.sources.Warehouse.Pointer]]): each micro-batch merges the
     * CURRENT generation with the batch and commits a new generation via

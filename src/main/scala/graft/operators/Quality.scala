@@ -487,15 +487,22 @@ object Quality {
   def schemaDriftReport(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
     def side(df: DataFrame, sfx: String): DataFrame = {
       val cols = df.columns.toSeq
+      // user column names reach col() backtick-quoted and derived names
+      // are indexed — no name interpolation into string SQL, so names
+      // with dots/spaces/quotes can neither break nor inject anything
+      def bq(n: String): Column = col("`" + n.replace("`", "``") + "`")
       val aggs = count(lit(1)).as("__n") +:
-        cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"))
+        cols.zipWithIndex.map { case (c, i) =>
+          sum(when(bq(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$i") }
       val one = df.agg(aggs.head, aggs.tail: _*)
-      val stackArgs = cols.map(c =>
-        s"'$c', '${df.schema(c).dataType.catalogString}', __nulls_$c").mkString(", ")
-      one.selectExpr("__n",
-          s"stack(${cols.size}, $stackArgs) AS (col_name, type_$sfx, __nulls)")
-        .select(col("col_name"), col(s"type_$sfx"),
-          expr("__nulls * 1000000 div __n").as(s"null_ppm_$sfx"))
+      val rows = cols.zipWithIndex.map { case (c, i) => struct(
+        lit(c).as("col_name"),
+        lit(df.schema(c).dataType.catalogString).as("tp"),
+        col(s"__nulls_$i").as("nulls")) }
+      one.select(col("__n"), explode(array(rows: _*)).as("__r"))
+        .select(col("__r.col_name").as("col_name"),
+          col("__r.tp").as(s"type_$sfx"),
+          expr("__r.nulls * 1000000 div __n").as(s"null_ppm_$sfx"))
     }
     side(oldDf, "old").join(side(newDf, "new"), Seq("col_name"), "full_outer")
       .select(col("col_name"),

@@ -288,23 +288,31 @@ object Layout {
   def encodingAdvisor(df: DataFrame, fileCol: Column, orderCols: Seq[Column],
       cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "advise at least one column")
+    // user column names reach col() backtick-quoted (dots, spaces,
+    // hyphens are all legal Spark names), and every DERIVED name is
+    // indexed rather than name-interpolated — no string SQL anywhere,
+    // so no name can break or inject an expression
+    def bq(n: String): Column = col("`" + n.replace("`", "``") + "`")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(fileCol).orderBy(orderCols: _*)
     val lagged = df.select(
       (col("*") +: (row_number().over(w).as("__rn") +:
-        cols.map(c => lag(col(c), 1).over(w).as(s"__lag_$c")))): _*)
-    val aggs = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
-      count_distinct(col(c)).as(s"__nd_$c"),
-      sum(when(col("__rn") === 1 || !(col(c) <=> col(s"__lag_$c")), 1L)
-        .otherwise(0L)).as(s"__runs_$c"),
-      sum(coalesce(length(col(c).cast("string")).cast("long"), lit(0L)))
-        .as(s"__chars_$c")))
+        cols.zipWithIndex.map { case (c, i) =>
+          lag(bq(c), 1).over(w).as(s"__lag_$i") })): _*)
+    val aggs = count(lit(1)).as("__n") +:
+      cols.zipWithIndex.flatMap { case (c, i) => Seq(
+        sum(when(bq(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$i"),
+        count_distinct(bq(c)).as(s"__nd_$i"),
+        sum(when(col("__rn") === 1 || !(bq(c) <=> col(s"__lag_$i")), 1L)
+          .otherwise(0L)).as(s"__runs_$i"),
+        sum(coalesce(length(bq(c).cast("string")).cast("long"), lit(0L)))
+          .as(s"__chars_$i")) }
     val one = lagged.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map(c =>
-      s"'$c', __n, __nulls_$c, __nd_$c, __runs_$c, __chars_$c").mkString(", ")
-    one.selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
-        "(col_name, n_rows, n_nulls, n_distinct, n_runs, chars)")
+    val rows = cols.zipWithIndex.map { case (c, i) => struct(
+      lit(c).as("col_name"), col("__n").as("n_rows"),
+      col(s"__nulls_$i").as("n_nulls"), col(s"__nd_$i").as("n_distinct"),
+      col(s"__runs_$i").as("n_runs"), col(s"__chars_$i").as("chars")) }
+    one.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
       .withColumn("encoding",
         when(col("n_runs") * 8 <= col("n_rows"), lit("rle"))
           .otherwise(when(col("n_distinct") * 20 <= col("n_rows"), lit("dict"))

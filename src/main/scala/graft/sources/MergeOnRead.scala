@@ -113,6 +113,15 @@ object MergeOnRead {
     names.foreach(n => require(SafeName.matches(n),
       s"$kind '$n' must match [A-Za-z0-9._-]+ (manifest/directory encoding)"))
 
+  /** The reserved internal column namespace ([[DelMarker]], [[BatchCol]],
+    * `__mor_seq`) — a data or evolved column landing here would silently
+    * corrupt tombstone/batch-stamp/latest-image resolution on every
+    * later read, so creation and evolution both reject it.
+    */
+  private def requireNotReserved(kind: String, names: Seq[String]): Unit =
+    names.foreach(n => require(!n.startsWith("__mor_"),
+      s"$kind '$n' collides with the reserved __mor_* internal columns"))
+
   private def enc(v: String): String = java.net.URLEncoder.encode(v, "UTF-8")
   private def dec(v: String): String = java.net.URLDecoder.decode(v, "UTF-8")
 
@@ -137,6 +146,16 @@ object MergeOnRead {
     * back to a shuffled anti-join (see class doc).
     */
   val BroadcastDeltaBytesDefault: Long = 256L << 20
+
+  /** Merge-path bound on broadcasting the SOURCE key set (the routing
+    * probe and the final slice semi-join): a source isn't on disk, so
+    * the guard is the distinct-key ROW count — free, because
+    * [[deltaMerge]]'s key-uniqueness aggregate already computes it. Key
+    * sets at or under this many rows broadcast; a backfill-sized batch
+    * past it runs the same joins shuffled — a plan change instead of a
+    * driver OOM, exactly the [[BroadcastDeltaBytesDefault]] discipline.
+    */
+  val BroadcastSourceKeyRowsDefault: Long = 4L << 20
 
   /** One-line manifest. Core fields are round-1 compatible; the
     * optional fields below parse as empty/unknown from older manifests
@@ -300,6 +319,7 @@ object MergeOnRead {
       bloomBits: Int = 0, bloomHashes: Int = 4): Unit = {
     require(keys.nonEmpty, "merge-on-read tables are keyed")
     requireSafe("key column", keys)
+    requireNotReserved("column", df.columns.toSeq)
     require(bloomBits == 0 || keys.size == 1,
       "the Bloom index covers single-key tables (composite keys: partition-scope instead)")
     val spark = df.sparkSession
@@ -322,6 +342,7 @@ object MergeOnRead {
     requireSafe("key column", keys)
     requireSafe("partition column", Seq(partCol))
     requireSafe("column", df.columns.toSeq)
+    requireNotReserved("column", df.columns.toSeq)
     require(df.columns.contains(partCol), s"partition column $partCol not in schema")
     val spark = df.sparkSession
     val gen = basePath(dir, table, 1L)
@@ -364,6 +385,7 @@ object MergeOnRead {
       addCols: Seq[(String, String)]): Unit = {
     require(addCols.nonEmpty, "evolve adds at least one column")
     requireSafe("added column", addCols.map(_._1))
+    requireNotReserved("added column", addCols.map(_._1))
     val added = org.apache.spark.sql.types.StructType.fromDDL(
       addCols.map { case (n, t) => s"$n $t" }.mkString(", ")) // rejects bad types
     val m = manifest(spark, dir, table)
@@ -376,13 +398,18 @@ object MergeOnRead {
         s"$table: evolve lost the barrier claim on delta seq $barrier — a writer is " +
           "appending; re-run evolve after it commits")
     try {
+      // FULL-manifest re-verify under the claim: a deltaTo/lastBatch
+      // check alone would miss a concurrent compact() (it changes
+      // baseGen/deltaFrom/pmap/grace, not those two), and committing a
+      // copy of the STALE pre-compaction manifest would revert the
+      // compaction. The commit is based on the re-read mv regardless.
       val mv = manifest(spark, dir, table)
-      if (mv.deltaTo != m.deltaTo || mv.lastBatch != m.lastBatch)
+      if (mv != m)
         throw new ConcurrentWriterException(
-          s"$table: chain advanced while acquiring the evolve barrier; re-run evolve")
+          s"$table: manifest moved while acquiring the evolve barrier; re-run evolve")
       val next = org.apache.spark.sql.types.StructType(cur.fields ++ added.fields)
       commit(spark, dir, table,
-        m.copy(cols = next.fieldNames.toSeq, schemaDdl = next.toDDL))
+        mv.copy(cols = next.fieldNames.toSeq, schemaDdl = next.toDDL))
     } finally releaseClaim(spark, dir, table, barrier)
   }
 
@@ -628,9 +655,11 @@ object MergeOnRead {
             "confirming no writer is live)")
       } else {
         val m2 = manifest(spark, dir, table)
-        if (m2.deltaTo != m.deltaTo || m2.lastBatch != m.lastBatch) {
-          // manifest moved between read and claim (stale-claim window
-          // after a compaction prune): release and retry fresh
+        if (m2 != m) {
+          // manifest moved between read and claim — FULL equality, so a
+          // concurrent compact() (which changes baseGen/deltaFrom/pmap
+          // but neither deltaTo nor lastBatch) forces a fresh retry
+          // instead of a commit off the stale pre-compaction manifest
           releaseClaim(spark, dir, table, seq)
           attempts += 1
           if (attempts > 16) throw new ConcurrentWriterException(
@@ -704,13 +733,17 @@ object MergeOnRead {
     // re-checks under the claim)
     val m0 = manifest(spark, dir, table)
     if (batchId <= m0.lastBatch) return false
-    require(source.groupBy(spec.keys.map(col): _*).agg(count(lit(1)).as("__c"))
-      .where(col("__c") > 1).isEmpty,
+    // one batch-sized aggregate yields BOTH the uniqueness verdict and
+    // the distinct-key count that guards the slice's key broadcasts
+    val keyStats = source.groupBy(spec.keys.map(col): _*).agg(count(lit(1)).as("__c"))
+      .agg(count(lit(1)).as("__k"), max(col("__c")).as("__mx")).head()
+    val srcKeyRows = keyStats.getLong(0)
+    require(srcKeyRows == 0L || keyStats.getLong(1) <= 1L,
       s"$table: source must be unique on (${spec.keys.mkString(",")}) — " +
         "dedup to one image per key before deltaMerge (multiple images of a key " +
         "in one delta have no deterministic winner)")
     appendDelta(spark, dir, table, batchId) { m =>
-      val view = mergeSlice(spark, dir, table, m, source, spec.keys)
+      val view = mergeSlice(spark, dir, table, m, source, spec.keys, srcKeyRows)
       Merge.scd1(view, source, spec, now)
         .select(view.columns.map(col).toIndexedSeq: _*)
         .withColumn(DelMarker, lit(false))
@@ -725,18 +758,32 @@ object MergeOnRead {
     * source's keys.
     */
   private[graft] def routingProbe(spark: SparkSession, dir: String, table: String,
-      m: Manifest, srcKeys: DataFrame, pc: String, keys: Seq[String]): DataFrame =
+      m: Manifest, srcKeys: DataFrame, pc: String, keys: Seq[String],
+      broadcastOk: Boolean = true): DataFrame =
     baseRead(spark, dir, table, m)
       .select((keys :+ pc).map(col): _*)
-      .join(broadcast(srcKeys), keys, "left_semi")
+      .join(if (broadcastOk) broadcast(srcKeys) else srcKeys, keys, "left_semi")
 
   /** The view restricted to the source's keys — the read side of a
     * merge. Partition-pruned when the table is partitioned and the
     * source carries the partition column; Bloom-file-pruned on flat
     * Bloom-indexed tables; the plain full view slice otherwise.
+    *
+    * Both broadcast sides are GUARDED, mirroring [[readView]]: the
+    * reconcile key set by the chain's on-disk bytes (free filesystem
+    * metadata), the source key set by `srcKeyRows`
+    * ([[BroadcastSourceKeyRowsDefault]]) — so a backfill-sized batch or
+    * a fallen-behind chain degrades to shuffled joins instead of a
+    * driver OOM. A negative `srcKeyRows` means "unknown" and stays on
+    * the safe shuffled path.
     */
-  private def mergeSlice(spark: SparkSession, dir: String, table: String,
-      m: Manifest, source: DataFrame, keys: Seq[String]): DataFrame = {
+  private[graft] def mergeSlice(spark: SparkSession, dir: String, table: String,
+      m: Manifest, source: DataFrame, keys: Seq[String],
+      srcKeyRows: Long,
+      broadcastDeltaBytesLimit: Long = BroadcastDeltaBytesDefault,
+      broadcastSourceKeyRowsLimit: Long = BroadcastSourceKeyRowsDefault): DataFrame = {
+    val srcBroadcastOk = srcKeyRows >= 0 && srcKeyRows <= broadcastSourceKeyRowsLimit
+    def maybeB(df: DataFrame): DataFrame = if (srcBroadcastOk) broadcast(df) else df
     val srcKeys = source.select(keys.map(col): _*).distinct()
     val base = m.partCol match {
       case Some(pc) if source.columns.contains(pc) =>
@@ -753,7 +800,7 @@ object MergeOnRead {
         // construction: an insert has no routable partition, so new
         // keys (absent from both the probed base and the live chain)
         // are rejected loudly instead of landing with a NULL partition.
-        val probe = routingProbe(spark, dir, table, m, srcKeys, pc, keys)
+        val probe = routingProbe(spark, dir, table, m, srcKeys, pc, keys, srcBroadcastOk)
         val vals = probe.select(col(pc).cast("string")).distinct()
           .collect().map(_.getString(0)).toSeq // ≤ partition count
         // "known" = keys the VIEW still holds: base-probed keys whose
@@ -776,9 +823,10 @@ object MergeOnRead {
     }
     val view = latestDelta(spark, dir, table, m) match {
       case None => base
-      case Some(latest) => reconcile(base, latest, m.keys, broadcastOk = true)
+      case Some(latest) => reconcile(base, latest, m.keys,
+        broadcastOk = deltaBytes(spark, dir, table, m) <= broadcastDeltaBytesLimit)
     }
-    view.join(broadcast(srcKeys), keys, "left_semi")
+    view.join(maybeB(srcKeys), keys, "left_semi")
   }
 
   // ------------------------------------------------------ Bloom index
@@ -983,12 +1031,14 @@ object MergeOnRead {
         s"$table: compact lost the barrier claim on delta seq $barrier — a writer is " +
           "appending; re-run compact after it commits")
     try {
+      // FULL-manifest re-verify (see evolve): a peer compaction between
+      // our read and our claim changes neither deltaTo nor lastBatch
       val mv = manifest(spark, dir, table)
-      if (mv.deltaTo != m.deltaTo) // a writer slipped in before our claim
+      if (mv != m)
         throw new ConcurrentWriterException(
-          s"$table: chain advanced while acquiring the compaction barrier; re-run compact")
+          s"$table: manifest moved while acquiring the compaction barrier; re-run compact")
 
-      val nextGen = m.baseGen + 1
+      val nextGen = mv.baseGen + 1
       m.partCol match {
         case None =>
           clustered(readView(spark, dir, table), Nil).write.mode("overwrite")
@@ -996,8 +1046,8 @@ object MergeOnRead {
           val n = countWritten(spark, basePath(dir, table, nextGen))
           if (m.bloomBits > 0)
             writeBloom(spark, dir, table, nextGen, m.keys.head, m.bloomBits, m.bloomHashes)
-          commit(spark, dir, table, m.copy(baseGen = nextGen,
-            deltaFrom = m.deltaTo + 1, deltaRows = Nil, baseRows = n))
+          commit(spark, dir, table, mv.copy(baseGen = nextGen,
+            deltaFrom = mv.deltaTo + 1, deltaRows = Nil, baseRows = n))
         case Some(pc) =>
           val latest = latestDelta(spark, dir, table, m).get
           val dirtyVals = latest.select(col(pc).cast("string").as("__v")).distinct()
@@ -1026,8 +1076,8 @@ object MergeOnRead {
           // partitions' old entries)
           val displaced = m.pmap.filter(e => foldVals.contains(e._1))
             .map(e => (e._2, e._1))
-          commit(spark, dir, table, m.copy(baseGen = nextGen,
-            deltaFrom = m.deltaTo + 1, deltaRows = Nil,
+          commit(spark, dir, table, mv.copy(baseGen = nextGen,
+            deltaFrom = mv.deltaTo + 1, deltaRows = Nil,
             baseRows = newPmap.map(_._3).sum,
             pmap = newPmap, grace = displaced))
       }
@@ -1080,14 +1130,16 @@ object MergeOnRead {
         s"$table: minor compact lost the barrier claim on delta seq $barrier — a writer " +
           "is appending; re-run after it commits")
     try {
+      // FULL-manifest re-verify (see evolve): a peer compaction between
+      // our read and our claim changes neither deltaTo nor lastBatch
       val mv = manifest(spark, dir, table)
-      if (mv.deltaTo != m.deltaTo)
+      if (mv != m)
         throw new ConcurrentWriterException(
-          s"$table: chain advanced while acquiring the minor-compaction barrier; re-run")
-      val latest = latestDelta(spark, dir, table, m).get // chain non-empty
+          s"$table: manifest moved while acquiring the minor-compaction barrier; re-run")
+      val latest = latestDelta(spark, dir, table, mv).get // chain non-empty
       latest.write.mode("overwrite").parquet(deltaPath(dir, table, barrier).toString)
       val n = countWritten(spark, deltaPath(dir, table, barrier))
-      commit(spark, dir, table, m.copy(
+      commit(spark, dir, table, mv.copy(
         deltaFrom = barrier, deltaTo = barrier, deltaRows = Seq(n)))
     } finally releaseClaim(spark, dir, table, barrier)
   }

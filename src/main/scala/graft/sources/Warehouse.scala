@@ -357,16 +357,61 @@ object Warehouse {
     */
   object Txn {
 
-    final case class Snapshot(txn: Long, gens: Map[String, Long])
+    /** `lastBatch` is the newest streaming batch id committed into the
+      * group (−1 before any stamped commit / on pre-stamp roots) — the
+      * replay guard for [[graft.streaming.Streams.foldTxnBatch]].
+      * Recorded explicitly rather than derived from the txn counter, so
+      * an out-of-band commit (bootstrap re-run, ad-hoc fix-up) shifts
+      * the counter WITHOUT making live batches look like replays.
+      */
+    final case class Snapshot(txn: Long, gens: Map[String, Long], lastBatch: Long = -1L)
 
     private def rootPath(dir: String, name: String) = new Path(s"$dir/$name.txnroot")
     private def genPath(dir: String, name: String, table: String, gen: Long) =
       new Path(s"$dir/$name.txndata/$table/$gen")
+    private def claimPath(dir: String, name: String, txn: Long) =
+      new Path(s"$dir/$name.txnclaim/$txn")
 
     private def fsOf(spark: SparkSession, dir: String) =
       new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
     private val SafeName = "[A-Za-z0-9._-]+".r
+
+    /** Create-exclusive claim on txn id `txn` — the same O_EXCL
+      * discipline as the merge-on-read delta claims (nio on local
+      * filesystems, namenode-serialized create on HDFS).
+      */
+    private def tryClaim(fs: org.apache.hadoop.fs.FileSystem,
+        dir: String, name: String, txn: Long): Boolean = {
+      val p = claimPath(dir, name, txn)
+      fs.mkdirs(p.getParent)
+      if (fs.getScheme == "file") {
+        try { java.nio.file.Files.createFile(java.nio.file.Paths.get(p.toUri.getPath)); true }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: java.io.IOException => false
+        }
+      } else {
+        try fs.createNewFile(p)
+        catch { case _: java.io.IOException => false }
+      }
+    }
+
+    /** Delete claims beyond the committed txn id — only safe after
+      * confirming no writer is live (a claim past the root is either a
+      * crashed writer's leftover or a peer mid-commit; this call cannot
+      * tell them apart). Returns the number released.
+      */
+    def releaseStaleClaims(spark: SparkSession, dir: String, name: String): Int = {
+      val fs = fsOf(spark, dir)
+      val cur = snapshot(spark, dir, name).map(_.txn).getOrElse(0L)
+      val cd = new Path(s"$dir/$name.txnclaim")
+      if (!fs.exists(cd)) 0
+      else fs.listStatus(cd).toSeq
+        .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
+        .filter(_ > cur)
+        .count(t => fs.delete(claimPath(dir, name, t), false))
+    }
 
     /** The committed snapshot, or None before the first commit. */
     def snapshot(spark: SparkSession, dir: String, name: String): Option[Snapshot] = {
@@ -380,7 +425,8 @@ object Warehouse {
         val gens = kv.get("tables").filter(_.nonEmpty).map(_.split(",").toSeq.map { e =>
           val Array(t, g) = e.split(":", 2); t -> g.toLong
         }.toMap).getOrElse(Map.empty)
-        Some(Snapshot(kv("txn").toLong, gens))
+        Some(Snapshot(kv("txn").toLong, gens,
+          kv.get("batch").map(_.toLong).getOrElse(-1L)))
       }
     }
 
@@ -402,10 +448,27 @@ object Warehouse {
     /** Commit `updates` (any subset of members; first commit defines
       * them) as ONE transaction. `expectedTxn` (when >= 0) must equal
       * the current txn id — the optimistic-concurrency / replay guard.
+      * `batchId` (when >= 0) stamps [[Snapshot.lastBatch]]; unstamped
+      * commits carry the previous stamp forward, so an out-of-band
+      * fix-up never resets a stream's replay guard.
+      *
+      * Two RACING writers are serialized by a create-exclusive CLAIM on
+      * the txn id they are both aiming at (the merge-on-read delta-seq
+      * discipline): the loser fails the claim — or, having claimed
+      * after the winner released, fails the root re-verify under the
+      * claim — with a loud
+      * [[graft.sources.MergeOnRead.ConcurrentWriterException]] instead
+      * of silently vanishing the winner's commit under a last-rename-
+      * wins race. The claim is taken BEFORE the generation writes, so a
+      * loser fails before any data I/O. A claim left by a crashed
+      * writer blocks the id loudly; [[releaseStaleClaims]] reclaims it
+      * after confirming no writer is live.
+      *
       * Returns the committed txn id.
       */
     def commit(spark: SparkSession, dir: String, name: String,
-        updates: Map[String, DataFrame], expectedTxn: Long = -1L): Long = {
+        updates: Map[String, DataFrame], expectedTxn: Long = -1L,
+        batchId: Long = -1L): Long = {
       require(updates.nonEmpty, "a transaction updates at least one table")
       updates.keys.foreach(t => require(SafeName.matches(t),
         s"table name '$t' must match [A-Za-z0-9._-]+"))
@@ -415,51 +478,70 @@ object Warehouse {
         throw new java.io.IOException(
           s"txn group $name is at txn ${prev.map(_.txn).getOrElse(-1L)}, expected $expectedTxn " +
             "— a concurrent or replayed commit; re-read and retry")
-      val prevGens = prev.map(_.gens).getOrElse(Map.empty)
-      // next generation per updated table: past every directory on disk
-      // (committed or orphaned) so a crashed writer's leftovers never
-      // collide with ours
-      val written = updates.map { case (t, df) =>
-        val tDir = new Path(s"$dir/$name.txndata/$t")
-        val onDisk =
-          if (!fs.exists(tDir)) Seq.empty
-          else fs.listStatus(tDir).toSeq
-            .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
-        val next = (onDisk ++ prevGens.get(t)).maxOption.getOrElse(0L) + 1
-        df.write.mode("overwrite").parquet(genPath(dir, name, t, next).toString)
-        t -> next
-      }
-      val newGens = prevGens ++ written
       val txnId = prev.map(_.txn).getOrElse(0L) + 1
-      val line = s"txn=$txnId;tables=" +
-        newGens.toSeq.sortBy(_._1).map { case (t, g) => s"$t:$g" }.mkString(",")
-      val ptr = rootPath(dir, name)
-      val tmp = new Path(ptr.toString + ".tmp")
-      val out = fs.create(tmp, true)
-      try out.write((line + "\n").getBytes("UTF-8")) finally out.close()
-      if (fs.getScheme == "file")
-        java.nio.file.Files.move(
-          java.nio.file.Paths.get(tmp.toUri.getPath),
-          java.nio.file.Paths.get(ptr.toUri.getPath),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      else {
-        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-          ptr.toUri, spark.sparkContext.hadoopConfiguration)
-        fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-      }
-      // prune: every table directory not referenced by THIS or the
-      // PREVIOUS snapshot (one-commit reader grace) goes — that covers
-      // crashed-writer orphans and history beyond the grace window
-      newGens.keys.foreach { t =>
-        val tDir = new Path(s"$dir/$name.txndata/$t")
-        val keep = Set(newGens.get(t), prevGens.get(t)).flatten
-        if (fs.exists(tDir)) fs.listStatus(tDir).toSeq
-          .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
-          .filterNot(keep.contains)
-          .foreach(g => fs.delete(genPath(dir, name, t, g), true))
-      }
-      txnId
+      if (!tryClaim(fs, dir, name, txnId))
+        throw new MergeOnRead.ConcurrentWriterException(
+          s"txn group $name: txn $txnId is claimed — a concurrent writer is mid-commit " +
+            "(re-read and retry after it finishes) or crashed (releaseStaleClaims after " +
+            "confirming no writer is live)")
+      try {
+        // re-verify the root under the claim: a peer that claimed this
+        // id, committed and released between our snapshot read and our
+        // claim would otherwise be silently overwritten by our rename
+        val cur = snapshot(spark, dir, name)
+        if (cur.map(_.txn) != prev.map(_.txn))
+          throw new MergeOnRead.ConcurrentWriterException(
+            s"txn group $name: root advanced to txn ${cur.map(_.txn).getOrElse(-1L)} while " +
+              s"acquiring the claim on $txnId — a peer committed; re-read and retry")
+        val prevGens = prev.map(_.gens).getOrElse(Map.empty)
+        // next generation per updated table: past every directory on disk
+        // (committed or orphaned) so a crashed writer's leftovers never
+        // collide with ours
+        val written = updates.map { case (t, df) =>
+          val tDir = new Path(s"$dir/$name.txndata/$t")
+          val onDisk =
+            if (!fs.exists(tDir)) Seq.empty
+            else fs.listStatus(tDir).toSeq
+              .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
+          val next = (onDisk ++ prevGens.get(t)).maxOption.getOrElse(0L) + 1
+          df.write.mode("overwrite").parquet(genPath(dir, name, t, next).toString)
+          t -> next
+        }
+        val newGens = prevGens ++ written
+        val lastBatch =
+          if (batchId >= 0) batchId else prev.map(_.lastBatch).getOrElse(-1L)
+        val line = s"txn=$txnId" +
+          (if (lastBatch >= 0) s";batch=$lastBatch" else "") +
+          ";tables=" +
+          newGens.toSeq.sortBy(_._1).map { case (t, g) => s"$t:$g" }.mkString(",")
+        val ptr = rootPath(dir, name)
+        val tmp = new Path(ptr.toString + ".tmp")
+        val out = fs.create(tmp, true)
+        try out.write((line + "\n").getBytes("UTF-8")) finally out.close()
+        if (fs.getScheme == "file")
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(tmp.toUri.getPath),
+            java.nio.file.Paths.get(ptr.toUri.getPath),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        else {
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+            ptr.toUri, spark.sparkContext.hadoopConfiguration)
+          fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        }
+        // prune: every table directory not referenced by THIS or the
+        // PREVIOUS snapshot (one-commit reader grace) goes — that covers
+        // crashed-writer orphans and history beyond the grace window
+        newGens.keys.foreach { t =>
+          val tDir = new Path(s"$dir/$name.txndata/$t")
+          val keep = Set(newGens.get(t), prevGens.get(t)).flatten
+          if (fs.exists(tDir)) fs.listStatus(tDir).toSeq
+            .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
+            .filterNot(keep.contains)
+            .foreach(g => fs.delete(genPath(dir, name, t, g), true))
+        }
+        txnId
+      } finally fs.delete(claimPath(dir, name, txnId), false)
     }
   }
 }

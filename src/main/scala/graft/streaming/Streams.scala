@@ -285,13 +285,18 @@ object Streams {
     * never join fresh facts against a stale rollup (the gap two
     * independent per-table sinks always leave open).
     *
-    * Exactly-once rides the root's monotone txn id: the group is
-    * bootstrapped with txn 1 (the base facts + rollup — a batch
-    * concern, like the MoR init), and micro-batch `b` commits txn
-    * `b + 2`, so a crash-replayed batch finds its transaction already
-    * committed and no-ops — the manifest-stamp discipline, applied to
-    * the root pointer. The `expectedTxn` guard turns a racing writer
-    * into a loud failure instead of a double-apply.
+    * Exactly-once rides the root's RECORDED batch stamp
+    * ([[graft.sources.Warehouse.Txn.Snapshot.lastBatch]]): each
+    * micro-batch commits with its batch id stamped into the root, and a
+    * crash-replayed batch (id ≤ the stamp) no-ops — the MoR manifest-
+    * stamp discipline, applied to the root pointer. The stamp is
+    * explicit rather than derived from the txn counter, so an
+    * out-of-band commit on the group (bootstrap re-run, ad-hoc fix-up)
+    * shifts the counter WITHOUT silently skipping live batches. The
+    * `expectedTxn` guard turns a racing writer into a loud failure
+    * instead of a double-apply. Groups bootstrapped before the stamp
+    * existed read as stamp −1, so their first stamped batch applies
+    * (the merge is content-idempotent) and stamps from then on.
     *
     * Scale contract: Txn generations are FULL member rewrites, so this
     * sink fits dimension/rollup-sized members (the tables a dashboard
@@ -314,14 +319,24 @@ object Streams {
     val snap = Txn.snapshot(spark, warehouseDir, group).getOrElse(
       throw new IllegalStateException(
         s"txn group $group has no bootstrap commit — commit the base facts+rollup first"))
-    if (snap.txn >= batchId + 2) return false // crash replay: already committed
+    if (batchId <= snap.lastBatch) return false // crash replay: already committed
     val curFacts = Txn.readAt(spark, warehouseDir, group, snap, "facts")
-    val merged = graft.operators.Caches.persisted(
-      graft.operators.Merge.scd1(curFacts, batch, spec, now)
-        .select(curFacts.columns.map(col).toIndexedSeq: _*))
-    Txn.commit(spark, warehouseDir, group,
-      Map("facts" -> merged, "rollup" -> rollup(merged)),
-      expectedTxn = snap.txn)
+    // persisted once, written twice (facts + rollup), released in the
+    // finally below — deliberately NOT Caches.persisted: nothing drains
+    // the process-wide fallback scope under a long-lived foreachBatch
+    // loop, so a scope registration per trigger would accumulate
+    val merged = graft.operators.Merge.scd1(curFacts, batch, spec, now)
+      .select(curFacts.columns.map(col).toIndexedSeq: _*).persist()
+    try
+      Txn.commit(spark, warehouseDir, group,
+        Map("facts" -> merged, "rollup" -> rollup(merged)),
+        expectedTxn = snap.txn, batchId = batchId)
+    finally
+      // both member writes are materialized by commit's return (and a
+      // failed commit abandons the plan) — release the batch's cache
+      // here so the foreachBatch loop never accumulates one persisted
+      // frame per trigger for the lifetime of the query
+      merged.unpersist(false)
     true
   }
 

@@ -241,6 +241,77 @@ class ScaleSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("MoR merge slice: reconcile + source-key broadcasts guarded, shuffled past the limits — same rows") {
+    val s = spark; import s.implicits._
+    import graft.sources.MergeOnRead
+    import graft.operators.{MergeSpec => MSpec}
+    val dir = java.nio.file.Files.createTempDirectory("morslice").toString
+    MergeOnRead.init((1L to 5000L).map(i => (i, i)).toDF("k", "v"), dir, "t", Seq("k"))
+    MergeOnRead.deltaMerge(s, dir, "t", (1L to 50L).map(i => (i, -i)).toDF("k", "v"),
+      MSpec(Seq("k"), Seq("v")), to_timestamp(lit("2024-06-01 00:00:00")), 1L)
+    val m = MergeOnRead.manifest(s, dir, "t")
+    val src = (10L to 30L).map(i => (i, 0L)).toDF("k", "v")
+    val below = MergeOnRead.mergeSlice(s, dir, "t", m, src, Seq("k"), srcKeyRows = 21L)
+    below.count()
+    assert(below.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "within both guards the slice's joins broadcast")
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      // past the guards (delta bytes AND source-key rows) every join in
+      // the merge path runs shuffled — a backfill-sized batch degrades
+      // to a plan change, never a driver OOM
+      val above = MergeOnRead.mergeSlice(s, dir, "t", m, src, Seq("k"), srcKeyRows = 21L,
+        broadcastDeltaBytesLimit = 0L, broadcastSourceKeyRowsLimit = 0L)
+      above.count()
+      assert(!above.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "past the guards the merge path must not plan a driver-sized broadcast")
+      assert(above.collect().map(_.toString).sorted.toSeq ==
+        below.collect().map(_.toString).sorted.toSeq)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      s.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("MoR reserved columns: init and evolve reject the __mor_ namespace") {
+    val s = spark; import s.implicits._
+    import graft.sources.MergeOnRead
+    val dir = java.nio.file.Files.createTempDirectory("morresv").toString
+    assert(intercept[IllegalArgumentException] {
+      MergeOnRead.init(Seq((1L, true)).toDF("k", "__mor_del"), dir, "bad", Seq("k"))
+    }.getMessage.contains("__mor_"))
+    MergeOnRead.init(Seq((1L, 1L)).toDF("k", "v"), dir, "t", Seq("k"))
+    // evolving a reserved name would silently corrupt tombstone/batch
+    // resolution on every later read — rejected at DDL time
+    for (bad <- Seq("__mor_del", "__mor_batch", "__mor_seq"))
+      assert(intercept[IllegalArgumentException] {
+        MergeOnRead.evolve(s, dir, "t", Seq(bad -> "string"))
+      }.getMessage.contains("__mor_"))
+  }
+
+  test("encodingAdvisor / schemaDriftReport survive non-identifier column names") {
+    val s = spark; import s.implicits._
+    import graft.sources.Layout
+    import graft.operators.Quality
+    // names that are valid Spark columns but not bare SQL identifiers:
+    // spaces, dots, hyphens, an embedded quote — the string-SQL unpivot
+    // these ops used to build would misparse or break on every one
+    val df = Seq((1L, "a", "x"), (1L, "a", null), (2L, "b", "y"))
+      .toDF("file id", "run.col", "weird-name'q")
+    val adv = Layout.encodingAdvisor(df, col("`file id`"),
+      Seq(col("`run.col`")), Seq("run.col", "weird-name'q"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(adv == Set(("run.col", 3L, 0L), ("weird-name'q", 3L, 1L)))
+    val drift = Quality.schemaDriftReport(
+      df.select(col("`file id`"), col("`run.col`")),
+      df.select(expr("try_cast(`run.col` AS int)").as("run.col"), col("`weird-name'q`")))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(drift == Set(("file id", "dropped"), ("run.col", "type_changed"),
+      ("weird-name'q", "added")))
+  }
+
   test("manifest pruning reads only overlapping files, result equals full filter") {
     val s = spark; import s.implicits._
     import graft.sources.Layout

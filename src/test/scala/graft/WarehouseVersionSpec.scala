@@ -263,4 +263,86 @@ class WarehouseVersionSpec extends AnyFunSuite with SparkTest {
         Map("rollup" -> rollup1), expectedTxn = 1L)
     }.getMessage.contains("retry"))
   }
+
+  test("txn commit: claim barrier makes the racing loser loud, no commit is lost") {
+    val s = spark; import s.implicits._
+    import graft.sources.MergeOnRead.ConcurrentWriterException
+    val dir = java.nio.file.Files.createTempDirectory("wh-txn-race").toString
+    Warehouse.Txn.commit(s, dir, "grp",
+      Map("facts" -> Seq((1L, 10L)).toDF("k", "v")))
+
+    // a peer mid-commit: its claim on txn 2 is on disk, root unmoved —
+    // our commit must fail LOUDLY before writing any data
+    val claim = java.nio.file.Paths.get(s"$dir/grp.txnclaim/2")
+    java.nio.file.Files.createDirectories(claim.getParent)
+    java.nio.file.Files.createFile(claim)
+    assert(intercept[ConcurrentWriterException] {
+      Warehouse.Txn.commit(s, dir, "grp",
+        Map("facts" -> Seq((2L, 20L)).toDF("k", "v")), expectedTxn = 1L)
+    }.getMessage.contains("claimed"))
+    assert(Warehouse.Txn.snapshot(s, dir, "grp").get.txn == 1L)
+    // after a confirmed crash, the stale claim is reclaimed and the
+    // commit goes through
+    assert(Warehouse.Txn.releaseStaleClaims(s, dir, "grp") == 1)
+    assert(Warehouse.Txn.commit(s, dir, "grp",
+      Map("facts" -> Seq((2L, 20L)).toDF("k", "v")), expectedTxn = 1L) == 2L)
+
+    // two live racers on the same expected state: exactly one commits,
+    // the loser throws (claim lost, or root moved under its claim /
+    // before its expectedTxn check), and the winner's generation is
+    // what the root resolves — never a silently vanished commit
+    import scala.collection.parallel.CollectionConverters._
+    val outcomes = (10L to 11L).par.map { v =>
+      scala.util.Try(Warehouse.Txn.commit(s, dir, "grp",
+        Map("facts" -> Seq((v, v)).toDF("k", "v")), expectedTxn = 2L))
+    }.toList
+    assert(outcomes.count(_.isSuccess) == 1, s"exactly one racer must win: $outcomes")
+    assert(outcomes.collect { case scala.util.Failure(e) => e }.forall(e =>
+      e.isInstanceOf[ConcurrentWriterException] || e.isInstanceOf[java.io.IOException]))
+    val snap = Warehouse.Txn.snapshot(s, dir, "grp").get
+    assert(snap.txn == 3L)
+    val k = Warehouse.Txn.readAt(s, dir, "grp", snap, "facts").head().getLong(0)
+    assert(k == 10L || k == 11L)
+  }
+
+  test("txn batch stamp: out-of-band commits shift the counter, not the replay guard") {
+    val s = spark; import s.implicits._
+    import graft.operators.MergeSpec
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("wh-txn-stamp").toString
+    def roll(f: org.apache.spark.sql.DataFrame) =
+      f.agg(sum("v").as("total")).select(lit("all").as("g"), col("total"))
+    val spec = MergeSpec(Seq("k"), Seq("v"))
+    val ts = to_timestamp(lit("2024-06-01 00:00:00"))
+    val f0 = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+    Warehouse.Txn.commit(s, dir, "grp", Map("facts" -> f0, "rollup" -> roll(f0)))
+    assert(Warehouse.Txn.snapshot(s, dir, "grp").get.lastBatch == -1L)
+
+    import graft.streaming.Streams
+    assert(Streams.foldTxnBatch(Seq((1L, 11L)).toDF("k", "v"), 0L, dir, "grp", spec, ts, roll))
+    assert(Streams.foldTxnBatch(Seq((2L, 22L)).toDF("k", "v"), 1L, dir, "grp", spec, ts, roll))
+    assert(Warehouse.Txn.snapshot(s, dir, "grp").get.lastBatch == 1L)
+    // crash replay of batch 1 no-ops
+    assert(!Streams.foldTxnBatch(Seq((2L, -9L)).toDF("k", "v"), 1L, dir, "grp", spec, ts, roll))
+
+    // OUT-OF-BAND fix-up commit (no batch id): the txn counter moves,
+    // the batch stamp must NOT — under a counter-derived guard the next
+    // live batch would silently vanish as a "replay"
+    val fixed = Warehouse.Txn.read(s, dir, "grp", "facts")
+      .unionByName(Seq((9L, 90L)).toDF("k", "v"))
+    Warehouse.Txn.commit(s, dir, "grp", Map("facts" -> fixed, "rollup" -> roll(fixed)))
+    assert(Warehouse.Txn.snapshot(s, dir, "grp").get.lastBatch == 1L,
+      "an unstamped commit must carry the batch stamp forward, not reset or bump it")
+    assert(Streams.foldTxnBatch(Seq((3L, 30L)).toDF("k", "v"), 2L, dir, "grp", spec, ts, roll),
+      "a live batch after an out-of-band commit must still apply")
+    val snap = Warehouse.Txn.snapshot(s, dir, "grp").get
+    assert(snap.lastBatch == 2L)
+    val facts = Warehouse.Txn.readAt(s, dir, "grp", snap, "facts")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(facts == Set((1L, 11L), (2L, 22L), (3L, 30L), (9L, 90L)))
+    // the committed rollup matches the committed facts (atomicity held
+    // across every path above)
+    assert(Warehouse.Txn.readAt(s, dir, "grp", snap, "rollup").head().getLong(1)
+      == facts.toSeq.map(_._2).sum)
+  }
 }

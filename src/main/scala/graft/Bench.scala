@@ -167,12 +167,12 @@ object Bench {
       else try {
         val (flatSec, partSec, rewritten) = MergeCrossoverBench.run(spark)
         val c = MergeCrossoverBench.runCorrection(spark)
-        s""","merge5m":{"flat_delta_sec":${ms(flatSec)},"partitioned_delta_sec":${ms(partSec)},"rows_rewritten":$rewritten,"mor_correction_sec":${ms(c.morSec)},"mor_rows_written":${c.morRows},"mor_base_files_read":${c.filesRead},"mor_base_files_total":${c.filesTotal},"mor_minor_sec":${ms(c.minorSec)},"mor_minor_rows":${c.minorRows},"mor_compact_sec":${ms(c.compactSec)},"mor_compact_rows_rewritten":${c.compactRows},"partitioned_correction_sec":${ms(c.partSec)},"partitioned_rows_rewritten":${c.partRows}}"""
+        s""","merge5m":{"flat_delta_sec":${ms(flatSec)},"partitioned_delta_sec":${ms(partSec)},"rows_rewritten":$rewritten,"mor_correction_sec":${ms(c.morSec)},"mor_rows_written":${c.morRows},"mor_base_files_read":${c.filesRead},"mor_base_files_total":${c.filesTotal},"mor_minor_sec":${ms(c.minorSec)},"mor_minor_rows":${c.minorRows},"mor_compact_sec":${ms(c.compactSec)},"mor_compact_rows_rewritten":${c.compactRows},"partitioned_correction_sec":${ms(c.partSec)},"partitioned_rows_rewritten":${c.partRows},"partitioned_minor_sec":${ms(c.pMinorSec)},"partitioned_minor_rows":${c.pMinorRows}}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] merge5m FAILED: ${e.getMessage}")
         // keep the object shape identical to the success path so
         // consumers of the published schema never hit a missing key
-        ""","merge5m":{"flat_delta_sec":-1,"partitioned_delta_sec":-1,"rows_rewritten":-1,"mor_correction_sec":-1,"mor_rows_written":-1,"mor_base_files_read":-1,"mor_base_files_total":-1,"mor_minor_sec":-1,"mor_minor_rows":-1,"mor_compact_sec":-1,"mor_compact_rows_rewritten":-1,"partitioned_correction_sec":-1,"partitioned_rows_rewritten":-1}"""
+        ""","merge5m":{"flat_delta_sec":-1,"partitioned_delta_sec":-1,"rows_rewritten":-1,"mor_correction_sec":-1,"mor_rows_written":-1,"mor_base_files_read":-1,"mor_base_files_total":-1,"mor_minor_sec":-1,"mor_minor_rows":-1,"mor_compact_sec":-1,"mor_compact_rows_rewritten":-1,"partitioned_correction_sec":-1,"partitioned_rows_rewritten":-1,"partitioned_minor_sec":-1,"partitioned_minor_rows":-1}"""
       }
     val total = results.values.filter(_ >= 0).sum
     val line =

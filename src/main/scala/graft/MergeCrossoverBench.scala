@@ -34,7 +34,7 @@ object MergeCrossoverBench {
     val spark = Sessions.local("merge5m", cpus)
     val (flatSec, partSec, rewritten) = run(spark)
     val c = runCorrection(spark)
-    println(f"""{"metric":"merge5m","flat_delta_sec":$flatSec%.3f,"partitioned_delta_sec":$partSec%.3f,"rows_rewritten":$rewritten,"mor_correction_sec":${c.morSec}%.3f,"mor_rows_written":${c.morRows},"mor_base_files_read":${c.filesRead},"mor_base_files_total":${c.filesTotal},"mor_minor_sec":${c.minorSec}%.3f,"mor_minor_rows":${c.minorRows},"mor_compact_sec":${c.compactSec}%.3f,"mor_compact_rows_rewritten":${c.compactRows},"partitioned_correction_sec":${c.partSec}%.3f,"partitioned_rows_rewritten":${c.partRows}}""")
+    println(f"""{"metric":"merge5m","flat_delta_sec":$flatSec%.3f,"partitioned_delta_sec":$partSec%.3f,"rows_rewritten":$rewritten,"mor_correction_sec":${c.morSec}%.3f,"mor_rows_written":${c.morRows},"mor_base_files_read":${c.filesRead},"mor_base_files_total":${c.filesTotal},"mor_minor_sec":${c.minorSec}%.3f,"mor_minor_rows":${c.minorRows},"mor_compact_sec":${c.compactSec}%.3f,"mor_compact_rows_rewritten":${c.compactRows},"partitioned_correction_sec":${c.partSec}%.3f,"partitioned_rows_rewritten":${c.partRows},"partitioned_minor_sec":${c.pMinorSec}%.3f,"partitioned_minor_rows":${c.pMinorRows}}""")
     spark.stop()
   }
 
@@ -44,7 +44,8 @@ object MergeCrossoverBench {
       filesRead: Long, filesTotal: Long,
       minorSec: Double, minorRows: Long,
       compactSec: Double, compactRows: Long,
-      partSec: Double, partRows: Long)
+      partSec: Double, partRows: Long,
+      pMinorSec: Double, pMinorRows: Long)
 
   private def baseDf(spark: SparkSession): DataFrame =
     spark.range(Rows).select(
@@ -204,7 +205,43 @@ object MergeCrossoverBench {
     val compactRows = mAfter.pmap.filter(_._2 == mAfter.baseGen).map(_._3).sum
     require(mAfter.baseRows == Rows,
       s"compaction changed the live row count: ${mAfter.baseRows}")
+    // PARTITIONED minor-fold evidence under per-trigger maintenance:
+    // two single-month corrections in DIFFERENT months grow the chain
+    // to two elements spanning two partitions; the minor fold collapses
+    // them to one chain element whose rows are exactly the touched keys
+    // — base generation AND per-partition map asserted unchanged, so
+    // the fold's entire I/O is the chain itself, never any base
+    // partition (clean or dirty)
+    val corr3 = baseDf(spark)
+      .filter(col("o_orderkey") % Months === 0 &&
+        col("o_orderkey") >= 20L * Months && col("o_orderkey") < 30L * Months)
+      .withColumn("o_totalprice", col("o_totalprice") + 3000000.0)
+    val corr4 = baseDf(spark)
+      .filter(col("o_orderkey") % Months === 1 &&
+        col("o_orderkey") < 10L * Months)
+      .withColumn("o_totalprice", col("o_totalprice") + 4000000.0)
+    val b2 = MergeOnRead.manifest(spark, dir, "m5_mor").lastBatch + 1
+    MergeOnRead.deltaMerge(spark, dir, "m5_mor", corr3, spec, now, b2)
+    MergeOnRead.deltaMerge(spark, dir, "m5_mor", corr4, spec, now, b2 + 1)
+    val mBeforePMinor = MergeOnRead.manifest(spark, dir, "m5_mor")
+    val pMinorSec = timed { MergeOnRead.compactMinor(spark, dir, "m5_mor") }
+    val mPMinor = MergeOnRead.manifest(spark, dir, "m5_mor")
+    require(mPMinor.baseGen == mBeforePMinor.baseGen &&
+        mPMinor.pmap == mBeforePMinor.pmap && mPMinor.deltaSeqs.size == 1,
+      s"partitioned minor fold must leave base generation and pmap untouched: $mPMinor")
+    val pMinorRows = MergeOnRead.deltaRowCounts(spark, dir, "m5_mor").last
+    // restore the original base values for the corr3/corr4 keys (they
+    // exist only to exercise the fold — m5_part never sees them, and
+    // next round's layout-agreement check compares the two), then fold
+    // the chain away so every round starts from the same shape
+    val revert = baseDf(spark).filter(
+      (col("o_orderkey") % Months === 0 &&
+        col("o_orderkey") >= 20L * Months && col("o_orderkey") < 30L * Months) ||
+      (col("o_orderkey") % Months === 1 && col("o_orderkey") < 10L * Months))
+    MergeOnRead.deltaMerge(spark, dir, "m5_mor", revert, spec, now, b2 + 2)
+    MergeOnRead.compact(spark, dir, "m5_mor")
     CorrectionMetrics(morSec, morRows, filesRead, filesTotal,
-      minorSec, minorRows, compactSec, compactRows, partSec, partRows)
+      minorSec, minorRows, compactSec, compactRows, partSec, partRows,
+      pMinorSec, pMinorRows)
   }
 }

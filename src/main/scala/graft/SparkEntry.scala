@@ -1095,6 +1095,39 @@ object SparkEntry {
       // skipped; the view equals the one-pass oracle
       morStreamFold(s, d)
     }),
+    "stream_pointer_replay" -> ((s, d) => {
+      // the POINTER-committed streaming upsert, batch-replayed: no
+      // batch stamp on this path — replay safety is merge IDEMPOTENCE
+      // (a checkpoint replay redelivers identical batch content, and
+      // recommitting the identical merge result changes nothing) — so
+      // batch 2 re-folds verbatim and the read-through-pointer table
+      // must equal the one-pass oracle
+      import graft.sources.Warehouse
+      val ord = rd(s, d, "orders")
+      val src = ord.select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents0"))
+      val dir = new java.io.File(
+        "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      val tbl = s"ptr_stream_${contentEpoch(ord, "o_orderkey")}"
+      val spec = MergeSpec(Seq("k"), Seq("cents"))
+      graft.operators.Memo.cached(s, s"ptrstream|$dir|$tbl") {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        def batch(i: Int): DataFrame =
+          src.where(col("k") % 4 === i)
+            .select(col("k"), (col("cents0") + 2L * i).as("cents"))
+        // re-running the whole fold in a later JVM is safe for the same
+        // reason the replay is: identical content recommits identically
+        (0 until 4).foreach { i =>
+          graft.streaming.Streams.foldUpsertPointerBatch(
+            batch(i), dir, tbl, spec, tlit(tsNow))
+          if (i == 2) // crash replay: identical content, idempotent recommit
+            graft.streaming.Streams.foldUpsertPointerBatch(
+              batch(i), dir, tbl, spec, tlit(tsNow))
+        }
+        java.lang.Boolean.TRUE
+      }
+      Warehouse.Pointer.read(s, dir, tbl).select("k", "cents")
+    }),
     "merge_delta_changes_part" -> ((s, d) => {
       // the PARTITIONED chain consumed as a change feed: net per-key
       // change after batch 1, month column along — same chain-sized
@@ -5600,6 +5633,13 @@ object SparkEntry {
     "stream_mor_replay" ->
       ("SELECT o_orderkey AS k, " +
         "CAST(round(o_totalprice * 100) AS BIGINT) + o_orderkey % 4 AS cents " +
+        "FROM orders"),
+    // pointer-committed foreachBatch fold, one batch replayed verbatim:
+    // merge idempotence makes the recommit a content no-op, so the
+    // final table is the one-pass per-batch assignment
+    "stream_pointer_replay" ->
+      ("SELECT o_orderkey AS k, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) + 2 * (o_orderkey % 4) AS cents " +
         "FROM orders"),
     "merge_delta_deletes" -> morDeleteOracleSql,
     // net change per key across batches 2..3 of the delete chain:

@@ -360,24 +360,44 @@ object Streams {
       checkpointPath: String,
       keepGenerations: Int = 2,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
-    import graft.sources.Warehouse
-    val schema = stream.schema
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointPath)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val target =
-          if (Warehouse.Pointer.exists(spark, warehouseDir, table))
-            Warehouse.Pointer.read(spark, warehouseDir, table)
-          else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        val merged = graft.operators.Merge.scd1(
-          target, batch, spec, current_timestamp())
-        Warehouse.Pointer.overwrite(merged, warehouseDir, table, keepGenerations)
+        foldUpsertPointerBatch(batch, warehouseDir, table, spec,
+          current_timestamp(), keepGenerations)
       }
       .start()
+
+  /** One [[upsertStreamPointer]] micro-batch, exposed for batch-replay
+    * verification (the `stream_pointer_replay` gate) and crash-replay
+    * testing: merge the current pointer generation with the batch,
+    * commit the result as a new generation via the atomic pointer
+    * replace. There is NO batch stamp on this path — replay safety is
+    * merge idempotence: a checkpoint replay redelivers identical batch
+    * content, and recommitting the identical merge result changes
+    * nothing in content (the contract difference from the stamped
+    * [[foldUpsertMorBatch]], which additionally survives a poisoned
+    * replay payload).
+    */
+  def foldUpsertPointerBatch(
+      batch: DataFrame,
+      warehouseDir: String,
+      table: String,
+      spec: graft.operators.MergeSpec,
+      now: org.apache.spark.sql.Column,
+      keepGenerations: Int = 2): Unit = {
+    import graft.sources.Warehouse
+    val spark = batch.sparkSession
+    val target =
+      if (Warehouse.Pointer.exists(spark, warehouseDir, table))
+        Warehouse.Pointer.read(spark, warehouseDir, table)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+    val merged = graft.operators.Merge.scd1(target, batch, spec, now)
+    Warehouse.Pointer.overwrite(merged, warehouseDir, table, keepGenerations)
   }
 
   /** Streaming corpus ingest with near-dup admission control — the

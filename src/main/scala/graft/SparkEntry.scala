@@ -2367,6 +2367,43 @@ object SparkEntry {
       val pred = pmod(col("k"), lit(1024L)).isin(dirty: _*)
       Merge.diff(src.where(pred), right.where(pred), Seq("k"), Seq("cents"))
     }),
+    "u8_bucket_repair" -> ((s, d) => {
+      // anti-entropy END-TO-END: detection (bucket digests) → localized
+      // drill-down (diff over the dirty-bucket slices only) → repair
+      // (the diff recast as a change feed, applied onto the stale
+      // replica) — the replica lands hash-equal to the source while the
+      // exact-row work reads ONLY the dirty buckets. rows_read (both
+      // sides' dirty-slice row counts) rides along as a column the
+      // oracle recomputes independently, machine-proving the drill-down
+      // footprint ≪ two full reads; the require pins it structurally
+      import graft.sources.MergeOnRead
+      val src = rd(s, d, "orders").select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      // stale replica drift: some keys missing, some payloads drifted,
+      // and a few ALIEN rows (present only on the replica) so the
+      // repair exercises upsert-insert, upsert-update AND delete
+      val stale = src.where(col("k") % 7000 =!= 1)
+        .select(col("k"), when(col("k") % 9000 === 3, col("cents") + 1)
+          .otherwise(col("cents")).as("cents"))
+        .unionByName(src.where(col("k") % 5000 === 2)
+          .select((col("k") + 10000000L).as("k"), col("cents")))
+      val digest = col("k").cast("decimal(38,0)") * lit(1000003L) +
+        col("cents").cast("decimal(38,0)") * lit(998244353L)
+      val dirty = Merge.dirtyBuckets(src, stale, "k", digest, 1024)
+        .select("bucket").collect().map(_.getLong(0)).toSeq // <= 1024 rows
+      val pred = pmod(col("k"), lit(1024L)).isin(dirty: _*)
+      val srcSlice = src.where(pred)
+      val staleSlice = stale.where(pred)
+      val rowsRead = srcSlice.count() + staleSlice.count()
+      require(rowsRead * 5 < src.count() + stale.count(),
+        s"drill-down must stay localized: read $rowsRead rows")
+      val changes = Merge.diff(srcSlice, staleSlice, Seq("k"), Seq("cents"))
+        .select(col("k"), col("prev_cents").as("cents"),
+          when(col("change_type") === "inserted", lit("delete"))
+            .otherwise(lit("upsert")).as("change"))
+      MergeOnRead.applyChanges(stale, changes, Seq("k"))
+        .withColumn("rows_read", lit(rowsRead))
+    }),
     "u6_point_in_time" -> ((s, d) => {
       // temporal join: each order reads the customer balance version
       // valid AT ITS ORDER DATE — the leak-proof feature join over
@@ -6467,6 +6504,24 @@ object SparkEntry {
         "WHEN r.k IS NULL THEN 'deleted' ELSE 'inserted' END AS change_type " +
         "FROM l FULL OUTER JOIN r ON l.k = r.k " +
         "WHERE l.k IS NULL OR r.k IS NULL OR l.cents <> r.cents"),
+    // the repaired replica must equal the source; rows_read is
+    // recomputed independently from the bucket-digest definition
+    // (bucket = k % 1024, digest = k·A + cents·B summed per bucket)
+    "u8_bucket_repair" ->
+      ("WITH l AS (SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "r AS (SELECT k, CASE WHEN k % 9000 = 3 THEN cents + 1 ELSE cents END AS cents " +
+        "FROM l WHERE k % 7000 <> 1 " +
+        "UNION ALL SELECT k + 10000000, cents FROM l WHERE k % 5000 = 2), " +
+        "lb AS (SELECT k % 1024 AS bucket, count(*) AS n, " +
+        "sum(CAST(k AS HUGEINT) * 1000003 + CAST(cents AS HUGEINT) * 998244353) AS dg FROM l GROUP BY 1), " +
+        "rb AS (SELECT k % 1024 AS bucket, count(*) AS n, " +
+        "sum(CAST(k AS HUGEINT) * 1000003 + CAST(cents AS HUGEINT) * 998244353) AS dg FROM r GROUP BY 1), " +
+        "dirty AS (SELECT coalesce(lb.bucket, rb.bucket) AS bucket " +
+        "FROM lb FULL JOIN rb ON lb.bucket = rb.bucket " +
+        "WHERE lb.n IS DISTINCT FROM rb.n OR lb.dg IS DISTINCT FROM rb.dg), " +
+        "rr AS (SELECT (SELECT count(*) FROM l WHERE k % 1024 IN (SELECT bucket FROM dirty)) + " +
+        "(SELECT count(*) FROM r WHERE k % 1024 IN (SELECT bucket FROM dirty)) AS rows_read) " +
+        "SELECT l.k, l.cents, (SELECT rows_read FROM rr) AS rows_read FROM l"),
     // independent formulation: the oracle is the naive validity-range
     // LEFT JOIN (at most one version matches by the SCD-2 invariant),
     // not a replay of the as-of carry

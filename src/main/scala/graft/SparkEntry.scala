@@ -470,16 +470,26 @@ object SparkEntry {
     */
   private[graft] val kllK = 256
 
-  /** Trailing-zero-nibble level key for the hash-rank sketch: derived
+  /** Trailing-zero-BIT level key for the hash-rank sketch: derived
     * from the UNIQUE event id (hashing the value would bias duplicate
     * values together — the [[graft.functions.HashRankQuantileAgg]]
     * contract), md5-based so DuckDB replays the identical draw (the
-    * [[graft.operators.Stats.bootstrapMeanCI]] discipline).
+    * [[graft.operators.Stats.bootstrapMeanCI]] discipline). Bits, not
+    * nibbles: 4·tzNibbles plus the trailing-zero bits of the last
+    * non-zero hex char ({8}→3, {4,c}→2, {2,6,a,e}→1, odd→0) — the
+    * halving-per-level draw that keeps the survivor sample above ~k/2
+    * after a bump instead of ~k/16.
     */
-  private def kllTz: Column =
-    length(regexp_extract(
-      md5(concat(lit("kll:"), col("event_id").cast("string")).cast("binary")),
-      "(0*)$", 1)).cast("int")
+  private def kllTz: Column = {
+    val h = md5(concat(lit("kll:"), col("event_id").cast("string")).cast("binary"))
+    val tzn = length(regexp_extract(h, "(0*)$", 1)).cast("int")
+    val lastNz = h.substr(lit(32) - tzn, lit(1))
+    (tzn * 4 +
+      when(lastNz === "8", 3)
+        .when(lastNz.isin("4", "c"), 2)
+        .when(lastNz.isin("2", "6", "a", "e"), 1)
+        .otherwise(0)).cast("int")
+  }
 
   /** Per-event-type hash-rank quantile sketch over value cents:
     * `(event_type, sk = {level, n, items[(tz, v)]})` — one combinable
@@ -508,15 +518,21 @@ object SparkEntry {
     graft.operators.Quantiles.hashRankReadout(kllStates(sk), "event_type")
 
   /** DuckDB replay of the hash-rank sketch pipeline: same md5
-    * trailing-zero draw, level = min l with ≤ k survivors, survivor
+    * trailing-zero-BIT draw, level = min l with ≤ k survivors, survivor
     * integer-rank picks.
     */
   private def kllOracleSql: String =
-    "WITH e AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v, " +
-      "length(regexp_extract(md5('kll:' || CAST(event_id AS VARCHAR)), '(0*)$', 1)) AS tz FROM events), " +
+    "WITH h AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v, " +
+      "md5('kll:' || CAST(event_id AS VARCHAR)) AS hx FROM events), " +
+      "e AS (SELECT event_type, v, " +
+      "4 * length(regexp_extract(hx, '(0*)$', 1)) + " +
+      "CASE substr(hx, 32 - length(regexp_extract(hx, '(0*)$', 1)), 1) " +
+      "WHEN '8' THEN 3 WHEN '4' THEN 2 WHEN 'c' THEN 2 " +
+      "WHEN '2' THEN 1 WHEN '6' THEN 1 WHEN 'a' THEN 1 WHEN 'e' THEN 1 " +
+      "ELSE 0 END AS tz FROM h), " +
       "tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1), " +
       "ls AS (SELECT t.event_type, gs.l FROM (SELECT DISTINCT event_type FROM e) t, " +
-      "generate_series(0, 32) gs(l)), " +
+      "generate_series(0, 128) gs(l)), " +
       "pc AS (SELECT ls.event_type, ls.l, count(e2.v) AS c FROM ls LEFT JOIN e e2 " +
       "ON e2.event_type = ls.event_type AND e2.tz >= ls.l GROUP BY 1, 2), " +
       s"lv AS (SELECT event_type, CAST(min(l) AS INT) AS level FROM pc WHERE c <= $kllK GROUP BY 1), " +
@@ -538,7 +554,10 @@ object SparkEntry {
     val ev = rd(s, d, "events")
     val dir = new java.io.File(
       "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
-    val tbl = s"kll_state_${contentEpoch(ev, "event_id")}"
+    // v2: the table name carries the DRAW version — the bit-granular
+    // draw changed the persisted state's content, and a pre-existing
+    // nibble-draw table would stamp-skip the refold
+    val tbl = s"kll_state_v2_${contentEpoch(ev, "event_id")}"
     def prepped(poison: Boolean): DataFrame =
       ev.select(col("event_type"), col("event_id"), kllTz.as("tz"),
         (round(col("value") * 100).cast("long") +

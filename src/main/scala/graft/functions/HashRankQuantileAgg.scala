@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Sketch state: the sampling LEVEL, the exact total row count, and the
-  * surviving (tz, value) pairs — `tz` is the item's trailing-zero-nibble
+  * surviving (tz, value) pairs — `tz` is the item's trailing-zero-BIT
   * count of its content hash, which is what lets any later level bump
   * (during merges) re-filter the survivors without revisiting data.
   */
@@ -18,9 +18,10 @@ final case class HashRankState(level: Int, n: Long, items: Seq[(Int, Long)])
   * KLL-style geometric level sampling, DERANDOMIZED by content hashing:
   * where KLL's compactor flips coins to keep alternating items, here an
   * item's survival at level L is a pure function of its own hash — it
-  * survives iff its md5 carries ≥ L trailing zero nibbles (probability
-  * 16⁻ᴸ). The sketch keeps the lowest level at which ≤ k items survive;
-  * a `reduce` past capacity bumps the level and re-filters.
+  * survives iff its md5 carries ≥ L trailing zero BITS (probability
+  * 2⁻ᴸ — KLL's own halving rate). The sketch keeps the lowest level at
+  * which ≤ k items survive; a `reduce` past capacity bumps the level
+  * and re-filters.
   *
   * Why derandomize: a coin-flip compactor's content depends on MERGE
   * ORDER, and Spark's partial-aggregation tree merges in nondeterministic
@@ -34,30 +35,37 @@ final case class HashRankState(level: Int, n: Long, items: Seq[(Int, Long)])
   * tree lands on the identical (level, survivors). A DuckDB oracle
   * replays the whole construction from the same md5 expression.
   *
-  * Estimation: survivors are an equal-weight (16^level) hash sample of
+  * Estimation: survivors are an equal-weight (2^level) hash sample of
   * the rows, so the p-quantile estimate is the survivor multiset's
   * integer-rank pick `sorted[⌈p·m⌉]` — standard uniform-sample bounds
-  * give rank error O(√(log(1/δ)/k)) with probability 1−δ, with NO
-  * assumption on the value domain. The nibble granularity (16× per
-  * level, vs KLL's 2×) means a bump can shrink the sample to ~k/16 —
-  * the price of hash-derandomized determinism, bounded and documented.
+  * give rank error O(√(log(1/δ)/m)) with probability 1−δ, with NO
+  * assumption on the value domain. Bit granularity halves the expected
+  * sample per level bump, so after any bump the survivor count stays
+  * ABOVE ~k/2 in expectation (the worst case an earlier nibble draw —
+  * 16× per level — could shrink to ~k/16): the effective sample m is
+  * ≥ k/2 rather than ≥ k/16, an 8× tighter worst-case rank-error
+  * denominator for the same k, with the same determinism (survival is
+  * still a pure function of the multiset).
   *
-  * Caller contract: `tz` must be derived from a UNIQUE per-row key
-  * (e.g. `length(regexp_extract(md5('salt:' || id), '(0*)$', 1))`) —
-  * hashing the VALUE would make duplicate values live or die together
-  * and bias the sample. Combinable by construction (partial aggregation
-  * merges states); state is ≤ k pairs + two scalars regardless of input
-  * size, exactly what a 100 TB aggregation tree or an O(delta)
-  * incremental maintenance fold wants (see the `incr_kll_maintain`
-  * gate: yesterday's state ⊎ the delta's state equals the full rebuild
+  * Caller contract: `tz` must be the trailing-zero-BIT count of a hash
+  * of a UNIQUE per-row key — from the md5 hex string:
+  * `4·tzNibbles + bitsOf(last non-zero hex char)` where bitsOf maps
+  * 8→3, {4,c}→2, {2,6,a,e}→1, odd→0 (an expression both Spark and a
+  * DuckDB oracle evaluate identically). Hashing the VALUE would make
+  * duplicate values live or die together and bias the sample.
+  * Combinable by construction (partial aggregation merges states);
+  * state is ≤ k pairs + two scalars regardless of input size, exactly
+  * what a 100 TB aggregation tree or an O(delta) incremental
+  * maintenance fold wants (see the `incr_kll_maintain` gate:
+  * yesterday's state ⊎ the delta's state equals the full rebuild
   * EXACTLY, not approximately).
   */
 class HashRankQuantileAgg(k: Int)
     extends Aggregator[(Int, Long), HashRankState, HashRankState] {
   require(k >= 8, "capacity below 8 has no usable rank resolution")
 
-  /** md5 has 32 nibbles; past level 32 nothing can be re-filtered. */
-  private val MaxLevel = 32
+  /** md5 has 128 bits; past level 128 nothing can be re-filtered. */
+  private val MaxLevel = 128
 
   private def squeeze(level0: Int, items0: Seq[(Int, Long)]): (Int, Seq[(Int, Long)]) = {
     var level = level0

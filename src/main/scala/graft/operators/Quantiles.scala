@@ -219,14 +219,15 @@ object Quantiles {
     * the sketch's survivors at any level ≥ a part's own level are fully
     * recoverable from that part (it only dropped items that can never
     * resurface). New level = min l ≥ max(part levels) with ≤ k
-    * survivors; cost is (groups × ≤33 candidate levels × ≤ parts·k
+    * survivors; cost is (groups × ≤129 candidate levels × ≤ parts·k
     * items) — metadata-sized, history rows never touched.
     */
   def mergeHashRankStates(parts: DataFrame, groupCol: String, k: Int): DataFrame = {
     val lm = parts.groupBy(groupCol)
       .agg(max(col("level")).as("lmax"), sum(col("n")).as("n"))
     val ex = parts.select(col(groupCol), explode(col("items")).as("it"))
-    val pass = lm.select(col(groupCol), explode(sequence(col("lmax"), lit(32))).as("l"))
+    // 128 = md5 bit width, the sketch's MaxLevel
+    val pass = lm.select(col(groupCol), explode(sequence(col("lmax"), lit(128))).as("l"))
       .join(ex, Seq(groupCol), "left")
       .groupBy(col(groupCol), col("l"))
       .agg(sum(when(col("it._1") >= col("l"), 1L).otherwise(0L)).as("pc"))

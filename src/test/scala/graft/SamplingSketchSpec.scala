@@ -729,10 +729,10 @@ class SamplingSketchSpec extends AnyFunSuite with SparkTest {
   test("HashRankQuantileAgg: state is a pure function of the multiset — any merge tree agrees") {
     val agg = new graft.functions.HashRankQuantileAgg(16)
     val rnd = new scala.util.Random(17L)
-    // synthetic (tz, v): geometric tz like a real hash draw
+    // synthetic (tz, v): geometric-2 tz like the real trailing-bit draw
     val xs = (1 to 400).map { i =>
       var tz = 0
-      while (tz < 8 && rnd.nextInt(16) == 0) tz += 1
+      while (tz < 24 && rnd.nextInt(2) == 0) tz += 1
       (tz, i.toLong)
     }
     def fold(items: Seq[(Int, Long)]) =
@@ -754,13 +754,19 @@ class SamplingSketchSpec extends AnyFunSuite with SparkTest {
     assert(onePass.items == onePass.items.sortBy(x => (x._2, x._1)), "canonical order")
   }
 
-  test("HashRankQuantileAgg: real md5 draw gives usable rank error at k=256") {
+  test("HashRankQuantileAgg: real md5 BIT draw keeps the sample above k/2-ish at k=256") {
     val s = spark; import s.implicits._
     val n = 20000
+    // trailing-zero BITS of md5: 4*nibbles + bits of the last non-zero
+    // hex char — the halving-per-level draw the production gates use
+    val h = md5(concat(lit("t:"), col("id").cast("string")).cast("binary"))
+    val tzn = length(regexp_extract(h, "(0*)$", 1)).cast("int")
+    val lastNz = h.substr(lit(32) - tzn, lit(1))
+    val tzBits = (tzn * 4 +
+      when(lastNz === "8", 3).when(lastNz.isin("4", "c"), 2)
+        .when(lastNz.isin("2", "6", "a", "e"), 1).otherwise(0)).cast("int")
     val df = (1 to n).map(i => (i.toLong, i.toLong)).toDF("id", "v")
-      .withColumn("tz", length(regexp_extract(
-        md5(concat(lit("t:"), col("id").cast("string")).cast("binary")),
-        "(0*)$", 1)).cast("int"))
+      .withColumn("tz", tzBits)
     val agg = org.apache.spark.sql.functions.udaf(
       new graft.functions.HashRankQuantileAgg(256),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Int, Long)]())
@@ -769,11 +775,14 @@ class SamplingSketchSpec extends AnyFunSuite with SparkTest {
       .head()
     assert(sk.getLong(1) == n.toLong)
     val vs = sk.getSeq[Long](2)
-    assert(vs.size <= 256 && vs.size >= 8, s"sample size ${vs.size}")
+    // the bit draw halves per level, so the minimal level's survivor
+    // count sits in (k/2-ish, k] — the 8x-tighter worst-case floor the
+    // old nibble draw (divide-by-16 per bump, floor ~k/16) lacked
+    assert(vs.size <= 256 && vs.size > 100, s"sample size ${vs.size}")
     // values are uniform 1..n, so the sample median's RANK should land
     // within a generous 4/sqrt(m) band of n/2 (deterministic: the md5
     // draw is fixed, this documents the achieved error, not luck)
-    val med = vs(( vs.size + 1) / 2 - 1)
+    val med = vs((vs.size + 1) / 2 - 1)
     val tol = (4.0 / math.sqrt(vs.size.toDouble) * n).toLong
     assert(math.abs(med - n / 2) <= tol, s"median est $med vs ${n / 2} (tol $tol)")
   }

@@ -269,11 +269,12 @@ object OracleSql {
     * assignment (argmax cosine, first-max tie-break), query probes,
     * candidate scoring, final per-query ranking.
     */
-  private def ivfTail(centName: String, k: Int, nProbe: Int, dim: Int): String =
+  private def ivfTail(centName: String, k: Int, nProbe: Int, dim: Int,
+      memberWhere: String = "TRUE"): String =
     s"cd AS (SELECT c.vec_id, c.embedding, c.nrm, ct.cidx, ${pairDot("c.embedding", "ct.cvec", dim)} / c.nrm AS dot " +
       s"FROM cnd c CROSS JOIN $centName ct), " +
       "cellasg AS (SELECT vec_id AS neighbor_id, embedding AS c_vec, nrm AS c_norm, cidx AS cell FROM " +
-      "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cidx) AS rn FROM cd) t WHERE rn = 1), " +
+      s"(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cidx) AS rn FROM cd) t WHERE rn = 1 AND ($memberWhere)), " +
       s"qd AS (SELECT q.vec_id, q.embedding, q.nrm, ct.cidx, ${pairDot("q.embedding", "ct.cvec", dim)} / q.nrm AS dot " +
       s"FROM qry q CROSS JOIN $centName ct), " +
       "probe AS (SELECT vec_id AS query_id, embedding AS q_vec, nrm AS q_norm, cidx AS cell FROM " +
@@ -294,6 +295,20 @@ object OracleSql {
     s"WITH ${ivfPrologue(numCentroids, dim, seed, candWhere)}, " +
       "cent AS (SELECT * FROM cent0), " +
       ivfTail("cent", k, nProbe, dim)
+
+  /** Oracle for `ann_ivf_deleted`: the persisted-index lifecycle with a
+    * right-to-be-forgotten purge — centroids seeded from the ORIGINAL
+    * candidate corpus (frozen, exactly [[annIvfTopK]]'s prologue), but
+    * cell MEMBERSHIP restricted to the survivors: the index a targeted
+    * delete leaves behind, which equals a purge-everything +
+    * re-append-survivors rebuild under the same frozen centroids.
+    * `deletedWhere` is a predicate on `vec_id`.
+    */
+  def annIvfTopKDeleted(k: Int, numCentroids: Int, nProbe: Int,
+      deletedWhere: String, dim: Int = 64, seed: Long = 42L): String =
+    s"WITH ${ivfPrologue(numCentroids, dim, seed)}, " +
+      "cent AS (SELECT * FROM cent0), " +
+      ivfTail("cent", k, nProbe, dim, memberWhere = s"NOT ($deletedWhere)")
 
   /** Oracle for `ann_range_search`: replay of
     * `Similarity.ivfRangeSearch` — the IVF prologue, first-max cell

@@ -1572,6 +1572,23 @@ object SparkEntry {
       Dedup.dedupDeltaAgainstIndex(delta, corpus, index, 16, 8, 1, 50,
         portable = true)
     }),
+    "dedup_index_deleted" -> ((s, d) => {
+      // RIGHT-TO-BE-FORGOTTEN on the dedup index: corpus docs
+      // (id % 7 == 3) purge from the band index, and the purged index
+      // serves the delta dedup EXACTLY as an index rebuilt from the
+      // survivors — LSH pair extraction is pairwise, so purge == rebuild
+      // structurally, and the oracle (survivor-LSH restricted to pairs
+      // touching the delta) proves it on the hash
+      val docs = rd(s, d, "documents")
+      val delta = docs.filter(col("doc_id") < 100)
+      val corpus = docs.filter(col("doc_id") >= 100)
+      val deleted = corpus.filter(col("doc_id") % 7 === 3).select("doc_id")
+      val purged = Dedup.deleteFromMinHashIndex(
+        Dedup.buildMinHashIndex(corpus, 16, 8, portable = true), deleted)
+      val corpusLive = corpus.join(deleted, Seq("doc_id"), "left_anti")
+      Dedup.dedupDeltaAgainstIndex(delta, corpusLive, purged, 16, 8, 1, 50,
+        portable = true)
+    }),
     "dedup_simhash" -> ((s, d) => {
       // portable signatures (oracle-replayed); pair extraction in tests
       val docs = rd(s, d, "documents")
@@ -1901,6 +1918,32 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(rd(s, d, "embeddings"),
         col("vec_id") < 10, col("vec_id") >= 10, 5, numCentroids = 16, nProbe = 4)),
+    "ann_ivf_deleted" -> ((s, d) => {
+      // RIGHT-TO-BE-FORGOTTEN on the PERSISTED IVF index: build once
+      // (content-addressed under target/), purge vec_id % 5 == 2 from
+      // the stored cell table, probe through the purged index — no
+      // deleted id can ever surface again, and the oracle rebuilds
+      // membership from the survivors under the same frozen centroids
+      // (the purge == rebuild equivalence the frozen-centroid
+      // lifecycle guarantees; spec-pinned in SimilaritySpec)
+      import graft.sources.Warehouse
+      val emb = rd(s, d, "embeddings")
+      val dir = new java.io.File(
+        "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      val tbl = s"ivfdel_${contentEpoch(emb, "vec_id")}"
+      graft.operators.Memo.cached(s, s"ivfdel|$dir|$tbl") {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        if (!Warehouse.exists(s, dir, s"${tbl}_cells"))
+          Similarity.buildIvfIndex(emb, col("vec_id") >= 10, dir, tbl,
+            numCentroids = 16)
+        Similarity.deleteFromIvfIndex(s, dir, tbl,
+          emb.where(col("vec_id") >= 10 && col("vec_id") % 5 === 2)
+            .select("vec_id"))
+        java.lang.Boolean.TRUE
+      }
+      Similarity.ivfTopKIndexed(emb.where(col("vec_id") < 10), dir, tbl,
+        k = 5, nProbe = 4)
+    }),
     "ann_range_search" -> ((s, d) =>
       // radius form of the IVF tier: every probed pair with cosine
       // >= 0.3 — bounds result QUALITY where top-k bounds COUNT; the
@@ -5865,10 +5908,21 @@ object SparkEntry {
     "dedup_incremental" ->
       (s"SELECT * FROM (${OracleSql.dedupMinhashLsh(16, 8, 1, 50)}) " +
         "WHERE id_a < 100 OR id_b < 100"),
+    // survivor-LSH restricted to delta-touching pairs: pair stats are
+    // pairwise, so dropping deleted docs from the full pair set IS the
+    // rebuild-from-survivors result
+    "dedup_index_deleted" ->
+      (s"SELECT * FROM (${OracleSql.dedupMinhashLsh(16, 8, 1, 50)}) " +
+        "WHERE (id_a < 100 OR id_b < 100) " +
+        "AND NOT (id_a >= 100 AND id_a % 7 = 3) " +
+        "AND NOT (id_b >= 100 AND id_b % 7 = 3)"),
     "dedup_simhash" -> OracleSql.dedupSimhash,
     "dedup_embed_lsh" -> OracleSql.dedupEmbedLsh(0.4),
     "ann_lsh_topk" -> OracleSql.annLshTopK(5),
     "ann_ivf_topk" -> OracleSql.annIvfTopK(5, numCentroids = 16, nProbe = 4),
+    "ann_ivf_deleted" ->
+      OracleSql.annIvfTopKDeleted(5, numCentroids = 16, nProbe = 4,
+        deletedWhere = "vec_id % 5 = 2"),
     "ann_range_search" -> OracleSql.annRangeSearch("0.3", numCentroids = 8, nProbe = 4),
     "ann_filtered_brute" ->
       ("SELECT query_id, neighbor_id, rnk FROM (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, " +

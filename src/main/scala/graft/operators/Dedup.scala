@@ -711,6 +711,23 @@ object Dedup {
       .select("id_a", "id_b", "inter", "union_size")
   }
 
+  /** RIGHT-TO-BE-FORGOTTEN for the persisted MinHash index: purge every
+    * band row (and the piggybacked `n_grams` size) of the deleted docs,
+    * so the index can never again surface a deleted document as a
+    * dedup candidate. One anti-join on the id — deletion-feed-sized,
+    * never corpus-sized — and because LSH pair extraction is purely
+    * PAIRWISE (a pair's bands/overlap depend on its two docs only), the
+    * purged index serves results identical to an index freshly rebuilt
+    * from the survivors (gated: `dedup_index_deleted`). Pair the purge
+    * with the corpus delete itself; admission decisions that historical
+    * deltas made against the doc are history, not index state.
+    */
+  def deleteFromMinHashIndex(
+      index: DataFrame,
+      deletedIds: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    index.join(deletedIds.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+
   /** Cross-source duplication matrix — the curation diagnostic that
     * answers "which sources overlap": near-dup pairs (from any pair
     * operator) attributed to their unordered source pair with exact

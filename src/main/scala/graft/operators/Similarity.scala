@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.functions.{rolling_hash, vec_dot, vec_mat_dots}
 
@@ -288,6 +288,30 @@ object Similarity {
       .join(existing.select(col("neighbor_id").as(idCol)), Seq(idCol), "left_anti")
     graft.sources.Warehouse.overwrite(
       existing.unionByName(assignCells(fresh, centroids, vecCol, idCol)),
+      dir, s"${table}_cells")
+  }
+
+  /** RIGHT-TO-BE-FORGOTTEN for the persisted IVF index: rewrite the
+    * cell table minus the deleted vectors' rows, so no probe can ever
+    * return a deleted id again. One anti-join against the deletion
+    * feed; the centroids stay frozen — they are aggregate statistics
+    * of the corpus distribution, not retrievable per-vector data, the
+    * same frozen-centroid lifecycle [[appendToIvfIndex]] already runs —
+    * so the purged index is EXACTLY the index a purge-everything +
+    * re-append-survivors rebuild produces (spec-pinned), and the
+    * deletion is O(cell table), never O(corpus). Replay-safe: deleting
+    * an absent id no-ops.
+    */
+  def deleteFromIvfIndex(
+      spark: SparkSession,
+      dir: String,
+      table: String,
+      deletedIds: DataFrame,
+      idCol: String = "vec_id"): Unit = {
+    val cells = graft.sources.Warehouse.read(spark, dir, s"${table}_cells")
+    graft.sources.Warehouse.overwrite(
+      cells.join(deletedIds.select(col(idCol).as("neighbor_id")).distinct(),
+        Seq("neighbor_id"), "left_anti"),
       dir, s"${table}_cells")
   }
 

@@ -484,6 +484,29 @@ class DedupSpec extends AnyFunSuite with SparkTest {
     assert(incr.forall(p => p._1 < 2 || p._2 < 2))
   }
 
+  test("deleteFromMinHashIndex: purged index serves the survivor rebuild exactly") {
+    val delta = docs.filter("doc_id < 2")
+    val corpus = docs.filter("doc_id >= 2")
+    val s = spark; import s.implicits._
+    val deleted = Seq(3L).toDF("doc_id") // the corpus doc that pairs with the delta
+    val purged = Dedup.deleteFromMinHashIndex(
+      Dedup.buildMinHashIndex(corpus, 16, 4), deleted)
+    // the purged index carries no band or size row for the deleted doc
+    assert(purged.filter("doc_id = 3").isEmpty)
+    val survivors = corpus.filter("doc_id <> 3")
+    // rebuild-from-survivors equivalence, at the INDEX level...
+    val rebuilt = Dedup.buildMinHashIndex(survivors, 16, 4)
+    assert(purged.collect().map(_.toSeq).toSet == rebuilt.collect().map(_.toSeq).toSet)
+    // ...and at the SERVED level: the delta dedup through the purged
+    // index equals the run against the survivor corpus, and the
+    // deleted doc's pair (0,3 — present pre-delete) is gone
+    val incr = Dedup.dedupDeltaAgainstIndex(delta, survivors, purged, 16, 4, 1, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.operators.Caches.release()
+    assert(!incr.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(incr.exists(p => p._1 == 0L && p._2 == 1L), "delta-delta pairs unaffected")
+  }
+
   test("sourceOverlapMatrix attributes pairs to unordered source pairs") {
     val s = spark; import s.implicits._
     val d = Seq((1L, "A"), (2L, "B"), (3L, "A"), (4L, "C"))

@@ -169,6 +169,42 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(fromIndex == exact)
   }
 
+  test("deleteFromIvfIndex: purge equals purge-all + re-append survivors; deleted ids never surface") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(29)
+    val dim = 12
+    val rows = (0 until 160).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val corpus = emb.filter(col("vec_id") >= 10)
+    val deleted = corpus.filter(col("vec_id") % 4 === 1).select("vec_id")
+    val survivors = corpus.join(deleted, Seq("vec_id"), "left_anti")
+    val dir = java.nio.file.Files.createTempDirectory("ivf-del").toString
+    // path A: build over the corpus, targeted delete
+    Similarity.buildIvfIndex(corpus, lit(true), dir, "a", numCentroids = 8)
+    Similarity.deleteFromIvfIndex(s, dir, "a", deleted)
+    // path B: same frozen centroids (same build), purge EVERYTHING,
+    // re-append the survivors fresh — the canonical rebuild
+    Similarity.buildIvfIndex(corpus, lit(true), dir, "b", numCentroids = 8)
+    Similarity.deleteFromIvfIndex(s, dir, "b", corpus.select("vec_id"))
+    assert(graft.sources.Warehouse.read(s, dir, "b_cells").isEmpty)
+    Similarity.appendToIvfIndex(survivors, dir, "b")
+    val cellsA = graft.sources.Warehouse.read(s, dir, "a_cells")
+      .collect().map(_.toSeq).toSet
+    val cellsB = graft.sources.Warehouse.read(s, dir, "b_cells")
+      .collect().map(_.toSeq).toSet
+    assert(cellsA == cellsB, "targeted purge must equal the survivor rebuild")
+    // no deleted id can surface from any probe, even scanning all cells
+    val served = Similarity.ivfTopKIndexed(
+      emb.filter(col("vec_id") < 10), dir, "a", k = 10, nProbe = 8)
+    val deletedIds = deleted.collect().map(_.getLong(0)).toSet
+    assert(served.collect().forall(r => !deletedIds.contains(r.getLong(1))))
+    // deleting an absent id is a no-op (replay-safe)
+    Similarity.deleteFromIvfIndex(s, dir, "a", Seq(999999L).toDF("vec_id"))
+    assert(graft.sources.Warehouse.read(s, dir, "a_cells")
+      .collect().map(_.toSeq).toSet == cellsA)
+  }
+
   test("ivf staleness: drifted deltas degrade recall, the stats flag it, retraining restores both") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(13)

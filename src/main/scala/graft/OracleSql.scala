@@ -296,6 +296,29 @@ object OracleSql {
       "cent AS (SELECT * FROM cent0), " +
       ivfTail("cent", k, nProbe, dim)
 
+  /** Oracle for `dp_laplace_release`: replay of
+    * `Quality.dpLaplaceRelease` — the clamped group aggregate, the
+    * portable-rolling-hash uniform on the 2⁴⁰ grid, and the
+    * inverse-CDF Laplace transform, in the same double operation
+    * order.
+    */
+  def dpLaplaceRelease(groupExpr: String, groupAlias: String,
+      valueExpr: String, from: String,
+      epsilon: Double, clampHi: Long, salt: String): String = {
+    val mod = PortableMinHash.Mod
+    def uExpr(tag: String): String =
+      s"((((${rollFold(s"hex(encode('dp:$salt:$tag:' || g))")}) % $mod)::DOUBLE + 0.5) / $mod.0 - 0.5)"
+    def lap(tag: String, scale: String): String = {
+      val u = uExpr(tag)
+      s"(-($scale) * sign($u) * ln(1.0 - 2.0 * abs($u)))"
+    }
+    s"WITH b AS (SELECT $groupExpr AS g, $valueExpr AS v FROM $from), " +
+      s"a AS (SELECT g, CAST(count(*) AS BIGINT) AS n, " +
+      s"CAST(sum(LEAST(GREATEST(v, 0), $clampHi)) AS BIGINT) AS s FROM b GROUP BY 1) " +
+      s"SELECT g AS $groupAlias, n::DOUBLE + ${lap("n", s"${1.0 / epsilon}")} AS noisy_n, " +
+      s"s::DOUBLE + ${lap("s", s"${clampHi / epsilon}")} AS noisy_sum FROM a"
+  }
+
   /** Oracle for `ann_ivf_deleted`: the persisted-index lifecycle with a
     * right-to-be-forgotten purge — centroids seeded from the ORIGINAL
     * candidate corpus (frozen, exactly [[annIvfTopK]]'s prologue), but

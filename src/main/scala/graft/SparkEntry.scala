@@ -2429,6 +2429,37 @@ object SparkEntry {
       val pred = pmod(col("k"), lit(1024L)).isin(dirty: _*)
       Merge.diff(src.where(pred), right.where(pred), Seq("k"), Seq("cents"))
     }),
+    "u9_merge_3way" -> ((s, d) => {
+      // git-style three-way table merge: two writers branched from one
+      // snapshot — non-overlapping changes (updates, deletes, inserts
+      // on either side) merge cleanly; keys both sides changed
+      // DIFFERENTLY resolve by policy (theirs) and carry was_conflict
+      val base = rd(s, d, "orders").select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val ours = base.where(col("k") % 1000 =!= 1)
+        .select(col("k"), when(col("k") % 100 === 3, col("cents") + 11)
+          .otherwise(col("cents")).as("cents"))
+        .unionByName(base.where(col("k") % 500 === 2)
+          .select((col("k") + 10000000L).as("k"), col("cents")))
+      val theirs = base.where(col("k") % 1000 =!= 7)
+        .select(col("k"), when(col("k") % 150 === 3, col("cents") + 22)
+          .otherwise(col("cents")).as("cents"))
+        .unionByName(base.where(col("k") % 700 === 3)
+          .select((col("k") + 20000000L).as("k"), col("cents")))
+      Merge.threeWayMerge(base, ours, theirs, Seq("k"), Seq("cents"),
+        policy = "theirs")
+    }),
+    "dp_laplace_release" -> ((s, d) => {
+      // ε-DP release of per-status order counts and CLAMPED revenue:
+      // Laplace noise derandomized through the portable rolling hash of
+      // (salt, tag, group) — a retried release publishes the identical
+      // numbers (fresh salt = more budget), and the oracle replays the
+      // exact draw through the same inverse-CDF transform
+      graft.operators.Quality.dpLaplaceRelease(
+        rd(s, d, "orders").select(col("o_orderstatus").as("status"),
+          round(col("o_totalprice") * 100).cast("long").as("cents")),
+        "status", "cents", epsilon = 0.5, clampHi = 10000000L, salt = "r9")
+    }),
     "u8_bucket_repair" -> ((s, d) => {
       // anti-entropy END-TO-END: detection (bucket digests) → localized
       // drill-down (diff over the dirty-bucket slices only) → repair
@@ -6577,6 +6608,32 @@ object SparkEntry {
         "WHEN r.k IS NULL THEN 'deleted' ELSE 'inserted' END AS change_type " +
         "FROM l FULL OUTER JOIN r ON l.k = r.k " +
         "WHERE l.k IS NULL OR r.k IS NULL OR l.cents <> r.cents"),
+    // independent CASE-chain formulation of the 3-way classification:
+    // a side yields unless it changed; equal changes merge; different
+    // changes resolve theirs and flag
+    "u9_merge_3way" ->
+      ("WITH base AS (SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "o AS (SELECT k, CASE WHEN k % 100 = 3 THEN cents + 11 ELSE cents END AS cents " +
+        "FROM base WHERE k % 1000 <> 1 " +
+        "UNION ALL SELECT k + 10000000, cents FROM base WHERE k % 500 = 2), " +
+        "t AS (SELECT k, CASE WHEN k % 150 = 3 THEN cents + 22 ELSE cents END AS cents " +
+        "FROM base WHERE k % 1000 <> 7 " +
+        "UNION ALL SELECT k + 20000000, cents FROM base WHERE k % 700 = 3), " +
+        "j AS (SELECT coalesce(b.k, o.k, t.k) AS k, " +
+        "b.k IS NOT NULL AS pb, o.k IS NOT NULL AS po, t.k IS NOT NULL AS pt, " +
+        "b.cents AS bc, o.cents AS oc, t.cents AS tc " +
+        "FROM base b FULL JOIN o ON b.k = o.k FULL JOIN t ON coalesce(b.k, o.k) = t.k), " +
+        "cl AS (SELECT *, ((po <> pb) OR (oc IS DISTINCT FROM bc)) AS och, " +
+        "((pt <> pb) OR (tc IS DISTINCT FROM bc)) AS tch FROM j), " +
+        "r AS (SELECT *, (och AND tch AND ((po <> pt) OR (oc IS DISTINCT FROM tc))) AS was_conflict FROM cl), " +
+        "f AS (SELECT k, CASE WHEN was_conflict THEN FALSE ELSE och END AS use_ours, was_conflict, " +
+        "po, pt, oc, tc FROM r) " +
+        "SELECT k, CASE WHEN use_ours THEN oc ELSE tc END AS cents, was_conflict " +
+        "FROM f WHERE CASE WHEN use_ours THEN po ELSE pt END"),
+    "dp_laplace_release" ->
+      OracleSql.dpLaplaceRelease("o_orderstatus", "status",
+        "CAST(round(o_totalprice * 100) AS BIGINT)", "orders",
+        epsilon = 0.5, clampHi = 10000000L, salt = "r9"),
     // the repaired replica must equal the source; rows_read is
     // recomputed independently from the bucket-digest definition
     // (bucket = k % 1024, digest = k·A + cents·B summed per bucket)

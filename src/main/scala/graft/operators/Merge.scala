@@ -202,6 +202,59 @@ object Merge {
         compareCols.map(c => sc(c).as(s"next_$c")) :+ col(changeCol): _*)
   }
 
+  /** GIT-STYLE three-way table merge — reconciling two writers that
+    * branched from a common snapshot (a backfill developed against
+    * yesterday's table while production kept merging, two teams
+    * curating one corpus, a branch-based lakehouse workflow): per key,
+    * a side that didn't change from `base` yields to the side that
+    * did; both sides changed identically → that state; both changed
+    * DIFFERENTLY (update-vs-update, update-vs-delete, insert-vs-insert
+    * with different payloads) → a CONFLICT, resolved by `policy`
+    * ("ours" | "theirs") and flagged in the output's `was_conflict`
+    * column so the caller can audit (or pre-count and refuse). A key's
+    * final state may be absence — deletes merge like any other change.
+    *
+    * Scale shape: one 3-way full-outer join on the key (two keyed
+    * shuffles), each input scanned once, all classification per-row in
+    * the projection — no driver-side state, no iteration; exactly the
+    * [[diff]] cost paid twice.
+    */
+  def threeWayMerge(
+      base: DataFrame,
+      ours: DataFrame,
+      theirs: DataFrame,
+      keys: Seq[String],
+      compareCols: Seq[String],
+      policy: String = "theirs"): DataFrame = {
+    require(Seq("ours", "theirs").contains(policy), "policy: ours | theirs")
+    val cols = keys ++ compareCols
+    def side(df: DataFrame, p: String) =
+      df.select(cols.map(col): _*).withColumn(s"__p$p", lit(1)).alias(s"__m$p")
+    val b = side(base, "b"); val o = side(ours, "o"); val t = side(theirs, "t")
+    def kc(a: String, c: String) = col(s"__m$a.$c")
+    val j = b
+      .join(o, keys.map(k => kc("b", k) === kc("o", k)).reduce(_ && _), "full_outer")
+      .join(t,
+        keys.map(k => coalesce(kc("b", k), kc("o", k)) === kc("t", k)).reduce(_ && _),
+        "full_outer")
+    val po = kc("o", "__po").isNotNull
+    val pt = kc("t", "__pt").isNotNull
+    // a side "changed" iff its presence or any compared value differs
+    // from the other side's (absent rows read all-NULL, so the value
+    // legs agree null-safely and presence alone decides)
+    def stateDiff(x: String, y: String): Column =
+      (kc(x, s"__p$x").isNotNull =!= kc(y, s"__p$y").isNotNull) ||
+        compareCols.map(c => !(kc(x, c) <=> kc(y, c))).reduce(_ || _)
+    val och = stateDiff("o", "b")
+    val tch = stateDiff("t", "b")
+    val conflict = och && tch && stateDiff("o", "t")
+    val useOurs = when(conflict, lit(policy == "ours")).otherwise(och)
+    j.where(when(useOurs, po).otherwise(pt))
+      .select(keys.map(k => coalesce(kc("b", k), kc("o", k), kc("t", k)).as(k)) ++
+        compareCols.map(c => when(useOurs, kc("o", c)).otherwise(kc("t", c)).as(c)) :+
+        conflict.as("was_conflict"): _*)
+  }
+
   /** Merkle-style BUCKET digests for replica reconciliation — the
     * scale path [[diff]] needs at 100 TB: comparing two replicas by
     * full-outer join reads BOTH tables full-width even when they

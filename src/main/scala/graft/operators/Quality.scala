@@ -4,6 +4,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
+import graft.functions.{rolling_hash, PortableMinHash}
+
 /** Data-quality constraint checking — the pipeline admission gate: "no
   * null keys, prices non-negative, status in its domain" evaluated
   * BEFORE data merges into the warehouse.
@@ -339,6 +341,52 @@ object Quality {
     * m is a banded domain by contract), and the windows run on that
     * grid, never the corpus.
     */
+  /** DIFFERENTIALLY-PRIVATE group release: noisy counts and noisy
+    * CLAMPED sums per group under ε-DP, with the Laplace noise
+    * DERANDOMIZED — the draw is the inverse-CDF transform of a uniform
+    * taken from the portable rolling hash of (salt, release tag, group
+    * value) on the 2⁴⁰ grid, so the released numbers are a pure
+    * function of (inputs, salt): both engines replay them bit-for-bit,
+    * a retried release publishes the identical numbers (re-releasing
+    * under a FRESH salt is what consumes more budget — the salt IS the
+    * privacy accountant's unit), and no RNG state needs distributing.
+    *
+    * Mechanism: count has sensitivity 1 → Laplace(1/ε); each row's
+    * value contribution is clamped to [0, clampHi] so the sum has
+    * sensitivity clampHi → Laplace(clampHi/ε). The two releases
+    * compose sequentially (total budget 2ε — halve `epsilon` to meet
+    * an overall target). noise = −scale·sign(u)·ln(1−2|u|) with
+    * u ∈ (−½, ½); u = 0 is unreachable (the grid point + ½ never hits
+    * Mod/2), so sign is total.
+    *
+    * Scale shape: one combinable count+sum aggregate; the noise is a
+    * per-RELEASED-ROW expression (group-count-sized), never per input
+    * row — releasing 100 TB of facts costs one aggregation pass.
+    */
+  def dpLaplaceRelease(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      epsilon: Double,
+      clampHi: Long,
+      salt: String): DataFrame = {
+    require(epsilon > 0 && clampHi > 0)
+    val agg = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"),
+        sum(least(greatest(col(valueCol), lit(0L)), lit(clampHi))).as("__s"))
+    def u(tag: String): Column = {
+      val h40 = rolling_hash(
+        concat(lit(s"dp:$salt:$tag:"), col(groupCol).cast("string")))
+        .bitwiseAND(lit(PortableMinHash.Mask))
+      (h40.cast("double") + lit(0.5)) / lit(PortableMinHash.Mod.toDouble) - lit(0.5)
+    }
+    def lap(uu: Column, scale: Double): Column =
+      -lit(scale) * signum(uu) * log(lit(1.0) - lit(2.0) * abs(uu))
+    agg.select(col(groupCol),
+      (col("__n").cast("double") + lap(u("n"), 1.0 / epsilon)).as("noisy_n"),
+      (col("__s").cast("double") + lap(u("s"), clampHi / epsilon)).as("noisy_sum"))
+  }
+
   def tClosenessReport(
       df: DataFrame,
       qiCols: Seq[String],

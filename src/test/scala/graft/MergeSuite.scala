@@ -395,4 +395,62 @@ class MergeSuite extends AnyFunSuite with SparkTest {
       "key 3 dangles and the null FK dangles: 2 of 4 = 500000 ppm")
     assert(out("clean->parent") == ((2L, 0L, 0L)))
   }
+
+  test("threeWayMerge: every classification cell, both policies, deletes merge as changes") {
+    val s = spark; import s.implicits._
+    // base keys 1..8 exercise every cell:
+    //   1: neither changed            5: ours deleted, theirs unchanged
+    //   2: ours updated only          6: ours deleted, theirs UPDATED  -> conflict
+    //   3: theirs updated only        7: both deleted (equal change)
+    //   4: both updated DIFFERENTLY   8: both updated IDENTICALLY
+    //   9/10: insert ours-only / theirs-only
+    //   11: inserted BOTH sides with different payloads -> conflict
+    val base = (1L to 8L).map(k => (k, k * 10L)).toDF("k", "v")
+    val ours = Seq((1L, 10L), (2L, 21L), (3L, 30L), (4L, 41L), (8L, 88L),
+      (9L, 90L), (11L, 111L)).toDF("k", "v")
+    val theirs = Seq((1L, 10L), (2L, 20L), (3L, 31L), (4L, 42L), (5L, 50L), (6L, 66L),
+      (8L, 88L), (10L, 100L), (11L, 112L)).toDF("k", "v")
+    def run(policy: String) = Merge.threeWayMerge(base, ours, theirs,
+      Seq("k"), Seq("v"), policy)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    val th = run("theirs")
+    assert(th == Map(
+      1L -> ((10L, false)),   // untouched
+      2L -> ((21L, false)),   // ours-only update wins
+      3L -> ((31L, false)),   // theirs-only update wins
+      4L -> ((42L, true)),    // both differ: policy theirs, flagged
+      6L -> ((66L, true)),    // delete-vs-update conflict: theirs kept it
+      8L -> ((88L, false)),   // identical change merges silently
+      10L -> ((100L, false)), // theirs insert
+      9L -> ((90L, false)),   // ours insert
+      11L -> ((112L, true)))) // insert-vs-insert conflict
+    // keys 5 (ours delete accepted) and 7 (both deleted) are absent
+    val ou = run("ours")
+    assert(ou(4L) == ((41L, true)) && ou(11L) == ((111L, true)))
+    assert(!ou.contains(6L), "policy ours honors the ours-side delete")
+    assert(ou(2L) == ((21L, false)) && ou(3L) == ((31L, false)),
+      "policy only decides CONFLICTS — clean one-side changes are unaffected")
+  }
+
+  test("dpLaplaceRelease: deterministic per salt, clamping bounds the sum's sensitivity") {
+    val s = spark; import s.implicits._
+    import graft.operators.Quality
+    val df = Seq(("a", 100L), ("a", 50L), ("a", 999999L), ("b", 10L), ("b", -5L))
+      .toDF("g", "v")
+    def rel(salt: String) = Quality.dpLaplaceRelease(df, "g", "v",
+      epsilon = 0.5, clampHi = 1000L, salt = salt)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val r1 = rel("s1")
+    assert(rel("s1") == r1, "a retried release publishes identical numbers")
+    assert(rel("s2") != r1, "a fresh salt draws fresh noise")
+    // noise bound: |Laplace(b)| <= b * ln(2^40) =~ 27.73 * b for the
+    // 2^40 grid, so counts sit within 55.5 of truth at eps = 0.5 and
+    // sums within 55451 of the CLAMPED truth (1150 for a, 10 for b —
+    // the 999999 outlier contributes exactly clampHi, negatives clamp
+    // to 0: sensitivity honest, release usable)
+    val nb = 27.8 / 0.5
+    assert(math.abs(r1("a")._1 - 3.0) <= nb && math.abs(r1("b")._1 - 2.0) <= nb)
+    assert(math.abs(r1("a")._2 - 1150.0) <= nb * 1000 &&
+      math.abs(r1("b")._2 - 10.0) <= nb * 1000)
+  }
 }

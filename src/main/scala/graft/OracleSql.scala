@@ -296,6 +296,59 @@ object OracleSql {
       "cent AS (SELECT * FROM cent0), " +
       ivfTail("cent", k, nProbe, dim)
 
+  /** Oracle for `emb_top_eigvec`: replay of
+    * `Similarity.topEigenvector` — the exact-integer Gram cells
+    * (both triangles), the pinned all-ones start, and `iters`
+    * matrix-vector products with ORDERED double accumulation
+    * (list_reduce over j-sorted lists ≡ the Scala ascending-index
+    * fold, since 0.0 + x == x exactly), normalizing by the ordered
+    * 2-norm each step.
+    */
+  def embTopEigvec(iters: Int, dim: Int): String = {
+    val denom = "281474976710656.0" // 2^48 = (2^24)^2, the fp scale
+    // every per-iteration CTE is MATERIALIZED: each level is referenced
+    // by two successors, so default inlining re-expands the whole chain
+    // exponentially (3^iters copies of the Gram join)
+    def step(k: Int): String =
+      s"y$k AS MATERIALIZED (SELECT c.i, list_reduce(list(c.v * p.w ORDER BY c.j), (a, b) -> a + b) AS y " +
+        s"FROM cells c JOIN it${k - 1} p ON p.i = c.j GROUP BY c.i), " +
+        s"n$k AS MATERIALIZED (SELECT sqrt(list_reduce(list(y * y ORDER BY i), (a, b) -> a + b)) AS nn FROM y$k), " +
+        s"it$k AS MATERIALIZED (SELECT i, y / (SELECT nn FROM n$k) AS w FROM y$k)"
+    // cells is referenced once per iteration — MATERIALIZED stops the
+    // engine from recomputing the data-sized Gram join `iters` times
+    "WITH x AS MATERIALIZED (SELECT vec_id, CAST(unnest(generate_series(1, len(embedding))) - 1 AS INT) AS i, " +
+      "CAST(round(CAST(unnest(embedding) AS DOUBLE) * 16777216.0) AS BIGINT) AS q FROM embeddings), " +
+      s"cells AS MATERIALIZED (SELECT a.i, b.i AS j, CAST(sum(a.q * b.q) AS DOUBLE) / $denom AS v " +
+      "FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY 1, 2), " +
+      s"it0 AS (SELECT CAST(t.i AS INT) AS i, 1.0 AS w FROM generate_series(0, ${dim - 1}) t(i)), " +
+      (1 to iters).map(step).mkString(", ") + " " +
+      s"SELECT i, w, (SELECT nn FROM n$iters) AS lambda_est FROM it$iters"
+  }
+
+  /** Oracle for `sketch_cm_join_size`: replay of
+    * `Sketches.cmJoinSizeEstimate` — both sides' Count-Min registers
+    * from the same seeded rolling hash (power-of-two width, so the
+    * unsigned-fold modulus equals Spark's signed pmod), the per-row
+    * register dot, the min-over-rows estimate, and the group-count
+    * exact join size.
+    */
+  def cmJoinSize(aExpr: String, aFrom: String, bExpr: String, bFrom: String,
+      depth: Int, width: Int): String = {
+    require(width >= 2 && (width & (width - 1)) == 0)
+    def regs(expr: String, from: String): String =
+      s"SELECT r, (${rollFold(s"hex(encode('cm' || CAST(r AS VARCHAR) || ':' || CAST($expr AS VARCHAR)))")}) % $width AS bucket, " +
+        s"CAST(count(*) AS BIGINT) AS cnt FROM $from CROSS JOIN generate_series(0, ${depth - 1}) t(r) GROUP BY 1, 2"
+    s"WITH ra AS (${regs(aExpr, aFrom)}), rb AS (${regs(bExpr, bFrom)}), " +
+      "dots0 AS (SELECT ra.r, CAST(sum(ra.cnt * rb.cnt) AS BIGINT) AS dot " +
+      "FROM ra JOIN rb ON ra.r = rb.r AND ra.bucket = rb.bucket GROUP BY 1), " +
+      s"dots AS (SELECT t.r, coalesce(dots0.dot, 0) AS dot " +
+      s"FROM generate_series(0, ${depth - 1}) t(r) LEFT JOIN dots0 ON dots0.r = t.r), " +
+      s"ka AS (SELECT CAST($aExpr AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS na FROM $aFrom GROUP BY 1), " +
+      s"kb AS (SELECT CAST($bExpr AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS nb FROM $bFrom GROUP BY 1) " +
+      "SELECT (SELECT CAST(min(dot) AS BIGINT) FROM dots) AS est_join_rows, " +
+      "(SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) FROM ka JOIN kb USING (k)) AS true_join_rows"
+  }
+
   /** Oracle for `dp_laplace_release`: replay of
     * `Quality.dpLaplaceRelease` — the clamped group aggregate, the
     * portable-rolling-hash uniform on the 2⁴⁰ grid, and the

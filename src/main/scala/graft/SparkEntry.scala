@@ -3924,6 +3924,22 @@ object SparkEntry {
       // exact-integer Gram matrix (upper triangle): the PCA/whitening
       // accumulation — dim^2 map-side expansion, one O(dim^2)-group shuffle
       Similarity.vectorSecondMoments(rd(s, d, "embeddings"))),
+    "emb_top_eigvec" -> ((s, d) =>
+      // one-component PCA by pinned power iteration: the only
+      // data-sized step is the exact-integer Gram pass; the 64x64
+      // matrix iterates on the driver in a fixed IEEE accumulation
+      // order both engines replay bit-for-bit
+      Similarity.topEigenvector(rd(s, d, "embeddings"), iters = 8)),
+    "sketch_cm_join_size" -> ((s, d) => {
+      // join-size estimation for the planner: |orders ⋈ lineitem| from
+      // two fixed-size Count-Min register sets (the tables are never
+      // joined to estimate) — min-of-rows register dot, never an
+      // undercount; the exact count rides along from group counts
+      graft.operators.Sketches.cmJoinSizeEstimate(
+        rd(s, d, "orders"), col("o_orderkey"),
+        rd(s, d, "lineitem"), col("l_orderkey"),
+        depth = 4, width = 65536)
+    }),
     "sketch_count_min" -> ((s, d) => {
       // Count-Min point-frequency estimates for each source's top-5
       // tokens. Width 65536 vs ~600 distinct (source, token) keys =>
@@ -7354,6 +7370,10 @@ object SparkEntry {
         "row_number() OVER (PARTITION BY source ORDER BY n DESC, token) AS rk FROM c) q WHERE rk <= 5"),
     // collision-free width => CM estimates ARE the exact counts, so the
     // plain GROUP BY gates the whole sketch pipeline
+    "sketch_cm_join_size" ->
+      OracleSql.cmJoinSize("o_orderkey", "orders", "l_orderkey", "lineitem",
+        depth = 4, width = 65536),
+    "emb_top_eigvec" -> OracleSql.embTopEigvec(iters = 8, dim = 64),
     "sketch_count_min" ->
       ("WITH t AS (SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token FROM documents), " +
         "c AS (SELECT source, token, count(*) AS n FROM t WHERE token <> '' GROUP BY 1, 2) " +

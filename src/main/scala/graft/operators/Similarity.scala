@@ -901,6 +901,58 @@ object Similarity {
           .cast("string").as("sumprod_fp"))
   }
 
+  /** DOMINANT PRINCIPAL DIRECTION of the embedding cloud by
+    * fixed-count POWER ITERATION over the exact-integer second-moment
+    * matrix — the one-component PCA a curation pipeline reads
+    * (dominant-axis drift, whitening direction, leading-direction
+    * variance share) without an eigensolver dependency.
+    *
+    * Scale shape: the ONLY data-sized step is [[vectorSecondMoments]]
+    * (one O(N·dim²) combinable pass); the dim×dim matrix (metadata —
+    * 64² cells) collects to the driver and iterates there, exactly the
+    * centroid discipline the IVF family uses. Determinism: the Gram
+    * cells are exact integers, the iteration is a FIXED count of
+    * IEEE-double ops in a FIXED accumulation order (ascending j per
+    * row, ascending i for norms), and the all-ones start is pinned —
+    * so both engines replay the identical trajectory bit-for-bit and
+    * the 6-sig-fig gate grid never wobbles. `lambda_est` is the final
+    * iterate's ‖A·x‖ — the dominant-eigenvalue estimate (the
+    * second-moment variance along the direction, in the raw value
+    * scale).
+    */
+  def topEigenvector(
+      emb: DataFrame,
+      iters: Int = 8,
+      vecCol: String = "embedding",
+      scaleBits: Int = 24): DataFrame = {
+    val spark = emb.sparkSession
+    val cells = vectorSecondMoments(emb, vecCol, scaleBits).collect()
+    val denom = math.pow(2, 2 * scaleBits)
+    val dim = cells.map(_.getInt(1)).max + 1
+    val m = Array.ofDim[Double](dim, dim)
+    cells.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1)
+      val v = new java.math.BigDecimal(r.getString(3)).doubleValue() / denom
+      m(i)(j) = v; m(j)(i) = v
+    }
+    var x = Array.fill(dim)(1.0)
+    var lambda = 0.0
+    for (_ <- 0 until iters) {
+      val y = Array.tabulate(dim) { i =>
+        var acc = 0.0; var j = 0
+        while (j < dim) { acc += m(i)(j) * x(j); j += 1 }
+        acc
+      }
+      var n2 = 0.0; var i = 0
+      while (i < dim) { n2 += y(i) * y(i); i += 1 }
+      lambda = math.sqrt(n2)
+      x = y.map(_ / lambda)
+    }
+    spark.createDataFrame(
+      x.toSeq.zipWithIndex.map { case (w, i) => (i, w, lambda) })
+      .toDF("i", "w", "lambda_est")
+  }
+
   /** IVF-PQ: the composed production ANN tier — Lloyd-refined IVF
     * coarse cells cut the candidate set to the `nProbe` nearest cells
     * per query, RESIDUAL-encoded PQ byte-codes + per-query lookup

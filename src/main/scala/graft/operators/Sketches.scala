@@ -156,6 +156,50 @@ object Sketches {
       .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
   }
 
+  /** JOIN-SIZE estimation from Count-Min registers — what a planner
+    * needs BEFORE committing to a join strategy at 100 TB: the exact
+    * equi-join row count is the frequency-vector inner product
+    * Σₖ f_A(k)·f_B(k), and the classic AGMS/CM estimate is the MIN over
+    * depth rows of the register dot product Σ_b cntA[r,b]·cntB[r,b] —
+    * each row-dot equals the true inner product PLUS nonnegative
+    * collision cross-terms, so the estimate NEVER undercounts (the safe
+    * direction for planning: an overestimate never picks a broadcast
+    * that OOMs). Width must be a power of two (the register hash is the
+    * signed rolling hash; pmod by 2ⁿ equals the unsigned low bits both
+    * engines agree on).
+    *
+    * Scale shape: each side folds to depth×width registers in one
+    * combinable pass (fixed-size state — the two tables are never
+    * joined); the dot is a register-sized join. The exact count rides
+    * along as the demonstration truth side, computed from group counts
+    * (never materializing the join itself). Sizing: per-row collision
+    * noise ≈ |A|·|B|/width, so pick width ≳ |A|·|B| / (acceptable
+    * absolute error) — width is the whole accuracy dial, and registers
+    * stay millions of rows even at 100 TB inputs.
+    */
+  def cmJoinSizeEstimate(
+      a: DataFrame, aKey: org.apache.spark.sql.Column,
+      b: DataFrame, bKey: org.apache.spark.sql.Column,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(width >= 2 && (width & (width - 1)) == 0, "width: power of two")
+    val ra = countMinRegisters(a, aKey, depth, width).toDF("r", "bucket", "cnt_a")
+    val rb = countMinRegisters(b, bKey, depth, width).toDF("r", "bucket", "cnt_b")
+    val rowDots = ra.join(rb, Seq("r", "bucket"))
+      .groupBy("r").agg(sum(col("cnt_a") * col("cnt_b")).as("dot"))
+    // a row with NO shared bucket proves the inner product is 0 — its
+    // dot is 0, not absent (disjoint key sets estimate 0 exactly)
+    val est = a.sparkSession.range(depth).select(col("id").cast("int").as("r"))
+      .join(rowDots, Seq("r"), "left")
+      .agg(min(coalesce(col("dot"), lit(0L))).as("est_join_rows"))
+    val ka = a.select(aKey.cast("string").as("__k"))
+      .groupBy("__k").agg(count(lit(1)).as("__na"))
+    val kb = b.select(bKey.cast("string").as("__k"))
+      .groupBy("__k").agg(count(lit(1)).as("__nb"))
+    val exact = ka.join(kb, "__k")
+      .agg(coalesce(sum(col("__na") * col("__nb")), lit(0L)).as("true_join_rows"))
+    est.crossJoin(exact)
+  }
+
   /** Heavy hitters through the Count-Min sketch: the true top-`topK`
     * items (the demonstration truth side) alongside their sketch
     * estimates — `est_n = min` over each item's depth buckets, read

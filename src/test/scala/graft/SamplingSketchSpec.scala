@@ -516,6 +516,32 @@ class SamplingSketchSpec extends AnyFunSuite with SparkTest {
     assert(estimates(3, 1024, 7) == wide)
   }
 
+  test("cmJoinSizeEstimate: never undercounts, exact when collision-free") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.operators.Sketches
+    // skewed fact side: key 1 x5, key 2 x3, key 3 x1, key 9 unmatched
+    val a = Seq(1L, 2L, 3L).map(Tuple1(_)).toDF("k")
+    val b = (Seq.fill(5)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L, 9L)).map(Tuple1(_)).toDF("k")
+    def run(width: Int) = Sketches.cmJoinSizeEstimate(
+      a, col("k"), b, col("k"), depth = 3, width = width)
+      .head() match { case r => (r.getLong(0), r.getLong(1)) }
+    // generous width: collision-free, estimate == exact inner product
+    val (estWide, truth) = run(1024)
+    assert(truth == 9L) // 1*5 + 1*3 + 1*1
+    assert(estWide == truth)
+    // width 2 forces collisions: estimate inflates, never deflates
+    val (estTight, _) = run(2)
+    assert(estTight >= truth)
+    // disjoint key sets: truth 0, estimate still >= 0 and defined
+    val (estD, truthD) = {
+      val r = Sketches.cmJoinSizeEstimate(
+        a, col("k"), Seq(Tuple1(77L)).toDF("k"), col("k"), 3, 1024).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(truthD == 0L && estD >= 0L)
+  }
+
   test("hllMergeRegisters: hierarchy rollup equals direct coarse-grain build") {
     val s = spark; import s.implicits._
     // fine groups g0..g3 map to coarse G0 (g0,g1) and G1 (g2,g3);

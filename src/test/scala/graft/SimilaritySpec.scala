@@ -205,6 +205,33 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
       .collect().map(_.toSeq).toSet == cellsA)
   }
 
+  test("topEigenvector: converges to the planted dominant axis, partition-invariant") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(31)
+    val dim = 16
+    // planted dominant direction e0: variance 25 along axis 0, ~1 elsewhere
+    val rows = (0 until 500).map { i =>
+      val v = Array.fill(dim)(0.3f * rnd.nextGaussian().toFloat)
+      v(0) = (5.0 * rnd.nextGaussian()).toFloat
+      (i.toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.topEigenvector(emb, iters = 12)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val w = got.map(_._2)
+    assert(math.abs(math.abs(w(0)) - 1.0) < 0.02,
+      s"dominant axis weight ${w(0)} should be ~±1")
+    assert(w.drop(1).forall(x => math.abs(x) < 0.15), "off-axis components small")
+    assert(math.abs(got.head._3 / 500.0 - 25.0) < 5.0,
+      s"lambda/n ~ planted variance 25, got ${got.head._3 / 500.0}")
+    // deterministic under any partitioning (exact-integer Gram pass)
+    val again = graft.operators.Similarity.topEigenvector(
+      emb.repartition(13), iters = 12)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    assert(again.toSeq == got.toSeq)
+  }
+
   test("ivf staleness: drifted deltas degrade recall, the stats flag it, retraining restores both") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(13)

@@ -1373,6 +1373,11 @@ object SparkEntry {
         .agg(count(lit(1)))
         .select(col("o_orderpriority"), coalesce(col("F"), lit(0L)).as("n_f"),
           coalesce(col("O"), lit(0L)).as("n_o"), coalesce(col("P"), lit(0L)).as("n_p"))),
+    "text_zipf_slope" -> ((s, d) =>
+      // vocabulary health: ln-frequency on ln-rank least squares over
+      // each source's top-64 tokens — natural text sits near -1,
+      // templated feeds come out shallow, degenerate repetition steep
+      graft.operators.TextAnalysis.zipfSlope(rd(s, d, "documents"), topK = 64)),
     "text_top_tokens" -> ((s, d) =>
       // explode/lateral-view shape: corpus-wide token frequencies,
       // deterministic top-25 (count desc, token asc)
@@ -1473,6 +1478,22 @@ object SparkEntry {
       // weekly retention matrix: cohort = ISO week of first event,
       // distinct active users per week offset — exact integer matrix
       Events.retentionCohorts(rd(s, d, "events"))),
+    "events_kaplan_meier" -> ((s, d) => {
+      // Kaplan-Meier survival with right-censoring: per user, lifetime
+      // = first->last event days; users still active within 1 day of
+      // the horizon are CENSORED (dropping them would bias survival
+      // down); curves per user_id%4 cohort — at-risk count, event
+      // count and product-limit survival at every churn time
+      val ev = rd(s, d, "events")
+      val per = ev.groupBy("user_id").agg(min("ts").as("t0"), max("ts").as("t1"))
+      val gm = per.agg(max(col("t1")).as("gmax"))
+      val subj = per.crossJoin(gm).select(
+        (col("user_id") % 4).as("g"),
+        datediff(col("t1"), col("t0")).cast("long").as("t"),
+        when(col("t1") < col("gmax") - expr("INTERVAL 1 DAYS"), 1)
+          .otherwise(0).as("observed"))
+      graft.operators.Stats.kaplanMeier(subj, "g", "t", "observed")
+    }),
     "events_props_sum" -> ((s, d) =>
       // semi-structured ingestion: the JSON props column parsed in
       // place (get_json_object), aggregated per event type — schema
@@ -6334,6 +6355,14 @@ object SparkEntry {
         "WHERE e.event_type = 'purchase' GROUP BY e.user_id) " +
         "SELECT s1.user_id, t_view, t_click, t_purchase FROM s1 " +
         "LEFT JOIN s2 ON s1.user_id = s2.user_id LEFT JOIN s3 ON s1.user_id = s3.user_id"),
+    "events_kaplan_meier" ->
+      graft.operators.Stats.kaplanMeierSql(
+        "p AS (SELECT user_id, min(ts) AS t0, max(ts) AS t1 FROM events GROUP BY 1), " +
+          "gm AS (SELECT max(t1) AS gmax FROM p), " +
+          "subjects AS (SELECT user_id % 4 AS g, " +
+          "CAST(datediff('day', CAST(t0 AS DATE), CAST(t1 AS DATE)) AS BIGINT) AS t, " +
+          "CASE WHEN t1 < gmax - INTERVAL 1 DAY THEN 1 ELSE 0 END AS observed " +
+          "FROM p CROSS JOIN gm)"),
     "events_retention" ->
       ("WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id), " +
         "c AS (SELECT user_id, CAST(date_trunc('week', first_ts) AS DATE) AS cohort_week, " +
@@ -6543,6 +6572,20 @@ object SparkEntry {
       ("SELECT o_orderpriority, count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f, " +
         "count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o, " +
         "count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p FROM orders GROUP BY o_orderpriority"),
+    "text_zipf_slope" ->
+      ("WITH c AS (SELECT source, token, CAST(count(*) AS BIGINT) AS n FROM " +
+        "(SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token FROM documents) t " +
+        "WHERE token <> '' GROUP BY 1, 2), " +
+        "r AS (SELECT source, n, row_number() OVER (PARTITION BY source ORDER BY n DESC, token) AS rank FROM c), " +
+        "xy AS (SELECT source, ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y FROM r WHERE rank <= 64), " +
+        "m AS (SELECT source, CAST(count(*) AS BIGINT) AS n_points, sum(x) AS sx, sum(y) AS sy, " +
+        "sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy FROM xy GROUP BY 1) " +
+        "SELECT source, n_points, " +
+        "CASE WHEN (n_points * sxx - sx * sx) <> 0 THEN (n_points * sxy - sx * sy) / (n_points * sxx - sx * sx) END AS slope, " +
+        "CASE WHEN (n_points * sxx - sx * sx) <> 0 THEN (sy - ((n_points * sxy - sx * sy) / (n_points * sxx - sx * sx)) * sx) / n_points END AS intercept, " +
+        "CASE WHEN (n_points * sxx - sx * sx) <> 0 AND (n_points * syy - sy * sy) <> 0 THEN " +
+        "((n_points * sxy - sx * sy) * (n_points * sxy - sx * sy)) / ((n_points * sxx - sx * sx) * (n_points * syy - sy * sy)) END AS r2 " +
+        "FROM m"),
     "text_top_tokens" ->
       ("SELECT token, n FROM (SELECT token, count(*) AS n FROM " +
         "(SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token FROM documents) t " +

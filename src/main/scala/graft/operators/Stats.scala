@@ -1218,6 +1218,63 @@ object Stats {
       "CAST(CASE WHEN dy < 0 THEN -1 WHEN dy > 0 THEN 1 ELSE 0 END * ((1000000::HUGEINT * abs(dy::HUGEINT)) // dx) AS BIGINT) AS slope_ppm " +
       "FROM r WHERE rn = (n_pairs + 1) // 2"
 
+  /** KAPLAN–MEIER survival curves with right-censoring — the
+    * churn/retention estimator a subscription or engagement pipeline
+    * reads: subjects contribute (duration, observed) where observed = 1
+    * is an event (churn) and 0 a censored subject (still active at the
+    * observation horizon — dropping them, the naive mistake, biases
+    * survival down). Per group and event time t:
+    * S(t) = Π_{s ≤ t} (1 − d(s)/n(s)) with d = events at s and n = the
+    * at-risk count (everyone with duration ≥ s).
+    *
+    * Scale shape: one (group, t) count aggregate (combinable), then
+    * KEYED windows over the collapsed time axis — rows ≤ groups ×
+    * distinct durations, corpus-size independent. Determinism: n and d
+    * are exact integers; the product is exp of a RUNNING ordered sum of
+    * ln terms — running window sums accumulate in frame order in both
+    * engines, so the doubles replay on the 6-sig-fig grid. A time where
+    * everyone at risk dies is handled EXPLICITLY (survival exactly 0
+    * from then on): Spark's log(0) yields NULL where other engines give
+    * −∞, so the total-death step must never reach the ln at all.
+    */
+  def kaplanMeier(df: DataFrame, groupCol: String, durationCol: String,
+      observedCol: String): DataFrame = {
+    val per = df.groupBy(col(groupCol), col(durationCol).cast("long").as("t"))
+      .agg(sum(when(col(observedCol) === 1, 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("__all"))
+    val byT = Window.partitionBy(col(groupCol)).orderBy(col("t"))
+    val tot = Window.partitionBy(col(groupCol))
+    per
+      .withColumn("n_risk",
+        sum(col("__all")).over(tot) -
+          coalesce(sum(col("__all")).over(
+            byT.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__ln",
+        when(col("d") > 0 && col("d") < col("n_risk"),
+          log(lit(1.0) - col("d").cast("double") / col("n_risk").cast("double")))
+          .otherwise(lit(0.0)))
+      .withColumn("__dead", max(when(col("d") >= col("n_risk"), 1).otherwise(0)).over(byT))
+      .withColumn("survival",
+        when(col("__dead") === 1, lit(0.0)).otherwise(exp(sum(col("__ln")).over(byT))))
+      .where(col("d") > 0)
+      .select(col(groupCol), col("t"), col("n_risk"),
+        col("d").as("n_events"), col("survival"))
+  }
+
+  /** DuckDB replay of [[kaplanMeier]] over a subjects CTE named
+    * `subjects` with columns (g, t, observed). */
+  def kaplanMeierSql(subjectsCte: String): String =
+    s"WITH $subjectsCte, " +
+      "per AS (SELECT g, t, CAST(sum(CASE WHEN observed = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d, " +
+      "CAST(count(*) AS BIGINT) AS alln FROM subjects GROUP BY 1, 2), " +
+      "st AS (SELECT g, t, d, " +
+      "CAST(sum(alln) OVER (PARTITION BY g) AS BIGINT) - " +
+      "CAST(coalesce(sum(alln) OVER (PARTITION BY g ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk FROM per), " +
+      "lt AS (SELECT g, t, d, n_risk, CASE WHEN d > 0 AND d < n_risk THEN ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)) ELSE 0.0 END AS lnterm FROM st), " +
+      "sv AS (SELECT g, t, d, n_risk, CASE WHEN max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) OVER (PARTITION BY g ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 THEN 0.0 " +
+      "ELSE exp(sum(lnterm) OVER (PARTITION BY g ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) END AS survival FROM lt) " +
+      "SELECT g, t, n_risk, d AS n_events, survival FROM sv WHERE d > 0"
+
   /** DuckDB replay of [[rollingIntegerZSpikes]]. */
   def rollingIntegerZSpikesSql(table: String, window: Int = 7, minWindow: Int = 3): String =
     s"WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, " +

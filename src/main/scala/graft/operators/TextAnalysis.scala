@@ -1302,4 +1302,48 @@ object TextAnalysis {
         - lit(1.015) * (col("sum_words").cast("double") / col("sum_sentences").cast("double"))
         - lit(84.6) * (col("sum_syllables").cast("double") / col("sum_words").cast("double")))
   }
+
+  /** ZIPF-SLOPE vocabulary health check: per source, the least-squares
+    * slope of ln(frequency) on ln(rank) over the top-`topK` tokens — a
+    * natural-language corpus sits near −1; a slope far shallower flags
+    * templated/boilerplate feeds (flat head), far steeper flags
+    * degenerate repetition (one token dominating). The distribution
+    * fit a mix planner reads next to [[graft.operators.TextAnalysis]]'s
+    * token-Gini and vocab-growth curves.
+    *
+    * Scale shape: one token-count aggregate (combinable), a
+    * source-keyed top-K window over the DISTINCT-token table, then a
+    * K-point moment fold per source — everything past the count is
+    * vocabulary-sized, and the fit itself sees ≤ topK points per
+    * source. Double moments over ≤ topK ln() terms: no fixed-point
+    * rounding cliff anywhere, and the closed-form combination is
+    * stable far inside the compare grid.
+    */
+  def zipfSlope(docs: DataFrame, topK: Int = 64,
+      textCol: String = "text", srcCol: String = "source"): DataFrame = {
+    val counts = docs
+      .select(col(srcCol).as("source"), explode(tokens(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("source", "token").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n").desc, col("token"))
+    val xy = counts.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("source"), log(col("rank").cast("double")).as("x"),
+        log(col("n").cast("double")).as("y"))
+    val m = xy.groupBy("source").agg(count(lit(1)).as("n_points"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    val nD = col("n_points").cast("double")
+    val num = nD * col("sxy") - col("sx") * col("sy")
+    val den = nD * col("sxx") - col("sx") * col("sx")
+    val deny = nD * col("syy") - col("sy") * col("sy")
+    m.select(col("source"), col("n_points"),
+      when(den =!= 0.0, num / den).as("slope"),
+      when(den =!= 0.0,
+        (col("sy") - (num / den) * col("sx")) / nD).as("intercept"),
+      when(den =!= 0.0 && deny =!= 0.0, (num * num) / (den * deny)).as("r2"))
+  }
 }

@@ -342,4 +342,26 @@ class StatsSpec extends AnyFunSuite with SparkTest {
     assert(out(2)._2 == 1.0, "lag 2 realigns: exact +1")
     assert(out(1)._1 == 19L && out(2)._1 == 18L, "pair counts shrink by lag")
   }
+
+  test("kaplanMeier: hand-computed product-limit curve; censoring holds subjects at risk") {
+    val s = spark; import s.implicits._
+    // group A: durations (2,obs)x2, (2,cens), (4,obs), (5,cens)
+    //   t=2: n=5, d=2 -> S=0.6;  t=4: n=2, d=1 -> S=0.3
+    //   (the censored-at-2 subject counts AT RISK at 2, then leaves)
+    // group B: everyone dies at 3: S drops to exactly 0
+    val subj = Seq(
+      ("A", 2L, 1), ("A", 2L, 1), ("A", 2L, 0), ("A", 4L, 1), ("A", 5L, 0),
+      ("B", 3L, 1), ("B", 3L, 1)).toDF("g", "t", "observed")
+    val out = Stats.kaplanMeier(subj, "g", "t", "observed")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(("A", 2L))._1 == 5L && out(("A", 2L))._2 == 2L)
+    assert(math.abs(out(("A", 2L))._3 - 0.6) < 1e-12)
+    assert(out(("A", 4L)) == ((2L, 1L, out(("A", 4L))._3)))
+    assert(math.abs(out(("A", 4L))._3 - 0.3) < 1e-12)
+    assert(out(("B", 3L)) == ((2L, 2L, 0.0)), "total death lands exactly at 0")
+    // dropping the censored rows instead (the naive mistake) would
+    // report S(2)=1-2/4=0.5 — censoring must RAISE survival
+    assert(out(("A", 2L))._3 > 0.5)
+  }
 }

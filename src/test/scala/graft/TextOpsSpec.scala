@@ -564,4 +564,22 @@ class TextOpsSpec extends AnyFunSuite with SparkTest {
     assert(cal.forall { case (b, n, p, ppm) =>
       b >= 0 && b < 5 && p <= n && ppm == p * 1000000L / n })
   }
+
+  test("zipfSlope: steep for power-law text, near-flat for a uniform vocabulary") {
+    val s = spark; import s.implicits._
+    // power-law source: token k appears ~ 64/k times (harmonic head);
+    // uniform source: every token exactly 5 times (slope -> 0)
+    val power = (1 to 32).flatMap(k => Seq.fill(64 / k)(s"w$k")).mkString(" ")
+    val flat = (1 to 32).flatMap(k => Seq.fill(5)(s"u$k")).mkString(" ")
+    val df = Seq((1L, "pw", power), (2L, "fl", flat))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.zipfSlope(df, topK = 32)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(4)))).toMap
+    val (nPw, slopePw, r2Pw) = out("pw")
+    val (nFl, slopeFl, _) = out("fl")
+    assert(nPw == 32 && nFl == 32)
+    assert(slopePw < -0.8 && slopePw > -1.2, s"harmonic head fits near -1: $slopePw")
+    assert(r2Pw > 0.9, s"power-law fit should be tight: $r2Pw")
+    assert(math.abs(slopeFl) < 1e-9, s"uniform vocabulary is flat: $slopeFl")
+  }
 }

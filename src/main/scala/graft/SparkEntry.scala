@@ -1478,6 +1478,32 @@ object SparkEntry {
       // weekly retention matrix: cohort = ISO week of first event,
       // distinct active users per week offset — exact integer matrix
       Events.retentionCohorts(rd(s, d, "events"))),
+    "q_hierarchy_rollup" -> ((s, d) => {
+      // recursive-CTE semantics on Spark (which has no WITH RECURSIVE):
+      // a dense 8-ary heap hierarchy over the orderkeys (rank r's
+      // parent is r div 8 — parent always exists, depth ~ log8 n, the
+      // fan-out of a realistic category/org tree),
+      // transitively closed by iterated frontier joins; per node the
+      // depth to root, descendant count and subtree revenue — the
+      // BOM-explosion / org-rollup shape, oracled by DuckDB's NATIVE
+      // recursion (a genuinely independent engine for the semantics)
+      val o = rd(s, d, "orders").select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("k")
+      val dd = o.withColumn("r", row_number().over(w).cast("long"))
+      val edges = dd.where(col("r") >= 2)
+        .select(col("r").as("child"), expr("greatest(r div 8, 1)").as("parent"))
+      val closure = graft.operators.Graph.ancestorClosure(edges, dd.select(col("r")))
+      val depths = closure.groupBy(col("node")).agg(max("depth").as("depth"))
+      val sub = closure
+        .join(dd.select(col("r").as("node"), col("cents")), "node")
+        .groupBy(col("anc"))
+        .agg(count(lit(1)).as("n_desc"), sum("cents").as("subtree_cents"))
+      dd.select(col("k"), col("r"))
+        .join(depths.withColumnRenamed("node", "r"), "r")
+        .join(sub.withColumnRenamed("anc", "r"), "r")
+        .select(col("k"), col("depth"), col("n_desc"), col("subtree_cents"))
+    }),
     "events_kaplan_meier" -> ((s, d) => {
       // Kaplan-Meier survival with right-censoring: per user, lifetime
       // = first->last event days; users still active within 1 day of
@@ -6355,6 +6381,19 @@ object SparkEntry {
         "WHERE e.event_type = 'purchase' GROUP BY e.user_id) " +
         "SELECT s1.user_id, t_view, t_click, t_purchase FROM s1 " +
         "LEFT JOIN s2 ON s1.user_id = s2.user_id LEFT JOIN s3 ON s1.user_id = s3.user_id"),
+    // DuckDB's native WITH RECURSIVE — an independent recursion engine
+    // — replays the closure, depths and subtree aggregates
+    "q_hierarchy_rollup" ->
+      ("WITH RECURSIVE o AS (SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "dd AS (SELECT k, cents, CAST(row_number() OVER (ORDER BY k) AS BIGINT) AS r FROM o), " +
+        "e AS (SELECT r AS child, greatest(r // 8, 1) AS parent FROM dd WHERE r >= 2), " +
+        "anc AS (SELECT r AS node, r AS anc, CAST(0 AS BIGINT) AS depth FROM dd " +
+        "UNION ALL SELECT a.node, e.parent, a.depth + 1 FROM anc a JOIN e ON e.child = a.anc), " +
+        "dep AS (SELECT node, max(depth) AS depth FROM anc GROUP BY 1), " +
+        "sub AS (SELECT anc, CAST(count(*) AS BIGINT) AS n_desc, CAST(sum(dd.cents) AS BIGINT) AS subtree_cents " +
+        "FROM anc JOIN dd ON dd.r = anc.node GROUP BY 1) " +
+        "SELECT dd.k, dep.depth, sub.n_desc, sub.subtree_cents " +
+        "FROM dd JOIN dep ON dep.node = dd.r JOIN sub ON sub.anc = dd.r"),
     "events_kaplan_meier" ->
       graft.operators.Stats.kaplanMeierSql(
         "p AS (SELECT user_id, min(ts) AS t0, max(ts) AS t1 FROM events GROUP BY 1), " +

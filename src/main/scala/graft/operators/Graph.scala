@@ -284,6 +284,71 @@ object Graph {
     dist
   }
 
+  /** TRANSITIVE ANCESTOR CLOSURE of a forest/DAG — the recursive-CTE
+    * capability Spark SQL lacks (`WITH RECURSIVE`), as an operator:
+    * for every node, every ancestor reachable through `edges`
+    * (child → parent) with its hop distance, plus the depth-0 self
+    * row. The primitive under bill-of-materials explosions, org-chart
+    * and category-tree rollups, and path-to-root queries; compose with
+    * a value join + group-by-ancestor for subtree aggregates
+    * (`q_hierarchy_rollup`).
+    *
+    * Iterated frontier joins, the [[bfsDistances]] discipline with
+    * levels BATCHED: `batch` successive parent-joins build as ONE lazy
+    * plan per materialization (each join keyed on the parent id,
+    * broadcast when the frontier is small — AQE decides), so a
+    * depth-18 hierarchy pays 3 checkpoint/probe rounds instead of 18 —
+    * per-level job overhead, not join work, dominates metadata-sized
+    * hierarchies. Levels are bounded by the hierarchy's DEPTH (≈ log
+    * of its size for balanced trees; `maxDepth` caps degenerate chains
+    * loudly rather than looping). Total closure size is Σ node depths
+    * — |V|·depth worst case, the well-known cost of materialized
+    * transitive closure; at 100 TB hierarchies are metadata-sized next
+    * to facts, which is exactly why the closure is worth materializing
+    * once and joining facts against it. DAG multi-parent nodes keep
+    * one closure row PER PATH (UNION ALL semantics — what subtree
+    * aggregates over a DAG need to weight shared descendants).
+    *
+    * Cycles: a cycle would never converge by itself; the `maxDepth`
+    * bound turns it into a loud require failure instead of an infinite
+    * loop (a closure over a cyclic graph is a components question, not
+    * an ancestry one).
+    */
+  def ancestorClosure(
+      edges: DataFrame,
+      nodes: DataFrame,
+      maxDepth: Int = 64,
+      batch: Int = 6,
+      childCol: String = "child",
+      parentCol: String = "parent"): DataFrame = {
+    require(batch >= 1)
+    val e = Caches.persisted(
+      edges.select(col(childCol).as("child"), col(parentCol).as("parent")).distinct())
+    def up(f: DataFrame): DataFrame = f
+      .select(col("node"), col("anc").as("child"), col("depth"))
+      .join(e, "child")
+      .select(col("node"), col("parent").as("anc"), (col("depth") + 1L).as("depth"))
+    var acc = nodes.select(col(nodes.columns.head).as("node"))
+      .distinct()
+      .select(col("node"), col("node").as("anc"), lit(0L).as("depth"))
+      .localCheckpoint(true)
+    var frontier = e
+      .select(col("child").as("node"), col("parent").as("anc"), lit(1L).as("depth"))
+      .localCheckpoint(true)
+    var d = 1
+    while (!frontier.isEmpty) {
+      require(d <= maxDepth,
+        s"hierarchy deeper than maxDepth=$maxDepth — degenerate chain or cycle")
+      // `batch` levels as one lazy plan off the materialized frontier;
+      // only the batch's LAST level materializes for the next probe
+      val levels = Iterator.iterate(frontier)(up).take(batch).toSeq
+      acc = acc.unionAll(levels.reduce(_ unionAll _))
+      frontier = up(levels.last).localCheckpoint(true)
+      d += batch
+    }
+    acc
+  }
+
   /** k-core: the maximal subgraph where every node keeps degree ≥ k —
     * the standard density filter (spam/bot rings, community cores,
     * "drop the long tail of barely-connected pages before expensive

@@ -301,4 +301,31 @@ class GraphSpec extends AnyFunSuite with SparkTest {
       assert(g2 == w2, s"trial $trial diverged")
     }
   }
+
+  test("ancestorClosure: tree and DAG ancestry exact, cycles fail loudly") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    // tree: 1 <- 2,3; 2 <- 4; plus DAG node 5 with TWO parents (3,4)
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 2L), (5L, 3L), (5L, 4L))
+      .toDF("child", "parent")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("node")
+    val got = graft.operators.Graph.ancestorClosure(edges, nodes)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    graft.operators.Caches.release()
+    val expected = Set(
+      (1L, 1L, 0L), (2L, 2L, 0L), (3L, 3L, 0L), (4L, 4L, 0L), (5L, 5L, 0L),
+      (2L, 1L, 1L), (3L, 1L, 1L), (4L, 2L, 1L), (4L, 1L, 2L),
+      (5L, 3L, 1L), (5L, 4L, 1L), // both DAG parents
+      (5L, 1L, 2L), (5L, 2L, 2L), // via 3 -> 1 and via 4 -> 2
+      (5L, 1L, 3L))               // via 4 -> 2 -> 1: BOTH paths to 1 kept
+    assert(got == expected)
+    // a cycle can never converge: loud failure, not an infinite loop
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("child", "parent")
+    val e = intercept[Exception] {
+      graft.operators.Graph.ancestorClosure(cyc, Seq(1L, 2L).toDF("node"), maxDepth = 8)
+        .count()
+    }
+    graft.operators.Caches.release()
+    assert(e.getMessage.contains("maxDepth"))
+  }
 }

@@ -2544,6 +2544,64 @@ object SparkEntry {
       MergeOnRead.applyChanges(stale, changes, Seq("k"))
         .withColumn("rows_read", lit(rowsRead))
     }),
+    "u10_bitemporal" -> ((s, d) => {
+      // BITEMPORAL read: transaction time (MoR batch stamps) crossed
+      // with valid time (SCD-2 validity) — "joining as of what we KNEW
+      // at txn T, which balance was valid at each order's date". The
+      // history lives as a merge-on-read table keyed on
+      // (cust, valid_from); txn 1 restates some current balances, txn
+      // 2 closes-and-opens versions for others; the gate reads the
+      // history AS OF both txn points (readViewAsOf) and point-in-time
+      // joins orders against each — the audit query neither time axis
+      // alone can answer
+      import graft.sources.MergeOnRead
+      val c = rd(s, d, "customer")
+        .select(col("c_custkey").as("cust"), col("c_acctbal").as("bal0"))
+      val t0 = tlit("1995-07-01 00:00:00")
+      val t1 = tlit("1998-01-01 00:00:00")
+      val t2 = tlit("1998-06-01 00:00:00")
+      val dir = new java.io.File(
+        "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      val tbl = s"mor_bitemp_${contentEpoch(c, "cust")}"
+      val spec = MergeSpec(Seq("cust", "valid_from"), Seq("bal", "valid_to"))
+      graft.operators.Memo.cached(s, s"bitemp|$dir|$tbl") {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        if (!MergeOnRead.exists(s, dir, tbl)) {
+          val closed = c.select(col("cust"), t0.as("valid_from"),
+            (col("bal0") - 50).as("bal"), t1.as("valid_to"))
+          val cur = c.select(col("cust"), t1.as("valid_from"),
+            col("bal0").as("bal"), lit(null).cast("timestamp").as("valid_to"))
+          MergeOnRead.init(closed.unionByName(cur), dir, tbl,
+            Seq("cust", "valid_from"))
+        }
+        // txn 1: restate the CURRENT balance for every 5th customer
+        MergeOnRead.deltaMerge(s, dir, tbl,
+          c.where(col("cust") % 5 === 0).select(col("cust"),
+            t1.as("valid_from"), (col("bal0") + 77).as("bal"),
+            lit(null).cast("timestamp").as("valid_to")),
+          spec, tlit(tsNow), batchId = 1L)
+        // txn 2: close-and-open for every 7th (not 5th) customer —
+        // the current version gains valid_to, a new version opens
+        val closing = c.where(col("cust") % 7 === 0 && col("cust") % 5 =!= 0)
+        MergeOnRead.deltaMerge(s, dir, tbl,
+          closing.select(col("cust"), t1.as("valid_from"),
+              col("bal0").as("bal"), t2.as("valid_to"))
+            .unionByName(closing.select(col("cust"), t2.as("valid_from"),
+              (col("bal0") + 100).as("bal"),
+              lit(null).cast("timestamp").as("valid_to"))),
+          spec, tlit(tsNow), batchId = 2L)
+        java.lang.Boolean.TRUE
+      }
+      val facts = rd(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey").as("cust"), col("o_orderdate").as("ts"),
+        col("o_totalprice"))
+      Seq(1L, 2L).map { asOf =>
+        Merge.pointInTime(facts,
+          MergeOnRead.readViewAsOf(s, dir, tbl, asOf),
+          Seq("cust"), "ts", Seq("bal"))
+          .withColumn("asof_txn", lit(asOf))
+      }.reduce(_ unionByName _)
+    }),
     "u6_point_in_time" -> ((s, d) => {
       // temporal join: each order reads the customer balance version
       // valid AT ITS ORDER DATE — the leak-proof feature join over
@@ -6750,6 +6808,22 @@ object SparkEntry {
         "rr AS (SELECT (SELECT count(*) FROM l WHERE k % 1024 IN (SELECT bucket FROM dirty)) + " +
         "(SELECT count(*) FROM r WHERE k % 1024 IN (SELECT bucket FROM dirty)) AS rows_read) " +
         "SELECT l.k, l.cents, (SELECT rows_read FROM rr) AS rows_read FROM l"),
+    // both believed-history states rebuilt closed-form, each validity
+    // LEFT JOINed independently of the operator's as-of machinery
+    "u10_bitemporal" ->
+      ("WITH c AS (SELECT c_custkey AS cust, c_acctbal AS bal0 FROM customer), " +
+        "h1 AS (SELECT cust, bal0 - 50 AS bal, TIMESTAMP '1995-07-01' AS vf, TIMESTAMP '1998-01-01' AS vt FROM c " +
+        "UNION ALL SELECT cust, CASE WHEN cust % 5 = 0 THEN bal0 + 77 ELSE bal0 END, TIMESTAMP '1998-01-01', NULL FROM c), " +
+        "h2 AS (SELECT cust, bal0 - 50 AS bal, TIMESTAMP '1995-07-01' AS vf, TIMESTAMP '1998-01-01' AS vt FROM c " +
+        "UNION ALL SELECT cust, CASE WHEN cust % 5 = 0 THEN bal0 + 77 ELSE bal0 END, TIMESTAMP '1998-01-01', " +
+        "CASE WHEN cust % 7 = 0 AND cust % 5 <> 0 THEN TIMESTAMP '1998-06-01' ELSE NULL END FROM c " +
+        "UNION ALL SELECT cust, bal0 + 100, TIMESTAMP '1998-06-01', NULL FROM c WHERE cust % 7 = 0 AND cust % 5 <> 0), " +
+        "o AS (SELECT o_orderkey, o_custkey AS cust, o_orderdate AS ts, o_totalprice FROM orders) " +
+        "SELECT o.o_orderkey, o.cust, o.ts, o.o_totalprice, h.bal, h.vf AS valid_from, CAST(1 AS BIGINT) AS asof_txn " +
+        "FROM o LEFT JOIN h1 h ON h.cust = o.cust AND h.vf <= o.ts AND (h.vt IS NULL OR o.ts < h.vt) " +
+        "UNION ALL " +
+        "SELECT o.o_orderkey, o.cust, o.ts, o.o_totalprice, h.bal, h.vf AS valid_from, CAST(2 AS BIGINT) AS asof_txn " +
+        "FROM o LEFT JOIN h2 h ON h.cust = o.cust AND h.vf <= o.ts AND (h.vt IS NULL OR o.ts < h.vt)"),
     // independent formulation: the oracle is the naive validity-range
     // LEFT JOIN (at most one version matches by the SCD-2 invariant),
     // not a replay of the as-of carry

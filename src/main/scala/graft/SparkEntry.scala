@@ -1504,6 +1504,48 @@ object SparkEntry {
         .join(sub.withColumnRenamed("anc", "r"), "r")
         .select(col("k"), col("depth"), col("n_desc"), col("subtree_cents"))
     }),
+    "incr_hierarchy_maintain" -> ((s, d) => {
+      // O(delta) closure maintenance under subtree inserts: ranks past
+      // the cut attach (with internal chains) beneath the existing
+      // tree; the delta's closure composes with the MATERIALIZED base
+      // closure by one keyed join, old rows reused verbatim — and the
+      // rollup off the maintained closure equals the full rebuild
+      // oracle exactly
+      val o = rd(s, d, "orders").select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("k")
+      val dd = o.withColumn("r", row_number().over(w).cast("long"))
+      val edges = dd.where(col("r") >= 2)
+        .select(col("r").as("child"), expr("greatest(r div 8, 1)").as("parent"))
+      val cutExpr = dd.agg((max("r") * 3 / 25).cast("long")).head().getLong(0)
+      val base = graft.operators.Graph.ancestorClosure(
+        edges.where(col("child") <= cutExpr),
+        dd.where(col("r") <= cutExpr).select(col("r")))
+      val maint = graft.operators.Graph.extendAncestorClosure(base,
+        edges.where(col("child") > cutExpr),
+        dd.where(col("r") > cutExpr).select(col("r")))
+      val depths = maint.groupBy(col("node")).agg(max("depth").as("depth"))
+      val sub = maint
+        .join(dd.select(col("r").as("node"), col("cents")), "node")
+        .groupBy(col("anc"))
+        .agg(count(lit(1)).as("n_desc"), sum("cents").as("subtree_cents"))
+      dd.select(col("k"), col("r"))
+        .join(depths.withColumnRenamed("node", "r"), "r")
+        .join(sub.withColumnRenamed("anc", "r"), "r")
+        .select(col("k"), col("depth"), col("n_desc"), col("subtree_cents"))
+    }),
+    "incr_gram_maintain" -> ((s, d) => {
+      // O(delta) PCA maintenance: second moments are additive exact
+      // integers — the materialized Gram of the old corpus plus the
+      // delta batch's Gram equals the full rebuild EXACTLY, so the
+      // eigen direction / whitening refreshes at delta cost
+      val emb = rd(s, d, "embeddings")
+      graft.operators.Similarity.mergeSecondMoments(
+        graft.operators.Similarity.vectorSecondMoments(
+          emb.where(col("vec_id") % 10 =!= 0)).unionByName(
+          graft.operators.Similarity.vectorSecondMoments(
+            emb.where(col("vec_id") % 10 === 0))))
+    }),
     "events_kaplan_meier" -> ((s, d) => {
       // Kaplan-Meier survival with right-censoring: per user, lifetime
       // = first->last event days; users still active within 1 day of
@@ -7513,6 +7555,26 @@ object SparkEntry {
         "SELECT label, dim, count(*) AS n_vecs, " +
         "CAST(sum(CAST(round(CAST(v AS DOUBLE) * 16777216.0) AS BIGINT)) AS BIGINT) AS sum_fp " +
         "FROM x GROUP BY 1, 2"),
+    // maintain == rebuild: the same full recursive-rollup oracle gates
+    // the closure maintained from the base + delta composition
+    "incr_hierarchy_maintain" ->
+      ("WITH RECURSIVE o AS (SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "dd AS (SELECT k, cents, CAST(row_number() OVER (ORDER BY k) AS BIGINT) AS r FROM o), " +
+        "e AS (SELECT r AS child, greatest(r // 8, 1) AS parent FROM dd WHERE r >= 2), " +
+        "anc AS (SELECT r AS node, r AS anc, CAST(0 AS BIGINT) AS depth FROM dd " +
+        "UNION ALL SELECT a.node, e.parent, a.depth + 1 FROM anc a JOIN e ON e.child = a.anc), " +
+        "dep AS (SELECT node, max(depth) AS depth FROM anc GROUP BY 1), " +
+        "sub AS (SELECT anc, CAST(count(*) AS BIGINT) AS n_desc, CAST(sum(dd.cents) AS BIGINT) AS subtree_cents " +
+        "FROM anc JOIN dd ON dd.r = anc.node GROUP BY 1) " +
+        "SELECT dd.k, dep.depth, sub.n_desc, sub.subtree_cents " +
+        "FROM dd JOIN dep ON dep.node = dd.r JOIN sub ON sub.anc = dd.r"),
+    // maintain == rebuild: the additive moments equal the one-pass Gram
+    "incr_gram_maintain" ->
+      ("WITH x AS (SELECT vec_id, CAST(unnest(generate_series(1, len(embedding))) - 1 AS INT) AS i, " +
+        "CAST(round(CAST(unnest(embedding) AS DOUBLE) * 16777216.0) AS BIGINT) AS q FROM embeddings) " +
+        "SELECT a.i, b.i AS j, count(*) AS n_vecs, " +
+        "CAST(CAST(sum(a.q * b.q) AS DECIMAL(38,0)) AS VARCHAR) AS sumprod_fp " +
+        "FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i GROUP BY 1, 2"),
     "emb_covariance" ->
       ("WITH x AS (SELECT vec_id, CAST(unnest(generate_series(1, len(embedding))) - 1 AS INT) AS i, " +
         "CAST(round(CAST(unnest(embedding) AS DOUBLE) * 16777216.0) AS BIGINT) AS q FROM embeddings) " +

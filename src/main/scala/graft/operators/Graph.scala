@@ -349,6 +349,43 @@ object Graph {
     acc
   }
 
+  /** O(delta) MAINTENANCE of a materialized [[ancestorClosure]] under
+    * SUBTREE INSERTS — the common hierarchy mutation (new categories,
+    * new org reports, new BOM components attach beneath existing
+    * nodes): the delta's internal closure is computed on the
+    * DELTA-sized subforest only, and paths that exit into the existing
+    * hierarchy compose with the old closure by ONE keyed join — the
+    * old closure rows are reused verbatim, never recomputed
+    * (`incr_hierarchy_maintain` gates maintain == full rebuild
+    * exactly). Contract: `newEdges`' children are exactly `newNodes`
+    * (REQUIRED — re-parenting an existing node invalidates old closure
+    * rows and needs a rebuild of the affected subtree).
+    */
+  def extendAncestorClosure(
+      closure: DataFrame,
+      newEdges: DataFrame,
+      newNodes: DataFrame,
+      maxDepth: Int = 64,
+      childCol: String = "child",
+      parentCol: String = "parent"): DataFrame = {
+    val nn = newNodes.select(col(newNodes.columns.head).as("__nn")).distinct()
+    require(newEdges.select(col(childCol).as("__nn"))
+      .join(nn, Seq("__nn"), "left_anti").isEmpty,
+      "extendAncestorClosure: every new edge's child must be a NEW node " +
+        "(re-parenting existing nodes requires a rebuild)")
+    val dcl = ancestorClosure(newEdges, newNodes, maxDepth,
+      childCol = childCol, parentCol = parentCol)
+    val internal = dcl.join(nn.withColumnRenamed("__nn", "anc"), Seq("anc"), "left_semi")
+      .select("node", "anc", "depth")
+    val boundary = dcl.join(nn.withColumnRenamed("__nn", "anc"), Seq("anc"), "left_anti")
+    val composed = boundary
+      .select(col("node"), col("anc").as("__p"), col("depth").as("__d"))
+      .join(closure.select(col("node").as("__p"), col("anc"),
+        col("depth").as("__d2")), "__p")
+      .select(col("node"), col("anc"), (col("__d") + col("__d2")).as("depth"))
+    closure.unionByName(internal).unionByName(composed)
+  }
+
   /** k-core: the maximal subgraph where every node keeps degree ≥ k —
     * the standard density filter (spam/bot rings, community cores,
     * "drop the long tail of barely-connected pages before expensive

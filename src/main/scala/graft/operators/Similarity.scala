@@ -901,6 +901,20 @@ object Similarity {
           .cast("string").as("sumprod_fp"))
   }
 
+  /** Merge [[vectorSecondMoments]] outputs — the O(delta) PCA/Gram
+    * maintenance primitive: second moments are ADDITIVE exact integers,
+    * so yesterday's materialized Gram plus the delta batch's Gram
+    * equals the full-corpus rebuild EXACTLY (not approximately), and
+    * anything derived from the moments ([[topEigenvector]], whitening,
+    * covariance) refreshes at delta cost. One metadata-sized (dim²
+    * rows per part) keyed sum.
+    */
+  def mergeSecondMoments(parts: DataFrame): DataFrame =
+    parts.groupBy("i", "j").agg(
+      sum(col("n_vecs")).as("n_vecs"),
+      sum(col("sumprod_fp").cast("decimal(38,0)"))
+        .cast("decimal(38,0)").cast("string").as("sumprod_fp"))
+
   /** DOMINANT PRINCIPAL DIRECTION of the embedding cloud by
     * fixed-count POWER ITERATION over the exact-integer second-moment
     * matrix — the one-component PCA a curation pipeline reads

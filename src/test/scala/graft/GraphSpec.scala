@@ -328,4 +328,29 @@ class GraphSpec extends AnyFunSuite with SparkTest {
     graft.operators.Caches.release()
     assert(e.getMessage.contains("maxDepth"))
   }
+
+  test("extendAncestorClosure: delta chains compose with the base; re-parenting rejects") {
+    val s = spark; import s.implicits._
+    import graft.operators.Graph
+    // base tree: 1 <- 2 <- 3
+    val baseEdges = Seq((2L, 1L), (3L, 2L)).toDF("child", "parent")
+    val base = Graph.ancestorClosure(baseEdges, Seq(1L, 2L, 3L).toDF("node"))
+    // delta: 4 under 3 (existing), 5 under 4 (a NEW-node chain)
+    val dEdges = Seq((4L, 3L), (5L, 4L)).toDF("child", "parent")
+    val maint = Graph.extendAncestorClosure(base, dEdges, Seq(4L, 5L).toDF("node"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val rebuilt = Graph.ancestorClosure(
+      baseEdges.unionByName(dEdges), (1L to 5L).toDF("node"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    graft.operators.Caches.release()
+    assert(maint == rebuilt, "maintained closure must equal the full rebuild")
+    assert(maint.contains((5L, 1L, 4L)), "chain 5->4->3->2->1 composed through the base")
+    // re-parenting an EXISTING node must reject loudly
+    val e = intercept[IllegalArgumentException] {
+      Graph.extendAncestorClosure(base, Seq((3L, 1L)).toDF("child", "parent"),
+        Seq(6L).toDF("node"))
+    }
+    graft.operators.Caches.release()
+    assert(e.getMessage.contains("rebuild"))
+  }
 }

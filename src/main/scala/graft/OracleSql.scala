@@ -145,6 +145,65 @@ object OracleSql {
       s"WHERE ov.inter * $threshDen >= (sa.n + sb.n - ov.inter) * $threshNum"
   }
 
+  /** Oracle for `shard_rendezvous`: replay of
+    * `Layout.rendezvousShard` at `nA` and `nB` = nA+1 shards — the
+    * per-key argmax over the portable (salt, shard, key) hash, ties by
+    * shard index; the audit counts relocations (all must land on the
+    * NEW shard) per old shard.
+    */
+  def shardRendezvous(nA: Int, nB: Int, salt: String): String = {
+    def asg(n: Int, name: String): String =
+      s"$name AS (SELECT k, s FROM (SELECT k.k AS k, s.range AS s, " +
+        s"row_number() OVER (PARTITION BY k.k ORDER BY " +
+        s"md5('hrw:$salt:' || CAST(s.range AS VARCHAR) || ':' || CAST(k.k AS VARCHAR)) DESC, s.range) AS rn " +
+        s"FROM k, range($n) s) t WHERE rn = 1)"
+    s"WITH k AS (SELECT o_orderkey AS k FROM orders), " +
+      asg(nA, "aa") + ", " + asg(nB, "bb") + " " +
+      "SELECT CAST(aa.s AS INT) AS s8, CAST(count(*) AS BIGINT) AS n_keys, " +
+      s"CAST(sum(CASE WHEN bb.s = ${nB - 1} THEN 1 ELSE 0 END) AS BIGINT) AS n_moved, " +
+      s"CAST(sum(CASE WHEN bb.s <> aa.s AND bb.s <> ${nB - 1} THEN 1 ELSE 0 END) AS BIGINT) AS n_misplaced, " +
+      s"CAST(sum(CASE WHEN bb.s = ${nB - 1} THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS moved_ppm " +
+      "FROM aa JOIN bb ON aa.k = bb.k GROUP BY 1"
+  }
+
+  /** Oracle for `dedup_blocking_recall`: the exact-Jaccard truth pairs
+    * ([[ngramPairCtes]]) against each band configuration's UNVERIFIED
+    * candidate set (band-signature equality — the portable buckets ARE
+    * the raw signature values, so candidate sets match exactly), one
+    * row per configuration.
+    */
+  def dedupBlockingRecall(numHashes: Int, bandCounts: Seq[Int],
+      threshNum: Int, threshDen: Int): String = {
+    require(bandCounts.forall(b => b >= 1 && numHashes % b == 0))
+    val affineVals = (0 until numHashes)
+      .map(i => s"($i, ${PortableMinHash.a(i)}, ${PortableMinHash.b(i)})")
+      .mkString(", ")
+    val cfg = bandCounts.map { nb =>
+      val r = numHashes / nb
+      val bandVals = (0 until r)
+        .map(j => s"min(CASE WHEN i % $r = $j THEN mh END) AS v$j")
+        .mkString(", ")
+      val joinCond = (0 until r).map(j => s"a.v$j = b.v$j").mkString(" AND ")
+      s"bands$nb AS (SELECT doc_id, i // $r AS band, $bandVals FROM mh GROUP BY doc_id, i // $r), " +
+        s"cand$nb AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands$nb a JOIN bands$nb b " +
+        s"ON a.band = b.band AND $joinCond AND a.doc_id < b.doc_id)"
+    }.mkString(", ")
+    val rows = bandCounts.map { nb =>
+      s"SELECT $nb AS num_bands, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_true, " +
+        s"(SELECT CAST(count(*) AS BIGINT) FROM cand$nb) AS n_candidates, " +
+        s"(SELECT CAST(count(*) AS BIGINT) FROM pairs p JOIN cand$nb c " +
+        "ON p.id_a = c.id_a AND p.id_b = c.id_b) AS n_caught"
+    }.mkString(" UNION ALL ")
+    s"WITH ${ngramPairCtes(threshNum, threshDen)}, " +
+      "ghx AS (SELECT doc_id, hex(encode(g)) AS hx FROM tri), " +
+      s"gh AS (SELECT doc_id, CAST(${rollFold("hx")} % ${PortableMinHash.Mod} AS BIGINT) AS h40 FROM ghx), " +
+      s"mh AS (SELECT doc_id, t.i AS i, min((h40 * t.a + t.b) % ${PortableMinHash.Mod}) AS mh " +
+      s"FROM gh CROSS JOIN (VALUES $affineVals) t(i, a, b) GROUP BY doc_id, t.i), " +
+      s"$cfg " +
+      s"SELECT num_bands, n_true, n_candidates, n_caught, n_caught * 1000000 // n_true AS recall_ppm FROM ($rows)"
+  }
+
   /** Oracle for `stream_ingest_replay`: the greedy sequential admission
     * of [[graft.streaming.Streams.foldIngestBatch]] unrolled over
     * `nBatches` doc_id-modulo batches. One full-corpus LSH run

@@ -1700,6 +1700,13 @@ object SparkEntry {
       val docs = rd(s, d, "documents")
       Dedup.simHashSignatures(docs, portable = true)
     }),
+    "dedup_blocking_recall" -> ((s, d) =>
+      // the banding TUNING CURVE: recall of the true near-dup pairs vs
+      // unverified candidate volume at 2/4/8 bands — how the curator
+      // picks the blocking point before burning verification compute
+      Dedup.blockingRecallReport(rd(s, d, "documents"),
+        numHashes = 16, bandCounts = Seq(2, 4, 8),
+        threshNum = 1, threshDen = 20)),
     "dedup_span_excise" -> ((s, d) =>
       // substring-level dedup: every 10-token span seen >=2x globally is
       // cut from all but its first occurrence; docs reassembled
@@ -3134,6 +3141,24 @@ object SparkEntry {
           sum(when(col("shard8") =!= col("shard12"), 1L).otherwise(0L))
             .as("n_moved"))
         .withColumn("moved_ppm", expr("n_moved * 1000000 div n_docs"))
+    }),
+    "shard_rendezvous" -> ((s, d) => {
+      // rendezvous (HRW) resharding audit: per 8-shard assignment, how
+      // many keys relocate when shard 8 is ADDED — and the machine
+      // check that every relocation goes TO the new shard (n_misplaced
+      // must be 0: a key's relative order among surviving shards can't
+      // change under highest-random-weight)
+      val keys = rd(s, d, "orders").select(col("o_orderkey").as("k"))
+      val a8 = graft.sources.Layout.rendezvousShard(keys, "k", 8,
+        salt = "hrw1", outCol = "s8")
+      val a9 = graft.sources.Layout.rendezvousShard(keys, "k", 9,
+        salt = "hrw1", outCol = "s9")
+      a8.join(a9, "k").groupBy("s8")
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("s9") === 8, 1L).otherwise(0L)).as("n_moved"),
+          sum(when(col("s9") =!= col("s8") && col("s9") =!= 8, 1L).otherwise(0L))
+            .as("n_misplaced"))
+        .withColumn("moved_ppm", expr("n_moved * 1000000 div n_keys"))
     }),
     "pack_length_buckets" -> ((s, d) => {
       // dynamic-padding accounting: next-pow2 length buckets per
@@ -6128,6 +6153,8 @@ object SparkEntry {
         "AND NOT (id_a >= 100 AND id_a % 7 = 3) " +
         "AND NOT (id_b >= 100 AND id_b % 7 = 3)"),
     "dedup_simhash" -> OracleSql.dedupSimhash,
+    "dedup_blocking_recall" ->
+      OracleSql.dedupBlockingRecall(16, Seq(2, 4, 8), 1, 20),
     "dedup_embed_lsh" -> OracleSql.dedupEmbedLsh(0.4),
     "ann_lsh_topk" -> OracleSql.annLshTopK(5),
     "ann_ivf_topk" -> OracleSql.annIvfTopK(5, numCentroids = 16, nProbe = 4),
@@ -7099,6 +7126,7 @@ object SparkEntry {
         "CAST(sum(CASE WHEN sh8 <> sh12 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved, " +
         "CAST((sum(CASE WHEN sh8 <> sh12 THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS moved_ppm " +
         "FROM j GROUP BY source"),
+    "shard_rendezvous" -> OracleSql.shardRendezvous(8, 9, "hrw1"),
     "pack_length_buckets" ->
       ("WITH L AS (SELECT source, len([t for t in regexp_split_to_array(lower(trim(text)), '\\s+') if t <> '']) AS n FROM documents), " +
         "f AS (SELECT * FROM L WHERE n >= 1), " +

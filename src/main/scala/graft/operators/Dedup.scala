@@ -711,6 +711,52 @@ object Dedup {
       .select("id_a", "id_b", "inter", "union_size")
   }
 
+  /** BLOCKING-RECALL report — the banding TUNING CURVE: for each
+    * candidate band count, how many of the true near-dup pairs (exact
+    * integer-Jaccard ≥ threshNum/threshDen) the LSH band-bucket
+    * blocking actually surfaces, next to the candidate volume that
+    * recall costs. More bands (fewer rows per band) raise recall AND
+    * candidate count — this report is how the curator picks the point
+    * on that trade before burning verification compute at corpus
+    * scale. Portable signatures, so the unverified candidate sets
+    * (bucket = the band's raw signature values — no condensing-hash
+    * collisions) replay exactly in the oracle.
+    *
+    * Scale judgment: the TRUTH side is the exact all-pairs Jaccard —
+    * sample-scale by construction (the same documented tier as
+    * `dedup_ngram_jaccard`); run the report on a labeled sample and
+    * apply the chosen banding to the full corpus, which is precisely
+    * the point of measuring recall before scaling out.
+    */
+  def blockingRecallReport(
+      docs: DataFrame,
+      numHashes: Int,
+      bandCounts: Seq[Int],
+      threshNum: Int,
+      threshDen: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(bandCounts.nonEmpty && bandCounts.forall(b => b >= 1 && numHashes % b == 0))
+    val tri = Caches.persisted(trigramSets(docs, textCol, idCol))
+    val truth = Caches.persisted(
+      ngramJaccardPairs(docs, threshNum, threshDen, textCol = textCol, idCol = idCol)
+        .select("id_a", "id_b"))
+    bandCounts.map { nb =>
+      val bk = lshBuckets(tri, numHashes, nb, idCol, portable = true)
+      val cand = Caches.persisted(bk.toDF("id_a", "band", "bucket")
+        .join(bk.toDF("id_b", "band", "bucket"), Seq("band", "bucket"))
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct())
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+        .crossJoin(truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+          .agg(count(lit(1)).as("n_caught")))
+        .select(lit(nb).as("num_bands"), col("n_true"), col("n_candidates"),
+          col("n_caught"),
+          expr("n_caught * 1000000 div n_true").as("recall_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
   /** RIGHT-TO-BE-FORGOTTEN for the persisted MinHash index: purge every
     * band row (and the piggybacked `n_grams` size) of the deleted docs,
     * so the index can never again surface a deleted document as a

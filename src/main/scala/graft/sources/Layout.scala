@@ -373,6 +373,45 @@ object Layout {
     df.withColumn(outCol, successor("shard"))
   }
 
+  /** RENDEZVOUS (highest-random-weight) shard assignment — the
+    * ring's vnode-free sibling: each key goes to the shard with the
+    * highest portable hash of (salt, shard, key). Perfectly uniform in
+    * expectation with NO vnode tuning, and MINIMALLY DISRUPTIVE by
+    * construction: adding shard n+1 relocates exactly the keys whose
+    * new argmax IS the new shard (≈ 1/(n+1) of them) and nothing else —
+    * a key's relative order among surviving shards can't change
+    * (`shard_rendezvous` gates n_misplaced == 0 machine-checked).
+    * Pick HRW when shard counts are small and vnode memory matters;
+    * the ring when weighted shards or locality-aware vnode placement
+    * is needed.
+    *
+    * Scale shape: one map-side explode to (key × nShards) rows and a
+    * per-KEY window over nShards rows (keyed shuffle, frame size =
+    * shard count — never data-sized). Deterministic: md5 weights
+    * compared as hex strings (NOT the polynomial rolling hash, which
+    * is LINEAR in the one character that varies across shards — its
+    * argmax is badly biased; the avalanched digest is what makes HRW
+    * uniform), ties broken by shard index.
+    */
+  def rendezvousShard(
+      df: DataFrame,
+      keyCol: String,
+      nShards: Int,
+      salt: String = "hrw",
+      outCol: String = "shard"): DataFrame = {
+    require(nShards >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("__hrw_h").desc, col("__hrw_s"))
+    df.withColumn("__hrw_s", explode(sequence(lit(0), lit(nShards - 1))))
+      .withColumn("__hrw_h",
+        md5(concat(lit(s"hrw:$salt:"),
+          col("__hrw_s").cast("string"), lit(":"), col(keyCol).cast("string"))))
+      .withColumn("__hrw_rn", row_number().over(w))
+      .where(col("__hrw_rn") === 1)
+      .drop("__hrw_h", "__hrw_rn")
+      .withColumnRenamed("__hrw_s", outCol)
+  }
+
   /** Ordered shard export — the corpus-assembly last mile: write the
     * training set as `nShards` parquet shards that together hold the
     * rows in GLOBAL `orderCol` order (shard 0's keys all precede shard

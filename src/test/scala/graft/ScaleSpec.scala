@@ -312,6 +312,49 @@ class ScaleSpec extends AnyFunSuite with SparkTest {
       ("weird-name'q", "added")))
   }
 
+  test("rendezvousShard: uniform-ish occupancy, adds-only relocation, deterministic") {
+    val s = spark; import s.implicits._
+    import graft.sources.Layout
+    val keys = (1L to 4000L).toDF("k")
+    val a = Layout.rendezvousShard(keys, "k", 8, salt = "t").withColumnRenamed("shard", "s8")
+    val counts = a.groupBy("s8").count().collect().map(r => r.getLong(1))
+    assert(counts.length == 8 && counts.min > 300 && counts.max < 700,
+      s"md5 weights keep occupancy near uniform: ${counts.mkString(",")}")
+    // adding shard 8: every relocation lands ON the new shard, ~1/9 move
+    val b = Layout.rendezvousShard(keys, "k", 9, salt = "t").withColumnRenamed("shard", "s9")
+    val j = a.join(b, "k").select("s8", "s9").collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    assert(j.forall { case (x, y) => x == y || y == 8 },
+      "HRW relocations may only target the added shard")
+    val moved = j.count { case (x, y) => x != y }
+    assert(moved > 4000 / 9 / 2 && moved < 4000 / 9 * 2, s"~1/9 should move: $moved")
+    // same salt, same assignment — pure function of (salt, key, n)
+    assert(Layout.rendezvousShard(keys.repartition(7), "k", 8, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet ==
+      a.collect().map(r => (r.getLong(0), r.getInt(1))).toSet)
+  }
+
+  test("blockingRecallReport: recall climbs with band count, candidates grow, truth fixed") {
+    val s = spark; import s.implicits._
+    import graft.operators.Dedup
+    // near-dup pairs of long token strings + unrelated docs
+    def text(seed: Int, mut: Int) = (1 to 30).map(i =>
+      if (i == mut) s"x$seed$i" else s"w$seed${i % 7}").mkString(" ")
+    val docs = (Seq((1L, text(1, 0)), (2L, text(1, 3)), (3L, text(2, 0)),
+      (4L, text(2, 5)), (5L, text(5, 0)), (6L, text(6, 0))))
+      .toDF("doc_id", "text")
+    val out = Dedup.blockingRecallReport(docs, 16, Seq(2, 4, 8), 1, 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    graft.operators.Caches.release()
+    assert(out.map(_._2).distinct.length == 1, "truth pair count is config-independent")
+    assert(out.map(_._3).sliding(2).forall(p => p.head <= p.last),
+      "more bands never shrink the candidate set (coarser per-band signatures)")
+    assert(out.map(_._4).sliding(2).forall(p => p.head <= p.last),
+      "recall is monotone in band count")
+    assert(out.forall { case (_, t, _, c) => c <= t }, "caught <= truth")
+  }
+
   test("manifest pruning reads only overlapping files, result equals full filter") {
     val s = spark; import s.implicits._
     import graft.sources.Layout

@@ -1563,6 +1563,43 @@ object SparkEntry {
           graft.operators.Similarity.vectorSecondMoments(
             emb.where(col("vec_id") % 10 === 0))))
     }),
+    "events_logrank" -> ((s, d) => {
+      // log-rank test: do the even and odd user cohorts churn at the
+      // same rate, censoring accounted for — observed vs expected
+      // cohort-1 deaths at every pooled event time, chi-square(1)
+      val ev = rd(s, d, "events")
+      val per = ev.groupBy("user_id").agg(min("ts").as("t0"), max("ts").as("t1"))
+      val gm = per.agg(max(col("t1")).as("gmax"))
+      val subj = per.crossJoin(gm).select(
+        (col("user_id") % 2).as("g"),
+        datediff(col("t1"), col("t0")).cast("long").as("t"),
+        when(col("t1") < col("gmax") - expr("INTERVAL 1 DAYS"), 1)
+          .otherwise(0).as("observed"))
+      graft.operators.Stats.logRankTest(subj, "g", "t", "observed")
+    }),
+    "ab_srm_check" -> ((s, d) => {
+      // sample-ratio-mismatch guard — the FIRST check an experiment
+      // readout runs: observed arm counts vs the declared 50/50
+      // allocation, chi-square(1) on the exact grid; a flagged SRM
+      // means assignment or logging is broken and every downstream
+      // lift number is garbage
+      val users = rd(s, d, "events").select(col("user_id")).distinct()
+      val arms = Sampling.hashSplit(users, "user_id", "ab1", abArms, "arm")
+      val counts = arms.groupBy("arm").agg(count(lit(1)).as("n_obs"))
+      val tot = counts.agg(sum("n_obs").as("n_total"))
+      counts.crossJoin(tot)
+        .select(col("arm"), col("n_obs"), col("n_total"),
+          (col("n_total").cast("double") * 0.5).as("expected"))
+        .withColumn("chi2_term",
+          (col("n_obs").cast("double") - col("expected")) *
+            (col("n_obs").cast("double") - col("expected")) / col("expected"))
+        .groupBy()
+        .agg(max("n_total").as("n_total"),
+          sum(when(col("arm") === "a", col("n_obs"))).as("n_a"),
+          sum(when(col("arm") === "b", col("n_obs"))).as("n_b"),
+          sum("chi2_term").as("chi2"))
+        .withColumn("srm_flag", col("chi2") > 3.841)
+    }),
     "events_kaplan_meier" -> ((s, d) => {
       // Kaplan-Meier survival with right-censoring: per user, lifetime
       // = first->last event days; users still active within 1 day of
@@ -6538,6 +6575,27 @@ object SparkEntry {
         "FROM anc JOIN dd ON dd.r = anc.node GROUP BY 1) " +
         "SELECT dd.k, dep.depth, sub.n_desc, sub.subtree_cents " +
         "FROM dd JOIN dep ON dep.node = dd.r JOIN sub ON sub.anc = dd.r"),
+    "events_logrank" ->
+      graft.operators.Stats.logRankSql(
+        "p AS (SELECT user_id, min(ts) AS t0, max(ts) AS t1 FROM events GROUP BY 1), " +
+          "gm AS (SELECT max(t1) AS gmax FROM p), " +
+          "subjects AS (SELECT user_id % 2 AS g, " +
+          "CAST(datediff('day', CAST(t0 AS DATE), CAST(t1 AS DATE)) AS BIGINT) AS t, " +
+          "CASE WHEN t1 < gmax - INTERVAL 1 DAY THEN 1 ELSE 0 END AS observed " +
+          "FROM p CROSS JOIN gm)"),
+    "ab_srm_check" ->
+      (s"WITH u AS (SELECT DISTINCT user_id FROM events), " +
+        s"c AS (SELECT ${OracleSql.hashSplitCase("CAST(user_id AS VARCHAR)", "ab1", abArms)} AS arm FROM u), " +
+        "o AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_obs FROM c GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM o), " +
+        "x AS (SELECT o.arm, o.n_obs, t.n_total, CAST(t.n_total AS DOUBLE) * 0.5 AS expected " +
+        "FROM o CROSS JOIN t) " +
+        "SELECT max(n_total) AS n_total, " +
+        "CAST(sum(CASE WHEN arm = 'a' THEN n_obs END) AS BIGINT) AS n_a, " +
+        "CAST(sum(CASE WHEN arm = 'b' THEN n_obs END) AS BIGINT) AS n_b, " +
+        "sum((CAST(n_obs AS DOUBLE) - expected) * (CAST(n_obs AS DOUBLE) - expected) / expected) AS chi2, " +
+        "sum((CAST(n_obs AS DOUBLE) - expected) * (CAST(n_obs AS DOUBLE) - expected) / expected) > 3.841 AS srm_flag " +
+        "FROM x"),
     "events_kaplan_meier" ->
       graft.operators.Stats.kaplanMeierSql(
         "p AS (SELECT user_id, min(ts) AS t0, max(ts) AS t1 FROM events GROUP BY 1), " +

@@ -1261,6 +1261,73 @@ object Stats {
         col("d").as("n_events"), col("survival"))
   }
 
+  /** LOG-RANK test — "are these two survival curves the same?", the
+    * hypothesis-test companion of [[kaplanMeier]] (does cohort A churn
+    * faster than cohort B, beyond what censoring explains). At each
+    * pooled event time, group 1's observed deaths are compared with the
+    * expectation under the null (deaths allocated proportionally to the
+    * at-risk split); the standardized squared total is χ²(1). Group
+    * labels are {0, 1}.
+    *
+    * Scale shape: identical to the curve itself — subjects collapse to
+    * (group × time) counts, the at-risk table is a
+    * subjects × event-times join where both sides are
+    * collapsed/metadata-sized, and the statistic folds in one
+    * aggregate. All counts exact integers; the double combination is
+    * written in one fixed operation order the oracle mirrors.
+    */
+  def logRankTest(df: DataFrame, groupCol: String, durationCol: String,
+      observedCol: String): DataFrame = {
+    val subj = df.select(col(groupCol).cast("long").as("g"),
+      col(durationCol).cast("long").as("t"), col(observedCol).cast("int").as("obs"))
+    val deaths = subj.groupBy("g", "t")
+      .agg(sum(when(col("obs") === 1, 1L).otherwise(0L)).as("d"))
+    val times = deaths.groupBy("t").agg(sum("d").as("dt")).where(col("dt") > 0)
+    val atRisk = subj.select(col("g"), col("t"))
+      .join(times.select(col("t").as("tt")), col("t") >= col("tt"))
+      .groupBy(col("g"), col("tt")).agg(count(lit(1)).as("n_g"))
+    val n = atRisk.groupBy("tt").agg(sum("n_g").as("n"))
+    val n1 = atRisk.where(col("g") === 1).select(col("tt"), col("n_g").as("n1"))
+    val d1 = deaths.where(col("g") === 1).select(col("t").as("tt"), col("d").as("d1"))
+    val rows = times.select(col("t").as("tt"), col("dt"))
+      .join(n, "tt")
+      .join(n1, Seq("tt"), "left").join(d1, Seq("tt"), "left")
+      .select(col("tt"), col("dt"), col("n"),
+        coalesce(col("n1"), lit(0L)).as("n1"), coalesce(col("d1"), lit(0L)).as("d1"))
+      .where(col("n") > 1)
+    val p = col("n1").cast("double") / col("n").cast("double")
+    rows.agg(count(lit(1)).as("n_times"),
+        sum(col("d1")).as("obs1"),
+        sum(col("dt").cast("double") * p).as("exp1"),
+        sum(col("dt").cast("double") * p * (lit(1.0) - p) *
+          (col("n") - col("dt")).cast("double") /
+          (col("n") - 1).cast("double")).as("var1"))
+      .select(col("n_times"), col("obs1"), col("exp1"), col("var1"),
+        ((col("obs1").cast("double") - col("exp1")) *
+          (col("obs1").cast("double") - col("exp1")) / col("var1")).as("chi2"))
+      .withColumn("significant_5pct", col("chi2") > 3.841)
+  }
+
+  /** DuckDB replay of [[logRankTest]] over a subjects CTE named
+    * `subjects` with columns (g, t, observed). */
+  def logRankSql(subjectsCte: String): String =
+    s"WITH $subjectsCte, " +
+      "de AS (SELECT g, t, CAST(sum(CASE WHEN observed = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d FROM subjects GROUP BY 1, 2), " +
+      "tm AS (SELECT t, CAST(sum(d) AS BIGINT) AS dt FROM de GROUP BY 1 HAVING sum(d) > 0), " +
+      "ar AS (SELECT s.g, tm.t AS tt, CAST(count(*) AS BIGINT) AS n_g FROM subjects s JOIN tm ON s.t >= tm.t GROUP BY 1, 2), " +
+      "nn AS (SELECT tt, CAST(sum(n_g) AS BIGINT) AS n FROM ar GROUP BY 1), " +
+      "r AS (SELECT tm.t AS tt, tm.dt, nn.n, CAST(coalesce(a1.n_g, 0) AS BIGINT) AS n1, CAST(coalesce(dd.d, 0) AS BIGINT) AS d1 " +
+      "FROM tm JOIN nn ON nn.tt = tm.t " +
+      "LEFT JOIN ar a1 ON a1.tt = tm.t AND a1.g = 1 " +
+      "LEFT JOIN de dd ON dd.t = tm.t AND dd.g = 1 WHERE nn.n > 1), " +
+      "ag AS (SELECT CAST(count(*) AS BIGINT) AS n_times, CAST(sum(d1) AS BIGINT) AS obs1, " +
+      "sum(CAST(dt AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))) AS exp1, " +
+      "sum(CAST(dt AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)) * (1.0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+      "CAST(n - dt AS DOUBLE) / CAST(n - 1 AS DOUBLE)) AS var1 FROM r) " +
+      "SELECT n_times, obs1, exp1, var1, " +
+      "(CAST(obs1 AS DOUBLE) - exp1) * (CAST(obs1 AS DOUBLE) - exp1) / var1 AS chi2, " +
+      "(CAST(obs1 AS DOUBLE) - exp1) * (CAST(obs1 AS DOUBLE) - exp1) / var1 > 3.841 AS significant_5pct FROM ag"
+
   /** DuckDB replay of [[kaplanMeier]] over a subjects CTE named
     * `subjects` with columns (g, t, observed). */
   def kaplanMeierSql(subjectsCte: String): String =

@@ -364,4 +364,24 @@ class StatsSpec extends AnyFunSuite with SparkTest {
     // report S(2)=1-2/4=0.5 — censoring must RAISE survival
     assert(out(("A", 2L))._3 > 0.5)
   }
+
+  test("logRankTest: zero for mirrored cohorts, significant for a clean split") {
+    val s = spark; import s.implicits._
+    // mirrored cohorts: every term's observed equals expected -> chi2 0
+    val same = (Seq(0L, 1L).flatMap(g => Seq((g, 2L, 1), (g, 3L, 1), (g, 5L, 0))))
+      .toDF("g", "t", "observed")
+    val r0 = Stats.logRankTest(same, "g", "t", "observed").head()
+    assert(r0.getDouble(4) == 0.0, s"mirrored cohorts: chi2 ${r0.getDouble(4)}")
+    assert(!r0.getBoolean(5))
+    // clean split: cohort 1 all dies at t=1, cohort 0 censored at t=10
+    //   one event time: n=10, n1=5, d=5, d1=5 -> exp1 2.5,
+    //   var 5*.5*.5*(10-5)/9 = 25/36, chi2 = 6.25/(25/36) = 9.0 exactly
+    val split = ((1 to 5).map(_ => (1L, 1L, 1)) ++ (1 to 5).map(_ => (0L, 10L, 0)))
+      .toDF("g", "t", "observed")
+    val r1 = Stats.logRankTest(split, "g", "t", "observed").head()
+    assert(r1.getLong(0) == 1L && r1.getLong(1) == 5L)
+    assert(math.abs(r1.getDouble(2) - 2.5) < 1e-12)
+    assert(math.abs(r1.getDouble(4) - 9.0) < 1e-9, s"chi2 ${r1.getDouble(4)}")
+    assert(r1.getBoolean(5), "a clean split must flag significant")
+  }
 }

@@ -1577,6 +1577,31 @@ object SparkEntry {
           .otherwise(0).as("observed"))
       graft.operators.Stats.logRankTest(subj, "g", "t", "observed")
     }),
+    "events_power_analysis" -> ((s, d) => {
+      // experiment sizing from observed data: users-per-arm required to
+      // detect an absolute high-value-conversion lift of 1/2/5 points at 5%
+      // two-sided / 80% power (normal approximation, pinned z literals)
+      // against the corpus's actual purchase-conversion baseline — the
+      // question every experiment review asks before launch
+      val ev = rd(s, d, "events")
+      val base = ev.agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(when(col("event_type") === "purchase" && col("value") >= 90,
+          col("user_id"))).as("n_conv"))
+      val z = 1.96 + 0.8416
+      val z2 = z * z
+      val deltas = Seq(10000L, 20000L, 50000L)
+      import s.implicits._
+      base.crossJoin(deltas.toDF("delta_ppm"))
+        .withColumn("p1", col("n_conv").cast("double") / col("n_users").cast("double"))
+        .withColumn("p2", col("p1") + col("delta_ppm").cast("double") / 1000000.0)
+        .withColumn("n_per_arm",
+          ceil(lit(z2) * (col("p1") * (lit(1.0) - col("p1")) +
+            col("p2") * (lit(1.0) - col("p2"))) /
+            ((col("delta_ppm").cast("double") / 1000000.0) *
+              (col("delta_ppm").cast("double") / 1000000.0))).cast("long"))
+        .select("delta_ppm", "n_users", "n_conv", "p1", "p2", "n_per_arm")
+    }),
     "ab_srm_check" -> ((s, d) => {
       // sample-ratio-mismatch guard — the FIRST check an experiment
       // readout runs: observed arm counts vs the declared 50/50
@@ -6583,6 +6608,20 @@ object SparkEntry {
           "CAST(datediff('day', CAST(t0 AS DATE), CAST(t1 AS DATE)) AS BIGINT) AS t, " +
           "CASE WHEN t1 < gmax - INTERVAL 1 DAY THEN 1 ELSE 0 END AS observed " +
           "FROM p CROSS JOIN gm)"),
+    "events_power_analysis" -> {
+      val z = 1.96 + 0.8416
+      val z2 = z * z
+      "WITH b AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, " +
+        "CAST(count(DISTINCT CASE WHEN event_type = 'purchase' AND value >= 90 THEN user_id END) AS BIGINT) AS n_conv FROM events), " +
+        "d AS (SELECT unnest([10000, 20000, 50000]) AS delta_ppm), " +
+        "x AS (SELECT CAST(d.delta_ppm AS BIGINT) AS delta_ppm, b.n_users, b.n_conv, " +
+        "CAST(b.n_conv AS DOUBLE) / CAST(b.n_users AS DOUBLE) AS p1 FROM b CROSS JOIN d), " +
+        "y AS (SELECT *, p1 + CAST(delta_ppm AS DOUBLE) / 1000000.0 AS p2 FROM x) " +
+        "SELECT delta_ppm, n_users, n_conv, p1, p2, " +
+        s"CAST(ceil($z2 * (p1 * (1.0 - p1) + p2 * (1.0 - p2)) / " +
+        "((CAST(delta_ppm AS DOUBLE) / 1000000.0) * (CAST(delta_ppm AS DOUBLE) / 1000000.0))) AS BIGINT) AS n_per_arm " +
+        "FROM y"
+    },
     "ab_srm_check" ->
       (s"WITH u AS (SELECT DISTINCT user_id FROM events), " +
         s"c AS (SELECT ${OracleSql.hashSplitCase("CAST(user_id AS VARCHAR)", "ab1", abArms)} AS arm FROM u), " +

@@ -1115,33 +1115,39 @@ object SparkEntry {
       morStreamFold(s, d)
     }),
     "stream_pointer_replay" -> ((s, d) => {
-      // the POINTER-committed streaming upsert, batch-replayed: no
-      // batch stamp on this path — replay safety is merge IDEMPOTENCE
-      // (a checkpoint replay redelivers identical batch content, and
-      // recommitting the identical merge result changes nothing) — so
-      // batch 2 re-folds verbatim and the read-through-pointer table
-      // must equal the one-pass oracle
+      // the POINTER-committed streaming upsert, batch-replayed: the
+      // pointer line carries the batch STAMP, so a crash replay no-ops
+      // even when its recomputed content DIFFERS (nondeterministic
+      // upstream — the poisoned-replay case): batch 2 is replayed with
+      // a corrupted payload (+999 cents) and the skip must leave the
+      // read-through-pointer table equal to the one-pass oracle; a
+      // whole-fold re-run in a later JVM no-ops the same way
+      // (batch ids ≤ the recorded stamp)
       import graft.sources.Warehouse
       val ord = rd(s, d, "orders")
       val src = ord.select(col("o_orderkey").as("k"),
         round(col("o_totalprice") * 100).cast("long").as("cents0"))
       val dir = new java.io.File(
         "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
-      val tbl = s"ptr_stream_${contentEpoch(ord, "o_orderkey")}"
+      val tbl = s"ptr_stream_v2_${contentEpoch(ord, "o_orderkey")}"
       val spec = MergeSpec(Seq("k"), Seq("cents"))
       graft.operators.Memo.cached(s, s"ptrstream|$dir|$tbl") {
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
         def batch(i: Int): DataFrame =
           src.where(col("k") % 4 === i)
             .select(col("k"), (col("cents0") + 2L * i).as("cents"))
-        // re-running the whole fold in a later JVM is safe for the same
-        // reason the replay is: identical content recommits identically
         (0 until 4).foreach { i =>
           graft.streaming.Streams.foldUpsertPointerBatch(
-            batch(i), dir, tbl, spec, tlit(tsNow))
-          if (i == 2) // crash replay: identical content, idempotent recommit
-            graft.streaming.Streams.foldUpsertPointerBatch(
-              batch(i), dir, tbl, spec, tlit(tsNow))
+            batch(i), dir, tbl, spec, tlit(tsNow), batchId = i.toLong)
+          if (i == 2) {
+            // poisoned crash replay: same batch id, DIFFERENT content —
+            // the stamp must skip it (merge idempotence alone would
+            // silently double-apply the corruption)
+            val applied = graft.streaming.Streams.foldUpsertPointerBatch(
+              batch(i).withColumn("cents", col("cents") + 999L),
+              dir, tbl, spec, tlit(tsNow), batchId = i.toLong)
+            require(!applied, "stamped pointer fold re-applied a replayed batch")
+          }
         }
         java.lang.Boolean.TRUE
       }
@@ -1543,6 +1549,33 @@ object SparkEntry {
           dd.where(col("r") > cutExpr).select(col("r"))))
       val depths = maint.groupBy(col("node")).agg(max("depth").as("depth"))
       val sub = maint
+        .join(dd.select(col("r").as("node"), col("cents")), "node")
+        .groupBy(col("anc"))
+        .agg(count(lit(1)).as("n_desc"), sum("cents").as("subtree_cents"))
+      dd.select(col("k"), col("r"))
+        .join(depths.withColumnRenamed("node", "r"), "r")
+        .join(sub.withColumnRenamed("anc", "r"), "r")
+        .select(col("k"), col("depth"), col("n_desc"), col("subtree_cents"))
+    }),
+    "incr_hierarchy_move" -> ((s, d) => {
+      // subtree-move maintenance: rank 8's whole subtree re-files
+      // beneath rank 3 — the materialized closure updates at SUBTREE
+      // cost (drop only subtree-node -> outside-ancestor paths, compose
+      // node->8 paths with 3's ancestry), and the rollup off the
+      // maintained closure equals DuckDB's NATIVE recursion on the
+      // rewritten edge table exactly
+      val o = rd(s, d, "orders").select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("k")
+      val dd = o.withColumn("r", row_number().over(w).cast("long"))
+      val edges = dd.where(col("r") >= 2)
+        .select(col("r").as("child"), expr("greatest(r div 8, 1)").as("parent"))
+      val closure = graft.operators.Caches.persisted(
+        graft.operators.Graph.ancestorClosure(edges, dd.select(col("r"))))
+      val moved = graft.operators.Caches.persisted(
+        graft.operators.Graph.moveSubtree(closure, edges, 8L, 3L))
+      val depths = moved.groupBy(col("node")).agg(max("depth").as("depth"))
+      val sub = moved
         .join(dd.select(col("r").as("node"), col("cents")), "node")
         .groupBy(col("anc"))
         .agg(count(lit(1)).as("n_desc"), sum("cents").as("subtree_cents"))
@@ -6593,6 +6626,19 @@ object SparkEntry {
       ("WITH RECURSIVE o AS (SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
         "dd AS (SELECT k, cents, CAST(row_number() OVER (ORDER BY k) AS BIGINT) AS r FROM o), " +
         "e AS (SELECT r AS child, greatest(r // 8, 1) AS parent FROM dd WHERE r >= 2), " +
+        "anc AS (SELECT r AS node, r AS anc, CAST(0 AS BIGINT) AS depth FROM dd " +
+        "UNION ALL SELECT a.node, e.parent, a.depth + 1 FROM anc a JOIN e ON e.child = a.anc), " +
+        "dep AS (SELECT node, max(depth) AS depth FROM anc GROUP BY 1), " +
+        "sub AS (SELECT anc, CAST(count(*) AS BIGINT) AS n_desc, CAST(sum(dd.cents) AS BIGINT) AS subtree_cents " +
+        "FROM anc JOIN dd ON dd.r = anc.node GROUP BY 1) " +
+        "SELECT dd.k, dep.depth, sub.n_desc, sub.subtree_cents " +
+        "FROM dd JOIN dep ON dep.node = dd.r JOIN sub ON sub.anc = dd.r"),
+    // the same native recursion on the REWRITTEN edge table (rank 8
+    // re-parented beneath rank 3) replays the subtree-move maintenance
+    "incr_hierarchy_move" ->
+      ("WITH RECURSIVE o AS (SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "dd AS (SELECT k, cents, CAST(row_number() OVER (ORDER BY k) AS BIGINT) AS r FROM o), " +
+        "e AS (SELECT r AS child, CASE WHEN r = 8 THEN 3 ELSE greatest(r // 8, 1) END AS parent FROM dd WHERE r >= 2), " +
         "anc AS (SELECT r AS node, r AS anc, CAST(0 AS BIGINT) AS depth FROM dd " +
         "UNION ALL SELECT a.node, e.parent, a.depth + 1 FROM anc a JOIN e ON e.child = a.anc), " +
         "dep AS (SELECT node, max(depth) AS depth FROM anc GROUP BY 1), " +

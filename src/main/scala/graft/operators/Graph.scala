@@ -386,6 +386,77 @@ object Graph {
     closure.unionByName(internal).unionByName(composed)
   }
 
+  /** SUBTREE MOVE maintenance of a materialized [[ancestorClosure]] —
+    * the second-most-common hierarchy mutation after inserts (a
+    * category re-files, a team re-orgs, a BOM assembly moves):
+    * `movedNode` detaches from ALL its current parents and re-attaches
+    * beneath `newParent`, and the closure updates at SUBTREE cost, not
+    * rebuild cost. Internal rows (both ends inside the moved subtree)
+    * and rows not touching the subtree are reused verbatim; the only
+    * deleted rows are subtree-node → outside-ancestor paths (≤ subtree
+    * size × depth of them), and the replacements compose each
+    * subtree-node → movedNode path with each newParent → ancestor path
+    * — a (subtree size × new-parent depth)-bounded product, both sides
+    * metadata-sized, per-path DAG multiplicity preserved on both
+    * factors.
+    *
+    * Loud preconditions (each a metadata-sized probe): `movedNode` and
+    * `newParent` must exist in the closure; `newParent` must be OUTSIDE
+    * the moved subtree (attaching beneath a descendant is a cycle); and
+    * no subtree node other than `movedNode` may have an edge to a
+    * parent outside the subtree — such a path does not route through
+    * `movedNode`, the closure stores no per-path provenance to
+    * reassign it, and the move degrades to a rebuild of the affected
+    * region (the same contract boundary as [[extendAncestorClosure]]'s
+    * no-re-parenting rule). Multi-parent nodes INSIDE the subtree are
+    * fine. The caller owns the edge table and applies the matching
+    * edge rewrite (`incr_hierarchy_move` gates maintain == full
+    * rebuild on the rewritten edges exactly).
+    */
+  def moveSubtree(
+      closure: DataFrame,
+      edges: DataFrame,
+      movedNode: Any,
+      newParent: Any,
+      childCol: String = "child",
+      parentCol: String = "parent"): DataFrame = {
+    val m = lit(movedNode)
+    val np = lit(newParent)
+    val sub = Caches.persisted(
+      closure.where(col("anc") === m).select(col("node")).distinct())
+    require(!closure.where(col("node") === m && col("depth") === 0L).isEmpty,
+      s"moveSubtree: moved node $movedNode is not in the closure")
+    require(!closure.where(col("node") === np && col("depth") === 0L).isEmpty,
+      s"moveSubtree: new parent $newParent is not in the closure")
+    require(sub.where(col("node") === np).isEmpty,
+      s"moveSubtree: new parent $newParent is inside the moved subtree — a cycle")
+    val e = edges.select(col(childCol).as("child"), col(parentCol).as("parent"))
+    require(e.join(sub.withColumnRenamed("node", "child"), Seq("child"), "left_semi")
+      .where(col("child") =!= m)
+      .join(sub.withColumnRenamed("node", "parent"), Seq("parent"), "left_anti")
+      .isEmpty,
+      "moveSubtree: a subtree node other than the moved root has a parent " +
+        "outside the subtree — its paths do not route through the moved node; " +
+        "rebuild the affected region instead")
+    // keep: rows whose node is outside the subtree, plus fully-internal
+    // subtree rows; drop only subtree-node -> outside-ancestor paths
+    val cols = Seq("node", "anc", "depth").map(col)
+    val kept = closure.join(sub, Seq("node"), "left_anti").select(cols: _*)
+      .unionByName(closure.join(sub, Seq("node"), "left_semi")
+        .join(sub.withColumnRenamed("node", "anc"), Seq("anc"), "left_semi")
+        .select(cols: _*))
+    // re-extend: (node -> movedNode paths) x (newParent -> anc paths),
+    // +1 for the new edge; an explicit bounded product of two
+    // metadata-sized sets (subtree rows to m, new parent's ancestry)
+    val toM = closure.where(col("anc") === m)
+      .select(col("node"), col("depth").as("__d"))
+    val up = closure.where(col("node") === np)
+      .select(col("anc"), col("depth").as("__d2"))
+    val rerouted = toM.crossJoin(up)
+      .select(col("node"), col("anc"), (col("__d") + 1L + col("__d2")).as("depth"))
+    kept.unionByName(rerouted)
+  }
+
   /** k-core: the maximal subgraph where every node keeps degree ≥ k —
     * the standard density filter (spam/bot rings, community cores,
     * "drop the long tail of barely-connected pages before expensive

@@ -1269,31 +1269,43 @@ object Stats {
     * at-risk split); the standardized squared total is χ²(1). Group
     * labels are {0, 1}.
     *
-    * Scale shape: identical to the curve itself — subjects collapse to
-    * (group × time) counts, the at-risk table is a
-    * subjects × event-times join where both sides are
-    * collapsed/metadata-sized, and the statistic folds in one
-    * aggregate. All counts exact integers; the double combination is
-    * written in one fixed operation order the oracle mirrors.
+    * Scale shape: identical to the curve itself — subjects collapse
+    * FIRST to (group × time) counts (one combinable aggregate), and the
+    * at-risk table derives from a per-group SUFFIX sum over that
+    * collapsed axis: probe rows (one per group × pooled death time,
+    * zero mass) union into the counts, and a RANGE window over t DESC
+    * reads n_g(tt) = Σ_{t ≥ tt} c(g, t) at each probe — the range
+    * frame makes a count row tied at t == tt land inside the frame. No
+    * subjects × times non-equi join anywhere: every table after the
+    * first aggregate is ≤ |groups| × |distinct durations| rows and all
+    * joins are keyed. All counts exact integers; the double combination
+    * is written in one fixed operation order the oracle mirrors.
     */
   def logRankTest(df: DataFrame, groupCol: String, durationCol: String,
       observedCol: String): DataFrame = {
     val subj = df.select(col(groupCol).cast("long").as("g"),
       col(durationCol).cast("long").as("t"), col(observedCol).cast("int").as("obs"))
-    val deaths = subj.groupBy("g", "t")
-      .agg(sum(when(col("obs") === 1, 1L).otherwise(0L)).as("d"))
-    val times = deaths.groupBy("t").agg(sum("d").as("dt")).where(col("dt") > 0)
-    val atRisk = subj.select(col("g"), col("t"))
-      .join(times.select(col("t").as("tt")), col("t") >= col("tt"))
-      .groupBy(col("g"), col("tt")).agg(count(lit(1)).as("n_g"))
-    val n = atRisk.groupBy("tt").agg(sum("n_g").as("n"))
-    val n1 = atRisk.where(col("g") === 1).select(col("tt"), col("n_g").as("n1"))
-    val d1 = deaths.where(col("g") === 1).select(col("t").as("tt"), col("d").as("d1"))
-    val rows = times.select(col("t").as("tt"), col("dt"))
-      .join(n, "tt")
-      .join(n1, Seq("tt"), "left").join(d1, Seq("tt"), "left")
-      .select(col("tt"), col("dt"), col("n"),
-        coalesce(col("n1"), lit(0L)).as("n1"), coalesce(col("d1"), lit(0L)).as("d1"))
+    val per = subj.groupBy("g", "t")
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("obs") === 1, 1L).otherwise(0L)).as("d"))
+    val times = per.groupBy("t").agg(sum("d").as("dt")).where(col("dt") > 0)
+    val probes = times.select(explode(array(lit(0L), lit(1L))).as("g"),
+      col("t"), lit(0L).as("c"), lit(1).as("is_probe"))
+    val suffix = Window.partitionBy(col("g")).orderBy(col("t").desc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val riskWide = per.select(col("g"), col("t"), col("c"), lit(0).as("is_probe"))
+      .unionByName(probes)
+      .withColumn("n_g", sum(col("c")).over(suffix))
+      .where(col("is_probe") === 1)
+      .groupBy(col("t"))
+      .agg(sum("n_g").as("n"),
+        sum(when(col("g") === 1, col("n_g")).otherwise(0L)).as("n1"))
+    val d1 = per.where(col("g") === 1).select(col("t"), col("d").as("d1"))
+    val rows = times
+      .join(riskWide, "t")
+      .join(d1, Seq("t"), "left")
+      .select(col("t").as("tt"), col("dt"), col("n"), col("n1"),
+        coalesce(col("d1"), lit(0L)).as("d1"))
       .where(col("n") > 1)
     val p = col("n1").cast("double") / col("n").cast("double")
     rows.agg(count(lit(1)).as("n_times"),
@@ -1312,14 +1324,15 @@ object Stats {
     * `subjects` with columns (g, t, observed). */
   def logRankSql(subjectsCte: String): String =
     s"WITH $subjectsCte, " +
-      "de AS (SELECT g, t, CAST(sum(CASE WHEN observed = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d FROM subjects GROUP BY 1, 2), " +
-      "tm AS (SELECT t, CAST(sum(d) AS BIGINT) AS dt FROM de GROUP BY 1 HAVING sum(d) > 0), " +
-      "ar AS (SELECT s.g, tm.t AS tt, CAST(count(*) AS BIGINT) AS n_g FROM subjects s JOIN tm ON s.t >= tm.t GROUP BY 1, 2), " +
-      "nn AS (SELECT tt, CAST(sum(n_g) AS BIGINT) AS n FROM ar GROUP BY 1), " +
-      "r AS (SELECT tm.t AS tt, tm.dt, nn.n, CAST(coalesce(a1.n_g, 0) AS BIGINT) AS n1, CAST(coalesce(dd.d, 0) AS BIGINT) AS d1 " +
-      "FROM tm JOIN nn ON nn.tt = tm.t " +
-      "LEFT JOIN ar a1 ON a1.tt = tm.t AND a1.g = 1 " +
-      "LEFT JOIN de dd ON dd.t = tm.t AND dd.g = 1 WHERE nn.n > 1), " +
+      "per AS (SELECT g, t, CAST(count(*) AS BIGINT) AS c, CAST(sum(CASE WHEN observed = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d FROM subjects GROUP BY 1, 2), " +
+      "tm AS (SELECT t, CAST(sum(d) AS BIGINT) AS dt FROM per GROUP BY 1 HAVING sum(d) > 0), " +
+      "ms AS (SELECT g, t, c, 0 AS is_probe FROM per " +
+      "UNION ALL SELECT gg.g, tm.t, CAST(0 AS BIGINT), 1 FROM tm CROSS JOIN (SELECT CAST(0 AS BIGINT) AS g UNION ALL SELECT CAST(1 AS BIGINT)) gg), " +
+      "ar AS (SELECT g, t, is_probe, CAST(sum(c) OVER (PARTITION BY g ORDER BY t DESC RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_g FROM ms), " +
+      "rw AS (SELECT t, CAST(sum(n_g) AS BIGINT) AS n, CAST(sum(CASE WHEN g = 1 THEN n_g ELSE 0 END) AS BIGINT) AS n1 FROM ar WHERE is_probe = 1 GROUP BY 1), " +
+      "r AS (SELECT tm.t AS tt, tm.dt, rw.n, rw.n1, CAST(coalesce(dd.d, 0) AS BIGINT) AS d1 " +
+      "FROM tm JOIN rw ON rw.t = tm.t " +
+      "LEFT JOIN per dd ON dd.t = tm.t AND dd.g = 1 WHERE rw.n > 1), " +
       "ag AS (SELECT CAST(count(*) AS BIGINT) AS n_times, CAST(sum(d1) AS BIGINT) AS obs1, " +
       "sum(CAST(dt AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))) AS exp1, " +
       "sum(CAST(dt AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)) * (1.0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)) * " +

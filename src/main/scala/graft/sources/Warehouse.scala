@@ -261,17 +261,35 @@ object Warehouse {
     private def fsOf(spark: SparkSession, dir: String) =
       new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    /** Current generation id, or None before the first commit. */
-    def currentGeneration(spark: SparkSession, dir: String, table: String): Option[Long] = {
+    private def readPtr(spark: SparkSession, dir: String, table: String): Option[String] = {
       val fs = fsOf(spark, dir)
       val p = ptrPath(dir, table)
       if (!fs.exists(p)) None
       else {
         val in = fs.open(p)
-        try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
+        try Some(new String(in.readAllBytes(), "UTF-8").trim)
         finally in.close()
       }
     }
+
+    /** Current generation id, or None before the first commit. The
+      * pointer line is `<gen>` (legacy) or `<gen>;batch=<id>` (stamped
+      * by a streaming fold) — the generation is always the first field.
+      */
+    def currentGeneration(spark: SparkSession, dir: String, table: String): Option[Long] =
+      readPtr(spark, dir, table).map(_.split(';')(0).toLong)
+
+    /** Newest streaming batch id committed into the table, −1 before
+      * any stamped commit / on pre-stamp pointer files — the replay
+      * guard for [[graft.streaming.Streams.foldUpsertPointerBatch]].
+      * An out-of-band [[overwrite]] (no batchId) CARRIES the recorded
+      * stamp forward, so an ad-hoc fix-up between triggers never makes
+      * live batches look like replays or replays look live.
+      */
+    def lastBatch(spark: SparkSession, dir: String, table: String): Long =
+      readPtr(spark, dir, table).flatMap(_.split(';').toSeq
+        .find(_.startsWith("batch="))
+        .map(_.stripPrefix("batch=").toLong)).getOrElse(-1L)
 
     def exists(spark: SparkSession, dir: String, table: String): Boolean =
       currentGeneration(spark, dir, table).isDefined
@@ -285,8 +303,12 @@ object Warehouse {
     /** Write `df` as a new immutable generation, then atomically commit
       * the pointer to it. Unreferenced generations older than the
       * newest `keepGenerations` are pruned AFTER the commit.
+      * `batchId ≥ 0` stamps the streaming batch id into the pointer
+      * line (read back by [[lastBatch]]); the default −1 is an
+      * out-of-band commit and carries the existing stamp forward.
       */
-    def overwrite(df: DataFrame, dir: String, table: String, keepGenerations: Int = 2): Unit = {
+    def overwrite(df: DataFrame, dir: String, table: String, keepGenerations: Int = 2,
+        batchId: Long = -1L): Unit = {
       require(keepGenerations >= 1, "keepGenerations must be >= 1")
       val spark = df.sparkSession
       val fs = fsOf(spark, dir)
@@ -295,6 +317,7 @@ object Warehouse {
       val gens = fs.listStatus(dd).toSeq
         .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption).sorted
       val prev = currentGeneration(spark, dir, table)
+      val stamp = if (batchId >= 0) batchId else lastBatch(spark, dir, table)
       // generations newer than the committed pointer are crashed
       // writes (single-writer): never referenced, possibly partial —
       // not history, pruned below regardless of retention
@@ -306,7 +329,8 @@ object Warehouse {
       val ptr = ptrPath(dir, table)
       val tmp = new Path(ptr.toString + ".tmp")
       val out = fs.create(tmp, true)
-      try out.write(s"$next\n".getBytes("UTF-8")) finally out.close()
+      val line = if (stamp >= 0) s"$next;batch=$stamp\n" else s"$next\n"
+      try out.write(line.getBytes("UTF-8")) finally out.close()
       // atomic REPLACE (posix rename / HDFS overwrite-rename): at every
       // instant the pointer file exists and is complete — readers see
       // either the old or the new generation, never an absent table

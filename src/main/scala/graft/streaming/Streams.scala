@@ -296,7 +296,11 @@ object Streams {
     * `expectedTxn` guard turns a racing writer into a loud failure
     * instead of a double-apply. Groups bootstrapped before the stamp
     * existed read as stamp −1, so their first stamped batch applies
-    * (the merge is content-idempotent) and stamps from then on.
+    * and stamps from then on — a ONE-BATCH migration window in which
+    * replay safety is only merge idempotence over byte-identical
+    * content (a crash replay of that first batch whose recomputed
+    * content differs would re-apply); the poisoned-replay guard holds
+    * from the first stamped commit onward.
     *
     * Scale contract: Txn generations are FULL member rewrites, so this
     * sink fits dimension/rollup-sized members (the tables a dashboard
@@ -365,9 +369,10 @@ object Streams {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointPath)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         foldUpsertPointerBatch(batch, warehouseDir, table, spec,
-          current_timestamp(), keepGenerations)
+          current_timestamp(), keepGenerations, batchId)
+        ()
       }
       .start()
 
@@ -375,12 +380,19 @@ object Streams {
     * verification (the `stream_pointer_replay` gate) and crash-replay
     * testing: merge the current pointer generation with the batch,
     * commit the result as a new generation via the atomic pointer
-    * replace. There is NO batch stamp on this path — replay safety is
-    * merge idempotence: a checkpoint replay redelivers identical batch
-    * content, and recommitting the identical merge result changes
-    * nothing in content (the contract difference from the stamped
-    * [[foldUpsertMorBatch]], which additionally survives a poisoned
-    * replay payload).
+    * replace, STAMPED with the batch id in the pointer line
+    * ([[graft.sources.Warehouse.Pointer.lastBatch]]). A crash-replayed
+    * batch (id ≤ the stamp) no-ops — so a replay whose recomputed
+    * content DIFFERS from the committed run (nondeterministic upstream,
+    * the poisoned-replay case) skips instead of double-applying, the
+    * same contract as the stamped [[foldTxnBatch]]. `batchId = −1`
+    * (ad-hoc batch use) disables the stamp, and replay safety falls
+    * back to merge idempotence over identical content. Pointer files
+    * written before the stamp existed read as stamp −1, so their first
+    * stamped batch applies — safe only for byte-identical replay
+    * content, a one-batch migration window.
+    *
+    * Returns false on a replay skip, true on a commit.
     */
   def foldUpsertPointerBatch(
       batch: DataFrame,
@@ -388,16 +400,20 @@ object Streams {
       table: String,
       spec: graft.operators.MergeSpec,
       now: org.apache.spark.sql.Column,
-      keepGenerations: Int = 2): Unit = {
+      keepGenerations: Int = 2,
+      batchId: Long = -1L): Boolean = {
     import graft.sources.Warehouse
     val spark = batch.sparkSession
+    if (batchId >= 0 && batchId <= Warehouse.Pointer.lastBatch(spark, warehouseDir, table))
+      return false // crash replay: already committed
     val target =
       if (Warehouse.Pointer.exists(spark, warehouseDir, table))
         Warehouse.Pointer.read(spark, warehouseDir, table)
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
     val merged = graft.operators.Merge.scd1(target, batch, spec, now)
-    Warehouse.Pointer.overwrite(merged, warehouseDir, table, keepGenerations)
+    Warehouse.Pointer.overwrite(merged, warehouseDir, table, keepGenerations, batchId)
+    true
   }
 
   /** Streaming corpus ingest with near-dup admission control — the

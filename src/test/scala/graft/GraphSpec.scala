@@ -353,4 +353,53 @@ class GraphSpec extends AnyFunSuite with SparkTest {
     graft.operators.Caches.release()
     assert(e.getMessage.contains("rebuild"))
   }
+
+  test("moveSubtree: maintain equals rebuild for root/leaf/DAG moves; invalid moves reject") {
+    val s = spark; import s.implicits._
+    import graft.operators.Graph
+    // per-path DAG semantics: compare as MULTISETS, not sets
+    def multiset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(identity).view.mapValues(_.size).toMap
+    // tree: 1 <- 2,3 ; 2 <- 4,5 ; 3 <- 6
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 2L), (5L, 2L), (6L, 3L))
+      .toDF("child", "parent")
+    val nodes = (1L to 6L).toDF("node")
+    val closure = Graph.ancestorClosure(edges, nodes)
+    def rebuilt(newEdges: Seq[(Long, Long)], nn: org.apache.spark.sql.DataFrame = nodes) =
+      multiset(Graph.ancestorClosure(newEdges.toDF("child", "parent"), nn))
+    // root-adjacent move: 2 (whole subtree {2,4,5}) re-files under 3
+    val mv1 = multiset(Graph.moveSubtree(closure, edges, 2L, 3L))
+    assert(mv1 == rebuilt(Seq((2L, 3L), (3L, 1L), (4L, 2L), (5L, 2L), (6L, 3L))),
+      "root-adjacent move must equal the full rebuild")
+    // leaf move: 5 under 6
+    val mv2 = multiset(Graph.moveSubtree(closure, edges, 5L, 6L))
+    assert(mv2 == rebuilt(Seq((2L, 1L), (3L, 1L), (4L, 2L), (5L, 6L), (6L, 3L))),
+      "leaf move must equal the full rebuild")
+    graft.operators.Caches.release()
+    // DAG: 7 has TWO parents INSIDE the moved subtree (4 and 5) — per-
+    // path multiplicity must survive the move (7 reaches 1 twice)
+    val dagEdges = edges.unionByName(Seq((7L, 4L), (7L, 5L)).toDF("child", "parent"))
+    val dagNodes = (1L to 7L).toDF("node")
+    val dagClosure = Graph.ancestorClosure(dagEdges, dagNodes)
+    val mv3 = multiset(Graph.moveSubtree(dagClosure, dagEdges, 2L, 6L))
+    assert(mv3 == rebuilt(Seq((2L, 6L), (3L, 1L), (4L, 2L), (5L, 2L), (6L, 3L),
+      (7L, 4L), (7L, 5L)), dagNodes),
+      "DAG multi-parent inside the subtree must be preserved per path")
+    graft.operators.Caches.release()
+    // new parent inside the moved subtree would be a cycle: loud
+    val e1 = intercept[IllegalArgumentException] {
+      Graph.moveSubtree(closure, edges, 2L, 4L)
+    }
+    assert(e1.getMessage.contains("cycle"))
+    // a subtree node whose edge exits the subtree NOT via the moved
+    // root: its paths cannot be reassigned from the closure — loud
+    val exitEdges = edges.unionByName(Seq((4L, 3L)).toDF("child", "parent"))
+    val exitClosure = Graph.ancestorClosure(exitEdges, nodes)
+    val e2 = intercept[IllegalArgumentException] {
+      Graph.moveSubtree(exitClosure, exitEdges, 2L, 6L)
+    }
+    assert(e2.getMessage.contains("rebuild"))
+    graft.operators.Caches.release()
+  }
 }

@@ -693,6 +693,19 @@ class ScaleSpec extends AnyFunSuite with SparkTest {
       s"triangle counting planned a non-equi join:\n$ps")
   }
 
+  test("logRankTest at-risk set plans keyed joins only — no range join") {
+    val s = spark; import s.implicits._
+    val subj = ((1 to 40).map(i => (i.toLong % 2, (i % 7 + 1).toLong, i % 3 min 1)))
+      .toDF("g", "t", "observed")
+    val plan = finalPlan(graft.operators.Stats.logRankTest(subj, "g", "t", "observed"))
+    // the at-risk counts must come from the suffix-sum window over the
+    // collapsed (g, t) axis, never from a subjects x times non-equi
+    // join (BNL, |subjects| x |times| intermediate)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"log-rank planned a non-equi join:\n$plan")
+    assert(plan.contains("Window"), s"expected the suffix-sum window:\n$plan")
+  }
+
   test("collocations generates pairs map-side — no join before the pair count") {
     val s = spark; import s.implicits._
     val docs = (0 until 50).map(i => (i.toLong, "alpha beta gamma delta " + i))

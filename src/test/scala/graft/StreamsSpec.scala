@@ -641,6 +641,37 @@ class StreamsSpec extends AnyFunSuite with SparkTest {
     } finally q.stop()
   }
 
+  test("foldUpsertPointerBatch stamp skips a poisoned replay; out-of-band commit keeps the stamp") {
+    val s = spark; import s.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("ptr-stamp-wh").toString
+    val spec = graft.operators.MergeSpec(Seq("k"), Seq("v"))
+    val now = org.apache.spark.sql.functions.lit("2024-01-01 00:00:00").cast("timestamp")
+    def readMap = graft.sources.Warehouse.Pointer.read(s, wh, "t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(Streams.foldUpsertPointerBatch(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), wh, "t", spec, now, batchId = 0L))
+    assert(Streams.foldUpsertPointerBatch(
+      Seq((2L, "B")).toDF("k", "v"), wh, "t", spec, now, batchId = 1L))
+    assert(readMap == Map(1L -> "a", 2L -> "B"))
+    assert(graft.sources.Warehouse.Pointer.lastBatch(s, wh, "t") == 1L)
+    // poisoned replay: same batch id, DIFFERENT content — must skip,
+    // where idempotence alone would apply the corruption
+    assert(!Streams.foldUpsertPointerBatch(
+      Seq((2L, "POISON")).toDF("k", "v"), wh, "t", spec, now, batchId = 1L))
+    assert(readMap == Map(1L -> "a", 2L -> "B"))
+    // out-of-band (unstamped) fix-up applies AND carries the stamp
+    // forward — it must not reset the replay guard
+    assert(Streams.foldUpsertPointerBatch(
+      Seq((3L, "fix")).toDF("k", "v"), wh, "t", spec, now))
+    assert(graft.sources.Warehouse.Pointer.lastBatch(s, wh, "t") == 1L)
+    assert(!Streams.foldUpsertPointerBatch(
+      Seq((9L, "late-replay")).toDF("k", "v"), wh, "t", spec, now, batchId = 1L))
+    // the next live batch still applies
+    assert(Streams.foldUpsertPointerBatch(
+      Seq((4L, "d")).toDF("k", "v"), wh, "t", spec, now, batchId = 2L))
+    assert(readMap == Map(1L -> "a", 2L -> "B", 3L -> "fix", 4L -> "d"))
+  }
+
   test("stateless text ops (normalize, redact) run unchanged on streams, parity with batch") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext

@@ -47,6 +47,44 @@ object Bench {
       }
     } catch { case _: Throwable => Map.empty }
 
+  /** The prior run's recorded control-set seconds ([[controlQueries]]),
+    * None on pre-control output files. */
+  private def previousControlSec(path: String): Option[Double] =
+    try {
+      val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+      """"control_sec":(-?[0-9.]+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toDouble).filter(_ > 0)
+    } catch { case _: Throwable => None }
+
+  /** Three pinned NEVER-CHANGING queries (code paths untouched for
+    * rounds: the flagship aggregate, the AQI banding when-chain, a
+    * point lookup) re-timed at suite start, middle and end. Their
+    * median-of-three total, divided by the prior run's recorded total,
+    * is the CONTROL RATIO — the ambient speed of this machine/session
+    * relative to the run the `prev` baselines came from. Three rounds
+    * of driver regression flags all dissolved under controlled A/Bs as
+    * uniform ambient shift (BASELINE.md "Round-9 regression A/B"); the
+    * control ratio normalizes that shift out mechanically, so a
+    * uniform 1.3× ambient slowdown raises zero flags while a real 2×
+    * single-query regression still flags (BenchLogicSpec pins both).
+    */
+  private[graft] val controlQueries = Seq("q1_agg", "p6_aqi_banding", "s5_point_lookup")
+
+  /** Regression candidates, AMBIENT-NORMALIZED: `cur` regresses on
+    * `prev` only relative to `prev × controlRatio` (>30% past it with a
+    * 0.15 s absolute guard — sub-100 ms queries jitter past 30% from
+    * scheduler noise alone). Pure so the flag logic is unit-testable
+    * without a timed suite.
+    */
+  private[graft] def regressionCandidates(
+      results: Map[String, Double],
+      prev: Map[String, Double],
+      controlRatio: Double): Seq[String] =
+    results.toSeq.collect {
+      case (q, cur) if cur >= 0 && prev.get(q).exists(p =>
+        p > 0 && cur > p * 1.3 * controlRatio && cur - p * controlRatio > 0.15) => q
+    }.sortBy(q => -(results(q) - prev(q) * controlRatio))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -88,6 +126,16 @@ object Bench {
       try force(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
 
+    // one control-set measurement: total seconds across the pinned
+    // controls (always run from the FULL registry, present even under a
+    // SPARK_GRAFT_QUERIES filter so filtered runs still normalize)
+    def controlsPass(): Double = controlQueries.map { name =>
+      val t0 = System.nanoTime()
+      try force(SparkEntry.queries(name)(spark, sfDir))
+      catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }.sum
+
     def timedPass(): (Map[String, Double], Set[String]) = {
       val failed = scala.collection.mutable.Set[String]()
       val times = selected.map { case (name, fn) =>
@@ -102,26 +150,31 @@ object Bench {
       }
       (times, failed.toSet)
     }
+    val ctlStart = controlsPass()
     val (p1, f1) = timedPass()
+    val ctlMid = controlsPass()
     val (p2, f2) = timedPass()
+    val ctlEnd = controlsPass()
     val failures = f1 ++ f2
     val results = p1.map { case (k, v) =>
       k -> (if (failures(k)) -1.0 else math.min(v, p2(k)))
     }
-    // Per-query regression candidates vs the PREVIOUS round: the prior
-    // BENCH output (read before this run overwrites it) flags queries
-    // >30% slower with a 0.15 s absolute guard (sub-100 ms queries
-    // jitter past 30% from scheduler noise alone). Candidates join the
-    // solo pool below — in-suite drift under a 350-query JVM's GC
-    // pressure is distinguished from real regressions by the solo
-    // rerun, mechanically, instead of by judge archaeology across git
-    // snapshots.
+    // Per-query regression candidates vs the PREVIOUS round, AMBIENT-
+    // NORMALIZED: the prior BENCH output's per-query baselines are
+    // unnormalized cross-session times, so every comparison is scaled
+    // by the control ratio (this run's median control-set time over the
+    // prior run's recorded one) before flagging — a uniform machine/
+    // session shift moves the controls identically and raises zero
+    // flags; a real single-query regression stands out against the
+    // shifted baseline. Candidates join the solo pool below.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
     val prev = previousQueryTimes(outPath)
-    val regressionCands = results.toSeq.collect {
-      case (q, cur) if cur >= 0 && prev.get(q).exists(p =>
-        p > 0 && cur > p * 1.3 && cur - p > 0.15) => q
-    }.sortBy(q => -(results(q) - prev(q)))
+    val controlSec = Seq(ctlStart, ctlMid, ctlEnd).sorted.apply(1) // median
+    val controlRatio = previousControlSec(outPath) match {
+      case Some(prevCtl) if controlSec > 0 => controlSec / prevCtl
+      case _ => 1.0 // first control-carrying run: unnormalized compare
+    }
+    val regressionCands = regressionCandidates(results, prev, controlRatio)
 
     // Solo re-timing: the five slowest queries PLUS the ANN family
     // (whose suite numbers drifted 1.4-1.75x across rounds with
@@ -154,10 +207,11 @@ object Bench {
       .mkString("{", ",", "}")
     // regressions section: in-suite delta plus the solo verdict —
     // "confirmed" only when the QUIET-JVM time also exceeds the
-    // previous round's by 30% (suite-pressure drift solo-clears itself)
+    // previous round's AMBIENT-SCALED baseline by 30% (suite-pressure
+    // drift solo-clears itself; machine drift control-clears itself)
     val rj = regressionCands.map { q =>
       val soloT = solo.getOrElse(q, -1.0)
-      val confirmed = soloT >= 0 && soloT > prev(q) * 1.3
+      val confirmed = soloT >= 0 && soloT > prev(q) * 1.3 * controlRatio
       s"""{"q":"$q","prev":${ms(prev(q))},"cur":${ms(results(q))},"solo":${ms(soloT)},"confirmed":$confirmed}"""
     }.mkString("[", ",", "]")
     // the 5M flat-vs-partitioned merge crossover (BASELINE.md's layout
@@ -175,8 +229,10 @@ object Bench {
         ""","merge5m":{"flat_delta_sec":-1,"partitioned_delta_sec":-1,"rows_rewritten":-1,"mor_correction_sec":-1,"mor_rows_written":-1,"mor_base_files_read":-1,"mor_base_files_total":-1,"mor_minor_sec":-1,"mor_minor_rows":-1,"mor_compact_sec":-1,"mor_compact_rows_rewritten":-1,"partitioned_correction_sec":-1,"partitioned_rows_rewritten":-1,"partitioned_minor_sec":-1,"partitioned_minor_rows":-1}"""
       }
     val total = results.values.filter(_ >= 0).sum
+    val cj = s""""controls":{"start":${ms(ctlStart)},"mid":${ms(ctlMid)},"end":${ms(ctlEnd)}},""" +
+      s""""control_sec":${ms(controlSec)},"control_ratio":${f"$controlRatio%.3f"}"""
     val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"solo":$sj,"regressions":$rj,"failures":$fj$merge5m,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"solo":$sj,$cj,"regressions":$rj,"failures":$fj$merge5m,"sf":"$sfDir"}"""
     println(line)
     // compact fallback: if the full line still gets cut, this short one
     // (printed closest to the end of output) parses on its own

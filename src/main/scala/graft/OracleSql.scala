@@ -410,7 +410,8 @@ object OracleSql {
 
   /** Oracle for `dp_laplace_release`: replay of
     * `Quality.dpLaplaceRelease` — the clamped group aggregate, the
-    * portable-rolling-hash uniform on the 2⁴⁰ grid, and the
+    * avalanched-md5 uniform on the 2⁴⁰ grid (top 40 digest bits via a
+    * big-endian hex-digit fold of the first 10 hex chars), and the
     * inverse-CDF Laplace transform, in the same double operation
     * order.
     */
@@ -418,8 +419,13 @@ object OracleSql {
       valueExpr: String, from: String,
       epsilon: Double, clampHi: Long, salt: String): String = {
     val mod = PortableMinHash.Mod
-    def uExpr(tag: String): String =
-      s"((((${rollFold(s"hex(encode('dp:$salt:$tag:' || g))")}) % $mod)::DOUBLE + 0.5) / $mod.0 - 0.5)"
+    def uExpr(tag: String): String = {
+      val h = s"md5('dp:$salt:$tag:' || g)"
+      val h40 = (1 to 10).map(i =>
+        s"(CAST(position(substr($h, $i, 1) IN '0123456789abcdef') AS BIGINT) - 1) * ${1L << (4 * (10 - i))}")
+        .mkString("(", " + ", ")")
+      s"((($h40)::DOUBLE + 0.5) / $mod.0 - 0.5)"
+    }
     def lap(tag: String, scale: String): String = {
       val u = uExpr(tag)
       s"(-($scale) * sign($u) * ln(1.0 - 2.0 * abs($u)))"

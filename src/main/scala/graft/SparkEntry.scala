@@ -2659,10 +2659,10 @@ object SparkEntry {
     }),
     "dp_laplace_release" -> ((s, d) => {
       // ε-DP release of per-status order counts and CLAMPED revenue:
-      // Laplace noise derandomized through the portable rolling hash of
-      // (salt, tag, group) — a retried release publishes the identical
-      // numbers (fresh salt = more budget), and the oracle replays the
-      // exact draw through the same inverse-CDF transform
+      // Laplace noise derandomized through the AVALANCHED md5 digest of
+      // (secret salt, tag, group) — a retried release publishes the
+      // identical numbers (fresh salt = more budget), and the oracle
+      // replays the exact draw through the same inverse-CDF transform
       graft.operators.Quality.dpLaplaceRelease(
         rd(s, d, "orders").select(col("o_orderstatus").as("status"),
           round(col("o_totalprice") * 100).cast("long").as("cents")),

@@ -217,7 +217,11 @@ object Merge {
     * Scale shape: one 3-way full-outer join on the key (two keyed
     * shuffles), each input scanned once, all classification per-row in
     * the projection — no driver-side state, no iteration; exactly the
-    * [[diff]] cost paid twice.
+    * [[diff]] cost paid twice. Every input must hold ONE image per key
+    * ([[graft.sources.MergeOnRead.deltaMerge]]'s contract) — VERIFIED
+    * here with one key-projected aggregate, because a duplicate key in
+    * any input silently fans rows out through the two full-outer joins
+    * (a per-key cross product masquerading as a merge).
     */
   def threeWayMerge(
       base: DataFrame,
@@ -227,6 +231,17 @@ object Merge {
       compareCols: Seq[String],
       policy: String = "theirs"): DataFrame = {
     require(Seq("ours", "theirs").contains(policy), "policy: ours | theirs")
+    val dupSide = Seq("base" -> base, "ours" -> ours, "theirs" -> theirs)
+      .map { case (nm, df) => df.select(keys.map(col): _*).withColumn("__side", lit(nm)) }
+      .reduce(_ unionByName _)
+      .groupBy((col("__side") +: keys.map(col)): _*)
+      .agg(count(lit(1)).as("__c"))
+      .where(col("__c") > 1)
+      .select("__side").head(1)
+    require(dupSide.isEmpty,
+      s"threeWayMerge: input '${dupSide.headOption.map(_.getString(0)).getOrElse("")}' " +
+        s"has duplicate key images on (${keys.mkString(",")}) — dedup to one image " +
+        "per key first (duplicates fan out through the full-outer joins)")
     val cols = keys ++ compareCols
     def side(df: DataFrame, p: String) =
       df.select(cols.map(col): _*).withColumn(s"__p$p", lit(1)).alias(s"__m$p")

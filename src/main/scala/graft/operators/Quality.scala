@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
-import graft.functions.{rolling_hash, PortableMinHash}
+import graft.functions.PortableMinHash
 
 /** Data-quality constraint checking — the pipeline admission gate: "no
   * null keys, prices non-negative, status in its domain" evaluated
@@ -344,12 +344,23 @@ object Quality {
   /** DIFFERENTIALLY-PRIVATE group release: noisy counts and noisy
     * CLAMPED sums per group under ε-DP, with the Laplace noise
     * DERANDOMIZED — the draw is the inverse-CDF transform of a uniform
-    * taken from the portable rolling hash of (salt, release tag, group
-    * value) on the 2⁴⁰ grid, so the released numbers are a pure
+    * taken from the top 40 bits of the AVALANCHED md5 digest of (salt,
+    * release tag, group value), so the released numbers are a pure
     * function of (inputs, salt): both engines replay them bit-for-bit,
     * a retried release publishes the identical numbers (re-releasing
     * under a FRESH salt is what consumes more budget — the salt IS the
     * privacy accountant's unit), and no RNG state needs distributing.
+    *
+    * Why md5 and NOT the portable rolling hash: the rolling polynomial
+    * is LINEAR in the input bytes, so for equal-length group values the
+    * salt contribution cancels in pairwise hash differences — all noise
+    * draws would be publicly inter-determined up to one constant, and
+    * knowing a single true count would recover every group's noise.
+    * The avalanched digest has no such structure (the same reason
+    * rendezvous sharding uses md5). PRECONDITION for any privacy: the
+    * salt must be kept SECRET (PRF-style derandomization) — an
+    * adversary holding the salt can recompute every draw and strip the
+    * noise entirely.
     *
     * Mechanism: count has sensitivity 1 → Laplace(1/ε); each row's
     * value contribution is clamped to [0, clampHi] so the sum has
@@ -375,9 +386,11 @@ object Quality {
       .agg(count(lit(1)).as("__n"),
         sum(least(greatest(col(valueCol), lit(0L)), lit(clampHi))).as("__s"))
     def u(tag: String): Column = {
-      val h40 = rolling_hash(
-        concat(lit(s"dp:$salt:$tag:"), col(groupCol).cast("string")))
-        .bitwiseAND(lit(PortableMinHash.Mask))
+      // first 10 hex chars of the digest = the top 40 bits, exact in a
+      // double and replayable as the same big-endian hex fold in SQL
+      val h40 = conv(substring(md5(
+        concat(lit(s"dp:$salt:$tag:"), col(groupCol).cast("string"))), 1, 10),
+        16, 10).cast("long")
       (h40.cast("double") + lit(0.5)) / lit(PortableMinHash.Mod.toDouble) - lit(0.5)
     }
     def lap(uu: Column, scale: Double): Column =

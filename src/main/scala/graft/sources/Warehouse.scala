@@ -424,17 +424,30 @@ object Warehouse {
     /** Delete claims beyond the committed txn id — only safe after
       * confirming no writer is live (a claim past the root is either a
       * crashed writer's leftover or a peer mid-commit; this call cannot
-      * tell them apart). Returns the number released.
+      * tell them apart). The "no live writer" precondition is partially
+      * MACHINE-CHECKED through `minAgeMs`: a claim younger than it
+      * (file mtime) is treated as a possibly-live writer and refused —
+      * deleting a mid-commit peer's claim would let a new writer claim
+      * the same txn id and re-open the silent last-rename-wins lost-
+      * commit window the claim barrier exists to close. The default
+      * (10 min) dwarfs any commit's generation-write time; pass
+      * `force = true` only when liveness has been confirmed out of
+      * band (e.g. the owning job is known dead). Returns the number
+      * released.
       */
-    def releaseStaleClaims(spark: SparkSession, dir: String, name: String): Int = {
+    def releaseStaleClaims(spark: SparkSession, dir: String, name: String,
+        minAgeMs: Long = 600000L, force: Boolean = false): Int = {
       val fs = fsOf(spark, dir)
       val cur = snapshot(spark, dir, name).map(_.txn).getOrElse(0L)
       val cd = new Path(s"$dir/$name.txnclaim")
       if (!fs.exists(cd)) 0
-      else fs.listStatus(cd).toSeq
-        .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
-        .filter(_ > cur)
-        .count(t => fs.delete(claimPath(dir, name, t), false))
+      else {
+        val nowMs = System.currentTimeMillis()
+        fs.listStatus(cd).toSeq
+          .filter(st => scala.util.Try(st.getPath.getName.toLong).toOption.exists(_ > cur))
+          .filter(st => force || nowMs - st.getModificationTime >= minAgeMs)
+          .count(st => fs.delete(st.getPath, false))
+      }
     }
 
     /** The committed snapshot, or None before the first commit. */

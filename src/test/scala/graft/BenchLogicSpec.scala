@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench tracker's ambient normalization, pinned without a timed
+  * suite: a uniform machine/session shift (every query slower by the
+  * same factor, controls included) must raise ZERO flags, while a real
+  * single-query slowdown must still flag — the exact failure mode of
+  * three rounds of driver regression candidates that all dissolved
+  * under controlled A/Bs as ambient load.
+  */
+class BenchLogicSpec extends AnyFunSuite {
+
+  private val prev = Map(
+    "q_alpha" -> 1.000, "q_beta" -> 0.600, "q_gamma" -> 2.400,
+    "q_delta" -> 0.320, "q_tiny" -> 0.060)
+
+  test("uniform ambient shift with a matching control ratio raises zero flags") {
+    // the whole suite runs 1.4x slower — and so do the controls
+    val cur = prev.view.mapValues(_ * 1.4).toMap
+    assert(Bench.regressionCandidates(cur, prev, controlRatio = 1.4).isEmpty)
+    // without the normalization the same run flags most of the suite —
+    // the archaeology the control set exists to end
+    assert(Bench.regressionCandidates(cur, prev, controlRatio = 1.0).nonEmpty)
+  }
+
+  test("a real 2x single-query slowdown still flags through ambient shift") {
+    val cur = prev.view.mapValues(_ * 1.4).toMap + ("q_gamma" -> 2.400 * 1.4 * 2.0)
+    val flags = Bench.regressionCandidates(cur, prev, controlRatio = 1.4)
+    assert(flags == Seq("q_gamma"))
+  }
+
+  test("guards hold: failed runs, absent baselines and sub-threshold jitter never flag") {
+    // -1 (failed) and queries without a prev baseline are skipped
+    val cur = Map("q_alpha" -> -1.0, "q_new" -> 9.9, "q_beta" -> 0.610)
+    assert(Bench.regressionCandidates(cur, prev, 1.0).isEmpty)
+    // >30% relative but <0.15 s absolute: scheduler noise, not a flag
+    val jitter = Map("q_tiny" -> 0.100)
+    assert(Bench.regressionCandidates(jitter, prev, 1.0).isEmpty)
+    // worst regression sorts first (delta vs the scaled baseline)
+    val two = Map("q_alpha" -> 2.0, "q_gamma" -> 7.0)
+    assert(Bench.regressionCandidates(two, prev, 1.0) == Seq("q_gamma", "q_alpha"))
+  }
+}

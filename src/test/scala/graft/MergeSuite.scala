@@ -432,6 +432,23 @@ class MergeSuite extends AnyFunSuite with SparkTest {
       "policy only decides CONFLICTS — clean one-side changes are unaffected")
   }
 
+  test("threeWayMerge rejects duplicate key images loudly, naming the side") {
+    val s = spark; import s.implicits._
+    import graft.operators.Merge
+    val base = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+    val dup = Seq((1L, 11L), (1L, 12L), (2L, 20L)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      Merge.threeWayMerge(base, dup, base, Seq("k"), Seq("v"))
+    }
+    assert(e.getMessage.contains("ours") && e.getMessage.contains("duplicate"),
+      s"must name the offending side: ${e.getMessage}")
+    // duplicates in base reject too (they would fan out BOTH joins)
+    val e2 = intercept[IllegalArgumentException] {
+      Merge.threeWayMerge(dup, base, base, Seq("k"), Seq("v"))
+    }
+    assert(e2.getMessage.contains("base"))
+  }
+
   test("dpLaplaceRelease: deterministic per salt, clamping bounds the sum's sensitivity") {
     val s = spark; import s.implicits._
     import graft.operators.Quality

@@ -281,11 +281,20 @@ class WarehouseVersionSpec extends AnyFunSuite with SparkTest {
         Map("facts" -> Seq((2L, 20L)).toDF("k", "v")), expectedTxn = 1L)
     }.getMessage.contains("claimed"))
     assert(Warehouse.Txn.snapshot(s, dir, "grp").get.txn == 1L)
-    // after a confirmed crash, the stale claim is reclaimed and the
-    // commit goes through
+    // a FRESH claim might be a live peer mid-commit: the age guard
+    // refuses it — deleting it would re-open the lost-commit window
+    assert(Warehouse.Txn.releaseStaleClaims(s, dir, "grp") == 0)
+    // an AGED claim (mtime past minAgeMs) is a crashed writer: released
+    java.nio.file.Files.setLastModifiedTime(claim,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 700000L))
     assert(Warehouse.Txn.releaseStaleClaims(s, dir, "grp") == 1)
     assert(Warehouse.Txn.commit(s, dir, "grp",
       Map("facts" -> Seq((2L, 20L)).toDF("k", "v")), expectedTxn = 1L) == 2L)
+    // force releases a fresh claim when liveness was confirmed out of band
+    val claim3 = java.nio.file.Paths.get(s"$dir/grp.txnclaim/3")
+    java.nio.file.Files.createFile(claim3)
+    assert(Warehouse.Txn.releaseStaleClaims(s, dir, "grp") == 0)
+    assert(Warehouse.Txn.releaseStaleClaims(s, dir, "grp", force = true) == 1)
 
     // two live racers on the same expected state: exactly one commits,
     // the loser throws (claim lost, or root moved under its claim /

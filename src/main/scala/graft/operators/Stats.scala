@@ -1261,6 +1261,77 @@ object Stats {
         col("d").as("n_events"), col("survival"))
   }
 
+  /** [[kaplanMeier]] with GREENWOOD 95% confidence intervals — what a
+    * real survival readout needs next to the curve (is the week-4
+    * retention difference between cohorts outside each other's bands,
+    * or noise?): Var(S(t)) ≈ S(t)² · Σ_{s ≤ t} d/(n·(n−d)), one more
+    * RUNNING windowed sum over the same collapsed (group, time) axis,
+    * then ci = S ± 1.96·SE clamped to [0, 1] (the plain Greenwood
+    * band; the clamp is what every plotting library does with it).
+    * Determinism: the Greenwood terms are one fixed double expression
+    * over exact integer (d, n); the running sum accumulates in frame
+    * order in both engines; the total-death step (d = n) never reaches
+    * the 1/(n−d) pole — survival is exactly 0 there and its variance
+    * contribution is defined as 0, both engines by the same explicit
+    * guard. Same scale shape as the curve: rows ≤ groups × distinct
+    * durations after one combinable aggregate.
+    */
+  def kaplanMeierGreenwood(df: DataFrame, groupCol: String, durationCol: String,
+      observedCol: String): DataFrame = {
+    val per = df.groupBy(col(groupCol), col(durationCol).cast("long").as("t"))
+      .agg(sum(when(col(observedCol) === 1, 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("__all"))
+    val byT = Window.partitionBy(col(groupCol)).orderBy(col("t"))
+    val tot = Window.partitionBy(col(groupCol))
+    per
+      .withColumn("n_risk",
+        sum(col("__all")).over(tot) -
+          coalesce(sum(col("__all")).over(
+            byT.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__ln",
+        when(col("d") > 0 && col("d") < col("n_risk"),
+          log(lit(1.0) - col("d").cast("double") / col("n_risk").cast("double")))
+          .otherwise(lit(0.0)))
+      .withColumn("__gw",
+        when(col("d") > 0 && col("d") < col("n_risk"),
+          col("d").cast("double") /
+            (col("n_risk").cast("double") * (col("n_risk") - col("d")).cast("double")))
+          .otherwise(lit(0.0)))
+      .withColumn("__dead", max(when(col("d") >= col("n_risk"), 1).otherwise(0)).over(byT))
+      .withColumn("survival",
+        when(col("__dead") === 1, lit(0.0)).otherwise(exp(sum(col("__ln")).over(byT))))
+      .withColumn("se",
+        when(col("__dead") === 1, lit(0.0))
+          .otherwise(col("survival") * sqrt(sum(col("__gw")).over(byT))))
+      .where(col("d") > 0)
+      .select(col(groupCol), col("t"), col("n_risk"), col("d").as("n_events"),
+        col("survival"), col("se"),
+        greatest(lit(0.0), col("survival") - lit(1.96) * col("se")).as("ci_lo"),
+        least(lit(1.0), col("survival") + lit(1.96) * col("se")).as("ci_hi"))
+  }
+
+  /** DuckDB replay of [[kaplanMeierGreenwood]] over a subjects CTE
+    * named `subjects` with columns (g, t, observed). */
+  def kaplanMeierGreenwoodSql(subjectsCte: String): String =
+    s"WITH $subjectsCte, " +
+      "per AS (SELECT g, t, CAST(sum(CASE WHEN observed = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d, " +
+      "CAST(count(*) AS BIGINT) AS alln FROM subjects GROUP BY 1, 2), " +
+      "st AS (SELECT g, t, d, " +
+      "CAST(sum(alln) OVER (PARTITION BY g) AS BIGINT) - " +
+      "CAST(coalesce(sum(alln) OVER (PARTITION BY g ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk FROM per), " +
+      "lt AS (SELECT g, t, d, n_risk, " +
+      "CASE WHEN d > 0 AND d < n_risk THEN ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)) ELSE 0.0 END AS lnterm, " +
+      "CASE WHEN d > 0 AND d < n_risk THEN CAST(d AS DOUBLE) / (CAST(n_risk AS DOUBLE) * CAST(n_risk - d AS DOUBLE)) ELSE 0.0 END AS gwterm FROM st), " +
+      "sv AS (SELECT g, t, d, n_risk, " +
+      "CASE WHEN max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) OVER w1 = 1 THEN 0.0 " +
+      "ELSE exp(sum(lnterm) OVER w1) END AS survival, " +
+      "CASE WHEN max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) OVER w1 = 1 THEN 0.0 " +
+      "ELSE exp(sum(lnterm) OVER w1) * sqrt(sum(gwterm) OVER w1) END AS se FROM lt " +
+      "WINDOW w1 AS (PARTITION BY g ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+      "SELECT g, t, n_risk, d AS n_events, survival, se, " +
+      "greatest(0.0, survival - 1.96 * se) AS ci_lo, " +
+      "least(1.0, survival + 1.96 * se) AS ci_hi FROM sv WHERE d > 0"
+
   /** LOG-RANK test — "are these two survival curves the same?", the
     * hypothesis-test companion of [[kaplanMeier]] (does cohort A churn
     * faster than cohort B, beyond what censoring explains). At each

@@ -365,6 +365,30 @@ class StatsSpec extends AnyFunSuite with SparkTest {
     assert(out(("A", 2L))._3 > 0.5)
   }
 
+  test("kaplanMeierGreenwood: hand-computed bands, clamps, total-death zero variance") {
+    val s = spark; import s.implicits._
+    // A: 5 subjects, deaths at t=2 (2 of 5) and t=4 (1 of 3), 2 censored
+    //   S(2)=0.6, se=0.6*sqrt(2/(5*3)); S(4)=0.4, se=0.4*sqrt(2/15+1/(3*2))
+    // B: everyone dies at t=1 -> S=0 with ZERO variance (no 1/(n-d) pole)
+    val df = Seq(("A", 2L, 1), ("A", 2L, 1), ("A", 4L, 1), ("A", 5L, 0), ("A", 6L, 0),
+      ("B", 1L, 1), ("B", 1L, 1)).toDF("g", "t", "observed")
+    val out = Stats.kaplanMeierGreenwood(df, "g", "t", "observed").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
+    val (s2, se2, lo2, hi2) = out(("A", 2L))
+    assert(math.abs(s2 - 0.6) < 1e-12)
+    assert(math.abs(se2 - 0.6 * math.sqrt(2.0 / 15.0)) < 1e-12)
+    assert(math.abs(lo2 - (s2 - 1.96 * se2)) < 1e-12)
+    assert(hi2 == 1.0, s"upper band must clamp to 1, got $hi2")
+    val (s4, se4, lo4, hi4) = out(("A", 4L))
+    assert(math.abs(s4 - 0.4) < 1e-9)
+    assert(math.abs(se4 - 0.4 * math.sqrt(0.3)) < 1e-9)
+    assert(lo4 == 0.0, s"lower band must clamp to 0, got $lo4")
+    assert(math.abs(hi4 - (s4 + 1.96 * se4)) < 1e-12)
+    assert(out(("B", 1L)) == ((0.0, 0.0, 0.0, 0.0)),
+      "total death: survival exactly 0 with zero variance")
+  }
+
   test("logRankTest: zero for mirrored cohorts, significant for a clean split") {
     val s = spark; import s.implicits._
     // mirrored cohorts: every term's observed equals expected -> chi2 0

@@ -309,16 +309,16 @@ object OracleSql {
   }
 
   /** Shared IVF prologue: `cnd`/`qry` split, the portable
-    * (rolling-hash-ordered) centroid pick, and `cent0` — the seeded,
-    * unit-normalized coarse centroids.
+    * (avalanched-md5-ordered) centroid pick, and `cent0` — the seeded,
+    * unit-normalized coarse centroids. Lowercase-hex md5 strings
+    * compare identically (binary) in both engines.
     */
   private def ivfPrologue(numCentroids: Int, dim: Int, seed: Long,
       candWhere: String = "vec_id >= 10"): String =
     s"base AS (SELECT vec_id, label, embedding, sqrt(${selfDot("embedding", dim)}) AS nrm FROM embeddings), " +
       s"cnd AS (SELECT * FROM base WHERE $candWhere), " +
       "qry AS (SELECT * FROM base WHERE vec_id < 10), " +
-      s"ch AS (SELECT vec_id, embedding, nrm, hex(encode('ivf$seed:' || CAST(vec_id AS VARCHAR))) AS hx FROM cnd), " +
-      s"ck AS (SELECT vec_id, embedding, nrm, ${toSigned(rollFold("hx"))} AS h FROM ch), " +
+      s"ck AS (SELECT vec_id, embedding, nrm, md5('ivf$seed:' || CAST(vec_id AS VARCHAR)) AS h FROM cnd), " +
       s"cpick AS (SELECT embedding, nrm, CAST(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) AS cidx " +
       s"FROM ck ORDER BY h, vec_id LIMIT $numCentroids), " +
       "cent0 AS (SELECT cidx, CASE WHEN nrm = 0 THEN embedding ELSE " +
@@ -573,25 +573,91 @@ object OracleSql {
     * `cent<iters>`. Shared by the refined-IVF and clustered-dedup
     * oracles.
     */
-  private def lloydChain(iters: Int, dim: Int): String = {
+  private def lloydChain(iters: Int, dim: Int): String =
+    lloydChainFor(iters, dim, "cnd", "")
+
+  /** [[lloydChain]] with the corpus CTE and a name prefix as
+    * parameters, so one oracle can replay TWO independent Lloyd runs
+    * (the recall-drift report's stale-vs-rebuilt tiers). Initial
+    * centroids read from `<pfx>cent0`; final land in `<pfx>cent<iters>`.
+    */
+  private def lloydChainFor(iters: Int, dim: Int, corpus: String, pfx: String): String = {
     val Q = (1L << 24).toString
     def lloydStep(prev: String, t: Int): String = {
       // d2 = qsum::double / cnt / Q, left-associated like the Scala fold
       val mean = s"((CAST(qsum AS DOUBLE) / CAST(cnt AS DOUBLE)) / $Q.0)"
       // 0.0-seeded left-assoc sum of squares, matching Array[Double].sum
       val nrm2 = (1 to dim).map(j => s"d[$j] * d[$j]").mkString("(0.0 + ", " + ", ")")
-      s"asg$t AS (SELECT vec_id, embedding, cell FROM (SELECT c.vec_id, c.embedding, ct.cidx AS cell, " +
+      s"${pfx}asg$t AS (SELECT vec_id, embedding, cell FROM (SELECT c.vec_id, c.embedding, ct.cidx AS cell, " +
         s"row_number() OVER (PARTITION BY c.vec_id ORDER BY ${pairDot("c.embedding", "ct.cvec", dim)} / c.nrm DESC, ct.cidx) AS rn " +
-        s"FROM cnd c CROSS JOIN $prev ct) x WHERE rn = 1), " +
-        s"sums$t AS (SELECT cell, j, sum(CAST(round(CAST(embedding[j] AS DOUBLE) * $Q.0) AS BIGINT)) AS qsum, " +
-        s"count(*) AS cnt FROM asg$t CROSS JOIN (SELECT unnest(generate_series(1, $dim)) AS j) dims GROUP BY cell, j), " +
-        s"dvec$t AS (SELECT cell, list(($mean) ORDER BY j) AS d FROM sums$t GROUP BY cell), " +
-        s"norm$t AS (SELECT cell, d, sqrt($nrm2) AS nrm FROM dvec$t), " +
-        s"cnew$t AS (SELECT cell AS cidx, CASE WHEN nrm = 0 THEN [CAST(d[j] AS FLOAT) FOR j IN generate_series(1, $dim)] " +
-        s"ELSE [CAST(d[j] / nrm AS FLOAT) FOR j IN generate_series(1, $dim)] END AS cvec FROM norm$t), " +
-        s"cent$t AS (SELECT p.cidx, coalesce(n.cvec, p.cvec) AS cvec FROM $prev p LEFT JOIN cnew$t n USING (cidx))"
+        s"FROM $corpus c CROSS JOIN $prev ct) x WHERE rn = 1), " +
+        s"${pfx}sums$t AS (SELECT cell, j, sum(CAST(round(CAST(embedding[j] AS DOUBLE) * $Q.0) AS BIGINT)) AS qsum, " +
+        s"count(*) AS cnt FROM ${pfx}asg$t CROSS JOIN (SELECT unnest(generate_series(1, $dim)) AS j) dims GROUP BY cell, j), " +
+        s"${pfx}dvec$t AS (SELECT cell, list(($mean) ORDER BY j) AS d FROM ${pfx}sums$t GROUP BY cell), " +
+        s"${pfx}norm$t AS (SELECT cell, d, sqrt($nrm2) AS nrm FROM ${pfx}dvec$t), " +
+        s"${pfx}cnew$t AS (SELECT cell AS cidx, CASE WHEN nrm = 0 THEN [CAST(d[j] AS FLOAT) FOR j IN generate_series(1, $dim)] " +
+        s"ELSE [CAST(d[j] / nrm AS FLOAT) FOR j IN generate_series(1, $dim)] END AS cvec FROM ${pfx}norm$t), " +
+        s"${pfx}cent$t AS MATERIALIZED (SELECT p.cidx, coalesce(n.cvec, p.cvec) AS cvec FROM $prev p LEFT JOIN ${pfx}cnew$t n USING (cidx))"
     }
-    (1 to iters).map(t => lloydStep(if (t == 1) "cent0" else s"cent${t - 1}", t)).mkString(", ")
+    (1 to iters).map(t =>
+      lloydStep(if (t == 1) s"${pfx}cent0" else s"${pfx}cent${t - 1}", t)).mkString(", ")
+  }
+
+  /** Oracle for `ann_ivf_recall_drift`: full replay of
+    * `Similarity.ivfRecallDriftReport` on the anchored drift fixture —
+    * the label-anchored clustered corpus (+1.0 on dim label·6 for the
+    * originals, dim label·6+3 with reversed noise for the drifted
+    * delta and queries), brute-force truth, BOTH tiers' md5 seed pick
+    * and Lloyd refinement (stale over the pre-drift slice, rebuilt
+    * over the full corpus), FULL-corpus cell assignment, probes, and
+    * the exact-integer recall fold with the degradation flag.
+    */
+  def annIvfRecallDrift(k: Int, nProbe: Int, numCentroids: Int, iters: Int,
+      flagBelowPpm: Long, dim: Int = 64, seed: Long = 42L): String = {
+    def anchored(noise: String, off: Int) =
+      s"[CASE WHEN j - 1 = label * 6 + $off THEN CAST(CAST($noise[j] AS DOUBLE) + 1.0 AS FLOAT) " +
+        s"ELSE $noise[j] END FOR j IN generate_series(1, $dim)]"
+    def tier(pfx: String, slice: String) =
+      s"${pfx}ck AS (SELECT vec_id, embedding, nrm, md5('ivf$seed:' || CAST(vec_id AS VARCHAR)) AS h FROM $slice), " +
+        s"${pfx}cpick AS (SELECT embedding, nrm, CAST(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) AS cidx " +
+        s"FROM ${pfx}ck ORDER BY h, vec_id LIMIT $numCentroids), " +
+        s"${pfx}cent0 AS (SELECT cidx, CASE WHEN nrm = 0 THEN embedding ELSE " +
+        s"[CAST(CAST(embedding[j] AS DOUBLE) / nrm AS FLOAT) FOR j IN generate_series(1, $dim)] END AS cvec FROM ${pfx}cpick), " +
+        lloydChainFor(iters, dim, slice, pfx) + ", " +
+        s"${pfx}cells AS MATERIALIZED (SELECT neighbor_id, c_vec, c_norm, cell FROM " +
+        s"(SELECT c.vec_id AS neighbor_id, c.embedding AS c_vec, c.nrm AS c_norm, ct.cidx AS cell, " +
+        s"row_number() OVER (PARTITION BY c.vec_id ORDER BY ${pairDot("c.embedding", "ct.cvec", dim)} / c.nrm DESC, ct.cidx) AS rn " +
+        s"FROM cnd c CROSS JOIN ${pfx}cent$iters ct) t WHERE rn = 1), " +
+        s"${pfx}probe AS (SELECT vec_id AS query_id, embedding AS q_vec, nrm AS q_norm, cidx AS cell FROM " +
+        s"(SELECT q.vec_id, q.embedding, q.nrm, ct.cidx, " +
+        s"row_number() OVER (PARTITION BY q.vec_id ORDER BY ${pairDot("q.embedding", "ct.cvec", dim)} / q.nrm DESC, ct.cidx) AS rn " +
+        s"FROM qry q CROSS JOIN ${pfx}cent$iters ct) t WHERE rn <= $nProbe), " +
+        s"${pfx}res AS (SELECT query_id, neighbor_id FROM (SELECT p.query_id, ca.neighbor_id, " +
+        s"row_number() OVER (PARTITION BY p.query_id ORDER BY ${pairDot("p.q_vec", "ca.c_vec", dim)} / (p.q_norm * ca.c_norm) DESC, ca.neighbor_id) AS rnk " +
+        s"FROM ${pfx}probe p JOIN ${pfx}cells ca USING (cell)) t WHERE rnk <= $k), " +
+        s"${pfx}hits AS (SELECT CAST(count(*) AS BIGINT) AS n_hits FROM ${pfx}res r JOIN bt USING (query_id, neighbor_id))"
+    def row(tag: String, pfx: String) =
+      s"SELECT '$tag' AS tier, nq.n_queries, h.n_hits, " +
+        s"CAST(h.n_hits * 1000000 // (nq.n_queries * $k) AS BIGINT) AS recall_ppm, " +
+        s"h.n_hits * 1000000 // (nq.n_queries * $k) < $flagBelowPpm AS degraded " +
+        s"FROM nq CROSS JOIN ${pfx}hits h"
+    s"WITH raw AS (SELECT vec_id, label, embedding FROM embeddings), " +
+      s"uni AS (SELECT vec_id, ${anchored("embedding", 0)} AS embedding FROM raw WHERE vec_id >= 10 " +
+      s"UNION ALL SELECT vec_id + 1000000, ${anchored("r", 3)} " +
+      "FROM (SELECT vec_id, label, list_reverse(embedding) AS r FROM raw WHERE vec_id >= 10) t1 " +
+      s"UNION ALL SELECT vec_id, ${anchored("r", 3)} " +
+      "FROM (SELECT vec_id, label, list_reverse(embedding) AS r FROM raw WHERE vec_id < 10) t2), " +
+      s"base AS (SELECT vec_id, embedding, sqrt(${selfDot("embedding", dim)}) AS nrm FROM uni), " +
+      "cnd AS MATERIALIZED (SELECT * FROM base WHERE vec_id >= 10), " +
+      "qry AS MATERIALIZED (SELECT * FROM base WHERE vec_id < 10), " +
+      "cndold AS MATERIALIZED (SELECT * FROM cnd WHERE vec_id < 1000000), " +
+      "bt AS MATERIALIZED (SELECT query_id, neighbor_id FROM " +
+      s"(SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+      s"row_number() OVER (PARTITION BY q.vec_id ORDER BY ${pairDot("q.embedding", "c.embedding", dim)} / (q.nrm * c.nrm) DESC, c.vec_id) AS rnk " +
+      s"FROM qry q CROSS JOIN cnd c) t WHERE rnk <= $k), " +
+      "nq AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries FROM bt), " +
+      tier("s_", "cndold") + ", " + tier("r_", "cnd") + " " +
+      row("stale", "s_") + " UNION ALL " + row("rebuilt", "r_")
   }
 
   /** Oracle for `dedup_embed_cluster`: full replay of
@@ -631,8 +697,7 @@ object OracleSql {
       s"base AS (SELECT vec_id, embedding, sqrt(${selfDot("embedding", dim)}) AS nrm FROM embeddings), " +
         "cnd AS (SELECT * FROM base WHERE vec_id >= 10), " +
         "qry AS (SELECT * FROM base WHERE vec_id < 10), " +
-        s"ch AS (SELECT vec_id, embedding, hex(encode('pq$seed:' || CAST(vec_id AS VARCHAR))) AS hx FROM cnd), " +
-        s"ck AS (SELECT vec_id, embedding, ${toSigned(rollFold("hx"))} AS h FROM ch), " +
+        s"ck AS (SELECT vec_id, embedding, md5('pq$seed:' || CAST(vec_id AS VARCHAR)) AS h FROM cnd), " +
         "pick AS (SELECT embedding, CAST(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) AS cidx " +
         s"FROM ck ORDER BY h, vec_id LIMIT $codebookSize)"
     val perSub = (0 until m).map { s =>
@@ -711,11 +776,10 @@ object OracleSql {
         s"FROM qry q CROSS JOIN $centName ct), " +
         "probe AS (SELECT vec_id AS query_id, cidx AS cell, rawdot AS coarse FROM " +
         s"(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cidx) AS rn FROM qd) t WHERE rn <= $nProbe)"
-    // PQ seed: rolling-hash pick (same rows as ever), stored as the
+    // PQ seed: md5-ordered pick, stored as the
     // picked rows' residuals, sliced per subspace
     val pqPick =
-      s"pch AS (SELECT vec_id, hex(encode('pq$seed:' || CAST(vec_id AS VARCHAR))) AS hx FROM cnd), " +
-        s"pck AS (SELECT vec_id, ${toSigned(rollFold("hx"))} AS h FROM pch), " +
+      s"pck AS (SELECT vec_id, md5('pq$seed:' || CAST(vec_id AS VARCHAR)) AS h FROM cnd), " +
         "pickseed AS MATERIALIZED (SELECT cr.rvec, CAST(row_number() OVER (ORDER BY k.h, k.vec_id) AS BIGINT) AS cidx " +
         s"FROM pck k JOIN cres cr ON cr.vec_id = k.vec_id ORDER BY k.h, k.vec_id LIMIT $codebookSize), " +
         (0 until m).map { s =>

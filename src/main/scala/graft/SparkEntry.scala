@@ -2168,7 +2168,9 @@ object SparkEntry {
       val emb = rd(s, d, "embeddings")
       val dir = new java.io.File(
         "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
-      val tbl = s"ivfdel_${contentEpoch(emb, "vec_id")}"
+      // v2: the seed pick moved to avalanched md5 order — bust the
+      // persisted index so on-disk cells match the replayed pick
+      val tbl = s"ivfdel_v2_${contentEpoch(emb, "vec_id")}"
       graft.operators.Memo.cached(s, s"ivfdel|$dir|$tbl") {
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
         if (!Warehouse.exists(s, dir, s"${tbl}_cells"))
@@ -2181,6 +2183,37 @@ object SparkEntry {
       }
       Similarity.ivfTopKIndexed(emb.where(col("vec_id") < 10), dir, tbl,
         k = 5, nProbe = 4)
+    }),
+    "ann_ivf_recall_drift" -> ((s, d) => {
+      // recall drift -> rebuild trigger, measured: the corpus is
+      // label-anchored into moderate clusters (anchor +1.0 on dim
+      // label*6, noise = the raw embedding — wide enough that argmax
+      // cell assignment under FOREIGN centroids splits a cluster, the
+      // drift failure mode); the drifted delta anchors on DISJOINT
+      // dims (label*6+3, reversed noise) and joined through the
+      // frozen-centroid append path; queries come from the drifted
+      // distribution. The report probes them through the STALE tier
+      // (seeds + Lloyd never saw the delta, membership = full corpus —
+      // exactly the build+append state) and a REBUILT tier (re-seed +
+      // re-Lloyd on today's corpus), scores both against exact brute
+      // truth, and flags the stale tier past the threshold — the
+      // machine-checked "re-Lloyd when recall degrades" lifecycle
+      val emb = rd(s, d, "embeddings")
+      def anch(src: DataFrame, off: Int, rev: Boolean): DataFrame = {
+        val noise = if (rev) reverse(col("embedding")) else col("embedding")
+        src.select(col("vec_id"), col("label"), noise.as("__n"))
+          .select(col("vec_id"), expr(
+            s"transform(__n, (x, i) -> IF(i = label * 6 + $off, " +
+              "CAST(CAST(x AS DOUBLE) + 1.0D AS FLOAT), x))").as("embedding"))
+      }
+      val uni = anch(emb.where(col("vec_id") >= 10), 0, rev = false)
+        .unionByName(anch(emb.where(col("vec_id") >= 10), 3, rev = true)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+        .unionByName(anch(emb.where(col("vec_id") < 10), 3, rev = true))
+      Similarity.ivfRecallDriftReport(uni,
+        col("vec_id") < 10, col("vec_id") >= 10,
+        col("vec_id") >= 10 && col("vec_id") < 1000000L,
+        k = 10, nProbe = 1, numCentroids = 16, flagBelowPpm = 600000L)
     }),
     "ann_range_search" -> ((s, d) =>
       // radius form of the IVF tier: every probed pair with cosine
@@ -6283,6 +6316,8 @@ object SparkEntry {
     "dedup_embed_lsh" -> OracleSql.dedupEmbedLsh(0.4),
     "ann_lsh_topk" -> OracleSql.annLshTopK(5),
     "ann_ivf_topk" -> OracleSql.annIvfTopK(5, numCentroids = 16, nProbe = 4),
+    "ann_ivf_recall_drift" -> OracleSql.annIvfRecallDrift(
+      k = 10, nProbe = 1, numCentroids = 16, iters = 2, flagBelowPpm = 600000L),
     "ann_ivf_deleted" ->
       OracleSql.annIvfTopKDeleted(5, numCentroids = 16, nProbe = 4,
         deletedWhere = "vec_id % 5 = 2"),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
-import graft.functions.{rolling_hash, vec_dot, vec_mat_dots}
+import graft.functions.{vec_dot, vec_mat_dots}
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`).
@@ -148,8 +148,11 @@ object Similarity {
     * the cell id — ~nProbe/numCentroids of the corpus per query versus
     * the brute-force |Q|·|C|.
     *
-    * Centroids are `numCentroids` candidate vectors picked by seeded
-    * [[graft.functions.rolling_hash]] order and unit-normalized —
+    * Centroids are `numCentroids` candidate vectors picked in seeded
+    * AVALANCHED md5 order and unit-normalized (NOT the linear rolling
+    * hash, whose same-prefix clustering makes an ordered pick select
+    * CONSECUTIVE ids — a biased, one-corner sample of the corpus; the
+    * same argmax-bias note as rendezvous sharding) —
     * deterministic AND engine-portable (the DuckDB oracle replays the
     * pick and every downstream double operation bit-for-bit:
     * `graft.OracleSql.annIvfTopK`), one O(numCentroids·dim) driver
@@ -409,6 +412,89 @@ object Similarity {
         expr("__sum_cos div __n").as("avg_cos_ppm"))
   }
 
+  /** RECALL-DRIFT report for the frozen-centroid IVF lifecycle — the
+    * measurement behind [[appendToIvfIndex]]'s "monitor recall vs the
+    * brute tier and re-Lloyd when it degrades" prescription, as a
+    * machine-checked number instead of prose. `stalePred` marks the
+    * slice the live index's centroids were seeded from; the corpus has
+    * since drifted (candPred ⊋ stalePred). The report probes the same
+    * sampled queries through (a) the STALE tier — centroids seeded
+    * from the pre-drift slice, cell membership covering the FULL
+    * current corpus, exactly the state [[buildIvfIndex]] +
+    * [[appendToIvfIndex]] leave behind (spec-pinned equal in
+    * SimilaritySpec) — and (b) a REBUILT tier seeded from the full
+    * corpus, and scores both against the exact brute-force top-k.
+    * One row per tier: (tier, n_queries, n_hits, recall_ppm,
+    * degraded), with recall_ppm = Σ hits · 10⁶ div (|Q|·k) on the
+    * exact integer grid and `degraded` = recall_ppm < flagBelowPpm —
+    * the rebuild trigger a lifecycle job alerts on.
+    *
+    * Eval-tier BY DESIGN: the brute truth is O(|Q|×|C|), so the query
+    * set must be a bounded labeled sample (the same discipline as the
+    * other recall-measuring tiers); both IVF probes stay
+    * cell-equi-join bounded.
+    */
+  def ivfRecallDriftReport(
+      emb: DataFrame,
+      queryPred: Column,
+      candPred: Column,
+      stalePred: Column,
+      k: Int,
+      nProbe: Int,
+      numCentroids: Int = 16,
+      seed: Long = 42L,
+      flagBelowPpm: Long = 600000L,
+      refineIters: Int = 2,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val brute = Caches.persisted(
+      bruteForceTopK(emb, queryPred, candPred, k, vecCol, idCol))
+    val nq = brute.select(col("query_id")).distinct()
+      .agg(count(lit(1)).as("n_queries"))
+    // each tier seeds AND Lloyd-refines on its own slice: the stale
+    // tier is the index as built pre-drift (its k-means never saw the
+    // delta); the rebuilt tier is the re-Lloyd on today's corpus
+    def tier(tag: String, slice: Column): DataFrame = {
+      val res = ivfTopKSeedSlice(emb, queryPred, candPred, slice,
+        k, nProbe, numCentroids, seed, refineIters, vecCol, idCol)
+      val hits = res.join(brute.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+      nq.crossJoin(hits)
+        .select(lit(tag).as("tier"), col("n_queries"), col("n_hits"),
+          expr(s"n_hits * 1000000L div (n_queries * ${k}L)").as("recall_ppm"))
+        .withColumn("degraded", col("recall_ppm") < flagBelowPpm)
+    }
+    tier("stale", stalePred).unionByName(tier("rebuilt", candPred))
+  }
+
+  /** [[ivfTopK]] with the centroid GEOMETRY (seed pick + Lloyd
+    * refinement) taken from a SEPARATE corpus slice: membership covers
+    * all of `candPred`, centroids only `seedPred` — the in-plan image
+    * of a persisted frozen-centroid index after [[appendToIvfIndex]]
+    * deltas (SimilaritySpec pins it equal to build + append +
+    * [[ivfTopKIndexed]], row for row). The drift report's stale tier.
+    */
+  def ivfTopKSeedSlice(
+      emb: DataFrame,
+      queryPred: Column,
+      candPred: Column,
+      seedPred: Column,
+      k: Int,
+      nProbe: Int,
+      numCentroids: Int = 16,
+      seed: Long = 42L,
+      refineIters: Int = 0,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val n = withNorm(emb, vecCol, idCol)
+    val seeded = seedCentroids(n.where(seedPred), numCentroids, seed, vecCol, idCol)
+    val cents = if (refineIters <= 0) seeded
+      else kmeansCentroids(emb.where(seedPred), seeded, refineIters, vecCol)
+    probeIvf(n.where(queryPred), assignCells(n.where(candPred), cents, vecCol, idCol),
+      cents, k, nProbe, vecCol, idCol)
+  }
+
   /** Probe a persisted IVF index ([[buildIvfIndex]]) — reads centroids
     * (tiny) onto the driver and joins queries against the stored cell
     * table; the corpus itself is never touched.
@@ -454,7 +540,7 @@ object Similarity {
     Memo.cached(c0.sparkSession,
       s"ivfseed|$numCentroids|$seed|$vecCol|$idCol|${Memo.planKey(c0)}") {
       val seeded: Array[Array[Float]] = c0
-        .orderBy(rolling_hash(concat(lit(s"ivf$seed:"), col(idCol).cast("string"))), col(idCol))
+        .orderBy(md5(concat(lit(s"ivf$seed:"), col(idCol).cast("string"))), col(idCol))
         .limit(numCentroids)
         .select(col(vecCol), col("norm"))
         .collect()
@@ -596,8 +682,8 @@ object Similarity {
     * re-rank the short candidate list exactly.
     *
     *   1. codebook: `codebookSize` corpus vectors picked in the
-    *      portable rolling-hash order (same mechanism as the IVF seed
-    *      pick; per-subspace k-means is the quality upgrade, the
+    *      portable avalanched-md5 order (same mechanism as the IVF
+    *      seed pick; per-subspace k-means is the quality upgrade, the
     *      seeded pick is the oracle-replayable tier);
     *   2. encode: per subspace `s`, each candidate's code is the
     *      argmax-dot codebook entry of its slice (first-max tie-break)
@@ -628,7 +714,7 @@ object Similarity {
     val c0 = n.where(candPred)
     // raw (unnormalized) codebook picks — slices of real corpus vectors
     val picks: Array[Array[Float]] = c0
-      .orderBy(rolling_hash(concat(lit(s"pq$seed:"), col(idCol).cast("string"))), col(idCol))
+      .orderBy(md5(concat(lit(s"pq$seed:"), col(idCol).cast("string"))), col(idCol))
       .limit(codebookSize)
       .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
     require(picks.nonEmpty, "PQ: no candidate rows to index")
@@ -1058,13 +1144,13 @@ object Similarity {
     // value is m·codebookSize·subDim floats)
     val cb: Array[Array[Array[Float]]] = Memo.cached(emb.sparkSession,
       s"pqcb|$m|$codebookSize|$seed|$trainIters|${matKey(centroids)}|${Memo.planKey(c0)}") {
-      // codebook seed: the same rolling-hash pick, but each picked row
+      // codebook seed: the same md5-ordered pick, but each picked row
       // is stored as its unit-vector RESIDUAL (cells carries the
       // pick's cell; normalization and subtraction happen at collect
       // time, driver-side, in the exact float32 steps both engines
       // replay)
       val seedPicks: Array[Array[Float]] = cells
-        .orderBy(rolling_hash(concat(lit(s"pq$seed:"), col("neighbor_id").cast("string"))),
+        .orderBy(md5(concat(lit(s"pq$seed:"), col("neighbor_id").cast("string"))),
           col("neighbor_id"))
         .limit(codebookSize)
         .select(col("c_vec"), col("cell"), col("c_norm")).collect()

@@ -1084,6 +1084,63 @@ object SparkEntry {
       // every other deleted key stays gone
       morDeleteFold(s, d)
     }),
+    "merge_bloom_delete_safety" -> ((s, d) => {
+      // delete-safety proof for the Bloom-indexed MoR table: tombstone
+      // deletes leave the per-file bloom bits STALE — safe (the filter
+      // over-approximates: extra file opens, never a missed key) but
+      // previously unproven. Built once per content epoch with in-gate
+      // requires: (1) post-delete the deleted keys still bloom-candidate
+      // into >0 base files while the VIEW returns none of them; (2)
+      // compaction folds the tombstones into a new base generation and
+      // REFRESHES the bloom manifest from the survivors — the same
+      // probe's candidate file set shrinks to zero, the tracked read
+      // footprint with it. Output = the post-compact view, hash-checked
+      // against the closed-form oracle.
+      import graft.sources.MergeOnRead
+      val ord = rd(s, d, "orders")
+      val src = ord.select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents0"))
+      val dir = new java.io.File(
+        "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      val tbl = s"morbloomdel_${contentEpoch(ord, "o_orderkey")}"
+      val spec = MergeSpec(Seq("k"), Seq("cents"))
+      def bloomFiles(keys: DataFrame): Seq[String] = {
+        val m = MergeOnRead.manifest(s, dir, tbl)
+        MergeOnRead.bloomCandidateFiles(
+          s.read.parquet(s"$dir/$tbl.morbloom/${m.baseGen}"),
+          keys, "k", m.bloomBits, m.bloomHashes)
+      }
+      graft.operators.Memo.cached(s, s"morbloomdel|$dir|$tbl") {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        if (!MergeOnRead.exists(s, dir, tbl)) {
+          MergeOnRead.init(
+            src.select(col("k"), col("cents0").as("cents")).repartition(16, col("k")),
+            dir, tbl, Seq("k"), bloomBits = 1 << 20, bloomHashes = 4)
+          MergeOnRead.deltaMerge(s, dir, tbl,
+            src.where(col("k") % 700 === 3)
+              .select(col("k"), (col("cents0") + 55L).as("cents")),
+            spec, tlit(tsNow), batchId = 1L)
+          val deadKeys = src.where(col("k") % 500 === 3).select("k")
+          MergeOnRead.deltaDelete(s, dir, tbl, deadKeys, batchId = 2L)
+          val staleFiles = bloomFiles(deadKeys)
+          require(staleFiles.nonEmpty,
+            "tombstones must leave the bloom bits stale (over-approximate), not torn")
+          require(MergeOnRead.readView(s, dir, tbl)
+            .join(deadKeys, Seq("k"), "left_semi").isEmpty,
+            "deleted keys must not survive in the view despite stale bloom bits")
+          val genBefore = MergeOnRead.manifest(s, dir, tbl).baseGen
+          MergeOnRead.compact(s, dir, tbl)
+          require(MergeOnRead.manifest(s, dir, tbl).baseGen > genBefore,
+            "compaction must fold the tombstone chain into a new base generation")
+          val postFiles = bloomFiles(deadKeys)
+          require(postFiles.size < staleFiles.size && postFiles.isEmpty,
+            s"the refreshed bloom manifest must clear the deleted keys' bits " +
+              s"(pre ${staleFiles.size} files, post ${postFiles.size})")
+        }
+        java.lang.Boolean.TRUE
+      }
+      MergeOnRead.readView(s, dir, tbl)
+    }),
     "merge_delta_minor_compact" -> ((s, d) => {
       // MINOR compaction mid-chain: the two deltas fold into ONE chain
       // element (latest image per key, stamps preserved) without the
@@ -6135,6 +6192,12 @@ object SparkEntry {
         "CAST(round(o_totalprice * 100) AS BIGINT) + 2 * (o_orderkey % 4) AS cents " +
         "FROM orders"),
     "merge_delta_deletes" -> morDeleteOracleSql,
+    // closed-form post-compact state of the bloom delete chain: the
+    // upsert applied, the tombstoned keys gone
+    "merge_bloom_delete_safety" ->
+      ("WITH src AS (SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents0 FROM orders) " +
+        "SELECT k, CASE WHEN k % 700 = 3 THEN cents0 + 55 ELSE cents0 END AS cents " +
+        "FROM src WHERE k % 500 <> 3"),
     // net change per key across batches 2..3 of the delete chain:
     // rn=1 over seq picks the final state; del rows surface as
     // tombstones with NULL payload

@@ -698,4 +698,40 @@ class MergeOnReadSpec extends AnyFunSuite with SparkTest {
     }
     MergeOnRead.releaseStaleClaims(s, dir, "t")
   }
+
+  test("bloom index under deletes: stale bits over-approximate safely, compaction refreshes the manifest") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mor-bloom-del").toString
+    val base = (1L to 400L).map(k => (k, k * 10)).toDF("k", "v")
+    MergeOnRead.init(base.repartition(4, col("k")), dir, "t", Seq("k"),
+      bloomBits = 1 << 16, bloomHashes = 4)
+    val dead = (1L to 400L by 7).toDF("k")
+    def files(keys: org.apache.spark.sql.DataFrame) = {
+      val m = MergeOnRead.manifest(s, dir, "t")
+      MergeOnRead.bloomCandidateFiles(
+        s.read.parquet(s"$dir/t.morbloom/${m.baseGen}"),
+        keys, "k", m.bloomBits, m.bloomHashes)
+    }
+    MergeOnRead.deltaDelete(s, dir, "t", dead, batchId = 1L)
+    // tombstones leave the bits stale: deleted keys still candidate
+    // into files — over-approximate (extra opens), never a missed key
+    val stale = files(dead)
+    assert(stale.nonEmpty, "stale bloom bits must still cover tombstoned keys")
+    assert(MergeOnRead.readView(s, dir, "t").join(dead, Seq("k"), "left_semi").isEmpty,
+      "the view must drop deleted keys regardless of bloom state")
+    MergeOnRead.compact(s, dir, "t")
+    val m2 = MergeOnRead.manifest(s, dir, "t")
+    assert(m2.baseGen == 2L)
+    // the refreshed manifest is built from the SURVIVOR rewrite: the
+    // deleted keys' candidate set collapses, survivors still hit, and
+    // every manifest row references the new generation's files
+    assert(files(dead).isEmpty, "refreshed bloom must clear the deleted keys' bits")
+    val survivors = (2L to 400L by 7).toDF("k")
+    assert(files(survivors).nonEmpty, "survivors must still candidate after the refresh")
+    val mfFiles = s.read.parquet(s"$dir/t.morbloom/2").select("file")
+      .distinct().collect().map(_.getString(0))
+    assert(mfFiles.nonEmpty && mfFiles.forall(_.contains("t.morbase/2")),
+      s"bloom manifest rows must be replaced by the new generation's files: ${mfFiles.take(2).mkString(",")}")
+    assert(MergeOnRead.readView(s, dir, "t").count() == 400L - dead.count())
+  }
 }

@@ -603,6 +603,33 @@ object OracleSql {
       lloydStep(if (t == 1) s"${pfx}cent0" else s"${pfx}cent${t - 1}", t)).mkString(", ")
   }
 
+  /** Oracle for `layout_zorder_pruning`: replay of
+    * `Layout.zOrderPruningReport` — the masked scrambles, the exact
+    * 2·bits-term Morton interleave, both unit manifests (min/max per
+    * unit) and the closed-interval rectangle-intersection counts.
+    */
+  def zOrderPruning(xExpr: String, yExpr: String, from: String,
+      probes: Seq[(Long, Long, Long, Long)], bits: Int, unitBits: Int): String = {
+    val mask = (1L << bits) - 1L
+    val z = (0 until bits).flatMap { b =>
+      Seq(s"(((x >> $b) & 1) << ${2 * b})", s"(((y >> $b) & 1) << ${2 * b + 1})")
+    }.mkString("(", " | ", ")")
+    val mm = "min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max"
+    val pr = probes.zipWithIndex.map { case ((xl, xh, yl, yh), i) =>
+      s"SELECT $i AS probe_id, CAST($xl AS BIGINT) AS x_lo, CAST($xh AS BIGINT) AS x_hi, " +
+        s"CAST($yl AS BIGINT) AS y_lo, CAST($yh AS BIGINT) AS y_hi"
+    }.mkString(" UNION ALL ")
+    s"WITH pts AS (SELECT ($xExpr) & $mask AS x, ($yExpr) & $mask AS y FROM $from), " +
+      s"ml AS (SELECT 'linear' AS layout, x >> ${bits - math.min(unitBits, bits)} AS unit, $mm FROM pts GROUP BY 2), " +
+      s"mz AS (SELECT 'zorder' AS layout, $z >> ${2 * bits - unitBits} AS unit, $mm FROM pts GROUP BY 2), " +
+      "m AS (SELECT * FROM ml UNION ALL SELECT * FROM mz), " +
+      s"pr AS ($pr) " +
+      "SELECT m.layout, pr.probe_id, pr.x_lo, pr.x_hi, pr.y_lo, pr.y_hi, " +
+      "CAST(count(*) AS BIGINT) AS n_units, " +
+      "CAST(sum(CASE WHEN m.x_max >= pr.x_lo AND m.x_min <= pr.x_hi AND m.y_max >= pr.y_lo AND m.y_min <= pr.y_hi THEN 1 ELSE 0 END) AS BIGINT) AS units_touched " +
+      "FROM m CROSS JOIN pr GROUP BY 1, 2, 3, 4, 5, 6"
+  }
+
   /** Oracle for `ann_ivf_recall_drift`: full replay of
     * `Similarity.ivfRecallDriftReport` on the anchored drift fixture —
     * the label-anchored clustered corpus (+1.0 on dim label·6 for the

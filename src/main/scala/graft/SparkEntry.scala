@@ -1702,20 +1702,7 @@ object SparkEntry {
       // table every readout reads), so the gate times the
       // register-sized check, not the corpus distinct it shares with
       // the other ab_* gates
-      val ev = rd(s, d, "events")
-      val whDir = new java.io.File(
-        "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
-      val armsTbl = s"ab_arms_${contentEpoch(ev, "user_id")}"
-      graft.operators.Memo.cached(s, s"abarms|$whDir|$armsTbl") {
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(whDir))
-        if (!graft.sources.Warehouse.exists(s, whDir, armsTbl))
-          graft.sources.Warehouse.overwrite(
-            Sampling.hashSplit(ev.select(col("user_id")).distinct(),
-              "user_id", "ab1", abArms, "arm"),
-            whDir, armsTbl)
-        java.lang.Boolean.TRUE
-      }
-      val arms = graft.sources.Warehouse.read(s, whDir, armsTbl)
+      val arms = abArmsDf(s, d)
       val counts = arms.groupBy("arm").agg(count(lit(1)).as("n_obs"))
       val tot = counts.agg(sum("n_obs").as("n_total"))
       counts.crossJoin(tot)
@@ -1730,6 +1717,36 @@ object SparkEntry {
           sum(when(col("arm") === "b", col("n_obs"))).as("n_b"),
           sum("chi2_term").as("chi2"))
         .withColumn("srm_flag", col("chi2") > 3.841)
+    }),
+    "events_nelson_aalen" -> ((s, d) => {
+      // Nelson–Aalen cumulative hazard per cohort — the additive
+      // intensity view of the same censored lifetimes the KM curve
+      // reads multiplicatively (and the one that decomposes by cause);
+      // Poisson-type variance rides the same collapsed axis
+      val ev = rd(s, d, "events")
+      val per = ev.groupBy("user_id").agg(min("ts").as("t0"), max("ts").as("t1"))
+      val gm = per.agg(max(col("t1")).as("gmax"))
+      val subj = per.crossJoin(gm).select(
+        (col("user_id") % 4).as("g"),
+        datediff(col("t1"), col("t0")).cast("long").as("t"),
+        when(col("t1") < col("gmax") - expr("INTERVAL 1 DAYS"), 1)
+          .otherwise(0).as("observed"))
+      graft.operators.Stats.nelsonAalen(subj, "g", "t", "observed")
+    }),
+    "ab_msprt_sequential" -> ((s, d) => {
+      // the PEEKING-proof readout: an always-valid (mixture-SPRT)
+      // p-value per reporting day over cumulative per-arm entries and
+      // high-value conversions — safe to read and act on every day,
+      // where a daily fixed-horizon z-test silently inflates alpha;
+      // arms from the materialized assignment table
+      val ev = rd(s, d, "events")
+      val peru = ev.groupBy("user_id").agg(
+        min(to_date(col("ts"))).as("join_d"),
+        min(when(col("event_type") === "purchase" && col("value") >= 90,
+          to_date(col("ts")))).as("conv_d"))
+      graft.operators.Stats.msprtTwoProportion(
+        peru.join(abArmsDf(s, d), "user_id"), "arm", "join_d", "conv_d",
+        tau2 = 1e-4, alpha = 0.05)
     }),
     "events_kaplan_meier" -> ((s, d) => {
       // Kaplan-Meier survival with right-censoring: per user, lifetime
@@ -4083,6 +4100,28 @@ object SparkEntry {
           .select("o_orderkey", "o_custkey", "o_totalprice"))
         .reduce(_ unionByName _)
     }),
+    "layout_zorder_pruning" -> ((s, d) => {
+      // the multi-dimensional clustering decision, MEASURED: the same
+      // rows laid out as 64 units linearly (top x bits — "sorted by
+      // the lead column") vs z-ordered (top Morton bits), then per
+      // probe rectangle the units a min/max-skipping scan must open.
+      // A square probe touches ~sqrt-selectivity of the z units but
+      // every intersecting x-slice of the linear layout; a thin
+      // y-band touches ALL linear units (they span the y domain) but
+      // one z row. x/y are odd-multiplier scrambles of orderkey/
+      // partkey so the point set covers the full 16-bit domain at
+      // every scale factor — the layout geometry is what's under test
+      val li = rd(s, d, "lineitem")
+      graft.sources.Layout.zOrderPruningReport(li,
+        col("l_orderkey") * 2654435761L,
+        col("l_partkey") * 2246822519L,
+        probes = Seq(
+          (0L, 8191L, 0L, 8191L),         // aligned square: z 1, linear 8
+          (4096L, 12287L, 4096L, 12287L), // straddling square: z 4
+          (0L, 65535L, 20480L, 22527L),   // thin y-band: linear opens ALL
+          (20480L, 22527L, 0L, 65535L)),  // thin x-band: both prune on x
+        bits = 16, unitBits = 6)
+    }),
     "layout_clustering_depth" -> ((s, d) => {
       // the OPTIMIZE planner's "needs re-clustering" signal: per-file
       // interval-overlap counts over a MIXED layout — two hash-routed
@@ -5915,6 +5954,30 @@ object SparkEntry {
     */
   private val abArms: Seq[(String, Double)] = Seq("a" -> 0.5, "b" -> 0.5)
 
+  /** The experiment-assignment table (user_id, arm), MATERIALIZED once
+    * per content epoch under target/ — in production this IS a
+    * long-lived table every readout joins, so the ab_* gates that read
+    * it time their own statistic, not a repeated corpus distinct.
+    * Content equals the in-plan hash split exactly (pure salt+user
+    * function), which is what the oracles replay.
+    */
+  private def abArmsDf(s: SparkSession, d: String): DataFrame = {
+    val ev = rd(s, d, "events")
+    val whDir = new java.io.File(
+      "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+    val armsTbl = s"ab_arms_${contentEpoch(ev, "user_id")}"
+    graft.operators.Memo.cached(s, s"abarms|$whDir|$armsTbl") {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(whDir))
+      if (!graft.sources.Warehouse.exists(s, whDir, armsTbl))
+        graft.sources.Warehouse.overwrite(
+          Sampling.hashSplit(ev.select(col("user_id")).distinct(),
+            "user_id", "ab1", abArms, "arm"),
+          whDir, armsTbl)
+      java.lang.Boolean.TRUE
+    }
+    graft.sources.Warehouse.read(s, whDir, armsTbl)
+  }
+
   /** Per-arm users/conversions, shared by the report query and the
     * z-test so the two cannot drift.
     */
@@ -6191,6 +6254,14 @@ object SparkEntry {
       ("SELECT o_orderkey AS k, " +
         "CAST(round(o_totalprice * 100) AS BIGINT) + 2 * (o_orderkey % 4) AS cents " +
         "FROM orders"),
+    "layout_zorder_pruning" -> OracleSql.zOrderPruning(
+      "l_orderkey * 2654435761", "l_partkey * 2246822519", "lineitem",
+      probes = Seq(
+        (0L, 8191L, 0L, 8191L),
+        (4096L, 12287L, 4096L, 12287L),
+        (0L, 65535L, 20480L, 22527L),
+        (20480L, 22527L, 0L, 65535L)),
+      bits = 16, unitBits = 6),
     "merge_delta_deletes" -> morDeleteOracleSql,
     // closed-form post-compact state of the bloom delete chain: the
     // upsert applied, the tombstoned keys gone
@@ -6809,6 +6880,23 @@ object SparkEntry {
         "sum((CAST(n_obs AS DOUBLE) - expected) * (CAST(n_obs AS DOUBLE) - expected) / expected) AS chi2, " +
         "sum((CAST(n_obs AS DOUBLE) - expected) * (CAST(n_obs AS DOUBLE) - expected) / expected) > 3.841 AS srm_flag " +
         "FROM x"),
+    "events_nelson_aalen" ->
+      graft.operators.Stats.nelsonAalenSql(
+        "p AS (SELECT user_id, min(ts) AS t0, max(ts) AS t1 FROM events GROUP BY 1), " +
+          "gm AS (SELECT max(t1) AS gmax FROM p), " +
+          "subjects AS (SELECT user_id % 4 AS g, " +
+          "CAST(datediff('day', CAST(t0 AS DATE), CAST(t1 AS DATE)) AS BIGINT) AS t, " +
+          "CASE WHEN t1 < gmax - INTERVAL 1 DAY THEN 1 ELSE 0 END AS observed " +
+          "FROM p CROSS JOIN gm)"),
+    "ab_msprt_sequential" ->
+      graft.operators.Stats.msprtTwoProportionSql(
+        "u AS (SELECT DISTINCT user_id FROM events), " +
+          s"ar AS (SELECT user_id, ${OracleSql.hashSplitCase("CAST(user_id AS VARCHAR)", "ab1", abArms)} AS arm FROM u), " +
+          "pu AS (SELECT user_id, min(CAST(ts AS DATE)) AS join_d, " +
+          "min(CASE WHEN event_type = 'purchase' AND value >= 90 THEN CAST(ts AS DATE) END) AS conv_d " +
+          "FROM events GROUP BY 1), " +
+          "subjects AS (SELECT ar.arm, pu.join_d, pu.conv_d FROM pu JOIN ar USING (user_id))",
+        tau2 = 1e-4, alpha = 0.05),
     "events_kaplan_meier" ->
       graft.operators.Stats.kaplanMeierSql(
         "p AS (SELECT user_id, min(ts) AS t0, max(ts) AS t1 FROM events GROUP BY 1), " +

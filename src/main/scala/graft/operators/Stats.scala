@@ -1332,6 +1332,168 @@ object Stats {
       "greatest(0.0, survival - 1.96 * se) AS ci_lo, " +
       "least(1.0, survival + 1.96 * se) AS ci_hi FROM sv WHERE d > 0"
 
+  /** ALWAYS-VALID sequential test (mixture SPRT) for a two-proportion
+    * experiment — the fix for the PEEKING problem: a fixed-horizon
+    * z-test read daily inflates false positives far past α, while the
+    * mSPRT's always-valid p-value may be read (and acted on) at EVERY
+    * day with the α guarantee intact. Per reporting day, with
+    * cumulative (n_a, c_a, n_b, c_b):
+    *
+    *   θ̂ = ĉ_b/n_b − ĉ_a/n_a,  V = p̄(1−p̄)(1/n_a + 1/n_b)
+    *   1/Λ = sqrt((V+τ²)/V) · exp(−θ̂²τ²/(2V(V+τ²)))
+    *   p_n = min(1, min_{s ≤ n} 1/Λ_s)        (running min, never rises)
+    *
+    * τ² is the mixture prior's scale (≈ the square of the effect size
+    * the test is tuned to detect fastest). Days where either arm is
+    * empty or p̄ ∈ {0, 1} carry no evidence (1/Λ = 1 by the explicit
+    * guard — no 0-division). Input: one row per SUBJECT (arm, join
+    * day, conversion day or NULL).
+    *
+    * Scale shape: subjects collapse FIRST to per-(arm, day) join/conv
+    * increments (one combinable aggregate); zero-mass probe rows give
+    * both arms a row at every axis day (the log-rank suffix-sum
+    * trick); cumulative counts are keyed windows and the statistic is
+    * a per-row closed form — every table after the first aggregate is
+    * ≤ 2 × |distinct days|. The final running min is a global window
+    * over the day axis (metadata-sized by construction) and min is
+    * order-free, so the doubles replay exactly.
+    */
+  def msprtTwoProportion(
+      subjects: DataFrame,
+      armCol: String,
+      joinDayCol: String,
+      convDayCol: String,
+      tau2: Double = 1e-4,
+      alpha: Double = 0.05): DataFrame = {
+    val joins = subjects
+      .groupBy(col(armCol).as("arm"), col(joinDayCol).as("day"))
+      .agg(count(lit(1)).as("nj"))
+      .select(col("arm"), col("day"), col("nj"), lit(0L).as("nc"))
+    val convs = subjects.where(col(convDayCol).isNotNull)
+      .groupBy(col(armCol).as("arm"), col(convDayCol).as("day"))
+      .agg(count(lit(1)).as("nc"))
+      .select(col("arm"), col("day"), lit(0L).as("nj"), col("nc"))
+    val probes = joins.select("day").union(convs.select("day")).distinct()
+      .select(explode(array(lit("a"), lit("b"))).as("arm"), col("day"),
+        lit(0L).as("nj"), lit(0L).as("nc"))
+    val byDay = Window.partitionBy(col("arm")).orderBy(col("day"))
+    val cum = joins.unionByName(convs).unionByName(probes)
+      .groupBy("arm", "day").agg(sum("nj").as("nj"), sum("nc").as("nc"))
+      .withColumn("n", sum(col("nj")).over(byDay))
+      .withColumn("c", sum(col("nc")).over(byDay))
+    val wide = cum.groupBy("day").agg(
+      sum(when(col("arm") === "a", col("n")).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === "a", col("c")).otherwise(0L)).as("c_a"),
+      sum(when(col("arm") === "b", col("n")).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === "b", col("c")).otherwise(0L)).as("c_b"))
+    val pbar = (col("c_a") + col("c_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val v = pbar * (lit(1.0) - pbar) *
+      (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double"))
+    val theta = col("c_b").cast("double") / col("n_b").cast("double") -
+      col("c_a").cast("double") / col("n_a").cast("double")
+    val stat = wide
+      .withColumn("__v",
+        when(col("n_a") > 0 && col("n_b") > 0, v).otherwise(lit(0.0)))
+      .withColumn("__th",
+        when(col("n_a") > 0 && col("n_b") > 0, theta).otherwise(lit(0.0)))
+      .withColumn("inv_lambda",
+        when(col("__v") > 0,
+          sqrt((col("__v") + lit(tau2)) / col("__v")) *
+            exp(-(col("__th") * col("__th")) * lit(tau2) /
+              (lit(2.0) * col("__v") * (col("__v") + lit(tau2)))))
+          .otherwise(lit(1.0)))
+    stat
+      .withColumn("p_always_valid",
+        least(lit(1.0), min(col("inv_lambda")).over(
+          Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+      .withColumn("significant", col("p_always_valid") <= alpha)
+      .select("day", "n_a", "c_a", "n_b", "c_b", "inv_lambda",
+        "p_always_valid", "significant")
+  }
+
+  /** DuckDB replay of [[msprtTwoProportion]] over a subjects CTE named
+    * `subjects` with columns (arm, join_d, conv_d). */
+  def msprtTwoProportionSql(subjectsCte: String, tau2: Double = 1e-4,
+      alpha: Double = 0.05): String =
+    s"WITH $subjectsCte, " +
+      "jn AS (SELECT arm, join_d AS day, CAST(count(*) AS BIGINT) AS nj, CAST(0 AS BIGINT) AS nc FROM subjects GROUP BY 1, 2), " +
+      "cv AS (SELECT arm, conv_d AS day, CAST(0 AS BIGINT) AS nj, CAST(count(*) AS BIGINT) AS nc FROM subjects WHERE conv_d IS NOT NULL GROUP BY 1, 2), " +
+      "pr AS (SELECT gg.arm, dd.day, CAST(0 AS BIGINT) AS nj, CAST(0 AS BIGINT) AS nc FROM " +
+      "(SELECT day FROM jn UNION SELECT day FROM cv) dd CROSS JOIN (SELECT 'a' AS arm UNION ALL SELECT 'b') gg), " +
+      "cum AS (SELECT arm, day, " +
+      "CAST(sum(sum(nj)) OVER (PARTITION BY arm ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n, " +
+      "CAST(sum(sum(nc)) OVER (PARTITION BY arm ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c " +
+      "FROM (SELECT * FROM jn UNION ALL SELECT * FROM cv UNION ALL SELECT * FROM pr) GROUP BY arm, day), " +
+      "wide AS (SELECT day, " +
+      "CAST(sum(CASE WHEN arm = 'a' THEN n ELSE 0 END) AS BIGINT) AS n_a, " +
+      "CAST(sum(CASE WHEN arm = 'a' THEN c ELSE 0 END) AS BIGINT) AS c_a, " +
+      "CAST(sum(CASE WHEN arm = 'b' THEN n ELSE 0 END) AS BIGINT) AS n_b, " +
+      "CAST(sum(CASE WHEN arm = 'b' THEN c ELSE 0 END) AS BIGINT) AS c_b FROM cum GROUP BY 1), " +
+      "st AS (SELECT *, " +
+      "CASE WHEN n_a > 0 AND n_b > 0 THEN " +
+      "(CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) * (1.0 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) * " +
+      "(1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)) ELSE 0.0 END AS v, " +
+      "CASE WHEN n_a > 0 AND n_b > 0 THEN CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) - CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) ELSE 0.0 END AS th FROM wide), " +
+      s"lam AS (SELECT *, CASE WHEN v > 0 THEN sqrt((v + $tau2) / v) * exp(-(th * th) * $tau2 / (2.0 * v * (v + $tau2))) ELSE 1.0 END AS inv_lambda FROM st), " +
+      "pv AS (SELECT *, least(1.0, min(inv_lambda) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS p_always_valid FROM lam) " +
+      s"SELECT day, n_a, c_a, n_b, c_b, inv_lambda, p_always_valid, p_always_valid <= $alpha AS significant FROM pv"
+
+  /** NELSON–AALEN cumulative hazard — the survival family's third
+    * readout (with [[kaplanMeier]] and [[logRankTest]]): H(t) =
+    * Σ_{s ≤ t} d(s)/n(s) estimates the cumulative event INTENSITY,
+    * the quantity hazard-ratio thinking and competing-risk work start
+    * from (KM answers "what fraction survives", NA answers "how much
+    * hazard has accumulated" — additive, so it decomposes by cause).
+    * Variance (Poisson-type) Var(H) = Σ d/n², se = sqrt of the running
+    * sum, both on the same collapsed (group, time) axis. Unlike the KM
+    * product, the total-death step needs NO special casing — d = n
+    * contributes exactly 1.0, no pole, no log.
+    *
+    * Scale shape: identical to [[kaplanMeier]] — one combinable
+    * (group, time) count aggregate, keyed windows over the collapsed
+    * axis, rows ≤ groups × distinct durations. Determinism: d and n
+    * are exact integers; the hazard terms are one fixed double
+    * expression accumulated by running window sums in frame order,
+    * replayed identically by the oracle.
+    */
+  def nelsonAalen(df: DataFrame, groupCol: String, durationCol: String,
+      observedCol: String): DataFrame = {
+    val per = df.groupBy(col(groupCol), col(durationCol).cast("long").as("t"))
+      .agg(sum(when(col(observedCol) === 1, 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("__all"))
+    val byT = Window.partitionBy(col(groupCol)).orderBy(col("t"))
+    val tot = Window.partitionBy(col(groupCol))
+    per
+      .withColumn("n_risk",
+        sum(col("__all")).over(tot) -
+          coalesce(sum(col("__all")).over(
+            byT.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("cum_hazard",
+        sum(col("d").cast("double") / col("n_risk").cast("double")).over(byT))
+      .withColumn("se",
+        sqrt(sum(col("d").cast("double") /
+          (col("n_risk").cast("double") * col("n_risk").cast("double"))).over(byT)))
+      .where(col("d") > 0)
+      .select(col(groupCol), col("t"), col("n_risk"),
+        col("d").as("n_events"), col("cum_hazard"), col("se"))
+  }
+
+  /** DuckDB replay of [[nelsonAalen]] over a subjects CTE named
+    * `subjects` with columns (g, t, observed). */
+  def nelsonAalenSql(subjectsCte: String): String =
+    s"WITH $subjectsCte, " +
+      "per AS (SELECT g, t, CAST(sum(CASE WHEN observed = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d, " +
+      "CAST(count(*) AS BIGINT) AS alln FROM subjects GROUP BY 1, 2), " +
+      "st AS (SELECT g, t, d, " +
+      "CAST(sum(alln) OVER (PARTITION BY g) AS BIGINT) - " +
+      "CAST(coalesce(sum(alln) OVER (PARTITION BY g ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk FROM per), " +
+      "cm AS (SELECT g, t, d, n_risk, " +
+      "sum(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)) OVER w1 AS cum_hazard, " +
+      "sqrt(sum(CAST(d AS DOUBLE) / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE))) OVER w1) AS se FROM st " +
+      "WINDOW w1 AS (PARTITION BY g ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+      "SELECT g, t, n_risk, d AS n_events, cum_hazard, se FROM cm WHERE d > 0"
+
   /** LOG-RANK test — "are these two survival curves the same?", the
     * hypothesis-test companion of [[kaplanMeier]] (does cohort A churn
     * faster than cohort B, beyond what censoring explains). At each

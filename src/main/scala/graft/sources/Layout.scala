@@ -180,6 +180,81 @@ object Layout {
       .agg(count(col("__bfile")).as("n_overlaps"))
   }
 
+  /** Z-ORDER (Morton) interleaved key over two integer columns — the
+    * multi-dimensional clustering key: sorting/range-partitioning by
+    * the interleaved bits gives every physical unit a roughly SQUARE
+    * footprint in (x, y) space, so min/max skipping prunes on BOTH
+    * dimensions at once, where a linear sort prunes on its lead column
+    * only (every file spans the other dimension's full domain —
+    * [[clusteringDepth]]'s blind case). Inputs are masked to the low
+    * `bits` bits; the interleave is a fixed 2·bits-term bitwise
+    * expression (codegen'd, no UDF) that any engine replays exactly.
+    */
+  def zOrderKey(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, "bits per dimension must be in [1, 31]")
+    val mask = lit((1L << bits) - 1L)
+    val xm = x.bitwiseAND(mask)
+    val ym = y.bitwiseAND(mask)
+    (0 until bits).flatMap { b =>
+      Seq(shiftleft(shiftright(xm, b).bitwiseAND(lit(1L)), 2 * b),
+        shiftleft(shiftright(ym, b).bitwiseAND(lit(1L)), 2 * b + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Z-order vs linear layout, MEASURED: lay the same rows out as
+    * 2^unitBits physical units two ways — linear (top bits of x, the
+    * "sorted by the lead column" layout) and z-order (top bits of the
+    * Morton key) — build each unit's (x, y) min/max manifest, and for
+    * each probe RECTANGLE count the units whose closed min/max
+    * intervals intersect it on BOTH dimensions (exactly the files a
+    * min/max-skipping scan must open). The report is the layout
+    * decision a 100 TB table owner reads: a rectangle selective on
+    * both dimensions touches ~√selectivity of the z-units but every
+    * x-slice of the linear layout, because linear units span the full
+    * y domain.
+    *
+    * Scale shape: one corpus scan per layout folds to the
+    * 2^unitBits-row manifest (combinable min/max); probes explode
+    * against the manifest (metadata × probes). Deterministic and
+    * engine-replayable: the interleave is exact integer bitwork and
+    * the manifests are exact mins/maxes.
+    *
+    * @param probes (x_lo, x_hi, y_lo, y_hi) closed-interval rectangles
+    */
+  def zOrderPruningReport(
+      df: DataFrame,
+      x: Column,
+      y: Column,
+      probes: Seq[(Long, Long, Long, Long)],
+      bits: Int = 16,
+      unitBits: Int = 6): DataFrame = {
+    require(unitBits >= 1 && unitBits <= 2 * bits)
+    require(probes.nonEmpty)
+    val mask = lit((1L << bits) - 1L)
+    val pts = df.select(x.bitwiseAND(mask).as("x"), y.bitwiseAND(mask).as("y"))
+    def manifest(unit: Column, tag: String): DataFrame =
+      pts.groupBy(unit.as("unit"))
+        .agg(min("x").as("x_min"), max("x").as("x_max"),
+          min("y").as("y_min"), max("y").as("y_max"))
+        .withColumn("layout", lit(tag))
+    val m = manifest(shiftright(col("x"), bits - math.min(unitBits, bits)), "linear")
+      .unionByName(manifest(
+        shiftright(zOrderKey(col("x"), col("y"), bits), 2 * bits - unitBits), "zorder"))
+    val probeLit = array(probes.zipWithIndex.map { case ((xl, xh, yl, yh), i) =>
+      struct(lit(i).as("probe_id"), lit(xl).as("x_lo"), lit(xh).as("x_hi"),
+        lit(yl).as("y_lo"), lit(yh).as("y_hi"))
+    }: _*)
+    m.withColumn("p", explode(probeLit))
+      .select(col("layout"), col("p.probe_id").as("probe_id"),
+        col("p.x_lo").as("x_lo"), col("p.x_hi").as("x_hi"),
+        col("p.y_lo").as("y_lo"), col("p.y_hi").as("y_hi"),
+        (col("x_max") >= col("p.x_lo") && col("x_min") <= col("p.x_hi") &&
+          col("y_max") >= col("p.y_lo") && col("y_min") <= col("p.y_hi"))
+          .cast("long").as("__hit"))
+      .groupBy("layout", "probe_id", "x_lo", "x_hi", "y_lo", "y_hi")
+      .agg(count(lit(1)).as("n_units"), sum(col("__hit")).as("units_touched"))
+  }
+
   /** Per-file BLOOM manifest over a key column — the point-lookup twin
     * of [[fileManifest]]'s range bounds. Min/max skipping is blind for
     * equality probes on a column the layout is NOT sorted by (every

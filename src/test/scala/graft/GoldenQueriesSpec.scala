@@ -75,7 +75,7 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "q_grouping_sets" -> "98a4933d9c1495870521e961360b108a",
     "u5_table_diff" -> "d92c06c7d435a001bcfb2a40970fd6bf",
     "dq_constraints" -> "8e51da8526727a47c80ceacdb246dee0",
-    "ann_pq_topk" -> "f55daa4d0c80d9e0731608aba7201fe4")
+    "ann_pq_topk" -> "6422d3e9d3b05fc3ffdbd20bf25bf865")
 
   test("round-3 operator outputs hash-match their pinned golden values") {
     val got = pinnedR3.keys.toSeq.sorted.map { q =>
@@ -93,7 +93,7 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "dedup_span_excise" -> "b8747f66af5e87149986da3a00bf100a",
     "asof_join_fwd" -> "f2795cb7dcab4a12878dbaec9f4f1249",
     "asof_join_nearest" -> "1d1d137f8c73ba033923b7b3a089485e",
-    "dedup_embed_cluster" -> "a3e417bd6f864200fb9081c5ba00cb26",
+    "dedup_embed_cluster" -> "4ab3a25b43d4c2901d25730a9aea8e86",
     "relevance_sample" -> "5f65dcbb8023f1996c5e9c4b6c9f9628",
     "quality_adaptive_gate" -> "c93439fd45e6624c369f348c077a870c",
     "funnel_3step" -> "7cd3377612e0e7ea9e5473c7872d4999",
@@ -110,7 +110,7 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "dq_categorical_drift" -> "1af869748a90edc011cee7bde9e21d4d",
     "graph_label_prop" -> "f360fb2a69daf915efacaa521fd64201",
     "sample_temporal_split" -> "f17dc91b08dacb9cde9c1a6245f42777",
-    "ann_ivf_pq_topk" -> "cfcc623da30082f846bf00e1ada0bfd9")
+    "ann_ivf_pq_topk" -> "ff670f0b40f0aefc2b7832e7d9659d01")
 
   private val pinnedR3c = Map(
     "bpe_train_merges" -> "b89b97695364c06ea9657a9d73edf696",
@@ -234,7 +234,7 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "dq_fd_violations" -> "f172db51f9d24119ed3e573dcb4d4fc4",
     "q12_late_lines" -> "f9ff2b4958077b850d02d4c86fc3cbe0",
     "sketch_cm_collisions" -> "7d5d6fa6a1c556e7023907f3822ffbd3",
-    "ann_range_search" -> "ea60c68c270298fc90146707253ac983",
+    "ann_range_search" -> "c657354a39aab8a116037f71b4d692bd",
     "graph_ppr" -> "6c6a83753773205bcfd0e8c7953ca1fe",
     "link_fuzzy_names" -> "552b8069e5e1f665bb115748ad4c02e8",
     "feat_loo_target_enc" -> "689034dd320f8523adc3597b88b6cdcb",
@@ -278,7 +278,7 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
   }
 
   private val pinnedR5 = Map(
-    "ann_sq8_ivf_topk" -> "f2d3ad535479b90b463743da6dad78cd",
+    "ann_sq8_ivf_topk" -> "d7b12dfe129cc68dd2bd28220b3505f7",
     "basket_pair_lift" -> "27ca3aee721b78e8e52c230da8b16e05",
     "emb_drift_report" -> "ce392268bf99bcf0122e7ebb269b1b37",
     "emb_sq8_codes" -> "221022213b152f734461b0475506f195",
@@ -307,7 +307,7 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "dq_freshness" -> "6f8f2e96ad0d47370145270610cc6977",
     "events_stickiness" -> "900f9eff867740214f02d32ba941bae5",
     "ann_filtered_brute" -> "5fd733bb06af2d63c96685fbc58e2529",
-    "ann_filtered_ivf" -> "813687e0ca6e453dadee1f89fdc41627",
+    "ann_filtered_ivf" -> "78154e21250d46305294e75905fccca8",
     "q_yoy_growth" -> "791b2382748981721939ff8f324585eb",
     "events_error_rate" -> "a5923c44efd66e546bff4eb80472f1cd",
     "orders_cohort_ltv" -> "ffb3cb7cf270a4d83cbdaa6d6437706e",

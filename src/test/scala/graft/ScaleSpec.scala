@@ -693,6 +693,28 @@ class ScaleSpec extends AnyFunSuite with SparkTest {
       s"triangle counting planned a non-equi join:\n$ps")
   }
 
+  test("zOrderKey interleaves exactly; z layout prunes rectangles the linear sort cannot") {
+    val s = spark; import s.implicits._
+    // hand case: x=3 (bits 1,1), y=1 (bits 1,0) -> z bits x0,y0,x1,y1
+    // = 1,1,1,0 -> z = 0b0111 = 7
+    val z = Seq((3L, 1L)).toDF("x", "y")
+      .select(graft.sources.Layout.zOrderKey(col("x"), col("y"), 2).as("z"))
+      .head().getLong(0)
+    assert(z == 7L)
+    // uniform 64x64 grid in 16 units: z units are a 4x4 grid of 16x16
+    // cells, linear units are 16 x-slices spanning the full y domain
+    val grid = (0L until 64L).flatMap(x => (0L until 64L).map(y => (x, y)))
+      .toDF("x", "y")
+    val rep = graft.sources.Layout.zOrderPruningReport(grid, col("x"), col("y"),
+      probes = Seq((0L, 15L, 0L, 15L), (0L, 63L, 8L, 11L)),
+      bits = 6, unitBits = 4)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(7)).toMap
+    assert(rep(("zorder", 0)) == 1L, s"aligned square must hit ONE z cell: $rep")
+    assert(rep(("linear", 0)) == 4L)
+    assert(rep(("zorder", 1)) == 4L, "a thin y-band hits one z row")
+    assert(rep(("linear", 1)) == 16L, "the linear layout cannot prune the non-lead dim at all")
+  }
+
   test("logRankTest at-risk set plans keyed joins only — no range join") {
     val s = spark; import s.implicits._
     val subj = ((1 to 40).map(i => (i.toLong % 2, (i % 7 + 1).toLong, i % 3 min 1)))

@@ -389,6 +389,45 @@ class StatsSpec extends AnyFunSuite with SparkTest {
       "total death: survival exactly 0 with zero variance")
   }
 
+  test("nelsonAalen: hand-computed cumulative hazard; total death has no pole") {
+    val s = spark; import s.implicits._
+    // A: deaths 2-of-5 at t=2 and 1-of-3 at t=4 -> H(2)=0.4, H(4)=0.4+1/3
+    //    Var(2)=2/25, Var(4)=2/25+1/9
+    // B: everyone dies at t=1 -> H=1 exactly (d=n is a plain term here)
+    val df = Seq(("A", 2L, 1), ("A", 2L, 1), ("A", 4L, 1), ("A", 5L, 0), ("A", 6L, 0),
+      ("B", 1L, 1), ("B", 1L, 1)).toDF("g", "t", "observed")
+    val out = Stats.nelsonAalen(df, "g", "t", "observed").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getDouble(4), r.getDouble(5)))).toMap
+    assert(math.abs(out(("A", 2L))._1 - 0.4) < 1e-12)
+    assert(math.abs(out(("A", 2L))._2 - math.sqrt(2.0 / 25.0)) < 1e-12)
+    assert(math.abs(out(("A", 4L))._1 - (0.4 + 1.0 / 3.0)) < 1e-12)
+    assert(math.abs(out(("A", 4L))._2 - math.sqrt(2.0 / 25.0 + 1.0 / 9.0)) < 1e-12)
+    assert(out(("B", 1L)) == ((1.0, math.sqrt(0.5))),
+      "total death: H = d/n = 1 with Var = d/n^2 — no special casing needed")
+  }
+
+  test("msprtTwoProportion: null stays insignificant under daily peeking; a real lift triggers; p never rises") {
+    val s = spark; import s.implicits._
+    import java.sql.Date
+    def d(i: Int) = Date.valueOf(f"2024-01-${i}%02d")
+    // null effect: both arms convert identically, watched for 20 days
+    val nul = (1 to 20).flatMap(day => (1 to 50).flatMap(u => Seq(
+      ("a", d(day), if (u <= 10) d(day) else null),
+      ("b", d(day), if (u <= 10) d(day) else null)))).toDF("arm", "join_d", "conv_d")
+    val rn = Stats.msprtTwoProportion(nul, "arm", "join_d", "conv_d").collect()
+      .map(r => r.getDate(0) -> ((r.getDouble(6), r.getBoolean(7)))).sortBy(_._1.getTime)
+    assert(rn.forall(!_._2._2), "a null experiment peeked daily must never flag")
+    assert(rn.map(_._2._1).sliding(2).forall(p => p(1) <= p(0) + 1e-15),
+      "the always-valid p-value never rises")
+    // real lift: arm b converts at 40% vs a at 10% — flags within the run
+    val lift = (1 to 20).flatMap(day => (1 to 50).flatMap(u => Seq(
+      ("a", d(day), if (u <= 5) d(day) else null),
+      ("b", d(day), if (u <= 20) d(day) else null)))).toDF("arm", "join_d", "conv_d")
+    val rl = Stats.msprtTwoProportion(lift, "arm", "join_d", "conv_d").collect()
+      .map(r => r.getDate(0) -> r.getBoolean(7)).sortBy(_._1.getTime)
+    assert(rl.last._2, "a 30-point lift must reach significance within 20 days")
+  }
+
   test("logRankTest: zero for mirrored cohorts, significant for a clean split") {
     val s = spark; import s.implicits._
     // mirrored cohorts: every term's observed equals expected -> chi2 0

@@ -79,6 +79,18 @@ object OracleSql {
       s"FOR i IN generate_series(1, length($hx) // 2)], " +
       s"(a, x) -> (a * 1315423911 + x) % 18446744073709551616) END)"
 
+  /** Top 40 bits of md5(strExpr) as a BIGINT — the big-endian hex-digit
+    * fold of the first 10 hex chars, mirroring the Spark side's
+    * `conv(substring(md5(x), 1, 10), 16, 10)`. The avalanched uniform
+    * behind the derandomized-noise operators (DP release, bootstrap).
+    */
+  private def md5U40(strExpr: String): String = {
+    val h = s"md5($strExpr)"
+    (1 to 10).map(i =>
+      s"(CAST(position(substr($h, $i, 1) IN '0123456789abcdef') AS BIGINT) - 1) * ${1L << (4 * (10 - i))}")
+      .mkString("(", " + ", ")")
+  }
+
   /** Two's-complement reinterpretation of an unsigned 64-bit HUGEINT as
     * the signed BIGINT Spark's LongType holds.
     */
@@ -419,13 +431,8 @@ object OracleSql {
       valueExpr: String, from: String,
       epsilon: Double, clampHi: Long, salt: String): String = {
     val mod = PortableMinHash.Mod
-    def uExpr(tag: String): String = {
-      val h = s"md5('dp:$salt:$tag:' || g)"
-      val h40 = (1 to 10).map(i =>
-        s"(CAST(position(substr($h, $i, 1) IN '0123456789abcdef') AS BIGINT) - 1) * ${1L << (4 * (10 - i))}")
-        .mkString("(", " + ", ")")
-      s"((($h40)::DOUBLE + 0.5) / $mod.0 - 0.5)"
-    }
+    def uExpr(tag: String): String =
+      s"((${md5U40(s"'dp:$salt:$tag:' || g")})::DOUBLE + 0.5) / $mod.0 - 0.5"
     def lap(tag: String, scale: String): String = {
       val u = uExpr(tag)
       s"(-($scale) * sign($u) * ln(1.0 - 2.0 * abs($u)))"
@@ -601,6 +608,37 @@ object OracleSql {
     }
     (1 to iters).map(t =>
       lloydStep(if (t == 1) s"${pfx}cent0" else s"${pfx}cent${t - 1}", t)).mkString(", ")
+  }
+
+  /** Oracle for `text_bpe_merges`: full replay of
+    * `TextAnalysis.bpeMerges` — the collapsed (word, freq) vocab, the
+    * `·`-delimited char segmentation, and `k` unrolled merge rounds
+    * (pair counts → (count desc, pair asc) argmax → literal
+    * left-to-right replace). Every per-round CTE is MATERIALIZED
+    * (each is referenced by two successors — default inlining
+    * re-expands the whole chain exponentially).
+    */
+  def bpeMerges(k: Int, from: String = "documents", textCol: String = "text"): String = {
+    val header =
+      s"WITH tk AS (SELECT unnest(regexp_split_to_array(lower(trim($textCol)), '\\s+')) AS w FROM $from), " +
+        "v0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq, " +
+        "regexp_replace(w, '(.)', '·\\1·', 'g') AS seg FROM tk " +
+        "WHERE regexp_matches(w, '^[a-z]{2,}$') GROUP BY w)"
+    val rounds = (1 to k).map { r =>
+      s"t$r AS (SELECT freq, list_filter(string_split(seg, '·'), x -> x <> '') AS toks FROM v${r - 1}), " +
+        s"e$r AS (SELECT freq, unnest([toks[i] || '··' || toks[i + 1] FOR i IN generate_series(1, len(toks) - 1)]) AS p FROM t$r), " +
+        s"p$r AS (SELECT p, CAST(sum(freq) AS BIGINT) AS c FROM e$r GROUP BY 1), " +
+        s"b$r AS MATERIALIZED (SELECT p, c FROM p$r ORDER BY c DESC, p LIMIT 1), " +
+        s"v$r AS MATERIALIZED (SELECT w, freq, " +
+        s"replace(seg, '·' || b.p || '·', '·' || replace(b.p, '··', '') || '·') AS seg " +
+        s"FROM v${r - 1} CROSS JOIN b$r b)"
+    }.mkString(", ")
+    val out = (1 to k).map { r =>
+      s"SELECT $r AS merge_rank, split_part(p, '··', 1) AS lhs, " +
+        s"split_part(p, '··', 2) AS rhs, replace(p, '··', '') AS merged, " +
+        s"c AS pair_count FROM b$r"
+    }.mkString(" UNION ALL ")
+    s"$header, $rounds $out"
   }
 
   /** Oracle for `layout_zorder_pruning`: replay of

@@ -53,6 +53,16 @@ package object functions {
   def word_ngrams_distinct(tokens: Column, n: Int): Column =
     ColumnBridge.column(graft.plans.WordNGrams(ColumnBridge.expression(tokens), n))
 
+  /** Top 40 bits of the md5 digest as a long — the AVALANCHED uniform
+    * on the 2⁴⁰ grid (first 10 hex chars, big-endian), replayable in
+    * any engine as the same hex-digit fold. The draw behind the
+    * derandomized-noise operators (DP release, Poisson bootstrap):
+    * unlike the linear rolling hash, pairwise digest differences carry
+    * no input structure.
+    */
+  def md5_u40(c: Column): Column =
+    conv(substring(md5(c), 1, 10), 16, 10).cast("long")
+
   /** Count of non-overlapping occurrences of literal `pat` (exact
     * integer arithmetic — no regex, no floats).
     */

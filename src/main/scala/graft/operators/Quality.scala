@@ -386,11 +386,10 @@ object Quality {
       .agg(count(lit(1)).as("__n"),
         sum(least(greatest(col(valueCol), lit(0L)), lit(clampHi))).as("__s"))
     def u(tag: String): Column = {
-      // first 10 hex chars of the digest = the top 40 bits, exact in a
+      // top 40 digest bits ([[graft.functions.md5_u40]]), exact in a
       // double and replayable as the same big-endian hex fold in SQL
-      val h40 = conv(substring(md5(
-        concat(lit(s"dp:$salt:$tag:"), col(groupCol).cast("string"))), 1, 10),
-        16, 10).cast("long")
+      val h40 = graft.functions.md5_u40(
+        concat(lit(s"dp:$salt:$tag:"), col(groupCol).cast("string")))
       (h40.cast("double") + lit(0.5)) / lit(PortableMinHash.Mod.toDouble) - lit(0.5)
     }
     def lap(uu: Column, scale: Double): Column =

@@ -1332,6 +1332,98 @@ object Stats {
       "greatest(0.0, survival - 1.96 * se) AS ci_lo, " +
       "least(1.0, survival + 1.96 * se) AS ci_hi FROM sv WHERE d > 0"
 
+  /** DERANDOMIZED POISSON BOOTSTRAP confidence interval for a per-group
+    * mean — the distribution-free CI a metrics readout wants when the
+    * per-subject metric is skewed (revenue, session length) and the
+    * normal approximation is a lie. Each of `bReps` replicas gives
+    * every subject a Poisson(1) weight drawn by inverse-CDF from the
+    * avalanched md5 uniform of (salt, replica, subject) — the
+    * distributed-friendly bootstrap (no resampling shuffle, no RNG
+    * state; E[weight] = 1 reproduces the sample) AND a pure function of
+    * (data, salt): retries publish identical intervals, both engines
+    * replay them exactly. The CI is the empirical [2.5%, 97.5%] band of
+    * the replica means (integer ranks over the B sorted means,
+    * replica-id tie-break).
+    *
+    * Scale shape: one explode to B× rows feeding an immediately
+    * combinable (group, replica) aggregate — the working set after the
+    * map side is groups × B rows; the ranking window runs on that
+    * metadata-sized table. Weighted sums are exact longs (weights ≤ 8:
+    * the Poisson(1) tail past 8 is < 1e-8 and the inverse-CDF clamps
+    * there); only the final mean divides in doubles.
+    */
+  def poissonBootstrapCi(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      valueCol: String,
+      bReps: Int = 64,
+      salt: String = "boot"): DataFrame = {
+    require(bReps >= 8 && bReps <= 512)
+    val loRank = math.max(1, math.ceil(0.025 * bReps).toInt)
+    val hiRank = math.min(bReps, math.floor(0.975 * bReps).toInt + 1)
+    // cumulative Poisson(1) thresholds P(W <= k), k = 0..7; clamp at 8
+    val thresholds = Seq(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
+      0.9994058151824183, 0.9999167588507119, 0.9999897508033253)
+    def pois(u: Column): Column =
+      thresholds.zipWithIndex.foldRight(lit(8L): Column) {
+        case ((th, i), acc) => when(u < th, lit(i.toLong)).otherwise(acc)
+      }
+    val base = df.select(col(groupCol).as("g"),
+      col(idCol).cast("string").as("id"), col(valueCol).cast("long").as("x"))
+    val point = base.groupBy("g").agg(count(lit(1)).as("n"),
+      (sum("x").cast("double") / count(lit(1)).cast("double")).as("mean"))
+    val reps = base
+      .withColumn("b", explode(sequence(lit(1), lit(bReps))))
+      .withColumn("u",
+        (graft.functions.md5_u40(concat(lit(s"boot:$salt:"),
+          col("b").cast("string"), lit(":"), col("id"))).cast("double") + lit(0.5)) /
+          lit(graft.functions.PortableMinHash.Mod.toDouble))
+      .withColumn("w", pois(col("u")))
+      .groupBy("g", "b")
+      .agg(sum(col("w") * col("x")).as("sx"), sum(col("w")).as("sw"))
+      .withColumn("m", when(col("sw") > 0,
+        col("sx").cast("double") / col("sw").cast("double")))
+    val rk = Window.partitionBy(col("g")).orderBy(col("m").asc_nulls_last, col("b"))
+    val ranked = reps.withColumn("rk", row_number().over(rk))
+    point
+      .join(ranked.where(col("rk") === loRank).select(col("g"), col("m").as("ci_lo")), "g")
+      .join(ranked.where(col("rk") === hiRank).select(col("g"), col("m").as("ci_hi")), "g")
+      .select(col("g").as(groupCol), col("n"), col("mean"), col("ci_lo"), col("ci_hi"))
+  }
+
+  /** DuckDB replay of [[poissonBootstrapCi]] over a base CTE named
+    * `base` with columns (g, id VARCHAR, x BIGINT). */
+  def poissonBootstrapCiSql(baseCte: String, bReps: Int = 64,
+      salt: String = "boot", groupAlias: String = "g"): String = {
+    val loRank = math.max(1, math.ceil(0.025 * bReps).toInt)
+    val hiRank = math.min(bReps, math.floor(0.975 * bReps).toInt + 1)
+    val thresholds = Seq(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
+      0.9994058151824183, 0.9999167588507119, 0.9999897508033253)
+    val caseChain = thresholds.zipWithIndex
+      .map { case (th, i) => s"WHEN u < $th THEN CAST($i AS BIGINT)" }
+      .mkString("CASE ", " ", " ELSE CAST(8 AS BIGINT) END")
+    val h = (1 to 10).map(i =>
+      s"(CAST(position(substr(h10, $i, 1) IN '0123456789abcdef') AS BIGINT) - 1) * ${1L << (4 * (10 - i))}")
+      .mkString("(", " + ", ")")
+    val mod = graft.functions.PortableMinHash.Mod
+    s"WITH $baseCte, " +
+      "pt AS (SELECT g, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean FROM base GROUP BY 1), " +
+      s"ex AS (SELECT g, id, x, unnest(generate_series(1, $bReps)) AS b FROM base), " +
+      s"hh AS (SELECT g, b, x, md5('boot:$salt:' || CAST(b AS VARCHAR) || ':' || id) AS h10 FROM ex), " +
+      s"uu AS (SELECT g, b, x, (($h)::DOUBLE + 0.5) / $mod.0 AS u FROM hh), " +
+      s"ww AS (SELECT g, b, x, $caseChain AS w FROM uu), " +
+      "rp AS (SELECT g, b, CAST(sum(w * x) AS BIGINT) AS sx, CAST(sum(w) AS BIGINT) AS sw FROM ww GROUP BY 1, 2), " +
+      "mm AS (SELECT g, b, CASE WHEN sw > 0 THEN CAST(sx AS DOUBLE) / CAST(sw AS DOUBLE) END AS m FROM rp), " +
+      "rk AS (SELECT g, m, row_number() OVER (PARTITION BY g ORDER BY m ASC NULLS LAST, b) AS rk FROM mm) " +
+      s"SELECT pt.g AS $groupAlias, pt.n, pt.mean, lo.m AS ci_lo, hi.m AS ci_hi FROM pt " +
+      s"JOIN rk lo ON lo.g = pt.g AND lo.rk = $loRank " +
+      s"JOIN rk hi ON hi.g = pt.g AND hi.rk = $hiRank"
+  }
+
   /** ALWAYS-VALID sequential test (mixture SPRT) for a two-proportion
     * experiment — the fix for the PEEKING problem: a fixed-horizon
     * z-test read daily inflates false positives far past α, while the

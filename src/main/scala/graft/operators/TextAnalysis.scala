@@ -1346,4 +1346,62 @@ object TextAnalysis {
         (col("sy") - (num / den) * col("sx")) / nD).as("intercept"),
       when(den =!= 0.0 && deny =!= 0.0, (num * num) / (den * deny)).as("r2"))
   }
+
+  /** BPE MERGE LEARNING — the first `k` byte-pair-encoding merges of
+    * the corpus, learned deterministically: the tokenizer-training step
+    * of an LLM data pipeline, run where the data lives instead of
+    * shipping the corpus to a single machine. Each round counts every
+    * adjacent symbol pair weighted by word frequency and merges the
+    * most frequent one (ties break lexicographically); output row r is
+    * the r-th learned merge with its count — exactly the `merges.txt`
+    * a BPE tokenizer ships.
+    *
+    * Scale shape: the corpus collapses ONCE to the (word, freq) vocab
+    * (one combinable aggregate; Zipf makes this table tiny next to the
+    * corpus), and every round is one aggregate over the vocab plus a
+    * single-row argmax collect — k driver round-trips, like Lloyd.
+    * Segmentations ride as `·`-delimited strings (`·a··b··c·`, symbols
+    * can never contain the delimiter), so applying a merge is ONE
+    * literal left-to-right non-overlapping replace (`·a··b·`→`·ab·`)
+    * that any engine performs identically — adjacent same-pair runs
+    * resolve left-first in both, the reference BPE behavior.
+    *
+    * Determinism: counts are exact longs of a pure function of the
+    * corpus; the argmax is (count desc, pair asc); no RNG anywhere.
+    * Words are lowercase-letter runs of length ≥ 2 (tokenizer-training
+    * hygiene — punctuation/number handling is a pre-tokenization
+    * concern).
+    */
+  def bpeMerges(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
+    require(k >= 1 && k <= 32, "k merges per call is bounded (driver rounds)")
+    val spark = docs.sparkSession
+    val vocab = Caches.persisted(
+      docs.select(explode(tokens(col(textCol))).as("w"))
+        .where(col("w").rlike("^[a-z]{2,}$"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .withColumn("seg", regexp_replace(col("w"), "(.)", "·$1·")))
+    var seg: Column = col("seg")
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val toks = filter(split(seg, "·+"), t => t =!= "")
+      val pairs = zip_with(
+        slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit("··"), b))
+      val best = vocab.select(explode(pairs).as("p"), col("freq"))
+        .groupBy("p").agg(sum("freq").as("c"))
+        .orderBy(col("c").desc, col("p")).limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val Array(l, rt) = best(0).getString(0).split("··", 2)
+        out += ((r, l, rt, l + rt, best(0).getLong(1)))
+        seg = regexp_replace(seg,
+          java.util.regex.Pattern.quote(s"·${l}··${rt}·"), s"·${l}${rt}·")
+        r += 1
+      }
+    }
+    import spark.implicits._
+    out.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+  }
 }

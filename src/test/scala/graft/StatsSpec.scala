@@ -389,6 +389,26 @@ class StatsSpec extends AnyFunSuite with SparkTest {
       "total death: survival exactly 0 with zero variance")
   }
 
+  test("poissonBootstrapCi: deterministic per salt, band brackets the mean, skew widens the upper tail") {
+    val s = spark; import s.implicits._
+    import graft.operators.Stats
+    // skewed metric: 190 subjects at 100, 10 whales at 10000
+    val df = ((1 to 190).map(i => ("x", i.toLong, 100L)) ++
+      (191 to 200).map(i => ("x", i.toLong, 10000L))).toDF("g", "id", "v")
+    def run(salt: String) = Stats.poissonBootstrapCi(df, "g", "id", "v", 64, salt)
+      .head()
+    val r1 = run("s1")
+    assert(run("s1") == r1, "a retried release publishes the identical interval")
+    assert(run("s2") != r1, "a fresh salt draws fresh replicas")
+    val (n, mean, lo, hi) = (r1.getLong(1), r1.getDouble(2), r1.getDouble(3), r1.getDouble(4))
+    assert(n == 200L && math.abs(mean - 595.0) < 1e-9)
+    assert(lo < mean && mean < hi, s"band [$lo, $hi] must bracket $mean")
+    // whales dominate the variance: the band is wide relative to the
+    // mean (a normal CI would be ~same width; the point is the bracket
+    // holds under resampling of 10 extreme points)
+    assert(hi - lo > 100.0, s"skewed metric must produce a wide band, got [$lo, $hi]")
+  }
+
   test("nelsonAalen: hand-computed cumulative hazard; total death has no pole") {
     val s = spark; import s.implicits._
     // A: deaths 2-of-5 at t=2 and 1-of-3 at t=4 -> H(2)=0.4, H(4)=0.4+1/3

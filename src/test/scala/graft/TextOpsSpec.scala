@@ -582,4 +582,21 @@ class TextOpsSpec extends AnyFunSuite with SparkTest {
     assert(r2Pw > 0.9, s"power-law fit should be tight: $r2Pw")
     assert(math.abs(slopeFl) < 1e-9, s"uniform vocabulary is flat: $slopeFl")
   }
+
+  test("bpeMerges: reference merge order on a hand corpus, left-first runs, exhaustion stops early") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    // round 1: (a,a) weighted 2*2=4 beats (a,b)=3; left-first collapse
+    //   makes aaab -> (aa, a, b), the reference BPE behavior
+    // round 2: (a,b)=3 beats (aa,a)=2; round 3: (aa,ab)=2; then no
+    //   pairs remain -> k=4 returns only 3 merges
+    val m = graft.operators.TextAnalysis.bpeMerges(docs, k = 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+    graft.operators.Caches.release()
+    assert(m == Seq(
+      (1, "a", "a", "aa", 4L),
+      (2, "a", "b", "ab", 3L),
+      (3, "aa", "ab", "aaab", 2L)))
+  }
 }

@@ -619,6 +619,31 @@ object OracleSql {
     * re-expands the whole chain exponentially).
     */
   def bpeMerges(k: Int, from: String = "documents", textCol: String = "text"): String = {
+    val out = (1 to k).map { r =>
+      s"SELECT $r AS merge_rank, split_part(p, '··', 1) AS lhs, " +
+        s"split_part(p, '··', 2) AS rhs, replace(p, '··', '') AS merged, " +
+        s"c AS pair_count FROM b$r"
+    }.mkString(" UNION ALL ")
+    s"${bpeChain(k, from, textCol)} $out"
+  }
+
+  /** Oracle for `text_bpe_compression`: the same k replayed rounds,
+    * then the frequency-weighted symbol counts over the FINAL
+    * segmentation and the exact-ppm compression.
+    */
+  def bpeCompression(k: Int, from: String = "documents", textCol: String = "text"): String =
+    s"${bpeChain(k, from, textCol)}, " +
+      s"fin AS (SELECT w, freq, len(list_filter(string_split(seg, '·'), x -> x <> '')) AS nt FROM v$k), " +
+      s"agg AS (SELECT CAST($k AS INT) AS n_merges, CAST(sum(freq) AS BIGINT) AS n_words, " +
+      "CAST(sum(freq * length(w)) AS BIGINT) AS n_chars, " +
+      "CAST(sum(freq * nt) AS BIGINT) AS n_tokens FROM fin) " +
+      "SELECT n_merges, n_words, n_chars, n_tokens, " +
+      "n_tokens * 1000000 // n_chars AS tokens_per_char_ppm FROM agg"
+
+  /** The shared BPE replay chain: vocab `v0` and `k` rounds, each with
+    * pair counts, the (count desc, pair asc) argmax `b<r>`, and the
+    * merged segmentation `v<r>`. */
+  private def bpeChain(k: Int, from: String, textCol: String): String = {
     val header =
       s"WITH tk AS (SELECT unnest(regexp_split_to_array(lower(trim($textCol)), '\\s+')) AS w FROM $from), " +
         "v0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq, " +
@@ -633,12 +658,7 @@ object OracleSql {
         s"replace(seg, '·' || b.p || '·', '·' || replace(b.p, '··', '') || '·') AS seg " +
         s"FROM v${r - 1} CROSS JOIN b$r b)"
     }.mkString(", ")
-    val out = (1 to k).map { r =>
-      s"SELECT $r AS merge_rank, split_part(p, '··', 1) AS lhs, " +
-        s"split_part(p, '··', 2) AS rhs, replace(p, '··', '') AS merged, " +
-        s"c AS pair_count FROM b$r"
-    }.mkString(" UNION ALL ")
-    s"$header, $rounds $out"
+    s"$header, $rounds"
   }
 
   /** Oracle for `layout_zorder_pruning`: replay of

@@ -1654,6 +1654,41 @@ object SparkEntry {
         .join(sub.withColumnRenamed("anc", "r"), "r")
         .select(col("k"), col("depth"), col("n_desc"), col("subtree_cents"))
     }),
+    "incr_hierarchy_delete" -> ((s, d) => {
+      // subtree-delete maintenance: rank 8's whole subtree retires —
+      // the materialized closure updates by ONE anti-join (no other
+      // row can reference the deleted set), and the rollup equals
+      // DuckDB's native recursion on the shrunken tree exactly
+      val o = rd(s, d, "orders").select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("k")
+      val dd = o.withColumn("r", row_number().over(w).cast("long"))
+      val edges = dd.where(col("r") >= 2)
+        .select(col("r").as("child"), expr("greatest(r div 8, 1)").as("parent"))
+      val whDir = new java.io.File(
+        "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      val fullTbl = s"closure_full_${contentEpoch(o, "k")}"
+      graft.operators.Memo.cached(s, s"closurefull|$whDir|$fullTbl") {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(whDir))
+        if (!graft.sources.Warehouse.exists(s, whDir, fullTbl))
+          graft.sources.Warehouse.overwrite(
+            graft.operators.Graph.ancestorClosure(edges, dd.select(col("r"))),
+            whDir, fullTbl)
+        java.lang.Boolean.TRUE
+      }
+      val closure = graft.sources.Warehouse.read(s, whDir, fullTbl)
+      val kept = graft.operators.Caches.persisted(
+        graft.operators.Graph.removeSubtree(closure, edges, 8L))
+      val depths = kept.groupBy(col("node")).agg(max("depth").as("depth"))
+      val sub = kept
+        .join(dd.select(col("r").as("node"), col("cents")), "node")
+        .groupBy(col("anc"))
+        .agg(count(lit(1)).as("n_desc"), sum("cents").as("subtree_cents"))
+      dd.select(col("k"), col("r"))
+        .join(depths.withColumnRenamed("node", "r"), "r")
+        .join(sub.withColumnRenamed("anc", "r"), "r")
+        .select(col("k"), col("depth"), col("n_desc"), col("subtree_cents"))
+    }),
     "incr_gram_maintain" -> ((s, d) => {
       // O(delta) PCA maintenance: second moments are additive exact
       // integers — the materialized Gram of the old corpus plus the
@@ -4190,6 +4225,11 @@ object SparkEntry {
       // (count desc, pair asc), merges applied as one literal
       // left-to-right replace both engines perform identically
       TextAnalysis.bpeMerges(rd(s, d, "documents"), k = 8)),
+    "text_bpe_compression" -> ((s, d) =>
+      // the tokenizer-eval number that decides k: corpus symbol counts
+      // before (chars) and after the 8 learned merges, frequency-
+      // weighted, compression on the exact ppm grid
+      TextAnalysis.bpeCompressionReport(rd(s, d, "documents"), k = 8)),
     "text_source_terms" -> ((s, d) =>
       // c-TF-IDF shape: what characterizes each source vs the corpus
       TextAnalysis.sourceDistinctiveTerms(rd(s, d, "documents"), k = 5)),
@@ -6289,6 +6329,7 @@ object SparkEntry {
         "CAST(round(o_totalprice * 100) AS BIGINT) + 2 * (o_orderkey % 4) AS cents " +
         "FROM orders"),
     "text_bpe_merges" -> OracleSql.bpeMerges(k = 8),
+    "text_bpe_compression" -> OracleSql.bpeCompression(k = 8),
     "layout_zorder_pruning" -> OracleSql.zOrderPruning(
       "l_orderkey * 2654435761", "l_partkey * 2246822519", "lineitem",
       probes = Seq(
@@ -6880,6 +6921,24 @@ object SparkEntry {
         "FROM anc JOIN dd ON dd.r = anc.node GROUP BY 1) " +
         "SELECT dd.k, dep.depth, sub.n_desc, sub.subtree_cents " +
         "FROM dd JOIN dep ON dep.node = dd.r JOIN sub ON sub.anc = dd.r"),
+    // the same native recursion on the SHRUNKEN tree (rank 8's subtree
+    // removed) replays the subtree-delete maintenance
+    "incr_hierarchy_delete" ->
+      ("WITH RECURSIVE o AS (SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+        "dd AS (SELECT k, cents, CAST(row_number() OVER (ORDER BY k) AS BIGINT) AS r FROM o), " +
+        "e AS (SELECT r AS child, greatest(r // 8, 1) AS parent FROM dd WHERE r >= 2), " +
+        "anc0 AS (SELECT r AS node, r AS anc, CAST(0 AS BIGINT) AS depth FROM dd " +
+        "UNION ALL SELECT a.node, e.parent, a.depth + 1 FROM anc0 a JOIN e ON e.child = a.anc), " +
+        "subx AS (SELECT DISTINCT node FROM anc0 WHERE anc = 8), " +
+        "dd2 AS (SELECT * FROM dd WHERE r NOT IN (SELECT node FROM subx)), " +
+        "e2 AS (SELECT * FROM e WHERE child NOT IN (SELECT node FROM subx)), " +
+        "anc AS (SELECT r AS node, r AS anc, CAST(0 AS BIGINT) AS depth FROM dd2 " +
+        "UNION ALL SELECT a.node, e2.parent, a.depth + 1 FROM anc a JOIN e2 ON e2.child = a.anc), " +
+        "dep AS (SELECT node, max(depth) AS depth FROM anc GROUP BY 1), " +
+        "sub AS (SELECT anc, CAST(count(*) AS BIGINT) AS n_desc, CAST(sum(dd2.cents) AS BIGINT) AS subtree_cents " +
+        "FROM anc JOIN dd2 ON dd2.r = anc.node GROUP BY 1) " +
+        "SELECT dd2.k, dep.depth, sub.n_desc, sub.subtree_cents " +
+        "FROM dd2 JOIN dep ON dep.node = dd2.r JOIN sub ON sub.anc = dd2.r"),
     "events_logrank" ->
       graft.operators.Stats.logRankSql(
         "p AS (SELECT user_id, min(ts) AS t0, max(ts) AS t1 FROM events GROUP BY 1), " +

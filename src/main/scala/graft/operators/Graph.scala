@@ -457,6 +457,46 @@ object Graph {
     kept.unionByName(rerouted)
   }
 
+  /** SUBTREE DELETE maintenance of a materialized [[ancestorClosure]]
+    * — the third hierarchy mutation (a category retires, an org
+    * dissolves, a BOM assembly is discontinued): `removedNode` and its
+    * whole subtree leave, and the closure updates by ONE anti-join —
+    * every closure row whose `node` is in the subtree disappears, and
+    * no other row can reference the subtree (an ancestor path from a
+    * surviving node through a deleted one would make that survivor a
+    * subtree member — contradiction), so nothing else changes.
+    *
+    * Loud precondition (metadata-sized probe, DAG case): no subtree
+    * node other than the removed root may have a parent OUTSIDE the
+    * subtree — such a multi-parent node would survive a true edge
+    * delete through its outside parent, but the closure stores no
+    * per-path provenance to keep only those rows; re-parent it first
+    * ([[moveSubtree]]) or rebuild. Same contract boundary as the move.
+    * Callers own the matching edge/node deletions.
+    */
+  def removeSubtree(
+      closure: DataFrame,
+      edges: DataFrame,
+      removedNode: Any,
+      childCol: String = "child",
+      parentCol: String = "parent"): DataFrame = {
+    val m = lit(removedNode)
+    val sub = Caches.persisted(
+      closure.where(col("anc") === m).select(col("node")).distinct())
+    require(!closure.where(col("node") === m && col("depth") === 0L).isEmpty,
+      s"removeSubtree: node $removedNode is not in the closure")
+    val e = edges.select(col(childCol).as("child"), col(parentCol).as("parent"))
+    require(e.join(sub.withColumnRenamed("node", "child"), Seq("child"), "left_semi")
+      .where(col("child") =!= m)
+      .join(sub.withColumnRenamed("node", "parent"), Seq("parent"), "left_anti")
+      .isEmpty,
+      "removeSubtree: a subtree node other than the removed root has a parent " +
+        "outside the subtree — it would survive a true edge delete; re-parent it " +
+        "(moveSubtree) or rebuild instead")
+    closure.join(sub, Seq("node"), "left_anti")
+      .select(col("node"), col("anc"), col("depth"))
+  }
+
   /** k-core: the maximal subgraph where every node keeps degree ≥ k —
     * the standard density filter (spam/bot rings, community cores,
     * "drop the long tail of barely-connected pages before expensive

@@ -1373,8 +1373,36 @@ object TextAnalysis {
     * concern).
     */
   def bpeMerges(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
-    require(k >= 1 && k <= 32, "k merges per call is bounded (driver rounds)")
     val spark = docs.sparkSession
+    import spark.implicits._
+    bpeCore(docs, k, textCol)._3
+      .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** Corpus-level effect of the [[bpeMerges]] vocabulary — the
+    * tokenizer-eval number that decides k: frequency-weighted symbol
+    * counts before (characters) and after the k merges, with the
+    * compression as exact integer ppm. One row:
+    * (n_merges, n_words, n_chars, n_tokens, tokens_per_char_ppm).
+    */
+  def bpeCompressionReport(docs: DataFrame, k: Int, textCol: String = "text"): DataFrame = {
+    val (vocab, seg, merges) = bpeCore(docs, k, textCol)
+    val toks = filter(split(seg, "·+"), t => t =!= "")
+    vocab.select(col("w"), col("freq"), size(toks).cast("long").as("nt"))
+      .agg(lit(merges.size).as("n_merges"),
+        sum(col("freq")).as("n_words"),
+        sum(col("freq") * length(col("w")).cast("long")).as("n_chars"),
+        sum(col("freq") * col("nt")).as("n_tokens"))
+      .withColumn("tokens_per_char_ppm",
+        expr("n_tokens * 1000000L div n_chars"))
+  }
+
+  /** Shared BPE loop: the persisted (word, freq, char-seg) vocab, the
+    * final segmentation column after ≤ k merges, and the learned
+    * merges. */
+  private def bpeCore(docs: DataFrame, k: Int, textCol: String)
+      : (DataFrame, Column, Seq[(Int, String, String, String, Long)]) = {
+    require(k >= 1 && k <= 32, "k merges per call is bounded (driver rounds)")
     val vocab = Caches.persisted(
       docs.select(explode(tokens(col(textCol))).as("w"))
         .where(col("w").rlike("^[a-z]{2,}$"))
@@ -1401,7 +1429,6 @@ object TextAnalysis {
         r += 1
       }
     }
-    import spark.implicits._
-    out.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+    (vocab, seg, out.toSeq)
   }
 }

@@ -402,4 +402,30 @@ class GraphSpec extends AnyFunSuite with SparkTest {
     assert(e2.getMessage.contains("rebuild"))
     graft.operators.Caches.release()
   }
+
+  test("removeSubtree: maintain equals rebuild; a multi-parent survivor rejects") {
+    val s = spark; import s.implicits._
+    import graft.operators.Graph
+    def multiset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(identity).view.mapValues(_.size).toMap
+    // tree: 1 <- 2,3 ; 2 <- 4,5 ; 3 <- 6; retire 2's subtree {2,4,5}
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 2L), (5L, 2L), (6L, 3L))
+      .toDF("child", "parent")
+    val closure = Graph.ancestorClosure(edges, (1L to 6L).toDF("node"))
+    val kept = multiset(Graph.removeSubtree(closure, edges, 2L))
+    val rebuilt = multiset(Graph.ancestorClosure(
+      Seq((3L, 1L), (6L, 3L)).toDF("child", "parent"), Seq(1L, 3L, 6L).toDF("node")))
+    assert(kept == rebuilt, "delete maintenance must equal the shrunken rebuild")
+    graft.operators.Caches.release()
+    // DAG: 5 also has parent 6 OUTSIDE the subtree — it would survive a
+    // true edge delete, so the one-anti-join maintenance must refuse
+    val dagEdges = edges.unionByName(Seq((5L, 6L)).toDF("child", "parent"))
+    val dagClosure = Graph.ancestorClosure(dagEdges, (1L to 6L).toDF("node"))
+    val e = intercept[IllegalArgumentException] {
+      Graph.removeSubtree(dagClosure, dagEdges, 2L)
+    }
+    assert(e.getMessage.contains("re-parent"))
+    graft.operators.Caches.release()
+  }
 }

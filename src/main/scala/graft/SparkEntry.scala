@@ -1810,6 +1810,60 @@ object SparkEntry {
         perUser.join(abArmsDf(s, d), "user_id"), "arm", "user_id", "cents",
         bReps = 64, salt = "r10")
     }),
+    "stream_msprt_replay" -> ((s, d) => {
+      // STREAMING experiment monitoring with exactly-once state: the
+      // per-user (first-seen day, first-conversion day) state folds
+      // week by week through the STAMPED pointer table — each fold is
+      // a least()-merge (order-safe min semantics), a POISONED replay
+      // of week 2 must skip on the stamp — and the always-valid
+      // sequential readout computed FROM THE STATE equals the one-pass
+      // batch computation exactly (the same oracle as
+      // ab_msprt_sequential): maintenance invisible in the readout
+      import graft.sources.Warehouse
+      val ev = rd(s, d, "events")
+      val dir = new java.io.File(
+        "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      val tbl = s"msprt_state_${contentEpoch(ev, "event_id")}"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val cuts = Seq("2024-01-08", "2024-01-15", "2024-01-22")
+        .map(c => to_timestamp(lit(s"$c 00:00:00")))
+      def slice(i: Int): DataFrame = i match {
+        case 0 => ev.filter(col("ts") < cuts(0))
+        case 1 => ev.filter(col("ts") >= cuts(0) && col("ts") < cuts(1))
+        case 2 => ev.filter(col("ts") >= cuts(1) && col("ts") < cuts(2))
+        case _ => ev.filter(col("ts") >= cuts(2))
+      }
+      def fold(batch: DataFrame, batchId: Long): Unit = {
+        if (batchId <= Warehouse.Pointer.lastBatch(s, dir, tbl)) return
+        val inc = batch.groupBy("user_id").agg(
+          min(to_date(col("ts"))).as("join_d"),
+          min(when(col("event_type") === "purchase" && col("value") >= 90,
+            to_date(col("ts")))).as("conv_d"))
+        val cur =
+          if (Warehouse.Pointer.exists(s, dir, tbl))
+            Warehouse.Pointer.read(s, dir, tbl)
+          else s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row], inc.schema)
+        val merged = cur.alias("a").join(inc.alias("b"), Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            least(col("a.join_d"), col("b.join_d")).as("join_d"),
+            least(col("a.conv_d"), col("b.conv_d")).as("conv_d"))
+        Warehouse.Pointer.overwrite(merged, dir, tbl, 2, batchId)
+      }
+      graft.operators.Memo.cached(s, s"msprtstream|$dir|$tbl") {
+        fold(slice(0), 0L)
+        fold(slice(1), 1L)
+        // poisoned crash replay: week 2 re-delivered CORRUPTED under
+        // the same batch id — the stamp must skip it
+        fold(slice(1).withColumn("value", col("value") + 1000.0), 1L)
+        fold(slice(2), 2L)
+        fold(slice(3), 3L)
+        java.lang.Boolean.TRUE
+      }
+      val subj = Warehouse.Pointer.read(s, dir, tbl).join(abArmsDf(s, d), "user_id")
+      graft.operators.Stats.msprtTwoProportion(subj, "arm", "join_d", "conv_d",
+        tau2 = 1e-4, alpha = 0.05)
+    }),
     "events_kaplan_meier" -> ((s, d) => {
       // Kaplan-Meier survival with right-censoring: per user, lifetime
       // = first->last event days; users still active within 1 day of
@@ -6983,6 +7037,17 @@ object SparkEntry {
           "base AS (SELECT ar.arm AS g, CAST(pu.user_id AS VARCHAR) AS id, pu.cents AS x " +
           "FROM pu JOIN ar USING (user_id))",
         bReps = 64, salt = "r10", groupAlias = "arm"),
+    // the streaming fold must be INVISIBLE in the readout: same
+    // one-pass oracle as ab_msprt_sequential
+    "stream_msprt_replay" ->
+      graft.operators.Stats.msprtTwoProportionSql(
+        "u AS (SELECT DISTINCT user_id FROM events), " +
+          s"ar AS (SELECT user_id, ${OracleSql.hashSplitCase("CAST(user_id AS VARCHAR)", "ab1", abArms)} AS arm FROM u), " +
+          "pu AS (SELECT user_id, min(CAST(ts AS DATE)) AS join_d, " +
+          "min(CASE WHEN event_type = 'purchase' AND value >= 90 THEN CAST(ts AS DATE) END) AS conv_d " +
+          "FROM events GROUP BY 1), " +
+          "subjects AS (SELECT ar.arm, pu.join_d, pu.conv_d FROM pu JOIN ar USING (user_id))",
+        tau2 = 1e-4, alpha = 0.05),
     "events_nelson_aalen" ->
       graft.operators.Stats.nelsonAalenSql(
         "p AS (SELECT user_id, min(ts) AS t0, max(ts) AS t1 FROM events GROUP BY 1), " +

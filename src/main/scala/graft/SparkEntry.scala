@@ -2786,6 +2786,16 @@ object SparkEntry {
       // stable pseudo-random pick (pure function of salt+doc_id)
       Sampling.capPerGroup(rd(s, d, "documents"), "doc_id", "source", "cap1", 10)
         .select("source", "doc_id", "n_chars")),
+    "sample_neyman_alloc" -> ((s, d) =>
+      // variance-optimal eval/labeling budget: per event type, seats ∝
+      // N_h·σ_h of the cents metric on the exact integer grid (isqrt
+      // of n·Σx²−(Σx)², floored at 1), Hamilton largest-remainder
+      // apportionment — big-and-noisy strata earn the labels; a huge
+      // constant stratum earns presence only
+      Sampling.neymanAllocation(
+        rd(s, d, "events").select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents")),
+        "event_type", "cents", budget = 5000L)),
     "sample_class_balance" -> ((s, d) =>
       // exact-k class rebalancing: every event type downsampled to the
       // minority type's count via the portable md5 rank — the skewed-
@@ -6382,6 +6392,22 @@ object SparkEntry {
       ("SELECT o_orderkey AS k, " +
         "CAST(round(o_totalprice * 100) AS BIGINT) + 2 * (o_orderkey % 4) AS cents " +
         "FROM orders"),
+    // Neyman seats: same isqrt + largest-remainder replay discipline as
+    // the temperature mixer, weights from the exact integer moments
+    "sample_neyman_alloc" ->
+      ("WITH v AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x FROM events), " +
+        "g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx, " +
+        "CAST(sum(x * x) AS BIGINT) AS sxx FROM v GROUP BY 1), " +
+        "d0 AS (SELECT event_type, n, n * sxx - sx * sx AS disc FROM g), " +
+        "s0 AS (SELECT event_type, n, disc, CAST(floor(sqrt(CAST(disc AS DOUBLE))) AS BIGINT) AS r FROM d0), " +
+        "wt AS (SELECT event_type, n, greatest(CASE WHEN (r + 1) * (r + 1) <= disc THEN r + 1 " +
+        "WHEN r * r > disc THEN r - 1 ELSE r END, CAST(1 AS BIGINT)) AS w FROM s0), " +
+        "tt AS (SELECT event_type, n, w, CAST(sum(w) OVER () AS BIGINT) AS wtot FROM wt), " +
+        "tb AS (SELECT event_type, n, w, wtot, CAST((w * 5000) // wtot AS BIGINT) AS base, " +
+        "CAST(w * 5000 - ((w * 5000) // wtot) * wtot AS BIGINT) AS rem FROM tt), " +
+        "tr AS (SELECT event_type, n, w, base, rem, CAST(5000 - sum(base) OVER () AS BIGINT) AS seats, " +
+        "row_number() OVER (ORDER BY rem DESC, event_type ASC) AS rrk FROM tb) " +
+        "SELECT event_type, n, w, least(base + CASE WHEN rrk <= seats THEN 1 ELSE 0 END, n) AS alloc FROM tr"),
     "text_bpe_merges" -> OracleSql.bpeMerges(k = 8),
     "text_bpe_compression" -> OracleSql.bpeCompression(k = 8),
     "layout_zorder_pruning" -> OracleSql.zOrderPruning(

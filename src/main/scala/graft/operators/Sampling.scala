@@ -651,6 +651,54 @@ object Sampling {
           col("n")).as("alloc"))
   }
 
+  /** NEYMAN (variance-optimal) stratified allocation — how many eval /
+    * labeling samples each stratum gets from a fixed budget when the
+    * goal is the tightest estimate of the population mean: n_h ∝
+    * N_h·σ_h (big AND noisy strata earn more; a huge but constant
+    * stratum earns almost nothing — the allocation
+    * [[temperatureAllocation]]'s size-only weights cannot express).
+    *
+    * Exact-integer discipline: per-stratum moments (n, Σx, Σx²) are
+    * long sums of caller-supplied integer units; the weight is
+    * isqrt(n·Σx² − (Σx)²) = floor(N_h·σ_h·√1) on the integer grid
+    * (floored at 1 so zero-variance strata keep presence), and seats
+    * are apportioned by the same largest-remainder method as the
+    * temperature mixer — no float whose rounding could flip a seat
+    * between engines. ANSI overflow on n·Σx² is a loud failure;
+    * corpora past ~2⁶³ in that product take the decimal(38,0) route.
+    *
+    * Shape at scale: one combinable moment pass; everything after runs
+    * on the strata table. @return `(stratumCol, n, w, alloc)`.
+    */
+  def neymanAllocation(
+      df: DataFrame,
+      stratumCol: String,
+      valueCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val g = df.groupBy(col(stratumCol)).agg(
+      count(lit(1)).as("n"),
+      sum(col(valueCol).cast("long")).as("sx"),
+      sum(col(valueCol).cast("long") * col(valueCol).cast("long")).as("sxx"))
+    val weighted = g.withColumn("w",
+      greatest(isqrt(col("n") * col("sxx") - col("sx") * col("sx")), lit(1L)))
+    val tot = weighted.agg(sum(col("w")).as("__wt"))
+    val based = weighted.crossJoin(broadcast(tot))
+      .withColumn("__bw", col("w") * budget)
+      .withColumn("__base", expr("__bw div __wt"))
+      .withColumn("__rem", col("__bw") - col("__base") * col("__wt"))
+    val seats = based.agg((lit(budget) - sum(col("__base"))).as("__seats"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0))
+      .orderBy(col("__rem").desc, col(stratumCol).asc_nulls_first)
+    based.crossJoin(broadcast(seats))
+      .withColumn("__rrk", row_number().over(rankW))
+      .select(col(stratumCol), col("n"), col("w"),
+        least(col("__base") +
+          when(col("__rrk") <= col("__seats"), 1L).otherwise(0L),
+          col("n")).as("alloc"))
+  }
+
   /** Data-constrained mixture allocation with repetition — how many
     * TOKENS each source contributes to a fixed training budget when
     * sources may be repeated up to `maxEpochs` times (the

@@ -812,4 +812,20 @@ class SamplingSketchSpec extends AnyFunSuite with SparkTest {
     val tol = (4.0 / math.sqrt(vs.size.toDouble) * n).toLong
     assert(math.abs(med - n / 2) <= tol, s"median est $med vs ${n / 2} (tol $tol)")
   }
+
+  test("neymanAllocation: noisy strata earn the budget; zero variance floors at presence") {
+    val s = spark; import s.implicits._
+    import graft.operators.Sampling
+    // A: 100 constant rows (sigma 0 -> weight floored at 1)
+    // B: 8 rows alternating 0/20 -> disc = 8*1600 - 80^2 = 6400,
+    //    isqrt = 80; Hamilton at budget 6: B takes all seats
+    val df = ((1 to 100).map(_ => ("A", 10L)) ++
+      (1 to 8).map(i => ("B", if (i % 2 == 0) 20L else 0L))).toDF("g", "v")
+    val out = Sampling.neymanAllocation(df, "g", "v", 6).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("A") == ((100L, 1L, 0L)),
+      s"constant stratum must floor at presence weight and win no seats: $out")
+    assert(out("B") == ((8L, 80L, 6L)),
+      s"the small noisy stratum takes the whole budget: $out")
+  }
 }

@@ -1715,6 +1715,21 @@ object SparkEntry {
           .otherwise(0).as("observed"))
       graft.operators.Stats.logRankTest(subj, "g", "t", "observed")
     }),
+    "events_logrank_k" -> ((s, d) => {
+      // omnibus k-sample log-rank over the FOUR user_id%4 cohorts —
+      // "does any cohort churn differently" before pairwise drilling;
+      // conservative Σ(O−E)²/E on χ²(3), same collapsed-axis suffix-
+      // sum shape as the two-sample test
+      val ev = rd(s, d, "events")
+      val per = ev.groupBy("user_id").agg(min("ts").as("t0"), max("ts").as("t1"))
+      val gm = per.agg(max(col("t1")).as("gmax"))
+      val subj = per.crossJoin(gm).select(
+        (col("user_id") % 4).as("g"),
+        datediff(col("t1"), col("t0")).cast("long").as("t"),
+        when(col("t1") < col("gmax") - expr("INTERVAL 1 DAYS"), 1)
+          .otherwise(0).as("observed"))
+      graft.operators.Stats.logRankTestK(subj, "g", "t", "observed", numGroups = 4)
+    }),
     "events_power_analysis" -> ((s, d) => {
       // experiment sizing from observed data: users-per-arm required to
       // detect an absolute high-value-conversion lift of 1/2/5 points at 5%
@@ -7091,6 +7106,14 @@ object SparkEntry {
           "FROM events GROUP BY 1), " +
           "subjects AS (SELECT ar.arm, pu.join_d, pu.conv_d FROM pu JOIN ar USING (user_id))",
         tau2 = 1e-4, alpha = 0.05),
+    "events_logrank_k" ->
+      graft.operators.Stats.logRankTestKSql(
+        "p AS (SELECT user_id, min(ts) AS t0, max(ts) AS t1 FROM events GROUP BY 1), " +
+          "gm AS (SELECT max(t1) AS gmax FROM p), " +
+          "subjects AS (SELECT user_id % 4 AS g, " +
+          "CAST(datediff('day', CAST(t0 AS DATE), CAST(t1 AS DATE)) AS BIGINT) AS t, " +
+          "CASE WHEN t1 < gmax - INTERVAL 1 DAY THEN 1 ELSE 0 END AS observed " +
+          "FROM p CROSS JOIN gm)", numGroups = 4),
     "events_kaplan_meier" ->
       graft.operators.Stats.kaplanMeierSql(
         "p AS (SELECT user_id, min(ts) AS t0, max(ts) AS t1 FROM events GROUP BY 1), " +

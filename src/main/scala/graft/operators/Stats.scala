@@ -1645,6 +1645,96 @@ object Stats {
       .withColumn("significant_5pct", col("chi2") > 3.841)
   }
 
+  /** K-SAMPLE log-rank — "do any of these k survival curves differ?",
+    * the omnibus companion of the two-sample [[logRankTest]] (k plan
+    * tiers, k regions, k cohorts). Per pooled event time each group's
+    * observed deaths are compared with the proportional-allocation
+    * expectation; the statistic is the CONSERVATIVE textbook form
+    * X² = Σ_g (O_g − E_g)²/E_g on χ²(k−1) (the diagonal approximation
+    * of the full covariance quadratic — never anti-conservative by
+    * more than the standard references allow, and the form that stays
+    * a pure per-group fold). Group labels are {0, …, k−1}.
+    *
+    * Scale shape: the same collapsed-axis suffix-sum construction as
+    * the two-sample test — probe rows for ALL k groups, one RANGE
+    * window, every post-aggregate table ≤ k × |distinct times|.
+    * Output: one row per group (g, observed, expected, chi2_contrib)
+    * with the global (chi2, dof, significant_5pct) alongside.
+    */
+  def logRankTestK(df: DataFrame, groupCol: String, durationCol: String,
+      observedCol: String, numGroups: Int): DataFrame = {
+    require(numGroups >= 2 && numGroups <= 64)
+    // pinned chi-square 5% critical values for dof 1..8
+    val crit = Map(1 -> 3.841, 2 -> 5.991, 3 -> 7.815, 4 -> 9.488,
+      5 -> 11.070, 6 -> 12.592, 7 -> 14.067, 8 -> 15.507)
+    require(crit.contains(numGroups - 1), "dof past 8: supply your own critical value")
+    val subj = df.select(col(groupCol).cast("long").as("g"),
+      col(durationCol).cast("long").as("t"), col(observedCol).cast("int").as("obs"))
+    val per = subj.groupBy("g", "t")
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("obs") === 1, 1L).otherwise(0L)).as("d"))
+    val times = per.groupBy("t").agg(sum("d").as("dt")).where(col("dt") > 0)
+    val probes = times.select(
+      explode(array((0 until numGroups).map(i => lit(i.toLong)): _*)).as("g"),
+      col("t"), lit(0L).as("c"), lit(1).as("is_probe"))
+    val suffix = Window.partitionBy(col("g")).orderBy(col("t").desc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = per.select(col("g"), col("t"), col("c"), lit(0).as("is_probe"))
+      .unionByName(probes)
+      .withColumn("n_g", sum(col("c")).over(suffix))
+      .where(col("is_probe") === 1)
+      .select(col("g"), col("t").as("tt"), col("n_g"))
+    val nTot = risk.groupBy("tt").agg(sum("n_g").as("n")).where(col("n") > 1)
+    val terms = risk
+      .join(times.select(col("t").as("tt"), col("dt")), "tt")
+      .join(nTot, "tt")
+    val eg = terms.groupBy("g")
+      .agg(sum(col("dt").cast("double") * col("n_g").cast("double") /
+        col("n").cast("double")).as("expected"))
+    val og = per.join(times.select(col("t")).join(
+        nTot.select(col("tt").as("t")), "t"), "t")
+      .groupBy("g").agg(sum("d").as("observed"))
+    val rows = eg.join(og, Seq("g"), "left")
+      .select(col("g"), coalesce(col("observed"), lit(0L)).as("observed"),
+        col("expected"))
+      .withColumn("chi2_contrib",
+        when(col("expected") > 0,
+          (col("observed").cast("double") - col("expected")) *
+            (col("observed").cast("double") - col("expected")) / col("expected"))
+          .otherwise(lit(0.0)))
+    val tot = rows.agg(sum(col("chi2_contrib")).as("chi2"))
+    rows.crossJoin(broadcast(tot))
+      .select(col("g"), col("observed"), col("expected"), col("chi2_contrib"),
+        col("chi2"), lit(numGroups - 1).as("dof"),
+        (col("chi2") > crit(numGroups - 1)).as("significant_5pct"))
+  }
+
+  /** DuckDB replay of [[logRankTestK]] over a subjects CTE named
+    * `subjects` with columns (g, t, observed). */
+  def logRankTestKSql(subjectsCte: String, numGroups: Int): String = {
+    val crit = Map(1 -> 3.841, 2 -> 5.991, 3 -> 7.815, 4 -> 9.488,
+      5 -> 11.070, 6 -> 12.592, 7 -> 14.067, 8 -> 15.507)(numGroups - 1)
+    val groupsUnion = (0 until numGroups)
+      .map(i => s"SELECT CAST($i AS BIGINT) AS g").mkString(" UNION ALL ")
+    s"WITH $subjectsCte, " +
+      "per AS (SELECT g, t, CAST(count(*) AS BIGINT) AS c, CAST(sum(CASE WHEN observed = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d FROM subjects GROUP BY 1, 2), " +
+      "tm AS (SELECT t, CAST(sum(d) AS BIGINT) AS dt FROM per GROUP BY 1 HAVING sum(d) > 0), " +
+      s"ms AS (SELECT g, t, c, 0 AS is_probe FROM per UNION ALL SELECT gg.g, tm.t, CAST(0 AS BIGINT), 1 FROM tm CROSS JOIN ($groupsUnion) gg), " +
+      "ar AS (SELECT g, t, is_probe, CAST(sum(c) OVER (PARTITION BY g ORDER BY t DESC RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_g FROM ms), " +
+      "rk AS (SELECT g, t AS tt, n_g FROM ar WHERE is_probe = 1), " +
+      "nn AS (SELECT tt, CAST(sum(n_g) AS BIGINT) AS n FROM rk GROUP BY 1 HAVING sum(n_g) > 1), " +
+      "tr AS (SELECT r.g, r.tt, r.n_g, tm.dt, nn.n FROM rk r JOIN tm ON tm.t = r.tt JOIN nn ON nn.tt = r.tt), " +
+      "eg AS (SELECT g, sum(CAST(dt AS DOUBLE) * CAST(n_g AS DOUBLE) / CAST(n AS DOUBLE)) AS expected FROM tr GROUP BY 1), " +
+      "og AS (SELECT p.g, CAST(sum(p.d) AS BIGINT) AS observed FROM per p " +
+      "JOIN nn ON nn.tt = p.t GROUP BY 1), " +
+      "rws AS (SELECT eg.g, CAST(coalesce(og.observed, 0) AS BIGINT) AS observed, eg.expected, " +
+      "CASE WHEN eg.expected > 0 THEN (CAST(coalesce(og.observed, 0) AS DOUBLE) - eg.expected) * (CAST(coalesce(og.observed, 0) AS DOUBLE) - eg.expected) / eg.expected ELSE 0.0 END AS chi2_contrib " +
+      "FROM eg LEFT JOIN og ON og.g = eg.g), " +
+      "tt2 AS (SELECT sum(chi2_contrib) AS chi2 FROM rws) " +
+      s"SELECT rws.g, rws.observed, rws.expected, rws.chi2_contrib, tt2.chi2, CAST(${numGroups - 1} AS INT) AS dof, " +
+      s"tt2.chi2 > $crit AS significant_5pct FROM rws CROSS JOIN tt2"
+  }
+
   /** DuckDB replay of [[logRankTest]] over a subjects CTE named
     * `subjects` with columns (g, t, observed). */
   def logRankSql(subjectsCte: String): String =

@@ -448,6 +448,26 @@ class StatsSpec extends AnyFunSuite with SparkTest {
     assert(rl.last._2, "a 30-point lift must reach significance within 20 days")
   }
 
+  test("logRankTestK: exact zero for mirrored cohorts; hand-computed 7.5 for one divergent cohort") {
+    val s = spark; import s.implicits._
+    // three identical cohorts: O_g == E_g at every time -> chi2 == 0.0
+    val same = (0L to 2L).flatMap(g => Seq((g, 2L, 1), (g, 3L, 1), (g, 5L, 0)))
+      .toDF("g", "t", "observed")
+    val r0 = Stats.logRankTestK(same, "g", "t", "observed", numGroups = 3).collect()
+    assert(r0.length == 3)
+    assert(r0.forall(_.getDouble(4) == 0.0), "mirrored cohorts must score exactly 0")
+    assert(r0.forall(!_.getBoolean(6)))
+    // cohorts 0,1 die at t=5; cohort 2 dies at t=1:
+    //   E = (20/3, 20/3, 5/3), O = (5, 5, 5) -> chi2 = 7.5 on dof 2
+    val div = ((0L to 1L).flatMap(g => (1 to 5).map(_ => (g, 5L, 1))) ++
+      (1 to 5).map(_ => (2L, 1L, 1))).toDF("g", "t", "observed")
+    val r1 = Stats.logRankTestK(div, "g", "t", "observed", numGroups = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(4), r.getBoolean(6)))).toMap
+    assert(math.abs(r1(2L)._2 - 5.0 / 3.0) < 1e-9)
+    assert(math.abs(r1(0L)._3 - 7.5) < 1e-9, s"chi2: ${r1(0L)._3}")
+    assert(r1(0L)._4, "7.5 on dof 2 must flag at 5%")
+  }
+
   test("logRankTest: zero for mirrored cohorts, significant for a clean split") {
     val s = spark; import s.implicits._
     // mirrored cohorts: every term's observed equals expected -> chi2 0

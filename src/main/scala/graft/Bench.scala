@@ -47,28 +47,45 @@ object Bench {
       }
     } catch { case _: Throwable => Map.empty }
 
-  /** The prior run's recorded control-set seconds ([[controlQueries]]),
-    * None on pre-control output files. */
+  /** The prior run's recorded control-set seconds ([[controlQueries]]) —
+    * comparable ONLY when the prior run timed the SAME control set
+    * (`control_set` version match): a prior total over a different set
+    * of queries would push the ratio arbitrarily far from 1. None on
+    * pre-control or different-set output files.
+    */
   private def previousControlSec(path: String): Option[Double] =
     try {
       val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
-      """"control_sec":(-?[0-9.]+)""".r.findFirstMatchIn(txt)
+      val sameSet = """"control_set":([0-9]+)""".r.findFirstMatchIn(txt)
+        .exists(_.group(1).toInt == controlSetVersion)
+      if (!sameSet) None
+      else """"control_sec":(-?[0-9.]+)""".r.findFirstMatchIn(txt)
         .map(_.group(1).toDouble).filter(_ > 0)
     } catch { case _: Throwable => None }
 
-  /** Three pinned NEVER-CHANGING queries (code paths untouched for
+  /** Four pinned NEVER-CHANGING queries (code paths untouched for
     * rounds: the flagship aggregate, the AQI banding when-chain, a
-    * point lookup) re-timed at suite start, middle and end. Their
-    * median-of-three total, divided by the prior run's recorded total,
-    * is the CONTROL RATIO — the ambient speed of this machine/session
-    * relative to the run the `prev` baselines came from. Three rounds
-    * of driver regression flags all dissolved under controlled A/Bs as
-    * uniform ambient shift (BASELINE.md "Round-9 regression A/B"); the
-    * control ratio normalizes that shift out mechanically, so a
-    * uniform 1.3× ambient slowdown raises zero flags while a real 2×
-    * single-query regression still flags (BenchLogicSpec pins both).
+    * point lookup, and one multi-second iterative graph query) re-timed
+    * at suite start, middle and end. Their median-of-three total,
+    * divided by the prior run's recorded total, is the CONTROL RATIO —
+    * the ambient speed of this machine/session relative to the run the
+    * `prev` baselines came from. Three rounds of driver regression
+    * flags all dissolved under controlled A/Bs as uniform ambient shift
+    * (BASELINE.md "Round-9 regression A/B"); the control ratio
+    * normalizes that shift out mechanically, so a uniform 1.3× ambient
+    * slowdown raises zero flags while a real 2× single-query regression
+    * still flags (BenchLogicSpec pins both). `graph_sssp` joined in v2
+    * because the original three are sub-second scheduling-floor queries
+    * whose regime does not extrapolate to multi-second GC/iteration-
+    * bound queries — the round-10 driver run measured ratio 0.636 on
+    * them and spuriously "confirmed" seven graph queries that had run
+    * absolutely FASTER. Bump [[controlSetVersion]] whenever this list
+    * changes: the prior run's `control_sec` total is then incomparable
+    * and the next run falls back to an unnormalized compare.
     */
-  private[graft] val controlQueries = Seq("q1_agg", "p6_aqi_banding", "s5_point_lookup")
+  private[graft] val controlQueries =
+    Seq("q1_agg", "p6_aqi_banding", "s5_point_lookup", "graph_sssp")
+  private[graft] val controlSetVersion = 2
 
   /** Regression candidates, AMBIENT-NORMALIZED: `cur` regresses on
     * `prev` only relative to `prev × controlRatio` (>30% past it with a
@@ -84,6 +101,20 @@ object Bench {
       case (q, cur) if cur >= 0 && prev.get(q).exists(p =>
         p > 0 && cur > p * 1.3 * controlRatio && cur - p * controlRatio > 0.15) => q
     }.sortBy(q => -(results(q) - prev(q) * controlRatio))
+
+  /** CONFIRMED verdict for a solo-retimed regression candidate. The
+    * ambient scaling is applied ONE-SIDED — `max(controlRatio, 1)` — so
+    * a faster-than-baseline session (ratio < 1) can never LOWER the
+    * confirm bar below the unscaled `prev × 1.3`: round 10's driver run
+    * measured ratio 0.636 on the sub-second controls and the scaled bar
+    * (prev × 0.83) "confirmed" seven queries that ran absolutely faster
+    * than the prior round. A slower session (ratio > 1) still raises
+    * the bar, which is the direction ambient noise actually needs
+    * normalizing in. Pure so BenchLogicSpec pins both directions.
+    */
+  private[graft] def confirmedRegression(
+      soloT: Double, prevT: Double, controlRatio: Double): Boolean =
+    soloT >= 0 && soloT > prevT * 1.3 * math.max(controlRatio, 1.0)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -211,7 +242,7 @@ object Bench {
     // drift solo-clears itself; machine drift control-clears itself)
     val rj = regressionCands.map { q =>
       val soloT = solo.getOrElse(q, -1.0)
-      val confirmed = soloT >= 0 && soloT > prev(q) * 1.3 * controlRatio
+      val confirmed = confirmedRegression(soloT, prev(q), controlRatio)
       s"""{"q":"$q","prev":${ms(prev(q))},"cur":${ms(results(q))},"solo":${ms(soloT)},"confirmed":$confirmed}"""
     }.mkString("[", ",", "]")
     // the 5M flat-vs-partitioned merge crossover (BASELINE.md's layout
@@ -230,13 +261,25 @@ object Bench {
       }
     val total = results.values.filter(_ >= 0).sum
     val cj = s""""controls":{"start":${ms(ctlStart)},"mid":${ms(ctlMid)},"end":${ms(ctlEnd)}},""" +
-      s""""control_sec":${ms(controlSec)},"control_ratio":${f"$controlRatio%.3f"}"""
+      s""""control_sec":${ms(controlSec)},"control_set":$controlSetVersion,""" +
+      s""""control_ratio":${f"$controlRatio%.3f"}"""
     val line =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"solo":$sj,$cj,"regressions":$rj,"failures":$fj$merge5m,"sf":"$sfDir"}"""
+    // the full per-query line (430 queries ≈ 17 KB) exceeds the
+    // driver's bounded output capture — round 10's artifact caught only
+    // a truncated, unparseable tail of it. Print a SHORT summary line
+    // (total, counts, control ratio, confirmed regressions) FIRST and
+    // again LAST so whichever end of the output the driver keeps always
+    // contains a complete JSON line; the full map goes in between and
+    // lands intact in the `outPath` file regardless.
+    val confirmedJ = regressionCands
+      .filter(q => confirmedRegression(solo.getOrElse(q, -1.0), prev(q), controlRatio))
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val summary =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"n_failures":${failures.size},$cj,"confirmed":$confirmedJ,"sf":"$sfDir"}"""
+    println(summary)
     println(line)
-    // compact fallback: if the full line still gets cut, this short one
-    // (printed closest to the end of output) parses on its own
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"n_failures":${failures.size},"sf":"$sfDir"}""")
+    println(summary)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath: ${e.getMessage}") }
     spark.stop()

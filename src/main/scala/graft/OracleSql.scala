@@ -367,6 +367,26 @@ object OracleSql {
       "cent AS (SELECT * FROM cent0), " +
       ivfTail("cent", k, nProbe, dim)
 
+  /** Oracle for `ann_ivf_pruned_io`: the PROBED-CELL KEY SET of an
+    * indexed probe — replays the frozen-centroid pick and each query's
+    * nProbe nearest cells (the same `rn <= nProbe` probe ranking as
+    * [[annIvfTopK]]'s tail) and counts the distinct probed cells. The
+    * file-level footprint itself (which parquet files the pruned read
+    * opened) is physical evidence only the engine can observe — it is
+    * checked by a loud require in `Similarity.ivfProbeIoReport`, which
+    * only ever reports `io_pruned = TRUE` rows; what DuckDB verifies is
+    * the pruning key set that footprint is bounded by.
+    */
+  def annIvfProbedCells(numCentroids: Int, nProbe: Int, dim: Int = 64,
+      seed: Long = 42L): String =
+    s"WITH ${ivfPrologue(numCentroids, dim, seed)}, " +
+      s"qd AS (SELECT q.vec_id, ct.cidx, ${pairDot("q.embedding", "ct.cvec", dim)} / q.nrm AS dot " +
+      "FROM qry q CROSS JOIN cent0 ct), " +
+      "probe AS (SELECT cidx AS cell FROM " +
+      s"(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cidx) AS rn FROM qd) t WHERE rn <= $nProbe) " +
+      s"SELECT CAST($numCentroids AS BIGINT) AS n_cells_total, " +
+      "CAST(count(DISTINCT cell) AS BIGINT) AS n_cells_probed, TRUE AS io_pruned FROM probe"
+
   /** Oracle for `emb_top_eigvec`: replay of
     * `Similarity.topEigenvector` — the exact-integer Gram cells
     * (both triangles), the pinned all-ones start, and `iters`
@@ -629,16 +649,23 @@ object OracleSql {
 
   /** Oracle for `text_bpe_compression`: the same k replayed rounds,
     * then the frequency-weighted symbol counts over the FINAL
-    * segmentation and the exact-ppm compression.
+    * segmentation and the exact-ppm compression. Exhaustion mirrors
+    * the engine: `n_merges` counts the rounds whose argmax was
+    * non-empty (the Spark side reports `merges.size`, fewer than k
+    * when the vocab runs out of pairs), and the v-chain's LEFT JOIN
+    * (see [[bpeChain]]) passes segmentations through exhausted rounds
+    * unchanged instead of collapsing to zero rows.
     */
-  def bpeCompression(k: Int, from: String = "documents", textCol: String = "text"): String =
+  def bpeCompression(k: Int, from: String = "documents", textCol: String = "text"): String = {
+    val nMerges = (1 to k).map(r => s"(SELECT count(*) FROM b$r)").mkString(" + ")
     s"${bpeChain(k, from, textCol)}, " +
       s"fin AS (SELECT w, freq, len(list_filter(string_split(seg, '·'), x -> x <> '')) AS nt FROM v$k), " +
-      s"agg AS (SELECT CAST($k AS INT) AS n_merges, CAST(sum(freq) AS BIGINT) AS n_words, " +
+      s"agg AS (SELECT CAST($nMerges AS INT) AS n_merges, CAST(sum(freq) AS BIGINT) AS n_words, " +
       "CAST(sum(freq * length(w)) AS BIGINT) AS n_chars, " +
       "CAST(sum(freq * nt) AS BIGINT) AS n_tokens FROM fin) " +
       "SELECT n_merges, n_words, n_chars, n_tokens, " +
       "n_tokens * 1000000 // n_chars AS tokens_per_char_ppm FROM agg"
+  }
 
   /** The shared BPE replay chain: vocab `v0` and `k` rounds, each with
     * pair counts, the (count desc, pair asc) argmax `b<r>`, and the
@@ -654,9 +681,13 @@ object OracleSql {
         s"e$r AS (SELECT freq, unnest([toks[i] || '··' || toks[i + 1] FOR i IN generate_series(1, len(toks) - 1)]) AS p FROM t$r), " +
         s"p$r AS (SELECT p, CAST(sum(freq) AS BIGINT) AS c FROM e$r GROUP BY 1), " +
         s"b$r AS MATERIALIZED (SELECT p, c FROM p$r ORDER BY c DESC, p LIMIT 1), " +
+        // LEFT JOIN (not CROSS): an exhausted round's empty argmax must
+        // pass every segmentation through unchanged — a cross join with
+        // an empty b<r> would collapse v<r> (and every later round) to
+        // zero rows, diverging from the engine's early-stop semantics
         s"v$r AS MATERIALIZED (SELECT w, freq, " +
-        s"replace(seg, '·' || b.p || '·', '·' || replace(b.p, '··', '') || '·') AS seg " +
-        s"FROM v${r - 1} CROSS JOIN b$r b)"
+        s"coalesce(replace(seg, '·' || b.p || '·', '·' || replace(b.p, '··', '') || '·'), seg) AS seg " +
+        s"FROM v${r - 1} LEFT JOIN b$r b ON TRUE)"
     }.mkString(", ")
     s"$header, $rounds"
   }
@@ -764,34 +795,113 @@ object OracleSql {
       "ON a.cell = b.cell AND a.vec_id < b.vec_id " +
       s"WHERE ${pairDot("a.embedding", "b.embedding", dim)} >= $threshold * a.nrm * b.nrm"
 
+  /** Oracle for `ann_ivf_recentroid`: full replay of
+    * [[graft.operators.Similarity.recentroidCells]] served through the
+    * repaired index — the original centroid pick and cell assignment,
+    * `iters` CELL-LOCAL Lloyd rounds over ONLY the first `nDirty`
+    * cells' members (the dirty slice; [[lloydChainFor]] is the same
+    * replayed fixed-point k-means as the refined-IVF oracle), the
+    * dirty slice reassigned among the refreshed dirty centroids while
+    * clean assignments pass through untouched, and the probe ranking
+    * over the merged (refreshed ∪ untouched) centroid set. The
+    * byte-identity of the clean partitions is engine-side physical
+    * evidence (spec-pinned file stats); what DuckDB verifies is the
+    * served RESULT of the localized repair.
+    */
+  def annIvfRecentroidTopK(k: Int, numCentroids: Int, nProbe: Int,
+      nDirty: Int, iters: Int, dim: Int = 64, seed: Long = 42L): String = {
+    val pre =
+      s"cda AS (SELECT c.vec_id, c.embedding, c.nrm, ct.cidx, ${pairDot("c.embedding", "ct.cvec", dim)} / c.nrm AS dot " +
+        "FROM cnd c CROSS JOIN cent0 ct), " +
+        "asg0 AS MATERIALIZED (SELECT vec_id, embedding, nrm, cidx AS cell FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cidx) AS rn FROM cda) t WHERE rn = 1), " +
+        s"locsl AS MATERIALIZED (SELECT vec_id, embedding, nrm FROM asg0 WHERE cell <= $nDirty), " +
+        s"loccent0 AS (SELECT cidx, cvec FROM cent0 WHERE cidx <= $nDirty)"
+    val chain = lloydChainFor(iters, dim, "locsl", "loc")
+    val merged =
+      s"centf AS (SELECT cidx, cvec FROM cent0 WHERE cidx > $nDirty " +
+        s"UNION ALL SELECT cidx, cvec FROM loccent$iters), " +
+        s"cdr AS (SELECT c.vec_id, c.embedding, c.nrm, ct.cidx, ${pairDot("c.embedding", "ct.cvec", dim)} / c.nrm AS dot " +
+        s"FROM locsl c CROSS JOIN loccent$iters ct), " +
+        "asgd AS (SELECT vec_id, embedding, nrm, cidx AS cell FROM " +
+        "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cidx) AS rn FROM cdr) t WHERE rn = 1), " +
+        s"cellf AS (SELECT vec_id AS neighbor_id, embedding AS c_vec, nrm AS c_norm, cell FROM asg0 WHERE cell > $nDirty " +
+        "UNION ALL SELECT vec_id, embedding, nrm, cell FROM asgd)"
+    val tail =
+      s"qd AS (SELECT q.vec_id, q.embedding, q.nrm, ct.cidx, ${pairDot("q.embedding", "ct.cvec", dim)} / q.nrm AS dot " +
+        "FROM qry q CROSS JOIN centf ct), " +
+        "probe AS (SELECT vec_id AS query_id, embedding AS q_vec, nrm AS q_norm, cidx AS cell FROM " +
+        s"(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cidx) AS rn FROM qd) t WHERE rn <= $nProbe), " +
+        s"scored AS (SELECT p.query_id, ca.neighbor_id, ${pairDot("p.q_vec", "ca.c_vec", dim)} / (p.q_norm * ca.c_norm) AS cosine " +
+        "FROM probe p JOIN cellf ca USING (cell)) " +
+        "SELECT query_id, neighbor_id, rnk FROM (SELECT query_id, neighbor_id, " +
+        "CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rnk " +
+        s"FROM scored) t WHERE rnk <= $k"
+    s"WITH ${ivfPrologue(numCentroids, dim, seed)}, $pre, $chain, $merged, $tail"
+  }
+
   /** Oracle for `ann_pq_topk`: full replay of [[graft.operators.Similarity.pqTopK]]
-    * — portable rolling-hash codebook pick (raw vectors), per-subspace
-    * argmax-dot encoding with first-max tie-break, per-query LUTs, the
-    * fixed-subspace-order ADC sum (left-associated, so the double is
-    * bit-identical), the refine cut, and the exact cosine re-rank.
+    * — portable avalanched-md5 codebook seed pick (raw corpus vector
+    * slices), `trainIters` replayed per-subspace k-means rounds over
+    * the candidate slices (min-L2 assignment = argmax of
+    * dot − ‖entry‖²/2 with first-max tie-break, fixed-point ×2^24
+    * integer sums, qsum/cnt/Q double means, float cast, empty clusters
+    * keep their entry — exactly `trainSubspaceCodebooks`), min-L2
+    * encoding against the trained book, per-query LUTs (plain dots),
+    * the fixed-subspace-order ADC sum (left-associated, so the double
+    * is bit-identical), the refine cut, and the exact cosine re-rank.
     */
   def annPqTopK(k: Int, m: Int = 4, codebookSize: Int = 16, refine: Int = 50,
-      dim: Int = 64, seed: Long = 42L): String = {
+      dim: Int = 64, seed: Long = 42L, trainIters: Int = 2): String = {
     require(dim % m == 0)
     val subDim = dim / m
-    def subDot(va: String, vb: String, s: Int): String =
+    val Q = (1L << 24).toString
+    // dot of a full-dim vector's subspace-s slice against a subDim entry
+    def subDotOff(va: String, vb: String, s: Int): String =
       (1 to subDim)
-        .map(j => s"CAST($va[${s * subDim + j}] AS DOUBLE) * CAST($vb[${s * subDim + j}] AS DOUBLE)")
+        .map(j => s"CAST($va[${s * subDim + j}] AS DOUBLE) * CAST($vb[$j] AS DOUBLE)")
         .mkString("(", " + ", ")")
+    // ‖entry‖²/2 — 0.0-seeded left-associated, the Scala halfNormOf loop
+    def halfNormSql(p: String): String =
+      "((0.0 + " + (1 to subDim)
+        .map(j => s"CAST($p[$j] AS DOUBLE) * CAST($p[$j] AS DOUBLE)")
+        .mkString(" + ") + ") / 2.0)"
     val prologue =
       s"base AS (SELECT vec_id, embedding, sqrt(${selfDot("embedding", dim)}) AS nrm FROM embeddings), " +
         "cnd AS (SELECT * FROM base WHERE vec_id >= 10), " +
         "qry AS (SELECT * FROM base WHERE vec_id < 10), " +
         s"ck AS (SELECT vec_id, embedding, md5('pq$seed:' || CAST(vec_id AS VARCHAR)) AS h FROM cnd), " +
-        "pick AS (SELECT embedding, CAST(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) AS cidx " +
-        s"FROM ck ORDER BY h, vec_id LIMIT $codebookSize)"
+        "pick AS MATERIALIZED (SELECT embedding, CAST(row_number() OVER (ORDER BY h, vec_id) AS BIGINT) AS cidx " +
+        s"FROM ck ORDER BY h, vec_id LIMIT $codebookSize), " +
+        (0 until m).map { s =>
+          s"pick${s}_0 AS (SELECT cidx, [embedding[j] FOR j IN generate_series(${s * subDim + 1}, ${(s + 1) * subDim})] AS pvec FROM pick)"
+        }.mkString(", ")
+    // trainIters per-subspace Lloyd rounds over the raw candidate
+    // slices: min-L2 assignment against pick{s}_{t-1}, exact
+    // fixed-point sums, double mean, float cast; clusters that attract
+    // no rows keep their previous entry
+    val trainChain = (1 to trainIters).flatMap { t =>
+      (0 until m).map { s =>
+        val prev = s"pick${s}_${t - 1}"
+        val mean = s"((CAST(qsum AS DOUBLE) / CAST(cnt AS DOUBLE)) / $Q.0)"
+        s"tasg${s}_$t AS (SELECT vec_id, embedding, cidx AS code FROM (SELECT c.vec_id, c.embedding, p.cidx, " +
+          s"row_number() OVER (PARTITION BY c.vec_id ORDER BY (${subDotOff("c.embedding", "p.pvec", s)} - ${halfNormSql("p.pvec")}) DESC, p.cidx) AS rn " +
+          s"FROM cnd c CROSS JOIN $prev p) x WHERE rn = 1), " +
+          s"tsum${s}_$t AS (SELECT code, j, sum(CAST(round(CAST(embedding[${s * subDim} + j] AS DOUBLE) * $Q.0) AS BIGINT)) AS qsum, " +
+          s"count(*) AS cnt FROM tasg${s}_$t CROSS JOIN (SELECT unnest(generate_series(1, $subDim)) AS j) dims GROUP BY code, j), " +
+          s"tnew${s}_$t AS (SELECT code AS cidx, list(CAST($mean AS FLOAT) ORDER BY j) AS pvec FROM tsum${s}_$t GROUP BY code), " +
+          s"pick${s}_$t AS MATERIALIZED (SELECT p.cidx, coalesce(n.pvec, p.pvec) AS pvec FROM $prev p LEFT JOIN tnew${s}_$t n USING (cidx))"
+      }
+    }.mkString(", ")
     val perSub = (0 until m).map { s =>
-      s"cd$s AS (SELECT c.vec_id, p.cidx, ${subDot("c.embedding", "p.embedding", s)} AS d " +
-        "FROM cnd c CROSS JOIN pick p), " +
+      val pk = s"pick${s}_$trainIters"
+      // codes are min-L2 (the d − ‖entry‖²/2 argmax); LUTs are plain dots
+      s"cd$s AS (SELECT c.vec_id, p.cidx, (${subDotOff("c.embedding", "p.pvec", s)} - ${halfNormSql("p.pvec")}) AS d " +
+        s"FROM cnd c CROSS JOIN $pk p), " +
         s"code$s AS (SELECT vec_id, cidx AS code FROM (SELECT vec_id, cidx, " +
         s"row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cidx) AS rn FROM cd$s) t WHERE rn = 1), " +
-        s"ql$s AS (SELECT q.vec_id, p.cidx, ${subDot("q.embedding", "p.embedding", s)} AS d " +
-        "FROM qry q CROSS JOIN pick p)"
+        s"ql$s AS (SELECT q.vec_id, p.cidx, ${subDotOff("q.embedding", "p.pvec", s)} AS d " +
+        s"FROM qry q CROSS JOIN $pk p)"
     }.mkString(", ")
     val codeJoin = (1 until m).map(s => s"JOIN code$s c$s USING (vec_id)").mkString(" ")
     val codeCols = (0 until m).map(s => s"c$s.code AS k$s").mkString(", ")
@@ -801,7 +911,7 @@ object OracleSql {
     }.mkString(" ")
     // left-associated like the Scala reduce: ((d0 + d1) + d2) + d3
     val adcSum = (1 until m).foldLeft("l0.d")((acc, s) => s"($acc + l$s.d)")
-    s"WITH $prologue, $perSub, " +
+    s"WITH $prologue, " + (if (trainIters > 0) s"$trainChain, " else "") + s"$perSub, " +
       s"codes AS (SELECT c0.vec_id, $codeCols FROM code0 c0 $codeJoin), " +
       s"adc AS (SELECT l0.vec_id AS query_id, cs.vec_id AS neighbor_id, $adcSum AS adc " +
       s"FROM codes cs $lutJoins), " +

@@ -76,6 +76,17 @@ object SimilarityBench {
       Similarity.ivfTopKIndexed(emb.where(isQuery), wh, "corpus", k, nProbe = 8)))
     val (tLsh, lsh) = timed(collectPairs(
       Similarity.lshTopK(emb, isQuery, isCand, k, numPlanes = 12, dim = dim)))
+    // PQ codebook quality A/B at equal m/codebookSize: per-subspace
+    // Lloyd-trained book vs the untrained seed-slice book — the trained
+    // tier must never measure below the slice tier it replaced
+    val (tPqT, pqTrained) = timed(collectPairs(
+      Similarity.pqTopK(emb, isQuery, isCand, k, m = 4, codebookSize = 16)))
+    val (tPq0, pqSlice) = timed(collectPairs(
+      Similarity.pqTopK(emb, isQuery, isCand, k, m = 4, codebookSize = 16,
+        trainIters = 0)))
+    require(recall(pqTrained) >= recall(pqSlice),
+      s"trained PQ codebook recall ${recall(pqTrained)} fell below the " +
+        s"untrained slice codebook's ${recall(pqSlice)}")
 
     def phase(name: String, t: Double, r: Double): String =
       s""""$name":{"sec":${f"$t%.2f"},"recall_at_$k":${f"$r%.3f"}}"""
@@ -84,7 +95,9 @@ object SimilarityBench {
         s""""brute":{"sec":${f"$tBrute%.2f"},"recall_at_$k":1.0},""" +
         s""""ivf_build":{"sec":${f"$tBuild%.2f"}},""" +
         phase("ivf_probe", tIvf, recall(ivf)) + "," +
-        phase("lsh", tLsh, recall(lsh)) + "}")
+        phase("lsh", tLsh, recall(lsh)) + "," +
+        phase("pq_trained", tPqT, recall(pqTrained)) + "," +
+        phase("pq_slice", tPq0, recall(pqSlice)) + "}")
     spark.stop()
   }
 }

@@ -1715,6 +1715,23 @@ object SparkEntry {
           .otherwise(0).as("observed"))
       graft.operators.Stats.logRankTest(subj, "g", "t", "observed")
     }),
+    "events_cox_ph" -> ((s, d) => {
+      // Cox proportional hazards (Breslow ties) on the SAME two churn
+      // cohorts as events_logrank — the effect SIZE the log-rank can't
+      // give: hazard ratio of cohort 1 vs cohort 0 with Wald z, solved
+      // by driver-side Newton on the collapsed suffix-sum risk table;
+      // score0/info0 tie it back to the log-rank's O−E (the classical
+      // score-test identity, spec-pinned)
+      val ev = rd(s, d, "events")
+      val per = ev.groupBy("user_id").agg(min("ts").as("t0"), max("ts").as("t1"))
+      val gm = per.agg(max(col("t1")).as("gmax"))
+      val subj = per.crossJoin(gm).select(
+        (col("user_id") % 2).as("g"),
+        datediff(col("t1"), col("t0")).cast("long").as("t"),
+        when(col("t1") < col("gmax") - expr("INTERVAL 1 DAYS"), 1)
+          .otherwise(0).as("observed"))
+      graft.operators.Stats.coxPhBinary(subj, "g", "t", "observed")
+    }),
     "events_logrank_k" -> ((s, d) => {
       // omnibus k-sample log-rank over the FOUR user_id%4 cohorts —
       // "does any cohort churn differently" before pairwise drilling;
@@ -2373,9 +2390,10 @@ object SparkEntry {
       val emb = rd(s, d, "embeddings")
       val dir = new java.io.File(
         "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
-      // v2: the seed pick moved to avalanched md5 order — bust the
-      // persisted index so on-disk cells match the replayed pick
-      val tbl = s"ivfdel_v2_${contentEpoch(emb, "vec_id")}"
+      // v2: the seed pick moved to avalanched md5 order; v3: the cell
+      // table layout moved to cell-partitioned directories — bust the
+      // persisted index so on-disk state matches the current writers
+      val tbl = s"ivfdel_v3_${contentEpoch(emb, "vec_id")}"
       graft.operators.Memo.cached(s, s"ivfdel|$dir|$tbl") {
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
         if (!Warehouse.exists(s, dir, s"${tbl}_cells"))
@@ -2384,6 +2402,73 @@ object SparkEntry {
         Similarity.deleteFromIvfIndex(s, dir, tbl,
           emb.where(col("vec_id") >= 10 && col("vec_id") % 5 === 2)
             .select("vec_id"))
+        java.lang.Boolean.TRUE
+      }
+      Similarity.ivfTopKIndexed(emb.where(col("vec_id") < 10), dir, tbl,
+        k = 5, nProbe = 4)
+    }),
+    "ann_ivf_pruned_io" -> ((s, d) => {
+      // the scale evidence for the cell-partitioned index layout: a
+      // probe's FILE footprint is bounded by its probed cells (loud
+      // require inside ivfProbeIoReport — every file read lies under a
+      // probed cell= partition, and strictly fewer files than the index
+      // holds whenever fewer cells than exist are probed), and the
+      // probed-cell KEY SET the footprint is bounded by is replayed by
+      // the DuckDB oracle — the ANN twin of merge5m's
+      // mor_base_files_read evidence
+      import graft.sources.Warehouse
+      val emb = rd(s, d, "embeddings")
+      val dir = new java.io.File(
+        "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      val tbl = s"ivfio_v1_${contentEpoch(emb, "vec_id")}"
+      graft.operators.Memo.cached(s, s"ivfio|$dir|$tbl") {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        if (!Warehouse.exists(s, dir, s"${tbl}_cells"))
+          Similarity.buildIvfIndex(emb, col("vec_id") >= 10, dir, tbl,
+            numCentroids = 16)
+        java.lang.Boolean.TRUE
+      }
+      Similarity.ivfProbeIoReport(emb.where(col("vec_id") < 10), dir, tbl,
+        nProbe = 1)
+    }),
+    "ann_ivf_recentroid" -> ((s, d) => {
+      // CELL-LOCAL re-Lloyd (the anti-entropy repair for drifted IVF
+      // cells, replacing the full rebuild): cells 1-4 are flagged
+      // dirty, Lloyd re-runs on ONLY their members, the slice is
+      // reassigned among the refreshed centroids, and the clean cells'
+      // partition files are required byte-untouched (name+len+mtime
+      // snapshot) — the u8_bucket_repair pattern applied to the ANN
+      // index. The gate serves top-k through the repaired index; the
+      // oracle independently replays pick → assign → local Lloyd →
+      // reassign → probe
+      import graft.sources.Warehouse
+      val emb = rd(s, d, "embeddings")
+      val dir = new java.io.File(
+        "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      val tbl = s"ivfrc_v1_${contentEpoch(emb, "vec_id")}"
+      val dirtyCells = Seq(1L, 2L, 3L, 4L)
+      graft.operators.Memo.cached(s, s"ivfrc|$dir|$tbl") {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        // marker-guarded: build + repair land as one idempotent unit —
+        // a crash between them re-runs both on the next attempt
+        if (!Warehouse.exists(s, dir, s"${tbl}_rcdone")) {
+          Similarity.buildIvfIndex(emb, col("vec_id") >= 10, dir, tbl,
+            numCentroids = 16)
+          def cleanStats(): Set[(String, Long, Long)] =
+            Warehouse.listDataFiles(s, dir, s"${tbl}_cells")
+              .filterNot(f => dirtyCells.exists(c => f.contains(s"/cell=$c/")))
+              .map { f =>
+                val p = new org.apache.hadoop.fs.Path(f)
+                val st = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+                  .getFileStatus(p)
+                (f, st.getLen, st.getModificationTime)
+              }.toSet
+          val before = cleanStats()
+          Similarity.recentroidCells(s, dir, tbl, dirtyCells, iters = 2)
+          require(cleanStats() == before,
+            "cell-local re-Lloyd must leave clean cells' files byte-untouched")
+          Warehouse.overwrite(s.range(1).toDF("done"), dir, s"${tbl}_rcdone")
+        }
         java.lang.Boolean.TRUE
       }
       Similarity.ivfTopKIndexed(emb.where(col("vec_id") < 10), dir, tbl,
@@ -5624,16 +5709,16 @@ object SparkEntry {
         "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
       val grp = s"txn_stream_${contentEpoch(src, "k")}"
       val spec = MergeSpec(Seq("k"), Seq("cents"))
+      def batch(i: Int, poison: Boolean): DataFrame = {
+        val c = if (poison) lit(-99L) else col("cents0") + i
+        src.where(col("k") % 1000 =!= 7 && col("k") % 4 === i)
+          .select(col("k"), c.as("cents"))
+      }
       graft.operators.Memo.cached(s, s"txnstream|$dir|$grp") {
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
         if (Txn.snapshot(s, dir, grp).isEmpty)
           Txn.commit(s, dir, grp,
             Map("facts" -> facts0, "rollup" -> roll(facts0)))
-        def batch(i: Int, poison: Boolean): DataFrame = {
-          val c = if (poison) lit(-99L) else col("cents0") + i
-          src.where(col("k") % 1000 =!= 7 && col("k") % 4 === i)
-            .select(col("k"), c.as("cents"))
-        }
         (0 until 4).foreach { i =>
           graft.streaming.Streams.foldTxnBatch(
             batch(i, poison = false), i.toLong, dir, grp, spec, tlit(tsNow), roll)
@@ -5641,6 +5726,40 @@ object SparkEntry {
             require(!graft.streaming.Streams.foldTxnBatch(
               batch(i, poison = true), i.toLong, dir, grp, spec, tlit(tsNow), roll),
               "a replayed batch must be skipped by the txn-id guard")
+        }
+        java.lang.Boolean.TRUE
+      }
+      // PRE-STAMP migration window, closed: a group whose root predates
+      // the batch stamp (txn= line, no batch= key) seeds lastBatch from
+      // the old txn-counter convention (txn − 2), so even its FIRST
+      // crash replay under the stamped sink skips on a MODIFIED payload
+      // — previously that window was only idempotent over byte-identical
+      // content
+      val grp2 = s"txn_prestamp_${contentEpoch(src, "k")}"
+      graft.operators.Memo.cached(s, s"txnprestamp|$dir|$grp2") {
+        if (Txn.snapshot(s, dir, grp2).isEmpty) {
+          Txn.commit(s, dir, grp2,
+            Map("facts" -> facts0, "rollup" -> roll(facts0)))
+          // batch 0 applied OLD-STYLE: merged content committed with NO
+          // batch stamp — the authentic pre-stamp root state
+          val cur = Txn.readAt(s, dir, grp2, Txn.snapshot(s, dir, grp2).get, "facts")
+          val m0 = graft.operators.Merge.scd1(
+            cur, batch(0, poison = false), spec, tlit(tsNow))
+            .select(cur.columns.map(col).toIndexedSeq: _*)
+          Txn.commit(s, dir, grp2, Map("facts" -> m0, "rollup" -> roll(m0)))
+        }
+        if (Txn.snapshot(s, dir, grp2).get.txn == 2) {
+          require(Txn.snapshot(s, dir, grp2).get.lastBatch == 0L,
+            "a pre-stamp root at txn 2 must seed lastBatch = 0")
+          // crash replay of the pre-stamp batch with POISONED content:
+          // the seeded stamp must skip it
+          require(!graft.streaming.Streams.foldTxnBatch(
+            batch(0, poison = true), 0L, dir, grp2, spec, tlit(tsNow), roll),
+            "a pre-stamp root's replayed batch must skip via the seeded stamp")
+          // the next live batch applies and stamps explicitly
+          require(graft.streaming.Streams.foldTxnBatch(
+            batch(1, poison = false), 1L, dir, grp2, spec, tlit(tsNow), roll),
+            "the first live batch after migration must apply")
         }
         java.lang.Boolean.TRUE
       }
@@ -6621,6 +6740,9 @@ object SparkEntry {
     "dedup_embed_lsh" -> OracleSql.dedupEmbedLsh(0.4),
     "ann_lsh_topk" -> OracleSql.annLshTopK(5),
     "ann_ivf_topk" -> OracleSql.annIvfTopK(5, numCentroids = 16, nProbe = 4),
+    "ann_ivf_pruned_io" -> OracleSql.annIvfProbedCells(numCentroids = 16, nProbe = 1),
+    "ann_ivf_recentroid" -> OracleSql.annIvfRecentroidTopK(
+      k = 5, numCentroids = 16, nProbe = 4, nDirty = 4, iters = 2),
     "ann_ivf_recall_drift" -> OracleSql.annIvfRecallDrift(
       k = 10, nProbe = 1, numCentroids = 16, iters = 2, flagBelowPpm = 600000L),
     "ann_ivf_deleted" ->
@@ -7036,6 +7158,14 @@ object SparkEntry {
         "FROM dd2 JOIN dep ON dep.node = dd2.r JOIN sub ON sub.anc = dd2.r"),
     "events_logrank" ->
       graft.operators.Stats.logRankSql(
+        "p AS (SELECT user_id, min(ts) AS t0, max(ts) AS t1 FROM events GROUP BY 1), " +
+          "gm AS (SELECT max(t1) AS gmax FROM p), " +
+          "subjects AS (SELECT user_id % 2 AS g, " +
+          "CAST(datediff('day', CAST(t0 AS DATE), CAST(t1 AS DATE)) AS BIGINT) AS t, " +
+          "CASE WHEN t1 < gmax - INTERVAL 1 DAY THEN 1 ELSE 0 END AS observed " +
+          "FROM p CROSS JOIN gm)"),
+    "events_cox_ph" ->
+      graft.operators.Stats.coxPhBinarySql(
         "p AS (SELECT user_id, min(ts) AS t0, max(ts) AS t1 FROM events GROUP BY 1), " +
           "gm AS (SELECT max(t1) AS gmax FROM p), " +
           "subjects AS (SELECT user_id % 2 AS g, " +

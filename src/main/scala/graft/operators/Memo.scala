@@ -21,8 +21,15 @@ object Memo {
   private val perSession =
     new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, AnyRef]]()
 
-  /** Compute-once per (session, key); concurrent callers of the same
-    * key block on one build.
+  /** Compute-once per (session, key), REENTRANT: a build may itself
+    * call [[cached]] for its sub-values (a memoized gate body calling
+    * `buildIvfIndex`, whose centroid pick is memoized too) — so the
+    * build runs OUTSIDE `computeIfAbsent`, whose recursive-update guard
+    * would throw on exactly that nesting. The trade: two RACING callers
+    * of one absent key can both run the build (first put wins); builds
+    * here are deterministic pure functions of their key, so that costs
+    * duplicate work, never a wrong value — and the suite runners
+    * evaluate queries sequentially anyway.
     */
   def cached[A <: AnyRef](spark: SparkSession, key: String)(build: => A): A = {
     val m = perSession.synchronized {
@@ -33,7 +40,13 @@ object Memo {
       }
       cur
     }
-    m.computeIfAbsent(key, _ => build).asInstanceOf[A]
+    val existing = m.get(key)
+    if (existing != null) existing.asInstanceOf[A]
+    else {
+      val built = build
+      val prev = m.putIfAbsent(key, built)
+      (if (prev != null) prev else built).asInstanceOf[A]
+    }
   }
 
   /** Canonical cache-key fragment for a DataFrame input: the analyzed

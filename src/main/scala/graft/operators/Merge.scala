@@ -218,10 +218,17 @@ object Merge {
     * shuffles), each input scanned once, all classification per-row in
     * the projection — no driver-side state, no iteration; exactly the
     * [[diff]] cost paid twice. Every input must hold ONE image per key
-    * ([[graft.sources.MergeOnRead.deltaMerge]]'s contract) — VERIFIED
-    * here with one key-projected aggregate, because a duplicate key in
-    * any input silently fans rows out through the two full-outer joins
-    * (a per-key cross product masquerading as a merge).
+    * ([[graft.sources.MergeOnRead.deltaMerge]]'s contract) — ENFORCED
+    * IN-PLAN, because a duplicate key in any input silently fans rows
+    * out through the two full-outer joins (a per-key cross product
+    * masquerading as a merge): each side carries a per-key count
+    * window that rides the join's own hash partitioning (the sort-merge
+    * join sorts on the keys anyway — no extra pass, where the previous
+    * eager unioned aggregate re-read all three inputs and doubled the
+    * gate's wall time), and a guard filter raise_errors the offending
+    * side + key the moment any count exceeds one. The raise surfaces
+    * at ACTION time wrapped in Spark's job failure, like every
+    * executor-side contract in the engine.
     */
   def threeWayMerge(
       base: DataFrame,
@@ -231,27 +238,34 @@ object Merge {
       compareCols: Seq[String],
       policy: String = "theirs"): DataFrame = {
     require(Seq("ours", "theirs").contains(policy), "policy: ours | theirs")
-    val dupSide = Seq("base" -> base, "ours" -> ours, "theirs" -> theirs)
-      .map { case (nm, df) => df.select(keys.map(col): _*).withColumn("__side", lit(nm)) }
-      .reduce(_ unionByName _)
-      .groupBy((col("__side") +: keys.map(col)): _*)
-      .agg(count(lit(1)).as("__c"))
-      .where(col("__c") > 1)
-      .select("__side").head(1)
-    require(dupSide.isEmpty,
-      s"threeWayMerge: input '${dupSide.headOption.map(_.getString(0)).getOrElse("")}' " +
-        s"has duplicate key images on (${keys.mkString(",")}) — dedup to one image " +
-        "per key first (duplicates fan out through the full-outer joins)")
     val cols = keys ++ compareCols
+    val byKeys = Window.partitionBy(keys.map(col): _*)
     def side(df: DataFrame, p: String) =
-      df.select(cols.map(col): _*).withColumn(s"__p$p", lit(1)).alias(s"__m$p")
+      df.select(cols.map(col): _*).withColumn(s"__p$p", lit(1))
+        .withColumn(s"__dup$p", count(lit(1)).over(byKeys))
+        .alias(s"__m$p")
     val b = side(base, "b"); val o = side(ours, "o"); val t = side(theirs, "t")
     def kc(a: String, c: String) = col(s"__m$a.$c")
+    val keyStr = concat_ws(",",
+      keys.map(k => coalesce(kc("b", k), kc("o", k), kc("t", k)).cast("string")): _*)
+    // absent-side rows read __dup as NULL from the outer joins — those
+    // carry no duplicate, hence the coalesce(…, 1)
+    val dupGuard = Seq("b" -> "base", "o" -> "ours", "t" -> "theirs").map {
+      case (p, nm) =>
+        when(coalesce(kc(p, s"__dup$p"), lit(1L)) > 1,
+          raise_error(concat(
+            lit(s"threeWayMerge: input '$nm' has duplicate key images on " +
+              s"(${keys.mkString(",")}) — dedup to one image per key first " +
+              "(duplicates fan out through the full-outer joins); key="),
+            keyStr)))
+          .otherwise(lit(true))
+    }.reduce(_ && _)
     val j = b
       .join(o, keys.map(k => kc("b", k) === kc("o", k)).reduce(_ && _), "full_outer")
       .join(t,
         keys.map(k => coalesce(kc("b", k), kc("o", k)) === kc("t", k)).reduce(_ && _),
         "full_outer")
+      .where(dupGuard)
     val po = kc("o", "__po").isNotNull
     val pt = kc("t", "__pt").isNotNull
     // a side "changed" iff its presence or any compared value differs

@@ -214,12 +214,7 @@ object Similarity {
     val c0 = n.where(candPred)
     val centroids = seedCentroids(c0, numCentroids, seed, vecCol, idCol)
     val cells = assignCells(c0, centroids, vecCol, idCol)
-    val cellIds = lit(centroids.indices.map(i => (i + 1).toLong).toArray)
-    val probeCells = slice(
-      array_sort(zip_with(
-        vec_mat_dots(col(vecCol), centroids, col("norm")), cellIds,
-        (d, c) => struct(d.unary_-.as("neg"), c.as("cell")))),
-      1, nProbe)
+    val probeCells = probeCellsExpr(centroids, nProbe, vecCol)
     val q = n.where(queryPred).select(
       col(idCol).as("query_id"), col(vecCol).as("q_vec"),
       col("norm").as("q_norm"), explode(probeCells).as("probe"))
@@ -232,12 +227,20 @@ object Similarity {
   }
 
   /** Build and persist an IVF index for an immutable corpus snapshot:
-    * cell assignments as a warehouse table (`<table>_cells`) and the
-    * unit centroids as a second tiny table (`<table>_centroids`). At
-    * 100 TB the index build (centroid pick/refine + one assignment
-    * pass) is paid once per corpus version; every subsequent query
-    * batch probes the stored cells — [[ivfTopKIndexed]] — instead of
-    * re-scanning and re-assigning the corpus.
+    * cell assignments as a warehouse table (`<table>_cells`,
+    * PARTITIONED BY `cell`) and the unit centroids as a second tiny
+    * table (`<table>_centroids`). At 100 TB the index build (centroid
+    * pick/refine + one assignment pass) is paid once per corpus
+    * version; every subsequent query batch probes the stored cells —
+    * [[ivfTopKIndexed]] — instead of re-scanning and re-assigning the
+    * corpus. The `cell`-partitioned layout is what makes the probe's
+    * nProbe/numCentroids CANDIDATE bound an I/O bound too: a probe
+    * lists and reads only its probed cells' files (file-level pruning
+    * by construction in [[graft.sources.Warehouse.readPartitions]]),
+    * where a flat layout scanned the entire index per query batch —
+    * at 10¹⁰ vectors that scan erases the whole compute win. The
+    * pre-write `repartition(cell)` keeps file counts at one-per-cell
+    * per shuffle task instead of tasks×cells.
     */
   def buildIvfIndex(
       emb: DataFrame,
@@ -260,16 +263,58 @@ object Similarity {
       centroids.toSeq.zipWithIndex.map { case (v, i) => (i + 1L, v.toSeq) })
       .toDF("cell", "centroid")
     graft.sources.Warehouse.overwrite(centDf, dir, s"${table}_centroids")
-    graft.sources.Warehouse.overwrite(
-      assignCells(c0, centroids, vecCol, idCol), dir, s"${table}_cells")
+    graft.sources.Warehouse.overwriteLayout(
+      assignCells(c0, centroids, vecCol, idCol).repartition(col("cell")),
+      dir, s"${table}_cells", "cell")
   }
+
+  /** The stored centroid matrix, cell-ordered, collected to the driver
+    * (tiny — numCentroids·dim floats). */
+  private def readCentroids(spark: SparkSession, dir: String, table: String): Array[Array[Float]] =
+    graft.sources.Warehouse.read(spark, dir, s"${table}_centroids")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Float](1).toArray)
+
+  /** [[assignCells]]' fixed output schema — the recovery schema for a
+    * cell table every row of which was purged (an empty partitioned
+    * directory carries no schema of its own). */
+  private val cellSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("neighbor_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("c_vec",
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+    org.apache.spark.sql.types.StructField("c_norm", org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("cell", org.apache.spark.sql.types.LongType)))
+
+  /** The full stored cell table. `cell` is a PARTITION column on disk
+    * (discovery infers int) — cast back to the long the writers and the
+    * probe join expect. Full-table reads are for lifecycle maintenance
+    * paths only; probes go through [[readCellPartitions]].
+    */
+  private def readCellTable(spark: SparkSession, dir: String, table: String): DataFrame =
+    if (graft.sources.Warehouse.listDataFiles(spark, dir, s"${table}_cells").isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cellSchema)
+    else graft.sources.Warehouse.read(spark, dir, s"${table}_cells")
+      .withColumn("cell", col("cell").cast("long"))
+
+  /** ONLY the named cells' partitions of the stored cell table —
+    * file-level pruned by construction. */
+  private def readCellPartitions(spark: SparkSession, dir: String, table: String,
+      cellIds: Seq[Long]): DataFrame =
+    graft.sources.Warehouse.readPartitions(spark, dir, s"${table}_cells", "cell", cellIds,
+      emptySchema = Some(cellSchema))
+      .withColumn("cell", col("cell").cast("long"))
 
   /** Incremental IVF index maintenance: assign a DELTA of new vectors
     * to the EXISTING centroids and append their cell rows — the ANN
     * twin of the incremental dedup index. Ingesting a daily batch
     * costs O(delta·numCentroids) assignment work; the historical
     * corpus and its cell table are never rescanned, and existing cell
-    * ids stay stable so cached probe plans remain valid. Centroids
+    * ids stay stable so cached probe plans remain valid. I/O is bounded
+    * by the TOUCHED partitions: the delta is assigned first, the ≤
+    * numCentroids touched cells are collected, and only those cells'
+    * files are read (replay dedup included — frozen centroids assign a
+    * replayed id to the SAME cell, so the anti-join never needs the
+    * untouched partitions) and dynamically overwritten. Centroids
     * drift from optimal as the distribution moves — monitor recall vs
     * the brute tier and rebuild (re-Lloyd) when it degrades; that
     * rebuild is the only corpus-sized operation in the lifecycle.
@@ -281,17 +326,20 @@ object Similarity {
       vecCol: String = "embedding",
       idCol: String = "vec_id"): Unit = {
     val spark = delta.sparkSession
-    val centroids = graft.sources.Warehouse.read(spark, dir, s"${table}_centroids")
-      .orderBy("cell").collect()
-      .map(_.getSeq[Float](1).toArray)
-    val existing = graft.sources.Warehouse.read(spark, dir, s"${table}_cells")
-    // replay-safe: a delta id already indexed no-ops (id anti-join on
-    // the cell table's neighbor_id key)
-    val fresh = withNorm(delta, vecCol, idCol)
-      .join(existing.select(col("neighbor_id").as(idCol)), Seq(idCol), "left_anti")
-    graft.sources.Warehouse.overwrite(
-      existing.unionByName(assignCells(fresh, centroids, vecCol, idCol)),
-      dir, s"${table}_cells")
+    val centroids = readCentroids(spark, dir, table)
+    val assigned = assignCells(withNorm(delta, vecCol, idCol), centroids, vecCol, idCol)
+    val touched = assigned.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq // bounded by numCentroids
+    if (touched.nonEmpty) {
+      val slice = readCellPartitions(spark, dir, table, touched)
+      // replay-safe: a delta id already indexed no-ops (id anti-join
+      // against its own cell's partition — sufficient under frozen
+      // centroids, which re-assign a replayed id to the same cell)
+      val fresh = assigned.join(slice.select("neighbor_id"), Seq("neighbor_id"), "left_anti")
+      graft.sources.Warehouse.overwritePartitions(
+        slice.unionByName(fresh).repartition(col("cell")),
+        dir, s"${table}_cells", "cell")
+    }
   }
 
   /** RIGHT-TO-BE-FORGOTTEN for the persisted IVF index: rewrite the
@@ -301,9 +349,15 @@ object Similarity {
     * of the corpus distribution, not retrievable per-vector data, the
     * same frozen-centroid lifecycle [[appendToIvfIndex]] already runs —
     * so the purged index is EXACTLY the index a purge-everything +
-    * re-append-survivors rebuild produces (spec-pinned), and the
-    * deletion is O(cell table), never O(corpus). Replay-safe: deleting
-    * an absent id no-ops.
+    * re-append-survivors rebuild produces (spec-pinned). Replay-safe:
+    * deleting an absent id no-ops. I/O: locating the deleted ids'
+    * cells is one column-pruned (neighbor_id, cell) scan — the RTBF
+    * feed carries ids, not vectors, so the cells can't be derived from
+    * frozen centroids — but the REWRITE touches only the partitions
+    * that actually held a deleted id, and a partition emptied entirely
+    * is dropped outright (dynamic overwrite alone would leave its
+    * stale files, and a stale file here is a compliance failure, not a
+    * perf bug).
     */
   def deleteFromIvfIndex(
       spark: SparkSession,
@@ -311,11 +365,84 @@ object Similarity {
       table: String,
       deletedIds: DataFrame,
       idCol: String = "vec_id"): Unit = {
-    val cells = graft.sources.Warehouse.read(spark, dir, s"${table}_cells")
-    graft.sources.Warehouse.overwrite(
-      cells.join(deletedIds.select(col(idCol).as("neighbor_id")).distinct(),
-        Seq("neighbor_id"), "left_anti"),
-      dir, s"${table}_cells")
+    val del = deletedIds.select(col(idCol).as("neighbor_id")).distinct()
+    val touched = readCellTable(spark, dir, table)
+      .join(del, Seq("neighbor_id"), "left_semi")
+      .select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq // bounded by numCentroids
+    if (touched.nonEmpty) {
+      val survivors = readCellPartitions(spark, dir, table, touched)
+        .join(del, Seq("neighbor_id"), "left_anti")
+      val surviving = survivors.select("cell").distinct()
+        .collect().map(_.getLong(0)).toSet
+      if (surviving.nonEmpty)
+        graft.sources.Warehouse.overwritePartitions(
+          survivors.repartition(col("cell")), dir, s"${table}_cells", "cell")
+      graft.sources.Warehouse.dropPartitions(spark, dir, s"${table}_cells", "cell",
+        touched.filterNot(surviving))
+    }
+  }
+
+  /** CELL-LOCAL incremental re-Lloyd for drifted cells of a persisted
+    * IVF index — the anti-entropy pattern (detect, then repair ONLY the
+    * dirty slice) applied to the ANN index. The lifecycle's former
+    * prescription for centroid drift was a FULL rebuild — the one
+    * corpus-sized operation left in the index's life; this bounds the
+    * repair by the flagged cells' population instead:
+    * [[ivfIndexStats]] / [[ivfRecallDriftReport]] flag the drifted
+    * cells, Lloyd re-runs on those cells' vectors only (the dirty
+    * partitions are the only ones read), their centroids refresh in
+    * the (tiny) centroid table, and the slice is reassigned among the
+    * REFRESHED dirty centroids — vectors cannot migrate to clean
+    * cells, so clean cell ids stay stable and their partitions are
+    * never rewritten (byte-identical before/after, spec-pinned and
+    * gate-checked); a dirty cell emptied by the reassignment is
+    * dropped. Crash window: the cell rewrite and the centroid-table
+    * refresh are two writes — a crash between them leaves a servable
+    * index (membership and probe targets disagree only on the dirty
+    * cells: a recall dip, never a wrong id) and re-running the repair
+    * converges it.
+    */
+  def recentroidCells(
+      spark: SparkSession,
+      dir: String,
+      table: String,
+      dirtyCells: Seq[Long],
+      iters: Int = 2,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): Unit = {
+    require(dirtyCells.nonEmpty, "recentroidCells: empty dirty cell set")
+    val centRows = graft.sources.Warehouse.read(spark, dir, s"${table}_centroids")
+      .orderBy("cell").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val byCell = centRows.toMap
+    val dirty = dirtyCells.distinct.sorted
+    require(dirty.forall(byCell.contains),
+      s"unknown cell ids in dirty set: ${dirty.filterNot(byCell.contains).mkString(",")}")
+    val slice = readCellPartitions(spark, dir, table, dirty)
+    // local Lloyd over the dirty slice only, seeded from the dirty
+    // cells' current centroids (local index i ↔ dirty(i-1)'s cell id)
+    val refreshed = kmeansCentroids(
+      slice.select(col("c_vec").as(vecCol)), dirty.map(byCell).toArray, iters, vecCol)
+    val reassigned = assignCells(
+      withNorm(slice.select(col("neighbor_id").as(idCol), col("c_vec").as(vecCol)),
+        vecCol, idCol),
+      refreshed, vecCol, idCol)
+      .withColumn("cell",
+        element_at(lit(dirty.toArray), col("cell").cast("int")))
+    val surviving = reassigned.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSet
+    if (surviving.nonEmpty)
+      graft.sources.Warehouse.overwritePartitions(
+        reassigned.repartition(col("cell")), dir, s"${table}_cells", "cell")
+    graft.sources.Warehouse.dropPartitions(spark, dir, s"${table}_cells", "cell",
+      dirty.filterNot(surviving))
+    val refreshedByCell = dirty.zip(refreshed).toMap
+    val newCents = spark.createDataFrame(
+      centRows.toSeq.map { case (c, v) =>
+        (c, refreshedByCell.getOrElse(c, v).toSeq) })
+      .toDF("cell", "centroid")
+    graft.sources.Warehouse.overwrite(newCents, dir, s"${table}_centroids")
   }
 
   /** IVF health report — the STALENESS TRIGGER for the incremental
@@ -390,7 +517,7 @@ object Similarity {
       dir: String,
       table: String): DataFrame = {
     val cents = graft.sources.Warehouse.read(spark, dir, s"${table}_centroids")
-    val cells = graft.sources.Warehouse.read(spark, dir, s"${table}_cells")
+    val cells = readCellTable(spark, dir, table)
     val nCellsDf = cents.agg(count(lit(1)).as("__ncells"))
     val perCell = cells.join(broadcast(cents), "cell")
       .select(col("cell"),
@@ -496,8 +623,16 @@ object Similarity {
   }
 
   /** Probe a persisted IVF index ([[buildIvfIndex]]) — reads centroids
-    * (tiny) onto the driver and joins queries against the stored cell
-    * table; the corpus itself is never touched.
+    * (tiny) onto the driver, computes the PROBED CELL SET (the union of
+    * every query's nProbe nearest cells — ≤ numCentroids values, one
+    * bounded pass over the query batch) and joins the queries against
+    * ONLY those cells' partitions of the stored cell table. The corpus
+    * is never touched, and neither are the unprobed cells' files: the
+    * probe's I/O footprint is nProbe/numCentroids of the index, the
+    * same fraction as its compute — a flat layout made every probe
+    * batch scan the entire index, which at 10¹⁰ vectors erases the
+    * candidate-bounding win ([[ivfProbeIoReport]] machine-checks the
+    * footprint the way merge5m tracks `mor_base_files_read`).
     */
   def ivfTopKIndexed(
       queries: DataFrame,
@@ -508,12 +643,57 @@ object Similarity {
       vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
     val spark = queries.sparkSession
-    val centroids = graft.sources.Warehouse.read(spark, dir, s"${table}_centroids")
-      .orderBy("cell").collect()
-      .map(_.getSeq[Float](1).toArray)
-    val cells = graft.sources.Warehouse.read(spark, dir, s"${table}_cells")
-    probeIvf(withNorm(queries, vecCol, idCol), cells, centroids, k, nProbe,
-      vecCol, idCol)
+    val centroids = readCentroids(spark, dir, table)
+    val q = withNorm(queries, vecCol, idCol)
+    val cells = readCellPartitions(spark, dir, table,
+      probedCellSet(q, centroids, nProbe, vecCol))
+    probeIvf(q, cells, centroids, k, nProbe, vecCol, idCol)
+  }
+
+  /** The union of every query's nProbe nearest cells, collected to the
+    * driver (≤ numCentroids longs) — the partition-pruning key set for
+    * indexed probes. Same (−dot, cell) ordering as [[probeIvf]]'s
+    * per-query probe list, so the set is exactly the cells the probe
+    * join will touch.
+    */
+  private def probedCellSet(q0: DataFrame, centroids: Array[Array[Float]],
+      nProbe: Int, vecCol: String): Seq[Long] =
+    q0.select(explode(probeCellsExpr(centroids, nProbe, vecCol)).as("p"))
+      .select(col("p.cell").as("cell")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+
+  /** I/O-footprint report for a PRUNED indexed probe — the ANN twin of
+    * merge5m's `mor_base_files_read` evidence. Recomputes the probed
+    * cell set for `queries`, opens the pruned read, and checks against
+    * the live table's file listing that (a) every file the probe reads
+    * lies under a probed `cell=` partition and (b) the probe read
+    * strictly fewer files than the index holds whenever it probed
+    * fewer cells than exist. Violations throw (loud, like the merge
+    * guards) rather than report false. One row:
+    * `(n_cells_total, n_cells_probed, io_pruned)`.
+    */
+  def ivfProbeIoReport(
+      queries: DataFrame,
+      dir: String,
+      table: String,
+      nProbe: Int,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = readCentroids(spark, dir, table)
+    val probed = probedCellSet(withNorm(queries, vecCol, idCol), centroids, nProbe, vecCol)
+    val readFiles = readCellPartitions(spark, dir, table, probed).inputFiles
+    val allFiles = graft.sources.Warehouse.listDataFiles(spark, dir, s"${table}_cells")
+    val subsetOk = readFiles.nonEmpty &&
+      readFiles.forall(f => probed.exists(c => f.contains(s"/cell=$c/")))
+    val strictlyPruned = probed.size >= centroids.length || readFiles.length < allFiles.size
+    require(subsetOk && strictlyPruned,
+      s"IVF probe I/O not pruned: read ${readFiles.length} of ${allFiles.size} files " +
+        s"for ${probed.size} of ${centroids.length} cells")
+    spark.range(1).select(
+      lit(centroids.length.toLong).as("n_cells_total"),
+      lit(probed.size.toLong).as("n_cells_probed"),
+      lit(true).as("io_pruned"))
   }
 
   /** Deterministic coarse centroids: hash-ordered candidate vectors,
@@ -577,20 +757,29 @@ object Similarity {
           .as("cell"))
   }
 
+  /** Each query row's nProbe nearest cells as an array of
+    * (neg, cell) structs: sort (−dot, cell idx) ascending, slice
+    * nProbe. Shared by the probe join and the partition-pruning key-set
+    * collection so the two can never disagree on which cells a query
+    * touches. Requires the `norm` column ([[withNorm]]).
+    */
+  private def probeCellsExpr(centroids: Array[Array[Float]], nProbe: Int,
+      vecCol: String): Column = {
+    val cellIds = lit(centroids.indices.map(i => (i + 1).toLong).toArray)
+    slice(
+      array_sort(zip_with(
+        vec_mat_dots(col(vecCol), centroids, col("norm")), cellIds,
+        (d, c) => struct(d.unary_-.as("neg"), c.as("cell")))),
+      1, nProbe)
+  }
+
   /** Probe pre-assigned cells with each query's nProbe nearest
     * centroids and rank candidates exactly.
     */
   private def probeIvf(q0: DataFrame, cells: DataFrame,
       centroids: Array[Array[Float]], k: Int, nProbe: Int,
       vecCol: String, idCol: String): DataFrame = {
-    // query side probes its nProbe nearest cells: sort (−dot, cell idx)
-    // structs ascending, slice nProbe, explode
-    val cellIds = lit(centroids.indices.map(i => (i + 1).toLong).toArray)
-    val probeCells = slice(
-      array_sort(zip_with(
-        vec_mat_dots(col(vecCol), centroids, col("norm")), cellIds,
-        (d, c) => struct(d.unary_-.as("neg"), c.as("cell")))),
-      1, nProbe)
+    val probeCells = probeCellsExpr(centroids, nProbe, vecCol)
     val q = q0.select(
       col(idCol).as("query_id"), col(vecCol).as("q_vec"),
       col("norm").as("q_norm"),
@@ -681,13 +870,21 @@ object Similarity {
     * (asymmetric distance computation), touching full vectors only to
     * re-rank the short candidate list exactly.
     *
-    *   1. codebook: `codebookSize` corpus vectors picked in the
-    *      portable avalanched-md5 order (same mechanism as the IVF
-    *      seed pick; per-subspace k-means is the quality upgrade, the
-    *      seeded pick is the oracle-replayable tier);
+    *   1. codebook: seeded from `codebookSize` corpus vectors picked in
+    *      the portable avalanched-md5 order (the IVF seed-pick
+    *      mechanism), then `trainIters` rounds of per-subspace Lloyd
+    *      ([[trainSubspaceCodebooks]]) — each subspace's entries
+    *      k-means-converge onto that subspace's actual variance, which
+    *      raw corpus slices only sample (measured recall strictly
+    *      above the untrained slice codebook at equal m/codebookSize;
+    *      SimilaritySpec pins the comparison). `trainIters = 0` keeps
+    *      the untrained slice tier;
     *   2. encode: per subspace `s`, each candidate's code is the
-    *      argmax-dot codebook entry of its slice (first-max tie-break)
-    *      — one pass, m·codebookSize codegen'd sub-dots per row;
+    *      MIN-L2 codebook entry of its slice (argmax of
+    *      dot − ‖entry‖²/2, first-max tie-break — the same metric the
+    *      training loop assigns with, so codes use the codebook the
+    *      way it was fit) — one pass, m·codebookSize codegen'd
+    *      sub-dots per row;
     *   3. ADC: each query precomputes `m` LUT arrays (its slice dotted
     *      with every codebook slice — `m·codebookSize` sub-dots on the
     *      QUERY side only); scoring a candidate is then `m` array
@@ -697,7 +894,9 @@ object Similarity {
     *
     * At 100 TB the scan reads `m` bytes per vector instead of
     * `4·dim` — a 32× IO/memory cut at the defaults — and the exact
-    * tier touches only `|Q|·refine` full vectors.
+    * tier touches only `|Q|·refine` full vectors. Training is
+    * `trainIters` corpus scans paid once per corpus version (memoized
+    * per plan+params here; a persisted index stores the codebook).
     */
   def pqTopK(
       emb: DataFrame,
@@ -709,29 +908,41 @@ object Similarity {
       refine: Int = 50,
       seed: Long = 42L,
       vecCol: String = "embedding",
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id",
+      trainIters: Int = 2): DataFrame = {
     val n = withNorm(emb, vecCol, idCol)
     val c0 = n.where(candPred)
-    // raw (unnormalized) codebook picks — slices of real corpus vectors
-    val picks: Array[Array[Float]] = c0
-      .orderBy(md5(concat(lit(s"pq$seed:"), col(idCol).cast("string"))), col(idCol))
-      .limit(codebookSize)
-      .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
-    require(picks.nonEmpty, "PQ: no candidate rows to index")
-    val dim = picks.head.length
-    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
-    val subDim = dim / m
+    // trained codebooks, memoized per (candidate plan, params): the
+    // seed collect + trainIters training collects run once per suite
+    val cb: Array[Array[Array[Float]]] = Memo.cached(emb.sparkSession,
+      s"pqrawcb|$m|$codebookSize|$seed|$trainIters|$vecCol|${Memo.planKey(c0)}") {
+      // raw (unnormalized) codebook seeds — slices of real corpus vectors
+      val picks: Array[Array[Float]] = c0
+        .orderBy(md5(concat(lit(s"pq$seed:"), col(idCol).cast("string"))), col(idCol))
+        .limit(codebookSize)
+        .select(col(vecCol)).collect().map(_.getSeq[Float](0).toArray)
+      require(picks.nonEmpty, "PQ: no candidate rows to index")
+      val dim0 = picks.head.length
+      require(dim0 % m == 0, s"dim=$dim0 not divisible by m=$m subspaces")
+      val subDim0 = dim0 / m
+      trainSubspaceCodebooks(c0, col(vecCol), m,
+        Array.tabulate(m, codebookSize)((s, cI) =>
+          picks(cI).slice(s * subDim0, (s + 1) * subDim0)),
+        trainIters)
+    }
+    val subDim = cb(0)(0).length
     def sl(c: Column, s: Int): Column = slice(c, s * subDim + 1, subDim)
-    def cbSlice(s: Int, cI: Int): Array[Float] =
-      picks(cI).slice(s * subDim, (s + 1) * subDim)
     def subDots(v: Column, s: Int): Column =
-      vec_mat_dots(sl(v, s), picks.indices.map(cI => cbSlice(s, cI)).toArray, lit(1.0))
+      vec_mat_dots(sl(v, s), cb(s), lit(1.0))
+    // min-L2 code assignment (the training metric): dot − ‖entry‖²/2
+    def l2Adj(v: Column, s: Int): Column =
+      zip_with(subDots(v, s), lit(cb(s).map(halfNormOf)), (d, h) => d - h)
 
     // encode: dot arrays materialized in their own projection so the
     // argmax reads a column (assignCells pattern)
     val withDots = c0.select(
       col(idCol).as("neighbor_id") +: col(vecCol).as("c_vec") +: col("norm").as("c_norm") +:
-        (0 until m).map(s => subDots(col(vecCol), s).as(s"__d$s")): _*)
+        (0 until m).map(s => l2Adj(col(vecCol), s).as(s"__d$s")): _*)
     val codes = withDots.select(
       col("neighbor_id") +: col("c_vec") +: col("c_norm") +:
         (0 until m).map(s =>
@@ -1053,6 +1264,68 @@ object Similarity {
       .toDF("i", "w", "lambda_est")
   }
 
+  /** Per-entry half squared norm, left-associated double — the min-L2
+    * assignment's affine term (argmin ‖v − e‖² = argmax of
+    * dot(v, e) − ‖e‖²/2), textually mirrored in the oracles.
+    */
+  private def halfNormOf(p: Array[Float]): Double = {
+    var acc = 0.0
+    var j = 0
+    while (j < p.length) { acc += p(j).toDouble * p(j).toDouble; j += 1 }
+    acc / 2.0
+  }
+
+  /** `iters` rounds of deterministic per-subspace Lloyd over the
+    * subspace slices of `vec` — the PQ codebook trainer shared by the
+    * residual (IVF-PQ) and raw-vector (PQ) tiers. Assignment is min-L2
+    * (argmax of dot − ‖entry‖²/2, first-max tie-break); means are the
+    * kmeansCentroids discipline (exact ×2^24 fixed-point integer sums,
+    * the left-associated qsum/cnt/Q double mean, float cast) so
+    * codebooks are partition-order-invariant and both engines replay
+    * them bit-for-bit; entries that attract no rows keep their previous
+    * value. Each iteration is ONE job over `src` (all m subspaces in
+    * one explode) collecting m·codebookSize·subDim rows; at 100 TB pass
+    * a sample — codebook quality needs slice geometry, not every row.
+    */
+  private def trainSubspaceCodebooks(
+      src: DataFrame,
+      vec: Column,
+      m: Int,
+      init: Array[Array[Array[Float]]],
+      iters: Int): Array[Array[Array[Float]]] = {
+    val subDim0 = init(0)(0).length
+    def sl0(c: Column, s: Int): Column = slice(c, s * subDim0 + 1, subDim0)
+    def adj(mat: Array[Array[Array[Float]]], s: Int): Column =
+      zip_with(
+        vec_mat_dots(sl0(vec, s), mat(s), lit(1.0)),
+        lit(mat(s).map(halfNormOf)),
+        (d, h) => d - h)
+    val Q = (1L << 24).toDouble
+    var mat = init
+    for (_ <- 0 until iters) {
+      val coded = src.select(
+        vec.as("__v") +: (0 until m).map(s =>
+          array_position(adj(mat, s), array_max(adj(mat, s))).as(s"__c$s")): _*)
+      val sums = coded
+        .select(explode(array((0 until m).map(s =>
+          struct(lit(s).as("s"), col(s"__c$s").as("code"),
+            sl0(col("__v"), s).as("slice"))): _*)).as("e"))
+        .select(col("e.s").as("s"), col("e.code").as("code"),
+          posexplode(col("e.slice")).as(Seq("d", "x")))
+        .groupBy("s", "code", "d")
+        .agg(sum(round(col("x").cast("double") * Q).cast("long")).as("qsum"),
+          count(lit(1)).as("cnt"))
+        .collect()
+      val next = mat.map(_.map(_.clone()))
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getLong(1).toInt - 1)(r.getInt(2)) =
+          ((r.getLong(3).toDouble / r.getLong(4).toDouble) / Q).toFloat
+      }
+      mat = next
+    }
+    mat
+  }
+
   /** IVF-PQ: the composed production ANN tier — Lloyd-refined IVF
     * coarse cells cut the candidate set to the `nProbe` nearest cells
     * per query, RESIDUAL-encoded PQ byte-codes + per-query lookup
@@ -1129,15 +1402,6 @@ object Similarity {
       zip_with(unitOf(col("c_vec"), col("c_norm")), cvecOf(col("cell")),
         (a, b) => a - b)))
 
-    // per-pick half squared norm, left-associated double — the min-L2
-    // affine term, textually mirrored in the oracle
-    def halfNormOf(p: Array[Float]): Double = {
-      var acc = 0.0
-      var j = 0
-      while (j < p.length) { acc += p(j).toDouble * p(j).toDouble; j += 1 }
-      acc / 2.0
-    }
-
     // trained codebooks, memoized per (candidate plan, centroids,
     // params): the seed collect + trainIters training collects run
     // once per suite, not once per query (task-level cost: the whole
@@ -1164,47 +1428,14 @@ object Similarity {
       val dim0 = seedPicks.head.length
       require(dim0 % m == 0, s"dim=$dim0 not divisible by m=$m subspaces")
       val subDim0 = dim0 / m
-      def sl0(c: Column, s: Int): Column = slice(c, s * subDim0 + 1, subDim0)
-      def adj(mat: Array[Array[Array[Float]]], s: Int): Column =
-        zip_with(
-          vec_mat_dots(sl0(col("__res"), s), mat(s), lit(1.0)),
-          lit(mat(s).map(halfNormOf)),
-          (d, h) => d - h)
       // per-subspace Lloyd training of the residual codebooks — random
       // residual slices are noise-like and rank candidates poorly; a
       // few k-means rounds concentrate each subspace's entries on that
-      // subspace's actual variance. Deterministic via the
-      // kmeansCentroids discipline: exact ×2^24 fixed-point integer
-      // sums, the same left-associated qsum/cnt/Q mean, float cast,
-      // and empty clusters keeping their previous entry — each
-      // iteration is ONE job over the residual table (all m subspaces
-      // in one explode) collecting m·codebookSize·subDim rows.
-      val Q = (1L << 24).toDouble
-      var mat: Array[Array[Array[Float]]] =
+      // subspace's actual variance ([[trainSubspaceCodebooks]]).
+      trainSubspaceCodebooks(withRes, col("__res"), m,
         Array.tabulate(m, codebookSize)((s, cI) =>
-          seedPicks(cI).slice(s * subDim0, (s + 1) * subDim0))
-      for (_ <- 0 until trainIters) {
-        val coded = withRes.select(
-          col("__res") +: (0 until m).map(s =>
-            array_position(adj(mat, s), array_max(adj(mat, s))).as(s"__c$s")): _*)
-        val sums = coded
-          .select(explode(array((0 until m).map(s =>
-            struct(lit(s).as("s"), col(s"__c$s").as("code"),
-              sl0(col("__res"), s).as("slice"))): _*)).as("e"))
-          .select(col("e.s").as("s"), col("e.code").as("code"),
-            posexplode(col("e.slice")).as(Seq("d", "x")))
-          .groupBy("s", "code", "d")
-          .agg(sum(round(col("x").cast("double") * Q).cast("long")).as("qsum"),
-            count(lit(1)).as("cnt"))
-          .collect()
-        val next = mat.map(_.map(_.clone()))
-        sums.foreach { r =>
-          next(r.getInt(0))(r.getLong(1).toInt - 1)(r.getInt(2)) =
-            ((r.getLong(3).toDouble / r.getLong(4).toDouble) / Q).toFloat
-        }
-        mat = next
-      }
-      mat
+          seedPicks(cI).slice(s * subDim0, (s + 1) * subDim0)),
+        trainIters)
     }
     val subDim = cb(0)(0).length
     def sl(c: Column, s: Int): Column = slice(c, s * subDim + 1, subDim)

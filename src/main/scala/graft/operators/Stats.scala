@@ -1360,6 +1360,18 @@ object Stats {
       bReps: Int = 64,
       salt: String = "boot"): DataFrame = {
     require(bReps >= 8 && bReps <= 512)
+    // the exact-long weighted sums are the determinism contract, so the
+    // metric must arrive in integer units (counts, cents, ms): a double
+    // here would be silently floor-truncated by the long cast — loud
+    // precondition instead (callers with fractional metrics pre-scale,
+    // the way the gate converts dollars to cents)
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(df.schema(valueCol).dataType),
+      s"poissonBootstrapCi: $valueCol must be an integral type " +
+        s"(got ${df.schema(valueCol).dataType.simpleString}); " +
+        "pre-convert fractional metrics to integer units (e.g. cents)")
     val loRank = math.max(1, math.ceil(0.025 * bReps).toInt)
     val hiRank = math.min(bReps, math.floor(0.975 * bReps).toInt + 1)
     // cumulative Poisson(1) thresholds P(W <= k), k = 0..7; clamp at 8
@@ -1457,6 +1469,17 @@ object Stats {
       convDayCol: String,
       tau2: Double = 1e-4,
       alpha: Double = 0.05): DataFrame = {
+    // the probe rows and the wide pivot are written against arm labels
+    // "a"/"b" — any other labeling ("control"/"treatment", 0/1) would
+    // silently pivot to n_a = n_b = 0 and a permanently insignificant
+    // p = 1. Loud precondition instead: one metadata-sized probe
+    // (distinct-limit-3, the moveSubtree pattern) over the arm column.
+    val arms = subjects.select(col(armCol).cast("string").as("arm"))
+      .where(col("arm").isNotNull).distinct().limit(3)
+      .collect().map(_.getString(0)).toSet
+    require(arms.nonEmpty && arms.subsetOf(Set("a", "b")),
+      s"msprtTwoProportion: $armCol values must be exactly 'a'/'b' " +
+        s"(got ${arms.toSeq.sorted.mkString(", ")}); relabel arms upstream")
     val joins = subjects
       .groupBy(col(armCol).as("arm"), col(joinDayCol).as("day"))
       .agg(count(lit(1)).as("nj"))
@@ -1645,6 +1668,136 @@ object Stats {
       .withColumn("significant_5pct", col("chi2") > 3.841)
   }
 
+  /** COX PROPORTIONAL HAZARDS for a binary treatment covariate, Breslow
+    * tie handling — the EFFECT-SIZE companion of [[logRankTest]]
+    * (which only answers "different?"): the hazard ratio e^β between
+    * cohort 1 and cohort 0, with its standard error and Wald z. With
+    * x ∈ {0,1} the Breslow partial-likelihood derivatives collapse to
+    * risk-set counts: per pooled event time with d_t total events, d1_t
+    * cohort-1 events and (n0_t, n1_t) at risk,
+    *
+    *   p_t(β) = n1·e^β / (n0 + n1·e^β)
+    *   U(β) = Σ_t [d1_t − d_t·p_t]          (score)
+    *   I(β) = Σ_t d_t·(p_t − p_t²)          (information)
+    *
+    * solved by `iters` Newton steps β ← β + U/I from β = 0. `score0` /
+    * `info0` (U and I at β = 0) ride along — U(0) is EXACTLY the
+    * log-rank's observed−expected and I(0) its variance without the
+    * hypergeometric (n−d)/(n−1) correction (equal when no two events
+    * tie), the classical score-test identity StatsSpec pins.
+    *
+    * Scale shape: the risk table is the SAME collapsed-axis suffix-sum
+    * construction as [[logRankTest]] (probe rows + one RANGE window —
+    * no subjects×times join); it is then collected ONCE — bounded by
+    * |distinct event times|, the calendar-bounded axis every survival
+    * op here reduces to — and the Newton iterations run driver-side on
+    * those exact-integer counts (the emb_top_eigvec pattern: corpus
+    * work once, p-sized iteration on the driver). All double sums are
+    * ascending-time reduceLeft folds, textually mirrored by the
+    * oracle's ORDER BY tt list_reduce, so the replay is bit-exact up to
+    * transcendental ulp (absorbed by the compare grid). Monotone
+    * likelihood (perfect separation) does not diverge — the fixed
+    * iteration count bounds β; degenerate risk sets (one cohort absent
+    * from every event time) fail loudly.
+    */
+  def coxPhBinary(df: DataFrame, groupCol: String, durationCol: String,
+      observedCol: String, iters: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    val subj = df.select(col(groupCol).cast("long").as("g"),
+      col(durationCol).cast("long").as("t"), col(observedCol).cast("int").as("obs"))
+    val per = subj.groupBy("g", "t")
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("obs") === 1, 1L).otherwise(0L)).as("d"))
+    val times = per.groupBy("t").agg(sum("d").as("dt")).where(col("dt") > 0)
+    val probes = times.select(
+      explode(array(lit(0L), lit(1L))).as("g"),
+      col("t"), lit(0L).as("c"), lit(1).as("is_probe"))
+    val suffix = Window.partitionBy(col("g")).orderBy(col("t").desc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = per.select(col("g"), col("t"), col("c"), lit(0).as("is_probe"))
+      .unionByName(probes)
+      .withColumn("n_g", sum(col("c")).over(suffix))
+      .where(col("is_probe") === 1)
+    val riskWide = risk.groupBy("t").agg(
+      sum(when(col("g") === 0, col("n_g")).otherwise(0L)).as("n0"),
+      sum(when(col("g") === 1, col("n_g")).otherwise(0L)).as("n1"))
+    val d1 = per.where(col("g") === 1).select(col("t"), col("d").as("d1"))
+    // the collapsed risk table: |distinct event times| rows of exact
+    // longs — collected ascending for the driver-side Newton folds
+    val rows = times.join(riskWide, "t")
+      .join(d1, Seq("t"), "left")
+      .select(col("t"), col("dt"), col("n0"), col("n1"),
+        coalesce(col("d1"), lit(0L)).as("d1"))
+      .orderBy("t")
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    require(rows.nonEmpty, "coxPhBinary: no uncensored events")
+    def scoreInfo(beta: Double): (Double, Double) = {
+      val eb = math.exp(beta)
+      val terms = rows.map { case (dt, n0, n1, d1v) =>
+        val p = n1.toDouble * eb / (n0.toDouble + n1.toDouble * eb)
+        (d1v.toDouble - dt.toDouble * p, dt.toDouble * (p - p * p))
+      }
+      (terms.map(_._1).reduceLeft(_ + _), terms.map(_._2).reduceLeft(_ + _))
+    }
+    val (score0, info0) = scoreInfo(0.0)
+    require(info0 > 0,
+      "coxPhBinary: degenerate risk sets — one cohort is absent from every event time")
+    var beta = 0.0
+    for (_ <- 0 until iters) {
+      val (u, i) = scoreInfo(beta)
+      beta = beta + u / i
+    }
+    val iFinal = scoreInfo(beta)._2
+    val se = 1.0 / math.sqrt(iFinal)
+    val z = beta / se
+    spark.createDataFrame(Seq(
+      (rows.length.toLong, score0, info0, beta, math.exp(beta), se, z,
+        math.abs(z) > 1.96)))
+      .toDF("n_times", "score0", "info0", "beta", "hazard_ratio", "se", "z",
+        "significant_5pct")
+  }
+
+  /** DuckDB replay of [[coxPhBinary]] over a subjects CTE named
+    * `subjects` with columns (g, t, observed) — the same collapsed
+    * suffix-sum risk table, then `iters` unrolled Newton CTEs whose
+    * score/information sums are ascending-time list_reduce folds
+    * (first-element-seeded left fold ≡ the Scala reduceLeft).
+    */
+  def coxPhBinarySql(subjectsCte: String, iters: Int = 8): String = {
+    def pOf(beta: String): String =
+      s"(CAST(n1 AS DOUBLE) * exp($beta) / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) * exp($beta)))"
+    def uFold(beta: String): String =
+      s"list_reduce(list(CAST(d1 AS DOUBLE) - CAST(dt AS DOUBLE) * ${pOf(beta)} ORDER BY tt), (a, b) -> a + b)"
+    def iFold(beta: String): String =
+      s"list_reduce(list(CAST(dt AS DOUBLE) * (${pOf(beta)} - ${pOf(beta)} * ${pOf(beta)}) ORDER BY tt), (a, b) -> a + b)"
+    val steps = (1 to iters).map { k =>
+      s"b$k AS MATERIALIZED (SELECT any_value(beta) + ${uFold("beta")} / ${iFold("beta")} AS beta " +
+        s"FROM (SELECT r.*, b.beta FROM r CROSS JOIN b${k - 1} b) x)"
+    }.mkString(", ")
+    s"WITH $subjectsCte, " +
+      "per AS (SELECT g, t, CAST(count(*) AS BIGINT) AS c, CAST(sum(CASE WHEN observed = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d FROM subjects GROUP BY 1, 2), " +
+      "tm AS (SELECT t, CAST(sum(d) AS BIGINT) AS dt FROM per GROUP BY 1 HAVING sum(d) > 0), " +
+      "ms AS (SELECT g, t, c, 0 AS is_probe FROM per " +
+      "UNION ALL SELECT gg.g, tm.t, CAST(0 AS BIGINT), 1 FROM tm CROSS JOIN (SELECT CAST(0 AS BIGINT) AS g UNION ALL SELECT CAST(1 AS BIGINT)) gg), " +
+      "ar AS (SELECT g, t, is_probe, CAST(sum(c) OVER (PARTITION BY g ORDER BY t DESC RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_g FROM ms), " +
+      "rw AS (SELECT t, CAST(sum(CASE WHEN g = 0 THEN n_g ELSE 0 END) AS BIGINT) AS n0, " +
+      "CAST(sum(CASE WHEN g = 1 THEN n_g ELSE 0 END) AS BIGINT) AS n1 FROM ar WHERE is_probe = 1 GROUP BY 1), " +
+      "r AS MATERIALIZED (SELECT tm.t AS tt, tm.dt, rw.n0, rw.n1, CAST(coalesce(dd.d, 0) AS BIGINT) AS d1 " +
+      "FROM tm JOIN rw ON rw.t = tm.t LEFT JOIN per dd ON dd.t = tm.t AND dd.g = 1), " +
+      "b0 AS (SELECT 0.0 AS beta), " +
+      s"z0 AS (SELECT ${uFold("beta")} AS score0, ${iFold("beta")} AS info0 " +
+      "FROM (SELECT r.*, b.beta FROM r CROSS JOIN b0 b) x), " +
+      s"$steps, " +
+      s"zf AS (SELECT ${iFold("beta")} AS i_final FROM (SELECT r.*, b.beta FROM r CROSS JOIN b$iters b) x) " +
+      "SELECT (SELECT CAST(count(*) AS BIGINT) FROM r) AS n_times, z0.score0, z0.info0, " +
+      s"b$iters.beta, exp(b$iters.beta) AS hazard_ratio, " +
+      "1.0 / sqrt(zf.i_final) AS se, " +
+      s"b$iters.beta / (1.0 / sqrt(zf.i_final)) AS z, " +
+      s"abs(b$iters.beta / (1.0 / sqrt(zf.i_final))) > 1.96 AS significant_5pct " +
+      s"FROM z0 CROSS JOIN b$iters CROSS JOIN zf"
+  }
+
   /** K-SAMPLE log-rank — "do any of these k survival curves differ?",
     * the omnibus companion of the two-sample [[logRankTest]] (k plan
     * tiers, k regions, k cohorts). Per pooled event time each group's
@@ -1662,12 +1815,17 @@ object Stats {
     * with the global (chi2, dof, significant_5pct) alongside.
     */
   def logRankTestK(df: DataFrame, groupCol: String, durationCol: String,
-      observedCol: String, numGroups: Int): DataFrame = {
-    require(numGroups >= 2 && numGroups <= 64)
-    // pinned chi-square 5% critical values for dof 1..8
-    val crit = Map(1 -> 3.841, 2 -> 5.991, 3 -> 7.815, 4 -> 9.488,
+      observedCol: String, numGroups: Int,
+      critValue: Option[Double] = None): DataFrame = {
+    // pinned chi-square 5% critical values for dof 1..8; beyond that the
+    // caller must supply the critical value for its dof explicitly
+    val critTable = Map(1 -> 3.841, 2 -> 5.991, 3 -> 7.815, 4 -> 9.488,
       5 -> 11.070, 6 -> 12.592, 7 -> 14.067, 8 -> 15.507)
-    require(crit.contains(numGroups - 1), "dof past 8: supply your own critical value")
+    require(numGroups >= 2 && numGroups <= 64)
+    require(critValue.isDefined || critTable.contains(numGroups - 1),
+      s"no pinned chi-square critical value for dof ${numGroups - 1} " +
+        "(table covers 1..8): pass critValue explicitly")
+    val crit = (dof: Int) => critValue.getOrElse(critTable(dof))
     val subj = df.select(col(groupCol).cast("long").as("g"),
       col(durationCol).cast("long").as("t"), col(observedCol).cast("int").as("obs"))
     val per = subj.groupBy("g", "t")

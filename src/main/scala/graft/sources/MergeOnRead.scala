@@ -614,18 +614,28 @@ object MergeOnRead {
   /** Delete claims for delta seqs beyond the committed chain — only
     * safe after confirming no writer is live (a claim beyond `deltaTo`
     * is either a crashed writer's leftover or a peer mid-commit; this
-    * call cannot tell them apart). Returns the number released.
+    * call cannot tell them apart from the filesystem alone). Because a
+    * LIVE peer's claim is deletable here — and deleting it hands its
+    * seq to another writer, the lost-commit window — claims younger
+    * than `minAgeMs` (default 10 min: generous against any plausible
+    * image-build + write) are refused unless `force`, the same age
+    * guard as `Warehouse.Txn.releaseStaleClaims`. Returns the number
+    * released.
     */
-  def releaseStaleClaims(spark: SparkSession, dir: String, table: String): Int = {
+  def releaseStaleClaims(spark: SparkSession, dir: String, table: String,
+      minAgeMs: Long = 600000L, force: Boolean = false): Int = {
     val m = manifest(spark, dir, table)
     val fs = fsOf(spark, dir)
     val dd = new Path(s"$dir/$table.mordelta")
     if (!fs.exists(dd)) 0
-    else fs.listStatus(dd).toSeq
-      .flatMap(st => """^(\d+)\.claim$""".r.findFirstMatchIn(st.getPath.getName)
-        .map(_.group(1).toLong))
-      .filter(_ > m.deltaTo)
-      .count(q => fs.delete(claimPath(dir, table, q), false))
+    else {
+      val nowMs = System.currentTimeMillis()
+      fs.listStatus(dd).toSeq
+        .filter(st => """^(\d+)\.claim$""".r.findFirstMatchIn(st.getPath.getName)
+          .map(_.group(1).toLong).exists(_ > m.deltaTo))
+        .filter(st => force || nowMs - st.getModificationTime >= minAgeMs)
+        .count(st => fs.delete(st.getPath, false))
+    }
   }
 
   /** Serialized delta append: claim the next seq under the freshest

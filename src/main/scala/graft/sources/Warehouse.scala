@@ -74,6 +74,80 @@ object Warehouse {
     }
   }
 
+  /** [[overwrite]] (full atomic two-rename swap) writing a PARTITIONED
+    * directory layout — one `<col>=<v>` subdirectory per distinct
+    * value. The swap protocol is identical to [[overwrite]]; what
+    * changes is the layout readers see: filters on the partition column
+    * prune at FILE level (only matching subdirectories are listed and
+    * scanned), [[readPartitions]] reads single partitions without
+    * touching the rest, and [[overwritePartitions]] maintains them
+    * incrementally. This is the index-table write path: a probe that
+    * touches `p` of `n` partitions reads `p/n` of the files instead of
+    * the whole table.
+    */
+  def overwriteLayout(df: DataFrame, dir: String, table: String, partitionCol: String): Unit =
+    swapWrite(df, dir, table)(tmp =>
+      df.write.mode("overwrite").partitionBy(partitionCol).parquet(tmp))
+
+  /** Read ONLY the named partitions of a partitioned table — file-level
+    * pruning by CONSTRUCTION, not by optimizer cooperation: just the
+    * `<col>=<v>` subdirectories in `values` are listed and scanned
+    * (`basePath` keeps the partition column in the schema, with the
+    * discovery-inferred type — cast it back if the writer's type
+    * matters). Missing partitions are skipped; an all-missing set
+    * returns an empty frame — with `emptySchema` when given (required
+    * when the table itself may hold zero partitions: parquet cannot
+    * recover a schema from an empty directory), otherwise with the
+    * live table's schema.
+    */
+  def readPartitions(spark: SparkSession, dir: String, table: String,
+      partitionCol: String, values: Seq[Any],
+      emptySchema: Option[StructType] = None): DataFrame = {
+    heal(spark, dir, table)
+    val base = path(dir, table)
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = values.map(v => new Path(s"$base/$partitionCol=$v")).filter(fs.exists)
+    if (dirs.nonEmpty) spark.read.option("basePath", base).parquet(dirs.map(_.toString): _*)
+    else emptySchema match {
+      case Some(s) => spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+      case None    => spark.read.parquet(base).limit(0)
+    }
+  }
+
+  /** Delete the named partitions' directories outright — the
+    * emptied-partition complement of [[overwritePartitions]], which by
+    * dynamic-overwrite semantics can only REPLACE partitions present in
+    * its input: a partition whose every row was deleted produces no
+    * output rows, so its stale files would otherwise survive the
+    * rewrite. Callers that shrink partitions (RTBF purges) drop the
+    * emptied ones explicitly.
+    */
+  def dropPartitions(spark: SparkSession, dir: String, table: String,
+      partitionCol: String, values: Seq[Any]): Unit = {
+    heal(spark, dir, table)
+    val base = path(dir, table)
+    val fs = new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    values.foreach(v => fs.delete(new Path(s"$base/$partitionCol=$v"), true))
+  }
+
+  /** All data-file paths currently under the live table directory
+    * (recursive; `_SUCCESS`/hidden files excluded) — the denominator
+    * for I/O-footprint assertions like "a pruned probe read fewer files
+    * than the table holds" (the merge5m `mor_base_files_*` pattern).
+    */
+  def listDataFiles(spark: SparkSession, dir: String, table: String): Seq[String] = {
+    heal(spark, dir, table)
+    val base = new Path(path(dir, table))
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    val it = fs.listFiles(base, true)
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (!p.getName.startsWith("_") && !p.getName.startsWith(".")) buf += p.toString
+    }
+    buf.toSeq
+  }
+
   /** Replace the table with `df` via a two-rename directory swap.
     *
     * Crash-safety scope: a crash during the WRITE (the long, dangerous
@@ -382,11 +456,25 @@ object Warehouse {
   object Txn {
 
     /** `lastBatch` is the newest streaming batch id committed into the
-      * group (−1 before any stamped commit / on pre-stamp roots) — the
-      * replay guard for [[graft.streaming.Streams.foldTxnBatch]].
-      * Recorded explicitly rather than derived from the txn counter, so
-      * an out-of-band commit (bootstrap re-run, ad-hoc fix-up) shifts
-      * the counter WITHOUT making live batches look like replays.
+      * group — the replay guard for
+      * [[graft.streaming.Streams.foldTxnBatch]]. Recorded explicitly
+      * rather than derived from the txn counter, so an out-of-band
+      * commit (bootstrap re-run, ad-hoc fix-up) shifts the counter
+      * WITHOUT making live batches look like replays.
+      *
+      * PRE-STAMP roots (no `batch=` in the line) are seeded from the
+      * convention those groups actually followed — bootstrap = txn 1,
+      * then one commit per consecutive 0-based batch, so
+      * `lastBatch = txn − 2` (the bootstrap-only root reads −1). That
+      * closes the one-batch migration window where a pre-stamp group's
+      * first crash replay was only idempotent over byte-identical
+      * content: the replayed batch id now compares ≤ the seeded stamp
+      * and skips even with modified content. The seed assumes the
+      * pre-stamp group took NO out-of-band commits (under the old
+      * convention an out-of-band commit corrupted the derived count
+      * either way — that ambiguity is why the stamp is explicit now);
+      * a group known to have taken one should be re-stamped with an
+      * explicit `batchId` commit before resuming the stream.
       */
     final case class Snapshot(txn: Long, gens: Map[String, Long], lastBatch: Long = -1L)
 
@@ -463,7 +551,10 @@ object Warehouse {
           val Array(t, g) = e.split(":", 2); t -> g.toLong
         }.toMap).getOrElse(Map.empty)
         Some(Snapshot(kv("txn").toLong, gens,
-          kv.get("batch").map(_.toLong).getOrElse(-1L)))
+          // pre-stamp root: seed from the old txn-counter convention
+          // (bootstrap = txn 1, one commit per 0-based batch) — see the
+          // Snapshot scaladoc for the migration-window rationale
+          kv.get("batch").map(_.toLong).getOrElse(kv("txn").toLong - 2)))
       }
     }
 

@@ -41,4 +41,32 @@ class BenchLogicSpec extends AnyFunSuite {
     val two = Map("q_alpha" -> 2.0, "q_gamma" -> 7.0)
     assert(Bench.regressionCandidates(two, prev, 1.0) == Seq("q_gamma", "q_alpha"))
   }
+
+  test("machine speedup (ratio < 1) never lowers the confirm bar") {
+    // round 10's exact failure: controls ran 36% faster (ratio 0.636),
+    // scaling the confirm bar to prev * 0.83 — queries that ran
+    // absolutely FASTER than their baseline were "confirmed" regressed.
+    // graph_components 3.785 -> solo 3.407 must NOT confirm:
+    assert(!Bench.confirmedRegression(soloT = 3.407, prevT = 3.785, controlRatio = 0.636))
+    // an unchanged query at exactly its old time: never confirmed
+    assert(!Bench.confirmedRegression(soloT = 3.785, prevT = 3.785, controlRatio = 0.636))
+    // a REAL 2x slowdown still confirms through the speedup
+    assert(Bench.confirmedRegression(soloT = 7.6, prevT = 3.785, controlRatio = 0.636))
+  }
+
+  test("machine slowdown (ratio > 1) still raises the confirm bar") {
+    // ambient 1.4x shift: solo at 1.4x old time is NOT a regression
+    assert(!Bench.confirmedRegression(soloT = 1.40, prevT = 1.00, controlRatio = 1.4))
+    // but a real 2x through the shift still confirms (2.8 > 1.3 * 1.4)
+    assert(Bench.confirmedRegression(soloT = 2.80, prevT = 1.00, controlRatio = 1.4))
+    // failed solo runs never confirm
+    assert(!Bench.confirmedRegression(soloT = -1.0, prevT = 1.00, controlRatio = 1.0))
+  }
+
+  test("the control set carries a multi-second query and a version stamp") {
+    // the v2 set pins graph_sssp so the ratio calibrates the regime the
+    // expensive iterative queries live in, not just scheduling floor
+    assert(Bench.controlQueries.contains("graph_sssp"))
+    assert(Bench.controlSetVersion == 2)
+  }
 }

@@ -75,7 +75,10 @@ class GoldenQueriesSpec extends AnyFunSuite with SparkTest {
     "q_grouping_sets" -> "98a4933d9c1495870521e961360b108a",
     "u5_table_diff" -> "d92c06c7d435a001bcfb2a40970fd6bf",
     "dq_constraints" -> "8e51da8526727a47c80ceacdb246dee0",
-    "ann_pq_topk" -> "6422d3e9d3b05fc3ffdbd20bf25bf865")
+    // re-based in round 11: pqTopK's codebook moved from raw seed
+    // slices to per-subspace Lloyd training (min-L2 encode) — the
+    // trained tier is the new default and the oracle replays it
+    "ann_pq_topk" -> "51fd70afe083bdfd5c8d394e7c1d301b")
 
   test("round-3 operator outputs hash-match their pinned golden values") {
     val got = pinnedR3.keys.toSeq.sorted.map { q =>

@@ -393,7 +393,11 @@ class MergeOnReadSpec extends AnyFunSuite with SparkTest {
       MergeOnRead.deltaMerge(s, dir, "t", Seq((1L, 0L)).toDF("k", "v"), spec, nowCol, 1L)
     }
     assert(e.getMessage.contains("releaseStaleClaims"))
-    assert(MergeOnRead.releaseStaleClaims(s, dir, "t") == 1)
+    // the claim is seconds old — it could belong to a LIVE peer, so the
+    // age guard refuses it without force (the Txn.releaseStaleClaims
+    // lost-commit guard, ported here)
+    assert(MergeOnRead.releaseStaleClaims(s, dir, "t") == 0)
+    assert(MergeOnRead.releaseStaleClaims(s, dir, "t", force = true) == 1)
     assert(MergeOnRead.deltaMerge(s, dir, "t", Seq((1L, 0L)).toDF("k", "v"), spec, nowCol, 1L))
     assert(MergeOnRead.readView(s, dir, "t").where(col("k") === 1L).head().getLong(1) == 0L)
   }
@@ -696,7 +700,7 @@ class MergeOnReadSpec extends AnyFunSuite with SparkTest {
     intercept[MergeOnRead.ConcurrentWriterException] {
       MergeOnRead.evolve(s, dir, "t", Seq("extra" -> "string"))
     }
-    MergeOnRead.releaseStaleClaims(s, dir, "t")
+    MergeOnRead.releaseStaleClaims(s, dir, "t", force = true)
   }
 
   test("bloom index under deletes: stale bits over-approximate safely, compaction refreshes the manifest") {

@@ -435,18 +435,28 @@ class MergeSuite extends AnyFunSuite with SparkTest {
   test("threeWayMerge rejects duplicate key images loudly, naming the side") {
     val s = spark; import s.implicits._
     import graft.operators.Merge
+    // the guard rides the merge plan (per-side key-count window +
+    // raise_error filter — no extra eager pass), so it fires at ACTION
+    // time wrapped in Spark's job failure; walk the cause chain for the
+    // raised message
+    def chainMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
     val base = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
     val dup = Seq((1L, 11L), (1L, 12L), (2L, 20L)).toDF("k", "v")
-    val e = intercept[IllegalArgumentException] {
-      Merge.threeWayMerge(base, dup, base, Seq("k"), Seq("v"))
+    val e = intercept[Exception] {
+      Merge.threeWayMerge(base, dup, base, Seq("k"), Seq("v")).collect()
     }
-    assert(e.getMessage.contains("ours") && e.getMessage.contains("duplicate"),
-      s"must name the offending side: ${e.getMessage}")
+    val m = chainMsg(e)
+    assert(m.contains("'ours'") && m.contains("duplicate"),
+      s"must name the offending side: $m")
     // duplicates in base reject too (they would fan out BOTH joins)
-    val e2 = intercept[IllegalArgumentException] {
-      Merge.threeWayMerge(dup, base, base, Seq("k"), Seq("v"))
+    val e2 = intercept[Exception] {
+      Merge.threeWayMerge(dup, base, base, Seq("k"), Seq("v")).collect()
     }
-    assert(e2.getMessage.contains("base"))
+    assert(chainMsg(e2).contains("'base'"))
+    // the key the guard trips on is named in the message
+    assert(m.contains("key=1"), s"offending key must be named: $m")
   }
 
   test("dpLaplaceRelease: deterministic per salt, clamping bounds the sum's sensitivity") {

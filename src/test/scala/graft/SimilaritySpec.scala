@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{avg, col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Similarity
@@ -187,7 +187,9 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     // re-append the survivors fresh — the canonical rebuild
     Similarity.buildIvfIndex(corpus, lit(true), dir, "b", numCentroids = 8)
     Similarity.deleteFromIvfIndex(s, dir, "b", corpus.select("vec_id"))
-    assert(graft.sources.Warehouse.read(s, dir, "b_cells").isEmpty)
+    // a purge-everything empties the partitioned table COMPLETELY —
+    // emptied cell= directories are dropped, not left as stale files
+    assert(graft.sources.Warehouse.listDataFiles(s, dir, "b_cells").isEmpty)
     Similarity.appendToIvfIndex(survivors, dir, "b")
     val cellsA = graft.sources.Warehouse.read(s, dir, "a_cells")
       .collect().map(_.toSeq).toSet
@@ -203,6 +205,97 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     Similarity.deleteFromIvfIndex(s, dir, "a", Seq(999999L).toDF("vec_id"))
     assert(graft.sources.Warehouse.read(s, dir, "a_cells")
       .collect().map(_.toSeq).toSet == cellsA)
+  }
+
+  test("recentroidCells: dirty-slice-only repair, clean partitions byte-identical, quality improves") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(59)
+    val dim = 12
+    // corpus with genuine cluster structure so Lloyd has something to
+    // converge onto: anchor +2.0 on dim (id % 6) over gaussian noise
+    val rows = (0 until 240).map { i =>
+      val v = Array.fill(dim)(0.4f * rnd.nextGaussian().toFloat)
+      v(i % 6) = v(i % 6) + 2.0f
+      (i.toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivf-rc").toString
+    val dirty = Seq(1L, 2L)
+    def fileBytes(table: String, pred: String => Boolean): Map[String, Seq[Byte]] =
+      graft.sources.Warehouse.listDataFiles(s, dir, table).filter(pred)
+        .map(f => f -> java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(new java.net.URI(f).getPath)).toSeq).toMap
+    def isClean(f: String): Boolean = !dirty.exists(c => f.contains(s"/cell=$c/"))
+    def members(table: String, cellPred: Long => Boolean): Set[Long] =
+      graft.sources.Warehouse.read(s, dir, s"${table}_cells")
+        .select(col("neighbor_id"), col("cell").cast("long"))
+        .collect().filter(r => cellPred(r.getLong(1))).map(_.getLong(0)).toSet
+    def dirtyAvgCos(table: String): Double =
+      Similarity.ivfIndexStats(s, dir, table)
+        .where(col("cell").isin(dirty: _*) && col("n_vectors") > 0)
+        .agg(avg(col("avg_cos_ppm"))).head().getDouble(0)
+    Similarity.buildIvfIndex(emb, lit(true), dir, "r", numCentroids = 8)
+    val cleanBefore = fileBytes("r_cells", isClean)
+    val cleanMembersBefore = members("r", c => !dirty.contains(c))
+    val dirtyMembersBefore = members("r", dirty.contains)
+    val cosBefore = dirtyAvgCos("r")
+    Similarity.recentroidCells(s, dir, "r", dirty, iters = 3)
+    // clean partitions byte-identical — the repair never rewrote them
+    assert(fileBytes("r_cells", isClean) == cleanBefore,
+      "clean cells' files must be byte-identical after the repair")
+    // membership conservation: no vector crossed the dirty/clean border
+    assert(members("r", c => !dirty.contains(c)) == cleanMembersBefore)
+    assert(members("r", dirty.contains) == dirtyMembersBefore)
+    // the repair's point: member→centroid cosine over the dirty slice
+    // must not degrade (and on this clustered fixture it improves)
+    val cosAfter = dirtyAvgCos("r")
+    assert(cosAfter >= cosBefore,
+      s"local re-Lloyd degraded the dirty slice: $cosBefore -> $cosAfter")
+    // deterministic: the same repair on a twin index lands identical
+    Similarity.buildIvfIndex(emb, lit(true), dir, "r2", numCentroids = 8)
+    Similarity.recentroidCells(s, dir, "r2", dirty, iters = 3)
+    def allRows(t: String): Set[Seq[Any]] =
+      graft.sources.Warehouse.read(s, dir, s"${t}_cells")
+        .select(col("neighbor_id"), col("c_vec"), col("c_norm"), col("cell").cast("long"))
+        .collect().map(_.toSeq).toSet
+    assert(allRows("r") == allRows("r2"))
+  }
+
+  test("indexed probe I/O is partition-pruned: only probed cell= files are read") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(43)
+    val dim = 12
+    val rows = (0 until 300).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivf-prune").toString
+    Similarity.buildIvfIndex(emb, col("vec_id") >= 10, dir, "p", numCentroids = 16)
+    // the cell table is laid out as cell= partition directories
+    val allFiles = graft.sources.Warehouse.listDataFiles(s, dir, "p_cells")
+    assert(allFiles.nonEmpty && allFiles.forall(_.contains("/cell=")),
+      "cell table must be partitioned by cell")
+    // a 2-query nProbe=1 probe touches at most 2 of the 16 cells; every
+    // cell-table file in the probe plan must lie under a probed cell=
+    // dir, and the probe must read strictly fewer files than exist
+    val res = Similarity.ivfTopKIndexed(
+      emb.filter(col("vec_id") < 2), dir, "p", k = 3, nProbe = 1)
+    val cellFilesRead = res.inputFiles.filter(_.contains("p_cells")).distinct
+    val probedDirs = cellFilesRead.map(f =>
+      f.substring(f.indexOf("cell="), f.indexOf('/', f.indexOf("cell=")))).distinct
+    assert(probedDirs.length <= 2,
+      s"nProbe=1 with 2 queries probed ${probedDirs.mkString(",")}")
+    assert(cellFilesRead.length < allFiles.size,
+      "pruned probe must not read the whole index")
+    // the report agrees and its loud require passes
+    val rep = Similarity.ivfProbeIoReport(
+      emb.filter(col("vec_id") < 2), dir, "p", nProbe = 1).collect().head
+    assert(rep.getLong(0) == 16L && rep.getLong(1) <= 2L && rep.getBoolean(2))
+    // results through the pruned path still equal the live index
+    val live = Similarity.ivfTopK(emb, col("vec_id") < 2, col("vec_id") >= 10, 3,
+      numCentroids = 16, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val got = res.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == live)
   }
 
   test("topEigenvector: converges to the planted dominant axis, partition-invariant") {
@@ -426,6 +519,12 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     val again = Similarity.pqTopK(emb, q, c, 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(again == pq)
+    // the Lloyd-trained codebook (the default) must never measure below
+    // the untrained seed-slice book it replaced, at equal m/codebookSize
+    val slice0 = Similarity.pqTopK(emb, q, c, 5, trainIters = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(recall >= (brute intersect slice0).size,
+      s"trained recall $recall < slice recall ${(brute intersect slice0).size}")
     // with the refine window covering the whole corpus, the exact
     // re-rank sees everything: PQ degrades to brute force exactly
     val full = Similarity.pqTopK(emb, q, c, 5, refine = 1000)

@@ -448,6 +448,38 @@ class StatsSpec extends AnyFunSuite with SparkTest {
     assert(rl.last._2, "a 30-point lift must reach significance within 20 days")
   }
 
+  test("loud preconditions: msprt arm labels, bootstrap integral metric, logRankTestK critical value") {
+    val s = spark; import s.implicits._
+    import java.sql.Date
+    // any arm labeling other than 'a'/'b' would silently pivot to
+    // n_a = n_b = 0 and a permanently insignificant p = 1 — must throw
+    val relabeled = Seq(("control", Date.valueOf("2024-01-01"), null: Date),
+      ("treatment", Date.valueOf("2024-01-01"), null: Date))
+      .toDF("arm", "join_d", "conv_d")
+    val e1 = intercept[IllegalArgumentException] {
+      Stats.msprtTwoProportion(relabeled, "arm", "join_d", "conv_d")
+    }
+    assert(e1.getMessage.contains("'a'/'b'"))
+    // a double metric would be floor-truncated by the exact-long sums —
+    // must throw, pointing at the integer-units contract
+    val dollars = Seq(("x", 1L, 9.99), ("x", 2L, 0.01)).toDF("g", "id", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      Stats.poissonBootstrapCi(dollars, "g", "id", "v")
+    }
+    assert(e2.getMessage.contains("integral"))
+    // dof 9 has no pinned critical value: throws without critValue,
+    // runs with one (and uses it for the significance flag)
+    val ten = (0L to 9L).flatMap(g => Seq((g, 2L, 1), (g, 5L, 0)))
+      .toDF("g", "t", "observed")
+    val e3 = intercept[IllegalArgumentException] {
+      Stats.logRankTestK(ten, "g", "t", "observed", numGroups = 10)
+    }
+    assert(e3.getMessage.contains("critValue"))
+    val ok = Stats.logRankTestK(ten, "g", "t", "observed", numGroups = 10,
+      critValue = Some(16.919)).collect()
+    assert(ok.length == 10 && ok.forall(_.getInt(5) == 9))
+  }
+
   test("logRankTestK: exact zero for mirrored cohorts; hand-computed 7.5 for one divergent cohort") {
     val s = spark; import s.implicits._
     // three identical cohorts: O_g == E_g at every time -> chi2 == 0.0
@@ -466,6 +498,47 @@ class StatsSpec extends AnyFunSuite with SparkTest {
     assert(math.abs(r1(2L)._2 - 5.0 / 3.0) < 1e-9)
     assert(math.abs(r1(0L)._3 - 7.5) < 1e-9, s"chi2: ${r1(0L)._3}")
     assert(r1(0L)._4, "7.5 on dof 2 must flag at 5%")
+  }
+
+  test("coxPhBinary: score-test identity with log-rank, independent bisection root, mirrored null") {
+    val s = spark; import s.implicits._
+    // no-ties fixture (every event time unique): cohort 1 dies early,
+    // cohort 0 late, some censoring — a real positive hazard ratio
+    val df = (Seq((1L, 1L, 1), (1L, 2L, 1), (1L, 4L, 1), (1L, 9L, 0),
+      (0L, 3L, 1), (0L, 6L, 1), (0L, 8L, 1), (0L, 10L, 0), (0L, 11L, 0)))
+      .toDF("g", "t", "observed")
+    val r = Stats.coxPhBinary(df, "g", "t", "observed").head()
+    val (nT, score0, info0, beta) =
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    // score-test identity: U(0) == log-rank's observed − expected; and
+    // with NO tied event times I(0) == the log-rank variance exactly
+    // ((n−d)/(n−1) == 1 when every d == 1)
+    val lr = Stats.logRankTest(df, "g", "t", "observed").head()
+    assert(nT == lr.getLong(0))
+    assert(math.abs(score0 - (lr.getLong(1).toDouble - lr.getDouble(2))) < 1e-12,
+      s"U(0)=$score0 must equal O−E=${lr.getLong(1) - lr.getDouble(2)}")
+    assert(math.abs(info0 - lr.getDouble(3)) < 1e-12,
+      s"I(0)=$info0 must equal the untied log-rank variance ${lr.getDouble(3)}")
+    // independent root: bisect U(β) = 0 from a from-scratch risk table
+    // (hand-built, no shared code) and compare the Newton solution
+    // risk sets by time: events at t ∈ {1,2,3,4,6,8}
+    val risk = Seq( // (t, n0, n1, d1)
+      (1L, 5L, 4L, 1L), (2L, 5L, 3L, 1L), (3L, 5L, 2L, 0L),
+      (4L, 4L, 2L, 1L), (6L, 4L, 1L, 0L), (8L, 3L, 1L, 0L))
+    def u(b: Double): Double = risk.map { case (_, n0, n1, d1) =>
+      d1.toDouble - n1 * math.exp(b) / (n0 + n1 * math.exp(b))
+    }.sum
+    var (lo, hi) = (-5.0, 5.0)
+    for (_ <- 0 until 60) { val mid = (lo + hi) / 2
+      if (u(mid) > 0) lo = mid else hi = mid }
+    val ref = (lo + hi) / 2
+    assert(math.abs(beta - ref) < 1e-8, s"Newton beta=$beta vs bisection $ref")
+    assert(r.getDouble(4) > 1.0, "cohort 1 dying earlier must read HR > 1")
+    // mirrored cohorts: beta exactly 0, HR exactly 1, insignificant
+    val same = (0L to 1L).flatMap(g => Seq((g, 2L, 1), (g, 5L, 1), (g, 7L, 0)))
+      .toDF("g", "t", "observed")
+    val r0 = Stats.coxPhBinary(same, "g", "t", "observed").head()
+    assert(r0.getDouble(3) == 0.0 && r0.getDouble(4) == 1.0 && !r0.getBoolean(7))
   }
 
   test("logRankTest: zero for mirrored cohorts, significant for a clean split") {

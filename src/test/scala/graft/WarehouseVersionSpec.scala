@@ -354,4 +354,38 @@ class WarehouseVersionSpec extends AnyFunSuite with SparkTest {
     assert(Warehouse.Txn.readAt(s, dir, "grp", snap, "rollup").head().getLong(1)
       == facts.toSeq.map(_._2).sum)
   }
+
+  test("pre-stamp root seeds lastBatch = txn - 2: the migration window's first replay skips on modified content") {
+    val s = spark; import s.implicits._
+    import graft.operators.MergeSpec
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("wh-txn-prestamp").toString
+    def roll(f: org.apache.spark.sql.DataFrame) =
+      f.agg(sum("v").as("total")).select(lit("all").as("g"), col("total"))
+    val spec = MergeSpec(Seq("k"), Seq("v"))
+    val ts = to_timestamp(lit("2024-06-01 00:00:00"))
+    // a pre-stamp group: bootstrap (txn 1), then batch 0 applied
+    // OLD-STYLE — merged content committed with no batch stamp (txn 2,
+    // root line carries no batch= key)
+    val f0 = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+    Warehouse.Txn.commit(s, dir, "grp", Map("facts" -> f0, "rollup" -> roll(f0)))
+    assert(Warehouse.Txn.snapshot(s, dir, "grp").get.lastBatch == -1L,
+      "a bootstrap-only pre-stamp root seeds -1 (txn 1 - 2)")
+    val m0 = Seq((1L, 11L), (2L, 20L)).toDF("k", "v")
+    Warehouse.Txn.commit(s, dir, "grp", Map("facts" -> m0, "rollup" -> roll(m0)))
+    assert(Warehouse.Txn.snapshot(s, dir, "grp").get.lastBatch == 0L,
+      "a pre-stamp root at txn 2 seeds lastBatch 0 (one batch applied)")
+    import graft.streaming.Streams
+    // the window that used to be open: a crash replay of batch 0 with
+    // MODIFIED content under the stamped sink — must skip via the seed
+    assert(!Streams.foldTxnBatch(Seq((1L, -99L)).toDF("k", "v"), 0L, dir, "grp", spec, ts, roll),
+      "a pre-stamp root's replayed batch must skip even with modified content")
+    // and the next live batch applies, stamping explicitly from then on
+    assert(Streams.foldTxnBatch(Seq((3L, 30L)).toDF("k", "v"), 1L, dir, "grp", spec, ts, roll))
+    val snap = Warehouse.Txn.snapshot(s, dir, "grp").get
+    assert(snap.lastBatch == 1L)
+    assert(Warehouse.Txn.readAt(s, dir, "grp", snap, "facts")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == Set((1L, 11L), (2L, 20L), (3L, 30L)))
+  }
 }

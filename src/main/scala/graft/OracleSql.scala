@@ -940,7 +940,8 @@ object OracleSql {
   def annIvfPqTopK(k: Int, numCentroids: Int, nProbe: Int,
       m: Int = 4, codebookSize: Int = 16, refine: Int = 50,
       dim: Int = 64, seed: Long = 42L,
-      trainIters: Int = 2, refineIters: Int = 1): String = {
+      trainIters: Int = 2, refineIters: Int = 1,
+      deletedWhere: String = "FALSE"): String = {
     require(dim % m == 0)
     val subDim = dim / m
     val Q = (1L << 24).toString
@@ -1018,9 +1019,12 @@ object OracleSql {
     val lloyd = if (refineIters == 0) "" else s"${lloydChain(refineIters, dim)}, "
     s"WITH ${ivfPrologue(numCentroids, dim, seed)}, $lloyd$ivfCtes, $pqPick, " +
       (if (trainIters > 0) s"$trainChain, " else "") + s"$perSub, " +
-      // codes carry their IVF cell so the probe join bounds the ADC scan
+      // codes carry their IVF cell so the probe join bounds the ADC
+      // scan; a deletedWhere restricts SERVING membership only — the
+      // artifacts (centroids + codebooks) stay trained on the full
+      // pre-delete corpus, exactly the frozen-artifact RTBF lifecycle
       s"codes AS (SELECT c0.vec_id, ca.cell, $codeCols FROM code0 c0 $codeJoin " +
-      "JOIN cellasg ca ON ca.vec_id = c0.vec_id), " +
+      s"JOIN cellasg ca ON ca.vec_id = c0.vec_id WHERE NOT ($deletedWhere)), " +
       s"adc AS (SELECT l0.vec_id AS query_id, cs.vec_id AS neighbor_id, $adcSum AS adc " +
       s"FROM codes cs JOIN probe pr ON pr.cell = cs.cell $lutJoins AND l0.vec_id = pr.query_id), " +
       "ref AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, " +

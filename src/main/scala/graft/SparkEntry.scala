@@ -1828,6 +1828,26 @@ object SparkEntry {
         peru.join(abArmsDf(s, d), "user_id"), "arm", "join_d", "conv_d",
         tau2 = 1e-4, alpha = 0.05)
     }),
+    "ml_conformal_coverage" -> ((s, d) => {
+      // split-conformal uncertainty band, end-to-end: a deterministic
+      // group-mean model (per-priority integer mean price, fit on the
+      // kk%4∈{0,1} train split), calibration residual quantile q̂ at
+      // α=10% on kk%4=2 (exact integer rank), and the marginal-coverage
+      // promise MEASURED on the held-out kk%4=3 test split — the
+      // distribution-free band a scoring pipeline wraps predictions in
+      // before acting on them
+      val o = rd(s, d, "orders").select(col("o_orderkey").as("kk"),
+        col("o_orderpriority").as("pr"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val tr = o.where(col("kk") % 4 <= 1).groupBy("pr")
+        .agg(expr("sum(cents) div count(1)").as("yhat"))
+      def withHat(slice: DataFrame): DataFrame =
+        slice.join(broadcast(tr), "pr").select(col("cents"), col("yhat"))
+      graft.operators.Stats.conformalCoverage(
+        withHat(o.where(col("kk") % 4 === 2)),
+        withHat(o.where(col("kk") % 4 === 3)),
+        "cents", "yhat", alphaPct = 10)
+    }),
     "ab_bootstrap_ci" -> ((s, d) => {
       // distribution-free per-arm revenue CI: 64 derandomized
       // Poisson-weight replicas of per-user purchase revenue (skewed —
@@ -1911,6 +1931,23 @@ object SparkEntry {
         when(col("t1") < col("gmax") - expr("INTERVAL 1 DAYS"), 1)
           .otherwise(0).as("observed"))
       graft.operators.Stats.kaplanMeier(subj, "g", "t", "observed")
+    }),
+    "events_rmst" -> ((s, d) => {
+      // restricted mean survival time at a 30-day horizon per cohort —
+      // "expected retained days out of the first 30", the KM-curve
+      // area that stays meaningful when medians don't exist and
+      // hazards aren't proportional; one lead() window + one sum over
+      // the same collapsed survival axis
+      val ev = rd(s, d, "events")
+      val per = ev.groupBy("user_id").agg(min("ts").as("t0"), max("ts").as("t1"))
+      val gm = per.agg(max(col("t1")).as("gmax"))
+      val subj = per.crossJoin(gm).select(
+        (col("user_id") % 4).as("g"),
+        datediff(col("t1"), col("t0")).cast("long").as("t"),
+        when(col("t1") < col("gmax") - expr("INTERVAL 1 DAYS"), 1)
+          .otherwise(0).as("observed"))
+      graft.operators.Stats.restrictedMeanSurvival(subj, "g", "t", "observed",
+        horizon = 30L)
     }),
     "events_km_ci" -> ((s, d) => {
       // the same curves with GREENWOOD 95% bands — Var = S² Σ d/(n(n−d))
@@ -2526,6 +2563,53 @@ object SparkEntry {
       Similarity.ivfPqTopK(rd(s, d, "embeddings"),
         col("vec_id") < 10, col("vec_id") >= 10, 5,
         numCentroids = 8, nProbe = 4)),
+    "ann_ivfpq_indexed" -> ((s, d) => {
+      // the SAME composed tier served from its PERSISTED form: codes
+      // table (m codes per vector, NO raw vectors, partitioned by
+      // cell), codebooks + centroids artifacts; the probe prunes to
+      // probed cell partitions and only the refine survivors fetch
+      // raw vectors from the corpus by id — the full billion-scale
+      // serving layout, row-identical to the in-plan tier (same
+      // oracle)
+      import graft.sources.Warehouse
+      val emb = rd(s, d, "embeddings")
+      val dir = new java.io.File(
+        "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      val tbl = s"ivfpq_v1_${contentEpoch(emb, "vec_id")}"
+      graft.operators.Memo.cached(s, s"ivfpq|$dir|$tbl") {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        if (!Warehouse.exists(s, dir, s"${tbl}_pqcodes"))
+          Similarity.buildIvfPqIndex(emb, col("vec_id") >= 10, dir, tbl,
+            numCentroids = 8)
+        java.lang.Boolean.TRUE
+      }
+      Similarity.ivfPqTopKIndexed(emb.where(col("vec_id") < 10), emb,
+        dir, tbl, k = 5, nProbe = 4)
+    }),
+    "ann_ivfpq_deleted" -> ((s, d) => {
+      // RIGHT-TO-BE-FORGOTTEN on the persisted IVF-PQ index: purge
+      // vec_id % 5 == 2's code rows (artifacts stay frozen — aggregate
+      // statistics, not per-vector data), probe through the purged
+      // index; the oracle rebuilds serving membership from the
+      // survivors under the same full-corpus-trained artifacts
+      import graft.sources.Warehouse
+      val emb = rd(s, d, "embeddings")
+      val dir = new java.io.File(
+        "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      val tbl = s"ivfpqdel_v1_${contentEpoch(emb, "vec_id")}"
+      graft.operators.Memo.cached(s, s"ivfpqdel|$dir|$tbl") {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        if (!Warehouse.exists(s, dir, s"${tbl}_pqcodes"))
+          Similarity.buildIvfPqIndex(emb, col("vec_id") >= 10, dir, tbl,
+            numCentroids = 8)
+        Similarity.deleteFromIvfPqIndex(s, dir, tbl,
+          emb.where(col("vec_id") >= 10 && col("vec_id") % 5 === 2)
+            .select("vec_id"))
+        java.lang.Boolean.TRUE
+      }
+      Similarity.ivfPqTopKIndexed(emb.where(col("vec_id") < 10), emb,
+        dir, tbl, k = 5, nProbe = 4)
+    }),
     "ann_ivf_refined_topk" -> ((s, d) =>
       // same index with 2 fixed-point Lloyd iterations moving the seeded
       // picks onto real cluster centers; the oracle replays the k-means
@@ -6757,6 +6841,11 @@ object SparkEntry {
       candWhere = "vec_id >= 10 AND label = 3"),
     "ann_pq_topk" -> OracleSql.annPqTopK(5),
     "ann_ivf_pq_topk" -> OracleSql.annIvfPqTopK(5, numCentroids = 8, nProbe = 4),
+    // the persisted form serves the identical result (frozen-artifact
+    // lifecycle) — the same full-pipeline replay is its oracle
+    "ann_ivfpq_indexed" -> OracleSql.annIvfPqTopK(5, numCentroids = 8, nProbe = 4),
+    "ann_ivfpq_deleted" -> OracleSql.annIvfPqTopK(5, numCentroids = 8, nProbe = 4,
+      deletedWhere = "c0.vec_id % 5 = 2"),
     "ann_ivf_refined_topk" ->
       OracleSql.annIvfRefinedTopK(5, numCentroids = 16, nProbe = 4, iters = 2),
     "ann_ivf_cell_stats" -> OracleSql.annIvfCellStats(numCentroids = 16),
@@ -7199,6 +7288,14 @@ object SparkEntry {
         "sum((CAST(n_obs AS DOUBLE) - expected) * (CAST(n_obs AS DOUBLE) - expected) / expected) AS chi2, " +
         "sum((CAST(n_obs AS DOUBLE) - expected) * (CAST(n_obs AS DOUBLE) - expected) / expected) > 3.841 AS srm_flag " +
         "FROM x"),
+    "ml_conformal_coverage" ->
+      graft.operators.Stats.conformalCoverageSql(
+        "b AS (SELECT o_orderkey AS kk, o_orderpriority AS pr, " +
+          "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+          "tr AS (SELECT pr, sum(cents) // count(*) AS yhat FROM b WHERE kk % 4 <= 1 GROUP BY 1), " +
+          "cal AS (SELECT b.cents AS y, tr.yhat FROM b JOIN tr ON tr.pr = b.pr WHERE b.kk % 4 = 2), " +
+          "tst AS (SELECT b.cents AS y, tr.yhat FROM b JOIN tr ON tr.pr = b.pr WHERE b.kk % 4 = 3)",
+        alphaPct = 10),
     "ab_bootstrap_ci" ->
       graft.operators.Stats.poissonBootstrapCiSql(
         "u AS (SELECT DISTINCT user_id FROM events), " +
@@ -7252,6 +7349,14 @@ object SparkEntry {
           "CAST(datediff('day', CAST(t0 AS DATE), CAST(t1 AS DATE)) AS BIGINT) AS t, " +
           "CASE WHEN t1 < gmax - INTERVAL 1 DAY THEN 1 ELSE 0 END AS observed " +
           "FROM p CROSS JOIN gm)"),
+    "events_rmst" ->
+      graft.operators.Stats.restrictedMeanSurvivalSql(
+        "p AS (SELECT user_id, min(ts) AS t0, max(ts) AS t1 FROM events GROUP BY 1), " +
+          "gm AS (SELECT max(t1) AS gmax FROM p), " +
+          "subjects AS (SELECT user_id % 4 AS g, " +
+          "CAST(datediff('day', CAST(t0 AS DATE), CAST(t1 AS DATE)) AS BIGINT) AS t, " +
+          "CASE WHEN t1 < gmax - INTERVAL 1 DAY THEN 1 ELSE 0 END AS observed " +
+          "FROM p CROSS JOIN gm)", horizon = 30L),
     "events_km_ci" ->
       graft.operators.Stats.kaplanMeierGreenwoodSql(
         "p AS (SELECT user_id, min(ts) AS t0, max(ts) AS t1 FROM events GROUP BY 1), " +

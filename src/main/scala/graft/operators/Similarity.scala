@@ -1370,6 +1370,31 @@ object Similarity {
       idCol: String = "vec_id"): DataFrame = {
     require(nProbe >= 1 && nProbe <= numCentroids)
     val n = Caches.persisted(withNorm(emb, vecCol, idCol))
+    val (centroids, cb, codes) = ivfPqArtifacts(emb, n, candPred,
+      numCentroids, m, codebookSize, seed, trainIters, refineIters, vecCol, idCol)
+    ivfPqProbe(n.where(queryPred), codes, centroids, cb,
+      k, nProbe, refine, vecCol, idCol)
+  }
+
+  /** The IVF-PQ index ARTIFACTS — Lloyd-refined coarse centroids,
+    * trained residual codebooks, and the encoded candidate table
+    * (neighbor_id, c_vec, c_norm, cell, code_0..m−1) — shared by the
+    * in-plan tier ([[ivfPqTopK]]) and the persisted index
+    * ([[buildIvfPqIndex]]), so the two can never encode differently.
+    * `n` must be [[withNorm]] over the same `emb`.
+    */
+  private def ivfPqArtifacts(
+      emb: DataFrame,
+      n: DataFrame,
+      candPred: Column,
+      numCentroids: Int,
+      m: Int,
+      codebookSize: Int,
+      seed: Long,
+      trainIters: Int,
+      refineIters: Int,
+      vecCol: String,
+      idCol: String): (Array[Array[Float]], Array[Array[Array[Float]]], DataFrame) = {
     val c0 = n.where(candPred)
     // Lloyd-refined coarse centroids (same deterministic fixed-point
     // machinery as ivfTopK's refineIters; lloydChain is the replay):
@@ -1382,25 +1407,8 @@ object Similarity {
       refineIters, vecCol)
     val cells = assignCells(c0, centroids, vecCol, idCol)
 
-    // residual encoding (the FAISS IVF-PQ form): every vector is coded
-    // as (UNIT vector − its unit cell centroid), so (a) the codebook's
-    // entries spend their entire budget on intra-cell variance instead
-    // of re-describing cell means, and (b) the ADC estimate
-    // dot(q, centroid + residual̂) ≈ dot(q, v/‖v‖) is proportional to
-    // the COSINE the final ranking uses — the raw-vector ADC ranked by
-    // unnormalized dot, a metric mismatch that cost recall whenever
-    // norms varied. All float arithmetic (normalize = double divide
-    // cast back to float32, subtract in float32) is textually mirrored
-    // in the oracle, so the replay stays bit-exact.
-    val centLit = typedLit(centroids.map(_.toSeq).toSeq)
-    def cvecOf(cell: Column): Column = element_at(centLit, cell.cast("int"))
-    def unitOf(vec: Column, nrm: Column): Column =
-      transform(vec, x => (x.cast("double") / nrm).cast("float"))
-
     // the residual table — every training pass and the encoder read it
-    val withRes = Caches.persisted(cells.withColumn("__res",
-      zip_with(unitOf(col("c_vec"), col("c_norm")), cvecOf(col("cell")),
-        (a, b) => a - b)))
+    val withRes = Caches.persisted(residualsOf(cells, centroids))
 
     // trained codebooks, memoized per (candidate plan, centroids,
     // params): the seed collect + trainIters training collects run
@@ -1437,43 +1445,85 @@ object Similarity {
           seedPicks(cI).slice(s * subDim0, (s + 1) * subDim0)),
         trainIters)
     }
+    (centroids, cb, pqCodesOf(withRes, cb))
+  }
+
+  /** The unit-vector RESIDUAL table of cell-assigned candidates — the
+    * FAISS IVF-PQ form: every vector coded as (UNIT vector − its unit
+    * cell centroid), so (a) the codebook's entries spend their entire
+    * budget on intra-cell variance instead of re-describing cell
+    * means, and (b) the ADC estimate dot(q, centroid + residual̂) ≈
+    * dot(q, v/‖v‖) is proportional to the COSINE the final ranking
+    * uses. All float arithmetic (normalize = double divide cast back
+    * to float32, subtract in float32) is textually mirrored in the
+    * oracle, so the replay stays bit-exact. Shared by the index build
+    * and the frozen-artifact delta append so the two can never encode
+    * differently.
+    */
+  private def residualsOf(cells: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
+    val centLit = typedLit(centroids.map(_.toSeq).toSeq)
+    cells.withColumn("__res",
+      zip_with(
+        transform(col("c_vec"), x => (x.cast("double") / col("c_norm")).cast("float")),
+        element_at(centLit, col("cell").cast("int")),
+        (a, b) => a - b))
+  }
+
+  /** MIN-L2 PQ codes of a residual table against trained codebooks
+    * (argmin ‖r − entry‖² = argmax of dot − ‖entry‖²/2 — residuals are
+    * zero-centered, so a raw-dot argmax ignores magnitude and
+    * quantizes them badly): (neighbor_id, c_vec, c_norm, cell,
+    * code_0..m−1).
+    */
+  private def pqCodesOf(withRes: DataFrame,
+      cb: Array[Array[Array[Float]]]): DataFrame = {
+    val m = cb.length
     val subDim = cb(0)(0).length
     def sl(c: Column, s: Int): Column = slice(c, s * subDim + 1, subDim)
-
-    // code assignment is MIN-L2 (argmin ‖r − pick‖² = argmax of
-    // dot(r, pick) − ‖pick‖²/2): residuals are zero-centered, so a
-    // raw-dot argmax ignores magnitude and quantizes them badly
-    def l2Adjusted(mat: Array[Array[Array[Float]]], v: Column, s: Int): Column =
+    def l2Adjusted(v: Column, s: Int): Column =
       zip_with(
-        vec_mat_dots(sl(v, s), mat(s), lit(1.0)),
-        lit(mat(s).map(halfNormOf)),
+        vec_mat_dots(sl(v, s), cb(s), lit(1.0)),
+        lit(cb(s).map(halfNormOf)),
         (d, h) => d - h)
-
-    def subDots(v: Column, s: Int): Column =
-      vec_mat_dots(sl(v, s), cb(s), lit(1.0))
-
-    // encode the cell-assigned candidates' unit-vector residuals
-    // against the trained codebooks (cell rides along with the codes)
     val withDots = withRes.select(
       col("neighbor_id") +: col("c_vec") +: col("c_norm") +: col("cell") +:
-        (0 until m).map(s => l2Adjusted(cb, col("__res"), s).as(s"__d$s")): _*)
-    val codes = withDots.select(
+        (0 until m).map(s => l2Adjusted(col("__res"), s).as(s"__d$s")): _*)
+    withDots.select(
       col("neighbor_id") +: col("c_vec") +: col("c_norm") +: col("cell") +:
         (0 until m).map(s =>
           array_position(col(s"__d$s"), array_max(col(s"__d$s"))).as(s"code_$s")): _*)
+  }
 
+  /** The IVF-PQ probe over an encoded candidate table
+    * (neighbor_id, c_vec, c_norm, cell, code_*): per-query residual
+    * LUTs + coarse term, ADC ranking restricted to probed cells, exact
+    * cosine re-rank of the `refine` survivors. `q0` must carry
+    * [[withNorm]]'s `norm`.
+    */
+  private def ivfPqProbe(
+      q0: DataFrame,
+      codes: DataFrame,
+      centroids: Array[Array[Float]],
+      cb: Array[Array[Array[Float]]],
+      k: Int,
+      nProbe: Int,
+      refine: Int,
+      vecCol: String,
+      idCol: String): DataFrame = {
+    val m = cb.length
+    val subDim = cb(0)(0).length
+    def sl(c: Column, s: Int): Column = slice(c, s * subDim + 1, subDim)
+    def subDots(v: Column, s: Int): Column =
+      vec_mat_dots(sl(v, s), cb(s), lit(1.0))
+    val centLit = typedLit(centroids.map(_.toSeq).toSeq)
+    def cvecOf(cell: Column): Column = element_at(centLit, cell.cast("int"))
     // queries: nProbe nearest cells (ivfTopK's probe) + residual LUTs.
     // The LUT dots the RAW query against each residual codebook entry;
     // the coarse term dot(q, cell centroid) is added per probed cell so
     // the ADC approximates dot(q, centroid + residual̂) = dot(q, v̂)
     // comparably ACROSS cells.
-    val cellIds = lit(centroids.indices.map(i => (i + 1).toLong).toArray)
-    val probeCells = slice(
-      array_sort(zip_with(
-        vec_mat_dots(col(vecCol), centroids, col("norm")), cellIds,
-        (d, c) => struct(d.unary_-.as("neg"), c.as("cell")))),
-      1, nProbe)
-    val q = n.where(queryPred).select(
+    val probeCells = probeCellsExpr(centroids, nProbe, vecCol)
+    val q = q0.select(
       col(idCol).as("query_id") +: col(vecCol).as("q_vec") +: col("norm").as("q_norm") +:
         explode(probeCells).as("probe") +:
         (0 until m).map(s => subDots(col(vecCol), s).as(s"__lut$s")): _*)
@@ -1493,6 +1543,208 @@ object Similarity {
 
     val wExact = Window.partitionBy("query_id").orderBy(col("__cos").desc, col("neighbor_id"))
     refined
+      .withColumn("__cos",
+        vec_dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rnk", row_number().over(wExact).cast("int"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "rnk")
+  }
+
+  /** Build and persist the COMPOSED production index (IVF-PQ) for an
+    * immutable corpus snapshot — the full billion-scale serving layout
+    * on disk:
+    *
+    *   - `<table>_centroids` — Lloyd-refined unit coarse centroids
+    *     (tiny);
+    *   - `<table>_codebooks` — the trained per-subspace residual
+    *     codebooks, (s, cidx, entry) rows (m·codebookSize — tiny);
+    *   - `<table>_pqcodes` — ONE ROW PER VECTOR holding only
+    *     (neighbor_id, cell, code_0..m−1), PARTITIONED BY `cell`: m
+    *     byte-ish codes instead of 4·dim floats is the 32× memory/scan
+    *     cut, and the cell partitioning bounds a probe's file I/O to
+    *     its probed cells exactly like the flat IVF index.
+    *
+    * Raw vectors are deliberately NOT stored in the index — the exact
+    * re-rank joins the `refine` survivors back to the corpus by id
+    * ([[ivfPqTopKIndexed]]), which is the real architecture: the index
+    * is the small artifact, the corpus stays where it lives. Artifacts
+    * come from [[ivfPqArtifacts]] — the same centroids, codebooks and
+    * min-L2 codes as the in-plan [[ivfPqTopK]], so the persisted probe
+    * is spec-pinned row-identical to the in-plan tier.
+    */
+  def buildIvfPqIndex(
+      emb: DataFrame,
+      candPred: Column,
+      dir: String,
+      table: String,
+      numCentroids: Int = 8,
+      m: Int = 4,
+      codebookSize: Int = 16,
+      seed: Long = 42L,
+      trainIters: Int = 2,
+      refineIters: Int = 1,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): Unit = {
+    val spark = emb.sparkSession
+    val n = Caches.persisted(withNorm(emb, vecCol, idCol))
+    val (centroids, cb, codes) = ivfPqArtifacts(emb, n, candPred,
+      numCentroids, m, codebookSize, seed, trainIters, refineIters, vecCol, idCol)
+    val centDf = spark.createDataFrame(
+      centroids.toSeq.zipWithIndex.map { case (v, i) => (i + 1L, v.toSeq) })
+      .toDF("cell", "centroid")
+    graft.sources.Warehouse.overwrite(centDf, dir, s"${table}_centroids")
+    val cbDf = spark.createDataFrame(
+      for (s <- 0 until cb.length; cI <- cb(s).indices)
+        yield (s, cI + 1L, cb(s)(cI).toSeq))
+      .toDF("s", "cidx", "entry")
+    graft.sources.Warehouse.overwrite(cbDf, dir, s"${table}_codebooks")
+    graft.sources.Warehouse.overwriteLayout(
+      codes.drop("c_vec", "c_norm").repartition(col("cell")),
+      dir, s"${table}_pqcodes", "cell")
+  }
+
+  /** The stored per-subspace codebooks, collected to the driver
+    * (m·codebookSize·subDim floats — tiny). */
+  private def readCodebooks(spark: SparkSession, dir: String,
+      table: String): Array[Array[Array[Float]]] = {
+    val rows = graft.sources.Warehouse.read(spark, dir, s"${table}_codebooks")
+      .orderBy("s", "cidx").collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    (0 until m).toArray.map(s => rows.filter(_.getInt(0) == s)
+      .sortBy(_.getLong(1)).map(_.getSeq[Float](2).toArray))
+  }
+
+  /** Incremental maintenance for the persisted IVF-PQ index: encode a
+    * DELTA of new vectors under the FROZEN artifacts (stored centroids
+    * + stored codebooks — the same frozen-artifact lifecycle as
+    * [[appendToIvfIndex]], extended to the codebooks) and append their
+    * code rows to the touched cells' partitions only. Replay-safe: a
+    * delta id already indexed no-ops (frozen centroids re-assign it to
+    * the same cell, so the anti-join needs only the touched
+    * partitions). Ingest cost is O(delta·(numCentroids +
+    * m·codebookSize)) encode work; the historical code table is never
+    * rescanned. Codebook drift follows the centroid-drift lifecycle:
+    * monitor recall vs the brute tier, retrain when it degrades.
+    */
+  def appendToIvfPqIndex(
+      delta: DataFrame,
+      dir: String,
+      table: String,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): Unit = {
+    val spark = delta.sparkSession
+    val centroids = readCentroids(spark, dir, table)
+    val cb = readCodebooks(spark, dir, table)
+    val assigned = pqCodesOf(
+      residualsOf(assignCells(withNorm(delta, vecCol, idCol), centroids, vecCol, idCol),
+        centroids), cb)
+      .drop("c_vec", "c_norm", "__res")
+    val touched = assigned.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq // bounded by numCentroids
+    if (touched.nonEmpty) {
+      val slice = graft.sources.Warehouse.readPartitions(
+        spark, dir, s"${table}_pqcodes", "cell", touched)
+        .withColumn("cell", col("cell").cast("long"))
+      val fresh = assigned.join(slice.select("neighbor_id"), Seq("neighbor_id"), "left_anti")
+      graft.sources.Warehouse.overwritePartitions(
+        slice.unionByName(fresh).repartition(col("cell")),
+        dir, s"${table}_pqcodes", "cell")
+    }
+  }
+
+  /** RIGHT-TO-BE-FORGOTTEN for the persisted IVF-PQ index: remove the
+    * deleted vectors' code rows so no probe can ever return a deleted
+    * id. Centroids and codebooks stay frozen — aggregate statistics of
+    * the corpus distribution, not retrievable per-vector data — so the
+    * purged index equals the index that never ingested the victims
+    * under the same artifacts (spec-pinned: no deleted id surfaces even
+    * at full probe, surviving rows byte-unchanged). I/O mirrors
+    * [[deleteFromIvfIndex]]: one column-pruned locate scan, rewrite of
+    * only the touched partitions, emptied ones dropped.
+    */
+  def deleteFromIvfPqIndex(
+      spark: SparkSession,
+      dir: String,
+      table: String,
+      deletedIds: DataFrame,
+      idCol: String = "vec_id"): Unit = {
+    val del = deletedIds.select(col(idCol).as("neighbor_id")).distinct()
+    val all = graft.sources.Warehouse.read(spark, dir, s"${table}_pqcodes")
+      .withColumn("cell", col("cell").cast("long"))
+    val touched = all.join(del, Seq("neighbor_id"), "left_semi")
+      .select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    if (touched.nonEmpty) {
+      val survivors = graft.sources.Warehouse.readPartitions(
+        spark, dir, s"${table}_pqcodes", "cell", touched)
+        .withColumn("cell", col("cell").cast("long"))
+        .join(del, Seq("neighbor_id"), "left_anti")
+      val surviving = survivors.select("cell").distinct()
+        .collect().map(_.getLong(0)).toSet
+      if (surviving.nonEmpty)
+        graft.sources.Warehouse.overwritePartitions(
+          survivors.repartition(col("cell")), dir, s"${table}_pqcodes", "cell")
+      graft.sources.Warehouse.dropPartitions(spark, dir, s"${table}_pqcodes", "cell",
+        touched.filterNot(surviving))
+    }
+  }
+
+  /** Probe a persisted IVF-PQ index ([[buildIvfPqIndex]]): centroids
+    * and codebooks load onto the driver (tiny), the probed cell set
+    * prunes the code table to its probed partitions (file-level, the
+    * [[ivfTopKIndexed]] discipline), the ADC ranks codes without
+    * touching any raw vector, and ONLY the `refine` survivors join
+    * back to `corpus` by id for the exact cosine re-rank —
+    * |Q|·refine raw-vector fetches against a 100 TB corpus, everything
+    * else reads m codes per candidate from the probed partitions.
+    * Row-identical to the in-plan [[ivfPqTopK]] at equal parameters
+    * (spec-pinned; the gate's oracle replays the whole pipeline).
+    */
+  def ivfPqTopKIndexed(
+      queries: DataFrame,
+      corpus: DataFrame,
+      dir: String,
+      table: String,
+      k: Int,
+      nProbe: Int,
+      refine: Int = 50,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = readCentroids(spark, dir, table)
+    val cb = readCodebooks(spark, dir, table)
+    val m = cb.length
+    val subDim = cb(0)(0).length
+    def sl(c: Column, s: Int): Column = slice(c, s * subDim + 1, subDim)
+    def subDots(v: Column, s: Int): Column =
+      vec_mat_dots(sl(v, s), cb(s), lit(1.0))
+    val centLit = typedLit(centroids.map(_.toSeq).toSeq)
+    val q0 = withNorm(queries, vecCol, idCol)
+    val probed = probedCellSet(q0, centroids, nProbe, vecCol)
+    val codes = graft.sources.Warehouse.readPartitions(
+      spark, dir, s"${table}_pqcodes", "cell", probed)
+      .withColumn("cell", col("cell").cast("long"))
+    val q = q0.select(
+      col(idCol).as("query_id") +: col(vecCol).as("q_vec") +: col("norm").as("q_norm") +:
+        explode(probeCellsExpr(centroids, nProbe, vecCol)).as("probe") +:
+        (0 until m).map(s => subDots(col(vecCol), s).as(s"__lut$s")): _*)
+      .withColumn("cell", col("probe.cell")).drop("probe")
+      .withColumn("__coarse",
+        vec_dot(col("q_vec"), element_at(centLit, col("cell").cast("int"))))
+    val adc = (0 until m)
+      .map(s => element_at(col(s"__lut$s"), col(s"code_$s").cast("int")))
+      .foldLeft(col("__coarse"))(_ + _)
+    val wAdc = Window.partitionBy("query_id").orderBy(col("__adc").desc, col("neighbor_id"))
+    val refined = q.join(codes, "cell")
+      .withColumn("__adc", adc)
+      .withColumn("__rn", row_number().over(wAdc))
+      .filter(col("__rn") <= refine)
+    // exact re-rank: fetch ONLY the survivors' raw vectors by id
+    val cand = withNorm(corpus, vecCol, idCol).select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("norm").as("c_norm"))
+    val wExact = Window.partitionBy("query_id").orderBy(col("__cos").desc, col("neighbor_id"))
+    refined.select("query_id", "q_vec", "q_norm", "neighbor_id")
+      .join(cand, "neighbor_id")
       .withColumn("__cos",
         vec_dot(col("q_vec"), col("c_vec")) / (col("q_norm") * col("c_norm")))
       .withColumn("rnk", row_number().over(wExact).cast("int"))

@@ -1261,6 +1261,135 @@ object Stats {
         col("d").as("n_events"), col("survival"))
   }
 
+  /** SPLIT-CONFORMAL PREDICTION — the distribution-free uncertainty
+    * band every model-scoring pipeline needs before acting on
+    * predictions: given a CALIBRATION slice of (actual, predicted)
+    * pairs the model never trained on, q̂ is the
+    * ⌈(n_cal+1)(1−α)⌉-th smallest absolute residual, and
+    * [ŷ − q̂, ŷ + q̂] covers a fresh exchangeable point with
+    * probability ≥ 1−α — no assumption on the model or the error
+    * distribution. The report measures that promise on a held-out TEST
+    * slice: (alpha_pct, n_cal, n_test, q_hat, n_covered, coverage_ppm,
+    * target_ppm).
+    *
+    * Exact-integer discipline: actual and predicted must be integral
+    * (counts, cents — the [[poissonBootstrapCi]] contract), so q̂ is an
+    * exact long picked by integer rank and both engines replay the
+    * whole report bit-for-bit.
+    *
+    * Scale shape: residuals collapse to a (value, count) table in one
+    * combinable aggregate; the rank walk is one ordered window over
+    * the COLLAPSED value axis (≤ distinct residual magnitudes — the
+    * quantile-by-rank pattern); coverage is one more combinable
+    * aggregate over the test slice with q̂ broadcast. The only
+    * driver-side value is n_cal (one count), needed to fail loudly
+    * when the calibration set is too small for the requested α.
+    */
+  def conformalCoverage(cal: DataFrame, test: DataFrame,
+      yCol: String, yhatCol: String, alphaPct: Int = 10): DataFrame = {
+    require(alphaPct >= 1 && alphaPct <= 50, "alphaPct in [1, 50]")
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    for (df <- Seq(cal, test); c <- Seq(yCol, yhatCol))
+      require(integral.contains(df.schema(c).dataType),
+        s"conformalCoverage: $c must be integral (got ${df.schema(c).dataType.simpleString})")
+    val nCal = cal.count()
+    val k = ((nCal + 1L) * (100L - alphaPct) + 99L) / 100L // ceil((n+1)(1-α))
+    require(k <= nCal,
+      s"conformalCoverage: calibration set too small — rank $k of $nCal at alpha=$alphaPct%")
+    val r = abs(col(yCol).cast("long") - col(yhatCol).cast("long"))
+    val byVal = cal.select(r.as("__r")).groupBy("__r").agg(count(lit(1)).as("__c"))
+    val w = Window.orderBy(col("__r"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val qhat = byVal.withColumn("__cum", sum(col("__c")).over(w))
+      .where(col("__cum") >= k)
+      .agg(min(col("__r")).as("q_hat"))
+    test.select(r.as("__rt")).crossJoin(broadcast(qhat))
+      .groupBy("q_hat")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("__rt") <= col("q_hat"), 1L).otherwise(0L)).as("n_covered"))
+      .select(lit(alphaPct).as("alpha_pct"), lit(nCal).as("n_cal"),
+        col("n_test"), col("q_hat"), col("n_covered"),
+        expr("n_covered * 1000000L div n_test").as("coverage_ppm"),
+        lit((100L - alphaPct) * 10000L).as("target_ppm"))
+  }
+
+  /** DuckDB replay of [[conformalCoverage]] over CTEs `cal` and `tst`,
+    * each with integral columns (y, yhat). */
+  def conformalCoverageSql(ctes: String, alphaPct: Int = 10): String =
+    s"WITH $ctes, " +
+      "calr AS (SELECT abs(CAST(y AS BIGINT) - CAST(yhat AS BIGINT)) AS r FROM cal), " +
+      "nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM calr), " +
+      s"kk AS (SELECT ((n + 1) * ${100L - alphaPct} + 99) // 100 AS k FROM nc), " +
+      "bv AS (SELECT r, CAST(count(*) AS BIGINT) AS c FROM calr GROUP BY 1), " +
+      "cm AS (SELECT r, sum(c) OVER (ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM bv), " +
+      "q AS (SELECT CAST(min(r) AS BIGINT) AS q_hat FROM cm CROSS JOIN kk WHERE cum >= kk.k), " +
+      "ter AS (SELECT abs(CAST(y AS BIGINT) - CAST(yhat AS BIGINT)) AS rt FROM tst) " +
+      s"SELECT CAST($alphaPct AS INT) AS alpha_pct, " +
+      "(SELECT n FROM nc) AS n_cal, CAST(count(*) AS BIGINT) AS n_test, " +
+      "(SELECT q_hat FROM q) AS q_hat, " +
+      "CAST(sum(CASE WHEN rt <= (SELECT q_hat FROM q) THEN 1 ELSE 0 END) AS BIGINT) AS n_covered, " +
+      "CAST(sum(CASE WHEN rt <= (SELECT q_hat FROM q) THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS coverage_ppm, " +
+      s"CAST(${(100L - alphaPct) * 10000L} AS BIGINT) AS target_ppm FROM ter"
+
+  /** RESTRICTED MEAN SURVIVAL TIME — the area under the Kaplan–Meier
+    * curve up to `horizon` τ, per cohort: "expected days retained out
+    * of the first τ", the survival effect measure that stays defined
+    * when medians don't exist and hazards aren't proportional (the
+    * readout regulators ask for when the Cox PH assumption is in
+    * doubt). The step integral over the collapsed KM table:
+    *
+    *   RMST = min(t₁, τ)·1  +  Σ_{tᵢ ≤ τ} S(tᵢ)·(min(tᵢ₊₁, τ) − tᵢ)
+    *
+    * with tᵢ the event times and S the [[kaplanMeier]] survival. A
+    * cohort whose first event lies past τ reads exactly τ (no one
+    * churned inside the window).
+    *
+    * Scale shape: everything after [[kaplanMeier]]'s one combinable
+    * aggregate is a lead() window plus one per-group sum over the
+    * collapsed (group, event time) axis — ≤ groups × distinct
+    * durations rows, the same calendar-bounded argument as the rest of
+    * the survival family. Output: one row per cohort
+    * (g, horizon, n_times, rmst).
+    */
+  def restrictedMeanSurvival(df: DataFrame, groupCol: String,
+      durationCol: String, observedCol: String, horizon: Long): DataFrame = {
+    require(horizon > 0, "restrictedMeanSurvival: horizon must be positive")
+    val km = kaplanMeier(df, groupCol, durationCol, observedCol)
+    val byT = Window.partitionBy(col(groupCol)).orderBy(col("t"))
+    val seg = km.withColumn("__tn", lead(col("t"), 1).over(byT))
+    val head = km.groupBy(col(groupCol)).agg(
+      least(min(col("t")).cast("double"), lit(horizon.toDouble)).as("__head"))
+    val body = seg.where(col("t") <= horizon)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_times"),
+        sum(col("survival") *
+          (least(coalesce(col("__tn"), lit(horizon)), lit(horizon)).cast("double") -
+            col("t").cast("double"))).as("__body"))
+    head.join(body, Seq(groupCol), "left")
+      .select(col(groupCol), lit(horizon).as("horizon"),
+        coalesce(col("n_times"), lit(0L)).as("n_times"),
+        (col("__head") + coalesce(col("__body"), lit(0.0))).as("rmst"))
+  }
+
+  /** DuckDB replay of [[restrictedMeanSurvival]] over a subjects CTE
+    * named `subjects` with columns (g, t, observed) — the
+    * [[kaplanMeierSql]] chain as a nested CTE, then the same lead()
+    * segments and head term.
+    */
+  def restrictedMeanSurvivalSql(subjectsCte: String, horizon: Long): String =
+    s"WITH km AS (${kaplanMeierSql(subjectsCte)}), " +
+      "sg AS (SELECT g, t, survival, lead(t) OVER (PARTITION BY g ORDER BY t) AS tn FROM km), " +
+      s"hd AS (SELECT g, LEAST(CAST(min(t) AS DOUBLE), $horizon.0) AS head FROM km GROUP BY 1), " +
+      s"bd AS (SELECT g, CAST(count(*) AS BIGINT) AS n_times, " +
+      s"sum(survival * (CAST(LEAST(coalesce(tn, $horizon), $horizon) AS DOUBLE) - CAST(t AS DOUBLE))) AS body " +
+      s"FROM sg WHERE t <= $horizon GROUP BY 1) " +
+      s"SELECT hd.g, CAST($horizon AS BIGINT) AS horizon, " +
+      "CAST(coalesce(bd.n_times, 0) AS BIGINT) AS n_times, " +
+      "hd.head + coalesce(bd.body, 0.0) AS rmst " +
+      "FROM hd LEFT JOIN bd USING (g)"
+
   /** [[kaplanMeier]] with GREENWOOD 95% confidence intervals — what a
     * real survival readout needs next to the curve (is the week-4
     * retention difference between cohorts outside each other's bands,

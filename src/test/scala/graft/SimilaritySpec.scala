@@ -207,6 +207,74 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
       .collect().map(_.toSeq).toSet == cellsA)
   }
 
+  test("persisted IVF-PQ index: row-identical to the in-plan tier; codes table stores no raw vectors") {
+    val s = spark
+    val emb = graft.sources.Tables.table(s, "/root/testdata/sf0.01", "embeddings")
+    val q = col("vec_id") < 10
+    val c = col("vec_id") >= 10
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-index").toString
+    Similarity.buildIvfPqIndex(emb, c, dir, "px", numCentroids = 8)
+    // the index stores ONLY (neighbor_id, cell, code_*) — the 32×
+    // compression claim: no raw vectors, no norms
+    val codeCols = graft.sources.Warehouse.read(s, dir, "px_pqcodes").columns.toSet
+    assert(!codeCols.contains("c_vec") && !codeCols.contains("c_norm"), codeCols.toString)
+    assert(graft.sources.Warehouse.listDataFiles(s, dir, "px_pqcodes")
+      .forall(_.contains("/cell=")), "code table must be cell-partitioned")
+    // served results are row-identical to the in-plan composed tier
+    val fromIndex = Similarity.ivfPqTopKIndexed(emb.filter(q), emb, dir, "px",
+      k = 5, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val inPlan = Similarity.ivfPqTopK(emb, q, c, 5, numCentroids = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(fromIndex == inPlan)
+  }
+
+  test("IVF-PQ index maintenance: frozen-artifact append is exact at full probe+refine; RTBF purge never serves a victim") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(67)
+    val dim = 12
+    val rows = (0 until 220).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val base = emb.filter(col("vec_id").between(10, 169))
+    val delta = emb.filter(col("vec_id") >= 170)
+    val queries = emb.filter(col("vec_id") < 10)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-maint").toString
+    Similarity.buildIvfPqIndex(base, lit(true), dir, "ix", numCentroids = 8)
+    Similarity.appendToIvfPqIndex(delta, dir, "ix")
+    val rows1 = graft.sources.Warehouse.read(s, dir, "ix_pqcodes")
+      .collect().map(_.toSeq).toSet
+    // replayed delta is a no-op (anti-join on the touched partitions)
+    Similarity.appendToIvfPqIndex(delta, dir, "ix")
+    assert(graft.sources.Warehouse.read(s, dir, "ix_pqcodes")
+      .collect().map(_.toSeq).toSet == rows1)
+    assert(rows1.size == 210, "every base+delta vector coded exactly once")
+    // at full probe AND refine covering the corpus, ADC approximation
+    // drops out of the final answer: the maintained index must serve
+    // the EXACT top-k over base+delta — appended vectors fully visible
+    val got = Similarity.ivfPqTopKIndexed(queries, emb, dir, "ix",
+      k = 5, nProbe = 8, refine = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 10, col("vec_id") >= 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == exact)
+    // RTBF: purge every 4th id; no victim ever surfaces, survivors'
+    // code rows are byte-unchanged, deleting an absent id no-ops
+    val victims = emb.filter(col("vec_id") >= 10 && col("vec_id") % 4 === 1)
+      .select("vec_id")
+    Similarity.deleteFromIvfPqIndex(s, dir, "ix", victims)
+    val victimIds = victims.collect().map(_.getLong(0)).toSet
+    val after = graft.sources.Warehouse.read(s, dir, "ix_pqcodes")
+      .collect().map(_.toSeq).toSet
+    assert(after == rows1.filterNot(r => victimIds.contains(r.head.asInstanceOf[Long])))
+    val served = Similarity.ivfPqTopKIndexed(queries, emb, dir, "ix",
+      k = 10, nProbe = 8, refine = 1000)
+    assert(served.collect().forall(r => !victimIds.contains(r.getLong(1))))
+    Similarity.deleteFromIvfPqIndex(s, dir, "ix", Seq(999999L).toDF("vec_id"))
+    assert(graft.sources.Warehouse.read(s, dir, "ix_pqcodes")
+      .collect().map(_.toSeq).toSet == after)
+  }
+
   test("recentroidCells: dirty-slice-only repair, clean partitions byte-identical, quality improves") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(59)

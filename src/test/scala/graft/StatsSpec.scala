@@ -500,6 +500,60 @@ class StatsSpec extends AnyFunSuite with SparkTest {
     assert(r1(0L)._4, "7.5 on dof 2 must flag at 5%")
   }
 
+  test("conformalCoverage: hand-ranked quantile, exact coverage count, loud on tiny calibration and fractional metrics") {
+    val s = spark; import s.implicits._
+    // calibration residuals 1..10 (yhat = 0): at alpha = 20%,
+    // k = ceil(11 * 0.8) = 9 -> q_hat = 9
+    val cal = (1L to 10L).map(v => (v, 0L)).toDF("y", "yhat")
+    val test = Seq((3L, 0L), (9L, 0L), (10L, 0L), (12L, 0L)).toDF("y", "yhat")
+    val r = Stats.conformalCoverage(cal, test, "y", "yhat", alphaPct = 20).head()
+    assert(r.getInt(0) == 20 && r.getLong(1) == 10L && r.getLong(2) == 4L)
+    assert(r.getLong(3) == 9L, s"q_hat: ${r.getLong(3)}")
+    assert(r.getLong(4) == 2L && r.getLong(5) == 500000L) // 3,9 in; 10,12 out
+    assert(r.getLong(6) == 800000L)
+    // duplicate residuals rank correctly (value at rank k is unique
+    // regardless of tie order): residuals {1,1,1,5}, alpha 50 ->
+    // k = ceil(5 * .5) = 3 -> q_hat = 1
+    val dup = Seq((1L, 0L), (1L, 0L), (1L, 0L), (5L, 0L)).toDF("y", "yhat")
+    assert(Stats.conformalCoverage(dup, test, "y", "yhat", alphaPct = 50)
+      .head().getLong(3) == 1L)
+    // too-small calibration for the rank: loud
+    val tiny = Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("y", "yhat")
+    val e = intercept[IllegalArgumentException] {
+      Stats.conformalCoverage(tiny, test, "y", "yhat", alphaPct = 10)
+    }
+    assert(e.getMessage.contains("too small"))
+    // fractional metrics rejected (the exact-grid contract)
+    val dbl = Seq((1.5, 0.0)).toDF("y", "yhat")
+    intercept[IllegalArgumentException] {
+      Stats.conformalCoverage(dbl, dbl, "y", "yhat")
+    }
+  }
+
+  test("restrictedMeanSurvival: hand-computed step areas, horizon clamps, no-event-in-window cohort reads tau") {
+    val s = spark; import s.implicits._
+    // cohort A: 4 subjects, deaths 2-of-4 at t=2 (S=0.5) and 1-of-2 at
+    // t=4 (S=0.25), one censored at 5
+    //   tau=6: 2·1 + 0.5·(4−2) + 0.25·(6−4) = 3.5
+    //   tau=3: 2·1 + 0.5·(3−2)             = 2.5   (t=4 outside)
+    // cohort B: first (only) event at t=9 > tau -> rmst = tau exactly
+    val df = Seq(("A", 2L, 1), ("A", 2L, 1), ("A", 4L, 1), ("A", 5L, 0),
+      ("B", 9L, 1), ("B", 9L, 0)).toDF("g", "t", "observed")
+    def run(tau: Long): Map[String, (Long, Double)] =
+      Stats.restrictedMeanSurvival(df, "g", "t", "observed", tau).collect()
+        .map(r => r.getString(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    val r6 = run(6L)
+    assert(math.abs(r6("A")._2 - 3.5) < 1e-12, s"A@6: ${r6("A")}")
+    assert(r6("A")._1 == 2L)
+    assert(r6("B")._2 == 6.0 && r6("B")._1 == 0L,
+      "a cohort with no event inside the window retains the full horizon")
+    val r3 = run(3L)
+    assert(math.abs(r3("A")._2 - 2.5) < 1e-12, s"A@3: ${r3("A")}")
+    // the horizon column rides along for the oracle's schema
+    assert(Stats.restrictedMeanSurvival(df, "g", "t", "observed", 6L)
+      .head().getLong(1) == 6L)
+  }
+
   test("coxPhBinary: score-test identity with log-rank, independent bisection root, mirrored null") {
     val s = spark; import s.implicits._
     // no-ties fixture (every event time unique): cohort 1 dies early,

@@ -1848,6 +1848,29 @@ object SparkEntry {
         withHat(o.where(col("kk") % 4 === 3)),
         "cents", "yhat", alphaPct = 10)
     }),
+    "ml_conformal_group" -> ((s, d) => {
+      // MONDRIAN conformal: the same pipeline with PER-PRIORITY bands —
+      // group-conditional ≥ 1−α coverage, which the marginal band can't
+      // promise per segment; a manufactured 3-row "zz_tiny" group
+      // exercises the loud insufficient-calibration path (NULL band +
+      // cal_sufficient = false, never a silent garbage quantile)
+      import s.implicits._
+      val o = rd(s, d, "orders").select(col("o_orderkey").as("kk"),
+        col("o_orderpriority").as("pr"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val tr = o.where(col("kk") % 4 <= 1).groupBy("pr")
+        .agg(expr("sum(cents) div count(1)").as("yhat"))
+      def withHat(slice: DataFrame): DataFrame =
+        slice.join(broadcast(tr), "pr").select(col("pr"), col("cents"), col("yhat"))
+      val tinyCal = Seq(("zz_tiny", 100L, 90L), ("zz_tiny", 100L, 110L),
+        ("zz_tiny", 100L, 95L)).toDF("pr", "cents", "yhat")
+      val tinyTest = Seq(("zz_tiny", 100L, 99L), ("zz_tiny", 160L, 99L))
+        .toDF("pr", "cents", "yhat")
+      graft.operators.Stats.conformalCoverageByGroup(
+        withHat(o.where(col("kk") % 4 === 2)).unionByName(tinyCal),
+        withHat(o.where(col("kk") % 4 === 3)).unionByName(tinyTest),
+        "pr", "cents", "yhat", alphaPct = 10)
+    }),
     "ab_bootstrap_ci" -> ((s, d) => {
       // distribution-free per-arm revenue CI: 64 derandomized
       // Poisson-weight replicas of per-user purchase revenue (skewed —
@@ -1861,6 +1884,80 @@ object SparkEntry {
       graft.operators.Stats.poissonBootstrapCi(
         perUser.join(abArmsDf(s, d), "user_id"), "arm", "user_id", "cents",
         bReps = 64, salt = "r10")
+    }),
+    "stream_conformal_drift" -> ((s, d) => {
+      // STREAMING coverage monitor for a frozen conformal band: model
+      // (per-event-type integer mean) and q̂ freeze on the week-0
+      // calibration window; each later week folds its (n, n_covered)
+      // counters into the STAMPED pointer table — additive counters
+      // are exactly the state a crash replay double-counts, so a
+      // POISONED re-delivery of week 1 must skip on the stamp; week 3
+      // arrives distribution-shifted (+$500), its coverage collapses
+      // and the monitor flags drift — the "retrain the band" trigger,
+      // machine-checked. The one-pass batch oracle recomputes every
+      // week's coverage directly
+      import graft.sources.Warehouse
+      val ev = rd(s, d, "events")
+      val dir = new java.io.File(
+        "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      val tbl = s"confdrift_state_${contentEpoch(ev, "event_id")}"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val cuts = Seq("2024-01-08", "2024-01-15", "2024-01-22")
+        .map(c => to_timestamp(lit(s"$c 00:00:00")))
+      val base = ev.select(col("ts"), col("event_type").as("et"),
+        round(col("value") * 100).cast("long").as("cents"))
+      def slice(i: Int): DataFrame = i match {
+        case 0 => base.filter(col("ts") < cuts(0))
+        case 1 => base.filter(col("ts") >= cuts(0) && col("ts") < cuts(1))
+        case 2 => base.filter(col("ts") >= cuts(1) && col("ts") < cuts(2))
+        // week 3 is the DRIFTED feed: a +$500 shift in the metric
+        case _ => base.filter(col("ts") >= cuts(2))
+          .withColumn("cents", col("cents") + 50000L)
+      }
+      // frozen artifacts from the week-0 calibration window: the
+      // per-type integer-mean model and the α=10% conformal q̂ (exact
+      // integer rank over the collapsed residual axis)
+      val model = slice(0).groupBy("et")
+        .agg(expr("sum(cents) div count(1)").as("yhat"))
+      val calR = slice(0).join(broadcast(model), "et")
+        .select(abs(col("cents") - col("yhat")).as("__r"))
+      val nCal = calR.count()
+      val k = ((nCal + 1L) * 90L + 99L) / 100L
+      require(k <= nCal, "calibration window too small")
+      val qHat = calR.groupBy("__r").agg(count(lit(1)).as("__c"))
+        .withColumn("__cum", sum(col("__c")).over(
+          Window.orderBy(col("__r"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .where(col("__cum") >= k).agg(min(col("__r"))).head().getLong(0)
+      def fold(batch: DataFrame, batchId: Long): Unit = {
+        if (batchId <= Warehouse.Pointer.lastBatch(s, dir, tbl)) return
+        val inc = batch.join(broadcast(model), "et")
+          .agg(count(lit(1)).as("n"),
+            sum(when(abs(col("cents") - col("yhat")) <= qHat, 1L)
+              .otherwise(0L)).as("n_covered"))
+          .select(lit(batchId.toInt).as("week"), col("n"), col("n_covered"))
+        val cur =
+          if (Warehouse.Pointer.exists(s, dir, tbl))
+            Warehouse.Pointer.read(s, dir, tbl)
+          else s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row], inc.schema)
+        Warehouse.Pointer.overwrite(cur.unionByName(inc), dir, tbl, 2, batchId)
+      }
+      graft.operators.Memo.cached(s, s"confdrift|$dir|$tbl") {
+        fold(slice(0), 0L)
+        fold(slice(1), 1L)
+        // poisoned crash replay: week 1 re-delivered corrupted under
+        // the same batch id — the stamp must skip it (an additive
+        // counter state would otherwise double-count)
+        fold(slice(1).withColumn("cents", col("cents") + 999L), 1L)
+        fold(slice(2), 2L)
+        fold(slice(3), 3L)
+        java.lang.Boolean.TRUE
+      }
+      Warehouse.Pointer.read(s, dir, tbl)
+        .select(col("week"), col("n"), col("n_covered"),
+          expr("n_covered * 1000000L div n").as("coverage_ppm"))
+        .withColumn("drifted", col("coverage_ppm") < 850000L)
     }),
     "stream_msprt_replay" -> ((s, d) => {
       // STREAMING experiment monitoring with exactly-once state: the
@@ -7296,6 +7393,40 @@ object SparkEntry {
           "cal AS (SELECT b.cents AS y, tr.yhat FROM b JOIN tr ON tr.pr = b.pr WHERE b.kk % 4 = 2), " +
           "tst AS (SELECT b.cents AS y, tr.yhat FROM b JOIN tr ON tr.pr = b.pr WHERE b.kk % 4 = 3)",
         alphaPct = 10),
+    // one-pass batch recomputation of the streamed weekly coverage
+    // monitor: frozen week-0 model + q̂, per-week coverage, drift flag
+    "stream_conformal_drift" ->
+      ("WITH b AS (SELECT ts, event_type AS et, CAST(round(value * 100) AS BIGINT) AS cents FROM events), " +
+        "c0 AS (SELECT * FROM b WHERE ts < TIMESTAMP '2024-01-08 00:00:00'), " +
+        "m AS (SELECT et, sum(cents) // count(*) AS yhat FROM c0 GROUP BY 1), " +
+        "calr AS (SELECT abs(c0.cents - m.yhat) AS r FROM c0 JOIN m ON m.et = c0.et), " +
+        "nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM calr), " +
+        "kk AS (SELECT ((n + 1) * 90 + 99) // 100 AS k FROM nc), " +
+        "bv AS (SELECT r, CAST(count(*) AS BIGINT) AS c FROM calr GROUP BY 1), " +
+        "cm AS (SELECT r, sum(c) OVER (ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM bv), " +
+        "q AS (SELECT CAST(min(r) AS BIGINT) AS q_hat FROM cm CROSS JOIN kk WHERE cum >= kk.k), " +
+        "wkd AS (SELECT CASE WHEN ts < TIMESTAMP '2024-01-08 00:00:00' THEN 0 " +
+        "WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 1 " +
+        "WHEN ts < TIMESTAMP '2024-01-22 00:00:00' THEN 2 ELSE 3 END AS week, et, cents FROM b), " +
+        "obs AS (SELECT week, et, CASE WHEN week = 3 THEN cents + 50000 ELSE cents END AS cents FROM wkd), " +
+        "cov AS (SELECT o.week, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN abs(o.cents - m.yhat) <= (SELECT q_hat FROM q) THEN 1 ELSE 0 END) AS BIGINT) AS n_covered " +
+        "FROM obs o JOIN m ON m.et = o.et GROUP BY 1) " +
+        "SELECT CAST(week AS INT) AS week, n, n_covered, " +
+        "CAST(n_covered * 1000000 // n AS BIGINT) AS coverage_ppm, " +
+        "(n_covered * 1000000 // n) < 850000 AS drifted FROM cov"),
+    "ml_conformal_group" ->
+      graft.operators.Stats.conformalCoverageByGroupSql(
+        "b AS (SELECT o_orderkey AS kk, o_orderpriority AS pr, " +
+          "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders), " +
+          "tr AS (SELECT pr, sum(cents) // count(*) AS yhat FROM b WHERE kk % 4 <= 1 GROUP BY 1), " +
+          "cal AS (SELECT b.pr AS g, b.cents AS y, tr.yhat FROM b JOIN tr ON tr.pr = b.pr WHERE b.kk % 4 = 2 " +
+          "UNION ALL SELECT 'zz_tiny', CAST(v.y AS BIGINT), CAST(v.yh AS BIGINT) " +
+          "FROM (VALUES (100, 90), (100, 110), (100, 95)) v(y, yh)), " +
+          "tst AS (SELECT b.pr AS g, b.cents AS y, tr.yhat FROM b JOIN tr ON tr.pr = b.pr WHERE b.kk % 4 = 3 " +
+          "UNION ALL SELECT 'zz_tiny', CAST(v.y AS BIGINT), CAST(v.yh AS BIGINT) " +
+          "FROM (VALUES (100, 99), (160, 99)) v(y, yh))",
+        groupAlias = "pr", alphaPct = 10),
     "ab_bootstrap_ci" ->
       graft.operators.Stats.poissonBootstrapCiSql(
         "u AS (SELECT DISTINCT user_id FROM events), " +

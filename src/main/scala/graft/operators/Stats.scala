@@ -1315,6 +1315,80 @@ object Stats {
         lit((100L - alphaPct) * 10000L).as("target_ppm"))
   }
 
+  /** MONDRIAN (group-conditional) split conformal — [[conformalCoverage]]
+    * with a per-group residual quantile: marginal coverage averages
+    * over segments, so a model that is tight on the majority segment
+    * and wild on a minority can pass marginally while failing every
+    * minority user; per-group q̂ restores the ≥ 1−α promise WITHIN each
+    * group (the form production scoring actually needs). Groups whose
+    * calibration slice is too small for the rank (k > n_cal) report
+    * `cal_sufficient = false` with NULL q̂/coverage instead of a silent
+    * garbage band — deterministic, replayable, and visibly actionable.
+    *
+    * Scale shape: one combinable (group, residual) aggregate, the rank
+    * walk as a keyed window over that collapsed axis, one more
+    * combinable test-side aggregate joined on the group — no
+    * driver-side state at all (the global form's n_cal count moves
+    * into a partition window here).
+    */
+  def conformalCoverageByGroup(cal: DataFrame, test: DataFrame,
+      groupCol: String, yCol: String, yhatCol: String,
+      alphaPct: Int = 10): DataFrame = {
+    require(alphaPct >= 1 && alphaPct <= 50, "alphaPct in [1, 50]")
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    for (df <- Seq(cal, test); c <- Seq(yCol, yhatCol))
+      require(integral.contains(df.schema(c).dataType),
+        s"conformalCoverageByGroup: $c must be integral " +
+          s"(got ${df.schema(c).dataType.simpleString})")
+    val r = abs(col(yCol).cast("long") - col(yhatCol).cast("long"))
+    val perVal = cal.select(col(groupCol).as("g"), r.as("__r"))
+      .groupBy("g", "__r").agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(col("g")).orderBy(col("__r"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("g"))
+    val qg = perVal
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wTot))
+      .withColumn("__k",
+        expr(s"((__n + 1L) * ${100L - alphaPct} + 99L) div 100L"))
+      .groupBy("g")
+      .agg(max(col("__n")).as("n_cal"), max(col("__k")).as("__k"),
+        min(when(col("__cum") >= col("__k"), col("__r"))).as("q_hat"))
+    test.select(col(groupCol).as("g"), r.as("__rt"))
+      .join(qg, Seq("g"))
+      .groupBy("g", "n_cal", "q_hat")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("__rt") <= col("q_hat"), 1L).otherwise(0L)).as("__cov"))
+      .select(col("g").as(groupCol), lit(alphaPct).as("alpha_pct"),
+        col("n_cal"), col("n_test"), col("q_hat"),
+        when(col("q_hat").isNotNull, col("__cov")).as("n_covered"),
+        when(col("q_hat").isNotNull,
+          expr("__cov * 1000000L div n_test")).as("coverage_ppm"),
+        col("q_hat").isNotNull.as("cal_sufficient"))
+  }
+
+  /** DuckDB replay of [[conformalCoverageByGroup]] over CTEs `cal` and
+    * `tst`, each with columns (g, y, yhat). */
+  def conformalCoverageByGroupSql(ctes: String, groupAlias: String,
+      alphaPct: Int = 10): String =
+    s"WITH $ctes, " +
+      "calr AS (SELECT g, abs(CAST(y AS BIGINT) - CAST(yhat AS BIGINT)) AS r FROM cal), " +
+      "bv AS (SELECT g, r, CAST(count(*) AS BIGINT) AS c FROM calr GROUP BY 1, 2), " +
+      "cm AS (SELECT g, r, sum(c) OVER (PARTITION BY g ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+      "sum(c) OVER (PARTITION BY g) AS n FROM bv), " +
+      s"qg AS (SELECT g, CAST(max(n) AS BIGINT) AS n_cal, " +
+      s"CAST(min(CASE WHEN cum >= ((n + 1) * ${100L - alphaPct} + 99) // 100 THEN r END) AS BIGINT) AS q_hat " +
+      "FROM cm GROUP BY 1), " +
+      "ter AS (SELECT g, abs(CAST(y AS BIGINT) - CAST(yhat AS BIGINT)) AS rt FROM tst) " +
+      s"SELECT ter.g AS $groupAlias, CAST($alphaPct AS INT) AS alpha_pct, qg.n_cal, " +
+      "CAST(count(*) AS BIGINT) AS n_test, qg.q_hat, " +
+      "CASE WHEN qg.q_hat IS NOT NULL THEN CAST(sum(CASE WHEN rt <= qg.q_hat THEN 1 ELSE 0 END) AS BIGINT) END AS n_covered, " +
+      "CASE WHEN qg.q_hat IS NOT NULL THEN CAST(sum(CASE WHEN rt <= qg.q_hat THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) END AS coverage_ppm, " +
+      "qg.q_hat IS NOT NULL AS cal_sufficient " +
+      "FROM ter JOIN qg ON qg.g = ter.g GROUP BY 1, 2, 3, 5"
+
   /** DuckDB replay of [[conformalCoverage]] over CTEs `cal` and `tst`,
     * each with integral columns (y, yhat). */
   def conformalCoverageSql(ctes: String, alphaPct: Int = 10): String =

@@ -530,6 +530,27 @@ class StatsSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("conformalCoverageByGroup: per-group quantiles, insufficient calibration reads NULL not garbage") {
+    val s = spark; import s.implicits._
+    // group A residuals 1..10, group B residuals 10x larger, group C
+    // has only 3 calibration rows (insufficient at alpha=20: k=4>3)
+    val cal = ((1L to 10L).map(v => ("A", v, 0L)) ++
+      (1L to 10L).map(v => ("B", v * 10L, 0L)) ++
+      Seq(("C", 1L, 0L), ("C", 2L, 0L), ("C", 3L, 0L))).toDF("g", "y", "yhat")
+    val test = Seq(("A", 9L, 0L), ("A", 12L, 0L),
+      ("B", 90L, 0L), ("B", 120L, 0L), ("C", 1L, 0L)).toDF("g", "y", "yhat")
+    val out = Stats.conformalCoverageByGroup(cal, test, "g", "y", "yhat", alphaPct = 20)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // per-group bands: A's k = ceil(11*.8) = 9 -> q=9; B scales by 10
+    assert(out("A").getLong(4) == 9L && out("B").getLong(4) == 90L)
+    assert(out("A").getLong(5) == 1L && out("A").getLong(6) == 500000L)
+    assert(out("B").getLong(5) == 1L)
+    assert(out("A").getBoolean(7) && out("B").getBoolean(7))
+    // insufficient group: NULL band, flagged — never a garbage quantile
+    assert(out("C").isNullAt(4) && out("C").isNullAt(5) && out("C").isNullAt(6))
+    assert(!out("C").getBoolean(7))
+  }
+
   test("restrictedMeanSurvival: hand-computed step areas, horizon clamps, no-event-in-window cohort reads tau") {
     val s = spark; import s.implicits._
     // cohort A: 4 subjects, deaths 2-of-4 at t=2 (S=0.5) and 1-of-2 at

@@ -1871,6 +1871,35 @@ object SparkEntry {
         withHat(o.where(col("kk") % 4 === 3)).unionByName(tinyTest),
         "pr", "cents", "yhat", alphaPct = 10)
     }),
+    "ab_diff_in_diff" -> ((s, d) => {
+      // quasi-experimental effect estimate: per-user purchase revenue
+      // in the pre and post periods (cut 2024-01-15), cohort b's
+      // pre→post change minus cohort a's — nets out the cohort level
+      // difference AND the common time trend; exact decimal cell
+      // moments, one pass
+      val ev = rd(s, d, "events")
+      val cut = to_timestamp(lit("2024-01-15 00:00:00"))
+      val perUserPeriod = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), (col("ts") >= cut).cast("int").as("post"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      graft.operators.Stats.diffInDiff(
+        perUserPeriod.join(abArmsDf(s, d), "user_id"), "arm", "post", "cents")
+    }),
+    "dq_cohens_kappa" -> ((s, d) => {
+      // annotator-agreement QA: two deterministic document labelers
+      // (char-length buckets vs space-count buckets) scored with
+      // chance-corrected kappa — raw agreement flatters the skewed
+      // keep/maybe/drop base rates, κ nets the luck out
+      val docs = rd(s, d, "documents")
+      val chars = length(col("text"))
+      val spaces = chars - length(expr("replace(text, ' ', '')"))
+      val labeled = docs.select(
+        when(chars > 800, "keep").when(chars > 200, "maybe")
+          .otherwise("drop").as("rater_a"),
+        when(spaces > 150, "keep").when(spaces > 40, "maybe")
+          .otherwise("drop").as("rater_b"))
+      graft.operators.Quality.cohensKappa(labeled, "rater_a", "rater_b")
+    }),
     "ab_bootstrap_ci" -> ((s, d) => {
       // distribution-free per-arm revenue CI: 64 derandomized
       // Poisson-weight replicas of per-user purchase revenue (skewed —
@@ -7427,6 +7456,21 @@ object SparkEntry {
           "UNION ALL SELECT 'zz_tiny', CAST(v.y AS BIGINT), CAST(v.yh AS BIGINT) " +
           "FROM (VALUES (100, 99), (160, 99)) v(y, yh))",
         groupAlias = "pr", alphaPct = 10),
+    "ab_diff_in_diff" ->
+      graft.operators.Stats.diffInDiffSql(
+        "u AS (SELECT DISTINCT user_id FROM events), " +
+          s"ar AS (SELECT user_id, ${OracleSql.hashSplitCase("CAST(user_id AS VARCHAR)", "ab1", abArms)} AS arm FROM u), " +
+          "pp AS (SELECT user_id, CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END AS post, " +
+          "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents " +
+          "FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), " +
+          "obs AS (SELECT ar.arm, pp.post, pp.cents AS x FROM pp JOIN ar USING (user_id))"),
+    "dq_cohens_kappa" ->
+      graft.operators.Quality.cohensKappaSql(
+        "pairs AS (SELECT " +
+          "CASE WHEN length(text) > 800 THEN 'keep' WHEN length(text) > 200 THEN 'maybe' ELSE 'drop' END AS a, " +
+          "CASE WHEN length(text) - length(replace(text, ' ', '')) > 150 THEN 'keep' " +
+          "WHEN length(text) - length(replace(text, ' ', '')) > 40 THEN 'maybe' ELSE 'drop' END AS b " +
+          "FROM documents)"),
     "ab_bootstrap_ci" ->
       graft.operators.Stats.poissonBootstrapCiSql(
         "u AS (SELECT DISTINCT user_id FROM events), " +

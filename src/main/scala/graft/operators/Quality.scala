@@ -601,4 +601,74 @@ object Quality {
     }
     reports.reduce(_ unionByName _)
   }
+
+  /** COHEN'S KAPPA — chance-corrected agreement between two labelers
+    * over the same items (two annotators, two heuristic quality
+    * classifiers, a model vs its replacement): raw agreement alone
+    * flatters any skewed label distribution ("both say keep 95% of the
+    * time" is near-zero information when 95% IS the base rate), so
+    * κ = (p_o − p_e)/(1 − p_e) nets out the agreement two independent
+    * raters with these marginals would reach by luck. Degenerate
+    * p_e = 1 (both raters constant, same label) reads κ = 1 when they
+    * agree everywhere and 0 otherwise — by explicit guard, not a
+    * 0/0.
+    *
+    * Determinism: everything is exact integers (agree count, marginal
+    * products — on the decimal(38,0) grid, since Σ row·col marginals
+    * brushes 2⁶³ at cluster counts) until the final fixed-order double
+    * expression. Scale shape: one combinable (a, b) cell aggregate
+    * (≤ labels² rows), marginals and the kappa fold computed on that
+    * collapsed table. Output one row:
+    * (n_items, n_agree, po, pe, kappa, strength).
+    */
+  def cohensKappa(df: DataFrame, raterACol: String, raterBCol: String): DataFrame = {
+    val cells = df.select(col(raterACol).cast("string").as("a"),
+      col(raterBCol).cast("string").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val margA = cells.groupBy("a").agg(sum("c").as("ra"))
+    val margB = cells.groupBy("b").agg(sum("c").as("cb"))
+    val peNum = margA.join(margB, col("a") === col("b"))
+      .agg(coalesce(sum(col("ra").cast("decimal(38,0)") * col("cb")),
+        lit(0).cast("decimal(38,0)")).as("__pe_num"))
+    val tots = cells.agg(sum("c").as("n_items"),
+      sum(when(col("a") === col("b"), col("c")).otherwise(0L)).as("n_agree"))
+    val po = col("n_agree").cast("double") / col("n_items").cast("double")
+    val pe = col("__pe_num").cast("double") /
+      col("n_items").cast("double") / col("n_items").cast("double")
+    val kappa = when(pe === 1.0, when(po === 1.0, lit(1.0)).otherwise(lit(0.0)))
+      .otherwise((po - pe) / (lit(1.0) - pe))
+    tots.crossJoin(peNum)
+      .select(col("n_items"), col("n_agree"), po.as("po"), pe.as("pe"),
+        kappa.as("kappa"))
+      .withColumn("strength",
+        when(col("kappa") < 0.0, "poor")
+          .when(col("kappa") < 0.2, "slight")
+          .when(col("kappa") < 0.4, "fair")
+          .when(col("kappa") < 0.6, "moderate")
+          .when(col("kappa") < 0.8, "substantial")
+          .otherwise("near_perfect"))
+  }
+
+  /** DuckDB replay of [[cohensKappa]] over a CTE `pairs` with columns
+    * (a, b) — HUGEINT marginal products mirroring the decimal grid,
+    * the same fixed double order and strength bands. */
+  def cohensKappaSql(pairsCte: String): String = {
+    val po = "(CAST(n_agree AS DOUBLE) / CAST(n_items AS DOUBLE))"
+    val pe = "(CAST(pe_num AS DOUBLE) / CAST(n_items AS DOUBLE) / CAST(n_items AS DOUBLE))"
+    val kappa = s"(CASE WHEN $pe = 1.0 THEN (CASE WHEN $po = 1.0 THEN 1.0 ELSE 0.0 END) " +
+      s"ELSE ($po - $pe) / (1.0 - $pe) END)"
+    s"WITH $pairsCte, " +
+      "cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM pairs GROUP BY 1, 2), " +
+      "ma AS (SELECT a, CAST(sum(c) AS BIGINT) AS ra FROM cells GROUP BY 1), " +
+      "mb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM cells GROUP BY 1), " +
+      "pn AS (SELECT coalesce(sum(CAST(ra AS HUGEINT) * cb), 0) AS pe_num " +
+      "FROM ma JOIN mb ON ma.a = mb.b), " +
+      "tt AS (SELECT CAST(sum(c) AS BIGINT) AS n_items, " +
+      "CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS n_agree FROM cells) " +
+      s"SELECT n_items, n_agree, $po AS po, $pe AS pe, $kappa AS kappa, " +
+      s"CASE WHEN $kappa < 0.0 THEN 'poor' WHEN $kappa < 0.2 THEN 'slight' " +
+      s"WHEN $kappa < 0.4 THEN 'fair' WHEN $kappa < 0.6 THEN 'moderate' " +
+      s"WHEN $kappa < 0.8 THEN 'substantial' ELSE 'near_perfect' END AS strength " +
+      "FROM tt CROSS JOIN pn"
+  }
 }

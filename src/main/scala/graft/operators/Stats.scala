@@ -1261,6 +1261,107 @@ object Stats {
         col("d").as("n_events"), col("survival"))
   }
 
+  /** DIFFERENCE-IN-DIFFERENCES — the quasi-experimental estimator for
+    * rollouts WITHOUT randomization (a feature shipped to one cohort, a
+    * policy change at a date): the treatment effect is the treated
+    * cohort's pre→post change minus the control cohort's, which nets
+    * out both the level difference between cohorts and the common time
+    * trend (the two confounders a naive post-only or pre-post compare
+    * eats). Input: one row per unit×period with arm ∈ {'a','b'}
+    * (a = control, b = treated — validated loudly, the
+    * [[msprtTwoProportion]] discipline), post ∈ {0,1} and an INTEGRAL
+    * metric. Output: the four cell sizes and means,
+    * `did = (m_b1 − m_b0) − (m_a1 − m_a0)`, its large-sample
+    * SE = √(Σ s²_cell/n_cell), Wald z and the 5% flag.
+    *
+    * Determinism: each cell folds to exact integer (n, Σx, Σx²) on the
+    * decimal(38,0) grid (Σx² of cent-scale metrics overflows a long at
+    * cluster row counts) in ONE combinable aggregate; means and
+    * variances convert to doubles once, in a fixed textual order both
+    * engines share. Scale shape: one pass, four output cells, nothing
+    * driver-side but the arm-label probe.
+    */
+  def diffInDiff(df: DataFrame, armCol: String, postCol: String,
+      valueCol: String): DataFrame = {
+    val arms = df.select(col(armCol).cast("string").as("arm"))
+      .where(col("arm").isNotNull).distinct().limit(3)
+      .collect().map(_.getString(0)).toSet
+    require(arms.nonEmpty && arms.subsetOf(Set("a", "b")),
+      s"diffInDiff: $armCol values must be exactly 'a' (control) / 'b' (treated) " +
+        s"(got ${arms.toSeq.sorted.mkString(", ")})")
+    val cells = df.select(col(armCol).cast("string").as("arm"),
+      col(postCol).cast("int").as("post"),
+      col(valueCol).cast("decimal(38,0)").as("x"))
+      .groupBy("arm", "post")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("s2"))
+    def cell(arm: String, post: Int, c: String): Column =
+      max(when(col("arm") === arm && col("post") === post, col(c)))
+    val wide = cells.agg(
+      cell("a", 0, "n").as("n_a0"), cell("a", 1, "n").as("n_a1"),
+      cell("b", 0, "n").as("n_b0"), cell("b", 1, "n").as("n_b1"),
+      cell("a", 0, "s").as("__sa0"), cell("a", 1, "s").as("__sa1"),
+      cell("b", 0, "s").as("__sb0"), cell("b", 1, "s").as("__sb1"),
+      cell("a", 0, "s2").as("__qa0"), cell("a", 1, "s2").as("__qa1"),
+      cell("b", 0, "s2").as("__qb0"), cell("b", 1, "s2").as("__qb1"))
+    def mean(s: String, n: String): Column =
+      col(s).cast("double") / col(n).cast("double")
+    // unbiased cell variance from exact sums: (n·Σx² − (Σx)²) exact on
+    // the decimal grid, ONE double conversion, then /(n(n−1))
+    def v(s: String, q: String, n: String): Column =
+      (col(n).cast("decimal(38,0)") * col(q) - col(s) * col(s)).cast("double") /
+        (col(n) * (col(n) - 1L)).cast("double")
+    val did = (mean("__sb1", "n_b1") - mean("__sb0", "n_b0")) -
+      (mean("__sa1", "n_a1") - mean("__sa0", "n_a0"))
+    val se2 = v("__sa0", "__qa0", "n_a0") / col("n_a0").cast("double") +
+      v("__sa1", "__qa1", "n_a1") / col("n_a1").cast("double") +
+      v("__sb0", "__qb0", "n_b0") / col("n_b0").cast("double") +
+      v("__sb1", "__qb1", "n_b1") / col("n_b1").cast("double")
+    wide.select(
+      col("n_a0"), col("n_a1"), col("n_b0"), col("n_b1"),
+      mean("__sa0", "n_a0").as("mean_a_pre"), mean("__sa1", "n_a1").as("mean_a_post"),
+      mean("__sb0", "n_b0").as("mean_b_pre"), mean("__sb1", "n_b1").as("mean_b_post"),
+      did.as("did"), sqrt(se2).as("se"), (did / sqrt(se2)).as("z"))
+      .withColumn("significant_5pct", abs(col("z")) > 1.96)
+  }
+
+  /** DuckDB replay of [[diffInDiff]] over a CTE `obs` with columns
+    * (arm, post, x) — exact HUGEINT cell sums mirroring the
+    * decimal(38,0) grid, the same fixed double conversion order. */
+  def diffInDiffSql(obsCte: String): String = {
+    def mean(s: String, n: String) = s"(CAST($s AS DOUBLE) / CAST($n AS DOUBLE))"
+    def v(s: String, q: String, n: String) =
+      s"(CAST(CAST($n AS HUGEINT) * $q - $s * $s AS DOUBLE) / CAST($n * ($n - 1) AS DOUBLE))"
+    val did = s"((${mean("sb1", "n_b1")} - ${mean("sb0", "n_b0")}) - " +
+      s"(${mean("sa1", "n_a1")} - ${mean("sa0", "n_a0")}))"
+    val se2 = s"(${v("sa0", "qa0", "n_a0")} / CAST(n_a0 AS DOUBLE) + " +
+      s"${v("sa1", "qa1", "n_a1")} / CAST(n_a1 AS DOUBLE) + " +
+      s"${v("sb0", "qb0", "n_b0")} / CAST(n_b0 AS DOUBLE) + " +
+      s"${v("sb1", "qb1", "n_b1")} / CAST(n_b1 AS DOUBLE))"
+    s"WITH $obsCte, " +
+      "cells AS (SELECT arm, post, CAST(count(*) AS BIGINT) AS n, " +
+      "sum(CAST(x AS HUGEINT)) AS s, sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS s2 " +
+      "FROM obs GROUP BY 1, 2), " +
+      "w AS (SELECT " +
+      "max(CASE WHEN arm = 'a' AND post = 0 THEN n END) AS n_a0, " +
+      "max(CASE WHEN arm = 'a' AND post = 1 THEN n END) AS n_a1, " +
+      "max(CASE WHEN arm = 'b' AND post = 0 THEN n END) AS n_b0, " +
+      "max(CASE WHEN arm = 'b' AND post = 1 THEN n END) AS n_b1, " +
+      "max(CASE WHEN arm = 'a' AND post = 0 THEN s END) AS sa0, " +
+      "max(CASE WHEN arm = 'a' AND post = 1 THEN s END) AS sa1, " +
+      "max(CASE WHEN arm = 'b' AND post = 0 THEN s END) AS sb0, " +
+      "max(CASE WHEN arm = 'b' AND post = 1 THEN s END) AS sb1, " +
+      "max(CASE WHEN arm = 'a' AND post = 0 THEN s2 END) AS qa0, " +
+      "max(CASE WHEN arm = 'a' AND post = 1 THEN s2 END) AS qa1, " +
+      "max(CASE WHEN arm = 'b' AND post = 0 THEN s2 END) AS qb0, " +
+      "max(CASE WHEN arm = 'b' AND post = 1 THEN s2 END) AS qb1 FROM cells) " +
+      s"SELECT n_a0, n_a1, n_b0, n_b1, " +
+      s"${mean("sa0", "n_a0")} AS mean_a_pre, ${mean("sa1", "n_a1")} AS mean_a_post, " +
+      s"${mean("sb0", "n_b0")} AS mean_b_pre, ${mean("sb1", "n_b1")} AS mean_b_post, " +
+      s"$did AS did, sqrt($se2) AS se, ($did / sqrt($se2)) AS z, " +
+      s"abs($did / sqrt($se2)) > 1.96 AS significant_5pct FROM w"
+  }
+
   /** SPLIT-CONFORMAL PREDICTION — the distribution-free uncertainty
     * band every model-scoring pipeline needs before acting on
     * predictions: given a CALIBRATION slice of (actual, predicted)

@@ -459,6 +459,33 @@ class MergeSuite extends AnyFunSuite with SparkTest {
     assert(m.contains("key=1"), s"offending key must be named: $m")
   }
 
+  test("cohensKappa: textbook 2x2 hand value, chance-corrected, degenerate raters guarded") {
+    val s = spark; import s.implicits._
+    import graft.operators.Quality
+    // hand fixture: 22 yes/yes, 15 no/no, 3 yes/no, 10 no/yes ->
+    // po = 37/50 = 0.74, pe = (25*32 + 25*18)/2500 = 0.5,
+    // kappa = 0.24/0.5 = 0.48 (safely inside the moderate band —
+    // a band-EDGE kappa would flip labels on the last float ulp)
+    val pairs = (Seq.fill(22)(("yes", "yes")) ++ Seq.fill(15)(("no", "no")) ++
+      Seq.fill(3)(("yes", "no")) ++ Seq.fill(10)(("no", "yes")))
+      .toDF("ra", "rb")
+    val r = Quality.cohensKappa(pairs, "ra", "rb").head()
+    assert(r.getLong(0) == 50L && r.getLong(1) == 37L)
+    assert(math.abs(r.getDouble(2) - 0.74) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 0.5) < 1e-12)
+    assert(math.abs(r.getDouble(4) - 0.48) < 1e-12)
+    assert(r.getString(5) == "moderate")
+    // degenerate: both raters constant and equal -> pe = 1, kappa = 1
+    // by the explicit guard (not a 0/0)
+    val const = Seq.fill(5)(("x", "x")).toDF("ra", "rb")
+    val rc = Quality.cohensKappa(const, "ra", "rb").head()
+    assert(rc.getDouble(4) == 1.0 && rc.getString(5) == "near_perfect")
+    // constant but DISJOINT labels: zero overlap in marginals -> pe = 0,
+    // po = 0 -> kappa = 0
+    val disj = Seq.fill(5)(("x", "y")).toDF("ra", "rb")
+    assert(Quality.cohensKappa(disj, "ra", "rb").head().getDouble(4) == 0.0)
+  }
+
   test("dpLaplaceRelease: deterministic per salt, clamping bounds the sum's sensitivity") {
     val s = spark; import s.implicits._
     import graft.operators.Quality

@@ -500,6 +500,34 @@ class StatsSpec extends AnyFunSuite with SparkTest {
     assert(r1(0L)._4, "7.5 on dof 2 must flag at 5%")
   }
 
+  test("diffInDiff: hand-computed effect nets out level and trend; wrong arm labels loud") {
+    val s = spark; import s.implicits._
+    // a-pre {10,20} -> 15, a-post {20,30} -> 25 (common trend +10)
+    // b-pre {100,110} -> 105, b-post {140,150} -> 145 (change +40)
+    // did = 40 - 10 = 30; every cell var = 50, se² = 4*(50/2) = 100
+    val df = Seq(("a", 0, 10L), ("a", 0, 20L), ("a", 1, 20L), ("a", 1, 30L),
+      ("b", 0, 100L), ("b", 0, 110L), ("b", 1, 140L), ("b", 1, 150L))
+      .toDF("arm", "post", "cents")
+    val r = Stats.diffInDiff(df, "arm", "post", "cents").head()
+    assert((0 to 3).forall(i => r.getLong(i) == 2L))
+    assert(r.getDouble(4) == 15.0 && r.getDouble(5) == 25.0)
+    assert(r.getDouble(6) == 105.0 && r.getDouble(7) == 145.0)
+    assert(math.abs(r.getDouble(8) - 30.0) < 1e-12, s"did: ${r.getDouble(8)}")
+    assert(math.abs(r.getDouble(9) - 10.0) < 1e-12, s"se: ${r.getDouble(9)}")
+    assert(math.abs(r.getDouble(10) - 3.0) < 1e-12 && r.getBoolean(11))
+    // a pure common trend with no treatment effect reads did = 0
+    val nul = Seq(("a", 0, 10L), ("a", 0, 20L), ("a", 1, 30L), ("a", 1, 40L),
+      ("b", 0, 50L), ("b", 0, 60L), ("b", 1, 70L), ("b", 1, 80L))
+      .toDF("arm", "post", "cents")
+    assert(Stats.diffInDiff(nul, "arm", "post", "cents").head().getDouble(8) == 0.0)
+    // any other arm labeling fails loudly (the msprt discipline)
+    val bad = Seq(("control", 0, 1L), ("treated", 1, 2L)).toDF("arm", "post", "cents")
+    val e = intercept[IllegalArgumentException] {
+      Stats.diffInDiff(bad, "arm", "post", "cents")
+    }
+    assert(e.getMessage.contains("'a'"))
+  }
+
   test("conformalCoverage: hand-ranked quantile, exact coverage count, loud on tiny calibration and fractional metrics") {
     val s = spark; import s.implicits._
     // calibration residuals 1..10 (yhat = 0): at alpha = 20%,

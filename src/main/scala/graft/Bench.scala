@@ -102,6 +102,26 @@ object Bench {
         p > 0 && cur > p * 1.3 * controlRatio && cur - p * controlRatio > 0.15) => q
     }.sortBy(q => -(results(q) - prev(q) * controlRatio))
 
+  /** FALLBACK control ratio for runs whose recorded `control_sec` is
+    * incomparable (a control-set version bump, or a pre-control
+    * baseline file): the pinned control queries are ordinary gates, so
+    * their per-query SUITE times exist in both runs' `queries` maps —
+    * the ratio of those sums normalizes the same ambient shift, one
+    * regime noisier than the dedicated median-of-three passes but far
+    * better than the unnormalized 1.0 that let round 11's first
+    * v2-control run flag eight uniformly-shifted queries. Requires
+    * EVERY control query present in both maps (a partial sum would
+    * bias toward whichever regime the missing query lived in).
+    */
+  private[graft] def ratioFromQueryTimes(
+      prevTimes: Map[String, Double],
+      curTimes: Map[String, Double]): Option[Double] = {
+    val ok = controlQueries.forall(q =>
+      prevTimes.get(q).exists(_ > 0) && curTimes.get(q).exists(_ > 0))
+    if (!ok) None
+    else Some(controlQueries.map(curTimes).sum / controlQueries.map(prevTimes).sum)
+  }
+
   /** CONFIRMED verdict for a solo-retimed regression candidate. The
     * ambient scaling is applied ONE-SIDED — `max(controlRatio, 1)` — so
     * a faster-than-baseline session (ratio < 1) can never LOWER the
@@ -203,7 +223,10 @@ object Bench {
     val controlSec = Seq(ctlStart, ctlMid, ctlEnd).sorted.apply(1) // median
     val controlRatio = previousControlSec(outPath) match {
       case Some(prevCtl) if controlSec > 0 => controlSec / prevCtl
-      case _ => 1.0 // first control-carrying run: unnormalized compare
+      // incomparable or absent recorded control total: normalize from
+      // the shared control queries' suite times; 1.0 only when even
+      // those are unavailable (first run ever / filtered prior map)
+      case _ => ratioFromQueryTimes(prev, results).getOrElse(1.0)
     }
     val regressionCands = regressionCandidates(results, prev, controlRatio)
 

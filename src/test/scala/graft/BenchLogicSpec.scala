@@ -63,6 +63,25 @@ class BenchLogicSpec extends AnyFunSuite {
     assert(!Bench.confirmedRegression(soloT = -1.0, prevT = 1.00, controlRatio = 1.0))
   }
 
+  test("fallback ratio derives from shared control-query suite times when control_sec is incomparable") {
+    // round 11's first v2-control run: the recorded v1 control_sec was
+    // incomparable, ratio fell to 1.0, and eight uniformly-1.3x-shifted
+    // queries flagged — the suite times of the pinned controls were in
+    // both maps all along
+    val prevT = Map("q1_agg" -> 0.313, "p6_aqi_banding" -> 0.254,
+      "s5_point_lookup" -> 0.152, "graph_sssp" -> 2.301, "other" -> 1.0)
+    val curT = prevT.view.mapValues(_ * 1.4).toMap
+    val r = Bench.ratioFromQueryTimes(prevT, curT)
+    assert(r.exists(v => math.abs(v - 1.4) < 1e-9))
+    // under that ratio a uniformly shifted suite raises zero flags
+    assert(Bench.regressionCandidates(curT, prevT, r.get).isEmpty)
+    // any control query missing from either map: no partial-sum ratio
+    assert(Bench.ratioFromQueryTimes(prevT - "graph_sssp", curT).isEmpty)
+    assert(Bench.ratioFromQueryTimes(prevT, curT - "q1_agg").isEmpty)
+    // failed control runs (-1) don't fake a ratio either
+    assert(Bench.ratioFromQueryTimes(prevT, curT + ("graph_sssp" -> -1.0)).isEmpty)
+  }
+
   test("the control set carries a multi-second query and a version stamp") {
     // the v2 set pins graph_sssp so the ratio calibrates the regime the
     // expensive iterative queries live in, not just scheduling floor

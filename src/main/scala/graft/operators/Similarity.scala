@@ -336,8 +336,13 @@ object Similarity {
       // against its own cell's partition — sufficient under frozen
       // centroids, which re-assign a replayed id to the same cell)
       val fresh = assigned.join(slice.select("neighbor_id"), Seq("neighbor_id"), "left_anti")
+      // the write replaces the very partitions `slice` reads: the rows
+      // are MATERIALIZED first (eager localCheckpoint — bounded by the
+      // touched partitions), because the repartition shuffle alone only
+      // orders reads before writes until a shuffle-block loss re-runs a
+      // map task against already-replaced files
       graft.sources.Warehouse.overwritePartitions(
-        slice.unionByName(fresh).repartition(col("cell")),
+        slice.unionByName(fresh).repartition(col("cell")).localCheckpoint(),
         dir, s"${table}_cells", "cell")
     }
   }
@@ -376,8 +381,10 @@ object Similarity {
       val surviving = survivors.select("cell").distinct()
         .collect().map(_.getLong(0)).toSet
       if (surviving.nonEmpty)
+        // materialize-before-replace: see appendToIvfIndex's note
         graft.sources.Warehouse.overwritePartitions(
-          survivors.repartition(col("cell")), dir, s"${table}_cells", "cell")
+          survivors.repartition(col("cell")).localCheckpoint(),
+          dir, s"${table}_cells", "cell")
       graft.sources.Warehouse.dropPartitions(spark, dir, s"${table}_cells", "cell",
         touched.filterNot(surviving))
     }
@@ -433,8 +440,10 @@ object Similarity {
     val surviving = reassigned.select("cell").distinct()
       .collect().map(_.getLong(0)).toSet
     if (surviving.nonEmpty)
+      // materialize-before-replace: see appendToIvfIndex's note
       graft.sources.Warehouse.overwritePartitions(
-        reassigned.repartition(col("cell")), dir, s"${table}_cells", "cell")
+        reassigned.repartition(col("cell")).localCheckpoint(),
+        dir, s"${table}_cells", "cell")
     graft.sources.Warehouse.dropPartitions(spark, dir, s"${table}_cells", "cell",
       dirty.filterNot(surviving))
     val refreshedByCell = dirty.zip(refreshed).toMap
@@ -1646,8 +1655,9 @@ object Similarity {
         spark, dir, s"${table}_pqcodes", "cell", touched)
         .withColumn("cell", col("cell").cast("long"))
       val fresh = assigned.join(slice.select("neighbor_id"), Seq("neighbor_id"), "left_anti")
+      // materialize-before-replace: see appendToIvfIndex's note
       graft.sources.Warehouse.overwritePartitions(
-        slice.unionByName(fresh).repartition(col("cell")),
+        slice.unionByName(fresh).repartition(col("cell")).localCheckpoint(),
         dir, s"${table}_pqcodes", "cell")
     }
   }
@@ -1682,8 +1692,10 @@ object Similarity {
       val surviving = survivors.select("cell").distinct()
         .collect().map(_.getLong(0)).toSet
       if (surviving.nonEmpty)
+        // materialize-before-replace: see appendToIvfIndex's note
         graft.sources.Warehouse.overwritePartitions(
-          survivors.repartition(col("cell")), dir, s"${table}_pqcodes", "cell")
+          survivors.repartition(col("cell")).localCheckpoint(),
+          dir, s"${table}_pqcodes", "cell")
       graft.sources.Warehouse.dropPartitions(spark, dir, s"${table}_pqcodes", "cell",
         touched.filterNot(surviving))
     }

@@ -242,6 +242,16 @@ object Bench {
     val slowest = (results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(5).map(_._1) ++
       annFamily ++ regressionCands.take(8)).distinct
     val solo = slowest.map { name =>
+      // Warm once UNTIMED before the timed solo run: a solo-cold
+      // execution pays shared fixture/Memo builds that the in-suite
+      // `prev` baseline never contained (suite order amortizes them
+      // onto whichever gate runs first), so cold-solo vs in-suite-prev
+      // systematically over-confirms — round 11 "confirmed"
+      // feat_best_split at solo 2.019 s against in-suite 0.583 s purely
+      // from the shared-fixture build landing on the solo run. The warm
+      // pass absorbs one-time costs; the timed pass measures the
+      // steady-state the in-suite baseline actually measures.
+      try force(selected(name)(spark, sfDir)) catch { case _: Throwable => () }
       System.gc()
       val t0 = System.nanoTime()
       val ok = try { force(selected(name)(spark, sfDir)); true }
@@ -275,12 +285,20 @@ object Bench {
       else try {
         val (flatSec, partSec, rewritten) = MergeCrossoverBench.run(spark)
         val c = MergeCrossoverBench.runCorrection(spark)
-        s""","merge5m":{"flat_delta_sec":${ms(flatSec)},"partitioned_delta_sec":${ms(partSec)},"rows_rewritten":$rewritten,"mor_correction_sec":${ms(c.morSec)},"mor_rows_written":${c.morRows},"mor_base_files_read":${c.filesRead},"mor_base_files_total":${c.filesTotal},"mor_minor_sec":${ms(c.minorSec)},"mor_minor_rows":${c.minorRows},"mor_compact_sec":${ms(c.compactSec)},"mor_compact_rows_rewritten":${c.compactRows},"partitioned_correction_sec":${ms(c.partSec)},"partitioned_rows_rewritten":${c.partRows},"partitioned_minor_sec":${ms(c.pMinorSec)},"partitioned_minor_rows":${c.pMinorRows}}"""
+        // the merge5m timings carry the SAME control discipline as the
+        // per-query tracker: the block records this session's control
+        // ratio plus ratio-NORMALIZED seconds (raw / control_ratio —
+        // what the time would read at the baseline session's ambient
+        // speed), so cross-session flat-vs-partitioned crossover
+        // comparisons in BASELINE.md are drift-proof instead of raw
+        def nrm(v: Double): String =
+          if (v < 0 || controlRatio <= 0) "-1" else ms(v / controlRatio)
+        s""","merge5m":{"control_ratio":${f"$controlRatio%.3f"},"flat_delta_sec":${ms(flatSec)},"flat_delta_norm_sec":${nrm(flatSec)},"partitioned_delta_sec":${ms(partSec)},"partitioned_delta_norm_sec":${nrm(partSec)},"rows_rewritten":$rewritten,"mor_correction_sec":${ms(c.morSec)},"mor_correction_norm_sec":${nrm(c.morSec)},"mor_rows_written":${c.morRows},"mor_base_files_read":${c.filesRead},"mor_base_files_total":${c.filesTotal},"mor_minor_sec":${ms(c.minorSec)},"mor_minor_norm_sec":${nrm(c.minorSec)},"mor_minor_rows":${c.minorRows},"mor_compact_sec":${ms(c.compactSec)},"mor_compact_norm_sec":${nrm(c.compactSec)},"mor_compact_rows_rewritten":${c.compactRows},"partitioned_correction_sec":${ms(c.partSec)},"partitioned_correction_norm_sec":${nrm(c.partSec)},"partitioned_rows_rewritten":${c.partRows},"partitioned_minor_sec":${ms(c.pMinorSec)},"partitioned_minor_norm_sec":${nrm(c.pMinorSec)},"partitioned_minor_rows":${c.pMinorRows}}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] merge5m FAILED: ${e.getMessage}")
         // keep the object shape identical to the success path so
         // consumers of the published schema never hit a missing key
-        ""","merge5m":{"flat_delta_sec":-1,"partitioned_delta_sec":-1,"rows_rewritten":-1,"mor_correction_sec":-1,"mor_rows_written":-1,"mor_base_files_read":-1,"mor_base_files_total":-1,"mor_minor_sec":-1,"mor_minor_rows":-1,"mor_compact_sec":-1,"mor_compact_rows_rewritten":-1,"partitioned_correction_sec":-1,"partitioned_rows_rewritten":-1,"partitioned_minor_sec":-1,"partitioned_minor_rows":-1}"""
+        ""","merge5m":{"control_ratio":-1,"flat_delta_sec":-1,"flat_delta_norm_sec":-1,"partitioned_delta_sec":-1,"partitioned_delta_norm_sec":-1,"rows_rewritten":-1,"mor_correction_sec":-1,"mor_correction_norm_sec":-1,"mor_rows_written":-1,"mor_base_files_read":-1,"mor_base_files_total":-1,"mor_minor_sec":-1,"mor_minor_norm_sec":-1,"mor_minor_rows":-1,"mor_compact_sec":-1,"mor_compact_norm_sec":-1,"mor_compact_rows_rewritten":-1,"partitioned_correction_sec":-1,"partitioned_correction_norm_sec":-1,"partitioned_rows_rewritten":-1,"partitioned_minor_sec":-1,"partitioned_minor_norm_sec":-1,"partitioned_minor_rows":-1}"""
       }
     val total = results.values.filter(_ >= 0).sum
     val cj = s""""controls":{"start":${ms(ctlStart)},"mid":${ms(ctlMid)},"end":${ms(ctlEnd)}},""" +

@@ -1286,9 +1286,13 @@ object Stats {
     val arms = df.select(col(armCol).cast("string").as("arm"))
       .where(col("arm").isNotNull).distinct().limit(3)
       .collect().map(_.getString(0)).toSet
-    require(arms.nonEmpty && arms.subsetOf(Set("a", "b")),
-      s"diffInDiff: $armCol values must be exactly 'a' (control) / 'b' (treated) " +
-        s"(got ${arms.toSeq.sorted.mkString(", ")})")
+    // BOTH arms must be present: a single-arm input has no control (or
+    // no treated) trend to difference against, and the four-cell pivot
+    // would emit NULL did/se/z silently — the loud-precondition
+    // contract, not a quiet NULL row
+    require(arms == Set("a", "b"),
+      s"diffInDiff: $armCol values must be exactly 'a' (control) / 'b' (treated), " +
+        s"both present (got ${arms.toSeq.sorted.mkString(", ")})")
     val cells = df.select(col(armCol).cast("string").as("arm"),
       col(postCol).cast("int").as("post"),
       col(valueCol).cast("decimal(38,0)").as("x"))
@@ -1304,6 +1308,21 @@ object Stats {
       cell("b", 0, "s").as("__sb0"), cell("b", 1, "s").as("__sb1"),
       cell("a", 0, "s2").as("__qa0"), cell("a", 1, "s2").as("__qa1"),
       cell("b", 0, "s2").as("__qb0"), cell("b", 1, "s2").as("__qb1"))
+      // every one of the four (arm, post) cells must exist with n ≥ 2:
+      // an empty cell reads NULL through the pivot (silent NULL output)
+      // and an n = 1 cell divides by zero in the unbiased variance —
+      // both fail LOUDLY in-plan instead (rides the same job, no extra
+      // pass). The guard rides BEFORE any arithmetic consumes the cells.
+      .where(Seq("n_a0", "n_a1", "n_b0", "n_b1").map { c =>
+        when(col(c).isNull || col(c) < 2L,
+          raise_error(concat(
+            lit(s"diffInDiff: cell $c is "),
+            when(col(c).isNull, lit("EMPTY")).otherwise(
+              concat(lit("n="), col(c).cast("string"))),
+            lit(" — all four (arm, post) cells need n >= 2 for the " +
+              "pre/post trend difference and its variance"))))
+          .otherwise(lit(true))
+      }.reduce(_ && _))
     def mean(s: String, n: String): Column =
       col(s).cast("double") / col(n).cast("double")
     // unbiased cell variance from exact sums: (n·Σx² − (Σx)²) exact on
@@ -1534,8 +1553,19 @@ object Stats {
     val km = kaplanMeier(df, groupCol, durationCol, observedCol)
     val byT = Window.partitionBy(col(groupCol)).orderBy(col("t"))
     val seg = km.withColumn("__tn", lead(col("t"), 1).over(byT))
-    val head = km.groupBy(col(groupCol)).agg(
-      least(min(col("t")).cast("double"), lit(horizon.toDouble)).as("__head"))
+    // output rows SEED from the distinct input cohorts, not from the KM
+    // table: a fully-censored cohort (zero events) has no `d > 0` rows,
+    // so deriving groups from km would silently OMIT it — the
+    // documented semantics say it reads exactly rmst = τ (no one
+    // churned inside the window), n_times = 0. The event-free head
+    // defaults its first-event time to the horizon.
+    val groups = df.select(col(groupCol)).where(col(groupCol).isNotNull).distinct()
+    val head = groups.join(
+        km.groupBy(col(groupCol)).agg(min(col("t")).as("__t1")),
+        Seq(groupCol), "left")
+      .select(col(groupCol),
+        least(coalesce(col("__t1"), lit(horizon)).cast("double"),
+          lit(horizon.toDouble)).as("__head"))
     val body = seg.where(col("t") <= horizon)
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_times"),
@@ -1554,9 +1584,15 @@ object Stats {
     * segments and head term.
     */
   def restrictedMeanSurvivalSql(subjectsCte: String, horizon: Long): String =
-    s"WITH km AS (${kaplanMeierSql(subjectsCte)}), " +
+    // the subjects chain rides at the OUTER level too: the km CTE's
+    // copy is nested inside its own WITH (invisible out here), and the
+    // cohort seed below needs the raw subjects (event-free cohorts have
+    // no km rows and must read head = horizon), mirroring the Spark side
+    s"WITH $subjectsCte, km AS (${kaplanMeierSql(subjectsCte)}), " +
       "sg AS (SELECT g, t, survival, lead(t) OVER (PARTITION BY g ORDER BY t) AS tn FROM km), " +
-      s"hd AS (SELECT g, LEAST(CAST(min(t) AS DOUBLE), $horizon.0) AS head FROM km GROUP BY 1), " +
+      s"hd AS (SELECT g, LEAST(CAST(coalesce(t1, $horizon) AS DOUBLE), $horizon.0) AS head " +
+      "FROM (SELECT DISTINCT g FROM subjects WHERE g IS NOT NULL) gs " +
+      "LEFT JOIN (SELECT g, min(t) AS t1 FROM km GROUP BY 1) k USING (g)), " +
       s"bd AS (SELECT g, CAST(count(*) AS BIGINT) AS n_times, " +
       s"sum(survival * (CAST(LEAST(coalesce(tn, $horizon), $horizon) AS DOUBLE) - CAST(t AS DOUBLE))) AS body " +
       s"FROM sg WHERE t <= $horizon GROUP BY 1) " +
@@ -2009,6 +2045,16 @@ object Stats {
     val spark = df.sparkSession
     val subj = df.select(col(groupCol).cast("long").as("g"),
       col(durationCol).cast("long").as("t"), col(observedCol).cast("int").as("obs"))
+    // the covariate must be BINARY 0/1: any other group value inflates
+    // the pooled per-time deaths `dt` (the `times` aggregate sums ALL
+    // groups) while contributing nothing to n0/n1/d1 — a silently
+    // biased beta. The metadata-sized distinct-limit-3 probe (the
+    // msprt/diffInDiff discipline) fails loudly instead.
+    val gvals = subj.select("g").where(col("g").isNotNull)
+      .distinct().limit(3).collect().map(_.getLong(0)).toSet
+    require(gvals.nonEmpty && gvals.subsetOf(Set(0L, 1L)),
+      s"coxPhBinary: $groupCol must be binary 0/1 " +
+        s"(got ${gvals.toSeq.sorted.mkString(", ")})")
     val per = subj.groupBy("g", "t")
       .agg(count(lit(1)).as("c"),
         sum(when(col("obs") === 1, 1L).otherwise(0L)).as("d"))
@@ -2048,18 +2094,38 @@ object Stats {
     require(info0 > 0,
       "coxPhBinary: degenerate risk sets — one cohort is absent from every event time")
     var beta = 0.0
+    var degenerate = false
     for (_ <- 0 until iters) {
       val (u, i) = scoreInfo(beta)
-      beta = beta + u / i
+      // separation guard: under (near-)perfect separation the monotone
+      // likelihood makes the Newton step u/i explode (a lone event
+      // from a 1-in-N cohort steps by ~N on the FIRST iteration, so
+      // exp(beta) overflows and every later p is Inf/Inf = NaN despite
+      // the fixed iteration count). Two guards, both flagged: skip any
+      // step whose score/information is non-finite or non-positive,
+      // and clamp beta to ±30 (exp(±30) comfortably finite, a hazard
+      // ratio beyond e^30 has no subject-matter meaning). On regular
+      // data neither binds, so the oracle's unguarded replay stays
+      // bit-identical and reads the flag FALSE from the same data.
+      if (java.lang.Double.isFinite(u) && java.lang.Double.isFinite(i) && i > 0) {
+        val step = beta + u / i
+        if (step > 30.0 || step < -30.0) degenerate = true
+        beta = math.max(-30.0, math.min(30.0, step))
+      } else degenerate = true
     }
     val iFinal = scoreInfo(beta)._2
-    val se = 1.0 / math.sqrt(iFinal)
-    val z = beta / se
+    val iOk = java.lang.Double.isFinite(iFinal) && iFinal > 0
+    // separated: any guard fired, or the final information is unusable —
+    // beta is still finite (clamped), se/z are NaN only when the
+    // variance itself is undefined, and significance is never claimed
+    val separated = degenerate || !iOk
+    val se = if (iOk) 1.0 / math.sqrt(iFinal) else Double.NaN
+    val z = if (iOk) beta / se else Double.NaN
     spark.createDataFrame(Seq(
       (rows.length.toLong, score0, info0, beta, math.exp(beta), se, z,
-        math.abs(z) > 1.96)))
+        !separated && math.abs(z) > 1.96, separated)))
       .toDF("n_times", "score0", "info0", "beta", "hazard_ratio", "se", "z",
-        "significant_5pct")
+        "significant_5pct", "separated")
   }
 
   /** DuckDB replay of [[coxPhBinary]] over a subjects CTE named
@@ -2098,7 +2164,11 @@ object Stats {
       s"b$iters.beta, exp(b$iters.beta) AS hazard_ratio, " +
       "1.0 / sqrt(zf.i_final) AS se, " +
       s"b$iters.beta / (1.0 / sqrt(zf.i_final)) AS z, " +
-      s"abs(b$iters.beta / (1.0 / sqrt(zf.i_final))) > 1.96 AS significant_5pct " +
+      // the separation guard replays as a data-derived flag: on regular
+      // inputs i_final is finite-positive and the flag is FALSE both
+      // sides; the Spark-side step clamp never binds on such data
+      s"(isfinite(zf.i_final) AND zf.i_final > 0 AND abs(b$iters.beta / (1.0 / sqrt(zf.i_final))) > 1.96) AS significant_5pct, " +
+      s"NOT (isfinite(zf.i_final) AND zf.i_final > 0) AS separated " +
       s"FROM z0 CROSS JOIN b$iters CROSS JOIN zf"
   }
 

@@ -478,6 +478,11 @@ object Warehouse {
       */
     final case class Snapshot(txn: Long, gens: Map[String, Long], lastBatch: Long = -1L)
 
+    /** Roots already warned about pre-stamp seeding — dedupe so the
+      * (frequently called) snapshot read doesn't spam per call. */
+    private val prestampWarned =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
     private def rootPath(dir: String, name: String) = new Path(s"$dir/$name.txnroot")
     private def genPath(dir: String, name: String, table: String, gen: Long) =
       new Path(s"$dir/$name.txndata/$table/$gen")
@@ -554,7 +559,25 @@ object Warehouse {
           // pre-stamp root: seed from the old txn-counter convention
           // (bootstrap = txn 1, one commit per 0-based batch) — see the
           // Snapshot scaladoc for the migration-window rationale
-          kv.get("batch").map(_.toLong).getOrElse(kv("txn").toLong - 2)))
+          kv.get("batch").map(_.toLong).getOrElse {
+            val seed = kv("txn").toLong - 2
+            // The seed ASSUMES the pre-stamp group took no out-of-band
+            // commits; for a convention-violating group it silently
+            // SKIPS live batches as replays (data loss) — and nothing
+            // on the filesystem can verify the assumption. Warn loudly
+            // (once per root per JVM) whenever a seed > -1 is derived,
+            // so operators of such groups re-stamp with an explicit
+            // batchId commit before resuming streams.
+            if (seed > -1L && prestampWarned.add(s"$dir/$name"))
+              System.err.println(
+                s"[warehouse] txn group '$name' at $dir has a PRE-STAMP root: " +
+                s"seeding lastBatch = txn-2 = $seed under the 'bootstrap + one " +
+                "commit per consecutive batch' convention. If this group ever " +
+                "took an out-of-band commit, live batches would be skipped as " +
+                "replays — re-stamp with an explicit batchId commit before " +
+                "resuming streams.")
+            seed
+          }))
       }
     }
 

@@ -82,6 +82,25 @@ class BenchLogicSpec extends AnyFunSuite {
     assert(Bench.ratioFromQueryTimes(prevT, curT + ("graph_sssp" -> -1.0)).isEmpty)
   }
 
+  test("solo confirms are judged on the WARM time, so fixture-build cost never confirms") {
+    // the solo loop warms each candidate once UNTIMED before the timed
+    // pass (Bench.main), so the time fed to confirmedRegression is the
+    // steady-state run, not the cold run that pays shared fixture/Memo
+    // builds the in-suite `prev` baseline never contained. Round 11's
+    // failure: feat_best_split solo-COLD 2.019 s vs in-suite 0.583 s
+    // (prev 0.451 s) "confirmed" purely from the fixture build landing
+    // on the solo run. With warm timing the gate reads ~its in-suite
+    // time and must NOT confirm:
+    val prevT = 0.451
+    val warm = 0.583  // steady-state, ≈ in-suite
+    val cold = 2.019  // cold = 3.5x warm: fixture build, not a regression
+    assert(!Bench.confirmedRegression(soloT = warm, prevT = prevT, controlRatio = 1.0))
+    // the cold time WOULD have confirmed — the exact artifact closed
+    assert(Bench.confirmedRegression(soloT = cold, prevT = prevT, controlRatio = 1.0))
+    // a real slowdown shows up in the warm time too and still confirms
+    assert(Bench.confirmedRegression(soloT = warm * 2.5, prevT = prevT, controlRatio = 1.0))
+  }
+
   test("the control set carries a multi-second query and a version stamp") {
     // the v2 set pins graph_sssp so the ratio calibrates the regime the
     // expensive iterative queries live in, not just scheduling floor

@@ -526,6 +526,34 @@ class StatsSpec extends AnyFunSuite with SparkTest {
       Stats.diffInDiff(bad, "arm", "post", "cents")
     }
     assert(e.getMessage.contains("'a'"))
+    // a single-arm input passes the subset check but has no control
+    // trend to difference against — loud, never a silent NULL row
+    val oneArm = Seq(("a", 0, 1L), ("a", 0, 2L), ("a", 1, 3L), ("a", 1, 4L))
+      .toDF("arm", "post", "cents")
+    val e1 = intercept[IllegalArgumentException] {
+      Stats.diffInDiff(oneArm, "arm", "post", "cents")
+    }
+    assert(e1.getMessage.contains("both present"))
+    // a missing (arm, post) cell raises IN-PLAN (exception surfaces
+    // wrapped in the Spark job failure — walk the cause chain), and an
+    // n = 1 cell (division by zero in the unbiased variance) likewise
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null) c = c.getCause
+      Option(c.getMessage).getOrElse("")
+    }
+    val noCell = Seq(("a", 0, 1L), ("a", 0, 2L), ("a", 1, 3L), ("a", 1, 4L),
+      ("b", 0, 5L), ("b", 0, 6L)).toDF("arm", "post", "cents") // no b-post
+    val e2 = intercept[Throwable] {
+      Stats.diffInDiff(noCell, "arm", "post", "cents").collect()
+    }
+    assert(rootMsg(e2).contains("n_b1") && rootMsg(e2).contains("EMPTY"), rootMsg(e2))
+    val thinCell = Seq(("a", 0, 1L), ("a", 0, 2L), ("a", 1, 3L), ("a", 1, 4L),
+      ("b", 0, 5L), ("b", 0, 6L), ("b", 1, 7L)).toDF("arm", "post", "cents")
+    val e3 = intercept[Throwable] {
+      Stats.diffInDiff(thinCell, "arm", "post", "cents").collect()
+    }
+    assert(rootMsg(e3).contains("n=1"), rootMsg(e3))
   }
 
   test("conformalCoverage: hand-ranked quantile, exact coverage count, loud on tiny calibration and fractional metrics") {
@@ -601,6 +629,15 @@ class StatsSpec extends AnyFunSuite with SparkTest {
     // the horizon column rides along for the oracle's schema
     assert(Stats.restrictedMeanSurvival(df, "g", "t", "observed", 6L)
       .head().getLong(1) == 6L)
+    // a FULLY-CENSORED cohort has zero KM rows (the d > 0 filter) but
+    // must still read rmst = tau with n_times = 0 — deriving cohorts
+    // from the KM table would silently omit it from the output
+    val withC = df.union(Seq(("C", 3L, 0), ("C", 7L, 0)).toDF("g", "t", "observed"))
+    val rc = Stats.restrictedMeanSurvival(withC, "g", "t", "observed", 6L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(rc.keySet == Set("A", "B", "C"), s"cohorts: ${rc.keySet}")
+    assert(rc("C") == ((0L, 6.0)), "an event-free cohort reads exactly tau")
+    assert(math.abs(rc("A")._2 - 3.5) < 1e-12, "existing cohorts unchanged")
   }
 
   test("coxPhBinary: score-test identity with log-rank, independent bisection root, mirrored null") {
@@ -642,6 +679,34 @@ class StatsSpec extends AnyFunSuite with SparkTest {
       .toDF("g", "t", "observed")
     val r0 = Stats.coxPhBinary(same, "g", "t", "observed").head()
     assert(r0.getDouble(3) == 0.0 && r0.getDouble(4) == 1.0 && !r0.getBoolean(7))
+    assert(!r0.getBoolean(8), "regular data never reads separated")
+    assert(!r.getBoolean(8))
+  }
+
+  test("coxPhBinary: non-binary covariate loud, perfect separation finite and flagged") {
+    val s = spark; import s.implicits._
+    // a third group value would inflate pooled deaths dt while adding
+    // nothing to n0/n1/d1 — silently biased beta; rejected loudly
+    val tri = Seq((0L, 1L, 1), (1L, 2L, 1), (2L, 3L, 1)).toDF("g", "t", "observed")
+    val e = intercept[IllegalArgumentException] {
+      Stats.coxPhBinary(tri, "g", "t", "observed")
+    }
+    assert(e.getMessage.contains("binary"))
+    // NEAR-PERFECT SEPARATION: one event from a 1-in-101 cohort — the
+    // first Newton step is u/i ≈ 1/p ≈ 101, which unguarded sends beta
+    // past 100 (and past exp overflow for larger cohorts, NaN-ing every
+    // later iteration). The guarded solver must return a FINITE beta at
+    // the ±30 clamp, finite artifacts, the separated flag, and never
+    // claim significance.
+    val sep = (Seq((1L, 1L, 1)) ++ (1 to 100).map(i => (0L, 10L + i, 0)))
+      .toDF("g", "t", "observed")
+    val rs = Stats.coxPhBinary(sep, "g", "t", "observed").head()
+    assert(java.lang.Double.isFinite(rs.getDouble(3)),
+      s"separated beta must stay finite: ${rs.getDouble(3)}")
+    assert(rs.getDouble(3) == 30.0, "beta parks at the clamp under separation")
+    assert(java.lang.Double.isFinite(rs.getDouble(4)), "HR finite under the clamp")
+    assert(rs.getBoolean(8), "separation must be flagged")
+    assert(!rs.getBoolean(7), "flagged results never claim significance")
   }
 
   test("logRankTest: zero for mirrored cohorts, significant for a clean split") {

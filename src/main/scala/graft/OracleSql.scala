@@ -941,7 +941,43 @@ object OracleSql {
       m: Int = 4, codebookSize: Int = 16, refine: Int = 50,
       dim: Int = 64, seed: Long = 42L,
       trainIters: Int = 2, refineIters: Int = 1,
+      deletedWhere: String = "FALSE"): String =
+    annIvfPqRefChain(numCentroids, nProbe, m, codebookSize, refine, dim,
+      seed, trainIters, refineIters, deletedWhere, ivfPqTopKTail(k, dim))
+
+  /** Oracle for `ann_ivfpq_rerank_io`: the SURVIVOR-BUCKET KEY SET of
+    * the persisted probe's exact re-rank — replays the full pipeline
+    * down to the `refine` survivors ([[annIvfPqTopK]]'s `ref`), then
+    * counts the distinct `"b" + substr(md5('vb:' + id), 1, 2)` buckets
+    * among them (the exact `vecBucket` formula) against the bucket
+    * count of the full serving membership. The file-level footprint
+    * itself is physical evidence only the engine can observe — checked
+    * by the loud require in `Similarity.ivfPqRerankIoReport` (the
+    * [[annIvfProbedCells]] split of responsibilities).
+    */
+  def annIvfPqRerankBuckets(numCentroids: Int, nProbe: Int,
+      m: Int = 4, codebookSize: Int = 16, refine: Int = 50,
+      dim: Int = 64, seed: Long = 42L,
+      trainIters: Int = 2, refineIters: Int = 1,
       deletedWhere: String = "FALSE"): String = {
+    def bkt(idExpr: String): String =
+      s"('b' || substr(md5('vb:' || CAST($idExpr AS VARCHAR)), 1, 2))"
+    val tail =
+      s"SELECT (SELECT CAST(count(DISTINCT ${bkt("vec_id")}) AS BIGINT) " +
+        s"FROM cnd WHERE NOT ($deletedWhere)) AS n_buckets_total, " +
+        s"CAST(count(DISTINCT ${bkt("neighbor_id")}) AS BIGINT) AS n_buckets_probed, " +
+        "TRUE AS io_pruned FROM ref"
+    annIvfPqRefChain(numCentroids, nProbe, m, codebookSize, refine, dim,
+      seed, trainIters, refineIters, deletedWhere, tail)
+  }
+
+  /** The shared WITH-chain of the IVF-PQ replays, ending at the
+    * `ref` (refine-survivor) CTE, with a caller-chosen final SELECT. */
+  private def annIvfPqRefChain(numCentroids: Int, nProbe: Int,
+      m: Int, codebookSize: Int, refine: Int,
+      dim: Int, seed: Long,
+      trainIters: Int, refineIters: Int,
+      deletedWhere: String, tail: String): String = {
     require(dim % m == 0)
     val subDim = dim / m
     val Q = (1L << 24).toString
@@ -1029,11 +1065,17 @@ object OracleSql {
       s"FROM codes cs JOIN probe pr ON pr.cell = cs.cell $lutJoins AND l0.vec_id = pr.query_id), " +
       "ref AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, " +
       s"row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rn FROM adc) t WHERE rn <= $refine) " +
-      "SELECT query_id, neighbor_id, rnk FROM (SELECT r.query_id, r.neighbor_id, " +
+      tail
+  }
+
+  /** The exact-cosine re-rank tail shared by [[annIvfPqTopK]]; split
+    * out so [[annIvfPqRerankBuckets]] can replace it with the
+    * bucket-key-set tail over the same `ref` survivors. */
+  private def ivfPqTopKTail(k: Int, dim: Int): String =
+    "SELECT query_id, neighbor_id, rnk FROM (SELECT r.query_id, r.neighbor_id, " +
       s"CAST(row_number() OVER (PARTITION BY r.query_id ORDER BY ${pairDot("q.embedding", "c.embedding", dim)} / (q.nrm * c.nrm) DESC, r.neighbor_id) AS INT) AS rnk " +
       "FROM ref r JOIN qry q ON q.vec_id = r.query_id JOIN cnd c ON c.vec_id = r.neighbor_id) t " +
       s"WHERE rnk <= $k"
-  }
 
   // ----------------------------------------------------------- multimodal
 

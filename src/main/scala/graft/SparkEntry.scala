@@ -2701,16 +2701,43 @@ object SparkEntry {
       val emb = rd(s, d, "embeddings")
       val dir = new java.io.File(
         "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
-      val tbl = s"ivfpq_v1_${contentEpoch(emb, "vec_id")}"
+      // v2: the index now carries the id-bucketed _vectors projection
+      // the re-rank fetch prunes on (content-semantics version bump)
+      val tbl = s"ivfpq_v2_${contentEpoch(emb, "vec_id")}"
       graft.operators.Memo.cached(s, s"ivfpq|$dir|$tbl") {
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-        if (!Warehouse.exists(s, dir, s"${tbl}_pqcodes"))
+        if (!Warehouse.exists(s, dir, s"${tbl}_vectors"))
           Similarity.buildIvfPqIndex(emb, col("vec_id") >= 10, dir, tbl,
             numCentroids = 8)
         java.lang.Boolean.TRUE
       }
-      Similarity.ivfPqTopKIndexed(emb.where(col("vec_id") < 10), emb,
+      Similarity.ivfPqTopKIndexed(emb.where(col("vec_id") < 10),
         dir, tbl, k = 5, nProbe = 4)
+    }),
+    "ann_ivfpq_rerank_io" -> ((s, d) => {
+      // the scale evidence that the persisted probe's EXACT RE-RANK is
+      // point-fetch-shaped, not corpus-scan-shaped: the survivors' raw
+      // vectors come from the index's id-bucketed _vectors projection
+      // as a partition-pruned read (loud require inside
+      // ivfPqRerankIoReport — every file read lies under a survivor
+      // idb= bucket, strictly fewer files than the projection holds),
+      // and the survivor-bucket KEY SET that footprint is bounded by
+      // is replayed by the DuckDB oracle — the re-rank twin of
+      // ann_ivf_pruned_io
+      import graft.sources.Warehouse
+      val emb = rd(s, d, "embeddings")
+      val dir = new java.io.File(
+        "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      val tbl = s"ivfpq_v2_${contentEpoch(emb, "vec_id")}"
+      graft.operators.Memo.cached(s, s"ivfpq|$dir|$tbl") {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        if (!Warehouse.exists(s, dir, s"${tbl}_vectors"))
+          Similarity.buildIvfPqIndex(emb, col("vec_id") >= 10, dir, tbl,
+            numCentroids = 8)
+        java.lang.Boolean.TRUE
+      }
+      Similarity.ivfPqRerankIoReport(emb.where(col("vec_id") < 10), dir, tbl,
+        nProbe = 2, refine = 8)
     }),
     "ann_ivfpq_deleted" -> ((s, d) => {
       // RIGHT-TO-BE-FORGOTTEN on the persisted IVF-PQ index: purge
@@ -2722,10 +2749,10 @@ object SparkEntry {
       val emb = rd(s, d, "embeddings")
       val dir = new java.io.File(
         "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
-      val tbl = s"ivfpqdel_v1_${contentEpoch(emb, "vec_id")}"
+      val tbl = s"ivfpqdel_v2_${contentEpoch(emb, "vec_id")}"
       graft.operators.Memo.cached(s, s"ivfpqdel|$dir|$tbl") {
         java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-        if (!Warehouse.exists(s, dir, s"${tbl}_pqcodes"))
+        if (!Warehouse.exists(s, dir, s"${tbl}_vectors"))
           Similarity.buildIvfPqIndex(emb, col("vec_id") >= 10, dir, tbl,
             numCentroids = 8)
         Similarity.deleteFromIvfPqIndex(s, dir, tbl,
@@ -2733,7 +2760,7 @@ object SparkEntry {
             .select("vec_id"))
         java.lang.Boolean.TRUE
       }
-      Similarity.ivfPqTopKIndexed(emb.where(col("vec_id") < 10), emb,
+      Similarity.ivfPqTopKIndexed(emb.where(col("vec_id") < 10),
         dir, tbl, k = 5, nProbe = 4)
     }),
     "ann_ivf_refined_topk" -> ((s, d) =>
@@ -6970,6 +6997,8 @@ object SparkEntry {
     // the persisted form serves the identical result (frozen-artifact
     // lifecycle) — the same full-pipeline replay is its oracle
     "ann_ivfpq_indexed" -> OracleSql.annIvfPqTopK(5, numCentroids = 8, nProbe = 4),
+    "ann_ivfpq_rerank_io" -> OracleSql.annIvfPqRerankBuckets(
+      numCentroids = 8, nProbe = 2, refine = 8),
     "ann_ivfpq_deleted" -> OracleSql.annIvfPqTopK(5, numCentroids = 8, nProbe = 4,
       deletedWhere = "c0.vec_id % 5 = 2"),
     "ann_ivf_refined_topk" ->

@@ -220,8 +220,15 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     assert(!codeCols.contains("c_vec") && !codeCols.contains("c_norm"), codeCols.toString)
     assert(graft.sources.Warehouse.listDataFiles(s, dir, "px_pqcodes")
       .forall(_.contains("/cell=")), "code table must be cell-partitioned")
+    // the serving vector projection is id-hash-bucketed (the re-rank's
+    // partition-pruned point-fetch layout) and covers every candidate
+    assert(graft.sources.Warehouse.listDataFiles(s, dir, "px_vectors")
+      .forall(f => "/idb=b[0-9a-f]{2}/".r.findFirstIn(f).nonEmpty),
+      "vector projection must be idb-bucketed")
+    assert(graft.sources.Warehouse.read(s, dir, "px_vectors").count() ==
+      emb.filter(c).count())
     // served results are row-identical to the in-plan composed tier
-    val fromIndex = Similarity.ivfPqTopKIndexed(emb.filter(q), emb, dir, "px",
+    val fromIndex = Similarity.ivfPqTopKIndexed(emb.filter(q), dir, "px",
       k = 5, nProbe = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     val inPlan = Similarity.ivfPqTopK(emb, q, c, 5, numCentroids = 8, nProbe = 4)
@@ -252,7 +259,7 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     // at full probe AND refine covering the corpus, ADC approximation
     // drops out of the final answer: the maintained index must serve
     // the EXACT top-k over base+delta — appended vectors fully visible
-    val got = Similarity.ivfPqTopKIndexed(queries, emb, dir, "ix",
+    val got = Similarity.ivfPqTopKIndexed(queries, dir, "ix",
       k = 5, nProbe = 8, refine = 1000)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 10, col("vec_id") >= 10, 5)
@@ -267,7 +274,15 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
     val after = graft.sources.Warehouse.read(s, dir, "ix_pqcodes")
       .collect().map(_.toSeq).toSet
     assert(after == rows1.filterNot(r => victimIds.contains(r.head.asInstanceOf[Long])))
-    val served = Similarity.ivfPqTopKIndexed(queries, emb, dir, "ix",
+    // RTBF reaches the RAW vectors too: the serving projection must
+    // hold exactly the survivors (the victims' vectors are the most
+    // sensitive per-vector data the purge exists for)
+    val vecIds = graft.sources.Warehouse.read(s, dir, "ix_vectors")
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(vecIds.intersect(victimIds).isEmpty, "no victim vector survives")
+    assert(vecIds == after.map(_.head.asInstanceOf[Long]),
+      "vector projection tracks the code table's membership")
+    val served = Similarity.ivfPqTopKIndexed(queries, dir, "ix",
       k = 10, nProbe = 8, refine = 1000)
     assert(served.collect().forall(r => !victimIds.contains(r.getLong(1))))
     Similarity.deleteFromIvfPqIndex(s, dir, "ix", Seq(999999L).toDF("vec_id"))

@@ -971,13 +971,34 @@ object OracleSql {
       seed, trainIters, refineIters, deletedWhere, tail)
   }
 
+  /** Oracle for `ann_ivfpq_retrained`: the full [[annIvfPqTopK]]
+    * replay with the CODEBOOK-DRIFT REPAIR spliced in — after the
+    * global books train, cells 1..nDirty each re-run `cellIters`
+    * per-subspace Lloyd rounds on THEIR OWN residuals (seeded from the
+    * trained global book — exactly `retrainPqCellBooks`), the dirty
+    * cells' codes re-encode under their cell books, query LUTs carry a
+    * per-book dimension (bcell 0 = global), and the ADC decodes each
+    * candidate against the book its cell serves with.
+    */
+  def annIvfPqRetrainedTopK(k: Int, numCentroids: Int, nProbe: Int,
+      nDirty: Int, cellIters: Int = 2,
+      m: Int = 4, codebookSize: Int = 16, refine: Int = 50,
+      dim: Int = 64, seed: Long = 42L,
+      trainIters: Int = 2, refineIters: Int = 1): String =
+    annIvfPqRefChain(numCentroids, nProbe, m, codebookSize, refine, dim,
+      seed, trainIters, refineIters, "FALSE", ivfPqTopKTail(k, dim),
+      retrain = Some((nDirty, cellIters)))
+
   /** The shared WITH-chain of the IVF-PQ replays, ending at the
-    * `ref` (refine-survivor) CTE, with a caller-chosen final SELECT. */
+    * `ref` (refine-survivor) CTE, with a caller-chosen final SELECT.
+    * `retrain = Some((nDirty, cellIters))` splices the per-cell
+    * codebook repair in ([[annIvfPqRetrainedTopK]]). */
   private def annIvfPqRefChain(numCentroids: Int, nProbe: Int,
       m: Int, codebookSize: Int, refine: Int,
       dim: Int, seed: Long,
       trainIters: Int, refineIters: Int,
-      deletedWhere: String, tail: String): String = {
+      deletedWhere: String, tail: String,
+      retrain: Option[(Int, Int)] = None): String = {
     require(dim % m == 0)
     val subDim = dim / m
     val Q = (1L << 24).toString
@@ -1053,16 +1074,77 @@ object OracleSql {
     // foldLeft(col("__coarse"))(_ + _)
     val adcSum = (1 until m).foldLeft("(pr.coarse + l0.d)")((acc, s) => s"($acc + l$s.d)")
     val lloyd = if (refineIters == 0) "" else s"${lloydChain(refineIters, dim)}, "
+    // with retrain: per-cell book chains (seeded from the trained
+    // global book, cellIters Lloyd rounds on that cell's residuals),
+    // dirty-cell re-encode, and a bcell dimension on the LUTs so each
+    // candidate decodes against the book its cell serves with
+    val retrainBlock = retrain.map { case (nDirty, cIters) =>
+      val mean = s"((CAST(qsum AS DOUBLE) / CAST(cnt AS DOUBLE)) / $Q.0)"
+      val chains = (1 to nDirty).flatMap { c =>
+        (0 until m).map { s =>
+          val steps = (1 to cIters).map { t =>
+            val prev = s"cbk${c}_${s}_${t - 1}"
+            s"casg${c}_${s}_$t AS (SELECT vec_id, rvec, cidx AS code FROM (SELECT r.vec_id, r.rvec, p.cidx, " +
+              s"row_number() OVER (PARTITION BY r.vec_id ORDER BY (${subDotOff("r.rvec", "p.pvec", s)} - ${halfNormSql("p.pvec")}) DESC, p.cidx) AS rn " +
+              s"FROM (SELECT * FROM cres WHERE cell = $c) r CROSS JOIN $prev p) x WHERE rn = 1), " +
+              s"csum${c}_${s}_$t AS (SELECT code, j, sum(CAST(round(CAST(rvec[${s * subDim} + j] AS DOUBLE) * $Q.0) AS BIGINT)) AS qsum, " +
+              s"count(*) AS cnt FROM casg${c}_${s}_$t CROSS JOIN (SELECT unnest(generate_series(1, $subDim)) AS j) dims GROUP BY code, j), " +
+              s"cnw${c}_${s}_$t AS (SELECT code AS cidx, list(CAST($mean AS FLOAT) ORDER BY j) AS pvec FROM csum${c}_${s}_$t GROUP BY code), " +
+              s"cbk${c}_${s}_$t AS MATERIALIZED (SELECT p.cidx, coalesce(n.pvec, p.pvec) AS pvec FROM $prev p LEFT JOIN cnw${c}_${s}_$t n USING (cidx))"
+          }.mkString(", ")
+          s"cbk${c}_${s}_0 AS (SELECT cidx, pvec FROM pick${s}_$trainIters), $steps, " +
+            s"dcd${c}_$s AS (SELECT r.vec_id, p.cidx, (${subDotOff("r.rvec", "p.pvec", s)} - ${halfNormSql("p.pvec")}) AS d " +
+            s"FROM (SELECT * FROM cres WHERE cell = $c) r CROSS JOIN cbk${c}_${s}_$cIters p), " +
+            s"dcode${c}_$s AS (SELECT vec_id, cidx AS code FROM (SELECT vec_id, cidx, " +
+            s"row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cidx) AS rn FROM dcd${c}_$s) t WHERE rn = 1), " +
+            s"dql${c}_$s AS (SELECT q.vec_id, p.cidx, ${subDotOff("q.embedding", "p.pvec", s)} AS d FROM qry q CROSS JOIN cbk${c}_${s}_$cIters p)"
+        }
+      }.mkString(", ")
+      val dcodesAll = (1 to nDirty).map { c =>
+        val dJoin = (1 until m).map(s => s"JOIN dcode${c}_$s dj$s USING (vec_id)").mkString(" ")
+        val dCols = (0 until m).map(s =>
+          (if (s == 0) s"dj0x.code AS k0" else s"dj$s.code AS k$s")).mkString(", ")
+        s"dcodes$c AS (SELECT vec_id, CAST($c AS BIGINT) AS cell, $dCols " +
+          s"FROM dcode${c}_0 dj0x $dJoin WHERE NOT ($deletedWhere))"
+      }.mkString(", ")
+      val luts = (0 until m).map { s =>
+        val unions = (1 to nDirty).map(c =>
+          s"UNION ALL SELECT CAST($c AS BIGINT) AS bcell, vec_id, cidx, d FROM dql${c}_$s").mkString(" ")
+        s"lutall$s AS (SELECT CAST(0 AS BIGINT) AS bcell, vec_id, cidx, d FROM ql$s $unions)"
+      }.mkString(", ")
+      (s"$chains, $dcodesAll, $luts", nDirty)
+    }
+    val codesCte = retrainBlock match {
+      case None =>
+        s"codes AS (SELECT c0.vec_id, ca.cell, $codeCols FROM code0 c0 $codeJoin " +
+          s"JOIN cellasg ca ON ca.vec_id = c0.vec_id WHERE NOT ($deletedWhere))"
+      case Some((_, nDirty)) =>
+        val dirtyUnions = (1 to nDirty).map(c =>
+          s"UNION ALL SELECT vec_id, cell, ${(0 until m).map(s => s"k$s").mkString(", ")} FROM dcodes$c").mkString(" ")
+        s"codes AS (SELECT c0.vec_id, ca.cell, $codeCols FROM code0 c0 $codeJoin " +
+          s"JOIN cellasg ca ON ca.vec_id = c0.vec_id WHERE NOT ($deletedWhere) AND ca.cell > $nDirty $dirtyUnions)"
+    }
+    val adcCte = retrainBlock match {
+      case None =>
+        s"adc AS (SELECT l0.vec_id AS query_id, cs.vec_id AS neighbor_id, $adcSum AS adc " +
+          s"FROM codes cs JOIN probe pr ON pr.cell = cs.cell $lutJoins AND l0.vec_id = pr.query_id)"
+      case Some((_, nDirty)) =>
+        val bc = s"(CASE WHEN cs.cell <= $nDirty THEN cs.cell ELSE CAST(0 AS BIGINT) END)"
+        val joins = (0 until m).map { s =>
+          val qEq = if (s == 0) "AND l0.vec_id = pr.query_id" else s"AND l$s.vec_id = l0.vec_id"
+          s"JOIN lutall$s l$s ON l$s.cidx = cs.k$s AND l$s.bcell = $bc $qEq"
+        }.mkString(" ")
+        s"adc AS (SELECT l0.vec_id AS query_id, cs.vec_id AS neighbor_id, $adcSum AS adc " +
+          s"FROM codes cs JOIN probe pr ON pr.cell = cs.cell $joins)"
+    }
     s"WITH ${ivfPrologue(numCentroids, dim, seed)}, $lloyd$ivfCtes, $pqPick, " +
       (if (trainIters > 0) s"$trainChain, " else "") + s"$perSub, " +
+      retrainBlock.map { case (ctes, _) => s"$ctes, " }.getOrElse("") +
       // codes carry their IVF cell so the probe join bounds the ADC
       // scan; a deletedWhere restricts SERVING membership only — the
       // artifacts (centroids + codebooks) stay trained on the full
       // pre-delete corpus, exactly the frozen-artifact RTBF lifecycle
-      s"codes AS (SELECT c0.vec_id, ca.cell, $codeCols FROM code0 c0 $codeJoin " +
-      s"JOIN cellasg ca ON ca.vec_id = c0.vec_id WHERE NOT ($deletedWhere)), " +
-      s"adc AS (SELECT l0.vec_id AS query_id, cs.vec_id AS neighbor_id, $adcSum AS adc " +
-      s"FROM codes cs JOIN probe pr ON pr.cell = cs.cell $lutJoins AND l0.vec_id = pr.query_id), " +
+      s"$codesCte, $adcCte, " +
       "ref AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, " +
       s"row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rn FROM adc) t WHERE rn <= $refine) " +
       tail

@@ -2763,6 +2763,49 @@ object SparkEntry {
       Similarity.ivfPqTopKIndexed(emb.where(col("vec_id") < 10),
         dir, tbl, k = 5, nProbe = 4)
     }),
+    "ann_ivfpq_retrained" -> ((s, d) => {
+      // CODEBOOK drift repair on the persisted IVF-PQ index (the
+      // codebook analog of ann_ivf_recentroid): cells 1-2 are flagged
+      // drifted, per-subspace Lloyd re-runs on ONLY their residuals
+      // (seeded from the trained global book), the refreshed books
+      // land as per-cell overrides, only the dirty cells' code
+      // partitions re-encode — clean partitions required
+      // byte-untouched (name+len+mtime snapshot) — and the probe
+      // decodes each cell against the book it serves with. The oracle
+      // independently replays global train → per-cell retrain →
+      // re-encode → per-book ADC → exact re-rank
+      import graft.sources.Warehouse
+      val emb = rd(s, d, "embeddings")
+      val dir = new java.io.File(
+        "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      val tbl = s"ivfpqrt_v1_${contentEpoch(emb, "vec_id")}"
+      val dirtyCells = Seq(1L, 2L)
+      graft.operators.Memo.cached(s, s"ivfpqrt|$dir|$tbl") {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        // marker-guarded: build + repair land as one idempotent unit
+        if (!Warehouse.exists(s, dir, s"${tbl}_rtdone")) {
+          Similarity.buildIvfPqIndex(emb, col("vec_id") >= 10, dir, tbl,
+            numCentroids = 8)
+          def cleanStats(): Set[(String, Long, Long)] =
+            Warehouse.listDataFiles(s, dir, s"${tbl}_pqcodes")
+              .filterNot(f => dirtyCells.exists(c => f.contains(s"/cell=$c/")))
+              .map { f =>
+                val p = new org.apache.hadoop.fs.Path(f)
+                val st = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+                  .getFileStatus(p)
+                (f, st.getLen, st.getModificationTime)
+              }.toSet
+          val before = cleanStats()
+          Similarity.retrainPqCellBooks(s, dir, tbl, dirtyCells, trainIters = 2)
+          require(cleanStats() == before,
+            "codebook repair must leave clean cells' code files byte-untouched")
+          Warehouse.overwrite(s.range(1).toDF("done"), dir, s"${tbl}_rtdone")
+        }
+        java.lang.Boolean.TRUE
+      }
+      Similarity.ivfPqTopKIndexed(emb.where(col("vec_id") < 10),
+        dir, tbl, k = 5, nProbe = 4)
+    }),
     "ann_ivf_refined_topk" -> ((s, d) =>
       // same index with 2 fixed-point Lloyd iterations moving the seeded
       // picks onto real cluster centers; the oracle replays the k-means
@@ -6999,6 +7042,8 @@ object SparkEntry {
     "ann_ivfpq_indexed" -> OracleSql.annIvfPqTopK(5, numCentroids = 8, nProbe = 4),
     "ann_ivfpq_rerank_io" -> OracleSql.annIvfPqRerankBuckets(
       numCentroids = 8, nProbe = 2, refine = 8),
+    "ann_ivfpq_retrained" -> OracleSql.annIvfPqRetrainedTopK(
+      5, numCentroids = 8, nProbe = 4, nDirty = 2, cellIters = 2),
     "ann_ivfpq_deleted" -> OracleSql.annIvfPqTopK(5, numCentroids = 8, nProbe = 4,
       deletedWhere = "c0.vec_id % 5 = 2"),
     "ann_ivf_refined_topk" ->

@@ -1715,17 +1715,185 @@ object Similarity {
       .sortBy(_.getLong(1)).map(_.getSeq[Float](2).toArray))
   }
 
+  /** Per-cell OVERRIDE codebooks (`<table>_cellbooks`) — the artifact
+    * of the codebook-drift repair ([[retrainPqCellBooks]]): (cell, s,
+    * cidx, entry) rows; a cell ABSENT here encodes and decodes under
+    * the global `_codebooks`. Collected to the driver (≤ overridden ×
+    * m·codebookSize·subDim floats — tiny, like the global books).
+    */
+  private def readCellBooks(spark: SparkSession, dir: String,
+      table: String): Map[Long, Array[Array[Array[Float]]]] =
+    if (!graft.sources.Warehouse.exists(spark, dir, s"${table}_cellbooks")) Map.empty
+    else {
+      val rows = graft.sources.Warehouse.read(spark, dir, s"${table}_cellbooks")
+        .orderBy("cell", "s", "cidx").collect()
+      rows.groupBy(_.getLong(0)).map { case (c, rs) =>
+        val m = rs.map(_.getInt(1)).max + 1
+        c -> (0 until m).toArray.map(s => rs.filter(_.getInt(1) == s)
+          .sortBy(_.getLong(2)).map(_.getSeq[Float](3).toArray))
+      }
+    }
+
+  private def writeCellBooks(spark: SparkSession, dir: String, table: String,
+      books: Map[Long, Array[Array[Array[Float]]]]): Unit = {
+    val rows = for {
+      (c, b) <- books.toSeq.sortBy(_._1); s <- b.indices; ci <- b(s).indices
+    } yield (c, s, ci + 1L, b(s)(ci).toSeq)
+    graft.sources.Warehouse.overwrite(
+      spark.createDataFrame(rows).toDF("cell", "s", "cidx", "entry"),
+      dir, s"${table}_cellbooks")
+  }
+
+  /** Min-L2 PQ code columns under a STACK of codebooks, windowed per
+    * row: subspace `s`'s adjusted dots run against the concatenation
+    * of every stacked book's K entries in ONE [[vec_mat_dots]], and
+    * each row's argmax is taken over its own book's K-window
+    * (`winIdx`, 0-based stack position) — per-cell books with no
+    * per-cell plans and no joins. With a single stacked book and
+    * winIdx 0 this is exactly [[pqCodesOf]]'s arithmetic (same
+    * per-entry float steps), which is what keeps override-free probes
+    * bit-identical to the pre-override path.
+    */
+  private def stackedCodeCols(stacks: Seq[Array[Array[Array[Float]]]],
+      winIdx: Column, vec: Column, m: Int): Seq[Column] = {
+    val K = stacks.head(0).length
+    require(stacks.forall(b => b.length == m && b.forall(_.length == K)),
+      "stacked codebooks must share (m, codebookSize)")
+    (0 until m).map { s =>
+      val mat = stacks.flatMap(b => b(s)).toArray
+      val subDim = mat(0).length
+      val adjAll = zip_with(
+        vec_mat_dots(slice(vec, s * subDim + 1, subDim), mat, lit(1.0)),
+        lit(mat.map(halfNormOf)),
+        (d, h) => d - h)
+      val win = slice(adjAll, winIdx * lit(K) + lit(1), lit(K))
+      array_position(win, array_max(win)).as(s"__c$s")
+    }
+  }
+
+  /** `iters` batched per-CELL Lloyd rounds over residual slices — ONE
+    * job per iteration across every dirty cell (`cell` rides the
+    * groupBy key), the cell-batched sibling of
+    * [[trainSubspaceCodebooks]] with identical per-entry arithmetic
+    * (stacked min-L2 assignment, exact ×2^24 fixed-point sums, the
+    * qsum/cnt/Q double mean, float cast; entries that attract no rows
+    * keep their previous value). `src` rows must all belong to cells
+    * in `init` (the pruned dirty-partition read guarantees it).
+    */
+  private def trainSubspaceCodebooksByCell(
+      src: DataFrame,
+      vec: Column,
+      m: Int,
+      init: Seq[(Long, Array[Array[Array[Float]]])],
+      iters: Int): Seq[(Long, Array[Array[Array[Float]]])] = {
+    val cells = init.map(_._1)
+    val subDim0 = init.head._2(0)(0).length
+    val Q = (1L << 24).toDouble
+    var books = init
+    for (_ <- 0 until iters) {
+      val winIdx = cells.zipWithIndex.foldLeft(lit(0): Column) {
+        case (acc, (c, i)) => when(col("cell") === c, i).otherwise(acc)
+      }
+      val coded = src.select(col("cell") +: vec.as("__v") +:
+        stackedCodeCols(books.map(_._2), winIdx, vec, m): _*)
+      val sums = coded
+        .select(col("cell"), explode(array((0 until m).map(s =>
+          struct(lit(s).as("s"), col(s"__c$s").as("code"),
+            slice(col("__v"), s * subDim0 + 1, subDim0).as("slice"))): _*)).as("e"))
+        .select(col("cell"), col("e.s").as("s"), col("e.code").as("code"),
+          posexplode(col("e.slice")).as(Seq("d", "x")))
+        .groupBy("cell", "s", "code", "d")
+        .agg(sum(round(col("x").cast("double") * Q).cast("long")).as("qsum"),
+          count(lit(1)).as("cnt"))
+        .collect()
+      val next = books.map { case (c, b) => c -> b.map(_.map(_.clone())) }.toMap
+      sums.foreach { r =>
+        next(r.getLong(0))(r.getInt(1))(r.getLong(2).toInt - 1)(r.getInt(3)) =
+          ((r.getLong(4).toDouble / r.getLong(5).toDouble) / Q).toFloat
+      }
+      books = cells.map(c => c -> next(c))
+    }
+    books
+  }
+
+  /** CODEBOOK drift repair for the persisted IVF-PQ index — the
+    * codebook analog of [[recentroidCells]], replacing "retrain = full
+    * rebuild": per-subspace Lloyd re-runs on the DRIFTED cells'
+    * residuals only (seeded from each cell's current effective book),
+    * the refreshed books land as per-cell OVERRIDES in
+    * `<table>_cellbooks`, and ONLY the dirty cells' code partitions
+    * are re-encoded — clean partitions stay byte-identical
+    * (gate-checked like `ann_ivf_recentroid`). Centroids stay frozen
+    * (centroid drift is [[recentroidCells]]' job); probes and appends
+    * honor the overrides through the stacked-window decode
+    * ([[stackedCodeCols]]).
+    *
+    * I/O: one pruned read of the dirty code partitions, one
+    * bucket-pruned fetch of their members' raw vectors (degenerates to
+    * the whole projection when members hash across all 256 buckets —
+    * maintenance cadence, the RTBF-locate discipline), `trainIters`
+    * batched training jobs, one partition-local rewrite. Crash window:
+    * the code rewrite and the cellbooks refresh are two writes — a
+    * crash between them leaves dirty cells encoded under books the
+    * table doesn't carry yet (an ADC quality dip on those cells, never
+    * a wrong id: the exact re-rank reads raw vectors); re-running the
+    * repair converges it.
+    */
+  def retrainPqCellBooks(
+      spark: SparkSession,
+      dir: String,
+      table: String,
+      dirtyCells: Seq[Long],
+      trainIters: Int = 2): Unit = {
+    require(dirtyCells.nonEmpty, "retrainPqCellBooks: empty dirty cell set")
+    val centroids = readCentroids(spark, dir, table)
+    val globalCb = readCodebooks(spark, dir, table)
+    val m = globalCb.length
+    val dirty = dirtyCells.distinct.sorted
+    require(dirty.forall(c => c >= 1 && c <= centroids.length),
+      s"unknown cell ids in dirty set: ${dirty.filter(c => c < 1 || c > centroids.length).mkString(",")}")
+    val existing = readCellBooks(spark, dir, table)
+    val init = dirty.map(c => c -> existing.getOrElse(c, globalCb))
+    val members = readPqCodesPartitions(spark, dir, table, m, dirty)
+      .select("neighbor_id", "cell")
+    val mb = members.select(vecBucket(col("neighbor_id")).as("idb")).distinct()
+      .collect().map(_.getString(0)).toSeq // bounded by 256
+    require(mb.nonEmpty, "retrainPqCellBooks: dirty cells hold no members")
+    val slice = members.join(
+      readVecPartitions(spark, dir, table, mb).select("neighbor_id", "c_vec", "c_norm"),
+      "neighbor_id")
+    val withRes = Caches.persisted(residualsOf(slice, centroids))
+    val books = trainSubspaceCodebooksByCell(withRes, col("__res"), m, init, trainIters)
+    // re-encode ONLY the dirty partitions under the refreshed books
+    val winIdx = dirty.zipWithIndex.foldLeft(lit(0): Column) {
+      case (acc, (c, i)) => when(col("cell") === c, i).otherwise(acc)
+    }
+    val recoded = withRes.select(
+      col("neighbor_id") +:
+        stackedCodeCols(books.map(_._2), winIdx, col("__res"), m)
+          .zipWithIndex.map { case (cc, s) => cc.as(s"code_$s") } :+
+        col("cell"): _*)
+    // materialize-before-replace: see appendToIvfIndex's note
+    graft.sources.Warehouse.overwritePartitions(
+      recoded.repartition(col("cell")).localCheckpoint(),
+      dir, s"${table}_pqcodes", "cell")
+    writeCellBooks(spark, dir, table, (existing -- dirty) ++ books.toMap)
+  }
+
   /** Incremental maintenance for the persisted IVF-PQ index: encode a
     * DELTA of new vectors under the FROZEN artifacts (stored centroids
     * + stored codebooks — the same frozen-artifact lifecycle as
     * [[appendToIvfIndex]], extended to the codebooks) and append their
     * code rows to the touched cells' partitions only. Replay-safe: a
     * delta id already indexed no-ops (frozen centroids re-assign it to
-    * the same cell, so the anti-join needs only the touched
+    * the same cell, so the anti-join never needs the untouched
     * partitions). Ingest cost is O(delta·(numCentroids +
     * m·codebookSize)) encode work; the historical code table is never
-    * rescanned. Codebook drift follows the centroid-drift lifecycle:
-    * monitor recall vs the brute tier, retrain when it degrades.
+    * rescanned. A cell with a [[retrainPqCellBooks]] override encodes
+    * its delta under the OVERRIDE book (codes must decode against the
+    * book their cell serves with). Codebook drift follows the
+    * centroid-drift lifecycle: monitor recall vs the brute tier,
+    * repair with [[retrainPqCellBooks]] when it degrades.
     */
   def appendToIvfPqIndex(
       delta: DataFrame,
@@ -1736,9 +1904,21 @@ object Similarity {
     val spark = delta.sparkSession
     val centroids = readCentroids(spark, dir, table)
     val cb = readCodebooks(spark, dir, table)
-    val coded = Caches.persisted(pqCodesOf(
+    val resT = Caches.persisted(
       residualsOf(assignCells(withNorm(delta, vecCol, idCol), centroids, vecCol, idCol),
-        centroids), cb))
+        centroids))
+    val over = readCellBooks(spark, dir, table)
+    val coded =
+      if (over.isEmpty) pqCodesOf(resT, cb)
+      else {
+        // overridden cells' deltas must encode under their OVERRIDE
+        // book — the effective book per cell id, stacked, windowed by
+        // the row's (0-based) cell
+        val eff = (1 to centroids.length).map(c => over.getOrElse(c.toLong, cb))
+        resT.select(col("neighbor_id") +: col("c_vec") +: col("c_norm") +: col("cell") +:
+          stackedCodeCols(eff, (col("cell") - 1).cast("int"), col("__res"), cb.length)
+            .zipWithIndex.map { case (cc, s) => cc.as(s"code_$s") }: _*)
+      }
     val assigned = coded.drop("c_vec", "c_norm", "__res")
     val touched = assigned.select("cell").distinct()
       .collect().map(_.getLong(0)).toSeq // bounded by numCentroids
@@ -1754,7 +1934,7 @@ object Similarity {
     // a delta id's bucket is a pure function of the id ([[vecBucket]]),
     // so the touched partitions need no locate scan; replayed ids
     // anti-join away exactly like the code rows
-    val deltaVec = coded.select(col("neighbor_id"), col("c_vec"), col("c_norm"))
+    val deltaVec = resT.select(col("neighbor_id"), col("c_vec"), col("c_norm"))
       .withColumn("idb", vecBucket(col("neighbor_id")))
     val touchedB = deltaVec.select("idb").distinct()
       .collect().map(_.getString(0)).toSeq // bounded by 256
@@ -1856,9 +2036,21 @@ object Similarity {
     val cb = readCodebooks(spark, dir, table)
     val m = cb.length
     val subDim = cb(0)(0).length
+    val K = cb(0).length
+    // per-cell override books ([[retrainPqCellBooks]]): the query LUT
+    // stacks [global, override₁, override₂, …] per subspace, and each
+    // probed cell decodes through its own book's K-window (stack
+    // position 0 = global). With no overrides the stack IS the global
+    // book and the window offset constant-folds to 0 — the exact
+    // pre-override arithmetic.
+    val over = readCellBooks(spark, dir, table).toSeq.sortBy(_._1)
+    val stacks = cb +: over.map(_._2)
     def sl(c: Column, s: Int): Column = slice(c, s * subDim + 1, subDim)
     def subDots(v: Column, s: Int): Column =
-      vec_mat_dots(sl(v, s), cb(s), lit(1.0))
+      vec_mat_dots(sl(v, s), stacks.flatMap(_(s)).toArray, lit(1.0))
+    val winIdx = over.zipWithIndex.foldLeft(lit(0): Column) {
+      case (acc, ((c, _), i)) => when(col("cell") === c, i + 1).otherwise(acc)
+    }
     val centLit = typedLit(centroids.map(_.toSeq).toSeq)
     val q0 = withNorm(queries, vecCol, idCol)
     val probed = probedCellSet(q0, centroids, nProbe, vecCol)
@@ -1871,7 +2063,8 @@ object Similarity {
       .withColumn("__coarse",
         vec_dot(col("q_vec"), element_at(centLit, col("cell").cast("int"))))
     val adc = (0 until m)
-      .map(s => element_at(col(s"__lut$s"), col(s"code_$s").cast("int")))
+      .map(s => element_at(col(s"__lut$s"),
+        (winIdx * lit(K) + col(s"code_$s")).cast("int")))
       .foldLeft(col("__coarse"))(_ + _)
     val wAdc = Window.partitionBy("query_id").orderBy(col("__adc").desc, col("neighbor_id"))
     q.join(codes, "cell")

@@ -290,6 +290,104 @@ class SimilaritySpec extends AnyFunSuite with SparkTest {
       .collect().map(_.toSeq).toSet == after)
   }
 
+  test("retrainPqCellBooks: clean code partitions byte-identical, dirty distortion non-increasing, overrides serve exactly") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(71)
+    val dim = 12
+    // anchored clusters so cells (and their residual geometry) have
+    // real structure for the per-cell books to specialize on
+    val rows = (0 until 240).map { i =>
+      val v = Array.fill(dim)(0.4f * rnd.nextGaussian().toFloat)
+      v(i % 4) = v(i % 4) + 2.0f
+      (i.toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-rt").toString
+    Similarity.buildIvfPqIndex(emb.filter(col("vec_id") >= 10), lit(true),
+      dir, "rt", numCentroids = 8)
+    val dirty = Seq(1L, 2L)
+    def cleanStats(): Set[(String, Long, Long)] =
+      graft.sources.Warehouse.listDataFiles(s, dir, "rt_pqcodes")
+        .filterNot(f => dirty.exists(c => f.contains(s"/cell=$c/")))
+        .map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          val st = p.getFileSystem(s.sparkContext.hadoopConfiguration).getFileStatus(p)
+          (f, st.getLen, st.getModificationTime)
+        }.toSet
+    // driver-side replica of the index state for the distortion audit
+    val cents = graft.sources.Warehouse.read(s, dir, "rt_centroids")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val members = graft.sources.Warehouse.read(s, dir, "rt_pqcodes")
+      .withColumn("cell", col("cell").cast("long")) // partition col reads as INT
+      .filter(col("cell").isin(dirty: _*))
+      .select("neighbor_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val vecs = graft.sources.Warehouse.read(s, dir, "rt_vectors")
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Float](1).toArray, r.getDouble(2))))
+      .toMap
+    def residual(id: Long, cell: Long): Array[Float] = {
+      val (v, nrm) = vecs(id); val c = cents(cell)
+      Array.tabulate(dim)(j => (v(j).toDouble / nrm).toFloat - c(j))
+    }
+    def readBook(df: org.apache.spark.sql.DataFrame, cell: Option[Long]): Array[Array[Array[Float]]] = {
+      val rs = cell.map(c => df.filter(col("cell") === c)).getOrElse(df)
+        .orderBy("s", "cidx").collect()
+      val m = rs.map(_.getInt(if (cell.isDefined) 1 else 0)).max + 1
+      (0 until m).toArray.map(sx => rs.filter(_.getInt(if (cell.isDefined) 1 else 0) == sx)
+        .map(r => r.getSeq[Float](if (cell.isDefined) 3 else 2).toArray))
+    }
+    def distortion(bookOf: Long => Array[Array[Array[Float]]]): Double =
+      members.map { case (id, cell) =>
+        val r = residual(id, cell); val b = bookOf(cell)
+        val m = b.length; val sub = dim / m
+        (0 until m).map { sx =>
+          b(sx).map { e =>
+            (0 until sub).map { j =>
+              val d = r(sx * sub + j) - e(j); d.toDouble * d }.sum
+          }.min
+        }.sum
+      }.sum
+    val global = readBook(graft.sources.Warehouse.read(s, dir, "rt_codebooks"), None)
+    val before = distortion(_ => global)
+    val clean0 = cleanStats()
+    Similarity.retrainPqCellBooks(s, dir, "rt", dirty, trainIters = 2)
+    assert(cleanStats() == clean0,
+      "codebook repair must leave clean cells' code files byte-untouched")
+    val cbs = graft.sources.Warehouse.read(s, dir, "rt_cellbooks")
+    assert(cbs.select("cell").distinct().collect().map(_.getLong(0)).toSet == dirty.toSet)
+    val overBooks = dirty.map(c => c -> readBook(cbs, Some(c))).toMap
+    // Lloyd seeded from the global book on exactly these residuals is
+    // monotone: per-cell distortion can only improve (fixed-point mean
+    // quantization allows an ulp-scale epsilon)
+    val after = distortion(overBooks)
+    assert(after <= before + 1e-9, s"distortion $before -> $after")
+    assert(overBooks.values.exists(b => b.flatten.map(_.toSeq) != global.flatten.map(_.toSeq)),
+      "the repair must actually move at least one book")
+    // membership unchanged, and the served probe stays EXACT at full
+    // probe + refine (ADC approximation drops out of the final answer
+    // whichever book decodes it — codes and LUTs agree per cell)
+    val got = Similarity.ivfPqTopKIndexed(emb.filter(col("vec_id") < 10),
+      dir, "rt", k = 5, nProbe = 8, refine = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 10, col("vec_id") >= 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == exact, "override-decoded probe must stay exact at full probe")
+    // a delta appended AFTER the repair encodes overridden cells under
+    // their override book — served results stay exact over base+delta
+    val delta = (1000 until 1040).map(i =>
+      (i.toLong, Array.fill(dim)(0.4f * rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    Similarity.appendToIvfPqIndex(delta, dir, "rt")
+    val got2 = Similarity.ivfPqTopKIndexed(emb.filter(col("vec_id") < 10),
+      dir, "rt", k = 5, nProbe = 8, refine = 2000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact2 = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") >= 10).unionByName(delta)
+        .unionByName(emb.filter(col("vec_id") < 10)),
+      col("vec_id") < 10, col("vec_id") >= 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got2 == exact2, "post-append override encode must serve exactly")
+  }
+
   test("recentroidCells: dirty-slice-only repair, clean partitions byte-identical, quality improves") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(59)

@@ -1732,6 +1732,23 @@ object SparkEntry {
           .otherwise(0).as("observed"))
       graft.operators.Stats.coxPhBinary(subj, "g", "t", "observed")
     }),
+    "events_cox_multi" -> ((s, d) => {
+      // multi-covariate Cox (two binary covariates): which cohort
+      // membership carries the churn hazard NET of the other — the
+      // adjusted form a single-covariate fit can't give; p×p
+      // driver-side Newton on the (time × pattern) collapsed risk
+      // table, no-pivot elimination the oracle replays op-for-op
+      val ev = rd(s, d, "events")
+      val per = ev.groupBy("user_id").agg(min("ts").as("t0"), max("ts").as("t1"))
+      val gm = per.agg(max(col("t1")).as("gmax"))
+      val subj = per.crossJoin(gm).select(
+        (col("user_id") % 2).as("x1"),
+        when(col("user_id") % 3 === 0, 1L).otherwise(0L).as("x2"),
+        datediff(col("t1"), col("t0")).cast("long").as("t"),
+        when(col("t1") < col("gmax") - expr("INTERVAL 1 DAYS"), 1)
+          .otherwise(0).as("observed"))
+      graft.operators.Stats.coxPhMulti(subj, Seq("x1", "x2"), "t", "observed")
+    }),
     "events_logrank_k" -> ((s, d) => {
       // omnibus k-sample log-rank over the FOUR user_id%4 cohorts —
       // "does any cohort churn differently" before pairwise drilling;
@@ -7461,6 +7478,15 @@ object SparkEntry {
           "CAST(datediff('day', CAST(t0 AS DATE), CAST(t1 AS DATE)) AS BIGINT) AS t, " +
           "CASE WHEN t1 < gmax - INTERVAL 1 DAY THEN 1 ELSE 0 END AS observed " +
           "FROM p CROSS JOIN gm)"),
+    "events_cox_multi" ->
+      graft.operators.Stats.coxPhMultiSql(
+        "p AS (SELECT user_id, min(ts) AS t0, max(ts) AS t1 FROM events GROUP BY 1), " +
+          "gm AS (SELECT max(t1) AS gmax FROM p), " +
+          "subjects AS (SELECT user_id % 2 AS x1, " +
+          "CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS x2, " +
+          "CAST(datediff('day', CAST(t0 AS DATE), CAST(t1 AS DATE)) AS BIGINT) AS t, " +
+          "CASE WHEN t1 < gmax - INTERVAL 1 DAY THEN 1 ELSE 0 END AS observed " +
+          "FROM p CROSS JOIN gm)", "x1", "x2"),
     "events_power_analysis" -> {
       val z = 1.96 + 0.8416
       val z2 = z * z

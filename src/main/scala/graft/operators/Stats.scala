@@ -2172,6 +2172,260 @@ object Stats {
       s"FROM z0 CROSS JOIN b$iters CROSS JOIN zf"
   }
 
+  /** MULTI-COVARIATE Cox proportional hazards (Breslow ties), K BINARY
+    * covariates — "which of these K cohort memberships carries the
+    * churn hazard, net of the others?": the natural next step from
+    * [[coxPhBinary]], same collapsed risk-table architecture
+    * generalized over covariate PATTERNS. With binary covariates the
+    * hazard term exp(βᵀx) takes at most 2^p distinct values, so the
+    * risk table collapses to (event time × observed pattern) rows —
+    * suffix-summed at-risk counts per pattern, exact integer death
+    * counts — and the p-dimensional Newton runs driver-side on that
+    * bounded table (the emb_top_eigvec pattern: corpus work in one
+    * combinable pass, p-sized iteration on the driver). p ≤ 8 pinned
+    * loudly (≤ 256 patterns × |distinct event times| collected rows;
+    * the calendar-bounded axis argument of the whole survival family).
+    *
+    * Per event time t (patterns ascending, left-associated folds —
+    * textually mirrored by the oracle's ORDER BY list_reduce):
+    * S0 = Σ_g n_g·exp(βᵀx_g), S1_j, S2_jk the weighted moments;
+    * U_j = Σ_t [dx_j(t) − dt·S1_j/S0];
+    * I_jk = Σ_t dt·(S2_jk/S0 − (S1_j/S0)(S1_k/S0)). The p×p solve is
+    * deterministic NO-PIVOT Gaussian elimination (the Fisher
+    * information is symmetric positive-definite on non-degenerate
+    * data, so natural-order elimination never needs a pivot) with
+    * ascending back-substitution — every double op in a fixed order
+    * both engines replay. se_j = √((I⁻¹)_jj) via the same elimination
+    * against unit vectors. [[coxPhBinary]]'s separation guards apply
+    * per coordinate (step skip on non-finite/non-PD, ±30 clamp,
+    * `separated` flag). A p = 1 call reduces bit-for-bit to
+    * [[coxPhBinary]]'s β (spec-pinned).
+    *
+    * @return one row per covariate:
+    *         (cov, n_times, beta, hazard_ratio, se, z,
+    *         significant_5pct, separated)
+    */
+  def coxPhMulti(df: DataFrame, covCols: Seq[String], durationCol: String,
+      observedCol: String, iters: Int = 8): DataFrame = {
+    val p = covCols.size
+    require(p >= 1 && p <= 8,
+      s"coxPhMulti: 1..8 binary covariates (got $p) — the collapsed risk table " +
+        "is (event times x 2^p patterns); beyond 8 collapse covariates first")
+    val spark = df.sparkSession
+    val subj = df.select(
+      covCols.zipWithIndex.map { case (c, j) => col(c).cast("long").as(s"__x$j") } ++
+        Seq(col(durationCol).cast("long").as("t"),
+          col(observedCol).cast("int").as("obs")): _*)
+    // one metadata-sized probe validates EVERY covariate binary 0/1
+    // (the coxPhBinary discipline, batched): any other value silently
+    // skews the pattern moments
+    val badVals = subj.select(explode(array(covCols.indices.map(j =>
+        struct(lit(covCols(j)).as("c"), col(s"__x$j").as("v"))): _*)).as("e"))
+      .select(col("e.c"), col("e.v")).where(col("e.v").isNotNull)
+      .distinct().limit(3 * p)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .filterNot(cv => cv._2 == 0L || cv._2 == 1L)
+    require(badVals.isEmpty,
+      s"coxPhMulti: covariates must be binary 0/1 (got ${badVals.take(4).mkString(", ")})")
+    val pattern = covCols.indices.map(j => col(s"__x$j") * (1L << j)).reduce(_ + _)
+    val per = subj.withColumn("pattern", pattern)
+      .groupBy("pattern", "t")
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("obs") === 1, 1L).otherwise(0L)).as("d"))
+    val times = per.groupBy("t").agg(sum("d").as("dt")).where(col("dt") > 0)
+    val pats = per.select("pattern").distinct()
+      .collect().map(_.getLong(0)).sorted // <= 2^p, bounded by the require
+    val probes = times.select(
+      explode(array(pats.map(lit(_)): _*)).as("pattern"),
+      col("t"), lit(0L).as("c"), lit(1).as("is_probe"))
+    val suffix = Window.partitionBy(col("pattern")).orderBy(col("t").desc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = per.select(col("pattern"), col("t"), col("c"), lit(0).as("is_probe"))
+      .unionByName(probes)
+      .withColumn("n_g", sum(col("c")).over(suffix))
+      .where(col("is_probe") === 1)
+      .select(col("pattern"), col("t"), col("n_g"))
+    // the collapsed risk table: (event time x observed pattern) exact
+    // longs, collected ascending (t, pattern) for the driver folds
+    val rows = times.join(risk, "t")
+      .join(per.select(col("pattern"), col("t"), col("d")), Seq("t", "pattern"), "left")
+      .select(col("t"), col("dt"), col("pattern"), col("n_g"),
+        coalesce(col("d"), lit(0L)).as("d"))
+      .orderBy("t", "pattern")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    require(rows.nonEmpty, "coxPhMulti: no uncensored events")
+    val byT: Seq[(Long, Seq[(Long, Long, Long)])] = rows
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rs) =>
+        (rs.head._2, rs.sortBy(_._3).map(r => (r._3, r._4, r._5)).toSeq)
+      }
+    def bit(g: Long, j: Int): Double = ((g >> j) & 1L).toDouble
+    def scoreInfo(beta: Array[Double]): (Array[Double], Array[Array[Double]]) = {
+      val u = Array.fill(p)(0.0)
+      val im = Array.fill(p, p)(0.0)
+      byT.foreach { case (dt, gs) =>
+        var s0 = 0.0
+        val s1 = Array.fill(p)(0.0)
+        val s2 = Array.fill(p, p)(0.0)
+        val dx = Array.fill(p)(0L)
+        gs.foreach { case (g, n, d) =>
+          var xdot = 0.0
+          var j = 0
+          while (j < p) { xdot += beta(j) * bit(g, j); j += 1 }
+          val w = n.toDouble * math.exp(xdot)
+          s0 += w
+          j = 0
+          while (j < p) {
+            s1(j) += w * bit(g, j)
+            var k = 0
+            while (k < p) { s2(j)(k) += w * bit(g, j) * bit(g, k); k += 1 }
+            dx(j) += d * ((g >> j) & 1L)
+            j += 1
+          }
+        }
+        var j = 0
+        while (j < p) {
+          u(j) += dx(j).toDouble - dt.toDouble * s1(j) / s0
+          var k = 0
+          while (k < p) {
+            im(j)(k) += dt.toDouble * (s2(j)(k) / s0 - (s1(j) / s0) * (s1(k) / s0))
+            k += 1
+          }
+          j += 1
+        }
+      }
+      (u, im)
+    }
+    // deterministic NO-PIVOT Gaussian elimination + ascending back-sub
+    // — the fixed-order solve both engines replay (SPD information)
+    def solve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+      val m = a.map(_.clone()); val y = b.clone()
+      for (k <- 0 until p; i <- k + 1 until p) {
+        val f = m(i)(k) / m(k)(k)
+        for (j <- k until p) m(i)(j) -= f * m(k)(j)
+        y(i) -= f * y(k)
+      }
+      val x = Array.fill(p)(0.0)
+      for (i <- p - 1 to 0 by -1) {
+        var acc = y(i)
+        for (j <- i + 1 until p) acc -= m(i)(j) * x(j)
+        x(i) = acc / m(i)(i)
+      }
+      x
+    }
+    val (_, info0) = scoreInfo(Array.fill(p)(0.0))
+    require((0 until p).forall(j => info0(j)(j) > 0),
+      "coxPhMulti: degenerate risk sets — a covariate never varies at any event time")
+    val beta = Array.fill(p)(0.0)
+    var degenerate = false
+    for (_ <- 0 until iters) {
+      val (u, im) = scoreInfo(beta)
+      val finite = u.forall(java.lang.Double.isFinite) &&
+        im.forall(_.forall(java.lang.Double.isFinite)) &&
+        (0 until p).forall(j => im(j)(j) > 0)
+      if (finite) {
+        val delta = solve(im, u)
+        if (delta.forall(java.lang.Double.isFinite)) {
+          var j = 0
+          while (j < p) {
+            val step = beta(j) + delta(j)
+            if (step > 30.0 || step < -30.0) degenerate = true
+            beta(j) = math.max(-30.0, math.min(30.0, step))
+            j += 1
+          }
+        } else degenerate = true
+      } else degenerate = true
+    }
+    val (_, iFin) = scoreInfo(beta)
+    val ses = (0 until p).map { j =>
+      val e = Array.fill(p)(0.0); e(j) = 1.0
+      val inv = try solve(iFin, e)(j) catch { case _: Throwable => Double.NaN }
+      if (java.lang.Double.isFinite(inv) && inv > 0) math.sqrt(inv) else Double.NaN
+    }
+    val separated = degenerate || ses.exists(s => !java.lang.Double.isFinite(s))
+    val nTimes = byT.size.toLong
+    spark.createDataFrame(covCols.indices.map { j =>
+      val se = ses(j)
+      val z = if (java.lang.Double.isFinite(se)) beta(j) / se else Double.NaN
+      (covCols(j), nTimes, beta(j), math.exp(beta(j)), se, z,
+        !separated && math.abs(z) > 1.96, separated)
+    })
+      .toDF("cov", "n_times", "beta", "hazard_ratio", "se", "z",
+        "significant_5pct", "separated")
+  }
+
+  /** DuckDB replay of [[coxPhMulti]] for p = 2 over a subjects CTE
+    * named `subjects` with columns (x1, x2, t, observed) — the
+    * (time × pattern) suffix-sum risk table, `iters` unrolled Newton
+    * CTEs whose per-time moments and per-covariate folds are
+    * ascending-ordered list_reduce (first-element-seeded ≡ the Scala
+    * 0.0-seeded fold), and the 2×2 no-pivot elimination written
+    * op-for-op (f = i12/i11, Schur s = i22 − f·i12).
+    */
+  def coxPhMultiSql(subjectsCte: String, cov1: String, cov2: String,
+      iters: Int = 8): String = {
+    def fold(expr: String, ord: String): String =
+      s"list_reduce(list($expr ORDER BY $ord), (a, b) -> a + b)"
+    val xdot = "(0.0 + b1 * CAST(x1 AS DOUBLE) + b2 * CAST(x2 AS DOUBLE))"
+    val w = s"(CAST(n AS DOUBLE) * exp($xdot))"
+    def st(k: Int): String =
+      s"st$k AS (SELECT tt, dt, " +
+        s"${fold(w, "pattern")} AS s0, " +
+        s"${fold(s"$w * CAST(x1 AS DOUBLE)", "pattern")} AS s1_1, " +
+        s"${fold(s"$w * CAST(x2 AS DOUBLE)", "pattern")} AS s1_2, " +
+        s"${fold(s"$w * CAST(x1 AS DOUBLE) * CAST(x1 AS DOUBLE)", "pattern")} AS s2_11, " +
+        s"${fold(s"$w * CAST(x1 AS DOUBLE) * CAST(x2 AS DOUBLE)", "pattern")} AS s2_12, " +
+        s"${fold(s"$w * CAST(x2 AS DOUBLE) * CAST(x2 AS DOUBLE)", "pattern")} AS s2_22, " +
+        "CAST(sum(d * x1) AS BIGINT) AS dx1, CAST(sum(d * x2) AS BIGINT) AS dx2 " +
+        s"FROM (SELECT r.*, b.b1, b.b2 FROM r CROSS JOIN b${k - 1} b) x GROUP BY tt, dt)"
+    def uk(k: Int): String =
+      s"uk$k AS (SELECT " +
+        s"${fold("CAST(dx1 AS DOUBLE) - CAST(dt AS DOUBLE) * s1_1 / s0", "tt")} AS u1, " +
+        s"${fold("CAST(dx2 AS DOUBLE) - CAST(dt AS DOUBLE) * s1_2 / s0", "tt")} AS u2, " +
+        s"${fold("CAST(dt AS DOUBLE) * (s2_11 / s0 - (s1_1 / s0) * (s1_1 / s0))", "tt")} AS i11, " +
+        s"${fold("CAST(dt AS DOUBLE) * (s2_12 / s0 - (s1_1 / s0) * (s1_2 / s0))", "tt")} AS i12, " +
+        s"${fold("CAST(dt AS DOUBLE) * (s2_22 / s0 - (s1_2 / s0) * (s1_2 / s0))", "tt")} AS i22 " +
+        s"FROM st$k)"
+    def bk(k: Int): String =
+      s"fk$k AS (SELECT *, (i12 / i11) AS f FROM uk$k), " +
+        s"dk$k AS (SELECT *, ((u2 - f * u1) / (i22 - f * i12)) AS d2 FROM fk$k), " +
+        s"b$k AS MATERIALIZED (SELECT b.b1 + ((u1 - i12 * d2) / i11) AS b1, " +
+        s"b.b2 + d2 AS b2 FROM dk$k CROSS JOIN b${k - 1} b)"
+    val steps = (1 to iters).map(k => s"${st(k)}, ${uk(k)}, ${bk(k)}").mkString(", ")
+    s"WITH $subjectsCte, " +
+      "sub AS (SELECT CAST(x1 AS BIGINT) AS x1, CAST(x2 AS BIGINT) AS x2, t, observed, " +
+      "CAST(x1 AS BIGINT) + CAST(x2 AS BIGINT) * 2 AS pattern FROM subjects), " +
+      "per AS (SELECT pattern, t, CAST(count(*) AS BIGINT) AS c, " +
+      "CAST(sum(CASE WHEN observed = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d FROM sub GROUP BY 1, 2), " +
+      "tm AS (SELECT t, CAST(sum(d) AS BIGINT) AS dt FROM per GROUP BY 1 HAVING sum(d) > 0), " +
+      "pt AS (SELECT DISTINCT pattern FROM per), " +
+      "ms AS (SELECT pattern, t, c, 0 AS is_probe FROM per " +
+      "UNION ALL SELECT pt.pattern, tm.t, CAST(0 AS BIGINT), 1 FROM tm CROSS JOIN pt), " +
+      "ar AS (SELECT pattern, t, is_probe, CAST(sum(c) OVER (PARTITION BY pattern ORDER BY t DESC RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_g FROM ms), " +
+      "r AS MATERIALIZED (SELECT tm.t AS tt, tm.dt, az.pattern, " +
+      "CAST(az.pattern % 2 AS BIGINT) AS x1, CAST(az.pattern // 2 AS BIGINT) AS x2, " +
+      "az.n_g AS n, CAST(coalesce(dd.d, 0) AS BIGINT) AS d " +
+      "FROM tm JOIN (SELECT * FROM ar WHERE is_probe = 1) az ON az.t = tm.t " +
+      "LEFT JOIN per dd ON dd.t = tm.t AND dd.pattern = az.pattern), " +
+      "b0 AS (SELECT 0.0 AS b1, 0.0 AS b2), " +
+      s"$steps, " +
+      s"${st(iters + 1).replace(s"st${iters + 1} AS", "zst AS").replace(s"b$iters b", s"b$iters b")}, " +
+      s"${uk(iters + 1).replace(s"uk${iters + 1} AS", "zuk AS").replace(s"FROM st${iters + 1}", "FROM zst")}, " +
+      "zf AS (SELECT *, (i12 / i11) AS f, (i22 - (i12 / i11) * i12) AS s FROM zuk), " +
+      "se AS (SELECT sqrt((1.0 - i12 * ((0.0 - f) / s)) / i11) AS se1, " +
+      "sqrt(1.0 / s) AS se2 FROM zf), " +
+      s"fin AS (SELECT b.b1, b.b2, se.se1, se.se2, " +
+      "(SELECT CAST(count(*) AS BIGINT) FROM tm) AS n_times, " +
+      "NOT (isfinite(se.se1) AND se.se1 > 0 AND isfinite(se.se2) AND se.se2 > 0) AS sep " +
+      s"FROM b$iters b CROSS JOIN se) " +
+      s"SELECT '$cov1' AS cov, n_times, b1 AS beta, exp(b1) AS hazard_ratio, " +
+      "se1 AS se, b1 / se1 AS z, " +
+      "(NOT sep AND abs(b1 / se1) > 1.96) AS significant_5pct, sep AS separated FROM fin " +
+      s"UNION ALL SELECT '$cov2', n_times, b2, exp(b2), se2, b2 / se2, " +
+      "(NOT sep AND abs(b2 / se2) > 1.96), sep FROM fin"
+  }
+
   /** K-SAMPLE log-rank — "do any of these k survival curves differ?",
     * the omnibus companion of the two-sample [[logRankTest]] (k plan
     * tiers, k regions, k cohorts). Per pooled event time each group's

@@ -683,6 +683,75 @@ class StatsSpec extends AnyFunSuite with SparkTest {
     assert(!r.getBoolean(8))
   }
 
+  test("coxPhMulti: p=1 reduces to coxPhBinary's beta, score vanishes at the fit, order-invariant, guards loud") {
+    val s = spark; import s.implicits._
+    // the coxPhBinary fixture: the p=1 multi fit must reproduce its
+    // beta BIT-FOR-BIT (same collapsed table, same fold order, and the
+    // 1x1 elimination is exactly u/i)
+    val df1 = Seq((1L, 1L, 1), (1L, 2L, 1), (1L, 4L, 1), (1L, 9L, 0),
+      (0L, 3L, 1), (0L, 6L, 1), (0L, 8L, 1), (0L, 10L, 0), (0L, 11L, 0))
+      .toDF("g", "t", "observed")
+    val bin = Stats.coxPhBinary(df1, "g", "t", "observed").head()
+    val mono = Stats.coxPhMulti(df1, Seq("g"), "t", "observed").head()
+    assert(mono.getDouble(2) == bin.getDouble(3),
+      s"p=1 beta ${mono.getDouble(2)} must equal binary ${bin.getDouble(3)} exactly")
+    assert(math.abs(mono.getDouble(4) - bin.getDouble(5)) < 1e-12, "se agrees (sqrt path ulp)")
+    // two-covariate fit: x1 drives the hazard, x2 is a shifted cohort
+    // label — at the fitted beta the SCORE must vanish (Newton
+    // converged on both coordinates), the defining estimator property
+    val rnd = new scala.util.Random(31)
+    val rows2 = (0 until 120).map { i =>
+      val x1 = i % 2L; val x2 = (i % 3 == 0).compareTo(false).toLong
+      // cohort x1=1 churns systematically earlier
+      val t = 5L + (i % 7) + (1L - x1) * 6L + (rnd.nextInt(3))
+      (x1, x2, t, if (i % 5 == 0) 0 else 1)
+    }
+    val df2 = rows2.toDF("x1", "x2", "t", "observed")
+    val fit = Stats.coxPhMulti(df2, Seq("x1", "x2"), "t", "observed")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(fit("x1").getDouble(2) > 0.0, "earlier-churning cohort reads beta1 > 0")
+    assert(!fit("x1").getBoolean(7) && !fit("x2").getBoolean(7), "regular data: not separated")
+    // score-vanishing check via an independent hand fold over the
+    // collapsed risk table (rebuilt from scratch here)
+    val b = Array(fit("x1").getDouble(2), fit("x2").getDouble(2))
+    val subj = rows2.map { case (x1, x2, t, obs) => (x1 + 2 * x2, t, obs) }
+    val times = subj.filter(_._3 == 1).map(_._2).distinct.sorted
+    val u = Array(0.0, 0.0)
+    times.foreach { t =>
+      val atRisk = subj.filter(_._2 >= t)
+      val deaths = subj.filter(r => r._2 == t && r._3 == 1)
+      val s0 = atRisk.map(r => math.exp(b(0) * (r._1 & 1) + b(1) * ((r._1 >> 1) & 1))).sum
+      for (j <- 0 until 2) {
+        val s1 = atRisk.map(r => math.exp(b(0) * (r._1 & 1) + b(1) * ((r._1 >> 1) & 1)) *
+          ((r._1 >> j) & 1)).sum
+        u(j) += deaths.map(r => ((r._1 >> j) & 1).toDouble).sum - deaths.size * s1 / s0
+      }
+    }
+    assert(math.abs(u(0)) < 1e-8 && math.abs(u(1)) < 1e-8,
+      s"score at the fit must vanish: U=${u.mkString(",")}")
+    // covariate order is irrelevant up to fold-order ulp (swapping
+    // covariates re-encodes the patterns, so the per-time fold visits
+    // them in a different order)
+    val swapped = Stats.coxPhMulti(df2, Seq("x2", "x1"), "t", "observed")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(swapped("x1") - fit("x1").getDouble(2)) < 1e-12 &&
+      math.abs(swapped("x2") - fit("x2").getDouble(2)) < 1e-12)
+    // guards: non-binary covariate loud; constant covariate (singular
+    // information) loud; p bound loud
+    val tri = Seq((2L, 0L, 3L, 1), (0L, 1L, 4L, 1)).toDF("x1", "x2", "t", "observed")
+    assert(intercept[IllegalArgumentException] {
+      Stats.coxPhMulti(tri, Seq("x1", "x2"), "t", "observed")
+    }.getMessage.contains("binary"))
+    val const = Seq((1L, 0L, 3L, 1), (1L, 1L, 4L, 1), (1L, 0L, 5L, 1))
+      .toDF("x1", "x2", "t", "observed")
+    assert(intercept[IllegalArgumentException] {
+      Stats.coxPhMulti(const, Seq("x1", "x2"), "t", "observed")
+    }.getMessage.contains("degenerate"))
+    assert(intercept[IllegalArgumentException] {
+      Stats.coxPhMulti(df2, (1 to 9).map(_ => "x1"), "t", "observed")
+    }.getMessage.contains("1..8"))
+  }
+
   test("coxPhBinary: non-binary covariate loud, perfect separation finite and flagged") {
     val s = spark; import s.implicits._
     // a third group value would inflate pooled deaths dt while adding

@@ -2699,6 +2699,14 @@ object SparkEntry {
       // whole pipeline including the fixed-order ADC sum
       Similarity.pqTopK(rd(s, d, "embeddings"),
         col("vec_id") < 10, col("vec_id") >= 10, 5)),
+    "ann_pq_topk_std" -> ((s, d) =>
+      // the SAME PQ tier at the STANDARD operating point (m=8
+      // subspaces, 256-entry books — the FAISS-default PQ8x8 shape a
+      // deployment runs; ann_pq_topk's m=4/K=16 demonstrates the
+      // construction cheaply); oracle replays the full 8-subspace
+      // 256-entry train + encode + ADC pipeline
+      Similarity.pqTopK(rd(s, d, "embeddings"),
+        col("vec_id") < 10, col("vec_id") >= 10, 5, m = 8, codebookSize = 256)),
     "ann_ivf_pq_topk" -> ((s, d) =>
       // the composed production tier: IVF cells bound WHICH vectors
       // are scored, PQ codes bound WHAT a score costs; exact re-rank
@@ -7053,6 +7061,7 @@ object SparkEntry {
     "ann_filtered_ivf" -> OracleSql.annIvfTopK(5, numCentroids = 16, nProbe = 4,
       candWhere = "vec_id >= 10 AND label = 3"),
     "ann_pq_topk" -> OracleSql.annPqTopK(5),
+    "ann_pq_topk_std" -> OracleSql.annPqTopK(5, m = 8, codebookSize = 256),
     "ann_ivf_pq_topk" -> OracleSql.annIvfPqTopK(5, numCentroids = 8, nProbe = 4),
     // the persisted form serves the identical result (frozen-artifact
     // lifecycle) — the same full-pipeline replay is its oracle

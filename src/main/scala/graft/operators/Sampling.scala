@@ -286,6 +286,47 @@ object Sampling {
     df.filter(w >= wMax || (w > 0L && h < t))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES)
+    * — [[weightedKeep]]'s fixed-size sibling: draw EXACTLY k rows with
+    * inclusion pushed toward weight, no row twice. Each row gets the
+    * exponential-race key `ln(u)/w` (u a deterministic uniform from
+    * the salted md5's first 8 hex digits, shifted off 0 by +0.5 on the
+    * 2³² grid; equivalent to ranking u^(1/w)) and the sample is the
+    * top-k by key — the classic distributed one-pass reservoir
+    * equivalent, here derandomized so retries and the oracle replay
+    * the identical sample. Rows with w ≤ 0 never qualify.
+    *
+    * Scale shape: a narrow zero-shuffle projection plus ONE
+    * distributed top-k (`orderBy.limit` = per-partition take-ordered +
+    * a k-row driver merge) — never a global sort. The hex→integer
+    * bridge is portable: Spark `conv(hex, 16, 10)`, DuckDB
+    * `CAST('0x'||hex AS BIGINT)`, identical integers.
+    *
+    * @return the k sampled rows as (idCol, weightCol, es_key, rnk)
+    */
+  def weightedTopK(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      salt: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val hexPfx = substring(
+      md5(concat(lit(salt + ":"), col(idCol).cast("string"))), 1, 8)
+    val u = (conv(hexPfx, 16, 10).cast("long").cast("double") + 0.5) /
+      4294967296.0
+    val w = col(weightCol).cast("long")
+    val keyed = df.where(w > 0L)
+      .select(col(idCol), w.as(weightCol), (log(u) / w.cast("double")).as("es_key"))
+      .orderBy(col("es_key").desc, col(idCol))
+      .limit(k)
+    // rank assigned AFTER the k-row cut: the window runs on k rows,
+    // not the corpus
+    keyed.withColumn("rnk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("es_key").desc, col(idCol))).cast("int"))
+  }
+
   /** Prefix-sum packing: assign each row (document) of a group to a
     * fixed-budget bin — the corpus-assembly step that batches documents
     * into training shards / sequence-packing buckets of roughly

@@ -1261,6 +1261,57 @@ object Stats {
         col("d").as("n_events"), col("survival"))
   }
 
+  /** UCB1 BANDIT ALLOCATION REPORT — the adaptive-experimentation
+    * dashboard row: given the pull history (one row per pull with its
+    * arm and an integral reward), compute each arm's mean reward and
+    * UCB1/LCB1 confidence bounds (±√(2·ln N / n_a)), flag arms a
+    * successive-elimination policy retires (UCB below the best arm's
+    * LCB — their intervals have separated), and mark the arm the NEXT
+    * pull goes to (max UCB, ties on the smaller arm id — optimism in
+    * the face of uncertainty: underexplored arms get inflated bounds).
+    * Deterministic end to end: exact integer (n, Σreward) per arm, the
+    * bound formula evaluated in one fixed order, argmax by
+    * (ucb desc, arm) — both engines replay it exactly; no randomness
+    * anywhere (UCB is the derandomized bandit).
+    *
+    * Scale shape: ONE combinable per-arm aggregate over the pull log,
+    * then windows over the arm axis (rows = arms, metadata-sized).
+    */
+  def ucbAllocation(df: DataFrame, armCol: String, rewardCol: String): DataFrame = {
+    val arms = df.groupBy(col(armCol).cast("long").as("arm"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(rewardCol).cast("long")).as("__s"))
+    val all = Window.partitionBy(lit(1))
+    val byUcb = Window.orderBy(col("ucb").desc, col("arm"))
+    arms
+      .withColumn("n_total", sum(col("n")).over(all))
+      .withColumn("mean_reward", col("__s").cast("double") / col("n").cast("double"))
+      .withColumn("__rad",
+        sqrt(lit(2.0) * log(col("n_total").cast("double")) / col("n").cast("double")))
+      .withColumn("ucb", col("mean_reward") + col("__rad"))
+      .withColumn("lcb", col("mean_reward") - col("__rad"))
+      .withColumn("__best_lcb", max(col("lcb")).over(all))
+      .withColumn("eliminated", col("ucb") < col("__best_lcb"))
+      .withColumn("next_pull", row_number().over(byUcb) === 1)
+      .select(col("arm"), col("n"), col("n_total"), col("mean_reward"),
+        col("ucb"), col("lcb"), col("eliminated"), col("next_pull"))
+  }
+
+  /** DuckDB replay of [[ucbAllocation]] over a CTE `pulls` with
+    * columns (arm, reward). */
+  def ucbAllocationSql(pullsCte: String): String = {
+    val rad = "sqrt(2.0 * ln(CAST(n_total AS DOUBLE)) / CAST(n AS DOUBLE))"
+    val mean = "(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+    s"WITH $pullsCte, " +
+      "ar AS (SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(reward) AS BIGINT) AS s FROM pulls GROUP BY 1), " +
+      "tt AS (SELECT *, CAST(sum(n) OVER () AS BIGINT) AS n_total FROM ar), " +
+      s"bb AS (SELECT arm, n, n_total, $mean AS mean_reward, " +
+      s"$mean + $rad AS ucb, $mean - $rad AS lcb FROM tt) " +
+      "SELECT arm, n, n_total, mean_reward, ucb, lcb, " +
+      "ucb < max(lcb) OVER () AS eliminated, " +
+      "row_number() OVER (ORDER BY ucb DESC, arm) = 1 AS next_pull FROM bb"
+  }
+
   /** Two-sided normal p-value from a z-score via the Abramowitz–Stegun
     * 26.2.17 tail polynomial (|ε| < 7.5·10⁻⁸) — elementary ops only
     * (abs, exp, one Horner chain), so both engines evaluate the
@@ -2331,6 +2382,140 @@ object Stats {
       s"(isfinite(zf.i_final) AND zf.i_final > 0 AND abs(b$iters.beta / (1.0 / sqrt(zf.i_final))) > 1.96) AS significant_5pct, " +
       s"NOT (isfinite(zf.i_final) AND zf.i_final > 0) AS separated " +
       s"FROM z0 CROSS JOIN b$iters CROSS JOIN zf"
+  }
+
+  /** PROPORTIONAL-HAZARDS ASSUMPTION CHECK (Schoenfeld-style score
+    * residual trend) — the diagnostic every [[coxPhBinary]] readout
+    * should ship with: Cox's hazard ratio is a single number ONLY if
+    * the effect is constant over time; a cohort whose hazard advantage
+    * fades (early-churn burst, then parity) fits a misleading average.
+    * The check: fit β̂ exactly as [[coxPhBinary]] does, compute the
+    * per-event-time aggregated Schoenfeld/score residual
+    * r(t) = d₁(t) − dt·p(t, β̂) (observed minus expected cohort-1
+    * deaths), and correlate it with the event-time RANK: under PH the
+    * residuals are centered noise with no time trend; a systematic
+    * drift reads |z| = |corr|·√(n−1) > 1.96. Driver arithmetic is
+    * fixed-order folds over the ascending-time collapsed table
+    * (means, then centered cross/self products), textually mirrored by
+    * the oracle.
+    *
+    * Output one row:
+    * (n_times, beta, trend_corr, z, ph_violation).
+    */
+  def coxPhAssumptionCheck(df: DataFrame, groupCol: String,
+      durationCol: String, observedCol: String, iters: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    val subj = df.select(col(groupCol).cast("long").as("g"),
+      col(durationCol).cast("long").as("t"), col(observedCol).cast("int").as("obs"))
+    val gvals = subj.select("g").where(col("g").isNotNull)
+      .distinct().limit(3).collect().map(_.getLong(0)).toSet
+    require(gvals.nonEmpty && gvals.subsetOf(Set(0L, 1L)),
+      s"coxPhAssumptionCheck: $groupCol must be binary 0/1 " +
+        s"(got ${gvals.toSeq.sorted.mkString(", ")})")
+    val per = subj.groupBy("g", "t")
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("obs") === 1, 1L).otherwise(0L)).as("d"))
+    val times = per.groupBy("t").agg(sum("d").as("dt")).where(col("dt") > 0)
+    val probes = times.select(
+      explode(array(lit(0L), lit(1L))).as("g"),
+      col("t"), lit(0L).as("c"), lit(1).as("is_probe"))
+    val suffix = Window.partitionBy(col("g")).orderBy(col("t").desc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = per.select(col("g"), col("t"), col("c"), lit(0).as("is_probe"))
+      .unionByName(probes)
+      .withColumn("n_g", sum(col("c")).over(suffix))
+      .where(col("is_probe") === 1)
+    val riskWide = risk.groupBy("t").agg(
+      sum(when(col("g") === 0, col("n_g")).otherwise(0L)).as("n0"),
+      sum(when(col("g") === 1, col("n_g")).otherwise(0L)).as("n1"))
+    val d1 = per.where(col("g") === 1).select(col("t"), col("d").as("d1"))
+    val rows = times.join(riskWide, "t")
+      .join(d1, Seq("t"), "left")
+      .select(col("t"), col("dt"), col("n0"), col("n1"),
+        coalesce(col("d1"), lit(0L)).as("d1"))
+      .orderBy("t")
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    require(rows.nonEmpty, "coxPhAssumptionCheck: no uncensored events")
+    def scoreInfo(beta: Double): (Double, Double) = {
+      val eb = math.exp(beta)
+      val terms = rows.map { case (dt, n0, n1, d1v) =>
+        val p = n1.toDouble * eb / (n0.toDouble + n1.toDouble * eb)
+        (d1v.toDouble - dt.toDouble * p, dt.toDouble * (p - p * p))
+      }
+      (terms.map(_._1).reduceLeft(_ + _), terms.map(_._2).reduceLeft(_ + _))
+    }
+    require(scoreInfo(0.0)._2 > 0,
+      "coxPhAssumptionCheck: degenerate risk sets")
+    var beta = 0.0
+    for (_ <- 0 until iters) {
+      val (u, i) = scoreInfo(beta)
+      if (java.lang.Double.isFinite(u) && java.lang.Double.isFinite(i) && i > 0)
+        beta = math.max(-30.0, math.min(30.0, beta + u / i))
+    }
+    val eb = math.exp(beta)
+    val res = rows.map { case (dt, n0, n1, d1v) =>
+      val p = n1.toDouble * eb / (n0.toDouble + n1.toDouble * eb)
+      d1v.toDouble - dt.toDouble * p
+    }
+    val n = rows.length
+    val xs = (1 to n).map(_.toDouble)
+    val mx = xs.reduceLeft(_ + _) / n
+    val my = res.reduceLeft(_ + _) / n
+    val cov = xs.zip(res).map { case (x, y) => (x - mx) * (y - my) }.reduceLeft(_ + _)
+    val vx = xs.map(x => (x - mx) * (x - mx)).reduceLeft(_ + _)
+    val vy = res.map(y => (y - my) * (y - my)).reduceLeft(_ + _)
+    val corr = if (vx * vy == 0.0) 0.0 else cov / math.sqrt(vx * vy)
+    val z = corr * math.sqrt((n - 1).toDouble)
+    spark.createDataFrame(Seq(
+      (n.toLong, beta, corr, z, math.abs(z) > 1.96)))
+      .toDF("n_times", "beta", "trend_corr", "z", "ph_violation")
+  }
+
+  /** DuckDB replay of [[coxPhAssumptionCheck]] over a subjects CTE
+    * named `subjects` with columns (g, t, observed): the
+    * [[coxPhBinarySql]] risk-table + Newton chain, then the residual
+    * trend with the same ordered folds. */
+  def coxPhAssumptionCheckSql(subjectsCte: String, iters: Int = 8): String = {
+    def pOf(beta: String): String =
+      s"(CAST(n1 AS DOUBLE) * exp($beta) / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) * exp($beta)))"
+    def uFold(beta: String): String =
+      s"list_reduce(list(CAST(d1 AS DOUBLE) - CAST(dt AS DOUBLE) * ${pOf(beta)} ORDER BY tt), (a, b) -> a + b)"
+    def iFold(beta: String): String =
+      s"list_reduce(list(CAST(dt AS DOUBLE) * (${pOf(beta)} - ${pOf(beta)} * ${pOf(beta)}) ORDER BY tt), (a, b) -> a + b)"
+    val steps = (1 to iters).map { k =>
+      s"b$k AS MATERIALIZED (SELECT any_value(beta) + ${uFold("beta")} / ${iFold("beta")} AS beta " +
+        s"FROM (SELECT r.*, b.beta FROM r CROSS JOIN b${k - 1} b) x)"
+    }.mkString(", ")
+    s"WITH $subjectsCte, " +
+      "per AS (SELECT g, t, CAST(count(*) AS BIGINT) AS c, CAST(sum(CASE WHEN observed = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d FROM subjects GROUP BY 1, 2), " +
+      "tm AS (SELECT t, CAST(sum(d) AS BIGINT) AS dt FROM per GROUP BY 1 HAVING sum(d) > 0), " +
+      "ms AS (SELECT g, t, c, 0 AS is_probe FROM per " +
+      "UNION ALL SELECT gg.g, tm.t, CAST(0 AS BIGINT), 1 FROM tm CROSS JOIN (SELECT CAST(0 AS BIGINT) AS g UNION ALL SELECT CAST(1 AS BIGINT)) gg), " +
+      "ar AS (SELECT g, t, is_probe, CAST(sum(c) OVER (PARTITION BY g ORDER BY t DESC RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_g FROM ms), " +
+      "rw AS (SELECT t, CAST(sum(CASE WHEN g = 0 THEN n_g ELSE 0 END) AS BIGINT) AS n0, " +
+      "CAST(sum(CASE WHEN g = 1 THEN n_g ELSE 0 END) AS BIGINT) AS n1 FROM ar WHERE is_probe = 1 GROUP BY 1), " +
+      "r AS MATERIALIZED (SELECT tm.t AS tt, tm.dt, rw.n0, rw.n1, CAST(coalesce(dd.d, 0) AS BIGINT) AS d1 " +
+      "FROM tm JOIN rw ON rw.t = tm.t LEFT JOIN per dd ON dd.t = tm.t AND dd.g = 1), " +
+      "b0 AS (SELECT 0.0 AS beta), " +
+      s"$steps, " +
+      // residuals at the fitted beta, ranked by event time; the rank
+      // is cast through DOUBLE exactly like the Scala xs
+      s"rr AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY tt) AS DOUBLE) AS x, tt, " +
+      s"(CAST(d1 AS DOUBLE) - CAST(dt AS DOUBLE) * ${pOf(s"(SELECT beta FROM b$iters)")}) AS y " +
+      "FROM r), " +
+      "mm AS (SELECT list_reduce(list(x ORDER BY tt), (a, b) -> a + b) / (SELECT count(*) FROM rr) AS mx, " +
+      "list_reduce(list(y ORDER BY tt), (a, b) -> a + b) / (SELECT count(*) FROM rr) AS my FROM rr), " +
+      "cc AS (SELECT list_reduce(list((x - mx) * (y - my) ORDER BY tt), (a, b) -> a + b) AS cov, " +
+      "list_reduce(list((x - mx) * (x - mx) ORDER BY tt), (a, b) -> a + b) AS vx, " +
+      "list_reduce(list((y - my) * (y - my) ORDER BY tt), (a, b) -> a + b) AS vy " +
+      "FROM (SELECT rr.*, mm.mx, mm.my FROM rr CROSS JOIN mm) q) " +
+      "SELECT (SELECT CAST(count(*) AS BIGINT) FROM r) AS n_times, " +
+      s"(SELECT beta FROM b$iters) AS beta, " +
+      "(CASE WHEN vx * vy = 0.0 THEN 0.0 ELSE cov / sqrt(vx * vy) END) AS trend_corr, " +
+      "(CASE WHEN vx * vy = 0.0 THEN 0.0 ELSE cov / sqrt(vx * vy) END) * sqrt(CAST((SELECT count(*) FROM r) - 1 AS DOUBLE)) AS z, " +
+      "abs((CASE WHEN vx * vy = 0.0 THEN 0.0 ELSE cov / sqrt(vx * vy) END) * sqrt(CAST((SELECT count(*) FROM r) - 1 AS DOUBLE))) > 1.96 AS ph_violation " +
+      "FROM cc"
   }
 
   /** STRATIFIED Cox proportional hazards (Breslow ties, binary

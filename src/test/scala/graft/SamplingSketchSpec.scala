@@ -82,6 +82,36 @@ class SamplingSketchSpec extends AnyFunSuite with SparkTest {
   }
 
 
+  test("weightedTopK: exact-k without replacement, salt-deterministic, weight-monotone inclusion") {
+    val s = spark; import s.implicits._
+    // weights 1..200: heavier rows should win far more often
+    val df = (1 to 200).map(i => (i.toLong, i.toLong)).toDF("id", "w")
+    val a = Sampling.weightedTopK(df, "id", "w", "s1", 40).collect()
+    // exactly k rows, all distinct (without replacement), ranked 1..k
+    assert(a.length == 40 && a.map(_.getLong(0)).distinct.length == 40)
+    assert(a.map(_.getInt(3)).sorted.toSeq == (1 to 40))
+    // deterministic per salt, different under another salt
+    val a2 = Sampling.weightedTopK(df, "id", "w", "s1", 40).collect()
+    assert(a.map(_.getLong(0)).toSeq == a2.map(_.getLong(0)).toSeq)
+    val b = Sampling.weightedTopK(df, "id", "w", "s2", 40).collect()
+    assert(a.map(_.getLong(0)).toSet != b.map(_.getLong(0)).toSet)
+    // inclusion is weight-monotone in aggregate: across 30 salts the
+    // heaviest quartile appears far more often than the lightest
+    // (deterministic given the salt list — no flakiness)
+    val counts = scala.collection.mutable.Map[Long, Int]().withDefaultValue(0)
+    (0 until 30).foreach { i =>
+      Sampling.weightedTopK(df, "id", "w", s"ms$i", 40).collect()
+        .foreach(r => counts(r.getLong(0)) += 1)
+    }
+    val heavy = (151L to 200L).map(counts).sum
+    val light = (1L to 50L).map(counts).sum
+    assert(heavy > light * 3, s"heavy quartile $heavy vs light $light")
+    // non-positive weights never qualify
+    val withZero = df.union(Seq((9999L, 0L), (9998L, -5L)).toDF("id", "w"))
+    val c = Sampling.weightedTopK(withZero, "id", "w", "s1", 200).collect()
+    assert(!c.map(_.getLong(0)).toSet.exists(id => id == 9999L || id == 9998L))
+  }
+
   test("splitLeakageAudit: cluster-safe leaks zero pairs, naive split leaks some") {
     val s = spark; import s.implicits._
     val docs = (1L to 2000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")

@@ -683,6 +683,59 @@ class StatsSpec extends AnyFunSuite with SparkTest {
     assert(!r.getBoolean(8))
   }
 
+  test("ucbAllocation: separated arms eliminate, underexplored arm gets the next pull") {
+    val s = spark; import s.implicits._
+    // A: 100 pulls, 90 wins; B: 100 pulls, 5 wins; C: 2 pulls, 1 win.
+    // N = 202: A/B radius = sqrt(2 ln202/100) ~ .326, so B's UCB
+    // (.376) sits below A's LCB (.574) -> eliminated; C's tiny n
+    // inflates its UCB past everyone -> next pull explores C
+    val pulls = ((1 to 100).map(i => (0L, if (i <= 90) 1L else 0L)) ++
+      (1 to 100).map(i => (1L, if (i <= 5) 1L else 0L)) ++
+      Seq((2L, 1L), (2L, 0L))).toDF("arm", "reward")
+    val r = Stats.ucbAllocation(pulls, "arm", "reward")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(0L).getDouble(3) == 0.9 && r(1L).getDouble(3) == 0.05 &&
+      r(2L).getDouble(3) == 0.5)
+    assert(r.values.forall(x => x.getLong(2) == 202L))
+    assert(!r(0L).getBoolean(6) && r(1L).getBoolean(6) && !r(2L).getBoolean(6),
+      "only the separated loser retires")
+    assert(r(2L).getBoolean(7) && !r(0L).getBoolean(7) && !r(1L).getBoolean(7),
+      "optimism sends the next pull to the underexplored arm")
+    r.values.foreach { x =>
+      assert(x.getDouble(4) > x.getDouble(3) && x.getDouble(3) > x.getDouble(5),
+        "ucb > mean > lcb")
+    }
+  }
+
+  test("coxPhAssumptionCheck: beta matches the fit, mirrored cohorts read zero trend, crossing hazards flag") {
+    val s = spark; import s.implicits._
+    // beta comes from the identical Newton chain
+    val df1 = Seq((1L, 1L, 1), (1L, 2L, 1), (1L, 4L, 1), (1L, 9L, 0),
+      (0L, 3L, 1), (0L, 6L, 1), (0L, 8L, 1), (0L, 10L, 0), (0L, 11L, 0))
+      .toDF("g", "t", "observed")
+    val chk = Stats.coxPhAssumptionCheck(df1, "g", "t", "observed").head()
+    val fit = Stats.coxPhBinary(df1, "g", "t", "observed").head()
+    assert(chk.getDouble(1) == fit.getDouble(3), "same beta as the fit")
+    // mirrored cohorts: every residual is exactly 0 -> corr 0 (via the
+    // vy = 0 guard), never a 0/0, no violation
+    val same = (0L to 1L).flatMap(g =>
+      Seq((g, 2L, 1), (g, 5L, 1), (g, 8L, 1), (g, 9L, 0))).toDF("g", "t", "observed")
+    val r0 = Stats.coxPhAssumptionCheck(same, "g", "t", "observed").head()
+    assert(r0.getDouble(2) == 0.0 && r0.getDouble(3) == 0.0 && !r0.getBoolean(4))
+    // CROSSING hazards — the PH violation the check exists for: the
+    // cohort-1 hazard is concentrated early, cohort-0's late, with
+    // both cohorts under observation throughout (late censoring keeps
+    // risk sets mixed). A single hazard ratio is the wrong model and
+    // the residual trend must flag it.
+    val cross = ((1 to 12).map(i => (1L, ((i - 1) % 6 + 1).toLong, 1)) ++
+      (1 to 12).map(i => (0L, ((i - 1) % 6 + 11).toLong, 1)) ++
+      (1 to 6).map(i => (1L, 20L, 0)) ++ (1 to 6).map(i => (0L, 20L, 0)))
+      .toDF("g", "t", "observed")
+    val rc = Stats.coxPhAssumptionCheck(cross, "g", "t", "observed").head()
+    assert(rc.getBoolean(4),
+      s"crossing hazards must flag: corr ${rc.getDouble(2)}, z ${rc.getDouble(3)}")
+  }
+
   test("fdrBh: step-up semantics on a hand battery, p_adj <-> rejection, normal tail accurate") {
     val s = spark; import s.implicits._
     // classic step-up case at q = 0.25, m = 4: p = .01, .20, .21, .90.

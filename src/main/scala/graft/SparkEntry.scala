@@ -2062,6 +2062,58 @@ object SparkEntry {
           expr("n_covered * 1000000L div n").as("coverage_ppm"))
         .withColumn("drifted", col("coverage_ppm") < 850000L)
     }),
+    "stream_ucb_replay" -> ((s, d) => {
+      // STREAMING bandit state: each week folds per-arm (pulls,
+      // rewards) ADDITIVE counters into the stamped pointer table —
+      // additive state is exactly what an unstamped crash replay
+      // double-counts, so a poisoned week-1 redelivery must skip on
+      // the stamp; the read computes UCB1 bounds over the ACCUMULATED
+      // history, so the allocation decision reproduces from the
+      // persisted counters alone (and the batch oracle recomputes it
+      // from the raw feed — identical because the counters are exact)
+      import graft.sources.Warehouse
+      val ev = rd(s, d, "events")
+      val dir = new java.io.File(
+        "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      val tbl = s"ucbstate_${contentEpoch(ev, "event_id")}"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val cuts = Seq("2024-01-08", "2024-01-15", "2024-01-22")
+        .map(c => to_timestamp(lit(s"$c 00:00:00")))
+      val base = ev.select(col("ts"), (col("user_id") % 4).as("arm"),
+        when(col("event_type") === "purchase" && col("value") >= 90, 1L)
+          .otherwise(0L).as("reward"))
+      def slice(i: Int): DataFrame = i match {
+        case 0 => base.filter(col("ts") < cuts(0))
+        case 1 => base.filter(col("ts") >= cuts(0) && col("ts") < cuts(1))
+        case 2 => base.filter(col("ts") >= cuts(1) && col("ts") < cuts(2))
+        case _ => base.filter(col("ts") >= cuts(2))
+      }
+      def fold(batch: DataFrame, batchId: Long): Unit = {
+        if (batchId <= Warehouse.Pointer.lastBatch(s, dir, tbl)) return
+        val inc = batch.groupBy("arm")
+          .agg(count(lit(1)).as("n"), sum(col("reward")).as("s"))
+          .select(lit(batchId.toInt).as("week"), col("arm"), col("n"), col("s"))
+        val cur =
+          if (Warehouse.Pointer.exists(s, dir, tbl))
+            Warehouse.Pointer.read(s, dir, tbl)
+          else s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row], inc.schema)
+        Warehouse.Pointer.overwrite(cur.unionByName(inc), dir, tbl, 2, batchId)
+      }
+      graft.operators.Memo.cached(s, s"ucbstate|$dir|$tbl") {
+        fold(slice(0), 0L)
+        fold(slice(1), 1L)
+        // poisoned crash replay: week 1 re-delivered with corrupted
+        // rewards under the same batch id — the stamp must skip it
+        fold(slice(1).withColumn("reward", col("reward") + 1L), 1L)
+        fold(slice(2), 2L)
+        fold(slice(3), 3L)
+        java.lang.Boolean.TRUE
+      }
+      graft.operators.Stats.ucbFromCounters(
+        Warehouse.Pointer.read(s, dir, tbl)
+          .groupBy("arm").agg(sum(col("n")).as("n"), sum(col("s")).as("__s")))
+    }),
     "stream_msprt_replay" -> ((s, d) => {
       // STREAMING experiment monitoring with exactly-once state: the
       // per-user (first-seen day, first-conversion day) state folds
@@ -9040,6 +9092,11 @@ object SparkEntry {
         "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS revenue_c " +
         "FROM w WHERE event_type = 'purchase' GROUP BY 1"),
     "seq_rolling_spikes" -> Stats.rollingIntegerZSpikesSql("orders"),
+    "stream_ucb_replay" ->
+      graft.operators.Stats.ucbAllocationSql(
+        "pulls AS (SELECT user_id % 4 AS arm, " +
+          "CASE WHEN event_type = 'purchase' AND value >= 90 THEN 1 ELSE 0 END AS reward " +
+          "FROM events)"),
     "ab_ucb_alloc" ->
       graft.operators.Stats.ucbAllocationSql(
         "pulls AS (SELECT user_id % 4 AS arm, reward FROM " +

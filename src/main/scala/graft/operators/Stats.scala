@@ -1277,10 +1277,16 @@ object Stats {
     * Scale shape: ONE combinable per-arm aggregate over the pull log,
     * then windows over the arm axis (rows = arms, metadata-sized).
     */
-  def ucbAllocation(df: DataFrame, armCol: String, rewardCol: String): DataFrame = {
-    val arms = df.groupBy(col(armCol).cast("long").as("arm"))
+  def ucbAllocation(df: DataFrame, armCol: String, rewardCol: String): DataFrame =
+    ucbFromCounters(df.groupBy(col(armCol).cast("long").as("arm"))
       .agg(count(lit(1)).as("n"),
-        sum(col(rewardCol).cast("long")).as("__s"))
+        sum(col(rewardCol).cast("long")).as("__s")))
+
+  /** [[ucbAllocation]] over PRE-AGGREGATED per-arm counters
+    * (arm, n, __s) — the entry point for streaming state, where the
+    * pull history lives as stamped additive counters rather than a
+    * pull log. */
+  def ucbFromCounters(arms: DataFrame): DataFrame = {
     val all = Window.partitionBy(lit(1))
     val byUcb = Window.orderBy(col("ucb").desc, col("arm"))
     arms

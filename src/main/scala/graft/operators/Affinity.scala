@@ -71,9 +71,18 @@ object Affinity {
     * co-purchase-degree-bounded, not catalog-bounded). Deterministic
     * tie-break (cos2 desc, neighbor id asc) makes top-k hash-stable.
     */
-  def itemCosineTopK(lineitem: DataFrame, minSupport: Long, k: Int): DataFrame = {
+  def itemCosineTopK(lineitem: DataFrame, minSupport: Long, k: Int): DataFrame =
+    itemCosineTopKFromLift(pairLift(lineitem, minSupport), k)
+
+  /** [[itemCosineTopK]] over a PRE-COMPUTED [[pairLift]] table — the
+    * production shape where the co-occurrence pair table is a
+    * materialized artifact shared by several consumers (lift reports,
+    * item-item recs, co-purchase graphs) rather than re-mined per
+    * query. Identical output to [[itemCosineTopK]] on the same pairs.
+    */
+  def itemCosineTopKFromLift(lift: DataFrame, k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val base = pairLift(lineitem, minSupport)
+    val base = lift
       .select(col("pk_a"), col("pk_b"), col("n_co"), col("n_a"), col("n_b"))
     val directed = base.select(
         col("pk_a").as("item"), col("pk_b").as("rec"),
@@ -109,9 +118,16 @@ object Affinity {
     * a catalog. Integer-exact: scores are sums of ppm longs.
     */
   def userTopN(lineitem: DataFrame, orders: DataFrame,
-      minSupport: Long, k: Int, n: Int): DataFrame = {
+      minSupport: Long, k: Int, n: Int): DataFrame =
+    userTopNFromLift(pairLift(lineitem, minSupport), lineitem, orders, k, n)
+
+  /** [[userTopN]] over a PRE-COMPUTED [[pairLift]] table (see
+    * [[itemCosineTopKFromLift]]) — identical output on the same pairs.
+    */
+  def userTopNFromLift(lift: DataFrame, lineitem: DataFrame, orders: DataFrame,
+      k: Int, n: Int): DataFrame = {
     require(n >= 1, "n must be >= 1")
-    val itemRecs = itemCosineTopK(lineitem, minSupport, k)
+    val itemRecs = itemCosineTopKFromLift(lift, k)
       .select(col("item"), col("rec"), col("cos2_ppm"))
     val bought = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
       .join(orders.select(col("o_orderkey").as("ok"), col("o_custkey").as("cust")), "ok")

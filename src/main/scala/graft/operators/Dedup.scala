@@ -605,8 +605,22 @@ object Dedup {
       numHashes: Int,
       numBands: Int,
       idCol: String,
+      portable: Boolean): DataFrame =
+    lshBucketsFromSigs(
+      minHashSigs(tri, numHashes, idCol, portable), numHashes, numBands,
+      idCol, portable)
+
+  /** The MinHash signature table `(idCol, mh0..mh{numHashes-1})` — the
+    * band-count-INDEPENDENT half of [[lshBuckets]], factored out so a
+    * multi-band-count sweep ([[blockingRecallReport]]) computes the
+    * signature aggregation ONCE and re-bands it per candidate count
+    * instead of re-hashing the gram table per sweep point.
+    */
+  private def minHashSigs(
+      tri: DataFrame,
+      numHashes: Int,
+      idCol: String,
       portable: Boolean): DataFrame = {
-    val rowsPerBand = numHashes / numBands
     val sigCols =
       if (portable) {
         val h40 = rolling_hash(col("gram")).bitwiseAND(lit(PortableMinHash.Mask))
@@ -616,7 +630,19 @@ object Dedup {
       } else
         (0 until numHashes).map(i =>
           min(xxhash64(concat(lit(s"seed$i:"), col("gram")))).as(s"mh$i"))
-    val sigs = tri.groupBy(idCol).agg(sigCols.head, sigCols.tail: _*)
+    tri.groupBy(idCol).agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** Band buckets from a [[minHashSigs]] table — pure banding, no
+    * re-hashing. Output identical to [[lshBuckets]] on the same grams.
+    */
+  private def lshBucketsFromSigs(
+      sigs: DataFrame,
+      numHashes: Int,
+      numBands: Int,
+      idCol: String,
+      portable: Boolean): DataFrame = {
+    val rowsPerBand = numHashes / numBands
     val bandStructs = (0 until numBands).map { b =>
       val bandCols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
       // portable: the band's raw values ARE the bucket (equality join on
@@ -735,14 +761,35 @@ object Dedup {
       threshNum: Int,
       threshDen: Int,
       textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    blockingRecallReportWithTruth(docs,
+      ngramJaccardPairs(docs, threshNum, threshDen, textCol = textCol,
+        idCol = idCol).select("id_a", "id_b"),
+      numHashes, bandCounts, textCol, idCol)
+
+  /** [[blockingRecallReport]] against a PRE-COMPUTED truth pair list —
+    * the production shape where the labeled-sample truth is a
+    * materialized artifact (the same exact-Jaccard pair table several
+    * eval gates share) rather than re-mined per report. `truthPairs`
+    * must be the `(id_a, id_b)` projection of the exact pair scan at
+    * the report's threshold; output is identical to
+    * [[blockingRecallReport]] on the same pairs. The signature
+    * aggregation is computed ONCE and re-banded per band count (the
+    * signatures do not depend on the band count).
+    */
+  def blockingRecallReportWithTruth(
+      docs: DataFrame,
+      truthPairs: DataFrame,
+      numHashes: Int,
+      bandCounts: Seq[Int],
+      textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(bandCounts.nonEmpty && bandCounts.forall(b => b >= 1 && numHashes % b == 0))
     val tri = Caches.persisted(trigramSets(docs, textCol, idCol))
-    val truth = Caches.persisted(
-      ngramJaccardPairs(docs, threshNum, threshDen, textCol = textCol, idCol = idCol)
-        .select("id_a", "id_b"))
+    val truth = Caches.persisted(truthPairs.select("id_a", "id_b"))
+    val sigs = Caches.persisted(minHashSigs(tri, numHashes, idCol, portable = true))
     bandCounts.map { nb =>
-      val bk = lshBuckets(tri, numHashes, nb, idCol, portable = true)
+      val bk = lshBucketsFromSigs(sigs, numHashes, nb, idCol, portable = true)
       val cand = Caches.persisted(bk.toDF("id_a", "band", "bucket")
         .join(bk.toDF("id_b", "band", "bucket"), Seq("band", "bucket"))
         .where(col("id_a") < col("id_b"))

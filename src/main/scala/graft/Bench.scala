@@ -136,9 +136,31 @@ object Bench {
       soloT: Double, prevT: Double, controlRatio: Double): Boolean =
     soloT >= 0 && soloT > prevT * 1.3 * math.max(controlRatio, 1.0)
 
+  /** Startup wipe of every `stage_*` materialized-view table and every
+    * `ivf*` persisted ANN index under `target/graft_wh` — a bench run
+    * may NEVER inherit a derived artifact from a previous run. The
+    * first gate that needs a stage rebuilds it (in the untimed warmup
+    * pass), and the derivation cost itself is carried by the timed
+    * MV-refresh gates (`stage_*_build`, plus `basket_pair_lift` /
+    * `dedup_ngram_jaccard` / `dedup_keep_list`, which recompute their
+    * stages' derivations from parquet on every pass), so a fresh run's
+    * JSON always contains the build seconds. Fixture tables (the data
+    * being operated ON — delta/MoR tables, maintained states) stay:
+    * building an input fixture is setup, not the timed operator.
+    */
+  private def wipeDerivedArtifacts(): Unit = {
+    val root = new java.io.File("target/graft_wh")
+    val subs = Option(root.listFiles()).getOrElse(Array.empty)
+    for (sf <- subs if sf.isDirectory;
+         t <- Option(sf.listFiles()).getOrElse(Array.empty)
+         if t.getName.startsWith("stage_") || t.getName.startsWith("ivf"))
+      org.apache.commons.io.FileUtils.deleteQuietly(t)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    wipeDerivedArtifacts()
     // optional comma-separated query-name filter for focused timing runs
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
@@ -301,7 +323,13 @@ object Bench {
         ""","merge5m":{"control_ratio":-1,"flat_delta_sec":-1,"flat_delta_norm_sec":-1,"partitioned_delta_sec":-1,"partitioned_delta_norm_sec":-1,"rows_rewritten":-1,"mor_correction_sec":-1,"mor_correction_norm_sec":-1,"mor_rows_written":-1,"mor_base_files_read":-1,"mor_base_files_total":-1,"mor_minor_sec":-1,"mor_minor_norm_sec":-1,"mor_minor_rows":-1,"mor_compact_sec":-1,"mor_compact_norm_sec":-1,"mor_compact_rows_rewritten":-1,"partitioned_correction_sec":-1,"partitioned_correction_norm_sec":-1,"partitioned_rows_rewritten":-1,"partitioned_minor_sec":-1,"partitioned_minor_norm_sec":-1,"partitioned_minor_rows":-1}"""
       }
     val total = results.values.filter(_ >= 0).sum
-    val cj = s""""controls":{"start":${ms(ctlStart)},"mid":${ms(ctlMid)},"end":${ms(ctlEnd)}},""" +
+    // the env block lets the driver VERIFY the core-count env was
+    // honored (round-12 `suspect_cpus_ignored` flag): the session's
+    // actual master parallelism and shuffle partitioning, not just the
+    // requested count
+    val ej = s""""cpus":$cpus,"default_parallelism":${spark.sparkContext.defaultParallelism},""" +
+      s""""shuffle_partitions":${spark.conf.get("spark.sql.shuffle.partitions")}"""
+    val cj = s"""$ej,"controls":{"start":${ms(ctlStart)},"mid":${ms(ctlMid)},"end":${ms(ctlEnd)}},""" +
       s""""control_sec":${ms(controlSec)},"control_set":$controlSetVersion,""" +
       s""""control_ratio":${f"$controlRatio%.3f"}"""
     val line =

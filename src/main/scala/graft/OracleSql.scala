@@ -576,6 +576,23 @@ object OracleSql {
       "CAST(agg.sum_cos // agg.n AS BIGINT) AS avg_cos_ppm " +
       "FROM cl LEFT JOIN agg ON agg.cell = cl.cell, tot"
 
+  /** Oracle for `stage_ivfpq_build`: the per-cell occupancy of the
+    * freshly built IVF-PQ index — the coarse seeded pick, the build's
+    * `refineIters` Lloyd rounds, argmax-cosine cell assignment of
+    * every candidate, counted per cell (cells that attract no vectors
+    * hold no code rows, so they are absent on both sides).
+    */
+  def annIvfPqBuildCells(numCentroids: Int, dim: Int = 64, seed: Long = 42L,
+      refineIters: Int = 1): String =
+    s"WITH ${ivfPrologue(numCentroids, dim, seed)}, " +
+      s"${lloydChain(refineIters, dim)}, " +
+      s"cd AS (SELECT c.vec_id, ct.cidx, ${pairDot("c.embedding", "ct.cvec", dim)} / c.nrm AS dot " +
+      s"FROM cnd c CROSS JOIN cent$refineIters ct), " +
+      "asg AS (SELECT vec_id, cidx FROM (SELECT *, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cidx) AS rn FROM cd) t WHERE rn = 1) " +
+      "SELECT CAST(cidx AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS n_vectors " +
+      "FROM asg GROUP BY cidx"
+
   /** Oracle for `ann_ivf_refined_topk`: the seeded pick plus `iters`
     * replayed Lloyd iterations of `Similarity.kmeansCentroids`. Each
     * iteration reproduces the Scala driver's arithmetic exactly:
@@ -2141,6 +2158,19 @@ object OracleSql {
       s"sel AS (SELECT min(bin) AS bin FROM pr WHERE precision_ppm >= $targetPrecisionPpm) " +
       "SELECT pr.bin, n_kept, n_pos_kept, precision_ppm, recall_ppm " +
       "FROM pr JOIN sel ON pr.bin = sel.bin"
+
+  /** Oracle for `stage_probekeep_build`: the trained probe's keep SET
+    * at the target operating point — the doc ids in score bins at or
+    * above the loosest bin meeting the target precision (the `pk` CTE
+    * of the `pipeline_curation_v6` replay, stand-alone).
+    */
+  def probeKeepSet(targetWhere: String, targetPrecisionPpm: Long,
+      bins: Int, buckets: Int, iters: Int, lr: Double, scaleBits: Int,
+      salt: String): String =
+    s"WITH ${probePrCtes(targetWhere, bins, buckets, iters, lr, scaleBits, salt)}, " +
+      s"psel AS (SELECT min(bin) AS bin FROM pr WHERE precision_ppm >= $targetPrecisionPpm), " +
+      s"pbn AS (SELECT doc_id, CAST((score_ppm - mn) * $bins // (mx - mn + 1) AS INT) AS bin FROM sc, bd) " +
+      "SELECT doc_id FROM pbn, psel WHERE pbn.bin >= psel.bin"
 
   /** Oracle for `search_mmr_rerank`: full replay of
     * `graft.operators.Similarity.mmrRerank` — pool by exact cosine

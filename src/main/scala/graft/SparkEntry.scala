@@ -752,6 +752,19 @@ object SparkEntry {
       build: DataFrame => DataFrame): DataFrame =
     sharedStageOn(s, d, stage, "documents", "doc_id")(build)
 
+  /** The co-purchase edge derivation — the full from-parquet build of
+    * the [[sharedCoEdges]] materialized view, factored out so the
+    * `stage_coedges_build` MV-REFRESH gate times exactly the work the
+    * stage writer performs.
+    */
+  private def coEdgeDerivation(li: DataFrame): DataFrame = {
+    val raw = li.select(col("l_suppkey").as("s"),
+      (col("l_partkey") + 1000000L).as("p"))
+    raw.select(col("s").as("src"), col("p").as("dst"))
+      .unionByName(raw.select(col("p").as("src"), col("s").as("dst")))
+      .distinct()
+  }
+
   /** Materialized undirected supplier↔part co-purchase edge list —
     * the shared upstream of the six `graph_*` gates that previously
     * each re-derived it from lineitem (six full fact scans per suite
@@ -762,15 +775,16 @@ object SparkEntry {
     * anyway, and it shrinks the stage to the graph's true edge set.
     * Part ids offset past the supplier key range (the graph family's
     * shared node-id convention).
+    *
+    * BENCH HONESTY: the derivation cost is carried by the benched
+    * `stage_coedges_build` gate (which recomputes [[coEdgeDerivation]]
+    * from the parquet fact on every timed pass), and Bench wipes every
+    * `stage_*` table at startup so a run can never inherit this MV
+    * from a previous run — consumers here are MV readers, the refresh
+    * is paid and reported by every bench invocation.
     */
   private def sharedCoEdges(s: SparkSession, d: String): DataFrame =
-    sharedStageOn(s, d, "coedges", "lineitem", "l_orderkey") { li =>
-      val raw = li.select(col("l_suppkey").as("s"),
-        (col("l_partkey") + 1000000L).as("p"))
-      raw.select(col("s").as("src"), col("p").as("dst"))
-        .unionByName(raw.select(col("p").as("src"), col("s").as("dst")))
-        .distinct()
-    }
+    sharedStageOn(s, d, "coedges", "lineitem", "l_orderkey")(coEdgeDerivation)
 
   /** Materialized capped 3-clique order→part projection edges — the
     * shared upstream of `graph_triangles`, `graph_clustering` and
@@ -780,20 +794,26 @@ object SparkEntry {
     * content-addressed stage, consumers feed the SAME rows to their
     * graph operator, results byte-identical.
     */
+  private def triEdgeDerivation(li: DataFrame): DataFrame = {
+    val lp = li.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val t3 = lp.groupBy("o")
+      .agg(slice(sort_array(collect_list(col("p"))), 1, 3).as("ps"))
+    val pairs = array(
+      struct(get(col("ps"), lit(0)).as("src"), get(col("ps"), lit(1)).as("dst")),
+      struct(get(col("ps"), lit(0)).as("src"), get(col("ps"), lit(2)).as("dst")),
+      struct(get(col("ps"), lit(1)).as("src"), get(col("ps"), lit(2)).as("dst")))
+    t3.select(explode(pairs).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .where(col("dst").isNotNull)
+  }
+
+  /** BENCH HONESTY: the derivation cost is the benched
+    * `stage_triedges_build` gate's subject ([[sharedCoEdges]]'
+    * discipline); Bench wipes `stage_*` at startup.
+    */
   private def sharedTriEdges(s: SparkSession, d: String): DataFrame =
-    sharedStageOn(s, d, "triedges", "lineitem", "l_orderkey") { li =>
-      val lp = li.select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      val t3 = lp.groupBy("o")
-        .agg(slice(sort_array(collect_list(col("p"))), 1, 3).as("ps"))
-      val pairs = array(
-        struct(get(col("ps"), lit(0)).as("src"), get(col("ps"), lit(1)).as("dst")),
-        struct(get(col("ps"), lit(0)).as("src"), get(col("ps"), lit(2)).as("dst")),
-        struct(get(col("ps"), lit(1)).as("src"), get(col("ps"), lit(2)).as("dst")))
-      t3.select(explode(pairs).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"))
-        .where(col("dst").isNotNull)
-    }
+    sharedStageOn(s, d, "triedges", "lineitem", "l_orderkey")(triEdgeDerivation)
 
   /** Materialized `Affinity.pairLift(lineitem, 2)` — the co-purchase
     * pair table shared by the component gates (`graph_components`,
@@ -810,16 +830,38 @@ object SparkEntry {
     sharedStageOn(s, d, "copairs_ms2", "lineitem", "l_orderkey")(li =>
       graft.operators.Affinity.pairLift(li, minSupport = 2))
 
-  /** Materialized `Dedup.ngramJaccardPairs(docs, 1, 20)`. */
+  /** Materialized `Dedup.ngramJaccardPairs(docs, 1, 20)`.
+    * BENCH HONESTY: `dedup_ngram_jaccard` IS this stage's benched
+    * build gate — the identical `ngramJaccardPairs(docs, 1, 20)` from
+    * the parquet corpus on every timed pass — and Bench wipes
+    * `stage_*` at startup, so every run pays and reports the refresh.
+    */
   private def sharedPairs(s: SparkSession, d: String): DataFrame =
     sharedStage(s, d, "pairs_1_20")(docs =>
       Dedup.ngramJaccardPairs(docs, 1, 20))
 
-  /** Materialized keep-list over [[sharedPairs]]' clusters. */
+  /** Materialized keep-list over [[sharedPairs]]' clusters.
+    * BENCH HONESTY: the incremental cost of this stage over the pair
+    * MV (cluster contraction + survivor pick) is exactly what the
+    * benched `dedup_keep_list` gate recomputes on every timed pass;
+    * the pair MV itself is `dedup_ngram_jaccard`'s subject.
+    */
   private def sharedKeepList(s: SparkSession, d: String): DataFrame =
     sharedStage(s, d, "keep_1_20")(docs =>
       Dedup.keepListFromClusters(docs,
         Dedup.dedupClusters(sharedPairs(s, d))))
+
+  /** The trained probe's keep set at the 52% precision operating point
+    * — the [[sharedStage]]d quality-filter artifact `pipeline_curation_v6`
+    * serves. Factored so the benched `stage_probekeep_build` gate times
+    * exactly the train-and-score derivation the stage writer performs.
+    */
+  private def probeKeepDerivation(docs: DataFrame): DataFrame =
+    TextAnalysis.probeKeepDocs(docs,
+      length(col("source")) === 4, targetPrecisionPpm = 520000L)
+
+  private def sharedProbeKeep(s: SparkSession, d: String): DataFrame =
+    sharedStage(s, d, "probekeep_520")(probeKeepDerivation)
 
   private val ts0 = "2020-01-01 00:00:00"
   private val tsNow = "2024-06-01 00:00:00"
@@ -2962,6 +3004,27 @@ object SparkEntry {
       Similarity.ivfPqTopKIndexed(emb.where(col("vec_id") < 10),
         dir, tbl, k = 5, nProbe = 4)
     }),
+    "stage_ivfpq_build" -> ((s, d) => {
+      // MV-REFRESH gate for the persisted IVF-PQ index the ann_ivfpq_*
+      // gates serve from: a FULL index build from the parquet corpus
+      // into a scratch table on EVERY invocation (no exists guard) —
+      // so the index build cost is paid and reported inside the timed
+      // region of every bench run (Bench additionally wipes stage_*
+      // and ivf* artifacts at startup). Returns the built artifact's
+      // per-cell occupancy read back from the codes table; the oracle
+      // independently replays the coarse k-means assignment
+      import graft.sources.Warehouse
+      val emb = rd(s, d, "embeddings")
+      val dir = new java.io.File(
+        "target/graft_wh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val tbl = "stage_ivfpq_refresh"
+      Similarity.buildIvfPqIndex(emb, col("vec_id") >= 10, dir, tbl,
+        numCentroids = 8)
+      Warehouse.read(s, dir, s"${tbl}_pqcodes")
+        .groupBy(col("cell").cast("long").as("cell"))
+        .agg(count(lit(1)).as("n_vectors"))
+    }),
     "ann_ivf_refined_topk" -> ((s, d) =>
       // same index with 2 fixed-point Lloyd iterations moving the seeded
       // picks onto real cluster centers; the oracle replays the k-means
@@ -4987,10 +5050,11 @@ object SparkEntry {
       // a per-run refit: a quality filter is a trained ARTIFACT served
       // to many pipeline runs (train once, score once, reuse), and the
       // round-11 in-suite cost drift on this gate was dominated by
-      // re-paying the 3-iteration probe fit on every execution
-      val probeKeep = sharedStage(s, d, "probekeep_520")(dd =>
-        TextAnalysis.probeKeepDocs(dd,
-          length(col("source")) === 4, targetPrecisionPpm = 520000L))
+      // re-paying the 3-iteration probe fit on every execution. The
+      // fit itself stays benched: `stage_probekeep_build` recomputes
+      // the full derivation from parquet on every timed pass, and
+      // Bench wipes `stage_*` at startup
+      val probeKeep = sharedProbeKeep(s, d)
       val survivors = docs
         .select(col("doc_id"), col("source"),
           size(filter(graft.functions.tokens(col("text")), t => t =!= ""))
@@ -5187,8 +5251,82 @@ object SparkEntry {
     "basket_pair_lift" -> ((s, d) =>
       // market-basket mining: co-occurring part pairs with ppm lift;
       // pair expansion is bounded per order, min-support runs before
-      // the marginal joins
+      // the marginal joins. This gate is ALSO the benched build of the
+      // `copairs_ms2` stage (identical operator from the parquet fact)
       graft.operators.Affinity.pairLift(rd(s, d, "lineitem"), minSupport = 2)),
+    "stage_coedges_build" -> ((s, d) =>
+      // MV-REFRESH gate for the co-purchase edge stage the graph_*
+      // gates read: the FULL derivation from the parquet fact, timed
+      // on every pass (no exists guard, no stage read) — together with
+      // Bench's startup stage wipe this keeps every bench run paying
+      // and reporting the materialized view's build cost
+      coEdgeDerivation(rd(s, d, "lineitem"))),
+    "stage_triedges_build" -> ((s, d) =>
+      // MV-REFRESH gate for the capped 3-clique projection stage
+      // (graph_triangles / clustering / link_predict upstream)
+      triEdgeDerivation(rd(s, d, "lineitem"))),
+    "stage_probekeep_build" -> ((s, d) =>
+      // MV-REFRESH gate for the trained-probe keep-set artifact
+      // pipeline_curation_v6 serves: the full train-and-score
+      // derivation from the parquet corpus on every pass
+      probeKeepDerivation(rd(s, d, "documents"))),
+    // ----- scaling tier: three deliberately HEAVY, embarrassingly
+    // parallel probes (×100/×30 deterministic row multiplier over the fact,
+    // integer-exact arithmetic) whose runtime is compute/shuffle-bound
+    // rather than fixed-overhead-bound — the driver times the suite at
+    // two core counts, and at sf0.1 every ordinary gate is scheduling-
+    // floor-bound (round-12 `suspect_cpus_ignored`: all 453 low/high
+    // ratios 0.58–1.22), so THESE gates carry the parallelism signal.
+    // The multiplier is computed in-plan from the parquet fact (an
+    // explode over a literal sequence), never a persisted copy.
+    "scale_scan_agg" -> ((s, d) =>
+      // CPU-bound tier: ×100 fact scan with per-row integer arithmetic
+      // into a 60-group aggregate. The fact is hash-repartitioned by
+      // order key FIRST (into shuffle.partitions = the session's core
+      // count — scale-adaptive, not a constant): the sf0.1 tables are
+      // single parquet files, so without it the whole ×100 explode runs
+      // as ONE scan task and the probe cannot show core scaling. The
+      // count is EXPLICIT (defaultParallelism): a bare repartition(col)
+      // is AQE-coalesced by its pre-explode byte size (~25 MB → 1
+      // partition) — AQE cannot know the generate fans out ×100
+      rd(s, d, "lineitem")
+        .repartition(s.sparkContext.defaultParallelism, col("l_orderkey"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          explode(sequence(lit(1L), lit(100L))).as("rep"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_c"),
+          round(col("l_discount") * 100).cast("long").as("disc_c"),
+          col("l_quantity").cast("long").as("qty"))
+        .groupBy("l_returnflag", "l_linestatus", "rep")
+        .agg(
+          sum(col("price_c") * (lit(100L) - col("disc_c")) * col("rep")).as("rev"),
+          sum(col("qty") * col("rep")).as("qty_sum"),
+          count(lit(1)).as("n"))),
+    "scale_shuffle_agg" -> ((s, d) =>
+      // shuffle-bound tier: ×30 fact exploded to ~30× distinct order
+      // keys, full-width exchange into the high-cardinality groupBy,
+      // then a 10-row rollup so the output stays oracle-sized
+      rd(s, d, "lineitem")
+        .repartition(s.sparkContext.defaultParallelism, col("l_orderkey"))
+        .select(col("l_orderkey"),
+          explode(sequence(lit(1L), lit(30L))).as("rep"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+        .groupBy((col("l_orderkey") * 10 + col("rep")).as("okey"), col("rep"))
+        .agg(sum("price_c").as("ord_c"), count(lit(1)).as("n_lines"))
+        .groupBy("rep")
+        .agg(count(lit(1)).as("n_orders"), sum(col("ord_c")).as("sum_c"),
+          max(col("ord_c")).as("max_c"), sum(col("n_lines")).as("n_lines"))),
+    "scale_join_agg" -> ((s, d) =>
+      // join-bound tier: the ×30 fact against the order dimension,
+      // aggregated per (priority, rep) — 50 rows out
+      rd(s, d, "lineitem")
+        .repartition(s.sparkContext.defaultParallelism, col("l_orderkey"))
+        .select(col("l_orderkey"),
+          explode(sequence(lit(1L), lit(30L))).as("rep"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+        .join(rd(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority", "rep")
+        .agg(sum(col("price_c") * col("rep")).as("rev"), count(lit(1)).as("n"))),
     "rec_item_cosine" -> ((s, d) =>
       // "bought X also bought": per-item top-10 by squared co-purchase
       // cosine on the ppm grid (monotone with cosine, integer-exact —
@@ -9021,6 +9159,47 @@ object SparkEntry {
         "CAST(CAST(1000000 AS HUGEINT) * n_co * nb.n_baskets // " +
         "(CAST(ia.n_item AS HUGEINT) * ib.n_item) AS BIGINT) AS lift_ppm " +
         "FROM pr JOIN ic ia ON ia.pk = pr.pk_a JOIN ic ib ON ib.pk = pr.pk_b CROSS JOIN nb"),
+    "stage_coedges_build" ->
+      ("WITH raw AS (SELECT l_suppkey AS s, l_partkey + 1000000 AS p FROM lineitem) " +
+        "SELECT DISTINCT src, dst FROM " +
+        "(SELECT s AS src, p AS dst FROM raw UNION ALL SELECT p AS src, s AS dst FROM raw)"),
+    "stage_triedges_build" ->
+      ("WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), " +
+        "r AS (SELECT o, p, row_number() OVER (PARTITION BY o ORDER BY p) AS rn FROM lp), " +
+        "t3 AS (SELECT o, p, rn FROM r WHERE rn <= 3) " +
+        "SELECT x.p AS src, y.p AS dst FROM t3 x JOIN t3 y ON x.o = y.o AND x.rn < y.rn"),
+    "stage_probekeep_build" ->
+      OracleSql.probeKeepSet("length(source) = 4", targetPrecisionPpm = 520000L,
+        bins = 10, buckets = 16, iters = 3, lr = 1.0 / 1024, scaleBits = 20,
+        salt = "probe"),
+    "stage_ivfpq_build" ->
+      OracleSql.annIvfPqBuildCells(numCentroids = 8),
+    "scale_scan_agg" ->
+      ("WITH x AS (SELECT l_returnflag, l_linestatus, r.rep, " +
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c, " +
+        "CAST(round(l_discount * 100) AS BIGINT) AS disc_c, " +
+        "CAST(l_quantity AS BIGINT) AS qty FROM lineitem " +
+        "CROSS JOIN (SELECT unnest(generate_series(1, 100)) AS rep) r) " +
+        "SELECT l_returnflag, l_linestatus, CAST(rep AS BIGINT) AS rep, " +
+        "CAST(sum(price_c * (100 - disc_c) * rep) AS BIGINT) AS rev, " +
+        "CAST(sum(qty * rep) AS BIGINT) AS qty_sum, count(*) AS n " +
+        "FROM x GROUP BY 1, 2, 3"),
+    "scale_shuffle_agg" ->
+      ("WITH x AS (SELECT l_orderkey, r.rep, " +
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c FROM lineitem " +
+        "CROSS JOIN (SELECT unnest(generate_series(1, 30)) AS rep) r), " +
+        "g AS (SELECT l_orderkey * 10 + rep AS okey, rep, " +
+        "CAST(sum(price_c) AS BIGINT) AS ord_c, count(*) AS n_lines FROM x GROUP BY 1, 2) " +
+        "SELECT CAST(rep AS BIGINT) AS rep, count(*) AS n_orders, " +
+        "CAST(sum(ord_c) AS BIGINT) AS sum_c, CAST(max(ord_c) AS BIGINT) AS max_c, " +
+        "CAST(sum(n_lines) AS BIGINT) AS n_lines FROM g GROUP BY 1"),
+    "scale_join_agg" ->
+      ("WITH x AS (SELECT l_orderkey, r.rep, " +
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c FROM lineitem " +
+        "CROSS JOIN (SELECT unnest(generate_series(1, 30)) AS rep) r) " +
+        "SELECT o.o_orderpriority, CAST(x.rep AS BIGINT) AS rep, " +
+        "CAST(sum(x.price_c * x.rep) AS BIGINT) AS rev, count(*) AS n " +
+        "FROM x JOIN orders o ON o.o_orderkey = x.l_orderkey GROUP BY 1, 2"),
     "rec_item_cosine" ->
       ("WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem), " +
         "ic AS (SELECT pk, count(*) AS n_item FROM li GROUP BY 1), " +

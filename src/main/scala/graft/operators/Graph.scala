@@ -49,22 +49,25 @@ object Graph {
       srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {
     require(iters >= 0 && dampDen > 0 && dampNum >= 0 && dampNum <= dampDen)
+    // the edge cache is HASH-PARTITIONED on src AND SORTED within
+    // partitions ONCE: every round's rank join then reads both the
+    // partitioning and the ordering from the cache (InMemoryRelation
+    // preserves both), so the per-round sort-merge join neither
+    // exchanges nor re-sorts the |E|-sized side — only the |V|-sized
+    // rank vector moves (and sorts) per round. Degrees and nodes
+    // derive from the cached layout exchange-free (groupBy(src) is
+    // satisfied by hash(src)), where the previous shape paid four
+    // |E|-sized exchanges at setup and an |E| sort per round.
     val e = Caches.persisted(
-      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
-    // nodes and degrees are referenced by EVERY round's plan — persist
-    // them or each round re-runs their shuffles from the edge cache
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+        .repartition(col("src")).sortWithinPartitions("src"))
     val deg = Caches.persisted(
       e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg")))
     val nodes = Caches.persisted(deg.select(col("node")))
     // out-degree rides ON the edge row (one join at setup, not one per
-    // round) — each round is then exactly one join + one aggregation.
-    // The cache is HASH-PARTITIONED on src: every round's rank join
-    // reads the cached partitioning (InMemoryRelation preserves it), so
-    // only the |V|-sized rank vector moves per round — the edge table
-    // is shuffled once at setup, never per iteration.
+    // round) — each round is then exactly one join + one aggregation
     val eDeg = Caches.persisted(
-      e.join(deg.withColumnRenamed("node", "src"), "src")
-        .repartition(col("src")))
+      e.join(deg.withColumnRenamed("node", "src"), "src"))
     // one O(1) action: the node count is a scalar in every rank formula
     val n = nodes.count()
     require(n > 0, "graph has no edges")
@@ -122,8 +125,11 @@ object Graph {
       srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {
     require(iters >= 0 && dampDen > 0 && dampNum >= 0 && dampNum <= dampDen)
+    // same once-partitioned, once-sorted edge cache as pageRankFixed:
+    // per round only the rank vector exchanges and sorts
     val e = Caches.persisted(
-      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+        .repartition(col("src")).sortWithinPartitions("src"))
     val deg = Caches.persisted(
       e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg")))
     val sd = seeds.select(col(seeds.columns.head).as("node")).distinct()
@@ -132,11 +138,8 @@ object Graph {
       deg.select(col("node"))
         .join(sd.withColumn("__is", lit(1L)), Seq("node"), "left")
         .select(col("node"), coalesce(col("__is"), lit(0L)).as("__seed")))
-    // hash-partitioned on src like pageRankFixed's: per round only the
-    // rank vector moves, the edge table shuffles once at setup
     val eDeg = Caches.persisted(
-      e.join(deg.withColumnRenamed("node", "src"), "src")
-        .repartition(col("src")))
+      e.join(deg.withColumnRenamed("node", "src"), "src"))
     val nSeeds = nodes.agg(sum(col("__seed"))).head().getLong(0)
     require(nSeeds > 0, "no seed node appears in the graph")
     val base = massScale / nSeeds
@@ -191,8 +194,13 @@ object Graph {
       srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {
     require(iters >= 0)
+    // partitioned by src and sorted ONCE: each round's label join was
+    // previously exchanging AND sorting the full |E| edge cache (the
+    // distinct-produced hash(src,dst) layout does not satisfy a join
+    // on src) — now only the |V|-sized label vector moves per round
     val e = Caches.persisted(
-      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+        .repartition(col("src")).sortWithinPartitions("src"))
     // every round's relabel references the node spine twice — persist it
     val nodes = Caches.persisted(e.select(col("src").as("node")).distinct())
     val seed = seeds.toDF("node", "__seed")
@@ -260,8 +268,12 @@ object Graph {
       srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {
     require(maxHops >= 0)
+    // partitioned by src and sorted once, like labelPropagation: the
+    // per-hop frontier join reads layout from the cache instead of
+    // re-exchanging the edge table each hop
     val e = Caches.persisted(
-      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct())
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+        .repartition(col("src")).sortWithinPartitions("src"))
     var dist = seeds.select(col(seeds.columns.head).as("node")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint(true)
     var frontier = dist
@@ -368,13 +380,19 @@ object Graph {
       maxDepth: Int = 64,
       childCol: String = "child",
       parentCol: String = "parent"): DataFrame = {
-    val nn = newNodes.select(col(newNodes.columns.head).as("__nn")).distinct()
+    // persisted: the new-node set is referenced three times (the
+    // re-parenting probe, the internal semi-join, the boundary
+    // anti-join) and the delta closure twice (internal + boundary) —
+    // without the caches each reference re-derives the caller's whole
+    // delta subplan (incl. any window/rank upstream) from scratch
+    val nn = Caches.persisted(
+      newNodes.select(col(newNodes.columns.head).as("__nn")).distinct())
     require(newEdges.select(col(childCol).as("__nn"))
       .join(nn, Seq("__nn"), "left_anti").isEmpty,
       "extendAncestorClosure: every new edge's child must be a NEW node " +
         "(re-parenting existing nodes requires a rebuild)")
-    val dcl = ancestorClosure(newEdges, newNodes, maxDepth,
-      childCol = childCol, parentCol = parentCol)
+    val dcl = Caches.persisted(ancestorClosure(newEdges, newNodes, maxDepth,
+      childCol = childCol, parentCol = parentCol))
     val internal = dcl.join(nn.withColumnRenamed("__nn", "anc"), Seq("anc"), "left_semi")
       .select("node", "anc", "depth")
     val boundary = dcl.join(nn.withColumnRenamed("__nn", "anc"), Seq("anc"), "left_anti")

@@ -4985,6 +4985,10 @@ object SparkEntry {
       // -> lexicon-relevance importance sampling -> fixed-budget shard
       // packing -> shard stats
       val docs = rd(s, d, "documents")
+      // NOT persisted although referenced twice: both references live
+      // under one action, where ReuseExchange already dedups the
+      // span-excise subplan — measured flat with an explicit cache
+      // (round-13 A/B), so the cache memory is not paid
       val cleaned = Dedup.exciseRepeatedSpans(docs, window = 10, emitText = true)
         .filter(col("n_kept") >= 30)
         .join(docs.select("doc_id", "source"), "doc_id")
@@ -6405,14 +6409,24 @@ object SparkEntry {
         if (Txn.snapshot(s, dir, grp2).get.txn == 2) {
           require(Txn.snapshot(s, dir, grp2).get.lastBatch == 0L,
             "a pre-stamp root at txn 2 must seed lastBatch = 0")
+          // a derived seed is refused WITHOUT the explicit migration
+          // opt-in (the convention assumption is unverifiable from the
+          // filesystem — a convention-violating group would silently
+          // lose batches)
+          require(scala.util.Try(graft.streaming.Streams.foldTxnBatch(
+            batch(0, poison = true), 0L, dir, grp2, spec, tlit(tsNow), roll)).isFailure,
+            "resume on a derived seed must refuse without the opt-in")
           // crash replay of the pre-stamp batch with POISONED content:
-          // the seeded stamp must skip it
+          // the seeded stamp must skip it once the operator opts in
+          // (this gate built the root itself, so the convention holds)
           require(!graft.streaming.Streams.foldTxnBatch(
-            batch(0, poison = true), 0L, dir, grp2, spec, tlit(tsNow), roll),
+            batch(0, poison = true), 0L, dir, grp2, spec, tlit(tsNow), roll,
+            acceptPrestampSeed = true),
             "a pre-stamp root's replayed batch must skip via the seeded stamp")
           // the next live batch applies and stamps explicitly
           require(graft.streaming.Streams.foldTxnBatch(
-            batch(1, poison = false), 1L, dir, grp2, spec, tlit(tsNow), roll),
+            batch(1, poison = false), 1L, dir, grp2, spec, tlit(tsNow), roll,
+            acceptPrestampSeed = true),
             "the first live batch after migration must apply")
         }
         java.lang.Boolean.TRUE

@@ -1193,18 +1193,22 @@ object Similarity {
       emb: DataFrame,
       vecCol: String = "embedding",
       scaleBits: Int = 24): DataFrame = {
-    val q = math.pow(2, scaleBits)
-    def fp(c: Column) = round(c.cast("double") * q).cast("long")
-    emb.select(posexplode(col(vecCol)).as(Seq("i", "__xa")), col(vecCol).as("__v"))
-      .select(col("i"), fp(col("__xa")).as("__qa"),
-        posexplode(col("__v")).as(Seq("j", "__xb")))
-      .where(col("j") >= col("i"))
-      .select(col("i"), col("j"), col("__qa"), fp(col("__xb")).as("__qb"))
-      .groupBy("i", "j")
-      .agg(
-        count(lit(1)).as("n_vecs"),
-        sum((col("__qa") * col("__qb")).cast("decimal(38,0)"))
-          .cast("string").as("sumprod_fp"))
+    // ONE combinable aggregate over primitive long arrays
+    // ([[graft.functions.GramAgg]]) instead of the posexplode² +
+    // groupBy form, which generated dim·(dim+1)/2 rows PER VECTOR
+    // through a decimal(38,0) hash aggregate. Same quantization, same
+    // exact-integer sums, bit-identical output (the cast to
+    // array<double> is lossless for float embeddings — the old form
+    // cast each element to double too).
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val gram = udaf(new graft.functions.GramAgg(scaleBits),
+      ExpressionEncoder[Seq[Double]]())
+    emb
+      .select(col(vecCol).cast("array<double>").as("__v"))
+      .agg(gram(col("__v")).as("__g"))
+      .select(explode(col("__g")).as("__c"))
+      .select(col("__c.i").as("i"), col("__c.j").as("j"),
+        col("__c.n_vecs").as("n_vecs"), col("__c.sumprod_fp").as("sumprod_fp"))
   }
 
   /** Merge [[vectorSecondMoments]] outputs — the O(delta) PCA/Gram

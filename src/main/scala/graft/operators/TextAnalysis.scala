@@ -665,17 +665,23 @@ object TextAnalysis {
       .limit(topK)
   }
 
-  /** Per-doc adjacent token pairs: (idCol, w1, w2). */
+  /** Per-doc adjacent token pairs: (idCol, w1, w2). Adjacency is taken
+    * on the ARRAY (slice + positional explode + element_at), never via
+    * a lead() window: the window form exchanged and sorted the entire
+    * exploded token stream per doc, where the array form is one
+    * generator in the scan's codegen stage — row-identical output
+    * (pairs of consecutive non-empty tokens in document order).
+    */
   private def docBigrams(
       docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("__pos"))
+    val ft = filter(tokens(col(textCol)), t => t =!= "")
     docs
-      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
-      .filter(col("__tok") =!= "")
-      .withColumn("__nxt", lead(col("__tok"), 1).over(w))
-      .filter(col("__nxt").isNotNull)
-      .select(col(idCol), col("__tok").as("w1"), col("__nxt").as("w2"))
+      .select(col(idCol), ft.as("__ft"))
+      .select(col(idCol), col("__ft"),
+        posexplode(slice(col("__ft"), lit(1), greatest(size(col("__ft")) - 1, lit(0))))
+          .as(Seq("__i", "w1")))
+      .select(col(idCol), col("w1"),
+        element_at(col("__ft"), col("__i") + 2).as("w2"))
   }
 
   /** The full (un-truncated) KN bigram LM table over a bigram stream —

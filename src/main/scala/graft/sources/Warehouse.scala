@@ -476,7 +476,13 @@ object Warehouse {
       * a group known to have taken one should be re-stamped with an
       * explicit `batchId` commit before resuming the stream.
       */
-    final case class Snapshot(txn: Long, gens: Map[String, Long], lastBatch: Long = -1L)
+    final case class Snapshot(txn: Long, gens: Map[String, Long], lastBatch: Long = -1L,
+        // true when lastBatch was DERIVED from a pre-stamp root's txn
+        // counter rather than read from an explicit batch= stamp — the
+        // stream-resume path refuses to trust a derived seed unless the
+        // caller opts in (the convention assumption is unverifiable
+        // from the filesystem; see the scaladoc above)
+        seedDerived: Boolean = false)
 
     /** Roots already warned about pre-stamp seeding — dedupe so the
       * (frequently called) snapshot read doesn't spam per call. */
@@ -555,29 +561,33 @@ object Warehouse {
         val gens = kv.get("tables").filter(_.nonEmpty).map(_.split(",").toSeq.map { e =>
           val Array(t, g) = e.split(":", 2); t -> g.toLong
         }.toMap).getOrElse(Map.empty)
-        Some(Snapshot(kv("txn").toLong, gens,
-          // pre-stamp root: seed from the old txn-counter convention
-          // (bootstrap = txn 1, one commit per 0-based batch) — see the
-          // Snapshot scaladoc for the migration-window rationale
-          kv.get("batch").map(_.toLong).getOrElse {
-            val seed = kv("txn").toLong - 2
-            // The seed ASSUMES the pre-stamp group took no out-of-band
-            // commits; for a convention-violating group it silently
-            // SKIPS live batches as replays (data loss) — and nothing
-            // on the filesystem can verify the assumption. Warn loudly
-            // (once per root per JVM) whenever a seed > -1 is derived,
-            // so operators of such groups re-stamp with an explicit
-            // batchId commit before resuming streams.
-            if (seed > -1L && prestampWarned.add(s"$dir/$name"))
-              System.err.println(
-                s"[warehouse] txn group '$name' at $dir has a PRE-STAMP root: " +
-                s"seeding lastBatch = txn-2 = $seed under the 'bootstrap + one " +
-                "commit per consecutive batch' convention. If this group ever " +
-                "took an out-of-band commit, live batches would be skipped as " +
-                "replays — re-stamp with an explicit batchId commit before " +
-                "resuming streams.")
-            seed
-          }))
+        // pre-stamp root: seed from the old txn-counter convention
+        // (bootstrap = txn 1, one commit per 0-based batch) — see the
+        // Snapshot scaladoc for the migration-window rationale
+        val explicit = kv.get("batch").map(_.toLong)
+        val lastBatch = explicit.getOrElse {
+          val seed = kv("txn").toLong - 2
+          // The seed ASSUMES the pre-stamp group took no out-of-band
+          // commits; for a convention-violating group it silently
+          // SKIPS live batches as replays (data loss) — and nothing
+          // on the filesystem can verify the assumption. Warn loudly
+          // (once per root per JVM) whenever a seed > -1 is derived;
+          // the stream-resume path additionally REFUSES a derived seed
+          // unless the caller opted in (foldTxnBatch's
+          // acceptPrestampSeed), so a convention-violating group
+          // cannot silently lose batches.
+          if (seed > -1L && prestampWarned.add(s"$dir/$name"))
+            System.err.println(
+              s"[warehouse] txn group '$name' at $dir has a PRE-STAMP root: " +
+              s"seeding lastBatch = txn-2 = $seed under the 'bootstrap + one " +
+              "commit per consecutive batch' convention. If this group ever " +
+              "took an out-of-band commit, live batches would be skipped as " +
+              "replays — re-stamp with an explicit batchId commit before " +
+              "resuming streams.")
+          seed
+        }
+        Some(Snapshot(kv("txn").toLong, gens, lastBatch,
+          seedDerived = explicit.isEmpty))
       }
     }
 

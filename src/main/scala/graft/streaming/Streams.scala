@@ -317,12 +317,26 @@ object Streams {
       group: String,
       spec: graft.operators.MergeSpec,
       now: org.apache.spark.sql.Column,
-      rollup: DataFrame => DataFrame): Boolean = {
+      rollup: DataFrame => DataFrame,
+      acceptPrestampSeed: Boolean = false): Boolean = {
     import graft.sources.Warehouse.Txn
     val spark = batch.sparkSession
     val snap = Txn.snapshot(spark, warehouseDir, group).getOrElse(
       throw new IllegalStateException(
         s"txn group $group has no bootstrap commit — commit the base facts+rollup first"))
+    // a DERIVED replay stamp (pre-stamp root, lastBatch seeded txn−2)
+    // rests on an assumption the filesystem cannot verify — that the
+    // group followed the bootstrap+consecutive-batches convention with
+    // no out-of-band commits. Trusting it for a group that violated
+    // the convention silently SKIPS live batches (data loss), so the
+    // resume REFUSES unless the operator opts in explicitly; the safe
+    // alternative is one re-stamping commit with an explicit batchId.
+    if (snap.seedDerived && snap.lastBatch > -1L && !acceptPrestampSeed)
+      throw new IllegalStateException(
+        s"txn group $group has a PRE-STAMP root (lastBatch seeded ${snap.lastBatch} " +
+          "from the txn counter). Re-stamp with an explicit batchId commit, or pass " +
+          "acceptPrestampSeed = true after confirming the group never took an " +
+          "out-of-band commit")
     if (batchId <= snap.lastBatch) return false // crash replay: already committed
     val curFacts = Txn.readAt(spark, warehouseDir, group, snap, "facts")
     // persisted once, written twice (facts + rollup), released in the

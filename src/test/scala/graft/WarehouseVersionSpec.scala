@@ -376,12 +376,24 @@ class WarehouseVersionSpec extends AnyFunSuite with SparkTest {
     assert(Warehouse.Txn.snapshot(s, dir, "grp").get.lastBatch == 0L,
       "a pre-stamp root at txn 2 seeds lastBatch 0 (one batch applied)")
     import graft.streaming.Streams
+    // the derived seed rests on an UNVERIFIABLE convention assumption:
+    // resuming a stream on it must be an explicit operator decision —
+    // the default REFUSES loudly instead of silently skipping batches
+    // for a convention-violating group
+    val refusal = intercept[IllegalStateException] {
+      Streams.foldTxnBatch(Seq((1L, -99L)).toDF("k", "v"), 0L, dir, "grp", spec, ts, roll)
+    }
+    assert(refusal.getMessage.contains("PRE-STAMP"),
+      "resume on a derived seed must refuse without the explicit opt-in")
     // the window that used to be open: a crash replay of batch 0 with
     // MODIFIED content under the stamped sink — must skip via the seed
-    assert(!Streams.foldTxnBatch(Seq((1L, -99L)).toDF("k", "v"), 0L, dir, "grp", spec, ts, roll),
+    // once the operator opts in
+    assert(!Streams.foldTxnBatch(Seq((1L, -99L)).toDF("k", "v"), 0L, dir, "grp", spec, ts, roll,
+      acceptPrestampSeed = true),
       "a pre-stamp root's replayed batch must skip even with modified content")
     // and the next live batch applies, stamping explicitly from then on
-    assert(Streams.foldTxnBatch(Seq((3L, 30L)).toDF("k", "v"), 1L, dir, "grp", spec, ts, roll))
+    assert(Streams.foldTxnBatch(Seq((3L, 30L)).toDF("k", "v"), 1L, dir, "grp", spec, ts, roll,
+      acceptPrestampSeed = true))
     val snap = Warehouse.Txn.snapshot(s, dir, "grp").get
     assert(snap.lastBatch == 1L)
     assert(Warehouse.Txn.readAt(s, dir, "grp", snap, "facts")

@@ -804,9 +804,12 @@ object Graph {
       dstCol: String = "dst",
       weightCol: String = "w"): DataFrame = {
     require(maxHops >= 0)
+    // same once-partitioned, once-sorted edge cache as the other
+    // iterative operators: per-hop joins read layout from the cache
     val e = Caches.persisted(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-        col(weightCol).cast("long").as("w")).distinct())
+        col(weightCol).cast("long").as("w")).distinct()
+        .repartition(col("src")).sortWithinPartitions("src"))
     val seed0 = seeds.select(col(seeds.columns.head).as("node")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint(true)
     // the settled table stays a LAZY union of per-round improvement

@@ -158,15 +158,26 @@ object Quantiles {
       nBins: Int,
       binCol: String = "bin"): DataFrame = {
     require(nBins >= 2, "need at least 2 bins")
-    val spark = df.sparkSession
-    val v = graft.Views.unique("edb")
-    df.createOrReplaceTempView(v)
-    val cutExprs = (1 until nBins)
-      .map(i => s"percentile_disc(${i.toDouble / nBins}) WITHIN GROUP (ORDER BY $valueCol) AS __c$i")
-      .mkString(", ")
-    val cuts =
-      try spark.sql(s"SELECT $cutExprs FROM $v")
-      finally spark.catalog.dropTempView(v)
+    // the cutoffs are percentile_disc(i/nBins) — the smallest value
+    // whose cumulative row count reaches ceil(i·n/nBins) — computed as
+    // ONE combinable count aggregation over the DISTINCT value domain
+    // plus a domain-sized running sum, instead of nBins−1 separate
+    // percentile_disc aggregates (each of which buffers every row per
+    // cutoff). Ranks use the exact integer formula (i·n + nBins−1) div
+    // nBins = ceil(i·n/nBins), so the cut selection never touches a
+    // float and matches percentile_disc bit-for-bit.
+    val w = org.apache.spark.sql.expressions.Window.orderBy(valueCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__n"))
+      .select(col(valueCol), sum(col("__n")).over(w).as("__cum"))
+    val cutCols = (1 until nBins).map { i =>
+      min(when(col("__cum") * nBins >= col("__total") * i, col(valueCol)))
+        .as(s"__c$i")
+    }
+    val cuts = cum
+      .select(col(valueCol), col("__cum"), max(col("__cum")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()).as("__total"))
+      .agg(cutCols.head, cutCols.tail: _*)
     val bin = (1 until nBins)
       .map(i => when(col(valueCol) > col(s"__c$i"), 1).otherwise(0))
       .reduce(_ + _)
